@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+
+/** Loaders for the driver-supplied synthetic tables (TESTDATA.md).
+  *
+  * All queries take an `sfDir` (e.g. `/root/testdata/sf0.01`) and read the
+  * parquet tables below. Filters/projections applied by callers are pushed
+  * into the parquet scan by Catalyst (verify with `.explain("formatted")`:
+  * `PushedFilters` / `ReadSchema`).
+  */
+object Tables {
+  /** Loads a table, normalizing TIMESTAMP_NTZ parquet columns (how Spark 4
+    * reads these pandas-written files) to session-TZ TIMESTAMP. Session TZ
+    * is pinned UTC, so the wall-clock values are unchanged and match what
+    * DuckDB sees. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    raw.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(raw) {
+      (df, f) => df.withColumn(f.name, col(f.name).cast(TimestampType))
+    }
+  }
+
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** `events.parquet` is written with nanosecond timestamps; Spark's parquet
+    * reader only supports micros natively. We read nanos as long
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and floor-convert to a
+    * microsecond timestamp — the same truncation DuckDB applies, so the
+    * oracle sees identical values.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+    else raw
+  }
+}

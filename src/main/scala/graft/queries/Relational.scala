@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.util.Det._
+
+/** Relational parity queries: scans, projections, filters, derived columns,
+  * joins (SURVEY.md §2.1 S1, §2.2 P1-P5, §2.3 J1-J3).
+  *
+  * Each query maps a reference operator onto the driver's TPC-H-ish tables
+  * (FIXTURES.md §8 mapping): `orders ⋈ lineitem` plays order_info ⋈
+  * order_detail, the small tables play the Phoenix DIM_* lookups.
+  */
+object Relational {
+
+  /** A1-style pricing summary (scan → groupBy → exact decimal sums).
+    * Catalyst plans partial+final agg with map-side combine; one shuffle on
+    * the (tiny-cardinality) group key. */
+  def q1Agg(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    ordered(
+      li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          decSum(col("l_quantity")).as("sum_qty"),
+          decSum(col("l_extendedprice")).as("sum_base_price"),
+          decAvg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order")),
+      "l_returnflag", "l_linestatus")
+  }
+
+  /** S1/P1: scan + projection + predicate — both pushed to the parquet
+    * reader (PushedFilters + pruned ReadSchema; reference: every
+    * Kafka-source `map`/`filter` head, e.g. BaseLogApp.java:40-58). */
+  def s1Scan(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    ordered(
+      li.select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .filter(col("l_extendedprice") > 9000.0),
+      "l_orderkey", "l_linenumber")
+  }
+
+  /** P3: bean-binding derived columns — create_date / create_hour /
+    * epoch-ms from a datetime (reference OrderWideApp.java:52-74). */
+  def p3Derive(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    ordered(
+      o.select(
+        col("o_orderkey"),
+        stamp(col("o_orderdate")).as("create_time"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("create_date"),
+        hour(col("o_orderdate")).cast("long").as("create_hour"),
+        unix_millis(col("o_orderdate")).as("create_ts")),
+      "o_orderkey")
+  }
+
+  /** P4: drop records by field value (reference filters CDC "delete" ops,
+    * BaseDbApp.java:49-54). */
+  def p4Filter(s: SparkSession, d: String): DataFrame =
+    ordered(
+      events(s, d).filter(col("event_type") =!= "error")
+        .select(col("event_id"), col("event_type"), col("user_id")),
+      "event_id")
+
+  /** J1: time-bounded equijoin — batch rendering of the ±bounds interval
+    * join (OrderWideApp.java:96-105: keyBy id ⋈ keyBy order_id
+    * between(-5s,+5s), inclusive). Here: lineitems shipped within
+    * [orderdate, orderdate + 60 days]. The streaming rendering (watermarked
+    * stream-stream join) lives in graft.streaming.IntervalJoin. */
+  def j1IntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select("o_orderkey", "o_orderdate", "o_totalprice")
+    val li = lineitem(s, d).select("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")
+    ordered(
+      li.join(o, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select(col("o_orderkey"), col("l_linenumber"),
+          stamp(col("l_shipdate")).as("ship_time"), col("l_extendedprice")),
+      "o_orderkey", "l_linenumber")
+  }
+
+  /** J3: multi-hop dimension enrichment — the 6 sequential async dim
+    * lookups of OrderWideApp.java:112-225 re-expressed as broadcast hash
+    * joins (dims are small; broadcast IS the cache, so the Redis layer
+    * disappears). Revenue per region/nation, TPC-H Q5-shaped. */
+  def j3DimEnrich(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val o  = orders(s, d).select("o_orderkey", "o_custkey")
+    val c  = customer(s, d).select("c_custkey", "c_nationkey")
+    val su = supplier(s, d).select("s_suppkey", "s_nationkey")
+    val n  = nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+    val r  = region(s, d).select("r_regionkey", "r_name")
+    ordered(
+      li.join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        // same-nation constraint keeps the query selective (Q5 semantics)
+        .filter(col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items")),
+      "r_name", "n_name")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"           -> (q1Agg _),
+    "s1_scan"          -> (s1Scan _),
+    "p3_derive"        -> (p3Derive _),
+    "p4_filter"        -> (p4Filter _),
+    "j1_interval_join" -> (j1IntervalJoin _),
+    "j3_dim_enrich"    -> (j3DimEnrich _))
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "s1_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem WHERE l_extendedprice > 9000.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "p3_derive" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS create_time,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS create_date,
+        |  CAST(hour(o_orderdate) AS BIGINT) AS create_hour,
+        |  CAST(epoch_ms(o_orderdate) AS BIGINT) AS create_ts
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "p4_filter" ->
+      """SELECT event_id, event_type, user_id FROM events
+        |WHERE event_type <> 'error' ORDER BY event_id""".stripMargin,
+    "j1_interval_join" ->
+      """SELECT o_orderkey, l_linenumber,
+        |  strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_time, l_extendedprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+        |ORDER BY o_orderkey, l_linenumber""".stripMargin,
+    "j3_dim_enrich" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE c_nationkey = s_nationkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin)
+}
