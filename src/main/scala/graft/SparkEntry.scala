@@ -16,8 +16,14 @@ object SparkEntry {
     graft.queries.Relational.j3DimEnrich(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries
+    graft.queries.Relational.queries ++
+      graft.queries.Stats.queries ++
+      graft.queries.Stateful.queries ++
+      graft.queries.Plumbing.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracle
+    graft.queries.Relational.oracle ++
+      graft.queries.Stats.oracle ++
+      graft.queries.Stateful.oracle ++
+      graft.queries.Plumbing.oracle
 }
