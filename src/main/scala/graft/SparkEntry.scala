@@ -19,11 +19,13 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.Stats.queries ++
       graft.queries.Stateful.queries ++
-      graft.queries.Plumbing.queries
+      graft.queries.Plumbing.queries ++
+      graft.queries.LlmOps.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
       graft.queries.Stats.oracle ++
       graft.queries.Stateful.oracle ++
-      graft.queries.Plumbing.oracle
+      graft.queries.Plumbing.oracle ++
+      graft.queries.LlmOps.oracle
 }

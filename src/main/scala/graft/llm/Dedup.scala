@@ -1,0 +1,161 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.llm.TextAnalysis.tokens
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash, embedding cosine. Every operator is a
+  * pure DataFrame pipeline — shuffles only on content-derived keys (hash,
+  * gram, band, bit), so they scale horizontally; no driver-side loops.
+  *
+  * Cross-engine determinism: gram/token hashing is `md5` (first 8/15 hex
+  * digits as integer), computable identically in the DuckDB oracle — no
+  * engine-private hash functions in any comparison path.
+  */
+object Dedup {
+
+  /** Exact dedup by normalized-content hash: one hash-aggregate.
+    * 100 TB path: same plan — groupBy on md5 is uniformly distributed, no
+    * skew; keep the smallest id as the canonical representative. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(lower(col("text"))).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("dup_ct"))
+
+  /** Distinct word n-grams (shingles) per document. */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(n))))).as("gram"))
+      .distinct()
+
+  /** 32-bit gram hash via md5 prefix — deterministic across engines. */
+  private def h32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  /** 60-bit token hash (15 hex digits keeps it inside signed int64). */
+  private def h60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Exact n-gram Jaccard near-dup pairs.
+    *
+    * Candidate generation is a self-join on shared grams — complete (any
+    * pair with jaccard > 0 shares a gram), one shuffle keyed by gram.
+    * 100 TB notes: gram keys are content-hashed (no systematic skew), but
+    * stop-gram hotspots exist — `maxDocFreq` drops grams present in more
+    * than that many docs (a standard df-cut; pairs sharing ONLY ultra-hot
+    * grams are below any useful threshold anyway). AQE skew-join covers
+    * the rest.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+                        maxDocFreq: Option[Long] = None): DataFrame = {
+    val g = shingles(docs, n)
+    val filtered = maxDocFreq match {
+      case Some(limit) =>
+        val hot = g.groupBy("gram").agg(count(lit(1)).as("df")).filter(col("df") > limit)
+        g.join(broadcast(hot), Seq("gram"), "left_anti")
+      case None => g
+    }
+    val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = filtered.as("a").join(filtered.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter_ct"))
+    inter
+      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("d1"), col("d2"),
+        (col("inter_ct") / (col("s1.sz") + col("s2.sz") - col("inter_ct"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash + LSH near-dup pairs: shingle → 16 minhashes (md5-derived
+    * universal hashing) → 4 bands of 4 → band-bucket self-join →
+    * exact-Jaccard verification of candidates.
+    *
+    * This is the 100 TB path for Jaccard dedup: the only all-pairs work
+    * happens inside LSH buckets. Output = verified candidates (recall
+    * bounded by the band scheme: P[caught] = 1-(1-j^4)^4, ~0.98 at j=0.9).
+    */
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+                      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val p = 4294967311L // prime > 2^32
+    val g = shingles(docs, n).withColumn("h", h32(col("gram")))
+    // minhash_j = min over grams of (a_j*h + b_j) mod p
+    val sigCols = (0 until numHashes).map { j =>
+      min(pmod(col("h") * (2 * j + 1) + (7919L * j + 12345L), lit(p))).as(s"sig_$j")
+    }
+    val sigs = g.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bandDf = (0 until bands).map { k =>
+      sigs.select(col("doc_id"), lit(k).as("band"),
+        concat_ws("_", (0 until rows).map(r => col(s"sig_${k * rows + r}")): _*).as("bkey"))
+    }.reduce(_ unionByName _)
+    val cand = bandDf.as("x").join(bandDf.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
+    // exact-Jaccard verification of the candidate pairs only
+    val sizes = g.select("doc_id", "gram").groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(g.select(col("doc_id").as("d1"), col("gram")), Seq("d1"))
+      .join(g.select(col("doc_id").as("d2"), col("gram")), Seq("d2", "gram"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter_ct"))
+    inter
+      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("d1"), col("d2"),
+        (col("inter_ct") / (col("s1.sz") + col("s2.sz") - col("inter_ct"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 60-bit SimHash fingerprint per document (distinct-token hashing,
+    * ±1 bit votes, majority sign). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .withColumn("th", h60(col("tok")))
+    toks.select(col("doc_id"), col("th"), explode(sequence(lit(0), lit(59))).as("b"))
+      .withColumn("vote", when(expr("(shiftright(th, b) & 1) = 1"), 1).otherwise(-1))
+      .groupBy("doc_id", "b").agg(sum(col("vote")).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L))
+        .as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxDist (default 3),
+    * found via 4-band prefix bucketing — EXACT for maxDist 3 by
+    * pigeonhole (<=3 differing bits across 4 disjoint 15-bit bands leave
+    * at least one band identical), while only ever joining within
+    * buckets: this is the 100 TB plan. */
+  def simhashNearPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-band bucketing is only complete for hamming <= 3")
+    val sh = simhash(docs)
+    val bandDf = (0 until 4).map { k =>
+      sh.select(col("doc_id"), col("simhash"), lit(k).as("band"),
+        expr(s"shiftright(simhash, ${k * 15}) & 32767").as("bkey"))
+    }.reduce(_ unionByName _)
+    bandDf.as("x").join(bandDf.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        bit_count(expr("x.simhash ^ y.simhash")).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Embedding near-dup: nearest neighbor per vector by cosine (rounded
+    * to 6 decimals for cross-engine stability). Brute-force N², kept for
+    * the exactness gate; the scale path is Similarity.ivfTopK. */
+  def embeddingNearestNeighbor(vecs: DataFrame): DataFrame = {
+    import graft.functions.VectorExpressions.cosineSim
+    val a = vecs.select(col("vec_id").as("vid"), col("embedding").as("ea"))
+    val b = vecs.select(col("vec_id").as("nn_id"), col("embedding").as("eb"))
+    val pairs = a.join(b, col("vid") =!= col("nn_id"))
+      .select(col("vid"), col("nn_id"),
+        round(cosineSim(col("ea"), col("eb")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("vid")).orderBy(col("cos_sim").desc, col("nn_id"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vid").as("vec_id"), col("nn_id"), col("cos_sim"))
+  }
+}

@@ -1,0 +1,63 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: opaque `binary` payloads with typed
+  * metadata, processed by a batched per-partition "decoder".
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic fake (`fakeDecode`); everything around it —
+  * the binary column, the metadata struct, the mapPartitions batch shape,
+  * the partitioning — is real and is what matters at 100 TB: payloads
+  * never pass through a shuffle (features are extracted before any
+  * aggregation), and the decoder is applied streaming per partition, one
+  * batch at a time, like a Pandas-UDF/mapInPandas stage would be.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, payload: Array[Byte], mime: String,
+                      width: Int, height: Int)
+  case class MediaFeatures(doc_id: Long, byte_len: Long, checksum: String,
+                           width: Int, height: Int, mean_byte: Double)
+
+  /** Attach a binary payload + metadata struct to the documents table
+    * (payload = utf-8 bytes of the text; stands in for image/audio blobs). */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        lit("application/fake").as("mime"),
+        (pmod(col("n_chars"), lit(64)) + 16).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(32)) + 16).cast("int").as("height")).as("meta"))
+
+  /** STUB decoder — deterministic fake for the absent media libraries.
+    * A real deployment swaps this body for an image/audio decode; the
+    * signature (bytes in, features out, called inside a partition batch)
+    * is the contract. */
+  private def fakeDecode(payload: Array[Byte]): (Long, Double) = {
+    // ??? <- real decode goes here; deterministic fake below
+    val len = payload.length.toLong
+    val mean = if (len == 0) 0.0 else payload.foldLeft(0L)(_ + java.lang.Byte.toUnsignedInt(_)).toDouble / len
+    (len, mean)
+  }
+
+  /** Batched per-partition feature extraction over the binary column —
+    * the mapInPandas analog: no per-row task overhead, payload bytes stay
+    * partition-local. */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    val typed = media.select(col("doc_id"), col("payload"),
+      col("meta.mime").as("mime"), col("meta.width").as("width"),
+      col("meta.height").as("height")).as[MediaRow]
+    typed.mapPartitions { rows =>
+      rows.map { r =>
+        val (len, mean) = fakeDecode(r.payload)
+        val checksum = java.security.MessageDigest.getInstance("MD5")
+          .digest(r.payload).map("%02x".format(_)).mkString
+        MediaFeatures(r.doc_id, len, checksum, r.width, r.height, mean)
+      }
+    }
+  }
+}

@@ -1,0 +1,83 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization/counting, quality scoring, language ID, canonical
+  * fingerprinting. All are pure column expressions (whole-stage codegen,
+  * no UDFs) — they scale linearly with a parquet scan and never shuffle.
+  */
+object TextAnalysis {
+
+  /** ASCII word tokenizer: lowercase, split on any non-alphanumeric run.
+    * (Same eval signature as the reference's IK-analyzer UDTF,
+    * SplitFunction.java:9-18; CJK handling in graft.functions.Tokenize.) */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Marker stopwords per language for the n-gram/stopword language-ID
+    * heuristic. Deterministic, tiny, broadcast as literals into codegen. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ein", "zu", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est", "une", "dans", "que"),
+    "es" -> Seq("el", "los", "las", "y", "que", "es", "una", "con", "para"),
+    "zh" -> Seq("de5", "le5", "shi4", "zai4", "you3")) // romanized placeholders
+
+  val stopwords: Seq[String] = langMarkers.flatMap(_._2).distinct
+
+  /** Token counting: regex word tokens, whitespace tokens, and a BPE-ish
+    * piece count (letter runs, single digits, single punctuation marks —
+    * an upper-bound proxy for subword vocab pieces). */
+  def withTokenCounts(df: DataFrame, text: Column = col("text")): DataFrame =
+    df.withColumn("n_tokens", size(tokens(text)).cast("long"))
+      .withColumn("n_ws_tokens",
+        size(filter(split(text, "\\s+"), t => t =!= "")).cast("long"))
+      .withColumn("n_bpe_pieces",
+        regexp_count(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]")).cast("long"))
+
+  /** Quality scoring: length, alpha ratio, stopword ratio, mean token
+    * length, and a composite score in [0,1]. One pass, no shuffle. */
+  def withQuality(df: DataFrame, text: Column = col("text")): DataFrame = {
+    val toks = tokens(text)
+    val nTokens = size(toks).cast("long")
+    val alpha = length(regexp_replace(lower(text), "[^a-z]", "")).cast("long")
+    val stops = size(filter(toks, t => t.isin(stopwords: _*))).cast("long")
+    df.withColumn("n_chars", length(text).cast("long"))
+      .withColumn("n_tokens", nTokens)
+      .withColumn("alpha_ratio", alpha.cast("double") / length(text))
+      .withColumn("stopword_ratio", stops.cast("double") / nTokens)
+      .withColumn("mean_token_len",
+        (length(regexp_replace(lower(text), "[^a-z0-9]", "")).cast("double")) / nTokens)
+      .withColumn("quality_score",
+        least(lit(1.0), col("n_tokens") / 100.0) * 0.4 +
+          col("alpha_ratio") * 0.3 + col("stopword_ratio") * 0.3)
+  }
+
+  /** Language ID: argmax of distinct-marker-token hits per language;
+    * ties broken by the fixed langMarkers order. `unknown` when no marker
+    * hits at all. */
+  def withLangId(df: DataFrame, text: Column = col("text")): DataFrame = {
+    val distinctToks = array_distinct(tokens(text))
+    val scores = langMarkers.map { case (lang, markers) =>
+      (lang, size(array_intersect(distinctToks, array(markers.map(lit): _*))))
+    }
+    val best = scores.tail.foldLeft(
+      struct(scores.head._2.as("score"), lit(scores.head._1).as("lang"))) {
+      case (acc, (lang, score)) =>
+        when(score > acc.getField("score"),
+          struct(score.as("score"), lit(lang).as("lang"))).otherwise(acc)
+    }
+    df.withColumn("lang_pred",
+      when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("unknown")))
+      .withColumn("lang_score", best.getField("score").cast("long"))
+  }
+
+  /** Canonical fingerprint (OpenRefine-style key collision dedup): md5 of
+    * the sorted distinct token set. Identical wording/permutations of the
+    * same vocabulary collide. */
+  def withFingerprint(df: DataFrame, text: Column = col("text")): DataFrame =
+    df.withColumn("fingerprint",
+      md5(concat_ws(" ", array_sort(array_distinct(tokens(text))))))
+}

@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.util.Det._
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-training-data pipeline operators (the beyond-reference extension
+  * surface): text analysis, dedup (exact / n-gram Jaccard / MinHash LSH /
+  * SimHash / embedding), similarity search, multimodal plumbing.
+  * Implementations in graft.llm.*; this module binds them to the test
+  * tables and declares DuckDB oracles (all hashing is md5-derived so the
+  * oracle can replicate it exactly).
+  */
+object LlmOps {
+
+  def xTextTokens(s: SparkSession, d: String): DataFrame =
+    ordered(
+      TextAnalysis.withTokenCounts(documents(s, d))
+        .select("doc_id", "n_tokens", "n_ws_tokens", "n_bpe_pieces"),
+      "doc_id")
+
+  def xTextQuality(s: SparkSession, d: String): DataFrame =
+    ordered(
+      TextAnalysis.withQuality(documents(s, d))
+        .select("doc_id", "n_chars", "n_tokens", "alpha_ratio",
+          "stopword_ratio", "mean_token_len", "quality_score"),
+      "doc_id")
+
+  def xTextLangid(s: SparkSession, d: String): DataFrame =
+    ordered(
+      TextAnalysis.withLangId(documents(s, d))
+        .select("doc_id", "lang_pred", "lang_score"),
+      "doc_id")
+
+  def xTextFingerprint(s: SparkSession, d: String): DataFrame =
+    ordered(
+      TextAnalysis.withFingerprint(documents(s, d))
+        .select("doc_id", "fingerprint"),
+      "doc_id")
+
+  def xDedupExact(s: SparkSession, d: String): DataFrame =
+    ordered(Dedup.exact(documents(s, d)), "content_hash")
+
+  def xDedupNgram(s: SparkSession, d: String): DataFrame =
+    ordered(Dedup.ngramJaccardPairs(documents(s, d), n = 3, threshold = 0.8), "d1", "d2")
+
+  def xDedupMinhash(s: SparkSession, d: String): DataFrame =
+    ordered(Dedup.minhashLshPairs(documents(s, d), n = 3, threshold = 0.8), "d1", "d2")
+
+  def xDedupSimhash(s: SparkSession, d: String): DataFrame =
+    ordered(Dedup.simhashNearPairs(documents(s, d), maxDist = 3), "d1", "d2")
+
+  def xDedupEmbeddingNn(s: SparkSession, d: String): DataFrame =
+    ordered(Dedup.embeddingNearestNeighbor(embeddings(s, d)), "vec_id")
+
+  def xAnnTopk(s: SparkSession, d: String): DataFrame = {
+    val vecs = embeddings(s, d)
+    ordered(
+      Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 8), k = 10),
+      "query_id", "rank")
+  }
+
+  /** Approximate IVF path — no SQL oracle (k-means index); recall vs the
+    * brute-force baseline is asserted in SimilaritySpec. */
+  def xAnnIvf(s: SparkSession, d: String): DataFrame = {
+    val vecs = embeddings(s, d)
+    ordered(
+      Similarity.ivfTopK(s, vecs, vecs.filter(col("vec_id") < 8), k = 10),
+      "query_id", "rank")
+  }
+
+  def xMultimodal(s: SparkSession, d: String): DataFrame =
+    ordered(
+      Multimodal.extractFeatures(s, Multimodal.withPayload(documents(s, d))).toDF(),
+      "doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_text_tokens"       -> (xTextTokens _),
+    "x_text_quality"      -> (xTextQuality _),
+    "x_text_langid"       -> (xTextLangid _),
+    "x_text_fingerprint"  -> (xTextFingerprint _),
+    "x_dedup_exact"       -> (xDedupExact _),
+    "x_dedup_ngram"       -> (xDedupNgram _),
+    "x_dedup_minhash"     -> (xDedupMinhash _),
+    "x_dedup_simhash"     -> (xDedupSimhash _),
+    "x_dedup_embedding_nn" -> (xDedupEmbeddingNn _),
+    "x_ann_topk"          -> (xAnnTopk _),
+    "x_ann_ivf"           -> (xAnnIvf _),
+    "x_multimodal"        -> (xMultimodal _))
+
+  private val toksSql =
+    "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  private val minhashParams: String = (0 until 16)
+    .map(j => s"($j, ${2 * j + 1}, ${7919L * j + 12345L})").mkString(", ")
+
+  private val stopwordsSql =
+    TextAnalysis.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def markerSql(lang: String): String =
+    TextAnalysis.langMarkers.toMap.apply(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val oracle: Map[String, String] = Map(
+    "x_text_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(str_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_pieces
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |  q AS (SELECT doc_id, text,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+         |    CAST(len(list_filter(toks, t2 -> list_contains($stopwordsSql, t2))) AS DOUBLE) / len(toks) AS stopword_ratio,
+         |    CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / len(toks) AS mean_token_len
+         |  FROM t)
+         |SELECT doc_id, n_chars, n_tokens, alpha_ratio, stopword_ratio, mean_token_len,
+         |  least(1.0, n_tokens / 100.0) * 0.4 + alpha_ratio * 0.3 + stopword_ratio * 0.3 AS quality_score
+         |FROM q ORDER BY doc_id""".stripMargin,
+    "x_text_langid" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct($toksSql) AS toks FROM documents),
+         |  s AS (SELECT doc_id,
+         |    len(list_intersect(toks, ${markerSql("en")})) AS s_en,
+         |    len(list_intersect(toks, ${markerSql("de")})) AS s_de,
+         |    len(list_intersect(toks, ${markerSql("fr")})) AS s_fr,
+         |    len(list_intersect(toks, ${markerSql("es")})) AS s_es,
+         |    len(list_intersect(toks, ${markerSql("zh")})) AS s_zh
+         |  FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'unknown'
+         |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+         |       WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+         |       WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+         |       WHEN s_es >= s_zh THEN 'es'
+         |       ELSE 'zh' END AS lang_pred,
+         |  CAST(greatest(s_en, s_de, s_fr, s_es, s_zh) AS BIGINT) AS lang_score
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "x_text_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_dedup_exact" ->
+      """SELECT md5(lower(text)) AS content_hash, min(doc_id) AS keep_doc_id,
+        |  COUNT(*) AS dup_ct
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "x_dedup_ngram" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
+         |grams AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS g
+         |          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i)
+         |          WHERE len(ts) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n
+         |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT d1, d2, n / (s1.sz + s2.sz - n) AS jaccard
+         |FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+         |WHERE n / (s1.sz + s2.sz - n) >= 0.8
+         |ORDER BY d1, d2""".stripMargin,
+    "x_dedup_minhash" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
+         |grams AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS g
+         |          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i)
+         |          WHERE len(ts) >= 3),
+         |h AS (SELECT doc_id, g, CAST(CONCAT('0x', substr(md5(g), 1, 8)) AS BIGINT) AS h32 FROM grams),
+         |params(j, a, b) AS (VALUES $minhashParams),
+         |sigs AS (SELECT doc_id, j, min((a * h32 + b) % 4294967311) AS s
+         |         FROM h CROSS JOIN params GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, j // 4 AS band,
+         |            string_agg(CAST(s AS VARCHAR), '_' ORDER BY j) AS bkey
+         |          FROM sigs GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+         |inter AS (SELECT d1, d2, count(*) AS n
+         |          FROM cand JOIN grams a ON a.doc_id = d1
+         |          JOIN grams b ON b.doc_id = d2 AND b.g = a.g
+         |          GROUP BY 1, 2)
+         |SELECT d1, d2, n / (s1.sz + s2.sz - n) AS jaccard
+         |FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+         |WHERE n / (s1.sz + s2.sz - n) >= 0.8
+         |ORDER BY d1, d2""".stripMargin,
+    "x_dedup_simhash" ->
+      s"""WITH toks AS (SELECT DISTINCT doc_id, unnest($toksSql) AS tok FROM documents),
+         |h AS (SELECT doc_id, tok, CAST(CONCAT('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS th FROM toks),
+         |bits AS (SELECT doc_id, b, SUM(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |         FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) GROUP BY 1, 2),
+         |fp AS (SELECT doc_id, SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS simhash
+         |       FROM bits GROUP BY 1)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY d1, d2""".stripMargin,
+    "x_dedup_embedding_nn" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+        |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                 CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+        |SELECT vec_id, nn_id, cos_sim FROM pairs
+        |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nn_id) = 1
+        |ORDER BY vec_id""".stripMargin,
+    "x_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT query_id, c.vec_id AS nn_id,
+        |    round(list_cosine_similarity(CAST(qe AS DOUBLE[]),
+        |                                 CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim
+        |  FROM q JOIN embeddings c ON c.vec_id <> query_id),
+        |ranked AS (
+        |  SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, nn_id) AS BIGINT) AS rank,
+        |    nn_id, cos_sim
+        |  FROM scored)
+        |SELECT query_id, rank, nn_id, cos_sim FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    "x_multimodal" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  md5(text) AS checksum,
+        |  CAST(n_chars % 64 + 16 AS INT) AS width,
+        |  CAST(doc_id % 32 + 16 AS INT) AS height,
+        |  CAST(list_sum(list_transform(range(1, length(text) + 1), i -> ascii(text[i]))) AS DOUBLE)
+        |    / octet_length(encode(text)) AS mean_byte
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
