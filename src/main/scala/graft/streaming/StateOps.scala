@@ -1,0 +1,162 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Record-at-a-time keyed-state operators — the streaming renderings of
+  * the reference's "state programming" trio (SURVEY.md §2.5), built on
+  * `flatMapGroupsWithState`. Each is a pure function over a typed Dataset
+  * so the same code runs in batch (per-key iterator) and streaming
+  * (per-micro-batch increments + GroupState), and the specs assert
+  * agreement with the declarative batch oracles in graft.queries.Stateful.
+  *
+  * Scale: state is per-key and O(1) per key (a boolean / a date / one
+  * pending event); keys are hash-partitioned by groupByKey — the same
+  * layout Flink's keyBy gives the reference.
+  */
+object StateOps {
+
+  case class Visit(mid: String, ts: Long, isNew: String, lastPageId: Option[String],
+                   eventId: Long = 0L)
+  case class VisitOut(mid: String, ts: Long, isNew: String, eventId: Long)
+
+  /** ST1 (BaseLogApp.java:69-94): first-ever event per mid keeps
+    * is_new=1; every later event is rewritten to 0. State: seen flag. */
+  def fixIsNew(visits: Dataset[Visit]): Dataset[VisitOut] = {
+    import visits.sparkSession.implicits._
+    visits.groupByKey(_.mid).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      (mid: String, rows: Iterator[Visit], state: GroupState[Boolean]) => {
+        val sorted = rows.toSeq.sortBy(v => (v.ts, v.eventId))
+        val out = scala.collection.mutable.ArrayBuffer.empty[VisitOut]
+        var seen = state.getOption.getOrElse(false)
+        sorted.foreach { v =>
+          out += VisitOut(mid, v.ts, if (seen) "0" else "1", v.eventId)
+          seen = true
+        }
+        state.update(seen)
+        out.iterator
+      })
+  }
+
+  /** ST2 (UniqueVisitApp.java:45-87): keep only the first visit of each
+    * (mid, day); state = last emitted visit date, which expires naturally
+    * at the day boundary (the reference's 24h OnCreateAndWrite TTL bounds
+    * state size; here ProcessingTimeTimeout plays that role). */
+  def uvDedup(visits: Dataset[Visit], sessionEntryOnly: Boolean = false,
+              stateTtl: Boolean = false): Dataset[VisitOut] = {
+    import visits.sparkSession.implicits._
+    // The dedup semantic is the stored-date comparison alone; the
+    // reference's 24h TTL (UniqueVisitApp.java:55-59) only bounds state
+    // size. ProcessingTimeTimeout makes Spark re-trigger empty batches on
+    // every timer, so it is opt-in (production long-running queries), off
+    // for batch/replay/tests.
+    val timeout =
+      if (stateTtl) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    visits.groupByKey(_.mid).flatMapGroupsWithState(
+      OutputMode.Append, timeout)(
+      (mid: String, rows: Iterator[Visit], state: GroupState[String]) => {
+        if (!state.hasTimedOut && rows.nonEmpty) {
+          val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+          fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+          val sorted = rows.toSeq.sortBy(v => (v.ts, v.eventId))
+            .filter(v => !sessionEntryOnly || v.lastPageId.isEmpty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[VisitOut]
+          var lastDate = state.getOption.getOrElse("")
+          sorted.foreach { v =>
+            val d = fmt.format(new java.util.Date(v.ts))
+            if (d != lastDate) { out += VisitOut(mid, v.ts, v.isNew, v.eventId); lastDate = d }
+          }
+          state.update(lastDate)
+          if (stateTtl) state.setTimeoutDuration("24 hours")
+          out.iterator
+        } else {
+          state.remove()
+          Iterator.empty
+        }
+      })
+  }
+
+  case class BounceState(pendingTs: Long, pendingEventId: Long)
+  case class Bounce(mid: String, ts: Long, eventId: Long)
+
+  /** ST3 (UserJumpDetailApp.java:70-120, Flink CEP): emit every session
+    * entry NOT followed by another page within `gapMs`. CEP's two output
+    * branches (match on a second session entry; timeout on silence) both
+    * emit the first event — reproduced with one pending-event state and an
+    * event-time timeout driven by the watermark.
+    *
+    * sessionStart = lastPageId.isEmpty (the reference's predicate). A
+    * normal page within the gap cancels the pending entry; a session
+    * start always becomes the new pending entry (emitting its
+    * predecessor if the gap had already elapsed or it is itself a session
+    * start within the gap — both CEP branches).
+    */
+  def bounceDetect(visits: Dataset[Visit], gapMs: Long = 10000L,
+                   watermarkDelay: String = "0 seconds"): Dataset[Bounce] = {
+    import visits.sparkSession.implicits._
+    // EventTimeTimeout needs an event-time watermark; attach it from ts.
+    // In batch execution withWatermark is a no-op.
+    val withTime =
+      if (visits.isStreaming)
+        visits.withColumn("event_time", timestamp_millis(col("ts")))
+          .withWatermark("event_time", watermarkDelay).as[Visit]
+      else visits
+    withTime.groupByKey(_.mid).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+      (mid: String, rows: Iterator[Visit], state: GroupState[BounceState]) => {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Bounce]
+        var pending = state.getOption
+        if (state.hasTimedOut) {
+          pending.foreach(p => out += Bounce(mid, p.pendingTs, p.pendingEventId))
+          pending = None
+          state.remove()
+        } else {
+          val sorted = rows.toSeq.sortBy(v => (v.ts, v.eventId))
+          sorted.foreach { v =>
+            val isStart = v.lastPageId.isEmpty
+            pending match {
+              case Some(p) if v.ts - p.pendingTs >= gapMs =>
+                // silence elapsed before this event: pending bounced
+                out += Bounce(mid, p.pendingTs, p.pendingEventId)
+                pending = if (isStart) Some(BounceState(v.ts, v.eventId)) else None
+              case Some(p) if isStart =>
+                // second session entry within the gap: CEP match branch
+                out += Bounce(mid, p.pendingTs, p.pendingEventId)
+                pending = Some(BounceState(v.ts, v.eventId))
+              case Some(_) =>
+                // normal page within the gap: not a bounce
+                pending = None
+              case None =>
+                if (isStart) pending = Some(BounceState(v.ts, v.eventId))
+            }
+          }
+          pending match {
+            case Some(p) =>
+              state.update(p)
+              // timeout must sit above the current watermark (late pendings
+              // fire on the next batch instead of throwing)
+              val wm = try state.getCurrentWatermarkMs() catch { case _: Throwable => 0L }
+              state.setTimeoutTimestamp(math.max(p.pendingTs + gapMs, wm + 1))
+            case None => state.remove()
+          }
+        }
+        out.iterator
+      })
+  }
+
+  /** DataFrame adapter: events table -> Visit dataset (user_id plays mid;
+    * a session entry is an event with no predecessor within 30 min —
+    * precomputed upstream as last_page_id). */
+  def visitsFromEvents(spark: SparkSession, events: DataFrame): Dataset[Visit] = {
+    import spark.implicits._
+    events.select(
+      col("user_id").cast("string").as("mid"),
+      unix_millis(col("ts")).as("ts"),
+      lit("1").as("isNew"),
+      col("last_page_id").as("lastPageId"),
+      col("event_id").as("eventId")).as[Visit]
+  }
+}

@@ -1,0 +1,84 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Recall/consistency checks for the approximate paths against their exact
+  * counterparts, plus the vector-expression math.
+  */
+class LlmSpec extends SparkSpec {
+
+  test("cosine expression matches a manual double fold and stays codegen'd") {
+    import spark.implicits._
+    import graft.functions.VectorExpressions._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f))).toDF("a", "b")
+    val got = df.select(cosineSim(col("a"), col("b"))).head.getDouble(0)
+    val (dot, na, nb) = (3.0 + 4.0 + 3.0, 1.0 + 4.0 + 9.0, 9.0 + 4.0 + 1.0)
+    assert(got == dot / (math.sqrt(na) * math.sqrt(nb)))
+    // SQL registration path
+    graft.functions.VectorExpressions.register(spark)
+    df.createOrReplaceTempView("vpair")
+    val viaSql = spark.sql("SELECT cosine_sim(a, b) FROM vpair").head.getDouble(0)
+    assert(viaSql == got)
+  }
+
+  test("minhash LSH finds every >=0.8 pair the exact n-gram join finds (sf0.001)") {
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.8)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, 3, 0.8)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(lsh.subsetOf(exact), "LSH output is verified, so it can never exceed exact")
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall too low (expected ~1-(1-j^4)^4 at j>=0.8)")
+  }
+
+  test("simhash 4-band bucketing is exact for hamming <= 3 (vs brute force, sf0.001)") {
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    val banded = Dedup.simhashNearPairs(docs, 3)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fp = Dedup.simhash(docs)
+    val brute = fp.as("x").join(fp.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id"),
+        bit_count(expr("x.simhash ^ y.simhash")).as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute)
+  }
+
+  test("IVF top-k recall against brute force stays above the random-data floor (sf0.001)") {
+    val vecs = graft.Tables.embeddings(spark, sf("sf0.001"))
+    val queries = vecs.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(vecs, queries, 10)
+      .select("query_id", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(spark, vecs, queries, 10, nlist = 16, nprobe = 8)
+      .select("query_id", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    // synthetic embeddings are UNclustered, the worst case for IVF;
+    // nprobe=8/16 must still find at least half the true neighbors
+    assert(recall >= 0.5, s"IVF recall $recall below floor")
+  }
+
+  test("multimodal feature extraction preserves payload bytes exactly") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf("sf0.001")).limit(50)
+    val media = Multimodal.withPayload(docs)
+    val feats = Multimodal.extractFeatures(spark, media)
+    val joined = feats.toDF().join(docs, "doc_id")
+      .select(col("byte_len"), length(col("text")).cast("long"),
+        col("checksum"), md5(col("text")))
+      .as[(Long, Long, String, String)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (bl, tl, ck, mk) => assert(bl == tl && ck == mk) }
+  }
+
+  test("exact dedup groups identical normalized text") {
+    import spark.implicits._
+    val docs = Seq((1L, "Hello World"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(docs).orderBy("keep_doc_id")
+      .select("keep_doc_id", "dup_ct").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L), (3L, 1L)))
+  }
+}

@@ -1,0 +1,159 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkSpec
+
+/** Drives the DWD/DWM/DWS streaming pipelines end-to-end on micro-batches
+  * and checks them against their batch equivalents.
+  */
+class PipelinesSpec extends SparkSpec {
+
+  private val goodLog =
+    """{"common":{"mid":"mid_1","is_new":"1","vc":"v2.1","ch":"web","ar":"110000"},
+      |"page":{"page_id":"good_detail","last_page_id":null,"item":"sku_7","item_type":"sku_id","during_time":4200},
+      |"displays":[{"item":"sku_3","item_type":"sku_id","order":1},{"item":"sku_9","item_type":"sku_id","order":2}],
+      |"ts":1700000001000}""".stripMargin.replaceAll("\n", "")
+  private val startLogLine =
+    """{"common":{"mid":"mid_2","is_new":"1","vc":"v2.1","ch":"app","ar":"310000"},
+      |"start":{"entry":"icon","loading_time":1200},"ts":1700000002000}"""
+      .stripMargin.replaceAll("\n", "")
+  private val dirtyLine = "{not json at all"
+
+  test("LogFanOut: dirty split + start/display/page routing + display page_id injection") {
+    import spark.implicits._
+    val raw = Seq(goodLog, startLogLine, dirtyLine).toDF("value")
+    val (clean, dirty) = LogFanOut.parse(raw)
+    assert(dirty.count() == 1 && clean.count() == 2)
+    val starts = LogFanOut.startLog(clean).as[String].collect()
+    assert(starts.length == 1 && starts.head.contains("\"entry\":\"icon\""))
+    val displays = LogFanOut.displayLog(clean).as[String].collect()
+    assert(displays.length == 2 &&
+      displays.forall(_.contains("\"page_id\":\"good_detail\"")))
+    val pages = LogFanOut.pageLog(clean).as[String].collect()
+    assert(pages.length == 1 && pages.head.contains("\"page_id\":\"good_detail\""))
+  }
+
+  test("LogFanOut: is_new correction rewrites repeat visitors within a batch") {
+    import spark.implicits._
+    val again = goodLog.replace("1700000001000", "1700000005000")
+    val (clean, _) = LogFanOut.parse(Seq(goodLog, again).toDF("value"))
+    val fixed = LogFanOut.fixIsNewBatch(clean)
+    val flags = fixed.select(col("ts"), col("common.is_new")).as[(Long, String)]
+      .collect().sortBy(_._1)
+    assert(flags.toSeq == Seq(1700000001000L -> "1", 1700000005000L -> "0"))
+  }
+
+  test("LogFanOut full streaming topology writes all four sinks once per batch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fanout").toString
+    Seq(goodLog, startLogLine, dirtyLine).toDF("value").coalesce(1)
+      .write.mode("overwrite").text(s"$dir/in")
+    val counts = scala.collection.concurrent.TrieMap.empty[String, Long]
+    val q = LogFanOut.run(spark, FileChannel(s"$dir/in"),
+      Map("dirty" -> (df => counts.put("dirty", df.count()): Unit),
+        "start" -> (df => counts.put("start", df.count()): Unit),
+        "display" -> (df => counts.put("display", df.count()): Unit),
+        "page" -> (df => counts.put("page", df.count()): Unit)),
+      s"$dir/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    assert(counts.toMap == Map("dirty" -> 1L, "start" -> 1L, "display" -> 2L, "page" -> 1L))
+  }
+
+  test("DbSplit: CDC envelopes route to kafka facts (dynamic topic) and dim upserts " +
+    "with column allow-lists") {
+    import spark.implicits._
+    val envelopes = Seq(
+      """{"database":"gmall","tableName":"order_info","data":{"id":"1","total":"9.90","secret":"x"},"before":{},"type":"insert"}""",
+      """{"database":"gmall","tableName":"base_trademark","data":{"id":"7","tm_name":"apple","junk":"y"},"before":{},"type":"insert"}""",
+      """{"database":"gmall","tableName":"order_info","data":{"id":"2"},"before":{"id":"2"},"type":"delete"}""",
+      """{"database":"gmall","tableName":"unconfigured","data":{"id":"3"},"before":{},"type":"insert"}"""
+    ).toDF("value")
+    val config = Seq(
+      ("order_info", "insert", "kafka", "dwd_order_info", "id,total", "id", null: String),
+      ("base_trademark", "insert", "hbase", "dim_base_trademark", "id,tm_name", "id", null: String)
+    ).toDF("sourceTable", "operateType", "sinkType", "sinkTable", "sinkColumns", "sinkPk", "sinkExtend")
+    val routed = DbSplit.route(DbSplit.parse(envelopes), config)
+    val facts = DbSplit.kafkaFacts(routed).collect()
+    assert(facts.length == 1)
+    assert(facts.head.getString(0) == "dwd_order_info")
+    val payload = facts.head.getString(1)
+    assert(payload.contains("\"total\":\"9.90\"") && !payload.contains("secret"))
+    val dims = DbSplit.dimUpserts(routed).collect()
+    assert(dims.length == 1 && dims.head.getString(0) == "dim_base_trademark" &&
+      dims.head.getString(1) == "7")
+  }
+
+  test("J1 streaming interval join matches the batch join on real tables (sf0.001)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val o = graft.Tables.orders(spark, sf("sf0.001"))
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+    val li = graft.Tables.lineitem(spark, sf("sf0.001"))
+      .select("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")
+    val memO = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val memL = MemoryStream[(Long, Int, java.sql.Timestamp, Double)]
+    val so = memO.toDF().toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val sl = memL.toDF().toDF("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")
+    val joined = WidePipelines.intervalJoin(so, sl,
+      "o_orderkey", "l_orderkey", "o_orderdate", "l_shipdate", "0 seconds", "60 days")
+    val q = joined.writeStream.format("memory").queryName("j1out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      memO.addData(o.as[(Long, java.sql.Timestamp, Double)].collect().toIndexedSeq)
+      memL.addData(li.as[(Long, Int, java.sql.Timestamp, Double)].collect().toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("j1out").count()
+      val expected = li.join(o, $"l_orderkey" === $"o_orderkey" &&
+        $"l_shipdate" >= $"o_orderdate" &&
+        $"l_shipdate" <= $"o_orderdate" + expr("INTERVAL 60 DAYS")).count()
+      assert(got == expected && got > 0)
+    } finally q.stop()
+  }
+
+  test("A1 streaming windowed agg (append mode) matches batch agg and drops late data") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Long, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "user_id", "value")
+    val q = StatsStreams.productStats(df, watermark = "2 seconds")
+      .writeStream.format("memory").queryName("a1out")
+      .outputMode(OutputMode.Append).start()
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    try {
+      mem.addData((t(5), "click", 1L, 1.00), (t(7), "click", 2L, 2.00), (t(12), "view", 1L, 3.00))
+      q.processAllAvailable()
+      // watermark now 12-2=10s: window [0,10) closes and emits
+      mem.addData((t(25), "click", 3L, 4.00))
+      q.processAllAvailable()
+      // late event for the closed [0,10) window: must be dropped
+      mem.addData((t(4), "click", 9L, 99.00))
+      q.processAllAvailable()
+      mem.addData((t(60), "view", 4L, 5.00)) // push watermark, close remaining
+      q.processAllAvailable()
+      val rows = spark.table("a1out")
+        .select("stt", "event_type", "ct", "amount", "user_ct")
+        .as[(String, String, Long, Double, Long)].collect().toSet
+      assert(rows.contains(("1970-01-01 00:00:00", "click", 2L, 3.00, 2L)))
+      assert(!rows.exists { case (stt, et, ct, _, _) =>
+        stt == "1970-01-01 00:00:00" && et == "click" && ct == 3L }) // late row not re-counted
+      assert(rows.contains(("1970-01-01 00:00:10", "view", 1L, 3.00, 1L)))
+    } finally q.stop()
+  }
+
+  test("dim enrichment uses broadcast joins (plan check) and fills dim columns") {
+    val li = graft.Tables.lineitem(spark, sf("sf0.001")).limit(100)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val part = graft.Tables.part(spark, sf("sf0.001"))
+      .select(col("p_partkey").as("id"), col("p_name"))
+    val supp = graft.Tables.supplier(spark, sf("sf0.001"))
+      .select(col("s_suppkey").as("id"), col("s_name"))
+    val enriched = WidePipelines.enrich(li,
+      Seq(("l_partkey", "part_", part), ("l_suppkey", "supp_", supp)))
+    val plan = enriched.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(enriched.filter(col("part_p_name").isNotNull).count() == 100)
+    assert(enriched.filter(col("supp_s_name").isNotNull).count() == 100)
+  }
+}
