@@ -148,14 +148,23 @@ object Dedup {
     * to 6 decimals for cross-engine stability). Brute-force N², kept for
     * the exactness gate; the scale path is Similarity.ivfTopK. */
   def embeddingNearestNeighbor(vecs: DataFrame): DataFrame = {
-    import graft.functions.VectorExpressions.cosineSim
-    val a = vecs.select(col("vec_id").as("vid"), col("embedding").as("ea"))
-    val b = vecs.select(col("vec_id").as("nn_id"), col("embedding").as("eb"))
+    import graft.functions.VectorExpressions.{dotProduct, l2Norm}
+    // Precompute each side's norm once (N, not N^2, norm evaluations);
+    // dot/(na*nb) is the exact expression list_cosine_similarity uses, so
+    // oracle bit-parity is preserved.
+    val a = vecs.select(col("vec_id").as("vid"), col("embedding").as("ea"),
+      l2Norm(col("embedding")).as("na"))
+    val b = vecs.select(col("vec_id").as("nn_id"), col("embedding").as("eb"),
+      l2Norm(col("embedding")).as("nb"))
     val pairs = a.join(b, col("vid") =!= col("nn_id"))
       .select(col("vid"), col("nn_id"),
-        round(cosineSim(col("ea"), col("eb")), 6).as("cos_sim"))
-    val w = Window.partitionBy(col("vid")).orderBy(col("cos_sim").desc, col("nn_id"))
-    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vid").as("vec_id"), col("nn_id"), col("cos_sim"))
+        round(dotProduct(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("cos_sim"))
+    // argmax by (cos desc, nn_id asc) as a single hash aggregate — a
+    // lexicographic max over (cos, -nn) replaces the rank-1 window (no
+    // per-key sort shuffle; partial agg map-side)
+    pairs.groupBy(col("vid"))
+      .agg(max(struct(col("cos_sim"), (-col("nn_id")).as("neg_nn"))).as("m"))
+      .select(col("vid").as("vec_id"), (-col("m.neg_nn")).as("nn_id"),
+        col("m.cos_sim").as("cos_sim"))
   }
 }

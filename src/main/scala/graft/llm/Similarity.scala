@@ -55,9 +55,11 @@ object Similarity {
       val scored = corpus.crossJoin(cdf)
         .select(col("vec_id"), col("cluster"), col("embedding"),
           cosineSim(col("embedding"), col("centroid")).as("sim"))
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cluster"))
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("cluster"), col("embedding"))
+      // argmax cluster per vector: hash aggregate, no window sort
+      scored.groupBy(col("vec_id"))
+        .agg(max(struct(col("sim"), (-col("cluster")).as("neg_c"))).as("m"),
+          first(col("embedding")).as("embedding"))
+        .select(col("vec_id"), (-col("m.neg_c")).cast("int").as("cluster"), col("embedding"))
     }
     for (_ <- 0 until iterations) {
       val assigned = assignDf()
