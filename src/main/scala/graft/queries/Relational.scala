@@ -107,13 +107,51 @@ object Relational {
       "r_name", "n_name")
   }
 
+  /** J2: the PaymentWide interval join (PaymentWideApp.java:69-76) —
+    * asymmetric inclusive bounds [leftTime - 15min, leftTime], i.e. the
+    * payment must land within a window BEFORE/AT the order event (the
+    * reference's literal is -15 ms, an upstream bug documented in
+    * SURVEY.md §7.4.3; we use the intended shape). Rendered here as
+    * lineitems shipped within [o_orderdate - 5 days, o_orderdate]. */
+  def j2PaymentWide(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select("o_orderkey", "o_orderdate", "o_totalprice")
+    val li = lineitem(s, d).select("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")
+    ordered(
+      li.join(o, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") - expr("INTERVAL 5 DAYS") &&
+          col("l_shipdate") <= col("o_orderdate"))
+        .select(col("o_orderkey"), col("l_linenumber"),
+          stamp(col("l_shipdate")).as("payment_time"),
+          stamp(col("o_orderdate")).as("order_time"),
+          col("l_extendedprice"), col("o_totalprice")),
+      "o_orderkey", "l_linenumber")
+  }
+
+  /** A4 via the declarative SQL path — the reference's only Flink-SQL
+    * pipelines (KeywordStatsApp/ProvinceStatsSqlApp) go DDL → sqlQuery →
+    * sink; here: temp view → spark.sql, planned by Catalyst exactly like
+    * the DataFrame form (same oracle as a4_keyword_stats). */
+  def a4KeywordStatsSql(s: SparkSession, d: String): DataFrame = {
+    documents(s, d).createOrReplaceTempView("documents_v")
+    s.sql(
+      """SELECT keyword, source, COUNT(*) AS ct
+        |FROM (
+        |  SELECT source, explode(split(lower(text), '[^a-z0-9]+')) AS keyword
+        |  FROM documents_v)
+        |WHERE keyword <> ''
+        |GROUP BY keyword, source
+        |ORDER BY keyword, source""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"           -> (q1Agg _),
     "s1_scan"          -> (s1Scan _),
     "p3_derive"        -> (p3Derive _),
     "p4_filter"        -> (p4Filter _),
     "j1_interval_join" -> (j1IntervalJoin _),
-    "j3_dim_enrich"    -> (j3DimEnrich _))
+    "j2_payment_wide"  -> (j2PaymentWide _),
+    "j3_dim_enrich"    -> (j3DimEnrich _),
+    "a4_keyword_stats_sql" -> (a4KeywordStatsSql _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg" ->
@@ -140,6 +178,22 @@ object Relational {
     "p4_filter" ->
       """SELECT event_id, event_type, user_id FROM events
         |WHERE event_type <> 'error' ORDER BY event_id""".stripMargin,
+    "j2_payment_wide" ->
+      """SELECT o_orderkey, l_linenumber,
+        |  strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS payment_time,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_time,
+        |  l_extendedprice, o_totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate - INTERVAL 5 DAY
+        |  AND l_shipdate <= o_orderdate
+        |ORDER BY o_orderkey, l_linenumber""".stripMargin,
+    "a4_keyword_stats_sql" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(str_split_regex(lower(text), '[^a-z0-9]+')) AS keyword
+        |  FROM documents)
+        |SELECT keyword, source, COUNT(*) AS ct FROM toks
+        |WHERE keyword <> '' GROUP BY keyword, source
+        |ORDER BY keyword, source""".stripMargin,
     "j1_interval_join" ->
       """SELECT o_orderkey, l_linenumber,
         |  strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_time, l_extendedprice
