@@ -111,16 +111,15 @@ object Dedup {
   }
 
   /** 60-bit SimHash fingerprint per document (distinct-token hashing,
-    * ±1 bit votes, majority sign). */
+    * ±1 bit votes, majority sign) — one pass via the SimhashAgg
+    * TypedImperativeAggregate: the shuffle carries one 60-counter buffer
+    * per document instead of 60 exploded rows per token. */
   def simhash(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+    import graft.functions.SimhashAgg.simhashAgg
+    docs.select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
       .withColumn("th", h60(col("tok")))
-    toks.select(col("doc_id"), col("th"), explode(sequence(lit(0), lit(59))).as("b"))
-      .withColumn("vote", when(expr("(shiftright(th, b) & 1) = 1"), 1).otherwise(-1))
-      .groupBy("doc_id", "b").agg(sum(col("vote")).as("s"))
       .groupBy("doc_id")
-      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L))
-        .as("simhash"))
+      .agg(simhashAgg(col("th")).as("simhash"))
   }
 
   /** SimHash near-dup pairs with hamming distance <= maxDist (default 3),

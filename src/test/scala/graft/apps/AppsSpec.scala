@@ -1,0 +1,114 @@
+package graft.apps
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkSpec
+
+/** End-to-end runs of the composed reference apps over gmall-shaped JSON
+  * fixtures (FIXTURES.md §1/§4 schemas).
+  */
+class AppsSpec extends SparkSpec {
+
+  private def pageLine(mid: String, ts: Long, lastPage: String, item: String = null,
+                       itemType: String = null): String = {
+    val lp = if (lastPage == null) "null" else s""""$lastPage""""
+    val it = if (item == null) "null" else s""""$item""""
+    val itt = if (itemType == null) "null" else s""""$itemType""""
+    s"""{"common":{"mid":"$mid","is_new":"1","vc":"v1","ch":"web","ar":"110000"},""" +
+      s""""page":{"page_id":"home","last_page_id":$lp,"item":$it,"item_type":$itt,"during_time":1000},"ts":$ts}"""
+  }
+
+  test("UniqueVisitApp: first session entry per mid per day survives; repeats drop") {
+    import spark.implicits._
+    val day = 86400000L
+    val lines = Seq(
+      pageLine("m1", 1000L, null),          // day 0 entry -> kept
+      pageLine("m1", 5000L, "home"),        // not a session entry -> dropped
+      pageLine("m1", 9000L, null),          // same day second entry -> dropped
+      pageLine("m1", day + 500L, null),     // next day -> kept
+      pageLine("m2", 2000L, null))          // other mid -> kept
+    val out = Apps.uniqueVisit(spark, lines.toDF("value"))
+    assert(out.count() == 3)
+    assert(out.select("mid").as[String].collect().sorted.toSeq == Seq("m1", "m1", "m2"))
+  }
+
+  test("OrderWideApp -> PaymentWideApp chain over bean JSON with dim enrichment") {
+    import spark.implicits._
+    val orderJson = Seq(
+      """{"id":101,"province_id":1,"order_status":"1001","user_id":7,"total_amount":99.50,"create_time":"2021-02-25 10:00:00"}""",
+      """{"id":102,"province_id":2,"order_status":"1001","user_id":8,"total_amount":10.00,"create_time":"2021-02-25 11:00:00"}""")
+    val detailJson = Seq(
+      """{"id":9001,"order_id":101,"sku_id":55,"order_price":99.50,"sku_num":1,"sku_name":"phone","create_time":"2021-02-25 10:00:03","split_total_amount":99.50}""",
+      """{"id":9002,"order_id":101,"sku_id":56,"order_price":0.00,"sku_num":1,"sku_name":"case","create_time":"2021-02-25 10:00:20","split_total_amount":0.00}""", // outside +5s
+      """{"id":9003,"order_id":102,"sku_id":57,"order_price":10.00,"sku_num":1,"sku_name":"cable","create_time":"2021-02-25 11:00:04","split_total_amount":10.00}""")
+    val dimUser = Seq((7L, "F", "1992-03-04"), (8L, "M", "1980-01-01"))
+      .toDF("id", "gender", "birthday")
+    val o = Apps.bindOrderInfo(orderJson.toDF("value"))
+    val d = Apps.bindOrderDetail(detailJson.toDF("value"))
+    val wide = Apps.orderWide(o, d, Seq(("user_id", "user_", dimUser)))
+    val rows = wide.select($"order_id_o", $"detail_id", $"user_gender")
+      .as[(Long, Long, String)].collect().toSet
+    // 9002 falls outside the ±5s interval -> only 9001/9003 join
+    assert(rows == Set((101L, 9001L, "F"), (102L, 9003L, "M")))
+
+    val paymentJson = Seq(
+      // 10:10 is NOT within [order_et-15m, order_et] of a 10:00 order;
+      // payment-side window is [pay_et-15m, pay_et] relative ordering:
+      // order must be within 15 min BEFORE payment
+      """{"id":501,"order_id":101,"user_id":7,"total_amount":99.50,"subject":"phone","payment_type":"1102","create_time":"2021-02-25 10:10:00","callback_time":"2021-02-25 10:10:02"}""",
+      """{"id":502,"order_id":102,"user_id":8,"total_amount":10.00,"subject":"cable","payment_type":"1102","create_time":"2021-02-25 12:00:00","callback_time":null}""") // 60 min later -> no join
+    val wideForPay = wide.withColumnRenamed("order_id_o", "order_id_w")
+      .withColumnRenamed("order_id", "ow_order_id")
+      .withColumn("order_id", $"order_id_w").withColumn("o_et", $"o_et")
+    val pay = Apps.paymentWide(paymentJson.toDF("value"), wideForPay)
+    val payRows = pay.select($"payment_id", $"order_id").as[(Long, Long)].collect().toSet
+    assert(payRows == Set((501L, 101L))) // 502 outside the 15-minute window
+  }
+
+  test("VisitorStatsApp: 3-way union rolls pv/uv/sv/uj into one 10s window row") {
+    import spark.implicits._
+    val page = Seq(pageLine("m1", 1000L, null), pageLine("m1", 3000L, "home")).toDF("value")
+    val uvRow = Seq(pageLine("m1", 1000L, null)).toDF("value")
+    val ujRow = Seq(pageLine("m1", 1000L, null)).toDF("value")
+    val out = Apps.visitorStats(page, uvRow, ujRow)
+      .select("stt", "vc", "pv_ct", "uv_ct", "sv_ct", "uj_ct", "dur_sum")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("1970-01-01 00:00:00", "v1", 2L, 1L, 1L, 1L, 2000L)))
+  }
+
+  test("KeywordStatsApp (streaming): tokenizer UDTF + 10s tumble word count in append mode") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = Apps.keywordStats(mem.toDF().toDF("value"), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("kwout")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        pageLine("m1", 1000L, null, "apple phone case", "keyword"),
+        pageLine("m2", 3000L, null, "apple cable", "keyword"),
+        pageLine("m3", 4000L, "home", "ignored-not-keyword", "sku_id"))
+      q.processAllAvailable()
+      mem.addData(pageLine("m4", 60000L, null, "flush", "keyword"))
+      q.processAllAvailable()
+      val rows = spark.table("kwout").select("keyword", "ct")
+        .as[(String, Long)].collect().toMap
+      assert(rows("apple") == 2L && rows("phone") == 1L && rows("cable") == 1L)
+      assert(!rows.contains("ignored"))
+    } finally q.stop()
+  }
+
+  test("ProvinceStatsApp rolls order-wide rows by province with exact distinct orders") {
+    import spark.implicits._
+    val ow = Seq(
+      (java.sql.Timestamp.valueOf("2021-02-25 10:00:01"), "beijing", 101L, 50.0),
+      (java.sql.Timestamp.valueOf("2021-02-25 10:00:03"), "beijing", 101L, 49.5),
+      (java.sql.Timestamp.valueOf("2021-02-25 10:00:05"), "shanghai", 102L, 10.0))
+      .toDF("o_et", "province_name", "order_id", "split_total_amount")
+    val out = Apps.provinceStats(ow)
+      .select("province_name", "order_amount", "order_count")
+      .as[(String, Double, Long)].collect().toSet
+    assert(out == Set(("beijing", 99.5, 1L), ("shanghai", 10.0, 1L)))
+  }
+}
