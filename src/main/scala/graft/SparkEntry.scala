@@ -20,6 +20,7 @@ object SparkEntry {
       graft.queries.Stats.queries ++
       graft.queries.Stateful.queries ++
       graft.queries.Plumbing.queries ++
+      graft.queries.Windows.queries ++
       graft.queries.LlmOps.queries
 
   def oracleSql: Map[String, String] =
@@ -27,5 +28,6 @@ object SparkEntry {
       graft.queries.Stats.oracle ++
       graft.queries.Stateful.oracle ++
       graft.queries.Plumbing.oracle ++
+      graft.queries.Windows.oracle ++
       graft.queries.LlmOps.oracle
 }

@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.util.Det._
+
+/** Window machinery beyond the reference's tumbling-only surface
+  * (SURVEY.md §2.6 W6: "no sliding/session windows, no rank/row_number —
+  * add later for the LLM-pipeline extensions"). Session and sliding
+  * windows are first-class in Structured Streaming too (session_window /
+  * window with slide), so these double as the streaming shapes.
+  */
+object Windows {
+
+  /** Session windows: 30-minute-gap sessionization per user —
+    * `session_window` is one hash-aggregate keyed (user, merged window);
+    * the batch oracle is the classic gaps-and-islands rendering. */
+  def w6SessionWindow(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    ordered(
+      e.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("pv_ct"), decSum(col("value")).as("val_sum"))
+        .select(
+          stamp(col("session_window.start")).as("stt"),
+          stamp(col("session_window.end")).as("edt"),
+          col("user_id"), col("pv_ct"), col("val_sum")),
+      "user_id", "stt")
+  }
+
+  /** Sliding (hopping) windows: 20s length, 10s slide — every event lands
+    * in exactly two windows. */
+  def w7SlidingWindow(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    ordered(
+      e.groupBy(window(col("ts"), "20 seconds", "10 seconds"), col("event_type"))
+        .agg(count(lit(1)).as("ct"))
+        .select(stamp(col("window.start")).as("stt"), stamp(col("window.end")).as("edt"),
+          col("event_type"), col("ct")),
+      "stt", "event_type")
+  }
+
+  /** Frame-spec window functions: top-3 orders by price per nation
+    * (rank/row_number surface the reference lacks). */
+  def w8TopN(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+    val c = customer(s, d).select("c_custkey", "c_nationkey")
+    val n = nation(s, d).select("n_nationkey", "n_name")
+    val joined = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    ordered(
+      joined.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("n_name"), col("rank").cast("long").as("rank"),
+          col("o_orderkey"), col("o_totalprice")),
+      "n_name", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w6_session_window" -> (w6SessionWindow _),
+    "w7_sliding_window" -> (w7SlidingWindow _),
+    "w8_topn"           -> (w8TopN _))
+
+  val oracle: Map[String, String] = Map(
+    "w6_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS stt,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS edt,
+        |  user_id, COUNT(*) AS pv_ct,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, stt""".stripMargin,
+    "w7_sliding_window" ->
+      """WITH x AS (
+        |  SELECT event_type,
+        |    unnest([epoch_us(ts)//10000000*10000000,
+        |            epoch_us(ts)//10000000*10000000 - 10000000]) AS ws
+        |  FROM events)
+        |SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS stt,
+        |  strftime(make_timestamp(ws + 20000000), '%Y-%m-%d %H:%M:%S') AS edt,
+        |  event_type, COUNT(*) AS ct
+        |FROM x GROUP BY 1, 2, 3
+        |ORDER BY stt, event_type""".stripMargin,
+    "w8_topn" ->
+      """SELECT n_name, CAST(row_number() OVER w AS BIGINT) AS rank,
+        |  o_orderkey, o_totalprice
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WINDOW w AS (PARTITION BY n_name ORDER BY o_totalprice DESC, o_orderkey)
+        |QUALIFY rank <= 3
+        |ORDER BY n_name, rank""".stripMargin)
+}

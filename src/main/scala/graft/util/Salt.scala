@@ -1,0 +1,45 @@
+package graft.util
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot keys at scale (SURVEY.md build brief:
+  * "salting for skew, AQE for runtime re-plan"). AQE's skew-join handles
+  * most cases automatically; these are the explicit tools for when the
+  * skew is known up front (a handful of mega-keys in a 100 TB shuffle).
+  */
+object Salt {
+
+  /** Two-phase salted aggregation: phase 1 aggregates on (key, salt) —
+    * spreading one hot key over `buckets` reducers — phase 2 merges the
+    * partials per key. `aggs` must be algebraic (sum/count/min/max/...):
+    * merge(partial(a), partial(b)) == total(a++b).
+    *
+    * The salt is hash-derived from the whole row (spark_partition_id
+    * would also do); no RNG, so replays are deterministic.
+    */
+  def saltedAgg(df: DataFrame, keys: Seq[String], buckets: Int,
+                partialAggs: Seq[Column], finalAggs: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(hash(df.columns.map(col): _*), lit(buckets)))
+    salted
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(partialAggs.head, partialAggs.tail: _*)
+      .groupBy(keys.map(col): _*)
+      .agg(finalAggs.head, finalAggs.tail: _*)
+  }
+
+  /** Salted broadcast-free join for a skewed key: the big side gets a
+    * row-hash salt in [0, buckets); the small side is replicated once per
+    * bucket (explode), so each (key, salt) pair co-locates. Use when the
+    * small side is too big to broadcast but the join key is hot.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 buckets: Int): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(hash(big.columns.map(col): _*), lit(buckets)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    saltedBig.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+}
