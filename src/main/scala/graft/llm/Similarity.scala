@@ -36,9 +36,13 @@ object Similarity {
 
   /** Deterministic IVF index: (assignments, centroids). Centroids are a
     * local array (nlist × dim floats — broadcast-sized by construction). */
-  def ivfAssign(spark: SparkSession, corpus: DataFrame, nlist: Int,
+  def ivfAssign(spark: SparkSession, corpusRaw: DataFrame, nlist: Int,
                 iterations: Int = 2): (DataFrame, Array[(Int, Array[Double])]) = {
     import spark.implicits._
+    // The index build scans the corpus iterations+2 times (assign per
+    // Lloyd round + final); cache it once. Small relative to executor
+    // memory by construction (vectors, not documents).
+    val corpus = corpusRaw.persist()
     val dim = corpus.select(size(col("embedding"))).first().getInt(0)
     // Seeded init: evenly-spaced vec_ids (deterministic, no RNG at runtime)
     val ids = corpus.select(col("vec_id")).orderBy("vec_id").limit(nlist * 37)

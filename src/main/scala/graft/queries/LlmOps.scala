@@ -71,6 +71,38 @@ object LlmOps {
       "query_id", "rank")
   }
 
+  /** Dedup APPLIED: the near-dup pairs become an actual corpus filter —
+    * the later (greater doc_id) member of every >=0.8 pair is dropped,
+    * the canonical earlier one kept. One left-anti join against the
+    * (small) removal set. */
+  def xDedupApply(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val removed = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.8)
+      .select(col("d2").as("doc_id")).distinct()
+    ordered(
+      docs.join(broadcast(removed), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("n_chars")),
+      "doc_id")
+  }
+
+  /** The full training-corpus pipeline composed end-to-end: quality
+    * filter -> language filter -> near-dup removal. Each stage is one of
+    * the operators above; this query proves they compose (and that the
+    * composition still hash-matches an independent SQL rendering). */
+  def xCorpusPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val scored = TextAnalysis.withLangId(
+      TextAnalysis.withQuality(docs))
+    val filtered = scored
+      .filter(col("quality_score") >= 0.45 && col("lang_pred") === "en")
+    val removed = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.8)
+      .select(col("d2").as("doc_id")).distinct()
+    ordered(
+      filtered.join(broadcast(removed), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("quality_score"), col("n_tokens")),
+      "doc_id")
+  }
+
   def xMultimodal(s: SparkSession, d: String): DataFrame =
     ordered(
       Multimodal.extractFeatures(s, Multimodal.withPayload(documents(s, d))).toDF(),
@@ -88,6 +120,8 @@ object LlmOps {
     "x_dedup_embedding_nn" -> (xDedupEmbeddingNn _),
     "x_ann_topk"          -> (xAnnTopk _),
     "x_ann_ivf"           -> (xAnnIvf _),
+    "x_dedup_apply"       -> (xDedupApply _),
+    "x_corpus_pipeline"   -> (xCorpusPipeline _),
     "x_multimodal"        -> (xMultimodal _))
 
   private val toksSql =
@@ -95,6 +129,20 @@ object LlmOps {
 
   private val minhashParams: String = (0 until 16)
     .map(j => s"($j, ${2 * j + 1}, ${7919L * j + 12345L})").mkString(", ")
+
+  /** The >=0.8 n-gram-Jaccard pair CTE, shared by the dedup oracles. */
+  private val ngramPairsCte =
+    s"""toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
+       |grams AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS g
+       |          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i)
+       |          WHERE len(ts) >= 3),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n
+       |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |pairs AS (SELECT d1, d2 FROM inter
+       |          JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+       |          WHERE n / (s1.sz + s2.sz - n) >= 0.8)""".stripMargin
 
   private val stopwordsSql =
     TextAnalysis.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -218,6 +266,34 @@ object LlmOps {
         |  FROM scored)
         |SELECT query_id, rank, nn_id, cos_sim FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    "x_dedup_apply" ->
+      s"""WITH $ngramPairsCte
+         |SELECT doc_id, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT d2 FROM pairs)
+         |ORDER BY doc_id""".stripMargin,
+    "x_corpus_pipeline" ->
+      s"""WITH $ngramPairsCte,
+         |t2 AS (SELECT doc_id, text, $toksSql AS toks2 FROM documents),
+         |q AS (SELECT doc_id,
+         |    CAST(len(toks2) AS BIGINT) AS n_tokens,
+         |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+         |    CAST(len(list_filter(toks2, t3 -> list_contains($stopwordsSql, t3))) AS DOUBLE) / len(toks2) AS stopword_ratio,
+         |    list_distinct(toks2) AS dtoks
+         |  FROM t2),
+         |scored AS (SELECT doc_id, n_tokens,
+         |    least(1.0, n_tokens / 100.0) * 0.4 + alpha_ratio * 0.3 + stopword_ratio * 0.3 AS quality_score,
+         |    len(list_intersect(dtoks, ${markerSql("en")})) AS s_en,
+         |    len(list_intersect(dtoks, ${markerSql("de")})) AS s_de,
+         |    len(list_intersect(dtoks, ${markerSql("fr")})) AS s_fr,
+         |    len(list_intersect(dtoks, ${markerSql("es")})) AS s_es,
+         |    len(list_intersect(dtoks, ${markerSql("zh")})) AS s_zh
+         |  FROM q)
+         |SELECT doc_id, quality_score, n_tokens FROM scored
+         |WHERE quality_score >= 0.45
+         |  AND greatest(s_en, s_de, s_fr, s_es, s_zh) > 0
+         |  AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh
+         |  AND doc_id NOT IN (SELECT d2 FROM pairs)
+         |ORDER BY doc_id""".stripMargin,
     "x_multimodal" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

@@ -65,7 +65,9 @@ object LogFanOut {
       .select(to_json(struct(col("common"), col("page"), col("displays"), col("ts"))).as("value"))
 
   /** Full streaming topology: one source read per micro-batch, persisted,
-    * four sinks (dirty/start/display/page) — the side-output pattern. */
+    * four sinks (dirty/start/display/page) — the side-output pattern.
+    * is_new correction is per-batch here; `runWithState` carries it
+    * across batches. */
   def run(spark: SparkSession, source: Channel,
           sinks: Map[String, DataFrame => Unit],
           checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
@@ -84,6 +86,43 @@ object LogFanOut {
             sinks.get("display").foreach(_(displayLog(clean)))
             sinks.get("page").foreach(_(pageLog(clean)))
           } finally clean.unpersist()
+        } finally batch.unpersist()
+        ()
+      }
+      .start()
+  }
+
+  /** Fan-out with CROSS-BATCH is_new state (the reference's persistent
+    * ValueState, BaseLogApp.java:69-94): the stateful correction runs
+    * upstream of foreachBatch inside the same streaming query, so a mid
+    * seen in batch 1 is returning in batch 5. Dirty rows are dropped here
+    * (route them via `run` when a quarantine sink is needed: Spark allows
+    * only one stateful operator chain per query). */
+  def runWithState(spark: SparkSession, source: Channel,
+                   sinks: Map[String, DataFrame => Unit],
+                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val raw = source.readStream(spark)
+    val (clean, _) = parse(raw)
+    val tagged = clean.select(
+      col("common.mid").as("mid"), col("ts"),
+      col("common.is_new").as("isNew"), col("value").as("payload"))
+      .as[StateOps.TaggedVisit]
+    val corrected = StateOps.fixIsNewTagged(tagged)
+    // re-parse the forwarded payload and overwrite the corrected flag
+    val restored = corrected.toDF()
+      .withColumn("log", from_json(col("payload"), Schemas.behaviorLog))
+      .withColumn("log", col("log").withField("common.is_new", col("isNew")))
+      .select("log.*", "payload")
+      .withColumnRenamed("payload", "value")
+    restored.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try {
+          sinks.get("start").foreach(_(startLog(batch)))
+          sinks.get("display").foreach(_(displayLog(batch)))
+          sinks.get("page").foreach(_(pageLog(batch)))
         } finally batch.unpersist()
         ()
       }

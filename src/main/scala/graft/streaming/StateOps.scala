@@ -22,6 +22,32 @@ object StateOps {
                    eventId: Long = 0L)
   case class VisitOut(mid: String, ts: Long, isNew: String, eventId: Long)
 
+  /** A visit carrying its full original payload (for pipelines that
+    * correct a flag but must forward the whole record, like the log
+    * fan-out). */
+  case class TaggedVisit(mid: String, ts: Long, isNew: String, payload: String)
+
+  /** ST1 over payload-carrying records: rewrites the claimed-new flag on
+    * every record after the mid's first, forwarding the payload untouched
+    * otherwise. Cross-batch state like the reference's ValueState. */
+  def fixIsNewTagged(visits: Dataset[TaggedVisit]): Dataset[TaggedVisit] = {
+    import visits.sparkSession.implicits._
+    visits.groupByKey(_.mid).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      (mid: String, rows: Iterator[TaggedVisit], state: GroupState[Boolean]) => {
+        val sorted = rows.toSeq.sortBy(_.ts)
+        var seen = state.getOption.getOrElse(false)
+        val out = sorted.map { v =>
+          val corrected =
+            if (v.isNew == "1" && seen) v.copy(isNew = "0") else v
+          seen = true
+          corrected
+        }
+        state.update(seen)
+        out.iterator
+      })
+  }
+
   /** ST1 (BaseLogApp.java:69-94): first-ever event per mid keeps
     * is_new=1; every later event is rewritten to 0. State: seen flag. */
   def fixIsNew(visits: Dataset[Visit]): Dataset[VisitOut] = {

@@ -1,0 +1,64 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.{StateOps, StatsStreams}
+
+/** Streaming throughput probe: drives the real events table through the
+  * windowed-aggregation and keyed-state pipelines as micro-batches and
+  * reports events/second. The reference publishes no throughput numbers
+  * (BASELINE.md) — this gives ours a measurable floor.
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.tools.StreamBench"
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val events = graft.Tables.events(spark, sfDir)
+      .select($"ts", $"event_type", $"user_id", $"value")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect()
+    val batches = events.grouped(math.max(1, events.length / 4)).toSeq
+
+    // pipeline 1: windowed aggregation (A1 shape)
+    val memA = MemoryStream[(java.sql.Timestamp, String, Long, Double)]
+    // 1h windows: the synthetic events span 30 days, so 10s windows would
+    // mean ~260k near-empty windows — state-store churn, not throughput.
+    val qA = StatsStreams.productStats(
+        memA.toDF().toDF("ts", "event_type", "user_id", "value"),
+        watermark = "2 seconds", windowLen = "1 hour")
+      .writeStream.format("noop").outputMode(OutputMode.Append).start()
+    val tA0 = System.nanoTime()
+    batches.foreach { b => memA.addData(b.toIndexedSeq); qA.processAllAvailable() }
+    val secsA = (System.nanoTime() - tA0) / 1e9
+    qA.stop()
+
+    // pipeline 2: keyed state (ST2 uv dedup shape)
+    val memS = MemoryStream[StateOps.Visit]
+    val qS = StateOps.uvDedup(memS.toDS())
+      .writeStream.format("noop").outputMode(OutputMode.Append).start()
+    val visits = events.zipWithIndex.map { case ((ts, _, uid, _), i) =>
+      StateOps.Visit(uid.toString, ts.getTime, "1", None, i.toLong)
+    }
+    val vBatches = visits.grouped(math.max(1, visits.length / 4)).toSeq
+    val tS0 = System.nanoTime()
+    vBatches.foreach { b => memS.addData(b.toIndexedSeq); qS.processAllAvailable() }
+    val secsS = (System.nanoTime() - tS0) / 1e9
+    qS.stop()
+
+    val n = events.length
+    println(f"""{"metric":"stream_throughput","events":$n,"windowed_agg_eps":${n / secsA}%.0f,"keyed_state_eps":${n / secsS}%.0f,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

@@ -61,6 +61,28 @@ class PipelinesSpec extends SparkSpec {
     assert(counts.toMap == Map("dirty" -> 1L, "start" -> 1L, "display" -> 2L, "page" -> 1L))
   }
 
+  test("LogFanOut.runWithState: is_new correction persists across micro-batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fanout_state").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    val pages = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = LogFanOut.runWithState(spark, FileChannel(s"$dir/in"),
+      Map("page" -> (df => pages ++= df.as[String].collect())),
+      s"$dir/ckpt")
+    try {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/in/w1.json"), goodLog)
+      q.processAllAvailable()
+      // same mid again in a LATER batch, still claiming is_new=1
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/in/w2.json"),
+        goodLog.replace("1700000001000", "1700000009000"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val flags = pages.sorted.map(p =>
+      (if (p.contains("1700000001000")) 1 else 2) -> p.contains("\"is_new\":\"1\""))
+    assert(flags.toSet == Set(1 -> true, 2 -> false),
+      s"second batch should be corrected to returning: $pages")
+  }
+
   test("DbSplit: CDC envelopes route to kafka facts (dynamic topic) and dim upserts " +
     "with column allow-lists") {
     import spark.implicits._
