@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{SimhashAgg, Tokenize, VectorExpressions}
+
+/** SparkSessionExtensions entry point: registers every custom Catalyst
+  * function this library ships, so any session — including plain
+  * spark-sql / thrift-server deployments — gets them via
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * Functions: cosine_sim, dot_product, l2_norm (codegen'd vector
+  * expressions), split_keyword (tokenizer Generator), simhash_agg
+  * (typed imperative aggregate).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def info(name: String) =
+      new ExpressionInfo(classOf[GraftExtensions].getName, name)
+    def inject(name: String, builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name), info(name), builder))
+    inject("cosine_sim", es => VectorExpressions.CosineSim(es.head, es(1)))
+    inject("dot_product", es => VectorExpressions.DotProduct(es.head, es(1)))
+    inject("l2_norm", es => VectorExpressions.L2Norm(es.head))
+    inject("split_keyword", es => Tokenize.SplitKeyword(es.head))
+    inject("simhash_agg", es => SimhashAgg(es.head).toAggregateExpression())
+  }
+}

@@ -147,6 +147,80 @@ object Apps {
         col("uv_ct"), col("pv_ct"), col("sv_ct"), col("uj_ct"), col("dur_sum"))
   }
 
+  // ---- DWS: ProductStatsApp (ProductStatsApp.java:41-359) --------------
+
+  /** The seven measure columns of a ProductStats row. */
+  private val productMeasures = Seq(
+    "display_ct", "click_ct", "favor_ct", "cart_ct",
+    "order_amount", "payment_amount", "refund_amount",
+    "comment_ct", "good_comment_ct")
+
+  private def sparseProduct(skuId: org.apache.spark.sql.Column,
+                            et: org.apache.spark.sql.Column,
+                            set: Map[String, org.apache.spark.sql.Column]): DataFrame => DataFrame =
+    df => df.select(Seq(skuId.as("sku_id"), et.as("et")) ++ productMeasures.map(m =>
+      set.getOrElse(m, lit(0.0)).cast("double").as(m)): _*)
+
+  /** 7-source union → sparse common schema → 10s tumble per sku → dim
+    * enrichment. The union members come straight from the DWD/DWM
+    * channels: page log (clicks + exploded displays), order-wide,
+    * payment-wide, cart, favor, refund, comment
+    * (ProductStatsApp.java:78-230). Distinct counting of order ids is the
+    * reference's set semantics (collect_set); the
+    * paidOrderIdSet-absorbs-orderIdSet bug at :262 is deliberately NOT
+    * replicated (SURVEY.md §7.4.3). */
+  def productStats(pageLog: DataFrame, orderWide: DataFrame, paymentWide: DataFrame,
+                   cart: DataFrame, favor: DataFrame, refund: DataFrame,
+                   comment: DataFrame, watermark: String = "2 seconds"): DataFrame = {
+    val logs = pageLog
+      .select(from_json(col("value"), Schemas.behaviorLog).as("log"))
+      .filter(col("log").isNotNull)
+    val clicks = sparseProduct(col("log.page.item").cast("long"),
+      timestamp_millis(col("log.ts")), Map("click_ct" -> lit(1.0)))(
+      logs.filter(col("log.page.item_type") === "sku_id" &&
+        col("log.page.page_id") === "good_detail"))
+    val displays = sparseProduct(col("d.item").cast("long"),
+      timestamp_millis(col("log.ts")), Map("display_ct" -> lit(1.0)))(
+      logs.select(col("log"), explode(col("log.displays")).as("d"))
+        .filter(col("d.item_type") === "sku_id"))
+    def skuAction(raw: DataFrame, measure: String) =
+      sparseProduct(col("a.sku_id"), to_timestamp(col("a.create_time")),
+        Map(measure -> lit(1.0)))(
+        raw.select(from_json(col("value"), Schemas.skuAction).as("a"))
+          .filter(col("a").isNotNull))
+    val carts = skuAction(cart, "cart_ct")
+    val favors = skuAction(favor, "favor_ct")
+    val orders = sparseProduct(col("sku_id"), col("o_et"),
+      Map("order_amount" -> col("split_total_amount").cast("double")))(orderWide)
+    val payments = sparseProduct(col("sku_id"), col("p_et"),
+      Map("payment_amount" -> col("split_total_amount").cast("double")))(paymentWide)
+    val refunds = sparseProduct(col("r.sku_id"), to_timestamp(col("r.create_time")),
+      Map("refund_amount" -> col("r.refund_amount").cast("double")))(
+      refund.select(from_json(col("value"), Schemas.refundInfo).as("r"))
+        .filter(col("r").isNotNull))
+    val comments = sparseProduct(col("c.sku_id"), to_timestamp(col("c.create_time")),
+      Map("comment_ct" -> lit(1.0),
+        "good_comment_ct" -> when(col("c.appraise") === "1201", 1.0).otherwise(0.0)))(
+      comment.select(from_json(col("value"), Schemas.commentInfo).as("c"))
+        .filter(col("c").isNotNull))
+    Seq(clicks, displays, carts, favors, orders, payments, refunds, comments)
+      .reduce(_ unionByName _)
+      .withWatermark("et", watermark)
+      .groupBy(window(col("et"), "10 seconds"), col("sku_id"))
+      .agg(
+        sum("display_ct").cast("long").as("display_ct"),
+        sum("click_ct").cast("long").as("click_ct"),
+        sum("favor_ct").cast("long").as("favor_ct"),
+        sum("cart_ct").cast("long").as("cart_ct"),
+        decSum(col("order_amount")).as("order_amount"),
+        decSum(col("payment_amount")).as("payment_amount"),
+        decSum(col("refund_amount")).as("refund_amount"),
+        sum("comment_ct").cast("long").as("comment_ct"),
+        sum("good_comment_ct").cast("long").as("good_comment_ct"))
+      .select(Seq(stamp(col("window.start")).as("stt"), stamp(col("window.end")).as("edt"),
+        col("sku_id")) ++ productMeasures.map(col): _*)
+  }
+
   // ---- DWS: KeywordStatsApp (KeywordStatsApp.java:14-74) ---------------
 
   /** Keyword search terms from page log → tokenizer UDTF → 10s tumble

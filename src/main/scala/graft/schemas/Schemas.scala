@@ -81,6 +81,25 @@ object Schemas {
     StructField("split_activity_amount", DecimalType(16, 2)),
     StructField("split_coupon_amount", DecimalType(16, 2))))
 
+  /** dwd_cart_info / dwd_favor_info (FIXTURES.md §4). */
+  val skuAction: StructType = StructType(Seq(
+    StructField("sku_id", LongType),
+    StructField("create_time", StringType)))
+
+  /** dwd_order_refund_info (FIXTURES.md §4). */
+  val refundInfo: StructType = StructType(Seq(
+    StructField("sku_id", LongType),
+    StructField("order_id", LongType),
+    StructField("refund_amount", DecimalType(16, 2)),
+    StructField("create_time", StringType)))
+
+  /** dwd_comment_info (FIXTURES.md §4; appraise "1201" = good). */
+  val commentInfo: StructType = StructType(Seq(
+    StructField("sku_id", LongType),
+    StructField("order_id", LongType),
+    StructField("appraise", StringType),
+    StructField("create_time", StringType)))
+
   /** dwd_payment_info (reference bean/PaymentInfo.java). */
   val paymentInfo: StructType = StructType(Seq(
     StructField("id", LongType),

@@ -17,4 +17,11 @@ object SparkInternals {
   def functionRegistry(spark: SparkSession): FunctionRegistry =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
+
+  /** Applies an extensions object's function injections to an EXISTING
+    * session's registry (normally they only bind at builder time via
+    * spark.sql.extensions). */
+  def applyFunctionInjections(ext: org.apache.spark.sql.SparkSessionExtensions,
+                              spark: SparkSession): Unit =
+    ext.registerFunctions(functionRegistry(spark))
 }

@@ -99,6 +99,52 @@ class AppsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ProductStatsApp: 7-source union rolls into one sparse stats row per sku/window") {
+    import spark.implicits._
+    val page = Seq(
+      // click on sku 55 from the good_detail page
+      """{"common":{"mid":"m1","is_new":"1","vc":"v1","ch":"web","ar":"11"},"page":{"page_id":"good_detail","last_page_id":null,"item":"55","item_type":"sku_id","during_time":5},"ts":1000}""",
+      // display of sku 55 and 56
+      """{"common":{"mid":"m2","is_new":"1","vc":"v1","ch":"web","ar":"11"},"page":{"page_id":"home","last_page_id":null,"item":null,"item_type":null,"during_time":5},"displays":[{"item":"55","item_type":"sku_id","order":1},{"item":"56","item_type":"sku_id","order":2}],"ts":2000}"""
+    ).toDF("value")
+    val ow = Seq((java.sql.Timestamp.valueOf("1970-01-01 00:00:03"), 55L, 99.5))
+      .toDF("o_et", "sku_id", "split_total_amount")
+    val pw = Seq((java.sql.Timestamp.valueOf("1970-01-01 00:00:04"), 55L, 99.5))
+      .toDF("p_et", "sku_id", "split_total_amount")
+    val cart = Seq("""{"sku_id":55,"create_time":"1970-01-01 00:00:05"}""").toDF("value")
+    val favor = Seq("""{"sku_id":56,"create_time":"1970-01-01 00:00:06"}""").toDF("value")
+    val refund = Seq("""{"sku_id":55,"order_id":9,"refund_amount":5.00,"create_time":"1970-01-01 00:00:07"}""").toDF("value")
+    val comment = Seq(
+      """{"sku_id":55,"order_id":9,"appraise":"1201","create_time":"1970-01-01 00:00:08"}""",
+      """{"sku_id":55,"order_id":9,"appraise":"1202","create_time":"1970-01-01 00:00:09"}""").toDF("value")
+    val out = Apps.productStats(page, ow, pw, cart, favor, refund, comment)
+      .select("sku_id", "display_ct", "click_ct", "favor_ct", "cart_ct",
+        "order_amount", "payment_amount", "refund_amount", "comment_ct", "good_comment_ct")
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double, Long, Long)]
+      .collect().toSet
+    assert(out == Set(
+      (55L, 1L, 1L, 0L, 1L, 99.5, 99.5, 5.0, 2L, 1L),
+      (56L, 1L, 0L, 1L, 0L, 0.0, 0.0, 0.0, 0L, 0L)))
+  }
+
+  test("GraftExtensions injects all custom functions into a session") {
+    // builder-time extensions cannot apply to the suite's shared session,
+    // so apply the same injections to its registry via the bridge
+    val exts = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(exts)
+    org.apache.spark.sql.graft.SparkInternals.applyFunctionInjections(exts, spark)
+    val ext = spark
+    val cos = ext.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)))")
+      .head.getDouble(0)
+    assert(cos == 1.0)
+    val words = ext.sql("SELECT collect_list(word) FROM (SELECT explode(ARRAY('a b')) s) LATERAL VIEW split_keyword(s) t AS word")
+      .head.getSeq[String](0)
+    assert(words == Seq("a", "b"))
+    val sh = ext.sql("SELECT simhash_agg(h) FROM VALUES (1L), (3L) AS t(h)").head.getLong(0)
+    assert(sh == 1L) // bit0 votes +2, bit1 votes 0 -> only bit 0 set
+  }
+
   test("ProvinceStatsApp rolls order-wide rows by province with exact distinct orders") {
     import spark.implicits._
     val ow = Seq(
