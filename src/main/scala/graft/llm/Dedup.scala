@@ -32,6 +32,20 @@ object Dedup {
           i => concat_ws(" ", slice(col("toks"), i, lit(n))))).as("gram"))
       .distinct()
 
+  /** All ordered id pairs co-occurring under the same key, emitted from
+    * ONE shuffle: groupBy(key) -> sorted id list -> explode i<j pairs.
+    * Equivalent to the self-join `a.key = b.key AND a.id < b.id` but
+    * shuffles the table once instead of twice. Hot keys make the per-key
+    * list large (quadratic pair fan-out is inherent either way) — at
+    * 100 TB df-cut hot keys first (see maxDocFreq). */
+  private def coGroupedPairs(df: DataFrame, key: String, id: String): DataFrame =
+    df.groupBy(col(key)).agg(sort_array(collect_list(col(id))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(transform(sequence(lit(0), size(col("ids")) - 2), i =>
+        struct(col("ids")(i).as("d1"),
+          slice(col("ids"), i + 2, size(col("ids"))).as("rest")))).as("x"))
+      .select(col("x.d1"), explode(col("x.rest")).as("d2"))
+
   /** 32-bit gram hash via md5 prefix — deterministic across engines. */
   private def h32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
   /** 60-bit token hash (15 hex digits keeps it inside signed int64). */
@@ -57,10 +71,8 @@ object Dedup {
       case None => g
     }
     val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = filtered.as("a").join(filtered.as("b"),
-        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("inter_ct"))
+    val inter = coGroupedPairs(filtered, "gram", "doc_id")
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter_ct"))
     inter
       .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
       .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
@@ -92,10 +104,9 @@ object Dedup {
       sigs.select(col("doc_id"), lit(k).as("band"),
         concat_ws("_", (0 until rows).map(r => col(s"sig_${k * rows + r}")): _*).as("bkey"))
     }.reduce(_ unionByName _)
-    val cand = bandDf.as("x").join(bandDf.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
+    val cand = coGroupedPairs(
+      bandDf.withColumn("bk", concat_ws("|", col("band"), col("bkey"))),
+      "bk", "doc_id").distinct()
     // exact-Jaccard verification of the candidate pairs only
     val sizes = g.select("doc_id", "gram").groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand
@@ -134,6 +145,10 @@ object Dedup {
       sh.select(col("doc_id"), col("simhash"), lit(k).as("band"),
         expr(s"shiftright(simhash, ${k * 15}) & 32767").as("bkey"))
     }.reduce(_ unionByName _)
+    // NOTE: simhash buckets are DENSE on near-dup-heavy corpora (similar
+    // fingerprints share prefixes), so the per-key pair-list emission used
+    // for sparse gram keys serializes hot buckets into single tasks; the
+    // self-join spreads the quadratic fan-out across the cluster instead.
     bandDf.as("x").join(bandDf.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -37,7 +37,7 @@ object Similarity {
   /** Deterministic IVF index: (assignments, centroids). Centroids are a
     * local array (nlist × dim floats — broadcast-sized by construction). */
   def ivfAssign(spark: SparkSession, corpusRaw: DataFrame, nlist: Int,
-                iterations: Int = 2): (DataFrame, Array[(Int, Array[Double])]) = {
+                iterations: Int = 1): (DataFrame, Array[(Int, Array[Double])]) = {
     import spark.implicits._
     // The index build scans the corpus iterations+2 times (assign per
     // Lloyd round + final); cache it once. Small relative to executor
