@@ -200,7 +200,8 @@ object Apps {
         .filter(col("r").isNotNull))
     val comments = sparseProduct(col("c.sku_id"), to_timestamp(col("c.create_time")),
       Map("comment_ct" -> lit(1.0),
-        "good_comment_ct" -> when(col("c.appraise") === "1201", 1.0).otherwise(0.0)))(
+        "good_comment_ct" ->
+          when(col("c.appraise") === graft.Constants.AppraiseGood, 1.0).otherwise(0.0)))(
       comment.select(from_json(col("value"), Schemas.commentInfo).as("c"))
         .filter(col("c").isNotNull))
     Seq(clicks, displays, carts, favors, orders, payments, refunds, comments)
