@@ -17,6 +17,7 @@ import graft.functions.{SimhashAgg, Tokenize, VectorExpressions}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.functions.RewriteSetCount)
     def info(name: String) =
       new ExpressionInfo(classOf[GraftExtensions].getName, name)
     def inject(name: String, builder: Seq[Expression] => Expression): Unit =

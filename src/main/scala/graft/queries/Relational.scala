@@ -143,7 +143,22 @@ object Relational {
         |ORDER BY keyword, source""".stripMargin)
   }
 
+  /** Semi/anti joins (EXISTS / NOT EXISTS) — not used by the reference
+    * (SURVEY.md §2.3 note) but part of any complete relational surface;
+    * Catalyst plans them as LeftSemi/LeftAnti without materializing the
+    * probe side. */
+  def j6SemiAnti(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select("c_custkey", "c_name", "c_mktsegment")
+    val o = orders(s, d).select("o_custkey")
+    val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"), lit("active").as("status"))
+    val withoutOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"), lit("dormant").as("status"))
+    ordered(withOrders.unionByName(withoutOrders), "c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j6_semi_anti"     -> (j6SemiAnti _),
     "q1_agg"           -> (q1Agg _),
     "s1_scan"          -> (s1Scan _),
     "p3_derive"        -> (p3Derive _),
@@ -154,6 +169,11 @@ object Relational {
     "a4_keyword_stats_sql" -> (a4KeywordStatsSql _))
 
   val oracle: Map[String, String] = Map(
+    "j6_semi_anti" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |       THEN 'active' ELSE 'dormant' END AS status
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -24,4 +24,12 @@ object SparkInternals {
   def applyFunctionInjections(ext: org.apache.spark.sql.SparkSessionExtensions,
                               spark: SparkSession): Unit =
     ext.registerFunctions(functionRegistry(spark))
+
+  /** Wraps a logical plan back into a DataFrame (Dataset.ofRows is
+    * private[sql]) — used by specs to evaluate a manually-rewritten
+    * plan. */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -48,4 +48,32 @@ class FunctionsSpec extends SparkSpec {
     assert(users == Map("1" -> "ann2", "2" -> "bo"))
     assert(graft.sources.Sinks.readDims(spark, dir, "dim_sku").count() == 1)
   }
+
+  test("RewriteSetCount: batch size(collect_set) becomes count(distinct), results equal") {
+    import spark.implicits._
+    val df = Seq((1, 10), (1, 10), (1, 20), (2, 30)).toDF("k", "v")
+    val agg = df.groupBy($"k").agg(graft.util.Det.setCount($"v").as("dc"))
+    val before = agg.queryExecution.analyzed
+    val after = RewriteSetCount(before)
+    assert(before.toString.contains("collect_set"))
+    assert(!after.toString.contains("collect_set") && after.toString.contains("count"))
+    val rewritten = org.apache.spark.sql.graft.SparkInternals.ofRows(spark, after)
+      .orderBy("k").as[(Int, Long)].collect().toSeq
+    val original = agg.orderBy("k").as[(Int, Long)].collect().toSeq
+    assert(rewritten == original && original == Seq((1, 2L), (2, 1L)))
+  }
+
+  test("RewriteSetCount leaves streaming aggregates untouched (set IS the state)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long)]
+    val agg = mem.toDF().toDF("ts", "v")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "10 seconds"))
+      .agg(graft.util.Det.setCount(col("v")).as("dc"))
+    val plan = agg.queryExecution.analyzed
+    val after = RewriteSetCount(plan)
+    assert(after.toString.contains("collect_set"), "streaming plan must keep the set buffer")
+  }
 }
