@@ -24,9 +24,11 @@ object RewriteSetCount extends Rule[LogicalPlan] {
       agg.transformExpressions {
         case s @ Size(ae: AggregateExpression, _) if isCompleteCollectSet(ae) =>
           val child = ae.aggregateFunction.asInstanceOf[CollectSet].child
-          val cnt = ae.copy(
-            aggregateFunction = Count(child :: Nil),
-            isDistinct = true)
+          // fresh AggregateExpression (new resultId): reusing ae's id via
+          // copy() could collide with a surviving bare reference to the
+          // original collect_set in the same Aggregate
+          val cnt = AggregateExpression(
+            Count(child :: Nil), Complete, isDistinct = true)
           // size() returns int; count returns long — keep the original
           // int type so downstream casts/schemas are unchanged
           org.apache.spark.sql.catalyst.expressions.Cast(cnt,
@@ -37,5 +39,20 @@ object RewriteSetCount extends Rule[LogicalPlan] {
   private def isCompleteCollectSet(ae: AggregateExpression): Boolean =
     ae.mode == Complete && !ae.isDistinct &&
       ae.aggregateFunction.isInstanceOf[CollectSet] &&
-      ae.filter.isEmpty
+      ae.filter.isEmpty &&
+      // NaN-bearing types disagree between the two forms: collect_set
+      // keeps every NaN bit-pattern distinct-by-equality-rules while
+      // COUNT(DISTINCT) normalizes NaN to one value — skip them
+      !containsFloatingPoint(ae.aggregateFunction.asInstanceOf[CollectSet].child.dataType)
+
+  private def containsFloatingPoint(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case FloatType | DoubleType => true
+      case ArrayType(et, _) => containsFloatingPoint(et)
+      case MapType(k, v, _) => containsFloatingPoint(k) || containsFloatingPoint(v)
+      case StructType(fields) => fields.exists(f => containsFloatingPoint(f.dataType))
+      case _ => false
+    }
+  }
 }

@@ -148,7 +148,7 @@ object Relational {
     * Catalyst plans them as LeftSemi/LeftAnti without materializing the
     * probe side. */
   def j6SemiAnti(s: SparkSession, d: String): DataFrame = {
-    val c = customer(s, d).select("c_custkey", "c_name", "c_mktsegment")
+    val c = customer(s, d).select("c_custkey", "c_mktsegment")
     val o = orders(s, d).select("o_custkey")
     val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
       .select(col("c_custkey"), col("c_mktsegment"), lit("active").as("status"))

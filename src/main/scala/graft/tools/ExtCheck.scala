@@ -26,6 +26,16 @@ object ExtCheck {
       .head.getSeq[String](0).mkString(","))
     println("[extcheck] simhash=" + spark.sql(
       "SELECT simhash_agg(h) FROM VALUES (1L),(3L) t(h)").head.getLong(0))
+    // RewriteSetCount must NOT fire on doubles (NaN semantics diverge):
+    // with two distinct-bit-pattern NaNs the set answer is authoritative
+    println("[extcheck] nan_set=" + spark.sql(
+      "SELECT size(collect_set(v)) FROM VALUES (CAST('NaN' AS DOUBLE)), (CAST('NaN' AS DOUBLE)), (2.0D) t(v)")
+      .head.getInt(0))
+    // (the output ALIAS keeps the original "size(collect_set(v))" name,
+    // so check for the rewritten aggregate call itself)
+    println("[extcheck] long_rewrite_plan=" + spark.sql(
+      "SELECT size(collect_set(v)) FROM VALUES (1L),(1L),(2L) t(v)")
+      .queryExecution.optimizedPlan.toString.contains("count(distinct"))
     spark.stop()
   }
 }

@@ -63,6 +63,15 @@ class FunctionsSpec extends SparkSpec {
     assert(rewritten == original && original == Seq((1, 2L), (2, 1L)))
   }
 
+  test("RewriteSetCount skips floating-point children (NaN semantics diverge)") {
+    import spark.implicits._
+    val df = Seq((1, Double.NaN), (1, Double.NaN), (1, 2.0)).toDF("k", "v")
+    val agg = df.groupBy($"k").agg(graft.util.Det.setCount($"v").as("dc"))
+    val after = RewriteSetCount(agg.queryExecution.analyzed)
+    assert(after.toString.contains("collect_set"),
+      "double column must keep collect_set: count(distinct) would merge NaNs")
+  }
+
   test("RewriteSetCount leaves streaming aggregates untouched (set IS the state)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
