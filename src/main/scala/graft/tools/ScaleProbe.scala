@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-ramp probe: synthesizes an N-times replica of the sf0.1 tables
+  * (keys shifted per replica so join/group cardinalities scale too),
+  * then times representative queries at 1x and Nx. Near-linear ratios
+  * mean the plans scale; super-linear ones flag an operator to fix
+  * before 100 TB.
+  *
+  *   sbt "runMain graft.tools.ScaleProbe 10"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val base = "/root/testdata/sf0.1"
+    val out = s"/tmp/graft_scale_x$factor"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def replicate(df: DataFrame, keyCols: Map[String, Long]): DataFrame =
+      (0 until factor).map { i =>
+        keyCols.foldLeft(df) { case (d, (c, span)) =>
+          d.withColumn(c, col(c) + lit(i * span))
+        }
+      }.reduce(_ unionByName _)
+
+    if (!new java.io.File(out).exists()) {
+      val span = 10000000L
+      replicate(graft.Tables.lineitem(spark, base),
+        Map("l_orderkey" -> span)).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      replicate(graft.Tables.orders(spark, base),
+        Map("o_orderkey" -> span, "o_custkey" -> 0L))
+        .write.mode("overwrite").parquet(s"$out/orders.parquet")
+      replicate(graft.Tables.events(spark, base),
+        Map("event_id" -> span, "user_id" -> 10000L))
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+      replicate(graft.Tables.documents(spark, base),
+        Map("doc_id" -> span)).write.mode("overwrite").parquet(s"$out/documents.parquet")
+      replicate(graft.Tables.embeddings(spark, base),
+        Map("vec_id" -> span)).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      // dims unscaled
+      Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+        graft.Tables.table(spark, base, t).write.mode("overwrite").parquet(s"$out/$t.parquet")
+      }
+    }
+
+    val probes = Seq("q1_agg", "j1_interval_join", "j3_dim_enrich", "a1_product_stats",
+      "st1_is_new", "st3_bounce", "a4_keyword_stats", "x_dedup_exact",
+      "x_dedup_ngram", "x_text_quality")
+    // warm-up
+    graft.Tables.lineitem(spark, out).count()
+    val results = probes.map { name =>
+      val fn = graft.SparkEntry.queries(name)
+      def time(dir: String): Double = {
+        val t0 = System.nanoTime(); fn(spark, dir).count(); (System.nanoTime() - t0) / 1e9
+      }
+      val t1 = time(base)
+      val tN = time(out)
+      (name, t1, tN, tN / t1)
+    }
+    println(f"""[scale] factor=$factor""")
+    results.foreach { case (n, t1, tN, r) =>
+      println(f"[scale] $n%-22s 1x=$t1%6.2fs ${factor}x=$tN%7.2fs ratio=$r%5.2f")
+    }
+    spark.stop()
+  }
+}
