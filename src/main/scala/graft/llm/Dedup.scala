@@ -62,7 +62,8 @@ object Dedup {
     * the rest.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
-                        maxDocFreq: Option[Long] = None): DataFrame = {
+                        maxDocFreq: Option[Long] = None,
+                        prefixFilter: Boolean = false): DataFrame = {
     val g = shingles(docs, n)
     val filtered = maxDocFreq match {
       case Some(limit) =>
@@ -71,8 +72,35 @@ object Dedup {
       case None => g
     }
     val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = coGroupedPairs(filtered, "gram", "doc_id")
-      .groupBy("d1", "d2").agg(count(lit(1)).as("inter_ct"))
+    val inter =
+      if (!prefixFilter) {
+        // direct: count shared grams while emitting pairs — one pass, no
+        // separate verification join. Best when gram df is uniform-ish
+        // (measured: beats prefix filtering 4x on the small-vocab test
+        // corpus where EVERY gram is hot; see SCALE.md).
+        coGroupedPairs(filtered, "gram", "doc_id")
+          .groupBy("d1", "d2").agg(count(lit(1)).as("inter_ct"))
+      } else {
+        // Prefix filtering (Bayardo/PPJoin): order each doc's grams
+        // rarest-first and join only on the first |d|-ceil(t|d|)+1 of
+        // them; any pair with jaccard >= t shares a gram inside both
+        // prefixes, so candidates stay complete. Wins on zipfian real
+        // text (most grams rare); loses when all grams are hot because
+        // the candidate set barely shrinks while df-computation, per-doc
+        // ordering, and the separate verification join add 4 shuffles.
+        val withDf = filtered
+          .join(filtered.groupBy("gram").agg(count(lit(1)).as("df")), "gram")
+        val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))
+        val prefixes = withDf
+          .withColumn("pos", row_number().over(byRarity))
+          .join(sizes, "doc_id")
+          .filter(col("pos") <= col("sz") - ceil(col("sz") * threshold) + 1)
+          .select("doc_id", "gram")
+        coGroupedPairs(prefixes, "gram", "doc_id").distinct()
+          .join(filtered.select(col("doc_id").as("d1"), col("gram")), Seq("d1"))
+          .join(filtered.select(col("doc_id").as("d2"), col("gram")), Seq("d2", "gram"))
+          .groupBy("d1", "d2").agg(count(lit(1)).as("inter_ct"))
+      }
     inter
       .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
       .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))

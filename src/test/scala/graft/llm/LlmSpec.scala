@@ -34,6 +34,13 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall too low (expected ~1-(1-j^4)^4 at j>=0.8)")
   }
 
+  test("prefix-filtered jaccard candidates agree with the direct path (sf0.001)") {
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    def pairs(pf: Boolean) = Dedup.ngramJaccardPairs(docs, 3, 0.8, prefixFilter = pf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(true) == pairs(false) && pairs(false).nonEmpty)
+  }
+
   test("simhash 4-band bucketing is exact for hamming <= 3 (vs brute force, sf0.001)") {
     val docs = graft.Tables.documents(spark, sf("sf0.001"))
     val banded = Dedup.simhashNearPairs(docs, 3)
