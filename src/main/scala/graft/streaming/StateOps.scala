@@ -108,6 +108,35 @@ object StateOps {
   case class BounceState(pendingTs: Long, pendingEventId: Long)
   case class Bounce(mid: String, ts: Long, eventId: Long)
 
+  /** The pure per-key bounce state machine: folds a ts-sorted slice of
+    * one key's events over an optional carried-in pending session entry;
+    * returns (bounces emitted, pending left for the timeout timer).
+    * Shared by the streaming closure and the property tests. */
+  def bounceStep(mid: String, sorted: Seq[Visit], carried: Option[BounceState],
+                 gapMs: Long): (Seq[Bounce], Option[BounceState]) = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Bounce]
+    var pending = carried
+    sorted.foreach { v =>
+      val isStart = v.lastPageId.isEmpty
+      pending match {
+        case Some(p) if v.ts - p.pendingTs >= gapMs =>
+          // silence elapsed before this event: pending bounced
+          out += Bounce(mid, p.pendingTs, p.pendingEventId)
+          pending = if (isStart) Some(BounceState(v.ts, v.eventId)) else None
+        case Some(p) if isStart =>
+          // second session entry within the gap: CEP match branch
+          out += Bounce(mid, p.pendingTs, p.pendingEventId)
+          pending = Some(BounceState(v.ts, v.eventId))
+        case Some(_) =>
+          // normal page within the gap: not a bounce
+          pending = None
+        case None =>
+          if (isStart) pending = Some(BounceState(v.ts, v.eventId))
+      }
+    }
+    (out.toSeq, pending)
+  }
+
   /** ST3 (UserJumpDetailApp.java:70-120, Flink CEP): emit every session
     * entry NOT followed by another page within `gapMs`. CEP's two output
     * branches (match on a second session entry; timeout on silence) both
@@ -133,32 +162,14 @@ object StateOps {
     withTime.groupByKey(_.mid).flatMapGroupsWithState(
       OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
       (mid: String, rows: Iterator[Visit], state: GroupState[BounceState]) => {
-        val out = scala.collection.mutable.ArrayBuffer.empty[Bounce]
-        var pending = state.getOption
         if (state.hasTimedOut) {
-          pending.foreach(p => out += Bounce(mid, p.pendingTs, p.pendingEventId))
-          pending = None
+          val fired = state.getOption.toSeq
+            .map(p => Bounce(mid, p.pendingTs, p.pendingEventId))
           state.remove()
+          fired.iterator
         } else {
           val sorted = rows.toSeq.sortBy(v => (v.ts, v.eventId))
-          sorted.foreach { v =>
-            val isStart = v.lastPageId.isEmpty
-            pending match {
-              case Some(p) if v.ts - p.pendingTs >= gapMs =>
-                // silence elapsed before this event: pending bounced
-                out += Bounce(mid, p.pendingTs, p.pendingEventId)
-                pending = if (isStart) Some(BounceState(v.ts, v.eventId)) else None
-              case Some(p) if isStart =>
-                // second session entry within the gap: CEP match branch
-                out += Bounce(mid, p.pendingTs, p.pendingEventId)
-                pending = Some(BounceState(v.ts, v.eventId))
-              case Some(_) =>
-                // normal page within the gap: not a bounce
-                pending = None
-              case None =>
-                if (isStart) pending = Some(BounceState(v.ts, v.eventId))
-            }
-          }
+          val (out, pending) = bounceStep(mid, sorted, state.getOption, gapMs)
           pending match {
             case Some(p) =>
               state.update(p)
@@ -168,8 +179,8 @@ object StateOps {
               state.setTimeoutTimestamp(math.max(p.pendingTs + gapMs, wm + 1))
             case None => state.remove()
           }
+          out.iterator
         }
-        out.iterator
       })
   }
 
