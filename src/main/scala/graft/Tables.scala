@@ -43,7 +43,9 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      // integer division, NOT col/1000 (double division loses 1 µs on
+      // ~12% of epoch-nano values — beyond double's 53-bit exact range)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
 }

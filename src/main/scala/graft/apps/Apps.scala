@@ -30,7 +30,10 @@ object Apps {
   // ---- DWM: UniqueVisitApp (UniqueVisitApp.java:24-98) -----------------
 
   /** Per-day first-visit filter over dwd_page_log JSON: keeps only each
-    * mid's first session-entry page view of the day. */
+    * mid's first session-entry page view of the day, forwarding the
+    * original log JSON (the reference emits the original record to
+    * dwm_unique_visit). Tie-break id is a payload hash — deterministic
+    * across micro-batch replays (monotonically_increasing_id is not). */
   def uniqueVisit(spark: SparkSession, pageLog: DataFrame): DataFrame = {
     import spark.implicits._
     val visits = pageLog
@@ -39,25 +42,30 @@ object Apps {
       .select(col("log.common.mid").as("mid"), col("log.ts").as("ts"),
         col("log.common.is_new").as("isNew"),
         col("log.page.last_page_id").as("lastPageId"),
-        monotonically_increasing_id().as("eventId"))
+        xxhash64(col("value")).as("eventId"),
+        col("value").as("payload"))
       .as[StateOps.Visit]
     StateOps.uvDedup(visits, sessionEntryOnly = true).toDF()
+      .withColumnRenamed("payload", "value")
   }
 
   // ---- DWM: UserJumpDetailApp (UserJumpDetailApp.java:30-132) ----------
 
-  /** Bounce sessions over dwd_page_log JSON (10s CEP window). */
+  /** Bounce sessions over dwd_page_log JSON (10s CEP window), forwarding
+    * the original record like the reference's dwm_user_jump_detail. */
   def userJump(spark: SparkSession, pageLog: DataFrame): DataFrame = {
     import spark.implicits._
     val visits = pageLog
-      .select(from_json(col("value"), Schemas.behaviorLog).as("log"))
+      .select(from_json(col("value"), Schemas.behaviorLog).as("log"), col("value"))
       .filter(col("log").isNotNull)
       .select(col("log.common.mid").as("mid"), col("log.ts").as("ts"),
         col("log.common.is_new").as("isNew"),
         col("log.page.last_page_id").as("lastPageId"),
-        monotonically_increasing_id().as("eventId"))
+        xxhash64(col("value")).as("eventId"),
+        col("value").as("payload"))
       .as[StateOps.Visit]
     StateOps.bounceDetect(visits, gapMs = 10000L, watermarkDelay = "2 seconds").toDF()
+      .withColumnRenamed("payload", "value")
   }
 
   // ---- DWM: OrderWideApp (OrderWideApp.java:32-237) --------------------

@@ -47,6 +47,7 @@ object Similarity {
     // Seeded init: evenly-spaced vec_ids (deterministic, no RNG at runtime)
     val ids = corpus.select(col("vec_id")).orderBy("vec_id").limit(nlist * 37)
       .as[Long].collect()
+    require(ids.nonEmpty, "ivfAssign: empty corpus")
     val initIds = (0 until nlist).map(i => ids((i * 37) % ids.length)).distinct.toArray
     var centroids: Array[(Int, Array[Double])] = corpus
       .filter(col("vec_id").isin(initIds: _*)).orderBy("vec_id")
@@ -76,7 +77,12 @@ object Similarity {
         .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       if (means.nonEmpty) centroids = means.sortBy(_._1)
     }
-    (assignDf(), centroids)
+    val finalAssign = assignDf()
+    // Lloyd iterations are done with the cache; release it so repeated
+    // index builds in one session (Bench runs every query) do not pin
+    // executor memory. The returned plan rescans the source once.
+    corpus.unpersist()
+    (finalAssign, centroids)
   }
 
   /** IVF-probed approximate top-k. Spec-tested for recall vs brute force. */

@@ -49,7 +49,9 @@ object Plumbing {
       .withColumn("data", map(
         lit("user_id"), col("user_id").cast("string"),
         lit("event_type"), col("event_type"),
-        lit("k"), col("k").cast("string")))
+        // '' (not NULL) for absent k: DuckDB regexp_extract returns ''
+        // on no-match, and the oracle mirrors that
+        lit("k"), coalesce(col("k").cast("string"), lit(""))))
     val routed = e.join(broadcast(config), col("event_type") === col("src_type"))
       .withColumn("kept", map_filter(col("data"),
         (key, _) => array_contains(col("allow_cols"), key)))

@@ -62,9 +62,14 @@ object Sinks {
     if (target.exists()) {
       val old = new java.io.File(storePath + ".old")
       if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
-      target.renameTo(old)
+      if (!target.renameTo(old))
+        throw new java.io.IOException(s"dim store swap failed: $storePath -> $old")
     }
-    new java.io.File(staging).renameTo(target)
+    if (!new java.io.File(staging).renameTo(target)) {
+      // roll back so readers still see the previous snapshot
+      new java.io.File(storePath + ".old").renameTo(target)
+      throw new java.io.IOException(s"dim store swap failed: $staging -> $storePath")
+    }
     val old = new java.io.File(storePath + ".old")
     if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
   }

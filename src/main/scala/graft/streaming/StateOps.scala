@@ -19,8 +19,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StateOps {
 
   case class Visit(mid: String, ts: Long, isNew: String, lastPageId: Option[String],
-                   eventId: Long = 0L)
-  case class VisitOut(mid: String, ts: Long, isNew: String, eventId: Long)
+                   eventId: Long = 0L, payload: String = "")
+  case class VisitOut(mid: String, ts: Long, isNew: String, eventId: Long,
+                      payload: String = "")
 
   /** A visit carrying its full original payload (for pipelines that
     * correct a flag but must forward the whole record, like the log
@@ -35,7 +36,7 @@ object StateOps {
     visits.groupByKey(_.mid).flatMapGroupsWithState(
       OutputMode.Append, GroupStateTimeout.NoTimeout)(
       (mid: String, rows: Iterator[TaggedVisit], state: GroupState[Boolean]) => {
-        val sorted = rows.toSeq.sortBy(_.ts)
+        val sorted = rows.toSeq.sortBy(v => (v.ts, v.payload))
         var seen = state.getOption.getOrElse(false)
         val out = sorted.map { v =>
           val corrected =
@@ -59,7 +60,7 @@ object StateOps {
         val out = scala.collection.mutable.ArrayBuffer.empty[VisitOut]
         var seen = state.getOption.getOrElse(false)
         sorted.foreach { v =>
-          out += VisitOut(mid, v.ts, if (seen) "0" else "1", v.eventId)
+          out += VisitOut(mid, v.ts, if (seen) "0" else "1", v.eventId, v.payload)
           seen = true
         }
         state.update(seen)
@@ -93,7 +94,9 @@ object StateOps {
           var lastDate = state.getOption.getOrElse("")
           sorted.foreach { v =>
             val d = fmt.format(new java.util.Date(v.ts))
-            if (d != lastDate) { out += VisitOut(mid, v.ts, v.isNew, v.eventId); lastDate = d }
+            if (d != lastDate) {
+              out += VisitOut(mid, v.ts, v.isNew, v.eventId, v.payload); lastDate = d
+            }
           }
           state.update(lastDate)
           if (stateTtl) state.setTimeoutDuration("24 hours")
@@ -105,8 +108,8 @@ object StateOps {
       })
   }
 
-  case class BounceState(pendingTs: Long, pendingEventId: Long)
-  case class Bounce(mid: String, ts: Long, eventId: Long)
+  case class BounceState(pendingTs: Long, pendingEventId: Long, payload: String = "")
+  case class Bounce(mid: String, ts: Long, eventId: Long, payload: String = "")
 
   /** The pure per-key bounce state machine: folds a ts-sorted slice of
     * one key's events over an optional carried-in pending session entry;
@@ -121,17 +124,17 @@ object StateOps {
       pending match {
         case Some(p) if v.ts - p.pendingTs >= gapMs =>
           // silence elapsed before this event: pending bounced
-          out += Bounce(mid, p.pendingTs, p.pendingEventId)
-          pending = if (isStart) Some(BounceState(v.ts, v.eventId)) else None
+          out += Bounce(mid, p.pendingTs, p.pendingEventId, p.payload)
+          pending = if (isStart) Some(BounceState(v.ts, v.eventId, v.payload)) else None
         case Some(p) if isStart =>
           // second session entry within the gap: CEP match branch
-          out += Bounce(mid, p.pendingTs, p.pendingEventId)
-          pending = Some(BounceState(v.ts, v.eventId))
+          out += Bounce(mid, p.pendingTs, p.pendingEventId, p.payload)
+          pending = Some(BounceState(v.ts, v.eventId, v.payload))
         case Some(_) =>
           // normal page within the gap: not a bounce
           pending = None
         case None =>
-          if (isStart) pending = Some(BounceState(v.ts, v.eventId))
+          if (isStart) pending = Some(BounceState(v.ts, v.eventId, v.payload))
       }
     }
     (out.toSeq, pending)
@@ -154,8 +157,9 @@ object StateOps {
     import visits.sparkSession.implicits._
     // EventTimeTimeout needs an event-time watermark; attach it from ts.
     // In batch execution withWatermark is a no-op.
+    val streaming = visits.isStreaming
     val withTime =
-      if (visits.isStreaming)
+      if (streaming)
         visits.withColumn("event_time", timestamp_millis(col("ts")))
           .withWatermark("event_time", watermarkDelay).as[Visit]
       else visits
@@ -164,36 +168,52 @@ object StateOps {
       (mid: String, rows: Iterator[Visit], state: GroupState[BounceState]) => {
         if (state.hasTimedOut) {
           val fired = state.getOption.toSeq
-            .map(p => Bounce(mid, p.pendingTs, p.pendingEventId))
+            .map(p => Bounce(mid, p.pendingTs, p.pendingEventId, p.payload))
           state.remove()
           fired.iterator
         } else {
           val sorted = rows.toSeq.sortBy(v => (v.ts, v.eventId))
           val (out, pending) = bounceStep(mid, sorted, state.getOption, gapMs)
           pending match {
-            case Some(p) =>
+            case Some(p) if streaming =>
               state.update(p)
               // timeout must sit above the current watermark (late pendings
               // fire on the next batch instead of throwing)
               val wm = try state.getCurrentWatermarkMs() catch { case _: Throwable => 0L }
               state.setTimeoutTimestamp(math.max(p.pendingTs + gapMs, wm + 1))
-            case None => state.remove()
+            case _ => state.remove()
           }
-          out.iterator
+          (pending match {
+            // batch execution: timers never fire, and the group is the
+            // COMPLETE history — the trailing pending has timed out by
+            // definition, so flush it here (matches st3Bounce's
+            // next_ts-IS-NULL branch)
+            case Some(p) if !streaming =>
+              out :+ Bounce(mid, p.pendingTs, p.pendingEventId, p.payload)
+            case _ => out
+          }).iterator
         }
       })
   }
 
-  /** DataFrame adapter: events table -> Visit dataset (user_id plays mid;
-    * a session entry is an event with no predecessor within 30 min —
-    * precomputed upstream as last_page_id). */
+  /** DataFrame adapter: events table -> Visit dataset. user_id plays
+    * mid; the session-entry marker (lastPageId == null) is derived here
+    * as "no predecessor within 30 min" — the same rule the batch oracle
+    * queries use. */
   def visitsFromEvents(spark: SparkSession, events: DataFrame): Dataset[Visit] = {
     import spark.implicits._
-    events.select(
-      col("user_id").cast("string").as("mid"),
-      unix_millis(col("ts")).as("ts"),
-      lit("1").as("isNew"),
-      col("last_page_id").as("lastPageId"),
-      col("event_id").as("eventId")).as[Visit]
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .select(
+        col("user_id").cast("string").as("mid"),
+        unix_millis(col("ts")).as("ts"),
+        lit("1").as("isNew"),
+        when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 1800L,
+          lit(null: String)).otherwise(lit("page")).as("lastPageId"),
+        col("event_id").as("eventId"),
+        lit("").as("payload")).as[Visit]
   }
 }

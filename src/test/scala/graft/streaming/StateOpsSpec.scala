@@ -73,22 +73,23 @@ class StateOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ST3 batch execution flushes the trailing pending (timers never fire in batch)") {
+    import spark.implicits._
+    val visits = Seq(
+      Visit("lone", 1000L, "1", None, 1),
+      Visit("busy", 1000L, "1", None, 2), Visit("busy", 3000L, "1", Some("p"), 3)).toDS()
+    val out = bounceDetect(visits).collect().map(_.eventId).toSeq
+    assert(out == Seq(1L), s"lone start must flush in batch; got $out")
+  }
+
   test("ST3 streaming agrees with the declarative batch oracle on real events (sf0.001)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
     val events = graft.Tables.events(spark, sf("sf0.001"))
-    // derive the session-entry flag exactly as the batch query does
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"user_id").orderBy($"ts", $"event_id")
-    import org.apache.spark.sql.functions._
-    val visits = events
-      .withColumn("prev_ts", lag($"ts", 1).over(w))
-      .withColumn("lastPageId",
-        when($"prev_ts".isNull || $"ts".cast("long") - $"prev_ts".cast("long") > 1800L,
-          lit(null: String)).otherwise(lit("page")))
-      .select($"user_id".cast("string").as("mid"), unix_millis($"ts").as("ts"),
-        lit("1").as("isNew"), $"lastPageId", $"event_id".as("eventId"))
-      .as[Visit].collect().toSeq.sortBy(_.ts)
+    // the adapter derives the session-entry flag exactly as the batch
+    // query does (no predecessor within 30 min)
+    val visits = StateOps.visitsFromEvents(spark, events)
+      .collect().toSeq.sortBy(_.ts)
     val expected = graft.queries.Stateful.st3Bounce(spark, sf("sf0.001"))
       .select("event_id").as[Long].collect().toSet
 
