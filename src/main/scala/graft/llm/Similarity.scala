@@ -50,7 +50,7 @@ object Similarity {
     require(ids.nonEmpty, "ivfAssign: empty corpus")
     val initIds = (0 until nlist).map(i => ids((i * 37) % ids.length)).distinct.toArray
     var centroids: Array[(Int, Array[Double])] = corpus
-      .filter(col("vec_id").isin(initIds: _*)).orderBy("vec_id")
+      .filter(col("vec_id").isin(initIds.toIndexedSeq: _*)).orderBy("vec_id")
       .select(col("embedding")).as[Array[Float]].collect()
       .zipWithIndex.map { case (v, i) => (i, v.map(_.toDouble)) }
     def assignDf(): DataFrame = {

@@ -106,7 +106,7 @@ object Plumbing {
       (parts.head +: parts.tail.map(_.capitalize)).mkString
     }
     val r = region(s, d) // r_regionkey -> rRegionkey, r_name -> rName
-    ordered(r.toDF(r.columns.map(toCamel): _*), "rRegionkey")
+    ordered(r.toDF(r.columns.toIndexedSeq.map(toCamel): _*), "rRegionkey")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

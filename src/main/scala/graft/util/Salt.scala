@@ -21,7 +21,7 @@ object Salt {
   def saltedAgg(df: DataFrame, keys: Seq[String], buckets: Int,
                 partialAggs: Seq[Column], finalAggs: Seq[Column]): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col): _*), lit(buckets)))
+      pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(buckets)))
     salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(partialAggs.head, partialAggs.tail: _*)
@@ -37,7 +37,7 @@ object Salt {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  buckets: Int): DataFrame = {
     val saltedBig = big.withColumn("__salt",
-      pmod(hash(big.columns.map(col): _*), lit(buckets)))
+      pmod(hash(big.columns.toIndexedSeq.map(col): _*), lit(buckets)))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     saltedBig.join(replicated, Seq(key, "__salt")).drop("__salt")
