@@ -12,6 +12,10 @@ libraryDependencies ++= Seq(
 scalacOptions ++= Seq("-deprecation")
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout through untouched: sbt's default
+// logger prefixes every line with [info]/[error], which breaks machine
+// parsing of Bench's single JSON metrics line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

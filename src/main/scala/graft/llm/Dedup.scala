@@ -32,19 +32,39 @@ object Dedup {
           i => concat_ws(" ", slice(col("toks"), i, lit(n))))).as("gram"))
       .distinct()
 
-  /** All ordered id pairs co-occurring under the same key, emitted from
-    * ONE shuffle: groupBy(key) -> sorted id list -> explode i<j pairs.
-    * Equivalent to the self-join `a.key = b.key AND a.id < b.id` but
-    * shuffles the table once instead of twice. Hot keys make the per-key
-    * list large (quadratic pair fan-out is inherent either way) — at
-    * 100 TB df-cut hot keys first (see maxDocFreq). */
-  private def coGroupedPairs(df: DataFrame, key: String, id: String): DataFrame =
-    df.groupBy(col(key)).agg(sort_array(collect_list(col(id))).as("ids"))
+  /** All ordered id pairs co-occurring under the same key.
+    *
+    * Two physical forms with identical output, chosen PER KEY by posting
+    * list size:
+    *  - cold keys (list <= maxListSize): groupBy(key) -> sorted id list ->
+    *    explode i<j pairs — one shuffle instead of the self-join's two.
+    *  - hot keys (list > maxListSize): the `collect_list` row itself is
+    *    the OOM (one task holds the whole list AND emits its k²/2 pairs),
+    *    so those keys fall back to the self-join
+    *    `a.key = b.key AND a.id < b.id`, which spreads the quadratic
+    *    fan-out across the cluster's tasks.
+    * The hot-key set is found with one cheap map-side-partial count and
+    * broadcast (keys over the threshold are few by definition). Quadratic
+    * pair VOLUME is inherent either way — the guard removes the
+    * single-task materialization, not the work; df-cut hot keys first
+    * (see maxDocFreq) when approximation is acceptable. */
+  private[llm] def coGroupedPairs(df: DataFrame, key: String, id: String,
+                                  maxListSize: Int = 4096): DataFrame = {
+    val hotKeys = df.groupBy(col(key)).agg(count(lit(1)).as("__kct"))
+      .filter(col("__kct") > maxListSize).select(col(key))
+    val cold = df.join(broadcast(hotKeys), Seq(key), "left_anti")
+    val hot = df.join(broadcast(hotKeys), Seq(key), "left_semi")
+    val coldPairs = cold.groupBy(col(key)).agg(sort_array(collect_list(col(id))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(transform(sequence(lit(0), size(col("ids")) - 2), i =>
         struct(col("ids")(i).as("d1"),
           slice(col("ids"), i + 2, size(col("ids"))).as("rest")))).as("x"))
       .select(col("x.d1"), explode(col("x.rest")).as("d2"))
+    val hotPairs = hot.as("x").join(hot.as("y"),
+        col(s"x.$key") === col(s"y.$key") && col(s"x.$id") < col(s"y.$id"))
+      .select(col(s"x.$id").as("d1"), col(s"y.$id").as("d2"))
+    coldPairs.unionByName(hotPairs)
+  }
 
   /** 32-bit gram hash via md5 prefix — deterministic across engines. */
   private def h32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
@@ -56,10 +76,16 @@ object Dedup {
     * Candidate generation is a self-join on shared grams — complete (any
     * pair with jaccard > 0 shares a gram), one shuffle keyed by gram.
     * 100 TB notes: gram keys are content-hashed (no systematic skew), but
-    * stop-gram hotspots exist — `maxDocFreq` drops grams present in more
-    * than that many docs (a standard df-cut; pairs sharing ONLY ultra-hot
-    * grams are below any useful threshold anyway). AQE skew-join covers
-    * the rest.
+    * stop-gram hotspots exist — two defenses, layered:
+    *  - always-on: coGroupedPairs' posting-list guard routes any gram
+    *    hotter than its threshold through a distributed self-join instead
+    *    of a single-task list materialization (exact, no semantic change);
+    *  - opt-in: `maxDocFreq` drops grams present in more than that many
+    *    docs (a standard df-cut; pairs sharing ONLY ultra-hot grams are
+    *    below any useful threshold anyway) — cuts the quadratic pair
+    *    VOLUME itself, at the cost of approximating jaccard.
+    * Exact all-pairs stays inherently quadratic in the worst case; the
+    * designated 100 TB composition is minhashLshPairs (see xDedupApply).
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
                         maxDocFreq: Option[Long] = None,

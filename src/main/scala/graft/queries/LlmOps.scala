@@ -74,10 +74,15 @@ object LlmOps {
   /** Dedup APPLIED: the near-dup pairs become an actual corpus filter —
     * the later (greater doc_id) member of every >=0.8 pair is dropped,
     * the canonical earlier one kept. One left-anti join against the
-    * (small) removal set. */
+    * (small) removal set.
+    *
+    * Composed on the MinHash-LSH path (not the exact n-gram join): all
+    * pair work stays inside LSH band buckets, so the composition is the
+    * same plan you would run at 100 TB. The oracle replicates the full
+    * banding scheme, so the hash-match covers the approximation too. */
   def xDedupApply(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val removed = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.8)
+    val removed = Dedup.minhashLshPairs(docs, n = 3, threshold = 0.8)
       .select(col("d2").as("doc_id")).distinct()
     ordered(
       docs.join(broadcast(removed), Seq("doc_id"), "left_anti")
@@ -86,16 +91,17 @@ object LlmOps {
   }
 
   /** The full training-corpus pipeline composed end-to-end: quality
-    * filter -> language filter -> near-dup removal. Each stage is one of
-    * the operators above; this query proves they compose (and that the
-    * composition still hash-matches an independent SQL rendering). */
+    * filter -> language filter -> near-dup removal (MinHash-LSH, the
+    * scale path — see xDedupApply). Each stage is one of the operators
+    * above; this query proves they compose (and that the composition
+    * still hash-matches an independent SQL rendering). */
   def xCorpusPipeline(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val scored = TextAnalysis.withLangId(
       TextAnalysis.withQuality(docs))
     val filtered = scored
       .filter(col("quality_score") >= 0.45 && col("lang_pred") === "en")
-    val removed = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.8)
+    val removed = Dedup.minhashLshPairs(docs, n = 3, threshold = 0.8)
       .select(col("d2").as("doc_id")).distinct()
     ordered(
       filtered.join(broadcast(removed), Seq("doc_id"), "left_anti")
@@ -130,18 +136,30 @@ object LlmOps {
   private val minhashParams: String = (0 until 16)
     .map(j => s"($j, ${2 * j + 1}, ${7919L * j + 12345L})").mkString(", ")
 
-  /** The >=0.8 n-gram-Jaccard pair CTE, shared by the dedup oracles. */
-  private val ngramPairsCte =
+  /** The >=0.8 MinHash-LSH verified pair CTE (full banding scheme, the
+    * same one x_dedup_minhash proves), shared by the dedup oracles. */
+  private val lshPairsCte =
     s"""toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
        |grams AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS g
        |          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i)
        |          WHERE len(ts) >= 3),
+       |h AS (SELECT doc_id, g, CAST(CONCAT('0x', substr(md5(g), 1, 8)) AS BIGINT) AS h32 FROM grams),
+       |params(j, a, b) AS (VALUES $minhashParams),
+       |sigs AS (SELECT doc_id, j, min((a * h32 + b) % 4294967311) AS s
+       |         FROM h CROSS JOIN params GROUP BY 1, 2),
+       |bands AS (SELECT doc_id, j // 4 AS band,
+       |            string_agg(CAST(s AS VARCHAR), '_' ORDER BY j) AS bkey
+       |          FROM sigs GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
-       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n
-       |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+       |inter AS (SELECT d1, d2, count(*) AS n
+       |          FROM cand JOIN grams a ON a.doc_id = d1
+       |          JOIN grams b ON b.doc_id = d2 AND b.g = a.g
        |          GROUP BY 1, 2),
-       |pairs AS (SELECT d1, d2 FROM inter
-       |          JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+       |pairs AS (SELECT d1, d2, n / (s1.sz + s2.sz - n) AS jaccard
+       |          FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
        |          WHERE n / (s1.sz + s2.sz - n) >= 0.8)""".stripMargin
 
   private val stopwordsSql =
@@ -209,28 +227,8 @@ object LlmOps {
          |WHERE n / (s1.sz + s2.sz - n) >= 0.8
          |ORDER BY d1, d2""".stripMargin,
     "x_dedup_minhash" ->
-      s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
-         |grams AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS g
-         |          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i)
-         |          WHERE len(ts) >= 3),
-         |h AS (SELECT doc_id, g, CAST(CONCAT('0x', substr(md5(g), 1, 8)) AS BIGINT) AS h32 FROM grams),
-         |params(j, a, b) AS (VALUES $minhashParams),
-         |sigs AS (SELECT doc_id, j, min((a * h32 + b) % 4294967311) AS s
-         |         FROM h CROSS JOIN params GROUP BY 1, 2),
-         |bands AS (SELECT doc_id, j // 4 AS band,
-         |            string_agg(CAST(s AS VARCHAR), '_' ORDER BY j) AS bkey
-         |          FROM sigs GROUP BY 1, 2),
-         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-         |         FROM bands x JOIN bands y
-         |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
-         |inter AS (SELECT d1, d2, count(*) AS n
-         |          FROM cand JOIN grams a ON a.doc_id = d1
-         |          JOIN grams b ON b.doc_id = d2 AND b.g = a.g
-         |          GROUP BY 1, 2)
-         |SELECT d1, d2, n / (s1.sz + s2.sz - n) AS jaccard
-         |FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
-         |WHERE n / (s1.sz + s2.sz - n) >= 0.8
+      s"""WITH $lshPairsCte
+         |SELECT d1, d2, jaccard FROM pairs
          |ORDER BY d1, d2""".stripMargin,
     "x_dedup_simhash" ->
       s"""WITH toks AS (SELECT DISTINCT doc_id, unnest($toksSql) AS tok FROM documents),
@@ -267,12 +265,12 @@ object LlmOps {
         |SELECT query_id, rank, nn_id, cos_sim FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
     "x_dedup_apply" ->
-      s"""WITH $ngramPairsCte
+      s"""WITH $lshPairsCte
          |SELECT doc_id, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT d2 FROM pairs)
          |ORDER BY doc_id""".stripMargin,
     "x_corpus_pipeline" ->
-      s"""WITH $ngramPairsCte,
+      s"""WITH $lshPairsCte,
          |t2 AS (SELECT doc_id, text, $toksSql AS toks2 FROM documents),
          |q AS (SELECT doc_id,
          |    CAST(len(toks2) AS BIGINT) AS n_tokens,
@@ -300,7 +298,8 @@ object LlmOps {
         |  md5(text) AS checksum,
         |  CAST(n_chars % 64 + 16 AS INT) AS width,
         |  CAST(doc_id % 32 + 16 AS INT) AS height,
-        |  CAST(list_sum(list_transform(range(1, length(text) + 1), i -> ascii(text[i]))) AS DOUBLE)
+        |  CAST(list_sum(list_transform(range(1, octet_length(encode(text)) + 1),
+        |         i -> CAST(('0x' || substr(to_hex(encode(text)), 2*i-1, 2)) AS INT))) AS DOUBLE)
         |    / octet_length(encode(text)) AS mean_byte
         |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -33,10 +33,19 @@ object Sinks {
 
   /** S7 — dimension upsert store (DimSinkFunction.java:18-70 +
     * TableProcessFunction auto-DDL): Phoenix `UPSERT INTO ... VALUES`
-    * keyed by id becomes latest-write-wins MERGE over a parquet table
-    * partitioned by dim name. "Auto-DDL" is schema-on-write; Redis
-    * invalidation disappears because readers broadcast a fresh snapshot
-    * per micro-batch (SURVEY.md §4.1 caching row).
+    * keyed by id becomes latest-write-wins MERGE over a parquet store
+    * PARTITIONED BY dim name (`sinkTable=<name>/` directories).
+    * "Auto-DDL" is schema-on-write; Redis invalidation disappears because
+    * readers broadcast a fresh snapshot per micro-batch (SURVEY.md §4.1
+    * caching row).
+    *
+    * Scale contract: a micro-batch touching k dim tables reads and
+    * rewrites ONLY those k partitions — dynamic partition overwrite via
+    * Spark's committer, so untouched tables' files are never rewritten
+    * and the swap inherits the committer's task-commit atomicity. All
+    * path handling goes through the Hadoop `FileSystem` API, so the store
+    * may live on HDFS/S3A/local alike (the old java.io.File rendering
+    * silently reset the store on any non-local URI).
     *
     * `updates` must carry (sinkTable, pk, data); the store keeps one row
     * per (sinkTable, pk) — the newest by batch sequence.
@@ -45,37 +54,35 @@ object Sinks {
     import org.apache.spark.sql.functions._
     val spark = updates.sparkSession
     val incoming = updates.withColumn("batch_seq", lit(batchId))
+    val touched = incoming.select("sinkTable").distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (touched.isEmpty) return
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged =
-      if (new java.io.File(storePath).exists()) {
-        val existing = spark.read.parquet(storePath)
+      if (fs.exists(root)) {
+        // partition-pruned read: only the touched tables' directories
+        val existing = spark.read.option("basePath", storePath)
+          .parquet(storePath)
+          .filter(col("sinkTable").isin(touched: _*))
         existing.unionByName(incoming, allowMissingColumns = true)
       } else incoming
     val latest = merged
       .groupBy(col("sinkTable"), col("pk"))
       .agg(max_by(col("data"), col("batch_seq")).as("data"),
         max(col("batch_seq")).as("batch_seq"))
-    // write-then-swap: parquet has no in-place merge (Delta would);
-    // staging keeps readers consistent
-    val staging = storePath + ".staging"
-    latest.write.mode(SaveMode.Overwrite).parquet(staging)
-    val target = new java.io.File(storePath)
-    if (target.exists()) {
-      val old = new java.io.File(storePath + ".old")
-      if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
-      if (!target.renameTo(old))
-        throw new java.io.IOException(s"dim store swap failed: $storePath -> $old")
-    }
-    if (!new java.io.File(staging).renameTo(target)) {
-      // roll back so readers still see the previous snapshot
-      new java.io.File(storePath + ".old").renameTo(target)
-      throw new java.io.IOException(s"dim store swap failed: $staging -> $storePath")
-    }
-    val old = new java.io.File(storePath + ".old")
-    if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
+      // cut lineage before overwriting the path the plan reads from
+      // (dim partitions are micro-batch-sized by construction)
+      .localCheckpoint(true)
+    latest.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("sinkTable")
+      .parquet(storePath)
   }
 
   /** Read the current dim snapshot (broadcast by callers per micro-batch —
-    * the cache layer of the reference, freshness = batch interval). */
+    * the cache layer of the reference, freshness = batch interval). The
+    * sinkTable filter prunes to one partition directory. */
   def readDims(spark: org.apache.spark.sql.SparkSession, storePath: String,
                sinkTable: String): DataFrame = {
     import org.apache.spark.sql.functions._

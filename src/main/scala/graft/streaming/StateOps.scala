@@ -18,6 +18,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StateOps {
 
+  /** UTC day formatter for uvDedup — hoisted to the object (accessed as a
+    * JVM static from executor closures, so never serialized per key
+    * group); DateTimeFormatter is immutable/thread-safe, unlike the
+    * SimpleDateFormat it replaces. */
+  private val dayFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd").withZone(java.time.ZoneOffset.UTC)
+
   case class Visit(mid: String, ts: Long, isNew: String, lastPageId: Option[String],
                    eventId: Long = 0L, payload: String = "")
   case class VisitOut(mid: String, ts: Long, isNew: String, eventId: Long,
@@ -36,7 +43,10 @@ object StateOps {
     visits.groupByKey(_.mid).flatMapGroupsWithState(
       OutputMode.Append, GroupStateTimeout.NoTimeout)(
       (mid: String, rows: Iterator[TaggedVisit], state: GroupState[Boolean]) => {
-        val sorted = rows.toSeq.sortBy(v => (v.ts, v.payload))
+        // tie-break on the payload HASH first so same-ts comparisons don't
+        // walk two full payload strings; the payload itself only breaks
+        // the (rare) hash collision, keeping the order total+deterministic
+        val sorted = rows.toSeq.sortBy(v => (v.ts, v.payload.##, v.payload))
         var seen = state.getOption.getOrElse(false)
         val out = sorted.map { v =>
           val corrected =
@@ -86,14 +96,12 @@ object StateOps {
       OutputMode.Append, timeout)(
       (mid: String, rows: Iterator[Visit], state: GroupState[String]) => {
         if (!state.hasTimedOut && rows.nonEmpty) {
-          val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
-          fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
           val sorted = rows.toSeq.sortBy(v => (v.ts, v.eventId))
             .filter(v => !sessionEntryOnly || v.lastPageId.isEmpty)
           val out = scala.collection.mutable.ArrayBuffer.empty[VisitOut]
           var lastDate = state.getOption.getOrElse("")
           sorted.foreach { v =>
-            val d = fmt.format(new java.util.Date(v.ts))
+            val d = dayFmt.format(java.time.Instant.ofEpochMilli(v.ts))
             if (d != lastDate) {
               out += VisitOut(mid, v.ts, v.isNew, v.eventId, v.payload); lastDate = d
             }

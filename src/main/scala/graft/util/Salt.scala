@@ -15,13 +15,16 @@ object Salt {
     * partials per key. `aggs` must be algebraic (sum/count/min/max/...):
     * merge(partial(a), partial(b)) == total(a++b).
     *
-    * The salt is hash-derived from the whole row (spark_partition_id
-    * would also do); no RNG, so replays are deterministic.
+    * The salt mixes the row-value hash with spark_partition_id: a
+    * value-only hash sends byte-identical duplicate rows (the common real
+    * skew) all to one bucket, defeating the spread; the source partition
+    * id separates them while staying RNG-free (a task replay re-reads the
+    * same input split, so the salt is replay-deterministic).
     */
   def saltedAgg(df: DataFrame, keys: Seq[String], buckets: Int,
                 partialAggs: Seq[Column], finalAggs: Seq[Column]): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(buckets)))
+      pmod(hash(df.columns.toIndexedSeq.map(col) :+ spark_partition_id(): _*), lit(buckets)))
     salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(partialAggs.head, partialAggs.tail: _*)
@@ -37,7 +40,7 @@ object Salt {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  buckets: Int): DataFrame = {
     val saltedBig = big.withColumn("__salt",
-      pmod(hash(big.columns.toIndexedSeq.map(col): _*), lit(buckets)))
+      pmod(hash(big.columns.toIndexedSeq.map(col) :+ spark_partition_id(): _*), lit(buckets)))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     saltedBig.join(replicated, Seq(key, "__salt")).drop("__salt")

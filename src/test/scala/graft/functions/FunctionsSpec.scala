@@ -49,6 +49,30 @@ class FunctionsSpec extends SparkSpec {
     assert(graft.sources.Sinks.readDims(spark, dir, "dim_sku").count() == 1)
   }
 
+  test("S7 upsert to one dim table leaves other tables' partition files untouched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dims_part").toString + "/store"
+    def batch(rows: (String, String, Map[String, String])*) =
+      rows.toSeq.toDF("sinkTable", "pk", "data")
+    graft.sources.Sinks.upsertDims(dir)(
+      batch(("dim_user", "1", Map("name" -> "ann")), ("dim_sku", "9", Map("p" -> "x"))), 0L)
+    def skuFiles(): Map[String, Long] = {
+      val p = new java.io.File(dir, "sinkTable=dim_sku")
+      assert(p.isDirectory, "partitioned layout: one directory per dim table")
+      p.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before = skuFiles()
+    assert(before.nonEmpty)
+    graft.sources.Sinks.upsertDims(dir)(
+      batch(("dim_user", "1", Map("name" -> "ann2"))), 1L)
+    assert(skuFiles() == before, "untouched partition was rewritten")
+    val users = graft.sources.Sinks.readDims(spark, dir, "dim_user")
+      .select($"pk", element_at($"data", "name")).as[(String, String)].collect().toMap
+    assert(users == Map("1" -> "ann2"))
+    assert(graft.sources.Sinks.readDims(spark, dir, "dim_sku").count() == 1)
+  }
+
   test("RewriteSetCount: batch size(collect_set) becomes count(distinct), results equal") {
     import spark.implicits._
     val df = Seq((1, 10), (1, 10), (1, 20), (2, 30)).toDF("k", "v")

@@ -34,6 +34,18 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall too low (expected ~1-(1-j^4)^4 at j>=0.8)")
   }
 
+  test("hot-key posting-list guard emits exactly the same pairs as the list path") {
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    val g = Dedup.shingles(docs, 3)
+    def pairSet(maxList: Int) = Dedup.coGroupedPairs(g, "gram", "doc_id", maxList)
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // threshold 2 forces nearly every gram through the self-join fallback;
+    // a huge threshold keeps everything on the single-shuffle list path
+    val viaSelfJoin = pairSet(2)
+    val viaLists = pairSet(Int.MaxValue)
+    assert(viaSelfJoin.nonEmpty && viaSelfJoin == viaLists)
+  }
+
   test("prefix-filtered jaccard candidates agree with the direct path (sf0.001)") {
     val docs = graft.Tables.documents(spark, sf("sf0.001"))
     def pairs(pf: Boolean) = Dedup.ngramJaccardPairs(docs, 3, 0.8, prefixFilter = pf)
