@@ -85,7 +85,94 @@ object Similarity {
     (finalAssign, centroids)
   }
 
-  /** IVF-probed approximate top-k. Spec-tested for recall vs brute force. */
+  /** Deterministic seed centroids: the `nlist` corpus vectors with the
+    * smallest md5(vec_id) — a uniform pseudo-random but fully
+    * deterministic sample, computed as a distributed top-k (no global
+    * sort, no RNG, no float averaging). Cluster ids follow the hash
+    * order. Exactly reproducible in SQL, which is what lets the IVF gate
+    * query carry a full DuckDB oracle. */
+  def ivfSeedCentroids(spark: SparkSession, corpus: DataFrame,
+                       nlist: Int): Array[(Int, Array[Float])] = {
+    import spark.implicits._
+    corpus
+      .select(col("vec_id"), col("embedding"),
+        md5(col("vec_id").cast("string")).as("__h"))
+      .orderBy(col("__h"), col("vec_id")).limit(nlist)
+      .select(col("embedding")).as[Array[Float]].collect()
+      .zipWithIndex.map { case (v, i) => (i, v) }
+  }
+
+  private def seedsDf(spark: SparkSession,
+                      seeds: Array[(Int, Array[Float])]): DataFrame = {
+    import spark.implicits._
+    broadcast(seeds.toSeq.toDF("cluster", "centroid"))
+  }
+
+  /** Assign every corpus vector to its nearest seed centroid — one
+    * broadcast pass, argmax as a hash aggregate (no window sort). The
+    * rounded-cosine + cluster-id tie-break is the same rule the oracle
+    * uses, so assignment is bit-deterministic cross-engine. */
+  def ivfAssignSeeds(spark: SparkSession, corpus: DataFrame,
+                     seeds: Array[(Int, Array[Float])]): DataFrame = {
+    val scored = corpus.crossJoin(seedsDf(spark, seeds))
+      .select(col("vec_id"), col("cluster"), col("embedding"),
+        round(cosineSim(col("embedding"), col("centroid")), 6).as("sim"))
+    scored.groupBy(col("vec_id"))
+      .agg(max(struct(col("sim"), (-col("cluster")).as("neg_c"))).as("m"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), (-col("m.neg_c")).cast("int").as("cluster"),
+        col("embedding"))
+  }
+
+  /** Build the persisted IVF index: cluster assignments written ONCE,
+    * partitioned by cluster id, so every later probe is a
+    * partition-pruned read instead of a full corpus scan (and no k-means
+    * rebuild per query). Returns the seed centroids to probe with. */
+  def ivfBuildIndex(spark: SparkSession, corpus: DataFrame, indexPath: String,
+                    nlist: Int = 16): Array[(Int, Array[Float])] = {
+    val seeds = ivfSeedCentroids(spark, corpus, nlist)
+    ivfAssignSeeds(spark, corpus, seeds)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cluster").parquet(indexPath)
+    seeds
+  }
+
+  /** Probe the persisted index: each query picks its `nprobe` nearest
+    * seed clusters; the union of probed cluster ids becomes a literal
+    * partition filter on the index read (partition pruning — the scan
+    * touches only those directories), then top-k within the probed
+    * subset. */
+  def ivfProbeIndex(spark: SparkSession, indexPath: String,
+                    seeds: Array[(Int, Array[Float])], queries: DataFrame,
+                    k: Int, nprobe: Int = 4): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val probes = q.crossJoin(seedsDf(spark, seeds))
+      .select(col("query_id"), col("qe"), col("cluster"),
+        round(cosineSim(col("qe"), col("centroid")), 6).as("csim"))
+    val wp = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cluster"))
+    val probed = probes.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nprobe).select(col("query_id"), col("qe"), col("cluster"))
+    // literal cluster list -> partition pruning on the index scan
+    // (query sets are broadcast-small by contract, so this collect is a
+    // handful of (query, cluster) ids, not data)
+    val clusters = probed.select("cluster").distinct().collect().map(_.getInt(0))
+    val index = spark.read.parquet(indexPath)
+      .filter(col("cluster").isin(clusters.toIndexedSeq: _*))
+    val scored = broadcast(probed)
+      .join(index.withColumnRenamed("vec_id", "nn_id"), Seq("cluster"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"),
+        round(cosineSim(col("qe"), col("embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("nn_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nn_id"), col("cos_sim"))
+  }
+
+  /** IVF-probed approximate top-k with k-means-refined centroids (Lloyd
+    * iterations improve the partition on clustered data; the refinement
+    * averages floats, so this variant is recall-spec-tested rather than
+    * SQL-oracled — the oracled gate path is ivfBuildIndex/ivfProbeIndex). */
   def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
               k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     import spark.implicits._

@@ -62,12 +62,20 @@ object LlmOps {
       "query_id", "rank")
   }
 
-  /** Approximate IVF path — no SQL oracle (k-means index); recall vs the
-    * brute-force baseline is asserted in SimilaritySpec. */
+  /** IVF path, fully oracled: hash-seeded centroids (no float averaging,
+    * so assignment/probe/top-k are all exactly SQL-expressible), index
+    * persisted partitioned by cluster, probe is a partition-pruned read.
+    * The index is rebuilt here so the gate can never read stale state;
+    * the production contract is build-once (ivfBuildIndex) + many probes
+    * (ivfProbeIndex). The k-means-refined variant stays recall-spec-
+    * tested in LlmSpec/SimilaritySpec. */
   def xAnnIvf(s: SparkSession, d: String): DataFrame = {
     val vecs = embeddings(s, d)
+    val idxPath = "/tmp/graft_ivf_index/" + d.replaceAll("[^a-zA-Z0-9.]", "_")
+    val seeds = Similarity.ivfBuildIndex(s, vecs, idxPath, nlist = 16)
     ordered(
-      Similarity.ivfTopK(s, vecs, vecs.filter(col("vec_id") < 8), k = 10),
+      Similarity.ivfProbeIndex(s, idxPath, seeds,
+        vecs.filter(col("vec_id") < 8), k = 10, nprobe = 4),
       "query_id", "rank")
   }
 
@@ -261,6 +269,37 @@ object LlmOps {
         |ranked AS (
         |  SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, nn_id) AS BIGINT) AS rank,
         |    nn_id, cos_sim
+        |  FROM scored)
+        |SELECT query_id, rank, nn_id, cos_sim FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    "x_ann_ivf" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |seeds AS (
+        |  SELECT e AS se,
+        |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster
+        |  FROM c ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |assign AS (
+        |  SELECT vec_id, cluster, e FROM (
+        |    SELECT c.vec_id, s.cluster, c.e,
+        |           row_number() OVER (PARTITION BY c.vec_id
+        |             ORDER BY round(list_cosine_similarity(c.e, s.se), 6) DESC, s.cluster) AS rn
+        |    FROM c CROSS JOIN seeds s) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, e AS qe FROM c WHERE vec_id < 8),
+        |probes AS (
+        |  SELECT query_id, qe, cluster FROM (
+        |    SELECT q.query_id, q.qe, s.cluster,
+        |           row_number() OVER (PARTITION BY q.query_id
+        |             ORDER BY round(list_cosine_similarity(q.qe, s.se), 6) DESC, s.cluster) AS rn
+        |    FROM q CROSS JOIN seeds s) WHERE rn <= 4),
+        |scored AS (
+        |  SELECT p.query_id, a.vec_id AS nn_id,
+        |         round(list_cosine_similarity(p.qe, a.e), 6) AS cos_sim
+        |  FROM probes p JOIN assign a USING (cluster)
+        |  WHERE a.vec_id <> p.query_id),
+        |ranked AS (
+        |  SELECT query_id,
+        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, nn_id) AS BIGINT) AS rank,
+        |         nn_id, cos_sim
         |  FROM scored)
         |SELECT query_id, rank, nn_id, cos_sim FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,

@@ -79,6 +79,38 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall below floor")
   }
 
+  test("persisted IVF index: probe prunes partitions and keeps the recall floor") {
+    val vecs = graft.Tables.embeddings(spark, sf("sf0.001"))
+    val queries = vecs.filter(col("vec_id") < 8)
+    val idx = java.nio.file.Files.createTempDirectory("ivf").toString + "/index"
+    val seeds = Similarity.ivfBuildIndex(spark, vecs, idx, nlist = 16)
+    assert(seeds.length == 16)
+    // partition-pruned read: a literal cluster filter must reach the scan
+    // as a PartitionFilter and shrink the file count below the full index
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, "expected a parquet scan in the plan")
+      scans.map(_.metrics("numFiles").value).sum
+    }
+    val allFiles = scannedFiles(spark.read.parquet(idx))
+    val prunedFiles = scannedFiles(
+      spark.read.parquet(idx).filter(col("cluster").isin(0, 1)))
+    assert(prunedFiles < allFiles,
+      s"cluster filter should prune partition directories ($prunedFiles vs $allFiles)")
+    val probed = Similarity.ivfProbeIndex(spark, idx, seeds, queries, k = 10, nprobe = 4)
+    // recall vs brute force on unclustered data (worst case for IVF)
+    val exact = Similarity.bruteForceTopK(vecs, queries, 10)
+      .select("query_id", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = probed
+      .select("query_id", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.2, s"indexed IVF recall $recall below floor (nprobe=4/16)")
+  }
+
   test("multimodal feature extraction preserves payload bytes exactly") {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, sf("sf0.001")).limit(50)
