@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.util.Det._
@@ -42,20 +41,27 @@ object Windows {
   }
 
   /** Frame-spec window functions: top-3 orders by price per nation
-    * (rank/row_number surface the reference lacks). */
+    * (rank/row_number surface the reference lacks).
+    *
+    * NOT a row_number window: partitioning by ~25 nations would sort the
+    * whole orders table into 25 reducer tasks at any scale. The bounded
+    * TopKAgg aggregate carries at most 3 pairs per nation per partial
+    * buffer through the shuffle (map-side combine), then posexplode
+    * assigns ranks — same output, no full sort (WindowsSpec proves
+    * equality with the window form and the absence of a Window node). */
   def w8TopN(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TopKAgg.topK
     val o = orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
     val c = customer(s, d).select("c_custkey", "c_nationkey")
     val n = nation(s, d).select("n_nationkey", "n_name")
     val joined = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-    val w = Window.partitionBy(col("n_name"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     ordered(
-      joined.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("n_name"), col("rank").cast("long").as("rank"),
-          col("o_orderkey"), col("o_totalprice")),
+      joined.groupBy(col("n_name"))
+        .agg(topK(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+        .select(col("n_name"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("n_name"), (col("pos") + 1).cast("long").as("rank"),
+          col("t.id").as("o_orderkey"), col("t.value").as("o_totalprice")),
       "n_name", "rank")
   }
 

@@ -1,0 +1,54 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class WindowsSpec extends SparkSpec {
+
+  test("w8 TopKAgg matches the row_number window form and plans without a Window node") {
+    val d = sf("sf0.001")
+    val got = Windows.w8TopN(spark, d)
+
+    // independent window rendering of the same semantics
+    val o = graft.Tables.orders(spark, d).select("o_orderkey", "o_custkey", "o_totalprice")
+    val c = graft.Tables.customer(spark, d).select("c_custkey", "c_nationkey")
+    val n = graft.Tables.nation(spark, d).select("n_nationkey", "n_name")
+    val joined = o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val want = joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("n_name"), col("rank").cast("long").as("rank"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy("n_name", "rank")
+
+    val gotRows = got.collect().toSeq
+    val wantRows = want.collect().toSeq
+    assert(gotRows == wantRows && gotRows.nonEmpty)
+
+    // the whole point: no Window (= no full sort into |nations| tasks),
+    // and the aggregate runs with a map-side partial (ObjectHashAggregate)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "bounded top-k must not plan a window sort")
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("partial_top_k_agg"),
+      s"expected partial ObjectHashAggregate in:\n$plan")
+  }
+
+  test("TopKAgg ranks ties by smaller id and bounds the buffer at k") {
+    import spark.implicits._
+    import graft.functions.TopKAgg.topK
+    val df = Seq(
+      ("g", 5.0, 10L), ("g", 5.0, 9L), ("g", 7.0, 99L),
+      ("g", 1.0, 1L), ("g", 7.0, 100L), ("h", 2.0, 5L))
+      .toDF("g", "v", "i")
+    val out = df.groupBy($"g").agg(topK($"v", $"i", 3).as("top"))
+      .select($"g", posexplode($"top").as(Seq("pos", "t")))
+      .select($"g", $"pos", $"t.id", $"t.value")
+      .as[(String, Int, Long, Double)].collect().toSet
+    assert(out == Set(
+      ("g", 0, 99L, 7.0), ("g", 1, 100L, 7.0), ("g", 2, 9L, 5.0),
+      ("h", 0, 5L, 2.0)))
+  }
+}
