@@ -135,16 +135,23 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** MinHash + LSH near-dup pairs: shingle → 16 minhashes (md5-derived
-    * universal hashing) → 4 bands of 4 → band-bucket self-join →
+  /** MinHash + LSH near-dup pairs: shingle → 24 minhashes (md5-derived
+    * universal hashing) → 4 bands of 6 → band-bucket self-join →
     * exact-Jaccard verification of candidates.
     *
     * This is the 100 TB path for Jaccard dedup: the only all-pairs work
-    * happens inside LSH buckets. Output = verified candidates (recall
-    * bounded by the band scheme: P[caught] = 1-(1-j^4)^4, ~0.98 at j=0.9).
-    */
+    * happens inside LSH buckets. Band-scheme choice is a measured
+    * trade between linear signature cost and quadratic false-candidate
+    * cost: 4×6 puts the S-curve threshold at (1/4)^(1/6) ≈ 0.79 (the
+    * default verification threshold is 0.8), keeping recall at j=0.9 at
+    * 1-(1-0.9^6)^4 ≈ 0.95 while a j=0.15 background pair collides with
+    * probability ~5e-5 — ~40× fewer false candidates than 4×4 for 1.5×
+    * the signature aggregation. 6×8 (measured on the 10× ScaleProbe
+    * ramp) cuts candidates further but its 3× signature cost dominates
+    * on real corpora; it only wins when near-dup density is extreme.
+    * Output = verified candidates only. */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
-                      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+                      numHashes: Int = 24, bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
     val p = 4294967311L // prime > 2^32

@@ -132,6 +132,9 @@ object Similarity {
                     nlist: Int = 16): Array[(Int, Array[Float])] = {
     val seeds = ivfSeedCentroids(spark, corpus, nlist)
     ivfAssignSeeds(spark, corpus, seeds)
+      // co-locate each cluster before the partitioned write: one file
+      // per cluster directory instead of one per (task x cluster)
+      .repartition(col("cluster"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cluster").parquet(indexPath)
     seeds

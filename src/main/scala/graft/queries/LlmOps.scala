@@ -141,7 +141,8 @@ object LlmOps {
   private val toksSql =
     "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
 
-  private val minhashParams: String = (0 until 16)
+  /** 24 hashes / 4 bands of 6 — must mirror minhashLshPairs' defaults. */
+  private val minhashParams: String = (0 until 24)
     .map(j => s"($j, ${2 * j + 1}, ${7919L * j + 12345L})").mkString(", ")
 
   /** The >=0.8 MinHash-LSH verified pair CTE (full banding scheme, the
@@ -155,7 +156,7 @@ object LlmOps {
        |params(j, a, b) AS (VALUES $minhashParams),
        |sigs AS (SELECT doc_id, j, min((a * h32 + b) % 4294967311) AS s
        |         FROM h CROSS JOIN params GROUP BY 1, 2),
-       |bands AS (SELECT doc_id, j // 4 AS band,
+       |bands AS (SELECT doc_id, j // 6 AS band,
        |            string_agg(CAST(s AS VARCHAR), '_' ORDER BY j) AS bkey
        |          FROM sigs GROUP BY 1, 2),
        |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2

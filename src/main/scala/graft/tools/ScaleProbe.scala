@@ -26,11 +26,24 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def replicate(df: DataFrame, keyCols: Map[String, Long]): DataFrame =
+    def replicate(df: DataFrame, keyCols: Map[String, Long],
+                  saltText: Boolean = false): DataFrame =
       (0 until factor).map { i =>
-        keyCols.foldLeft(df) { case (d, (c, span)) =>
+        val keyed = keyCols.foldLeft(df) { case (d, (c, span)) =>
           d.withColumn(c, col(c) + lit(i * span))
         }
+        // Replica i>0 gets a replica-specific token spliced in after every
+        // 7 words: the replicas become DISTINCT content (cross-replica
+        // jaccard drops well below any dedup threshold) while each
+        // replica's own planted near-dups survive. Byte-identical
+        // replicas would instead multiply every true dup cluster by the
+        // factor — the CORRECT near-dup answer then grows quadratically
+        // and no sub-quadratic algorithm can emit it in linear time, so
+        // the ramp would measure answer growth, not plan quality.
+        if (saltText && i > 0)
+          keyed.withColumn("text",
+            regexp_replace(col("text"), "((\\S+\\s+){7})", s"$$1zr$i "))
+        else keyed
       }.reduce(_ unionByName _)
 
     if (!new java.io.File(out).exists()) {
@@ -44,7 +57,8 @@ object ScaleProbe {
         Map("event_id" -> span, "user_id" -> 10000L))
         .write.mode("overwrite").parquet(s"$out/events.parquet")
       replicate(graft.Tables.documents(spark, base),
-        Map("doc_id" -> span)).write.mode("overwrite").parquet(s"$out/documents.parquet")
+        Map("doc_id" -> span), saltText = true)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
       replicate(graft.Tables.embeddings(spark, base),
         Map("vec_id" -> span)).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
       // dims unscaled

@@ -136,12 +136,12 @@ class AppsSpec extends SparkSpec {
     val ext = spark
     val cos = ext.sql(
       "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)))")
-      .head.getDouble(0)
+      .head().getDouble(0)
     assert(cos == 1.0)
     val words = ext.sql("SELECT collect_list(word) FROM (SELECT explode(ARRAY('a b')) s) LATERAL VIEW split_keyword(s) t AS word")
-      .head.getSeq[String](0)
+      .head().getSeq[String](0)
     assert(words == Seq("a", "b"))
-    val sh = ext.sql("SELECT simhash_agg(h) FROM VALUES (1L), (3L) AS t(h)").head.getLong(0)
+    val sh = ext.sql("SELECT simhash_agg(h) FROM VALUES (1L), (3L) AS t(h)").head().getLong(0)
     assert(sh == 1L) // bit0 votes +2, bit1 votes 0 -> only bit 0 set
   }
 

@@ -73,6 +73,20 @@ class FunctionsSpec extends SparkSpec {
     assert(graft.sources.Sinks.readDims(spark, dir, "dim_sku").count() == 1)
   }
 
+  test("FT2 idempotent batch sink: a replayed batch id is a no-op, new ids append") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("eos").toString + "/facts"
+    val sink = graft.sources.Sinks.idempotentBatchSink(dir) _
+    sink(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L)
+    // replay of batch 0 with DIFFERENT (corrupt/duplicate) data: ignored
+    sink(Seq((9L, "dup")).toDF("id", "v"), 0L)
+    sink(Seq((3L, "c")).toDF("id", "v"), 1L)
+    val rows = spark.read.parquet(dir)
+      .select($"batch_id".cast("long"), $"id", $"v")
+      .as[(Long, Long, String)].collect().toSet
+    assert(rows == Set((0L, 1L, "a"), (0L, 2L, "b"), (1L, 3L, "c")))
+  }
+
   test("RewriteSetCount: batch size(collect_set) becomes count(distinct), results equal") {
     import spark.implicits._
     val df = Seq((1, 10), (1, 10), (1, 20), (2, 30)).toDF("k", "v")

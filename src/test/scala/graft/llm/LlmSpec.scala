@@ -12,13 +12,13 @@ class LlmSpec extends SparkSpec {
     import spark.implicits._
     import graft.functions.VectorExpressions._
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f))).toDF("a", "b")
-    val got = df.select(cosineSim(col("a"), col("b"))).head.getDouble(0)
+    val got = df.select(cosineSim(col("a"), col("b"))).head().getDouble(0)
     val (dot, na, nb) = (3.0 + 4.0 + 3.0, 1.0 + 4.0 + 9.0, 9.0 + 4.0 + 1.0)
     assert(got == dot / (math.sqrt(na) * math.sqrt(nb)))
     // SQL registration path
     graft.functions.VectorExpressions.register(spark)
     df.createOrReplaceTempView("vpair")
-    val viaSql = spark.sql("SELECT cosine_sim(a, b) FROM vpair").head.getDouble(0)
+    val viaSql = spark.sql("SELECT cosine_sim(a, b) FROM vpair").head().getDouble(0)
     assert(viaSql == got)
   }
 
