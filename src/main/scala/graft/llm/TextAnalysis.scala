@@ -38,13 +38,20 @@ object TextAnalysis {
         regexp_count(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]")).cast("long"))
 
   /** Quality scoring: length, alpha ratio, stopword ratio, mean token
-    * length, and a composite score in [0,1]. One pass, no shuffle. */
+    * length, and a composite score in [0,1]. One pass, no shuffle.
+    *
+    * The token array is materialized as a projection step (`__toks`)
+    * rather than repeated inside each derived expression: the regex
+    * split is the expensive part, and an alias referenced more than once
+    * is a CollapseProject barrier, so codegen evaluates it once per row
+    * instead of once per consumer. */
   def withQuality(df: DataFrame, text: Column = col("text")): DataFrame = {
-    val toks = tokens(text)
+    val withToks = df.withColumn("__toks", tokens(text))
+    val toks = col("__toks")
     val nTokens = size(toks).cast("long")
     val alpha = length(regexp_replace(lower(text), "[^a-z]", "")).cast("long")
     val stops = size(filter(toks, t => t.isin(stopwords: _*))).cast("long")
-    df.withColumn("n_chars", length(text).cast("long"))
+    withToks.withColumn("n_chars", length(text).cast("long"))
       .withColumn("n_tokens", nTokens)
       .withColumn("alpha_ratio", alpha.cast("double") / length(text))
       .withColumn("stopword_ratio", stops.cast("double") / nTokens)
@@ -53,25 +60,34 @@ object TextAnalysis {
       .withColumn("quality_score",
         least(lit(1.0), col("n_tokens") / 100.0) * 0.4 +
           col("alpha_ratio") * 0.3 + col("stopword_ratio") * 0.3)
+      .drop("__toks")
   }
 
   /** Language ID: argmax of distinct-marker-token hits per language;
     * ties broken by the fixed langMarkers order. `unknown` when no marker
-    * hits at all. */
+    * hits at all.
+    *
+    * The per-language hit counts are materialized once (`__s_*`
+    * projection barrier) and the argmax is one `greatest` over
+    * (score, -index, lang) structs. The previous when/otherwise fold
+    * nested the accumulator into both branches at every step — the
+    * expression tree (each leaf a fresh tokenize + intersect) doubled
+    * per language, and the corpus-pipeline filter paid it per row. */
   def withLangId(df: DataFrame, text: Column = col("text")): DataFrame = {
-    val distinctToks = array_distinct(tokens(text))
-    val scores = langMarkers.map { case (lang, markers) =>
-      (lang, size(array_intersect(distinctToks, array(markers.map(lit): _*))))
+    val scoreCol = (lang: String) => s"__s_$lang"
+    val withScores = langMarkers.foldLeft(
+      df.withColumn("__dtoks", array_distinct(tokens(text)))) {
+      case (acc, (lang, markers)) => acc.withColumn(scoreCol(lang),
+        size(array_intersect(col("__dtoks"), array(markers.map(lit): _*))))
     }
-    val best = scores.tail.foldLeft(
-      struct(scores.head._2.as("score"), lit(scores.head._1).as("lang"))) {
-      case (acc, (lang, score)) =>
-        when(score > acc.getField("score"),
-          struct(score.as("score"), lit(lang).as("lang"))).otherwise(acc)
-    }
-    df.withColumn("lang_pred",
-      when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("unknown")))
+    val best = greatest(langMarkers.zipWithIndex.map { case ((lang, _), i) =>
+      struct(col(scoreCol(lang)).as("score"), lit(-i).as("neg"), lit(lang).as("lang"))
+    }: _*)
+    withScores
+      .withColumn("lang_pred",
+        when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("unknown")))
       .withColumn("lang_score", best.getField("score").cast("long"))
+      .drop("__dtoks" +: langMarkers.map(m => scoreCol(m._1)): _*)
   }
 
   /** Canonical fingerprint (OpenRefine-style key collision dedup): md5 of
