@@ -144,10 +144,19 @@ object Similarity {
     * seed clusters; the union of probed cluster ids becomes a literal
     * partition filter on the index read (partition pruning — the scan
     * touches only those directories), then top-k within the probed
-    * subset. */
+    * subset.
+    *
+    * `broadcastProbes` fits the two probe regimes: true (default) for
+    * interactive query sets (broadcast-small by contract, corpus never
+    * shuffles); false for corpus-sized query sets — e.g. the ANN
+    * NN-join where EVERY vector probes — which joins probe rows to the
+    * index shuffled on cluster id, so the quadratic all-pairs search
+    * becomes |corpus| x (nprobe/nlist x cluster size) cluster-local
+    * work spread across the cluster. */
   def ivfProbeIndex(spark: SparkSession, indexPath: String,
                     seeds: Array[(Int, Array[Float])], queries: DataFrame,
-                    k: Int, nprobe: Int = 4): DataFrame = {
+                    k: Int, nprobe: Int = 4,
+                    broadcastProbes: Boolean = true): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val probes = q.crossJoin(seedsDf(spark, seeds))
       .select(col("query_id"), col("qe"), col("cluster"),
@@ -161,7 +170,8 @@ object Similarity {
     val clusters = probed.select("cluster").distinct().collect().map(_.getInt(0))
     val index = spark.read.parquet(indexPath)
       .filter(col("cluster").isin(clusters.toIndexedSeq: _*))
-    val scored = broadcast(probed)
+    val probeSide = if (broadcastProbes) broadcast(probed) else probed
+    val scored = probeSide
       .join(index.withColumnRenamed("vec_id", "nn_id"), Seq("cluster"))
       .filter(col("query_id") =!= col("nn_id"))
       .select(col("query_id"), col("nn_id"),

@@ -79,6 +79,24 @@ object LlmOps {
       "query_id", "rank")
   }
 
+  /** ANN NN-join: EVERY vector finds its approximate nearest neighbor
+    * through the persisted IVF index — probe rows join the cluster-keyed
+    * index (no broadcast; both sides shuffle on cluster id), so the
+    * quadratic all-pairs NN search becomes cluster-local work. This is
+    * the 100 TB embedding-dedup pattern (the exact N² form stays as
+    * x_dedup_embedding_nn's exactness gate); deterministic seeds make it
+    * fully SQL-oracle-able, approximation included. */
+  def xAnnNnJoin(s: SparkSession, d: String): DataFrame = {
+    val vecs = embeddings(s, d)
+    val idxPath = "/tmp/graft_ivf_index_nn/" + d.replaceAll("[^a-zA-Z0-9.]", "_")
+    val seeds = Similarity.ivfBuildIndex(s, vecs, idxPath, nlist = 16)
+    ordered(
+      Similarity.ivfProbeIndex(s, idxPath, seeds, vecs, k = 1, nprobe = 4,
+          broadcastProbes = false)
+        .select(col("query_id").as("vec_id"), col("nn_id"), col("cos_sim")),
+      "vec_id")
+  }
+
   /** Dedup APPLIED: the near-dup pairs become an actual corpus filter —
     * the later (greater doc_id) member of every >=0.8 pair is dropped,
     * the canonical earlier one kept. One left-anti join against the
@@ -134,6 +152,7 @@ object LlmOps {
     "x_dedup_embedding_nn" -> (xDedupEmbeddingNn _),
     "x_ann_topk"          -> (xAnnTopk _),
     "x_ann_ivf"           -> (xAnnIvf _),
+    "x_ann_nn_join"       -> (xAnnNnJoin _),
     "x_dedup_apply"       -> (xDedupApply _),
     "x_corpus_pipeline"   -> (xCorpusPipeline _),
     "x_multimodal"        -> (xMultimodal _))
@@ -304,6 +323,32 @@ object LlmOps {
         |  FROM scored)
         |SELECT query_id, rank, nn_id, cos_sim FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    "x_ann_nn_join" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |seeds AS (
+        |  SELECT e AS se,
+        |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster
+        |  FROM c ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |assign AS (
+        |  SELECT vec_id, cluster, e FROM (
+        |    SELECT c.vec_id, s.cluster, c.e,
+        |           row_number() OVER (PARTITION BY c.vec_id
+        |             ORDER BY round(list_cosine_similarity(c.e, s.se), 6) DESC, s.cluster) AS rn
+        |    FROM c CROSS JOIN seeds s) WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, qe, cluster FROM (
+        |    SELECT c.vec_id AS query_id, c.e AS qe, s.cluster,
+        |           row_number() OVER (PARTITION BY c.vec_id
+        |             ORDER BY round(list_cosine_similarity(c.e, s.se), 6) DESC, s.cluster) AS rn
+        |    FROM c CROSS JOIN seeds s) WHERE rn <= 4),
+        |scored AS (
+        |  SELECT p.query_id, a.vec_id AS nn_id,
+        |         round(list_cosine_similarity(p.qe, a.e), 6) AS cos_sim
+        |  FROM probes p JOIN assign a USING (cluster)
+        |  WHERE a.vec_id <> p.query_id)
+        |SELECT query_id AS vec_id, nn_id, cos_sim FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, nn_id) = 1
+        |ORDER BY vec_id""".stripMargin,
     "x_dedup_apply" ->
       s"""WITH $lshPairsCte
          |SELECT doc_id, n_chars FROM documents

@@ -111,6 +111,20 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.2, s"indexed IVF recall $recall below floor (nprobe=4/16)")
   }
 
+  test("ANN NN-join: one approx neighbor per vector, never beating the exact NN") {
+    val vecs = graft.Tables.embeddings(spark, sf("sf0.001"))
+    val approx = graft.queries.LlmOps.xAnnNnJoin(spark, sf("sf0.001"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val n = vecs.count()
+    assert(approx.size == n, s"expected one NN row per vector (${approx.size} vs $n)")
+    val exact = Dedup.embeddingNearestNeighbor(vecs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    approx.foreach { case (v, (nn, cos)) =>
+      assert(nn != v && cos <= exact(v) + 1e-9,
+        s"approx NN of $v ($cos) beats the exact NN (${exact(v)})")
+    }
+  }
+
   test("multimodal feature extraction preserves payload bytes exactly") {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, sf("sf0.001")).limit(50)
