@@ -23,6 +23,21 @@ object Dedup {
     docs.groupBy(md5(lower(col("text"))).as("content_hash"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("dup_ct"))
 
+  /** Streaming exact dedup for corpus INGEST: content-hash dedup over an
+    * event-time stream. First sight of a hash is emitted immediately
+    * (append mode); duplicates whose event times fall within the
+    * watermark horizon are dropped, and the per-hash state is evicted
+    * once the watermark passes — so state is bounded by the horizon, not
+    * the corpus. Duplicates farther apart than the horizon are left for
+    * the batch `exact()` compaction downstream (the standard two-tier
+    * streaming-dedup contract at 100 TB: hot horizon in state, full
+    * history in the table). */
+  def exactStreamingDedup(docs: DataFrame, eventTime: String = "ts",
+                          watermark: String = "10 seconds"): DataFrame =
+    docs.withColumn("content_hash", md5(lower(col("text"))))
+      .withWatermark(eventTime, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Distinct word n-grams (shingles) per document. */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("toks"))

@@ -138,6 +138,31 @@ class LlmSpec extends SparkSpec {
     joined.foreach { case (bl, tl, ck, mk) => assert(bl == tl && ck == mk) }
   }
 
+  test("streaming exact dedup: drops in-horizon duplicates, expires state past the watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val q = Dedup.exactStreamingDedup(
+        mem.toDF().toDF("ts", "text"), watermark = "10 seconds")
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    try {
+      mem.addData((t(1), "Same Doc"), (t(2), "same doc"), (t(3), "other"))
+      q.processAllAvailable()
+      // advance the watermark far past 1s+10s so the hash state expires
+      mem.addData((t(100), "filler"))
+      q.processAllAvailable()
+      mem.addData((t(101), "SAME DOC")) // same content, new horizon: re-emitted
+      q.processAllAvailable()
+      val texts = spark.table("sdedup").select($"text").as[String].collect().toSeq
+      assert(texts.count(_.equalsIgnoreCase("same doc")) == 2,
+        s"expected in-horizon dup dropped and post-horizon dup re-emitted: $texts")
+      assert(texts.count(_ == "other") == 1 && texts.count(_ == "filler") == 1)
+    } finally q.stop()
+  }
+
   test("exact dedup groups identical normalized text") {
     import spark.implicits._
     val docs = Seq((1L, "Hello World"), (2L, "hello world"), (3L, "other"))
