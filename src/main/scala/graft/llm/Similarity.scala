@@ -140,6 +140,19 @@ object Similarity {
     seeds
   }
 
+  /** Session-scoped build-once cache: the first caller per index path
+    * builds and persists; later callers (other queries probing the same
+    * corpus in the same JVM) reuse the persisted index and its seeds —
+    * the build-once / probe-many contract, made concrete. Keyed by path,
+    * so distinct corpora or nlist choices use distinct paths. */
+  private val builtIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Array[Float])]]()
+
+  def ivfBuildIndexCached(spark: SparkSession, corpus: DataFrame,
+                          indexPath: String, nlist: Int = 16): Array[(Int, Array[Float])] =
+    builtIndexes.computeIfAbsent(indexPath,
+      _ => ivfBuildIndex(spark, corpus, indexPath, nlist))
+
   /** Probe the persisted index: each query picks its `nprobe` nearest
     * seed clusters; the union of probed cluster ids becomes a literal
     * partition filter on the index read (partition pruning — the scan

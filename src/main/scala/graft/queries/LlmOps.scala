@@ -65,14 +65,15 @@ object LlmOps {
   /** IVF path, fully oracled: hash-seeded centroids (no float averaging,
     * so assignment/probe/top-k are all exactly SQL-expressible), index
     * persisted partitioned by cluster, probe is a partition-pruned read.
-    * The index is rebuilt here so the gate can never read stale state;
-    * the production contract is build-once (ivfBuildIndex) + many probes
-    * (ivfProbeIndex). The k-means-refined variant stays recall-spec-
-    * tested in LlmSpec/SimilaritySpec. */
+    * Built at most once per JVM per path (ivfBuildIndexCached) — a fresh
+    * driver run always rebuilds, so the gate can't read stale state, but
+    * the second query probing the same corpus in-session (x_ann_nn_join)
+    * reuses the persisted index: the build-once / probe-many contract.
+    * The k-means-refined variant stays recall-spec-tested in LlmSpec. */
   def xAnnIvf(s: SparkSession, d: String): DataFrame = {
     val vecs = embeddings(s, d)
     val idxPath = "/tmp/graft_ivf_index/" + d.replaceAll("[^a-zA-Z0-9.]", "_")
-    val seeds = Similarity.ivfBuildIndex(s, vecs, idxPath, nlist = 16)
+    val seeds = Similarity.ivfBuildIndexCached(s, vecs, idxPath, nlist = 16)
     ordered(
       Similarity.ivfProbeIndex(s, idxPath, seeds,
         vecs.filter(col("vec_id") < 8), k = 10, nprobe = 4),
@@ -88,8 +89,8 @@ object LlmOps {
     * fully SQL-oracle-able, approximation included. */
   def xAnnNnJoin(s: SparkSession, d: String): DataFrame = {
     val vecs = embeddings(s, d)
-    val idxPath = "/tmp/graft_ivf_index_nn/" + d.replaceAll("[^a-zA-Z0-9.]", "_")
-    val seeds = Similarity.ivfBuildIndex(s, vecs, idxPath, nlist = 16)
+    val idxPath = "/tmp/graft_ivf_index/" + d.replaceAll("[^a-zA-Z0-9.]", "_")
+    val seeds = Similarity.ivfBuildIndexCached(s, vecs, idxPath, nlist = 16)
     ordered(
       Similarity.ivfProbeIndex(s, idxPath, seeds, vecs, k = 1, nprobe = 4,
           broadcastProbes = false)
