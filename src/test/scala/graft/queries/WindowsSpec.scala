@@ -36,6 +36,38 @@ class WindowsSpec extends SparkSpec {
       s"expected partial ObjectHashAggregate in:\n$plan")
   }
 
+  test("TopKAgg property: matches sort-take-k for random data, k, and partitioning") {
+    import spark.implicits._
+    import graft.functions.TopKAgg.topK
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.Parameters
+    val rows = Gen.listOf(for {
+      g <- Gen.oneOf("a", "b", "c")
+      v <- Gen.chooseNum(-5.0, 5.0)
+      i <- Gen.chooseNum(0L, 50L)
+    } yield (g, v, i))
+    val prop = Prop.forAll(rows, Gen.chooseNum(1, 5), Gen.chooseNum(1, 8)) {
+      (data: List[(String, Double, Long)], k: Int, parts: Int) =>
+        data.isEmpty || {
+          val got = data.toDF("g", "v", "i").repartition(parts)
+            .groupBy($"g").agg(topK($"v", $"i", k).as("top"))
+            .select($"g", posexplode($"top").as(Seq("pos", "t")))
+            .select($"g", $"pos", $"t.id", $"t.value")
+            .as[(String, Int, Long, Double)].collect().toSet
+          // reference model: stable sort by (v desc, id asc), take k —
+          // duplicate (v, id) occurrences are distinct buffer entries
+          val want = data.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+            rs.map(r => (r._2, r._3)).sortBy { case (v, i) => (-v, i) }
+              .take(k).zipWithIndex.map { case ((v, i), pos) => (g, pos, i, v) }
+          }.toSet
+          got == want
+        }
+    }
+    val res = org.scalacheck.Test.check(
+      Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("TopKAgg ranks ties by smaller id and bounds the buffer at k") {
     import spark.implicits._
     import graft.functions.TopKAgg.topK
