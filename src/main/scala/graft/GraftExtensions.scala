@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{SimhashAgg, Tokenize, VectorExpressions}
+import graft.functions.{SimhashAgg, Tokenize, TopKAgg, VectorExpressions}
 
 /** SparkSessionExtensions entry point: registers every custom Catalyst
   * function this library ships, so any session — including plain
@@ -12,8 +12,8 @@ import graft.functions.{SimhashAgg, Tokenize, VectorExpressions}
   *   spark.sql.extensions=graft.GraftExtensions
   *
   * Functions: cosine_sim, dot_product, l2_norm (codegen'd vector
-  * expressions), split_keyword (tokenizer Generator), simhash_agg
-  * (typed imperative aggregate).
+  * expressions), split_keyword (tokenizer Generator), simhash_agg and
+  * top_k_agg (typed imperative aggregates).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -27,5 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("l2_norm", es => VectorExpressions.L2Norm(es.head))
     inject("split_keyword", es => Tokenize.SplitKeyword(es.head))
     inject("simhash_agg", es => SimhashAgg(es.head).toAggregateExpression())
+    // top_k_agg(value, id, k): k must be a literal int
+    inject("top_k_agg", es => TopKAgg(es.head, es(1),
+      es(2).eval(null).asInstanceOf[Number].intValue()).toAggregateExpression())
   }
 }

@@ -143,6 +143,10 @@ class AppsSpec extends SparkSpec {
     assert(words == Seq("a", "b"))
     val sh = ext.sql("SELECT simhash_agg(h) FROM VALUES (1L), (3L) AS t(h)").head().getLong(0)
     assert(sh == 1L) // bit0 votes +2, bit1 votes 0 -> only bit 0 set
+    val top = ext.sql(
+      "SELECT top_k_agg(v, i, 2) FROM VALUES (1.0D, 1L), (3.0D, 2L), (2.0D, 3L) AS t(v, i)")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(top.map(r => (r.getLong(0), r.getDouble(1))) == Seq((2L, 3.0), (3L, 2.0)))
   }
 
   test("ProvinceStatsApp rolls order-wide rows by province with exact distinct orders") {
