@@ -197,6 +197,28 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Session-scoped build-once cache for the materialized pair set —
+    * mirrors Similarity.ivfBuildIndexCached: in a real pipeline the
+    * near-dup pair table is computed once and consumed by several
+    * downstream jobs (the pair report, the corpus filter, the composed
+    * pipeline), not recomputed per consumer. Keyed by path; the path
+    * must encode the (n, threshold, banding) parameters. */
+  private val builtPairSets = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** MinHash-LSH near-dup pairs, materialized to `cachePath` at most
+    * once per JVM and read back from parquet — a fresh run always
+    * rebuilds, in-session consumers share the artifact. */
+  def minhashLshPairsCached(spark: org.apache.spark.sql.SparkSession,
+                            docs: DataFrame, cachePath: String, n: Int = 3,
+                            threshold: Double = 0.8): DataFrame = {
+    builtPairSets.computeIfAbsent(cachePath, { _ =>
+      minhashLshPairs(docs, n, threshold)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(cachePath)
+      cachePath
+    })
+    spark.read.parquet(cachePath)
+  }
+
   /** 60-bit SimHash fingerprint per document (distinct-token hashing,
     * ±1 bit votes, majority sign) — one pass via the SimhashAgg
     * TypedImperativeAggregate: the shuffle carries one 60-counter buffer
