@@ -166,11 +166,20 @@ object Dedup {
     * on real corpora; it only wins when near-dup density is extreme.
     * Output = verified candidates only. */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
-                      numHashes: Int = 24, bands: Int = 4): DataFrame = {
+                      numHashes: Int = 24, bands: Int = 4): DataFrame =
+    minhashLshPairsFromGrams(
+      shingles(docs, n).withColumn("h", h32(col("gram"))),
+      threshold, numHashes, bands)
+
+  /** Pair computation over an already-built hashed-gram table — split
+    * out so an eager builder can persist `g` for the build's duration
+    * (the plan consumes the gram table four times: signatures, sizes,
+    * and both sides of the verification join). */
+  private def minhashLshPairsFromGrams(g: DataFrame, threshold: Double,
+                                       numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
     val p = 4294967311L // prime > 2^32
-    val g = shingles(docs, n).withColumn("h", h32(col("gram")))
     // minhash_j = min over grams of (a_j*h + b_j) mod p
     val sigCols = (0 until numHashes).map { j =>
       min(pmod(col("h") * (2 * j + 1) + (7919L * j + 12345L), lit(p))).as(s"sig_$j")
@@ -212,6 +221,11 @@ object Dedup {
                             docs: DataFrame, cachePath: String, n: Int = 3,
                             threshold: Double = 0.8): DataFrame = {
     builtPairSets.computeIfAbsent(cachePath, { _ =>
+      // NOTE measured: persisting the gram table across its four
+      // consumers LOSES badly here (6s -> 20s at sf0.1) — the
+      // InMemoryRelation boundary defeats exchange reuse and the
+      // broadcast choices inside the pair computation, so the plan is
+      // left fully declarative and Catalyst shares the shuffle instead
       minhashLshPairs(docs, n, threshold)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(cachePath)
       cachePath
