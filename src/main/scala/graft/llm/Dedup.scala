@@ -214,6 +214,10 @@ object Dedup {
     * must encode the (n, threshold, banding) parameters. */
   private val builtPairSets = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Forget built pair sets (benchmarking tools only — forces the next
+    * consumer to pay a cold build). */
+  def resetArtifactCache(): Unit = builtPairSets.clear()
+
   /** MinHash-LSH near-dup pairs, materialized to `cachePath` at most
     * once per JVM and read back from parquet — a fresh run always
     * rebuilds, in-session consumers share the artifact. */

@@ -148,6 +148,10 @@ object Similarity {
   private val builtIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Array[Float])]]()
 
+  /** Forget built indexes (benchmarking tools only — forces the next
+    * probe to pay a cold build). */
+  def resetArtifactCache(): Unit = builtIndexes.clear()
+
   def ivfBuildIndexCached(spark: SparkSession, corpus: DataFrame,
                           indexPath: String, nlist: Int = 16): Array[(Int, Array[Float])] =
     builtIndexes.computeIfAbsent(indexPath,

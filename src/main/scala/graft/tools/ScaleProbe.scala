@@ -76,6 +76,11 @@ object ScaleProbe {
     val results = probes.map { name =>
       val fn = graft.SparkEntry.queries(name)
       def time(dir: String): Double = {
+        // cold artifacts per measurement: session-shared builds (LSH
+        // pair set, IVF index) would otherwise make later probes
+        // measure a parquet read instead of the operator
+        graft.llm.Dedup.resetArtifactCache()
+        graft.llm.Similarity.resetArtifactCache()
         val t0 = System.nanoTime(); fn(spark, dir).count(); (System.nanoTime() - t0) / 1e9
       }
       val t1 = time(base)
