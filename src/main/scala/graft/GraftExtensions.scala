@@ -27,8 +27,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("l2_norm", es => VectorExpressions.L2Norm(es.head))
     inject("split_keyword", es => Tokenize.SplitKeyword(es.head))
     inject("simhash_agg", es => SimhashAgg(es.head).toAggregateExpression())
-    // top_k_agg(value, id, k): k must be a literal int
-    inject("top_k_agg", es => TopKAgg(es.head, es(1),
-      es(2).eval(null).asInstanceOf[Number].intValue()).toAggregateExpression())
+    // top_k_agg(value, id, k): k must be a positive integer literal
+    inject("top_k_agg", { es =>
+      require(es.length == 3, "top_k_agg(value, id, k) takes exactly 3 arguments")
+      val kExpr = es(2)
+      require(kExpr.foldable, "top_k_agg: k must be a literal")
+      val k = kExpr.eval(null) match {
+        case n: java.lang.Number => n.intValue()
+        case other => throw new IllegalArgumentException(
+          s"top_k_agg: k must be a positive integer literal, got $other")
+      }
+      require(k > 0, "top_k_agg: k must be a positive integer literal")
+      TopKAgg.coerced(es.head, es(1), k).toAggregateExpression()
+    })
   }
 }

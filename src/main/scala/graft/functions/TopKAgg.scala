@@ -6,6 +6,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.Cast
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.SparkInternals
 import org.apache.spark.sql.types._
@@ -33,6 +34,14 @@ case class TopKAgg(
   require(k > 0, "top-k needs k > 0")
 
   override def children: Seq[Expression] = Seq(value, id)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (value.dataType == DoubleType && id.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"top_k_agg expects (double, bigint) inputs (use TopKAgg.coerced), got " +
+          s"(${value.dataType.simpleString}, ${id.dataType.simpleString})")
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("id", LongType, nullable = false),
@@ -41,9 +50,15 @@ case class TopKAgg(
   override def createAggregationBuffer(): ArrayBuffer[(Double, Long)] =
     ArrayBuffer.empty
 
-  /** (v1,i1) ranks strictly before (v2,i2)? */
-  private def beats(v1: Double, i1: Long, v2: Double, i2: Long): Boolean =
-    v1 > v2 || (v1 == v2 && i1 < i2)
+  /** (v1,i1) ranks strictly before (v2,i2)? java.lang.Double.compare is
+    * exactly Spark's SQL double ordering (SQLOrderingUtil): NaN sorts
+    * greatest (so a DESC window puts it first) and equal to itself,
+    * -0.0 < 0.0 — a plain `>` would instead make NaN incomparable,
+    * diverging from the row_number-window form this aggregate mirrors. */
+  private def beats(v1: Double, i1: Long, v2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(v1, v2)
+    c > 0 || (c == 0 && i1 < i2)
+  }
 
   private def insert(buf: ArrayBuffer[(Double, Long)], v: Double, i: Long): Unit = {
     if (buf.length == k && !beats(v, i, buf.last._1, buf.last._2)) return
@@ -100,10 +115,17 @@ case class TopKAgg(
 }
 
 object TopKAgg {
+  /** Coerce (value, id) to (double, bigint) — int/decimal columns work
+    * instead of dying with an executor ClassCastException. */
+  def coerced(value: Expression, id: Expression, k: Int): TopKAgg =
+    TopKAgg(
+      if (value.dataType == DoubleType) value else Cast(value, DoubleType),
+      if (id.dataType == LongType) id else Cast(id, LongType), k)
+
   /** groupBy(g).agg(topK(value, id, k)) -> array of the k best
     * (value DESC, id ASC) pairs per group. */
   def topK(value: Column, id: Column, k: Int): Column =
     SparkInternals.column(
-      TopKAgg(SparkInternals.expression(value),
+      coerced(SparkInternals.expression(value),
         SparkInternals.expression(id), k).toAggregateExpression())
 }

@@ -181,12 +181,18 @@ object Similarity {
     val wp = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cluster"))
     val probed = probes.withColumn("rn", row_number().over(wp))
       .filter(col("rn") <= nprobe).select(col("query_id"), col("qe"), col("cluster"))
-    // literal cluster list -> partition pruning on the index scan
-    // (query sets are broadcast-small by contract, so this collect is a
-    // handful of (query, cluster) ids, not data)
-    val clusters = probed.select("cluster").distinct().collect().map(_.getInt(0))
-    val index = spark.read.parquet(indexPath)
-      .filter(col("cluster").isin(clusters.toIndexedSeq: _*))
+    // literal cluster list -> partition pruning on the index scan. Only
+    // worth it for small query sets: the collect executes the probe plan
+    // once just to learn the cluster ids (cheap for a broadcast-small
+    // query set), while a corpus-sized probe set would pay its whole
+    // cross-join+window twice AND virtually always probe every cluster
+    // anyway — so the non-broadcast regime reads the index unpruned.
+    val index0 = spark.read.parquet(indexPath)
+    val index =
+      if (broadcastProbes) {
+        val clusters = probed.select("cluster").distinct().collect().map(_.getInt(0))
+        index0.filter(col("cluster").isin(clusters.toIndexedSeq: _*))
+      } else index0
     val probeSide = if (broadcastProbes) broadcast(probed) else probed
     val scored = probeSide
       .join(index.withColumnRenamed("vec_id", "nn_id"), Seq("cluster"))

@@ -50,9 +50,15 @@ object LlmOps {
     * corpus-filter queries below consume the same artifact — the shape a
     * real pipeline has, where the pair set is computed once and read by
     * every downstream job). */
+  /** Per-JVM artifact root: the build-once maps are JVM-scoped, so the
+    * on-disk paths must be too — two concurrent JVMs (sbt test next to
+    * Bench) would otherwise race Overwrite-writes on a shared path. */
+  private lazy val artifactRoot: String =
+    s"/tmp/graft_artifacts_${ProcessHandle.current().pid()}"
+
   private def lshPairs(s: SparkSession, d: String): DataFrame =
     Dedup.minhashLshPairsCached(s, documents(s, d),
-      "/tmp/graft_lsh_pairs/" + d.replaceAll("[^a-zA-Z0-9.]", "_") + "_n3_t08_h24b4")
+      artifactRoot + "/lsh_pairs/" + d.replaceAll("[^a-zA-Z0-9.]", "_") + "_n3_t08_h24b4")
 
   def xDedupMinhash(s: SparkSession, d: String): DataFrame =
     ordered(lshPairs(s, d), "d1", "d2")
@@ -80,7 +86,7 @@ object LlmOps {
     * The k-means-refined variant stays recall-spec-tested in LlmSpec. */
   def xAnnIvf(s: SparkSession, d: String): DataFrame = {
     val vecs = embeddings(s, d)
-    val idxPath = "/tmp/graft_ivf_index/" + d.replaceAll("[^a-zA-Z0-9.]", "_")
+    val idxPath = artifactRoot + "/ivf_index/" + d.replaceAll("[^a-zA-Z0-9.]", "_")
     val seeds = Similarity.ivfBuildIndexCached(s, vecs, idxPath, nlist = 16)
     ordered(
       Similarity.ivfProbeIndex(s, idxPath, seeds,
@@ -97,7 +103,7 @@ object LlmOps {
     * fully SQL-oracle-able, approximation included. */
   def xAnnNnJoin(s: SparkSession, d: String): DataFrame = {
     val vecs = embeddings(s, d)
-    val idxPath = "/tmp/graft_ivf_index/" + d.replaceAll("[^a-zA-Z0-9.]", "_")
+    val idxPath = artifactRoot + "/ivf_index/" + d.replaceAll("[^a-zA-Z0-9.]", "_")
     val seeds = Similarity.ivfBuildIndexCached(s, vecs, idxPath, nlist = 16)
     ordered(
       Similarity.ivfProbeIndex(s, idxPath, seeds, vecs, k = 1, nprobe = 4,

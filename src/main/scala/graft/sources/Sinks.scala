@@ -41,11 +41,21 @@ object Sinks {
     *
     * Scale contract: a micro-batch touching k dim tables reads and
     * rewrites ONLY those k partitions — dynamic partition overwrite via
-    * Spark's committer, so untouched tables' files are never rewritten
-    * and the swap inherits the committer's task-commit atomicity. All
-    * path handling goes through the Hadoop `FileSystem` API, so the store
-    * may live on HDFS/S3A/local alike (the old java.io.File rendering
-    * silently reset the store on any non-local URI).
+    * Spark's committer, so untouched tables' files are never rewritten.
+    * All path handling goes through the Hadoop `FileSystem` API, so the
+    * store may live on HDFS/S3A/local alike (the old java.io.File
+    * rendering silently reset the store on any non-local URI).
+    *
+    * Consistency caveat, stated honestly: partition replacement is NOT
+    * atomic for a reader that lists a touched partition mid-commit — a
+    * concurrent readDims of the SAME dim table during its overwrite can
+    * see a partial snapshot (untouched tables are unaffected, which is
+    * the common case: readers enrich against dims the batch isn't
+    * rewriting). The reference has the same window (its Phoenix upserts
+    * are row-at-a-time, readers see mid-batch states). Deployments that
+    * need snapshot-isolated dim reads should back the store with a
+    * transactional table format (Delta/Iceberg MERGE) — a jar swap, not
+    * a code change, since readers go through readDims.
     *
     * `updates` must carry (sinkTable, pk, data); the store keeps one row
     * per (sinkTable, pk) — the newest by batch sequence.

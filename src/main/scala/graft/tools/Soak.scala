@@ -28,14 +28,23 @@ object Soak {
       s""""displays":[{"item":"${item + 1}","item_type":"sku_id","order":1}],"ts":$ts}"""
   }
 
+  // UTC formatter, NOT Timestamp.toString: the session timezone is UTC,
+  // so a JVM-default-timezone rendering would skew these sources'
+  // event times against the page/order/pay streams on non-UTC machines
+  // (holding the union's watermark back and distorting the state plateau)
+  private val utcFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+  private def fmtUtc(ts: Long): String =
+    utcFmt.format(java.time.Instant.ofEpochMilli(ts))
+
   private def skuJson(sku: Long, ts: Long): String =
-    s"""{"sku_id":$sku,"create_time":"${new Timestamp(ts)}"}""".replace(".0\"", "\"")
+    s"""{"sku_id":$sku,"create_time":"${fmtUtc(ts)}"}"""
 
   private def refundJson(sku: Long, ts: Long): String =
-    s"""{"sku_id":$sku,"order_id":${sku * 7},"refund_amount":5.00,"create_time":"${new Timestamp(ts)}"}""".replace(".0\"", "\"")
+    s"""{"sku_id":$sku,"order_id":${sku * 7},"refund_amount":5.00,"create_time":"${fmtUtc(ts)}"}"""
 
   private def commentJson(sku: Long, ts: Long): String =
-    s"""{"sku_id":$sku,"order_id":${sku * 7},"appraise":"${if (sku % 3 == 0) "1201" else "1202"}","create_time":"${new Timestamp(ts)}"}""".replace(".0\"", "\"")
+    s"""{"sku_id":$sku,"order_id":${sku * 7},"appraise":"${if (sku % 3 == 0) "1201" else "1202"}","create_time":"${fmtUtc(ts)}"}"""
 
   private def stateRows(q: StreamingQuery): Long =
     Option(q.lastProgress).map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)

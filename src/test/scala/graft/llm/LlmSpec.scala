@@ -31,7 +31,9 @@ class LlmSpec extends SparkSpec {
     assert(exact.nonEmpty, "fixture should contain planted near-dups")
     assert(lsh.subsetOf(exact), "LSH output is verified, so it can never exceed exact")
     val recall = lsh.intersect(exact).size.toDouble / exact.size
-    assert(recall >= 0.9, s"LSH recall $recall too low (expected ~1-(1-j^4)^4 at j>=0.8)")
+    // 4 bands x 6 rows: P[caught] = 1-(1-j^6)^4 — ~0.95 at j=0.9, and the
+    // fixture's true pairs all sit at j>=0.9 (planted near-dups)
+    assert(recall >= 0.9, s"LSH recall $recall too low (expected ~1-(1-j^6)^4 at j>=0.9)")
   }
 
   test("hot-key posting-list guard emits exactly the same pairs as the list path") {

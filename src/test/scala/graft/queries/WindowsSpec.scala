@@ -83,4 +83,19 @@ class WindowsSpec extends SparkSpec {
       ("g", 0, 99L, 7.0), ("g", 1, 100L, 7.0), ("g", 2, 9L, 5.0),
       ("h", 0, 5L, 2.0)))
   }
+
+  test("TopKAgg orders NaN as the greatest double, matching Spark's window sort") {
+    import spark.implicits._
+    import graft.functions.TopKAgg.topK
+    val df = Seq(("g", 1.0, 1L), ("g", Double.NaN, 2L), ("g", 9.0, 3L))
+      .toDF("g", "v", "i")
+    val got = df.groupBy($"g").agg(topK($"v", $"i", 2).as("top"))
+      .select(posexplode($"top").as(Seq("pos", "t")))
+      .select($"pos", $"t.id").as[(Int, Long)].collect().toSet
+    // Spark sorts NaN greatest: DESC puts (NaN,2) first, then (9.0,3)
+    val want = df.withColumn("rank", row_number().over(
+        Window.partitionBy($"g").orderBy($"v".desc, $"i")))
+      .filter($"rank" <= 2).select($"rank" - 1, $"i").as[(Int, Long)].collect().toSet
+    assert(got == want && got == Set((0, 2L), (1, 3L)))
+  }
 }
