@@ -12,7 +12,7 @@ import graft.functions.{SimhashAgg, Tokenize, TopKAgg, VectorExpressions}
   *   spark.sql.extensions=graft.GraftExtensions
   *
   * Functions: cosine_sim, dot_product, l2_norm (codegen'd vector
-  * expressions), split_keyword (tokenizer Generator), simhash_agg and
+  * expressions), split_keyword (codegen'd tokenize + Explode), simhash_agg and
   * top_k_agg (typed imperative aggregates).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -25,7 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("cosine_sim", es => VectorExpressions.CosineSim(es.head, es(1)))
     inject("dot_product", es => VectorExpressions.DotProduct(es.head, es(1)))
     inject("l2_norm", es => VectorExpressions.L2Norm(es.head))
-    inject("split_keyword", es => Tokenize.SplitKeyword(es.head))
+    inject("split_keyword", es => Tokenize.splitKeywordExpr(es.head))
     inject("simhash_agg", es => SimhashAgg(es.head).toAggregateExpression())
     // top_k_agg(value, id, k): k must be a positive integer literal
     inject("top_k_agg", { es =>

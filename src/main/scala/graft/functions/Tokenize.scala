@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Explode, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.SparkInternals
 import org.apache.spark.sql.types._
@@ -11,9 +11,11 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** F1 — the reference's word-segmentation UDTF
   * (SplitFunction.java:9-18 + KeywordUtil.java:16-35, IK analyzer,
-  * invoked as `LATERAL TABLE(split_keyword(x))`) rebuilt as a native
-  * Catalyst `Generator`: one input string row → N keyword rows, no
-  * udf+explode double materialization.
+  * invoked as `LATERAL TABLE(split_keyword(x))`) rebuilt Spark-first:
+  * a codegen'd scalar `TokenizeWords` expression (string → array<string>)
+  * composed with Spark's built-in `Explode` generator, so the whole
+  * tokenize→fan-out path stays inside whole-stage codegen — no
+  * CodegenFallback, no udf boxing, no double materialization.
   *
   * Tokenization: lowercased alphanumeric runs for Latin text, plus CJK
   * bigrams (the standard public substitute for IK's dictionary
@@ -50,27 +52,44 @@ object Tokenize {
   private def isCjk(c: Char): Boolean =
     (c >= 0x4E00 && c <= 0x9FFF) || (c >= 0x3400 && c <= 0x4DBF)
 
-  /** Generator expression: `split_keyword(text)` → rows of `word`. */
-  case class SplitKeyword(child: Expression) extends UnaryExpression
-      with Generator with CodegenFallback {
-    override def elementSchema: StructType =
-      StructType(Seq(StructField("word", StringType)))
-    override def eval(input: InternalRow): IterableOnce[InternalRow] = {
-      val v = child.eval(input)
-      if (v == null) Nil
-      else tokenize(v.toString).map { w =>
-        InternalRow(UTF8String.fromString(w))
-      }
+  /** Runtime entry point for the generated code (static forwarder on the
+    * `Tokenize` class makes it Java-callable). */
+  def tokenizeArray(s: UTF8String): GenericArrayData = {
+    val words = tokenize(s.toString)
+    val arr = new Array[Any](words.length)
+    var i = 0
+    while (i < words.length) { arr(i) = UTF8String.fromString(words(i)); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** Codegen'd scalar tokenizer: string → array<string> of keywords. */
+  case class TokenizeWords(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string input, got ${other.simpleString}")
     }
+    override def nullSafeEval(v: Any): Any =
+      tokenizeArray(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.Tokenize.tokenizeArray($c);")
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
+
+  /** Generator shape: `split_keyword(text)` → rows of keywords, as
+    * `Explode(TokenizeWords(text))` — Spark's own CollectionGenerator
+    * supplies the (codegen'd) row fan-out. */
+  def splitKeywordExpr(child: Expression): Expression = Explode(TokenizeWords(child))
 
   /** Column API: `df.select(splitKeyword($"text"))` behaves like
     * explode(); SQL: register then `LATERAL VIEW`/select. */
   def splitKeyword(text: Column): Column =
-    SparkInternals.column(SplitKeyword(SparkInternals.expression(text)))
+    SparkInternals.column(splitKeywordExpr(SparkInternals.expression(text)))
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     SparkInternals.functionRegistry(spark)
-      .createOrReplaceTempFunction("split_keyword", es => SplitKeyword(es.head), "built-in")
+      .createOrReplaceTempFunction("split_keyword", es => splitKeywordExpr(es.head), "built-in")
 }

@@ -52,11 +52,22 @@ object Multimodal {
       col("meta.mime").as("mime"), col("meta.width").as("width"),
       col("meta.height").as("height")).as[MediaRow]
     typed.mapPartitions { rows =>
+      // One digest instance per partition; `digest()` resets it after each
+      // call, so reuse across rows is safe and amortizes the setup cost —
+      // the point of the mapPartitions shape.
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = "0123456789abcdef".toCharArray
       rows.map { r =>
         val (len, mean) = fakeDecode(r.payload)
-        val checksum = java.security.MessageDigest.getInstance("MD5")
-          .digest(r.payload).map("%02x".format(_)).mkString
-        MediaFeatures(r.doc_id, len, checksum, r.width, r.height, mean)
+        val d = md.digest(r.payload)
+        val sb = new java.lang.StringBuilder(d.length * 2)
+        var i = 0
+        while (i < d.length) {
+          val b = d(i) & 0xff
+          sb.append(hex(b >>> 4)).append(hex(b & 0xf))
+          i += 1
+        }
+        MediaFeatures(r.doc_id, len, sb.toString, r.width, r.height, mean)
       }
     }
   }

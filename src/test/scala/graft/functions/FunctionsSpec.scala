@@ -9,11 +9,18 @@ class FunctionsSpec extends SparkSpec {
     import spark.implicits._
     val df = Seq((1L, "Apple iPhone 12 手机壳 NEW"), (2L, ""), (3L, null: String))
       .toDF("id", "title")
-    val out = df.select($"id", Tokenize.splitKeyword($"title"))
-      .as[(Long, String)].collect().toSeq
+    val q = df.select($"id", Tokenize.splitKeyword($"title"))
+    val out = q.as[(Long, String)].collect().toSeq
     assert(out == Seq(
       1L -> "apple", 1L -> "iphone", 1L -> "12",
       1L -> "手机", 1L -> "机壳", 1L -> "new"))
+    // the whole tokenize→explode fan-out must stay inside whole-stage
+    // codegen: Generate shows up starred, nothing falls back to
+    // interpreted eval
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("*") && plan.contains("Generate"), plan)
+    assert(plan.linesIterator.filter(_.contains("Generate")).forall(_.contains("*")),
+      s"Generate not codegen'd:\n$plan")
   }
 
   test("F1 SQL registration: split_keyword usable from spark.sql (UDTF call shape)") {
