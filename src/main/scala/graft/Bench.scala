@@ -5,10 +5,32 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: times every SparkEntry query at
   * SPARK_GRAFT_SF_DIR and prints one JSON line.
   *
+  * Regression-diagnosable by construction:
+  *   - the shared build-once artifacts (LSH pair set, IVF index) are
+  *     built FIRST, each timed as its own `artifacts` line item — so no
+  *     query's number silently includes a neighbor's build (the round-2
+  *     phantom-regression source: cache attribution shifted between
+  *     rounds with zero code change);
+  *   - every query then runs twice: `queries` holds the first (cold)
+  *     execution, `queries_warm` the second. A real plan regression
+  *     moves BOTH numbers; JIT/page-cache/box noise mostly moves the
+  *     cold one. `value` (total) = artifact builds + cold times, so the
+  *     headline stays comparable with earlier rounds where the builds
+  *     were attributed to consumer queries.
+  *
   * A warm-up action runs first so JVM/codegen/session start-up cost is
   * not attributed to whichever query happens to run first.
   */
 object Bench {
+  private def time(body: => Unit): Double = {
+    val t0 = System.nanoTime()
+    body
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def jsonMap(m: Seq[(String, Double)]): String =
+    m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -34,21 +56,39 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warm-up FAILED (continuing): ${e.getMessage}")
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable =>
-        failures += name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+    // build-once artifacts: paid here, each its own line item
+    graft.queries.LlmOps.resetArtifactCaches()
+    val artifacts = graft.queries.LlmOps.artifactBuilders.toSeq.sortBy(_._1).map {
+      case (name, build) =>
+        name -> time {
+          try build(spark, sfDir)
+          catch { case e: Throwable =>
+            failures += s"artifact:$name"
+            System.err.println(s"[bench] artifact $name FAILED: ${e.getMessage}")
+          }
+        }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val fs = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    // each query twice: cold (first execution of the plan) + warm
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      def once(): Double = time {
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          failures += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+      }
+      val cold = once()
+      val warm = once()
+      (name, cold, warm)
+    }
+    val total = artifacts.map(_._2).sum + results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec"""" +
+        s""","queries":${jsonMap(results.map(r => r._1 -> r._2))}""" +
+        s""","queries_warm":${jsonMap(results.map(r => r._1 -> r._3))}""" +
+        s""","artifacts":${jsonMap(artifacts)}""" +
+        s""","failures":${failures.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
+        s""","sf":"$sfDir"}"""
     println(json)
     // also land the line in a dedicated file so a log-prefixing runner
     // (sbt wraps forked stdout unless outputStrategy passes it through)

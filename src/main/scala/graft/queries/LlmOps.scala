@@ -60,6 +60,25 @@ object LlmOps {
     Dedup.minhashLshPairsCached(s, documents(s, d),
       artifactRoot + "/lsh_pairs/" + d.replaceAll("[^a-zA-Z0-9.]", "_") + "_n3_t08_h24b4")
 
+  /** The build-once artifacts behind the query surface, exposed so a
+    * benchmark can pay each build explicitly (its own line item) instead
+    * of attributing it to whichever consumer query happens to run first —
+    * that attribution shift made round-over-round per-query numbers
+    * incomparable. Building through the same *Cached entry points means a
+    * later query call is a pure cache hit. */
+  def artifactBuilders: Map[String, (SparkSession, String) => Unit] = Map(
+    "lsh_pairs" -> ((s, d) => { lshPairs(s, d); () }),
+    "ivf_index" -> ((s, d) => {
+      val idxPath = artifactRoot + "/ivf_index/" + d.replaceAll("[^a-zA-Z0-9.]", "_")
+      Similarity.ivfBuildIndexCached(s, embeddings(s, d), idxPath, nlist = 16); ()
+    }))
+
+  /** Forget all build-once artifacts (benchmarking only). */
+  def resetArtifactCaches(): Unit = {
+    Dedup.resetArtifactCache()
+    Similarity.resetArtifactCache()
+  }
+
   def xDedupMinhash(s: SparkSession, d: String): DataFrame =
     ordered(lshPairs(s, d), "d1", "d2")
 
