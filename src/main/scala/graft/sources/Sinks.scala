@@ -33,34 +33,52 @@ object Sinks {
 
   /** S7 — dimension upsert store (DimSinkFunction.java:18-70 +
     * TableProcessFunction auto-DDL): Phoenix `UPSERT INTO ... VALUES`
-    * keyed by id becomes latest-write-wins MERGE over a parquet store
-    * PARTITIONED BY dim name (`sinkTable=<name>/` directories).
-    * "Auto-DDL" is schema-on-write; Redis invalidation disappears because
-    * readers broadcast a fresh snapshot per micro-batch (SURVEY.md §4.1
-    * caching row).
+    * keyed by id becomes latest-write-wins MERGE over a versioned parquet
+    * store. "Auto-DDL" is schema-on-write; Redis invalidation disappears
+    * because readers broadcast a fresh snapshot per micro-batch
+    * (SURVEY.md §4.1 caching row).
     *
-    * Scale contract: a micro-batch touching k dim tables reads and
-    * rewrites ONLY those k partitions — dynamic partition overwrite via
-    * Spark's committer, so untouched tables' files are never rewritten.
-    * All path handling goes through the Hadoop `FileSystem` API, so the
-    * store may live on HDFS/S3A/local alike (the old java.io.File
-    * rendering silently reset the store on any non-local URI).
+    * Layout — snapshot-isolated via a manifest pointer:
+    * {{{
+    *   store/
+    *     v=3/sinkTable=dim_user/part-*.parquet   <- immutable once written
+    *     v=7/sinkTable=dim_sku/part-*.parquet
+    *     _LATEST                                 <- "7\ndim_user=3\ndim_sku=7"
+    * }}}
+    * Each merge writes ONLY the touched tables' new snapshots under a
+    * fresh `v=<n>` directory (version dirs are immutable — never
+    * overwritten, never appended), then commits by atomically replacing
+    * the single `_LATEST` manifest file (FileContext.rename with
+    * OVERWRITE — atomic on HDFS and POSIX local). The manifest maps each
+    * dim table to the version directory holding its current snapshot, so:
     *
-    * Consistency caveat, stated honestly: partition replacement is NOT
-    * atomic for a reader that lists a touched partition mid-commit — a
-    * concurrent readDims of the SAME dim table during its overwrite can
-    * see a partial snapshot (untouched tables are unaffected, which is
-    * the common case: readers enrich against dims the batch isn't
-    * rewriting). The reference has the same window (its Phoenix upserts
-    * are row-at-a-time, readers see mid-batch states). Deployments that
-    * need snapshot-isolated dim reads should back the store with a
-    * transactional table format (Delta/Iceberg MERGE) — a jar swap, not
-    * a code change, since readers go through readDims.
+    *   - a reader resolves the manifest once and only ever lists
+    *     fully-committed immutable directories: it sees the whole old
+    *     snapshot or the whole new one, never a mix (the round-2
+    *     read-during-overwrite window is closed);
+    *   - a micro-batch touching k dim tables reads and writes only those
+    *     k tables' data — untouched tables' files are never rewritten;
+    *   - crash before the rename leaves an orphaned version dir and an
+    *     intact store (cleaned up by the next commit's vacuum).
+    *
+    * Vacuum: after the pointer flip, version dirs referenced by neither
+    * the new nor the just-replaced manifest are deleted — one commit of
+    * grace for in-flight readers (freshness contract = batch interval,
+    * same as the reference's per-batch cache). Single writer assumed
+    * (one streaming query's foreachBatch), like the reference's sink.
     *
     * `updates` must carry (sinkTable, pk, data); the store keeps one row
     * per (sinkTable, pk) — the newest by batch sequence.
     */
-  def upsertDims(storePath: String)(updates: DataFrame, batchId: Long): Unit = {
+  def upsertDims(storePath: String)(updates: DataFrame, batchId: Long): Unit =
+    upsertDimsHook(storePath)(updates, batchId)
+
+  /** upsertDims with a test seam: `beforeCommit` runs after the new
+    * version directory is fully written but before the `_LATEST` pointer
+    * flip — exactly the window the atomicity claim is about. */
+  private[graft] def upsertDimsHook(storePath: String,
+                                    beforeCommit: () => Unit = () => ())
+                                   (updates: DataFrame, batchId: Long): Unit = {
     import org.apache.spark.sql.functions._
     val spark = updates.sparkSession
     val incoming = updates.withColumn("batch_seq", lit(batchId))
@@ -69,25 +87,78 @@ object Sinks {
     if (touched.isEmpty) return
     val root = new org.apache.hadoop.fs.Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val merged =
-      if (fs.exists(root)) {
-        // partition-pruned read: only the touched tables' directories
-        val existing = spark.read.option("basePath", storePath)
-          .parquet(storePath)
-          .filter(col("sinkTable").isin(touched: _*))
-        existing.unionByName(incoming, allowMissingColumns = true)
-      } else incoming
-    val latest = merged
+    val manifest = readManifest(fs, root)
+    val newVersion = manifest.map(_._1).getOrElse(0) + 1
+    val oldTables: Map[String, Int] = manifest.map(_._2).getOrElse(Map.empty)
+    // existing rows of the touched tables only, read from their immutable
+    // version dirs (group by version: one pruned scan per distinct dir)
+    val existing = touched.flatMap(t => oldTables.get(t).map(t -> _))
+      .groupMap(_._2)(_._1).toSeq
+      .map { case (ver, tables) =>
+        spark.read.option("basePath", s"$storePath/v=$ver")
+          .parquet(s"$storePath/v=$ver")
+          .filter(col("sinkTable").isin(tables: _*))
+          .select(col("sinkTable").cast("string"), col("pk"), col("data"),
+            col("batch_seq"))
+      }
+    val merged = (existing :+ incoming.select(col("sinkTable"), col("pk"),
+      col("data"), col("batch_seq"))).reduce(_.unionByName(_))
+    merged
       .groupBy(col("sinkTable"), col("pk"))
       .agg(max_by(col("data"), col("batch_seq")).as("data"),
         max(col("batch_seq")).as("batch_seq"))
-      // cut lineage before overwriting the path the plan reads from
-      // (dim partitions are micro-batch-sized by construction)
-      .localCheckpoint(true)
-    latest.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
+      .write.mode(SaveMode.Overwrite)
       .partitionBy("sinkTable")
-      .parquet(storePath)
+      .parquet(s"$storePath/v=$newVersion")
+    beforeCommit()
+    val newTables = oldTables ++ touched.map(_ -> newVersion)
+    commitManifest(fs, root, newVersion, newTables)
+    // vacuum: drop version dirs referenced by neither the new manifest
+    // nor the one just replaced (one-commit grace for in-flight readers)
+    val live = newTables.values.toSet ++ oldTables.values.toSet
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(root, "v=*")))
+      .getOrElse(Array.empty).foreach { st =>
+        val name = st.getPath.getName
+        val ver = scala.util.Try(name.stripPrefix("v=").toInt).toOption
+        if (ver.exists(v => !live.contains(v) && v != newVersion))
+          fs.delete(st.getPath, true)
+      }
+  }
+
+  /** `_LATEST` format: first line = version counter, then one
+    * `table=version` line per dim table. Returns None if absent. */
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+                           root: org.apache.hadoop.fs.Path): Option[(Int, Map[String, Int])] = {
+    val p = new org.apache.hadoop.fs.Path(root, "_LATEST")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val lines = text.linesIterator.filter(_.nonEmpty).toSeq
+      val tables = lines.drop(1).map { l =>
+        val i = l.lastIndexOf('=')
+        l.substring(0, i) -> l.substring(i + 1).toInt
+      }.toMap
+      Some((lines.head.toInt, tables))
+    }
+  }
+
+  private def commitManifest(fs: org.apache.hadoop.fs.FileSystem,
+                             root: org.apache.hadoop.fs.Path, version: Int,
+                             tables: Map[String, Int]): Unit = {
+    val text = (version.toString +: tables.toSeq.sortBy(_._1)
+      .map { case (t, v) => s"$t=$v" }).mkString("\n")
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s"_LATEST.tmp.${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // single-file rename with OVERWRITE: the atomic pointer flip
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      root.toUri, fs.getConf)
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(root, "_LATEST"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** FT2 — exactly-once micro-batch sink for file/table targets. Each
@@ -109,11 +180,26 @@ object Sinks {
   }
 
   /** Read the current dim snapshot (broadcast by callers per micro-batch —
-    * the cache layer of the reference, freshness = batch interval). The
-    * sinkTable filter prunes to one partition directory. */
+    * the cache layer of the reference, freshness = batch interval).
+    * Resolves the `_LATEST` manifest once, then reads only the one
+    * immutable version directory holding `sinkTable`'s snapshot — a
+    * concurrent upsertDims can never make this read see a mix. */
   def readDims(spark: org.apache.spark.sql.SparkSession, storePath: String,
                sinkTable: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.read.parquet(storePath).filter(col("sinkTable") === sinkTable)
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readManifest(fs, root).flatMap(_._2.get(sinkTable)) match {
+      case Some(ver) =>
+        spark.read.option("basePath", s"$storePath/v=$ver")
+          .parquet(s"$storePath/v=$ver")
+          .filter(col("sinkTable") === sinkTable)
+      case None =>
+        spark.emptyDataFrame
+          .withColumn("sinkTable", lit(null).cast("string"))
+          .withColumn("pk", lit(null).cast("string"))
+          .withColumn("data", lit(null).cast("map<string,string>"))
+          .withColumn("batch_seq", lit(null).cast("long"))
+    }
   }
 }

@@ -56,28 +56,57 @@ class FunctionsSpec extends SparkSpec {
     assert(graft.sources.Sinks.readDims(spark, dir, "dim_sku").count() == 1)
   }
 
-  test("S7 upsert to one dim table leaves other tables' partition files untouched") {
+  test("S7 upsert to one dim table leaves other tables' snapshot files untouched") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("dims_part").toString + "/store"
     def batch(rows: (String, String, Map[String, String])*) =
       rows.toSeq.toDF("sinkTable", "pk", "data")
     graft.sources.Sinks.upsertDims(dir)(
       batch(("dim_user", "1", Map("name" -> "ann")), ("dim_sku", "9", Map("p" -> "x"))), 0L)
+    // dim_sku's snapshot lives in an immutable v=N/sinkTable=dim_sku dir
     def skuFiles(): Map[String, Long] = {
-      val p = new java.io.File(dir, "sinkTable=dim_sku")
-      assert(p.isDirectory, "partitioned layout: one directory per dim table")
-      p.listFiles().filter(_.getName.endsWith(".parquet"))
-        .map(f => f.getName -> f.lastModified()).toMap
+      val dirs = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("v="))
+        .map(v => new java.io.File(v, "sinkTable=dim_sku")).filter(_.isDirectory)
+      assert(dirs.length == 1, "exactly one live dim_sku snapshot dir")
+      dirs.head.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.lastModified()).toMap
     }
     val before = skuFiles()
     assert(before.nonEmpty)
     graft.sources.Sinks.upsertDims(dir)(
       batch(("dim_user", "1", Map("name" -> "ann2"))), 1L)
-    assert(skuFiles() == before, "untouched partition was rewritten")
+    assert(skuFiles() == before, "untouched table's snapshot was rewritten")
     val users = graft.sources.Sinks.readDims(spark, dir, "dim_user")
       .select($"pk", element_at($"data", "name")).as[(String, String)].collect().toMap
     assert(users == Map("1" -> "ann2"))
     assert(graft.sources.Sinks.readDims(spark, dir, "dim_sku").count() == 1)
+  }
+
+  test("S7 snapshot isolation: a reader mid-commit sees old or new, never a mix") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dims_atomic").toString + "/store"
+    def batch(rows: (String, String, Map[String, String])*) =
+      rows.toSeq.toDF("sinkTable", "pk", "data")
+    def snapshot(): Map[String, String] =
+      graft.sources.Sinks.readDims(spark, dir, "dim_user")
+        .select($"pk", element_at($"data", "name")).as[(String, String)].collect().toMap
+    graft.sources.Sinks.upsertDims(dir)(
+      batch(("dim_user", "1", Map("name" -> "ann")), ("dim_user", "2", Map("name" -> "bo"))), 0L)
+    val old = snapshot()
+    assert(old == Map("1" -> "ann", "2" -> "bo"))
+    // the seam fires after the new version dir is fully written but
+    // before the _LATEST pointer flip — the exact window the old dynamic
+    // partition overwrite could expose a partial snapshot in
+    var midCommit: Map[String, String] = null
+    graft.sources.Sinks.upsertDimsHook(dir, () => { midCommit = snapshot() })(
+      batch(("dim_user", "1", Map("name" -> "ann2")), ("dim_user", "3", Map("name" -> "cy"))), 1L)
+    assert(midCommit == old, s"mid-commit reader saw a mixed snapshot: $midCommit")
+    assert(snapshot() == Map("1" -> "ann2", "2" -> "bo", "3" -> "cy"))
+    // vacuum keeps the just-replaced version (grace for in-flight readers)
+    val vdirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v=")).map(_.getName).toSet
+    assert(vdirs == Set("v=1", "v=2"), s"unexpected version dirs: $vdirs")
   }
 
   test("FT2 idempotent batch sink: a replayed batch id is a no-op, new ids append") {
