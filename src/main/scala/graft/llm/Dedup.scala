@@ -175,15 +175,20 @@ object Dedup {
     * out so an eager builder can persist `g` for the build's duration
     * (the plan consumes the gram table four times: signatures, sizes,
     * and both sides of the verification join). */
+  private val lshPrime = 4294967311L // prime > 2^32
+
+  /** minhash_j = min over grams of (a_j*h + b_j) mod p — md5-derived
+    * universal hashing, identical in batch and streaming paths. */
+  private def sigAggCols(numHashes: Int): Seq[Column] =
+    (0 until numHashes).map { j =>
+      min(pmod(col("h") * (2 * j + 1) + (7919L * j + 12345L), lit(lshPrime))).as(s"sig_$j")
+    }
+
   private def minhashLshPairsFromGrams(g: DataFrame, threshold: Double,
                                        numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
-    val p = 4294967311L // prime > 2^32
-    // minhash_j = min over grams of (a_j*h + b_j) mod p
-    val sigCols = (0 until numHashes).map { j =>
-      min(pmod(col("h") * (2 * j + 1) + (7919L * j + 12345L), lit(p))).as(s"sig_$j")
-    }
+    val sigCols = sigAggCols(numHashes)
     val sigs = g.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
     val bandDf = (0 until bands).map { k =>
       sigs.select(col("doc_id"), lit(k).as("band"),
@@ -235,6 +240,92 @@ object Dedup {
       cachePath
     })
     spark.read.parquet(cachePath)
+  }
+
+  /** MinHash signature table: one row per doc, `sigs` = array of
+    * `numHashes` minhashes — the linear-size sketch the streaming ingest
+    * persists (grams are discarded; a doc's dedup state is 24 longs). */
+  def minhashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 24): DataFrame = {
+    val g = shingles(docs, n).withColumn("h", h32(col("gram")))
+    val cols = sigAggCols(numHashes)
+    g.groupBy("doc_id").agg(cols.head, cols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(j => col(s"sig_$j")): _*).as("sigs"))
+  }
+
+  /** LSH band keys from a signature table: `bands` rows per doc, key =
+    * band index + that band's signature slice. */
+  def bandKeys(sigs: DataFrame, numHashes: Int = 24, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    (0 until bands).map { k =>
+      sigs.select(col("doc_id"), concat_ws("|", lit(k),
+        concat_ws("_", (0 until rows).map(r => col("sigs")(k * rows + r)): _*)).as("bk"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Streaming near-dup INGEST — the incremental face of minhashLshPairs,
+    * completing the two-tier dedup contract past exact hashes (tier 1 =
+    * exactStreamingDedup; batch compaction = tier 2).
+    *
+    * Per micro-batch (use from `writeStream.foreachBatch`):
+    *   1. new docs' MinHash signatures are computed in the batch;
+    *   2. their band keys join the PERSISTED signature artifact's band
+    *     keys (history never recomputes signatures — the artifact IS the
+    *     state, and it grows linearly: 24 longs per doc ever ingested);
+    *   3. band-collision candidates (new-vs-history and new-vs-new) are
+    *     verified by signature agreement — `est_jaccard` = fraction of
+    *     matching minhashes, the standard unbiased Jaccard estimator —
+    *     and matches land in `<dir>/matches`;
+    *   4. the new signatures append to `<dir>/sigs`.
+    * Both writes go through batch-id-keyed idempotent commits
+    * (Sinks.idempotentBatchSink), so a replayed micro-batch is a no-op:
+    * exactly-once on both the match log and the artifact.
+    *
+    * 100 TB shape: the only join is band-key equality against a
+    * linearly-growing sketch table (shuffle on content-derived band
+    * keys, same as the batch path); exact-Jaccard re-verification of the
+    * match log belongs to the downstream batch compaction, which still
+    * has the full corpus. Seed the artifact by pushing the existing
+    * corpus through as the first micro-batch. `doc_id` must be globally
+    * unique across batches (ingest contract). */
+  def lshIngestBatch(artifactDir: String, n: Int = 3, numHashes: Int = 24,
+                     bands: Int = 4, minAgreement: Double = 0.7)
+                    (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val sigsPath = s"$artifactDir/sigs"
+    // computed once, consumed three times (bands, verify, append): a
+    // micro-batch's signatures are small — persist beats recompute here
+    val newSigs = minhashSignatures(batch.select("doc_id", "text"), n, numHashes)
+      .localCheckpoint(true)
+    if (newSigs.isEmpty) return
+    val fs = new org.apache.hadoop.fs.Path(sigsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hist =
+      if (fs.exists(new org.apache.hadoop.fs.Path(sigsPath)))
+        Some(spark.read.parquet(sigsPath).select("doc_id", "sigs"))
+      else None
+    val nb = bandKeys(newSigs, numHashes, bands)
+    val candNew = coGroupedPairs(nb, "bk", "doc_id").distinct()
+    val cand = hist match {
+      case Some(h) =>
+        val hb = bandKeys(h, numHashes, bands)
+        val candHist = nb.join(hb.select(col("doc_id").as("d1"), col("bk")), Seq("bk"))
+          .select(col("d1"), col("doc_id").as("d2")).distinct()
+        candHist.unionByName(candNew).distinct()
+      case None => candNew
+    }
+    val allSigs = hist.map(_.unionByName(newSigs)).getOrElse(newSigs)
+    val matches = cand
+      .join(allSigs.select(col("doc_id").as("d1"), col("sigs").as("s1")), Seq("d1"))
+      .join(allSigs.select(col("doc_id").as("d2"), col("sigs").as("s2")), Seq("d2"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("s1"), col("s2"), (a, b) => a === b),
+          x => x)) / lit(numHashes.toDouble))
+      .filter(col("est_jaccard") >= minAgreement)
+      .select("d1", "d2", "est_jaccard")
+    graft.sources.Sinks.idempotentBatchSink(s"$artifactDir/matches")(matches, batchId)
+    graft.sources.Sinks.idempotentBatchSink(sigsPath)(newSigs, batchId)
   }
 
   /** 60-bit SimHash fingerprint per document (distinct-token hashing,

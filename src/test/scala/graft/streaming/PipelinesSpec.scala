@@ -164,6 +164,41 @@ class PipelinesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LSH ingest: batch-2 near-dup of a batch-1 doc caught, artifact grows linearly") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("lsh_ingest").toString
+    val base = "the quick brown fox jumps over the lazy dog and then runs far away into the quiet woods tonight"
+    val nearDup = base.replace("tonight", "today") // high shingle overlap
+    val unrelated1 = "completely different subject matter about spark sql physical planning and shuffle exchanges"
+    val unrelated2 = "yet another unrelated document mentioning database storage formats and columnar encodings"
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(graft.llm.Dedup.lshIngestBatch(s"$dir/artifact") _)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      mem.addData((1L, base), (2L, unrelated1))
+      q.processAllAvailable()
+      mem.addData((3L, nearDup), (4L, unrelated2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val matches = spark.read.parquet(s"$dir/artifact/matches")
+      .select($"d1", $"d2", $"est_jaccard").as[(Long, Long, Double)].collect().toSeq
+    assert(matches.map(m => (m._1, m._2)) == Seq((1L, 3L)),
+      s"expected exactly the cross-batch near-dup pair, got $matches")
+    assert(matches.head._3 >= 0.7)
+    // artifact growth is linear: one signature row per ingested doc,
+    // partitioned by the batch that ingested it
+    val sigs = spark.read.parquet(s"$dir/artifact/sigs")
+    assert(sigs.count() == 4)
+    assert(sigs.select($"batch_id".cast("long")).distinct().as[Long].collect().toSet == Set(0L, 1L))
+    // a replayed micro-batch (restart re-running the last epoch) is a no-op
+    graft.llm.Dedup.lshIngestBatch(s"$dir/artifact")(
+      Seq((3L, nearDup), (4L, unrelated2)).toDF("doc_id", "text"), 1L)
+    assert(spark.read.parquet(s"$dir/artifact/sigs").count() == 4)
+    assert(spark.read.parquet(s"$dir/artifact/matches").count() == 1)
+  }
+
   test("dim enrichment uses broadcast joins (plan check) and fills dim columns") {
     val li = graft.Tables.lineitem(spark, sf("sf0.001")).limit(100)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
