@@ -131,6 +131,46 @@ object LlmOps {
       "vec_id")
   }
 
+  /** Approximation quality, surfaced in the gate: per probe query,
+    * recall@10 vs brute-force exact top-10 for BOTH approximate paths.
+    * The ANN queries hash-match their approximate oracles (determinism),
+    * but determinism alone would also pass for a useless index — this
+    * query makes the driver see approximation quality itself.
+    *
+    *  - `ivf_nprobe4`: the served IVF configuration (x_ann_ivf). On the
+    *    synthetic embeddings — isotropic random, avg pairwise cos ≈ 0.003,
+    *    i.e. NO cluster structure — any partition-pruned method's recall
+    *    is bounded by its scan fraction (nprobe/nlist = 0.25 here); the
+    *    observed ≈0.5 is that bound plus the mild probe/assignment
+    *    correlation. On clustered corpora the same config sits far left
+    *    of this curve (LlmSpec's planted-cluster spec proves ≥ 0.9).
+    *  - `sketch_rerank`: the sketch-prefilter + exact-rerank path, whose
+    *    first pass touches every row (only the short sketch column) —
+    *    the honest ≥ 0.9-recall configuration for unstructured data,
+    *    asserted in-gate via LlmSpec at sf0.01. */
+  def xAnnRecall(s: SparkSession, d: String): DataFrame = {
+    val vecs = embeddings(s, d)
+    val probesDf = vecs.filter(col("vec_id") < 8)
+    val idxPath = artifactRoot + "/ivf_index/" + d.replaceAll("[^a-zA-Z0-9.]", "_")
+    val seeds = Similarity.ivfBuildIndexCached(s, vecs, idxPath, nlist = 16)
+    val exact = xAnnTopk(s, d).select(col("query_id"), col("nn_id"))
+    def recallOf(method: String, approx: DataFrame): DataFrame = {
+      val hits = approx.select(col("query_id"), col("nn_id"))
+        .join(exact, Seq("query_id", "nn_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      exact.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left_outer")
+        .select(col("query_id"), lit(method).as("method"),
+          (coalesce(col("n_hits"), lit(0L)) / 10.0).as("recall_at_10"))
+    }
+    ordered(
+      recallOf("ivf_nprobe4",
+          Similarity.ivfProbeIndex(s, idxPath, seeds, probesDf, k = 10, nprobe = 4))
+        .unionByName(recallOf("sketch_rerank",
+          Similarity.sketchRerankTopK(vecs, probesDf, k = 10))),
+      "query_id", "method")
+  }
+
   /** Dedup APPLIED: the near-dup pairs become an actual corpus filter —
     * the later (greater doc_id) member of every >=0.8 pair is dropped,
     * the canonical earlier one kept. One left-anti join against the
@@ -187,6 +227,7 @@ object LlmOps {
     "x_ann_topk"          -> (xAnnTopk _),
     "x_ann_ivf"           -> (xAnnIvf _),
     "x_ann_nn_join"       -> (xAnnNnJoin _),
+    "x_ann_recall"        -> ((s: SparkSession, d: String) => xAnnRecall(s, d)),
     "x_dedup_apply"       -> (xDedupApply _),
     "x_corpus_pipeline"   -> (xCorpusPipeline _),
     "x_multimodal"        -> (xMultimodal _))
@@ -357,6 +398,61 @@ object LlmOps {
         |  FROM scored)
         |SELECT query_id, rank, nn_id, cos_sim FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    "x_ann_recall" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |seeds AS (
+        |  SELECT e AS se,
+        |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster
+        |  FROM c ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |assign AS (
+        |  SELECT vec_id, cluster, e FROM (
+        |    SELECT c.vec_id, s.cluster, c.e,
+        |           row_number() OVER (PARTITION BY c.vec_id
+        |             ORDER BY round(list_cosine_similarity(c.e, s.se), 6) DESC, s.cluster) AS rn
+        |    FROM c CROSS JOIN seeds s) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, e AS qe FROM c WHERE vec_id < 8),
+        |probes AS (
+        |  SELECT query_id, qe, cluster FROM (
+        |    SELECT q.query_id, q.qe, s.cluster,
+        |           row_number() OVER (PARTITION BY q.query_id
+        |             ORDER BY round(list_cosine_similarity(q.qe, s.se), 6) DESC, s.cluster) AS rn
+        |    FROM q CROSS JOIN seeds s) WHERE rn <= 4),
+        |iscored AS (
+        |  SELECT p.query_id, a.vec_id AS nn_id,
+        |         round(list_cosine_similarity(p.qe, a.e), 6) AS cos_sim
+        |  FROM probes p JOIN assign a USING (cluster)
+        |  WHERE a.vec_id <> p.query_id),
+        |ivf AS (
+        |  SELECT query_id, nn_id FROM iscored
+        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, nn_id) <= 10),
+        |sketch AS (
+        |  SELECT query_id, c2.vec_id AS nn_id, qe, c2.e AS ce
+        |  FROM q JOIN c c2 ON c2.vec_id <> query_id
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY round(list_cosine_similarity(qe[1:48], c2.e[1:48]), 6) DESC, c2.vec_id) <= 75),
+        |rerank AS (
+        |  SELECT query_id, nn_id FROM sketch
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY round(list_cosine_similarity(qe, ce), 6) DESC, nn_id) <= 10),
+        |bscored AS (
+        |  SELECT query_id, c2.vec_id AS nn_id,
+        |         round(list_cosine_similarity(qe, c2.e), 6) AS cos_sim
+        |  FROM q JOIN c c2 ON c2.vec_id <> query_id),
+        |brute AS (
+        |  SELECT query_id, nn_id FROM bscored
+        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, nn_id) <= 10),
+        |methods AS (
+        |  SELECT 'ivf_nprobe4' AS method, query_id, nn_id FROM ivf
+        |  UNION ALL
+        |  SELECT 'sketch_rerank' AS method, query_id, nn_id FROM rerank),
+        |hit AS (
+        |  SELECT m.method AS hmethod, m.query_id AS hquery_id, count(*) AS n
+        |  FROM methods m JOIN brute b ON m.query_id = b.query_id AND m.nn_id = b.nn_id
+        |  GROUP BY 1, 2)
+        |SELECT q.query_id, t.method, coalesce(n, 0) / 10.0 AS recall_at_10
+        |FROM q CROSS JOIN (SELECT DISTINCT method FROM methods) t
+        |LEFT JOIN hit ON q.query_id = hquery_id AND t.method = hmethod
+        |ORDER BY query_id, method""".stripMargin,
     "x_ann_nn_join" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |seeds AS (

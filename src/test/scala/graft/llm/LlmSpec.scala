@@ -165,6 +165,23 @@ class LlmSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("in-gate ANN recall@10 at sf0.01: sketch-rerank >= 0.9 per query; IVF above its scan-fraction bound") {
+    import spark.implicits._
+    val recalls = graft.queries.LlmOps.xAnnRecall(spark, sf("sf0.01"))
+      .select(col("query_id").cast("long"), col("method"), col("recall_at_10"))
+      .as[(Long, String, Double)].collect()
+    val byMethod = recalls.groupBy(_._2)
+    assert(byMethod.keySet == Set("ivf_nprobe4", "sketch_rerank"))
+    assert(byMethod.values.forall(_.length == 8))
+    // the honest high-recall path on unstructured data: every probe query
+    val sk = byMethod("sketch_rerank").map(_._3)
+    assert(sk.min >= 0.9, s"sketch_rerank recall degraded: ${sk.toSeq}")
+    // IVF on structureless embeddings is bounded by scan fraction
+    // (nprobe/nlist = 0.25); it must at least clear that bound on average
+    val ivf = byMethod("ivf_nprobe4").map(_._3)
+    assert(ivf.sum / ivf.length >= 0.25, s"IVF below scan-fraction bound: ${ivf.toSeq}")
+  }
+
   test("exact dedup groups identical normalized text") {
     import spark.implicits._
     val docs = Seq((1L, "Hello World"), (2L, "hello world"), (3L, "other"))
