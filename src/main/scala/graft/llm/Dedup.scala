@@ -81,6 +81,37 @@ object Dedup {
     coldPairs.unionByName(hotPairs)
   }
 
+  /** coGroupedPairs generalized to carry a per-id payload column through
+    * the pair emission — (d1, d2, p1, p2) — so consumers that need both
+    * members' attributes (simhash fingerprints) avoid re-joining the
+    * attribute table onto the pair set twice. Same hot/cold routing:
+    * sparse keys pay one shuffle (grouped list -> i<j explosion), keys
+    * with posting lists over `maxListSize` fall back to the distributed
+    * self-join. */
+  private[llm] def coGroupedPairsWithPayload(df: DataFrame, key: String, id: String,
+                                             payload: String,
+                                             maxListSize: Int = 4096): DataFrame = {
+    val hotKeys = df.groupBy(col(key)).agg(count(lit(1)).as("__kct"))
+      .filter(col("__kct") > maxListSize).select(col(key))
+    val cold = df.join(broadcast(hotKeys), Seq(key), "left_anti")
+    val hot = df.join(broadcast(hotKeys), Seq(key), "left_semi")
+    val coldPairs = cold.groupBy(col(key))
+      .agg(sort_array(collect_list(struct(col(id), col(payload)))).as("items"))
+      .filter(size(col("items")) > 1)
+      .select(explode(transform(sequence(lit(0), size(col("items")) - 2), i =>
+        struct(col("items")(i).as("a"),
+          slice(col("items"), i + 2, size(col("items"))).as("rest")))).as("x"))
+      .select(col("x.a").getField(id).as("d1"), col("x.a").getField(payload).as("p1"),
+        explode(col("x.rest")).as("y"))
+      .select(col("d1"), col("y").getField(id).as("d2"),
+        col("p1"), col("y").getField(payload).as("p2"))
+    val hotPairs = hot.as("x").join(hot.as("y"),
+        col(s"x.$key") === col(s"y.$key") && col(s"x.$id") < col(s"y.$id"))
+      .select(col(s"x.$id").as("d1"), col(s"y.$id").as("d2"),
+        col(s"x.$payload").as("p1"), col(s"y.$payload").as("p2"))
+    coldPairs.unionByName(hotPairs)
+  }
+
   /** 32-bit gram hash via md5 prefix — deterministic across engines. */
   private def h32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
   /** 60-bit token hash (15 hex digits keeps it inside signed int64). */
@@ -344,23 +375,30 @@ object Dedup {
     * found via 4-band prefix bucketing — EXACT for maxDist 3 by
     * pigeonhole (<=3 differing bits across 4 disjoint 15-bit bands leave
     * at least one band identical), while only ever joining within
-    * buckets: this is the 100 TB plan. */
-  def simhashNearPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    * buckets: this is the 100 TB plan.
+    *
+    * Bucket routing is the hot/cold hybrid: most 15-bit-prefix buckets
+    * are sparse (a handful of docs) and pay the single-shuffle grouped
+    * pair emission; buckets denser than the posting-list guard — similar
+    * fingerprints share prefixes, so near-dup-heavy corpora concentrate
+    * there — fall back to the distributed self-join, spreading their
+    * quadratic fan-out across tasks. Fingerprints ride the pair emission
+    * as payloads, so no re-join against the fingerprint table. */
+  def simhashNearPairs(docs: DataFrame, maxDist: Int = 3,
+                       maxListSize: Int = 4096): DataFrame = {
     require(maxDist <= 3, "4-band bucketing is only complete for hamming <= 3")
-    val sh = simhash(docs)
+    // the guard topology consumes the fingerprint table four ways
+    // (hot-key count, anti, and both semi sides); it is one long per doc
+    // — materialize once instead of re-running the token aggregation
+    val sh = simhash(docs).localCheckpoint(true)
     val bandDf = (0 until 4).map { k =>
-      sh.select(col("doc_id"), col("simhash"), lit(k).as("band"),
-        expr(s"shiftright(simhash, ${k * 15}) & 32767").as("bkey"))
+      // numeric band key: band index packed above the 15 prefix bits
+      sh.select(col("doc_id"), col("simhash"),
+        expr(s"(${k.toLong << 15}) | (shiftright(simhash, ${k * 15}) & 32767)").as("bk"))
     }.reduce(_ unionByName _)
-    // NOTE: simhash buckets are DENSE on near-dup-heavy corpora (similar
-    // fingerprints share prefixes), so the per-key pair-list emission used
-    // for sparse gram keys serializes hot buckets into single tasks; the
-    // self-join spreads the quadratic fan-out across the cluster instead.
-    bandDf.as("x").join(bandDf.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-        bit_count(expr("x.simhash ^ y.simhash")).cast("long").as("hamming"))
+    coGroupedPairsWithPayload(bandDf, "bk", "doc_id", "simhash", maxListSize)
+      .select(col("d1"), col("d2"),
+        bit_count(expr("p1 ^ p2")).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
   }

@@ -69,8 +69,8 @@ object ScaleProbe {
 
     val probes = Seq("q1_agg", "j1_interval_join", "j3_dim_enrich", "a1_product_stats",
       "st1_is_new", "st3_bounce", "a4_keyword_stats", "x_dedup_exact",
-      "x_dedup_ngram", "x_dedup_minhash", "x_dedup_apply", "x_corpus_pipeline",
-      "x_text_quality")
+      "x_dedup_ngram", "x_dedup_minhash", "x_dedup_simhash", "x_dedup_apply",
+      "x_corpus_pipeline", "x_text_quality")
     // warm-up
     graft.Tables.lineitem(spark, out).count()
     val results = probes.map { name =>

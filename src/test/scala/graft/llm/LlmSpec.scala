@@ -48,6 +48,17 @@ class LlmSpec extends SparkSpec {
     assert(viaSelfJoin.nonEmpty && viaSelfJoin == viaLists)
   }
 
+  test("simhash hot/cold hybrid: forced self-join routing equals the sparse-bucket path") {
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    def pairSet(maxList: Int) = Dedup.simhashNearPairs(docs, 3, maxList)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // threshold 1 forces every bucket through the distributed self-join;
+    // a huge threshold keeps every bucket on the single-shuffle list path
+    val viaSelfJoin = pairSet(1)
+    val viaLists = pairSet(Int.MaxValue)
+    assert(viaSelfJoin.nonEmpty && viaSelfJoin == viaLists)
+  }
+
   test("prefix-filtered jaccard candidates agree with the direct path (sf0.001)") {
     val docs = graft.Tables.documents(spark, sf("sf0.001"))
     def pairs(pf: Boolean) = Dedup.ngramJaccardPairs(docs, 3, 0.8, prefixFilter = pf)
