@@ -63,12 +63,21 @@ object Dedup {
     * pair VOLUME is inherent either way — the guard removes the
     * single-task materialization, not the work; df-cut hot keys first
     * (see maxDocFreq) when approximation is acceptable. */
-  private[llm] def coGroupedPairs(df: DataFrame, key: String, id: String,
-                                  maxListSize: Int = 4096): DataFrame = {
+  /** Shared hot/cold routing: keys with posting lists over `maxListSize`
+    * go hot (distributed self-join), the rest cold (grouped emission).
+    * The ONE place the guard condition lives — both pair emitters below
+    * route through it, so a guard change cannot diverge them. */
+  private def splitHotCold(df: DataFrame, key: String,
+                           maxListSize: Int): (DataFrame, DataFrame) = {
     val hotKeys = df.groupBy(col(key)).agg(count(lit(1)).as("__kct"))
       .filter(col("__kct") > maxListSize).select(col(key))
-    val cold = df.join(broadcast(hotKeys), Seq(key), "left_anti")
-    val hot = df.join(broadcast(hotKeys), Seq(key), "left_semi")
+    (df.join(broadcast(hotKeys), Seq(key), "left_anti"),
+      df.join(broadcast(hotKeys), Seq(key), "left_semi"))
+  }
+
+  private[llm] def coGroupedPairs(df: DataFrame, key: String, id: String,
+                                  maxListSize: Int = 4096): DataFrame = {
+    val (cold, hot) = splitHotCold(df, key, maxListSize)
     val coldPairs = cold.groupBy(col(key)).agg(sort_array(collect_list(col(id))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(transform(sequence(lit(0), size(col("ids")) - 2), i =>
@@ -91,10 +100,7 @@ object Dedup {
   private[llm] def coGroupedPairsWithPayload(df: DataFrame, key: String, id: String,
                                              payload: String,
                                              maxListSize: Int = 4096): DataFrame = {
-    val hotKeys = df.groupBy(col(key)).agg(count(lit(1)).as("__kct"))
-      .filter(col("__kct") > maxListSize).select(col(key))
-    val cold = df.join(broadcast(hotKeys), Seq(key), "left_anti")
-    val hot = df.join(broadcast(hotKeys), Seq(key), "left_semi")
+    val (cold, hot) = splitHotCold(df, key, maxListSize)
     val coldPairs = cold.groupBy(col(key))
       .agg(sort_array(collect_list(struct(col(id), col(payload)))).as("items"))
       .filter(size(col("items")) > 1)
@@ -285,12 +291,14 @@ object Dedup {
   }
 
   /** LSH band keys from a signature table: `bands` rows per doc, key =
-    * band index + that band's signature slice. */
+    * band index + that band's signature slice. The `sigs` array rides
+    * along so a band-key join already carries both members' signatures
+    * (no second scan of the signature table for verification). */
   def bandKeys(sigs: DataFrame, numHashes: Int = 24, bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
     (0 until bands).map { k =>
-      sigs.select(col("doc_id"), concat_ws("|", lit(k),
+      sigs.select(col("doc_id"), col("sigs"), concat_ws("|", lit(k),
         concat_ws("_", (0 until rows).map(r => col("sigs")(k * rows + r)): _*)).as("bk"))
     }.reduce(_ unionByName _)
   }
@@ -332,24 +340,31 @@ object Dedup {
     if (newSigs.isEmpty) return
     val fs = new org.apache.hadoop.fs.Path(sigsPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hist =
-      if (fs.exists(new org.apache.hadoop.fs.Path(sigsPath)))
-        Some(spark.read.parquet(sigsPath).select("doc_id", "sigs"))
-      else None
+    // signatures ride the band keys, so candidates come out of the band
+    // join already carrying both members' sigs: the history artifact is
+    // scanned exactly ONCE per micro-batch, and verification needs no
+    // further join. Pairs are canonically ordered d1 < d2 (same contract
+    // as every batch pair emitter — downstream compaction drops d2).
     val nb = bandKeys(newSigs, numHashes, bands)
-    val candNew = coGroupedPairs(nb, "bk", "doc_id").distinct()
-    val cand = hist match {
-      case Some(h) =>
-        val hb = bandKeys(h, numHashes, bands)
-        val candHist = nb.join(hb.select(col("doc_id").as("d1"), col("bk")), Seq("bk"))
-          .select(col("d1"), col("doc_id").as("d2")).distinct()
-        candHist.unionByName(candNew).distinct()
-      case None => candNew
-    }
-    val allSigs = hist.map(_.unionByName(newSigs)).getOrElse(newSigs)
-    val matches = cand
-      .join(allSigs.select(col("doc_id").as("d1"), col("sigs").as("s1")), Seq("d1"))
-      .join(allSigs.select(col("doc_id").as("d2"), col("sigs").as("s2")), Seq("d2"))
+    val candNew = coGroupedPairsWithPayload(nb, "bk", "doc_id", "sigs")
+      .select(col("d1"), col("d2"), col("p1").as("s1"), col("p2").as("s2"))
+    val cand =
+      if (fs.exists(new org.apache.hadoop.fs.Path(sigsPath))) {
+        val hb = bandKeys(spark.read.parquet(sigsPath).select("doc_id", "sigs"),
+          numHashes, bands)
+        val hFirst = col("hid") < col("doc_id")
+        val candHist = nb
+          .join(hb.select(col("bk"), col("doc_id").as("hid"), col("sigs").as("hsigs")),
+            Seq("bk"))
+          .filter(col("hid") =!= col("doc_id")) // replay safety: own sigs already landed
+          .select(
+            when(hFirst, col("hid")).otherwise(col("doc_id")).as("d1"),
+            when(hFirst, col("doc_id")).otherwise(col("hid")).as("d2"),
+            when(hFirst, col("hsigs")).otherwise(col("sigs")).as("s1"),
+            when(hFirst, col("sigs")).otherwise(col("hsigs")).as("s2"))
+        candNew.unionByName(candHist)
+      } else candNew
+    val matches = cand.dropDuplicates("d1", "d2")
       .withColumn("est_jaccard",
         size(filter(zip_with(col("s1"), col("s2"), (a, b) => a === b),
           x => x)) / lit(numHashes.toDouble))

@@ -49,7 +49,9 @@ object Sinks {
     * fresh `v=<n>` directory (version dirs are immutable — never
     * overwritten, never appended), then commits by atomically replacing
     * the single `_LATEST` manifest file (FileContext.rename with
-    * OVERWRITE — atomic on HDFS and POSIX local). The manifest maps each
+    * OVERWRITE on HDFS/local; a direct single-object PUT on stores
+    * without an AbstractFileSystem binding — see commitManifest). The
+    * manifest maps each
     * dim table to the version directory holding its current snapshot, so:
     *
     *   - a reader resolves the manifest once and only ever lists
@@ -151,14 +153,27 @@ object Sinks {
       .map { case (t, v) => s"$t=$v" }).mkString("\n")
     val tmp = new org.apache.hadoop.fs.Path(root,
       s"_LATEST.tmp.${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, true)
-    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    // single-file rename with OVERWRITE: the atomic pointer flip
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      root.toUri, fs.getConf)
-    fc.rename(tmp, new org.apache.hadoop.fs.Path(root, "_LATEST"),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val latest = new org.apache.hadoop.fs.Path(root, "_LATEST")
+    // Two commit strategies, both atomic for readers on their store:
+    //  - HDFS/local: write tmp, single-file rename with OVERWRITE
+    //    (FileContext.rename is atomic there);
+    //  - object stores without an AbstractFileSystem binding (S3A et al,
+    //    where rename is a copy anyway): write _LATEST directly — a
+    //    single-object PUT is all-or-nothing on S3, so a reader sees the
+    //    whole old or whole new manifest, never a torn write.
+    val fc = scala.util.Try(
+      org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, fs.getConf))
+    fc match {
+      case scala.util.Success(ctx) =>
+        val out = fs.create(tmp, true)
+        try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        ctx.rename(tmp, latest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      case scala.util.Failure(_) =>
+        val out = fs.create(latest, true)
+        try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+    }
   }
 
   /** FT2 — exactly-once micro-batch sink for file/table targets. Each
@@ -189,17 +204,23 @@ object Sinks {
     import org.apache.spark.sql.functions._
     val root = new org.apache.hadoop.fs.Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    readManifest(fs, root).flatMap(_._2.get(sinkTable)) match {
-      case Some(ver) =>
-        spark.read.option("basePath", s"$storePath/v=$ver")
-          .parquet(s"$storePath/v=$ver")
-          .filter(col("sinkTable") === sinkTable)
+    // a legitimate store ALWAYS has a manifest (upsertDims commits it
+    // with the first version dir), so its absence is a misconfigured
+    // path or a corrupt store — fail loudly, like the pre-manifest
+    // reader did on a missing parquet path
+    val (_, tables) = readManifest(fs, root).getOrElse(throw new IllegalStateException(
+      s"dim store at $storePath has no _LATEST manifest (wrong path, or never written)"))
+    def readVersion(ver: Int) =
+      spark.read.option("basePath", s"$storePath/v=$ver")
+        .parquet(s"$storePath/v=$ver")
+        .filter(col("sinkTable") === sinkTable)
+    tables.get(sinkTable) match {
+      case Some(ver) => readVersion(ver)
       case None =>
-        spark.emptyDataFrame
-          .withColumn("sinkTable", lit(null).cast("string"))
-          .withColumn("pk", lit(null).cast("string"))
-          .withColumn("data", lit(null).cast("map<string,string>"))
-          .withColumn("batch_seq", lit(null).cast("long"))
+        // dim table not (yet) written: empty result with the STORE'S
+        // schema (any live version dir carries it — schema-on-write
+        // means we cannot invent one)
+        readVersion(tables.values.max)
     }
   }
 }

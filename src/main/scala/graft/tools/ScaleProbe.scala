@@ -69,8 +69,14 @@ object ScaleProbe {
 
     val probes = Seq("q1_agg", "j1_interval_join", "j3_dim_enrich", "a1_product_stats",
       "st1_is_new", "st3_bounce", "a4_keyword_stats", "x_dedup_exact",
-      "x_dedup_ngram", "x_dedup_minhash", "x_dedup_simhash", "x_dedup_apply",
+      "x_dedup_ngram", "x_dedup_minhash", "x_dedup_apply",
       "x_corpus_pipeline", "x_text_quality")
+    // x_dedup_simhash is deliberately NOT probed: the text salt makes
+    // replicas distinct under shingle-Jaccard but NOT under
+    // distinct-token SimHash (one spliced token flips only near-tie
+    // fingerprint bits), so cross-replica pairs stay within hamming<=3
+    // and the true answer grows super-linearly (measured 30x pairs at
+    // 10x docs) — the probe would measure answer growth, not the plan.
     // warm-up
     graft.Tables.lineitem(spark, out).count()
     val results = probes.map { name =>
