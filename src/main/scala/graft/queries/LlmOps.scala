@@ -131,6 +131,18 @@ object LlmOps {
       "vec_id")
   }
 
+  /** Sketch-prefilter + exact-rerank ANN (Similarity.sketchRerankTopK):
+    * the high-recall approximate path for corpora without cluster
+    * structure. Fully oracled — the sketch pass (leading-48-component
+    * cosine), candidate cut, and rerank are all exactly replicable in
+    * SQL. */
+  def xAnnSketch(s: SparkSession, d: String): DataFrame = {
+    val vecs = embeddings(s, d)
+    ordered(
+      Similarity.sketchRerankTopK(vecs, vecs.filter(col("vec_id") < 8), k = 10),
+      "query_id", "rank")
+  }
+
   /** Approximation quality, surfaced in the gate: per probe query,
     * recall@10 vs brute-force exact top-10 for BOTH approximate paths.
     * The ANN queries hash-match their approximate oracles (determinism),
@@ -227,6 +239,7 @@ object LlmOps {
     "x_ann_topk"          -> (xAnnTopk _),
     "x_ann_ivf"           -> (xAnnIvf _),
     "x_ann_nn_join"       -> (xAnnNnJoin _),
+    "x_ann_sketch"        -> (xAnnSketch _),
     "x_ann_recall"        -> ((s: SparkSession, d: String) => xAnnRecall(s, d)),
     "x_dedup_apply"       -> (xDedupApply _),
     "x_corpus_pipeline"   -> (xCorpusPipeline _),
@@ -396,6 +409,22 @@ object LlmOps {
         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, nn_id) AS BIGINT) AS rank,
         |         nn_id, cos_sim
         |  FROM scored)
+        |SELECT query_id, rank, nn_id, cos_sim FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    "x_ann_sketch" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, e AS qe FROM c WHERE vec_id < 8),
+        |cand AS (
+        |  SELECT query_id, c2.vec_id AS nn_id, qe, c2.e AS ce
+        |  FROM q JOIN c c2 ON c2.vec_id <> query_id
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY round(list_cosine_similarity(qe[1:48], c2.e[1:48]), 6) DESC, c2.vec_id) <= 75),
+        |ranked AS (
+        |  SELECT query_id,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |           ORDER BY round(list_cosine_similarity(qe, ce), 6) DESC, nn_id) AS BIGINT) AS rank,
+        |         nn_id, round(list_cosine_similarity(qe, ce), 6) AS cos_sim
+        |  FROM cand)
         |SELECT query_id, rank, nn_id, cos_sim FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
     "x_ann_recall" ->
