@@ -199,6 +199,29 @@ class PipelinesSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/artifact/matches").count() == 1)
   }
 
+  test("streaming LSH ingest recovers every batch-verified near-dup pair (sf0.01, two batches)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lsh_ingest_xval").toString
+    val docs = graft.Tables.documents(spark, sf("sf0.01")).select("doc_id", "text")
+    // the ground truth: the batch path's verified (exact-jaccard >= 0.8) pairs
+    val expected = graft.llm.Dedup.minhashLshPairs(docs)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(expected.nonEmpty)
+    // ingest the same corpus as two micro-batches split by doc_id parity.
+    // est_jaccard (matching-minhash fraction, 24 hashes) is unbiased for
+    // jaccard but has ~0.08 std at j=0.8, so the spec ingests with a 0.6
+    // agreement floor — the two-tier contract: the stream flags
+    // candidates, exact verification belongs to batch compaction
+    val ingest = graft.llm.Dedup.lshIngestBatch(s"$dir/artifact", minAgreement = 0.6) _
+    ingest(docs.filter($"doc_id" % 2 === 0), 0L)
+    ingest(docs.filter($"doc_id" % 2 === 1), 1L)
+    val matches = spark.read.parquet(s"$dir/artifact/matches")
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    val missed = expected -- matches
+    assert(missed.isEmpty,
+      s"streaming ingest missed ${missed.size} of ${expected.size} batch-verified pairs: $missed")
+  }
+
   test("dim enrichment uses broadcast joins (plan check) and fills dim columns") {
     val li = graft.Tables.lineitem(spark, sf("sf0.001")).limit(100)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
