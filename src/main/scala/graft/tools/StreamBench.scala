@@ -57,8 +57,23 @@ object StreamBench {
     val secsS = (System.nanoTime() - tS0) / 1e9
     qS.stop()
 
+    // pipeline 3: streaming near-dup LSH ingest (linear signature state)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val ingestDir = java.nio.file.Files.createTempDirectory("sb_lsh").toString
+    val memD = MemoryStream[(Long, String)]
+    val qD = memD.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(graft.llm.Dedup.lshIngestBatch(s"$ingestDir/artifact") _)
+      .option("checkpointLocation", s"$ingestDir/ckpt").start()
+    val dBatches = docs.grouped(math.max(1, docs.length / 4)).toSeq
+    val tD0 = System.nanoTime()
+    dBatches.foreach { b => memD.addData(b.toIndexedSeq); qD.processAllAvailable() }
+    val secsD = (System.nanoTime() - tD0) / 1e9
+    qD.stop()
+
     val n = events.length
-    println(f"""{"metric":"stream_throughput","events":$n,"windowed_agg_eps":${n / secsA}%.0f,"keyed_state_eps":${n / secsS}%.0f,"sf":"$sfDir"}""")
+    val nd = docs.length
+    println(f"""{"metric":"stream_throughput","events":$n,"windowed_agg_eps":${n / secsA}%.0f,"keyed_state_eps":${n / secsS}%.0f,"lsh_ingest_docs":$nd,"lsh_ingest_dps":${nd / secsD}%.0f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
