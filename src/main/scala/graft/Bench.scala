@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: times every SparkEntry query at
-  * SPARK_GRAFT_SF_DIR and prints one JSON line.
+  * SPARK_GRAFT_SF_DIR and prints JSON.
   *
   * Regression-diagnosable by construction:
   *   - the shared build-once artifacts (LSH pair set, IVF index) are
@@ -12,11 +12,22 @@ import org.apache.spark.sql.SparkSession
   *     phantom-regression source: cache attribution shifted between
   *     rounds with zero code change);
   *   - every query then runs twice: `queries` holds the first (cold)
-  *     execution, `queries_warm` the second. A real plan regression
+  *     execution, the warm repeat rides along. A real plan regression
   *     moves BOTH numbers; JIT/page-cache/box noise mostly moves the
   *     cold one. `value` (total) = artifact builds + cold times, so the
   *     headline stays comparable with earlier rounds where the builds
-  *     were attributed to consumer queries.
+  *     were attributed to consumer queries;
+  *   - if an artifact build FAILS, its consumer queries are listed in
+  *     `tainted`: their cold numbers silently include the in-query
+  *     rebuild and must not be compared against a healthy round.
+  *
+  * Emission contract — the runner captures only the LAST ~2000 chars of
+  * stdout and parses the JSON line found there (round 3 lost its
+  * numbers by exceeding that window). So the LAST printed line is a
+  * COMPACT form: values rounded to 3 decimals and the warm repeats as a
+  * positional `warm` array aligned with the (name-sorted) `queries`
+  * keys. The full-precision verbose form (warm as an object) is printed
+  * earlier and written to bench_out.json.
   *
   * A warm-up action runs first so JVM/codegen/session start-up cost is
   * not attributed to whichever query happens to run first.
@@ -28,8 +39,13 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  private def r3(v: Double): Double = math.rint(v * 1000) / 1000
+
   private def jsonMap(m: Seq[(String, Double)]): String =
     m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+  private def jsonArr(s: Seq[String]): String =
+    s.map("\"" + _ + "\"").mkString("[", ",", "]")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -82,21 +98,43 @@ object Bench {
       (name, cold, warm)
     }
     val total = artifacts.map(_._2).sum + results.map(_._2).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec"""" +
-        s""","queries":${jsonMap(results.map(r => r._1 -> r._2))}""" +
-        s""","queries_warm":${jsonMap(results.map(r => r._1 -> r._3))}""" +
-        s""","artifacts":${jsonMap(artifacts)}""" +
-        s""","failures":${failures.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
+    // consumers of a failed artifact build re-pay the build inside their
+    // own cold timing — flag them so those numbers are never read as a
+    // plan regression against a healthy round
+    val failedArtifacts = failures.distinct
+      .filter(_.startsWith("artifact:")).map(_.stripPrefix("artifact:"))
+    val tainted = failedArtifacts
+      .flatMap(a => graft.queries.LlmOps.artifactConsumers.getOrElse(a, Nil))
+      .distinct.sorted.toSeq
+    def render(fmt: Double => Double, warmAsArray: Boolean): String = {
+      val warmPart =
+        if (warmAsArray)
+          s""""warm":${results.map(r => fmt(r._3)).mkString("[", ",", "]")}"""
+        else s""""queries_warm":${jsonMap(results.map(r => r._1 -> fmt(r._3)))}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
+        s""","queries":${jsonMap(results.map(r => r._1 -> fmt(r._2)))}""" +
+        s""",$warmPart""" +
+        s""","artifacts":${jsonMap(artifacts.map(a => a._1 -> fmt(a._2)))}""" +
+        s""","tainted":${jsonArr(tainted)}""" +
+        s""","failures":${jsonArr(failures.distinct.toSeq)}""" +
         s""","sf":"$sfDir"}"""
-    println(json)
-    // also land the line in a dedicated file so a log-prefixing runner
+    }
+    val verbose = render(identity, warmAsArray = false)
+    val compact = render(r3, warmAsArray = true)
+    // land the verbose line in a dedicated file so a log-prefixing runner
     // (sbt wraps forked stdout unless outputStrategy passes it through)
-    // can never corrupt it
+    // can never corrupt it, and print it BEFORE the compact line
     val outFile = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
     java.nio.file.Files.write(outFile,
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (verbose + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(verbose)
+    if (compact.length > 1800)
+      System.err.println(s"[bench] WARNING: compact line ${compact.length} chars " +
+        "— approaching the runner's 2000-char stdout tail window")
+    // the runner parses the JSON found in the last ~2000 chars of stdout:
+    // this compact line must be printed LAST and stay well under that
+    println(compact)
     spark.stop()
   }
 }

@@ -49,21 +49,33 @@ object Similarity {
     * the full embedding is read for just `candidates` rows per query.
     * Measured on the synthetic 64-dim corpus (sf0.01, 500 vectors,
     * avg pairwise cos ≈ 0.003): sketch 48 / candidates 75 → recall@10
-    * min 0.9, avg 0.975 vs exact — at a 6.7× candidate cut. */
+    * min 0.9, avg 0.975 vs exact — at a 6.7× candidate cut.
+    *
+    * The plan honors that IO profile: only (query_id, nn_id, sketch_sim)
+    * flows through the candidate window's shuffle — the full corpus
+    * vectors are re-joined (broadcast candidate set, corpus never
+    * shuffles) for just the ≤`candidates` rows per query being
+    * reranked. */
   def sketchRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                        sketchDims: Int = 48, candidates: Int = 75): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val c = corpus.select(col("vec_id").as("nn_id"), col("embedding").as("ce"))
-    val sketch = c.join(broadcast(q), col("query_id") =!= col("nn_id"))
-      .select(col("query_id"), col("nn_id"), col("qe"), col("ce"),
-        round(cosineSim(slice(col("qe"), 1, sketchDims),
-          slice(col("ce"), 1, sketchDims)), 6).as("sketch_sim"))
+    val qSketch = queries.select(col("vec_id").as("query_id"),
+      slice(col("embedding"), 1, sketchDims).as("qs"))
+    val cSketch = corpus.select(col("vec_id").as("nn_id"),
+      slice(col("embedding"), 1, sketchDims).as("cs"))
+    val sketch = cSketch.join(broadcast(qSketch), col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"),
+        round(cosineSim(col("qs"), col("cs")), 6).as("sketch_sim"))
     val wc = Window.partitionBy(col("query_id"))
       .orderBy(col("sketch_sim").desc, col("nn_id"))
     val cand = sketch.withColumn("crn", row_number().over(wc))
       .filter(col("crn") <= candidates)
-    val rerank = cand.select(col("query_id"), col("nn_id"),
-      round(cosineSim(col("qe"), col("ce")), 6).as("cos_sim"))
+      .select(col("query_id"), col("nn_id"))
+    val c = corpus.select(col("vec_id").as("nn_id"), col("embedding").as("ce"))
+    val rerank = c.join(broadcast(cand), Seq("nn_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        round(cosineSim(col("qe"), col("ce")), 6).as("cos_sim"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("nn_id"))
     rerank.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),

@@ -73,6 +73,14 @@ object LlmOps {
       Similarity.ivfBuildIndexCached(s, embeddings(s, d), idxPath, nlist = 16); ()
     }))
 
+  /** Which gate queries consume each build-once artifact — so a
+    * benchmark can mark them tainted when a build fails (their "cold"
+    * timing would silently include an in-query rebuild, the exact
+    * attribution shift artifact line items exist to prevent). */
+  def artifactConsumers: Map[String, Seq[String]] = Map(
+    "lsh_pairs" -> Seq("x_dedup_minhash", "x_dedup_apply", "x_corpus_pipeline"),
+    "ivf_index" -> Seq("x_ann_ivf", "x_ann_nn_join", "x_ann_recall"))
+
   /** Forget all build-once artifacts (benchmarking only). */
   def resetArtifactCaches(): Unit = {
     Dedup.resetArtifactCache()

@@ -63,23 +63,30 @@ object Sinks {
     *   - crash before the rename leaves an orphaned version dir and an
     *     intact store (cleaned up by the next commit's vacuum).
     *
-    * Vacuum: after the pointer flip, version dirs referenced by neither
-    * the new nor the just-replaced manifest are deleted — one commit of
-    * grace for in-flight readers (freshness contract = batch interval,
-    * same as the reference's per-batch cache). Single writer assumed
-    * (one streaming query's foreachBatch), like the reference's sink.
+    * Vacuum: after the pointer flip, a version dir is deleted only when
+    * it is referenced by neither the new nor the just-replaced manifest
+    * AND it is at least `vacuumGraceCommits` commits old
+    * (`newVersion - ver >= vacuumGraceCommits`). A `readDims` DataFrame
+    * is lazy — the reader contract is therefore: consume (or
+    * broadcast-collect) the result within `vacuumGraceCommits` batch
+    * intervals of resolving it, or raise the grace to cover the longest
+    * consumer. The default (1) matches the reference's per-batch cache
+    * freshness. Single writer assumed (one streaming query's
+    * foreachBatch), like the reference's sink.
     *
     * `updates` must carry (sinkTable, pk, data); the store keeps one row
     * per (sinkTable, pk) — the newest by batch sequence.
     */
-  def upsertDims(storePath: String)(updates: DataFrame, batchId: Long): Unit =
-    upsertDimsHook(storePath)(updates, batchId)
+  def upsertDims(storePath: String, vacuumGraceCommits: Int = 1)
+                (updates: DataFrame, batchId: Long): Unit =
+    upsertDimsHook(storePath, vacuumGraceCommits = vacuumGraceCommits)(updates, batchId)
 
   /** upsertDims with a test seam: `beforeCommit` runs after the new
     * version directory is fully written but before the `_LATEST` pointer
     * flip — exactly the window the atomicity claim is about. */
   private[graft] def upsertDimsHook(storePath: String,
-                                    beforeCommit: () => Unit = () => ())
+                                    beforeCommit: () => Unit = () => (),
+                                    vacuumGraceCommits: Int = 1)
                                    (updates: DataFrame, batchId: Long): Unit = {
     import org.apache.spark.sql.functions._
     val spark = updates.sparkSession
@@ -116,13 +123,18 @@ object Sinks {
     val newTables = oldTables ++ touched.map(_ -> newVersion)
     commitManifest(fs, root, newVersion, newTables)
     // vacuum: drop version dirs referenced by neither the new manifest
-    // nor the one just replaced (one-commit grace for in-flight readers)
+    // nor the one just replaced, and only once they are at least
+    // `vacuumGraceCommits` commits old (versions are monotonic — a dir
+    // written at commit v was replaced no earlier than v+1, so
+    // newVersion - v bounds how many commits ago an in-flight reader
+    // could last have resolved a manifest referencing it)
     val live = newTables.values.toSet ++ oldTables.values.toSet
     Option(fs.globStatus(new org.apache.hadoop.fs.Path(root, "v=*")))
       .getOrElse(Array.empty).foreach { st =>
         val name = st.getPath.getName
         val ver = scala.util.Try(name.stripPrefix("v=").toInt).toOption
-        if (ver.exists(v => !live.contains(v) && v != newVersion))
+        if (ver.exists(v => !live.contains(v) && v != newVersion &&
+            newVersion - v >= vacuumGraceCommits))
           fs.delete(st.getPath, true)
       }
   }
@@ -154,25 +166,30 @@ object Sinks {
     val tmp = new org.apache.hadoop.fs.Path(root,
       s"_LATEST.tmp.${java.util.UUID.randomUUID()}")
     val latest = new org.apache.hadoop.fs.Path(root, "_LATEST")
-    // Two commit strategies, both atomic for readers on their store:
-    //  - HDFS/local: write tmp, single-file rename with OVERWRITE
-    //    (FileContext.rename is atomic there);
-    //  - object stores without an AbstractFileSystem binding (S3A et al,
-    //    where rename is a copy anyway): write _LATEST directly — a
-    //    single-object PUT is all-or-nothing on S3, so a reader sees the
-    //    whole old or whole new manifest, never a torn write.
-    val fc = scala.util.Try(
-      org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, fs.getConf))
-    fc match {
-      case scala.util.Success(ctx) =>
-        val out = fs.create(tmp, true)
-        try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        ctx.rename(tmp, latest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-      case scala.util.Failure(_) =>
-        val out = fs.create(latest, true)
-        try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
+    // Two commit strategies, both atomic for readers on their store,
+    // selected by URI SCHEME (not by FileContext availability — an S3A
+    // deployment that configures fs.AbstractFileSystem.s3a.impl would
+    // satisfy that probe while its rename is copy+delete, the opposite
+    // of atomic):
+    //  - hdfs/file/viewfs: write tmp, single-file FileContext.rename
+    //    with OVERWRITE — atomic on these filesystems;
+    //  - every other scheme (s3a, gs, abfs, ...): write _LATEST
+    //    directly — a single-object PUT is all-or-nothing on object
+    //    stores, so a reader sees the whole old or whole new manifest,
+    //    never a torn write. Rename there would be copy+delete with a
+    //    visible gap.
+    val scheme = Option(root.toUri.getScheme).getOrElse(fs.getUri.getScheme)
+    val atomicRename = Set("hdfs", "file", "viewfs").contains(scheme)
+    if (atomicRename) {
+      val out = fs.create(tmp, true)
+      try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, fs.getConf)
+        .rename(tmp, latest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } else {
+      val out = fs.create(latest, true)
+      try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
     }
   }
 

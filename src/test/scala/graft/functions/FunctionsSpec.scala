@@ -109,6 +109,29 @@ class FunctionsSpec extends SparkSpec {
     assert(vdirs == Set("v=1", "v=2"), s"unexpected version dirs: $vdirs")
   }
 
+  test("S7 vacuum grace depth: a lazy reader survives that many subsequent commits") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dims_grace").toString + "/store"
+    def batch(rows: (String, String, Map[String, String])*) =
+      rows.toSeq.toDF("sinkTable", "pk", "data")
+    def vdirs(): Set[String] = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v=")).map(_.getName).toSet
+    val up = graft.sources.Sinks.upsertDims(dir, vacuumGraceCommits = 3) _
+    up(batch(("dim_user", "1", Map("name" -> "v1"))), 0L)
+    // a lazy reader resolves the manifest (-> v=1) now, evaluates later
+    val lazyFrame = graft.sources.Sinks.readDims(spark, dir, "dim_user")
+      .select($"pk", element_at($"data", "name"))
+    up(batch(("dim_user", "1", Map("name" -> "v2"))), 1L)
+    up(batch(("dim_user", "1", Map("name" -> "v3"))), 2L)
+    // two commits after resolution the snapshot dir is still there —
+    // under the old one-commit grace this read threw FileNotFoundException
+    assert(lazyFrame.as[(String, String)].collect().toMap == Map("1" -> "v1"))
+    assert(vdirs() == Set("v=1", "v=2", "v=3"), s"grace violated: ${vdirs()}")
+    // ...and one more commit ages v=1 past the grace depth
+    up(batch(("dim_user", "1", Map("name" -> "v4"))), 3L)
+    assert(!vdirs().contains("v=1"), s"v=1 should be vacuumed: ${vdirs()}")
+  }
+
   test("FT2 idempotent batch sink: a replayed batch id is a no-op, new ids append") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("eos").toString + "/facts"
