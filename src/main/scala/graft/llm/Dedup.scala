@@ -441,4 +441,57 @@ object Dedup {
       .select(col("vid").as("vec_id"), (-col("m.neg_nn")).as("nn_id"),
         col("m.cos_sim").as("cos_sim"))
   }
+
+  /** Near-dup CLUSTER RESOLUTION: the step after pair discovery. The
+    * >=threshold pairs form a graph; a duplicate "cluster" is a connected
+    * component, and the canonical document is its minimum doc_id (the
+    * rule xDedupApply's pairwise d1<d2 filter approximates — this is the
+    * transitive closure of it, so A~B~C collapses to ONE kept doc even
+    * when A~C was never emitted as a pair).
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min of its own and its neighbors' labels; converged when
+    * no label shrinks. Rounds = graph diameter, and near-dup components
+    * are short chains (diameter a handful), so this terminates in a few
+    * bounded-shuffle rounds of (edges ⋈ labels) hash joins — each round
+    * shuffles |edges| rows keyed by id, nothing quadratic, nothing
+    * driver-sized. `localCheckpoint` truncates the growing lineage so
+    * round N's plan does not replay rounds 1..N-1 (at cluster scale:
+    * checkpoint to the reliable store instead). For adversarial
+    * million-node chain graphs swap in the O(log n)-round large-star /
+    * small-star contraction; for near-dup graphs the simple propagation
+    * IS the right plan.
+    *
+    * Returns one row per document that appears in any pair:
+    * (doc_id, cluster_id = component min, cluster_size, is_canonical). */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .localCheckpoint(true) // consumed every round; stop re-deriving pairs
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nl")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("nl")).as("nmin"))
+      val next = labels.join(nbrMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
+        .filter(col("label") < col("prev")).isEmpty
+      labels = next
+      iters += 1
+    }
+    require(converged,
+      s"connectedComponents: no fixpoint after $maxIters rounds (diameter > maxIters?)")
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"),
+        (col("id") === col("label")).cast("int").as("is_canonical"))
+  }
 }

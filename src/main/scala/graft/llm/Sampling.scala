@@ -1,0 +1,117 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data pipelines:
+  * stratified downsampling, train/val/test splits, exact-count per-stratum
+  * samples, and temperature-flattened source mixing.
+  *
+  * Everything is keyed on a content-stable hash of the id — NO RNG, no
+  * `rand()`: the same document gets the same fate on every run, on every
+  * cluster layout, in streaming and batch alike (a rerun or a late
+  * partition cannot change the corpus), and the whole pipeline stays
+  * exactly reproducible in SQL, which is what lets each operator carry a
+  * full DuckDB oracle. Sampling decisions are per-row map-side work —
+  * no shuffle is introduced by any `u < rate` filter.
+  */
+object Sampling {
+
+  /** Deterministic uniform-[0,1): the top 32 bits of md5(id) over 2^32.
+    * An integer divided by 2^32 is exact in a double, and md5 is the one
+    * hash both engines compute identically (see Dedup.h32), so `u` is
+    * bit-identical cross-engine. */
+  def hashUniform(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") /
+      lit(4294967296.0)
+
+  /** Per-stratum deterministic Bernoulli sampling: keep a row of stratum
+    * `s` iff u(id) < rates(s) (default rate for unlisted strata), with
+    * `sample_weight` = 1/rate for unbiased reweighting downstream.
+    * The canonical "downsample the dominant language / source" step. */
+  def stratifiedSample(docs: DataFrame, idCol: String, stratumCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double = 1.0): DataFrame = {
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate): Column) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    docs.withColumn("sample_rate", rate)
+      .filter(hashUniform(col(idCol)) < col("sample_rate"))
+      .withColumn("sample_weight", lit(1.0) / col("sample_rate"))
+  }
+
+  /** Deterministic train/val/test split: `splits` = (label, fraction)
+    * with fractions summing to 1; a row lands in the split whose
+    * cumulative-[0,1) interval contains u(id). Fractions that are exact
+    * binary (0.75/0.125/...) make the cut points literal-identical in
+    * any engine. */
+  def deterministicSplit(docs: DataFrame, idCol: String,
+                         splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "deterministicSplit: no splits given")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val u = hashUniform(col(idCol))
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val label =
+      if (splits.size == 1) lit(splits.head._1)
+      else {
+        val init = when(u < lit(cums.head), lit(splits.head._1))
+        splits.zip(cums).drop(1).dropRight(1)
+          .foldLeft(init) { case (acc, ((name, _), c)) =>
+            acc.when(u < lit(c), lit(name))
+          }
+          .otherwise(lit(splits.last._1))
+      }
+    docs.withColumn("split", label)
+  }
+
+  /** Exact-count uniform sample WITHOUT replacement per stratum: the `n`
+    * rows with the smallest md5(id) in each stratum — the deterministic
+    * equivalent of per-stratum reservoir sampling. The rank-<=n filter
+    * over the window is recognized by Spark as a group top-n
+    * (WindowGroupLimit): each partition keeps only its local n rows
+    * before the shuffle, so the exchange carries O(partitions * n), not
+    * the corpus. */
+  def stratifiedTakeN(docs: DataFrame, idCol: String, stratumCol: String,
+                      n: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= n)
+  }
+
+  /** Temperature-flattened source mixing — the data-mixture step of
+    * corpus assembly. With per-source sizes n_s (sum of `sizeCol`),
+    * draw probability p_s ∝ sqrt(n_s) (temperature-flattened so small
+    * sources are upweighted relative to their share), and a total size
+    * budget B, the per-row sampling rate is
+    *
+    *   r_s = min(1, B * p_s / n_s) = min(1, B / (S * sqrt(n_s))),
+    *   S = Σ_t sqrt(n_t)
+    *
+    * so the expected sampled size from source s is B * p_s (capped at
+    * n_s). The exponent is fixed at 1/2 because sqrt is the one power
+    * IEEE 754 guarantees correctly rounded — with the normalizer S
+    * computed as a sequential ascending-by-source fold, every float op
+    * here is bit-reproducible cross-engine, oracle included. Source
+    * stats are one hash-aggregate; rates broadcast back (a handful of
+    * rows), so the corpus itself never shuffles. */
+  def temperatureMixture(docs: DataFrame, idCol: String, sourceCol: String,
+                         sizeCol: String, budget: Long): DataFrame = {
+    val bySrc = docs.groupBy(col(sourceCol)).agg(sum(col(sizeCol)).as("tot"))
+    val norm = bySrc
+      .agg(sort_array(collect_list(struct(col(sourceCol).as("s"), col("tot"))))
+        .as("arr"))
+      .select(aggregate(col("arr"), lit(0.0),
+        (acc, x) => acc + sqrt(x.getField("tot").cast("double"))).as("norm"))
+    val rates = bySrc.crossJoin(broadcast(norm))
+      .select(col(sourceCol),
+        least(lit(1.0),
+          lit(budget.toDouble) * sqrt(col("tot").cast("double")) /
+            col("norm") / col("tot").cast("double")).as("sample_rate"))
+    docs.join(broadcast(rates), Seq(sourceCol))
+      .filter(hashUniform(col(idCol)) < col("sample_rate"))
+      .withColumn("sample_weight", lit(1.0) / col("sample_rate"))
+  }
+}

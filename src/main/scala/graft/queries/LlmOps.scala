@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.util.Det._
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators (the beyond-reference extension
   * surface): text analysis, dedup (exact / n-gram Jaccard / MinHash LSH /
@@ -78,7 +78,8 @@ object LlmOps {
     * timing would silently include an in-query rebuild, the exact
     * attribution shift artifact line items exist to prevent). */
   def artifactConsumers: Map[String, Seq[String]] = Map(
-    "lsh_pairs" -> Seq("x_dedup_minhash", "x_dedup_apply", "x_corpus_pipeline"),
+    "lsh_pairs" -> Seq("x_dedup_minhash", "x_dedup_apply", "x_corpus_pipeline",
+      "x_dedup_clusters"),
     "ivf_index" -> Seq("x_ann_ivf", "x_ann_nn_join", "x_ann_recall"))
 
   /** Forget all build-once artifacts (benchmarking only). */
@@ -229,6 +230,53 @@ object LlmOps {
       "doc_id")
   }
 
+  /** Near-dup cluster RESOLUTION over the LSH pair artifact: connected
+    * components collapse transitive chains (A~B~C is one cluster even
+    * when A~C was never a pair), the component minimum is the canonical
+    * doc. The step between pair discovery and corpus rewrite in any
+    * dedup pipeline; oracled by a recursive-CTE transitive closure over
+    * the identical banding-scheme pair set. */
+  def xDedupClusters(s: SparkSession, d: String): DataFrame =
+    ordered(Dedup.connectedComponents(lshPairs(s, d)), "doc_id")
+
+  /** Deterministic per-language downsampling (hash-threshold Bernoulli,
+    * weight = 1/rate): en kept at 0.25, zh at 0.5, the rest untouched. */
+  def xSampleStratified(s: SparkSession, d: String): DataFrame =
+    ordered(
+      Sampling.stratifiedSample(documents(s, d), "doc_id", "lang",
+        Map("en" -> 0.25, "zh" -> 0.5), defaultRate = 1.0)
+        .select(col("doc_id"), col("lang").as("stratum"),
+          col("sample_rate"), col("sample_weight")),
+      "doc_id")
+
+  /** Deterministic train/val/test split on hash intervals (exact-binary
+    * fractions so the cut points are literal-identical cross-engine). */
+  def xSampleSplit(s: SparkSession, d: String): DataFrame =
+    ordered(
+      Sampling.deterministicSplit(documents(s, d), "doc_id",
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+        .select(col("doc_id"), col("split")),
+      "doc_id")
+
+  /** Exact-count per-language sample: the 10 smallest-md5 docs per
+    * stratum (deterministic reservoir equivalent; group top-n plan). */
+  def xSampleTaken(s: SparkSession, d: String): DataFrame =
+    ordered(
+      Sampling.stratifiedTakeN(documents(s, d), "doc_id", "lang", 10)
+        .select(col("doc_id"), col("lang").as("stratum"), col("sample_rank")),
+      "doc_id")
+
+  /** Temperature-flattened source mixture at a 140k-char budget (at
+    * sf0.01 two sources cap at rate 1.0, the rest flatten toward the
+    * small ones — both regimes of the `least` exercised in-gate). */
+  def xSampleMixture(s: SparkSession, d: String): DataFrame =
+    ordered(
+      Sampling.temperatureMixture(documents(s, d), "doc_id", "source",
+        "n_chars", budget = 140000L)
+        .select(col("doc_id"), col("source"), col("sample_rate"),
+          col("sample_weight")),
+      "doc_id")
+
   def xMultimodal(s: SparkSession, d: String): DataFrame =
     ordered(
       Multimodal.extractFeatures(s, Multimodal.withPayload(documents(s, d))).toDF(),
@@ -250,6 +298,11 @@ object LlmOps {
     "x_ann_sketch"        -> (xAnnSketch _),
     "x_ann_recall"        -> ((s: SparkSession, d: String) => xAnnRecall(s, d)),
     "x_dedup_apply"       -> (xDedupApply _),
+    "x_dedup_clusters"    -> (xDedupClusters _),
+    "x_sample_stratified" -> (xSampleStratified _),
+    "x_sample_split"      -> (xSampleSplit _),
+    "x_sample_taken"      -> (xSampleTaken _),
+    "x_sample_mixture"    -> (xSampleMixture _),
     "x_corpus_pipeline"   -> (xCorpusPipeline _),
     "x_multimodal"        -> (xMultimodal _))
 
@@ -544,6 +597,65 @@ object LlmOps {
          |  AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh
          |  AND doc_id NOT IN (SELECT d2 FROM pairs)
          |ORDER BY doc_id""".stripMargin,
+    "x_dedup_clusters" ->
+      s"""WITH RECURSIVE $lshPairsCte,
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |          UNION ALL SELECT d2 AS src, d1 AS dst FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |labels AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |           FROM reach GROUP BY src),
+         |sized AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1)
+         |SELECT l.doc_id, l.cluster_id, s.cluster_size,
+         |  CAST(l.doc_id = l.cluster_id AS INT) AS is_canonical
+         |FROM labels l JOIN sized s USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin,
+    "x_sample_stratified" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |  CASE WHEN lang = 'en' THEN CAST(0.25 AS DOUBLE)
+        |       WHEN lang = 'zh' THEN CAST(0.5 AS DOUBLE)
+        |       ELSE CAST(1.0 AS DOUBLE) END AS sample_rate,
+        |  CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    / 4294967296.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, lang AS stratum, sample_rate,
+        |  CAST(1.0 AS DOUBLE) / sample_rate AS sample_weight
+        |FROM s WHERE u < sample_rate ORDER BY doc_id""".stripMargin,
+    "x_sample_split" ->
+      """WITH s AS (SELECT doc_id,
+        |  CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    / 4294967296.0 AS u
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN u < 0.75 THEN 'train' WHEN u < 0.875 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "x_sample_taken" ->
+      """SELECT doc_id, lang AS stratum, CAST(rn AS BIGINT) AS sample_rank FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+    "x_sample_mixture" ->
+      """WITH bysrc AS (SELECT source, sum(n_chars) AS tot FROM documents GROUP BY 1),
+        |nrm AS (SELECT list_reduce(
+        |  list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(sqrt(CAST(tot AS DOUBLE)) ORDER BY source)),
+        |  (a, b) -> a + b) AS S FROM bysrc),
+        |rates AS (SELECT source,
+        |  least(CAST(1.0 AS DOUBLE),
+        |    CAST(140000 AS DOUBLE) * sqrt(CAST(tot AS DOUBLE)) / S
+        |      / CAST(tot AS DOUBLE)) AS sample_rate
+        |  FROM bysrc CROSS JOIN nrm),
+        |s AS (SELECT d.doc_id, d.source, r.sample_rate,
+        |  CAST(CONCAT('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    / 4294967296.0 AS u
+        |  FROM documents d JOIN rates r USING (source))
+        |SELECT doc_id, source, sample_rate,
+        |  CAST(1.0 AS DOUBLE) / sample_rate AS sample_weight
+        |FROM s WHERE u < sample_rate ORDER BY doc_id""".stripMargin,
     "x_multimodal" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

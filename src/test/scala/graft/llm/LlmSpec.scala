@@ -201,4 +201,84 @@ class LlmSpec extends SparkSpec {
       .select("keep_doc_id", "dup_ct").as[(Long, Long)].collect().toSeq
     assert(out == Seq((1L, 2L), (3L, 1L)))
   }
+
+  test("connected components resolve transitive chains into min-labeled clusters") {
+    import spark.implicits._
+    // {1,2,3} via 1-2, 2-3 (1~3 never a pair); {5,6}; {7,8,9} as a cycle
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 8L), (8L, 9L), (7L, 9L))
+      .toDF("d1", "d2")
+    val out = Dedup.connectedComponents(pairs)
+      .orderBy("doc_id")
+      .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 3L, 1), (2L, 1L, 3L, 0), (3L, 1L, 3L, 0),
+      (5L, 5L, 2L, 1), (6L, 5L, 2L, 0),
+      (7L, 7L, 3L, 1), (8L, 7L, 3L, 0), (9L, 7L, 3L, 0)))
+  }
+
+  test("connected components converge on a long chain (diameter > 1 round)") {
+    import spark.implicits._
+    // a 12-node path: min label must propagate 11 hops end-to-end
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val out = Dedup.connectedComponents(pairs)
+    assert(out.count() == 12)
+    assert(out.select("cluster_id").distinct().as[Long].collect().toSeq == Seq(1L))
+    assert(out.filter(col("is_canonical") === 1).select("doc_id")
+      .as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("deterministic split partitions every row into exactly one split") {
+    val docs = graft.Tables.documents(spark, sf("sf0.01"))
+    val split = Sampling.deterministicSplit(docs, "doc_id",
+      Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+    assert(split.count() == docs.count(), "split must not drop or duplicate rows")
+    val byLabel = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    // hash-uniform: each label's share within a loose band of its fraction
+    val n = docs.count().toDouble
+    assert(byLabel("train") / n > 0.6 && byLabel("train") / n < 0.9, byLabel.toString)
+    // determinism: a rerun assigns identical labels
+    val again = Sampling.deterministicSplit(docs, "doc_id",
+      Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+    assert(split.select("doc_id", "split").exceptAll(
+      again.select("doc_id", "split")).isEmpty)
+  }
+
+  test("stratifiedTakeN returns exactly min(n, stratum size) rows per stratum") {
+    val docs = graft.Tables.documents(spark, sf("sf0.01"))
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val took = Sampling.stratifiedTakeN(docs, "doc_id", "lang", 10)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(took == sizes.map { case (k, v) => k -> math.min(10L, v) })
+  }
+
+  test("temperature mixture rates match the closed form and cap at 1") {
+    val docs = graft.Tables.documents(spark, sf("sf0.01"))
+    val budget = 140000L
+    val got = Sampling.temperatureMixture(docs, "doc_id", "source", "n_chars", budget)
+      .select("source", "sample_rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val tots = docs.groupBy("source").agg(sum("n_chars").as("tot")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // same fold order as the implementation: ascending by source
+    val s = tots.toSeq.sortBy(_._1).foldLeft(0.0)((acc, t) => acc + math.sqrt(t._2.toDouble))
+    val expected = tots.map { case (src, tot) =>
+      src -> math.min(1.0, budget.toDouble * math.sqrt(tot.toDouble) / s / tot.toDouble)
+    }
+    got.foreach { case (src, r) =>
+      assert(r == expected(src), s"rate mismatch for $src: $r vs ${expected(src)}")
+    }
+    assert(expected.values.exists(_ == 1.0), "budget should cap at least one source")
+    assert(expected.values.exists(_ < 1.0), "budget should leave most sources uncapped")
+    // Horvitz-Thompson: reweighted sampled size estimates the true total
+    val est = Sampling.temperatureMixture(docs, "doc_id", "source", "n_chars", budget)
+      .select(sum(col("n_chars") * col("sample_weight"))).head().getDouble(0)
+    val truth = tots.values.sum.toDouble
+    assert(est > truth * 0.8 && est < truth * 1.2,
+      s"HT estimate $est far from $truth")
+  }
 }
