@@ -97,6 +97,25 @@ object Sampling {
     * here is bit-reproducible cross-engine, oracle included. Source
     * stats are one hash-aggregate; rates broadcast back (a handful of
     * rows), so the corpus itself never shuffles. */
+  /** Deterministic corpus sharding — the "global shuffle" step before
+    * training-order assembly, without a global sort: shard =
+    * hash32(id) mod numShards (uniform, content-stable), position within
+    * a shard = rank by (md5(id), id). Each shard orders only its own
+    * 1/numShards slice — at 100 TB that is numShards independent
+    * partition-local sorts after one hash exchange, and a reader
+    * streaming shard s in shard_pos order sees a reproducible uniform
+    * permutation of the corpus. No RNG: adding documents never reorders
+    * the survivors of a shard prefix already consumed. */
+  def deterministicShard(docs: DataFrame, idCol: String,
+                         numShards: Int): DataFrame = {
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs.withColumn("shard", (h % numShards).cast("int"))
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+  }
+
   def temperatureMixture(docs: DataFrame, idCol: String, sourceCol: String,
                          sizeCol: String, budget: Long): DataFrame = {
     val bySrc = docs.groupBy(col(sourceCol)).agg(sum(col(sizeCol)).as("tot"))

@@ -96,4 +96,58 @@ object TextAnalysis {
   def withFingerprint(df: DataFrame, text: Column = col("text")): DataFrame =
     df.withColumn("fingerprint",
       md5(concat_ws(" ", array_sort(array_distinct(tokens(text))))))
+
+  /** Within-document repetition metrics (the Gopher-style repetition
+    * quality signals): the duplicate fraction of word 3-grams and the
+    * share of the single most frequent token. High values flag
+    * low-quality templated/looping text for the corpus filter. Pure
+    * array expressions over the token projection — per-row map work, no
+    * shuffle, whole-stage codegen:
+    *
+    *  - `dup_gram_ratio`  = 1 - distinct(3-grams)/total(3-grams)
+    *    (0.0 when the doc has fewer than 3 tokens);
+    *  - `top_token_ratio` = max token frequency / n_tokens — computed
+    *    with a per-row fold over the DISTINCT tokens (aggregate +
+    *    size(filter)), so cost is n_distinct x n_tokens per row, bounded
+    *    and local; 0.0 for empty docs. */
+  def withRepetition(df: DataFrame, text: Column = col("text")): DataFrame = {
+    val withToks = df.withColumn("__toks", tokens(text))
+    val toks = col("__toks")
+    val n = size(toks)
+    val grams = expr(
+      "transform(sequence(0, size(__toks) - 3), i -> " +
+        "concat_ws(' ', __toks[i], __toks[i+1], __toks[i+2]))")
+    val withGrams = withToks.withColumn("__grams",
+      when(n >= 3, grams).otherwise(array().cast("array<string>")))
+    val total = size(col("__grams"))
+    val topCount = aggregate(array_distinct(toks), lit(0),
+      (acc, t) => greatest(acc, size(filter(toks, x => x === t))))
+    withGrams
+      .withColumn("n_tokens", n.cast("long"))
+      .withColumn("dup_gram_ratio",
+        when(total > 0,
+          lit(1.0) - size(array_distinct(col("__grams"))).cast("double") / total)
+          .otherwise(lit(0.0)))
+      .withColumn("top_token_ratio",
+        when(n > 0, topCount.cast("double") / n).otherwise(lit(0.0)))
+      .drop("__toks", "__grams")
+  }
+
+  /** PII redaction: emails, North-American-style segmented phone
+    * numbers, and dotted-quad IPs replaced by typed placeholders. The
+    * patterns avoid lookaround and stay inside the regex subset Java and
+    * RE2 share, so the op is bit-reproducible in the SQL oracle (and
+    * portable to any engine). Applied innermost-first: emails before
+    * phones/IPs so a phone-like or IP-like substring inside a redacted
+    * email is not double-replaced. One codegen'd expression, no UDF. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\b[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  val ipPattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailPattern, "[EMAIL]"),
+        phonePattern, "[PHONE]"),
+      ipPattern, "[IP]")
 }

@@ -277,6 +277,41 @@ object LlmOps {
           col("sample_weight")),
       "doc_id")
 
+  /** Within-doc repetition metrics (Gopher-style quality signals):
+    * duplicate 3-gram fraction + top-token share, pure map-side. */
+  def xTextRepetition(s: SparkSession, d: String): DataFrame =
+    ordered(
+      TextAnalysis.withRepetition(documents(s, d))
+        .select("doc_id", "n_tokens", "dup_gram_ratio", "top_token_ratio"),
+      "doc_id")
+
+  /** PII redaction over a synthesized contact string on the customer
+    * table (the synthetic corpus has no real PII, so the gate builds a
+    * deterministic one per row from customer fields): email, segmented
+    * phone, and dotted-quad IP each replaced by a typed placeholder.
+    * 1500 rows at sf0.01, every pattern firing on every row. */
+  def xPiiRedact(s: SparkSession, d: String): DataFrame = {
+    val contact = concat(
+      col("c_name"), lit("@corp.example tel 42-555-"),
+      lpad((col("c_custkey") % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+      lit(" host 10.0."), (col("c_custkey") % 23).cast("string"), lit(".7"))
+    ordered(
+      customer(s, d)
+        .select(col("c_custkey"), contact.as("contact"))
+        .withColumn("redacted", TextAnalysis.redactPii(col("contact"))),
+      "c_custkey")
+  }
+
+  /** Deterministic corpus sharding: hash shard + in-shard rank — the
+    * reproducible global-shuffle-for-training step, one hash exchange
+    * then shard-local sorts. */
+  def xSampleShard(s: SparkSession, d: String): DataFrame =
+    ordered(
+      Sampling.deterministicShard(documents(s, d), "doc_id", numShards = 8)
+        .select("doc_id", "shard", "shard_pos"),
+      "doc_id")
+
   def xMultimodal(s: SparkSession, d: String): DataFrame =
     ordered(
       Multimodal.extractFeatures(s, Multimodal.withPayload(documents(s, d))).toDF(),
@@ -303,6 +338,9 @@ object LlmOps {
     "x_sample_split"      -> (xSampleSplit _),
     "x_sample_taken"      -> (xSampleTaken _),
     "x_sample_mixture"    -> (xSampleMixture _),
+    "x_sample_shard"      -> (xSampleShard _),
+    "x_text_repetition"   -> (xTextRepetition _),
+    "x_pii_redact"        -> (xPiiRedact _),
     "x_corpus_pipeline"   -> (xCorpusPipeline _),
     "x_multimodal"        -> (xMultimodal _))
 
@@ -656,6 +694,45 @@ object LlmOps {
         |SELECT doc_id, source, sample_rate,
         |  CAST(1.0 AS DOUBLE) / sample_rate AS sample_weight
         |FROM s WHERE u < sample_rate ORDER BY doc_id""".stripMargin,
+    "x_text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS ts FROM documents),
+         |g AS (SELECT doc_id, ts,
+         |  CASE WHEN len(ts) >= 3
+         |       THEN list_transform(generate_series(1, len(ts) - 2),
+         |              i -> array_to_string(ts[i:i+2], ' '))
+         |       ELSE [] END AS grams
+         |  FROM t)
+         |SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+         |  CASE WHEN len(grams) > 0
+         |       THEN CAST(1.0 AS DOUBLE)
+         |            - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+         |       ELSE CAST(0.0 AS DOUBLE) END AS dup_gram_ratio,
+         |  CASE WHEN len(ts) > 0
+         |       THEN CAST(list_max(list_transform(list_distinct(ts),
+         |              t2 -> len(list_filter(ts, x -> x = t2)))) AS DOUBLE) / len(ts)
+         |       ELSE CAST(0.0 AS DOUBLE) END AS top_token_ratio
+         |FROM g ORDER BY doc_id""".stripMargin,
+    "x_pii_redact" ->
+      """WITH s AS (SELECT c_custkey,
+        |  c_name || '@corp.example tel 42-555-'
+        |    || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-'
+        |    || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+        |    || ' host 10.0.' || CAST(c_custkey % 23 AS VARCHAR) || '.7' AS contact
+        |  FROM customer)
+        |SELECT c_custkey, contact,
+        |  regexp_replace(regexp_replace(regexp_replace(contact,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '[PHONE]', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g') AS redacted
+        |FROM s ORDER BY c_custkey""".stripMargin,
+    "x_sample_shard" ->
+      """SELECT doc_id, shard, CAST(rn AS BIGINT) AS shard_pos FROM (
+        |  SELECT doc_id,
+        |    CAST(CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS INT) AS shard,
+        |    row_number() OVER (
+        |      PARTITION BY CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) ORDER BY doc_id""".stripMargin,
     "x_multimodal" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

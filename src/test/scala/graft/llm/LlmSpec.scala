@@ -256,6 +256,62 @@ class LlmSpec extends SparkSpec {
     assert(took == sizes.map { case (k, v) => k -> math.min(10L, v) })
   }
 
+  test("repetition metrics: hand-computed dup-gram and top-token ratios") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"), // grams: "a b a","b a b","a b a","b a b" -> dup 0.5; top tok a: 3/6
+      (2L, "x y"),         // under 3 tokens -> both gram metrics degenerate
+      (3L, "p q r s")      // all grams distinct, all tokens unique
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.withRepetition(docs)
+      .select("doc_id", "n_tokens", "dup_gram_ratio", "top_token_ratio")
+      .orderBy("doc_id").as[(Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 6L, 0.5, 0.5),
+      (2L, 2L, 0.0, 0.5),
+      (3L, 4L, 0.0, 0.25)))
+  }
+
+  test("PII redaction: all three patterns fire, partial matches stay partial, no double replace") {
+    import spark.implicits._
+    val rows = Seq(
+      "mail bob.smith+x@mail.example.org now",
+      "call 42-555-123-4567 today",
+      "ping 192.168.0.1 ok",
+      "Customer#42@corp.example",  // '#' splits the local part: only the tail is an email
+      "nothing to hide here",
+      "ip-like 1234.5.6.7 is not an ip" // leading 4-digit run breaks \b[0-9]{1,3}
+    ).toDF("s")
+    val out = rows.select(TextAnalysis.redactPii(col("s")).as("r"))
+      .as[String].collect().toSeq
+    assert(out == Seq(
+      "mail [EMAIL] now",
+      "call [PHONE] today",
+      "ping [IP] ok",
+      "Customer#[EMAIL]",
+      "nothing to hide here",
+      "ip-like 1234.5.6.7 is not an ip"))
+  }
+
+  test("deterministic sharding: uniform-ish shards, contiguous positions, reproducible") {
+    val docs = graft.Tables.documents(spark, sf("sf0.01"))
+    val n = docs.count()
+    val sharded = Sampling.deterministicShard(docs, "doc_id", 8)
+    assert(sharded.count() == n, "sharding must not drop rows")
+    val perShard = sharded.groupBy("shard").agg(
+      count(lit(1)).as("cnt"), max("shard_pos").as("maxp"), min("shard_pos").as("minp"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(perShard.map(_._1).toSet.subsetOf((0 until 8).toSet))
+    perShard.foreach { case (s, cnt, maxp, minp) =>
+      assert(minp == 1L && maxp == cnt, s"shard $s positions not contiguous 1..$cnt")
+    }
+    // no empty shard and no shard hogging the corpus at 500 docs / 8 shards
+    assert(perShard.length == 8 && perShard.forall(_._2 > n / 32))
+    val again = Sampling.deterministicShard(docs, "doc_id", 8)
+    assert(sharded.select("doc_id", "shard", "shard_pos")
+      .exceptAll(again.select("doc_id", "shard", "shard_pos")).isEmpty)
+  }
+
   test("temperature mixture rates match the closed form and cap at 1") {
     val docs = graft.Tables.documents(spark, sf("sf0.01"))
     val budget = 140000L
