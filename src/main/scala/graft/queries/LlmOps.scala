@@ -79,7 +79,7 @@ object LlmOps {
     * attribution shift artifact line items exist to prevent). */
   def artifactConsumers: Map[String, Seq[String]] = Map(
     "lsh_pairs" -> Seq("x_dedup_minhash", "x_dedup_apply", "x_corpus_pipeline",
-      "x_dedup_clusters"),
+      "x_dedup_clusters", "x_corpus_assembly"),
     "ivf_index" -> Seq("x_ann_ivf", "x_ann_nn_join", "x_ann_recall"))
 
   /** Forget all build-once artifacts (benchmarking only). */
@@ -312,6 +312,30 @@ object LlmOps {
         .select("doc_id", "shard", "shard_pos"),
       "doc_id")
 
+  /** The round-4 surface composed end-to-end — the full corpus ASSEMBLY
+    * a training run needs, one plan: quality+language filter →
+    * cluster-canonical near-dup removal (connected components over the
+    * LSH pair artifact — the transitive upgrade of xDedupApply's
+    * pairwise drop) → temperature-flattened mixture sampling with rates
+    * computed on the SURVIVING corpus → deterministic sharding for
+    * training order. Every stage is an oracled operator above; this
+    * query proves they compose and stays bit-reproducible end-to-end. */
+  def xCorpusAssembly(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val filtered = TextAnalysis.withLangId(TextAnalysis.withQuality(docs))
+      .filter(col("quality_score") >= 0.45 && col("lang_pred") === "en")
+    val removed = Dedup.connectedComponents(lshPairs(s, d))
+      .filter(col("is_canonical") === 0).select(col("doc_id"))
+    val kept = filtered.join(broadcast(removed), Seq("doc_id"), "left_anti")
+    val mixed = Sampling.temperatureMixture(kept, "doc_id", "source",
+      "n_chars", budget = 30000L)
+    ordered(
+      Sampling.deterministicShard(mixed, "doc_id", numShards = 4)
+        .select(col("doc_id"), col("source"), col("sample_weight"),
+          col("shard"), col("shard_pos")),
+      "doc_id")
+  }
+
   def xMultimodal(s: SparkSession, d: String): DataFrame =
     ordered(
       Multimodal.extractFeatures(s, Multimodal.withPayload(documents(s, d))).toDF(),
@@ -342,6 +366,7 @@ object LlmOps {
     "x_text_repetition"   -> (xTextRepetition _),
     "x_pii_redact"        -> (xPiiRedact _),
     "x_corpus_pipeline"   -> (xCorpusPipeline _),
+    "x_corpus_assembly"   -> (xCorpusAssembly _),
     "x_multimodal"        -> (xMultimodal _))
 
   private val toksSql =
@@ -694,6 +719,57 @@ object LlmOps {
         |SELECT doc_id, source, sample_rate,
         |  CAST(1.0 AS DOUBLE) / sample_rate AS sample_weight
         |FROM s WHERE u < sample_rate ORDER BY doc_id""".stripMargin,
+    "x_corpus_assembly" ->
+      s"""WITH RECURSIVE $lshPairsCte,
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |          UNION ALL SELECT d2 AS src, d1 AS dst FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |removed AS (SELECT src AS doc_id FROM reach GROUP BY src
+         |            HAVING src > least(src, min(dst))),
+         |t2 AS (SELECT doc_id, source, n_chars, text, $toksSql AS toks2 FROM documents),
+         |q AS (SELECT doc_id, source, n_chars,
+         |    CAST(len(toks2) AS BIGINT) AS n_tokens,
+         |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+         |    CAST(len(list_filter(toks2, t3 -> list_contains($stopwordsSql, t3))) AS DOUBLE) / len(toks2) AS stopword_ratio,
+         |    list_distinct(toks2) AS dtoks
+         |  FROM t2),
+         |scored AS (SELECT doc_id, source, n_chars,
+         |    least(1.0, n_tokens / 100.0) * 0.4 + alpha_ratio * 0.3 + stopword_ratio * 0.3 AS quality_score,
+         |    len(list_intersect(dtoks, ${markerSql("en")})) AS s_en,
+         |    len(list_intersect(dtoks, ${markerSql("de")})) AS s_de,
+         |    len(list_intersect(dtoks, ${markerSql("fr")})) AS s_fr,
+         |    len(list_intersect(dtoks, ${markerSql("es")})) AS s_es,
+         |    len(list_intersect(dtoks, ${markerSql("zh")})) AS s_zh
+         |  FROM q),
+         |kept AS (SELECT doc_id, source, n_chars FROM scored
+         |  WHERE quality_score >= 0.45
+         |    AND greatest(s_en, s_de, s_fr, s_es, s_zh) > 0
+         |    AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh
+         |    AND doc_id NOT IN (SELECT doc_id FROM removed)),
+         |bysrc AS (SELECT source, sum(n_chars) AS tot FROM kept GROUP BY 1),
+         |nrm AS (SELECT list_reduce(
+         |  list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(sqrt(CAST(tot AS DOUBLE)) ORDER BY source)),
+         |  (a, b) -> a + b) AS S FROM bysrc),
+         |rates AS (SELECT source,
+         |  least(CAST(1.0 AS DOUBLE),
+         |    CAST(30000 AS DOUBLE) * sqrt(CAST(tot AS DOUBLE)) / S
+         |      / CAST(tot AS DOUBLE)) AS sample_rate
+         |  FROM bysrc CROSS JOIN nrm),
+         |mixed AS (SELECT k.doc_id, k.source,
+         |    CAST(1.0 AS DOUBLE) / r.sample_rate AS sample_weight
+         |  FROM kept k JOIN rates r USING (source)
+         |  WHERE CAST(CONCAT('0x', substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |          / 4294967296.0 < r.sample_rate)
+         |SELECT doc_id, source, sample_weight,
+         |  CAST(CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4 AS INT) AS shard,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS shard_pos
+         |FROM mixed ORDER BY doc_id""".stripMargin,
     "x_text_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS ts FROM documents),
          |g AS (SELECT doc_id, ts,

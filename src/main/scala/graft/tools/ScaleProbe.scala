@@ -70,7 +70,11 @@ object ScaleProbe {
     val probes = Seq("q1_agg", "j1_interval_join", "j3_dim_enrich", "a1_product_stats",
       "st1_is_new", "st3_bounce", "a4_keyword_stats", "x_dedup_exact",
       "x_dedup_ngram", "x_dedup_minhash", "x_dedup_apply",
-      "x_corpus_pipeline", "x_text_quality")
+      "x_corpus_pipeline", "x_text_quality",
+      // round-4 surface: cluster resolution + the sampling/assembly ops
+      // (x_pii_redact rides the unscaled customer dim — no ramp to measure)
+      "x_dedup_clusters", "x_text_repetition", "x_sample_stratified",
+      "x_sample_mixture", "x_sample_shard", "x_corpus_assembly")
     // x_dedup_simhash is deliberately NOT probed: the text salt makes
     // replicas distinct under shingle-Jaccard but NOT under
     // distinct-token SimHash (one spliced token flips only near-tie
