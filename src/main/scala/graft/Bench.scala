@@ -40,6 +40,7 @@ object Bench {
   }
 
   private def r3(v: Double): Double = math.rint(v * 1000) / 1000
+  private def r2(v: Double): Double = math.rint(v * 100) / 100
 
   private def jsonMap(m: Seq[(String, Double)]): String =
     m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -120,7 +121,11 @@ object Bench {
         s""","sf":"$sfDir"}"""
     }
     val verbose = render(identity, warmAsArray = false)
-    val compact = render(r3, warmAsArray = true)
+    // centisecond fallback keeps the line inside the window as the query
+    // count grows (box noise is ±10% anyway — 10ms resolution loses nothing)
+    val compact3 = render(r3, warmAsArray = true)
+    val compact = if (compact3.length <= 1800) compact3
+      else render(r2, warmAsArray = true)
     // land the verbose line in a dedicated file so a log-prefixing runner
     // (sbt wraps forked stdout unless outputStrategy passes it through)
     // can never corrupt it, and print it BEFORE the compact line

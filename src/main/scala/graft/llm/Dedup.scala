@@ -442,6 +442,26 @@ object Dedup {
         col("m.cos_sim").as("cos_sim"))
   }
 
+  /** Train/eval CONTAMINATION check — the decontamination step of corpus
+    * assembly: find training documents sharing at least `minOverlap`
+    * distinct word n-grams with any eval/benchmark document. The eval
+    * set is benchmark-sized (small by contract), so its gram table
+    * broadcasts: the training corpus streams through one broadcast hash
+    * join — no shuffle of the corpus — and the (doc, eval) overlap
+    * counts partial-aggregate map-side. Returns
+    * (doc_id, eval_id, n_shared) per contaminated pair. */
+  def contamination(train: DataFrame, evalDocs: DataFrame, n: Int = 3,
+                    minOverlap: Int = 5): DataFrame = {
+    val tg = shingles(train, n)
+    val eg = shingles(evalDocs, n)
+      .select(col("doc_id").as("eval_id"), col("gram"))
+    tg.join(broadcast(eg), Seq("gram"))
+      .filter(col("doc_id") =!= col("eval_id"))
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minOverlap)
+  }
+
   /** Near-dup CLUSTER RESOLUTION: the step after pair discovery. The
     * >=threshold pairs form a graph; a duplicate "cluster" is a connected
     * component, and the canonical document is its minimum doc_id (the

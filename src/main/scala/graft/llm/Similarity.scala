@@ -253,6 +253,31 @@ object Similarity {
         col("nn_id"), col("cos_sim"))
   }
 
+  /** Per-vector L2 norm + symmetric int8 quantization — the embedding
+    * compaction step before a corpus-sized ANN index is shipped (4×
+    * smaller than float32, 8× than float64). q_i = round(x_i/amax·127),
+    * dequantize via `qscale` = amax/127. Pure map-side array
+    * expressions; the norm is a sequential ascending fold (bit-identical
+    * cross-engine, like cosineSim) and round-half-away-from-zero agrees
+    * between Java's HALF_UP and DuckDB/C, so the whole op is exactly
+    * oracle-able. The quantized vector is emitted as a csv string of
+    * ints (`q8_csv`) — integer-only text keeps the gate comparison free
+    * of float-formatting ambiguity. Zero vectors quantize to all-zeros
+    * with qscale 0. */
+  def normalizeQuantize(vecs: DataFrame): DataFrame = {
+    val e = col("__e")
+    vecs.withColumn("__e", transform(col("embedding"), v => v.cast("double")))
+      .withColumn("l2_norm",
+        sqrt(aggregate(e, lit(0.0), (acc, v) => acc + v * v)))
+      .withColumn("__amax", array_max(transform(e, v => abs(v))))
+      .withColumn("qscale", col("__amax") / lit(127.0))
+      .withColumn("q8_csv", when(col("__amax") > 0,
+          concat_ws(",", transform(e,
+            v => round(v / col("__amax") * 127).cast("int").cast("string"))))
+        .otherwise(concat_ws(",", transform(e, _ => lit("0")))))
+      .drop("__e", "__amax")
+  }
+
   /** IVF-probed approximate top-k with k-means-refined centroids (Lloyd
     * iterations improve the partition on clustered data; the refinement
     * averages floats, so this variant is recall-spec-tested rather than

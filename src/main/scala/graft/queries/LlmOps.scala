@@ -336,6 +336,28 @@ object LlmOps {
       "doc_id")
   }
 
+  /** Decontamination: training docs sharing >=5 distinct 3-grams with
+    * any doc of the pseudo-eval set (doc_id < 100 — the vec_id<8 probe
+    * pattern, sized so several planted near-dups land in the eval set).
+    * The >=5 cut sits in the measured gap between random vocab
+    * collisions (<=4 shared grams at sf0.01) and true contamination
+    * (81 shared). Eval grams broadcast; the corpus never shuffles. */
+  def xDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    ordered(
+      Dedup.contamination(docs, docs.filter(col("doc_id") < 100),
+        n = 3, minOverlap = 5),
+      "doc_id", "eval_id")
+  }
+
+  /** Embedding norm + int8 quantization (map-side; csv-of-ints output
+    * keeps the comparison integer-exact). */
+  def xEmbedQuantize(s: SparkSession, d: String): DataFrame =
+    ordered(
+      Similarity.normalizeQuantize(embeddings(s, d))
+        .select("vec_id", "l2_norm", "qscale", "q8_csv"),
+      "vec_id")
+
   def xMultimodal(s: SparkSession, d: String): DataFrame =
     ordered(
       Multimodal.extractFeatures(s, Multimodal.withPayload(documents(s, d))).toDF(),
@@ -365,6 +387,8 @@ object LlmOps {
     "x_sample_shard"      -> (xSampleShard _),
     "x_text_repetition"   -> (xTextRepetition _),
     "x_pii_redact"        -> (xPiiRedact _),
+    "x_decontaminate"     -> (xDecontaminate _),
+    "x_embed_quantize"    -> (xEmbedQuantize _),
     "x_corpus_pipeline"   -> (xCorpusPipeline _),
     "x_corpus_assembly"   -> (xCorpusAssembly _),
     "x_multimodal"        -> (xMultimodal _))
@@ -770,6 +794,29 @@ object LlmOps {
          |    PARTITION BY CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4
          |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS shard_pos
          |FROM mixed ORDER BY doc_id""".stripMargin,
+    "x_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
+         |grams AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS g
+         |          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i)
+         |          WHERE len(ts) >= 3)
+         |SELECT t.doc_id, e.doc_id AS eval_id, count(*) AS n_shared
+         |FROM grams t JOIN grams e
+         |  ON t.g = e.g AND e.doc_id < 100 AND t.doc_id <> e.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 5
+         |ORDER BY 1, 2""".stripMargin,
+    "x_embed_quantize" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |m AS (SELECT vec_id, e,
+        |  sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(e, v -> v * v)), (a, b) -> a + b)) AS l2_norm,
+        |  list_max(list_transform(e, v -> abs(v))) AS amax
+        |  FROM c)
+        |SELECT vec_id, l2_norm, amax / CAST(127.0 AS DOUBLE) AS qscale,
+        |  CASE WHEN amax > 0 THEN
+        |    array_to_string(list_transform(e,
+        |      v -> CAST(CAST(round(v / amax * 127) AS INT) AS VARCHAR)), ',')
+        |  ELSE array_to_string(list_transform(e, v -> '0'), ',') END AS q8_csv
+        |FROM m ORDER BY vec_id""".stripMargin,
     "x_text_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS ts FROM documents),
          |g AS (SELECT doc_id, ts,

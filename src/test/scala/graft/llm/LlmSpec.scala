@@ -312,6 +312,38 @@ class LlmSpec extends SparkSpec {
       .exceptAll(again.select("doc_id", "shard", "shard_pos")).isEmpty)
   }
 
+  test("contamination finds train docs overlapping eval grams, excludes self") {
+    import spark.implicits._
+    val evalSet = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // self — excluded
+      (10L, "alpha beta gamma delta epsilon zeta iota"),     // 4 shared 3-grams
+      (11L, "alpha beta gamma delta epsilon zeta eta kappa"),// 5 shared
+      (12L, "totally unrelated words without any overlap at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.contamination(train, evalSet, n = 3, minOverlap = 5)
+      .select("doc_id", "eval_id", "n_shared")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((11L, 1L, 5L)))
+    // the near-miss is visible one notch down
+    val loose = Dedup.contamination(train, evalSet, n = 3, minOverlap = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(loose == Set(10L, 11L))
+  }
+
+  test("normalizeQuantize: hand-computed norm, scale, and int8 codes; zero vector safe") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(3.0f, -4.0f)),
+      (2L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.normalizeQuantize(vecs)
+      .select("vec_id", "l2_norm", "qscale", "q8_csv")
+      .as[(Long, Double, Double, String)].collect().sortBy(_._1).toSeq
+    assert(out(0) == ((1L, 5.0, 4.0 / 127.0, s"${math.round(3.0 / 4.0 * 127)},-127")))
+    assert(out(1) == ((2L, 0.0, 0.0, "0,0")))
+  }
+
   test("temperature mixture rates match the closed form and cap at 1") {
     val docs = graft.Tables.documents(spark, sf("sf0.01"))
     val budget = 140000L
