@@ -222,6 +222,63 @@ class PipelinesSpec extends SparkSpec {
       s"streaming ingest missed ${missed.size} of ${expected.size} batch-verified pairs: $missed")
   }
 
+  test("streaming cluster maintenance: CC over the growing match artifact absorbs each batch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lsh_cc").toString
+    val base = "the quick brown fox jumps over the lazy dog and then runs far away into the quiet woods tonight"
+    val dupB = base.replace("tonight", "today")
+    val dupC = base.replace("tonight", "tomorrow") // near-dup of BOTH
+    val ingest = graft.llm.Dedup.lshIngestBatch(s"$dir/artifact") _
+    ingest(Seq((1L, base)).toDF("doc_id", "text"), 0L)
+    ingest(Seq((2L, dupB)).toDF("doc_id", "text"), 1L)
+    ingest(Seq((3L, dupC)).toDF("doc_id", "text"), 2L)
+    val matches = spark.read.parquet(s"$dir/artifact/matches")
+    // pair discovery is incremental (each batch joined history once);
+    // cluster RESOLUTION re-runs over the accumulated pair artifact —
+    // pairs only ever grow, so each re-resolution refines the last
+    val clusters = graft.llm.Dedup.connectedComponents(matches)
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      s"transitive chain across three micro-batches must be one cluster: $clusters")
+  }
+
+  test("sampling ops are stateless: streaming application equals batch, batch to batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val mem = MemoryStream[(Long, String, String)]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "lang", "text").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        // per-row hash decisions need no state: the same op body runs
+        // unchanged on a micro-batch
+        val out = graft.llm.Sampling.deterministicSplit(
+          graft.llm.Sampling.stratifiedSample(df, "doc_id", "lang",
+            Map("en" -> 0.25, "zh" -> 0.5)),
+          "doc_id", Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+        collected ++= out.select("doc_id", "split").collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+        ()
+      }.start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.size / 2)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val batch = graft.llm.Sampling.deterministicSplit(
+      graft.llm.Sampling.stratifiedSample(
+        graft.Tables.documents(spark, sf("sf0.001")), "doc_id", "lang",
+        Map("en" -> 0.25, "zh" -> 0.5)),
+      "doc_id", Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(collected.toSet == batch,
+      "streamed sampling decisions must equal the batch run row-for-row")
+    assert(collected.size == collected.toSet.size, "no row sampled twice across batches")
+  }
+
   test("dim enrichment uses broadcast joins (plan check) and fills dim columns") {
     val li = graft.Tables.lineitem(spark, sf("sf0.001")).limit(100)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
