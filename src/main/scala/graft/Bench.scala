@@ -73,9 +73,11 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warm-up FAILED (continuing): ${e.getMessage}")
     }
-    // build-once artifacts: paid here, each its own line item
+    // build-once artifacts: paid here, each its own line item, in the
+    // declared DEPENDENCY order (cc_clusters consumes lsh_pairs — an
+    // alphabetical sort would charge the pair build to the cluster item)
     graft.queries.LlmOps.resetArtifactCaches()
-    val artifacts = graft.queries.LlmOps.artifactBuilders.toSeq.sortBy(_._1).map {
+    val artifacts = graft.queries.LlmOps.artifactBuilders.map {
       case (name, build) =>
         name -> time {
           try build(spark, sfDir)

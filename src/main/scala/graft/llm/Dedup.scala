@@ -258,7 +258,26 @@ object Dedup {
 
   /** Forget built pair sets (benchmarking tools only — forces the next
     * consumer to pay a cold build). */
-  def resetArtifactCache(): Unit = builtPairSets.clear()
+  def resetArtifactCache(): Unit = {
+    builtPairSets.clear()
+    builtClusterSets.clear()
+  }
+
+  /** Session-scoped build-once cache for the resolved cluster map —
+    * like the pair set, a real pipeline materializes the cluster
+    * assignment once (the propagation loop runs once) and every
+    * downstream rewrite job reads the map. */
+  private val builtClusterSets = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def connectedComponentsCached(spark: org.apache.spark.sql.SparkSession,
+                                pairs: => DataFrame, cachePath: String): DataFrame = {
+    builtClusterSets.computeIfAbsent(cachePath, { _ =>
+      connectedComponents(pairs)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(cachePath)
+      cachePath
+    })
+    spark.read.parquet(cachePath)
+  }
 
   /** MinHash-LSH near-dup pairs, materialized to `cachePath` at most
     * once per JVM and read back from parquet — a fresh run always

@@ -60,15 +60,22 @@ object LlmOps {
     Dedup.minhashLshPairsCached(s, documents(s, d),
       artifactRoot + "/lsh_pairs/" + d.replaceAll("[^a-zA-Z0-9.]", "_") + "_n3_t08_h24b4")
 
+  private def ccClusters(s: SparkSession, d: String): DataFrame =
+    Dedup.connectedComponentsCached(s, lshPairs(s, d),
+      artifactRoot + "/cc_clusters/" + d.replaceAll("[^a-zA-Z0-9.]", "_") + "_n3_t08_h24b4")
+
   /** The build-once artifacts behind the query surface, exposed so a
     * benchmark can pay each build explicitly (its own line item) instead
     * of attributing it to whichever consumer query happens to run first —
     * that attribution shift made round-over-round per-query numbers
     * incomparable. Building through the same *Cached entry points means a
-    * later query call is a pure cache hit. */
-  def artifactBuilders: Map[String, (SparkSession, String) => Unit] = Map(
-    "lsh_pairs" -> ((s, d) => { lshPairs(s, d); () }),
-    "ivf_index" -> ((s, d) => {
+    * later query call is a pure cache hit. ORDERED by dependency:
+    * cc_clusters consumes lsh_pairs, so the pair build must come first
+    * or its time lands inside the cluster line item. */
+  def artifactBuilders: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "lsh_pairs" -> ((s: SparkSession, d: String) => { lshPairs(s, d); () }),
+    "cc_clusters" -> ((s: SparkSession, d: String) => { ccClusters(s, d); () }),
+    "ivf_index" -> ((s: SparkSession, d: String) => {
       val idxPath = artifactRoot + "/ivf_index/" + d.replaceAll("[^a-zA-Z0-9.]", "_")
       Similarity.ivfBuildIndexCached(s, embeddings(s, d), idxPath, nlist = 16); ()
     }))
@@ -80,6 +87,7 @@ object LlmOps {
   def artifactConsumers: Map[String, Seq[String]] = Map(
     "lsh_pairs" -> Seq("x_dedup_minhash", "x_dedup_apply", "x_corpus_pipeline",
       "x_dedup_clusters", "x_corpus_assembly"),
+    "cc_clusters" -> Seq("x_dedup_clusters", "x_corpus_assembly"),
     "ivf_index" -> Seq("x_ann_ivf", "x_ann_nn_join", "x_ann_recall"))
 
   /** Forget all build-once artifacts (benchmarking only). */
@@ -237,7 +245,7 @@ object LlmOps {
     * dedup pipeline; oracled by a recursive-CTE transitive closure over
     * the identical banding-scheme pair set. */
   def xDedupClusters(s: SparkSession, d: String): DataFrame =
-    ordered(Dedup.connectedComponents(lshPairs(s, d)), "doc_id")
+    ordered(ccClusters(s, d), "doc_id")
 
   /** Deterministic per-language downsampling (hash-threshold Bernoulli,
     * weight = 1/rate): en kept at 0.25, zh at 0.5, the rest untouched. */
@@ -324,7 +332,7 @@ object LlmOps {
     val docs = documents(s, d)
     val filtered = TextAnalysis.withLangId(TextAnalysis.withQuality(docs))
       .filter(col("quality_score") >= 0.45 && col("lang_pred") === "en")
-    val removed = Dedup.connectedComponents(lshPairs(s, d))
+    val removed = ccClusters(s, d)
       .filter(col("is_canonical") === 0).select(col("doc_id"))
     val kept = filtered.join(broadcast(removed), Seq("doc_id"), "left_anti")
     val mixed = Sampling.temperatureMixture(kept, "doc_id", "source",

@@ -28,6 +28,16 @@ object Det {
     * COUNT(DISTINCT). Oracle: COUNT(DISTINCT x). */
   def setCount(c: Column): Column = size(collect_set(c)).cast("long")
 
+  /** The 100 TB swap for setCount: HyperLogLog++ sketch distinct
+    * (`approx_count_distinct`). `collect_set` state is O(distinct) per
+    * group — exact, and fine at gate scale or for bounded key domains —
+    * while the HLL sketch is a fixed few KB per group at ~rsd relative
+    * error, mergeable map-side, and safe for unbounded domains. Not
+    * oracle-able (the sketch is engine-specific), so gate queries keep
+    * the exact form; ApproxSpec bounds the error against it. */
+  def approxSetCount(c: Column, rsd: Double = 0.05): Column =
+    approx_count_distinct(c, rsd)
+
   /** Window-bound stamp "yyyy-MM-dd HH:mm:ss" (reference DateTimeUtil
     * format; session TZ pinned UTC). Oracle: strftime(ts, '%Y-%m-%d %H:%M:%S'). */
   def stamp(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
