@@ -264,18 +264,62 @@ object Similarity {
     * ints (`q8_csv`) — integer-only text keeps the gate comparison free
     * of float-formatting ambiguity. Zero vectors quantize to all-zeros
     * with qscale 0. */
-  def normalizeQuantize(vecs: DataFrame): DataFrame = {
+  /** Quantization core: adds `l2_norm`, `qscale`, and the int8 code
+    * array `q8` (kept as array<int> for the quantized search path). */
+  private[llm] def withQuantized(vecs: DataFrame): DataFrame = {
     val e = col("__e")
     vecs.withColumn("__e", transform(col("embedding"), v => v.cast("double")))
       .withColumn("l2_norm",
         sqrt(aggregate(e, lit(0.0), (acc, v) => acc + v * v)))
       .withColumn("__amax", array_max(transform(e, v => abs(v))))
       .withColumn("qscale", col("__amax") / lit(127.0))
-      .withColumn("q8_csv", when(col("__amax") > 0,
-          concat_ws(",", transform(e,
-            v => round(v / col("__amax") * 127).cast("int").cast("string"))))
-        .otherwise(concat_ws(",", transform(e, _ => lit("0")))))
+      .withColumn("q8", when(col("__amax") > 0,
+          transform(e, v => round(v / col("__amax") * 127).cast("int")))
+        .otherwise(transform(e, _ => lit(0))))
       .drop("__e", "__amax")
+  }
+
+  def normalizeQuantize(vecs: DataFrame): DataFrame =
+    withQuantized(vecs)
+      .withColumn("q8_csv", concat_ws(",", transform(col("q8"), _.cast("string"))))
+      .drop("q8")
+
+  /** Int8-quantized ANN: the memory-bound regime's search path — the
+    * candidate pass scores every corpus row with an INTEGER dot product
+    * over the 4×-smaller int8 codes (scaled back to approximate cosine
+    * by the per-vector dequant factors), keeps `candidates` per query,
+    * and reranks only those with the exact float cosine. Same plan shape
+    * as sketchRerankTopK (only (query_id, nn_id, score) crosses the
+    * candidate window; full vectors re-joined for the rerank rows) — the
+    * first pass reads the code column, not the embeddings. Integer
+    * arithmetic is exact in any engine, so the approximate pass itself
+    * is fully SQL-oracle-able. */
+  def quantizedRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                          candidates: Int = 75): DataFrame = {
+    val c = withQuantized(corpus).select(col("vec_id").as("nn_id"),
+      col("q8").as("cq"), col("qscale").as("cs"), col("l2_norm").as("cn"))
+    val q = withQuantized(queries).select(col("vec_id").as("query_id"),
+      col("q8").as("qq"), col("qscale").as("qs"), col("l2_norm").as("qn"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"),
+        (aggregate(zip_with(col("qq"), col("cq"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).cast("double")
+          * col("qs") * col("cs") / (col("qn") * col("cn"))).as("q_sim"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("q_sim").desc, col("nn_id"))
+    val cand = scored.withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= candidates)
+      .select(col("query_id"), col("nn_id"))
+    val cf = corpus.select(col("vec_id").as("nn_id"), col("embedding").as("ce"))
+    val qf = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val rerank = cf.join(broadcast(cand), Seq("nn_id"))
+      .join(broadcast(qf), Seq("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        round(cosineSim(col("qe"), col("ce")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("nn_id"))
+    rerank.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nn_id"), col("cos_sim"))
   }
 
   /** IVF-probed approximate top-k with k-means-refined centroids (Lloyd

@@ -358,6 +358,16 @@ object LlmOps {
       "doc_id", "eval_id")
   }
 
+  /** Int8-quantized ANN: candidate pass on integer dot products over the
+    * 4×-smaller codes (exactly oracle-able — integer arithmetic), exact
+    * rerank of the survivors. The memory-bound regime's search path. */
+  def xAnnQuantized(s: SparkSession, d: String): DataFrame = {
+    val vecs = embeddings(s, d)
+    ordered(
+      Similarity.quantizedRerankTopK(vecs, vecs.filter(col("vec_id") < 8), k = 10),
+      "query_id", "rank")
+  }
+
   /** Embedding norm + int8 quantization (map-side; csv-of-ints output
     * keeps the comparison integer-exact). */
   def xEmbedQuantize(s: SparkSession, d: String): DataFrame =
@@ -397,6 +407,7 @@ object LlmOps {
     "x_pii_redact"        -> (xPiiRedact _),
     "x_decontaminate"     -> (xDecontaminate _),
     "x_embed_quantize"    -> (xEmbedQuantize _),
+    "x_ann_quantized"     -> (xAnnQuantized _),
     "x_corpus_pipeline"   -> (xCorpusPipeline _),
     "x_corpus_assembly"   -> (xCorpusAssembly _),
     "x_multimodal"        -> (xMultimodal _))
@@ -825,6 +836,35 @@ object LlmOps {
         |      v -> CAST(CAST(round(v / amax * 127) AS INT) AS VARCHAR)), ',')
         |  ELSE array_to_string(list_transform(e, v -> '0'), ',') END AS q8_csv
         |FROM m ORDER BY vec_id""".stripMargin,
+    "x_ann_quantized" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |m AS (SELECT vec_id, e,
+        |  sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(e, v -> v * v)), (a, b) -> a + b)) AS nrm,
+        |  list_max(list_transform(e, v -> abs(v))) AS amax
+        |  FROM c),
+        |qz AS (SELECT vec_id, e, nrm, amax / CAST(127.0 AS DOUBLE) AS qs,
+        |  CASE WHEN amax > 0 THEN list_transform(e, v -> CAST(round(v / amax * 127) AS INT))
+        |       ELSE list_transform(e, v -> 0) END AS q8
+        |  FROM m),
+        |qq AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, qs AS qqs, q8 AS qcode
+        |       FROM qz WHERE vec_id < 8),
+        |cand AS (
+        |  SELECT query_id, cz.vec_id AS nn_id, qe, cz.e AS ce
+        |  FROM qq JOIN qz cz ON cz.vec_id <> query_id
+        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY
+        |    CAST(list_reduce(list_prepend(0,
+        |      list_transform(generate_series(1, len(qcode)), i -> qcode[i] * cz.q8[i])),
+        |      (a, b) -> a + b) AS DOUBLE)
+        |      * qqs * cz.qs / (qn * cz.nrm) DESC, cz.vec_id) <= 75),
+        |ranked AS (
+        |  SELECT query_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(list_cosine_similarity(qe, ce), 6) DESC, nn_id) AS BIGINT) AS rank,
+        |    nn_id, round(list_cosine_similarity(qe, ce), 6) AS cos_sim
+        |  FROM cand)
+        |SELECT query_id, rank, nn_id, cos_sim FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
     "x_text_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS ts FROM documents),
          |g AS (SELECT doc_id, ts,

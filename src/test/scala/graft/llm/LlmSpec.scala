@@ -312,6 +312,21 @@ class LlmSpec extends SparkSpec {
       .exceptAll(again.select("doc_id", "shard", "shard_pos")).isEmpty)
   }
 
+  test("quantized ANN recall@10 >= 0.9 per query (int8 candidate pass, exact rerank)") {
+    val vecs = graft.Tables.embeddings(spark, sf("sf0.01"))
+    val probes = vecs.filter(col("vec_id") < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "nn_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+    val exact = pairs(Similarity.bruteForceTopK(vecs, probes, k = 10))
+    val quant = pairs(Similarity.quantizedRerankTopK(vecs, probes, k = 10))
+    exact.foreach { case (q, nns) =>
+      val recall = quant(q).intersect(nns).size / 10.0
+      assert(recall >= 0.9, s"query $q: int8-candidate recall $recall")
+    }
+  }
+
   test("contamination finds train docs overlapping eval grams, excludes self") {
     import spark.implicits._
     val evalSet = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
