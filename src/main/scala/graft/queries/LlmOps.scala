@@ -196,7 +196,9 @@ object LlmOps {
       recallOf("ivf_nprobe4",
           Similarity.ivfProbeIndex(s, idxPath, seeds, probesDf, k = 10, nprobe = 4))
         .unionByName(recallOf("sketch_rerank",
-          Similarity.sketchRerankTopK(vecs, probesDf, k = 10))),
+          Similarity.sketchRerankTopK(vecs, probesDf, k = 10)))
+        .unionByName(recallOf("int8_rerank",
+          Similarity.quantizedRerankTopK(vecs, probesDf, k = 10))),
       "query_id", "method")
   }
 
@@ -637,10 +639,31 @@ object LlmOps {
         |brute AS (
         |  SELECT query_id, nn_id FROM bscored
         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, nn_id) <= 10),
+        |i8 AS (SELECT vec_id, e,
+        |  sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(e, v -> v * v)), (a, b) -> a + b)) AS nrm,
+        |  list_max(list_transform(e, v -> abs(v))) AS amax FROM c),
+        |i8q AS (SELECT vec_id, e, nrm, amax / CAST(127.0 AS DOUBLE) AS qsc,
+        |  CASE WHEN amax > 0 THEN list_transform(e, v -> CAST(round(v / amax * 127) AS INT))
+        |       ELSE list_transform(e, v -> 0) END AS q8 FROM i8),
+        |i8cand AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS nn_id, a.e AS qe8, b.e AS ce8
+        |  FROM i8q a JOIN i8q b ON a.vec_id < 8 AND b.vec_id <> a.vec_id
+        |  QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |    CAST(list_reduce(list_prepend(0,
+        |      list_transform(generate_series(1, len(a.q8)), i -> a.q8[i] * b.q8[i])),
+        |      (x, y) -> x + y) AS DOUBLE)
+        |      * a.qsc * b.qsc / (a.nrm * b.nrm) DESC, b.vec_id) <= 75),
+        |quant AS (
+        |  SELECT query_id, nn_id FROM i8cand
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY round(list_cosine_similarity(qe8, ce8), 6) DESC, nn_id) <= 10),
         |methods AS (
         |  SELECT 'ivf_nprobe4' AS method, query_id, nn_id FROM ivf
         |  UNION ALL
-        |  SELECT 'sketch_rerank' AS method, query_id, nn_id FROM rerank),
+        |  SELECT 'sketch_rerank' AS method, query_id, nn_id FROM rerank
+        |  UNION ALL
+        |  SELECT 'int8_rerank' AS method, query_id, nn_id FROM quant),
         |hit AS (
         |  SELECT m.method AS hmethod, m.query_id AS hquery_id, count(*) AS n
         |  FROM methods m JOIN brute b ON m.query_id = b.query_id AND m.nn_id = b.nn_id

@@ -182,11 +182,13 @@ class LlmSpec extends SparkSpec {
       .select(col("query_id").cast("long"), col("method"), col("recall_at_10"))
       .as[(Long, String, Double)].collect()
     val byMethod = recalls.groupBy(_._2)
-    assert(byMethod.keySet == Set("ivf_nprobe4", "sketch_rerank"))
+    assert(byMethod.keySet == Set("ivf_nprobe4", "sketch_rerank", "int8_rerank"))
     assert(byMethod.values.forall(_.length == 8))
-    // the honest high-recall path on unstructured data: every probe query
+    // the honest high-recall paths on unstructured data: every probe query
     val sk = byMethod("sketch_rerank").map(_._3)
     assert(sk.min >= 0.9, s"sketch_rerank recall degraded: ${sk.toSeq}")
+    val i8 = byMethod("int8_rerank").map(_._3)
+    assert(i8.min >= 0.9, s"int8_rerank recall degraded: ${i8.toSeq}")
     // IVF on structureless embeddings is bounded by scan fraction
     // (nprobe/nlist = 0.25); it must at least clear that bound on average
     val ivf = byMethod("ivf_nprobe4").map(_._3)
