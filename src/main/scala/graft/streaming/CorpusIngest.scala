@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.llm.{Dedup, Sampling, TextAnalysis}
+
+/** The composed streaming job for the LLM-pipeline surface — the corpus
+  * analog of the reference's composed DWD/DWS apps (continuous
+  * enrichment, BaseLogApp's gate-and-route shape): documents stream in,
+  * training-ready shards stream out.
+  *
+  * Per micro-batch (`foreachBatch`):
+  *   1. incremental near-dup STATE update — `Dedup.lshIngestBatch`
+  *      appends the batch's MinHash signatures and its new matches
+  *      (new-vs-history and new-vs-new) to the persisted artifact;
+  *   2. quality + language gate (pure map-side scoring);
+  *   3. near-dup removal against the ACCUMULATED match log: the later
+  *      (d2) member of each flagged pair is dropped, so the earlier
+  *      canonical doc — possibly emitted in a previous batch — survives
+  *      alone. Batch compaction upgrades this pairwise rule to full
+  *      transitive clusters via `connectedComponentsCached`;
+  *   4. deterministic stratified sampling — stateless, so a replayed
+  *      batch makes identical decisions;
+  *   5. deterministic shard assignment + exactly-once batch-keyed write.
+  *
+  * Output layout: `outDir/batch_id=N/...` with (doc_id, lang_pred,
+  * quality_score, sample_rate, sample_weight, shard, shard_pos).
+  * Reproducible global training order = (shard, batch_id, shard_pos);
+  * `shard_pos` is batch-local by construction (a stream cannot know
+  * future ranks), and every decision is content-hash-keyed, so replays
+  * and restarts cannot change the corpus.
+  *
+  * 100 TB shape: the only shuffle is the band-key join inside the LSH
+  * state update (linear sketch state — 24 longs/doc ever ingested); the
+  * gate, sampling, and sharding are map-side; the removal set (flagged
+  * near-dups, sparse by construction) broadcasts.
+  */
+object CorpusIngest {
+
+  def ingestBatch(artifactDir: String, outDir: String,
+                  rates: Map[String, Double] = Map.empty,
+                  defaultRate: Double = 1.0,
+                  minQuality: Double = 0.45,
+                  numShards: Int = 8)
+                 (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    Dedup.lshIngestBatch(artifactDir)(batch, batchId)
+    val gated = TextAnalysis.withLangId(TextAnalysis.withQuality(batch))
+      .filter(col("quality_score") >= minQuality && col("lang_pred") =!= "unknown")
+    val matchesPath = new org.apache.hadoop.fs.Path(s"$artifactDir/matches")
+    val fs = matchesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val kept =
+      if (fs.exists(matchesPath)) {
+        val removed = spark.read.parquet(matchesPath.toString)
+          .select(col("d2").as("doc_id")).distinct()
+        gated.join(broadcast(removed), Seq("doc_id"), "left_anti")
+      } else gated
+    val sampled = Sampling.stratifiedSample(kept, "doc_id", "lang_pred",
+      rates, defaultRate)
+    val sharded = Sampling.deterministicShard(sampled, "doc_id", numShards)
+    graft.sources.Sinks.idempotentBatchSink(outDir)(
+      sharded.select("doc_id", "lang_pred", "quality_score",
+        "sample_rate", "sample_weight", "shard", "shard_pos"), batchId)
+  }
+
+  /** Wire the per-batch body into a stream. */
+  def run(docs: DataFrame, artifactDir: String, outDir: String,
+          checkpoint: String, rates: Map[String, Double] = Map.empty,
+          minQuality: Double = 0.45): StreamingQuery =
+    docs.writeStream
+      .foreachBatch(ingestBatch(artifactDir, outDir, rates,
+        minQuality = minQuality) _)
+      .option("checkpointLocation", checkpoint)
+      .start()
+}

@@ -279,6 +279,49 @@ class PipelinesSpec extends SparkSpec {
     assert(collected.size == collected.toSet.size, "no row sampled twice across batches")
   }
 
+  test("CorpusIngest end-to-end: gate, cross-batch near-dup drop, exactly-once shards") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("corpus_ingest").toString
+    // 'the/a/of/and' markers make lang_pred=en; the short doc fails the
+    // (lowered) quality floor; the near-dup of doc 1 arrives in batch 2
+    val base = "the quick brown fox jumps over a lazy dog and the dog runs off into the woods for the night"
+    val dupOfBase = base.replace("night", "morning")
+    val other = "the cat sat on a mat and the mat was warm of course it was warm in the sun all day"
+    val junk = "zzz"
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.CorpusIngest.run(
+      mem.toDF().toDF("doc_id", "text"),
+      s"$dir/artifact", s"$dir/out", s"$dir/ckpt", minQuality = 0.1)
+    try {
+      mem.addData((1L, base), (2L, junk))
+      q.processAllAvailable()
+      mem.addData((3L, dupOfBase), (4L, other))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(s"$dir/out")
+      .select($"batch_id".cast("long"), $"doc_id").as[(Long, Long)].collect().toSet
+    // junk failed the gate; the batch-2 near-dup of doc 1 was dropped in
+    // favor of its earlier canonical; everything else shipped
+    assert(out == Set((0L, 1L), (1L, 4L)), s"unexpected corpus: $out")
+    // a replayed micro-batch (restart re-running the last epoch) is a
+    // no-op on state AND output
+    graft.streaming.CorpusIngest.ingestBatch(s"$dir/artifact", s"$dir/out",
+      minQuality = 0.1)(Seq((3L, dupOfBase), (4L, other)).toDF("doc_id", "text"), 1L)
+    val replayed = spark.read.parquet(s"$dir/out")
+      .select($"batch_id".cast("long"), $"doc_id").as[(Long, Long)].collect().toSet
+    assert(replayed == out, "replay must be idempotent")
+    // 3 signatures, not 4: the sub-3-token junk doc has no shingles, so
+    // it never enters the near-dup sketch state either
+    assert(spark.read.parquet(s"$dir/artifact/sigs").count() == 3)
+    // shard positions are batch-local and contiguous per (batch, shard)
+    val pos = spark.read.parquet(s"$dir/out")
+      .groupBy($"batch_id", $"shard").agg(count(lit(1)).as("n"), max($"shard_pos").as("m"))
+      .collect()
+    pos.foreach(r =>
+      assert(r.getLong(2) == r.getLong(3), s"non-contiguous shard positions: $r"))
+  }
+
   test("dim enrichment uses broadcast joins (plan check) and fills dim columns") {
     val li = graft.Tables.lineitem(spark, sf("sf0.001")).limit(100)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
