@@ -20,11 +20,11 @@ object Sampling {
 
   /** Deterministic uniform-[0,1): the top 32 bits of md5(id) over 2^32.
     * An integer divided by 2^32 is exact in a double, and md5 is the one
-    * hash both engines compute identically (see Dedup.h32), so `u` is
+    * hash both engines compute identically (Dedup.h32 — the single
+    * definition every hash-keyed operator shares), so `u` is
     * bit-identical cross-engine. */
   def hashUniform(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") /
-      lit(4294967296.0)
+    Dedup.h32(id.cast("string")) / lit(4294967296.0)
 
   /** Per-stratum deterministic Bernoulli sampling: keep a row of stratum
     * `s` iff u(id) < rates(s) (default rate for unlisted strata), with
@@ -81,6 +81,24 @@ object Sampling {
       .filter(col("sample_rank") <= n)
   }
 
+  /** Deterministic corpus sharding — the "global shuffle" step before
+    * training-order assembly, without a global sort: shard =
+    * hash32(id) mod numShards (uniform, content-stable), position within
+    * a shard = rank by (md5(id), id). Each shard orders only its own
+    * 1/numShards slice — at 100 TB that is numShards independent
+    * partition-local sorts after one hash exchange, and a reader
+    * streaming shard s in shard_pos order sees a reproducible uniform
+    * permutation of the corpus. No RNG: adding documents never reorders
+    * the survivors of a shard prefix already consumed. */
+  def deterministicShard(docs: DataFrame, idCol: String,
+                         numShards: Int): DataFrame = {
+    val h = Dedup.h32(col(idCol).cast("string"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs.withColumn("shard", (h % numShards).cast("int"))
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+  }
+
   /** Temperature-flattened source mixing — the data-mixture step of
     * corpus assembly. With per-source sizes n_s (sum of `sizeCol`),
     * draw probability p_s ∝ sqrt(n_s) (temperature-flattened so small
@@ -97,25 +115,6 @@ object Sampling {
     * here is bit-reproducible cross-engine, oracle included. Source
     * stats are one hash-aggregate; rates broadcast back (a handful of
     * rows), so the corpus itself never shuffles. */
-  /** Deterministic corpus sharding — the "global shuffle" step before
-    * training-order assembly, without a global sort: shard =
-    * hash32(id) mod numShards (uniform, content-stable), position within
-    * a shard = rank by (md5(id), id). Each shard orders only its own
-    * 1/numShards slice — at 100 TB that is numShards independent
-    * partition-local sorts after one hash exchange, and a reader
-    * streaming shard s in shard_pos order sees a reproducible uniform
-    * permutation of the corpus. No RNG: adding documents never reorders
-    * the survivors of a shard prefix already consumed. */
-  def deterministicShard(docs: DataFrame, idCol: String,
-                         numShards: Int): DataFrame = {
-    val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("long")
-    val w = Window.partitionBy(col("shard"))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    docs.withColumn("shard", (h % numShards).cast("int"))
-      .withColumn("shard_pos", row_number().over(w).cast("long"))
-  }
-
   def temperatureMixture(docs: DataFrame, idCol: String, sourceCol: String,
                          sizeCol: String, budget: Long): DataFrame = {
     val bySrc = docs.groupBy(col(sourceCol)).agg(sum(col(sizeCol)).as("tot"))

@@ -253,17 +253,6 @@ object Similarity {
         col("nn_id"), col("cos_sim"))
   }
 
-  /** Per-vector L2 norm + symmetric int8 quantization — the embedding
-    * compaction step before a corpus-sized ANN index is shipped (4×
-    * smaller than float32, 8× than float64). q_i = round(x_i/amax·127),
-    * dequantize via `qscale` = amax/127. Pure map-side array
-    * expressions; the norm is a sequential ascending fold (bit-identical
-    * cross-engine, like cosineSim) and round-half-away-from-zero agrees
-    * between Java's HALF_UP and DuckDB/C, so the whole op is exactly
-    * oracle-able. The quantized vector is emitted as a csv string of
-    * ints (`q8_csv`) — integer-only text keeps the gate comparison free
-    * of float-formatting ambiguity. Zero vectors quantize to all-zeros
-    * with qscale 0. */
   /** Quantization core: adds `l2_norm`, `qscale`, and the int8 code
     * array `q8` (kept as array<int> for the quantized search path). */
   private[llm] def withQuantized(vecs: DataFrame): DataFrame = {
@@ -279,6 +268,17 @@ object Similarity {
       .drop("__e", "__amax")
   }
 
+  /** Per-vector L2 norm + symmetric int8 quantization — the embedding
+    * compaction step before a corpus-sized ANN index is shipped (4×
+    * smaller than float32, 8× than float64). q_i = round(x_i/amax·127),
+    * dequantize via `qscale` = amax/127. Pure map-side array
+    * expressions; the norm is a sequential ascending fold (bit-identical
+    * cross-engine, like cosineSim) and round-half-away-from-zero agrees
+    * between Java's HALF_UP and DuckDB/C, so the whole op is exactly
+    * oracle-able. The quantized vector is emitted as a csv string of
+    * ints (`q8_csv`) — integer-only text keeps the gate comparison free
+    * of float-formatting ambiguity. Zero vectors quantize to all-zeros
+    * with qscale 0. */
   def normalizeQuantize(vecs: DataFrame): DataFrame =
     withQuantized(vecs)
       .withColumn("q8_csv", concat_ws(",", transform(col("q8"), _.cast("string"))))
@@ -296,10 +296,16 @@ object Similarity {
     * is fully SQL-oracle-able. */
   def quantizedRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                           candidates: Int = 75): DataFrame = {
-    val c = withQuantized(corpus).select(col("vec_id").as("nn_id"),
-      col("q8").as("cq"), col("qscale").as("cs"), col("l2_norm").as("cn"))
-    val q = withQuantized(queries).select(col("vec_id").as("query_id"),
-      col("q8").as("qq"), col("qscale").as("qs"), col("l2_norm").as("qn"))
+    // a zero vector has no direction: its q_sim would be 0/0 = NaN, and
+    // NaN sorts ABOVE every real score in a descending window — so it
+    // would silently outrank every true neighbor. Exclude zero-norm rows
+    // from both sides (they can neither have nor be a nearest neighbor).
+    val c = withQuantized(corpus).filter(col("l2_norm") > 0)
+      .select(col("vec_id").as("nn_id"),
+        col("q8").as("cq"), col("qscale").as("cs"), col("l2_norm").as("cn"))
+    val q = withQuantized(queries).filter(col("l2_norm") > 0)
+      .select(col("vec_id").as("query_id"),
+        col("q8").as("qq"), col("qscale").as("qs"), col("l2_norm").as("qn"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("nn_id"))
       .select(col("query_id"), col("nn_id"),
         (aggregate(zip_with(col("qq"), col("cq"), (a, b) => a * b),

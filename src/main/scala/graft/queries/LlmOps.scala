@@ -871,10 +871,10 @@ object LlmOps {
         |       ELSE list_transform(e, v -> 0) END AS q8
         |  FROM m),
         |qq AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, qs AS qqs, q8 AS qcode
-        |       FROM qz WHERE vec_id < 8),
+        |       FROM qz WHERE vec_id < 8 AND nrm > 0),
         |cand AS (
         |  SELECT query_id, cz.vec_id AS nn_id, qe, cz.e AS ce
-        |  FROM qq JOIN qz cz ON cz.vec_id <> query_id
+        |  FROM qq JOIN qz cz ON cz.vec_id <> query_id AND cz.nrm > 0
         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY
         |    CAST(list_reduce(list_prepend(0,
         |      list_transform(generate_series(1, len(qcode)), i -> qcode[i] * cz.q8[i])),

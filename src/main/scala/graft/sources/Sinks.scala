@@ -171,15 +171,20 @@ object Sinks {
     // deployment that configures fs.AbstractFileSystem.s3a.impl would
     // satisfy that probe while its rename is copy+delete, the opposite
     // of atomic):
-    //  - hdfs/file/viewfs: write tmp, single-file FileContext.rename
-    //    with OVERWRITE — atomic on these filesystems;
-    //  - every other scheme (s3a, gs, abfs, ...): write _LATEST
-    //    directly — a single-object PUT is all-or-nothing on object
-    //    stores, so a reader sees the whole old or whole new manifest,
-    //    never a torn write. Rename there would be copy+delete with a
-    //    visible gap.
+    //  - hdfs/file/viewfs/abfs(s): write tmp, single-file
+    //    FileContext.rename with OVERWRITE — atomic on these
+    //    filesystems (ADLS Gen2's hierarchical namespace gives abfs
+    //    real atomic rename, and its create-append-flush write path
+    //    makes the direct-overwrite branch UNSAFE there: a reader could
+    //    see the truncated-but-unflushed file);
+    //  - every other scheme (s3a, gs, ...): write _LATEST directly — a
+    //    single-object PUT is all-or-nothing on flat object stores (the
+    //    object becomes visible only on close), so a reader sees the
+    //    whole old or whole new manifest, never a torn write. Rename
+    //    there would be copy+delete with a visible gap.
     val scheme = Option(root.toUri.getScheme).getOrElse(fs.getUri.getScheme)
-    val atomicRename = Set("hdfs", "file", "viewfs").contains(scheme)
+    val atomicRename =
+      Set("hdfs", "file", "viewfs", "abfs", "abfss").contains(scheme)
     if (atomicRename) {
       val out = fs.create(tmp, true)
       try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -15,11 +15,14 @@ import graft.llm.{Dedup, Sampling, TextAnalysis}
   *      appends the batch's MinHash signatures and its new matches
   *      (new-vs-history and new-vs-new) to the persisted artifact;
   *   2. quality + language gate (pure map-side scoring);
-  *   3. near-dup removal against the ACCUMULATED match log: the later
-  *      (d2) member of each flagged pair is dropped, so the earlier
-  *      canonical doc — possibly emitted in a previous batch — survives
-  *      alone. Batch compaction upgrades this pairwise rule to full
-  *      transitive clusters via `connectedComponentsCached`;
+  *   3. near-dup removal against the ACCUMULATED match log, with an
+  *      ARRIVAL-ORDER canonical: a new doc is dropped when its flagged
+  *      partner already shipped in an earlier batch (whatever their id
+  *      order — an already-written shard cannot be retracted), and
+  *      within a batch the larger-id (d2) member is dropped. Exactly
+  *      one member of every flagged pair survives. Batch compaction
+  *      upgrades this pairwise rule to full min-id transitive clusters
+  *      via `connectedComponentsCached`;
   *   4. deterministic stratified sampling — stateless, so a replayed
   *      batch makes identical decisions;
   *   5. deterministic shard assignment + exactly-once batch-keyed write.
@@ -52,8 +55,20 @@ object CorpusIngest {
     val fs = matchesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val kept =
       if (fs.exists(matchesPath)) {
-        val removed = spark.read.parquet(matchesPath.toString)
-          .select(col("d2").as("doc_id")).distinct()
+        val ml = spark.read.parquet(matchesPath.toString).select("d1", "d2")
+        val inBatch = batch.select(col("doc_id")).distinct()
+        // drop the d2 member of any pair touching this batch...
+        val d2Drop = ml
+          .join(inBatch.withColumnRenamed("doc_id", "d2"), Seq("d2"), "left_semi")
+          .select(col("d2").as("doc_id"))
+        // ...and ALSO the d1 member when its partner is NOT in this batch:
+        // the partner shipped in an earlier epoch and cannot be retracted,
+        // so the new arrival must yield regardless of id order
+        val d1DropHist = ml
+          .join(inBatch.withColumnRenamed("doc_id", "d1"), Seq("d1"), "left_semi")
+          .join(inBatch.withColumnRenamed("doc_id", "d2"), Seq("d2"), "left_anti")
+          .select(col("d1").as("doc_id"))
+        val removed = d2Drop.union(d1DropHist).distinct()
         gated.join(broadcast(removed), Seq("doc_id"), "left_anti")
       } else gated
     val sampled = Sampling.stratifiedSample(kept, "doc_id", "lang_pred",

@@ -55,8 +55,10 @@ class SamplingPropertySpec extends SparkSpec {
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(byLabel.values.sum == total)
       assert(byLabel.keySet.subsetOf(splits.map(_._1).toSet))
-      // a zero-fraction part can never be assigned
-      splits.filter(_._2 == 0.0).dropRight(1).foreach { case (name, _) =>
+      // a zero-fraction part can never be assigned (every position —
+      // the final split is excluded BEFORE filtering, so a zero in the
+      // middle is always asserted)
+      splits.dropRight(1).filter(_._2 == 0.0).foreach { case (name, _) =>
         assert(!byLabel.contains(name), s"zero-fraction split $name got rows")
       }
     }

@@ -304,6 +304,16 @@ class PipelinesSpec extends SparkSpec {
     // junk failed the gate; the batch-2 near-dup of doc 1 was dropped in
     // favor of its earlier canonical; everything else shipped
     assert(out == Set((0L, 1L), (1L, 4L)), s"unexpected corpus: $out")
+    // arrival-order canonical: a LOWER-id near-dup arriving after its
+    // higher-id twin shipped must yield (the shard file cannot be
+    // retracted) — the pairwise min-id rule alone would wrongly emit it
+    graft.streaming.CorpusIngest.ingestBatch(s"$dir/artifact", s"$dir/out",
+      minQuality = 0.1)(
+      Seq((0L, base.replace("night", "evening"))).toDF("doc_id", "text"), 2L)
+    val afterLate = spark.read.parquet(s"$dir/out")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(!afterLate.contains(0L),
+      s"late lower-id near-dup must yield to its shipped twin: $afterLate")
     // a replayed micro-batch (restart re-running the last epoch) is a
     // no-op on state AND output
     graft.streaming.CorpusIngest.ingestBatch(s"$dir/artifact", s"$dir/out",
@@ -311,9 +321,11 @@ class PipelinesSpec extends SparkSpec {
     val replayed = spark.read.parquet(s"$dir/out")
       .select($"batch_id".cast("long"), $"doc_id").as[(Long, Long)].collect().toSet
     assert(replayed == out, "replay must be idempotent")
-    // 3 signatures, not 4: the sub-3-token junk doc has no shingles, so
-    // it never enters the near-dup sketch state either
-    assert(spark.read.parquet(s"$dir/artifact/sigs").count() == 3)
+    // 4 signatures (docs 1, 3, 4 and the late 0): the sub-3-token junk
+    // doc has no shingles, so it never enters the near-dup sketch state;
+    // the late near-dup is dropped from the CORPUS but its sketch stays
+    // (future arrivals must still match against it)
+    assert(spark.read.parquet(s"$dir/artifact/sigs").count() == 4)
     // shard positions are batch-local and contiguous per (batch, shard)
     val pos = spark.read.parquet(s"$dir/out")
       .groupBy($"batch_id", $"shard").agg(count(lit(1)).as("n"), max($"shard_pos").as("m"))
