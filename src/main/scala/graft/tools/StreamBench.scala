@@ -71,9 +71,21 @@ object StreamBench {
     val secsD = (System.nanoTime() - tD0) / 1e9
     qD.stop()
 
+    // pipeline 4: the full composed corpus-ingest job (LSH state + gate +
+    // dedup + sampling + sharded exactly-once writes per micro-batch)
+    val ciDir = java.nio.file.Files.createTempDirectory("sb_ci").toString
+    val memC = MemoryStream[(Long, String)]
+    val qC = graft.streaming.CorpusIngest.run(
+      memC.toDF().toDF("doc_id", "text"),
+      s"$ciDir/artifact", s"$ciDir/out", s"$ciDir/ckpt")
+    val tC0 = System.nanoTime()
+    dBatches.foreach { b => memC.addData(b.toIndexedSeq); qC.processAllAvailable() }
+    val secsC = (System.nanoTime() - tC0) / 1e9
+    qC.stop()
+
     val n = events.length
     val nd = docs.length
-    println(f"""{"metric":"stream_throughput","events":$n,"windowed_agg_eps":${n / secsA}%.0f,"keyed_state_eps":${n / secsS}%.0f,"lsh_ingest_docs":$nd,"lsh_ingest_dps":${nd / secsD}%.0f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"stream_throughput","events":$n,"windowed_agg_eps":${n / secsA}%.0f,"keyed_state_eps":${n / secsS}%.0f,"lsh_ingest_docs":$nd,"lsh_ingest_dps":${nd / secsD}%.0f,"corpus_ingest_dps":${nd / secsC}%.0f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
