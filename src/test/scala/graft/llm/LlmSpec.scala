@@ -230,6 +230,41 @@ class LlmSpec extends SparkSpec {
       .as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("connected components match a union-find oracle on random graphs (15 seeded cases)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    for (_ <- 0 until 15) {
+      val n = rnd.nextInt(30) + 2
+      val m = rnd.nextInt(40) + 1
+      val pairs = (0 until m).map { _ =>
+        val a = rnd.nextInt(n)
+        val b = (a + 1 + rnd.nextInt(n - 1)) % n
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+      }.distinct
+      // union-find with union-by-min: the surviving root of any merge is
+      // the smaller id, so each final root IS its component's minimum
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val expected = members.map(d => d -> find(d.toInt).toLong).toMap
+      val sizes = expected.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val got = Dedup.connectedComponents(pairs.toDF("d1", "d2"))
+        .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+      assert(got.keySet == expected.keySet, s"member sets differ (n=$n m=$m)")
+      expected.foreach { case (d, lbl) =>
+        val (gl, gs, gc) = got(d)
+        assert(gl == lbl, s"doc $d: label $gl != $lbl (pairs=$pairs)")
+        assert(gs == sizes(lbl), s"doc $d: size $gs != ${sizes(lbl)}")
+        assert(gc == (if (d == lbl) 1 else 0), s"doc $d: canonical flag")
+      }
+    }
+  }
+
   test("deterministic split partitions every row into exactly one split") {
     val docs = graft.Tables.documents(spark, sf("sf0.01"))
     val split = Sampling.deterministicSplit(docs, "doc_id",
