@@ -133,6 +133,33 @@ object TextAnalysis {
       .drop("__toks", "__grams")
   }
 
+  /** Distinctive-term extraction — TF-IDF-shaped keyword scoring with a
+    * RATIONAL score `tf × N / df` instead of `tf × ln(N/df)`: the
+    * ranking it induces per document is identical (ln is monotone in
+    * N/df and tf ≥ 1 scales it positively per term), while staying in
+    * exact integer products and one double division — `ln` is not
+    * guaranteed correctly rounded across libm implementations, so the
+    * log form could not carry a bit-exact cross-engine oracle.
+    *
+    * Plan shape: token explode → (doc, token) count → token df join
+    * (shuffle keyed on token — the natural key; df table is
+    * vocabulary-sized) → per-doc top-k window (group top-n,
+    * WindowGroupLimit). `n` is the corpus row count, one scalar. */
+  def topTerms(docs: DataFrame, k: Int = 3,
+               text: Column = col("text")): DataFrame = {
+    val n = docs.count()
+    val tf = docs.select(col("doc_id"), explode(tokens(text)).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
+    tf.join(df, Seq("tok"))
+      .withColumn("score", col("tf").cast("double") * lit(n) / col("df"))
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "tok", "score", "rank")
+  }
+
   /** PII redaction: emails, North-American-style segmented phone
     * numbers, and dotted-quad IPs replaced by typed placeholders. The
     * patterns avoid lookaround and stay inside the regex subset Java and

@@ -346,6 +346,11 @@ object LlmOps {
       "doc_id")
   }
 
+  /** Distinctive terms per doc: rational tf·N/df score (ln-free so the
+    * oracle is bit-exact), top-3 per document. */
+  def xTextTopterms(s: SparkSession, d: String): DataFrame =
+    ordered(TextAnalysis.topTerms(documents(s, d), k = 3), "doc_id", "rank")
+
   /** Decontamination: training docs sharing >=5 distinct 3-grams with
     * any doc of the pseudo-eval set (doc_id < 100 — the vec_id<8 probe
     * pattern, sized so several planted near-dups land in the eval set).
@@ -406,6 +411,7 @@ object LlmOps {
     "x_sample_mixture"    -> (xSampleMixture _),
     "x_sample_shard"      -> (xSampleShard _),
     "x_text_repetition"   -> (xTextRepetition _),
+    "x_text_topterms"     -> (xTextTopterms _),
     "x_pii_redact"        -> (xPiiRedact _),
     "x_decontaminate"     -> (xDecontaminate _),
     "x_embed_quantize"    -> (xEmbedQuantize _),
@@ -906,6 +912,18 @@ object LlmOps {
          |              t2 -> len(list_filter(ts, x -> x = t2)))) AS DOUBLE) / len(ts)
          |       ELSE CAST(0.0 AS DOUBLE) END AS top_token_ratio
          |FROM g ORDER BY doc_id""".stripMargin,
+    "x_text_topterms" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+         |idf AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents)
+         |SELECT doc_id, tok, score, rank FROM (
+         |  SELECT doc_id, tok,
+         |    CAST(tf AS DOUBLE) * n / df AS score,
+         |    CAST(row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY CAST(tf AS DOUBLE) * n / df DESC, tok) AS BIGINT) AS rank
+         |  FROM tf CROSS JOIN n JOIN idf USING (tok))
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "x_pii_redact" ->
       """WITH s AS (SELECT c_custkey,
         |  c_name || '@corp.example tel 42-555-'

@@ -309,6 +309,22 @@ class LlmSpec extends SparkSpec {
       (3L, 4L, 0.0, 0.25)))
   }
 
+  test("topTerms: hand-computed tf*N/df ranking with a tie broken by token") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry date")).toDF("doc_id", "text")
+    // N=3; df: apple 1, banana 2, cherry 2, date 1
+    val out = TextAnalysis.topTerms(docs, k = 2)
+      .orderBy("doc_id", "rank")
+      .as[(Long, String, Double, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "apple", 6.0, 1L), (1L, "banana", 1.5, 2L),
+      (2L, "banana", 1.5, 1L), (2L, "cherry", 1.5, 2L), // tie -> token asc
+      (3L, "cherry", 4.5, 1L), (3L, "date", 3.0, 2L)))
+  }
+
   test("PII redaction: all three patterns fire, partial matches stay partial, no double replace") {
     import spark.implicits._
     val rows = Seq(
