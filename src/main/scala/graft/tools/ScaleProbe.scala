@@ -75,7 +75,8 @@ object ScaleProbe {
       // (x_pii_redact rides the unscaled customer dim — no ramp to measure)
       "x_dedup_clusters", "x_text_repetition", "x_sample_stratified",
       "x_sample_mixture", "x_sample_shard", "x_corpus_assembly",
-      "x_decontaminate", "x_embed_quantize", "x_ann_quantized")
+      "x_decontaminate", "x_embed_quantize", "x_ann_quantized",
+      "x_text_topterms")
     // x_dedup_simhash is deliberately NOT probed: the text salt makes
     // replicas distinct under shingle-Jaccard but NOT under
     // distinct-token SimHash (one spliced token flips only near-tie
