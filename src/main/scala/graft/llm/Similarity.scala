@@ -82,6 +82,41 @@ object Similarity {
         col("nn_id"), col("cos_sim"))
   }
 
+  /** Signed-random-projection (cosine-LSH / Charikar) bit signature per
+    * embedding: bit j = sign(r_j · x) with r_j ∈ {−1,+1}^dim derived
+    * from md5("dim_bit") — the embedding-space analog of text SimHash.
+    * Hamming distance between signatures estimates the angle
+    * (P[bits differ] = θ/π), so equal-signature (or band) bucketing
+    * finds near-parallel vectors without any pairwise work: the 100 TB
+    * candidate generator for embedding dedup, 16 bits per vector.
+    *
+    * The ±1 matrix is computed once at PLAN time (deterministic md5 in
+    * Scala) and embedded as literals, so the per-row work is `nbits`
+    * ascending-fold dot products — exact, codegen'd, and the identical
+    * literal matrix can be embedded into a SQL oracle. */
+  def signMatrix(dim: Int, nbits: Int): Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nbits, dim) { (j, i) =>
+      val h = md.digest(s"${i}_$j".getBytes("UTF-8"))
+      if ((h(0) & 1) == 1) 1 else -1
+    }
+  }
+
+  def withCosineLshSignature(vecs: DataFrame, nbits: Int = 16): DataFrame = {
+    val dim = vecs.select(size(col("embedding"))).first().getInt(0)
+    val signs = signMatrix(dim, nbits)
+    val e = col("__e")
+    val bits = (0 until nbits).map { j =>
+      val proj = (0 until dim).foldLeft(lit(0.0)) { (acc, i) =>
+        if (signs(j)(i) > 0) acc + e.getItem(i) else acc - e.getItem(i)
+      }
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    vecs.withColumn("__e", transform(col("embedding"), v => v.cast("double")))
+      .withColumn("lsh_sig", bits.reduce(_ + _))
+      .drop("__e")
+  }
+
   /** Deterministic IVF index: (assignments, centroids). Centroids are a
     * local array (nlist × dim floats — broadcast-sized by construction). */
   def ivfAssign(spark: SparkSession, corpusRaw: DataFrame, nlist: Int,

@@ -375,6 +375,17 @@ object LlmOps {
       "query_id", "rank")
   }
 
+  /** Cosine-LSH (signed-random-projection) 16-bit signature per
+    * embedding — the bucketing candidate generator for embedding dedup
+    * at scale. The ±1 projection matrix is generated deterministically
+    * at plan time and embedded as literals on BOTH sides, so the fold
+    * is bit-exact cross-engine. */
+  def xEmbedLsh(s: SparkSession, d: String): DataFrame =
+    ordered(
+      Similarity.withCosineLshSignature(embeddings(s, d))
+        .select("vec_id", "lsh_sig"),
+      "vec_id")
+
   /** Embedding norm + int8 quantization (map-side; csv-of-ints output
     * keeps the comparison integer-exact). */
   def xEmbedQuantize(s: SparkSession, d: String): DataFrame =
@@ -415,6 +426,7 @@ object LlmOps {
     "x_pii_redact"        -> (xPiiRedact _),
     "x_decontaminate"     -> (xDecontaminate _),
     "x_embed_quantize"    -> (xEmbedQuantize _),
+    "x_embed_lsh"         -> (xEmbedLsh _),
     "x_ann_quantized"     -> (xAnnQuantized _),
     "x_corpus_pipeline"   -> (xCorpusPipeline _),
     "x_corpus_assembly"   -> (xCorpusAssembly _),
@@ -852,6 +864,19 @@ object LlmOps {
          |  ON t.g = e.g AND e.doc_id < 100 AND t.doc_id <> e.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 5
          |ORDER BY 1, 2""".stripMargin,
+    "x_embed_lsh" -> {
+      // the identical ±1 literal matrix the Spark plan embeds
+      val signs = Similarity.signMatrix(64, 16)
+      val sigExpr = (0 until 16).map { j =>
+        val lst = signs(j).mkString("[", ", ", "]")
+        s"""CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |  list_transform(generate_series(1, 64), i -> ($lst)[i] * e[i])),
+           |  (a, b) -> a + b) > 0 THEN ${1L << j} ELSE 0 END""".stripMargin
+      }.mkString(" + ")
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+         |SELECT vec_id, CAST($sigExpr AS BIGINT) AS lsh_sig
+         |FROM c ORDER BY vec_id""".stripMargin
+    },
     "x_embed_quantize" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |m AS (SELECT vec_id, e,

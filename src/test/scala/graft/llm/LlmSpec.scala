@@ -400,6 +400,29 @@ class LlmSpec extends SparkSpec {
     assert(loose == Set(10L, 11L))
   }
 
+  test("cosine-LSH signatures: near-parallel vectors collide, orthogonal clusters differ") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    def noisy(base: Array[Float]): Array[Float] =
+      base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.05f)
+    val a = Array.tabulate(64)(i => if (i < 32) 1.0f else 0.0f)
+    val b = Array.tabulate(64)(i => if (i >= 32) 1.0f else 0.0f)
+    val vecs = ((0 until 5).map(i => (i.toLong, noisy(a))) ++
+      (5 until 10).map(i => (i.toLong, noisy(b)))).toDF("vec_id", "embedding")
+    val sigs = Similarity.withCosineLshSignature(vecs)
+      .select("vec_id", "lsh_sig").as[(Long, Long)].collect().toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    val intra = (for (i <- 0 until 5; j <- i + 1 until 5) yield ham(sigs(i), sigs(j))) ++
+      (for (i <- 5 until 10; j <- i + 1 until 10) yield ham(sigs(i), sigs(j)))
+    val inter = for (i <- 0 until 5; j <- 5 until 10) yield ham(sigs(i), sigs(j))
+    // P[bit differs] = angle/pi: ~0 within a perturbed cluster, 1/2 across
+    // orthogonal clusters (expected hamming 8 of 16)
+    assert(intra.max <= 4, s"near-parallel vectors should share signature bits: $intra")
+    assert(inter.sum.toDouble / inter.size > 4.0,
+      s"orthogonal clusters should differ in ~half the bits: $inter")
+    assert(intra.max < inter.min, s"clusters must separate: intra=$intra inter=$inter")
+  }
+
   test("normalizeQuantize: hand-computed norm, scale, and int8 codes; zero vector safe") {
     import spark.implicits._
     val vecs = Seq(
