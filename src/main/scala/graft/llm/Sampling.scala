@@ -114,7 +114,11 @@ object Sampling {
     * computed as a sequential ascending-by-source fold, every float op
     * here is bit-reproducible cross-engine, oracle included. Source
     * stats are one hash-aggregate; rates broadcast back (a handful of
-    * rows), so the corpus itself never shuffles. */
+    * rows), so the corpus itself never shuffles.
+    *
+    * A source whose sizes sum to <= 0 (all-empty docs) has no defined
+    * rate (B·√0/S/0); its rate is pinned to 0, so its rows are dropped
+    * deterministically rather than riding a NaN through the filter. */
   def temperatureMixture(docs: DataFrame, idCol: String, sourceCol: String,
                          sizeCol: String, budget: Long): DataFrame = {
     val bySrc = docs.groupBy(col(sourceCol)).agg(sum(col(sizeCol)).as("tot"))
@@ -125,9 +129,11 @@ object Sampling {
         (acc, x) => acc + sqrt(x.getField("tot").cast("double"))).as("norm"))
     val rates = bySrc.crossJoin(broadcast(norm))
       .select(col(sourceCol),
-        least(lit(1.0),
-          lit(budget.toDouble) * sqrt(col("tot").cast("double")) /
-            col("norm") / col("tot").cast("double")).as("sample_rate"))
+        when(col("tot") > 0,
+          least(lit(1.0),
+            lit(budget.toDouble) * sqrt(col("tot").cast("double")) /
+              col("norm") / col("tot").cast("double")))
+          .otherwise(lit(0.0)).as("sample_rate"))
     docs.join(broadcast(rates), Seq(sourceCol))
       .filter(hashUniform(col(idCol)) < col("sample_rate"))
       .withColumn("sample_weight", lit(1.0) / col("sample_rate"))

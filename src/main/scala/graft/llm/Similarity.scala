@@ -102,18 +102,35 @@ object Similarity {
     }
   }
 
-  def withCosineLshSignature(vecs: DataFrame, nbits: Int = 16): DataFrame = {
-    val dim = vecs.select(size(col("embedding"))).first().getInt(0)
-    val signs = signMatrix(dim, nbits)
+  /** `dim` > 0 pins the sign matrix to that dimensionality (callers with
+    * a known schema — and every oracled query — should pin it, so a
+    * corpus whose vectors drift from the expected dim FAILS at run time
+    * instead of silently hashing with a different matrix); dim <= 0
+    * infers it from the first row, which requires a non-empty input. */
+  def withCosineLshSignature(vecs: DataFrame, nbits: Int = 16,
+                             dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else {
+      val head = vecs.select(size(col("embedding"))).limit(1).collect()
+      require(head.nonEmpty,
+        "withCosineLshSignature: cannot infer embedding dim from an empty " +
+          "DataFrame — pass dim explicitly")
+      head(0).getInt(0)
+    }
+    val signs = signMatrix(d, nbits)
     val e = col("__e")
     val bits = (0 until nbits).map { j =>
-      val proj = (0 until dim).foldLeft(lit(0.0)) { (acc, i) =>
+      val proj = (0 until d).foldLeft(lit(0.0)) { (acc, i) =>
         if (signs(j)(i) > 0) acc + e.getItem(i) else acc - e.getItem(i)
       }
       when(proj > 0, lit(1L << j)).otherwise(lit(0L))
     }
+    // any row whose vector is not exactly `d` wide would fold nulls into
+    // the projections and hash garbage — fail loudly instead
+    val sig = when(size(e) === d, bits.reduce(_ + _))
+      .otherwise(raise_error(concat(
+        lit(s"cosine-LSH: embedding dim != $d: "), size(e).cast("string"))))
     vecs.withColumn("__e", transform(col("embedding"), v => v.cast("double")))
-      .withColumn("lsh_sig", bits.reduce(_ + _))
+      .withColumn("lsh_sig", sig)
       .drop("__e")
   }
 

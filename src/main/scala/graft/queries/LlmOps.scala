@@ -382,7 +382,9 @@ object LlmOps {
     * is bit-exact cross-engine. */
   def xEmbedLsh(s: SparkSession, d: String): DataFrame =
     ordered(
-      Similarity.withCosineLshSignature(embeddings(s, d))
+      // dim pinned to the oracle's hardcoded 64: a testdata drift breaks
+      // loudly at run time instead of hashing with a different matrix
+      Similarity.withCosineLshSignature(embeddings(s, d), dim = 64)
         .select("vec_id", "lsh_sig"),
       "vec_id")
 
@@ -667,6 +669,7 @@ object LlmOps {
         |i8cand AS (
         |  SELECT a.vec_id AS query_id, b.vec_id AS nn_id, a.e AS qe8, b.e AS ce8
         |  FROM i8q a JOIN i8q b ON a.vec_id < 8 AND b.vec_id <> a.vec_id
+        |    AND a.nrm > 0 AND b.nrm > 0
         |  QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY
         |    CAST(list_reduce(list_prepend(0,
         |      list_transform(generate_series(1, len(a.q8)), i -> a.q8[i] * b.q8[i])),

@@ -17,12 +17,16 @@ import graft.llm.{Dedup, Sampling, TextAnalysis}
   *   2. quality + language gate (pure map-side scoring);
   *   3. near-dup removal against the ACCUMULATED match log, with an
   *      ARRIVAL-ORDER canonical: a new doc is dropped when its flagged
-  *      partner already shipped in an earlier batch (whatever their id
+  *      partner actually SHIPPED in an earlier batch (whatever their id
   *      order — an already-written shard cannot be retracted), and
-  *      within a batch the larger-id (d2) member is dropped. Exactly
-  *      one member of every flagged pair survives. Batch compaction
-  *      upgrades this pairwise rule to full min-id transitive clusters
-  *      via `connectedComponentsCached`;
+  *      within a batch the larger-id (d2) member yields when its partner
+  *      passes this batch's gate. A partner that merely APPEARED earlier
+  *      but never shipped (quality-gated out, or itself deduped) does
+  *      not suppress the new arrival — shipped status is decided by
+  *      joining the written output, so at least one member of every
+  *      flagged pair whose members clear the gate survives. Batch
+  *      compaction upgrades this pairwise rule to full min-id transitive
+  *      clusters via `connectedComponentsCached`;
   *   4. deterministic stratified sampling — stateless, so a replayed
   *      batch makes identical decisions;
   *   5. deterministic shard assignment + exactly-once batch-keyed write.
@@ -56,17 +60,29 @@ object CorpusIngest {
     val kept =
       if (fs.exists(matchesPath)) {
         val ml = spark.read.parquet(matchesPath.toString).select("d1", "d2")
-        val inBatch = batch.select(col("doc_id")).distinct()
-        // drop the d2 member of any pair touching this batch...
+        val gatedIds = gated.select(col("doc_id")).distinct()
+        // shipped = docs actually WRITTEN by earlier epochs. The current
+        // batch's own partition is excluded so a replayed batch (whose
+        // output already exists) makes the identical decisions it made
+        // the first time.
+        val outPath = new org.apache.hadoop.fs.Path(outDir)
+        val shipped =
+          if (fs.exists(outPath))
+            spark.read.parquet(outDir)
+              .filter(col("batch_id").cast("long") =!= lit(batchId))
+              .select(col("doc_id")).distinct()
+          else spark.range(0).select(col("id").as("doc_id"))
+        // d2 yields when its partner shipped OR clears this batch's gate...
         val d2Drop = ml
-          .join(inBatch.withColumnRenamed("doc_id", "d2"), Seq("d2"), "left_semi")
+          .join(gatedIds.withColumnRenamed("doc_id", "d2"), Seq("d2"), "left_semi")
+          .join(shipped.union(gatedIds).withColumnRenamed("doc_id", "d1"),
+            Seq("d1"), "left_semi")
           .select(col("d2").as("doc_id"))
-        // ...and ALSO the d1 member when its partner is NOT in this batch:
-        // the partner shipped in an earlier epoch and cannot be retracted,
-        // so the new arrival must yield regardless of id order
+        // ...and d1 yields only to a partner that actually shipped (an
+        // already-written shard cannot be retracted, whatever the ids)
         val d1DropHist = ml
-          .join(inBatch.withColumnRenamed("doc_id", "d1"), Seq("d1"), "left_semi")
-          .join(inBatch.withColumnRenamed("doc_id", "d2"), Seq("d2"), "left_anti")
+          .join(gatedIds.withColumnRenamed("doc_id", "d1"), Seq("d1"), "left_semi")
+          .join(shipped.withColumnRenamed("doc_id", "d2"), Seq("d2"), "left_semi")
           .select(col("d1").as("doc_id"))
         val removed = d2Drop.union(d1DropHist).distinct()
         gated.join(broadcast(removed), Seq("doc_id"), "left_anti")

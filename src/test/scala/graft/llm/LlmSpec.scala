@@ -460,4 +460,37 @@ class LlmSpec extends SparkSpec {
     assert(est > truth * 0.8 && est < truth * 1.2,
       s"HT estimate $est far from $truth")
   }
+
+  test("temperature mixture: zero-size source is dropped with rate 0, not NaN") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "web", 100L), (2L, "web", 300L),
+      (3L, "empty", 0L), (4L, "empty", 0L)).toDF("doc_id", "source", "n_chars")
+    // budget >= total => the surviving source gets rate 1 (no hash luck)
+    val out = Sampling.temperatureMixture(docs, "doc_id", "source", "n_chars", 1000L)
+      .select("doc_id", "source", "sample_rate", "sample_weight").collect()
+    assert(out.forall(r => r.getString(1) != "empty"),
+      s"zero-size source rows must be dropped deterministically: ${out.mkString(",")}")
+    assert(out.forall(r => !r.getDouble(2).isNaN && !r.getDouble(3).isNaN),
+      "no NaN rates or weights may survive")
+    assert(out.nonEmpty, "the non-degenerate source still samples")
+  }
+
+  test("cosine-LSH: empty input without explicit dim fails loudly; dim drift raises") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.withCosineLshSignature(empty)
+    }
+    assert(ex.getMessage.contains("dim"), s"unexpected message: ${ex.getMessage}")
+    // explicit dim on an empty frame is fine (plan builds, zero rows out)
+    assert(Similarity.withCosineLshSignature(empty, dim = 64).count() == 0)
+    // a row narrower than the pinned dim must raise, not hash garbage
+    val drifted = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val err = intercept[Exception] {
+      Similarity.withCosineLshSignature(drifted, dim = 64).collect()
+    }
+    assert(err.toString.contains("dim") || Option(err.getCause).exists(_.toString.contains("dim")),
+      s"expected a loud dim-mismatch error, got: $err")
+  }
 }

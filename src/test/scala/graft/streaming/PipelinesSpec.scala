@@ -326,6 +326,21 @@ class PipelinesSpec extends SparkSpec {
     // the late near-dup is dropped from the CORPUS but its sketch stays
     // (future arrivals must still match against it)
     assert(spark.read.parquet(s"$dir/artifact/sigs").count() == 4)
+    // a partner that merely APPEARED earlier but never shipped (here:
+    // quality-gated out) must NOT suppress the new arrival — otherwise
+    // both members of the pair are lost from the corpus
+    val gatedBase = "a storm of rain and wind swept over the hills of the north and the valley of stones all day"
+    graft.streaming.CorpusIngest.ingestBatch(s"$dir/artifact", s"$dir/out",
+      minQuality = 0.99)( // floor nothing passes: doc 20 records sigs, never ships
+      Seq((20L, gatedBase)).toDF("doc_id", "text"), 3L)
+    graft.streaming.CorpusIngest.ingestBatch(s"$dir/artifact", s"$dir/out",
+      minQuality = 0.1)(
+      Seq((21L, gatedBase.replace("day", "week"))).toDF("doc_id", "text"), 4L)
+    val survivors = spark.read.parquet(s"$dir/out")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(!survivors.contains(20L), "the gated doc itself must not ship")
+    assert(survivors.contains(21L),
+      s"a near-dup of a never-shipped partner must survive: $survivors")
     // shard positions are batch-local and contiguous per (batch, shard)
     val pos = spark.read.parquet(s"$dir/out")
       .groupBy($"batch_id", $"shard").agg(count(lit(1)).as("n"), max($"shard_pos").as("m"))
