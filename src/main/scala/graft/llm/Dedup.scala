@@ -38,14 +38,21 @@ object Dedup {
       .withWatermark(eventTime, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
-  /** Distinct word n-grams (shingles) per document. */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+  /** Word n-grams per document WITHOUT the distinct shuffle — for
+    * consumers whose downstream aggregation is duplicate-insensitive
+    * (min-hash, collect_set): they get the same answer while skipping a
+    * full shuffle of the gram table, the largest intermediate in the
+    * dedup pipelines. */
+  private[llm] def rawShingles(docs: DataFrame, n: Int = 3): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"), explode(
         transform(sequence(lit(1), size(col("toks")) - (n - 1)),
           i => concat_ws(" ", slice(col("toks"), i, lit(n))))).as("gram"))
-      .distinct()
+
+  /** Distinct word n-grams (shingles) per document. */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    rawShingles(docs, n).distinct()
 
   /** All ordered id pairs co-occurring under the same key.
     *
@@ -189,7 +196,7 @@ object Dedup {
 
   /** MinHash + LSH near-dup pairs: shingle → 24 minhashes (md5-derived
     * universal hashing) → 4 bands of 6 → band-bucket self-join →
-    * exact-Jaccard verification of candidates.
+    * exact set-Jaccard verification of candidates.
     *
     * This is the 100 TB path for Jaccard dedup: the only all-pairs work
     * happens inside LSH buckets. Band-scheme choice is a measured
@@ -201,17 +208,26 @@ object Dedup {
     * the signature aggregation. 6×8 (measured on the 10× ScaleProbe
     * ramp) cuts candidates further but its 3× signature cost dominates
     * on real corpora; it only wins when near-dup density is extreme.
-    * Output = verified candidates only. */
+    * Output = verified candidates only.
+    *
+    * Plan shape (round-5 restructure): ONE tokenization pass and ONE
+    * aggregation shuffle. The per-doc distinct gram-hash set rides the
+    * same groupBy that computes the signatures and is carried through
+    * the band join as a payload (the design the streaming ingest
+    * already uses for signatures), so verification is a map-side
+    * `array_intersect` on the candidate rows — no second or third scan
+    * of the gram table, no separate sizes aggregation. Jaccard is
+    * computed over distinct 32-bit gram hashes rather than gram
+    * strings; md5-derived on both engine and oracle sides, so the
+    * (cosmically rare) collisions are identical cross-engine. The
+    * payload is bounded by document length (8 bytes per distinct
+    * gram), the same volume the verification joins used to shuffle. */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
                       numHashes: Int = 24, bands: Int = 4): DataFrame =
     minhashLshPairsFromGrams(
-      shingles(docs, n).withColumn("h", h32(col("gram"))),
+      rawShingles(docs, n).withColumn("h", h32(col("gram"))),
       threshold, numHashes, bands)
 
-  /** Pair computation over an already-built hashed-gram table — split
-    * out so an eager builder can persist `g` for the build's duration
-    * (the plan consumes the gram table four times: signatures, sizes,
-    * and both sides of the verification join). */
   private val lshPrime = 4294967311L // prime > 2^32
 
   /** minhash_j = min over grams of (a_j*h + b_j) mod p — md5-derived
@@ -225,27 +241,30 @@ object Dedup {
                                        numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
-    val sigCols = sigAggCols(numHashes)
-    val sigs = g.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // one aggregation produces the signatures AND the verification set
+    val aggCols = sigAggCols(numHashes) :+
+      sort_array(collect_set(col("h"))).as("hset")
+    // doc-count-sized (24 longs + the hash set per doc) and consumed by
+    // every band branch plus the hot/cold guard: materialize once, like
+    // the simhash fingerprint table — at cluster scale this is a
+    // persist/checkpoint of sketches, never of the corpus
+    val sp = g.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
+      .localCheckpoint(true)
     val bandDf = (0 until bands).map { k =>
-      sigs.select(col("doc_id"), lit(k).as("band"),
-        concat_ws("_", (0 until rows).map(r => col(s"sig_${k * rows + r}")): _*).as("bkey"))
+      sp.select(col("doc_id"), col("hset"),
+        concat_ws("|", lit(k),
+          concat_ws("_", (0 until rows).map(r => col(s"sig_${k * rows + r}")): _*)).as("bk"))
     }.reduce(_ unionByName _)
-    val cand = coGroupedPairs(
-      bandDf.withColumn("bk", concat_ws("|", col("band"), col("bkey"))),
-      "bk", "doc_id").distinct()
-    // exact-Jaccard verification of the candidate pairs only
-    val sizes = g.select("doc_id", "gram").groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(g.select(col("doc_id").as("d1"), col("gram")), Seq("d1"))
-      .join(g.select(col("doc_id").as("d2"), col("gram")), Seq("d2", "gram"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("inter_ct"))
-    inter
-      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
-      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+    // candidates emerge from the band join already carrying both
+    // members' hash sets: verification is map-side, scalar out
+    coGroupedPairsWithPayload(bandDf, "bk", "doc_id", "hset")
       .select(col("d1"), col("d2"),
-        (col("inter_ct") / (col("s1.sz") + col("s2.sz") - col("inter_ct"))).as("jaccard"))
+        size(array_intersect(col("p1"), col("p2"))).as("i"),
+        size(col("p1")).as("sz1"), size(col("p2")).as("sz2"))
+      .select(col("d1"), col("d2"),
+        (col("i") / (col("sz1") + col("sz2") - col("i"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      .dropDuplicates("d1", "d2")
   }
 
   /** Session-scoped build-once cache for the materialized pair set —
@@ -302,7 +321,8 @@ object Dedup {
     * `numHashes` minhashes — the linear-size sketch the streaming ingest
     * persists (grams are discarded; a doc's dedup state is 24 longs). */
   def minhashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 24): DataFrame = {
-    val g = shingles(docs, n).withColumn("h", h32(col("gram")))
+    // min-agg is duplicate-insensitive: skip the gram distinct shuffle
+    val g = rawShingles(docs, n).withColumn("h", h32(col("gram")))
     val cols = sigAggCols(numHashes)
     g.groupBy("doc_id").agg(cols.head, cols.tail: _*)
       .select(col("doc_id"),

@@ -442,7 +442,10 @@ object LlmOps {
     .map(j => s"($j, ${2 * j + 1}, ${7919L * j + 12345L})").mkString(", ")
 
   /** The >=0.8 MinHash-LSH verified pair CTE (full banding scheme, the
-    * same one x_dedup_minhash proves), shared by the dedup oracles. */
+    * same one x_dedup_minhash proves), shared by the dedup oracles.
+    * Verification mirrors the engine's round-5 shape: set-Jaccard over
+    * per-doc DISTINCT 32-bit gram hashes (md5-derived on both sides, so
+    * any hash collision is identical cross-engine). */
   private val lshPairsCte =
     s"""toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
        |grams AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS g
@@ -458,14 +461,14 @@ object LlmOps {
        |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
        |         FROM bands x JOIN bands y
        |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-       |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
-       |inter AS (SELECT d1, d2, count(*) AS n
-       |          FROM cand JOIN grams a ON a.doc_id = d1
-       |          JOIN grams b ON b.doc_id = d2 AND b.g = a.g
-       |          GROUP BY 1, 2),
-       |pairs AS (SELECT d1, d2, n / (s1.sz + s2.sz - n) AS jaccard
-       |          FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
-       |          WHERE n / (s1.sz + s2.sz - n) >= 0.8)""".stripMargin
+       |hsets AS (SELECT doc_id, list_distinct(list(h32)) AS hs,
+       |            count(DISTINCT h32) AS sz FROM h GROUP BY 1),
+       |inter AS (SELECT d1, d2, len(list_intersect(a.hs, b.hs)) AS n,
+       |            a.sz AS sz1, b.sz AS sz2
+       |          FROM cand JOIN hsets a ON a.doc_id = d1
+       |          JOIN hsets b ON b.doc_id = d2),
+       |pairs AS (SELECT d1, d2, n / (sz1 + sz2 - n) AS jaccard
+       |          FROM inter WHERE n / (sz1 + sz2 - n) >= 0.8)""".stripMargin
 
   private val stopwordsSql =
     TextAnalysis.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
