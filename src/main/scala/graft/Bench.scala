@@ -109,25 +109,28 @@ object Bench {
     val tainted = failedArtifacts
       .flatMap(a => graft.queries.LlmOps.artifactConsumers.getOrElse(a, Nil))
       .distinct.sorted.toSeq
-    def render(fmt: Double => Double, warmAsArray: Boolean): String = {
-      val warmPart =
-        if (warmAsArray)
-          s""""warm":${results.map(r => fmt(r._3)).mkString("[", ",", "]")}"""
-        else s""""queries_warm":${jsonMap(results.map(r => r._1 -> fmt(r._3)))}"""
+    def render(fmt: Double => Double, warm: Int): String = {
+      val warmPart = warm match {
+        case 0 => ""
+        case 1 => s""","warm":${results.map(r => fmt(r._3)).mkString("[", ",", "]")}"""
+        case _ => s""","queries_warm":${jsonMap(results.map(r => r._1 -> fmt(r._3)))}"""
+      }
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
         s""","queries":${jsonMap(results.map(r => r._1 -> fmt(r._2)))}""" +
-        s""",$warmPart""" +
+        warmPart +
         s""","artifacts":${jsonMap(artifacts.map(a => a._1 -> fmt(a._2)))}""" +
         s""","tainted":${jsonArr(tainted)}""" +
         s""","failures":${jsonArr(failures.distinct.toSeq)}""" +
         s""","sf":"$sfDir"}"""
     }
-    val verbose = render(identity, warmAsArray = false)
-    // centisecond fallback keeps the line inside the window as the query
-    // count grows (box noise is ±10% anyway — 10ms resolution loses nothing)
-    val compact3 = render(r3, warmAsArray = true)
-    val compact = if (compact3.length <= 1800) compact3
-      else render(r2, warmAsArray = true)
+    val verbose = render(identity, warm = 2)
+    // fallback ladder keeps the line inside the window as the query count
+    // grows: millis → centis (box noise is ±10%; 10ms resolution loses
+    // nothing) → finally drop the warm array (still in the verbose line
+    // and bench_out.json). 1750 leaves room for the runner's own trailing
+    // log lines inside its ~2000-char stdout tail.
+    val candidates = Seq(render(r3, warm = 1), render(r2, warm = 1), render(r2, warm = 0))
+    val compact = candidates.find(_.length <= 1750).getOrElse(candidates.last)
     // land the verbose line in a dedicated file so a log-prefixing runner
     // (sbt wraps forked stdout unless outputStrategy passes it through)
     // can never corrupt it, and print it BEFORE the compact line
@@ -136,7 +139,7 @@ object Bench {
     java.nio.file.Files.write(outFile,
       (verbose + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(verbose)
-    if (compact.length > 1800)
+    if (compact.length > 1750)
       System.err.println(s"[bench] WARNING: compact line ${compact.length} chars " +
         "— approaching the runner's 2000-char stdout tail window")
     // the runner parses the JSON found in the last ~2000 chars of stdout:

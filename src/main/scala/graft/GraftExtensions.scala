@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{SimhashAgg, Tokenize, TopKAgg, VectorExpressions}
+import graft.functions.{SimhashAgg, TextExpressions, Tokenize, TopKAgg, VectorExpressions}
 
 /** SparkSessionExtensions entry point: registers every custom Catalyst
   * function this library ships, so any session — including plain
@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("dot_product", es => VectorExpressions.DotProduct(es.head, es(1)))
     inject("l2_norm", es => VectorExpressions.L2Norm(es.head))
     inject("split_keyword", es => Tokenize.splitKeywordExpr(es.head))
+    inject("nfc_normalize", es => TextExpressions.NfcNormalize(es.head))
     inject("simhash_agg", es => SimhashAgg(es.head).toAggregateExpression())
     // top_k_agg(value, id, k): k must be a positive integer literal
     inject("top_k_agg", { es =>

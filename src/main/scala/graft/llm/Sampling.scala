@@ -99,6 +99,34 @@ object Sampling {
       .withColumn("shard_pos", row_number().over(w).cast("long"))
   }
 
+  /** SEQUENCE PACKING — the last step before a training run: lay the
+    * corpus out as fixed token-budget sequences. Documents are placed
+    * contiguously in the deterministic shard order (`deterministicShard`'s
+    * hash permutation), each starting at the running token offset of its
+    * shard; `seq_id` is the sequence its FIRST token lands in and
+    * `seq_off` the offset inside it — GPT-style packing where documents
+    * spill across sequence boundaries, so no token is padded or dropped
+    * and the layout is a pure function of (id, token count).
+    *
+    * Scale shape: packing is per-shard, so one hash exchange then
+    * `numShards` independent partition-local sorts with a running-sum
+    * window — embarrassingly parallel, no global prefix sum. The shard
+    * count is the parallelism knob; a reader reconstructs sequence s of
+    * shard k from (shard, seq_id, seq_off) alone. */
+  def packSequences(docs: DataFrame, idCol: String, tokenCol: String,
+                    budget: Long, numShards: Int): DataFrame = {
+    require(budget > 0, "packSequences: budget must be positive")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    deterministicShard(docs, idCol, numShards)
+      .withColumn("start_off", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .withColumn("seq_id",
+        ((col("start_off") - pmod(col("start_off"), lit(budget))) / budget)
+          .cast("long"))
+      .withColumn("seq_off", pmod(col("start_off"), lit(budget)))
+  }
+
   /** Temperature-flattened source mixing — the data-mixture step of
     * corpus assembly. With per-source sizes n_s (sum of `sizeCol`),
     * draw probability p_s ∝ sqrt(n_s) (temperature-flattened so small

@@ -177,4 +177,57 @@ object TextAnalysis {
         regexp_replace(c, emailPattern, "[EMAIL]"),
         phonePattern, "[PHONE]"),
       ipPattern, "[IP]")
+
+  /** Text canonicalization for dedup/hashing: Unicode NFC composition
+    * (via the native `NfcNormalize` codegen expression — decomposed
+    * "e"+U+0301 and composed "é" become byte-identical), lowercasing,
+    * whitespace runs collapsed to single spaces, ends trimmed. Pure
+    * map-side scan; the regex stays in the Java∩RE2 subset. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      graft.functions.TextExpressions.nfcNormalize(lower(c)), "\\s+", " "))
+
+  /** BM25 relevance of a fixed term set against every document — the
+    * ranking face of full-text search over the corpus. The formula is
+    * Robertson's, with the idf's `ln((N-df+0.5)/(df+0.5))` replaced by
+    * its RATIONAL argument `(N-df+0.5)/(df+0.5)`: per term the induced
+    * document ranking is identical (ln is monotone and the tf factor is
+    * positive), and like `topTerms` only the rational form keeps every
+    * operation correctly rounded, so scores carry a bit-exact
+    * cross-engine oracle. (Cross-term score SUMS would not be
+    * order-preserved under the substitution — this op returns per-term
+    * scores and leaves any multi-term blend to the caller.)
+    *
+    * Plan shape: ONE corpus scan; per-term tf is a map-side
+    * `size(filter(toks))` (the term set is a literal — no corpus
+    * explode, no join against a vocabulary), the (N, avgdl) scalars and
+    * the per-term df table are broadcast-sized aggregates. At 100 TB:
+    * one scan + two tiny broadcasts, nothing else. */
+  def bm25Scores(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
+                 b: Double = 0.75, text: Column = col("text")): DataFrame = {
+    require(terms.nonEmpty, "bm25Scores: empty term set")
+    val base = docs.select(col("doc_id"), tokens(text).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("tot"))
+      .select(col("n_docs"), (col("tot") / col("n_docs")).as("avgdl"))
+    val stacked = terms.zipWithIndex.foldLeft(base) { case (d, (t, i)) =>
+        d.withColumn(s"__tf_$i",
+          size(filter(col("toks"), x => x === t)).cast("long"))
+      }
+      .select(col("doc_id"), col("dl"),
+        explode(array(terms.zipWithIndex.map { case (t, i) =>
+          struct(lit(t).as("term"), col(s"__tf_$i").as("tf"))
+        }: _*)).as("x"))
+      .select(col("doc_id"), col("dl"), col("x.term").as("term"),
+        col("x.tf").as("tf"))
+      .filter(col("tf") > 0)
+    val dfs = stacked.groupBy("term").agg(count(lit(1)).as("df"))
+    stacked.join(broadcast(dfs), Seq("term")).crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), col("tf"),
+        (((col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / col("avgdl"))))) *
+          ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+          .as("score"))
+  }
 }

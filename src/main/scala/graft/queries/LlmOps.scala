@@ -351,6 +351,46 @@ object LlmOps {
   def xTextTopterms(s: SparkSession, d: String): DataFrame =
     ordered(TextAnalysis.topTerms(documents(s, d), k = 3), "doc_id", "rank")
 
+  /** BM25 relevance (rational-idf variant — see bm25Scores) of three
+    * corpus-typical terms against every document: the ranking face of
+    * full-text search. One corpus scan, two broadcast-sized stats. */
+  def xTextBm25(s: SparkSession, d: String): DataFrame =
+    ordered(
+      TextAnalysis.bm25Scores(documents(s, d), bm25Terms),
+      "term", "doc_id")
+
+  private val bm25Terms = Seq("join", "scan", "vector")
+
+  /** Text canonicalization via the native NFC Catalyst expression +
+    * lower + whitespace collapse. The appended suffix carries a
+    * decomposed accent (e + U+0301), uppercase non-ASCII, and ragged
+    * whitespace so the normalization is exercised on every row even
+    * over an all-ASCII corpus. */
+  def xTextNormalize(s: SparkSession, d: String): DataFrame =
+    ordered(
+      documents(s, d).select(col("doc_id"),
+        TextAnalysis.normalizeText(
+          concat(col("text"), lit(normSuffix))).as("text_norm")),
+      "doc_id")
+
+  // "Cafe" + COMBINING ACUTE (U+0301), decomposed — NFC must compose it
+  private val normSuffix = "  Café   ÜBER   "
+
+  /** GPT-style sequence packing: the corpus laid out as fixed
+    * 512-token sequences in deterministic shard order — documents
+    * spill across sequence boundaries, nothing padded or dropped.
+    * Per-shard window after one hash exchange; no global prefix sum. */
+  def xPackSequences(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).withColumn("n_toks",
+      size(TextAnalysis.tokens(col("text"))).cast("long"))
+    ordered(
+      Sampling.packSequences(docs, "doc_id", "n_toks",
+        budget = 512L, numShards = 8)
+        .select("doc_id", "shard", "shard_pos", "n_toks",
+          "start_off", "seq_id", "seq_off"),
+      "doc_id")
+  }
+
   /** Decontamination: training docs sharing >=5 distinct 3-grams with
     * any doc of the pseudo-eval set (doc_id < 100 — the vec_id<8 probe
     * pattern, sized so several planted near-dups land in the eval set).
@@ -425,6 +465,9 @@ object LlmOps {
     "x_sample_shard"      -> (xSampleShard _),
     "x_text_repetition"   -> (xTextRepetition _),
     "x_text_topterms"     -> (xTextTopterms _),
+    "x_text_bm25"         -> (xTextBm25 _),
+    "x_text_normalize"    -> (xTextNormalize _),
+    "x_pack_sequences"    -> (xPackSequences _),
     "x_pii_redact"        -> (xPiiRedact _),
     "x_decontaminate"     -> (xDecontaminate _),
     "x_embed_quantize"    -> (xEmbedQuantize _),
@@ -955,6 +998,44 @@ object LlmOps {
          |      ORDER BY CAST(tf AS DOUBLE) * n / df DESC, tok) AS BIGINT) AS rank
          |  FROM tf CROSS JOIN n JOIN idf USING (tok))
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "x_text_bm25" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |base AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM t),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |            CAST(sum(dl) AS BIGINT) AS tot FROM base),
+         |stats2 AS (SELECT n_docs, tot / n_docs AS avgdl FROM stats),
+         |stacked AS (
+         |  SELECT doc_id, dl, term, tf FROM (
+         |    SELECT doc_id, dl, term,
+         |      CAST(len(list_filter(toks, x -> x = term)) AS BIGINT) AS tf
+         |    FROM base CROSS JOIN (SELECT unnest(${bm25Terms.map(t => s"'$t'").mkString("[", ", ", "]")}) AS term))
+         |  WHERE tf > 0),
+         |dfs AS (SELECT term, count(*) AS df FROM stacked GROUP BY 1)
+         |SELECT s.doc_id, s.term, s.tf,
+         |  ((s.tf * CAST(${1.2 + 1} AS DOUBLE)) / (s.tf + CAST(${1.2} AS DOUBLE) *
+         |    (CAST(${1 - 0.75} AS DOUBLE) + CAST(${0.75} AS DOUBLE) * (s.dl / st.avgdl)))) *
+         |  ((st.n_docs - d2.df + CAST(0.5 AS DOUBLE)) / (d2.df + CAST(0.5 AS DOUBLE))) AS score
+         |FROM stacked s JOIN dfs d2 USING (term) CROSS JOIN stats2 st
+         |ORDER BY term, doc_id""".stripMargin,
+    "x_text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(nfc_normalize(lower(
+        |    text || '  Cafe' || chr(769) || '   ÜBER   ')), '\s+', ' ', 'g')) AS text_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_toks FROM documents),
+         |sh AS (SELECT doc_id, n_toks,
+         |         CAST(CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS INT) AS shard
+         |       FROM t),
+         |pos AS (SELECT doc_id, shard, n_toks,
+         |          CAST(row_number() OVER w AS BIGINT) AS shard_pos,
+         |          CAST(COALESCE(SUM(n_toks) OVER (PARTITION BY shard
+         |            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+         |        FROM sh WINDOW w AS (PARTITION BY shard ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id))
+         |SELECT doc_id, shard, shard_pos, n_toks, start_off,
+         |  start_off // 512 AS seq_id, start_off % 512 AS seq_off
+         |FROM pos ORDER BY doc_id""".stripMargin,
     "x_pii_redact" ->
       """WITH s AS (SELECT c_custkey,
         |  c_name || '@corp.example tel 42-555-'

@@ -157,8 +157,57 @@ object Relational {
     ordered(withOrders.unionByName(withoutOrders), "c_custkey")
   }
 
+  /** J7: AS-OF join — last-touch attribution: each purchase event joined
+    * to the same user's most recent click at-or-before it (inclusive),
+    * the generalization of the reference's "dim state at event time"
+    * lookups to a fully time-versioned right side. Planned by
+    * `operators.Joins.asofJoin` as one union + one keyed window — a
+    * theta-join `c.ts <= p.ts` would go BroadcastNestedLoop and melt at
+    * scale. Timestamps emitted as epoch micros (the loader's floored-ns
+    * resolution; no same-microsecond same-user collisions exist in any
+    * SF, checked, so ns-vs-us comparison order is identical). */
+  def j7AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    ordered(
+      graft.operators.Joins.asofJoin(purchases, clicks, "user_id", "ts",
+        rightPrefix = "c_", tieBreak = Some("event_id"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("p_us"),
+          col("c_event_id").as("click_id"),
+          unix_micros(col("c_ts")).as("c_us"),
+          (unix_micros(col("ts")) - unix_micros(col("c_ts"))).as("gap_us")),
+      "event_id")
+  }
+
+  /** J8: value-range (band) join — each order priced into overlapping
+    * bands derived from the nation dim (band n covers cents
+    * [n·300000, n·300000 + 700000): stride < width, so a price can land
+    * in up to 3 bands — a genuine many-to-many range join, not a
+    * bucketing). Planned by `operators.Joins.rangeJoinBinned`: ranges
+    * explode to covering 100k-cent bins, facts equi-join on bin, exact
+    * predicate re-filters — the shape that survives when the range side
+    * outgrows broadcast. Cents (integer) keep the predicate bit-exact
+    * cross-engine. */
+  def j8RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+    val bands = nation(s, d).select(col("n_nationkey"), col("n_name"))
+      .withColumn("lo", col("n_nationkey").cast("long") * 300000L)
+      .withColumn("hi", col("n_nationkey").cast("long") * 300000L + 700000L)
+    ordered(
+      graft.operators.Joins.rangeJoinBinned(o, bands, "cents", "lo", "hi", 100000L)
+        .select(col("o_orderkey"), col("n_name").as("band"), col("o_totalprice")),
+      "o_orderkey", "band")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j6_semi_anti"     -> (j6SemiAnti _),
+    "j7_asof_join"     -> (j7AsofJoin _),
+    "j8_range_join"    -> (j8RangeJoin _),
     "q1_agg"           -> (q1Agg _),
     "s1_scan"          -> (s1Scan _),
     "p3_derive"        -> (p3Derive _),
@@ -169,6 +218,20 @@ object Relational {
     "a4_keyword_stats_sql" -> (a4KeywordStatsSql _))
 
   val oracle: Map[String, String] = Map(
+    "j7_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS p_us,
+        |       c.event_id AS click_id, epoch_us(c.ts) AS c_us,
+        |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "j8_range_join" ->
+      """SELECT o_orderkey, n_name AS band, o_totalprice
+        |FROM orders JOIN nation
+        |  ON CAST(round(o_totalprice * 100) AS BIGINT) >= CAST(n_nationkey AS BIGINT) * 300000
+        | AND CAST(round(o_totalprice * 100) AS BIGINT) < CAST(n_nationkey AS BIGINT) * 300000 + 700000
+        |ORDER BY o_orderkey, band""".stripMargin,
     "j6_semi_anti" ->
       """SELECT c_custkey, c_mktsegment,
         |  CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class JoinsSpec extends SparkSpec {
+
+  test("asofJoin: inclusive match, tie-break, and null when nothing precedes") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, 100L), // before any right row -> null
+      (2L, 10L, 205L), // strictly after right@200
+      (3L, 10L, 300L), // EQUAL to right@300 -> inclusive match
+      (4L, 99L, 500L)  // key with no right rows at all
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (101L, 10L, 200L),
+      (102L, 10L, 300L),
+      (103L, 10L, 300L), // same ts as 102: tie-break keeps the larger id
+      (104L, 10L, 400L)  // after every left row -> never matched
+    ).toDF("event_id", "user_id", "ts")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val got = Joins.asofJoin(left, right, "user_id", "ts",
+      rightPrefix = "c_", tieBreak = Some("event_id"))
+      .select("event_id", "c_event_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(1L -> None, 2L -> Some(101L), 3L -> Some(103L), 4L -> None),
+      s"unexpected matches: $got")
+  }
+
+  test("asofJoin on real events equals the naive per-row argmax, without a nested loop") {
+    val ev = graft.Tables.events(spark, sf("sf0.001"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val got = Joins.asofJoin(p, c, "user_id", "ts", rightPrefix = "c_")
+      .select(col("event_id"), col("c_event_id"))
+    // naive rendering: theta LEFT join (nested loop — fine at spec scale,
+    // the exact plan asofJoin exists to avoid) + argmax by (ts, id)
+    val naive = p.join(
+        c.select(col("user_id").as("cuser"), col("ts").as("cts"),
+          col("event_id").as("cid")),
+        col("user_id") === col("cuser") && col("cts") <= col("ts"),
+        "left_outer")
+      .groupBy(col("event_id"))
+      .agg(max(when(col("cts").isNotNull,
+        struct(col("cts"), col("cid")))).getField("cid").as("c_event_id"))
+    val g = got.collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    val w = naive.collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(g == w && g.nonEmpty, s"asof mismatch: ${g.size} vs ${w.size}")
+    assert(g.values.exists(_.isDefined), "some purchase must have a preceding click")
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"asofJoin must not plan a nested loop:\n$plan")
+    assert(plan.contains("Window"), "expected the keyed-window rendering")
+  }
+
+  test("rangeJoinBinned equals the naive inequality join incl. bin-edge cases") {
+    import spark.implicits._
+    // ranges deliberately hitting edges: [0,100) one bin; [100,200) exact
+    // bin; [50,250) spans three; [200,200) empty; [199,201) straddles
+    val ranges = Seq(
+      ("a", 0L, 100L), ("b", 100L, 200L), ("c", 50L, 250L),
+      ("d", 200L, 200L), ("e", 199L, 201L)
+    ).toDF("label", "lo", "hi")
+    val facts = (0L to 260L by 7L).toDF("v").withColumn("fid", col("v"))
+    val got = Joins.rangeJoinBinned(facts, ranges, "v", "lo", "hi", 100L)
+      .select("fid", "label").as[(Long, String)].collect().toSet
+    val want = facts.join(ranges, col("v") >= col("lo") && col("v") < col("hi"))
+      .select("fid", "label").as[(Long, String)].collect().toSet
+    assert(got == want && got.nonEmpty, s"edge mismatch: ${got.diff(want)} / ${want.diff(got)}")
+    // boundary semantics: lo inclusive, hi exclusive
+    assert(got.contains((0L, "a")) && !want.exists(_._2 == "d"))
+  }
+
+  test("rangeJoinBinned on orders x nation bands matches the naive join and avoids a nested loop") {
+    val o = graft.Tables.orders(spark, sf("sf0.001"))
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+    val bands = graft.Tables.nation(spark, sf("sf0.001"))
+      .select(col("n_nationkey"), col("n_name"))
+      .withColumn("lo", col("n_nationkey").cast("long") * 300000L)
+      .withColumn("hi", col("n_nationkey").cast("long") * 300000L + 700000L)
+    val got = Joins.rangeJoinBinned(o, bands, "cents", "lo", "hi", 100000L)
+    val gotSet = got.select("o_orderkey", "n_name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val wantSet = o.join(bands, col("cents") >= col("lo") && col("cents") < col("hi"))
+      .select("o_orderkey", "n_name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(gotSet == wantSet && gotSet.nonEmpty)
+    // overlapping bands: some order must land in more than one
+    assert(gotSet.groupBy(_._1).exists(_._2.size > 1), "bands overlap by construction")
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"binned range join must be an equi-join:\n$plan")
+  }
+}
