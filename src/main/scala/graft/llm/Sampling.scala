@@ -99,6 +99,27 @@ object Sampling {
       .withColumn("shard_pos", row_number().over(w).cast("long"))
   }
 
+  /** Per-row WEIGHTED Bernoulli sampling — importance downsampling by a
+    * per-document weight in [0,1] (keep probability = the weight; the
+    * canonical "sample proportionally to quality score" curation step),
+    * with Horvitz-Thompson `sample_weight` = 1/p for unbiased
+    * reweighting downstream.
+    *
+    * The inclusion test is INTEGER-exact: the weight is quantized to
+    * thousandths (wm = round(w*1000)) and the test `u < p` becomes
+    * `h32(id) * 1000 < wm * 2^32` — both products stay far inside
+    * int64, so the decision is bit-identical on any engine and immune
+    * to double-comparison edge cases at the threshold. No RNG, map-side
+    * only, same determinism contract as every sampler here. */
+  def weightedSample(docs: DataFrame, idCol: String,
+                     weight: Column): DataFrame = {
+    val wm = round(weight * 1000).cast("long")
+    docs.withColumn("__wm", wm)
+      .filter(Dedup.h32(col(idCol).cast("string")) * 1000L < col("__wm") * 4294967296L)
+      .withColumn("sample_weight", lit(1000.0) / col("__wm"))
+      .drop("__wm")
+  }
+
   /** SEQUENCE PACKING — the last step before a training run: lay the
     * corpus out as fixed token-budget sequences. Documents are placed
     * contiguously in the deterministic shard order (`deterministicShard`'s

@@ -287,6 +287,19 @@ object LlmOps {
           col("sample_weight")),
       "doc_id")
 
+  /** Quality-weighted Bernoulli downsampling: keep probability = the
+    * document's quality score, decided by an INTEGER-exact hash test
+    * (h32·1000 < round(q·1000)·2^32 — no double threshold), HT
+    * sample_weight = 1/p. The "sample proportionally to quality"
+    * curation step; map-side only. */
+  def xSampleWeighted(s: SparkSession, d: String): DataFrame =
+    ordered(
+      Sampling.weightedSample(
+        TextAnalysis.withQuality(documents(s, d)), "doc_id",
+        col("quality_score"))
+        .select(col("doc_id"), col("quality_score"), col("sample_weight")),
+      "doc_id")
+
   /** Within-doc repetition metrics (Gopher-style quality signals):
     * duplicate 3-gram fraction + top-token share, pure map-side. */
   def xTextRepetition(s: SparkSession, d: String): DataFrame =
@@ -463,6 +476,7 @@ object LlmOps {
     "x_sample_taken"      -> (xSampleTaken _),
     "x_sample_mixture"    -> (xSampleMixture _),
     "x_sample_shard"      -> (xSampleShard _),
+    "x_sample_weighted"   -> (xSampleWeighted _),
     "x_text_repetition"   -> (xTextRepetition _),
     "x_text_topterms"     -> (xTextTopterms _),
     "x_text_bm25"         -> (xTextBm25 _),
@@ -819,6 +833,20 @@ object LlmOps {
         |SELECT doc_id, lang AS stratum, sample_rate,
         |  CAST(1.0 AS DOUBLE) / sample_rate AS sample_weight
         |FROM s WHERE u < sample_rate ORDER BY doc_id""".stripMargin,
+    "x_sample_weighted" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |q AS (SELECT doc_id,
+         |    least(1.0, CAST(len(toks) AS BIGINT) / 100.0) * 0.4 +
+         |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text) * 0.3 +
+         |    CAST(len(list_filter(toks, t2 -> list_contains($stopwordsSql, t2))) AS DOUBLE) / len(toks) * 0.3
+         |      AS quality_score
+         |  FROM t),
+         |w AS (SELECT doc_id, quality_score,
+         |    CAST(round(quality_score * 1000) AS BIGINT) AS wm,
+         |    CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+         |  FROM q)
+         |SELECT doc_id, quality_score, 1000.0 / wm AS sample_weight
+         |FROM w WHERE h * 1000 < wm * 4294967296 ORDER BY doc_id""".stripMargin,
     "x_sample_split" ->
       """WITH s AS (SELECT doc_id,
         |  CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)

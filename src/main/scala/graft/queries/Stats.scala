@@ -115,12 +115,93 @@ object Stats {
       "event_type")
   }
 
+  /** A6: ROLLUP super-aggregation — the OLAP cube face of the DWS layer
+    * (status × priority, each level, grand total) with `grouping_id`
+    * marking the level. One expand + one hash-agg; the expand multiplies
+    * rows by (levels), but partial aggregation still combines map-side,
+    * so the shuffle carries group-cardinality × levels — bounded. Money
+    * is summed in integer cents (exact; no double accumulation). */
+  def a6Rollup(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+    o.rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("int").as("gid"), count(lit(1)).as("ct"),
+        sum(col("cents")).as("cents_sum"))
+      .select(col("gid"), col("o_orderstatus"), col("o_orderpriority"),
+        col("ct"), col("cents_sum"))
+      // explicit coalesced sort keys: Spark sorts nulls first, DuckDB
+      // last — gid + coalesce makes the order engine-independent
+      .orderBy(col("gid"), coalesce(col("o_orderstatus"), lit("")),
+        coalesce(col("o_orderpriority"), lit("")))
+  }
+
+  /** A7: PIVOT — event counts per user × event type as columns (the
+    * wide-table rendering of A5). Value list is explicit, so the plan is
+    * a single hash-agg with one conditional-count column per type — no
+    * second pass to discover values, no extra shuffle. */
+  def a7Pivot(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    ordered(
+      events(s, d).groupBy(col("user_id"))
+        .pivot("event_type", types).agg(count(lit(1)))
+        .select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*),
+      "user_id")
+  }
+
+  /** A8: exact grouped percentiles (quartiles of quantity per return
+    * flag). Spark's `percentile` and DuckDB's `quantile_cont` share the
+    * type-7 definition (linear interpolation at (n-1)p); integral values
+    * at dyadic fractions make every interpolation step exact in a
+    * double, so the oracle is bit-exact. Scale note: exact percentile
+    * buffers per-group values — fine for bounded groups; the 100 TB
+    * unbounded-cardinality swap is approx_percentile (t-digest). */
+  def a8Percentiles(s: SparkSession, d: String): DataFrame = {
+    ordered(
+      lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("q"),
+          count(lit(1)).as("ct"))
+        .select(col("l_returnflag"), col("q")(0).as("p25"),
+          col("q")(1).as("p50"), col("q")(2).as("p75"), col("ct")),
+      "l_returnflag")
+  }
+
+  /** E1: windowed funnel per user (view → click → purchase within 24 h,
+    * greedy-anchored — operators/EventAnalytics.funnel; k keyed aggs,
+    * no per-user sort). Timestamps emitted as epoch micros. */
+  def e1Funnel(s: SparkSession, d: String): DataFrame = {
+    val f = graft.operators.EventAnalytics.funnel(
+      events(s, d), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), expr("INTERVAL 24 HOURS"))
+    ordered(
+      f.select(col("user_id"), unix_micros(col("t1")).as("t1_us"),
+        unix_micros(col("t2")).as("t2_us"), unix_micros(col("t3")).as("t3_us"),
+        col("depth")),
+      "user_id")
+  }
+
+  /** E2: cohort retention triangle (first-event-day cohorts × day
+    * offset, distinct returning users —
+    * operators/EventAnalytics.retentionCohorts). */
+  def e2Retention(s: SparkSession, d: String): DataFrame = {
+    ordered(
+      graft.operators.EventAnalytics.retentionCohorts(events(s, d), "user_id", "ts")
+        .select(stamp(col("cohort_day")).as("cohort_day"), col("day_offset"),
+          col("users")),
+      "cohort_day", "day_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_product_stats"  -> (a1ProductStats _),
     "a2_visitor_stats"  -> (a2VisitorStats _),
     "a3_province_stats" -> (a3ProvinceStats _),
     "a4_keyword_stats"  -> (a4KeywordStats _),
-    "a5_distinct_sets"  -> (a5DistinctSets _))
+    "a5_distinct_sets"  -> (a5DistinctSets _),
+    "a6_rollup"         -> (a6Rollup _),
+    "a7_pivot"          -> (a7Pivot _),
+    "a8_percentiles"    -> (a8Percentiles _),
+    "e1_funnel"         -> (e1Funnel _),
+    "e2_retention"      -> (e2Retention _))
 
   val oracle: Map[String, String] = Map(
     "a1_product_stats" ->
@@ -160,5 +241,52 @@ object Stats {
         |ORDER BY keyword, source""".stripMargin,
     "a5_distinct_sets" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS uv_ct, COUNT(*) AS pv_ct
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a6_rollup" ->
+      """SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+        |  o_orderstatus, o_orderpriority, COUNT(*) AS ct,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, COALESCE(o_orderstatus, ''), COALESCE(o_orderpriority, '')""".stripMargin,
+    "a7_pivot" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "a8_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.50) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  COUNT(*) AS ct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "e1_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2
+        |       FROM events e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts >= s1.t1
+        |         AND e.ts <= s1.t1 + INTERVAL 24 HOUR GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3
+        |       FROM events e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+        |         AND e.ts <= s1.t1 + INTERVAL 24 HOUR GROUP BY 1)
+        |SELECT s1.user_id, epoch_us(t1) AS t1_us, epoch_us(t2) AS t2_us,
+        |  epoch_us(t3) AS t3_us,
+        |  CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS depth
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    "e2_retention" ->
+      """WITH fs AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+        |            FROM events GROUP BY 1)
+        |SELECT strftime(cohort_day, '%Y-%m-%d %H:%M:%S') AS cohort_day,
+        |  CAST(date_diff('day', cohort_day, date_trunc('day', e.ts)) AS BIGINT) AS day_offset,
+        |  COUNT(DISTINCT e.user_id) AS users
+        |FROM events e JOIN fs USING (user_id)
+        |GROUP BY fs.cohort_day, 2 ORDER BY cohort_day, day_offset""".stripMargin)
 }

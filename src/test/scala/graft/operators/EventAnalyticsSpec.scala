@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class EventAnalyticsSpec extends SparkSpec {
+
+  private def ev(rows: Seq[(Long, Long, String, Long)]) = {
+    import spark.implicits._
+    rows.toDF("event_id", "user_id", "event_type", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+  }
+
+  test("funnel: greedy anchor, ordered steps, window cut, depth per user") {
+    val events = ev(Seq(
+      // user 1: full funnel inside the window
+      (1L, 1L, "view", 100L), (2L, 1L, "click", 200L), (3L, 1L, "purchase", 300L),
+      // user 2: click BEFORE first view never counts; purchase before click ignored
+      (4L, 2L, "click", 50L), (5L, 2L, "view", 100L),
+      (6L, 2L, "purchase", 150L), (7L, 2L, "click", 200L),
+      // user 3: completes, but only outside the 1000s window anchored at t1
+      (8L, 3L, "view", 0L), (9L, 3L, "click", 500L), (10L, 3L, "purchase", 1500L),
+      // user 4: never does step 1 -> absent entirely
+      (11L, 4L, "click", 100L), (12L, 4L, "purchase", 200L),
+      // user 5: greedy anchor — SECOND view would allow completion, but the
+      // window anchors at the FIRST view and the purchase misses it
+      (13L, 5L, "view", 0L), (14L, 5L, "view", 900L),
+      (15L, 5L, "click", 950L), (16L, 5L, "purchase", 1100L)
+    ))
+    val got = EventAnalytics.funnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), expr("INTERVAL 1000 SECONDS"))
+      .select(col("user_id"), col("depth")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 2L, 3L -> 2L, 5L -> 2L),
+      s"unexpected depths: $got")
+  }
+
+  test("funnelCounts is the non-increasing conversion chart of funnel") {
+    val events = graft.Tables.events(spark, sf("sf0.001"))
+    val counts = EventAnalytics.funnelCounts(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), expr("INTERVAL 24 HOURS"))
+      .orderBy("step").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(counts.map(_._2).toSeq == Seq("view", "click", "purchase"))
+    assert(counts.head._3 > 0, "someone must enter the funnel")
+    assert(counts.sliding(2).forall { case Array(a, b) => a._3 >= b._3 },
+      s"conversion must be non-increasing: ${counts.mkString(",")}")
+    // cross-check against the per-user depths
+    val f = EventAnalytics.funnel(events, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), expr("INTERVAL 24 HOURS"))
+    val byDepth = f.groupBy().agg(
+      count(when(col("depth") >= 1, 1)).as("d1"),
+      count(when(col("depth") >= 2, 1)).as("d2"),
+      count(when(col("depth") >= 3, 1)).as("d3")).head()
+    assert(Seq(byDepth.getLong(0), byDepth.getLong(1), byDepth.getLong(2)) ==
+      counts.map(_._3).toSeq)
+  }
+
+  test("retentionCohorts: hand case + offset-0 equals cohort size") {
+    val events = ev(Seq(
+      // day 0 cohort: users 1,2 — user 1 returns day 1 and day 3, user 2 day 1
+      (1L, 1L, "view", 0L), (2L, 2L, "view", 3600L),
+      (3L, 1L, "view", 86400L), (4L, 2L, "view", 90000L),
+      (5L, 1L, "view", 3 * 86400L),
+      // day 1 cohort: user 3
+      (6L, 3L, "view", 86400L + 100L)
+    ))
+    val got = EventAnalytics.retentionCohorts(events, "user_id", "ts")
+      .collect().map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == Set(
+      ("1970-01-01", 0L, 2L), ("1970-01-01", 1L, 2L), ("1970-01-01", 3L, 1L),
+      ("1970-01-02", 0L, 1L)), s"unexpected triangle: $got")
+  }
+
+  test("weightedSample: w=1 keeps all, w=0 keeps none, HT weight exact") {
+    import spark.implicits._
+    val docs = (1L to 200L).toDF("doc_id")
+    val all = graft.llm.Sampling.weightedSample(docs, "doc_id", lit(1.0))
+    assert(all.count() == 200 &&
+      all.select(min(col("sample_weight")), max(col("sample_weight")))
+        .as[(Double, Double)].head() == ((1.0, 1.0)))
+    assert(graft.llm.Sampling.weightedSample(docs, "doc_id", lit(0.0)).count() == 0)
+    val half = graft.llm.Sampling.weightedSample(docs, "doc_id", lit(0.5))
+    val n = half.count()
+    assert(n > 60 && n < 140, s"rate-0.5 sample wildly off: $n/200")
+    assert(half.select(first(col("sample_weight"))).as[Double].head() == 2.0)
+  }
+}
