@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Behavioral-analytics operators over an event stream — the batch faces
@@ -24,42 +25,45 @@ object EventAnalytics {
     * Output: one row per user that performed step 1, with nullable
     * `t1..tk` timestamps and `depth` = number of steps completed.
     *
-    * Plan shape: k hash-aggregates and k-1 joins, ALL keyed on the user
-    * column — after the first shuffle every stage reuses the same
-    * hash partitioning, and each stage's left side only shrinks (users
-    * surviving i steps). At 100 TB: k passes over the (filtered) event
-    * scan, no window functions, no per-user sort, state bounded by
-    * users-at-depth-i. Skew = one hyperactive user's events hash to one
-    * task at the filter-agg stage only (min() partial-aggregates
-    * map-side, so even that is safe). */
+    * Plan shape: ONE scan (pushed filter keeps only the k step types)
+    * and ONE shuffle on the user column. Each stage timestamp is a
+    * whole-partition window aggregate over the same user partitioning —
+    * t(i+1)'s predicate references t(i), so Spark stacks k Window
+    * operators on the one Exchange with no extra shuffle and no
+    * per-user sort (unordered frame) — then the per-user collapse is a
+    * groupBy reusing that same partitioning. A k-stage join/agg chain
+    * would re-scan the event table O(k²) times (each DataFrame stage
+    * recomputes its predecessors — no common-subplan reuse across a
+    * join); at 100 TB the single scan wins outright. Skew note: one
+    * hyperactive user's step-type events land in one window partition —
+    * bounded by the pushed type filter; for a pathological key, pre-agg
+    * per (user, type, coarse-time) first. */
   def funnel(events: DataFrame, userCol: String, timeCol: String,
              typeCol: String, steps: Seq[String],
              window: Column): DataFrame = {
     require(steps.size >= 2, "funnel: need at least two steps")
     val u = col(userCol)
-    // stage 1: every user's first step-1 event anchors their window
-    val s1 = events.filter(col(typeCol) === steps.head)
-      .groupBy(u).agg(min(col(timeCol)).as("t1"))
-    // stage i+1: earliest qualifying next-step event per surviving user
-    val stages = steps.tail.zipWithIndex.scanLeft(s1) {
-      case (prev, (step, i)) =>
-        val prevT = s"t${i + 1}"
-        val curT  = s"t${i + 2}"
-        events.filter(col(typeCol) === step)
-          .join(prev.select(u, col(prevT), col("t1").as("__anchor")), userCol)
-          .filter(col(timeCol) >= col(prevT) &&
-            col(timeCol) <= col("__anchor") + window)
-          .groupBy(u).agg(min(col(timeCol)).as(curT), first(col("__anchor")).as("t1"))
-          .select(u, col("t1"), col(curT))
+    val w = Window.partitionBy(u)
+    // only funnel-step events participate: the isin filter reaches the scan
+    val relevant = events.filter(col(typeCol).isin(steps: _*))
+      .select(u, col(timeCol), col(typeCol))
+    // t1 anchors the window at the user's FIRST step-1 event
+    val withT1 = relevant.withColumn("t1",
+      min(when(col(typeCol) === steps.head, col(timeCol))).over(w))
+    // t(i+1) = earliest step-(i+1) event in [t(i), t1 + window]
+    val filled = steps.tail.zipWithIndex.foldLeft(withT1) {
+      case (d, (step, i)) =>
+        d.withColumn(s"t${i + 2}",
+          min(when(col(typeCol) === step &&
+            col(timeCol) >= col(s"t${i + 1}") &&
+            col(timeCol) <= col("t1") + window, col(timeCol))).over(w))
     }
-    // assemble the per-user row: left-join each deeper stage onto stage 1
-    val full = stages.tail.zipWithIndex.foldLeft(stages.head) {
-      case (acc, (st, i)) =>
-        acc.join(st.select(u, col(s"t${i + 2}")), Seq(userCol), "left_outer")
-    }
-    val depth = steps.indices.map(i => when(col(s"t${i + 1}").isNotNull, 1).otherwise(0))
-      .reduce(_ + _)
-    full.withColumn("depth", depth.cast("long"))
+    val ts = steps.indices.map(i => s"t${i + 1}")
+    val depth = ts.map(t => when(col(t).isNotNull, 1).otherwise(0)).reduce(_ + _)
+    filled.filter(col("t1").isNotNull)
+      .groupBy(u).agg(min(col(ts.head)).as(ts.head),
+        ts.tail.map(t => min(col(t)).as(t)): _*)
+      .withColumn("depth", depth.cast("long"))
   }
 
   /** Funnel step counts: (step index, step name, users reaching it) —

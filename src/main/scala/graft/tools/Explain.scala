@@ -2,29 +2,24 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev tool: dump formatted physical plans for selected queries so
-  * pushdown (PushedFilters/ReadSchema), join strategies, and
-  * WholeStageCodegen spans can be audited. Usage:
-  *   sbt "runMain graft.tools.Explain s1_scan j3_dim_enrich"
+/** Dev tool: print the formatted physical plan of named gate queries.
+  *
+  *   sbt "runMain graft.tools.Explain e1_funnel j8_range_join"
   */
 object Explain {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val names = if (args.nonEmpty) args.toSeq else graft.SparkEntry.queries.keys.toSeq.sorted
-    names.foreach { name =>
-      graft.SparkEntry.queries.get(name) match {
-        case Some(fn) =>
-          println(s"\n===================== $name =====================")
-          fn(spark, "/root/testdata/sf0.001").explain("formatted")
-        case None => println(s"unknown query: $name")
-      }
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    args.foreach { name =>
+      println(s"===== $name =====")
+      graft.SparkEntry.queries(name)(spark, dir).explain("formatted")
     }
     spark.stop()
   }

@@ -76,7 +76,12 @@ object ScaleProbe {
       "x_dedup_clusters", "x_text_repetition", "x_sample_stratified",
       "x_sample_mixture", "x_sample_shard", "x_corpus_assembly",
       "x_decontaminate", "x_embed_quantize", "x_ann_quantized",
-      "x_text_topterms")
+      "x_text_topterms",
+      // round-5 surface: event analytics, OLAP aggregates, the new join
+      // operators, and the text/packing/sampling additions
+      "e1_funnel", "e2_retention", "a6_rollup", "a7_pivot",
+      "a8_percentiles", "j7_asof_join", "j8_range_join", "x_text_bm25",
+      "x_text_normalize", "x_pack_sequences", "x_sample_weighted")
     // x_dedup_simhash is deliberately NOT probed: the text salt makes
     // replicas distinct under shingle-Jaccard but NOT under
     // distinct-token SimHash (one spliced token flips only near-tie
@@ -85,7 +90,9 @@ object ScaleProbe {
     // 10x docs) — the probe would measure answer growth, not the plan.
     // warm-up
     graft.Tables.lineitem(spark, out).count()
-    val results = probes.map { name =>
+    // optional: probe only the queries named after the factor arg
+    val selected = if (args.length > 1) probes.filter(args.tail.contains) else probes
+    val results = selected.map { name =>
       val fn = graft.SparkEntry.queries(name)
       def time(dir: String): Double = {
         // cold artifacts per measurement: session-shared builds (LSH
