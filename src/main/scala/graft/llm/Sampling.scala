@@ -99,6 +99,33 @@ object Sampling {
       .withColumn("shard_pos", row_number().over(w).cast("long"))
   }
 
+  /** CURRICULUM BINNING — order the corpus into difficulty stages by an
+    * integer signal (token count is the classic length curriculum):
+    * `numBins` equal-population bins cut at the exact percentiles
+    * i/numBins, bin = number of cuts <= the row's signal. A power-of-two
+    * numBins keeps the percentile fractions dyadic, and type-7
+    * interpolation over INTEGRAL values is exact in doubles, so the cut
+    * points — and therefore every bin decision — are bit-identical
+    * cross-engine.
+    *
+    * Plan: one exact-percentile aggregate (a broadcast scalar row — the
+    * 100 TB swap is approx_percentile, same shape) + a map-side
+    * compare per row. NOT ntile: a global-ORDER ntile window runs on a
+    * single partition — the one-executor bottleneck this formulation
+    * exists to avoid. */
+  def curriculumBins(docs: DataFrame, signalCol: String,
+                     numBins: Int): DataFrame = {
+    require(numBins >= 2, "curriculumBins: need at least two bins")
+    val fracs = (1 until numBins).map(i => i.toDouble / numBins)
+    val cuts = docs.agg(
+      expr(s"percentile($signalCol, array(${fracs.mkString(", ")}))").as("__cuts"))
+    val bin = (0 until numBins - 1)
+      .map(i => when(col(signalCol) >= col("__cuts")(i), 1).otherwise(0))
+      .reduce(_ + _)
+    docs.crossJoin(broadcast(cuts))
+      .withColumn("bin", bin.cast("int")).drop("__cuts")
+  }
+
   /** Per-row WEIGHTED Bernoulli sampling — importance downsampling by a
     * per-document weight in [0,1] (keep probability = the weight; the
     * canonical "sample proportionally to quality score" curation step),

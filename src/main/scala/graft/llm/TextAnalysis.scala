@@ -178,6 +178,78 @@ object TextAnalysis {
         phonePattern, "[PHONE]"),
       ipPattern, "[IP]")
 
+  /** DOCUMENT CHUNKING — the RAG/embedding prep step: fixed-size
+    * character windows with overlap. Chunk i of a document covers
+    * [i·stride, i·stride + size) with stride = size − overlap;
+    * n = max(1, ceil((len − overlap)/stride)) chunks, so every
+    * character is covered and consecutive chunks share `overlap`
+    * characters. Pure integer arithmetic + substring — codegen'd
+    * explode, no UDF, no shuffle (chunks stay on their document's
+    * partition). */
+  def chunkDocuments(docs: DataFrame, idCol: String, size: Int, overlap: Int,
+                     text: Column = col("text")): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"chunkDocuments: need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val stride = size - overlap
+    // ceil((len-overlap)/stride) in exact integer arithmetic
+    val n = greatest(lit(1L),
+      (length(text).cast("long") - overlap + (stride - 1)) / stride).cast("long")
+    docs.withColumn("chunk_id", explode(sequence(lit(0L), n - 1)))
+      .withColumn("char_off", col("chunk_id") * stride)
+      .withColumn("chunk", substring(text, (col("chunk_id") * stride + 1).cast("int"), lit(size)))
+  }
+
+  /** Adjacent-token CO-OCCURRENCE with a rational PMI score — phrase
+    * mining / tokenizer-merge statistics. For each ordered bigram (a,b):
+    * count c(a,b), unigram counts c(a), c(b), and
+    * score = c(a,b)·N / (c(a)·c(b)) — the PMI's rational argument
+    * (ln is monotone, so the induced ranking is identical and the score
+    * stays bit-exact cross-engine; both integer products are exact in
+    * doubles at any realistic count).
+    *
+    * Plan: one tokenize pass → explode bigrams → hash-agg; unigram
+    * table joined twice (broadcast at gate scale, hash-join beyond);
+    * N is a broadcast scalar. Min-count threshold prunes the tail
+    * BEFORE the joins. */
+  def cooccurrence(docs: DataFrame, minCount: Long = 2L,
+                   text: Column = col("text")): DataFrame = {
+    val toks = docs.select(tokens(text).as("toks"))
+    val grams = toks.select(explode(
+        zip_with(slice(col("toks"), lit(1), greatest(lit(0), size(col("toks")) - 1)),
+          slice(col("toks"), lit(2), greatest(lit(0), size(col("toks")) - 1)),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("g"))
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum(col("c")).as("n"))
+    grams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+      .join(broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1")), "w1")
+      .join(broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2")), "w2")
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        ((col("c12") * col("n")).cast("double") /
+          (col("c1") * col("c2")).cast("double")).as("pmi_ratio"))
+  }
+
+  /** INVERTED INDEX build — term → document-frequency + the first
+    * `cap` posting doc-ids (sorted): the artifact behind full-text
+    * retrieval over the corpus. One tokenize pass, per-document
+    * distinct terms (array_distinct map-side — no (term,doc) dedup
+    * shuffle), one hash-agg per term. The posting CAP is enforced by
+    * the bounded `TopKAgg` buffer (map-side combine, O(cap) state per
+    * term — a collect_list+slice would buffer a stop-word's full
+    * posting list, which at 100 TB is the corpus itself); df stays
+    * exact. Smallest-`cap` ids = top-k on the negated id. */
+  def invertedIndex(docs: DataFrame, idCol: String, cap: Int = 32,
+                    text: Column = col("text")): DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(array_distinct(tokens(text))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        concat_ws(",", transform(
+          graft.functions.TopKAgg.topK((-col("doc_id")).cast("double"), col("doc_id"), cap),
+          x => x.getField("id").cast("string"))).as("postings"))
+
   /** Text canonicalization for dedup/hashing: Unicode NFC composition
     * (via the native `NfcNormalize` codegen expression — decomposed
     * "e"+U+0301 and composed "é" become byte-identical), lowercasing,

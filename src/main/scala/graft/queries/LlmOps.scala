@@ -287,6 +287,41 @@ object LlmOps {
           col("sample_weight")),
       "doc_id")
 
+  /** RAG-prep document chunking: 400-char windows, 100-char overlap —
+    * every char covered, consecutive chunks share 100; pure codegen
+    * explode, chunks stay partition-local. */
+  def xChunk(s: SparkSession, d: String): DataFrame =
+    ordered(
+      TextAnalysis.chunkDocuments(documents(s, d), "doc_id", size = 400, overlap = 100)
+        .select(col("doc_id"), col("chunk_id"), col("char_off"), col("chunk")),
+      "doc_id", "chunk_id")
+
+  /** Adjacent-token co-occurrence with rational PMI (phrase-mining
+    * statistics); min-count 3 prunes the tail before the joins. */
+  def xTextCooccur(s: SparkSession, d: String): DataFrame =
+    ordered(
+      TextAnalysis.cooccurrence(documents(s, d), minCount = 3L),
+      "w1", "w2")
+
+  /** Inverted-index build: term -> exact df + first-32 posting list,
+    * capped by the bounded TopKAgg buffer (map-side combine). */
+  def xTextIndex(s: SparkSession, d: String): DataFrame =
+    ordered(
+      TextAnalysis.invertedIndex(documents(s, d), "doc_id", cap = 32),
+      "term")
+
+  /** Length-curriculum binning: 4 equal-population stages cut at exact
+    * token-count quartiles (dyadic fractions over integral values =
+    * bit-exact cuts), bin decided map-side. */
+  def xSampleCurriculum(s: SparkSession, d: String): DataFrame = {
+    val withToks = documents(s, d)
+      .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+    ordered(
+      Sampling.curriculumBins(withToks, "n_toks", numBins = 4)
+        .select(col("doc_id"), col("n_toks"), col("bin")),
+      "doc_id")
+  }
+
   /** Quality-weighted Bernoulli downsampling: keep probability = the
     * document's quality score, decided by an INTEGER-exact hash test
     * (h32·1000 < round(q·1000)·2^32 — no double threshold), HT
@@ -477,6 +512,10 @@ object LlmOps {
     "x_sample_mixture"    -> (xSampleMixture _),
     "x_sample_shard"      -> (xSampleShard _),
     "x_sample_weighted"   -> (xSampleWeighted _),
+    "x_sample_curriculum" -> (xSampleCurriculum _),
+    "x_chunk"             -> (xChunk _),
+    "x_text_cooccur"      -> (xTextCooccur _),
+    "x_text_index"        -> (xTextIndex _),
     "x_text_repetition"   -> (xTextRepetition _),
     "x_text_topterms"     -> (xTextTopterms _),
     "x_text_bm25"         -> (xTextBm25 _),
@@ -833,6 +872,43 @@ object LlmOps {
         |SELECT doc_id, lang AS stratum, sample_rate,
         |  CAST(1.0 AS DOUBLE) / sample_rate AS sample_weight
         |FROM s WHERE u < sample_rate ORDER BY doc_id""".stripMargin,
+    "x_chunk" ->
+      """WITH t AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len FROM documents),
+        |n AS (SELECT doc_id, text, greatest(1, (len - 100 + 299) // 300) AS n FROM t),
+        |u AS (SELECT doc_id, text, unnest(range(0, n)) AS chunk_id FROM n)
+        |SELECT doc_id, chunk_id, chunk_id * 300 AS char_off,
+        |  substr(text, CAST(chunk_id * 300 + 1 AS INT), 400) AS chunk
+        |FROM u ORDER BY doc_id, chunk_id""".stripMargin,
+    "x_text_cooccur" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |uc AS (SELECT w, count(*) AS c FROM
+         |        (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+         |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uc),
+         |big AS (SELECT unnest(toks[1:len(toks)-1]) AS w1,
+         |               unnest(toks[2:len(toks)]) AS w2 FROM t),
+         |bc AS (SELECT w1, w2, count(*) AS c12 FROM big
+         |       GROUP BY 1, 2 HAVING count(*) >= 3)
+         |SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+         |  CAST(c12 * n.n AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE) AS pmi_ratio
+         |FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w
+         |CROSS JOIN n ORDER BY w1, w2""".stripMargin,
+    "x_text_index" ->
+      s"""WITH td AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS term
+         |            FROM documents)
+         |SELECT term, count(*) AS df,
+         |  array_to_string(list_transform(list_sort(list(doc_id))[1:32],
+         |    x -> CAST(x AS VARCHAR)), ',') AS postings
+         |FROM td GROUP BY term ORDER BY term""".stripMargin,
+    "x_sample_curriculum" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_toks FROM documents),
+         |c AS (SELECT quantile_cont(n_toks, 0.25) AS q1,
+         |             quantile_cont(n_toks, 0.50) AS q2,
+         |             quantile_cont(n_toks, 0.75) AS q3 FROM t)
+         |SELECT doc_id, n_toks,
+         |  CAST(CASE WHEN n_toks >= q1 THEN 1 ELSE 0 END
+         |     + CASE WHEN n_toks >= q2 THEN 1 ELSE 0 END
+         |     + CASE WHEN n_toks >= q3 THEN 1 ELSE 0 END AS INT) AS bin
+         |FROM t CROSS JOIN c ORDER BY doc_id""".stripMargin,
     "x_sample_weighted" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
          |q AS (SELECT doc_id,
