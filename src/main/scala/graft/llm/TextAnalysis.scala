@@ -208,9 +208,13 @@ object TextAnalysis {
     * doubles at any realistic count).
     *
     * Plan: one tokenize pass → explode bigrams → hash-agg; unigram
-    * table joined twice (broadcast at gate scale, hash-join beyond);
-    * N is a broadcast scalar. Min-count threshold prunes the tail
-    * BEFORE the joins. */
+    * table joined twice with NO broadcast hint — the vocabulary is
+    * unbounded at corpus scale (noise/typos make it grow with the data),
+    * so the join strategy is left to AQE: broadcast while the measured
+    * size is small, shuffled hash join beyond (a forced hint would be
+    * honored at ANY size — driver-OOM territory at 100 TB). Only N, a
+    * one-row scalar, is hint-broadcast. Min-count threshold prunes the
+    * tail BEFORE the joins. */
   def cooccurrence(docs: DataFrame, minCount: Long = 2L,
                    text: Column = col("text")): DataFrame = {
     val toks = docs.select(tokens(text).as("toks"))
@@ -224,8 +228,8 @@ object TextAnalysis {
     val n = uni.agg(sum(col("c")).as("n"))
     grams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
       .filter(col("c12") >= minCount)
-      .join(broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1")), "w1")
-      .join(broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2")), "w2")
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), "w1")
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"), "w2")
       .crossJoin(broadcast(n))
       .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
         ((col("c12") * col("n")).cast("double") /
@@ -240,14 +244,17 @@ object TextAnalysis {
     * the bounded `TopKAgg` buffer (map-side combine, O(cap) state per
     * term — a collect_list+slice would buffer a stop-word's full
     * posting list, which at 100 TB is the corpus itself); df stays
-    * exact. Smallest-`cap` ids = top-k on the negated id. */
+    * exact. Smallest-`cap` ids = TopKAgg under a CONSTANT value, whose
+    * tie-break is id ASC — the ordering stays in int64 end to end (a
+    * negated-id-as-double key would collapse ids above 2^53 to equal
+    * keys and silently degrade the smallest-cap contract). */
   def invertedIndex(docs: DataFrame, idCol: String, cap: Int = 32,
                     text: Column = col("text")): DataFrame =
     docs.select(col(idCol).as("doc_id"), explode(array_distinct(tokens(text))).as("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"),
         concat_ws(",", transform(
-          graft.functions.TopKAgg.topK((-col("doc_id")).cast("double"), col("doc_id"), cap),
+          graft.functions.TopKAgg.topK(lit(0.0), col("doc_id"), cap),
           x => x.getField("id").cast("string"))).as("postings"))
 
   /** Text canonicalization for dedup/hashing: Unicode NFC composition

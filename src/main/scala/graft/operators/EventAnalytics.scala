@@ -34,19 +34,30 @@ object EventAnalytics {
     * groupBy reusing that same partitioning. A k-stage join/agg chain
     * would re-scan the event table O(k²) times (each DataFrame stage
     * recomputes its predecessors — no common-subplan reuse across a
-    * join); at 100 TB the single scan wins outright. Skew note: one
-    * hyperactive user's step-type events land in one window partition —
-    * bounded by the pushed type filter; for a pathological key, pre-agg
-    * per (user, type, coarse-time) first. */
+    * join); at 100 TB the single scan wins outright. Skew guard
+    * (`preAggregate`): the funnel is a pure function of each user's
+    * DISTINCT (type, timestamp) set — multiplicity never moves a min() —
+    * so a (user, type, time) dedup before the Window stack is exact.
+    * The dedup's partial aggregation collapses a bot's burst of
+    * duplicate-timestamp events MAP-SIDE, before anything shuffles, and
+    * the whole-partition window task then sees at most the distinct
+    * timestamp count per user instead of its raw event volume (the
+    * hyperactive-key ceiling). Cost: one extra exchange keyed on
+    * (user, type, time) — off by default to keep the single-shuffle
+    * plan; turn it on when bot-grade keys are expected (the reference's
+    * `UserJumpDetailApp` domain has them routinely). */
   def funnel(events: DataFrame, userCol: String, timeCol: String,
              typeCol: String, steps: Seq[String],
-             window: Column): DataFrame = {
+             window: Column, preAggregate: Boolean = false): DataFrame = {
     require(steps.size >= 2, "funnel: need at least two steps")
     val u = col(userCol)
     val w = Window.partitionBy(u)
     // only funnel-step events participate: the isin filter reaches the scan
-    val relevant = events.filter(col(typeCol).isin(steps: _*))
+    val filtered = events.filter(col(typeCol).isin(steps: _*))
       .select(u, col(timeCol), col(typeCol))
+    val relevant =
+      if (preAggregate) filtered.dropDuplicates(Seq(userCol, typeCol, timeCol))
+      else filtered
     // t1 anchors the window at the user's FIRST step-1 event
     val withT1 = relevant.withColumn("t1",
       min(when(col(typeCol) === steps.head, col(timeCol))).over(w))

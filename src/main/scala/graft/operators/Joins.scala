@@ -1,8 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.SparkInternals
 
 /** Join operators Spark lacks as built-ins, composed from existing ops
   * so Catalyst/AQE still own the physical planning (SURVEY §7.3: custom
@@ -41,23 +43,28 @@ object Joins {
               : DataFrame = {
     val lExtra = left.columns.toSeq.filterNot(c => c == key || c == time)
     val rExtra = right.columns.toSeq.filterNot(_ == key)
+    // ALL right payload columns travel as ONE struct: a per-column
+    // last(ignoreNulls) fill would mix values from different right rows
+    // whenever a right column holds NULL (and would resurrect a stale
+    // value over a genuine NULL in the newest match) — packing makes the
+    // attached row atomic and preserves its NULLs.
+    val rStruct = org.apache.spark.sql.types.StructType(rExtra.map(right.schema(_)))
     val lU = left.select(
-      Seq(col(key), col(time)) ++ lExtra.map(col) ++
-        rExtra.map(c => lit(null).cast(right.schema(c).dataType)
-          .as(rightPrefix + c)) :+ lit(1).as("__side"): _*)
+      Seq(col(key), col(time)) ++ lExtra.map(col) :+
+        lit(null).cast(rStruct).as("__r") :+ lit(1).as("__side"): _*)
     val rU = right.select(
       Seq(col(key), col(time)) ++
-        lExtra.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rExtra.map(c => col(c).as(rightPrefix + c)) :+ lit(0).as("__side"): _*)
+        lExtra.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rExtra.map(col): _*).as("__r") :+ lit(0).as("__side"): _*)
     val order = Seq(col(time), col("__side")) ++
-      tieBreak.map(c => col(rightPrefix + c).asc_nulls_first)
+      tieBreak.map(c => col("__r").getField(c).asc_nulls_first)
     val w = Window.partitionBy(col(key)).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rExtra.foldLeft(lU.unionByName(rU)) { (d, c) =>
-      d.withColumn(rightPrefix + c,
-        last(col(rightPrefix + c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1).drop("__side")
+    lU.unionByName(rU)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(Seq(col(key), col(time)) ++ lExtra.map(col) ++
+        rExtra.map(c => col("__r").getField(c).as(rightPrefix + c)): _*)
   }
 
   /** BIN-ACCELERATED RANGE JOIN: `facts` joined to `ranges` on
@@ -84,11 +91,16 @@ object Joins {
                       value: String, lo: String, hi: String,
                       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    // exact integer floor-div (inputs are non-negative integral by
-    // contract; (c - c%w)/w keeps every step exact in int64)
-    def fdiv(c: org.apache.spark.sql.Column) = {
+    // exact integer floor-div: (l - pmod(l,w)) is an exact multiple of w,
+    // and the divide is SQL `div` (IntegralDivide — int64 end to end).
+    // Column./ would be DOUBLE division: above 2^53 the operands round,
+    // a fact lands in the wrong bin, and because the exact re-filter only
+    // removes false positives the join would silently MISS matches.
+    def fdiv(c: Column) = {
       val l = c.cast("long")
-      ((l - pmod(l, lit(binWidth))) / binWidth).cast("long")
+      SparkInternals.column(IntegralDivide(
+        SparkInternals.expression(l - pmod(l, lit(binWidth))),
+        SparkInternals.expression(lit(binWidth))))
     }
     val f = facts.withColumn("__bin", fdiv(col(value)))
     val r = ranges.select(col("*"),

@@ -168,11 +168,15 @@ object Stats {
 
   /** E1: windowed funnel per user (view → click → purchase within 24 h,
     * greedy-anchored — operators/EventAnalytics.funnel; k keyed aggs,
-    * no per-user sort). Timestamps emitted as epoch micros. */
+    * no per-user sort). Runs with the skew guard ON (exact
+    * (user,type,ts) pre-dedup before the Window stack) so the
+    * production bot-resistant plan is what the gate proves.
+    * Timestamps emitted as epoch micros. */
   def e1Funnel(s: SparkSession, d: String): DataFrame = {
     val f = graft.operators.EventAnalytics.funnel(
       events(s, d), "user_id", "ts", "event_type",
-      Seq("view", "click", "purchase"), expr("INTERVAL 24 HOURS"))
+      Seq("view", "click", "purchase"), expr("INTERVAL 24 HOURS"),
+      preAggregate = true)
     ordered(
       f.select(col("user_id"), unix_micros(col("t1")).as("t1_us"),
         unix_micros(col("t2")).as("t2_us"), unix_micros(col("t3")).as("t3_us"),

@@ -70,6 +70,12 @@ object FunnelStream {
           .withWatermark("event_time", watermarkDelay).as[FunnelEvent]
       else events
     val step = funnelStep(steps, windowMs) _
+    // Equal-timestamp tie-break must be FUNNEL-STEP order, not event-type
+    // lexicographic order: the batch operator accepts t(i+1) = t(i)
+    // (time >= t(i) is inclusive), so at a shared timestamp the earlier
+    // step has to fold first or the later-step event is dropped while
+    // state is still behind. Non-step events (never folded) sort last.
+    val stepIdx = steps.zipWithIndex.toMap
     withTime.groupByKey(_.userId).flatMapGroupsWithState(
       OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
       (userId: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) => {
@@ -78,7 +84,8 @@ object FunnelStream {
           state.remove()
           Iterator.empty
         } else {
-          val sorted = rows.toSeq.sortBy(e => (e.ts, e.eventType))
+          val sorted = rows.toSeq.sortBy(e =>
+            (e.ts, stepIdx.getOrElse(e.eventType, Int.MaxValue)))
           val (times, out) = step(userId, state.getOption.map(_.times).getOrElse(Nil), sorted)
           if (times.nonEmpty && streaming) {
             state.update(FunnelState(times))

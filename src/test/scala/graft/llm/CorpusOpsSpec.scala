@@ -60,6 +60,38 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got("rare")._2 == (41L to 48L).mkString(","))
   }
 
+  test("invertedIndex: smallest-cap selection stays exact for ids above 2^53") {
+    import spark.implicits._
+    // ids around 2^60, 1 apart: a double-cast ordering key collapses
+    // them to equal keys (2^60 and 2^60+1 round to the same double) and
+    // the smallest-cap contract silently degrades; the constant-value
+    // TopKAgg tie-break keeps the ordering in int64.
+    val base = 1L << 60
+    val docs = (0L to 19L).map(i => (base + i, "bigid")).toDF("doc_id", "text")
+    val got = TextAnalysis.invertedIndex(docs, "doc_id", cap = 5)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got("bigid")._1 == 20L)
+    assert(got("bigid")._2 == (0L to 4L).map(base + _).mkString(","),
+      s"exact smallest-5 ids expected, got ${got("bigid")._2}")
+  }
+
+  test("cooccurrence: unigram joins carry no forced broadcast hint (AQE owns the strategy)") {
+    import spark.implicits._
+    val docs = Seq("x y x y z", "x y q").toDF("text")
+    val joins = TextAnalysis.cooccurrence(docs, minCount = 2L)
+      .queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+    val hinted = joins.count(j =>
+      j.hint.leftHint.exists(_.strategy.isDefined) ||
+        j.hint.rightHint.exists(_.strategy.isDefined))
+    // 3 joins total; only the one-row N scalar cross join is
+    // hint-broadcast — a vocabulary-sized forced broadcast is a driver
+    // OOM at corpus scale, so the two unigram joins must be hint-free
+    assert(joins.size == 3, s"expected 3 joins, got ${joins.size}")
+    assert(hinted == 1, s"only the scalar join may carry a hint, got $hinted")
+  }
+
   test("curriculumBins: 4 near-equal stages, monotone in the signal") {
     import spark.implicits._
     val docs = (1L to 400L).map(i => (i, i % 97 + 3)).toDF("doc_id", "n")

@@ -35,6 +35,36 @@ class EventAnalyticsSpec extends SparkSpec {
       s"unexpected depths: $got")
   }
 
+  test("funnel preAggregate skew guard: identical result, window input bounded by distinct (type,ts)") {
+    import spark.implicits._
+    // bot user 99 fires 100k events over only 120 distinct (type, sec)
+    // combos — the realistic bot shape (second-granularity bursts); plus
+    // two organic users
+    val bot = (0 until 100000).map { i =>
+      (1000L + i, 99L, Seq("view", "click", "purchase")(i % 3), 100L + (i % 40) * 10L)
+    }
+    val organic = Seq(
+      (1L, 1L, "view", 100L), (2L, 1L, "click", 200L), (3L, 1L, "purchase", 300L),
+      (4L, 2L, "view", 50L))
+    val events = ev(organic ++ bot)
+    val steps = Seq("view", "click", "purchase")
+    val base = EventAnalytics.funnel(events, "user_id", "ts", "event_type",
+      steps, expr("INTERVAL 1000 SECONDS"))
+    val guarded = EventAnalytics.funnel(events, "user_id", "ts", "event_type",
+      steps, expr("INTERVAL 1000 SECONDS"), preAggregate = true)
+    val b = base.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val g = guarded.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(g == b && g.contains(99L) && g(99L).last == 3L,
+      s"guard must not change semantics: ${g.get(99L)} vs ${b.get(99L)}")
+    // the bound itself: what the whole-partition Window task receives is
+    // the DEDUPED set — 120 rows for the bot, not 100k
+    val deduped = events.filter(col("event_type").isin(steps: _*))
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .dropDuplicates(Seq("user_id", "event_type", "ts"))
+      .filter(col("user_id") === 99L).count()
+    assert(deduped == 120L, s"bot window input must collapse to 120, got $deduped")
+  }
+
   test("funnelCounts is the non-increasing conversion chart of funnel") {
     val events = graft.Tables.events(spark, sf("sf0.001"))
     val counts = EventAnalytics.funnelCounts(events, "user_id", "ts", "event_type",

@@ -56,6 +56,41 @@ class JoinsSpec extends SparkSpec {
     assert(plan.contains("Window"), "expected the keyed-window rendering")
   }
 
+  test("asofJoin attaches ONE consistent right row and preserves its NULLs") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 250L), (2L, 10L, 350L)).toDF("event_id", "user_id", "ts")
+    // right payload columns hold NULLs in alternating rows: a per-column
+    // fill would stitch values from DIFFERENT right rows (left@250 would
+    // get tag 'a' from ts=100 next to score 42 from ts=200) and would
+    // resurrect stale 42 over the genuine NULL in the ts=300 row
+    val right = Seq(
+      (10L, 100L, Option("a"), Option.empty[Long]),
+      (10L, 200L, Option.empty[String], Option(42L)),
+      (10L, 300L, Option("c"), Option.empty[Long])
+    ).toDF("user_id", "ts", "tag", "score")
+    val got = Joins.asofJoin(left, right, "user_id", "ts")
+      .select("event_id", "r_ts", "r_tag", "r_score").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(got(1L) == ((200L, None, Some(42L))), s"left@250 must carry row@200 whole: ${got(1L)}")
+    assert(got(2L) == ((300L, Some("c"), None)), s"left@350 must carry row@300's real NULL: ${got(2L)}")
+  }
+
+  test("rangeJoinBinned bins stay exact above 2^53") {
+    import spark.implicits._
+    // near 2^60 a double-division bin key rounds: facts land in wrong
+    // bins and (the exact predicate only REMOVES candidates) matches are
+    // silently missed; the IntegralDivide rendering stays in int64
+    val base = 1L << 60
+    val facts = (0L to 40L).map(i => (i, base + i * 13L)).toDF("fid", "v")
+    val ranges = Seq(("lo", base + 1L, base + 250L), ("hi", base + 250L, base + 520L))
+      .toDF("label", "lo", "hi")
+    val got = Joins.rangeJoinBinned(facts, ranges, "v", "lo", "hi", binWidth = 7L)
+      .select("fid", "label").as[(Long, String)].collect().toSet
+    val want = facts.join(ranges, col("v") >= col("lo") && col("v") < col("hi"))
+      .select("fid", "label").as[(Long, String)].collect().toSet
+    assert(got == want && got.nonEmpty, s"big-value mismatch: missing=${want.diff(got)} extra=${got.diff(want)}")
+  }
+
   test("rangeJoinBinned equals the naive inequality join incl. bin-edge cases") {
     import spark.implicits._
     // ranges deliberately hitting edges: [0,100) one bin; [100,200) exact

@@ -74,6 +74,41 @@ class FunnelStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("same-timestamp events fold in FUNNEL-STEP order, matching batch inclusivity") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // all three steps share one timestamp: the batch operator accepts
+    // t3 = t2 = t1 (time >= t(i) is inclusive). A lexicographic (ts,
+    // eventType) tie-break would fold 'click' < 'purchase' < 'view' and
+    // drop everything past step 1; the step-index tie-break must not.
+    val mem = MemoryStream[FunnelEvent]
+    val q = funnelProgress(mem.toDS(), steps, windowMs = 1000_000L).writeStream
+      .format("memory").queryName("funties").outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        FunnelEvent(1L, 100_000L, "purchase"), FunnelEvent(1L, 100_000L, "click"),
+        FunnelEvent(1L, 100_000L, "view"),
+        // u2: equal-ts later step BEFORE its anchor exists -> only view counts
+        FunnelEvent(2L, 100_000L, "click"), FunnelEvent(2L, 200_000L, "view"))
+      q.processAllAvailable()
+      val got = spark.table("funties").as[FunnelProgress].collect()
+        .map(p => (p.userId, p.step, p.ts)).toSet
+      assert(got == Set((1L, 1, 100_000L), (1L, 2, 100_000L), (1L, 3, 100_000L),
+        (2L, 1, 200_000L)), s"tie-break divergence: $got")
+      // parity with the batch operator on the identical events
+      val batch = graft.operators.EventAnalytics.funnel(
+          Seq((1L, 100L, "purchase"), (1L, 100L, "click"), (1L, 100L, "view"),
+            (2L, 100L, "click"), (2L, 200L, "view"))
+            .toDF("user_id", "sec", "event_type")
+            .withColumn("ts", timestamp_seconds(col("sec"))),
+          "user_id", "ts", "event_type", steps, expr("INTERVAL 1000 SECONDS"))
+        .select(col("user_id"), col("depth")).as[(Long, Long)].collect().toMap
+      val streamedDepth = got.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      assert(batch == streamedDepth.map { case (u, d) => u -> d.toLong },
+        s"stream/batch divergence at equal ts: $streamedDepth vs $batch")
+    } finally q.stop()
+  }
+
   test("funnelStep property: emitted steps are contiguous, ordered, inside the window") {
     val step = funnelStep(steps, 1000L) _
     val rnd = new scala.util.Random(7)
