@@ -309,4 +309,60 @@ object TextAnalysis {
           ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
           .as("score"))
   }
+
+  /** Multi-term BM25 RETRIEVAL — the missing blend over `bm25Scores`:
+    * the summed Robertson score with the TRUE `ln((N-df+0.5)/(df+0.5))`
+    * idf (a rational substitution is not order-preserving across a SUM,
+    * so here the real formula runs) and the global top-k documents.
+    *
+    * Determinism contract: every non-log operation (+,-,×,÷) is IEEE
+    * correctly rounded, hence bit-identical on any engine given the same
+    * association order — which is pinned: the per-term contributions are
+    * SEPARATE COLUMNS (terms are literals, no row-wise SUM whose order
+    * the engine picks) folded left-to-right. Only `ln` may differ by an
+    * ulp across libm implementations, so the gate compares doc RANKING
+    * (score desc, doc_id tie-break), not the float score; ulp noise can
+    * flip a rank only between docs whose true scores are ulp-close
+    * without being structurally identical (identical tf vector + dl ⇒
+    * bit-equal in both engines ⇒ same tie-break).
+    *
+    * Plan shape: one corpus scan (per-term tf = map-side
+    * `size(filter(toks))` — no explode, no vocabulary join), ONE
+    * broadcast row carrying (n_docs, avgdl, every df), map-side score,
+    * and a distributed TakeOrderedAndProject top-k (per-partition heaps,
+    * driver merges k rows). At 100 TB: one scan + one scalar broadcast +
+    * O(k) driver state. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               text: Column = col("text")): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK: empty term set")
+    require(k > 0, "bm25TopK: k must be positive")
+    val base = terms.indices.foldLeft(
+        docs.select(col("doc_id"), tokens(text).as("__toks"))
+          .withColumn("dl", size(col("__toks")).cast("long"))) { (d, i) =>
+        d.withColumn(s"__tf_$i",
+          size(filter(col("__toks"), x => x === terms(i))).cast("long"))
+      }.drop("__toks")
+    val statsAggs =
+      Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot")) ++
+        terms.indices.map(i => count(when(col(s"__tf_$i") > 0, 1)).as(s"__df_$i"))
+    val stats = base.agg(statsAggs.head, statsAggs.tail: _*)
+      .withColumn("avgdl", col("tot") / col("n_docs"))
+    val score = terms.indices.map { i =>
+      val tf = col(s"__tf_$i")
+      val df = col(s"__df_$i")
+      ((tf * lit(k1 + 1)) /
+        (tf + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / col("avgdl"))))) *
+        log((col("n_docs") - df + lit(0.5)) / (df + lit(0.5)))
+    }.reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    base.crossJoin(broadcast(stats))
+      .withColumn("score", score)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      // rank window runs on the k surviving rows only — not a scale risk
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("rank"), col("score"))
+  }
 }

@@ -409,6 +409,17 @@ object LlmOps {
 
   private val bm25Terms = Seq("join", "scan", "vector")
 
+  /** Multi-term BM25 retrieval: the top-25 documents by the SUMMED
+    * Robertson score with the true ln idf over the three-term query —
+    * the full formula (see bm25TopK's determinism contract: everything
+    * but `ln` is bit-identical cross-engine; the gate compares the doc
+    * RANKING and leaves the float score out of the hash). */
+  def xTextBm25TopK(s: SparkSession, d: String): DataFrame =
+    ordered(
+      TextAnalysis.bm25TopK(documents(s, d), bm25Terms, k = 25)
+        .select(col("doc_id"), col("rank")),
+      "rank")
+
   /** Text canonicalization via the native NFC Catalyst expression +
     * lower + whitespace collapse. The appended suffix carries a
     * decomposed accent (e + U+0301), uppercase non-ASCII, and ragged
@@ -519,6 +530,7 @@ object LlmOps {
     "x_text_repetition"   -> (xTextRepetition _),
     "x_text_topterms"     -> (xTextTopterms _),
     "x_text_bm25"         -> (xTextBm25 _),
+    "x_text_bm25_topk"    -> (xTextBm25TopK _),
     "x_text_normalize"    -> (xTextNormalize _),
     "x_pack_sequences"    -> (xPackSequences _),
     "x_pii_redact"        -> (xPiiRedact _),

@@ -166,6 +166,58 @@ object Stats {
       "l_returnflag")
   }
 
+  /** A8-approx: the documented 100 TB swap for A8, exercised end-to-end —
+    * `approx_percentile` (t-digest/KLL sketch, mergeable partial aggs, no
+    * per-group value buffering) replacing exact `percentile`. A sketch
+    * value cannot hash-match across engines, so the gate verifies the
+    * CONTRACT instead: `approx_percentile(x, 0.5, acc)` guarantees rank
+    * error ≤ 1/acc, hence the approx median must lie between the EXACT
+    * percentiles at 0.5 ± eps (eps = 4/acc — 4× the guarantee for
+    * interpolation slack). The exact median + count hash-match the oracle
+    * as in A8; the bounds check rides along as a boolean the oracle pins
+    * to TRUE. A sketch regression (wrong merge, wrong quantile) flips the
+    * boolean and fails the hash. */
+  def a8PercentilesApprox(s: SparkSession, d: String): DataFrame = {
+    val acc = 1000
+    val eps = 4.0 / acc
+    ordered(
+      lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(
+          expr(s"percentile(l_quantity, array(${0.5 - eps}D, 0.5D, ${0.5 + eps}D))").as("q"),
+          expr(s"approx_percentile(l_quantity, 0.5D, $acc)").as("ap"),
+          count(lit(1)).as("ct"))
+        .select(col("l_returnflag"), col("q")(1).as("p50"), col("ct"),
+          (col("ap") >= col("q")(0) && col("ap") <= col("q")(2)).as("p50_in_bounds")),
+      "l_returnflag")
+  }
+
+  /** E2-approx: the documented 100 TB swap for E2/A3 distinct counts —
+    * `approx_count_distinct` (HyperLogLog++, O(1) mergeable state)
+    * replacing the exact set path. Same tolerance-gate pattern as
+    * A8-approx: exact distinct counts hash-match the oracle, and the HLL
+    * estimate must stay within max(4, 10% of exact) per cohort cell
+    * (rsd = 0.02 → 3σ ≈ 6%; the 10% + small-count floor gives
+    * deterministic headroom — HLL is deterministic for fixed input, so
+    * the gate is stable, and ApproxSpec bounds the error distribution
+    * separately). */
+  def e2RetentionApprox(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val firstSeen = e.groupBy(col("user_id"))
+      .agg(date_trunc("day", min(col("ts"))).as("cohort_day"))
+    ordered(
+      e.select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .join(firstSeen, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("users"),
+          approx_count_distinct(col("user_id"), 0.02).as("users_approx"))
+        .select(stamp(col("cohort_day")).as("cohort_day"), col("day_offset"),
+          col("users"),
+          (abs(col("users_approx") - col("users")) <=
+            greatest(lit(4L), ceil(col("users") * 0.1).cast("long"))).as("users_in_tol")),
+      "cohort_day", "day_offset")
+  }
+
   /** E1: windowed funnel per user (view → click → purchase within 24 h,
     * greedy-anchored — operators/EventAnalytics.funnel; k keyed aggs,
     * no per-user sort). Runs with the skew guard ON (exact
@@ -204,8 +256,10 @@ object Stats {
     "a6_rollup"         -> (a6Rollup _),
     "a7_pivot"          -> (a7Pivot _),
     "a8_percentiles"    -> (a8Percentiles _),
+    "a8_percentiles_approx" -> (a8PercentilesApprox _),
     "e1_funnel"         -> (e1Funnel _),
-    "e2_retention"      -> (e2Retention _))
+    "e2_retention"      -> (e2Retention _),
+    "e2_retention_approx" -> (e2RetentionApprox _))
 
   val oracle: Map[String, String] = Map(
     "a1_product_stats" ->
@@ -268,6 +322,12 @@ object Stats {
         |  quantile_cont(l_quantity, 0.75) AS p75,
         |  COUNT(*) AS ct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a8_percentiles_approx" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.50) AS p50,
+        |  COUNT(*) AS ct,
+        |  true AS p50_in_bounds
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "e1_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
         |            WHERE event_type = 'view' GROUP BY 1),
@@ -291,6 +351,15 @@ object Stats {
         |SELECT strftime(cohort_day, '%Y-%m-%d %H:%M:%S') AS cohort_day,
         |  CAST(date_diff('day', cohort_day, date_trunc('day', e.ts)) AS BIGINT) AS day_offset,
         |  COUNT(DISTINCT e.user_id) AS users
+        |FROM events e JOIN fs USING (user_id)
+        |GROUP BY fs.cohort_day, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    "e2_retention_approx" ->
+      """WITH fs AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+        |            FROM events GROUP BY 1)
+        |SELECT strftime(cohort_day, '%Y-%m-%d %H:%M:%S') AS cohort_day,
+        |  CAST(date_diff('day', cohort_day, date_trunc('day', e.ts)) AS BIGINT) AS day_offset,
+        |  COUNT(DISTINCT e.user_id) AS users,
+        |  true AS users_in_tol
         |FROM events e JOIN fs USING (user_id)
         |GROUP BY fs.cohort_day, 2 ORDER BY cohort_day, day_offset""".stripMargin)
 }
