@@ -311,9 +311,14 @@ object TextAnalysis {
   }
 
   /** Multi-term BM25 RETRIEVAL — the missing blend over `bm25Scores`:
-    * the summed Robertson score with the TRUE `ln((N-df+0.5)/(df+0.5))`
-    * idf (a rational substitution is not order-preserving across a SUM,
-    * so here the real formula runs) and the global top-k documents.
+    * the summed Robertson tf-saturation with the LUCENE-standard idf
+    * `ln(1 + (N-df+0.5)/(df+0.5))` and the global top-k documents. (A
+    * rational idf substitution is not order-preserving across a SUM, so
+    * here a real log runs. The `1 +` inside is Lucene's floor: the raw
+    * Robertson idf goes NEGATIVE for any term in more than half the
+    * corpus, which would rank a doc CONTAINING a majority query term
+    * below one containing none — with the floor every matching term
+    * contributes positively and no-term docs sit at exactly 0.)
     *
     * Determinism contract: every non-log operation (+,-,×,÷) is IEEE
     * correctly rounded, hence bit-identical on any engine given the same
@@ -353,7 +358,7 @@ object TextAnalysis {
       val df = col(s"__df_$i")
       ((tf * lit(k1 + 1)) /
         (tf + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / col("avgdl"))))) *
-        log((col("n_docs") - df + lit(0.5)) / (df + lit(0.5)))
+        log(lit(1.0) + (col("n_docs") - df + lit(0.5)) / (df + lit(0.5)))
     }.reduce(_ + _)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("score").desc, col("doc_id"))

@@ -410,10 +410,11 @@ object LlmOps {
   private val bm25Terms = Seq("join", "scan", "vector")
 
   /** Multi-term BM25 retrieval: the top-25 documents by the SUMMED
-    * Robertson score with the true ln idf over the three-term query —
-    * the full formula (see bm25TopK's determinism contract: everything
-    * but `ln` is bit-identical cross-engine; the gate compares the doc
-    * RANKING and leaves the float score out of the hash). */
+    * score under the Lucene-standard `ln(1 + …)` idf over the three-term
+    * query — a real log formula, not the per-term rational substitution
+    * (see bm25TopK's determinism contract: everything but `ln` is
+    * bit-identical cross-engine; the gate compares the doc RANKING and
+    * leaves the float score out of the hash). */
   def xTextBm25TopK(s: SparkSession, d: String): DataFrame =
     ordered(
       TextAnalysis.bm25TopK(documents(s, d), bm25Terms, k = 25)
@@ -1133,6 +1134,30 @@ object LlmOps {
          |  ((st.n_docs - d2.df + CAST(0.5 AS DOUBLE)) / (d2.df + CAST(0.5 AS DOUBLE))) AS score
          |FROM stacked s JOIN dfs d2 USING (term) CROSS JOIN stats2 st
          |ORDER BY term, doc_id""".stripMargin,
+    "x_text_bm25_topk" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+         |${bm25Terms.zipWithIndex.map { case (t, i) =>
+             s"  CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf$i"
+           }.mkString(",\n")}
+         |  FROM t),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(dl) AS BIGINT) AS tot,
+         |${bm25Terms.indices.map { i =>
+             s"  CAST(count(*) FILTER (WHERE tf$i > 0) AS BIGINT) AS df$i"
+           }.mkString(",\n")}
+         |  FROM base),
+         |s2 AS (SELECT *, tot / n_docs AS avgdl FROM stats),
+         |scored AS (SELECT doc_id,
+         |${bm25Terms.indices.map { i =>
+             s"  (((tf$i * CAST(${1.2 + 1} AS DOUBLE)) / (tf$i + CAST(${1.2} AS DOUBLE) * " +
+               s"(CAST(${1 - 0.75} AS DOUBLE) + CAST(${0.75} AS DOUBLE) * (dl / avgdl)))) * " +
+               s"ln(CAST(1.0 AS DOUBLE) + (n_docs - df$i + CAST(0.5 AS DOUBLE)) / (df$i + CAST(0.5 AS DOUBLE))))"
+           }.mkString("\n  + ")} AS score
+         |  FROM base CROSS JOIN s2)
+         |SELECT doc_id,
+         |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+         |FROM scored ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
     "x_text_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(nfc_normalize(lower(

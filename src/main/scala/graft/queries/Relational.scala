@@ -183,6 +183,37 @@ object Relational {
       "event_id")
   }
 
+  /** J7-stream: the SAME as-of attribution through
+    * `streaming.AsofStream.asofJoinStream`'s code path, run in batch mode
+    * (no watermark ⇒ every left row seals immediately) — so the
+    * watermark-correct streaming operator is proven against the identical
+    * DuckDB ASOF oracle as j7, the way the ST gates prove their state
+    * machines. Event time travels as raw epoch-micros through the typed
+    * state machine (the operator treats time as an opaque Long in batch).
+    * Tuples: (event_id, user_id, us). */
+  def j7AsofStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")))
+      .as[(Long, Long, Long)]
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")))
+      .as[(Long, Long, Long)]
+    val joined = graft.streaming.AsofStream.asofJoinStream(
+      purchases, clicks,
+      (l: (Long, Long, Long)) => (l._2, l._3),
+      (r: (Long, Long, Long)) => (r._2, r._3),
+      tieBreak = (r: (Long, Long, Long)) => r._1)
+    ordered(
+      joined.toDF().select(
+        col("left._1").as("event_id"), col("key").as("user_id"),
+        col("ts").as("p_us"), col("right._1").as("click_id"),
+        col("right._3").as("c_us"),
+        (col("ts") - col("right._3")).as("gap_us")),
+      "event_id")
+  }
+
   /** J8: value-range (band) join — each order priced into overlapping
     * bands derived from the nation dim (band n covers cents
     * [n·300000, n·300000 + 700000): stride < width, so a price can land
@@ -207,6 +238,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j6_semi_anti"     -> (j6SemiAnti _),
     "j7_asof_join"     -> (j7AsofJoin _),
+    "j7_asof_stream"   -> (j7AsofStream _),
     "j8_range_join"    -> (j8RangeJoin _),
     "q1_agg"           -> (q1Agg _),
     "s1_scan"          -> (s1Scan _),
@@ -217,15 +249,20 @@ object Relational {
     "j3_dim_enrich"    -> (j3DimEnrich _),
     "a4_keyword_stats_sql" -> (a4KeywordStatsSql _))
 
+  /** Shared by j7_asof_join and j7_asof_stream — one semantics, two
+    * engine code paths (windowed union vs typed state machine). */
+  private val asofOracle =
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |     c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS p_us,
+      |       c.event_id AS click_id, epoch_us(c.ts) AS c_us,
+      |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "j7_asof_join" ->
-      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-        |     c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
-        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS p_us,
-        |       c.event_id AS click_id, epoch_us(c.ts) AS c_us,
-        |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
-        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
-        |ORDER BY p.event_id""".stripMargin,
+    "j7_asof_join" -> asofOracle,
+    "j7_asof_stream" -> asofOracle,
     "j8_range_join" ->
       """SELECT o_orderkey, n_name AS band, o_totalprice
         |FROM orders JOIN nation

@@ -41,7 +41,11 @@ import graft.llm.{Dedup, Sampling, TextAnalysis}
   * 100 TB shape: the only shuffle is the band-key join inside the LSH
   * state update (linear sketch state — 24 longs/doc ever ingested); the
   * gate, sampling, and sharding are map-side; the removal set (flagged
-  * near-dups, sparse by construction) broadcasts.
+  * near-dups, sparse by construction) joins AQE-planned (broadcast when
+  * small, shuffled anti-join when not). Shipped status reads a compact
+  * ids-only artifact appended per epoch (`artifactDir/shipped`), not the
+  * full-width shard output — per-batch cost grows with ids ever shipped,
+  * not with corpus bytes.
   */
 object CorpusIngest {
 
@@ -61,14 +65,17 @@ object CorpusIngest {
       if (fs.exists(matchesPath)) {
         val ml = spark.read.parquet(matchesPath.toString).select("d1", "d2")
         val gatedIds = gated.select(col("doc_id")).distinct()
-        // shipped = docs actually WRITTEN by earlier epochs. The current
-        // batch's own partition is excluded so a replayed batch (whose
-        // output already exists) makes the identical decisions it made
-        // the first time.
-        val outPath = new org.apache.hadoop.fs.Path(outDir)
+        // shipped = docs actually WRITTEN by earlier epochs, read from the
+        // compact batch-keyed id artifact (appended per epoch exactly like
+        // sigs/matches) — NOT a rescan of the ever-growing shard output,
+        // which would make every micro-batch pay O(total history) over
+        // the full-width corpus. The current batch's own partition is
+        // excluded so a replayed batch (whose rows are already in the
+        // artifact) makes the identical decisions it made the first time.
+        val shippedPath = new org.apache.hadoop.fs.Path(s"$artifactDir/shipped")
         val shipped =
-          if (fs.exists(outPath))
-            spark.read.parquet(outDir)
+          if (fs.exists(shippedPath))
+            spark.read.parquet(shippedPath.toString)
               .filter(col("batch_id").cast("long") =!= lit(batchId))
               .select(col("doc_id")).distinct()
           else spark.range(0).select(col("id").as("doc_id"))
@@ -84,8 +91,11 @@ object CorpusIngest {
           .join(gatedIds.withColumnRenamed("doc_id", "d1"), Seq("d1"), "left_semi")
           .join(shipped.withColumnRenamed("doc_id", "d2"), Seq("d2"), "left_semi")
           .select(col("d1").as("doc_id"))
+        // the removal set is sparse by construction, but its size is
+        // data-dependent — no forced broadcast; AQE picks broadcast when
+        // it fits and degrades to a shuffled anti-join when it doesn't
         val removed = d2Drop.union(d1DropHist).distinct()
-        gated.join(broadcast(removed), Seq("doc_id"), "left_anti")
+        gated.join(removed, Seq("doc_id"), "left_anti")
       } else gated
     val sampled = Sampling.stratifiedSample(kept, "doc_id", "lang_pred",
       rates, defaultRate)
@@ -93,6 +103,13 @@ object CorpusIngest {
     graft.sources.Sinks.idempotentBatchSink(outDir)(
       sharded.select("doc_id", "lang_pred", "quality_score",
         "sample_rate", "sample_weight", "shard", "shard_pos"), batchId)
+    // append this epoch's shipped ids to the compact artifact — AFTER the
+    // shard write, so a crash between the two replays into: output
+    // already committed (no-op), identical decisions (the artifact filter
+    // above excludes this batch), then this append completes. Ids-only:
+    // the artifact a 100 TB stream re-reads every batch stays narrow.
+    graft.sources.Sinks.idempotentBatchSink(s"$artifactDir/shipped")(
+      sharded.select("doc_id"), batchId)
   }
 
   /** Wire the per-batch body into a stream. */

@@ -493,4 +493,42 @@ class LlmSpec extends SparkSpec {
     assert(err.toString.contains("dim") || Option(err.getCause).exists(_.toString.contains("dim")),
       s"expected a loud dim-mismatch error, got: $err")
   }
+
+  test("bm25TopK matches an independent driver-side full-formula computation (sf0.001)") {
+    val terms = Seq("join", "scan", "vector")
+    val (k1, b, k) = (1.2, 0.75, 25)
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    val got = TextAnalysis.bm25TopK(docs, terms, k)
+      .select("doc_id", "rank", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    // independent oracle: plain Scala over the collected corpus
+    val corpus = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq))
+    val n = corpus.length.toLong
+    val dl = corpus.map { case (id, ts) => id -> ts.length.toLong }.toMap
+    val avgdl = dl.values.sum.toDouble / n
+    val df = terms.map(t => t -> corpus.count(_._2.contains(t)).toLong).toMap
+    def score(ts: Seq[String], d: Long): Double =
+      terms.map { t =>
+        val tf = ts.count(_ == t).toDouble
+        (tf * (k1 + 1)) / (tf + k1 * ((1 - b) + b * (d / avgdl))) *
+          math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))
+      }.reduce(_ + _)
+    val want = corpus.map { case (id, ts) => (id, score(ts, dl(id))) }
+      .sortBy { case (id, s) => (-s, id) }.take(k)
+      .zipWithIndex.map { case ((id, s), i) => (id, i + 1L, s) }
+
+    assert(got.length == k && want.length == k)
+    got.zip(want).foreach { case ((gid, gr, gs), (wid, wr, ws)) =>
+      assert(gid == wid && gr == wr, s"rank mismatch: got ($gid,$gr) want ($wid,$wr)")
+      assert(math.abs(gs - ws) <= 1e-9 * math.max(1.0, math.abs(ws)),
+        s"score drift at doc $gid: got $gs want $ws")
+    }
+    // the head of the ranking must carry real signal; a zero-score TAIL
+    // is fine (docs without any query term tie at exactly 0.0 in every
+    // IEEE engine and break deterministically by doc_id)
+    assert(want.head._3 > 0, "fixture has no doc containing a query term")
+  }
 }
