@@ -199,17 +199,30 @@ object Stats {
     * (rsd = 0.02 → 3σ ≈ 6%; the 10% + small-count floor gives
     * deterministic headroom — HLL is deterministic for fixed input, so
     * the gate is stable, and ApproxSpec bounds the error distribution
-    * separately). */
+    * separately).
+    *
+    * Plan note (measured, 10× ramp 18.0 → linear): `countDistinct` and
+    * `approx_count_distinct` in ONE agg triggers the distinct-rewrite
+    * Expand, and every per-(group, user) partial then carries a ~4 KB
+    * HLL buffer through the shuffle — GBs in flight at 10×. Instead:
+    * distinct the narrow (cohort, offset, user) rows once (the same
+    * shuffle countDistinct's first phase pays anyway), then count(*) is
+    * the exact distinct count and the HLL runs over already-unique ids
+    * (identical estimate — HLL depends only on the value SET), with
+    * sketch buffers existing only per final group. */
   def e2RetentionApprox(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d)
     val firstSeen = e.groupBy(col("user_id"))
       .agg(date_trunc("day", min(col("ts"))).as("cohort_day"))
+    val perUser = e.select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .join(firstSeen, "user_id")
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"),
+        col("user_id"))
+      .distinct()
     ordered(
-      e.select(col("user_id"), date_trunc("day", col("ts")).as("day"))
-        .join(firstSeen, "user_id")
-        .groupBy(col("cohort_day"),
-          datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
-        .agg(countDistinct(col("user_id")).as("users"),
+      perUser.groupBy(col("cohort_day"), col("day_offset"))
+        .agg(count(lit(1)).as("users"),
           approx_count_distinct(col("user_id"), 0.02).as("users_approx"))
         .select(stamp(col("cohort_day")).as("cohort_day"), col("day_offset"),
           col("users"),
@@ -247,6 +260,27 @@ object Stats {
       "cohort_day", "day_offset")
   }
 
+  /** E2-stream: the SAME retention triangle through
+    * `streaming.RetentionStream.retentionHits`' code path run in batch
+    * mode (each per-user group sees the full history, so the anchor is
+    * the true min) — proving the streaming state machine against the
+    * identical DuckDB oracle as e2_retention, the way j7_asof_stream
+    * proves AsofStream. Each (user, offset) hit is emitted exactly once,
+    * so the triangle is a plain count(*) over hits — no distinct. */
+  def e2RetentionStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d).select(col("user_id").as("userId"),
+        (unix_micros(col("ts")) / 1000L).cast("long").as("ts"))
+      .as[graft.streaming.RetentionStream.RetEvent]
+    val hits = graft.streaming.RetentionStream.retentionHits(ev, horizonDays = 100000)
+    ordered(
+      hits.toDF().groupBy(col("cohortDayMs"), col("dayOffset"))
+        .agg(count(lit(1)).as("users"))
+        .select(stamp(timestamp_millis(col("cohortDayMs"))).as("cohort_day"),
+          col("dayOffset").cast("long").as("day_offset"), col("users")),
+      "cohort_day", "day_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_product_stats"  -> (a1ProductStats _),
     "a2_visitor_stats"  -> (a2VisitorStats _),
@@ -259,7 +293,20 @@ object Stats {
     "a8_percentiles_approx" -> (a8PercentilesApprox _),
     "e1_funnel"         -> (e1Funnel _),
     "e2_retention"      -> (e2Retention _),
-    "e2_retention_approx" -> (e2RetentionApprox _))
+    "e2_retention_approx" -> (e2RetentionApprox _),
+    "e2_retention_stream" -> (e2RetentionStream _))
+
+  /** Shared by e2_retention and e2_retention_stream — one semantics,
+    * two engine code paths (declarative two-agg plan vs typed state
+    * machine emitting exactly-once hits). */
+  private val retentionOracle =
+    """WITH fs AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+      |            FROM events GROUP BY 1)
+      |SELECT strftime(cohort_day, '%Y-%m-%d %H:%M:%S') AS cohort_day,
+      |  CAST(date_diff('day', cohort_day, date_trunc('day', e.ts)) AS BIGINT) AS day_offset,
+      |  COUNT(DISTINCT e.user_id) AS users
+      |FROM events e JOIN fs USING (user_id)
+      |GROUP BY fs.cohort_day, 2 ORDER BY cohort_day, day_offset""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "a1_product_stats" ->
@@ -345,14 +392,8 @@ object Stats {
         |         + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS depth
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
-    "e2_retention" ->
-      """WITH fs AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
-        |            FROM events GROUP BY 1)
-        |SELECT strftime(cohort_day, '%Y-%m-%d %H:%M:%S') AS cohort_day,
-        |  CAST(date_diff('day', cohort_day, date_trunc('day', e.ts)) AS BIGINT) AS day_offset,
-        |  COUNT(DISTINCT e.user_id) AS users
-        |FROM events e JOIN fs USING (user_id)
-        |GROUP BY fs.cohort_day, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    "e2_retention" -> retentionOracle,
+    "e2_retention_stream" -> retentionOracle,
     "e2_retention_approx" ->
       """WITH fs AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
         |            FROM events GROUP BY 1)

@@ -81,7 +81,11 @@ object ScaleProbe {
       // operators, and the text/packing/sampling additions
       "e1_funnel", "e2_retention", "a6_rollup", "a7_pivot",
       "a8_percentiles", "j7_asof_join", "j8_range_join", "x_text_bm25",
-      "x_text_normalize", "x_pack_sequences", "x_sample_weighted")
+      "x_text_normalize", "x_pack_sequences", "x_sample_weighted",
+      // round-6 surface: the streaming as-of join's batch face, multi-term
+      // BM25 retrieval, and the approx-swap gates (t-digest / HLL plans)
+      "j7_asof_stream", "x_text_bm25_topk", "a8_percentiles_approx",
+      "e2_retention_approx", "e2_retention_stream")
     // x_dedup_simhash is deliberately NOT probed: the text salt makes
     // replicas distinct under shingle-Jaccard but NOT under
     // distinct-token SimHash (one spliced token flips only near-tie

@@ -531,4 +531,18 @@ class LlmSpec extends SparkSpec {
     // IEEE engine and break deterministically by doc_id)
     assert(want.head._3 > 0, "fixture has no doc containing a query term")
   }
+
+  test("bm25TopK plans a distributed top-k; the corpus never shuffles for a join") {
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    val q = TextAnalysis.bm25TopK(docs, Seq("join", "scan"), 10)
+    q.collect() // finalize the adaptive plan before inspecting it
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be per-partition heaps + driver merge, not a global sort:\n$plan")
+    // the only join is the one-row stats broadcast riding a nested-loop
+    // cross (1 row x corpus = linear); a SortMergeJoin or shuffled hash
+    // join would mean the corpus shuffled for the stats attach
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus must not shuffle for the stats broadcast:\n$plan")
+  }
 }
