@@ -112,4 +112,44 @@ object Joins {
       .filter(col(value) >= col(lo) && col(value) < col(hi))
       .drop("__bin")
   }
+
+  /** SKEW-SALTED JOIN: equi-join where a handful of hot keys would
+    * otherwise send most of the probe side through a handful of reducer
+    * tasks (the classic "5 event types, 100 TB of events" shape — AQE's
+    * skew-join split helps sort-merge plans after the fact, but a
+    * 5-distinct-key join cannot parallelize beyond 5 tasks at all
+    * without changing the key).
+    *
+    * `probe`'s key is widened to (key, salt) with a per-row salt in
+    * [0, buckets); `build` replicates each row `buckets` times, once per
+    * salt value. The join then shuffles on (key, salt) — `buckets`×
+    * more, uniformly loaded, partitions per hot key — and produces
+    * EXACTLY the rows of the plain join (each probe row still meets each
+    * matching build row exactly once, against its own salt replica).
+    * Salt assignment hashes the probe row's other columns (xxhash64 —
+    * deterministic per row content, cheap, and uniform even when one key
+    * dominates); which bucket a row lands in never affects the result
+    * set, only the load balance.
+    *
+    * Cost: build side ×`buckets` (keep `buckets` small — 8-32 — and the
+    * build side the SMALL side; at that size AQE usually broadcasts the
+    * replicated build anyway, collapsing the whole thing back to a
+    * broadcast join, which is strictly fine). Supports inner and
+    * left-outer (probe = left): every probe row keeps exactly its plain
+    * join multiplicity.
+    *
+    * 100 TB: the probe side never replicates and shuffles once on the
+    * salted key; no driver work, no state. */
+  def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
+                 buckets: Int, joinType: String = "inner"): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    require(Set("inner", "left", "left_outer")(joinType),
+      s"saltedJoin supports inner/left joins (probe side preserved), got $joinType")
+    val nonKey = probe.columns.toSeq.filterNot(keys.contains)
+    val salted = probe.withColumn("__salt",
+      pmod(xxhash64(nonKey.map(col): _*), lit(buckets)).cast("int"))
+    val replicated = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
 }

@@ -235,7 +235,28 @@ object Relational {
       "o_orderkey", "band")
   }
 
+  /** J9: skew-salted join — events enriched with their type's average
+    * value. `event_type` has FIVE distinct values, so a plain shuffle
+    * join caps at five reducer tasks no matter the cluster size — the
+    * canonical skew shape `operators.Joins.saltedJoin` exists for: the
+    * probe side salts to (type, salt∈[0,16)), the five-row dim
+    * replicates ×16, and the shuffle fans out to 80 uniformly-loaded
+    * partitions. Result rows are EXACTLY the plain join's (spec-proved
+    * row-level); the gate aggregates them back down so the oracle output
+    * stays small. */
+  def j9SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val dim = ev.groupBy(col("event_type"))
+      .agg(decAvg(col("value")).as("type_avg"))
+    ordered(
+      graft.operators.Joins.saltedJoin(ev, dim, Seq("event_type"), buckets = 16)
+        .groupBy(col("event_type"), col("type_avg"))
+        .agg(count(lit(1)).as("ct"), decSum(col("value")).as("val_sum")),
+      "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j9_salted_join"   -> (j9SaltedJoin _),
     "j6_semi_anti"     -> (j6SemiAnti _),
     "j7_asof_join"     -> (j7AsofJoin _),
     "j7_asof_stream"   -> (j7AsofStream _),
@@ -261,6 +282,14 @@ object Relational {
       |ORDER BY p.event_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "j9_salted_join" ->
+      """WITH d AS (SELECT event_type,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS type_avg
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, d.type_avg, count(*) AS ct,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        |FROM events e JOIN d ON e.event_type = d.event_type
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "j7_asof_join" -> asofOracle,
     "j7_asof_stream" -> asofOracle,
     "j8_range_join" ->

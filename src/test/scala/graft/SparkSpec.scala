@@ -15,4 +15,16 @@ trait SparkSpec extends AnyFunSuite {
     .getOrCreate()
 
   def sf(dir: String): String = s"/root/testdata/$dir"
+
+  /** Run `body` with the given SQL confs set, restoring priors after. */
+  def withConf[A](kvs: (String, String)*)(body: => A): A = {
+    val conf = spark.conf
+    val prior = kvs.map { case (k, _) => k -> conf.getOption(k) }
+    kvs.foreach { case (k, v) => conf.set(k, v) }
+    try body
+    finally prior.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }

@@ -130,4 +130,39 @@ class JoinsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"binned range join must be an equi-join:\n$plan")
   }
+
+  test("saltedJoin equals the plain join row-for-row (inner and left), multiplicity intact") {
+    import spark.implicits._
+    val probe = Seq(
+      (1L, "hot", 10.0), (2L, "hot", 20.0), (3L, "hot", 30.0),
+      (4L, "cold", 40.0), (5L, "none", 50.0) // no dim row -> inner drops, left keeps null
+    ).toDF("id", "k", "v")
+    val build = Seq(("hot", 100L), ("cold", 200L)).toDF("k", "tag")
+    for (jt <- Seq("inner", "left")) {
+      val got = Joins.saltedJoin(probe, build, Seq("k"), buckets = 4, joinType = jt)
+        .select("id", "tag").collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.toString))).toList.sorted
+      val want = probe.join(build, Seq("k"), jt)
+        .select("id", "tag").collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.toString))).toList.sorted
+      assert(got == want && got.nonEmpty, s"$jt mismatch: $got vs $want")
+    }
+    intercept[IllegalArgumentException] {
+      Joins.saltedJoin(probe, build, Seq("k"), 4, joinType = "right")
+    }
+  }
+
+  test("saltedJoin shuffles on (key, salt) — the hot key fans out past one reducer") {
+    import spark.implicits._
+    // with broadcast off, the plain join's exchange hashes on k alone
+    // (one partition owns ALL 'hot' rows); the salted plan's exchange
+    // key includes __salt, spreading the hot key across buckets
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+             "spark.sql.adaptive.enabled" -> "false") {
+      val probe = (1 to 1000).map(i => (i.toLong, "hot", i * 1.0)).toDF("id", "k", "v")
+      val build = Seq(("hot", 1L)).toDF("k", "tag")
+      val salted = Joins.saltedJoin(probe, build, Seq("k"), buckets = 8)
+      val plan = salted.queryExecution.executedPlan.toString
+      assert(plan.contains("__salt"), s"exchange must carry the salt key:\n$plan")
+      assert(salted.count() == 1000L)
+    }
+  }
 }
