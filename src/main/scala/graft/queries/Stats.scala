@@ -281,7 +281,26 @@ object Stats {
       "cohort_day", "day_offset")
   }
 
+  /** A9: heavy-hitter profiling — top-10 users by event count through
+    * the Misra-Gries summary (`functions.FreqAgg`), the bounded-state
+    * answer to "which keys dominate / should this join be salted?".
+    * One partial buffer of ≤ capacity counters per partition replaces
+    * the full per-user shuffle; capacity 4096 exceeds every gate SF's
+    * user domain, so no decrement ever fires and the counts are exact —
+    * which pins the gate to the plain count(*) oracle. At 100 TB
+    * capacity is sized to the error budget (undercount ≤ N/(cap+1)),
+    * not the key domain (FreqAggSpec bounds that regime). */
+  def a9HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.FreqAgg.freqSummary
+    val top = events(s, d)
+      .agg(slice(freqSummary(col("user_id"), capacity = 4096), 1, 10).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.key").as("user_id"), col("e.count").as("ct"))
+    top.orderBy(col("ct").desc, col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a9_heavy_hitters"  -> (a9HeavyHitters _),
     "a1_product_stats"  -> (a1ProductStats _),
     "a2_visitor_stats"  -> (a2VisitorStats _),
     "a3_province_stats" -> (a3ProvinceStats _),
@@ -309,6 +328,9 @@ object Stats {
       |GROUP BY fs.cohort_day, 2 ORDER BY cohort_day, day_offset""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "a9_heavy_hitters" ->
+      """SELECT user_id, count(*) AS ct FROM events
+        |GROUP BY 1 ORDER BY ct DESC, user_id LIMIT 10""".stripMargin,
     "a1_product_stats" ->
       """SELECT strftime(make_timestamp(epoch_us(ts) // 10000000 * 10000000), '%Y-%m-%d %H:%M:%S') AS stt,
         |  strftime(make_timestamp(epoch_us(ts) // 10000000 * 10000000 + 10000000), '%Y-%m-%d %H:%M:%S') AS edt,
