@@ -553,4 +553,47 @@ object Dedup {
         col("cluster_size"),
         (col("id") === col("label")).cast("int").as("is_canonical"))
   }
+
+  /** LINE-LEVEL corpus dedup (the CCNet / RefinedWeb pass): lines whose
+    * corpus-wide occurrence count exceeds `maxFreq` — boilerplate
+    * headers, nav bars, cookie banners — are removed from EVERY
+    * document, and each document is reassembled from its surviving
+    * lines in original order (documents losing every line stay in the
+    * output with empty text, for the caller's min-length filter to
+    * judge).
+    *
+    * `docs` carries the id column and `linesCol`, an array<string> of
+    * the document's lines in order (`split(text, '\n')` for real
+    * corpora; the gate derives fixed-width word chunks because the
+    * fixtures are single-line).
+    *
+    * Plan: posexplode -> one count-aggregate on the line text (partial
+    * aggs absorb the hot lines map-side) -> the exploded rows LEFT-join
+    * only the OVER-threshold lines (the removed set — boilerplate is
+    * few distinct strings, so AQE broadcasts it and the corpus never
+    * reshuffles for the verdict) -> one groupBy(doc) reassembly.
+    * 100 TB: two corpus shuffles (freq count, reassembly) on uniform
+    * keys; if the removed set ever outgrows broadcast the join is a
+    * plain equi-join, and a hot removed line never concentrates because
+    * the verdict join carries no per-match fan-out. For multi-KB lines
+    * swap the shuffle key to xxhash64(line) carried beside the text. */
+  def dedupLines(docs: DataFrame, idCol: String, linesCol: Column,
+                 maxFreq: Long): DataFrame = {
+    require(maxFreq >= 1, "maxFreq < 1 would remove every line")
+    val exploded = docs.select(col(idCol).as("doc_id"),
+      posexplode(linesCol).as(Seq("idx", "line")))
+    val removedLines = exploded.groupBy(col("line"))
+      .agg(count(lit(1)).as("__ct"))
+      .filter(col("__ct") > maxFreq)
+      .select(col("line"), lit(1).as("__dup"))
+    exploded.join(removedLines, Seq("line"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws("\n", transform(
+          array_sort(collect_list(when(col("__dup").isNull,
+            struct(col("idx"), col("line"))))),
+          e => e.getField("line"))).as("kept_text"),
+        sum(when(col("__dup").isNull, 1L).otherwise(0L)).as("kept_ct"),
+        sum(when(col("__dup").isNotNull, 1L).otherwise(0L)).as("removed_ct"))
+  }
 }

@@ -46,6 +46,24 @@ object LlmOps {
   def xDedupNgram(s: SparkSession, d: String): DataFrame =
     ordered(Dedup.ngramJaccardPairs(documents(s, d), n = 3, threshold = 0.8), "d1", "d2")
 
+  /** Line-level corpus dedup (CCNet-style boilerplate removal): lines
+    * occurring more than 4 times corpus-wide are struck from every
+    * document, which is then reassembled in original line order. The
+    * fixtures are single-line, so "lines" here are the document's
+    * 3-word chunks (word j belongs to line j div 3 — the same grouping
+    * the oracle derives); real corpora pass `split(text, '\n')`. */
+  def xDedupLines(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val lines = transform(
+      sequence(lit(0), floor((size(words) - lit(1)) / lit(3)).cast("int")),
+      j => concat_ws(" ", slice(words, j * 3 + 1, lit(3))))
+    ordered(
+      Dedup.dedupLines(
+        documents(s, d).select(col("doc_id"), lines.as("lines")),
+        "doc_id", col("lines"), maxFreq = 4L),
+      "doc_id")
+  }
+
   /** The materialized near-dup pair table (build-once per JVM; the
     * corpus-filter queries below consume the same artifact — the shape a
     * real pipeline has, where the pair set is computed once and read by
@@ -507,6 +525,7 @@ object LlmOps {
     "x_text_langid"       -> (xTextLangid _),
     "x_text_fingerprint"  -> (xTextFingerprint _),
     "x_dedup_exact"       -> (xDedupExact _),
+    "x_dedup_lines"       -> (xDedupLines _),
     "x_dedup_ngram"       -> (xDedupNgram _),
     "x_dedup_minhash"     -> (xDedupMinhash _),
     "x_dedup_simhash"     -> (xDedupSimhash _),
@@ -630,6 +649,19 @@ object LlmOps {
       """SELECT md5(lower(text)) AS content_hash, min(doc_id) AS keep_doc_id,
         |  COUNT(*) AS dup_ct
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "x_dedup_lines" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+        |                  unnest(range(0, len(string_split(text, ' ')))) AS i
+        |           FROM documents),
+        |c AS (SELECT doc_id, i // 3 AS pi, string_agg(word, ' ' ORDER BY i) AS line
+        |      FROM w GROUP BY 1, 2),
+        |f AS (SELECT line, count(*) AS ct FROM c GROUP BY 1)
+        |SELECT c.doc_id,
+        |  coalesce(string_agg(CASE WHEN f.ct <= 4 THEN c.line END, chr(10) ORDER BY c.pi), '') AS kept_text,
+        |  count(CASE WHEN f.ct <= 4 THEN 1 END)::BIGINT AS kept_ct,
+        |  count(CASE WHEN f.ct > 4 THEN 1 END)::BIGINT AS removed_ct
+        |FROM c JOIN f USING (line)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_dedup_ngram" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
          |grams AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS g

@@ -545,4 +545,46 @@ class LlmSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       s"corpus must not shuffle for the stats broadcast:\n$plan")
   }
+
+  test("dedupLines strikes over-threshold lines, preserves order, keeps emptied docs") {
+    import spark.implicits._
+    // "nav" appears in 3 docs (> maxFreq 2) -> removed everywhere;
+    // doc 4 is ONLY boilerplate -> survives as an empty-text row
+    val docs = Seq(
+      (1L, Seq("nav", "alpha", "beta")),
+      (2L, Seq("gamma", "nav", "delta")),
+      (3L, Seq("nav", "epsilon")),
+      (4L, Seq("nav"))
+    ).toDF("doc_id", "lines")
+    val got = Dedup.dedupLines(docs, "doc_id", col("lines"), maxFreq = 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("alpha\nbeta", 2L, 1L)), s"doc1: ${got(1L)}")
+    assert(got(2L) == (("gamma\ndelta", 2L, 1L)), "order must be original, not sorted")
+    assert(got(3L) == (("epsilon", 1L, 1L)))
+    assert(got(4L) == (("", 0L, 1L)), "fully-boilerplate doc must stay, empty")
+    assert(got.size == 4)
+  }
+
+  test("dedupLines on real documents: line counts conserved, threshold respected") {
+    val d = graft.Tables.documents(spark, sf("sf0.001"))
+    val words = split(col("text"), " ")
+    val lines = transform(
+      sequence(lit(0), floor((size(words) - lit(1)) / lit(3)).cast("int")),
+      j => concat_ws(" ", slice(words, j * 3 + 1, lit(3))))
+    val in = d.select(col("doc_id"), lines.as("lines"))
+    val out = Dedup.dedupLines(in, "doc_id", col("lines"), maxFreq = 4L)
+    val nDocs = d.count()
+    assert(out.count() == nDocs, "every doc must survive")
+    // conservation: kept + removed = original line count per doc
+    val bad = out.join(in.select(col("doc_id"), size(col("lines")).as("n")), Seq("doc_id"))
+      .filter(col("kept_ct") + col("removed_ct") =!= col("n")).count()
+    assert(bad == 0, "kept+removed must equal the original line count")
+    assert(out.agg(sum(col("removed_ct"))).head().getLong(0) > 0,
+      "fixtures are known to contain over-threshold 3-word chunks")
+    // no surviving line may exceed the corpus-wide threshold
+    val freq = out.select(explode(split(col("kept_text"), "\n")).as("line"))
+      .filter(length(col("line")) > 0)
+      .groupBy("line").count().agg(max("count")).head().getLong(0)
+    assert(freq <= 4L, s"a kept line exceeds maxFreq: $freq")
+  }
 }
