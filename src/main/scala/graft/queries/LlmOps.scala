@@ -43,6 +43,20 @@ object LlmOps {
   def xDedupExact(s: SparkSession, d: String): DataFrame =
     ordered(Dedup.exact(documents(s, d)), "content_hash")
 
+  /** Z-order (Morton) key over (custkey, price-cents) — the layout key
+    * `operators.Layout.clusterByZOrder` sorts by so parquet min/max
+    * stats cluster in BOTH dimensions (LayoutSpec measures the actual
+    * per-file spread). Fixed [lo, hi) literals + integer-division
+    * scaling keep every step bit-exact cross-engine; the interleave is
+    * the native codegen'd `InterleaveBits`. */
+  def xZorderKey(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.ZOrder._
+    val o = orders(s, d)
+    val x = scaleToBits(col("o_custkey"), 0L, 1048575L, 16)
+    val y = scaleToBits(round(col("o_totalprice") * 100).cast("long"), 0L, 67108863L, 16)
+    ordered(o.select(col("o_orderkey"), zkey(16, x, y).as("zkey")), "o_orderkey")
+  }
+
   def xDedupNgram(s: SparkSession, d: String): DataFrame =
     ordered(Dedup.ngramJaccardPairs(documents(s, d), n = 3, threshold = 0.8), "d1", "d2")
 
@@ -526,6 +540,7 @@ object LlmOps {
     "x_text_fingerprint"  -> (xTextFingerprint _),
     "x_dedup_exact"       -> (xDedupExact _),
     "x_dedup_lines"       -> (xDedupLines _),
+    "x_zorder_key"        -> (xZorderKey _),
     "x_dedup_ngram"       -> (xDedupNgram _),
     "x_dedup_minhash"     -> (xDedupMinhash _),
     "x_dedup_simhash"     -> (xDedupSimhash _),
@@ -649,6 +664,15 @@ object LlmOps {
       """SELECT md5(lower(text)) AS content_hash, min(doc_id) AS keep_doc_id,
         |  COUNT(*) AS dup_ct
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "x_zorder_key" ->
+      """SELECT o_orderkey,
+        |  CAST(list_sum(list_transform(range(0, 16),
+        |    i -> (((x >> i) & 1) << (2*i)) + (((y >> i) & 1) << (2*i + 1)))) AS BIGINT) AS zkey
+        |FROM (SELECT o_orderkey,
+        |        least(greatest(o_custkey, 0), 1048575) * 65535 // 1048575 AS x,
+        |        least(greatest(CAST(round(o_totalprice * 100) AS BIGINT), 0), 67108863) * 65535 // 67108863 AS y
+        |      FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
     "x_dedup_lines" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
         |                  unnest(range(0, len(string_split(text, ' ')))) AS i
