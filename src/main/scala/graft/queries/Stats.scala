@@ -299,7 +299,36 @@ object Stats {
     top.orderBy(col("ct").desc, col("user_id"))
   }
 
+  /** A10: re-aggregatable sketch cube — the 100 TB distinct-count
+    * pattern where raw data is touched ONCE: per-(type, day) HLL
+    * sketches (DataSketches `hll_sketch_agg`, a few KB each) are stored
+    * as the cube's partial layer, and any rollup (here type totals)
+    * unions the sketches instead of rescanning events — a distinct
+    * count over N days costs N sketch merges, not a shuffle of the raw
+    * user ids. The gate carries the exact `count(distinct)` beside the
+    * merged-sketch estimate and pins the X45-style tolerance boolean to
+    * the oracle (the estimate itself is engine-specific, the bound is
+    * not); SketchSpec additionally proves union-of-dailies ==
+    * one-shot-sketch determinism. */
+  def a10SketchCube(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("event_type"),
+      date_trunc("day", col("ts")).as("day"), col("user_id"))
+    val daily = e.groupBy(col("event_type"), col("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val rolled = daily.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("approx_users"))
+    val exact = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("users"))
+    ordered(
+      exact.join(rolled, "event_type")
+        .select(col("event_type"), col("users"),
+          (abs(col("approx_users") - col("users")) <=
+            greatest(lit(4L), ceil(col("users") * 0.05).cast("long"))).as("users_in_tol")),
+      "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a10_sketch_cube"   -> (a10SketchCube _),
     "a9_heavy_hitters"  -> (a9HeavyHitters _),
     "a1_product_stats"  -> (a1ProductStats _),
     "a2_visitor_stats"  -> (a2VisitorStats _),
@@ -328,6 +357,9 @@ object Stats {
       |GROUP BY fs.cohort_day, 2 ORDER BY cohort_day, day_offset""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "a10_sketch_cube" ->
+      """SELECT event_type, count(DISTINCT user_id) AS users, true AS users_in_tol
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "a9_heavy_hitters" ->
       """SELECT user_id, count(*) AS ct FROM events
         |GROUP BY 1 ORDER BY ct DESC, user_id LIMIT 10""".stripMargin,
