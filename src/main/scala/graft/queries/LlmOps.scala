@@ -67,13 +67,18 @@ object LlmOps {
     * 3-word chunks (word j belongs to line j div 3 — the same grouping
     * the oracle derives); real corpora pass `split(text, '\n')`. */
   def xDedupLines(s: SparkSession, d: String): DataFrame = {
-    val words = split(col("text"), " ")
+    // words materialized as a column BEFORE the lambda: split(text)
+    // inline in the transform body would re-split the document once per
+    // chunk (O(words²) per doc through the interpreted lambda path)
+    val w = col("w")
     val lines = transform(
-      sequence(lit(0), floor((size(words) - lit(1)) / lit(3)).cast("int")),
-      j => concat_ws(" ", slice(words, j * 3 + 1, lit(3))))
+      sequence(lit(0), floor((size(w) - lit(1)) / lit(3)).cast("int")),
+      j => concat_ws(" ", slice(w, j * 3 + 1, lit(3))))
     ordered(
       Dedup.dedupLines(
-        documents(s, d).select(col("doc_id"), lines.as("lines")),
+        documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"), lines.as("lines")),
         "doc_id", col("lines"), maxFreq = 4L),
       "doc_id")
   }

@@ -85,7 +85,10 @@ object ScaleProbe {
       // round-6 surface: the streaming as-of join's batch face, multi-term
       // BM25 retrieval, and the approx-swap gates (t-digest / HLL plans)
       "j7_asof_stream", "x_text_bm25_topk", "a8_percentiles_approx",
-      "e2_retention_approx", "e2_retention_stream")
+      "e2_retention_approx", "e2_retention_stream",
+      // round-6 second batch: skew/profiling/layout/dedup/sketch ops
+      "j9_salted_join", "a9_heavy_hitters", "x_dedup_lines",
+      "x_zorder_key", "a10_sketch_cube")
     // x_dedup_simhash is deliberately NOT probed: the text salt makes
     // replicas distinct under shingle-Jaccard but NOT under
     // distinct-token SimHash (one spliced token flips only near-tie
