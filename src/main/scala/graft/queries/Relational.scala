@@ -255,7 +255,24 @@ object Relational {
       "event_type")
   }
 
+  /** J10: bloom-pruned semi join — lineitems of high-value orders. The
+    * build key set (orders > 400k) compresses into a Bloom filter that
+    * drops ~98% of non-matching lineitems BEFORE the semi-join's
+    * shuffle (`operators.BloomPrune`); the final semi-join re-checks
+    * exactly, so the result is bit-identical to the plain semi join
+    * (spec-proved row-level, plan-proved filter placement). */
+  def j10BloomSemi(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(col("l_orderkey"), col("l_returnflag"))
+    val hot = orders(s, d).filter(col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey"))
+    ordered(
+      graft.operators.BloomPrune.bloomSemiJoin(li, hot, "l_orderkey", "o_orderkey")
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("ct")),
+      "l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j10_bloom_semi"   -> (j10BloomSemi _),
     "j9_salted_join"   -> (j9SaltedJoin _),
     "j6_semi_anti"     -> (j6SemiAnti _),
     "j7_asof_join"     -> (j7AsofJoin _),
@@ -282,6 +299,10 @@ object Relational {
       |ORDER BY p.event_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "j10_bloom_semi" ->
+      """SELECT l_returnflag, count(*) AS ct FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "j9_salted_join" ->
       """WITH d AS (SELECT event_type,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS type_avg

@@ -327,7 +327,34 @@ object Stats {
       "event_type")
   }
 
+  /** A11: one-pass numeric table profile (`operators.Profile`) — every
+    * column's null/min/max/distinct statistics from ONE scan and ONE
+    * aggregate (per-column profiling jobs re-scan the table per column,
+    * the anti-pattern at 100 TB). Distinct counts are HLL estimates
+    * (fixed state per column); the gate computes the exact distincts in
+    * a gate-only second aggregate and pins the X45-style tolerance
+    * boolean to the oracle. */
+  def a11Profile(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val profiled = graft.operators.Profile.profileNumeric(
+      o, Seq("o_custkey", "o_totalprice"))
+    val exact = o.select(
+      countDistinct(col("o_custkey")).as("o_custkey"),
+      countDistinct(col("o_totalprice")).as("o_totalprice"))
+      .select(expr("stack(2, 'o_custkey', o_custkey, 'o_totalprice', o_totalprice)" +
+        " AS (col_name, exact_distinct)"))
+    ordered(
+      profiled.join(exact, "col_name")
+        .select(col("col_name"), col("non_null_ct"), col("null_ct"),
+          col("min_val"), col("max_val"),
+          (abs(col("approx_distinct") - col("exact_distinct")) <=
+            greatest(lit(4L), ceil(col("exact_distinct") * 0.05).cast("long")))
+            .as("distinct_in_tol")),
+      "col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a11_profile"       -> (a11Profile _),
     "a10_sketch_cube"   -> (a10SketchCube _),
     "a9_heavy_hitters"  -> (a9HeavyHitters _),
     "a1_product_stats"  -> (a1ProductStats _),
@@ -357,6 +384,18 @@ object Stats {
       |GROUP BY fs.cohort_day, 2 ORDER BY cohort_day, day_offset""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "a11_profile" ->
+      """SELECT 'o_custkey' AS col_name, count(o_custkey) AS non_null_ct,
+        |  count(*) - count(o_custkey) AS null_ct,
+        |  CAST(min(o_custkey) AS DOUBLE) AS min_val, CAST(max(o_custkey) AS DOUBLE) AS max_val,
+        |  true AS distinct_in_tol
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', count(o_totalprice),
+        |  count(*) - count(o_totalprice),
+        |  CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE), true
+        |FROM orders
+        |ORDER BY col_name""".stripMargin,
     "a10_sketch_cube" ->
       """SELECT event_type, count(DISTINCT user_id) AS users, true AS users_in_tol
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

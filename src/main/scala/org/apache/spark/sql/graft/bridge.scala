@@ -25,6 +25,12 @@ object SparkInternals {
                               spark: SparkSession): Unit =
     ext.registerFunctions(functionRegistry(spark))
 
+  /** Analyzed logical plan of a DataFrame (queryExecution lives on the
+    * classic Dataset in Spark 4) — used to embed a one-row aggregate as
+    * a scalar subquery (BloomPrune). */
+  def analyzedPlan(df: org.apache.spark.sql.Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
+
   /** Wraps a logical plan back into a DataFrame (Dataset.ofRows is
     * private[sql]) — used by specs to evaluate a manually-rewritten
     * plan. */
