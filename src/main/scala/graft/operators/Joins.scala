@@ -37,10 +37,20 @@ object Joins {
     * dominates). No state, no driver work.
     *
     * Output: every left column, plus each non-key right column as
-    * `<rightPrefix><col>` (null when no right row precedes). */
+    * `<rightPrefix><col>` (null when no right row precedes).
+    *
+    * `direction = "forward"` attaches the nearest FOLLOWING right row
+    * instead (`right.time >= left.time`, still inclusive); `tolerance`
+    * bounds the matched gap pandas-merge_asof-style — a match farther
+    * than the bound comes back as all-null, atomically. Both compose
+    * with the same single-shuffle plan. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
-               rightPrefix: String = "r_", tieBreak: Option[String] = None)
-              : DataFrame = {
+               rightPrefix: String = "r_", tieBreak: Option[String] = None,
+               direction: String = "backward",
+               tolerance: Option[Column] = None): DataFrame = {
+    require(Set("backward", "forward")(direction),
+      s"asofJoin direction must be backward|forward, got $direction")
+    val forward = direction == "forward"
     val lExtra = left.columns.toSeq.filterNot(c => c == key || c == time)
     val rExtra = right.columns.toSeq.filterNot(_ == key)
     // ALL right payload columns travel as ONE struct: a per-column
@@ -56,15 +66,31 @@ object Joins {
       Seq(col(key), col(time)) ++
         lExtra.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(rExtra.map(col): _*).as("__r") :+ lit(0).as("__side"): _*)
-    val order = Seq(col(time), col("__side")) ++
+    // forward flips the time ordering, so the running last() sees rows
+    // with LARGER times first and each left row picks the nearest
+    // following right; __side asc keeps the right row first at time
+    // ties in both directions (inclusive match)
+    val timeOrd = if (forward) col(time).desc else col(time).asc
+    val order = Seq(timeOrd, col("__side")) ++
       tieBreak.map(c => col("__r").getField(c).asc_nulls_first)
     val w = Window.partitionBy(col(key)).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lU.unionByName(rU)
+    val filled = lU.unionByName(rU)
       .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(Seq(col(key), col(time)) ++ lExtra.map(col) ++
-        rExtra.map(c => col("__r").getField(c).as(rightPrefix + c)): _*)
+    // tolerance bounds the matched gap (pandas merge_asof semantics):
+    // a match farther than `tolerance` nulls the WHOLE attached row —
+    // post-filtering the struct keeps it atomic
+    val bounded = tolerance match {
+      case Some(tol) =>
+        val gap =
+          if (forward) col("__r").getField(time) - col(time)
+          else col(time) - col("__r").getField(time)
+        filled.withColumn("__r", when(col("__r").isNotNull && gap <= tol, col("__r")))
+      case None => filled
+    }
+    bounded.select(Seq(col(key), col(time)) ++ lExtra.map(col) ++
+      rExtra.map(c => col("__r").getField(c).as(rightPrefix + c)): _*)
   }
 
   /** BIN-ACCELERATED RANGE JOIN: `facts` joined to `ranges` on

@@ -183,6 +183,48 @@ object Relational {
       "event_id")
   }
 
+  /** J7-forward: the mirror attribution — each click joined to the same
+    * user's NEXT purchase at-or-after it (conversion lookahead), via
+    * `asofJoin(direction = "forward")`: the identical one-shuffle plan
+    * with the time ordering flipped. */
+  def j7AsofFwd(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    ordered(
+      graft.operators.Joins.asofJoin(clicks, purchases, "user_id", "ts",
+        rightPrefix = "p_", tieBreak = Some("event_id"), direction = "forward")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("c_us"),
+          col("p_event_id").as("purchase_id"),
+          unix_micros(col("p_ts")).as("p_us"),
+          (unix_micros(col("p_ts")) - unix_micros(col("ts"))).as("gap_us")),
+      "event_id")
+  }
+
+  /** J7-tolerance: J7's attribution bounded to a 10-minute lookback —
+    * pandas-merge_asof `tolerance` semantics: a most-recent click
+    * farther back than the bound attaches as all-null, atomically. */
+  def j7AsofTol(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    ordered(
+      graft.operators.Joins.asofJoin(purchases, clicks, "user_id", "ts",
+        rightPrefix = "c_", tieBreak = Some("event_id"),
+        tolerance = Some(expr("INTERVAL 10 MINUTES")))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("p_us"),
+          col("c_event_id").as("click_id"),
+          unix_micros(col("c_ts")).as("c_us"),
+          (unix_micros(col("ts")) - unix_micros(col("c_ts"))).as("gap_us")),
+      "event_id")
+  }
+
   /** J7-stream: the SAME as-of attribution through
     * `streaming.AsofStream.asofJoinStream`'s code path, run in batch mode
     * (no watermark ⇒ every left row seals immediately) — so the
@@ -276,6 +318,8 @@ object Relational {
     "j9_salted_join"   -> (j9SaltedJoin _),
     "j6_semi_anti"     -> (j6SemiAnti _),
     "j7_asof_join"     -> (j7AsofJoin _),
+    "j7_asof_fwd"      -> (j7AsofFwd _),
+    "j7_asof_tol"      -> (j7AsofTol _),
     "j7_asof_stream"   -> (j7AsofStream _),
     "j8_range_join"    -> (j8RangeJoin _),
     "q1_agg"           -> (q1Agg _),
@@ -299,6 +343,25 @@ object Relational {
       |ORDER BY p.event_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "j7_asof_fwd" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |     p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS c_us,
+        |       p.event_id AS purchase_id, epoch_us(p.ts) AS p_us,
+        |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+    "j7_asof_tol" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |     j AS (SELECT p.event_id, p.user_id, p.ts AS pts, c.event_id AS cid, c.ts AS cts,
+        |             CASE WHEN p.ts - c.ts <= INTERVAL '10 minutes' THEN 1 ELSE 0 END AS keep
+        |           FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts)
+        |SELECT event_id, user_id, epoch_us(pts) AS p_us,
+        |       CASE WHEN keep = 1 THEN cid END AS click_id,
+        |       CASE WHEN keep = 1 THEN epoch_us(cts) END AS c_us,
+        |       CASE WHEN keep = 1 THEN epoch_us(pts) - epoch_us(cts) END AS gap_us
+        |FROM j ORDER BY event_id""".stripMargin,
     "j10_bloom_semi" ->
       """SELECT l_returnflag, count(*) AS ct FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)

@@ -131,6 +131,48 @@ class JoinsSpec extends SparkSpec {
       s"binned range join must be an equi-join:\n$plan")
   }
 
+  test("asofJoin forward: nearest following right, inclusive, tolerance nulls far matches") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, 100L), // next right at 200
+      (2L, 10L, 300L), // EQUAL to right@300 -> inclusive
+      (3L, 10L, 500L)  // nothing follows -> null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq((101L, 10L, 200L), (102L, 10L, 300L), (103L, 10L, 90L))
+      .toDF("event_id", "user_id", "ts")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val fwd = Joins.asofJoin(left, right, "user_id", "ts",
+      rightPrefix = "n_", direction = "forward")
+      .select("event_id", "n_event_id").as[(Long, Option[Long])].collect().toMap
+    assert(fwd == Map(1L -> Some(101L), 2L -> Some(102L), 3L -> None), s"fwd: $fwd")
+    // tolerance 50: left@100 -> right@200 is 100 away -> nulled whole
+    val tol = Joins.asofJoin(left, right, "user_id", "ts",
+      rightPrefix = "n_", direction = "forward", tolerance = Some(lit(50L)))
+      .select("event_id", "n_event_id", "n_ts").collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(tol(1L) == ((None, None)), "out-of-tolerance match must null ALL right columns")
+    assert(tol(2L) == ((Some(102L), Some(300L))))
+  }
+
+  test("asofJoin forward/tolerance agree with the naive argmin on real events") {
+    val ev = graft.Tables.events(spark, sf("sf0.001"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("puser"), col("ts").as("pts"), col("event_id").as("pid"))
+    val got = Joins.asofJoin(c,
+        p.select(col("puser").as("user_id"), col("pts").as("ts"), col("pid").as("event_id")),
+        "user_id", "ts", rightPrefix = "p_", direction = "forward")
+      .select(col("event_id"), col("p_event_id"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    val naive = c.join(p, col("user_id") === col("puser") && col("pts") >= col("ts"), "left_outer")
+      .groupBy(col("event_id"))
+      .agg(min(when(col("pts").isNotNull, struct(col("pts"), col("pid"))))
+        .getField("pid").as("p_event_id"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(got == naive && got.values.exists(_.isDefined))
+  }
+
   test("saltedJoin equals the plain join row-for-row (inner and left), multiplicity intact") {
     import spark.implicits._
     val probe = Seq(
