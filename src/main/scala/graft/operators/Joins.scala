@@ -93,6 +93,41 @@ object Joins {
       rExtra.map(c => col("__r").getField(c).as(rightPrefix + c)): _*)
   }
 
+  /** AS-OF NEAREST (pandas merge_asof `direction='nearest'`): attach
+    * whichever of the most-recent-preceding and nearest-following right
+    * rows sits closer in time; equal distance prefers the backward
+    * match (pandas convention). `leftId` must uniquely identify left
+    * rows — the two directional passes (each the one-shuffle plan
+    * above) re-join on it to pick per row, so the total cost is two
+    * keyed shuffles plus an id-keyed join. `tolerance` applies to each
+    * direction before the pick. */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, key: String,
+                      time: String, leftId: String,
+                      rightPrefix: String = "r_",
+                      tieBreak: Option[String] = None,
+                      tolerance: Option[Column] = None): DataFrame = {
+    val rExtra = right.columns.toSeq.filterNot(_ == key)
+    def packed(direction: String, tag: String): DataFrame = {
+      val joined = asofJoin(left, right, key, time, rightPrefix = "__x_",
+        tieBreak = tieBreak, direction = direction, tolerance = tolerance)
+      joined.select(col(leftId),
+        when(col(s"__x_$time").isNotNull,
+          struct(rExtra.map(c => col(s"__x_$c").as(c)): _*)).as(tag))
+    }
+    val b = packed("backward", "__b")
+    val f = packed("forward", "__f")
+    val bGap = col(time) - col("__b").getField(time)
+    val fGap = col("__f").getField(time) - col(time)
+    val pick = when(col("__f").isNull, col("__b"))
+      .when(col("__b").isNull, col("__f"))
+      .when(bGap <= fGap, col("__b")) // tie -> backward, pandas convention
+      .otherwise(col("__f"))
+    left.join(b, leftId).join(f, leftId)
+      .withColumn("__r", pick)
+      .select(left.columns.map(col) ++
+        rExtra.map(c => col("__r").getField(c).as(rightPrefix + c)): _*)
+  }
+
   /** BIN-ACCELERATED RANGE JOIN: `facts` joined to `ranges` on
     * `lo <= value < hi` — the price-band / IP-block / score-bucket
     * lookup, where ranges may overlap (each fact can match several).

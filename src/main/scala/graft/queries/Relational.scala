@@ -225,6 +225,27 @@ object Relational {
       "event_id")
   }
 
+  /** J7-nearest: each purchase joined to the temporally CLOSEST click
+    * either side (merge_asof direction='nearest'; equal distance
+    * prefers the backward match). Signed gap keeps the direction
+    * visible. */
+  def j7AsofNear(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    ordered(
+      graft.operators.Joins.asofJoinNearest(purchases, clicks, "user_id", "ts",
+        leftId = "event_id", rightPrefix = "c_", tieBreak = Some("event_id"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("p_us"),
+          col("c_event_id").as("click_id"),
+          unix_micros(col("c_ts")).as("c_us"),
+          (unix_micros(col("ts")) - unix_micros(col("c_ts"))).as("gap_us")),
+      "event_id")
+  }
+
   /** J7-stream: the SAME as-of attribution through
     * `streaming.AsofStream.asofJoinStream`'s code path, run in batch mode
     * (no watermark ⇒ every left row seals immediately) — so the
@@ -320,6 +341,7 @@ object Relational {
     "j7_asof_join"     -> (j7AsofJoin _),
     "j7_asof_fwd"      -> (j7AsofFwd _),
     "j7_asof_tol"      -> (j7AsofTol _),
+    "j7_asof_near"     -> (j7AsofNear _),
     "j7_asof_stream"   -> (j7AsofStream _),
     "j8_range_join"    -> (j8RangeJoin _),
     "q1_agg"           -> (q1Agg _),
@@ -362,6 +384,23 @@ object Relational {
         |       CASE WHEN keep = 1 THEN epoch_us(cts) END AS c_us,
         |       CASE WHEN keep = 1 THEN epoch_us(pts) - epoch_us(cts) END AS gap_us
         |FROM j ORDER BY event_id""".stripMargin,
+    "j7_asof_near" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |     b AS (SELECT p.event_id, c.event_id AS cid, c.ts AS cts
+        |           FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts),
+        |     f AS (SELECT p.event_id, c.event_id AS cid, c.ts AS cts
+        |           FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts)
+        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS p_us,
+        |  CASE WHEN f.cid IS NULL OR (b.cid IS NOT NULL AND p.ts - b.cts <= f.cts - p.ts)
+        |       THEN b.cid ELSE f.cid END AS click_id,
+        |  CASE WHEN f.cid IS NULL OR (b.cid IS NOT NULL AND p.ts - b.cts <= f.cts - p.ts)
+        |       THEN epoch_us(b.cts) ELSE epoch_us(f.cts) END AS c_us,
+        |  CASE WHEN f.cid IS NULL OR (b.cid IS NOT NULL AND p.ts - b.cts <= f.cts - p.ts)
+        |       THEN epoch_us(p.ts) - epoch_us(b.cts)
+        |       ELSE epoch_us(p.ts) - epoch_us(f.cts) END AS gap_us
+        |FROM p JOIN b ON p.event_id = b.event_id JOIN f ON p.event_id = f.event_id
+        |ORDER BY p.event_id""".stripMargin,
     "j10_bloom_semi" ->
       """SELECT l_returnflag, count(*) AS ct FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)

@@ -173,6 +173,29 @@ class JoinsSpec extends SparkSpec {
     assert(got == naive && got.values.exists(_.isDefined))
   }
 
+  test("asofJoinNearest picks the closer side, backward on ties, tolerance applies per leg") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, 100L), // back@90 (gap 10) vs fwd@200 (gap 100) -> backward
+      (2L, 10L, 195L), // back@90 (gap 105) vs fwd@200 (gap 5)  -> forward
+      (3L, 10L, 145L), // back@90 (gap 55) == fwd@200 (gap 55)  -> tie -> backward
+      (4L, 99L, 100L)  // no rights for the key -> null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq((101L, 10L, 90L), (102L, 10L, 200L))
+      .toDF("event_id", "user_id", "ts")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val got = Joins.asofJoinNearest(left, right, "user_id", "ts", leftId = "event_id")
+      .select("event_id", "r_event_id").as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(1L -> Some(101L), 2L -> Some(102L), 3L -> Some(101L), 4L -> None),
+      s"nearest: $got")
+    // tolerance 20 kills both of row 3's candidates (gap 55 each side)
+    val tol = Joins.asofJoinNearest(left, right, "user_id", "ts", leftId = "event_id",
+      tolerance = Some(lit(20L)))
+      .select("event_id", "r_event_id").as[(Long, Option[Long])].collect().toMap
+    assert(tol == Map(1L -> Some(101L), 2L -> Some(102L), 3L -> None, 4L -> None),
+      s"tolerance: $tol")
+  }
+
   test("saltedJoin equals the plain join row-for-row (inner and left), multiplicity intact") {
     import spark.implicits._
     val probe = Seq(
