@@ -43,6 +43,17 @@ object LlmOps {
   def xDedupExact(s: SparkSession, d: String): DataFrame =
     ordered(Dedup.exact(documents(s, d)), "content_hash")
 
+  /** BPE round-1 pair statistics — the cross-engine face of tokenizer
+    * merge learning (`llm.Bpe`): frequency-weighted adjacent-symbol
+    * counts over char+`</w>` word decompositions. The iterative loop is
+    * not SQL-expressible; BpeSpec proves `learnMerges` against an
+    * independent in-memory reference instead. */
+  def xBpePairs(s: SparkSession, d: String): DataFrame =
+    ordered(
+      graft.llm.Bpe.firstRoundPairs(documents(s, d))
+        .select(col("left_sym"), col("right_sym"), col("pair_count")),
+      "left_sym", "right_sym")
+
   /** Z-order (Morton) key over (custkey, price-cents) — the layout key
     * `operators.Layout.clusterByZOrder` sorts by so parquet min/max
     * stats cluster in BOTH dimensions (LayoutSpec measures the actual
@@ -546,6 +557,7 @@ object LlmOps {
     "x_dedup_exact"       -> (xDedupExact _),
     "x_dedup_lines"       -> (xDedupLines _),
     "x_zorder_key"        -> (xZorderKey _),
+    "x_bpe_pairs"         -> (xBpePairs _),
     "x_dedup_ngram"       -> (xDedupNgram _),
     "x_dedup_minhash"     -> (xDedupMinhash _),
     "x_dedup_simhash"     -> (xDedupSimhash _),
@@ -669,6 +681,17 @@ object LlmOps {
       """SELECT md5(lower(text)) AS content_hash, min(doc_id) AS keep_doc_id,
         |  COUNT(*) AS dup_ct
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "x_bpe_pairs" ->
+      s"""WITH w AS (SELECT unnest($toksSql) AS word FROM documents),
+         |wc AS (SELECT word, count(*) AS wcnt FROM w GROUP BY 1),
+         |syms AS (SELECT wcnt,
+         |  list_append(list_transform(range(1, len(word)+1), i -> word[i:i]), '</w>') AS s
+         |  FROM wc),
+         |p AS (SELECT wcnt,
+         |  unnest(list_transform(range(1, len(s)), i -> struct_pack(l := s[i], r := s[i+1]))) AS pr
+         |  FROM syms)
+         |SELECT pr.l AS left_sym, pr.r AS right_sym, sum(wcnt) AS pair_count
+         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "x_zorder_key" ->
       """SELECT o_orderkey,
         |  CAST(list_sum(list_transform(range(0, 16),

@@ -1,0 +1,79 @@
+package graft.llm
+
+import scala.collection.mutable
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** BPE merge learning vs an independent in-memory reference — the
+  * iterative loop has no SQL oracle, so the reference implementation is
+  * the ground truth (same tie-break: count DESC, pair ASC; same
+  * left-to-right non-overlapping apply).
+  */
+class BpeSpec extends SparkSpec {
+
+  private def refMergeApply(syms: Vector[String], l: String, r: String): Vector[String] = {
+    val acc = Vector.newBuilder[String]
+    var pend: String = null
+    syms.foreach { s =>
+      if (pend == null) pend = s
+      else if (pend == l && s == r) { acc += (l + r); pend = null }
+      else { acc += pend; pend = s }
+    }
+    if (pend != null) acc += pend
+    acc.result()
+  }
+
+  private def refBpe(words: Map[String, Long], n: Int): Seq[(Int, String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] = words
+      .groupMapReduce { case (w, _) => w.map(_.toString).toVector :+ "</w>" }(_._2)(_ + _)
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= n && !done) {
+      val pc = mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      vocab.foreach { case (syms, c) =>
+        syms.sliding(2).foreach { case Seq(a, b) => pc((a, b)) += c; case _ => } }
+      if (pc.isEmpty) done = true
+      else {
+        val ((l, r), c) = pc.toSeq.minBy { case ((a, b), cnt) => (-cnt, a, b) }
+        out += ((rank, l, r, c))
+        vocab = vocab.toSeq.map { case (s, cnt) => refMergeApply(s, l, r) -> cnt }
+          .groupMapReduce(_._1)(_._2)(_ + _)
+        rank += 1
+      }
+    }
+    out.result()
+  }
+
+  test("learnMerges matches the reference for 12 rounds on real documents (sf0.001)") {
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    val got = Bpe.learnMerges(docs, 12)
+    val words = docs.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = refBpe(words, 12)
+    assert(got == want, s"merge sequences diverge:\n got=$got\nwant=$want")
+    assert(got.size == 12 && got.head._4 >= got.last._4,
+      "pair counts should be non-increasing-ish from the argmax")
+  }
+
+  test("merge apply is left-to-right non-overlapping: aaa under (a,a) -> [aa, a]") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val got = Bpe.learnMerges(docs, 3)
+    // round 1: (a,a)=4; round 2: tie (a,</w>)=2 vs (aa,a)=2 -> lexicographic
+    // left asc picks (a,</w>); round 3: (aa, a</w>)=2
+    assert(got == Seq((1, "a", "a", 4L), (2, "a", "</w>", 2L), (3, "aa", "a</w>", 2L)),
+      s"got $got")
+  }
+
+  test("learnMerges stops when no pairs remain") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text") // one-char words: only (x,</w>) pairs
+    val got = Bpe.learnMerges(docs, 10)
+    // (a,</w>) and (b,</w>) merge in rounds 1-2, then single-symbol words
+    // have no pairs left -> early exhaustion, not 10 rounds
+    assert(got.size == 2 && got.map(m => (m._2, m._3)).toSet ==
+      Set(("a", "</w>"), ("b", "</w>")), s"got $got")
+  }
+}
