@@ -65,12 +65,42 @@ object Windows {
       "n_name", "rank")
   }
 
+  /** W9: frame-spec running analytics per user — cumulative count/sum
+    * and the previous event's value (lag). One shuffle on user_id, one
+    * within-partition sort; parallelism = |users|, each task a user's
+    * short history (at 100 TB the partition key is the natural entity
+    * key, so tasks stay entity-sized). Order pinned by (ts, event_id)
+    * so window frames are deterministic under timestamp ties. */
+  def w9Running(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val frame = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    ordered(
+      events(s, d).select(
+        col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        count(lit(1)).over(frame).as("run_ct"),
+        sum(col("value").cast("decimal(18,2)")).over(frame).cast("double").as("run_sum"),
+        lag(col("value"), 1).over(w).as("prev_value")),
+      "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w6_session_window" -> (w6SessionWindow _),
     "w7_sliding_window" -> (w7SlidingWindow _),
-    "w8_topn"           -> (w8TopN _))
+    "w8_topn"           -> (w8TopN _),
+    "w9_running"        -> (w9Running _))
 
   val oracle: Map[String, String] = Map(
+    "w9_running" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS us,
+        |  COUNT(*) OVER w AS run_ct,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_sum,
+        |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+        |ORDER BY event_id""".stripMargin,
     "w6_session_window" ->
       """WITH g AS (
         |  SELECT user_id, ts, value,
