@@ -67,6 +67,46 @@ class BpeSpec extends SparkSpec {
       s"got $got")
   }
 
+  private def refEncode(word: String, ranks: Map[(String, String), Int]): Vector[String] = {
+    var syms = word.map(_.toString).toVector :+ "</w>"
+    var done = false
+    while (!done && syms.size >= 2) {
+      val cands = syms.zip(syms.tail).zipWithIndex
+        .flatMap { case (p, i) => ranks.get(p).map(r => (r, i)) }
+      if (cands.isEmpty) done = true
+      else {
+        val (_, i) = cands.minBy(_._1)
+        syms = (syms.take(i) :+ (syms(i) + syms(i + 1))) ++ syms.drop(i + 2)
+      }
+    }
+    syms
+  }
+
+  test("encodeDocuments matches the reference greedy encode and stays codegen'd") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    val merges = Bpe.learnMerges(docs, 15)
+    val enc = Bpe.encodeDocuments(docs, merges)
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.filter(_.contains("bpe_encode")).forall(_.contains("*")),
+      s"bpe_encode fell out of codegen:\n$plan")
+    val got = enc.select(col("doc_id"), col("subwords")).as[(Long, Seq[String])]
+      .collect().toMap
+    val ranks = merges.map { case (rank, l, r, _) => (l, r) -> rank }.toMap
+    val texts = docs.select(col("doc_id"),
+        TextAnalysis.tokens(col("text")).as("t")).as[(Long, Seq[String])]
+      .collect().toMap
+    texts.foreach { case (id, words) =>
+      val want = words.flatMap(w => refEncode(w, ranks))
+      assert(got(id) == want, s"doc $id diverges: ${got(id).take(8)} vs ${want.take(8)}")
+    }
+    // more merges can only shorten (or keep) the encoding
+    val enc0 = Bpe.encodeDocuments(docs, merges.take(3))
+      .agg(sum("n_subwords")).head().getLong(0)
+    val enc15 = enc.agg(sum("n_subwords")).head().getLong(0)
+    assert(enc15 < enc0, s"15 merges must compress below 3 ($enc15 vs $enc0)")
+  }
+
   test("learnMerges stops when no pairs remain") {
     import spark.implicits._
     val docs = Seq((1L, "a b")).toDF("doc_id", "text") // one-char words: only (x,</w>) pairs
