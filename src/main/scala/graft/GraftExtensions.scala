@@ -28,6 +28,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("split_keyword", es => Tokenize.splitKeywordExpr(es.head))
     inject("nfc_normalize", es => TextExpressions.NfcNormalize(es.head))
     inject("simhash_agg", es => SimhashAgg(es.head).toAggregateExpression())
+    // interleave_bits(bits, c1, c2, ...): Morton key; bits must be a literal
+    inject("interleave_bits", { es =>
+      require(es.length >= 3, "interleave_bits(bits, c1, c2, ...) needs bits + >=2 inputs")
+      val bits = es.head.eval(null) match {
+        case n: java.lang.Number => n.intValue()
+        case other => throw new IllegalArgumentException(
+          s"interleave_bits: bits must be an integer literal, got $other")
+      }
+      graft.functions.ZOrder.InterleaveBits(es.tail, bits)
+    })
+    // freq_agg(key, capacity): Misra-Gries heavy-hitter summary;
+    // capacity must be a positive integer literal
+    inject("freq_agg", { es =>
+      require(es.length == 2, "freq_agg(key, capacity) takes exactly 2 arguments")
+      val cap = es(1).eval(null) match {
+        case n: java.lang.Number => n.intValue()
+        case other => throw new IllegalArgumentException(
+          s"freq_agg: capacity must be a positive integer literal, got $other")
+      }
+      graft.functions.FreqAgg.coerced(es.head, cap).toAggregateExpression()
+    })
     // top_k_agg(value, id, k): k must be a positive integer literal
     inject("top_k_agg", { es =>
       require(es.length == 3, "top_k_agg(value, id, k) takes exactly 3 arguments")

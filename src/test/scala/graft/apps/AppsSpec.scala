@@ -147,6 +147,11 @@ class AppsSpec extends SparkSpec {
       "SELECT top_k_agg(v, i, 2) FROM VALUES (1.0D, 1L), (3.0D, 2L), (2.0D, 3L) AS t(v, i)")
       .head().getSeq[org.apache.spark.sql.Row](0)
     assert(top.map(r => (r.getLong(0), r.getDouble(1))) == Seq((2L, 3.0), (3L, 2.0)))
+    val z = ext.sql("SELECT interleave_bits(16, 5L, 3L)").head().getLong(0)
+    assert(z == 27L)
+    val hh = ext.sql("SELECT freq_agg(k, 8) FROM VALUES (7L), (7L), (9L) AS t(k)")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(hh.map(r => (r.getLong(0), r.getLong(1))) == Seq((7L, 2L), (9L, 1L)))
   }
 
   test("ProvinceStatsApp rolls order-wide rows by province with exact distinct orders") {
