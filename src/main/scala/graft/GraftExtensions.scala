@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("l2_norm", es => VectorExpressions.L2Norm(es.head))
     inject("split_keyword", es => Tokenize.splitKeywordExpr(es.head))
     inject("nfc_normalize", es => TextExpressions.NfcNormalize(es.head))
+    inject("compression_ratio", es => TextExpressions.CompressionRatio(es.head))
     inject("simhash_agg", es => SimhashAgg(es.head).toAggregateExpression())
     // interleave_bits(bits, c1, c2, ...): Morton key; bits must be a literal
     inject("interleave_bits", { es =>

@@ -52,4 +52,45 @@ object TextExpressions {
 
   def nfcNormalize(c: Column): Column =
     SparkInternals.column(NfcNormalize(SparkInternals.expression(c)))
+
+  /** deflate(text).length / utf8(text).length — the compression-ratio
+    * redundancy signal (boilerplate and template spam compress far
+    * below prose; a classic corpus-quality feature). Static so codegen
+    * calls it directly; one Deflater per call keeps it thread-safe
+    * (the object is cheap next to the deflate itself). */
+  def deflateRatio(bytes: Array[Byte]): Double = {
+    if (bytes.isEmpty) return 1.0
+    val d = new java.util.zip.Deflater(6, true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var out = 0L
+      while (!d.finished()) out += d.deflate(buf)
+      out.toDouble / bytes.length
+    } finally d.end()
+  }
+
+  /** Compression-ratio expression: double in (0, ~1.05]; lower = more
+    * redundant. Pure map-side, stays inside whole-stage codegen. */
+  case class CompressionRatio(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a string input")
+      }
+    override def nullSafeEval(v: Any): Any =
+      deflateRatio(v.asInstanceOf[UTF8String].getBytes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.functions.TextExpressions.deflateRatio($s.getBytes());")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "compression_ratio"
+  }
+
+  def compressionRatio(c: Column): Column =
+    SparkInternals.column(CompressionRatio(SparkInternals.expression(c)))
 }

@@ -63,6 +63,17 @@ object TextAnalysis {
       .drop("__toks")
   }
 
+  /** Compression-ratio redundancy signal (native codegen'd
+    * `CompressionRatio` — deflate bytes / raw bytes): template spam and
+    * boilerplate compress far below prose, making this the classic
+    * cheap complement to the token-ratio features in `withQuality`.
+    * Engine-internal (zlib output is not a cross-engine constant), so
+    * its contract is spec-bound rather than oracle-bound. Pure map-side
+    * scan. */
+  def withCompressionRatio(df: DataFrame, text: Column = col("text")): DataFrame =
+    df.withColumn("compression_ratio",
+      graft.functions.TextExpressions.compressionRatio(text))
+
   /** Language ID: argmax of distinct-marker-token hits per language;
     * ties broken by the fixed langMarkers order. `unknown` when no marker
     * hits at all.

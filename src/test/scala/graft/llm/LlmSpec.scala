@@ -546,6 +546,30 @@ class LlmSpec extends SparkSpec {
       s"corpus must not shuffle for the stats broadcast:\n$plan")
   }
 
+  test("compression ratio orders repetitive below diverse text and stays codegen'd") {
+    import spark.implicits._
+    val df = spark.range(0, 1).select(
+      lit("spam spam spam spam spam spam spam spam spam spam spam spam").as("rep"),
+      lit("the quick brown fox jumps over a lazy dog near riverbanks").as("prose"),
+      lit("").as("empty"))
+    val out = df.select(
+      graft.functions.TextExpressions.compressionRatio(col("rep")),
+      graft.functions.TextExpressions.compressionRatio(col("prose")),
+      graft.functions.TextExpressions.compressionRatio(col("empty"))).head()
+    val (rep, prose, empty) = (out.getDouble(0), out.getDouble(1), out.getDouble(2))
+    assert(rep < prose, s"repetition must compress harder: $rep vs $prose")
+    assert(rep < 0.5 && prose > 0.5, s"magnitudes off: rep=$rep prose=$prose")
+    assert(empty == 1.0, "empty text is defined as ratio 1.0")
+    val plan = df.select(graft.functions.TextExpressions.compressionRatio(col("rep")))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.filter(_.contains("compression_ratio")).forall(_.contains("*")),
+      s"compression_ratio fell out of codegen:\n$plan")
+    // null propagation + real-docs sanity through the helper
+    val docs = TextAnalysis.withCompressionRatio(graft.Tables.documents(spark, sf("sf0.001")))
+    val stats = docs.agg(min("compression_ratio"), max("compression_ratio")).head()
+    assert(stats.getDouble(0) > 0.0 && stats.getDouble(1) <= 1.05)
+  }
+
   test("dedupLines strikes over-threshold lines, preserves order, keeps emptied docs") {
     import spark.implicits._
     // "nav" appears in 3 docs (> maxFreq 2) -> removed everywhere;
