@@ -43,6 +43,30 @@ object LlmOps {
   def xDedupExact(s: SparkSession, d: String): DataFrame =
     ordered(Dedup.exact(documents(s, d)), "content_hash")
 
+  /** The round-6 surface composed end-to-end: line-level boilerplate
+    * dedup → surviving-content floor (≥8 kept lines) → deterministic
+    * sharding of the refined corpus. Every stage is an oracled operator
+    * above; the composition proves they agree on one plan. */
+  def xCorpusRefine(s: SparkSession, d: String): DataFrame = {
+    val w = col("w")
+    val lines = transform(
+      sequence(lit(0), floor((size(w) - lit(1)) / lit(3)).cast("int")),
+      j => concat_ws(" ", slice(w, j * 3 + 1, lit(3))))
+    val deduped = Dedup.dedupLines(
+      documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), lines.as("lines")),
+      "doc_id", col("lines"), maxFreq = 4L)
+    val kept = deduped.filter(col("kept_ct") >= 8)
+      .select(col("doc_id"), col("kept_ct"), col("removed_ct"),
+        length(col("kept_text")).cast("long").as("n_chars"))
+    ordered(
+      Sampling.deterministicShard(kept, "doc_id", numShards = 4)
+        .select(col("doc_id"), col("kept_ct"), col("removed_ct"),
+          col("n_chars"), col("shard")),
+      "doc_id")
+  }
+
   /** BPE round-1 pair statistics — the cross-engine face of tokenizer
     * merge learning (`llm.Bpe`): frequency-weighted adjacent-symbol
     * counts over char+`</w>` word decompositions. The iterative loop is
@@ -558,6 +582,7 @@ object LlmOps {
     "x_dedup_lines"       -> (xDedupLines _),
     "x_zorder_key"        -> (xZorderKey _),
     "x_bpe_pairs"         -> (xBpePairs _),
+    "x_corpus_refine"     -> (xCorpusRefine _),
     "x_dedup_ngram"       -> (xDedupNgram _),
     "x_dedup_minhash"     -> (xDedupMinhash _),
     "x_dedup_simhash"     -> (xDedupSimhash _),
@@ -681,6 +706,23 @@ object LlmOps {
       """SELECT md5(lower(text)) AS content_hash, min(doc_id) AS keep_doc_id,
         |  COUNT(*) AS dup_ct
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "x_corpus_refine" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+        |                  unnest(range(0, len(string_split(text, ' ')))) AS i
+        |           FROM documents),
+        |c AS (SELECT doc_id, i // 3 AS pi, string_agg(word, ' ' ORDER BY i) AS line
+        |      FROM w GROUP BY 1, 2),
+        |f AS (SELECT line, count(*) AS ct FROM c GROUP BY 1),
+        |dl AS (SELECT c.doc_id,
+        |  coalesce(string_agg(CASE WHEN f.ct <= 4 THEN c.line END, chr(10) ORDER BY c.pi), '') AS kept_text,
+        |  count(CASE WHEN f.ct <= 4 THEN 1 END)::BIGINT AS kept_ct,
+        |  count(CASE WHEN f.ct > 4 THEN 1 END)::BIGINT AS removed_ct
+        |  FROM c JOIN f USING (line) GROUP BY 1),
+        |k AS (SELECT doc_id, kept_ct, removed_ct, length(kept_text)::BIGINT AS n_chars
+        |      FROM dl WHERE kept_ct >= 8)
+        |SELECT doc_id, kept_ct, removed_ct, n_chars,
+        |  CAST(CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4 AS INT) AS shard
+        |FROM k ORDER BY doc_id""".stripMargin,
     "x_bpe_pairs" ->
       s"""WITH w AS (SELECT unnest($toksSql) AS word FROM documents),
          |wc AS (SELECT word, count(*) AS wcnt FROM w GROUP BY 1),
