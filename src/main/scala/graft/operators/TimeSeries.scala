@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: resample an event stream onto a fixed
+  * grid per key and forward-fill the gaps — the step between raw events
+  * and anything that assumes one row per (entity, period): feature
+  * windows, dashboards, trend models.
+  */
+object TimeSeries {
+
+  /** Per-key fixed-step resample with gap rows and forward fill.
+    *
+    * 1. bucket events to `date_trunc(step)` and apply `aggs`;
+    * 2. build each key's complete bucket SPINE (min..max, `sequence` +
+    *    explode — rows per key = its own span, nothing global);
+    * 3. left-join the aggregates onto the spine (empty buckets stay
+    *    null);
+    * 4. forward-fill the columns named in `fill` with a running
+    *    `last(ignoreNulls)` per key.
+    *
+    * Cost: one keyed aggregate, one (key, bucket) join, one keyed
+    * window — all partition on the entity key, so tasks stay
+    * entity-sized at any corpus size; the spine explode is bounded by
+    * span/step per key. `step` is a `date_trunc` unit ("day", "hour").
+    * Count-like columns come back null on gap rows — coalesce at the
+    * call site if zeros are wanted (the fill is only applied to
+    * `fill`). */
+  def gapFillFfill(df: DataFrame, key: String, time: String, step: String,
+                   aggs: Seq[(String, Column)],
+                   fill: Seq[String]): DataFrame = {
+    require(aggs.nonEmpty, "gapFillFfill needs at least one aggregate")
+    require(fill.forall(aggs.map(_._1).contains), "fill names must be agg outputs")
+    val bucketed = df
+      .groupBy(col(key), date_trunc(step, col(time)).as("bucket"))
+      .agg(aggs.head._2.as(aggs.head._1),
+        aggs.tail.map { case (n, c) => c.as(n) }: _*)
+    val spine = bucketed.groupBy(col(key))
+      .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
+      .select(col(key), explode(
+        sequence(col("__lo"), col("__hi"), expr(s"INTERVAL 1 $step"))).as("bucket"))
+    val joined = spine.join(bucketed, Seq(key, "bucket"), "left_outer")
+    val w = Window.partitionBy(col(key)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fill.foldLeft(joined) { (d, c) =>
+      d.withColumn(s"${c}_filled", last(col(c), ignoreNulls = true).over(w))
+    }
+  }
+}

@@ -86,13 +86,43 @@ object Windows {
       "event_id")
   }
 
+  /** W10: per-user daily resample with gap rows + forward fill
+    * (`operators.TimeSeries.gapFillFfill`) — every user gets one row
+    * per day of their own active span; empty days carry ct=0 and the
+    * last seen daily sum. */
+  def w10GapFill(s: SparkSession, d: String): DataFrame = {
+    val filled = graft.operators.TimeSeries.gapFillFfill(
+      events(s, d), "user_id", "ts", step = "day",
+      aggs = Seq("ct" -> count(lit(1)), "val_sum" -> decSum(col("value"))),
+      fill = Seq("val_sum"))
+    ordered(
+      filled.select(col("user_id"), stamp(col("bucket")).as("bucket"),
+        coalesce(col("ct"), lit(0L)).as("ct"), col("val_sum"),
+        col("val_sum_filled")),
+      "user_id", "bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w10_gapfill"       -> (w10GapFill _),
     "w6_session_window" -> (w6SessionWindow _),
     "w7_sliding_window" -> (w7SlidingWindow _),
     "w8_topn"           -> (w8TopN _),
     "w9_running"        -> (w9Running _))
 
   val oracle: Map[String, String] = Map(
+    "w10_gapfill" ->
+      """WITH b AS (SELECT user_id, date_trunc('day', ts) AS bucket, count(*) AS ct,
+        |             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        |           FROM events GROUP BY 1, 2),
+        |sp AS (SELECT user_id, unnest(generate_series(min(bucket), max(bucket), INTERVAL 1 DAY)) AS bucket
+        |       FROM b GROUP BY 1),
+        |j AS (SELECT sp.user_id, sp.bucket, b.ct, b.val_sum
+        |      FROM sp LEFT JOIN b ON sp.user_id = b.user_id AND sp.bucket = b.bucket)
+        |SELECT user_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  coalesce(ct, 0) AS ct, val_sum,
+        |  last_value(val_sum IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS val_sum_filled
+        |FROM j ORDER BY user_id, bucket""".stripMargin,
     "w9_running" ->
       """SELECT event_id, user_id, epoch_us(ts) AS us,
         |  COUNT(*) OVER w AS run_ct,
