@@ -135,6 +135,21 @@ object Stats {
         coalesce(col("o_orderpriority"), lit("")))
   }
 
+  /** A6b: CUBE — A6 plus the column-marginal grouping sets (status-only
+    * totals AND priority-only totals AND the grand total in one Expand
+    * pass; same engine-independent null-order discipline). */
+  def a6bCube(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+    o.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("int").as("gid"), count(lit(1)).as("ct"),
+        sum(col("cents")).as("cents_sum"))
+      .select(col("gid"), col("o_orderstatus"), col("o_orderpriority"),
+        col("ct"), col("cents_sum"))
+      .orderBy(col("gid"), coalesce(col("o_orderstatus"), lit("")),
+        coalesce(col("o_orderpriority"), lit("")))
+  }
+
   /** A7: PIVOT — event counts per user × event type as columns (the
     * wide-table rendering of A5). Value list is explicit, so the plan is
     * a single hash-agg with one conditional-count column per type — no
@@ -363,6 +378,7 @@ object Stats {
     "a4_keyword_stats"  -> (a4KeywordStats _),
     "a5_distinct_sets"  -> (a5DistinctSets _),
     "a6_rollup"         -> (a6Rollup _),
+    "a6b_cube"          -> (a6bCube _),
     "a7_pivot"          -> (a7Pivot _),
     "a8_percentiles"    -> (a8Percentiles _),
     "a8_percentiles_approx" -> (a8PercentilesApprox _),
@@ -440,6 +456,13 @@ object Stats {
     "a5_distinct_sets" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS uv_ct, COUNT(*) AS pv_ct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a6b_cube" ->
+      """SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+        |  o_orderstatus, o_orderpriority, COUNT(*) AS ct,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, COALESCE(o_orderstatus, ''), COALESCE(o_orderpriority, '')""".stripMargin,
     "a6_rollup" ->
       """SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
         |  o_orderstatus, o_orderpriority, COUNT(*) AS ct,
