@@ -187,10 +187,13 @@ object Joins {
     * more, uniformly loaded, partitions per hot key — and produces
     * EXACTLY the rows of the plain join (each probe row still meets each
     * matching build row exactly once, against its own salt replica).
-    * Salt assignment hashes the probe row's other columns (xxhash64 —
-    * deterministic per row content, cheap, and uniform even when one key
-    * dominates); which bucket a row lands in never affects the result
-    * set, only the load balance.
+    * Salt assignment hashes the probe row's non-key columns MIXED with
+    * `spark_partition_id()`: a value-only hash would send byte-identical
+    * duplicate rows (the common real skew) all to one bucket, defeating
+    * the spread, while the source partition id separates them and stays
+    * replay-deterministic (a task retry re-reads the same input split).
+    * Which bucket a row lands in never affects the result set, only the
+    * load balance.
     *
     * Cost: build side ×`buckets` (keep `buckets` small — 8-32 — and the
     * build side the SMALL side; at that size AQE usually broadcasts the
@@ -208,7 +211,7 @@ object Joins {
       s"saltedJoin supports inner/left joins (probe side preserved), got $joinType")
     val nonKey = probe.columns.toSeq.filterNot(keys.contains)
     val salted = probe.withColumn("__salt",
-      pmod(xxhash64(nonKey.map(col): _*), lit(buckets)).cast("int"))
+      pmod(hash(nonKey.map(col) :+ spark_partition_id(): _*), lit(buckets)).cast("int"))
     val replicated = build.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")

@@ -32,17 +32,11 @@ object Salt {
       .agg(finalAggs.head, finalAggs.tail: _*)
   }
 
-  /** Salted broadcast-free join for a skewed key: the big side gets a
-    * row-hash salt in [0, buckets); the small side is replicated once per
-    * bucket (explode), so each (key, salt) pair co-locates. Use when the
-    * small side is too big to broadcast but the join key is hot.
-    */
+  /** Salted broadcast-free join for a skewed key — delegates to the
+    * full operator (`operators.Joins.saltedJoin`: multi-key, inner/left,
+    * the same partition-id-mixed salt). Kept as the historical
+    * single-key entry point. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-                 buckets: Int): DataFrame = {
-    val saltedBig = big.withColumn("__salt",
-      pmod(hash(big.columns.toIndexedSeq.map(col) :+ spark_partition_id(): _*), lit(buckets)))
-    val replicated = small.withColumn("__salt",
-      explode(sequence(lit(0), lit(buckets - 1))))
-    saltedBig.join(replicated, Seq(key, "__salt")).drop("__salt")
-  }
+                 buckets: Int): DataFrame =
+    graft.operators.Joins.saltedJoin(big, small, Seq(key), buckets)
 }
