@@ -368,7 +368,30 @@ object Stats {
       "col_name")
   }
 
+  /** A12: winsorized (outlier-clipped) robust mean — values clipped to
+    * the exact per-group [p25, p75] band before a decimal-exact mean.
+    * The quartile cut rows broadcast back onto the fact scan, so the
+    * clip is map-side; quartiles of integer quantities at dyadic
+    * fractions interpolate to exact quarter-decimals, keeping the
+    * decimal accumulator (and the DuckDB oracle) bit-exact. At 100 TB
+    * the cuts swap to `approx_percentile` exactly as A8 documents. */
+  def a12Winsorized(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(col("l_returnflag"), col("l_quantity"))
+    val cuts = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, array(0.25D, 0.75D))").as("q"))
+    ordered(
+      li.join(broadcast(cuts), "l_returnflag")
+        .withColumn("clipped",
+          greatest(least(col("l_quantity"), col("q")(1)), col("q")(0)))
+        .groupBy(col("l_returnflag"))
+        .agg(decAvg(col("clipped")).as("wins_mean"),
+          decAvg(col("l_quantity")).as("raw_mean"),
+          count(lit(1)).as("ct")),
+      "l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a12_winsorized"    -> (a12Winsorized _),
     "a11_profile"       -> (a11Profile _),
     "a10_sketch_cube"   -> (a10SketchCube _),
     "a9_heavy_hitters"  -> (a9HeavyHitters _),
@@ -400,6 +423,17 @@ object Stats {
       |GROUP BY fs.cohort_day, 2 ORDER BY cohort_day, day_offset""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "a12_winsorized" ->
+      """WITH c AS (SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS q1, quantile_cont(l_quantity, 0.75) AS q3
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag,
+        |  CAST(SUM(CAST(greatest(least(l.l_quantity, c.q3), c.q1) AS DECIMAL(18,2))) AS DOUBLE)
+        |    / COUNT(*) AS wins_mean,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS raw_mean,
+        |  COUNT(*) AS ct
+        |FROM lineitem l JOIN c ON l.l_returnflag = c.l_returnflag
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "a11_profile" ->
       """SELECT 'o_custkey' AS col_name, count(o_custkey) AS non_null_ct,
         |  count(*) - count(o_custkey) AS null_ct,

@@ -202,7 +202,9 @@ class JoinsSpec extends SparkSpec {
       (1L, "hot", 10.0), (2L, "hot", 20.0), (3L, "hot", 30.0),
       (4L, "cold", 40.0), (5L, "none", 50.0) // no dim row -> inner drops, left keeps null
     ).toDF("id", "k", "v")
-    val build = Seq(("hot", 100L), ("cold", 200L)).toDF("k", "tag")
+    // duplicate build keys: every probe row must meet BOTH 'hot' rows
+    // exactly once (fan-out multiplicity preserved through the salt)
+    val build = Seq(("hot", 100L), ("hot", 101L), ("cold", 200L)).toDF("k", "tag")
     for (jt <- Seq("inner", "left")) {
       val got = Joins.saltedJoin(probe, build, Seq("k"), buckets = 4, joinType = jt)
         .select("id", "tag").collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.toString))).toList.sorted
