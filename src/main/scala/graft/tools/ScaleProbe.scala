@@ -90,7 +90,8 @@ object ScaleProbe {
       "j9_salted_join", "a9_heavy_hitters", "x_dedup_lines",
       "x_zorder_key", "a10_sketch_cube", "j10_bloom_semi", "a11_profile",
       "j7_asof_fwd", "j7_asof_tol", "j7_asof_near", "x_bpe_pairs",
-      "x_corpus_refine", "w10_gapfill", "w9_running")
+      "x_corpus_refine", "w10_gapfill", "w9_running", "a12_winsorized",
+      "a6b_cube")
     // x_dedup_simhash is deliberately NOT probed: the text salt makes
     // replicas distinct under shingle-Jaccard but NOT under
     // distinct-token SimHash (one spliced token flips only near-tie
