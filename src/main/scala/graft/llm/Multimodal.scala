@@ -43,6 +43,33 @@ object Multimodal {
     (len, mean)
   }
 
+  /** Uniform FRAME SAMPLING over a timed payload — the video half of
+    * the multimodal plumbing. Sample timestamps are pure metadata
+    * arithmetic (duration = chars × msPerChar stands in for the
+    * demuxer's duration field), and each emitted frame carries ONLY its
+    * own slice of the payload: the explode fans out the tiny
+    * (idx, ts) pairs, never the full blob, and the slice happens on the
+    * local row before any shuffle — the shape that matters when frames
+    * come from multi-GB videos. A real deployment swaps the substring
+    * for the codec's seek+decode at `ts_ms`; everything else stands. */
+  def sampleFrames(docs: DataFrame, everyMs: Long = 1000L,
+                   frameChars: Int = 32, msPerChar: Long = 40L): DataFrame = {
+    require(everyMs > 0 && frameChars > 0 && msPerChar > 0)
+    val dur = (length(col("text")).cast("long") * msPerChar).as("dur")
+    // Generate and the slicing Project fuse inside one codegen stage, so
+    // carrying `text` through the explode never materializes a copy per
+    // frame — each output row reads the parent buffer and emits only its
+    // substring. No join, no shuffle.
+    docs.select(col("doc_id"), col("text"), dur)
+      .select(col("doc_id"), col("text"), explode(sequence(lit(0L),
+        floor((col("dur") - 1) / lit(everyMs)).cast("long"))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * everyMs).as("ts_ms"),
+        col("text").substr(
+          ((col("frame_idx") * everyMs) / lit(msPerChar)).cast("long") + 1,
+          lit(frameChars)).as("frame"))
+  }
+
   /** Batched per-partition feature extraction over the binary column —
     * the mapInPandas analog: no per-row task overhead, payload bytes stay
     * partition-local. */

@@ -573,6 +573,15 @@ object LlmOps {
       Multimodal.extractFeatures(s, Multimodal.withPayload(documents(s, d))).toDF(),
       "doc_id")
 
+  /** Frame sampling at 1 fps over the chars-as-milliseconds payload —
+    * timestamps by metadata arithmetic, each frame row carrying only
+    * its own 32-char slice (the video half of the multimodal
+    * plumbing). */
+  def xFrameSample(s: SparkSession, d: String): DataFrame =
+    ordered(
+      Multimodal.sampleFrames(documents(s, d)),
+      "doc_id", "frame_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_text_tokens"       -> (xTextTokens _),
     "x_text_quality"      -> (xTextQuality _),
@@ -617,7 +626,8 @@ object LlmOps {
     "x_ann_quantized"     -> (xAnnQuantized _),
     "x_corpus_pipeline"   -> (xCorpusPipeline _),
     "x_corpus_assembly"   -> (xCorpusAssembly _),
-    "x_multimodal"        -> (xMultimodal _))
+    "x_multimodal"        -> (xMultimodal _),
+    "x_frame_sample"      -> (xFrameSample _))
 
   private val toksSql =
     "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
@@ -1324,6 +1334,14 @@ object LlmOps {
         |      PARTITION BY CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents) ORDER BY doc_id""".stripMargin,
+    "x_frame_sample" ->
+      """WITH m AS (SELECT doc_id, text, length(text) * 40 AS duration_ms FROM documents),
+        |f AS (SELECT doc_id, text,
+        |        unnest(range(0, (duration_ms - 1) // 1000 + 1)) AS frame_idx
+        |      FROM m)
+        |SELECT doc_id, frame_idx, frame_idx * 1000 AS ts_ms,
+        |  substr(text, CAST((frame_idx * 1000) // 40 AS BIGINT) + 1, 32) AS frame
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "x_multimodal" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

@@ -546,6 +546,22 @@ class LlmSpec extends SparkSpec {
       s"corpus must not shuffle for the stats broadcast:\n$plan")
   }
 
+  test("frame sampling: correct slices, last-frame coverage, and a single no-shuffle stage") {
+    import spark.implicits._
+    val docs = Seq((1L, "a" * 50), (2L, "b" * 25)).toDF("doc_id", "text")
+    // 50 chars * 40ms = 2000ms -> frames at 0 and 1000ms; 25 chars -> 1000ms -> frame 0 only
+    val got = Multimodal.sampleFrames(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(got == Set(
+      (1L, 0L, 0L, "a" * 32), (1L, 1L, 1000L, "a" * 25), // frame 1 starts at char 25
+      (2L, 0L, 0L, "b" * 25)), s"got $got")
+    val plan = Multimodal.sampleFrames(graft.Tables.documents(spark, sf("sf0.001")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"frame sampling must be one map-side stage:\n$plan")
+    assert(plan.contains("Generate"), "expected the explode fan-out")
+  }
+
   test("compression ratio orders repetitive below diverse text and stays codegen'd") {
     import spark.implicits._
     val df = spark.range(0, 1).select(
