@@ -91,7 +91,7 @@ object ScaleProbe {
       "x_zorder_key", "a10_sketch_cube", "j10_bloom_semi", "a11_profile",
       "j7_asof_fwd", "j7_asof_tol", "j7_asof_near", "x_bpe_pairs",
       "x_corpus_refine", "w10_gapfill", "w9_running", "a12_winsorized",
-      "a6b_cube")
+      "a6b_cube", "x_frame_sample")
     // x_dedup_simhash is deliberately NOT probed: the text salt makes
     // replicas distinct under shingle-Jaccard but NOT under
     // distinct-token SimHash (one spliced token flips only near-tie
