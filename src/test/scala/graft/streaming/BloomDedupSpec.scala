@@ -24,6 +24,35 @@ class BloomDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bloom state survives a checkpoint restart: a dup from before the outage stays dropped") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("bloomrec").toString
+    Files.createDirectories(Paths.get(s"$dir/in"))
+    def start() = dedupStream(
+      spark.readStream.schema("docId LONG, hash LONG").json(s"$dir/in").as[Doc],
+      buckets = 4, expectedPerBucket = 1000)
+      .writeStream.format("parquet").option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+
+    val q1 = start()
+    try {
+      Files.writeString(Paths.get(s"$dir/in/b1.json"),
+        """{"docId":1,"hash":100}""" + "\n" + """{"docId":2,"hash":200}""")
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // while the query is DOWN: a duplicate of hash 100 and a fresh hash
+    Files.writeString(Paths.get(s"$dir/in/b2.json"),
+      """{"docId":3,"hash":100}""" + "\n" + """{"docId":4,"hash":300}""")
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/out").as[Doc].collect().map(_.docId).toSet
+      assert(got == Set(1L, 2L, 4L),
+        s"recovered filter must still drop the pre-outage hash: $got")
+    } finally q2.stop()
+  }
+
   test("no duplicate hash is ever emitted twice; unique survival stays near 1-fpp") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
