@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * count rides in the gate query's oracle-pinned tolerance boolean
   * instead of the operator (X45 pattern).
   */
-object Profile {
+object TableStats {
 
   /** Long-format numeric profile: one row per requested column with
     * null/non-null counts, min/max (as double), and the HLL distinct

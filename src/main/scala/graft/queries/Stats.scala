@@ -351,7 +351,7 @@ object Stats {
     * boolean to the oracle. */
   def a11Profile(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d)
-    val profiled = graft.operators.Profile.profileNumeric(
+    val profiled = graft.operators.TableStats.profileNumeric(
       o, Seq("o_custkey", "o_totalprice"))
     val exact = o.select(
       countDistinct(col("o_custkey")).as("o_custkey"),

@@ -3,14 +3,14 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
-class ProfileSpec extends SparkSpec {
+class TableStatsSpec extends SparkSpec {
 
   test("profileNumeric matches hand-computed stats, including a column with nulls") {
     import spark.implicits._
     val df = Seq[(java.lang.Long, java.lang.Double)](
       (1L, 10.5), (2L, null), (3L, -4.0), (null, 2.25), (3L, 10.5)
     ).toDF("a", "b")
-    val got = Profile.profileNumeric(df, Seq("a", "b"))
+    val got = TableStats.profileNumeric(df, Seq("a", "b"))
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))).toMap
     assert(got("a") == ((4L, 1L, 1.0, 3.0, 3L)), s"a: ${got("a")}")
@@ -19,7 +19,7 @@ class ProfileSpec extends SparkSpec {
 
   test("profile is ONE job over ONE scan — a single aggregate, no per-column re-scan") {
     val o = graft.Tables.orders(spark, sf("sf0.001"))
-    val df = Profile.profileNumeric(o, Seq("o_orderkey", "o_custkey", "o_totalprice"))
+    val df = TableStats.profileNumeric(o, Seq("o_orderkey", "o_custkey", "o_totalprice"))
     val plan = df.queryExecution.executedPlan.toString
     // exactly one parquet scan feeds the whole profile
     val scans = plan.linesIterator.count(_.contains("FileScan"))
