@@ -329,7 +329,12 @@ object Relational {
     val hot = orders(s, d).filter(col("o_totalprice") > 400000.0)
       .select(col("o_orderkey"))
     ordered(
-      graft.operators.BloomPrune.bloomSemiJoin(li, hot, "l_orderkey", "o_orderkey")
+      // expectedItems sized to the build side (high-value orders are a
+      // few % of the table at any SF here): the filter's bit array is
+      // ITS OWN partial-buffer size, so an oversized default ships
+      // megabytes per partition through the one-row aggregate
+      graft.operators.BloomPrune.bloomSemiJoin(li, hot, "l_orderkey", "o_orderkey",
+        expectedItems = 65536L)
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("ct")),
       "l_returnflag")
   }
