@@ -342,7 +342,7 @@ object Stats {
       "event_type")
   }
 
-  /** A11: one-pass numeric table profile (`operators.Profile`) — every
+  /** A11: one-pass numeric table profile (`operators.TableStats`) — every
     * column's null/min/max/distinct statistics from ONE scan and ONE
     * aggregate (per-column profiling jobs re-scan the table per column,
     * the anti-pattern at 100 TB). Distinct counts are HLL estimates
