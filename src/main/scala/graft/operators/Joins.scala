@@ -174,6 +174,41 @@ object Joins {
       .drop("__bin")
   }
 
+  /** RANGE-OVERLAP JOIN: pairs of intervals that overlap —
+    * `a.lo < b.hi AND b.lo < a.hi` (half-open) — the sessions-overlap /
+    * genomics / booking-conflict shape, where BOTH sides are ranges
+    * (`rangeJoinBinned` above is the point-in-range case).
+    *
+    * Same bin mapping: both sides explode to the integer bins they
+    * cover and equi-join on bin. Overlapping intervals share at least
+    * one bin, but usually SEVERAL — instead of a `distinct` shuffle to
+    * dedupe multi-bin pairs, each pair is emitted exactly once by
+    * keeping only the FIRST shared bin: for contiguous bin ranges
+    * that is `max(bin(a.lo), bin(b.lo))`, a map-side predicate. Work =
+    * Σ spans/binWidth on each side, shuffled on uniform bin keys; the
+    * exact predicate re-filters false bin-mates. Bounds must be
+    * integral (same contract as rangeJoinBinned). */
+  def rangeOverlapJoin(a: DataFrame, b: DataFrame,
+                       aLo: String, aHi: String, bLo: String, bHi: String,
+                       binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def fdiv(c: Column) = {
+      val l = c.cast("long")
+      SparkInternals.column(IntegralDivide(
+        SparkInternals.expression(l - pmod(l, lit(binWidth))),
+        SparkInternals.expression(lit(binWidth))))
+    }
+    val aB = a.select(col("*"),
+      explode(sequence(fdiv(col(aLo)), fdiv(col(aHi).cast("long") - 1))).as("__bin"))
+    val bB = b.select(col("*"),
+      explode(sequence(fdiv(col(bLo)), fdiv(col(bHi).cast("long") - 1))).as("__bin"))
+    aB.join(bB, Seq("__bin"))
+      .filter(col(aLo) < col(bHi) && col(bLo) < col(aHi))
+      // first-shared-bin: emit each overlapping pair exactly once
+      .filter(col("__bin") === greatest(fdiv(col(aLo)), fdiv(col(bLo))))
+      .drop("__bin")
+  }
+
   /** SKEW-SALTED JOIN: equi-join where a handful of hot keys would
     * otherwise send most of the probe side through a handful of reducer
     * tasks (the classic "5 event types, 100 TB of events" shape — AQE's

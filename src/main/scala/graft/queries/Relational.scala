@@ -318,6 +318,26 @@ object Relational {
       "event_type")
   }
 
+  /** J11: range-OVERLAP join — orders as price intervals
+    * [cents, cents+10000): every pair of orders whose intervals overlap
+    * (k1 < k2 halves the symmetric pairs). Both sides are ranges, so
+    * this is `operators.Joins.rangeOverlapJoin`: bins on both sides,
+    * one equi-join, each pair emitted exactly once via the
+    * first-shared-bin predicate — no distinct, no nested loop. */
+  def j11OverlapJoin(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+    val a = o.select(col("o_orderkey").as("k1"), col("cents").as("lo1"),
+      (col("cents") + 10000L).as("hi1"))
+    val b = o.select(col("o_orderkey").as("k2"), col("cents").as("lo2"),
+      (col("cents") + 10000L).as("hi2"))
+    ordered(
+      graft.operators.Joins.rangeOverlapJoin(a, b, "lo1", "hi1", "lo2", "hi2", 10000L)
+        .filter(col("k1") < col("k2"))
+        .select(col("k1"), col("k2")),
+      "k1", "k2")
+  }
+
   /** J10: bloom-pruned semi join — lineitems of high-value orders. The
     * build key set (orders > 400k) compresses into a Bloom filter that
     * drops ~98% of non-matching lineitems BEFORE the semi-join's
@@ -341,6 +361,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j10_bloom_semi"   -> (j10BloomSemi _),
+    "j11_overlap_join" -> (j11OverlapJoin _),
     "j9_salted_join"   -> (j9SaltedJoin _),
     "j6_semi_anti"     -> (j6SemiAnti _),
     "j7_asof_join"     -> (j7AsofJoin _),
@@ -406,6 +427,12 @@ object Relational {
         |       ELSE epoch_us(p.ts) - epoch_us(f.cts) END AS gap_us
         |FROM p JOIN b ON p.event_id = b.event_id JOIN f ON p.event_id = f.event_id
         |ORDER BY p.event_id""".stripMargin,
+    "j11_overlap_join" ->
+      """WITH o AS (SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS lo,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) + 10000 AS hi FROM orders)
+        |SELECT a.k AS k1, b.k AS k2
+        |FROM o a JOIN o b ON a.lo < b.hi AND b.lo < a.hi AND a.k < b.k
+        |ORDER BY k1, k2""".stripMargin,
     "j10_bloom_semi" ->
       """SELECT l_returnflag, count(*) AS ct FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)

@@ -196,6 +196,28 @@ class JoinsSpec extends SparkSpec {
       s"tolerance: $tol")
   }
 
+  test("rangeOverlapJoin equals the theta join, one emission per pair, no nested loop") {
+    import spark.implicits._
+    val o = graft.Tables.orders(spark, sf("sf0.001"))
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+    val a = o.select(col("o_orderkey").as("k1"), col("cents").as("lo1"),
+      (col("cents") + 10000L).as("hi1"))
+    val b = o.select(col("o_orderkey").as("k2"), col("cents").as("lo2"),
+      (col("cents") + 10000L).as("hi2"))
+    val got = Joins.rangeOverlapJoin(a, b, "lo1", "hi1", "lo2", "hi2", 10000L)
+      .filter(col("k1") < col("k2"))
+    val gotPairs = got.select("k1", "k2").as[(Long, Long)].collect()
+    val want = a.join(b, col("lo1") < col("hi2") && col("lo2") < col("hi1") &&
+        col("k1") < col("k2"))
+      .select("k1", "k2").as[(Long, Long)].collect().toSet
+    // exactly-once: list equality against the set proves no multi-bin dupes
+    assert(gotPairs.length == want.size && gotPairs.toSet == want && want.nonEmpty,
+      s"${gotPairs.length} emissions vs ${want.size} pairs")
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"overlap join must stay an equi-join:\n$plan")
+  }
+
   test("saltedJoin equals the plain join row-for-row (inner and left), multiplicity intact") {
     import spark.implicits._
     val probe = Seq(
