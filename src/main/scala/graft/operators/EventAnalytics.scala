@@ -116,4 +116,40 @@ object EventAnalytics {
         datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
       .agg(countDistinct(u).as("users"))
   }
+
+  /** PATH TRANSITIONS: the Markov transition matrix over each user's
+    * time-ordered event sequence — "after a `view`, what happens next,
+    * and how often?" — the page-flow / Sankey query behind the
+    * reference's visitor-journey layer (`UserJumpDetailApp` is the
+    * `prev → nothing` diagonal of exactly this matrix). Each user's
+    * first event transitions from the synthetic `_start` state, so
+    * entry-point distribution falls out of the same matrix.
+    *
+    * Output: (prev_type, next_type, ct, prob_ppm) — `prob_ppm` is the
+    * row-conditional transition probability in parts-per-million as an
+    * INTEGER (`ct * 1e6 div prev_total`): exact in int64, so the gate
+    * hash never depends on float division or rounding mode.
+    *
+    * Plan shape: ONE shuffle — the per-user lag sorts (user, ts, tie)
+    * within hash(user) partitions — then a hash-agg whose output is
+    * bounded by |types|² regardless of input size (partials collapse
+    * map-side), and a Window over that tiny aggregate for the per-prev
+    * totals. The tie column makes same-timestamp ordering deterministic;
+    * at 100 TB the sort is the standard lag cost and nothing else grows
+    * beyond |types|². */
+  def pathTransitions(events: DataFrame, userCol: String, timeCol: String,
+                      typeCol: String, tieCol: String,
+                      startState: String = "_start"): DataFrame = {
+    val perUser = Window.partitionBy(col(userCol))
+      .orderBy(col(timeCol), col(tieCol))
+    val pairs = events
+      .select(col(userCol), col(timeCol), col(tieCol), col(typeCol))
+      .withColumn("prev_type", lag(col(typeCol), 1, startState).over(perUser))
+      .groupBy(col("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("ct"))
+    pairs
+      .withColumn("prev_total", sum(col("ct")).over(Window.partitionBy(col("prev_type"))))
+      .withColumn("prob_ppm", expr("ct * 1000000L div prev_total"))
+      .drop("prev_total")
+  }
 }

@@ -275,6 +275,18 @@ object Stats {
       "cohort_day", "day_offset")
   }
 
+  /** E3: page-flow transition matrix (`operators.EventAnalytics
+    * .pathTransitions`) — per-user lag over (ts, event_id), counts and
+    * integer-ppm conditional probabilities per (prev, next) pair,
+    * `_start` rows giving the entry distribution. One user-keyed
+    * shuffle; everything after is |types|²-bounded. */
+  def e3PathTransitions(s: SparkSession, d: String): DataFrame = {
+    ordered(
+      graft.operators.EventAnalytics.pathTransitions(
+        events(s, d), "user_id", "ts", "event_type", "event_id"),
+      "prev_type", "next_type")
+  }
+
   /** E2-stream: the SAME retention triangle through
     * `streaming.RetentionStream.retentionHits`' code path run in batch
     * mode (each per-user group sees the full history, so the anchor is
@@ -407,6 +419,7 @@ object Stats {
     "a8_percentiles_approx" -> (a8PercentilesApprox _),
     "e1_funnel"         -> (e1Funnel _),
     "e2_retention"      -> (e2Retention _),
+    "e3_path_transitions" -> (e3PathTransitions _),
     "e2_retention_approx" -> (e2RetentionApprox _),
     "e2_retention_stream" -> (e2RetentionStream _))
 
@@ -543,6 +556,16 @@ object Stats {
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
     "e2_retention" -> retentionOracle,
+    "e3_path_transitions" ->
+      """WITH seq AS (SELECT event_type AS next_type,
+        |  lag(event_type, 1, '_start')
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |m AS (SELECT prev_type, next_type, COUNT(*) AS ct
+        |      FROM seq GROUP BY 1, 2)
+        |SELECT prev_type, next_type, ct,
+        |  CAST(ct * 1000000 // SUM(ct) OVER (PARTITION BY prev_type) AS BIGINT) AS prob_ppm
+        |FROM m ORDER BY prev_type, next_type""".stripMargin,
     "e2_retention_stream" -> retentionOracle,
     "e2_retention_approx" ->
       """WITH fs AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort_day

@@ -102,6 +102,25 @@ class EventAnalyticsSpec extends SparkSpec {
       ("1970-01-02", 0L, 1L)), s"unexpected triangle: $got")
   }
 
+  test("pathTransitions: hand matrix, _start entries, ppm rows sum per prev, ts tie broken by id") {
+    val events = ev(Seq(
+      // user 1: view -> click -> click
+      (1L, 1L, "view", 100L), (2L, 1L, "click", 200L), (3L, 1L, "click", 300L),
+      // user 2: view -> buy
+      (4L, 2L, "view", 10L), (5L, 2L, "buy", 20L),
+      // user 3: equal timestamps — order must follow event_id, so
+      // view(6) precedes click(7): _start->view, view->click
+      (6L, 3L, "view", 50L), (7L, 3L, "click", 50L)
+    ))
+    val got = EventAnalytics.pathTransitions(events, "user_id", "ts", "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      ("_start", "view", 3L, 1000000L),
+      ("view", "click", 2L, 666666L),
+      ("view", "buy", 1L, 333333L),
+      ("click", "click", 1L, 1000000L)), s"unexpected matrix: $got")
+  }
+
   test("weightedSample: w=1 keeps all, w=0 keeps none, HT weight exact") {
     import spark.implicits._
     val docs = (1L to 200L).toDF("doc_id")
