@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{SimhashAgg, TextExpressions, Tokenize, TopKAgg, VectorExpressions}
+import graft.functions.{SimhashAgg, SketchAgg, TextExpressions, Tokenize, TopKAgg, VectorExpressions}
 
 /** SparkSessionExtensions entry point: registers every custom Catalyst
   * function this library ships, so any session — including plain
@@ -63,5 +63,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(k > 0, "top_k_agg: k must be a positive integer literal")
       TopKAgg.coerced(es.head, es(1), k).toAggregateExpression()
     })
+    // theta / KLL sketch surface (functions.SketchAgg); size params must
+    // be integer literals — they shape the aggregation buffer
+    def intLit(e: Expression, fn: String): Int = e.eval(null) match {
+      case n: java.lang.Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: size parameter must be an integer literal, got $other")
+    }
+    inject("theta_sketch_agg", { es =>
+      require(es.length == 2, "theta_sketch_agg(col, lgK) takes exactly 2 arguments")
+      SketchAgg.ThetaSketchAgg(es.head, intLit(es(1), "theta_sketch_agg"))
+        .toAggregateExpression()
+    })
+    inject("theta_union_agg", { es =>
+      require(es.length == 2, "theta_union_agg(sketch, lgK) takes exactly 2 arguments")
+      SketchAgg.ThetaUnionAgg(es.head, intLit(es(1), "theta_union_agg"))
+        .toAggregateExpression()
+    })
+    inject("theta_intersect_agg",
+      es => SketchAgg.ThetaIntersectAgg(es.head).toAggregateExpression())
+    inject("theta_estimate", es => SketchAgg.ThetaEstimate(es.head))
+    inject("kll_sketch_agg", { es =>
+      require(es.length == 2, "kll_sketch_agg(col, k) takes exactly 2 arguments")
+      SketchAgg.KllDoublesAgg(es.head, intLit(es(1), "kll_sketch_agg"))
+        .toAggregateExpression()
+    })
+    inject("kll_merge_agg", { es =>
+      require(es.length == 2, "kll_merge_agg(sketch, k) takes exactly 2 arguments")
+      SketchAgg.KllMergeAgg(es.head, intLit(es(1), "kll_merge_agg"))
+        .toAggregateExpression()
+    })
+    inject("kll_quantile", es => SketchAgg.KllQuantile(es.head, es(1)))
   }
 }

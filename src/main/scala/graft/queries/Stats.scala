@@ -380,6 +380,75 @@ object Stats {
       "col_name")
   }
 
+  /** A13: theta-sketch segment overlap — the set-INTERSECTION question
+    * HLL sketches structurally cannot answer: "distinct users who did
+    * BOTH A and B", computed from already-built per-segment sketches
+    * (`functions.SketchAgg`), no rescan of the raw events and no
+    * pairwise INTERSECT shuffle. The cube pattern at 100 TB: store one
+    * theta sketch per segment cell once, then ANY overlap/union query
+    * across segments is sketch arithmetic on KB-sized states. The gate
+    * carries exact distinct counts beside the estimates and pins the
+    * a10-style tolerance boolean to the oracle; at gate SF the user
+    * domain is far below 2^12 nominal entries, so the sketches run in
+    * exact mode and the bound is trivially met. */
+  def a13ThetaSegments(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.SketchAgg._
+    val e = events(s, d).select(col("event_type"), col("user_id"))
+    val perType = e.groupBy(col("event_type"))
+      .agg(thetaSketch(col("user_id"), 12).as("sk"))
+    val perRows = e.groupBy(col("event_type").as("segment"))
+      .agg(countDistinct(col("user_id")).as("users"))
+      .join(perType.select(col("event_type").as("segment"),
+        thetaEstimate(col("sk")).as("approx")), "segment")
+    val interEst = perType.filter(col("event_type").isin("view", "purchase"))
+      .agg(thetaEstimate(thetaIntersect(col("sk"))).as("approx"))
+    val interExact = e.filter(col("event_type") === "view")
+      .select(col("user_id")).distinct()
+      .join(e.filter(col("event_type") === "purchase")
+        .select(col("user_id")).distinct(), "user_id")
+      .agg(count(lit(1)).as("users"))
+    ordered(
+      perRows.select(col("segment"), col("users"), col("approx"))
+        .unionByName(interExact.crossJoin(interEst)
+          .select(lit("view&purchase").as("segment"), col("users"), col("approx")))
+        .select(col("segment"), col("users"),
+          (abs(col("approx") - col("users")) <=
+            greatest(lit(4L), ceil(col("users") * 0.05).cast("long"))).as("users_in_tol")),
+      "segment")
+  }
+
+  /** A14: KLL mergeable-quantile cube — `approx_percentile` emits a
+    * finished number, so a percentile cube re-scans raw data per rollup
+    * level; the KLL sketch is the mergeable state (store per-cell,
+    * merge along any axis, query any rank). Partials per (returnflag,
+    * linestatus) merge to per-returnflag medians. The estimate is
+    * sampling-based (not run-deterministic once compaction starts), so
+    * the gate pins the a-priori RANK-error bound, not the value: the
+    * merged median's exact rank must sit in 0.5 ± 0.05 (k=400 bounds
+    * rank error at ~1%, 5× margin), carried as an oracle-pinned
+    * boolean beside the exact percentile. */
+  def a14KllCube(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.SketchAgg._
+    val li = lineitem(s, d).select(col("l_returnflag"), col("l_linestatus"),
+      col("l_quantity").cast("double").as("q"))
+    val rolled = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(kllSketch(col("q"), 400).as("sk"))
+      .groupBy(col("l_returnflag"))
+      .agg(kllQuantile(kllMerge(col("sk"), 400), lit(0.5)).as("est"))
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(q, 0.5D)").as("p50"), count(lit(1)).as("ct"))
+    // exact rank of the estimate, tie-aware: [rank of <, rank of <=]
+    val ranks = li.join(broadcast(rolled), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg((sum(when(col("q") < col("est"), 1L).otherwise(0L)) / count(lit(1))).as("rank_lo"),
+        (sum(when(col("q") <= col("est"), 1L).otherwise(0L)) / count(lit(1))).as("rank_hi"))
+    ordered(
+      exact.join(ranks, "l_returnflag")
+        .select(col("l_returnflag"), col("p50"), col("ct"),
+          (col("rank_lo") <= 0.55 && col("rank_hi") >= 0.45).as("p50_rank_in_tol")),
+      "l_returnflag")
+  }
+
   /** A12: winsorized (outlier-clipped) robust mean — values clipped to
     * the exact per-group [p25, p75] band before a decimal-exact mean.
     * The quartile cut rows broadcast back onto the fact scan, so the
@@ -404,6 +473,8 @@ object Stats {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a12_winsorized"    -> (a12Winsorized _),
+    "a13_theta_segments" -> (a13ThetaSegments _),
+    "a14_kll_cube"      -> (a14KllCube _),
     "a11_profile"       -> (a11Profile _),
     "a10_sketch_cube"   -> (a10SketchCube _),
     "a9_heavy_hitters"  -> (a9HeavyHitters _),
@@ -447,6 +518,20 @@ object Stats {
         |  COUNT(*) AS ct
         |FROM lineitem l JOIN c ON l.l_returnflag = c.l_returnflag
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a13_theta_segments" ->
+      """WITH per AS (SELECT event_type AS segment, count(DISTINCT user_id) AS users
+        |             FROM events GROUP BY 1),
+        |b AS (SELECT 'view&purchase' AS segment, count(*) AS users FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'view'
+        |  INTERSECT
+        |  SELECT user_id FROM events WHERE event_type = 'purchase'))
+        |SELECT segment, users, true AS users_in_tol FROM per
+        |UNION ALL SELECT segment, users, true FROM b
+        |ORDER BY segment""".stripMargin,
+    "a14_kll_cube" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50,
+        |  COUNT(*) AS ct, true AS p50_rank_in_tol
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "a11_profile" ->
       """SELECT 'o_custkey' AS col_name, count(o_custkey) AS non_null_ct,
         |  count(*) - count(o_custkey) AS null_ct,

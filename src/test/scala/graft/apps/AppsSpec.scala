@@ -152,6 +152,24 @@ class AppsSpec extends SparkSpec {
     val hh = ext.sql("SELECT freq_agg(k, 8) FROM VALUES (7L), (7L), (9L) AS t(k)")
       .head().getSeq[org.apache.spark.sql.Row](0)
     assert(hh.map(r => (r.getLong(0), r.getLong(1))) == Seq((7L, 2L), (9L, 1L)))
+    val th = ext.sql(
+      "SELECT theta_estimate(theta_sketch_agg(u, 12)) FROM VALUES (1L), (1L), (2L) AS t(u)")
+      .head().getDouble(0)
+    assert(th == 2.0)
+    val inter = ext.sql(
+      """SELECT theta_estimate(theta_intersect_agg(sk)) FROM (
+        |  SELECT theta_sketch_agg(u, 12) AS sk FROM VALUES (1L), (2L) AS a(u)
+        |  UNION ALL
+        |  SELECT theta_sketch_agg(u, 12) FROM VALUES (2L), (3L) AS b(u))""".stripMargin)
+      .head().getDouble(0)
+    assert(inter == 1.0)
+    val kq = ext.sql(
+      """SELECT kll_quantile(kll_merge_agg(sk, 200), 0.5D) FROM (
+        |  SELECT kll_sketch_agg(v, 200) AS sk FROM VALUES (1.0D), (2.0D) AS a(v)
+        |  UNION ALL
+        |  SELECT kll_sketch_agg(v, 200) FROM VALUES (3.0D) AS b(v))""".stripMargin)
+      .head().getDouble(0)
+    assert(kq == 2.0)
   }
 
   test("ProvinceStatsApp rolls order-wide rows by province with exact distinct orders") {

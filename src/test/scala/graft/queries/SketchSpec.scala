@@ -40,4 +40,64 @@ class SketchSpec extends SparkSpec {
     val exact = e.select(countDistinct(col("user_id"))).head().getLong(0)
     assert(exact > 0)
   }
+
+  test("theta intersection of per-segment sketches equals the exact set intersection") {
+    import spark.implicits._
+    import graft.functions.SketchAgg._
+    // segments with a known overlap: A = 1..600, B = 400..1000 -> |A∩B| = 201
+    val rows = ((1L to 600L).map(("A", _)) ++ (400L to 1000L).map(("B", _)))
+      .toDF("seg", "uid")
+    val perSeg = rows.groupBy(col("seg")).agg(thetaSketch(col("uid"), 12).as("sk"))
+    val est = perSeg.agg(thetaEstimate(thetaIntersect(col("sk"))).as("e"))
+      .head().getDouble(0)
+    // lgK=12 nominal entries exceed both set sizes: exact mode, estimate is exact
+    assert(est == 201.0, s"intersection estimate $est != 201")
+    // union face too: |A∪B| = 1000
+    val u = perSeg.agg(thetaEstimate(thetaUnion(col("sk"), 12)).as("e"))
+      .head().getDouble(0)
+    assert(u == 1000.0, s"union estimate $u != 1000")
+  }
+
+  test("theta: disjoint segments intersect to zero; rollup from stored partials matches one-shot") {
+    import spark.implicits._
+    import graft.functions.SketchAgg._
+    val rows = ((1L to 300L).map(("A", _)) ++ (1000L to 1200L).map(("B", _))).toDF("seg", "uid")
+    val perSeg = rows.groupBy(col("seg")).agg(thetaSketch(col("uid"), 12).as("sk"))
+    assert(perSeg.agg(thetaEstimate(thetaIntersect(col("sk")))).head().getDouble(0) == 0.0)
+    // partial layer unioned == sketch built one-shot over all rows
+    val viaPartials = perSeg.agg(thetaEstimate(thetaUnion(col("sk"), 12))).head().getDouble(0)
+    val oneShot = rows.agg(thetaEstimate(thetaSketch(col("uid"), 12))).head().getDouble(0)
+    assert(viaPartials == oneShot && viaPartials == 501.0)
+  }
+
+  test("kll: merged partials answer the median within the rank-error bound (tie-heavy input)") {
+    import spark.implicits._
+    import graft.functions.SketchAgg._
+    // 60k rows over 50 distinct values, skewed mass, split into 6 cells
+    val rows = (1 to 60000)
+      .map(i => (i % 6, ((i * 2654435761L) % 50 match {
+        case v if v < 0 => v + 50
+        case v => v
+      }).toDouble % 50 + (i % 7)))
+      .toDF("cell", "v")
+    val est = rows.groupBy(col("cell")).agg(kllSketch(col("v"), 400).as("sk"))
+      .agg(kllQuantile(kllMerge(col("sk"), 400), lit(0.5)).as("e")).head().getDouble(0)
+    val n = rows.count().toDouble
+    val below = rows.filter(col("v") < est).count() / n
+    val atOrBelow = rows.filter(col("v") <= est).count() / n
+    // k=400 bounds normalized rank error ~1%; assert the 3x margin
+    assert(below <= 0.53 && atOrBelow >= 0.47,
+      s"median rank interval [$below, $atOrBelow] outside 0.5±0.03")
+    // INCLUSIVE criteria: the answer is an actual input value
+    assert(rows.filter(col("v") === est).count() > 0)
+  }
+
+  test("kll_quantile of an empty sketch is null") {
+    import spark.implicits._
+    import graft.functions.SketchAgg._
+    val empty = Seq.empty[Double].toDF("v")
+      .agg(kllSketch(col("v"), 200).as("sk"))
+      .select(kllQuantile(col("sk"), lit(0.5)).as("q"))
+    assert(empty.head().isNullAt(0))
+  }
 }
