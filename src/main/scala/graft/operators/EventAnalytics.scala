@@ -136,18 +136,33 @@ object EventAnalytics {
     * map-side), and a Window over that tiny aggregate for the per-prev
     * totals. The tie column makes same-timestamp ordering deterministic;
     * at 100 TB the sort is the standard lag cost and nothing else grows
-    * beyond |types|². */
+    * beyond |types|².
+    *
+    * `sessionGapMs`: when set, a gap larger than it resets the chain —
+    * the next event transitions from `_start` again, making the matrix
+    * SESSION-scoped (a `view → view` pair twelve hours apart is two
+    * visits, not a transition). Requires `timeCol` to be a timestamp.
+    * Streaming face: `streaming.PathStream.transitions`, where the same
+    * gap doubles as the state TTL. */
   def pathTransitions(events: DataFrame, userCol: String, timeCol: String,
                       typeCol: String, tieCol: String,
-                      startState: String = "_start"): DataFrame = {
+                      startState: String = "_start",
+                      sessionGapMs: Option[Long] = None): DataFrame = {
     val perUser = Window.partitionBy(col(userCol))
       .orderBy(col(timeCol), col(tieCol))
-    val pairs = events
+    val lagged = events
       .select(col(userCol), col(timeCol), col(tieCol), col(typeCol))
-      .withColumn("prev_type", lag(col(typeCol), 1, startState).over(perUser))
-      .groupBy(col("prev_type"), col(typeCol).as("next_type"))
+      .withColumn("__pt", lag(col(typeCol), 1).over(perUser))
+      .withColumn("__pms", lag(unix_millis(col(timeCol)), 1).over(perUser))
+    val prev = sessionGapMs match {
+      case None => coalesce(col("__pt"), lit(startState))
+      case Some(gap) => when(col("__pt").isNull ||
+          unix_millis(col(timeCol)) - col("__pms") > gap, lit(startState))
+        .otherwise(col("__pt"))
+    }
+    lagged
+      .groupBy(prev.as("prev_type"), col(typeCol).as("next_type"))
       .agg(count(lit(1)).as("ct"))
-    pairs
       .withColumn("prev_total", sum(col("ct")).over(Window.partitionBy(col("prev_type"))))
       .withColumn("prob_ppm", expr("ct * 1000000L div prev_total"))
       .drop("prev_total")

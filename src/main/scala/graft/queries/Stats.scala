@@ -287,6 +287,19 @@ object Stats {
       "prev_type", "next_type")
   }
 
+  /** E3b: the same matrix SESSION-scoped — a >30 min gap resets the
+    * chain to `_start`, so cross-visit pairs stop counting as
+    * transitions and the `_start` row becomes per-session entry
+    * distribution. Streaming face: `streaming.PathStream` (state TTL =
+    * the same gap). */
+  def e3PathSessions(s: SparkSession, d: String): DataFrame = {
+    ordered(
+      graft.operators.EventAnalytics.pathTransitions(
+        events(s, d), "user_id", "ts", "event_type", "event_id",
+        sessionGapMs = Some(1800000L)),
+      "prev_type", "next_type")
+  }
+
   /** E2-stream: the SAME retention triangle through
     * `streaming.RetentionStream.retentionHits`' code path run in batch
     * mode (each per-user group sees the full history, so the anchor is
@@ -491,6 +504,7 @@ object Stats {
     "e1_funnel"         -> (e1Funnel _),
     "e2_retention"      -> (e2Retention _),
     "e3_path_transitions" -> (e3PathTransitions _),
+    "e3_path_sessions"  -> (e3PathSessions _),
     "e2_retention_approx" -> (e2RetentionApprox _),
     "e2_retention_stream" -> (e2RetentionStream _))
 
@@ -647,6 +661,17 @@ object Stats {
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
         |  FROM events),
         |m AS (SELECT prev_type, next_type, COUNT(*) AS ct
+        |      FROM seq GROUP BY 1, 2)
+        |SELECT prev_type, next_type, ct,
+        |  CAST(ct * 1000000 // SUM(ct) OVER (PARTITION BY prev_type) AS BIGINT) AS prob_ppm
+        |FROM m ORDER BY prev_type, next_type""".stripMargin,
+    "e3_path_sessions" ->
+      """WITH seq AS (SELECT event_type AS next_type, ts,
+        |  lag(event_type) OVER w AS pt, lag(ts) OVER w AS pts
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |m AS (SELECT CASE WHEN pt IS NULL OR epoch_ms(ts) - epoch_ms(pts) > 1800000
+        |               THEN '_start' ELSE pt END AS prev_type,
+        |             next_type, COUNT(*) AS ct
         |      FROM seq GROUP BY 1, 2)
         |SELECT prev_type, next_type, ct,
         |  CAST(ct * 1000000 // SUM(ct) OVER (PARTITION BY prev_type) AS BIGINT) AS prob_ppm
