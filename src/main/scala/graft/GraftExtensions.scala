@@ -83,6 +83,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("theta_intersect_agg",
       es => SketchAgg.ThetaIntersectAgg(es.head).toAggregateExpression())
     inject("theta_estimate", es => SketchAgg.ThetaEstimate(es.head))
+    inject("theta_difference", es => SketchAgg.ThetaDifference(es.head, es(1)))
     inject("kll_sketch_agg", { es =>
       require(es.length == 2, "kll_sketch_agg(col, k) takes exactly 2 arguments")
       SketchAgg.KllDoublesAgg(es.head, intLit(es(1), "kll_sketch_agg"))

@@ -187,6 +187,28 @@ object SketchAgg {
     override def prettyName: String = "theta_intersect_agg"
   }
 
+  /** theta_difference(a, b): sketch of A NOT B — completes the set
+    * algebra (union/intersect/difference). A binary op over two stored
+    * sketches, not an aggregate: "users who did A but never B" is
+    * `theta_estimate(theta_difference(skA, skB))`. */
+  case class ThetaDifference(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"theta_difference expects (binary, binary), got $other")
+      }
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      SetOperation.builder().buildANotB().aNotB(
+        Sketches.wrapSketch(Memory.wrap(a.asInstanceOf[Array[Byte]])),
+        Sketches.wrapSketch(Memory.wrap(b.asInstanceOf[Array[Byte]]))).toByteArray
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(left = l, right = r)
+    override def prettyName: String = "theta_difference"
+  }
+
   /** theta_estimate(sketch): distinct-count estimate of a stored sketch. */
   case class ThetaEstimate(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -324,6 +346,8 @@ object SketchAgg {
   def thetaUnion(c: Column, lgK: Int = 12): Column =
     agg(ThetaUnionAgg(ex(c), lgK))
   def thetaIntersect(c: Column): Column = agg(ThetaIntersectAgg(ex(c)))
+  def thetaDifference(a: Column, b: Column): Column =
+    SparkInternals.column(ThetaDifference(ex(a), ex(b)))
   def thetaEstimate(c: Column): Column =
     SparkInternals.column(ThetaEstimate(ex(c)))
 

@@ -393,9 +393,10 @@ object Stats {
       "col_name")
   }
 
-  /** A13: theta-sketch segment overlap — the set-INTERSECTION question
-    * HLL sketches structurally cannot answer: "distinct users who did
-    * BOTH A and B", computed from already-built per-segment sketches
+  /** A13: theta-sketch segment algebra — the set INTERSECTION and
+    * DIFFERENCE questions HLL sketches structurally cannot answer:
+    * "distinct users who did BOTH A and B" (and "A but never B"),
+    * computed from already-built per-segment sketches
     * (`functions.SketchAgg`), no rescan of the raw events and no
     * pairwise INTERSECT shuffle. The cube pattern at 100 TB: store one
     * theta sketch per segment cell once, then ANY overlap/union query
@@ -420,10 +421,23 @@ object Stats {
       .join(e.filter(col("event_type") === "purchase")
         .select(col("user_id")).distinct(), "user_id")
       .agg(count(lit(1)).as("users"))
+    // difference face: viewed but never purchased, from the same sketches
+    val diffEst = perType.filter(col("event_type").isin("view", "purchase"))
+      .agg(
+        first(when(col("event_type") === "view", col("sk")), ignoreNulls = true).as("ska"),
+        first(when(col("event_type") === "purchase", col("sk")), ignoreNulls = true).as("skb"))
+      .select(thetaEstimate(thetaDifference(col("ska"), col("skb"))).as("approx"))
+    val diffExact = e.filter(col("event_type") === "view")
+      .select(col("user_id")).distinct()
+      .join(e.filter(col("event_type") === "purchase").select(col("user_id")).distinct(),
+        Seq("user_id"), "left_anti")
+      .agg(count(lit(1)).as("users"))
     ordered(
       perRows.select(col("segment"), col("users"), col("approx"))
         .unionByName(interExact.crossJoin(interEst)
           .select(lit("view&purchase").as("segment"), col("users"), col("approx")))
+        .unionByName(diffExact.crossJoin(diffEst)
+          .select(lit("view-purchase").as("segment"), col("users"), col("approx")))
         .select(col("segment"), col("users"),
           (abs(col("approx") - col("users")) <=
             greatest(lit(4L), ceil(col("users") * 0.05).cast("long"))).as("users_in_tol")),
@@ -538,9 +552,14 @@ object Stats {
         |b AS (SELECT 'view&purchase' AS segment, count(*) AS users FROM (
         |  SELECT user_id FROM events WHERE event_type = 'view'
         |  INTERSECT
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')),
+        |d AS (SELECT 'view-purchase' AS segment, count(*) AS users FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'view'
+        |  EXCEPT
         |  SELECT user_id FROM events WHERE event_type = 'purchase'))
         |SELECT segment, users, true AS users_in_tol FROM per
         |UNION ALL SELECT segment, users, true FROM b
+        |UNION ALL SELECT segment, users, true FROM d
         |ORDER BY segment""".stripMargin,
     "a14_kll_cube" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50,

@@ -163,6 +163,12 @@ class AppsSpec extends SparkSpec {
         |  SELECT theta_sketch_agg(u, 12) FROM VALUES (2L), (3L) AS b(u))""".stripMargin)
       .head().getDouble(0)
     assert(inter == 1.0)
+    val dif = ext.sql(
+      """SELECT theta_estimate(theta_difference(
+        |  (SELECT theta_sketch_agg(u, 12) FROM VALUES (1L), (2L) AS a(u)),
+        |  (SELECT theta_sketch_agg(u, 12) FROM VALUES (2L), (3L) AS b(u))))""".stripMargin)
+      .head().getDouble(0)
+    assert(dif == 1.0)
     val kq = ext.sql(
       """SELECT kll_quantile(kll_merge_agg(sk, 200), 0.5D) FROM (
         |  SELECT kll_sketch_agg(v, 200) AS sk FROM VALUES (1.0D), (2.0D) AS a(v)

@@ -56,6 +56,15 @@ class SketchSpec extends SparkSpec {
     val u = perSeg.agg(thetaEstimate(thetaUnion(col("sk"), 12)).as("e"))
       .head().getDouble(0)
     assert(u == 1000.0, s"union estimate $u != 1000")
+    // difference: |A \ B| = 399, |B \ A| = 400
+    val two = perSeg.agg(
+      first(when(col("seg") === "A", col("sk")), ignoreNulls = true).as("ska"),
+      first(when(col("seg") === "B", col("sk")), ignoreNulls = true).as("skb"))
+    val aNotB = two.select(thetaEstimate(thetaDifference(col("ska"), col("skb"))))
+      .head().getDouble(0)
+    val bNotA = two.select(thetaEstimate(thetaDifference(col("skb"), col("ska"))))
+      .head().getDouble(0)
+    assert(aNotB == 399.0 && bNotA == 400.0, s"difference estimates ($aNotB, $bNotA)")
   }
 
   test("theta: disjoint segments intersect to zero; rollup from stored partials matches one-shot") {
