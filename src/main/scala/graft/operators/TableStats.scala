@@ -39,4 +39,27 @@ object TableStats {
       s"stack(${cols.size}, $stackArgs) AS " +
         "(col_name, non_null_ct, null_ct, min_val, max_val, approx_distinct)"))
   }
+
+  /** EXACT fixed-bin histogram per group — the distribution profile
+    * behind quality cuts (doc-length curves, score bands). Integer bin
+    * index `floor((v - lo) / width)` clamped to [0, nBins-1] (underflow
+    * into bin 0, overflow into the top bin), computed MAP-SIDE; the only
+    * shuffle is the hash-agg on the bounded (groups × nBins) grain.
+    * Spark's `histogram_numeric` is approximate with data-dependent bin
+    * centers — useless as a stable contract; fixed edges are exact,
+    * mergeable, and comparable across runs/partitions/datasets.
+    * Bin edges ride along as columns (`bin_lo` inclusive, `bin_hi`
+    * exclusive except the clamp bins, which absorb their overflow). */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, width: Double,
+                nBins: Int, groupCols: Seq[String]): DataFrame = {
+    require(width > 0 && nBins > 0, "histogram needs width > 0 and nBins > 0")
+    val bin = least(greatest(
+      floor((col(valueCol) - lit(lo)) / lit(width)), lit(0L)), lit(nBins - 1L))
+      .cast("long")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(groupCols.map(col) :+ bin.as("bin"): _*)
+      .agg(count(lit(1)).as("ct"))
+      .withColumn("bin_lo", lit(lo) + col("bin") * lit(width))
+      .withColumn("bin_hi", lit(lo) + (col("bin") + 1) * lit(width))
+  }
 }

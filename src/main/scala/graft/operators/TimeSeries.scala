@@ -48,4 +48,28 @@ object TimeSeries {
       d.withColumn(s"${c}_filled", last(col(c), ignoreNulls = true).over(w))
     }
   }
+
+  /** OHLC downsampling: per (key, `date_trunc(step)` bucket) the
+    * classic open/high/low/close bar plus row count — raw ticks to
+    * fixed-period bars in ONE hash aggregate (map-side partials; no
+    * window, no sort, no shuffle beyond the one on the bounded
+    * (key, bucket) grain).
+    *
+    * Open/close are selected by lexicographic `min`/`max` over a
+    * `struct(time, tie, value)` — first/last row by (time, tie) with
+    * the tie column making equal-timestamp buckets deterministic. The
+    * struct min/max is itself a plain aggregate, so partial aggregation
+    * applies; the `first_value OVER (...)` window rendering would sort
+    * every bucket instead. */
+  def ohlcBars(df: DataFrame, key: String, time: String, tie: String,
+               value: String, step: String): DataFrame = {
+    val o = struct(col(time), col(tie), col(value).as("v"))
+    df.groupBy(col(key), date_trunc(step, col(time)).as("bucket"))
+      .agg(
+        min(o).getField("v").as("open"),
+        max(col(value)).as("high"),
+        min(col(value)).as("low"),
+        max(o).getField("v").as("close"),
+        count(lit(1)).as("ct"))
+  }
 }

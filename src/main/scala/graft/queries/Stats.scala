@@ -476,6 +476,19 @@ object Stats {
       "l_returnflag")
   }
 
+  /** A15: exact fixed-bin histogram (`operators.TableStats.histogram`)
+    * — per-returnflag distribution of l_quantity over 10 bins of width
+    * 5. Bin index map-side; one hash-agg on the (flags × bins) grain.
+    * The stable-contract alternative to `histogram_numeric`'s
+    * data-dependent approximate centers. */
+  def a15Histogram(s: SparkSession, d: String): DataFrame = {
+    ordered(
+      graft.operators.TableStats.histogram(
+        lineitem(s, d), "l_quantity", lo = 1.0, width = 5.0, nBins = 10,
+        groupCols = Seq("l_returnflag")),
+      "l_returnflag", "bin")
+  }
+
   /** A12: winsorized (outlier-clipped) robust mean — values clipped to
     * the exact per-group [p25, p75] band before a decimal-exact mean.
     * The quartile cut rows broadcast back onto the fact scan, so the
@@ -502,6 +515,7 @@ object Stats {
     "a12_winsorized"    -> (a12Winsorized _),
     "a13_theta_segments" -> (a13ThetaSegments _),
     "a14_kll_cube"      -> (a14KllCube _),
+    "a15_histogram"     -> (a15Histogram _),
     "a11_profile"       -> (a11Profile _),
     "a10_sketch_cube"   -> (a10SketchCube _),
     "a9_heavy_hitters"  -> (a9HeavyHitters _),
@@ -565,6 +579,13 @@ object Stats {
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50,
         |  COUNT(*) AS ct, true AS p50_rank_in_tol
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a15_histogram" ->
+      """WITH h AS (SELECT l_returnflag,
+        |  CAST(least(greatest(floor((l_quantity - 1.0) / 5.0), 0), 9) AS BIGINT) AS bin
+        |  FROM lineitem WHERE l_quantity IS NOT NULL)
+        |SELECT l_returnflag, bin, COUNT(*) AS ct,
+        |  1.0 + bin * 5.0 AS bin_lo, 1.0 + (bin + 1) * 5.0 AS bin_hi
+        |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "a11_profile" ->
       """SELECT 'o_custkey' AS col_name, count(o_custkey) AS non_null_ct,
         |  count(*) - count(o_custkey) AS null_ct,

@@ -102,7 +102,23 @@ object Windows {
       "user_id", "bucket")
   }
 
+  /** W11: OHLC downsampling bars (`operators.TimeSeries.ohlcBars`) —
+    * per (event_type, hour) open/high/low/close of `value` with
+    * (ts, event_id) picking first/last deterministically. ONE hash
+    * aggregate — the struct-min/max open/close render as plain
+    * aggregates with map-side partials, where a `first_value` window
+    * would sort every bucket. */
+  def w11Ohlc(s: SparkSession, d: String): DataFrame = {
+    ordered(
+      graft.operators.TimeSeries.ohlcBars(
+        events(s, d), "event_type", "ts", "event_id", "value", "hour")
+        .select(col("event_type"), stamp(col("bucket")).as("bucket"),
+          col("open"), col("high"), col("low"), col("close"), col("ct")),
+      "event_type", "bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w11_ohlc"          -> (w11Ohlc _),
     "w10_gapfill"       -> (w10GapFill _),
     "w6_session_window" -> (w6SessionWindow _),
     "w7_sliding_window" -> (w7SlidingWindow _),
@@ -110,6 +126,15 @@ object Windows {
     "w9_running"        -> (w9Running _))
 
   val oracle: Map[String, String] = Map(
+    "w11_ohlc" ->
+      """SELECT event_type,
+        |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  (min(struct_pack(t := ts, i := event_id, v := value))).v AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  (max(struct_pack(t := ts, i := event_id, v := value))).v AS close,
+        |  COUNT(*) AS ct
+        |FROM events GROUP BY event_type, date_trunc('hour', ts)
+        |ORDER BY event_type, bucket""".stripMargin,
     "w10_gapfill" ->
       """WITH b AS (SELECT user_id, date_trunc('day', ts) AS bucket, count(*) AS ct,
         |             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum

@@ -91,7 +91,14 @@ object ScaleProbe {
       "x_zorder_key", "a10_sketch_cube", "j10_bloom_semi", "a11_profile",
       "j7_asof_fwd", "j7_asof_tol", "j7_asof_near", "x_bpe_pairs",
       "x_corpus_refine", "w10_gapfill", "w9_running", "a12_winsorized",
-      "a6b_cube", "x_frame_sample")
+      "a6b_cube", "x_frame_sample",
+      // round-6 third batch: path analytics + sketch algebra/cube
+      "e3_path_transitions", "e3_path_sessions", "a13_theta_segments",
+      "a14_kll_cube", "w11_ohlc", "a15_histogram")
+    // j11_overlap_join is deliberately NOT probed: replicas keep the
+    // source price range, so the TRUE overlap-pair answer grows ~factor²
+    // (every replica's intervals overlap every other's) — the probe
+    // would measure answer growth, not the plan (cf. simhash below).
     // x_dedup_simhash is deliberately NOT probed: the text salt makes
     // replicas distinct under shingle-Jaccard but NOT under
     // distinct-token SimHash (one spliced token flips only near-tie

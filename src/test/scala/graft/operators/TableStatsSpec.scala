@@ -17,6 +17,21 @@ class TableStatsSpec extends SparkSpec {
     assert(got("b") == ((4L, 1L, -4.0, 10.5, 3L)), s"b: ${got("b")}")
   }
 
+  test("histogram: exact counts, under/overflow clamp to edge bins, nulls dropped") {
+    import spark.implicits._
+    val df = Seq(("g", Some(-5.0)), ("g", Some(0.0)), ("g", Some(4.9)), // bin 0 (2 clamped-ish)
+      ("g", Some(5.0)), ("g", Some(9.9)),                               // bin 1
+      ("g", Some(99.0)), ("g", None)                                    // overflow -> bin 2; null dropped
+    ).toDF("k", "v")
+    val got = TableStats.histogram(df, "v", lo = 0.0, width = 5.0, nBins = 3,
+        groupCols = Seq("k"))
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got == Map(
+      0L -> ((3L, 0.0, 5.0)), 1L -> ((2L, 5.0, 10.0)), 2L -> ((1L, 10.0, 15.0))),
+      s"unexpected: $got")
+  }
+
   test("profile is ONE job over ONE scan — a single aggregate, no per-column re-scan") {
     val o = graft.Tables.orders(spark, sf("sf0.001"))
     val df = TableStats.profileNumeric(o, Seq("o_orderkey", "o_custkey", "o_totalprice"))

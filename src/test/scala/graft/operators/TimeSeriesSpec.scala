@@ -26,6 +26,31 @@ class TimeSeriesSpec extends SparkSpec {
       (2L, "01-05", Some(1L), Some(1.0), 1.0)), s"got $out")
   }
 
+  test("ohlcBars: open/close picked by (time, tie), high/low exact, one agg no window") {
+    import spark.implicits._
+    val df = Seq(
+      // key "x", hour 10: open decided by tie at equal first ts (id 1 < id 2)
+      ("x", "2024-01-01 10:00:00", 1L, 5.0),
+      ("x", "2024-01-01 10:00:00", 2L, 9.0),
+      ("x", "2024-01-01 10:30:00", 3L, 2.0),  // low
+      ("x", "2024-01-01 10:59:00", 4L, 7.0),  // close
+      // key "x", hour 11: single row — all four prices equal
+      ("x", "2024-01-01 11:05:00", 5L, 3.0)
+    ).map { case (k, t, i, v) => (k, java.sql.Timestamp.valueOf(t), i, v) }
+      .toDF("k", "ts", "id", "v")
+    val got = TimeSeries.ohlcBars(df, "k", "ts", "id", "v", "hour")
+      .select(date_format(col("bucket"), "HH").as("h"),
+        col("open"), col("high"), col("low"), col("close"), col("ct"))
+      .collect().map(r => (r.getString(0),
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))).toMap
+    assert(got("10") == ((5.0, 9.0, 2.0, 7.0, 4L)), s"hour 10: ${got("10")}")
+    assert(got("11") == ((3.0, 3.0, 3.0, 3.0, 1L)), s"hour 11: ${got("11")}")
+    // plan: a hash aggregate, not a sorting window
+    val plan = TimeSeries.ohlcBars(df, "k", "ts", "id", "v", "hour")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"OHLC must not need a Window:\n$plan")
+  }
+
   test("on real events every user's span is dense and fills never go backward") {
     val filled = TimeSeries.gapFillFfill(
       graft.Tables.events(spark, sf("sf0.001")), "user_id", "ts", "day",
