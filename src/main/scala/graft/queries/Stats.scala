@@ -275,6 +275,34 @@ object Stats {
       "cohort_day", "day_offset")
   }
 
+  /** E4: funnel conversion-latency distribution — composes E1's funnel
+    * with A8's exact percentiles: for users who completed each depth,
+    * the p50/p75 (dyadic → engine-exact) of time-to-reach-that-step
+    * from the anchor, plus the cohort count. The product-analytics
+    * "how long does conversion take" chart; one more keyed agg over
+    * E1's single-shuffle plan (at 100 TB the percentile swaps to
+    * `approx_percentile` exactly as A8 documents). */
+  def e4FunnelLatency(s: SparkSession, d: String): DataFrame = {
+    val f = graft.operators.EventAnalytics.funnel(
+      events(s, d), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), expr("INTERVAL 24 HOURS"),
+      preAggregate = true)
+    val lat = f.select(col("user_id"),
+      when(col("t2").isNotNull, unix_micros(col("t2")) - unix_micros(col("t1")))
+        .as("lat2"),
+      when(col("t3").isNotNull, unix_micros(col("t3")) - unix_micros(col("t1")))
+        .as("lat3"))
+    val per = (step: Int) => {
+      val c = col(s"lat$step")
+      lat.filter(c.isNotNull).agg(
+        lit(step.toLong).as("step"),
+        count(lit(1)).as("users"),
+        expr(s"percentile(lat$step, 0.5D)").as("p50_us"),
+        expr(s"percentile(lat$step, 0.75D)").as("p75_us"))
+    }
+    ordered(per(2).unionByName(per(3)), "step")
+  }
+
   /** E3: page-flow transition matrix (`operators.EventAnalytics
     * .pathTransitions`) — per-user lag over (ts, event_id), counts and
     * integer-ppm conditional probabilities per (prev, next) pair,
@@ -532,6 +560,7 @@ object Stats {
     "e1_funnel"         -> (e1Funnel _),
     "e2_retention"      -> (e2Retention _),
     "e3_path_transitions" -> (e3PathTransitions _),
+    "e4_funnel_latency" -> (e4FunnelLatency _),
     "e3_path_sessions"  -> (e3PathSessions _),
     "e2_retention_approx" -> (e2RetentionApprox _),
     "e2_retention_stream" -> (e2RetentionStream _))
@@ -695,6 +724,29 @@ object Stats {
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
     "e2_retention" -> retentionOracle,
+    "e4_funnel_latency" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2
+        |       FROM events e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts >= s1.t1
+        |         AND e.ts <= s1.t1 + INTERVAL 24 HOUR GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3
+        |       FROM events e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+        |         AND e.ts <= s1.t1 + INTERVAL 24 HOUR GROUP BY 1),
+        |l AS (SELECT s1.user_id,
+        |        epoch_us(t2) - epoch_us(t1) AS lat2,
+        |        epoch_us(t3) - epoch_us(t1) AS lat3
+        |      FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id))
+        |SELECT CAST(2 AS BIGINT) AS step, count(lat2) AS users,
+        |  quantile_cont(lat2, 0.5) AS p50_us, quantile_cont(lat2, 0.75) AS p75_us
+        |FROM l
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), count(lat3),
+        |  quantile_cont(lat3, 0.5), quantile_cont(lat3, 0.75)
+        |FROM l
+        |ORDER BY step""".stripMargin,
     "e3_path_transitions" ->
       """WITH seq AS (SELECT event_type AS next_type,
         |  lag(event_type, 1, '_start')
