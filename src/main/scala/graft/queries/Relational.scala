@@ -107,6 +107,56 @@ object Relational {
       "r_name", "n_name")
   }
 
+  /** Q3: TPC-H Q3 shape (shipping priority) — the classic "filters on
+    * BOTH fact sides + dim filter + high-cardinality group + top-k"
+    * plan. Both date predicates and the segment filter push into the
+    * parquet scans; the segment-filtered customer list broadcasts; the
+    * orderkey-grained aggregate shuffles only surviving rows; and the
+    * final top-10 renders as TakeOrderedAndProject — per-partition
+    * top-k then a k-row merge, never a full sort of the aggregate
+    * (the same reason w8 uses TopKAgg). Revenue through the exact
+    * decimal(18,4) accumulator (2-dec × 2-dec products are exact
+    * 4-dec values). */
+  def q3ShippingPriority(s: SparkSession, d: String): DataFrame = {
+    val cut = lit("1998-06-01").cast("timestamp")
+    val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val o = orders(s, d).filter(col("o_orderdate") < cut)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = lineitem(s, d).filter(col("l_shipdate") > cut)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("double").as("revenue"))
+      .select(col("l_orderkey"), stamp(col("o_orderdate")).as("o_orderdate"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Q10: TPC-H Q10 shape (returned-item customer ranking) — revenue
+    * lost to returns per customer: returnflag filter pushed to the
+    * lineitem scan, customer/nation broadcast, customer-grained
+    * aggregate, top-20 via TakeOrderedAndProject. */
+  def q10ReturnedItems(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val o = orders(s, d).select("o_orderkey", "o_custkey")
+    val c = customer(s, d).select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val n = nation(s, d).select("n_nationkey", "n_name")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   /** J2: the PaymentWide interval join (PaymentWideApp.java:69-76) —
     * asymmetric inclusive bounds [leftTime - 15min, leftTime], i.e. the
     * payment must land within a window BEFORE/AT the order event (the
@@ -371,6 +421,8 @@ object Relational {
     "j7_asof_stream"   -> (j7AsofStream _),
     "j8_range_join"    -> (j8RangeJoin _),
     "q1_agg"           -> (q1Agg _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q10_returned_items"   -> (q10ReturnedItems _),
     "s1_scan"          -> (s1Scan _),
     "p3_derive"        -> (p3Derive _),
     "p4_filter"        -> (p4Filter _),
@@ -468,6 +520,28 @@ object Relational {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+        |  o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "s1_scan" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice
         |FROM lineitem WHERE l_extendedprice > 9000.0
