@@ -117,7 +117,29 @@ object Windows {
       "event_type", "bucket")
   }
 
+  /** W12: period-over-period growth — daily revenue per event_type in
+    * integer cents with previous-day value and truncating integer-ppm
+    * delta (both engines truncate toward zero, spec'd by the oracle
+    * match). The dashboard "DoD %" query: ONE bounded aggregate
+    * (types × days), then lag + delta over that tiny result — the raw
+    * table is never windowed. */
+  def w12PeriodDelta(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+    ordered(
+      daily.withColumn("prev_cents", lag(col("cents"), 1).over(w))
+        .withColumn("delta_ppm",
+          expr("(cents - prev_cents) * 1000000L div prev_cents"))
+        .select(col("event_type"), stamp(col("day")).as("day"),
+          col("cents"), col("prev_cents"), col("delta_ppm")),
+      "event_type", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w12_period_delta"  -> (w12PeriodDelta _),
     "w11_ohlc"          -> (w11Ohlc _),
     "w10_gapfill"       -> (w10GapFill _),
     "w6_session_window" -> (w6SessionWindow _),
@@ -126,6 +148,15 @@ object Windows {
     "w9_running"        -> (w9Running _))
 
   val oracle: Map[String, String] = Map(
+    "w12_period_delta" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, strftime(day, '%Y-%m-%d %H:%M:%S') AS day, cents,
+        |  lag(cents) OVER w AS prev_cents,
+        |  (cents - lag(cents) OVER w) * 1000000 // lag(cents) OVER w AS delta_ppm
+        |FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        |ORDER BY event_type, day""".stripMargin,
     "w11_ohlc" ->
       """SELECT event_type,
         |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,

@@ -101,6 +101,30 @@ class SketchSpec extends SparkSpec {
     assert(rows.filter(col("v") === est).count() > 0)
   }
 
+  test("theta sketch aggregates survive streaming state-store serialization") {
+    import spark.implicits._
+    import graft.functions.SketchAgg._
+    implicit val sq = spark.sqlContext
+    // update-mode streaming aggregate: partial buffers serialize into the
+    // state store between micro-batches; the final estimate must see
+    // every batch's values exactly once
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    val agg = mem.toDS().toDF("seg", "uid")
+      .groupBy(col("seg")).agg(thetaSketch(col("uid"), 12).as("sk"))
+      .select(col("seg"), thetaEstimate(col("sk")).as("est"))
+    val q = agg.writeStream.format("memory").queryName("thetastream")
+      .outputMode("complete").start()
+    try {
+      mem.addData(("A", 1L), ("A", 2L), ("B", 10L))
+      q.processAllAvailable()
+      mem.addData(("A", 2L), ("A", 3L), ("B", 11L)) // dup 2L must not double
+      q.processAllAvailable()
+      val got = spark.table("thetastream").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got == Map("A" -> 3.0, "B" -> 2.0), s"unexpected: $got")
+    } finally q.stop()
+  }
+
   test("kll_quantile of an empty sketch is null") {
     import spark.implicits._
     import graft.functions.SketchAgg._
