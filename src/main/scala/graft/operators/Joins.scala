@@ -187,7 +187,10 @@ object Joins {
     * that is `max(bin(a.lo), bin(b.lo))`, a map-side predicate. Work =
     * Σ spans/binWidth on each side, shuffled on uniform bin keys; the
     * exact predicate re-filters false bin-mates. Bounds must be
-    * integral (same contract as rangeJoinBinned). */
+    * integral (same contract as rangeJoinBinned) and intervals
+    * NON-EMPTY (`lo < hi`): the standard overlap predicate cannot
+    * exclude an empty `[x, x)` straddled by the other side, and an
+    * empty interval's bin range would explode descending. */
   def rangeOverlapJoin(a: DataFrame, b: DataFrame,
                        aLo: String, aHi: String, bLo: String, bHi: String,
                        binWidth: Long): DataFrame = {

@@ -218,6 +218,29 @@ class JoinsSpec extends SparkSpec {
       s"overlap join must stay an equi-join:\n$plan")
   }
 
+  test("rangeOverlapJoin matches brute force over random intervals, widths, negative bounds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    for (round <- 1 to 4) {
+      val width = 1L + rnd.nextInt(50)
+      def mk(n: Int) = (1 to n).map { i =>
+        val lo = rnd.nextInt(1000) - 500L
+        (i.toLong, lo, lo + 1L + rnd.nextInt(120)) // non-empty by contract
+      }
+      val as = mk(60); val bs = mk(60)
+      val a = as.toDF("ka", "loa", "hia")
+      val b = bs.toDF("kb", "lob", "hib")
+      val got = Joins.rangeOverlapJoin(a, b, "loa", "hia", "lob", "hib", width)
+        .select("ka", "kb").as[(Long, Long)].collect().sorted.toSeq
+      val want = (for {
+        (ka, la, ha) <- as; (kb, lb, hb) <- bs
+        if la < hb && lb < ha
+      } yield (ka, kb)).sorted
+      assert(got == want,
+        s"round $round width=$width: ${got.size} vs ${want.size} pairs")
+    }
+  }
+
   test("saltedJoin equals the plain join row-for-row (inner and left), multiplicity intact") {
     import spark.implicits._
     val probe = Seq(
