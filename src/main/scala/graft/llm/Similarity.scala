@@ -336,6 +336,28 @@ object Similarity {
       .withColumn("q8_csv", concat_ws(",", transform(col("q8"), _.cast("string"))))
       .drop("q8")
 
+  /** Per-label int8-code centroid accumulators — the cluster-refresh /
+    * class-prototype step over QUANTIZED vectors: element-wise int64
+    * sums of the q8 codes plus the member count (mean = sums/ct at the
+    * caller's precision). One hash aggregate with d sum expressions per
+    * group (the same shape `ivfAssign`'s Lloyd update uses) — partials
+    * combine map-side, nothing posexplodes, the shuffle carries one
+    * d-length row per (partition, label) instead of d×n unnested rows.
+    * Integer arithmetic end to end, so the whole op is exactly
+    * SQL-oracle-able (gate `x_embed_centroid`); sums are emitted as a
+    * csv of ints for float-formatting-free comparison. */
+  def quantizedCentroids(vecs: DataFrame, labelCol: String): DataFrame = {
+    val dim = vecs.select(size(col("embedding"))).first().getInt(0)
+    withQuantized(vecs)
+      .groupBy(col(labelCol))
+      .agg(count(lit(1)).as("ct"),
+        array((0 until dim).map(i =>
+          sum(col("q8").getItem(i).cast("long"))): _*).as("__sums"))
+      .withColumn("sum_csv",
+        concat_ws(",", transform(col("__sums"), _.cast("string"))))
+      .drop("__sums")
+  }
+
   /** Int8-quantized ANN: the memory-bound regime's search path — the
     * candidate pass scores every corpus row with an INTEGER dot product
     * over the 4×-smaller int8 codes (scaled back to approximate cosine

@@ -568,6 +568,15 @@ object LlmOps {
         .select("vec_id", "l2_norm", "qscale", "q8_csv"),
       "vec_id")
 
+  /** Per-label quantized centroid accumulators (`Similarity
+    * .quantizedCentroids`): element-wise int64 code sums + counts —
+    * integer-exact, full SQL oracle. */
+  def xEmbedCentroid(s: SparkSession, d: String): DataFrame =
+    ordered(
+      Similarity.quantizedCentroids(embeddings(s, d), "label")
+        .select(col("label").cast("long").as("label"), col("ct"), col("sum_csv")),
+      "label")
+
   def xMultimodal(s: SparkSession, d: String): DataFrame =
     ordered(
       Multimodal.extractFeatures(s, Multimodal.withPayload(documents(s, d))).toDF(),
@@ -622,6 +631,7 @@ object LlmOps {
     "x_pii_redact"        -> (xPiiRedact _),
     "x_decontaminate"     -> (xDecontaminate _),
     "x_embed_quantize"    -> (xEmbedQuantize _),
+    "x_embed_centroid"    -> (xEmbedCentroid _),
     "x_embed_lsh"         -> (xEmbedLsh _),
     "x_ann_quantized"     -> (xAnnQuantized _),
     "x_corpus_pipeline"   -> (xCorpusPipeline _),
@@ -1192,6 +1202,20 @@ object LlmOps {
         |      v -> CAST(CAST(round(v / amax * 127) AS INT) AS VARCHAR)), ',')
         |  ELSE array_to_string(list_transform(e, v -> '0'), ',') END AS q8_csv
         |FROM m ORDER BY vec_id""".stripMargin,
+    "x_embed_centroid" ->
+      """WITH c AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |m AS (SELECT label, e, list_max(list_transform(e, v -> abs(v))) AS amax FROM c),
+        |qz AS (SELECT label,
+        |  CASE WHEN amax > 0 THEN list_transform(e, v -> CAST(round(v / amax * 127) AS BIGINT))
+        |       ELSE list_transform(e, v -> CAST(0 AS BIGINT)) END AS q8
+        |  FROM m),
+        |u AS (SELECT label, unnest(q8) AS q, generate_subscripts(q8, 1) AS ord FROM qz),
+        |ps AS (SELECT label, ord, SUM(q) AS s FROM u GROUP BY 1, 2),
+        |agg AS (SELECT label, array_to_string(list(CAST(s AS VARCHAR) ORDER BY ord), ',') AS sum_csv
+        |        FROM ps GROUP BY 1),
+        |ct AS (SELECT label, COUNT(*) AS ct FROM c GROUP BY 1)
+        |SELECT CAST(ct.label AS BIGINT) AS label, ct.ct, agg.sum_csv
+        |FROM ct JOIN agg USING (label) ORDER BY label""".stripMargin,
     "x_ann_quantized" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |m AS (SELECT vec_id, e,

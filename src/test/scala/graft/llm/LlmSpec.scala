@@ -627,4 +627,20 @@ class LlmSpec extends SparkSpec {
       .groupBy("line").count().agg(max("count")).head().getLong(0)
     assert(freq <= 4L, s"a kept line exceeds maxFreq: $freq")
   }
+
+  test("quantizedCentroids: element-wise int64 q8 sums and counts per label") {
+    import spark.implicits._
+    // amax=4 → codes round(v/4*127); zero vector → all-zero codes
+    val vecs = Seq(
+      (0L, "a", Array(4.0f, -2.0f, 0.0f)),  // q8 = (127, -64, 0)
+      (1L, "a", Array(-4.0f, 4.0f, 1.0f)),  // q8 = (-127, 127, 32)
+      (2L, "b", Array(0.0f, 0.0f, 0.0f)))   // q8 = (0, 0, 0)
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.quantizedCentroids(vecs, "label")
+      .select("label", "ct", "sum_csv").as[(String, Long, String)]
+      .collect().map { case (l, ct, csv) => (l, (ct, csv)) }.toMap
+    assert(got == Map(
+      "a" -> ((2L, "0,63,32")),   // 127-127, -64+127, 0+32
+      "b" -> ((1L, "0,0,0"))))
+  }
 }
