@@ -596,4 +596,103 @@ object Dedup {
         sum(when(col("__dup").isNull, 1L).otherwise(0L)).as("kept_ct"),
         sum(when(col("__dup").isNotNull, 1L).otherwise(0L)).as("removed_ct"))
   }
+
+  /** EXACT SUBSTRING DEDUP — the suffix-array method of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better" (2021),
+    * re-expressed as distributed fixed-width window matching: every
+    * character position covered by a `minLen`-char window whose text
+    * occurs >= 2 times ANYWHERE in the corpus (another document, or
+    * another offset of the same document — self-repetition counts) is
+    * struck, covered windows merge into maximal spans, and each document
+    * is reassembled from its surviving segments. ALL copies of a
+    * duplicated span are removed, exactly as the paper's ExactSubstr
+    * variant does; documents emptied entirely stay in the output for the
+    * caller's min-length filter to judge.
+    *
+    * Fixed-width windows are the distribution-friendly equivalent of the
+    * paper's suffix array: a duplicated span of length >= minLen is
+    * covered by duplicated windows at every interior offset, so the
+    * merged spans coincide with the suffix-array answer except for the
+    * (< minLen)-char fringes, which the window width bounds by
+    * construction.
+    *
+    * Plan: one scan explodes each document into (doc, offset, 60-bit
+    * md5 window hash) — the hash, not the window TEXT, is what shuffles,
+    * keeping the shuffle row ~16 bytes regardless of `minLen` (the
+    * oracle computes the identical md5 prefix, so a collision — a
+    * false-positive removal at ~N²/2⁶⁰ odds — is mirrored bit-exactly
+    * cross-engine). One count-aggregate finds duplicated hashes (partial
+    * aggs absorb hot windows map-side); a semi-join marks covered
+    * offsets (the duplicated-hash side is the small one — AQE broadcasts
+    * it at gate scale, degrades to a linear hash join beyond); ONE
+    * shuffle on doc_id then drives the whole per-document tail: the
+    * running-max window finds span breaks, groupBy(doc, island) merges
+    * spans, groupBy(doc) collects them — Catalyst reuses the doc_id
+    * exchange for all three (hash-partitioning on doc_id satisfies each
+    * stage's clustering), verified by plan inspection. Reassembly walks
+    * the sorted span list with `aggregate` (cursor + string builder,
+    * O(doc) per doc, map-side after the final broadcast-join back to the
+    * text).
+    *
+    * 100 TB: rows scale with TOTAL CHARACTERS (one per offset) — linear,
+    * uniformly keyed, no driver state; per-doc state is bounded by
+    * len/1 offsets, same order as the document itself. Raise `minLen`
+    * (the paper uses 50 tokens) to cut marked-offset volume; the window
+    * hash count-aggregate is the scan-dominated cost either way.
+    *
+    * Output: (doc_id, kept_text, dup_spans, dup_chars); kept_len +
+    * dup_chars == original length always (spec-asserted). */
+  def dedupSubstrings(docs: DataFrame, idCol: String, minLen: Int,
+                      text: Column = col("text")): DataFrame = {
+    require(minLen >= 2, "dedupSubstrings: minLen must be >= 2")
+    val base = docs.select(col(idCol).as("doc_id"), text.as("__t"))
+    // one row per window start (1-based, matching substr in both engines);
+    // docs shorter than minLen produce no windows (sequence() would step
+    // DOWNWARD on stop < start — the filter is load-bearing, not a nicety)
+    val positions = base
+      .filter(length(col("__t")) >= minLen)
+      .select(col("doc_id"), col("__t"),
+        explode(sequence(lit(1), length(col("__t")) - minLen + 1)).as("o"))
+      .select(col("doc_id"), col("o"),
+        h60(col("__t").substr(col("o"), lit(minLen))).as("gh"))
+    val dupHashes = positions.groupBy(col("gh"))
+      .agg(count(lit(1)).as("__ct")).filter(col("__ct") >= 2)
+      .select("gh")
+    val marked = positions.join(dupHashes, Seq("gh"), "left_semi")
+    // gaps-and-islands: a new span starts when this window begins past
+    // every previous window's end; off == runMax (adjacent, zero gap)
+    // stays in the island, so merged spans are maximal
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("o"))
+    val runMax = max(col("o") + minLen)
+      .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = marked
+      .withColumn("__brk",
+        when(col("o") > coalesce(runMax, lit(-1)), 1).otherwise(0))
+      .withColumn("__island",
+        sum(col("__brk")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+    val spans = islands.groupBy(col("doc_id"), col("__island"))
+      .agg(min(col("o")).as("s"), (max(col("o")) + minLen).as("e"))
+    val spansPerDoc = spans.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("s"), col("e")))).as("__spans"),
+        count(lit(1)).as("dup_spans"),
+        sum(col("e") - col("s")).as("dup_chars"))
+    // rebuild: cursor walks the disjoint sorted spans emitting the kept
+    // segment before each, then the tail after the last — O(len) per doc
+    val t = col("__t")
+    val rebuilt = aggregate(
+      col("__spans"),
+      struct(lit(1).as("pos"), lit("").as("acc")),
+      (st, sp) => struct(
+        sp.getField("e").as("pos"),
+        concat(st.getField("acc"),
+          t.substr(st.getField("pos"),
+            sp.getField("s") - st.getField("pos"))).as("acc")),
+      st => concat(st.getField("acc"),
+        t.substr(st.getField("pos"), length(t) - st.getField("pos") + 1)))
+    base.join(spansPerDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("__spans").isNull, t).otherwise(rebuilt).as("kept_text"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        coalesce(col("dup_chars"), lit(0L)).cast("long").as("dup_chars"))
+  }
 }

@@ -43,6 +43,14 @@ object LlmOps {
   def xDedupExact(s: SparkSession, d: String): DataFrame =
     ordered(Dedup.exact(documents(s, d)), "content_hash")
 
+  /** Exact substring dedup (Lee et al. ExactSubstr): 30-char duplicated
+    * windows struck corpus-wide, spans merged, documents rebuilt. At
+    * sf0.01 the 30-char width marks ~12k window offsets across 67 docs —
+    * real span merging without degenerating to whole-corpus removal. */
+  def xDedupSubstrings(s: SparkSession, d: String): DataFrame =
+    ordered(Dedup.dedupSubstrings(documents(s, d), "doc_id", minLen = 30),
+      "doc_id")
+
   /** The round-6 surface composed end-to-end: line-level boilerplate
     * dedup → surviving-content floor (≥8 kept lines) → deterministic
     * sharding of the refined corpus. Every stage is an oracled operator
@@ -598,6 +606,7 @@ object LlmOps {
     "x_text_fingerprint"  -> (xTextFingerprint _),
     "x_dedup_exact"       -> (xDedupExact _),
     "x_dedup_lines"       -> (xDedupLines _),
+    "x_dedup_substrings"  -> (xDedupSubstrings _),
     "x_zorder_key"        -> (xZorderKey _),
     "x_bpe_pairs"         -> (xBpePairs _),
     "x_corpus_refine"     -> (xCorpusRefine _),
@@ -776,6 +785,36 @@ object LlmOps {
         |  count(CASE WHEN f.ct > 4 THEN 1 END)::BIGINT AS removed_ct
         |FROM c JOIN f USING (line)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_dedup_substrings" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |pos AS (SELECT doc_id, text, unnest(generate_series(1, n - 30 + 1)) AS o
+        |        FROM d WHERE n >= 30),
+        |g AS (SELECT doc_id, o,
+        |  CAST(CONCAT('0x', substr(md5(substr(text, o, 30)), 1, 15)) AS BIGINT) AS gh
+        |  FROM pos),
+        |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+        |m AS (SELECT doc_id, o FROM g WHERE gh IN (SELECT gh FROM dup)),
+        |isl AS (SELECT doc_id, o,
+        |  CASE WHEN o > coalesce(max(o + 30) OVER (PARTITION BY doc_id ORDER BY o
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk
+        |  FROM m),
+        |isl2 AS (SELECT doc_id, o,
+        |  SUM(brk) OVER (PARTITION BY doc_id ORDER BY o ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM isl),
+        |spans AS (SELECT doc_id, island, MIN(o) AS s, MAX(o) + 30 AS e
+        |          FROM isl2 GROUP BY 1, 2),
+        |segs AS (SELECT doc_id, s, e,
+        |  coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS ks FROM spans),
+        |built AS (SELECT segs.doc_id,
+        |    coalesce(string_agg(substr(d.text, ks, s - ks), '' ORDER BY s), '') ||
+        |      substr(d.text, max(e), d.n - max(e) + 1) AS kept_text,
+        |    count(*) AS dup_spans, CAST(sum(e - s) AS BIGINT) AS dup_chars
+        |  FROM segs JOIN d USING (doc_id) GROUP BY segs.doc_id, d.text, d.n)
+        |SELECT doc_id, kept_text, dup_spans, dup_chars FROM built
+        |UNION ALL
+        |SELECT doc_id, text AS kept_text, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |FROM d WHERE doc_id NOT IN (SELECT doc_id FROM spans)
+        |ORDER BY doc_id""".stripMargin,
     "x_dedup_ngram" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
          |grams AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS g

@@ -605,6 +605,47 @@ class LlmSpec extends SparkSpec {
     assert(got.size == 4)
   }
 
+  test("dedupSubstrings: shared spans struck from all copies, merges, self-repeats, short docs") {
+    import spark.implicits._
+    val shared = "0123456789abcdefghij" // 20 chars, all distinct
+    val s2a = "ASDFGHJKLZXC"; val s2b = "POIUYTREWQVB"
+    val docs = Seq(
+      (1L, "qwertyuiop" + shared + "QWERTYUIOP"), // shares `shared` with doc 2
+      (2L, "z" + shared + "Z"),
+      (3L, "mnbvcxlkjhmnbvcxlkjhTAIL"),           // SELF-repeated 10-gram
+      (4L, "tiny"),                               // shorter than minLen
+      (5L, "thequickbrownfoxjumps"),              // no duplicated window
+      (6L, s2a + "0interior1" + s2b),             // TWO disjoint spans vs doc 7
+      (7L, "lq" + s2a + "rv" + s2b)
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupSubstrings(docs, "doc_id", minLen = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // ALL copies of a duplicated span are removed (Lee et al. ExactSubstr)
+    assert(got(1L) == (("qwertyuiop" + "QWERTYUIOP", 1L, 20L)), s"doc1: ${got(1L)}")
+    assert(got(2L) == (("zZ", 1L, 20L)), s"doc2: ${got(2L)}")
+    // adjacent duplicated windows merge into ONE span covering both repeats
+    assert(got(3L) == (("TAIL", 1L, 20L)), s"doc3: ${got(3L)}")
+    assert(got(4L) == (("tiny", 0L, 0L)), "sub-minLen doc must pass through")
+    assert(got(5L) == (("thequickbrownfoxjumps", 0L, 0L)))
+    // two disjoint shared regions -> two spans, interior survives
+    assert(got(6L) == (("0interior1", 2L, 24L)), s"doc6: ${got(6L)}")
+    assert(got(7L) == (("lq" + "rv", 2L, 24L)), s"doc7: ${got(7L)}")
+    assert(got.size == 7)
+  }
+
+  test("dedupSubstrings on real documents: every doc survives, chars conserved") {
+    val d = graft.Tables.documents(spark, sf("sf0.001"))
+    val out = Dedup.dedupSubstrings(d, "doc_id", minLen = 30)
+    assert(out.count() == d.count(), "row-preserving: one output row per doc")
+    // conservation: kept chars + removed chars == original length, per doc
+    val bad = out.join(d.select(col("doc_id"), length(col("text")).as("n")), Seq("doc_id"))
+      .filter(length(col("kept_text")) + col("dup_chars") =!= col("n")).count()
+    assert(bad == 0, "kept + removed must equal the original length")
+    assert(out.filter(col("dup_spans") > 0).count() > 0,
+      "fixtures are known to contain duplicated 30-char windows")
+  }
+
   test("dedupLines on real documents: line counts conserved, threshold respected") {
     val d = graft.Tables.documents(spark, sf("sf0.001"))
     val words = split(col("text"), " ")
