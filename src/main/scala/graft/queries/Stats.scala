@@ -328,6 +328,22 @@ object Stats {
       "prev_type", "next_type")
   }
 
+  /** E5: PageRank over the page-transition graph — which event types
+    * anchor the visit flow, by link-weighted stationary probability.
+    * Edges are the REAL transitions (the synthetic `_start` entry state
+    * is excluded — it has no in-links and would only dilute the mass);
+    * 3 integer-exact rounds at damping 85 (`operators/Graph.pageRank`),
+    * so the gate hashes the int64 ranks bit-exactly against DuckDB's
+    * identically-unrolled arithmetic. */
+  def e5Pagerank(s: SparkSession, d: String): DataFrame = {
+    val edges = graft.operators.EventAnalytics.pathTransitions(
+        events(s, d), "user_id", "ts", "event_type", "event_id")
+      .filter(col("prev_type") =!= "_start")
+    ordered(
+      graft.operators.Graph.pageRank(edges, "prev_type", "next_type", "ct"),
+      "node")
+  }
+
   /** E2-stream: the SAME retention triangle through
     * `streaming.RetentionStream.retentionHits`' code path run in batch
     * mode (each per-user group sees the full history, so the anchor is
@@ -560,6 +576,7 @@ object Stats {
     "e1_funnel"         -> (e1Funnel _),
     "e2_retention"      -> (e2Retention _),
     "e3_path_transitions" -> (e3PathTransitions _),
+    "e5_pagerank"       -> (e5Pagerank _),
     "e4_funnel_latency" -> (e4FunnelLatency _),
     "e3_path_sessions"  -> (e3PathSessions _),
     "e2_retention_approx" -> (e2RetentionApprox _),
@@ -757,6 +774,34 @@ object Stats {
         |SELECT prev_type, next_type, ct,
         |  CAST(ct * 1000000 // SUM(ct) OVER (PARTITION BY prev_type) AS BIGINT) AS prob_ppm
         |FROM m ORDER BY prev_type, next_type""".stripMargin,
+    "e5_pagerank" ->
+      """WITH seq AS (SELECT event_type AS next_type,
+        |  lag(event_type, 1, '_start')
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |e AS (SELECT prev_type AS src, next_type AS dst, COUNT(*) AS w
+        |      FROM seq WHERE prev_type <> '_start' GROUP BY 1, 2),
+        |sh AS (SELECT src, dst,
+        |  CAST(w * 1000000 // SUM(w) OVER (PARTITION BY src) AS BIGINT) AS share
+        |  FROM e),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |base AS (SELECT node, CAST(1000000000000 // n AS BIGINT) AS r0,
+        |  CAST((1000000000000 // n) * 15 // 100 AS BIGINT) AS b FROM nodes, nn),
+        |r0 AS (SELECT node, r0 AS r FROM base),
+        |r1 AS (SELECT base.node, CAST(b + COALESCE(SUM(
+        |    (p.r * sh.share // 1000000) * 85 // 100), 0) AS BIGINT) AS r
+        |  FROM base LEFT JOIN sh ON sh.dst = base.node
+        |  LEFT JOIN r0 p ON p.node = sh.src GROUP BY base.node, b),
+        |r2 AS (SELECT base.node, CAST(b + COALESCE(SUM(
+        |    (p.r * sh.share // 1000000) * 85 // 100), 0) AS BIGINT) AS r
+        |  FROM base LEFT JOIN sh ON sh.dst = base.node
+        |  LEFT JOIN r1 p ON p.node = sh.src GROUP BY base.node, b),
+        |r3 AS (SELECT base.node, CAST(b + COALESCE(SUM(
+        |    (p.r * sh.share // 1000000) * 85 // 100), 0) AS BIGINT) AS r
+        |  FROM base LEFT JOIN sh ON sh.dst = base.node
+        |  LEFT JOIN r2 p ON p.node = sh.src GROUP BY base.node, b)
+        |SELECT node, r AS rank FROM r3 ORDER BY node""".stripMargin,
     "e3_path_sessions" ->
       """WITH seq AS (SELECT event_type AS next_type, ts,
         |  lag(event_type) OVER w AS pt, lag(ts) OVER w AS pts
