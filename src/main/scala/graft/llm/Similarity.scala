@@ -358,6 +358,60 @@ object Similarity {
       .drop("__sums")
   }
 
+  /** K-MEANS ASSIGN over int8 codes, integer-exact: each vector goes to
+    * the seed with the smallest integer squared-L2 distance between
+    * their q8 code arrays (tie → lowest seed id; the seed's vec id IS
+    * the cluster id). Seeds are the `k` lowest-id vectors —
+    * deterministic, no RNG, same convention as `ivfBuildIndex`'s hashed
+    * init (k-means++ is the quality swap, named not built: its
+    * sequential sampling is inherently driver-bound).
+    *
+    * Plan shape: the seed set collapses to ONE broadcast row
+    * (collect_list of (sid, q8) structs) and the argmin is a map-side
+    * `aggregate` fold over that array — the corpus is never shuffled,
+    * never crossJoin-multiplied by k, and no groupBy re-collapses N×k
+    * rows; cost is one scan with k integer-dot distance evals per row.
+    * The fold's running (dist, sid) min is order-independent (strict
+    * lexicographic compare), so collect_list's nondeterministic order
+    * cannot move the answer. At 100 TB this is the textbook Lloyd
+    * assign: broadcast centroids, embarrassingly parallel scan.
+    * Integer end to end ⇒ the gate hashes exactly. */
+  def kmeansAssign(vecs: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, "kmeansAssign: k must be >= 1")
+    val q = withQuantized(vecs)
+    val seeds = q.select(col(idCol).as("__sid"), col("q8").as("__sq8"))
+      .orderBy(col("__sid")).limit(k)
+      .agg(collect_list(struct(col("__sid"), col("__sq8"))).as("__seeds"))
+    q.crossJoin(broadcast(seeds))
+      .withColumn("__best", aggregate(col("__seeds"),
+        struct(lit(Long.MaxValue).as("d"), lit(Long.MinValue).as("sid")),
+        (acc, s) => {
+          val d = aggregate(
+            zip_with(col("q8"), s.getField("__sq8"),
+              (a, b) => ((a - b) * (a - b)).cast("long")),
+            lit(0L), (dacc, v) => dacc + v)
+          when(d < acc.getField("d") ||
+               (d === acc.getField("d") &&
+                s.getField("__sid") < acc.getField("sid")),
+            struct(d.as("d"), s.getField("__sid").cast("long").as("sid")))
+            .otherwise(acc)
+        }))
+      .select(col(idCol), col("__best.sid").as("cluster_id"),
+        col("__best.d").as("dist2"))
+  }
+
+  /** One full Lloyd step: `kmeansAssign` then the `quantizedCentroids`
+    * refresh on the resulting labels — (cluster_id, ct, sum_csv), the
+    * next iteration's centroids as exact integer sums. The assign side
+    * is shuffle-free (above); the refresh is the one hash aggregate.
+    * Iterating = re-seeding from sums/ct at the caller's precision. */
+  def kmeansStep(vecs: DataFrame, idCol: String, k: Int): DataFrame = {
+    val assigned = kmeansAssign(vecs, idCol, k)
+      .select(col(idCol), col("cluster_id"))
+    quantizedCentroids(
+      vecs.join(assigned, idCol), "cluster_id")
+  }
+
   /** Int8-quantized ANN: the memory-bound regime's search path — the
     * candidate pass scores every corpus row with an INTEGER dot product
     * over the 4×-smaller int8 codes (scaled back to approximate cosine

@@ -585,6 +585,21 @@ object LlmOps {
         .select(col("label").cast("long").as("label"), col("ct"), col("sum_csv")),
       "label")
 
+  /** K-means assignment over int8 codes, k=4 lowest-id seeds — the
+    * integer argmin is map-side over one broadcast seed row. */
+  def xKmeansAssign(s: SparkSession, d: String): DataFrame =
+    ordered(
+      Similarity.kmeansAssign(embeddings(s, d), "vec_id", k = 4),
+      "vec_id")
+
+  /** One full Lloyd step: assign + integer centroid refresh. */
+  def xKmeansStep(s: SparkSession, d: String): DataFrame =
+    ordered(
+      Similarity.kmeansStep(embeddings(s, d), "vec_id", k = 4)
+        .select(col("cluster_id").cast("long").as("cluster_id"),
+          col("ct"), col("sum_csv")),
+      "cluster_id")
+
   def xMultimodal(s: SparkSession, d: String): DataFrame =
     ordered(
       Multimodal.extractFeatures(s, Multimodal.withPayload(documents(s, d))).toDF(),
@@ -641,6 +656,8 @@ object LlmOps {
     "x_decontaminate"     -> (xDecontaminate _),
     "x_embed_quantize"    -> (xEmbedQuantize _),
     "x_embed_centroid"    -> (xEmbedCentroid _),
+    "x_kmeans_assign"     -> (xKmeansAssign _),
+    "x_kmeans_step"       -> (xKmeansStep _),
     "x_embed_lsh"         -> (xEmbedLsh _),
     "x_ann_quantized"     -> (xAnnQuantized _),
     "x_corpus_pipeline"   -> (xCorpusPipeline _),
@@ -1255,6 +1272,48 @@ object LlmOps {
         |ct AS (SELECT label, COUNT(*) AS ct FROM c GROUP BY 1)
         |SELECT CAST(ct.label AS BIGINT) AS label, ct.ct, agg.sum_csv
         |FROM ct JOIN agg USING (label) ORDER BY label""".stripMargin,
+    "x_kmeans_assign" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |m AS (SELECT vec_id, e, list_max(list_transform(e, v -> abs(v))) AS amax FROM c),
+        |qz AS (SELECT vec_id,
+        |  CASE WHEN amax > 0 THEN list_transform(e, v -> CAST(round(v / amax * 127) AS BIGINT))
+        |       ELSE list_transform(e, v -> CAST(0 AS BIGINT)) END AS q8
+        |  FROM m),
+        |s AS (SELECT vec_id AS sid, q8 AS sq8 FROM qz ORDER BY vec_id LIMIT 4),
+        |d AS (SELECT qz.vec_id, s.sid,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(generate_series(1, len(q8)),
+        |      i -> (q8[i] - sq8[i]) * (q8[i] - sq8[i]))),
+        |    (a, b) -> a + b) AS dist2
+        |  FROM qz CROSS JOIN s)
+        |SELECT vec_id, sid AS cluster_id, dist2 FROM d
+        |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, sid) = 1
+        |ORDER BY vec_id""".stripMargin,
+    "x_kmeans_step" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |m AS (SELECT vec_id, e, list_max(list_transform(e, v -> abs(v))) AS amax FROM c),
+        |qz AS (SELECT vec_id,
+        |  CASE WHEN amax > 0 THEN list_transform(e, v -> CAST(round(v / amax * 127) AS BIGINT))
+        |       ELSE list_transform(e, v -> CAST(0 AS BIGINT)) END AS q8
+        |  FROM m),
+        |s AS (SELECT vec_id AS sid, q8 AS sq8 FROM qz ORDER BY vec_id LIMIT 4),
+        |d AS (SELECT qz.vec_id, s.sid,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(generate_series(1, len(q8)),
+        |      i -> (q8[i] - sq8[i]) * (q8[i] - sq8[i]))),
+        |    (a, b) -> a + b) AS dist2
+        |  FROM qz CROSS JOIN s),
+        |a AS (SELECT vec_id, sid AS cluster_id FROM d
+        |      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, sid) = 1),
+        |j AS (SELECT a.cluster_id, qz.q8 FROM a JOIN qz USING (vec_id)),
+        |u AS (SELECT cluster_id, unnest(q8) AS q, generate_subscripts(q8, 1) AS ord FROM j),
+        |ps AS (SELECT cluster_id, ord, SUM(q) AS sv FROM u GROUP BY 1, 2),
+        |agg AS (SELECT cluster_id,
+        |  array_to_string(list(CAST(sv AS VARCHAR) ORDER BY ord), ',') AS sum_csv
+        |  FROM ps GROUP BY 1),
+        |ct AS (SELECT cluster_id, COUNT(*) AS ct FROM a GROUP BY 1)
+        |SELECT ct.cluster_id, ct.ct, agg.sum_csv FROM ct JOIN agg USING (cluster_id)
+        |ORDER BY cluster_id""".stripMargin,
     "x_ann_quantized" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |m AS (SELECT vec_id, e,

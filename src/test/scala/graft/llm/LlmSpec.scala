@@ -684,4 +684,43 @@ class LlmSpec extends SparkSpec {
       "a" -> ((2L, "0,63,32")),   // 127-127, -64+127, 0+32
       "b" -> ((1L, "0,0,0"))))
   }
+
+  test("kmeansAssign: hand-computed integer argmin, tie to lowest seed, corpus never hash-shuffled") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(4.0f, -2.0f, 0.0f)),  // seed 0: q8 (127, -64, 0)
+      (1L, Array(-4.0f, 4.0f, 1.0f)),  // seed 1: q8 (-127, 127, 32)
+      (2L, Array(0.0f, 0.0f, 0.0f)),   // q8 (0,0,0): 20225 vs 33282 -> seed 0
+      (3L, Array(-2.0f, 4.0f, 1.0f)))  // q8 (-64,127,32): 73986 vs 3969 -> seed 1
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kmeansAssign(vecs, "vec_id", k = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      0L -> ((0L, 0L)), 1L -> ((1L, 0L)),
+      2L -> ((0L, 20225L)), 3L -> ((1L, 3969L))), s"got $got")
+    // scale contract: the only Exchanges are the one-row seed collapse
+    // and its broadcast — the corpus side is never hash-partitioned
+    val plan = Similarity.kmeansAssign(
+        graft.Tables.embeddings(spark, sf("sf0.001")), "vec_id", k = 4)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.split("\n").filter(_.contains("Exchange"))
+    assert(exchanges.nonEmpty && exchanges.forall(l =>
+        l.contains("SinglePartition") || l.contains("Broadcast")),
+      s"unexpected corpus shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("kmeansStep: refresh sums equal quantizedCentroids on the assignment") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(4.0f, -2.0f, 0.0f)), (1L, Array(-4.0f, 4.0f, 1.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)), (3L, Array(-2.0f, 4.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kmeansStep(vecs, "vec_id", k = 2)
+      .select(col("cluster_id").cast("long"), col("ct"), col("sum_csv"))
+      .as[(Long, Long, String)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // cluster 0 = vecs {0,2}: (127+0, -64+0, 0+0); cluster 1 = {1,3}
+    assert(got == Map(
+      0L -> ((2L, "127,-64,0")),
+      1L -> ((2L, "-191,254,64"))), s"got $got")
+  }
 }
