@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.util.Det._
@@ -155,6 +156,35 @@ object Relational {
         count(lit(1)).as("n_items"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
+  }
+
+  /** Q17: TPC-H Q17 shape (small-quantity-order revenue) — the classic
+    * CORRELATED SCALAR SUBQUERY ("lineitems below 20% of this part's
+    * average quantity") decorrelated by hand: the per-part average
+    * renders as a whole-partition window over the one hash(l_partkey)
+    * shuffle — no self-join, no second fact scan — and the threshold
+    * compares in EXACT INTEGER space (qty < 0.2·sum/ct ⟺ 5·qty·ct <
+    * sum; quantities are integer-valued), so no float-rounding
+    * borderline can ever flip a row cross-engine. The type-filtered
+    * part dim broadcasts ahead of the window, pruning the shuffle to
+    * surviving parts; the final brand aggregate is dim-bounded. The
+    * aggregate+shuffle-join rendering is the documented alternative
+    * when the window's in-partition sort is the bottleneck. */
+  def q17SmallQuantity(s: SparkSession, d: String): DataFrame = {
+    val p = part(s, d).filter(col("p_type") === "ECONOMY")
+      .select("p_partkey", "p_brand")
+    val li = lineitem(s, d).select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val w = Window.partitionBy(col("l_partkey"))
+    ordered(
+      li.withColumn("__sq", sum(col("l_quantity").cast("long")).over(w))
+        .withColumn("__ct", count(lit(1)).over(w))
+        .filter(col("l_quantity").cast("long") * 5 * col("__ct") < col("__sq"))
+        .groupBy(col("p_brand"))
+        .agg((sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+          / 7.0).as("avg_yearly"),
+          count(lit(1)).as("n_items")),
+      "p_brand")
   }
 
   /** J2: the PaymentWide interval join (PaymentWideApp.java:69-76) —
@@ -422,6 +452,7 @@ object Relational {
     "j8_range_join"    -> (j8RangeJoin _),
     "q1_agg"           -> (q1Agg _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q17_small_quantity"   -> (q17SmallQuantity _),
     "q10_returned_items"   -> (q10ReturnedItems _),
     "s1_scan"          -> (s1Scan _),
     "p3_derive"        -> (p3Derive _),
@@ -520,6 +551,18 @@ object Relational {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q17_small_quantity" ->
+      """WITH p AS (SELECT p_partkey, p_brand FROM part WHERE p_type = 'ECONOMY'),
+        |li AS (SELECT l_partkey, l_quantity, l_extendedprice, p_brand
+        |       FROM lineitem JOIN p ON p_partkey = l_partkey),
+        |st AS (SELECT *,
+        |  SUM(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_partkey) AS sq,
+        |  COUNT(*) OVER (PARTITION BY l_partkey) AS ct FROM li)
+        |SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  COUNT(*) AS n_items
+        |FROM st WHERE CAST(l_quantity AS BIGINT) * 5 * ct < sq
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,

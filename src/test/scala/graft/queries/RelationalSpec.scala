@@ -21,6 +21,34 @@ class RelationalSpec extends SparkSpec {
     assert(df.collect().length <= 10)
   }
 
+  test("q17: part dim broadcasts, ONE fact shuffle (window decorrelation), threshold is exact") {
+    val df = Relational.q17SmallQuantity(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"part dim must broadcast:\n$plan")
+    assert(plan.contains("Window"), s"decorrelation must be a window, not a self-join:\n$plan")
+    // one hash-partition exchange on the fact (l_partkey); the brand agg
+    // rides the tiny surviving set
+    val factEx = plan.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning(l_partkey")).size
+    assert(factEx == 1, s"exactly one fact shuffle expected:\n$plan")
+    val scans = df.queryExecution.sparkPlan.toString
+    assert(scans.contains("EqualTo(p_type,ECONOMY)"), "part type filter must push down")
+    // brute-force parity on the small fixture: per-part avg via plain agg
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(spark, sf("sf0.001"))
+    val p = graft.Tables.part(spark, sf("sf0.001"))
+      .filter(col("p_type") === "ECONOMY").select("p_partkey", "p_brand")
+    val stats = li.groupBy("l_partkey")
+      .agg(sum(col("l_quantity").cast("long")).as("sq"), count(lit(1)).as("ct"))
+    val brute = li.join(stats, "l_partkey").join(p, col("l_partkey") === col("p_partkey"))
+      .filter(col("l_quantity").cast("long") * 5 * col("ct") < col("sq"))
+      .groupBy("p_brand")
+      .agg((sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double") / 7.0)
+        .as("avg_yearly"), count(lit(1)).as("n_items"))
+      .orderBy("p_brand").collect().toSeq
+    assert(df.collect().toSeq == brute, "window and join decorrelations must agree")
+  }
+
   test("q10: returnflag filter pushes down, dims broadcast, top-20 bounded") {
     val df = Relational.q10ReturnedItems(spark, sf("sf0.001"))
     val plan = df.queryExecution.executedPlan.toString
