@@ -214,4 +214,59 @@ object Sampling {
       .filter(hashUniform(col(idCol)) < col("sample_rate"))
       .withColumn("sample_weight", lit(1.0) / col("sample_rate"))
   }
+
+  /** DSIR-STYLE IMPORTANCE WEIGHTS — Xie et al., "Data Selection for
+    * Language Models via Importance Resampling" (2023): score every
+    * source document by how target-like its hashed-token distribution
+    * is, against add-1-smoothed bag-of-hashed-ngram models of a trusted
+    * `target` subset vs the whole source. The paper scores
+    * log p̂(doc)−log q̂(doc) = Σ_tokens (log p̂_b − log q̂_b); this
+    * engine's RATIONAL variant (same move as BM25's rational idf)
+    * replaces each token's log-ratio with the integer scaled ratio
+    *
+    *   ratio(b) = ((t_b+1)·scale div (T+B)) · (S+B) div (s_b+1)
+    *
+    * and sums those — an arithmetic-mean-of-ratios surrogate that
+    * preserves "more target-like buckets ⇒ bigger score", is exact in
+    * int64, and therefore gate-hashable bit-for-bit; the float log-sum
+    * is the documented swap where the paper's exact resampling
+    * semantics are required. Int64 bounds: (t_b+1)·scale and
+    * (S+B)·scale must stay under 2⁶³ — holds through ~9·10¹² source
+    * tokens at the default scale (≈50 TB of text); shard the model or
+    * take the float swap beyond.
+    *
+    * Plan: ONE token explode serves both models (the target's counts
+    * are a conditional sum in the same hash aggregate — `target` is a
+    * boolean predicate column over source rows, so no second scan and
+    * no join to mark membership); the ratio table is ≤`buckets` rows —
+    * broadcast-sized BY CONSTRUCTION, the one legitimate forced
+    * broadcast — and the doc score is a map-side join + one doc_id
+    * aggregate. Row-preserving: token-less documents come back with
+    * n_tokens=0, dsir_score=0. */
+  def dsirWeights(source: DataFrame, idCol: String, target: Column,
+                  buckets: Int = 4096, scale: Long = 1000000L,
+                  text: Column = col("text")): DataFrame = {
+    require(buckets >= 2, "dsirWeights: need >= 2 hash buckets")
+    val tb = source
+      .select(col(idCol), target.as("__tgt"),
+        explode(TextAnalysis.tokens(text)).as("__tok"))
+      .select(col(idCol), col("__tgt"),
+        pmod(Dedup.h60(col("__tok")), lit(buckets.toLong)).as("__b"))
+    val stats = tb.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__sc"),
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("__tc"))
+    val tot = tb.agg(count(lit(1)).as("__S"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__T"))
+    val ratio = stats.crossJoin(broadcast(tot))
+      .select(col("__b"),
+        expr(s"((__tc + 1L) * ${scale}L div (__T + $buckets)) " +
+          s"* (__S + $buckets) div (__sc + 1L)").as("__ratio"))
+    val scores = tb.join(broadcast(ratio), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__ratio")).as("dsir_score"))
+    source.select(col(idCol)).join(scores, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("dsir_score"), lit(0L)).as("dsir_score"))
+  }
 }

@@ -415,6 +415,15 @@ object LlmOps {
         .select(col("doc_id"), col("quality_score"), col("sample_weight")),
       "doc_id")
 
+  /** DSIR importance weights (rational variant): every-7th doc plays
+    * the trusted target set; one explode feeds both hashed-token
+    * models; ratio table is bucket-bounded and broadcast. */
+  def xDsirWeights(s: SparkSession, d: String): DataFrame =
+    ordered(
+      Sampling.dsirWeights(documents(s, d), "doc_id",
+        pmod(col("doc_id"), lit(7)) === 0),
+      "doc_id")
+
   /** Within-doc repetition metrics (Gopher-style quality signals):
     * duplicate 3-gram fraction + top-token share, pure map-side. */
   def xTextRepetition(s: SparkSession, d: String): DataFrame =
@@ -642,6 +651,7 @@ object LlmOps {
     "x_sample_mixture"    -> (xSampleMixture _),
     "x_sample_shard"      -> (xSampleShard _),
     "x_sample_weighted"   -> (xSampleWeighted _),
+    "x_dsir_weights"      -> (xDsirWeights _),
     "x_sample_curriculum" -> (xSampleCurriculum _),
     "x_chunk"             -> (xChunk _),
     "x_text_cooccur"      -> (xTextCooccur _),
@@ -1114,6 +1124,25 @@ object LlmOps {
          |  array_to_string(list_transform(list_sort(list(doc_id))[1:32],
          |    x -> CAST(x AS VARCHAR)), ',') AS postings
          |FROM td GROUP BY term ORDER BY term""".stripMargin,
+    "x_dsir_weights" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
+         |u AS (SELECT doc_id, doc_id % 7 = 0 AS tgt, unnest(ts) AS tok FROM toks),
+         |tb AS (SELECT doc_id, tgt,
+         |  CAST(CONCAT('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 4096 AS b
+         |  FROM u),
+         |st AS (SELECT b, COUNT(*) AS sc,
+         |  SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS tc FROM tb GROUP BY 1),
+         |tot AS (SELECT COUNT(*) AS s_tot,
+         |  SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS t_tot FROM tb),
+         |r AS (SELECT b,
+         |  CAST((tc + 1) * 1000000 // (t_tot + 4096) AS BIGINT)
+         |    * CAST(s_tot + 4096 AS BIGINT) // CAST(sc + 1 AS BIGINT) AS ratio
+         |  FROM st CROSS JOIN tot),
+         |sc AS (SELECT tb.doc_id, COUNT(*) AS n_tokens, SUM(r.ratio) AS score
+         |       FROM tb JOIN r USING (b) GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(sc.n_tokens, 0) AS n_tokens,
+         |  CAST(COALESCE(sc.score, 0) AS BIGINT) AS dsir_score
+         |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
     "x_sample_curriculum" ->
       s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_toks FROM documents),
          |c AS (SELECT quantile_cont(n_toks, 0.25) AS q1,

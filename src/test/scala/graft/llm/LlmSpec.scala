@@ -685,6 +685,28 @@ class LlmSpec extends SparkSpec {
       "b" -> ((1L, "0,0,0"))))
   }
 
+  test("dsirWeights: target-like docs outscore off-target ones; row-preserving; zero-token safe") {
+    import spark.implicits._
+    // target speaks "aaa bbb"; distractor speaks "zzz yyy"; probe docs
+    // lean one way or the other
+    val docs = Seq(
+      (0L, "aaa bbb aaa bbb"),   // target member (id % 2 == 0 below)
+      (2L, "aaa bbb bbb aaa"),   // target member
+      (1L, "aaa bbb aaa bbb"),   // non-target but target-like
+      (3L, "zzz yyy zzz yyy"),   // non-target, off-distribution
+      (5L, "")                   // no tokens at all
+    ).toDF("doc_id", "text")
+    val got = Sampling.dsirWeights(docs, "doc_id",
+        pmod(col("doc_id"), lit(2)) === 0, buckets = 64)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.size == 5, "row-preserving")
+    assert(got(5L) == ((0L, 0L)), "token-less doc scores 0")
+    // identical text => identical score, membership does not bias scoring
+    assert(got(1L)._2 == got(0L)._2)
+    assert(got(1L)._2 > got(3L)._2,
+      s"target-like must outscore off-target: ${got(1L)} vs ${got(3L)}")
+  }
+
   test("kmeansAssign: hand-computed integer argmin, tie to lowest seed, corpus never hash-shuffled") {
     import spark.implicits._
     val vecs = Seq(
