@@ -187,6 +187,22 @@ object Relational {
       "p_brand")
   }
 
+  /** D1: SCD2 dimension history from the event stream — each user's
+    * event_type run-length-collapsed into [valid_from, valid_to)
+    * versions (`operators/Dimensions.scd2FromChangelog`); the full
+    * type-2 table whose LATEST face is what `sources.Sinks.dimUpsert`
+    * serves to stream enrichment. */
+  def d1Scd2(s: SparkSession, d: String): DataFrame = {
+    ordered(
+      graft.operators.Dimensions.scd2FromChangelog(
+        events(s, d), "user_id", "ts", "event_id", "event_type")
+        .select(col("user_id"), col("event_type"),
+          stamp(col("valid_from")).as("valid_from"),
+          stamp(col("valid_to")).as("valid_to"),
+          col("is_current"), col("version")),
+      "user_id", "version")
+  }
+
   /** J2: the PaymentWide interval join (PaymentWideApp.java:69-76) —
     * asymmetric inclusive bounds [leftTime - 15min, leftTime], i.e. the
     * payment must land within a window BEFORE/AT the order event (the
@@ -453,6 +469,7 @@ object Relational {
     "q1_agg"           -> (q1Agg _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q17_small_quantity"   -> (q17SmallQuantity _),
+    "d1_scd2"              -> (d1Scd2 _),
     "q10_returned_items"   -> (q10ReturnedItems _),
     "s1_scan"          -> (s1Scan _),
     "p3_derive"        -> (p3Derive _),
@@ -551,6 +568,21 @@ object Relational {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "d1_scd2" ->
+      """WITH s AS (SELECT user_id, ts, event_id, event_type,
+        |  lag(event_type) OVER w AS pv, row_number() OVER w AS rn
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (SELECT user_id, event_type, ts, event_id FROM s
+        |      WHERE rn = 1 OR pv IS DISTINCT FROM event_type),
+        |v AS (SELECT user_id, event_type, ts AS vf,
+        |  lead(ts) OVER w2 AS vt,
+        |  CAST(row_number() OVER w2 AS BIGINT) AS version
+        |  FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_type,
+        |  strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |  vt IS NULL AS is_current, version
+        |FROM v ORDER BY user_id, version""".stripMargin,
     "q17_small_quantity" ->
       """WITH p AS (SELECT p_partkey, p_brand FROM part WHERE p_type = 'ECONOMY'),
         |li AS (SELECT l_partkey, l_quantity, l_extendedprice, p_brand
