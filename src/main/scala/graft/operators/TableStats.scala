@@ -62,4 +62,36 @@ object TableStats {
       .withColumn("bin_lo", lit(lo) + col("bin") * lit(width))
       .withColumn("bin_hi", lit(lo) + (col("bin") + 1) * lit(width))
   }
+
+  /** GLOBAL EXACT PERCENT-RANK without the global sort: ranking a whole
+    * corpus by one score ("keep the top 30% by quality") is the classic
+    * single-partition-Window trap — `percent_rank().over(Window.orderBy
+    * (...))` drags every row through one task. This is the distributed
+    * two-pass rendering: (1) a hash aggregate counts rows per DISTINCT
+    * value; (2) a cumulative sum over that value-bounded table turns
+    * counts into "rows strictly below"; (3) the rank table joins back
+    * broadcast, map-side. `rank_below` = SQL `rank() - 1` (ties share a
+    * rank) and `pct_ppm` = rank_below·10⁶ div (N−1) — integer-exact, so
+    * the gate hashes. N reaches the plan as a one-row broadcast.
+    *
+    * The cumulative pass IS a single-partition window — over the
+    * DISTINCT-VALUE table, not the data (same bound as e3's |types|²
+    * matrix). The contract is therefore: quantize continuous scores
+    * first (the gate uses ppm — ≤10⁶+1 distinct), keeping the rank
+    * table bounded and its broadcast justified by construction. */
+  def globalPercentRank(df: DataFrame, valueCol: String): DataFrame = {
+    val counts = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__ct"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(valueCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranks = counts
+      .withColumn("__below", coalesce(sum(col("__ct")).over(w), lit(0L)))
+      .select(col(valueCol), col("__below"))
+    val tot = df.agg(count(lit(1)).as("__n"))
+    df.join(broadcast(ranks), Seq(valueCol))
+      .crossJoin(broadcast(tot))
+      .withColumn("rank_below", col("__below"))
+      .withColumn("pct_ppm", when(col("__n") > 1,
+        expr("__below * 1000000L div (__n - 1)")).otherwise(lit(0L)))
+      .drop("__below", "__n")
+  }
 }

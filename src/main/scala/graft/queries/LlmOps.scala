@@ -415,6 +415,20 @@ object LlmOps {
         .select(col("doc_id"), col("quality_score"), col("sample_weight")),
       "doc_id")
 
+  /** Global exact quality percent-rank (threshold-free corpus cuts):
+    * quality score quantized to ppm, ranked corpus-wide by the
+    * distributed two-pass — per-value counts, value-bounded cumulative,
+    * broadcast join back; no full-table global sort anywhere. */
+  def xQualityRank(s: SparkSession, d: String): DataFrame =
+    ordered(
+      graft.operators.TableStats.globalPercentRank(
+        TextAnalysis.withQuality(documents(s, d))
+          .select(col("doc_id"),
+            expr("CAST(round(quality_score * 1000000) AS LONG)").as("q_ppm")),
+        "q_ppm")
+        .select(col("doc_id"), col("q_ppm"), col("rank_below"), col("pct_ppm")),
+      "doc_id")
+
   /** DSIR importance weights (rational variant): every-7th doc plays
     * the trusted target set; one explode feeds both hashed-token
     * models; ratio table is bucket-bounded and broadcast. */
@@ -652,6 +666,7 @@ object LlmOps {
     "x_sample_shard"      -> (xSampleShard _),
     "x_sample_weighted"   -> (xSampleWeighted _),
     "x_dsir_weights"      -> (xDsirWeights _),
+    "x_quality_rank"      -> (xQualityRank _),
     "x_sample_curriculum" -> (xSampleCurriculum _),
     "x_chunk"             -> (xChunk _),
     "x_text_cooccur"      -> (xTextCooccur _),
@@ -1124,6 +1139,21 @@ object LlmOps {
          |  array_to_string(list_transform(list_sort(list(doc_id))[1:32],
          |    x -> CAST(x AS VARCHAR)), ',') AS postings
          |FROM td GROUP BY term ORDER BY term""".stripMargin,
+    "x_quality_rank" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |q AS (SELECT doc_id,
+         |    least(1.0, CAST(len(toks) AS BIGINT) / 100.0) * 0.4
+         |    + CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text) * 0.3
+         |    + CAST(len(list_filter(toks, t2 -> list_contains($stopwordsSql, t2))) AS DOUBLE) / len(toks) * 0.3
+         |    AS score
+         |  FROM t),
+         |p AS (SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS q_ppm FROM q),
+         |r AS (SELECT doc_id, q_ppm,
+         |  CAST(rank() OVER (ORDER BY q_ppm) - 1 AS BIGINT) AS rank_below,
+         |  (SELECT COUNT(*) FROM p) AS n FROM p)
+         |SELECT doc_id, q_ppm, rank_below,
+         |  CASE WHEN n > 1 THEN rank_below * 1000000 // (n - 1) ELSE 0 END AS pct_ppm
+         |FROM r ORDER BY doc_id""".stripMargin,
     "x_dsir_weights" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
          |u AS (SELECT doc_id, doc_id % 7 = 0 AS tgt, unnest(ts) AS tok FROM toks),

@@ -138,7 +138,29 @@ object Windows {
       "event_type", "day")
   }
 
+  /** W13: event-TIME rolling aggregate — each order's trailing-7-day
+    * revenue for its customer via a RANGE frame over epoch seconds
+    * (rows frames count rows; dashboards want wall-clock trailing
+    * windows, and a range frame is tie-safe by construction: every
+    * same-timestamp order sees the identical frame, so no tie column
+    * is needed). Integer cents keep the sums hash-exact. Per-customer
+    * partitioning — the standard keyed window sort, nothing global. */
+  def w13RollingRange(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("sec"))
+      .rangeBetween(-6L * 86400, 0)
+    ordered(
+      orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          unix_seconds(col("o_orderdate")).as("sec"),
+          expr("CAST(round(o_totalprice * 100) AS LONG)").as("cents"))
+        .select(col("o_orderkey"), col("o_custkey"), col("sec"),
+          sum(col("cents")).over(w).as("roll_cents"),
+          count(lit(1)).over(w).as("roll_ct")),
+      "o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w13_rolling_range" -> (w13RollingRange _),
     "w12_period_delta"  -> (w12PeriodDelta _),
     "w11_ohlc"          -> (w11Ohlc _),
     "w10_gapfill"       -> (w10GapFill _),
@@ -148,6 +170,15 @@ object Windows {
     "w9_running"        -> (w9Running _))
 
   val oracle: Map[String, String] = Map(
+    "w13_rolling_range" ->
+      """SELECT o_orderkey, o_custkey,
+        |  epoch_ms(o_orderdate) // 1000 AS sec,
+        |  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS roll_cents,
+        |  COUNT(*) OVER w AS roll_ct
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate) // 1000
+        |  RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
     "w12_period_delta" ->
       """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents

@@ -41,4 +41,36 @@ class TableStatsSpec extends SparkSpec {
     assert(scans == 1, s"expected one scan, got $scans:\n$plan")
     assert(df.count() == 3)
   }
+
+  test("globalPercentRank: ties share ranks, matches percent_rank, window sees only distinct values") {
+    import spark.implicits._
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 20L), (4L, 30L), (5L, 5L))
+      .toDF("id", "v")
+    val got = TableStats.globalPercentRank(df, "v")
+      .collect().map(r => (r.getAs[Long]("id"), (r.getAs[Long]("rank_below"),
+        r.getAs[Long]("pct_ppm")))).toMap
+    // ranks below: 5->0, 10->1, 20->2 (both), 30->4; ppm = below*1e6 div 4
+    assert(got == Map(5L -> ((0L, 0L)), 1L -> ((1L, 250000L)),
+      2L -> ((2L, 500000L)), 3L -> ((2L, 500000L)),
+      4L -> ((4L, 1000000L))), s"got $got")
+    // parity with SQL percent_rank (rank-1)/(N-1) at exact dyadic points
+    import org.apache.spark.sql.expressions.Window
+    val pr = df.withColumn("pr",
+      percent_rank().over(Window.orderBy(col("v"))))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("pr")).toMap
+    got.foreach { case (id, (_, ppm)) =>
+      assert(math.abs(ppm / 1e6 - pr(id)) < 1e-9, s"id $id: $ppm vs ${pr(id)}")
+    }
+    // the cumulative Window must ride the aggregated distinct-value
+    // table, never the raw rows: the single-partition exchange feeds
+    // from a HashAggregate subtree
+    val plan = TableStats.globalPercentRank(
+        graft.Tables.orders(spark, sf("sf0.001"))
+          .select(col("o_orderkey"), (col("o_custkey") % 100).as("v")), "v")
+      .queryExecution.optimizedPlan.toString
+    val winIdx = plan.indexOf("Window")
+    val aggIdx = plan.indexOf("Aggregate", winIdx)
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"Window must consume the per-value aggregate:\n$plan")
+  }
 }
