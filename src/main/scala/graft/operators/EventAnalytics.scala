@@ -167,4 +167,51 @@ object EventAnalytics {
       .withColumn("prob_ppm", expr("ct * 1000000L div prev_total"))
       .drop("prev_total")
   }
+
+  /** TOUCH ATTRIBUTION: for every conversion event, the source touch it
+    * credits under the two standard models at once — LAST-touch (the
+    * most recent source event at or before the conversion, by strict
+    * (time, tie) precedence, nulled when older than `lookbackMs`:
+    * "direct" conversions keep their NULL rather than stealing a stale
+    * touch) and FIRST-touch (the earliest source within the lookback;
+    * rendered as a RANGE frame over epoch millis, which is tie-blind by
+    * construction — same-timestamp sources count regardless of tie
+    * order, documented). The reference's `SEARCH`-source constants
+    * (GmallConstant.java) are exactly this query's source vocabulary.
+    *
+    * Plan shape: one pushed `isin` filter keeps only conversions +
+    * sources; both models are Window aggregates over the SAME
+    * hash(user) Exchange (a rows frame and a range frame — two Window
+    * operators, one shuffle); each touch travels as ONE struct so all
+    * its fields come from the same source row (the asofJoin
+    * struct-atomicity rule). Output is one row per conversion. At
+    * 100 TB the per-user sort is the standard sessionize cost and
+    * nothing else grows. */
+  def attribution(events: DataFrame, userCol: String, timeCol: String,
+                  tieCol: String, typeCol: String, conversionType: String,
+                  sourceTypes: Seq[String], lookbackMs: Long): DataFrame = {
+    require(sourceTypes.nonEmpty && !sourceTypes.contains(conversionType),
+      "attribution: sources must be non-empty and exclude the conversion type")
+    val kept = events
+      .filter(col(typeCol).isin(conversionType +: sourceTypes: _*))
+      .select(col(userCol), col(timeCol), col(tieCol), col(typeCol),
+        unix_millis(col(timeCol)).as("__ms"))
+    val touch = when(col(typeCol) =!= conversionType,
+      struct(col("__ms").as("ms"), col(tieCol).as("tie"), col(typeCol).as("typ")))
+    val wRows = Window.partitionBy(col(userCol))
+      .orderBy(col("__ms"), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRange = Window.partitionBy(col(userCol)).orderBy(col("__ms"))
+      .rangeBetween(-lookbackMs, 0)
+    val inWindow = col("__lt").getField("ms") >= col("__ms") - lookbackMs
+    kept
+      .withColumn("__lt", last(touch, ignoreNulls = true).over(wRows))
+      .withColumn("__ft", min(touch).over(wRange))
+      .filter(col(typeCol) === conversionType)
+      .select(col(userCol), col(timeCol).as("conv_ts"), col(tieCol).as("conv_id"),
+        when(inWindow, col("__lt").getField("typ")).as("last_src_type"),
+        when(inWindow, col("__lt").getField("ms")).as("last_src_ms"),
+        col("__ft").getField("typ").as("first_src_type"),
+        col("__ft").getField("ms").as("first_src_ms"))
+  }
 }

@@ -203,6 +203,30 @@ object Relational {
       "user_id", "version")
   }
 
+  /** J12: point-in-time dimension enrichment — the D1 SCD2 history
+    * probed by the J7 as-of join: every event gets the dimension
+    * version valid AT its timestamp (same-ts version supersessions
+    * resolve to the max version via the tie-break, i.e. zero-length
+    * intervals never win). The composition every event-sourced
+    * warehouse runs: CDC → type-2 history → as-of enrichment; and a
+    * built-in self-consistency law — the version valid at an event's
+    * own timestamp carries that event's value — which the spec checks
+    * corpus-wide. */
+  def j12DimAsof(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select("event_id", "user_id", "ts")
+    val dim = graft.operators.Dimensions.scd2FromChangelog(
+        events(s, d), "user_id", "ts", "event_id", "event_type")
+      .select(col("user_id"), col("valid_from").as("ts"),
+        col("event_type").as("dim_value"), col("version"))
+    ordered(
+      graft.operators.Joins.asofJoin(ev, dim, "user_id", "ts",
+        rightPrefix = "d_", tieBreak = Some("version"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("e_us"),
+          col("d_dim_value").as("dim_value"), col("d_version").as("version")),
+      "event_id")
+  }
+
   /** J2: the PaymentWide interval join (PaymentWideApp.java:69-76) —
     * asymmetric inclusive bounds [leftTime - 15min, leftTime], i.e. the
     * payment must land within a window BEFORE/AT the order event (the
@@ -470,6 +494,7 @@ object Relational {
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q17_small_quantity"   -> (q17SmallQuantity _),
     "d1_scd2"              -> (d1Scd2 _),
+    "j12_dim_asof"         -> (j12DimAsof _),
     "q10_returned_items"   -> (q10ReturnedItems _),
     "s1_scan"          -> (s1Scan _),
     "p3_derive"        -> (p3Derive _),
@@ -568,6 +593,23 @@ object Relational {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "j12_dim_asof" ->
+      """WITH s AS (SELECT user_id, ts, event_id, event_type,
+        |  lag(event_type) OVER w AS pv, row_number() OVER w AS rn
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (SELECT user_id, event_type, ts, event_id FROM s
+        |      WHERE rn = 1 OR pv IS DISTINCT FROM event_type),
+        |v AS (SELECT user_id, event_type AS dim_value, ts AS vf,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS BIGINT) AS version
+        |  FROM c)
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS e_us,
+        |  v.dim_value, v.version
+        |FROM events e LEFT JOIN v
+        |  ON e.user_id = v.user_id AND v.vf <= e.ts
+        |QUALIFY row_number() OVER (PARTITION BY e.event_id
+        |  ORDER BY v.vf DESC, v.version DESC) = 1
+        |ORDER BY e.event_id""".stripMargin,
     "d1_scd2" ->
       """WITH s AS (SELECT user_id, ts, event_id, event_type,
         |  lag(event_type) OVER w AS pv, row_number() OVER w AS rn

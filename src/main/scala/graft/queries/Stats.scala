@@ -344,6 +344,21 @@ object Stats {
       "node")
   }
 
+  /** E6: touch attribution — every purchase credited to its last and
+    * first view/click touch within a 1-hour lookback
+    * (`operators/EventAnalytics.attribution`); stale last-touches null
+    * out as "direct". */
+  def e6Attribution(s: SparkSession, d: String): DataFrame = {
+    ordered(
+      graft.operators.EventAnalytics.attribution(
+        events(s, d), "user_id", "ts", "event_id", "event_type",
+        "purchase", Seq("view", "click"), 3600000L)
+        .select(col("user_id"), stamp(col("conv_ts")).as("conv_ts"),
+          col("conv_id"), col("last_src_type"), col("last_src_ms"),
+          col("first_src_type"), col("first_src_ms")),
+      "conv_id")
+  }
+
   /** E2-stream: the SAME retention triangle through
     * `streaming.RetentionStream.retentionHits`' code path run in batch
     * mode (each per-user group sees the full history, so the anchor is
@@ -577,6 +592,7 @@ object Stats {
     "e2_retention"      -> (e2Retention _),
     "e3_path_transitions" -> (e3PathTransitions _),
     "e5_pagerank"       -> (e5Pagerank _),
+    "e6_attribution"    -> (e6Attribution _),
     "e4_funnel_latency" -> (e4FunnelLatency _),
     "e3_path_sessions"  -> (e3PathSessions _),
     "e2_retention_approx" -> (e2RetentionApprox _),
@@ -774,6 +790,25 @@ object Stats {
         |SELECT prev_type, next_type, ct,
         |  CAST(ct * 1000000 // SUM(ct) OVER (PARTITION BY prev_type) AS BIGINT) AS prob_ppm
         |FROM m ORDER BY prev_type, next_type""".stripMargin,
+    "e6_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, ts, epoch_ms(ts) AS ms
+        |  FROM events WHERE event_type IN ('purchase', 'view', 'click')),
+        |s AS (SELECT *,
+        |  last_value(CASE WHEN event_type <> 'purchase' THEN
+        |      struct_pack(ms := ms, tie := event_id, typ := event_type) END
+        |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS lt,
+        |  min(CASE WHEN event_type <> 'purchase' THEN
+        |      struct_pack(ms := ms, tie := event_id, typ := event_type) END)
+        |    OVER (PARTITION BY user_id ORDER BY ms
+        |      RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS ft
+        |  FROM e)
+        |SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS conv_ts,
+        |  event_id AS conv_id,
+        |  CASE WHEN lt.ms >= ms - 3600000 THEN lt.typ END AS last_src_type,
+        |  CASE WHEN lt.ms >= ms - 3600000 THEN lt.ms END AS last_src_ms,
+        |  ft.typ AS first_src_type, ft.ms AS first_src_ms
+        |FROM s WHERE event_type = 'purchase' ORDER BY conv_id""".stripMargin,
     "e5_pagerank" ->
       """WITH seq AS (SELECT event_type AS next_type,
         |  lag(event_type, 1, '_start')

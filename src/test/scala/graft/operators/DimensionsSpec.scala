@@ -35,6 +35,20 @@ class DimensionsSpec extends SparkSpec {
     assert(ex == 1, s"expected one shuffle:\n$plan")
   }
 
+  test("point-in-time law: the version valid at an event's ts carries that event's value") {
+    val ev = graft.Tables.events(spark, sf("sf0.001"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val dim = Dimensions.scd2FromChangelog(ev, "user_id", "ts", "event_id", "event_type")
+      .select(col("user_id"), col("valid_from").as("ts"),
+        col("event_type").as("dim_value"), col("version"))
+    val joined = Joins.asofJoin(
+      ev.select("event_id", "user_id", "ts", "event_type"), dim,
+      "user_id", "ts", rightPrefix = "d_", tieBreak = Some("version"))
+    val bad = joined.filter(col("d_dim_value").isNull ||
+      col("d_dim_value") =!= col("event_type")).count()
+    assert(bad == 0, "every event must see its own value in the PIT dimension")
+  }
+
   test("scd2 on real events: intervals tile each user's timeline exactly") {
     val ev = graft.Tables.events(spark, sf("sf0.001"))
     val df = Dimensions.scd2FromChangelog(ev, "user_id", "ts", "event_id", "event_type")

@@ -121,6 +121,31 @@ class EventAnalyticsSpec extends SparkSpec {
       ("click", "click", 1L, 1000000L)), s"unexpected matrix: $got")
   }
 
+  test("attribution: last vs first touch, stale lookback nulls, direct conversions, same-ts ties") {
+    val events = ev(Seq(
+      // user 1: view then click then purchase — last=click, first=view
+      (1L, 1L, "view", 10L), (2L, 1L, "click", 50L), (3L, 1L, "purchase", 60L),
+      // user 2: only touch is 190s before purchase — outside 100s lookback
+      (4L, 2L, "view", 10L), (5L, 2L, "purchase", 200L),
+      // user 3: direct purchase, no touches at all
+      (6L, 3L, "purchase", 5L),
+      // user 4: click(tie 7) and view(tie 8) at the SAME ts as purchase
+      (7L, 4L, "click", 30L), (8L, 4L, "view", 30L), (9L, 4L, "purchase", 30L)))
+    val got = EventAnalytics.attribution(events, "user_id", "ts", "event_id",
+        "event_type", "purchase", Seq("view", "click"), 100000L)
+      .collect().map(r => r.getLong(2) -> ((Option(r.getString(3)),
+        Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.getString(5)), Option(r.get(6)).map(_.asInstanceOf[Long]))))
+      .toMap
+    assert(got(3L) == ((Some("click"), Some(50000L), Some("view"), Some(10000L))), s"u1: ${got(3L)}")
+    assert(got(5L) == ((None, None, None, None)), s"stale touch must null out: ${got(5L)}")
+    assert(got(6L) == ((None, None, None, None)), s"direct: ${got(6L)}")
+    // same-ts: last by (ms, tie) precedence = view (tie 8); first by
+    // struct min = click (tie 7)
+    assert(got(9L) == ((Some("view"), Some(30000L), Some("click"), Some(30000L))), s"u4: ${got(9L)}")
+    assert(got.size == 4)
+  }
+
   test("weightedSample: w=1 keeps all, w=0 keeps none, HT weight exact") {
     import spark.implicits._
     val docs = (1L to 200L).toDF("doc_id")
