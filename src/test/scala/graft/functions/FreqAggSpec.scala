@@ -55,4 +55,25 @@ class FreqAggSpec extends SparkSpec {
       assert(c <= truth(k), s"key $k overcounted: $c > ${truth(k)}")
     }
   }
+
+  test("MG summary survives streaming state-store round-trips exactly (capacity > domain)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // update across micro-batches: partial MG buffers serialize into the
+    // state store; with capacity above the key domain the counts must be
+    // EXACT across batches, proving the buffer round-trips losslessly
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    val agg = mem.toDS().toDF("g", "k")
+      .groupBy(col("g"))
+      .agg(graft.functions.FreqAgg.freqSummary(col("k"), 8).as("hh"))
+    val q = agg.writeStream.format("memory").queryName("freqstream")
+      .outputMode("complete").start()
+    try {
+      mem.addData(("A", 1L), ("A", 1L), ("A", 2L)); q.processAllAvailable()
+      mem.addData(("A", 1L), ("A", 3L), ("A", 2L)); q.processAllAvailable()
+      val got = spark.table("freqstream").selectExpr("explode(hh) AS e")
+        .selectExpr("e.key", "e.count").as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 3L, 2L -> 2L, 3L -> 1L), s"unexpected: $got")
+    } finally q.stop()
+  }
 }
