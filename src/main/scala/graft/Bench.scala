@@ -129,7 +129,22 @@ object Bench {
     // nothing) → finally drop the warm array (still in the verbose line
     // and bench_out.json). 1750 leaves room for the runner's own trailing
     // log lines inside its ~2000-char stdout tail.
-    val candidates = Seq(render(r3, warm = 1), render(r2, warm = 1), render(r2, warm = 0))
+    // final rung: when even the no-warm full map cannot fit (the query
+    // count grew past what ~25 chars/name allows), drop the per-query
+    // map from the LAST line entirely — the verbose line above and
+    // bench_out.json (committed in-repo) still carry every number, and
+    // a complete slim line beats a tail-truncated full one, which would
+    // zero the whole round's bench capture
+    val slim =
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec"""" +
+        s""","queries_file":"bench_out.json"""" +
+        s""","n_queries":${results.length}""" +
+        s""","artifacts":${jsonMap(artifacts.map(a => a._1 -> r2(a._2)))}""" +
+        s""","tainted":${jsonArr(tainted)}""" +
+        s""","failures":${jsonArr(failures.distinct.take(10).toSeq)}""" +
+        s""","sf":"$sfDir"}"""
+    val candidates = Seq(render(r3, warm = 1), render(r2, warm = 1),
+      render(r2, warm = 0), slim)
     val compact = candidates.find(_.length <= 1750).getOrElse(candidates.last)
     // land the verbose line in a dedicated file so a log-prefixing runner
     // (sbt wraps forked stdout unless outputStrategy passes it through)

@@ -215,6 +215,57 @@ object Sampling {
       .withColumn("sample_weight", lit(1.0) / col("sample_rate"))
   }
 
+  /** DETERMINISTIC NEGATIVE SAMPLING — the contrastive-training prep
+    * step: each anchor draws `k` pseudo-random negatives from the
+    * candidate set, reproducibly (same anchor ⇒ same negatives on any
+    * run, cluster layout, or engine — the property that makes training
+    * order auditable and the gate oracle-able; no RNG anywhere, per
+    * this file's charter).
+    *
+    * The draw must NOT be a per-anchor scan of the candidates (that is
+    * the all-pairs trap). Hash-bucketed rendering: candidates land in
+    * `buckets` hash buckets and get a bucket-local rank by a SECOND,
+    * independent hash (rank order uncorrelated with bucket
+    * assignment); each anchor derives k (bucket, slot) probes from
+    * md5(anchor, i) and picks the candidate at slot = h mod
+    * bucket-size. Cost: candidates shuffle once (bucket window +
+    * sizes), anchors explode ×k and equi-join on (bucket, rank) — at
+    * 100 TB both sides are one keyed shuffle, the bucket-size table is
+    * `buckets` rows broadcast.
+    *
+    * Edge semantics (documented, all deterministic): a probe landing on
+    * the anchor itself is dropped (self is never a negative) and two
+    * probes of one anchor may collide on the same candidate — callers
+    * needing exactly-k distinct re-probe with a larger k and dedupe;
+    * probes into an EMPTY bucket drop (use `buckets` ≪ |candidates| so
+    * none is empty). Output: (anchor, probe_idx, negative id). */
+  def negativeSample(anchors: DataFrame, anchorIdCol: String,
+                     candidates: DataFrame, candIdCol: String,
+                     k: Int, buckets: Int = 1024): DataFrame = {
+    require(k >= 1 && buckets >= 1, "negativeSample: need k >= 1, buckets >= 1")
+    val b = lit(buckets.toLong)
+    val ranked = candidates.select(col(candIdCol))
+      .withColumn("__b", pmod(Dedup.h32(col(candIdCol).cast("string")), b))
+      .withColumn("__rank", row_number().over(
+        Window.partitionBy(col("__b")).orderBy(
+          Dedup.h32(concat(lit("r:"), col(candIdCol).cast("string"))),
+          col(candIdCol))).cast("long") - 1)
+    val sizes = ranked.groupBy(col("__b")).agg(count(lit(1)).as("__bs"))
+    val probes = anchors.select(col(anchorIdCol).as("__anchor"))
+      .withColumn("__i0", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("__i", col("__i0").cast("long")).drop("__i0")
+      .withColumn("__b", pmod(Dedup.h32(
+        concat(col("__anchor").cast("string"), lit(":"), col("__i"))), b))
+      .join(broadcast(sizes), Seq("__b"))
+      .withColumn("__rank", pmod(Dedup.h32(
+        concat(col("__anchor").cast("string"), lit("~"), col("__i"))),
+        col("__bs")))
+    probes.join(ranked, Seq("__b", "__rank"))
+      .filter(col(candIdCol) =!= col("__anchor"))
+      .select(col("__anchor").as("anchor_id"),
+        col("__i").as("probe_idx"), col(candIdCol).as("neg_id"))
+  }
+
   /** DSIR-STYLE IMPORTANCE WEIGHTS — Xie et al., "Data Selection for
     * Language Models via Importance Resampling" (2023): score every
     * source document by how target-like its hashed-token distribution

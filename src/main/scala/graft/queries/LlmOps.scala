@@ -415,6 +415,16 @@ object LlmOps {
         .select(col("doc_id"), col("quality_score"), col("sample_weight")),
       "doc_id")
 
+  /** Deterministic contrastive negatives: every embedding draws 4
+    * hash-bucketed negatives from the corpus (32 buckets ≪ 500
+    * candidates so none is empty). */
+  def xNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    ordered(
+      Sampling.negativeSample(e, "vec_id", e, "vec_id", k = 4, buckets = 32),
+      "anchor_id", "probe_idx")
+  }
+
   /** Global exact quality percent-rank (threshold-free corpus cuts):
     * quality score quantized to ppm, ranked corpus-wide by the
     * distributed two-pass — per-value counts, value-bounded cumulative,
@@ -667,6 +677,7 @@ object LlmOps {
     "x_sample_weighted"   -> (xSampleWeighted _),
     "x_dsir_weights"      -> (xDsirWeights _),
     "x_quality_rank"      -> (xQualityRank _),
+    "x_negatives"         -> (xNegatives _),
     "x_sample_curriculum" -> (xSampleCurriculum _),
     "x_chunk"             -> (xChunk _),
     "x_text_cooccur"      -> (xTextCooccur _),
@@ -1139,6 +1150,25 @@ object LlmOps {
          |  array_to_string(list_transform(list_sort(list(doc_id))[1:32],
          |    x -> CAST(x AS VARCHAR)), ',') AS postings
          |FROM td GROUP BY term ORDER BY term""".stripMargin,
+    "x_negatives" ->
+      """WITH r AS (SELECT vec_id,
+        |  CAST(CONCAT('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 32 AS b,
+        |  row_number() OVER (PARTITION BY
+        |    CAST(CONCAT('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 32
+        |    ORDER BY CAST(CONCAT('0x', substr(md5('r:' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT),
+        |      vec_id) - 1 AS rnk
+        |  FROM embeddings),
+        |s AS (SELECT b, COUNT(*) AS bs FROM r GROUP BY 1),
+        |p AS (SELECT e.vec_id AS anchor, i.i,
+        |  CAST(CONCAT('0x', substr(md5(CAST(e.vec_id AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)), 1, 8)) AS BIGINT) % 32 AS b
+        |  FROM embeddings e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) i),
+        |p2 AS (SELECT p.anchor, p.i, p.b,
+        |  CAST(CONCAT('0x', substr(md5(CAST(p.anchor AS VARCHAR) || '~' || CAST(p.i AS VARCHAR)), 1, 8)) AS BIGINT) % s.bs AS rnk
+        |  FROM p JOIN s USING (b))
+        |SELECT p2.anchor AS anchor_id, p2.i AS probe_idx, r.vec_id AS neg_id
+        |FROM p2 JOIN r ON r.b = p2.b AND r.rnk = p2.rnk
+        |WHERE r.vec_id <> p2.anchor
+        |ORDER BY anchor_id, probe_idx""".stripMargin,
     "x_quality_rank" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
          |q AS (SELECT doc_id,

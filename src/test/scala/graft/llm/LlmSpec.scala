@@ -685,6 +685,22 @@ class LlmSpec extends SparkSpec {
       "b" -> ((1L, "0,0,0"))))
   }
 
+  test("negativeSample: deterministic, never self, ~k per anchor, negatives spread") {
+    import spark.implicits._
+    val cands = (1L to 200L).toDF("id")
+    def draw() = graft.llm.Sampling
+      .negativeSample(cands, "id", cands, "id", k = 4, buckets = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val a = draw()
+    assert(a == draw(), "same inputs must draw identical negatives")
+    assert(a.forall { case (anchor, _, neg) => anchor != neg }, "self is never a negative")
+    val perAnchor = a.groupBy(_._1).view.mapValues(_.size)
+    assert(perAnchor.size == 200 && perAnchor.values.forall(n => n >= 3 && n <= 4),
+      "every anchor draws ~k negatives (self-collisions may drop one)")
+    // the draw must not collapse onto a few candidates
+    assert(a.map(_._3).size > 100, s"negatives too concentrated: ${a.map(_._3).size}")
+  }
+
   test("dsirWeights: target-like docs outscore off-target ones; row-preserving; zero-token safe") {
     import spark.implicits._
     // target speaks "aaa bbb"; distractor speaks "zzz yyy"; probe docs
