@@ -61,6 +61,49 @@ object TimeSeries {
     * struct min/max is itself a plain aggregate, so partial aggregation
     * applies; the `first_value OVER (...)` window rendering would sort
     * every bucket instead. */
+  /** TWAP — TIME-weighted average per (key, bucket): each observation's
+    * value holds from its timestamp until the next observation in the
+    * bucket (the last one holds to the bucket edge), so irregular
+    * sampling doesn't bias the mean toward chatty periods — the
+    * standard fix OHLC's plain `avg` can't give. twap =
+    * Σ value·dur_us / Σ dur_us with the value exact-decimal and the
+    * duration integral, so the only float op is ONE final division —
+    * deterministic cross-engine.
+    *
+    * Plan: a lead() window and the closing aggregate share the same
+    * (key, bucket-grain) partitioning — one shuffle carries both. A
+    * zero-duration observation (superseded same-microsecond tick)
+    * contributes nothing, by construction. Weighted by a volume column
+    * instead of time, the same aggregate is VWAP; that face is
+    * `vwap`. */
+  def twap(df: DataFrame, key: String, time: String, tie: String,
+           value: String, step: String): DataFrame = {
+    val bucket = date_trunc(step, col(time))
+    val w = Window.partitionBy(col(key), bucket)
+      .orderBy(col(time), col(tie))
+    val bucketEndUs = unix_micros(bucket + expr(s"INTERVAL 1 $step"))
+    val durUs = coalesce(lead(unix_micros(col(time)), 1).over(w), bucketEndUs) -
+      unix_micros(col(time))
+    df.withColumn("__dur", durUs)
+      .groupBy(col(key), bucket.as("bucket"))
+      .agg(
+        (sum(col(value).cast("decimal(18,2)") * col("__dur"))
+          .cast("double") / sum(col("__dur")).cast("double")).as("twap"),
+        count(lit(1)).as("ct"))
+  }
+
+  /** VWAP — the same weighted mean with an explicit weight column
+    * (volume): one hash aggregate, exact decimal sums, one division. */
+  def vwap(df: DataFrame, key: String, time: String, value: String,
+           volume: String, step: String): DataFrame =
+    df.groupBy(col(key), date_trunc(step, col(time)).as("bucket"))
+      .agg(
+        (sum(col(value).cast("decimal(18,2)") * col(volume).cast("decimal(18,2)"))
+          .cast("double") /
+         sum(col(volume).cast("decimal(18,2)")).cast("double")).as("vwap"),
+        sum(col(volume).cast("decimal(18,2)")).cast("double").as("volume"),
+        count(lit(1)).as("ct"))
+
   def ohlcBars(df: DataFrame, key: String, time: String, tie: String,
                value: String, step: String): DataFrame = {
     val o = struct(col(time), col(tie), col(value).as("v"))

@@ -159,7 +159,33 @@ object Windows {
       "o_orderkey")
   }
 
+  /** W14: hourly TWAP of the event value stream per type — each
+    * observation weighted by how long it was "current"
+    * (`operators/TimeSeries.twap`). */
+  def w14Twap(s: SparkSession, d: String): DataFrame = {
+    ordered(
+      graft.operators.TimeSeries.twap(
+        events(s, d), "event_type", "ts", "event_id", "value", "hour")
+        .select(col("event_type"), stamp(col("bucket")).as("bucket"),
+          col("twap"), col("ct")),
+      "event_type", "bucket")
+  }
+
+  /** W15: daily VWAP of lineitem prices, volume = quantity — the
+    * volume-weighted face of the same aggregate. */
+  def w15Vwap(s: SparkSession, d: String): DataFrame = {
+    ordered(
+      graft.operators.TimeSeries.vwap(
+        lineitem(s, d), "l_returnflag", "l_shipdate", "l_extendedprice",
+        "l_quantity", "day")
+        .select(col("l_returnflag"), stamp(col("bucket")).as("bucket"),
+          col("vwap"), col("volume"), col("ct")),
+      "l_returnflag", "bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w14_twap"          -> (w14Twap _),
+    "w15_vwap"          -> (w15Vwap _),
     "w13_rolling_range" -> (w13RollingRange _),
     "w12_period_delta"  -> (w12PeriodDelta _),
     "w11_ohlc"          -> (w11Ohlc _),
@@ -170,6 +196,28 @@ object Windows {
     "w9_running"        -> (w9Running _))
 
   val oracle: Map[String, String] = Map(
+    "w14_twap" ->
+      """WITH b AS (SELECT event_type, ts, event_id, value,
+        |  date_trunc('hour', ts) AS bucket FROM events),
+        |d AS (SELECT *, coalesce(
+        |    lead(epoch_us(ts)) OVER (PARTITION BY event_type, bucket
+        |      ORDER BY ts, event_id),
+        |    epoch_us(bucket + INTERVAL 1 HOUR)) - epoch_us(ts) AS dur
+        |  FROM b)
+        |SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2)) * dur) AS DOUBLE)
+        |    / CAST(SUM(dur) AS DOUBLE) AS twap,
+        |  COUNT(*) AS ct
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "w15_vwap" ->
+      """SELECT l_returnflag,
+        |  strftime(date_trunc('day', l_shipdate), '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS vwap,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS volume,
+        |  COUNT(*) AS ct
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "w13_rolling_range" ->
       """SELECT o_orderkey, o_custkey,
         |  epoch_ms(o_orderdate) // 1000 AS sec,

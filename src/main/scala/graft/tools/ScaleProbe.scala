@@ -100,7 +100,8 @@ object ScaleProbe {
       "x_embed_centroid", "x_dedup_substrings", "e5_pagerank",
       "x_kmeans_assign", "x_kmeans_step", "q17_small_quantity",
       "x_dsir_weights", "d1_scd2", "w13_rolling_range", "x_quality_rank",
-      "e6_attribution", "j12_dim_asof", "x_negatives")
+      "e6_attribution", "j12_dim_asof", "x_negatives",
+      "w14_twap", "w15_vwap")
     // j11_overlap_join is deliberately NOT probed: replicas keep the
     // source price range, so the TRUE overlap-pair answer grows ~factor²
     // (every replica's intervals overlap every other's) — the probe

@@ -66,4 +66,23 @@ class TimeSeriesSpec extends SparkSpec {
     assert(filled.filter(col("ct_filled").isNull).count() == 0,
       "first bucket always has data, so the fill is never null")
   }
+
+  test("twap: duration-weighted (chatty periods don't bias), tail holds to bucket edge, zero-dur ticks vanish") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ticks = Seq(
+      // value 10 holds 00:00→00:54 (54 min), value 100 holds 00:54→01:00
+      // (6 min): twap = (10*54 + 100*6)/60 = 19.0 — a plain avg says 55
+      ("a", ts("2024-01-01 10:00:00"), 1L, 10.0),
+      ("a", ts("2024-01-01 10:54:00"), 2L, 100.0),
+      // same-microsecond supersession: tie 3 lasts 0us, contributes nothing
+      ("b", ts("2024-01-01 10:00:00"), 3L, 999.0),
+      ("b", ts("2024-01-01 10:00:00"), 4L, 50.0))
+      .toDF("k", "t", "tie", "v")
+    val got = TimeSeries.twap(ticks, "k", "t", "tie", "v", "hour")
+      .select("k", "twap", "ct").as[(String, Double, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("a") == ((19.0, 2L)), s"a: ${got("a")}")
+    assert(got("b") == ((50.0, 2L)), s"zero-duration tick must vanish: ${got("b")}")
+  }
 }
