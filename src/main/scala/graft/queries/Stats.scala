@@ -344,6 +344,30 @@ object Stats {
       "node")
   }
 
+  /** A16: ordered LISTAGG — each user's full event-type journey as one
+    * ordered CSV string (the sessions-as-strings rendering sequence
+    * mining and quick eyeballing both want; the reference's page-path
+    * strings are this shape). Spark has no ordered string_agg, so the
+    * deterministic rendering is collect_list of (ts, tie, type) structs
+    * → array_sort (lexicographic on the struct = the (ts, tie) order) →
+    * transform+array_join — ONE hash aggregate, sort is per-group
+    * output-sized, arbitrary shuffle arrival order cannot move the
+    * result. Bound the group (path_len rides along) before trusting
+    * per-user strings at 100 TB — per-group state is the user's own
+    * event count, same bound as any per-user collect. */
+  def a16Listagg(s: SparkSession, d: String): DataFrame = {
+    ordered(
+      events(s, d)
+        .groupBy(col("user_id"))
+        .agg(collect_list(struct(col("ts"), col("event_id"), col("event_type")))
+          .as("__evs"))
+        .select(col("user_id"),
+          array_join(transform(array_sort(col("__evs")),
+            e => e.getField("event_type")), ",").as("path"),
+          size(col("__evs")).cast("long").as("path_len")),
+      "user_id")
+  }
+
   /** E6: touch attribution — every purchase credited to its last and
     * first view/click touch within a 1-hour lookback
     * (`operators/EventAnalytics.attribution`); stale last-touches null
@@ -593,6 +617,7 @@ object Stats {
     "e3_path_transitions" -> (e3PathTransitions _),
     "e5_pagerank"       -> (e5Pagerank _),
     "e6_attribution"    -> (e6Attribution _),
+    "a16_listagg"       -> (a16Listagg _),
     "e4_funnel_latency" -> (e4FunnelLatency _),
     "e3_path_sessions"  -> (e3PathSessions _),
     "e2_retention_approx" -> (e2RetentionApprox _),
@@ -790,6 +815,11 @@ object Stats {
         |SELECT prev_type, next_type, ct,
         |  CAST(ct * 1000000 // SUM(ct) OVER (PARTITION BY prev_type) AS BIGINT) AS prob_ppm
         |FROM m ORDER BY prev_type, next_type""".stripMargin,
+    "a16_listagg" ->
+      """SELECT user_id,
+        |  string_agg(event_type, ',' ORDER BY ts, event_id) AS path,
+        |  COUNT(*) AS path_len
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
     "e6_attribution" ->
       """WITH e AS (SELECT user_id, event_id, event_type, ts, epoch_ms(ts) AS ms
         |  FROM events WHERE event_type IN ('purchase', 'view', 'click')),

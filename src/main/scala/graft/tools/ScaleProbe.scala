@@ -101,7 +101,7 @@ object ScaleProbe {
       "x_kmeans_assign", "x_kmeans_step", "q17_small_quantity",
       "x_dsir_weights", "d1_scd2", "w13_rolling_range", "x_quality_rank",
       "e6_attribution", "j12_dim_asof", "x_negatives",
-      "w14_twap", "w15_vwap")
+      "w14_twap", "w15_vwap", "a16_listagg")
     // j11_overlap_join is deliberately NOT probed: replicas keep the
     // source price range, so the TRUE overlap-pair answer grows ~factor²
     // (every replica's intervals overlap every other's) — the probe
