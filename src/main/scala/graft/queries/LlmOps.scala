@@ -96,7 +96,7 @@ object LlmOps {
     import graft.functions.ZOrder._
     val o = orders(s, d)
     val x = scaleToBits(col("o_custkey"), 0L, 1048575L, 16)
-    val y = scaleToBits(round(col("o_totalprice") * 100).cast("long"), 0L, 67108863L, 16)
+    val y = scaleToBits((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"), 0L, 67108863L, 16)
     ordered(o.select(col("o_orderkey"), zkey(16, x, y).as("zkey")), "o_orderkey")
   }
 
@@ -814,7 +814,8 @@ object LlmOps {
          |p AS (SELECT wcnt,
          |  unnest(list_transform(range(1, len(s)), i -> struct_pack(l := s[i], r := s[i+1]))) AS pr
          |  FROM syms)
-         |SELECT pr.l AS left_sym, pr.r AS right_sym, sum(wcnt) AS pair_count
+         |SELECT pr.l AS left_sym, pr.r AS right_sym,
+         |  CAST(sum(wcnt) AS BIGINT) AS pair_count
          |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "x_zorder_key" ->
       """SELECT o_orderkey,
@@ -822,7 +823,7 @@ object LlmOps {
         |    i -> (((x >> i) & 1) << (2*i)) + (((y >> i) & 1) << (2*i + 1)))) AS BIGINT) AS zkey
         |FROM (SELECT o_orderkey,
         |        least(greatest(o_custkey, 0), 1048575) * 65535 // 1048575 AS x,
-        |        least(greatest(CAST(round(o_totalprice * 100) AS BIGINT), 0), 67108863) * 65535 // 67108863 AS y
+        |        least(greatest(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT), 0), 67108863) * 65535 // 67108863 AS y
         |      FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
     "x_dedup_lines" ->

@@ -75,7 +75,7 @@ object Stateful {
     "st1_is_new" ->
       """SELECT event_id, user_id,
         |  CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
-        |       THEN 1 ELSE 0 END AS is_new
+        |       THEN CAST(1 AS BIGINT) ELSE 0 END AS is_new
         |FROM events ORDER BY event_id""".stripMargin,
     "st2_uv_dedup" ->
       """SELECT user_id, strftime(ts, '%Y-%m-%d') AS visit_date, event_id,

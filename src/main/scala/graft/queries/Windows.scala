@@ -152,7 +152,7 @@ object Windows {
     ordered(
       orders(s, d).select(col("o_orderkey"), col("o_custkey"),
           unix_seconds(col("o_orderdate")).as("sec"),
-          expr("CAST(round(o_totalprice * 100) AS LONG)").as("cents"))
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS LONG)").as("cents"))
         .select(col("o_orderkey"), col("o_custkey"), col("sec"),
           sum(col("cents")).over(w).as("roll_cents"),
           count(lit(1)).over(w).as("roll_ct")),
@@ -221,7 +221,8 @@ object Windows {
     "w13_rolling_range" ->
       """SELECT o_orderkey, o_custkey,
         |  epoch_ms(o_orderdate) // 1000 AS sec,
-        |  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS roll_cents,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER w
+        |    AS BIGINT) AS roll_cents,
         |  COUNT(*) OVER w AS roll_ct
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate) // 1000

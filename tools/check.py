@@ -47,6 +47,15 @@ def main():
             e = exp[sorted(exp.columns)].reset_index(drop=True)
             for c in g.columns:
                 gc, ec = g[c], e[c]
+                # the driver's hash tolerates int-width differences but NOT
+                # float-vs-int (e.g. DuckDB sum(BIGINT) -> HUGEINT -> float64
+                # stringifies "95.0" vs Spark's "95") — treat kind skew as FAIL
+                if gc.dtype.kind in "if" and ec.dtype.kind in "if" \
+                        and gc.dtype.kind != ec.dtype.kind:
+                    print(f"FAIL  {name}: col {c} dtype kind skew: "
+                          f"got={gc.dtype} exp={ec.dtype} (driver hash-mismatch)")
+                    ok = False
+                    break
                 try:
                     same = (gc.values == ec.values) | (gc.isna().values & ec.isna().values)
                 except Exception:
