@@ -60,7 +60,11 @@ object Multimodal {
     // carrying `text` through the explode never materializes a copy per
     // frame — each output row reads the parent buffer and emits only its
     // substring. No join, no shuffle.
-    docs.select(col("doc_id"), col("text"), dur)
+    // Empty text means dur=0 and sequence(0, -1), which Spark generates
+    // DESCENDING — two bogus frames instead of none. Same load-bearing
+    // guard as Dedup.dedupSubstrings.
+    docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"), dur)
       .select(col("doc_id"), col("text"), explode(sequence(lit(0L),
         floor((col("dur") - 1) / lit(everyMs)).cast("long"))).as("frame_idx"))
       .select(col("doc_id"), col("frame_idx"),

@@ -80,14 +80,19 @@ object TableStats {
     * first (the gate uses ppm — ≤10⁶+1 distinct), keeping the rank
     * table bounded and its broadcast justified by construction. */
   def globalPercentRank(df: DataFrame, valueCol: String): DataFrame = {
-    val counts = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__ct"))
+    // NULL contract: rows with a NULL value have no rank — they are
+    // excluded from the output AND from the N−1 denominator (previously
+    // the null-unsafe join dropped them from the output while the
+    // unfiltered count(*) still inflated pct_ppm).
+    val nn = df.filter(col(valueCol).isNotNull)
+    val counts = nn.groupBy(col(valueCol)).agg(count(lit(1)).as("__ct"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col(valueCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val ranks = counts
       .withColumn("__below", coalesce(sum(col("__ct")).over(w), lit(0L)))
       .select(col(valueCol), col("__below"))
-    val tot = df.agg(count(lit(1)).as("__n"))
-    df.join(broadcast(ranks), Seq(valueCol))
+    val tot = nn.agg(count(lit(1)).as("__n"))
+    nn.join(broadcast(ranks), Seq(valueCol))
       .crossJoin(broadcast(tot))
       .withColumn("rank_below", col("__below"))
       .withColumn("pct_ppm", when(col("__n") > 1,

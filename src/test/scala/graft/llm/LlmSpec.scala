@@ -548,8 +548,10 @@ class LlmSpec extends SparkSpec {
 
   test("frame sampling: correct slices, last-frame coverage, and a single no-shuffle stage") {
     import spark.implicits._
-    val docs = Seq((1L, "a" * 50), (2L, "b" * 25)).toDF("doc_id", "text")
-    // 50 chars * 40ms = 2000ms -> frames at 0 and 1000ms; 25 chars -> 1000ms -> frame 0 only
+    val docs = Seq((1L, "a" * 50), (2L, "b" * 25), (3L, "")).toDF("doc_id", "text")
+    // 50 chars * 40ms = 2000ms -> frames at 0 and 1000ms; 25 chars -> 1000ms -> frame 0 only;
+    // empty text -> NO frames (dur=0 would make sequence(0,-1) descend and
+    // emit bogus frame_idx 0 and -1 without the guard)
     val got = Multimodal.sampleFrames(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
     assert(got == Set(

@@ -44,8 +44,11 @@ class TableStatsSpec extends SparkSpec {
 
   test("globalPercentRank: ties share ranks, matches percent_rank, window sees only distinct values") {
     import spark.implicits._
-    val df = Seq((1L, 10L), (2L, 20L), (3L, 20L), (4L, 30L), (5L, 5L))
+    val df = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, Some(20L)),
+        (4L, Some(30L)), (5L, Some(5L)), (6L, None))
       .toDF("id", "v")
+    // NULL contract: row 6 is excluded from output AND denominator —
+    // the ppm expectations below only hold with N (non-null) = 5
     val got = TableStats.globalPercentRank(df, "v")
       .collect().map(r => (r.getAs[Long]("id"), (r.getAs[Long]("rank_below"),
         r.getAs[Long]("pct_ppm")))).toMap
@@ -55,7 +58,7 @@ class TableStatsSpec extends SparkSpec {
       4L -> ((4L, 1000000L))), s"got $got")
     // parity with SQL percent_rank (rank-1)/(N-1) at exact dyadic points
     import org.apache.spark.sql.expressions.Window
-    val pr = df.withColumn("pr",
+    val pr = df.filter(col("v").isNotNull).withColumn("pr",
       percent_rank().over(Window.orderBy(col("v"))))
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("pr")).toMap
     got.foreach { case (id, (_, ppm)) =>
