@@ -103,45 +103,95 @@ object Bpe {
       .withColumn("n_subwords", size(col("subwords")).cast("long"))
   }
 
+  /** Left-to-right non-overlapping apply of a batch of SYMBOL-DISJOINT
+    * merges in one fold pass — a one-symbol lookbehind where the merged
+    * token does NOT re-pair with a following right inside the same
+    * round ("aaa" under (a,a) becomes ["aa","a"], never ["aaa"]).
+    * Because the batch's pairs share no symbols, their occurrences
+    * cannot overlap, so one scan applying all of them equals applying
+    * each merge in its own pass (in any order). */
+  private def applyMerges(syms: Column, pairs: Seq[(String, String)]): Column = {
+    def mergeHit(pend: Column, s: Column): Column =
+      pairs.map { case (l, r) => (pend === lit(l) && s === lit(r), lit(l + r)) }
+        .foldLeft(lit(null).cast("string")) { case (acc, (cond, tok)) =>
+          when(cond, tok).otherwise(acc)
+        }
+    aggregate(
+      syms,
+      struct(array().cast("array<string>").as("acc"),
+        lit(null).cast("string").as("pend")),
+      (st, s) => {
+        val acc = st.getField("acc")
+        val pend = st.getField("pend")
+        val hit = mergeHit(pend, s)
+        when(pend.isNull, struct(acc.as("acc"), s.as("pend")))
+          .when(hit.isNotNull,
+            struct(concat(acc, array(hit)).as("acc"),
+              lit(null).cast("string").as("pend")))
+          .otherwise(struct(concat(acc, array(pend)).as("acc"), s.as("pend")))
+      },
+      st => when(st.getField("pend").isNull, st.getField("acc"))
+        .otherwise(concat(st.getField("acc"), array(st.getField("pend")))))
+  }
+
   /** Learn `numMerges` merges; returns (rank, left_sym, right_sym,
     * pair_count) in learn order. Merged-in symbols concatenate, so a
-    * later round can pick ("th", "e</w>") and so on. */
+    * later round can pick ("th", "e</w>") and so on.
+    *
+    * `mergesPerRound` > 1 batches the learning the way production
+    * trainers do: one pair-count job selects up to k mutually
+    * SYMBOL-DISJOINT top pairs (rank order: count DESC, pair ASC; a
+    * candidate sharing a left or right symbol with an already-selected
+    * pair is skipped — its count may change once that pair merges), and
+    * one fold pass applies them all. That turns 30k serial 1-row-argmax
+    * jobs into 30k/k — the wall-clock fix for real vocabulary sizes.
+    * k=1 is exact greedy BPE; k>1 is the standard batched approximation
+    * (identical whenever the top-k pairs genuinely don't interact,
+    * which BpeSpec verifies on a separated corpus). */
   def learnMerges(docs: DataFrame, numMerges: Int,
-                  text: Column = col("text")): Seq[(Int, String, String, Long)] = {
+                  text: Column = col("text"),
+                  mergesPerRound: Int = 1): Seq[(Int, String, String, Long)] = {
     require(numMerges >= 1, "numMerges must be >= 1")
+    require(mergesPerRound >= 1, "mergesPerRound must be >= 1")
     var vocab = initialVocab(docs, text).localCheckpoint(true)
     val out = Seq.newBuilder[(Int, String, String, Long)]
+    // a batch-mate's merge can recreate occurrences of an ALREADY-emitted
+    // pair (merging (a,b) mints new "ab" tokens that re-arm an earlier
+    // (x,"ab") merge); the merge list stays a set — residuals are merged
+    // away without re-emitting, matching how encodeWord treats the table
+    val emitted = scala.collection.mutable.HashSet.empty[(String, String)]
     var rank = 0
     var exhausted = false
     while (rank < numMerges && !exhausted) {
+      val k = math.min(mergesPerRound, numMerges - rank)
+      // over-fetch candidates: overlap filtering may reject some; a
+      // short round is fine (the next count job sees fresh counts)
       val top = pairCounts(vocab)
         .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
-        .limit(1).collect()
+        .limit(4 * k + 4).collect()
+        .map(t => (t.getString(0), t.getString(1), t.getLong(2)))
       if (top.isEmpty) exhausted = true
       else {
-        val (l, r, pc) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        out += ((rank + 1, l, r, pc))
-        // left-to-right non-overlapping merge apply: fold with a
-        // one-symbol lookbehind — the merged token does NOT re-pair
-        // with a following right inside the same round ("aaa" under
-        // (a,a) becomes ["aa","a"], never ["aaa"])
-        val merged = aggregate(
-          col("syms"),
-          struct(array().cast("array<string>").as("acc"),
-            lit(null).cast("string").as("pend")),
-          (st, s) => {
-            val acc = st.getField("acc")
-            val pend = st.getField("pend")
-            when(pend.isNull, struct(acc.as("acc"), s.as("pend")))
-              .when(pend === lit(l) && s === lit(r),
-                struct(concat(acc, array(lit(l + r))).as("acc"),
-                  lit(null).cast("string").as("pend")))
-              .otherwise(struct(concat(acc, array(pend)).as("acc"), s.as("pend")))
-          },
-          st => when(st.getField("pend").isNull, st.getField("acc"))
-            .otherwise(concat(st.getField("acc"), array(st.getField("pend")))))
-        vocab = vocab.select(col("wc"), merged.as("syms")).localCheckpoint(true)
-        rank += 1
+        val used = scala.collection.mutable.HashSet.empty[String]
+        val batch = top.iterator
+          .filter { case (l, r, _) => !emitted.contains((l, r)) }
+          .filter { case (l, r, _) =>
+            if (used.contains(l) || used.contains(r)) false
+            else { used += l; used += r; true }
+          }
+          .take(k).toSeq
+        batch.foreach { case (l, r, pc) =>
+          rank += 1; out += ((rank, l, r, pc)); emitted += ((l, r))
+        }
+        // all visible candidates already emitted (pure residuals): merge
+        // the top residual without emitting so counts strictly shrink —
+        // otherwise the round would spin on an unchanged vocab
+        val applyPairs =
+          if (batch.nonEmpty) batch.map { case (l, r, _) => (l, r) }
+          else Seq((top.head._1, top.head._2))
+        vocab = vocab.select(col("wc"),
+          applyMerges(col("syms"), applyPairs).as("syms"))
+          .localCheckpoint(true)
       }
     }
     out.result()

@@ -107,6 +107,46 @@ class BpeSpec extends SparkSpec {
     assert(enc15 < enc0, s"15 merges must compress below 3 ($enc15 vs $enc0)")
   }
 
+  test("batched mergesPerRound equals exact greedy on a separated corpus") {
+    import spark.implicits._
+    // Four symbol-disjoint merge groups with well-separated primary
+    // counts (100 > 90 > 85 > 80) and every context/cascade pair <= 40,
+    // so the top-2 of each recount genuinely don't interact: batched
+    // k=2 must reproduce exact greedy (k=1) verbatim, counts included.
+    val words = Seq(
+      ("pabq", 40), ("rabs", 35), ("tabu", 25), // (a,b) = 100
+      ("vcdw", 40), ("xcdy", 30), ("zcd1", 20), // (c,d) = 90
+      ("2ef3", 35), ("4ef5", 30), ("6ef7", 20), // (e,f) = 85
+      ("8gh9", 30), ("ighj", 30), ("kghl", 20)) // (g,h) = 80
+    val docs = words.zipWithIndex
+      .map { case ((w, n), i) => (i.toLong, Array.fill(n)(w).mkString(" ")) }
+      .toDF("doc_id", "text")
+    val exact = Bpe.learnMerges(docs, 4)
+    val batched = Bpe.learnMerges(docs, 4, mergesPerRound = 2)
+    assert(exact == batched, s"batched diverged:\n exact=$exact\n batch=$batched")
+    assert(exact.map(m => (m._2, m._3, m._4)) == Seq(
+      ("a", "b", 100L), ("c", "d", 90L), ("e", "f", 85L), ("g", "h", 80L)),
+      s"got $exact")
+    // reference parity for the same corpus closes the loop
+    val wc = words.map { case (w, n) => w -> n.toLong }.toMap
+    assert(exact == refBpe(wc, 4))
+  }
+
+  test("batched learning on an interacting corpus: unique deterministic merges, valid encode") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    val a = Bpe.learnMerges(docs, 9, mergesPerRound = 3)
+    val b = Bpe.learnMerges(docs, 9, mergesPerRound = 3)
+    assert(a == b, "batched learning must be deterministic")
+    assert(a.size == 9 && a.map(m => (m._2, m._3)).distinct.size == 9,
+      s"merge list must be 9 unique pairs: $a")
+    assert(a.map(_._1) == (1 to 9), s"ranks must be dense: ${a.map(_._1)}")
+    // the batched table still drives a well-formed greedy encode
+    val n = Bpe.encodeDocuments(docs, a).agg(sum("n_subwords")).head().getLong(0)
+    val n0 = Bpe.encodeDocuments(docs, a.take(1)).agg(sum("n_subwords")).head().getLong(0)
+    assert(n < n0, s"9 batched merges must compress below 1 ($n vs $n0)")
+  }
+
   test("learnMerges stops when no pairs remain") {
     import spark.implicits._
     val docs = Seq((1L, "a b")).toDF("doc_id", "text") // one-char words: only (x,</w>) pairs
