@@ -368,6 +368,35 @@ object Stats {
       "user_id")
   }
 
+  /** A16 with BOUNDED per-group state — the 100 TB face of ordered
+    * LISTAGG. The uncapped rendering above carries the whole group
+    * through the agg buffer (fine when groups are users, fatal when one
+    * key is a bot session); this one keeps only the `cap` EARLIEST
+    * (ts, event_id) events per group via `functions.FirstKAgg`, so every
+    * partial buffer is ≤ cap triples regardless of input size. Semantics
+    * are a deterministic PREFIX truncation: `path` is the first min(n,
+    * cap) events of the full journey (identical to the uncapped path
+    * when n ≤ cap), `path_len` stays the FULL group count (same hash
+    * agg), and `truncated` flags the capped groups. */
+  def listaggCapped(df: DataFrame, keyCol: String, ordCol: String,
+                    tieCol: String, valCol: String, cap: Int): DataFrame = {
+    // timestamp order columns ride as micros — a bare long cast would
+    // floor to seconds and scramble sub-second ordering
+    def asLong(c: String): org.apache.spark.sql.Column = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+      case _ => col(c)
+    }
+    df.groupBy(col(keyCol))
+      .agg(
+        graft.functions.FirstKAgg.firstK(
+          asLong(ordCol), asLong(tieCol), col(valCol), cap).as("__first"),
+        count(lit(1)).as("path_len"))
+      .select(col(keyCol),
+        array_join(col("__first"), ",").as("path"),
+        col("path_len"),
+        (col("path_len") > cap).as("truncated"))
+  }
+
   /** E6: touch attribution — every purchase credited to its last and
     * first view/click touch within a 1-hour lookback
     * (`operators/EventAnalytics.attribution`); stale last-touches null
