@@ -81,6 +81,61 @@ object Relational {
       "o_orderkey", "l_linenumber")
   }
 
+  /** J1-stream: the SAME interval join through the ACTUAL streaming
+    * engine — both fixture tables as file-source streams, watermarked
+    * stream-stream inner join (`streaming.WidePipelines.intervalJoin`),
+    * AvailableNow trigger, parquet sink — then the sink read back and
+    * ordered. Inner interval-join matches are emitted regardless of
+    * watermark progress (the watermark only bounds state retention and
+    * late input), so over a static file set the streaming result must
+    * equal j1_interval_join's batch result row-for-row — giving the
+    * streaming ENGINE face the same DuckDB oracle the batch face has
+    * (the stream==batch parity previously lived only in a spec). */
+  def j1IntervalStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    def streamTable(name: String, cols: Seq[String]): DataFrame = {
+      val raw = s.read.parquet(s"$d/$name.parquet")
+      // the file source wants a DIRECTORY; the fixtures are single files —
+      // symlink into a temp dir (no data copy)
+      val dir = java.nio.file.Files.createTempDirectory(s"j1src_$name")
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve(s"$name.parquet"), java.nio.file.Paths.get(s"$d/$name.parquet"))
+      val st = s.readStream.schema(raw.schema).parquet(dir.toString)
+      raw.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(st) {
+        (df, f) => df.withColumn(f.name, col(f.name).cast(TimestampType))
+      }.select(cols.map(col): _*)
+    }
+    val li = streamTable("lineitem",
+      Seq("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice"))
+    val o = streamTable("orders", Seq("o_orderkey", "o_orderdate"))
+    // l_shipdate ∈ [o_orderdate, o_orderdate + 60d]  ⇔
+    // o_orderdate ∈ [l_shipdate − 60d, l_shipdate + 0s]
+    val joined = graft.streaming.WidePipelines.intervalJoin(
+      li, o, "l_orderkey", "o_orderkey", "l_shipdate", "o_orderdate",
+      lower = "60 days", upper = "0 seconds")
+    val tmp = java.nio.file.Files.createTempDirectory("j1stream").toString
+    // fewer state partitions for this bounded run: the join state is
+    // 4 stores per partition, and 32 partitions of store setup/commit
+    // dominate a fixture-sized micro-batch (the partition count is baked
+    // into the checkpoint at first start, so this stays self-contained)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      joined.writeStream
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    ordered(
+      s.read.parquet(s"$tmp/out")
+        .select(col("o_orderkey"), col("l_linenumber"),
+          stamp(col("l_shipdate")).as("ship_time"), col("l_extendedprice")),
+      "o_orderkey", "l_linenumber")
+  }
+
   /** J3: multi-hop dimension enrichment — the 6 sequential async dim
     * lookups of OrderWideApp.java:112-225 re-expressed as broadcast hash
     * joins (dims are small; broadcast IS the cache, so the Redis layer
@@ -500,6 +555,7 @@ object Relational {
     "p3_derive"        -> (p3Derive _),
     "p4_filter"        -> (p4Filter _),
     "j1_interval_join" -> (j1IntervalJoin _),
+    "j1_interval_stream" -> (j1IntervalStream _),
     "j2_payment_wide"  -> (j2PaymentWide _),
     "j3_dim_enrich"    -> (j3DimEnrich _),
     "a4_keyword_stats_sql" -> (a4KeywordStatsSql _))
@@ -690,6 +746,13 @@ object Relational {
         |WHERE keyword <> '' GROUP BY keyword, source
         |ORDER BY keyword, source""".stripMargin,
     "j1_interval_join" ->
+      """SELECT o_orderkey, l_linenumber,
+        |  strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_time, l_extendedprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+        |ORDER BY o_orderkey, l_linenumber""".stripMargin,
+    "j1_interval_stream" ->
       """SELECT o_orderkey, l_linenumber,
         |  strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_time, l_extendedprice
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
