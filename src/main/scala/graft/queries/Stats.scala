@@ -264,6 +264,37 @@ object Stats {
       "user_id")
   }
 
+  /** E1-stream: the SAME greedy-anchored funnel through
+    * `streaming.FunnelStream.funnelProgress`'s state machine run in
+    * batch mode (each per-user group folds its full ts-sorted history,
+    * so the anchor and step times are the true batch ones) — proving
+    * the streaming funnel against the identical DuckDB oracle as
+    * e1_funnel, the way e2_retention_stream proves RetentionStream.
+    * Event time travels as raw epoch-MICROS through the opaque-Long
+    * state machine (the window rides in micros too), so the pivoted
+    * step times are exactly the batch gate's t*_us columns; depth =
+    * highest step reached (steps are sequential by construction). */
+  def e1FunnelStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val steps = Seq("view", "click", "purchase")
+    val ev = events(s, d).filter(col("event_type").isin(steps: _*))
+      .select(col("user_id").as("userId"), unix_micros(col("ts")).as("ts"),
+        col("event_type").as("eventType"))
+      .as[graft.streaming.FunnelStream.FunnelEvent]
+    val prog = graft.streaming.FunnelStream.funnelProgress(
+      ev, steps, windowMs = 24L * 3600 * 1000000) // micros in, micros out
+    ordered(
+      prog.toDF().groupBy(col("userId"))
+        .agg(
+          max(when(col("step") === 1, col("ts"))).as("t1_us"),
+          max(when(col("step") === 2, col("ts"))).as("t2_us"),
+          max(when(col("step") === 3, col("ts"))).as("t3_us"),
+          max(col("step")).cast("long").as("depth"))
+        .select(col("userId").as("user_id"), col("t1_us"), col("t2_us"),
+          col("t3_us"), col("depth")),
+      "user_id")
+  }
+
   /** E2: cohort retention triangle (first-event-day cohorts × day
     * offset, distinct returning users —
     * operators/EventAnalytics.retentionCohorts). */
@@ -642,6 +673,7 @@ object Stats {
     "a8_percentiles"    -> (a8Percentiles _),
     "a8_percentiles_approx" -> (a8PercentilesApprox _),
     "e1_funnel"         -> (e1Funnel _),
+    "e1_funnel_stream"  -> (e1FunnelStream _),
     "e2_retention"      -> (e2Retention _),
     "e3_path_transitions" -> (e3PathTransitions _),
     "e5_pagerank"       -> (e5Pagerank _),
@@ -794,6 +826,23 @@ object Stats {
         |  true AS p50_in_bounds
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "e1_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2
+        |       FROM events e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts >= s1.t1
+        |         AND e.ts <= s1.t1 + INTERVAL 24 HOUR GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3
+        |       FROM events e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+        |         AND e.ts <= s1.t1 + INTERVAL 24 HOUR GROUP BY 1)
+        |SELECT s1.user_id, epoch_us(t1) AS t1_us, epoch_us(t2) AS t2_us,
+        |  epoch_us(t3) AS t3_us,
+        |  CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS depth
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    "e1_funnel_stream" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
         |            WHERE event_type = 'view' GROUP BY 1),
         |s2 AS (SELECT e.user_id, min(e.ts) AS t2

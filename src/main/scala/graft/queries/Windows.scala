@@ -117,6 +117,58 @@ object Windows {
       "event_type", "bucket")
   }
 
+  /** W11-stream: the SAME OHLC bars through the ACTUAL streaming engine
+    * — events as a file-source stream, watermarked tumbling-window
+    * aggregation (`streaming.OhlcStream.ohlcBars`), AvailableNow
+    * trigger, append-mode parquet sink, read back against the identical
+    * DuckDB oracle as w11_ohlc. Append mode only emits bars the
+    * watermark has SEALED, so a sentinel tick 3 hours past the corpus
+    * max rides in a second source file: it pushes the final watermark
+    * past every real bar's end (its own bar stays unsealed and is never
+    * emitted — and is filtered by type on read-back regardless).
+    * Complements j1_interval_stream: that gate proves the streaming
+    * JOIN face, this one the streaming windowed-AGGREGATION face. */
+  def w11OhlcStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$d/events.parquet") // ts rides as ns longs
+    val dir = java.nio.file.Files.createTempDirectory("w11src")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$d/events.parquet"))
+    // mirror Tables.events: ns-long fixtures floor to micros; a µs-native
+    // fixture would arrive as timestamp already
+    val nsLongs = raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    require(nsLongs, "w11_ohlc_stream expects the ns-as-long events fixture")
+    val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
+    raw.limit(1).select(raw.columns.map {
+        case "ts" => lit(maxNs + 3L * 3600 * 1000000000L).as("ts")
+        case "event_type" => lit("__sentinel").as("event_type")
+        case c => col(c)
+      }: _*)
+      .write.mode("append").parquet(dir.toString)
+    val st = s.readStream.schema(raw.schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val bars = graft.streaming.OhlcStream.ohlcBars(
+      st, "event_type", "ts", "event_id", "value", "1 hour")
+    val tmp = java.nio.file.Files.createTempDirectory("w11sink").toString
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      bars.writeStream
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    ordered(
+      s.read.parquet(s"$tmp/out")
+        .filter(col("event_type") =!= "__sentinel")
+        .select(col("event_type"), stamp(col("bucket")).as("bucket"),
+          col("open"), col("high"), col("low"), col("close"), col("ct")),
+      "event_type", "bucket")
+  }
+
   /** W12: period-over-period growth — daily revenue per event_type in
     * integer cents with previous-day value and truncating integer-ppm
     * delta (both engines truncate toward zero, spec'd by the oracle
@@ -189,6 +241,7 @@ object Windows {
     "w13_rolling_range" -> (w13RollingRange _),
     "w12_period_delta"  -> (w12PeriodDelta _),
     "w11_ohlc"          -> (w11Ohlc _),
+    "w11_ohlc_stream"   -> (w11OhlcStream _),
     "w10_gapfill"       -> (w10GapFill _),
     "w6_session_window" -> (w6SessionWindow _),
     "w7_sliding_window" -> (w7SlidingWindow _),
@@ -238,6 +291,15 @@ object Windows {
         |FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
         |ORDER BY event_type, day""".stripMargin,
     "w11_ohlc" ->
+      """SELECT event_type,
+        |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  (min(struct_pack(t := ts, i := event_id, v := value))).v AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  (max(struct_pack(t := ts, i := event_id, v := value))).v AS close,
+        |  COUNT(*) AS ct
+        |FROM events GROUP BY event_type, date_trunc('hour', ts)
+        |ORDER BY event_type, bucket""".stripMargin,
+    "w11_ohlc_stream" ->
       """SELECT event_type,
         |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
         |  (min(struct_pack(t := ts, i := event_id, v := value))).v AS open,
