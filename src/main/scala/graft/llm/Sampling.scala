@@ -133,14 +133,15 @@ object Sampling {
     * reweighting downstream.
     *
     * The inclusion test is INTEGER-exact: the weight is quantized to
-    * thousandths (wm = round(w*1000)) and the test `u < p` becomes
+    * thousandths (wm = decimal(18,3)-cast cents of w — the cross-engine-stable
+    * rounding, same idiom as every money gate) and the test `u < p` becomes
     * `h32(id) * 1000 < wm * 2^32` — both products stay far inside
     * int64, so the decision is bit-identical on any engine and immune
     * to double-comparison edge cases at the threshold. No RNG, map-side
     * only, same determinism contract as every sampler here. */
   def weightedSample(docs: DataFrame, idCol: String,
                      weight: Column): DataFrame = {
-    val wm = round(weight * 1000).cast("long")
+    val wm = (weight.cast("decimal(18,3)") * 1000).cast("long")
     docs.withColumn("__wm", wm)
       .filter(Dedup.h32(col(idCol).cast("string")) * 1000L < col("__wm") * 4294967296L)
       .withColumn("sample_weight", lit(1000.0) / col("__wm"))

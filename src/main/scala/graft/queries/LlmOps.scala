@@ -434,7 +434,7 @@ object LlmOps {
       graft.operators.TableStats.globalPercentRank(
         TextAnalysis.withQuality(documents(s, d))
           .select(col("doc_id"),
-            expr("CAST(round(quality_score * 1000000) AS LONG)").as("q_ppm")),
+            expr("CAST(CAST(quality_score AS DECIMAL(18,6)) * 1000000 AS LONG)").as("q_ppm")),
         "q_ppm")
         .select(col("doc_id"), col("q_ppm"), col("rank_below"), col("pct_ppm")),
       "doc_id")
@@ -1178,7 +1178,7 @@ object LlmOps {
          |    + CAST(len(list_filter(toks, t2 -> list_contains($stopwordsSql, t2))) AS DOUBLE) / len(toks) * 0.3
          |    AS score
          |  FROM t),
-         |p AS (SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS q_ppm FROM q),
+         |p AS (SELECT doc_id, CAST(CAST(score AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS q_ppm FROM q),
          |r AS (SELECT doc_id, q_ppm,
          |  CAST(rank() OVER (ORDER BY q_ppm) - 1 AS BIGINT) AS rank_below,
          |  (SELECT COUNT(*) FROM p) AS n FROM p)
@@ -1223,7 +1223,7 @@ object LlmOps {
          |      AS quality_score
          |  FROM t),
          |w AS (SELECT doc_id, quality_score,
-         |    CAST(round(quality_score * 1000) AS BIGINT) AS wm,
+         |    CAST(CAST(quality_score AS DECIMAL(18,3)) * 1000 AS BIGINT) AS wm,
          |    CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
          |  FROM q)
          |SELECT doc_id, quality_score, 1000.0 / wm AS sample_weight

@@ -463,7 +463,7 @@ object Relational {
     * cross-engine. */
   def j8RangeJoin(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
-      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      .withColumn("cents", (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
     val bands = nation(s, d).select(col("n_nationkey"), col("n_name"))
       .withColumn("lo", col("n_nationkey").cast("long") * 300000L)
       .withColumn("hi", col("n_nationkey").cast("long") * 300000L + 700000L)
@@ -501,7 +501,7 @@ object Relational {
     * first-shared-bin predicate — no distinct, no nested loop. */
   def j11OverlapJoin(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d)
-      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      .withColumn("cents", (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
     val a = o.select(col("o_orderkey").as("k1"), col("cents").as("lo1"),
       (col("cents") + 10000L).as("hi1"))
     val b = o.select(col("o_orderkey").as("k2"), col("cents").as("lo2"),
@@ -609,8 +609,8 @@ object Relational {
         |FROM p JOIN b ON p.event_id = b.event_id JOIN f ON p.event_id = f.event_id
         |ORDER BY p.event_id""".stripMargin,
     "j11_overlap_join" ->
-      """WITH o AS (SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS lo,
-        |             CAST(round(o_totalprice * 100) AS BIGINT) + 10000 AS hi FROM orders)
+      """WITH o AS (SELECT o_orderkey AS k, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS lo,
+        |             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) + 10000 AS hi FROM orders)
         |SELECT a.k AS k1, b.k AS k2
         |FROM o a JOIN o b ON a.lo < b.hi AND b.lo < a.hi AND a.k < b.k
         |ORDER BY k1, k2""".stripMargin,
@@ -631,8 +631,8 @@ object Relational {
     "j8_range_join" ->
       """SELECT o_orderkey, n_name AS band, o_totalprice
         |FROM orders JOIN nation
-        |  ON CAST(round(o_totalprice * 100) AS BIGINT) >= CAST(n_nationkey AS BIGINT) * 300000
-        | AND CAST(round(o_totalprice * 100) AS BIGINT) < CAST(n_nationkey AS BIGINT) * 300000 + 700000
+        |  ON CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) >= CAST(n_nationkey AS BIGINT) * 300000
+        | AND CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) < CAST(n_nationkey AS BIGINT) * 300000 + 700000
         |ORDER BY o_orderkey, band""".stripMargin,
     "j6_semi_anti" ->
       """SELECT c_custkey, c_mktsegment,

@@ -123,7 +123,7 @@ object Stats {
     * is summed in integer cents (exact; no double accumulation). */
   def a6Rollup(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d)
-      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      .withColumn("cents", (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
     o.rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(grouping_id().cast("int").as("gid"), count(lit(1)).as("ct"),
         sum(col("cents")).as("cents_sum"))
@@ -140,7 +140,7 @@ object Stats {
     * pass; same engine-independent null-order discipline). */
   def a6bCube(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d)
-      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      .withColumn("cents", (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
     o.cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(grouping_id().cast("int").as("gid"), count(lit(1)).as("ct"),
         sum(col("cents")).as("cents_sum"))
@@ -793,14 +793,14 @@ object Stats {
     "a6b_cube" ->
       """SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
         |  o_orderstatus, o_orderpriority, COUNT(*) AS ct,
-        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents_sum
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY gid, COALESCE(o_orderstatus, ''), COALESCE(o_orderpriority, '')""".stripMargin,
     "a6_rollup" ->
       """SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
         |  o_orderstatus, o_orderpriority, COUNT(*) AS ct,
-        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents_sum
         |FROM orders
         |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY gid, COALESCE(o_orderstatus, ''), COALESCE(o_orderpriority, '')""".stripMargin,
