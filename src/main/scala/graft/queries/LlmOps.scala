@@ -103,6 +103,16 @@ object LlmOps {
   def xDedupNgram(s: SparkSession, d: String): DataFrame =
     ordered(Dedup.ngramJaccardPairs(documents(s, d), n = 3, threshold = 0.8), "d1", "d2")
 
+  /** The SAME exact set-Jaccard pairs through the PPJoin prefix-filter
+    * scale path (Bayardo et al.): rarest-first prefixes bound the
+    * candidate join, a verification join recovers exact intersections —
+    * candidates are provably complete, so the output is identical to
+    * the quadratic exactness gate and shares its oracle. This gates the
+    * path a zipfian 100 TB corpus would actually run. */
+  def xDedupNgramPpjoin(s: SparkSession, d: String): DataFrame =
+    ordered(Dedup.ngramJaccardPairs(documents(s, d), n = 3, threshold = 0.8,
+      prefixFilter = true), "d1", "d2")
+
   /** Line-level corpus dedup (CCNet-style boilerplate removal): lines
     * occurring more than 4 times corpus-wide are struck from every
     * document, which is then reassembled in original line order. The
@@ -659,6 +669,7 @@ object LlmOps {
     "x_bpe_pairs"         -> (xBpePairs _),
     "x_corpus_refine"     -> (xCorpusRefine _),
     "x_dedup_ngram"       -> (xDedupNgram _),
+    "x_dedup_ngram_ppjoin" -> (xDedupNgramPpjoin _),
     "x_dedup_minhash"     -> (xDedupMinhash _),
     "x_dedup_simhash"     -> (xDedupSimhash _),
     "x_dedup_embedding_nn" -> (xDedupEmbeddingNn _),
@@ -870,6 +881,19 @@ object LlmOps {
         |FROM d WHERE doc_id NOT IN (SELECT doc_id FROM spans)
         |ORDER BY doc_id""".stripMargin,
     "x_dedup_ngram" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
+         |grams AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS g
+         |          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i)
+         |          WHERE len(ts) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n
+         |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT d1, d2, n / (s1.sz + s2.sz - n) AS jaccard
+         |FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+         |WHERE n / (s1.sz + s2.sz - n) >= 0.8
+         |ORDER BY d1, d2""".stripMargin,
+    "x_dedup_ngram_ppjoin" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
          |grams AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS g
          |          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i)

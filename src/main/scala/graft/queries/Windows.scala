@@ -129,31 +129,80 @@ object Windows {
     * Complements j1_interval_stream: that gate proves the streaming
     * JOIN face, this one the streaming windowed-AGGREGATION face. */
   def w11OhlcStream(s: SparkSession, d: String): DataFrame = {
+    val st = eventsFileStream(s, d)
+    val bars = graft.streaming.OhlcStream.ohlcBars(
+      st, "event_type", "ts", "event_id", "value", "1 hour")
+    ordered(
+      runToSink(s, bars)
+        .filter(col("event_type") =!= "__sentinel")
+        .select(col("event_type"), stamp(col("bucket")).as("bucket"),
+          col("open"), col("high"), col("low"), col("close"), col("ct")),
+      "event_type", "bucket")
+  }
+
+  /** W6-stream: the SAME 30-minute-gap sessionization through the
+    * ACTUAL streaming engine — `session_window` over the events file
+    * stream, append-mode sink, sentinel-sealed (the sentinel tick's far
+    * future timestamp closes every real session's gap), read back
+    * against the identical gaps-and-islands oracle as w6. With
+    * w11_ohlc_stream (tumbling) and j1_interval_stream (join) this
+    * gates the three streaming engine faces a dashboard pipeline runs:
+    * fixed windows, merged session windows, stream-stream joins. */
+  def w6SessionStream(s: SparkSession, d: String): DataFrame = {
+    val st = eventsFileStream(s, d)
+    val sessions = st
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("pv_ct"), decSum(col("value")).as("val_sum"))
+      .select(
+        col("session_window.start").as("stt_raw"),
+        col("session_window.end").as("edt_raw"),
+        col("user_id"), col("pv_ct"), col("val_sum"))
+    ordered(
+      runToSink(s, sessions)
+        .filter(col("user_id") =!= -1L)
+        .select(stamp(col("stt_raw")).as("stt"), stamp(col("edt_raw")).as("edt"),
+          col("user_id"), col("pv_ct"), col("val_sum")),
+      "user_id", "stt")
+  }
+
+  /** Events fixture as a file-source STREAM with a watermark-driving
+    * sentinel: the single parquet file symlinks into a temp dir (the
+    * file source wants a directory), and a one-row second file carries
+    * a tick 3 hours past the corpus max with event_type `__sentinel` /
+    * user_id −1 — append-mode aggregations only emit watermark-SEALED
+    * windows, so the sentinel closes every real window while its own
+    * never seals (and both marker keys filter on read-back). Mirrors
+    * `Tables.events`' ns-as-long floor-to-micros load. */
+  private def eventsFileStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$d/events.parquet") // ts rides as ns longs
-    val dir = java.nio.file.Files.createTempDirectory("w11src")
+    val dir = java.nio.file.Files.createTempDirectory("evsrc")
     java.nio.file.Files.createSymbolicLink(
       dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$d/events.parquet"))
-    // mirror Tables.events: ns-long fixtures floor to micros; a µs-native
-    // fixture would arrive as timestamp already
     val nsLongs = raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
-    require(nsLongs, "w11_ohlc_stream expects the ns-as-long events fixture")
+    require(nsLongs, "eventsFileStream expects the ns-as-long events fixture")
     val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
     raw.limit(1).select(raw.columns.map {
         case "ts" => lit(maxNs + 3L * 3600 * 1000000000L).as("ts")
         case "event_type" => lit("__sentinel").as("event_type")
+        case "user_id" => lit(-1L).as("user_id")
         case c => col(c)
       }: _*)
       .write.mode("append").parquet(dir.toString)
-    val st = s.readStream.schema(raw.schema).parquet(dir.toString)
+    s.readStream.schema(raw.schema).parquet(dir.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val bars = graft.streaming.OhlcStream.ohlcBars(
-      st, "event_type", "ts", "event_id", "value", "1 hour")
-    val tmp = java.nio.file.Files.createTempDirectory("w11sink").toString
+  }
+
+  /** Runs a streaming DataFrame to a parquet sink with AvailableNow and
+    * reads the result back — 8 state partitions for the bounded run
+    * (store setup/commit dominates fixture-sized micro-batches at 32). */
+  private def runToSink(s: SparkSession, df: DataFrame): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("evsink").toString
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      bars.writeStream
+      df.writeStream
         .format("parquet")
         .option("path", s"$tmp/out")
         .option("checkpointLocation", s"$tmp/cp")
@@ -161,12 +210,7 @@ object Windows {
         .start()
         .awaitTermination()
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-    ordered(
-      s.read.parquet(s"$tmp/out")
-        .filter(col("event_type") =!= "__sentinel")
-        .select(col("event_type"), stamp(col("bucket")).as("bucket"),
-          col("open"), col("high"), col("low"), col("close"), col("ct")),
-      "event_type", "bucket")
+    s.read.parquet(s"$tmp/out")
   }
 
   /** W12: period-over-period growth — daily revenue per event_type in
@@ -244,6 +288,7 @@ object Windows {
     "w11_ohlc_stream"   -> (w11OhlcStream _),
     "w10_gapfill"       -> (w10GapFill _),
     "w6_session_window" -> (w6SessionWindow _),
+    "w6_session_stream" -> (w6SessionStream _),
     "w7_sliding_window" -> (w7SlidingWindow _),
     "w8_topn"           -> (w8TopN _),
     "w9_running"        -> (w9Running _))
@@ -330,6 +375,23 @@ object Windows {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
         |ORDER BY event_id""".stripMargin,
     "w6_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS stt,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS edt,
+        |  user_id, COUNT(*) AS pv_ct,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, stt""".stripMargin,
+    "w6_session_stream" ->
       """WITH g AS (
         |  SELECT user_id, ts, value,
         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
