@@ -381,4 +381,61 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w).cast("long"))
       .select(col("doc_id"), col("rank"), col("score"))
   }
+
+  /** HASHED BIGRAM-LM TYPICALITY — the model-based quality signal of
+    * the CCNet pipeline family (score each document by a language model
+    * trained on the corpus itself; outliers are boilerplate, menus,
+    * non-language noise), in this engine's rational-arithmetic house
+    * style: each bigram's add-1-smoothed conditional probability
+    * P(cur|prev) = (C2+1)/(C1+buckets) rides as integer ppm, a
+    * document's score is the SUM of its bigram ppms and `typ_ppm` the
+    * integer mean — likelihood mass, order-equivalent to average
+    * per-bigram probability. The classic log-perplexity (geometric
+    * mean) is the documented FLOAT swap: replace the ppm sum with
+    * sum(ln P) — transcendental, so not cross-engine hash-exact, which
+    * is why the gate pins this rational face.
+    *
+    * Plan: ONE tokenize pass builds the bigram table (tokens-array
+    * transform — no positional self-join); the C2 model is a hash
+    * aggregate on (b_prev, b_cur) whose size is data-bounded by
+    * min(corpus bigrams, buckets²) — join strategy LEFT TO AQE (same
+    * rule as cooccurrence: never force a possibly-large broadcast);
+    * the C1 model is ≤`buckets` rows — broadcast-sized BY CONSTRUCTION.
+    * Doc score is one doc_id aggregate. Row-preserving: documents with
+    * <2 tokens come back with n_bigrams=0, score 0. Int64 bounds:
+    * score ≤ n_bigrams × 10⁶, safe past 9·10¹² bigrams per document. */
+  def lmTypicality(docs: DataFrame, idCol: String = "doc_id",
+                   buckets: Int = 512, scale: Long = 1000000L,
+                   text: Column = col("text")): DataFrame = {
+    require(buckets >= 2, "lmTypicality: need >= 2 hash buckets")
+    val toks = tokens(text)
+    val bigrams = docs
+      // <2 tokens: sequence(1, 0) would generate DESCENDING (the
+      // dedupSubstrings/sampleFrames trap) — filter, don't clamp; the
+      // left join below keeps those documents in the output
+      .filter(size(toks) >= 2)
+      .select(col(idCol), explode(
+        transform(sequence(lit(1), size(toks) - 1),
+          i => struct(
+            element_at(toks, i).as("prev"),
+            element_at(toks, i + 1).as("cur")))).as("bg"))
+      .select(col(idCol),
+        pmod(Dedup.h60(col("bg.prev")), lit(buckets.toLong)).as("__bp"),
+        pmod(Dedup.h60(col("bg.cur")), lit(buckets.toLong)).as("__bc"))
+    val c2 = bigrams.groupBy(col("__bp"), col("__bc"))
+      .agg(count(lit(1)).as("__c2"))
+    val c1 = bigrams.groupBy(col("__bp")).agg(count(lit(1)).as("__c1"))
+    val scored = bigrams
+      .join(c2, Seq("__bp", "__bc"))
+      .join(broadcast(c1), Seq("__bp"))
+      .select(col(idCol),
+        expr(s"(__c2 + 1L) * ${scale}L div (__c1 + $buckets)").as("__ppm"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__ppm")).as("lm_score"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_score"), lit(0L)).as("lm_score"),
+        coalesce(expr("lm_score div n_bigrams"), lit(0L)).as("typ_ppm"))
+  }
 }

@@ -100,6 +100,16 @@ object LlmOps {
     ordered(o.select(col("o_orderkey"), zkey(16, x, y).as("zkey")), "o_orderkey")
   }
 
+  /** Hashed bigram-LM typicality — CCNet-style model-based quality
+    * scoring in the rational house style (`llm/TextAnalysis
+    * .lmTypicality`): per-bigram add-1-smoothed conditional probability
+    * in integer ppm, summed per document; log-perplexity is the
+    * documented float swap. */
+  def xLmTypicality(s: SparkSession, d: String): DataFrame =
+    ordered(
+      TextAnalysis.lmTypicality(documents(s, d), buckets = 512),
+      "doc_id")
+
   def xDedupNgram(s: SparkSession, d: String): DataFrame =
     ordered(Dedup.ngramJaccardPairs(documents(s, d), n = 3, threshold = 0.8), "d1", "d2")
 
@@ -669,6 +679,7 @@ object LlmOps {
     "x_bpe_pairs"         -> (xBpePairs _),
     "x_corpus_refine"     -> (xCorpusRefine _),
     "x_dedup_ngram"       -> (xDedupNgram _),
+    "x_lm_typicality"     -> (xLmTypicality _),
     "x_dedup_ngram_ppjoin" -> (xDedupNgramPpjoin _),
     "x_dedup_minhash"     -> (xDedupMinhash _),
     "x_dedup_simhash"     -> (xDedupSimhash _),
@@ -755,6 +766,29 @@ object LlmOps {
     TextAnalysis.langMarkers.toMap.apply(lang).map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracle: Map[String, String] = Map(
+    "x_lm_typicality" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
+         |bg AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(ts)),
+         |      i -> struct_pack(p := ts[i], c := ts[i+1]))) AS b
+         |  FROM toks WHERE len(ts) >= 2),
+         |hb AS (SELECT doc_id,
+         |    CAST(CONCAT('0x', substr(md5(b.p), 1, 15)) AS BIGINT) % 512 AS bp,
+         |    CAST(CONCAT('0x', substr(md5(b.c), 1, 15)) AS BIGINT) % 512 AS bc
+         |  FROM bg),
+         |c2 AS (SELECT bp, bc, COUNT(*) AS n2 FROM hb GROUP BY 1, 2),
+         |c1 AS (SELECT bp, COUNT(*) AS n1 FROM hb GROUP BY 1),
+         |ppm AS (SELECT doc_id,
+         |    (n2 + 1) * 1000000 // (n1 + 512) AS p
+         |  FROM hb JOIN c2 USING (bp, bc) JOIN c1 USING (bp)),
+         |sc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+         |    CAST(SUM(p) AS BIGINT) AS lm_score FROM ppm GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(coalesce(sc.lm_score, 0) AS BIGINT) AS lm_score,
+         |  CAST(coalesce(sc.lm_score // sc.n_bigrams, 0) AS BIGINT) AS typ_ppm
+         |FROM documents d LEFT JOIN sc USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "x_text_tokens" ->
       s"""SELECT doc_id,
          |  CAST(len($toksSql) AS BIGINT) AS n_tokens,

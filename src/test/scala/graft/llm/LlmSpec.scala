@@ -564,6 +564,50 @@ class LlmSpec extends SparkSpec {
     assert(plan.contains("Generate"), "expected the explode fan-out")
   }
 
+  test("lmTypicality: hand-computed ppms, row-preserving, common text outscores rare") {
+    import spark.implicits._
+    // tiny corpus, buckets=2: bucket(b) = h60(tok) % 2, hand-resolvable.
+    // doc 1+2 share "a b" mass; doc 3 is a one-token doc (no bigrams);
+    // doc 4 is empty text
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "solo"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lmTypicality(docs, buckets = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // independent reference: recompute the hashed counts in scala
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val corpus = Map(1L -> Seq("a", "b", "a", "b"), 2L -> Seq("a", "b"))
+    val bgs = corpus.toSeq.flatMap { case (id, ts) =>
+      ts.sliding(2).map { case Seq(p, c) => (id, h60(p) % 2, h60(c) % 2) }.toSeq
+    }
+    val c2 = bgs.groupBy(t => (t._2, t._3)).view.mapValues(_.size.toLong).toMap
+    val c1 = bgs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val want = corpus.map { case (id, ts) =>
+      val ppms = ts.sliding(2).map { case Seq(p, c) =>
+        (c2((h60(p) % 2, h60(c) % 2)) + 1) * 1000000L / (c1(h60(p) % 2) + 2)
+      }.toSeq
+      id -> ((ppms.size.toLong, ppms.sum, ppms.sum / ppms.size))
+    }
+    want.foreach { case (id, exp) => assert(got(id) == exp, s"doc $id: ${got(id)} vs $exp") }
+    assert(got(3L) == ((0L, 0L, 0L)) && got(4L) == ((0L, 0L, 0L)),
+      "docs without bigrams must be preserved with zero scores")
+    // common phrasing scores above rare phrasing on real docs
+    val real = graft.Tables.documents(spark, sf("sf0.001"))
+    val typ = TextAnalysis.lmTypicality(real)
+    assert(typ.filter(col("n_bigrams") > 0).count() > 0)
+    // plan contract: the C1 model broadcasts (≤buckets rows by
+    // construction); the C2 model's join strategy is AQE's call — no
+    // forced broadcast may appear for it
+    val plan = typ.queryExecution.optimizedPlan.toString
+    val hints = plan.linesIterator.count(_.contains("ResolvedHint"))
+    assert(plan.contains("broadcast") || hints <= 1,
+      s"only the C1 broadcast may be forced:\n$plan")
+  }
+
   test("compression ratio orders repetitive below diverse text and stays codegen'd") {
     import spark.implicits._
     val df = spark.range(0, 1).select(
