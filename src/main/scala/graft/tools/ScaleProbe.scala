@@ -101,7 +101,15 @@ object ScaleProbe {
       "x_kmeans_assign", "x_kmeans_step", "q17_small_quantity",
       "x_dsir_weights", "d1_scd2", "w13_rolling_range", "x_quality_rank",
       "e6_attribution", "j12_dim_asof", "x_negatives",
-      "w14_twap", "w15_vwap", "a16_listagg")
+      "w14_twap", "w15_vwap", "a16_listagg",
+      // round-7 surface: the PPJoin n-gram scale path (vs the quadratic
+      // exactness gate above), the bigram-LM quality scorer, and the
+      // funnel state machine's batch face. The real-engine streaming
+      // gates (j1_interval_stream, w11_ohlc_stream, w6_session_stream)
+      // are NOT probed: their plans are the already-probed batch plans
+      // plus fixed streaming-harness overhead (state store + sink
+      // commit), which a ramp would mis-read as super-linear growth.
+      "x_dedup_ngram_ppjoin", "x_lm_typicality", "e1_funnel_stream")
     // j11_overlap_join is deliberately NOT probed: replicas keep the
     // source price range, so the TRUE overlap-pair answer grows ~factor²
     // (every replica's intervals overlap every other's) — the probe
