@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared machinery for the REAL-engine streaming gates: fixture tables
+  * re-served as file-source streams with watermark-driving sentinel
+  * ticks, and a bounded run-to-parquet-sink executor. Used by
+  * `j1_interval_stream`, `w11_ohlc_stream`, `w6_session_stream` and the
+  * stateful `st*_stream` gates so each face runs through the actual
+  * Structured Streaming engine (state store, watermarks, timers) and is
+  * read back against the SAME DuckDB oracle family as its batch twin.
+  */
+private[queries] object StreamGate {
+
+  /** Events fixture as a file-source STREAM with watermark-driving
+    * sentinels: the single parquet file symlinks into a temp dir (the
+    * file source wants a directory), and `sentinels` one-row files carry
+    * ticks 3, 6, … hours past the corpus max with event_type
+    * `__sentinel` / user_id −1 — append-mode aggregations only emit
+    * watermark-SEALED windows, and event-time TIMERS only fire in a
+    * batch AFTER the watermark passed them, so stateful gates ask for
+    * two sentinels: the first lifts the watermark past the corpus, the
+    * second triggers a batch in which the lifted watermark fires every
+    * armed timer. Both marker keys filter on read-back. Mirrors
+    * `Tables.events`' ns-as-long floor-to-micros load.
+    *
+    * `oneFilePerTrigger` makes AvailableNow process each file as its own
+    * micro-batch (mtimes are spaced explicitly so the source's
+    * modification-time ordering is deterministic): the full corpus in
+    * batch 0, then one watermark-advancing batch per sentinel — the
+    * multi-batch shape cross-batch state and timers need.
+    */
+  def eventsFileStream(s: SparkSession, d: String, sentinels: Int = 1,
+                       oneFilePerTrigger: Boolean = false,
+                       splitParts: Int = 1): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$d/events.parquet") // ts rides as ns longs
+    val dir = java.nio.file.Files.createTempDirectory("evsrc")
+    val nsLongs = raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    require(nsLongs, "eventsFileStream expects the ns-as-long events fixture")
+    val (minNs, maxNs) = {
+      val r = raw.agg(min(col("ts")), max(col("ts"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val baseMtime = java.nio.file.Files
+      .getLastModifiedTime(java.nio.file.Paths.get(s"$d/events.parquet")).toMillis
+
+    // writes `df` as a single parquet file named `name` in the stream dir
+    // with an explicitly spaced mtime — the file source processes files in
+    // (modification time, path) order, so spacing makes the batch order
+    // deterministic under oneFilePerTrigger
+    def writeOne(df: DataFrame, name: String, seq: Int): Unit = {
+      val scratch = dir.resolve(s"_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = scratch.toFile.listFiles.find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"$name parquet part not found"))
+      val dst = dir.resolve(s"$name.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(baseMtime + seq * 60000L))
+    }
+
+    if (splitParts <= 1) {
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$d/events.parquet"))
+    } else {
+      // time-range halves/parts: part i = (bound(i-1), bound(i)] so every
+      // event of an earlier part precedes every event of a later part —
+      // cross-batch state then sees each key's history in global time
+      // order, and the watermark after part i is ≤ every later part's ts
+      // (no late data, no mis-fired timers)
+      val bounds = (1 until splitParts)
+        .map(i => minNs + (maxNs - minNs) * i.toLong / splitParts)
+      (0 until splitParts).foreach { i =>
+        val lo = if (i == 0) None else Some(bounds(i - 1))
+        val hi = if (i == splitParts - 1) None else Some(bounds(i))
+        val part = raw
+          .filter(lo.map(col("ts") > _).getOrElse(lit(true)))
+          .filter(hi.map(col("ts") <= _).getOrElse(lit(true)))
+        writeOne(part, s"part_$i", i + 1)
+      }
+    }
+    (1 to sentinels).foreach { i =>
+      val one = raw.limit(1).select(raw.columns.map {
+          case "ts" => lit(maxNs + i * 3L * 3600 * 1000000000L).as("ts")
+          case "event_type" => lit("__sentinel").as("event_type")
+          case "user_id" => lit(-1L).as("user_id")
+          case c => col(c)
+        }: _*)
+      writeOne(one, s"sentinel_$i", splitParts + i)
+    }
+    val reader = s.readStream.schema(raw.schema)
+    val opts = if (oneFilePerTrigger) reader.option("maxFilesPerTrigger", 1) else reader
+    opts.parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Runs a streaming DataFrame to a parquet sink with AvailableNow and
+    * reads the result back — 8 state partitions for the bounded run
+    * (store setup/commit dominates fixture-sized micro-batches at 32). */
+  def runToSink(s: SparkSession, df: DataFrame): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("evsink").toString
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      df.writeStream
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.read.parquet(s"$tmp/out")
+  }
+}

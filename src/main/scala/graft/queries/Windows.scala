@@ -166,52 +166,13 @@ object Windows {
       "user_id", "stt")
   }
 
-  /** Events fixture as a file-source STREAM with a watermark-driving
-    * sentinel: the single parquet file symlinks into a temp dir (the
-    * file source wants a directory), and a one-row second file carries
-    * a tick 3 hours past the corpus max with event_type `__sentinel` /
-    * user_id −1 — append-mode aggregations only emit watermark-SEALED
-    * windows, so the sentinel closes every real window while its own
-    * never seals (and both marker keys filter on read-back). Mirrors
-    * `Tables.events`' ns-as-long floor-to-micros load. */
-  private def eventsFileStream(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$d/events.parquet") // ts rides as ns longs
-    val dir = java.nio.file.Files.createTempDirectory("evsrc")
-    java.nio.file.Files.createSymbolicLink(
-      dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$d/events.parquet"))
-    val nsLongs = raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
-    require(nsLongs, "eventsFileStream expects the ns-as-long events fixture")
-    val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
-    raw.limit(1).select(raw.columns.map {
-        case "ts" => lit(maxNs + 3L * 3600 * 1000000000L).as("ts")
-        case "event_type" => lit("__sentinel").as("event_type")
-        case "user_id" => lit(-1L).as("user_id")
-        case c => col(c)
-      }: _*)
-      .write.mode("append").parquet(dir.toString)
-    s.readStream.schema(raw.schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  /** Sentinel-stream fixtures + bounded sink runner shared across all
+    * real-engine streaming gates — see `StreamGate`. */
+  private def eventsFileStream(s: SparkSession, d: String): DataFrame =
+    StreamGate.eventsFileStream(s, d)
 
-  /** Runs a streaming DataFrame to a parquet sink with AvailableNow and
-    * reads the result back — 8 state partitions for the bounded run
-    * (store setup/commit dominates fixture-sized micro-batches at 32). */
-  private def runToSink(s: SparkSession, df: DataFrame): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("evsink").toString
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      df.writeStream
-        .format("parquet")
-        .option("path", s"$tmp/out")
-        .option("checkpointLocation", s"$tmp/cp")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-        .awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-    s.read.parquet(s"$tmp/out")
-  }
+  private def runToSink(s: SparkSession, df: DataFrame): DataFrame =
+    StreamGate.runToSink(s, df)
 
   /** W12: period-over-period growth — daily revenue per event_type in
     * integer cents with previous-day value and truncating integer-ppm

@@ -204,6 +204,89 @@ object StateOps {
       })
   }
 
+  /** Bounce state when the session-entry marker must be DERIVED inside
+    * the machine (the events fixture has no last_page_id column): the
+    * previous event's ts rides along so "no predecessor within
+    * `sessionGapMs`" is computable across micro-batch boundaries. */
+  case class DerivedBounceState(lastTs: Long, pendingTs: Long,
+                                pendingEventId: Long, hasPending: Boolean)
+
+  /** ST3 variant for sources without an explicit session-entry marker:
+    * the machine itself tags each event as a session start ("no previous
+    * event of this key within `sessionGapMs`", state-carried across
+    * batches) and then runs the same `bounceStep` CEP fold — a session
+    * start NOT followed by another event within `gapMs` is a bounce,
+    * emitted either when a later event proves the gap elapsed or when
+    * the event-time TIMER fires (watermark passes pendingTs+gapMs).
+    * All comparisons in epoch-ms (Visit.ts) — the matching oracle is
+    * written in epoch_ms terms too, so the gate is exact by definition
+    * rather than by fixture luck.
+    *
+    * Cross-batch correctness needs each key's events delivered in
+    * non-decreasing time order ACROSS batches (within a batch the
+    * closure sorts); `StreamGate.eventsFileStream(splitParts=n)` cuts
+    * the corpus into time-range parts to guarantee exactly that, and a
+    * watermark ≤ every future event's ts means a timer can never fire
+    * ahead of a cancel-event still in flight. State is O(1) per key and
+    * is kept (un-armed) after a timer fires so lastTs survives; a
+    * production run would bound idle keys with a state TTL. */
+  def bounceDetectDerived(visits: Dataset[Visit], gapMs: Long = 10000L,
+                          sessionGapMs: Long = 1800000L,
+                          watermarkDelay: String = "0 seconds"): Dataset[Bounce] = {
+    import visits.sparkSession.implicits._
+    val streaming = visits.isStreaming
+    val withTime =
+      if (streaming)
+        visits.withColumn("event_time", timestamp_millis(col("ts")))
+          .withWatermark("event_time", watermarkDelay).as[Visit]
+      else visits
+    withTime.groupByKey(_.mid).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+      (mid: String, rows: Iterator[Visit], state: GroupState[DerivedBounceState]) => {
+        if (state.hasTimedOut) {
+          val st = state.get
+          val fired =
+            if (st.hasPending) Seq(Bounce(mid, st.pendingTs, st.pendingEventId)) else Nil
+          state.update(st.copy(hasPending = false))
+          fired.iterator
+        } else {
+          val sorted = rows.toSeq.sortBy(v => (v.ts, v.eventId))
+          val st0 = state.getOption
+          var lastTs = st0.map(_.lastTs).getOrElse(Long.MinValue)
+          val carried = st0.filter(_.hasPending)
+            .map(s => BounceState(s.pendingTs, s.pendingEventId))
+          val tagged = sorted.map { v =>
+            val isStart = lastTs == Long.MinValue || v.ts - lastTs > sessionGapMs
+            lastTs = v.ts
+            v.copy(lastPageId = if (isStart) None else Some("page"))
+          }
+          val (out, pending) = bounceStep(mid, tagged, carried, gapMs)
+          if (streaming) {
+            pending match {
+              case Some(p) =>
+                state.update(DerivedBounceState(lastTs, p.pendingTs, p.pendingEventId,
+                  hasPending = true))
+                // timeout must sit above the current watermark (late
+                // pendings fire on the next batch instead of throwing)
+                val wm = try state.getCurrentWatermarkMs() catch { case _: Throwable => 0L }
+                state.setTimeoutTimestamp(math.max(p.pendingTs + gapMs, wm + 1))
+              case None =>
+                state.update(DerivedBounceState(lastTs, 0L, 0L, hasPending = false))
+            }
+            out.iterator
+          } else {
+            // batch execution: the group is the COMPLETE history — the
+            // trailing pending has timed out by definition, flush it here
+            state.remove()
+            (pending match {
+              case Some(p) => out :+ Bounce(mid, p.pendingTs, p.pendingEventId)
+              case None => out
+            }).iterator
+          }
+        }
+      })
+  }
+
   /** DataFrame adapter: events table -> Visit dataset. user_id plays
     * mid; the session-entry marker (lastPageId == null) is derived here
     * as "no predecessor within 30 min" — the same rule the batch oracle

@@ -108,4 +108,62 @@ class StateOpsSpec extends SparkSpec {
       assert(got == expected)
     } finally q.stop()
   }
+
+  test("ST3 derived: session entries tagged in-state across batches; both emit paths fire") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Visit]
+    // lastPageId is deliberately garbage — the derived machine must ignore
+    // it and tag session entries from inter-event gaps alone
+    def v(mid: String, ts: Long, id: Long) = Visit(mid, ts, "1", Some("x"), id)
+    val q = StateOps.bounceDetectDerived(mem.toDS(), gapMs = 10000L, sessionGapMs = 1800000L)
+      .writeStream.format("memory").queryName("st3derived").outputMode(OutputMode.Append).start()
+    try {
+      // batch 0: m1 enters (first ever = session start), followed 5s later
+      // (cancel); m2 enters with no follow-up (pending -> timer)
+      mem.addData(v("m1", 1000L, 1), v("m1", 6000L, 2), v("m2", 1000L, 3))
+      q.processAllAvailable()
+      // batch 1: m1 re-enters 31 min after its last event (derived session
+      // start, lastTs carried across the batch boundary) and its next
+      // event arrives 20s later IN THE SAME BATCH -> proven-by-event bounce
+      mem.addData(v("m1", 1000L + 31 * 60000L, 4), v("m1", 1000L + 31 * 60000L + 20000L, 5))
+      q.processAllAvailable()
+      // batch 2: watermark tick — the batch-1 watermark now exceeds m2's
+      // timer (11000) so it fires here, the timer emit path
+      mem.addData(v("wm", 1000000000L, 99))
+      q.processAllAvailable()
+      val got = spark.table("st3derived").as[Bounce].collect()
+        .map(_.eventId).filter(_ < 90).sorted.toSeq
+      assert(got == Seq(3L, 4L), s"expected timer-fired 3 and event-proven 4, got $got")
+    } finally q.stop()
+  }
+
+  test("ST3 derived batch execution equals the epoch-ms lag/lead rule on real events") {
+    import spark.implicits._
+    val d = sf("sf0.001")
+    val events = graft.Tables.events(spark, d)
+    val visits = events.select(
+      org.apache.spark.sql.functions.col("user_id").cast("string").as("mid"),
+      org.apache.spark.sql.functions.unix_millis(
+        org.apache.spark.sql.functions.col("ts")).as("ts"),
+      org.apache.spark.sql.functions.lit("1").as("isNew"),
+      org.apache.spark.sql.functions.lit(null: String).as("lastPageId"),
+      org.apache.spark.sql.functions.col("event_id").as("eventId"),
+      org.apache.spark.sql.functions.lit("").as("payload")).as[Visit]
+    val got = StateOps.bounceDetectDerived(visits).collect().map(_.eventId).toSet
+    val expected = {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_millis(col("ts")), col("event_id"))
+      events
+        .withColumn("ms", unix_millis(col("ts")))
+        .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+        .withColumn("next_ms", lead(col("ms"), 1).over(w))
+        .filter((col("prev_ms").isNull || col("ms") - col("prev_ms") > 1800000L) &&
+          (col("next_ms").isNull || col("next_ms") - col("ms") >= 10000L))
+        .select("event_id").as[Long].collect().toSet
+    }
+    assert(got == expected)
+  }
 }
