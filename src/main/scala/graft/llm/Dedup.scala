@@ -194,6 +194,77 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact n-gram CONTAINMENT near-dup pairs — the asymmetric metric
+    * Jaccard misses: C(sub→super) = |grams(sub) ∩ grams(super)| /
+    * |grams(sub)|, detecting excerpts, quotes and doc-inside-doc
+    * duplication where the sub document is small relative to the super
+    * (their Jaccard can be arbitrarily low while containment is 1.0).
+    * Output is DIRECTED: (d_sub, d_super, containment >= threshold),
+    * both directions of an undirected intersection evaluated
+    * independently.
+    *
+    * Direct path: one gram-keyed shuffle through coGroupedPairs (the
+    * same hot/cold posting-list guard as the Jaccard gate), each
+    * undirected intersection split into its two directions at the end
+    * — no second pass.
+    *
+    * Prefix-filter scale path: containment only constrains the SUB
+    * side, so only the sub side can be prefix-cut — a sub with
+    * C >= t shares at least ceil(t·sz_sub) grams, hence its
+    * rarest-first prefix of sz_sub − ceil(t·sz_sub) + 1 grams must hit
+    * the super's gram set (pigeonhole; Bayardo-style, asymmetric).
+    * Candidates = sub-prefix grams ⋈ ALL grams (the super side cannot
+    * be cut), then an exact verification join — identical output to
+    * the direct path, gated against the same oracle. The sub-side cut
+    * is weaker than PPJoin's two-sided cut, which is the honest cost
+    * of the asymmetric metric at 100 TB; the df-ordered prefix still
+    * removes the stop-gram bulk of the candidate volume on zipfian
+    * text. */
+  def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.9,
+                       prefixFilter: Boolean = false): DataFrame = {
+    val g = shingles(docs, n)
+    val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter =
+      if (!prefixFilter) {
+        coGroupedPairs(g, "gram", "doc_id")
+          .groupBy("d1", "d2").agg(count(lit(1)).as("inter_ct"))
+      } else {
+        val withDf = g.join(g.groupBy("gram").agg(count(lit(1)).as("df")), "gram")
+        val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))
+        val prefixes = withDf
+          .withColumn("pos", row_number().over(byRarity))
+          .join(sizes, "doc_id")
+          .filter(col("pos") <= col("sz") - ceil(col("sz") * threshold) + 1)
+          .select(col("doc_id").as("c1"), col("gram"))
+        // directed candidates (sub=c1), folded back to the undirected
+        // (d1<d2) frame the verification join and split-out share with
+        // the direct path: an undirected pair is a candidate if EITHER
+        // direction's sub-prefix hit — directions that weren't candidates
+        // can't pass the threshold, so post-verification filtering keeps
+        // the output exactly equal to the direct path
+        val cands = prefixes
+          .join(g.select(col("doc_id").as("c2"), col("gram")), "gram")
+          .filter(col("c1") =!= col("c2"))
+          .select(least(col("c1"), col("c2")).as("d1"),
+            greatest(col("c1"), col("c2")).as("d2"))
+          .distinct()
+        cands
+          .join(g.select(col("doc_id").as("d1"), col("gram")), Seq("d1"))
+          .join(g.select(col("doc_id").as("d2"), col("gram")), Seq("d2", "gram"))
+          .groupBy("d1", "d2").agg(count(lit(1)).as("inter_ct"))
+      }
+    val both = inter
+      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("d1"), col("d2"), col("inter_ct"),
+        col("s1.sz").as("sz1"), col("s2.sz").as("sz2"))
+    both.select(col("d1").as("d_sub"), col("d2").as("d_super"),
+        (col("inter_ct") / col("sz1")).as("containment"))
+      .unionByName(both.select(col("d2").as("d_sub"), col("d1").as("d_super"),
+        (col("inter_ct") / col("sz2")).as("containment")))
+      .filter(col("containment") >= threshold)
+  }
+
   /** MinHash + LSH near-dup pairs: shingle → 24 minhashes (md5-derived
     * universal hashing) → 4 bands of 6 → band-bucket self-join →
     * exact set-Jaccard verification of candidates.

@@ -113,6 +113,22 @@ object LlmOps {
   def xDedupNgram(s: SparkSession, d: String): DataFrame =
     ordered(Dedup.ngramJaccardPairs(documents(s, d), n = 3, threshold = 0.8), "d1", "d2")
 
+  /** Directed n-gram CONTAINMENT pairs (`llm/Dedup.containmentPairs`) —
+    * the asymmetric excerpt/doc-inside-doc detector; at 0.9 the fixture
+    * yields both near-containments and exact subsets (containment=1.0
+    * where every sub gram appears in the super). */
+  def xDedupContain(s: SparkSession, d: String): DataFrame =
+    ordered(Dedup.containmentPairs(documents(s, d), n = 3, threshold = 0.9),
+      "d_sub", "d_super")
+
+  /** The SAME containment pairs through the sub-side prefix-filter
+    * scale path — provably complete candidates (pigeonhole on the
+    * rarest-first prefix), exact verification join, identical output,
+    * shared oracle. */
+  def xDedupContainPrefix(s: SparkSession, d: String): DataFrame =
+    ordered(Dedup.containmentPairs(documents(s, d), n = 3, threshold = 0.9,
+      prefixFilter = true), "d_sub", "d_super")
+
   /** The SAME exact set-Jaccard pairs through the PPJoin prefix-filter
     * scale path (Bayardo et al.): rarest-first prefixes bound the
     * candidate join, a verification join recovers exact intersections —
@@ -679,6 +695,8 @@ object LlmOps {
     "x_bpe_pairs"         -> (xBpePairs _),
     "x_corpus_refine"     -> (xCorpusRefine _),
     "x_dedup_ngram"       -> (xDedupNgram _),
+    "x_dedup_contain"     -> (xDedupContain _),
+    "x_dedup_contain_prefix" -> (xDedupContainPrefix _),
     "x_lm_typicality"     -> (xLmTypicality _),
     "x_dedup_ngram_ppjoin" -> (xDedupNgramPpjoin _),
     "x_dedup_minhash"     -> (xDedupMinhash _),
@@ -725,6 +743,28 @@ object LlmOps {
 
   private val toksSql =
     "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  /** Directed containment over distinct 3-gram sets — shared by the
+    * direct exactness gate and the prefix-filter scale gate (identical
+    * output by construction). */
+  private lazy val containOracle =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
+       |grams AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS g
+       |          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i)
+       |          WHERE len(ts) >= 3),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n
+       |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |dirs AS (
+       |  SELECT d1 AS d_sub, d2 AS d_super, n / s1.sz AS containment
+       |  FROM inter JOIN sizes s1 ON d1 = s1.doc_id
+       |  UNION ALL
+       |  SELECT d2, d1, n / s2.sz
+       |  FROM inter JOIN sizes s2 ON d2 = s2.doc_id)
+       |SELECT d_sub, d_super, containment FROM dirs
+       |WHERE containment >= 0.9
+       |ORDER BY d_sub, d_super""".stripMargin
 
   /** 24 hashes / 4 bands of 6 — must mirror minhashLshPairs' defaults. */
   private val minhashParams: String = (0 until 24)
@@ -927,6 +967,8 @@ object LlmOps {
          |FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
          |WHERE n / (s1.sz + s2.sz - n) >= 0.8
          |ORDER BY d1, d2""".stripMargin,
+    "x_dedup_contain" -> containOracle,
+    "x_dedup_contain_prefix" -> containOracle,
     "x_dedup_ngram_ppjoin" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
          |grams AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS g

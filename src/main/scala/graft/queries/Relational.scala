@@ -242,6 +242,41 @@ object Relational {
       "p_brand")
   }
 
+  /** Q21: TPC-H Q21 shape (suppliers who kept orders waiting) — the
+    * classic EXISTS / NOT-EXISTS double-correlated subquery pair,
+    * decorrelated by hand: "another supplier on the same order" and "no
+    * OTHER late supplier on the same order" both reduce to per-order
+    * supplier counts (nsupp > 1 ∧ nlate = 1 ∧ this supplier late), so
+    * the whole predicate pair is ONE aggregate over distinct
+    * (order, supplier) plus a per-order window — no second or third
+    * fact scan, no anti-join. Late = shipped >60 days after the order
+    * date (the fixture carries no receipt/commit dates). Plan: filtered
+    * orders ⋈ lineitem (one key shuffle), distinct-supplier aggregate
+    * riding the same key, a window over the already-small per-order
+    * supplier table, then a supplier-grained count with the name dim
+    * broadcast and top-20 via TakeOrderedAndProject — at 100 TB the
+    * only fact-sized exchange is the first join's. */
+  def q21WaitingSuppliers(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val perSupp = lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max((col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 60 DAYS")).cast("long")).as("late"))
+    val w = Window.partitionBy(col("l_orderkey"))
+    val waiting = perSupp
+      .withColumn("nsupp", count(lit(1)).over(w))
+      .withColumn("nlate", sum(col("late")).over(w))
+      .filter(col("late") === 1 && col("nsupp") > 1 && col("nlate") === 1)
+    val sup = supplier(s, d).select("s_suppkey", "s_name")
+    waiting.groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
   /** D1: SCD2 dimension history from the event stream — each user's
     * event_type run-length-collapsed into [valid_from, valid_to)
     * versions (`operators/Dimensions.scd2FromChangelog`); the full
@@ -548,6 +583,7 @@ object Relational {
     "q1_agg"           -> (q1Agg _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q17_small_quantity"   -> (q17SmallQuantity _),
+    "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
     "d1_scd2"              -> (d1Scd2 _),
     "j12_dim_asof"         -> (j12DimAsof _),
     "q10_returned_items"   -> (q10ReturnedItems _),
@@ -693,6 +729,21 @@ object Relational {
         |  COUNT(*) AS n_items
         |FROM st WHERE CAST(l_quantity AS BIGINT) * 5 * ct < sq
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """WITH l AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |        THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |  COUNT(*) OVER (PARTITION BY l_orderkey) AS nsupp,
+        |  SUM(late) OVER (PARTITION BY l_orderkey) AS nlate FROM l)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM w JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE late = 1 AND nsupp > 1 AND nlate = 1
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,

@@ -66,6 +66,32 @@ class LlmSpec extends SparkSpec {
     assert(pairs(true) == pairs(false) && pairs(false).nonEmpty)
   }
 
+  test("containment: hand-computed directed pairs; asymmetry Jaccard misses") {
+    import spark.implicits._
+    // sub = 5 tokens -> 3 distinct 3-grams, all present in super (12
+    // tokens, 10 grams): containment sub->super = 1.0, super->sub = 0.3,
+    // while their Jaccard is 3/10 = 0.3 — invisible at any useful
+    // Jaccard threshold
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (3L, "totally unrelated words about something else entirely"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 2L, 1.0)), s"got $got")
+    // and the Jaccard gate at 0.8 indeed misses the pair
+    assert(Dedup.ngramJaccardPairs(docs, 3, 0.8).count() == 0L)
+  }
+
+  test("containment prefix-filter path equals the direct path (sf0.001)") {
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    def pairs(pf: Boolean) = Dedup.containmentPairs(docs, 3, 0.9, prefixFilter = pf)
+      .select("d_sub", "d_super").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(true) == pairs(false) && pairs(false).nonEmpty)
+  }
+
   test("simhash 4-band bucketing is exact for hamming <= 3 (vs brute force, sf0.001)") {
     val docs = graft.Tables.documents(spark, sf("sf0.001"))
     val banded = Dedup.simhashNearPairs(docs, 3)

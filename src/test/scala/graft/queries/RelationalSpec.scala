@@ -49,6 +49,23 @@ class RelationalSpec extends SparkSpec {
     assert(df.collect().toSeq == brute, "window and join decorrelations must agree")
   }
 
+  test("q21: exists/not-exists decorrelates to ONE fact scan + window; supplier broadcasts") {
+    val df = Relational.q21WaitingSuppliers(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    // both correlated subqueries fold into per-order counts — the fact
+    // (lineitem) is scanned exactly once, with no anti-join anywhere
+    val scans = df.queryExecution.sparkPlan.toString
+    val liScans = scans.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(liScans == 1, s"exactly one lineitem scan expected ($liScans):\n$scans")
+    assert(!plan.contains("LeftAnti"), s"no anti-join expected:\n$plan")
+    assert(plan.contains("Window"), s"per-order counts must be a window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"supplier dim must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-20 must be top-k:\n$plan")
+    assert(scans.contains("EqualTo(o_orderstatus,F)"), "status filter must push down")
+    assert(df.collect().length <= 20)
+  }
+
   test("q10: returnflag filter pushes down, dims broadcast, top-20 bounded") {
     val df = Relational.q10ReturnedItems(spark, sf("sf0.001"))
     val plan = df.queryExecution.executedPlan.toString
