@@ -475,6 +475,31 @@ object LlmOps {
         .select(col("doc_id"), col("q_ppm"), col("rank_below"), col("pct_ppm")),
       "doc_id")
 
+  /** CCNet-style perplexity-bucket refinement — the composition the
+    * CCNet pipeline actually runs: corpus-trained LM score per document
+    * (`TextAnalysis.lmTypicality`, integer ppm), global percentile rank
+    * over the quantized score (`TableStats.globalPercentRank` — the
+    * single-partition window runs over the ≤10⁶-row distinct-value
+    * table, never the corpus), tercile buckets tail/middle/head, then
+    * deterministic per-bucket downsampling (head kept, middle halved,
+    * tail 1/8 — binary-exact fractions, md5-hash Bernoulli, unbiased
+    * 1/rate weights). Every stage is an already-gated operator; this
+    * gate proves the composition end to end. */
+  def xCcnetRefine(s: SparkSession, d: String): DataFrame = {
+    val ranked = graft.operators.TableStats.globalPercentRank(
+      TextAnalysis.lmTypicality(documents(s, d), buckets = 512), "typ_ppm")
+    val bucketed = ranked.withColumn("bucket",
+      when(col("pct_ppm") * 3 < 1000000L, "tail")
+        .when(col("pct_ppm") * 3 < 2000000L, "middle")
+        .otherwise("head"))
+    ordered(
+      Sampling.stratifiedSample(bucketed, "doc_id", "bucket",
+        Map("head" -> 1.0, "middle" -> 0.5, "tail" -> 0.125))
+        .select(col("doc_id"), col("bucket"), col("typ_ppm"),
+          col("sample_rate"), col("sample_weight")),
+      "doc_id")
+  }
+
   /** DSIR importance weights (rational variant): every-7th doc plays
     * the trusted target set; one explode feeds both hashed-token
     * models; ratio table is bucket-bounded and broadcast. */
@@ -695,6 +720,7 @@ object LlmOps {
     "x_bpe_pairs"         -> (xBpePairs _),
     "x_corpus_refine"     -> (xCorpusRefine _),
     "x_dedup_ngram"       -> (xDedupNgram _),
+    "x_ccnet_refine"      -> (xCcnetRefine _),
     "x_dedup_contain"     -> (xDedupContain _),
     "x_dedup_contain_prefix" -> (xDedupContainPrefix _),
     "x_lm_typicality"     -> (xLmTypicality _),
@@ -743,6 +769,27 @@ object LlmOps {
 
   private val toksSql =
     "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  /** Hashed bigram-LM per-doc score CTE (mirrors
+    * `TextAnalysis.lmTypicality` at 512 buckets) — shared by the
+    * typicality gate and the CCNet-refine composition. */
+  private lazy val lmScoreCte =
+    s"""toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
+       |bg AS (SELECT doc_id,
+       |    unnest(list_transform(range(1, len(ts)),
+       |      i -> struct_pack(p := ts[i], c := ts[i+1]))) AS b
+       |  FROM toks WHERE len(ts) >= 2),
+       |hb AS (SELECT doc_id,
+       |    CAST(CONCAT('0x', substr(md5(b.p), 1, 15)) AS BIGINT) % 512 AS bp,
+       |    CAST(CONCAT('0x', substr(md5(b.c), 1, 15)) AS BIGINT) % 512 AS bc
+       |  FROM bg),
+       |c2 AS (SELECT bp, bc, COUNT(*) AS n2 FROM hb GROUP BY 1, 2),
+       |c1 AS (SELECT bp, COUNT(*) AS n1 FROM hb GROUP BY 1),
+       |ppm AS (SELECT doc_id,
+       |    (n2 + 1) * 1000000 // (n1 + 512) AS p
+       |  FROM hb JOIN c2 USING (bp, bc) JOIN c1 USING (bp)),
+       |sc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+       |    CAST(SUM(p) AS BIGINT) AS lm_score FROM ppm GROUP BY 1)""".stripMargin
 
   /** Directed containment over distinct 3-gram sets — shared by the
     * direct exactness gate and the prefix-filter scale gate (identical
@@ -807,28 +854,37 @@ object LlmOps {
 
   val oracle: Map[String, String] = Map(
     "x_lm_typicality" ->
-      s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
-         |bg AS (SELECT doc_id,
-         |    unnest(list_transform(range(1, len(ts)),
-         |      i -> struct_pack(p := ts[i], c := ts[i+1]))) AS b
-         |  FROM toks WHERE len(ts) >= 2),
-         |hb AS (SELECT doc_id,
-         |    CAST(CONCAT('0x', substr(md5(b.p), 1, 15)) AS BIGINT) % 512 AS bp,
-         |    CAST(CONCAT('0x', substr(md5(b.c), 1, 15)) AS BIGINT) % 512 AS bc
-         |  FROM bg),
-         |c2 AS (SELECT bp, bc, COUNT(*) AS n2 FROM hb GROUP BY 1, 2),
-         |c1 AS (SELECT bp, COUNT(*) AS n1 FROM hb GROUP BY 1),
-         |ppm AS (SELECT doc_id,
-         |    (n2 + 1) * 1000000 // (n1 + 512) AS p
-         |  FROM hb JOIN c2 USING (bp, bc) JOIN c1 USING (bp)),
-         |sc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
-         |    CAST(SUM(p) AS BIGINT) AS lm_score FROM ppm GROUP BY 1)
+      s"""WITH $lmScoreCte
          |SELECT d.doc_id,
          |  CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
          |  CAST(coalesce(sc.lm_score, 0) AS BIGINT) AS lm_score,
          |  CAST(coalesce(sc.lm_score // sc.n_bigrams, 0) AS BIGINT) AS typ_ppm
          |FROM documents d LEFT JOIN sc USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    "x_ccnet_refine" ->
+      s"""WITH $lmScoreCte,
+         |typ AS (SELECT d.doc_id,
+         |    CAST(coalesce(sc.lm_score // sc.n_bigrams, 0) AS BIGINT) AS typ_ppm
+         |  FROM documents d LEFT JOIN sc USING (doc_id)),
+         |rk AS (SELECT doc_id, typ_ppm,
+         |    (rank() OVER (ORDER BY typ_ppm) - 1) * 1000000
+         |      // (COUNT(*) OVER () - 1) AS pct_ppm
+         |  FROM typ),
+         |b AS (SELECT doc_id, typ_ppm,
+         |    CASE WHEN pct_ppm * 3 < 1000000 THEN 'tail'
+         |         WHEN pct_ppm * 3 < 2000000 THEN 'middle'
+         |         ELSE 'head' END AS bucket
+         |  FROM rk),
+         |s AS (SELECT *,
+         |    CASE bucket WHEN 'head' THEN CAST(1.0 AS DOUBLE)
+         |         WHEN 'middle' THEN CAST(0.5 AS DOUBLE)
+         |         ELSE CAST(0.125 AS DOUBLE) END AS sample_rate,
+         |    CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      / 4294967296.0 AS u
+         |  FROM b)
+         |SELECT doc_id, bucket, typ_ppm, sample_rate,
+         |  CAST(1.0 AS DOUBLE) / sample_rate AS sample_weight
+         |FROM s WHERE u < sample_rate ORDER BY doc_id""".stripMargin,
     "x_text_tokens" ->
       s"""SELECT doc_id,
          |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
