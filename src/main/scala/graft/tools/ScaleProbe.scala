@@ -109,7 +109,15 @@ object ScaleProbe {
       // are NOT probed: their plans are the already-probed batch plans
       // plus fixed streaming-harness overhead (state store + sink
       // commit), which a ramp would mis-read as super-linear growth.
-      "x_dedup_ngram_ppjoin", "x_lm_typicality", "e1_funnel_stream")
+      "x_dedup_ngram_ppjoin", "x_lm_typicality", "e1_funnel_stream",
+      // round-7 second batch: containment dedup (both paths — the salt
+      // breaks ~3 grams per 7 words, so cross-replica containment sits
+      // far below the 0.9 threshold and the true answer scales
+      // linearly), the CCNet composition, and the Q21 decorrelation.
+      // st2/st3_bounce_stream are real-engine gates — excluded per the
+      // streaming-harness note above.
+      "x_dedup_contain", "x_dedup_contain_prefix", "x_ccnet_refine",
+      "q21_waiting_suppliers")
     // j11_overlap_join is deliberately NOT probed: replicas keep the
     // source price range, so the TRUE overlap-pair answer grows ~factor²
     // (every replica's intervals overlap every other's) — the probe
