@@ -293,6 +293,39 @@ object Relational {
       "user_id", "version")
   }
 
+  /** D1-stream: SCD2 version maintenance through the ACTUAL streaming
+    * engine — the events changelog as two time-range micro-batches plus
+    * two watermark sentinels, `streaming.Scd2Stream.closedVersions`
+    * (fMGWS: in-horizon buffering, watermark-sealed run collapse,
+    * event-time drain timers), append sink. A version only CLOSES when
+    * its successor is sealed, so the stream face emits exactly the
+    * batch operator's non-current rows — the oracle is the same
+    * gaps-and-islands rendering as d1_scd2 restricted to runs with a
+    * successor, in epoch-ms terms (the machine's basis). Batch 0 rides
+    * with watermark 0, so its changes buffer in-horizon and drain on
+    * the batch-1 timer — the late-data reorder path runs for real, not
+    * just in the spec. */
+  def d1Scd2Stream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val st = StreamGate.eventsFileStream(s, d,
+      sentinels = 2, oneFilePerTrigger = true, splitParts = 2)
+    val changes = st.select(
+        col("user_id").as("key"),
+        unix_millis(col("ts")).as("ms"),
+        col("event_id").as("tie"),
+        col("event_type").as("value")).as[graft.streaming.Scd2Stream.Change]
+    ordered(
+      StreamGate.runToSink(s,
+        graft.streaming.Scd2Stream.closedVersions(changes).toDF)
+        .filter(col("key") =!= -1L)
+        .select(col("key").as("user_id"),
+          col("value").as("event_type"),
+          stamp(timestamp_millis(col("validFromMs"))).as("valid_from"),
+          stamp(timestamp_millis(col("validToMs"))).as("valid_to"),
+          col("version")),
+      "user_id", "version")
+  }
+
   /** J12: point-in-time dimension enrichment — the D1 SCD2 history
     * probed by the J7 as-of join: every event gets the dimension
     * version valid AT its timestamp (same-ts version supersessions
@@ -585,6 +618,7 @@ object Relational {
     "q17_small_quantity"   -> (q17SmallQuantity _),
     "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
     "d1_scd2"              -> (d1Scd2 _),
+    "d1_scd2_stream"       -> (d1Scd2Stream _),
     "j12_dim_asof"         -> (j12DimAsof _),
     "q10_returned_items"   -> (q10ReturnedItems _),
     "s1_scan"          -> (s1Scan _),
@@ -717,6 +751,27 @@ object Relational {
         |  strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
         |  vt IS NULL AS is_current, version
         |FROM v ORDER BY user_id, version""".stripMargin,
+    // stream face: same gaps-and-islands rendering in epoch-ms terms
+    // (the machine's basis), restricted to CLOSED versions — a version
+    // only seals once its successor does, so the open (current) run per
+    // key lives in state, not the sink
+    "d1_scd2_stream" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id
+        |           FROM events),
+        |s AS (SELECT user_id, event_type, ms, event_id,
+        |  lag(event_type) OVER w AS pv, row_number() OVER w AS rn
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |c AS (SELECT user_id, event_type, ms, event_id FROM s
+        |      WHERE rn = 1 OR pv IS DISTINCT FROM event_type),
+        |v AS (SELECT user_id, event_type, ms AS vf,
+        |  lead(ms) OVER w2 AS vt,
+        |  CAST(row_number() OVER w2 AS BIGINT) AS version
+        |  FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY ms, event_id))
+        |SELECT user_id, event_type,
+        |  strftime(make_timestamp(vf * 1000), '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  strftime(make_timestamp(vt * 1000), '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |  version
+        |FROM v WHERE vt IS NOT NULL ORDER BY user_id, version""".stripMargin,
     "q17_small_quantity" ->
       """WITH p AS (SELECT p_partkey, p_brand FROM part WHERE p_type = 'ECONOMY'),
         |li AS (SELECT l_partkey, l_quantity, l_extendedprice, p_brand

@@ -443,6 +443,41 @@ object Stats {
       "conv_id")
   }
 
+  /** E6-stream: last-touch attribution through the ACTUAL streaming
+    * engine — purchases and view/click touches as two filtered faces of
+    * the events file stream (the engine deduplicates the shared source;
+    * `AttributionStream.lastTouch` unions them into one keyed as-of
+    * state machine), two time-range micro-batches plus two watermark
+    * sentinels riding the conversion side (the sentinel tick seals the
+    * final conversions the way the parity spec's far-future probe
+    * does). Read back against an epoch-ms oracle restricted to the
+    * machine's semantics: most-recent touch at-or-before the
+    * conversion, nulled when older than the 1 h lookback. First-touch
+    * stays batch-only (`e6_attribution` carries both). */
+  def e6AttributionStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val st = graft.queries.StreamGate.eventsFileStream(s, d,
+      sentinels = 2, oneFilePerTrigger = true, splitParts = 2)
+    val convs = st.filter(col("event_type").isin("purchase", "__sentinel"))
+      .select(col("user_id").as("user"), unix_millis(col("ts")).as("ms"),
+        col("event_id").as("id"))
+      .as[graft.streaming.AttributionStream.Conversion]
+    val touches = st.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id").as("user"), unix_millis(col("ts")).as("ms"),
+        col("event_id").as("tie"), col("event_type").as("typ"))
+      .as[graft.streaming.AttributionStream.Touch]
+    ordered(
+      graft.queries.StreamGate.runToSink(s,
+        graft.streaming.AttributionStream.lastTouch(convs, touches, 3600000L).toDF)
+        .filter(col("user") =!= -1L)
+        .select(col("user").as("user_id"),
+          stamp(timestamp_millis(col("ms"))).as("conv_ts"),
+          col("id").as("conv_id"),
+          col("srcType").as("last_src_type"),
+          col("srcMs").as("last_src_ms")),
+      "conv_id")
+  }
+
   /** E2-stream: the SAME retention triangle through
     * `streaming.RetentionStream.retentionHits`' code path run in batch
     * mode (each per-user group sees the full history, so the anchor is
@@ -678,6 +713,7 @@ object Stats {
     "e3_path_transitions" -> (e3PathTransitions _),
     "e5_pagerank"       -> (e5Pagerank _),
     "e6_attribution"    -> (e6Attribution _),
+    "e6_attribution_stream" -> (e6AttributionStream _),
     "a16_listagg"       -> (a16Listagg _),
     "e4_funnel_latency" -> (e4FunnelLatency _),
     "e3_path_sessions"  -> (e3PathSessions _),
@@ -898,6 +934,25 @@ object Stats {
         |  string_agg(event_type, ',' ORDER BY ts, event_id) AS path,
         |  COUNT(*) AS path_len
         |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
+    // stream face: the machine is tie-blind at equal timestamps (a
+    // same-ms touch attributes regardless of event-id order), rendered
+    // here as a RANGE frame on ms alone — deterministic because the
+    // fixture has no same-(user, ms) event pairs (verified both SFs);
+    // the batch gate's ROWS frame carries the tie-ordered variant
+    "e6_attribution_stream" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, ts, epoch_ms(ts) AS ms
+        |  FROM events WHERE event_type IN ('purchase', 'view', 'click')),
+        |s AS (SELECT *,
+        |  last_value(CASE WHEN event_type <> 'purchase' THEN
+        |      struct_pack(ms := ms, typ := event_type) END
+        |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ms
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt
+        |  FROM e)
+        |SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS conv_ts,
+        |  event_id AS conv_id,
+        |  CASE WHEN lt.ms >= ms - 3600000 THEN lt.typ END AS last_src_type,
+        |  CASE WHEN lt.ms >= ms - 3600000 THEN lt.ms END AS last_src_ms
+        |FROM s WHERE event_type = 'purchase' ORDER BY conv_id""".stripMargin,
     "e6_attribution" ->
       """WITH e AS (SELECT user_id, event_id, event_type, ts, epoch_ms(ts) AS ms
         |  FROM events WHERE event_type IN ('purchase', 'view', 'click')),
