@@ -337,6 +337,27 @@ object LlmOps {
       "doc_id")
   }
 
+  /** Containment applied as a corpus filter: every contained document
+    * (the excerpt / doc-inside-doc side) is dropped, the superset
+    * stays. MUTUAL containment (A⊆B ∧ B⊆A — exact same gram set) would
+    * remove both, so the lower-id side of a mutual pair is spared —
+    * unless some OTHER pair condemns it non-mutually. The pair graph is
+    * near-dup-density-sized, so the set algebra runs on the small pair
+    * table and only the final anti-join touches the corpus. */
+  def xContainApply(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val pairs = Dedup.containmentPairs(docs, 3, 0.9).select("d_sub", "d_super")
+    val spared = pairs.as("a").join(pairs.as("b"),
+        col("a.d_sub") === col("b.d_super") && col("a.d_super") === col("b.d_sub"),
+        "left_semi")
+      .filter(col("d_sub") < col("d_super"))
+    val removed = pairs.except(spared).select(col("d_sub").as("doc_id")).distinct()
+    ordered(
+      docs.join(broadcast(removed), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("n_chars")),
+      "doc_id")
+  }
+
   /** The full training-corpus pipeline composed end-to-end: quality
     * filter -> language filter -> near-dup removal (MinHash-LSH, the
     * scale path — see xDedupApply). Each stage is one of the operators
@@ -722,6 +743,7 @@ object LlmOps {
     "x_dedup_ngram"       -> (xDedupNgram _),
     "x_ccnet_refine"      -> (xCcnetRefine _),
     "x_dedup_contain"     -> (xDedupContain _),
+    "x_contain_apply"     -> (xContainApply _),
     "x_dedup_contain_prefix" -> (xDedupContainPrefix _),
     "x_lm_typicality"     -> (xLmTypicality _),
     "x_dedup_ngram_ppjoin" -> (xDedupNgramPpjoin _),
@@ -1025,6 +1047,28 @@ object LlmOps {
          |ORDER BY d1, d2""".stripMargin,
     "x_dedup_contain" -> containOracle,
     "x_dedup_contain_prefix" -> containOracle,
+    "x_contain_apply" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
+         |grams AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS g
+         |          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i)
+         |          WHERE len(ts) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n
+         |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |dirs AS (
+         |  SELECT d1 AS d_sub, d2 AS d_super FROM inter JOIN sizes s1 ON d1 = s1.doc_id
+         |  WHERE n / s1.sz >= 0.9
+         |  UNION ALL
+         |  SELECT d2, d1 FROM inter JOIN sizes s2 ON d2 = s2.doc_id
+         |  WHERE n / s2.sz >= 0.9),
+         |cond AS (SELECT DISTINCT d_sub FROM dirs a
+         |  WHERE NOT (a.d_sub < a.d_super AND EXISTS (
+         |    SELECT 1 FROM dirs b
+         |    WHERE b.d_sub = a.d_super AND b.d_super = a.d_sub)))
+         |SELECT doc_id, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT d_sub FROM cond)
+         |ORDER BY doc_id""".stripMargin,
     "x_dedup_ngram_ppjoin" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
          |grams AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS g

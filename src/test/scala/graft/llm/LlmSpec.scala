@@ -84,6 +84,49 @@ class LlmSpec extends SparkSpec {
     assert(Dedup.ngramJaccardPairs(docs, 3, 0.8).count() == 0L)
   }
 
+  test("containment matches a brute-force oracle on seeded random docs, both paths") {
+    import spark.implicits._
+    // deterministic corpus: small vocabulary forces overlaps and
+    // threshold-boundary pairs
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 30).map(i => s"w$i").toVector
+    def randDoc(): Seq[String] =
+      Seq.fill(10 + rnd.nextInt(16))(vocab(rnd.nextInt(vocab.size)))
+    val bases = (1L to 15L).map(id => id -> randDoc()).toMap
+    // planted structure: excerpts (contiguous ~60% slices -> high
+    // sub->super containment) and 2-token mutations (near-mutual pairs)
+    val excerpts = (1L to 8L).map { i =>
+      val b = bases(i); val n = math.max(4, (b.size * 6) / 10)
+      val from = rnd.nextInt(b.size - n + 1)
+      (100L + i) -> b.slice(from, from + n)
+    }
+    val mutants = (9L to 12L).map { i =>
+      val b = bases(i).toArray
+      b(rnd.nextInt(b.length)) = vocab(rnd.nextInt(vocab.size))
+      b(rnd.nextInt(b.length)) = vocab(rnd.nextInt(vocab.size))
+      (200L + i) -> b.toSeq
+    }
+    val corpus = (bases.toSeq ++ excerpts ++ mutants)
+      .map { case (id, toks) => (id, toks.mkString(" ")) }
+    val docs = corpus.toDF("doc_id", "text")
+    val gramSets: Map[Long, Set[String]] = corpus.map { case (id, text) =>
+      val t = text.split(" ").toSeq
+      id -> t.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    val brute = (for {
+      (a, ga) <- gramSets.toSeq; (b, gb) <- gramSets.toSeq
+      if a != b && ga.nonEmpty
+      c = (ga & gb).size.toDouble / ga.size
+      if c >= 0.7
+    } yield (a, b) -> c).toMap
+    for (pf <- Seq(false, true)) {
+      val got = Dedup.containmentPairs(docs, 3, 0.7, prefixFilter = pf)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(got == brute, s"prefixFilter=$pf: engine=$got brute=$brute")
+    }
+    assert(brute.nonEmpty, "seeded corpus must produce containment pairs")
+  }
+
   test("containment prefix-filter path equals the direct path (sf0.001)") {
     val docs = graft.Tables.documents(spark, sf("sf0.001"))
     def pairs(pf: Boolean) = Dedup.containmentPairs(docs, 3, 0.9, prefixFilter = pf)
