@@ -174,6 +174,42 @@ object Windows {
   private def runToSink(s: SparkSession, df: DataFrame): DataFrame =
     StreamGate.runToSink(s, df)
 
+  /** W16: capped sessionization — 30-minute-gap sessions additionally
+    * SPLIT at a maximum duration (the bot-session guard every
+    * dashboard needs; `session_window` can only express the gap).
+    * Semantics: gap islands first (strictly >30 min of silence breaks),
+    * then fixed duration blocks measured from each island's start (a
+    * sub-session boundary does NOT re-anchor — block k = events in
+    * [start + k·cap, start + (k+1)·cap)), all in exact integer micros.
+    * The cap is 30 min here — the fixture's session-length scale, so
+    * the splitting branch is exercised by real data (8 islands split
+    * at sf0.01); production would run the same plan at 4 h.
+    * ONE user-key shuffle carries the lag, the running island sum, the
+    * island-min window and the final aggregate; parallelism = |users|. */
+  def w16CappedSessions(s: SparkSession, d: String): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = byUser.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val e = events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("brk", (col("prev_us").isNull ||
+        col("us") - col("prev_us") > 1800L * 1000000L).cast("long"))
+      .withColumn("island", sum(col("brk")).over(run))
+      .withColumn("sub",
+        expr("(us - min(us) OVER (PARTITION BY user_id, island)) div 1800000000"))
+    ordered(
+      e.groupBy(col("user_id"), col("island"), col("sub"))
+        .agg(count(lit(1)).as("pv_ct"), decSum(col("value")).as("val_sum"),
+          min(col("ts")).as("stt_raw"), max(col("ts")).as("edt_raw"))
+        .select(col("user_id"), col("island"), col("sub"),
+          stamp(col("stt_raw")).as("stt"), stamp(col("edt_raw")).as("edt"),
+          col("pv_ct"), col("val_sum")),
+      "user_id", "island", "sub")
+  }
+
   /** W12: period-over-period growth — daily revenue per event_type in
     * integer cents with previous-day value and truncating integer-ppm
     * delta (both engines truncate toward zero, spec'd by the oracle
@@ -241,6 +277,7 @@ object Windows {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w16_capped_sessions" -> (w16CappedSessions _),
     "w14_twap"          -> (w14Twap _),
     "w15_vwap"          -> (w15Vwap _),
     "w13_rolling_range" -> (w13RollingRange _),
@@ -255,6 +292,24 @@ object Windows {
     "w9_running"        -> (w9Running _))
 
   val oracle: Map[String, String] = Map(
+    "w16_capped_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS us
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |      OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |i AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+        |  FROM f),
+        |s AS (SELECT *, (us - min(us) OVER (PARTITION BY user_id, island))
+        |      // 1800000000 AS sub
+        |  FROM i)
+        |SELECT user_id, island, sub,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS stt,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS edt,
+        |  COUNT(*) AS pv_ct,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "w14_twap" ->
       """WITH b AS (SELECT event_type, ts, event_id, value,
         |  date_trunc('hour', ts) AS bucket FROM events),
