@@ -91,7 +91,11 @@ object TableStats {
     val ranks = counts
       .withColumn("__below", coalesce(sum(col("__ct")).over(w), lit(0L)))
       .select(col(valueCol), col("__below"))
-    val tot = nn.agg(count(lit(1)).as("__n"))
+    // N from the value-count table, NOT a second pass over the input —
+    // the input may be an expensive upstream (x_ccnet_refine's LM score),
+    // and this keeps globalPercentRank at two input traversals (counts +
+    // the join-back) instead of three
+    val tot = counts.agg(sum(col("__ct")).as("__n"))
     nn.join(broadcast(ranks), Seq(valueCol))
       .crossJoin(broadcast(tot))
       .withColumn("rank_below", col("__below"))

@@ -507,8 +507,12 @@ object LlmOps {
     * 1/rate weights). Every stage is an already-gated operator; this
     * gate proves the composition end to end. */
   def xCcnetRefine(s: SparkSession, d: String): DataFrame = {
-    val ranked = graft.operators.TableStats.globalPercentRank(
-      TextAnalysis.lmTypicality(documents(s, d), buckets = 512), "typ_ppm")
+    // materialize the scored table (docs-sized: 4 narrow columns) —
+    // globalPercentRank traverses its input twice, and re-running the
+    // LM-scoring joins per traversal triples the composition's cost
+    val scored = TextAnalysis.lmTypicality(documents(s, d), buckets = 512)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranked = graft.operators.TableStats.globalPercentRank(scored, "typ_ppm")
     val bucketed = ranked.withColumn("bucket",
       when(col("pct_ppm") * 3 < 1000000L, "tail")
         .when(col("pct_ppm") * 3 < 2000000L, "middle")
