@@ -135,6 +135,86 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Signed-random-projection (cosine-LSH) signature: bit j = 1 iff
+    * `Σ_i signs(j)(i) * x(i) > 0`, accumulated as an ascending-index
+    * double fold (same order as the Column-fold it replaces and as the
+    * unrolled SQL oracle, so signatures are bit-identical).
+    *
+    * Built as ONE native expression rather than nbits unrolled
+    * `when(fold(...))` Columns: the unrolled form expands to
+    * nbits × dim leaf expressions and janino rejects the >64 KB
+    * generated method, silently dropping the whole stage out of
+    * codegen. Here the matrix rides along as a reference object and
+    * the generated code is a constant-size nested loop.
+    *
+    * A row whose vector is not exactly `signs(0).length` wide would
+    * hash garbage — fail loudly instead (same contract as the oracle).
+    * Null array in, null signature out; elements must be non-null. */
+  case class CosineLshSig(child: Expression, signs: Array[Array[Int]])
+      extends UnaryExpression {
+    private val nbits = signs.length
+    private val dim = signs(0).length
+    require(nbits >= 1 && nbits <= 63, s"nbits must be in [1, 63], got $nbits")
+
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<float> or array<double> input")
+      }
+
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      if (a.numElements() != dim) throw new RuntimeException(
+        s"cosine-LSH: embedding dim != $dim: ${a.numElements()}")
+      var sig = 0L; var j = 0
+      while (j < nbits) {
+        val row = signs(j); var acc = 0.0; var i = 0
+        while (i < dim) {
+          val x = elemAt(child.dataType, a, i)
+          acc = if (row(i) > 0) acc + x else acc - x
+          i += 1
+        }
+        if (acc > 0.0) sig |= 1L << j
+        j += 1
+      }
+      sig
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val m = ctx.addReferenceObj("lshSigns", signs, "int[][]")
+        val (sig, acc, row, i, j) =
+          (ctx.freshName("sig"), ctx.freshName("acc"), ctx.freshName("row"),
+            ctx.freshName("i"), ctx.freshName("j"))
+        s"""
+           |if ($a.numElements() != $dim) {
+           |  throw new RuntimeException(
+           |    "cosine-LSH: embedding dim != $dim: " + $a.numElements());
+           |}
+           |long $sig = 0L;
+           |for (int $j = 0; $j < $nbits; $j++) {
+           |  int[] $row = $m[$j];
+           |  double $acc = 0.0;
+           |  for (int $i = 0; $i < $dim; $i++) {
+           |    double x = ${elemGetter(child.dataType, a, i)};
+           |    $acc = $row[$i] > 0 ? $acc + x : $acc - x;
+           |  }
+           |  if ($acc > 0.0) $sig |= 1L << $j;
+           |}
+           |${ev.value} = $sig;
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "cosine_lsh_sig"
+  }
+
+  def cosineLshSig(a: Column, signs: Array[Array[Int]]): Column =
+    SparkInternals.column(CosineLshSig(SparkInternals.expression(a), signs))
+
   // Column-facing API
   def cosineSim(a: Column, b: Column): Column =
     SparkInternals.column(CosineSim(SparkInternals.expression(a), SparkInternals.expression(b)))

@@ -116,22 +116,13 @@ object Similarity {
           "DataFrame — pass dim explicitly")
       head(0).getInt(0)
     }
-    val signs = signMatrix(d, nbits)
-    val e = col("__e")
-    val bits = (0 until nbits).map { j =>
-      val proj = (0 until d).foldLeft(lit(0.0)) { (acc, i) =>
-        if (signs(j)(i) > 0) acc + e.getItem(i) else acc - e.getItem(i)
-      }
-      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    // any row whose vector is not exactly `d` wide would fold nulls into
-    // the projections and hash garbage — fail loudly instead
-    val sig = when(size(e) === d, bits.reduce(_ + _))
-      .otherwise(raise_error(concat(
-        lit(s"cosine-LSH: embedding dim != $d: "), size(e).cast("string"))))
-    vecs.withColumn("__e", transform(col("embedding"), v => v.cast("double")))
-      .withColumn("lsh_sig", sig)
-      .drop("__e")
+    // One native expression, not nbits unrolled when(fold(...)) Columns:
+    // the unrolled form blows janino's 64 KB method limit at dim=64 and
+    // drops the stage out of whole-stage codegen entirely. Identical
+    // ascending-fold arithmetic (and so identical signatures/oracle).
+    vecs.withColumn("lsh_sig",
+      graft.functions.VectorExpressions.cosineLshSig(
+        col("embedding"), signMatrix(d, nbits)))
   }
 
   /** Deterministic IVF index: (assignments, centroids). Centroids are a

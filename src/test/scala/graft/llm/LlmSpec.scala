@@ -545,6 +545,37 @@ class LlmSpec extends SparkSpec {
     assert(out.nonEmpty, "the non-degenerate source still samples")
   }
 
+  test("cosine-LSH at dim=64 compiles under codegen (no janino 64 KB fallback)") {
+    import spark.implicits._
+    // The unrolled Column-fold form this expression replaced expanded to
+    // nbits × dim leaves, blew janino's 64 KB method limit, and silently
+    // dropped the stage to interpreted eval. fallback=false turns that
+    // silent downgrade into a hard failure, so this test pins real codegen.
+    val prior = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val vecs = (0L until 20L).map(id =>
+        (id, Array.tabulate(64)(i => ((id * 31 + i * 7) % 13 - 6).toFloat)))
+        .toDF("vec_id", "embedding")
+      val got = Similarity.withCosineLshSignature(vecs, dim = 64)
+        .select("vec_id", "lsh_sig").as[(Long, Long)].collect().toMap
+      assert(got.size == 20)
+      // parity with a direct Scala fold over the same sign matrix
+      val signs = Similarity.signMatrix(64, 16)
+      val raw = vecs.select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      raw.foreach { case (id, e) =>
+        var expect = 0L
+        for (j <- 0 until 16) {
+          var acc = 0.0
+          for (i <- 0 until 64)
+            acc = if (signs(j)(i) > 0) acc + e(i) else acc - e(i)
+          if (acc > 0.0) expect |= 1L << j
+        }
+        assert(got(id) == expect, s"signature mismatch for vec $id")
+      }
+    } finally spark.conf.set("spark.sql.codegen.fallback", prior)
+  }
+
   test("cosine-LSH: empty input without explicit dim fails loudly; dim drift raises") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
