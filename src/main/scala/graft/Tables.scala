@@ -33,19 +33,25 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events.parquet` is written with nanosecond timestamps; Spark's parquet
-    * reader only supports micros natively. We read nanos as long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and floor-convert to a
-    * microsecond timestamp — the same truncation DuckDB applies, so the
-    * oracle sees identical values.
+  /** `events.parquet` has been written with three different `ts` encodings
+    * across driver testdata regenerations: nanosecond int64, microsecond
+    * TIMESTAMP_NTZ, and microsecond TIMESTAMP_LTZ. Normalize all three to a
+    * session-TZ microsecond TIMESTAMP so downstream `unix_micros(ts)` /
+    * `cast(ts as bigint)` consumers work regardless of which shape the
+    * current files use. Session TZ is pinned UTC, so wall-clock values (and
+    * DuckDB agreement) are unchanged in every case.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      // integer division, NOT col/1000 (double division loses 1 µs on
-      // ~12% of epoch-nano values — beyond double's 53-bit exact range)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer division, NOT col/1000 (double division loses 1 µs on
+        // ~12% of epoch-nano values — beyond double's 53-bit exact range)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 }

@@ -22,24 +22,34 @@ private[queries] object StreamGate {
     * batch AFTER the watermark passed them, so stateful gates ask for
     * two sentinels: the first lifts the watermark past the corpus, the
     * second triggers a batch in which the lifted watermark fires every
-    * armed timer. Both marker keys filter on read-back. Mirrors
-    * `Tables.events`' ns-as-long floor-to-micros load.
+    * armed timer. Both marker keys filter on read-back.
     *
     * `oneFilePerTrigger` makes AvailableNow process each file as its own
     * micro-batch (mtimes are spaced explicitly so the source's
     * modification-time ordering is deterministic): the full corpus in
     * batch 0, then one watermark-advancing batch per sentinel — the
     * multi-batch shape cross-batch state and timers need.
+    *
+    * The fixture's `ts` encoding has varied across driver regenerations
+    * (ns-int64 / µs-NTZ / µs-LTZ); it is canonicalized to epoch-µs LONG
+    * up front, so the streamed copy and all sentinel math are
+    * encoding-independent (same floor-to-µs as `Tables.events`).
     */
   def eventsFileStream(s: SparkSession, d: String, sentinels: Int = 1,
                        oneFilePerTrigger: Boolean = false,
                        splitParts: Int = 1): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$d/events.parquet") // ts rides as ns longs
+    val raw0 = s.read.parquet(s"$d/events.parquet")
     val dir = java.nio.file.Files.createTempDirectory("evsrc")
-    val nsLongs = raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
-    require(nsLongs, "eventsFileStream expects the ns-as-long events fixture")
-    val (minNs, maxNs) = {
+    val raw = raw0.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw0.withColumn("ts", expr("ts div 1000")) // ns → µs, floor
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw0.withColumn("ts",
+          unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)))
+      case _ => raw0.withColumn("ts", unix_micros(col("ts")))
+    }
+    val (minUs, maxUs) = {
       val r = raw.agg(min(col("ts")), max(col("ts"))).head()
       (r.getLong(0), r.getLong(1))
     }
@@ -62,8 +72,7 @@ private[queries] object StreamGate {
     }
 
     if (splitParts <= 1) {
-      java.nio.file.Files.createSymbolicLink(
-        dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$d/events.parquet"))
+      writeOne(raw, "events", 0) // canonical µs-long copy of the corpus
     } else {
       // time-range halves/parts: part i = (bound(i-1), bound(i)] so every
       // event of an earlier part precedes every event of a later part —
@@ -71,7 +80,7 @@ private[queries] object StreamGate {
       // order, and the watermark after part i is ≤ every later part's ts
       // (no late data, no mis-fired timers)
       val bounds = (1 until splitParts)
-        .map(i => minNs + (maxNs - minNs) * i.toLong / splitParts)
+        .map(i => minUs + (maxUs - minUs) * i.toLong / splitParts)
       (0 until splitParts).foreach { i =>
         val lo = if (i == 0) None else Some(bounds(i - 1))
         val hi = if (i == splitParts - 1) None else Some(bounds(i))
@@ -83,7 +92,7 @@ private[queries] object StreamGate {
     }
     (1 to sentinels).foreach { i =>
       val one = raw.limit(1).select(raw.columns.map {
-          case "ts" => lit(maxNs + i * 3L * 3600 * 1000000000L).as("ts")
+          case "ts" => lit(maxUs + i * 3L * 3600 * 1000000L).as("ts")
           case "event_type" => lit("__sentinel").as("event_type")
           case "user_id" => lit(-1L).as("user_id")
           case c => col(c)
@@ -93,7 +102,7 @@ private[queries] object StreamGate {
     val reader = s.readStream.schema(raw.schema)
     val opts = if (oneFilePerTrigger) reader.option("maxFilesPerTrigger", 1) else reader
     opts.parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(col("ts")))
   }
 
   /** Runs a streaming DataFrame to a parquet sink with AvailableNow and
