@@ -104,6 +104,47 @@ object VectorExpressions {
       copy(left = l, right = r)
   }
 
+  /** Integer dot(a, b) over array<int> codes, exact int64 accumulation —
+    * the quantized-ANN candidate scorer. A native codegen'd loop instead
+    * of `aggregate(zip_with(a*b))`: the higher-order pair is interpreted
+    * per row and allocates the zipped array, which dominates the
+    * corpus × queries candidate pass. Integer arithmetic is
+    * order-independent, so SQL-oracle exactness is unaffected. */
+  case class IntDotProduct(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType match {
+        case ArrayType(IntegerType, _) => true
+        case _ => false
+      })
+      if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<int> inputs")
+    }
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var dot = 0L; var i = 0
+      while (i < n) { dot += a.getInt(i).toLong * b.getInt(i); i += 1 }
+      dot
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val (n, dot, i) = (ctx.freshName("n"), ctx.freshName("dot"), ctx.freshName("i"))
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |long $dot = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $dot += (long) $a.getInt($i) * (long) $b.getInt($i);
+           |}
+           |${ev.value} = $dot;
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Euclidean norm ||a||. */
   case class L2Norm(child: Expression) extends UnaryExpression {
     override def dataType: DataType = DoubleType
@@ -220,6 +261,8 @@ object VectorExpressions {
     SparkInternals.column(CosineSim(SparkInternals.expression(a), SparkInternals.expression(b)))
   def dotProduct(a: Column, b: Column): Column =
     SparkInternals.column(DotProduct(SparkInternals.expression(a), SparkInternals.expression(b)))
+  def intDotProduct(a: Column, b: Column): Column =
+    SparkInternals.column(IntDotProduct(SparkInternals.expression(a), SparkInternals.expression(b)))
   def l2Norm(a: Column): Column =
     SparkInternals.column(L2Norm(SparkInternals.expression(a)))
 

@@ -146,6 +146,42 @@ object Dedup {
     * Exact all-pairs stays inherently quadratic in the worst case; the
     * designated 100 TB composition is minhashLshPairs (see xDedupApply).
     */
+  /** Measured crossover switch between the direct gram-join and the
+    * prefix-filtered candidate path, decided from the gram
+    * document-frequency HISTOGRAM (one row per distinct df value — a
+    * bounded driver-side collect regardless of corpus size).
+    *
+    * Direct candidate volume is Σ_grams df·(df−1)/2. The rarest-first
+    * prefixes keep ≈ the rarest (1−t) fraction of gram instances, and a
+    * kept gram is kept corpus-wide (df is global), so the prefix volume
+    * is the same sum over the rarest grams up to that instance mass.
+    * Prefix wins when the volume cut pays for its extra linear passes
+    * (df join, per-doc ordering, candidate distinct, two set joins) —
+    * the 4× margin below is the measured round-7 crossover: at 1×
+    * prefix-vs-direct volume the prefix machinery LOST (9.98 s vs
+    * 3.95 s) despite a smaller candidate set. One df-aggregation pass
+    * over the gram table is the price of deciding from measurement
+    * rather than guessing. */
+  def preferPrefixPath(docs: DataFrame, n: Int = 3,
+                       threshold: Double = 0.8): Boolean = {
+    val hist = shingles(docs, n)
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .groupBy("df").agg(count(lit(1)).as("n_grams"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val totalInstances = hist.map { case (df, ng) => df * ng }.sum
+    val directVolume = hist.map { case (df, ng) => ng * df * (df - 1) / 2 }.sum
+    var remaining = ((1 - threshold) * totalInstances).toLong + 1
+    var prefixVolume = 0L
+    hist.foreach { case (df, ng) =>
+      if (remaining > 0) {
+        val take = math.min(ng, (remaining + df - 1) / df)
+        prefixVolume += take * df * (df - 1) / 2
+        remaining -= take * df
+      }
+    }
+    directVolume > 4 * (prefixVolume + totalInstances)
+  }
+
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
                         maxDocFreq: Option[Long] = None,
                         prefixFilter: Boolean = false): DataFrame = {
@@ -181,10 +217,17 @@ object Dedup {
           .join(sizes, "doc_id")
           .filter(col("pos") <= col("sz") - ceil(col("sz") * threshold) + 1)
           .select("doc_id", "gram")
+        // verification: each candidate pair picks up both docs' distinct
+        // gram SETS (doc-length-bounded payloads, two key joins) and
+        // intersects map-side — replaces the two full gram-table
+        // expansion joins + giant groupBy the round-7 plan paid, which
+        // cost more than the candidate cut saved at bench scale
+        val gsets = filtered.groupBy("doc_id").agg(collect_list(col("gram")).as("gs"))
         coGroupedPairs(prefixes, "gram", "doc_id").distinct()
-          .join(filtered.select(col("doc_id").as("d1"), col("gram")), Seq("d1"))
-          .join(filtered.select(col("doc_id").as("d2"), col("gram")), Seq("d2", "gram"))
-          .groupBy("d1", "d2").agg(count(lit(1)).as("inter_ct"))
+          .join(gsets.select(col("doc_id").as("d1"), col("gs").as("gs1")), Seq("d1"))
+          .join(gsets.select(col("doc_id").as("d2"), col("gs").as("gs2")), Seq("d2"))
+          .select(col("d1"), col("d2"),
+            size(array_intersect(col("gs1"), col("gs2"))).cast("long").as("inter_ct"))
       }
     inter
       .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
@@ -193,6 +236,22 @@ object Dedup {
         (col("inter_ct") / (col("s1.sz") + col("s2.sz") - col("inter_ct"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** ngramJaccardPairs with the candidate path chosen by the measured
+    * crossover switch — the production entry point: small-vocab/hot-gram
+    * corpora run the direct gram join, zipfian long-doc corpora run the
+    * prefix filter, and the output is identical either way (both paths
+    * are gated against the same oracle). */
+  def ngramJaccardPairsAuto(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+                            maxDocFreq: Option[Long] = None): DataFrame =
+    ngramJaccardPairs(docs, n, threshold, maxDocFreq,
+      prefixFilter = preferPrefixPath(docs, n, threshold))
+
+  /** containmentPairs with the path chosen by the measured crossover. */
+  def containmentPairsAuto(docs: DataFrame, n: Int = 3,
+                           threshold: Double = 0.9): DataFrame =
+    containmentPairs(docs, n, threshold,
+      prefixFilter = preferPrefixPath(docs, n, threshold))
 
   /** Exact n-gram CONTAINMENT near-dup pairs — the asymmetric metric
     * Jaccard misses: C(sub→super) = |grams(sub) ∩ grams(super)| /
@@ -248,10 +307,13 @@ object Dedup {
           .select(least(col("c1"), col("c2")).as("d1"),
             greatest(col("c1"), col("c2")).as("d2"))
           .distinct()
+        // map-side set-intersection verification (see ngramJaccardPairs)
+        val gsets = g.groupBy("doc_id").agg(collect_list(col("gram")).as("gs"))
         cands
-          .join(g.select(col("doc_id").as("d1"), col("gram")), Seq("d1"))
-          .join(g.select(col("doc_id").as("d2"), col("gram")), Seq("d2", "gram"))
-          .groupBy("d1", "d2").agg(count(lit(1)).as("inter_ct"))
+          .join(gsets.select(col("doc_id").as("d1"), col("gs").as("gs1")), Seq("d1"))
+          .join(gsets.select(col("doc_id").as("d2"), col("gs").as("gs2")), Seq("d2"))
+          .select(col("d1"), col("d2"),
+            size(array_intersect(col("gs1"), col("gs2"))).cast("long").as("inter_ct"))
       }
     val both = inter
       .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
@@ -516,16 +578,39 @@ object Dedup {
     // (hot-key count, anti, and both semi sides); it is one long per doc
     // — materialize once instead of re-running the token aggregation
     val sh = simhash(docs).localCheckpoint(true)
+    // Identical fingerprints collapse BEFORE candidate generation: bands
+    // bucket the DISTINCT fingerprint table, and matched fp pairs expand
+    // back to doc pairs at the end. Homogeneous corpora (short docs over
+    // a shared vocab) concentrate fingerprints — round 7's corpus put
+    // 5,000 docs on 3,812 fps with band buckets up to 1,582 docs, 2.9M
+    // doc-level candidates — so deduping first cuts the quadratic
+    // candidate work by the duplication factor squared (640k fp-level
+    // candidates on the same corpus), and the hamming test runs once per
+    // fp pair, not once per doc pair. Each doc has exactly ONE
+    // fingerprint, so the three output legs below are disjoint by
+    // construction and need no doc-level distinct.
+    val fpd = sh.select(col("simhash")).distinct()
     val bandDf = (0 until 4).map { k =>
       // numeric band key: band index packed above the 15 prefix bits
-      sh.select(col("doc_id"), col("simhash"),
+      fpd.select(col("simhash"),
         expr(s"(${k.toLong << 15}) | (shiftright(simhash, ${k * 15}) & 32767)").as("bk"))
     }.reduce(_ unionByName _)
-    coGroupedPairsWithPayload(bandDf, "bk", "doc_id", "simhash", maxListSize)
-      .select(col("d1"), col("d2"),
-        bit_count(expr("p1 ^ p2")).cast("long").as("hamming"))
-      .distinct()
+    val fpPairs = coGroupedPairs(bandDf, "bk", "simhash", maxListSize)
+      .distinct() // a fp pair can match in up to 4 bands
+      .select(col("d1").as("f1"), col("d2").as("f2"),
+        bit_count(expr("d1 ^ d2")).cast("long").as("hamming"))
       .filter(col("hamming") <= maxDist)
+    // hamming-0 pairs: docs sharing a fingerprint, grouped emission per fp
+    val eq = coGroupedPairs(sh.select(col("doc_id"), col("simhash")),
+        "simhash", "doc_id", maxListSize)
+      .select(col("d1"), col("d2"), lit(0L).as("hamming"))
+    // cross-fp pairs: two key joins against the (small) fingerprint table
+    val cross = fpPairs
+      .join(sh.select(col("simhash").as("f1"), col("doc_id").as("da")), Seq("f1"))
+      .join(sh.select(col("simhash").as("f2"), col("doc_id").as("db")), Seq("f2"))
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"), col("hamming"))
+    eq.unionByName(cross)
   }
 
   /** Embedding near-dup: nearest neighbor per vector by cosine (rounded

@@ -425,10 +425,13 @@ object Similarity {
     val q = withQuantized(queries).filter(col("l2_norm") > 0)
       .select(col("vec_id").as("query_id"),
         col("q8").as("qq"), col("qscale").as("qs"), col("l2_norm").as("qn"))
+    // codegen'd integer dot over the int8 codes (exact int64 arithmetic,
+    // same value as the aggregate(zip_with) fold it replaces, which is
+    // interpreted per row and allocates the zipped array)
     val scored = c.join(broadcast(q), col("query_id") =!= col("nn_id"))
       .select(col("query_id"), col("nn_id"),
-        (aggregate(zip_with(col("qq"), col("cq"), (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x).cast("double")
+        (graft.functions.VectorExpressions.intDotProduct(col("qq"), col("cq"))
+          .cast("double")
           * col("qs") * col("cs") / (col("qn") * col("cn"))).as("q_sim"))
     val wc = Window.partitionBy(col("query_id"))
       .orderBy(col("q_sim").desc, col("nn_id"))

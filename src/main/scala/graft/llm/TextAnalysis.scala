@@ -408,25 +408,36 @@ object TextAnalysis {
                    buckets: Int = 512, scale: Long = 1000000L,
                    text: Column = col("text")): DataFrame = {
     require(buckets >= 2, "lmTypicality: need >= 2 hash buckets")
-    val toks = tokens(text)
+    // materialize the token array ONCE per doc before the per-element
+    // lambda: an expression referenced INSIDE a higher-order function's
+    // lambda is re-evaluated per element, so inlining `tokens(text)`
+    // there re-runs the regex split ~2×n_tokens times per document
+    // (measured 20× on the whole composition)
+    val tk = col("__toks")
     val bigrams = docs
+      .select(col(idCol), tokens(text).as("__toks"))
       // <2 tokens: sequence(1, 0) would generate DESCENDING (the
       // dedupSubstrings/sampleFrames trap) — filter, don't clamp; the
       // left join below keeps those documents in the output
-      .filter(size(toks) >= 2)
+      .filter(size(tk) >= 2)
       .select(col(idCol), explode(
-        transform(sequence(lit(1), size(toks) - 1),
+        transform(sequence(lit(1), size(tk) - 1),
           i => struct(
-            element_at(toks, i).as("prev"),
-            element_at(toks, i + 1).as("cur")))).as("bg"))
+            element_at(tk, i).as("prev"),
+            element_at(tk, i + 1).as("cur")))).as("bg"))
       .select(col(idCol),
         pmod(Dedup.h60(col("bg.prev")), lit(buckets.toLong)).as("__bp"),
         pmod(Dedup.h60(col("bg.cur")), lit(buckets.toLong)).as("__bc"))
+    // c2 is bounded by buckets² rows (≤262k at the default 512) — always
+    // broadcast-able; c1 is derived from it by summation (identical counts
+    // to grouping the bigram table by __bp) so the corpus is traversed
+    // exactly twice (c2 build + scoring), with no shuffle of the bigram
+    // table itself: both count joins are map-side broadcasts
     val c2 = bigrams.groupBy(col("__bp"), col("__bc"))
       .agg(count(lit(1)).as("__c2"))
-    val c1 = bigrams.groupBy(col("__bp")).agg(count(lit(1)).as("__c1"))
+    val c1 = c2.groupBy(col("__bp")).agg(sum(col("__c2")).as("__c1"))
     val scored = bigrams
-      .join(c2, Seq("__bp", "__bc"))
+      .join(broadcast(c2), Seq("__bp", "__bc"))
       .join(broadcast(c1), Seq("__bp"))
       .select(col(idCol),
         expr(s"(__c2 + 1L) * ${scale}L div (__c1 + $buckets)").as("__ppm"))

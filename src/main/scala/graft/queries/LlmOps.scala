@@ -507,11 +507,15 @@ object LlmOps {
     * 1/rate weights). Every stage is an already-gated operator; this
     * gate proves the composition end to end. */
   def xCcnetRefine(s: SparkSession, d: String): DataFrame = {
-    // materialize the scored table (docs-sized: 4 narrow columns) —
-    // globalPercentRank traverses its input twice, and re-running the
-    // LM-scoring joins per traversal triples the composition's cost
-    val scored = TextAnalysis.lmTypicality(documents(s, d), buckets = 512)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // globalPercentRank traverses its input twice; materialize the scored
+    // table (docs-sized: 4 narrow columns) to parquet — an explicit
+    // intermediate in the lsh_pairs style rather than a .persist, so no
+    // cached table outlives the query and a warm re-run pays the true
+    // cost instead of reading a leaked cache (round-7 finding)
+    val scoredPath = artifactRoot + "/ccnet_scored/" + d.replaceAll("[^a-zA-Z0-9.]", "_")
+    TextAnalysis.lmTypicality(documents(s, d), buckets = 512)
+      .write.mode("overwrite").parquet(scoredPath)
+    val scored = s.read.parquet(scoredPath)
     val ranked = graft.operators.TableStats.globalPercentRank(scored, "typ_ppm")
     val bucketed = ranked.withColumn("bucket",
       when(col("pct_ppm") * 3 < 1000000L, "tail")
