@@ -82,11 +82,22 @@ object Dedup {
       df.join(broadcast(hotKeys), Seq(key), "left_semi"))
   }
 
+  /** The aggregated posting-list table is BYTES-small (one row per key),
+    * so AQE coalesces its shuffle output to one partition — and then the
+    * quadratic pair EXPLOSION below it runs in a single task (observed:
+    * a 9M-pair emission serialized on one core). An explicit
+    * fixed-partition repartition of the list table (cheap: it is the
+    * small side by construction) pins the explosion's parallelism; AQE
+    * does not coalesce user-specified repartitions. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+
   private[llm] def coGroupedPairs(df: DataFrame, key: String, id: String,
                                   maxListSize: Int = 4096): DataFrame = {
     val (cold, hot) = splitHotCold(df, key, maxListSize)
-    val coldPairs = cold.groupBy(col(key)).agg(sort_array(collect_list(col(id))).as("ids"))
-      .filter(size(col("ids")) > 1)
+    val coldPairs = spread(
+      cold.groupBy(col(key)).agg(sort_array(collect_list(col(id))).as("ids"))
+        .filter(size(col("ids")) > 1))
       .select(explode(transform(sequence(lit(0), size(col("ids")) - 2), i =>
         struct(col("ids")(i).as("d1"),
           slice(col("ids"), i + 2, size(col("ids"))).as("rest")))).as("x"))
@@ -108,9 +119,10 @@ object Dedup {
                                              payload: String,
                                              maxListSize: Int = 4096): DataFrame = {
     val (cold, hot) = splitHotCold(df, key, maxListSize)
-    val coldPairs = cold.groupBy(col(key))
-      .agg(sort_array(collect_list(struct(col(id), col(payload)))).as("items"))
-      .filter(size(col("items")) > 1)
+    val coldPairs = spread(
+      cold.groupBy(col(key))
+        .agg(sort_array(collect_list(struct(col(id), col(payload)))).as("items"))
+        .filter(size(col("items")) > 1))
       .select(explode(transform(sequence(lit(0), size(col("items")) - 2), i =>
         struct(col("items")(i).as("a"),
           slice(col("items"), i + 2, size(col("items"))).as("rest")))).as("x"))
@@ -156,12 +168,15 @@ object Dedup {
     * kept gram is kept corpus-wide (df is global), so the prefix volume
     * is the same sum over the rarest grams up to that instance mass.
     * Prefix wins when the volume cut pays for its extra linear passes
-    * (df join, per-doc ordering, candidate distinct, two set joins) —
-    * the 4× margin below is the measured round-7 crossover: at 1×
-    * prefix-vs-direct volume the prefix machinery LOST (9.98 s vs
-    * 3.95 s) despite a smaller candidate set. One df-aggregation pass
-    * over the gram table is the price of deciding from measurement
-    * rather than guessing. */
+    * (df join, per-doc ordering, candidate distinct, two set joins).
+    * The 64× margin is measured, not guessed: with both paths'
+    * materialization fixes in place, the direct path emits+counts about
+    * 4M pair-rows/s/32-cores while the prefix machinery costs a few
+    * linear-in-|g| seconds — on the 28-hot-gram fixture the measured
+    * break-even sits near directVolume ≈ 100× gram instances (direct
+    * won 2.1 s vs 5.8 s at 42× with 800 docs; prefix wins by ~2× at
+    * 104× with 2000). One df-aggregation pass over the gram table is
+    * the price of deciding from measurement rather than guessing. */
   def preferPrefixPath(docs: DataFrame, n: Int = 3,
                        threshold: Double = 0.8): Boolean = {
     val hist = shingles(docs, n)
@@ -179,19 +194,22 @@ object Dedup {
         remaining -= take * df
       }
     }
-    directVolume > 4 * (prefixVolume + totalInstances)
+    directVolume > 64 * (prefixVolume + totalInstances)
   }
 
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
                         maxDocFreq: Option[Long] = None,
                         prefixFilter: Boolean = false): DataFrame = {
     val g = shingles(docs, n)
-    val filtered = maxDocFreq match {
+    // the gram table is consumed 5-8 times downstream (hot-key count,
+    // anti/semi routing, sizes, df join, gram-set payloads); materialize
+    // once instead of re-running tokenize+explode+distinct per traversal
+    val filtered = (maxDocFreq match {
       case Some(limit) =>
         val hot = g.groupBy("gram").agg(count(lit(1)).as("df")).filter(col("df") > limit)
         g.join(broadcast(hot), Seq("gram"), "left_anti")
       case None => g
-    }
+    }).localCheckpoint(true)
     val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter =
       if (!prefixFilter) {
@@ -212,11 +230,16 @@ object Dedup {
         val withDf = filtered
           .join(filtered.groupBy("gram").agg(count(lit(1)).as("df")), "gram")
         val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))
+        // materialized: splitHotCold traverses its input three times, and
+        // re-running the df join + per-doc window per traversal tripled
+        // the prefix path's cost (the round-7 "prefix loses to direct"
+        // finding was mostly this recomputation, not the cut itself)
         val prefixes = withDf
           .withColumn("pos", row_number().over(byRarity))
           .join(sizes, "doc_id")
           .filter(col("pos") <= col("sz") - ceil(col("sz") * threshold) + 1)
           .select("doc_id", "gram")
+          .localCheckpoint(true)
         // verification: each candidate pair picks up both docs' distinct
         // gram SETS (doc-length-bounded payloads, two key joins) and
         // intersects map-side — replaces the two full gram-table
@@ -281,7 +304,9 @@ object Dedup {
     * text. */
   def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.9,
                        prefixFilter: Boolean = false): DataFrame = {
-    val g = shingles(docs, n)
+    // materialized once — consumed 5-8 times downstream (see
+    // ngramJaccardPairs)
+    val g = shingles(docs, n).localCheckpoint(true)
     val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter =
       if (!prefixFilter) {
@@ -295,6 +320,7 @@ object Dedup {
           .join(sizes, "doc_id")
           .filter(col("pos") <= col("sz") - ceil(col("sz") * threshold) + 1)
           .select(col("doc_id").as("c1"), col("gram"))
+          .localCheckpoint(true) // see ngramJaccardPairs' prefix note
         // directed candidates (sub=c1), folded back to the undirected
         // (d1<d2) frame the verification join and split-out share with
         // the direct path: an undirected pair is a candidate if EITHER

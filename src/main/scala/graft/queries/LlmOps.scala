@@ -139,6 +139,15 @@ object LlmOps {
     ordered(Dedup.ngramJaccardPairs(documents(s, d), n = 3, threshold = 0.8,
       prefixFilter = true), "d1", "d2")
 
+  /** The production entry point: direct vs prefix chosen by the
+    * MEASURED crossover switch (`Dedup.preferPrefixPath`, gram-df
+    * histogram). Same oracle as the forced-path gates — the point is
+    * that the output is identical whichever branch the switch takes on
+    * the current corpus. */
+  def xDedupNgramAuto(s: SparkSession, d: String): DataFrame =
+    ordered(Dedup.ngramJaccardPairsAuto(documents(s, d), n = 3, threshold = 0.8),
+      "d1", "d2")
+
   /** Line-level corpus dedup (CCNet-style boilerplate removal): lines
     * occurring more than 4 times corpus-wide are struck from every
     * document, which is then reassembled in original line order. The
@@ -346,7 +355,12 @@ object LlmOps {
     * table and only the final anti-join touches the corpus. */
   def xContainApply(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val pairs = Dedup.containmentPairs(docs, 3, 0.9).select("d_sub", "d_super")
+    // the pair table is referenced four times by the set algebra below
+    // (two self-join sides, except, distinct); materialize it once —
+    // it is near-dup-density-sized, while its lineage is the full
+    // gram-join pipeline, which would otherwise re-run per reference
+    val pairs = Dedup.containmentPairs(docs, 3, 0.9)
+      .select("d_sub", "d_super").localCheckpoint(true)
     val spared = pairs.as("a").join(pairs.as("b"),
         col("a.d_sub") === col("b.d_super") && col("a.d_super") === col("b.d_sub"),
         "left_semi")
@@ -755,6 +769,7 @@ object LlmOps {
     "x_dedup_contain_prefix" -> (xDedupContainPrefix _),
     "x_lm_typicality"     -> (xLmTypicality _),
     "x_dedup_ngram_ppjoin" -> (xDedupNgramPpjoin _),
+    "x_dedup_ngram_auto"  -> (xDedupNgramAuto _),
     "x_dedup_minhash"     -> (xDedupMinhash _),
     "x_dedup_simhash"     -> (xDedupSimhash _),
     "x_dedup_embedding_nn" -> (xDedupEmbeddingNn _),
@@ -1078,6 +1093,19 @@ object LlmOps {
          |WHERE doc_id NOT IN (SELECT d_sub FROM cond)
          |ORDER BY doc_id""".stripMargin,
     "x_dedup_ngram_ppjoin" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
+         |grams AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS g
+         |          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i)
+         |          WHERE len(ts) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n
+         |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT d1, d2, n / (s1.sz + s2.sz - n) AS jaccard
+         |FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+         |WHERE n / (s1.sz + s2.sz - n) >= 0.8
+         |ORDER BY d1, d2""".stripMargin,
+    "x_dedup_ngram_auto" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
          |grams AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS g
          |          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i)
