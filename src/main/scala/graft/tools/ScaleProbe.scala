@@ -117,7 +117,11 @@ object ScaleProbe {
       // st2/st3_bounce_stream are real-engine gates — excluded per the
       // streaming-harness note above.
       "x_dedup_contain", "x_dedup_contain_prefix", "x_ccnet_refine",
-      "q21_waiting_suppliers", "x_contain_apply", "w16_capped_sessions")
+      "q21_waiting_suppliers", "x_contain_apply", "w16_capped_sessions",
+      // round-8 surface: the measured direct-vs-prefix crossover switch
+      // (on the probe's small-vocab corpus it must pick direct and ramp
+      // like the direct gate)
+      "x_dedup_ngram_auto")
     // j11_overlap_join is deliberately NOT probed: replicas keep the
     // source price range, so the TRUE overlap-pair answer grows ~factor²
     // (every replica's intervals overlap every other's) — the probe

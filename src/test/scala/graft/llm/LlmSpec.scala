@@ -103,6 +103,23 @@ class LlmSpec extends SparkSpec {
     assert(tp < td, f"prefix $tp%.2f s should beat direct $td%.2f s in its regime")
   }
 
+  test("containment prefix path also beats direct in the hot-stop-gram regime") {
+    val fx = hotStopFixture(2000)
+    assert(Dedup.preferPrefixPath(fx, 3, 0.9))
+    def run(pf: Boolean): (Double, Set[(Long, Long)]) = {
+      val t0 = System.nanoTime
+      val out = Dedup.containmentPairs(fx, 3, 0.9, prefixFilter = pf)
+        .select("d_sub", "d_super").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      ((System.nanoTime - t0) / 1e9, out)
+    }
+    run(false); run(true) // warm both plans
+    val (td, direct) = run(false)
+    val (tp, prefix) = run(true)
+    assert(prefix == direct && direct.nonEmpty)
+    assert(tp < td, f"containment prefix $tp%.2f s should beat direct $td%.2f s in its regime")
+  }
+
   test("containment: hand-computed directed pairs; asymmetry Jaccard misses") {
     import spark.implicits._
     // sub = 5 tokens -> 3 distinct 3-grams, all present in super (12
