@@ -24,7 +24,21 @@ def main():
              if os.path.isdir(p)]
     n_pass = n_fail = n_weak = 0
     for name in names:
-        got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+        # Verify writes <name>/_ERROR (and no parquet) when a query throws,
+        # so a broken query shows up as an explicit FAIL here instead of
+        # vanishing from the report (round-7 postmortem)
+        err_marker = os.path.join(out_dir, name, "_ERROR")
+        if os.path.exists(err_marker):
+            msg = open(err_marker).read().strip().splitlines()
+            print(f"FAIL  {name}: query threw: {msg[0] if msg else '(no message)'}")
+            n_fail += 1
+            continue
+        try:
+            got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+        except Exception as e:
+            print(f"FAIL  {name}: unreadable output: {e}")
+            n_fail += 1
+            continue
         if name not in oracle:
             print(f"WEAK  {name}: rows={len(got)} (no oracle, rows-only)")
             n_weak += 1
