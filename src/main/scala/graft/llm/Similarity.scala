@@ -454,6 +454,35 @@ object Similarity {
     * iterations improve the partition on clustered data; the refinement
     * averages floats, so this variant is recall-spec-tested rather than
     * SQL-oracled — the oracled gate path is ivfBuildIndex/ivfProbeIndex). */
+  /** SemDeDup (Abbas et al., 2023, arXiv:2303.09540): semantic
+    * deduplication by partitioning the embedding space into clusters
+    * and pruning near-duplicate pairs WITHIN each cluster only — the
+    * all-pairs cosine work is bounded by cluster size, never
+    * corpus-wide (the 100 TB contract: nlist grows with the corpus so
+    * clusters stay bounded; cross-cluster near-dups are the documented
+    * approximation). A vector is removed when some LOWER-id vector in
+    * its cluster has cosine >= `threshold` (deterministic
+    * representative choice instead of the paper's random pick).
+    *
+    * Takes the already-assigned (vec_id, cluster, embedding) table —
+    * in the gate path that is the persisted IVF index, so dedup is a
+    * cluster-keyed self-join over a partition-colocated read with NO
+    * re-clustering; hot clusters spread via AQE skew-join. Returns
+    * every vector with its cluster and a kept 0/1 verdict. */
+  def semDedup(assigned: DataFrame, threshold: Double): DataFrame = {
+    val a = assigned.select(col("cluster").as("__ca"), col("vec_id").as("va"),
+      col("embedding").as("ea"))
+    val b = assigned.select(col("cluster").as("__cb"), col("vec_id").as("vb"),
+      col("embedding").as("eb"))
+    val removed = a.join(b, col("__ca") === col("__cb") && col("va") > col("vb"))
+      .filter(round(cosineSim(col("ea"), col("eb")), 6) >= threshold)
+      .select(col("va").as("vec_id")).distinct()
+    assigned.select(col("vec_id"), col("cluster").cast("int").as("cluster"))
+      .join(removed.withColumn("__rm", lit(1)), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cluster"),
+        when(col("__rm").isNull, lit(1)).otherwise(lit(0)).as("kept"))
+  }
+
   def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
               k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     import spark.implicits._

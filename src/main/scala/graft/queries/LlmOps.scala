@@ -213,7 +213,7 @@ object LlmOps {
     "lsh_pairs" -> Seq("x_dedup_minhash", "x_dedup_apply", "x_corpus_pipeline",
       "x_dedup_clusters", "x_corpus_assembly"),
     "cc_clusters" -> Seq("x_dedup_clusters", "x_corpus_assembly"),
-    "ivf_index" -> Seq("x_ann_ivf", "x_ann_nn_join", "x_ann_recall"))
+    "ivf_index" -> Seq("x_ann_ivf", "x_ann_nn_join", "x_ann_recall", "x_semdedup"))
 
   /** Forget all build-once artifacts (benchmarking only). */
   def resetArtifactCaches(): Unit = {
@@ -271,6 +271,21 @@ object LlmOps {
           broadcastProbes = false)
         .select(col("query_id").as("vec_id"), col("nn_id"), col("cos_sim")),
       "vec_id")
+  }
+
+  /** SemDeDup over the persisted IVF index: cluster-local cosine
+    * pruning, one verdict row per vector (`Similarity.semDedup`). The
+    * 0.4 threshold matches the synthetic embeddings' cosine range (max
+    * pairwise ~0.5); real corpora use ~0.95. Reuses the same build-once
+    * index as the ANN gates — the build-once / prune-and-probe-many
+    * contract. */
+  def xSemDedup(s: SparkSession, d: String): DataFrame = {
+    val vecs = embeddings(s, d)
+    val idxPath = artifactRoot + "/ivf_index/" + d.replaceAll("[^a-zA-Z0-9.]", "_")
+    Similarity.ivfBuildIndexCached(s, vecs, idxPath, nlist = 16)
+    val assigned = s.read.parquet(idxPath)
+      .select(col("vec_id"), col("cluster"), col("embedding"))
+    ordered(Similarity.semDedup(assigned, threshold = 0.4), "vec_id")
   }
 
   /** Sketch-prefilter + exact-rerank ANN (Similarity.sketchRerankTopK):
@@ -775,6 +790,7 @@ object LlmOps {
     "x_dedup_embedding_nn" -> (xDedupEmbeddingNn _),
     "x_ann_topk"          -> (xAnnTopk _),
     "x_ann_ivf"           -> (xAnnIvf _),
+    "x_semdedup"          -> (xSemDedup _),
     "x_ann_nn_join"       -> (xAnnNnJoin _),
     "x_ann_sketch"        -> (xAnnSketch _),
     "x_ann_recall"        -> ((s: SparkSession, d: String) => xAnnRecall(s, d)),
@@ -1156,6 +1172,26 @@ object LlmOps {
         |  FROM scored)
         |SELECT query_id, rank, nn_id, cos_sim FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    "x_semdedup" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |seeds AS (
+        |  SELECT e AS se,
+        |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster
+        |  FROM c ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |assign AS (
+        |  SELECT vec_id, cluster, e FROM (
+        |    SELECT c.vec_id, s.cluster, c.e,
+        |           row_number() OVER (PARTITION BY c.vec_id
+        |             ORDER BY round(list_cosine_similarity(c.e, s.se), 6) DESC, s.cluster) AS rn
+        |    FROM c CROSS JOIN seeds s) WHERE rn = 1),
+        |removed AS (
+        |  SELECT DISTINCT a.vec_id
+        |  FROM assign a JOIN assign b ON a.cluster = b.cluster AND a.vec_id > b.vec_id
+        |  WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4)
+        |SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster,
+        |       CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+        |FROM assign a LEFT JOIN removed r ON a.vec_id = r.vec_id
+        |ORDER BY a.vec_id""".stripMargin,
     "x_ann_ivf" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |seeds AS (

@@ -103,6 +103,24 @@ class LlmSpec extends SparkSpec {
     assert(tp < td, f"prefix $tp%.2f s should beat direct $td%.2f s in its regime")
   }
 
+  test("semDedup: removed = exactly the vectors with a lower-id near neighbor in-cluster") {
+    val vecs = graft.Tables.embeddings(spark, sf("sf0.001"))
+    val seeds = Similarity.ivfSeedCentroids(spark, vecs, 16)
+    val assigned = Similarity.ivfAssignSeeds(spark, vecs, seeds)
+    val verdicts = Similarity.semDedup(assigned, threshold = 0.4)
+    // brute-force the definition over the same assignment
+    import graft.functions.VectorExpressions.cosineSim
+    val expectRemoved = assigned.as("a").join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") > col("b.vec_id"))
+      .filter(round(cosineSim(col("a.embedding"), col("b.embedding")), 6) >= 0.4)
+      .select(col("a.vec_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val gotRemoved = verdicts.filter(col("kept") === 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(gotRemoved == expectRemoved)
+    assert(verdicts.count() == vecs.count()) // one verdict per vector
+  }
+
   test("containment prefix path also beats direct in the hot-stop-gram regime") {
     val fx = hotStopFixture(2000)
     assert(Dedup.preferPrefixPath(fx, 3, 0.9))
