@@ -449,4 +449,29 @@ object TextAnalysis {
         coalesce(col("lm_score"), lit(0L)).as("lm_score"),
         coalesce(expr("lm_score div n_bigrams"), lit(0L)).as("typ_ppm"))
   }
+
+  /** Sliding-window chunking with overlap — the context-window
+    * construction step of training prep: each document becomes token
+    * windows of `window` tokens starting every `stride` tokens
+    * (overlap = window − stride), the final window truncated at the
+    * document end. Pure map-side (tokenize once per doc — the array is
+    * materialized BEFORE the per-window ops, see the lmTypicality
+    * lambda note — then one posexplode); chunk_idx is the 0-based
+    * window ordinal, so (doc_id, chunk_idx) is a stable chunk key. */
+  def chunkOverlap(docs: DataFrame, window: Int = 64, stride: Int = 48,
+                   idCol: String = "doc_id",
+                   text: Column = col("text")): DataFrame = {
+    require(window >= 1 && stride >= 1, "chunkOverlap: window/stride >= 1")
+    docs
+      .select(col(idCol), tokens(text).as("__toks"))
+      .filter(size(col("__toks")) >= 1)
+      .select(col(idCol), col("__toks"),
+        posexplode(sequence(lit(1), size(col("__toks")), lit(stride)))
+          .as(Seq("__pos", "__s")))
+      .select(col(idCol),
+        col("__pos").cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(col("__toks"), col("__s"), lit(window))).as("chunk_text"),
+        least(lit(window), size(col("__toks")) - col("__s") + 1)
+          .cast("long").as("n_tokens"))
+  }
 }

@@ -113,6 +113,13 @@ object LlmOps {
   def xDedupNgram(s: SparkSession, d: String): DataFrame =
     ordered(Dedup.ngramJaccardPairs(documents(s, d), n = 3, threshold = 0.8), "d1", "d2")
 
+  /** Sliding-window chunking (64-token windows, stride 48): the
+    * context-window construction step of training prep, one row per
+    * (doc, window ordinal). */
+  def xChunkOverlap(s: SparkSession, d: String): DataFrame =
+    ordered(TextAnalysis.chunkOverlap(documents(s, d), window = 64, stride = 48),
+      "doc_id", "chunk_idx")
+
   /** Directed n-gram CONTAINMENT pairs (`llm/Dedup.containmentPairs`) —
     * the asymmetric excerpt/doc-inside-doc detector; at 0.9 the fixture
     * yields both near-containments and exact subsets (containment=1.0
@@ -778,6 +785,7 @@ object LlmOps {
     "x_bpe_pairs"         -> (xBpePairs _),
     "x_corpus_refine"     -> (xCorpusRefine _),
     "x_dedup_ngram"       -> (xDedupNgram _),
+    "x_chunk_overlap"     -> (xChunkOverlap _),
     "x_ccnet_refine"      -> (xCcnetRefine _),
     "x_dedup_contain"     -> (xDedupContain _),
     "x_contain_apply"     -> (xContainApply _),
@@ -1172,6 +1180,15 @@ object LlmOps {
         |  FROM scored)
         |SELECT query_id, rank, nn_id, cos_sim FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    "x_chunk_overlap" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
+         |st AS (SELECT doc_id, ts,
+         |         unnest(generate_series(1, len(ts), 48)) AS s
+         |       FROM toks WHERE len(ts) >= 1)
+         |SELECT doc_id, CAST((s - 1) / 48 AS BIGINT) AS chunk_idx,
+         |       array_to_string(ts[s:least(s + 63, len(ts))], ' ') AS chunk_text,
+         |       CAST(least(64, len(ts) - s + 1) AS BIGINT) AS n_tokens
+         |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
     "x_semdedup" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |seeds AS (

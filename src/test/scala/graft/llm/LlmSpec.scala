@@ -103,6 +103,27 @@ class LlmSpec extends SparkSpec {
     assert(tp < td, f"prefix $tp%.2f s should beat direct $td%.2f s in its regime")
   }
 
+  test("chunkOverlap: stride-aligned reassembly reconstructs every document's tokens") {
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    val docToks = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val chunks = TextAnalysis.chunkOverlap(docs, window = 64, stride = 48)
+      .select("doc_id", "chunk_idx", "chunk_text", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .groupBy(_._1)
+    for ((id, cs) <- chunks) {
+      val ordered = cs.sortBy(_._2)
+      // first `stride` tokens of every chunk but the last, all of the last
+      val rebuilt = ordered.init.flatMap(_._3.split(" ").take(48)) ++
+        ordered.last._3.split(" ")
+      assert(rebuilt.toSeq == docToks(id), s"doc $id reassembly mismatch")
+      ordered.foreach { case (_, _, text, n) =>
+        assert(text.split(" ").length == n && n <= 64)
+      }
+    }
+    assert(chunks.keySet == docToks.filter(_._2.nonEmpty).keySet)
+  }
+
   test("semDedup: removed = exactly the vectors with a lower-id near neighbor in-cluster") {
     val vecs = graft.Tables.embeddings(spark, sf("sf0.001"))
     val seeds = Similarity.ivfSeedCentroids(spark, vecs, 16)
