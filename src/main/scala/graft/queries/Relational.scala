@@ -326,6 +326,42 @@ object Relational {
       "user_id", "version")
   }
 
+  /** J4-stream: time-bounded LEFT OUTER stream-stream join with
+    * retention through the ACTUAL streaming engine (the reference's
+    * SQL-join-with-retention face, TestFlinkSQLJoin.java rendered as a
+    * watermarked outer join): views ⋈ clicks on user within
+    * [view_ts, view_ts + 2 h]. Null-padded rows for unmatched views are
+    * only emitted once the watermark closes their bound, so the gate
+    * runs two sentinel batches (the first lifts the watermark past the
+    * corpus, the second triggers the eviction batch) — the read-back
+    * then equals the batch LEFT JOIN row-for-row and shares its DuckDB
+    * oracle. Sentinels flow THROUGH the join (they advance both sides'
+    * watermarks even though the type filter is pushed below the
+    * watermark node) and are dropped on read-back by user_id. */
+  def j4OuterStream(s: SparkSession, d: String): DataFrame = {
+    val vs = StreamGate.eventsFileStream(s, d, sentinels = 2, oneFilePerTrigger = true)
+      .filter(col("event_type").isin("view", "__sentinel"))
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "0 seconds")
+    val cs = StreamGate.eventsFileStream(s, d, sentinels = 2, oneFilePerTrigger = true)
+      .filter(col("event_type").isin("click", "__sentinel"))
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "0 seconds")
+    val joined = vs.join(cs,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 2 HOURS"),
+      "left_outer")
+    ordered(
+      StreamGate.runToSink(s, joined.select(
+          col("view_id"), col("user_id"),
+          unix_micros(col("v_ts")).as("view_us"),
+          col("click_id"), unix_micros(col("c_ts")).as("click_us")))
+        .filter(col("user_id") =!= -1L),
+      "view_id", "click_id")
+  }
+
   /** J12: point-in-time dimension enrichment — the D1 SCD2 history
     * probed by the J7 as-of join: every event gets the dimension
     * version valid AT its timestamp (same-ts version supersessions
@@ -626,6 +662,7 @@ object Relational {
     "p4_filter"        -> (p4Filter _),
     "j1_interval_join" -> (j1IntervalJoin _),
     "j1_interval_stream" -> (j1IntervalStream _),
+    "j4_outer_stream"   -> (j4OuterStream _),
     "j2_payment_wide"  -> (j2PaymentWide _),
     "j3_dim_enrich"    -> (j3DimEnrich _),
     "a4_keyword_stats_sql" -> (a4KeywordStatsSql _))
@@ -865,6 +902,16 @@ object Relational {
         |  AND l_shipdate >= o_orderdate
         |  AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
         |ORDER BY o_orderkey, l_linenumber""".stripMargin,
+    "j4_outer_stream" ->
+      """WITH v AS (SELECT event_id AS view_id, user_id, ts AS v_ts FROM events
+        |           WHERE event_type = 'view'),
+        |c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts FROM events
+        |      WHERE event_type = 'click')
+        |SELECT view_id, user_id, epoch_us(v_ts) AS view_us,
+        |       click_id, epoch_us(c_ts) AS click_us
+        |FROM v LEFT JOIN c ON user_id = c_user
+        |  AND c_ts >= v_ts AND c_ts <= v_ts + INTERVAL 2 HOUR
+        |ORDER BY view_id, click_id NULLS FIRST""".stripMargin,
     "j3_dim_enrich" ->
       """SELECT r_name, n_name,
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
