@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -448,6 +449,52 @@ object TextAnalysis {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("lm_score"), lit(0L)).as("lm_score"),
         coalesce(expr("lm_score div n_bigrams"), lit(0L)).as("typ_ppm"))
+  }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
+    * the MOSS selection scheme): hash every token k-gram, then in each
+    * sliding window of `w` consecutive hashes select the minimum
+    * (rightmost on ties) — any shared substring of length >= w+k-1
+    * tokens is GUARANTEED to share a selected fingerprint, while only
+    * ~2/(w+1) of grams are kept. The standard copy-detection upgrade
+    * over whole-doc hashing: local, deterministic, and position-aware.
+    * Pure per-doc work: one window-min over a rows-following frame plus
+    * a bounded (<= w-fold) positional self-join to resolve the
+    * rightmost-min position; both shuffle only on doc_id. Returns
+    * DISTINCT (doc_id, fp_pos, fp_hash) rows. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4,
+                         idCol: String = "doc_id",
+                         text: Column = col("text")): DataFrame = {
+    require(k >= 1 && w >= 1, "winnowFingerprints: k/w >= 1")
+    val grams = docs
+      .select(col(idCol), tokens(text).as("__toks"))
+      .filter(size(col("__toks")) >= k)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(1), size(col("__toks")) - (k - 1)),
+          i => concat_ws(" ", slice(col("__toks"), i, lit(k)))))
+        .as(Seq("__p0", "gram")))
+      .select(col(idCol), (col("__p0") + 1).cast("long").as("pos"),
+        Dedup.h32(col("gram")).as("h"))
+    // per window start s: the min hash over positions [s, s+w-1]
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val starts = grams
+      .withColumn("__wmin", min(col("h")).over(byPos))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col(idCol))))
+      .filter(col("pos") <= col("__n") - (w - 1)) // full windows only
+      // explicit rename: starts derives from grams, and a same-name join
+      // would hit self-join attribute ambiguity
+      .select(col(idCol).as("__sid"), col("pos").as("s"), col("__wmin"))
+    // rightmost position of the window-min inside each window
+    grams.join(starts,
+        col(idCol) === col("__sid") &&
+          col("pos") >= col("s") && col("pos") <= col("s") + (w - 1) &&
+          col("h") === col("__wmin"))
+      .groupBy(col(idCol), col("s"))
+      .agg(max(col("pos")).as("fp_pos"), first(col("h")).as("fp_hash"))
+      .select(col(idCol), col("fp_pos"), col("fp_hash"))
+      .distinct()
   }
 
   /** Sliding-window chunking with overlap — the context-window

@@ -120,6 +120,13 @@ object LlmOps {
     ordered(TextAnalysis.chunkOverlap(documents(s, d), window = 64, stride = 48),
       "doc_id", "chunk_idx")
 
+  /** Winnowing fingerprints (MOSS selection over token-3-gram hashes,
+    * window 4): position-aware copy-detection fingerprints with the
+    * shared-substring guarantee. */
+  def xTextWinnow(s: SparkSession, d: String): DataFrame =
+    ordered(TextAnalysis.winnowFingerprints(documents(s, d), k = 3, w = 4),
+      "doc_id", "fp_pos", "fp_hash")
+
   /** Directed n-gram CONTAINMENT pairs (`llm/Dedup.containmentPairs`) —
     * the asymmetric excerpt/doc-inside-doc detector; at 0.9 the fixture
     * yields both near-containments and exact subsets (containment=1.0
@@ -786,6 +793,7 @@ object LlmOps {
     "x_corpus_refine"     -> (xCorpusRefine _),
     "x_dedup_ngram"       -> (xDedupNgram _),
     "x_chunk_overlap"     -> (xChunkOverlap _),
+    "x_text_winnow"       -> (xTextWinnow _),
     "x_ccnet_refine"      -> (xCcnetRefine _),
     "x_dedup_contain"     -> (xDedupContain _),
     "x_contain_apply"     -> (xContainApply _),
@@ -1180,6 +1188,27 @@ object LlmOps {
         |  FROM scored)
         |SELECT query_id, rank, nn_id, cos_sim FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    "x_text_winnow" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
+         |g AS (SELECT doc_id, i AS pos,
+         |        CAST(CONCAT('0x', substr(md5(array_to_string(ts[i:i+2], ' ')), 1, 8)) AS BIGINT) AS h
+         |      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i)
+         |      WHERE len(ts) >= 3),
+         |n AS (SELECT doc_id, count(*) AS m FROM g GROUP BY 1),
+         |starts AS (
+         |  SELECT doc_id, pos AS s,
+         |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+         |  FROM g),
+         |fullstarts AS (SELECT st.doc_id, st.s, st.wmin
+         |               FROM starts st JOIN n USING (doc_id) WHERE st.s <= n.m - 3),
+         |sel AS (
+         |  SELECT f.doc_id, f.s, max(g.pos) AS fp_pos, f.wmin AS fp_hash
+         |  FROM fullstarts f JOIN g ON g.doc_id = f.doc_id
+         |    AND g.pos BETWEEN f.s AND f.s + 3 AND g.h = f.wmin
+         |  GROUP BY f.doc_id, f.s, f.wmin)
+         |SELECT DISTINCT doc_id, fp_pos, fp_hash FROM sel
+         |ORDER BY doc_id, fp_pos, fp_hash""".stripMargin,
     "x_chunk_overlap" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
          |st AS (SELECT doc_id, ts,

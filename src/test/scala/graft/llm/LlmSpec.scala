@@ -103,6 +103,28 @@ class LlmSpec extends SparkSpec {
     assert(tp < td, f"prefix $tp%.2f s should beat direct $td%.2f s in its regime")
   }
 
+  test("winnowing: docs sharing a substring of length >= w+k-1 share a fingerprint") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff gg hh ii jj kk ll mm nn"),
+      (2L, "zz yy xx dd ee ff gg hh ii jj kk ww vv uu"), // shares 8 tokens >= 4+3-1
+      (3L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12")).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(docs, k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      "the shared dd..kk run must contribute a common selected fingerprint")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty, "disjoint docs share nothing")
+    // density: winnowing selects at most one fingerprint per window start
+    val gramCounts = docs.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).as("n")).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1) - 2)).toMap // n-k+1 grams
+    for ((id, sel) <- byDoc) {
+      val starts = gramCounts(id) - 3 // full windows
+      assert(fps.count(_._1 == id) <= starts)
+    }
+  }
+
   test("chunkOverlap: stride-aligned reassembly reconstructs every document's tokens") {
     val docs = graft.Tables.documents(spark, sf("sf0.001"))
     val docToks = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
