@@ -64,6 +64,34 @@ object TextAnalysis {
       .drop("__toks")
   }
 
+  /** Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1,
+    * the Dolma/RedPajama-style rendering): each document is tested
+    * against an explicit rule set and gets a per-rule bitmask plus the
+    * final keep verdict — the auditable form a curation pipeline needs
+    * (aggregate the bitmask to see WHICH rule is dropping your corpus).
+    * Thresholds are the Gopher paper's where the signal exists here,
+    * scaled to the fixture corpus's short docs where noted. Bits:
+    *   1  too few tokens         (< minTokens)
+    *   2  mean token length out of [3, 10]
+    *   4  alpha ratio too low    (< 0.6 of chars a-z)
+    *   8  stopword ratio too low (< 0.02)
+    *  16  duplicate-3-gram ratio too high (> 0.3)
+    *  32  top-token share too high (> 0.2)
+    * keep = (violations == 0). Pure map-side over the quality +
+    * repetition projections; whole-stage codegen. */
+  def withQualityRules(df: DataFrame, minTokens: Int = 20,
+                       text: Column = col("text")): DataFrame = {
+    val scored = withRepetition(withQuality(df, text), text)
+    scored.withColumn("violations",
+        when(col("n_tokens") < minTokens, 1L).otherwise(0L) +
+        when(col("mean_token_len") < 3.0 || col("mean_token_len") > 10.0, 2L).otherwise(0L) +
+        when(col("alpha_ratio") < 0.6, 4L).otherwise(0L) +
+        when(col("stopword_ratio") < 0.02, 8L).otherwise(0L) +
+        when(col("dup_gram_ratio") > 0.3, 16L).otherwise(0L) +
+        when(col("top_token_ratio") > 0.2, 32L).otherwise(0L))
+      .withColumn("keep", when(col("violations") === 0L, 1L).otherwise(0L))
+  }
+
   /** Compression-ratio redundancy signal (native codegen'd
     * `CompressionRatio` — deflate bytes / raw bytes): template spam and
     * boilerplate compress far below prose, making this the classic

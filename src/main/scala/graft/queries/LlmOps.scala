@@ -127,6 +127,16 @@ object LlmOps {
     ordered(TextAnalysis.winnowFingerprints(documents(s, d), k = 3, w = 4),
       "doc_id", "fp_pos", "fp_hash")
 
+  /** Gopher-style rule-based quality filter: per-rule violation bitmask
+    * + keep verdict per document (`TextAnalysis.withQualityRules`) —
+    * the auditable curation form (aggregate the bitmask to see which
+    * rule drops your corpus). */
+  def xQualityRules(s: SparkSession, d: String): DataFrame =
+    ordered(
+      TextAnalysis.withQualityRules(documents(s, d), minTokens = 20)
+        .select("doc_id", "violations", "keep"),
+      "doc_id")
+
   /** Directed n-gram CONTAINMENT pairs (`llm/Dedup.containmentPairs`) —
     * the asymmetric excerpt/doc-inside-doc detector; at 0.9 the fixture
     * yields both near-containments and exact subsets (containment=1.0
@@ -794,6 +804,7 @@ object LlmOps {
     "x_dedup_ngram"       -> (xDedupNgram _),
     "x_chunk_overlap"     -> (xChunkOverlap _),
     "x_text_winnow"       -> (xTextWinnow _),
+    "x_quality_rules"     -> (xQualityRules _),
     "x_ccnet_refine"      -> (xCcnetRefine _),
     "x_dedup_contain"     -> (xDedupContain _),
     "x_contain_apply"     -> (xContainApply _),
@@ -1188,6 +1199,35 @@ object LlmOps {
         |  FROM scored)
         |SELECT query_id, rank, nn_id, cos_sim FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    "x_quality_rules" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS ts FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(ts) AS BIGINT) AS n_tokens,
+         |  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+         |  CAST(len(list_filter(ts, t2 -> list_contains($stopwordsSql, t2))) AS DOUBLE) / len(ts) AS stopword_ratio,
+         |  CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / len(ts) AS mean_token_len,
+         |  CASE WHEN len(ts) >= 3
+         |       THEN CAST(1.0 AS DOUBLE) - CAST(len(list_distinct(
+         |              list_transform(generate_series(1, len(ts) - 2),
+         |                i -> array_to_string(ts[i:i+2], ' ')))) AS DOUBLE)
+         |            / (len(ts) - 2)
+         |       ELSE CAST(0.0 AS DOUBLE) END AS dup_gram_ratio,
+         |  CASE WHEN len(ts) > 0
+         |       THEN CAST(list_max(list_transform(list_distinct(ts),
+         |              t2 -> len(list_filter(ts, x -> x = t2)))) AS DOUBLE) / len(ts)
+         |       ELSE CAST(0.0 AS DOUBLE) END AS top_token_ratio
+         |FROM t),
+         |v AS (SELECT doc_id,
+         |  (CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END +
+         |   CASE WHEN mean_token_len < 3.0 OR mean_token_len > 10.0 THEN 2 ELSE 0 END +
+         |   CASE WHEN alpha_ratio < 0.6 THEN 4 ELSE 0 END +
+         |   CASE WHEN stopword_ratio < 0.02 THEN 8 ELSE 0 END +
+         |   CASE WHEN dup_gram_ratio > 0.3 THEN 16 ELSE 0 END +
+         |   CASE WHEN top_token_ratio > 0.2 THEN 32 ELSE 0 END) AS violations
+         |FROM m)
+         |SELECT doc_id, CAST(violations AS BIGINT) AS violations,
+         |       CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM v ORDER BY doc_id""".stripMargin,
     "x_text_winnow" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
          |g AS (SELECT doc_id, i AS pos,
