@@ -103,6 +103,26 @@ class LlmSpec extends SparkSpec {
     assert(tp < td, f"prefix $tp%.2f s should beat direct $td%.2f s in its regime")
   }
 
+  test("plan shapes: chunking and quality rules are exchange-free; winnowing shuffles on doc only") {
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    // pure map-side ops: a single scan, not one Exchange anywhere
+    val chunkPlan = TextAnalysis.chunkOverlap(docs)
+      .queryExecution.executedPlan.toString
+    assert(!chunkPlan.contains("Exchange"), s"chunkOverlap must be map-side:\n$chunkPlan")
+    val rulesPlan = TextAnalysis.withQualityRules(docs)
+      .queryExecution.executedPlan.toString
+    assert(!rulesPlan.contains("Exchange"), s"withQualityRules must be map-side:\n$rulesPlan")
+    // winnowing: per-doc windows + positional join + distinct — every
+    // Exchange must be keyed by doc_id (no corpus-wide repartition)
+    val winPlan = TextAnalysis.winnowFingerprints(docs)
+      .queryExecution.executedPlan.toString
+    val badExchanges = winPlan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .filterNot(_.contains("doc_id")).toSeq
+    assert(badExchanges.isEmpty,
+      s"winnowing may only shuffle on doc_id keys, got:\n${badExchanges.mkString("\n")}")
+  }
+
   test("winnowing: docs sharing a substring of length >= w+k-1 share a fingerprint") {
     import spark.implicits._
     val docs = Seq(
