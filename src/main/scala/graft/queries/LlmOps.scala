@@ -768,6 +768,27 @@ object LlmOps {
       Similarity.kmeansAssign(embeddings(s, d), "vec_id", k = 4),
       "vec_id")
 
+  /** Embedding outlier pruning — the curation step that drops vectors
+    * far from their cluster's center (mislabeled / corrupted / OOD
+    * points): each cluster's top ~10% by EXACT integer distance-to-
+    * centroid (ceil(ct/10) in integer math, dist2-desc with vec_id
+    * tie-break, so no float threshold anywhere) is flagged. One
+    * map-side assign pass + one cluster-keyed window. */
+  def xEmbedOutliers(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("dist2").desc, col("vec_id").desc)
+    val cw = Window.partitionBy(col("cluster_id"))
+    ordered(
+      Similarity.kmeansAssign(embeddings(s, d), "vec_id", k = 4)
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__ct", count(lit(1)).over(cw))
+        .select(col("vec_id"), col("cluster_id"), col("dist2"),
+          when(col("__rn") <= expr("(__ct + 9) div 10"), 1L)
+            .otherwise(0L).as("is_outlier")),
+      "vec_id")
+  }
+
   /** One full Lloyd step: assign + integer centroid refresh. */
   def xKmeansStep(s: SparkSession, d: String): DataFrame =
     ordered(
@@ -847,6 +868,7 @@ object LlmOps {
     "x_embed_quantize"    -> (xEmbedQuantize _),
     "x_embed_centroid"    -> (xEmbedCentroid _),
     "x_kmeans_assign"     -> (xKmeansAssign _),
+    "x_embed_outliers"    -> (xEmbedOutliers _),
     "x_kmeans_step"       -> (xKmeansStep _),
     "x_embed_lsh"         -> (xEmbedLsh _),
     "x_ann_quantized"     -> (xAnnQuantized _),
@@ -1720,6 +1742,29 @@ object LlmOps {
         |ct AS (SELECT label, COUNT(*) AS ct FROM c GROUP BY 1)
         |SELECT CAST(ct.label AS BIGINT) AS label, ct.ct, agg.sum_csv
         |FROM ct JOIN agg USING (label) ORDER BY label""".stripMargin,
+    "x_embed_outliers" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |m AS (SELECT vec_id, e, list_max(list_transform(e, v -> abs(v))) AS amax FROM c),
+        |qz AS (SELECT vec_id,
+        |  CASE WHEN amax > 0 THEN list_transform(e, v -> CAST(round(v / amax * 127) AS BIGINT))
+        |       ELSE list_transform(e, v -> CAST(0 AS BIGINT)) END AS q8
+        |  FROM m),
+        |s AS (SELECT vec_id AS sid, q8 AS sq8 FROM qz ORDER BY vec_id LIMIT 4),
+        |d AS (SELECT qz.vec_id, s.sid,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(generate_series(1, len(q8)),
+        |      i -> (q8[i] - sq8[i]) * (q8[i] - sq8[i]))),
+        |    (a, b) -> a + b) AS dist2
+        |  FROM qz CROSS JOIN s),
+        |a AS (SELECT vec_id, sid AS cluster_id, dist2 FROM d
+        |      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, sid) = 1),
+        |r AS (SELECT vec_id, cluster_id, dist2,
+        |        row_number() OVER (PARTITION BY cluster_id ORDER BY dist2 DESC, vec_id DESC) AS rn,
+        |        count(*) OVER (PARTITION BY cluster_id) AS ct
+        |      FROM a)
+        |SELECT vec_id, cluster_id, dist2,
+        |       CAST(CASE WHEN rn <= (ct + 9) // 10 THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+        |FROM r ORDER BY vec_id""".stripMargin,
     "x_kmeans_assign" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |m AS (SELECT vec_id, e, list_max(list_transform(e, v -> abs(v))) AS amax FROM c),
