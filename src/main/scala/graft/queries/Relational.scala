@@ -277,6 +277,31 @@ object Relational {
       .limit(20)
   }
 
+  /** Q18: TPC-H Q18 shape (large-volume orders) — the IN-subquery over
+    * an aggregate (`o_orderkey IN (SELECT l_orderkey ... HAVING
+    * sum(qty) > T)`) decorrelated into a single per-order aggregate
+    * that serves BOTH the predicate and the output column: lineitem is
+    * scanned ONCE, grouped by order (one key shuffle), the HAVING
+    * filter rides the aggregate, and orders/customer join the
+    * already-small qualifying set (customer broadcast). Top-100 via
+    * TakeOrderedAndProject — no global sort. Threshold 262 ≈ the
+    * fixture's p99 per-order quantity. */
+  def q18LargeOrders(s: SparkSession, d: String): DataFrame = {
+    val qty = lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > 262)
+    val o = orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val c = customer(s, d).select("c_custkey", "c_name")
+    qty.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        stamp(col("o_orderdate")).as("o_date"), col("o_totalprice"),
+        col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_date"), col("o_orderkey"))
+      .limit(100)
+  }
+
   /** D1: SCD2 dimension history from the event stream — each user's
     * event_type run-length-collapsed into [valid_from, valid_to)
     * versions (`operators/Dimensions.scd2FromChangelog`); the full
@@ -652,6 +677,7 @@ object Relational {
     "q1_agg"           -> (q1Agg _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q17_small_quantity"   -> (q17SmallQuantity _),
+    "q18_large_orders"     -> (q18LargeOrders _),
     "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
     "d1_scd2"              -> (d1Scd2 _),
     "d1_scd2_stream"       -> (d1Scd2Stream _),
@@ -809,6 +835,17 @@ object Relational {
         |  strftime(make_timestamp(vt * 1000), '%Y-%m-%d %H:%M:%S') AS valid_to,
         |  version
         |FROM v WHERE vt IS NOT NULL ORDER BY user_id, version""".stripMargin,
+    "q18_large_orders" ->
+      """WITH q AS (SELECT l_orderkey,
+        |             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |           FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS BIGINT)) > 262)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_date,
+        |       o_totalprice, total_qty
+        |FROM q JOIN orders ON l_orderkey = o_orderkey
+        |       JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_date, o_orderkey
+        |LIMIT 100""".stripMargin,
     "q17_small_quantity" ->
       """WITH p AS (SELECT p_partkey, p_brand FROM part WHERE p_type = 'ECONOMY'),
         |li AS (SELECT l_partkey, l_quantity, l_extendedprice, p_brand
