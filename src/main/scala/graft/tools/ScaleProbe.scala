@@ -120,8 +120,12 @@ object ScaleProbe {
       "q21_waiting_suppliers", "x_contain_apply", "w16_capped_sessions",
       // round-8 surface: the measured direct-vs-prefix crossover switch
       // (on the probe's small-vocab corpus it must pick direct and ramp
-      // like the direct gate)
-      "x_dedup_ngram_auto")
+      // like the direct gate), plus the new curation/retrieval ops and
+      // the Q18 decorrelation. j4_outer_stream is a real-engine gate —
+      // excluded per the streaming-harness note above.
+      "x_dedup_ngram_auto", "x_chunk_overlap", "x_text_winnow",
+      "x_quality_rules", "x_semdedup", "x_embed_outliers",
+      "q18_large_orders")
     // j11_overlap_join is deliberately NOT probed: replicas keep the
     // source price range, so the TRUE overlap-pair answer grows ~factor²
     // (every replica's intervals overlap every other's) — the probe

@@ -49,6 +49,16 @@ class RelationalSpec extends SparkSpec {
     assert(df.collect().toSeq == brute, "window and join decorrelations must agree")
   }
 
+  test("q18: one fact shuffle serves predicate and output; top-100 is TakeOrdered") {
+    val df = Relational.q18LargeOrders(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no global sort for top-100:\n$plan")
+    val factEx = plan.linesIterator.count(_.contains("Exchange hashpartitioning(l_orderkey"))
+    assert(factEx == 1, s"exactly one lineitem shuffle (the per-order agg):\n$plan")
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 3, s"each table scanned exactly once:\n$plan")
+  }
+
   test("q21: exists/not-exists decorrelates to ONE fact scan + window; supplier broadcasts") {
     val df = Relational.q21WaitingSuppliers(spark, sf("sf0.001"))
     val plan = df.queryExecution.executedPlan.toString
