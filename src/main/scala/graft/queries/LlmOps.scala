@@ -677,6 +677,38 @@ object LlmOps {
         .select(col("doc_id"), col("rank")),
       "rank")
 
+  /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009,
+    * the standard score-free fusion BM25+vector stacks use): the
+    * three-term BM25 top-25 and query-0's brute-force cosine top-25
+    * fused by Σ 1/(60 + rank) — rank arithmetic only, so the fusion is
+    * bit-exact cross-engine even though BM25's own score has an `ln`
+    * (both arms contribute their RANKING, which is what their gates
+    * hash). Absent-from-a-list contributes 0 (rank recorded as 0). The
+    * final ordering window is single-partition by construction over
+    * ≤ 2k rows (the union of two top-k lists), never the corpus. */
+  def xHybridRrf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val text = TextAnalysis.bm25TopK(documents(s, d), bm25Terms, k = 25)
+      .select(col("doc_id"), col("rank").as("rank_text"))
+    val vecs = embeddings(s, d)
+    val vec = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), k = 25)
+      .select(col("nn_id").as("doc_id"), col("rank").as("rank_vec"))
+    val fused = text.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("rank_text"), lit(0L)).as("rank_text"),
+        coalesce(col("rank_vec"), lit(0L)).as("rank_vec"))
+      .withColumn("rrf",
+        when(col("rank_text") > 0, lit(1.0) / (lit(60.0) + col("rank_text")))
+          .otherwise(lit(0.0)) +
+        when(col("rank_vec") > 0, lit(1.0) / (lit(60.0) + col("rank_vec")))
+          .otherwise(lit(0.0)))
+    val w = Window.orderBy(col("rrf").desc, col("doc_id"))
+    ordered(
+      fused.withColumn("rank", row_number().over(w).cast("long"))
+        .select("rank", "doc_id", "rank_text", "rank_vec", "rrf"),
+      "rank")
+  }
+
   /** Text canonicalization via the native NFC Catalyst expression +
     * lower + whitespace collapse. The appended suffix carries a
     * decomposed accent (e + U+0301), uppercase non-ASCII, and ragged
@@ -826,6 +858,7 @@ object LlmOps {
     "x_chunk_overlap"     -> (xChunkOverlap _),
     "x_text_winnow"       -> (xTextWinnow _),
     "x_quality_rules"     -> (xQualityRules _),
+    "x_hybrid_rrf"        -> (xHybridRrf _),
     "x_ccnet_refine"      -> (xCcnetRefine _),
     "x_dedup_contain"     -> (xDedupContain _),
     "x_contain_apply"     -> (xContainApply _),
@@ -1909,6 +1942,48 @@ object LlmOps {
          |SELECT doc_id,
          |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          |FROM scored ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+    "x_hybrid_rrf" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+         |${bm25Terms.zipWithIndex.map { case (t, i) =>
+             s"  CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf$i"
+           }.mkString(",\n")}
+         |  FROM t),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(dl) AS BIGINT) AS tot,
+         |${bm25Terms.indices.map { i =>
+             s"  CAST(count(*) FILTER (WHERE tf$i > 0) AS BIGINT) AS df$i"
+           }.mkString(",\n")}
+         |  FROM base),
+         |s2 AS (SELECT *, tot / n_docs AS avgdl FROM stats),
+         |scored AS (SELECT doc_id,
+         |${bm25Terms.indices.map { i =>
+             s"  (((tf$i * CAST(${1.2 + 1} AS DOUBLE)) / (tf$i + CAST(${1.2} AS DOUBLE) * " +
+               s"(CAST(${1 - 0.75} AS DOUBLE) + CAST(${0.75} AS DOUBLE) * (dl / avgdl)))) * " +
+               s"ln(CAST(1.0 AS DOUBLE) + (n_docs - df$i + CAST(0.5 AS DOUBLE)) / (df$i + CAST(0.5 AS DOUBLE))))"
+           }.mkString("\n  + ")} AS score
+         |  FROM base CROSS JOIN s2),
+         |ttop AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_text
+         |  FROM scored ORDER BY score DESC, doc_id LIMIT 25),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+         |vsc AS (SELECT c.vec_id AS doc_id,
+         |    round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), q.qe), 6) AS cs
+         |  FROM embeddings c CROSS JOIN q WHERE c.vec_id <> 0),
+         |vtop AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY cs DESC, doc_id) AS BIGINT) AS rank_vec
+         |  FROM vsc ORDER BY cs DESC, doc_id LIMIT 25),
+         |f AS (SELECT COALESCE(tt.doc_id, vt.doc_id) AS doc_id,
+         |        CAST(COALESCE(tt.rank_text, 0) AS BIGINT) AS rank_text,
+         |        CAST(COALESCE(vt.rank_vec, 0) AS BIGINT) AS rank_vec
+         |      FROM ttop tt FULL OUTER JOIN vtop vt ON tt.doc_id = vt.doc_id),
+         |g AS (SELECT doc_id, rank_text, rank_vec,
+         |        (CASE WHEN rank_text > 0 THEN 1.0 / (60.0 + rank_text) ELSE 0.0 END +
+         |         CASE WHEN rank_vec > 0 THEN 1.0 / (60.0 + rank_vec) ELSE 0.0 END) AS rrf
+         |      FROM f)
+         |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
+         |       doc_id, rank_text, rank_vec, rrf
+         |FROM g ORDER BY rank""".stripMargin,
     "x_text_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(nfc_normalize(lower(
