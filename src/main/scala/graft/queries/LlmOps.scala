@@ -709,6 +709,25 @@ object LlmOps {
       "rank")
   }
 
+  /** Corpus card: the per-(language, quality-decile) inventory a corpus
+    * release publishes — doc counts, token sums, char sums per cell. One
+    * composed scan (langid + quality both map-side), one aggregate over
+    * the languages × 10 bounded cell grid. The decile cut goes through
+    * DECIMAL(18,6) before ×10/floor so no float boundary can flip a
+    * bucket cross-engine (the xQualityRank quantization pattern). */
+  def xCorpusCard(s: SparkSession, d: String): DataFrame = {
+    val scored = TextAnalysis.withLangId(TextAnalysis.withQuality(documents(s, d)))
+    ordered(
+      scored
+        .withColumn("q_decile", least(lit(9L),
+          floor(expr("CAST(quality_score AS DECIMAL(18,6)) * 10")).cast("long")))
+        .groupBy(col("lang_pred"), col("q_decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars")),
+      "lang_pred", "q_decile")
+  }
+
   /** Text canonicalization via the native NFC Catalyst expression +
     * lower + whitespace collapse. The appended suffix carries a
     * decomposed accent (e + U+0301), uppercase non-ASCII, and ragged
@@ -859,6 +878,7 @@ object LlmOps {
     "x_text_winnow"       -> (xTextWinnow _),
     "x_quality_rules"     -> (xQualityRules _),
     "x_hybrid_rrf"        -> (xHybridRrf _),
+    "x_corpus_card"       -> (xCorpusCard _),
     "x_ccnet_refine"      -> (xCcnetRefine _),
     "x_dedup_contain"     -> (xDedupContain _),
     "x_contain_apply"     -> (xContainApply _),
@@ -1942,6 +1962,40 @@ object LlmOps {
          |SELECT doc_id,
          |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          |FROM scored ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+    "x_corpus_card" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |q AS (SELECT doc_id, toks,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    least(1.0, len(toks) / 100.0) * 0.4
+         |      + (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text)) * 0.3
+         |      + (CAST(len(list_filter(toks, t2 -> list_contains($stopwordsSql, t2))) AS DOUBLE) / len(toks)) * 0.3
+         |      AS quality_score
+         |  FROM t),
+         |l AS (SELECT doc_id,
+         |    len(list_intersect(list_distinct(toks), ${markerSql("en")})) AS s_en,
+         |    len(list_intersect(list_distinct(toks), ${markerSql("de")})) AS s_de,
+         |    len(list_intersect(list_distinct(toks), ${markerSql("fr")})) AS s_fr,
+         |    len(list_intersect(list_distinct(toks), ${markerSql("es")})) AS s_es,
+         |    len(list_intersect(list_distinct(toks), ${markerSql("zh")})) AS s_zh
+         |  FROM q),
+         |lp AS (SELECT doc_id,
+         |  CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'unknown'
+         |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+         |       WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+         |       WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+         |       WHEN s_es >= s_zh THEN 'es'
+         |       ELSE 'zh' END AS lang_pred
+         |  FROM l),
+         |cells AS (SELECT lp.lang_pred,
+         |    least(9, CAST(floor(CAST(q.quality_score AS DECIMAL(18,6)) * 10) AS BIGINT)) AS q_decile,
+         |    q.n_tokens, q.n_chars
+         |  FROM q JOIN lp USING (doc_id))
+         |SELECT lang_pred, q_decile, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+         |FROM cells GROUP BY 1, 2
+         |ORDER BY lang_pred, q_decile""".stripMargin,
     "x_hybrid_rrf" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
