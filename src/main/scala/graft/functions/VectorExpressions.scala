@@ -109,7 +109,15 @@ object VectorExpressions {
     * of `aggregate(zip_with(a*b))`: the higher-order pair is interpreted
     * per row and allocates the zipped array, which dominates the
     * corpus × queries candidate pass. Integer arithmetic is
-    * order-independent, so SQL-oracle exactness is unaffected. */
+    * order-independent, so SQL-oracle exactness is unaffected.
+    *
+    * CONTRACT: inputs must be equal-length, null-element-free code
+    * arrays (what `withQuantized` emits). Unequal lengths truncate to
+    * the shorter side and a null ELEMENT is read as raw buffer bytes —
+    * unlike the zip_with fold, which null-poisoned such inputs. The
+    * type check cannot enforce element nullability (transform-derived
+    * arrays carry conservative containsNull), so the guarantee lives at
+    * the quantizer, not here. */
   case class IntDotProduct(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = LongType
     override def nullIntolerant: Boolean = true

@@ -183,33 +183,59 @@ object Dedup {
       .groupBy("gram").agg(count(lit(1)).as("df"))
       .groupBy("df").agg(count(lit(1)).as("n_grams"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    val totalInstances = hist.map { case (df, ng) => df * ng }.sum
-    val directVolume = hist.map { case (df, ng) => ng * df * (df - 1) / 2 }.sum
-    var remaining = ((1 - threshold) * totalInstances).toLong + 1
-    var prefixVolume = 0L
+    preferPrefixPathFromGrams(hist, threshold)
+  }
+
+  /** Decision core over a prebuilt gram table's df histogram — volumes
+    * accumulate in Double (a heuristic with a 64× margin does not need
+    * exact integers, and df·(df−1)/2 overflows int64 around df≈4·10⁹,
+    * which a 100 TB corpus's stop grams can reach). */
+  private def preferPrefixPathFromGrams(hist: Array[(Long, Long)],
+                                        threshold: Double): Boolean = {
+    val totalInstances = hist.map { case (df, ng) => df.toDouble * ng }.sum
+    val directVolume = hist.map { case (df, ng) =>
+      ng.toDouble * df.toDouble * (df - 1) / 2 }.sum
+    var remaining = (1 - threshold) * totalInstances + 1
+    var prefixVolume = 0.0
     hist.foreach { case (df, ng) =>
       if (remaining > 0) {
-        val take = math.min(ng, (remaining + df - 1) / df)
-        prefixVolume += take * df * (df - 1) / 2
+        val take = math.min(ng.toDouble, math.ceil(remaining / df))
+        prefixVolume += take * df.toDouble * (df - 1) / 2
         remaining -= take * df
       }
     }
     directVolume > 64 * (prefixVolume + totalInstances)
   }
 
-  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
-                        maxDocFreq: Option[Long] = None,
-                        prefixFilter: Boolean = false): DataFrame = {
+  private def dfHistogram(g: DataFrame): Array[(Long, Long)] =
+    g.groupBy("gram").agg(count(lit(1)).as("df"))
+      .groupBy("df").agg(count(lit(1)).as("n_grams"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+
+  /** The checkpointed (optionally df-cut) gram table both Jaccard paths
+    * consume — the single corpus tokenize+explode+distinct per query. */
+  private def filteredShingles(docs: DataFrame, n: Int,
+                               maxDocFreq: Option[Long]): DataFrame = {
     val g = shingles(docs, n)
-    // the gram table is consumed 5-8 times downstream (hot-key count,
-    // anti/semi routing, sizes, df join, gram-set payloads); materialize
-    // once instead of re-running tokenize+explode+distinct per traversal
-    val filtered = (maxDocFreq match {
+    (maxDocFreq match {
       case Some(limit) =>
         val hot = g.groupBy("gram").agg(count(lit(1)).as("df")).filter(col("df") > limit)
         g.join(broadcast(hot), Seq("gram"), "left_anti")
       case None => g
     }).localCheckpoint(true)
+  }
+
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+                        maxDocFreq: Option[Long] = None,
+                        prefixFilter: Boolean = false): DataFrame =
+    ngramJaccardPairsFromGrams(
+      filteredShingles(docs, n, maxDocFreq), threshold, prefixFilter)
+
+  // the gram table is consumed 5-8 times downstream (hot-key count,
+  // anti/semi routing, sizes, df join, gram-set payloads); callers hand
+  // in the CHECKPOINTED table so it materializes exactly once per query
+  private def ngramJaccardPairsFromGrams(filtered: DataFrame, threshold: Double,
+                                         prefixFilter: Boolean): DataFrame = {
     val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter =
       if (!prefixFilter) {
@@ -266,15 +292,23 @@ object Dedup {
     * prefix filter, and the output is identical either way (both paths
     * are gated against the same oracle). */
   def ngramJaccardPairsAuto(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
-                            maxDocFreq: Option[Long] = None): DataFrame =
-    ngramJaccardPairs(docs, n, threshold, maxDocFreq,
-      prefixFilter = preferPrefixPath(docs, n, threshold))
+                            maxDocFreq: Option[Long] = None): DataFrame = {
+    // ONE gram build serves the decision AND the chosen path, and the
+    // histogram is computed AFTER the df-cut so the switch measures the
+    // corpus the chosen path actually runs on
+    val filtered = filteredShingles(docs, n, maxDocFreq)
+    ngramJaccardPairsFromGrams(filtered, threshold,
+      preferPrefixPathFromGrams(dfHistogram(filtered), threshold))
+  }
 
-  /** containmentPairs with the path chosen by the measured crossover. */
+  /** containmentPairs with the path chosen by the measured crossover —
+    * same shared-gram-build shape as the Jaccard twin. */
   def containmentPairsAuto(docs: DataFrame, n: Int = 3,
-                           threshold: Double = 0.9): DataFrame =
-    containmentPairs(docs, n, threshold,
-      prefixFilter = preferPrefixPath(docs, n, threshold))
+                           threshold: Double = 0.9): DataFrame = {
+    val g = shingles(docs, n).localCheckpoint(true)
+    containmentPairsFromGrams(g, threshold,
+      preferPrefixPathFromGrams(dfHistogram(g), threshold))
+  }
 
   /** Exact n-gram CONTAINMENT near-dup pairs — the asymmetric metric
     * Jaccard misses: C(sub→super) = |grams(sub) ∩ grams(super)| /
@@ -303,10 +337,14 @@ object Dedup {
     * removes the stop-gram bulk of the candidate volume on zipfian
     * text. */
   def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.9,
-                       prefixFilter: Boolean = false): DataFrame = {
-    // materialized once — consumed 5-8 times downstream (see
+                       prefixFilter: Boolean = false): DataFrame =
+    // gram table materialized once — consumed 5-8 times downstream (see
     // ngramJaccardPairs)
-    val g = shingles(docs, n).localCheckpoint(true)
+    containmentPairsFromGrams(shingles(docs, n).localCheckpoint(true),
+      threshold, prefixFilter)
+
+  private def containmentPairsFromGrams(g: DataFrame, threshold: Double,
+                                        prefixFilter: Boolean): DataFrame = {
     val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter =
       if (!prefixFilter) {

@@ -52,12 +52,22 @@ object TextAnalysis {
     val nTokens = size(toks).cast("long")
     val alpha = length(regexp_replace(lower(text), "[^a-z]", "")).cast("long")
     val stops = size(filter(toks, t => t.isin(stopwords: _*))).cast("long")
+    // zero-token / zero-char guards: every ratio is PINNED to 0.0 on the
+    // degenerate inputs instead of dividing by zero — Spark and DuckDB
+    // disagree on 0/0 (NULL vs NaN, and NaN poisons DuckDB casts and
+    // comparisons), so an unguarded ratio would break every downstream
+    // gate the moment a testdata regeneration introduces an empty or
+    // token-free document (the round-8 events-encoding lesson)
     withToks.withColumn("n_chars", length(text).cast("long"))
       .withColumn("n_tokens", nTokens)
-      .withColumn("alpha_ratio", alpha.cast("double") / length(text))
-      .withColumn("stopword_ratio", stops.cast("double") / nTokens)
+      .withColumn("alpha_ratio",
+        when(length(text) > 0, alpha.cast("double") / length(text)).otherwise(0.0))
+      .withColumn("stopword_ratio",
+        when(nTokens > 0, stops.cast("double") / nTokens).otherwise(0.0))
       .withColumn("mean_token_len",
-        (length(regexp_replace(lower(text), "[^a-z0-9]", "")).cast("double")) / nTokens)
+        when(nTokens > 0,
+          length(regexp_replace(lower(text), "[^a-z0-9]", "")).cast("double") / nTokens)
+          .otherwise(0.0))
       .withColumn("quality_score",
         least(lit(1.0), col("n_tokens") / 100.0) * 0.4 +
           col("alpha_ratio") * 0.3 + col("stopword_ratio") * 0.3)

@@ -933,6 +933,48 @@ object LlmOps {
   private val toksSql =
     "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
 
+  /** BM25 scored-documents CTE chain (k1=1.2, b=0.75, Lucene ln-idf over
+    * `bm25Terms`) — shared by the top-k retrieval gate and the hybrid-RRF
+    * fusion so the two can never assert different BM25 semantics. */
+  private lazy val bm25ScoredCte =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+       |${bm25Terms.zipWithIndex.map { case (t, i) =>
+           s"  CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf$i"
+         }.mkString(",\n")}
+       |  FROM t),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) AS BIGINT) AS tot,
+       |${bm25Terms.indices.map { i =>
+           s"  CAST(count(*) FILTER (WHERE tf$i > 0) AS BIGINT) AS df$i"
+         }.mkString(",\n")}
+       |  FROM base),
+       |s2 AS (SELECT *, tot / n_docs AS avgdl FROM stats),
+       |scored AS (SELECT doc_id,
+       |${bm25Terms.indices.map { i =>
+           s"  (((tf$i * CAST(${1.2 + 1} AS DOUBLE)) / (tf$i + CAST(${1.2} AS DOUBLE) * " +
+             s"(CAST(${1 - 0.75} AS DOUBLE) + CAST(${0.75} AS DOUBLE) * (dl / avgdl)))) * " +
+             s"ln(CAST(1.0 AS DOUBLE) + (n_docs - df$i + CAST(0.5 AS DOUBLE)) / (df$i + CAST(0.5 AS DOUBLE))))"
+         }.mkString("\n  + ")} AS score
+       |  FROM base CROSS JOIN s2)""".stripMargin
+
+  /** Hash-seeded IVF centroid-assignment CTE chain (nlist=16, the exact
+    * seed + rounded-cosine + cluster tie-break rule of
+    * `Similarity.ivfSeedCentroids`/`ivfAssignSeeds`) — shared by the IVF
+    * probe gate and SemDeDup so one seed-rule change cannot diverge them. */
+  private lazy val ivfAssignCte =
+    """c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |seeds AS (
+      |  SELECT e AS se,
+      |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster
+      |  FROM c ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |assign AS (
+      |  SELECT vec_id, cluster, e FROM (
+      |    SELECT c.vec_id, s.cluster, c.e,
+      |           row_number() OVER (PARTITION BY c.vec_id
+      |             ORDER BY round(list_cosine_similarity(c.e, s.se), 6) DESC, s.cluster) AS rn
+      |    FROM c CROSS JOIN seeds s) WHERE rn = 1)""".stripMargin
+
   /** Hashed bigram-LM per-doc score CTE (mirrors
     * `TextAnalysis.lmTypicality` at 512 buckets) — shared by the
     * typicality gate and the CCNet-refine composition. */
@@ -1059,9 +1101,9 @@ object LlmOps {
          |  q AS (SELECT doc_id, text,
          |    CAST(length(text) AS BIGINT) AS n_chars,
          |    CAST(len(toks) AS BIGINT) AS n_tokens,
-         |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
-         |    CAST(len(list_filter(toks, t2 -> list_contains($stopwordsSql, t2))) AS DOUBLE) / len(toks) AS stopword_ratio,
-         |    CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / len(toks) AS mean_token_len
+         |    CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS alpha_ratio,
+         |    CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t2 -> list_contains($stopwordsSql, t2))) AS DOUBLE) / len(toks) ELSE 0.0 END AS stopword_ratio,
+         |    CASE WHEN len(toks) > 0 THEN CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / len(toks) ELSE 0.0 END AS mean_token_len
          |  FROM t)
          |SELECT doc_id, n_chars, n_tokens, alpha_ratio, stopword_ratio, mean_token_len,
          |  least(1.0, n_tokens / 100.0) * 0.4 + alpha_ratio * 0.3 + stopword_ratio * 0.3 AS quality_score
@@ -1278,9 +1320,9 @@ object LlmOps {
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS ts FROM documents),
          |m AS (SELECT doc_id,
          |  CAST(len(ts) AS BIGINT) AS n_tokens,
-         |  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
-         |  CAST(len(list_filter(ts, t2 -> list_contains($stopwordsSql, t2))) AS DOUBLE) / len(ts) AS stopword_ratio,
-         |  CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / len(ts) AS mean_token_len,
+         |  CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS alpha_ratio,
+         |  CASE WHEN len(ts) > 0 THEN CAST(len(list_filter(ts, t2 -> list_contains($stopwordsSql, t2))) AS DOUBLE) / len(ts) ELSE 0.0 END AS stopword_ratio,
+         |  CASE WHEN len(ts) > 0 THEN CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / len(ts) ELSE 0.0 END AS mean_token_len,
          |  CASE WHEN len(ts) >= 3
          |       THEN CAST(1.0 AS DOUBLE) - CAST(len(list_distinct(
          |              list_transform(generate_series(1, len(ts) - 2),
@@ -1334,17 +1376,7 @@ object LlmOps {
          |       CAST(least(64, len(ts) - s + 1) AS BIGINT) AS n_tokens
          |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
     "x_semdedup" ->
-      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |seeds AS (
-        |  SELECT e AS se,
-        |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster
-        |  FROM c ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
-        |assign AS (
-        |  SELECT vec_id, cluster, e FROM (
-        |    SELECT c.vec_id, s.cluster, c.e,
-        |           row_number() OVER (PARTITION BY c.vec_id
-        |             ORDER BY round(list_cosine_similarity(c.e, s.se), 6) DESC, s.cluster) AS rn
-        |    FROM c CROSS JOIN seeds s) WHERE rn = 1),
+      s"""WITH $ivfAssignCte,
         |removed AS (
         |  SELECT DISTINCT a.vec_id
         |  FROM assign a JOIN assign b ON a.cluster = b.cluster AND a.vec_id > b.vec_id
@@ -1354,17 +1386,7 @@ object LlmOps {
         |FROM assign a LEFT JOIN removed r ON a.vec_id = r.vec_id
         |ORDER BY a.vec_id""".stripMargin,
     "x_ann_ivf" ->
-      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |seeds AS (
-        |  SELECT e AS se,
-        |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster
-        |  FROM c ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
-        |assign AS (
-        |  SELECT vec_id, cluster, e FROM (
-        |    SELECT c.vec_id, s.cluster, c.e,
-        |           row_number() OVER (PARTITION BY c.vec_id
-        |             ORDER BY round(list_cosine_similarity(c.e, s.se), 6) DESC, s.cluster) AS rn
-        |    FROM c CROSS JOIN seeds s) WHERE rn = 1),
+      s"""WITH $ivfAssignCte,
         |q AS (SELECT vec_id AS query_id, e AS qe FROM c WHERE vec_id < 8),
         |probes AS (
         |  SELECT query_id, qe, cluster FROM (
@@ -1513,8 +1535,8 @@ object LlmOps {
          |t2 AS (SELECT doc_id, text, $toksSql AS toks2 FROM documents),
          |q AS (SELECT doc_id,
          |    CAST(len(toks2) AS BIGINT) AS n_tokens,
-         |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
-         |    CAST(len(list_filter(toks2, t3 -> list_contains($stopwordsSql, t3))) AS DOUBLE) / len(toks2) AS stopword_ratio,
+         |    CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS alpha_ratio,
+         |    CASE WHEN len(toks2) > 0 THEN CAST(len(list_filter(toks2, t3 -> list_contains($stopwordsSql, t3))) AS DOUBLE) / len(toks2) ELSE 0.0 END AS stopword_ratio,
          |    list_distinct(toks2) AS dtoks
          |  FROM t2),
          |scored AS (SELECT doc_id, n_tokens,
@@ -1607,8 +1629,8 @@ object LlmOps {
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
          |q AS (SELECT doc_id,
          |    least(1.0, CAST(len(toks) AS BIGINT) / 100.0) * 0.4
-         |    + CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text) * 0.3
-         |    + CAST(len(list_filter(toks, t2 -> list_contains($stopwordsSql, t2))) AS DOUBLE) / len(toks) * 0.3
+         |    + (CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END) * 0.3
+         |    + (CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t2 -> list_contains($stopwordsSql, t2))) AS DOUBLE) / len(toks) ELSE 0.0 END) * 0.3
          |    AS score
          |  FROM t),
          |p AS (SELECT doc_id, CAST(CAST(score AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS q_ppm FROM q),
@@ -1651,8 +1673,8 @@ object LlmOps {
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
          |q AS (SELECT doc_id,
          |    least(1.0, CAST(len(toks) AS BIGINT) / 100.0) * 0.4 +
-         |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text) * 0.3 +
-         |    CAST(len(list_filter(toks, t2 -> list_contains($stopwordsSql, t2))) AS DOUBLE) / len(toks) * 0.3
+         |    (CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END) * 0.3 +
+         |    (CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t2 -> list_contains($stopwordsSql, t2))) AS DOUBLE) / len(toks) ELSE 0.0 END) * 0.3
          |      AS quality_score
          |  FROM t),
          |w AS (SELECT doc_id, quality_score,
@@ -1707,8 +1729,8 @@ object LlmOps {
          |t2 AS (SELECT doc_id, source, n_chars, text, $toksSql AS toks2 FROM documents),
          |q AS (SELECT doc_id, source, n_chars,
          |    CAST(len(toks2) AS BIGINT) AS n_tokens,
-         |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
-         |    CAST(len(list_filter(toks2, t3 -> list_contains($stopwordsSql, t3))) AS DOUBLE) / len(toks2) AS stopword_ratio,
+         |    CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS alpha_ratio,
+         |    CASE WHEN len(toks2) > 0 THEN CAST(len(list_filter(toks2, t3 -> list_contains($stopwordsSql, t3))) AS DOUBLE) / len(toks2) ELSE 0.0 END AS stopword_ratio,
          |    list_distinct(toks2) AS dtoks
          |  FROM t2),
          |scored AS (SELECT doc_id, source, n_chars,
@@ -1939,26 +1961,7 @@ object LlmOps {
          |FROM stacked s JOIN dfs d2 USING (term) CROSS JOIN stats2 st
          |ORDER BY term, doc_id""".stripMargin,
     "x_text_bm25_topk" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
-         |${bm25Terms.zipWithIndex.map { case (t, i) =>
-             s"  CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf$i"
-           }.mkString(",\n")}
-         |  FROM t),
-         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |    CAST(sum(dl) AS BIGINT) AS tot,
-         |${bm25Terms.indices.map { i =>
-             s"  CAST(count(*) FILTER (WHERE tf$i > 0) AS BIGINT) AS df$i"
-           }.mkString(",\n")}
-         |  FROM base),
-         |s2 AS (SELECT *, tot / n_docs AS avgdl FROM stats),
-         |scored AS (SELECT doc_id,
-         |${bm25Terms.indices.map { i =>
-             s"  (((tf$i * CAST(${1.2 + 1} AS DOUBLE)) / (tf$i + CAST(${1.2} AS DOUBLE) * " +
-               s"(CAST(${1 - 0.75} AS DOUBLE) + CAST(${0.75} AS DOUBLE) * (dl / avgdl)))) * " +
-               s"ln(CAST(1.0 AS DOUBLE) + (n_docs - df$i + CAST(0.5 AS DOUBLE)) / (df$i + CAST(0.5 AS DOUBLE))))"
-           }.mkString("\n  + ")} AS score
-         |  FROM base CROSS JOIN s2)
+      s"""WITH $bm25ScoredCte
          |SELECT doc_id,
          |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          |FROM scored ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
@@ -1968,8 +1971,8 @@ object LlmOps {
          |    CAST(length(text) AS BIGINT) AS n_chars,
          |    CAST(len(toks) AS BIGINT) AS n_tokens,
          |    least(1.0, len(toks) / 100.0) * 0.4
-         |      + (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text)) * 0.3
-         |      + (CAST(len(list_filter(toks, t2 -> list_contains($stopwordsSql, t2))) AS DOUBLE) / len(toks)) * 0.3
+         |      + (CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END) * 0.3
+         |      + (CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t2 -> list_contains($stopwordsSql, t2))) AS DOUBLE) / len(toks) ELSE 0.0 END) * 0.3
          |      AS quality_score
          |  FROM t),
          |l AS (SELECT doc_id,
@@ -1997,26 +2000,7 @@ object LlmOps {
          |FROM cells GROUP BY 1, 2
          |ORDER BY lang_pred, q_decile""".stripMargin,
     "x_hybrid_rrf" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
-         |${bm25Terms.zipWithIndex.map { case (t, i) =>
-             s"  CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf$i"
-           }.mkString(",\n")}
-         |  FROM t),
-         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |    CAST(sum(dl) AS BIGINT) AS tot,
-         |${bm25Terms.indices.map { i =>
-             s"  CAST(count(*) FILTER (WHERE tf$i > 0) AS BIGINT) AS df$i"
-           }.mkString(",\n")}
-         |  FROM base),
-         |s2 AS (SELECT *, tot / n_docs AS avgdl FROM stats),
-         |scored AS (SELECT doc_id,
-         |${bm25Terms.indices.map { i =>
-             s"  (((tf$i * CAST(${1.2 + 1} AS DOUBLE)) / (tf$i + CAST(${1.2} AS DOUBLE) * " +
-               s"(CAST(${1 - 0.75} AS DOUBLE) + CAST(${0.75} AS DOUBLE) * (dl / avgdl)))) * " +
-               s"ln(CAST(1.0 AS DOUBLE) + (n_docs - df$i + CAST(0.5 AS DOUBLE)) / (df$i + CAST(0.5 AS DOUBLE))))"
-           }.mkString("\n  + ")} AS score
-         |  FROM base CROSS JOIN s2),
+      s"""WITH $bm25ScoredCte,
          |ttop AS (SELECT doc_id,
          |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_text
          |  FROM scored ORDER BY score DESC, doc_id LIMIT 25),

@@ -364,11 +364,15 @@ object Relational {
     * watermarks even though the type filter is pushed below the
     * watermark node) and are dropped on read-back by user_id. */
   def j4OuterStream(s: SparkSession, d: String): DataFrame = {
-    val vs = StreamGate.eventsFileStream(s, d, sentinels = 2, oneFilePerTrigger = true)
+    // ONE canonicalized stream source feeds both join sides (a streaming
+    // self-join): the corpus is copied and min/max-scanned once, not per
+    // side — each branch still gets its own watermark column
+    val st = StreamGate.eventsFileStream(s, d, sentinels = 2, oneFilePerTrigger = true)
+    val vs = st
       .filter(col("event_type").isin("view", "__sentinel"))
       .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("v_ts"))
       .withWatermark("v_ts", "0 seconds")
-    val cs = StreamGate.eventsFileStream(s, d, sentinels = 2, oneFilePerTrigger = true)
+    val cs = st
       .filter(col("event_type").isin("click", "__sentinel"))
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
         col("ts").as("c_ts"))

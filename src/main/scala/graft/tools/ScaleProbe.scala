@@ -125,7 +125,7 @@ object ScaleProbe {
       // excluded per the streaming-harness note above.
       "x_dedup_ngram_auto", "x_chunk_overlap", "x_text_winnow",
       "x_quality_rules", "x_semdedup", "x_embed_outliers",
-      "q18_large_orders")
+      "q18_large_orders", "x_hybrid_rrf", "x_corpus_card")
     // j11_overlap_join is deliberately NOT probed: replicas keep the
     // source price range, so the TRUE overlap-pair answer grows ~factor²
     // (every replica's intervals overlap every other's) — the probe

@@ -96,10 +96,12 @@ class LlmSpec extends SparkSpec {
       ((System.nanoTime - t0) / 1e9, out)
     }
     run(false); run(true) // warm both plans
-    val (td, direct) = run(false)
-    val (tp, prefix) = run(true)
+    // min-of-2 measured runs per path: the ~2.8x margin (7.5 s vs 2.7 s
+    // on local[4]) survives scheduler noise that a single sample may not
+    val (td1, direct) = run(false); val (tp1, prefix) = run(true)
+    val (td2, _) = run(false); val (tp2, _) = run(true)
+    val (td, tp) = (math.min(td1, td2), math.min(tp1, tp2))
     assert(prefix == direct && direct.nonEmpty)
-    // measured ~2.8x margin at this size (7.5 s vs 2.7 s on local[4])
     assert(tp < td, f"prefix $tp%.2f s should beat direct $td%.2f s in its regime")
   }
 
@@ -184,7 +186,7 @@ class LlmSpec extends SparkSpec {
     assert(verdicts.count() == vecs.count()) // one verdict per vector
   }
 
-  test("containment prefix path also beats direct in the hot-stop-gram regime") {
+  test("containment prefix path also beats direct in the hot-stop-gram regime; auto routes there") {
     val fx = hotStopFixture(2000)
     assert(Dedup.preferPrefixPath(fx, 3, 0.9))
     def run(pf: Boolean): (Double, Set[(Long, Long)]) = {
@@ -195,10 +197,16 @@ class LlmSpec extends SparkSpec {
       ((System.nanoTime - t0) / 1e9, out)
     }
     run(false); run(true) // warm both plans
-    val (td, direct) = run(false)
-    val (tp, prefix) = run(true)
+    val (td1, direct) = run(false); val (tp1, prefix) = run(true)
+    val (td2, _) = run(false); val (tp2, _) = run(true)
+    val (td, tp) = (math.min(td1, td2), math.min(tp1, tp2))
     assert(prefix == direct && direct.nonEmpty)
     assert(tp < td, f"containment prefix $tp%.2f s should beat direct $td%.2f s in its regime")
+    // the auto entry point routes to the prefix path here and matches
+    val auto = Dedup.containmentPairsAuto(fx, 3, 0.9)
+      .select("d_sub", "d_super").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == direct)
   }
 
   test("containment: hand-computed directed pairs; asymmetry Jaccard misses") {
