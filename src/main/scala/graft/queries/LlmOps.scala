@@ -709,6 +709,26 @@ object LlmOps {
       "rank")
   }
 
+  /** Per-document n-gram novelty: the fraction (integer ppm) of a doc's
+    * distinct 3-grams appearing NOWHERE else in the corpus — the
+    * corpus-uniqueness signal memorization/contamination analyses rank
+    * by (low novelty = boilerplate or near-copy, high = unique
+    * content). One gram build, one bounded df aggregate joined back on
+    * the gram key, one per-doc aggregate; integer arithmetic end to
+    * end. */
+  def xTextNovelty(s: SparkSession, d: String): DataFrame = {
+    val g = Dedup.shingles(documents(s, d), 3)
+    val df = g.groupBy("gram").agg(count(lit(1)).as("__df"))
+    ordered(
+      g.join(df, Seq("gram"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("__df") === 1L, 1L).otherwise(0L)).as("novel_ct"))
+        .withColumn("novelty_ppm",
+          expr("novel_ct * 1000000L div n_grams")),
+      "doc_id")
+  }
+
   /** Corpus card: the per-(language, quality-decile) inventory a corpus
     * release publishes — doc counts, token sums, char sums per cell. One
     * composed scan (langid + quality both map-side), one aggregate over
@@ -879,6 +899,7 @@ object LlmOps {
     "x_quality_rules"     -> (xQualityRules _),
     "x_hybrid_rrf"        -> (xHybridRrf _),
     "x_corpus_card"       -> (xCorpusCard _),
+    "x_text_novelty"      -> (xTextNovelty _),
     "x_ccnet_refine"      -> (xCcnetRefine _),
     "x_dedup_contain"     -> (xDedupContain _),
     "x_contain_apply"     -> (xContainApply _),
@@ -1965,6 +1986,17 @@ object LlmOps {
          |SELECT doc_id,
          |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          |FROM scored ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+    "x_text_novelty" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
+         |g AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS gram
+         |      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i)
+         |      WHERE len(ts) >= 3),
+         |df AS (SELECT gram, count(*) AS c FROM g GROUP BY 1)
+         |SELECT doc_id, COUNT(*) AS n_grams,
+         |       CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS novel_ct,
+         |       CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) * 1000000 // COUNT(*) AS novelty_ppm
+         |FROM g JOIN df USING (gram)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x_corpus_card" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
          |q AS (SELECT doc_id, toks,
