@@ -817,6 +817,27 @@ object Dedup {
         sum(when(col("__dup").isNotNull, 1L).otherwise(0L)).as("removed_ct"))
   }
 
+  /** IN-DOCUMENT line dedup — the complementary, LOCAL face of
+    * `dedupLines`: a line is dropped when it repeats an EARLIER line
+    * of the SAME document (navigation chrome and boilerplate
+    * stuttering inside one page — RefinedWeb's within-page repetition
+    * removal), regardless of how common the line is corpus-wide.
+    * First occurrence wins; document order is preserved.
+    *
+    * The whole verdict is document-local, so the implementation is
+    * ONE map-side `array_distinct` (Spark's keeps first occurrences
+    * in encounter order) — no explode, no shuffle, no
+    * corpus-frequency join: the operator rides a parquet scan
+    * unchanged at any corpus size. */
+  def dedupLinesInDoc(docs: DataFrame, idCol: String,
+                      linesCol: Column): DataFrame =
+    docs.select(col(idCol).as("doc_id"), linesCol.as("__lines"))
+      .select(col("doc_id"),
+        concat_ws("\n", array_distinct(col("__lines"))).as("kept_text"),
+        size(array_distinct(col("__lines"))).cast("long").as("kept_ct"),
+        (size(col("__lines")) - size(array_distinct(col("__lines"))))
+          .cast("long").as("removed_ct"))
+
   /** EXACT SUBSTRING DEDUP — the suffix-array method of Lee et al.,
     * "Deduplicating Training Data Makes Language Models Better" (2021),
     * re-expressed as distributed fixed-width window matching: every

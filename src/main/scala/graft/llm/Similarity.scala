@@ -483,6 +483,121 @@ object Similarity {
         when(col("__rm").isNull, lit(1)).otherwise(lit(0)).as("kept"))
   }
 
+  /** Product-quantization codebooks (Jégou/Douze/Schmid 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the embedding splits
+    * into `m` subvectors and each subspace gets its own `nbook`-entry
+    * codebook, so a vector compresses to m small codes — at the
+    * reference setting (m=8, nbook=16) 64 float32 dims (256 B) become
+    * 8 nibble codes (4 B), a 64× memory cut, against int8's fixed 4×.
+    *
+    * Built over the int8 `q8` codes so every distance is integer and
+    * the whole path is exactly SQL-oracle-able: codebook entries are
+    * the subvectors of the `nbook` LOWEST-id vectors (the library's
+    * deterministic seed convention — `kmeansAssign` doc: k-means++
+    * refinement is the quality swap, named not built), collected into
+    * ONE row: `__cb[mi][j]` = seed j's subvector in subspace mi, plus
+    * the precomputed 16×16-per-subspace symmetric-distance table
+    * `__dtab[mi][i][j]` = ‖cb[mi][i]−cb[mi][j]‖² — m·nbook² longs
+    * (2 KiB at the defaults), the classic PQ lookup table, computed
+    * once here instead of per scored pair. */
+  def pqCodebook(vecs: DataFrame, m: Int = 8, nbook: Int = 16): DataFrame = {
+    val dim = vecs.select(size(col("embedding"))).first().getInt(0)
+    require(dim % m == 0, s"pqCodebook: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    withQuantized(vecs)
+      .select(col("vec_id").as("__sid"), col("q8").as("__sq8"))
+      .orderBy("__sid").limit(nbook)
+      .agg(array_sort(collect_list(struct(col("__sid"), col("__sq8")))).as("__s"))
+      .select(
+        transform(sequence(lit(0), lit(m - 1)), mi =>
+          transform(col("__s"), s =>
+            slice(s.getField("__sq8"), mi * lit(sub) + 1, lit(sub)))).as("__cb"))
+      .withColumn("__dtab",
+        transform(col("__cb"), cbm =>
+          transform(cbm, a =>
+            transform(cbm, b =>
+              aggregate(zip_with(a, b, (x, y) => ((x - y) * (x - y)).cast("long")),
+                lit(0L), (acc, v) => acc + v)))))
+  }
+
+  /** PQ ENCODE: each vector's subvector mi takes the index of its
+    * nearest codebook entry (integer L2 over q8 codes, tie → lowest
+    * index — the strict `<` in the fold keeps the first minimum).
+    * Pure map-side: the one-row codebook is broadcast, the corpus is
+    * never shuffled, and the argmin is an m × nbook integer fold per
+    * row — the textbook PQ encode scan. Emits (input columns +
+    * `pq_codes` array<int> of length m). */
+  def pqEncode(vecs: DataFrame, codebook: DataFrame, m: Int = 8,
+               nbook: Int = 16): DataFrame = {
+    val q = withQuantized(vecs)
+    // subvector width read from the codebook COLUMN — no driver action
+    val dimSub = size(element_at(element_at(col("__cb"), 1), 1))
+    q.crossJoin(broadcast(codebook.select(col("__cb"))))
+      .withColumn("pq_codes",
+        transform(sequence(lit(0), lit(m - 1)), mi => {
+          val subv = slice(col("q8"), mi * dimSub + 1, dimSub)
+          val cbm = element_at(col("__cb"), mi + 1)
+          aggregate(sequence(lit(0), lit(nbook - 1)),
+            struct(lit(Long.MaxValue).as("d"), lit(-1).as("c")),
+            (acc, j) => {
+              val d = aggregate(
+                zip_with(subv, element_at(cbm, j + 1),
+                  (x, y) => ((x - y) * (x - y)).cast("long")),
+                lit(0L), (a2, v) => a2 + v)
+              when(d < acc.getField("d"),
+                struct(d.as("d"), j.cast("int").as("c"))).otherwise(acc)
+            },
+            acc => acc.getField("c"))
+        }))
+      .drop("__cb")
+  }
+
+  /** PQ ANN search: candidate pass scores every corpus row by the
+    * SYMMETRIC PQ distance — Σ_mi dtab[mi][q_code][c_code], m table
+    * lookups + adds per pair, reading only the m-code column (64×
+    * smaller than the embeddings at the defaults; this is the
+    * memory-bandwidth regime product quantization exists for) — keeps
+    * `candidates` per query (ascending distance, id tie-break), then
+    * reranks just those with the exact float cosine. Same plan
+    * contract as `quantizedRerankTopK`: queries and the distance table
+    * broadcast, only (query_id, nn_id, distance) crosses the candidate
+    * window's shuffle, full vectors re-joined for the rerank rows
+    * only. Integer candidate arithmetic ⇒ the whole path hashes
+    * exactly in the gate (`x_ann_pq`); recall vs brute force is
+    * spec-asserted alongside. Zero-norm vectors are excluded on both
+    * sides (no direction ⇒ cosine undefined), as in the int8 path. */
+  def pqRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                   m: Int = 8, nbook: Int = 16,
+                   candidates: Int = 75): DataFrame = {
+    val cb = pqCodebook(corpus, m, nbook)
+    val c = pqEncode(corpus, cb, m, nbook).filter(col("l2_norm") > 0)
+      .select(col("vec_id").as("nn_id"), col("pq_codes").as("cc"))
+    val q = pqEncode(queries, cb, m, nbook).filter(col("l2_norm") > 0)
+      .select(col("vec_id").as("query_id"), col("pq_codes").as("qc"))
+    val sdc = aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, mi) =>
+      acc + element_at(element_at(element_at(col("__dtab"), mi + 1),
+        element_at(col("qc"), mi + 1) + 1),
+        element_at(col("cc"), mi + 1) + 1))
+    val scored = c.crossJoin(broadcast(cb.select(col("__dtab"))))
+      .join(broadcast(q), col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"), sdc.as("pq_dist"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("pq_dist"), col("nn_id"))
+    val cand = scored.withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= candidates)
+      .select(col("query_id"), col("nn_id"))
+    val cf = corpus.select(col("vec_id").as("nn_id"), col("embedding").as("ce"))
+    val qf = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val rerank = cf.join(broadcast(cand), Seq("nn_id"))
+      .join(broadcast(qf), Seq("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        round(cosineSim(col("qe"), col("ce")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("nn_id"))
+    rerank.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nn_id"), col("cos_sim"))
+  }
+
   def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
               k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     import spark.implicits._

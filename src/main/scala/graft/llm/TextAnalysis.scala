@@ -559,4 +559,46 @@ object TextAnalysis {
         least(lit(window), size(col("__toks")) - col("__s") + 1)
           .cast("long").as("n_tokens"))
   }
+
+  /** Vocabulary coverage audit — the Zipf curve summary every corpus /
+    * tokenizer report prints: for each budget k, how much of the
+    * running text the k most frequent word types cover (Zipf's law says
+    * ~half the tokens come from a few hundred types; the long tail is
+    * where vocabulary size is spent). Corpus-level global stats ride on
+    * every row: total token count, vocabulary size, and the hapax count
+    * (types seen exactly once — the classic data-sparsity signal).
+    *
+    * Plan, sized for 100 TB: the type-frequency table is ONE hash
+    * aggregate over the exploded tokens (map-side combine; shuffle is
+    * vocabulary-sized, not corpus-sized); the global stats are a second
+    * aggregate of that table; the top-max(ks) types come back via
+    * TakeOrdered (orderBy+limit — never a global window over the full
+    * vocabulary); only the ≤max(ks)-row head table sees a
+    * single-partition rank window — bounded by the parameter, by
+    * design. Integer end to end (coverage as truncating ppm). */
+  def vocabCoverage(docs: DataFrame,
+                    ks: Seq[Int] = Seq(1, 10, 100, 1000),
+                    text: Column = col("text")): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "vocabCoverage: ks must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tf = docs.select(explode(tokens(text)).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("ct"))
+    val stats = tf.agg(
+      sum(col("ct")).as("total_tokens"),
+      count(lit(1)).as("vocab_size"),
+      sum((col("ct") === 1).cast("long")).as("hapax_types"))
+    val head = tf.orderBy(col("ct").desc, col("tok")).limit(ks.max)
+    val wr = Window.orderBy(col("ct").desc, col("tok"))
+    val ranked = head.withColumn("rank", row_number().over(wr))
+    val ksDf = ks.map(_.toLong).toDF("k")
+    ksDf.join(ranked, col("rank") <= col("k"))
+      .groupBy(col("k"))
+      .agg(sum(col("ct")).as("covered_tokens"),
+        count(lit(1)).as("n_types"))
+      .crossJoin(broadcast(stats))
+      .select(col("k"), col("n_types"), col("covered_tokens"),
+        expr("covered_tokens * 1000000L div total_tokens").as("coverage_ppm"),
+        col("total_tokens"), col("vocab_size"), col("hapax_types"))
+  }
 }

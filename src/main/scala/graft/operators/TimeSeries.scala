@@ -115,4 +115,62 @@ object TimeSeries {
         max(o).getField("v").as("close"),
         count(lit(1)).as("ct"))
   }
+
+  /** The exact dyadic half-life weights 2⁻ᵈ for d = 0..cap, as literal
+    * decimal strings — 1/2ᵈ terminates in exactly d decimal digits, so
+    * scale `cap` represents every weight EXACTLY, and both engines can
+    * embed the identical constants (no pow(), no float). */
+  def dyadicWeights(cap: Int): IndexedSeq[java.math.BigDecimal] = {
+    require(cap >= 0 && cap <= 30, "dyadic weights: cap must be in [0, 30]")
+    (0 to cap).map(d => java.math.BigDecimal.ONE
+      .divide(new java.math.BigDecimal(2).pow(d)).setScale(cap))
+  }
+
+  /** Time-decayed engagement score — the recency-weighted popularity
+    * every feed/trending surface runs: each event contributes
+    * 2^(−age/halfLife), so yesterday counts half of today and last
+    * month barely registers. Exponential decay is the one weighting
+    * that can later be maintained INCREMENTALLY (score(t+Δ) =
+    * score(t)·2^(−Δ/h) + new events) — why it, and not a sliding
+    * window, is the standard at feed scale.
+    *
+    * Kept hash-exact cross-engine by construction: age quantizes to
+    * whole half-lives (integer division on epoch micros), the weight
+    * table 2⁻ᵈ for d ≤ `capHalfLives` is dyadic — exact in
+    * decimal(36,30) — and events older than the cap contribute 0
+    * (beyond 30 half-lives a contribution is < 2⁻³⁰ ≈ 1e-9 of one
+    * fresh event — below any ranking's resolution, and dropping it is
+    * what bounds the decimal scale). Plan: one scalar max (broadcast
+    * one-row
+    * cross join), one map-side weight lookup, ONE keyed hash
+    * aggregate — no window, no per-key sort, partials combine
+    * map-side; the 100 TB cost is a scan plus a |keys|-sized shuffle.
+    *
+    * Returns (key, n_events, n_live, decayed_score): `n_live` counts
+    * the in-horizon events actually contributing. */
+  def decayedScore(df: DataFrame, key: String, time: String,
+                   halfLife: String = "1 day",
+                   capHalfLives: Int = 30): DataFrame = {
+    val stepUs: Long = halfLife match {
+      case "1 day"  => 86400000000L
+      case "1 hour" => 3600000000L
+      case "1 week" => 7L * 86400000000L
+      case other => throw new IllegalArgumentException(
+        s"decayedScore: unsupported half-life '$other'")
+    }
+    val wts = dyadicWeights(capHalfLives)
+    val warr = array(wts.map(w => lit(w).cast("decimal(36,30)")): _*)
+    val e = df.withColumn("__us", unix_micros(col(time)))
+    val anchor = e.agg(max(col("__us")).as("__anchor_us"))
+    e.crossJoin(broadcast(anchor))
+      .withColumn("__age", expr(s"(__anchor_us - __us) div $stepUs"))
+      .withColumn("__w",
+        when(col("__age") <= capHalfLives,
+          element_at(warr, (col("__age") + 1).cast("int")))
+          .otherwise(lit(null)))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("__w")).as("n_live"),
+        sum(col("__w")).as("decayed_score"))
+  }
 }

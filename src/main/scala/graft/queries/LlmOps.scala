@@ -195,6 +195,23 @@ object LlmOps {
       "doc_id")
   }
 
+  /** In-document line dedup on the same 3-word-chunk line rendering as
+    * `x_dedup_lines` — the two gates share the line convention so the
+    * corpus-frequency and within-document verdicts stay comparable. */
+  def xDedupIndoc(s: SparkSession, d: String): DataFrame = {
+    val w = col("w")
+    val lines = transform(
+      sequence(lit(0), floor((size(w) - lit(1)) / lit(3)).cast("int")),
+      j => concat_ws(" ", slice(w, j * 3 + 1, lit(3))))
+    ordered(
+      Dedup.dedupLinesInDoc(
+        documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"), lines.as("lines")),
+        "doc_id", col("lines")),
+      "doc_id")
+  }
+
   /** The materialized near-dup pair table (build-once per JVM; the
     * corpus-filter queries below consume the same artifact — the shape a
     * real pipeline has, where the pair set is computed once and read by
@@ -802,6 +819,53 @@ object LlmOps {
       "query_id", "rank")
   }
 
+  /** Quality-aware cluster canonicalization — near-dup clusters keep
+    * their LONGEST member (n_chars desc, doc_id tie-break) instead of
+    * the lowest id: the RefinedWeb/CCNet convention, on the argument
+    * that the longest copy of a syndicated page is the least-truncated
+    * one. Composition over the cc_clusters artifact.
+    *
+    * Plan, sized for 100 TB: the cluster table is pair-graph-sized
+    * (tiny next to the corpus), so the winner window runs ONLY over
+    * the clustered rows (inner join), never the corpus — unclustered
+    * docs are kept by definition and ride a broadcast anti-join; the
+    * corpus itself is scanned twice but never shuffled or sorted. */
+  def xDedupKeepLongest(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("n_chars"))
+    val cl = ccClusters(s, d).select(col("doc_id"), col("cluster_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val clustered = docs.join(broadcast(cl), Seq("doc_id"))
+      .withColumn("kept", (row_number().over(w) === 1).cast("int"))
+    val loners = docs.join(broadcast(cl), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"),
+        col("n_chars"), lit(1).as("kept"))
+    ordered(clustered.select("doc_id", "cluster_id", "n_chars", "kept")
+      .unionByName(loners), "doc_id")
+  }
+
+  /** Vocabulary-coverage audit: the Zipf-curve summary (top-k type
+    * coverage in ppm + total/vocab/hapax counts) over the shared word
+    * tokenizer — corpus-report surface, integer end to end. */
+  def xVocabCoverage(s: SparkSession, d: String): DataFrame =
+    ordered(TextAnalysis.vocabCoverage(documents(s, d)), "k")
+
+  /** Product-quantization ANN: the 64×-compression search path — 8
+    * nibble codes per 64-dim vector, symmetric-distance candidate pass
+    * via the precomputed per-subspace lookup table, exact cosine
+    * rerank. Every candidate-pass number is an integer (codebooks over
+    * the int8 q8 codes, lowest-id seed convention), so the FULL
+    * approximate pipeline — codebook build, encode argmin, SDC top-75,
+    * rerank — is replicated in the DuckDB oracle and hash-matched, not
+    * just the reranked tail. */
+  def xAnnPq(s: SparkSession, d: String): DataFrame = {
+    val vecs = embeddings(s, d)
+    ordered(
+      Similarity.pqRerankTopK(vecs, vecs.filter(col("vec_id") < 8), k = 10),
+      "query_id", "rank")
+  }
+
   /** Cosine-LSH (signed-random-projection) 16-bit signature per
     * embedding — the bucketing candidate generator for embedding dedup
     * at scale. The ±1 projection matrix is generated deterministically
@@ -946,6 +1010,10 @@ object LlmOps {
     "x_kmeans_step"       -> (xKmeansStep _),
     "x_embed_lsh"         -> (xEmbedLsh _),
     "x_ann_quantized"     -> (xAnnQuantized _),
+    "x_ann_pq"            -> (xAnnPq _),
+    "x_vocab_coverage"    -> (xVocabCoverage _),
+    "x_dedup_keep_longest" -> (xDedupKeepLongest _),
+    "x_dedup_indoc"       -> (xDedupIndoc _),
     "x_corpus_pipeline"   -> (xCorpusPipeline _),
     "x_corpus_assembly"   -> (xCorpusAssembly _),
     "x_multimodal"        -> (xMultimodal _),
@@ -1930,6 +1998,102 @@ object LlmOps {
         |      ORDER BY round(list_cosine_similarity(qe, ce), 6) DESC, nn_id) AS BIGINT) AS rank,
         |    nn_id, round(list_cosine_similarity(qe, ce), 6) AS cos_sim
         |  FROM cand)
+        |SELECT query_id, rank, nn_id, cos_sim FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    "x_dedup_indoc" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+        |                  unnest(range(0, len(string_split(text, ' ')))) AS i
+        |           FROM documents),
+        |c AS (SELECT doc_id, i // 3 AS pi, string_agg(word, ' ' ORDER BY i) AS line
+        |      FROM w GROUP BY 1, 2),
+        |r AS (SELECT doc_id, pi, line,
+        |        row_number() OVER (PARTITION BY doc_id, line ORDER BY pi) AS rn
+        |      FROM c)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY pi), '') AS kept_text,
+        |  count(CASE WHEN rn = 1 THEN 1 END)::BIGINT AS kept_ct,
+        |  count(CASE WHEN rn > 1 THEN 1 END)::BIGINT AS removed_ct
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_dedup_keep_longest" ->
+      s"""WITH RECURSIVE $lshPairsCte,
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |          UNION ALL SELECT d2 AS src, d1 AS dst FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |labels AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |           FROM reach GROUP BY src),
+         |f AS (SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+         |             d.n_chars
+         |      FROM documents d LEFT JOIN labels l USING (doc_id))
+         |SELECT doc_id, cluster_id, n_chars,
+         |  CAST(row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY n_chars DESC, doc_id) = 1 AS INT) AS kept
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "x_vocab_coverage" ->
+      s"""WITH tk AS (SELECT unnest($toksSql) AS tok FROM documents),
+         |tf AS (SELECT tok, count(*) AS ct FROM tk GROUP BY 1),
+         |st AS (SELECT CAST(sum(ct) AS BIGINT) AS total_tokens,
+         |              CAST(count(*) AS BIGINT) AS vocab_size,
+         |              CAST(sum(CASE WHEN ct = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_types
+         |       FROM tf),
+         |rk AS (SELECT tok, ct,
+         |         CAST(row_number() OVER (ORDER BY ct DESC, tok) AS BIGINT) AS rnk
+         |       FROM tf QUALIFY rnk <= 1000),
+         |ks(k) AS (VALUES (1), (10), (100), (1000))
+         |SELECT CAST(k AS BIGINT) AS k,
+         |  CAST(count(*) AS BIGINT) AS n_types,
+         |  CAST(sum(ct) AS BIGINT) AS covered_tokens,
+         |  CAST(sum(ct) AS BIGINT) * 1000000 // total_tokens AS coverage_ppm,
+         |  total_tokens, vocab_size, hapax_types
+         |FROM ks JOIN rk ON rnk <= k CROSS JOIN st
+         |GROUP BY k, total_tokens, vocab_size, hapax_types
+         |ORDER BY k""".stripMargin,
+    "x_ann_pq" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |m0 AS (SELECT vec_id, e,
+        |  sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(e, v -> v * v)), (a, b) -> a + b)) AS nrm,
+        |  list_max(list_transform(e, v -> abs(v))) AS amax
+        |  FROM c),
+        |qz AS (SELECT vec_id, e, nrm,
+        |  CASE WHEN amax > 0 THEN list_transform(e, v -> CAST(round(v / amax * 127) AS INT))
+        |       ELSE list_transform(e, v -> 0) END AS q8
+        |  FROM m0),
+        |seeds AS (SELECT q8, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS r
+        |          FROM (SELECT * FROM qz ORDER BY vec_id LIMIT 16)),
+        |codes AS (
+        |  SELECT v.vec_id, t.mi, s.r AS code
+        |  FROM qz v
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS mi) t
+        |  JOIN seeds s ON TRUE
+        |  QUALIFY row_number() OVER (PARTITION BY v.vec_id, t.mi ORDER BY
+        |    list_reduce(list_prepend(0, list_transform(generate_series(1, 8),
+        |      i -> (v.q8[t.mi*8+i] - s.q8[t.mi*8+i]) * (v.q8[t.mi*8+i] - s.q8[t.mi*8+i]))),
+        |      (a, b) -> a + b), s.r) = 1),
+        |qcodes AS (SELECT cd.vec_id AS query_id, cd.mi, cd.code
+        |  FROM codes cd JOIN qz z ON z.vec_id = cd.vec_id
+        |  WHERE cd.vec_id < 8 AND z.nrm > 0),
+        |sdc AS (
+        |  SELECT qc.query_id, cc.vec_id AS nn_id,
+        |    SUM(list_reduce(list_prepend(0, list_transform(generate_series(1, 8),
+        |      i -> (sq.q8[qc.mi*8+i] - sc.q8[qc.mi*8+i]) * (sq.q8[qc.mi*8+i] - sc.q8[qc.mi*8+i]))),
+        |      (a, b) -> a + b)) AS d
+        |  FROM qcodes qc
+        |  JOIN codes cc ON cc.mi = qc.mi AND cc.vec_id <> qc.query_id
+        |  JOIN qz cz ON cz.vec_id = cc.vec_id AND cz.nrm > 0
+        |  JOIN seeds sq ON sq.r = qc.code
+        |  JOIN seeds sc ON sc.r = cc.code
+        |  GROUP BY 1, 2),
+        |cand AS (SELECT query_id, nn_id FROM sdc
+        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d, nn_id) <= 75),
+        |ranked AS (
+        |  SELECT query_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(list_cosine_similarity(qe.e, ce.e), 6) DESC, nn_id) AS BIGINT) AS rank,
+        |    nn_id, round(list_cosine_similarity(qe.e, ce.e), 6) AS cos_sim
+        |  FROM cand JOIN qz qe ON qe.vec_id = query_id JOIN qz ce ON ce.vec_id = nn_id)
         |SELECT query_id, rank, nn_id, cos_sim FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
     "x_text_repetition" ->

@@ -276,7 +276,20 @@ object Windows {
       "l_returnflag", "bucket")
   }
 
+  /** W17: time-decayed engagement score per event type — exponential
+    * half-life weighting (1-day half-life, 30-half-life horizon) via
+    * `operators/TimeSeries.decayedScore`. The weights are dyadic
+    * decimals and the age is integer, so the "exponential" is
+    * hash-exact in both engines — no pow(), no float accumulation. */
+  def w17DecayScore(s: SparkSession, d: String): DataFrame = {
+    ordered(
+      graft.operators.TimeSeries.decayedScore(
+        events(s, d), "event_type", "ts"),
+      "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w17_decay_score"     -> (w17DecayScore _),
     "w16_capped_sessions" -> (w16CappedSessions _),
     "w14_twap"          -> (w14Twap _),
     "w15_vwap"          -> (w15Vwap _),
@@ -292,6 +305,22 @@ object Windows {
     "w9_running"        -> (w9Running _))
 
   val oracle: Map[String, String] = Map(
+    "w17_decay_score" -> {
+      // the identical dyadic constants the Spark plan embeds
+      val values = graft.operators.TimeSeries.dyadicWeights(30).zipWithIndex
+        .map { case (w, d) => s"($d, CAST('${w.toPlainString}' AS DECIMAL(36,30)))" }
+        .mkString(", ")
+      s"""WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+         |a AS (SELECT max(us) AS anchor FROM e),
+         |w(d, wt) AS (VALUES $values),
+         |g AS (SELECT event_type, (anchor - us) // 86400000000 AS age
+         |      FROM e CROSS JOIN a)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(count(w.wt) AS BIGINT) AS n_live,
+         |  SUM(w.wt) AS decayed_score
+         |FROM g LEFT JOIN w ON w.d = g.age
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "w16_capped_sessions" ->
       """WITH e AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS us
         |  FROM events),

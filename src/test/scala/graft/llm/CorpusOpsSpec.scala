@@ -105,4 +105,53 @@ class CorpusOpsSpec extends SparkSpec {
     val sorted = got.sortBy(_._2)
     assert(sorted.map(_._3).sliding(2).forall(p => p(0) <= p(1)))
   }
+
+  test("vocabCoverage: hand-computed Zipf summary with deterministic " +
+       "tie-break and k beyond the vocabulary") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a b b c"), (2L, "a d")).toDF("doc_id", "text")
+    // counts: a=4 b=2 c=1 d=1; total=8 vocab=4 hapax=2
+    val got = TextAnalysis.vocabCoverage(docs, ks = Seq(1, 2, 10))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got(1L) == ((1L, 4L, 500000L, 8L, 4L, 2L)), s"got ${got(1L)}")
+    assert(got(2L) == ((2L, 6L, 750000L, 8L, 4L, 2L)), s"got ${got(2L)}")
+    // k past the vocabulary: everything covered, n_types = vocab_size
+    assert(got(10L) == ((4L, 8L, 1000000L, 8L, 4L, 2L)), s"got ${got(10L)}")
+  }
+
+  test("dedupLinesInDoc: first occurrence wins, order preserved, and " +
+       "the plan is shuffle-free") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq("x", "y", "x", "z", "y")),
+      (2L, Seq("same", "same", "same")),
+      (3L, Seq[String]())
+    ).toDF("doc_id", "lines")
+    val op = Dedup.dedupLinesInDoc(docs, "doc_id", col("lines"))
+    val got = op.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("x\ny\nz", 3L, 2L)), s"got ${got(1L)}")
+    assert(got(2L) == (("same", 1L, 2L)), s"got ${got(2L)}")
+    assert(got(3L) == (("", 0L, 0L)), s"got ${got(3L)}")
+    // document-local by construction: no Exchange anywhere in the plan
+    val plan = op.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("keep-longest canonicalization: every cluster keeps exactly its " +
+       "longest member (doc_id tie-break) at sf0.001") {
+    val rows = graft.queries.LlmOps.xDedupKeepLongest(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val all = graft.Tables.documents(spark, sf("sf0.001")).count()
+    assert(rows.length == all, "one verdict per corpus document")
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      val kept = members.filter(_._4 == 1)
+      assert(kept.length == 1, s"cluster $cid kept ${kept.length} members")
+      val winner = members.minBy(m => (-m._3, m._1))
+      assert(kept.head._1 == winner._1,
+        s"cluster $cid kept ${kept.head} over the longest $winner")
+    }
+  }
 }

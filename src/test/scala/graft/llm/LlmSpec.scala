@@ -1050,4 +1050,51 @@ class LlmSpec extends SparkSpec {
       0L -> ((2L, "127,-64,0")),
       1L -> ((2L, "-191,254,64"))), s"got $got")
   }
+
+  test("PQ encode: codes are in [0, nbook), one per subspace, and a " +
+       "codebook seed encodes to itself (sf0.001)") {
+    val vecs = graft.Tables.embeddings(spark, sf("sf0.001"))
+    val cb = Similarity.pqCodebook(vecs)
+    val enc = Similarity.pqEncode(vecs, cb)
+    val bad = enc.filter(size(col("pq_codes")) =!= 8 ||
+        exists(col("pq_codes"), c => c < 0 || c >= 16)).count()
+    assert(bad == 0, s"$bad rows with out-of-range PQ codes")
+    // the nbook lowest-id vectors ARE the codebook — each must encode to
+    // its own entry in every subspace (distance 0 beats every other seed
+    // except an identical one with a lower index)
+    val seedIds = vecs.select("vec_id").orderBy("vec_id").limit(16)
+      .collect().map(_.getLong(0))
+    val selfCodes = enc.filter(col("vec_id").isin(seedIds: _*))
+      .select(col("vec_id"), col("pq_codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1))
+    val rankOf = seedIds.sorted.zipWithIndex.toMap
+    selfCodes.foreach { case (id, codes) =>
+      codes.foreach(c => assert(c <= rankOf(id),
+        s"seed $id encoded to a HIGHER index $c than its own ${rankOf(id)}"))
+    }
+  }
+
+  test("PQ rerank recall@10 vs brute force at sf0.01; candidate pass " +
+       "broadcasts queries and never shuffles the corpus") {
+    val vecs = graft.Tables.embeddings(spark, sf("sf0.01"))
+    val queries = vecs.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(vecs, queries, 10)
+      .select("query_id", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqRerankTopK(vecs, queries, 10)
+    val approx = pq.select("query_id", "nn_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    // 16-entry codebooks on isotropic random data are PQ's worst case;
+    // the 75-candidate rerank is what restores recall (75/500 = 15% scan)
+    assert(recall >= 0.5, s"PQ recall $recall below floor")
+    // scale contract: corpus flows map-side into the candidate window's
+    // single per-query shuffle; queries + codebook travel by broadcast
+    val plan = pq.queryExecution.executedPlan.toString
+    val exchanges = plan.split("\n").filter(_.contains("Exchange"))
+    assert(exchanges.count(l => l.contains("hashpartitioning(query_id")) >= 1,
+      s"expected the candidate window shuffle:\n$plan")
+    assert(!exchanges.exists(l => l.contains("hashpartitioning(nn_id")),
+      s"corpus-side shuffle leaked into the PQ candidate pass:\n" +
+        exchanges.mkString("\n"))
+  }
 }

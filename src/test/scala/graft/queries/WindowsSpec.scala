@@ -98,4 +98,32 @@ class WindowsSpec extends SparkSpec {
       .filter($"rank" <= 2).select($"rank" - 1, $"i").as[(Int, Long)].collect().toSet
     assert(got == want && got == Set((0, 2L), (1, 3L)))
   }
+
+  test("decayedScore: hand-computed dyadic sums, horizon cutoff, and a " +
+       "window-free single-aggregate plan") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    // anchor = the newest event; ages in whole days behind it
+    val t0 = java.sql.Timestamp.valueOf("2026-08-10 12:00:00")
+    def daysBack(d: Int) =
+      new java.sql.Timestamp(t0.getTime - d.toLong * 86400000L)
+    val df = Seq(
+      ("a", daysBack(0)), ("a", daysBack(1)), ("a", daysBack(2)),
+      ("b", daysBack(0)), ("b", daysBack(40)),   // 40 days: beyond the cap
+      ("c", daysBack(31))                        // all-stale key
+    ).toDF("k", "ts")
+    val got = TimeSeries.decayedScore(df, "k", "ts")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          Option(r.getDecimal(3)).map(_.stripTrailingZeros.toPlainString)))).toMap
+    assert(got("a") == ((3L, 3L, Some("1.75"))), s"got ${got("a")}")     // 1+1/2+1/4
+    assert(got("b") == ((2L, 1L, Some("1"))), s"got ${got("b")}")        // stale drops
+    assert(got("c") == ((1L, 0L, None)), s"got ${got("c")}")             // empty sum
+    // plan: one scalar-max broadcast + one hash aggregate — no Window,
+    // no per-key sort; the input relation is aggregated in one pass
+    val plan = TimeSeries.decayedScore(df, "k", "ts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+    assert(!plan.contains("Sort"), s"unexpected sort:\n$plan")
+  }
 }
