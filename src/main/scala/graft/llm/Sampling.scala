@@ -321,4 +321,55 @@ object Sampling {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("dsir_score"), lit(0L)).as("dsir_score"))
   }
+
+  /** TOKEN-BUDGET SELECTION: keep the highest-quality documents until a
+    * token budget is spent — the final corpus-assembly decision ("the
+    * best N-token corpus this pool can yield", the data-constrained
+    * regime's selection rule). `budgetPpm` is the budget as a ppm
+    * fraction of the pool's total tokens; quality must be an INTEGER
+    * column (ties inside a quality value spend in ascending-id order
+    * until the budget closes, so the cut is total-order deterministic).
+    *
+    * The 100 TB plan — a global quality sort is never run. Selection by
+    * threshold instead (the `globalPercentRank` trick): (1) ONE hash
+    * aggregate builds the per-VALUE token-sum table, bounded by the
+    * signal's resolution (≤ ~10⁶ rows for a ppm signal), (2) a running
+    * sum over that bounded table — the only single-partition step —
+    * annotates each value with its prefix total, (3) the annotated
+    * table broadcasts back and every document classifies MAP-SIDE:
+    * whole prefix fits → selected; group starts past the budget → not;
+    * only THE boundary value's documents (one value's worth of rows)
+    * pay an id-ordered window to spend the remainder. A pathologically
+    * hot boundary value (half the corpus sharing one quality score)
+    * would bound that window poorly — refine the signal's resolution,
+    * not this operator, if that arises. */
+  def tokenBudgetSelect(docs: DataFrame, idCol: String, qualityCol: String,
+                        tokensCol: String, budgetPpm: Long): DataFrame = {
+    require(budgetPpm >= 0 && budgetPpm <= 1000000L,
+      "tokenBudgetSelect: budgetPpm must be in [0, 1e6]")
+    val byVal = docs.groupBy(col(qualityCol).as("__v"))
+      .agg(sum(col(tokensCol).cast("long")).as("__vtok"))
+    val wv = Window.orderBy(col("__v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = byVal.agg(sum(col("__vtok")).as("__total"))
+    val ann = byVal.withColumn("__cum", sum(col("__vtok")).over(wv))
+      .withColumn("__prev", col("__cum") - col("__vtok"))
+      .crossJoin(broadcast(total))
+      .withColumn("__budget", expr(s"__total * ${budgetPpm}L div 1000000"))
+      .select(col("__v"), col("__cum"), col("__prev"), col("__budget"))
+    val joined = docs.join(broadcast(ann), col(qualityCol) === col("__v"))
+    val base = Seq(col(idCol), col(qualityCol), col(tokensCol))
+    val fullIn = joined.filter(col("__cum") <= col("__budget"))
+      .select(base :+ lit(1).as("selected"): _*)
+    val fullOut = joined.filter(col("__prev") >= col("__budget"))
+      .select(base :+ lit(0).as("selected"): _*)
+    val wb = Window.partitionBy(col("__v")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = joined
+      .filter(col("__prev") < col("__budget") && col("__cum") > col("__budget"))
+      .withColumn("__run", sum(col(tokensCol).cast("long")).over(wb))
+      .select(base :+ (col("__prev") + col("__run") <= col("__budget"))
+        .cast("int").as("selected"): _*)
+    fullIn.unionByName(fullOut).unionByName(boundary)
+  }
 }

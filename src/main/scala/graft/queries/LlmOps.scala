@@ -195,6 +195,45 @@ object LlmOps {
       "doc_id")
   }
 
+  /** Token-budget corpus selection: the best 60%-of-total-tokens corpus
+    * by LM-typicality — threshold selection over the bounded per-value
+    * token-sum table (never a global quality sort), boundary value
+    * spent in doc-id order. Composes two already-gated signals
+    * (lmTypicality quality, withTokenCounts cost); integer end to end,
+    * so the exact budget cut is hash-matched cross-engine. */
+  def xTokenBudget(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val in = TextAnalysis.lmTypicality(docs)
+      .select(col("doc_id"), col("typ_ppm"))
+      .join(TextAnalysis.withTokenCounts(docs).select("doc_id", "n_tokens"),
+        Seq("doc_id"))
+    ordered(
+      Sampling.tokenBudgetSelect(in, "doc_id", "typ_ppm", "n_tokens",
+        budgetPpm = 600000L),
+      "doc_id")
+  }
+
+  /** Corpus snapshot diff — the v1→v2 delta report, against a
+    * deterministically DERIVED v2 of the documents table (so the gate
+    * needs no second fixture): every 17th doc removed, every 13th
+    * edited, every 19th cloned under a fresh id. The operator itself
+    * (`operators/SnapshotDiff.corpusDiff`) sees two ordinary corpus
+    * DataFrames and diffs by content hash over an id-keyed full outer
+    * join of (id, md5) pairs — document bodies never shuffle. */
+  def xSnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val v2base = docs.filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+    val v2new = docs.filter(col("doc_id") % 19 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    ordered(
+      graft.operators.SnapshotDiff.corpusDiff(
+        docs, v2base.unionByName(v2new), "doc_id"),
+      "doc_id")
+  }
+
   /** In-document line dedup on the same 3-word-chunk line rendering as
     * `x_dedup_lines` — the two gates share the line convention so the
     * corpus-frequency and within-document verdicts stay comparable. */
@@ -1014,6 +1053,8 @@ object LlmOps {
     "x_vocab_coverage"    -> (xVocabCoverage _),
     "x_dedup_keep_longest" -> (xDedupKeepLongest _),
     "x_dedup_indoc"       -> (xDedupIndoc _),
+    "x_snapshot_diff"     -> (xSnapshotDiff _),
+    "x_token_budget"      -> (xTokenBudget _),
     "x_corpus_pipeline"   -> (xCorpusPipeline _),
     "x_corpus_assembly"   -> (xCorpusAssembly _),
     "x_multimodal"        -> (xMultimodal _),
@@ -2000,6 +2041,43 @@ object LlmOps {
         |  FROM cand)
         |SELECT query_id, rank, nn_id, cos_sim FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    "x_token_budget" ->
+      s"""WITH $lmScoreCte,
+         |typ AS (SELECT d.doc_id,
+         |    CAST(coalesce(sc.lm_score // sc.n_bigrams, 0) AS BIGINT) AS typ_ppm,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents d LEFT JOIN sc USING (doc_id)),
+         |bv AS (SELECT typ_ppm AS v, sum(n_tokens) AS vtok FROM typ GROUP BY 1),
+         |ann AS (SELECT v, vtok,
+         |    sum(vtok) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM bv),
+         |b AS (SELECT sum(n_tokens) * 600000 // 1000000 AS budget FROM typ),
+         |x AS (SELECT t.doc_id, t.typ_ppm, t.n_tokens, a.cum,
+         |    a.cum - a.vtok AS prev, b.budget,
+         |    sum(t.n_tokens) OVER (PARTITION BY t.typ_ppm ORDER BY t.doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS run
+         |  FROM typ t JOIN ann a ON a.v = t.typ_ppm CROSS JOIN b)
+         |SELECT doc_id, typ_ppm, n_tokens,
+         |  CASE WHEN cum <= budget THEN 1
+         |       WHEN prev >= budget THEN 0
+         |       WHEN prev + run <= budget THEN 1 ELSE 0 END AS selected
+         |FROM x ORDER BY doc_id""".stripMargin,
+    "x_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS fo FROM documents),
+        |v2 AS (SELECT doc_id,
+        |         CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END AS text
+        |       FROM documents WHERE doc_id % 17 <> 0
+        |       UNION ALL
+        |       SELECT doc_id + 10000000 AS doc_id, text
+        |       FROM documents WHERE doc_id % 19 = 0),
+        |n AS (SELECT doc_id, md5(text) AS fn FROM v2)
+        |SELECT doc_id,
+        |  CASE WHEN fo IS NULL THEN 'added'
+        |       WHEN fn IS NULL THEN 'removed'
+        |       WHEN fo = fn THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "x_dedup_indoc" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
         |                  unnest(range(0, len(string_split(text, ' ')))) AS i

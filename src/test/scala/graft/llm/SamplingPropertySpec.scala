@@ -63,4 +63,45 @@ class SamplingPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("tokenBudgetSelect: hand-computed cut with a boundary value spent " +
+       "in id order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 3L, 10L), (2L, 3L, 10L),               // q=3: fully inside
+      (3L, 2L, 10L), (4L, 2L, 10L), (5L, 2L, 10L), // q=2: boundary value
+      (6L, 1L, 10L)                                // q=1: fully outside
+    ).toDF("doc_id", "q", "toks")
+    // total 60, budget 50% = 30: q3 (20) fits, q2 spends the last 10 on
+    // doc 3 only, q1 starts past the budget
+    val got = Sampling.tokenBudgetSelect(docs, "doc_id", "q", "toks", 500000L)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(got == Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 0, 5L -> 0, 6L -> 0),
+      s"got $got")
+  }
+
+  test("tokenBudgetSelect on real signals: selection is the maximal " +
+       "greedy prefix within budget (sf0.001)") {
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    val in = TextAnalysis.lmTypicality(docs).select(col("doc_id"), col("typ_ppm"))
+      .join(TextAnalysis.withTokenCounts(docs).select("doc_id", "n_tokens"),
+        Seq("doc_id"))
+    val rows = Sampling.tokenBudgetSelect(in, "doc_id", "typ_ppm", "n_tokens",
+        600000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val total = rows.map(_._3).sum
+    val budget = total * 600000L / 1000000L
+    val greedy = rows.sortBy(t => (-t._2, t._1)) // quality desc, id asc
+    val selected = greedy.takeWhile(_._4 == 1)
+    // the selected set is a PREFIX of the greedy order (no gaps)
+    assert(greedy.drop(selected.length).forall(_._4 == 0),
+      "selected set is not a greedy prefix")
+    // within budget, and maximal: the next greedy doc would burst it
+    val spent = selected.map(_._3).sum
+    assert(spent <= budget, s"spent $spent over budget $budget")
+    greedy.drop(selected.length).headOption.foreach { next =>
+      assert(spent + next._3 > budget,
+        s"selection not maximal: doc ${next._1} still fits")
+    }
+  }
 }
