@@ -598,6 +598,67 @@ object Similarity {
         col("nn_id"), col("cos_sim"))
   }
 
+  /** IVF-PQ — the FAISS `IndexIVFPQ` architecture, composed from the
+    * two gated halves: the persisted IVF index bounds WHICH vectors a
+    * query scores (its `nprobe` nearest clusters, a partition-pruned
+    * read of the cluster-partitioned index), and product quantization
+    * bounds WHAT is read to score them (the m-code column + the 2 KiB
+    * distance table — never the embeddings), with an exact cosine
+    * rerank of the surviving `candidates`. This is the memory-bound
+    * 100 TB search plan: scan fraction ≈ nprobe/nlist, bytes/vector ≈
+    * m — both knobs independent.
+    *
+    * The probe rule is ivfProbeIndex's (rounded cosine to seed
+    * centroids, cluster-id tie-break) and the scoring is pqRerankTopK's
+    * integer SDC, so the FULL composition — probe, codebook, encode,
+    * SDC top-k, rerank — replays in the DuckDB oracle and hash-matches
+    * (`x_ann_ivfpq`). */
+  def ivfPqTopK(spark: SparkSession, corpus: DataFrame, indexPath: String,
+                seeds: Array[(Int, Array[Float])], queries: DataFrame,
+                k: Int, nprobe: Int = 4, m: Int = 8, nbook: Int = 16,
+                candidates: Int = 75): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val probes = q.crossJoin(seedsDf(spark, seeds))
+      .select(col("query_id"), col("cluster"),
+        round(cosineSim(col("qe"), col("centroid")), 6).as("csim"))
+    val wp = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cluster"))
+    val probed = probes.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nprobe).select(col("query_id"), col("cluster"))
+    // literal cluster list → partition pruning on the index scan
+    // (broadcast-small query set contract, as in ivfProbeIndex)
+    val clusters = probed.select("cluster").distinct().collect().map(_.getInt(0))
+    val index = spark.read.parquet(indexPath)
+      .filter(col("cluster").isin(clusters.toIndexedSeq: _*))
+    val cb = pqCodebook(corpus, m, nbook)
+    val cIdx = pqEncode(index, cb, m, nbook).filter(col("l2_norm") > 0)
+      .select(col("vec_id").as("nn_id"), col("cluster"), col("pq_codes").as("cc"))
+    val qEnc = pqEncode(queries, cb, m, nbook).filter(col("l2_norm") > 0)
+      .select(col("vec_id").as("query_id"), col("pq_codes").as("qc"))
+    val sdc = aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, mi) =>
+      acc + element_at(element_at(element_at(col("__dtab"), mi + 1),
+        element_at(col("qc"), mi + 1) + 1),
+        element_at(col("cc"), mi + 1) + 1))
+    val scored = cIdx.join(broadcast(probed), Seq("cluster"))
+      .join(broadcast(qEnc), Seq("query_id"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .crossJoin(broadcast(cb.select(col("__dtab"))))
+      .select(col("query_id"), col("nn_id"), sdc.as("pq_dist"))
+    val wc = Window.partitionBy(col("query_id")).orderBy(col("pq_dist"), col("nn_id"))
+    val cand = scored.withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= candidates)
+      .select(col("query_id"), col("nn_id"))
+    val cf = corpus.select(col("vec_id").as("nn_id"), col("embedding").as("ce"))
+    val qf = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val rerank = cf.join(broadcast(cand), Seq("nn_id"))
+      .join(broadcast(qf), Seq("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        round(cosineSim(col("qe"), col("ce")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("nn_id"))
+    rerank.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nn_id"), col("cos_sim"))
+  }
+
   def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
               k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     import spark.implicits._

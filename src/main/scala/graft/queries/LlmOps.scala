@@ -293,7 +293,8 @@ object LlmOps {
     "lsh_pairs" -> Seq("x_dedup_minhash", "x_dedup_apply", "x_corpus_pipeline",
       "x_dedup_clusters", "x_corpus_assembly"),
     "cc_clusters" -> Seq("x_dedup_clusters", "x_corpus_assembly"),
-    "ivf_index" -> Seq("x_ann_ivf", "x_ann_nn_join", "x_ann_recall", "x_semdedup"))
+    "ivf_index" -> Seq("x_ann_ivf", "x_ann_nn_join", "x_ann_recall", "x_semdedup",
+      "x_ann_ivfpq"))
 
   /** Forget all build-once artifacts (benchmarking only). */
   def resetArtifactCaches(): Unit = {
@@ -331,6 +332,21 @@ object LlmOps {
     val seeds = Similarity.ivfBuildIndexCached(s, vecs, idxPath, nlist = 16)
     ordered(
       Similarity.ivfProbeIndex(s, idxPath, seeds,
+        vecs.filter(col("vec_id") < 8), k = 10, nprobe = 4),
+      "query_id", "rank")
+  }
+
+  /** IVF-PQ: the FAISS IndexIVFPQ composition — partition-pruned probe
+    * (WHICH vectors) × PQ code scoring (WHAT bytes) × exact rerank,
+    * over the same persisted index and codebook conventions as the
+    * standalone x_ann_ivf / x_ann_pq gates, so the full composed
+    * pipeline hash-matches its oracle. */
+  def xAnnIvfPq(s: SparkSession, d: String): DataFrame = {
+    val vecs = embeddings(s, d)
+    val idxPath = artifactRoot + "/ivf_index/" + d.replaceAll("[^a-zA-Z0-9.]", "_")
+    val seeds = Similarity.ivfBuildIndexCached(s, vecs, idxPath, nlist = 16)
+    ordered(
+      Similarity.ivfPqTopK(s, vecs, idxPath, seeds,
         vecs.filter(col("vec_id") < 8), k = 10, nprobe = 4),
       "query_id", "rank")
   }
@@ -1050,6 +1066,7 @@ object LlmOps {
     "x_embed_lsh"         -> (xEmbedLsh _),
     "x_ann_quantized"     -> (xAnnQuantized _),
     "x_ann_pq"            -> (xAnnPq _),
+    "x_ann_ivfpq"         -> (xAnnIvfPq _),
     "x_vocab_coverage"    -> (xVocabCoverage _),
     "x_dedup_keep_longest" -> (xDedupKeepLongest _),
     "x_dedup_indoc"       -> (xDedupIndoc _),
@@ -2128,6 +2145,60 @@ object LlmOps {
          |FROM ks JOIN rk ON rnk <= k CROSS JOIN st
          |GROUP BY k, total_tokens, vocab_size, hapax_types
          |ORDER BY k""".stripMargin,
+    "x_ann_ivfpq" ->
+      s"""WITH $ivfAssignCte,
+         |m0 AS (SELECT vec_id, e,
+         |  sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(e, v -> v * v)), (a, b) -> a + b)) AS nrm,
+         |  list_max(list_transform(e, v -> abs(v))) AS amax
+         |  FROM c),
+         |qz AS (SELECT vec_id, e, nrm,
+         |  CASE WHEN amax > 0 THEN list_transform(e, v -> CAST(round(v / amax * 127) AS INT))
+         |       ELSE list_transform(e, v -> 0) END AS q8
+         |  FROM m0),
+         |pseeds AS (SELECT q8, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS r
+         |           FROM (SELECT * FROM qz ORDER BY vec_id LIMIT 16)),
+         |codes AS (
+         |  SELECT v.vec_id, t.mi, s.r AS code
+         |  FROM qz v
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS mi) t
+         |  JOIN pseeds s ON TRUE
+         |  QUALIFY row_number() OVER (PARTITION BY v.vec_id, t.mi ORDER BY
+         |    list_reduce(list_prepend(0, list_transform(generate_series(1, 8),
+         |      i -> (v.q8[t.mi*8+i] - s.q8[t.mi*8+i]) * (v.q8[t.mi*8+i] - s.q8[t.mi*8+i]))),
+         |      (a, b) -> a + b), s.r) = 1),
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM c WHERE vec_id < 8),
+         |probes AS (SELECT query_id, cluster FROM (
+         |    SELECT q.query_id, s.cluster,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY round(list_cosine_similarity(q.qe, s.se), 6) DESC, s.cluster) AS rn
+         |    FROM q CROSS JOIN seeds s) WHERE rn <= 4),
+         |qcodes AS (SELECT cd.vec_id AS query_id, cd.mi, cd.code
+         |  FROM codes cd JOIN qz z ON z.vec_id = cd.vec_id
+         |  WHERE cd.vec_id < 8 AND z.nrm > 0),
+         |sdc AS (
+         |  SELECT qc.query_id, cc.vec_id AS nn_id,
+         |    SUM(list_reduce(list_prepend(0, list_transform(generate_series(1, 8),
+         |      i -> (sq.q8[qc.mi*8+i] - sc.q8[qc.mi*8+i]) * (sq.q8[qc.mi*8+i] - sc.q8[qc.mi*8+i]))),
+         |      (a, b) -> a + b)) AS d
+         |  FROM qcodes qc
+         |  JOIN codes cc ON cc.mi = qc.mi AND cc.vec_id <> qc.query_id
+         |  JOIN assign a ON a.vec_id = cc.vec_id
+         |  JOIN probes p ON p.query_id = qc.query_id AND p.cluster = a.cluster
+         |  JOIN qz cz ON cz.vec_id = cc.vec_id AND cz.nrm > 0
+         |  JOIN pseeds sq ON sq.r = qc.code
+         |  JOIN pseeds sc ON sc.r = cc.code
+         |  GROUP BY 1, 2),
+         |cand AS (SELECT query_id, nn_id FROM sdc
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d, nn_id) <= 75),
+         |ranked AS (
+         |  SELECT query_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY round(list_cosine_similarity(qe.e, ce.e), 6) DESC, nn_id) AS BIGINT) AS rank,
+         |    nn_id, round(list_cosine_similarity(qe.e, ce.e), 6) AS cos_sim
+         |  FROM cand JOIN qz qe ON qe.vec_id = query_id JOIN qz ce ON ce.vec_id = nn_id)
+         |SELECT query_id, rank, nn_id, cos_sim FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
     "x_ann_pq" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |m0 AS (SELECT vec_id, e,

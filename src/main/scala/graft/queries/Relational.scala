@@ -213,6 +213,41 @@ object Relational {
       .limit(20)
   }
 
+  /** Q5: TPC-H Q5 shape (local supplier volume) — the six-table join
+    * chain with the CORRELATED dim condition (customer and supplier in
+    * the SAME nation) that makes Q5 the canonical join-order test.
+    * Plan: the ONLY fact-sized exchange is lineitem ⋈ filtered orders
+    * on the order key; supplier, customer, and the region-pruned
+    * nation list all broadcast (nation ⋈ region folds to a literal-in
+    * dim at plan time), and the locality predicate
+    * c_nationkey = s_nationkey applies as a join condition on the
+    * broadcast side — never a second shuffle. Revenue accumulates in
+    * exact decimal; the output is |nations in region| rows. */
+  def q5LocalSupplierVolume(s: SparkSession, d: String): DataFrame = {
+    val n = nation(s, d).join(region(s, d),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .select("n_nationkey", "n_name")
+    val o = orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+      .select("o_orderkey", "o_custkey")
+    val c = customer(s, d).select("c_custkey", "c_nationkey")
+    val sup = supplier(s, d).select("s_suppkey", "s_nationkey")
+    ordered(
+      lineitem(s, d).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items")),
+      "n_name")
+  }
+
   /** Q17: TPC-H Q17 shape (small-quantity-order revenue) — the classic
     * CORRELATED SCALAR SUBQUERY ("lineitems below 20% of this part's
     * average quantity") decorrelated by hand: the per-part average
@@ -681,6 +716,7 @@ object Relational {
     "q1_agg"           -> (q1Agg _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q17_small_quantity"   -> (q17SmallQuantity _),
+    "q5_local_supplier"    -> (q5LocalSupplierVolume _),
     "q18_large_orders"     -> (q18LargeOrders _),
     "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
     "d1_scd2"              -> (d1Scd2 _),
@@ -839,6 +875,20 @@ object Relational {
         |  strftime(make_timestamp(vt * 1000), '%Y-%m-%d %H:%M:%S') AS valid_to,
         |  version
         |FROM v WHERE vt IS NOT NULL ORDER BY user_id, version""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q18_large_orders" ->
       """WITH q AS (SELECT l_orderkey,
         |             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty

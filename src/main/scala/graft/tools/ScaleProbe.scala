@@ -125,7 +125,15 @@ object ScaleProbe {
       // excluded per the streaming-harness note above.
       "x_dedup_ngram_auto", "x_chunk_overlap", "x_text_winnow",
       "x_quality_rules", "x_semdedup", "x_embed_outliers",
-      "q18_large_orders", "x_hybrid_rrf", "x_corpus_card")
+      "q18_large_orders", "x_hybrid_rrf", "x_corpus_card",
+      // round-9 surface: PQ ANN (corpus-sized encode + candidate scan),
+      // the threshold-selection token budget, snapshot diff (hash-only
+      // shuffle), decay scoring (one aggregate), the Q5 join chain, and
+      // the corpus-report faces; x_dedup_indoc is map-side by
+      // construction, probed to pin that it stays so.
+      "x_ann_pq", "x_token_budget", "x_snapshot_diff", "w17_decay_score",
+      "q5_local_supplier", "x_vocab_coverage", "x_dedup_indoc",
+      "x_dedup_keep_longest", "x_text_novelty", "x_ann_ivfpq")
     // j11_overlap_join is deliberately NOT probed: replicas keep the
     // source price range, so the TRUE overlap-pair answer grows ~factor²
     // (every replica's intervals overlap every other's) — the probe

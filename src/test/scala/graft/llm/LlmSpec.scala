@@ -1074,6 +1074,46 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ: every hit comes from a probed cluster; recall holds the " +
+       "partition-pruned floor (sf0.01)") {
+    val vecs = graft.Tables.embeddings(spark, sf("sf0.01"))
+    val queries = vecs.filter(col("vec_id") < 8)
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq").toString + "/index"
+    val seeds = Similarity.ivfBuildIndex(spark, vecs, idx, nlist = 16)
+    val got = Similarity.ivfPqTopK(spark, vecs, idx, seeds, queries, k = 10)
+    // containment law: a returned neighbor must live in one of its
+    // query's nprobe probed clusters — the index was never bypassed
+    val assigned = spark.read.parquet(idx).select(col("vec_id"), col("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val seedsDfLocal = seeds.toMap
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val qVecs = queries.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val probedOf = qVecs.map { case (qid, qe) =>
+      qid -> seedsDfLocal.toSeq
+        .map { case (cl, ce) =>
+          (BigDecimal(cosine(qe, ce)).setScale(6, BigDecimal.RoundingMode.HALF_UP), cl) }
+        .sortBy { case (sim, cl) => (-sim, cl) }.take(4).map(_._2).toSet
+    }
+    got.select("query_id", "nn_id").collect().foreach { r =>
+      val (qid, nid) = (r.getLong(0), r.getLong(1))
+      assert(probedOf(qid).contains(assigned(nid)),
+        s"nn $nid of query $qid lies outside its probed clusters")
+    }
+    // recall floor vs brute force: bounded below by the IVF scan
+    // fraction on unclustered data (same floor as the plain IVF probe)
+    val exact = Similarity.bruteForceTopK(vecs, queries, 10)
+      .select("query_id", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = got.select("query_id", "nn_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.2, s"IVF-PQ recall $recall below floor (nprobe=4/16)")
+  }
+
   test("PQ rerank recall@10 vs brute force at sf0.01; candidate pass " +
        "broadcasts queries and never shuffles the corpus") {
     val vecs = graft.Tables.embeddings(spark, sf("sf0.01"))

@@ -76,6 +76,25 @@ class RelationalSpec extends SparkSpec {
     assert(df.collect().length <= 20)
   }
 
+  test("q5: one fact-fact shuffle, every dim broadcasts, date filter " +
+       "pushes down") {
+    val df = Relational.q5LocalSupplierVolume(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the only exchanges allowed: the lineitem⋈orders key shuffle (plus
+    // its partial-agg exchange) and broadcasts — customer/supplier/
+    // nation never hash-shuffle the fact side again
+    val hashEx = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.forall(l => l.contains("l_orderkey") || l.contains("o_orderkey")
+        || l.contains("n_name")),
+      s"unexpected fact shuffle:\n${hashEx.mkString("\n")}")
+    assert(plan.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3,
+      s"customer, supplier, nation must broadcast:\n$plan")
+    val scans = df.queryExecution.sparkPlan.toString
+    assert(scans.contains("GreaterThanOrEqual(o_orderdate"),
+      "order-date range must push to the orders scan")
+    assert(df.collect().length <= 5)
+  }
+
   test("q10: returnflag filter pushes down, dims broadcast, top-20 bounded") {
     val df = Relational.q10ReturnedItems(spark, sf("sf0.001"))
     val plan = df.queryExecution.executedPlan.toString
