@@ -195,6 +195,31 @@ object LlmOps {
       "doc_id")
   }
 
+  /** Dedup-path EVALUATION: precision/recall (integer ppm) of the
+    * production MinHash-LSH pair set against the exact all-pairs n-gram
+    * Jaccard answer at the same 0.8 threshold — the "how good is the
+    * approximation, measured, in-engine" report a pipeline publishes
+    * next to its dedup knobs. The two sides differ only where banding
+    * misses a pair (recall < 1) or a 32-bit gram-hash collision flips a
+    * borderline Jaccard (precision < 1); both sides are themselves
+    * gated operators, so this gate pins the RELATION between them.
+    * One-row output; counts via joins and aggregates, nothing
+    * collected. */
+  def xDedupEval(s: SparkSession, d: String): DataFrame = {
+    val lsh = lshPairs(s, d).select(col("d1"), col("d2"))
+    val exact = Dedup.ngramJaccardPairs(documents(s, d), n = 3, threshold = 0.8)
+      .select(col("d1"), col("d2"))
+    ordered(
+      lsh.agg(count(lit(1)).as("n_lsh"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .crossJoin(lsh.join(exact, Seq("d1", "d2"))
+          .agg(count(lit(1)).as("n_common")))
+        .select(col("n_lsh"), col("n_exact"), col("n_common"),
+          expr("n_common * 1000000L div n_lsh").as("precision_ppm"),
+          expr("n_common * 1000000L div n_exact").as("recall_ppm")),
+      "n_lsh")
+  }
+
   /** Token-budget corpus selection: the best 60%-of-total-tokens corpus
     * by LM-typicality — threshold selection over the bounded per-value
     * token-sum table (never a global quality sort), boundary value
@@ -1072,6 +1097,7 @@ object LlmOps {
     "x_dedup_indoc"       -> (xDedupIndoc _),
     "x_snapshot_diff"     -> (xSnapshotDiff _),
     "x_token_budget"      -> (xTokenBudget _),
+    "x_dedup_eval"        -> (xDedupEval _),
     "x_corpus_pipeline"   -> (xCorpusPipeline _),
     "x_corpus_assembly"   -> (xCorpusAssembly _),
     "x_multimodal"        -> (xMultimodal _),
@@ -2058,6 +2084,28 @@ object LlmOps {
         |  FROM cand)
         |SELECT query_id, rank, nn_id, cos_sim FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    "x_dedup_eval" ->
+      s"""WITH $lshPairsCte,
+         |egrams AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS g
+         |           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i)
+         |           WHERE len(ts) >= 3),
+         |esizes AS (SELECT doc_id, count(*) AS sz FROM egrams GROUP BY 1),
+         |einter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n
+         |           FROM egrams a JOIN egrams b ON a.g = b.g AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2),
+         |epairs AS (SELECT d1, d2 FROM einter
+         |           JOIN esizes s1 ON d1 = s1.doc_id
+         |           JOIN esizes s2 ON d2 = s2.doc_id
+         |           WHERE n / (s1.sz + s2.sz - n) >= 0.8),
+         |l AS (SELECT count(*) AS n_lsh FROM pairs),
+         |x AS (SELECT count(*) AS n_exact FROM epairs),
+         |c AS (SELECT count(*) AS n_common FROM pairs JOIN epairs USING (d1, d2))
+         |SELECT CAST(n_lsh AS BIGINT) AS n_lsh,
+         |  CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(n_common AS BIGINT) AS n_common,
+         |  n_common * 1000000 // n_lsh AS precision_ppm,
+         |  n_common * 1000000 // n_exact AS recall_ppm
+         |FROM l CROSS JOIN x CROSS JOIN c""".stripMargin,
     "x_token_budget" ->
       s"""WITH $lmScoreCte,
          |typ AS (SELECT d.doc_id,

@@ -98,6 +98,22 @@ object Plumbing {
       "o_orderkey")
   }
 
+  /** P11: schema-on-read via Spark 4 VARIANT — the same props
+    * extraction as `p2_dirty_split`, but through `parse_json` +
+    * `variant_get` instead of a declared StructType: the modern face
+    * for payloads whose schema drifts (new keys appear without a
+    * schema migration; `try_parse_json` nulls the dirty side exactly
+    * like from_json). Same oracle semantics as the typed parse, so the
+    * two faces can never diverge. */
+  def p11VariantProps(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+      .withColumn("v", try_parse_json(col("props")))
+      .withColumn("k", variant_get(col("v"), "$.k", "bigint"))
+    ordered(
+      e.filter(col("k").isNotNull).select(col("event_id"), col("k")),
+      "event_id")
+  }
+
   /** F8: UPPER_UNDERSCORE → lowerCamel column rename helper
     * (JdbcUtil.java:66-69). */
   def f8Rename(s: SparkSession, d: String): DataFrame = {
@@ -111,6 +127,7 @@ object Plumbing {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p2_dirty_split"     -> (p2DirtySplit _),
+    "p11_variant_props"  -> (p11VariantProps _),
     "st4_config_routing" -> (st4ConfigRouting _),
     "p8_union_normalize" -> (p8UnionNormalize _),
     "f5_age"             -> (f5Age _),
@@ -118,6 +135,10 @@ object Plumbing {
 
   val oracle: Map[String, String] = Map(
     "p2_dirty_split" ->
+      """SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+        |FROM events WHERE regexp_extract(props, '"k": ([0-9]+)', 1) <> ''
+        |ORDER BY event_id""".stripMargin,
+    "p11_variant_props" ->
       """SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
         |FROM events WHERE regexp_extract(props, '"k": ([0-9]+)', 1) <> ''
         |ORDER BY event_id""".stripMargin,

@@ -248,6 +248,45 @@ object Relational {
       "n_name")
   }
 
+  /** Q7: TPC-H Q7 shape (volume shipping between two nations) — the
+    * dim-ROLE self-join test: nation joins twice under different roles
+    * (supplier's nation, customer's nation) with the symmetric OR pair
+    * predicate. Both roles pre-filter to the two nations of interest
+    * BEFORE joining — supplier and customer prune at their broadcast
+    * joins, and only the cross pairs survive the post-join OR — so the
+    * fact side again pays exactly one exchange (lineitem ⋈ orders on
+    * the order key); everything else is broadcast. Yearly decimal
+    * revenue per direction. */
+  def q7VolumeShipping(s: SparkSession, d: String): DataFrame = {
+    val (na, nb) = ("NATION_2", "NATION_7")
+    val n1 = nation(s, d).filter(col("n_name").isin(na, nb))
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val n2 = nation(s, d).filter(col("n_name").isin(na, nb))
+      .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+    val li = lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+        "l_shipdate")
+    ordered(
+      li.join(orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d).select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supplier(s, d).select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+        .filter((col("supp_nation") === na && col("cust_nation") === nb) ||
+          (col("supp_nation") === nb && col("cust_nation") === na))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items")),
+      "supp_nation", "cust_nation", "l_year")
+  }
+
   /** Q17: TPC-H Q17 shape (small-quantity-order revenue) — the classic
     * CORRELATED SCALAR SUBQUERY ("lineitems below 20% of this part's
     * average quantity") decorrelated by hand: the per-part average
@@ -717,6 +756,7 @@ object Relational {
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q17_small_quantity"   -> (q17SmallQuantity _),
     "q5_local_supplier"    -> (q5LocalSupplierVolume _),
+    "q7_volume_shipping"   -> (q7VolumeShipping _),
     "q18_large_orders"     -> (q18LargeOrders _),
     "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
     "d1_scd2"              -> (d1Scd2 _),
@@ -875,6 +915,22 @@ object Relational {
         |  strftime(make_timestamp(vt * 1000), '%Y-%m-%d %H:%M:%S') AS valid_to,
         |  version
         |FROM v WHERE vt IS NOT NULL ORDER BY user_id, version""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_7')
+        |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_2'))
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q5_local_supplier" ->
       """SELECT n_name,
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

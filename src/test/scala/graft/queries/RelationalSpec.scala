@@ -95,6 +95,26 @@ class RelationalSpec extends SparkSpec {
     assert(df.collect().length <= 5)
   }
 
+  test("q7: nation joins twice under two roles, all broadcast; one fact " +
+       "exchange; shipdate range pushes down") {
+    val df = Relational.q7VolumeShipping(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("BroadcastHashJoin")) >= 4,
+      s"customer, supplier and both nation roles must broadcast:\n$plan")
+    val hashEx = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.forall(l => l.contains("l_orderkey") || l.contains("o_orderkey")
+        || l.contains("supp_nation")),
+      s"unexpected fact shuffle:\n${hashEx.mkString("\n")}")
+    val scans = df.queryExecution.sparkPlan.toString
+    assert(scans.contains("GreaterThanOrEqual(l_shipdate"),
+      "shipdate range must push to the lineitem scan")
+    // both directions present, symmetric pair filter held
+    val dirs = df.select("supp_nation", "cust_nation").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(dirs.subsetOf(Set(("NATION_2", "NATION_7"), ("NATION_7", "NATION_2"))),
+      s"unexpected nation pairs: $dirs")
+  }
+
   test("q10: returnflag filter pushes down, dims broadcast, top-20 bounded") {
     val df = Relational.q10ReturnedItems(spark, sf("sf0.001"))
     val plan = df.queryExecution.executedPlan.toString

@@ -126,4 +126,23 @@ class WindowsSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"unexpected window:\n$plan")
     assert(!plan.contains("Sort"), s"unexpected sort:\n$plan")
   }
+
+  test("decayedScore incremental-maintenance law: advancing the anchor " +
+       "by D halves D times and adds the new arrivals") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    val t0 = java.sql.Timestamp.valueOf("2026-08-10 12:00:00")
+    def at(d: Int) = new java.sql.Timestamp(t0.getTime + d.toLong * 86400000L)
+    val old = Seq(("a", at(-2)), ("a", at(-1)), ("a", at(0)), ("b", at(-1)))
+    val fresh = Seq(("a", at(2))) // moves the anchor 2 days forward
+    def scores(rows: Seq[(String, java.sql.Timestamp)]) =
+      TimeSeries.decayedScore(rows.toDF("k", "ts"), "k", "ts")
+        .collect().map(r => r.getString(0) -> BigDecimal(r.getDecimal(3))).toMap
+    val before = scores(old)
+    val after = scores(old ++ fresh)
+    // score(t+Δ) = score(t)·2^-Δ + new contributions — the property that
+    // makes exponential decay incrementally maintainable at feed scale
+    assert(after("a") == before("a") / 4 + 1, s"got ${after("a")}")
+    assert(after("b") == before("b") / 4, s"got ${after("b")}")
+  }
 }
