@@ -218,11 +218,18 @@ object Similarity {
   /** Build the persisted IVF index: cluster assignments written ONCE,
     * partitioned by cluster id, so every later probe is a
     * partition-pruned read instead of a full corpus scan (and no k-means
-    * rebuild per query). Returns the seed centroids to probe with. */
+    * rebuild per query). Each row also carries its PQ code array and L2
+    * norm — the FAISS inverted-list layout, where the codes live IN the
+    * index so a PQ-scored probe (`ivfPqTopK`) reads only the pruned
+    * cluster directories' code columns and never re-encodes at query
+    * time. Returns the seed centroids to probe with. */
   def ivfBuildIndex(spark: SparkSession, corpus: DataFrame, indexPath: String,
                     nlist: Int = 16): Array[(Int, Array[Float])] = {
     val seeds = ivfSeedCentroids(spark, corpus, nlist)
-    ivfAssignSeeds(spark, corpus, seeds)
+    val cb = pqCodebook(corpus)
+    pqEncode(ivfAssignSeeds(spark, corpus, seeds), cb)
+      .select(col("vec_id"), col("embedding"), col("l2_norm"),
+        col("pq_codes"), col("cluster"))
       // co-locate each cluster before the partitioned write: one file
       // per cluster directory instead of one per (task x cluster)
       .repartition(col("cluster"))
@@ -612,7 +619,9 @@ object Similarity {
     * centroids, cluster-id tie-break) and the scoring is pqRerankTopK's
     * integer SDC, so the FULL composition — probe, codebook, encode,
     * SDC top-k, rerank — replays in the DuckDB oracle and hash-matches
-    * (`x_ann_ivfpq`). */
+    * (`x_ann_ivfpq`). The stored codes use `ivfBuildIndex`'s defaults
+    * (m=8, nbook=16); pass the same here or the probe falls back to
+    * query-time encoding. */
   def ivfPqTopK(spark: SparkSession, corpus: DataFrame, indexPath: String,
                 seeds: Array[(Int, Array[Float])], queries: DataFrame,
                 k: Int, nprobe: Int = 4, m: Int = 8, nbook: Int = 16,
@@ -630,7 +639,12 @@ object Similarity {
     val index = spark.read.parquet(indexPath)
       .filter(col("cluster").isin(clusters.toIndexedSeq: _*))
     val cb = pqCodebook(corpus, m, nbook)
-    val cIdx = pqEncode(index, cb, m, nbook).filter(col("l2_norm") > 0)
+    // codes live IN the index (ivfBuildIndex writes them) — the probe
+    // reads the pruned clusters' code column; encode only as fallback
+    // for an index built without codes
+    val cIdx = (if (index.columns.contains("pq_codes")) index
+                else pqEncode(index, cb, m, nbook))
+      .filter(col("l2_norm") > 0)
       .select(col("vec_id").as("nn_id"), col("cluster"), col("pq_codes").as("cc"))
     val qEnc = pqEncode(queries, cb, m, nbook).filter(col("l2_norm") > 0)
       .select(col("vec_id").as("query_id"), col("pq_codes").as("qc"))
