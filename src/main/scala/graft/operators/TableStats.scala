@@ -103,4 +103,37 @@ object TableStats {
         expr("__below * 1000000L div (__n - 1)")).otherwise(lit(0L)))
       .drop("__below", "__n")
   }
+
+  /** GROUPED exact percent-rank — `globalPercentRank` per group, the
+    * cross-population score CALIBRATION step ("is this document good
+    * *for its source*?"): a raw score threshold keeps different
+    * fractions of differently-distributed sources, so curation
+    * pipelines rank within each source before mixing. Same bounded
+    * two-pass rendering: per-(group, value) counts, a cumulative sum
+    * over the value table PARTITIONED BY GROUP (rows bounded by
+    * |groups| × distinct values — still value-table-sized, never the
+    * data; partitioning by group also removes globalPercentRank's
+    * single-partition constraint), per-group totals, broadcast join
+    * back. `pct_ppm` = rank_below·10⁶ div (N_g −1), integer-exact per
+    * group. Quantize continuous scores first, as with the global
+    * form. */
+  def groupedPercentRank(df: DataFrame, groupCol: String,
+                         valueCol: String): DataFrame = {
+    val nn = df.filter(col(valueCol).isNotNull)
+    val counts = nn.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__ct"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranks = counts
+      .withColumn("__below", coalesce(sum(col("__ct")).over(w), lit(0L)))
+      .select(col(groupCol), col(valueCol), col("__below"))
+    val tot = counts.groupBy(col(groupCol)).agg(sum(col("__ct")).as("__ng"))
+    nn.join(broadcast(ranks), Seq(groupCol, valueCol))
+      .join(broadcast(tot), Seq(groupCol))
+      .withColumn("rank_below", col("__below"))
+      .withColumn("pct_ppm", when(col("__ng") > 1,
+        expr("__below * 1000000L div (__ng - 1)")).otherwise(lit(0L)))
+      .drop("__below", "__ng")
+  }
 }

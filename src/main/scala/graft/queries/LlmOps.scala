@@ -195,6 +195,43 @@ object LlmOps {
       "doc_id")
   }
 
+  /** Mixture AUDIT: the release-note table for the temperature-flattened
+    * mixture — per source, what actually survived sampling (docs, chars,
+    * achieved ppm of the kept corpus) next to the rate that produced
+    * it. Composes the already-gated temperatureMixture; bounded output
+    * (|sources| rows), one aggregate over the sampled stream. */
+  def xMixtureAudit(s: SparkSession, d: String): DataFrame = {
+    val kept = Sampling.temperatureMixture(documents(s, d), "doc_id",
+      "source", "n_chars", budget = 140000L)
+    val per = kept.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("chars_kept"),
+        first(col("sample_rate")).as("sample_rate"))
+    ordered(
+      per.crossJoin(broadcast(per.agg(sum(col("chars_kept")).as("__tot"))))
+        .select(col("source"), col("n_kept"), col("chars_kept"),
+          expr("chars_kept * 1000000L div __tot").as("achieved_ppm"),
+          col("sample_rate")),
+      "source")
+  }
+
+  /** Cross-source quality CALIBRATION: per-source exact percent-rank of
+    * the LM-typicality signal — "good for its source", the rank a
+    * mixed-corpus keep-threshold should use when sources have different
+    * score distributions. groupedPercentRank keeps the rank table
+    * bounded by |sources| × distinct ppm values; the corpus itself is
+    * never sorted. */
+  def xQualityCalibrate(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val scored = TextAnalysis.lmTypicality(docs)
+      .select(col("doc_id"), col("typ_ppm"))
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+    ordered(
+      graft.operators.TableStats.groupedPercentRank(scored, "source", "typ_ppm")
+        .select("doc_id", "source", "typ_ppm", "rank_below", "pct_ppm"),
+      "doc_id")
+  }
+
   /** Dedup-path EVALUATION: precision/recall (integer ppm) of the
     * production MinHash-LSH pair set against the exact all-pairs n-gram
     * Jaccard answer at the same 0.8 threshold — the "how good is the
@@ -1098,6 +1135,8 @@ object LlmOps {
     "x_snapshot_diff"     -> (xSnapshotDiff _),
     "x_token_budget"      -> (xTokenBudget _),
     "x_dedup_eval"        -> (xDedupEval _),
+    "x_quality_calibrate" -> (xQualityCalibrate _),
+    "x_mixture_audit"     -> (xMixtureAudit _),
     "x_corpus_pipeline"   -> (xCorpusPipeline _),
     "x_corpus_assembly"   -> (xCorpusAssembly _),
     "x_multimodal"        -> (xMultimodal _),
@@ -2084,6 +2123,45 @@ object LlmOps {
         |  FROM cand)
         |SELECT query_id, rank, nn_id, cos_sim FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    "x_mixture_audit" ->
+      """WITH bysrc AS (SELECT source, sum(n_chars) AS tot FROM documents GROUP BY 1),
+        |nrm AS (SELECT list_reduce(
+        |  list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(sqrt(CAST(tot AS DOUBLE)) ORDER BY source)),
+        |  (a, b) -> a + b) AS S FROM bysrc),
+        |rates AS (SELECT source,
+        |  least(CAST(1.0 AS DOUBLE),
+        |    CAST(140000 AS DOUBLE) * sqrt(CAST(tot AS DOUBLE)) / S
+        |      / CAST(tot AS DOUBLE)) AS sample_rate
+        |  FROM bysrc CROSS JOIN nrm),
+        |kept AS (SELECT d.doc_id, d.source, d.n_chars, r.sample_rate
+        |  FROM documents d JOIN rates r USING (source)
+        |  WHERE CAST(CONCAT('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    / 4294967296.0 < r.sample_rate),
+        |per AS (SELECT source, count(*) AS n_kept, sum(n_chars) AS chars_kept,
+        |          any_value(sample_rate) AS sample_rate
+        |        FROM kept GROUP BY 1),
+        |t AS (SELECT CAST(sum(chars_kept) AS BIGINT) AS tot_kept FROM per)
+        |SELECT source, CAST(n_kept AS BIGINT) AS n_kept,
+        |  CAST(chars_kept AS BIGINT) AS chars_kept,
+        |  CAST(chars_kept AS BIGINT) * 1000000 // tot_kept AS achieved_ppm,
+        |  sample_rate
+        |FROM per CROSS JOIN t ORDER BY source""".stripMargin,
+    "x_quality_calibrate" ->
+      s"""WITH $lmScoreCte,
+         |typ AS (SELECT d.doc_id, d.source,
+         |    CAST(coalesce(sc.lm_score // sc.n_bigrams, 0) AS BIGINT) AS typ_ppm
+         |  FROM documents d LEFT JOIN sc USING (doc_id)),
+         |n AS (SELECT source, count(*) AS ng FROM typ GROUP BY 1)
+         |SELECT t.doc_id, t.source, t.typ_ppm,
+         |  CAST(rank() OVER (PARTITION BY t.source ORDER BY t.typ_ppm) - 1 AS BIGINT)
+         |    AS rank_below,
+         |  CASE WHEN n.ng > 1 THEN
+         |    (rank() OVER (PARTITION BY t.source ORDER BY t.typ_ppm) - 1) * 1000000
+         |      // (n.ng - 1)
+         |  ELSE 0 END AS pct_ppm
+         |FROM typ t JOIN n USING (source)
+         |ORDER BY doc_id""".stripMargin,
     "x_dedup_eval" ->
       s"""WITH $lshPairsCte,
          |egrams AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS g

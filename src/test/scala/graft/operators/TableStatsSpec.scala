@@ -76,4 +76,44 @@ class TableStatsSpec extends SparkSpec {
     assert(winIdx >= 0 && aggIdx > winIdx,
       s"Window must consume the per-value aggregate:\n$plan")
   }
+
+  test("groupedPercentRank: per-group ranks match per-group percent_rank; " +
+       "window rides the value table") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, Some(10L)), ("a", 2L, Some(20L)), ("a", 3L, Some(20L)),
+      ("a", 4L, Some(30L)),
+      ("b", 5L, Some(100L)), ("b", 6L, Some(5L)),
+      ("b", 7L, None), // NULL: excluded from output and the b denominator
+      ("c", 8L, Some(7L))) // singleton group → pct 0
+      .toDF("g", "id", "v")
+    val got = TableStats.groupedPercentRank(df, "g", "v")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("rank_below"), r.getAs[Long]("pct_ppm")))).toMap
+    assert(got == Map(
+      1L -> ((0L, 0L)), 2L -> ((1L, 333333L)), 3L -> ((1L, 333333L)),
+      4L -> ((3L, 1000000L)),
+      6L -> ((0L, 0L)), 5L -> ((1L, 1000000L)),
+      8L -> ((0L, 0L))), s"got $got")
+    assert(!got.contains(7L), "NULL-valued row must have no rank")
+    // calibration property: a raw threshold keeps different fractions of
+    // a and b, the per-group ppm threshold keeps the same fraction
+    import org.apache.spark.sql.expressions.Window
+    val pr = df.filter(col("v").isNotNull).withColumn("pr",
+        percent_rank().over(Window.partitionBy(col("g")).orderBy(col("v"))))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("pr")).toMap
+    got.foreach { case (id, (_, ppm)) =>
+      assert(math.abs(ppm / 1e6 - pr(id)) < 1e-6, s"id $id: $ppm vs ${pr(id)}")
+    }
+    // the window consumes the (group, value) aggregate, not raw rows
+    val plan = TableStats.groupedPercentRank(
+        graft.Tables.orders(spark, sf("sf0.001"))
+          .select(col("o_orderkey"), col("o_orderstatus").as("g"),
+            (col("o_custkey") % 100).as("v")), "g", "v")
+      .queryExecution.optimizedPlan.toString
+    val winIdx = plan.indexOf("Window")
+    val aggIdx = plan.indexOf("Aggregate", winIdx)
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"Window must consume the per-(group, value) aggregate:\n$plan")
+  }
 }
