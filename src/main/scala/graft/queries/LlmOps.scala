@@ -106,9 +106,7 @@ object LlmOps {
     * in integer ppm, summed per document; log-perplexity is the
     * documented float swap. */
   def xLmTypicality(s: SparkSession, d: String): DataFrame =
-    ordered(
-      TextAnalysis.lmTypicality(documents(s, d), buckets = 512),
-      "doc_id")
+    ordered(lmScores(s, d), "doc_id")
 
   def xDedupNgram(s: SparkSession, d: String): DataFrame =
     ordered(Dedup.ngramJaccardPairs(documents(s, d), n = 3, threshold = 0.8), "d1", "d2")
@@ -223,7 +221,7 @@ object LlmOps {
     * never sorted. */
   def xQualityCalibrate(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val scored = TextAnalysis.lmTypicality(docs)
+    val scored = lmScores(s, d)
       .select(col("doc_id"), col("typ_ppm"))
       .join(docs.select("doc_id", "source"), Seq("doc_id"))
     ordered(
@@ -265,7 +263,7 @@ object LlmOps {
     * so the exact budget cut is hash-matched cross-engine. */
   def xTokenBudget(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val in = TextAnalysis.lmTypicality(docs)
+    val in = lmScores(s, d)
       .select(col("doc_id"), col("typ_ppm"))
       .join(TextAnalysis.withTokenCounts(docs).select("doc_id", "n_tokens"),
         Seq("doc_id"))
@@ -331,6 +329,26 @@ object LlmOps {
     Dedup.connectedComponentsCached(s, lshPairs(s, d),
       artifactRoot + "/cc_clusters/" + d.replaceAll("[^a-zA-Z0-9.]", "_") + "_n3_t08_h24b4")
 
+  /** Build-once LM-typicality scores (the corpus-trained bigram model's
+    * per-doc output): four gates consume this table — the typicality
+    * gate itself, the CCNet refinement, the token-budget selection, and
+    * the cross-source calibration — so a real pipeline scores ONCE and
+    * every consumer reads the 4-column parquet. Same artifact contract
+    * as lsh_pairs: first caller per JVM builds and persists, the bench
+    * pays the build as its own line item. */
+  private val builtLmScores =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def lmScores(s: SparkSession, d: String): DataFrame = {
+    val path = artifactRoot + "/lm_scores/" +
+      d.replaceAll("[^a-zA-Z0-9.]", "_") + "_b512"
+    if (builtLmScores.add(path)) {
+      TextAnalysis.lmTypicality(documents(s, d), buckets = 512)
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   /** The build-once artifacts behind the query surface, exposed so a
     * benchmark can pay each build explicitly (its own line item) instead
     * of attributing it to whichever consumer query happens to run first —
@@ -345,7 +363,8 @@ object LlmOps {
     "ivf_index" -> ((s: SparkSession, d: String) => {
       val idxPath = artifactRoot + "/ivf_index/" + d.replaceAll("[^a-zA-Z0-9.]", "_")
       Similarity.ivfBuildIndexCached(s, embeddings(s, d), idxPath, nlist = 16); ()
-    }))
+    }),
+    "lm_scores" -> ((s: SparkSession, d: String) => { lmScores(s, d); () }))
 
   /** Which gate queries consume each build-once artifact — so a
     * benchmark can mark them tainted when a build fails (their "cold"
@@ -356,12 +375,15 @@ object LlmOps {
       "x_dedup_clusters", "x_corpus_assembly"),
     "cc_clusters" -> Seq("x_dedup_clusters", "x_corpus_assembly"),
     "ivf_index" -> Seq("x_ann_ivf", "x_ann_nn_join", "x_ann_recall", "x_semdedup",
-      "x_ann_ivfpq"))
+      "x_ann_ivfpq"),
+    "lm_scores" -> Seq("x_lm_typicality", "x_ccnet_refine", "x_token_budget",
+      "x_quality_calibrate"))
 
   /** Forget all build-once artifacts (benchmarking only). */
   def resetArtifactCaches(): Unit = {
     Dedup.resetArtifactCache()
     Similarity.resetArtifactCache()
+    builtLmScores.clear()
   }
 
   def xDedupMinhash(s: SparkSession, d: String): DataFrame =
@@ -694,15 +716,12 @@ object LlmOps {
     * 1/rate weights). Every stage is an already-gated operator; this
     * gate proves the composition end to end. */
   def xCcnetRefine(s: SparkSession, d: String): DataFrame = {
-    // globalPercentRank traverses its input twice; materialize the scored
-    // table (docs-sized: 4 narrow columns) to parquet — an explicit
-    // intermediate in the lsh_pairs style rather than a .persist, so no
-    // cached table outlives the query and a warm re-run pays the true
-    // cost instead of reading a leaked cache (round-7 finding)
-    val scoredPath = artifactRoot + "/ccnet_scored/" + d.replaceAll("[^a-zA-Z0-9.]", "_")
-    TextAnalysis.lmTypicality(documents(s, d), buckets = 512)
-      .write.mode("overwrite").parquet(scoredPath)
-    val scored = s.read.parquet(scoredPath)
+    // globalPercentRank traverses its input twice; the scored table is
+    // the build-once lm_scores ARTIFACT (4 narrow columns on parquet) —
+    // explicit intermediate, no .persist, so no cached table outlives
+    // the query (round-7 finding) and the build cost is its own bench
+    // line item shared with the other three LM-score consumers
+    val scored = lmScores(s, d)
     val ranked = graft.operators.TableStats.globalPercentRank(scored, "typ_ppm")
     val bucketed = ranked.withColumn("bucket",
       when(col("pct_ppm") * 3 < 1000000L, "tail")
