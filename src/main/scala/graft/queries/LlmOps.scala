@@ -193,6 +193,25 @@ object LlmOps {
       "doc_id")
   }
 
+  /** LEAKAGE-SAFE train/val/test split: the hash is keyed on the
+    * near-dup CLUSTER, not the document — every member of a near-dup
+    * cluster lands in the SAME split, so a test document can never
+    * have a near-duplicate twin in train (the eval-leakage mode plain
+    * per-doc splitting cannot prevent, and the reason dedup-aware
+    * pipelines split on canopies). Unclustered docs key on their own
+    * id — identical behavior to the plain split for them. */
+  def xSplitLeakageSafe(s: SparkSession, d: String): DataFrame = {
+    val cl = ccClusters(s, d).select(col("doc_id"), col("cluster_id"))
+    val withCluster = documents(s, d).select(col("doc_id"))
+      .join(broadcast(cl), Seq("doc_id"), "left_outer")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    ordered(
+      Sampling.deterministicSplit(withCluster, "cluster_id",
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+        .select(col("doc_id"), col("cluster_id"), col("split")),
+      "doc_id")
+  }
+
   /** Mixture AUDIT: the release-note table for the temperature-flattened
     * mixture — per source, what actually survived sampling (docs, chars,
     * achieved ppm of the kept corpus) next to the rate that produced
@@ -1156,6 +1175,7 @@ object LlmOps {
     "x_dedup_eval"        -> (xDedupEval _),
     "x_quality_calibrate" -> (xQualityCalibrate _),
     "x_mixture_audit"     -> (xMixtureAudit _),
+    "x_split_leakage_safe" -> (xSplitLeakageSafe _),
     "x_corpus_pipeline"   -> (xCorpusPipeline _),
     "x_corpus_assembly"   -> (xCorpusAssembly _),
     "x_multimodal"        -> (xMultimodal _),
@@ -2142,6 +2162,26 @@ object LlmOps {
         |  FROM cand)
         |SELECT query_id, rank, nn_id, cos_sim FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    "x_split_leakage_safe" ->
+      s"""WITH RECURSIVE $lshPairsCte,
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |          UNION ALL SELECT d2 AS src, d1 AS dst FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |labels AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |           FROM reach GROUP BY src),
+         |f AS (SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+         |      FROM documents d LEFT JOIN labels l USING (doc_id)),
+         |s AS (SELECT doc_id, cluster_id,
+         |  CAST(CONCAT('0x', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |    / 4294967296.0 AS u
+         |  FROM f)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN u < 0.75 THEN 'train' WHEN u < 0.875 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM s ORDER BY doc_id""".stripMargin,
     "x_mixture_audit" ->
       """WITH bysrc AS (SELECT source, sum(n_chars) AS tot FROM documents GROUP BY 1),
         |nrm AS (SELECT list_reduce(

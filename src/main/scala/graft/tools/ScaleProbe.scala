@@ -135,7 +135,7 @@ object ScaleProbe {
       "q5_local_supplier", "x_vocab_coverage", "x_dedup_indoc",
       "x_dedup_keep_longest", "x_text_novelty", "x_ann_ivfpq",
       "q7_volume_shipping", "p11_variant_props", "x_quality_calibrate",
-      "x_mixture_audit")
+      "x_mixture_audit", "x_split_leakage_safe")
     // x_dedup_eval is deliberately NOT probed: its exact side is the
     // designed-quadratic x_dedup_ngram (already probed as the quadratic
     // reference) — the eval gate would just re-measure that growth.

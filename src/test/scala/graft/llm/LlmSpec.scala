@@ -1074,6 +1074,24 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("PQ tie-break: duplicate codebook entries always resolve to the " +
+       "lowest index") {
+    import spark.implicits._
+    // seeds (the 2 lowest ids) are IDENTICAL — every argmin ties and
+    // must take index 0 in every subspace, on every vector
+    val vecs = Seq(
+      (0L, Array(1.0f, 1.0f, 2.0f, 2.0f)),
+      (1L, Array(1.0f, 1.0f, 2.0f, 2.0f)),
+      (2L, Array(9.0f, -9.0f, 3.0f, 0.5f))).toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebook(vecs, m = 2, nbook = 2)
+    val codes = Similarity.pqEncode(vecs, cb, m = 2, nbook = 2)
+      .select("vec_id", "pq_codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1))
+    codes.foreach { case (id, cs) =>
+      assert(cs.forall(_ == 0), s"vec $id took a tied HIGHER index: $cs")
+    }
+  }
+
   test("IVF-PQ: every hit comes from a probed cluster; recall holds the " +
        "partition-pruned floor (sf0.01)") {
     val vecs = graft.Tables.embeddings(spark, sf("sf0.01"))

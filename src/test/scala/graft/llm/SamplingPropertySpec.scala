@@ -80,6 +80,38 @@ class SamplingPropertySpec extends SparkSpec {
       s"got $got")
   }
 
+  test("leakage-safe split: no near-dup cluster spans two splits, and " +
+       "both ends of every LSH pair share a split (sf0.001)") {
+    val rows = graft.queries.LlmOps.xSplitLeakageSafe(spark, sf("sf0.001"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+    val byDoc = rows.toMap
+    rows.groupBy(_._2._1).foreach { case (cid, ms) =>
+      assert(ms.map(_._2._2).toSet.size == 1,
+        s"cluster $cid spans splits ${ms.map(_._2._2).toSet}")
+    }
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    Dedup.minhashLshPairs(docs, 3, 0.8).select("d1", "d2").collect()
+      .foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        assert(byDoc(a)._2 == byDoc(b)._2,
+          s"near-dup pair ($a, $b) split across ${byDoc(a)._2}/${byDoc(b)._2}")
+      }
+  }
+
+  test("tokenBudgetSelect: a hot boundary value (half the corpus on one " +
+       "quality score) still cuts correctly in id order") {
+    import spark.implicits._
+    // 8 docs: 4 at the hot value 5, budget lands mid-value
+    val docs = (1L to 2L).map((_, 9L, 10L)) ++ (3L to 6L).map((_, 5L, 10L)) ++
+      (7L to 8L).map((_, 1L, 10L))
+    val got = Sampling.tokenBudgetSelect(docs.toDF("doc_id", "q", "toks"),
+        "doc_id", "q", "toks", 500000L) // budget = 40 of 80
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    // q=9 (20) fits; hot q=5 spends the last 20 on ids 3 and 4 only
+    assert(got == Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 1,
+      5L -> 0, 6L -> 0, 7L -> 0, 8L -> 0), s"got $got")
+  }
+
   test("tokenBudgetSelect on real signals: selection is the maximal " +
        "greedy prefix within budget (sf0.001)") {
     val docs = graft.Tables.documents(spark, sf("sf0.001"))
