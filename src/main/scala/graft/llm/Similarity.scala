@@ -410,6 +410,85 @@ object Similarity {
       vecs.join(assigned, idCol), "cluster_id")
   }
 
+  /** K-CENTER GREEDY (farthest-point) coreset selection — Gonzalez's
+    * 2-approximation for the k-center objective and the standard
+    * diversity-first data-pruning / active-learning selector ("k-center
+    * greedy" in Sener & Savarese 2018): start from the lowest-id vector,
+    * then repeatedly take the vector FARTHEST from everything selected
+    * so far (max over candidates of min over selected). Distances are
+    * integer squared-L2 over the int8 q8 codes — the same exactness
+    * trick as `kmeansAssign`, so every selection decision is integer
+    * arithmetic and the whole greedy trace is SQL-oracle-able (ties →
+    * lowest vec_id, matching the seed convention).
+    *
+    * Plan, sized for 100 TB: the selected set is k rows — it lives on
+    * the driver and enters each pass as LITERAL structs folded map-side
+    * (no join, no shuffle); each round is ONE corpus scan ending in one
+    * `max_by` aggregate (partials combine map-side, one row crosses to
+    * the driver per round). Total cost: k embarrassingly-parallel scans
+    * of the cached (id, q8) projection — the canonical distributed
+    * farthest-point sweep. For k beyond the literal-expression regime
+    * (~thousands) you batch rounds against a broadcast table instead;
+    * k here is a report-sized selection, not a partition. The code
+    * projection is persisted for the loop and unpersisted before
+    * returning. Returns (round, vec_id, dist2): the greedy trace, whose
+    * dist2 column is the k-center radius curve (dist2 of round r is the
+    * covering radius after r centers — the stopping diagnostic). */
+  def kCenterSelect(vecs: DataFrame, k: Int, idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1, "kCenterSelect: k must be >= 1")
+    val spark = vecs.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    val q = withQuantized(vecs)
+      .select(col(idCol).cast("long").as("__vid"), col("q8").as("__q8"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val first = q.orderBy(col("__vid")).limit(1).collect()
+      if (first.isEmpty) {
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("round",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("vec_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("dist2",
+              org.apache.spark.sql.types.LongType))))
+      }
+      val sel = scala.collection.mutable.ArrayBuffer[(Long, Seq[Int], Long)]()
+      sel += ((first.head.getLong(0), first.head.getSeq[Int](1), 0L))
+      while (sel.size < k) {
+        val selLit = array(sel.map { case (sid, code, _) =>
+          struct(array(code.map(c => lit(c)): _*).as("sq8"))
+        }.toSeq: _*)
+        // min over the selected literals of the integer squared-L2 fold
+        val md = aggregate(selLit, lit(Long.MaxValue),
+          (acc, s) => least(acc, aggregate(
+            zip_with(col("__q8"), s.getField("sq8"),
+              (a, b) => ((a - b) * (a - b)).cast("long")),
+            lit(0L), (dacc, v) => dacc + v)))
+        val picked = q
+          .filter(!col("__vid").isin(sel.map(_._1).toSeq: _*))
+          .select(max_by(struct(col("__vid"), col("__q8")),
+            struct(md, -col("__vid"))).as("__best"),
+            max(md).as("__md"))
+          .collect()
+        val row = picked.head
+        if (row.isNullAt(0)) return buildTrace(spark, sel.toSeq) // corpus exhausted
+        val best = row.getStruct(0)
+        sel += ((best.getLong(0), best.getSeq[Int](1), row.getLong(1)))
+      }
+      buildTrace(spark, sel.toSeq)
+    } finally q.unpersist()
+  }
+
+  private def buildTrace(spark: SparkSession,
+                         sel: Seq[(Long, Seq[Int], Long)]): DataFrame = {
+    import spark.implicits._
+    sel.zipWithIndex
+      .map { case ((vid, _, d), r) => (r.toLong, vid, d) }
+      .toDF("round", "vec_id", "dist2")
+  }
+
   /** Int8-quantized ANN: the memory-bound regime's search path — the
     * candidate pass scores every corpus row with an INTEGER dot product
     * over the 4×-smaller int8 codes (scaled back to approximate cosine

@@ -560,6 +560,171 @@ object TextAnalysis {
           .cast("long").as("n_tokens"))
   }
 
+  /** Content-defined chunking (the Rabin/Gear-CDC family, rolling-hash
+    * boundaries instead of fixed offsets — the storage-dedup convention
+    * LBFS/restic/borg use, here over TOKENS so corpus chunk-dedup
+    * survives insertions): a chunk boundary falls after token `i+g-1`
+    * whenever the hash of the g-token gram starting at `i` is ≡ 0
+    * (mod `modulus`), so boundary positions depend only on LOCAL
+    * content. Insert or delete a run of tokens and every chunk past the
+    * next surviving boundary is byte-identical again — fixed-window
+    * chunking (`chunkOverlap`) loses alignment at the edit and every
+    * downstream chunk changes. Expected chunk length ≈ `modulus`
+    * tokens; the final chunk always closes at the document end.
+    *
+    * Plan, sized for 100 TB: pure map-side array expressions — one
+    * tokenize per doc, gram hashes + boundary selection + chunk
+    * slicing all inside `transform`/`filter` on the token array, one
+    * posexplode; NO window, NO shuffle (spec-pinned Exchange-free).
+    * The 32-bit md5-prefix gram hash (`Dedup.h32`) is the repo's
+    * cross-engine hash, so boundaries — and therefore every chunk
+    * hash — are exactly SQL-oracle-able. (doc_id, chunk_idx) is a
+    * stable chunk key; `chunk_hash` is the content key a corpus-level
+    * chunk-dedup joins on. */
+  def chunkCdc(docs: DataFrame, grams: Int = 3, modulus: Int = 8,
+               idCol: String = "doc_id",
+               text: Column = col("text")): DataFrame = {
+    require(grams >= 1 && modulus >= 1, "chunkCdc: grams/modulus >= 1")
+    val toks = col("__toks")
+    val n = size(toks)
+    // chunk-end positions: every gram-start i (1-based, i ≤ n-g+1) with
+    // h32(gram) ≡ 0 (mod modulus) closes a chunk at i+g-1; the document
+    // end closes the last chunk. h32 is non-negative, so % is safe.
+    val innerEnds = transform(
+      filter(
+        transform(sequence(lit(1), n - lit(grams - 1)),
+          i => struct(
+            (Dedup.h32(concat_ws(" ", slice(toks, i, lit(grams)))) % modulus === 0).as("b"),
+            (i + lit(grams - 1)).cast("long").as("e"))),
+        s => s.getField("b")),
+      s => s.getField("e"))
+    val guarded = when(n >= grams, innerEnds)
+      .otherwise(array().cast("array<long>"))
+    docs
+      .select(col(idCol), tokens(text).as("__toks"))
+      .filter(n >= 1)
+      .withColumn("__ends",
+        when(try_element_at(guarded, lit(-1)) === n.cast("long"), guarded)
+          .otherwise(concat(guarded, array(n.cast("long")))))
+      .select(col(idCol), toks, posexplode(
+        transform(col("__ends"), (e, j) => struct(
+          j.cast("long").as("chunk_idx"),
+          when(j === 0, lit(1L))
+            .otherwise(element_at(col("__ends"), j) + 1L).as("start_pos"),
+          e.as("end_pos")))).as(Seq("__p", "__c")))
+      .select(col(idCol),
+        col("__c.chunk_idx"),
+        col("__c.start_pos"),
+        (col("__c.end_pos") - col("__c.start_pos") + 1L).as("n_tokens"),
+        concat_ws(" ", slice(toks,
+          col("__c.start_pos").cast("int"),
+          (col("__c.end_pos") - col("__c.start_pos") + 1L).cast("int")))
+          .as("chunk_text"))
+      .withColumn("chunk_hash", Dedup.h32(col("chunk_text")))
+      .drop("__toks")
+  }
+
+  /** Corpus-frequency boilerplate removal — the CCNet / RefinedWeb
+    * "most common paragraphs" filter: a line that appears in at least
+    * `thresholdPpm` (parts-per-million, integer-exact) of its SOURCE's
+    * documents is template chrome (header, footer, cookie banner), not
+    * content, and is stripped from every document while the remaining
+    * lines keep their order. Distinct from `Dedup.dedupLines` (which
+    * keeps the FIRST occurrence corpus-wide): boilerplate removal drops
+    * every occurrence, and the frequency test is per-source because
+    * chrome is per-site. "Lines" here are the repo's derived-line
+    * convention for the newline-free corpus — consecutive `lineTokens`-
+    * token blocks (`x_dedup_indoc` precedent); real corpora pass their
+    * own `split(text, '\n')` upstream.
+    *
+    * Plan, sized for 100 TB: line extraction is map-side; the document
+    * frequency is ONE (source, line)-keyed hash aggregate; the
+    * boilerplate set is by definition tiny (a line needs df ≥
+    * threshold·n_docs, so the set holds at most lines-per-doc /
+    * threshold entries per source) and BROADCASTS back; the rebuild is
+    * one doc-keyed aggregate. No corpus-wide sort, no self-join. */
+  def removeBoilerplate(docs: DataFrame, thresholdPpm: Long = 500000L,
+                        lineTokens: Int = 3, idCol: String = "doc_id",
+                        srcCol: String = "source",
+                        text: Column = col("text")): DataFrame = {
+    require(thresholdPpm >= 1 && lineTokens >= 1, "removeBoilerplate: args >= 1")
+    val toks = col("__toks")
+    val lines = docs
+      .select(col(idCol), col(srcCol), tokens(text).as("__toks"))
+      .filter(size(toks) >= 1)
+      .select(col(idCol), col(srcCol), posexplode(
+        transform(
+          sequence(lit(0), ceil(size(toks) / lit(lineTokens.toDouble)).cast("int") - 1),
+          j => concat_ws(" ", slice(toks, j * lineTokens + 1, lit(lineTokens)))))
+        .as(Seq("__pi", "__line")))
+    val nDocs = docs.groupBy(col(srcCol))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+    val bp = lines
+      .groupBy(col(srcCol), col("__line"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .join(broadcast(nDocs), srcCol)
+      .filter(col("__df") * 1000000L >= lit(thresholdPpm) * col("__nd"))
+      .select(col(srcCol).as("__bs"), col("__line").as("__bl"))
+    lines
+      .join(broadcast(bp),
+        col(srcCol) === col("__bs") && col("__line") === col("__bl"), "left")
+      .withColumn("__keep", col("__bl").isNull)
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("__keep"), struct(col("__pi").as("pi"), col("__line").as("line"))))),
+          s => s.getField("line"))).as("kept_text"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("kept_ct"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("removed_ct"))
+  }
+
+  /** Cross-source overlap matrix — the corpus-release report that answers
+    * "how much of source A's content also lives in source B" (the scaled
+    * cousin of benchmark decontamination: same n-gram machinery, source↔
+    * source instead of corpus↔eval-set). For every source pair that
+    * shares at least one distinct token `n`-gram: the shared distinct-
+    * gram count and both directed containments in integer ppm
+    * (shared/|grams(A)|, shared/|grams(B)|).
+    *
+    * Plan, sized for 100 TB: ONE gram-keyed distinct over (source, gram)
+    * — map-side combined, shuffle is vocabulary-sized; the pair
+    * expansion runs per gram over its sorted source set entirely
+    * map-side (bounded by |sources|² per gram, and |sources| is tens,
+    * not millions); the final aggregate's key space is |sources|² —
+    * driver-safe by construction. The corpus is never self-joined on
+    * doc granularity. */
+  def sourceOverlap(docs: DataFrame, n: Int = 3, srcCol: String = "source",
+                    text: Column = col("text")): DataFrame = {
+    require(n >= 1, "sourceOverlap: n >= 1")
+    val toks = col("__toks")
+    val grams = docs
+      .select(col(srcCol).as("__src"), tokens(text).as("__toks"))
+      .filter(size(toks) >= n)
+      .select(col("__src"), explode(
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))).as("__gram"))
+      .distinct()
+    val perSrc = grams.groupBy(col("__src"))
+      .agg(count(lit(1)).as("__n"))
+    val pairs = grams
+      .groupBy(col("__gram"))
+      .agg(array_sort(collect_set(col("__src"))).as("__ss"))
+      .select(explode(flatten(transform(col("__ss"), (a, i) =>
+        transform(slice(col("__ss"), i + lit(2), size(col("__ss"))),
+          b => struct(a.as("a"), b.as("b")))))).as("__p"))
+      .groupBy(col("__p.a").as("src_a"), col("__p.b").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(broadcast(perSrc.select(col("__src").as("__sa"), col("__n").as("n_a"))),
+        col("src_a") === col("__sa"))
+      .join(broadcast(perSrc.select(col("__src").as("__sb"), col("__n").as("n_b"))),
+        col("src_b") === col("__sb"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("shared"),
+        expr("shared * 1000000L div n_a").as("contain_a_ppm"),
+        expr("shared * 1000000L div n_b").as("contain_b_ppm"))
+  }
+
   /** Vocabulary coverage audit — the Zipf curve summary every corpus /
     * tokenizer report prints: for each budget k, how much of the
     * running text the k most frequent word types cover (Zipf's law says

@@ -1101,6 +1101,38 @@ object LlmOps {
       Multimodal.sampleFrames(documents(s, d)),
       "doc_id", "frame_idx")
 
+  /** Content-defined chunking (rolling-gram boundaries, mod-8 on the
+    * 3-gram h32 — expected ~8-token chunks): the insertion-robust chunk
+    * table whose chunk_hash column is the corpus chunk-dedup key.
+    * Map-side only — spec-pinned Exchange-free. */
+  def xChunkCdc(s: SparkSession, d: String): DataFrame =
+    ordered(TextAnalysis.chunkCdc(documents(s, d), grams = 3, modulus = 8),
+      "doc_id", "chunk_idx")
+
+  /** K-center greedy (farthest-point) coreset selection over the int8
+    * codes, k=8: the greedy trace (round, vec_id, dist2) — dist2 is the
+    * integer squared-L2 covering radius after each pick. */
+  def xCoresetKcenter(s: SparkSession, d: String): DataFrame =
+    ordered(Similarity.kCenterSelect(embeddings(s, d), k = 8), "round")
+
+  /** Corpus-frequency boilerplate removal at 50% per-source document
+    * frequency, over a derived corpus with a deterministic 3-token
+    * per-source header planted on every document (the newline-free
+    * fixture has no real chrome; the header IS one derived line, so the
+    * filter must find and strip exactly it — plus any true high-df
+    * collisions — in every document). */
+  def xBoilerplate(s: SparkSession, d: String): DataFrame = {
+    val planted = documents(s, d).select(col("doc_id"), col("source"),
+      concat(col("source"), lit(" bulletin notice "), col("text")).as("text"))
+    ordered(TextAnalysis.removeBoilerplate(planted), "doc_id")
+  }
+
+  /** Cross-source 3-gram overlap matrix: shared distinct grams + both
+    * directed containments (integer ppm) for every source pair. */
+  def xSourceOverlap(s: SparkSession, d: String): DataFrame =
+    ordered(TextAnalysis.sourceOverlap(documents(s, d), n = 3),
+      "src_a", "src_b")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_text_tokens"       -> (xTextTokens _),
     "x_text_quality"      -> (xTextQuality _),
@@ -1179,7 +1211,11 @@ object LlmOps {
     "x_corpus_pipeline"   -> (xCorpusPipeline _),
     "x_corpus_assembly"   -> (xCorpusAssembly _),
     "x_multimodal"        -> (xMultimodal _),
-    "x_frame_sample"      -> (xFrameSample _))
+    "x_frame_sample"      -> (xFrameSample _),
+    "x_chunk_cdc"         -> (xChunkCdc _),
+    "x_coreset_kcenter"   -> (xCoresetKcenter _),
+    "x_boilerplate"       -> (xBoilerplate _),
+    "x_source_overlap"    -> (xSourceOverlap _))
 
   private val toksSql =
     "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
@@ -2609,5 +2645,99 @@ object LlmOps {
         |  CAST(list_sum(list_transform(range(1, octet_length(encode(text)) + 1),
         |         i -> CAST(('0x' || substr(to_hex(encode(text)), 2*i-1, 2)) AS INT))) AS DOUBLE)
         |    / octet_length(encode(text)) AS mean_byte
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_chunk_cdc" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
+         |t AS (SELECT doc_id, ts, len(ts) AS n FROM toks WHERE len(ts) >= 1),
+         |g AS (SELECT doc_id, i + 2 AS e
+         |      FROM t, LATERAL (SELECT unnest(generate_series(1, n - 2)) AS i)
+         |      WHERE n >= 3
+         |        AND CAST(CONCAT('0x', substr(md5(array_to_string(ts[i:i+2], ' ')), 1, 8)) AS BIGINT) % 8 = 0),
+         |ends AS (SELECT doc_id, e FROM g UNION SELECT doc_id, n AS e FROM t),
+         |o AS (SELECT doc_id, e,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY e) - 1 AS ci,
+         |        lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY e) AS pe
+         |      FROM ends)
+         |SELECT o.doc_id, CAST(o.ci AS BIGINT) AS chunk_idx,
+         |  CAST(o.pe + 1 AS BIGINT) AS start_pos,
+         |  CAST(o.e - o.pe AS BIGINT) AS n_tokens,
+         |  array_to_string(t.ts[o.pe+1:o.e], ' ') AS chunk_text,
+         |  CAST(CONCAT('0x', substr(md5(array_to_string(t.ts[o.pe+1:o.e], ' ')), 1, 8)) AS BIGINT) AS chunk_hash
+         |FROM o JOIN t USING (doc_id)
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "x_coreset_kcenter" -> kcenterOracleSql,
+    "x_boilerplate" ->
+      s"""WITH d2 AS (SELECT doc_id, source,
+         |              source || ' bulletin notice ' || text AS text
+         |            FROM documents),
+         |t AS (SELECT doc_id, source, $toksSql AS ts FROM d2 WHERE len($toksSql) >= 1),
+         |l AS (SELECT doc_id, source, j AS pi,
+         |        array_to_string(ts[j*3+1:least(j*3+3, len(ts))], ' ') AS line
+         |      FROM t, LATERAL (SELECT unnest(generate_series(0,
+         |        CAST(ceil(len(ts) / 3.0) AS BIGINT) - 1)) AS j)),
+         |nd AS (SELECT source, count(DISTINCT doc_id) AS n_docs FROM d2 GROUP BY 1),
+         |df AS (SELECT source, line, count(DISTINCT doc_id) AS df FROM l GROUP BY 1, 2),
+         |bp AS (SELECT df.source, df.line FROM df JOIN nd USING (source)
+         |       WHERE df.df * 1000000 >= 500000 * nd.n_docs),
+         |k AS (SELECT l.doc_id, l.pi, l.line,
+         |        CASE WHEN bp.line IS NULL THEN 1 ELSE 0 END AS keep
+         |      FROM l LEFT JOIN bp ON l.source = bp.source AND l.line = bp.line)
+         |SELECT doc_id,
+         |  coalesce(string_agg(CASE WHEN keep = 1 THEN line END, ' ' ORDER BY pi), '') AS kept_text,
+         |  CAST(count(CASE WHEN keep = 1 THEN 1 END) AS BIGINT) AS kept_ct,
+         |  CAST(count(CASE WHEN keep = 0 THEN 1 END) AS BIGINT) AS removed_ct
+         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_source_overlap" ->
+      s"""WITH t AS (SELECT source, $toksSql AS ts FROM documents),
+         |g AS (SELECT DISTINCT source AS src, array_to_string(ts[i:i+2], ' ') AS gram
+         |      FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i)
+         |      WHERE len(ts) >= 3),
+         |ps AS (SELECT src, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1)
+         |SELECT a.src AS src_a, b.src AS src_b, pa.n AS n_a, pb.n AS n_b,
+         |  CAST(count(*) AS BIGINT) AS shared,
+         |  CAST(count(*) AS BIGINT) * 1000000 // pa.n AS contain_a_ppm,
+         |  CAST(count(*) AS BIGINT) * 1000000 // pb.n AS contain_b_ppm
+         |FROM g a JOIN g b ON a.gram = b.gram AND a.src < b.src
+         |JOIN ps pa ON pa.src = a.src JOIN ps pb ON pb.src = b.src
+         |GROUP BY a.src, b.src, pa.n, pb.n
+         |ORDER BY src_a, src_b""".stripMargin)
+
+  /** Unrolled k-center greedy oracle (k=8): s0 is the lowest-id vector;
+    * each round r joins the candidates against the union of the previous
+    * single-row picks, takes min integer squared-L2 over the selected
+    * q8 codes, and picks the (max md, min vec_id) argmax — exactly
+    * `Similarity.kCenterSelect`'s trace. Quantization CTE shared with
+    * the x_kmeans_* oracles. */
+  private lazy val kcenterOracleSql: String = {
+    val k = 8
+    val qz =
+      """c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |m AS (SELECT vec_id, e, list_max(list_transform(e, v -> abs(v))) AS amax FROM c),
+        |qz AS MATERIALIZED (SELECT vec_id,
+        |  CASE WHEN amax > 0 THEN list_transform(e, v -> CAST(round(v / amax * 127) AS BIGINT))
+        |       ELSE list_transform(e, v -> CAST(0 AS BIGINT)) END AS q8
+        |  FROM m)""".stripMargin
+    val dist =
+      "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(generate_series(1, len(q8)), i -> (q8[i] - sq8[i]) * (q8[i] - sq8[i]))), " +
+        "(x, y) -> x + y)"
+    // every per-round CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
+    // s_r references the whole s_0..s_{r-1} chain — un-materialized, the
+    // expansion is exponential in k (measured: minutes at k=8, ms with
+    // materialization)
+    val s0 = "s0 AS MATERIALIZED (SELECT vec_id, CAST(0 AS BIGINT) AS md FROM qz ORDER BY vec_id LIMIT 1)"
+    val steps = (1 until k).map { r =>
+      val selUnion = (0 until r).map(j => s"SELECT vec_id FROM s$j").mkString(" UNION ALL ")
+      s"""sel$r AS MATERIALIZED ($selUnion),
+         |d$r AS (SELECT a.vec_id, min($dist) AS md
+         |  FROM qz a CROSS JOIN (SELECT q8 AS sq8 FROM qz JOIN sel$r USING (vec_id)) b
+         |  WHERE a.vec_id NOT IN (SELECT vec_id FROM sel$r)
+         |  GROUP BY a.vec_id),
+         |s$r AS MATERIALIZED (SELECT vec_id, md FROM d$r ORDER BY md DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (0 until k)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS round, vec_id, md AS dist2 FROM s$r")
+      .mkString(" UNION ALL ")
+    s"WITH $qz,\n$s0,\n$steps\nSELECT round, vec_id, dist2 FROM ($out) ORDER BY round"
+  }
 }

@@ -360,6 +360,29 @@ object Relational {
     * already-small qualifying set (customer broadcast). Top-100 via
     * TakeOrderedAndProject — no global sort. Threshold 262 ≈ the
     * fixture's p99 per-order quantity. */
+  /** TPC-H Q13 shape ("customer distribution"): the histogram of how many
+    * customers placed 0, 1, 2, … qualifying orders. The defining subtlety
+    * is that the order predicate belongs to the OUTER join — pushed into a
+    * WHERE it would delete exactly the zero-order customers the histogram
+    * exists to count. Spark-first plan: aggregate orders FIRST (one
+    * shuffle on o_custkey, map-side combined), LEFT-join customers to the
+    * customer-sized count table (never to raw orders — the join carries
+    * one row per customer, not one per order), then the histogram is a
+    * second tiny aggregate over c_count. Ties in custdist are broken by
+    * the unique c_count key, so the output order is total. */
+  def q13CustomerDistribution(s: SparkSession, d: String): DataFrame = {
+    val cnt = orders(s, d)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("__n"))
+    customer(s, d).select(col("c_custkey"))
+      .join(cnt, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("__n"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
   def q18LargeOrders(s: SparkSession, d: String): DataFrame = {
     val qty = lineitem(s, d)
       .groupBy(col("l_orderkey"))
@@ -758,6 +781,7 @@ object Relational {
     "q5_local_supplier"    -> (q5LocalSupplierVolume _),
     "q7_volume_shipping"   -> (q7VolumeShipping _),
     "q18_large_orders"     -> (q18LargeOrders _),
+    "q13_customer_distribution" -> (q13CustomerDistribution _),
     "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
     "d1_scd2"              -> (d1Scd2 _),
     "d1_scd2_stream"       -> (d1Scd2Stream _),
@@ -945,6 +969,13 @@ object Relational {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_customer_distribution" ->
+      """WITH cnt AS (SELECT o_custkey, COUNT(*) AS n FROM orders
+        |            WHERE o_orderpriority <> '1-URGENT' GROUP BY 1)
+        |SELECT CAST(coalesce(n, 0) AS BIGINT) AS c_count,
+        |       CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM customer LEFT JOIN cnt ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q18_large_orders" ->
       """WITH q AS (SELECT l_orderkey,
         |             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty

@@ -135,7 +135,15 @@ object ScaleProbe {
       "q5_local_supplier", "x_vocab_coverage", "x_dedup_indoc",
       "x_dedup_keep_longest", "x_text_novelty", "x_ann_ivfpq",
       "q7_volume_shipping", "p11_variant_props", "x_quality_calibrate",
-      "x_mixture_audit", "x_split_leakage_safe")
+      "x_mixture_audit", "x_split_leakage_safe",
+      // round-9 third batch: CDC chunking is map-side by construction
+      // (probed to pin that it stays so); k-center is k bounded scans, so
+      // its ramp should track a plain corpus scan.
+      "x_chunk_cdc", "x_coreset_kcenter",
+      // boilerplate/overlap: line- and vocabulary-keyed aggregates whose
+      // outputs are threshold- and |sources|²-bounded; Q13: two scans,
+      // orders aggregated before the outer join.
+      "x_boilerplate", "x_source_overlap", "q13_customer_distribution")
     // x_dedup_eval is deliberately NOT probed: its exact side is the
     // designed-quadratic x_dedup_ngram (already probed as the quadratic
     // reference) — the eval gate would just re-measure that growth.

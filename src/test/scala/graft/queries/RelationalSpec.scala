@@ -49,6 +49,36 @@ class RelationalSpec extends SparkSpec {
     assert(df.collect().toSeq == brute, "window and join decorrelations must agree")
   }
 
+  test("q13: aggregated-orders shape equals the naive outer join; no customer is lost") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val df = Relational.q13CustomerDistribution(spark, dir)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every customer lands in exactly one bucket — the ON-clause filter
+    // must never delete zero-order customers (a WHERE-pushed filter would)
+    val nCust = graft.Tables.customer(spark, dir).count()
+    assert(rows.map(_._2).sum == nCust)
+    // shape equivalence: the textbook customer LEFT JOIN raw-orders form
+    // (one row per order through the join) must give the same histogram
+    // as the aggregate-first form the operator ships
+    val c = graft.Tables.customer(spark, dir).select("c_custkey")
+    val o = graft.Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT").select("o_custkey")
+    val naive = c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey")).agg(count(col("o_custkey")).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.toSet == naive, "aggregate-first must equal the naive outer-join shape")
+    // plan contract: each table scanned once; the outer join is against the
+    // customer-sized count table, not raw orders
+    // sparkPlan (pre-AQE): the executed plan's string repeats scans in its
+    // Initial/Final sections under adaptive execution
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 2,
+      s"each table scanned exactly once:\n$plan")
+    assert(plan.contains("LeftOuter"), s"outer join must survive optimization:\n$plan")
+  }
+
   test("q18: one fact shuffle serves predicate and output; top-100 is TakeOrdered") {
     val df = Relational.q18LargeOrders(spark, sf("sf0.001"))
     val plan = df.queryExecution.executedPlan.toString
