@@ -489,6 +489,73 @@ object Similarity {
       .toDF("round", "vec_id", "dist2")
   }
 
+  /** MAXIMAL MARGINAL RELEVANCE selection (Carbonell & Goldstein 1998) —
+    * the relevance-vs-redundancy greedy every diversified retrieval /
+    * training-subset selector uses: repeatedly take the candidate
+    * maximizing λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s). Fixed at
+    * λ = 1/2, where the argmax reduces to the INTEGER objective
+    * rel − max_sim over the int8 q8 codes (relevance = integer dot with
+    * the query's code, similarity = integer dot between codes), so —
+    * like `kCenterSelect`, whose driver-literal/one-aggregate-per-round
+    * plan this shares — the whole greedy trace is exact and
+    * SQL-oracle-able. The query is the lowest-id vector (deterministic
+    * stand-in for a caller-supplied query embedding); round 0 is the
+    * pure-relevance argmax over max_sim = 0. Ties → lowest vec_id.
+    * Returns (round, vec_id, rel, max_sim, score). */
+  def mmrSelect(vecs: DataFrame, k: Int, idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1, "mmrSelect: k must be >= 1")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    import graft.functions.VectorExpressions.intDotProduct
+    val q = withQuantized(vecs)
+      .select(col(idCol).cast("long").as("__vid"), col("q8").as("__q8"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val qrow = q.orderBy(col("__vid")).limit(1).collect()
+      if (qrow.isEmpty)
+        return Seq.empty[(Long, Long, Long, Long, Long)]
+          .toDF("round", "vec_id", "rel", "max_sim", "score")
+      val qCode = qrow.head.getSeq[Int](1)
+      val qLit = array(qCode.map(c => lit(c)): _*)
+      val rel = intDotProduct(col("__q8"), qLit)
+      val sel = scala.collection.mutable.ArrayBuffer[(Long, Seq[Int], Long, Long)]()
+      while (sel.size < k) {
+        val maxSim =
+          if (sel.isEmpty) lit(0L)
+          else aggregate(
+            array(sel.map { case (_, code, _, _) =>
+              struct(array(code.map(c => lit(c)): _*).as("sq8"))
+            }.toSeq: _*),
+            lit(Long.MinValue),
+            (acc, s) => greatest(acc, intDotProduct(col("__q8"), s.getField("sq8"))))
+        val score = rel - maxSim
+        val picked = q
+          .filter(if (sel.isEmpty) lit(true)
+                  else !col("__vid").isin(sel.map(_._1).toSeq: _*))
+          .select(max_by(struct(col("__vid"), col("__q8"), rel.as("__rel"),
+              maxSim.as("__ms")),
+            struct(score, -col("__vid"))).as("__best"))
+          .collect()
+        if (picked.isEmpty || picked.head.isNullAt(0)) {
+          return mmrTrace(spark, sel.toSeq) // corpus exhausted
+        }
+        val best = picked.head.getStruct(0)
+        sel += ((best.getLong(0), best.getSeq[Int](1),
+          best.getLong(2), best.getLong(3)))
+      }
+      mmrTrace(spark, sel.toSeq)
+    } finally q.unpersist()
+  }
+
+  private def mmrTrace(spark: SparkSession,
+                       sel: Seq[(Long, Seq[Int], Long, Long)]): DataFrame = {
+    import spark.implicits._
+    sel.zipWithIndex
+      .map { case ((vid, _, rel, ms), r) => (r.toLong, vid, rel, ms, rel - ms) }
+      .toDF("round", "vec_id", "rel", "max_sim", "score")
+  }
+
   /** Int8-quantized ANN: the memory-bound regime's search path — the
     * candidate pass scores every corpus row with an INTEGER dot product
     * over the 4×-smaller int8 codes (scaled back to approximate cosine

@@ -1133,6 +1133,44 @@ object LlmOps {
     ordered(TextAnalysis.sourceOverlap(documents(s, d), n = 3),
       "src_a", "src_b")
 
+  /** Maximal-marginal-relevance selection at λ=1/2 (integer objective
+    * rel − max_sim over q8 codes, query = lowest-id vector), k=8: the
+    * diversity-aware top-k trace. */
+  def xCoresetMmr(s: SparkSession, d: String): DataFrame =
+    ordered(Similarity.mmrSelect(embeddings(s, d), k = 8), "round")
+
+  /** Rank-biased overlap (Webber et al. 2010) between the BM25 top-25
+    * and the vector top-25 — the standard top-weighted agreement measure
+    * between two rankings (here: how much the lexical and semantic
+    * retrievers agree, the audit published next to an RRF fusion). Per
+    * depth d: the integer overlap |S_:d ∩ T_:d| (an item counts from
+    * depth max(rank_S, rank_T) on), agreement in integer ppm, and the
+    * truncated RBO prefix sum at p=1/2 — every p^d is an exact dyadic
+    * double and the running sum is ordered by depth, so the rounded
+    * score is engine-stable. All work after the two (already-gated)
+    * top-k lists is on ≤25-row tables — bounded at any corpus scale. */
+  def xRankRbo(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val text = TextAnalysis.bm25TopK(documents(s, d), bm25Terms, k = 25)
+      .select(col("doc_id"), col("rank").as("__rt"))
+    val vecs = embeddings(s, d)
+    val vec = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), k = 25)
+      .select(col("nn_id").as("doc_id"), col("rank").as("__rv"))
+    val m = text.join(vec, Seq("doc_id"))
+      .select(greatest(col("__rt"), col("__rv")).as("__m"))
+    val depths = s.range(1, 26).select(col("id").as("depth"))
+    val ov = depths.join(broadcast(m), col("__m") <= col("depth"), "left")
+      .groupBy(col("depth")).agg(count(col("__m")).as("overlap"))
+    val w = Window.orderBy(col("depth")).rowsBetween(Window.unboundedPreceding, 0)
+    ordered(
+      ov.withColumn("agree_ppm", expr("overlap * 1000000L div depth"))
+        .withColumn("__term",
+          col("overlap").cast("double") / col("depth") * pow(lit(0.5), col("depth")))
+        .withColumn("rbo_trunc", round(sum(col("__term")).over(w), 6))
+        .drop("__term"),
+      "depth")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_text_tokens"       -> (xTextTokens _),
     "x_text_quality"      -> (xTextQuality _),
@@ -1215,7 +1253,9 @@ object LlmOps {
     "x_chunk_cdc"         -> (xChunkCdc _),
     "x_coreset_kcenter"   -> (xCoresetKcenter _),
     "x_boilerplate"       -> (xBoilerplate _),
-    "x_source_overlap"    -> (xSourceOverlap _))
+    "x_source_overlap"    -> (xSourceOverlap _),
+    "x_coreset_mmr"       -> (xCoresetMmr _),
+    "x_rank_rbo"          -> (xRankRbo _))
 
   private val toksSql =
     "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
@@ -2700,7 +2740,74 @@ object LlmOps {
          |FROM g a JOIN g b ON a.gram = b.gram AND a.src < b.src
          |JOIN ps pa ON pa.src = a.src JOIN ps pb ON pb.src = b.src
          |GROUP BY a.src, b.src, pa.n, pb.n
-         |ORDER BY src_a, src_b""".stripMargin)
+         |ORDER BY src_a, src_b""".stripMargin,
+    "x_coreset_mmr" -> mmrOracleSql,
+    "x_rank_rbo" ->
+      s"""WITH $bm25ScoredCte,
+         |ttop AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_text
+         |  FROM scored ORDER BY score DESC, doc_id LIMIT 25),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+         |vsc AS (SELECT c.vec_id AS doc_id,
+         |    round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), q.qe), 6) AS cs
+         |  FROM embeddings c CROSS JOIN q WHERE c.vec_id <> 0),
+         |vtop AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY cs DESC, doc_id) AS BIGINT) AS rank_vec
+         |  FROM vsc ORDER BY cs DESC, doc_id LIMIT 25),
+         |b AS (SELECT tt.doc_id, greatest(tt.rank_text, vt.rank_vec) AS m
+         |      FROM ttop tt JOIN vtop vt ON tt.doc_id = vt.doc_id),
+         |dep AS (SELECT unnest(generate_series(1, 25)) AS depth),
+         |ov AS (SELECT depth, count(b.m) AS overlap
+         |       FROM dep LEFT JOIN b ON b.m <= dep.depth GROUP BY 1)
+         |SELECT CAST(depth AS BIGINT) AS depth, CAST(overlap AS BIGINT) AS overlap,
+         |  CAST(overlap AS BIGINT) * 1000000 // depth AS agree_ppm,
+         |  round(sum(overlap / depth * power(0.5, depth))
+         |    OVER (ORDER BY depth ROWS UNBOUNDED PRECEDING), 6) AS rbo_trunc
+         |FROM ov ORDER BY depth""".stripMargin)
+
+  /** Unrolled MMR oracle (k=8, λ=1/2 so the objective is the integer
+    * rel − max_sim): same MATERIALIZED-CTE discipline as the k-center
+    * oracle (plain CTEs inline exponentially across the round chain).
+    * `rels` carries each candidate's integer relevance to the lowest-id
+    * query vector once; each round takes max similarity to the selected
+    * codes and the (score desc, vec_id) argmax. */
+  private lazy val mmrOracleSql: String = {
+    val k = 8
+    val qz =
+      """c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |m AS (SELECT vec_id, e, list_max(list_transform(e, v -> abs(v))) AS amax FROM c),
+        |qz AS MATERIALIZED (SELECT vec_id,
+        |  CASE WHEN amax > 0 THEN list_transform(e, v -> CAST(round(v / amax * 127) AS BIGINT))
+        |       ELSE list_transform(e, v -> CAST(0 AS BIGINT)) END AS q8
+        |  FROM m),
+        |qc AS MATERIALIZED (SELECT q8 AS qcode FROM qz ORDER BY vec_id LIMIT 1),
+        |rels AS MATERIALIZED (SELECT vec_id, q8,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(generate_series(1, len(q8)), i -> q8[i] * qcode[i])),
+        |    (x, y) -> x + y) AS rel
+        |  FROM qz CROSS JOIN qc)""".stripMargin
+    val sim =
+      "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(generate_series(1, len(q8)), i -> q8[i] * sq8[i])), " +
+        "(x, y) -> x + y)"
+    val s0 = "s0 AS MATERIALIZED (SELECT vec_id, rel, CAST(0 AS BIGINT) AS ms " +
+      "FROM rels ORDER BY rel DESC, vec_id LIMIT 1)"
+    val steps = (1 until k).map { r =>
+      val selUnion = (0 until r).map(j => s"SELECT vec_id FROM s$j").mkString(" UNION ALL ")
+      s"""sel$r AS MATERIALIZED ($selUnion),
+         |d$r AS (SELECT a.vec_id, a.rel, max($sim) AS ms
+         |  FROM rels a CROSS JOIN (SELECT q8 AS sq8 FROM qz JOIN sel$r USING (vec_id)) b
+         |  WHERE a.vec_id NOT IN (SELECT vec_id FROM sel$r)
+         |  GROUP BY a.vec_id, a.rel),
+         |s$r AS MATERIALIZED (SELECT vec_id, rel, ms FROM d$r
+         |  ORDER BY rel - ms DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (0 until k)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS round, vec_id, rel, ms AS max_sim, " +
+        s"rel - ms AS score FROM s$r")
+      .mkString(" UNION ALL ")
+    s"WITH $qz,\n$s0,\n$steps\nSELECT round, vec_id, rel, max_sim, score FROM ($out) ORDER BY round"
+  }
 
   /** Unrolled k-center greedy oracle (k=8): s0 is the lowest-id vector;
     * each round r joins the candidates against the union of the previous

@@ -143,7 +143,10 @@ object ScaleProbe {
       // boilerplate/overlap: line- and vocabulary-keyed aggregates whose
       // outputs are threshold- and |sources|²-bounded; Q13: two scans,
       // orders aggregated before the outer join.
-      "x_boilerplate", "x_source_overlap", "q13_customer_distribution")
+      "x_boilerplate", "x_source_overlap", "q13_customer_distribution",
+      // MMR: k bounded scans like k-center; RBO: bounded ≤25-row algebra
+      // after the two already-probed top-k retrievers.
+      "x_coreset_mmr", "x_rank_rbo")
     // x_dedup_eval is deliberately NOT probed: its exact side is the
     // designed-quadratic x_dedup_ngram (already probed as the quadratic
     // reference) — the eval gate would just re-measure that growth.

@@ -105,6 +105,43 @@ class CdcCoresetSpec extends SparkSpec {
     assert(radii.zip(radii.drop(1)).forall { case (a, b) => b <= a })
   }
 
+  test("mmrSelect: greedy trace matches an independent in-memory reference; round 0 is pure relevance") {
+    val vecs = graft.Tables.embeddings(spark, sf("sf0.001"))
+    val got = Similarity.mmrSelect(vecs, k = 8)
+      .orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val raw = vecs.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+      .sortBy(_._1)
+    def q8(v: Seq[Double]): Array[Long] = {
+      val amax = v.map(math.abs).max
+      if (amax > 0)
+        v.map(x => BigDecimal(x / amax * 127)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray
+      else Array.fill(v.size)(0L)
+    }
+    val codes = raw.map { case (id, v) => id -> q8(v) }.toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val qCode = codes(raw.head._1)
+    var selected = Vector.empty[Long]
+    var expect = Vector.empty[(Long, Long, Long, Long, Long)]
+    while (selected.size < 8) {
+      val cand = raw.filterNot(r => selected.contains(r._1)).map { case (id, _) =>
+        val rel = dot(codes(id), qCode)
+        val ms = if (selected.isEmpty) 0L
+                 else selected.map(s => dot(codes(id), codes(s))).max
+        (id, rel, ms, rel - ms)
+      }
+      val (bid, brel, bms, bscore) = cand.maxBy { case (id, _, _, sc) => (sc, -id) }
+      expect :+= ((selected.size.toLong, bid, brel, bms, bscore))
+      selected :+= bid
+    }
+    assert(got.toSeq == expect, s"MMR trace mismatch:\n got=${got.toSeq}\n exp=$expect")
+    // round 0 is the pure-relevance argmax (max_sim pinned to 0)
+    assert(got.head._4 == 0L)
+  }
+
   test("kCenterSelect: k past the corpus size returns the full corpus and leaves no cache behind") {
     import spark.implicits._
     val tiny = Seq(
