@@ -1139,6 +1139,36 @@ object LlmOps {
   def xCoresetMmr(s: SparkSession, d: String): DataFrame =
     ordered(Similarity.mmrSelect(embeddings(s, d), k = 8), "round")
 
+  /** IVF index maintenance — the incremental-ingest half of ANN ops: NEW
+    * vectors (a derived delta set: shifted ids, reversed embeddings —
+    * deterministic and distinct, the snapshot-diff convention) are
+    * assigned to the EXISTING centroids, which are never recomputed from
+    * base+delta. That is the production contract: an index absorbs
+    * deltas between periodic rebuilds, so assignment must depend only on
+    * the frozen seed set (re-seeding would silently reshuffle every
+    * existing cluster id). One broadcast of the 16 seeds + one map-side
+    * argmax scan over the delta — the delta never joins the base corpus.
+    * Output: each new vector's cluster plus per-cluster base/delta
+    * counts (the growth report that schedules the next rebuild). */
+  def xAnnAssignNew(s: SparkSession, d: String): DataFrame = {
+    val vecs = embeddings(s, d)
+    val seeds = Similarity.ivfSeedCentroids(s, vecs, nlist = 16)
+    val delta = vecs.select((col("vec_id") + 10000000L).as("vec_id"),
+      reverse(col("embedding")).as("embedding"))
+    val assigned = Similarity.ivfAssignSeeds(s, delta, seeds)
+      .select(col("vec_id"), col("cluster"))
+    val base = Similarity.ivfAssignSeeds(s, vecs, seeds)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("base_ct"))
+    val growth = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("delta_ct"))
+    ordered(
+      assigned
+        .join(broadcast(base), Seq("cluster"), "left")
+        .join(broadcast(growth), Seq("cluster"), "left")
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+          coalesce(col("base_ct"), lit(0L)).as("base_ct"), col("delta_ct")),
+      "vec_id")
+  }
+
   /** Rank-biased overlap (Webber et al. 2010) between the BM25 top-25
     * and the vector top-25 — the standard top-weighted agreement measure
     * between two rankings (here: how much the lexical and semantic
@@ -1255,7 +1285,8 @@ object LlmOps {
     "x_boilerplate"       -> (xBoilerplate _),
     "x_source_overlap"    -> (xSourceOverlap _),
     "x_coreset_mmr"       -> (xCoresetMmr _),
-    "x_rank_rbo"          -> (xRankRbo _))
+    "x_rank_rbo"          -> (xRankRbo _),
+    "x_ann_assign_new"    -> (xAnnAssignNew _))
 
   private val toksSql =
     "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
@@ -2763,7 +2794,23 @@ object LlmOps {
          |  CAST(overlap AS BIGINT) * 1000000 // depth AS agree_ppm,
          |  round(sum(overlap / depth * power(0.5, depth))
          |    OVER (ORDER BY depth ROWS UNBOUNDED PRECEDING), 6) AS rbo_trunc
-         |FROM ov ORDER BY depth""".stripMargin)
+         |FROM ov ORDER BY depth""".stripMargin,
+    "x_ann_assign_new" ->
+      s"""WITH $ivfAssignCte,
+         |delta AS (SELECT vec_id + 10000000 AS vec_id, list_reverse(e) AS e FROM c),
+         |dassign AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT dl.vec_id, s.cluster,
+         |           row_number() OVER (PARTITION BY dl.vec_id
+         |             ORDER BY round(list_cosine_similarity(dl.e, s.se), 6) DESC, s.cluster) AS rn
+         |    FROM delta dl CROSS JOIN seeds s) WHERE rn = 1),
+         |base AS (SELECT cluster, CAST(count(*) AS BIGINT) AS base_ct FROM assign GROUP BY 1),
+         |growth AS (SELECT cluster, CAST(count(*) AS BIGINT) AS delta_ct FROM dassign GROUP BY 1)
+         |SELECT da.vec_id, CAST(da.cluster AS BIGINT) AS cluster,
+         |       COALESCE(b.base_ct, 0) AS base_ct, g.delta_ct
+         |FROM dassign da LEFT JOIN base b ON da.cluster = b.cluster
+         |LEFT JOIN growth g ON da.cluster = g.cluster
+         |ORDER BY da.vec_id""".stripMargin)
 
   /** Unrolled MMR oracle (k=8, λ=1/2 so the objective is the integer
     * rel − max_sim): same MATERIALIZED-CTE discipline as the k-center
