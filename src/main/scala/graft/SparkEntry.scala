@@ -21,6 +21,7 @@ object SparkEntry {
       graft.queries.Stateful.queries ++
       graft.queries.Plumbing.queries ++
       graft.queries.Windows.queries ++
+      graft.queries.TpchSuite.queries ++
       graft.queries.LlmOps.queries
 
   def oracleSql: Map[String, String] =
@@ -29,5 +30,6 @@ object SparkEntry {
       graft.queries.Stateful.oracle ++
       graft.queries.Plumbing.oracle ++
       graft.queries.Windows.oracle ++
+      graft.queries.TpchSuite.oracle ++
       graft.queries.LlmOps.oracle
 }
