@@ -936,4 +936,48 @@ object Dedup {
         coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
         coalesce(col("dup_chars"), lit(0L)).cast("long").as("dup_chars"))
   }
+
+  /** Sorted-neighborhood near-dup pair discovery (Hernández & Stolfo
+    * 1995) — the third scale path next to banding (MinHash-LSH) and
+    * prefix filtering: sort the corpus on a content key so near-dups
+    * land adjacent, then compare only documents within `window` ranks
+    * of each other. Cost is one sort + |corpus|·window comparisons —
+    * no candidate blow-up on hot grams, which is exactly the regime
+    * where banding floods (the simhash round-7 lesson).
+    *
+    * Spark-first rendering: the sort is NOT a global row_number (a
+    * single-partition window is the anti-pattern at 100 TB). The key's
+    * leading characters form a BLOCK; ranks are per-block windows
+    * (partitionBy(block) — distributed), and neighbors are found by a
+    * (block, rank)-keyed self-join on rank offsets 1..window, carrying
+    * the distinct-token arrays so the Jaccard verify is map-side.
+    * Near-dup pairs straddling a block boundary are the documented
+    * miss — the standard multi-pass answer (re-run with a second key)
+    * is composition, not new machinery. Output: (d1, d2, jaccard)
+    * with d1 < d2, same schema as the other pair emitters. */
+  def sortedNeighborhoodPairs(docs: DataFrame, window: Int = 4,
+                              blockChars: Int = 4,
+                              threshold: Double = 0.5): DataFrame = {
+    require(window >= 1 && blockChars >= 1)
+    val keyed = docs
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("ts"),
+        concat_ws(" ", tokens(col("text"))).as("__key"))
+      .withColumn("__block", substring(col("__key"), 1, blockChars))
+    val w = Window.partitionBy(col("__block"))
+      .orderBy(col("__key"), col("doc_id"))
+    val ranked = keyed.withColumn("__rank", row_number().over(w))
+      .select(col("doc_id"), col("ts"), col("__block"), col("__rank"))
+    val right = ranked.select(col("doc_id").as("__d2"), col("ts").as("__ts2"),
+      col("__block"), col("__rank").as("__rank2"))
+    ranked.join(right,
+        ranked("__block") === right("__block") &&
+          col("__rank2") > col("__rank") &&
+          col("__rank2") <= col("__rank") + window)
+      .withColumn("__i", size(array_intersect(col("ts"), col("__ts2"))))
+      .withColumn("jaccard",
+        col("__i") / (size(col("ts")) + size(col("__ts2")) - col("__i")))
+      .filter(col("jaccard") >= threshold)
+      .select(least(col("doc_id"), col("__d2")).as("d1"),
+        greatest(col("doc_id"), col("__d2")).as("d2"), col("jaccard"))
+  }
 }

@@ -307,6 +307,52 @@ object TextAnalysis {
           graft.functions.TopKAgg.topK(lit(0.0), col("doc_id"), cap),
           x => x.getField("id").cast("string"))).as("postings"))
 
+  /** Positional postings (term, doc_id, pos) — the index face that
+    * serves PHRASE queries, which the doc-level `invertedIndex` cannot
+    * (it proves co-occurrence, not adjacency). One tokenize +
+    * posexplode pass, no shuffle; at corpus scale this is the
+    * materialized table a search tier builds once and every phrase
+    * query reads term-pruned. */
+  def positionalIndex(docs: DataFrame, idCol: String = "doc_id",
+                      text: Column = col("text")): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      posexplode(tokens(text)).as(Seq("pos", "term")))
+
+  /** Exact phrase search over the positional index: a document matches
+    * at start position p iff term_i sits at p+i for every i. Classic
+    * IR positional-intersection plan, Spark-first:
+    *   - postings are pruned to the phrase's terms FIRST (one tokenize
+    *     scan; `isin` pushes into the generate), then eagerly
+    *     checkpointed so the k-way self-intersection reads the small
+    *     pruned table k times instead of re-tokenizing the corpus;
+    *   - each conjunct is an equi-join on (doc_id, pos−i) — offset
+    *     normalization turns adjacency into plain key equality, so
+    *     every join is a hash join on the same key pair and AQE can
+    *     chain them without a sort;
+    *   - at 100 TB the pruned postings of rare terms broadcast; the
+    *     stop-word-leading phrase is the documented adversary (its t0
+    *     posting list is corpus-sized) — production orders conjuncts
+    *     rarest-first, which this plan permits since offset
+    *     normalization makes the joins commutative.
+    * Returns (doc_id, n_hits, first_pos) per matching document. */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String],
+                   idCol: String = "doc_id"): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch: empty phrase")
+    val pruned = positionalIndex(docs, idCol)
+      .filter(col("term").isin(phrase.distinct: _*))
+      .localCheckpoint(true)
+    val t0 = pruned.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    val aligned = phrase.zipWithIndex.tail.foldLeft(t0) { case (acc, (t, i)) =>
+      acc.join(
+        pruned.filter(col("term") === t)
+          .select(col("doc_id"), (col("pos") - i).as("pos")),
+        Seq("doc_id", "pos"))
+    }
+    aligned.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("pos")).as("first_pos"))
+  }
+
   /** Text canonicalization for dedup/hashing: Unicode NFC composition
     * (via the native `NfcNormalize` codegen expression — decomposed
     * "e"+U+0301 and composed "é" become byte-identical), lowercasing,

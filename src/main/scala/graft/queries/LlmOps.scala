@@ -675,6 +675,26 @@ object LlmOps {
       TextAnalysis.invertedIndex(documents(s, d), "doc_id", cap = 32),
       "term")
 
+  /** Phrase search via the positional index: docs containing the exact
+    * phrase "key scan" — postings pruned to the phrase's terms in one
+    * tokenize pass, adjacency as (doc_id, pos−i) equi-joins (offset
+    * normalization), per-doc hit count + first position. */
+  def xSearchPhrase(s: SparkSession, d: String): DataFrame =
+    ordered(
+      TextAnalysis.phraseSearch(documents(s, d), Seq("key", "scan"))
+        .select(col("doc_id"), col("n_hits"),
+          col("first_pos").cast("long").as("first_pos")),
+      "doc_id")
+
+  /** Sorted-neighborhood near-dup pairs: block on the leading 4 key
+    * chars, rank within block, compare ranks ≤4 apart — |corpus|·w
+    * comparisons, no hot-gram candidate blow-up. */
+  def xDedupSnm(s: SparkSession, d: String): DataFrame =
+    ordered(
+      Dedup.sortedNeighborhoodPairs(documents(s, d), window = 4,
+        blockChars = 4, threshold = 0.7),
+      "d1", "d2")
+
   /** Length-curriculum binning: 4 equal-population stages cut at exact
     * token-count quartiles (dyadic fractions over integral values =
     * bit-exact cuts), bin decided map-side. */
@@ -1286,7 +1306,9 @@ object LlmOps {
     "x_source_overlap"    -> (xSourceOverlap _),
     "x_coreset_mmr"       -> (xCoresetMmr _),
     "x_rank_rbo"          -> (xRankRbo _),
-    "x_ann_assign_new"    -> (xAnnAssignNew _))
+    "x_ann_assign_new"    -> (xAnnAssignNew _),
+    "x_search_phrase"     -> (xSearchPhrase _),
+    "x_dedup_snm"         -> (xDedupSnm _))
 
   private val toksSql =
     "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
@@ -2810,7 +2832,32 @@ object LlmOps {
          |       COALESCE(b.base_ct, 0) AS base_ct, g.delta_ct
          |FROM dassign da LEFT JOIN base b ON da.cluster = b.cluster
          |LEFT JOIN growth g ON da.cluster = g.cluster
-         |ORDER BY da.vec_id""".stripMargin)
+         |ORDER BY da.vec_id""".stripMargin,
+    "x_search_phrase" ->
+      s"""WITH p AS (SELECT doc_id, unnest($toksSql) AS term,
+         |                  unnest(range(0, len($toksSql))) AS pos FROM documents),
+         |t0 AS (SELECT doc_id, pos FROM p WHERE term = 'key'),
+         |t1 AS (SELECT doc_id, pos - 1 AS pos FROM p WHERE term = 'scan'),
+         |m AS (SELECT t0.doc_id, t0.pos FROM t0
+         |      JOIN t1 ON t0.doc_id = t1.doc_id AND t0.pos = t1.pos)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+         |       CAST(MIN(pos) AS BIGINT) AS first_pos
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_dedup_snm" ->
+      s"""WITH k AS (SELECT doc_id, list_distinct($toksSql) AS ts,
+         |                  array_to_string($toksSql, ' ') AS key FROM documents),
+         |r AS (SELECT doc_id, ts, substr(key, 1, 4) AS block,
+         |        row_number() OVER (PARTITION BY substr(key, 1, 4)
+         |                           ORDER BY key, doc_id) AS rank
+         |      FROM k),
+         |pr AS (SELECT a.doc_id AS da, b.doc_id AS db, a.ts AS tsa, b.ts AS tsb
+         |       FROM r a JOIN r b ON a.block = b.block
+         |         AND b.rank > a.rank AND b.rank <= a.rank + 4),
+         |j AS (SELECT da, db, len(list_intersect(tsa, tsb)) AS i,
+         |             len(tsa) AS sa, len(tsb) AS sb FROM pr)
+         |SELECT LEAST(da, db) AS d1, GREATEST(da, db) AS d2,
+         |       i / (sa + sb - i) AS jaccard
+         |FROM j WHERE i / (sa + sb - i) >= 0.7 ORDER BY d1, d2""".stripMargin)
 
   /** Unrolled MMR oracle (k=8, λ=1/2 so the objective is the integer
     * rel − max_sim): same MATERIALIZED-CTE discipline as the k-center

@@ -1,0 +1,81 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Phrase search (positional index) and sorted-neighborhood dedup. */
+class SearchSnmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("phraseSearch equals the direct array-scan definition (sf0.001, 2- and 3-token phrases)") {
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    for (phrase <- Seq(Seq("key", "scan"), Seq("the", "key", "scan"))) {
+      // independent definition: slide over the token array itself
+      val n = phrase.length
+      val direct = docs
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= n)
+        .select(col("doc_id"), posexplode(
+          transform(sequence(lit(1), size(col("ts")) - (n - 1)),
+            i => concat_ws(" ", slice(col("ts"), i, lit(n))))))
+        .filter(col("col") === phrase.mkString(" "))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"), min(col("pos")).as("first_pos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val viaIndex = TextAnalysis.phraseSearch(docs, phrase)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(viaIndex == direct, s"phrase $phrase: index path must equal array scan")
+    }
+  }
+
+  test("phraseSearch: absent phrase yields empty, single-term phrase counts occurrences") {
+    val docs = Seq((1L, "a b c a b"), (2L, "c c c")).toDF("doc_id", "text")
+    assert(TextAnalysis.phraseSearch(docs, Seq("zebra")).count() == 0)
+    val single = TextAnalysis.phraseSearch(docs, Seq("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(single == Map(1L -> 1L, 2L -> 3L))
+    val multi = TextAnalysis.phraseSearch(docs, Seq("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(multi == Set((1L, 2L, 0)))
+    intercept[IllegalArgumentException](
+      TextAnalysis.phraseSearch(docs, Seq.empty))
+  }
+
+  test("SNM finds adjacent planted near-dups and respects the rank window") {
+    // five docs: 0 and 1 near-identical (sort adjacent), 4 identical to 0
+    // but with a different leading token (different block — documented miss)
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon eta"),
+      (2L, "omicron pi rho sigma tau upsilon"),
+      (3L, "omicron pi rho sigma tau phi"),
+      (4L, "zzz beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val pairs = Dedup.sortedNeighborhoodPairs(docs, window = 4,
+      blockChars = 4, threshold = 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "adjacent near-dup pair must be found")
+    assert(pairs.contains((2L, 3L)), "second block's pair must be found")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "cross-block near-dup is the documented miss")
+    // jaccard values are exact: 5 shared of 7 distinct-union = 5/7
+    val j = Dedup.sortedNeighborhoodPairs(docs, 4, 4, 0.5)
+      .filter(col("d1") === 0L && col("d2") === 1L)
+      .head().getAs[Double]("jaccard")
+    assert(j == 5.0 / 7.0)
+  }
+
+  test("SNM plan: per-block window (no single-partition global sort), one self-join") {
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    val df = Dedup.sortedNeighborhoodPairs(docs, window = 4)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"ranking must be a window:\n$plan")
+    assert(plan.contains("partitionBy" ) || plan.contains("__block"),
+      s"window must partition by the block key, not run globally:\n$plan")
+    // no global Exchange SinglePartition feeding a Window
+    val lines = plan.linesIterator.toVector
+    val singleIdx = lines.indexWhere(_.contains("Exchange SinglePartition"))
+    assert(singleIdx == -1 ||
+      !lines.take(singleIdx).reverse.headOption.exists(_.contains("Window")),
+      s"no single-partition window allowed:\n$plan")
+  }
+}
