@@ -150,6 +150,28 @@ object Stats {
         coalesce(col("o_orderpriority"), lit("")))
   }
 
+  /** A6c: explicit GROUPING SETS — an ARBITRARY set combination
+    * ((status, priority), (priority), ()) that is neither a rollup
+    * prefix chain nor the full cube lattice, proving the general
+    * grouping-sets machinery (one Expand pass replicating each input
+    * row once per set, a single hash aggregate — never one scan per
+    * set). Same engine-independent null-order discipline as A6/A6b:
+    * gid first, coalesced group keys after. */
+  def a6cGroupingSets(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+      .withColumn("cents", (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+    o.groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("int").as("gid"), count(lit(1)).as("ct"),
+        sum(col("cents")).as("cents_sum"))
+      .select(col("gid"), col("o_orderstatus"), col("o_orderpriority"),
+        col("ct"), col("cents_sum"))
+      .orderBy(col("gid"), coalesce(col("o_orderstatus"), lit("")),
+        coalesce(col("o_orderpriority"), lit("")))
+  }
+
   /** A7: PIVOT — event counts per user × event type as columns (the
     * wide-table rendering of A5). Value list is explicit, so the plan is
     * a single hash-agg with one conditional-count column per type — no
@@ -704,6 +726,7 @@ object Stats {
     "a5_distinct_sets"  -> (a5DistinctSets _),
     "a6_rollup"         -> (a6Rollup _),
     "a6b_cube"          -> (a6bCube _),
+    "a6c_grouping_sets" -> (a6cGroupingSets _),
     "a7_pivot"          -> (a7Pivot _),
     "a8_percentiles"    -> (a8Percentiles _),
     "a8_percentiles_approx" -> (a8PercentilesApprox _),
@@ -832,6 +855,13 @@ object Stats {
         |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents_sum
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, COALESCE(o_orderstatus, ''), COALESCE(o_orderpriority, '')""".stripMargin,
+    "a6c_grouping_sets" ->
+      """SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+        |  o_orderstatus, o_orderpriority, COUNT(*) AS ct,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents_sum
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
         |ORDER BY gid, COALESCE(o_orderstatus, ''), COALESCE(o_orderpriority, '')""".stripMargin,
     "a6_rollup" ->
       """SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,

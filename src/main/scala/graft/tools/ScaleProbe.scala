@@ -146,7 +146,20 @@ object ScaleProbe {
       "x_boilerplate", "x_source_overlap", "q13_customer_distribution",
       // MMR: k bounded scans like k-center; RBO: bounded ≤25-row algebra
       // after the two already-probed top-k retrievers.
-      "x_coreset_mmr", "x_rank_rbo")
+      "x_coreset_mmr", "x_rank_rbo",
+      // round-8 continuation: the TPC-H completion set (scaled facts,
+      // unscaled dims — the broadcast/one-exchange contracts must hold
+      // the ramp), IVF delta assignment (map-side argmax over the
+      // scaled delta), phrase search (postings scale linearly; the
+      // splice salt only removes ~1/7 of adjacencies), and SNM (answer
+      // is |corpus|·window-bounded by construction, so the ramp
+      // measures the sort+self-join plan, not answer growth).
+      "q2_min_cost_supp", "q4_priority_count", "q6_forecast_revenue",
+      "q8_market_share", "q9_product_profit", "q11_important_parts",
+      "q12_ship_class", "q14_promo_effect", "q15_top_supplier",
+      "q16_supplier_count", "q19_disjunctive_revenue",
+      "q20_dominant_supplier", "q22_sales_opportunity",
+      "x_ann_assign_new", "x_search_phrase", "x_dedup_snm")
     // x_dedup_eval is deliberately NOT probed: its exact side is the
     // designed-quadratic x_dedup_ngram (already probed as the quadratic
     // reference) — the eval gate would just re-measure that growth.
