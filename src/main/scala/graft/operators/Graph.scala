@@ -82,4 +82,56 @@ object Graph {
     }
     ranks
   }
+
+  /** Triangle enumeration over an ORIENTED edge table (src < dst):
+    * wedge join (a,b)⋈(b,c) on the shared middle node, closed by a
+    * third equi-join probing (a,c). Two hash joins on node keys —
+    * the standard relational triangle plan. Orientation already halves
+    * the wedge space; at web scale the documented refinement is
+    * DEGREE-ordered orientation (orient every edge low-degree →
+    * high-degree before the wedge join), which bounds per-node wedge
+    * fan-out by the graph's arboricity instead of its max degree. The
+    * edge tables here are threshold-bounded co-occurrence graphs, so
+    * id-orientation suffices. Returns one row per triangle (a<b<c). */
+  def triangles(edges: DataFrame): DataFrame = {
+    val e1 = edges.select(col("src").as("a"), col("dst").as("b"))
+    val e2 = edges.select(col("src").as("b"), col("dst").as("c"))
+    val e3 = edges.select(col("src").as("a"), col("dst").as("c"))
+    e1.join(e2, "b").join(e3, Seq("a", "c")).select("a", "b", "c")
+  }
+
+  /** Identity stitching — batch identity resolution over the event
+    * stream (the cross-device "same person" merge every analytics
+    * pipeline needs before user-grained metrics). Each user's PRIMARY
+    * device is the modal `props.k` (ties to the smallest device id);
+    * users sharing a primary device are the same identity, and
+    * identity = connected component of the bipartite user↔device
+    * graph, labeled by its smallest user id.
+    *
+    * Plan: one (user, device)-keyed count aggregate off the event
+    * scan, a per-user window for the mode (user-bounded partitions),
+    * then `Dedup.connectedComponents` over user-count-sized pairs —
+    * every fact-sized structure is gone after the first aggregate.
+    * Devices ride the CC under an id offset (`devBase`) that must
+    * exceed every user id; components are labeled by their min member,
+    * which is always a user. Returns (user_id, identity_id, n_users). */
+  def identityStitch(events: DataFrame, devBase: Long = 1000000L): DataFrame = {
+    val dev = events
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("device"))
+      .groupBy(col("user_id"), col("device"))
+      .agg(count(lit(1)).as("__ct"))
+    val byUse = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("__ct").desc, col("device"))
+    val prim = dev.withColumn("__rn", row_number().over(byUse))
+      .filter(col("__rn") === 1)
+      .select(col("user_id").as("d1"), (col("device") + devBase).as("d2"))
+    val cc = graft.llm.Dedup.connectedComponents(prim)
+    val users = cc.filter(col("doc_id") < devBase)
+      .select(col("doc_id").as("user_id"), col("cluster_id").as("identity_id"))
+    users.join(
+      users.groupBy(col("identity_id")).agg(count(lit(1)).as("n_users")),
+      Seq("identity_id"))
+      .select(col("user_id"), col("identity_id"), col("n_users"))
+  }
 }

@@ -397,6 +397,38 @@ object Stats {
       "node")
   }
 
+  /** E7: identity stitching — cross-device identity resolution: each
+    * user's modal `props.k` is their primary device, users sharing a
+    * primary device merge, identity = connected component of the
+    * user↔device graph labeled by its min user (`Graph.identityStitch`).
+    * The CC runs on user-count-sized pairs — nothing fact-sized
+    * survives the first aggregate. */
+  def e7IdentityStitch(s: SparkSession, d: String): DataFrame =
+    ordered(graft.operators.Graph.identityStitch(events(s, d)),
+      "user_id")
+
+  /** E8: triangle enumeration over the supplier co-supply graph —
+    * suppliers are linked when their shared-part count reaches the
+    * corpus maximum minus 10 (the threshold is a one-row aggregate
+    * broadcast back, scale-adaptive, never a collect), triangles close
+    * via the oriented wedge join (`Graph.triangles`). The per-part
+    * pair expansion in the edge build is bounded by the supplier DIM
+    * size per part, not the fact. */
+  def e8Triangles(s: SparkSession, d: String): DataFrame = {
+    val supply = lineitem(s, d).select("l_partkey", "l_suppkey").distinct()
+    val b = supply.select(col("l_partkey"), col("l_suppkey").as("__s2"))
+    val co = supply.join(b,
+        supply("l_partkey") === b("l_partkey") &&
+          col("l_suppkey") < col("__s2"))
+      .groupBy(col("l_suppkey").as("src"), col("__s2").as("dst"))
+      .agg(count(lit(1)).as("shared"))
+    val edges = co
+      .join(broadcast(co.agg(max(col("shared")).as("__mx"))))
+      .filter(col("shared") >= col("__mx") - 10)
+      .select("src", "dst")
+    ordered(graft.operators.Graph.triangles(edges), "a", "b", "c")
+  }
+
   /** A16: ordered LISTAGG — each user's full event-type journey as one
     * ordered CSV string (the sessions-as-strings rendering sequence
     * mining and quick eyeballing both want; the reference's page-path
@@ -735,6 +767,8 @@ object Stats {
     "e2_retention"      -> (e2Retention _),
     "e3_path_transitions" -> (e3PathTransitions _),
     "e5_pagerank"       -> (e5Pagerank _),
+    "e7_identity_stitch" -> (e7IdentityStitch _),
+    "e8_triangles"      -> (e8Triangles _),
     "e6_attribution"    -> (e6Attribution _),
     "e6_attribution_stream" -> (e6AttributionStream _),
     "a16_listagg"       -> (a16Listagg _),
@@ -1002,6 +1036,41 @@ object Stats {
         |  CASE WHEN lt.ms >= ms - 3600000 THEN lt.ms END AS last_src_ms,
         |  ft.typ AS first_src_type, ft.ms AS first_src_ms
         |FROM s WHERE event_type = 'purchase' ORDER BY conv_id""".stripMargin,
+    "e7_identity_stitch" ->
+      """WITH RECURSIVE
+        |dev AS (SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS device,
+        |               COUNT(*) AS ct
+        |        FROM events GROUP BY 1, 2),
+        |prim AS (SELECT user_id, device FROM (
+        |  SELECT user_id, device,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ct DESC, device) AS rn
+        |  FROM dev) WHERE rn = 1),
+        |edges AS (SELECT user_id AS src, device + 1000000 AS dst FROM prim
+        |          UNION ALL SELECT device + 1000000 AS src, user_id AS dst FROM prim),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |labels AS (SELECT src AS id, least(src, min(dst)) AS cluster
+        |           FROM reach GROUP BY src),
+        |users AS (SELECT id AS user_id, cluster FROM labels WHERE id < 1000000),
+        |sized AS (SELECT cluster, COUNT(*) AS n_users FROM users GROUP BY 1)
+        |SELECT u.user_id, u.cluster AS identity_id, s.n_users
+        |FROM users u JOIN sized s ON u.cluster = s.cluster
+        |ORDER BY u.user_id""".stripMargin,
+    "e8_triangles" ->
+      """WITH supply AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |co AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst, COUNT(*) AS shared
+        |       FROM supply a JOIN supply b
+        |         ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+        |       GROUP BY 1, 2),
+        |thr AS (SELECT MAX(shared) - 10 AS m FROM co),
+        |edges AS (SELECT src, dst FROM co, thr WHERE shared >= m)
+        |SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+        |JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+        |ORDER BY a, b, c""".stripMargin,
     "e5_pagerank" ->
       """WITH seq AS (SELECT event_type AS next_type,
         |  lag(event_type, 1, '_start')

@@ -159,7 +159,13 @@ object ScaleProbe {
       "q12_ship_class", "q14_promo_effect", "q15_top_supplier",
       "q16_supplier_count", "q19_disjunctive_revenue",
       "q20_dominant_supplier", "q22_sales_opportunity",
-      "x_ann_assign_new", "x_search_phrase", "x_dedup_snm")
+      "x_ann_assign_new", "x_search_phrase", "x_dedup_snm",
+      // graph additions: identity stitch (CC on user-count-sized pairs;
+      // replicas share device ids so components widen — rounds stay
+      // diameter-bounded), triangles (co-supply graph is supplier-dim-
+      // bounded; the ramp measures the supply distinct), grouping sets
+      // (one Expand + one aggregate).
+      "e7_identity_stitch", "e8_triangles", "a6c_grouping_sets")
     // x_dedup_eval is deliberately NOT probed: its exact side is the
     // designed-quadratic x_dedup_ngram (already probed as the quadratic
     // reference) — the eval gate would just re-measure that growth.

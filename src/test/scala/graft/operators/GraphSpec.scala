@@ -35,4 +35,31 @@ class GraphSpec extends SparkSpec {
     val total = a.map(_._2).sum
     assert(total <= 1000000000000L && a.forall(_._2 > 0), s"mass: $total")
   }
+
+  test("triangles: enumerates exactly the closed wedges, a<b<c once each") {
+    import spark.implicits._
+    // K4 on 1..4 (4 triangles) plus a pendant edge (no new triangle)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 9L)).toDF("src", "dst")
+    val tri = Graph.triangles(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tri == Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+    // open wedge only: no triangle
+    val open = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    assert(Graph.triangles(open).count() == 0)
+  }
+
+  test("identityStitch: modal device with smallest-id tie-break, transitive merge, min-user label") {
+    import spark.implicits._
+    def ev(user: Long, k: Int, n: Int) =
+      (1 to n).map(i => (user, s"""{"k": $k}"""))
+    // u1: device 7 (×2) beats 9 (×1); u2: tie 7/8 → smallest (7) wins;
+    // u3: device 8 — separate identity; u4: device 7 → merges with u1,u2
+    val events = (ev(1, 7, 2) ++ ev(1, 9, 1) ++ ev(2, 7, 1) ++ ev(2, 8, 1) ++
+      ev(3, 8, 2) ++ ev(4, 7, 3)).toDF("user_id", "props")
+    val got = Graph.identityStitch(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 3L), (2L, 1L, 3L), (4L, 1L, 3L), (3L, 3L, 1L)),
+      s"got $got")
+  }
 }
