@@ -429,6 +429,40 @@ object Stats {
     ordered(graft.operators.Graph.triangles(edges), "a", "b", "c")
   }
 
+  /** A17: RFM segmentation — the classic customer-value grid: recency
+    * (days since last order, against a fixed reference date),
+    * frequency (order count), monetary (exact cents), each cut into
+    * quartiles by NTILE over a fully deterministic order (metric +
+    * custkey tie-break), combined into the 3-digit RFM code. The fact
+    * collapses to one customer-grained aggregate FIRST; the ntile
+    * windows run over that customer-sized table. NTILE is a global
+    * window — honest here because the input is already dim-grained;
+    * for a customer table too large for one partition the documented
+    * swap is the rank-arithmetic cut ((rank−1)·4 div n) over a
+    * range-partitioned sort, which distributes. */
+  def a17Rfm(s: SparkSession, d: String): DataFrame = {
+    val m = orders(s, d).groupBy(col("o_custkey"))
+      .agg(
+        datediff(lit("2001-09-01").cast("timestamp"), max(col("o_orderdate")))
+          .cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+          .as("monetary_cents"))
+    val base = customer(s, d).select(col("c_custkey"))
+      .join(m, col("c_custkey") === col("o_custkey"))
+    def quart(order: org.apache.spark.sql.Column*) =
+      ntile(4).over(Window.orderBy(order: _*)).cast("int")
+    ordered(
+      base.select(col("c_custkey"), col("recency_days"), col("frequency"),
+          col("monetary_cents"),
+          quart(col("recency_days"), col("c_custkey")).as("r_quartile"),
+          quart(col("frequency").desc, col("c_custkey")).as("f_quartile"),
+          quart(col("monetary_cents").desc, col("c_custkey")).as("m_quartile"))
+        .withColumn("rfm", (col("r_quartile") * 100 + col("f_quartile") * 10 +
+          col("m_quartile")).cast("int")),
+      "c_custkey")
+  }
+
   /** A16: ordered LISTAGG — each user's full event-type journey as one
     * ordered CSV string (the sessions-as-strings rendering sequence
     * mining and quick eyeballing both want; the reference's page-path
@@ -768,6 +802,7 @@ object Stats {
     "e3_path_transitions" -> (e3PathTransitions _),
     "e5_pagerank"       -> (e5Pagerank _),
     "e7_identity_stitch" -> (e7IdentityStitch _),
+    "a17_rfm"           -> (a17Rfm _),
     "e8_triangles"      -> (e8Triangles _),
     "e6_attribution"    -> (e6Attribution _),
     "e6_attribution_stream" -> (e6AttributionStream _),
@@ -1036,6 +1071,22 @@ object Stats {
         |  CASE WHEN lt.ms >= ms - 3600000 THEN lt.ms END AS last_src_ms,
         |  ft.typ AS first_src_type, ft.ms AS first_src_ms
         |FROM s WHERE event_type = 'purchase' ORDER BY conv_id""".stripMargin,
+    "a17_rfm" ->
+      """WITH m AS (SELECT o_custkey,
+        |    date_diff('day', MAX(o_orderdate), TIMESTAMP '2001-09-01') AS recency_days,
+        |    COUNT(*) AS frequency,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS monetary_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT c_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+        |  frequency, monetary_cents,
+        |  CAST(ntile(4) OVER (ORDER BY recency_days, c_custkey) AS INT) AS r_quartile,
+        |  CAST(ntile(4) OVER (ORDER BY frequency DESC, c_custkey) AS INT) AS f_quartile,
+        |  CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, c_custkey) AS INT) AS m_quartile,
+        |  CAST(ntile(4) OVER (ORDER BY recency_days, c_custkey) * 100
+        |     + ntile(4) OVER (ORDER BY frequency DESC, c_custkey) * 10
+        |     + ntile(4) OVER (ORDER BY monetary_cents DESC, c_custkey) AS INT) AS rfm
+        |FROM customer JOIN m ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
     "e7_identity_stitch" ->
       """WITH RECURSIVE
         |dev AS (SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS device,

@@ -288,7 +288,45 @@ object Windows {
       "event_type")
   }
 
+  /** W18: rolling z-score anomaly detection — per event type, each
+    * value against the mean/std of its trailing 20-row frame; |z|>2.5
+    * flags. The moment sums are EXACT decimals riding one per-type
+    * sort (rowsBetween frame on the (ts, event_id) order); the
+    * variance is assembled in DOUBLE from those exact sums with the
+    * identical operand order on both engines — (n·ssq − s·s)/(n·(n−1))
+    * — so mean/std/z hash bit-exactly despite the sqrt. Rows without a
+    * full frame (n<20) are warm-up, not scored: an under-filled frame
+    * would flag the stream's first minutes as anomalies every restart. */
+  def w18ZscoreAnomaly(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-19, 0)
+    val dv = col("value").cast("decimal(18,2)")
+    val f = events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+      .withColumn("__s", sum(dv).over(w))
+      .withColumn("__ssq", sum((dv * dv).cast("decimal(18,4)")).over(w))
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") === 20)
+    val sd = col("__s").cast("double")
+    val ssqd = col("__ssq").cast("double")
+    val mean = sd / col("__n")
+    val std = sqrt((col("__n") * ssqd - sd * sd) /
+      (col("__n") * (col("__n") - 1)))
+    // a zero-variance frame has no anomaly by definition (every value
+    // IS the mean) — and the guard must be explicit on both engines:
+    // ANSI Spark throws on the /0, DuckDB would emit ±inf and flag it
+    ordered(
+      f.select(col("event_id"), col("event_type"), col("value"),
+          mean.as("mean"), std.as("std"))
+        .filter(col("std") > 0)
+        .withColumn("z", (col("value") - col("mean")) / col("std"))
+        .filter(abs(col("z")) > 2.5),
+      "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w18_zscore"          -> (w18ZscoreAnomaly _),
     "w17_decay_score"     -> (w17DecayScore _),
     "w16_capped_sessions" -> (w16CappedSessions _),
     "w14_twap"          -> (w14Twap _),
@@ -305,6 +343,26 @@ object Windows {
     "w9_running"        -> (w9Running _))
 
   val oracle: Map[String, String] = Map(
+    "w18_zscore" ->
+      """WITH f AS (
+        |  SELECT event_id, event_type, value,
+        |    SUM(CAST(value AS DECIMAL(18,2))) OVER w AS s,
+        |    SUM(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+        |        AS DECIMAL(18,4))) OVER w AS ssq,
+        |    COUNT(*) OVER w AS n
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |z AS (
+        |  SELECT event_id, event_type, value,
+        |    CAST(s AS DOUBLE) / n AS mean,
+        |    sqrt((n * CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |         / (n * (n - 1))) AS std
+        |  FROM f WHERE n = 20)
+        |SELECT event_id, event_type, value, mean, std,
+        |       (value - mean) / std AS z
+        |FROM z WHERE std > 0 AND abs((value - mean) / std) > 2.5
+        |ORDER BY event_id""".stripMargin,
     "w17_decay_score" -> {
       // the identical dyadic constants the Spark plan embeds
       val values = graft.operators.TimeSeries.dyadicWeights(30).zipWithIndex

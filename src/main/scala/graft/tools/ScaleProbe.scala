@@ -165,7 +165,11 @@ object ScaleProbe {
       // diameter-bounded), triangles (co-supply graph is supplier-dim-
       // bounded; the ramp measures the supply distinct), grouping sets
       // (one Expand + one aggregate).
-      "e7_identity_stitch", "e8_triangles", "a6c_grouping_sets")
+      "e7_identity_stitch", "e8_triangles", "a6c_grouping_sets",
+      // z-score rides one per-type sort of the scaled events; RFM's
+      // windows run over the customer-grained aggregate (dims unscaled,
+      // so the ramp measures the orders aggregate).
+      "w18_zscore", "a17_rfm")
     // x_dedup_eval is deliberately NOT probed: its exact side is the
     // designed-quadratic x_dedup_ngram (already probed as the quadratic
     // reference) — the eval gate would just re-measure that growth.

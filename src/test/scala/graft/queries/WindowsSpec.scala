@@ -145,4 +145,42 @@ class WindowsSpec extends SparkSpec {
     assert(after("a") == before("a") / 4 + 1, s"got ${after("a")}")
     assert(after("b") == before("b") / 4, s"got ${after("b")}")
   }
+
+  test("w18 z-score matches an independent two-pass mean/std; warm-up rows never scored") {
+    val d = sf("sf0.001")
+    val flagged = Windows.w18ZscoreAnomaly(spark, d).collect()
+    assert(flagged.nonEmpty, "fixture must produce at least one anomaly")
+    // recompute one flagged row's stats from the raw events, two-pass
+    val r = flagged.head
+    val (id, typ) = (r.getLong(0), r.getString(1))
+    val ev = graft.Tables.events(spark, d)
+      .filter(col("event_type") === typ)
+      .select(col("event_id"), col("ts"), col("value"))
+      .orderBy(col("ts"), col("event_id")).collect()
+    val i = ev.indexWhere(_.getLong(0) == id)
+    assert(i >= 19, "a scored row must have a full 20-row frame")
+    val frame = ev.slice(i - 19, i + 1).map(_.getDouble(2))
+    val mean2 = frame.map(BigDecimal(_)).sum.toDouble / 20
+    val s = frame.map(BigDecimal(_)).sum
+    val ssq = frame.map(v => BigDecimal(v) * BigDecimal(v)).sum
+    val std2 = math.sqrt((20 * ssq.toDouble - s.toDouble * s.toDouble) / (20 * 19))
+    assert(math.abs(r.getDouble(3) - mean2) < 1e-9, s"mean ${r.getDouble(3)} vs $mean2")
+    assert(math.abs(r.getDouble(4) - std2) < 1e-9, s"std ${r.getDouble(4)} vs $std2")
+    assert(math.abs(r.getDouble(5)) > 2.5, "flagged rows must clear the threshold")
+  }
+
+  test("a17 RFM: quartiles are balanced and the code composes its digits") {
+    val rows = Stats.a17Rfm(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length
+    for (c <- Seq(4, 5, 6)) {
+      val hist = rows.groupBy(_.getInt(c)).map { case (k, v) => k -> v.length }
+      assert(hist.keySet.subsetOf(Set(1, 2, 3, 4)), s"col $c: $hist")
+      // NTILE balance law: bucket sizes differ by at most one
+      assert(hist.values.max - hist.values.min <= 1, s"col $c: $hist")
+    }
+    assert(rows.forall(r =>
+      r.getInt(7) == r.getInt(4) * 100 + r.getInt(5) * 10 + r.getInt(6)))
+    assert(n == rows.map(_.getLong(0)).distinct.length, "one row per customer")
+  }
 }
