@@ -1026,6 +1026,32 @@ object LlmOps {
   def xVocabCoverage(s: SparkSession, d: String): DataFrame =
     ordered(TextAnalysis.vocabCoverage(documents(s, d)), "k")
 
+  /** Lexical-diversity audit: per-source Gini–Simpson index (1 − Σp²,
+    * the probability two independently drawn tokens differ) over the
+    * shared word tokenizer, plus token/vocab counts — the corpus-report
+    * companion to the Zipf coverage curve: low diversity = template
+    * spam, high = organic text. Integer end to end: the index renders
+    * in parts-per-10⁴ as (N²−Σct²)·10⁴ div N², exact in int64 for
+    * N ≤ 3·10⁷ tokens per source (ppm would overflow at the 10× probe —
+    * precision traded for headroom, documented); per-source because a
+    * mixed-corpus number hides which source is the degenerate one. One
+    * tokenize pass, one (source, tok) aggregate, one |sources|-row
+    * aggregate. */
+  def xDiversity(s: SparkSession, d: String): DataFrame = {
+    val tf = documents(s, d)
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("ct"))
+    ordered(
+      tf.groupBy(col("source"))
+        .agg(sum(col("ct")).as("n_tokens"),
+          count(lit(1)).as("vocab_size"),
+          sum(col("ct") * col("ct")).as("__sumsq"))
+        .select(col("source"), col("n_tokens"), col("vocab_size"),
+          expr("(n_tokens * n_tokens - __sumsq) * 10000" +
+            " div (n_tokens * n_tokens)").as("gini_simpson_pp10k")),
+      "source")
+  }
+
   /** Product-quantization ANN: the 64×-compression search path — 8
     * nibble codes per 64-dim vector, symmetric-distance candidate pass
     * via the precomputed per-subspace lookup table, exact cosine
@@ -1288,6 +1314,7 @@ object LlmOps {
     "x_ann_pq"            -> (xAnnPq _),
     "x_ann_ivfpq"         -> (xAnnIvfPq _),
     "x_vocab_coverage"    -> (xVocabCoverage _),
+    "x_diversity"         -> (xDiversity _),
     "x_dedup_keep_longest" -> (xDedupKeepLongest _),
     "x_dedup_indoc"       -> (xDedupIndoc _),
     "x_snapshot_diff"     -> (xSnapshotDiff _),
@@ -2440,6 +2467,16 @@ object LlmOps {
          |  CAST(row_number() OVER (PARTITION BY cluster_id
          |    ORDER BY n_chars DESC, doc_id) = 1 AS INT) AS kept
          |FROM f ORDER BY doc_id""".stripMargin,
+    "x_diversity" ->
+      s"""WITH tk AS (SELECT source, unnest($toksSql) AS tok FROM documents),
+         |tf AS (SELECT source, tok, count(*) AS ct FROM tk GROUP BY 1, 2)
+         |SELECT source, CAST(sum(ct) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS vocab_size,
+         |  (CAST(sum(ct) AS BIGINT) * CAST(sum(ct) AS BIGINT)
+         |    - CAST(sum(ct * ct) AS BIGINT)) * 10000
+         |    // (CAST(sum(ct) AS BIGINT) * CAST(sum(ct) AS BIGINT))
+         |    AS gini_simpson_pp10k
+         |FROM tf GROUP BY source ORDER BY source""".stripMargin,
     "x_vocab_coverage" ->
       s"""WITH tk AS (SELECT unnest($toksSql) AS tok FROM documents),
          |tf AS (SELECT tok, count(*) AS ct FROM tk GROUP BY 1),

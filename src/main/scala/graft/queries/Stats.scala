@@ -463,6 +463,67 @@ object Stats {
       "c_custkey")
   }
 
+  /** A18: median absolute deviation — the robust dispersion measure
+    * behind outlier fences that survive heavy tails (unlike stddev,
+    * one bot order can't move it). Exact and hash-stable by working in
+    * DOUBLED integer cents: v2 = 200·value is an even integer, so the
+    * interpolated median of two evens is an integer; deviations
+    * |v2−med2| are integers of arbitrary parity, so THEY double again
+    * (ad4 = 2·ad2) before the second median — every interpolation
+    * lands on an integer and the only float ops are two exact dyadic
+    * divisions at render time (med2/2.0 → cents·½, mad4/4.0). Two
+    * bounded aggregates (exact `percentile` collects per group — same
+    * contract as a8; approx_percentile is the unbounded-cardinality
+    * swap), the 5-row median table broadcasts back. */
+  def a18Mad(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("event_type"),
+      (col("value").cast("decimal(18,2)") * 200).cast("long").as("v2"))
+    val med = e.groupBy(col("event_type"))
+      .agg(expr("percentile(v2, 0.5D)").cast("long").as("med2"),
+        count(lit(1)).as("ct"))
+    val dev = e.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("med2"), col("ct"),
+        (abs(col("v2") - col("med2")) * 2).as("ad4"))
+    ordered(
+      dev.groupBy(col("event_type"))
+        .agg(first(col("med2")).as("__med2"), first(col("ct")).as("ct"),
+          expr("percentile(ad4, 0.5D)").cast("long").as("__mad4"))
+        .select(col("event_type"), col("ct"),
+          (col("__med2") / 2.0 / 100.0).as("median_value"),
+          (col("__mad4") / 4.0 / 100.0).as("mad_value")),
+      "event_type")
+  }
+
+  /** A19: Benford first-digit audit — the classic fabricated-numbers
+    * screen: the leading significant digit of organic amounts follows
+    * log10(1+1/d), and a per-digit delta exposes rounding artifacts /
+    * synthetic data. Digit via string head of the exact DECIMAL
+    * rendering (prices are positive, so no sign handling); observed
+    * share in integer ppm against a one-row total broadcast; the
+    * Benford expectation enters as precomputed INTEGER ppm literals —
+    * identical constants in both plans, so no log10 float ever runs in
+    * either engine. One scan, one 9-row aggregate. */
+  def a19Benford(s: SparkSession, d: String): DataFrame = {
+    // floor(log10(1 + 1/d) * 1e6), d = 1..9 — fixed public constants
+    val benford = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
+      66946L, 57991L, 51152L, 45757L)
+    val bMap = map(benford.zipWithIndex.flatMap { case (p, i) =>
+      Seq(lit(i + 1), lit(p)) }: _*)
+    val digits = orders(s, d).select(
+      substring(col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        1, 1).cast("int").as("digit"))
+    val counts = digits.groupBy(col("digit"))
+      .agg(count(lit(1)).as("ct"))
+    ordered(
+      counts.join(broadcast(counts.agg(sum(col("ct")).as("__total"))))
+        .select(col("digit"), col("ct"),
+          expr("ct * 1000000 div __total").as("observed_ppm"),
+          bMap(col("digit")).as("benford_ppm"))
+        .withColumn("delta_ppm",
+          (col("observed_ppm") - col("benford_ppm")).cast("long")),
+      "digit")
+  }
+
   /** A16: ordered LISTAGG — each user's full event-type journey as one
     * ordered CSV string (the sessions-as-strings rendering sequence
     * mining and quick eyeballing both want; the reference's page-path
@@ -803,6 +864,8 @@ object Stats {
     "e5_pagerank"       -> (e5Pagerank _),
     "e7_identity_stitch" -> (e7IdentityStitch _),
     "a17_rfm"           -> (a17Rfm _),
+    "a18_mad"           -> (a18Mad _),
+    "a19_benford"       -> (a19Benford _),
     "e8_triangles"      -> (e8Triangles _),
     "e6_attribution"    -> (e6Attribution _),
     "e6_attribution_stream" -> (e6AttributionStream _),
@@ -825,6 +888,34 @@ object Stats {
       |GROUP BY fs.cohort_day, 2 ORDER BY cohort_day, day_offset""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "a18_mad" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 200 AS BIGINT) AS v2
+        |  FROM events),
+        |m AS (SELECT event_type, CAST(quantile_cont(v2, 0.5) AS BIGINT) AS med2,
+        |    COUNT(*) AS ct
+        |  FROM e GROUP BY 1),
+        |d AS (SELECT e.event_type, m.med2, m.ct,
+        |    abs(e.v2 - m.med2) * 2 AS ad4
+        |  FROM e JOIN m USING (event_type))
+        |SELECT event_type, ct,
+        |  CAST(any_value(med2) AS DOUBLE) / 2.0 / 100.0 AS median_value,
+        |  CAST(CAST(quantile_cont(ad4, 0.5) AS BIGINT) AS DOUBLE) / 4.0 / 100.0
+        |    AS mad_value
+        |FROM d GROUP BY event_type, ct ORDER BY event_type""".stripMargin,
+    "a19_benford" ->
+      """WITH dg AS (SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |    AS VARCHAR), 1, 1) AS INT) AS digit FROM orders),
+        |c AS (SELECT digit, COUNT(*) AS ct FROM dg GROUP BY 1),
+        |t AS (SELECT CAST(SUM(ct) AS BIGINT) AS total FROM c),
+        |b(digit, benford_ppm) AS (VALUES (1, CAST(301029 AS BIGINT)),
+        |  (2, 176091), (3, 124938), (4, 96910), (5, 79181), (6, 66946),
+        |  (7, 57991), (8, 51152), (9, 45757))
+        |SELECT c.digit, c.ct, c.ct * 1000000 // t.total AS observed_ppm,
+        |  b.benford_ppm,
+        |  c.ct * 1000000 // t.total - b.benford_ppm AS delta_ppm
+        |FROM c CROSS JOIN t JOIN b ON b.digit = c.digit
+        |ORDER BY c.digit""".stripMargin,
     "a12_winsorized" ->
       """WITH c AS (SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.25) AS q1, quantile_cont(l_quantity, 0.75) AS q3

@@ -325,7 +325,37 @@ object Windows {
       "event_id")
   }
 
+  /** W19: trailing exact rolling median — the robust companion to W18's
+    * rolling z-score: per event type, each row's value against the
+    * MEDIAN of its trailing 21-row frame (odd frame size, so the median
+    * is the 11th order statistic — an ELEMENT of the frame, never an
+    * interpolation, hence bit-exact in integer cents with no float
+    * arithmetic at all). Rendering: collect the frame into an array
+    * column, array_sort, take the middle — the per-row state is the
+    * frame itself (21 longs), bounded by the frame width, and the whole
+    * thing rides ONE per-type sort exchange; a running two-heap or
+    * order-statistic-tree UDAF is the constant-factor swap when frames
+    * grow to thousands, not a different plan. Warm-up rows without a
+    * full frame are excluded (same contract as W18). */
+  def w19RollingMedian(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-20, 0)
+    ordered(
+      events(s, d)
+        .select(col("event_id"), col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+        .withColumn("__frame", collect_list(col("cents")).over(w))
+        .filter(size(col("__frame")) === 21)
+        .select(col("event_id"), col("event_type"), col("cents"),
+          element_at(array_sort(col("__frame")), 11).as("med_cents"))
+        .withColumn("dev_cents", col("cents") - col("med_cents")),
+      "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w19_rolling_median"  -> (w19RollingMedian _),
     "w18_zscore"          -> (w18ZscoreAnomaly _),
     "w17_decay_score"     -> (w17DecayScore _),
     "w16_capped_sessions" -> (w16CappedSessions _),
@@ -343,6 +373,18 @@ object Windows {
     "w9_running"        -> (w9Running _))
 
   val oracle: Map[String, String] = Map(
+    "w19_rolling_median" ->
+      """WITH e AS (SELECT event_id, event_type, ts,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |f AS (SELECT event_id, event_type, cents,
+        |    list(cents) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN 20 PRECEDING AND CURRENT ROW) AS frame
+        |  FROM e)
+        |SELECT event_id, event_type, cents,
+        |  list_sort(frame)[11] AS med_cents,
+        |  cents - list_sort(frame)[11] AS dev_cents
+        |FROM f WHERE len(frame) = 21 ORDER BY event_id""".stripMargin,
     "w18_zscore" ->
       """WITH f AS (
         |  SELECT event_id, event_type, value,
