@@ -173,4 +173,168 @@ object TimeSeries {
         count(col("__w")).as("n_live"),
         sum(col("__w")).as("decayed_score"))
   }
+
+  /** Fixed-point rendering of [[decayedScore]]: the identical plan and
+    * semantics, but each weight 2⁻ᵈ is emitted pre-scaled by 2^cap —
+    * i.e. as the exact int64 2^(cap−d) — and the score column is
+    * `score_2p30` = decayed_score · 2^cap, a plain BIGINT sum. Why it
+    * exists: a decimal(38,30) sum is value-exact but REPRESENTATION-
+    * fragile across engines (arrow vs duckdb decimal→float renderings
+    * hash differently even when equal); an int64 has exactly one
+    * representation everywhere. Overflow headroom: max weight 2³⁰ ≈
+    * 1.07e9, so int64 holds ~8.6e9 fresh events per key before the sum
+    * could wrap — far beyond any per-key event count this score is run
+    * at (and the decimal variant remains for callers who want the
+    * unscaled value). */
+  def decayedScoreFixedPoint(df: DataFrame, key: String, time: String,
+                             halfLife: String = "1 day",
+                             capHalfLives: Int = 30): DataFrame = {
+    val stepUs: Long = halfLife match {
+      case "1 day"  => 86400000000L
+      case "1 hour" => 3600000000L
+      case "1 week" => 7L * 86400000000L
+      case other => throw new IllegalArgumentException(
+        s"decayedScoreFixedPoint: unsupported half-life '$other'")
+    }
+    require(capHalfLives >= 0 && capHalfLives <= 30,
+      "decayedScoreFixedPoint: cap must be in [0, 30]")
+    val warr = array((0 to capHalfLives)
+      .map(d => lit(1L << (capHalfLives - d))): _*)
+    val e = df.withColumn("__us", unix_micros(col(time)))
+    val anchor = e.agg(max(col("__us")).as("__anchor_us"))
+    e.crossJoin(broadcast(anchor))
+      .withColumn("__age", expr(s"(__anchor_us - __us) div $stepUs"))
+      .withColumn("__w",
+        when(col("__age") <= capHalfLives,
+          element_at(warr, (col("__age") + 1).cast("int")))
+          .otherwise(lit(null)))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("__w")).as("n_live"),
+        sum(col("__w")).as("score_2p30"))
+  }
+
+  /** Exact sliding-window median over a fixed ODD frame: two lazy-
+    * deletion heaps (max-heap lower half, min-heap upper half) so each
+    * slide is O(log w) amortized instead of the O(w log w) a re-sorted
+    * frame costs. The window's live contents are always known to the
+    * caller (its ring buffer), so heap garbage is bounded by periodic
+    * full rebuilds from that buffer — memory stays O(w) per key no
+    * matter how long the stream, the property that matters at
+    * production frame sizes. Median = top of `lo` (odd frame keeps the
+    * extra element on the lower side). */
+  final class SlidingMedian(frame: Int) {
+    require(frame >= 1 && frame % 2 == 1, "SlidingMedian: odd frame only")
+    private val lo = new java.util.PriorityQueue[java.lang.Long](
+      frame, java.util.Collections.reverseOrder[java.lang.Long]())
+    private val hi = new java.util.PriorityQueue[java.lang.Long](frame)
+    private val delayed = new java.util.HashMap[Long, Int]()
+    private var loValid = 0
+    private var hiValid = 0
+
+    private def prune(h: java.util.PriorityQueue[java.lang.Long]): Unit = {
+      while (!h.isEmpty && delayed.getOrDefault(h.peek.longValue, 0) > 0) {
+        val v = h.poll().longValue
+        val c = delayed.get(v) - 1
+        if (c == 0) delayed.remove(v) else delayed.put(v, c)
+      }
+    }
+    private def rebalance(): Unit = {
+      if (loValid > hiValid + 1) {
+        prune(lo); hi.offer(lo.poll()); loValid -= 1; hiValid += 1; prune(lo)
+      } else if (loValid < hiValid) {
+        prune(hi); lo.offer(hi.poll()); hiValid -= 1; loValid += 1; prune(hi)
+      }
+    }
+    def add(x: Long): Unit = {
+      prune(lo)
+      if (loValid == 0 || x <= lo.peek.longValue) { lo.offer(x); loValid += 1 }
+      else { hi.offer(x); hiValid += 1 }
+      rebalance()
+    }
+    /** Logical removal (the departing element may sit anywhere in a
+      * heap): valid elements keep the partition max(lo) ≤ min(hi), so
+      * x ≤ lo.top locates its half; equal values are interchangeable. */
+    def remove(x: Long): Unit = {
+      prune(lo)
+      if (loValid > 0 && x <= lo.peek.longValue) loValid -= 1 else hiValid -= 1
+      delayed.put(x, delayed.getOrDefault(x, 0) + 1)
+      prune(lo); prune(hi)
+      rebalance()
+    }
+    def median: Long = { prune(lo); lo.peek.longValue }
+    /** Physical size incl. lazy-deleted garbage — the rebuild trigger. */
+    def physicalSize: Int = lo.size + hi.size
+    def reset(): Unit = {
+      lo.clear(); hi.clear(); delayed.clear(); loValid = 0; hiValid = 0
+    }
+    /** O(w log w) rebuild from the window's live contents — called by
+      * the owner when garbage passes a multiple of the frame, bounding
+      * memory at O(w) with O(log w) amortized slide cost. */
+    def rebuild(window: Iterable[Long]): Unit = {
+      reset()
+      val sorted = window.toArray.sorted
+      val cut = (sorted.length + 1) / 2
+      var i = 0
+      while (i < cut) { lo.offer(sorted(i)); i += 1 }
+      while (i < sorted.length) { hi.offer(sorted(i)); i += 1 }
+      loValid = cut; hiValid = sorted.length - cut
+    }
+  }
+
+  /** Rolling exact median at PRODUCTION frame sizes — the constant-
+    * factor swap documented on `queries/Windows.w19RollingMedian`: the
+    * collect_list+array_sort window carries the whole frame per row
+    * (O(w log w) per slide — fine at w=21, fatal at w in the
+    * thousands); this path rides the IDENTICAL plan skeleton — one
+    * hash exchange on the key, one per-partition sort on (key, order)
+    * — but slides a two-heap order-statistic structure at O(log w)
+    * amortized per row with O(w) state per key.
+    *
+    * Why mapPartitions and not an Aggregator/window function: Spark
+    * evaluates imperative aggregates over ROWS BETWEEN frames by
+    * re-accumulating the full frame per row — there is no retractable
+    * (`remove`) contract in the window-function API — so a UDAF cannot
+    * beat O(w) per slide; the secondary-sort mapPartitions is the one
+    * shape that can retract. This is the documented last-resort tier
+    * of the custom-operator preference order, taken knowingly.
+    *
+    * Contract identical to the array form: rows sorted by `order`
+    * within `key`, each row scored against the trailing `frame`-row
+    * window INCLUDING itself, warm-up rows (fewer than `frame`
+    * predecessors) excluded, NULL values excluded before framing.
+    * Appends `medCol` (long) to the input schema. */
+  def rollingMedianLarge(df: DataFrame, key: String, order: Seq[String],
+                         value: String, frame: Int,
+                         medCol: String = "med"): DataFrame = {
+    require(frame >= 1 && frame % 2 == 1, "rollingMedianLarge: odd frame")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val sorted = df.filter(col(value).isNotNull)
+      .repartition(col(key))
+      .sortWithinPartitions((key +: order).map(col): _*)
+    val schema = sorted.schema
+    val outSchema = schema.add(StructField(medCol, LongType, nullable = false))
+    val keyIdx = schema.fieldIndex(key)
+    val vIdx = schema.fieldIndex(value)
+    sorted.mapPartitions { iter =>
+      val med = new SlidingMedian(frame)
+      val window = new scala.collection.mutable.Queue[Long]()
+      var curKey: Any = null
+      var started = false
+      iter.flatMap { r =>
+        val k = r.get(keyIdx)
+        if (!started || k != curKey) {
+          med.reset(); window.clear(); curKey = k; started = true
+        }
+        val x = r.getLong(vIdx)
+        if (window.size == frame) med.remove(window.dequeue())
+        window.enqueue(x); med.add(x)
+        if (med.physicalSize > 4 * frame) med.rebuild(window)
+        if (window.size == frame)
+          Some(Row.fromSeq(r.toSeq :+ med.median))
+        else None
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
 }

@@ -411,7 +411,9 @@ object Stats {
     * suppliers are linked when their shared-part count reaches the
     * corpus maximum minus 10 (the threshold is a one-row aggregate
     * broadcast back, scale-adaptive, never a collect), triangles close
-    * via the oriented wedge join (`Graph.triangles`). The per-part
+    * via the DEGREE-ordered wedge join (`Graph.trianglesDegreeOrdered`
+    * — wedge fan-out bounded by arboricity, not max degree, so a hot
+    * hub supplier can't explode the wedge stage). The per-part
     * pair expansion in the edge build is bounded by the supplier DIM
     * size per part, not the fact. */
   def e8Triangles(s: SparkSession, d: String): DataFrame = {
@@ -426,7 +428,8 @@ object Stats {
       .join(broadcast(co.agg(max(col("shared")).as("__mx"))))
       .filter(col("shared") >= col("__mx") - 10)
       .select("src", "dst")
-    ordered(graft.operators.Graph.triangles(edges), "a", "b", "c")
+    ordered(graft.operators.Graph.trianglesDegreeOrdered(edges),
+      "a", "b", "c")
   }
 
   /** A17: RFM segmentation — the classic customer-value grid: recency
@@ -474,7 +477,16 @@ object Stats {
     * divisions at render time (med2/2.0 → cents·½, mad4/4.0). Two
     * bounded aggregates (exact `percentile` collects per group — same
     * contract as a8; approx_percentile is the unbounded-cardinality
-    * swap), the 5-row median table broadcasts back. */
+    * swap), the 5-row median table broadcasts back.
+    *
+    * Exactness bound: `percentile` interpolates in DOUBLE, and the
+    * truncating Spark cast vs rounding DuckDB cast only agree while
+    * the interpolated value is integer-exact in double — i.e. while
+    * |v2| = |200·value| stays within 2⁵³, so |value| ≲ 4.5e13. A
+    * decimal(18,2) can carry ~1e16, so data beyond that bound needs
+    * the computation moved to decimal percentiles (same shape, exact
+    * `percentile_approx`-free path) — same class of bound as
+    * xDiversity's N ≤ 3e7 note. */
   def a18Mad(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d).select(col("event_type"),
       (col("value").cast("decimal(18,2)") * 200).cast("long").as("v2"))
@@ -512,6 +524,11 @@ object Stats {
     val digits = orders(s, d).select(
       substring(col("o_totalprice").cast("decimal(18,2)").cast("string"),
         1, 1).cast("int").as("digit"))
+      // Benford is defined on leading SIGNIFICANT digits 1..9; the
+      // explicit band also pins the cross-engine contract for amounts
+      // < 1 (leading '0') or negative ('-' — a non-digit head that
+      // Spark groups under NULL while DuckDB's CAST would error)
+      .filter(col("digit").between(1, 9))
     val counts = digits.groupBy(col("digit"))
       .agg(count(lit(1)).as("ct"))
     ordered(
@@ -904,9 +921,10 @@ object Stats {
         |    AS mad_value
         |FROM d GROUP BY event_type, ct ORDER BY event_type""".stripMargin,
     "a19_benford" ->
-      """WITH dg AS (SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+      """WITH dg AS (SELECT TRY_CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2))
         |    AS VARCHAR), 1, 1) AS INT) AS digit FROM orders),
-        |c AS (SELECT digit, COUNT(*) AS ct FROM dg GROUP BY 1),
+        |c AS (SELECT digit, COUNT(*) AS ct FROM dg
+        |      WHERE digit BETWEEN 1 AND 9 GROUP BY 1),
         |t AS (SELECT CAST(SUM(ct) AS BIGINT) AS total FROM c),
         |b(digit, benford_ppm) AS (VALUES (1, CAST(301029 AS BIGINT)),
         |  (2, 176091), (3, 124938), (4, 96910), (5, 79181), (6, 66946),

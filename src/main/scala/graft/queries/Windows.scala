@@ -278,12 +278,15 @@ object Windows {
 
   /** W17: time-decayed engagement score per event type — exponential
     * half-life weighting (1-day half-life, 30-half-life horizon) via
-    * `operators/TimeSeries.decayedScore`. The weights are dyadic
-    * decimals and the age is integer, so the "exponential" is
-    * hash-exact in both engines — no pow(), no float accumulation. */
+    * `operators/TimeSeries.decayedScoreFixedPoint`. The weights are
+    * dyadic and the age is integer, so the "exponential" is hash-exact
+    * in both engines — no pow(), no float accumulation. Gate-level
+    * rendering is the FIXED-POINT variant (score·2³⁰ as int64): a
+    * decimal(38,30) is value-exact but its arrow/duckdb renderings
+    * hash differently; an int64 has one representation everywhere. */
   def w17DecayScore(s: SparkSession, d: String): DataFrame = {
     ordered(
-      graft.operators.TimeSeries.decayedScore(
+      graft.operators.TimeSeries.decayedScoreFixedPoint(
         events(s, d), "event_type", "ts"),
       "event_type")
   }
@@ -343,9 +346,14 @@ object Windows {
       .rowsBetween(-20, 0)
     ordered(
       events(s, d)
-        .select(col("event_id"), col("event_type"),
+        .select(col("event_id"), col("event_type"), col("ts"),
           (col("value").cast("decimal(18,2)") * 100).cast("long")
             .as("cents"))
+        // NULL contract made explicit on both engines: Spark's
+        // collect_list silently DROPS nulls (shrinking frames) while
+        // DuckDB's list() keeps them and sorts them first (shifting the
+        // 11th element) — a null value is simply not a framed sample
+        .filter(col("cents").isNotNull)
         .withColumn("__frame", collect_list(col("cents")).over(w))
         .filter(size(col("__frame")) === 21)
         .select(col("event_id"), col("event_type"), col("cents"),
@@ -376,7 +384,8 @@ object Windows {
     "w19_rolling_median" ->
       """WITH e AS (SELECT event_id, event_type, ts,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-        |  FROM events),
+        |  FROM events
+        |  WHERE value IS NOT NULL),
         |f AS (SELECT event_id, event_type, cents,
         |    list(cents) OVER (PARTITION BY event_type ORDER BY ts, event_id
         |      ROWS BETWEEN 20 PRECEDING AND CURRENT ROW) AS frame
@@ -406,9 +415,11 @@ object Windows {
         |FROM z WHERE std > 0 AND abs((value - mean) / std) > 2.5
         |ORDER BY event_id""".stripMargin,
     "w17_decay_score" -> {
-      // the identical dyadic constants the Spark plan embeds
-      val values = graft.operators.TimeSeries.dyadicWeights(30).zipWithIndex
-        .map { case (w, d) => s"($d, CAST('${w.toPlainString}' AS DECIMAL(36,30)))" }
+      // the identical fixed-point constants the Spark plan embeds:
+      // weight(d) = 2^(30-d), an exact int64 — one representation on
+      // every engine, unlike a decimal(38,30) sum
+      val values = (0 to 30)
+        .map(d => s"($d, CAST(${1L << (30 - d)} AS BIGINT))")
         .mkString(", ")
       s"""WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
          |a AS (SELECT max(us) AS anchor FROM e),
@@ -417,7 +428,7 @@ object Windows {
          |      FROM e CROSS JOIN a)
          |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
          |  CAST(count(w.wt) AS BIGINT) AS n_live,
-         |  SUM(w.wt) AS decayed_score
+         |  CAST(SUM(w.wt) AS BIGINT) AS score_2p30
          |FROM g LEFT JOIN w ON w.d = g.age
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },

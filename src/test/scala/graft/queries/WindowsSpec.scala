@@ -183,4 +183,129 @@ class WindowsSpec extends SparkSpec {
       r.getInt(7) == r.getInt(4) * 100 + r.getInt(5) * 10 + r.getInt(6)))
     assert(n == rows.map(_.getLong(0)).distinct.length, "one row per customer")
   }
+
+  test("w19 rolling median: hand-computed 21-row frames on a crafted " +
+       "fixture; warm-up rows (and under-filled types) never scored") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("w19fix").toString
+    // type 'x': 25 rows, value i.00 at minute i (shuffled write order —
+    // the window's (ts, event_id) sort must restore it); type 'y': only
+    // 20 rows — never reaches a full frame, wholly excluded as warm-up
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 00:$i%02d:00")
+    val rows =
+      (1 to 25).map(i => (i.toLong, ts(i), 7L, "x", i.toDouble, "{}")) ++
+      (1 to 20).map(i => (100L + i, ts(i), 7L, "y", i.toDouble, "{}"))
+    scala.util.Random.shuffle(rows.toList)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Windows.w19RollingMedian(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // rows 21..25 of 'x' have full frames [i-20..i]; the 11th order
+    // statistic of 21 consecutive integers is the middle one, i-10
+    val want = (21 to 25).map(i =>
+      (i.toLong, "x", i * 100L, (i - 10) * 100L, 1000L))
+    assert(got.toSeq == want, s"got ${got.toSeq}")
+  }
+
+  test("w19 rolling median matches an independent Scala sliding-frame " +
+       "oracle on sf0.001") {
+    val d = sf("sf0.001")
+    val got = Windows.w19RollingMedian(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    val ev = graft.Tables.events(spark, d)
+      .select(col("event_id"), col("event_type"), col("ts"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime, r.getLong(3)))
+    val want = ev.groupBy(_._2).flatMap { case (_, rs) =>
+      val sorted = rs.sortBy(r => (r._3, r._1))
+      sorted.indices.drop(20).map { i =>
+        val frame = sorted.slice(i - 20, i + 1).map(_._4).sorted
+        sorted(i)._1 -> frame(10)
+      }
+    }
+    assert(got.nonEmpty && got == want,
+      s"sizes ${got.size} vs ${want.size}")
+  }
+
+  test("rollingMedianLarge == the collect_list/array_sort form on real " +
+       "data; no collect_list in the plan; one exchange + one sort") {
+    import graft.operators.TimeSeries
+    val d = sf("sf0.001")
+    val in = graft.Tables.events(spark, d)
+      .select(col("event_id"), col("event_type"), col("ts"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val large = TimeSeries.rollingMedianLarge(
+      in, "event_type", Seq("ts", "event_id"), "cents", 21, "med_cents")
+    val got = large.select("event_id", "med_cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = Windows.w19RollingMedian(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(got.nonEmpty && got == want, s"sizes ${got.size} vs ${want.size}")
+    val plan = large.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"),
+      "large-frame path must not materialize frames")
+    assert(!plan.toLowerCase.contains("window"),
+      "large-frame path must not plan a Window")
+  }
+
+  test("SlidingMedian property: matches sorted-frame median under " +
+       "duplicate-heavy random streams, with bounded physical size") {
+    import graft.operators.TimeSeries
+    val rnd = new scala.util.Random(42)
+    for (frame <- Seq(1, 3, 5, 21); trial <- 1 to 5) {
+      val n = 400
+      // tiny value domain → constant duplicate collisions across the
+      // lo/hi boundary, the regime where lazy deletion goes wrong
+      val xs = Array.fill(n)(rnd.nextInt(7).toLong - 3)
+      val med = new TimeSeries.SlidingMedian(frame)
+      val win = new scala.collection.mutable.Queue[Long]()
+      for (i <- xs.indices) {
+        if (win.size == frame) med.remove(win.dequeue())
+        win.enqueue(xs(i)); med.add(xs(i))
+        if (med.physicalSize > 4 * frame) med.rebuild(win)
+        if (win.size == frame) {
+          val want = win.toArray.sorted.apply(frame / 2)
+          assert(med.median == want,
+            s"frame=$frame trial=$trial i=$i: ${med.median} vs $want")
+          assert(med.physicalSize <= 4 * frame + 2,
+            s"unbounded garbage: ${med.physicalSize}")
+        }
+      }
+    }
+  }
+
+  test("decayedScoreFixedPoint: exact int64 rendering — score_2p30 = " +
+       "decimal score · 2^30 on every key; same window-free plan") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    val t0 = java.sql.Timestamp.valueOf("2026-08-10 12:00:00")
+    def daysBack(d: Int) =
+      new java.sql.Timestamp(t0.getTime - d.toLong * 86400000L)
+    val df = Seq(
+      ("a", daysBack(0)), ("a", daysBack(1)), ("a", daysBack(2)),
+      ("b", daysBack(0)), ("b", daysBack(40)),
+      ("c", daysBack(31))
+    ).toDF("k", "ts")
+    val got = TimeSeries.decayedScoreFixedPoint(df, "k", "ts")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    // 1.75·2^30, 1·2^30, empty sum
+    assert(got("a") == ((3L, 3L, Some(1879048192L))), s"got ${got("a")}")
+    assert(got("b") == ((2L, 1L, Some(1073741824L))), s"got ${got("b")}")
+    assert(got("c") == ((1L, 0L, None)), s"got ${got("c")}")
+    // cross-check the law against the decimal variant on the same data
+    val dec = TimeSeries.decayedScore(df, "k", "ts")
+      .collect().map(r => r.getString(0) ->
+        Option(r.getDecimal(3)).map(bd =>
+          (BigDecimal(bd) * BigDecimal(2).pow(30)).toLongExact)).toMap
+    assert(got.map { case (k, (_, _, s)) => k -> s } == dec)
+    val plan = TimeSeries.decayedScoreFixedPoint(df, "k", "ts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Sort"),
+      s"unexpected window/sort:\n$plan")
+  }
 }
