@@ -100,6 +100,57 @@ object Graph {
     e1.join(e2, "b").join(e3, Seq("a", "c")).select("a", "b", "c")
   }
 
+  /** Orient each undirected edge LOW-degree → HIGH-degree (ties to the
+    * smaller id) — the degree ordering that makes triangle counting
+    * O(m·α) (α = arboricity) instead of O(Σ deg²): wedges are only
+    * generated at each edge's lower-degree endpoint, so a web-scale hot
+    * node (degree 10⁷) contributes ZERO wedges instead of 5·10¹³.
+    * Input: canonical undirected edges (src < dst, one row per edge).
+    * Output: (src, dst, sdeg, ddeg) with (sdeg, src) ≺ (ddeg, dst) —
+    * the degree columns ride along so callers can compose the same
+    * total order without re-joining. Degrees are one |E|-sized
+    * aggregate; the two joins hash on node keys (AQE broadcasts the
+    * |V|-sized degree table when it fits). */
+  def orientByDegree(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("src").as("x"), col("dst").as("y"))
+      .union(edges.select(col("dst").as("x"), col("src").as("y")))
+    val deg = und.groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val dx = deg.select(col("x"), col("d").as("sdeg"))
+    val dy = deg.select(col("x").as("y"), col("d").as("ddeg"))
+    und.join(dx, "x").join(dy, "y")
+      .filter(col("sdeg") < col("ddeg") ||
+        (col("sdeg") === col("ddeg") && col("x") < col("y")))
+      .select(col("x").as("src"), col("y").as("dst"),
+        col("sdeg"), col("ddeg"))
+  }
+
+  /** [[triangles]] with degree-ordered orientation — identical result
+    * set (one (a,b,c) row per triangle, a<b<c by id), but wedge
+    * fan-out bounded by arboricity instead of max degree: the wedge
+    * join pairs out-edges under the (degree, id) total order, and the
+    * closing edge {v,w}, when present, is oriented v→w precisely
+    * because (dv,v) ≺ (dw,w) — so the close stays ONE equi-join on
+    * (v,w), no disjunctive probe. This is the production face for
+    * skewed graphs (web, social, co-occurrence with hot hubs); the
+    * id-oriented [[triangles]] remains for already-bounded edge
+    * tables where the extra degree pass isn't worth it. */
+  def trianglesDegreeOrdered(edges: DataFrame): DataFrame = {
+    val o = orientByDegree(edges)
+    val e1 = o.select(col("src").as("u"), col("dst").as("v"),
+      col("ddeg").as("dv"))
+    val e2 = o.select(col("src").as("u"), col("dst").as("w"),
+      col("ddeg").as("dw"))
+    val wedges = e1.join(e2, "u")
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+    val close = o.select(col("src").as("v"), col("dst").as("w"))
+    wedges.join(close, Seq("v", "w"))
+      .select(array_sort(array(col("u"), col("v"), col("w"))).as("__t"))
+      .select(element_at(col("__t"), 1).as("a"),
+        element_at(col("__t"), 2).as("b"),
+        element_at(col("__t"), 3).as("c"))
+  }
+
   /** Identity stitching — batch identity resolution over the event
     * stream (the cross-device "same person" merge every analytics
     * pipeline needs before user-grained metrics). Each user's PRIMARY

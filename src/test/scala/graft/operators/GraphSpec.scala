@@ -49,6 +49,41 @@ class GraphSpec extends SparkSpec {
     assert(Graph.triangles(open).count() == 0)
   }
 
+  test("trianglesDegreeOrdered: identical triangles on a skewed " +
+       "star+clique, wedge fan-out bounded by arboricity not max degree") {
+    import spark.implicits._
+    // hub 0 with 50 pendant spokes (ids 101..150) — the skew regime —
+    // plus K5 on 1..5 (10 triangles); hub has the graph's max degree
+    // AND the smallest id, the worst case for id-orientation
+    val star = (101L to 150L).map(s => (0L, s))
+    val k5 = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val edges = (star ++ k5).toDF("src", "dst")
+
+    val got = Graph.trianglesDegreeOrdered(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Graph.triangles(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val k5tris = (for (a <- 1L to 5L; b <- (a + 1) to 5L; c <- (b + 1) to 5L)
+      yield (a, b, c)).toSet
+    assert(got == want && got == k5tris, s"got $got")
+
+    // the bound itself: wedges = Σ C(outdeg, 2) over the orientation.
+    // Degree-ordered: spokes orient INTO the hub (out-degree ≤ 1 each,
+    // hub out-degree 0) → only K5 wedges survive, ≤ C(4,2)·5 = 30.
+    // Id-ordered (hub id 0 < every spoke): C(50+?,2) ≥ 1225 wedges at
+    // the hub alone — the blow-up this orientation exists to kill.
+    def wedgeCount(oriented: org.apache.spark.sql.DataFrame): Long =
+      oriented.groupBy(col("src")).agg(count(lit(1)).as("od"))
+        .agg(sum(expr("od * (od - 1) / 2"))).collect()(0).getAs[Any](0)
+        match { case null => 0L; case d: java.math.BigDecimal => d.longValue
+                case l: Long => l; case d: Double => d.toLong }
+    val degWedges = wedgeCount(Graph.orientByDegree(edges)
+      .select(col("src"), col("dst")))
+    val idWedges = wedgeCount(edges)
+    assert(degWedges <= 30, s"degree-ordered wedges: $degWedges")
+    assert(idWedges >= 1225, s"id-ordered wedges: $idWedges")
+  }
+
   test("identityStitch: modal device with smallest-id tie-break, transitive merge, min-user label") {
     import spark.implicits._
     def ev(user: Long, k: Int, n: Int) =
