@@ -48,6 +48,40 @@ object Bench {
   private def jsonArr(s: Seq[String]): String =
     s.map("\"" + _ + "\"").mkString("[", ",", "]")
 
+  /** Parse a named `{"q":sec,…}` map out of a prior bench_out.json
+    * verbose line (our own emission format — flat maps, no nesting).
+    * Tolerant: any shape mismatch returns empty, never throws — a
+    * missing/corrupt baseline must not take the bench down. */
+  def parseQueryMap(json: String, field: String): Map[String, Double] = {
+    val start = json.indexOf("\"" + field + "\":{")
+    if (start < 0) return Map.empty
+    val open = json.indexOf('{', start)
+    val close = json.indexOf('}', open)
+    if (close < 0) return Map.empty
+    "\"([A-Za-z0-9_]+)\":([0-9.eE+-]+)".r
+      .findAllMatchIn(json.substring(open + 1, close))
+      .flatMap(m => scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption)
+      .toMap
+  }
+
+  /** The in-round regression gate: a query is flagged when BOTH its
+    * cold and warm timings exceed `ratio`× the previous round's (the
+    * header's own diagnosis rule — a real plan regression moves both
+    * numbers, JIT/page-cache/box noise mostly moves the cold one) and
+    * the new cold time clears an absolute floor that keeps 20 ms →
+    * 40 ms jitter from flagging. Queries new this round (no baseline)
+    * are skipped. Returns the flagged names, sorted. */
+  def regressions(baseCold: Map[String, Double], baseWarm: Map[String, Double],
+                  results: Seq[(String, Double, Double)],
+                  ratio: Double = 1.5, floorSec: Double = 0.5): Seq[String] =
+    results.collect {
+      case (name, cold, warm)
+        if baseCold.get(name).exists(b => cold > b * ratio && cold > floorSec) &&
+           (baseWarm.isEmpty ||
+             baseWarm.get(name).forall(b => warm > b * ratio)) =>
+        name
+    }.sorted
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -101,6 +135,22 @@ object Bench {
       (name, cold, warm)
     }
     val total = artifacts.map(_._2).sum + results.map(_._2).sum
+    // regression gate vs the PREVIOUS round's committed bench_out.json
+    // (read before this run overwrites it): catches the next w19-style
+    // breakage or perf drift in-round instead of at the judge
+    val baselinePath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "bench_out.json"))
+    val regressed: Seq[String] =
+      if (!java.nio.file.Files.exists(baselinePath)) Nil
+      else {
+        val prior = new String(java.nio.file.Files.readAllBytes(baselinePath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val flags = regressions(parseQueryMap(prior, "queries"),
+          parseQueryMap(prior, "queries_warm"), results)
+        flags.foreach(n => System.err.println(
+          s"[bench] REGRESSION: $n >1.5x slower (cold AND warm) than baseline"))
+        flags
+      }
     // consumers of a failed artifact build re-pay the build inside their
     // own cold timing — flag them so those numbers are never read as a
     // plan regression against a healthy round
@@ -121,6 +171,7 @@ object Bench {
         s""","artifacts":${jsonMap(artifacts.map(a => a._1 -> fmt(a._2)))}""" +
         s""","tainted":${jsonArr(tainted)}""" +
         s""","failures":${jsonArr(failures.distinct.toSeq)}""" +
+        s""","regressions":${jsonArr(regressed)}""" +
         s""","sf":"$sfDir"}"""
     }
     val verbose = render(identity, warm = 2)
@@ -142,6 +193,7 @@ object Bench {
         s""","artifacts":${jsonMap(artifacts.map(a => a._1 -> r2(a._2)))}""" +
         s""","tainted":${jsonArr(tainted)}""" +
         s""","failures":${jsonArr(failures.distinct.take(10).toSeq)}""" +
+        s""","regressions":${jsonArr(regressed.take(10))}""" +
         s""","sf":"$sfDir"}"""
     val candidates = Seq(render(r3, warm = 1), render(r2, warm = 1),
       render(r2, warm = 0), slim)
