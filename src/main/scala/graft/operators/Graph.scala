@@ -135,7 +135,11 @@ object Graph {
     * id-oriented [[triangles]] remains for already-bounded edge
     * tables where the extra degree pass isn't worth it. */
   def trianglesDegreeOrdered(edges: DataFrame): DataFrame = {
-    val o = orientByDegree(edges)
+    // the oriented edge list is |E|-sized and consumed THREE times
+    // (both wedge sides + the close); checkpointing it keeps the
+    // upstream edge-build plan from re-executing per consumer — the
+    // same small-intermediate idiom as llm/Dedup's gram tables
+    val o = orientByDegree(edges).localCheckpoint(true)
     val e1 = o.select(col("src").as("u"), col("dst").as("v"),
       col("ddeg").as("dv"))
     val e2 = o.select(col("src").as("u"), col("dst").as("w"),

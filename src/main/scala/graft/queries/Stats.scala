@@ -424,10 +424,15 @@ object Stats {
           col("l_suppkey") < col("__s2"))
       .groupBy(col("l_suppkey").as("src"), col("__s2").as("dst"))
       .agg(count(lit(1)).as("shared"))
+    // the thresholded edge set is dim-bounded tiny but its build (fact
+    // distinct + self-join + max broadcast) is the expensive part —
+    // checkpoint it so orientation's degree pass and the wedge joins
+    // never re-run the co-supply aggregation
     val edges = co
       .join(broadcast(co.agg(max(col("shared")).as("__mx"))))
       .filter(col("shared") >= col("__mx") - 10)
       .select("src", "dst")
+      .localCheckpoint(true)
     ordered(graft.operators.Graph.trianglesDegreeOrdered(edges),
       "a", "b", "c")
   }

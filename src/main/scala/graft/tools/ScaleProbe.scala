@@ -118,17 +118,12 @@ object ScaleProbe {
       // streaming-harness note above.
       "x_dedup_contain", "x_dedup_contain_prefix", "x_ccnet_refine",
       "q21_waiting_suppliers", "x_contain_apply", "w16_capped_sessions",
-      // round-8/9 surface: SNM dedup (salt → distinct sort keys, true
-      // answer linear), positional phrase search (fixed phrases → match
-      // count linear in corpus), triangles (supplier DIM graph — the
-      // probe measures the 10× fact distinct reduction, the edge set
-      // itself is dim-bounded), RFM (custkey unshifted → 10× orders per
-      // customer, the per-key growth regime), identity stitching (10×
-      // users), the rolling windows, MAD, Benford, decay score and the
-      // lexical-diversity audit over the 10× corpus
-      "x_dedup_snm", "x_search_phrase", "e8_triangles", "a17_rfm",
-      "e7_identity_stitch", "w18_zscore", "w19_rolling_median",
-      "w17_decay_score", "a18_mad", "a19_benford", "x_diversity",
+      // round-9 additions not yet probed: the rolling median (one
+      // per-type sort + frame-bounded state), MAD (two bounded
+      // percentile aggregates), Benford (one 9-row aggregate) and the
+      // lexical-diversity audit (vocabulary-keyed aggregate) over the
+      // 10× events/orders/corpus
+      "w19_rolling_median", "a18_mad", "a19_benford", "x_diversity",
       // round-8 surface: the measured direct-vs-prefix crossover switch
       // (on the probe's small-vocab corpus it must pick direct and ramp
       // like the direct gate), plus the new curation/retrieval ops and
