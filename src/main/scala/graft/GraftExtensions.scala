@@ -28,6 +28,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("split_keyword", es => Tokenize.splitKeywordExpr(es.head))
     inject("nfc_normalize", es => TextExpressions.NfcNormalize(es.head))
     inject("compression_ratio", es => TextExpressions.CompressionRatio(es.head))
+    // container-format header probes over binary media columns
+    inject("media_format", es => graft.functions.BinaryMeta.MediaFormat(es.head))
+    inject("media_width", es => graft.functions.BinaryMeta.MediaWidth(es.head))
+    inject("media_height", es => graft.functions.BinaryMeta.MediaHeight(es.head))
+    inject("wav_sample_rate", es => graft.functions.BinaryMeta.WavSampleRate(es.head))
+    inject("wav_channels", es => graft.functions.BinaryMeta.WavChannels(es.head))
     inject("simhash_agg", es => SimhashAgg(es.head).toAggregateExpression())
     // interleave_bits(bits, c1, c2, ...): Morton key; bits must be a literal
     inject("interleave_bits", { es =>

@@ -1,0 +1,255 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.SparkInternals
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Container-format header parsing over opaque `binary` media columns —
+  * the REAL half of the multimodal metadata step (`llm/Multimodal`):
+  * PNG / JPEG / GIF / BMP dimensions and WAV audio parameters read
+  * straight from the public byte layouts (PNG spec §5.2/11.2.2, JPEG
+  * SOFn segments per ITU-T T.81 §B.2.2, GIF89a logical screen
+  * descriptor, BMP BITMAPINFOHEADER, RIFF/WAVE fmt chunk). No codec
+  * library involved — dimension/rate extraction needs only the headers,
+  * so a 100 TB media-manifest pass (group by resolution, filter by
+  * sample rate, detect mislabeled blobs) runs as a pure codegen'd scan
+  * with the payload bytes never leaving the partition. Pixel/sample
+  * DECODE remains the documented stub boundary in `Multimodal`.
+  *
+  * All parsers are total: any malformed/truncated/foreign input yields
+  * null (sentinel -1 from the static helpers), never an exception —
+  * the property that matters on a crawl where every byte string occurs.
+  *
+  * Reference behavior mirrored: gmall-flink treats media attachments as
+  * opaque strings end-to-end; this surface is a beyond-reference
+  * extension (SURVEY §2.10).
+  */
+object BinaryMeta {
+
+  // ---- static parsers (called from both eval and generated code) ----
+
+  private def u16be(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def u16le(b: Array[Byte], i: Int): Int =
+    ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+  private def u32be(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  private def u32le(b: Array[Byte], i: Int): Long =
+    ((b(i + 3) & 0xffL) << 24) | ((b(i + 2) & 0xffL) << 16) |
+      ((b(i + 1) & 0xffL) << 8) | (b(i) & 0xffL)
+
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length >= 24 &&
+      (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+      b(4) == 0x0d && b(5) == 0x0a && b(6) == 0x1a && b(7) == 0x0a &&
+      b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R'
+
+  private def isJpeg(b: Array[Byte]): Boolean =
+    b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+
+  private def isGif(b: Array[Byte]): Boolean =
+    b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a'
+
+  private def isBmp(b: Array[Byte]): Boolean =
+    b.length >= 26 && b(0) == 'B' && b(1) == 'M'
+
+  private def isWav(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
+      b(11) == 'E'
+
+  /** Scan JPEG segments for the first SOFn (C0–CF except C4/C8/CC —
+    * the frame headers that carry dimensions). Returns the byte offset
+    * of the SOF payload (after the 2-byte length), or -1. */
+  private def jpegSofOffset(b: Array[Byte]): Int = {
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return -1 // desynchronized: not a marker
+      val m = b(i + 1) & 0xff
+      if (m == 0xff) { i += 1 } // fill byte
+      else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2 // standalone
+      else {
+        val len = u16be(b, i + 2)
+        if (len < 2 || i + 2 + len > b.length) return -1
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          if (len < 7) return -1
+          return i + 4 // skip marker (2) + length (2)
+        }
+        i += 2 + len
+      }
+    }
+    -1
+  }
+
+  /** Offset of a RIFF sub-chunk's payload (after the 8-byte chunk
+    * header), or -1. Chunks are word-aligned (odd sizes pad a byte). */
+  private def wavChunkOffset(b: Array[Byte], c0: Char, c1: Char, c2: Char,
+                             c3: Char): Int = {
+    var i = 12
+    while (i + 8 <= b.length) {
+      val size = u32le(b, i + 4)
+      if (b(i) == c0 && b(i + 1) == c1 && b(i + 2) == c2 && b(i + 3) == c3)
+        return if (i + 8 + size <= b.length || size == 0) i + 8 else -1
+      val step = 8L + size + (size & 1L)
+      if (step <= 0 || i + step > Int.MaxValue) return -1
+      i += step.toInt
+    }
+    -1
+  }
+
+  /** Container format by signature: "png" | "jpeg" | "gif" | "bmp" |
+    * "wav", or null for anything else. */
+  def format(b: Array[Byte]): UTF8String =
+    if (isPng(b)) FMT_PNG
+    else if (isJpeg(b)) FMT_JPEG
+    else if (isGif(b)) FMT_GIF
+    else if (isBmp(b)) FMT_BMP
+    else if (isWav(b)) FMT_WAV
+    else null
+  private val FMT_PNG = UTF8String.fromString("png")
+  private val FMT_JPEG = UTF8String.fromString("jpeg")
+  private val FMT_GIF = UTF8String.fromString("gif")
+  private val FMT_BMP = UTF8String.fromString("bmp")
+  private val FMT_WAV = UTF8String.fromString("wav")
+
+  /** Pixel width, or -1 if not an image / malformed. */
+  def width(b: Array[Byte]): Int = {
+    if (isPng(b)) { val w = u32be(b, 16); if (w > 0 && w <= Int.MaxValue) w.toInt else -1 }
+    else if (isGif(b)) { val w = u16le(b, 6); if (w > 0) w else -1 }
+    else if (isBmp(b)) { val w = u32le(b, 18); if (w > 0 && w <= Int.MaxValue) w.toInt else -1 }
+    else if (isJpeg(b)) {
+      val o = jpegSofOffset(b)
+      if (o < 0 || o + 5 > b.length) -1
+      else { val w = u16be(b, o + 3); if (w > 0) w else -1 }
+    } else -1
+  }
+
+  /** Pixel height, or -1. BMP height is signed (negative = top-down
+    * row order); the magnitude is the dimension. */
+  def height(b: Array[Byte]): Int = {
+    if (isPng(b)) { val h = u32be(b, 20); if (h > 0 && h <= Int.MaxValue) h.toInt else -1 }
+    else if (isGif(b)) { val h = u16le(b, 8); if (h > 0) h else -1 }
+    else if (isBmp(b)) {
+      val h = u32le(b, 22).toInt
+      if (h == 0 || h == Int.MinValue) -1 else math.abs(h)
+    } else if (isJpeg(b)) {
+      val o = jpegSofOffset(b)
+      if (o < 0 || o + 3 > b.length) -1
+      else { val h = u16be(b, o + 1); if (h > 0) h else -1 }
+    } else -1
+  }
+
+  /** WAV sample rate in Hz from the fmt chunk, or -1. */
+  def wavSampleRate(b: Array[Byte]): Int = {
+    if (!isWav(b)) return -1
+    val o = wavChunkOffset(b, 'f', 'm', 't', ' ')
+    if (o < 0 || o + 8 > b.length) -1
+    else { val r = u32le(b, o + 4); if (r > 0 && r <= Int.MaxValue) r.toInt else -1 }
+  }
+
+  /** WAV channel count from the fmt chunk, or -1. */
+  def wavChannels(b: Array[Byte]): Int = {
+    if (!isWav(b)) return -1
+    val o = wavChunkOffset(b, 'f', 'm', 't', ' ')
+    if (o < 0 || o + 4 > b.length) -1
+    else { val c = u16le(b, o + 2); if (c > 0) c else -1 }
+  }
+
+  // ---- Catalyst expressions (codegen'd static calls) ----
+
+  abstract class BinaryProbe extends UnaryExpression {
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case BinaryType => TypeCheckResult.TypeCheckSuccess
+        case _ => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a binary input")
+      }
+  }
+
+  /** Int-valued probe: static helper returns -1 for "no value" which
+    * the expression surfaces as null. `method` is a def (not a ctor
+    * field) so every ancestor keeps a no-arg constructor — Java
+    * deserialization of the case classes requires it of the first
+    * non-serializable superclass. */
+  abstract class IntProbe extends BinaryProbe {
+    /** Name of the static parser in [[BinaryMeta]] — eval and codegen
+      * both dispatch through it. */
+    def method: String
+    override def dataType: DataType = IntegerType
+    private def call(b: Array[Byte]): Int = method match {
+      // qualified: TreeNode declares its own `height`
+      case "width" => BinaryMeta.width(b)
+      case "height" => BinaryMeta.height(b)
+      case "wavSampleRate" => BinaryMeta.wavSampleRate(b)
+      case "wavChannels" => BinaryMeta.wavChannels(b)
+    }
+    override def nullSafeEval(v: Any): Any = {
+      val r = call(v.asInstanceOf[Array[Byte]])
+      if (r < 0) null else r
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, bytes => {
+        val r = ctx.freshName("r")
+        s"""
+           |int $r = graft.functions.BinaryMeta.$method($bytes);
+           |if ($r < 0) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+         """.stripMargin
+      })
+  }
+
+  case class MediaWidth(child: Expression) extends IntProbe {
+    override def method: String = "width"
+    override def prettyName: String = "media_width"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+  case class MediaHeight(child: Expression) extends IntProbe {
+    override def method: String = "height"
+    override def prettyName: String = "media_height"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+  case class WavSampleRate(child: Expression) extends IntProbe {
+    override def method: String = "wavSampleRate"
+    override def prettyName: String = "wav_sample_rate"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+  case class WavChannels(child: Expression) extends IntProbe {
+    override def method: String = "wavChannels"
+    override def prettyName: String = "wav_channels"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  case class MediaFormat(child: Expression) extends BinaryProbe {
+    override def prettyName: String = "media_format"
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any =
+      format(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, bytes => {
+        val r = ctx.freshName("r")
+        s"""
+           |UTF8String $r = graft.functions.BinaryMeta.format($bytes);
+           |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  // ---- Column faces ----
+  def mediaFormat(c: Column): Column =
+    SparkInternals.column(MediaFormat(SparkInternals.expression(c)))
+  def mediaWidth(c: Column): Column =
+    SparkInternals.column(MediaWidth(SparkInternals.expression(c)))
+  def mediaHeight(c: Column): Column =
+    SparkInternals.column(MediaHeight(SparkInternals.expression(c)))
+  def wavSampleRateCol(c: Column): Column =
+    SparkInternals.column(WavSampleRate(SparkInternals.expression(c)))
+  def wavChannelsCol(c: Column): Column =
+    SparkInternals.column(WavChannels(SparkInternals.expression(c)))
+}

@@ -74,6 +74,61 @@ object Multimodal {
           lit(frameChars)).as("frame"))
   }
 
+  /** REAL header metadata over a binary media column — container
+    * format, image dimensions and WAV audio parameters parsed straight
+    * from the public byte layouts by `functions/BinaryMeta`'s codegen'd
+    * expressions. Unlike the faked pixel decode, this step needs no
+    * codec: a media-manifest pass (group by resolution, filter by
+    * sample rate, find format/extension mismatches) is a pure map-side
+    * scan where the payload never leaves its partition. Foreign or
+    * malformed payloads yield NULL columns, never an error. */
+  def describeMedia(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    import graft.functions.BinaryMeta
+    val p = col(payloadCol)
+    media
+      .withColumn("fmt", BinaryMeta.mediaFormat(p))
+      .withColumn("width", BinaryMeta.mediaWidth(p))
+      .withColumn("height", BinaryMeta.mediaHeight(p))
+      .withColumn("sample_rate", BinaryMeta.wavSampleRateCol(p))
+      .withColumn("channels", BinaryMeta.wavChannelsCol(p))
+  }
+
+  /** Deterministic synthetic container fixtures: VALID PNG / GIF / WAV
+    * / JPEG headers built from doc_id arithmetic (dims ≤ 512×300,
+    * rates 8–36 kHz), as hex assembled with engine-portable string
+    * functions — so a DuckDB oracle can regenerate the same ground
+    * truth arithmetically while the Spark side must round-trip the
+    * actual BYTES through `BinaryMeta`'s parsers. The JPEG variant
+    * carries an APP0 segment before its SOF0 to exercise the marker
+    * skip loop; the WAV is a complete RIFF/fmt header. */
+  def syntheticContainers(docs: DataFrame): DataFrame = {
+    def be(v: org.apache.spark.sql.Column, nBytes: Int) =
+      lpad(hex(v), nBytes * 2, "0")
+    def le2(v: org.apache.spark.sql.Column) = {
+      val h = lpad(hex(v), 4, "0"); concat(h.substr(3, 2), h.substr(1, 2))
+    }
+    def le4(v: org.apache.spark.sql.Column) = {
+      val h = lpad(hex(v), 8, "0")
+      concat(h.substr(7, 2), h.substr(5, 2), h.substr(3, 2), h.substr(1, 2))
+    }
+    val w = (pmod(col("doc_id"), lit(512)) + 1).cast("int")
+    val h = (pmod(col("doc_id"), lit(300)) + 1).cast("int")
+    val rate = (lit(8000) + pmod(col("doc_id"), lit(8)) * 4000).cast("int")
+    val ch = (pmod(col("doc_id"), lit(2)) + 1).cast("int")
+    val png = concat(lit("89504E470D0A1A0A0000000D49484452"),
+      be(w, 4), be(h, 4), lit("0806000000"))
+    val gif = concat(lit("474946383961"), le2(w), le2(h), lit("F70000"))
+    val wav = concat(lit("52494646"), le4(lit(36)), lit("57415645"),
+      lit("666D7420"), le4(lit(16)), le2(lit(1)), le2(ch), le4(rate),
+      le4(rate * 2), le2(lit(2)), le2(lit(16)))
+    val jpg = concat(lit("FFD8FFE000040000FFC0001108"),
+      be(h, 2), be(w, 2), lit("03011100021101031101"))
+    val sel = pmod(col("doc_id"), lit(4))
+    docs.select(col("doc_id"),
+      unhex(when(sel === 0, png).when(sel === 1, gif)
+        .when(sel === 2, wav).otherwise(jpg)).as("payload"))
+  }
+
   /** Batched per-partition feature extraction over the binary column —
     * the mapInPandas analog: no per-row task overhead, payload bytes stay
     * partition-local. */

@@ -1138,6 +1138,22 @@ object LlmOps {
       Multimodal.extractFeatures(s, Multimodal.withPayload(documents(s, d))).toDF(),
       "doc_id")
 
+  /** Real container-header metadata: deterministic PNG/GIF/WAV/JPEG
+    * payloads built from doc_id arithmetic, then parsed BACK through
+    * `functions/BinaryMeta`'s codegen'd byte-layout parsers — the gate
+    * fails if either the construction or the parse deviates from the
+    * public format specs. The oracle regenerates the ground truth
+    * arithmetically (it never sees the bytes), so parse and
+    * construction cannot share a bug. Pure map-side; payloads never
+    * shuffle. */
+  def xMultimodalMeta(s: SparkSession, d: String): DataFrame =
+    ordered(
+      Multimodal.describeMedia(
+        Multimodal.syntheticContainers(documents(s, d)))
+        .select(col("doc_id"), col("fmt"), col("width"), col("height"),
+          col("sample_rate"), col("channels")),
+      "doc_id")
+
   /** Frame sampling at 1 fps over the chars-as-milliseconds payload —
     * timestamps by metadata arithmetic, each frame row carrying only
     * its own 32-char slice (the video half of the multimodal
@@ -1326,6 +1342,7 @@ object LlmOps {
     "x_corpus_pipeline"   -> (xCorpusPipeline _),
     "x_corpus_assembly"   -> (xCorpusAssembly _),
     "x_multimodal"        -> (xMultimodal _),
+    "x_multimodal_meta"   -> (xMultimodalMeta _),
     "x_frame_sample"      -> (xFrameSample _),
     "x_chunk_cdc"         -> (xChunkCdc _),
     "x_coreset_kcenter"   -> (xCoresetKcenter _),
@@ -2775,6 +2792,19 @@ object LlmOps {
         |  CAST(list_sum(list_transform(range(1, octet_length(encode(text)) + 1),
         |         i -> CAST(('0x' || substr(to_hex(encode(text)), 2*i-1, 2)) AS INT))) AS DOUBLE)
         |    / octet_length(encode(text)) AS mean_byte
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+        |       WHEN 2 THEN 'wav' ELSE 'jpeg' END AS fmt,
+        |  CASE WHEN doc_id % 4 IN (0, 1, 3)
+        |       THEN CAST(doc_id % 512 + 1 AS INT) END AS width,
+        |  CASE WHEN doc_id % 4 IN (0, 1, 3)
+        |       THEN CAST(doc_id % 300 + 1 AS INT) END AS height,
+        |  CASE WHEN doc_id % 4 = 2
+        |       THEN CAST(8000 + (doc_id % 8) * 4000 AS INT) END AS sample_rate,
+        |  CASE WHEN doc_id % 4 = 2
+        |       THEN CAST(doc_id % 2 + 1 AS INT) END AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
     "x_chunk_cdc" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
