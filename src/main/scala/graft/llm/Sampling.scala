@@ -372,4 +372,30 @@ object Sampling {
         .cast("int").as("selected"): _*)
     fullIn.unionByName(fullOut).unionByName(boundary)
   }
+
+  /** Deterministic k examples per group — the "show me 8 docs from each
+    * source/cluster/language" sampler every curation review runs. The
+    * draw is uniform-ish and SEEDLESSLY reproducible: rank by the
+    * Knuth multiplicative hash h(id) = (id mod 2³¹)·2654435761 mod 2³¹
+    * (engine-portable integer arithmetic — products stay < 2⁶³, so the
+    * identical h computes anywhere), tie to id. Rendering is ONE hash
+    * aggregate with `functions.TopKAgg` partials (O(k) buffer per
+    * group, map-side combine) — no Window, no per-group sort, no
+    * full-table rank exchange; the 100 TB cost is a scan plus a
+    * |groups|·k-row shuffle. Output: (group, rank 0..k-1, id). */
+  def examplesPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                       k: Int): DataFrame = {
+    require(k >= 1, "examplesPerGroup: k >= 1")
+    import graft.functions.TopKAgg.topK
+    val h = pmod(pmod(col(idCol), lit(2147483648L)) * 2654435761L,
+      lit(2147483648L))
+    // TopKAgg keeps the k LARGEST values: negate so min-hash wins;
+    // h < 2^31 is exactly representable in double, so no tie drift
+    df.select(col(groupCol), col(idCol), (-h.cast("double")).as("__negh"))
+      .groupBy(col(groupCol))
+      .agg(topK(col("__negh"), col(idCol), k).as("__top"))
+      .select(col(groupCol), posexplode(col("__top")).as(Seq("rank", "__t")))
+      .select(col(groupCol), col("rank").cast("long").as("rank"),
+        col("__t.id").as(idCol))
+  }
 }

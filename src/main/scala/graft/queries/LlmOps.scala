@@ -720,6 +720,17 @@ object LlmOps {
         .select(col("doc_id"), col("quality_score"), col("sample_weight")),
       "doc_id")
 
+  /** Deterministic k examples per source — the curation-review sampler
+    * (`Sampling.examplesPerGroup`): 8 uniform-ish docs per source via
+    * the Knuth multiplicative hash rank, rendered as ONE TopKAgg hash
+    * aggregate (O(k) buffer per group, no Window, no per-group sort).
+    * The oracle replays the identical hash through a row_number window
+    * — the window-free plan must reproduce the windowed semantics. */
+  def xSampleExamples(s: SparkSession, d: String): DataFrame =
+    ordered(
+      Sampling.examplesPerGroup(documents(s, d), "source", "doc_id", k = 8),
+      "source", "rank")
+
   /** Deterministic contrastive negatives: every embedding draws 4
     * hash-bucketed negatives from the corpus (32 buckets ≪ 500
     * candidates so none is empty). */
@@ -1305,6 +1316,7 @@ object LlmOps {
     "x_sample_mixture"    -> (xSampleMixture _),
     "x_sample_shard"      -> (xSampleShard _),
     "x_sample_weighted"   -> (xSampleWeighted _),
+    "x_sample_examples"   -> (xSampleExamples _),
     "x_dsir_weights"      -> (xDsirWeights _),
     "x_quality_rank"      -> (xQualityRank _),
     "x_negatives"         -> (xNegatives _),
@@ -2107,6 +2119,16 @@ object LlmOps {
          |  FROM q)
          |SELECT doc_id, quality_score, 1000.0 / wm AS sample_weight
          |FROM w WHERE h * 1000 < wm * 4294967296 ORDER BY doc_id""".stripMargin,
+    "x_sample_examples" ->
+      """WITH h AS (SELECT source, doc_id,
+        |    ((doc_id % 2147483648) * 2654435761) % 2147483648 AS hv
+        |  FROM documents),
+        |r AS (SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) - 1
+        |      AS rank
+        |  FROM h)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id
+        |FROM r WHERE rank < 8 ORDER BY source, rank""".stripMargin,
     "x_sample_split" ->
       """WITH s AS (SELECT doc_id,
         |  CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)

@@ -520,6 +520,23 @@ object Stats {
     * Benford expectation enters as precomputed INTEGER ppm literals —
     * identical constants in both plans, so no log10 float ever runs in
     * either engine. One scan, one 9-row aggregate. */
+  /** A20: order-independent table fingerprint per order status — the
+    * migration-validation digest (`TableStats.tableFingerprint`): after
+    * any rewrite/move/repartition of the table, equal (xor_fp, sum_fp,
+    * ct) per group ⟺ identical content under the canonical rendering.
+    * Every cast is pinned so the canonical text is engine-identical:
+    * bigints bare, the price as decimal(18,2), the date as DATE. */
+  def a20Fingerprint(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(col("o_orderstatus"), col("o_orderkey"),
+      col("o_custkey"),
+      col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"),
+      col("o_orderdate").cast("date").as("o_orderdate"))
+    ordered(
+      graft.operators.TableStats.tableFingerprint(o, "o_orderstatus",
+        Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")),
+      "o_orderstatus")
+  }
+
   def a19Benford(s: SparkSession, d: String): DataFrame = {
     // floor(log10(1 + 1/d) * 1e6), d = 1..9 — fixed public constants
     val benford = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
@@ -888,6 +905,7 @@ object Stats {
     "a17_rfm"           -> (a17Rfm _),
     "a18_mad"           -> (a18Mad _),
     "a19_benford"       -> (a19Benford _),
+    "a20_fingerprint"   -> (a20Fingerprint _),
     "e8_triangles"      -> (e8Triangles _),
     "e6_attribution"    -> (e6Attribution _),
     "e6_attribution_stream" -> (e6AttributionStream _),
@@ -910,6 +928,19 @@ object Stats {
       |GROUP BY fs.cohort_day, 2 ORDER BY cohort_day, day_offset""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "a20_fingerprint" ->
+      """WITH c AS (SELECT o_orderstatus,
+        |  CAST(('0x' || substr(md5(concat_ws('|',
+        |    COALESCE(CAST(o_orderkey AS VARCHAR), ' '),
+        |    COALESCE(CAST(o_custkey AS VARCHAR), ' '),
+        |    COALESCE(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), ' '),
+        |    COALESCE(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), ' '))),
+        |    1, 15)) AS BIGINT) AS h
+        |  FROM orders)
+        |SELECT o_orderstatus, bit_xor(h) AS xor_fp,
+        |  CAST(SUM(h % 1000000007) AS BIGINT) AS sum_fp,
+        |  COUNT(*) AS ct
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "a18_mad" ->
       """WITH e AS (SELECT event_type,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 200 AS BIGINT) AS v2

@@ -116,4 +116,64 @@ class TableStatsSpec extends SparkSpec {
     assert(winIdx >= 0 && aggIdx > winIdx,
       s"Window must consume the per-(group, value) aggregate:\n$plan")
   }
+
+  test("tableFingerprint: invariant under row order and partitioning; " +
+       "any value change moves it; duplicate pairs escape XOR but not sum/ct") {
+    import spark.implicits._
+    val base = Seq(
+      ("a", 1L, "x", "10.50"), ("a", 2L, "y", "3.00"), ("a", 3L, null, "7.25"),
+      ("b", 4L, "z", "1.00"))
+      .toDF("g", "id", "s", "price")
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      TableStats.tableFingerprint(df, "g", Seq("id", "s", "price"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+    val ref = fp(base)
+    // row order / partitioning invariance — the whole point
+    assert(fp(base.orderBy(col("id").desc).repartition(7)) == ref)
+    // one changed value moves the group's fingerprint, others untouched
+    val changed = fp(base.withColumn("price",
+      when(col("id") === 2, "3.01").otherwise(col("price"))))
+    assert(changed("a") != ref("a") && changed("b") == ref("b"))
+    // NULL vs the literal sentinel string must differ (the coalesce
+    // sentinel is a single space: a real " " value collides only if the
+    // column legitimately holds one — acceptable, but null≠"q" always)
+    val nulled = fp(base.withColumn("s",
+      when(col("id") === 1, lit(null)).otherwise(col("s"))))
+    assert(nulled("a") != ref("a"))
+    // an even number of identical rows cancels in XOR — sum_fp and ct
+    // still catch it (why the digest carries all three)
+    val doubled = fp(base.unionAll(base.filter(col("id") === 4)))
+    assert(doubled("b")._1 == 0L, "two identical rows XOR to zero")
+    assert(doubled("b")._2 == 2 * ref("b")._2 && doubled("b")._3 == 2)
+  }
+
+  test("examplesPerGroup: matches the row_number window rendering, " +
+       "no Window in the plan, whole group when k exceeds it") {
+    import spark.implicits._
+    import graft.llm.Sampling
+    val df = (1L to 100L).map(i => (s"g${i % 3}", i)).toDF("g", "id")
+    val got = Sampling.examplesPerGroup(df, "g", "id", 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val h = pmod(pmod(col("id"), lit(2147483648L)) * 2654435761L,
+      lit(2147483648L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(h, col("id"))
+    val want = df.withColumn("rank",
+        org.apache.spark.sql.functions.row_number().over(w).cast("long") - 1)
+      .filter(col("rank") < 5).select("g", "rank", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && got.size == 15)
+
+    val plan = Sampling.examplesPerGroup(df, "g", "id", 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"sampler must not plan a window:\n$plan")
+
+    // k larger than the group: every row sampled, ranks dense from 0
+    val tiny = Seq(("g", 10L), ("g", 20L)).toDF("g", "id")
+    val all = Sampling.examplesPerGroup(tiny, "g", "id", 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(all.length == 2 && all.map(_._1).sameElements(Array(0L, 1L)))
+  }
 }
