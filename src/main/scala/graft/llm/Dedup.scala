@@ -985,4 +985,40 @@ object Dedup {
       .select(least(col("doc_id"), col("__d2")).as("d1"),
         greatest(col("doc_id"), col("__d2")).as("d2"), col("jaccard"))
   }
+
+  /** Edit-distance-1 vocabulary pairing — FastSS deletion-neighborhood
+    * blocking (Bocek et al. 2007): the typo/spelling-variant resolver
+    * that the Jaccard family cannot serve (one character OF a short
+    * token is a large Jaccard move but a tiny edit). Candidates: two
+    * tokens are within edit distance 1 ⟺ their deletion neighborhoods
+    * U(t) = {t} ∪ {t minus one char} intersect — an EQUI-join on the
+    * variant string, never a quadratic vocab self-join. Shared variants
+    * can also arise from ed-2 transpositions ("abc"/"acb" share "ac"),
+    * so candidates are VERIFIED with levenshtein ≤ 1 — recall is exact
+    * by the neighborhood property, precision restored by the check.
+    *
+    * Scale: the corpus collapses to its VOCABULARY before anything
+    * fans out (one explode + one hash agg); variants are |vocab|·(L+1)
+    * rows; candidate fan-out concentrates on short tokens, which is
+    * what `minLen` bounds (the FastSS analog of LSH's hot-band guard).
+    * Output: (w1 < w2, df1, df2) — corpus frequencies ride along so a
+    * caller can canonicalize toward the common spelling. */
+  def typoPairs(docs: DataFrame, text: Column = col("text"),
+                minLen: Int = 4): DataFrame = {
+    require(minLen >= 2, "typoPairs: minLen >= 2")
+    val vocab = docs
+      .select(explode(TextAnalysis.tokens(text)).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(length(col("tok")) >= minLen)
+    val vars = vocab.select(col("tok"), col("df"),
+      explode(array_union(array(col("tok")),
+        expr("transform(sequence(1, length(tok)), i -> " +
+          "concat(substring(tok, 1, i - 1), " +
+          "substring(tok, i + 1, length(tok))))"))).as("__v"))
+    val a = vars.select(col("__v"), col("tok").as("w1"), col("df").as("df1"))
+    val b = vars.select(col("__v"), col("tok").as("w2"), col("df").as("df2"))
+    a.join(b, "__v").filter(col("w1") < col("w2"))
+      .select("w1", "w2", "df1", "df2").distinct()
+      .filter(levenshtein(col("w1"), col("w2")) <= 1)
+  }
 }

@@ -720,6 +720,21 @@ object LlmOps {
         .select(col("doc_id"), col("quality_score"), col("sample_weight")),
       "doc_id")
 
+  /** Edit-distance-1 typo pairs over the corpus vocabulary —
+    * `Dedup.typoPairs` (FastSS deletion-neighborhood blocking +
+    * levenshtein verification). The oracle is the QUADRATIC all-pairs
+    * levenshtein over the vocabulary — exactly the plan the blocking
+    * exists to avoid — so the gate pins the recall-1 property of the
+    * neighborhood construction, not just the plan's own output.
+    * Driven by customer-name tokens (the synthetic documents corpus
+    * has a 30-token vocabulary with no ed-1 pairs at all — a 0-row
+    * gate would assert nothing): the zero-padded numeric name suffixes
+    * are exactly the one-digit-apart regime entity resolution sees. */
+  def xTypoPairs(s: SparkSession, d: String): DataFrame =
+    ordered(
+      Dedup.typoPairs(customer(s, d), col("c_name")),
+      "w1", "w2")
+
   /** Deterministic k examples per source — the curation-review sampler
     * (`Sampling.examplesPerGroup`): 8 uniform-ish docs per source via
     * the Knuth multiplicative hash rank, rendered as ONE TopKAgg hash
@@ -1317,6 +1332,7 @@ object LlmOps {
     "x_sample_shard"      -> (xSampleShard _),
     "x_sample_weighted"   -> (xSampleWeighted _),
     "x_sample_examples"   -> (xSampleExamples _),
+    "x_typo_pairs"        -> (xTypoPairs _),
     "x_dsir_weights"      -> (xDsirWeights _),
     "x_quality_rank"      -> (xQualityRank _),
     "x_negatives"         -> (xNegatives _),
@@ -2119,6 +2135,15 @@ object LlmOps {
          |  FROM q)
          |SELECT doc_id, quality_score, 1000.0 / wm AS sample_weight
          |FROM w WHERE h * 1000 < wm * 4294967296 ORDER BY doc_id""".stripMargin,
+    "x_typo_pairs" ->
+      """WITH toks AS (SELECT list_filter(str_split_regex(lower(c_name),
+        |    '[^a-z0-9]+'), t -> t <> '') AS ts FROM customer),
+        |v AS (SELECT tok, COUNT(*) AS df
+        |      FROM (SELECT unnest(ts) AS tok FROM toks) GROUP BY 1),
+        |f AS (SELECT * FROM v WHERE length(tok) >= 4)
+        |SELECT a.tok AS w1, b.tok AS w2, a.df AS df1, b.df AS df2
+        |FROM f a JOIN f b ON a.tok < b.tok AND levenshtein(a.tok, b.tok) <= 1
+        |ORDER BY w1, w2""".stripMargin,
     "x_sample_examples" ->
       """WITH h AS (SELECT source, doc_id,
         |    ((doc_id % 2147483648) * 2654435761) % 2147483648 AS hv

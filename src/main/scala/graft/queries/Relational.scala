@@ -404,6 +404,31 @@ object Relational {
     * versions (`operators/Dimensions.scd2FromChangelog`); the full
     * type-2 table whose LATEST face is what `sources.Sinks.dimUpsert`
     * serves to stream enrichment. */
+  /** D2: incremental aggregate maintenance — the per-customer order
+    * cube maintained as snapshot + delta instead of full recompute
+    * (`operators/Incremental`): the history (orders before 1999)
+    * collapses to mergeable partial state, the "new day" (1999+) is
+    * aggregated alone, and the published cube is the MERGE of the two
+    * partial tables. The oracle computes the one-shot aggregate over
+    * everything — the gate is the merge law itself, hash-exact in
+    * integer cents, avg derived at read time (sum div cnt — the
+    * don't-merge-averages pitfall pinned). */
+  def d2Incremental(s: SparkSession, d: String): DataFrame = {
+    val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
+      .cast("long")
+    val o = orders(s, d).select(col("o_custkey"), col("o_orderdate"),
+      cents.as("__cents"))
+    val cut = "1999-01-01"
+    val hist = graft.operators.Incremental.partialAggregate(
+      o.filter(col("o_orderdate") < lit(cut)), "o_custkey", col("__cents"))
+    val delta = graft.operators.Incremental.partialAggregate(
+      o.filter(col("o_orderdate") >= lit(cut)), "o_custkey", col("__cents"))
+    ordered(
+      graft.operators.Incremental.mergePartials("o_custkey", hist, delta)
+        .withColumn("avg_cents", expr("sum_cents div cnt")),
+      "o_custkey")
+  }
+
   def d1Scd2(s: SparkSession, d: String): DataFrame = {
     ordered(
       graft.operators.Dimensions.scd2FromChangelog(
@@ -784,6 +809,7 @@ object Relational {
     "q13_customer_distribution" -> (q13CustomerDistribution _),
     "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
     "d1_scd2"              -> (d1Scd2 _),
+    "d2_incremental"       -> (d2Incremental _),
     "d1_scd2_stream"       -> (d1Scd2Stream _),
     "j12_dim_asof"         -> (j12DimAsof _),
     "q10_returned_items"   -> (q10ReturnedItems _),
@@ -903,6 +929,15 @@ object Relational {
         |QUALIFY row_number() OVER (PARTITION BY e.event_id
         |  ORDER BY v.vf DESC, v.version DESC) = 1
         |ORDER BY e.event_id""".stripMargin,
+    "d2_incremental" ->
+      """WITH c AS (SELECT o_custkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_custkey, COUNT(*) AS cnt,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  MIN(cents) AS min_cents, MAX(cents) AS max_cents,
+        |  CAST(SUM(cents) AS BIGINT) // COUNT(*) AS avg_cents
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "d1_scd2" ->
       """WITH s AS (SELECT user_id, ts, event_id, event_type,
         |  lag(event_type) OVER w AS pv, row_number() OVER w AS rn

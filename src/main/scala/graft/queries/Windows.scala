@@ -362,7 +362,40 @@ object Windows {
       "event_id")
   }
 
+  /** W20: exponentially-weighted moving average (α = 1/2), integer-
+    * exact: the trailing smoother every monitoring/trending surface
+    * runs next to W18's z-score. The recursion s_t = α·x_t + (1−α)·
+    * s_{t−1} unrolls to a dot product of trailing lags with dyadic
+    * weights, so the scaled value Σ_{a=0..30} cents(t−a)·2^(30−a) is
+    * an exact int64 (≤ ~3·10¹⁶ at decimal(18,2) inputs) — same
+    * weight-table trick as W17, same horizon argument: beyond 31 taps
+    * a contribution is < 2⁻³⁰ of fresh, below any trend's resolution.
+    * Rendered as 31 lag() taps riding ONE per-type (ts, id) sort —
+    * each tap is O(1) per row, no frame materialization at all (vs
+    * w19's collect_list), and the identical lag algebra runs on both
+    * engines, so the gate hash-matches bit-exactly. Warm-up rows
+    * (fewer than 31 predecessors) are excluded — the same contract as
+    * w18/w19, and what keeps the weight mass constant per row. */
+  def w20Ewma(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    val taps = (0 to 30).map(a =>
+      lag(col("cents"), a).over(w) * lit(1L << (30 - a)))
+    ordered(
+      events(s, d)
+        .select(col("event_id"), col("event_type"), col("ts"),
+          cents.as("cents"))
+        .filter(col("cents").isNotNull)
+        .withColumn("ewma_2p31", taps.reduce(_ + _))
+        .filter(col("ewma_2p31").isNotNull) // any missing tap = warm-up
+        .select(col("event_id"), col("event_type"), col("cents"),
+          col("ewma_2p31")),
+      "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w20_ewma"            -> (w20Ewma _),
     "w19_rolling_median"  -> (w19RollingMedian _),
     "w18_zscore"          -> (w18ZscoreAnomaly _),
     "w17_decay_score"     -> (w17DecayScore _),
@@ -381,6 +414,20 @@ object Windows {
     "w9_running"        -> (w9Running _))
 
   val oracle: Map[String, String] = Map(
+    "w20_ewma" -> {
+      // the identical 31-tap dyadic lag algebra the Spark plan embeds
+      val taps = (0 to 30)
+        .map(a => s"lag(cents, $a) OVER w * ${1L << (30 - a)}")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT event_id, event_type, ts,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM events WHERE value IS NOT NULL),
+         |f AS (SELECT event_id, event_type, cents,
+         |    $taps AS ewma_2p31
+         |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+         |SELECT event_id, event_type, cents, ewma_2p31
+         |FROM f WHERE ewma_2p31 IS NOT NULL ORDER BY event_id""".stripMargin
+    },
     "w19_rolling_median" ->
       """WITH e AS (SELECT event_id, event_type, ts,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents

@@ -78,4 +78,41 @@ class SearchSnmSpec extends SparkSpec {
       !lines.take(singleIdx).reverse.headOption.exists(_.contains("Window")),
       s"no single-partition window allowed:\n$plan")
   }
+
+  test("typoPairs: finds exactly the ed<=1 pairs — substitution, " +
+       "insertion/deletion, NOT transposition; minLen and df honored") {
+    val docs = Seq(
+      "color colour colxr",  // colour: insertion; colxr: substitution
+      "color claor",         // claor: ed-2 transposition of 'color' vars
+      "abc abd",             // below minLen=4: never paired
+      "color"                // df(color) = 3
+    ).map(Tuple1(_)).toDF("text")
+    val got = Dedup.typoPairs(docs, col("text"), minLen = 4)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    // independent in-memory quadratic oracle over the >=4-char vocab
+    val vocab = Map("color" -> 3L, "colour" -> 1L, "colxr" -> 1L, "claor" -> 1L)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val oracle = (for {
+      (a, da) <- vocab; (b, db) <- vocab
+      if a < b && lev(a, b) <= 1
+    } yield (a, b, da, db)).toSet
+    assert(got == oracle, s"got $got\noracle $oracle")
+    // hand expectations: color~colour (insertion), color~colxr
+    // (substitution) pair; colour~colxr is ed 2 despite both being
+    // neighbors of color — neighborhood intersection alone would admit
+    // it via shared variants only if one existed, the lev check decides
+    assert(got.contains(("color", "colour", 3L, 1L)), s"got $got")
+    assert(got.contains(("color", "colxr", 3L, 1L)), s"got $got")
+    assert(!got.exists(p => p._1 == "claor" || p._2 == "claor"),
+      "transposition is ed 2 — must be verified away")
+    assert(!got.exists(p => p._1.length < 4 || p._2.length < 4))
+  }
 }

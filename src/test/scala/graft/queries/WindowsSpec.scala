@@ -277,6 +277,34 @@ class WindowsSpec extends SparkSpec {
     }
   }
 
+  test("w20 EWMA: constant series saturates at (2^31-1)x; an impulse " +
+       "decays by exactly one bit per step and leaves the horizon") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("w20fix").toString
+    def ts(i: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime + i * 60000L)
+    // type 'c': constant 1.00 for 40 rows; type 'i': 2.00 impulse at
+    // row 0 then 0.00 for 39 rows
+    val rows =
+      (0 until 40).map(i => (i.toLong, ts(i), 1L, "c", 1.0, "{}")) ++
+      (0 until 40).map(i => (100L + i, ts(i), 1L, "i",
+        if (i == 0) 2.0 else 0.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Windows.w20Ewma(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toList
+    val c = got.filter(_._2 == "c")
+    val i = got.filter(_._2 == "i")
+    // warm-up: rows 0..29 excluded; 10 scored rows per type
+    assert(c.size == 10 && i.size == 10)
+    assert(c.forall(_._3 == 100L * ((1L << 31) - 1)),
+      s"constant series must saturate: $c")
+    // impulse: at t=30 the age-30 tap holds it with weight 2^0 -> 200;
+    // from t=31 it is beyond the horizon -> exactly 0
+    assert(i.head == ((130L, "i", 200L)), s"got ${i.head}")
+    assert(i.tail.forall(_._3 == 0L), s"got ${i.tail}")
+  }
+
   test("decayedScoreFixedPoint: exact int64 rendering — score_2p30 = " +
        "decimal score · 2^30 on every key; same window-free plan") {
     import spark.implicits._
