@@ -404,6 +404,25 @@ object Relational {
     * versions (`operators/Dimensions.scd2FromChangelog`); the full
     * type-2 table whose LATEST face is what `sources.Sinks.dimUpsert`
     * serves to stream enrichment. */
+  /** J13: referential-integrity audit over the schema's four declared
+    * FK relationships (`TableStats.fkAudit`): per relation, fact rows
+    * and distinct keys pointing at a nonexistent dimension row, and
+    * the integer-ppm coverage. Each relation is one dim-key-distinct
+    * left join + one aggregate; the four one-row results union. */
+  def j13FkAudit(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.TableStats.fkAudit
+    ordered(
+      fkAudit(orders(s, d), "o_custkey", customer(s, d), "c_custkey",
+          "orders.o_custkey->customer")
+        .unionByName(fkAudit(lineitem(s, d), "l_orderkey", orders(s, d),
+          "o_orderkey", "lineitem.l_orderkey->orders"))
+        .unionByName(fkAudit(lineitem(s, d), "l_partkey", part(s, d),
+          "p_partkey", "lineitem.l_partkey->part"))
+        .unionByName(fkAudit(lineitem(s, d), "l_suppkey", supplier(s, d),
+          "s_suppkey", "lineitem.l_suppkey->supplier")),
+      "relation")
+  }
+
   /** D2: incremental aggregate maintenance — the per-customer order
     * cube maintained as snapshot + delta instead of full recompute
     * (`operators/Incremental`): the history (orders before 1999)
@@ -810,6 +829,7 @@ object Relational {
     "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
     "d1_scd2"              -> (d1Scd2 _),
     "d2_incremental"       -> (d2Incremental _),
+    "j13_fk_audit"         -> (j13FkAudit _),
     "d1_scd2_stream"       -> (d1Scd2Stream _),
     "j12_dim_asof"         -> (j12DimAsof _),
     "q10_returned_items"   -> (q10ReturnedItems _),
@@ -929,6 +949,31 @@ object Relational {
         |QUALIFY row_number() OVER (PARTITION BY e.event_id
         |  ORDER BY v.vf DESC, v.version DESC) = 1
         |ORDER BY e.event_id""".stripMargin,
+    "j13_fk_audit" -> {
+      def one(factTbl: String, factKey: String, dimTbl: String,
+              dimKey: String, rel: String) =
+        s"""SELECT '$rel' AS relation,
+           |  COUNT(*) AS fact_rows,
+           |  COUNT(CASE WHEN d.__hit IS NULL THEN 1 END) AS orphan_rows,
+           |  COUNT(DISTINCT f.$factKey) AS distinct_keys,
+           |  COUNT(DISTINCT CASE WHEN d.__hit IS NULL THEN f.$factKey END)
+           |    AS orphan_keys,
+           |  (COUNT(*) - COUNT(CASE WHEN d.__hit IS NULL THEN 1 END))
+           |    * 1000000 // COUNT(*) AS coverage_ppm
+           |FROM $factTbl f LEFT JOIN
+           |  (SELECT DISTINCT $dimKey AS k, 1 AS __hit FROM $dimTbl) d
+           |  ON f.$factKey = d.k""".stripMargin
+      Seq(
+        one("orders", "o_custkey", "customer", "c_custkey",
+          "orders.o_custkey->customer"),
+        one("lineitem", "l_orderkey", "orders", "o_orderkey",
+          "lineitem.l_orderkey->orders"),
+        one("lineitem", "l_partkey", "part", "p_partkey",
+          "lineitem.l_partkey->part"),
+        one("lineitem", "l_suppkey", "supplier", "s_suppkey",
+          "lineitem.l_suppkey->supplier"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY relation")
+    },
     "d2_incremental" ->
       """WITH c AS (SELECT o_custkey,
         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents

@@ -394,7 +394,38 @@ object Windows {
       "event_id")
   }
 
+  /** W21: integer CUSUM drift detection — the classic changepoint
+    * screen (Page 1954): per event type, the upper CUSUM
+    * max(0, c_{t−1} + x_t − target) unrolls to S_t − min_{i≤t} S_i
+    * over the prefix sums S of (cents − target), so the recursion
+    * becomes two stacked window functions (running sum, then running
+    * min of it) riding ONE per-type sort — no state machine, no
+    * mapPartitions, and every quantity is an exact int64 (target =
+    * per-type integer mean, sum div cnt). Alarm when the accumulated
+    * drift exceeds 10 target-units — a sustained shift fires, noise
+    * resets at the running minimum. */
+  def w21Cusum(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val e = events(s, d)
+      .select(col("event_id"), col("event_type"), col("ts"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter(col("cents").isNotNull)
+    val target = e.groupBy(col("event_type"))
+      .agg(expr("sum(cents) div count(1)").as("__target"))
+    ordered(
+      e.join(broadcast(target), "event_type")
+        .withColumn("__s", sum(col("cents") - col("__target")).over(w))
+        .withColumn("__smin", min(col("__s")).over(w))
+        .select(col("event_id"), col("event_type"), col("cents"),
+          (col("__s") - col("__smin")).as("cusum_cents"),
+          ((col("__s") - col("__smin")) > col("__target") * 10).as("alarm")),
+      "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w21_cusum"           -> (w21Cusum _),
     "w20_ewma"            -> (w20Ewma _),
     "w19_rolling_median"  -> (w19RollingMedian _),
     "w18_zscore"          -> (w18ZscoreAnomaly _),
@@ -414,6 +445,24 @@ object Windows {
     "w9_running"        -> (w9Running _))
 
   val oracle: Map[String, String] = Map(
+    "w21_cusum" ->
+      """WITH e AS (SELECT event_id, event_type, ts,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |t AS (SELECT event_type,
+        |    CAST(SUM(cents) AS BIGINT) // COUNT(*) AS target
+        |  FROM e GROUP BY 1),
+        |f AS (SELECT e.event_id, e.event_type, e.ts, e.cents, t.target,
+        |    CAST(SUM(e.cents - t.target) OVER (PARTITION BY e.event_type
+        |      ORDER BY e.ts, e.event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS s
+        |  FROM e JOIN t USING (event_type)),
+        |g AS (SELECT *, MIN(s) OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS smin
+        |  FROM f)
+        |SELECT event_id, event_type, cents, s - smin AS cusum_cents,
+        |  (s - smin) > target * 10 AS alarm
+        |FROM g ORDER BY event_id""".stripMargin,
     "w20_ewma" -> {
       // the identical 31-tap dyadic lag algebra the Spark plan embeds
       val taps = (0 to 30)

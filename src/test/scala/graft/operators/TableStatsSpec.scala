@@ -149,6 +149,26 @@ class TableStatsSpec extends SparkSpec {
     assert(doubled("b")._2 == 2 * ref("b")._2 && doubled("b")._3 == 2)
   }
 
+  test("fkAudit: counts orphan rows (incl. NULL keys) and non-null " +
+       "orphan keys; clean relation reports full coverage") {
+    import spark.implicits._
+    val fact = Seq(Some(1L), Some(1L), Some(2L), Some(3L), None, Some(9L))
+      .toDF("fk")
+    val dim = Seq(1L, 2L, 3L, 3L).toDF("pk") // dup dim keys must not inflate
+    val got = TableStats.fkAudit(fact, "fk", dim, "pk", "fact.fk->dim")
+      .collect().head
+    assert(got.getString(0) == "fact.fk->dim")
+    assert(got.getLong(1) == 6, "fact_rows")
+    assert(got.getLong(2) == 2, "orphan_rows: the NULL and the 9")
+    assert(got.getLong(3) == 4, "distinct non-null keys: 1,2,3,9")
+    assert(got.getLong(4) == 1, "orphan keys: only 9 (NULL not a key)")
+    assert(got.getLong(5) == 4L * 1000000 / 6, "coverage_ppm truncates")
+
+    val clean = TableStats.fkAudit(dim, "pk", dim, "pk", "self")
+      .collect().head
+    assert(clean.getLong(2) == 0 && clean.getLong(5) == 1000000L)
+  }
+
   test("examplesPerGroup: matches the row_number window rendering, " +
        "no Window in the plan, whole group when k exceeds it") {
     import spark.implicits._

@@ -305,6 +305,28 @@ class WindowsSpec extends SparkSpec {
     assert(i.tail.forall(_._3 == 0L), s"got ${i.tail}")
   }
 
+  test("w21 CUSUM: zero through the low regime, linear climb after a " +
+       "sustained shift, alarm past 10 target-units") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("w21fix").toString
+    def ts(i: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime + i * 60000L)
+    // 18 zeros then two 10.00 spikes: target = 2000/20 = 100 cents;
+    // the zero run pins cusum at 0 (running min tracks the sum), the
+    // spikes climb 900/1800 — the second crosses 10·target = 1000
+    val rows = (0 until 20).map(i =>
+      (i.toLong, ts(i), 1L, "c", if (i >= 18) 10.0 else 0.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Windows.w21Cusum(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4)))
+    assert(got.length == 20)
+    assert(got.take(18).forall(t => t._2 == 0L && !t._3),
+      s"low regime must sit at zero: ${got.take(18).toSeq}")
+    assert(got(18) == ((18L, 900L, false)), s"got ${got(18)}")
+    assert(got(19) == ((19L, 1800L, true)), s"got ${got(19)}")
+  }
+
   test("decayedScoreFixedPoint: exact int64 rendering — score_2p30 = " +
        "decimal score · 2^30 on every key; same window-free plan") {
     import spark.implicits._
