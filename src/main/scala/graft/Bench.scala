@@ -64,23 +64,44 @@ object Bench {
       .toMap
   }
 
-  /** The in-round regression gate: a query is flagged when BOTH its
-    * cold and warm timings exceed `ratio`× the previous round's (the
-    * header's own diagnosis rule — a real plan regression moves both
-    * numbers, JIT/page-cache/box noise mostly moves the cold one) and
-    * the new cold time clears an absolute floor that keeps 20 ms →
-    * 40 ms jitter from flagging. Queries new this round (no baseline)
-    * are skipped. Returns the flagged names, sorted. */
+  private def median(xs: Iterable[Double]): Double = {
+    val s = xs.toArray.sorted
+    if (s.isEmpty) 1.0
+    else if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+  }
+
+  /** The in-round regression gate, BOX-NORMALIZED: a different machine
+    * or a loaded box moves EVERY query by a common factor, so raw
+    * per-query ratios flood with false flags exactly when the baseline
+    * came from another run environment (measured: a uniformly ~1.6×
+    * slower session flagged 10 untouched queries). Instead, each
+    * query's cold/warm ratios are compared against the MEDIAN ratio
+    * across all queries — the fleet-wide drift cancels, and only a
+    * plan that regressed RELATIVE to its peers stands out. A query is
+    * flagged when both its cold and warm ratios exceed `ratio`× the
+    * respective medians (a real plan regression moves both; JIT/page-
+    * cache noise mostly moves cold) and its cold time clears an
+    * absolute floor that keeps 20 ms → 40 ms jitter out. Queries new
+    * this round (no baseline) are skipped. Returns sorted names. */
   def regressions(baseCold: Map[String, Double], baseWarm: Map[String, Double],
                   results: Seq[(String, Double, Double)],
-                  ratio: Double = 1.5, floorSec: Double = 0.5): Seq[String] =
+                  ratio: Double = 1.5, floorSec: Double = 0.5): Seq[String] = {
+    val coldR = results.flatMap { case (n, c, _) =>
+      baseCold.get(n).filter(_ > 0).map(b => n -> c / b) }.toMap
+    if (coldR.isEmpty) return Nil
+    val warmR = results.flatMap { case (n, _, w) =>
+      baseWarm.get(n).filter(_ > 0).map(b => n -> w / b) }.toMap
+    val medC = median(coldR.values)
+    val medW = median(warmR.values)
     results.collect {
       case (name, cold, warm)
-        if baseCold.get(name).exists(b => cold > b * ratio && cold > floorSec) &&
-           (baseWarm.isEmpty ||
-             baseWarm.get(name).forall(b => warm > b * ratio)) =>
+        if cold > floorSec &&
+           coldR.get(name).exists(_ > ratio * medC) &&
+           (warmR.isEmpty || warmR.get(name).forall(_ > ratio * medW)) =>
         name
     }.sorted
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

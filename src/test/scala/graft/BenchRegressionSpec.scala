@@ -21,24 +21,42 @@ class BenchRegressionSpec extends AnyFunSuite {
     assert(Bench.parseQueryMap("not json at all", "queries").isEmpty)
   }
 
-  test("regressions: flags only cold-AND-warm >1.5x over the floor; " +
-       "new queries and noise-only cold moves are skipped") {
-    val bc = Bench.parseQueryMap(prior, "queries")
-    val bw = Bench.parseQueryMap(prior, "queries_warm")
+  test("regressions: flags a query that moved relative to its peers; " +
+       "floor, warm-confirmation, and new queries honored") {
+    val bc = Map("q1" -> 1.0, "q2" -> 0.1, "q3" -> 2.0, "q4" -> 0.9,
+      "q5" -> 1.1, "q6" -> 0.7, "q7" -> 1.0, "q8" -> 0.8, "q9" -> 1.2)
+    val bw = Map("q1" -> 0.8, "q2" -> 0.05, "q3" -> 1.5, "q4" -> 0.7,
+      "q5" -> 0.9, "q6" -> 0.5, "q7" -> 0.8, "q8" -> 0.6, "q9" -> 1.0)
     val results = Seq(
-      ("q1", 2.0, 1.6),   // both >1.5x, over floor -> flagged
-      ("q2", 0.3, 0.2),   // 3x but cold under the 0.5s floor -> skipped
-      ("q3", 4.0, 1.6),   // cold 2x but warm only 1.07x (JIT noise) -> skipped
-      ("q4", 1.0, 0.75),  // cold 1.11x -> fine
+      ("q1", 3.0, 2.4),   // 3x cold AND warm vs peers at ~1x -> flagged
+      ("q2", 0.3, 0.15),  // 3x but cold under the 0.5s floor -> skipped
+      ("q3", 2.1, 1.6),   // ~1.05x -> fine (pins the median near 1)
+      ("q4", 0.95, 0.74), // ~1.05x -> fine
+      ("q5", 1.15, 0.95), // ~1.05x -> fine
+      ("q6", 2.1, 0.55),  // cold 3x but warm only 1.1x (JIT noise) -> skipped
+      ("q7", 1.0, 0.8), ("q8", 0.82, 0.6), ("q9", 1.2, 1.02), // steady
       ("q_new", 9.0, 9.0) // no baseline -> skipped
     )
     assert(Bench.regressions(bc, bw, results) == Seq("q1"))
   }
 
+  test("regressions: a uniform box slowdown flags NOTHING — ratios are " +
+       "normalized by the fleet median") {
+    val bc = Map("q1" -> 1.0, "q2" -> 2.0, "q3" -> 0.8, "q4" -> 1.5)
+    val bw = Map("q1" -> 0.8, "q2" -> 1.6, "q3" -> 0.6, "q4" -> 1.2)
+    // everything exactly 2x slower: a different machine, not a plan bug
+    val results = bc.toSeq.map { case (n, c) => (n, c * 2, bw(n) * 2) }
+    assert(Bench.regressions(bc, bw, results).isEmpty)
+    // ...but a single query at 4x against the 2x fleet still stands out
+    val one = results.map { case (n, c, w) =>
+      if (n == "q2") (n, c * 2, w * 2) else (n, c, w) }
+    assert(Bench.regressions(bc, bw, one) == Seq("q2"))
+  }
+
   test("regressions: warm map absent (older baseline format) falls back " +
        "to cold-only comparison") {
-    val bc = Map("q1" -> 1.0)
-    assert(Bench.regressions(bc, Map.empty, Seq(("q1", 2.0, 0.1))) == Seq("q1"))
-    assert(Bench.regressions(bc, Map.empty, Seq(("q1", 1.2, 9.0))).isEmpty)
+    val bc = Map("q1" -> 1.0, "q2" -> 1.0, "q3" -> 1.0)
+    val r = Seq(("q1", 4.0, 0.1), ("q2", 1.0, 9.9), ("q3", 1.1, 0.2))
+    assert(Bench.regressions(bc, Map.empty, r) == Seq("q1"))
   }
 }
