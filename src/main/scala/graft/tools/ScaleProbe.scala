@@ -124,6 +124,16 @@ object ScaleProbe {
       // lexical-diversity audit (vocabulary-keyed aggregate) over the
       // 10× events/orders/corpus
       "w19_rolling_median", "a18_mad", "a19_benford", "x_diversity",
+      // round-9 second batch: EWMA/CUSUM ride one per-type sort; the
+      // fingerprint and incremental cube are keyed aggregates; FK audit
+      // is four dim-distinct joins; typo pairs collapse to vocabulary
+      // before fan-out (the 10× corpus shares its vocab — the probe
+      // measures the tokenize+agg, the quadratic is oracle-only);
+      // media metadata is a pure map-side scan; example sampling is
+      // one TopKAgg aggregate
+      "w20_ewma", "w21_cusum", "a20_fingerprint", "d2_incremental",
+      "j13_fk_audit", "x_typo_pairs", "x_multimodal_meta",
+      "x_sample_examples",
       // round-8 surface: the measured direct-vs-prefix crossover switch
       // (on the probe's small-vocab corpus it must pick direct and ramp
       // like the direct gate), plus the new curation/retrieval ops and

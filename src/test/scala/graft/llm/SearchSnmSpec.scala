@@ -115,4 +115,32 @@ class SearchSnmSpec extends SparkSpec {
       "transposition is ed 2 — must be verified away")
     assert(!got.exists(p => p._1.length < 4 || p._2.length < 4))
   }
+
+  test("typoPairs property: equals the quadratic levenshtein oracle on " +
+       "random small-alphabet vocabularies (the collision-heavy regime)") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      // alphabet {a,b}: dense deletion-variant collisions
+      val vocab = (1 to 40).map(_ =>
+        (1 to (4 + rnd.nextInt(3))).map(_ => ('a' + rnd.nextInt(2)).toChar)
+          .mkString).distinct
+      val docs = Seq(Tuple1(vocab.mkString(" "))).toDF("text")
+      val got = Dedup.typoPairs(docs, col("text"), minLen = 4)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val want = (for {
+        a <- vocab; b <- vocab
+        if a < b && lev(a, b) <= 1
+      } yield (a, b)).toSet
+      assert(got == want, s"trial $trial: got ${got.size} want ${want.size}\n" +
+        s"missing ${want -- got}\nextra ${got -- want}")
+    }
+  }
 }
