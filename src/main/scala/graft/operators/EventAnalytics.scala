@@ -214,4 +214,73 @@ object EventAnalytics {
         col("__ft").getField("typ").as("first_src_type"),
         col("__ft").getField("ms").as("first_src_ms"))
   }
+
+  /** Frequent path mining — the top-k most common length-`n` event
+    * sequences across all user journeys (the "what do people actually
+    * do" discovery pass that funnels are then DEFINED from; the
+    * sequence-mining face of `pathTransitions`' pair matrix). n−1
+    * lead() taps on one per-user sort turn each row into its n-gram,
+    * one hash aggregate counts them (|types|ⁿ-bounded output), and the
+    * top-k rides a TakeOrdered — no global sort. Ties break by path
+    * string, so the k-th rank is deterministic cross-engine. */
+  def frequentPaths(events: DataFrame, userCol: String, timeCol: String,
+                    tieCol: String, typeCol: String, n: Int = 3,
+                    k: Int = 20): DataFrame = {
+    require(n >= 2 && k >= 1, "frequentPaths: n >= 2, k >= 1")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(timeCol), col(tieCol))
+    val withSteps = (1 until n).foldLeft(
+      events.select(col(userCol), col(timeCol), col(tieCol), col(typeCol))) {
+      (df, i) => df.withColumn(s"__s$i", lead(col(typeCol), i).over(w))
+    }
+    val steps = col(typeCol) +: (1 until n).map(i => col(s"__s$i"))
+    withSteps
+      .filter(col(s"__s${n - 1}").isNotNull)
+      .select(concat_ws(">", steps: _*).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("ct"))
+      .orderBy(col("ct").desc, col("path"))
+      .limit(k)
+  }
+
+  /** Linear (equal-credit) multi-touch attribution — each conversion
+    * splits one unit of credit equally across ALL its in-lookback
+    * touches, in exact integer ppm: every touch gets 10⁶ div n, and
+    * the division remainder (10⁶ mod n) goes to the LAST touch, so
+    * per-conversion credit sums to exactly 10⁶ and the whole report is
+    * hash-exact. The companion to `attribution`'s last/first-touch
+    * answer when spend allocation needs the full journey weighted.
+    *
+    * Plan: conversions join touches on the USER equi-key with the
+    * lookback range as a residual condition — per-user groups bound
+    * the pair fan-out (the same bounded-key contract as the funnel);
+    * at hot-user scale the δ-bucketed range join (`Joins.
+    * rangeOverlapJoin`) is the documented swap. One count aggregate
+    * per conversion, one final per-source rollup. */
+  def linearAttribution(events: DataFrame, userCol: String, timeCol: String,
+                        tieCol: String, typeCol: String,
+                        conversionType: String,
+                        lookbackMs: Long): DataFrame = {
+    val e = events.select(col(userCol).as("__u"),
+      unix_millis(col(timeCol)).as("__ms"), col(tieCol).as("__tie"),
+      col(typeCol).as("__typ"))
+    val conv = e.filter(col("__typ") === conversionType)
+      .select(col("__u"), col("__ms").as("__cms"), col("__tie").as("conv_id"))
+    val touch = e.filter(col("__typ") =!= conversionType)
+    val pairs = conv.join(touch,
+      conv("__u") === touch("__u") &&
+        col("__ms") <= col("__cms") &&
+        col("__ms") > col("__cms") - lookbackMs)
+      .select(col("conv_id"), col("__typ"), col("__ms"), col("__tie"))
+    val per = pairs.groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("__n"),
+        max(struct(col("__ms"), col("__tie"))).as("__last"))
+    pairs.join(per, "conv_id")
+      .withColumn("credit_ppm",
+        expr("1000000L div __n") +
+          when(struct(col("__ms"), col("__tie")) === col("__last"),
+            expr("1000000L % __n")).otherwise(lit(0L)))
+      .groupBy(col("__typ").as("src_type"))
+      .agg(countDistinct(col("conv_id")).as("conversions"),
+        sum(col("credit_ppm")).as("credit_ppm"))
+  }
 }

@@ -620,6 +620,27 @@ object Stats {
     * first view/click touch within a 1-hour lookback
     * (`operators/EventAnalytics.attribution`); stale last-touches null
     * out as "direct". */
+  /** E9: frequent path mining — top-20 event trigrams across user
+    * journeys (`EventAnalytics.frequentPaths`): two lead taps on one
+    * per-user sort, a |types|³-bounded count aggregate, TakeOrdered
+    * top-k with path-string tie-break. */
+  def e9FrequentPaths(s: SparkSession, d: String): DataFrame =
+    ordered(
+      graft.operators.EventAnalytics.frequentPaths(
+        events(s, d), "user_id", "ts", "event_id", "event_type"),
+      "ct", "path")
+
+  /** E10: linear multi-touch attribution — each purchase splits 10⁶
+    * ppm of credit equally across its 1 h-lookback touches, remainder
+    * to the last touch (`EventAnalytics.linearAttribution`), rolled up
+    * per source type. Exact integers end to end. */
+  def e10LinearAttribution(s: SparkSession, d: String): DataFrame =
+    ordered(
+      graft.operators.EventAnalytics.linearAttribution(
+        events(s, d), "user_id", "ts", "event_id", "event_type",
+        "purchase", 3600000L),
+      "src_type")
+
   def e6Attribution(s: SparkSession, d: String): DataFrame = {
     ordered(
       graft.operators.EventAnalytics.attribution(
@@ -907,6 +928,8 @@ object Stats {
     "a19_benford"       -> (a19Benford _),
     "a20_fingerprint"   -> (a20Fingerprint _),
     "e8_triangles"      -> (e8Triangles _),
+    "e9_frequent_paths" -> (e9FrequentPaths _),
+    "e10_linear_attribution" -> (e10LinearAttribution _),
     "e6_attribution"    -> (e6Attribution _),
     "e6_attribution_stream" -> (e6AttributionStream _),
     "a16_listagg"       -> (a16Listagg _),
@@ -928,6 +951,38 @@ object Stats {
       |GROUP BY fs.cohort_day, 2 ORDER BY cohort_day, day_offset""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "e9_frequent_paths" ->
+      """WITH s AS (SELECT event_type,
+        |    lead(event_type, 1) OVER w AS t2,
+        |    lead(event_type, 2) OVER w AS t3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT event_type || '>' || t2 || '>' || t3 AS path,
+        |    COUNT(*) AS ct
+        |  FROM s WHERE t3 IS NOT NULL GROUP BY 1),
+        |k AS (SELECT path, ct FROM g ORDER BY ct DESC, path LIMIT 20)
+        |SELECT path, ct FROM k ORDER BY ct, path""".stripMargin,
+    "e10_linear_attribution" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type
+        |  FROM events),
+        |c AS (SELECT user_id, ms AS cms, event_id AS conv_id FROM e
+        |      WHERE event_type = 'purchase'),
+        |t AS (SELECT * FROM e WHERE event_type <> 'purchase'),
+        |p AS (SELECT c.conv_id, t.event_type AS typ, t.ms, t.event_id AS tie
+        |  FROM c JOIN t ON c.user_id = t.user_id
+        |    AND t.ms <= c.cms AND t.ms > c.cms - 3600000),
+        |l AS (SELECT conv_id, tie AS last_tie FROM p
+        |      QUALIFY row_number() OVER (PARTITION BY conv_id
+        |        ORDER BY ms DESC, tie DESC) = 1),
+        |n AS (SELECT p.conv_id, COUNT(*) AS nn, any_value(l.last_tie)
+        |        AS last_tie
+        |      FROM p JOIN l USING (conv_id) GROUP BY 1)
+        |SELECT p.typ AS src_type,
+        |  COUNT(DISTINCT p.conv_id) AS conversions,
+        |  CAST(SUM(1000000 // n.nn + CASE WHEN p.tie = n.last_tie
+        |    THEN 1000000 % n.nn ELSE 0 END) AS BIGINT) AS credit_ppm
+        |FROM p JOIN n USING (conv_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "a20_fingerprint" ->
       """WITH c AS (SELECT o_orderstatus,
         |  CAST(('0x' || substr(md5(concat_ws('|',

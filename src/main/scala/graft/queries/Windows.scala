@@ -424,7 +424,31 @@ object Windows {
       "event_id")
   }
 
+  /** W22: seasonal baseline + deviation — the hour-of-day profile
+    * (the simplest seasonal decomposition every ops dashboard runs):
+    * per (event_type, hour) integer-mean baseline from ONE bounded
+    * aggregate (≤ |types|·24 rows, broadcast back), each event scored
+    * as cents − baseline. The profile is the "expected at this hour"
+    * curve; deviations feed W18/W21 style detectors with seasonality
+    * removed. Map-side hour extraction, one tiny join, exact int64. */
+  def w22Seasonal(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+      .select(col("event_id"), col("event_type"), hour(col("ts")).as("hr"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .filter(col("cents").isNotNull)
+    val prof = e.groupBy(col("event_type"), col("hr"))
+      .agg(expr("sum(cents) div count(1)").as("baseline_cents"),
+        count(lit(1)).as("hr_ct"))
+    ordered(
+      e.join(broadcast(prof), Seq("event_type", "hr"))
+        .select(col("event_id"), col("event_type"), col("hr"), col("cents"),
+          col("baseline_cents"),
+          (col("cents") - col("baseline_cents")).as("dev_cents")),
+      "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w22_seasonal"        -> (w22Seasonal _),
     "w21_cusum"           -> (w21Cusum _),
     "w20_ewma"            -> (w20Ewma _),
     "w19_rolling_median"  -> (w19RollingMedian _),
@@ -445,6 +469,19 @@ object Windows {
     "w9_running"        -> (w9Running _))
 
   val oracle: Map[String, String] = Map(
+    "w22_seasonal" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(hour(ts) AS INT) AS hr,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |p AS (SELECT event_type, hr,
+        |    CAST(SUM(cents) AS BIGINT) // COUNT(*) AS baseline_cents,
+        |    COUNT(*) AS hr_ct
+        |  FROM e GROUP BY 1, 2)
+        |SELECT e.event_id, e.event_type, e.hr, e.cents,
+        |  p.baseline_cents, e.cents - p.baseline_cents AS dev_cents
+        |FROM e JOIN p USING (event_type, hr)
+        |ORDER BY event_id""".stripMargin,
     "w21_cusum" ->
       """WITH e AS (SELECT event_id, event_type, ts,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents

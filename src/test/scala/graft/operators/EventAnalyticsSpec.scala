@@ -159,4 +159,68 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(n > 60 && n < 140, s"rate-0.5 sample wildly off: $n/200")
     assert(half.select(first(col("sample_weight"))).as[Double].head() == 2.0)
   }
+
+  test("frequentPaths: counts crossing user journeys, excludes partial " +
+       "tails, ranks count-desc with path tie-break, honors k") {
+    import spark.implicits._
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+    // u1: a b c b c  -> trigrams a>b>c, b>c>b, c>b>c
+    // u2: a b c      -> a>b>c (again)
+    // u3: a b        -> too short, contributes nothing
+    val ev = (Seq(("a", 1), ("b", 2), ("c", 3), ("b", 4), ("c", 5)).map {
+        case (t, i) => (1L, ts(i), i.toLong, t) } ++
+      Seq(("a", 1), ("b", 2), ("c", 3)).map {
+        case (t, i) => (2L, ts(i), 10L + i, t) } ++
+      Seq(("a", 1), ("b", 2)).map {
+        case (t, i) => (3L, ts(i), 20L + i, t) })
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventAnalytics.frequentPaths(ev, "user_id", "ts", "event_id",
+        "event_type", n = 3, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    // a>b>c ×2 first; then the count-1 paths tie-break by string:
+    // b>c>b before c>b>c — k=2 keeps only the first
+    assert(got == List(("a>b>c", 2L), ("b>c>b", 1L)), s"got $got")
+  }
+
+  test("linearAttribution: equal split with remainder to the last " +
+       "touch; out-of-lookback touches excluded; credit sums to 1e6 " +
+       "per converted conversion") {
+    import spark.implicits._
+    def ts(ms: Long) = new java.sql.Timestamp(1700000000000L + ms)
+    val ev = Seq(
+      // u1: 3 touches inside 1h + 1 outside, then the purchase
+      (1L, ts(0L), 1L, "view"),            // outside (>1h before)
+      (1L, ts(3000000L), 2L, "view"),
+      (1L, ts(3100000L), 3L, "click"),
+      (1L, ts(3200000L), 4L, "view"),
+      (1L, ts(3600000L), 5L, "purchase"),
+      // u2: purchase with no touches -> absent from the report
+      (2L, ts(100L), 6L, "purchase")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventAnalytics.linearAttribution(ev, "user_id", "ts",
+        "event_id", "event_type", "purchase", 3600000L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // 3 in-window touches: floor(1e6/3) = 333333 each, +1 remainder to
+    // the LAST touch (event 4, a view)
+    assert(got == Map(
+      "view" -> ((1L, 333333L + 333334L)), // events 2 and 4 (4 is last: +1)
+      "click" -> ((1L, 333333L))), s"got $got")
+    val total = got.values.map(_._2).sum
+    assert(total == 1000000L, s"credit must sum to exactly 1e6: $total")
+  }
+
+  test("w22 seasonal: truncating-mean law — per (type, hour) the " +
+       "deviations sum to the division remainder, 0 <= r < count") {
+    val rows = graft.queries.Windows.w22Seasonal(spark, sf("sf0.001"))
+      .collect().map(r => ((r.getString(1), r.getInt(2)),
+        (r.getLong(3), r.getLong(4), r.getLong(5))))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (key, grp) =>
+      val devSum = grp.map(_._2._3).sum
+      assert(devSum >= 0 && devSum < grp.size, s"$key: $devSum/${grp.size}")
+      grp.foreach { case (_, (cents, base, dev)) =>
+        assert(dev == cents - base)
+      }
+    }
+  }
 }
