@@ -34,6 +34,20 @@ object LlmOps {
         .select("doc_id", "lang_pred", "lang_score"),
       "doc_id")
 
+  /** Language-confusion audit — the declared `lang` column against the
+    * n-gram language-ID heuristic, as a confusion matrix with counts:
+    * the "which sources are mislabeled" screen a curation run reads
+    * before trusting per-language mixture rates. Pure composition of
+    * the gated langID op + one |langs|²-bounded aggregate. */
+  def xLangConfusion(s: SparkSession, d: String): DataFrame =
+    ordered(
+      TextAnalysis.withLangId(documents(s, d))
+        .groupBy(col("lang").as("declared"), col("lang_pred").as("detected"))
+        .agg(count(lit(1)).as("ct"),
+          sum(when(col("lang") === col("lang_pred"), 1L).otherwise(0L))
+            .as("agree_ct")),
+      "declared", "detected")
+
   def xTextFingerprint(s: SparkSession, d: String): DataFrame =
     ordered(
       TextAnalysis.withFingerprint(documents(s, d))
@@ -1293,6 +1307,7 @@ object LlmOps {
     "x_text_tokens"       -> (xTextTokens _),
     "x_text_quality"      -> (xTextQuality _),
     "x_text_langid"       -> (xTextLangid _),
+    "x_lang_confusion"    -> (xLangConfusion _),
     "x_text_fingerprint"  -> (xTextFingerprint _),
     "x_dedup_exact"       -> (xDedupExact _),
     "x_dedup_lines"       -> (xDedupLines _),
@@ -1578,6 +1593,28 @@ object LlmOps {
          |       ELSE 'zh' END AS lang_pred,
          |  CAST(greatest(s_en, s_de, s_fr, s_es, s_zh) AS BIGINT) AS lang_score
          |FROM s ORDER BY doc_id""".stripMargin,
+    "x_lang_confusion" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct($toksSql) AS toks FROM documents),
+         |  s AS (SELECT doc_id,
+         |    len(list_intersect(toks, ${markerSql("en")})) AS s_en,
+         |    len(list_intersect(toks, ${markerSql("de")})) AS s_de,
+         |    len(list_intersect(toks, ${markerSql("fr")})) AS s_fr,
+         |    len(list_intersect(toks, ${markerSql("es")})) AS s_es,
+         |    len(list_intersect(toks, ${markerSql("zh")})) AS s_zh
+         |  FROM t),
+         |p AS (SELECT doc_id,
+         |  CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'unknown'
+         |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+         |       WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+         |       WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+         |       WHEN s_es >= s_zh THEN 'es'
+         |       ELSE 'zh' END AS detected
+         |  FROM s)
+         |SELECT d.lang AS declared, p.detected, COUNT(*) AS ct,
+         |  CAST(SUM(CASE WHEN d.lang = p.detected THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS agree_ct
+         |FROM documents d JOIN p USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "x_text_fingerprint" ->
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fingerprint
