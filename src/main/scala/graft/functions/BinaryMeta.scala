@@ -161,6 +161,67 @@ object BinaryMeta {
     else { val c = u16le(b, o + 2); if (c > 0) c else -1 }
   }
 
+  /** REAL PCM-16 sample decode over a WAV payload — uncompressed audio
+    * needs no codec, only the byte layout: little-endian signed 16-bit
+    * samples from the `data` chunk. Returns [n_samples, peak(|s|),
+    * sum|s|, sum s²] as exact int64s (bounded: 2³¹ samples × 2³⁰ max
+    * square < 2⁶³ only for n ≲ 2·10⁸ — beyond that, chunk the file),
+    * or null when the payload is not a PCM-16 WAV. The aggregate-side
+    * loudness/clipping stats a media-curation manifest wants, with the
+    * stub boundary pushed down to COMPRESSED codecs only. */
+  def wavPcmStats(b: Array[Byte]): Array[Long] = {
+    if (!isWav(b)) return null
+    val f = wavChunkOffset(b, 'f', 'm', 't', ' ')
+    if (f < 0 || f + 16 > b.length) return null
+    val fmt = u16le(b, f)
+    val bits = u16le(b, f + 14)
+    if (fmt != 1 || bits != 16) return null // PCM-16 only; else stub regime
+    val d = wavChunkOffset(b, 'd', 'a', 't', 'a')
+    if (d < 0) return null
+    val size = u32le(b, d - 4)
+    if (size % 2 != 0 || d + size > b.length) return null
+    var i = d
+    var n = 0L; var peak = 0L; var sumAbs = 0L; var sumSq = 0L
+    while (i + 1 < d + size) {
+      val s = (u16le(b, i).toShort).toLong
+      val a = math.abs(s)
+      n += 1; if (a > peak) peak = a; sumAbs += a; sumSq += s * s
+      i += 2
+    }
+    Array(n, peak, sumAbs, sumSq)
+  }
+
+  /** REAL 24-bit uncompressed BMP pixel decode — again pure byte
+    * layout: BGR triples, rows padded to 4-byte boundaries, bottom-up
+    * (or top-down when height is negative; the sums are order-
+    * independent either way). Returns [n_px, sum_b, sum_g, sum_r] as
+    * exact int64s, or null for compressed/other-depth BMPs (the
+    * documented stub boundary). */
+  def bmp24Stats(b: Array[Byte]): Array[Long] = {
+    if (!isBmp(b) || b.length < 34) return null
+    val bits = u16le(b, 28)
+    val compression = u32le(b, 30)
+    if (bits != 24 || compression != 0) return null
+    val off = u32le(b, 10)
+    val w = u32le(b, 18).toInt
+    val h = math.abs(u32le(b, 22).toInt)
+    if (off <= 0 || w <= 0 || h <= 0) return null
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    if (off + rowBytes.toLong * h > b.length) return null
+    var sb = 0L; var sg = 0L; var sr = 0L
+    var row = 0
+    while (row < h) {
+      var x = 0
+      var i = off.toInt + row * rowBytes
+      while (x < w) {
+        sb += (b(i) & 0xff); sg += (b(i + 1) & 0xff); sr += (b(i + 2) & 0xff)
+        x += 1; i += 3
+      }
+      row += 1
+    }
+    Array(w.toLong * h, sb, sg, sr)
+  }
+
   // ---- Catalyst expressions (codegen'd static calls) ----
 
   abstract class BinaryProbe extends UnaryExpression {
@@ -225,6 +286,43 @@ object BinaryMeta {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Array-of-int64 probe (decode stats): static helper returns a
+    * long[] or null. */
+  abstract class StatsProbe extends BinaryProbe {
+    def method: String
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    private def call(b: Array[Byte]): Array[Long] = method match {
+      case "wavPcmStats" => wavPcmStats(b)
+      case "bmp24Stats" => bmp24Stats(b)
+    }
+    override def nullSafeEval(v: Any): Any = {
+      val r = call(v.asInstanceOf[Array[Byte]])
+      if (r == null) null
+      else org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(r)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, bytes => {
+        val r = ctx.freshName("r")
+        s"""
+           |long[] $r = graft.functions.BinaryMeta.$method($bytes);
+           |if ($r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = org.apache.spark.sql.catalyst.expressions
+           |  .UnsafeArrayData.fromPrimitiveArray($r); }
+         """.stripMargin
+      })
+  }
+
+  case class WavPcmStats(child: Expression) extends StatsProbe {
+    override def method: String = "wavPcmStats"
+    override def prettyName: String = "wav_pcm_stats"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+  case class Bmp24Stats(child: Expression) extends StatsProbe {
+    override def method: String = "bmp24Stats"
+    override def prettyName: String = "bmp24_stats"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   case class MediaFormat(child: Expression) extends BinaryProbe {
     override def prettyName: String = "media_format"
     override def dataType: DataType = StringType
@@ -252,4 +350,8 @@ object BinaryMeta {
     SparkInternals.column(WavSampleRate(SparkInternals.expression(c)))
   def wavChannelsCol(c: Column): Column =
     SparkInternals.column(WavChannels(SparkInternals.expression(c)))
+  def wavPcmStatsCol(c: Column): Column =
+    SparkInternals.column(WavPcmStats(SparkInternals.expression(c)))
+  def bmp24StatsCol(c: Column): Column =
+    SparkInternals.column(Bmp24Stats(SparkInternals.expression(c)))
 }

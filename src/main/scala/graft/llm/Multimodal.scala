@@ -129,6 +129,31 @@ object Multimodal {
         .when(sel === 2, wav).otherwise(jpg)).as("payload"))
   }
 
+  /** Deterministic synthetic PCM-16 WAV fixtures: 16 samples per doc,
+    * s_i = (doc_id·31 + i·17) mod 2¹⁶ reinterpreted signed — assembled
+    * as hex with engine-portable string functions, so the DuckDB
+    * oracle can regenerate the sample VALUES arithmetically while the
+    * Spark side must decode the actual little-endian bytes through
+    * `BinaryMeta.wavPcmStats`. Same construction-vs-parse gate shape
+    * as `syntheticContainers`. */
+  def syntheticWavPcm(docs: DataFrame): DataFrame = {
+    def le2(v: org.apache.spark.sql.Column) = {
+      val h = lpad(hex(v), 4, "0"); concat(h.substr(3, 2), h.substr(1, 2))
+    }
+    def le4(v: org.apache.spark.sql.Column) = {
+      val h = lpad(hex(v), 8, "0")
+      concat(h.substr(7, 2), h.substr(5, 2), h.substr(3, 2), h.substr(1, 2))
+    }
+    val samples = concat_ws("", transform(sequence(lit(1), lit(16)),
+      i => le2(pmod(col("doc_id") * 31 + i * 17, lit(65536)))))
+    docs.select(col("doc_id"),
+      unhex(concat(
+        lit("52494646"), le4(lit(68)), lit("57415645"),
+        lit("666D7420"), le4(lit(16)), le2(lit(1)), le2(lit(1)),
+        le4(lit(8000)), le4(lit(16000)), le2(lit(2)), le2(lit(16)),
+        lit("64617461"), le4(lit(32)), samples)).as("payload"))
+  }
+
   /** Batched per-partition feature extraction over the binary column —
     * the mapInPandas analog: no per-row task overhead, payload bytes stay
     * partition-local. */

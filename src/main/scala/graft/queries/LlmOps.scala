@@ -1194,6 +1194,24 @@ object LlmOps {
           col("sample_rate"), col("channels")),
       "doc_id")
 
+  /** REAL PCM-16 audio decode: deterministic WAV payloads whose sample
+    * values derive from doc_id arithmetic are decoded back through
+    * `BinaryMeta.wavPcmStats` (actual little-endian byte parse) while
+    * the oracle regenerates the values arithmetically — loudness/
+    * clipping stats (n, peak, Σ|s|, Σs²) exact in int64. The decode
+    * stub boundary now covers COMPRESSED codecs only. */
+  def xWavPcm(s: SparkSession, d: String): DataFrame = {
+    val stats = graft.functions.BinaryMeta.wavPcmStatsCol(col("payload"))
+    ordered(
+      Multimodal.syntheticWavPcm(documents(s, d))
+        .select(col("doc_id"),
+          element_at(stats, 1).as("n_samples"),
+          element_at(stats, 2).as("peak"),
+          element_at(stats, 3).as("sum_abs"),
+          element_at(stats, 4).as("sum_sq")),
+      "doc_id")
+  }
+
   /** Frame sampling at 1 fps over the chars-as-milliseconds payload —
     * timestamps by metadata arithmetic, each frame row carrying only
     * its own 32-char slice (the video half of the multimodal
@@ -1386,6 +1404,7 @@ object LlmOps {
     "x_corpus_assembly"   -> (xCorpusAssembly _),
     "x_multimodal"        -> (xMultimodal _),
     "x_multimodal_meta"   -> (xMultimodalMeta _),
+    "x_wav_pcm"           -> (xWavPcm _),
     "x_frame_sample"      -> (xFrameSample _),
     "x_chunk_cdc"         -> (xChunkCdc _),
     "x_coreset_kcenter"   -> (xCoresetKcenter _),
@@ -2877,6 +2896,18 @@ object LlmOps {
         |         i -> CAST(('0x' || substr(to_hex(encode(text)), 2*i-1, 2)) AS INT))) AS DOUBLE)
         |    / octet_length(encode(text)) AS mean_byte
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_wav_pcm" ->
+      """WITH s AS (SELECT d.doc_id,
+        |    (d.doc_id * 31 + i.i * 17) % 65536 AS u
+        |  FROM documents d, LATERAL (SELECT unnest(generate_series(1, 16))
+        |    AS i) i),
+        |v AS (SELECT doc_id,
+        |    CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS sv FROM s)
+        |SELECT doc_id, COUNT(*) AS n_samples,
+        |  CAST(MAX(abs(sv)) AS BIGINT) AS peak,
+        |  CAST(SUM(abs(sv)) AS BIGINT) AS sum_abs,
+        |  CAST(SUM(sv * sv) AS BIGINT) AS sum_sq
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_multimodal_meta" ->
       """SELECT doc_id,
         |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif'

@@ -74,6 +74,63 @@ class BinaryMetaSpec extends SparkSpec {
     assert(BinaryMeta.width(hex("FFD8 FFE0 0004 0000 FFD9")) == -1)
   }
 
+  test("wavPcmStats decodes real little-endian PCM-16 samples; " +
+       "non-PCM and truncated data yield null") {
+    // samples: 0, 1000, -1000, 32767, -32768  (LE int16)
+    val wav = hex(
+      "52494646 2E000000 57415645" +
+      "666D7420 10000000 0100 0100 401F0000 803E0000 0200 1000" +
+      "64617461 0A000000" +
+      "0000 E803 18FC FF7F 0080")
+    val s = BinaryMeta.wavPcmStats(wav)
+    assert(s != null)
+    assert(s(0) == 5, "n_samples")
+    assert(s(1) == 32768, "peak = |-32768|")
+    assert(s(2) == 0L + 1000 + 1000 + 32767 + 32768, "sum_abs")
+    assert(s(3) == 1000L * 1000 * 2 + 32767L * 32767 + 32768L * 32768, "sum_sq")
+
+    // 8-bit fmt -> stub regime, null
+    val pcm8 = hex(
+      "52494646 24000000 57415645" +
+      "666D7420 10000000 0100 0100 401F0000 401F0000 0100 0800" +
+      "64617461 0200 0000 0102")
+    assert(BinaryMeta.wavPcmStats(pcm8) == null)
+    // data chunk claiming more bytes than present -> null
+    val trunc = hex(
+      "52494646 2E000000 57415645" +
+      "666D7420 10000000 0100 0100 401F0000 803E0000 0200 1000" +
+      "64617461 FF000000 0000")
+    assert(BinaryMeta.wavPcmStats(trunc) == null)
+  }
+
+  test("bmp24Stats decodes BGR pixels across padded rows; top-down " +
+       "height and non-24-bit depth handled") {
+    // 2x2, 24-bit: rows are 2*3=6 bytes + 2 pad. Pixels (B,G,R):
+    // bottom row: (1,2,3) (4,5,6); top row: (7,8,9) (10,11,12)
+    val bmp = hex(
+      "424D 46000000 00000000 36000000" +
+      "28000000 02000000 02000000 0100 1800 00000000 10000000" +
+      "00000000 00000000 00000000 00000000" +
+      "010203 040506 0000" +
+      "070809 0A0B0C 0000")
+    val s = BinaryMeta.bmp24Stats(bmp)
+    assert(s != null)
+    assert(s(0) == 4, "n_px")
+    assert(s(1) == 1L + 4 + 7 + 10, "sum_b")
+    assert(s(2) == 2L + 5 + 8 + 11, "sum_g")
+    assert(s(3) == 3L + 6 + 9 + 12, "sum_r")
+    // top-down (negative height) sums identically
+    val topDown = bmp.clone()
+    // height at offset 22: -2 LE = FE FF FF FF
+    topDown(22) = 0xFE.toByte; topDown(23) = 0xFF.toByte
+    topDown(24) = 0xFF.toByte; topDown(25) = 0xFF.toByte
+    val t = BinaryMeta.bmp24Stats(topDown)
+    assert(t != null && t.sameElements(s))
+    // 8-bit depth -> null (stub regime)
+    val depth8 = bmp.clone(); depth8(28) = 0x08
+    assert(BinaryMeta.bmp24Stats(depth8) == null)
+  }
+
   test("expressions run inside codegen over a DataFrame and SQL face") {
     import spark.implicits._
     val df = Seq(
