@@ -6,13 +6,19 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
   * metadata, processed by a batched per-partition "decoder".
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic fake (`fakeDecode`); everything around it —
-  * the binary column, the metadata struct, the mapPartitions batch shape,
-  * the partitioning — is real and is what matters at 100 TB: payloads
-  * never pass through a shuffle (features are extracted before any
-  * aggregation), and the decoder is applied streaming per partition, one
-  * batch at a time, like a Pandas-UDF/mapInPandas stage would be.
+  * What is REAL here (no codec library needed, pure byte layout):
+  * container-format detection, image dimensions and audio parameters
+  * (`describeMedia` over `functions/BinaryMeta`), PCM-16 WAV sample
+  * decode and 24-bit BMP pixel decode (`BinaryMeta.wavPcmStats` /
+  * `bmp24Stats`). The remaining stub boundary is COMPRESSED codecs
+  * (JPEG/PNG pixel data, MP3/AAC audio): that decode step is a
+  * clearly-marked deterministic fake (`fakeDecode`), while everything
+  * around it — the binary column, the metadata struct, the
+  * mapPartitions batch shape, the partitioning — is real and is what
+  * matters at 100 TB: payloads never pass through a shuffle (features
+  * are extracted before any aggregation), and the decoder is applied
+  * streaming per partition, one batch at a time, like a
+  * Pandas-UDF/mapInPandas stage would be.
   */
 object Multimodal {
 
