@@ -18,6 +18,8 @@ import graft.functions.{SimhashAgg, SketchAgg, TextExpressions, Tokenize, TopKAg
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.functions.RewriteSetCount)
+    // whole-operator tier: the native as-of join's planner strategy
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     def info(name: String) =
       new ExpressionInfo(classOf[GraftExtensions].getName, name)
     def inject(name: String, builder: Seq[Expression] => Expression): Unit =

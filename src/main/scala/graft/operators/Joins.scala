@@ -254,4 +254,66 @@ object Joins {
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** The NATIVE as-of join — same backward-inclusive semantics and
+    * output contract as [[asofJoin]] (left columns + `<rightPrefix>`ed
+    * right non-key columns; greatest `tieBreak` wins time ties), but
+    * planned as the custom whole-operator physical plan
+    * (`plans/AsofJoinExec`): co-clustered sorted children + a
+    * two-pointer streaming merge with ONE buffered right row of state —
+    * no union materialization, no window buffers, and zero exchanges
+    * when the inputs are already bucketed/partitioned on the key.
+    * Requires `graft.GraftExtensions` on the session (the planner
+    * strategy is injected there). */
+  def asofJoinNative(left: DataFrame, right: DataFrame, key: String,
+                     time: String, rightPrefix: String = "r_",
+                     tieBreak: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, NamedExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val spark = left.sparkSession
+    // self-arming: sessions built without spark.sql.extensions=
+    // graft.GraftExtensions still get the strategy (public API)
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
+    val lPlan = SparkInternals.analyzedPlan(left)
+    val rPlan0 = SparkInternals.analyzedPlan(right)
+    // self-join shape: both sides built from the same source share
+    // exprIds — the analyzer's DeduplicateRelations never sees a
+    // post-analysis custom node, so re-alias the right side ourselves
+    // (otherwise column pruning resolves "right" attrs to the left
+    // child and empties the right scan)
+    val rPlan =
+      if (lPlan.outputSet.intersect(rPlan0.outputSet).isEmpty) rPlan0
+      else Project(rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"asofJoinNative: no column '$n'"))
+    val node = AsofJoinNodeShim.build(lPlan, rPlan,
+      attr(lPlan, key), attr(lPlan, time),
+      attr(rPlan, key), attr(rPlan, time), tieBreak.map(attr(rPlan, _)))
+    // project to the asofJoin output contract by ATTRIBUTE (names
+    // collide across sides; exprIds don't)
+    val rightExtras = right.columns.toSeq.filterNot(_ == key)
+    val outCols: Seq[NamedExpression] =
+      left.columns.toSeq.map(n => attr(lPlan, n)) ++
+        rightExtras.map(n =>
+          Alias(attr(rPlan, n).withNullability(true), rightPrefix + n)())
+    SparkInternals.ofRows(spark, Project(outCols, node))
+  }
+}
+
+/** Indirection keeping `operators` free of a hard reference to the
+  * plans package at definition site (and a single seam for tests). */
+private object AsofJoinNodeShim {
+  def build(l: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+            r: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+            lk: org.apache.spark.sql.catalyst.expressions.Attribute,
+            lt: org.apache.spark.sql.catalyst.expressions.Attribute,
+            rk: org.apache.spark.sql.catalyst.expressions.Attribute,
+            rt: org.apache.spark.sql.catalyst.expressions.Attribute,
+            tie: Option[org.apache.spark.sql.catalyst.expressions.Attribute])
+    : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    graft.plans.AsofJoinNode(l, r, lk, lt, rk, rt, tie)
 }

@@ -1,0 +1,147 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+
+/** Whole-operator as-of join — the custom LogicalPlan + SparkStrategy +
+  * SparkPlan tier of the extension ladder (SURVEY §"custom operators"),
+  * for the one semantics Spark's built-in operators can only emulate:
+  * "attach the most recent right row at or before each left row, per
+  * key".
+  *
+  * The composed rendering (`operators/Joins.asofJoin`) unions both
+  * sides and runs a running `last()` window — correct, one shuffle,
+  * but it materializes the union (left rows carry null right-payload
+  * columns and vice versa) and pays the window machinery per row. This
+  * physical operator instead DECLARES its needs to the planner —
+  * co-clustered children (`ClusteredDistribution` on the key) sorted
+  * by (key, time) — and then streams BOTH sides through one forward
+  * two-pointer merge per partition: O(|L| + |R|) with ONE buffered
+  * right row of state, no union, no window buffers, no row widening.
+  * EnsureRequirements inserts the exchanges/sorts only when the
+  * children aren't already partitioned/sorted — so a bucketed layout
+  * runs this join with ZERO exchanges, which the window form can never
+  * do (its union destroys the children's partitioning).
+  *
+  * Semantics (parity with `asofJoin(direction = "backward")`, pinned
+  * by the shared gate oracle): inclusive `right.time <= left.time`;
+  * among equal times the greatest `rightTie` wins (the required right
+  * ordering puts it last); NULL left key/time, and NULL right
+  * key/time rows, never match.
+  *
+  * Reference behavior mirrored: the interval-join family
+  * (`OrderWideApp`'s stream joins) — this is its "latest state as-of"
+  * face, gmall's dim-lookup-at-event-time generalized.
+  */
+case class AsofJoinNode(left: LogicalPlan, right: LogicalPlan,
+                        leftKey: Attribute, leftTime: Attribute,
+                        rightKey: Attribute, rightTime: Attribute,
+                        rightTie: Option[Attribute]) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
+                        leftKey: Attribute, leftTime: Attribute,
+                        rightKey: Attribute, rightTime: Attribute,
+                        rightTie: Option[Attribute]) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // co-cluster on the join key; EnsureRequirements adds exchanges only
+  // when a child isn't already hash-partitioned on it (bucketed reads
+  // and pre-partitioned intermediates pass through exchange-free)
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) ::
+      ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) ++
+      rightTie.map(t => SortOrder(t, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKeyB = BindReferences.bindReference[Expression](leftKey, left.output)
+    val lTimeB = BindReferences.bindReference[Expression](leftTime, left.output)
+    val rKeyB = BindReferences.bindReference[Expression](rightKey, right.output)
+    val rTimeB = BindReferences.bindReference[Expression](rightTime, right.output)
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val rightWidth = right.output.size
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val joiner = new JoinedRow
+      val nullRight = new GenericInternalRow(rightWidth)
+      val project = GenerateUnsafeProjection.generate(
+        outAttrs.zipWithIndex.map { case (a, i) =>
+          BoundReference(i, a.dataType, a.nullable) })
+      // one-row lookahead over the right side, skipping null-key/time
+      var rHead: InternalRow = null
+      var rHeadKey: Any = null
+      var rHeadTime: Any = null
+      def advanceRight(): Unit = {
+        rHead = null
+        while (rHead == null && rIter.hasNext) {
+          val r = rIter.next()
+          val k = rKeyB.eval(r)
+          val t = rTimeB.eval(r)
+          if (k != null && t != null) { rHead = r; rHeadKey = k; rHeadTime = t }
+        }
+      }
+      advanceRight()
+      // the last right row known to satisfy (key == matchKey, time <= t)
+      var matchRow: InternalRow = null
+      var matchKey: Any = null
+      lIter.map { lrow =>
+        val lk = lKeyB.eval(lrow)
+        val lt = lTimeB.eval(lrow)
+        if (lk == null || lt == null) {
+          project(joiner(lrow, nullRight))
+        } else {
+          if (matchRow != null && keyOrd.compare(matchKey, lk) != 0) {
+            matchRow = null // left advanced to a new key
+          }
+          // drop right keys strictly before the current left key
+          while (rHead != null && keyOrd.compare(rHeadKey, lk) < 0) {
+            advanceRight()
+          }
+          // absorb right rows at this key with time <= left time; the
+          // LAST absorbed (greatest (time, tie) in the required order)
+          // is the as-of match
+          while (rHead != null && keyOrd.compare(rHeadKey, lk) == 0 &&
+            timeOrd.compare(rHeadTime, lt) <= 0) {
+            matchRow = rHead.copy()
+            matchKey = rHeadKey
+            advanceRight()
+          }
+          project(joiner(lrow, if (matchRow != null) matchRow else nullRight))
+        }
+      }
+    }
+  }
+}
+
+object AsofJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinNode(l, r, lk, lt, rk, rt, tie) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, tie) :: Nil
+    case _ => Nil
+  }
+}

@@ -404,6 +404,29 @@ object Relational {
     * versions (`operators/Dimensions.scd2FromChangelog`); the full
     * type-2 table whose LATEST face is what `sources.Sinks.dimUpsert`
     * serves to stream enrichment. */
+  /** J14: the NATIVE as-of join — `Joins.asofJoinNative`
+    * (`plans/AsofJoinExec`: custom LogicalPlan + planner strategy +
+    * physical two-pointer merge over co-clustered sorted children) on
+    * the IDENTICAL query shape and oracle as `j7_asof_join`, so the
+    * whole-operator plan is held to the exact same hash as the
+    * composed union+window rendering. */
+  def j14AsofNative(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    ordered(
+      graft.operators.Joins.asofJoinNative(purchases, clicks, "user_id",
+        "ts", rightPrefix = "c_", tieBreak = Some("event_id"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("p_us"),
+          col("c_event_id").as("click_id"),
+          unix_micros(col("c_ts")).as("c_us"),
+          (unix_micros(col("ts")) - unix_micros(col("c_ts"))).as("gap_us")),
+      "event_id")
+  }
+
   /** J13: referential-integrity audit over the schema's four declared
     * FK relationships (`TableStats.fkAudit`): per relation, fact rows
     * and distinct keys pointing at a nonexistent dimension row, and
@@ -830,6 +853,7 @@ object Relational {
     "d1_scd2"              -> (d1Scd2 _),
     "d2_incremental"       -> (d2Incremental _),
     "j13_fk_audit"         -> (j13FkAudit _),
+    "j14_asof_native"      -> (j14AsofNative _),
     "d1_scd2_stream"       -> (d1Scd2Stream _),
     "j12_dim_asof"         -> (j12DimAsof _),
     "q10_returned_items"   -> (q10ReturnedItems _),
@@ -910,6 +934,7 @@ object Relational {
         |FROM events e JOIN d ON e.event_type = d.event_type
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "j7_asof_join" -> asofOracle,
+    "j14_asof_native" -> asofOracle,
     "j7_asof_stream" -> asofOracle,
     "j8_range_join" ->
       """SELECT o_orderkey, n_name AS band, o_totalprice

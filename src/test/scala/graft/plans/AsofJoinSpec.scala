@@ -1,0 +1,84 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.operators.Joins
+
+/** The native whole-operator as-of join: semantics parity with the
+  * composed union+window form, the planner contract (strategy plants
+  * AsofJoin; pre-partitioned inputs run with no ENSURE_REQUIREMENTS
+  * exchange), and the null contracts. */
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randomSides(seed: Int, n: Int) = {
+    val rnd = new scala.util.Random(seed)
+    val l = (1 to n).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(50).toLong, 100L + i))
+      .toDF("k", "t", "lid")
+    val r = (1 to n).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(50).toLong, 500L + i, i * 11L))
+      .toDF("k", "t", "rid", "payload")
+    (l, r)
+  }
+
+  test("parity with the union+window asofJoin on random data with " +
+       "duplicate times (tieBreak decides identically)") {
+    for (seed <- Seq(1, 7, 42)) {
+      val (l, r) = randomSides(seed, 120)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("lid", "c_rid", "c_payload")
+          .collect().map(row => (row.getLong(0),
+            if (row.isNullAt(1)) -1L else row.getLong(1),
+            if (row.isNullAt(2)) -1L else row.getLong(2))).toSet
+      val native = canon(Joins.asofJoinNative(l, r, "k", "t",
+        rightPrefix = "c_", tieBreak = Some("rid")))
+      val window = canon(Joins.asofJoin(l, r, "k", "t",
+        rightPrefix = "c_", tieBreak = Some("rid")))
+      assert(native == window, s"seed $seed: ${native.size}/${window.size}")
+      assert(native.nonEmpty && native.exists(_._2 != -1L))
+    }
+  }
+
+  test("planner contract: AsofJoin node in the plan; pre-partitioned " +
+       "sorted inputs need no ENSURE_REQUIREMENTS exchange") {
+    val (l0, r0) = randomSides(3, 60)
+    val l = l0.repartition(4, col("k")).sortWithinPartitions("k", "t")
+    val r = r0.repartition(4, col("k")).sortWithinPartitions("k", "t", "rid")
+    val j = Joins.asofJoinNative(l, r, "k", "t", tieBreak = Some("rid"))
+    j.collect() // must execute cleanly
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), s"strategy did not plant the exec:\n$plan")
+    assert(!plan.contains("ENSURE_REQUIREMENTS"),
+      s"co-partitioned inputs must pass through exchange-free:\n$plan")
+  }
+
+  test("null contract: NULL left key/time never matches (SQL equality " +
+       "semantics — unlike the window form's null partition); NULL-key " +
+       "right rows are skipped") {
+    val l = Seq((Some(1L), Some(10L), 1L), (None, Some(10L), 2L),
+        (Some(1L), None, 3L))
+      .toDF("k", "t", "lid")
+    val r = Seq((Some(1L), Some(5L), 9L), (None, Some(1L), 8L))
+      .toDF("k", "t", "rid")
+    val got = Joins.asofJoinNative(l, r, "k", "t")
+      .select("lid", "r_rid")
+      .collect().map(row => row.getLong(0) ->
+        (if (row.isNullAt(1)) -1L else row.getLong(1))).toMap
+    assert(got == Map(1L -> 9L, 2L -> -1L, 3L -> -1L), s"got $got")
+  }
+
+  test("self-join shape: both sides from the same source deduplicate " +
+       "(the DeduplicateRelations gap a post-analysis node must fill)") {
+    val base = Seq((1L, 10L, 1L, "a"), (1L, 5L, 2L, "b"), (1L, 20L, 3L, "a"))
+      .toDF("k", "t", "id", "tag")
+    val l = base.filter(col("tag") === "a").select("k", "t", "id")
+    val r = base.filter(col("tag") === "b").select("k", "t", "id")
+    val got = Joins.asofJoinNative(l, r, "k", "t")
+      .select("id", "r_id").collect()
+      .map(row => row.getLong(0) ->
+        (if (row.isNullAt(1)) -1L else row.getLong(1))).toMap
+    // both 'a' rows (t=10, t=20) see the t=5 'b' row
+    assert(got == Map(1L -> 2L, 3L -> 2L), s"got $got")
+  }
+}
