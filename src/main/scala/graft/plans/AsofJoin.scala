@@ -77,61 +77,124 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
       newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
     copy(left = newLeft, right = newRight)
 
+  /** Long-backed physical types (bigint/int/timestamp/date) take the
+    * primitive merge loop — no per-row boxing, no Ordering dispatch.
+    * Anything else falls back to the interpreted comparators. */
+  private def longBacked(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => true
+      case _ => false
+    }
+
   override protected def doExecute(): RDD[InternalRow] = {
+    val rightWidth = right.output.size
+    val outAttrs = output
+    val fastPath = Seq(leftKey, leftTime, rightKey, rightTime)
+      .forall(a => longBacked(a.dataType))
+    val lKeyIdx = left.output.indexWhere(_.exprId == leftKey.exprId)
+    val lTimeIdx = left.output.indexWhere(_.exprId == leftTime.exprId)
+    val rKeyIdx = right.output.indexWhere(_.exprId == rightKey.exprId)
+    val rTimeIdx = right.output.indexWhere(_.exprId == rightTime.exprId)
+    def intBacked(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt == org.apache.spark.sql.types.IntegerType ||
+        dt == org.apache.spark.sql.types.DateType
+    val lKeyInt = intBacked(leftKey.dataType)
+    val lTimeInt = intBacked(leftTime.dataType)
+    val rKeyInt = intBacked(rightKey.dataType)
+    val rTimeInt = intBacked(rightTime.dataType)
     val lKeyB = BindReferences.bindReference[Expression](leftKey, left.output)
     val lTimeB = BindReferences.bindReference[Expression](leftTime, left.output)
     val rKeyB = BindReferences.bindReference[Expression](rightKey, right.output)
     val rTimeB = BindReferences.bindReference[Expression](rightTime, right.output)
     val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
-    val rightWidth = right.output.size
-    val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val joiner = new JoinedRow
       val nullRight = new GenericInternalRow(rightWidth)
       val project = GenerateUnsafeProjection.generate(
         outAttrs.zipWithIndex.map { case (a, i) =>
           BoundReference(i, a.dataType, a.nullable) })
-      // one-row lookahead over the right side, skipping null-key/time
-      var rHead: InternalRow = null
-      var rHeadKey: Any = null
-      var rHeadTime: Any = null
-      def advanceRight(): Unit = {
-        rHead = null
-        while (rHead == null && rIter.hasNext) {
-          val r = rIter.next()
-          val k = rKeyB.eval(r)
-          val t = rTimeB.eval(r)
-          if (k != null && t != null) { rHead = r; rHeadKey = k; rHeadTime = t }
+      if (fastPath) {
+        // primitive merge: getLong/getInt straight off the sorted rows
+        def lKey(r: InternalRow): Long =
+          if (lKeyInt) r.getInt(lKeyIdx).toLong else r.getLong(lKeyIdx)
+        def lTime(r: InternalRow): Long =
+          if (lTimeInt) r.getInt(lTimeIdx).toLong else r.getLong(lTimeIdx)
+        def rKey(r: InternalRow): Long =
+          if (rKeyInt) r.getInt(rKeyIdx).toLong else r.getLong(rKeyIdx)
+        def rTime(r: InternalRow): Long =
+          if (rTimeInt) r.getInt(rTimeIdx).toLong else r.getLong(rTimeIdx)
+        var rHead: InternalRow = null
+        var rHeadKey = 0L
+        var rHeadTime = 0L
+        def advanceRight(): Unit = {
+          rHead = null
+          while (rHead == null && rIter.hasNext) {
+            val r = rIter.next()
+            if (!r.isNullAt(rKeyIdx) && !r.isNullAt(rTimeIdx)) {
+              rHead = r; rHeadKey = rKey(r); rHeadTime = rTime(r)
+            }
+          }
         }
-      }
-      advanceRight()
-      // the last right row known to satisfy (key == matchKey, time <= t)
-      var matchRow: InternalRow = null
-      var matchKey: Any = null
-      lIter.map { lrow =>
-        val lk = lKeyB.eval(lrow)
-        val lt = lTimeB.eval(lrow)
-        if (lk == null || lt == null) {
-          project(joiner(lrow, nullRight))
-        } else {
-          if (matchRow != null && keyOrd.compare(matchKey, lk) != 0) {
-            matchRow = null // left advanced to a new key
+        advanceRight()
+        var matchRow: InternalRow = null
+        var matchKey = 0L
+        lIter.map { lrow =>
+          if (lrow.isNullAt(lKeyIdx) || lrow.isNullAt(lTimeIdx)) {
+            project(joiner(lrow, nullRight))
+          } else {
+            val lk = lKey(lrow)
+            val lt = lTime(lrow)
+            if (matchRow != null && matchKey != lk) matchRow = null
+            while (rHead != null && rHeadKey < lk) advanceRight()
+            while (rHead != null && rHeadKey == lk && rHeadTime <= lt) {
+              matchRow = rHead.copy(); matchKey = rHeadKey
+              advanceRight()
+            }
+            project(joiner(lrow, if (matchRow != null) matchRow else nullRight))
           }
-          // drop right keys strictly before the current left key
-          while (rHead != null && keyOrd.compare(rHeadKey, lk) < 0) {
-            advanceRight()
+        }
+      } else {
+        // interpreted fallback for non-primitive key/time types
+        var rHead: InternalRow = null
+        var rHeadKey: Any = null
+        var rHeadTime: Any = null
+        def advanceRight(): Unit = {
+          rHead = null
+          while (rHead == null && rIter.hasNext) {
+            val r = rIter.next()
+            val k = rKeyB.eval(r)
+            val t = rTimeB.eval(r)
+            if (k != null && t != null) { rHead = r; rHeadKey = k; rHeadTime = t }
           }
-          // absorb right rows at this key with time <= left time; the
-          // LAST absorbed (greatest (time, tie) in the required order)
-          // is the as-of match
-          while (rHead != null && keyOrd.compare(rHeadKey, lk) == 0 &&
-            timeOrd.compare(rHeadTime, lt) <= 0) {
-            matchRow = rHead.copy()
-            matchKey = rHeadKey
-            advanceRight()
+        }
+        advanceRight()
+        var matchRow: InternalRow = null
+        var matchKey: Any = null
+        lIter.map { lrow =>
+          val lk = lKeyB.eval(lrow)
+          val lt = lTimeB.eval(lrow)
+          if (lk == null || lt == null) {
+            project(joiner(lrow, nullRight))
+          } else {
+            if (matchRow != null && keyOrd.compare(matchKey, lk) != 0) {
+              matchRow = null
+            }
+            while (rHead != null && keyOrd.compare(rHeadKey, lk) < 0) {
+              advanceRight()
+            }
+            while (rHead != null && keyOrd.compare(rHeadKey, lk) == 0 &&
+              timeOrd.compare(rHeadTime, lt) <= 0) {
+              matchRow = rHead.copy()
+              matchKey = rHeadKey
+              advanceRight()
+            }
+            project(joiner(lrow, if (matchRow != null) matchRow else nullRight))
           }
-          project(joiner(lrow, if (matchRow != null) matchRow else nullRight))
         }
       }
     }

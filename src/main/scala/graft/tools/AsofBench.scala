@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measures the as-of join's two plan tiers — composed union+window
+  * (`Joins.asofJoin`) vs the native physical merge
+  * (`plans/AsofJoinExec` via `Joins.asofJoinNative`) — across payload
+  * widths. The union form widens EVERY row to left-width + right-width
+  * before its shuffle (left rows carry null right payloads and vice
+  * versa), so its shuffle volume grows with the combined schema; the
+  * native plan shuffles each side at its own width and keeps one
+  * buffered right row of state. Narrow schemas favor the codegen'd
+  * window; wide payloads are where the native tier pays off.
+  *
+  *   sbt "runMain graft.tools.AsofBench"
+  */
+object AsofBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val n = 2000000
+    val keys = 5000
+    def side(seed: Int) = spark.range(n)
+      .select((pmod(col("id") * 2654435761L + seed, lit(keys))).as("k"),
+        (pmod(col("id") * 40503 + seed * 7, lit(1000000L))).as("t"),
+        col("id").as("rid"))
+    for (payloadCols <- Seq(1, 8, 32)) {
+      val payload = (1 to payloadCols).map(i =>
+        concat_ws("-", lit("payload"), col("rid"), lit(i)).as(s"p$i"))
+      val l = side(1)
+      val r = side(2).select(Seq(col("k"), col("t"), col("rid")) ++ payload: _*)
+      l.count(); r.count()
+      // force FULL materialization of every output column — a bare
+      // count() lets Catalyst prune the window machinery right out of
+      // the composed plan (and nothing out of the opaque native one),
+      // which benchmarks two different queries
+      def force(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val cols = df.columns.map(col)
+        val row = df.select(xxhash64(cols: _*).as("__h"))
+          .agg(expr("bit_xor(__h)").as("h"), count(lit(1)).as("n")).collect()(0)
+        (row.getLong(0), row.getLong(1))
+      }
+      def time(body: => (Long, Long)): (Double, (Long, Long)) = {
+        val t0 = System.nanoTime()
+        val v = body
+        ((System.nanoTime() - t0) / 1e9, v)
+      }
+      val (tw, vw) = time(force(graft.operators.Joins
+        .asofJoin(l, r, "k", "t", tieBreak = Some("rid"))))
+      val (tn, vn) = time(force(graft.operators.Joins
+        .asofJoinNative(l, r, "k", "t", tieBreak = Some("rid"))))
+      require(vw == vn, s"parity violated at $payloadCols cols: $vw vs $vn")
+      println(f"[asof] payload=$payloadCols%2d cols  window=$tw%6.2fs  native=$tn%6.2fs  ratio=${tw / tn}%5.2f")
+    }
+    spark.stop()
+  }
+}

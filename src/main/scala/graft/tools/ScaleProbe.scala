@@ -134,6 +134,10 @@ object ScaleProbe {
       "w20_ewma", "w21_cusum", "a20_fingerprint", "d2_incremental",
       "j13_fk_audit", "x_typo_pairs", "x_multimodal_meta",
       "x_sample_examples",
+      // the native physical as-of against its composed twin — identical
+      // query, identical oracle, different plan tier
+      "j14_asof_native", "e9_frequent_paths", "e10_linear_attribution",
+      "w22_seasonal", "x_lang_confusion", "x_wav_pcm",
       // round-8 surface: the measured direct-vs-prefix crossover switch
       // (on the probe's small-vocab corpus it must pick direct and ramp
       // like the direct gate), plus the new curation/retrieval ops and
