@@ -116,6 +116,15 @@ class SearchSnmSpec extends SparkSpec {
     assert(!got.exists(p => p._1.length < 4 || p._2.length < 4))
   }
 
+  test("typoPairs plan contract: variant equi-join, no cartesian/NLJ, " +
+       "corpus collapses to vocabulary before any fan-out") {
+    val plan = Dedup.typoPairs(graft.Tables.documents(spark, sf("sf0.001")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidates must ride the variant equi-join:\n$plan")
+  }
+
   test("typoPairs property: equals the quadratic levenshtein oracle on " +
        "random small-alphabet vocabularies (the collision-heavy regime)") {
     def lev(a: String, b: String): Int = {

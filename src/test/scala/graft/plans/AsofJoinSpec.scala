@@ -53,6 +53,36 @@ class AsofJoinSpec extends SparkSpec {
       s"co-partitioned inputs must pass through exchange-free:\n$plan")
   }
 
+  test("bucketed tables end-to-end: the native as-of join runs with NO " +
+       "Exchange anywhere in the plan — the production claim the " +
+       "union+window form can never make") {
+    val (l0, r0) = randomSides(11, 80)
+    val wh = "/tmp/graft_warehouse"
+    spark.sql("DROP TABLE IF EXISTS asof_l_bkt")
+    spark.sql("DROP TABLE IF EXISTS asof_r_bkt")
+    l0.write.bucketBy(4, "k").sortBy("k", "t")
+      .option("path", s"$wh/asof_l_bkt").saveAsTable("asof_l_bkt")
+    r0.write.bucketBy(4, "k").sortBy("k", "t", "rid")
+      .option("path", s"$wh/asof_r_bkt").saveAsTable("asof_r_bkt")
+    val l = spark.table("asof_l_bkt")
+    val r = spark.table("asof_r_bkt")
+    val j = Joins.asofJoinNative(l, r, "k", "t", tieBreak = Some("rid"))
+    val rows = j.collect()
+    assert(rows.nonEmpty)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), plan)
+    assert(!plan.contains("Exchange"),
+      s"bucketed inputs must run with zero exchanges:\n$plan")
+    // and the result still matches the composed rendering
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("lid", "c_rid").collect()
+        .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toSet
+    assert(canon(Joins.asofJoinNative(l, r, "k", "t",
+        rightPrefix = "c_", tieBreak = Some("rid"))) ==
+      canon(Joins.asofJoin(l, r, "k", "t",
+        rightPrefix = "c_", tieBreak = Some("rid"))))
+  }
+
   test("null contract: NULL left key/time never matches (SQL equality " +
        "semantics — unlike the window form's null partition); NULL-key " +
        "right rows are skipped") {
