@@ -53,6 +53,25 @@ class AsofJoinSpec extends SparkSpec {
       s"co-partitioned inputs must pass through exchange-free:\n$plan")
   }
 
+  test("interpreted fallback (string keys): parity with the window form " +
+       "— the non-primitive path the long fast path shadows everywhere else") {
+    val rnd = new scala.util.Random(23)
+    val l = (1 to 100).map(i =>
+      (s"k${rnd.nextInt(5)}", rnd.nextInt(40).toLong, 100L + i))
+      .toDF("k", "t", "lid")
+    val r = (1 to 100).map(i =>
+      (s"k${rnd.nextInt(5)}", rnd.nextInt(40).toLong, 500L + i))
+      .toDF("k", "t", "rid")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("lid", "c_rid").collect()
+        .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toSet
+    val native = Joins.asofJoinNative(l, r, "k", "t",
+      rightPrefix = "c_", tieBreak = Some("rid"))
+    assert(canon(native) == canon(Joins.asofJoin(l, r, "k", "t",
+      rightPrefix = "c_", tieBreak = Some("rid"))))
+    assert(native.queryExecution.executedPlan.toString.contains("AsofJoin"))
+  }
+
   test("bucketed tables end-to-end: the native as-of join runs with NO " +
        "Exchange anywhere in the plan — the production claim the " +
        "union+window form can never make") {
@@ -60,6 +79,13 @@ class AsofJoinSpec extends SparkSpec {
     val wh = "/tmp/graft_warehouse"
     spark.sql("DROP TABLE IF EXISTS asof_l_bkt")
     spark.sql("DROP TABLE IF EXISTS asof_r_bkt")
+    // a dropped-in-another-session table leaves its directory behind
+    for (t <- Seq("asof_l_bkt", "asof_r_bkt")) {
+      val dir = new java.io.File(s"$wh/$t")
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete()); dir.delete()
+      }
+    }
     l0.write.bucketBy(4, "k").sortBy("k", "t")
       .option("path", s"$wh/asof_l_bkt").saveAsTable("asof_l_bkt")
     r0.write.bucketBy(4, "k").sortBy("k", "t", "rid")
