@@ -774,6 +774,20 @@ object LlmOps {
     * quality score quantized to ppm, ranked corpus-wide by the
     * distributed two-pass — per-value counts, value-bounded cumulative,
     * broadcast join back; no full-table global sort anywhere. */
+  /** The UNBOUNDED-domain scale face of the same ranking — identical
+    * rows via `globalPercentRankUnbounded`'s range-partitioned
+    * distributed prefix-sum (no single-partition cumulative), held to
+    * the IDENTICAL oracle as `x_quality_rank`. */
+  def xQualityRankScale(s: SparkSession, d: String): DataFrame =
+    ordered(
+      graft.operators.TableStats.globalPercentRankUnbounded(
+        TextAnalysis.withQuality(documents(s, d))
+          .select(col("doc_id"),
+            expr("CAST(CAST(quality_score AS DECIMAL(18,6)) * 1000000 AS LONG)").as("q_ppm")),
+        "q_ppm")
+        .select(col("doc_id"), col("q_ppm"), col("rank_below"), col("pct_ppm")),
+      "doc_id")
+
   def xQualityRank(s: SparkSession, d: String): DataFrame =
     ordered(
       graft.operators.TableStats.globalPercentRank(
@@ -1368,6 +1382,7 @@ object LlmOps {
     "x_typo_pairs"        -> (xTypoPairs _),
     "x_dsir_weights"      -> (xDsirWeights _),
     "x_quality_rank"      -> (xQualityRank _),
+    "x_quality_rank_scale" -> (xQualityRankScale _),
     "x_negatives"         -> (xNegatives _),
     "x_sample_curriculum" -> (xSampleCurriculum _),
     "x_chunk"             -> (xChunk _),
@@ -1542,6 +1557,22 @@ object LlmOps {
 
   private def markerSql(lang: String): String =
     TextAnalysis.langMarkers.toMap.apply(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private lazy val qualityRankOracle =
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |q AS (SELECT doc_id,
+         |    least(1.0, CAST(len(toks) AS BIGINT) / 100.0) * 0.4
+         |    + (CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END) * 0.3
+         |    + (CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t2 -> list_contains($stopwordsSql, t2))) AS DOUBLE) / len(toks) ELSE 0.0 END) * 0.3
+         |    AS score
+         |  FROM t),
+         |p AS (SELECT doc_id, CAST(CAST(score AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS q_ppm FROM q),
+         |r AS (SELECT doc_id, q_ppm,
+         |  CAST(rank() OVER (ORDER BY q_ppm) - 1 AS BIGINT) AS rank_below,
+         |  (SELECT COUNT(*) FROM p) AS n FROM p)
+         |SELECT doc_id, q_ppm, rank_below,
+         |  CASE WHEN n > 1 THEN rank_below * 1000000 // (n - 1) ELSE 0 END AS pct_ppm
+         |FROM r ORDER BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "x_lm_typicality" ->
@@ -2133,21 +2164,8 @@ object LlmOps {
         |FROM p2 JOIN r ON r.b = p2.b AND r.rnk = p2.rnk
         |WHERE r.vec_id <> p2.anchor
         |ORDER BY anchor_id, probe_idx""".stripMargin,
-    "x_quality_rank" ->
-      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
-         |q AS (SELECT doc_id,
-         |    least(1.0, CAST(len(toks) AS BIGINT) / 100.0) * 0.4
-         |    + (CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END) * 0.3
-         |    + (CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t2 -> list_contains($stopwordsSql, t2))) AS DOUBLE) / len(toks) ELSE 0.0 END) * 0.3
-         |    AS score
-         |  FROM t),
-         |p AS (SELECT doc_id, CAST(CAST(score AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS q_ppm FROM q),
-         |r AS (SELECT doc_id, q_ppm,
-         |  CAST(rank() OVER (ORDER BY q_ppm) - 1 AS BIGINT) AS rank_below,
-         |  (SELECT COUNT(*) FROM p) AS n FROM p)
-         |SELECT doc_id, q_ppm, rank_below,
-         |  CASE WHEN n > 1 THEN rank_below * 1000000 // (n - 1) ELSE 0 END AS pct_ppm
-         |FROM r ORDER BY doc_id""".stripMargin,
+    "x_quality_rank_scale" -> qualityRankOracle,
+    "x_quality_rank" -> qualityRankOracle,
     "x_dsir_weights" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
          |u AS (SELECT doc_id, doc_id % 7 = 0 AS tgt, unnest(ts) AS tok FROM toks),

@@ -117,6 +117,29 @@ class TableStatsSpec extends SparkSpec {
       s"Window must consume the per-(group, value) aggregate:\n$plan")
   }
 
+  test("globalPercentRankUnbounded == the window form on random data " +
+       "with ties across range-bucket boundaries; no single-partition " +
+       "exchange in the cumulative") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    // heavy ties: values from a small-ish domain so equal values land
+    // in one range bucket and duplicates straddle boundaries
+    val df = (1 to 500).map(i => (i.toLong, (rnd.nextInt(40) * 3).toDouble))
+      .toDF("id", "v")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select("id", "rank_below", "pct_ppm").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val unb = TableStats.globalPercentRankUnbounded(df, "v", parts = 7)
+    assert(canon(unb) == canon(TableStats.globalPercentRank(df, "v")))
+    // the cumulative must ride the range-partitioned window, not a
+    // SinglePartition exchange feeding a global sort
+    val plan = unb.queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toVector
+    val singleIdx = lines.indexWhere(_.contains("Exchange SinglePartition"))
+    assert(singleIdx == -1,
+      s"unbounded path must not plan a single-partition exchange:\n$plan")
+  }
+
   test("tableFingerprint: invariant under row order and partitioning; " +
        "any value change moves it; duplicate pairs escape XOR but not sum/ct") {
     import spark.implicits._
