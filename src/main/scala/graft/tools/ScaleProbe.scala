@@ -138,6 +138,9 @@ object ScaleProbe {
       // query, identical oracle, different plan tier
       "j14_asof_native", "e9_frequent_paths", "e10_linear_attribution",
       "w22_seasonal", "x_lang_confusion", "x_wav_pcm",
+      // the distributed-prefix-sum rank against its single-partition
+      // twin — the ramp the swap exists to flatten
+      "x_quality_rank_scale",
       // round-8 surface: the measured direct-vs-prefix crossover switch
       // (on the probe's small-vocab corpus it must pick direct and ramp
       // like the direct gate), plus the new curation/retrieval ops and
