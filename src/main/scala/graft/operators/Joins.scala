@@ -290,6 +290,15 @@ object Joins {
              n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"asofJoinNative: no column '$n'"))
+    // the merge compares key-to-key and time-to-time across sides with
+    // ONE comparator each — mismatched types would CCE at runtime in
+    // the interpreted path (and silently widen in the primitive one)
+    require(attr(lPlan, key).dataType == attr(rPlan, key).dataType,
+      s"asofJoinNative: key type mismatch: " +
+        s"${attr(lPlan, key).dataType} vs ${attr(rPlan, key).dataType}")
+    require(attr(lPlan, time).dataType == attr(rPlan, time).dataType,
+      s"asofJoinNative: time type mismatch: " +
+        s"${attr(lPlan, time).dataType} vs ${attr(rPlan, time).dataType}")
     val node = AsofJoinNodeShim.build(lPlan, rPlan,
       attr(lPlan, key), attr(lPlan, time),
       attr(rPlan, key), attr(rPlan, time), tieBreak.map(attr(rPlan, _)))
