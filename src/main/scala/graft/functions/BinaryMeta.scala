@@ -206,13 +206,16 @@ object BinaryMeta {
     val w = u32le(b, 18).toInt
     val h = math.abs(u32le(b, 22).toInt)
     if (off <= 0 || w <= 0 || h <= 0) return null
-    val rowBytes = (w * 3 + 3) / 4 * 4
-    if (off + rowBytes.toLong * h > b.length) return null
+    // Long arithmetic throughout: a declared width near 2^31/3 would
+    // wrap `w * 3` negative, slip past the bounds check, and break the
+    // never-throws contract with an out-of-bounds read
+    val rowBytes = (w.toLong * 3 + 3) / 4 * 4
+    if (off + rowBytes * h > b.length) return null
     var sb = 0L; var sg = 0L; var sr = 0L
     var row = 0
     while (row < h) {
       var x = 0
-      var i = off.toInt + row * rowBytes
+      var i = (off + row * rowBytes).toInt
       while (x < w) {
         sb += (b(i) & 0xff); sg += (b(i + 1) & 0xff); sr += (b(i + 2) & 0xff)
         x += 1; i += 3

@@ -99,6 +99,16 @@ object Multimodal {
       .withColumn("channels", BinaryMeta.wavChannelsCol(p))
   }
 
+  // hex renderings of little-endian integers — byte-order-critical and
+  // shared by BOTH synthetic-container builders, so they live once
+  private def le2(v: org.apache.spark.sql.Column) = {
+    val h = lpad(hex(v), 4, "0"); concat(h.substr(3, 2), h.substr(1, 2))
+  }
+  private def le4(v: org.apache.spark.sql.Column) = {
+    val h = lpad(hex(v), 8, "0")
+    concat(h.substr(7, 2), h.substr(5, 2), h.substr(3, 2), h.substr(1, 2))
+  }
+
   /** Deterministic synthetic container fixtures: VALID PNG / GIF / WAV
     * / JPEG headers built from doc_id arithmetic (dims ≤ 512×300,
     * rates 8–36 kHz), as hex assembled with engine-portable string
@@ -110,13 +120,6 @@ object Multimodal {
   def syntheticContainers(docs: DataFrame): DataFrame = {
     def be(v: org.apache.spark.sql.Column, nBytes: Int) =
       lpad(hex(v), nBytes * 2, "0")
-    def le2(v: org.apache.spark.sql.Column) = {
-      val h = lpad(hex(v), 4, "0"); concat(h.substr(3, 2), h.substr(1, 2))
-    }
-    def le4(v: org.apache.spark.sql.Column) = {
-      val h = lpad(hex(v), 8, "0")
-      concat(h.substr(7, 2), h.substr(5, 2), h.substr(3, 2), h.substr(1, 2))
-    }
     val w = (pmod(col("doc_id"), lit(512)) + 1).cast("int")
     val h = (pmod(col("doc_id"), lit(300)) + 1).cast("int")
     val rate = (lit(8000) + pmod(col("doc_id"), lit(8)) * 4000).cast("int")
@@ -143,13 +146,6 @@ object Multimodal {
     * `BinaryMeta.wavPcmStats`. Same construction-vs-parse gate shape
     * as `syntheticContainers`. */
   def syntheticWavPcm(docs: DataFrame): DataFrame = {
-    def le2(v: org.apache.spark.sql.Column) = {
-      val h = lpad(hex(v), 4, "0"); concat(h.substr(3, 2), h.substr(1, 2))
-    }
-    def le4(v: org.apache.spark.sql.Column) = {
-      val h = lpad(hex(v), 8, "0")
-      concat(h.substr(7, 2), h.substr(5, 2), h.substr(3, 2), h.substr(1, 2))
-    }
     val samples = concat_ws("", transform(sequence(lit(1), lit(16)),
       i => le2(pmod(col("doc_id") * 31 + i * 17, lit(65536)))))
     docs.select(col("doc_id"),

@@ -234,7 +234,11 @@ object EventAnalytics {
     }
     val steps = col(typeCol) +: (1 until n).map(i => col(s"__s$i"))
     withSteps
-      .filter(col(s"__s${n - 1}").isNotNull)
+      // EVERY step must be non-null, not just the last: concat_ws
+      // silently drops nulls, which would count a NULL-holed sequence
+      // as a fabricated shorter path (and diverge from the oracle's
+      // NULL-propagating || concatenation)
+      .filter(steps.map(_.isNotNull).reduce(_ && _))
       .select(concat_ws(">", steps: _*).as("path"))
       .groupBy(col("path"))
       .agg(count(lit(1)).as("ct"))
@@ -271,10 +275,13 @@ object EventAnalytics {
         col("__ms") <= col("__cms") &&
         col("__ms") > col("__cms") - lookbackMs)
       .select(col("conv_id"), col("__typ"), col("__ms"), col("__tie"))
-    val per = pairs.groupBy(col("conv_id"))
-      .agg(count(lit(1)).as("__n"),
-        max(struct(col("__ms"), col("__tie"))).as("__last"))
-    pairs.join(per, "conv_id")
+    // per-conversion n and argmax as WINDOWS over the pair stream —
+    // one pass: an aggregate + join-back would re-execute the whole
+    // expensive range join (and its upstream scans) under both branches
+    val w = Window.partitionBy(col("conv_id"))
+    pairs
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__last", max(struct(col("__ms"), col("__tie"))).over(w))
       .withColumn("credit_ppm",
         expr("1000000L div __n") +
           when(struct(col("__ms"), col("__tie")) === col("__last"),

@@ -304,9 +304,14 @@ object Joins {
       attr(rPlan, key), attr(rPlan, time), tieBreak.map(attr(rPlan, _)))
     // project to the asofJoin output contract by ATTRIBUTE (names
     // collide across sides; exprIds don't)
+    // column ORDER mirrors asofJoin exactly — (key, time, left extras,
+    // prefixed right extras) — so the native tier is a positional
+    // drop-in, not just a by-name one
+    val lExtras = left.columns.toSeq.filterNot(c => c == key || c == time)
     val rightExtras = right.columns.toSeq.filterNot(_ == key)
     val outCols: Seq[NamedExpression] =
-      left.columns.toSeq.map(n => attr(lPlan, n)) ++
+      (Seq(key, time).map(n => attr(lPlan, n): NamedExpression)) ++
+        lExtras.map(n => attr(lPlan, n): NamedExpression) ++
         rightExtras.map(n =>
           Alias(attr(rPlan, n).withNullability(true), rightPrefix + n)())
     SparkInternals.ofRows(spark, Project(outCols, node))

@@ -150,7 +150,22 @@ object TimeSeries {
     * the in-horizon events actually contributing. */
   def decayedScore(df: DataFrame, key: String, time: String,
                    halfLife: String = "1 day",
-                   capHalfLives: Int = 30): DataFrame = {
+                   capHalfLives: Int = 30): DataFrame =
+    decayedPipeline(df, key, time, halfLife, capHalfLives,
+      array(dyadicWeights(capHalfLives)
+        .map(w => lit(w).cast("decimal(36,30)")): _*),
+      "decayed_score")
+
+  /** The one shared decay pipeline — both renderings differ ONLY in
+    * the literal weight array and the score column name, so the
+    * half-life table, anchor broadcast, age bucketing and aggregate
+    * can never drift apart. */
+  private def decayedPipeline(df: DataFrame, key: String, time: String,
+                              halfLife: String, capHalfLives: Int,
+                              warr: org.apache.spark.sql.Column,
+                              scoreCol: String): DataFrame = {
+    require(capHalfLives >= 0 && capHalfLives <= 30,
+      "decayedScore: cap must be in [0, 30]")
     val stepUs: Long = halfLife match {
       case "1 day"  => 86400000000L
       case "1 hour" => 3600000000L
@@ -158,8 +173,6 @@ object TimeSeries {
       case other => throw new IllegalArgumentException(
         s"decayedScore: unsupported half-life '$other'")
     }
-    val wts = dyadicWeights(capHalfLives)
-    val warr = array(wts.map(w => lit(w).cast("decimal(36,30)")): _*)
     val e = df.withColumn("__us", unix_micros(col(time)))
     val anchor = e.agg(max(col("__us")).as("__anchor_us"))
     e.crossJoin(broadcast(anchor))
@@ -171,7 +184,7 @@ object TimeSeries {
       .groupBy(col(key))
       .agg(count(lit(1)).as("n_events"),
         count(col("__w")).as("n_live"),
-        sum(col("__w")).as("decayed_score"))
+        sum(col("__w")).as(scoreCol))
   }
 
   /** Fixed-point rendering of [[decayedScore]]: the identical plan and
@@ -188,31 +201,11 @@ object TimeSeries {
     * unscaled value). */
   def decayedScoreFixedPoint(df: DataFrame, key: String, time: String,
                              halfLife: String = "1 day",
-                             capHalfLives: Int = 30): DataFrame = {
-    val stepUs: Long = halfLife match {
-      case "1 day"  => 86400000000L
-      case "1 hour" => 3600000000L
-      case "1 week" => 7L * 86400000000L
-      case other => throw new IllegalArgumentException(
-        s"decayedScoreFixedPoint: unsupported half-life '$other'")
-    }
-    require(capHalfLives >= 0 && capHalfLives <= 30,
-      "decayedScoreFixedPoint: cap must be in [0, 30]")
-    val warr = array((0 to capHalfLives)
-      .map(d => lit(1L << (capHalfLives - d))): _*)
-    val e = df.withColumn("__us", unix_micros(col(time)))
-    val anchor = e.agg(max(col("__us")).as("__anchor_us"))
-    e.crossJoin(broadcast(anchor))
-      .withColumn("__age", expr(s"(__anchor_us - __us) div $stepUs"))
-      .withColumn("__w",
-        when(col("__age") <= capHalfLives,
-          element_at(warr, (col("__age") + 1).cast("int")))
-          .otherwise(lit(null)))
-      .groupBy(col(key))
-      .agg(count(lit(1)).as("n_events"),
-        count(col("__w")).as("n_live"),
-        sum(col("__w")).as("score_2p30"))
-  }
+                             capHalfLives: Int = 30): DataFrame =
+    decayedPipeline(df, key, time, halfLife, capHalfLives,
+      array((0 to capHalfLives)
+        .map(d => lit(1L << (capHalfLives - d))): _*),
+      "score_2p30")
 
   /** Exact sliding-window median over a fixed ODD frame: two lazy-
     * deletion heaps (max-heap lower half, min-heap upper half) so each
@@ -310,6 +303,10 @@ object TimeSeries {
     require(frame >= 1 && frame % 2 == 1, "rollingMedianLarge: odd frame")
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField}
+    require(df.schema(value).dataType == LongType,
+      s"rollingMedianLarge: value column '$value' must be LongType " +
+        s"(got ${df.schema(value).dataType}) — cast upstream; failing " +
+        "here beats a per-task ClassCastException after the sort")
     val sorted = df.filter(col(value).isNotNull)
       .repartition(col(key))
       .sortWithinPartitions((key +: order).map(col): _*)

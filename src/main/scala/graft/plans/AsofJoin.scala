@@ -190,7 +190,11 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
             while (rHead != null && keyOrd.compare(rHeadKey, lk) == 0 &&
               timeOrd.compare(rHeadTime, lt) <= 0) {
               matchRow = rHead.copy()
-              matchKey = rHeadKey
+              // derive the cached key from the COPY: rHeadKey may alias
+              // the right iterator's reused row buffer (sort spill
+              // reader, columnar batch) and would be corrupted by the
+              // next advance — the copy owns its memory
+              matchKey = rKeyB.eval(matchRow)
               advanceRight()
             }
             project(joiner(lrow, if (matchRow != null) matchRow else nullRight))

@@ -770,10 +770,6 @@ object LlmOps {
       "anchor_id", "probe_idx")
   }
 
-  /** Global exact quality percent-rank (threshold-free corpus cuts):
-    * quality score quantized to ppm, ranked corpus-wide by the
-    * distributed two-pass — per-value counts, value-bounded cumulative,
-    * broadcast join back; no full-table global sort anywhere. */
   /** The UNBOUNDED-domain scale face of the same ranking — identical
     * rows via `globalPercentRankUnbounded`'s range-partitioned
     * distributed prefix-sum (no single-partition cumulative), held to
@@ -788,6 +784,10 @@ object LlmOps {
         .select(col("doc_id"), col("q_ppm"), col("rank_below"), col("pct_ppm")),
       "doc_id")
 
+  /** Global exact quality percent-rank (threshold-free corpus cuts):
+    * quality score quantized to ppm, ranked corpus-wide by the
+    * distributed two-pass — per-value counts, value-bounded cumulative,
+    * broadcast join back; no full-table global sort anywhere. */
   def xQualityRank(s: SparkSession, d: String): DataFrame =
     ordered(
       graft.operators.TableStats.globalPercentRank(

@@ -399,11 +399,6 @@ object Relational {
       .limit(100)
   }
 
-  /** D1: SCD2 dimension history from the event stream — each user's
-    * event_type run-length-collapsed into [valid_from, valid_to)
-    * versions (`operators/Dimensions.scd2FromChangelog`); the full
-    * type-2 table whose LATEST face is what `sources.Sinks.dimUpsert`
-    * serves to stream enrichment. */
   /** J14: the NATIVE as-of join — `Joins.asofJoinNative`
     * (`plans/AsofJoinExec`: custom LogicalPlan + planner strategy +
     * physical two-pointer merge over co-clustered sorted children) on
@@ -471,6 +466,11 @@ object Relational {
       "o_custkey")
   }
 
+  /** D1: SCD2 dimension history from the event stream — each user's
+    * event_type run-length-collapsed into [valid_from, valid_to)
+    * versions (`operators/Dimensions.scd2FromChangelog`); the full
+    * type-2 table whose LATEST face is what `sources.Sinks.dimUpsert`
+    * serves to stream enrichment. */
   def d1Scd2(s: SparkSession, d: String): DataFrame = {
     ordered(
       graft.operators.Dimensions.scd2FromChangelog(

@@ -511,15 +511,6 @@ object Stats {
       "event_type")
   }
 
-  /** A19: Benford first-digit audit — the classic fabricated-numbers
-    * screen: the leading significant digit of organic amounts follows
-    * log10(1+1/d), and a per-digit delta exposes rounding artifacts /
-    * synthetic data. Digit via string head of the exact DECIMAL
-    * rendering (prices are positive, so no sign handling); observed
-    * share in integer ppm against a one-row total broadcast; the
-    * Benford expectation enters as precomputed INTEGER ppm literals —
-    * identical constants in both plans, so no log10 float ever runs in
-    * either engine. One scan, one 9-row aggregate. */
   /** A20: order-independent table fingerprint per order status — the
     * migration-validation digest (`TableStats.tableFingerprint`): after
     * any rewrite/move/repartition of the table, equal (xor_fp, sum_fp,
@@ -537,6 +528,15 @@ object Stats {
       "o_orderstatus")
   }
 
+  /** A19: Benford first-digit audit — the classic fabricated-numbers
+    * screen: the leading significant digit of organic amounts follows
+    * log10(1+1/d), and a per-digit delta exposes rounding artifacts /
+    * synthetic data. Digit via string head of the exact DECIMAL
+    * rendering (prices are positive, so no sign handling); observed
+    * share in integer ppm against a one-row total broadcast; the
+    * Benford expectation enters as precomputed INTEGER ppm literals —
+    * identical constants in both plans, so no log10 float ever runs in
+    * either engine. One scan, one 9-row aggregate. */
   def a19Benford(s: SparkSession, d: String): DataFrame = {
     // floor(log10(1 + 1/d) * 1e6), d = 1..9 — fixed public constants
     val benford = Seq(301029L, 176091L, 124938L, 96910L, 79181L,

@@ -367,7 +367,10 @@ object Windows {
     * runs next to W18's z-score. The recursion s_t = α·x_t + (1−α)·
     * s_{t−1} unrolls to a dot product of trailing lags with dyadic
     * weights, so the scaled value Σ_{a=0..30} cents(t−a)·2^(30−a) is
-    * an exact int64 (≤ ~3·10¹⁶ at decimal(18,2) inputs) — same
+    * an exact int64 while |cents| stays below 2⁶³/2³¹ ≈ 4.3·10⁹
+    * (values ≤ ~$43M each; ANSI-off Spark would wrap silently past
+    * that while DuckDB errors — the bound is the operator's
+    * documented domain, rescale to coarser units beyond it) — same
     * weight-table trick as W17, same horizon argument: beyond 31 taps
     * a contribution is < 2⁻³⁰ of fresh, below any trend's resolution.
     * Rendered as 31 lag() taps riding ONE per-type (ts, id) sort —

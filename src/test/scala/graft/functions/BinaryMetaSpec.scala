@@ -129,6 +129,13 @@ class BinaryMetaSpec extends SparkSpec {
     // 8-bit depth -> null (stub regime)
     val depth8 = bmp.clone(); depth8(28) = 0x08
     assert(BinaryMeta.bmp24Stats(depth8) == null)
+    // adversarial header: width 2^30 would wrap a 32-bit w*3 negative
+    // and slip past the bounds check into an out-of-bounds read — must
+    // yield null, never throw (the total-parser contract)
+    val hugeW = bmp.clone()
+    hugeW(18) = 0x00; hugeW(19) = 0x00; hugeW(20) = 0x00; hugeW(21) = 0x40
+    assert(BinaryMeta.bmp24Stats(hugeW) == null)
+    assert(BinaryMeta.width(hugeW) == (1 << 30), "header width still reads")
   }
 
   test("expressions run inside codegen over a DataFrame and SQL face") {
