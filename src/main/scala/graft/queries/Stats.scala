@@ -959,7 +959,8 @@ object Stats {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |g AS (SELECT event_type || '>' || t2 || '>' || t3 AS path,
         |    COUNT(*) AS ct
-        |  FROM s WHERE t3 IS NOT NULL GROUP BY 1),
+        |  FROM s WHERE event_type IS NOT NULL AND t2 IS NOT NULL
+        |    AND t3 IS NOT NULL GROUP BY 1),
         |k AS (SELECT path, ct FROM g ORDER BY ct DESC, path LIMIT 20)
         |SELECT path, ct FROM k ORDER BY ct, path""".stripMargin,
     "e10_linear_attribution" ->
