@@ -185,26 +185,6 @@ object TableStats {
       .drop("__below", "__ng")
   }
 
-  /** Order-independent table fingerprint — the migration-validation
-    * digest: after moving/rewriting/repartitioning a 100 TB table, a
-    * constant-size per-group summary that equals the source's iff the
-    * CONTENT (as the canonical rendering of `cols`) is identical,
-    * regardless of row order, file layout, or partitioning.
-    *
-    * Per row: canonical text = the chosen columns rendered to string
-    * (caller casts to pin formats) joined by '|' with NULL → ' '
-    * sentinel (distinguishes NULL from empty string); row hash = the
-    * top 60 bits of md5. Per group, three ORDER-INDEPENDENT aggregates
-    * over one scan + one tiny keyed exchange:
-    *   - `xor_fp`: bit_xor of the 60-bit hashes — overflow-free at any
-    *     cardinality, but an even number of identical rows cancels;
-    *   - `sum_fp`: sum of hash mod 1e9+7 — catches duplicate-count
-    *     changes XOR misses; exact while n < ~9.2e9 rows per group
-    *     (int64 headroom), the documented bound;
-    *   - `ct`: row count.
-    * A pair differing in any of the three differs in content; all
-    * three equal is a collision-probability statement (~2⁻⁶⁰ per
-    * changed row), the standard fingerprint contract. */
   /** Referential-integrity audit for one declared FK relationship —
     * the data-quality pass a warehouse runs before trusting joins:
     * how many fact rows (and distinct keys) point at a dimension row
@@ -229,15 +209,51 @@ object TableStats {
           .as("orphan_keys"))
       .select(lit(relation).as("relation"), col("fact_rows"),
         col("orphan_rows"), col("distinct_keys"), col("orphan_keys"),
-        expr("(fact_rows - orphan_rows) * 1000000L div fact_rows")
-          .as("coverage_ppm"))
+        // empty fact = vacuously covered (and ANSI mode would throw on
+        // the div-by-zero, aborting the whole audit union)
+        when(col("fact_rows") > 0,
+          expr("(fact_rows - orphan_rows) * 1000000L div fact_rows"))
+          .otherwise(lit(1000000L)).as("coverage_ppm"))
   }
 
+  private val canonAlias = "__canon"
+
+  /** Order-independent table fingerprint — the migration-validation
+    * digest: after moving/rewriting/repartitioning a 100 TB table, a
+    * constant-size per-group summary that equals the source's iff the
+    * CONTENT (as the canonical rendering of `cols`) is identical,
+    * regardless of row order, file layout, or partitioning.
+    *
+    * Per row: canonical text = the chosen columns rendered to string
+    * (caller casts to pin formats) each field LENGTH-PREFIXED
+    * ("<len>:<text>") and joined by '|', with NULL as the bare marker
+    * "N" — unambiguous: a raw join would make ('a\|b','c') equal
+    * ('a','b\|c') and NULL equal a sentinel-valued string, i.e.
+    * deterministic false-equal fingerprints. Row hash = the top 60
+    * bits of md5. Per group, three ORDER-INDEPENDENT aggregates
+    * over one scan + one tiny keyed exchange:
+    *   - `xor_fp`: bit_xor of the 60-bit hashes — overflow-free at any
+    *     cardinality, but an even number of identical rows cancels;
+    *   - `sum_fp`: sum of hash mod 1e9+7 — catches duplicate-count
+    *     changes XOR misses; exact while n < ~9.2e9 rows per group
+    *     (int64 headroom), the documented bound;
+    *   - `ct`: row count.
+    * A pair differing in any of the three differs in content; all
+    * three equal is a collision-probability statement (~2⁻⁶⁰ per
+    * changed row), the standard fingerprint contract. */
   def tableFingerprint(df: DataFrame, groupCol: String,
                        cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "tableFingerprint needs at least one column")
+    // UNAMBIGUOUS canonical rendering: each field is length-prefixed
+    // ("<len>:<text>"), NULL is the bare marker "N" (no real field
+    // starts without digits + ':'). A raw '|' join would equate
+    // ('a|b','c') with ('a','b|c') and NULL with a sentinel-valued
+    // string — deterministic false-equal fingerprints, not 2^-60 ones.
     val canon = concat_ws("|",
-      cols.map(c => coalesce(col(c).cast("string"), lit(" "))): _*)
+      cols.map { c =>
+        val s = col(c).cast("string")
+        coalesce(concat(length(s).cast("string"), lit(":"), s), lit("N"))
+      }: _*)
     val h = expr(s"conv(substr(md5(${canonAlias}), 1, 15), 16, 10)")
     df.withColumn(canonAlias, canon)
       .withColumn("__h", h.cast("long"))
@@ -246,5 +262,4 @@ object TableStats {
         sum(pmod(col("__h"), lit(1000000007L))).as("sum_fp"),
         count(lit(1)).as("ct"))
   }
-  private val canonAlias = "__canon"
 }

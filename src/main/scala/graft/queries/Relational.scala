@@ -456,10 +456,15 @@ object Relational {
     val o = orders(s, d).select(col("o_custkey"), col("o_orderdate"),
       cents.as("__cents"))
     val cut = "1999-01-01"
+    // the split must be EXHAUSTIVE: a NULL date satisfies neither
+    // comparison, so '< cut' / '>= cut' would silently drop null-dated
+    // rows from both partials while the one-shot oracle counts them —
+    // nulls route to the delta explicitly
     val hist = graft.operators.Incremental.partialAggregate(
       o.filter(col("o_orderdate") < lit(cut)), "o_custkey", col("__cents"))
     val delta = graft.operators.Incremental.partialAggregate(
-      o.filter(col("o_orderdate") >= lit(cut)), "o_custkey", col("__cents"))
+      o.filter(col("o_orderdate").isNull || col("o_orderdate") >= lit(cut)),
+      "o_custkey", col("__cents"))
     ordered(
       graft.operators.Incremental.mergePartials("o_custkey", hist, delta)
         .withColumn("avg_cents", expr("sum_cents div cnt")),

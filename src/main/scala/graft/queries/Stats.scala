@@ -987,10 +987,16 @@ object Stats {
     "a20_fingerprint" ->
       """WITH c AS (SELECT o_orderstatus,
         |  CAST(('0x' || substr(md5(concat_ws('|',
-        |    COALESCE(CAST(o_orderkey AS VARCHAR), ' '),
-        |    COALESCE(CAST(o_custkey AS VARCHAR), ' '),
-        |    COALESCE(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), ' '),
-        |    COALESCE(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), ' '))),
+        |    COALESCE(CAST(length(CAST(o_orderkey AS VARCHAR)) AS VARCHAR)
+        |      || ':' || CAST(o_orderkey AS VARCHAR), 'N'),
+        |    COALESCE(CAST(length(CAST(o_custkey AS VARCHAR)) AS VARCHAR)
+        |      || ':' || CAST(o_custkey AS VARCHAR), 'N'),
+        |    COALESCE(CAST(length(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |        AS VARCHAR)) AS VARCHAR)
+        |      || ':' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 'N'),
+        |    COALESCE(CAST(length(CAST(CAST(o_orderdate AS DATE) AS VARCHAR))
+        |        AS VARCHAR)
+        |      || ':' || CAST(CAST(o_orderdate AS DATE) AS VARCHAR), 'N'))),
         |    1, 15)) AS BIGINT) AS h
         |  FROM orders)
         |SELECT o_orderstatus, bit_xor(h) AS xor_fp,

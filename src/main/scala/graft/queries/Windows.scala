@@ -13,6 +13,12 @@ import graft.util.Det._
   */
 object Windows {
 
+  /** The ONE exact integer-cents rendering every cents-based window
+    * gate shares — w18–w22's cross-engine bit-exactness hangs on this
+    * expression staying identical everywhere it appears. */
+  private def valueCents: org.apache.spark.sql.Column =
+    (col("value").cast("decimal(18,2)") * 100).cast("long")
+
   /** Session windows: 30-minute-gap sessionization per user —
     * `session_window` is one hash-aggregate keyed (user, merged window);
     * the batch oracle is the classic gaps-and-islands rendering. */
@@ -347,7 +353,7 @@ object Windows {
     ordered(
       events(s, d)
         .select(col("event_id"), col("event_type"), col("ts"),
-          (col("value").cast("decimal(18,2)") * 100).cast("long")
+          valueCents
             .as("cents"))
         // NULL contract made explicit on both engines: Spark's
         // collect_list silently DROPS nulls (shrinking frames) while
@@ -382,7 +388,7 @@ object Windows {
   def w20Ewma(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
-    val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    val cents = valueCents
     val taps = (0 to 30).map(a =>
       lag(col("cents"), a).over(w) * lit(1L << (30 - a)))
     ordered(
@@ -399,8 +405,9 @@ object Windows {
 
   /** W21: integer CUSUM drift detection — the classic changepoint
     * screen (Page 1954): per event type, the upper CUSUM
-    * max(0, c_{t−1} + x_t − target) unrolls to S_t − min_{i≤t} S_i
-    * over the prefix sums S of (cents − target), so the recursion
+    * max(0, c_{t−1} + x_t − target) unrolls to S_t − min_{0≤i≤t} S_i
+    * over the prefix sums S of (cents − target) — the min INCLUDES
+    * the empty prefix S_0 = 0 — so the recursion
     * becomes two stacked window functions (running sum, then running
     * min of it) riding ONE per-type sort — no state machine, no
     * mapPartitions, and every quantity is an exact int64 (target =
@@ -413,14 +420,18 @@ object Windows {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val e = events(s, d)
       .select(col("event_id"), col("event_type"), col("ts"),
-        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        valueCents.as("cents"))
       .filter(col("cents").isNotNull)
     val target = e.groupBy(col("event_type"))
       .agg(expr("sum(cents) div count(1)").as("__target"))
     ordered(
       e.join(broadcast(target), "event_type")
         .withColumn("__s", sum(col("cents") - col("__target")).over(w))
-        .withColumn("__smin", min(col("__s")).over(w))
+        // the unroll is S_t − min_{0 ≤ i ≤ t} S_i and the prefix-sum
+        // sequence STARTS at S_0 = 0 — dropping the zero term
+        // understates the statistic whenever drift is positive from
+        // the first sample (row 1's CUSUM is its own deviation, not 0)
+        .withColumn("__smin", least(lit(0L), min(col("__s")).over(w)))
         .select(col("event_id"), col("event_type"), col("cents"),
           (col("__s") - col("__smin")).as("cusum_cents"),
           ((col("__s") - col("__smin")) > col("__target") * 10).as("alarm")),
@@ -437,7 +448,7 @@ object Windows {
   def w22Seasonal(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d)
       .select(col("event_id"), col("event_type"), hour(col("ts")).as("hr"),
-        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        valueCents.as("cents"))
       .filter(col("cents").isNotNull)
     val prof = e.groupBy(col("event_type"), col("hr"))
       .agg(expr("sum(cents) div count(1)").as("baseline_cents"),
@@ -497,8 +508,8 @@ object Windows {
         |      ORDER BY e.ts, e.event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
         |      AS s
         |  FROM e JOIN t USING (event_type)),
-        |g AS (SELECT *, MIN(s) OVER (PARTITION BY event_type
-        |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS smin
+        |g AS (SELECT *, least(0, MIN(s) OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)) AS smin
         |  FROM f)
         |SELECT event_id, event_type, cents, s - smin AS cusum_cents,
         |  (s - smin) > target * 10 AS alarm

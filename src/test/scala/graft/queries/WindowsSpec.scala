@@ -315,16 +315,26 @@ class WindowsSpec extends SparkSpec {
     // the zero run pins cusum at 0 (running min tracks the sum), the
     // spikes climb 900/1800 — the second crosses 10·target = 1000
     val rows = (0 until 20).map(i =>
-      (i.toLong, ts(i), 1L, "c", if (i >= 18) 10.0 else 0.0, "{}"))
+      (i.toLong, ts(i), 1L, "c", if (i >= 18) 10.0 else 0.0, "{}")) ++
+      // type 'u' drifts UP from its very first sample: values 10, 0 ->
+      // target 500; true Page CUSUM of row 0 is its own +500 deviation
+      // (S_0 = 0 is in the min), NOT 0 — the dropped-zero-term bug
+      Seq((100L, ts(0), 1L, "u", 10.0, "{}"),
+        (101L, ts(1), 1L, "u", 0.0, "{}"))
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
-    val got = Windows.w21Cusum(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4)))
+    val all = Windows.w21Cusum(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3),
+        r.getBoolean(4)))
+    val got = all.filter(_._2 == "c").map(t => (t._1, t._3, t._4))
     assert(got.length == 20)
     assert(got.take(18).forall(t => t._2 == 0L && !t._3),
       s"low regime must sit at zero: ${got.take(18).toSeq}")
     assert(got(18) == ((18L, 900L, false)), s"got ${got(18)}")
     assert(got(19) == ((19L, 1800L, true)), s"got ${got(19)}")
+    val up = all.filter(_._2 == "u").map(t => (t._1, t._3, t._4))
+    assert(up.toSeq == Seq((100L, 500L, false), (101L, 0L, false)),
+      s"upward drift from the first sample must score immediately: ${up.toSeq}")
   }
 
   test("decayedScoreFixedPoint: exact int64 rendering — score_2p30 = " +
