@@ -170,6 +170,25 @@ class TableStatsSpec extends SparkSpec {
     val doubled = fp(base.unionAll(base.filter(col("id") === 4)))
     assert(doubled("b")._1 == 0L, "two identical rows XOR to zero")
     assert(doubled("b")._2 == 2 * ref("b")._2 && doubled("b")._3 == 2)
+
+    // canonicalization ambiguity regressions: a delimiter shifting
+    // across a field boundary, and NULL vs any literal string, must
+    // all fingerprint differently (the raw-'|'-join bug)
+    def fp2(rows: Seq[(String, String, String)]) =
+      fp(rows.toDF("g", "id", "s")
+        .select(col("g"), col("id"), col("s"), lit("0").as("price"))
+        .select("g", "id", "s", "price"))
+    val shifted1 = fp2(Seq(("g", "a|b", "c")))("g")
+    val shifted2 = fp2(Seq(("g", "a", "b|c")))("g")
+    assert(shifted1 != shifted2, "delimiter shift must change the digest")
+    val asNull = fp(Seq(("g", 1L, null.asInstanceOf[String], "1"))
+      .toDF("g", "id", "s", "price"))("g")
+    val asSpace = fp(Seq(("g", 1L, " ", "1"))
+      .toDF("g", "id", "s", "price"))("g")
+    val asN = fp(Seq(("g", 1L, "N", "1"))
+      .toDF("g", "id", "s", "price"))("g")
+    assert(asNull != asSpace && asNull != asN,
+      "NULL must differ from every literal rendering")
   }
 
   test("fkAudit: counts orphan rows (incl. NULL keys) and non-null " +
