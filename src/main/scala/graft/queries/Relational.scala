@@ -988,8 +988,10 @@ object Relational {
            |  COUNT(DISTINCT f.$factKey) AS distinct_keys,
            |  COUNT(DISTINCT CASE WHEN d.__hit IS NULL THEN f.$factKey END)
            |    AS orphan_keys,
-           |  (COUNT(*) - COUNT(CASE WHEN d.__hit IS NULL THEN 1 END))
-           |    * 1000000 // COUNT(*) AS coverage_ppm
+           |  CASE WHEN COUNT(*) > 0 THEN
+           |    (COUNT(*) - COUNT(CASE WHEN d.__hit IS NULL THEN 1 END))
+           |      * 1000000 // COUNT(*)
+           |  ELSE 1000000 END AS coverage_ppm
            |FROM $factTbl f LEFT JOIN
            |  (SELECT DISTINCT $dimKey AS k, 1 AS __hit FROM $dimTbl) d
            |  ON f.$factKey = d.k""".stripMargin

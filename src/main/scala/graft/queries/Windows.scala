@@ -14,9 +14,10 @@ import graft.util.Det._
 object Windows {
 
   /** The ONE exact integer-cents rendering every cents-based window
-    * gate shares — w18–w22's cross-engine bit-exactness hangs on this
-    * expression staying identical everywhere it appears. */
-  private def valueCents: org.apache.spark.sql.Column =
+    * gate shares — w19–w22's cross-engine bit-exactness hangs on this
+    * expression staying identical everywhere it appears (w18 works in
+    * exact decimal sums instead; FrameBench reuses this helper). */
+  private[graft] def valueCents: org.apache.spark.sql.Column =
     (col("value").cast("decimal(18,2)") * 100).cast("long")
 
   /** Session windows: 30-minute-gap sessionization per user —

@@ -28,7 +28,7 @@ object FrameBench {
 
     val in = graft.Tables.events(spark, sfDir)
       .select(col("event_id"), col("event_type"), col("ts"),
-        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        graft.queries.Windows.valueCents.as("cents"))
       .filter(col("cents").isNotNull)
     in.count() // warm the scan
 

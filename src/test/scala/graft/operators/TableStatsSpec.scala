@@ -159,9 +159,9 @@ class TableStatsSpec extends SparkSpec {
     val changed = fp(base.withColumn("price",
       when(col("id") === 2, "3.01").otherwise(col("price"))))
     assert(changed("a") != ref("a") && changed("b") == ref("b"))
-    // NULL vs the literal sentinel string must differ (the coalesce
-    // sentinel is a single space: a real " " value collides only if the
-    // column legitimately holds one — acceptable, but null≠"q" always)
+    // NULL must differ from any literal value (length-prefixed fields
+    // with the bare "N" null marker make the rendering injective —
+    // the ambiguity asserts below pin the edge cases)
     val nulled = fp(base.withColumn("s",
       when(col("id") === 1, lit(null)).otherwise(col("s"))))
     assert(nulled("a") != ref("a"))
