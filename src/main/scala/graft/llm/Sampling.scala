@@ -373,6 +373,74 @@ object Sampling {
     fullIn.unionByName(fullOut).unionByName(boundary)
   }
 
+  /** Systematic probability-proportional-to-size (PPS) sampling — the
+    * survey-sampling classic (Madow 1949) for "draw k documents with
+    * inclusion probability ∝ weight" (tokens, bytes, engagement):
+    * place k evenly-spaced selection points p_j = (T·(2j+1)) div (2k)
+    * on the cumulative weight line [0, T) and take the item whose
+    * weight interval (c_lo, c_hi] contains each point. Fully
+    * DETERMINISTIC (no RNG — the deterministic-offset variant) and
+    * integer-exact end to end, so the gate hash-matches; an item
+    * heavier than the stride is drawn with multiplicity > 1, the
+    * standard PPS accounting, and Σ multiplicity = k always. Each
+    * item's multiplicity sits within 1 of its expectation k·w/T — the
+    * property the spec pins.
+    *
+    * Scale shape: the cumulative line is a GLOBAL prefix sum over the
+    * id order — data-sized, so it rides the same range-partitioned
+    * two-level rendering as `TableStats.globalPercentRankUnbounded`
+    * (per-bucket running sum + P collected offsets, no
+    * single-partition window); the k points broadcast. Bounds: weights
+    * must be positive longs, T ≥ 2k (so every point is ≥ 1), and
+    * T < 2⁶³/(2k) keeps the point arithmetic in int64 — all
+    * require()d. */
+  def systematicPps(df: DataFrame, idCol: String, weightCol: String,
+                    k: Int, parts: Int = 0): DataFrame = {
+    require(k >= 1, "systematicPps: k >= 1")
+    val spark = df.sparkSession
+    val p = if (parts > 0) parts
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val base = df.select(col(idCol), col(weightCol).cast("long").as("__w"))
+    val ranged = base
+      .repartitionByRange(p, col(idCol))
+      .sortWithinPartitions(col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val totals = ranged.groupBy(col("__pid")).agg(sum(col("__w")).as("__pt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pids = totals.keys.toSeq.sorted
+    val offsets = pids.zip(pids.scanLeft(0L)((acc, pid) => acc + totals(pid)))
+      .toMap
+    val total = totals.values.sum
+    require(total >= 2L * k,
+      s"systematicPps: total weight $total must be >= 2k = ${2L * k}")
+    require(total < Long.MaxValue / (2L * k),
+      s"systematicPps: total weight $total overflows point arithmetic at k=$k")
+    // positivity enforced, not silently filtered: a zero/negative
+    // weight is a caller bug that would skew every inclusion
+    // probability after it
+    val minW = ranged.agg(min(col("__w"))).collect()(0)
+    require(!minW.isNullAt(0) && minW.getLong(0) > 0,
+      "systematicPps: weights must be positive and non-null")
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+    val intervals = ranged
+      .withColumn("__local", sum(col("__w")).over(w))
+      .join(broadcast(offDf), "__pid")
+      .withColumn("c_hi", col("__local") + col("__off"))
+      .withColumn("c_lo", col("c_hi") - col("__w"))
+    val points = spark.range(k)
+      .select(expr(s"(${total}L * (id * 2 + 1)) div ${2L * k}L").as("__p"))
+    intervals.join(broadcast(points),
+        col("__p") > col("c_lo") && col("__p") <= col("c_hi"))
+      .groupBy(col(idCol), col("__w").as("weight"),
+        col("c_lo"), col("c_hi"))
+      .agg(count(lit(1)).as("multiplicity"))
+      .select(col(idCol), col("weight"), col("c_lo"), col("c_hi"),
+        col("multiplicity"))
+  }
+
   /** Deterministic k examples per group — the "show me 8 docs from each
     * source/cluster/language" sampler every curation review runs. The
     * draw is uniform-ish and SEEDLESSLY reproducible: rank by the

@@ -749,6 +749,19 @@ object LlmOps {
       Dedup.typoPairs(customer(s, d), col("c_name")),
       "w1", "w2")
 
+  /** Systematic PPS sample — `Sampling.systematicPps`: 25 draws with
+    * inclusion probability ∝ n_chars, deterministic points on the
+    * cumulative weight line, distributed prefix sum underneath. The
+    * oracle replays the identical arithmetic through a plain window
+    * cumulative — the range-partitioned two-level rendering must
+    * reproduce it exactly. */
+  def xSamplePps(s: SparkSession, d: String): DataFrame =
+    ordered(
+      Sampling.systematicPps(
+        documents(s, d).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 25),
+      "doc_id")
+
   /** Deterministic k examples per source — the curation-review sampler
     * (`Sampling.examplesPerGroup`): 8 uniform-ish docs per source via
     * the Knuth multiplicative hash rank, rendered as ONE TopKAgg hash
@@ -1379,6 +1392,7 @@ object LlmOps {
     "x_sample_shard"      -> (xSampleShard _),
     "x_sample_weighted"   -> (xSampleWeighted _),
     "x_sample_examples"   -> (xSampleExamples _),
+    "x_sample_pps"        -> (xSamplePps _),
     "x_typo_pairs"        -> (xTypoPairs _),
     "x_dsir_weights"      -> (xDsirWeights _),
     "x_quality_rank"      -> (xQualityRank _),
@@ -2218,6 +2232,20 @@ object LlmOps {
         |SELECT a.tok AS w1, b.tok AS w2, a.df AS df1, b.df AS df2
         |FROM f a JOIN f b ON a.tok < b.tok AND levenshtein(a.tok, b.tok) <= 1
         |ORDER BY w1, w2""".stripMargin,
+    "x_sample_pps" ->
+      """WITH b AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, w,
+        |    CAST(SUM(w) OVER (ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c_hi
+        |  FROM b),
+        |t AS (SELECT CAST(SUM(w) AS BIGINT) AS total FROM b),
+        |pts AS (SELECT (t.total * (j.j * 2 + 1)) // 50 AS p
+        |  FROM t, LATERAL (SELECT unnest(generate_series(0, 24)) AS j) j)
+        |SELECT c.doc_id, c.w AS weight, c.c_hi - c.w AS c_lo, c.c_hi,
+        |  COUNT(*) AS multiplicity
+        |FROM c JOIN pts ON pts.p > c.c_hi - c.w AND pts.p <= c.c_hi
+        |GROUP BY 1, 2, 3, 4 ORDER BY doc_id""".stripMargin,
     "x_sample_examples" ->
       """WITH h AS (SELECT source, doc_id,
         |    ((doc_id % 2147483648) * 2654435761) % 2147483648 AS hv

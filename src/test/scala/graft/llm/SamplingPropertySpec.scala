@@ -136,4 +136,39 @@ class SamplingPropertySpec extends SparkSpec {
         s"selection not maximal: doc ${next._1} still fits")
     }
   }
+
+  test("systematicPps: multiplicities sum to k, each within 1 of its " +
+       "k*w/T expectation, heavy items drawn multiple times; no " +
+       "single-partition window; invariant under partition count") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (1L to 200L).map(i =>
+      (i, if (i == 42) 5000L else 10L + rnd.nextInt(90))) // one whale
+    val df = rows.toDF("id", "w")
+    val k = 20
+    val total = rows.map(_._2).sum
+    def run(parts: Int) = Sampling.systematicPps(df, "id", "w", k, parts)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSeq
+    val got = run(5)
+    assert(got.map(_._3).sum == k, "multiplicities must sum to k")
+    got.foreach { case (id, w, m) =>
+      val expect = k.toDouble * w / total
+      assert(math.abs(m - expect) <= 1.0, s"id $id: m=$m expect=$expect")
+    }
+    val whale = got.find(_._1 == 42L)
+    assert(whale.exists(_._3 >= 2),
+      s"the whale (w=5000 of T=$total) must be drawn multiple times: $whale")
+    // non-selected items also satisfy the bound (expectation < 1 + 1)
+    val selectedIds = got.map(_._1).toSet
+    rows.filterNot(r => selectedIds(r._1)).foreach { case (id, w) =>
+      assert(k.toDouble * w / total <= 1.0 + 1e-9,
+        s"unselected id $id has expectation > 1")
+    }
+    // partitioning must not change a deterministic sample
+    assert(run(1).toSet == got.toSet && run(13).toSet == got.toSet)
+    val plan = Sampling.systematicPps(df, "id", "w", k, 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"prefix sum must stay range-partitioned:\n$plan")
+  }
 }
