@@ -139,8 +139,9 @@ object ScaleProbe {
       "j14_asof_native", "e9_frequent_paths", "e10_linear_attribution",
       "w22_seasonal", "x_lang_confusion", "x_wav_pcm",
       // the distributed-prefix-sum rank against its single-partition
-      // twin — the ramp the swap exists to flatten
-      "x_quality_rank_scale",
+      // twin — the ramp the swap exists to flatten — and the PPS
+      // sampler riding the same prefix-sum machinery
+      "x_quality_rank_scale", "x_sample_pps",
       // round-8 surface: the measured direct-vs-prefix crossover switch
       // (on the probe's small-vocab corpus it must pick direct and ramp
       // like the direct gate), plus the new curation/retrieval ops and
