@@ -98,7 +98,14 @@ object Bench {
       case (name, cold, warm)
         if cold > floorSec &&
            coldR.get(name).exists(_ > ratio * medC) &&
-           (warmR.isEmpty || warmR.get(name).forall(_ > ratio * medW)) =>
+           // warm confirmation is REQUIRED whenever the baseline carries
+           // warm numbers at all: a query absent from the warm map then
+           // means "cannot confirm", not "confirmed" — flagging it on the
+           // cold ratio alone would reintroduce the cold-only JIT/page-
+           // cache false-positive class this gate exists to suppress. The
+           // cold-only fallback applies solely to a legacy baseline with
+           // no warm map whatsoever.
+           (warmR.isEmpty || warmR.get(name).exists(_ > ratio * medW)) =>
         name
     }.sorted
   }

@@ -393,7 +393,11 @@ object Sampling {
     * single-partition window); the k points broadcast. Bounds: weights
     * must be positive longs, T ≥ 2k (so every point is ≥ 1), and
     * T < 2⁶³/(2k) keeps the point arithmetic in int64 — all
-    * require()d. */
+    * require()d. `idCol` must be a UNIQUE total order for the result to
+    * be deterministic: Σ multiplicity = k holds even with duplicate ids
+    * (the cumulative window uses a ROWS frame, so intervals tile the
+    * weight line exactly), but which duplicate receives a point is then
+    * tie-order-dependent and the hash contract breaks. */
   def systematicPps(df: DataFrame, idCol: String, weightCol: String,
                     k: Int, parts: Int = 0): DataFrame = {
     require(k >= 1, "systematicPps: k >= 1")
@@ -424,7 +428,17 @@ object Sampling {
       "systematicPps: weights must be positive and non-null")
     import spark.implicits._
     val offDf = offsets.toSeq.toDF("__pid", "__off")
+    // ROWS frame, not the orderBy default RANGE frame: under RANGE,
+    // duplicate idCol values share one cumulative value, producing
+    // OVERLAPPING (c_lo, c_hi] intervals — a selection point could then
+    // match several rows and Σ multiplicity silently exceed k. Under
+    // ROWS the intervals tile the weight line exactly even with
+    // duplicate ids (Σ multiplicity = k always); only WHICH duplicate
+    // receives a point is then tie-order-dependent, so for the
+    // deterministic-hash contract idCol must be a unique total order —
+    // see the scaladoc.
     val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val intervals = ranged
       .withColumn("__local", sum(col("__w")).over(w))
       .join(broadcast(offDf), "__pid")

@@ -53,6 +53,21 @@ class BenchRegressionSpec extends AnyFunSuite {
     assert(Bench.regressions(bc, bw, one) == Seq("q2"))
   }
 
+  test("regressions: a query missing ONLY from the warm baseline is not " +
+       "flagged on its cold ratio alone") {
+    // warm map is present for peers, so warm confirmation is required;
+    // q1 has no warm baseline entry -> cannot confirm -> not flagged
+    val bc = Map("q1" -> 1.0, "q2" -> 1.0, "q3" -> 1.0, "q4" -> 1.0)
+    val bw = Map("q2" -> 0.8, "q3" -> 0.8, "q4" -> 0.8)
+    val r = Seq(("q1", 4.0, 0.1), ("q2", 1.0, 0.8),
+      ("q3", 1.1, 0.85), ("q4", 0.9, 0.78))
+    assert(Bench.regressions(bc, bw, r).isEmpty)
+    // the same cold spike WITH a confirming warm entry still flags
+    val bw2 = bw + ("q1" -> 0.8)
+    val r2 = r.map { case ("q1", c, _) => ("q1", c, 3.2); case x => x }
+    assert(Bench.regressions(bc, bw2, r2) == Seq("q1"))
+  }
+
   test("regressions: warm map absent (older baseline format) falls back " +
        "to cold-only comparison") {
     val bc = Map("q1" -> 1.0, "q2" -> 1.0, "q3" -> 1.0)

@@ -12,6 +12,14 @@ package graft
   * analysis break in them fails loudly at construction anyway, and
   * running ~10 micro-batch engines here would dominate the suite's
   * wall-clock for no added coverage.
+  *
+  * "Analysis cost only" holds for all but the distributed-prefix-sum
+  * gates (`x_sample_pps`, `x_quality_rank_scale`): those operators
+  * compute per-partition offsets at CONSTRUCTION time (localCheckpoint +
+  * a bounded P-row collect), so building their plan runs real Spark
+  * jobs. Accepted: the work is bounded model state (P partition totals),
+  * a few hundred ms each at sf0.001, and deferring it would force the
+  * offsets behind a lazily-materialized plan for no gate benefit.
   */
 class EntryAnalysisSpec extends SparkSpec {
 

@@ -171,4 +171,22 @@ class SamplingPropertySpec extends SparkSpec {
     assert(!plan.contains("Exchange SinglePartition"),
       s"prefix sum must stay range-partitioned:\n$plan")
   }
+
+  test("systematicPps: duplicate ids still yield sum(multiplicity) = k " +
+       "(ROWS-frame cumulative sum tiles the weight line exactly)") {
+    // under the default RANGE frame, duplicate ids share one cumulative
+    // value -> overlapping intervals -> a point can match several rows
+    // and the sum exceed k. The ROWS frame keeps the tiling exact; only
+    // WHICH duplicate gets a point is tie-dependent (documented).
+    import spark.implicits._
+    val rows = (1L to 50L).flatMap(i => Seq((i, 25L), (i, 25L))) // every id twice
+    val df = rows.toDF("id", "w")
+    val k = 17
+    val got = Sampling.systematicPps(df, "id", "w", k, 4).collect()
+    assert(got.map(_.getLong(4)).sum == k,
+      s"duplicate ids must not inflate the draw: ${got.map(_.getLong(4)).sum} != $k")
+    // intervals must be disjoint and tile [0, T): total covered width == T
+    val width = got.map(r => r.getLong(3) - r.getLong(2))
+    assert(width.forall(_ == 25L))
+  }
 }
