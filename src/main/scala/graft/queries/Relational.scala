@@ -568,7 +568,15 @@ object Relational {
     * warehouse runs: CDC → type-2 history → as-of enrichment; and a
     * built-in self-consistency law — the version valid at an event's
     * own timestamp carries that event's value — which the spec checks
-    * corpus-wide. */
+    * corpus-wide.
+    *
+    * Round 10: enrichment rides the NATIVE whole-operator as-of join
+    * (`Joins.asofJoinNative` → `plans/AsofJoinExec`) — the production
+    * shape it was built for (backward, tie-break, no tolerance): a
+    * two-pointer streaming merge instead of the union+window rendering,
+    * no union materialization, and zero exchanges once event/dim tables
+    * are bucketed on user_id. Identical oracle to the window form
+    * (j14's parity gate pins the two renderings row-equal). */
   def j12DimAsof(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d).select("event_id", "user_id", "ts")
     val dim = graft.operators.Dimensions.scd2FromChangelog(
@@ -576,7 +584,7 @@ object Relational {
       .select(col("user_id"), col("valid_from").as("ts"),
         col("event_type").as("dim_value"), col("version"))
     ordered(
-      graft.operators.Joins.asofJoin(ev, dim, "user_id", "ts",
+      graft.operators.Joins.asofJoinNative(ev, dim, "user_id", "ts",
         rightPrefix = "d_", tieBreak = Some("version"))
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("e_us"),

@@ -109,6 +109,15 @@ class AsofJoinSpec extends SparkSpec {
         rightPrefix = "c_", tieBreak = Some("rid"))))
   }
 
+  test("production composition: the j12_dim_asof gate plans through " +
+       "AsofJoinExec (round-10 swap off the union+window rendering)") {
+    val j12 = graft.SparkEntry.queries("j12_dim_asof")(spark, sf("sf0.001"))
+    val plan = j12.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"),
+      s"j12 must ride the native as-of exec:\n$plan")
+    assert(j12.limit(1).count() == 1)
+  }
+
   test("null contract: NULL left key/time never matches (SQL equality " +
        "semantics — unlike the window form's null partition); NULL-key " +
        "right rows are skipped") {
