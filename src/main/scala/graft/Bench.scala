@@ -83,10 +83,23 @@ object Bench {
     * respective medians (a real plan regression moves both; JIT/page-
     * cache noise mostly moves cold) and its cold time clears an
     * absolute floor that keeps 20 ms → 40 ms jitter out. Queries new
-    * this round (no baseline) are skipped. Returns sorted names. */
+    * this round (no baseline) are skipped. Returns sorted names.
+    *
+    * `confirm` (round-10): the remaining false-positive class is IN-RUN
+    * interference — transient box pressure inflating BOTH numbers of a
+    * contiguous alphabetical span (round 9 flagged two such clusters;
+    * isolation re-runs showed all six 1.5-3× faster than their in-bench
+    * numbers, one with warm 7.5 s > cold 4.4 s, impossible for a healthy
+    * repeat of an identical plan). A real plan regression reproduces on
+    * EVERY execution; interference does not — so when `confirm` is
+    * given, each candidate flag is re-executed once (typically minutes
+    * after the inflated measurement) and kept only if the fresh run
+    * still exceeds the warm threshold. Cost: one extra execution per
+    * candidate, i.e. ~zero on a healthy run. */
   def regressions(baseCold: Map[String, Double], baseWarm: Map[String, Double],
                   results: Seq[(String, Double, Double)],
-                  ratio: Double = 1.5, floorSec: Double = 0.5): Seq[String] = {
+                  ratio: Double = 1.5, floorSec: Double = 0.5,
+                  confirm: Option[String => Double] = None): Seq[String] = {
     val coldR = results.flatMap { case (n, c, _) =>
       baseCold.get(n).filter(_ > 0).map(b => n -> c / b) }.toMap
     if (coldR.isEmpty) return Nil
@@ -107,7 +120,17 @@ object Bench {
            // no warm map whatsoever.
            (warmR.isEmpty || warmR.get(name).exists(_ > ratio * medW)) =>
         name
-    }.sorted
+    }.sorted match {
+      case flagged =>
+        confirm match {
+          case Some(rerun) if warmR.nonEmpty =>
+            flagged.filter { n =>
+              baseWarm.get(n).filter(_ > 0)
+                .forall(bw => rerun(n) / bw > ratio * medW)
+            }
+          case _ => flagged
+        }
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -174,9 +197,16 @@ object Bench {
         val prior = new String(java.nio.file.Files.readAllBytes(baselinePath),
           java.nio.charset.StandardCharsets.UTF_8)
         val flags = regressions(parseQueryMap(prior, "queries"),
-          parseQueryMap(prior, "queries_warm"), results)
+          parseQueryMap(prior, "queries_warm"), results,
+          confirm = Some { n =>
+            val t = time(try SparkEntry.queries(n)(spark, sfDir).count()
+              catch { case _: Throwable => () })
+            System.err.println(f"[bench] confirming $n: re-run $t%.2f s")
+            t
+          })
         flags.foreach(n => System.err.println(
-          s"[bench] REGRESSION: $n >1.5x slower (cold AND warm) than baseline"))
+          s"[bench] REGRESSION: $n >1.5x slower (cold AND warm) than " +
+            "baseline, CONFIRMED by an isolated re-run"))
         flags
       }
     // consumers of a failed artifact build re-pay the build inside their

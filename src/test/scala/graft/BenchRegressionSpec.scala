@@ -74,4 +74,24 @@ class BenchRegressionSpec extends AnyFunSuite {
     val r = Seq(("q1", 4.0, 0.1), ("q2", 1.0, 9.9), ("q3", 1.1, 0.2))
     assert(Bench.regressions(bc, Map.empty, r) == Seq("q1"))
   }
+
+  test("regressions: the confirm re-run clears interference flags and " +
+       "keeps reproducing ones") {
+    val names = (1 to 8).map(i => s"q$i")
+    val bc = names.map(_ -> 1.0).toMap
+    val bw = names.map(_ -> 0.8).toMap
+    // q1 and q2 both flag on their in-run numbers (3x cold AND warm);
+    // six steady peers pin the fleet median near 1
+    val r = Seq(("q1", 3.0, 2.4), ("q2", 3.0, 2.4)) ++
+      names.drop(2).map(n => (n, 1.02, 0.81))
+    assert(Bench.regressions(bc, bw, r) == Seq("q1", "q2"))
+    // confirm: q1 reproduces (still 3x on the fresh run), q2 was
+    // interference (fresh run back at baseline) -> only q1 survives
+    val rerun = Map("q1" -> 2.4, "q2" -> 0.8)
+    val confirmed = Bench.regressions(bc, bw, r, confirm = Some(rerun))
+    assert(confirmed == Seq("q1"))
+    // with no warm baseline at all the confirm hook is not consulted
+    assert(Bench.regressions(bc, Map.empty, r,
+      confirm = Some((_: String) => 0.0)) == Seq("q1", "q2"))
+  }
 }
