@@ -225,6 +225,153 @@ object BinaryMeta {
     Array(w.toLong * h, sb, sg, sr)
   }
 
+  /** REAL GIF first-frame pixel decode — LZW is ~100 lines of pure
+    * bit/byte arithmetic (GIF89a spec appendix F + the classic
+    * compress(1) variable-width coding), no codec library: walk to the
+    * first image descriptor (skipping extensions), read the active
+    * color table (local over global), inflate the variable-width LZW
+    * code stream across data sub-blocks (dictionary to 4096 entries,
+    * width 12 bits max, GIF's "deferred" width change: the decoder
+    * widens when ITS next-free code reaches 2^width), and fold every
+    * decoded pixel through the palette. Returns
+    * [n_px, sum_r, sum_g, sum_b] as exact int64s (palette order —
+    * GIF color tables are RGB triples, unlike BMP's BGR), or null for
+    * anything malformed: bad structure, palette overrun, corrupt code,
+    * pixel count ≠ width×height, or frames past the 2²⁶-pixel decode
+    * bound. Interlace needs no handling — the sums are row-order
+    * independent. This moves the multimodal stub boundary from
+    * "compressed codecs" to "DCT/entropy codecs": LZW decode is real.
+    */
+  def gifPixelStats(b: Array[Byte]): Array[Long] = {
+    if (!isGif(b) || b.length < 14) return null
+    val packed = b(10) & 0xff
+    var i = 13
+    var ctOff = -1
+    var ctSize = 0
+    if ((packed & 0x80) != 0) {
+      ctSize = 1 << ((packed & 7) + 1)
+      ctOff = 13
+      i = 13 + 3 * ctSize
+      if (i >= b.length) return null
+    }
+    // skip extension blocks (introducer 0x21, label, length-prefixed
+    // sub-blocks, zero terminator) to the first image descriptor
+    while (i < b.length && (b(i) & 0xff) == 0x21) {
+      i += 2
+      while (i < b.length && (b(i) & 0xff) != 0) i += 1 + (b(i) & 0xff)
+      if (i >= b.length) return null
+      i += 1
+    }
+    if (i + 10 > b.length || (b(i) & 0xff) != 0x2c) return null
+    val w = u16le(b, i + 5)
+    val h = u16le(b, i + 7)
+    val ipacked = b(i + 9) & 0xff
+    i += 10
+    if ((ipacked & 0x80) != 0) { // local color table wins for this frame
+      ctSize = 1 << ((ipacked & 7) + 1)
+      ctOff = i
+      i += 3 * ctSize
+    }
+    if (ctOff < 0 || ctOff + 3 * ctSize > b.length) return null
+    if (w <= 0 || h <= 0) return null
+    val nPx = w.toLong * h
+    if (nPx > (1L << 26)) return null // decode bound: 64M px per blob
+    if (i >= b.length) return null
+    val minCode = b(i) & 0xff
+    i += 1
+    if (minCode < 2 || minCode > 8) return null
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    // LZW state: entry c (> eoi) = string(prefix(c)) + suffix(c)
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4096)
+    var dictSize = eoi + 1
+    var width = minCode + 1
+    var n = 0L; var sr = 0L; var sg = 0L; var sb = 0L
+    // bit reader, LSB-first across length-prefixed sub-blocks
+    var pos = i
+    var blockEnd = i
+    var bitBuf = 0L
+    var bitCnt = 0
+    var bad = false
+    def readCode(): Int = {
+      while (bitCnt < width) {
+        if (pos >= blockEnd) {
+          if (pos >= b.length) return -1
+          val len = b(pos) & 0xff
+          if (len == 0) return -1 // block terminator mid-stream
+          pos += 1
+          blockEnd = pos + len
+          if (blockEnd > b.length) return -1
+        } else {
+          bitBuf |= (b(pos) & 0xffL) << bitCnt
+          bitCnt += 8
+          pos += 1
+        }
+      }
+      val c = (bitBuf & ((1L << width) - 1)).toInt
+      bitBuf >>>= width
+      bitCnt -= width
+      c
+    }
+    def addPixel(v: Int): Unit = {
+      if (v >= ctSize) { bad = true; return }
+      n += 1
+      val o = ctOff + 3 * v
+      sr += b(o) & 0xff; sg += b(o + 1) & 0xff; sb += b(o + 2) & 0xff
+    }
+    /** Emit string(code) (walk prefix chain, reversed via the stack);
+      * returns its first literal, or -1 on corrupt chains. */
+    def emitString(code: Int): Int = {
+      var c = code
+      var sp = 0
+      while (c > eoi) {
+        if (c >= dictSize || sp >= stack.length) return -1
+        stack(sp) = suffix(c); sp += 1; c = prefix(c)
+      }
+      if (c >= clear) return -1
+      addPixel(c)
+      var j = sp - 1
+      while (j >= 0) { addPixel(stack(j) & 0xff); j -= 1 }
+      c
+    }
+    var prev = -1
+    var run = true
+    while (run) {
+      val code = readCode()
+      if (code < 0) return null // bits exhausted before EOI
+      if (code == clear) {
+        dictSize = eoi + 1; width = minCode + 1; prev = -1
+      } else if (code == eoi) {
+        run = false
+      } else if (prev == -1) {
+        if (code >= clear) return null // first code after clear: literal only
+        if (emitString(code) < 0 || bad) return null
+        prev = code
+      } else {
+        var first = -1
+        if (code < dictSize) {
+          first = emitString(code)
+        } else if (code == dictSize) { // KwKwK: string(prev)+first(prev)
+          first = emitString(prev)
+          if (first >= 0) addPixel(first)
+        } // else: reference past next-free — corrupt
+        if (first < 0 || bad) return null
+        if (dictSize < 4096) {
+          prefix(dictSize) = prev
+          suffix(dictSize) = first.toByte
+          dictSize += 1
+          if (dictSize == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      }
+      if (n > nPx) return null // more pixels than the descriptor declares
+    }
+    if (n != nPx) return null
+    Array(nPx, sr, sg, sb)
+  }
+
   // ---- Catalyst expressions (codegen'd static calls) ----
 
   abstract class BinaryProbe extends UnaryExpression {
@@ -297,6 +444,7 @@ object BinaryMeta {
     private def call(b: Array[Byte]): Array[Long] = method match {
       case "wavPcmStats" => wavPcmStats(b)
       case "bmp24Stats" => bmp24Stats(b)
+      case "gifPixelStats" => gifPixelStats(b)
     }
     override def nullSafeEval(v: Any): Any = {
       val r = call(v.asInstanceOf[Array[Byte]])
@@ -323,6 +471,11 @@ object BinaryMeta {
   case class Bmp24Stats(child: Expression) extends StatsProbe {
     override def method: String = "bmp24Stats"
     override def prettyName: String = "bmp24_stats"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+  case class GifPixelStats(child: Expression) extends StatsProbe {
+    override def method: String = "gifPixelStats"
+    override def prettyName: String = "gif_pixel_stats"
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
@@ -357,4 +510,6 @@ object BinaryMeta {
     SparkInternals.column(WavPcmStats(SparkInternals.expression(c)))
   def bmp24StatsCol(c: Column): Column =
     SparkInternals.column(Bmp24Stats(SparkInternals.expression(c)))
+  def gifPixelStatsCol(c: Column): Column =
+    SparkInternals.column(GifPixelStats(SparkInternals.expression(c)))
 }

@@ -6,11 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
   * metadata, processed by a batched per-partition "decoder".
   *
-  * What is REAL here (no codec library needed, pure byte layout):
-  * container-format detection, image dimensions and audio parameters
-  * (`describeMedia` over `functions/BinaryMeta`), PCM-16 WAV sample
-  * decode and 24-bit BMP pixel decode (`BinaryMeta.wavPcmStats` /
-  * `bmp24Stats`). The remaining stub boundary is COMPRESSED codecs
+  * What is REAL here (no codec library needed, pure byte/bit
+  * arithmetic): container-format detection, image dimensions and audio
+  * parameters (`describeMedia` over `functions/BinaryMeta`), PCM-16
+  * WAV sample decode, 24-bit BMP pixel decode, and GIF first-frame
+  * LZW pixel decode (`BinaryMeta.wavPcmStats` / `bmp24Stats` /
+  * `gifPixelStats` — full variable-width LZW with dictionary growth to
+  * 4096). The remaining stub boundary is DCT/ENTROPY codecs
   * (JPEG/PNG pixel data, MP3/AAC audio): that decode step is a
   * clearly-marked deterministic fake (`fakeDecode`), while everything
   * around it — the binary column, the metadata struct, the
@@ -154,6 +156,45 @@ object Multimodal {
         lit("666D7420"), le4(lit(16)), le2(lit(1)), le2(lit(1)),
         le4(lit(8000)), le4(lit(16000)), le2(lit(2)), le2(lit(16)),
         lit("64617461"), le4(lit(32)), samples)).as("payload"))
+  }
+
+  /** Deterministic complete-GIF fixtures for the LZW pixel-decode gate:
+    * a doc-dependent (w × h ≤ 6×4) image over a fixed 128-color global
+    * palette (entry j = (3j, 5j+1, 7j+2) mod 256), pixel i =
+    * (doc_id·7 + i·13) mod 128. The LZW stream is built the one way a
+    * SQL expression can build one: literal codes only, with a CLEAR
+    * every 12 pixels so the decoder's dictionary never reaches 2^width
+    * and every code stays exactly 8 bits (minCodeSize 7) — i.e. one
+    * hex byte per code, assemblable with engine-portable string
+    * functions. Spec-valid GIF (the JDK's own ImageIO reader decodes
+    * these fixtures identically — pinned in BinaryMetaSpec); the
+    * DuckDB oracle regenerates pixel values and palette sums
+    * arithmetically while the Spark side must inflate the actual code
+    * stream through `BinaryMeta.gifPixelStats`. Dictionary growth,
+    * width bumps and multi-block streams are exercised by the spec's
+    * real LZW encoder (they cannot be built in SQL). */
+  def syntheticGifPixels(docs: DataFrame): DataFrame = {
+    val paletteHex = (0 until 128).map(j =>
+      f"${j * 3 % 256}%02X${(j * 5 + 1) % 256}%02X${(j * 7 + 2) % 256}%02X")
+      .mkString
+    val w = (pmod(col("doc_id"), lit(5)) + 2).cast("int")
+    val h = (pmod(col("doc_id"), lit(3)) + 2).cast("int")
+    val n = w * h
+    val codes = concat_ws("", transform(sequence(lit(0), n - 1), i =>
+      concat(when(pmod(i, lit(12)) === 0, lit("80")).otherwise(lit("")),
+        lpad(hex(pmod(col("doc_id") * 7 + i * 13, lit(128))), 2, "0"))))
+    // sub-block byte count: n literals + ceil(n/12) clears + 1 EOI
+    // (Column./ is DOUBLE division — floor() restores the integer ceil)
+    val subLen = lpad(hex(n + floor((n + lit(11)) / lit(12)).cast("int") + 1), 2, "0")
+    docs.select(col("doc_id"),
+      unhex(concat(
+        lit("474946383961"), le2(w), le2(h),
+        lit("F60000"),       // GCT present, 128 entries; bg 0; aspect 0
+        lit(paletteHex),
+        lit("2C00000000"), le2(w), le2(h), lit("00"), // descriptor at 0,0
+        lit("07"),           // LZW minimum code size
+        subLen, codes, lit("81"), // one sub-block: codes + EOI
+        lit("003B"))).as("payload")) // block terminator + trailer
   }
 
   /** Batched per-partition feature extraction over the binary column —

@@ -1239,6 +1239,28 @@ object LlmOps {
       "doc_id")
   }
 
+  /** REAL GIF LZW pixel decode: deterministic complete-GIF payloads
+    * (fixed 128-color palette, doc-dependent dims and pixel values,
+    * literal-coded LZW stream — `Multimodal.syntheticGifPixels`)
+    * inflated back through `BinaryMeta.gifPixelStats`' actual
+    * variable-width bit reader while the oracle regenerates pixel
+    * values and palette sums arithmetically (it never sees bytes).
+    * Moves the multimodal stub boundary to DCT/entropy codecs only:
+    * LZW decode is real (dictionary growth / width bumps / KwKwK are
+    * spec-pinned against the JDK ImageIO reader, which SQL-built
+    * streams cannot reach). */
+  def xGifPixels(s: SparkSession, d: String): DataFrame = {
+    val stats = graft.functions.BinaryMeta.gifPixelStatsCol(col("payload"))
+    ordered(
+      Multimodal.syntheticGifPixels(documents(s, d))
+        .select(col("doc_id"),
+          element_at(stats, 1).as("n_px"),
+          element_at(stats, 2).as("sum_r"),
+          element_at(stats, 3).as("sum_g"),
+          element_at(stats, 4).as("sum_b")),
+      "doc_id")
+  }
+
   /** Frame sampling at 1 fps over the chars-as-milliseconds payload —
     * timestamps by metadata arithmetic, each frame row carrying only
     * its own 32-char slice (the video half of the multimodal
@@ -1434,6 +1456,7 @@ object LlmOps {
     "x_multimodal"        -> (xMultimodal _),
     "x_multimodal_meta"   -> (xMultimodalMeta _),
     "x_wav_pcm"           -> (xWavPcm _),
+    "x_gif_pixels"        -> (xGifPixels _),
     "x_frame_sample"      -> (xFrameSample _),
     "x_chunk_cdc"         -> (xChunkCdc _),
     "x_coreset_kcenter"   -> (xCoresetKcenter _),
@@ -2954,6 +2977,17 @@ object LlmOps {
         |  CAST(SUM(abs(sv)) AS BIGINT) AS sum_abs,
         |  CAST(SUM(sv * sv) AS BIGINT) AS sum_sq
         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_gif_pixels" ->
+      """WITH m AS (SELECT doc_id,
+        |    (doc_id % 5 + 2) * (doc_id % 3 + 2) AS n FROM documents),
+        |p AS (SELECT doc_id, (doc_id * 7 + i.i * 13) % 128 AS px
+        |  FROM m, LATERAL (SELECT unnest(generate_series(0, n - 1))
+        |    AS i) i)
+        |SELECT doc_id, COUNT(*) AS n_px,
+        |  CAST(SUM(px * 3 % 256) AS BIGINT) AS sum_r,
+        |  CAST(SUM((px * 5 + 1) % 256) AS BIGINT) AS sum_g,
+        |  CAST(SUM((px * 7 + 2) % 256) AS BIGINT) AS sum_b
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_multimodal_meta" ->
       """SELECT doc_id,
         |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif'

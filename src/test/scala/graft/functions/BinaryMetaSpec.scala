@@ -197,6 +197,206 @@ class BinaryMetaSpec extends SparkSpec {
       }
     }
   }
+
+  // ---- GIF LZW pixel decode ----
+
+  /** Real GIF LZW compressor (test-side only): hash-chained dictionary,
+    * variable code width with GIF's "late change" (the encoder widens
+    * when its next-free code EXCEEDS 2^width — one code after the
+    * decoder, whose own counter lags by exactly one entry), CLEAR+reset
+    * when the table fills. Used to produce streams the SQL-built
+    * literal-coded fixtures cannot: dictionary hits, width bumps to 12
+    * bits, KwKwK codes, table-full resets, multi-sub-block data. */
+  private def lzwEncode(pixels: Array[Int], minCode: Int): Array[Byte] = {
+    val clear = 1 << minCode; val eoi = clear + 1
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var bitBuf = 0L; var bitCnt = 0; var width = minCode + 1
+    def put(c: Int): Unit = {
+      bitBuf |= c.toLong << bitCnt; bitCnt += width
+      while (bitCnt >= 8) { out += (bitBuf & 0xff).toByte; bitBuf >>>= 8; bitCnt -= 8 }
+    }
+    val dict = new java.util.HashMap[Long, Int]()
+    var next = eoi + 1
+    put(clear)
+    var prev = pixels(0)
+    var i = 1
+    while (i < pixels.length) {
+      val k = pixels(i)
+      val key = prev.toLong << 16 | k
+      val e = dict.getOrDefault(key, -1)
+      if (e >= 0) prev = e
+      else {
+        put(prev)
+        if (next < 4096) {
+          dict.put(key, next); next += 1
+          if (next > (1 << width) && width < 12) width += 1
+        } else {
+          put(clear); dict.clear(); width = minCode + 1; next = eoi + 1
+        }
+        prev = k
+      }
+      i += 1
+    }
+    put(prev); put(eoi)
+    if (bitCnt > 0) out += (bitBuf & 0xff).toByte
+    out.toArray
+  }
+
+  /** Complete single-frame GIF89a from palette (0xRRGGBB) + pixels. */
+  private def makeGif(w: Int, h: Int, palette: Array[Int],
+                      pixels: Array[Int], minCode: Int): Array[Byte] = {
+    val bits = java.lang.Integer.numberOfTrailingZeros(palette.length)
+    require(1 << bits == palette.length && bits >= 1 && bits <= 8)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def u16(v: Int): Unit = { out += (v & 0xff).toByte; out += ((v >> 8) & 0xff).toByte }
+    out ++= "GIF89a".getBytes("US-ASCII")
+    u16(w); u16(h)
+    out += (0x80 | ((bits - 1) & 7)).toByte; out += 0; out += 0
+    palette.foreach { rgb =>
+      out += ((rgb >> 16) & 0xff).toByte
+      out += ((rgb >> 8) & 0xff).toByte
+      out += (rgb & 0xff).toByte
+    }
+    out += 0x2c.toByte; u16(0); u16(0); u16(w); u16(h); out += 0
+    out += minCode.toByte
+    val data = lzwEncode(pixels, minCode)
+    var i = 0
+    while (i < data.length) {
+      val len = math.min(255, data.length - i)
+      out += len.toByte; out ++= data.slice(i, i + len); i += len
+    }
+    out += 0; out += 0x3b.toByte
+    out.toArray
+  }
+
+  private def expectStats(palette: Array[Int], pixels: Array[Int]): Array[Long] =
+    Array(pixels.length.toLong,
+      pixels.map(p => ((palette(p) >> 16) & 0xff).toLong).sum,
+      pixels.map(p => ((palette(p) >> 8) & 0xff).toLong).sum,
+      pixels.map(p => (palette(p) & 0xff).toLong).sum)
+
+  /** Independent decode through the JDK's own GIF reader. */
+  private def imageIoStats(bytes: Array[Byte]): Array[Long] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO could not decode the fixture")
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      val rgb = img.getRGB(x, y)
+      sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+    }
+    Array(img.getWidth.toLong * img.getHeight, sr, sg, sb)
+  }
+
+  test("gifPixelStats: real LZW streams (dict growth, width bumps, " +
+       "KwKwK, table-full reset, multi-block) decode identically to the " +
+       "JDK ImageIO reader and to the source pixels") {
+    val rnd = new scala.util.Random(42)
+    val pal16 = Array.tabulate(16)(j => rnd.nextInt(1 << 24))
+    val pal256 = Array.tabulate(256)(j => rnd.nextInt(1 << 24))
+    val cases = Seq(
+      // random 64x64 @ 16 colors: dict grows into width bumps 5->12
+      (64, 64, pal16, Array.fill(64 * 64)(rnd.nextInt(16)), 4),
+      // uniform 100x80: KwKwK on the second code and ever-deeper chains
+      (100, 80, pal16, Array.fill(100 * 80)(7), 4),
+      // random 120x120 @ 256 colors: 8-bit roots, table fills -> CLEAR
+      (120, 120, pal256, Array.fill(120 * 120)(rnd.nextInt(256)), 8),
+      // tiny 3x2: total stream shorter than one sub-block
+      (3, 2, pal16, Array(0, 15, 3, 3, 3, 9), 4),
+      // repetitive text-like runs: long dictionary hits
+      (200, 50, pal16, Array.tabulate(200 * 50)(i => (i / 17) % 16), 4))
+    for (((w, h, pal, px, mc), ci) <- cases.zipWithIndex) {
+      val g = makeGif(w, h, pal, px, mc)
+      val want = expectStats(pal, px)
+      val got = BinaryMeta.gifPixelStats(g)
+      assert(got != null, s"case $ci: decoder returned null")
+      assert(got.toSeq == want.toSeq, s"case $ci: $got vs $want")
+      assert(imageIoStats(g).toSeq == want.toSeq,
+        s"case $ci: ImageIO disagrees — encoder bug")
+    }
+  }
+
+  test("gifPixelStats: extensions are skipped; a local color table " +
+       "shadows the global one") {
+    val pal = Array.tabulate(16)(j => (j * 16) << 16 | j)
+    val px = Array.tabulate(40)(_ % 16)
+    val base = makeGif(8, 5, pal, px, 4)
+    // splice a Graphic Control Extension between LSD+GCT and the
+    // image descriptor: 21 F9 04 .. .. .. .. 00
+    val lsdEnd = 13 + 3 * 16
+    val gce = Array(0x21, 0xf9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00).map(_.toByte)
+    val spliced = base.take(lsdEnd) ++ gce ++ base.drop(lsdEnd)
+    assert(BinaryMeta.gifPixelStats(spliced).toSeq ==
+      expectStats(pal, px).toSeq)
+    assert(imageIoStats(spliced).toSeq == expectStats(pal, px).toSeq)
+    // local color table: set the descriptor's LCT flag and insert an
+    // all-different palette right after it; stats must follow the LCT
+    val pal2 = pal.map(rgb => ~rgb & 0xffffff)
+    val descAt = lsdEnd + gce.length
+    assert(spliced(descAt) == 0x2c.toByte)
+    val withLct = spliced.take(descAt + 9) ++
+      Array((0x80 | 3).toByte) ++ // LCT flag, 16 entries
+      pal2.flatMap(rgb => Array(((rgb >> 16) & 0xff).toByte,
+        ((rgb >> 8) & 0xff).toByte, (rgb & 0xff).toByte)) ++
+      spliced.drop(descAt + 10)
+    assert(BinaryMeta.gifPixelStats(withLct).toSeq ==
+      expectStats(pal2, px).toSeq)
+  }
+
+  test("gifPixelStats: malformed inputs yield null, never throw") {
+    val pal = Array.tabulate(16)(j => j * 0x010203)
+    val px = Array.tabulate(24)(_ % 16)
+    val good = makeGif(6, 4, pal, px, 4)
+    assert(BinaryMeta.gifPixelStats(good) != null)
+    // truncations at every byte must never throw
+    for (cut <- 0 until good.length)
+      BinaryMeta.gifPixelStats(good.take(cut)) // no exception = pass
+    // stream ends before EOI (chop the trailer + terminator + last data)
+    assert(BinaryMeta.gifPixelStats(good.dropRight(4)) == null)
+    // no color table at all: GCT flag cleared, table removed
+    val noCt = (good.take(10) :+ (good(10) & 0x7f).toByte) ++
+      good.drop(11 + 3 * 16)
+    assert(BinaryMeta.gifPixelStats(noCt) == null)
+    // pixel count mismatch: descriptor claims more pixels than coded
+    val big = makeGif(6, 4, pal, px, 4)
+    val wAt = 13 + 3 * 16 + 5 // image descriptor width offset
+    big(wAt) = 7 // 7x4 declared, 24 coded
+    assert(BinaryMeta.gifPixelStats(big) == null)
+    // corrupt code stream: flip bits in the LZW data
+    val bad = makeGif(6, 4, pal, px, 4)
+    bad(bad.length - 5) = 0xff.toByte
+    BinaryMeta.gifPixelStats(bad) // null or decode — must not throw
+    // foreign bytes
+    assert(BinaryMeta.gifPixelStats("not a gif at all".getBytes) == null)
+    assert(BinaryMeta.gifPixelStats(Array.emptyByteArray) == null)
+  }
+
+  test("syntheticGifPixels round-trip: the SQL-built fixtures decode " +
+       "through gifPixelStats AND the JDK ImageIO reader to the " +
+       "constructing arithmetic") {
+    import spark.implicits._
+    val docs = (0L to 59L).toDF("doc_id")
+    val fixtures = graft.llm.Multimodal.syntheticGifPixels(docs)
+      .orderBy("doc_id").collect()
+    fixtures.foreach { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      val n = ((id % 5) + 2) * ((id % 3) + 2)
+      val pix = Array.tabulate(n.toInt)(i => ((id * 7 + i * 13) % 128).toInt)
+      val pal = Array.tabulate(128)(j =>
+        ((j * 3 % 256) << 16) | (((j * 5 + 1) % 256) << 8) | ((j * 7 + 2) % 256))
+      val want = expectStats(pal, pix)
+      val got = BinaryMeta.gifPixelStats(bytes)
+      assert(got != null && got.toSeq == want.toSeq, s"doc $id")
+      assert(imageIoStats(bytes).toSeq == want.toSeq,
+        s"doc $id: ImageIO rejects the SQL-built fixture")
+    }
+    // and the gate's codegen'd column face agrees
+    val viaCol = graft.llm.Multimodal.syntheticGifPixels(docs)
+      .select(col("doc_id"),
+        BinaryMeta.gifPixelStatsCol(col("payload")).as("s"))
+      .orderBy("doc_id").collect()
+    viaCol.foreach { r => assert(!r.isNullAt(1), s"doc ${r.getLong(0)}") }
+  }
 }
 
 /** Registers the extension functions on an existing session the way
