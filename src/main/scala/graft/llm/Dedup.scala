@@ -1002,7 +1002,17 @@ object Dedup {
     * rows; candidate fan-out concentrates on short tokens, which is
     * what `minLen` bounds (the FastSS analog of LSH's hot-band guard).
     * Output: (w1 < w2, df1, df2) — corpus frequencies ride along so a
-    * caller can canonicalize toward the common spelling. */
+    * caller can canonicalize toward the common spelling.
+    *
+    * Contracts (spec-pinned): `minLen` is INCLUSIVE and applies to both
+    * sides — a real ed-1 pair straddling the boundary ("abcd"/"abc" at
+    * minLen 4) is dropped by design, the cost of bounding short-token
+    * fan-out. The deletion arithmetic is CODE-POINT based: Spark's
+    * substring/length/levenshtein all count code points, so a deletion
+    * on a supplementary-plane character (surrogate pair in UTF-16) is
+    * one edit, never a torn half — the recall guarantee survives a
+    * future non-ascii tokenizer swap (the current `tokens()` is
+    * ascii-alnum-only). */
   def typoPairs(docs: DataFrame, text: Column = col("text"),
                 minLen: Int = 4): DataFrame = {
     require(minLen >= 2, "typoPairs: minLen >= 2")

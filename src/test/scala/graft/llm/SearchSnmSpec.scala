@@ -152,4 +152,64 @@ class SearchSnmSpec extends SparkSpec {
         s"missing ${want -- got}\nextra ${got -- want}")
     }
   }
+
+  test("typoPairs minLen boundary: a pair straddling the boundary is " +
+       "dropped even when the edit is real — the documented contract") {
+    // minLen=4: "abcd"~"abc" IS ed 1 but "abc" never enters the vocab,
+    // so the pair must NOT appear; "abcd"~"abcde" (both >= 4) must.
+    // Exactly-at-boundary tokens participate (>= is inclusive).
+    val docs = Seq(Tuple1("abcd abc abcde wxyz")).toDF("text")
+    val got = Dedup.typoPairs(docs, col("text"), minLen = 4)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("abcd", "abcde")), s"got $got")
+    // at minLen=3 the straddling pair appears — boundary, not bug
+    val got3 = Dedup.typoPairs(docs, col("text"), minLen = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got3 == Set(("abc", "abcd"), ("abcd", "abcde")), s"got $got3")
+  }
+
+  test("deletion-variant arithmetic is CODE-POINT based and agrees with " +
+       "levenshtein on surrogate pairs and combining marks") {
+    // typoPairs' variant expr uses substring/length and verifies with
+    // levenshtein. If their unit of 'one character' ever diverged
+    // (UTF-16 units vs code points), a deletion on a supplementary-
+    // plane char (one code point = TWO UTF-16 units = four UTF-8
+    // bytes) would produce a variant levenshtein counts as distance 2,
+    // silently breaking the ed<=1 recall guarantee for any future
+    // non-ascii tokenizer. Pin the shared basis directly on the
+    // expression: every deletion variant of w must be at levenshtein
+    // distance exactly 1 from w (or 0 never — all inputs distinct).
+    val words = Seq(
+      "café",          // BMP accent, 1 code point
+      "café",         // combining acute: 'e' + mark, 2 code points
+      "a𝕏b",     // U+1D54F double-struck X: surrogate pair
+      "😀xy",     // emoji + ascii
+      "𝕏𝕐") // two supplementary chars only
+    val df = words.map(Tuple1(_)).toDF("tok")
+    val vars = df.select(col("tok"),
+      explode(expr("transform(sequence(1, length(tok)), i -> " +
+        "concat(substring(tok, 1, i - 1), " +
+        "substring(tok, i + 1, length(tok))))")).as("v"))
+      .withColumn("lev", levenshtein(col("tok"), col("v")))
+      .collect()
+    vars.foreach { r =>
+      val (tok, v, lev) = (r.getString(0), r.getString(1), r.getInt(2))
+      assert(lev == 1,
+        s"variant '$v' of '$tok' at levenshtein $lev — substring/length " +
+          "and levenshtein disagree on the character unit")
+      // the deleted unit is one CODE POINT: variant is exactly one
+      // code point shorter, never a torn surrogate half
+      assert(tok.codePointCount(0, tok.length) -
+        v.codePointCount(0, v.length) == 1, s"'$tok' -> '$v'")
+      // no torn surrogate halves: a UTF-8 round-trip is lossless only
+      // for well-formed UTF-16 (a lone half becomes U+FFFD)
+      assert(new String(v.getBytes("UTF-8"), "UTF-8") == v,
+        s"torn surrogate in variant '$v' of '$tok'")
+    }
+    // and each word yields exactly codePointCount variants
+    val byTok = vars.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    words.foreach { w =>
+      assert(byTok(w) == w.codePointCount(0, w.length), s"'$w': ${byTok(w)}")
+    }
+  }
 }
