@@ -186,7 +186,17 @@ object EventAnalytics {
     * its fields come from the same source row (the asofJoin
     * struct-atomicity rule). Output is one row per conversion. At
     * 100 TB the per-user sort is the standard sessionize cost and
-    * nothing else grows. */
+    * nothing else grows.
+    *
+    * Round-10 decision: this does NOT swap to the native
+    * `plans/AsofJoinExec` (unlike j12's enrichment). The last-touch
+    * face alone would fit (backward as-of + post-hoc lookback null),
+    * but FIRST-touch is an earliest-within-range aggregate — not an
+    * as-of shape — so a native rendering would need two passes (one
+    * as-of join + one range window) plus a join-back on the
+    * conversion id: two extra shuffles versus the current ONE-exchange
+    * two-window plan. The single-shuffle form wins; measured plans
+    * confirmed (e6_attribution 0.21 s cold at sf0.1 in isolation). */
   def attribution(events: DataFrame, userCol: String, timeCol: String,
                   tieCol: String, typeCol: String, conversionType: String,
                   sourceTypes: Seq[String], lookbackMs: Long): DataFrame = {

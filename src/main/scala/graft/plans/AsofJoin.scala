@@ -53,7 +53,8 @@ case class AsofJoinNode(left: LogicalPlan, right: LogicalPlan,
 case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKey: Attribute, leftTime: Attribute,
                         rightKey: Attribute, rightTime: Attribute,
-                        rightTie: Option[Attribute]) extends BinaryExecNode {
+                        rightTie: Option[Attribute]) extends BinaryExecNode
+    with org.apache.spark.sql.execution.CodegenSupport {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -89,6 +90,121 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
            org.apache.spark.sql.types.TimestampNTZType => true
       case _ => false
     }
+
+  private def isFastPath: Boolean =
+    Seq(leftKey, leftTime, rightKey, rightTime)
+      .forall(a => longBacked(a.dataType))
+
+  // ---- whole-stage codegen (primitive fast path only) ----
+  //
+  // The iterator doExecute() below already runs a primitive merge with a
+  // generated UnsafeProjection; what it still pays per OUTPUT row is the
+  // iterator hand-off to the parent operator and the projection copy.
+  // Participating in WholeStageCodegen fuses the merge loop into the
+  // parent's generated code: the JoinedRow is consumed in place (the
+  // parent's projection/filter reads it directly) and the per-row
+  // virtual calls disappear. The interpreted (non-long-backed) path
+  // keeps the iterator rendering — supportCodegen gates it out.
+
+  override def supportCodegen: Boolean = isFastPath
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  // the emitted JoinedRow is reused across output rows
+  override def needCopyResult: Boolean = true
+
+  override protected def doProduce(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext)
+      : String = {
+    val lKeyIdx = left.output.indexWhere(_.exprId == leftKey.exprId)
+    val lTimeIdx = left.output.indexWhere(_.exprId == leftTime.exprId)
+    val rKeyIdx = right.output.indexWhere(_.exprId == rightKey.exprId)
+    val rTimeIdx = right.output.indexWhere(_.exprId == rightTime.exprId)
+    def intBacked(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt == org.apache.spark.sql.types.IntegerType ||
+        dt == org.apache.spark.sql.types.DateType
+    def getter(row: String, idx: Int, isInt: Boolean): String =
+      if (isInt) s"(long) $row.getInt($idx)" else s"$row.getLong($idx)"
+    val row = "org.apache.spark.sql.catalyst.InternalRow"
+    val leftInput = ctx.addMutableState("scala.collection.Iterator",
+      "asofLeftInput", v => s"$v = inputs[0];")
+    val rightInput = ctx.addMutableState("scala.collection.Iterator",
+      "asofRightInput", v => s"$v = inputs[1];")
+    val rHead = ctx.addMutableState(row, "asofRHead")
+    val rHeadKey = ctx.addMutableState("long", "asofRHeadKey")
+    val rHeadTime = ctx.addMutableState("long", "asofRHeadTime")
+    val matchRow = ctx.addMutableState(row, "asofMatch")
+    val matchKey = ctx.addMutableState("long", "asofMatchKey")
+    val started = ctx.addMutableState("boolean", "asofStarted")
+    val advance = ctx.addNewFunction("asofAdvanceRight",
+      s"""
+         |private void asofAdvanceRight() {
+         |  $rHead = null;
+         |  while ($rHead == null && $rightInput.hasNext()) {
+         |    $row r = ($row) $rightInput.next();
+         |    if (!r.isNullAt($rKeyIdx) && !r.isNullAt($rTimeIdx)) {
+         |      $rHead = r;
+         |      $rHeadKey = ${getter("r", rKeyIdx, intBacked(rightKey.dataType))};
+         |      $rHeadTime = ${getter("r", rTimeIdx, intBacked(rightTime.dataType))};
+         |    }
+         |  }
+         |}
+       """.stripMargin)
+    val lrow = ctx.freshName("asofLeftRow")
+    val outRight = ctx.freshName("asofOutRight")
+    val lk = ctx.freshName("asofLk")
+    val lt = ctx.freshName("asofLt")
+    // per-column output vars (SMJ-style), not a JoinedRow hand-off: the
+    // parent reads primitives straight out of the sorted UnsafeRows and
+    // its usedInputs pruning drops untouched columns at codegen time
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, ExprCode, JavaCode}
+    val resultVars = output.zipWithIndex.map { case (a, i) =>
+      val fromLeft = i < left.output.size
+      val rowTerm = if (fromLeft) lrow else outRight
+      val ord = if (fromLeft) i else i - left.output.size
+      val jt = CodeGenerator.javaType(a.dataType)
+      val valueVar = ctx.freshName("asofVal")
+      val isNullVar = ctx.freshName("asofNull")
+      val getVal = CodeGenerator.getValue(rowTerm, a.dataType, ord.toString)
+      // right side: outRight == null encodes "no match" — all columns null
+      val nullCond =
+        if (fromLeft) s"$rowTerm.isNullAt($ord)"
+        else s"($rowTerm == null || $rowTerm.isNullAt($ord))"
+      val c =
+        code"""
+          |boolean $isNullVar = $nullCond;
+          |$jt $valueVar = $isNullVar ?
+          |  ${CodeGenerator.defaultValue(a.dataType)} : ($getVal);
+        """.stripMargin
+      ExprCode(c, JavaCode.isNullVariable(isNullVar),
+        JavaCode.variable(valueVar, a.dataType))
+    }
+    s"""
+       |if (!$started) { $started = true; $advance(); }
+       |while ($leftInput.hasNext()) {
+       |  $row $lrow = ($row) $leftInput.next();
+       |  $row $outRight;
+       |  if ($lrow.isNullAt($lKeyIdx) || $lrow.isNullAt($lTimeIdx)) {
+       |    $outRight = null;
+       |  } else {
+       |    long $lk = ${getter(lrow, lKeyIdx, intBacked(leftKey.dataType))};
+       |    long $lt = ${getter(lrow, lTimeIdx, intBacked(leftTime.dataType))};
+       |    if ($matchRow != null && $matchKey != $lk) { $matchRow = null; }
+       |    while ($rHead != null && $rHeadKey < $lk) { $advance(); }
+       |    while ($rHead != null && $rHeadKey == $lk && $rHeadTime <= $lt) {
+       |      $matchRow = $rHead.copy();
+       |      $matchKey = $rHeadKey;
+       |      $advance();
+       |    }
+       |    $outRight = $matchRow;
+       |  }
+       |  ${consume(ctx, resultVars)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
 
   override protected def doExecute(): RDD[InternalRow] = {
     val rightWidth = right.output.size

@@ -60,6 +60,24 @@ object AsofBench {
         .asofJoinNative(l, r, "k", "t", tieBreak = Some("rid"))))
       require(vw == vn, s"parity violated at $payloadCols cols: $vw vs $vn")
       println(f"[asof] payload=$payloadCols%2d cols  window=$tw%6.2fs  native=$tn%6.2fs  ratio=${tw / tn}%5.2f")
+      // narrow downstream read: only (k, one payload col) consumed.
+      // Catalyst cannot push a Project through either custom rendering,
+      // so this measures per-row OUTPUT cost: the window form and the
+      // iterator exec materialize every column per row; the codegen'd
+      // native consume only READS what the parent uses.
+      if (payloadCols == 32) {
+        def forceNarrow(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+          val row = df.select(xxhash64(col("k"), col("r_p1")).as("__h"))
+            .agg(expr("bit_xor(__h)").as("h"), count(lit(1)).as("n")).collect()(0)
+          (row.getLong(0), row.getLong(1))
+        }
+        val (tw2, vw2) = time(forceNarrow(graft.operators.Joins
+          .asofJoin(l, r, "k", "t", tieBreak = Some("rid"))))
+        val (tn2, vn2) = time(forceNarrow(graft.operators.Joins
+          .asofJoinNative(l, r, "k", "t", tieBreak = Some("rid"))))
+        require(vw2 == vn2, s"narrow parity violated: $vw2 vs $vn2")
+        println(f"[asof] narrow read of 32    window=$tw2%6.2fs  native=$tn2%6.2fs  ratio=${tw2 / tn2}%5.2f")
+      }
     }
     spark.stop()
   }

@@ -118,6 +118,42 @@ class AsofJoinSpec extends SparkSpec {
     assert(j12.limit(1).count() == 1)
   }
 
+  test("whole-stage codegen: the exec fuses into a WholeStageCodegen " +
+       "stage, results identical with fallback DISABLED (a Janino error " +
+       "would throw, not silently revert to the iterator path)") {
+    val (l, r) = randomSides(17, 150)
+    def run() = Joins.asofJoinNative(l, r, "k", "t",
+      rightPrefix = "c_", tieBreak = Some("rid"))
+    val withCg = spark.conf.get("spark.sql.codegen.fallback")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      val j = run()
+      val rows = j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      // the exec must sit INSIDE a codegen stage (marked by the *(n)
+      // prefix in the tree), not behind an InputAdapter boundary
+      assert(plan.linesIterator.exists(ln =>
+        ln.contains("AsofJoin") && ln.contains("*")),
+        s"AsofJoinExec not fused into WholeStageCodegen:\n$plan")
+      // and the fused result equals the iterator rendering
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val iter = run().collect()
+      def canon(rs: Array[org.apache.spark.sql.Row]) =
+        rs.map(_.toSeq.map(v => if (v == null) -1L else v)).toSet
+      assert(canon(rows) == canon(iter))
+      // interpreted-key shape still plans (fallback path not broken by
+      // the trait): string keys must not attempt codegen
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      import spark.implicits._
+      val ls = Seq(("a", 1L, 1L)).toDF("k", "t", "lid")
+      val rs = Seq(("a", 0L, 9L)).toDF("k", "t", "rid")
+      assert(Joins.asofJoinNative(ls, rs, "k", "t").collect().length == 1)
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", withCg)
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
   test("null contract: NULL left key/time never matches (SQL equality " +
        "semantics — unlike the window form's null partition); NULL-key " +
        "right rows are skipped") {
