@@ -240,7 +240,8 @@ object BinaryMeta {
     * pixel count ≠ width×height, or frames past the 2²⁶-pixel decode
     * bound. Interlace needs no handling — the sums are row-order
     * independent. This moves the multimodal stub boundary from
-    * "compressed codecs" to "DCT/entropy codecs": LZW decode is real.
+    * "compressed codecs" down: LZW decode is real (see also
+    * [[pngPixelStats]] — together they leave only DCT/lossy codecs).
     */
   def gifPixelStats(b: Array[Byte]): Array[Long] = {
     if (!isGif(b) || b.length < 14) return null
@@ -372,6 +373,147 @@ object BinaryMeta {
     Array(nPx, sr, sg, sb)
   }
 
+  /** REAL PNG pixel decode — DEFLATE is in the JDK (`java.util.zip.
+    * Inflater`, public Java SE, no codec library), and everything
+    * around it is pure byte arithmetic from the PNG spec: chunk walk
+    * (IHDR / PLTE / concatenated IDATs / IEND, CRCs not validated — a stats pass is
+    * lenient by design, integrity is the storage layer's job), zlib
+    * inflate of the concatenated IDAT payload, and per-scanline
+    * UNFILTERING (all five filter types — None/Sub/Up/Average/Paeth,
+    * spec §9.2). Supported: 8-bit depth, color types 0 (gray), 2
+    * (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), both interlace
+    * modes — an Adam7 stream is seven independently-filtered
+    * sub-images (spec §8.2), and since channel SUMS are
+    * position-independent each pass just unfilters at its own
+    * dimensions, no de-interlace placement needed. 1/2/4/16-bit
+    * depths and anything malformed yield null.
+    * Returns [n_px, sum_r, sum_g, sum_b] (gray replicates to all
+    * three; alpha ignored) — the same contract as gif/bmp. With this,
+    * the multimodal stub boundary is DCT/lossy codecs only
+    * (JPEG, MP3/AAC). */
+  def pngPixelStats(b: Array[Byte]): Array[Long] = {
+    if (!isPng(b) || b.length < 33) return null
+    val w = u32be(b, 16)
+    val h = u32be(b, 20)
+    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) return null
+    val bitDepth = b(24) & 0xff
+    val colorType = b(25) & 0xff
+    if ((b(26) & 0xff) != 0 || (b(27) & 0xff) != 0) return null
+    val interlace = b(28) & 0xff
+    if (interlace > 1) return null
+    if (bitDepth != 8) return null
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case _ => return null
+    }
+    val nPx = w * h
+    if (nPx > (1L << 26)) return null // decode bound: 64M px per blob
+    var i = 8
+    var plte: Array[Byte] = null
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (i + 8 <= b.length && !sawEnd) {
+      val len = u32be(b, i)
+      if (len > Int.MaxValue - 12 || i + 12 + len > b.length) return null
+      val n = len.toInt
+      if (b(i + 4) == 'P' && b(i + 5) == 'L' && b(i + 6) == 'T' && b(i + 7) == 'E')
+        plte = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + n)
+      else if (b(i + 4) == 'I' && b(i + 5) == 'D' && b(i + 6) == 'A' && b(i + 7) == 'T')
+        idat.write(b, i + 8, n)
+      else if (b(i + 4) == 'I' && b(i + 5) == 'E' && b(i + 6) == 'N' && b(i + 7) == 'D')
+        sawEnd = true
+      i += 12 + n
+    }
+    if (idat.size() == 0) return null
+    if (colorType == 3 && (plte == null || plte.length % 3 != 0 || plte.length == 0))
+      return null
+    // pass geometry: one full-frame pass, or Adam7's seven sub-images
+    // (xStart, yStart, xStep, yStep per spec §8.2); empty passes absent
+    val passes: Seq[(Int, Int)] =
+      if (interlace == 0) Seq((w.toInt, h.toInt))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)).map {
+        case (xs, ys, xst, yst) =>
+          (((w.toInt - xs + xst - 1) / xst), ((h.toInt - ys + yst - 1) / yst))
+      }.filter(p => p._1 > 0 && p._2 > 0)
+    val bpp = channels
+    val rawLen = passes.map { case (pw, ph) => (pw.toLong * bpp + 1) * ph }.sum
+    if (rawLen > Int.MaxValue) return null
+    val raw = new Array[Byte](rawLen.toInt)
+    try {
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) {
+          inf.end(); return null // truncated or preset-dictionary stream
+        }
+        off += n
+      }
+      inf.end()
+      if (off != raw.length) return null
+    } catch { case _: java.util.zip.DataFormatException => return null }
+    // per pass: unfilter in place (PNG spec 9.2), then channel sums
+    var sr = 0L; var sg = 0L; var sb = 0L
+    val maxIdx = if (colorType == 3) plte.length / 3 else 0
+    var base = 0
+    for ((pw, ph) <- passes) {
+      val stride = pw * bpp
+      var y = 0
+      while (y < ph) {
+        val rowOff = base + y * (stride + 1)
+        val ft = raw(rowOff) & 0xff
+        if (ft > 4) return null
+        var x = 0
+        while (x < stride) {
+          val cur = raw(rowOff + 1 + x) & 0xff
+          val left = if (x >= bpp) raw(rowOff + 1 + x - bpp) & 0xff else 0
+          val up = if (y > 0) raw(rowOff - stride + x) & 0xff else 0
+          val ul = if (y > 0 && x >= bpp) raw(rowOff - stride + x - bpp) & 0xff else 0
+          val recon = ft match {
+            case 0 => cur
+            case 1 => cur + left
+            case 2 => cur + up
+            case 3 => cur + ((left + up) >> 1)
+            case 4 =>
+              val p = left + up - ul
+              val pa = math.abs(p - left); val pb = math.abs(p - up)
+              val pc = math.abs(p - ul)
+              cur + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+          }
+          raw(rowOff + 1 + x) = (recon & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      y = 0
+      while (y < ph) {
+        val d0 = base + y * (stride + 1) + 1
+        var px = 0
+        while (px < pw) {
+          val o = d0 + px * bpp
+          colorType match {
+            case 0 | 4 =>
+              val v = raw(o) & 0xff; sr += v; sg += v; sb += v
+            case 2 | 6 =>
+              sr += raw(o) & 0xff; sg += raw(o + 1) & 0xff; sb += raw(o + 2) & 0xff
+            case 3 =>
+              val idx = raw(o) & 0xff
+              if (idx >= maxIdx) return null
+              sr += plte(3 * idx) & 0xff
+              sg += plte(3 * idx + 1) & 0xff
+              sb += plte(3 * idx + 2) & 0xff
+          }
+          px += 1
+        }
+        y += 1
+      }
+      base += (stride + 1) * ph
+    }
+    Array(nPx, sr, sg, sb)
+  }
+
   // ---- Catalyst expressions (codegen'd static calls) ----
 
   abstract class BinaryProbe extends UnaryExpression {
@@ -445,6 +587,7 @@ object BinaryMeta {
       case "wavPcmStats" => wavPcmStats(b)
       case "bmp24Stats" => bmp24Stats(b)
       case "gifPixelStats" => gifPixelStats(b)
+      case "pngPixelStats" => pngPixelStats(b)
     }
     override def nullSafeEval(v: Any): Any = {
       val r = call(v.asInstanceOf[Array[Byte]])
@@ -476,6 +619,11 @@ object BinaryMeta {
   case class GifPixelStats(child: Expression) extends StatsProbe {
     override def method: String = "gifPixelStats"
     override def prettyName: String = "gif_pixel_stats"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+  case class PngPixelStats(child: Expression) extends StatsProbe {
+    override def method: String = "pngPixelStats"
+    override def prettyName: String = "png_pixel_stats"
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
@@ -512,4 +660,6 @@ object BinaryMeta {
     SparkInternals.column(Bmp24Stats(SparkInternals.expression(c)))
   def gifPixelStatsCol(c: Column): Column =
     SparkInternals.column(GifPixelStats(SparkInternals.expression(c)))
+  def pngPixelStatsCol(c: Column): Column =
+    SparkInternals.column(PngPixelStats(SparkInternals.expression(c)))
 }

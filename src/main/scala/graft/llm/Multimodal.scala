@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   * What is REAL here (no codec library needed, pure byte/bit
   * arithmetic): container-format detection, image dimensions and audio
   * parameters (`describeMedia` over `functions/BinaryMeta`), PCM-16
-  * WAV sample decode, 24-bit BMP pixel decode, and GIF first-frame
-  * LZW pixel decode (`BinaryMeta.wavPcmStats` / `bmp24Stats` /
-  * `gifPixelStats` — full variable-width LZW with dictionary growth to
-  * 4096). The remaining stub boundary is DCT/ENTROPY codecs
-  * (JPEG/PNG pixel data, MP3/AAC audio): that decode step is a
+  * WAV sample decode, 24-bit BMP pixel decode, GIF first-frame
+  * LZW pixel decode, and PNG pixel decode (`BinaryMeta.wavPcmStats` /
+  * `bmp24Stats` / `gifPixelStats` / `pngPixelStats` — full
+  * variable-width LZW, and zlib inflate through the JDK's public
+  * `java.util.zip.Inflater` plus pure-code unfiltering). The
+  * remaining stub boundary is DCT/LOSSY codecs
+  * (JPEG pixel data, MP3/AAC audio): that decode step is a
   * clearly-marked deterministic fake (`fakeDecode`), while everything
   * around it — the binary column, the metadata struct, the
   * mapPartitions batch shape, the partitioning — is real and is what
@@ -195,6 +197,90 @@ object Multimodal {
         lit("07"),           // LZW minimum code size
         subLen, codes, lit("81"), // one sub-block: codes + EOI
         lit("003B"))).as("payload")) // block terminator + trailer
+  }
+
+  /** Standard CRC-32 table (polynomial 0xEDB88320), literal-broadcast
+    * into the fixture-builder fold below. */
+  private lazy val crc32Table: Seq[Long] = (0 until 256).map { n =>
+    var c = n.toLong
+    var k = 0
+    while (k < 8) { c = if ((c & 1) != 0) 0xEDB88320L ^ (c >>> 1) else c >>> 1; k += 1 }
+    c
+  }
+
+  /** CRC-32 of a byte array column — a sequential `aggregate` fold:
+    * acc' = (acc >>> 8) ^ T[(acc ^ x) & 0xff]. Engine-side only (the
+    * oracle never rebuilds bytes); what makes a SQL-built PNG carry
+    * VALID chunk CRCs, so independent readers accept it. */
+  private def crc32Col(bytes: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val t = typedLit(crc32Table)
+    aggregate(bytes, lit(0xFFFFFFFFL), (acc, x) =>
+      shiftrightunsigned(acc, 8).bitwiseXOR(
+        element_at(t, acc.bitwiseXOR(x).bitwiseAND(lit(255L)).cast("int") + 1)))
+      .bitwiseXOR(lit(0xFFFFFFFFL))
+  }
+
+  /** Adler-32 (zlib trailer) of a byte array column — the (s1, s2)
+    * running pair as a struct-state fold. */
+  private def adler32Col(bytes: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val st = aggregate(bytes,
+      struct(lit(1L).as("s1"), lit(0L).as("s2")),
+      (acc, x) => {
+        val s1 = (acc.getField("s1") + x) % 65521
+        struct(s1.as("s1"), ((acc.getField("s2") + s1) % 65521).as("s2"))
+      })
+    st.getField("s2") * 65536 + st.getField("s1")
+  }
+
+  /** Deterministic complete-PNG fixtures for the inflate+unfilter gate:
+    * 8-bit GRAYSCALE w×h (doc-dependent, ≤ 7×5), pixel i =
+    * (doc_id·11 + i·7) mod 256, every scanline filter None. The zlib
+    * stream is the one a SQL expression can build: a single STORED
+    * deflate block (BFINAL=1/BTYPE=00 + LE length + ones-complement) —
+    * spec-valid, just uncompressed — with a REAL Adler-32 trailer and
+    * REAL CRC-32s on every chunk, both computed as `aggregate` folds
+    * over the byte arrays (table-driven CRC as a 256-entry literal).
+    * Independent readers accept these fixtures (pinned against the JDK
+    * ImageIO PNG reader in BinaryMetaSpec); the DuckDB oracle
+    * regenerates pixel sums arithmetically while the Spark side must
+    * inflate the actual stream through `BinaryMeta.pngPixelStats`.
+    * Compressed blocks and the Sub/Up/Average/Paeth filters cannot be
+    * built in SQL — the spec's ImageIO-WRITER round-trip covers those
+    * (real encoders emit them). */
+  def syntheticPngPixels(docs: DataFrame): DataFrame = {
+    val w = pmod(col("doc_id"), lit(6L)) + 2L
+    val h = pmod(col("doc_id"), lit(4L)) + 2L
+    def be4(v: org.apache.spark.sql.Column) = array(
+      shiftrightunsigned(v, 24).bitwiseAND(lit(255L)),
+      shiftrightunsigned(v, 16).bitwiseAND(lit(255L)),
+      shiftrightunsigned(v, 8).bitwiseAND(lit(255L)),
+      v.bitwiseAND(lit(255L)))
+    val raw = flatten(transform(sequence(lit(0L), h - 1), y =>
+      concat(array(lit(0L)), transform(sequence(lit(0L), w - 1), x =>
+        pmod(col("doc_id") * 11 + (y * w + x) * 7, lit(256L))))))
+    val len = h * (w + 1)
+    val zlib = concat(
+      array(lit(120L), lit(1L), lit(1L)),
+      array(len.bitwiseAND(lit(255L)),
+        shiftrightunsigned(len, 8).bitwiseAND(lit(255L)),
+        (lit(65535L) - len).bitwiseAND(lit(255L)),
+        shiftrightunsigned(lit(65535L) - len, 8).bitwiseAND(lit(255L))),
+      raw, be4(adler32Col(raw)))
+    val ihdrType = array(Seq(73L, 72L, 68L, 82L).map(lit): _*) // "IHDR"
+    val ihdrBody = concat(be4(w), be4(h),
+      array(Seq(8L, 0L, 0L, 0L, 0L).map(lit): _*))
+    val idatType = array(Seq(73L, 68L, 65L, 84L).map(lit): _*) // "IDAT"
+    val png = concat(
+      array(Seq(137L, 80L, 78L, 71L, 13L, 10L, 26L, 10L).map(lit): _*),
+      array(Seq(0L, 0L, 0L, 13L).map(lit): _*), ihdrType, ihdrBody,
+      be4(crc32Col(concat(ihdrType, ihdrBody))),
+      be4(size(zlib).cast("long")), idatType, zlib,
+      be4(crc32Col(concat(idatType, zlib))),
+      array(Seq(0L, 0L, 0L, 0L, 73L, 69L, 78L, 68L,
+        174L, 66L, 96L, 130L).map(lit): _*)) // IEND + fixed CRC
+    docs.select(col("doc_id"),
+      unhex(concat_ws("", transform(png, v => lpad(hex(v), 2, "0"))))
+        .as("payload"))
   }
 
   /** Batched per-partition feature extraction over the binary column —

@@ -1245,14 +1245,36 @@ object LlmOps {
     * inflated back through `BinaryMeta.gifPixelStats`' actual
     * variable-width bit reader while the oracle regenerates pixel
     * values and palette sums arithmetically (it never sees bytes).
-    * Moves the multimodal stub boundary to DCT/entropy codecs only:
-    * LZW decode is real (dictionary growth / width bumps / KwKwK are
+    * With x_png_pixels this puts the multimodal stub boundary at
+    * DCT/lossy codecs only: LZW decode is real (dictionary growth / width bumps / KwKwK are
     * spec-pinned against the JDK ImageIO reader, which SQL-built
     * streams cannot reach). */
   def xGifPixels(s: SparkSession, d: String): DataFrame = {
     val stats = graft.functions.BinaryMeta.gifPixelStatsCol(col("payload"))
     ordered(
       Multimodal.syntheticGifPixels(documents(s, d))
+        .select(col("doc_id"),
+          element_at(stats, 1).as("n_px"),
+          element_at(stats, 2).as("sum_r"),
+          element_at(stats, 3).as("sum_g"),
+          element_at(stats, 4).as("sum_b")),
+      "doc_id")
+  }
+
+  /** REAL PNG pixel decode: deterministic complete-PNG payloads
+    * (8-bit grayscale, stored-deflate zlib with real Adler-32/CRC-32
+    * folds — `Multimodal.syntheticPngPixels`) inflated back through
+    * `BinaryMeta.pngPixelStats` (JDK zlib Inflater + pure-code
+    * unfiltering) while the oracle regenerates pixel sums
+    * arithmetically. Compressed blocks and the four predictive filters
+    * are spec-pinned against ImageIO-WRITTEN PNGs (real encoder
+    * output), which SQL-built streams cannot reach. With X154's GIF
+    * LZW this puts the multimodal stub boundary at DCT/lossy codecs
+    * only. */
+  def xPngPixels(s: SparkSession, d: String): DataFrame = {
+    val stats = graft.functions.BinaryMeta.pngPixelStatsCol(col("payload"))
+    ordered(
+      Multimodal.syntheticPngPixels(documents(s, d))
         .select(col("doc_id"),
           element_at(stats, 1).as("n_px"),
           element_at(stats, 2).as("sum_r"),
@@ -1457,6 +1479,7 @@ object LlmOps {
     "x_multimodal_meta"   -> (xMultimodalMeta _),
     "x_wav_pcm"           -> (xWavPcm _),
     "x_gif_pixels"        -> (xGifPixels _),
+    "x_png_pixels"        -> (xPngPixels _),
     "x_frame_sample"      -> (xFrameSample _),
     "x_chunk_cdc"         -> (xChunkCdc _),
     "x_coreset_kcenter"   -> (xCoresetKcenter _),
@@ -2987,6 +3010,17 @@ object LlmOps {
         |  CAST(SUM(px * 3 % 256) AS BIGINT) AS sum_r,
         |  CAST(SUM((px * 5 + 1) % 256) AS BIGINT) AS sum_g,
         |  CAST(SUM((px * 7 + 2) % 256) AS BIGINT) AS sum_b
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_png_pixels" ->
+      """WITH m AS (SELECT doc_id,
+        |    (doc_id % 6 + 2) * (doc_id % 4 + 2) AS n FROM documents),
+        |p AS (SELECT doc_id, (doc_id * 11 + i.i * 7) % 256 AS px
+        |  FROM m, LATERAL (SELECT unnest(generate_series(0, n - 1))
+        |    AS i) i)
+        |SELECT doc_id, COUNT(*) AS n_px,
+        |  CAST(SUM(px) AS BIGINT) AS sum_r,
+        |  CAST(SUM(px) AS BIGINT) AS sum_g,
+        |  CAST(SUM(px) AS BIGINT) AS sum_b
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_multimodal_meta" ->
       """SELECT doc_id,

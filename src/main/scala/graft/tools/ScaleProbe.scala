@@ -168,6 +168,10 @@ object ScaleProbe {
       // outputs are threshold- and |sources|²-bounded; Q13: two scans,
       // orders aggregated before the outer join.
       "x_boilerplate", "x_source_overlap", "q13_customer_distribution",
+      // round-10 media decode gates: pure map-side expression scans
+      // (fixture build + decode per row, no shuffle) — probed to pin
+      // that they stay so
+      "x_gif_pixels", "x_png_pixels",
       // MMR: k bounded scans like k-center; RBO: bounded ≤25-row algebra
       // after the two already-probed top-k retrievers.
       "x_coreset_mmr", "x_rank_rbo",

@@ -370,6 +370,144 @@ class BinaryMetaSpec extends SparkSpec {
     assert(BinaryMeta.gifPixelStats(Array.emptyByteArray) == null)
   }
 
+  // ---- PNG inflate + unfilter ----
+
+  private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos), "no PNG writer")
+    bos.toByteArray
+  }
+
+  test("pngPixelStats: ImageIO-WRITTEN PNGs (real deflate compression, " +
+       "encoder-chosen Sub/Up/Average/Paeth filters) decode to the " +
+       "source pixel sums for gray, RGB and RGBA images") {
+    val rnd = new scala.util.Random(4242)
+    // grayscale: smooth gradient (encoders pick predictive filters on
+    // smooth data) + random (stress the inflate path)
+    for ((kind, w, h) <- Seq(("smooth", 120, 80), ("random", 64, 64))) {
+      val g = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      var want = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = if (kind == "smooth") (x + 2 * y) % 256 else rnd.nextInt(256)
+        g.getRaster.setSample(x, y, 0, v)
+        want += v
+      }
+      val got = BinaryMeta.pngPixelStats(pngBytes(g))
+      assert(got != null, s"gray/$kind: null")
+      assert(got.toSeq == Seq(w.toLong * h, want, want, want),
+        s"gray/$kind: ${got.toSeq}")
+    }
+    // RGB and RGBA
+    for (typ <- Seq(java.awt.image.BufferedImage.TYPE_3BYTE_BGR,
+        java.awt.image.BufferedImage.TYPE_4BYTE_ABGR)) {
+      val (w, h) = (90, 60)
+      val img = new java.awt.image.BufferedImage(w, h, typ)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g2, b2) = ((x * 3 + y) % 256, (x + y * 5) % 256, rnd.nextInt(256))
+        img.setRGB(x, y, 0xff000000 | (r << 16) | (g2 << 8) | b2)
+        sr += r; sg += g2; sb += b2
+      }
+      val got = BinaryMeta.pngPixelStats(pngBytes(img))
+      assert(got != null, s"type $typ: null")
+      assert(got.toSeq == Seq(w.toLong * h, sr, sg, sb), s"type $typ: ${got.toSeq}")
+    }
+  }
+
+  test("pngPixelStats: genuinely INTERLACED (Adam7) PNGs decode — " +
+       "seven independently-filtered passes, written by ImageIO in " +
+       "progressive mode") {
+    val rnd = new scala.util.Random(7117)
+    for ((w, h) <- Seq((61, 37), (8, 8), (3, 2), (1, 1), (9, 1), (1, 9))) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      var want = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = rnd.nextInt(256); img.getRaster.setSample(x, y, 0, v); want += v
+      }
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("png").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.close(); writer.dispose()
+      val bytes = bos.toByteArray
+      assert((bytes(28) & 0xff) == 1, s"${w}x$h: writer did not interlace")
+      val got = BinaryMeta.pngPixelStats(bytes)
+      assert(got != null, s"${w}x$h: interlaced decode returned null")
+      assert(got.toSeq == Seq(w.toLong * h, want, want, want),
+        s"${w}x$h: ${got.toSeq}")
+    }
+  }
+
+  test("pngPixelStats: malformed inputs yield null, never throw; " +
+       "unsupported shapes (16-bit, lying interlace flag) are declined cleanly") {
+    val img = new java.awt.image.BufferedImage(10, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 8; x <- 0 until 10)
+      img.getRaster.setSample(x, y, 0, (x * y) % 256)
+    val good = pngBytes(img)
+    assert(BinaryMeta.pngPixelStats(good) != null)
+    for (cut <- 0 until good.length)
+      BinaryMeta.pngPixelStats(good.take(cut)) // must never throw
+    // corrupt the deflate stream (inside IDAT): DataFormatException -> null
+    val bad = good.clone()
+    val idatAt = {
+      var i = 8; var at = -1
+      while (at < 0 && i + 8 <= bad.length) {
+        if (bad(i + 4) == 'I' && bad(i + 5) == 'D' &&
+            bad(i + 6) == 'A' && bad(i + 7) == 'T') at = i
+        else i += 12 + ((bad(i) & 0xff) << 24 | (bad(i + 1) & 0xff) << 16 |
+          (bad(i + 2) & 0xff) << 8 | (bad(i + 3) & 0xff))
+      }
+      at
+    }
+    assert(idatAt > 0)
+    bad(idatAt + 10) = (~bad(idatAt + 10)).toByte
+    bad(idatAt + 11) = (~bad(idatAt + 11)).toByte
+    BinaryMeta.pngPixelStats(bad) // null or decode — must not throw
+    // 16-bit depth -> declined; a LYING interlace flag (sequential data
+    // declared Adam7) -> the pass-geometry length check catches it
+    val deep = good.clone(); deep(24) = 16.toByte
+    assert(BinaryMeta.pngPixelStats(deep) == null)
+    val adam7 = good.clone(); adam7(28) = 1.toByte
+    assert(BinaryMeta.pngPixelStats(adam7) == null)
+    // foreign bytes
+    assert(BinaryMeta.pngPixelStats("not a png".getBytes) == null)
+    assert(BinaryMeta.pngPixelStats(png1x1) != null, "the real 1x1 decodes")
+  }
+
+  test("syntheticPngPixels round-trip: SQL-built stored-deflate PNGs " +
+       "with aggregate-fold CRC32/Adler32 decode through pngPixelStats " +
+       "AND the JDK ImageIO reader to the constructing arithmetic") {
+    import spark.implicits._
+    val docs = (0L to 47L).toDF("doc_id")
+    val fixtures = graft.llm.Multimodal.syntheticPngPixels(docs)
+      .orderBy("doc_id").collect()
+    fixtures.foreach { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      val n = ((id % 6) + 2) * ((id % 4) + 2)
+      val want = (0L until n).map(i => (id * 11 + i * 7) % 256).sum
+      val got = BinaryMeta.pngPixelStats(bytes)
+      assert(got != null && got.toSeq == Seq(n, want, want, want),
+        s"doc $id: ${Option(got).map(_.toSeq)}")
+      // a bogus CRC or Adler would make ImageIO reject the fixture —
+      // this pins that the SQL aggregate folds compute the REAL sums
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"doc $id: ImageIO rejects the SQL-built PNG")
+      var s = 0L
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        s += img.getRaster.getSample(x, y, 0)
+      assert(s == want, s"doc $id: ImageIO disagrees")
+    }
+  }
+
   test("syntheticGifPixels round-trip: the SQL-built fixtures decode " +
        "through gifPixelStats AND the JDK ImageIO reader to the " +
        "constructing arithmetic") {
