@@ -514,6 +514,12 @@ object BinaryMeta {
     Array(nPx, sr, sg, sb)
   }
 
+  /** Baseline grayscale JPEG decode stats — see [[JpegBaseline]] (the
+    * forwarding def keeps the codegen'd static call surface on this
+    * object). */
+  def jpegPixelStats(b: Array[Byte]): Array[Long] =
+    JpegBaseline.jpegPixelStats(b)
+
   // ---- Catalyst expressions (codegen'd static calls) ----
 
   abstract class BinaryProbe extends UnaryExpression {
@@ -588,6 +594,7 @@ object BinaryMeta {
       case "bmp24Stats" => bmp24Stats(b)
       case "gifPixelStats" => gifPixelStats(b)
       case "pngPixelStats" => pngPixelStats(b)
+      case "jpegPixelStats" => jpegPixelStats(b)
     }
     override def nullSafeEval(v: Any): Any = {
       val r = call(v.asInstanceOf[Array[Byte]])
@@ -626,6 +633,11 @@ object BinaryMeta {
     override def prettyName: String = "png_pixel_stats"
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
+  case class JpegPixelStats(child: Expression) extends StatsProbe {
+    override def method: String = "jpegPixelStats"
+    override def prettyName: String = "jpeg_pixel_stats"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
 
   case class MediaFormat(child: Expression) extends BinaryProbe {
     override def prettyName: String = "media_format"
@@ -662,4 +674,6 @@ object BinaryMeta {
     SparkInternals.column(GifPixelStats(SparkInternals.expression(c)))
   def pngPixelStatsCol(c: Column): Column =
     SparkInternals.column(PngPixelStats(SparkInternals.expression(c)))
+  def jpegPixelStatsCol(c: Column): Column =
+    SparkInternals.column(JpegPixelStats(SparkInternals.expression(c)))
 }

@@ -1,0 +1,320 @@
+package graft.functions
+
+/** Baseline-sequential JPEG (ITU-T T.81) GRAYSCALE decode — pure
+  * arithmetic, no codec library: marker parse (DQT/DHT/SOF0/DRI/SOS),
+  * canonical Huffman decode with byte unstuffing and restart markers,
+  * zigzag dequantization, and a double-precision separable IDCT with
+  * round-half-up + level shift. Single-component (luma-only) scans
+  * only: COLOR JPEGs return null — chroma upsampling and YCbCr
+  * conversion are implementation-defined (every decoder legally
+  * differs), so a deterministic stats contract stops at the exactly-
+  * specified slice. Progressive (SOF2), arithmetic coding, 12-bit
+  * precision and anything malformed also yield null, never throw.
+  *
+  * Determinism note: an IDCT is the one stage where conforming
+  * decoders may differ by ±1/pixel (T.81 only bounds accuracy).
+  * DC-ONLY blocks are exact in every conforming decoder (the IDCT
+  * collapses to round(dc/8) + 128), which is what the hash-exact
+  * DuckDB gate uses; full-AC streams are spec-pinned against the JDK
+  * ImageIO reader with a ±1/pixel tolerance.
+  */
+object JpegBaseline {
+
+  /** Zigzag scan order: zigzag(k) = raster index of the k-th coefficient. */
+  private val zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** cos((2x+1)·u·π/16) · C(u)/2 table for the separable IDCT. */
+  private val idctCos: Array[Double] = {
+    val t = new Array[Double](64)
+    var x = 0
+    while (x < 8) {
+      var u = 0
+      while (u < 8) {
+        val c = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+        t(x * 8 + u) = 0.5 * c * math.cos((2 * x + 1) * u * math.Pi / 16)
+        u += 1
+      }
+      x += 1
+    }
+    t
+  }
+
+  /** Canonical Huffman table built from a DHT segment's BITS/HUFFVAL. */
+  private final class Huff(bits: Array[Int], vals: Array[Byte]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17) // -1 = no codes at this length
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        if (bits(l - 1) == 0) { maxCode(l) = -1 }
+        else {
+          valPtr(l) = k
+          minCode(l) = code
+          code += bits(l - 1)
+          k += bits(l - 1)
+          maxCode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+    def value(len: Int, code: Int): Int = vals(valPtr(len) + code - minCode(len)) & 0xff
+  }
+
+  /** Entropy-segment bit reader: unstuffs 0xFF 0x00, stops at markers. */
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var bitBuf = 0
+    private var bitCnt = 0
+    var hitMarker = false
+    var corrupt = false
+
+    /** Next data byte, handling stuffing; -1 at a marker/end. */
+    private def nextByte(): Int = {
+      if (pos >= b.length) { corrupt = true; return -1 }
+      val v = b(pos) & 0xff
+      pos += 1
+      if (v != 0xff) v
+      else {
+        if (pos >= b.length) { corrupt = true; return -1 }
+        val m = b(pos) & 0xff
+        if (m == 0x00) { pos += 1; 0xff }
+        else { pos -= 1; hitMarker = true; -1 } // rewind to the 0xFF
+      }
+    }
+    def bit(): Int = {
+      if (bitCnt == 0) {
+        val v = nextByte()
+        if (v < 0) return -1
+        bitBuf = v; bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val bt = bit()
+        if (bt < 0) { corrupt = true; return -1 }
+        v = (v << 1) | bt
+        i += 1
+      }
+      v
+    }
+    def decode(h: Huff): Int = {
+      var code = 0
+      var l = 1
+      while (l <= 16) {
+        val bt = bit()
+        if (bt < 0) { corrupt = true; return -1 }
+        code = (code << 1) | bt
+        if (h.maxCode(l) >= 0 && code <= h.maxCode(l)) return h.value(l, code)
+        l += 1
+      }
+      corrupt = true; -1
+    }
+    /** Byte-align and consume an expected RSTn marker. */
+    def restart(n: Int): Boolean = {
+      bitCnt = 0
+      if (pos + 1 >= b.length) return false
+      if ((b(pos) & 0xff) != 0xff || (b(pos + 1) & 0xff) != (0xd0 + n)) return false
+      pos += 2
+      hitMarker = false
+      true
+    }
+  }
+
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  private def u16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+  /** Decode a baseline grayscale JPEG to (width, height, pixels), or
+    * null. Package-private so the spec can compare per-pixel against
+    * an independent decoder; the public stats face wraps it. */
+  private[functions] def decodeGray(b: Array[Byte]): (Int, Int, Array[Int]) = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return null
+    val quant = Array.ofDim[Int](4, 64)
+    val seenQ = new Array[Boolean](4)
+    val dcTables = new Array[Huff](4)
+    val acTables = new Array[Huff](4)
+    var w = 0; var h = 0
+    var restartInterval = 0
+    var dcSel = -1; var acSel = -1; var qSel = -1
+    var i = 2
+    var scanAt = -1
+    while (scanAt < 0) {
+      if (i + 4 > b.length) return null
+      if ((b(i) & 0xff) != 0xff) return null
+      val m = b(i + 1) & 0xff
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) { i += 2 } // standalone
+      else if (m == 0xd9) return null // EOI before SOS
+      else {
+        val len = u16(b, i + 2)
+        if (len < 2 || i + 2 + len > b.length) return null
+        val p0 = i + 4
+        m match {
+          case 0xdb => // DQT: one or more tables
+            var p = p0
+            while (p < i + 2 + len) {
+              if (p >= b.length) return null
+              val pq = (b(p) & 0xff) >> 4
+              val tq = b(p) & 0x0f
+              if (pq != 0 || tq > 3) return null // 8-bit tables only
+              if (p + 65 > i + 2 + len) return null
+              var k = 0
+              while (k < 64) { quant(tq)(k) = b(p + 1 + k) & 0xff; k += 1 }
+              seenQ(tq) = true
+              p += 65
+            }
+          case 0xc4 => // DHT: one or more tables
+            var p = p0
+            while (p < i + 2 + len) {
+              val tc = (b(p) & 0xff) >> 4
+              val th = b(p) & 0x0f
+              if (tc > 1 || th > 3) return null
+              if (p + 17 > i + 2 + len) return null
+              val bits = Array.tabulate(16)(j => b(p + 1 + j) & 0xff)
+              val n = bits.sum
+              if (n == 0 || n > 256 || p + 17 + n > i + 2 + len) return null
+              val vals = java.util.Arrays.copyOfRange(b, p + 17, p + 17 + n)
+              val t = new Huff(bits, vals)
+              if (tc == 0) dcTables(th) = t else acTables(th) = t
+              p += 17 + n
+            }
+          case 0xc0 => // SOF0 baseline
+            if (len < 11) return null
+            if ((b(p0) & 0xff) != 8) return null // 8-bit precision
+            h = u16(b, p0 + 1); w = u16(b, p0 + 3)
+            val nComp = b(p0 + 5) & 0xff
+            if (nComp != 1) return null // grayscale slice only
+            if ((b(p0 + 7) & 0xff) != 0x11) return null // 1x1 sampling
+            qSel = b(p0 + 8) & 0xff
+            if (qSel > 3) return null
+          case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+               0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            return null // non-baseline frame types
+          case 0xdd => // DRI
+            if (len != 4) return null
+            restartInterval = u16(b, p0)
+          case 0xda => // SOS
+            if (len < 8) return null
+            if ((b(p0) & 0xff) != 1) return null // single-component scan
+            dcSel = (b(p0 + 2) & 0xff) >> 4
+            acSel = b(p0 + 2) & 0x0f
+            if ((b(p0 + 3) & 0xff) != 0 || (b(p0 + 4) & 0xff) != 63) return null
+            scanAt = i + 2 + len
+          case _ => // APPn/COM/etc: skip
+        }
+        i += 2 + len
+      }
+    }
+    if (w <= 0 || h <= 0 || qSel < 0 || !seenQ(qSel)) return null
+    if (dcSel > 3 || acSel > 3 ||
+      dcTables(dcSel) == null || acTables(acSel) == null) return null
+    if (w.toLong * h > (1L << 26)) return null
+    val q = quant(qSel)
+    val dcH = dcTables(dcSel)
+    val acH = acTables(acSel)
+    val blocksW = (w + 7) / 8
+    val blocksH = (h + 7) / 8
+    val px = new Array[Int](w * h)
+    val coef = new Array[Double](64)
+    val tmp = new Array[Double](64)
+    val r = new BitReader(b, scanAt)
+    var pred = 0
+    var rstCount = 0
+    var rstN = 0
+    var by = 0
+    while (by < blocksH) {
+      var bx = 0
+      while (bx < blocksW) {
+        if (restartInterval > 0 && rstCount == restartInterval) {
+          if (!r.restart(rstN)) return null
+          rstN = (rstN + 1) & 7
+          rstCount = 0
+          pred = 0
+        }
+        java.util.Arrays.fill(coef, 0.0)
+        val s = r.decode(dcH)
+        if (r.corrupt || s > 11) return null
+        val diff = extend(r.receive(s), s)
+        if (r.corrupt) return null
+        pred += diff
+        coef(0) = pred.toDouble * q(0)
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob) {
+          val rs = r.decode(acH)
+          if (r.corrupt) return null
+          val run = rs >> 4
+          val size = rs & 15
+          if (size == 0) {
+            if (run == 15) k += 16 else eob = true // ZRL vs EOB
+          } else {
+            k += run
+            if (k > 63) return null
+            coef(zigzag(k)) = extend(r.receive(size), size).toDouble * q(k)
+            if (r.corrupt) return null
+            k += 1
+          }
+        }
+        // separable IDCT: rows then columns
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            var acc = 0.0
+            var u = 0
+            while (u < 8) { acc += idctCos(x * 8 + u) * coef(y * 8 + u); u += 1 }
+            tmp(y * 8 + x) = acc
+            x += 1
+          }
+          y += 1
+        }
+        var x = 0
+        while (x < 8) {
+          var yy = 0
+          while (yy < 8) {
+            var acc = 0.0
+            var v = 0
+            while (v < 8) { acc += idctCos(yy * 8 + v) * tmp(v * 8 + x); v += 1 }
+            val ix = bx * 8 + x
+            val iy = by * 8 + yy
+            if (ix < w && iy < h) {
+              val p = math.round(acc).toInt + 128
+              px(iy * w + ix) = if (p < 0) 0 else if (p > 255) 255 else p
+            }
+            yy += 1
+          }
+          x += 1
+        }
+        rstCount += 1
+        bx += 1
+      }
+      by += 1
+    }
+    (w, h, px)
+  }
+
+  /** [n_px, sum, sum, sum] over a baseline grayscale JPEG (gray
+    * replicates to all three channels — the gif/bmp/png contract), or
+    * null for color/progressive/malformed input. */
+  def jpegPixelStats(b: Array[Byte]): Array[Long] = {
+    val d = decodeGray(b)
+    if (d == null) return null
+    val (w, h, px) = d
+    var s = 0L
+    var i = 0
+    while (i < px.length) { s += px(i); i += 1 }
+    Array(w.toLong * h, s, s, s)
+  }
+}

@@ -283,6 +283,70 @@ object Multimodal {
         .as("payload"))
   }
 
+  /** Deterministic complete-JPEG fixtures for the baseline-decode gate:
+    * grayscale SOF0, (1-3)×(1-2) blocks of 8×8, every block DC-ONLY —
+    * the one JPEG shape that is integer-EXACT in every conforming
+    * decoder (the IDCT collapses to round(dc·q/8) + 128; with q₀ = 8
+    * each block is flat 128 + dc), so the hash-exact DuckDB oracle
+    * holds. The Huffman tables are minimal-but-valid CUSTOM tables
+    * chosen to make the bit stream SQL-expressible: the DC table is
+    * canonical over BITS=[1,1,1,1,1,1] so category s encodes as s
+    * ones + a zero (unary), and the AC table has the single symbol
+    * EOB = '0'. DC diffs ride the standard magnitude/ones-complement
+    * encoding; bits assemble as '0'/'1' strings, pack via conv(·,2,10),
+    * and 0xFF bytes get their 0x00 stuffing. ImageIO reads these
+    * fixtures (spec-pinned); real compressed AC streams and restart
+    * markers are covered by the spec against ImageIO-written JPEGs. */
+  def syntheticJpegPixels(docs: DataFrame): DataFrame = {
+    val bw = pmod(col("doc_id"), lit(3L)) + 1L
+    val bh = pmod(col("doc_id"), lit(2L)) + 1L
+    def be2(v: org.apache.spark.sql.Column) = lpad(hex(v), 4, "0")
+    // per-block '0'/'1' strings: unary DC category code, magnitude
+    // bits (ones-complement when negative), 1-bit EOB
+    val blockBits = expr(
+      """transform(sequence(0, (doc_id % 3 + 1) * (doc_id % 2 + 1) - 1), b ->
+        |  concat(
+        |    repeat('1', CAST(IF(
+        |      ((doc_id*5 + b*7) % 21 - 10) - IF(b = 0, 0, (doc_id*5 + (b-1)*7) % 21 - 10) = 0,
+        |      0,
+        |      length(bin(abs(((doc_id*5 + b*7) % 21 - 10) - IF(b = 0, 0, (doc_id*5 + (b-1)*7) % 21 - 10))))
+        |    ) AS INT)),
+        |    '0',
+        |    CASE
+        |      WHEN ((doc_id*5 + b*7) % 21 - 10) - IF(b = 0, 0, (doc_id*5 + (b-1)*7) % 21 - 10) = 0 THEN ''
+        |      WHEN ((doc_id*5 + b*7) % 21 - 10) - IF(b = 0, 0, (doc_id*5 + (b-1)*7) % 21 - 10) > 0 THEN
+        |        bin(((doc_id*5 + b*7) % 21 - 10) - IF(b = 0, 0, (doc_id*5 + (b-1)*7) % 21 - 10))
+        |      ELSE lpad(
+        |        bin(((doc_id*5 + b*7) % 21 - 10) - IF(b = 0, 0, (doc_id*5 + (b-1)*7) % 21 - 10)
+        |            + shiftleft(1, CAST(length(bin(abs(((doc_id*5 + b*7) % 21 - 10) - IF(b = 0, 0, (doc_id*5 + (b-1)*7) % 21 - 10)))) AS INT)) - 1),
+        |        CAST(length(bin(abs(((doc_id*5 + b*7) % 21 - 10) - IF(b = 0, 0, (doc_id*5 + (b-1)*7) % 21 - 10)))) AS INT),
+        |        '0')
+        |    END,
+        |    '0'))""".stripMargin)
+    val stream = array_join(blockBits, "")
+    val padded = rpad(stream,
+      (floor((length(stream) + 7) / lit(8)) * 8).cast("int"), lit("1"))
+    val nBytes = (length(padded) / 8).cast("long")
+    val bytes = transform(sequence(lit(1L), nBytes), i =>
+      conv(padded.substr(((i - 1) * 8 + 1).cast("int"), lit(8)), 2, 10)
+        .cast("long"))
+    val stuffed = flatten(transform(bytes, v =>
+      when(v === 255L, array(lit(255L), lit(0L))).otherwise(array(v))))
+    val entropyHex = concat_ws("", transform(stuffed, v => lpad(hex(v), 2, "0")))
+    val w = bw * 8
+    val h = bh * 8
+    val dqt = "FFDB004300" + "08" * 64
+    val dhtDc = "FFC40019" + "00" + "01" * 6 + "00" * 10 + "000102030405"
+    val dhtAc = "FFC40014" + "10" + "01" + "00" * 15 + "00"
+    docs.select(col("doc_id"),
+      unhex(concat(
+        lit("FFD8" + dqt + dhtDc + dhtAc),
+        lit("FFC0000B08"), be2(h), be2(w), lit("01011100"),
+        lit("FFDA000801010000 3F00".replace(" ", "")),
+        entropyHex,
+        lit("FFD9"))).as("payload"))
+  }
+
   /** Batched per-partition feature extraction over the binary column —
     * the mapInPandas analog: no per-row task overhead, payload bytes stay
     * partition-local. */

@@ -1283,6 +1283,30 @@ object LlmOps {
       "doc_id")
   }
 
+  /** REAL baseline JPEG decode: deterministic DC-only grayscale JPEGs
+    * (`Multimodal.syntheticJpegPixels` — custom unary-DC Huffman
+    * table, magnitude/ones-complement diffs, byte stuffing, all
+    * SQL-built) decoded back through `functions/JpegBaseline`'s actual
+    * marker parse + Huffman + IDCT while the oracle regenerates block
+    * sums arithmetically. DC-only blocks are the integer-exact JPEG
+    * slice (T.81 only bounds IDCT accuracy elsewhere), which is what
+    * lets a hash-exact gate exist at all; real compressed AC streams
+    * are spec-pinned against the JDK reader at ±1/pixel. The
+    * multimodal stub boundary is now: lossy AUDIO codecs and color
+    * JPEG reconstruction (chroma upsampling is implementation-
+    * defined). */
+  def xJpegPixels(s: SparkSession, d: String): DataFrame = {
+    val stats = graft.functions.BinaryMeta.jpegPixelStatsCol(col("payload"))
+    ordered(
+      Multimodal.syntheticJpegPixels(documents(s, d))
+        .select(col("doc_id"),
+          element_at(stats, 1).as("n_px"),
+          element_at(stats, 2).as("sum_r"),
+          element_at(stats, 3).as("sum_g"),
+          element_at(stats, 4).as("sum_b")),
+      "doc_id")
+  }
+
   /** Frame sampling at 1 fps over the chars-as-milliseconds payload —
     * timestamps by metadata arithmetic, each frame row carrying only
     * its own 32-char slice (the video half of the multimodal
@@ -1480,6 +1504,7 @@ object LlmOps {
     "x_wav_pcm"           -> (xWavPcm _),
     "x_gif_pixels"        -> (xGifPixels _),
     "x_png_pixels"        -> (xPngPixels _),
+    "x_jpeg_pixels"       -> (xJpegPixels _),
     "x_frame_sample"      -> (xFrameSample _),
     "x_chunk_cdc"         -> (xChunkCdc _),
     "x_coreset_kcenter"   -> (xCoresetKcenter _),
@@ -3011,6 +3036,18 @@ object LlmOps {
         |  CAST(SUM((px * 5 + 1) % 256) AS BIGINT) AS sum_g,
         |  CAST(SUM((px * 7 + 2) % 256) AS BIGINT) AS sum_b
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_jpeg_pixels" ->
+      """WITH m AS (SELECT doc_id,
+        |    (doc_id % 3 + 1) * (doc_id % 2 + 1) AS nb FROM documents),
+        |p AS (SELECT doc_id, nb,
+        |    64 * (128 + (doc_id * 5 + b.b * 7) % 21 - 10) AS bsum
+        |  FROM m, LATERAL (SELECT unnest(generate_series(0, nb - 1))
+        |    AS b) b)
+        |SELECT doc_id, CAST(64 * nb AS BIGINT) AS n_px,
+        |  CAST(SUM(bsum) AS BIGINT) AS sum_r,
+        |  CAST(SUM(bsum) AS BIGINT) AS sum_g,
+        |  CAST(SUM(bsum) AS BIGINT) AS sum_b
+        |FROM p GROUP BY 1, nb ORDER BY 1""".stripMargin,
     "x_png_pixels" ->
       """WITH m AS (SELECT doc_id,
         |    (doc_id % 6 + 2) * (doc_id % 4 + 2) AS n FROM documents),

@@ -508,6 +508,188 @@ class BinaryMetaSpec extends SparkSpec {
     }
   }
 
+  // ---- baseline JPEG ----
+
+  private def jpegBytes(img: java.awt.image.BufferedImage,
+                        quality: Float): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  test("jpeg baseline decode: ImageIO-written grayscale JPEGs (real " +
+       "Huffman/AC streams at several qualities) decode within the " +
+       "T.81 +-1/pixel IDCT tolerance of the JDK reader") {
+    val rnd = new scala.util.Random(909)
+    for ((w, h, q) <- Seq((64, 48, 0.95f), (40, 40, 0.7f), (17, 9, 0.5f),
+        (128, 96, 0.9f))) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0,
+          ((x * 13 + y * 7) % 160 + rnd.nextInt(40)) % 256)
+      val bytes = jpegBytes(img, q)
+      val mine = JpegBaseline.decodeGray(bytes)
+      assert(mine != null, s"${w}x$h q=$q: decode returned null")
+      assert(mine._1 == w && mine._2 == h)
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      var maxDiff = 0
+      var totDiff = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val d = math.abs(mine._3(y * w + x) - ref.getRaster.getSample(x, y, 0))
+        if (d > maxDiff) maxDiff = d
+        totDiff += d
+      }
+      assert(maxDiff <= 1,
+        s"${w}x$h q=$q: max per-pixel diff $maxDiff exceeds the IDCT bound")
+      assert(totDiff.toDouble / (w * h) <= 0.5,
+        s"${w}x$h q=$q: mean diff ${totDiff.toDouble / (w * h)}")
+    }
+  }
+
+  /** Scala-side DC-only builder mirroring syntheticJpegPixels' custom
+    * tables, plus optional restart markers (DRI + RSTn every `ri`
+    * blocks) which the SQL form cannot emit. */
+  private def dcOnlyJpeg(bw: Int, bh: Int, dcs: Seq[Int],
+                         ri: Int = 0): Array[Byte] = {
+    require(dcs.length == bw * bh)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def hexAppend(s: String): Unit =
+      out ++= s.replaceAll("\\s", "").grouped(2)
+        .map(Integer.parseInt(_, 16).toByte)
+    hexAppend("FFD8")
+    hexAppend("FFDB004300" + "08" * 64)
+    hexAppend("FFC40019" + "00" + "01" * 6 + "00" * 10 + "000102030405")
+    hexAppend("FFC40014" + "10" + "01" + "00" * 15 + "00")
+    hexAppend("FFC0000B08" + f"${bh * 8}%04X" + f"${bw * 8}%04X" + "01011100")
+    if (ri > 0) hexAppend("FFDD0004" + f"$ri%04X")
+    hexAppend("FFDA0008 0101 0000 3F00")
+    val sb = new StringBuilder
+    def flushEntropy(): Unit = {
+      while (sb.length % 8 != 0) sb.append('1')
+      sb.toString.grouped(8).foreach { byte =>
+        val v = Integer.parseInt(byte, 2)
+        out += v.toByte
+        if (v == 0xff) out += 0x00.toByte
+      }
+      sb.clear()
+    }
+    var pred = 0
+    var rst = 0
+    for ((dc, b) <- dcs.zipWithIndex) {
+      if (ri > 0 && b > 0 && b % ri == 0) {
+        flushEntropy() // byte-align before the marker
+        out += 0xff.toByte; out += (0xd0 + rst).toByte
+        rst = (rst + 1) & 7
+        pred = 0
+      }
+      val d = dc - pred
+      pred = dc
+      val s = if (d == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(d))
+      sb.append("1" * s).append('0')
+      if (s > 0) {
+        val v = if (d > 0) d else d + (1 << s) - 1
+        val bits = Integer.toBinaryString(v)
+        sb.append("0" * (s - bits.length)).append(bits)
+      }
+      sb.append('0') // EOB
+    }
+    flushEntropy()
+    hexAppend("FFD9")
+    out.toArray
+  }
+
+  test("jpeg baseline decode: DC-only blocks are integer-exact; " +
+       "restart markers reset the DC predictor") {
+    val dcs = Seq(5, -3, 0, 10, -10, 7)
+    val plain = dcOnlyJpeg(3, 2, dcs)
+    val got = JpegBaseline.decodeGray(plain)
+    assert(got != null, "plain DC-only: null")
+    // every block is flat 128 + dc (q0 = 8 cancels the /8)
+    for ((dc, b) <- dcs.zipWithIndex) {
+      val (bx, byy) = (b % 3, b / 3)
+      val p = got._3((byy * 8) * 24 + bx * 8)
+      assert(p == 128 + dc, s"block $b: $p != ${128 + dc}")
+    }
+    // ImageIO agrees exactly on DC-only data
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(plain))
+    for (y <- 0 until 16; x <- 0 until 24)
+      assert(ref.getRaster.getSample(x, y, 0) == got._3(y * 24 + x),
+        s"($x,$y): ImageIO disagrees on DC-only")
+    // with DRI=2: RST markers every 2 blocks, predictor resets
+    val rsted = dcOnlyJpeg(3, 2, dcs, ri = 2)
+    val got2 = JpegBaseline.decodeGray(rsted)
+    assert(got2 != null, "restart stream: null")
+    assert(got2._3.sameElements(got._3),
+      "restart-marker stream must reconstruct the same pixels")
+  }
+
+  test("jpeg baseline decode: color/progressive/malformed inputs " +
+       "yield null, never throw") {
+    // color JPEG (3 components): declined — the documented boundary
+    val cimg = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    cimg.setRGB(3, 3, 0x884422)
+    assert(JpegBaseline.jpegPixelStats(jpegBytes(cimg, 0.8f)) == null)
+    // progressive: ImageIO can write it
+    val gimg = new java.awt.image.BufferedImage(24, 16,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(gimg, null, null), param)
+    ios.close(); writer.dispose()
+    assert(JpegBaseline.jpegPixelStats(bos.toByteArray) == null,
+      "progressive must be declined, not mis-decoded")
+    // truncation at every byte must never throw
+    val good = dcOnlyJpeg(2, 1, Seq(4, -4))
+    assert(JpegBaseline.jpegPixelStats(good) != null)
+    for (cut <- 0 until good.length)
+      JpegBaseline.jpegPixelStats(good.take(cut))
+    // corrupt entropy data: never throw
+    val bad = good.clone()
+    bad(bad.length - 3) = 0x55.toByte
+    JpegBaseline.jpegPixelStats(bad)
+    assert(JpegBaseline.jpegPixelStats("not a jpeg".getBytes) == null)
+  }
+
+  test("syntheticJpegPixels round-trip: SQL-built DC-only JPEGs decode " +
+       "through jpegPixelStats AND the JDK ImageIO reader to the " +
+       "constructing arithmetic") {
+    import spark.implicits._
+    val docs = (0L to 41L).toDF("doc_id")
+    val fixtures = graft.llm.Multimodal.syntheticJpegPixels(docs)
+      .orderBy("doc_id").collect()
+    fixtures.foreach { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      val nb = ((id % 3) + 1) * ((id % 2) + 1)
+      val want = (0L until nb).map(b => 64L * (128 + (id * 5 + b * 7) % 21 - 10)).sum
+      val nPx = nb * 64
+      val got = JpegBaseline.jpegPixelStats(bytes)
+      assert(got != null, s"doc $id: null")
+      assert(got.toSeq == Seq(nPx, want, want, want),
+        s"doc $id: ${got.toSeq} != ($nPx, $want)")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"doc $id: ImageIO rejects the SQL-built JPEG")
+      var s = 0L
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        s += img.getRaster.getSample(x, y, 0)
+      assert(s == want, s"doc $id: ImageIO disagrees ($s != $want)")
+    }
+  }
+
   test("syntheticGifPixels round-trip: the SQL-built fixtures decode " +
        "through gifPixelStats AND the JDK ImageIO reader to the " +
        "constructing arithmetic") {
