@@ -225,6 +225,61 @@ object BinaryMeta {
     Array(w.toLong * h, sb, sg, sr)
   }
 
+  /** G.711 µ-law byte → linear PCM-16 sample (ITU-T G.711, the
+    * classic CCITT reference arithmetic — bias 0x84, 3-bit segment,
+    * 4-bit mantissa). */
+  def ulaw2linear(uByte: Int): Int = {
+    val u = ~uByte & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** G.711 A-law byte → linear PCM-16 sample (even-bit inversion 0x55,
+    * segment 0 special-cased; MSB set = positive per the standard). */
+  def alaw2linear(aByte: Int): Int = {
+    val a = (aByte ^ 0x55) & 0xff
+    val seg = (a & 0x70) >> 4
+    val t0 = (a & 0x0f) << 4
+    val t = seg match {
+      case 0 => t0 + 8
+      case 1 => t0 + 0x108
+      case _ => (t0 + 0x108) << (seg - 1)
+    }
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** REAL G.711 companded-audio decode over a WAV payload — the
+    * telephony formats (fmt 7 = µ-law, fmt 6 = A-law, 8 bits/sample)
+    * are pure integer arithmetic per ITU-T G.711, no codec library:
+    * every data byte expands to its linear PCM-16 sample and the same
+    * loudness/clipping stats as [[wavPcmStats]] come back —
+    * [n_samples, peak(|s|), Σ|s|, Σs²] exact int64 — or null for
+    * anything that is not an 8-bit G.711 WAV. With this the lossy-
+    * audio stub boundary excludes the log-companded codecs too;
+    * MP3/AAC (psychoacoustic transform codecs) remain the stub. */
+  def wavG711Stats(b: Array[Byte]): Array[Long] = {
+    if (!isWav(b)) return null
+    val f = wavChunkOffset(b, 'f', 'm', 't', ' ')
+    if (f < 0 || f + 16 > b.length) return null
+    val fmt = u16le(b, f)
+    val bits = u16le(b, f + 14)
+    if ((fmt != 6 && fmt != 7) || bits != 8) return null
+    val d = wavChunkOffset(b, 'd', 'a', 't', 'a')
+    if (d < 0) return null
+    val size = u32le(b, d - 4)
+    if (d + size > b.length) return null
+    var i = d
+    var n = 0L; var peak = 0L; var sumAbs = 0L; var sumSq = 0L
+    val mu = fmt == 7
+    while (i < d + size) {
+      val s = (if (mu) ulaw2linear(b(i) & 0xff) else alaw2linear(b(i) & 0xff)).toLong
+      val a = math.abs(s)
+      n += 1; if (a > peak) peak = a; sumAbs += a; sumSq += s * s
+      i += 1
+    }
+    Array(n, peak, sumAbs, sumSq)
+  }
+
   /** REAL GIF first-frame pixel decode — LZW is ~100 lines of pure
     * bit/byte arithmetic (GIF89a spec appendix F + the classic
     * compress(1) variable-width coding), no codec library: walk to the
@@ -595,6 +650,7 @@ object BinaryMeta {
       case "gifPixelStats" => gifPixelStats(b)
       case "pngPixelStats" => pngPixelStats(b)
       case "jpegPixelStats" => jpegPixelStats(b)
+      case "wavG711Stats" => wavG711Stats(b)
     }
     override def nullSafeEval(v: Any): Any = {
       val r = call(v.asInstanceOf[Array[Byte]])
@@ -638,6 +694,11 @@ object BinaryMeta {
     override def prettyName: String = "jpeg_pixel_stats"
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
+  case class WavG711Stats(child: Expression) extends StatsProbe {
+    override def method: String = "wavG711Stats"
+    override def prettyName: String = "wav_g711_stats"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
 
   case class MediaFormat(child: Expression) extends BinaryProbe {
     override def prettyName: String = "media_format"
@@ -676,4 +737,6 @@ object BinaryMeta {
     SparkInternals.column(PngPixelStats(SparkInternals.expression(c)))
   def jpegPixelStatsCol(c: Column): Column =
     SparkInternals.column(JpegPixelStats(SparkInternals.expression(c)))
+  def wavG711StatsCol(c: Column): Column =
+    SparkInternals.column(WavG711Stats(SparkInternals.expression(c)))
 }

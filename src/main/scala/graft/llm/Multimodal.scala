@@ -347,6 +347,23 @@ object Multimodal {
         lit("FFD9"))).as("payload"))
   }
 
+  /** Deterministic G.711 WAV fixtures: µ-law (fmt 7) for even doc_ids,
+    * A-law (fmt 6) for odd, 24 data bytes b_i = (doc_id·13 + i·29) mod
+    * 256 — the DuckDB oracle expands the SAME bytes through the G.711
+    * formulas arithmetically while the Spark side must decode the
+    * actual WAV container through `BinaryMeta.wavG711Stats`. */
+  def syntheticWavG711(docs: DataFrame): DataFrame = {
+    val fmt = when(pmod(col("doc_id"), lit(2)) === 0, lit(7)).otherwise(lit(6))
+    val data = concat_ws("", transform(sequence(lit(0), lit(23)),
+      i => lpad(hex(pmod(col("doc_id") * 13 + i * 29, lit(256))), 2, "0")))
+    docs.select(col("doc_id"),
+      unhex(concat(
+        lit("52494646"), le4(lit(36 + 24)), lit("57415645"),
+        lit("666D7420"), le4(lit(16)), le2(fmt), le2(lit(1)),
+        le4(lit(8000)), le4(lit(8000)), le2(lit(1)), le2(lit(8)),
+        lit("64617461"), le4(lit(24)), data)).as("payload"))
+  }
+
   /** Batched per-partition feature extraction over the binary column —
     * the mapInPandas analog: no per-row task overhead, payload bytes stay
     * partition-local. */

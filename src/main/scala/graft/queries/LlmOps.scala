@@ -1307,6 +1307,25 @@ object LlmOps {
       "doc_id")
   }
 
+  /** REAL G.711 companded-audio decode: µ-law/A-law WAV fixtures
+    * (`Multimodal.syntheticWavG711`) decoded through
+    * `BinaryMeta.wavG711Stats`' actual container parse + ITU-T
+    * expansion arithmetic while the oracle expands the same bytes
+    * through the G.711 formulas written directly in SQL. Lossy audio
+    * stub now excludes the log-companded telephony codecs; MP3/AAC
+    * remain. */
+  def xWavG711(s: SparkSession, d: String): DataFrame = {
+    val stats = graft.functions.BinaryMeta.wavG711StatsCol(col("payload"))
+    ordered(
+      Multimodal.syntheticWavG711(documents(s, d))
+        .select(col("doc_id"),
+          element_at(stats, 1).as("n_samples"),
+          element_at(stats, 2).as("peak"),
+          element_at(stats, 3).as("sum_abs"),
+          element_at(stats, 4).as("sum_sq")),
+      "doc_id")
+  }
+
   /** Frame sampling at 1 fps over the chars-as-milliseconds payload —
     * timestamps by metadata arithmetic, each frame row carrying only
     * its own 32-char slice (the video half of the multimodal
@@ -1505,6 +1524,7 @@ object LlmOps {
     "x_gif_pixels"        -> (xGifPixels _),
     "x_png_pixels"        -> (xPngPixels _),
     "x_jpeg_pixels"       -> (xJpegPixels _),
+    "x_wav_g711"          -> (xWavG711 _),
     "x_frame_sample"      -> (xFrameSample _),
     "x_chunk_cdc"         -> (xChunkCdc _),
     "x_coreset_kcenter"   -> (xCoresetKcenter _),
@@ -3036,6 +3056,43 @@ object LlmOps {
         |  CAST(SUM((px * 5 + 1) % 256) AS BIGINT) AS sum_g,
         |  CAST(SUM((px * 7 + 2) % 256) AS BIGINT) AS sum_b
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_wav_g711" ->
+      """WITH raw AS (SELECT d.doc_id,
+        |    (d.doc_id * 13 + i.i * 29) % 256 AS u
+        |  FROM documents d, LATERAL (SELECT unnest(generate_series(0, 23))
+        |    AS i) i),
+        |dec AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN
+        |      -- mu-law: invert, bias-expand, sign via segment arithmetic
+        |      CASE WHEN (255 - u) >= 128
+        |        THEN 132 - (((255 - u) % 16) * 8 + 132)
+        |             * CAST(pow(2, ((255 - u) // 16) % 8) AS BIGINT)
+        |        ELSE (((255 - u) % 16) * 8 + 132)
+        |             * CAST(pow(2, ((255 - u) // 16) % 8) AS BIGINT) - 132
+        |      END
+        |    ELSE
+        |      -- A-law: xor 0x55, segment 0/1 special cases, MSB = positive
+        |      CASE WHEN xor(u, 85) >= 128
+        |        THEN CASE ((xor(u, 85) // 16) % 8)
+        |          WHEN 0 THEN (xor(u, 85) % 16) * 16 + 8
+        |          WHEN 1 THEN (xor(u, 85) % 16) * 16 + 264
+        |          ELSE ((xor(u, 85) % 16) * 16 + 264)
+        |            * CAST(pow(2, ((xor(u, 85) // 16) % 8) - 1) AS BIGINT)
+        |        END
+        |        ELSE -(CASE ((xor(u, 85) // 16) % 8)
+        |          WHEN 0 THEN (xor(u, 85) % 16) * 16 + 8
+        |          WHEN 1 THEN (xor(u, 85) % 16) * 16 + 264
+        |          ELSE ((xor(u, 85) % 16) * 16 + 264)
+        |            * CAST(pow(2, ((xor(u, 85) // 16) % 8) - 1) AS BIGINT)
+        |        END)
+        |      END
+        |    END AS s
+        |  FROM raw)
+        |SELECT doc_id, COUNT(*) AS n_samples,
+        |  CAST(MAX(abs(s)) AS BIGINT) AS peak,
+        |  CAST(SUM(abs(s)) AS BIGINT) AS sum_abs,
+        |  CAST(SUM(s * s) AS BIGINT) AS sum_sq
+        |FROM dec GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_jpeg_pixels" ->
       """WITH m AS (SELECT doc_id,
         |    (doc_id % 3 + 1) * (doc_id % 2 + 1) AS nb FROM documents),

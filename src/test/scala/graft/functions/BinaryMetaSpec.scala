@@ -508,6 +508,43 @@ class BinaryMetaSpec extends SparkSpec {
     }
   }
 
+  test("G.711 mu-law/A-law expansion: standard extreme values, sign " +
+       "symmetry over all 256 codes, and the WAV container face") {
+    // published G.711 extremes: mu-law max +-32124, A-law max +-32256;
+    // mu-law 0xFF decodes to 0 (the all-ones silent code)
+    assert(BinaryMeta.ulaw2linear(0x80) == 32124)
+    assert(BinaryMeta.ulaw2linear(0x00) == -32124)
+    assert(BinaryMeta.ulaw2linear(0xff) == 0)
+    assert(BinaryMeta.alaw2linear(0xaa) == 32256)
+    assert(BinaryMeta.alaw2linear(0x2a) == -32256)
+    assert(BinaryMeta.alaw2linear(0x55) == -8 && BinaryMeta.alaw2linear(0xd5) == 8)
+    for (c <- 0 until 256) {
+      // toggling the sign bit negates the sample, both laws
+      assert(BinaryMeta.ulaw2linear(c) == -BinaryMeta.ulaw2linear(c ^ 0x80), s"u $c")
+      assert(BinaryMeta.alaw2linear(c) == -BinaryMeta.alaw2linear(c ^ 0x80), s"a $c")
+      assert(math.abs(BinaryMeta.ulaw2linear(c)) <= 32124)
+      assert(math.abs(BinaryMeta.alaw2linear(c)) <= 32256)
+    }
+    // container: fmt 7, 8-bit, 4 bytes of data 0x80 0x00 0xFF 0xAA
+    val g711 = hex(
+      "52494646 28000000 57415645" +
+      "666D7420 10000000 0700 0100 401F0000 401F0000 0100 0800" +
+      "64617461 04000000 8000FFAA")
+    val s = BinaryMeta.wavG711Stats(g711)
+    assert(s != null && s(0) == 4)
+    assert(s(1) == 32124, "peak")
+    val vAA = BinaryMeta.ulaw2linear(0xaa)
+    assert(s(2) == 32124L * 2 + 0 + math.abs(vAA), "sum_abs")
+    // PCM-16 WAV is NOT a G.711 stream and vice versa
+    val pcm = hex(
+      "52494646 2E000000 57415645" +
+      "666D7420 10000000 0100 0100 401F0000 803E0000 0200 1000" +
+      "64617461 0A000000 0000 E803 18FC FF7F 0080")
+    assert(BinaryMeta.wavG711Stats(pcm) == null)
+    assert(BinaryMeta.wavPcmStats(g711) == null)
+    assert(BinaryMeta.wavG711Stats("nope".getBytes) == null)
+  }
+
   // ---- baseline JPEG ----
 
   private def jpegBytes(img: java.awt.image.BufferedImage,
