@@ -171,7 +171,7 @@ object ScaleProbe {
       // round-10 media decode gates: pure map-side expression scans
       // (fixture build + decode per row, no shuffle) — probed to pin
       // that they stay so
-      "x_gif_pixels", "x_png_pixels",
+      "x_gif_pixels", "x_png_pixels", "x_jpeg_pixels", "x_wav_g711",
       // MMR: k bounded scans like k-center; RBO: bounded ≤25-row algebra
       // after the two already-probed top-k retrievers.
       "x_coreset_mmr", "x_rank_rbo",
