@@ -575,6 +575,211 @@ object BinaryMeta {
   def jpegPixelStats(b: Array[Byte]): Array[Long] =
     JpegBaseline.jpegPixelStats(b)
 
+  // ---- positioned grayscale decode (the perceptual-hash substrate) ----
+
+  /** 24-bit BMP → positioned integer luma plane (image row order,
+    * handling bottom-up and top-down files), or null. Same byte layout
+    * as [[bmp24Stats]]; luma = (299r + 587g + 114b) div 1000 — the
+    * ITU-R 601 integer convention shared with the SQL oracle. */
+  private[graft] def bmp24Gray(b: Array[Byte]): (Int, Int, Array[Int]) = {
+    if (!isBmp(b) || b.length < 34) return null
+    val bits = u16le(b, 28)
+    val compression = u32le(b, 30)
+    if (bits != 24 || compression != 0) return null
+    val off = u32le(b, 10)
+    val w = u32le(b, 18).toInt
+    val hRaw = u32le(b, 22).toInt
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    if (off <= 0 || w <= 0 || h <= 0 || hRaw == Int.MinValue) return null
+    if (w.toLong * h > (1L << 26)) return null
+    val rowBytes = (w.toLong * 3 + 3) / 4 * 4
+    if (off + rowBytes * h > b.length) return null
+    val g = new Array[Int](w * h)
+    var row = 0
+    while (row < h) {
+      val imgY = if (topDown) row else h - 1 - row
+      var x = 0
+      var i = (off + row * rowBytes).toInt
+      while (x < w) {
+        val bl = b(i) & 0xff; val gr = b(i + 1) & 0xff; val r = b(i + 2) & 0xff
+        g(imgY * w + x) = (299 * r + 587 * gr + 114 * bl) / 1000
+        x += 1; i += 3
+      }
+      row += 1
+    }
+    (w, h, g)
+  }
+
+  /** Non-interlaced PNG → positioned integer luma plane, or null.
+    * Same chunk walk / inflate / unfilter machinery as
+    * [[pngPixelStats]] (a spec pins the two agree on channel sums);
+    * interlaced streams decline here — dHash needs pixel PLACEMENT
+    * and Adam7 would require full de-interlacing. */
+  private[graft] def pngGray(b: Array[Byte]): (Int, Int, Array[Int]) = {
+    if (!isPng(b) || b.length < 33) return null
+    val w = u32be(b, 16)
+    val h = u32be(b, 20)
+    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) return null
+    val bitDepth = b(24) & 0xff
+    val colorType = b(25) & 0xff
+    if ((b(26) & 0xff) != 0 || (b(27) & 0xff) != 0) return null
+    if ((b(28) & 0xff) != 0) return null // positioned decode: no Adam7
+    if (bitDepth != 8) return null
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case _ => return null
+    }
+    if (w * h > (1L << 26)) return null
+    var i = 8
+    var plte: Array[Byte] = null
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (i + 8 <= b.length && !sawEnd) {
+      val len = u32be(b, i)
+      if (len > Int.MaxValue - 12 || i + 12 + len > b.length) return null
+      val n = len.toInt
+      if (b(i + 4) == 'P' && b(i + 5) == 'L' && b(i + 6) == 'T' && b(i + 7) == 'E')
+        plte = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + n)
+      else if (b(i + 4) == 'I' && b(i + 5) == 'D' && b(i + 6) == 'A' && b(i + 7) == 'T')
+        idat.write(b, i + 8, n)
+      else if (b(i + 4) == 'I' && b(i + 5) == 'E' && b(i + 6) == 'N' && b(i + 7) == 'D')
+        sawEnd = true
+      i += 12 + n
+    }
+    if (idat.size() == 0) return null
+    if (colorType == 3 && (plte == null || plte.length % 3 != 0 || plte.length == 0))
+      return null
+    val bpp = channels
+    val stride = w.toInt * bpp
+    val raw = new Array[Byte]((stride + 1) * h.toInt)
+    try {
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) {
+          inf.end(); return null
+        }
+        off += n
+      }
+      inf.end()
+      if (off != raw.length) return null
+    } catch { case _: java.util.zip.DataFormatException => return null }
+    var y = 0
+    while (y < h.toInt) {
+      val rowOff = y * (stride + 1)
+      val ft = raw(rowOff) & 0xff
+      if (ft > 4) return null
+      var x = 0
+      while (x < stride) {
+        val cur = raw(rowOff + 1 + x) & 0xff
+        val left = if (x >= bpp) raw(rowOff + 1 + x - bpp) & 0xff else 0
+        val up = if (y > 0) raw(rowOff - stride + x) & 0xff else 0
+        val ul = if (y > 0 && x >= bpp) raw(rowOff - stride + x - bpp) & 0xff else 0
+        val recon = ft match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + ((left + up) >> 1)
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            cur + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+        }
+        raw(rowOff + 1 + x) = (recon & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val g = new Array[Int](w.toInt * h.toInt)
+    val maxIdx = if (colorType == 3) plte.length / 3 else 0
+    y = 0
+    while (y < h.toInt) {
+      val d0 = y * (stride + 1) + 1
+      var px = 0
+      while (px < w.toInt) {
+        val o = d0 + px * bpp
+        val luma = colorType match {
+          case 0 | 4 => raw(o) & 0xff
+          case 2 | 6 =>
+            (299 * (raw(o) & 0xff) + 587 * (raw(o + 1) & 0xff) +
+              114 * (raw(o + 2) & 0xff)) / 1000
+          case 3 =>
+            val idx = raw(o) & 0xff
+            if (idx >= maxIdx) return null
+            (299 * (plte(3 * idx) & 0xff) + 587 * (plte(3 * idx + 1) & 0xff) +
+              114 * (plte(3 * idx + 2) & 0xff)) / 1000
+        }
+        g(y * w.toInt + px) = luma
+        px += 1
+      }
+      y += 1
+    }
+    (w.toInt, h.toInt, g)
+  }
+
+  /** Container-dispatched positioned grayscale decode: 24-bit BMP,
+    * non-interlaced PNG (8-bit gray/RGB/palette/gray-alpha/RGBA), and
+    * baseline grayscale JPEG. Interlaced PNG and GIF decline (pixel
+    * PLACEMENT needs de-interlacing, unlike the order-free sums). */
+  private[graft] def grayPixels(b: Array[Byte]): (Int, Int, Array[Int]) =
+    if (isBmp(b)) bmp24Gray(b)
+    else if (isPng(b)) pngGray(b)
+    else if (isJpeg(b)) JpegBaseline.decodeGray(b)
+    else null
+
+  /** PERCEPTUAL difference-hash (dHash) over a binary image payload —
+    * the image near-dup key: decode to luma, box-average to a 9×8 grid
+    * (cell (i,j) covers x ∈ [⌊iW/9⌋, ⌊(i+1)W/9⌋), exact integer mean),
+    * bit (j·8+i) = grid(i+1,j) > grid(i,j). Robust to re-encoding
+    * (PNG↔BMP of the same pixels hash IDENTICALLY — spec-pinned — and
+    * JPEG re-compression moves only a few bits), which is what makes
+    * hamming-bucketed image dedup work where byte-hash dedup cannot.
+    * Returns a 1-element array (the 64-bit hash) or null for
+    * undecodable/too-small (< 9×8) images — the array wrapper exists
+    * because every 64-bit value is a legal hash, so no Long sentinel
+    * can mean "invalid". */
+  def dhash64(b: Array[Byte]): Array[Long] = {
+    val d = grayPixels(b)
+    if (d == null) return null
+    val (w, h, g) = d
+    if (w < 9 || h < 8) return null
+    val grid = new Array[Long](72)
+    var j = 0
+    while (j < 8) {
+      val y0 = j * h / 8; val y1 = (j + 1) * h / 8
+      var i = 0
+      while (i < 9) {
+        val x0 = i * w / 9; val x1 = (i + 1) * w / 9
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += g(y * w + x); x += 1 }
+          y += 1
+        }
+        grid(j * 9 + i) = s / ((y1 - y0).toLong * (x1 - x0))
+        i += 1
+      }
+      j += 1
+    }
+    var hash = 0L
+    j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        if (grid(j * 9 + i + 1) > grid(j * 9 + i))
+          hash |= 1L << (j * 8 + i)
+        i += 1
+      }
+      j += 1
+    }
+    Array(hash)
+  }
+
   // ---- Catalyst expressions (codegen'd static calls) ----
 
   abstract class BinaryProbe extends UnaryExpression {
@@ -651,6 +856,7 @@ object BinaryMeta {
       case "pngPixelStats" => pngPixelStats(b)
       case "jpegPixelStats" => jpegPixelStats(b)
       case "wavG711Stats" => wavG711Stats(b)
+      case "dhash64" => dhash64(b)
     }
     override def nullSafeEval(v: Any): Any = {
       val r = call(v.asInstanceOf[Array[Byte]])
@@ -699,6 +905,11 @@ object BinaryMeta {
     override def prettyName: String = "wav_g711_stats"
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
+  case class DHash64(child: Expression) extends StatsProbe {
+    override def method: String = "dhash64"
+    override def prettyName: String = "dhash64"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
 
   case class MediaFormat(child: Expression) extends BinaryProbe {
     override def prettyName: String = "media_format"
@@ -739,4 +950,9 @@ object BinaryMeta {
     SparkInternals.column(JpegPixelStats(SparkInternals.expression(c)))
   def wavG711StatsCol(c: Column): Column =
     SparkInternals.column(WavG711Stats(SparkInternals.expression(c)))
+  /** Scalar face: the 64-bit dHash (null for undecodable payloads). */
+  def dhash64Col(c: Column): Column = {
+    import org.apache.spark.sql.functions.element_at
+    element_at(SparkInternals.column(DHash64(SparkInternals.expression(c))), 1)
+  }
 }

@@ -1031,4 +1031,46 @@ object Dedup {
       .select("w1", "w2", "df1", "df2").distinct()
       .filter(levenshtein(col("w1"), col("w2")) <= 1)
   }
+
+  /** IMAGE near-duplicate pairing — the perceptual face of the dedup
+    * stack, composing the round-10 pixel decoders with the banded-LSH
+    * pattern the text side runs: each binary payload hashes to its
+    * 64-bit dHash (`functions/BinaryMeta.dhash64Col` — decode, 9×8
+    * luma grid, gradient-sign bits; codegen'd, payloads never leave
+    * their partition), the hash splits into four 16-bit BANDS, and
+    * candidates are the pairs sharing a band value — the pigeonhole
+    * guarantee: any pair within hamming distance 3 has ≥ one clean
+    * band, so recall is EXACT for `maxDist` ≤ 3 while the join stays
+    * an equi-join on (band index, band value), never a quadratic image
+    * self-join. Candidates verify with `bit_count(xor)` (exact
+    * hamming). Undecodable payloads drop out (null hash). At 100 TB
+    * the cost is one decode scan + a banded shuffle of (id, 16-bit
+    * key) pairs — hash-bucket-bounded like the MinHash path, with the
+    * same documented hot-band caveat (a constant-color corpus puts
+    * every image in one bucket; salt by a second band or pre-group by
+    * dimensions when that regime is real). */
+  def imageNearDupPairs(media: DataFrame, idCol: String,
+                        payloadCol: String, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      "imageNearDupPairs: 4 bands guarantee recall only for maxDist <= 3")
+    val hashed = media
+      .select(col(idCol), graft.functions.BinaryMeta.dhash64Col(col(payloadCol))
+        .as("__h"))
+      .filter(col("__h").isNotNull)
+    val banded = hashed.select(col(idCol), col("__h"),
+      explode(expr("transform(sequence(0, 3), b -> " +
+        "struct(b AS bi, shiftright(__h, b * 16) & 65535 AS bv))")).as("__band"))
+      .select(col(idCol), col("__h"),
+        col("__band.bi").as("__bi"), col("__band.bv").as("__bv"))
+    val a = banded.select(col(idCol).as("d1"), col("__h").as("__h1"),
+      col("__bi"), col("__bv"))
+    val bnd = banded.select(col(idCol).as("d2"), col("__h").as("__h2"),
+      col("__bi"), col("__bv"))
+    a.join(bnd, Seq("__bi", "__bv"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("__h1").bitwiseXOR(col("__h2"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
 }

@@ -364,6 +364,39 @@ object Multimodal {
         lit("64617461"), le4(lit(24)), data)).as("payload"))
   }
 
+  /** Deterministic 9×8 24-bit BMP fixtures for the image near-dup
+    * gate: docs 2k and 2k+1 render the SAME pseudo-random image except
+    * the odd twin's blue channel is +1 everywhere — a sub-luma-unit
+    * perturbation, so the pair's dHashes differ only where adjacent
+    * lumas tie within rounding (hamming small), while unrelated pairs
+    * sit ~32 bits apart. 9×8 makes the dHash grid the identity
+    * downsample, so the DuckDB oracle can regenerate every grid cell
+    * arithmetically. BMP rows are written bottom-up (positive height)
+    * with the 1-byte row pad — a REAL file layout the decoder must
+    * invert. */
+  def syntheticBmpImages(docs: DataFrame): DataFrame = {
+    // pixel channels in IMAGE coords (x, y): k = pair id, p = twin bit
+    // r = (k*7 + x*13 + y*29) % 200 + 20, g = (k*11 + x*3 + y*17) % 200 + 20
+    // b = (k*5 + x*19 + y*7) % 200 + 20 + p
+    val rows = expr(
+      """concat_ws('', transform(sequence(7, 0, -1), y ->
+        |  concat(
+        |    concat_ws('', transform(sequence(0, 8), x -> concat(
+        |      lpad(hex(((doc_id div 2)*5 + x*19 + y*7) % 200 + 20 + doc_id % 2), 2, '0'),
+        |      lpad(hex(((doc_id div 2)*11 + x*3 + y*17) % 200 + 20), 2, '0'),
+        |      lpad(hex(((doc_id div 2)*7 + x*13 + y*29) % 200 + 20), 2, '0')))),
+        |    '00')))""".stripMargin) // 27 data bytes + 1 pad per row
+    docs.select(col("doc_id"),
+      unhex(concat(
+        // BITMAPFILEHEADER: "BM", size 54 + 28*8 = 278, offset 54
+        lit("424D"), lit("16010000"), lit("00000000"), lit("36000000"),
+        // BITMAPINFOHEADER: 40, w=9, h=8 (bottom-up), planes 1, 24bpp
+        lit("28000000"), lit("09000000"), lit("08000000"),
+        lit("0100"), lit("1800"), lit("00000000"), lit("E0000000"),
+        lit("00000000"), lit("00000000"), lit("00000000"), lit("00000000"),
+        rows)).as("payload"))
+  }
+
   /** Batched per-partition feature extraction over the binary column —
     * the mapInPandas analog: no per-row task overhead, payload bytes stay
     * partition-local. */

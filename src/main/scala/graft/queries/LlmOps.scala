@@ -1326,6 +1326,21 @@ object LlmOps {
       "doc_id")
   }
 
+  /** IMAGE near-dup via perceptual dHash: 9×8 BMP fixtures where docs
+    * 2k/2k+1 are sub-luma-perturbed twins (`Multimodal.
+    * syntheticBmpImages`), paired by `Dedup.imageNearDupPairs` — the
+    * codegen'd decode+dhash scan and the 4×16-bit banded equi-join
+    * with exact-hamming verification. The oracle regenerates every
+    * dHash grid cell arithmetically and pairs by a direct quadratic
+    * hamming join (the exactness reference the banded path must
+    * reproduce, the x_dedup_minhash gate shape for images). */
+  def xImageNearDup(s: SparkSession, d: String): DataFrame =
+    ordered(
+      Dedup.imageNearDupPairs(
+        Multimodal.syntheticBmpImages(documents(s, d)), "doc_id", "payload",
+        maxDist = 3),
+      "d1", "d2")
+
   /** Frame sampling at 1 fps over the chars-as-milliseconds payload —
     * timestamps by metadata arithmetic, each frame row carrying only
     * its own 32-char slice (the video half of the multimodal
@@ -1525,6 +1540,7 @@ object LlmOps {
     "x_png_pixels"        -> (xPngPixels _),
     "x_jpeg_pixels"       -> (xJpegPixels _),
     "x_wav_g711"          -> (xWavG711 _),
+    "x_image_neardup"     -> (xImageNearDup _),
     "x_frame_sample"      -> (xFrameSample _),
     "x_chunk_cdc"         -> (xChunkCdc _),
     "x_coreset_kcenter"   -> (xCoresetKcenter _),
@@ -3056,6 +3072,29 @@ object LlmOps {
         |  CAST(SUM((px * 5 + 1) % 256) AS BIGINT) AS sum_g,
         |  CAST(SUM((px * 7 + 2) % 256) AS BIGINT) AS sum_b
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_image_neardup" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, x.x, y.y,
+        |    ((d.doc_id // 2)*7 + x.x*13 + y.y*29) % 200 + 20 AS r,
+        |    ((d.doc_id // 2)*11 + x.x*3 + y.y*17) % 200 + 20 AS g,
+        |    ((d.doc_id // 2)*5 + x.x*19 + y.y*7) % 200 + 20 + d.doc_id % 2 AS b
+        |  FROM documents d,
+        |    LATERAL (SELECT unnest(generate_series(0, 8)) AS x) x,
+        |    LATERAL (SELECT unnest(generate_series(0, 7)) AS y) y),
+        |lum AS (SELECT doc_id, x, y,
+        |    (299*r + 587*g + 114*b) // 1000 AS l FROM px),
+        |bits AS (
+        |  SELECT a.doc_id, a.x AS i, a.y AS j,
+        |    CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bv
+        |  FROM lum a JOIN lum b
+        |    ON a.doc_id = b.doc_id AND b.y = a.y AND b.x = a.x + 1
+        |  WHERE a.x < 8)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(SUM(CASE WHEN a.bv <> b.bv THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS hamming
+        |FROM bits a JOIN bits b
+        |  ON a.i = b.i AND a.j = b.j AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING hamming <= 3 ORDER BY 1, 2""".stripMargin,
     "x_wav_g711" ->
       """WITH raw AS (SELECT d.doc_id,
         |    (d.doc_id * 13 + i.i * 29) % 256 AS u

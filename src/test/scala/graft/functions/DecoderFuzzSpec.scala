@@ -25,7 +25,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "bmp24Stats" -> (BinaryMeta.bmp24Stats(_)),
     "gifPixelStats" -> (BinaryMeta.gifPixelStats(_)),
     "pngPixelStats" -> (BinaryMeta.pngPixelStats(_)),
-    "jpegPixelStats" -> (JpegBaseline.jpegPixelStats(_)))
+    "jpegPixelStats" -> (JpegBaseline.jpegPixelStats(_)),
+    "dhash64" -> (BinaryMeta.dhash64(_)))
 
   private def assertTotal(name: String, fn: Array[Byte] => Any,
                           input: Array[Byte], what: String): Unit =
