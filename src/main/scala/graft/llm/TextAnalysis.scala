@@ -31,6 +31,34 @@ object TextAnalysis {
   /** Token counting: regex word tokens, whitespace tokens, and a BPE-ish
     * piece count (letter runs, single digits, single punctuation marks —
     * an upper-bound proxy for subword vocab pieces). */
+  /** HTML → text extraction — the first step of every web-corpus
+    * pipeline: drop script/style element CONTENT (their text is code,
+    * not prose), drop comments, replace every remaining tag with a
+    * space (so adjacent words don't fuse), decode the six core named
+    * entities, collapse whitespace runs and trim. Deliberately
+    * expressed as a chain of codegen'd `regexp_replace`/`replace`
+    * calls over patterns BOTH Java regex and RE2 accept ((?is) flags,
+    * non-greedy, no backreferences) — the exact same chain runs as the
+    * DuckDB oracle, so the semantics are pinned cross-engine rather
+    * than borrowed from any parser library. Contract bounds: numeric
+    * character references (&#65;) pass through unchanged (decoding
+    * them needs computation inside a replacement, which neither
+    * engine's regexp_replace can express — a real deployment adds a
+    * custom Expression for it), and the tag stripper is the standard
+    * non-parsing approximation: a literal '<' in prose text would need
+    * entity-escaping upstream, as real HTML requires anyway. */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<(script|style)\\b[^>]*>.*?</(script|style)\\s*>", " ")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&" // amp LAST: no double-decode
+    ).foldLeft(noTags) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   def withTokenCounts(df: DataFrame, text: Column = col("text")): DataFrame =
     df.withColumn("n_tokens", size(tokens(text)).cast("long"))
       .withColumn("n_ws_tokens",

@@ -1341,6 +1341,30 @@ object LlmOps {
         maxDist = 3),
       "d1", "d2")
 
+  /** HTML → text extraction gate: every document wraps into a
+    * deterministic HTML page (title/style/script head, h1, entity-
+    * escaped body text, literal entities and a comment planted) and
+    * `TextAnalysis.htmlToText` must recover the prose — script/style
+    * CONTENT dropped, tags stripped, entities decoded, whitespace
+    * collapsed. The oracle runs the IDENTICAL regex/replace chain in
+    * DuckDB (patterns chosen to mean the same thing in Java regex and
+    * RE2), so the extraction semantics are pinned cross-engine. */
+  def xHtmlText(s: SparkSession, d: String): DataFrame = {
+    val esc = replace(replace(replace(col("text"),
+      lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+    val html = concat(
+      lit("<html><head><title>t</title><style>p { color: #111; }</style>" +
+        "<script type=\"text/javascript\">var x = 1 < 2 && v > 0;</script>" +
+        "</head><body><h1 class=\"hd\">"),
+      col("source"),
+      lit("</h1><!-- nav --><p>"), esc,
+      lit(" &amp; &lt;tag&gt; &quot;q&quot;&nbsp;end</p></body></html>"))
+    ordered(
+      documents(s, d).select(col("doc_id"),
+        TextAnalysis.htmlToText(html).as("txt")),
+      "doc_id")
+  }
+
   /** Frame sampling at 1 fps over the chars-as-milliseconds payload —
     * timestamps by metadata arithmetic, each frame row carrying only
     * its own 32-char slice (the video half of the multimodal
@@ -1541,6 +1565,7 @@ object LlmOps {
     "x_jpeg_pixels"       -> (xJpegPixels _),
     "x_wav_g711"          -> (xWavG711 _),
     "x_image_neardup"     -> (xImageNearDup _),
+    "x_html_text"         -> (xHtmlText _),
     "x_frame_sample"      -> (xFrameSample _),
     "x_chunk_cdc"         -> (xChunkCdc _),
     "x_coreset_kcenter"   -> (xCoresetKcenter _),
@@ -3072,6 +3097,28 @@ object LlmOps {
         |  CAST(SUM((px * 5 + 1) % 256) AS BIGINT) AS sum_g,
         |  CAST(SUM((px * 7 + 2) % 256) AS BIGINT) AS sum_b
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_html_text" ->
+      ("""WITH h AS (SELECT doc_id,
+        |  '<html><head><title>t</title><style>p { color: #111; }</style>' ||
+        |  '<script type="text/javascript">var x = 1 < 2 && v > 0;</script>' ||
+        |  '</head><body><h1 class="hd">' || source ||
+        |  '</h1><!-- nav --><p>' ||
+        |  replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+        |  ' &amp; &lt;tag&gt; &quot;q&quot;&nbsp;end</p></body></html>' AS html
+        |  FROM documents)
+        |SELECT doc_id, trim(regexp_replace(
+        |  replace(replace(replace(replace(replace(replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(html,
+        |          '(?is)<(script|style)\b[^>]*>.*?</(script|style)\s*>', ' ', 'g'),
+        |        '(?s)<!--.*?-->', ' ', 'g'),
+        |      '(?s)<[^>]*>', ' ', 'g'),
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&apos;', $Q), '&nbsp;', ' '), '&amp;', '&'),
+        |  '\s+', ' ', 'g')) AS txt
+        |FROM h ORDER BY doc_id""").stripMargin
+        .replace("$Q", "''''"),
     "x_image_neardup" ->
       """WITH px AS (
         |  SELECT d.doc_id, x.x, y.y,

@@ -154,4 +154,27 @@ class CorpusOpsSpec extends SparkSpec {
         s"cluster $cid kept ${kept.head} over the longest $winner")
     }
   }
+
+  test("htmlToText: script/style content dropped, tags stripped, core " +
+       "entities decoded once (no double-decode), whitespace collapsed") {
+    import spark.implicits._
+    val cases = Seq(
+      ("<p>hello <b>world</b></p>", "hello world"),
+      ("<script>var a = 1 < 2;</script>after", "after"),
+      ("<STYLE type=x>p{}</style>ok", "ok"),
+      ("a<!-- hidden -->b", "a b"),
+      ("x &amp; y &lt;z&gt;", "x & y <z>"),
+      // &amp;lt; is the LITERAL string "&lt;" -- amp decodes LAST
+      ("&amp;lt;", "&lt;"),
+      ("&quot;q&quot;&nbsp;end", "\"q\" end"),
+      // numeric references pass through by contract
+      ("&#65;&#x42;", "&#65;&#x42;"),
+      ("  spaced\t\tout\n\n<br/>fine  ", "spaced out fine"))
+    val got = cases.map(_._1).toDF("h")
+      .select(TextAnalysis.htmlToText(org.apache.spark.sql.functions.col("h")))
+      .collect().map(_.getString(0))
+    cases.zip(got).foreach { case ((in, want), g) =>
+      assert(g == want, s"'$in' -> '$g' (want '$want')")
+    }
+  }
 }
