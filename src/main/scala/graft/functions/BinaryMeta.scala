@@ -299,6 +299,21 @@ object BinaryMeta {
     * [[pngPixelStats]] — together they leave only DCT/lossy codecs).
     */
   def gifPixelStats(b: Array[Byte]): Array[Long] = {
+    val r = gifCore(b, wantPos = false)
+    if (r == null) null else r._4
+  }
+
+  /** GIF -> positioned integer luma plane, or null — the dHash face
+    * of the LZW decoder. Interlaced streams DE-INTERLACE (the GIF
+    * 4-pass row permutation, spec appendix E — unlike PNG's Adam7 it
+    * is a pure row remap, so placement costs nothing). */
+  private[graft] def gifGray(b: Array[Byte]): (Int, Int, Array[Int]) = {
+    val r = gifCore(b, wantPos = true)
+    if (r == null) null else (r._1, r._2, r._3)
+  }
+
+  private def gifCore(b: Array[Byte], wantPos: Boolean)
+      : (Int, Int, Array[Int], Array[Long]) = {
     if (!isGif(b) || b.length < 14) return null
     val packed = b(10) & 0xff
     var i = 13
@@ -371,10 +386,27 @@ object BinaryMeta {
       bitCnt -= width
       c
     }
+    val g: Array[Int] = if (wantPos) new Array[Int](nPx.toInt) else null
+    // GIF interlace (spec appendix E) is a fixed 4-pass ROW permutation
+    // — positioned decode just maps stream row -> image row
+    val rowMap: Array[Int] =
+      if (g != null && (ipacked & 0x40) != 0) {
+        val m = new Array[Int](h)
+        var r = 0
+        for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
+             y <- start until h by step) { m(r) = y; r += 1 }
+        m
+      } else null
     def addPixel(v: Int): Unit = {
       if (v >= ctSize) { bad = true; return }
-      n += 1
       val o = ctOff + 3 * v
+      if (g != null && n < nPx) {
+        val pos = if (rowMap == null) n.toInt
+          else rowMap((n / w).toInt) * w + (n % w).toInt
+        g(pos) = (299 * (b(o) & 0xff) + 587 * (b(o + 1) & 0xff) +
+          114 * (b(o + 2) & 0xff)) / 1000
+      }
+      n += 1
       sr += b(o) & 0xff; sg += b(o + 1) & 0xff; sb += b(o + 2) & 0xff
     }
     /** Emit string(code) (walk prefix chain, reversed via the stack);
@@ -425,7 +457,7 @@ object BinaryMeta {
       if (n > nPx) return null // more pixels than the descriptor declares
     }
     if (n != nPx) return null
-    Array(nPx, sr, sg, sb)
+    (w, h, g, Array(nPx, sr, sg, sb))
   }
 
   /** REAL PNG pixel decode — DEFLATE is in the JDK (`java.util.zip.
@@ -722,13 +754,15 @@ object BinaryMeta {
   }
 
   /** Container-dispatched positioned grayscale decode: 24-bit BMP,
-    * non-interlaced PNG (8-bit gray/RGB/palette/gray-alpha/RGBA), and
-    * baseline grayscale JPEG. Interlaced PNG and GIF decline (pixel
-    * PLACEMENT needs de-interlacing, unlike the order-free sums). */
+    * non-interlaced PNG (8-bit gray/RGB/palette/gray-alpha/RGBA),
+    * baseline grayscale JPEG, and GIF (interlaced GIFs de-interlace —
+    * a pure row remap). Interlaced PNG declines (Adam7 placement is a
+    * full re-render, unlike the order-free sums). */
   private[graft] def grayPixels(b: Array[Byte]): (Int, Int, Array[Int]) =
     if (isBmp(b)) bmp24Gray(b)
     else if (isPng(b)) pngGray(b)
     else if (isJpeg(b)) JpegBaseline.decodeGray(b)
+    else if (isGif(b)) gifGray(b)
     else null
 
   /** PERCEPTUAL difference-hash (dHash) over a binary image payload —

@@ -172,6 +172,9 @@ object ScaleProbe {
       // (fixture build + decode per row, no shuffle) — probed to pin
       // that they stay so
       "x_gif_pixels", "x_png_pixels", "x_jpeg_pixels", "x_wav_g711",
+      // image near-dup: decode scan + banded 16-bit-key shuffle (the
+      // LSH recall/precision shape); html extraction: pure regex scan
+      "x_image_neardup", "x_html_text",
       // MMR: k bounded scans like k-center; RBO: bounded ≤25-row algebra
       // after the two already-probed top-k retrievers.
       "x_coreset_mmr", "x_rank_rbo",

@@ -37,6 +37,12 @@ class ImageDedupSpec extends SparkSpec {
     val hBmp = hash(encode(base, "bmp"))
     assert(hPng == hBmp,
       f"lossless re-encode must be hash-invariant: $hPng%016x vs $hBmp%016x")
+    // GIF re-encode: the writer palettizes (<= 256 colors), so allow a
+    // few gradient-sign flips; a gray-ramp image (palette-exact) must
+    // hash close to its PNG twin
+    val gifH = hash(encode(base, "gif"))
+    assert(hamming(hPng, gifH) <= 8,
+      s"GIF palettization moved ${hamming(hPng, gifH)} bits (> 8)")
     // JPEG at high quality: small hamming, not zero-cost identical
     val jb = {
       val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
