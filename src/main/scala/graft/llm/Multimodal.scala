@@ -10,12 +10,17 @@ import org.apache.spark.sql.functions._
   * arithmetic): container-format detection, image dimensions and audio
   * parameters (`describeMedia` over `functions/BinaryMeta`), PCM-16
   * WAV sample decode, 24-bit BMP pixel decode, GIF first-frame
-  * LZW pixel decode, and PNG pixel decode (`BinaryMeta.wavPcmStats` /
-  * `bmp24Stats` / `gifPixelStats` / `pngPixelStats` — full
-  * variable-width LZW, and zlib inflate through the JDK's public
-  * `java.util.zip.Inflater` plus pure-code unfiltering). The
-  * remaining stub boundary is DCT/LOSSY codecs
-  * (JPEG pixel data, MP3/AAC audio): that decode step is a
+  * LZW pixel decode (incl. de-interlaced placement), PNG pixel decode
+  * (both interlace modes), baseline grayscale JPEG decode, G.711
+  * µ-law/A-law audio expansion, and the perceptual dHash + banded
+  * near-dup pairing built on top (`BinaryMeta.wavPcmStats` /
+  * `bmp24Stats` / `gifPixelStats` / `pngPixelStats` /
+  * `JpegBaseline` / `wavG711Stats` / `dhash64`). The remaining stub
+  * boundary after round 10 is narrow and precisely drawn: COLOR JPEG
+  * reconstruction (chroma upsampling and YCbCr conversion are
+  * implementation-defined — every decoder legally differs, so no
+  * deterministic cross-engine contract exists) and psychoacoustic
+  * transform audio codecs (MP3/AAC). That decode step is a
   * clearly-marked deterministic fake (`fakeDecode`), while everything
   * around it — the binary column, the metadata struct, the
   * mapPartitions batch shape, the partitioning — is real and is what
