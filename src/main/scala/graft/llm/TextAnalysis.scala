@@ -59,6 +59,53 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** URL canonicalization — the web-corpus dedup key: lower-cased
+    * host, `www.` and default ports stripped (`:80` for http, `:443`
+    * for https), trailing path slashes removed, query parameters
+    * FILTERED (empty and `utm_*` tracking params dropped) then SORTED
+    * and rejoined, fragment dropped. Non-URLs (no `scheme://host`)
+    * canonicalize to null. Like [[htmlToText]], every step is a
+    * regexp/array-function chain with identical semantics in Java
+    * regex and RE2 + DuckDB list functions, so the oracle runs the
+    * SAME chain — the key's equality semantics are engine-pinned.
+    * Bounds: percent-encoding is NOT normalized (%2F vs / stay
+    * distinct — decoding is content-dependent) and IDN hosts pass
+    * through un-punycoded; both documented, both deterministic. */
+  def urlCanonical(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val rawHost = lower(regexp_extract(url,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    val noWww = regexp_replace(rawHost, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(noWww, ":80$", ""))
+      .when(scheme === "https", regexp_replace(noWww, ":443$", ""))
+      .otherwise(noWww)
+    val path = regexp_replace(
+      regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+      "/+$", "")
+    val query = array_join(array_sort(filter(
+      split(regexp_extract(url, "\\?([^#]*)", 1), "&"),
+      p => p =!= "" && !p.startsWith("utm_"))), "&")
+    when(host =!= "",
+      concat(host, path, when(query =!= "", concat(lit("?"), query))
+        .otherwise(lit(""))))
+  }
+
+  /** Registrable-domain HEURISTIC from a canonical host: the last two
+    * labels, or the last three when the second-to-last is a common
+    * second-level label (co/com/net/org/gov/ac/edu — e.g.
+    * `bbc.co.uk`). A deliberate, documented approximation of the
+    * Mozilla Public Suffix List (shipping the full PSL is a data
+    * dependency, not an algorithm — a real deployment swaps the label
+    * set; the grouping semantics stay). Ports are stripped first. */
+  def registrableDomain(host: Column): Column = {
+    val labels = split(regexp_replace(host, ":[0-9]+$", ""), "\\.")
+    val n = size(labels)
+    val sld = element_at(labels, -2)
+    when(n >= 3 && sld.isin("co", "com", "net", "org", "gov", "ac", "edu"),
+      concat_ws(".", element_at(labels, -3), sld, element_at(labels, -1)))
+      .when(n >= 2, concat_ws(".", sld, element_at(labels, -1)))
+  }
+
   def withTokenCounts(df: DataFrame, text: Column = col("text")): DataFrame =
     df.withColumn("n_tokens", size(tokens(text)).cast("long"))
       .withColumn("n_ws_tokens",

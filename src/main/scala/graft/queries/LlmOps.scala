@@ -1365,6 +1365,36 @@ object LlmOps {
       "doc_id")
   }
 
+  /** URL canonicalization gate: deterministic messy URLs (mixed-case
+    * scheme/host, www., default ports, trailing slashes, scrambled
+    * query with a utm_ tracking param, fragment) built from doc_id
+    * arithmetic; `TextAnalysis.urlCanonical` + `registrableDomain`
+    * must produce the dedup key and domain grouping the oracle's
+    * IDENTICAL regex/list chain produces in DuckDB. */
+  def xUrlCanonical(s: SparkSession, d: String): DataFrame = {
+    val u = concat(
+      when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTPS")).otherwise(lit("http")),
+      lit("://"),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit("WWW.")).otherwise(lit("")),
+      lit("Site"), pmod(col("doc_id"), lit(50)),
+      element_at(array(lit(".com"), lit(".co.uk"), lit(".org"),
+        lit(".example.net")), (pmod(col("doc_id"), lit(4)) + 1).cast("int")),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        when(pmod(col("doc_id"), lit(2)) === 0, lit(":443")).otherwise(lit(":80")))
+        .otherwise(lit("")),
+      lit("/a"), pmod(col("doc_id"), lit(7)),
+      when(pmod(col("doc_id"), lit(2)) === 0, lit("/")).otherwise(lit("")),
+      lit("?utm_source=x&b="), pmod(col("doc_id"), lit(9)),
+      lit("&a="), pmod(col("doc_id"), lit(3)),
+      lit("#sec"), pmod(col("doc_id"), lit(3)))
+    val canon = TextAnalysis.urlCanonical(u)
+    ordered(
+      documents(s, d).select(col("doc_id"), canon.as("canon"),
+        TextAnalysis.registrableDomain(
+          regexp_extract(canon, "^([^/?]*)", 1)).as("domain")),
+      "doc_id")
+  }
+
   /** Frame sampling at 1 fps over the chars-as-milliseconds payload —
     * timestamps by metadata arithmetic, each frame row carrying only
     * its own 32-char slice (the video half of the multimodal
@@ -1566,6 +1596,7 @@ object LlmOps {
     "x_wav_g711"          -> (xWavG711 _),
     "x_image_neardup"     -> (xImageNearDup _),
     "x_html_text"         -> (xHtmlText _),
+    "x_url_canonical"     -> (xUrlCanonical _),
     "x_frame_sample"      -> (xFrameSample _),
     "x_chunk_cdc"         -> (xChunkCdc _),
     "x_coreset_kcenter"   -> (xCoresetKcenter _),
@@ -3097,6 +3128,47 @@ object LlmOps {
         |  CAST(SUM((px * 5 + 1) % 256) AS BIGINT) AS sum_g,
         |  CAST(SUM((px * 7 + 2) % 256) AS BIGINT) AS sum_b
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_url_canonical" ->
+      """WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+        |  'Site' || (doc_id % 50) ||
+        |  (CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
+        |        WHEN 2 THEN '.org' ELSE '.example.net' END) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN
+        |     CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END
+        |   ELSE '' END) ||
+        |  '/a' || (doc_id % 7) ||
+        |  (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+        |  '?utm_source=x&b=' || (doc_id % 9) || '&a=' || (doc_id % 3) ||
+        |  '#sec' || (doc_id % 3) AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        |  regexp_replace(lower(regexp_extract(url,
+        |    '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)), '^www\.', '') AS nowww,
+        |  regexp_replace(regexp_extract(url,
+        |    '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
+        |  array_to_string(list_sort(list_filter(
+        |    string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |    p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&') AS q
+        |  FROM u),
+        |h AS (SELECT doc_id,
+        |  CASE WHEN scheme = 'http' THEN regexp_replace(nowww, ':80$', '')
+        |       WHEN scheme = 'https' THEN regexp_replace(nowww, ':443$', '')
+        |       ELSE nowww END AS host, path, q FROM c),
+        |canon AS (SELECT doc_id, host,
+        |  CASE WHEN host <> '' THEN host || path ||
+        |    CASE WHEN q <> '' THEN '?' || q ELSE '' END END AS canon FROM h),
+        |dom AS (SELECT doc_id, canon,
+        |  string_split(regexp_replace(host, ':[0-9]+$', ''), '.') AS ls
+        |  FROM canon)
+        |SELECT doc_id, canon,
+        |  CASE WHEN len(ls) >= 3 AND
+        |         ls[-2] IN ('co','com','net','org','gov','ac','edu')
+        |       THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+        |       WHEN len(ls) >= 2 THEN ls[-2] || '.' || ls[-1] END AS domain
+        |FROM dom ORDER BY doc_id""".stripMargin,
     "x_html_text" ->
       ("""WITH h AS (SELECT doc_id,
         |  '<html><head><title>t</title><style>p { color: #111; }</style>' ||

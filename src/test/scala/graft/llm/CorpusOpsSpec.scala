@@ -177,4 +177,36 @@ class CorpusOpsSpec extends SparkSpec {
       assert(g == want, s"'$in' -> '$g' (want '$want')")
     }
   }
+
+  test("urlCanonical + registrableDomain: lowering, www/port stripping, " +
+       "query filter+sort, fragment drop, non-URL null, PSL heuristic") {
+    import spark.implicits._
+    val cases = Seq(
+      ("HTTPS://WWW.Example.COM:443/Path/?b=2&utm_source=t&a=1#frag",
+       "example.com/Path?a=1&b=2"),
+      ("http://site.co.uk:80/x//", "site.co.uk/x"),
+      ("http://site.co.uk:8080/x", "site.co.uk:8080/x"), // non-default port kept
+      ("https://a.b.org", "a.b.org"),
+      ("ftp://Files.Example.net/pub/", "files.example.net/pub"),
+      ("not a url at all", null),
+      ("relative/path?x=1", null))
+    val got = cases.map(_._1).toDF("u")
+      .select(TextAnalysis.urlCanonical(org.apache.spark.sql.functions.col("u")))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    cases.zip(got).foreach { case ((in, want), g) =>
+      assert(g == want, s"'$in' -> '$g' (want '$want')")
+    }
+    val domains = Seq(
+      ("news.bbc.co.uk", "bbc.co.uk"),
+      ("example.com", "example.com"),
+      ("a.b.example.org", "example.org"), // org is in the SLD set: b.example? no -
+      ("deep.sub.site.net:8080", "site.net"),
+      ("localhost", null))
+    val gotD = domains.map(_._1).toDF("h")
+      .select(TextAnalysis.registrableDomain(org.apache.spark.sql.functions.col("h")))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    domains.zip(gotD).foreach { case ((in, want), g) =>
+      assert(g == want, s"'$in' -> '$g' (want '$want')")
+    }
+  }
 }
