@@ -199,8 +199,16 @@ object Bench {
         val flags = regressions(parseQueryMap(prior, "queries"),
           parseQueryMap(prior, "queries_warm"), results,
           confirm = Some { n =>
-            val t = time(try SparkEntry.queries(n)(spark, sfDir).count()
-              catch { case _: Throwable => () })
+            // a failing re-run CONFIRMS the flag (Double.MaxValue beats
+            // any threshold): a regression that manifests as a crash, or
+            // a box so pressured the query dies, must never be reported
+            // as confirmed-clean
+            val t = try time(SparkEntry.queries(n)(spark, sfDir).count())
+              catch { case e: Throwable =>
+                System.err.println(s"[bench] confirm re-run of $n FAILED: " +
+                  s"${e.getMessage} — keeping the flag")
+                Double.MaxValue
+              }
             System.err.println(f"[bench] confirming $n: re-run $t%.2f s")
             t
           })

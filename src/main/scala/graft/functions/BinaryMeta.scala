@@ -479,6 +479,22 @@ object BinaryMeta {
     * the multimodal stub boundary is DCT/lossy codecs only
     * (JPEG, MP3/AAC). */
   def pngPixelStats(b: Array[Byte]): Array[Long] = {
+    val r = pngCore(b, wantPos = false)
+    if (r == null) null else r._4
+  }
+
+  /** Non-interlaced PNG → positioned integer luma plane, or null — the
+    * dHash face of the PNG decoder, SHARING the chunk walk, inflate
+    * loop and five-filter reconstruction with [[pngPixelStats]] (one
+    * core, two faces — the gifCore shape). Adam7 declines here: its
+    * placement is a full re-render, unlike the order-free sums. */
+  private[graft] def pngGray(b: Array[Byte]): (Int, Int, Array[Int]) = {
+    val r = pngCore(b, wantPos = true)
+    if (r == null) null else (r._1, r._2, r._3)
+  }
+
+  private def pngCore(b: Array[Byte], wantPos: Boolean)
+      : (Int, Int, Array[Int], Array[Long]) = {
     if (!isPng(b) || b.length < 33) return null
     val w = u32be(b, 16)
     val h = u32be(b, 20)
@@ -488,6 +504,7 @@ object BinaryMeta {
     if ((b(26) & 0xff) != 0 || (b(27) & 0xff) != 0) return null
     val interlace = b(28) & 0xff
     if (interlace > 1) return null
+    if (wantPos && interlace != 0) return null // placement needs de-interlacing
     if (bitDepth != 8) return null
     val channels = colorType match {
       case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
@@ -542,6 +559,10 @@ object BinaryMeta {
       if (off != raw.length) return null
     } catch { case _: java.util.zip.DataFormatException => return null }
     // per pass: unfilter in place (PNG spec 9.2), then channel sums
+    // (and, for the positioned face, the luma plane — single pass only,
+    // so the scan order IS raster order)
+    val gOut: Array[Int] =
+      if (wantPos) new Array[Int](w.toInt * h.toInt) else null
     var sr = 0L; var sg = 0L; var sb = 0L
     val maxIdx = if (colorType == 3) plte.length / 3 else 0
     var base = 0
@@ -580,25 +601,27 @@ object BinaryMeta {
         var px = 0
         while (px < pw) {
           val o = d0 + px * bpp
-          colorType match {
+          val (pr, pg, pb) = colorType match {
             case 0 | 4 =>
-              val v = raw(o) & 0xff; sr += v; sg += v; sb += v
+              val v = raw(o) & 0xff; (v, v, v)
             case 2 | 6 =>
-              sr += raw(o) & 0xff; sg += raw(o + 1) & 0xff; sb += raw(o + 2) & 0xff
+              (raw(o) & 0xff, raw(o + 1) & 0xff, raw(o + 2) & 0xff)
             case 3 =>
               val idx = raw(o) & 0xff
               if (idx >= maxIdx) return null
-              sr += plte(3 * idx) & 0xff
-              sg += plte(3 * idx + 1) & 0xff
-              sb += plte(3 * idx + 2) & 0xff
+              (plte(3 * idx) & 0xff, plte(3 * idx + 1) & 0xff,
+                plte(3 * idx + 2) & 0xff)
           }
+          sr += pr; sg += pg; sb += pb
+          if (gOut != null)
+            gOut(y * pw + px) = (299 * pr + 587 * pg + 114 * pb) / 1000
           px += 1
         }
         y += 1
       }
       base += (stride + 1) * ph
     }
-    Array(nPx, sr, sg, sb)
+    (w.toInt, h.toInt, gOut, Array(nPx, sr, sg, sb))
   }
 
   /** Baseline grayscale JPEG decode stats — see [[JpegBaseline]] (the
@@ -641,116 +664,6 @@ object BinaryMeta {
       row += 1
     }
     (w, h, g)
-  }
-
-  /** Non-interlaced PNG → positioned integer luma plane, or null.
-    * Same chunk walk / inflate / unfilter machinery as
-    * [[pngPixelStats]] (a spec pins the two agree on channel sums);
-    * interlaced streams decline here — dHash needs pixel PLACEMENT
-    * and Adam7 would require full de-interlacing. */
-  private[graft] def pngGray(b: Array[Byte]): (Int, Int, Array[Int]) = {
-    if (!isPng(b) || b.length < 33) return null
-    val w = u32be(b, 16)
-    val h = u32be(b, 20)
-    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) return null
-    val bitDepth = b(24) & 0xff
-    val colorType = b(25) & 0xff
-    if ((b(26) & 0xff) != 0 || (b(27) & 0xff) != 0) return null
-    if ((b(28) & 0xff) != 0) return null // positioned decode: no Adam7
-    if (bitDepth != 8) return null
-    val channels = colorType match {
-      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
-      case _ => return null
-    }
-    if (w * h > (1L << 26)) return null
-    var i = 8
-    var plte: Array[Byte] = null
-    val idat = new java.io.ByteArrayOutputStream()
-    var sawEnd = false
-    while (i + 8 <= b.length && !sawEnd) {
-      val len = u32be(b, i)
-      if (len > Int.MaxValue - 12 || i + 12 + len > b.length) return null
-      val n = len.toInt
-      if (b(i + 4) == 'P' && b(i + 5) == 'L' && b(i + 6) == 'T' && b(i + 7) == 'E')
-        plte = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + n)
-      else if (b(i + 4) == 'I' && b(i + 5) == 'D' && b(i + 6) == 'A' && b(i + 7) == 'T')
-        idat.write(b, i + 8, n)
-      else if (b(i + 4) == 'I' && b(i + 5) == 'E' && b(i + 6) == 'N' && b(i + 7) == 'D')
-        sawEnd = true
-      i += 12 + n
-    }
-    if (idat.size() == 0) return null
-    if (colorType == 3 && (plte == null || plte.length % 3 != 0 || plte.length == 0))
-      return null
-    val bpp = channels
-    val stride = w.toInt * bpp
-    val raw = new Array[Byte]((stride + 1) * h.toInt)
-    try {
-      val inf = new java.util.zip.Inflater()
-      inf.setInput(idat.toByteArray)
-      var off = 0
-      while (off < raw.length && !inf.finished()) {
-        val n = inf.inflate(raw, off, raw.length - off)
-        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) {
-          inf.end(); return null
-        }
-        off += n
-      }
-      inf.end()
-      if (off != raw.length) return null
-    } catch { case _: java.util.zip.DataFormatException => return null }
-    var y = 0
-    while (y < h.toInt) {
-      val rowOff = y * (stride + 1)
-      val ft = raw(rowOff) & 0xff
-      if (ft > 4) return null
-      var x = 0
-      while (x < stride) {
-        val cur = raw(rowOff + 1 + x) & 0xff
-        val left = if (x >= bpp) raw(rowOff + 1 + x - bpp) & 0xff else 0
-        val up = if (y > 0) raw(rowOff - stride + x) & 0xff else 0
-        val ul = if (y > 0 && x >= bpp) raw(rowOff - stride + x - bpp) & 0xff else 0
-        val recon = ft match {
-          case 0 => cur
-          case 1 => cur + left
-          case 2 => cur + up
-          case 3 => cur + ((left + up) >> 1)
-          case 4 =>
-            val p = left + up - ul
-            val pa = math.abs(p - left); val pb = math.abs(p - up)
-            val pc = math.abs(p - ul)
-            cur + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
-        }
-        raw(rowOff + 1 + x) = (recon & 0xff).toByte
-        x += 1
-      }
-      y += 1
-    }
-    val g = new Array[Int](w.toInt * h.toInt)
-    val maxIdx = if (colorType == 3) plte.length / 3 else 0
-    y = 0
-    while (y < h.toInt) {
-      val d0 = y * (stride + 1) + 1
-      var px = 0
-      while (px < w.toInt) {
-        val o = d0 + px * bpp
-        val luma = colorType match {
-          case 0 | 4 => raw(o) & 0xff
-          case 2 | 6 =>
-            (299 * (raw(o) & 0xff) + 587 * (raw(o + 1) & 0xff) +
-              114 * (raw(o + 2) & 0xff)) / 1000
-          case 3 =>
-            val idx = raw(o) & 0xff
-            if (idx >= maxIdx) return null
-            (299 * (plte(3 * idx) & 0xff) + 587 * (plte(3 * idx + 1) & 0xff) +
-              114 * (plte(3 * idx + 2) & 0xff)) / 1000
-        }
-        g(y * w.toInt + px) = luma
-        px += 1
-      }
-      y += 1
-    }
-    (w.toInt, h.toInt, g)
   }
 
   /** Container-dispatched positioned grayscale decode: 24-bit BMP,

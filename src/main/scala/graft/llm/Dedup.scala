@@ -1070,7 +1070,11 @@ object Dedup {
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"),
         bit_count(col("__h1").bitwiseXOR(col("__h2"))).cast("long").as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: hamming is a function of (d1, d2), so
+      // the result is identical, but the dedup shuffle then carries
+      // only near-dup pairs instead of every band-collision candidate
+      // (the hot-band regime's dominant cost)
       .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 }

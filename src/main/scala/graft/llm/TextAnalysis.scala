@@ -82,8 +82,12 @@ object TextAnalysis {
     val path = regexp_replace(
       regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1),
       "/+$", "")
+    // query = after the FIRST '?' that precedes any '#': [^#?]* walks
+    // to that '?' without crossing a fragment, so a '?' INSIDE the
+    // fragment (SPA routes like /app#/search?q=1) is never parsed as a
+    // query — the documented fragment-dropped contract
     val query = array_join(array_sort(filter(
-      split(regexp_extract(url, "\\?([^#]*)", 1), "&"),
+      split(regexp_extract(url, "^[^#?]*\\?([^#]*)", 1), "&"),
       p => p =!= "" && !p.startsWith("utm_"))), "&")
     when(host =!= "",
       concat(host, path, when(query =!= "", concat(lit("?"), query))

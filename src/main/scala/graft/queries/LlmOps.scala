@@ -3150,7 +3150,7 @@ object LlmOps {
         |  regexp_replace(regexp_extract(url,
         |    '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
         |  array_to_string(list_sort(list_filter(
-        |    string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |    string_split(regexp_extract(url, '^[^#?]*\?([^#]*)', 1), '&'),
         |    p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&') AS q
         |  FROM u),
         |h AS (SELECT doc_id,

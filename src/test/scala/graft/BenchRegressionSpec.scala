@@ -93,5 +93,9 @@ class BenchRegressionSpec extends AnyFunSuite {
     // with no warm baseline at all the confirm hook is not consulted
     assert(Bench.regressions(bc, Map.empty, r,
       confirm = Some((_: String) => 0.0)) == Seq("q1", "q2"))
+    // a confirm re-run that FAILS reports Double.MaxValue (Bench.main's
+    // contract) and must KEEP the flag, never clear it
+    assert(Bench.regressions(bc, bw, r,
+      confirm = Some((_: String) => Double.MaxValue)) == Seq("q1", "q2"))
   }
 }

@@ -189,7 +189,10 @@ class CorpusOpsSpec extends SparkSpec {
       ("https://a.b.org", "a.b.org"),
       ("ftp://Files.Example.net/pub/", "files.example.net/pub"),
       ("not a url at all", null),
-      ("relative/path?x=1", null))
+      ("relative/path?x=1", null),
+      // a '?' INSIDE the fragment is NOT a query (SPA routes)
+      ("http://example.com/app#/search?q=1", "example.com/app"),
+      ("http://example.com/app?real=1#/x?fake=2", "example.com/app?real=1"))
     val got = cases.map(_._1).toDF("u")
       .select(TextAnalysis.urlCanonical(org.apache.spark.sql.functions.col("u")))
       .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
