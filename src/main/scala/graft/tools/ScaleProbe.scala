@@ -174,7 +174,7 @@ object ScaleProbe {
       "x_gif_pixels", "x_png_pixels", "x_jpeg_pixels", "x_wav_g711",
       // image near-dup: decode scan + banded 16-bit-key shuffle (the
       // LSH recall/precision shape); html extraction: pure regex scan
-      "x_image_neardup", "x_html_text",
+      "x_image_neardup", "x_html_text", "x_url_canonical",
       // MMR: k bounded scans like k-center; RBO: bounded ≤25-row algebra
       // after the two already-probed top-k retrievers.
       "x_coreset_mmr", "x_rank_rbo",
