@@ -17,8 +17,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * library involved — dimension/rate extraction needs only the headers,
   * so a 100 TB media-manifest pass (group by resolution, filter by
   * sample rate, detect mislabeled blobs) runs as a pure codegen'd scan
-  * with the payload bytes never leaving the partition. Pixel/sample
-  * DECODE remains the documented stub boundary in `Multimodal`.
+  * with the payload bytes never leaving the partition. Since round 10
+  * the DECODE tier below is real too — PCM/G.711 samples, BMP/GIF/PNG
+  * pixels, baseline grayscale JPEG, and the perceptual dHash built on
+  * the positioned-luma faces; `Multimodal`'s header states the narrow
+  * remaining stub boundary.
   *
   * All parsers are total: any malformed/truncated/foreign input yields
   * null (sentinel -1 from the static helpers), never an exception —
