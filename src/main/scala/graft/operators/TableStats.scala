@@ -152,6 +152,65 @@ object TableStats {
       .drop("__below")
   }
 
+  /** GLOBAL EXACT NTILE without the global sort — the distributed face
+    * of `ntile(b).over(Window.orderBy(...))`, which otherwise drags the
+    * whole table through one task (the a17_rfm scale seam). Same
+    * two-level prefix-sum shape as [[globalPercentRankUnbounded]], on
+    * ROW positions instead of distinct-value counts (quartile cuts need
+    * the global row_number, and RFM's orderings are made unique by a
+    * key tie-break, so there is no value-grain to collapse to):
+    * range-partition on the order columns, per-partition `row_number`
+    * (distributed window keyed by partition id), plus per-partition
+    * offsets — P counts collected to the driver (bounded MODEL state:
+    * P = shuffle partitions, never data-sized) and broadcast back.
+    * `localCheckpoint` freezes the sampled range boundaries so the
+    * count pass and the rank pass see the same assignment; global
+    * position is boundary-independent by construction (offsets absorb
+    * whatever split the sampler picked).
+    *
+    * The bucket comes from the SQL-standard NTILE closed form over the
+    * global position p ∈ [1, n]: with n = b·q + r, the first r buckets
+    * take q+1 rows — bucket = ⌈p/(q+1)⌉ while p ≤ r·(q+1), else
+    * r + ⌈(p − r·(q+1))/q⌉. Integer arithmetic throughout (exact to
+    * n = 2⁶³, matches DuckDB/Spark NTILE bit-for-bit — spec'd).
+    * Ties across range boundaries get an arbitrary-but-consistent
+    * order, same caveat as NTILE itself; pass a unique tie-break
+    * column for determinism. */
+  def globalNtile(df: DataFrame, buckets: Int, order: Seq[Column],
+                  out: String, parts: Int = 0): DataFrame = {
+    require(buckets > 0, "globalNtile needs buckets > 0")
+    val spark = df.sparkSession
+    val p = if (parts > 0) parts
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(p, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val totals = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__pt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pids = totals.keys.toSeq.sorted
+    val offsets = pids.zip(pids.scanLeft(0L)((acc, pid) => acc + totals(pid)))
+      .toMap // pid -> rows in all smaller pids
+    val n = totals.values.sum
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(order: _*)
+    val q = n / buckets
+    val r = n % buckets
+    val cut = r * (q + 1) // last position inside the (q+1)-sized buckets
+    val qs = math.max(q, 1L) // q = 0 ⇒ else-branch unreachable; avoid div 0
+    ranged
+      .withColumn("__local", row_number().over(w).cast("long"))
+      .join(broadcast(offDf), "__pid")
+      .withColumn("__p", col("__local") + col("__off"))
+      .withColumn(out,
+        when(col("__p") <= lit(cut), expr(s"(__p + ${q}L) div ${q + 1}L"))
+          .otherwise(lit(r) + expr(s"(__p - ${cut}L + ${qs - 1}L) div ${qs}L"))
+          .cast("int"))
+      .drop("__pid", "__local", "__off", "__p")
+  }
+
   /** GROUPED exact percent-rank — `globalPercentRank` per group, the
     * cross-population score CALIBRATION step ("is this document good
     * *for its source*?"): a raw score threshold keeps different

@@ -440,14 +440,16 @@ object Stats {
   /** A17: RFM segmentation — the classic customer-value grid: recency
     * (days since last order, against a fixed reference date),
     * frequency (order count), monetary (exact cents), each cut into
-    * quartiles by NTILE over a fully deterministic order (metric +
-    * custkey tie-break), combined into the 3-digit RFM code. The fact
-    * collapses to one customer-grained aggregate FIRST; the ntile
-    * windows run over that customer-sized table. NTILE is a global
-    * window — honest here because the input is already dim-grained;
-    * for a customer table too large for one partition the documented
-    * swap is the rank-arithmetic cut ((rank−1)·4 div n) over a
-    * range-partitioned sort, which distributes. */
+    * quartiles over a fully deterministic order (metric + custkey
+    * tie-break), combined into the 3-digit RFM code. The fact collapses
+    * to one customer-grained aggregate FIRST; each quartile cut is then
+    * `TableStats.globalNtile` — the DISTRIBUTED NTILE (range-partition
+    * on the metric, per-partition row_number + broadcast prefix-sum
+    * offsets, SQL-standard closed-form bucket arithmetic) — because at
+    * 100× a customer table is 10⁸–10⁹ rows and a single-partition
+    * `ntile(4).over(Window.orderBy(...))` ×3 is a real scale-killer.
+    * Bit-identical to the window NTILE (the DuckDB oracle still uses
+    * NTILE); plan spec pins the absence of Exchange SinglePartition. */
   def a17Rfm(s: SparkSession, d: String): DataFrame = {
     val m = orders(s, d).groupBy(col("o_custkey"))
       .agg(
@@ -458,16 +460,17 @@ object Stats {
           .as("monetary_cents"))
     val base = customer(s, d).select(col("c_custkey"))
       .join(m, col("c_custkey") === col("o_custkey"))
-    def quart(order: org.apache.spark.sql.Column*) =
-      ntile(4).over(Window.orderBy(order: _*)).cast("int")
+      .select(col("c_custkey"), col("recency_days"), col("frequency"),
+        col("monetary_cents"))
+    val cut = graft.operators.TableStats.globalNtile(
+      graft.operators.TableStats.globalNtile(
+        graft.operators.TableStats.globalNtile(
+          base, 4, Seq(col("recency_days"), col("c_custkey")), "r_quartile"),
+        4, Seq(col("frequency").desc, col("c_custkey")), "f_quartile"),
+      4, Seq(col("monetary_cents").desc, col("c_custkey")), "m_quartile")
     ordered(
-      base.select(col("c_custkey"), col("recency_days"), col("frequency"),
-          col("monetary_cents"),
-          quart(col("recency_days"), col("c_custkey")).as("r_quartile"),
-          quart(col("frequency").desc, col("c_custkey")).as("f_quartile"),
-          quart(col("monetary_cents").desc, col("c_custkey")).as("m_quartile"))
-        .withColumn("rfm", (col("r_quartile") * 100 + col("f_quartile") * 10 +
-          col("m_quartile")).cast("int")),
+      cut.withColumn("rfm", (col("r_quartile") * 100 + col("f_quartile") * 10 +
+        col("m_quartile")).cast("int")),
       "c_custkey")
   }
 

@@ -140,6 +140,33 @@ class TableStatsSpec extends SparkSpec {
       s"unbounded path must not plan a single-partition exchange:\n$plan")
   }
 
+  test("globalNtile == ntile window for every n mod buckets case, asc and " +
+       "desc orders, n < buckets; a17_rfm plans no single-partition exchange") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    // n = 2 (< buckets), and n covering each residue mod 4
+    for (n <- Seq(2, 8, 9, 10, 11)) {
+      val df = (1 to n).map(i => (i.toLong, rnd.nextInt(1000).toDouble))
+        .toDF("id", "v")
+      for (desc <- Seq(false, true)) {
+        val ord = if (desc) Seq(col("v").desc, col("id")) else Seq(col("v"), col("id"))
+        val got = TableStats.globalNtile(df, 4, ord, "b", parts = 3)
+          .select("id", "b").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        val want = df.withColumn("b", ntile(4).over(Window.orderBy(ord: _*)))
+          .select("id", "b").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        assert(got == want, s"n=$n desc=$desc: $got vs $want")
+      }
+    }
+    // the scale contract a17_rfm now rides: no Exchange SinglePartition
+    // anywhere in the three chained quartile cuts (each window is
+    // partitioned by range-bucket id, never global)
+    val plan = graft.queries.Stats.a17Rfm(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"a17_rfm must not plan a single-partition exchange:\n$plan")
+  }
+
   test("tableFingerprint: invariant under row order and partitioning; " +
        "any value change moves it; duplicate pairs escape XOR but not sum/ct") {
     import spark.implicits._
