@@ -106,20 +106,66 @@ object BinaryMeta {
     -1
   }
 
+  private def isMp4(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+  private def hasId3(b: Array[Byte], at: Int): Boolean =
+    at + 10 <= b.length && b(at) == 'I' && b(at + 1) == 'D' && b(at + 2) == '3'
+
+  /** Total bytes of ID3v2 tag(s) at `at` (header + syncsafe size +
+    * optional footer, chained tags summed), or -1 on a malformed
+    * syncsafe field. 0 when no tag is present. */
+  private def id3Span(b: Array[Byte], at: Int): Long = {
+    var p = at.toLong
+    while (p + 10 <= b.length && hasId3(b, p.toInt)) {
+      var size = 0L
+      var k = 0
+      while (k < 4) {
+        val v = b(p.toInt + 6 + k) & 0xff
+        if (v >= 0x80) return -1 // syncsafe bytes carry 7 bits each
+        size = (size << 7) | v
+        k += 1
+      }
+      val footer = (b(p.toInt + 5) & 0x10) != 0
+      p += 10 + size + (if (footer) 10 else 0)
+      if (p > b.length) return -1
+    }
+    p - at
+  }
+
+  /** MPEG audio frame sync at `p`: 0xFF + 3 more sync bits, with
+    * NON-ZERO layer bits (zero layer = ADTS AAC, a different walker). */
+  private def isMpegAudioSync(b: Array[Byte], p: Int): Boolean =
+    p + 4 <= b.length && (b(p) & 0xff) == 0xff && (b(p + 1) & 0xe0) == 0xe0 &&
+      ((b(p + 1) >> 1) & 3) != 0
+
+  /** ADTS sync at `p`: 12 sync bits + layer bits 00. */
+  private def isAdtsSync(b: Array[Byte], p: Int): Boolean =
+    p + 7 <= b.length && (b(p) & 0xff) == 0xff && (b(p + 1) & 0xf0) == 0xf0 &&
+      ((b(p + 1) >> 1) & 3) == 0
+
   /** Container format by signature: "png" | "jpeg" | "gif" | "bmp" |
-    * "wav", or null for anything else. */
+    * "wav" | "mp4" | "mp3" | "aac", or null for anything else. An
+    * ID3v2-prefixed stream reports "mp3" (the dominant convention;
+    * `adtsMeta` still reads an ID3-prefixed ADTS stream). */
   def format(b: Array[Byte]): UTF8String =
     if (isPng(b)) FMT_PNG
     else if (isJpeg(b)) FMT_JPEG
     else if (isGif(b)) FMT_GIF
     else if (isBmp(b)) FMT_BMP
     else if (isWav(b)) FMT_WAV
+    else if (isMp4(b)) FMT_MP4
+    else if (hasId3(b, 0) || isMpegAudioSync(b, 0)) FMT_MP3
+    else if (isAdtsSync(b, 0)) FMT_AAC
     else null
   private val FMT_PNG = UTF8String.fromString("png")
   private val FMT_JPEG = UTF8String.fromString("jpeg")
   private val FMT_GIF = UTF8String.fromString("gif")
   private val FMT_BMP = UTF8String.fromString("bmp")
   private val FMT_WAV = UTF8String.fromString("wav")
+  private val FMT_MP4 = UTF8String.fromString("mp4")
+  private val FMT_MP3 = UTF8String.fromString("mp3")
+  private val FMT_AAC = UTF8String.fromString("aac")
 
   /** Pixel width, or -1 if not an image / malformed. */
   def width(b: Array[Byte]): Int = {
@@ -162,6 +208,140 @@ object BinaryMeta {
     val o = wavChunkOffset(b, 'f', 'm', 't', ' ')
     if (o < 0 || o + 4 > b.length) -1
     else { val c = u16le(b, o + 2); if (c > 0) c else -1 }
+  }
+
+  // bitrate (kbps) tables, ISO/IEC 11172-3 / 13818-3, index 1..14
+  private val MP3_BR_V1L1 = Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+  private val MP3_BR_V1L2 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+  private val MP3_BR_V1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val MP3_BR_V2L1 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)
+  private val MP3_BR_V2L23 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  private val MP3_SR_V1 = Array(44100, 48000, 32000)
+  private val ADTS_SR = Array(96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000)
+
+  /** MPEG audio (MP3/MP2/MP1) header walk: skip ID3v2 tag(s), parse
+    * the first frame header. Returns [sample_rate_hz, bitrate_kbps,
+    * channels, id3_bytes], or null for free-format/bad/foreign
+    * headers. Header-only — no frame decode (psychoacoustic codecs
+    * are the documented stub boundary); a 100 TB audio-manifest pass
+    * (group by rate/bitrate, find mislabeled blobs) needs only this. */
+  def mp3Meta(b: Array[Byte]): Array[Long] = {
+    val id3 = id3Span(b, 0)
+    if (id3 < 0) return null
+    val p = id3.toInt
+    if (!isMpegAudioSync(b, p)) return null
+    val vb = (b(p + 1) >> 3) & 3  // 0=MPEG2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+    if (vb == 1) return null
+    val layer = (b(p + 1) >> 1) & 3 // 1=III, 2=II, 3=I
+    val bi = (b(p + 2) >> 4) & 15
+    if (bi == 0 || bi == 15) return null // free-format / invalid
+    val si = (b(p + 2) >> 2) & 3
+    if (si == 3) return null
+    val rate = vb match {
+      case 3 => MP3_SR_V1(si)
+      case 2 => MP3_SR_V1(si) / 2
+      case _ => MP3_SR_V1(si) / 4
+    }
+    val kbps = (vb, layer) match {
+      case (3, 3) => MP3_BR_V1L1(bi)
+      case (3, 2) => MP3_BR_V1L2(bi)
+      case (3, 1) => MP3_BR_V1L3(bi)
+      case (_, 3) => MP3_BR_V2L1(bi)
+      case _      => MP3_BR_V2L23(bi)
+    }
+    val channels = if (((b(p + 3) >> 6) & 3) == 3) 1L else 2L
+    Array(rate.toLong, kbps.toLong, channels, id3)
+  }
+
+  /** ADTS (AAC transport) header walk: skip ID3v2 tag(s), parse the
+    * first ADTS header. Returns [sample_rate_hz, channels,
+    * frame_length_bytes, aac_profile(1-4)], or null (channel config 0
+    * — "in PCE" — and reserved sampling indices decline). Config 7
+    * maps to 8 channels per ISO/IEC 14496-3. */
+  def adtsMeta(b: Array[Byte]): Array[Long] = {
+    val id3 = id3Span(b, 0)
+    if (id3 < 0) return null
+    val p = id3.toInt
+    if (!isAdtsSync(b, p)) return null
+    val profile = ((b(p + 2) >> 6) & 3) + 1
+    val sfi = (b(p + 2) >> 2) & 15
+    if (sfi >= ADTS_SR.length) return null // reserved/forbidden
+    val cfg = ((b(p + 2) & 1) << 2) | ((b(p + 3) >> 6) & 3)
+    if (cfg == 0) return null // channels in an in-band PCE: undecidable here
+    val channels = if (cfg == 7) 8 else cfg
+    val frameLen = ((b(p + 3) & 3) << 11) | ((b(p + 4) & 0xff) << 3) |
+      ((b(p + 5) >> 5) & 7)
+    if (frameLen < 7) return null
+    Array(ADTS_SR(sfi).toLong, channels.toLong, frameLen.toLong, profile.toLong)
+  }
+
+  /** Payload [start, end) of the first `t` box in [from, to), walking
+    * the ISO-BMFF size/type ladder (64-bit largesize supported), or
+    * null. */
+  private def bmffBox(b: Array[Byte], from: Long, to: Long,
+                      t0: Char, t1: Char, t2: Char, t3: Char): (Long, Long) = {
+    var i = from
+    while (i + 8 <= to) {
+      val ii = i.toInt
+      var size = u32be(b, ii)
+      var hdr = 8L
+      if (size == 1) {
+        if (i + 16 > to) return null
+        // largesize: reject > Int.MaxValue payloads (can't index anyway)
+        val hi = u32be(b, ii + 8)
+        val lo = u32be(b, ii + 12)
+        if (hi != 0) return null
+        size = lo; hdr = 16L
+      } else if (size == 0) size = to - i // box extends to the end
+      if (size < hdr || i + size > to) return null
+      if (b(ii + 4) == t0 && b(ii + 5) == t1 && b(ii + 6) == t2 && b(ii + 7) == t3)
+        return (i + hdr, i + size)
+      i += size
+    }
+    null
+  }
+
+  /** ISO-BMFF (MP4/MOV/M4A) metadata: the moov → mvhd timescale +
+    * duration and the first trak → tkhd presentation dimensions
+    * (16.16 fixed point, integer part). Returns [timescale, duration,
+    * width, height] — width/height 0 for audio-only tracks — or null
+    * when ftyp/moov/mvhd is absent or malformed. Versions 0 and 1 of
+    * both boxes handled. Header-only: no sample decode, the
+    * byte-layout tier a media manifest needs. */
+  def mp4Meta(b: Array[Byte]): Array[Long] = {
+    if (!isMp4(b)) return null
+    val moov = bmffBox(b, 0, b.length.toLong, 'm', 'o', 'o', 'v')
+    if (moov == null) return null
+    val mvhd = bmffBox(b, moov._1, moov._2, 'm', 'v', 'h', 'd')
+    if (mvhd == null) return null
+    val mp = mvhd._1.toInt
+    if (mvhd._2 - mvhd._1 < 20) return null
+    val mv = b(mp) & 0xff
+    val (timescale, duration) =
+      if (mv == 0) (u32be(b, mp + 12), u32be(b, mp + 16))
+      else if (mv == 1) {
+        if (mvhd._2 - mvhd._1 < 32) return null
+        val hi = u32be(b, mp + 24); val lo = u32be(b, mp + 28)
+        (u32be(b, mp + 20), (hi << 32) | lo)
+      } else return null
+    if (timescale <= 0) return null
+    var width = 0L
+    var height = 0L
+    val trak = bmffBox(b, moov._1, moov._2, 't', 'r', 'a', 'k')
+    if (trak != null) {
+      val tkhd = bmffBox(b, trak._1, trak._2, 't', 'k', 'h', 'd')
+      if (tkhd != null) {
+        val tp = tkhd._1.toInt
+        val tv = b(tp) & 0xff
+        val dimAt = if (tv == 1) tp + 88 else tp + 76
+        if (tv <= 1 && tkhd._1 + (dimAt - tp) + 8 <= tkhd._2) {
+          width = u32be(b, dimAt) >> 16
+          height = u32be(b, dimAt + 4) >> 16
+        }
+      }
+    }
+    Array(timescale, duration, width, height)
   }
 
   /** REAL PCM-16 sample decode over a WAV payload — uncompressed audio
@@ -633,6 +813,11 @@ object BinaryMeta {
   def jpegPixelStats(b: Array[Byte]): Array[Long] =
     JpegBaseline.jpegPixelStats(b)
 
+  /** Baseline gray OR 4:4:4 color JPEG decode stats (pinned
+    * fixed-point YCbCr→RGB) — see [[JpegBaseline.jpegColorStats]]. */
+  def jpegColorStats(b: Array[Byte]): Array[Long] =
+    JpegBaseline.jpegColorStats(b)
+
   // ---- positioned grayscale decode (the perceptual-hash substrate) ----
 
   /** 24-bit BMP → positioned integer luma plane (image row order,
@@ -805,8 +990,12 @@ object BinaryMeta {
       case "gifPixelStats" => gifPixelStats(b)
       case "pngPixelStats" => pngPixelStats(b)
       case "jpegPixelStats" => jpegPixelStats(b)
+      case "jpegColorStats" => jpegColorStats(b)
       case "wavG711Stats" => wavG711Stats(b)
       case "dhash64" => dhash64(b)
+      case "mp3Meta" => mp3Meta(b)
+      case "adtsMeta" => adtsMeta(b)
+      case "mp4Meta" => mp4Meta(b)
     }
     override def nullSafeEval(v: Any): Any = {
       val r = call(v.asInstanceOf[Array[Byte]])
@@ -850,6 +1039,11 @@ object BinaryMeta {
     override def prettyName: String = "jpeg_pixel_stats"
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
+  case class JpegColorStats(child: Expression) extends StatsProbe {
+    override def method: String = "jpegColorStats"
+    override def prettyName: String = "jpeg_color_stats"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
   case class WavG711Stats(child: Expression) extends StatsProbe {
     override def method: String = "wavG711Stats"
     override def prettyName: String = "wav_g711_stats"
@@ -858,6 +1052,21 @@ object BinaryMeta {
   case class DHash64(child: Expression) extends StatsProbe {
     override def method: String = "dhash64"
     override def prettyName: String = "dhash64"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+  case class Mp3Meta(child: Expression) extends StatsProbe {
+    override def method: String = "mp3Meta"
+    override def prettyName: String = "mp3_meta"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+  case class AdtsMeta(child: Expression) extends StatsProbe {
+    override def method: String = "adtsMeta"
+    override def prettyName: String = "adts_meta"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+  case class Mp4Meta(child: Expression) extends StatsProbe {
+    override def method: String = "mp4Meta"
+    override def prettyName: String = "mp4_meta"
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
@@ -898,8 +1107,16 @@ object BinaryMeta {
     SparkInternals.column(PngPixelStats(SparkInternals.expression(c)))
   def jpegPixelStatsCol(c: Column): Column =
     SparkInternals.column(JpegPixelStats(SparkInternals.expression(c)))
+  def jpegColorStatsCol(c: Column): Column =
+    SparkInternals.column(JpegColorStats(SparkInternals.expression(c)))
   def wavG711StatsCol(c: Column): Column =
     SparkInternals.column(WavG711Stats(SparkInternals.expression(c)))
+  def mp3MetaCol(c: Column): Column =
+    SparkInternals.column(Mp3Meta(SparkInternals.expression(c)))
+  def adtsMetaCol(c: Column): Column =
+    SparkInternals.column(AdtsMeta(SparkInternals.expression(c)))
+  def mp4MetaCol(c: Column): Column =
+    SparkInternals.column(Mp4Meta(SparkInternals.expression(c)))
   /** Scalar face: the 64-bit dHash (null for undecodable payloads). */
   def dhash64Col(c: Column): Column = {
     import org.apache.spark.sql.functions.element_at

@@ -1,22 +1,29 @@
 package graft.functions
 
-/** Baseline-sequential JPEG (ITU-T T.81) GRAYSCALE decode — pure
-  * arithmetic, no codec library: marker parse (DQT/DHT/SOF0/DRI/SOS),
-  * canonical Huffman decode with byte unstuffing and restart markers,
-  * zigzag dequantization, and a double-precision separable IDCT with
-  * round-half-up + level shift. Single-component (luma-only) scans
-  * only: COLOR JPEGs return null — chroma upsampling and YCbCr
-  * conversion are implementation-defined (every decoder legally
-  * differs), so a deterministic stats contract stops at the exactly-
-  * specified slice. Progressive (SOF2), arithmetic coding, 12-bit
-  * precision and anything malformed also yield null, never throw.
+/** Baseline-sequential JPEG (ITU-T T.81) decode — pure arithmetic, no
+  * codec library: marker parse (DQT/DHT/SOF0/DRI/SOS), canonical
+  * Huffman decode with byte unstuffing and restart markers, zigzag
+  * dequantization, and a double-precision separable IDCT with
+  * round-half-up + level shift. Two exactly-specifiable shapes:
+  * single-component (luma-only) scans, and 3-component 4:4:4
+  * (every sampling factor 1×1) interleaved scans — 4:4:4 needs NO
+  * chroma resampling, so the only implementation-defined stage left is
+  * the YCbCr→RGB matrix rounding, which this engine PINS to the
+  * 16-bit fixed-point JFIF matrix (constants 91881 / 22554 / 46802 /
+  * 116130 = round(1.402 / 0.344136 / 0.714136 / 1.772 · 2¹⁶), add
+  * 2¹⁵, arithmetic shift right 16, clamp — the de-facto libjpeg
+  * rendering). Subsampled color (4:2:0/4:2:2) stays null: chroma
+  * UPSAMPLING is implementation-defined with no de-facto pin.
+  * Progressive (SOF2), arithmetic coding, 12-bit precision and
+  * anything malformed also yield null, never throw.
   *
   * Determinism note: an IDCT is the one stage where conforming
   * decoders may differ by ±1/pixel (T.81 only bounds accuracy).
   * DC-ONLY blocks are exact in every conforming decoder (the IDCT
   * collapses to round(dc/8) + 128), which is what the hash-exact
-  * DuckDB gate uses; full-AC streams are spec-pinned against the JDK
-  * ImageIO reader with a ±1/pixel tolerance.
+  * DuckDB gates use (x_jpeg_pixels gray, x_jpeg_color 4:4:4); full-AC
+  * streams are spec-pinned against the JDK ImageIO reader with a
+  * ±1/pixel tolerance (±2 after color conversion).
   */
 object JpegBaseline {
 
@@ -137,10 +144,12 @@ object JpegBaseline {
   private def u16(b: Array[Byte], i: Int): Int =
     ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
 
-  /** Decode a baseline grayscale JPEG to (width, height, pixels), or
+  /** Decode a baseline 1-component or 4:4:4 3-component JPEG to
+    * (width, height, planes) — planes.length = nComp, each w·h
+    * component samples (Y, or Y/Cb/Cr before color conversion) — or
     * null. Package-private so the spec can compare per-pixel against
-    * an independent decoder; the public stats face wraps it. */
-  private[functions] def decodeGray(b: Array[Byte]): (Int, Int, Array[Int]) = {
+    * an independent decoder; the public stats faces wrap it. */
+  private[functions] def decodePlanes(b: Array[Byte]): (Int, Int, Array[Array[Int]]) = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return null
     val quant = Array.ofDim[Int](4, 64)
     val seenQ = new Array[Boolean](4)
@@ -148,7 +157,11 @@ object JpegBaseline {
     val acTables = new Array[Huff](4)
     var w = 0; var h = 0
     var restartInterval = 0
-    var dcSel = -1; var acSel = -1; var qSel = -1
+    var nComp = 0
+    val compId = new Array[Int](3)
+    val qSel = new Array[Int](3)
+    val dcSel = new Array[Int](3)
+    val acSel = new Array[Int](3)
     var i = 2
     var scanAt = -1
     while (scanAt < 0) {
@@ -194,11 +207,19 @@ object JpegBaseline {
             if (len < 11) return null
             if ((b(p0) & 0xff) != 8) return null // 8-bit precision
             h = u16(b, p0 + 1); w = u16(b, p0 + 3)
-            val nComp = b(p0 + 5) & 0xff
-            if (nComp != 1) return null // grayscale slice only
-            if ((b(p0 + 7) & 0xff) != 0x11) return null // 1x1 sampling
-            qSel = b(p0 + 8) & 0xff
-            if (qSel > 3) return null
+            nComp = b(p0 + 5) & 0xff
+            if (nComp != 1 && nComp != 3) return null // gray or 4:4:4 color
+            if (len != 8 + 3 * nComp) return null
+            var c = 0
+            while (c < nComp) {
+              compId(c) = b(p0 + 6 + 3 * c) & 0xff
+              // 1×1 sampling on EVERY component = 4:4:4; subsampled
+              // color (upsampling is implementation-defined) stays null
+              if ((b(p0 + 7 + 3 * c) & 0xff) != 0x11) return null
+              qSel(c) = b(p0 + 8 + 3 * c) & 0xff
+              if (qSel(c) > 3) return null
+              c += 1
+            }
           case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
                0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
             return null // non-baseline frame types
@@ -206,31 +227,42 @@ object JpegBaseline {
             if (len != 4) return null
             restartInterval = u16(b, p0)
           case 0xda => // SOS
-            if (len < 8) return null
-            if ((b(p0) & 0xff) != 1) return null // single-component scan
-            dcSel = (b(p0 + 2) & 0xff) >> 4
-            acSel = b(p0 + 2) & 0x0f
-            if ((b(p0 + 3) & 0xff) != 0 || (b(p0 + 4) & 0xff) != 63) return null
+            if (nComp == 0) return null // SOS before SOF
+            if (len != 6 + 2 * nComp) return null
+            if ((b(p0) & 0xff) != nComp) return null // full interleave
+            // scan components must follow frame order (T.81 B.2.3)
+            var c = 0
+            while (c < nComp) {
+              if ((b(p0 + 1 + 2 * c) & 0xff) != compId(c)) return null
+              dcSel(c) = (b(p0 + 2 + 2 * c) & 0xff) >> 4
+              acSel(c) = b(p0 + 2 + 2 * c) & 0x0f
+              if (dcSel(c) > 3 || acSel(c) > 3) return null
+              c += 1
+            }
+            val ss = b(p0 + 1 + 2 * nComp) & 0xff
+            val se = b(p0 + 2 + 2 * nComp) & 0xff
+            if (ss != 0 || se != 63) return null
             scanAt = i + 2 + len
           case _ => // APPn/COM/etc: skip
         }
         i += 2 + len
       }
     }
-    if (w <= 0 || h <= 0 || qSel < 0 || !seenQ(qSel)) return null
-    if (dcSel > 3 || acSel > 3 ||
-      dcTables(dcSel) == null || acTables(acSel) == null) return null
-    if (w.toLong * h > (1L << 26)) return null
-    val q = quant(qSel)
-    val dcH = dcTables(dcSel)
-    val acH = acTables(acSel)
+    if (w <= 0 || h <= 0) return null
+    var c = 0
+    while (c < nComp) {
+      if (!seenQ(qSel(c))) return null
+      if (dcTables(dcSel(c)) == null || acTables(acSel(c)) == null) return null
+      c += 1
+    }
+    if (w.toLong * h * nComp > (1L << 26)) return null
     val blocksW = (w + 7) / 8
     val blocksH = (h + 7) / 8
-    val px = new Array[Int](w * h)
+    val planes = Array.fill(nComp)(new Array[Int](w * h))
     val coef = new Array[Double](64)
     val tmp = new Array[Double](64)
     val r = new BitReader(b, scanAt)
-    var pred = 0
+    val pred = new Array[Int](nComp)
     var rstCount = 0
     var rstN = 0
     var by = 0
@@ -241,68 +273,93 @@ object JpegBaseline {
           if (!r.restart(rstN)) return null
           rstN = (rstN + 1) & 7
           rstCount = 0
-          pred = 0
+          java.util.Arrays.fill(pred, 0)
         }
-        java.util.Arrays.fill(coef, 0.0)
-        val s = r.decode(dcH)
-        if (r.corrupt || s > 11) return null
-        val diff = extend(r.receive(s), s)
-        if (r.corrupt) return null
-        pred += diff
-        coef(0) = pred.toDouble * q(0)
-        var k = 1
-        var eob = false
-        while (k < 64 && !eob) {
-          val rs = r.decode(acH)
+        // one MCU = one 8×8 block per component, frame order (4:4:4)
+        var ci = 0
+        while (ci < nComp) {
+          val q = quant(qSel(ci))
+          java.util.Arrays.fill(coef, 0.0)
+          val s = r.decode(dcTables(dcSel(ci)))
+          if (r.corrupt || s > 11) return null
+          val diff = extend(r.receive(s), s)
           if (r.corrupt) return null
-          val run = rs >> 4
-          val size = rs & 15
-          if (size == 0) {
-            if (run == 15) k += 16 else eob = true // ZRL vs EOB
-          } else {
-            k += run
-            if (k > 63) return null
-            coef(zigzag(k)) = extend(r.receive(size), size).toDouble * q(k)
+          pred(ci) += diff
+          coef(0) = pred(ci).toDouble * q(0)
+          var k = 1
+          var eob = false
+          while (k < 64 && !eob) {
+            val rs = r.decode(acTables(acSel(ci)))
             if (r.corrupt) return null
-            k += 1
+            val run = rs >> 4
+            val size = rs & 15
+            if (size == 0) {
+              if (run == 15) k += 16 else eob = true // ZRL vs EOB
+            } else {
+              k += run
+              if (k > 63) return null
+              coef(zigzag(k)) = extend(r.receive(size), size).toDouble * q(k)
+              if (r.corrupt) return null
+              k += 1
+            }
           }
-        }
-        // separable IDCT: rows then columns
-        var y = 0
-        while (y < 8) {
+          // separable IDCT: rows then columns
+          val px = planes(ci)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              var acc = 0.0
+              var u = 0
+              while (u < 8) { acc += idctCos(x * 8 + u) * coef(y * 8 + u); u += 1 }
+              tmp(y * 8 + x) = acc
+              x += 1
+            }
+            y += 1
+          }
           var x = 0
           while (x < 8) {
-            var acc = 0.0
-            var u = 0
-            while (u < 8) { acc += idctCos(x * 8 + u) * coef(y * 8 + u); u += 1 }
-            tmp(y * 8 + x) = acc
+            var yy = 0
+            while (yy < 8) {
+              var acc = 0.0
+              var v = 0
+              while (v < 8) { acc += idctCos(yy * 8 + v) * tmp(v * 8 + x); v += 1 }
+              val ix = bx * 8 + x
+              val iy = by * 8 + yy
+              if (ix < w && iy < h) {
+                val p = math.round(acc).toInt + 128
+                px(iy * w + ix) = if (p < 0) 0 else if (p > 255) 255 else p
+              }
+              yy += 1
+            }
             x += 1
           }
-          y += 1
-        }
-        var x = 0
-        while (x < 8) {
-          var yy = 0
-          while (yy < 8) {
-            var acc = 0.0
-            var v = 0
-            while (v < 8) { acc += idctCos(yy * 8 + v) * tmp(v * 8 + x); v += 1 }
-            val ix = bx * 8 + x
-            val iy = by * 8 + yy
-            if (ix < w && iy < h) {
-              val p = math.round(acc).toInt + 128
-              px(iy * w + ix) = if (p < 0) 0 else if (p > 255) 255 else p
-            }
-            yy += 1
-          }
-          x += 1
+          ci += 1
         }
         rstCount += 1
         bx += 1
       }
       by += 1
     }
-    (w, h, px)
+    (w, h, planes)
+  }
+
+  /** Decode a baseline GRAYSCALE JPEG to (width, height, pixels), or
+    * null (color inputs included — the historical gray-slice face). */
+  private[functions] def decodeGray(b: Array[Byte]): (Int, Int, Array[Int]) = {
+    val d = decodePlanes(b)
+    if (d == null || d._3.length != 1) null else (d._1, d._2, d._3(0))
+  }
+
+  /** The PINNED fixed-point JFIF YCbCr→RGB (see class doc): 16-bit
+    * scaled constants, +2¹⁵ rounding bias, shift, clamp. Exposed so the
+    * DuckDB oracle and the spec state the identical arithmetic. */
+  private[functions] def ycbcrToRgb(yy: Int, cb: Int, cr: Int): (Int, Int, Int) = {
+    def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+    val r = (yy << 16) + 91881 * (cr - 128) + 32768
+    val g = (yy << 16) - 22554 * (cb - 128) - 46802 * (cr - 128) + 32768
+    val bb = (yy << 16) + 116130 * (cb - 128) + 32768
+    (clamp(r >> 16), clamp(g >> 16), clamp(bb >> 16))
   }
 
   /** [n_px, sum, sum, sum] over a baseline grayscale JPEG (gray
@@ -316,5 +373,31 @@ object JpegBaseline {
     var i = 0
     while (i < px.length) { s += px(i); i += 1 }
     Array(w.toLong * h, s, s, s)
+  }
+
+  /** [n_px, sum_r, sum_g, sum_b] over a baseline JPEG: grayscale
+    * replicates to all three channels; 3-component 4:4:4 converts
+    * through the pinned fixed-point JFIF matrix. Subsampled color /
+    * progressive / malformed input → null. */
+  def jpegColorStats(b: Array[Byte]): Array[Long] = {
+    val d = decodePlanes(b)
+    if (d == null) return null
+    val (w, h, planes) = d
+    if (planes.length == 1) {
+      var s = 0L
+      var i = 0
+      val px = planes(0)
+      while (i < px.length) { s += px(i); i += 1 }
+      return Array(w.toLong * h, s, s, s)
+    }
+    val py = planes(0); val pcb = planes(1); val pcr = planes(2)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var i = 0
+    while (i < py.length) {
+      val (r, g, bl) = ycbcrToRgb(py(i), pcb(i), pcr(i))
+      sr += r; sg += g; sb += bl
+      i += 1
+    }
+    Array(w.toLong * h, sr, sg, sb)
   }
 }

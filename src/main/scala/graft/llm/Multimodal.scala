@@ -352,6 +352,133 @@ object Multimodal {
         lit("FFD9"))).as("payload"))
   }
 
+  /** Deterministic 4:4:4 COLOR JPEG fixtures for the interleaved-MCU
+    * decode gate: 3-component SOF0, every sampling factor 1×1 (so no
+    * chroma resampling exists to be implementation-defined), every
+    * block DC-ONLY — per MCU the stream carries one Y, one Cb, one Cr
+    * block through the same SQL-expressible custom Huffman tables as
+    * [[syntheticJpegPixels]] (unary DC categories, EOB-only AC), with
+    * per-COMPONENT DC predictor chains exactly as T.81 F.1.1.5.1
+    * requires for interleaved scans. With q₀ = 8 each component block
+    * is flat 128 + dc where dc(d,b,c) = (d·5 + b·7 + c·31) mod 21 −
+    * 10 ∈ [118,138] — far from the clamp, so the pinned fixed-point
+    * YCbCr→RGB stays in the positive-numerator regime and the DuckDB
+    * oracle reproduces it with plain integer floor-division. */
+  def syntheticJpegColorPixels(docs: DataFrame): DataFrame = {
+    val bw = pmod(col("doc_id"), lit(3L)) + 1L
+    val bh = pmod(col("doc_id"), lit(2L)) + 1L
+    def be2(v: org.apache.spark.sql.Column) = lpad(hex(v), 4, "0")
+    // stream block i (MCU i div 3, component i % 3): DC value and the
+    // per-component diff chain
+    def dc(b: String, c: String) = s"((doc_id*5 + ($b)*7 + ($c)*31) % 21 - 10)"
+    val d = s"(${dc("i div 3", "i % 3")} - IF(i div 3 = 0, 0, ${dc("i div 3 - 1", "i % 3")}))"
+    val blockBits = expr(
+      s"""transform(sequence(0, (doc_id % 3 + 1) * (doc_id % 2 + 1) * 3 - 1), i ->
+         |  concat(
+         |    repeat('1', CAST(IF($d = 0, 0, length(bin(abs($d)))) AS INT)),
+         |    '0',
+         |    CASE WHEN $d = 0 THEN ''
+         |         WHEN $d > 0 THEN bin($d)
+         |         ELSE lpad(
+         |           bin($d + shiftleft(1, CAST(length(bin(abs($d))) AS INT)) - 1),
+         |           CAST(length(bin(abs($d))) AS INT), '0')
+         |    END,
+         |    '0'))""".stripMargin)
+    val stream = array_join(blockBits, "")
+    val padded = rpad(stream,
+      (floor((length(stream) + 7) / lit(8)) * 8).cast("int"), lit("1"))
+    val nBytes = (length(padded) / 8).cast("long")
+    val bytes = transform(sequence(lit(1L), nBytes), i =>
+      conv(padded.substr(((i - 1) * 8 + 1).cast("int"), lit(8)), 2, 10)
+        .cast("long"))
+    val stuffed = flatten(transform(bytes, v =>
+      when(v === 255L, array(lit(255L), lit(0L))).otherwise(array(v))))
+    val entropyHex = concat_ws("", transform(stuffed, v => lpad(hex(v), 2, "0")))
+    val w = bw * 8
+    val h = bh * 8
+    val dqt = "FFDB004300" + "08" * 64
+    val dhtDc = "FFC40019" + "00" + "01" * 6 + "00" * 10 + "000102030405"
+    val dhtAc = "FFC40014" + "10" + "01" + "00" * 15 + "00"
+    docs.select(col("doc_id"),
+      unhex(concat(
+        lit("FFD8" + dqt + dhtDc + dhtAc),
+        lit("FFC0001108"), be2(h), be2(w),
+        lit("03" + "011100" + "021100" + "031100"),
+        lit("FFDA000C03" + "0100" + "0200" + "0300" + "003F00"),
+        entropyHex,
+        lit("FFD9"))).as("payload"))
+  }
+
+  /** Deterministic MP3 / ADTS-AAC / MP4 container fixtures for the
+    * A/V header-walk gate (k = doc_id div 3 drives every field so the
+    * DuckDB oracle regenerates the ground truth arithmetically):
+    *  - doc_id%3=0 → ID3v2.4-prefixed MPEG-1 Layer III frame header
+    *    (syncsafe tag size k%100+4, bitrate index k%14+1, sample-rate
+    *    index k%3, channel mode k%4);
+    *  - doc_id%3=1 → ADTS header (profile bits k%4, sampling index
+    *    k%12, channel config k%7+1 split across the byte boundary,
+    *    13-bit frame length k%4000+7);
+    *  - doc_id%3=2 → ftyp + moov[mvhd v0(timescale 1000+k%9000,
+    *    duration k%100000+1000) + trak[tkhd v0(16.16 dims
+    *    (k%1920+1)×(k%1080+1))]].
+    * The Spark side must walk the actual BYTES through
+    * `BinaryMeta.mp3Meta/adtsMeta/mp4Meta`; construction and parse
+    * cannot share a bug (the X138 pattern). */
+  def syntheticAvContainers(docs: DataFrame): DataFrame = {
+    def be4(v: org.apache.spark.sql.Column) = lpad(hex(v), 8, "0")
+    def byte(v: org.apache.spark.sql.Column) = lpad(hex(v), 2, "0")
+    val k = col("doc_id") / lit(3L) cast "long" // floor: doc_id ≥ 0
+    // MP3: ID3 header (10) + ts zero bytes + 4-byte frame header
+    val ts = pmod(k, lit(100L)) + 4L
+    val bi = pmod(k, lit(14L)) + 1L
+    val si = pmod(k, lit(3L))
+    val cm = pmod(k, lit(4L))
+    val mp3 = concat(
+      lit("494433" + "0400" + "00" + "000000"), byte(ts),
+      repeat(lit("00"), ts.cast("int")),
+      lit("FFFB"), byte(bi * 16 + si * 4), byte(cm * 64))
+    // ADTS: FF F1, then profile/sfi/cfg/frame-length bit packing
+    val pb = pmod(k, lit(4L))
+    val sfi = pmod(k, lit(12L))
+    val cfg = pmod(k, lit(7L)) + 1L
+    val fl = pmod(k, lit(4000L)) + 7L
+    val aac = concat(
+      lit("FFF1"),
+      byte(pb * 64 + sfi * 4 + (cfg / 4).cast("long")),
+      byte(pmod(cfg, lit(4L)) * 64 + (fl / 2048).cast("long")),
+      byte(pmod((fl / 8).cast("long"), lit(256L))),
+      byte(pmod(fl, lit(8L)) * 32 + 31),
+      lit("FC"))
+    // MP4: ftyp(16) + moov[mvhd v0(108) + trak[tkhd v0(92)]]
+    val tsc = lit(1000L) + pmod(k, lit(9000L))
+    val dur = pmod(k, lit(100000L)) + 1000L
+    val w = pmod(k, lit(1920L)) + 1L
+    val h = pmod(k, lit(1080L)) + 1L
+    val mvhd = concat(
+      lit("0000006C" + "6D766864" + "00000000" + "00000000" + "00000000"),
+      be4(tsc), be4(dur),
+      lit("00010000" + "0100" + "0000" + "00000000" + "00000000" +
+        "00010000" + "00000000" + "00000000" + "00000000" + "00010000" +
+        "00000000" + "00000000" + "00000000" + "40000000" +
+        "00000000" * 6 + "00000002"))
+    val tkhd = concat(
+      lit("0000005C" + "746B6864" + "00000007" + "00000000" + "00000000" +
+        "00000001" + "00000000"),
+      be4(dur),
+      lit("00000000" + "00000000" + "0000" + "0000" + "0000" + "0000" +
+        "00010000" + "00000000" + "00000000" + "00000000" + "00010000" +
+        "00000000" + "00000000" + "00000000" + "40000000"),
+      be4(w * 65536L), be4(h * 65536L))
+    val mp4 = concat(
+      lit("00000010" + "66747970" + "69736F6D" + "00000200"),
+      lit("000000D8" + "6D6F6F76"), mvhd,
+      lit("00000064" + "7472616B"), tkhd)
+    val sel = pmod(col("doc_id"), lit(3L))
+    docs.select(col("doc_id"),
+      unhex(when(sel === 0, mp3).when(sel === 1, aac).otherwise(mp4))
+        .as("payload"))
+  }
+
   /** Deterministic G.711 WAV fixtures: µ-law (fmt 7) for even doc_ids,
     * A-law (fmt 6) for odd, 24 data bytes b_i = (doc_id·13 + i·29) mod
     * 256 — the DuckDB oracle expands the SAME bytes through the G.711

@@ -1307,6 +1307,64 @@ object LlmOps {
       "doc_id")
   }
 
+  /** REAL 4:4:4 COLOR JPEG decode: deterministic DC-only 3-component
+    * interleaved-MCU JPEGs (`Multimodal.syntheticJpegColorPixels` —
+    * per-component DC predictor chains through the same SQL-built
+    * custom Huffman tables as x_jpeg_pixels) decoded back through
+    * `functions/JpegBaseline`'s actual interleaved-scan walk, then
+    * color-converted through the engine-PINNED fixed-point JFIF
+    * YCbCr→RGB (constants 91881/22554/46802/116130, +2¹⁵, shift 16 —
+    * the de-facto libjpeg rendering) while the oracle regenerates
+    * every block's R/G/B arithmetically with integer floor division
+    * (the fixture keeps every numerator positive, so floor = truncate
+    * = arithmetic shift and the hash-exact method survives). 4:4:4 is
+    * the color slice where NO chroma resampling exists — the stub
+    * boundary moves to subsampled/progressive DCT and lossy audio. */
+  def xJpegColor(s: SparkSession, d: String): DataFrame = {
+    val stats = graft.functions.BinaryMeta.jpegColorStatsCol(col("payload"))
+    ordered(
+      Multimodal.syntheticJpegColorPixels(documents(s, d))
+        .select(col("doc_id"),
+          element_at(stats, 1).as("n_px"),
+          element_at(stats, 2).as("sum_r"),
+          element_at(stats, 3).as("sum_g"),
+          element_at(stats, 4).as("sum_b")),
+      "doc_id")
+  }
+
+  /** A/V container header walk — MP3 (ID3v2 + MPEG-1 frame header),
+    * ADTS AAC, and ISO-BMFF MP4 (moov/mvhd/tkhd) metadata parsed from
+    * deterministic SQL-built payloads (`Multimodal.
+    * syntheticAvContainers`) through `BinaryMeta.mp3Meta / adtsMeta /
+    * mp4Meta` — the byte-round-trip oracle pattern of X138, extended
+    * to the two biggest real-corpus media formats. Header-ONLY by
+    * design (psychoacoustic/DCT decode stays the documented stub
+    * boundary); a 100 TB media manifest needs exactly this tier:
+    * format, rate, channels, bitrate, duration, dimensions as a pure
+    * codegen'd map-side scan, payloads never shuffling. */
+  def xAvMeta(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.BinaryMeta
+    val p = col("payload")
+    val mp3 = BinaryMeta.mp3MetaCol(p)
+    val aac = BinaryMeta.adtsMetaCol(p)
+    val mp4 = BinaryMeta.mp4MetaCol(p)
+    ordered(
+      Multimodal.syntheticAvContainers(documents(s, d))
+        .select(col("doc_id"),
+          BinaryMeta.mediaFormat(p).as("fmt"),
+          coalesce(element_at(mp3, 1), element_at(aac, 1)).as("sample_rate"),
+          coalesce(element_at(mp3, 3), element_at(aac, 2)).as("channels"),
+          element_at(mp3, 2).as("bitrate_kbps"),
+          element_at(mp3, 4).as("id3_bytes"),
+          element_at(aac, 3).as("frame_len"),
+          element_at(aac, 4).as("aac_profile"),
+          element_at(mp4, 1).as("timescale"),
+          element_at(mp4, 2).as("duration"),
+          element_at(mp4, 3).as("width"),
+          element_at(mp4, 4).as("height")),
+      "doc_id")
+  }
+
   /** REAL G.711 companded-audio decode: µ-law/A-law WAV fixtures
     * (`Multimodal.syntheticWavG711`) decoded through
     * `BinaryMeta.wavG711Stats`' actual container parse + ITU-T
@@ -1593,6 +1651,8 @@ object LlmOps {
     "x_gif_pixels"        -> (xGifPixels _),
     "x_png_pixels"        -> (xPngPixels _),
     "x_jpeg_pixels"       -> (xJpegPixels _),
+    "x_jpeg_color"        -> (xJpegColor _),
+    "x_av_meta"           -> (xAvMeta _),
     "x_wav_g711"          -> (xWavG711 _),
     "x_image_neardup"     -> (xImageNearDup _),
     "x_html_text"         -> (xHtmlText _),
@@ -3263,6 +3323,26 @@ object LlmOps {
         |  CAST(SUM(bsum) AS BIGINT) AS sum_g,
         |  CAST(SUM(bsum) AS BIGINT) AS sum_b
         |FROM p GROUP BY 1, nb ORDER BY 1""".stripMargin,
+    "x_jpeg_color" ->
+      """WITH m AS (SELECT doc_id,
+        |    (doc_id % 3 + 1) * (doc_id % 2 + 1) AS nb FROM documents),
+        |ycc AS (SELECT doc_id, nb,
+        |    128 + (doc_id * 5 + b.b * 7) % 21 - 10 AS y,
+        |    128 + (doc_id * 5 + b.b * 7 + 31) % 21 - 10 AS cb,
+        |    128 + (doc_id * 5 + b.b * 7 + 62) % 21 - 10 AS cr
+        |  FROM m, LATERAL (SELECT unnest(generate_series(0, nb - 1))
+        |    AS b) b),
+        |rgb AS (SELECT doc_id, nb,
+        |    (y * 65536 + 91881 * (cr - 128) + 32768) // 65536 AS r,
+        |    (y * 65536 - 22554 * (cb - 128) - 46802 * (cr - 128) + 32768)
+        |      // 65536 AS g,
+        |    (y * 65536 + 116130 * (cb - 128) + 32768) // 65536 AS bl
+        |  FROM ycc)
+        |SELECT doc_id, CAST(64 * nb AS BIGINT) AS n_px,
+        |  CAST(64 * SUM(r) AS BIGINT) AS sum_r,
+        |  CAST(64 * SUM(g) AS BIGINT) AS sum_g,
+        |  CAST(64 * SUM(bl) AS BIGINT) AS sum_b
+        |FROM rgb GROUP BY 1, nb ORDER BY 1""".stripMargin,
     "x_png_pixels" ->
       """WITH m AS (SELECT doc_id,
         |    (doc_id % 6 + 2) * (doc_id % 4 + 2) AS n FROM documents),
@@ -3274,6 +3354,37 @@ object LlmOps {
         |  CAST(SUM(px) AS BIGINT) AS sum_g,
         |  CAST(SUM(px) AS BIGINT) AS sum_b
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_av_meta" ->
+      """WITH k AS (SELECT doc_id, doc_id // 3 AS k, doc_id % 3 AS sel
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE CAST(sel AS INT) WHEN 0 THEN 'mp3' WHEN 1 THEN 'aac'
+        |       ELSE 'mp4' END AS fmt,
+        |  CASE CAST(sel AS INT)
+        |    WHEN 0 THEN CAST([44100, 48000, 32000][CAST(k % 3 AS INT) + 1]
+        |                     AS BIGINT)
+        |    WHEN 1 THEN CAST([96000, 88200, 64000, 48000, 44100, 32000,
+        |                      24000, 22050, 16000, 12000, 11025,
+        |                      8000][CAST(k % 12 AS INT) + 1] AS BIGINT)
+        |  END AS sample_rate,
+        |  CASE CAST(sel AS INT)
+        |    WHEN 0 THEN CAST(CASE WHEN k % 4 = 3 THEN 1 ELSE 2 END AS BIGINT)
+        |    WHEN 1 THEN CAST(CASE WHEN k % 7 + 1 = 7 THEN 8
+        |                          ELSE k % 7 + 1 END AS BIGINT)
+        |  END AS channels,
+        |  CASE WHEN sel = 0
+        |    THEN CAST([32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+        |               224, 256, 320][CAST(k % 14 AS INT) + 1] AS BIGINT)
+        |  END AS bitrate_kbps,
+        |  CASE WHEN sel = 0 THEN CAST(10 + k % 100 + 4 AS BIGINT)
+        |  END AS id3_bytes,
+        |  CASE WHEN sel = 1 THEN CAST(k % 4000 + 7 AS BIGINT) END AS frame_len,
+        |  CASE WHEN sel = 1 THEN CAST(k % 4 + 1 AS BIGINT) END AS aac_profile,
+        |  CASE WHEN sel = 2 THEN CAST(1000 + k % 9000 AS BIGINT) END AS timescale,
+        |  CASE WHEN sel = 2 THEN CAST(k % 100000 + 1000 AS BIGINT) END AS duration,
+        |  CASE WHEN sel = 2 THEN CAST(k % 1920 + 1 AS BIGINT) END AS width,
+        |  CASE WHEN sel = 2 THEN CAST(k % 1080 + 1 AS BIGINT) END AS height
+        |FROM k ORDER BY doc_id""".stripMargin,
     "x_multimodal_meta" ->
       """SELECT doc_id,
         |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif'

@@ -727,6 +727,391 @@ class BinaryMetaSpec extends SparkSpec {
     }
   }
 
+  /** ImageIO JPEG writer forced to 4:4:4 via the native metadata tree
+    * (the default writer always subsamples RGB to 4:2:0 — verified in
+    * the null-contract test below). */
+  private def jpeg444Bytes(img: java.awt.image.BufferedImage,
+                           quality: Float): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val md = writer.getDefaultImageMetadata(
+      new javax.imageio.ImageTypeSpecifier(img), param)
+    val fmt = "javax_imageio_jpeg_image_1.0"
+    val root = md.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+    val comps = root.getElementsByTagName("componentSpec")
+    for (c <- 0 until comps.getLength) {
+      val cs = comps.item(c).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      cs.setAttribute("HsamplingFactor", "1")
+      cs.setAttribute("VsamplingFactor", "1")
+    }
+    md.setFromTree(fmt, root)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, md), param)
+    ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  /** Color twin of dcOnlyJpeg: 3-component 4:4:4 interleaved DC-only
+    * stream with per-component predictor chains, optional restarts. */
+  private def dcOnlyColorJpeg(bw: Int, bh: Int, dcs: Seq[(Int, Int, Int)],
+                              ri: Int = 0): Array[Byte] = {
+    require(dcs.length == bw * bh)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def hexAppend(s: String): Unit =
+      out ++= s.replaceAll("\\s", "").grouped(2)
+        .map(Integer.parseInt(_, 16).toByte)
+    hexAppend("FFD8")
+    hexAppend("FFDB004300" + "08" * 64)
+    hexAppend("FFC40019" + "00" + "01" * 6 + "00" * 10 + "000102030405")
+    hexAppend("FFC40014" + "10" + "01" + "00" * 15 + "00")
+    hexAppend("FFC0001108" + f"${bh * 8}%04X" + f"${bw * 8}%04X" +
+      "03" + "011100" + "021100" + "031100")
+    if (ri > 0) hexAppend("FFDD0004" + f"$ri%04X")
+    hexAppend("FFDA000C03 0100 0200 0300 003F00")
+    val sb = new StringBuilder
+    def flushEntropy(): Unit = {
+      while (sb.length % 8 != 0) sb.append('1')
+      sb.toString.grouped(8).foreach { byte =>
+        val v = Integer.parseInt(byte, 2)
+        out += v.toByte
+        if (v == 0xff) out += 0x00.toByte
+      }
+      sb.clear()
+    }
+    val pred = Array(0, 0, 0)
+    var rst = 0
+    for ((dcTriple, b) <- dcs.zipWithIndex) {
+      if (ri > 0 && b > 0 && b % ri == 0) {
+        flushEntropy()
+        out += 0xff.toByte; out += (0xd0 + rst).toByte
+        rst = (rst + 1) & 7
+        pred(0) = 0; pred(1) = 0; pred(2) = 0
+      }
+      for ((dc, c) <- Seq(dcTriple._1, dcTriple._2, dcTriple._3).zipWithIndex) {
+        val d = dc - pred(c)
+        pred(c) = dc
+        val s = if (d == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(d))
+        sb.append("1" * s).append('0')
+        if (s > 0) {
+          val v = if (d > 0) d else d + (1 << s) - 1
+          val bits = Integer.toBinaryString(v)
+          sb.append("0" * (s - bits.length)).append(bits)
+        }
+        sb.append('0') // EOB
+      }
+    }
+    flushEntropy()
+    hexAppend("FFD9")
+    out.toArray
+  }
+
+  /** The spec's independent statement of the pinned fixed-point JFIF
+    * matrix (positive-numerator regime: floor division). */
+  private def refRgb(y: Int, cb: Int, cr: Int): (Int, Int, Int) = {
+    def cl(v: Long): Int = math.max(0L, math.min(255L, v)).toInt
+    (cl(Math.floorDiv(y.toLong * 65536 + 91881L * (cr - 128) + 32768, 65536)),
+     cl(Math.floorDiv(y.toLong * 65536 - 22554L * (cb - 128) - 46802L * (cr - 128) + 32768, 65536)),
+     cl(Math.floorDiv(y.toLong * 65536 + 116130L * (cb - 128) + 32768, 65536)))
+  }
+
+  test("jpeg 4:4:4 color decode: DC-only interleaved MCUs are exact, " +
+       "per-component predictors reset at restarts, ImageIO agrees") {
+    val dcs = Seq((5, -3, 8), (-10, 0, 3), (7, 7, -7), (0, 10, -1), (2, -9, 4), (-4, 1, 0))
+    val plain = dcOnlyColorJpeg(3, 2, dcs)
+    val got = JpegBaseline.decodePlanes(plain)
+    assert(got != null && got._3.length == 3, "color DC-only: null")
+    val (w, h, planes) = got
+    assert(w == 24 && h == 16)
+    for (((dy, dcb, dcr), b) <- dcs.zipWithIndex) {
+      val (bx, byy) = (b % 3, b / 3)
+      val at = (byy * 8) * w + bx * 8
+      assert(planes(0)(at) == 128 + dy, s"block $b Y")
+      assert(planes(1)(at) == 128 + dcb, s"block $b Cb")
+      assert(planes(2)(at) == 128 + dcr, s"block $b Cr")
+    }
+    // stats face == the independently-stated fixed-point conversion
+    val stats = JpegBaseline.jpegColorStats(plain)
+    var er = 0L; var eg = 0L; var eb = 0L
+    for (i <- 0 until w * h) {
+      val (r, g, bb) = refRgb(planes(0)(i), planes(1)(i), planes(2)(i))
+      er += r; eg += g; eb += bb
+    }
+    assert(stats.toSeq == Seq(w.toLong * h, er, eg, eb), s"${stats.toSeq}")
+    // ImageIO (libjpeg-derived fixed point) agrees within ±1/channel
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(plain))
+    assert(ref != null)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = ref.getRGB(x, y)
+      val i = y * w + x
+      val (mr, mg, mb) = refRgb(planes(0)(i), planes(1)(i), planes(2)(i))
+      assert(math.abs(((rgb >> 16) & 0xff) - mr) <= 1, s"($x,$y) R")
+      assert(math.abs(((rgb >> 8) & 0xff) - mg) <= 1, s"($x,$y) G")
+      assert(math.abs((rgb & 0xff) - mb) <= 1, s"($x,$y) B")
+    }
+    // restart markers: same pixels, per-COMPONENT predictors reset
+    val rsted = dcOnlyColorJpeg(3, 2, dcs, ri = 2)
+    val got2 = JpegBaseline.decodePlanes(rsted)
+    assert(got2 != null, "restart color stream: null")
+    for (c <- 0 until 3)
+      assert(got2._3(c).sameElements(planes(c)), s"restart plane $c differs")
+    // grayscale replicates through the color face
+    val gray = dcOnlyJpeg(2, 1, Seq(4, -4))
+    val gs = JpegBaseline.jpegColorStats(gray)
+    assert(gs != null && gs(1) == gs(2) && gs(2) == gs(3))
+  }
+
+  test("jpeg 4:4:4 color decode: ImageIO-written real-AC streams " +
+       "(metadata-forced 1x1 sampling) decode within ±2/channel; " +
+       "default 4:2:0 output and truncations stay null, never throw") {
+    val rnd = new scala.util.Random(777)
+    for ((w, h, q) <- Seq((32, 24, 0.95f), (24, 24, 0.7f), (17, 9, 0.9f))) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y,
+          (((x * 13 + y * 7) % 200 + rnd.nextInt(30)) << 16) |
+          (((x * 5 + y * 11) % 200 + rnd.nextInt(30)) << 8) |
+          ((x * 3 + y * 17) % 200 + rnd.nextInt(30)))
+      val bytes = jpeg444Bytes(img, q)
+      val got = JpegBaseline.decodePlanes(bytes)
+      assert(got != null && got._3.length == 3, s"${w}x$h q=$q: null")
+      assert(got._1 == w && got._2 == h)
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      var maxDiff = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = y * w + x
+        val (mr, mg, mb) =
+          JpegBaseline.ycbcrToRgb(got._3(0)(i), got._3(1)(i), got._3(2)(i))
+        val rgb = ref.getRGB(x, y)
+        maxDiff = math.max(maxDiff, math.abs(((rgb >> 16) & 0xff) - mr))
+        maxDiff = math.max(maxDiff, math.abs(((rgb >> 8) & 0xff) - mg))
+        maxDiff = math.max(maxDiff, math.abs((rgb & 0xff) - mb))
+      }
+      // ±1 IDCT (T.81 bound) + ±1 conversion rounding
+      assert(maxDiff <= 2, s"${w}x$h q=$q: max channel diff $maxDiff")
+    }
+    // the default writer subsamples to 4:2:0 — the documented null
+    // boundary (chroma upsampling is implementation-defined)
+    val cimg = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    cimg.setRGB(3, 3, 0x884422)
+    assert(JpegBaseline.jpegColorStats(jpegBytes(cimg, 0.8f)) == null,
+      "4:2:0 must be declined, not mis-decoded")
+    // truncation at every byte must never throw
+    val good = dcOnlyColorJpeg(2, 1, Seq((4, -4, 2), (1, 0, -6)))
+    assert(JpegBaseline.jpegColorStats(good) != null)
+    for (cut <- 0 until good.length)
+      JpegBaseline.jpegColorStats(good.take(cut))
+    val bad = good.clone()
+    bad(bad.length - 3) = 0x55.toByte
+    JpegBaseline.jpegColorStats(bad) // null or decode — must not throw
+  }
+
+  test("syntheticJpegColorPixels round-trip: SQL-built DC-only 4:4:4 " +
+       "JPEGs decode through jpegColorStats AND the JDK ImageIO " +
+       "reader to the constructing arithmetic") {
+    import spark.implicits._
+    val docs = (0L to 41L).toDF("doc_id")
+    val fixtures = graft.llm.Multimodal.syntheticJpegColorPixels(docs)
+      .orderBy("doc_id").collect()
+    fixtures.foreach { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      val nb = ((id % 3) + 1) * ((id % 2) + 1)
+      def dc(b: Long, c: Long) = ((id * 5 + b * 7 + c * 31) % 21 - 10).toInt
+      var er = 0L; var eg = 0L; var eb = 0L
+      for (b <- 0L until nb) {
+        val (r0, g0, b0) = refRgb(128 + dc(b, 0), 128 + dc(b, 1), 128 + dc(b, 2))
+        er += 64L * r0; eg += 64L * g0; eb += 64L * b0
+      }
+      val got = JpegBaseline.jpegColorStats(bytes)
+      assert(got != null, s"doc $id: null")
+      assert(got.toSeq == Seq(nb * 64, er, eg, eb),
+        s"doc $id: ${got.toSeq} != (${nb * 64}, $er, $eg, $eb)")
+      // ImageIO reads the SQL-built stream; channel sums within
+      // ±1/pixel/channel of the pinned conversion
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"doc $id: ImageIO rejects the SQL-built JPEG")
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+      }
+      val npx = nb * 64
+      assert(math.abs(sr - er) <= npx && math.abs(sg - eg) <= npx &&
+        math.abs(sb - eb) <= npx, s"doc $id: ImageIO far off")
+    }
+    // the gate's codegen'd column face agrees
+    val viaCol = graft.llm.Multimodal.syntheticJpegColorPixels(docs)
+      .select(col("doc_id"),
+        BinaryMeta.jpegColorStatsCol(col("payload")).as("s"))
+      .orderBy("doc_id").collect()
+    viaCol.foreach { r => assert(!r.isNullAt(1), s"doc ${r.getLong(0)}") }
+  }
+
+  test("mp3Meta/adtsMeta: ID3 skip (footer flag, chained tags), " +
+       "version/layer/bitrate tables, split-field ADTS packing, " +
+       "null contracts") {
+    def hexB(s: String) = s.replaceAll("\\s", "").grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+    // ID3v2.4 with FOOTER flag (0x10), syncsafe size 20 -> span 40;
+    // then MPEG-2 Layer II frame: FF F4 (vb=2, layer=2, prot=0... use
+    // F5: 1111 0101 -> vb=10 (MPEG2), layer=10 (II), prot=1), bitrate
+    // index 9 -> V2L23[9] = 80 kbps, srate index 1 -> 24000, mono (C0)
+    // header(10) + body(20) + FOOTER(10, "3DI"-led) + frame: span 40
+    val mp3 = hexB("494433 0400 10 00000014" + "00" * 20 +
+      "334449 0400 00 00000014" +
+      "FFF5 96 C0") // 0x96 = bi 9, si 1; 0xC0 = mono
+    val m = BinaryMeta.mp3Meta(mp3)
+    assert(m != null, "mp3 with ID3 footer: null")
+    assert(m.toSeq == Seq(24000L, 80L, 1L, 40L), m.toSeq)
+    // chained tags: two ID3 blocks back-to-back
+    val chained = hexB("494433 0300 00 00000005" + "00" * 5 +
+      "494433 0400 00 00000003" + "00" * 3 + "FFFB 90 00")
+    val c = BinaryMeta.mp3Meta(chained)
+    assert(c != null && c(3) == 15 + 13, s"chained span: ${c.toSeq}")
+    assert(c(0) == 44100 && c(1) == 128 && c(2) == 2, c.toSeq) // V1L3[9]=128
+    // null contracts: free-format, invalid bitrate, reserved srate,
+    // reserved version, bad syncsafe byte
+    assert(BinaryMeta.mp3Meta(hexB("FFFB 04 00")) == null, "free-format")
+    assert(BinaryMeta.mp3Meta(hexB("FFFB F4 00")) == null, "bitrate 15")
+    assert(BinaryMeta.mp3Meta(hexB("FFFB 9C 00")) == null, "srate 3")
+    assert(BinaryMeta.mp3Meta(hexB("FFEB 94 00")) == null, "version reserved")
+    assert(BinaryMeta.mp3Meta(hexB("494433 0400 00 000000FF FFFB 94 00")) == null,
+      "non-syncsafe size byte")
+    // ADTS: profile LC (pb=1), sfi=4 (44100), cfg=6 split across the
+    // byte boundary (byte2 bit0 = 1, byte3 top bits = 10), frame
+    // length 2055 = 0b100_00000111 across three fields
+    // byte2 = 01 0100 1 . 1? wait: pb(2) sfi(4) private(1) cfg_hi(1):
+    // 01 0100 0 1 = 0x51; byte3: cfg_lo(2)=10, orig(1) home(1)
+    // copyid(1) copystart(1) fl_hi(2)=00... fl=2055=0b0100000000111:
+    // fl>>11=1, (fl>>3)&0xFF=0x00? 2055 = 0x807 -> bits 12..11 = 01
+    val fl = 2055
+    val b3 = (2 << 6) | ((fl >> 11) & 3)
+    val b4 = (fl >> 3) & 0xff
+    val b5 = ((fl & 7) << 5) | 0x1f
+    val adts = Array[Int](0xff, 0xf1, 0x51, b3, b4, b5, 0xfc).map(_.toByte)
+    val a = BinaryMeta.adtsMeta(adts)
+    assert(a != null && a.toSeq == Seq(44100L, 6L, 2055L, 2L), a.toSeq)
+    // cfg 7 -> 8 channels; cfg 0 -> null; sfi 13 -> null
+    val a7 = adts.clone(); a7(2) = 0x51.toByte; a7(3) = (0xc0 | ((fl >> 11) & 3)).toByte
+    assert(BinaryMeta.adtsMeta(a7)(1) == 8, "cfg 7 maps to 8 channels")
+    val a0 = adts.clone(); a0(2) = 0x50.toByte; a0(3) = ((fl >> 11) & 3).toByte
+    assert(BinaryMeta.adtsMeta(a0) == null, "cfg 0 (PCE) declines")
+    val a13 = adts.clone(); a13(2) = (0x40 | (13 << 2) | 1).toByte
+    assert(BinaryMeta.adtsMeta(a13) == null, "reserved sfi declines")
+    // format detection; truncation fuzz never throws
+    assert(BinaryMeta.format(mp3).toString == "mp3")
+    assert(BinaryMeta.format(adts).toString == "aac")
+    for (cut <- 0 until mp3.length) BinaryMeta.mp3Meta(mp3.take(cut))
+    for (cut <- 0 until adts.length) BinaryMeta.adtsMeta(adts.take(cut))
+  }
+
+  test("mp4Meta: v0 and v1 boxes, largesize, audio-only tracks, " +
+       "null contracts and truncation fuzz") {
+    def be4(v: Long) = f"$v%08X"
+    def box(typ: String, payloadHex: String): String = {
+      val size = 8 + payloadHex.length / 2
+      be4(size) + typ.getBytes.map(b => f"$b%02X").mkString + payloadHex
+    }
+    def hexB(s: String) = s.replaceAll("\\s", "").grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+    val ftyp = box("ftyp", "69736F6D00000200")
+    def mvhd0(tsc: Long, dur: Long) = box("mvhd",
+      "00000000" + "00000000" + "00000000" + be4(tsc) + be4(dur) +
+        "00010000" + "01000000" + "00000000" * 2 +
+        "00010000" + "00000000" * 3 + "00010000" + "00000000" * 3 +
+        "40000000" + "00000000" * 6 + "00000002")
+    def tkhd0(w: Long, h: Long) = box("tkhd",
+      "00000007" + "00000000" * 2 + "00000001" + "00000000" + be4(500) +
+        "00000000" * 2 + "0000" * 4 +
+        "00010000" + "00000000" * 3 + "00010000" + "00000000" * 3 +
+        "40000000" + be4(w << 16) + be4(h << 16))
+    val v0 = hexB(ftyp +
+      box("moov", mvhd0(90000, 450000) + box("trak", tkhd0(640, 360))))
+    val g0 = BinaryMeta.mp4Meta(v0)
+    assert(g0 != null && g0.toSeq == Seq(90000L, 450000L, 640L, 360L), g0.toSeq)
+    // v1 mvhd (64-bit times) + v1 tkhd
+    val mvhd1 = box("mvhd",
+      "01000000" + "00000000" * 4 + be4(1000) +
+        be4(0) + be4(7000) + // duration u64 = 7000
+        "00010000" + "01000000" + "00000000" * 2 +
+        "00010000" + "00000000" * 3 + "00010000" + "00000000" * 3 +
+        "40000000" + "00000000" * 6 + "00000002")
+    val tkhd1 = box("tkhd",
+      "01000007" + "00000000" * 4 + "00000001" + "00000000" +
+        be4(0) + be4(7000) + // duration u64
+        "00000000" * 2 + "0000" * 4 +
+        "00010000" + "00000000" * 3 + "00010000" + "00000000" * 3 +
+        "40000000" + be4(1920L << 16) + be4(1080L << 16))
+    val v1 = hexB(ftyp + box("moov", mvhd1 + box("trak", tkhd1)))
+    val g1 = BinaryMeta.mp4Meta(v1)
+    assert(g1 != null && g1.toSeq == Seq(1000L, 7000L, 1920L, 1080L), g1.toSeq)
+    // LARGESIZE moov (size=1 + 64-bit size); free box before it skipped
+    val inner = mvhd0(600, 1200) + box("trak", tkhd0(0, 0)) // audio-only dims
+    val large = hexB(ftyp + box("free", "AA" * 4) +
+      "00000001" + "6D6F6F76" + be4(0) + be4(16 + inner.length / 2) + inner)
+    val gl = BinaryMeta.mp4Meta(large)
+    assert(gl != null && gl.toSeq == Seq(600L, 1200L, 0L, 0L), "largesize walk")
+    // no moov -> null; foreign bytes -> null; truncation never throws
+    assert(BinaryMeta.mp4Meta(hexB(ftyp + box("mdat", "00" * 8))) == null)
+    assert(BinaryMeta.mp4Meta("not an mp4".getBytes) == null)
+    assert(BinaryMeta.format(v0).toString == "mp4")
+    for (cut <- 0 until v1.length) BinaryMeta.mp4Meta(v1.take(cut))
+  }
+
+  test("syntheticAvContainers round-trip: SQL-built MP3/ADTS/MP4 " +
+       "payloads walk back through mp3Meta/adtsMeta/mp4Meta to the " +
+       "constructing arithmetic") {
+    import spark.implicits._
+    val docs = (0L to 47L).toDF("doc_id")
+    val rows = graft.llm.Multimodal.syntheticAvContainers(docs)
+      .orderBy("doc_id").collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val b = r.getAs[Array[Byte]](1)
+      val k = id / 3
+      (id % 3) match {
+        case 0 =>
+          val m = BinaryMeta.mp3Meta(b)
+          assert(m != null, s"doc $id: mp3 null")
+          val br = Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+          assert(m.toSeq == Seq(
+            Array(44100L, 48000L, 32000L)((k % 3).toInt),
+            br((k % 14).toInt).toLong,
+            if (k % 4 == 3) 1L else 2L,
+            10L + k % 100 + 4), s"doc $id: ${m.toSeq}")
+        case 1 =>
+          val a = BinaryMeta.adtsMeta(b)
+          assert(a != null, s"doc $id: aac null")
+          val sr = Array(96000L, 88200L, 64000L, 48000L, 44100L, 32000L,
+            24000L, 22050L, 16000L, 12000L, 11025L, 8000L)
+          val cfg = k % 7 + 1
+          assert(a.toSeq == Seq(sr((k % 12).toInt),
+            if (cfg == 7) 8L else cfg, k % 4000 + 7, k % 4 + 1),
+            s"doc $id: ${a.toSeq}")
+        case _ =>
+          val m4 = BinaryMeta.mp4Meta(b)
+          assert(m4 != null, s"doc $id: mp4 null")
+          assert(m4.toSeq == Seq(1000 + k % 9000, k % 100000 + 1000,
+            k % 1920 + 1, k % 1080 + 1), s"doc $id: ${m4.toSeq}")
+      }
+    }
+    // the gate's codegen'd column faces agree (non-null per format)
+    val viaCol = graft.llm.Multimodal.syntheticAvContainers(docs)
+      .select(col("doc_id"),
+        coalesce(
+          BinaryMeta.mp3MetaCol(col("payload")),
+          BinaryMeta.adtsMetaCol(col("payload")),
+          BinaryMeta.mp4MetaCol(col("payload"))).as("m"))
+      .orderBy("doc_id").collect()
+    viaCol.foreach { r => assert(!r.isNullAt(1), s"doc ${r.getLong(0)}") }
+  }
+
   test("syntheticGifPixels round-trip: the SQL-built fixtures decode " +
        "through gifPixelStats AND the JDK ImageIO reader to the " +
        "constructing arithmetic") {
