@@ -1332,6 +1332,98 @@ object LlmOps {
       "doc_id")
   }
 
+  /** The WEB-CORPUS per-site curation pass composed end to end — the
+    * CCNet/RefinedWeb shape: messy URL → `urlCanonical` dedup key →
+    * URL-level exact dedup (keep min doc_id per canonical URL) →
+    * `registrableDomain` grouping → `htmlToText` extraction →
+    * PER-DOMAIN boilerplate removal (the site-chrome 50%-df cut) →
+    * per-domain 3-gram near-dup removal (`ngramJaccardPairsAuto`,
+    * keep-lowest). Every stage is an already-gated operator
+    * (x_url_canonical, x_html_text, x_boilerplate, x_dedup_ngram_auto);
+    * this gate proves the COMPOSITION, x_ccnet_refine-style, against
+    * one fully composed DuckDB oracle.
+    *
+    * Fixture: page id = doc_id mod 40 (so ~N/40 docs share each
+    * canonical URL and the URL-dedup stage bites), each page wrapped
+    * in deterministic HTML with a per-SITE nav banner (the per-domain
+    * boilerplate), plus an "echo" repost of every document (+1M id,
+    * same site, /alt path, text + 2 trailing tokens) that the URL
+    * stage must NOT collapse and the near-dup stage must. The
+    * .example.net sites all group into ONE registrable domain — the
+    * multi-site-per-domain case the PSL grouping exists for.
+    * Output: one row per corpus doc with its exit stage
+    * (url_dup | near_dup | kept) + per-doc boilerplate counts. */
+  def xWebPipeline(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), col("text"))
+    val pid0 = pmod(col("doc_id"), lit(40L))
+    val corpus = base
+      .select(col("doc_id"), col("text"), pid0.as("pid"), lit(0L).as("echo"))
+      .unionByName(base.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" repost notice")).as("text"),
+        pid0.as("pid"), lit(1L).as("echo")))
+    val pid = col("pid")
+    val url = concat(
+      when(pmod(pid, lit(2L)) === 0, lit("HTTPS")).otherwise(lit("http")),
+      lit("://"),
+      when(pmod(pid, lit(3L)) === 0, lit("WWW.")).otherwise(lit("")),
+      lit("Site"), pmod(pid, lit(10L)),
+      element_at(array(lit(".com"), lit(".co.uk"), lit(".org"),
+        lit(".example.net")), (pmod(pid, lit(4L)) + 1).cast("int")),
+      when(pmod(pid, lit(5L)) === 0,
+        when(pmod(pid, lit(2L)) === 0, lit(":443")).otherwise(lit(":80")))
+        .otherwise(lit("")),
+      when(col("echo") === 1, lit("/alt")).otherwise(lit("/p")),
+      pmod(pid, lit(7L)),
+      when(pmod(pid, lit(2L)) === 0, lit("/")).otherwise(lit("")),
+      lit("?utm_campaign=w&b="), pmod(pid, lit(9L)),
+      lit("&a="), pmod(pid, lit(3L)), lit("#top"))
+    val esc = replace(replace(replace(col("text"),
+      lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+    val html = concat(
+      lit("<html><head><title>portal</title><style>nav{top:0}</style>" +
+        "<script>var nav = 1 < 2;</script></head><body>" +
+        "<div class=\"nav\">portal site"),
+      pmod(pid, lit(10L)), lit(" home login</div><p>"), esc,
+      lit("</p></body></html>"))
+    val pages = corpus.select(col("doc_id"),
+      TextAnalysis.urlCanonical(url).as("canon"),
+      TextAnalysis.htmlToText(html).as("text"))
+    val withDom = pages.withColumn("domain",
+      TextAnalysis.registrableDomain(regexp_extract(col("canon"), "^([^/?]*)", 1)))
+    // stage 1: URL-level exact dedup, keep-lowest per canonical key
+    val keepers = withDom.groupBy(col("canon")).agg(min(col("doc_id")).as("__keep"))
+    val s1 = withDom.join(keepers, "canon")
+      .withColumn("url_dup", col("doc_id") =!= col("__keep")).drop("__keep")
+    val survivors = s1.filter(!col("url_dup"))
+    // stage 2: per-DOMAIN boilerplate removal (site chrome df >= 50%)
+    val cleaned = TextAnalysis.removeBoilerplate(
+      survivors.select(col("doc_id"), col("domain"), col("text")),
+      srcCol = "domain")
+    // stage 3: per-domain near-dup on the CLEANED text, keep-lowest.
+    // The domain map is doc-count-bounded (one narrow row per
+    // surviving doc) — broadcast both lookups; the pair table is
+    // near-dup-density-sized.
+    val pairs = Dedup.ngramJaccardPairsAuto(
+      cleaned.select(col("doc_id"), col("kept_text").as("text")),
+      n = 3, threshold = 0.8)
+    val doms = survivors.select(col("doc_id"), col("domain"))
+    val removed = pairs
+      .join(broadcast(doms.select(col("doc_id").as("d1"), col("domain").as("__m1"))), Seq("d1"))
+      .join(broadcast(doms.select(col("doc_id").as("d2"), col("domain").as("__m2"))), Seq("d2"))
+      .filter(col("__m1") === col("__m2"))
+      .select(col("d2").as("doc_id")).distinct()
+      .withColumn("__nd", lit(true))
+    ordered(
+      s1.join(cleaned.select(col("doc_id"), col("kept_ct"), col("removed_ct")),
+          Seq("doc_id"), "left")
+        .join(broadcast(removed), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("url_dup"), "url_dup")
+            .when(col("__nd"), "near_dup").otherwise("kept").as("stage"),
+          col("domain"), col("canon"), col("kept_ct"), col("removed_ct")),
+      "doc_id")
+  }
+
   /** A/V container header walk — MP3 (ID3v2 + MPEG-1 frame header),
     * ADTS AAC, and ISO-BMFF MP4 (moov/mvhd/tkhd) metadata parsed from
     * deterministic SQL-built payloads (`Multimodal.
@@ -1653,6 +1745,7 @@ object LlmOps {
     "x_jpeg_pixels"       -> (xJpegPixels _),
     "x_jpeg_color"        -> (xJpegColor _),
     "x_av_meta"           -> (xAvMeta _),
+    "x_web_pipeline"      -> (xWebPipeline _),
     "x_wav_g711"          -> (xWavG711 _),
     "x_image_neardup"     -> (xImageNearDup _),
     "x_html_text"         -> (xHtmlText _),
@@ -3354,6 +3447,75 @@ object LlmOps {
         |  CAST(SUM(px) AS BIGINT) AS sum_g,
         |  CAST(SUM(px) AS BIGINT) AS sum_b
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the fully composed per-site web-curation oracle: URL canon keys
+    // regenerated arithmetically (the regex chain is separately gated
+    // by x_url_canonical), extracted tokens = banner + raw-text tokens
+    // (htmlToText is separately gated by x_html_text and the esc/
+    // decode round-trip is exact), then the x_boilerplate and
+    // x_dedup_ngram CTE idioms composed per registrable domain
+    "x_web_pipeline" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text, doc_id % 40 AS pid, 0 AS echo FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' repost notice', doc_id % 40, 1
+         |  FROM documents),
+         |meta AS (SELECT doc_id, text, pid, echo,
+         |    'site' || (pid % 10) ||
+         |      (CASE CAST(pid % 4 AS INT) WHEN 0 THEN '.com'
+         |            WHEN 1 THEN '.co.uk' WHEN 2 THEN '.org'
+         |            ELSE '.example.net' END) AS host
+         |  FROM corpus),
+         |pg AS (SELECT doc_id, pid, echo, host,
+         |    host || (CASE WHEN echo = 1 THEN '/alt' ELSE '/p' END) ||
+         |      (pid % 7) || '?a=' || (pid % 3) || '&b=' || (pid % 9) AS canon,
+         |    CASE WHEN pid % 4 = 3 THEN 'example.net' ELSE host END AS domain,
+         |    list_concat(['portal', 'portal', 'site' || (pid % 10),
+         |                 'home', 'login'], $toksSql) AS ts
+         |  FROM meta),
+         |s1 AS (SELECT *, min(doc_id) OVER (PARTITION BY canon) AS keep FROM pg),
+         |surv AS (SELECT * FROM s1 WHERE doc_id = keep),
+         |l AS (SELECT doc_id, domain, j AS pi,
+         |        array_to_string(ts[j*3+1:least(j*3+3, len(ts))], ' ') AS line
+         |      FROM surv, LATERAL (SELECT unnest(generate_series(0,
+         |        CAST(ceil(len(ts) / 3.0) AS BIGINT) - 1)) AS j)),
+         |nd AS (SELECT domain, count(DISTINCT doc_id) AS n_docs
+         |       FROM surv GROUP BY 1),
+         |dfq AS (SELECT domain, line, count(DISTINCT doc_id) AS df
+         |        FROM l GROUP BY 1, 2),
+         |bp AS (SELECT dfq.domain, dfq.line FROM dfq JOIN nd USING (domain)
+         |       WHERE dfq.df * 1000000 >= 500000 * nd.n_docs),
+         |k AS (SELECT l.doc_id, l.pi, l.line,
+         |        CASE WHEN bp.line IS NULL THEN 1 ELSE 0 END AS kp
+         |      FROM l LEFT JOIN bp ON l.domain = bp.domain AND l.line = bp.line),
+         |cl AS (SELECT doc_id,
+         |        coalesce(string_agg(CASE WHEN kp = 1 THEN line END,
+         |          ' ' ORDER BY pi), '') AS kept_text,
+         |        CAST(count(CASE WHEN kp = 1 THEN 1 END) AS BIGINT) AS kept_ct,
+         |        CAST(count(CASE WHEN kp = 0 THEN 1 END) AS BIGINT) AS removed_ct
+         |      FROM k GROUP BY 1),
+         |t2 AS (SELECT doc_id, list_filter(str_split_regex(lower(kept_text),
+         |        '[^a-z0-9]+'), t -> t <> '') AS ts FROM cl),
+         |g2 AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS g
+         |       FROM t2, LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i)
+         |       WHERE len(ts) >= 3),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM g2 GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n
+         |          FROM g2 a JOIN g2 b ON a.g = b.g AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |rm AS (SELECT DISTINCT d2 AS doc_id
+         |       FROM inter JOIN sz z1 ON d1 = z1.doc_id
+         |       JOIN sz z2 ON d2 = z2.doc_id
+         |       JOIN surv m1 ON d1 = m1.doc_id JOIN surv m2 ON d2 = m2.doc_id
+         |       WHERE m1.domain = m2.domain
+         |         AND n / (z1.sz + z2.sz - n) >= 0.8)
+         |SELECT s1.doc_id,
+         |  CASE WHEN s1.doc_id <> s1.keep THEN 'url_dup'
+         |       WHEN rm.doc_id IS NOT NULL THEN 'near_dup'
+         |       ELSE 'kept' END AS stage,
+         |  s1.domain, s1.canon, cl.kept_ct, cl.removed_ct
+         |FROM s1 LEFT JOIN cl ON s1.doc_id = cl.doc_id
+         |LEFT JOIN rm ON s1.doc_id = rm.doc_id
+         |ORDER BY s1.doc_id""".stripMargin,
     "x_av_meta" ->
       """WITH k AS (SELECT doc_id, doc_id // 3 AS k, doc_id % 3 AS sel
         |  FROM documents)
