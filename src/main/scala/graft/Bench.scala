@@ -107,6 +107,13 @@ object Bench {
       baseWarm.get(n).filter(_ > 0).map(b => n -> w / b) }.toMap
     val medC = median(coldR.values)
     val medW = median(warmR.values)
+    // the cold-only fallback applies solely to a LEGACY baseline with no
+    // warm map whatsoever — gated on the baseline itself, not on this
+    // run's overlap with it: a baseline that HAS warm numbers but shares
+    // none with this run's result set means every flag is unconfirmable,
+    // and unconfirmable must read as "no flag", not "flag on cold alone"
+    // (round-11 ADVICE fix)
+    val coldOnly = baseWarm.isEmpty
     results.collect {
       case (name, cold, warm)
         if cold > floorSec &&
@@ -115,10 +122,8 @@ object Bench {
            // warm numbers at all: a query absent from the warm map then
            // means "cannot confirm", not "confirmed" — flagging it on the
            // cold ratio alone would reintroduce the cold-only JIT/page-
-           // cache false-positive class this gate exists to suppress. The
-           // cold-only fallback applies solely to a legacy baseline with
-           // no warm map whatsoever.
-           (warmR.isEmpty || warmR.get(name).exists(_ > ratio * medW)) =>
+           // cache false-positive class this gate exists to suppress.
+           (coldOnly || warmR.get(name).exists(_ > ratio * medW)) =>
         name
     }.sorted match {
       case flagged =>

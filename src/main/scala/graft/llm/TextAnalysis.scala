@@ -48,9 +48,15 @@ object TextAnalysis {
     * non-parsing approximation: a literal '<' in prose text would need
     * entity-escaping upstream, as real HTML requires anyway. */
   def htmlToText(html: Column): Column = {
+    // two SEPARATE passes so the close tag must match the open tag:
+    // a single alternation pattern would let '<script>…</style>…'
+    // terminate the script element at the foreign close tag and leak
+    // trailing script code into the extracted text
     val noScript = regexp_replace(html,
-      "(?is)<(script|style)\\b[^>]*>.*?</(script|style)\\s*>", " ")
-    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+      "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
     val decoded = Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
@@ -68,9 +74,15 @@ object TextAnalysis {
     * regexp/array-function chain with identical semantics in Java
     * regex and RE2 + DuckDB list functions, so the oracle runs the
     * SAME chain — the key's equality semantics are engine-pinned.
-    * Bounds: percent-encoding is NOT normalized (%2F vs / stay
-    * distinct — decoding is content-dependent) and IDN hosts pass
-    * through un-punycoded; both documented, both deterministic. */
+    * The SCHEME is deliberately dropped from the key: http://,
+    * https:// (and any other scheme, e.g. ftp://) serving the same
+    * host+path+query collapse to ONE dedup key — the web-corpus
+    * convention (the same page crawled over http and https is the
+    * same page). Callers that must keep schemes distinct prefix the
+    * key themselves. Bounds: percent-encoding is NOT normalized
+    * (%2F vs / stay distinct — decoding is content-dependent) and IDN
+    * hosts pass through un-punycoded; all documented, all
+    * deterministic. */
   def urlCanonical(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     val rawHost = lower(regexp_extract(url,
@@ -108,6 +120,73 @@ object TextAnalysis {
     when(n >= 3 && sld.isin("co", "com", "net", "org", "gov", "ac", "edu"),
       concat_ws(".", element_at(labels, -3), sld, element_at(labels, -1)))
       .when(n >= 2, concat_ws(".", sld, element_at(labels, -1)))
+  }
+
+  /** PSL-BACKED registrable domain — the data-driven upgrade of
+    * [[registrableDomain]] for deployments that ship the Mozilla
+    * Public Suffix List (the heuristic stays the data-free default).
+    * `rules` is one PSL rule per row in a `rule` column, the public
+    * format: `com`, `co.uk` (normal), `*.ck` (wildcard — any single
+    * label under ck is a public suffix), `!www.ck` (exception — www.ck
+    * is NOT a public suffix despite the wildcard). Algorithm per the
+    * published PSL spec: among matching rules the exception wins (its
+    * suffix is the rule minus the leftmost label), else the LONGEST
+    * match, else the implicit `*` default (rightmost label);
+    * registrable domain = public suffix + one more label, null when
+    * the host IS a public suffix.
+    *
+    * Scale shape: the RULES table broadcasts (the full PSL is ~10k
+    * rows — model state, never data-sized); hosts are matched on
+    * their DISTINCT values (one row per distinct host, label-suffix
+    * candidates exploded ≤ label-count-bounded), and the result joins
+    * back on the host value — no row-identity column needed, and
+    * repeated hosts (the web-corpus norm) pay the suffix walk once. */
+  def registrableDomainPsl(df: DataFrame, hostCol: String, rules: DataFrame,
+                           out: String = "domain"): DataFrame = {
+    val norm = rules.select(
+      when(col("rule").startsWith("!"), lit("exc"))
+        .when(col("rule").startsWith("*."), lit("wild"))
+        .otherwise(lit("norm")).as("__rtype"),
+      when(col("rule").startsWith("!"), expr("substring(rule, 2)"))
+        .when(col("rule").startsWith("*."), expr("substring(rule, 3)"))
+        .otherwise(col("rule")).as("__rkey"))
+    val hosts = df.select(col(hostCol).as("__host")).filter(col("__host").isNotNull)
+      .distinct()
+      .withColumn("__labels",
+        split(regexp_replace(col("__host"), ":[0-9]+$", ""), "\\."))
+      .withColumn("__n", size(col("__labels")))
+    // candidate suffix i = last i labels; its parent (i-1 labels) is the
+    // wildcard join key: '*.ck' stored as key 'ck' matches any 2-label
+    // candidate whose tail is 'ck'
+    val cand = hosts.select(col("__host"), col("__labels"), col("__n"),
+      explode(sequence(lit(1), col("__n"))).as("__i"))
+      .withColumn("__suffix",
+        concat_ws(".", slice(col("__labels"), col("__n") - col("__i") + 1, col("__i"))))
+      .withColumn("__parent",
+        when(col("__i") >= 2, concat_ws(".",
+          slice(col("__labels"), col("__n") - col("__i") + 2, col("__i") - 1))))
+    val exact = cand.join(broadcast(norm.filter(col("__rtype") =!= "wild")),
+        col("__suffix") === col("__rkey"))
+      .select(col("__host"),
+        when(col("__rtype") === "exc", col("__i") - 1).otherwise(col("__i"))
+          .as("__ps"),
+        (col("__rtype") === "exc").as("__isExc"))
+    val wild = cand.filter(col("__parent").isNotNull)
+      .join(broadcast(norm.filter(col("__rtype") === "wild")),
+        col("__parent") === col("__rkey"))
+      .select(col("__host"), col("__i").as("__ps"), lit(false).as("__isExc"))
+    val psLen = exact.unionByName(wild)
+      .groupBy(col("__host"))
+      .agg(max(when(col("__isExc"), col("__ps"))).as("__exc"),
+        max(when(!col("__isExc"), col("__ps"))).as("__oth"))
+      .select(col("__host"), coalesce(col("__exc"), col("__oth")).as("__psLen"))
+    val resolved = hosts.join(psLen, Seq("__host"), "left")
+      .withColumn("__ps", coalesce(col("__psLen"), lit(1))) // implicit '*'
+      .select(col("__host"),
+        when(col("__n") > col("__ps"),
+          concat_ws(".", slice(col("__labels"),
+            col("__n") - col("__ps"), col("__ps") + 1))).as(out))
+    df.join(resolved, df(hostCol) === resolved("__host"), "left").drop("__host")
   }
 
   def withTokenCounts(df: DataFrame, text: Column = col("text")): DataFrame =

@@ -3335,8 +3335,10 @@ object LlmOps {
         |  replace(replace(replace(replace(replace(replace(
         |    regexp_replace(
         |      regexp_replace(
-        |        regexp_replace(html,
-        |          '(?is)<(script|style)\b[^>]*>.*?</(script|style)\s*>', ' ', 'g'),
+        |        regexp_replace(
+        |          regexp_replace(html,
+        |            '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+        |          '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
         |        '(?s)<!--.*?-->', ' ', 'g'),
         |      '(?s)<[^>]*>', ' ', 'g'),
         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),

@@ -21,7 +21,12 @@ private[queries] object StreamGate {
     * sentinels; the three windows gates run 1 + 1) pay it ONCE per
     * session instead of once per gate per bench repeat. The cached
     * value carries the canonical schema so re-serving is a pure
-    * readStream. */
+    * readStream with no hidden session-state dependency: the
+    * nanosAsLong conf (needed only by the raw read inside the prep)
+    * is set on the HIT path too, so both paths leave identical
+    * session state, and every temp dir registers for JVM-exit
+    * cleanup so the process-lifetime cache cannot leak directories
+    * past the process. */
   private val sourceCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Int),
       (String, org.apache.spark.sql.types.StructType)]()
@@ -51,6 +56,11 @@ private[queries] object StreamGate {
   def eventsFileStream(s: SparkSession, d: String, sentinels: Int = 1,
                        oneFilePerTrigger: Boolean = false,
                        splitParts: Int = 1): DataFrame = {
+    // needed only by the RAW ns-int64 read inside the prep (the cached
+    // files are canonical µs longs) — set OUTSIDE the cache so hit and
+    // miss paths leave identical session state, same idempotent
+    // convention as Tables.events
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val (dirStr, schema) = sourceCache.computeIfAbsent(
       (d, sentinels, splitParts),
       _ => prepareSourceDir(s, d, sentinels, splitParts))
@@ -60,12 +70,23 @@ private[queries] object StreamGate {
       .withColumn("ts", timestamp_micros(col("ts")))
   }
 
+  /** Recursive JVM-exit cleanup for a prep/sink temp dir — the cache is
+    * process-lifetime by design, so the dirs must not outlive it. */
+  private def registerDeleteOnExit(dir: java.nio.file.Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }))
+
   private def prepareSourceDir(s: SparkSession, d: String, sentinels: Int,
                                splitParts: Int)
       : (String, org.apache.spark.sql.types.StructType) = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw0 = s.read.parquet(s"$d/events.parquet")
     val dir = java.nio.file.Files.createTempDirectory("evsrc")
+    registerDeleteOnExit(dir)
     val raw = raw0.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw0.withColumn("ts", expr("ts div 1000")) // ns → µs, floor
@@ -134,7 +155,9 @@ private[queries] object StreamGate {
     * joins and state ops lose genuine parallelism: j1 4.2 → 5.3 s cold.
     * 8 is the measured sweet spot). */
   def runToSink(s: SparkSession, df: DataFrame): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("evsink").toString
+    val tmpDir = java.nio.file.Files.createTempDirectory("evsink")
+    registerDeleteOnExit(tmpDir)
+    val tmp = tmpDir.toString
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {

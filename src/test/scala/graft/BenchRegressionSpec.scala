@@ -75,6 +75,17 @@ class BenchRegressionSpec extends AnyFunSuite {
     assert(Bench.regressions(bc, Map.empty, r) == Seq("q1"))
   }
 
+  test("regressions: a baseline WITH warm numbers that share nothing " +
+       "with this run's result set never falls back to cold-only — " +
+       "unconfirmable means no flag (round-11 ADVICE fix)") {
+    val bc = Map("q1" -> 1.0, "q2" -> 1.0, "q3" -> 1.0)
+    // warm baseline exists but covers only retired queries: warmR is
+    // empty for this run, yet the cold-only fallback must NOT fire
+    val bw = Map("old1" -> 0.8, "old2" -> 0.8)
+    val r = Seq(("q1", 4.0, 0.1), ("q2", 1.0, 0.2), ("q3", 1.1, 0.2))
+    assert(Bench.regressions(bc, bw, r).isEmpty)
+  }
+
   test("regressions: the confirm re-run clears interference flags and " +
        "keeps reproducing ones") {
     val names = (1 to 8).map(i => s"q$i")

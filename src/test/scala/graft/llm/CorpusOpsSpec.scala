@@ -162,6 +162,9 @@ class CorpusOpsSpec extends SparkSpec {
       ("<p>hello <b>world</b></p>", "hello world"),
       ("<script>var a = 1 < 2;</script>after", "after"),
       ("<STYLE type=x>p{}</style>ok", "ok"),
+      // open/close tags must MATCH: a '</style>' inside script content
+      // does not terminate the script element (round-11 ADVICE fix)
+      ("<script>a.innerHTML='</style>'; leak();</script>clean", "clean"),
       ("a<!-- hidden -->b", "a b"),
       ("x &amp; y &lt;z&gt;", "x & y <z>"),
       // &amp;lt; is the LITERAL string "&lt;" -- amp decodes LAST
@@ -211,5 +214,57 @@ class CorpusOpsSpec extends SparkSpec {
     domains.zip(gotD).foreach { case ((in, want), g) =>
       assert(g == want, s"'$in' -> '$g' (want '$want')")
     }
+  }
+
+  test("registrableDomainPsl: longest-rule match, wildcard and " +
+       "exception rules, implicit-* default, suffix-only hosts null, " +
+       "rules broadcast-joined") {
+    import spark.implicits._
+    // a 20-rule PSL subset in the PUBLIC list format
+    val rules = Seq(
+      "com", "org", "net", "io", "uk", "co.uk", "org.uk", "ac.uk",
+      "jp", "ac.jp", "co.jp", "github.io", "ck", "*.ck", "!www.ck",
+      "au", "com.au", "*.kobe.jp", "!city.kobe.jp", "blogspot.com"
+    ).toDF("rule")
+    val cases = Seq(
+      ("example.com", "example.com"),
+      ("a.example.com", "example.com"),
+      ("example.co.uk", "example.co.uk"),      // co.uk beats uk
+      ("deep.a.example.co.uk", "example.co.uk"),
+      ("co.uk", null),                          // host IS a public suffix
+      ("foo.github.io", "foo.github.io"),       // the github.io grouping
+      ("a.b.foo.github.io", "foo.github.io"),
+      ("github.io", null),
+      ("x.blogspot.com", "x.blogspot.com"),     // private-section rule
+      ("foo.bar.ck", "foo.bar.ck"),             // *.ck: bar.ck is a suffix
+      ("bar.ck", null),
+      ("www.ck", "www.ck"),                     // !www.ck beats *.ck
+      ("sub.www.ck", "www.ck"),
+      ("a.b.kobe.jp", "a.b.kobe.jp"),           // *.kobe.jp
+      ("city.kobe.jp", "city.kobe.jp"),         // !city.kobe.jp
+      ("x.city.kobe.jp", "city.kobe.jp"),
+      ("example.xyz", "example.xyz"),           // implicit * default
+      ("a.example.xyz", "example.xyz"),
+      ("xyz", null),
+      ("example.com:8080", "example.com"),      // port stripped
+      (null, null))
+    val df = cases.zipWithIndex
+      .map { case ((h, _), i) => (i.toLong, h) }.toDF("id", "h")
+    val got = TextAnalysis.registrableDomainPsl(df, "h", rules)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) null else r.getString(2))).toMap
+    cases.zipWithIndex.foreach { case ((in, want), i) =>
+      assert(got(i.toLong) == want, s"'$in' -> '${got(i.toLong)}' (want '$want')")
+    }
+    // repeated hosts resolve identically (the distinct-host path)
+    val rep = Seq((1L, "a.example.com"), (2L, "a.example.com")).toDF("id", "h")
+    val gotRep = TextAnalysis.registrableDomainPsl(rep, "h", rules)
+      .collect().map(_.getString(2)).toSeq
+    assert(gotRep == Seq("example.com", "example.com"))
+    // the rules side is broadcast (never a shuffled join on the PSL)
+    val plan = TextAnalysis.registrableDomainPsl(df, "h", rules)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"PSL rules must broadcast:\n$plan")
   }
 }
