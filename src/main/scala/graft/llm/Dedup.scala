@@ -610,6 +610,85 @@ object Dedup {
     graft.sources.Sinks.idempotentBatchSink(sigsPath)(newSigs, batchId)
   }
 
+  /** Streaming IMAGE near-dup INGEST — the incremental face of
+    * [[imageNearDupPairs]], the lshIngestBatch pattern applied to the
+    * perceptual-hash tier. Per micro-batch (use from
+    * `writeStream.foreachBatch`):
+    *   1. new payloads decode to their 64-bit dHash IN the batch
+    *     (codegen'd `BinaryMeta.dhash64Col`; undecodable payloads drop
+    *     out on the null hash — history images never re-decode, the
+    *     hash artifact IS the state: one long per image ever ingested);
+    *   2. the 4×16-bit band keys join the PERSISTED hash artifact's
+    *     bands — pigeonhole-exact recall for hamming ≤ 3, never a
+    *     quadratic image self-join;
+    *   3. band-collision candidates (new-vs-new and new-vs-history)
+    *     verify with `bit_count(xor)` — EXACT hamming, so unlike the
+    *     MinHash est_jaccard tier no batch-compaction re-verification
+    *     is owed — and matches land in `<dir>/matches`;
+    *   4. the new hashes append to `<dir>/hashes`.
+    * Both writes ride batch-id-keyed idempotent commits
+    * (Sinks.idempotentBatchSink): a replayed micro-batch is a no-op.
+    * Seed the artifact by pushing the existing corpus through as the
+    * first micro-batch; `doc_id` globally unique (ingest contract). */
+  def imageIngestBatch(artifactDir: String, idCol: String = "doc_id",
+                       payloadCol: String = "payload", maxDist: Int = 3)
+                      (batch: DataFrame, batchId: Long): Unit = {
+    require(maxDist >= 0 && maxDist <= 3,
+      "imageIngestBatch: 4 bands guarantee recall only for maxDist <= 3")
+    val spark = batch.sparkSession
+    val hashesPath = s"$artifactDir/hashes"
+    // decoded once, consumed three times (bands, both candidate legs,
+    // append) — a micro-batch's hashes are tiny, checkpoint beats the
+    // triple decode
+    val newHashes = batch
+      .select(col(idCol).as("doc_id"),
+        graft.functions.BinaryMeta.dhash64Col(col(payloadCol)).as("dhash"))
+      .filter(col("dhash").isNotNull)
+      .localCheckpoint(true)
+    if (newHashes.isEmpty) return
+    def bandify(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), col("dhash"),
+        explode(expr("transform(sequence(0, 3), b -> " +
+          "struct(b AS bi, shiftright(dhash, b * 16) & 65535 AS bv))"))
+          .as("__band"))
+      .select(col("doc_id"), col("dhash"),
+        col("__band.bi").as("bi"), col("__band.bv").as("bv"))
+    val nb = bandify(newHashes)
+    val candNew = nb
+      .select(col("doc_id").as("d1"), col("dhash").as("h1"), col("bi"), col("bv"))
+      .join(nb.select(col("doc_id").as("d2"), col("dhash").as("h2"),
+        col("bi"), col("bv")), Seq("bi", "bv"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2", "h1", "h2")
+    val fs = new org.apache.hadoop.fs.Path(hashesPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cand =
+      if (fs.exists(new org.apache.hadoop.fs.Path(hashesPath))) {
+        val hb = bandify(spark.read.parquet(hashesPath).select("doc_id", "dhash"))
+          .select(col("doc_id").as("hid"), col("dhash").as("hh"),
+            col("bi"), col("bv"))
+        val hFirst = col("hid") < col("doc_id")
+        val candHist = nb.join(hb, Seq("bi", "bv"))
+          .filter(col("hid") =!= col("doc_id")) // replay safety: own hash already landed
+          .select(
+            when(hFirst, col("hid")).otherwise(col("doc_id")).as("d1"),
+            when(hFirst, col("doc_id")).otherwise(col("hid")).as("d2"),
+            when(hFirst, col("hh")).otherwise(col("dhash")).as("h1"),
+            when(hFirst, col("dhash")).otherwise(col("hh")).as("h2"))
+        candNew.unionByName(candHist)
+      } else candNew
+    val matches = cand
+      .withColumn("hamming",
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long"))
+      // filter BEFORE distinct — same pairs-only-shuffle argument as the
+      // batch emitter
+      .filter(col("hamming") <= maxDist)
+      .select("d1", "d2", "hamming")
+      .distinct()
+    graft.sources.Sinks.idempotentBatchSink(s"$artifactDir/matches")(matches, batchId)
+    graft.sources.Sinks.idempotentBatchSink(hashesPath)(newHashes, batchId)
+  }
+
   /** 60-bit SimHash fingerprint per document (distinct-token hashing,
     * ±1 bit votes, majority sign) — one pass via the SimhashAgg
     * TypedImperativeAggregate: the shuffle carries one 60-counter buffer

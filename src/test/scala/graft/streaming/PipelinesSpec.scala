@@ -222,6 +222,42 @@ class PipelinesSpec extends SparkSpec {
       s"streaming ingest missed ${missed.size} of ${expected.size} batch-verified pairs: $missed")
   }
 
+  test("streaming image-dedup ingest: cross-batch dHash twins caught " +
+       "against the persisted hash artifact; undecodable skipped; " +
+       "replay no-op") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("img_ingest").toString
+    // 2k/2k+1 are sub-luma-perturbed twins; every twin pair crosses the
+    // even/odd batch split, so all catches go through the HISTORY join
+    val docs = (0L to 7L).toDF("doc_id")
+    val media = graft.llm.Multimodal.syntheticBmpImages(docs)
+      .localCheckpoint(true)
+    // ground truth: the batch path's exact-hamming pairs
+    val expected = graft.llm.Dedup.imageNearDupPairs(media, "doc_id", "payload")
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(expected.nonEmpty, "fixture must contain near-dup twins")
+    val ingest = graft.llm.Dedup.imageIngestBatch(s"$dir/artifact") _
+    ingest(media.filter($"doc_id" % 2 === 0), 0L)
+    ingest(media.filter($"doc_id" % 2 === 1), 1L)
+    val got = spark.read.parquet(s"$dir/artifact/matches")
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(got == expected,
+      s"ingest must recover exactly the batch pairs: got $got want $expected")
+    // artifact growth: one hash row per decodable image, batch-keyed
+    val hashes = spark.read.parquet(s"$dir/artifact/hashes")
+    assert(hashes.count() == 8)
+    assert(hashes.select($"batch_id".cast("long")).distinct()
+      .as[Long].collect().toSet == Set(0L, 1L))
+    // an undecodable payload contributes nothing (null dHash drops out)
+    ingest(Seq((100L, "not an image".getBytes)).toDF("doc_id", "payload"), 2L)
+    assert(spark.read.parquet(s"$dir/artifact/hashes").count() == 8)
+    // a replayed micro-batch (restart re-running the last epoch) is a no-op
+    ingest(media.filter($"doc_id" % 2 === 1), 1L)
+    assert(spark.read.parquet(s"$dir/artifact/hashes").count() == 8)
+    assert(spark.read.parquet(s"$dir/artifact/matches")
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet == expected)
+  }
+
   test("streaming cluster maintenance: CC over the growing match artifact absorbs each batch") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("lsh_cc").toString
