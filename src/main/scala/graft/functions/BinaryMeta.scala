@@ -276,6 +276,93 @@ object BinaryMeta {
     Array(ADTS_SR(sfi).toLong, channels.toLong, frameLen.toLong, profile.toLong)
   }
 
+  /** FULL MPEG-audio frame walk — the duration tier of the manifest
+    * (the one field [[mp3Meta]]'s single-header parse cannot give):
+    * skip ID3v2, then walk frame to frame via the spec frame-length
+    * arithmetic (Layer I: (12·br/rate + pad)·4; Layer II and MPEG-1
+    * Layer III: 144·br/rate + pad; MPEG-2/2.5 Layer III: 72·br/rate +
+    * pad — integer floor division, ISO/IEC 11172-3 §2.4.3.1), summing
+    * samples per frame (L1 384; L2 1152; L3 1152 / 576 by version).
+    * Returns [n_frames, total_samples, duration_ms, bytes_walked]
+    * with duration_ms = samples·1000 div first-frame rate (CBR and
+    * same-rate VBR exact; the universal convention). The walk STOPS at
+    * the first non-sync byte (ID3v1 "TAG" trailer, truncation,
+    * garbage) and counts only COMPLETE frames; zero walked frames →
+    * null. Header arithmetic only — no psychoacoustic decode. */
+  def mp3FrameStats(b: Array[Byte]): Array[Long] = {
+    val id3 = id3Span(b, 0)
+    if (id3 < 0) return null
+    var p = id3.toInt
+    var n = 0L; var samples = 0L; var bytes = 0L
+    var rate0 = -1L
+    var stop = false
+    while (!stop && isMpegAudioSync(b, p)) {
+      val vb = (b(p + 1) >> 3) & 3
+      val layer = (b(p + 1) >> 1) & 3
+      val bi = (b(p + 2) >> 4) & 15
+      val si = (b(p + 2) >> 2) & 3
+      val pad = (b(p + 2) >> 1) & 1
+      if (vb == 1 || bi == 0 || bi == 15 || si == 3) stop = true
+      else {
+        val rate = vb match {
+          case 3 => MP3_SR_V1(si)
+          case 2 => MP3_SR_V1(si) / 2
+          case _ => MP3_SR_V1(si) / 4
+        }
+        val br = ((vb, layer) match {
+          case (3, 3) => MP3_BR_V1L1(bi)
+          case (3, 2) => MP3_BR_V1L2(bi)
+          case (3, 1) => MP3_BR_V1L3(bi)
+          case (_, 3) => MP3_BR_V2L1(bi)
+          case _      => MP3_BR_V2L23(bi)
+        }) * 1000
+        val (spf, flen) = layer match {
+          case 3 => (384L, (12 * br / rate + pad) * 4)         // Layer I
+          case 2 => (1152L, 144 * br / rate + pad)             // Layer II
+          case _ =>                                             // Layer III
+            if (vb == 3) (1152L, 144 * br / rate + pad)
+            else (576L, 72 * br / rate + pad)
+        }
+        if (flen <= 4 || p + flen > b.length) stop = true // partial frame
+        else {
+          n += 1; samples += spf; bytes += flen
+          if (rate0 < 0) rate0 = rate
+          p += flen
+        }
+      }
+    }
+    if (n == 0 || rate0 <= 0) null
+    else Array(n, samples, samples * 1000 / rate0, bytes)
+  }
+
+  /** FULL ADTS frame walk — [[adtsMeta]]'s duration tier: hop frame to
+    * frame via each header's 13-bit frame-length field, 1024 samples
+    * per frame (AAC-LC long frame). Returns [n_frames, total_samples,
+    * duration_ms, bytes_walked] with duration against the first
+    * frame's sampling rate; stops at the first non-sync / reserved-sfi
+    * / partial frame; zero frames → null. */
+  def adtsFrameStats(b: Array[Byte]): Array[Long] = {
+    val id3 = id3Span(b, 0)
+    if (id3 < 0) return null
+    var p = id3.toInt
+    var n = 0L; var bytes = 0L
+    var rate0 = -1L
+    var stop = false
+    while (!stop && isAdtsSync(b, p)) {
+      val sfi = (b(p + 2) >> 2) & 15
+      val flen = ((b(p + 3) & 3) << 11) | ((b(p + 4) & 0xff) << 3) |
+        ((b(p + 5) >> 5) & 7)
+      if (sfi >= ADTS_SR.length || flen < 7 || p + flen > b.length) stop = true
+      else {
+        n += 1; bytes += flen
+        if (rate0 < 0) rate0 = ADTS_SR(sfi)
+        p += flen
+      }
+    }
+    if (n == 0 || rate0 <= 0) null
+    else Array(n, n * 1024, n * 1024 * 1000 / rate0, bytes)
+  }
+
   /** Payload [start, end) of the first `t` box in [from, to), walking
     * the ISO-BMFF size/type ladder (64-bit largesize supported), or
     * null. */
@@ -996,6 +1083,8 @@ object BinaryMeta {
       case "mp3Meta" => mp3Meta(b)
       case "adtsMeta" => adtsMeta(b)
       case "mp4Meta" => mp4Meta(b)
+      case "mp3FrameStats" => mp3FrameStats(b)
+      case "adtsFrameStats" => adtsFrameStats(b)
     }
     override def nullSafeEval(v: Any): Any = {
       val r = call(v.asInstanceOf[Array[Byte]])
@@ -1069,6 +1158,16 @@ object BinaryMeta {
     override def prettyName: String = "mp4_meta"
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
+  case class Mp3FrameStats(child: Expression) extends StatsProbe {
+    override def method: String = "mp3FrameStats"
+    override def prettyName: String = "mp3_frame_stats"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+  case class AdtsFrameStats(child: Expression) extends StatsProbe {
+    override def method: String = "adtsFrameStats"
+    override def prettyName: String = "adts_frame_stats"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
 
   case class MediaFormat(child: Expression) extends BinaryProbe {
     override def prettyName: String = "media_format"
@@ -1117,6 +1216,10 @@ object BinaryMeta {
     SparkInternals.column(AdtsMeta(SparkInternals.expression(c)))
   def mp4MetaCol(c: Column): Column =
     SparkInternals.column(Mp4Meta(SparkInternals.expression(c)))
+  def mp3FrameStatsCol(c: Column): Column =
+    SparkInternals.column(Mp3FrameStats(SparkInternals.expression(c)))
+  def adtsFrameStatsCol(c: Column): Column =
+    SparkInternals.column(AdtsFrameStats(SparkInternals.expression(c)))
   /** Scalar face: the 64-bit dHash (null for undecodable payloads). */
   def dhash64Col(c: Column): Column = {
     import org.apache.spark.sql.functions.element_at

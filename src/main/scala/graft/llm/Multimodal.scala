@@ -479,6 +479,53 @@ object Multimodal {
         .as("payload"))
   }
 
+  /** Deterministic MULTI-FRAME audio streams for the duration gate
+    * (k = doc_id div 2, nf = k%4+1 frames):
+    *  - even doc_id → ID3v2-prefixed CBR MPEG-1 Layer III: bitrate
+    *    index k%14+1, rate index k%3, frame length = 144·br/rate
+    *    (integer floor, no padding), zero payload bytes;
+    *  - odd doc_id → ADTS: sampling index k%12, 13-bit frame length
+    *    k%200+7, identical headers repeated.
+    * `BinaryMeta.mp3FrameStats`/`adtsFrameStats` must hop the actual
+    * frame-length arithmetic across every frame; the DuckDB oracle
+    * regenerates counts/samples/duration arithmetically. */
+  def syntheticAvFrames(docs: DataFrame): DataFrame = {
+    def byte(v: org.apache.spark.sql.Column) = lpad(hex(v), 2, "0")
+    val k = (col("doc_id") / lit(2L)).cast("long")
+    val nf = (pmod(k, lit(4L)) + 1L).cast("int")
+    // MP3: ID3 prefix + nf identical CBR frames
+    val ts = pmod(k, lit(50L)) + 4L
+    val bi = pmod(k, lit(14L)) + 1L
+    val si = pmod(k, lit(3L))
+    val brk = element_at(typedLit(Seq(0L, 32L, 40L, 48L, 56L, 64L, 80L, 96L,
+      112L, 128L, 160L, 192L, 224L, 256L, 320L)), bi.cast("int") + 1)
+    val rate = element_at(typedLit(Seq(44100L, 48000L, 32000L)), si.cast("int") + 1)
+    val mp3Frame = concat(lit("FFFB"), byte(bi * 16 + si * 4), lit("00"),
+      repeat(lit("00"), (expr("(144 * __brk * 1000) div __rate") - 4).cast("int")))
+    val mp3 = concat(
+      lit("494433" + "0400" + "00" + "000000"), byte(ts),
+      repeat(lit("00"), ts.cast("int")),
+      repeat(mp3Frame, nf))
+    // ADTS: nf identical frames, frame length carried in each header
+    val sfi = pmod(k, lit(12L))
+    val cfg = pmod(k, lit(7L)) + 1L
+    val fl = pmod(k, lit(200L)) + 7L
+    val aacFrame = concat(
+      lit("FFF1"),
+      byte(pmod(k, lit(4L)) * 64 + sfi * 4 + (cfg / 4).cast("long")),
+      byte(pmod(cfg, lit(4L)) * 64 + (fl / 2048).cast("long")),
+      byte(pmod((fl / 8).cast("long"), lit(256L))),
+      byte(pmod(fl, lit(8L)) * 32 + 31),
+      lit("FC"),
+      repeat(lit("00"), (fl - 7).cast("int")))
+    val aac = repeat(aacFrame, nf)
+    docs
+      .withColumn("__brk", brk).withColumn("__rate", rate)
+      .select(col("doc_id"),
+        unhex(when(pmod(col("doc_id"), lit(2L)) === 0, mp3).otherwise(aac))
+          .as("payload"))
+  }
+
   /** Deterministic G.711 WAV fixtures: µ-law (fmt 7) for even doc_ids,
     * A-law (fmt 6) for odd, 24 data bytes b_i = (doc_id·13 + i·29) mod
     * 256 — the DuckDB oracle expands the SAME bytes through the G.711

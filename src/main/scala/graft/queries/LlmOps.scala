@@ -1385,11 +1385,17 @@ object LlmOps {
         "<div class=\"nav\">portal site"),
       pmod(pid, lit(10L)), lit(" home login</div><p>"), esc,
       lit("</p></body></html>"))
+    // the extraction stage (two multi-pass regex chains over every
+    // page) is consumed by FOUR downstream references (keepers, s1,
+    // survivors, the final domain map) — materialize it once, the
+    // natural pipeline break a real deployment writes to storage
+    // between crawl-parse and curation
     val pages = corpus.select(col("doc_id"),
       TextAnalysis.urlCanonical(url).as("canon"),
       TextAnalysis.htmlToText(html).as("text"))
     val withDom = pages.withColumn("domain",
-      TextAnalysis.registrableDomain(regexp_extract(col("canon"), "^([^/?]*)", 1)))
+        TextAnalysis.registrableDomain(regexp_extract(col("canon"), "^([^/?]*)", 1)))
+      .localCheckpoint(true)
     // stage 1: URL-level exact dedup, keep-lowest per canonical key
     val keepers = withDom.groupBy(col("canon")).agg(min(col("doc_id")).as("__keep"))
     val s1 = withDom.join(keepers, "canon")
@@ -1454,6 +1460,31 @@ object LlmOps {
           element_at(mp4, 2).as("duration"),
           element_at(mp4, 3).as("width"),
           element_at(mp4, 4).as("height")),
+      "doc_id")
+  }
+
+  /** A/V DURATION walk — the field a media manifest actually filters
+    * on, and the one a single-header parse cannot give: multi-frame
+    * MP3/ADTS fixtures (`Multimodal.syntheticAvFrames`) walked
+    * frame-to-frame through `BinaryMeta.mp3FrameStats`/
+    * `adtsFrameStats` (spec frame-length arithmetic: Layer III 144·
+    * br/rate; ADTS header length field), while the oracle regenerates
+    * frame counts, sample totals, integer-ms durations and byte spans
+    * arithmetically. Pure codegen'd map-side scan. */
+  def xAvDuration(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.BinaryMeta
+    val p = col("payload")
+    val mp3 = BinaryMeta.mp3FrameStatsCol(p)
+    val aac = BinaryMeta.adtsFrameStatsCol(p)
+    ordered(
+      Multimodal.syntheticAvFrames(documents(s, d))
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(2L)) === 0, "mp3").otherwise("aac")
+            .as("fmt"),
+          coalesce(element_at(mp3, 1), element_at(aac, 1)).as("n_frames"),
+          coalesce(element_at(mp3, 2), element_at(aac, 2)).as("total_samples"),
+          coalesce(element_at(mp3, 3), element_at(aac, 3)).as("duration_ms"),
+          coalesce(element_at(mp3, 4), element_at(aac, 4)).as("bytes_walked")),
       "doc_id")
   }
 
@@ -1746,6 +1777,7 @@ object LlmOps {
     "x_jpeg_color"        -> (xJpegColor _),
     "x_av_meta"           -> (xAvMeta _),
     "x_web_pipeline"      -> (xWebPipeline _),
+    "x_av_duration"       -> (xAvDuration _),
     "x_wav_g711"          -> (xWavG711 _),
     "x_image_neardup"     -> (xImageNearDup _),
     "x_html_text"         -> (xHtmlText _),
@@ -3518,6 +3550,27 @@ object LlmOps {
          |FROM s1 LEFT JOIN cl ON s1.doc_id = cl.doc_id
          |LEFT JOIN rm ON s1.doc_id = rm.doc_id
          |ORDER BY s1.doc_id""".stripMargin,
+    "x_av_duration" ->
+      """WITH k AS (SELECT doc_id, doc_id // 2 AS k, doc_id % 2 AS sel
+        |  FROM documents),
+        |m AS (SELECT doc_id, sel, k, k % 4 + 1 AS nf,
+        |    [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+        |     320][CAST(k % 14 AS INT) + 1] AS brk,
+        |    [44100, 48000, 32000][CAST(k % 3 AS INT) + 1] AS rate,
+        |    [96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+        |     16000, 12000, 11025, 8000][CAST(k % 12 AS INT) + 1] AS arate,
+        |    k % 200 + 7 AS afl
+        |  FROM k)
+        |SELECT doc_id,
+        |  CASE WHEN sel = 0 THEN 'mp3' ELSE 'aac' END AS fmt,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN sel = 0 THEN nf * 1152 ELSE nf * 1024 END
+        |    AS BIGINT) AS total_samples,
+        |  CAST(CASE WHEN sel = 0 THEN (nf * 1152 * 1000) // rate
+        |       ELSE (nf * 1024 * 1000) // arate END AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN sel = 0 THEN nf * ((144 * brk * 1000) // rate)
+        |       ELSE nf * afl END AS BIGINT) AS bytes_walked
+        |FROM m ORDER BY doc_id""".stripMargin,
     "x_av_meta" ->
       """WITH k AS (SELECT doc_id, doc_id // 3 AS k, doc_id % 3 AS sel
         |  FROM documents)

@@ -198,9 +198,15 @@ object ScaleProbe {
       // (one Expand + one aggregate).
       "e7_identity_stitch", "e8_triangles", "a6c_grouping_sets",
       // z-score rides one per-type sort of the scaled events; RFM's
-      // windows run over the customer-grained aggregate (dims unscaled,
-      // so the ramp measures the orders aggregate).
-      "w18_zscore", "a17_rfm")
+      // quartile cuts now ride the distributed globalNtile (range
+      // shuffle + pid-keyed windows — the ramp pins that the swap
+      // stays flat where the single-partition NTILE would not).
+      "w18_zscore", "a17_rfm",
+      // round-11 media gates: pure map-side expression scans (fixture
+      // build + decode per row); the web pipeline's URL-dedup groups
+      // scale with the corpus while survivors stay page-id-bounded, so
+      // the ramp measures the canon shuffle + per-domain aggregates.
+      "x_jpeg_color", "x_av_meta", "x_web_pipeline")
     // x_dedup_eval is deliberately NOT probed: its exact side is the
     // designed-quadratic x_dedup_ngram (already probed as the quadratic
     // reference) — the eval gate would just re-measure that growth.

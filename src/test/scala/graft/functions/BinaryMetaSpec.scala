@@ -1011,6 +1011,50 @@ class BinaryMetaSpec extends SparkSpec {
     for (cut <- 0 until adts.length) BinaryMeta.adtsMeta(adts.take(cut))
   }
 
+  test("mp3FrameStats/adtsFrameStats: frame-length hopping across " +
+       "layers/versions, ID3v1 trailer stop, partial-frame stop") {
+    def hexB(s: String) = s.replaceAll("\\s", "").grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+    // 3 CBR MPEG-1 Layer III frames @128kbps/44100: flen = 144*128000/
+    // 44100 = 417 bytes; 1152 samples each; ID3v1 "TAG" block after
+    def mp3Frame(headHex: String, flen: Int) =
+      headHex + "00" * (flen - 4)
+    val f417 = mp3Frame("FFFB" + "90" + "00", 417) // bi=9(128k) si=0
+    val mp3 = hexB(f417 * 3 + "544147" + "00" * 125)
+    val g = BinaryMeta.mp3FrameStats(mp3)
+    assert(g != null && g.toSeq == Seq(3L, 3456L, 3456L * 1000 / 44100, 1251L),
+      s"${Option(g).map(_.toSeq)}")
+    // Layer I: flen = (12*br/rate + pad)*4; 384 samples. bi=9 V1L1 ->
+    // 288kbps @32000: (12*288000/32000)*4 = 432
+    val l1 = hexB(mp3Frame("FFFF" + "98" + "00", 432)) // layer bits 11, si=2
+    val g1 = BinaryMeta.mp3FrameStats(l1)
+    assert(g1 != null && g1.toSeq == Seq(1L, 384L, 384L * 1000 / 32000, 432L),
+      s"${Option(g1).map(_.toSeq)}")
+    // MPEG-2 Layer III: 576 samples, flen = 72*br/rate. vb=2: byte1
+    // 1111 0011 = F3; bi=10 V2L23=96kbps, si=1 -> rate 24000:
+    // 72*96000/24000 = 288
+    val v2 = hexB(mp3Frame("FFF3" + "A4" + "00", 288))
+    val g2 = BinaryMeta.mp3FrameStats(v2)
+    assert(g2 != null && g2.toSeq == Seq(1L, 576L, 576L * 1000 / 24000, 288L),
+      s"${Option(g2).map(_.toSeq)}")
+    // a TRUNCATED second frame is not counted; walk reports the first
+    val cut = hexB(f417 + f417.substring(0, 100))
+    val gc = BinaryMeta.mp3FrameStats(cut)
+    assert(gc != null && gc(0) == 1 && gc(3) == 417)
+    // ADTS: 4 frames of 50 bytes @ sfi=4 (44100)
+    val fl = 50
+    val adtsFrame = "FFF1" + "51" +
+      f"${(2 << 6) | ((fl >> 11) & 3)}%02X" + f"${(fl >> 3) & 0xff}%02X" +
+      f"${((fl & 7) << 5) | 0x1f}%02X" + "FC" + "00" * (fl - 7)
+    val ga = BinaryMeta.adtsFrameStats(hexB(adtsFrame * 4))
+    assert(ga != null && ga.toSeq == Seq(4L, 4096L, 4096L * 1000 / 44100, 200L),
+      s"${Option(ga).map(_.toSeq)}")
+    // zero complete frames -> null; foreign bytes -> null
+    assert(BinaryMeta.mp3FrameStats(hexB("FFFB9000")) == null, "partial only")
+    assert(BinaryMeta.adtsFrameStats("x".getBytes) == null)
+    for (c <- 0 until mp3.length) BinaryMeta.mp3FrameStats(mp3.take(c))
+  }
+
   test("mp4Meta: v0 and v1 boxes, largesize, audio-only tracks, " +
        "null contracts and truncation fuzz") {
     def be4(v: Long) = f"$v%08X"
