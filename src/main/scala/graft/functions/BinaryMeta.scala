@@ -1002,6 +1002,94 @@ object BinaryMeta {
     Array(hash)
   }
 
+  /** WARC (ISO 28500) record index over a raw crawl blob — the
+    * container format web corpora actually ship in. Walks record to
+    * record: `WARC/` version line, header lines to the empty line
+    * (names case-insensitive per the spec; `WARC-Target-URI`,
+    * `Content-Type`, `Content-Length` extracted), then EXACTLY
+    * Content-Length payload bytes — the payload is never delimiter-
+    * scanned, so bodies containing `WARC/1.0` or blank lines split
+    * correctly — then the two CRLF record separators (tolerated
+    * missing at end-of-blob). Returns one struct per record
+    * `(uri, content_type, off, len)` with `off`/`len` delimiting the
+    * payload bytes inside the blob (slice with substr(off+1, len)),
+    * or null when no complete record parses. The walk STOPS at the
+    * first malformed/truncated record and returns the records before
+    * it. Uncompressed WARC only — .warc.gz splits into per-record
+    * gzip members upstream (a storage/reader concern, documented). */
+  def warcIndex(b: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.catalyst.InternalRow]
+    var p = 0
+    var stop = false
+    def lineEnd(from: Int): Int = { // index of '\r' of the next CRLF, or -1
+      var i = from
+      while (i + 1 < b.length) {
+        if (b(i) == '\r' && b(i + 1) == '\n') return i
+        i += 1
+      }
+      -1
+    }
+    while (!stop) {
+      // version line
+      if (p + 5 > b.length || b(p) != 'W' || b(p + 1) != 'A' ||
+        b(p + 2) != 'R' || b(p + 3) != 'C' || b(p + 4) != '/') stop = true
+      else {
+        val vEnd = lineEnd(p)
+        if (vEnd < 0) stop = true
+        else {
+          var q = vEnd + 2
+          var uri: String = null
+          var ctype: String = null
+          var clen = -1L
+          var headersOk = false
+          var headerDone = false
+          while (!headerDone) {
+            val e = lineEnd(q)
+            if (e < 0) { headerDone = true } // truncated headers
+            else if (e == q) { headerDone = true; headersOk = true } // empty line
+            else {
+              val line = new String(b, q, e - q, java.nio.charset.StandardCharsets.ISO_8859_1)
+              val ci = line.indexOf(':')
+              if (ci > 0) {
+                val name = line.substring(0, ci).trim.toLowerCase
+                val value = line.substring(ci + 1).trim
+                name match {
+                  case "warc-target-uri" => uri = value
+                  case "content-type" => ctype = value
+                  case "content-length" =>
+                    clen = try value.toLong catch { case _: NumberFormatException => -1L }
+                  case _ =>
+                }
+              }
+              q = e + 2
+            }
+          }
+          if (!headersOk || clen < 0) stop = true
+          else {
+            val off = q + 2 // past the empty line's CRLF
+            if (off + clen > b.length || clen > Int.MaxValue) stop = true
+            else {
+              out += org.apache.spark.sql.catalyst.InternalRow(
+                if (uri == null) null else UTF8String.fromString(uri),
+                if (ctype == null) null else UTF8String.fromString(ctype),
+                off, clen.toInt)
+              p = (off + clen).toInt
+              // the two record-separator CRLFs; tolerated absent at EOF
+              var sep = 0
+              while (sep < 2 && p + 1 < b.length && b(p) == '\r' && b(p + 1) == '\n') {
+                p += 2; sep += 1
+              }
+              if (p >= b.length) stop = true
+            }
+          }
+        }
+      }
+    }
+    if (out.isEmpty) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   // ---- Catalyst expressions (codegen'd static calls) ----
 
   abstract class BinaryProbe extends UnaryExpression {
@@ -1169,6 +1257,28 @@ object BinaryMeta {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  case class WarcIndex(child: Expression) extends BinaryProbe {
+    override def prettyName: String = "warc_index"
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("uri", StringType),
+      StructField("content_type", StringType),
+      StructField("off", IntegerType, nullable = false),
+      StructField("len", IntegerType, nullable = false))),
+      containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      BinaryMeta.warcIndex(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, bytes => {
+        val r = ctx.freshName("r")
+        s"""
+           |org.apache.spark.sql.catalyst.util.ArrayData $r =
+           |  graft.functions.BinaryMeta.warcIndex($bytes);
+           |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   case class MediaFormat(child: Expression) extends BinaryProbe {
     override def prettyName: String = "media_format"
     override def dataType: DataType = StringType
@@ -1216,6 +1326,8 @@ object BinaryMeta {
     SparkInternals.column(AdtsMeta(SparkInternals.expression(c)))
   def mp4MetaCol(c: Column): Column =
     SparkInternals.column(Mp4Meta(SparkInternals.expression(c)))
+  def warcIndexCol(c: Column): Column =
+    SparkInternals.column(WarcIndex(SparkInternals.expression(c)))
   def mp3FrameStatsCol(c: Column): Column =
     SparkInternals.column(Mp3FrameStats(SparkInternals.expression(c)))
   def adtsFrameStatsCol(c: Column): Column =

@@ -479,6 +479,49 @@ object Multimodal {
         .as("payload"))
   }
 
+  /** WARC crawl-blob extraction — one row per record with the payload
+    * sliced by the index's (off, len), never delimiter-scanned: the
+    * entry stage of a web-corpus pipeline (compose with `htmlToText` /
+    * `urlCanonical` downstream). Pure map-side: the codegen'd
+    * `BinaryMeta.warcIndex` walk + a Generate, payload bytes never
+    * leave their partition. Blobs with no complete record vanish
+    * (null index → explode drops the row). */
+  def warcExtract(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val idx = graft.functions.BinaryMeta.warcIndexCol(col(payloadCol))
+    df.select(col("*"), posexplode(idx).as(Seq("rec_idx", "__rec")))
+      .select(col("doc_id"), col("rec_idx").cast("long").as("rec_idx"),
+        col("__rec.uri").as("uri"),
+        col("__rec.content_type").as("content_type"),
+        col("__rec.len").cast("long").as("content_len"),
+        decode(expr(s"substring($payloadCol, __rec.off + 1, __rec.len)"),
+          "UTF-8").as("content"))
+  }
+
+  /** Deterministic uncompressed-WARC fixtures: nr = doc_id%3+1
+    * records per blob, record i carrying uri
+    * `http://w<doc_id%50>.example/r<i>` and payload
+    * `page <i> of doc <doc_id>` behind a REAL Content-Length — the
+    * parser must count bytes, not scan delimiters. Pure ASCII, so the
+    * blob builds as a string cast to binary and the DuckDB oracle
+    * regenerates every field arithmetically. */
+  def syntheticWarc(docs: DataFrame): DataFrame = {
+    val crlf = lit("\r\n")
+    val nr = pmod(col("doc_id"), lit(3L)) + 1L
+    val recs = transform(sequence(lit(1L), nr), i => {
+      val payload = concat(lit("page "), i, lit(" of doc "), col("doc_id"))
+      concat(
+        lit("WARC/1.0"), crlf,
+        lit("WARC-Type: response"), crlf,
+        lit("WARC-Target-URI: http://w"), pmod(col("doc_id"), lit(50L)),
+        lit(".example/r"), i, crlf,
+        lit("Content-Type: text/html"), crlf,
+        lit("Content-Length: "), length(payload).cast("string"), crlf,
+        crlf, payload, crlf, crlf)
+    })
+    docs.select(col("doc_id"),
+      array_join(recs, "").cast("binary").as("payload"))
+  }
+
   /** Deterministic MULTI-FRAME audio streams for the duration gate
     * (k = doc_id div 2, nf = k%4+1 frames):
     *  - even doc_id → ID3v2-prefixed CBR MPEG-1 Layer III: bitrate

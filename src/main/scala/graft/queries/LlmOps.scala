@@ -1463,6 +1463,20 @@ object LlmOps {
       "doc_id")
   }
 
+  /** WARC record extraction — the entry stage of a web-corpus
+    * pipeline, over the container format crawls actually ship in:
+    * SQL-built uncompressed WARC blobs (real Content-Length byte
+    * counting — payloads are never delimiter-scanned) walked through
+    * the codegen'd `BinaryMeta.warcIndex` + payload slicing
+    * (`Multimodal.warcExtract`), while the oracle regenerates every
+    * record's uri/type/length/content arithmetically. Map-side only:
+    * one decode walk + a Generate, no shuffle before the gate's
+    * output ordering. */
+  def xWarcExtract(s: SparkSession, d: String): DataFrame =
+    ordered(
+      Multimodal.warcExtract(Multimodal.syntheticWarc(documents(s, d))),
+      "doc_id", "rec_idx")
+
   /** A/V DURATION walk — the field a media manifest actually filters
     * on, and the one a single-header parse cannot give: multi-frame
     * MP3/ADTS fixtures (`Multimodal.syntheticAvFrames`) walked
@@ -1778,6 +1792,7 @@ object LlmOps {
     "x_av_meta"           -> (xAvMeta _),
     "x_web_pipeline"      -> (xWebPipeline _),
     "x_av_duration"       -> (xAvDuration _),
+    "x_warc_extract"      -> (xWarcExtract _),
     "x_wav_g711"          -> (xWavG711 _),
     "x_image_neardup"     -> (xImageNearDup _),
     "x_html_text"         -> (xHtmlText _),
@@ -3550,6 +3565,17 @@ object LlmOps {
          |FROM s1 LEFT JOIN cl ON s1.doc_id = cl.doc_id
          |LEFT JOIN rm ON s1.doc_id = rm.doc_id
          |ORDER BY s1.doc_id""".stripMargin,
+    "x_warc_extract" ->
+      """WITH r AS (SELECT doc_id, i
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(1,
+        |    doc_id % 3 + 1)) AS i))
+        |SELECT doc_id, CAST(i - 1 AS BIGINT) AS rec_idx,
+        |  'http://w' || (doc_id % 50) || '.example/r' || i AS uri,
+        |  'text/html' AS content_type,
+        |  CAST(length('page ' || i || ' of doc ' || doc_id) AS BIGINT)
+        |    AS content_len,
+        |  'page ' || i || ' of doc ' || doc_id AS content
+        |FROM r ORDER BY doc_id, rec_idx""".stripMargin,
     "x_av_duration" ->
       """WITH k AS (SELECT doc_id, doc_id // 2 AS k, doc_id % 2 AS sel
         |  FROM documents),

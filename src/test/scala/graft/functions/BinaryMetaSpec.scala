@@ -1011,6 +1011,64 @@ class BinaryMetaSpec extends SparkSpec {
     for (cut <- 0 until adts.length) BinaryMeta.adtsMeta(adts.take(cut))
   }
 
+  test("warcIndex: Content-Length byte discipline (WARC markers inside " +
+       "payloads), case-insensitive headers, truncation prefix-stop, " +
+       "column face slices content correctly") {
+    def rec(uri: String, ctype: String, payload: String,
+            lenOverride: Int = -1, nameCase: Boolean = false): String = {
+      val n = if (lenOverride >= 0) lenOverride else payload.length
+      val (u, c, l) = if (nameCase) ("warc-target-uri", "CONTENT-TYPE", "content-LENGTH")
+        else ("WARC-Target-URI", "Content-Type", "Content-Length")
+      s"WARC/1.0\r\nWARC-Type: response\r\n$u: $uri\r\n$c: $ctype\r\n" +
+        s"$l: $n\r\n\r\n$payload\r\n\r\n"
+    }
+    def parse(s: String): Seq[(String, String, Int, Int)] = {
+      val a = BinaryMeta.warcIndex(s.getBytes("ISO-8859-1"))
+      if (a == null) return Nil
+      (0 until a.numElements).map { i =>
+        val r = a.getStruct(i, 4)
+        (if (r.isNullAt(0)) null else r.getUTF8String(0).toString,
+         if (r.isNullAt(1)) null else r.getUTF8String(1).toString,
+         r.getInt(2), r.getInt(3))
+      }
+    }
+    // a payload CONTAINING a full WARC header block must not re-split:
+    // only Content-Length counting parses this correctly
+    val trap = "see WARC/1.0\r\nContent-Length: 0\r\n\r\n inside"
+    val blob = rec("http://a/1", "text/html", trap) +
+      rec("http://a/2", "text/plain", "plain body", nameCase = true) +
+      rec("http://a/3", "text/html", "x\r\n\r\ny")
+    val got = parse(blob)
+    assert(got.length == 3, s"got $got")
+    assert(got.map(_._1) == Seq("http://a/1", "http://a/2", "http://a/3"))
+    assert(got(1)._2 == "text/plain", "case-insensitive header names")
+    val bytes = blob.getBytes("ISO-8859-1")
+    got.zip(Seq(trap, "plain body", "x\r\n\r\ny")).foreach { case ((_, _, off, len), want) =>
+      assert(new String(bytes, off, len, "ISO-8859-1") == want)
+    }
+    // truncated third record: the first two still index
+    val cut = blob.substring(0, blob.length - 4) // removes final seps + body tail
+    assert(parse(cut).length >= 2)
+    // missing trailing separators at EOF tolerated
+    val noSep = rec("http://b/1", "t", "abc").stripSuffix("\r\n\r\n")
+    assert(parse(noSep).map(_._1) == Seq("http://b/1"))
+    // declared length beyond the blob -> record not indexed
+    assert(parse(rec("http://c/1", "t", "abc", lenOverride = 999)).isEmpty)
+    // foreign bytes / empty -> null (Nil here)
+    assert(parse("not a warc").isEmpty)
+    assert(parse("").isEmpty)
+    for (c <- 0 until math.min(bytes.length, 200))
+      BinaryMeta.warcIndex(bytes.take(c)) // never throws
+    // the DataFrame face: slicing + decode through the codegen'd path
+    import spark.implicits._
+    val df = Seq((1L, bytes)).toDF("doc_id", "payload")
+    val rows = graft.llm.Multimodal.warcExtract(df)
+      .orderBy("rec_idx")
+      .select("uri", "content").as[(String, String)].collect().toSeq
+    assert(rows == Seq(("http://a/1", trap), ("http://a/2", "plain body"),
+      ("http://a/3", "x\r\n\r\ny")))
+  }
+
   test("mp3FrameStats/adtsFrameStats: frame-length hopping across " +
        "layers/versions, ID3v1 trailer stop, partial-frame stop") {
     def hexB(s: String) = s.replaceAll("\\s", "").grouped(2)
