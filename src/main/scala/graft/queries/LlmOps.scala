@@ -1333,13 +1333,16 @@ object LlmOps {
   }
 
   /** The WEB-CORPUS per-site curation pass composed end to end — the
-    * CCNet/RefinedWeb shape: messy URL → `urlCanonical` dedup key →
-    * URL-level exact dedup (keep min doc_id per canonical URL) →
-    * `registrableDomain` grouping → `htmlToText` extraction →
-    * PER-DOMAIN boilerplate removal (the site-chrome 50%-df cut) →
-    * per-domain 3-gram near-dup removal (`ngramJaccardPairsAuto`,
-    * keep-lowest). Every stage is an already-gated operator
-    * (x_url_canonical, x_html_text, x_boilerplate, x_dedup_ngram_auto);
+    * CCNet/RefinedWeb shape, ENTERING FROM CRAWL BYTES: each page is a
+    * one-record WARC blob, so stage zero is the real
+    * `BinaryMeta.warcIndex` byte walk (`Multimodal.warcExtract`), then
+    * messy URI → `urlCanonical` dedup key → URL-level exact dedup
+    * (keep min doc_id per canonical URL) → `registrableDomain`
+    * grouping → `htmlToText` extraction → PER-DOMAIN boilerplate
+    * removal (the site-chrome 50%-df cut) → per-domain 3-gram
+    * near-dup removal (`ngramJaccardPairsAuto`, keep-lowest). Every
+    * stage is an already-gated operator (x_warc_extract,
+    * x_url_canonical, x_html_text, x_boilerplate, x_dedup_ngram_auto);
     * this gate proves the COMPOSITION, x_ccnet_refine-style, against
     * one fully composed DuckDB oracle.
     *
@@ -1385,14 +1388,26 @@ object LlmOps {
         "<div class=\"nav\">portal site"),
       pmod(pid, lit(10L)), lit(" home login</div><p>"), esc,
       lit("</p></body></html>"))
-    // the extraction stage (two multi-pass regex chains over every
-    // page) is consumed by FOUR downstream references (keepers, s1,
-    // survivors, the final domain map) — materialize it once, the
-    // natural pipeline break a real deployment writes to storage
-    // between crawl-parse and curation
-    val pages = corpus.select(col("doc_id"),
-      TextAnalysis.urlCanonical(url).as("canon"),
-      TextAnalysis.htmlToText(html).as("text"))
+    // each page ships as a ONE-record uncompressed WARC blob (the
+    // container a crawl actually delivers): uri in the record header,
+    // the HTML as a byte-counted payload — `octet_length`, not char
+    // length, so multi-byte text slices correctly — and the pipeline's
+    // first stage is the real `warcIndex` byte walk + UTF-8 decode
+    val blob = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), url,
+      lit("\r\nContent-Type: text/html\r\nContent-Length: "),
+      octet_length(html).cast("string"), lit("\r\n\r\n"), html,
+      lit("\r\n\r\n")).cast("binary")
+    val fetched = Multimodal.warcExtract(
+      corpus.select(col("doc_id"), blob.as("payload")))
+    // the extraction stage (the WARC walk + two multi-pass regex
+    // chains over every page) is consumed by FOUR downstream
+    // references (keepers, s1, survivors, the final domain map) —
+    // materialize it once, the natural pipeline break a real
+    // deployment writes to storage between crawl-parse and curation
+    val pages = fetched.select(col("doc_id"),
+      TextAnalysis.urlCanonical(col("uri")).as("canon"),
+      TextAnalysis.htmlToText(col("content")).as("text"))
     val withDom = pages.withColumn("domain",
         TextAnalysis.registrableDomain(regexp_extract(col("canon"), "^([^/?]*)", 1)))
       .localCheckpoint(true)
