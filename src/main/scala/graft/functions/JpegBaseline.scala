@@ -1,29 +1,34 @@
 package graft.functions
 
-/** Baseline-sequential JPEG (ITU-T T.81) decode — pure arithmetic, no
-  * codec library: marker parse (DQT/DHT/SOF0/DRI/SOS), canonical
-  * Huffman decode with byte unstuffing and restart markers, zigzag
-  * dequantization, and a double-precision separable IDCT with
-  * round-half-up + level shift. Two exactly-specifiable shapes:
-  * single-component (luma-only) scans, and 3-component 4:4:4
-  * (every sampling factor 1×1) interleaved scans — 4:4:4 needs NO
-  * chroma resampling, so the only implementation-defined stage left is
-  * the YCbCr→RGB matrix rounding, which this engine PINS to the
-  * 16-bit fixed-point JFIF matrix (constants 91881 / 22554 / 46802 /
-  * 116130 = round(1.402 / 0.344136 / 0.714136 / 1.772 · 2¹⁶), add
-  * 2¹⁵, arithmetic shift right 16, clamp — the de-facto libjpeg
-  * rendering). Subsampled color (4:2:0/4:2:2) stays null: chroma
-  * UPSAMPLING is implementation-defined with no de-facto pin.
-  * Progressive (SOF2), arithmetic coding, 12-bit precision and
-  * anything malformed also yield null, never throw.
+/** JPEG (ITU-T T.81) decode, baseline-sequential AND progressive —
+  * pure arithmetic, no codec library: marker parse (DQT/DHT/SOF0/SOF2/
+  * DRI/SOS), canonical Huffman decode with byte unstuffing and restart
+  * markers, zigzag dequantization, and a double-precision separable
+  * IDCT with round-half-up + level shift. Progressive streams decode
+  * COMPLETELY per Annex G: DC first + refinement scans (interleaved),
+  * AC spectral-band first scans with EOB runs, and AC successive-
+  * approximation refinement (correction bits) — every stage is exactly
+  * specified, so the same determinism contract as baseline holds.
+  * Two component shapes: single-component (luma-only), and 3-component
+  * 4:4:4 (every sampling factor 1×1) — 4:4:4 needs NO chroma
+  * resampling, so the only implementation-defined stage left is the
+  * YCbCr→RGB matrix rounding, which this engine PINS to the 16-bit
+  * fixed-point JFIF matrix (constants 91881 / 22554 / 46802 / 116130 =
+  * round(1.402 / 0.344136 / 0.714136 / 1.772 · 2¹⁶), add 2¹⁵,
+  * arithmetic shift right 16, clamp — the de-facto libjpeg rendering).
+  * Subsampled color (4:2:0/4:2:2) stays null: chroma UPSAMPLING is
+  * implementation-defined with no de-facto pin. Arithmetic coding,
+  * hierarchical/lossless frames, 12-bit precision and anything
+  * malformed also yield null, never throw.
   *
   * Determinism note: an IDCT is the one stage where conforming
   * decoders may differ by ±1/pixel (T.81 only bounds accuracy).
   * DC-ONLY blocks are exact in every conforming decoder (the IDCT
   * collapses to round(dc/8) + 128), which is what the hash-exact
-  * DuckDB gates use (x_jpeg_pixels gray, x_jpeg_color 4:4:4); full-AC
-  * streams are spec-pinned against the JDK ImageIO reader with a
-  * ±1/pixel tolerance (±2 after color conversion).
+  * DuckDB gates use (x_jpeg_pixels gray, x_jpeg_color 4:4:4,
+  * x_jpeg_progressive); full-AC streams are spec-pinned against the
+  * JDK ImageIO reader with a ±1/pixel tolerance (±2 after color
+  * conversion).
   */
 object JpegBaseline {
 
@@ -144,11 +149,235 @@ object JpegBaseline {
   private def u16(b: Array[Byte], i: Int): Int =
     ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
 
-  /** Decode a baseline 1-component or 4:4:4 3-component JPEG to
-    * (width, height, planes) — planes.length = nComp, each w·h
+  /** Separable IDCT of one dequantized 8×8 block (raster-order `coef`)
+    * into the component plane at block (bx, by) — shared by the
+    * baseline streaming path and the progressive end-of-stream pass. */
+  private def idctToPlane(coef: Array[Double], tmp: Array[Double],
+                          px: Array[Int], w: Int, h: Int,
+                          bx: Int, by: Int): Unit = {
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var u = 0
+        while (u < 8) { acc += idctCos(x * 8 + u) * coef(y * 8 + u); u += 1 }
+        tmp(y * 8 + x) = acc
+        x += 1
+      }
+      y += 1
+    }
+    var x = 0
+    while (x < 8) {
+      var yy = 0
+      while (yy < 8) {
+        var acc = 0.0
+        var v = 0
+        while (v < 8) { acc += idctCos(yy * 8 + v) * tmp(v * 8 + x); v += 1 }
+        val ix = bx * 8 + x
+        val iy = by * 8 + yy
+        if (ix < w && iy < h) {
+          val p = math.round(acc).toInt + 128
+          px(iy * w + ix) = if (p < 0) 0 else if (p > 255) 255 else p
+        }
+        yy += 1
+      }
+      x += 1
+    }
+  }
+
+  /** Decode one PROGRESSIVE scan (T.81 Annex G) into the spectral
+    * coefficient store (`coefs(comp)(block·64 + k)`, k in zigzag
+    * order): DC first/refinement (interleaved allowed), AC
+    * first/refinement (single-component, EOB-run + correction-bit
+    * semantics), restart markers resetting predictors and the EOB run.
+    * Returns the byte position after the scan's entropy data, or -1. */
+  private def progressiveScan(b: Array[Byte], segStart: Int, segLen: Int,
+                              nComp: Int, compId: Array[Int],
+                              w: Int, h: Int,
+                              dcTables: Array[Huff], acTables: Array[Huff],
+                              restartInterval: Int,
+                              coefs: Array[Array[Int]]): Int = {
+    val p0 = segStart + 4
+    val ns = b(p0) & 0xff
+    if (ns < 1 || ns > nComp || segLen != 6 + 2 * ns) return -1
+    val scanComp = new Array[Int](ns)
+    val dcSelS = new Array[Int](ns)
+    val acSelS = new Array[Int](ns)
+    var prev = -1
+    var c = 0
+    while (c < ns) {
+      val cs = b(p0 + 1 + 2 * c) & 0xff
+      var idx = -1
+      var j = 0
+      while (j < nComp) { if (compId(j) == cs) idx = j; j += 1 }
+      if (idx < 0 || idx <= prev) return -1 // unknown / out of frame order
+      prev = idx
+      scanComp(c) = idx
+      dcSelS(c) = (b(p0 + 2 + 2 * c) & 0xff) >> 4
+      acSelS(c) = b(p0 + 2 + 2 * c) & 0x0f
+      if (dcSelS(c) > 3 || acSelS(c) > 3) return -1
+      c += 1
+    }
+    val ss = b(p0 + 1 + 2 * ns) & 0xff
+    val se = b(p0 + 2 + 2 * ns) & 0xff
+    val ah = (b(p0 + 3 + 2 * ns) & 0xff) >> 4
+    val al = b(p0 + 3 + 2 * ns) & 0x0f
+    if (ss == 0 && se != 0) return -1 // DC scans carry exactly [0,0]
+    if (ss > 0 && (ns != 1 || se < ss || se > 63)) return -1 // AC: 1 comp
+    if (al > 13 || ah > 13 || (ah != 0 && ah != al + 1)) return -1
+    val r = new BitReader(b, segStart + 2 + segLen)
+    val nBlocks = ((w + 7) / 8) * ((h + 7) / 8)
+    val pred = new Array[Int](ns)
+    var eobrun = 0
+    var rstCount = 0
+    var rstN = 0
+    var m = 0
+    while (m < nBlocks) {
+      if (restartInterval > 0 && rstCount == restartInterval) {
+        if (!r.restart(rstN)) return -1
+        rstN = (rstN + 1) & 7
+        rstCount = 0
+        java.util.Arrays.fill(pred, 0)
+        eobrun = 0
+      }
+      if (ss == 0) {
+        // DC scan: with 1×1 sampling one block per scan component per MCU
+        var ci = 0
+        while (ci < ns) {
+          val co = coefs(scanComp(ci))
+          val at = m * 64
+          if (ah == 0) {
+            val dcH = dcTables(dcSelS(ci))
+            if (dcH == null) return -1
+            val s = r.decode(dcH)
+            if (r.corrupt || s > 11) return -1
+            val diff = extend(r.receive(s), s)
+            if (r.corrupt) return -1
+            pred(ci) += diff
+            co(at) = pred(ci) << al
+          } else {
+            val bit = r.bit()
+            if (bit < 0) return -1
+            if (bit == 1) co(at) |= (1 << al)
+          }
+          ci += 1
+        }
+      } else {
+        val co = coefs(scanComp(0))
+        val base = m * 64
+        val acH = acTables(acSelS(0))
+        if (acH == null) return -1
+        if (ah == 0) {
+          // AC first: band coefficients at approximation `al`, EOB runs
+          if (eobrun > 0) eobrun -= 1
+          else {
+            var k = ss
+            var done = false
+            while (!done && k <= se) {
+              val rs = r.decode(acH)
+              if (r.corrupt) return -1
+              val run = rs >> 4
+              val s = rs & 15
+              if (s == 0) {
+                if (run == 15) k += 16 // ZRL
+                else {
+                  eobrun = (1 << run) - 1
+                  if (run > 0) {
+                    val ext = r.receive(run)
+                    if (r.corrupt) return -1
+                    eobrun += ext
+                  }
+                  done = true
+                }
+              } else {
+                k += run
+                if (k > se) return -1
+                co(base + k) = extend(r.receive(s), s) << al
+                if (r.corrupt) return -1
+                k += 1
+              }
+            }
+          }
+        } else {
+          // AC refinement (G.1.2.3): corrections ride nonzero history,
+          // new ±1·2^al coefficients land after `run` zero-history slots
+          val pos1 = 1 << al
+          val neg1 = -1 << al
+          def correct(idx: Int): Boolean = {
+            val cb = r.bit()
+            if (cb < 0) return false
+            if (cb == 1 && (co(idx) & pos1) == 0)
+              co(idx) += (if (co(idx) >= 0) pos1 else neg1)
+            true
+          }
+          var k = ss
+          if (eobrun == 0) {
+            var toEob = false
+            while (!toEob && k <= se) {
+              val rs = r.decode(acH)
+              if (r.corrupt) return -1
+              var run = rs >> 4
+              val s = rs & 15
+              var newVal = 0
+              if (s == 0) {
+                if (run != 15) {
+                  eobrun = 1 << run
+                  if (run > 0) {
+                    val ext = r.receive(run)
+                    if (r.corrupt) return -1
+                    eobrun += ext
+                  }
+                  toEob = true
+                } // run == 15: skip 16 zero-history slots, corrections en route
+              } else {
+                if (s != 1) return -1
+                val sb = r.bit()
+                if (sb < 0) return -1
+                newVal = if (sb == 1) pos1 else neg1
+              }
+              if (!toEob) {
+                var placed = false
+                while (!placed && k <= se) {
+                  val idx = base + k
+                  if (co(idx) != 0) {
+                    if (!correct(idx)) return -1
+                  } else {
+                    if (run == 0) {
+                      if (newVal != 0) co(idx) = newVal
+                      placed = true
+                    } else run -= 1
+                  }
+                  k += 1
+                }
+                if (!placed && newVal != 0) return -1 // band overrun
+              }
+            }
+          }
+          if (eobrun > 0) {
+            while (k <= se) {
+              val idx = base + k
+              if (co(idx) != 0 && !correct(idx)) return -1
+              k += 1
+            }
+            eobrun -= 1
+          }
+        }
+      }
+      rstCount += 1
+      m += 1
+    }
+    r.pos
+  }
+
+  /** Decode a baseline OR progressive 1-component / 4:4:4 3-component
+    * JPEG to (width, height, planes) — planes.length = nComp, each w·h
     * component samples (Y, or Y/Cb/Cr before color conversion) — or
-    * null. Package-private so the spec can compare per-pixel against
-    * an independent decoder; the public stats faces wrap it. */
+    * null. Baseline decodes its single scan streaming (no coefficient
+    * store); progressive (SOF2) accumulates every scan's spectral
+    * band into a per-component coefficient store and renders at EOI.
+    * Package-private so the spec can compare per-pixel against an
+    * independent decoder; the public stats faces wrap it. */
   private[functions] def decodePlanes(b: Array[Byte]): (Int, Int, Array[Array[Int]]) = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return null
     val quant = Array.ofDim[Int](4, 64)
@@ -162,18 +391,27 @@ object JpegBaseline {
     val qSel = new Array[Int](3)
     val dcSel = new Array[Int](3)
     val acSel = new Array[Int](3)
+    var progressive = false
+    var coefs: Array[Array[Int]] = null // progressive spectral store
+    var sawEoi = false
     var i = 2
     var scanAt = -1
-    while (scanAt < 0) {
-      if (i + 4 > b.length) return null
+    while (scanAt < 0 && !sawEoi) {
+      if (i + 2 > b.length) return null
       if ((b(i) & 0xff) != 0xff) return null
       val m = b(i + 1) & 0xff
       if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) { i += 2 } // standalone
-      else if (m == 0xd9) return null // EOI before SOS
-      else {
+      else if (m == 0xd9) {
+        // EOI: the progressive end-of-stream render point; premature
+        // anywhere else
+        if (!progressive || coefs == null) return null
+        sawEoi = true
+      } else {
+        if (i + 4 > b.length) return null
         val len = u16(b, i + 2)
         if (len < 2 || i + 2 + len > b.length) return null
         val p0 = i + 4
+        var nextI = i + 2 + len
         m match {
           case 0xdb => // DQT: one or more tables
             var p = p0
@@ -203,7 +441,9 @@ object JpegBaseline {
               if (tc == 0) dcTables(th) = t else acTables(th) = t
               p += 17 + n
             }
-          case 0xc0 => // SOF0 baseline
+          case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
+            if (nComp != 0) return null // second frame header
+            progressive = m == 0xc2
             if (len < 11) return null
             if ((b(p0) & 0xff) != 8) return null // 8-bit precision
             h = u16(b, p0 + 1); w = u16(b, p0 + 3)
@@ -220,13 +460,24 @@ object JpegBaseline {
               if (qSel(c) > 3) return null
               c += 1
             }
-          case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+          case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
                0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-            return null // non-baseline frame types
+            return null // non-baseline/progressive frame types
           case 0xdd => // DRI
             if (len != 4) return null
             restartInterval = u16(b, p0)
-          case 0xda => // SOS
+          case 0xda if progressive => // one progressive scan
+            if (w <= 0 || h <= 0) return null
+            if (coefs == null) {
+              if (w.toLong * h * nComp > (1L << 24)) return null
+              val nb = ((w + 7) / 8) * ((h + 7) / 8)
+              coefs = Array.fill(nComp)(new Array[Int](nb * 64))
+            }
+            val after = progressiveScan(b, i, len, nComp, compId, w, h,
+              dcTables, acTables, restartInterval, coefs)
+            if (after < 0) return null
+            nextI = after
+          case 0xda => // SOS (baseline: the single sequential scan)
             if (nComp == 0) return null // SOS before SOF
             if (len != 6 + 2 * nComp) return null
             if ((b(p0) & 0xff) != nComp) return null // full interleave
@@ -245,10 +496,46 @@ object JpegBaseline {
             scanAt = i + 2 + len
           case _ => // APPn/COM/etc: skip
         }
-        i += 2 + len
+        i = nextI
       }
     }
     if (w <= 0 || h <= 0) return null
+    if (progressive) {
+      var c = 0
+      while (c < nComp) {
+        if (!seenQ(qSel(c))) return null
+        c += 1
+      }
+      val blocksW = (w + 7) / 8
+      val blocksH = (h + 7) / 8
+      val planes = Array.fill(nComp)(new Array[Int](w * h))
+      val coefD = new Array[Double](64)
+      val tmp = new Array[Double](64)
+      c = 0
+      while (c < nComp) {
+        val q = quant(qSel(c))
+        val co = coefs(c)
+        val px = planes(c)
+        var blk = 0
+        var by = 0
+        while (by < blocksH) {
+          var bx = 0
+          while (bx < blocksW) {
+            var k = 0
+            while (k < 64) {
+              coefD(zigzag(k)) = co(blk * 64 + k).toDouble * q(k)
+              k += 1
+            }
+            idctToPlane(coefD, tmp, px, w, h, bx, by)
+            blk += 1
+            bx += 1
+          }
+          by += 1
+        }
+        c += 1
+      }
+      return (w, h, planes)
+    }
     var c = 0
     while (c < nComp) {
       if (!seenQ(qSel(c))) return null
@@ -303,37 +590,7 @@ object JpegBaseline {
               k += 1
             }
           }
-          // separable IDCT: rows then columns
-          val px = planes(ci)
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            while (x < 8) {
-              var acc = 0.0
-              var u = 0
-              while (u < 8) { acc += idctCos(x * 8 + u) * coef(y * 8 + u); u += 1 }
-              tmp(y * 8 + x) = acc
-              x += 1
-            }
-            y += 1
-          }
-          var x = 0
-          while (x < 8) {
-            var yy = 0
-            while (yy < 8) {
-              var acc = 0.0
-              var v = 0
-              while (v < 8) { acc += idctCos(yy * 8 + v) * tmp(v * 8 + x); v += 1 }
-              val ix = bx * 8 + x
-              val iy = by * 8 + yy
-              if (ix < w && iy < h) {
-                val p = math.round(acc).toInt + 128
-                px(iy * w + ix) = if (p < 0) 0 else if (p > 255) 255 else p
-              }
-              yy += 1
-            }
-            x += 1
-          }
+          idctToPlane(coef, tmp, planes(ci), w, h, bx, by)
           ci += 1
         }
         rstCount += 1
@@ -344,8 +601,9 @@ object JpegBaseline {
     (w, h, planes)
   }
 
-  /** Decode a baseline GRAYSCALE JPEG to (width, height, pixels), or
-    * null (color inputs included — the historical gray-slice face). */
+  /** Decode a GRAYSCALE JPEG (baseline or progressive) to (width,
+    * height, pixels), or null (color inputs included — the historical
+    * gray-slice face). */
   private[functions] def decodeGray(b: Array[Byte]): (Int, Int, Array[Int]) = {
     val d = decodePlanes(b)
     if (d == null || d._3.length != 1) null else (d._1, d._2, d._3(0))
@@ -362,9 +620,9 @@ object JpegBaseline {
     (clamp(r >> 16), clamp(g >> 16), clamp(bb >> 16))
   }
 
-  /** [n_px, sum, sum, sum] over a baseline grayscale JPEG (gray
-    * replicates to all three channels — the gif/bmp/png contract), or
-    * null for color/progressive/malformed input. */
+  /** [n_px, sum, sum, sum] over a grayscale JPEG, baseline OR
+    * progressive (gray replicates to all three channels — the
+    * gif/bmp/png contract), or null for color/malformed input. */
   def jpegPixelStats(b: Array[Byte]): Array[Long] = {
     val d = decodeGray(b)
     if (d == null) return null
@@ -375,10 +633,10 @@ object JpegBaseline {
     Array(w.toLong * h, s, s, s)
   }
 
-  /** [n_px, sum_r, sum_g, sum_b] over a baseline JPEG: grayscale
-    * replicates to all three channels; 3-component 4:4:4 converts
-    * through the pinned fixed-point JFIF matrix. Subsampled color /
-    * progressive / malformed input → null. */
+  /** [n_px, sum_r, sum_g, sum_b] over a baseline or progressive JPEG:
+    * grayscale replicates to all three channels; 3-component 4:4:4
+    * converts through the pinned fixed-point JFIF matrix. Subsampled
+    * color / malformed input → null. */
   def jpegColorStats(b: Array[Byte]): Array[Long] = {
     val d = decodePlanes(b)
     if (d == null) return null

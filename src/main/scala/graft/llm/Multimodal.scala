@@ -11,16 +11,20 @@ import org.apache.spark.sql.functions._
   * parameters (`describeMedia` over `functions/BinaryMeta`), PCM-16
   * WAV sample decode, 24-bit BMP pixel decode, GIF first-frame
   * LZW pixel decode (incl. de-interlaced placement), PNG pixel decode
-  * (both interlace modes), baseline grayscale JPEG decode, G.711
-  * µ-law/A-law audio expansion, and the perceptual dHash + banded
-  * near-dup pairing built on top (`BinaryMeta.wavPcmStats` /
-  * `bmp24Stats` / `gifPixelStats` / `pngPixelStats` /
-  * `JpegBaseline` / `wavG711Stats` / `dhash64`). The remaining stub
-  * boundary after round 10 is narrow and precisely drawn: COLOR JPEG
-  * reconstruction (chroma upsampling and YCbCr conversion are
-  * implementation-defined — every decoder legally differs, so no
-  * deterministic cross-engine contract exists) and psychoacoustic
-  * transform audio codecs (MP3/AAC). That decode step is a
+  * (both interlace modes), JPEG decode — baseline AND progressive
+  * (Annex G multi-scan), grayscale and 4:4:4 color with the pinned
+  * fixed-point YCbCr→RGB — G.711 µ-law/A-law audio expansion,
+  * MP3/ADTS/MP4 header + frame-walk metadata, WARC record indexing,
+  * and the perceptual dHash + banded near-dup pairing built on top
+  * (`BinaryMeta.wavPcmStats` / `bmp24Stats` / `gifPixelStats` /
+  * `pngPixelStats` / `JpegBaseline` / `wavG711Stats` / `dhash64`).
+  * The remaining stub boundary after round 11 is narrow and precisely
+  * drawn: SUBSAMPLED-color JPEG reconstruction (4:2:0/4:2:2 chroma
+  * upsampling is implementation-defined — every decoder legally
+  * differs, so no deterministic cross-engine contract exists) and
+  * psychoacoustic transform audio codecs (MP3/AAC sample
+  * reconstruction; their container/frame metadata IS parsed). That
+  * decode step is a
   * clearly-marked deterministic fake (`fakeDecode`), while everything
   * around it — the binary column, the metadata struct, the
   * mapPartitions batch shape, the partitioning — is real and is what
@@ -349,6 +353,73 @@ object Multimodal {
         lit("FFC0000B08"), be2(h), be2(w), lit("01011100"),
         lit("FFDA000801010000 3F00".replace(" ", "")),
         entropyHex,
+        lit("FFD9"))).as("payload"))
+  }
+
+  /** Deterministic PROGRESSIVE JPEG fixtures for the multi-scan gate:
+    * grayscale SOF2 with THREE scans — the successive-approximation DC
+    * pair (scan 1: Al=1 carries dc>>1 through the unary-DC Huffman
+    * diff chain; scan 2: Ah=1/Al=0 carries one refinement bit = dc&1
+    * per block) plus an explicit all-EOB AC scan over band [1,63]
+    * (one '0' EOB bit per block through the single-symbol AC table) —
+    * the AC scan both exercises the Annex-G band path and makes the
+    * progression COMPLETE, which matters for the ImageIO cross-check:
+    * libjpeg-derived readers apply BLOCK SMOOTHING (neighbor-DC AC
+    * prediction) to incomplete progressions, a display nicety outside
+    * T.81's zero-fill reconstruction. Every block DC-only with
+    * dc(d,b) = (d·5+b·7) mod 21 ∈ [0,20] (non-negative so dc div 2 =
+    * dc>>1 in BOTH engines), so reconstruction is integer-exact:
+    * pixel = 128 + dc. Each scan's bit stream pads to a byte with
+    * 1-bits and gets 0xFF stuffing independently, exactly as T.81
+    * requires per entropy segment. */
+  def syntheticJpegProgressive(docs: DataFrame): DataFrame = {
+    val bw = pmod(col("doc_id"), lit(3L)) + 1L
+    val bh = pmod(col("doc_id"), lit(2L)) + 1L
+    def be2(v: org.apache.spark.sql.Column) = lpad(hex(v), 4, "0")
+    def hd(b: String) = s"((doc_id*5 + ($b)*7) % 21) div 2"
+    val d = s"(${hd("b")} - IF(b = 0, 0, ${hd("b - 1")}))"
+    val scan1Bits = expr(
+      s"""array_join(transform(sequence(0, (doc_id % 3 + 1) * (doc_id % 2 + 1) - 1), b ->
+         |  concat(
+         |    repeat('1', CAST(IF($d = 0, 0, length(bin(abs($d)))) AS INT)),
+         |    '0',
+         |    CASE WHEN $d = 0 THEN ''
+         |         WHEN $d > 0 THEN bin($d)
+         |         ELSE lpad(
+         |           bin($d + shiftleft(1, CAST(length(bin(abs($d))) AS INT)) - 1),
+         |           CAST(length(bin(abs($d))) AS INT), '0')
+         |    END)), '')""".stripMargin)
+    val scan2Bits = expr(
+      """array_join(transform(sequence(0, (doc_id % 3 + 1) * (doc_id % 2 + 1) - 1), b ->
+        |  CAST((doc_id*5 + b*7) % 21 % 2 AS STRING)), '')""".stripMargin)
+    val scan3Bits = expr(
+      "repeat('0', CAST((doc_id % 3 + 1) * (doc_id % 2 + 1) AS INT))")
+    def entropyHex(bits: org.apache.spark.sql.Column) = {
+      val padded = rpad(bits,
+        (floor((length(bits) + 7) / lit(8)) * 8).cast("int"), lit("1"))
+      val nBytes = (length(padded) / 8).cast("long")
+      val bytes = transform(sequence(lit(1L), nBytes), i =>
+        conv(padded.substr(((i - 1) * 8 + 1).cast("int"), lit(8)), 2, 10)
+          .cast("long"))
+      val stuffed = flatten(transform(bytes, v =>
+        when(v === 255L, array(lit(255L), lit(0L))).otherwise(array(v))))
+      concat_ws("", transform(stuffed, v => lpad(hex(v), 2, "0")))
+    }
+    val w = bw * 8
+    val h = bh * 8
+    val dqt = "FFDB004300" + "08" * 64
+    val dhtDc = "FFC40019" + "00" + "01" * 6 + "00" * 10 + "000102030405"
+    val dhtAc = "FFC40014" + "10" + "01" + "00" * 15 + "00"
+    docs.select(col("doc_id"),
+      unhex(concat(
+        lit("FFD8" + dqt + dhtDc + dhtAc),
+        lit("FFC2000B08"), be2(h), be2(w), lit("01011100"),
+        lit("FFDA0008010100000001"), // scan 1: Ss=Se=0, Ah=0, Al=1
+        entropyHex(scan1Bits),
+        lit("FFDA0008010100000010"), // scan 2: Ss=Se=0, Ah=1, Al=0
+        entropyHex(scan2Bits),
+        lit("FFDA0008010100013F00"), // scan 3: AC band [1,63], all-EOB
+        entropyHex(scan3Bits),
         lit("FFD9"))).as("payload"))
   }
 

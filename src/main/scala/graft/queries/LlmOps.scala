@@ -1445,6 +1445,29 @@ object LlmOps {
       "doc_id")
   }
 
+  /** REAL PROGRESSIVE JPEG decode: deterministic two-scan
+    * successive-approximation DC streams (`Multimodal.
+    * syntheticJpegProgressive` — scan 1 carries dc>>1 at Al=1 through
+    * the SQL-built unary-DC Huffman chain, scan 2 one refinement bit
+    * per block at Ah=1) decoded back through `functions/JpegBaseline`'s
+    * actual multi-scan Annex-G walk (coefficient store + EOI render)
+    * while the oracle regenerates block sums arithmetically — DC-only
+    * remains the integer-exact slice, so the hash-exact method
+    * survives the progressive tier. Real multi-band AC streams with
+    * refinements are spec-pinned against the JDK reader at ±1/pixel
+    * (±2 for forced-4:4:4 color). */
+  def xJpegProgressive(s: SparkSession, d: String): DataFrame = {
+    val stats = graft.functions.BinaryMeta.jpegPixelStatsCol(col("payload"))
+    ordered(
+      Multimodal.syntheticJpegProgressive(documents(s, d))
+        .select(col("doc_id"),
+          element_at(stats, 1).as("n_px"),
+          element_at(stats, 2).as("sum_r"),
+          element_at(stats, 3).as("sum_g"),
+          element_at(stats, 4).as("sum_b")),
+      "doc_id")
+  }
+
   /** A/V container header walk — MP3 (ID3v2 + MPEG-1 frame header),
     * ADTS AAC, and ISO-BMFF MP4 (moov/mvhd/tkhd) metadata parsed from
     * deterministic SQL-built payloads (`Multimodal.
@@ -1808,6 +1831,7 @@ object LlmOps {
     "x_web_pipeline"      -> (xWebPipeline _),
     "x_av_duration"       -> (xAvDuration _),
     "x_warc_extract"      -> (xWarcExtract _),
+    "x_jpeg_progressive"  -> (xJpegProgressive _),
     "x_wav_g711"          -> (xWavG711 _),
     "x_image_neardup"     -> (xImageNearDup _),
     "x_html_text"         -> (xHtmlText _),
@@ -3473,6 +3497,18 @@ object LlmOps {
         |    (doc_id % 3 + 1) * (doc_id % 2 + 1) AS nb FROM documents),
         |p AS (SELECT doc_id, nb,
         |    64 * (128 + (doc_id * 5 + b.b * 7) % 21 - 10) AS bsum
+        |  FROM m, LATERAL (SELECT unnest(generate_series(0, nb - 1))
+        |    AS b) b)
+        |SELECT doc_id, CAST(64 * nb AS BIGINT) AS n_px,
+        |  CAST(SUM(bsum) AS BIGINT) AS sum_r,
+        |  CAST(SUM(bsum) AS BIGINT) AS sum_g,
+        |  CAST(SUM(bsum) AS BIGINT) AS sum_b
+        |FROM p GROUP BY 1, nb ORDER BY 1""".stripMargin,
+    "x_jpeg_progressive" ->
+      """WITH m AS (SELECT doc_id,
+        |    (doc_id % 3 + 1) * (doc_id % 2 + 1) AS nb FROM documents),
+        |p AS (SELECT doc_id, nb,
+        |    64 * (128 + (doc_id * 5 + b.b * 7) % 21) AS bsum
         |  FROM m, LATERAL (SELECT unnest(generate_series(0, nb - 1))
         |    AS b) b)
         |SELECT doc_id, CAST(64 * nb AS BIGINT) AS n_px,

@@ -669,14 +669,103 @@ class BinaryMetaSpec extends SparkSpec {
       "restart-marker stream must reconstruct the same pixels")
   }
 
+  /** ImageIO JPEG writer in progressive mode (optionally 4:4:4 via the
+    * metadata tree). */
+  private def jpegProgressiveBytes(img: java.awt.image.BufferedImage,
+                                   quality: Float,
+                                   force444: Boolean = false): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val md = if (!force444) null else {
+      val m = writer.getDefaultImageMetadata(
+        new javax.imageio.ImageTypeSpecifier(img), param)
+      val fmt = "javax_imageio_jpeg_image_1.0"
+      val root = m.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val comps = root.getElementsByTagName("componentSpec")
+      for (c <- 0 until comps.getLength) {
+        val cs = comps.item(c).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        cs.setAttribute("HsamplingFactor", "1")
+        cs.setAttribute("VsamplingFactor", "1")
+      }
+      m.setFromTree(fmt, root)
+      m
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, md), param)
+    ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  test("jpeg PROGRESSIVE decode: ImageIO-written multi-scan streams " +
+       "(DC+AC spectral bands, successive-approximation refinements) " +
+       "decode within the T.81 bound for gray and forced-4:4:4 color") {
+    val rnd = new scala.util.Random(1213)
+    // grayscale progressive at several sizes/qualities
+    for ((w, h, q) <- Seq((64, 48, 0.9f), (24, 16, 0.7f), (17, 9, 0.95f))) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0,
+          ((x * 13 + y * 7) % 160 + rnd.nextInt(40)) % 256)
+      val bytes = jpegProgressiveBytes(img, q)
+      val mine = JpegBaseline.decodeGray(bytes)
+      assert(mine != null, s"${w}x$h q=$q: progressive decode null")
+      assert(mine._1 == w && mine._2 == h)
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      var maxDiff = 0
+      for (y <- 0 until h; x <- 0 until w)
+        maxDiff = math.max(maxDiff,
+          math.abs(mine._3(y * w + x) - ref.getRaster.getSample(x, y, 0)))
+      assert(maxDiff <= 1, s"${w}x$h q=$q: max diff $maxDiff")
+    }
+    // color progressive, metadata-forced 4:4:4
+    val cimg = new java.awt.image.BufferedImage(32, 24,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 24; x <- 0 until 32)
+      cimg.setRGB(x, y,
+        (((x * 13 + y * 7) % 200 + rnd.nextInt(30)) << 16) |
+        (((x * 5 + y * 11) % 200 + rnd.nextInt(30)) << 8) |
+        ((x * 3 + y * 17) % 200 + rnd.nextInt(30)))
+    val cbytes = jpegProgressiveBytes(cimg, 0.9f, force444 = true)
+    val got = JpegBaseline.decodePlanes(cbytes)
+    assert(got != null && got._3.length == 3, "color progressive 4:4:4 null")
+    val cref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(cbytes))
+    var maxDiff = 0
+    for (y <- 0 until 24; x <- 0 until 32) {
+      val i = y * 32 + x
+      val (mr, mg, mb) =
+        JpegBaseline.ycbcrToRgb(got._3(0)(i), got._3(1)(i), got._3(2)(i))
+      val rgb = cref.getRGB(x, y)
+      maxDiff = math.max(maxDiff, math.abs(((rgb >> 16) & 0xff) - mr))
+      maxDiff = math.max(maxDiff, math.abs(((rgb >> 8) & 0xff) - mg))
+      maxDiff = math.max(maxDiff, math.abs((rgb & 0xff) - mb))
+    }
+    assert(maxDiff <= 2, s"color progressive: max channel diff $maxDiff")
+    // truncation at every byte must never throw; default-sampling
+    // (4:2:0) progressive color still declines
+    val gbytes = jpegProgressiveBytes(
+      { val g = new java.awt.image.BufferedImage(24, 16,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY); g }, 0.8f)
+    for (cut <- 0 until gbytes.length) JpegBaseline.jpegPixelStats(gbytes.take(cut))
+    assert(JpegBaseline.jpegColorStats(jpegProgressiveBytes(cimg, 0.8f)) == null,
+      "4:2:0 progressive must decline")
+  }
+
   test("jpeg baseline decode: color/progressive/malformed inputs " +
        "yield null, never throw") {
-    // color JPEG (3 components): declined — the documented boundary
+    // subsampled color JPEG (4:2:0): declined — the documented boundary
     val cimg = new java.awt.image.BufferedImage(16, 16,
       java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
     cimg.setRGB(3, 3, 0x884422)
     assert(JpegBaseline.jpegPixelStats(jpegBytes(cimg, 0.8f)) == null)
-    // progressive: ImageIO can write it
+    // progressive now DECODES through the gray face (round 11) — the
+    // dedicated progressive test pins pixel agreement; here just the
+    // non-null contract flip
     val gimg = new java.awt.image.BufferedImage(24, 16,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
@@ -687,8 +776,8 @@ class BinaryMetaSpec extends SparkSpec {
     writer.setOutput(ios)
     writer.write(null, new javax.imageio.IIOImage(gimg, null, null), param)
     ios.close(); writer.dispose()
-    assert(JpegBaseline.jpegPixelStats(bos.toByteArray) == null,
-      "progressive must be declined, not mis-decoded")
+    assert(JpegBaseline.jpegPixelStats(bos.toByteArray) != null,
+      "grayscale progressive decodes since round 11")
     // truncation at every byte must never throw
     val good = dcOnlyJpeg(2, 1, Seq(4, -4))
     assert(JpegBaseline.jpegPixelStats(good) != null)
@@ -909,6 +998,40 @@ class BinaryMetaSpec extends SparkSpec {
     val bad = good.clone()
     bad(bad.length - 3) = 0x55.toByte
     JpegBaseline.jpegColorStats(bad) // null or decode — must not throw
+  }
+
+  test("syntheticJpegProgressive round-trip: SQL-built two-scan " +
+       "successive-approximation DC streams decode through " +
+       "jpegPixelStats AND the JDK ImageIO reader to the arithmetic") {
+    import spark.implicits._
+    val docs = (0L to 41L).toDF("doc_id")
+    val fixtures = graft.llm.Multimodal.syntheticJpegProgressive(docs)
+      .orderBy("doc_id").collect()
+    fixtures.foreach { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      val nb = ((id % 3) + 1) * ((id % 2) + 1)
+      val want = (0L until nb).map(b => 64L * (128 + (id * 5 + b * 7) % 21)).sum
+      val got = JpegBaseline.jpegPixelStats(bytes)
+      assert(got != null, s"doc $id: null")
+      assert(got.toSeq == Seq(nb * 64, want, want, want),
+        s"doc $id: ${got.toSeq} != (${nb * 64}, $want)")
+      // the refinement bit is load-bearing: decoding scan 1 alone
+      // (truncate before the second SOS) reconstructs dc>>1<<1, so any
+      // doc with an odd-dc block must differ — proves scan 2 is read
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"doc $id: ImageIO rejects the progressive fixture")
+      var s = 0L
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        s += img.getRaster.getSample(x, y, 0)
+      assert(s == want, s"doc $id: ImageIO disagrees ($s != $want)")
+    }
+    // the codegen'd column face decodes them too
+    val viaCol = graft.llm.Multimodal.syntheticJpegProgressive(docs)
+      .select(col("doc_id"),
+        BinaryMeta.jpegColorStatsCol(col("payload")).as("s"))
+      .orderBy("doc_id").collect()
+    viaCol.foreach { r => assert(!r.isNullAt(1), s"doc ${r.getLong(0)}") }
   }
 
   test("syntheticJpegColorPixels round-trip: SQL-built DC-only 4:4:4 " +
