@@ -189,6 +189,46 @@ object TextAnalysis {
     df.join(resolved, df(hostCol) === resolved("__host"), "left").drop("__host")
   }
 
+  /** SRT / WebVTT subtitle cue extraction — how transcripts align to
+    * audio/video in a multimodal corpus: one row per cue with integer
+    * start/end milliseconds and the joined text. Cue blocks split on
+    * blank lines (CRLF normalized); WebVTT inputs (leading `WEBVTT`
+    * block, `.`-millisecond timestamps, cue settings after the arrow,
+    * NOTE/STYLE blocks) and SRT inputs (index lines, `,`-millisecond
+    * timestamps) both parse through ONE engine-portable regexp chain,
+    * so the DuckDB oracle runs the SAME chain. Cue text = everything
+    * AFTER the timing line (newlines joined with spaces) — SRT index
+    * lines and VTT cue identifiers, which precede it, drop out
+    * positionally. Contract bounds: blocks without a
+    * `HH:MM:SS?mmm --> …` timing line drop out (VTT NOTE/STYLE blocks,
+    * garbage); `cue_idx` is the block position after the VTT header
+    * (dropped blocks leave gaps — position, not rank). Hour field is
+    * 2+ digits (SRT allows longer movies). */
+  def subtitleCues(df: DataFrame, subs: Column = col("subs"),
+                   idCol: String = "doc_id"): DataFrame = {
+    val norm = regexp_replace(subs, "\r\n?", "\n")
+    val blocks0 = split(norm, "\n\n+")
+    val vtt = regexp_extract(norm, "^WEBVTT", 0) === "WEBVTT"
+    val blocks = when(vtt,
+      slice(blocks0, lit(2), greatest(size(blocks0) - 1, lit(0))))
+      .otherwise(blocks0)
+    val timing = "(\\d{2,}):(\\d{2}):(\\d{2})[,.](\\d{3})\\s*-->\\s*" +
+      "(\\d{2,}):(\\d{2}):(\\d{2})[,.](\\d{3})"
+    val exploded = df
+      .select(col(idCol), posexplode(blocks).as(Seq("cue_idx", "__blk")))
+    def grp(n: Int) = regexp_extract(col("__blk"), timing, n).cast("long")
+    exploded
+      .filter(regexp_extract(col("__blk"), timing, 0) =!= "")
+      .select(col(idCol), col("cue_idx").cast("long").as("cue_idx"),
+        (grp(1) * 3600000L + grp(2) * 60000L + grp(3) * 1000L + grp(4))
+          .as("start_ms"),
+        (grp(5) * 3600000L + grp(6) * 60000L + grp(7) * 1000L + grp(8))
+          .as("end_ms"),
+        trim(regexp_replace(
+          regexp_extract(col("__blk"), "(?s)" + timing + "[^\n]*\n?(.*)", 9),
+          "\n", " ")).as("text"))
+  }
+
   def withTokenCounts(df: DataFrame, text: Column = col("text")): DataFrame =
     df.withColumn("n_tokens", size(tokens(text)).cast("long"))
       .withColumn("n_ws_tokens",

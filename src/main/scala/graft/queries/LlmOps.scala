@@ -1445,6 +1445,43 @@ object LlmOps {
       "doc_id")
   }
 
+  /** Subtitle cue extraction gate: deterministic SRT files (even
+    * doc_ids — index lines, comma milliseconds) and WebVTT files (odd
+    * — header block, NOTE block to skip, dot milliseconds, cue
+    * settings after the arrow) parsed through `TextAnalysis.
+    * subtitleCues`' engine-portable regexp chain while the oracle
+    * regenerates cue indices/times/text arithmetically. Multi-line
+    * cue text joins with spaces; the VTT NOTE block leaves the
+    * documented position gap in cue_idx. */
+  def xSubtitleCues(s: SparkSession, d: String): DataFrame = {
+    val even = pmod(col("doc_id"), lit(2L)) === 0
+    val nc = pmod(col("doc_id"), lit(4L)) + 1L
+    def two(c: org.apache.spark.sql.Column) = lpad(c.cast("string"), 2, "0")
+    def three(c: org.apache.spark.sql.Column) = lpad(c.cast("string"), 3, "0")
+    val cues = transform(sequence(lit(1L), nc), j => {
+      val mm = pmod(col("doc_id") + j, lit(60L))
+      val ss = pmod(col("doc_id") * 3 + j * 7, lit(58L))
+      val ms = pmod(col("doc_id") * 7 + j * 13, lit(800L))
+      val sep = when(even, lit(",")).otherwise(lit("."))
+      val t1 = concat(lit("00:"), two(mm), lit(":"), two(ss), sep, three(ms))
+      val t2 = concat(lit("00:"), two(mm), lit(":"), two(ss + 1), sep,
+        three(ms + 200))
+      concat(
+        when(even, concat(j.cast("string"), lit("\n"))).otherwise(lit("")),
+        t1, lit(" --> "), t2,
+        when(even, lit("")).otherwise(lit(" align:start")), lit("\n"),
+        lit("cue "), j, lit(" of doc "), col("doc_id"),
+        when(pmod(j, lit(2L)) === 0, lit("\nline two")).otherwise(lit("")))
+    })
+    val subs = concat(
+      when(even, lit("")).otherwise(lit("WEBVTT\n\nNOTE generated\n\n")),
+      array_join(cues, "\n\n"))
+    ordered(
+      TextAnalysis.subtitleCues(
+        documents(s, d).select(col("doc_id"), subs.as("subs"))),
+      "doc_id", "cue_idx")
+  }
+
   /** REAL PROGRESSIVE JPEG decode: deterministic two-scan
     * successive-approximation DC streams (`Multimodal.
     * syntheticJpegProgressive` — scan 1 carries dc>>1 at Al=1 through
@@ -1832,6 +1869,7 @@ object LlmOps {
     "x_av_duration"       -> (xAvDuration _),
     "x_warc_extract"      -> (xWarcExtract _),
     "x_jpeg_progressive"  -> (xJpegProgressive _),
+    "x_subtitle_cues"     -> (xSubtitleCues _),
     "x_wav_g711"          -> (xWavG711 _),
     "x_image_neardup"     -> (xImageNearDup _),
     "x_html_text"         -> (xHtmlText _),
@@ -3504,6 +3542,20 @@ object LlmOps {
         |  CAST(SUM(bsum) AS BIGINT) AS sum_g,
         |  CAST(SUM(bsum) AS BIGINT) AS sum_b
         |FROM p GROUP BY 1, nb ORDER BY 1""".stripMargin,
+    "x_subtitle_cues" ->
+      """WITH c AS (SELECT doc_id, j
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(1,
+        |    doc_id % 4 + 1)) AS j))
+        |SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN j - 1 ELSE j END
+        |    AS BIGINT) AS cue_idx,
+        |  CAST(((doc_id + j) % 60) * 60000 + ((doc_id * 3 + j * 7) % 58)
+        |    * 1000 + (doc_id * 7 + j * 13) % 800 AS BIGINT) AS start_ms,
+        |  CAST(((doc_id + j) % 60) * 60000 + ((doc_id * 3 + j * 7) % 58 + 1)
+        |    * 1000 + (doc_id * 7 + j * 13) % 800 + 200 AS BIGINT) AS end_ms,
+        |  'cue ' || j || ' of doc ' || doc_id ||
+        |    CASE WHEN j % 2 = 0 THEN ' line two' ELSE '' END AS text
+        |FROM c ORDER BY doc_id, cue_idx""".stripMargin,
     "x_jpeg_progressive" ->
       """WITH m AS (SELECT doc_id,
         |    (doc_id % 3 + 1) * (doc_id % 2 + 1) AS nb FROM documents),

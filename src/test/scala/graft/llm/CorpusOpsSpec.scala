@@ -216,6 +216,32 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("subtitleCues: SRT and WebVTT parse through one chain — CRLF, " +
+       "3-digit hours, cue settings, NOTE/garbage drop, cue-id drop, " +
+       "multi-line join, digit text lines preserved") {
+    import spark.implicits._
+    val srt = "1\r\n00:00:01,000 --> 00:00:04,500\r\nHello world\r\n" +
+      "second line\r\n\r\n2\r\n100:59:59,999 --> 101:00:01,000\r\nlong movie"
+    val vtt = "WEBVTT - with meta\nKind: captions\n\n" +
+      "NOTE a comment\nspanning lines\n\n" +
+      "intro-cue\n00:01:02.003 --> 00:01:03.004 align:start line:0\nStyled text\n\n" +
+      "garbage block without timing\n\n" +
+      "00:02:00.000 --> 00:02:01.000\n42\nafter a digit line"
+    val df = Seq((1L, srt), (2L, vtt)).toDF("doc_id", "subs")
+    val got = TextAnalysis.subtitleCues(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toList.sorted
+    assert(got == List(
+      (1L, 0L, 1000L, 4500L, "Hello world second line"),
+      (1L, 1L, 100L * 3600000 + 59 * 60000 + 59000 + 999,
+        101L * 3600000 + 1000, "long movie"),
+      // VTT: blocks after header are NOTE(0), cue(1), garbage(2), cue(3);
+      // the cue IDENTIFIER line precedes the timing line and drops
+      (2L, 1L, 62003L, 63004L, "Styled text"),
+      // text = everything AFTER the timing line: a bare number stays
+      (2L, 3L, 120000L, 121000L, "42 after a digit line")), got.toString)
+  }
+
   test("registrableDomainPsl: longest-rule match, wildcard and " +
        "exception rules, implicit-* default, suffix-only hosts null, " +
        "rules broadcast-joined") {
