@@ -276,6 +276,89 @@ object BinaryMeta {
     Array(ADTS_SR(sfi).toLong, channels.toLong, frameLen.toLong, profile.toLong)
   }
 
+  private def syncsafe4(b: Array[Byte], at: Int): Long = {
+    var size = 0L
+    var k = 0
+    while (k < 4) {
+      val v = b(at + k) & 0xff
+      if (v >= 0x80) return -1
+      size = (size << 7) | v
+      k += 1
+    }
+    size
+  }
+
+  /** ID3v2 TEXT frames (v2.3 / v2.4) — the audio-manifest metadata
+    * tier: walks the tag's frame ladder (v2.3 plain-u32 frame sizes,
+    * v2.4 syncsafe), extracting every `T…` text frame as
+    * (frame_id, text): TIT2/TPE1/TALB and friends. Body decodes per
+    * the declared encoding byte (0 ISO-8859-1, 1 UTF-16 BOM,
+    * 2 UTF-16BE, 3 UTF-8); v2.4 multi-value NUL separators render as
+    * `/`, trailing NULs strip. Stops at padding or tag end; malformed
+    * frames stop the walk with the prefix frames kept; tags with the
+    * UNSYNCHRONISATION flag decline (offsets are transformed) as does
+    * v2.2 (3-byte ids, a different layout). Null when nothing
+    * extractable. */
+  def id3TextFrames(b: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (!hasId3(b, 0)) return null
+    val ver = b(3) & 0xff
+    if (ver < 3 || ver > 4) return null
+    val flags = b(5) & 0xff
+    if ((flags & 0x80) != 0) return null // unsynchronisation
+    val tagSize = syncsafe4(b, 6)
+    if (tagSize < 0) return null
+    val end = math.min(10L + tagSize, b.length.toLong).toInt
+    var p = 10
+    if ((flags & 0x40) != 0) { // extended header
+      if (p + 4 > end) return null
+      val es =
+        if (ver == 4) syncsafe4(b, p) // v2.4: size INCLUDES the field
+        else u32be(b, p) + 4          // v2.3: size EXCLUDES it
+      if (es < 4 || p + es > end) return null
+      p += es.toInt
+    }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.catalyst.InternalRow]
+    var stop = false
+    while (!stop && p + 10 <= end) {
+      if (b(p) == 0) stop = true // padding
+      else {
+        var idOk = true
+        var k = 0
+        while (k < 4) {
+          val c = b(p + k) & 0xff
+          if (!((c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9'))) idOk = false
+          k += 1
+        }
+        val fsize = if (ver == 4) syncsafe4(b, p + 4) else u32be(b, p + 4)
+        if (!idOk || fsize < 0 || p + 10 + fsize > end) stop = true
+        else {
+          if (b(p) == 'T' && fsize >= 1) {
+            val enc = b(p + 10) & 0xff
+            val body = java.util.Arrays.copyOfRange(b, p + 11, p + 10 + fsize.toInt)
+            val cs = enc match {
+              case 0 => java.nio.charset.StandardCharsets.ISO_8859_1
+              case 1 => java.nio.charset.StandardCharsets.UTF_16 // BOM-led
+              case 2 => java.nio.charset.StandardCharsets.UTF_16BE
+              case 3 => java.nio.charset.StandardCharsets.UTF_8
+              case _ => null
+            }
+            if (cs != null) {
+              val decoded = new String(body, cs)
+              val cleaned = decoded.split('\u0000').filter(_.nonEmpty).mkString("/")
+              out += org.apache.spark.sql.catalyst.InternalRow(
+                UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, p, p + 4)),
+                UTF8String.fromString(cleaned))
+            }
+          }
+          p += 10 + fsize.toInt
+        }
+      }
+    }
+    if (out.isEmpty) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** FULL MPEG-audio frame walk — the duration tier of the manifest
     * (the one field [[mp3Meta]]'s single-header parse cannot give):
     * skip ID3v2, then walk frame to frame via the spec frame-length
@@ -1257,6 +1340,26 @@ object BinaryMeta {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  case class Id3TextFrames(child: Expression) extends BinaryProbe {
+    override def prettyName: String = "id3_text_frames"
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("frame_id", StringType, nullable = false),
+      StructField("text", StringType, nullable = false))),
+      containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      BinaryMeta.id3TextFrames(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, bytes => {
+        val r = ctx.freshName("r")
+        s"""
+           |org.apache.spark.sql.catalyst.util.ArrayData $r =
+           |  graft.functions.BinaryMeta.id3TextFrames($bytes);
+           |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   case class WarcIndex(child: Expression) extends BinaryProbe {
     override def prettyName: String = "warc_index"
     override def dataType: DataType = ArrayType(StructType(Seq(
@@ -1328,6 +1431,8 @@ object BinaryMeta {
     SparkInternals.column(Mp4Meta(SparkInternals.expression(c)))
   def warcIndexCol(c: Column): Column =
     SparkInternals.column(WarcIndex(SparkInternals.expression(c)))
+  def id3TextFramesCol(c: Column): Column =
+    SparkInternals.column(Id3TextFrames(SparkInternals.expression(c)))
   def mp3FrameStatsCol(c: Column): Column =
     SparkInternals.column(Mp3FrameStats(SparkInternals.expression(c)))
   def adtsFrameStatsCol(c: Column): Column =

@@ -1445,6 +1445,41 @@ object LlmOps {
       "doc_id")
   }
 
+  /** ID3v2 text-frame extraction gate: deterministic v2.3 (even
+    * doc_ids — plain-u32 frame sizes) and v2.4 (odd — syncsafe sizes)
+    * tags carrying TIT2/TPE1/TALB in ISO-8859-1 plus 8 padding bytes
+    * (the padding-stop path), walked through the codegen'd
+    * `BinaryMeta.id3TextFrames` while the oracle regenerates every
+    * (frame_id, text) pair arithmetically. The audio-manifest
+    * metadata tier: title/artist dedup keys and attribution. */
+  def xId3Tags(s: SparkSession, d: String): DataFrame = {
+    val even = pmod(col("doc_id"), lit(2L)) === 0
+    val title = concat(lit("Track "), pmod(col("doc_id"), lit(1000L)))
+    val artist = concat(lit("Artist "), pmod(col("doc_id"), lit(50L)))
+    val album = concat(lit("Album "), pmod(col("doc_id"), lit(10L)))
+    def frame(idHex: String, text: org.apache.spark.sql.Column) = {
+      val sz = length(text) + 1
+      val szHex = when(even, lpad(hex(sz), 8, "0"))
+        .otherwise(concat(lit("000000"), lpad(hex(sz), 2, "0")))
+      concat(lit(idHex), szHex, lit("0000"), lit("00"), hex(text))
+    }
+    val tagSize = length(title) + length(artist) + length(album) + 3 + 30 + 8
+    val payload = unhex(concat(
+      lit("494433"), when(even, lit("0300")).otherwise(lit("0400")),
+      lit("00"), lit("000000"), lpad(hex(tagSize), 2, "0"),
+      frame("54495432", title),   // TIT2
+      frame("54504531", artist),  // TPE1
+      frame("54414C42", album),   // TALB
+      lit("00" * 8)))             // padding: the walk must stop here
+    val frames = graft.functions.BinaryMeta.id3TextFramesCol(col("payload"))
+    ordered(
+      documents(s, d).select(col("doc_id"), payload.as("payload"))
+        .select(col("doc_id"), explode(frames).as("__f"))
+        .select(col("doc_id"), col("__f.frame_id").as("frame_id"),
+          col("__f.text").as("text")),
+      "doc_id", "frame_id")
+  }
+
   /** Subtitle cue extraction gate: deterministic SRT files (even
     * doc_ids — index lines, comma milliseconds) and WebVTT files (odd
     * — header block, NOTE block to skip, dot milliseconds, cue
@@ -1870,6 +1905,7 @@ object LlmOps {
     "x_warc_extract"      -> (xWarcExtract _),
     "x_jpeg_progressive"  -> (xJpegProgressive _),
     "x_subtitle_cues"     -> (xSubtitleCues _),
+    "x_id3_tags"          -> (xId3Tags _),
     "x_wav_g711"          -> (xWavG711 _),
     "x_image_neardup"     -> (xImageNearDup _),
     "x_html_text"         -> (xHtmlText _),
@@ -3542,6 +3578,16 @@ object LlmOps {
         |  CAST(SUM(bsum) AS BIGINT) AS sum_g,
         |  CAST(SUM(bsum) AS BIGINT) AS sum_b
         |FROM p GROUP BY 1, nb ORDER BY 1""".stripMargin,
+    "x_id3_tags" ->
+      """WITH f AS (
+        |  SELECT doc_id, 'TALB' AS frame_id,
+        |    'Album ' || (doc_id % 10) AS text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'TIT2', 'Track ' || (doc_id % 1000) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'TPE1', 'Artist ' || (doc_id % 50) FROM documents)
+        |SELECT doc_id, frame_id, text FROM f
+        |ORDER BY doc_id, frame_id""".stripMargin,
     "x_subtitle_cues" ->
       """WITH c AS (SELECT doc_id, j
         |  FROM documents, LATERAL (SELECT unnest(generate_series(1,

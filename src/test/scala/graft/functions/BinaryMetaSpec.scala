@@ -1236,6 +1236,55 @@ class BinaryMetaSpec extends SparkSpec {
     for (c <- 0 until mp3.length) BinaryMeta.mp3FrameStats(mp3.take(c))
   }
 
+  test("id3TextFrames: v2.3/v2.4 sizes, all four text encodings, " +
+       "multi-value NULs, padding stop, unsync decline, fuzz") {
+    def hexB(s: String) = s.replaceAll("\\s", "").grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+    def frames(a: org.apache.spark.sql.catalyst.util.ArrayData)
+        : Seq[(String, String)] =
+      if (a == null) Nil
+      else (0 until a.numElements).map { i =>
+        val r = a.getStruct(i, 2)
+        (r.getUTF8String(0).toString, r.getUTF8String(1).toString)
+      }
+    def tag(ver: Int, framesHex: String, pad: Int = 0): Array[Byte] = {
+      val size = framesHex.length / 2 + pad
+      hexB(f"494433 0${ver}00 00 000000$size%02X" + framesHex + "00" * pad)
+    }
+    // v2.3 plain-u32 size; ISO-8859-1 with trailing NUL stripped
+    val iso = "54495432" + "00000007" + "0000" + "00" +
+      "416263E90000" // "Abcé" + two trailing NULs -> fsize 7
+    assert(frames(BinaryMeta.id3TextFrames(tag(3, iso))) ==
+      Seq(("TIT2", "Abcé")))
+    // v2.4 syncsafe size; UTF-8; multi-value NUL -> '/'
+    val utf8 = "54504531" + "0000000D" + "0000" + "03" +
+      "416C70686100426574610000" // "Alpha\0Beta\0\0": 12 data bytes + enc = 13
+    assert(frames(BinaryMeta.id3TextFrames(tag(4, utf8))) ==
+      Seq(("TPE1", "Alpha/Beta")))
+    // UTF-16 with BOM (enc 1) and UTF-16BE (enc 2)
+    val u16 = "54414C42" + "00000007" + "0000" + "01" + "FFFE4100CC00"
+    assert(frames(BinaryMeta.id3TextFrames(tag(4, u16))) ==
+      Seq(("TALB", "AÌ")))
+    val u16be = "54414C42" + "00000005" + "0000" + "02" + "00420043"
+    assert(frames(BinaryMeta.id3TextFrames(tag(4, u16be))) ==
+      Seq(("TALB", "BC")))
+    // padding stops the walk; non-text frames skipped but walked past
+    val mixed = "50524956" + "00000004" + "0000" + "DEADBEEF" + // PRIV
+      "54495432" + "00000002" + "0000" + "00" + "58"            // "X"
+    assert(frames(BinaryMeta.id3TextFrames(tag(3, mixed, pad = 6))) ==
+      Seq(("TIT2", "X")))
+    // v2.4 frame size that is NOT syncsafe declines the frame walk
+    val badSync = "54495432" + "000000FF" + "0000" + "00" + "58"
+    assert(BinaryMeta.id3TextFrames(tag(4, badSync)) == null)
+    // unsynchronisation flag declines; v2.2 declines; foreign null
+    val unsync = tag(3, iso); unsync(5) = 0x80.toByte
+    assert(BinaryMeta.id3TextFrames(unsync) == null)
+    assert(BinaryMeta.id3TextFrames(hexB("494433 0200 00 00000000")) == null)
+    assert(BinaryMeta.id3TextFrames("zzz".getBytes) == null)
+    val full = tag(3, iso + mixed)
+    for (c <- 0 until full.length) BinaryMeta.id3TextFrames(full.take(c))
+  }
+
   test("mp4Meta: v0 and v1 boxes, largesize, audio-only tracks, " +
        "null contracts and truncation fuzz") {
     def be4(v: Long) = f"$v%08X"
