@@ -18,16 +18,17 @@ import org.apache.spark.sql.functions._
   * and the perceptual dHash + banded near-dup pairing built on top
   * (`BinaryMeta.wavPcmStats` / `bmp24Stats` / `gifPixelStats` /
   * `pngPixelStats` / `JpegBaseline` / `wavG711Stats` / `dhash64`).
-  * The remaining stub boundary after round 11 is narrow and precisely
-  * drawn: SUBSAMPLED-color JPEG reconstruction (4:2:0/4:2:2 chroma
-  * upsampling is implementation-defined — every decoder legally
-  * differs, so no deterministic cross-engine contract exists) and
-  * psychoacoustic transform audio codecs (MP3/AAC sample
-  * reconstruction; their container/frame metadata IS parsed). That
-  * decode step is a
-  * clearly-marked deterministic fake (`fakeDecode`), while everything
-  * around it — the binary column, the metadata struct, the
-  * mapPartitions batch shape, the partitioning — is real and is what
+  * The remaining undecodable-by-design boundary after round 11 is
+  * narrow and precisely drawn: SUBSAMPLED-color JPEG reconstruction
+  * (4:2:0/4:2:2 chroma upsampling is implementation-defined — every
+  * decoder legally differs, so no deterministic cross-engine contract
+  * exists) and psychoacoustic transform audio codecs (MP3/AAC sample
+  * reconstruction; their container/frame metadata IS parsed). The
+  * feature-extraction dispatcher (`decodeFeatures`) routes recognized
+  * payloads through the REAL decoders and takes a byte-stats fallback
+  * only for those two classes and foreign bytes — no stub marker
+  * remains. Everything around it — the binary column, the metadata
+  * struct, the mapPartitions batch shape, the partitioning — is what
   * matters at 100 TB: payloads never pass through a shuffle (features
   * are extracted before any aggregation), and the decoder is applied
   * streaming per partition, one batch at a time, like a
@@ -51,14 +52,41 @@ object Multimodal {
         (pmod(col("n_chars"), lit(64)) + 16).cast("int").as("width"),
         (pmod(col("doc_id"), lit(32)) + 16).cast("int").as("height")).as("meta"))
 
-  /** STUB decoder — deterministic fake for the absent media libraries.
-    * A real deployment swaps this body for an image/audio decode; the
-    * signature (bytes in, features out, called inside a partition batch)
-    * is the contract. */
-  private def fakeDecode(payload: Array[Byte]): (Long, Double) = {
-    // ??? <- real decode goes here; deterministic fake below
+  /** REAL per-payload feature decode over the container tier:
+    * recognized media decodes to its mean sample value through the
+    * round-10/11 decoders (images — PNG/GIF/BMP/JPEG incl. progressive
+    * and 4:4:4 color — mean channel value over the RGB sums; WAV —
+    * mean |sample| over PCM-16 or G.711); unrecognized payloads fall
+    * back to the raw byte mean, keeping the function TOTAL, which is
+    * the property a crawl needs. Until round 11 this body was the
+    * brief's clearly-marked deterministic stub; the decode tier is
+    * now real, so the dispatcher is too — the only formats still
+    * taking the fallback by design are subsampled-color JPEG and
+    * psychoacoustic audio (no deterministic cross-engine contract
+    * exists for either). */
+  private def decodeFeatures(payload: Array[Byte]): (Long, Double) = {
+    import graft.functions.BinaryMeta
     val len = payload.length.toLong
-    val mean = if (len == 0) 0.0 else payload.foldLeft(0L)(_ + java.lang.Byte.toUnsignedInt(_)).toDouble / len
+    val fmt = BinaryMeta.format(payload)
+    val fmtStr = if (fmt == null) null else fmt.toString
+    val decoded: Array[Long] = fmtStr match {
+      case "png" => BinaryMeta.pngPixelStats(payload)
+      case "gif" => BinaryMeta.gifPixelStats(payload)
+      case "bmp" => BinaryMeta.bmp24Stats(payload)
+      case "jpeg" => BinaryMeta.jpegColorStats(payload)
+      case "wav" =>
+        val p = BinaryMeta.wavPcmStats(payload)
+        if (p != null) p else BinaryMeta.wavG711Stats(payload)
+      case _ => null
+    }
+    val mean =
+      if (decoded != null && decoded(0) > 0) fmtStr match {
+        case "wav" => decoded(2).toDouble / decoded(0) // mean |sample|
+        case _ => // mean channel value (bmp's BGR order sums the same)
+          (decoded(1) + decoded(2) + decoded(3)).toDouble / (3.0 * decoded(0))
+      }
+      else if (len == 0) 0.0
+      else payload.foldLeft(0L)(_ + java.lang.Byte.toUnsignedInt(_)).toDouble / len
     (len, mean)
   }
 
@@ -705,7 +733,7 @@ object Multimodal {
       val md = java.security.MessageDigest.getInstance("MD5")
       val hex = "0123456789abcdef".toCharArray
       rows.map { r =>
-        val (len, mean) = fakeDecode(r.payload)
+        val (len, mean) = decodeFeatures(r.payload)
         val d = md.digest(r.payload)
         val sb = new java.lang.StringBuilder(d.length * 2)
         var i = 0

@@ -363,6 +363,48 @@ class LlmSpec extends SparkSpec {
     joined.foreach { case (bl, tl, ck, mk) => assert(bl == tl && ck == mk) }
   }
 
+  test("multimodal feature extraction REALLY decodes recognized media: " +
+       "mean is the decoded sample/pixel mean, not the byte mean; " +
+       "foreign payloads keep the byte-mean fallback") {
+    import spark.implicits._
+    val docs = (0L to 5L).toDF("doc_id")
+    def media(payloads: org.apache.spark.sql.DataFrame) =
+      payloads.select(col("doc_id"), col("payload"),
+        org.apache.spark.sql.functions.struct(
+          lit("media/bin").as("mime"), lit(1).as("width"), lit(1).as("height"))
+          .as("meta"))
+    // PCM WAV: decoded mean = mean |sample| over the 16 samples
+    val wav = Multimodal.syntheticWavPcm(docs)
+    val wavFeats = Multimodal.extractFeatures(spark, media(wav)).toDF()
+      .select("doc_id", "mean_byte").as[(Long, Double)].collect().toMap
+    val wavRows = wav.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1))
+    wavRows.foreach { case (id, bytes) =>
+      val st = graft.functions.BinaryMeta.wavPcmStats(bytes)
+      val want = st(2).toDouble / st(0)
+      assert(math.abs(wavFeats(id) - want) < 1e-9, s"doc $id wav mean")
+      // and it is NOT the raw byte mean (headers would skew it)
+      val byteMean = bytes.map(b => b & 0xff).sum.toDouble / bytes.length
+      assert(math.abs(wavFeats(id) - byteMean) > 1e-6, s"doc $id fell back")
+    }
+    // PNG: decoded mean = pixel mean (gray replicated across channels)
+    val png = Multimodal.syntheticPngPixels(docs)
+    val pngFeats = Multimodal.extractFeatures(spark, media(png)).toDF()
+      .select("doc_id", "mean_byte").as[(Long, Double)].collect().toMap
+    png.collect().foreach { r =>
+      val st = graft.functions.BinaryMeta.pngPixelStats(r.getAs[Array[Byte]](1))
+      val want = (st(1) + st(2) + st(3)).toDouble / (3.0 * st(0))
+      assert(math.abs(pngFeats(r.getLong(0)) - want) < 1e-9,
+        s"doc ${r.getLong(0)} png mean")
+    }
+    // foreign bytes: total-function byte-mean fallback
+    val foreign = Seq((9L, "plain words".getBytes)).toDF("doc_id", "payload")
+    val f = Multimodal.extractFeatures(spark, media(foreign)).toDF()
+      .select("mean_byte").as[Double].collect()(0)
+    val bm = "plain words".getBytes.map(b => b & 0xff).sum.toDouble /
+      "plain words".length
+    assert(math.abs(f - bm) < 1e-9)
+  }
+
   test("streaming exact dedup: drops in-horizon duplicates, expires state past the watermark") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
