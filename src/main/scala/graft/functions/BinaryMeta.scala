@@ -294,11 +294,14 @@ object BinaryMeta {
     * (frame_id, text): TIT2/TPE1/TALB and friends. Body decodes per
     * the declared encoding byte (0 ISO-8859-1, 1 UTF-16 BOM,
     * 2 UTF-16BE, 3 UTF-8); v2.4 multi-value NUL separators render as
-    * `/`, trailing NULs strip. Stops at padding or tag end; malformed
-    * frames stop the walk with the prefix frames kept; tags with the
-    * UNSYNCHRONISATION flag decline (offsets are transformed) as does
-    * v2.2 (3-byte ids, a different layout). Null when nothing
-    * extractable. */
+    * `/`, trailing NULs strip. Frame FORMAT flags honored: grouping-id
+    * and v2.4 data-length-indicator bytes are skipped before the
+    * encoding byte; compressed / encrypted / per-frame-unsynchronised
+    * frames are not text-extractable and are walked past. Stops at
+    * padding or tag end; malformed frames stop the walk with the
+    * prefix frames kept; tags with the tag-level UNSYNCHRONISATION
+    * flag decline (offsets are transformed) as does v2.2 (3-byte ids,
+    * a different layout). Null when nothing extractable. */
   def id3TextFrames(b: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
     if (!hasId3(b, 0)) return null
     val ver = b(3) & 0xff
@@ -333,9 +336,25 @@ object BinaryMeta {
         val fsize = if (ver == 4) syncsafe4(b, p + 4) else u32be(b, p + 4)
         if (!idOk || fsize < 0 || p + 10 + fsize > end) stop = true
         else {
-          if (b(p) == 'T' && fsize >= 1) {
-            val enc = b(p + 10) & 0xff
-            val body = java.util.Arrays.copyOfRange(b, p + 11, p + 10 + fsize.toInt)
+          // frame FORMAT flags shift or poison the body: compressed /
+          // encrypted / per-frame-unsynchronised frames are not
+          // text-extractable (skip, keep walking); grouping-id and
+          // v2.4 data-length-indicator prepend 1 / 4 bytes
+          val f2 = b(p + 9) & 0xff
+          var bodyOff = p + 10
+          var bodyEnd = p + 10 + fsize.toInt
+          var extractable = true
+          if (ver == 4) {
+            if ((f2 & 0x0c) != 0 || (f2 & 0x02) != 0) extractable = false
+            if ((f2 & 0x40) != 0) bodyOff += 1
+            if ((f2 & 0x01) != 0) bodyOff += 4
+          } else {
+            if ((f2 & 0xc0) != 0) extractable = false
+            if ((f2 & 0x20) != 0) bodyOff += 1
+          }
+          if (extractable && b(p) == 'T' && bodyEnd - bodyOff >= 1) {
+            val enc = b(bodyOff) & 0xff
+            val body = java.util.Arrays.copyOfRange(b, bodyOff + 1, bodyEnd)
             val cs = enc match {
               case 0 => java.nio.charset.StandardCharsets.ISO_8859_1
               case 1 => java.nio.charset.StandardCharsets.UTF_16 // BOM-led

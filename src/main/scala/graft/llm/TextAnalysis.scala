@@ -208,7 +208,10 @@ object TextAnalysis {
                    idCol: String = "doc_id"): DataFrame = {
     val norm = regexp_replace(subs, "\r\n?", "\n")
     val blocks0 = split(norm, "\n\n+")
-    val vtt = regexp_extract(norm, "^WEBVTT", 0) === "WEBVTT"
+    // the VTT signature is the WHOLE first token: "WEBVTT" then end,
+    // whitespace or the spec's optional header text — "WEBVTTX" is not
+    // a VTT header and must parse as (malformed) SRT, not lose a block
+    val vtt = regexp_extract(norm, "^WEBVTT([ \t\n]|$)", 0) =!= ""
     val blocks = when(vtt,
       slice(blocks0, lit(2), greatest(size(blocks0) - 1, lit(0))))
       .otherwise(blocks0)

@@ -1276,6 +1276,19 @@ class BinaryMetaSpec extends SparkSpec {
     // v2.4 frame size that is NOT syncsafe declines the frame walk
     val badSync = "54495432" + "000000FF" + "0000" + "00" + "58"
     assert(BinaryMeta.id3TextFrames(tag(4, badSync)) == null)
+    // v2.4 DATA-LENGTH-INDICATOR flag (0x01): 4 syncsafe bytes precede
+    // the encoding byte; v2.3 GROUPING flag (0x20): 1 byte precedes
+    val dli = "54495432" + "00000006" + "0001" + "00000002" + "00" + "59"
+    assert(frames(BinaryMeta.id3TextFrames(tag(4, dli))) ==
+      Seq(("TIT2", "Y")))
+    val grp = "54495432" + "00000003" + "0020" + "AA" + "00" + "5A"
+    assert(frames(BinaryMeta.id3TextFrames(tag(3, grp))) ==
+      Seq(("TIT2", "Z")))
+    // COMPRESSED frames are walked past, later frames still extract
+    val comp = "54495432" + "00000002" + "0080" + "00" + "58" +
+      "54504531" + "00000002" + "0000" + "00" + "57"
+    assert(frames(BinaryMeta.id3TextFrames(tag(3, comp))) ==
+      Seq(("TPE1", "W")))
     // unsynchronisation flag declines; v2.2 declines; foreign null
     val unsync = tag(3, iso); unsync(5) = 0x80.toByte
     assert(BinaryMeta.id3TextFrames(unsync) == null)
