@@ -232,6 +232,102 @@ object TextAnalysis {
           "\n", " ")).as("text"))
   }
 
+  /** Parse robots.txt content (RFC 9309) into a rule table: one row
+    * per (group agent × rule) with the group structure preserved —
+    * consecutive `User-agent` lines share the rule block that follows
+    * (the spec's group semantics), directives are case-insensitive,
+    * `#` comments strip, blank/foreign lines ignore. The sequential
+    * group numbering is a per-DOMAIN window (robots files are KB-sized
+    * — the window partition is one small file, never the corpus). */
+  def parseRobots(df: DataFrame, robots: Column,
+                  domainCol: String = "domain"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = split(regexp_replace(robots, "\r\n?", "\n"), "\n")
+    val e = df.select(col(domainCol), posexplode(lines).as(Seq("__ln", "__line")))
+      .withColumn("__dir", lower(regexp_extract(col("__line"),
+        "(?i)^\\s*(user-agent|allow|disallow)\\s*:", 1)))
+      .withColumn("__val", trim(regexp_extract(col("__line"),
+        "(?i)^\\s*(?:user-agent|allow|disallow)\\s*:\\s*([^#]*)", 1)))
+      .filter(col("__dir") =!= "")
+    val w = Window.partitionBy(col(domainCol)).orderBy(col("__ln"))
+    val g = e
+      .withColumn("__isUA", col("__dir") === "user-agent")
+      .withColumn("__prevUA",
+        coalesce(lag(col("__isUA"), 1).over(w), lit(false)))
+      .withColumn("group_id",
+        sum(when(col("__isUA") && !col("__prevUA"), 1L).otherwise(0L)).over(w))
+    val agents = g.filter(col("__isUA"))
+      .select(col(domainCol), col("group_id"), lower(col("__val")).as("agent"))
+    val rules = g.filter(!col("__isUA"))
+      .select(col(domainCol), col("group_id"), col("__dir").as("rule"),
+        col("__val").as("pattern"))
+    agents.join(rules, Seq(domainCol, "group_id"))
+  }
+
+  /** Crawl-compliance decision per page — the politeness filter every
+    * crawl-derived corpus applies before curation: RFC 9309 group
+    * selection (a specific group whose agent substring-matches the
+    * product token wins; only the `*` groups apply otherwise),
+    * longest-PATTERN-match precedence with Allow winning ties, `*`
+    * wildcards and the terminal `$` anchor honored, no matching rule →
+    * allowed. Patterns compile to anchored regexes through a single
+    * metachar-escaping regexp_replace (the identical chain runs as the
+    * DuckDB oracle). Output: the pages plus `allowed` and the decisive
+    * `matched_pattern`/`matched_rule` (null when no rule matched).
+    * Scale shape: one equi-join on the domain key (rules are
+    * robots-file-sized per domain); the per-(page,rule) regex match is
+    * map-side after the join. */
+  def robotsAllowed(pages: DataFrame, rules: DataFrame, userAgent: String,
+                    domainCol: String = "domain",
+                    pathCol: String = "path"): DataFrame = {
+    val uaLc = userAgent.toLowerCase.replace("'", "")
+    val hasSpec = rules
+      .withColumn("__spec",
+        col("agent") =!= "*" && expr(s"instr('$uaLc', agent) > 0"))
+      .groupBy(col(domainCol))
+      .agg(max(col("__spec")).as("__hasSpec"))
+    val applicable = rules
+      .join(hasSpec, Seq(domainCol))
+      .filter(
+        (col("__hasSpec") && col("agent") =!= "*" &&
+          expr(s"instr('$uaLc', agent) > 0")) ||
+        (!col("__hasSpec") && col("agent") === "*"))
+    // robots pattern → anchored regex: strip a TERMINAL '$' (elsewhere
+    // it is literal), escape every metachar except '*', then '*' → '.*'
+    val anchored = col("pattern").endsWith("$")
+    val base = when(anchored,
+      expr("substring(pattern, 1, length(pattern) - 1)"))
+      .otherwise(col("pattern"))
+    val rx = concat(lit("^"),
+      regexp_replace(
+        regexp_replace(base, "([\\\\.\\[\\]\\{\\}\\(\\)\\+\\?\\^\\$\\|])", "\\\\$1"),
+        "\\*", ".*"),
+      when(anchored, lit("$")).otherwise(lit("")))
+    // an EMPTY pattern is a no-op rule by the robots convention
+    // ("Disallow:" = nothing is disallowed), not an everything-matcher
+    // of weight zero — drop it before compiling
+    val compiled = applicable.filter(col("pattern") =!= "")
+      .select(col(domainCol), col("rule"),
+        col("pattern"), length(col("pattern")).as("__plen"), rx.as("__rx"))
+    // LEFT join + null ordering for non-hits: a page whose rules all
+    // miss (or that has no rules) must survive as allowed, so rows are
+    // never filtered away — max_by ignores null-ordered rows and
+    // returns null when none hit
+    val matched = pages.join(compiled, Seq(domainCol), "left")
+      .withColumn("__hit",
+        col("__rx").isNotNull && expr(s"$pathCol rlike __rx"))
+      .groupBy(pages.columns.map(col): _*)
+      .agg(max_by(
+        struct(col("pattern"), col("rule")),
+        when(col("__hit"),
+          struct(col("__plen"),
+            when(col("rule") === "allow", 1).otherwise(0)))).as("__best"))
+    matched.select(pages.columns.map(col) :+
+      coalesce(col("__best.rule") === "allow", lit(true)).as("allowed") :+
+      col("__best.pattern").as("matched_pattern") :+
+      col("__best.rule").as("matched_rule"): _*)
+  }
+
   def withTokenCounts(df: DataFrame, text: Column = col("text")): DataFrame =
     df.withColumn("n_tokens", size(tokens(text)).cast("long"))
       .withColumn("n_ws_tokens",

@@ -1445,6 +1445,39 @@ object LlmOps {
       "doc_id")
   }
 
+  /** robots.txt compliance gate — the crawl-politeness filter ahead of
+    * curation: two robots variants (even domains: a `*` group with
+    * wildcard/anchored patterns; odd: a specific `graftbot` group that
+    * must PREEMPT the `*` group for our UA) against six path classes,
+    * decided by `TextAnalysis.parseRobots` + `robotsAllowed` (RFC 9309
+    * group selection, longest-match, Allow-wins-ties, `*`/`$`
+    * honored) while the oracle states every decision arithmetically
+    * from the residues. */
+  def xRobotsFilter(s: SparkSession, d: String): DataFrame = {
+    val even = pmod(col("doc_id"), lit(2L)) === 0
+    val robots = when(even, lit(
+      "# variant A\nUser-agent: *\nDisallow: /private*\n" +
+        "Allow: /private/ok$\nDisallow: /archive\n"))
+      .otherwise(lit(
+        "User-agent: graftbot\nDisallow: /\nAllow: /public*\n\n" +
+          "User-agent: *\nDisallow: /none\n"))
+    // path class decoupled from the parity that picks the variant
+    val path = element_at(array(lit("/index"), lit("/private/page1"),
+      lit("/private/ok"), lit("/archive/2020"), lit("/public/data"),
+      lit("/else")), expr("CAST((doc_id div 2) % 6 AS INT) + 1"))
+    val base = documents(s, d).select(col("doc_id"),
+      concat(lit("site"), pmod(col("doc_id"), lit(40L)), lit(".example"))
+        .as("domain"),
+      robots.as("robots"), path.as("path"))
+    val rules = TextAnalysis.parseRobots(
+      base.select(col("domain"), col("robots")).distinct(), col("robots"))
+    ordered(
+      TextAnalysis.robotsAllowed(
+        base.select(col("doc_id"), col("domain"), col("path")),
+        rules, userAgent = "graftbot/2.1"),
+      "doc_id")
+  }
+
   /** ID3v2 text-frame extraction gate: deterministic v2.3 (even
     * doc_ids — plain-u32 frame sizes) and v2.4 (odd — syncsafe sizes)
     * tags carrying TIT2/TPE1/TALB in ISO-8859-1 plus 8 padding bytes
@@ -1906,6 +1939,7 @@ object LlmOps {
     "x_jpeg_progressive"  -> (xJpegProgressive _),
     "x_subtitle_cues"     -> (xSubtitleCues _),
     "x_id3_tags"          -> (xId3Tags _),
+    "x_robots_filter"     -> (xRobotsFilter _),
     "x_wav_g711"          -> (xWavG711 _),
     "x_image_neardup"     -> (xImageNearDup _),
     "x_html_text"         -> (xHtmlText _),
@@ -3578,6 +3612,25 @@ object LlmOps {
         |  CAST(SUM(bsum) AS BIGINT) AS sum_g,
         |  CAST(SUM(bsum) AS BIGINT) AS sum_b
         |FROM p GROUP BY 1, nb ORDER BY 1""".stripMargin,
+    "x_robots_filter" ->
+      """WITH p AS (SELECT doc_id, doc_id % 2 AS par,
+        |    (doc_id // 2) % 6 AS q FROM documents)
+        |SELECT doc_id,
+        |  'site' || (doc_id % 40) || '.example' AS domain,
+        |  ['/index', '/private/page1', '/private/ok', '/archive/2020',
+        |   '/public/data', '/else'][CAST(q AS INT) + 1] AS path,
+        |  CASE WHEN par = 0 THEN q IN (0, 2, 4, 5) ELSE q = 4 END AS allowed,
+        |  CASE WHEN par = 0 THEN
+        |    CASE CAST(q AS INT) WHEN 1 THEN '/private*'
+        |         WHEN 2 THEN '/private/ok$' WHEN 3 THEN '/archive' END
+        |  ELSE CASE WHEN q = 4 THEN '/public*' ELSE '/' END
+        |  END AS matched_pattern,
+        |  CASE WHEN par = 0 THEN
+        |    CASE CAST(q AS INT) WHEN 1 THEN 'disallow'
+        |         WHEN 2 THEN 'allow' WHEN 3 THEN 'disallow' END
+        |  ELSE CASE WHEN q = 4 THEN 'allow' ELSE 'disallow' END
+        |  END AS matched_rule
+        |FROM p ORDER BY doc_id""".stripMargin,
     "x_id3_tags" ->
       """WITH f AS (
         |  SELECT doc_id, 'TALB' AS frame_id,

@@ -242,6 +242,35 @@ class CorpusOpsSpec extends SparkSpec {
       (2L, 3L, 120000L, 121000L, "42 after a digit line")), got.toString)
   }
 
+  test("robotsAllowed: group selection, longest-match, allow-wins-tie, " +
+       "metachar patterns, empty disallow, no-rules domains") {
+    import spark.implicits._
+    val robotsA = // CRLF + comments + case-odd directives
+      "# note\r\nUSER-AGENT: *\r\ndisallow: /a+b(c)\r\n" +
+        "Allow: /dir/page\r\nDisallow: /dir/page\r\n" + // tie: allow wins
+        "Disallow:\r\n" // empty = allow-all weight 0, matches everything
+    val robotsB =
+      "User-agent: otherbot\nUser-agent: graftbot\nDisallow: /x*z$\n\n" +
+        "User-agent: *\nDisallow: /\n"
+    val rules = TextAnalysis.parseRobots(
+      Seq(("a.com", robotsA), ("b.com", robotsB)).toDF("domain", "robots"),
+      col("robots"))
+    val pages = Seq(
+      (1L, "a.com", "/a+b(c)/d"),   // metachars must match literally
+      (2L, "a.com", "/aab"),        // '+' is NOT a regex quantifier
+      (3L, "a.com", "/dir/page"),   // tie -> allow
+      (4L, "a.com", "/other"),      // only the empty disallow matches -> allowed
+      (5L, "b.com", "/xyz"),        // graftbot group (shared UA lines), $ anchor
+      (6L, "b.com", "/xyzq"),       // anchored pattern must NOT match
+      (7L, "b.com", "/q"),          // specific group preempts '*' Disallow /
+      (8L, "c.com", "/anything"))   // no rules at all -> allowed
+      .toDF("doc_id", "domain", "path")
+    val got = TextAnalysis.robotsAllowed(pages, rules, "graftbot/2.1")
+      .select("doc_id", "allowed").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> true, 4L -> true,
+      5L -> false, 6L -> true, 7L -> true, 8L -> true), got.toString)
+  }
+
   test("registrableDomainPsl: longest-rule match, wildcard and " +
        "exception rules, implicit-* default, suffix-only hosts null, " +
        "rules broadcast-joined") {
