@@ -328,6 +328,56 @@ object TextAnalysis {
       col("__best.rule").as("matched_rule"): _*)
   }
 
+  /** Sitemap XML entry extraction (sitemaps.org protocol) — the
+    * crawl-frontier companion to [[robotsAllowed]]: one row per
+    * `<url>` entry of a urlset (`loc`/`lastmod`/`changefreq`/
+    * `priority`) and per `<sitemap>` entry of a sitemapindex
+    * (`loc`/`lastmod`), tagged `entry_type` 'url' | 'sitemap' with a
+    * 0-based per-document `seq`. XML is handled by a deliberately
+    * narrow regexp chain (full parsers are out of scope for sitemap
+    * files, which are machine-generated and flat): XML comments strip
+    * first — a commented-out entry never surfaces — `<loc>` honors a
+    * CDATA wrapper, tag-internal whitespace trims, absent optional
+    * fields yield null, and `priority` parses to double (null when
+    * non-numeric). `<urlset>`/`<sitemapindex>` container tags and
+    * their namespace attributes never collide with the entry match:
+    * `<url\b` cannot match `<urlset` and `</sitemap\s*>` cannot match
+    * `</sitemapindex>`. Scale shape: the whole chain is map-side
+    * (per-doc regexp matches + one posexplode) — no shuffle, linear
+    * in corpus bytes; a 50k-entry sitemap (the protocol cap) stays a
+    * single row's array. */
+  def sitemapEntries(df: DataFrame, xml: Column = col("xml"),
+                     idCol: String = "doc_id"): DataFrame = {
+    val clean = regexp_replace(xml, "<!--[\\s\\S]*?-->", "")
+    def blocks(tag: String) =
+      regexp_extract_all(clean, lit(s"(?s)<$tag\\b[^>]*>(.*?)</$tag\\s*>"),
+        lit(1))
+    val both = concat(
+      transform(blocks("url"),
+        b => struct(lit("url").as("t"), b.as("b"))),
+      transform(blocks("sitemap"),
+        b => struct(lit("sitemap").as("t"), b.as("b"))))
+    def field(name: String) = {
+      val raw = regexp_extract(col("__e.b"),
+        s"(?s)<$name\\s*>(.*?)</$name\\s*>", 1)
+      val un = regexp_replace(raw,
+        "(?s)^\\s*<!\\[CDATA\\[(.*)\\]\\]>\\s*$", "$1")
+      when(trim(un) === "", lit(null).cast("string")).otherwise(trim(un))
+    }
+    val isUrl = col("__e.t") === "url"
+    df.select(col(idCol), posexplode(both).as(Seq("seq", "__e")))
+      .select(col(idCol), col("seq").cast("long").as("seq"),
+        col("__e.t").as("entry_type"),
+        field("loc").as("loc"),
+        field("lastmod").as("lastmod"),
+        when(isUrl, field("changefreq")).as("changefreq"),
+        // ANSI-safe numeric parse: a malformed <priority> is null, not
+        // a query-killing cast error on one bad sitemap in the corpus
+        when(when(isUrl, field("priority"))
+          .rlike("^[+-]?(\\d+(\\.\\d*)?|\\.\\d+)$"),
+          field("priority").cast("double")).as("priority"))
+  }
+
   def withTokenCounts(df: DataFrame, text: Column = col("text")): DataFrame =
     df.withColumn("n_tokens", size(tokens(text)).cast("long"))
       .withColumn("n_ws_tokens",

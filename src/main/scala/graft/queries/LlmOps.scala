@@ -1478,6 +1478,56 @@ object LlmOps {
       "doc_id")
   }
 
+  /** Sitemap entry extraction gate — the crawl-frontier discovery
+    * tier: even doc_ids carry a urlset of 1–3 `<url>` entries
+    * (odd-j entries: whitespace-padded `<loc>` + `<lastmod>` +
+    * `<changefreq>`; even-j: CDATA-wrapped `<loc>` + `<priority>`)
+    * behind a commented-out decoy entry the parse must skip; odd
+    * doc_ids carry a sitemapindex of two `<sitemap>` entries (one
+    * with `<lastmod>`, one bare). `TextAnalysis.sitemapEntries` walks
+    * both shapes while the oracle regenerates every field
+    * arithmetically from the doc_id/j residues. */
+  def xSitemapEntries(s: SparkSession, d: String): DataFrame = {
+    val even = pmod(col("doc_id"), lit(2L)) === 0
+    val site = concat(lit("https://site"), pmod(col("doc_id"), lit(40L)),
+      lit(".example/"))
+    val k = pmod(col("doc_id"), lit(3L)) + 1L
+    val urlEntries = transform(sequence(lit(1L), k), j => {
+      val jOdd = pmod(j, lit(2L)) === 1
+      val locTxt = concat(site, lit("page"), j)
+      val loc = when(jOdd,
+        concat(lit("<loc>  "), locTxt, lit("  </loc>")))
+        .otherwise(concat(lit("<loc><![CDATA["), locTxt, lit("]]></loc>")))
+      val lastmod = when(jOdd, concat(lit("<lastmod>2026-0"),
+        pmod(col("doc_id") + j, lit(9L)) + 1, lit("-15</lastmod>")))
+        .otherwise(lit(""))
+      val cf = when(jOdd, concat(lit("<changefreq>"),
+        element_at(array(lit("daily"), lit("weekly"), lit("monthly")),
+          (pmod(col("doc_id") + j, lit(3L)) + 1).cast("int")),
+        lit("</changefreq>"))).otherwise(lit(""))
+      val pr = when(!jOdd, concat(lit("<priority>0."),
+        pmod(col("doc_id") + j, lit(10L)), lit("</priority>")))
+        .otherwise(lit(""))
+      concat(lit("<url>"), loc, lastmod, cf, pr, lit("</url>"))
+    })
+    val urlset = concat(
+      lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+        "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+        "<!-- <url><loc>https://bogus.example/skip</loc></url> -->\n"),
+      array_join(urlEntries, "\n"), lit("\n</urlset>"))
+    val index = concat(
+      lit("<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n<sitemap><loc>"),
+      site, lit("sm1.xml</loc><lastmod>2026-01-"),
+      lpad((pmod(col("doc_id"), lit(28L)) + 1).cast("string"), 2, "0"),
+      lit("</lastmod></sitemap>\n<sitemap><loc>"), site,
+      lit("sm2.xml</loc></sitemap>\n</sitemapindex>"))
+    ordered(
+      TextAnalysis.sitemapEntries(
+        documents(s, d).select(col("doc_id"),
+          when(even, urlset).otherwise(index).as("xml"))),
+      "doc_id", "seq")
+  }
+
   /** ID3v2 text-frame extraction gate: deterministic v2.3 (even
     * doc_ids — plain-u32 frame sizes) and v2.4 (odd — syncsafe sizes)
     * tags carrying TIT2/TPE1/TALB in ISO-8859-1 plus 8 padding bytes
@@ -1940,6 +1990,7 @@ object LlmOps {
     "x_subtitle_cues"     -> (xSubtitleCues _),
     "x_id3_tags"          -> (xId3Tags _),
     "x_robots_filter"     -> (xRobotsFilter _),
+    "x_sitemap_entries"   -> (xSitemapEntries _),
     "x_wav_g711"          -> (xWavG711 _),
     "x_image_neardup"     -> (xImageNearDup _),
     "x_html_text"         -> (xHtmlText _),
@@ -3631,6 +3682,37 @@ object LlmOps {
         |  ELSE CASE WHEN q = 4 THEN 'allow' ELSE 'disallow' END
         |  END AS matched_rule
         |FROM p ORDER BY doc_id""".stripMargin,
+    "x_sitemap_entries" ->
+      """WITH u AS (SELECT doc_id, j
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(1,
+        |    CAST(doc_id % 3 + 1 AS INT))) AS j) j
+        |  WHERE doc_id % 2 = 0),
+        |s AS (SELECT doc_id, j
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(1, 2))
+        |    AS j) j
+        |  WHERE doc_id % 2 = 1),
+        |e AS (
+        |  SELECT doc_id, CAST(j - 1 AS BIGINT) AS seq,
+        |    'url' AS entry_type,
+        |    'https://site' || (doc_id % 40) || '.example/page' || j AS loc,
+        |    CASE WHEN j % 2 = 1 THEN
+        |      '2026-0' || ((doc_id + j) % 9 + 1) || '-15' END AS lastmod,
+        |    CASE WHEN j % 2 = 1 THEN ['daily', 'weekly', 'monthly']
+        |      [CAST((doc_id + j) % 3 AS INT) + 1] END AS changefreq,
+        |    CASE WHEN j % 2 = 0 THEN
+        |      CAST('0.' || ((doc_id + j) % 10) AS DOUBLE) END AS priority
+        |  FROM u
+        |  UNION ALL
+        |  SELECT doc_id, CAST(j - 1 AS BIGINT), 'sitemap',
+        |    'https://site' || (doc_id % 40) || '.example/sm' || j
+        |      || '.xml',
+        |    CASE WHEN j = 1 THEN '2026-01-' ||
+        |      lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') END,
+        |    NULL, NULL
+        |  FROM s)
+        |SELECT doc_id, seq, entry_type, loc, lastmod, changefreq,
+        |  priority
+        |FROM e ORDER BY doc_id, seq""".stripMargin,
     "x_id3_tags" ->
       """WITH f AS (
         |  SELECT doc_id, 'TALB' AS frame_id,

@@ -271,6 +271,48 @@ class CorpusOpsSpec extends SparkSpec {
       5L -> false, 6L -> true, 7L -> true, 8L -> true), got.toString)
   }
 
+  test("sitemapEntries: urlset fields, CDATA loc, comment decoy skip, " +
+       "whitespace trim, sitemapindex, container tags never match, " +
+       "bad priority null, empty/no-entry docs vanish") {
+    import spark.implicits._
+    val urlset =
+      """<?xml version="1.0"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |<!-- <url><loc>https://decoy.example/skip</loc></url> -->
+        |<url>
+        |  <loc>  https://a.example/p1  </loc>
+        |  <lastmod>2026-03-15</lastmod>
+        |  <changefreq>daily</changefreq>
+        |  <priority>0.8</priority>
+        |</url>
+        |<url><loc><![CDATA[https://a.example/p2?x=1&y=2]]></loc>
+        |  <priority>high</priority></url>
+        |<url><lastmod>2026-01-01</lastmod></url>
+        |</urlset>""".stripMargin
+    val index =
+      "<sitemapindex><sitemap><loc>https://b.example/s1.xml</loc>" +
+        "<lastmod>2026-02-02</lastmod></sitemap>\n" +
+        "<sitemap><loc>https://b.example/s2.xml</loc></sitemap>" +
+        "</sitemapindex>"
+    val df = Seq((1L, urlset), (2L, index), (3L, "not xml at all"),
+      (4L, "<urlset></urlset>")).toDF("doc_id", "xml")
+    val got = TextAnalysis.sitemapEntries(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getString(5),
+        if (r.isNullAt(6)) null else r.getDouble(6).toString))
+      .toList.sortBy(t => (t._1, t._2))
+    assert(got == List(
+      (1L, 0L, "url", "https://a.example/p1", "2026-03-15", "daily", "0.8"),
+      // CDATA unwraps; non-numeric priority -> null double
+      (1L, 1L, "url", "https://a.example/p2?x=1&y=2", null, null, null),
+      // loc-less entry still surfaces (an auditable protocol violation)
+      (1L, 2L, "url", null, "2026-01-01", null, null),
+      (2L, 0L, "sitemap", "https://b.example/s1.xml", "2026-02-02",
+        null, null),
+      (2L, 1L, "sitemap", "https://b.example/s2.xml", null, null, null)),
+      got.toString)
+  }
+
   test("registrableDomainPsl: longest-rule match, wildcard and " +
        "exception rules, implicit-* default, suffix-only hosts null, " +
        "rules broadcast-joined") {
