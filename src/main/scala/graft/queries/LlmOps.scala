@@ -1528,6 +1528,55 @@ object LlmOps {
       "doc_id", "seq")
   }
 
+  /** Crawl-frontier composition gate — the discovery→politeness pass a
+    * crawler runs before fetching (composes X173 sitemap extraction,
+    * X160 URL canonicalization, X172 robots compliance): every doc's
+    * urlset (1–3 pages, even-j locs carrying a `utm_source` tracking
+    * param the canon must strip while keeping+sorting `ref`) feeds
+    * `sitemapEntries` → `urlCanonical` → domain/path split →
+    * `robotsAllowed` under two per-domain-parity robots variants (even
+    * domains: a lone `*` group disallowing /page3; odd: a `graftbot`
+    * group — deny-all plus anchored/plain Allow carve-outs — that must
+    * PREEMPT a deny-all `*` group). Output = frontier rows with the
+    * canonical key, sitemap priority, and the decisive rule. The
+    * oracle restates every canon/decision arithmetically. Scale
+    * shape: sitemap+canon map-side, decision one domain equi-join —
+    * the frontier never shuffles on anything unbounded. */
+  def xCrawlFrontier(s: SparkSession, d: String): DataFrame = {
+    val even = pmod(col("doc_id"), lit(2L)) === 0
+    val site = concat(lit("site"), pmod(col("doc_id"), lit(40L)),
+      lit(".example"))
+    val k = pmod(col("doc_id"), lit(3L)) + 1L
+    val urlEntries = transform(sequence(lit(1L), k), j =>
+      concat(lit("<url><loc>https://"), site, lit("/page"), j,
+        when(pmod(j, lit(2L)) === 0,
+          concat(lit("?utm_source=rss&ref="), j)).otherwise(lit("")),
+        lit("</loc><priority>0."), pmod(col("doc_id") + j, lit(10L)),
+        lit("</priority></url>")))
+    val urlset = concat(lit("<urlset>\n"),
+      array_join(urlEntries, "\n"), lit("\n</urlset>"))
+    val robots = when(even, lit("User-agent: *\nDisallow: /page3\n"))
+      .otherwise(lit(
+        "User-agent: graftbot\nDisallow: /\nAllow: /page1$\n" +
+          "Allow: /page3\n\nUser-agent: *\nDisallow: /\n"))
+    val base = documents(s, d).select(col("doc_id"), urlset.as("xml"),
+      site.as("domain"), robots.as("robots"))
+    val pages = TextAnalysis.sitemapEntries(
+        base.select(col("doc_id"), col("xml")))
+      .select(col("doc_id"), col("seq"),
+        TextAnalysis.urlCanonical(col("loc")).as("canon"),
+        col("priority"))
+      .withColumn("domain", regexp_extract(col("canon"), "^([^/?]*)", 1))
+      .withColumn("path", regexp_extract(col("canon"), "^[^/]*(/.*)", 1))
+      .select(col("doc_id"), col("seq"), col("canon"), col("domain"),
+        col("path"), col("priority"))
+    val rules = TextAnalysis.parseRobots(
+      base.select(col("domain"), col("robots")).distinct(), col("robots"))
+    ordered(
+      TextAnalysis.robotsAllowed(pages, rules, userAgent = "graftbot/2.1"),
+      "doc_id", "seq")
+  }
+
   /** ID3v2 text-frame extraction gate: deterministic v2.3 (even
     * doc_ids — plain-u32 frame sizes) and v2.4 (odd — syncsafe sizes)
     * tags carrying TIT2/TPE1/TALB in ISO-8859-1 plus 8 padding bytes
@@ -1991,6 +2040,7 @@ object LlmOps {
     "x_id3_tags"          -> (xId3Tags _),
     "x_robots_filter"     -> (xRobotsFilter _),
     "x_sitemap_entries"   -> (xSitemapEntries _),
+    "x_crawl_frontier"    -> (xCrawlFrontier _),
     "x_wav_g711"          -> (xWavG711 _),
     "x_image_neardup"     -> (xImageNearDup _),
     "x_html_text"         -> (xHtmlText _),
@@ -3713,6 +3763,28 @@ object LlmOps {
         |SELECT doc_id, seq, entry_type, loc, lastmod, changefreq,
         |  priority
         |FROM e ORDER BY doc_id, seq""".stripMargin,
+    "x_crawl_frontier" ->
+      """WITH u AS (SELECT doc_id, j
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(1,
+        |    CAST(doc_id % 3 + 1 AS INT))) AS j) j),
+        |p AS (SELECT doc_id, CAST(j - 1 AS BIGINT) AS seq, j,
+        |    doc_id % 2 AS par,
+        |    'site' || (doc_id % 40) || '.example' AS domain,
+        |    '/page' || j ||
+        |      CASE WHEN j % 2 = 0 THEN '?ref=' || j ELSE '' END AS path,
+        |    CAST('0.' || ((doc_id + j) % 10) AS DOUBLE) AS priority
+        |  FROM u)
+        |SELECT doc_id, seq, domain || path AS canon, domain, path,
+        |  priority,
+        |  CASE WHEN par = 0 THEN j <> 3 ELSE j <> 2 END AS allowed,
+        |  CASE WHEN par = 0 THEN CASE WHEN j = 3 THEN '/page3' END
+        |       ELSE CASE WHEN j = 1 THEN '/page1$'
+        |                 WHEN j = 2 THEN '/' ELSE '/page3' END
+        |  END AS matched_pattern,
+        |  CASE WHEN par = 0 THEN CASE WHEN j = 3 THEN 'disallow' END
+        |       ELSE CASE WHEN j = 2 THEN 'disallow' ELSE 'allow' END
+        |  END AS matched_rule
+        |FROM p ORDER BY doc_id, seq""".stripMargin,
     "x_id3_tags" ->
       """WITH f AS (
         |  SELECT doc_id, 'TALB' AS frame_id,
