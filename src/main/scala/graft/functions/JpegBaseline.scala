@@ -9,15 +9,19 @@ package graft.functions
   * AC spectral-band first scans with EOB runs, and AC successive-
   * approximation refinement (correction bits) — every stage is exactly
   * specified, so the same determinism contract as baseline holds.
-  * Two component shapes: single-component (luma-only), and 3-component
-  * 4:4:4 (every sampling factor 1×1) — 4:4:4 needs NO chroma
-  * resampling, so the only implementation-defined stage left is the
-  * YCbCr→RGB matrix rounding, which this engine PINS to the 16-bit
-  * fixed-point JFIF matrix (constants 91881 / 22554 / 46802 / 116130 =
-  * round(1.402 / 0.344136 / 0.714136 / 1.772 · 2¹⁶), add 2¹⁵,
-  * arithmetic shift right 16, clamp — the de-facto libjpeg rendering).
-  * Subsampled color (4:2:0/4:2:2) stays null: chroma UPSAMPLING is
-  * implementation-defined with no de-facto pin. Arithmetic coding,
+  * Component shapes: single-component (luma-only) and 3-component
+  * color at ANY T.81-legal sampling (4:4:4, 4:2:2, 4:2:0, …: per-
+  * component Hi×Vi ∈ [1,4], ≤10 blocks/MCU) on the BASELINE path. The
+  * two implementation-defined color stages are PINNED: YCbCr→RGB is
+  * the 16-bit fixed-point JFIF matrix (constants 91881 / 22554 /
+  * 46802 / 116130 = round(1.402 / 0.344136 / 0.714136 / 1.772 · 2¹⁶),
+  * add 2¹⁵, arithmetic shift right 16, clamp — the de-facto libjpeg
+  * rendering), and chroma UPSAMPLING is nearest-neighbor sample
+  * replication (out(x,y) = comp(⌊x·Hi/Hmax⌋, ⌊y·Vi/Vmax⌋) — JFIF's
+  * "box" rule, the NanoJPEG/stb_image convention; libjpeg's default
+  * "fancy" triangle filter differs by ≤1 chroma step only at sample
+  * boundaries, which the tolerance specs absorb). Progressive frames
+  * stay 4:4:4/gray-only. Arithmetic coding,
   * hierarchical/lossless frames, 12-bit precision and anything
   * malformed also yield null, never throw.
   *
@@ -391,6 +395,8 @@ object JpegBaseline {
     val qSel = new Array[Int](3)
     val dcSel = new Array[Int](3)
     val acSel = new Array[Int](3)
+    val sampH = new Array[Int](3)
+    val sampV = new Array[Int](3)
     var progressive = false
     var coefs: Array[Array[Int]] = null // progressive spectral store
     var sawEoi = false
@@ -448,18 +454,31 @@ object JpegBaseline {
             if ((b(p0) & 0xff) != 8) return null // 8-bit precision
             h = u16(b, p0 + 1); w = u16(b, p0 + 3)
             nComp = b(p0 + 5) & 0xff
-            if (nComp != 1 && nComp != 3) return null // gray or 4:4:4 color
+            if (nComp != 1 && nComp != 3) return null // gray or 3-comp color
             if (len != 8 + 3 * nComp) return null
             var c = 0
+            var mcuBlocks = 0
             while (c < nComp) {
               compId(c) = b(p0 + 6 + 3 * c) & 0xff
-              // 1×1 sampling on EVERY component = 4:4:4; subsampled
-              // color (upsampling is implementation-defined) stays null
-              if ((b(p0 + 7 + 3 * c) & 0xff) != 0x11) return null
+              val sv = b(p0 + 7 + 3 * c) & 0xff
+              // T.81 A.1.1: Hi, Vi ∈ [1,4]; for a single-component
+              // frame Hi = Hmax by definition, so the declared factor
+              // is irrelevant to dims/MCU shape — normalize to 1×1
+              // (encoders write 0x11 or 0x22 for gray interchangeably)
+              sampH(c) = if (nComp == 1) 1 else sv >> 4
+              sampV(c) = if (nComp == 1) 1 else sv & 0x0f
+              if (sampH(c) < 1 || sampH(c) > 4 ||
+                  sampV(c) < 1 || sampV(c) > 4) return null
+              mcuBlocks += sampH(c) * sampV(c)
               qSel(c) = b(p0 + 8 + 3 * c) & 0xff
               if (qSel(c) > 3) return null
               c += 1
             }
+            if (mcuBlocks > 10) return null // T.81 B.2.3 MCU bound
+            // progressive stays at the 4:4:4/gray boundary: Annex G
+            // band scans over subsampled planes are out of pinned scope
+            if (progressive && (0 until nComp).exists(c =>
+              sampH(c) != 1 || sampV(c) != 1)) return null
           case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
                0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
             return null // non-baseline/progressive frame types
