@@ -38,6 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("wav_channels", es => graft.functions.BinaryMeta.WavChannels(es.head))
     inject("wav_pcm_stats", es => graft.functions.BinaryMeta.WavPcmStats(es.head))
     inject("bmp24_stats", es => graft.functions.BinaryMeta.Bmp24Stats(es.head))
+    inject("gunzip_members", es => graft.functions.BinaryMeta.GunzipMembers(es.head))
     inject("simhash_agg", es => SimhashAgg(es.head).toAggregateExpression())
     // interleave_bits(bits, c1, c2, ...): Morton key; bits must be a literal
     inject("interleave_bits", { es =>

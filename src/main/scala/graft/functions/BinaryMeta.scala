@@ -1154,7 +1154,7 @@ object BinaryMeta {
               val line = new String(b, q, e - q, java.nio.charset.StandardCharsets.ISO_8859_1)
               val ci = line.indexOf(':')
               if (ci > 0) {
-                val name = line.substring(0, ci).trim.toLowerCase
+                val name = line.substring(0, ci).trim.toLowerCase(java.util.Locale.ROOT)
                 val value = line.substring(ci + 1).trim
                 name match {
                   case "warc-target-uri" => uri = value
@@ -1190,6 +1190,85 @@ object BinaryMeta {
     }
     if (out.isEmpty) null
     else new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  /** Multi-member gzip (RFC 1952) expansion — the on-disk framing of
+    * `.warc.gz` crawls, where every WARC record is its own gzip member
+    * and members concatenate: walks member to member (magic 1f 8b,
+    * CM=8 deflate, FEXTRA/FNAME/FCOMMENT/FHCRC header fields honored),
+    * inflates through the JDK's public `java.util.zip.Inflater`
+    * (nowrap — the header was already consumed), and VERIFIES each
+    * member's CRC-32 and ISIZE trailer before accepting it. Returns
+    * the concatenated decompressed bytes of every complete member
+    * before the first malformed/truncated one (the warcIndex
+    * stop-at-first-malformed contract), null when no member decodes
+    * or the total output exceeds the 64 MiB per-blob bound (a blob is
+    * one task's row — bigger crawls split upstream into more rows,
+    * not bigger ones). Total: never throws. */
+  def gunzipMembers(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var members = 0
+    var p = 0
+    var stop = false
+    while (!stop) {
+      if (p + 10 > b.length || (b(p) & 0xff) != 0x1f ||
+          (b(p + 1) & 0xff) != 0x8b || (b(p + 2) & 0xff) != 8) stop = true
+      else {
+        val flg = b(p + 3) & 0xff
+        var q = p + 10
+        if ((flg & 4) != 0) { // FEXTRA: 2-byte little-endian xlen
+          if (q + 2 > b.length) q = b.length + 1
+          else q += 2 + ((b(q) & 0xff) | ((b(q + 1) & 0xff) << 8))
+        }
+        if ((flg & 8) != 0) { // FNAME: zero-terminated
+          while (q < b.length && b(q) != 0) q += 1
+          q += 1
+        }
+        if ((flg & 16) != 0) { // FCOMMENT: zero-terminated
+          while (q < b.length && b(q) != 0) q += 1
+          q += 1
+        }
+        if ((flg & 2) != 0) q += 2 // FHCRC
+        if (q > b.length) stop = true
+        else {
+          val inf = new java.util.zip.Inflater(true)
+          inf.setInput(b, q, b.length - q)
+          val member = new java.io.ByteArrayOutputStream()
+          val crc = new java.util.zip.CRC32()
+          val buf = new Array[Byte](8192)
+          var corrupt = false
+          try {
+            while (!inf.finished() && !corrupt) {
+              val n = inf.inflate(buf)
+              if (n > 0) {
+                if (out.size().toLong + member.size() + n > (1L << 26)) {
+                  inf.end(); return null // over the per-blob bound
+                }
+                crc.update(buf, 0, n)
+                member.write(buf, 0, n)
+              } else if (inf.needsInput() || inf.needsDictionary())
+                corrupt = true // truncated / preset-dictionary stream
+            }
+          } catch { case _: java.util.zip.DataFormatException => corrupt = true }
+          val consumed = (b.length - q) - inf.getRemaining
+          inf.end()
+          val t = q + consumed // trailer: CRC-32 then ISIZE, little-endian
+          def le32(at: Int): Long =
+            (b(at) & 0xffL) | ((b(at + 1) & 0xffL) << 8) |
+              ((b(at + 2) & 0xffL) << 16) | ((b(at + 3) & 0xffL) << 24)
+          if (corrupt || t + 8 > b.length ||
+              le32(t) != crc.getValue ||
+              le32(t + 4) != (member.size() & 0xffffffffL)) stop = true
+          else {
+            member.writeTo(out)
+            members += 1
+            p = t + 8
+            if (p >= b.length) stop = true
+          }
+        }
+      }
+    }
+    if (members == 0) null else out.toByteArray
   }
 
   // ---- Catalyst expressions (codegen'd static calls) ----
@@ -1401,6 +1480,22 @@ object BinaryMeta {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  case class GunzipMembers(child: Expression) extends BinaryProbe {
+    override def prettyName: String = "gunzip_members"
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(v: Any): Any =
+      BinaryMeta.gunzipMembers(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, bytes => {
+        val r = ctx.freshName("r")
+        s"""
+           |byte[] $r = graft.functions.BinaryMeta.gunzipMembers($bytes);
+           |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   case class MediaFormat(child: Expression) extends BinaryProbe {
     override def prettyName: String = "media_format"
     override def dataType: DataType = StringType
@@ -1450,6 +1545,8 @@ object BinaryMeta {
     SparkInternals.column(Mp4Meta(SparkInternals.expression(c)))
   def warcIndexCol(c: Column): Column =
     SparkInternals.column(WarcIndex(SparkInternals.expression(c)))
+  def gunzipMembersCol(c: Column): Column =
+    SparkInternals.column(GunzipMembers(SparkInternals.expression(c)))
   def id3TextFramesCol(c: Column): Column =
     SparkInternals.column(Id3TextFrames(SparkInternals.expression(c)))
   def mp3FrameStatsCol(c: Column): Column =

@@ -11,7 +11,10 @@ package graft.functions
   * specified, so the same determinism contract as baseline holds.
   * Component shapes: single-component (luma-only) and 3-component
   * color at ANY T.81-legal sampling (4:4:4, 4:2:2, 4:2:0, …: per-
-  * component Hi×Vi ∈ [1,4], ≤10 blocks/MCU) on the BASELINE path. The
+  * component Hi×Vi ∈ [1,4], ≤10 blocks/MCU) on BOTH the baseline
+  * (MCU-interleaved per A.2.3) and progressive paths (interleaved DC
+  * scans walk the MCU grid; single-component DC/AC band scans walk
+  * the component's own ceil(xi/8)×ceil(yi/8) grid per A.2.2). The
   * two implementation-defined color stages are PINNED: YCbCr→RGB is
   * the 16-bit fixed-point JFIF matrix (constants 91881 / 22554 /
   * 46802 / 116130 = round(1.402 / 0.344136 / 0.714136 / 1.772 · 2¹⁶),
@@ -19,9 +22,11 @@ package graft.functions
   * rendering), and chroma UPSAMPLING is nearest-neighbor sample
   * replication (out(x,y) = comp(⌊x·Hi/Hmax⌋, ⌊y·Vi/Vmax⌋) — JFIF's
   * "box" rule, the NanoJPEG/stb_image convention; libjpeg's default
-  * "fancy" triangle filter differs by ≤1 chroma step only at sample
-  * boundaries, which the tolerance specs absorb). Progressive frames
-  * stay 4:4:4/gray-only. Arithmetic coding,
+  * "fancy" triangle filter agrees exactly wherever the neighboring
+  * chroma samples are equal and differs by a fraction of the local
+  * chroma gradient at sample boundaries — the specs compare exactly
+  * on constant-chroma content and interior pixels, with tolerance
+  * elsewhere). Arithmetic coding,
   * hierarchical/lossless frames, 12-bit precision and anything
   * malformed also yield null, never throw.
   *
@@ -191,14 +196,22 @@ object JpegBaseline {
   }
 
   /** Decode one PROGRESSIVE scan (T.81 Annex G) into the spectral
-    * coefficient store (`coefs(comp)(block·64 + k)`, k in zigzag
-    * order): DC first/refinement (interleaved allowed), AC
-    * first/refinement (single-component, EOB-run + correction-bit
-    * semantics), restart markers resetting predictors and the EOB run.
+    * coefficient store (`coefs(comp)((row·bwPad + col)·64 + k)`, k in
+    * zigzag order, rows/cols on the MCU-padded block grid): DC
+    * first/refinement (interleaved scans walk the MCU grid with
+    * Hi×Vi blocks per component per MCU; a single-component scan is
+    * non-interleaved and walks the component's native
+    * ceil(compW/8)×ceil(compH/8) grid per A.2.2), AC first/refinement
+    * (single-component, EOB-run + correction-bit semantics), restart
+    * markers resetting predictors and the EOB run every
+    * restartInterval MCUs (interleaved) or data units (otherwise).
     * Returns the byte position after the scan's entropy data, or -1. */
   private def progressiveScan(b: Array[Byte], segStart: Int, segLen: Int,
                               nComp: Int, compId: Array[Int],
-                              w: Int, h: Int,
+                              sampH: Array[Int], sampV: Array[Int],
+                              mcusX: Int, mcusY: Int,
+                              bwPad: Array[Int],
+                              bwNat: Array[Int], bhNat: Array[Int],
                               dcTables: Array[Huff], acTables: Array[Huff],
                               restartInterval: Int,
                               coefs: Array[Array[Int]]): Int = {
@@ -231,13 +244,40 @@ object JpegBaseline {
     if (ss > 0 && (ns != 1 || se < ss || se > 63)) return -1 // AC: 1 comp
     if (al > 13 || ah > 13 || (ah != 0 && ah != al + 1)) return -1
     val r = new BitReader(b, segStart + 2 + segLen)
-    val nBlocks = ((w + 7) / 8) * ((h + 7) / 8)
+    // A scan is interleaved iff it carries >1 component (A.2): it then
+    // walks the MCU grid with Hi×Vi blocks per component per MCU. A
+    // single-component scan walks that component's native block grid.
+    val interleaved = ns > 1
+    val sc0 = scanComp(0)
+    val nUnits =
+      if (interleaved) mcusX * mcusY else bwNat(sc0) * bhNat(sc0)
     val pred = new Array[Int](ns)
     var eobrun = 0
     var rstCount = 0
     var rstN = 0
     var m = 0
-    while (m < nBlocks) {
+    // DC entropy step for one data unit of scan component ci at store
+    // offset `at` (first pass accumulates the predictor; refinement
+    // appends one correction bit per G.1.2.1)
+    def dcUnit(co: Array[Int], at: Int, ci: Int): Boolean = {
+      if (ah == 0) {
+        val dcH = dcTables(dcSelS(ci))
+        if (dcH == null) return false
+        val s = r.decode(dcH)
+        if (r.corrupt || s > 11) return false
+        val diff = extend(r.receive(s), s)
+        if (r.corrupt) return false
+        pred(ci) += diff
+        co(at) = pred(ci) << al
+        true
+      } else {
+        val bit = r.bit()
+        if (bit < 0) return false
+        if (bit == 1) co(at) |= (1 << al)
+        true
+      }
+    }
+    while (m < nUnits) {
       if (restartInterval > 0 && rstCount == restartInterval) {
         if (!r.restart(rstN)) return -1
         rstN = (rstN + 1) & 7
@@ -246,30 +286,34 @@ object JpegBaseline {
         eobrun = 0
       }
       if (ss == 0) {
-        // DC scan: with 1×1 sampling one block per scan component per MCU
-        var ci = 0
-        while (ci < ns) {
-          val co = coefs(scanComp(ci))
-          val at = m * 64
-          if (ah == 0) {
-            val dcH = dcTables(dcSelS(ci))
-            if (dcH == null) return -1
-            val s = r.decode(dcH)
-            if (r.corrupt || s > 11) return -1
-            val diff = extend(r.receive(s), s)
-            if (r.corrupt) return -1
-            pred(ci) += diff
-            co(at) = pred(ci) << al
-          } else {
-            val bit = r.bit()
-            if (bit < 0) return -1
-            if (bit == 1) co(at) |= (1 << al)
+        if (interleaved) {
+          val mx = m % mcusX
+          val my = m / mcusX
+          var ci = 0
+          while (ci < ns) {
+            val comp = scanComp(ci)
+            val co = coefs(comp)
+            var v = 0
+            while (v < sampV(comp)) {
+              var hh = 0
+              while (hh < sampH(comp)) {
+                val at = ((my * sampV(comp) + v) * bwPad(comp) +
+                  (mx * sampH(comp) + hh)) * 64
+                if (!dcUnit(co, at, ci)) return -1
+                hh += 1
+              }
+              v += 1
+            }
+            ci += 1
           }
-          ci += 1
+        } else {
+          val co = coefs(sc0)
+          val at = ((m / bwNat(sc0)) * bwPad(sc0) + (m % bwNat(sc0))) * 64
+          if (!dcUnit(co, at, 0)) return -1
         }
       } else {
-        val co = coefs(scanComp(0))
-        val base = m * 64
+        val co = coefs(sc0)
+        val base = ((m / bwNat(sc0)) * bwPad(sc0) + (m % bwNat(sc0))) * 64
         val acH = acTables(acSelS(0))
         if (acH == null) return -1
         if (ah == 0) {
@@ -397,6 +441,15 @@ object JpegBaseline {
     val acSel = new Array[Int](3)
     val sampH = new Array[Int](3)
     val sampV = new Array[Int](3)
+    // sampling geometry, filled at SOF (A.1.1): native component dims
+    // compW×compH = ceil(w·Hi/Hmax)×ceil(h·Vi/Vmax); bwNat/bhNat =
+    // the native block grid; bwPad/bhPad = the MCU-padded block grid
+    // (mcusX·Hi × mcusY·Vi) that interleaved scans walk
+    var hMax = 1; var vMax = 1
+    var mcusX = 0; var mcusY = 0
+    val compW = new Array[Int](3); val compH = new Array[Int](3)
+    val bwPad = new Array[Int](3); val bhPad = new Array[Int](3)
+    val bwNat = new Array[Int](3); val bhNat = new Array[Int](3)
     var progressive = false
     var coefs: Array[Array[Int]] = null // progressive spectral store
     var sawEoi = false
@@ -475,10 +528,27 @@ object JpegBaseline {
               c += 1
             }
             if (mcuBlocks > 10) return null // T.81 B.2.3 MCU bound
-            // progressive stays at the 4:4:4/gray boundary: Annex G
-            // band scans over subsampled planes are out of pinned scope
-            if (progressive && (0 until nComp).exists(c =>
-              sampH(c) != 1 || sampV(c) != 1)) return null
+            hMax = 1; vMax = 1
+            c = 0
+            while (c < nComp) {
+              if (sampH(c) > hMax) hMax = sampH(c)
+              if (sampV(c) > vMax) vMax = sampV(c)
+              c += 1
+            }
+            if (w > 0 && h > 0) {
+              mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+              mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+              c = 0
+              while (c < nComp) {
+                compW(c) = (w * sampH(c) + hMax - 1) / hMax
+                compH(c) = (h * sampV(c) + vMax - 1) / vMax
+                bwNat(c) = (compW(c) + 7) / 8
+                bhNat(c) = (compH(c) + 7) / 8
+                bwPad(c) = mcusX * sampH(c)
+                bhPad(c) = mcusY * sampV(c)
+                c += 1
+              }
+            }
           case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
                0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
             return null // non-baseline/progressive frame types
@@ -486,13 +556,21 @@ object JpegBaseline {
             if (len != 4) return null
             restartInterval = u16(b, p0)
           case 0xda if progressive => // one progressive scan
-            if (w <= 0 || h <= 0) return null
+            if (w <= 0 || h <= 0 || nComp == 0) return null
             if (coefs == null) {
-              if (w.toLong * h * nComp > (1L << 24)) return null
-              val nb = ((w + 7) / 8) * ((h + 7) / 8)
-              coefs = Array.fill(nComp)(new Array[Int](nb * 64))
+              // MCU-padded spectral stores, bounded in total
+              var tot = 0L
+              var c2 = 0
+              while (c2 < nComp) {
+                tot += bwPad(c2).toLong * bhPad(c2) * 64; c2 += 1
+              }
+              if (tot > (1L << 25) || w.toLong * h * nComp > (1L << 24))
+                return null
+              coefs = Array.tabulate(nComp)(c2 =>
+                new Array[Int](bwPad(c2) * bhPad(c2) * 64))
             }
-            val after = progressiveScan(b, i, len, nComp, compId, w, h,
+            val after = progressiveScan(b, i, len, nComp, compId,
+              sampH, sampV, mcusX, mcusY, bwPad, bwNat, bhNat,
               dcTables, acTables, restartInterval, coefs)
             if (after < 0) return null
             nextI = after
@@ -519,41 +597,63 @@ object JpegBaseline {
       }
     }
     if (w <= 0 || h <= 0) return null
+    // native-resolution planes (compW×compH per component) are filled
+    // by either path, then box-upsampled to w×h (the pinned rule)
+    def upsample(native: Array[Array[Int]]): Array[Array[Int]] =
+      Array.tabulate(nComp) { c =>
+        if (compW(c) == w && compH(c) == h) native(c)
+        else {
+          val out = new Array[Int](w * h)
+          val cw = compW(c)
+          val src = native(c)
+          var y = 0
+          while (y < h) {
+            val rowOff = (y * sampV(c) / vMax) * cw
+            val dstOff = y * w
+            var x = 0
+            while (x < w) {
+              out(dstOff + x) = src(rowOff + x * sampH(c) / hMax)
+              x += 1
+            }
+            y += 1
+          }
+          out
+        }
+      }
     if (progressive) {
       var c = 0
       while (c < nComp) {
         if (!seenQ(qSel(c))) return null
         c += 1
       }
-      val blocksW = (w + 7) / 8
-      val blocksH = (h + 7) / 8
-      val planes = Array.fill(nComp)(new Array[Int](w * h))
+      val native = Array.tabulate(nComp)(c2 => new Array[Int](compW(c2) * compH(c2)))
       val coefD = new Array[Double](64)
       val tmp = new Array[Double](64)
       c = 0
       while (c < nComp) {
         val q = quant(qSel(c))
         val co = coefs(c)
-        val px = planes(c)
-        var blk = 0
+        val px = native(c)
+        // render only the native block grid; padded blocks beyond it
+        // hold interleaved-scan data that maps to no visible pixel
         var by = 0
-        while (by < blocksH) {
+        while (by < bhNat(c)) {
           var bx = 0
-          while (bx < blocksW) {
+          while (bx < bwNat(c)) {
+            val base = (by * bwPad(c) + bx) * 64
             var k = 0
             while (k < 64) {
-              coefD(zigzag(k)) = co(blk * 64 + k).toDouble * q(k)
+              coefD(zigzag(k)) = co(base + k).toDouble * q(k)
               k += 1
             }
-            idctToPlane(coefD, tmp, px, w, h, bx, by)
-            blk += 1
+            idctToPlane(coefD, tmp, px, compW(c), compH(c), bx, by)
             bx += 1
           }
           by += 1
         }
         c += 1
       }
-      return (w, h, planes)
+      return (w, h, upsample(native))
     }
     var c = 0
     while (c < nComp) {
@@ -562,62 +662,72 @@ object JpegBaseline {
       c += 1
     }
     if (w.toLong * h * nComp > (1L << 26)) return null
-    val blocksW = (w + 7) / 8
-    val blocksH = (h + 7) / 8
-    val planes = Array.fill(nComp)(new Array[Int](w * h))
+    val native = Array.tabulate(nComp)(c2 => new Array[Int](compW(c2) * compH(c2)))
     val coef = new Array[Double](64)
     val tmp = new Array[Double](64)
     val r = new BitReader(b, scanAt)
     val pred = new Array[Int](nComp)
     var rstCount = 0
     var rstN = 0
-    var by = 0
-    while (by < blocksH) {
-      var bx = 0
-      while (bx < blocksW) {
+    // the baseline interleaved scan: MCUs row-major, components in
+    // frame order, Hi×Vi blocks each, raster order within the MCU
+    // (T.81 A.2.3); edge MCUs still carry full block complements,
+    // the IDCT clips to the native plane
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
         if (restartInterval > 0 && rstCount == restartInterval) {
           if (!r.restart(rstN)) return null
           rstN = (rstN + 1) & 7
           rstCount = 0
           java.util.Arrays.fill(pred, 0)
         }
-        // one MCU = one 8×8 block per component, frame order (4:4:4)
         var ci = 0
         while (ci < nComp) {
           val q = quant(qSel(ci))
-          java.util.Arrays.fill(coef, 0.0)
-          val s = r.decode(dcTables(dcSel(ci)))
-          if (r.corrupt || s > 11) return null
-          val diff = extend(r.receive(s), s)
-          if (r.corrupt) return null
-          pred(ci) += diff
-          coef(0) = pred(ci).toDouble * q(0)
-          var k = 1
-          var eob = false
-          while (k < 64 && !eob) {
-            val rs = r.decode(acTables(acSel(ci)))
-            if (r.corrupt) return null
-            val run = rs >> 4
-            val size = rs & 15
-            if (size == 0) {
-              if (run == 15) k += 16 else eob = true // ZRL vs EOB
-            } else {
-              k += run
-              if (k > 63) return null
-              coef(zigzag(k)) = extend(r.receive(size), size).toDouble * q(k)
+          var v = 0
+          while (v < sampV(ci)) {
+            var hh = 0
+            while (hh < sampH(ci)) {
+              java.util.Arrays.fill(coef, 0.0)
+              val s = r.decode(dcTables(dcSel(ci)))
+              if (r.corrupt || s > 11) return null
+              val diff = extend(r.receive(s), s)
               if (r.corrupt) return null
-              k += 1
+              pred(ci) += diff
+              coef(0) = pred(ci).toDouble * q(0)
+              var k = 1
+              var eob = false
+              while (k < 64 && !eob) {
+                val rs = r.decode(acTables(acSel(ci)))
+                if (r.corrupt) return null
+                val run = rs >> 4
+                val size = rs & 15
+                if (size == 0) {
+                  if (run == 15) k += 16 else eob = true // ZRL vs EOB
+                } else {
+                  k += run
+                  if (k > 63) return null
+                  coef(zigzag(k)) = extend(r.receive(size), size).toDouble * q(k)
+                  if (r.corrupt) return null
+                  k += 1
+                }
+              }
+              idctToPlane(coef, tmp, native(ci), compW(ci), compH(ci),
+                mx * sampH(ci) + hh, my * sampV(ci) + v)
+              hh += 1
             }
+            v += 1
           }
-          idctToPlane(coef, tmp, planes(ci), w, h, bx, by)
           ci += 1
         }
         rstCount += 1
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
-    (w, h, planes)
+    (w, h, upsample(native))
   }
 
   /** Decode a GRAYSCALE JPEG (baseline or progressive) to (width,
@@ -653,9 +763,10 @@ object JpegBaseline {
   }
 
   /** [n_px, sum_r, sum_g, sum_b] over a baseline or progressive JPEG:
-    * grayscale replicates to all three channels; 3-component 4:4:4
-    * converts through the pinned fixed-point JFIF matrix. Subsampled
-    * color / malformed input → null. */
+    * grayscale replicates to all three channels; 3-component color at
+    * any T.81-legal sampling (4:4:4 / 4:2:2 / 4:2:0 / …) box-upsamples
+    * chroma and converts through the pinned fixed-point JFIF matrix.
+    * Malformed input → null. */
   def jpegColorStats(b: Array[Byte]): Array[Long] = {
     val d = decodePlanes(b)
     if (d == null) return null

@@ -26,7 +26,7 @@ object Tokenize {
   def tokenize(text: String): Seq[String] = {
     if (text == null) return Nil
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    val lower = text.toLowerCase
+    val lower = text.toLowerCase(java.util.Locale.ROOT)
     val n = lower.length
     var i = 0
     while (i < n) {

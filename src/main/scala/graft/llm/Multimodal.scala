@@ -18,12 +18,12 @@ import org.apache.spark.sql.functions._
   * and the perceptual dHash + banded near-dup pairing built on top
   * (`BinaryMeta.wavPcmStats` / `bmp24Stats` / `gifPixelStats` /
   * `pngPixelStats` / `JpegBaseline` / `wavG711Stats` / `dhash64`).
-  * The remaining undecodable-by-design boundary after round 11 is
-  * narrow and precisely drawn: SUBSAMPLED-color JPEG reconstruction
-  * (4:2:0/4:2:2 chroma upsampling is implementation-defined — every
-  * decoder legally differs, so no deterministic cross-engine contract
-  * exists) and psychoacoustic transform audio codecs (MP3/AAC sample
-  * reconstruction; their container/frame metadata IS parsed). The
+  * The remaining undecodable-by-design boundary after round 12 is
+  * psychoacoustic transform audio codecs only (MP3/AAC sample
+  * reconstruction; their container/frame metadata IS parsed) —
+  * subsampled-color JPEG (4:2:0/4:2:2/…) decodes for real since round
+  * 12, with the implementation-defined chroma upsampling PINNED to
+  * the JFIF box rule the way the YCbCr matrix already was. The
   * feature-extraction dispatcher (`decodeFeatures`) routes recognized
   * payloads through the REAL decoders and takes a byte-stats fallback
   * only for those two classes and foreign bytes — no stub marker
@@ -60,10 +60,10 @@ object Multimodal {
     * back to the raw byte mean, keeping the function TOTAL, which is
     * the property a crawl needs. Until round 11 this body was the
     * brief's clearly-marked deterministic stub; the decode tier is
-    * now real, so the dispatcher is too — the only formats still
-    * taking the fallback by design are subsampled-color JPEG and
-    * psychoacoustic audio (no deterministic cross-engine contract
-    * exists for either). */
+    * now real, so the dispatcher is too — the only format still
+    * taking the fallback by design is psychoacoustic audio (no
+    * deterministic sample-reconstruction contract exists); JPEG
+    * decodes at any T.81-legal sampling since round 12. */
   private def decodeFeatures(payload: Array[Byte]): (Long, Double) = {
     import graft.functions.BinaryMeta
     val len = payload.length.toLong
@@ -581,18 +581,27 @@ object Multimodal {
   /** WARC crawl-blob extraction — one row per record with the payload
     * sliced by the index's (off, len), never delimiter-scanned: the
     * entry stage of a web-corpus pipeline (compose with `htmlToText` /
-    * `urlCanonical` downstream). Pure map-side: the codegen'd
-    * `BinaryMeta.warcIndex` walk + a Generate, payload bytes never
-    * leave their partition. Blobs with no complete record vanish
-    * (null index → explode drops the row). */
+    * `urlCanonical` downstream). `.warc.gz` blobs (gzip magic) are
+    * auto-detected and member-split through `gunzipMembers` first —
+    * the framing real crawls ship (one gzip member per record,
+    * concatenated), so both the compressed and plain container enter
+    * the SAME downstream pipeline. Pure map-side: the codegen'd
+    * gunzip + `BinaryMeta.warcIndex` walk + a Generate, payload bytes
+    * never leave their partition. Blobs with no complete record
+    * vanish (null index → explode drops the row). */
   def warcExtract(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
-    val idx = graft.functions.BinaryMeta.warcIndexCol(col(payloadCol))
-    df.select(col("*"), posexplode(idx).as(Seq("rec_idx", "__rec")))
+    val raw = col(payloadCol)
+    val src = when(
+      substring(raw, 1, 2) === lit(Array(0x1f.toByte, 0x8b.toByte)),
+      graft.functions.BinaryMeta.gunzipMembersCol(raw)).otherwise(raw)
+    val idx = graft.functions.BinaryMeta.warcIndexCol(col("__warc"))
+    df.withColumn("__warc", src)
+      .select(col("*"), posexplode(idx).as(Seq("rec_idx", "__rec")))
       .select(col("doc_id"), col("rec_idx").cast("long").as("rec_idx"),
         col("__rec.uri").as("uri"),
         col("__rec.content_type").as("content_type"),
         col("__rec.len").cast("long").as("content_len"),
-        decode(expr(s"substring($payloadCol, __rec.off + 1, __rec.len)"),
+        decode(expr("substring(__warc, __rec.off + 1, __rec.len)"),
           "UTF-8").as("content"))
   }
 
@@ -603,6 +612,49 @@ object Multimodal {
     * parser must count bytes, not scan delimiters. Pure ASCII, so the
     * blob builds as a string cast to binary and the DuckDB oracle
     * regenerates every field arithmetically. */
+  /** Deterministic `.warc.gz` fixtures — the member-per-record framing
+    * real crawls ship: nr = doc_id%3+1 records per blob, each record a
+    * complete WARC record (uri `http://gz<doc_id%50>.example/r<i>`,
+    * payload `gz page <i> of doc <doc_id>` behind a real
+    * Content-Length) wrapped in its OWN gzip member. The members are
+    * the ones a SQL expression can build: RFC 1952 header (no flags,
+    * mtime 0, OS unknown) + a single STORED deflate block
+    * (BFINAL=1/BTYPE=00 + LE length + ones-complement) + a REAL CRC-32
+    * (Spark's builtin `crc32`) and ISIZE trailer — spec-valid, just
+    * uncompressed, so `gunzipMembers`' trailer VERIFICATION must pass
+    * on real arithmetic while the DuckDB oracle regenerates every
+    * parsed field arithmetically (the X138/X155 round-trip pattern).
+    * Compressed blocks come from the spec's GZIPOutputStream
+    * round-trip (real encoders emit them). */
+  def syntheticWarcGz(docs: DataFrame): DataFrame = {
+    val crlf = lit("\r\n")
+    val nr = pmod(col("doc_id"), lit(3L)) + 1L
+    def le(v: org.apache.spark.sql.Column, n: Int) =
+      unhex(concat_ws("", (0 until n).map(k =>
+        lpad(hex(shiftrightunsigned(v, 8 * k).bitwiseAND(lit(255L))), 2, "0")): _*))
+    val members = transform(sequence(lit(1L), nr), i => {
+      val payload = concat(lit("gz page "), i, lit(" of doc "), col("doc_id"))
+      val rec = concat(
+        lit("WARC/1.0"), crlf,
+        lit("WARC-Type: response"), crlf,
+        lit("WARC-Target-URI: http://gz"), pmod(col("doc_id"), lit(50L)),
+        lit(".example/r"), i, crlf,
+        lit("Content-Type: text/html"), crlf,
+        lit("Content-Length: "), length(payload).cast("string"), crlf,
+        crlf, payload, crlf, crlf)
+      val body = encode(rec, "UTF-8")
+      val blen = octet_length(body).cast("long")
+      concat(
+        unhex(lit("1F8B08000000000000FF")), // header: CM=8, FLG=0
+        unhex(lit("01")), le(blen, 2), le(lit(65535L) - blen, 2), // stored block
+        body,
+        le(crc32(body), 4), le(blen, 4)) // trailer: CRC-32 + ISIZE
+    })
+    docs.select(col("doc_id"),
+      aggregate(members, lit(Array.emptyByteArray),
+        (acc, m) => concat(acc, m)).as("payload"))
+  }
+
   def syntheticWarc(docs: DataFrame): DataFrame = {
     val crlf = lit("\r\n")
     val nr = pmod(col("doc_id"), lit(3L)) + 1L

@@ -280,7 +280,7 @@ object TextAnalysis {
   def robotsAllowed(pages: DataFrame, rules: DataFrame, userAgent: String,
                     domainCol: String = "domain",
                     pathCol: String = "path"): DataFrame = {
-    val uaLc = userAgent.toLowerCase.replace("'", "")
+    val uaLc = userAgent.toLowerCase(java.util.Locale.ROOT).replace("'", "")
     val hasSpec = rules
       .withColumn("__spec",
         col("agent") =!= "*" && expr(s"instr('$uaLc', agent) > 0"))
@@ -312,11 +312,14 @@ object TextAnalysis {
     // LEFT join + null ordering for non-hits: a page whose rules all
     // miss (or that has no rules) must survive as allowed, so rows are
     // never filtered away — max_by ignores null-ordered rows and
-    // returns null when none hit
-    val matched = pages.join(compiled, Seq(domainCol), "left")
+    // returns null when none hit. The regroup after the rule fan-out
+    // keys on a generated row id, NOT the page column tuple, so two
+    // identical input rows stay two output rows (row count preserved)
+    val paged = pages.withColumn("__rid", monotonically_increasing_id())
+    val matched = paged.join(compiled, Seq(domainCol), "left")
       .withColumn("__hit",
         col("__rx").isNotNull && expr(s"$pathCol rlike __rx"))
-      .groupBy(pages.columns.map(col): _*)
+      .groupBy((col("__rid") +: pages.columns.map(col)): _*)
       .agg(max_by(
         struct(col("pattern"), col("rule")),
         when(col("__hit"),

@@ -1318,8 +1318,9 @@ object LlmOps {
     * every block's R/G/B arithmetically with integer floor division
     * (the fixture keeps every numerator positive, so floor = truncate
     * = arithmetic shift and the hash-exact method survives). 4:4:4 is
-    * the color slice where NO chroma resampling exists — the stub
-    * boundary moves to subsampled/progressive DCT and lossy audio. */
+    * the color slice where NO chroma resampling exists; subsampled
+    * color decodes too since round 12 (pinned box upsampling), so the
+    * remaining stub boundary is lossy audio only. */
   def xJpegColor(s: SparkSession, d: String): DataFrame = {
     val stats = graft.functions.BinaryMeta.jpegColorStatsCol(col("payload"))
     ordered(
@@ -1340,31 +1341,47 @@ object LlmOps {
     * (keep min doc_id per canonical URL) → `registrableDomain`
     * grouping → `htmlToText` extraction → PER-DOMAIN boilerplate
     * removal (the site-chrome 50%-df cut) → per-domain 3-gram
-    * near-dup removal (`ngramJaccardPairsAuto`, keep-lowest). Every
-    * stage is an already-gated operator (x_warc_extract,
-    * x_url_canonical, x_html_text, x_boilerplate, x_dedup_ngram_auto);
-    * this gate proves the COMPOSITION, x_ccnet_refine-style, against
-    * one fully composed DuckDB oracle.
+    * near-dup removal (`ngramJaccardPairsAuto`, keep-lowest) → GLOBAL
+    * cross-domain near-dup over the per-domain survivors (syndicated
+    * mirrors across registrable domains — the pass CCNet/RefinedWeb
+    * run corpus-wide; the pair table is computed once globally, so
+    * this tier is a filter, not a second LSH run). Every stage is an
+    * already-gated operator (x_warc_extract, x_url_canonical,
+    * x_html_text, x_boilerplate, x_dedup_ngram_auto); this gate proves
+    * the COMPOSITION, x_ccnet_refine-style, against one fully composed
+    * DuckDB oracle.
     *
     * Fixture: page id = doc_id mod 40 (so ~N/40 docs share each
     * canonical URL and the URL-dedup stage bites), each page wrapped
     * in deterministic HTML with a per-SITE nav banner (the per-domain
-    * boilerplate), plus an "echo" repost of every document (+1M id,
-    * same site, /alt path, text + 2 trailing tokens) that the URL
-    * stage must NOT collapse and the near-dup stage must. The
-    * .example.net sites all group into ONE registrable domain — the
-    * multi-site-per-domain case the PSL grouping exists for.
-    * Output: one row per corpus doc with its exit stage
-    * (url_dup | near_dup | kept) + per-doc boilerplate counts. */
+    * boilerplate), plus an "echo" repost of every document (same
+    * site, /alt path, text + 2 trailing tokens) that the URL stage
+    * must NOT collapse and the per-domain near-dup stage must, AND a
+    * cross-site "mirror" (next site over, /syn path, different 2-token
+    * suffix) that only the GLOBAL tier can catch. Ids are encoded
+    * collision-free as 4·id / 4·id+1 / 4·id+2 (original/echo/mirror) —
+    * an additive offset would collide with real doc_ids once the
+    * corpus passes the offset. The .example.net sites all group into
+    * ONE registrable domain — the multi-site-per-domain case the PSL
+    * grouping exists for. Output: one row per corpus doc with its exit
+    * stage (url_dup | near_dup | xdomain_dup | kept) + per-doc
+    * boilerplate counts. */
   def xWebPipeline(s: SparkSession, d: String): DataFrame = {
     val base = documents(s, d).select(col("doc_id"), col("text"))
     val pid0 = pmod(col("doc_id"), lit(40L))
     val corpus = base
-      .select(col("doc_id"), col("text"), pid0.as("pid"), lit(0L).as("echo"))
-      .unionByName(base.select((col("doc_id") + 1000000L).as("doc_id"),
+      .select((col("doc_id") * 4).as("doc_id"), col("text"),
+        pid0.as("pid"), lit(0L).as("echo"))
+      .unionByName(base.select((col("doc_id") * 4 + 1).as("doc_id"),
         concat(col("text"), lit(" repost notice")).as("text"),
         pid0.as("pid"), lit(1L).as("echo")))
-    val pid = col("pid")
+      .unionByName(base.select((col("doc_id") * 4 + 2).as("doc_id"),
+        concat(col("text"), lit(" syndicated copy")).as("text"),
+        pid0.as("pid"), lit(2L).as("echo")))
+    // the SITE a page lives on: originals/echoes on pid's site, the
+    // mirror one site over (different registrable domain)
+    val pid = when(col("echo") === 2, pmod(col("pid") + 1, lit(40L)))
+      .otherwise(col("pid"))
     val url = concat(
       when(pmod(pid, lit(2L)) === 0, lit("HTTPS")).otherwise(lit("http")),
       lit("://"),
@@ -1375,7 +1392,8 @@ object LlmOps {
       when(pmod(pid, lit(5L)) === 0,
         when(pmod(pid, lit(2L)) === 0, lit(":443")).otherwise(lit(":80")))
         .otherwise(lit("")),
-      when(col("echo") === 1, lit("/alt")).otherwise(lit("/p")),
+      when(col("echo") === 1, lit("/alt"))
+        .when(col("echo") === 2, lit("/syn")).otherwise(lit("/p")),
       pmod(pid, lit(7L)),
       when(pmod(pid, lit(2L)) === 0, lit("/")).otherwise(lit("")),
       lit("?utm_campaign=w&b="), pmod(pid, lit(9L)),
@@ -1428,19 +1446,30 @@ object LlmOps {
       cleaned.select(col("doc_id"), col("kept_text").as("text")),
       n = 3, threshold = 0.8)
     val doms = survivors.select(col("doc_id"), col("domain"))
-    val removed = pairs
+    val pj = pairs
       .join(broadcast(doms.select(col("doc_id").as("d1"), col("domain").as("__m1"))), Seq("d1"))
       .join(broadcast(doms.select(col("doc_id").as("d2"), col("domain").as("__m2"))), Seq("d2"))
-      .filter(col("__m1") === col("__m2"))
+      .localCheckpoint(true) // consumed by both tiers; density-bounded
+    val removed = pj.filter(col("__m1") === col("__m2"))
       .select(col("d2").as("doc_id")).distinct()
       .withColumn("__nd", lit(true))
+    // stage 4: GLOBAL tier — cross-domain pairs whose BOTH endpoints
+    // survived the per-domain stage (the sequential-composition
+    // semantics: stage 4 only ever sees stage-3 survivors)
+    val removedX = pj.filter(col("__m1") =!= col("__m2"))
+      .join(broadcast(removed.select(col("doc_id").as("d1"))), Seq("d1"), "left_anti")
+      .join(broadcast(removed.select(col("doc_id").as("d2"))), Seq("d2"), "left_anti")
+      .select(col("d2").as("doc_id")).distinct()
+      .withColumn("__xd", lit(true))
     ordered(
       s1.join(cleaned.select(col("doc_id"), col("kept_ct"), col("removed_ct")),
           Seq("doc_id"), "left")
         .join(broadcast(removed), Seq("doc_id"), "left")
+        .join(broadcast(removedX), Seq("doc_id"), "left")
         .select(col("doc_id"),
           when(col("url_dup"), "url_dup")
-            .when(col("__nd"), "near_dup").otherwise("kept").as("stage"),
+            .when(col("__nd"), "near_dup")
+            .when(col("__xd"), "xdomain_dup").otherwise("kept").as("stage"),
           col("domain"), col("canon"), col("kept_ct"), col("removed_ct")),
       "doc_id")
   }
@@ -1717,6 +1746,19 @@ object LlmOps {
   def xWarcExtract(s: SparkSession, d: String): DataFrame =
     ordered(
       Multimodal.warcExtract(Multimodal.syntheticWarc(documents(s, d))),
+      "doc_id", "rec_idx")
+
+  /** `.warc.gz` extraction — the same record walk entered from the
+    * COMPRESSED framing real crawls ship (one gzip member per record):
+    * `Multimodal.syntheticWarcGz` builds spec-valid multi-member gzip
+    * blobs in SQL (stored deflate blocks, REAL CRC-32/ISIZE trailers),
+    * `warcExtract` auto-detects the magic and routes through
+    * `gunzipMembers`' verify-then-concatenate walk before the byte-
+    * counted WARC split; the oracle regenerates every field
+    * arithmetically. */
+  def xWarcGz(s: SparkSession, d: String): DataFrame =
+    ordered(
+      Multimodal.warcExtract(Multimodal.syntheticWarcGz(documents(s, d))),
       "doc_id", "rec_idx")
 
   /** A/V DURATION walk — the field a media manifest actually filters
@@ -2033,6 +2075,7 @@ object LlmOps {
     "x_jpeg_color"        -> (xJpegColor _),
     "x_av_meta"           -> (xAvMeta _),
     "x_web_pipeline"      -> (xWebPipeline _),
+    "x_warc_gz"           -> (xWarcGz _),
     "x_av_duration"       -> (xAvDuration _),
     "x_warc_extract"      -> (xWarcExtract _),
     "x_jpeg_progressive"  -> (xJpegProgressive _),
@@ -3860,18 +3903,26 @@ object LlmOps {
     // x_dedup_ngram CTE idioms composed per registrable domain
     "x_web_pipeline" ->
       s"""WITH corpus AS (
-         |  SELECT doc_id, text, doc_id % 40 AS pid, 0 AS echo FROM documents
+         |  SELECT doc_id * 4 AS doc_id, text, doc_id % 40 AS pid, 0 AS echo
+         |  FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 1000000, text || ' repost notice', doc_id % 40, 1
+         |  SELECT doc_id * 4 + 1, text || ' repost notice', doc_id % 40, 1
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id * 4 + 2, text || ' syndicated copy', doc_id % 40, 2
          |  FROM documents),
+         |meta0 AS (SELECT doc_id, text, echo,
+         |    CASE WHEN echo = 2 THEN (pid + 1) % 40 ELSE pid END AS pid
+         |  FROM corpus),
          |meta AS (SELECT doc_id, text, pid, echo,
          |    'site' || (pid % 10) ||
          |      (CASE CAST(pid % 4 AS INT) WHEN 0 THEN '.com'
          |            WHEN 1 THEN '.co.uk' WHEN 2 THEN '.org'
          |            ELSE '.example.net' END) AS host
-         |  FROM corpus),
+         |  FROM meta0),
          |pg AS (SELECT doc_id, pid, echo, host,
-         |    host || (CASE WHEN echo = 1 THEN '/alt' ELSE '/p' END) ||
+         |    host || (CASE WHEN echo = 1 THEN '/alt'
+         |                  WHEN echo = 2 THEN '/syn' ELSE '/p' END) ||
          |      (pid % 7) || '?a=' || (pid % 3) || '&b=' || (pid % 9) AS canon,
          |    CASE WHEN pid % 4 = 3 THEN 'example.net' ELSE host END AS domain,
          |    list_concat(['portal', 'portal', 'site' || (pid % 10),
@@ -3912,14 +3963,24 @@ object LlmOps {
          |       JOIN sz z2 ON d2 = z2.doc_id
          |       JOIN surv m1 ON d1 = m1.doc_id JOIN surv m2 ON d2 = m2.doc_id
          |       WHERE m1.domain = m2.domain
-         |         AND n / (z1.sz + z2.sz - n) >= 0.8)
+         |         AND n / (z1.sz + z2.sz - n) >= 0.8),
+         |rmx AS (SELECT DISTINCT d2 AS doc_id
+         |       FROM inter JOIN sz z1 ON d1 = z1.doc_id
+         |       JOIN sz z2 ON d2 = z2.doc_id
+         |       JOIN surv m1 ON d1 = m1.doc_id JOIN surv m2 ON d2 = m2.doc_id
+         |       WHERE m1.domain <> m2.domain
+         |         AND n / (z1.sz + z2.sz - n) >= 0.8
+         |         AND d1 NOT IN (SELECT doc_id FROM rm)
+         |         AND d2 NOT IN (SELECT doc_id FROM rm))
          |SELECT s1.doc_id,
          |  CASE WHEN s1.doc_id <> s1.keep THEN 'url_dup'
          |       WHEN rm.doc_id IS NOT NULL THEN 'near_dup'
+         |       WHEN rmx.doc_id IS NOT NULL THEN 'xdomain_dup'
          |       ELSE 'kept' END AS stage,
          |  s1.domain, s1.canon, cl.kept_ct, cl.removed_ct
          |FROM s1 LEFT JOIN cl ON s1.doc_id = cl.doc_id
          |LEFT JOIN rm ON s1.doc_id = rm.doc_id
+         |LEFT JOIN rmx ON s1.doc_id = rmx.doc_id
          |ORDER BY s1.doc_id""".stripMargin,
     "x_warc_extract" ->
       """WITH r AS (SELECT doc_id, i
@@ -3931,6 +3992,17 @@ object LlmOps {
         |  CAST(length('page ' || i || ' of doc ' || doc_id) AS BIGINT)
         |    AS content_len,
         |  'page ' || i || ' of doc ' || doc_id AS content
+        |FROM r ORDER BY doc_id, rec_idx""".stripMargin,
+    "x_warc_gz" ->
+      """WITH r AS (SELECT doc_id, i
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(1,
+        |    doc_id % 3 + 1)) AS i))
+        |SELECT doc_id, CAST(i - 1 AS BIGINT) AS rec_idx,
+        |  'http://gz' || (doc_id % 50) || '.example/r' || i AS uri,
+        |  'text/html' AS content_type,
+        |  CAST(length('gz page ' || i || ' of doc ' || doc_id) AS BIGINT)
+        |    AS content_len,
+        |  'gz page ' || i || ' of doc ' || doc_id AS content
         |FROM r ORDER BY doc_id, rec_idx""".stripMargin,
     "x_av_duration" ->
       """WITH k AS (SELECT doc_id, doc_id // 2 AS k, doc_id % 2 AS sel

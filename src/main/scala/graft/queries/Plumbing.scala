@@ -118,7 +118,7 @@ object Plumbing {
     * (JdbcUtil.java:66-69). */
   def f8Rename(s: SparkSession, d: String): DataFrame = {
     def toCamel(name: String): String = {
-      val parts = name.toLowerCase.split("_")
+      val parts = name.toLowerCase(java.util.Locale.ROOT).split("_")
       (parts.head +: parts.tail.map(_.capitalize)).mkString
     }
     val r = region(s, d) // r_regionkey -> rRegionkey, r_name -> rName

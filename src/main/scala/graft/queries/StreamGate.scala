@@ -70,16 +70,25 @@ private[queries] object StreamGate {
       .withColumn("ts", timestamp_micros(col("ts")))
   }
 
-  /** Recursive JVM-exit cleanup for a prep/sink temp dir — the cache is
-    * process-lifetime by design, so the dirs must not outlive it. */
-  private def registerDeleteOnExit(dir: java.nio.file.Path): Unit =
+  /** Recursive JVM-exit cleanup for prep/sink temp dirs — the cache is
+    * process-lifetime by design, so the dirs must not outlive it. ONE
+    * shutdown hook drains a queue the callers append to: runToSink runs
+    * once per gate per bench repeat, so a hook-per-dir would accumulate
+    * unbounded Thread objects over a long benchmark session. */
+  private val exitDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm))
         f.delete(): Unit
       }
-      rm(dir.toFile)
+      var d = exitDirs.poll()
+      while (d != null) { rm(d.toFile); d = exitDirs.poll() }
     }))
+  }
+  private def registerDeleteOnExit(dir: java.nio.file.Path): Unit =
+    exitDirs.add(dir): Unit
 
   private def prepareSourceDir(s: SparkSession, d: String, sentinels: Int,
                                splitParts: Int)

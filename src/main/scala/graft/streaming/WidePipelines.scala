@@ -35,7 +35,7 @@ object WidePipelines {
     // delay must cover the larger bound; both are "N unit" strings
     def ms(s: String): Long = {
       val Array(n, unit) = s.trim.split("\\s+", 2)
-      val mult = unit.toLowerCase match {
+      val mult = unit.toLowerCase(java.util.Locale.ROOT) match {
         case u if u.startsWith("milli") => 1L
         case u if u.startsWith("second") => 1000L
         case u if u.startsWith("minute") => 60000L

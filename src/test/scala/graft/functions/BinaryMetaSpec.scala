@@ -746,23 +746,51 @@ class BinaryMetaSpec extends SparkSpec {
       maxDiff = math.max(maxDiff, math.abs((rgb & 0xff) - mb))
     }
     assert(maxDiff <= 2, s"color progressive: max channel diff $maxDiff")
-    // truncation at every byte must never throw; default-sampling
-    // (4:2:0) progressive color still declines
+    // truncation at every byte must never throw
     val gbytes = jpegProgressiveBytes(
       { val g = new java.awt.image.BufferedImage(24, 16,
           java.awt.image.BufferedImage.TYPE_BYTE_GRAY); g }, 0.8f)
     for (cut <- 0 until gbytes.length) JpegBaseline.jpegPixelStats(gbytes.take(cut))
-    assert(JpegBaseline.jpegColorStats(jpegProgressiveBytes(cimg, 0.8f)) == null,
-      "4:2:0 progressive must decline")
+    // default-sampling (4:2:0) progressive color decodes since round
+    // 12; constant-chroma (gray) content makes box == fancy chroma
+    // upsampling, so the comparison against ImageIO is exact up to
+    // the IDCT + conversion bound
+    val gcimg = new java.awt.image.BufferedImage(40, 24,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 24; x <- 0 until 40) {
+      val v = ((x * 13 + y * 7) % 160 + rnd.nextInt(40)) % 256
+      gcimg.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val pbytes = jpegProgressiveBytes(gcimg, 0.85f)
+    val pgot = JpegBaseline.decodePlanes(pbytes)
+    assert(pgot != null && pgot._3.length == 3, "4:2:0 progressive null")
+    assert(pgot._1 == 40 && pgot._2 == 24)
+    val pref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(pbytes))
+    var pMax = 0
+    for (y <- 0 until 24; x <- 0 until 40) {
+      val i = y * 40 + x
+      val (mr, mg, mb) =
+        JpegBaseline.ycbcrToRgb(pgot._3(0)(i), pgot._3(1)(i), pgot._3(2)(i))
+      val rgb = pref.getRGB(x, y)
+      pMax = math.max(pMax, math.abs(((rgb >> 16) & 0xff) - mr))
+      pMax = math.max(pMax, math.abs(((rgb >> 8) & 0xff) - mg))
+      pMax = math.max(pMax, math.abs((rgb & 0xff) - mb))
+    }
+    assert(pMax <= 3, s"4:2:0 progressive constant-chroma: max diff $pMax")
+    for (cut <- 0 until pbytes.length) // subsampled truncation fuzz
+      JpegBaseline.jpegColorStats(pbytes.take(cut))
   }
 
   test("jpeg baseline decode: color/progressive/malformed inputs " +
        "yield null, never throw") {
-    // subsampled color JPEG (4:2:0): declined — the documented boundary
+    // color JPEG through the GRAY face: null (3 planes ≠ gray), even
+    // though decodePlanes handles the 4:2:0 stream since round 12
     val cimg = new java.awt.image.BufferedImage(16, 16,
       java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
     cimg.setRGB(3, 3, 0x884422)
     assert(JpegBaseline.jpegPixelStats(jpegBytes(cimg, 0.8f)) == null)
+    assert(JpegBaseline.jpegColorStats(jpegBytes(cimg, 0.8f)) != null,
+      "the color face decodes default 4:2:0 output since round 12")
     // progressive now DECODES through the gray face (round 11) — the
     // dedicated progressive test pins pixel agreement; here just the
     // non-null contract flip
@@ -983,13 +1011,13 @@ class BinaryMetaSpec extends SparkSpec {
       // ±1 IDCT (T.81 bound) + ±1 conversion rounding
       assert(maxDiff <= 2, s"${w}x$h q=$q: max channel diff $maxDiff")
     }
-    // the default writer subsamples to 4:2:0 — the documented null
-    // boundary (chroma upsampling is implementation-defined)
+    // the default writer subsamples to 4:2:0 — decoded for real since
+    // round 12 (the dedicated subsampled test pins pixel agreement)
     val cimg = new java.awt.image.BufferedImage(16, 16,
       java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
     cimg.setRGB(3, 3, 0x884422)
-    assert(JpegBaseline.jpegColorStats(jpegBytes(cimg, 0.8f)) == null,
-      "4:2:0 must be declined, not mis-decoded")
+    val sub = JpegBaseline.jpegColorStats(jpegBytes(cimg, 0.8f))
+    assert(sub != null && sub(0) == 256L, "4:2:0 decodes since round 12")
     // truncation at every byte must never throw
     val good = dcOnlyColorJpeg(2, 1, Seq((4, -4, 2), (1, 0, -6)))
     assert(JpegBaseline.jpegColorStats(good) != null)
@@ -998,6 +1026,160 @@ class BinaryMetaSpec extends SparkSpec {
     val bad = good.clone()
     bad(bad.length - 3) = 0x55.toByte
     JpegBaseline.jpegColorStats(bad) // null or decode — must not throw
+  }
+
+  /** ImageIO JPEG writer with an explicit Y sampling factor (chroma
+    * stays 1×1), e.g. (2,2) → 4:2:0, (2,1) → 4:2:2. */
+  private def jpegSampledBytes(img: java.awt.image.BufferedImage,
+                               quality: Float, hY: Int, vY: Int): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val md = writer.getDefaultImageMetadata(
+      new javax.imageio.ImageTypeSpecifier(img), param)
+    val fmt = "javax_imageio_jpeg_image_1.0"
+    val root = md.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+    val comps = root.getElementsByTagName("componentSpec")
+    for (c <- 0 until comps.getLength) {
+      val cs = comps.item(c).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      cs.setAttribute("HsamplingFactor", if (c == 0) hY.toString else "1")
+      cs.setAttribute("VsamplingFactor", if (c == 0) vY.toString else "1")
+    }
+    md.setFromTree(fmt, root)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, md), param)
+    ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  /** DC-only 4:2:0 interleaved stream: per MCU 4 Y blocks (raster
+    * order within the MCU) + 1 Cb + 1 Cr, per-component predictor
+    * chains — the exactness oracle for the MCU-interleave walk and the
+    * pinned box chroma upsampling. */
+  private def dcOnly420Jpeg(mw: Int, mh: Int, ydcs: Seq[Seq[Int]],
+                            cdcs: Seq[(Int, Int)]): Array[Byte] = {
+    require(ydcs.length == mw * mh && ydcs.forall(_.length == 4) &&
+      cdcs.length == mw * mh)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def hexAppend(s: String): Unit =
+      out ++= s.replaceAll("\\s", "").grouped(2)
+        .map(Integer.parseInt(_, 16).toByte)
+    hexAppend("FFD8")
+    hexAppend("FFDB004300" + "08" * 64)
+    hexAppend("FFC40019" + "00" + "01" * 6 + "00" * 10 + "000102030405")
+    hexAppend("FFC40014" + "10" + "01" + "00" * 15 + "00")
+    hexAppend("FFC0001108" + f"${mh * 16}%04X" + f"${mw * 16}%04X" +
+      "03" + "012200" + "021100" + "031100")
+    hexAppend("FFDA000C03 0100 0200 0300 003F00")
+    val sb = new StringBuilder
+    def emit(d: Int): Unit = {
+      val s = if (d == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(d))
+      sb.append("1" * s).append('0')
+      if (s > 0) {
+        val v = if (d > 0) d else d + (1 << s) - 1
+        val bits = Integer.toBinaryString(v)
+        sb.append("0" * (s - bits.length)).append(bits)
+      }
+      sb.append('0') // EOB
+    }
+    val pred = Array(0, 0, 0)
+    for (m <- 0 until mw * mh) {
+      for (yb <- 0 until 4) {
+        emit(ydcs(m)(yb) - pred(0)); pred(0) = ydcs(m)(yb)
+      }
+      emit(cdcs(m)._1 - pred(1)); pred(1) = cdcs(m)._1
+      emit(cdcs(m)._2 - pred(2)); pred(2) = cdcs(m)._2
+    }
+    while (sb.length % 8 != 0) sb.append('1')
+    sb.toString.grouped(8).foreach { byte =>
+      val v = Integer.parseInt(byte, 2)
+      out += v.toByte
+      if (v == 0xff) out += 0x00.toByte
+    }
+    hexAppend("FFD9")
+    out.toArray
+  }
+
+  test("jpeg SUBSAMPLED decode: DC-only 4:2:0 MCU interleave is exact " +
+       "with box-replicated chroma; ImageIO agrees on chroma-interior " +
+       "pixels; real-AC 4:2:0 and 4:2:2 streams with constant chroma " +
+       "match ImageIO (box == fancy there)") {
+    // --- exactness oracle: 2×1 MCUs (32×16), flat DC blocks ---
+    val ydcs = Seq(Seq(5, -3, 10, -10), Seq(7, 0, -6, 2))
+    val cdcs = Seq((8, -8), (-4, 12))
+    val plain = dcOnly420Jpeg(2, 1, ydcs, cdcs)
+    val got = JpegBaseline.decodePlanes(plain)
+    assert(got != null && got._1 == 32 && got._2 == 16 && got._3.length == 3,
+      "DC-only 4:2:0: bad shape")
+    val (w, h, planes) = got
+    for (m <- 0 until 2; yb <- 0 until 4) {
+      val px = (m * 16 + (yb % 2) * 8, (yb / 2) * 8)
+      assert(planes(0)(px._2 * w + px._1) == 128 + ydcs(m)(yb),
+        s"MCU $m Y block $yb")
+    }
+    // chroma: native 8×8 blocks box-replicated 2×2 — every pixel of
+    // MCU m carries that MCU's flat chroma
+    for (m <- 0 until 2; y <- 0 until 16; x <- 0 until 16) {
+      assert(planes(1)(y * w + m * 16 + x) == 128 + cdcs(m)._1, s"Cb($m,$x,$y)")
+      assert(planes(2)(y * w + m * 16 + x) == 128 + cdcs(m)._2, s"Cr($m,$x,$y)")
+    }
+    // ImageIO (fancy/triangle chroma upsampling) agrees exactly on
+    // pixels whose contributing chroma samples are all within one flat
+    // 16×16 region (2 ≤ x%16 ≤ 13), ±1 for its integer conversion
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(plain))
+    assert(ref != null, "ImageIO rejects the 4:2:0 DC-only stream")
+    for (y <- 2 until 14; x <- 0 until w if x % 16 >= 2 && x % 16 <= 13) {
+      val i = y * w + x
+      val (mr, mg, mb) = refRgb(planes(0)(i), planes(1)(i), planes(2)(i))
+      val rgb = ref.getRGB(x, y)
+      assert(math.abs(((rgb >> 16) & 0xff) - mr) <= 1, s"($x,$y) R")
+      assert(math.abs(((rgb >> 8) & 0xff) - mg) <= 1, s"($x,$y) G")
+      assert(math.abs((rgb & 0xff) - mb) <= 1, s"($x,$y) B")
+    }
+    // stats face consistency on the subsampled path
+    val stats = JpegBaseline.jpegColorStats(plain)
+    var er = 0L; var eg = 0L; var eb = 0L
+    for (i <- 0 until w * h) {
+      val (r0, g0, b0) = refRgb(planes(0)(i), planes(1)(i), planes(2)(i))
+      er += r0; eg += g0; eb += b0
+    }
+    assert(stats.toSeq == Seq(w.toLong * h, er, eg, eb))
+    // truncation at every byte must never throw
+    for (cut <- 0 until plain.length) JpegBaseline.jpegColorStats(plain.take(cut))
+    // --- real-AC streams, constant chroma (gray content): box and
+    // fancy upsampling agree everywhere, Y rides the full-resolution
+    // MCU interleave — odd sizes exercise partial edge MCUs ---
+    val rnd = new scala.util.Random(4242)
+    for ((iw, ih, hY, vY, q) <- Seq(
+        (40, 24, 2, 2, 0.9f), (33, 17, 2, 2, 0.7f),
+        (32, 24, 2, 1, 0.9f), (19, 13, 2, 1, 0.8f), (24, 18, 1, 2, 0.85f))) {
+      val img = new java.awt.image.BufferedImage(iw, ih,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until ih; x <- 0 until iw) {
+        val v = ((x * 13 + y * 7) % 160 + rnd.nextInt(40)) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bytes = jpegSampledBytes(img, q, hY, vY)
+      val mine = JpegBaseline.decodePlanes(bytes)
+      assert(mine != null && mine._3.length == 3, s"${iw}x$ih $hY:$vY null")
+      assert(mine._1 == iw && mine._2 == ih)
+      val iref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      var maxDiff = 0
+      for (y <- 0 until ih; x <- 0 until iw) {
+        val i = y * iw + x
+        val (mr, mg, mb) =
+          JpegBaseline.ycbcrToRgb(mine._3(0)(i), mine._3(1)(i), mine._3(2)(i))
+        val rgb = iref.getRGB(x, y)
+        maxDiff = math.max(maxDiff, math.abs(((rgb >> 16) & 0xff) - mr))
+        maxDiff = math.max(maxDiff, math.abs(((rgb >> 8) & 0xff) - mg))
+        maxDiff = math.max(maxDiff, math.abs((rgb & 0xff) - mb))
+      }
+      // ±1 IDCT + ±1 conversion + ≤1 chroma quantization ripple
+      assert(maxDiff <= 3, s"${iw}x$ih $hY:$vY q=$q: max diff $maxDiff")
+    }
   }
 
   test("syntheticJpegProgressive round-trip: SQL-built two-scan " +
@@ -1190,6 +1372,84 @@ class BinaryMetaSpec extends SparkSpec {
       .select("uri", "content").as[(String, String)].collect().toSeq
     assert(rows == Seq(("http://a/1", trap), ("http://a/2", "plain body"),
       ("http://a/3", "x\r\n\r\ny")))
+  }
+
+  test("gunzipMembers: multi-member .warc.gz framing (real deflate via " +
+       "GZIPOutputStream), header flag fields, CRC/ISIZE verification, " +
+       "truncation prefix-stop; warcExtract auto-detects the magic") {
+    def gz(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes("ISO-8859-1")); g.close()
+      bos.toByteArray
+    }
+    def rec(uri: String, payload: String): String =
+      s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Type: text/html\r\nContent-Length: ${payload.length}\r\n" +
+        s"\r\n$payload\r\n\r\n"
+    val recs = Seq(rec("http://g/1", "alpha body"),
+      rec("http://g/2", "see WARC/1.0\r\n\r\n trap"),
+      rec("http://g/3", "third"))
+    val blob = recs.map(gz).reduce(_ ++ _)
+    val plain = recs.mkString.getBytes("ISO-8859-1")
+    val got = BinaryMeta.gunzipMembers(blob)
+    assert(got != null && got.sameElements(plain), "member concat differs")
+    // header with FNAME + FEXTRA + FCOMMENT + FHCRC and a stored block
+    def le(v: Long, n: Int) = (0 until n).map(k => ((v >> (8 * k)) & 0xff).toByte)
+    val body = "flagged member".getBytes("ISO-8859-1")
+    val crc = new java.util.zip.CRC32(); crc.update(body)
+    val hcrc = { // CRC-32 of the header bytes, low 16 bits (RFC 1952)
+      val hdr = Array[Byte](0x1f.toByte, 0x8b.toByte, 8, (4 | 8 | 16 | 2).toByte,
+        0, 0, 0, 0, 0, 0xff.toByte) ++
+        (le(3, 2) ++ Seq[Byte]('x', 'y', 'z')) ++
+        ("name.warc".getBytes("ISO-8859-1") :+ 0.toByte) ++
+        ("a comment".getBytes("ISO-8859-1") :+ 0.toByte)
+      val c = new java.util.zip.CRC32(); c.update(hdr); c.getValue & 0xffff
+    }
+    val flagged = Array[Byte](0x1f.toByte, 0x8b.toByte, 8, (4 | 8 | 16 | 2).toByte,
+        0, 0, 0, 0, 0, 0xff.toByte) ++
+      (le(3, 2) ++ Seq[Byte]('x', 'y', 'z')) ++ // FEXTRA xlen=3
+      ("name.warc".getBytes("ISO-8859-1") :+ 0.toByte) ++ // FNAME
+      ("a comment".getBytes("ISO-8859-1") :+ 0.toByte) ++ // FCOMMENT
+      le(hcrc, 2) ++ // FHCRC
+      (Array[Byte](1) ++ le(body.length, 2) ++ le(0xffff ^ body.length, 2) ++
+        body) ++ // stored deflate block
+      le(crc.getValue, 4) ++ le(body.length, 4)
+    val fg = BinaryMeta.gunzipMembers(flagged)
+    assert(fg != null && fg.sameElements(body), "flagged-header member")
+    // the JDK's own reader accepts the same blob (independent decoder)
+    val jdk = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(flagged)).readAllBytes()
+    assert(jdk.sameElements(body))
+    // truncated second member: the first member's bytes survive
+    val twoCut = gz("first") ++ gz("second").dropRight(3)
+    val partial = BinaryMeta.gunzipMembers(twoCut)
+    assert(partial != null && partial.sameElements("first".getBytes), "prefix-stop")
+    // corrupt CRC -> member rejected
+    val badCrc = gz("only")
+    badCrc(badCrc.length - 5) = (badCrc(badCrc.length - 5) ^ 0x55).toByte
+    assert(BinaryMeta.gunzipMembers(badCrc) == null, "CRC mismatch must reject")
+    // truncation at every byte never throws; foreign bytes -> null
+    for (cut <- 0 until blob.length) BinaryMeta.gunzipMembers(blob.take(cut))
+    assert(BinaryMeta.gunzipMembers("not gzip".getBytes) == null)
+    assert(BinaryMeta.gunzipMembers(Array.emptyByteArray) == null)
+    // warcExtract auto-detects: the SAME pipeline face handles both
+    import spark.implicits._
+    val df = Seq((1L, blob), (2L, plain)).toDF("doc_id", "payload")
+    val rows = graft.llm.Multimodal.warcExtract(df)
+      .orderBy("doc_id", "rec_idx")
+      .select("doc_id", "uri", "content").as[(Long, String, String)]
+      .collect().toSeq
+    assert(rows.map(_._2) == Seq("http://g/1", "http://g/2", "http://g/3",
+      "http://g/1", "http://g/2", "http://g/3"))
+    assert(rows(0)._3 == "alpha body" && rows(3)._3 == "alpha body")
+    // the SQL-built fixture round-trips through the JDK reader too
+    val fx = graft.llm.Multimodal.syntheticWarcGz(
+      Seq(7L).toDF("doc_id")).select("payload").as[Array[Byte]].head()
+    val viaJdk = new String(new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(fx)).readAllBytes(), "ISO-8859-1")
+    assert(viaJdk.contains("WARC-Target-URI: http://gz7.example/r1") &&
+      viaJdk.contains("gz page 2 of doc 7"), viaJdk.take(200))
   }
 
   test("mp3FrameStats/adtsFrameStats: frame-length hopping across " +
