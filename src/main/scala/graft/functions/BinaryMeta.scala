@@ -296,27 +296,52 @@ object BinaryMeta {
     * 2 UTF-16BE, 3 UTF-8); v2.4 multi-value NUL separators render as
     * `/`, trailing NULs strip. Frame FORMAT flags honored: grouping-id
     * and v2.4 data-length-indicator bytes are skipped before the
-    * encoding byte; compressed / encrypted / per-frame-unsynchronised
-    * frames are not text-extractable and are walked past. Stops at
-    * padding or tag end; malformed frames stop the walk with the
-    * prefix frames kept; tags with the tag-level UNSYNCHRONISATION
-    * flag decline (offsets are transformed) as does v2.2 (3-byte ids,
-    * a different layout). Null when nothing extractable. */
+    * encoding byte; compressed / encrypted frames are not
+    * text-extractable and are walked past. UNSYNCHRONISATION is
+    * honored (round 12): a v2.3 tag-level flag de-unsyncs the whole
+    * tag body (FF 00 → FF, v2.3 §5) before the walk; a v2.4
+    * per-frame flag de-unsyncs that frame's body (its size is the
+    * on-disk size, §6.1). Stops at padding or tag end; malformed
+    * frames stop the walk with the prefix frames kept; v2.2 declines
+    * (3-byte ids, a different layout). Null when nothing
+    * extractable. */
+  /** ID3v2 de-unsynchronisation (v2.3 §5 / v2.4 §6.1): every FF 00
+    * byte pair collapses to FF — the inverse of the transform writers
+    * apply so tag bytes never fake an MPEG sync. */
+  private def deUnsync(b: Array[Byte], from: Int, to: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(16, to - from))
+    var i = from
+    while (i < to) {
+      out.write(b(i).toInt)
+      if ((b(i) & 0xff) == 0xff && i + 1 < to && b(i + 1) == 0) i += 2
+      else i += 1
+    }
+    out.toByteArray
+  }
+
   def id3TextFrames(b: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
     if (!hasId3(b, 0)) return null
     val ver = b(3) & 0xff
     if (ver < 3 || ver > 4) return null
     val flags = b(5) & 0xff
-    if ((flags & 0x80) != 0) return null // unsynchronisation
     val tagSize = syncsafe4(b, 6)
     if (tagSize < 0) return null
-    val end = math.min(10L + tagSize, b.length.toLong).toInt
-    var p = 10
+    val end0 = math.min(10L + tagSize, b.length.toLong).toInt
+    // v2.3 tag-level unsync transforms the WHOLE tag body — undo once,
+    // then walk normally (v2.3 frame sizes refer to the de-unsynced
+    // data). v2.4's tag flag just asserts every frame carries its own
+    // per-frame flag, which the walk honors below.
+    val (buf, pStart, end) =
+      if (ver == 3 && (flags & 0x80) != 0) {
+        val d = deUnsync(b, 10, end0)
+        (d, 0, d.length)
+      } else (b, 10, end0)
+    var p = pStart
     if ((flags & 0x40) != 0) { // extended header
       if (p + 4 > end) return null
       val es =
-        if (ver == 4) syncsafe4(b, p) // v2.4: size INCLUDES the field
-        else u32be(b, p) + 4          // v2.3: size EXCLUDES it
+        if (ver == 4) syncsafe4(buf, p) // v2.4: size INCLUDES the field
+        else u32be(buf, p) + 4          // v2.3: size EXCLUDES it
       if (es < 4 || p + es > end) return null
       p += es.toInt
     }
@@ -329,33 +354,37 @@ object BinaryMeta {
         var idOk = true
         var k = 0
         while (k < 4) {
-          val c = b(p + k) & 0xff
+          val c = buf(p + k) & 0xff
           if (!((c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9'))) idOk = false
           k += 1
         }
-        val fsize = if (ver == 4) syncsafe4(b, p + 4) else u32be(b, p + 4)
+        val fsize = if (ver == 4) syncsafe4(buf, p + 4) else u32be(buf, p + 4)
         if (!idOk || fsize < 0 || p + 10 + fsize > end) stop = true
         else {
           // frame FORMAT flags shift or poison the body: compressed /
-          // encrypted / per-frame-unsynchronised frames are not
-          // text-extractable (skip, keep walking); grouping-id and
-          // v2.4 data-length-indicator prepend 1 / 4 bytes
-          val f2 = b(p + 9) & 0xff
+          // encrypted frames are not text-extractable (skip, keep
+          // walking); grouping-id and v2.4 data-length-indicator
+          // prepend 1 / 4 bytes; a v2.4 per-frame-unsynchronised body
+          // de-unsyncs before decode (fsize is the on-disk size)
+          val f2 = buf(p + 9) & 0xff
           var bodyOff = p + 10
-          var bodyEnd = p + 10 + fsize.toInt
+          val bodyEnd = p + 10 + fsize.toInt
           var extractable = true
+          var frameUnsync = false
           if (ver == 4) {
-            if ((f2 & 0x0c) != 0 || (f2 & 0x02) != 0) extractable = false
+            if ((f2 & 0x0c) != 0) extractable = false
+            frameUnsync = (f2 & 0x02) != 0
             if ((f2 & 0x40) != 0) bodyOff += 1
             if ((f2 & 0x01) != 0) bodyOff += 4
           } else {
             if ((f2 & 0xc0) != 0) extractable = false
             if ((f2 & 0x20) != 0) bodyOff += 1
           }
-          if (extractable && b(p) == 'T' && bodyEnd - bodyOff >= 1) {
-            val enc = b(bodyOff) & 0xff
-            val body = java.util.Arrays.copyOfRange(b, bodyOff + 1, bodyEnd)
-            val cs = enc match {
+          if (extractable && buf(p) == 'T' && bodyEnd - bodyOff >= 1) {
+            val raw =
+              if (frameUnsync) deUnsync(buf, bodyOff, bodyEnd)
+              else java.util.Arrays.copyOfRange(buf, bodyOff, bodyEnd)
+            val cs = if (raw.length < 1) null else (raw(0) & 0xff) match {
               case 0 => java.nio.charset.StandardCharsets.ISO_8859_1
               case 1 => java.nio.charset.StandardCharsets.UTF_16 // BOM-led
               case 2 => java.nio.charset.StandardCharsets.UTF_16BE
@@ -363,10 +392,10 @@ object BinaryMeta {
               case _ => null
             }
             if (cs != null) {
-              val decoded = new String(body, cs)
+              val decoded = new String(raw, 1, raw.length - 1, cs)
               val cleaned = decoded.split('\u0000').filter(_.nonEmpty).mkString("/")
               out += org.apache.spark.sql.catalyst.InternalRow(
-                UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, p, p + 4)),
+                UTF8String.fromBytes(java.util.Arrays.copyOfRange(buf, p, p + 4)),
                 UTF8String.fromString(cleaned))
             }
           }

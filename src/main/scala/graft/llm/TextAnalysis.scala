@@ -264,6 +264,25 @@ object TextAnalysis {
     agents.join(rules, Seq(domainCol, "group_id"))
   }
 
+  /** `Sitemap:` directive discovery from robots.txt — RFC 9309 §2.3 /
+    * sitemaps.org: robots files ADVERTISE their sitemap URLs as
+    * non-group lines (valid anywhere in the file, independent of
+    * user-agent groups, case-insensitive directive, absolute URL
+    * value). One output row per directive with the input columns plus
+    * `sitemap_url` (trimmed, `#` comments stripped); rows whose robots
+    * carry no Sitemap line disappear (explode of an empty match list)
+    * — discovery yields nothing, which is the contract a crawl
+    * frontier wants. Deliberately SEPARATE from [[parseRobots]]: that
+    * one feeds [[robotsAllowed]] group/rule rows and sitemap lines
+    * belong to no group. Map-side only (one regexp pass per robots
+    * blob). */
+  def robotsSitemaps(df: DataFrame, robots: Column = col("robots")): DataFrame =
+    df.withColumn("sitemap_url",
+        explode(regexp_extract_all(robots,
+          lit("(?im)^[ \\t]*sitemap[ \\t]*:[ \\t]*([^#\\r\\n]*)"), lit(1))))
+      .withColumn("sitemap_url", trim(col("sitemap_url")))
+      .filter(col("sitemap_url") =!= "")
+
   /** Crawl-compliance decision per page — the politeness filter every
     * crawl-derived corpus applies before curation: RFC 9309 group
     * selection (a specific group whose agent substring-matches the

@@ -1566,11 +1566,20 @@ object LlmOps {
     * `robotsAllowed` under two per-domain-parity robots variants (even
     * domains: a lone `*` group disallowing /page3; odd: a `graftbot`
     * group — deny-all plus anchored/plain Allow carve-outs — that must
-    * PREEMPT a deny-all `*` group). Output = frontier rows with the
-    * canonical key, sitemap priority, and the decisive rule. The
-    * oracle restates every canon/decision arithmetically. Scale
-    * shape: sitemap+canon map-side, decision one domain equi-join —
-    * the frontier never shuffles on anything unbounded. */
+    * PREEMPT a deny-all `*` group). Round 12 adds DISCOVERY per RFC
+    * 9309 §2.3: the frontier starts from ROBOTS.TXT ONLY — each
+    * domain's robots advertises its sitemaps as non-group `Sitemap:`
+    * lines (even docs: one line with a `WWW.`-prefixed mixed-case
+    * host the canonical key must fold; odd docs: TWO lines — one
+    * before the groups, one lowercase-directive after them, the
+    * second naming a news sitemap whose /news1 page falls to the
+    * deny-all), `robotsSitemaps` extracts them, and the canonical
+    * keys join the fetched-sitemap store before any entry flows.
+    * Output = frontier rows with the canonical key, sitemap priority,
+    * and the decisive rule. The oracle restates every discovery /
+    * canon / decision arithmetically. Scale shape: discovery+sitemap+
+    * canon map-side, store join + decision are bounded-key equi-joins
+    * — the frontier never shuffles on anything unbounded. */
   def xCrawlFrontier(s: SparkSession, d: String): DataFrame = {
     val even = pmod(col("doc_id"), lit(2L)) === 0
     val site = concat(lit("site"), pmod(col("doc_id"), lit(40L)),
@@ -1584,14 +1593,36 @@ object LlmOps {
         lit("</priority></url>")))
     val urlset = concat(lit("<urlset>\n"),
       array_join(urlEntries, "\n"), lit("\n</urlset>"))
-    val robots = when(even, lit("User-agent: *\nDisallow: /page3\n"))
-      .otherwise(lit(
-        "User-agent: graftbot\nDisallow: /\nAllow: /page1$\n" +
-          "Allow: /page3\n\nUser-agent: *\nDisallow: /\n"))
+    val newsXml = concat(lit("<urlset>\n<url><loc>https://"), site,
+      lit("/news1</loc></url>\n</urlset>"))
+    val robots = when(even, concat(
+        lit("User-agent: *\nDisallow: /page3\nSitemap: https://WWW."),
+        site, lit("/sitemap.xml\n")))
+      .otherwise(concat(
+        lit("Sitemap: https://"), site, lit("/sitemap.xml\n"),
+        lit("User-agent: graftbot\nDisallow: /\nAllow: /page1$\n" +
+          "Allow: /page3\n\nUser-agent: *\nDisallow: /\n"),
+        lit("sitemap: https://"), site, lit("/sitemap-news.xml\n")))
     val base = documents(s, d).select(col("doc_id"), urlset.as("xml"),
-      site.as("domain"), robots.as("robots"))
+      newsXml.as("news_xml"), site.as("domain"), robots.as("robots"))
+    // the fetched-sitemap store a crawler keeps, keyed by the
+    // CANONICAL sitemap url; the news sitemap exists for odd docs only
+    val store = base.select(col("doc_id"),
+        concat(lit("https://"), col("domain"), lit("/sitemap.xml"))
+          .as("sm_url"), col("xml"))
+      .unionByName(base.filter(pmod(col("doc_id"), lit(2L)) === 1)
+        .select(col("doc_id"),
+          concat(lit("https://"), col("domain"), lit("/sitemap-news.xml"))
+            .as("sm_url"), col("news_xml").as("xml")))
+      .withColumn("sm_key", TextAnalysis.urlCanonical(col("sm_url")))
+    // DISCOVERY: robots -> Sitemap directives -> canonical key -> store
+    val found = TextAnalysis.robotsSitemaps(
+        base.select(col("doc_id"), col("robots")), col("robots"))
+      .select(col("doc_id"),
+        TextAnalysis.urlCanonical(col("sitemap_url")).as("sm_key"))
+    val fetched = found.join(store, Seq("doc_id", "sm_key"))
     val pages = TextAnalysis.sitemapEntries(
-        base.select(col("doc_id"), col("xml")))
+        fetched.select(col("doc_id"), col("xml")))
       .select(col("doc_id"), col("seq"),
         TextAnalysis.urlCanonical(col("loc")).as("canon"),
         col("priority"))
@@ -1603,7 +1634,7 @@ object LlmOps {
       base.select(col("domain"), col("robots")).distinct(), col("robots"))
     ordered(
       TextAnalysis.robotsAllowed(pages, rules, userAgent = "graftbot/2.1"),
-      "doc_id", "seq")
+      "doc_id", "canon")
   }
 
   /** ID3v2 text-frame extraction gate: deterministic v2.3 (even
@@ -3816,18 +3847,24 @@ object LlmOps {
         |    '/page' || j ||
         |      CASE WHEN j % 2 = 0 THEN '?ref=' || j ELSE '' END AS path,
         |    CAST('0.' || ((doc_id + j) % 10) AS DOUBLE) AS priority
-        |  FROM u)
+        |  FROM u
+        |  UNION ALL
+        |  SELECT doc_id, CAST(0 AS BIGINT), 0, 1,
+        |    'site' || (doc_id % 40) || '.example', '/news1',
+        |    CAST(NULL AS DOUBLE)
+        |  FROM documents WHERE doc_id % 2 = 1)
         |SELECT doc_id, seq, domain || path AS canon, domain, path,
         |  priority,
-        |  CASE WHEN par = 0 THEN j <> 3 ELSE j <> 2 END AS allowed,
+        |  CASE WHEN par = 0 THEN j <> 3
+        |       WHEN j = 0 THEN FALSE ELSE j <> 2 END AS allowed,
         |  CASE WHEN par = 0 THEN CASE WHEN j = 3 THEN '/page3' END
         |       ELSE CASE WHEN j = 1 THEN '/page1$'
-        |                 WHEN j = 2 THEN '/' ELSE '/page3' END
+        |                 WHEN j = 3 THEN '/page3' ELSE '/' END
         |  END AS matched_pattern,
         |  CASE WHEN par = 0 THEN CASE WHEN j = 3 THEN 'disallow' END
-        |       ELSE CASE WHEN j = 2 THEN 'disallow' ELSE 'allow' END
+        |       WHEN j IN (0, 2) THEN 'disallow' ELSE 'allow'
         |  END AS matched_rule
-        |FROM p ORDER BY doc_id, seq""".stripMargin,
+        |FROM p ORDER BY doc_id, canon""".stripMargin,
     "x_id3_tags" ->
       """WITH f AS (
         |  SELECT doc_id, 'TALB' AS frame_id,

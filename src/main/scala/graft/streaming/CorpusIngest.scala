@@ -121,4 +121,74 @@ object CorpusIngest {
         minQuality = minQuality) _)
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** Streaming CRAWL ingest — the incremental face of the web
+    * pipeline's ENTRY stages (`xWebPipeline` runs them in batch; a real
+    * crawl delivers WARC blobs continuously). Per micro-batch of raw
+    * blobs (`doc_id`, `payload` — plain WARC or `.warc.gz`, from
+    * `writeStream.foreachBatch`):
+    *   1. record extraction — the `warcExtract` byte walk (gunzip
+    *      member split auto-detected), `urlCanonical` dedup key,
+    *      `registrableDomain`, `htmlToText`, all map-side IN the batch;
+    *   2. within-batch URL dedup — keep the first (doc_id, rec_idx)
+    *      per canonical key;
+    *   3. history URL dedup — a left-anti join against the PERSISTED
+    *      url-key artifact (`<dir>/urls`, one narrow row per canonical
+    *      key ever kept; the batch's own epoch partition is excluded so
+    *      a replayed batch re-derives its original survivors);
+    *   4. survivors' pages append to `<dir>/pages`, their keys to
+    *      `<dir>/urls` — both batch-id-keyed idempotent commits, so a
+    *      replayed micro-batch is a no-op.
+    * Near-dup state lives in the SEPARATE lsh/image ingest faces —
+    * chain them on `<dir>/pages` downstream; this face owns exactly
+    * the crawl-specific tier (container split + URL-exact dedup).
+    * 100 TB shape: one shuffle on the canonical key (within-batch
+    * dedup) + one key-equality anti-join against a linearly-growing
+    * ids-only artifact — page BYTES never join anything; the artifact
+    * re-read per batch is the narrow url column, not the corpus. */
+  def crawlIngestBatch(artifactDir: String)
+                      (batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    val urlsPath = s"$artifactDir/urls"
+    // extracted once, consumed three times (dedup, pages, urls) — a
+    // micro-batch's pages are small, checkpoint beats the re-walk
+    val pages = graft.llm.Multimodal.warcExtract(batch)
+      .select(col("doc_id"), col("rec_idx"),
+        TextAnalysis.urlCanonical(col("uri")).as("canon"),
+        TextAnalysis.htmlToText(col("content")).as("text"))
+      .filter(col("canon").isNotNull)
+      .withColumn("domain", TextAnalysis.registrableDomain(
+        regexp_extract(col("canon"), "^([^/?]*)", 1)))
+      .localCheckpoint(true)
+    if (pages.isEmpty) return
+    val w = Window.partitionBy(col("canon"))
+      .orderBy(col("doc_id"), col("rec_idx"))
+    val firsts = pages.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val fs = new org.apache.hadoop.fs.Path(urlsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val survivors =
+      if (fs.exists(new org.apache.hadoop.fs.Path(urlsPath))) {
+        // replay safety: exclude this batch's own epoch partition so
+        // the anti-join sees exactly the history the first run saw
+        val seen = spark.read.parquet(urlsPath)
+          .filter(col("batch_id").cast("long") =!= lit(batchId))
+          .select("canon")
+        firsts.join(seen, Seq("canon"), "left_anti")
+      } else firsts
+    graft.sources.Sinks.idempotentBatchSink(s"$artifactDir/pages")(
+      survivors.select("doc_id", "rec_idx", "canon", "domain", "text"),
+      batchId)
+    graft.sources.Sinks.idempotentBatchSink(urlsPath)(
+      survivors.select("canon"), batchId)
+  }
+
+  /** Wire the crawl per-batch body into a stream of WARC blobs. */
+  def runCrawl(blobs: DataFrame, artifactDir: String,
+               checkpoint: String): StreamingQuery =
+    blobs.writeStream
+      .foreachBatch(crawlIngestBatch(artifactDir) _)
+      .option("checkpointLocation", checkpoint)
+      .start()
 }

@@ -1497,7 +1497,7 @@ class BinaryMetaSpec extends SparkSpec {
   }
 
   test("id3TextFrames: v2.3/v2.4 sizes, all four text encodings, " +
-       "multi-value NULs, padding stop, unsync decline, fuzz") {
+       "multi-value NULs, padding stop, unsynchronisation, fuzz") {
     def hexB(s: String) = s.replaceAll("\\s", "").grouped(2)
       .map(Integer.parseInt(_, 16).toByte).toArray
     def frames(a: org.apache.spark.sql.catalyst.util.ArrayData)
@@ -1549,9 +1549,27 @@ class BinaryMetaSpec extends SparkSpec {
       "54504531" + "00000002" + "0000" + "00" + "57"
     assert(frames(BinaryMeta.id3TextFrames(tag(3, comp))) ==
       Seq(("TPE1", "W")))
-    // unsynchronisation flag declines; v2.2 declines; foreign null
-    val unsync = tag(3, iso); unsync(5) = 0x80.toByte
-    assert(BinaryMeta.id3TextFrames(unsync) == null)
+    // v2.3 TAG-LEVEL unsynchronisation (flag 0x80): the whole tag body
+    // is FF 00 -> FF de-unsynced before the walk. Body "ÿA" (FF 41)
+    // ships as FF 00 41 on disk; fsize (3) counts DE-UNSYNCED bytes.
+    val un23 = hexB("494433 0300 80 0000000E" +
+      "54495432" + "00000003" + "0000" + "00" + "FF0041")
+    assert(frames(BinaryMeta.id3TextFrames(un23)) == Seq(("TIT2", "ÿA")),
+      frames(BinaryMeta.id3TextFrames(un23)).toString)
+    // a tag-level-unsynced v2.3 tag whose data happens to carry no
+    // FF 00 pair parses identically to the plain form
+    val un23plain = tag(3, iso); un23plain(5) = 0x80.toByte
+    assert(frames(BinaryMeta.id3TextFrames(un23plain)) ==
+      Seq(("TIT2", "Abcé")))
+    // v2.4 PER-FRAME unsync flag (0x02): fsize is the ON-DISK size,
+    // that frame's body de-unsyncs before decode; the next frame is
+    // untouched
+    val un24 = "54495432" + "00000006" + "0002" + "00" + "FF0041FF00" +
+      "54504531" + "00000002" + "0000" + "00" + "51"
+    assert(frames(BinaryMeta.id3TextFrames(tag(4, un24))) ==
+      Seq(("TIT2", "ÿAÿ"), ("TPE1", "Q")),
+      frames(BinaryMeta.id3TextFrames(tag(4, un24))).toString)
+    // v2.2 declines; foreign null
     assert(BinaryMeta.id3TextFrames(hexB("494433 0200 00 00000000")) == null)
     assert(BinaryMeta.id3TextFrames("zzz".getBytes) == null)
     val full = tag(3, iso + mixed)

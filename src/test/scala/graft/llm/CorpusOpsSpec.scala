@@ -271,6 +271,30 @@ class CorpusOpsSpec extends SparkSpec {
       5L -> false, 6L -> true, 7L -> true, 8L -> true), got.toString)
   }
 
+  test("robotsSitemaps: multiple/absent Sitemap lines, any position, " +
+       "case-insensitive directive, comment strip, duplicate rows " +
+       "preserved") {
+    import spark.implicits._
+    val withTwo = // directives before AND after groups, mixed case
+      "Sitemap: https://a.com/sm1.xml\n" +
+        "User-agent: *\nDisallow: /x\n\n" +
+        "  SITEMAP:   https://a.com/sm2.xml   # the news one\n"
+    val withDup =
+      "sitemap: https://b.com/sm.xml\r\nsitemap: https://b.com/sm.xml\r\n"
+    val without = "User-agent: *\nDisallow: /\n"
+    val decoy = "User-agent: *\n# Sitemap: https://c.com/commented.xml\n" +
+      "Disallow: sitemap: not-a-directive\n"
+    val got = TextAnalysis.robotsSitemaps(
+      Seq(("a.com", withTwo), ("b.com", withDup), ("c.com", without),
+        ("d.com", decoy)).toDF("domain", "robots"))
+      .select("domain", "sitemap_url").as[(String, String)]
+      .collect().toList.sorted
+    assert(got == List(
+      ("a.com", "https://a.com/sm1.xml"), ("a.com", "https://a.com/sm2.xml"),
+      ("b.com", "https://b.com/sm.xml"), ("b.com", "https://b.com/sm.xml")),
+      got.toString)
+  }
+
   test("sitemapEntries: urlset fields, CDATA loc, comment decoy skip, " +
        "whitespace trim, sitemapindex, container tags never match, " +
        "bad priority null, empty/no-entry docs vanish") {

@@ -258,6 +258,59 @@ class PipelinesSpec extends SparkSpec {
       .select($"d1", $"d2").as[(Long, Long)].collect().toSet == expected)
   }
 
+  test("streaming crawl ingest: WARC blobs split per batch, canonical-" +
+       "URL dedup within and across batches, .warc.gz accepted, " +
+       "replay no-op") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("crawl_ingest").toString
+    def rec(uri: String, html: String): String =
+      s"WARC/1.0\r\nWARC-Target-URI: $uri\r\nContent-Type: text/html\r\n" +
+        s"Content-Length: ${html.length}\r\n\r\n$html\r\n\r\n"
+    def gz(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes("ISO-8859-1")); g.close()
+      bos.toByteArray
+    }
+    // batch 0: doc 1 carries two records; doc 2's record canonicalizes
+    // to the SAME key as doc 1's first (case + utm param + fragment
+    // differences) — within-batch keep-first must drop it
+    val b0 = Seq(
+      (1L, (rec("https://A.example/p1?utm_x=1", "<html><body>one</body></html>") +
+            rec("http://a.example/p2", "<p>two</p>")).getBytes("ISO-8859-1")),
+      (2L, rec("https://a.example/p1#frag", "<p>dup in batch</p>")
+        .getBytes("ISO-8859-1"))).toDF("doc_id", "payload")
+    // batch 1 ships GZIPPED (one member per record): one history dup
+    // of a.example/p1, one genuinely new page
+    val b1 = Seq(
+      (3L, (gz(rec("HTTPS://a.example:443/p1", "<p>dup in history</p>")) ++
+            gz(rec("https://b.example/fresh", "<p>three</p>")))))
+      .toDF("doc_id", "payload")
+    val ingest = graft.streaming.CorpusIngest.crawlIngestBatch(s"$dir/artifact") _
+    ingest(b0, 0L)
+    ingest(b1, 1L)
+    val pages = spark.read.parquet(s"$dir/artifact/pages")
+    val got = pages.select($"doc_id", $"canon", $"text")
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set(
+      (1L, "a.example/p1", "one"),
+      (1L, "a.example/p2", "two"),
+      (3L, "b.example/fresh", "three")), got.toString)
+    // the url artifact carries exactly the kept keys, batch-partitioned
+    val urls = spark.read.parquet(s"$dir/artifact/urls")
+    assert(urls.select($"canon").as[String].collect().toSet ==
+      Set("a.example/p1", "a.example/p2", "b.example/fresh"))
+    assert(urls.select($"batch_id".cast("long")).distinct()
+      .as[Long].collect().toSet == Set(0L, 1L))
+    // a replayed micro-batch (restart re-running the last epoch) is a no-op
+    ingest(b1, 1L)
+    assert(spark.read.parquet(s"$dir/artifact/pages").count() == 3)
+    assert(spark.read.parquet(s"$dir/artifact/urls").count() == 3)
+    // a blob with no parseable record contributes nothing
+    ingest(Seq((9L, "garbage".getBytes)).toDF("doc_id", "payload"), 2L)
+    assert(spark.read.parquet(s"$dir/artifact/pages").count() == 3)
+  }
+
   test("streaming cluster maintenance: CC over the growing match artifact absorbs each batch") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("lsh_cc").toString
