@@ -39,6 +39,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("wav_pcm_stats", es => graft.functions.BinaryMeta.WavPcmStats(es.head))
     inject("bmp24_stats", es => graft.functions.BinaryMeta.Bmp24Stats(es.head))
     inject("gunzip_members", es => graft.functions.BinaryMeta.GunzipMembers(es.head))
+    inject("http_meta", es => graft.functions.BinaryMeta.HttpMeta(es.head))
+    inject("http_body", es => graft.functions.BinaryMeta.HttpBody(es.head))
     inject("simhash_agg", es => SimhashAgg(es.head).toAggregateExpression())
     // interleave_bits(bits, c1, c2, ...): Morton key; bits must be a literal
     inject("interleave_bits", { es =>

@@ -1300,6 +1300,173 @@ object BinaryMeta {
     if (members == 0) null else out.toByteArray
   }
 
+  /** HTTP/1.x response header parse over one response blob — the
+    * content of a WARC `response` record IS the raw HTTP exchange
+    * (status line + headers + body as transmitted), so a crawl
+    * pipeline must split it before any text extraction. Returns
+    * `(status, content_type, charset, content_encoding, chunked,
+    * body_off, body_len)` or null: status from the `HTTP/x.y SSS`
+    * line (bare LF tolerated alongside CRLF — both occur in the
+    * wild), `content_type` the media type lowercased without
+    * parameters, `charset` the lowercased charset parameter when
+    * present, `content_encoding` lowercased, `chunked` from
+    * Transfer-Encoding, `body_off/len` delimiting the RAW body bytes
+    * (Content-Length-bounded when declared and shorter than the
+    * remainder; the chunked framing is NOT removed here — that is
+    * [[httpBody]]'s job). Header names fold with Locale.ROOT. Total:
+    * malformed/truncated → null, never an exception. */
+  def httpMeta(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    if (b.length < 12 || b(0) != 'H' || b(1) != 'T' || b(2) != 'T' ||
+        b(3) != 'P' || b(4) != '/') return null
+    // line end tolerant of CRLF and bare LF; returns (contentEnd, next)
+    def lineEnd(from: Int): (Int, Int) = {
+      var i = from
+      while (i < b.length) {
+        if (b(i) == '\n')
+          return (if (i > from && b(i - 1) == '\r') i - 1 else i, i + 1)
+        i += 1
+      }
+      (-1, -1)
+    }
+    val (sEnd, afterStatus) = lineEnd(0)
+    if (sEnd < 0) return null
+    val statusLine = new String(b, 0, sEnd,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val sp1 = statusLine.indexOf(' ')
+    if (sp1 < 0 || sp1 + 4 > statusLine.length) return null
+    val code = statusLine.substring(sp1 + 1, sp1 + 4)
+    if (!code.forall(c => c >= '0' && c <= '9')) return null
+    if (sp1 + 4 < statusLine.length && statusLine.charAt(sp1 + 4) != ' ')
+      return null
+    val status = code.toInt
+    if (status < 100 || status > 599) return null
+    var ctype: String = null
+    var charset: String = null
+    var cenc: String = null
+    var chunked = false
+    var clen = -1L
+    var p = afterStatus
+    var headerDone = false
+    var headersOk = false
+    while (!headerDone) {
+      val (e, next) = lineEnd(p)
+      if (e < 0) headerDone = true // truncated headers
+      else if (e == p) { headerDone = true; headersOk = true; p = next }
+      else {
+        val line = new String(b, p, e - p,
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        val ci = line.indexOf(':')
+        if (ci > 0) {
+          val name = line.substring(0, ci).trim.toLowerCase(java.util.Locale.ROOT)
+          val value = line.substring(ci + 1).trim
+          name match {
+            case "content-type" =>
+              val semi = value.indexOf(';')
+              ctype = (if (semi < 0) value else value.substring(0, semi))
+                .trim.toLowerCase(java.util.Locale.ROOT)
+              if (semi >= 0) {
+                val params = value.substring(semi + 1)
+                  .toLowerCase(java.util.Locale.ROOT)
+                val m = params.split(';').map(_.trim)
+                  .find(_.startsWith("charset="))
+                charset = m.map(_.substring(8).trim.stripPrefix("\"")
+                  .stripSuffix("\"")).filter(_.nonEmpty).orNull
+              }
+            case "content-encoding" =>
+              cenc = value.toLowerCase(java.util.Locale.ROOT)
+            case "transfer-encoding" =>
+              chunked = value.toLowerCase(java.util.Locale.ROOT)
+                .contains("chunked")
+            case "content-length" =>
+              clen = try value.toLong catch {
+                case _: NumberFormatException => -1L
+              }
+            case _ =>
+          }
+        }
+        p = next
+      }
+    }
+    if (!headersOk) return null
+    val remaining = b.length - p
+    // chunked framing owns the span (Content-Length MUST be ignored
+    // with Transfer-Encoding per RFC 9112 §6.2); otherwise an honest
+    // Content-Length bounds a blob that carries trailing bytes
+    val len =
+      if (chunked || clen < 0 || clen > remaining) remaining.toLong
+      else clen
+    org.apache.spark.sql.catalyst.InternalRow(
+      status,
+      if (ctype == null) null else UTF8String.fromString(ctype),
+      if (charset == null) null else UTF8String.fromString(charset),
+      if (cenc == null) null else UTF8String.fromString(cenc),
+      chunked, p, len.toInt)
+  }
+
+  /** The DECODED body of one HTTP/1.x response blob: the raw span from
+    * [[httpMeta]], de-CHUNKED when Transfer-Encoding: chunked (RFC
+    * 9112 §7.1: hex size line with optional extensions, data, CRLF,
+    * repeat; terminal 0-chunk; trailers dropped), then de-COMPRESSED
+    * when Content-Encoding is gzip or x-gzip (through
+    * [[gunzipMembers]]' verify-then-concatenate walk; `identity` and
+    * absent pass through; any other coding → null rather than
+    * mislabeled bytes). Total: malformed chunk framing / failed
+    * decompression / malformed response → null. */
+  def httpBody(b: Array[Byte]): Array[Byte] = {
+    val m = httpMeta(b)
+    if (m == null) return null
+    val off = m.getInt(5)
+    val len = m.getInt(6)
+    val chunked = m.getBoolean(4)
+    val raw =
+      if (!chunked) java.util.Arrays.copyOfRange(b, off, off + len)
+      else {
+        val out = new java.io.ByteArrayOutputStream(len)
+        var p = off
+        val end = off + len
+        var done = false
+        def lineEnd(from: Int): (Int, Int) = {
+          var i = from
+          while (i < end) {
+            if (b(i) == '\n')
+              return (if (i > from && b(i - 1) == '\r') i - 1 else i, i + 1)
+            i += 1
+          }
+          (-1, -1)
+        }
+        while (!done) {
+          val (e, next) = lineEnd(p)
+          if (e < 0) return null // truncated size line
+          val line = new String(b, p, e - p,
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+          val semi = line.indexOf(';') // chunk extensions drop
+          val hexStr = (if (semi < 0) line else line.substring(0, semi)).trim
+          if (hexStr.isEmpty ||
+              !hexStr.forall(c => (c >= '0' && c <= '9') ||
+                (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')) ||
+              hexStr.length > 8) return null
+          val sz = java.lang.Long.parseLong(hexStr, 16)
+          if (sz == 0) done = true // terminal chunk; trailers dropped
+          else {
+            if (next + sz > end) return null // truncated chunk data
+            out.write(b, next, sz.toInt)
+            p = next + sz.toInt
+            // the CRLF after the chunk data
+            val (e2, next2) = lineEnd(p)
+            if (e2 != p) return null
+            p = next2
+          }
+        }
+        out.toByteArray
+      }
+    val cenc = if (m.isNullAt(3)) null else m.getUTF8String(3).toString
+    cenc match {
+      case null | "identity" => raw
+      case "gzip" | "x-gzip" => gunzipMembers(raw)
+      case _ => null // deflate/br/zstd: undecodable here, never mislabel
+    }
+  }
+
   // ---- Catalyst expressions (codegen'd static calls) ----
 
   abstract class BinaryProbe extends UnaryExpression {
@@ -1509,6 +1676,46 @@ object BinaryMeta {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  case class HttpMeta(child: Expression) extends BinaryProbe {
+    override def prettyName: String = "http_meta"
+    override def dataType: DataType = StructType(Seq(
+      StructField("status", IntegerType, nullable = false),
+      StructField("content_type", StringType),
+      StructField("charset", StringType),
+      StructField("content_encoding", StringType),
+      StructField("chunked", BooleanType, nullable = false),
+      StructField("body_off", IntegerType, nullable = false),
+      StructField("body_len", IntegerType, nullable = false)))
+    override def nullSafeEval(v: Any): Any =
+      BinaryMeta.httpMeta(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, bytes => {
+        val r = ctx.freshName("r")
+        s"""
+           |org.apache.spark.sql.catalyst.InternalRow $r =
+           |  graft.functions.BinaryMeta.httpMeta($bytes);
+           |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  case class HttpBody(child: Expression) extends BinaryProbe {
+    override def prettyName: String = "http_body"
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(v: Any): Any =
+      BinaryMeta.httpBody(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, bytes => {
+        val r = ctx.freshName("r")
+        s"""
+           |byte[] $r = graft.functions.BinaryMeta.httpBody($bytes);
+           |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   case class GunzipMembers(child: Expression) extends BinaryProbe {
     override def prettyName: String = "gunzip_members"
     override def dataType: DataType = BinaryType
@@ -1576,6 +1783,10 @@ object BinaryMeta {
     SparkInternals.column(WarcIndex(SparkInternals.expression(c)))
   def gunzipMembersCol(c: Column): Column =
     SparkInternals.column(GunzipMembers(SparkInternals.expression(c)))
+  def httpMetaCol(c: Column): Column =
+    SparkInternals.column(HttpMeta(SparkInternals.expression(c)))
+  def httpBodyCol(c: Column): Column =
+    SparkInternals.column(HttpBody(SparkInternals.expression(c)))
   def id3TextFramesCol(c: Column): Column =
     SparkInternals.column(Id3TextFrames(SparkInternals.expression(c)))
   def mp3FrameStatsCol(c: Column): Column =

@@ -605,6 +605,54 @@ object Multimodal {
           "UTF-8").as("content"))
   }
 
+  /** [[warcExtract]] preserving PAYLOAD BYTES (`content_bytes` instead
+    * of a UTF-8 `content` string) — the HTTP tier needs the raw body
+    * (chunk framing, gzip members, declared charsets); the string
+    * face stays for bare-text records. Same gzip auto-detect, same
+    * map-side shape. */
+  def warcExtractBytes(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val raw = col(payloadCol)
+    val src = when(
+      substring(raw, 1, 2) === lit(Array(0x1f.toByte, 0x8b.toByte)),
+      graft.functions.BinaryMeta.gunzipMembersCol(raw)).otherwise(raw)
+    val idx = graft.functions.BinaryMeta.warcIndexCol(col("__warc"))
+    df.withColumn("__warc", src)
+      .select(col("*"), posexplode(idx).as(Seq("rec_idx", "__rec")))
+      .select(col("doc_id"), col("rec_idx").cast("long").as("rec_idx"),
+        col("__rec.uri").as("uri"),
+        col("__rec.content_type").as("content_type"),
+        expr("substring(__warc, __rec.off + 1, __rec.len)").as("content_bytes"))
+  }
+
+  /** The FETCH→EXTRACT entry composition a real crawl needs: WARC
+    * `response` records carry the RAW HTTP exchange, so each record
+    * goes status/header split (`httpMeta`) → RFC 9112 de-chunk +
+    * Content-Encoding gunzip (`httpBody`) → charset-aware text decode
+    * (UTF-8 default; an explicit iso-8859-1/latin-1 charset parameter
+    * honored) → one row per 2xx page with (uri, status, mime, charset,
+    * text). Non-2xx and undecodable-body records drop — the keep-set a
+    * corpus pipeline actually wants; compose `htmlToText` /
+    * `urlCanonical` downstream exactly as with [[warcExtract]]. Pure
+    * map-side: every stage is a codegen'd expression, payload bytes
+    * never leave their partition. */
+  def fetchPages(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    import graft.functions.BinaryMeta
+    val recs = warcExtractBytes(df, payloadCol)
+    val m = BinaryMeta.httpMetaCol(col("content_bytes"))
+    recs.select(col("doc_id"), col("rec_idx"), col("uri"),
+        m.getField("status").as("status"),
+        m.getField("content_type").as("mime"),
+        m.getField("charset").as("charset"),
+        BinaryMeta.httpBodyCol(col("content_bytes")).as("__body"))
+      .filter(col("status") >= 200 && col("status") < 300 &&
+        col("__body").isNotNull)
+      .withColumn("text",
+        when(col("charset").isin("iso-8859-1", "latin-1", "latin1"),
+          decode(col("__body"), "ISO-8859-1"))
+          .otherwise(decode(col("__body"), "UTF-8")))
+      .drop("__body")
+  }
+
   /** Deterministic uncompressed-WARC fixtures: nr = doc_id%3+1
     * records per blob, record i carrying uri
     * `http://w<doc_id%50>.example/r<i>` and payload
@@ -626,12 +674,29 @@ object Multimodal {
     * parsed field arithmetically (the X138/X155 round-trip pattern).
     * Compressed blocks come from the spec's GZIPOutputStream
     * round-trip (real encoders emit them). */
+  /** Little-endian n-byte encoding of an integer column, as binary. */
+  private def leBytes(v: org.apache.spark.sql.Column, n: Int) =
+    unhex(concat_ws("", (0 until n).map(k =>
+      lpad(hex(shiftrightunsigned(v, 8 * k).bitwiseAND(lit(255L))), 2, "0")): _*))
+
+  /** One RFC 1952 gzip member around a binary body, built in SQL: plain
+    * header (CM=8, no flags, mtime 0, OS unknown), a single STORED
+    * deflate block (BFINAL=1/BTYPE=00 + LE length + ones-complement),
+    * REAL CRC-32 (Spark's builtin) + ISIZE trailer — spec-valid, just
+    * uncompressed, so verify-then-accept readers must do real work. */
+  private def gzipMemberSql(body: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val blen = octet_length(body).cast("long")
+    concat(
+      unhex(lit("1F8B08000000000000FF")), // header: CM=8, FLG=0
+      unhex(lit("01")), leBytes(blen, 2), leBytes(lit(65535L) - blen, 2),
+      body,
+      leBytes(crc32(body), 4), leBytes(blen, 4)) // trailer: CRC-32 + ISIZE
+  }
+
   def syntheticWarcGz(docs: DataFrame): DataFrame = {
     val crlf = lit("\r\n")
     val nr = pmod(col("doc_id"), lit(3L)) + 1L
-    def le(v: org.apache.spark.sql.Column, n: Int) =
-      unhex(concat_ws("", (0 until n).map(k =>
-        lpad(hex(shiftrightunsigned(v, 8 * k).bitwiseAND(lit(255L))), 2, "0")): _*))
     val members = transform(sequence(lit(1L), nr), i => {
       val payload = concat(lit("gz page "), i, lit(" of doc "), col("doc_id"))
       val rec = concat(
@@ -642,17 +707,69 @@ object Multimodal {
         lit("Content-Type: text/html"), crlf,
         lit("Content-Length: "), length(payload).cast("string"), crlf,
         crlf, payload, crlf, crlf)
-      val body = encode(rec, "UTF-8")
-      val blen = octet_length(body).cast("long")
-      concat(
-        unhex(lit("1F8B08000000000000FF")), // header: CM=8, FLG=0
-        unhex(lit("01")), le(blen, 2), le(lit(65535L) - blen, 2), // stored block
-        body,
-        le(crc32(body), 4), le(blen, 4)) // trailer: CRC-32 + ISIZE
+      gzipMemberSql(encode(rec, "UTF-8"))
     })
     docs.select(col("doc_id"),
       aggregate(members, lit(Array.emptyByteArray),
         (acc, m) => concat(acc, m)).as("payload"))
+  }
+
+  /** Deterministic raw HTTP/1.x response fixtures — the content of a
+    * WARC `response` record (status line + headers + body AS
+    * TRANSMITTED), four transfer shapes by doc_id % 4:
+    *   0 — plain 200, `charset=UTF-8` parameter, honest
+    *       Content-Length, CRLF;
+    *   1 — 404 text/plain with BARE-LF line endings (they occur in
+    *       the wild; the parser must tolerate both);
+    *   2 — 200 with `Transfer-Encoding: chunked`: two hex-sized
+    *       chunks, an extension on the first size line, terminal
+    *       0-chunk;
+    *   3 — 301 with `Content-Encoding: gzip`: the body is a REAL gzip
+    *       member (stored-deflate, valid CRC-32/ISIZE) of the
+    *       redirect notice.
+    * Everything is SQL-built so the DuckDB oracle regenerates each
+    * decoded field arithmetically while the Spark side must run the
+    * actual header walk / de-chunking / gunzip. */
+  def syntheticHttpResponses(docs: DataFrame): DataFrame = {
+    val crlf = lit("\r\n")
+    val id = col("doc_id")
+    val sel = pmod(id, lit(4L))
+    val plainBody = concat(lit("plain body "), id)
+    val plain = encode(concat(
+      lit("HTTP/1.1 200 OK"), crlf,
+      lit("Server: graft"), crlf,
+      lit("Content-Type: text/html; charset=UTF-8"), crlf,
+      lit("Content-Length: "), length(plainBody).cast("string"), crlf,
+      crlf, plainBody), "UTF-8")
+    val lfBody = concat(lit("missing "), id)
+    val lfOnly = encode(concat(
+      lit("HTTP/1.0 404 Not Found\n"),
+      lit("Content-Type: text/plain\n"),
+      lit("\n"), lfBody), "UTF-8")
+    val c1 = concat(lit("chunk one of "), id, lit(" "))
+    val c2 = concat(lit("tail"), pmod(id, lit(7L)))
+    val chunked = encode(concat(
+      lit("HTTP/1.1 200 OK"), crlf,
+      lit("Content-Type: text/html"), crlf,
+      lit("Transfer-Encoding: chunked"), crlf,
+      crlf,
+      hex(length(c1)), lit(";ext=1"), crlf, c1, crlf,
+      hex(length(c2)), crlf, c2, crlf,
+      lit("0"), crlf, crlf), "UTF-8")
+    val gzBody = concat(lit("redirect target doc "), id)
+    val gzMember = gzipMemberSql(encode(gzBody, "UTF-8"))
+    val gzipped = concat(encode(concat(
+      lit("HTTP/1.1 301 Moved Permanently"), crlf,
+      lit("Location: https://site"), pmod(id, lit(10L)), lit(".example/"), crlf,
+      lit("Content-Type: text/html"), crlf,
+      lit("Content-Encoding: gzip"), crlf,
+      lit("Content-Length: "), octet_length(gzMember).cast("string"), crlf,
+      crlf), "UTF-8"), gzMember)
+    docs.select(col("doc_id"),
+      when(sel === 0, plain)
+        .when(sel === 1, lfOnly)
+        .when(sel === 2, chunked)
+        .otherwise(gzipped).as("payload"))
   }
 
   def syntheticWarc(docs: DataFrame): DataFrame = {

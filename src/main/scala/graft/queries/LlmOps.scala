@@ -1792,6 +1792,54 @@ object LlmOps {
       Multimodal.warcExtract(Multimodal.syntheticWarcGz(documents(s, d))),
       "doc_id", "rec_idx")
 
+  /** FETCH→EXTRACT composition — the crawl entry at full fidelity:
+    * each of the four HTTP transfer shapes wraps into a one-record
+    * WARC blob (`application/http;msgtype=response`, byte-counted),
+    * then `Multimodal.fetchPages` runs the WARC byte walk → HTTP
+    * status/header split → de-chunk/gunzip → charset-aware decode and
+    * keeps only 2xx pages (the 404 and the 301 drop). The oracle
+    * restates the surviving rows arithmetically. */
+  def xFetchExtract(s: SparkSession, d: String): DataFrame = {
+    val http = Multimodal.syntheticHttpResponses(documents(s, d))
+    val header = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://f"),
+      pmod(col("doc_id"), lit(50L)),
+      lit(".example/p"), pmod(col("doc_id"), lit(9L)),
+      lit("\r\nContent-Type: application/http;msgtype=response\r\n" +
+        "Content-Length: "),
+      octet_length(col("payload")).cast("string"), lit("\r\n\r\n"))
+    val blob = concat(encode(header, "UTF-8"), col("payload"),
+      encode(lit("\r\n\r\n"), "UTF-8"))
+    ordered(
+      Multimodal.fetchPages(
+        http.select(col("doc_id"), blob.as("payload"))),
+      "doc_id")
+  }
+
+  /** HTTP response split — WARC `response` records carry the RAW HTTP
+    * exchange, so the crawl pipeline needs a status/header/body split
+    * before any text extraction: `Multimodal.syntheticHttpResponses`
+    * builds four transfer shapes (plain + charset param, bare-LF 404,
+    * chunked with a size-line extension, gzip Content-Encoding over a
+    * real stored-deflate member) and `BinaryMeta.httpMeta`/`httpBody`
+    * run the actual header walk, RFC 9112 §7.1 de-chunking, and the
+    * verify-then-concatenate gunzip while the oracle restates every
+    * field arithmetically. */
+  def xHttpResponse(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.BinaryMeta
+    val m = BinaryMeta.httpMetaCol(col("payload"))
+    ordered(
+      Multimodal.syntheticHttpResponses(documents(s, d))
+        .select(col("doc_id"),
+          m.getField("status").as("status"),
+          m.getField("content_type").as("content_type"),
+          m.getField("charset").as("charset"),
+          m.getField("content_encoding").as("content_encoding"),
+          m.getField("chunked").as("chunked"),
+          decode(BinaryMeta.httpBodyCol(col("payload")), "UTF-8").as("body")),
+      "doc_id")
+  }
+
   /** A/V DURATION walk — the field a media manifest actually filters
     * on, and the one a single-header parse cannot give: multi-frame
     * MP3/ADTS fixtures (`Multimodal.syntheticAvFrames`) walked
@@ -2107,6 +2155,8 @@ object LlmOps {
     "x_av_meta"           -> (xAvMeta _),
     "x_web_pipeline"      -> (xWebPipeline _),
     "x_warc_gz"           -> (xWarcGz _),
+    "x_http_response"     -> (xHttpResponse _),
+    "x_fetch_extract"     -> (xFetchExtract _),
     "x_av_duration"       -> (xAvDuration _),
     "x_warc_extract"      -> (xWarcExtract _),
     "x_jpeg_progressive"  -> (xJpegProgressive _),
@@ -4030,6 +4080,32 @@ object LlmOps {
         |    AS content_len,
         |  'page ' || i || ' of doc ' || doc_id AS content
         |FROM r ORDER BY doc_id, rec_idx""".stripMargin,
+    "x_fetch_extract" ->
+      """SELECT doc_id, CAST(0 AS BIGINT) AS rec_idx,
+        |  'http://f' || (doc_id % 50) || '.example/p' || (doc_id % 9) AS uri,
+        |  CAST(200 AS INT) AS status,
+        |  'text/html' AS mime,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'utf-8' END AS charset,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'plain body ' || doc_id
+        |       ELSE 'chunk one of ' || doc_id || ' tail' || (doc_id % 7)
+        |  END AS text
+        |FROM documents WHERE doc_id % 4 IN (0, 2)
+        |ORDER BY doc_id""".stripMargin,
+    "x_http_response" ->
+      """SELECT doc_id,
+        |  CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 200 WHEN 1 THEN 404
+        |       WHEN 2 THEN 200 ELSE 301 END AS INT) AS status,
+        |  CASE WHEN doc_id % 4 = 1 THEN 'text/plain'
+        |       ELSE 'text/html' END AS content_type,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'utf-8' END AS charset,
+        |  CASE WHEN doc_id % 4 = 3 THEN 'gzip' END AS content_encoding,
+        |  doc_id % 4 = 2 AS chunked,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'plain body ' || doc_id
+        |    WHEN 1 THEN 'missing ' || doc_id
+        |    WHEN 2 THEN 'chunk one of ' || doc_id || ' tail' || (doc_id % 7)
+        |    ELSE 'redirect target doc ' || doc_id END AS body
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x_warc_gz" ->
       """WITH r AS (SELECT doc_id, i
         |  FROM documents, LATERAL (SELECT unnest(generate_series(1,

@@ -210,10 +210,12 @@ object ScaleProbe {
       "x_av_duration", "x_warc_extract",
       "x_jpeg_progressive", "x_subtitle_cues", "x_id3_tags",
       "x_robots_filter", "x_sitemap_entries", "x_crawl_frontier",
-      // round-12 additions: gzip-member expansion is map-side per blob;
-      // the frontier's discovery join and the web pipeline's global
-      // near-dup tier ride already-probed key-equality joins
-      "x_warc_gz")
+      // round-12 additions: gzip-member expansion, the HTTP response
+      // split, and the fetch->extract composition are all map-side
+      // per-blob expression scans; the frontier's discovery join and
+      // the web pipeline's global near-dup tier ride already-probed
+      // key-equality joins
+      "x_warc_gz", "x_http_response", "x_fetch_extract")
     // x_dedup_eval is deliberately NOT probed: its exact side is the
     // designed-quadratic x_dedup_ngram (already probed as the quadratic
     // reference) — the eval gate would just re-measure that growth.

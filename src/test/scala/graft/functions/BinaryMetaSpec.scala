@@ -1452,6 +1452,103 @@ class BinaryMetaSpec extends SparkSpec {
       viaJdk.contains("gz page 2 of doc 7"), viaJdk.take(200))
   }
 
+  test("httpMeta/httpBody: status/header walk over CRLF and bare-LF " +
+       "responses, charset params, Content-Length bounding, chunked " +
+       "de-framing (extensions, trailers, truncation), gzip bodies, " +
+       "unknown codings null") {
+    def meta(s: String): org.apache.spark.sql.catalyst.InternalRow =
+      BinaryMeta.httpMeta(s.getBytes("ISO-8859-1"))
+    def body(b: Array[Byte]): String = {
+      val r = BinaryMeta.httpBody(b)
+      if (r == null) null else new String(r, "ISO-8859-1")
+    }
+    // plain CRLF + quoted charset param + honest Content-Length with
+    // trailing junk the length must exclude
+    val plain = "HTTP/1.1 200 OK\r\nContent-Type: Text/HTML; " +
+      "charset=\"ISO-8859-1\"\r\nContent-Length: 5\r\n\r\nhelloJUNK"
+    val m1 = meta(plain)
+    assert(m1 != null && m1.getInt(0) == 200)
+    assert(m1.getUTF8String(1).toString == "text/html")
+    assert(m1.getUTF8String(2).toString == "iso-8859-1")
+    assert(m1.isNullAt(3) && !m1.getBoolean(4))
+    assert(body(plain.getBytes("ISO-8859-1")) == "hello")
+    // bare-LF lines; no reason phrase; missing Content-Length -> rest
+    val lf = "HTTP/1.0 404\nContent-Type: text/plain\n\nmissing page"
+    val m2 = meta(lf)
+    assert(m2 != null && m2.getInt(0) == 404)
+    assert(body(lf.getBytes("ISO-8859-1")) == "missing page")
+    // chunked: extension on a size line, terminal trailers dropped,
+    // Content-Length ignored per RFC 9112 s6.2
+    val ch = "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n" +
+      "Content-Length: 3\r\n\r\n" +
+      "6;note=x\r\nhello \r\nB\r\nworld again\r\n0\r\nTrailer: t\r\n\r\n"
+    val m3 = meta(ch)
+    assert(m3 != null && m3.getBoolean(4), "chunked flag")
+    assert(body(ch.getBytes("ISO-8859-1")) == "hello world again")
+    // malformed chunk framing: bad hex, truncated data, missing CRLF
+    assert(body(("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      "zz\r\nhm\r\n0\r\n\r\n").getBytes) == null, "bad hex size")
+    assert(body(("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      "A\r\nshort\r\n").getBytes) == null, "truncated chunk data")
+    assert(body(("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      "5\r\nhelloX\r\n0\r\n\r\n").getBytes) == null, "missing chunk CRLF")
+    // gzip Content-Encoding (real deflate) decodes; br declines
+    val gz = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write("compressed payload".getBytes("ISO-8859-1")); g.close()
+      bos.toByteArray
+    }
+    val gzResp = ("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n")
+      .getBytes("ISO-8859-1") ++ gz
+    assert(body(gzResp) == "compressed payload")
+    assert(body(("HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nxx")
+      .getBytes) == null, "unknown coding must not mislabel bytes")
+    assert(body(("HTTP/1.1 200 OK\r\nContent-Encoding: identity\r\n\r\nok")
+      .getBytes) == "ok")
+    // chunked THEN gzip composes (Transfer- then Content-decoding)
+    val chGz = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n" +
+      "Content-Encoding: gzip\r\n\r\n").getBytes("ISO-8859-1") ++
+      (f"${gz.length}%x\r\n".getBytes("ISO-8859-1") ++ gz ++
+        "\r\n0\r\n\r\n".getBytes("ISO-8859-1"))
+    assert(body(chGz) == "compressed payload")
+    // malformed: not HTTP, bad status, truncated headers -> null
+    assert(meta("NOPE/1.1 200 OK\r\n\r\n") == null)
+    assert(meta("HTTP/1.1 999x OK\r\n\r\n") == null)
+    assert(meta("HTTP/1.1 042 odd\r\n\r\n") == null, "status < 100")
+    assert(meta("HTTP/1.1 200 OK\r\nContent-Type: t") == null,
+      "no empty line terminator")
+    // truncation at every byte never throws (both faces)
+    val full = ch.getBytes("ISO-8859-1")
+    for (c <- 0 until full.length) {
+      BinaryMeta.httpMeta(full.take(c)); BinaryMeta.httpBody(full.take(c))
+    }
+    for (c <- 0 until gzResp.length) BinaryMeta.httpBody(gzResp.take(c))
+  }
+
+  test("fetchPages composition: WARC-wrapped HTTP responses keep only " +
+       "2xx, latin-1 charset decodes the 0xE9 byte, non-HTTP records drop") {
+    import spark.implicits._
+    def warcWrap(uri: String, content: Array[Byte]): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Type: application/http;msgtype=response\r\n" +
+        s"Content-Length: ${content.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+        content ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    val latin = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain; " +
+      "charset=ISO-8859-1\r\n\r\ncafé").getBytes("ISO-8859-1")
+    val notFound = "HTTP/1.1 404 Nope\r\n\r\ngone".getBytes("ISO-8859-1")
+    val notHttp = "just plain text, no status line".getBytes("ISO-8859-1")
+    val df = Seq(
+      (1L, warcWrap("http://l.example/a", latin)),
+      (2L, warcWrap("http://l.example/b", notFound)),
+      (3L, warcWrap("http://l.example/c", notHttp))).toDF("doc_id", "payload")
+    val got = graft.llm.Multimodal.fetchPages(df)
+      .select($"doc_id", $"uri", $"charset", $"text")
+      .as[(Long, String, String, String)].collect().toList
+    assert(got == List((1L, "http://l.example/a", "iso-8859-1", "café")),
+      got.toString)
+  }
+
   test("mp3FrameStats/adtsFrameStats: frame-length hopping across " +
        "layers/versions, ID3v1 trailer stop, partial-frame stop") {
     def hexB(s: String) = s.replaceAll("\\s", "").grouped(2)
