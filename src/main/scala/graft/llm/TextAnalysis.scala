@@ -236,7 +236,11 @@ object TextAnalysis {
     * per (group agent × rule) with the group structure preserved —
     * consecutive `User-agent` lines share the rule block that follows
     * (the spec's group semantics), directives are case-insensitive,
-    * `#` comments strip, blank/foreign lines ignore. The sequential
+    * `#` comments strip, blank/foreign lines ignore. Rules are
+    * `allow` / `disallow` (pattern = path expression) and, since
+    * round 12, `crawl-delay` (pattern = the seconds value — the
+    * de-facto group directive polite crawlers honor; [[robotsAllowed]]
+    * ignores it, [[crawlDelaySeconds]] reads it). The sequential
     * group numbering is a per-DOMAIN window (robots files are KB-sized
     * — the window partition is one small file, never the corpus). */
   def parseRobots(df: DataFrame, robots: Column,
@@ -245,9 +249,10 @@ object TextAnalysis {
     val lines = split(regexp_replace(robots, "\r\n?", "\n"), "\n")
     val e = df.select(col(domainCol), posexplode(lines).as(Seq("__ln", "__line")))
       .withColumn("__dir", lower(regexp_extract(col("__line"),
-        "(?i)^\\s*(user-agent|allow|disallow)\\s*:", 1)))
+        "(?i)^\\s*(user-agent|allow|disallow|crawl-delay)\\s*:", 1)))
       .withColumn("__val", trim(regexp_extract(col("__line"),
-        "(?i)^\\s*(?:user-agent|allow|disallow)\\s*:\\s*([^#]*)", 1)))
+        "(?i)^\\s*(?:user-agent|allow|disallow|crawl-delay)\\s*:\\s*([^#]*)",
+        1)))
       .filter(col("__dir") =!= "")
     val w = Window.partitionBy(col(domainCol)).orderBy(col("__ln"))
     val g = e
@@ -296,21 +301,30 @@ object TextAnalysis {
     * Scale shape: one equi-join on the domain key (rules are
     * robots-file-sized per domain); the per-(page,rule) regex match is
     * map-side after the join. */
-  def robotsAllowed(pages: DataFrame, rules: DataFrame, userAgent: String,
-                    domainCol: String = "domain",
-                    pathCol: String = "path"): DataFrame = {
-    val uaLc = userAgent.toLowerCase(java.util.Locale.ROOT).replace("'", "")
+  /** RFC 9309 group selection shared by [[robotsAllowed]] and
+    * [[crawlDelaySeconds]]: a domain with any specific group whose
+    * agent token substring-matches the product token uses ONLY its
+    * specific groups; otherwise the `*` groups apply. */
+  private def applicableRules(rules: DataFrame, uaLc: String,
+                              domainCol: String): DataFrame = {
     val hasSpec = rules
       .withColumn("__spec",
         col("agent") =!= "*" && expr(s"instr('$uaLc', agent) > 0"))
       .groupBy(col(domainCol))
       .agg(max(col("__spec")).as("__hasSpec"))
-    val applicable = rules
+    rules
       .join(hasSpec, Seq(domainCol))
       .filter(
         (col("__hasSpec") && col("agent") =!= "*" &&
           expr(s"instr('$uaLc', agent) > 0")) ||
         (!col("__hasSpec") && col("agent") === "*"))
+  }
+
+  def robotsAllowed(pages: DataFrame, rules: DataFrame, userAgent: String,
+                    domainCol: String = "domain",
+                    pathCol: String = "path"): DataFrame = {
+    val uaLc = userAgent.toLowerCase(java.util.Locale.ROOT).replace("'", "")
+    val applicable = applicableRules(rules, uaLc, domainCol)
     // robots pattern → anchored regex: strip a TERMINAL '$' (elsewhere
     // it is literal), escape every metachar except '*', then '*' → '.*'
     val anchored = col("pattern").endsWith("$")
@@ -324,8 +338,10 @@ object TextAnalysis {
       when(anchored, lit("$")).otherwise(lit("")))
     // an EMPTY pattern is a no-op rule by the robots convention
     // ("Disallow:" = nothing is disallowed), not an everything-matcher
-    // of weight zero — drop it before compiling
-    val compiled = applicable.filter(col("pattern") =!= "")
+    // of weight zero — drop it before compiling. Only path rules
+    // compile: crawl-delay rows carry a seconds value, not a pattern.
+    val compiled = applicable
+      .filter(col("rule").isin("allow", "disallow") && col("pattern") =!= "")
       .select(col(domainCol), col("rule"),
         col("pattern"), length(col("pattern")).as("__plen"), rx.as("__rx"))
     // LEFT join + null ordering for non-hits: a page whose rules all
@@ -348,6 +364,61 @@ object TextAnalysis {
       coalesce(col("__best.rule") === "allow", lit(true)).as("allowed") :+
       col("__best.pattern").as("matched_pattern") :+
       col("__best.rule").as("matched_rule"): _*)
+  }
+
+  /** Per-domain crawl delay from the APPLICABLE robots group (the
+    * de-facto `Crawl-delay:` directive honored by polite crawlers;
+    * group selection identical to [[robotsAllowed]]): one row per
+    * domain that declares one, `crawl_delay_s` = the MINIMUM declared
+    * value (the conservative read when a group repeats the line);
+    * non-numeric / negative values ignore. Domains with no applicable
+    * delay are absent — callers coalesce their own default. */
+  def crawlDelaySeconds(rules: DataFrame, userAgent: String,
+                        domainCol: String = "domain"): DataFrame = {
+    val uaLc = userAgent.toLowerCase(java.util.Locale.ROOT).replace("'", "")
+    applicableRules(rules, uaLc, domainCol)
+      .filter(col("rule") === "crawl-delay")
+      // try_cast: a malformed seconds value is an ignored line, not an
+      // ANSI cast error killing the query over one bad robots file
+      .withColumn("__d", expr("try_cast(pattern AS double)"))
+      .filter(col("__d").isNotNull && col("__d") >= 0)
+      .groupBy(col(domainCol))
+      .agg(min(col("__d")).as("crawl_delay_s"))
+  }
+
+  /** Politeness SCHEDULE for a crawl frontier: the allowed pages of
+    * each domain are sequenced (highest sitemap priority first, then
+    * path, then `tieCol` for determinism) and each gets a fetch
+    * offset `fetch_offset_ms = (fetch_seq − 1) · delay_ms`, with
+    * `delay_ms` from the domain's applicable `Crawl-delay` (default
+    * when undeclared). This is the piece that turns a frontier LIST
+    * into a frontier PLAN — a fetcher fleet can partition by domain
+    * and honor offsets locally. Scale shape: the politeness decision
+    * is [[robotsAllowed]]'s bounded join; the sequencing window
+    * partitions by domain — per-domain fan-in is the POINT (a polite
+    * crawl is sequential within a domain by definition), and domains
+    * themselves are unbounded parallelism. */
+  def frontierSchedule(pages: DataFrame, rules: DataFrame, userAgent: String,
+                       defaultDelayMs: Long = 1000,
+                       domainCol: String = "domain",
+                       pathCol: String = "path",
+                       priorityCol: String = "priority",
+                       tieCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val allowed = robotsAllowed(pages, rules, userAgent, domainCol, pathCol)
+      .filter(col("allowed"))
+      .drop("allowed", "matched_pattern", "matched_rule")
+    val delays = crawlDelaySeconds(rules, userAgent, domainCol)
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col(priorityCol).desc_nulls_last, col(pathCol), col(tieCol))
+    allowed.join(delays, Seq(domainCol), "left")
+      .withColumn("delay_ms",
+        coalesce((col("crawl_delay_s") * 1000).cast("long"),
+          lit(defaultDelayMs)))
+      .drop("crawl_delay_s")
+      .withColumn("fetch_seq", row_number().over(w).cast("long"))
+      .withColumn("fetch_offset_ms",
+        (col("fetch_seq") - 1) * col("delay_ms"))
   }
 
   /** Sitemap XML entry extraction (sitemaps.org protocol) — the

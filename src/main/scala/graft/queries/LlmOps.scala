@@ -1792,6 +1792,36 @@ object LlmOps {
       Multimodal.warcExtract(Multimodal.syntheticWarcGz(documents(s, d))),
       "doc_id", "rec_idx")
 
+  /** Crawl politeness SCHEDULE gate — the frontier-plan tier: pages
+    * sequence per domain (priority desc, then path/doc_id) and each
+    * gets `fetch_offset_ms = (seq−1)·delay_ms`, with the delay from
+    * the domain's APPLICABLE `Crawl-delay:` group (even sites: a `*`
+    * group at 2 s that also disallows /p3 — those pages vanish from
+    * the plan; odd sites: a graftbot group at 1.5 s that must preempt
+    * a deny-all 10 s `*` group). The oracle restates the window and
+    * every offset arithmetically. */
+  def xCrawlSchedule(s: SparkSession, d: String): DataFrame = {
+    val site = pmod(col("doc_id"), lit(30L))
+    val even = pmod(site, lit(2L)) === 0
+    val domain = concat(lit("site"), site, lit(".example"))
+    val robots = when(even, lit(
+        "User-agent: *\nCrawl-delay: 2\nDisallow: /p3\n"))
+      .otherwise(lit(
+        "User-agent: graftbot\nCrawl-delay: 1.5\nDisallow: /x\n\n" +
+          "User-agent: *\nCrawl-delay: 10\nDisallow: /\n"))
+    val base = documents(s, d).select(col("doc_id"), domain.as("domain"),
+      robots.as("robots"),
+      concat(lit("/p"), pmod(col("doc_id"), lit(5L))).as("path"),
+      (pmod(col("doc_id"), lit(10L)).cast("double") / 10.0).as("priority"))
+    val rules = TextAnalysis.parseRobots(
+      base.select(col("domain"), col("robots")).distinct(), col("robots"))
+    ordered(
+      TextAnalysis.frontierSchedule(
+        base.select(col("doc_id"), col("domain"), col("path"), col("priority")),
+        rules, userAgent = "graftbot/2.1"),
+      "doc_id")
+  }
+
   /** FETCH→EXTRACT composition — the crawl entry at full fidelity:
     * each of the four HTTP transfer shapes wraps into a one-record
     * WARC blob (`application/http;msgtype=response`, byte-counted),
@@ -2157,6 +2187,7 @@ object LlmOps {
     "x_warc_gz"           -> (xWarcGz _),
     "x_http_response"     -> (xHttpResponse _),
     "x_fetch_extract"     -> (xFetchExtract _),
+    "x_crawl_schedule"    -> (xCrawlSchedule _),
     "x_av_duration"       -> (xAvDuration _),
     "x_warc_extract"      -> (xWarcExtract _),
     "x_jpeg_progressive"  -> (xJpegProgressive _),
@@ -4080,6 +4111,22 @@ object LlmOps {
         |    AS content_len,
         |  'page ' || i || ' of doc ' || doc_id AS content
         |FROM r ORDER BY doc_id, rec_idx""".stripMargin,
+    "x_crawl_schedule" ->
+      """WITH p AS (SELECT doc_id, doc_id % 30 AS site,
+        |    'site' || (doc_id % 30) || '.example' AS domain,
+        |    '/p' || (doc_id % 5) AS path,
+        |    CAST(doc_id % 10 AS DOUBLE) / 10.0 AS priority
+        |  FROM documents),
+        |f AS (SELECT *,
+        |    CASE WHEN site % 2 = 0 THEN 2000 ELSE 1500 END AS delay_ms
+        |  FROM p WHERE NOT (site % 2 = 0 AND doc_id % 5 = 3)),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY domain
+        |        ORDER BY priority DESC, path, doc_id) AS fetch_seq FROM f)
+        |SELECT doc_id, domain, path, priority,
+        |  CAST(delay_ms AS BIGINT) AS delay_ms,
+        |  CAST(fetch_seq AS BIGINT) AS fetch_seq,
+        |  CAST((fetch_seq - 1) * delay_ms AS BIGINT) AS fetch_offset_ms
+        |FROM r ORDER BY doc_id""".stripMargin,
     "x_fetch_extract" ->
       """SELECT doc_id, CAST(0 AS BIGINT) AS rec_idx,
         |  'http://f' || (doc_id % 50) || '.example/p' || (doc_id % 9) AS uri,

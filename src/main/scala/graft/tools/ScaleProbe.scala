@@ -215,7 +215,10 @@ object ScaleProbe {
       // per-blob expression scans; the frontier's discovery join and
       // the web pipeline's global near-dup tier ride already-probed
       // key-equality joins
-      "x_warc_gz", "x_http_response", "x_fetch_extract")
+      "x_warc_gz", "x_http_response", "x_fetch_extract",
+      // the politeness schedule: per-domain windows (domains scale,
+      // per-domain fan-in is the semantic unit)
+      "x_crawl_schedule")
     // x_dedup_eval is deliberately NOT probed: its exact side is the
     // designed-quadratic x_dedup_ngram (already probed as the quadratic
     // reference) — the eval gate would just re-measure that growth.

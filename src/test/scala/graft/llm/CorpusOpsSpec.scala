@@ -271,6 +271,47 @@ class CorpusOpsSpec extends SparkSpec {
       5L -> false, 6L -> true, 7L -> true, 8L -> true), got.toString)
   }
 
+  test("crawlDelaySeconds + frontierSchedule: group selection, min of " +
+       "repeated lines, non-numeric ignored, default for undeclared, " +
+       "offsets sequence per domain") {
+    import spark.implicits._
+    val rules = TextAnalysis.parseRobots(Seq(
+      // specific group preempts the '*' delay; repeated line -> min
+      ("a.com", "User-agent: graftbot\nCrawl-delay: 3\nCrawl-delay: 2\n" +
+        "Disallow: /x\n\nUser-agent: *\nCrawl-delay: 9\n"),
+      // only a '*' group applies
+      ("b.com", "User-agent: *\nCrawl-delay: 0.5\nDisallow: /deny\n"),
+      // non-numeric delay ignored -> domain absent from the delay table
+      ("c.com", "User-agent: *\nCrawl-delay: soon\nDisallow:\n"))
+      .toDF("domain", "robots"), col("robots"))
+    val delays = TextAnalysis.crawlDelaySeconds(rules, "graftbot/2.1")
+      .as[(String, Double)].collect().toMap
+    assert(delays == Map("a.com" -> 2.0, "b.com" -> 0.5), delays.toString)
+    val pages = Seq(
+      (1L, "a.com", "/p1", 0.9), (2L, "a.com", "/p2", 0.1),
+      (3L, "a.com", "/p0", 0.9),  // priority tie -> path order
+      (4L, "b.com", "/deny", 0.9), // disallowed: out of the plan
+      (5L, "b.com", "/ok", 0.5),
+      (6L, "d.com", "/solo", 0.0)) // no rules at all -> default delay
+      .toDF("doc_id", "domain", "path", "priority")
+    val got = TextAnalysis.frontierSchedule(pages, rules, "graftbot/2.1",
+      defaultDelayMs = 250)
+      .select($"doc_id", $"delay_ms", $"fetch_seq", $"fetch_offset_ms")
+      .as[(Long, Long, Long, Long)].collect().toList.sortBy(_._1)
+    assert(got == List(
+      (1L, 2000L, 2L, 2000L),  // a.com: /p0 (tie, path-first) then /p1
+      (2L, 2000L, 3L, 4000L),  // lowest priority last
+      (3L, 2000L, 1L, 0L),
+      (5L, 500L, 1L, 0L),      // /deny dropped; survivor leads
+      (6L, 250L, 1L, 0L)),     // undeclared -> caller default
+      got.toString)
+    // robotsAllowed is unaffected by crawl-delay rows (no phantom rules)
+    val ra = TextAnalysis.robotsAllowed(
+      pages.filter($"domain" === "a.com"), rules, "graftbot/2.1")
+      .select($"doc_id", $"allowed").as[(Long, Boolean)].collect().toMap
+    assert(ra == Map(1L -> true, 2L -> true, 3L -> true))
+  }
+
   test("robotsSitemaps: multiple/absent Sitemap lines, any position, " +
        "case-insensitive directive, comment strip, duplicate rows " +
        "preserved") {
