@@ -47,23 +47,94 @@ object TextAnalysis {
     * custom Expression for it), and the tag stripper is the standard
     * non-parsing approximation: a literal '<' in prose text would need
     * entity-escaping upstream, as real HTML requires anyway. */
-  def htmlToText(html: Column): Column = {
-    // two SEPARATE passes so the close tag must match the open tag:
-    // a single alternation pattern would let '<script>…</style>…'
-    // terminate the script element at the foreign close tag and leak
-    // trailing script code into the extracted text
+  def htmlToText(html: Column): Column =
+    stripAndDecode(removeNonContent(html))
+
+  /** The element-content passes shared by [[htmlToText]] and
+    * [[contentBlocks]]: script, style, comments out (two SEPARATE
+    * passes so the close tag must match the open tag — a single
+    * alternation pattern would let '<script>…</style>…' terminate the
+    * script element at the foreign close tag and leak trailing script
+    * code into the extracted text). */
+  private def removeNonContent(html: Column): Column = {
     val noScript = regexp_replace(html,
       "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
     val noStyle = regexp_replace(noScript,
       "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
-    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
-    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+  }
+
+  /** Tag strip + entity decode + whitespace collapse — the terminal
+    * text pass, applied per document ([[htmlToText]]) or per block
+    * ([[contentBlocks]]). */
+  private def stripAndDecode(c: Column): Column = {
+    val noTags = regexp_replace(c, "(?s)<[^>]*>", " ")
     val decoded = Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&" // amp LAST: no double-decode
-    ).foldLeft(noTags) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
+    ).foldLeft(noTags) { case (cc, (e, v)) => replace(cc, lit(e), lit(v)) }
     trim(regexp_replace(decoded, "\\s+", " "))
   }
+
+  /** LINK-DENSITY block segmentation — the jusText/Boilerpipe signal,
+    * the complement of the df-based site-chrome cut
+    * ([[removeBoilerplate]] needs many pages per site; this one works
+    * on a SINGLE page): the document splits at block-level tag
+    * boundaries (p/div/h1–6/li/ul/ol/table/tr/td/th/section/article/
+    * aside/header/footer/nav/blockquote/br/hr + html/head/body;
+    * `<title>` content drops entirely — it is metadata, not body
+    * text), each block measures its text length and its ANCHOR text
+    * length (the characters inside `<a>…</a>`), and a block is kept
+    * when it is long enough AND link-sparse enough
+    * (`n_chars >= minChars` and `n_anchor_chars·100 <=
+    * maxLinkDensityPct·n_chars` — integer arithmetic, no float
+    * threshold ambiguity). Navigation bars, footers, and link lists
+    * are exactly the high-density short blocks this drops. Output: one
+    * row per non-empty block with `(block_idx, text, n_chars,
+    * n_anchor_chars, kept)`; `block_idx` re-ranks non-empty blocks
+    * 0-based in document order (a per-document window — documents are
+    * KB-sized). Map-side regexp chains except that window. */
+  def contentBlocks(df: DataFrame, html: Column = col("html"),
+                    idCol: String = "doc_id", minChars: Int = 25,
+                    maxLinkDensityPct: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val noTitle = regexp_replace(removeNonContent(html),
+      "(?is)<title\\b[^>]*>.*?</title\\s*>", " ")
+    val marked = regexp_replace(noTitle,
+      "(?i)</?(p|div|h[1-6]|li|ul|ol|table|tr|td|th|section|article|" +
+        "aside|header|footer|nav|blockquote|br|hr|html|head|body)\\b[^>]*>",
+      "")
+    val anchorJoined = array_join(
+      regexp_extract_all(col("__seg"), lit("(?is)<a\\b[^>]*>(.*?)</a\\s*>"),
+        lit(1)), " ")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__segIdx"))
+    df.select(col(idCol),
+        posexplode(split(marked, "")).as(Seq("__segIdx", "__seg")))
+      .withColumn("text", stripAndDecode(col("__seg")))
+      .filter(col("text") =!= "")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_anchor_chars",
+        length(stripAndDecode(anchorJoined)).cast("long"))
+      .withColumn("kept",
+        col("n_chars") >= minChars &&
+          col("n_anchor_chars") * 100 <= col("n_chars") * maxLinkDensityPct)
+      .withColumn("block_idx",
+        (row_number().over(w) - 1).cast("long"))
+      .select(col(idCol), col("block_idx"), col("text"),
+        col("n_chars"), col("n_anchor_chars"), col("kept"))
+  }
+
+  /** Single-page main-content extraction: the kept blocks of
+    * [[contentBlocks]] joined back into one text per document. */
+  def mainContent(df: DataFrame, html: Column = col("html"),
+                  idCol: String = "doc_id", minChars: Int = 25,
+                  maxLinkDensityPct: Int = 40): DataFrame =
+    contentBlocks(df, html, idCol, minChars, maxLinkDensityPct)
+      .filter(col("kept"))
+      .groupBy(col(idCol))
+      .agg(array_join(
+        array_sort(collect_list(struct(col("block_idx"), col("text"))))
+          .getField("text"), " ").as("main_text"))
 
   /** URL canonicalization — the web-corpus dedup key: lower-cased
     * host, `www.` and default ports stripped (`:80` for http, `:443`

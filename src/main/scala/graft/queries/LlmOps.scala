@@ -1792,6 +1792,35 @@ object LlmOps {
       Multimodal.warcExtract(Multimodal.syntheticWarcGz(documents(s, d))),
       "doc_id", "rec_idx")
 
+  /** Link-density main-content extraction gate — the jusText/
+    * Boilerpipe signal on a SINGLE page (no site corpus needed, unlike
+    * the df-based chrome cut): a nav bar of pure links, a long clean
+    * paragraph, a mixed paragraph under the density threshold, an
+    * all-link stub, a too-short block, and a link footer — each lands
+    * in exactly the kept/dropped bucket the integer rule
+    * (`n_chars >= 25`, `anchor·100 <= chars·40`) dictates, and the
+    * oracle restates every block's text/lengths/verdict
+    * arithmetically. */
+  def xContentExtract(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val html = concat(
+      lit("<html><head><title>portal page</title><style>nav{top:0}" +
+        "</style></head><body>"),
+      lit("<div class=\"nav\"><a href=\"/\">Home</a> <a>Login</a> " +
+        "<a>Site "), pmod(id, lit(10L)), lit("</a></div>"),
+      lit("<p>Main paragraph of doc "), id,
+      lit(" with plenty of body characters to keep.</p>"),
+      lit("<p>See <a>related item "), pmod(id, lit(7L)),
+      lit("</a> plus surrounding commentary text.</p>"),
+      lit("<p><a>short</a></p>"),
+      lit("<div>tiny</div>"),
+      lit("<footer><a>About</a> <a>Terms</a></footer></body></html>"))
+    ordered(
+      TextAnalysis.contentBlocks(
+        documents(s, d).select(id, html.as("html"))),
+      "doc_id", "block_idx")
+  }
+
   /** Crawl politeness SCHEDULE gate — the frontier-plan tier: pages
     * sequence per domain (priority desc, then path/doc_id) and each
     * gets `fetch_offset_ms = (seq−1)·delay_ms`, with the delay from
@@ -2188,6 +2217,7 @@ object LlmOps {
     "x_http_response"     -> (xHttpResponse _),
     "x_fetch_extract"     -> (xFetchExtract _),
     "x_crawl_schedule"    -> (xCrawlSchedule _),
+    "x_content_extract"   -> (xContentExtract _),
     "x_av_duration"       -> (xAvDuration _),
     "x_warc_extract"      -> (xWarcExtract _),
     "x_jpeg_progressive"  -> (xJpegProgressive _),
@@ -4111,6 +4141,31 @@ object LlmOps {
         |    AS content_len,
         |  'page ' || i || ' of doc ' || doc_id AS content
         |FROM r ORDER BY doc_id, rec_idx""".stripMargin,
+    "x_content_extract" ->
+      """WITH b AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS block_idx,
+        |    'Home Login Site ' || (doc_id % 10) AS text,
+        |    CAST(length('Home Login Site ' || (doc_id % 10)) AS BIGINT)
+        |      AS n_anchor_chars
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'Main paragraph of doc ' || doc_id ||
+        |    ' with plenty of body characters to keep.', 0 FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'See related item ' || (doc_id % 7) ||
+        |    ' plus surrounding commentary text.',
+        |    length('related item ' || (doc_id % 7)) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 3, 'short', 5 FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 4, 'tiny', 0 FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 5, 'About Terms', 11 FROM documents)
+        |SELECT doc_id, block_idx, text,
+        |  CAST(length(text) AS BIGINT) AS n_chars, n_anchor_chars,
+        |  length(text) >= 25 AND n_anchor_chars * 100 <= length(text) * 40
+        |    AS kept
+        |FROM b ORDER BY doc_id, block_idx""".stripMargin,
     "x_crawl_schedule" ->
       """WITH p AS (SELECT doc_id, doc_id % 30 AS site,
         |    'site' || (doc_id % 30) || '.example' AS domain,

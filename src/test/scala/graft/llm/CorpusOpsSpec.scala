@@ -271,6 +271,42 @@ class CorpusOpsSpec extends SparkSpec {
       5L -> false, 6L -> true, 7L -> true, 8L -> true), got.toString)
   }
 
+  test("contentBlocks + mainContent: link-density keeps prose and drops " +
+       "nav/footer/link-stubs; br splits; inline tags and entities stay " +
+       "in-block; title never surfaces") {
+    import spark.implicits._
+    val html =
+      "<html><head><title>My Portal</title></head><body>" +
+        "<nav><a href='/'>Home</a> <a href='/l'>Login now please</a></nav>" +
+        "<p>This <b>bold</b> paragraph has &amp; keeps enough characters." +
+        "<br>Second half after the break also has plenty of characters.</p>" +
+        "<p>Click <a>here for more of everything on sale</a> now!</p>" +
+        "<footer><a>About</a></footer></body></html>"
+    val got = TextAnalysis.contentBlocks(Seq((1L, html)).toDF("doc_id", "html"))
+      .orderBy("block_idx")
+      .select($"text", $"n_chars", $"n_anchor_chars", $"kept")
+      .as[(String, Long, Long, Boolean)].collect().toList
+    assert(got == List(
+      // nav: 21 text chars, all anchors -> dropped (density)
+      ("Home Login now please", 21L, 21L, false),
+      // first half of the split paragraph: inline <b> stays in-block,
+      // entity decodes, no anchors -> kept
+      ("This bold paragraph has & keeps enough characters.", 50L, 0L, true),
+      // second half (after <br>) long enough, clean -> kept
+      ("Second half after the break also has plenty of characters.",
+        58L, 0L, true),
+      // mixed: 35 anchor chars of 46 -> 76% > 40% -> dropped
+      ("Click here for more of everything on sale now!", 46L, 35L, false),
+      ("About", 5L, 5L, false)), got.toString)
+    val main = TextAnalysis.mainContent(Seq((1L, html)).toDF("doc_id", "html"))
+      .select($"main_text").as[String].head()
+    assert(main == "This bold paragraph has & keeps enough characters. " +
+      "Second half after the break also has plenty of characters.", main)
+    // a document with no kept block vanishes from mainContent
+    assert(TextAnalysis.mainContent(
+      Seq((2L, "<p><a>only links</a></p>")).toDF("doc_id", "html")).count() == 0)
+  }
+
   test("crawlDelaySeconds + frontierSchedule: group selection, min of " +
        "repeated lines, non-numeric ignored, default for undeclared, " +
        "offsets sequence per domain") {
