@@ -136,6 +136,66 @@ object TextAnalysis {
         array_sort(collect_list(struct(col("block_idx"), col("text"))))
           .getField("text"), " ").as("main_text"))
 
+  /** OUTLINK extraction with RFC 3986 relative resolution — the
+    * WAT/link-graph tier of a crawl (outlinks feed the frontier and
+    * the host graph PageRank ranks): `href` values pull from `<a>`
+    * tags (quoted or bare), fragments strip, `javascript:`/`mailto:`/
+    * `tel:`/`data:` pseudo-links and empties drop, and each survivor
+    * resolves against the page URL per §5.2: absolute passes through,
+    * `//host/…` takes the base scheme, `/path` takes scheme://host,
+    * anything else merges with the base path's directory; `./` and
+    * `x/../` dot segments normalize (§5.2.4) with a DOCUMENTED unroll
+    * bound of 8 levels — deeper chains keep their residue rather than
+    * looping (real pages sit far below it). Output: one row per
+    * extracted link `(link_idx, href, url)` in document order.
+    * Map-side regexp chains only. */
+  def extractLinks(df: DataFrame, html: Column = col("html"),
+                   baseUrl: Column = col("url"),
+                   idCol: String = "doc_id"): DataFrame = {
+    val clean = removeNonContent(html)
+    val quoted = regexp_extract_all(clean,
+      lit("(?is)<a\\b[^>]*?href\\s*=\\s*[\"']([^\"']*)[\"']"), lit(1))
+    val bare = regexp_extract_all(clean,
+      lit("(?is)<a\\b[^>]*?href\\s*=\\s*([^\"'\\s>]+)"), lit(1))
+    val scheme = regexp_extract(baseUrl, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+    val hostPort = regexp_extract(baseUrl,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    val baseDir0 = regexp_replace(
+      regexp_extract(baseUrl, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+      "/[^/]*$", "/")
+    val baseDir = when(baseDir0 === "", lit("/")).otherwise(baseDir0)
+    val link0 = regexp_replace(col("href"), "#.*$", "") // fragment drops
+    val resolved0 =
+      when(link0.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), link0)
+        .when(link0.startsWith("//"), concat(col("__sch"), lit(":"), link0))
+        .when(link0.startsWith("/"),
+          concat(col("__sch"), lit("://"), col("__hp"), link0))
+        .otherwise(concat(col("__sch"), lit("://"), col("__hp"),
+          col("__bd"), link0))
+    // §5.2.4 dot-segment removal, unrolled (8 levels), applied to the
+    // PATH only — the authority splits off first so "/seg/../" folding
+    // can never consume the host; a leading "/../" clamps at root.
+    val auth = regexp_extract(resolved0,
+      "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    val rest0 = regexp_replace(resolved0,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    val noDot = (1 to 3).foldLeft(rest0)((c, _) =>
+      regexp_replace(c, "/\\.(/|$)", "/"))
+    val folded = (1 to 8).foldLeft(noDot)((c, _) =>
+      regexp_replace(c, "/(?!\\.\\./)[^/]+/\\.\\.(/|$)", "/"))
+    val clampedPath = (1 to 8).foldLeft(folded)((c, _) =>
+      regexp_replace(c, "^/\\.\\.(/|$)", "/"))
+    val clamped = concat(auth, clampedPath)
+    df.select(col(idCol), scheme.as("__sch"), hostPort.as("__hp"),
+        baseDir.as("__bd"),
+        posexplode(concat(quoted, bare)).as(Seq("link_idx", "href")))
+      .filter(col("href") =!= "" &&
+        !col("href").rlike("(?i)^(javascript|mailto|tel|data):") &&
+        !regexp_replace(col("href"), "#.*$", "").equalTo(""))
+      .select(col(idCol), col("link_idx").cast("long").as("link_idx"),
+        col("href"), clamped.as("url"))
+  }
+
   /** URL canonicalization — the web-corpus dedup key: lower-cased
     * host, `www.` and default ports stripped (`:80` for http, `:443`
     * for https), trailing path slashes removed, query parameters

@@ -1792,6 +1792,61 @@ object LlmOps {
       Multimodal.warcExtract(Multimodal.syntheticWarcGz(documents(s, d))),
       "doc_id", "rec_idx")
 
+  private def linkFixture(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val url = concat(lit("https://site"), pmod(id, lit(20L)),
+      lit(".example/dir/sub/page"), pmod(id, lit(3L)), lit(".html"))
+    val html = concat(
+      lit("<html><body>" +
+        "<a href=\"https://other.example/abs\">abs</a>" +
+        "<a href='//peer.example/x'>proto</a>" +
+        "<a href=\"/root/r"), pmod(id, lit(5L)), lit("\">root</a>" +
+        "<a href=\"img"), pmod(id, lit(4L)), lit("\">rel</a>" +
+        "<a href=\"../up/q\">parent</a>" +
+        "<a href=\"./same\">dot</a>" +
+        "<a href=\"#top\">frag</a>" +
+        "<a href=\"javascript:void(0)\">js</a>" +
+        "<a href=/bare"), pmod(id, lit(2L)), lit(">bare</a>" +
+        "</body></html>"))
+    documents(s, d).select(id, url.as("url"), html.as("html"))
+  }
+
+  /** Outlink extraction gate — the WAT/link-graph tier: every RFC 3986
+    * resolution shape in one page (absolute, protocol-relative,
+    * root-relative, directory-relative, `../` fold, `./` collapse, a
+    * BARE unquoted href) plus the two drop classes (fragment-only,
+    * `javascript:`); link_idx keeps the extraction positions, so the
+    * dropped pseudo-links leave the documented gaps. The oracle
+    * restates every resolved URL arithmetically. */
+  def xLinkExtract(s: SparkSession, d: String): DataFrame =
+    ordered(
+      TextAnalysis.extractLinks(linkFixture(s, d)),
+      "doc_id", "link_idx")
+
+  /** Host-graph composition gate — outlinks aggregate to the
+    * registrable-domain edge list that feeds frontier prioritization
+    * and host-level PageRank: source = the page's domain, target = the
+    * resolved link's domain, one weighted edge per (src, dst). The
+    * oracle regenerates edge weights from the fixture arithmetic
+    * (per page: 1 edge to other.example, 1 to peer.example, 5
+    * self-edges). */
+  def xLinkGraph(s: SparkSession, d: String): DataFrame = {
+    val base = linkFixture(s, d)
+    val links = TextAnalysis.extractLinks(base)
+    val withSrc = links.join(
+      base.select(col("doc_id"),
+        TextAnalysis.registrableDomain(
+          regexp_extract(col("url"), "^[a-zA-Z]+://([^/?#]*)", 1)).as("src")),
+      Seq("doc_id"))
+    ordered(
+      withSrc
+        .withColumn("dst", TextAnalysis.registrableDomain(
+          regexp_extract(col("url"), "^[a-zA-Z]+://([^/?#]*)", 1)))
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("n_links")),
+      "src", "dst")
+  }
+
   /** Link-density main-content extraction gate — the jusText/
     * Boilerpipe signal on a SINGLE page (no site corpus needed, unlike
     * the df-based chrome cut): a nav bar of pure links, a long clean
@@ -2218,6 +2273,8 @@ object LlmOps {
     "x_fetch_extract"     -> (xFetchExtract _),
     "x_crawl_schedule"    -> (xCrawlSchedule _),
     "x_content_extract"   -> (xContentExtract _),
+    "x_link_extract"      -> (xLinkExtract _),
+    "x_link_graph"        -> (xLinkGraph _),
     "x_av_duration"       -> (xAvDuration _),
     "x_warc_extract"      -> (xWarcExtract _),
     "x_jpeg_progressive"  -> (xJpegProgressive _),
@@ -4141,6 +4198,35 @@ object LlmOps {
         |    AS content_len,
         |  'page ' || i || ' of doc ' || doc_id AS content
         |FROM r ORDER BY doc_id, rec_idx""".stripMargin,
+    "x_link_extract" ->
+      """WITH s AS (SELECT doc_id,
+        |    'https://site' || (doc_id % 20) || '.example' AS origin
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, 0 AS link_idx, 'https://other.example/abs' AS href,
+        |    'https://other.example/abs' AS url FROM s
+        |  UNION ALL SELECT doc_id, 1, '//peer.example/x',
+        |    'https://peer.example/x' FROM s
+        |  UNION ALL SELECT doc_id, 2, '/root/r' || (doc_id % 5),
+        |    origin || '/root/r' || (doc_id % 5) FROM s
+        |  UNION ALL SELECT doc_id, 3, 'img' || (doc_id % 4),
+        |    origin || '/dir/sub/img' || (doc_id % 4) FROM s
+        |  UNION ALL SELECT doc_id, 4, '../up/q', origin || '/dir/up/q' FROM s
+        |  UNION ALL SELECT doc_id, 5, './same',
+        |    origin || '/dir/sub/same' FROM s
+        |  UNION ALL SELECT doc_id, 8, '/bare' || (doc_id % 2),
+        |    origin || '/bare' || (doc_id % 2) FROM s)
+        |SELECT doc_id, CAST(link_idx AS BIGINT) AS link_idx, href, url
+        |FROM l ORDER BY doc_id, link_idx""".stripMargin,
+    "x_link_graph" ->
+      """WITH d AS (SELECT doc_id,
+        |    'site' || (doc_id % 20) || '.example' AS src FROM documents),
+        |e AS (
+        |  SELECT src, 'other.example' AS dst, 1 AS c FROM d
+        |  UNION ALL SELECT src, 'peer.example', 1 FROM d
+        |  UNION ALL SELECT src, src, 5 FROM d)
+        |SELECT src, dst, CAST(SUM(c) AS BIGINT) AS n_links
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "x_content_extract" ->
       """WITH b AS (
         |  SELECT doc_id, CAST(0 AS BIGINT) AS block_idx,

@@ -271,6 +271,40 @@ class CorpusOpsSpec extends SparkSpec {
       5L -> false, 6L -> true, 7L -> true, 8L -> true), got.toString)
   }
 
+  test("extractLinks: RFC 3986 resolution edges — root clamp on excess " +
+       "../, pathless base, query preserved, pseudo-links and " +
+       "fragment-only drop, bare href") {
+    import spark.implicits._
+    def links(url: String, html: String): List[(Long, String, String)] =
+      TextAnalysis.extractLinks(Seq((1L, url, html)).toDF("doc_id", "url", "html"))
+        .orderBy("link_idx")
+        .select($"link_idx", $"href", $"url")
+        .as[(Long, String, String)].collect().toList
+    // excess ../ clamps at the root instead of escaping the authority
+    val clamp = links("https://a.example/d/p.html",
+      "<a href=\"../../../x\">deep</a>")
+    assert(clamp == List((0L, "../../../x", "https://a.example/x")),
+      clamp.toString)
+    // base with NO path: relative links resolve against '/'
+    val nopath = links("https://a.example",
+      "<a href=\"rel\">r</a><a href=\"q?k=1&z=2\">q</a>")
+    assert(nopath == List(
+      (0L, "rel", "https://a.example/rel"),
+      (1L, "q?k=1&z=2", "https://a.example/q?k=1&z=2")), nopath.toString)
+    // fragments strip from otherwise-real links; pseudo-links drop
+    val mixed = links("https://a.example/d/",
+      "<a href=\"p#sec\">frag</a><a href=\"MAILTO:x@y\">m</a>" +
+        "<a href=\"#only\">f</a><a href=tel:123>t</a><a href=\"\">e</a>")
+    assert(mixed == List((0L, "p#sec", "https://a.example/d/p")),
+      mixed.toString)
+    // a trailing-directory base keeps the directory; ./ collapses at end
+    val dot = links("https://a.example/d/e/",
+      "<a href=\"./\">here</a><a href=\"..\">up</a>")
+    assert(dot == List(
+      (0L, "./", "https://a.example/d/e/"),
+      (1L, "..", "https://a.example/d/")), dot.toString)
+  }
+
   test("contentBlocks + mainContent: link-density keeps prose and drops " +
        "nav/footer/link-stubs; br splits; inline tags and entities stay " +
        "in-block; title never surfaces") {
