@@ -302,9 +302,11 @@ object BinaryMeta {
     * tag body (FF 00 → FF, v2.3 §5) before the walk; a v2.4
     * per-frame flag de-unsyncs that frame's body (its size is the
     * on-disk size, §6.1). Stops at padding or tag end; malformed
-    * frames stop the walk with the prefix frames kept; v2.2 declines
-    * (3-byte ids, a different layout). Null when nothing
-    * extractable. */
+    * frames stop the walk with the prefix frames kept. v2.2 parses
+    * too since round 12 (3-byte ids, 3-byte big-endian sizes, no
+    * frame flags, tag-level unsync honored; its undefined-scheme
+    * compression tag flag declines the whole tag per the spec). Null
+    * when nothing extractable. */
   /** ID3v2 de-unsynchronisation (v2.3 §5 / v2.4 §6.1): every FF 00
     * byte pair collapses to FF — the inverse of the transform writers
     * apply so tag bytes never fake an MPEG sync. */
@@ -322,22 +324,28 @@ object BinaryMeta {
   def id3TextFrames(b: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
     if (!hasId3(b, 0)) return null
     val ver = b(3) & 0xff
-    if (ver < 3 || ver > 4) return null
+    if (ver < 2 || ver > 4) return null
     val flags = b(5) & 0xff
     val tagSize = syncsafe4(b, 6)
     if (tagSize < 0) return null
     val end0 = math.min(10L + tagSize, b.length.toLong).toInt
-    // v2.3 tag-level unsync transforms the WHOLE tag body — undo once,
-    // then walk normally (v2.3 frame sizes refer to the de-unsynced
-    // data). v2.4's tag flag just asserts every frame carries its own
-    // per-frame flag, which the walk honors below.
+    // v2.2's second tag flag is 'compression' with no defined scheme —
+    // the spec says ignore the whole tag when set
+    if (ver == 2 && (flags & 0x40) != 0) return null
+    // v2.2/v2.3 tag-level unsync transforms the WHOLE tag body — undo
+    // once, then walk normally (their frame sizes refer to the
+    // de-unsynced data). v2.4's tag flag just asserts every frame
+    // carries its own per-frame flag, which the walk honors below.
     val (buf, pStart, end) =
-      if (ver == 3 && (flags & 0x80) != 0) {
+      if (ver <= 3 && (flags & 0x80) != 0) {
         val d = deUnsync(b, 10, end0)
         (d, 0, d.length)
       } else (b, 10, end0)
+    // v2.2 frames: 3-byte id + 3-byte big-endian size, no format flags
+    val idLen = if (ver == 2) 3 else 4
+    val fhLen = if (ver == 2) 6 else 10
     var p = pStart
-    if ((flags & 0x40) != 0) { // extended header
+    if (ver >= 3 && (flags & 0x40) != 0) { // extended header
       if (p + 4 > end) return null
       val es =
         if (ver == 4) syncsafe4(buf, p) // v2.4: size INCLUDES the field
@@ -348,27 +356,32 @@ object BinaryMeta {
     val out = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.sql.catalyst.InternalRow]
     var stop = false
-    while (!stop && p + 10 <= end) {
-      if (b(p) == 0) stop = true // padding
+    while (!stop && p + fhLen <= end) {
+      if (buf(p) == 0) stop = true // padding
       else {
         var idOk = true
         var k = 0
-        while (k < 4) {
+        while (k < idLen) {
           val c = buf(p + k) & 0xff
           if (!((c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9'))) idOk = false
           k += 1
         }
-        val fsize = if (ver == 4) syncsafe4(buf, p + 4) else u32be(buf, p + 4)
-        if (!idOk || fsize < 0 || p + 10 + fsize > end) stop = true
+        val fsize: Long =
+          if (ver == 2)
+            (((buf(p + 3) & 0xff) << 16) | ((buf(p + 4) & 0xff) << 8) |
+              (buf(p + 5) & 0xff)).toLong
+          else if (ver == 4) syncsafe4(buf, p + 4)
+          else u32be(buf, p + 4)
+        if (!idOk || fsize < 0 || p + fhLen + fsize > end) stop = true
         else {
           // frame FORMAT flags shift or poison the body: compressed /
           // encrypted frames are not text-extractable (skip, keep
           // walking); grouping-id and v2.4 data-length-indicator
           // prepend 1 / 4 bytes; a v2.4 per-frame-unsynchronised body
           // de-unsyncs before decode (fsize is the on-disk size)
-          val f2 = buf(p + 9) & 0xff
-          var bodyOff = p + 10
-          val bodyEnd = p + 10 + fsize.toInt
+          val f2 = if (ver == 2) 0 else buf(p + 9) & 0xff
+          var bodyOff = p + fhLen
+          val bodyEnd = p + fhLen + fsize.toInt
           var extractable = true
           var frameUnsync = false
           if (ver == 4) {
@@ -395,11 +408,12 @@ object BinaryMeta {
               val decoded = new String(raw, 1, raw.length - 1, cs)
               val cleaned = decoded.split('\u0000').filter(_.nonEmpty).mkString("/")
               out += org.apache.spark.sql.catalyst.InternalRow(
-                UTF8String.fromBytes(java.util.Arrays.copyOfRange(buf, p, p + 4)),
+                UTF8String.fromBytes(
+                  java.util.Arrays.copyOfRange(buf, p, p + idLen)),
                 UTF8String.fromString(cleaned))
             }
           }
-          p += 10 + fsize.toInt
+          p += fhLen + fsize.toInt
         }
       }
     }

@@ -138,28 +138,39 @@ object CorpusIngest {
     *      a replayed batch re-derives its original survivors);
     *   4. survivors' pages append to `<dir>/pages`, their keys to
     *      `<dir>/urls` — both batch-id-keyed idempotent commits, so a
-    *      replayed micro-batch is a no-op.
+    *      replayed micro-batch is a no-op;
+    *   5. FRONTIER growth (the crawl loop): survivors' outlinks
+    *      extract and resolve (`extractLinks`), canonicalize, and the
+    *      keys not yet fetched (urls artifact + this batch) nor
+    *      already queued (frontier artifact) append to
+    *      `<dir>/frontier` — the candidate list the next fetch wave
+    *      drains, discovered by crawling itself.
     * Near-dup state lives in the SEPARATE lsh/image ingest faces —
     * chain them on `<dir>/pages` downstream; this face owns exactly
-    * the crawl-specific tier (container split + URL-exact dedup).
+    * the crawl-specific tier (container split + URL-exact dedup +
+    * frontier discovery).
     * 100 TB shape: one shuffle on the canonical key (within-batch
-    * dedup) + one key-equality anti-join against a linearly-growing
-    * ids-only artifact — page BYTES never join anything; the artifact
-    * re-read per batch is the narrow url column, not the corpus. */
+    * dedup) + key-equality anti-joins against linearly-growing
+    * ids-only artifacts — page BYTES never join anything; the
+    * artifacts re-read per batch are narrow url columns, not the
+    * corpus. */
   def crawlIngestBatch(artifactDir: String)
                       (batch: DataFrame, batchId: Long): Unit = {
     import org.apache.spark.sql.expressions.Window
     val spark = batch.sparkSession
     val urlsPath = s"$artifactDir/urls"
-    // extracted once, consumed three times (dedup, pages, urls) — a
-    // micro-batch's pages are small, checkpoint beats the re-walk
+    val frontierPath = s"$artifactDir/frontier"
+    // extracted once, consumed four times (dedup, pages, urls,
+    // outlinks) — a micro-batch's pages are small, checkpoint beats
+    // the re-walk
     val pages = graft.llm.Multimodal.warcExtract(batch)
-      .select(col("doc_id"), col("rec_idx"),
+      .select(col("doc_id"), col("rec_idx"), col("uri"),
         TextAnalysis.urlCanonical(col("uri")).as("canon"),
-        TextAnalysis.htmlToText(col("content")).as("text"))
+        col("content"))
       .filter(col("canon").isNotNull)
       .withColumn("domain", TextAnalysis.registrableDomain(
         regexp_extract(col("canon"), "^([^/?]*)", 1)))
+      .withColumn("text", TextAnalysis.htmlToText(col("content")))
       .localCheckpoint(true)
     if (pages.isEmpty) return
     val w = Window.partitionBy(col("canon"))
@@ -168,20 +179,37 @@ object CorpusIngest {
       .filter(col("__rn") === 1).drop("__rn")
     val fs = new org.apache.hadoop.fs.Path(urlsPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val survivors =
-      if (fs.exists(new org.apache.hadoop.fs.Path(urlsPath))) {
+    def artifact(path: String): Option[DataFrame] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
         // replay safety: exclude this batch's own epoch partition so
-        // the anti-join sees exactly the history the first run saw
-        val seen = spark.read.parquet(urlsPath)
+        // the anti-joins see exactly the history the first run saw
+        Some(spark.read.parquet(path)
           .filter(col("batch_id").cast("long") =!= lit(batchId))
-          .select("canon")
-        firsts.join(seen, Seq("canon"), "left_anti")
-      } else firsts
+          .select("canon"))
+      else None
+    val seen = artifact(urlsPath)
+    val survivors = seen.fold(firsts)(s =>
+      firsts.join(s, Seq("canon"), "left_anti"))
     graft.sources.Sinks.idempotentBatchSink(s"$artifactDir/pages")(
       survivors.select("doc_id", "rec_idx", "canon", "domain", "text"),
       batchId)
     graft.sources.Sinks.idempotentBatchSink(urlsPath)(
       survivors.select("canon"), batchId)
+    // the crawl loop: outlinks of the pages just kept become frontier
+    // candidates unless fetched (history or this batch) or queued
+    val outlinks = TextAnalysis.extractLinks(
+        survivors.select(col("doc_id"), col("uri").as("url"),
+          col("content").as("html")))
+      .select(TextAnalysis.urlCanonical(col("url")).as("canon"), col("url"))
+      .filter(col("canon").isNotNull)
+      .dropDuplicates("canon")
+      .join(survivors.select("canon"), Seq("canon"), "left_anti")
+    val unseen = seen.fold(outlinks)(s =>
+      outlinks.join(s, Seq("canon"), "left_anti"))
+    val fresh = artifact(frontierPath).fold(unseen)(q =>
+      unseen.join(q, Seq("canon"), "left_anti"))
+    graft.sources.Sinks.idempotentBatchSink(frontierPath)(
+      fresh.select("canon", "url"), batchId)
   }
 
   /** Wire the crawl per-batch body into a stream of WARC blobs. */

@@ -1666,7 +1666,25 @@ class BinaryMetaSpec extends SparkSpec {
     assert(frames(BinaryMeta.id3TextFrames(tag(4, un24))) ==
       Seq(("TIT2", "ÿAÿ"), ("TPE1", "Q")),
       frames(BinaryMeta.id3TextFrames(tag(4, un24))).toString)
-    // v2.2 declines; foreign null
+    // v2.2 (3-byte ids, 3-byte big-endian sizes, no frame flags):
+    // TT2 ISO text + TP1 UCS-2 text + padding stop
+    def v22(framesHex: String, pad: Int = 0, flags: Int = 0): Array[Byte] = {
+      val size = framesHex.length / 2 + pad
+      hexB(f"494433 0200 $flags%02X 000000$size%02X" + framesHex + "00" * pad)
+    }
+    val f22 = "545432" + "000005" + "00" + "48693232" + // TT2 "Hi22"
+      "545031" + "000007" + "01" + "FFFE41004200"       // TP1 UCS-2 "AB"
+    assert(frames(BinaryMeta.id3TextFrames(v22(f22, pad = 4))) ==
+      Seq(("TT2", "Hi22"), ("TP1", "AB")),
+      frames(BinaryMeta.id3TextFrames(v22(f22, pad = 4))).toString)
+    // v2.2 tag-level unsync: FF 00 -> FF over the tag body
+    val f22u = "545432" + "000003" + "00" + "FF0041" // "ÿA" unsynced
+    val un22 = v22(f22u, flags = 0x80)
+    assert(frames(BinaryMeta.id3TextFrames(un22)) == Seq(("TT2", "ÿA")),
+      frames(BinaryMeta.id3TextFrames(un22)).toString)
+    // v2.2 compression tag flag (no defined scheme): whole tag declines
+    assert(BinaryMeta.id3TextFrames(v22(f22, flags = 0x40)) == null)
+    // empty v2.2 tag: nothing extractable; foreign null
     assert(BinaryMeta.id3TextFrames(hexB("494433 0200 00 00000000")) == null)
     assert(BinaryMeta.id3TextFrames("zzz".getBytes) == null)
     val full = tag(3, iso + mixed)

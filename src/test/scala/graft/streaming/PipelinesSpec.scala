@@ -274,17 +274,25 @@ class PipelinesSpec extends SparkSpec {
     }
     // batch 0: doc 1 carries two records; doc 2's record canonicalizes
     // to the SAME key as doc 1's first (case + utm param + fragment
-    // differences) — within-batch keep-first must drop it
+    // differences) — within-batch keep-first must drop it. The /p1
+    // page links to /p2 (fetched THIS batch -> not queued) and to
+    // c.example/later (unseen -> queued).
     val b0 = Seq(
-      (1L, (rec("https://A.example/p1?utm_x=1", "<html><body>one</body></html>") +
+      (1L, (rec("https://A.example/p1?utm_x=1",
+              "<html><body>one <a href=\"/p2\">n</a> " +
+                "<a href=\"https://c.example/later\">l</a></body></html>") +
             rec("http://a.example/p2", "<p>two</p>")).getBytes("ISO-8859-1")),
       (2L, rec("https://a.example/p1#frag", "<p>dup in batch</p>")
         .getBytes("ISO-8859-1"))).toDF("doc_id", "payload")
     // batch 1 ships GZIPPED (one member per record): one history dup
-    // of a.example/p1, one genuinely new page
+    // of a.example/p1 (dropped — its links must NOT count), one new
+    // page linking c.example/later again (already queued -> not
+    // re-queued) and a brand-new path (queued)
     val b1 = Seq(
       (3L, (gz(rec("HTTPS://a.example:443/p1", "<p>dup in history</p>")) ++
-            gz(rec("https://b.example/fresh", "<p>three</p>")))))
+            gz(rec("https://b.example/fresh",
+              "<p>three <a href=\"https://c.example/later\">again</a> " +
+                "<a href=\"/brand\">b</a></p>")))))
       .toDF("doc_id", "payload")
     val ingest = graft.streaming.CorpusIngest.crawlIngestBatch(s"$dir/artifact") _
     ingest(b0, 0L)
@@ -293,19 +301,27 @@ class PipelinesSpec extends SparkSpec {
     val got = pages.select($"doc_id", $"canon", $"text")
       .as[(Long, String, String)].collect().toSet
     assert(got == Set(
-      (1L, "a.example/p1", "one"),
+      (1L, "a.example/p1", "one n l"),
       (1L, "a.example/p2", "two"),
-      (3L, "b.example/fresh", "three")), got.toString)
+      (3L, "b.example/fresh", "three again b")), got.toString)
     // the url artifact carries exactly the kept keys, batch-partitioned
     val urls = spark.read.parquet(s"$dir/artifact/urls")
     assert(urls.select($"canon").as[String].collect().toSet ==
       Set("a.example/p1", "a.example/p2", "b.example/fresh"))
     assert(urls.select($"batch_id".cast("long")).distinct()
       .as[Long].collect().toSet == Set(0L, 1L))
+    // the crawl loop: frontier candidates = survivors' outlinks minus
+    // fetched minus already-queued, per batch
+    val frontier = spark.read.parquet(s"$dir/artifact/frontier")
+      .select($"canon", $"batch_id".cast("long"))
+      .as[(String, Long)].collect().toSet
+    assert(frontier == Set(
+      ("c.example/later", 0L), ("b.example/brand", 1L)), frontier.toString)
     // a replayed micro-batch (restart re-running the last epoch) is a no-op
     ingest(b1, 1L)
     assert(spark.read.parquet(s"$dir/artifact/pages").count() == 3)
     assert(spark.read.parquet(s"$dir/artifact/urls").count() == 3)
+    assert(spark.read.parquet(s"$dir/artifact/frontier").count() == 2)
     // a blob with no parseable record contributes nothing
     ingest(Seq((9L, "garbage".getBytes)).toDF("doc_id", "payload"), 2L)
     assert(spark.read.parquet(s"$dir/artifact/pages").count() == 3)
