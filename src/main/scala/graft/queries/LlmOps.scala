@@ -1847,6 +1847,19 @@ object LlmOps {
       "src", "dst")
   }
 
+  /** Host-rank composition gate — the full frontier-prioritization
+    * chain: outlinks (X183) → registrable-domain edge list (X184) →
+    * the fixed-point integer PageRank operator (3 iterations, 85%
+    * damping — the same arithmetic the e5 gate pins on the event
+    * graph, here on the crawl's own host graph). The oracle unrolls
+    * the identical r0→r3 integer chain over the arithmetically
+    * restated edges. */
+  def xLinkRank(s: SparkSession, d: String): DataFrame =
+    ordered(
+      graft.operators.Graph.pageRank(
+        xLinkGraph(s, d), "src", "dst", "n_links"),
+      "node")
+
   /** Link-density main-content extraction gate — the jusText/
     * Boilerpipe signal on a SINGLE page (no site corpus needed, unlike
     * the df-based chrome cut): a nav bar of pure links, a long clean
@@ -2275,6 +2288,7 @@ object LlmOps {
     "x_content_extract"   -> (xContentExtract _),
     "x_link_extract"      -> (xLinkExtract _),
     "x_link_graph"        -> (xLinkGraph _),
+    "x_link_rank"         -> (xLinkRank _),
     "x_av_duration"       -> (xAvDuration _),
     "x_warc_extract"      -> (xWarcExtract _),
     "x_jpeg_progressive"  -> (xJpegProgressive _),
@@ -4218,6 +4232,35 @@ object LlmOps {
         |    origin || '/bare' || (doc_id % 2) FROM s)
         |SELECT doc_id, CAST(link_idx AS BIGINT) AS link_idx, href, url
         |FROM l ORDER BY doc_id, link_idx""".stripMargin,
+    "x_link_rank" ->
+      """WITH d AS (SELECT doc_id,
+        |    'site' || (doc_id % 20) || '.example' AS src FROM documents),
+        |e0 AS (
+        |  SELECT src, 'other.example' AS dst, 1 AS c FROM d
+        |  UNION ALL SELECT src, 'peer.example', 1 FROM d
+        |  UNION ALL SELECT src, src, 5 FROM d),
+        |e AS (SELECT src, dst, SUM(c) AS w FROM e0 GROUP BY 1, 2),
+        |sh AS (SELECT src, dst,
+        |  CAST(w * 1000000 // SUM(w) OVER (PARTITION BY src) AS BIGINT) AS share
+        |  FROM e),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |base AS (SELECT node, CAST(1000000000000 // n AS BIGINT) AS r0,
+        |  CAST((1000000000000 // n) * 15 // 100 AS BIGINT) AS b FROM nodes, nn),
+        |r0 AS (SELECT node, r0 AS r FROM base),
+        |r1 AS (SELECT base.node, CAST(b + COALESCE(SUM(
+        |    (p.r * sh.share // 1000000) * 85 // 100), 0) AS BIGINT) AS r
+        |  FROM base LEFT JOIN sh ON sh.dst = base.node
+        |  LEFT JOIN r0 p ON p.node = sh.src GROUP BY base.node, b),
+        |r2 AS (SELECT base.node, CAST(b + COALESCE(SUM(
+        |    (p.r * sh.share // 1000000) * 85 // 100), 0) AS BIGINT) AS r
+        |  FROM base LEFT JOIN sh ON sh.dst = base.node
+        |  LEFT JOIN r1 p ON p.node = sh.src GROUP BY base.node, b),
+        |r3 AS (SELECT base.node, CAST(b + COALESCE(SUM(
+        |    (p.r * sh.share // 1000000) * 85 // 100), 0) AS BIGINT) AS r
+        |  FROM base LEFT JOIN sh ON sh.dst = base.node
+        |  LEFT JOIN r2 p ON p.node = sh.src GROUP BY base.node, b)
+        |SELECT node, r AS rank FROM r3 ORDER BY node""".stripMargin,
     "x_link_graph" ->
       """WITH d AS (SELECT doc_id,
         |    'site' || (doc_id % 20) || '.example' AS src FROM documents),
