@@ -97,31 +97,31 @@ object TextAnalysis {
   def contentBlocks(df: DataFrame, html: Column = col("html"),
                     idCol: String = "doc_id", minChars: Int = 25,
                     maxLinkDensityPct: Int = 40): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val noTitle = regexp_replace(removeNonContent(html),
       "(?is)<title\\b[^>]*>.*?</title\\s*>", " ")
     val marked = regexp_replace(noTitle,
       "(?i)</?(p|div|h[1-6]|li|ul|ol|table|tr|td|th|section|article|" +
         "aside|header|footer|nav|blockquote|br|hr|html|head|body)\\b[^>]*>",
       "")
-    val anchorJoined = array_join(
-      regexp_extract_all(col("__seg"), lit("(?is)<a\\b[^>]*>(.*?)</a\\s*>"),
-        lit(1)), " ")
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__segIdx"))
-    df.select(col(idCol),
-        posexplode(split(marked, "")).as(Seq("__segIdx", "__seg")))
-      .withColumn("text", stripAndDecode(col("__seg")))
-      .filter(col("text") =!= "")
-      .withColumn("n_chars", length(col("text")).cast("long"))
-      .withColumn("n_anchor_chars",
-        length(stripAndDecode(anchorJoined)).cast("long"))
+    // text + anchor text compute INSIDE the split array and empty
+    // segments filter there too, so block_idx is simply the explode
+    // position — no per-document window, the operator stays entirely
+    // map-side (the 30x probe flagged the window shuffle this replaced)
+    val blocks = filter(
+      transform(split(marked, ""), seg => struct(
+        stripAndDecode(seg).as("text"),
+        stripAndDecode(array_join(
+          regexp_extract_all(seg, lit("(?is)<a\\b[^>]*>(.*?)</a\\s*>"),
+            lit(1)), " ")).as("atext"))),
+      b => b.getField("text") =!= "")
+    df.select(col(idCol), posexplode(blocks).as(Seq("block_idx", "__b")))
+      .select(col(idCol), col("block_idx").cast("long").as("block_idx"),
+        col("__b.text").as("text"),
+        length(col("__b.text")).cast("long").as("n_chars"),
+        length(col("__b.atext")).cast("long").as("n_anchor_chars"))
       .withColumn("kept",
         col("n_chars") >= minChars &&
           col("n_anchor_chars") * 100 <= col("n_chars") * maxLinkDensityPct)
-      .withColumn("block_idx",
-        (row_number().over(w) - 1).cast("long"))
-      .select(col(idCol), col("block_idx"), col("text"),
-        col("n_chars"), col("n_anchor_chars"), col("kept"))
   }
 
   /** Single-page main-content extraction: the kept blocks of

@@ -332,6 +332,11 @@ class CorpusOpsSpec extends SparkSpec {
       // mixed: 35 anchor chars of 46 -> 76% > 40% -> dropped
       ("Click here for more of everything on sale now!", 46L, 35L, false),
       ("About", 5L, 5L, false)), got.toString)
+    // document-local by construction: no Exchange anywhere in the plan
+    // (block_idx is the explode position, not a windowed rank)
+    val plan = TextAnalysis.contentBlocks(Seq((1L, html)).toDF("doc_id", "html"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
     val main = TextAnalysis.mainContent(Seq((1L, html)).toDF("doc_id", "html"))
       .select($"main_text").as[String].head()
     assert(main == "This bold paragraph has & keeps enough characters. " +
