@@ -628,10 +628,15 @@ object Multimodal {
     * `response` records carry the RAW HTTP exchange, so each record
     * goes status/header split (`httpMeta`) → RFC 9112 de-chunk +
     * Content-Encoding gunzip (`httpBody`) → charset-aware text decode
-    * (UTF-8 default; an explicit iso-8859-1/latin-1 charset parameter
-    * honored) → one row per 2xx page with (uri, status, mime, charset,
-    * text). Non-2xx and undecodable-body records drop — the keep-set a
-    * corpus pipeline actually wants; compose `htmlToText` /
+    * (UTF-8 default; an explicit iso-8859-1/latin-1 charset honored —
+    * from the HTTP header, or, when the header declares none, from an
+    * HTML `<meta charset=…>` / `http-equiv` tag sniffed the WHATWG
+    * way: the byte-transparent latin-1 view of the body is inspected,
+    * which can never misread the ASCII-compatible tag itself) → one
+    * row per 2xx page with (uri, status, mime, charset, text);
+    * `charset` is the EFFECTIVE one the decode used (null = the UTF-8
+    * default). Non-2xx and undecodable-body records drop — the
+    * keep-set a corpus pipeline actually wants; compose `htmlToText` /
     * `urlCanonical` downstream exactly as with [[warcExtract]]. Pure
     * map-side: every stage is a codegen'd expression, payload bytes
     * never leave their partition. */
@@ -639,18 +644,23 @@ object Multimodal {
     import graft.functions.BinaryMeta
     val recs = warcExtractBytes(df, payloadCol)
     val m = BinaryMeta.httpMetaCol(col("content_bytes"))
+    val metaCs = lower(regexp_extract(decode(col("__body"), "ISO-8859-1"),
+      "(?i)<meta[^>]+charset\\s*=\\s*[\"']?\\s*([A-Za-z0-9_-]+)", 1))
     recs.select(col("doc_id"), col("rec_idx"), col("uri"),
         m.getField("status").as("status"),
         m.getField("content_type").as("mime"),
-        m.getField("charset").as("charset"),
+        m.getField("charset").as("__hdrCs"),
         BinaryMeta.httpBodyCol(col("content_bytes")).as("__body"))
       .filter(col("status") >= 200 && col("status") < 300 &&
         col("__body").isNotNull)
+      .withColumn("charset",
+        coalesce(col("__hdrCs"),
+          when(metaCs =!= "", metaCs)))
       .withColumn("text",
         when(col("charset").isin("iso-8859-1", "latin-1", "latin1"),
           decode(col("__body"), "ISO-8859-1"))
           .otherwise(decode(col("__body"), "UTF-8")))
-      .drop("__body")
+      .drop("__body", "__hdrCs")
   }
 
   /** Deterministic uncompressed-WARC fixtures: nr = doc_id%3+1
@@ -723,7 +733,8 @@ object Multimodal {
     *       the wild; the parser must tolerate both);
     *   2 — 200 with `Transfer-Encoding: chunked`: two hex-sized
     *       chunks, an extension on the first size line, terminal
-    *       0-chunk;
+    *       0-chunk; no header charset but an HTML `<meta charset>`
+    *       tag in the body (the sniffing-fallback case);
     *   3 — 301 with `Content-Encoding: gzip`: the body is a REAL gzip
     *       member (stored-deflate, valid CRC-32/ISIZE) of the
     *       redirect notice.
@@ -746,7 +757,10 @@ object Multimodal {
       lit("HTTP/1.0 404 Not Found\n"),
       lit("Content-Type: text/plain\n"),
       lit("\n"), lfBody), "UTF-8")
-    val c1 = concat(lit("chunk one of "), id, lit(" "))
+    // the chunked shape declares its charset via an HTML meta tag (the
+    // header carries none) — the sniffing fallback must pick it up
+    val c1 = concat(lit("<meta charset=ISO-8859-1>chunk one of "), id,
+      lit(" "))
     val c2 = concat(lit("tail"), pmod(id, lit(7L)))
     val chunked = encode(concat(
       lit("HTTP/1.1 200 OK"), crlf,

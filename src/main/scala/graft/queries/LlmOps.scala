@@ -4316,9 +4316,11 @@ object LlmOps {
         |  'http://f' || (doc_id % 50) || '.example/p' || (doc_id % 9) AS uri,
         |  CAST(200 AS INT) AS status,
         |  'text/html' AS mime,
-        |  CASE WHEN doc_id % 4 = 0 THEN 'utf-8' END AS charset,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'utf-8'
+        |       ELSE 'iso-8859-1' END AS charset,
         |  CASE WHEN doc_id % 4 = 0 THEN 'plain body ' || doc_id
-        |       ELSE 'chunk one of ' || doc_id || ' tail' || (doc_id % 7)
+        |       ELSE '<meta charset=ISO-8859-1>chunk one of ' || doc_id ||
+        |            ' tail' || (doc_id % 7)
         |  END AS text
         |FROM documents WHERE doc_id % 4 IN (0, 2)
         |ORDER BY doc_id""".stripMargin,
@@ -4334,7 +4336,8 @@ object LlmOps {
         |  CASE CAST(doc_id % 4 AS INT)
         |    WHEN 0 THEN 'plain body ' || doc_id
         |    WHEN 1 THEN 'missing ' || doc_id
-        |    WHEN 2 THEN 'chunk one of ' || doc_id || ' tail' || (doc_id % 7)
+        |    WHEN 2 THEN '<meta charset=ISO-8859-1>chunk one of ' || doc_id ||
+        |                ' tail' || (doc_id % 7)
         |    ELSE 'redirect target doc ' || doc_id END AS body
         |FROM documents ORDER BY doc_id""".stripMargin,
     "x_warc_gz" ->

@@ -1536,16 +1536,32 @@ class BinaryMetaSpec extends SparkSpec {
         content ++ "\r\n\r\n".getBytes("ISO-8859-1")
     val latin = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain; " +
       "charset=ISO-8859-1\r\n\r\ncafé").getBytes("ISO-8859-1")
+    // no header charset: the HTML meta tag is sniffed instead, and the
+    // 0xE9 byte still decodes latin-1
+    val metaSniff = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+      "<html><meta charset=\"iso-8859-1\"><body>café</body></html>")
+      .getBytes("ISO-8859-1")
+    // a header charset OVERRIDES a conflicting meta tag (RFC 9110
+    // precedence): utf-8 wins, the utf-8 bytes decode as utf-8
+    val hdrWins = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+      "charset=utf-8\r\n\r\n<meta charset=iso-8859-1>cafÃ©")
+      .getBytes("ISO-8859-1")
     val notFound = "HTTP/1.1 404 Nope\r\n\r\ngone".getBytes("ISO-8859-1")
     val notHttp = "just plain text, no status line".getBytes("ISO-8859-1")
     val df = Seq(
       (1L, warcWrap("http://l.example/a", latin)),
       (2L, warcWrap("http://l.example/b", notFound)),
-      (3L, warcWrap("http://l.example/c", notHttp))).toDF("doc_id", "payload")
+      (3L, warcWrap("http://l.example/c", notHttp)),
+      (4L, warcWrap("http://l.example/d", metaSniff)),
+      (5L, warcWrap("http://l.example/e", hdrWins))).toDF("doc_id", "payload")
     val got = graft.llm.Multimodal.fetchPages(df)
       .select($"doc_id", $"uri", $"charset", $"text")
-      .as[(Long, String, String, String)].collect().toList
-    assert(got == List((1L, "http://l.example/a", "iso-8859-1", "café")),
+      .as[(Long, String, String, String)].collect().toList.sortBy(_._1)
+    assert(got == List(
+      (1L, "http://l.example/a", "iso-8859-1", "café"),
+      (4L, "http://l.example/d", "iso-8859-1",
+        "<html><meta charset=\"iso-8859-1\"><body>café</body></html>"),
+      (5L, "http://l.example/e", "utf-8", "<meta charset=iso-8859-1>café")),
       got.toString)
   }
 
