@@ -497,6 +497,35 @@ object TextAnalysis {
       col("__best.rule").as("matched_rule"): _*)
   }
 
+  /** [[robotsAllowed]] + the FETCH-STATUS policy of RFC 9309 §2.3.1:
+    * a domain whose robots.txt fetch returned 4xx ("unavailable") is
+    * fully crawlable — MAY access any resources; one that returned
+    * 5xx ("unreachable") MUST be assumed completely disallowed
+    * (matched_rule = 'unreachable'). `statuses` is one row per domain
+    * with `robots_status`; absent/other statuses take the normal
+    * parsed-rules path. The status table is domain-bounded — AQE
+    * broadcasts it when it fits. */
+  def robotsAllowedWithStatus(pages: DataFrame, rules: DataFrame,
+                              statuses: DataFrame, userAgent: String,
+                              domainCol: String = "domain",
+                              pathCol: String = "path"): DataFrame = {
+    val is4xx = col("robots_status").between(400, 499)
+    val is5xx = col("robots_status").between(500, 599)
+    robotsAllowed(pages, rules, userAgent, domainCol, pathCol)
+      .join(statuses, Seq(domainCol), "left")
+      .withColumn("allowed",
+        when(is5xx, lit(false)).when(is4xx, lit(true))
+          .otherwise(col("allowed")))
+      .withColumn("matched_pattern",
+        when(is5xx || is4xx, lit(null).cast("string"))
+          .otherwise(col("matched_pattern")))
+      .withColumn("matched_rule",
+        when(is5xx, lit("unreachable"))
+          .when(is4xx, lit(null).cast("string"))
+          .otherwise(col("matched_rule")))
+      .drop("robots_status")
+  }
+
   /** Per-domain crawl delay from the APPLICABLE robots group (the
     * de-facto `Crawl-delay:` directive honored by polite crawlers;
     * group selection identical to [[robotsAllowed]]): one row per

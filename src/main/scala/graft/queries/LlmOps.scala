@@ -1889,6 +1889,37 @@ object LlmOps {
       "doc_id", "block_idx")
   }
 
+  /** Robots FETCH-STATUS policy gate (RFC 9309 §2.3.1): domains whose
+    * robots.txt fetch 4xx'd are fully crawlable, 5xx'd domains are
+    * completely disallowed ('unreachable'), 200 domains take the
+    * normal parsed-rules path (here: a `*` group disallowing /p1).
+    * Status keyed per DOMAIN (site residue mod 3), path per doc — the
+    * oracle restates every verdict arithmetically. */
+  def xRobotsStatus(s: SparkSession, d: String): DataFrame = {
+    val site = pmod(col("doc_id"), lit(30L))
+    val domain = concat(lit("site"), site, lit(".example"))
+    val base = documents(s, d).select(col("doc_id"), domain.as("domain"),
+      site.as("__site"),
+      concat(lit("/p"), pmod(col("doc_id"), lit(3L))).as("path"))
+    val statuses = base
+      .select(col("domain"),
+        when(pmod(col("__site"), lit(3L)) === 0, lit(200))
+          .when(pmod(col("__site"), lit(3L)) === 1, lit(404))
+          .otherwise(lit(503)).as("robots_status"))
+      .distinct()
+    // rules exist only where the fetch succeeded
+    val rules = TextAnalysis.parseRobots(
+      base.filter(pmod(col("__site"), lit(3L)) === 0)
+        .select(col("domain"),
+          lit("User-agent: *\nDisallow: /p1\n").as("robots"))
+        .distinct(), col("robots"))
+    ordered(
+      TextAnalysis.robotsAllowedWithStatus(
+        base.select(col("doc_id"), col("domain"), col("path")),
+        rules, statuses, userAgent = "graftbot/2.1"),
+      "doc_id")
+  }
+
   /** Crawl politeness SCHEDULE gate — the frontier-plan tier: pages
     * sequence per domain (priority desc, then path/doc_id) and each
     * gets `fetch_offset_ms = (seq−1)·delay_ms`, with the delay from
@@ -2285,6 +2316,7 @@ object LlmOps {
     "x_http_response"     -> (xHttpResponse _),
     "x_fetch_extract"     -> (xFetchExtract _),
     "x_crawl_schedule"    -> (xCrawlSchedule _),
+    "x_robots_status"     -> (xRobotsStatus _),
     "x_content_extract"   -> (xContentExtract _),
     "x_link_extract"      -> (xLinkExtract _),
     "x_link_graph"        -> (xLinkGraph _),
@@ -4295,6 +4327,21 @@ object LlmOps {
         |  length(text) >= 25 AND n_anchor_chars * 100 <= length(text) * 40
         |    AS kept
         |FROM b ORDER BY doc_id, block_idx""".stripMargin,
+    "x_robots_status" ->
+      """WITH p AS (SELECT doc_id, doc_id % 30 AS site,
+        |    'site' || (doc_id % 30) || '.example' AS domain,
+        |    '/p' || (doc_id % 3) AS path FROM documents)
+        |SELECT doc_id, domain, path,
+        |  CASE CAST(site % 3 AS INT)
+        |    WHEN 0 THEN doc_id % 3 <> 1
+        |    WHEN 1 THEN TRUE
+        |    ELSE FALSE END AS allowed,
+        |  CASE WHEN site % 3 = 0 AND doc_id % 3 = 1 THEN '/p1'
+        |  END AS matched_pattern,
+        |  CASE WHEN site % 3 = 0 AND doc_id % 3 = 1 THEN 'disallow'
+        |       WHEN site % 3 = 2 THEN 'unreachable'
+        |  END AS matched_rule
+        |FROM p ORDER BY doc_id""".stripMargin,
     "x_crawl_schedule" ->
       """WITH p AS (SELECT doc_id, doc_id % 30 AS site,
         |    'site' || (doc_id % 30) || '.example' AS domain,

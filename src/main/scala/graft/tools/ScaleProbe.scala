@@ -220,7 +220,7 @@ object ScaleProbe {
       // per-domain fan-in is the semantic unit); content extraction is
       // per-doc regexp chains + a doc-local block window
       "x_crawl_schedule", "x_content_extract",
-      "x_link_extract", "x_link_graph", "x_link_rank")
+      "x_link_extract", "x_link_graph", "x_link_rank", "x_robots_status")
     // x_dedup_eval is deliberately NOT probed: its exact side is the
     // designed-quadratic x_dedup_ngram (already probed as the quadratic
     // reference) — the eval gate would just re-measure that growth.

@@ -387,6 +387,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(ra == Map(1L -> true, 2L -> true, 3L -> true))
   }
 
+  test("robotsAllowedWithStatus: 4xx robots allows all, 5xx denies all " +
+       "('unreachable'), 200 and unknown-status domains take the " +
+       "parsed-rules path") {
+    import spark.implicits._
+    val rules = TextAnalysis.parseRobots(
+      Seq(("ok.com", "User-agent: *\nDisallow: /x\n")).toDF("domain", "robots"),
+      col("robots"))
+    val statuses = Seq(("ok.com", 200), ("gone.com", 404), ("down.com", 503))
+      .toDF("domain", "robots_status")
+    val pages = Seq(
+      (1L, "ok.com", "/x"), (2L, "ok.com", "/y"),
+      (3L, "gone.com", "/x"),   // 4xx: MAY access anything
+      (4L, "down.com", "/y"),   // 5xx: MUST assume full disallow
+      (5L, "nostatus.com", "/z")) // absent status: normal path (no rules)
+      .toDF("doc_id", "domain", "path")
+    val got = TextAnalysis.robotsAllowedWithStatus(
+        pages, rules, statuses, "graftbot/2.1")
+      .select($"doc_id", $"allowed", $"matched_rule")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toList.sortBy(_._1)
+    assert(got == List(
+      (1L, false, "disallow"), (2L, true, null),
+      (3L, true, null), (4L, false, "unreachable"), (5L, true, null)),
+      got.toString)
+  }
+
   test("robotsSitemaps: multiple/absent Sitemap lines, any position, " +
        "case-insensitive directive, comment strip, duplicate rows " +
        "preserved") {
