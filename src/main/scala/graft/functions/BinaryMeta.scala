@@ -378,25 +378,35 @@ object BinaryMeta {
           // encrypted frames are not text-extractable (skip, keep
           // walking); grouping-id and v2.4 data-length-indicator
           // prepend 1 / 4 bytes; a v2.4 per-frame-unsynchronised body
-          // de-unsyncs before decode (fsize is the on-disk size)
+          // de-unsyncs before decode (fsize is the on-disk size).
+          // ORDER MATTERS (v2.4 §4.1.4 + §6.1): the prepended
+          // grouping/DLI bytes are PART of the unsynchronised body, so
+          // de-unsync the full body first, then skip them from the
+          // de-unsynced buffer — a 0xFF grouping byte stored as FF 00
+          // would otherwise mis-align everything after it by one byte
           val f2 = if (ver == 2) 0 else buf(p + 9) & 0xff
-          var bodyOff = p + fhLen
+          val bodyStart = p + fhLen
           val bodyEnd = p + fhLen + fsize.toInt
           var extractable = true
           var frameUnsync = false
+          var skip = 0
           if (ver == 4) {
             if ((f2 & 0x0c) != 0) extractable = false
             frameUnsync = (f2 & 0x02) != 0
-            if ((f2 & 0x40) != 0) bodyOff += 1
-            if ((f2 & 0x01) != 0) bodyOff += 4
+            if ((f2 & 0x40) != 0) skip += 1
+            if ((f2 & 0x01) != 0) skip += 4
           } else {
             if ((f2 & 0xc0) != 0) extractable = false
-            if ((f2 & 0x20) != 0) bodyOff += 1
+            if ((f2 & 0x20) != 0) skip += 1
           }
-          if (extractable && buf(p) == 'T' && bodyEnd - bodyOff >= 1) {
+          if (extractable && buf(p) == 'T' && bodyEnd - bodyStart >= 1) {
+            val body0 =
+              if (frameUnsync) deUnsync(buf, bodyStart, bodyEnd)
+              else java.util.Arrays.copyOfRange(buf, bodyStart, bodyEnd)
             val raw =
-              if (frameUnsync) deUnsync(buf, bodyOff, bodyEnd)
-              else java.util.Arrays.copyOfRange(buf, bodyOff, bodyEnd)
+              if (skip == 0) body0
+              else if (skip >= body0.length) Array.empty[Byte]
+              else java.util.Arrays.copyOfRange(body0, skip, body0.length)
             val cs = if (raw.length < 1) null else (raw(0) & 0xff) match {
               case 0 => java.nio.charset.StandardCharsets.ISO_8859_1
               case 1 => java.nio.charset.StandardCharsets.UTF_16 // BOM-led

@@ -653,15 +653,52 @@ object Multimodal {
         BinaryMeta.httpBodyCol(col("content_bytes")).as("__body"))
       .filter(col("status") >= 200 && col("status") < 300 &&
         col("__body").isNotNull)
-      .withColumn("charset",
+      .withColumn("__declCs",
         coalesce(col("__hdrCs"),
           when(metaCs =!= "", metaCs)))
       .withColumn("text",
-        when(col("charset").isin("iso-8859-1", "latin-1", "latin1"),
+        when(col("__declCs").isin(FetchLatin1Aliases: _*),
           decode(col("__body"), "ISO-8859-1"))
+          .when(col("__declCs").isin(FetchCp1252Aliases: _*),
+            // exact windows-1252: latin-1 is byte-transparent, then the
+            // 27 defined 0x80–0x9F code points remap per the cp1252
+            // table (the 5 undefined ones keep their C1 identity —
+            // Java's own windows-1252 decoder does the same)
+            translate(decode(col("__body"), "ISO-8859-1"),
+              Cp1252From, Cp1252To))
           .otherwise(decode(col("__body"), "UTF-8")))
-      .drop("__body", "__hdrCs")
+      // `charset` is the EFFECTIVE charset the decode used: a declared
+      // charset outside the decodable set fell back to UTF-8, so it
+      // reports null (= the UTF-8 default) rather than mislabeling the
+      // text with an encoding that was NOT applied
+      .withColumn("charset",
+        when(col("__declCs").isin(
+          FetchLatin1Aliases ++ FetchCp1252Aliases ++
+            Seq("utf-8", "utf8", "us-ascii", "ascii"): _*),
+          col("__declCs")))
+      .drop("__body", "__hdrCs", "__declCs")
   }
+
+  /** Charset aliases [[fetchPages]] decodes natively (beyond the UTF-8
+    * default): the latin-1 family byte-transparently, and windows-1252
+    * via the latin-1 view + the cp1252 C1-range remap below. */
+  private val FetchLatin1Aliases =
+    Seq("iso-8859-1", "latin-1", "latin1", "iso8859-1")
+  private val FetchCp1252Aliases =
+    Seq("windows-1252", "cp1252", "x-cp1252", "win-1252")
+  /** The 27 defined cp1252 code points in 0x80–0x9F (source order)
+    * and their Unicode targets — the Microsoft code-page table row
+    * (0x81/8D/8F/90/9D are undefined and keep their C1 identity, as
+    * Java's own windows-1252 decoder does). */
+  private val Cp1252From: String =
+    Seq(0x80, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+      0x8B, 0x8C, 0x8E, 0x91, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97,
+      0x98, 0x99, 0x9A, 0x9B, 0x9C, 0x9E, 0x9F).map(_.toChar).mkString
+  private val Cp1252To: String =
+    Seq(0x20AC, 0x201A, 0x0192, 0x201E, 0x2026, 0x2020, 0x2021, 0x02C6,
+      0x2030, 0x0160, 0x2039, 0x0152, 0x017D, 0x2018, 0x2019, 0x201C,
+      0x201D, 0x2022, 0x2013, 0x2014, 0x02DC, 0x2122, 0x0161, 0x203A,
+      0x0153, 0x017E, 0x0178).map(_.toChar).mkString
 
   /** Deterministic uncompressed-WARC fixtures: nr = doc_id%3+1
     * records per blob, record i carrying uri

@@ -91,9 +91,10 @@ object TextAnalysis {
     * threshold ambiguity). Navigation bars, footers, and link lists
     * are exactly the high-density short blocks this drops. Output: one
     * row per non-empty block with `(block_idx, text, n_chars,
-    * n_anchor_chars, kept)`; `block_idx` re-ranks non-empty blocks
-    * 0-based in document order (a per-document window — documents are
-    * KB-sized). Map-side regexp chains except that window. */
+    * n_anchor_chars, kept)`; `block_idx` is 0-based document order —
+    * empty segments filter INSIDE the split array, so the index is
+    * simply the explode position. Fully map-side regexp chains; no
+    * per-document window anywhere. */
   def contentBlocks(df: DataFrame, html: Column = col("html"),
                     idCol: String = "doc_id", minChars: Int = 25,
                     maxLinkDensityPct: Int = 40): DataFrame = {
@@ -147,16 +148,22 @@ object TextAnalysis {
     * `x/../` dot segments normalize (§5.2.4) with a DOCUMENTED unroll
     * bound of 8 levels — deeper chains keep their residue rather than
     * looping (real pages sit far below it). Output: one row per
-    * extracted link `(link_idx, href, url)` in document order.
-    * Map-side regexp chains only. */
+    * extracted link `(link_idx, href, url)` in document order — quoted
+    * and bare hrefs extract in ONE alternation pass, so a page mixing
+    * both forms keeps its true order; the `[\s"']` boundary before
+    * `href` stops `data-href=` look-alikes from matching. Map-side
+    * regexp chains only. */
   def extractLinks(df: DataFrame, html: Column = col("html"),
                    baseUrl: Column = col("url"),
                    idCol: String = "doc_id"): DataFrame = {
     val clean = removeNonContent(html)
-    val quoted = regexp_extract_all(clean,
-      lit("(?is)<a\\b[^>]*?href\\s*=\\s*[\"']([^\"']*)[\"']"), lit(1))
-    val bare = regexp_extract_all(clean,
-      lit("(?is)<a\\b[^>]*?href\\s*=\\s*([^\"'\\s>]+)"), lit(1))
+    // one pass, group 1 = the raw value token ("…" | '…' | bare) —
+    // quotes strip below; a single scan is what keeps document order
+    val rawVals = regexp_extract_all(clean,
+      lit("(?is)<a\\b[^>]*?[\\s\"']href\\s*=\\s*" +
+        "(\"[^\"]*\"|'[^']*'|[^\"'\\s>]+)"), lit(1))
+    val hrefs = transform(rawVals, v =>
+      regexp_replace(v, "^[\"']|[\"']$", ""))
     val scheme = regexp_extract(baseUrl, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
     val hostPort = regexp_extract(baseUrl,
       "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
@@ -188,7 +195,7 @@ object TextAnalysis {
     val clamped = concat(auth, clampedPath)
     df.select(col(idCol), scheme.as("__sch"), hostPort.as("__hp"),
         baseDir.as("__bd"),
-        posexplode(concat(quoted, bare)).as(Seq("link_idx", "href")))
+        posexplode(hrefs).as(Seq("link_idx", "href")))
       .filter(col("href") =!= "" &&
         !col("href").rlike("(?i)^(javascript|mailto|tel|data):") &&
         !regexp_replace(col("href"), "#.*$", "").equalTo(""))

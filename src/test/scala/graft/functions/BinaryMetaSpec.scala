@@ -1548,12 +1548,26 @@ class BinaryMetaSpec extends SparkSpec {
       .getBytes("ISO-8859-1")
     val notFound = "HTTP/1.1 404 Nope\r\n\r\ngone".getBytes("ISO-8859-1")
     val notHttp = "just plain text, no status line".getBytes("ISO-8859-1")
+    // windows-1252 decodes for REAL: 0x93/0x94 are the curly quotes
+    // (NOT latin-1 C1 controls), 0xE9 still é — Java's own cp1252
+    // decoder is the truth the fixture is built from
+    val cp1252Body = "“café” — 80‰"
+      .getBytes("windows-1252")
+    val cp1252 = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain; " +
+      "charset=windows-1252\r\n\r\n").getBytes("ISO-8859-1") ++ cp1252Body
+    // a DECLARED charset outside the decodable set (shift_jis) falls
+    // back to UTF-8 — and the row must NOT mislabel the text with the
+    // charset that was not applied: effective charset reports null
+    val foreignCs = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain; " +
+      "charset=shift_jis\r\n\r\nplain ascii body").getBytes("ISO-8859-1")
     val df = Seq(
       (1L, warcWrap("http://l.example/a", latin)),
       (2L, warcWrap("http://l.example/b", notFound)),
       (3L, warcWrap("http://l.example/c", notHttp)),
       (4L, warcWrap("http://l.example/d", metaSniff)),
-      (5L, warcWrap("http://l.example/e", hdrWins))).toDF("doc_id", "payload")
+      (5L, warcWrap("http://l.example/e", hdrWins)),
+      (6L, warcWrap("http://l.example/f", cp1252)),
+      (7L, warcWrap("http://l.example/g", foreignCs))).toDF("doc_id", "payload")
     val got = graft.llm.Multimodal.fetchPages(df)
       .select($"doc_id", $"uri", $"charset", $"text")
       .as[(Long, String, String, String)].collect().toList.sortBy(_._1)
@@ -1561,7 +1575,10 @@ class BinaryMetaSpec extends SparkSpec {
       (1L, "http://l.example/a", "iso-8859-1", "café"),
       (4L, "http://l.example/d", "iso-8859-1",
         "<html><meta charset=\"iso-8859-1\"><body>café</body></html>"),
-      (5L, "http://l.example/e", "utf-8", "<meta charset=iso-8859-1>café")),
+      (5L, "http://l.example/e", "utf-8", "<meta charset=iso-8859-1>café"),
+      (6L, "http://l.example/f", "windows-1252",
+        "“café” — 80‰"),
+      (7L, "http://l.example/g", null, "plain ascii body")),
       got.toString)
   }
 
@@ -1682,6 +1699,16 @@ class BinaryMetaSpec extends SparkSpec {
     assert(frames(BinaryMeta.id3TextFrames(tag(4, un24))) ==
       Seq(("TIT2", "ÿAÿ"), ("TPE1", "Q")),
       frames(BinaryMeta.id3TextFrames(tag(4, un24))).toString)
+    // v2.4 GROUPING (0x40) + per-frame unsync (0x02) together: the
+    // grouping byte is PART of the unsynchronised body (§4.1.4), so a
+    // 0xFF grouping id ships as FF 00 on disk — de-unsync must run
+    // FIRST, then the 1-byte skip. Logical body: [FF][enc 01][BOM FF
+    // FE]["A" 41 00]; on-disk FF00 01 FF00FE 4100 (fsize 8). Skipping
+    // the raw first byte instead mis-aligns everything by one.
+    val grpUn24 = "54495432" + "00000008" + "0042" + "FF0001FF00FE4100"
+    assert(frames(BinaryMeta.id3TextFrames(tag(4, grpUn24))) ==
+      Seq(("TIT2", "A")),
+      frames(BinaryMeta.id3TextFrames(tag(4, grpUn24))).toString)
     // v2.2 (3-byte ids, 3-byte big-endian sizes, no frame flags):
     // TT2 ISO text + TP1 UCS-2 text + padding stop
     def v22(framesHex: String, pad: Int = 0, flags: Int = 0): Array[Byte] = {

@@ -303,6 +303,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(dot == List(
       (0L, "./", "https://a.example/d/e/"),
       (1L, "..", "https://a.example/d/")), dot.toString)
+    // MIXED bare and quoted forms keep DOCUMENT order (the single
+    // alternation pass — concat-of-two-extracts would misorder), and
+    // data-href look-alikes never match (the [\s"'] boundary)
+    val order = links("https://a.example/d/",
+      "<a href=/bare1>b</a>" +
+        "<a class=\"x\" href=\"https://q.example/q2\">q</a>" +
+        "<a data-href=\"https://no.example/skip\">decoy</a>" +
+        "<a href='//p.example/p3'>p</a>")
+    assert(order == List(
+      (0L, "/bare1", "https://a.example/bare1"),
+      (1L, "https://q.example/q2", "https://q.example/q2"),
+      (2L, "//p.example/p3", "https://p.example/p3")), order.toString)
+    // mismatched quote types never smear across values: '…" is read as
+    // a bare token, terminated by whitespace/quote/>
+    val mm = links("https://a.example/",
+      "<a href=x'y>odd</a><a href=\"ok\">k</a>")
+    assert(mm.map(t => (t._1, t._2)) == List((0L, "x"), (1L, "ok")),
+      mm.toString)
   }
 
   test("contentBlocks + mainContent: link-density keeps prose and drops " +
