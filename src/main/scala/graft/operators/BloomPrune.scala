@@ -47,4 +47,40 @@ object BloomPrune {
     pruned.join(build.select(col(buildKey)).distinct(),
       col(probeKey) === col(buildKey), "left_semi")
   }
+
+  /** `df`'s key column aggregated into ONE serialized bloom blob — the
+    * PERSISTABLE face of the filter above (the same `BloomFilterImpl`
+    * bytes the runtime-filter rule ships between stages, here collected
+    * to the driver so an artifact store can keep it next to the keys it
+    * summarizes). An empty `df` returns a valid never-matching blob, so
+    * the "every key epoch has a blob" invariant survives empty batches. */
+  def bloomBlob(df: DataFrame, key: String, expectedItems: Long): Array[Byte] = {
+    val items = math.max(1L, expectedItems)
+    val numBits = math.max(64L, math.min(items * 8L, Int.MaxValue.toLong))
+    val row = df.agg(SparkInternals.column(
+      BloomFilterAggregate(
+        new XxHash64(Seq(SparkInternals.expression(col(key)))),
+        Literal(items), Literal(numBits), 0, 0).toAggregateExpression()).as("__bf"))
+      .head()
+    if (!row.isNullAt(0)) row.getAs[Array[Byte]](0)
+    else { // zero rows: an empty filter of the same wire format
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(1, 64L)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Key-might-be-in-ANY-blob predicate over independently-built blobs
+    * (no same-size merge constraint — each blob tests on its own; false
+    * negatives remain impossible, so `!mightContainAny` proves absence
+    * across every epoch the blobs cover). */
+  def mightContainAny(key: org.apache.spark.sql.Column,
+                      blobs: Seq[Array[Byte]]): org.apache.spark.sql.Column = {
+    require(blobs.nonEmpty, "mightContainAny needs at least one blob")
+    blobs.map(b => SparkInternals.column(BloomFilterMightContain(
+        Literal.create(b, org.apache.spark.sql.types.BinaryType),
+        new XxHash64(Seq(SparkInternals.expression(key))))))
+      .reduceLeft(_ || _)
+  }
 }

@@ -1792,6 +1792,85 @@ object LlmOps {
       Multimodal.warcExtract(Multimodal.syntheticWarcGz(documents(s, d))),
       "doc_id", "rec_idx")
 
+  /** The page-2 content stream of the PDF fixture, deflated ONCE with
+    * the JDK encoder and embedded as a literal — the parser's
+    * FlateDecode path must do real inflation while the oracle only
+    * restates the constant decoded text. */
+  private lazy val pdfFlateBytes: Array[Byte] = {
+    val data = "BT (flate page common) Tj ET"
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val buf = new Array[Byte](256)
+    val n = d.deflate(buf); d.end()
+    buf.take(n)
+  }
+
+  /** PDF text-extraction gate — classic layout built IN SQL with REAL
+    * xref offsets (every per-doc field is fixed-width, so offsets are
+    * template constants the builder computes once): two pages, page 1
+    * an uncompressed content stream exercising `Tj`/`Td`/`TJ`, octal
+    * escapes and hex strings over per-doc text, page 2 a REAL
+    * FlateDecode stream (JDK-deflated literal). Docs with
+    * `doc_id % 5 = 4` carry an `/Encrypt` trailer entry — the decline
+    * contract: text null, `encrypted` true, structure metadata still
+    * reported. The oracle restates every field arithmetically. */
+  def xPdfText(s: SparkSession, d: String): DataFrame = {
+    val bin = org.apache.spark.sql.types.BinaryType
+    val did = lpad(pmod(col("doc_id"), lit(1000L)).cast("string"), 4, "0")
+    val tid = lpad(pmod(col("doc_id"), lit(7L)).cast("string"), 2, "0")
+    val parts = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Column]
+    var off = 0
+    val objAt = scala.collection.mutable.Map.empty[Int, Int]
+    def s_(t: String): Unit = { parts += lit(t).cast(bin); off += t.length }
+    def c_(c: org.apache.spark.sql.Column, len: Int): Unit = {
+      parts += c.cast(bin); off += len
+    }
+    def obj(n: Int)(body: => Unit): Unit = {
+      objAt(n) = off; s_(s"$n 0 obj\n"); body; s_("\nendobj\n")
+    }
+    s_("%PDF-1.4\n")
+    obj(1)(s_("<< /Type /Catalog /Pages 2 0 R >>"))
+    obj(2)(s_("<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>"))
+    obj(3)(s_("<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"))
+    val ops1a = "BT /F1 12 Tf 72 712 Td (Doc "
+    val ops1b = ") Tj 0 -14 Td [(tail \\050q\\051 ) <68692d> ("
+    val ops1c = ")] TJ ET"
+    val len1 = ops1a.length + 4 + ops1b.length + 2 + ops1c.length
+    obj(4) {
+      s_(s"<< /Length $len1 >>\nstream\n")
+      s_(ops1a); c_(did, 4); s_(ops1b); c_(tid, 2); s_(ops1c)
+      s_("\nendstream")
+    }
+    obj(5)(s_("<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>"))
+    obj(6) {
+      s_(s"<< /Length ${pdfFlateBytes.length} /Filter /FlateDecode >>\nstream\n")
+      c_(lit(pdfFlateBytes), pdfFlateBytes.length)
+      s_("\nendstream")
+    }
+    val xrefAt = off
+    s_("xref\n0 7\n" + f"${0}%010d 65535 f \n" +
+      (1 to 6).map(n => f"${objAt(n)}%010d 00000 n \n").mkString)
+    s_("trailer\n<< /Size 7 /Root 1 0 R")
+    // the /Encrypt variant only changes the trailer — past every object
+    // offset and past startxref's target, so the xref stays valid
+    parts += when(pmod(col("doc_id"), lit(5L)) === 4,
+      lit(" /Encrypt 9 0 R")).otherwise(lit("")).cast(bin)
+    s_(s" >>\nstartxref\n$xrefAt\n%%EOF\n")
+    val payload = concat(parts.toSeq: _*)
+    val withP = documents(s, d).select(col("doc_id"), payload.as("payload"))
+    val m = graft.functions.PdfText.pdfMetaCol(col("payload"))
+    ordered(
+      withP.select(col("doc_id"),
+        m.getField("version").as("version"),
+        m.getField("n_pages").as("n_pages"),
+        m.getField("n_objects").as("n_objects"),
+        m.getField("encrypted").as("encrypted"),
+        graft.functions.PdfText.pdfTextCol(col("payload")).as("text")),
+      "doc_id")
+  }
+
   private def linkFixture(s: SparkSession, d: String): DataFrame = {
     val id = col("doc_id")
     val url = concat(lit("https://site"), pmod(id, lit(20L)),
@@ -2313,6 +2392,7 @@ object LlmOps {
     "x_av_meta"           -> (xAvMeta _),
     "x_web_pipeline"      -> (xWebPipeline _),
     "x_warc_gz"           -> (xWarcGz _),
+    "x_pdf_text"          -> (xPdfText _),
     "x_http_response"     -> (xHttpResponse _),
     "x_fetch_extract"     -> (xFetchExtract _),
     "x_crawl_schedule"    -> (xCrawlSchedule _),
@@ -4386,6 +4466,16 @@ object LlmOps {
         |    WHEN 2 THEN '<meta charset=ISO-8859-1>chunk one of ' || doc_id ||
         |                ' tail' || (doc_id % 7)
         |    ELSE 'redirect target doc ' || doc_id END AS body
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_pdf_text" ->
+      """SELECT doc_id, '1.4' AS version, CAST(2 AS INT) AS n_pages,
+        |  CAST(6 AS INT) AS n_objects,
+        |  doc_id % 5 = 4 AS encrypted,
+        |  CASE WHEN doc_id % 5 = 4 THEN NULL
+        |       ELSE 'Doc ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0') ||
+        |            chr(10) || 'tail (q) hi-' ||
+        |            lpad(CAST(doc_id % 7 AS VARCHAR), 2, '0') ||
+        |            chr(10) || 'flate page common' END AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
     "x_warc_gz" ->
       """WITH r AS (SELECT doc_id, i

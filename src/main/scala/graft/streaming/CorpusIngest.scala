@@ -150,11 +150,16 @@ object CorpusIngest {
     * the crawl-specific tier (container split + URL-exact dedup +
     * frontier discovery).
     * 100 TB shape: one shuffle on the canonical key (within-batch
-    * dedup) + key-equality anti-joins against linearly-growing
-    * ids-only artifacts — page BYTES never join anything; the
-    * artifacts re-read per batch are narrow url columns, not the
-    * corpus. */
-  def crawlIngestBatch(artifactDir: String)
+    * dedup); the history checks go through [[CrawlStore]] — bloom
+    * sidecars prove most new keys new MAP-SIDE, and the exact confirm
+    * reads only the hash buckets the remaining candidates fall into
+    * (partition-pruned, broadcast anti-join), so per-batch cost is a
+    * function of the batch, not of how much the crawl has ever
+    * fetched. Every `compactEvery` epochs the increments fold into the
+    * re-bucketed compacted tier (the one amortized history-sized
+    * pass). Page BYTES never join anything. */
+  def crawlIngestBatch(artifactDir: String, compactEvery: Int = 64,
+                       targetRowsPerBucket: Long = 1L << 20)
                       (batch: DataFrame, batchId: Long): Unit = {
     import org.apache.spark.sql.expressions.Window
     val spark = batch.sparkSession
@@ -177,24 +182,18 @@ object CorpusIngest {
       .orderBy(col("doc_id"), col("rec_idx"))
     val firsts = pages.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-    val fs = new org.apache.hadoop.fs.Path(urlsPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def artifact(path: String): Option[DataFrame] =
-      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-        // replay safety: exclude this batch's own epoch partition so
-        // the anti-joins see exactly the history the first run saw
-        Some(spark.read.parquet(path)
-          .filter(col("batch_id").cast("long") =!= lit(batchId))
-          .select("canon"))
-      else None
-    val seen = artifact(urlsPath)
-    val survivors = seen.fold(firsts)(s =>
-      firsts.join(s, Seq("canon"), "left_anti"))
+    // history URL dedup — sub-linear membership check (bloom prefilter
+    // + bucket-pruned confirm), own epoch excluded for replay safety.
+    // Materialized: survivors feed four consumers (two sinks, the
+    // outlink extraction, and the within-batch frontier filter), and
+    // without the checkpoint each would re-run the confirm join.
+    val survivors = CrawlStore
+      .antiJoinNew(firsts, "canon", urlsPath, batchId)
+      .localCheckpoint(true)
     graft.sources.Sinks.idempotentBatchSink(s"$artifactDir/pages")(
       survivors.select("doc_id", "rec_idx", "canon", "domain", "text"),
       batchId)
-    graft.sources.Sinks.idempotentBatchSink(urlsPath)(
-      survivors.select("canon"), batchId)
+    CrawlStore.appendKeys(urlsPath)(survivors, "canon", batchId)
     // the crawl loop: outlinks of the pages just kept become frontier
     // candidates unless fetched (history or this batch) or queued
     val outlinks = TextAnalysis.extractLinks(
@@ -204,12 +203,21 @@ object CorpusIngest {
       .filter(col("canon").isNotNull)
       .dropDuplicates("canon")
       .join(survivors.select("canon"), Seq("canon"), "left_anti")
-    val unseen = seen.fold(outlinks)(s =>
-      outlinks.join(s, Seq("canon"), "left_anti"))
-    val fresh = artifact(frontierPath).fold(unseen)(q =>
-      unseen.join(q, Seq("canon"), "left_anti"))
-    graft.sources.Sinks.idempotentBatchSink(frontierPath)(
-      fresh.select("canon", "url"), batchId)
+      .localCheckpoint(true)
+    val unseen = CrawlStore.antiJoinNew(outlinks, "canon", urlsPath, batchId)
+    val fresh = CrawlStore
+      .antiJoinNew(unseen.localCheckpoint(true), "canon", frontierPath, batchId)
+    CrawlStore.appendKeys(frontierPath)(
+      fresh, "canon", batchId, carry = Seq("url"))
+    // periodic fold of the batch-keyed increments into the re-bucketed
+    // compacted tier; the youngest (replayable) epoch always survives,
+    // and a replay of a compacting batch re-enters compact() as a no-op
+    if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1)) {
+      CrawlStore.compact(spark, urlsPath, "canon",
+        targetRowsPerBucket = targetRowsPerBucket)
+      CrawlStore.compact(spark, frontierPath, "canon", carry = Seq("url"),
+        targetRowsPerBucket = targetRowsPerBucket)
+    }
   }
 
   /** Wire the crawl per-batch body into a stream of WARC blobs. */

@@ -1,0 +1,286 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sub-linear membership store for the crawl's NARROW KEY ARTIFACTS
+  * (`urls` — every canonical key ever kept; `frontier` — every key ever
+  * queued). The one loop a real crawler runs millions of times is "is
+  * this key new?", and the round-12 shape paid O(full history) per
+  * micro-batch: a left-anti join whose right side re-read and
+  * re-shuffled the entire artifact every batch. This store makes that
+  * per-batch cost a function of the BATCH, not the history:
+  *
+  *   - **Increments** stay exactly the round-12 layout —
+  *     `<path>/batch_id=N/` parquet via the idempotent batch-keyed sink
+  *     (replayed epochs no-op; the reader excludes the in-flight epoch
+  *     so replays re-derive their original decisions).
+  *   - **Bloom sidecars**: each epoch's keys also write a one-row blob
+  *     at `<path>_bloom/batch_id=N/` — written BEFORE the keys, so a
+  *     crash between the two writes can only leave a blob that
+  *     over-approximates (false positives cost a confirm; false
+  *     negatives are impossible). A candidate missing EVERY blob is
+  *     provably new and skips the exact join entirely — at crawl
+  *     steady state that is the bulk of a batch's genuinely-new links,
+  *     checked map-side with zero I/O beyond the (tiny, compacted)
+  *     blobs themselves.
+  *   - **Compacted store**: `compact()` folds all epochs but the
+  *     youngest into `<path>_compacted/v=K/data/kb=<b>/` — hash-bucketed
+  *     on `pmod(xxhash64(key), nb)` with `nb` RE-SIZED each compaction
+  *     (smallest power of two keeping buckets under
+  *     `targetRowsPerBucket`, the extendible-hashing move), rows sorted
+  *     by key within each bucket. The exact confirm then reads ONLY the
+  *     buckets the bloom-positive candidates hash into — partition
+  *     pruning at the scan — so confirm I/O is
+  *     `O(min(candidates, nb) · targetRowsPerBucket)`: bounded by the
+  *     batch, FLAT in history size. With the pruned side small, AQE
+  *     plans the anti-join as a broadcast (no shuffle of anything
+  *     history-sized; the shuffle the old shape paid per batch is paid
+  *     once per compaction instead).
+  *
+  * Crash/replay contract (proved in CrawlStoreSpec):
+  *   - compaction NEVER folds the youngest epoch — the only epoch a
+  *     Structured Streaming restart can replay — so the reader's
+  *     own-epoch exclusion keeps working after any number of
+  *     compactions;
+  *   - the `v=K` directory is committed by writing data+bloom first and
+  *     flipping the one-line `_META` pointer last (the dim-store
+  *     `_LATEST` pattern); folded increment dirs and stale `v` dirs are
+  *     deleted only after the flip, and a crash between flip and delete
+  *     merely leaves keys present in both tiers — harmless for a
+  *     membership artifact (the anti-join is idempotent in duplicates);
+  *   - the bloom prefilter arms only when blobs COVER the history
+  *     (compacted blob present when a compacted tier exists, and an
+  *     epoch blob per un-folded increment epoch); artifacts written by
+  *     the pre-store layout simply take the exact path unpruned.
+  */
+object CrawlStore {
+
+  /** One-line text pointer: `version nb upTo rows`. */
+  private[graft] case class Meta(version: Int, nb: Long, upTo: Long, rows: Long)
+
+  private def metaPath(path: String) = new Path(s"${path}_compacted/_META")
+
+  private[graft] def readMeta(fs: FileSystem, path: String): Option[Meta] = {
+    val p = metaPath(path)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val line = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      line.split("\\s+") match {
+        case Array(v, nb, upTo, rows) =>
+          Some(Meta(v.toInt, nb.toLong, upTo.toLong, rows.toLong))
+        case _ => None
+      }
+    }
+  }
+
+  private def writeMeta(fs: FileSystem, path: String, m: Meta): Unit = {
+    val p = metaPath(path)
+    val tmp = new Path(p.getParent, "_META.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"${m.version} ${m.nb} ${m.upTo} ${m.rows}"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"could not commit $p")
+  }
+
+  private def listEpochs(fs: FileSystem, path: String): Seq[Long] = {
+    val root = new Path(path)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong)
+  }
+
+  private def vDir(path: String, version: Int) =
+    s"${path}_compacted/v=$version"
+
+  /** The kb a key hashes into at bucket count `nb` — the ONE formula
+    * shared by compaction (write side) and the pruned confirm (read
+    * side). */
+  private def kbOf(key: String, nb: Long) =
+    pmod(xxhash64(col(key)), lit(nb)).cast("int")
+
+  /** Largest history (rows) the compacted tier still writes a bloom
+    * for: 8 bits/key caps the blob at 16 MB. Beyond it the blob itself
+    * would grow linearly with history and ship with every stage — the
+    * exact failure mode this store exists to kill — so the prefilter
+    * retires and the bucket-pruned confirm carries membership alone
+    * (its per-batch cost is `O(candidates · targetRowsPerBucket)`,
+    * already independent of history). */
+  private[graft] val MaxBloomItems: Long = 1L << 24
+
+  /** Epoch bloom blobs + (if compacted) the compacted-tier blob, IF
+    * they cover the full history; None disarms the prefilter. */
+  private def coveringBlobs(spark: SparkSession, fs: FileSystem,
+                            path: String, meta: Option[Meta])
+      : Option[Seq[Array[Byte]]] = {
+    val upTo = meta.map(_.upTo).getOrElse(-1L)
+    val live = listEpochs(fs, path).filter(_ > upTo).toSet
+    val haveBlobs = listEpochs(fs, s"${path}_bloom").toSet
+    if (!live.subsetOf(haveBlobs)) return None
+    val compBlob: Option[Array[Byte]] = meta.map { m =>
+      val p = s"${vDir(path, m.version)}/bloom"
+      if (!fs.exists(new Path(p))) return None
+      spark.read.parquet(p).head().getAs[Array[Byte]]("bf")
+    }
+    val epochBlobs =
+      if (haveBlobs.isEmpty) Nil
+      else spark.read.parquet(s"${path}_bloom")
+        .filter(col("batch_id").cast("long").isin(
+          live.intersect(haveBlobs).toSeq.map(java.lang.Long.valueOf): _*))
+        .select("bf").collect().map(_.getAs[Array[Byte]]("bf")).toSeq
+    Some(compBlob.toSeq ++ epochBlobs)
+  }
+
+  /** Rows of `candidates` whose `keyCol` appears NOWHERE in the
+    * artifact's history (compacted tier + increments), excluding the
+    * in-flight epoch `batchId` so a replayed batch re-derives its
+    * original survivors. `candidates` is consumed several times — pass
+    * it materialized (localCheckpoint) when it is not a cheap scan. */
+  def antiJoinNew(candidates: DataFrame, keyCol: String,
+                  path: String, batchId: Long): DataFrame = {
+    val spark = candidates.sparkSession
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = readMeta(fs, path)
+    val upTo = meta.map(_.upTo).getOrElse(-1L)
+    val haveIncrements = listEpochs(fs, path).exists(_ > upTo)
+    val incr: Option[DataFrame] =
+      if (haveIncrements)
+        Some(spark.read.parquet(path)
+          .filter(col("batch_id").cast("long") =!= lit(batchId) &&
+            col("batch_id").cast("long") > lit(upTo))
+          .select(keyCol))
+      else None
+    if (meta.isEmpty && incr.isEmpty) return candidates
+
+    // bloom prefilter: provably-new rows (no blob hit) skip the join
+    val blobs = coveringBlobs(spark, fs, path, meta)
+    val (maybe, sureNew) = blobs match {
+      case Some(bs) if bs.nonEmpty =>
+        val hit = graft.operators.BloomPrune.mightContainAny(col(keyCol), bs)
+        (candidates.filter(hit), Some(candidates.filter(!hit)))
+      case _ => (candidates, None)
+    }
+
+    // compacted tier, PRUNED to the buckets the surviving candidates
+    // hash into (a partition-column isin — pruned at the scan). The kb
+    // collect is bounded by nb; when candidates cover most buckets the
+    // pruning would not pay for itself, so read the tier whole.
+    val compacted: Option[DataFrame] = meta.flatMap { m =>
+      val data = s"${vDir(path, m.version)}/data"
+      val kbs = maybe.select(kbOf(keyCol, m.nb).as("kb"))
+        .distinct().collect().map(_.getInt(0))
+      if (kbs.isEmpty) None
+      else if (kbs.length * 2L >= m.nb)
+        Some(spark.read.parquet(data).select(keyCol))
+      else {
+        // read the hit bucket DIRECTORIES directly — partition
+        // discovery over the whole tier would list all nb dirs,
+        // O(history/target) per batch; naming them keeps the scan's
+        // setup cost proportional to the batch too. Empty buckets have
+        // no dir; existence-check the candidates (O(hit buckets)).
+        val dirs = kbs.map(k => s"$data/kb=$k")
+          .filter(p => fs.exists(new Path(p)))
+        if (dirs.isEmpty) None
+        else Some(spark.read.option("basePath", data)
+          .parquet(dirs.toIndexedSeq: _*).select(keyCol))
+      }
+    }
+    val hist = (compacted.toSeq ++ incr.toSeq).reduceOption(_.union(_))
+    val confirmed = hist.fold(maybe)(h =>
+      maybe.join(h, Seq(keyCol), "left_anti"))
+    sureNew.fold(confirmed)(confirmed.unionByName(_))
+  }
+
+  /** Append an epoch's keys: the bloom blob commits FIRST (so the
+    * "blobs over-approximate keys" invariant holds through any crash),
+    * then the keys through the idempotent batch-keyed sink. `carry`
+    * columns ride along in the key rows (the frontier keeps the
+    * un-canonicalized url next to its key). */
+  def appendKeys(path: String)(df: DataFrame, keyCol: String,
+                               batchId: Long,
+                               carry: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    // three consumers (count, bloom aggregate, sink) — materialize once
+    val keys = df.select((keyCol +: carry).map(col): _*).localCheckpoint(true)
+    val n = keys.count()
+    val blob = graft.operators.BloomPrune.bloomBlob(keys, keyCol, n)
+    graft.sources.Sinks.idempotentBatchSink(s"${path}_bloom")(
+      spark.range(1).select(lit(blob).as("bf"), lit(n).as("n_keys")), batchId)
+    graft.sources.Sinks.idempotentBatchSink(path)(keys, batchId)
+  }
+
+  /** Fold every epoch but the youngest `keepEpochs` (≥ 1 — the youngest
+    * is the only epoch a restart can replay) into a fresh hash-bucketed
+    * compacted tier, re-sizing the bucket count to the history
+    * (smallest power of two with ≤ `targetRowsPerBucket` rows per
+    * bucket), then flip `_META` and best-effort delete the folded
+    * increments, their blobs, and the previous `v` dir. Safe to re-run;
+    * a second call with nothing new to fold is a no-op. */
+  def compact(spark: SparkSession, path: String, keyCol: String,
+              carry: Seq[String] = Nil,
+              targetRowsPerBucket: Long = 1L << 20,
+              keepEpochs: Int = 1): Unit = {
+    require(keepEpochs >= 1, "the youngest (replayable) epoch must survive")
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = readMeta(fs, path)
+    val upTo = meta.map(_.upTo).getOrElse(-1L)
+    val epochs = listEpochs(fs, path).filter(_ > upTo).sorted
+    if (epochs.length <= keepEpochs) return
+    val fold = epochs.dropRight(keepEpochs)
+    val cols = (keyCol +: carry).map(col)
+    val foldDf = spark.read.parquet(path)
+      .filter(col("batch_id").cast("long")
+        .isin(fold.map(java.lang.Long.valueOf): _*))
+      .select(cols: _*)
+    val all = meta.fold(foldDf) { m =>
+      spark.read.parquet(s"${vDir(path, m.version)}/data")
+        .select(cols: _*).union(foldDf)
+    }.dropDuplicates(keyCol)
+    // the one history-sized pass: counted, bucketed, sorted, written —
+    // per-batch reads amortize this instead of re-paying it every epoch
+    val rows = all.count()
+    var nb = 1L
+    while (nb * targetRowsPerBucket < rows) nb <<= 1
+    val version = meta.map(_.version + 1).getOrElse {
+      // survive an orphaned v dir from a crash before a META flip
+      val compRoot = new Path(s"${path}_compacted")
+      val orphans =
+        if (fs.exists(compRoot))
+          fs.listStatus(compRoot).toSeq.map(_.getPath.getName)
+            .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toInt)
+        else Nil
+      orphans.foldLeft(0)(math.max) + 1
+    }
+    val out = vDir(path, version)
+    all.withColumn("kb", kbOf(keyCol, nb))
+      .repartition(math.min(nb, 1024L).toInt, col("kb"))
+      .sortWithinPartitions("kb", keyCol)
+      .write.mode("overwrite").partitionBy("kb").parquet(s"$out/data")
+    // past MaxBloomItems the blob would grow with history — retire the
+    // prefilter (no v-bloom → antiJoinNew disarms it) and let the
+    // bucket-pruned confirm carry membership alone
+    if (rows <= MaxBloomItems) {
+      val blob = graft.operators.BloomPrune.bloomBlob(all, keyCol, rows)
+      spark.range(1).select(lit(blob).as("bf"), lit(rows).as("n_keys"))
+        .write.mode("overwrite").parquet(s"$out/bloom")
+    }
+    writeMeta(fs, path, Meta(version, nb, fold.max, rows))
+    // post-flip cleanup — every tier below is now redundant, and a
+    // crash mid-delete only leaves harmless duplicates
+    fold.foreach { e =>
+      fs.delete(new Path(path, s"batch_id=$e"), true)
+      fs.delete(new Path(s"${path}_bloom", s"batch_id=$e"), true)
+    }
+    meta.foreach(m => fs.delete(new Path(vDir(path, m.version)), true))
+  }
+}

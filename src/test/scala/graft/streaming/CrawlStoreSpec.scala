@@ -1,0 +1,186 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The sub-linear crawl key store: exactness of the bloom-prefiltered,
+  * bucket-pruned membership check against a brute-force set difference;
+  * compaction mid-stream; replay after compaction; the crash invariants
+  * (blob-before-keys over-approximation, legacy-layout disarm); and the
+  * partition pruning the whole design exists for. */
+class CrawlStoreSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def keysDf(ids: Seq[Long]) = {
+    import spark.implicits._
+    ids.map(i => s"site$i.example/p$i").toDF("canon")
+  }
+
+  test("antiJoinNew == brute-force set difference across increments, " +
+       "compaction, and post-compaction increments; epochs fold " +
+       "re-bucketed and sorted; youngest epoch survives") {
+    import spark.implicits._
+    val dir = tmp("crawl_store") + "/urls"
+    // epochs 0..3: keys 0..39, ten per epoch
+    (0 to 3).foreach(e => CrawlStore.appendKeys(dir)(
+      keysDf(e * 10L until e * 10L + 10L), "canon", e))
+    // fold 0..2 (keep the youngest), tiny buckets to force nb > 1
+    CrawlStore.compact(spark, dir, "canon", targetRowsPerBucket = 8L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = CrawlStore.readMeta(fs, dir).get
+    assert(meta.upTo == 2L && meta.rows == 30L, meta.toString)
+    assert(meta.nb == 4L, s"30 rows / 8 per bucket -> nb=4: $meta")
+    // folded increment dirs are gone, the youngest epoch is intact
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "batch_id=0")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "batch_id=3")))
+    // epoch 4 arrives after compaction
+    CrawlStore.appendKeys(dir)(keysDf(40L until 50L), "canon", 4L)
+    // candidates: half seen (drawn from compacted, kept-epoch, and
+    // post-compaction tiers), half new — exact set difference required
+    val candIds = Seq(0L, 7L, 25L, 33L, 44L, 100L, 101L, 102L, 103L)
+    val expected = candIds.filter(_ >= 50L).map(i => s"site$i.example/p$i").toSet
+    val got = CrawlStore.antiJoinNew(keysDf(candIds), "canon", dir, 5L)
+      .select($"canon").as[String].collect().toSet
+    assert(got == expected, s"got $got, expected $expected")
+    // a SECOND compact with nothing new to fold is a no-op
+    val before = CrawlStore.readMeta(fs, dir).get
+    CrawlStore.compact(spark, dir, "canon", targetRowsPerBucket = 8L,
+      keepEpochs = 2)
+    assert(CrawlStore.readMeta(fs, dir).get == before)
+  }
+
+  test("partition pruning: a one-candidate confirm reads only its own " +
+       "kb bucket of the compacted tier") {
+    import spark.implicits._
+    val dir = tmp("crawl_prune") + "/urls"
+    (0 to 1).foreach(e => CrawlStore.appendKeys(dir)(
+      keysDf(e * 100L until e * 100L + 100L), "canon", e))
+    CrawlStore.compact(spark, dir, "canon", targetRowsPerBucket = 16L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = CrawlStore.readMeta(fs, dir).get
+    assert(meta.nb >= 8L, meta.toString)
+    val data = s"${dir}_compacted/v=${meta.version}/data"
+    val oneKey = "site42.example/p42" // in the compacted tier
+    val kb = spark.range(1)
+      .select(pmod(xxhash64(lit(oneKey)), lit(meta.nb)).cast("int"))
+      .head().getInt(0)
+    // the pruned read the confirm issues touches files of ONE bucket
+    val files = spark.read.parquet(data)
+      .filter(col("kb") === kb)
+      .select(input_file_name()).distinct().as[String].collect()
+    assert(files.nonEmpty && files.forall(_.contains(s"kb=$kb")),
+      files.mkString(", "))
+    val allFiles = spark.read.parquet(data)
+      .select(input_file_name()).distinct().count()
+    assert(files.length < allFiles,
+      s"pruning must skip buckets: ${files.length} vs $allFiles")
+    // and the store still answers exactly for that key + a new one
+    val got = CrawlStore
+      .antiJoinNew(Seq(oneKey, "brand.new/x").toDF("canon"), "canon", dir, 9L)
+      .select($"canon").as[String].collect().toSet
+    assert(got == Set("brand.new/x"), got.toString)
+  }
+
+  test("crash invariants: a blob without its keys epoch only " +
+       "over-approximates (no lost keys, no dup keys); a keys epoch " +
+       "without a blob DISARMS the prefilter (legacy layout stays exact)") {
+    import spark.implicits._
+    // (a) blob-first crash: epoch 1's blob committed, its keys did not
+    val dirA = tmp("crawl_crash_a") + "/urls"
+    CrawlStore.appendKeys(dirA)(keysDf(0L until 10L), "canon", 0L)
+    val orphanBlob = graft.operators.BloomPrune.bloomBlob(
+      keysDf(50L until 60L), "canon", 10L)
+    graft.sources.Sinks.idempotentBatchSink(s"${dirA}_bloom")(
+      spark.range(1).select(lit(orphanBlob).as("bf"), lit(10L).as("n_keys")), 1L)
+    // key 55 hits the orphan blob (false positive vs the KEY history) —
+    // the exact confirm must still pass it through as new
+    val gotA = CrawlStore
+      .antiJoinNew(keysDf(Seq(5L, 55L, 99L)), "canon", dirA, 2L)
+      .select($"canon").as[String].collect().toSet
+    assert(gotA == Set("site55.example/p55", "site99.example/p99"), gotA.toString)
+    // (b) legacy layout: keys epochs with NO blobs at all
+    val dirB = tmp("crawl_crash_b") + "/urls"
+    graft.sources.Sinks.idempotentBatchSink(dirB)(keysDf(0L until 10L), 0L)
+    val gotB = CrawlStore
+      .antiJoinNew(keysDf(Seq(3L, 30L)), "canon", dirB, 1L)
+      .select($"canon").as[String].collect().toSet
+    assert(gotB == Set("site30.example/p30"), gotB.toString)
+    // (c) PARTIAL blobs (epoch 0 has none, epoch 1 does): prefilter
+    // must disarm — a bloom-negative candidate could live in epoch 0
+    graft.sources.Sinks.idempotentBatchSink(dirB + "x")(keysDf(0L until 10L), 0L)
+    CrawlStore.appendKeys(dirB + "x")(keysDf(10L until 20L), "canon", 1L)
+    val gotC = CrawlStore
+      .antiJoinNew(keysDf(Seq(4L, 14L, 40L)), "canon", dirB + "x", 2L)
+      .select($"canon").as[String].collect().toSet
+    assert(gotC == Set("site40.example/p40"), gotC.toString)
+  }
+
+  test("crawl ingest with compaction every 2 epochs: cross-batch dedup " +
+       "and frontier suppression still exact, replay of the youngest " +
+       "epoch a no-op after compaction folded everything older") {
+    import spark.implicits._
+    val dir = tmp("crawl_ingest_compact")
+    def rec(uri: String, links: Seq[String]): String = {
+      val html = s"<p>${links.map(l => s"<a href=\"$l\">x</a>").mkString}</p>"
+      s"WARC/1.0\r\nWARC-Target-URI: $uri\r\nContent-Type: text/html\r\n" +
+        s"Content-Length: ${html.length}\r\n\r\n$html\r\n\r\n"
+    }
+    def blob(id: Long, recs: String*) =
+      (id, recs.mkString.getBytes("ISO-8859-1"))
+    val ingest = CorpusIngest.crawlIngestBatch(
+      s"$dir/artifact", compactEvery = 2, targetRowsPerBucket = 4L) _
+    ingest(Seq(blob(1L,
+      rec("https://a.example/p0", Seq("https://q.example/l0", "/p1")),
+      rec("https://a.example/p1", Seq("https://q.example/l1"))))
+      .toDF("doc_id", "payload"), 0L)
+    // batch 1 triggers compaction (compactEvery=2, id % 2 == 1)
+    ingest(Seq(blob(2L,
+      rec("https://a.example/p0", Seq("https://x.example/never")), // dup
+      rec("https://b.example/p2", Seq("https://q.example/l0", // queued
+        "https://q.example/l2"))))
+      .toDF("doc_id", "payload"), 1L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(CrawlStore.readMeta(fs, s"$dir/artifact/urls").exists(_.upTo == 0L))
+    assert(CrawlStore.readMeta(fs, s"$dir/artifact/frontier").exists(_.upTo == 0L))
+    // batch 2: dups against the COMPACTED tier (p0 via compacted, p2
+    // via the kept epoch); l1 already queued pre-compaction
+    ingest(Seq(blob(3L,
+      rec("https://a.example/p0#f", Seq()), // dup of compacted
+      rec("https://b.example/p2?utm_s=1", Seq()), // dup of kept epoch
+      rec("https://c.example/p3", Seq("https://q.example/l1", // queued (compacted)
+        "https://q.example/l3"))))
+      .toDF("doc_id", "payload"), 2L)
+    val pages = spark.read.parquet(s"$dir/artifact/pages")
+      .select($"canon").as[String].collect().toSet
+    assert(pages == Set("a.example/p0", "a.example/p1", "b.example/p2",
+      "c.example/p3"), pages.toString)
+    def frontierSet() = {
+      val parts = Seq(s"$dir/artifact/frontier") ++
+        CrawlStore.readMeta(fs, s"$dir/artifact/frontier")
+          .map(m => s"$dir/artifact/frontier_compacted/v=${m.version}/data")
+      parts.flatMap(p => spark.read.parquet(p).select($"canon")
+        .as[String].collect()).toSet
+    }
+    val f1 = frontierSet()
+    // a.example/p1 was fetched batch 0 -> never queued; the dup p0's
+    // x.example/never link must NOT count (its page never survived);
+    // l0 queued exactly once
+    assert(f1 == Set("q.example/l0", "q.example/l1",
+      "q.example/l2", "q.example/l3"), f1.toString)
+    // replay of the youngest epoch: identical artifacts, no dup rows
+    val pagesCount = spark.read.parquet(s"$dir/artifact/pages").count()
+    ingest(Seq(blob(3L,
+      rec("https://a.example/p0#f", Seq()),
+      rec("https://b.example/p2?utm_s=1", Seq()),
+      rec("https://c.example/p3", Seq("https://q.example/l1",
+        "https://q.example/l3"))))
+      .toDF("doc_id", "payload"), 2L)
+    assert(spark.read.parquet(s"$dir/artifact/pages").count() == pagesCount)
+    assert(frontierSet() == f1)
+  }
+}
