@@ -1792,6 +1792,57 @@ object LlmOps {
       Multimodal.warcExtract(Multimodal.syntheticWarcGz(documents(s, d))),
       "doc_id", "rec_idx")
 
+  /** Multi-wave CRAWL-LOOP composition gate — the closed loop no other
+    * gate drives end to end: wave 0 fetches the seed pages, their
+    * outlinks become the frontier, wave 1 fetches EXACTLY that frontier
+    * (each seed's wave-1 blob also carries a copy of the shared hub
+    * page — cross-seed keep-first must admit it ONCE), wave 1 is then
+    * REPLAYED (a restart re-running the last epoch) and must change
+    * nothing — the gate output is the post-replay state, so any
+    * duplicate page/frontier row hash-mismatches the oracle. Per-wave
+    * mechanics exercised: within-batch dedup, history URL dedup through
+    * the CrawlStore membership check, fetched-this-batch and
+    * already-queued frontier exclusions, back-links to fetched pages
+    * never re-queueing. The oracle restates every page and frontier row
+    * arithmetically from the seed residues. */
+  def xCrawlWaves(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("crawl_waves").toString
+    val seeds = documents(s, d)
+      .filter(pmod(col("doc_id"), lit(50L)) === 0).select(col("doc_id"))
+    def rec(uri: org.apache.spark.sql.Column,
+            html: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      concat(lit("WARC/1.0\r\nWARC-Target-URI: "), uri,
+        lit("\r\nContent-Type: text/html\r\nContent-Length: "),
+        length(html).cast("string"), lit("\r\n\r\n"), html, lit("\r\n\r\n"))
+    val site = concat(lit("s"), col("doc_id"), lit(".example"))
+    val w0 = seeds.select(col("doc_id"), rec(
+      concat(lit("https://"), site, lit("/seed")),
+      lit("<p>seed <a href=\"/p1\">a</a> <a href=\"/p2\">b</a> " +
+        "<a href=\"https://hub.example/shared\">h</a></p>"))
+      .cast("binary").as("payload"))
+    val w1 = seeds.select(col("doc_id"), concat(
+      rec(concat(lit("https://"), site, lit("/p1")),
+        concat(lit("<p>p1 <a href=\"/seed\">s</a> <a href=\"/deep"),
+          pmod(col("doc_id"), lit(3L)), lit("\">dp</a></p>"))),
+      rec(concat(lit("https://"), site, lit("/p2")),
+        lit("<p>p2 <a href=\"https://hub.example/shared\">h</a> " +
+          "<a href=\"https://hub.example/next\">n</a></p>")),
+      rec(lit("https://hub.example/shared"), lit("<p>hub page</p>")))
+      .cast("binary").as("payload"))
+    val ingest = graft.streaming.CorpusIngest.crawlIngestBatch(dir) _
+    ingest(w0, 0L)
+    ingest(w1, 1L)
+    ingest(w1, 1L) // replayed wave: must be a no-op
+    val pages = s.read.parquet(s"$dir/pages")
+      .select(lit("page").as("kind"), col("canon"),
+        col("batch_id").cast("long").as("batch_id"), col("doc_id"))
+    val frontier = s.read.parquet(s"$dir/frontier")
+      .select(lit("frontier").as("kind"), col("canon"),
+        col("batch_id").cast("long").as("batch_id"),
+        lit(null).cast("long").as("doc_id"))
+    ordered(pages.unionByName(frontier), "kind", "canon")
+  }
+
   /** The page-2 content stream of the PDF fixture, deflated ONCE with
     * the JDK encoder and embedded as a literal — the parser's
     * FlateDecode path must do real inflation while the oracle only
@@ -2393,6 +2444,7 @@ object LlmOps {
     "x_web_pipeline"      -> (xWebPipeline _),
     "x_warc_gz"           -> (xWarcGz _),
     "x_pdf_text"          -> (xPdfText _),
+    "x_crawl_waves"       -> (xCrawlWaves _),
     "x_http_response"     -> (xHttpResponse _),
     "x_fetch_extract"     -> (xFetchExtract _),
     "x_crawl_schedule"    -> (xCrawlSchedule _),
@@ -4467,6 +4519,28 @@ object LlmOps {
         |                ' tail' || (doc_id % 7)
         |    ELSE 'redirect target doc ' || doc_id END AS body
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_crawl_waves" ->
+      """WITH seeds AS (SELECT doc_id FROM documents WHERE doc_id % 50 = 0),
+        |m AS (SELECT min(doc_id) AS md FROM seeds)
+        |SELECT * FROM (
+        |  SELECT 'page' AS kind, 's' || doc_id || '.example/seed' AS canon,
+        |         CAST(0 AS BIGINT) AS batch_id, doc_id FROM seeds
+        |  UNION ALL SELECT 'page', 's' || doc_id || '.example/p1', 1, doc_id
+        |    FROM seeds
+        |  UNION ALL SELECT 'page', 's' || doc_id || '.example/p2', 1, doc_id
+        |    FROM seeds
+        |  UNION ALL SELECT 'page', 'hub.example/shared', 1,
+        |    (SELECT md FROM m)
+        |  UNION ALL SELECT 'frontier', 's' || doc_id || '.example/p1', 0,
+        |    NULL FROM seeds
+        |  UNION ALL SELECT 'frontier', 's' || doc_id || '.example/p2', 0,
+        |    NULL FROM seeds
+        |  UNION ALL SELECT 'frontier', 'hub.example/shared', 0, NULL
+        |  UNION ALL SELECT 'frontier',
+        |    's' || doc_id || '.example/deep' || (doc_id % 3), 1, NULL
+        |    FROM seeds
+        |  UNION ALL SELECT 'frontier', 'hub.example/next', 1, NULL
+        |) ORDER BY kind, canon""".stripMargin,
     "x_pdf_text" ->
       """SELECT doc_id, '1.4' AS version, CAST(2 AS INT) AS n_pages,
         |  CAST(6 AS INT) AS n_objects,
