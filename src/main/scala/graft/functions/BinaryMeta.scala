@@ -1060,6 +1060,11 @@ object BinaryMeta {
   def jpegColorStats(b: Array[Byte]): Array[Long] =
     JpegBaseline.jpegColorStats(b)
 
+  /** FLAC sample decode (Rice residuals + fixed/LPC prediction) to
+    * the wavPcmStats loudness contract — see [[FlacDecode]]. */
+  def flacPcmStats(b: Array[Byte]): Array[Long] =
+    FlacDecode.flacPcmStats(b)
+
   // ---- positioned grayscale decode (the perceptual-hash substrate) ----
 
   /** 24-bit BMP → positioned integer luma plane (image row order,
@@ -1574,6 +1579,7 @@ object BinaryMeta {
       case "mp4Meta" => mp4Meta(b)
       case "mp3FrameStats" => mp3FrameStats(b)
       case "adtsFrameStats" => adtsFrameStats(b)
+      case "flacPcmStats" => flacPcmStats(b)
     }
     override def nullSafeEval(v: Any): Any = {
       val r = call(v.asInstanceOf[Array[Byte]])
@@ -1625,6 +1631,11 @@ object BinaryMeta {
   case class WavG711Stats(child: Expression) extends StatsProbe {
     override def method: String = "wavG711Stats"
     override def prettyName: String = "wav_g711_stats"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+  case class FlacPcmStats(child: Expression) extends StatsProbe {
+    override def method: String = "flacPcmStats"
+    override def prettyName: String = "flac_pcm_stats"
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
   case class DHash64(child: Expression) extends StatsProbe {
@@ -1797,6 +1808,8 @@ object BinaryMeta {
     SparkInternals.column(JpegColorStats(SparkInternals.expression(c)))
   def wavG711StatsCol(c: Column): Column =
     SparkInternals.column(WavG711Stats(SparkInternals.expression(c)))
+  def flacPcmStatsCol(c: Column): Column =
+    SparkInternals.column(FlacPcmStats(SparkInternals.expression(c)))
   def mp3MetaCol(c: Column): Column =
     SparkInternals.column(Mp3Meta(SparkInternals.expression(c)))
   def adtsMetaCol(c: Column): Column =

@@ -197,6 +197,94 @@ object Multimodal {
         lit("64617461"), le4(lit(32)), samples)).as("payload"))
   }
 
+  // FLAC frame checksums (CRC-8 poly 0x07, CRC-16 poly 0x8005) for the
+  // fixture fold below — same table-driven shape as crc32Table.
+  private lazy val flacCrc8Table: Seq[Long] = (0 until 256).map { n =>
+    var c = n; var k = 0
+    while (k < 8) {
+      c = if ((c & 0x80) != 0) ((c << 1) ^ 0x07) & 0xFF else (c << 1) & 0xFF
+      k += 1
+    }
+    c.toLong
+  }
+  private lazy val flacCrc16Table: Seq[Long] = (0 until 256).map { n =>
+    var c = n << 8; var k = 0
+    while (k < 8) {
+      c = if ((c & 0x8000) != 0) ((c << 1) ^ 0x8005) & 0xFFFF
+          else (c << 1) & 0xFFFF
+      k += 1
+    }
+    c.toLong
+  }
+  private def flacCrc16Col(bytes: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val t = typedLit(flacCrc16Table)
+    aggregate(bytes, lit(0L), (acc, x) =>
+      element_at(t, shiftrightunsigned(acc, 8).bitwiseXOR(x)
+          .bitwiseAND(lit(255L)).cast("int") + 1)
+        .bitwiseXOR(shiftleft(acc, 8).bitwiseAND(lit(65535L))))
+  }
+
+  /** Deterministic complete-FLAC fixtures for the Rice/prediction
+    * decode gate: mono, 16-bit, 8 kHz, one 16-sample frame per doc,
+    * sample i = (doc_id·31 + i·17) mod 64 − 32. The one FLAC bitstream
+    * a SQL expression can assemble is chosen here: a FIXED order-0
+    * subframe (residual = sample) with partition order 0 and Rice
+    * parameter 7, so every zigzag-folded residual u < 128 encodes with
+    * quotient 0 as exactly 8 bits — stop bit + 7-bit remainder, i.e.
+    * the byte 0x80|u. The residual section still starts 10 bits into
+    * its byte (2-bit method + 4-bit partition order + 4-bit param), so
+    * each output byte is the shifted splice of two adjacent codes —
+    * plain bitwise arithmetic over a `transform`. Frame CRC-8 is a
+    * compile-time constant (the header is doc-independent); frame
+    * CRC-16 is a REAL `aggregate` fold over the assembled bytes, so
+    * the stream passes any conforming decoder's integrity checks. The
+    * DuckDB oracle regenerates the samples arithmetically and never
+    * sees bytes; the Spark side must undo the actual entropy coding
+    * through `BinaryMeta.flacPcmStats`. LPC, nonzero quotients,
+    * partitioning, escapes and stereo decorrelation cannot be built in
+    * SQL — FlacDecodeSpec's spec-side encoder covers those. */
+  def syntheticFlacPcm(docs: DataFrame): DataFrame = {
+    // "fLaC" + last-block STREAMINFO: blocksize 16/16, framesize
+    // unknown, 8000 Hz | 1 ch | 16 bps | 16 total samples, md5 unknown
+    val streamInfo: Seq[Long] = Seq(
+      0x66L, 0x4CL, 0x61L, 0x43L,
+      0x80L, 0x00L, 0x00L, 0x22L,
+      0x00L, 0x10L, 0x00L, 0x10L,
+      0x00L, 0x00L, 0x00L, 0x00L, 0x00L, 0x00L,
+      0x01L, 0xF4L, 0x00L, 0xF0L,
+      0x00L, 0x00L, 0x00L, 0x10L) ++ Seq.fill(16)(0L)
+    // frame header: sync/fixed-blocksize, blocksize-code 6 (8-bit
+    // value follows) + 8 kHz, mono + 16 bps, frame number 0,
+    // blocksize−1 = 15 — doc-independent, so its CRC-8 is a constant
+    val frameHdr: Seq[Long] = Seq(0xFFL, 0xF8L, 0x64L, 0x08L, 0x00L, 0x0FL)
+    val hdrCrc8 =
+      frameHdr.foldLeft(0L)((c, x) => flacCrc8Table(((c ^ x) & 0xFF).toInt))
+    // zigzag-folded order-0 residuals as 8-bit rice codes 0x80|u
+    val codes = transform(sequence(lit(1L), lit(16L)), i => {
+      val s = pmod(col("doc_id") * 31 + i * 17, lit(64L)) - 32L
+      when(s >= 0, s * 2).otherwise(s * -2 - 1) + 128L
+    })
+    // subframe hdr 0x10, then the 10-bit residual preamble
+    // 00|0000|0111 followed by the codes and 6 zero pad bits
+    val subframe = concat(
+      array(lit(0x10L), lit(0x01L)),
+      array(shiftrightunsigned(element_at(codes, 1), 2)
+        .bitwiseOR(lit(0xC0L))),
+      transform(sequence(lit(2), lit(16)), m =>
+        shiftleft(element_at(codes, m - 1), 6).bitwiseAND(lit(0xFFL))
+          .bitwiseOR(shiftrightunsigned(element_at(codes, m), 2))),
+      array(shiftleft(element_at(codes, 16), 6).bitwiseAND(lit(0xFFL))))
+    val frame = concat(
+      array((frameHdr :+ hdrCrc8).map(lit): _*), subframe)
+    val c16 = flacCrc16Col(frame)
+    val flac = concat(
+      array(streamInfo.map(lit): _*), frame,
+      array(shiftrightunsigned(c16, 8), c16.bitwiseAND(lit(255L))))
+    docs.select(col("doc_id"),
+      unhex(concat_ws("", transform(flac, v => lpad(hex(v), 2, "0"))))
+        .as("payload"))
+  }
+
   /** Deterministic complete-GIF fixtures for the LZW pixel-decode gate:
     * a doc-dependent (w × h ≤ 6×4) image over a fixed 128-color global
     * palette (entry j = (3j, 5j+1, 7j+2) mod 256), pixel i =

@@ -1239,6 +1239,29 @@ object LlmOps {
       "doc_id")
   }
 
+  /** REAL FLAC decode: deterministic complete-FLAC payloads (mono
+    * 16-bit, one 16-sample fixed-order-0 frame, Rice-coded residuals —
+    * `Multimodal.syntheticFlacPcm`) pulled back through
+    * `BinaryMeta.flacPcmStats`' actual bit reader: unary quotients,
+    * zigzag unfolding, header CRC-8 and frame CRC-16 verification all
+    * on the real entropy-coded stream. The oracle regenerates the
+    * sample values arithmetically (it never sees bytes). With this the
+    * audio stub boundary is perceptual/lossy codecs only — FLAC is
+    * lossless integer prediction, so decode is exact in int64. LPC,
+    * partitions, nonzero quotients and stereo decorrelation are
+    * spec-covered by FlacDecodeSpec's encoder (not SQL-buildable). */
+  def xFlacPcm(s: SparkSession, d: String): DataFrame = {
+    val stats = graft.functions.BinaryMeta.flacPcmStatsCol(col("payload"))
+    ordered(
+      Multimodal.syntheticFlacPcm(documents(s, d))
+        .select(col("doc_id"),
+          element_at(stats, 1).as("n_samples"),
+          element_at(stats, 2).as("peak"),
+          element_at(stats, 3).as("sum_abs"),
+          element_at(stats, 4).as("sum_sq")),
+      "doc_id")
+  }
+
   /** REAL GIF LZW pixel decode: deterministic complete-GIF payloads
     * (fixed 128-color palette, doc-dependent dims and pixel values,
     * literal-coded LZW stream — `Multimodal.syntheticGifPixels`)
@@ -2436,6 +2459,7 @@ object LlmOps {
     "x_multimodal"        -> (xMultimodal _),
     "x_multimodal_meta"   -> (xMultimodalMeta _),
     "x_wav_pcm"           -> (xWavPcm _),
+    "x_flac_pcm"          -> (xFlacPcm _),
     "x_gif_pixels"        -> (xGifPixels _),
     "x_png_pixels"        -> (xPngPixels _),
     "x_jpeg_pixels"       -> (xJpegPixels _),
@@ -3985,6 +4009,16 @@ object LlmOps {
         |  CAST(SUM(abs(sv)) AS BIGINT) AS sum_abs,
         |  CAST(SUM(sv * sv) AS BIGINT) AS sum_sq
         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_flac_pcm" ->
+      """WITH s AS (SELECT d.doc_id,
+        |    (d.doc_id * 31 + i.i * 17) % 64 - 32 AS sv
+        |  FROM documents d, LATERAL (SELECT unnest(generate_series(1, 16))
+        |    AS i) i)
+        |SELECT doc_id, COUNT(*) AS n_samples,
+        |  CAST(MAX(abs(sv)) AS BIGINT) AS peak,
+        |  CAST(SUM(abs(sv)) AS BIGINT) AS sum_abs,
+        |  CAST(SUM(sv * sv) AS BIGINT) AS sum_sq
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_gif_pixels" ->
       """WITH m AS (SELECT doc_id,
         |    (doc_id % 5 + 2) * (doc_id % 3 + 2) AS n FROM documents),
