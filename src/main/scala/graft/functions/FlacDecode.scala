@@ -30,7 +30,10 @@ package graft.functions
   * work); this is beyond-reference corpus surface.
   *
   * Returns the wavPcmStats loudness/clipping contract: [n_samples,
-  * peak, Σ|s|, Σs²] across all channels, exact int64.
+  * peak, Σ|s|, Σs²] across all channels, exact int64 — except that
+  * Σs² can genuinely exceed int64 at high bit depths (seconds of
+  * 24-bit audio; two full-scale 32-bit samples), where it saturates
+  * sticky at Long.MaxValue rather than wrapping.
   */
 object FlacDecode {
 
@@ -155,6 +158,7 @@ object FlacDecode {
 
     // ---- frames ----
     var n = 0L; var peak = 0L; var sumAbs = 0L; var sumSq = 0L
+    var satSq = false
     var decodedPerCh = 0L
     while (p < b.length) {
       val frameStart = p
@@ -239,13 +243,27 @@ object FlacDecode {
       if (crc16(b, frameStart, crcPos) != want) fail()
       p = crcPos + 2
 
-      // stereo decorrelation: side = left − right in all three modes
+      // stereo decorrelation: side = left − right in all three modes.
+      // Reconstructed samples must fit the declared bps (they always
+      // do in a valid stream) — the check keeps garbage side channels
+      // from smuggling >bps values into the stats below.
+      val lo = -(1L << (bps - 1)); val hi = (1L << (bps - 1)) - 1
       if (chanAsgn == 8) { // left/side → right = left − side
         val l = chans(0); val s = chans(1)
-        var i = 0; while (i < blockSize) { s(i) = l(i) - s(i); i += 1 }
+        var i = 0
+        while (i < blockSize) {
+          s(i) = l(i) - s(i)
+          if (s(i) < lo || s(i) > hi) fail()
+          i += 1
+        }
       } else if (chanAsgn == 9) { // side/right → left = right + side
         val s = chans(0); val r = chans(1)
-        var i = 0; while (i < blockSize) { s(i) = r(i) + s(i); i += 1 }
+        var i = 0
+        while (i < blockSize) {
+          s(i) = r(i) + s(i)
+          if (s(i) < lo || s(i) > hi) fail()
+          i += 1
+        }
       } else if (chanAsgn == 10) { // mid/side: mid = (l+r)>>1 lost the
         val m = chans(0); val s = chans(1) // LSB; l+r and l−r share parity
         var i = 0
@@ -253,6 +271,7 @@ object FlacDecode {
           val lr = (m(i) << 1) | (s(i) & 1L)
           m(i) = (lr + s(i)) >> 1
           s(i) = (lr - s(i)) >> 1
+          if (m(i) < lo || m(i) > hi || s(i) < lo || s(i) > hi) fail()
           i += 1
         }
       }
@@ -261,7 +280,18 @@ object FlacDecode {
         val ch = chans(ci); var i = 0
         while (i < blockSize) {
           val v = ch(i); val a = math.abs(v)
-          n += 1; if (a > peak) peak = a; sumAbs += a; sumSq += v * v
+          n += 1; if (a > peak) peak = a; sumAbs += a
+          // Σs² can genuinely exceed int64 at high bit depths (a
+          // 3-second 24-bit track already can; two full-scale 32-bit
+          // samples do) — saturate sticky at Long.MaxValue instead of
+          // wrapping. Each addend is < 2^63 (|v| ≤ 2^31 after the fit
+          // check above), so a wrap always lands negative and is
+          // caught immediately. Σ|s| cannot overflow for any payload
+          // that fits in memory (≤ 2^29 samples · 2^31 < 2^63).
+          if (!satSq) {
+            sumSq += v * v
+            if (sumSq < 0) satSq = true
+          }
           i += 1
         }
         ci += 1
@@ -271,7 +301,7 @@ object FlacDecode {
     // a declared total-sample count must match — catches truncation
     // that happens to land exactly on a frame boundary
     if (siTotal != 0 && siTotal != decodedPerCh) fail()
-    Array(n, peak, sumAbs, sumSq)
+    Array(n, peak, sumAbs, if (satSq) Long.MaxValue else sumSq)
   }
 
   private def decodeSubframe(br: BitReader, blockSize: Int,

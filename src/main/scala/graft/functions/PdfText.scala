@@ -376,24 +376,43 @@ object PdfText {
     best
   }
 
-  /** Every trailer dict in the file (classic layout); newest last. */
+  /** Last occurrence of `pat` strictly before index `before`. */
+  private def findBytesBefore(b: Array[Byte], pat: Array[Byte],
+                              before: Int): Int = {
+    var i = math.min(before, b.length) - pat.length
+    while (i >= 0) {
+      var k = 0
+      while (k < pat.length && b(i + k) == pat(k)) k += 1
+      if (k == pat.length) return i
+      i -= 1
+    }
+    -1
+  }
+
+  /** Every trailer dict in the file (classic layout); newest last.
+    * Scanned BACKWARDS from the end so the guard caps the 64 NEWEST
+    * occurrences: real trailers live at the end of the file (each
+    * incremental update appends one), while an uncompressed content
+    * stream whose page text happens to contain the word `trailer`
+    * many times sits before them — a forward scan would burn the
+    * guard on those in-stream decoys and miss the real trailer,
+    * losing /Encrypt (the decline contract) and /Root//Info. */
   private def trailerDicts(b: Array[Byte]): List[Map[String, V]] = {
     var out = List.empty[Map[String, V]]
-    var i = 0
+    var i = b.length
     var guard = 0
     while (i >= 0 && guard < 64) {
-      i = findBytes(b, TRAILER, i)
+      i = findBytesBefore(b, TRAILER, i)
       if (i >= 0) {
         val lx = new Lexer(b, i + TRAILER.length)
         parseValue(lx, 0) match {
           case VDict(m) => out = m :: out
           case _ =>
         }
-        i += TRAILER.length
         guard += 1
       }
     }
-    out.reverse
+    out
   }
 
   private final class Doc(val b: Array[Byte]) {
@@ -436,10 +455,11 @@ object PdfText {
                 case Some(VNum(l)) if l >= 0 && d + l <= b.length => l.toLong
                 case _ => -1L
               }
+              val esAfterLen =
+                if (len >= 0) findBytes(b, ENDSTREAM, (d + len).toInt)
+                else -1
               val end =
-                if (len >= 0 &&
-                    findBytes(b, ENDSTREAM, (d + len).toInt) >= 0 &&
-                    findBytes(b, ENDSTREAM, (d + len).toInt) - (d + len) <= 2)
+                if (len >= 0 && esAfterLen >= 0 && esAfterLen - (d + len) <= 2)
                   d + len.toInt
                 else {
                   val e = findBytes(b, ENDSTREAM, d)
@@ -617,11 +637,19 @@ object PdfText {
     if (doc.encrypted) return null
     val out = new java.lang.StringBuilder()
     val pages = doc.pageObjects
-    val streams: List[Int] =
-      if (pages.nonEmpty) pages.flatMap(doc.contentsOf)
-      else doc.objs.toList.sortBy(_._2).map(_._1).filter(n =>
-        doc.decodedStream(n).exists(d => findBytes(d, "BT".getBytes, 0) >= 0))
-    streams.foreach(n => doc.decodedStream(n).foreach(extractContent(_, out)))
+    // decode each stream exactly ONCE — the no-page-tree fallback both
+    // tests for BT and extracts from the same decoded buffer (a filter
+    // over decodedStream(n) would run every Inflater twice)
+    val decoded: List[Array[Byte]] =
+      if (pages.nonEmpty)
+        pages.flatMap(doc.contentsOf).flatMap(doc.decodedStream)
+      else {
+        val bt = "BT".getBytes
+        doc.objs.toList.sortBy(_._2)
+          .flatMap { case (n, _) => doc.decodedStream(n) }
+          .filter(d => findBytes(d, bt, 0) >= 0)
+      }
+    decoded.foreach(extractContent(_, out))
     // per-block ETs left a trailing newline; strip the outermost
     var end = out.length()
     while (end > 0 && out.charAt(end - 1) == '\n') end -= 1

@@ -158,9 +158,15 @@ object TextAnalysis {
                    idCol: String = "doc_id"): DataFrame = {
     val clean = removeNonContent(html)
     // one pass, group 1 = the raw value token ("…" | '…' | bare) —
-    // quotes strip below; a single scan is what keeps document order
+    // quotes strip below; a single scan is what keeps document order.
+    // The prefix consumes other attributes' QUOTED VALUES ATOMICALLY
+    // ("[^"]*"|'[^']*' — a bare [^>]*? would let `href=` inside e.g. a
+    // title="… href=decoy …" value match, extracting the decoy and
+    // skipping the tag's real href); the lookbehind keeps the
+    // data-href= look-alike rejection without eating a boundary char.
     val rawVals = regexp_extract_all(clean,
-      lit("(?is)<a\\b[^>]*?[\\s\"']href\\s*=\\s*" +
+      lit("(?is)<a\\b(?:[^>\"']|\"[^\"]*\"|'[^']*')*?" +
+        "(?<=[\\s\"'])href\\s*=\\s*" +
         "(\"[^\"]*\"|'[^']*'|[^\"'\\s>]+)"), lit(1))
     val hrefs = transform(rawVals, v =>
       regexp_replace(v, "^[\"']|[\"']$", ""))

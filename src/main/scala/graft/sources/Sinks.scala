@@ -163,39 +163,9 @@ object Sinks {
                              tables: Map[String, Int]): Unit = {
     val text = (version.toString +: tables.toSeq.sortBy(_._1)
       .map { case (t, v) => s"$t=$v" }).mkString("\n")
-    val tmp = new org.apache.hadoop.fs.Path(root,
-      s"_LATEST.tmp.${java.util.UUID.randomUUID()}")
-    val latest = new org.apache.hadoop.fs.Path(root, "_LATEST")
-    // Two commit strategies, both atomic for readers on their store,
-    // selected by URI SCHEME (not by FileContext availability — an S3A
-    // deployment that configures fs.AbstractFileSystem.s3a.impl would
-    // satisfy that probe while its rename is copy+delete, the opposite
-    // of atomic):
-    //  - hdfs/file/viewfs/abfs(s): write tmp, single-file
-    //    FileContext.rename with OVERWRITE — atomic on these
-    //    filesystems (ADLS Gen2's hierarchical namespace gives abfs
-    //    real atomic rename, and its create-append-flush write path
-    //    makes the direct-overwrite branch UNSAFE there: a reader could
-    //    see the truncated-but-unflushed file);
-    //  - every other scheme (s3a, gs, ...): write _LATEST directly — a
-    //    single-object PUT is all-or-nothing on flat object stores (the
-    //    object becomes visible only on close), so a reader sees the
-    //    whole old or whole new manifest, never a torn write. Rename
-    //    there would be copy+delete with a visible gap.
-    val scheme = Option(root.toUri.getScheme).getOrElse(fs.getUri.getScheme)
-    val atomicRename =
-      Set("hdfs", "file", "viewfs", "abfs", "abfss").contains(scheme)
-    if (atomicRename) {
-      val out = fs.create(tmp, true)
-      try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, fs.getConf)
-        .rename(tmp, latest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    } else {
-      val out = fs.create(latest, true)
-      try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    }
+    // scheme-selected atomic strategy — see util.AtomicCommit
+    graft.util.AtomicCommit.commitPointer(fs,
+      new org.apache.hadoop.fs.Path(root, "_LATEST"), text)
   }
 
   /** FT2 — exactly-once micro-batch sink for file/table targets. Each

@@ -62,34 +62,17 @@ object CrawlStore {
 
   private def metaPath(path: String) = new Path(s"${path}_compacted/_META")
 
-  private[graft] def readMeta(fs: FileSystem, path: String): Option[Meta] = {
-    val p = metaPath(path)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val line = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-      line.split("\\s+") match {
-        case Array(v, nb, upTo, rows) =>
-          Some(Meta(v.toInt, nb.toLong, upTo.toLong, rows.toLong))
-        case _ => None
-      }
+  private[graft] def readMeta(fs: FileSystem, path: String): Option[Meta] =
+    graft.util.AtomicCommit.readPointer(fs, metaPath(path)).collect {
+      case Array(v, nb, upTo, rows) =>
+        Meta(v.toInt, nb.toLong, upTo.toLong, rows.toLong)
     }
-  }
 
-  private def writeMeta(fs: FileSystem, path: String, m: Meta): Unit = {
-    val p = metaPath(path)
-    val tmp = new Path(p.getParent, "_META.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(s"${m.version} ${m.nb} ${m.upTo} ${m.rows}"
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"could not commit $p")
-  }
+  private def writeMeta(fs: FileSystem, path: String, m: Meta): Unit =
+    graft.util.AtomicCommit.commitPointer(fs, metaPath(path),
+      s"${m.version} ${m.nb} ${m.upTo} ${m.rows}")
 
-  private def listEpochs(fs: FileSystem, path: String): Seq[Long] = {
+  private[streaming] def listEpochs(fs: FileSystem, path: String): Seq[Long] = {
     val root = new Path(path)
     if (!fs.exists(root)) Nil
     else fs.listStatus(root).toSeq
@@ -142,8 +125,11 @@ object CrawlStore {
   /** Rows of `candidates` whose `keyCol` appears NOWHERE in the
     * artifact's history (compacted tier + increments), excluding the
     * in-flight epoch `batchId` so a replayed batch re-derives its
-    * original survivors. `candidates` is consumed several times — pass
-    * it materialized (localCheckpoint) when it is not a cheap scan. */
+    * original survivors. Null keys are always returned as new — they
+    * cannot be members of a keyed history (callers that don't want
+    * them should filter before appending). `candidates` is consumed
+    * several times — pass it materialized (localCheckpoint) when it is
+    * not a cheap scan. */
   def antiJoinNew(candidates: DataFrame, keyCol: String,
                   path: String, batchId: Long): DataFrame = {
     val spark = candidates.sparkSession
@@ -161,11 +147,17 @@ object CrawlStore {
       else None
     if (meta.isEmpty && incr.isEmpty) return candidates
 
-    // bloom prefilter: provably-new rows (no blob hit) skip the join
+    // bloom prefilter: provably-new rows (no blob hit) skip the join.
+    // A NULL key can never be a member of a keyed history, so it is
+    // always "new" — coalescing the (null) bloom verdict to false
+    // keeps that consistent with the disarmed path, where left_anti
+    // passes null keys through.
     val blobs = coveringBlobs(spark, fs, path, meta)
     val (maybe, sureNew) = blobs match {
       case Some(bs) if bs.nonEmpty =>
-        val hit = graft.operators.BloomPrune.mightContainAny(col(keyCol), bs)
+        val hit = coalesce(
+          graft.operators.BloomPrune.mightContainAny(col(keyCol), bs),
+          lit(false))
         (candidates.filter(hit), Some(candidates.filter(!hit)))
       case _ => (candidates, None)
     }

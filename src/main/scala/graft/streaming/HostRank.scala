@@ -60,19 +60,10 @@ object HostRank {
     new org.apache.hadoop.fs.Path(s"$artifactDir/edges_compacted/_META")
 
   private def readEdgeMeta(fs: org.apache.hadoop.fs.FileSystem,
-                           artifactDir: String): Option[(Int, Long)] = {
-    val p = metaPath(artifactDir)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val line = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-      line.split("\\s+") match {
-        case Array(v, upTo) => Some((v.toInt, upTo.toLong))
-        case _ => None
-      }
+                           artifactDir: String): Option[(Int, Long)] =
+    graft.util.AtomicCommit.readPointer(fs, metaPath(artifactDir)).collect {
+      case Array(v, upTo) => (v.toInt, upTo.toLong)
     }
-  }
 
   /** The maintained graph: the compacted tier (when one exists) plus
     * the epochs past its high-water mark, merged by summing weights
@@ -102,13 +93,8 @@ object HostRank {
   }
 
   private def listEpochs(fs: org.apache.hadoop.fs.FileSystem,
-                         path: String): Seq[Long] = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    if (!fs.exists(root)) Nil
-    else fs.listStatus(root).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("batch_id="))
-      .map(_.stripPrefix("batch_id=").toLong)
-  }
+                         path: String): Seq[Long] =
+    CrawlStore.listEpochs(fs, path)
 
   /** Fresh host ranks over the maintained graph — the integer
     * fixed-point operator, so incremental == batch exactly. */
@@ -148,15 +134,8 @@ object HostRank {
     val version = meta.map(_._1 + 1).getOrElse(1)
     all.write.mode("overwrite")
       .parquet(s"$artifactDir/edges_compacted/v=$version")
-    val p = metaPath(artifactDir)
-    val tmp = new org.apache.hadoop.fs.Path(p.getParent, "_META.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(s"$version ${fold.max}"
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"could not commit $p")
+    graft.util.AtomicCommit.commitPointer(fs, metaPath(artifactDir),
+      s"$version ${fold.max}")
     fold.foreach(e =>
       fs.delete(new org.apache.hadoop.fs.Path(path, s"batch_id=$e"), true))
     meta.foreach { case (v, _) =>

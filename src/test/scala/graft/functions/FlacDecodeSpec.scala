@@ -302,6 +302,15 @@ class FlacDecodeSpec extends AnyFunSuite {
     assert(FlacDecode.flacPcmStats(big).toSeq == stats(Seq(a)).toSeq)
   }
 
+  test("sum_sq saturates sticky at Long.MaxValue instead of wrapping") {
+    // two full-scale 32-bit samples: each square is 2^62, the sum is
+    // 2^63 — one past int64. peak and sum_abs stay exact.
+    val s = Array.fill(2)(Int.MinValue.toLong)
+    val got = FlacDecode.flacPcmStats(mono(s, 32, Constant))
+    assert(got.toSeq == Seq(2L, 1L << 31, 1L << 32, Long.MaxValue),
+      got.toSeq.toString)
+  }
+
   test("bit depths 8 and 24, and non-streaminfo rate codes") {
     val s8 = sig(40, i => ((i * 29) % 200) - 100L)
     assert(FlacDecode.flacPcmStats(mono(s8, 8, Fixed(1, 3))).toSeq ==

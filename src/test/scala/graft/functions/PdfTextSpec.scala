@@ -144,6 +144,24 @@ class PdfTextSpec extends SparkSpec {
     assert(PdfText.pdfMeta(enc).getBoolean(3))
   }
 
+  test("in-stream 'trailer' decoys cannot starve the real trailer: the " +
+       "backward scan still finds /Encrypt past 100 decoy occurrences") {
+    // a page whose legitimate text contains the word `trailer` 100
+    // times — a forward scan capped at 64 burned its guard on these
+    // and missed the file's real trailer (losing the decline contract)
+    val decoyOps = (1 to 100)
+      .map(i => s"BT (movie trailer $i) Tj ET").mkString("\n")
+    val enc = onePagePdf(contentStream(decoyOps),
+      trailerExtra = " /Encrypt 9 0 R")
+    assert(text(enc) == null, "encrypted must decline despite decoys")
+    assert(PdfText.pdfMeta(enc).getBoolean(3), "meta must flag encrypted")
+    // same decoys, unencrypted: text still extracts fully
+    val plain = onePagePdf(contentStream(decoyOps))
+    val t = text(plain)
+    assert(t != null && t.contains("movie trailer 1") &&
+      t.contains("movie trailer 100"), String.valueOf(t))
+  }
+
   test("fallbacks: corrupt xref offsets fall back to the object scan; " +
        "a stream-style xref (no classic table) takes the linear-scan " +
        "path; page tree unreachable -> BT-stream fallback") {

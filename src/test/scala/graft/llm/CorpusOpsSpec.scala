@@ -321,6 +321,23 @@ class CorpusOpsSpec extends SparkSpec {
       "<a href=x'y>odd</a><a href=\"ok\">k</a>")
     assert(mm.map(t => (t._1, t._2)) == List((0L, "x"), (1L, "ok")),
       mm.toString)
+    // `href=` INSIDE another attribute's quoted value is not an
+    // attribute: the real href must win, not the decoy (quoted values
+    // consume atomically in the prefix)
+    val poison = links("https://a.example/",
+      "<a title=\"see href=https://evil.example for info\" " +
+        "href=\"https://good.example/x\">g</a>" +
+        "<a alt='href=https://evil2.example' href=/real>r</a>")
+    assert(poison.map(_._3) ==
+      List("https://good.example/x", "https://a.example/real"),
+      poison.toString)
+    // no-space attribute runs (title="x"href="y") still extract: the
+    // boundary is a lookbehind, so the closing quote both terminates
+    // the prior value and satisfies the boundary
+    val tight = links("https://a.example/",
+      "<a title=\"x\"href=\"/tight\">t</a>")
+    assert(tight.map(_._3) == List("https://a.example/tight"),
+      tight.toString)
   }
 
   test("contentBlocks + mainContent: link-density keeps prose and drops " +

@@ -50,6 +50,19 @@ class CrawlStoreSpec extends SparkSpec {
     CrawlStore.compact(spark, dir, "canon", targetRowsPerBucket = 8L,
       keepEpochs = 2)
     assert(CrawlStore.readMeta(fs, dir).get == before)
+    // a NULL key is always "new" — identically with the bloom
+    // prefilter armed (blobs cover this store) and disarmed
+    val nullCand = Seq(Some("site7.example/p7"), None, Some("fresh.example/n"))
+      .toDF("canon")
+    val armed = CrawlStore.antiJoinNew(nullCand, "canon", dir, 6L)
+      .select($"canon").collect().map(r => Option(r.getString(0))).toSet
+    assert(armed == Set(None, Some("fresh.example/n")), armed.toString)
+    fs.delete(new org.apache.hadoop.fs.Path(dir + "_bloom"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"${dir}_compacted/v=${before.version}/bloom"), true)
+    val disarmed = CrawlStore.antiJoinNew(nullCand, "canon", dir, 6L)
+      .select($"canon").collect().map(r => Option(r.getString(0))).toSet
+    assert(disarmed == armed, s"disarmed $disarmed != armed $armed")
   }
 
   test("partition pruning: a one-candidate confirm reads only its own " +
