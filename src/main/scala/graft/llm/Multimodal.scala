@@ -224,6 +224,81 @@ object Multimodal {
         .bitwiseXOR(shiftleft(acc, 8).bitwiseAND(lit(65535L))))
   }
 
+  /** Shared content formula for the archive fixtures: 16 lowercase
+    * chars, char j of entry k = 'a' + (doc_id·7 + k·13 + j·3) mod 26 —
+    * restatable in DuckDB as chr()/string_agg. */
+  private def archiveContentBytes(k: Int) =
+    transform(sequence(lit(0), lit(15)), j =>
+      pmod(col("doc_id") * 7 + k * 13 + j * 3, lit(26L)) + 97L)
+  private def archiveContentHex(k: Int) =
+    concat_ws("", transform(archiveContentBytes(k), v =>
+      lpad(hex(v), 2, "0")))
+
+  /** Deterministic complete-ZIP fixtures for the archive-walk gate:
+    * two STORED entries per doc (`f0.txt`, `f1.txt`, 16 bytes each,
+    * the content formula above) with REAL CRC-32s computed as
+    * `aggregate` folds — local headers, a full central directory, and
+    * the end-of-central-directory record, all offsets template
+    * constants because names and sizes are fixed-width. Spec-valid
+    * (the JDK's own ZipInputStream reads these — pinned in
+    * ArchiveSpec); DEFLATE entries cannot be built in SQL, so the
+    * spec's ZipOutputStream round-trip covers method 8. */
+  def syntheticZip(docs: DataFrame): DataFrame = {
+    val names = Seq("f0.txt", "f1.txt")
+    val nameHex = names.map(_.getBytes.map(b => f"$b%02X").mkString)
+    def crcHex(k: Int) = le4(crc32Col(archiveContentBytes(k)))
+    def local(k: Int) = concat(
+      lit("504B0304" + "1400" + "0000" + "0000" + "0000" + "0000"),
+      crcHex(k), le4(lit(16)), le4(lit(16)),
+      lit("0600" + "0000" + nameHex(k)), archiveContentHex(k))
+    def cd(k: Int) = concat(
+      lit("504B0102" + "1400" + "1400" + "0000" + "0000" + "0000" + "0000"),
+      crcHex(k), le4(lit(16)), le4(lit(16)),
+      lit("0600" + "0000" + "0000" + "0000" + "0000" + "00000000"),
+      le4(lit(k * 52)), lit(nameHex(k)))
+    val eocd = concat(
+      lit("504B0506" + "0000" + "0000"), le2(lit(2)), le2(lit(2)),
+      le4(lit(104)), le4(lit(104)), lit("0000"))
+    docs.select(col("doc_id"),
+      unhex(concat(local(0), local(1), cd(0), cd(1), eocd)).as("payload"))
+  }
+
+  /** One POSIX ustar header as its hex string — constant per (name,
+    * size, typeflag) because the checksum only covers the header. */
+  private def tarHeaderHex(name: String, size: Long, typeflag: Char): String = {
+    val h = new Array[Byte](512)
+    name.getBytes.copyToArray(h, 0)
+    "0000644".getBytes.copyToArray(h, 100)
+    "0000000".getBytes.copyToArray(h, 108)
+    "0000000".getBytes.copyToArray(h, 116)
+    f"$size%011o".getBytes.copyToArray(h, 124)
+    "00000000000".getBytes.copyToArray(h, 136)
+    h(156) = typeflag.toByte
+    "ustar".getBytes.copyToArray(h, 257) // magic "ustar\0" + version "00"
+    h(263) = '0'; h(264) = '0'
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    val sum = h.map(_ & 0xFF).sum
+    f"$sum%06o".getBytes.copyToArray(h, 148)
+    h(154) = 0; h(155) = ' '
+    h.map(b => f"${b & 0xFF}%02X").mkString
+  }
+
+  /** Deterministic complete-tar fixtures: a directory entry plus two
+    * 16-byte regular files per doc (same content formula as the ZIP
+    * fixture), checksummed ustar headers as template constants, data
+    * blocks NUL-padded to 512, two zero trailer blocks. */
+  def syntheticTar(docs: DataFrame): DataFrame = {
+    val pad496 = "00" * 496
+    val trailer = "00" * 1024
+    val hex = concat(
+      lit(tarHeaderHex("d/", 0, '5')),
+      lit(tarHeaderHex("f0.txt", 16, '0')), archiveContentHex(1),
+      lit(pad496),
+      lit(tarHeaderHex("f1.txt", 16, '0')), archiveContentHex(2),
+      lit(pad496 + trailer))
+    docs.select(col("doc_id"), unhex(hex).as("payload"))
+  }
+
   /** Deterministic complete-FLAC fixtures for the Rice/prediction
     * decode gate: mono, 16-bit, 8 kHz, one 16-sample frame per doc,
     * sample i = (doc_id·31 + i·17) mod 64 − 32. The one FLAC bitstream

@@ -1262,6 +1262,46 @@ object LlmOps {
       "doc_id")
   }
 
+  /** REAL ZIP archive walk: SQL-built two-entry STORED archives with
+    * real fold-computed CRC-32s (`Multimodal.syntheticZip`) are opened
+    * back through `Archive.zipEntries`' actual EOCD/central-directory
+    * walk — names, sizes and the extracted bytes must round-trip (the
+    * CRC verify is on the decode path, so a parse that slices wrong
+    * bytes nulls the data and hash-mismatches). The oracle restates
+    * every field arithmetically. DEFLATE members and decline contracts
+    * are ArchiveSpec's ZipOutputStream round-trip (not SQL-buildable). */
+  def xZipEntries(s: SparkSession, d: String): DataFrame = {
+    val e = graft.functions.Archive.zipEntriesCol(col("payload"))
+    Multimodal.syntheticZip(documents(s, d))
+      .select(col("doc_id"), posexplode(e))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("entry_idx"),
+        col("col.name").as("name"),
+        col("col.method").cast("long").as("method"),
+        col("col.usize").as("usize"),
+        col("col.data").cast("string").as("text"))
+      .orderBy("doc_id", "entry_idx")
+  }
+
+  /** REAL tar archive walk: SQL-built ustar fixtures (directory + two
+    * files, checksummed headers — `Multimodal.syntheticTar`) are
+    * listed back through `Archive.tarEntries`' actual header walk with
+    * checksum verification; the directory row proves
+    * listing-without-data. Longnames, pax skips, V7 and signed
+    * checksums are ArchiveSpec's spec-side builders. */
+  def xTarEntries(s: SparkSession, d: String): DataFrame = {
+    val e = graft.functions.Archive.tarEntriesCol(col("payload"))
+    Multimodal.syntheticTar(documents(s, d))
+      .select(col("doc_id"), posexplode(e))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("entry_idx"),
+        col("col.name").as("name"),
+        col("col.typeflag").as("typeflag"),
+        col("col.size").as("size"),
+        col("col.data").cast("string").as("text"))
+      .orderBy("doc_id", "entry_idx")
+  }
+
   /** REAL GIF LZW pixel decode: deterministic complete-GIF payloads
     * (fixed 128-color palette, doc-dependent dims and pixel values,
     * literal-coded LZW stream — `Multimodal.syntheticGifPixels`)
@@ -2460,6 +2500,8 @@ object LlmOps {
     "x_multimodal_meta"   -> (xMultimodalMeta _),
     "x_wav_pcm"           -> (xWavPcm _),
     "x_flac_pcm"          -> (xFlacPcm _),
+    "x_zip_entries"       -> (xZipEntries _),
+    "x_tar_entries"       -> (xTarEntries _),
     "x_gif_pixels"        -> (xGifPixels _),
     "x_png_pixels"        -> (xPngPixels _),
     "x_jpeg_pixels"       -> (xJpegPixels _),
@@ -4019,6 +4061,35 @@ object LlmOps {
         |  CAST(SUM(abs(sv)) AS BIGINT) AS sum_abs,
         |  CAST(SUM(sv * sv) AS BIGINT) AS sum_sq
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_zip_entries" ->
+      """WITH e AS (SELECT d.doc_id, k.k
+        |  FROM documents d, LATERAL (SELECT unnest(generate_series(0, 1))
+        |    AS k) k),
+        |c AS (SELECT doc_id, k,
+        |    string_agg(chr(CAST(97 + (doc_id*7 + k*13 + j.j*3) % 26
+        |      AS INT)), '' ORDER BY j.j) AS text
+        |  FROM e, LATERAL (SELECT unnest(generate_series(0, 15)) AS j) j
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, CAST(k AS BIGINT) AS entry_idx,
+        |  'f' || k || '.txt' AS name, CAST(0 AS BIGINT) AS method,
+        |  CAST(16 AS BIGINT) AS usize, text
+        |FROM c ORDER BY doc_id, entry_idx""".stripMargin,
+    "x_tar_entries" ->
+      """WITH e AS (SELECT d.doc_id, k.k
+        |  FROM documents d, LATERAL (SELECT unnest(generate_series(0, 2))
+        |    AS k) k),
+        |c AS (SELECT doc_id, k,
+        |    CASE WHEN k = 0 THEN NULL ELSE
+        |      string_agg(chr(CAST(97 + (doc_id*7 + k*13 + j.j*3) % 26
+        |        AS INT)), '' ORDER BY j.j) END AS text
+        |  FROM e, LATERAL (SELECT unnest(generate_series(0, 15)) AS j) j
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, CAST(k AS BIGINT) AS entry_idx,
+        |  CASE WHEN k = 0 THEN 'd/' ELSE 'f' || (k - 1) || '.txt' END AS name,
+        |  CASE WHEN k = 0 THEN '5' ELSE '0' END AS typeflag,
+        |  CAST(CASE WHEN k = 0 THEN 0 ELSE 16 END AS BIGINT) AS size,
+        |  text
+        |FROM c ORDER BY doc_id, entry_idx""".stripMargin,
     "x_gif_pixels" ->
       """WITH m AS (SELECT doc_id,
         |    (doc_id % 5 + 2) * (doc_id % 3 + 2) AS n FROM documents),
