@@ -1283,6 +1283,51 @@ object LlmOps {
       .orderBy("doc_id", "entry_idx")
   }
 
+  /** STRICT UTF-8 validation + repair: fixture payloads plant
+    * doc_id-determined defects (doc_id%3 stray 0xFF bytes mid-text and,
+    * on odd docs, a truncated multibyte lead at EOF) around a genuine
+    * multibyte char — `Utf8Ops.utf8Scan` must count exactly the
+    * invalid BYTES and replace each with U+FFFD while passing the
+    * valid sequence through. The oracle restates validity, count and
+    * the repaired text arithmetically. Overlongs/surrogates/>U+10FFFF
+    * are Utf8OpsSpec's (not SQL-buildable portably). */
+  def xUtf8Scan(s: SparkSession, d: String): DataFrame = {
+    val k1 = pmod(col("doc_id"), lit(3L)).cast("int")
+    val k2 = pmod(col("doc_id"), lit(2L)).cast("int")
+    val payload = unhex(concat(
+      hex(encode(concat(lit("doc "), col("doc_id"), lit(" caf")), "UTF-8")),
+      repeat(lit("FF"), k1),
+      lit("C3A9"), // é — the valid multibyte survivor
+      when(k2 === 1, lit("C3")).otherwise(lit("")))) // truncated lead
+    val scan = graft.functions.Utf8Ops.utf8ScanCol(payload)
+    ordered(
+      documents(s, d).select(col("doc_id"), scan.as("u"))
+        .select(col("doc_id"),
+          col("u.is_valid").as("is_valid"),
+          col("u.n_invalid").cast("long").as("n_invalid"),
+          col("u.text").as("text")),
+      "doc_id")
+  }
+
+  /** Mojibake repair: the fixture DOUBLE-ENCODES real text in SQL
+    * (UTF-8 bytes re-read as Latin-1 — Spark's own encode/decode), and
+    * `Utf8Ops.fixMojibake` must reverse it exactly; a genuinely
+    * accented string ("naïve") must pass through UNTOUCHED (its
+    * cp1252 re-encoding is not valid UTF-8). The oracle rebuilds both
+    * sides with chr() arithmetic. Accents draw from U+00E0-U+00EF so
+    * the mojibake bytes stay out of the cp1252/Latin-1 divergence. */
+  def xMojibake(s: SparkSession, d: String): DataFrame = {
+    val accent = chr(pmod(col("doc_id"), lit(16L)) + 224L)
+    val original = concat(lit("caf"), accent, lit(" id "), col("doc_id"))
+    val garbled = decode(encode(original, "UTF-8"), "ISO-8859-1")
+    val genuine = concat(lit("na"), chr(lit(239)), lit("ve "), col("doc_id"))
+    ordered(
+      documents(s, d).select(col("doc_id"),
+        graft.functions.Utf8Ops.fixMojibakeCol(garbled).as("repaired"),
+        graft.functions.Utf8Ops.fixMojibakeCol(genuine).as("untouched")),
+      "doc_id")
+  }
+
   /** REAL tar archive walk: SQL-built ustar fixtures (directory + two
     * files, checksummed headers — `Multimodal.syntheticTar`) are
     * listed back through `Archive.tarEntries`' actual header walk with
@@ -2502,6 +2547,8 @@ object LlmOps {
     "x_flac_pcm"          -> (xFlacPcm _),
     "x_zip_entries"       -> (xZipEntries _),
     "x_tar_entries"       -> (xTarEntries _),
+    "x_utf8_scan"         -> (xUtf8Scan _),
+    "x_mojibake"          -> (xMojibake _),
     "x_gif_pixels"        -> (xGifPixels _),
     "x_png_pixels"        -> (xPngPixels _),
     "x_jpeg_pixels"       -> (xJpegPixels _),
@@ -4090,6 +4137,19 @@ object LlmOps {
         |  CAST(CASE WHEN k = 0 THEN 0 ELSE 16 END AS BIGINT) AS size,
         |  text
         |FROM c ORDER BY doc_id, entry_idx""".stripMargin,
+    "x_utf8_scan" ->
+      """SELECT doc_id,
+        |  (doc_id % 3 = 0 AND doc_id % 2 = 0) AS is_valid,
+        |  CAST(doc_id % 3 + doc_id % 2 AS BIGINT) AS n_invalid,
+        |  'doc ' || doc_id || ' caf' || repeat('�', CAST(doc_id % 3 AS INT))
+        |    || 'é' || CASE WHEN doc_id % 2 = 1 THEN '�' ELSE '' END AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_mojibake" ->
+      """SELECT doc_id,
+        |  'caf' || chr(CAST(224 + doc_id % 16 AS INT)) || ' id ' || doc_id
+        |    AS repaired,
+        |  'na' || chr(239) || 've ' || doc_id AS untouched
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x_gif_pixels" ->
       """WITH m AS (SELECT doc_id,
         |    (doc_id % 5 + 2) * (doc_id % 3 + 2) AS n FROM documents),

@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Utf8Ops against the RFC 3629 boundary table and the JDK's own
+  * decoder as an independent validity referee. */
+class Utf8OpsSpec extends AnyFunSuite {
+
+  private def scan(b: Array[Byte]): (Boolean, Int, String) = {
+    val r = Utf8Ops.utf8Scan(b)
+    (r.getBoolean(0), r.getInt(1), r.getUTF8String(2).toString)
+  }
+  private def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+  private def fix(s: String): String =
+    Utf8Ops.fixMojibake(UTF8String.fromString(s)).toString
+
+  test("valid boundary sequences pass byte-for-byte") {
+    val valid = Seq(
+      bytes(0x00), bytes(0x7F),                   // ASCII edges
+      bytes(0xC2, 0x80), bytes(0xDF, 0xBF),       // 2-byte edges
+      bytes(0xE0, 0xA0, 0x80), bytes(0xED, 0x9F, 0xBF), // 3-byte + pre-surrogate
+      bytes(0xEE, 0x80, 0x80), bytes(0xEF, 0xBF, 0xBF), // post-surrogate
+      bytes(0xF0, 0x90, 0x80, 0x80),              // U+10000
+      bytes(0xF4, 0x8F, 0xBF, 0xBF))              // U+10FFFF
+    for (v <- valid) {
+      val (ok, n, text) = scan(v)
+      assert(ok && n == 0, v.map(b => f"${b & 0xFF}%02X").mkString(" "))
+      assert(text.getBytes("UTF-8").toSeq == v.toSeq)
+    }
+  }
+
+  test("overlongs, surrogates, > U+10FFFF, stray continuations and " +
+       "truncations are invalid — and the JDK referee agrees on every " +
+       "case both ways") {
+    val invalid = Seq(
+      bytes(0xC0, 0xAF), bytes(0xC1, 0xBF),             // overlong 2-byte
+      bytes(0xE0, 0x9F, 0xBF),                          // overlong 3-byte
+      bytes(0xF0, 0x8F, 0xBF, 0xBF),                    // overlong 4-byte
+      bytes(0xED, 0xA0, 0x80), bytes(0xED, 0xBF, 0xBF), // surrogates
+      bytes(0xF4, 0x90, 0x80, 0x80), bytes(0xF5, 0x80), // > U+10FFFF
+      bytes(0x80), bytes(0xBF),                         // stray continuation
+      bytes(0xC3), bytes(0xE2, 0x82), bytes(0xF0, 0x9F, 0x98)) // truncated
+    val referee = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+    def jdkValid(b: Array[Byte]): Boolean =
+      try { referee.reset().decode(java.nio.ByteBuffer.wrap(b)); true }
+      catch { case _: java.nio.charset.CharacterCodingException => false }
+    for (v <- invalid) {
+      val (ok, n, _) = scan(v)
+      assert(!ok && n > 0, v.map(b => f"${b & 0xFF}%02X").mkString(" "))
+      assert(!jdkValid(v), "referee disagrees: " +
+        v.map(b => f"${b & 0xFF}%02X").mkString(" "))
+    }
+    // and the referee confirms every valid boundary case too
+    assert(jdkValid(bytes(0xF4, 0x8F, 0xBF, 0xBF)))
+    assert(jdkValid(bytes(0xED, 0x9F, 0xBF)))
+  }
+
+  test("per-byte repair: each invalid byte becomes exactly one U+FFFD, " +
+       "valid text around defects survives") {
+    val b = "ok ".getBytes ++ bytes(0xFF, 0xFE) ++ "é!".getBytes("UTF-8") ++
+      bytes(0xC3)
+    val (ok, n, text) = scan(b)
+    assert(!ok && n == 3)
+    assert(text == "ok ��é!�")
+  }
+
+  test("a defect mid-sequence resyncs: the lead byte is replaced, the " +
+       "following valid ASCII is kept") {
+    val (_, n, text) = scan(bytes('a', 0xE2, 0x82, 'b', 'c'))
+    // E2 82 needs a third continuation byte; E2 and 82 each replace
+    assert(n == 2 && text == "a��bc", s"$n $text")
+  }
+
+  test("mojibake round-trip: é, 4-byte emoji, and the cp1252-only € " +
+       "all repair; repairs are idempotent") {
+    for (orig <- Seq("café au lait", "emoji 😀 ok", "price €5")) {
+      val garbled = new String(orig.getBytes("UTF-8"),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      // ISO-8859-1 maps 0x80-0x9F to C1 controls the cp1252 table
+      // renders as the Windows printables — translate like real
+      // mojibake displays do
+      val displayed = garbled.map(c =>
+        if (c >= 0x80 && c <= 0x9F) {
+          // what a cp1252 viewer shows for that byte
+          new String(Array(c.toByte), "windows-1252").charAt(0)
+        } else c).mkString
+      assert(fix(displayed) == orig, s"via cp1252 display: $orig")
+      assert(fix(garbled) == orig, s"via latin-1 display: $orig")
+      assert(fix(fix(garbled)) == orig, "idempotent")
+    }
+  }
+
+  test("genuine text is a fixed point: ASCII, accents whose bytes are " +
+       "not valid UTF-8, and strings with unmappable chars") {
+    for (s <- Seq("plain ascii", "naïve façade", "Ã alone", "日本語 text"))
+      assert(fix(s) == s, s)
+  }
+}
