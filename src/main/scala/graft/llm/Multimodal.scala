@@ -299,6 +299,39 @@ object Multimodal {
     docs.select(col("doc_id"), unhex(hex).as("payload"))
   }
 
+  /** Deterministic multipart EML fixtures: a two-part MIME message per
+    * doc — quoted-printable text/plain (the accent's UTF-8 bytes
+    * spelled as =C3=Ax escapes), base64 text/html with a
+    * Content-Disposition filename, and an RFC 2047 B-encoded Subject —
+    * assembled with engine-portable string functions (Spark's own
+    * base64/encode build the encoded stream; the oracle restates only
+    * DECODED values). */
+  def syntheticEml(docs: DataFrame): DataFrame = {
+    val accentIdx = pmod(col("doc_id"), lit(16L))
+    val accent = chr(accentIdx + 224L)
+    val subject = concat(lit("Re: caf"), accent, lit(" "), col("doc_id"))
+    val eml = concat(
+      lit("From: alice@example.com\nTo: bob@example.com\nSubject: =?UTF-8?B?"),
+      base64(encode(subject, "UTF-8")),
+      lit("?=\nDate: Mon, 1 Jan 2024 00:00:00 +0000\nMessage-ID: <m"),
+      col("doc_id"),
+      lit("@example>\nMIME-Version: 1.0\n" +
+        "Content-Type: multipart/mixed; boundary=\"b42\"\n\n" +
+        "--b42\nContent-Type: text/plain; charset=utf-8\n" +
+        "Content-Transfer-Encoding: quoted-printable\n\ncaf=C3=A"),
+      hex(accentIdx), // the accent's UTF-8 low nibble as a QP escape
+      lit(" body "), col("doc_id"),
+      lit("\n--b42\nContent-Type: text/html; charset=utf-8\n" +
+        "Content-Transfer-Encoding: base64\n" +
+        "Content-Disposition: inline; filename=\"doc"),
+      col("doc_id"),
+      lit(".html\"\n\n"),
+      base64(encode(concat(lit("<p>doc "), col("doc_id"), lit("</p>")),
+        "UTF-8")),
+      lit("\n--b42--\n"))
+    docs.select(col("doc_id"), encode(eml, "UTF-8").as("payload"))
+  }
+
   /** Deterministic complete-FLAC fixtures for the Rice/prediction
     * decode gate: mono, 16-bit, 8 kHz, one 16-sample frame per doc,
     * sample i = (doc_id·31 + i·17) mod 64 − 32. The one FLAC bitstream

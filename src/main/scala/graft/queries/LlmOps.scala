@@ -1328,6 +1328,41 @@ object LlmOps {
       "doc_id")
   }
 
+  /** MIME multipart walk + transfer decode: SQL-built two-part EMLs
+    * (`Multimodal.syntheticEml` — quoted-printable and base64 bodies,
+    * a Content-Disposition filename) pulled back through
+    * `Mime.mimeParts`' actual boundary walk and decoders; the oracle
+    * restates only decoded values (it never sees the encodings).
+    * Nested multiparts, folded headers and charset fallbacks are
+    * MimeSpec's. */
+  def xMimeParts(s: SparkSession, d: String): DataFrame = {
+    val parts = graft.functions.Mime.mimePartsCol(col("payload"))
+    Multimodal.syntheticEml(documents(s, d))
+      .select(col("doc_id"), posexplode(parts))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("part_idx"),
+        col("col.content_type").as("content_type"),
+        col("col.charset").as("charset"),
+        col("col.filename").as("filename"),
+        col("col.text").as("text"))
+      .orderBy("doc_id", "part_idx")
+  }
+
+  /** RFC 5322 headers + RFC 2047 encoded-word decode over the same
+    * fixtures: the B-encoded Subject must come back as the original
+    * accented text. */
+  def xEmailHeaders(s: SparkSession, d: String): DataFrame = {
+    val h = graft.functions.Mime.emailHeadersCol(col("payload"))
+    ordered(
+      Multimodal.syntheticEml(documents(s, d))
+        .select(col("doc_id"),
+          h.getField("from").as("from_addr"),
+          h.getField("to").as("to_addr"),
+          h.getField("subject").as("subject"),
+          h.getField("message_id").as("message_id")),
+      "doc_id")
+  }
+
   /** REAL tar archive walk: SQL-built ustar fixtures (directory + two
     * files, checksummed headers — `Multimodal.syntheticTar`) are
     * listed back through `Archive.tarEntries`' actual header walk with
@@ -2549,6 +2584,8 @@ object LlmOps {
     "x_tar_entries"       -> (xTarEntries _),
     "x_utf8_scan"         -> (xUtf8Scan _),
     "x_mojibake"          -> (xMojibake _),
+    "x_mime_parts"        -> (xMimeParts _),
+    "x_email_headers"     -> (xEmailHeaders _),
     "x_gif_pixels"        -> (xGifPixels _),
     "x_png_pixels"        -> (xPngPixels _),
     "x_jpeg_pixels"       -> (xJpegPixels _),
@@ -4149,6 +4186,29 @@ object LlmOps {
         |  'caf' || chr(CAST(224 + doc_id % 16 AS INT)) || ' id ' || doc_id
         |    AS repaired,
         |  'na' || chr(239) || 've ' || doc_id AS untouched
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_mime_parts" ->
+      """WITH p AS (SELECT d.doc_id, k.k
+        |  FROM documents d, LATERAL (SELECT unnest(generate_series(0, 1))
+        |    AS k) k)
+        |SELECT doc_id, CAST(k AS BIGINT) AS part_idx,
+        |  CASE k WHEN 0 THEN 'text/plain' ELSE 'text/html' END
+        |    AS content_type,
+        |  'utf-8' AS charset,
+        |  CASE k WHEN 0 THEN NULL
+        |    ELSE 'doc' || doc_id || '.html' END AS filename,
+        |  CASE k WHEN 0 THEN
+        |      'caf' || chr(CAST(224 + doc_id % 16 AS INT))
+        |        || ' body ' || doc_id
+        |    ELSE '<p>doc ' || doc_id || '</p>' END AS text
+        |FROM p ORDER BY doc_id, part_idx""".stripMargin,
+    "x_email_headers" ->
+      """SELECT doc_id,
+        |  'alice@example.com' AS from_addr,
+        |  'bob@example.com' AS to_addr,
+        |  'Re: caf' || chr(CAST(224 + doc_id % 16 AS INT)) || ' ' || doc_id
+        |    AS subject,
+        |  '<m' || doc_id || '@example>' AS message_id
         |FROM documents ORDER BY doc_id""".stripMargin,
     "x_gif_pixels" ->
       """WITH m AS (SELECT doc_id,
