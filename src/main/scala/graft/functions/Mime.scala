@@ -277,6 +277,38 @@ object Mime {
       f("Date", dec = false), f("Message-ID", dec = false))
   }
 
+  /** mbox framing (the classic mailbox-archive layout): split at
+    * `From ` postmark lines (column 0 only — RFC 4155), un-escape
+    * `>From ` quoting inside bodies, return each message's bytes for
+    * [[mimeParts]]/[[emailHeaders]] downstream. Null when the input
+    * does not start with a postmark. */
+  def mboxMessages(b: Array[Byte]): ArrayData = {
+    if (b == null || b.length < 5) return null
+    def postmarkAt(i: Int): Boolean =
+      i + 5 <= b.length && b(i) == 'F' && b(i + 1) == 'r' &&
+        b(i + 2) == 'o' && b(i + 3) == 'm' && b(i + 4) == ' '
+    if (!postmarkAt(0)) return null
+    val starts = scala.collection.mutable.ArrayBuffer(0)
+    var i = 1
+    while (i < b.length) {
+      if (b(i - 1) == '\n' && postmarkAt(i)) starts += i
+      i += 1
+    }
+    val out: Seq[Any] = starts.toSeq.zipAll(starts.toSeq.drop(1), 0, b.length)
+      .map { case (s, e) =>
+        // drop the postmark line itself
+        var ms = s
+        while (ms < e && b(ms) != '\n') ms += 1
+        ms += 1
+        val raw = java.util.Arrays.copyOfRange(b, math.min(ms, e), e)
+        // un-escape ">From " at line starts
+        new String(raw, java.nio.charset.StandardCharsets.ISO_8859_1)
+          .replaceAll("(?m)^>(>*From )", "$1")
+          .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      }
+    if (out.isEmpty) null else new GenericArrayData(out.toArray)
+  }
+
   // ---- expressions ----
 
   case class MimeParts(child: Expression) extends BinaryMeta.BinaryProbe {
@@ -325,8 +357,28 @@ object Mime {
       copy(child = c)
   }
 
+  case class MboxMessages(child: Expression) extends BinaryMeta.BinaryProbe {
+    override def prettyName: String = "mbox_messages"
+    override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      mboxMessages(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, bytes => {
+        val r = ctx.freshName("r")
+        s"""
+           |org.apache.spark.sql.catalyst.util.ArrayData $r =
+           |  graft.functions.Mime.mboxMessages($bytes);
+           |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   def mimePartsCol(c: Column): Column =
     SparkInternals.column(MimeParts(SparkInternals.expression(c)))
   def emailHeadersCol(c: Column): Column =
     SparkInternals.column(EmailHeaders(SparkInternals.expression(c)))
+  def mboxMessagesCol(c: Column): Column =
+    SparkInternals.column(MboxMessages(SparkInternals.expression(c)))
 }

@@ -50,6 +50,49 @@ object TextAnalysis {
   def htmlToText(html: Column): Column =
     stripAndDecode(removeNonContent(html))
 
+  /** Markdown → plain text for quality scoring / dedup shingling —
+    * the prose without the markup (and without CODE: fenced and
+    * indented blocks drop entirely, the convention of corpus quality
+    * pipelines, where code inflates length and deflates stopword
+    * ratios). Ordered single-purpose passes, each a codegen'd
+    * regexp_replace:
+    * fences ``` … ``` (content dropped) → 4-space-indented code lines
+    * dropped → ATX `#` headings unwrapped → blockquote `>` markers
+    * stripped → list markers (`-*+`, `1.`) stripped → images `![alt]
+    * (url)` → alt → links `[text](url)` / reference `[text][ref]` →
+    * text → inline code backticks unwrapped → emphasis `**_~~`
+    * unwrapped → reference-definition lines and horizontal rules
+    * dropped → residual HTML tags stripped → whitespace squeezed.
+    * Pure Column chain; the page never leaves its partition. */
+  def markdownToText(md: Column): Column = {
+    val noFence = regexp_replace(md, "(?s)```.*?```", " ")
+    val noIndent = regexp_replace(noFence, "(?m)^(?:    |\\t)[^\\n]*$", "")
+    val noHead = regexp_replace(noIndent, "(?m)^#{1,6}[ \\t]+", "")
+    val noQuote = regexp_replace(noHead, "(?m)^[ \\t]*(?:>[ \\t]?)+", "")
+    val noList = regexp_replace(noQuote,
+      "(?m)^[ \\t]*(?:[-*+]|\\d{1,3}\\.)[ \\t]+", "")
+    val img = regexp_replace(noList,
+      "!\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val link = regexp_replace(img,
+      "\\[([^\\]]+)\\]\\((?:[^)]*)\\)", "$1")
+    val refLink = regexp_replace(link,
+      "\\[([^\\]]+)\\]\\[[^\\]]*\\]", "$1")
+    val noRefDef = regexp_replace(refLink,
+      "(?m)^[ \\t]*\\[[^\\]]+\\]:[^\\n]*$", "")
+    val noCode = regexp_replace(noRefDef, "`([^`\\n]*)`", "$1")
+    val noEmph = regexp_replace(noCode,
+      "(\\*\\*|__|\\*|_|~~)(\\S(?:[^\\n]*?\\S)?)\\1", "$2")
+    val noRule = regexp_replace(noEmph,
+      "(?m)^[ \\t]*(?:-{3,}|\\*{3,}|_{3,})[ \\t]*$", "")
+    val noTags = regexp_replace(noRule, "<[^>\\n]+>", " ")
+    val oneSpace = regexp_replace(noTags, "[ \\t]+", " ")
+    val tightLines = regexp_replace(oneSpace, "[ \\t]*\\n[ \\t]*", "\n")
+    // NOT trim(): Spark's trim strips spaces only, not newlines
+    regexp_replace(
+      regexp_replace(tightLines, "\\n{3,}", "\n\n"),
+      "^\\s+|\\s+$", "")
+  }
+
   /** The element-content passes shared by [[htmlToText]] and
     * [[contentBlocks]]: script, style, comments out (two SEPARATE
     * passes so the close tag must match the open tag — a single

@@ -1363,6 +1363,48 @@ object LlmOps {
       "doc_id")
   }
 
+  /** mbox mailbox framing → per-message header parse: SQL-built
+    * two-message mboxes (RFC 4155 postmarks, a `>From ` escape in the
+    * body) split through `Mime.mboxMessages`, each message's headers
+    * through `Mime.emailHeaders` — subject/from restated by the
+    * oracle. */
+  def xMbox(s: SparkSession, d: String): DataFrame = {
+    def msg(k: Int) = concat(
+      lit(s"From alice@example.com Mon Jan  1 00:00:00 2024\n" +
+        s"Subject: m$k doc "), col("doc_id"),
+      lit(s"\nFrom: a$k@example.com\n\nbody $k\n>From escaped\n"))
+    val mbox = encode(concat(msg(0), msg(1)), "UTF-8")
+    val msgs = graft.functions.Mime.mboxMessagesCol(mbox)
+    val h = graft.functions.Mime.emailHeadersCol(col("msg"))
+    documents(s, d)
+      .select(col("doc_id"), posexplode(msgs).as(Seq("msg_idx", "msg")))
+      .select(col("doc_id"), col("msg_idx").cast("long").as("msg_idx"),
+        h.getField("subject").as("subject"),
+        h.getField("from").as("from_addr"),
+        col("msg").cast("string").contains("\nFrom escaped\n")
+          .as("unescaped"))
+      .orderBy("doc_id", "msg_idx")
+  }
+
+  /** Markdown → plain text (quality-scoring/shingling face): the
+    * fixture composes headings, emphasis, links, inline code, lists, a
+    * dropped fence and a blockquote around doc_id-derived tokens; the
+    * oracle restates the expected PROSE verbatim. */
+  def xMarkdownText(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val md = concat(
+      lit("# Title "), id,
+      lit("\n\nIntro **bold"), id, lit("** and [link text "), id,
+      lit("](http://x.example/p) plus `code"), id, lit("`.\n\n- item one\n"),
+      lit("- item two "), id,
+      lit("\n\n```\ndef dropme(): pass\n```\n\n> quoted line "), id,
+      lit("\n"))
+    ordered(
+      documents(s, d).select(col("doc_id"),
+        TextAnalysis.markdownToText(md).as("text")),
+      "doc_id")
+  }
+
   /** REAL tar archive walk: SQL-built ustar fixtures (directory + two
     * files, checksummed headers — `Multimodal.syntheticTar`) are
     * listed back through `Archive.tarEntries`' actual header walk with
@@ -2586,6 +2628,8 @@ object LlmOps {
     "x_mojibake"          -> (xMojibake _),
     "x_mime_parts"        -> (xMimeParts _),
     "x_email_headers"     -> (xEmailHeaders _),
+    "x_mbox"              -> (xMbox _),
+    "x_markdown_text"     -> (xMarkdownText _),
     "x_gif_pixels"        -> (xGifPixels _),
     "x_png_pixels"        -> (xPngPixels _),
     "x_jpeg_pixels"       -> (xJpegPixels _),
@@ -4209,6 +4253,23 @@ object LlmOps {
         |  'Re: caf' || chr(CAST(224 + doc_id % 16 AS INT)) || ' ' || doc_id
         |    AS subject,
         |  '<m' || doc_id || '@example>' AS message_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_mbox" ->
+      """WITH m AS (SELECT d.doc_id, k.k
+        |  FROM documents d, LATERAL (SELECT unnest(generate_series(0, 1))
+        |    AS k) k)
+        |SELECT doc_id, CAST(k AS BIGINT) AS msg_idx,
+        |  'm' || k || ' doc ' || doc_id AS subject,
+        |  'a' || k || '@example.com' AS from_addr,
+        |  TRUE AS unescaped
+        |FROM m ORDER BY doc_id, msg_idx""".stripMargin,
+    "x_markdown_text" ->
+      """SELECT doc_id,
+        |  'Title ' || doc_id || chr(10) || chr(10) ||
+        |  'Intro bold' || doc_id || ' and link text ' || doc_id ||
+        |  ' plus code' || doc_id || '.' || chr(10) || chr(10) ||
+        |  'item one' || chr(10) || 'item two ' || doc_id ||
+        |  chr(10) || chr(10) || 'quoted line ' || doc_id AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
     "x_gif_pixels" ->
       """WITH m AS (SELECT doc_id,

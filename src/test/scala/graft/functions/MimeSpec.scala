@@ -105,6 +105,31 @@ class MimeSpec extends AnyFunSuite {
     assert(h.getUTF8String(4).toString == "<42@example>")
   }
 
+  test("mbox: splits at column-0 postmarks only, un-escapes >From, " +
+       "single-message and non-mbox contracts") {
+    def msgs(s: String): Seq[String] = {
+      val a = Mime.mboxMessages(s.getBytes("ISO-8859-1"))
+      if (a == null) Nil
+      else (0 until a.numElements()).map(i => new String(a.getBinary(i)))
+    }
+    val box = "From a@x Mon Jan  1 00:00:00 2024\nSubject: one\n\n" +
+      "body with\n>From a quoted postmark\n>>From double\n" +
+      "mid From not at column 0\n" +
+      "From b@x Tue Jan  2 00:00:00 2024\nSubject: two\n\nsecond body\n"
+    val got = msgs(box)
+    assert(got.size == 2)
+    assert(got(0).contains("Subject: one"))
+    assert(got(0).contains("\nFrom a quoted postmark"), "one > stripped")
+    assert(got(0).contains("\n>From double"), "only one level un-escaped")
+    assert(got(0).contains("mid From not at column 0"))
+    assert(got(1).contains("second body"))
+    // single message, no terminator
+    assert(msgs("From x\nSubject: s\n\nb\n").size == 1)
+    // not an mbox at all
+    assert(Mime.mboxMessages("Subject: plain eml\n\nbody".getBytes) == null)
+    assert(Mime.mboxMessages(Array.empty[Byte]) == null)
+  }
+
   test("totality: not a message → null; corrupt base64 nulls data; " +
        "missing terminal boundary still yields the parts") {
     assert(Mime.mimeParts("no header block here".getBytes) == null)

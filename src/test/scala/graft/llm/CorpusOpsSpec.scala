@@ -340,6 +340,30 @@ class CorpusOpsSpec extends SparkSpec {
       tight.toString)
   }
 
+  test("markdownToText: code drops (fenced + indented), structure " +
+       "unwraps, reference links and defs, rules, html residue") {
+    import spark.implicits._
+    def strip(md: String): String =
+      Seq(Tuple1(md)).toDF("md")
+        .select(TextAnalysis.markdownToText($"md").as("t"))
+        .as[String].head()
+    assert(strip("## Head\n\nbody **bold** _em_ ~~gone~~ text\n") ==
+      "Head\n\nbody bold em gone text")
+    assert(strip("pre\n\n```scala\nval x = 1\n```\n\npost\n") ==
+      "pre\n\npost")
+    assert(strip("pre\n\n    indented_code()\n    more()\n\npost") ==
+      "pre\n\npost")
+    assert(strip("See [the docs][1] and [inline](http://x) now.\n\n" +
+      "[1]: http://ref.example\n") == "See the docs and inline now.")
+    assert(strip("![logo alt](http://img) stays\n\n---\n\nafter rule") ==
+      "logo alt stays\n\nafter rule")
+    assert(strip("1. first\n2. second\n\n> quote\n>> deep\n") ==
+      "first\nsecond\n\nquote\ndeep")
+    assert(strip("a <span class=\"x\">tagged</span> word") ==
+      "a tagged word")
+    assert(strip("`inline code` kept as text") == "inline code kept as text")
+  }
+
   test("contentBlocks + mainContent: link-density keeps prose and drops " +
        "nav/footer/link-stubs; br splits; inline tags and entities stay " +
        "in-block; title never surfaces") {
