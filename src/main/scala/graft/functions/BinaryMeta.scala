@@ -1065,6 +1065,11 @@ object BinaryMeta {
   def flacPcmStats(b: Array[Byte]): Array[Long] =
     FlacDecode.flacPcmStats(b)
 
+  /** WebP/TIFF/Ogg container metadata — see [[ContainerMeta]]. */
+  def webpMeta(b: Array[Byte]): Array[Long] = ContainerMeta.webpMeta(b)
+  def tiffMeta(b: Array[Byte]): Array[Long] = ContainerMeta.tiffMeta(b)
+  def oggMeta(b: Array[Byte]): Array[Long] = ContainerMeta.oggMeta(b)
+
   // ---- positioned grayscale decode (the perceptual-hash substrate) ----
 
   /** 24-bit BMP → positioned integer luma plane (image row order,
@@ -1580,6 +1585,9 @@ object BinaryMeta {
       case "mp3FrameStats" => mp3FrameStats(b)
       case "adtsFrameStats" => adtsFrameStats(b)
       case "flacPcmStats" => flacPcmStats(b)
+      case "webpMeta" => webpMeta(b)
+      case "tiffMeta" => tiffMeta(b)
+      case "oggMeta" => oggMeta(b)
     }
     override def nullSafeEval(v: Any): Any = {
       val r = call(v.asInstanceOf[Array[Byte]])
@@ -1636,6 +1644,21 @@ object BinaryMeta {
   case class FlacPcmStats(child: Expression) extends StatsProbe {
     override def method: String = "flacPcmStats"
     override def prettyName: String = "flac_pcm_stats"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+  case class WebpMeta(child: Expression) extends StatsProbe {
+    override def method: String = "webpMeta"
+    override def prettyName: String = "webp_meta"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+  case class TiffMeta(child: Expression) extends StatsProbe {
+    override def method: String = "tiffMeta"
+    override def prettyName: String = "tiff_meta"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+  case class OggMeta(child: Expression) extends StatsProbe {
+    override def method: String = "oggMeta"
+    override def prettyName: String = "ogg_meta"
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
   case class DHash64(child: Expression) extends StatsProbe {
@@ -1810,6 +1833,12 @@ object BinaryMeta {
     SparkInternals.column(WavG711Stats(SparkInternals.expression(c)))
   def flacPcmStatsCol(c: Column): Column =
     SparkInternals.column(FlacPcmStats(SparkInternals.expression(c)))
+  def webpMetaCol(c: Column): Column =
+    SparkInternals.column(WebpMeta(SparkInternals.expression(c)))
+  def tiffMetaCol(c: Column): Column =
+    SparkInternals.column(TiffMeta(SparkInternals.expression(c)))
+  def oggMetaCol(c: Column): Column =
+    SparkInternals.column(OggMeta(SparkInternals.expression(c)))
   def mp3MetaCol(c: Column): Column =
     SparkInternals.column(Mp3Meta(SparkInternals.expression(c)))
   def adtsMetaCol(c: Column): Column =

@@ -299,6 +299,97 @@ object Multimodal {
     docs.select(col("doc_id"), unhex(hex).as("payload"))
   }
 
+  /** Deterministic WebP fixtures: even docs a VP8L (lossless
+    * signature, 14+14-bit dims), odd docs a VP8 lossy key frame
+    * (start code 9D 01 2A + 14-bit LE dims); dims doc-derived. */
+  def syntheticWebp(docs: DataFrame): DataFrame = {
+    val w = pmod(col("doc_id"), lit(500L)) + 1L
+    val h = pmod(col("doc_id"), lit(300L)) + 1L
+    val vp8l = concat(
+      lit("52494646"), le4(lit(18)), lit("57454250"),
+      lit("5650384C"), le4(lit(5)), lit("2F"),
+      le4((w - 1).bitwiseOR(shiftleft(h - 1, 14))), lit("00")) // pad
+    val vp8 = concat(
+      lit("52494646"), le4(lit(22)), lit("57454250"),
+      lit("56503820"), le4(lit(10)), lit("000000"), lit("9D012A"),
+      le2(w), le2(h))
+    docs.select(col("doc_id"),
+      unhex(when(pmod(col("doc_id"), lit(2L)) === 0, vp8l).otherwise(vp8))
+        .as("payload"))
+  }
+
+  /** Deterministic little-endian TIFF fixtures: IFD0 with
+    * width/height/samples/compression as inline SHORTs. */
+  def syntheticTiff(docs: DataFrame): DataFrame = {
+    val w = pmod(col("doc_id"), lit(2000L)) + 1L
+    val h = pmod(col("doc_id"), lit(1200L)) + 1L
+    def entry(tag: Int, value: org.apache.spark.sql.Column) =
+      concat(le2(lit(tag)), le2(lit(3)), le4(lit(1)), le2(value), le2(lit(0)))
+    val tiff = concat(
+      lit("49492A00"), le4(lit(8)), // II, magic 42, IFD0 at 8
+      le2(lit(4)),
+      entry(256, w), entry(257, h),
+      entry(259, lit(1)), entry(277, lit(3)),
+      le4(lit(0)))
+    docs.select(col("doc_id"), unhex(tiff).as("payload"))
+  }
+
+  // Ogg page CRC (poly 0x04C11DB7, MSB-first, init 0, no final xor) as
+  // an aggregate fold — pages carry REAL checksums like the PNG/FLAC
+  // fixtures do.
+  private lazy val oggCrcTable: Seq[Long] = (0 until 256).map { n =>
+    var c = (n.toLong << 24) & 0xFFFFFFFFL
+    var k = 0
+    while (k < 8) {
+      c = if ((c & 0x80000000L) != 0) ((c << 1) ^ 0x04C11DB7L) & 0xFFFFFFFFL
+          else (c << 1) & 0xFFFFFFFFL
+      k += 1
+    }
+    c
+  }
+  private def oggCrcCol(bytes: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val t = typedLit(oggCrcTable)
+    aggregate(bytes, lit(0L), (acc, x) =>
+      shiftleft(acc, 8).bitwiseAND(lit(0xFFFFFFFFL)).bitwiseXOR(
+        element_at(t, shiftrightunsigned(acc, 24).bitwiseXOR(x)
+          .bitwiseAND(lit(255L)).cast("int") + 1)))
+  }
+
+  /** Deterministic two-page Ogg/Opus fixtures: a BOS page carrying the
+    * OpusHead id header (doc-derived channel count), an EOS page with
+    * the doc-derived duration granule; REAL page CRCs via the fold. */
+  def syntheticOggOpus(docs: DataFrame): DataFrame = {
+    def le(v: org.apache.spark.sql.Column, n: Int) =
+      array((0 until n).map(i =>
+        shiftrightunsigned(v, i * 8).bitwiseAND(lit(255L))): _*)
+    def lit8(xs: Int*) = array(xs.map(x => lit(x.toLong)): _*)
+    val ch = pmod(col("doc_id"), lit(7L)) + 1L
+    val granule = col("doc_id") * 960L + 960L
+    // OpusHead: magic(8) version(1) channels(1) preskip(2) rate(4)
+    // gain(2) mapping(1) = 19 bytes
+    val opusHead = concat(
+      lit8(0x4F, 0x70, 0x75, 0x73, 0x48, 0x65, 0x61, 0x64, 1),
+      le(ch, 1), lit8(0x38, 0x01), le(lit(48000L), 4), lit8(0, 0, 0))
+    def page(flags: Int, gran: org.apache.spark.sql.Column,
+             seq: Int, body: org.apache.spark.sql.Column) = {
+      val noCrc = concat(
+        lit8(0x4F, 0x67, 0x67, 0x53, 0, flags), le(gran, 8),
+        le(lit(7L), 4), le(lit(seq.toLong), 4), lit8(0, 0, 0, 0),
+        array(lit(1L), size(body).cast("long")), body) // nsegs=1 + lacing
+      val crc = oggCrcCol(noCrc)
+      // splice the real CRC into bytes 23-26 (slice is 1-indexed and
+      // tolerates a length past the end)
+      concat(slice(noCrc, 1, 22), le(crc, 4), slice(noCrc, 27, 1 << 20))
+    }
+    val data = lit8(0x40, 0, 0) // 3-byte opus packet (silence frame)
+    val ogg = concat(
+      page(0x02, lit(0L), 0, opusHead),
+      page(0x04, granule, 1, data))
+    docs.select(col("doc_id"),
+      unhex(concat_ws("", transform(ogg, v => lpad(hex(v), 2, "0"))))
+        .as("payload"))
+  }
+
   /** Deterministic multipart EML fixtures: a two-part MIME message per
     * doc — quoted-printable text/plain (the accent's UTF-8 bytes
     * spelled as =C3=Ax escapes), base64 text/html with a

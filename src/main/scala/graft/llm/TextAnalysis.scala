@@ -50,6 +50,39 @@ object TextAnalysis {
   def htmlToText(html: Column): Column =
     stripAndDecode(removeNonContent(html))
 
+  /** Rule-based sentence segmentation — the boundary every
+    * chunk/dedup/quality stage wants but naive `split('.')` gets
+    * wrong. Protect-then-split, all codegen'd Column ops: common
+    * abbreviations (Dr., e.g., No., U.S., a.m., …), decimal points
+    * (3.14), and single-letter initials (J. R. R.) have their dots
+    * masked with a sentinel; the text then splits at [.!?]+ followed
+    * by whitespace and an upper/digit/quote/paren opener; sentinels
+    * restore inside each sentence. Deliberately rule-based and
+    * documented (the CCNet/corpus-pipeline convention) — no model, no
+    * locale claim beyond English-ish punctuation. Returns
+    * array<string> of trimmed non-empty sentences. */
+  def sentenceSplit(text: Column): Column = {
+    val S = "\u0001" // sentinel: never in real text (control char)
+    val abbr = "(?i)\\b(dr|mr|mrs|ms|prof|rev|gen|sen|rep|st|jr|sr|" +
+      "vs|etc|approx|dept|est|fig|inc|ltd|co|corp|no|vol|pp|" +
+      "e\\.g|i\\.e|a\\.m|p\\.m|u\\.s|u\\.k)\\."
+    val prot1 = regexp_replace(text, abbr, "$1" + S)
+    // e.g / i.e / a.m style masked above still hold an interior dot —
+    // mask any dot immediately followed by the sentinel'd tail too
+    val prot2 = regexp_replace(prot1, "(\\w)\\.(\\w)", "$1" + S + "$2")
+    // lookahead, not capture: "J. R. R." masks every initial — a
+    // consumed trailing capital would make the runs alternate
+    val prot3 = regexp_replace(prot2, "\\b([A-Z])\\.(?=\\s+[A-Z])", "$1" + S)
+    // closers stay with the LEFT sentence: split() consumes its
+    // delimiter, so they ride in a bounded lookbehind instead
+    val parts = split(prot3,
+      "(?<=[.!?][\"')\\]]{0,3})\\s+(?=[\"'(\\[]?[A-Z0-9])")
+    filter(
+      transform(parts, p =>
+        trim(regexp_replace(p, S, "."))),
+      p => length(p) > 0)
+  }
+
   /** Markdown → plain text for quality scoring / dedup shingling —
     * the prose without the markup (and without CODE: fenced and
     * indented blocks drop entirely, the convention of corpus quality

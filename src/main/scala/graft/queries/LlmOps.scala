@@ -1262,6 +1262,41 @@ object LlmOps {
       "doc_id")
   }
 
+  /** Container-metadata tier 2 — WebP (VP8 lossy key frame AND VP8L
+    * lossless signatures, alternating per doc), TIFF IFD0 walk (both
+    * byte orders supported; fixture is II), and Ogg/Opus with REAL
+    * page CRCs verified on the decode path. Oracles restate all
+    * fields arithmetically. */
+  def xWebpMeta(s: SparkSession, d: String): DataFrame = {
+    val m = graft.functions.BinaryMeta.webpMetaCol(col("payload"))
+    ordered(
+      Multimodal.syntheticWebp(documents(s, d))
+        .select(col("doc_id"),
+          element_at(m, 1).as("width"), element_at(m, 2).as("height"),
+          element_at(m, 3).as("lossless"), element_at(m, 4).as("extended")),
+      "doc_id")
+  }
+
+  def xTiffMeta(s: SparkSession, d: String): DataFrame = {
+    val m = graft.functions.BinaryMeta.tiffMetaCol(col("payload"))
+    ordered(
+      Multimodal.syntheticTiff(documents(s, d))
+        .select(col("doc_id"),
+          element_at(m, 1).as("width"), element_at(m, 2).as("height"),
+          element_at(m, 3).as("samples"), element_at(m, 4).as("compression")),
+      "doc_id")
+  }
+
+  def xOggMeta(s: SparkSession, d: String): DataFrame = {
+    val m = graft.functions.BinaryMeta.oggMetaCol(col("payload"))
+    ordered(
+      Multimodal.syntheticOggOpus(documents(s, d))
+        .select(col("doc_id"),
+          element_at(m, 1).as("codec"), element_at(m, 2).as("channels"),
+          element_at(m, 3).as("rate"), element_at(m, 4).as("granule")),
+      "doc_id")
+  }
+
   /** REAL ZIP archive walk: SQL-built two-entry STORED archives with
     * real fold-computed CRC-32s (`Multimodal.syntheticZip`) are opened
     * back through `Archive.zipEntries`' actual EOCD/central-directory
@@ -1403,6 +1438,23 @@ object LlmOps {
       documents(s, d).select(col("doc_id"),
         TextAnalysis.markdownToText(md).as("text")),
       "doc_id")
+  }
+
+  /** Rule-based sentence segmentation: the fixture plants the classic
+    * traps — an abbreviation (Dr.), a decimal (3.14), a digit-period
+    * sentence end (Jan 5.), a masked No. before a number, ! and ?
+    * terminators — and the oracle restates the exact 4-sentence split. */
+  def xSentences(s: SparkSession, d: String): DataFrame = {
+    val text = concat(
+      lit("Dr. Smith paid 3.14 on Jan 5. He left early! Was No. "),
+      col("doc_id"), lit(" next? Yes."))
+    documents(s, d)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.sentenceSplit(text))
+          .as(Seq("sent_idx", "sentence")))
+      .select(col("doc_id"), col("sent_idx").cast("long").as("sent_idx"),
+        col("sentence"))
+      .orderBy("doc_id", "sent_idx")
   }
 
   /** REAL tar archive walk: SQL-built ustar fixtures (directory + two
@@ -2630,6 +2682,10 @@ object LlmOps {
     "x_email_headers"     -> (xEmailHeaders _),
     "x_mbox"              -> (xMbox _),
     "x_markdown_text"     -> (xMarkdownText _),
+    "x_sentences"         -> (xSentences _),
+    "x_webp_meta"         -> (xWebpMeta _),
+    "x_tiff_meta"         -> (xTiffMeta _),
+    "x_ogg_meta"          -> (xOggMeta _),
     "x_gif_pixels"        -> (xGifPixels _),
     "x_png_pixels"        -> (xPngPixels _),
     "x_jpeg_pixels"       -> (xJpegPixels _),
@@ -4189,6 +4245,28 @@ object LlmOps {
         |  CAST(SUM(abs(sv)) AS BIGINT) AS sum_abs,
         |  CAST(SUM(sv * sv) AS BIGINT) AS sum_sq
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_webp_meta" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 500 + 1 AS BIGINT) AS width,
+        |  CAST(doc_id % 300 + 1 AS BIGINT) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS lossless,
+        |  CAST(0 AS BIGINT) AS extended
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_tiff_meta" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 2000 + 1 AS BIGINT) AS width,
+        |  CAST(doc_id % 1200 + 1 AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS samples,
+        |  CAST(1 AS BIGINT) AS compression
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_ogg_meta" ->
+      """SELECT doc_id,
+        |  CAST(2 AS BIGINT) AS codec,
+        |  CAST(doc_id % 7 + 1 AS BIGINT) AS channels,
+        |  CAST(48000 AS BIGINT) AS rate,
+        |  CAST(doc_id * 960 + 960 AS BIGINT) AS granule
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x_zip_entries" ->
       """WITH e AS (SELECT d.doc_id, k.k
         |  FROM documents d, LATERAL (SELECT unnest(generate_series(0, 1))
@@ -4271,6 +4349,17 @@ object LlmOps {
         |  'item one' || chr(10) || 'item two ' || doc_id ||
         |  chr(10) || chr(10) || 'quoted line ' || doc_id AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_sentences" ->
+      """WITH k AS (SELECT d.doc_id, i.i
+        |  FROM documents d, LATERAL (SELECT unnest(generate_series(0, 3))
+        |    AS i) i)
+        |SELECT doc_id, CAST(i AS BIGINT) AS sent_idx,
+        |  CASE i
+        |    WHEN 0 THEN 'Dr. Smith paid 3.14 on Jan 5.'
+        |    WHEN 1 THEN 'He left early!'
+        |    WHEN 2 THEN 'Was No. ' || doc_id || ' next?'
+        |    ELSE 'Yes.' END AS sentence
+        |FROM k ORDER BY doc_id, sent_idx""".stripMargin,
     "x_gif_pixels" ->
       """WITH m AS (SELECT doc_id,
         |    (doc_id % 5 + 2) * (doc_id % 3 + 2) AS n FROM documents),

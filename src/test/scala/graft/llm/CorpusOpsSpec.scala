@@ -340,6 +340,31 @@ class CorpusOpsSpec extends SparkSpec {
       tight.toString)
   }
 
+  test("sentenceSplit: abbreviations, decimals, initials, quotes and " +
+       "parens at boundaries, terminator runs, no empty sentences") {
+    import spark.implicits._
+    def sents(t: String): Seq[String] =
+      Seq(Tuple1(t)).toDF("t")
+        .select(TextAnalysis.sentenceSplit($"t").as("s"))
+        .as[Seq[String]].head()
+    assert(sents("Dr. Smith met Prof. Jones. They talked.") ==
+      Seq("Dr. Smith met Prof. Jones.", "They talked."))
+    assert(sents("Pi is 3.14159 exactly. Almost.") ==
+      Seq("Pi is 3.14159 exactly.", "Almost."))
+    assert(sents("J. R. R. Tolkien wrote it. I read it.") ==
+      Seq("J. R. R. Tolkien wrote it.", "I read it."))
+    assert(sents("He said \"stop.\" Then left. (Really.) Yes!") ==
+      Seq("He said \"stop.\"", "Then left.", "(Really.)", "Yes!"))
+    assert(sents("What?! No way... Sure.") ==
+      Seq("What?!", "No way...", "Sure."))
+    assert(sents("One.   Two.\n\nThree.") == Seq("One.", "Two.", "Three."))
+    assert(sents("no terminator at all") == Seq("no terminator at all"))
+    assert(sents("") == Seq.empty)
+    // e.g./i.e. interior dots survive inside a sentence
+    assert(sents("Use tools, e.g. hammers, daily. Done.") ==
+      Seq("Use tools, e.g. hammers, daily.", "Done."))
+  }
+
   test("markdownToText: code drops (fenced + indented), structure " +
        "unwraps, reference links and defs, rules, html residue") {
     import spark.implicits._
