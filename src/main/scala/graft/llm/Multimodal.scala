@@ -224,15 +224,22 @@ object Multimodal {
         .bitwiseXOR(shiftleft(acc, 8).bitwiseAND(lit(65535L))))
   }
 
-  /** Shared content formula for the archive fixtures: 16 lowercase
+  /** Default content formula for the archive fixtures: 16 lowercase
     * chars, char j of entry k = 'a' + (doc_id·7 + k·13 + j·3) mod 26 —
-    * restatable in DuckDB as chr()/string_agg. */
-  private def archiveContentBytes(k: Int) =
-    transform(sequence(lit(0), lit(15)), j =>
-      pmod(col("doc_id") * 7 + k * 13 + j * 3, lit(26L)) + 97L)
-  private def archiveContentHex(k: Int) =
-    concat_ws("", transform(archiveContentBytes(k), v =>
-      lpad(hex(v), 2, "0")))
+    * restatable in DuckDB as chr()/string_agg. Both fixture builders
+    * also accept a custom 16-ASCII-char string column per entry slot
+    * (the archive-ingest gate needs per-(doc,entry) UNIQUE content so
+    * its dedup oracle stays arithmetic). */
+  private def defaultArchiveContent(k: Int): org.apache.spark.sql.Column =
+    concat_ws("", transform(sequence(lit(0), lit(15)), j =>
+      chr(pmod(col("doc_id") * 7 + k * 13 + j * 3, lit(26L)) + 97L)))
+  private def strBytes16(s: org.apache.spark.sql.Column) =
+    transform(sequence(lit(1), lit(16)), j =>
+      ascii(substring(s, j, lit(1))).cast("long"))
+  private def archiveContentBytes(c: org.apache.spark.sql.Column) =
+    strBytes16(c)
+  private def archiveContentHex(c: org.apache.spark.sql.Column) =
+    concat_ws("", transform(strBytes16(c), v => lpad(hex(v), 2, "0")))
 
   /** Deterministic complete-ZIP fixtures for the archive-walk gate:
     * two STORED entries per doc (`f0.txt`, `f1.txt`, 16 bytes each,
@@ -243,14 +250,16 @@ object Multimodal {
     * (the JDK's own ZipInputStream reads these — pinned in
     * ArchiveSpec); DEFLATE entries cannot be built in SQL, so the
     * spec's ZipOutputStream round-trip covers method 8. */
-  def syntheticZip(docs: DataFrame): DataFrame = {
+  def syntheticZip(docs: DataFrame,
+                   contentOf: Int => org.apache.spark.sql.Column =
+                     defaultArchiveContent): DataFrame = {
     val names = Seq("f0.txt", "f1.txt")
     val nameHex = names.map(_.getBytes.map(b => f"$b%02X").mkString)
-    def crcHex(k: Int) = le4(crc32Col(archiveContentBytes(k)))
+    def crcHex(k: Int) = le4(crc32Col(archiveContentBytes(contentOf(k))))
     def local(k: Int) = concat(
       lit("504B0304" + "1400" + "0000" + "0000" + "0000" + "0000"),
       crcHex(k), le4(lit(16)), le4(lit(16)),
-      lit("0600" + "0000" + nameHex(k)), archiveContentHex(k))
+      lit("0600" + "0000" + nameHex(k)), archiveContentHex(contentOf(k)))
     def cd(k: Int) = concat(
       lit("504B0102" + "1400" + "1400" + "0000" + "0000" + "0000" + "0000"),
       crcHex(k), le4(lit(16)), le4(lit(16)),
@@ -287,14 +296,16 @@ object Multimodal {
     * 16-byte regular files per doc (same content formula as the ZIP
     * fixture), checksummed ustar headers as template constants, data
     * blocks NUL-padded to 512, two zero trailer blocks. */
-  def syntheticTar(docs: DataFrame): DataFrame = {
+  def syntheticTar(docs: DataFrame,
+                   contentOf: Int => org.apache.spark.sql.Column =
+                     defaultArchiveContent): DataFrame = {
     val pad496 = "00" * 496
     val trailer = "00" * 1024
     val hex = concat(
       lit(tarHeaderHex("d/", 0, '5')),
-      lit(tarHeaderHex("f0.txt", 16, '0')), archiveContentHex(1),
+      lit(tarHeaderHex("f0.txt", 16, '0')), archiveContentHex(contentOf(1)),
       lit(pad496),
-      lit(tarHeaderHex("f1.txt", 16, '0')), archiveContentHex(2),
+      lit(tarHeaderHex("f1.txt", 16, '0')), archiveContentHex(contentOf(2)),
       lit(pad496 + trailer))
     docs.select(col("doc_id"), unhex(hex).as("payload"))
   }

@@ -50,6 +50,37 @@ object TextAnalysis {
   def htmlToText(html: Column): Column =
     stripAndDecode(removeNonContent(html))
 
+  /** HTML table extraction — the structured-data face of page
+    * parsing (tables carry the facts corpus pipelines want as rows,
+    * not prose). One row per CELL: `(table_idx, row_idx, col_idx,
+    * cell)`, cell text tag-stripped and whitespace-squeezed, `<th>`
+    * and `<td>` both cells (header-ness is `row_idx == 0` in the
+    * common case, a caller decision). Nested-array Column transforms
+    * over `regexp_extract_all` — map-side, codegen'd, no UDF; nested
+    * TABLES inside cells are out of scope (documented: the inner
+    * table's cells surface under the OUTER cell's coordinates). */
+  def htmlTables(df: DataFrame, html: Column = col("html"),
+                 idCol: String = "doc_id"): DataFrame = {
+    val clean = removeNonContent(html)
+    val tables = regexp_extract_all(clean,
+      lit("(?is)<table\\b[^>]*>(.*?)</table\\s*>"), lit(1))
+    val out = df.select(col(idCol),
+      posexplode(tables).as(Seq("table_idx", "__t")))
+      .select(col(idCol), col("table_idx").cast("long").as("table_idx"),
+        posexplode(regexp_extract_all(col("__t"),
+          lit("(?is)<tr\\b[^>]*>(.*?)</tr\\s*>"), lit(1)))
+          .as(Seq("row_idx", "__r")))
+      .select(col(idCol), col("table_idx"),
+        col("row_idx").cast("long").as("row_idx"),
+        posexplode(regexp_extract_all(col("__r"),
+          lit("(?is)<t[dh]\\b[^>]*>(.*?)</t[dh]\\s*>"), lit(1)))
+          .as(Seq("col_idx", "__c")))
+    out.select(col(idCol), col("table_idx"), col("row_idx"),
+      col("col_idx").cast("long").as("col_idx"),
+      trim(regexp_replace(regexp_replace(col("__c"),
+        "(?s)<[^>]*>", " "), "\\s+", " ")).as("cell"))
+  }
+
   /** Rule-based sentence segmentation — the boundary every
     * chunk/dedup/quality stage wants but naive `split('.')` gets
     * wrong. Protect-then-split, all codegen'd Column ops: common

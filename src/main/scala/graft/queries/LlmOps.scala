@@ -1440,6 +1440,66 @@ object LlmOps {
       "doc_id")
   }
 
+  /** Streaming ARCHIVE ingest driven end to end: batch 0 delivers tar
+    * drops, batch 1 zip drops whose second entry REPEATS a tar entry's
+    * bytes (content-hash dedup must catch it across batches AND across
+    * container formats), then batch 1 REPLAYS and must change nothing —
+    * the gate output is the post-replay docs artifact, so any
+    * duplicate row hash-mismatches. Content is unique per (doc, slot)
+    * so the oracle stays arithmetic. */
+  def xArchiveIngest(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("arch_ingest").toString
+    val seeds = documents(s, d)
+      .filter(pmod(col("doc_id"), lit(50L)) === 0).select(col("doc_id"))
+    def content(k: Int) =
+      rpad(concat(lit("doc "), col("doc_id"), lit(s" k$k")), 16, ".")
+    val b0 = Multimodal.syntheticTar(seeds, content) // slots 1, 2
+    val b1 = Multimodal.syntheticZip(seeds, content) // slots 0, 1 (1 = dup)
+    val ingest = graft.streaming.CorpusIngest.archiveIngestBatch(dir) _
+    ingest(b0, 0L)
+    ingest(b1, 1L)
+    ingest(b1, 1L) // replayed epoch: must be a no-op
+    ordered(
+      s.read.parquet(s"$dir/docs")
+        .select(col("doc_id"), col("batch_id").cast("long").as("batch_id"),
+          col("entry_idx"), col("name"), col("text"), col("utf8_valid")),
+      "doc_id", "batch_id", "entry_idx")
+  }
+
+  /** HTML table extraction: a two-table page (3×2 with a header row +
+    * a 1×1 with markup inside the cell) per doc; one output row per
+    * cell, oracle restates coordinates and text arithmetically. */
+  def xHtmlTables(s: SparkSession, d: String): DataFrame = {
+    val html = concat(
+      lit("<p>prose</p><table><tr><th>k</th><th>v</th></tr>" +
+        "<tr><td>id</td><td>"), col("doc_id"),
+      lit("</td></tr><tr><td>twice</td><td>"), col("doc_id") * 2,
+      lit("</td></tr></table><div><table><tr><td> <b>doc</b>\n"),
+      col("doc_id"), lit(" </td></tr></table></div>"))
+    TextAnalysis.htmlTables(
+      documents(s, d).select(col("doc_id"), html.as("html")))
+      .orderBy("doc_id", "table_idx", "row_idx", "col_idx")
+  }
+
+  /** Almost-JSON repair: the fixture is the classic LLM-output mess —
+    * single quotes, unquoted keys, Python literals, a trailing comma,
+    * a // comment, a missing closer — and the gate both restates the
+    * repaired string AND parses it with Spark's own get_json_object
+    * (proof the result is real JSON, not just prettier garbage). */
+  def xJsonRepair(s: SparkSession, d: String): DataFrame = {
+    val broken = concat(
+      lit("{name: 'doc "), col("doc_id"),
+      lit("', ok: True, tags: ['a', 'b',], // c\n n: "), col("doc_id"),
+      lit(", inf: Infinity"))
+    val repaired = graft.functions.JsonRepair.jsonRepairCol(broken)
+    ordered(
+      documents(s, d).select(col("doc_id"),
+        repaired.as("repaired"),
+        get_json_object(repaired, "$.name").as("name"),
+        get_json_object(repaired, "$.n").as("n")),
+      "doc_id")
+  }
+
   /** Rule-based sentence segmentation: the fixture plants the classic
     * traps — an abbreviation (Dr.), a decimal (3.14), a digit-period
     * sentence end (Jan 5.), a masked No. before a number, ! and ?
@@ -2683,6 +2743,9 @@ object LlmOps {
     "x_mbox"              -> (xMbox _),
     "x_markdown_text"     -> (xMarkdownText _),
     "x_sentences"         -> (xSentences _),
+    "x_archive_ingest"    -> (xArchiveIngest _),
+    "x_html_tables"       -> (xHtmlTables _),
+    "x_json_repair"       -> (xJsonRepair _),
     "x_webp_meta"         -> (xWebpMeta _),
     "x_tiff_meta"         -> (xTiffMeta _),
     "x_ogg_meta"          -> (xOggMeta _),
@@ -4245,6 +4308,39 @@ object LlmOps {
         |  CAST(SUM(abs(sv)) AS BIGINT) AS sum_abs,
         |  CAST(SUM(sv * sv) AS BIGINT) AS sum_sq
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_archive_ingest" ->
+      """WITH s AS (SELECT doc_id FROM documents WHERE doc_id % 50 = 0),
+        |k AS (SELECT s.doc_id, i.i
+        |  FROM s, LATERAL (SELECT unnest(generate_series(0, 2)) AS i) i)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN i = 0 THEN 1 ELSE 0 END AS BIGINT) AS batch_id,
+        |  CAST(CASE WHEN i = 0 THEN 0 ELSE i END AS BIGINT) AS entry_idx,
+        |  CASE WHEN i = 2 THEN 'f1.txt' ELSE 'f0.txt' END AS name,
+        |  rpad('doc ' || doc_id || ' k' || i, 16, '.') AS text,
+        |  TRUE AS utf8_valid
+        |FROM k ORDER BY doc_id, batch_id, entry_idx""".stripMargin,
+    "x_html_tables" ->
+      """WITH c AS (SELECT d.doc_id, k.k
+        |  FROM documents d, LATERAL (SELECT unnest(generate_series(0, 6))
+        |    AS k) k)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN k < 6 THEN 0 ELSE 1 END AS BIGINT) AS table_idx,
+        |  CAST(CASE WHEN k < 6 THEN k // 2 ELSE 0 END AS BIGINT) AS row_idx,
+        |  CAST(CASE WHEN k < 6 THEN k % 2 ELSE 0 END AS BIGINT) AS col_idx,
+        |  CASE k
+        |    WHEN 0 THEN 'k' WHEN 1 THEN 'v'
+        |    WHEN 2 THEN 'id' WHEN 3 THEN CAST(doc_id AS VARCHAR)
+        |    WHEN 4 THEN 'twice' WHEN 5 THEN CAST(doc_id * 2 AS VARCHAR)
+        |    ELSE 'doc ' || doc_id END AS cell
+        |FROM c ORDER BY doc_id, table_idx, row_idx, col_idx""".stripMargin,
+    "x_json_repair" ->
+      """SELECT doc_id,
+        |  '{"name": "doc ' || doc_id || '", "ok": true, ' ||
+        |  '"tags": ["a", "b"], ' || chr(10) || ' "n": ' || doc_id ||
+        |  ', "inf": null}' AS repaired,
+        |  'doc ' || doc_id AS name,
+        |  CAST(doc_id AS VARCHAR) AS n
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x_webp_meta" ->
       """SELECT doc_id,
         |  CAST(doc_id % 500 + 1 AS BIGINT) AS width,

@@ -227,4 +227,73 @@ object CorpusIngest {
       .foreachBatch(crawlIngestBatch(artifactDir) _)
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** Streaming ARCHIVE ingest — corpora delivered as .zip/.tar drops
+    * (book collections, code snapshots, data dumps) rather than a
+    * crawl. Per micro-batch of raw archive blobs (`doc_id`,
+    * `payload`):
+    *   1. container explode — ZIP or tar auto-detected by magic, the
+    *      `Archive` walkers' codegen'd byte walk, regular-file entries
+    *      only, map-side IN the batch;
+    *   2. text + hygiene — `Utf8Ops.utf8Scan` repairs each entry to
+    *      text (the per-byte U+FFFD policy) and keys it by the
+    *      CONTENT hash (md5 of the raw bytes) — the same file shipped
+    *      in two archives is one document;
+    *   3. within-batch first-wins per content key, then the
+    *      [[CrawlStore]] history membership check (bloom prefilter +
+    *      bucket-pruned confirm; own epoch excluded for replay);
+    *   4. survivors append to `<dir>/docs`, their keys to
+    *      `<dir>/seen` — batch-id-keyed idempotent commits, replayed
+    *      micro-batches are no-ops; every `compactEvery` epochs the
+    *      key increments fold into the compacted tier.
+    * Same 100 TB shape as the crawl face: one shuffle on the content
+    * key; history cost is a function of the batch, not of everything
+    * ever ingested; archive BYTES never join anything. */
+  def archiveIngestBatch(artifactDir: String, compactEvery: Int = 64,
+                         targetRowsPerBucket: Long = 1L << 20)
+                        (batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    val seenPath = s"$artifactDir/seen"
+    val zipRows = graft.functions.Archive.zipEntriesCol(col("payload"))
+    val tarRows = graft.functions.Archive.tarEntriesCol(col("payload"))
+    def norm(e: org.apache.spark.sql.Column) = struct(
+      e.getField("name").as("name"), e.getField("data").as("data"))
+    val entries = when(hex(substring(col("payload"), 1, 2)) === "504B",
+      transform(zipRows, norm(_)))
+      .otherwise(transform(tarRows, norm(_)))
+    val scan = graft.functions.Utf8Ops.utf8ScanCol(col("data"))
+    val docs = batch
+      .select(col("doc_id"), posexplode(entries).as(Seq("entry_idx", "e")))
+      .select(col("doc_id"), col("entry_idx").cast("long").as("entry_idx"),
+        col("e.name").as("name"), col("e.data").as("data"))
+      .filter(col("data").isNotNull)
+      .select(col("doc_id"), col("entry_idx"), col("name"),
+        md5(col("data")).as("content_key"),
+        scan.getField("text").as("text"),
+        scan.getField("is_valid").as("utf8_valid"))
+      .localCheckpoint(true)
+    if (docs.isEmpty) return
+    val w = Window.partitionBy(col("content_key"))
+      .orderBy(col("doc_id"), col("entry_idx"))
+    val firsts = docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val survivors = CrawlStore
+      .antiJoinNew(firsts, "content_key", seenPath, batchId)
+      .localCheckpoint(true)
+    graft.sources.Sinks.idempotentBatchSink(s"$artifactDir/docs")(
+      survivors, batchId)
+    CrawlStore.appendKeys(seenPath)(survivors, "content_key", batchId)
+    if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
+      CrawlStore.compact(spark, seenPath, "content_key",
+        targetRowsPerBucket = targetRowsPerBucket)
+  }
+
+  /** Wire the archive per-batch body into a stream of archive blobs. */
+  def runArchives(blobs: DataFrame, artifactDir: String,
+                  checkpoint: String): StreamingQuery =
+    blobs.writeStream
+      .foreachBatch(archiveIngestBatch(artifactDir) _)
+      .option("checkpointLocation", checkpoint)
+      .start()
 }

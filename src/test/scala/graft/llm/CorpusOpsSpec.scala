@@ -340,6 +340,29 @@ class CorpusOpsSpec extends SparkSpec {
       tight.toString)
   }
 
+  test("htmlTables: attribute-laden tags, th+td mix, markup inside " +
+       "cells stripped, script tables ignored, empty page -> no rows") {
+    import spark.implicits._
+    def cells(html: String): Seq[(Long, Long, Long, String)] =
+      TextAnalysis.htmlTables(Seq((1L, html)).toDF("doc_id", "html"))
+        .orderBy("table_idx", "row_idx", "col_idx")
+        .select($"table_idx", $"row_idx", $"col_idx", $"cell")
+        .as[(Long, Long, Long, String)].collect().toSeq
+    val page =
+      "<table class=\"data\" id=t1>" +
+        "<tr><th scope=\"col\">Name</th><th>Score</th></tr>" +
+        "<tr class=\"odd\"><td><a href=\"/u/7\">Ann</a></td>" +
+        "<td align=right> 93 </td></tr></table>" +
+        "<script>renderTable('<table><tr><td>fake</td></tr></table>')" +
+        "</script>" +
+        "<TABLE><TR><TD>upper&nbsp;case</TD></TR></TABLE>"
+    assert(cells(page) == Seq(
+      (0L, 0L, 0L, "Name"), (0L, 0L, 1L, "Score"),
+      (0L, 1L, 0L, "Ann"), (0L, 1L, 1L, "93"),
+      (1L, 0L, 0L, "upper&nbsp;case")))
+    assert(cells("<p>no tables at all</p>").isEmpty)
+  }
+
   test("sentenceSplit: abbreviations, decimals, initials, quotes and " +
        "parens at boundaries, terminator runs, no empty sentences") {
     import spark.implicits._
