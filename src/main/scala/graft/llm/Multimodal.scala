@@ -226,20 +226,24 @@ object Multimodal {
 
   /** Default content formula for the archive fixtures: 16 lowercase
     * chars, char j of entry k = 'a' + (doc_id·7 + k·13 + j·3) mod 26 —
-    * restatable in DuckDB as chr()/string_agg. Both fixture builders
-    * also accept a custom 16-ASCII-char string column per entry slot
-    * (the archive-ingest gate needs per-(doc,entry) UNIQUE content so
-    * its dedup oracle stays arithmetic). */
-  private def defaultArchiveContent(k: Int): org.apache.spark.sql.Column =
-    concat_ws("", transform(sequence(lit(0), lit(15)), j =>
-      chr(pmod(col("doc_id") * 7 + k * 13 + j * 3, lit(26L)) + 97L)))
+    * restatable in DuckDB as chr()/string_agg, and built DIRECTLY as a
+    * byte array (the string→substring→ascii conversion the custom
+    * path pays measured 5-7× slower per gate — bench round-14 triage).
+    * Both fixture builders also accept a custom 16-ASCII-char string
+    * column per entry slot (the archive-ingest gate needs
+    * per-(doc,entry) UNIQUE content so its dedup oracle stays
+    * arithmetic); only that path pays the conversion. */
+  private def defaultArchiveBytes(k: Int): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(15)), j =>
+      pmod(col("doc_id") * 7 + k * 13 + j * 3, lit(26L)) + 97L)
   private def strBytes16(s: org.apache.spark.sql.Column) =
     transform(sequence(lit(1), lit(16)), j =>
       ascii(substring(s, j, lit(1))).cast("long"))
-  private def archiveContentBytes(c: org.apache.spark.sql.Column) =
-    strBytes16(c)
+  private def archiveBytesOf(contentOf: Option[Int => org.apache.spark.sql.Column],
+                             k: Int): org.apache.spark.sql.Column =
+    contentOf.fold(defaultArchiveBytes(k))(f => strBytes16(f(k)))
   private def archiveContentHex(c: org.apache.spark.sql.Column) =
-    concat_ws("", transform(strBytes16(c), v => lpad(hex(v), 2, "0")))
+    concat_ws("", transform(c, v => lpad(hex(v), 2, "0")))
 
   /** Deterministic complete-ZIP fixtures for the archive-walk gate:
     * two STORED entries per doc (`f0.txt`, `f1.txt`, 16 bytes each,
@@ -251,15 +255,16 @@ object Multimodal {
     * ArchiveSpec); DEFLATE entries cannot be built in SQL, so the
     * spec's ZipOutputStream round-trip covers method 8. */
   def syntheticZip(docs: DataFrame,
-                   contentOf: Int => org.apache.spark.sql.Column =
-                     defaultArchiveContent): DataFrame = {
+                   contentOf: Option[Int => org.apache.spark.sql.Column] =
+                     None): DataFrame = {
     val names = Seq("f0.txt", "f1.txt")
     val nameHex = names.map(_.getBytes.map(b => f"$b%02X").mkString)
-    def crcHex(k: Int) = le4(crc32Col(archiveContentBytes(contentOf(k))))
+    def bytesOf(k: Int) = archiveBytesOf(contentOf, k)
+    def crcHex(k: Int) = le4(crc32Col(bytesOf(k)))
     def local(k: Int) = concat(
       lit("504B0304" + "1400" + "0000" + "0000" + "0000" + "0000"),
       crcHex(k), le4(lit(16)), le4(lit(16)),
-      lit("0600" + "0000" + nameHex(k)), archiveContentHex(contentOf(k)))
+      lit("0600" + "0000" + nameHex(k)), archiveContentHex(bytesOf(k)))
     def cd(k: Int) = concat(
       lit("504B0102" + "1400" + "1400" + "0000" + "0000" + "0000" + "0000"),
       crcHex(k), le4(lit(16)), le4(lit(16)),
@@ -297,15 +302,17 @@ object Multimodal {
     * fixture), checksummed ustar headers as template constants, data
     * blocks NUL-padded to 512, two zero trailer blocks. */
   def syntheticTar(docs: DataFrame,
-                   contentOf: Int => org.apache.spark.sql.Column =
-                     defaultArchiveContent): DataFrame = {
+                   contentOf: Option[Int => org.apache.spark.sql.Column] =
+                     None): DataFrame = {
     val pad496 = "00" * 496
     val trailer = "00" * 1024
     val hex = concat(
       lit(tarHeaderHex("d/", 0, '5')),
-      lit(tarHeaderHex("f0.txt", 16, '0')), archiveContentHex(contentOf(1)),
+      lit(tarHeaderHex("f0.txt", 16, '0')),
+      archiveContentHex(archiveBytesOf(contentOf, 1)),
       lit(pad496),
-      lit(tarHeaderHex("f1.txt", 16, '0')), archiveContentHex(contentOf(2)),
+      lit(tarHeaderHex("f1.txt", 16, '0')),
+      archiveContentHex(archiveBytesOf(contentOf, 2)),
       lit(pad496 + trailer))
     docs.select(col("doc_id"), unhex(hex).as("payload"))
   }

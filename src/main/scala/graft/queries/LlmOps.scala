@@ -1453,8 +1453,8 @@ object LlmOps {
       .filter(pmod(col("doc_id"), lit(50L)) === 0).select(col("doc_id"))
     def content(k: Int) =
       rpad(concat(lit("doc "), col("doc_id"), lit(s" k$k")), 16, ".")
-    val b0 = Multimodal.syntheticTar(seeds, content) // slots 1, 2
-    val b1 = Multimodal.syntheticZip(seeds, content) // slots 0, 1 (1 = dup)
+    val b0 = Multimodal.syntheticTar(seeds, Some(content _)) // slots 1, 2
+    val b1 = Multimodal.syntheticZip(seeds, Some(content _)) // slots 0, 1 (1 = dup)
     val ingest = graft.streaming.CorpusIngest.archiveIngestBatch(dir) _
     ingest(b0, 0L)
     ingest(b1, 1L)
