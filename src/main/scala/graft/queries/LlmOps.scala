@@ -1500,6 +1500,31 @@ object LlmOps {
       "doc_id")
   }
 
+  /** CSV dialect sniffing: per-doc files alternate all four candidate
+    * delimiters, carry a quoted field EMBEDDING the other delimiters
+    * (the quote walk must not count them), and flip header presence by
+    * parity — delimiter, column count and header flag all restated. */
+  def xCsvSniff(s: SparkSession, d: String): DataFrame = {
+    val delim = element_at(
+      typedLit(Seq(",", ";", "\t", "|")),
+      pmod(col("doc_id"), lit(4L)).cast("int") + 1)
+    val header = concat(lit("name"), delim, lit("score"), delim, lit("id"))
+    val row1 = concat(lit("\"a,;\t|b\""), delim, lit("1.5"), delim,
+      col("doc_id"))
+    val row2 = concat(lit("beta"), delim, lit("2"), delim,
+      col("doc_id") * 2)
+    val csv = when(pmod(col("doc_id"), lit(2L)) === 0,
+      concat(header, lit("\n"), row1, lit("\n"), row2))
+      .otherwise(concat(row1, lit("\n"), row2))
+    val sn = graft.functions.CsvSniff.csvSniffCol(csv)
+    ordered(
+      documents(s, d).select(col("doc_id"),
+        sn.getField("delimiter").as("delimiter"),
+        sn.getField("n_cols").cast("long").as("n_cols"),
+        sn.getField("has_header").as("has_header")),
+      "doc_id")
+  }
+
   /** Rule-based sentence segmentation: the fixture plants the classic
     * traps — an abbreviation (Dr.), a decimal (3.14), a digit-period
     * sentence end (Jan 5.), a masked No. before a number, ! and ?
@@ -2743,6 +2768,7 @@ object LlmOps {
     "x_mbox"              -> (xMbox _),
     "x_markdown_text"     -> (xMarkdownText _),
     "x_sentences"         -> (xSentences _),
+    "x_csv_sniff"         -> (xCsvSniff _),
     "x_archive_ingest"    -> (xArchiveIngest _),
     "x_html_tables"       -> (xHtmlTables _),
     "x_json_repair"       -> (xJsonRepair _),
@@ -4308,6 +4334,14 @@ object LlmOps {
         |  CAST(SUM(abs(sv)) AS BIGINT) AS sum_abs,
         |  CAST(SUM(sv * sv) AS BIGINT) AS sum_sq
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_csv_sniff" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN ',' WHEN 1 THEN ';'
+        |    WHEN 2 THEN chr(9) ELSE '|' END AS delimiter,
+        |  CAST(3 AS BIGINT) AS n_cols,
+        |  doc_id % 2 = 0 AS has_header
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x_archive_ingest" ->
       """WITH s AS (SELECT doc_id FROM documents WHERE doc_id % 50 = 0),
         |k AS (SELECT s.doc_id, i.i
