@@ -159,6 +159,85 @@ object Utf8Ops {
     if (decoded.numChars() < str.length) decoded else s
   }
 
+  /** Encoding sniff — the chardet-lite step before [[utf8Scan]] can be
+    * trusted: BOMs first (UTF-8 / UTF-16LE / UTF-16BE), then BOM-less
+    * UTF-16 by the null-byte parity pattern (ASCII-ish text in UTF-16
+    * puts zeros on one parity; ≥ 30% zeros with a ≥ 4:1 skew calls
+    * it), then strict UTF-8 validity, then a control-byte density test
+    * (> 5% non-tab/CR/LF controls = "binary"), else windows-1252 —
+    * the de-facto single-byte fallback. Returns the label; see
+    * [[decodeSniffed]] for the matching decode. */
+  def sniffEncoding(b: Array[Byte]): UTF8String = {
+    if (b == null) return null
+    UTF8String.fromString(sniff(b))
+  }
+
+  private def sniff(b: Array[Byte]): String = {
+    if (b.length == 0) return "empty"
+    if (b.length >= 3 && (b(0) & 0xFF) == 0xEF && (b(1) & 0xFF) == 0xBB &&
+      (b(2) & 0xFF) == 0xBF) return "utf-8-bom"
+    if (b.length >= 2 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xFE)
+      return "utf-16le"
+    if (b.length >= 2 && (b(0) & 0xFF) == 0xFE && (b(1) & 0xFF) == 0xFF)
+      return "utf-16be"
+    val n = math.min(b.length, 4096) & ~1
+    if (n >= 8) {
+      var zEven = 0; var zOdd = 0
+      var i = 0
+      while (i < n) {
+        if (b(i) == 0) { if ((i & 1) == 0) zEven += 1 else zOdd += 1 }
+        i += 1
+      }
+      val z = zEven + zOdd
+      if (z * 10 >= n * 3) {
+        if (zEven >= 4 * math.max(1, zOdd)) return "utf-16be"
+        if (zOdd >= 4 * math.max(1, zEven)) return "utf-16le"
+      }
+    }
+    // control density BEFORE utf-8 validity: a blob of low control
+    // bytes is valid UTF-8 and still not text
+    var ctl = 0
+    var i = 0
+    val m = math.min(b.length, 4096)
+    while (i < m) {
+      val c = b(i) & 0xFF
+      if (c < 0x20 && c != '\t' && c != '\n' && c != '\r') ctl += 1
+      i += 1
+    }
+    if (ctl * 20 > m) "binary"
+    else if (utf8Scan(b).getBoolean(0)) "utf-8"
+    else "windows-1252"
+  }
+
+  /** Decode through the sniffed encoding (BOMs stripped); "binary"
+    * makes no text claim (null). */
+  def decodeSniffed(b: Array[Byte]): UTF8String = {
+    if (b == null) return null
+    val s = sniff(b) match {
+      case "empty" => ""
+      case "utf-8-bom" =>
+        new String(b, 3, b.length - 3,
+          java.nio.charset.StandardCharsets.UTF_8)
+      case "utf-16le" =>
+        val body = if ((b(0) & 0xFF) == 0xFF) 2 else 0
+        new String(b, body, (b.length - body) & ~1,
+          java.nio.charset.StandardCharsets.UTF_16LE)
+      case "utf-16be" =>
+        val body = if ((b(0) & 0xFF) == 0xFE) 2 else 0
+        new String(b, body, (b.length - body) & ~1,
+          java.nio.charset.StandardCharsets.UTF_16BE)
+      case "utf-8" =>
+        new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      case "windows-1252" =>
+        val sb = new java.lang.StringBuilder(b.length)
+        var i = 0
+        while (i < b.length) { sb.append(cp1252FromByte(b(i) & 0xFF)); i += 1 }
+        sb.toString
+      case _ => return null // binary
+    }
+    UTF8String.fromString(s)
+  }
+
   // ---- expressions ----
 
   case class Utf8Scan(child: Expression) extends BinaryMeta.BinaryProbe {
@@ -201,8 +280,42 @@ object Utf8Ops {
       copy(child = c)
   }
 
+  case class SniffEncoding(child: Expression) extends BinaryMeta.BinaryProbe {
+    override def prettyName: String = "sniff_encoding"
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any =
+      sniffEncoding(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, bytes =>
+        s"${ev.value} = graft.functions.Utf8Ops.sniffEncoding($bytes);")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  case class DecodeSniffed(child: Expression) extends BinaryMeta.BinaryProbe {
+    override def prettyName: String = "decode_sniffed"
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any =
+      decodeSniffed(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, bytes => {
+        val r = ctx.freshName("r")
+        s"""
+           |org.apache.spark.unsafe.types.UTF8String $r =
+           |  graft.functions.Utf8Ops.decodeSniffed($bytes);
+           |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   def utf8ScanCol(c: Column): Column =
     SparkInternals.column(Utf8Scan(SparkInternals.expression(c)))
   def fixMojibakeCol(c: Column): Column =
     SparkInternals.column(FixMojibake(SparkInternals.expression(c)))
+  def sniffEncodingCol(c: Column): Column =
+    SparkInternals.column(SniffEncoding(SparkInternals.expression(c)))
+  def decodeSniffedCol(c: Column): Column =
+    SparkInternals.column(DecodeSniffed(SparkInternals.expression(c)))
 }

@@ -1500,6 +1500,29 @@ object LlmOps {
       "doc_id")
   }
 
+  /** Encoding sniff + sniffed decode: per-doc payloads rotate through
+    * UTF-8-BOM / UTF-16LE-BOM / UTF-16BE-BOM / plain UTF-8 (accented)
+    * / Latin-1-invalid-as-UTF-8 — the label AND the decoded text must
+    * round-trip (BOM stripped, UTF-16 both orders, the cp1252
+    * fallback); Spark's own encode() builds the byte forms, the
+    * oracle restates only decoded values. */
+  def xEncodingSniff(s: SparkSession, d: String): DataFrame = {
+    val accent = chr(pmod(col("doc_id"), lit(16L)) + 224L)
+    val text = concat(lit("enc caf"), accent, lit(" "), col("doc_id"))
+    val m = pmod(col("doc_id"), lit(5L))
+    val payload =
+      when(m === 0, concat(unhex(lit("EFBBBF")), encode(text, "UTF-8")))
+        .when(m === 1, concat(unhex(lit("FFFE")), encode(text, "UTF-16LE")))
+        .when(m === 2, concat(unhex(lit("FEFF")), encode(text, "UTF-16BE")))
+        .when(m === 3, encode(text, "UTF-8"))
+        .otherwise(encode(text, "ISO-8859-1")) // é alone: invalid UTF-8
+    ordered(
+      documents(s, d).select(col("doc_id"),
+        graft.functions.Utf8Ops.sniffEncodingCol(payload).as("encoding"),
+        graft.functions.Utf8Ops.decodeSniffedCol(payload).as("text")),
+      "doc_id")
+  }
+
   /** CSV dialect sniffing: per-doc files alternate all four candidate
     * delimiters, carry a quoted field EMBEDDING the other delimiters
     * (the quote walk must not count them), and flip header presence by
@@ -2769,6 +2792,7 @@ object LlmOps {
     "x_markdown_text"     -> (xMarkdownText _),
     "x_sentences"         -> (xSentences _),
     "x_csv_sniff"         -> (xCsvSniff _),
+    "x_encoding_sniff"    -> (xEncodingSniff _),
     "x_archive_ingest"    -> (xArchiveIngest _),
     "x_html_tables"       -> (xHtmlTables _),
     "x_json_repair"       -> (xJsonRepair _),
@@ -4334,6 +4358,15 @@ object LlmOps {
         |  CAST(SUM(abs(sv)) AS BIGINT) AS sum_abs,
         |  CAST(SUM(sv * sv) AS BIGINT) AS sum_sq
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_encoding_sniff" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN 'utf-8-bom' WHEN 1 THEN 'utf-16le'
+        |    WHEN 2 THEN 'utf-16be' WHEN 3 THEN 'utf-8'
+        |    ELSE 'windows-1252' END AS encoding,
+        |  'enc caf' || chr(CAST(224 + doc_id % 16 AS INT)) || ' ' || doc_id
+        |    AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x_csv_sniff" ->
       """SELECT doc_id,
         |  CASE CAST(doc_id % 4 AS INT)

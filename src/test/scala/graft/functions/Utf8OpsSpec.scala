@@ -96,4 +96,33 @@ class Utf8OpsSpec extends AnyFunSuite {
     for (s <- Seq("plain ascii", "naïve façade", "Ã alone", "日本語 text"))
       assert(fix(s) == s, s)
   }
+
+  test("encoding sniff: BOM-less UTF-16 by null parity, binary by " +
+       "control density, decode round-trips every label") {
+    def enc(b: Array[Byte]): String =
+      Utf8Ops.sniffEncoding(b).toString
+    def dec(b: Array[Byte]): String = {
+      val r = Utf8Ops.decodeSniffed(b)
+      if (r == null) null else r.toString
+    }
+    val text = "hello wörld 42"
+    // BOM-less UTF-16, both orders — parity heuristic, no BOM to lean on
+    val le = text.getBytes("UTF-16LE")
+    val be = text.getBytes("UTF-16BE")
+    assert(enc(le) == "utf-16le" && dec(le) == text)
+    assert(enc(be) == "utf-16be" && dec(be) == text)
+    // BOM forms decode with the BOM stripped
+    assert(dec(Array(0xFF.toByte, 0xFE.toByte) ++ le) == text)
+    assert(dec(Array(0xFE.toByte, 0xFF.toByte) ++ be) == text)
+    assert(dec(Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+      text.getBytes("UTF-8")) == text)
+    // binary: dense control bytes make no text claim
+    val bin = Array.tabulate[Byte](64)(i => (i % 8).toByte)
+    assert(enc(bin) == "binary" && dec(bin) == null)
+    // windows-1252 fallback renders the Windows printables
+    val cp = Array[Byte](0x93.toByte, 'h', 'i', 0x94.toByte)
+    assert(enc(cp) == "windows-1252" && dec(cp) == "“hi”")
+    assert(enc("plain".getBytes) == "utf-8")
+    assert(enc(Array.empty[Byte]) == "empty" && dec(Array.empty[Byte]) == "")
+  }
 }
