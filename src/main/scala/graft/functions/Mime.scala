@@ -175,7 +175,14 @@ object Mime {
             java.util.Arrays.copyOfRange(b, i, i + marker.length), marker)) {
           val fin = i + marker.length + 1 < bodyEnd &&
             b(i + marker.length) == '-' && b(i + marker.length + 1) == '-'
-          positions = (i, fin) :: positions
+          // RFC 2046: a delimiter LINE is "--boundary" followed by
+          // optional transport padding (SP/HT) and CRLF, or the "--"
+          // close. A body line that merely starts with the marker
+          // ("--b42-not-a-delimiter") is content, not a delimiter.
+          var j = i + marker.length + (if (fin) 2 else 0)
+          while (j < bodyEnd && (b(j) == ' ' || b(j) == '\t')) j += 1
+          val terminated = j >= bodyEnd || b(j) == '\r' || b(j) == '\n'
+          if (terminated) positions = (i, fin) :: positions
         }
         i += 1
       }

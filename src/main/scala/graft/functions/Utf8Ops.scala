@@ -218,12 +218,18 @@ object Utf8Ops {
       case "utf-8-bom" =>
         new String(b, 3, b.length - 3,
           java.nio.charset.StandardCharsets.UTF_8)
+      // Strip ONLY a full 2-byte BOM (matching the sniff's own BOM
+      // test): the utf-16le/be label can also come from the BOM-less
+      // zero-parity heuristic, and a BOM-less payload whose first code
+      // unit merely STARTS with 0xFF/0xFE must keep its first char.
       case "utf-16le" =>
-        val body = if ((b(0) & 0xFF) == 0xFF) 2 else 0
+        val body = if (b.length >= 2 && (b(0) & 0xFF) == 0xFF &&
+          (b(1) & 0xFF) == 0xFE) 2 else 0
         new String(b, body, (b.length - body) & ~1,
           java.nio.charset.StandardCharsets.UTF_16LE)
       case "utf-16be" =>
-        val body = if ((b(0) & 0xFF) == 0xFE) 2 else 0
+        val body = if (b.length >= 2 && (b(0) & 0xFF) == 0xFE &&
+          (b(1) & 0xFF) == 0xFF) 2 else 0
         new String(b, body, (b.length - body) & ~1,
           java.nio.charset.StandardCharsets.UTF_16BE)
       case "utf-8" =>

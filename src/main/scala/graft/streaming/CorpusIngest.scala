@@ -259,9 +259,20 @@ object CorpusIngest {
     val tarRows = graft.functions.Archive.tarEntriesCol(col("payload"))
     def norm(e: org.apache.spark.sql.Column) = struct(
       e.getField("name").as("name"), e.getField("data").as("data"))
-    val entries = when(hex(substring(col("payload"), 1, 2)) === "504B",
-      transform(zipRows, norm(_)))
-      .otherwise(transform(tarRows, norm(_)))
+    // Route on the full 4-byte ZIP magic (local header / empty-archive
+    // EOCD / spanned marker), not the 2-byte "PK" prefix: a tar whose
+    // first member name starts with "PK" must not be misrouted. And the
+    // magic only sets the PREFERENCE — each branch falls back to the
+    // other walker (coalesce is lazy: the fallback parse only runs when
+    // the preferred walker declines), so a prefixed/self-extracting ZIP
+    // (zipEntries' backward EOCD scan handles those) still parses even
+    // without the magic at offset 0.
+    val zipT = transform(zipRows, norm(_))
+    val tarT = transform(tarRows, norm(_))
+    val isZipMagic = hex(substring(col("payload"), 1, 4))
+      .isin("504B0304", "504B0506", "504B0708")
+    val entries = when(isZipMagic, coalesce(zipT, tarT))
+      .otherwise(coalesce(tarT, zipT))
     val scan = graft.functions.Utf8Ops.utf8ScanCol(col("data"))
     val docs = batch
       .select(col("doc_id"), posexplode(entries).as(Seq("entry_idx", "e")))

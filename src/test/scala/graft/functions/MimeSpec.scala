@@ -151,4 +151,21 @@ class MimeSpec extends AnyFunSuite {
       Mime.mimeParts(blob); Mime.emailHeaders(blob)
     }
   }
+
+  test("RFC 2046 delimiter must END the line: a body line that merely " +
+       "starts with --boundary is content, not a delimiter") {
+    val msg =
+      "Content-Type: multipart/mixed; boundary=\"b42\"\n\n" +
+        "--b42\nContent-Type: text/plain\n\n" +
+        "first line\n--b42-not-a-delimiter stays in the body\nlast line\n" +
+        "--b42 \t \nContent-Type: text/plain\n\nsecond part\n" +
+        "--b42--\n"
+    val got = parts(msg)
+    assert(got.size == 2, got.toString)
+    assert(got(0)._4 ==
+      "first line\n--b42-not-a-delimiter stays in the body\nlast line")
+    // transport padding (SP/HT) after the marker is still a delimiter
+    assert(got(1)._4 == "second part")
+  }
+
 }

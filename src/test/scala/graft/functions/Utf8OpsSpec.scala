@@ -125,4 +125,19 @@ class Utf8OpsSpec extends AnyFunSuite {
     assert(enc("plain".getBytes) == "utf-8")
     assert(enc(Array.empty[Byte]) == "empty" && dec(Array.empty[Byte]) == "")
   }
+
+  test("BOM-less UTF-16 whose first byte merely LOOKS like a BOM byte " +
+       "keeps its first character (only the full 2-byte BOM strips)") {
+    def dec(b: Array[Byte]): String = Utf8Ops.decodeSniffed(b).toString
+    // LE: 'ÿ' = FF 00 — first byte 0xFF but b(1) != 0xFE, so no BOM
+    val le = "ÿ plain ascii follows here".getBytes("UTF-16LE")
+    assert((le(0) & 0xFF) == 0xFF && (le(1) & 0xFF) != 0xFE)
+    assert(Utf8Ops.sniffEncoding(le).toString == "utf-16le")
+    assert(dec(le) == "ÿ plain ascii follows here")
+    // BE: U+FE30 = FE 30 — first byte 0xFE but b(1) != 0xFF, so no BOM
+    val be = "︰ plain ascii follows here".getBytes("UTF-16BE")
+    assert((be(0) & 0xFF) == 0xFE && (be(1) & 0xFF) != 0xFF)
+    assert(Utf8Ops.sniffEncoding(be).toString == "utf-16be")
+    assert(dec(be) == "︰ plain ascii follows here")
+  }
 }
