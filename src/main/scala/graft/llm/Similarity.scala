@@ -421,21 +421,89 @@ object Similarity {
     * arithmetic and the whole greedy trace is SQL-oracle-able (ties →
     * lowest vec_id, matching the seed convention).
     *
-    * Plan, sized for 100 TB: the selected set is k rows — it lives on
-    * the driver and enters each pass as LITERAL structs folded map-side
-    * (no join, no shuffle); each round is ONE corpus scan ending in one
-    * `max_by` aggregate (partials combine map-side, one row crosses to
-    * the driver per round). Total cost: k embarrassingly-parallel scans
-    * of the cached (id, q8) projection — the canonical distributed
-    * farthest-point sweep. For k beyond the literal-expression regime
-    * (~thousands) you batch rounds against a broadcast table instead;
-    * k here is a report-sized selection, not a partition. The code
-    * projection is persisted for the loop and unpersisted before
-    * returning. Returns (round, vec_id, dist2): the greedy trace, whose
-    * dist2 column is the k-center radius curve (dist2 of round r is the
-    * covering radius after r centers — the stopping diagnostic). */
+    * Plan, sized for 100 TB: the classic INCREMENTAL farthest-point
+    * sweep — the state is (id, q8, `__md` = min dist² to everything
+    * selected so far), persisted; each round updates `__md` against
+    * ONLY the newest center (one dim-length literal, one `least`) and
+    * ends in one `max_by` aggregate (partials combine map-side, one row
+    * crosses to the driver per round). Total work O(k·N·dim) — not the
+    * O(k²·N·dim) of re-folding every selected center each round — and
+    * the per-round expression is CONSTANT-size, so k in the hundreds
+    * stays inside janino's 64 KB method limit (the re-fold form's
+    * k·dim literal tree does not; see the cosineLshSig note above).
+    * Each generation is an EAGER LOCAL CHECKPOINT — plan and RDD
+    * lineage stay depth-1 however large k gets (a persist chain would
+    * nest k generations of lineage and overflow the task-serializer
+    * stack around k ≈ 100 — measured in tools/CoresetProbe), and
+    * exactly one generation's blocks live at any instant (the previous
+    * one is released as soon as the next materializes). The re-fold
+    * form is kept as [[kCenterSelectLiteral]] — the trace oracle this
+    * plan is spec-pinned against. Returns (round, vec_id, dist2): the
+    * greedy trace, whose dist2 column is the k-center radius curve
+    * (dist2 of round r is the covering radius after r centers — the
+    * stopping diagnostic). */
   def kCenterSelect(vecs: DataFrame, k: Int, idCol: String = "vec_id"): DataFrame = {
     require(k >= 1, "kCenterSelect: k must be >= 1")
+    val spark = vecs.sparkSession
+    val q = withQuantized(vecs)
+      .select(col(idCol).cast("long").as("__vid"), col("q8").as("__q8"))
+    def dist2To(code: Seq[Int]): org.apache.spark.sql.Column = aggregate(
+      zip_with(col("__q8"), array(code.map(c => lit(c)): _*),
+        (a, b) => ((a - b) * (a - b)).cast("long")),
+      lit(0L), (dacc, v) => dacc + v)
+    var state: DataFrame = null
+    def advance(next: DataFrame): Unit = {
+      val cut = next.localCheckpoint(true) // eager: materializes now
+      if (state != null)
+        org.apache.spark.sql.graft.SparkInternals.uncheckpoint(state)
+      state = cut
+    }
+    try {
+      val first = q.orderBy(col("__vid")).limit(1).collect()
+      if (first.isEmpty) {
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("round",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("vec_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("dist2",
+              org.apache.spark.sql.types.LongType))))
+      }
+      val sel = scala.collection.mutable.ArrayBuffer[(Long, Seq[Int], Long)]()
+      sel += ((first.head.getLong(0), first.head.getSeq[Int](1), 0L))
+      advance(q.withColumn("__md", dist2To(first.head.getSeq[Int](1))))
+      while (sel.size < k) {
+        val picked = state
+          .filter(!col("__vid").isin(sel.map(_._1).toSeq: _*))
+          .select(max_by(struct(col("__vid"), col("__q8")),
+            struct(col("__md"), -col("__vid"))).as("__best"),
+            max(col("__md")).as("__md"))
+          .collect()
+        val row = picked.head
+        if (row.isNullAt(0)) return buildTrace(spark, sel.toSeq) // corpus exhausted
+        val best = row.getStruct(0)
+        sel += ((best.getLong(0), best.getSeq[Int](1), row.getLong(1)))
+        if (sel.size < k)
+          advance(state.withColumn("__md",
+            least(col("__md"), dist2To(best.getSeq[Int](1)))))
+      }
+      buildTrace(spark, sel.toSeq)
+    } finally if (state != null)
+      org.apache.spark.sql.graft.SparkInternals.uncheckpoint(state)
+  }
+
+  /** The re-fold-all-centers form of [[kCenterSelect]] — every round
+    * recomputes min-over-selected from a k-element LITERAL of the
+    * selected codes. O(k²·N·dim) with an expression tree that grows
+    * with k·dim, so it is NOT the production path (janino's 64 KB
+    * method limit lands around k·dim ≈ 4k); it is retained as the
+    * independent trace oracle the incremental plan is spec-pinned
+    * against (identical integer arithmetic, identical tie-breaks). */
+  def kCenterSelectLiteral(vecs: DataFrame, k: Int,
+                           idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1, "kCenterSelectLiteral: k must be >= 1")
     val spark = vecs.sparkSession
     import org.apache.spark.storage.StorageLevel
     val q = withQuantized(vecs)
@@ -496,14 +564,82 @@ object Similarity {
     * λ = 1/2, where the argmax reduces to the INTEGER objective
     * rel − max_sim over the int8 q8 codes (relevance = integer dot with
     * the query's code, similarity = integer dot between codes), so —
-    * like `kCenterSelect`, whose driver-literal/one-aggregate-per-round
-    * plan this shares — the whole greedy trace is exact and
-    * SQL-oracle-able. The query is the lowest-id vector (deterministic
-    * stand-in for a caller-supplied query embedding); round 0 is the
-    * pure-relevance argmax over max_sim = 0. Ties → lowest vec_id.
+    * like `kCenterSelect`, whose incremental maintained-state plan this
+    * shares — the whole greedy trace is exact and SQL-oracle-able. The
+    * state is (id, q8, `__rel` computed ONCE, `__ms` = max sim to
+    * everything selected so far); each round updates `__ms` against
+    * only the newest pick (one dim-length literal, one `greatest`) and
+    * ends in one `max_by` — O(k·N·dim) total, constant-size per-round
+    * expression (janino-safe at k in the hundreds). The re-fold form is
+    * kept as [[mmrSelectLiteral]], the trace oracle. The query is the
+    * lowest-id vector (deterministic stand-in for a caller-supplied
+    * query embedding); round 0 is the pure-relevance argmax over
+    * max_sim = 0. Ties → lowest vec_id.
     * Returns (round, vec_id, rel, max_sim, score). */
   def mmrSelect(vecs: DataFrame, k: Int, idCol: String = "vec_id"): DataFrame = {
     require(k >= 1, "mmrSelect: k must be >= 1")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    import graft.functions.VectorExpressions.intDotProduct
+    val q = withQuantized(vecs)
+      .select(col(idCol).cast("long").as("__vid"), col("q8").as("__q8"))
+    def simTo(code: Seq[Int]): org.apache.spark.sql.Column =
+      intDotProduct(col("__q8"), array(code.map(c => lit(c)): _*))
+    var state: DataFrame = null
+    def advance(next: DataFrame): Unit = {
+      val cut = next.localCheckpoint(true) // eager; depth-1 lineage
+      if (state != null)
+        org.apache.spark.sql.graft.SparkInternals.uncheckpoint(state)
+      state = cut
+    }
+    try {
+      val qrow = q.orderBy(col("__vid")).limit(1).collect()
+      if (qrow.isEmpty)
+        return Seq.empty[(Long, Long, Long, Long, Long)]
+          .toDF("round", "vec_id", "rel", "max_sim", "score")
+      val qCode = qrow.head.getSeq[Int](1)
+      // __ms starts at Long.MinValue — the literal form's fold identity
+      // (sims can be NEGATIVE; 0 would clamp them). Round 0 is special-
+      // cased to pure relevance with a reported max_sim of 0, exactly
+      // like the literal form's empty-selection branch.
+      advance(q
+        .withColumn("__rel", simTo(qCode))
+        .withColumn("__ms", lit(Long.MinValue)))
+      val sel = scala.collection.mutable.ArrayBuffer[(Long, Seq[Int], Long, Long)]()
+      while (sel.size < k) {
+        val msOut = if (sel.isEmpty) lit(0L) else col("__ms")
+        val score = if (sel.isEmpty) col("__rel")
+                    else col("__rel") - col("__ms")
+        val picked = state
+          .filter(if (sel.isEmpty) lit(true)
+                  else !col("__vid").isin(sel.map(_._1).toSeq: _*))
+          .select(max_by(struct(col("__vid"), col("__q8"), col("__rel"),
+              msOut.as("__ms")),
+            struct(score, -col("__vid"))).as("__best"))
+          .collect()
+        if (picked.isEmpty || picked.head.isNullAt(0)) {
+          return mmrTrace(spark, sel.toSeq) // corpus exhausted
+        }
+        val best = picked.head.getStruct(0)
+        sel += ((best.getLong(0), best.getSeq[Int](1),
+          best.getLong(2), best.getLong(3)))
+        if (sel.size < k)
+          advance(state.withColumn("__ms",
+            greatest(col("__ms"), simTo(best.getSeq[Int](1)))))
+      }
+      mmrTrace(spark, sel.toSeq)
+    } finally if (state != null)
+      org.apache.spark.sql.graft.SparkInternals.uncheckpoint(state)
+  }
+
+  /** The re-fold-all-picks form of [[mmrSelect]] — every round
+    * recomputes max-over-selected from a k-element LITERAL of the
+    * selected codes. O(k²·N·dim), expression tree growing with k·dim;
+    * retained only as the independent trace oracle for the incremental
+    * plan (identical integer arithmetic, identical tie-breaks). */
+  def mmrSelectLiteral(vecs: DataFrame, k: Int,
+                       idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1, "mmrSelectLiteral: k must be >= 1")
     val spark = vecs.sparkSession
     import spark.implicits._
     import org.apache.spark.storage.StorageLevel

@@ -31,6 +31,18 @@ object SparkInternals {
   def analyzedPlan(df: org.apache.spark.sql.Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
 
+  /** Frees the block-manager storage behind a locally-checkpointed
+    * DataFrame (Dataset.localCheckpoint persists an internal RDD the
+    * public Dataset API offers no way to release). No-op for any other
+    * plan shape. Only call on generations no consumer can still need —
+    * a local checkpoint has no lineage to recompute from. */
+  def uncheckpoint(df: org.apache.spark.sql.Dataset[_]): Unit =
+    analyzedPlan(df).collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ =>
+    }
+
   /** Wraps a logical plan back into a DataFrame (Dataset.ofRows is
     * private[sql]) — used by specs to evaluate a manually-rewritten
     * plan. */

@@ -155,4 +155,27 @@ class CdcCoresetSpec extends SparkSpec {
     assert(leaked.isEmpty,
       "the q8 projection must be unpersisted on every exit path")
   }
+
+  test("incremental maintained-state selection == the re-fold literal " +
+       "form, trace-for-trace, past the InSet threshold; no cache leaks") {
+    val vecs = graft.Tables.embeddings(spark, sf("sf0.001"))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // k=20 crosses the In->InSet conversion threshold (10) and runs 20
+    // maintained-column updates — the regime the literal form pays
+    // O(k^2 N dim) + a growing expression tree for
+    val kc = Similarity.kCenterSelect(vecs, k = 20).orderBy("round")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val kcLit = Similarity.kCenterSelectLiteral(vecs, k = 20).orderBy("round")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(kc == kcLit, s"k-center trace diverged:\n inc=$kc\n lit=$kcLit")
+    val mmr = Similarity.mmrSelect(vecs, k = 20).orderBy("round")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val mmrLit = Similarity.mmrSelectLiteral(vecs, k = 20).orderBy("round")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(mmr == mmrLit, s"MMR trace diverged:\n inc=$mmr\n lit=$mmrLit")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, "both selection paths must unpersist all state")
+  }
 }
