@@ -46,10 +46,15 @@ import org.apache.spark.sql.functions._
   *     compactions;
   *   - the `v=K` directory is committed by writing data+bloom first and
   *     flipping the one-line `_META` pointer last (the dim-store
-  *     `_LATEST` pattern); folded increment dirs and stale `v` dirs are
-  *     deleted only after the flip, and a crash between flip and delete
-  *     merely leaves keys present in both tiers — harmless for a
-  *     membership artifact (the anti-join is idempotent in duplicates);
+  *     `_LATEST` pattern); the tiers a flip supersedes (the replaced
+  *     `v` dir and the increments folded into the new one) are vacuumed
+  *     with a ONE-COMPACTION GRACE — they survive until the NEXT flip,
+  *     so a reader that resolved the old meta keeps a consistent
+  *     snapshot across a concurrent compact (old-or-new, never mixed,
+  *     never missing — the Sinks.upsertDims contract); a crash between
+  *     flip and vacuum merely leaves keys present in both tiers —
+  *     harmless for a membership artifact (the anti-join is idempotent
+  *     in duplicates);
   *   - the bloom prefilter arms only when blobs COVER the history
   *     (compacted blob present when a compacted tier exists, and an
   *     epoch blob per un-folded increment epoch); artifacts written by
@@ -214,9 +219,11 @@ object CrawlStore {
     * is the only epoch a restart can replay) into a fresh hash-bucketed
     * compacted tier, re-sizing the bucket count to the history
     * (smallest power of two with ≤ `targetRowsPerBucket` rows per
-    * bucket), then flip `_META` and best-effort delete the folded
-    * increments, their blobs, and the previous `v` dir. Safe to re-run;
-    * a second call with nothing new to fold is a no-op. */
+    * bucket), then flip `_META` and best-effort vacuum the generation
+    * the PREVIOUS flip superseded (one-compaction reader grace — see
+    * the class doc; the just-replaced `v` dir and the epochs folded
+    * here survive until the next flip). Safe to re-run; a second call
+    * with nothing new to fold is a no-op. */
   def compact(spark: SparkSession, path: String, keyCol: String,
               carry: Seq[String] = Nil,
               targetRowsPerBucket: Long = 1L << 20,
@@ -267,12 +274,27 @@ object CrawlStore {
         .write.mode("overwrite").parquet(s"$out/bloom")
     }
     writeMeta(fs, path, Meta(version, nb, fold.max, rows))
-    // post-flip cleanup — every tier below is now redundant, and a
-    // crash mid-delete only leaves harmless duplicates
-    fold.foreach { e =>
-      fs.delete(new Path(path, s"batch_id=$e"), true)
-      fs.delete(new Path(s"${path}_bloom", s"batch_id=$e"), true)
+    // post-flip vacuum with ONE-COMPACTION GRACE (the dim store's
+    // reader contract, Sinks.upsertDims): an in-flight reader that
+    // resolved the META this flip just replaced may still be scanning
+    // v=<replaced> and the increments folded HERE — both survive until
+    // the NEXT flip. What is vacuumed now is the generation superseded
+    // by the PREVIOUS flip: epochs folded then (<= the old upTo) and v
+    // dirs older than the version just replaced. New-meta readers
+    // never see graced leftovers (every increment read filters
+    // batch_id > upTo; the compacted read names its one v dir), so the
+    // only cost is one extra generation on disk between compactions —
+    // and a crash mid-delete still only leaves harmless duplicates.
+    listEpochs(fs, path).filter(_ <= upTo).foreach(e =>
+      fs.delete(new Path(path, s"batch_id=$e"), true))
+    listEpochs(fs, s"${path}_bloom").filter(_ <= upTo).foreach(e =>
+      fs.delete(new Path(s"${path}_bloom", s"batch_id=$e"), true))
+    meta.foreach { m =>
+      val compRoot = new Path(s"${path}_compacted")
+      fs.listStatus(compRoot).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toInt)
+        .filter(_ < m.version)
+        .foreach(v => fs.delete(new Path(vDir(path, v)), true))
     }
-    meta.foreach(m => fs.delete(new Path(vDir(path, m.version)), true))
   }
 }

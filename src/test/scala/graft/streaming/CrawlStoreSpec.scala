@@ -33,8 +33,9 @@ class CrawlStoreSpec extends SparkSpec {
     val meta = CrawlStore.readMeta(fs, dir).get
     assert(meta.upTo == 2L && meta.rows == 30L, meta.toString)
     assert(meta.nb == 4L, s"30 rows / 8 per bucket -> nb=4: $meta")
-    // folded increment dirs are gone, the youngest epoch is intact
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "batch_id=0")))
+    // folded increment dirs survive THIS flip (one-compaction reader
+    // grace — vacuumed at the next flip); the youngest epoch is intact
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "batch_id=0")))
     assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "batch_id=3")))
     // epoch 4 arrives after compaction
     CrawlStore.appendKeys(dir)(keysDf(40L until 50L), "canon", 4L)
@@ -130,6 +131,59 @@ class CrawlStoreSpec extends SparkSpec {
       .antiJoinNew(keysDf(Seq(4L, 14L, 40L)), "canon", dirB + "x", 2L)
       .select($"canon").as[String].collect().toSet
     assert(gotC == Set("site40.example/p40"), gotC.toString)
+  }
+
+  test("compaction grace: a reader holding the just-replaced meta keeps " +
+       "a consistent snapshot across a concurrent compact; the NEXT " +
+       "compaction vacuums the superseded generation") {
+    import spark.implicits._
+    val dir = tmp("crawl_grace") + "/urls"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def vPath(v: Int) = new org.apache.hadoop.fs.Path(s"${dir}_compacted/v=$v")
+    def epochPath(e: Long) = new org.apache.hadoop.fs.Path(dir, s"batch_id=$e")
+    // epochs 0..3 -> compact #1 folds 0..2 (meta v1, upTo 2)
+    (0L to 3L).foreach(e => CrawlStore.appendKeys(dir)(
+      keysDf(e * 10L until e * 10L + 10L), "canon", e))
+    CrawlStore.compact(spark, dir, "canon", targetRowsPerBucket = 8L)
+    assert(CrawlStore.readMeta(fs, dir).get.version == 1)
+    // an IN-FLIGHT READER resolves the v1 meta now (antiJoinNew reads
+    // meta + plans its scans eagerly, collects lazily) — candidates
+    // span the compacted tier (7), the kept epoch (33), and new keys
+    val inFlight = CrawlStore.antiJoinNew(
+      keysDf(Seq(7L, 33L, 777L)), "canon", dir, 100L)
+    // concurrent compact #2: epochs 4,5 arrive, fold 3,4 (meta v2)
+    (4L to 5L).foreach(e => CrawlStore.appendKeys(dir)(
+      keysDf(e * 10L until e * 10L + 10L), "canon", e))
+    CrawlStore.compact(spark, dir, "canon", targetRowsPerBucket = 8L)
+    assert(CrawlStore.readMeta(fs, dir).get.version == 2)
+    // grace: v1 and the epochs it folded survive this flip...
+    assert(fs.exists(vPath(1)), "replaced v dir must survive one flip")
+    assert(fs.exists(epochPath(3L)), "epochs folded at flip 2 survive")
+    // ...and the generation superseded by flip 1 (epochs 0..2) is gone
+    (0L to 2L).foreach(e =>
+      assert(!fs.exists(epochPath(e)), s"epoch $e superseded two flips ago"))
+    // the in-flight reader now COLLECTS — its plan scans v1 + epoch 3;
+    // both still exist, so it resolves exactly (old-or-new, never torn)
+    val got = inFlight.select($"canon").as[String].collect().toSet
+    assert(got == Set("site777.example/p777"), got.toString)
+    // a fresh reader against the NEW meta is also exact (graced
+    // leftovers never double-count: increments filter batch_id > upTo)
+    val fresh = CrawlStore.antiJoinNew(
+      keysDf(Seq(7L, 33L, 44L, 55L, 888L)), "canon", dir, 101L)
+      .select($"canon").as[String].collect().toSet
+    assert(fresh == Set("site888.example/p888"), fresh.toString)
+    // compact #3 vacuums v1 + epochs 3,4 (superseded by flip 2)
+    CrawlStore.appendKeys(dir)(keysDf(60L until 70L), "canon", 6L)
+    CrawlStore.compact(spark, dir, "canon", targetRowsPerBucket = 8L)
+    assert(CrawlStore.readMeta(fs, dir).get.version == 3)
+    assert(!fs.exists(vPath(1)), "v1 must be vacuumed at the next flip")
+    assert(fs.exists(vPath(2)), "v2 enters its own grace window")
+    assert(!fs.exists(epochPath(3L)) && !fs.exists(epochPath(4L)))
+    val after = CrawlStore.antiJoinNew(
+      keysDf(Seq(7L, 33L, 44L, 55L, 65L, 999L)), "canon", dir, 102L)
+      .select($"canon").as[String].collect().toSet
+    assert(after == Set("site999.example/p999"), after.toString)
   }
 
   test("crawl ingest with compaction every 2 epochs: cross-batch dedup " +
