@@ -18,10 +18,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * exception.
   *
   * Subset (documented, spec-tested):
-  *   - classic cross-reference TABLES, walked from `startxref` through
-  *     `/Prev` chains; a broken or 1.5+ stream-style xref falls back to
-  *     a linear `N G obj` scan (later definitions of an object number
-  *     win — incremental-update order);
+  *   - cross-reference TABLES and (PDF 1.5+) cross-reference STREAMS
+  *     (`/Type /XRef`: `/W` field widths, `/Index` subsections, PNG
+  *     predictors 10–15 via `/DecodeParms`), walked from `startxref`
+  *     through `/Prev` chains — the two forms chain freely, and a
+  *     hybrid file's `/XRefStm` side pointer is followed too; a broken
+  *     xref falls back to a linear `N G obj` scan (later definitions of
+  *     an object number win — incremental-update order);
+  *   - `/Type /ObjStm` compressed object streams: type-2 xref entries
+  *     resolve through the decoded stream's `N` (objnum, offset) header
+  *     pairs, so post-1.5 catalogs/pages packed into object streams are
+  *     fully reachable;
   *   - the page tree from trailer `/Root` → `/Pages` → `/Kids`
   *     (bounded depth), `/Contents` as one ref or an array; when the
   *     tree is unreachable, text falls back to every visible stream
@@ -36,13 +43,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *     byte-per-char — the standard-font/Latin-1 subset (no embedded
   *     CMap/ToUnicode remapping: composite-font bytes surface
   *     verbatim);
-  *   - DECLINE CONTRACTS: an `/Encrypt` entry in any trailer makes
-  *     `pdfText` null and `pdfMeta.encrypted` true (content strings
-  *     are RC4/AES material — extracting them would emit garbage);
-  *     objects packed inside `/Type /ObjStm` compressed object
-  *     streams are invisible to the subset (their pages simply do not
-  *     contribute), and cross-reference STREAMS are never parsed as
-  *     such — both land on the linear-scan path.
+  *   - DECLINE CONTRACTS (narrowed in round 15 to encryption +
+  *     non-Flate filters): an `/Encrypt` entry in any trailer — classic
+  *     or xref-stream — makes `pdfText` null and `pdfMeta.encrypted`
+  *     true (content strings are RC4/AES material — extracting them
+  *     would emit garbage); a stream behind any filter other than
+  *     none/FlateDecode is non-extractable (skipped).
   *
   * `pdfMeta` returns (version, n_pages, n_objects, encrypted, title,
   * producer) — title/producer from the trailer `/Info` dictionary,
@@ -302,68 +308,296 @@ object PdfText {
     Some((t1.toInt, lx.pos))
   }
 
-  /** Classic xref-table walk from `startxref` through `/Prev`; None on
-    * anything unexpected (stream-style xref, bad offsets). */
-  private def xrefObjects(b: Array[Byte]): Option[Map[Int, Int]] = {
+  /** Where a cross-reference entry says an object lives: at a byte
+    * offset in the file (validated against the `N G obj` header
+    * there), or at index `idx` of compressed object stream `stm`. */
+  private sealed trait XEntry
+  private final case class XFile(afterObj: Int) extends XEntry
+  private final case class XStm(stm: Int, idx: Int) extends XEntry
+
+  /** Big-endian unsigned field of `width` bytes (width 0 → 0). */
+  private def readBE(d: Array[Byte], at: Int, width: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < width) { v = (v << 8) | (d(at + i) & 0xffL); i += 1 }
+    v
+  }
+
+  /** PNG predictor reconstruction for `/DecodeParms` (10–15 = per-row
+    * filter byte, spec §7.4.4.4 via PNG §9.2; 1/absent = passthrough;
+    * TIFF predictor 2 and sub-byte components decline). Row width is
+    * Columns·Colors·BitsPerComponent/8 bytes. */
+  private def unpredict(data: Array[Byte],
+                        parms: Map[String, V]): Option[Array[Byte]] = {
+    def intOf(k: String, dflt: Int) = parms.get(k) match {
+      case Some(VNum(x)) => x.toInt
+      case _ => dflt
+    }
+    val pred = intOf("Predictor", 1)
+    if (pred == 1) return Some(data)
+    if (pred < 10 || pred > 15) return None
+    val bpc = intOf("BitsPerComponent", 8)
+    if (bpc % 8 != 0 || bpc <= 0) return None
+    val bpp = math.max(1, intOf("Colors", 1) * (bpc / 8))
+    val cols = intOf("Columns", 1).toLong * bpp
+    if (cols <= 0 || cols > (1 << 24)) return None
+    val rowLen = cols.toInt + 1
+    if (data.length == 0 || data.length % rowLen != 0) return None
+    val rows = data.length / rowLen
+    val c0 = cols.toInt
+    val out = new Array[Byte](rows * c0)
+    var r = 0
+    while (r < rows) {
+      val ft = data(r * rowLen) & 0xff
+      var c = 0
+      while (c < c0) {
+        val raw = data(r * rowLen + 1 + c) & 0xff
+        val left = if (c >= bpp) out(r * c0 + c - bpp) & 0xff else 0
+        val up = if (r > 0) out((r - 1) * c0 + c) & 0xff else 0
+        val ul = if (r > 0 && c >= bpp) out((r - 1) * c0 + c - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => raw
+          case 1 => raw + left
+          case 2 => raw + up
+          case 3 => raw + ((left + up) >> 1)
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            raw + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+          case _ => return None
+        }
+        out(r * c0 + c) = (v & 0xff).toByte
+        c += 1
+      }
+      r += 1
+    }
+    Some(out)
+  }
+
+  /** Filter + predictor decode shared by in-document streams and the
+    * xref-stream parser (which has no object table yet, so `resolveV`
+    * there only passes direct values through). */
+  private def decodeStreamBytes(m: Map[String, V], raw: Array[Byte],
+                                resolveV: V => Option[V]): Option[Array[Byte]] = {
+    val parms: Map[String, V] =
+      resolveV(m.getOrElse("DecodeParms", m.getOrElse("DP", VOther))) match {
+        case Some(VDict(p)) => p
+        case Some(VArr(List(VDict(p)))) => p
+        case _ => Map.empty
+      }
+    resolveV(m.getOrElse("Filter", VName("__none"))) match {
+      case Some(VName("__none")) => Some(raw)
+      case Some(VName("FlateDecode")) |
+           Some(VArr(List(VName("FlateDecode")))) =>
+        inflate(raw).flatMap(unpredict(_, parms))
+      case _ => None
+    }
+  }
+
+  /** Dict + raw stream bytes of the object whose body starts at
+    * `afterObj`; `/Length` honored when `resolveLen` can make it a
+    * sane direct number, else `endstream`-bounded. */
+  private def rawStreamAt(b: Array[Byte], afterObj: Int,
+                          resolveLen: V => Option[Long])
+      : Option[(Map[String, V], Array[Byte])] = {
+    val lx = new Lexer(b, afterObj)
+    parseValue(lx, 0) match {
+      case VDict(m) =>
+        val sAt = findBytes(b, STREAM, lx.pos)
+        if (sAt < 0 || sAt - lx.pos > 64) None
+        else {
+          var d = sAt + STREAM.length
+          if (d < b.length && b(d) == '\r') d += 1
+          if (d < b.length && b(d) == '\n') d += 1
+          val len = resolveLen(m.getOrElse("Length", VOther)) match {
+            case Some(l) if l >= 0 && d + l <= b.length => l
+            case _ => -1L
+          }
+          val esAfterLen =
+            if (len >= 0) findBytes(b, ENDSTREAM, (d + len).toInt)
+            else -1
+          val end =
+            if (len >= 0 && esAfterLen >= 0 && esAfterLen - (d + len) <= 2)
+              d + len.toInt
+            else {
+              val e = findBytes(b, ENDSTREAM, d)
+              if (e < 0) return None
+              // the spec puts an EOL before endstream; strip one
+              var ee = e
+              if (ee > d && b(ee - 1) == '\n') ee -= 1
+              if (ee > d && b(ee - 1) == '\r') ee -= 1
+              ee
+            }
+          Some((m, java.util.Arrays.copyOfRange(b, d, end)))
+        }
+      case _ => None
+    }
+  }
+
+  /** `/Type /XRef` stream whose `N G obj` header starts at `objOff`:
+    * (entries, stream dict — which doubles as the trailer). `/Length`
+    * and `/Filter` must be direct here (there is no object table to
+    * resolve references against yet — universally true of real files,
+    * which is why the spec requires the xref stream be readable
+    * standalone). */
+  private def parseXrefStream(b: Array[Byte], objOff: Int)
+      : Option[(Map[Int, XEntry], Map[String, V])] = {
+    val (_, after) = objHeaderAt(b, objOff).getOrElse(return None)
+    val (m, raw) = rawStreamAt(b, after, {
+      case VNum(l) => Some(l.toLong)
+      case _ => None
+    }).getOrElse(return None)
+    if (!m.get("Type").contains(VName("XRef"))) return None
+    val data = decodeStreamBytes(m, raw, v => Some(v)).getOrElse(return None)
+    val w: Array[Int] = m.get("W") match {
+      case Some(VArr(ws)) if ws.length >= 3 &&
+          ws.take(3).forall(_.isInstanceOf[VNum]) =>
+        val a = ws.take(3).map { case VNum(x) => x.toInt; case _ => -1 }.toArray
+        if (a.exists(x => x < 0 || x > 8)) return None
+        a
+      case _ => return None
+    }
+    val size = m.get("Size") match {
+      case Some(VNum(s)) if s >= 0 => s.toLong
+      case _ => return None
+    }
+    val index: List[(Long, Long)] = m.get("Index") match {
+      case Some(VArr(xs)) if xs.length % 2 == 0 &&
+          xs.forall(_.isInstanceOf[VNum]) =>
+        xs.map { case VNum(x) => x.toLong; case _ => -1L }
+          .grouped(2).collect { case List(a, c) => (a, c) }.toList
+      case None => List((0L, size))
+      case _ => return None
+    }
+    val rowLen = w.sum
+    if (rowLen <= 0) return None
+    var entries = Map.empty[Int, XEntry]
+    var p = 0
+    var total = 0L
+    for ((start, count) <- index) {
+      if (start < 0 || count < 0) return None
+      total += count
+      if (total > (1L << 20)) return None
+      var k = 0L
+      while (k < count) {
+        if (p + rowLen > data.length) return None
+        val f1 = if (w(0) == 0) 1L else readBE(data, p, w(0))
+        val f2 = readBE(data, p + w(0), w(1))
+        val f3 = readBE(data, p + w(0) + w(1), w(2))
+        val objNum = (start + k).toInt
+        f1 match {
+          case 1 => // in file at offset f2 — header-validated, like tables
+            if (f2 >= 0 && f2 < b.length && !entries.contains(objNum))
+              objHeaderAt(b, f2.toInt).foreach { case (n, a) =>
+                if (n == objNum) entries += objNum -> XFile(a)
+              }
+          case 2 =>
+            if (f2 <= Int.MaxValue && f3 <= Int.MaxValue &&
+                !entries.contains(objNum))
+              entries += objNum -> XStm(f2.toInt, f3.toInt)
+          case _ => // 0 = free; unknown types skipped per spec
+        }
+        p += rowLen
+        k += 1
+      }
+    }
+    Some((entries, m))
+  }
+
+  /** Cross-reference walk from `startxref`: classic TABLES and xref
+    * STREAMS chained freely through `/Prev`, hybrid `/XRefStm` side
+    * pointers followed (before `/Prev`, per spec — first-seen wins).
+    * Returns (entries, trailer/stream dicts oldest..newest); None on
+    * anything unexpected — the linear scan is the fallback. */
+  private def xrefEntries(b: Array[Byte])
+      : Option[(Map[Int, XEntry], List[Map[String, V]])] = {
     val sx = lastIndexOfBytes(b, STARTXREF)
     if (sx < 0) return None
     val lx0 = new Lexer(b, sx + STARTXREF.length)
     val off0 = numOf(lx0.readToken()).getOrElse(return None)
-    var out = Map.empty[Int, Int]
-    var next = off0.toLong
+    var entries = Map.empty[Int, XEntry]
+    var dictsOldestFirst = List.empty[Map[String, V]] // prepend per hop: hops run newest-first
+    var queue = List(off0.toLong)
     var hops = 0
-    while (next >= 0 && hops < 32) {
-      if (next > b.length - 4) return None
+    while (queue.nonEmpty && hops < 32) {
+      val next = queue.head
+      queue = queue.tail
+      hops += 1
+      if (next < 0 || next > b.length - 4) return None
       val lx = new Lexer(b, next.toInt)
-      if (lx.readToken() != "xref") return None // 1.5+ xref STREAM: decline
-      var go = true
-      while (go) {
-        lx.skipWs()
-        val save = lx.pos
-        val t = lx.readToken()
-        if (t == "trailer" || t.isEmpty) { lx.pos = save; go = false }
-        else {
-          val start = numOf(t).getOrElse(return None).toLong
-          val count = numOf(lx.readToken()).getOrElse(return None).toLong
-          if (count < 0 || count > 65536) return None
-          var k = 0L
-          while (k < count) {
-            lx.skipWs()
-            if (lx.pos + 18 > b.length) return None
-            val off = new String(b.slice(lx.pos, lx.pos + 10)).trim
-            val typ = b(lx.pos + 17)
-            if (typ == 'n') {
-              val objNum = (start + k).toInt
-              // first-seen wins across /Prev hops (newest xref first);
-              // an entry only counts when the object header AT the
-              // offset declares the same number (tolerant-reader
-              // validation — stale/corrupt tables lose to the scan)
-              if (!out.contains(objNum))
-                numOf(off).foreach { o =>
-                  if (o >= 0 && o < b.length)
-                    objHeaderAt(b, o.toInt).foreach { case (n, after) =>
-                      if (n == objNum) out += objNum -> after
-                    }
-                }
+      val save = lx.pos
+      if (lx.readToken() == "xref") {
+        // ---- classic table ----
+        var go = true
+        while (go) {
+          lx.skipWs()
+          val s2 = lx.pos
+          val t = lx.readToken()
+          if (t == "trailer" || t.isEmpty) { lx.pos = s2; go = false }
+          else {
+            val start = numOf(t).getOrElse(return None).toLong
+            val count = numOf(lx.readToken()).getOrElse(return None).toLong
+            if (count < 0 || count > 65536) return None
+            var k = 0L
+            while (k < count) {
+              lx.skipWs()
+              if (lx.pos + 18 > b.length) return None
+              val off = new String(b.slice(lx.pos, lx.pos + 10)).trim
+              val typ = b(lx.pos + 17)
+              if (typ == 'n') {
+                val objNum = (start + k).toInt
+                // first-seen wins across hops (newest xref first); an
+                // entry only counts when the object header AT the
+                // offset declares the same number (tolerant-reader
+                // validation — stale/corrupt tables lose to the scan)
+                if (!entries.contains(objNum))
+                  numOf(off).foreach { o =>
+                    if (o >= 0 && o < b.length)
+                      objHeaderAt(b, o.toInt).foreach { case (n, after) =>
+                        if (n == objNum) entries += objNum -> XFile(after)
+                      }
+                  }
+              }
+              lx.pos += 20
+              k += 1
             }
-            lx.pos += 20
-            k += 1
           }
         }
+        if (lx.readToken() != "trailer")
+          return Some((entries, dictsOldestFirst))
+        parseValue(lx, 0) match {
+          case VDict(m) =>
+            dictsOldestFirst ::= m
+            // hybrid files: /XRefStm points at a stream whose entries
+            // SUPERSEDE this table's /Prev chain — queue it first
+            val stm = m.get("XRefStm") match {
+              case Some(VNum(p)) => List(p.toLong)
+              case _ => Nil
+            }
+            val prev = m.get("Prev") match {
+              case Some(VNum(p)) => List(p.toLong)
+              case _ => Nil
+            }
+            queue = stm ++ prev ++ queue
+          case _ =>
+        }
+      } else {
+        // ---- xref STREAM ----
+        lx.pos = save
+        val (es, m) = parseXrefStream(b, next.toInt).getOrElse(return None)
+        es.foreach { case (n, e) =>
+          if (!entries.contains(n)) entries += n -> e
+        }
+        dictsOldestFirst ::= m
+        m.get("Prev") match {
+          case Some(VNum(p)) => queue = p.toLong :: queue
+          case _ =>
+        }
       }
-      // trailer dict follows; /Prev chains older sections
-      if (lx.readToken() != "trailer") return Some(out)
-      parseValue(lx, 0) match {
-        case VDict(m) =>
-          next = m.get("Prev") match {
-            case Some(VNum(p)) => p.toLong
-            case _ => -1L
-          }
-        case _ => next = -1L
-      }
-      hops += 1
     }
-    Some(out)
+    Some((entries, dictsOldestFirst))
   }
 
   private def lastIndexOfBytes(b: Array[Byte], pat: Array[Byte]): Int = {
@@ -416,21 +650,30 @@ object PdfText {
   }
 
   private final class Doc(val b: Array[Byte]) {
-    val objs: Map[Int, Int] = {
-      val scanned = scanObjects(b)
-      xrefObjects(b) match {
-        // xref is authoritative where it resolves; the scan fills holes
-        // (objects reachable but unlisted — tolerant-reader behavior)
-        case Some(x) if x.nonEmpty => scanned ++ x
-        case _ => scanned
-      }
-    }
-    val trailers: List[Map[String, V]] = trailerDicts(b)
+    private val scanned: Map[Int, Int] = scanObjects(b)
+    private val xref: (Map[Int, XEntry], List[Map[String, V]]) =
+      xrefEntries(b).getOrElse((Map.empty, Nil))
+    private val xrefFile: Map[Int, Int] =
+      xref._1.collect { case (n, XFile(a)) => n -> a }
+    private val inStm: Map[Int, (Int, Int)] =
+      xref._1.collect { case (n, XStm(s, i)) => n -> (s, i) }
+    /** File-resident objects (stream payloads can only live here):
+      * xref is authoritative where it resolves; the scan fills holes
+      * (objects reachable but unlisted — tolerant-reader behavior). */
+    val objs: Map[Int, Int] = scanned ++ xrefFile
+    /** Every object number any tier knows about (for n_objects). */
+    def allObjNums: Set[Int] = scanned.keySet ++ xref._1.keySet
+    /** Classic `trailer` dicts, then xref-stream dicts (which double
+      * as trailers in 1.5+ files) — newest LAST either way. */
+    val trailers: List[Map[String, V]] = trailerDicts(b) ++ xref._2
     val encrypted: Boolean = trailers.exists(_.contains("Encrypt"))
 
-    /** Object body value (the dict/array/etc after `N G obj`). */
+    /** Object body value: xref file entries first, then compressed
+      * (ObjStm) entries, then the linear scan. */
     def objValue(n: Int): Option[V] =
-      objs.get(n).map(off => parseValue(new Lexer(b, off), 0))
+      xrefFile.get(n).map(off => parseValue(new Lexer(b, off), 0))
+        .orElse(inStm.get(n).flatMap { case (s, i) => objStmValue(s, i, n) })
+        .orElse(scanned.get(n).map(off => parseValue(new Lexer(b, off), 0)))
 
     def resolve(v: V, depth: Int = 0): Option[V] = v match {
       case VRef(n, _) if depth < 16 =>
@@ -439,52 +682,75 @@ object PdfText {
     }
 
     /** Raw stream bytes of object `n` (after `stream` EOL, `/Length`
-      * honored when direct and sane, else `endstream`-bounded). */
+      * honored when it resolves sane, else `endstream`-bounded). */
     def streamData(n: Int): Option[(Map[String, V], Array[Byte])] =
       objs.get(n).flatMap { off =>
-        val lx = new Lexer(b, off)
-        parseValue(lx, 0) match {
-          case VDict(m) =>
-            val sAt = findBytes(b, STREAM, lx.pos)
-            if (sAt < 0 || sAt - lx.pos > 64) None
-            else {
-              var d = sAt + STREAM.length
-              if (d < b.length && b(d) == '\r') d += 1
-              if (d < b.length && b(d) == '\n') d += 1
-              val len = resolve(m.getOrElse("Length", VOther)) match {
-                case Some(VNum(l)) if l >= 0 && d + l <= b.length => l.toLong
-                case _ => -1L
-              }
-              val esAfterLen =
-                if (len >= 0) findBytes(b, ENDSTREAM, (d + len).toInt)
-                else -1
-              val end =
-                if (len >= 0 && esAfterLen >= 0 && esAfterLen - (d + len) <= 2)
-                  d + len.toInt
-                else {
-                  val e = findBytes(b, ENDSTREAM, d)
-                  if (e < 0) return None
-                  // the spec puts an EOL before endstream; strip one
-                  var ee = e
-                  if (ee > d && b(ee - 1) == '\n') ee -= 1
-                  if (ee > d && b(ee - 1) == '\r') ee -= 1
-                  ee
-                }
-              Some((m, java.util.Arrays.copyOfRange(b, d, end)))
-            }
+        rawStreamAt(b, off, v => resolve(v) match {
+          case Some(VNum(l)) => Some(l.toLong)
           case _ => None
-        }
+        })
       }
 
-    /** Decoded stream: no filter passes through; FlateDecode inflates;
-      * anything else is non-extractable. */
+    /** Decoded stream: no filter passes through; FlateDecode inflates
+      * (+ PNG predictors via /DecodeParms); anything else is
+      * non-extractable. */
     def decodedStream(n: Int): Option[Array[Byte]] =
       streamData(n).flatMap { case (m, raw) =>
-        resolve(m.getOrElse("Filter", VName("__none"))) match {
-          case Some(VName("__none")) => Some(raw)
-          case Some(VName("FlateDecode")) => inflate(raw)
-          case Some(VArr(List(VName("FlateDecode")))) => inflate(raw)
-          case _ => None
+        decodeStreamBytes(m, raw, resolve(_))
+      }
+
+    // ---- /Type /ObjStm: decoded once per stream, cycle-guarded ----
+    private val stmCache = scala.collection.mutable.Map
+      .empty[Int, Option[(Array[Int], Array[Int], Array[Byte], Int)]]
+    private val stmInProgress = scala.collection.mutable.Set.empty[Int]
+
+    /** (objNums, offsets, decoded data, /First) of object stream `s`.
+      * The in-progress guard declines a malicious stream whose own
+      * /Length or /Filter is a reference back into itself. */
+    private def objStm(s: Int)
+        : Option[(Array[Int], Array[Int], Array[Byte], Int)] =
+      stmCache.getOrElse(s, {
+        if (!stmInProgress.add(s)) None
+        else try {
+          val r = for {
+            md <- streamData(s)
+            if resolve(md._1.getOrElse("Type", VOther))
+              .contains(VName("ObjStm"))
+            data <- decodeStreamBytes(md._1, md._2, resolve(_))
+            n <- resolve(md._1.getOrElse("N", VOther))
+              .collect { case VNum(x) if x >= 0 && x <= 65536 => x.toInt }
+            first <- resolve(md._1.getOrElse("First", VOther))
+              .collect { case VNum(x) if x >= 0 && x <= data.length => x.toInt }
+            pairs <- {
+              val lx = new Lexer(data, 0)
+              val nums = new Array[Int](n)
+              val offs = new Array[Int](n)
+              var ok = true
+              var i = 0
+              while (ok && i < n) {
+                val a = numOf(lx.readToken())
+                val o = numOf(lx.readToken())
+                if (a.isEmpty || o.isEmpty || lx.pos > first) ok = false
+                else { nums(i) = a.get.toInt; offs(i) = o.get.toInt; i += 1 }
+              }
+              if (ok) Some((nums, offs)) else None
+            }
+          } yield (pairs._1, pairs._2, data, first)
+          stmCache(s) = r
+          r
+        } finally stmInProgress.remove(s)
+      })
+
+    /** Value of the object at index `idx` of stream `s` — only when
+      * the stream's own header agrees it holds object `expect`
+      * (tolerant-reader validation, like the file-offset check). */
+    private def objStmValue(s: Int, idx: Int, expect: Int): Option[V] =
+      objStm(s).flatMap { case (nums, offs, data, first) =>
+        if (idx < 0 || idx >= nums.length || nums(idx) != expect) None
+        else {
+          val off = first.toLong + offs(idx)
+          if (off < 0 || off >= data.length) None
+          else Some(parseValue(new Lexer(data, off.toInt), 0))
         }
       }
 
@@ -535,20 +801,24 @@ object PdfText {
       }
   }
 
+  /** Largest decoded stream accepted: 64 MiB — the same per-blob
+    * ratio-bomb bound as gunzipMembers. A 100 KB deflate stream that
+    * claims to expand past it is a zip bomb, not a content stream. */
+  private val MaxInflated: Long = 1L << 26
+
   private def inflate(raw: Array[Byte]): Option[Array[Byte]] = {
     val inf = new java.util.zip.Inflater()
     try {
       inf.setInput(raw)
       val out = new java.io.ByteArrayOutputStream(math.max(64, raw.length * 3))
       val buf = new Array[Byte](8192)
-      var guard = 0
-      while (!inf.finished() && guard < (1 << 16)) {
+      while (!inf.finished()) {
         val n = inf.inflate(buf)
         if (n == 0 && !inf.finished()) return None // needs dict / truncated
+        if (out.size().toLong + n > MaxInflated) return None // ratio bomb
         out.write(buf, 0, n)
-        guard += 1
       }
-      if (inf.finished()) Some(out.toByteArray) else None
+      Some(out.toByteArray)
     } catch {
       case _: java.util.zip.DataFormatException => None
     } finally inf.end()
@@ -681,7 +951,7 @@ object PdfText {
     InternalRow(
       version,
       doc.pageObjects.size,
-      doc.objs.size,
+      doc.allObjNums.size,
       doc.encrypted,
       strOf("Title"),
       strOf("Producer"))

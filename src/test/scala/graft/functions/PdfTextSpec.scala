@@ -163,8 +163,8 @@ class PdfTextSpec extends SparkSpec {
   }
 
   test("fallbacks: corrupt xref offsets fall back to the object scan; " +
-       "a stream-style xref (no classic table) takes the linear-scan " +
-       "path; page tree unreachable -> BT-stream fallback") {
+       "a startxref pointing at garbage takes the linear-scan path; " +
+       "page tree unreachable -> BT-stream fallback") {
     val good = onePagePdf(contentStream("BT (still works) Tj ET"))
     // corrupt every xref offset digit: validation rejects the entries,
     // the linear scan still finds the objects
@@ -187,15 +187,141 @@ class PdfTextSpec extends SparkSpec {
     assert(text(noCat) == "orphan stream")
   }
 
-  test("DECLINE: pages packed in an ObjStm are invisible to the subset " +
-       "(no text, zero pages, no error)") {
+  test("without a cross-reference stream, ObjStm contents stay " +
+       "unreachable (the scan cannot see inside; no text, zero pages, " +
+       "no error)") {
     // the ObjStm body would hold the page + content objects; only the
-    // container object is visible
+    // container object is visible — type-2 xref entries are the ONLY
+    // road in, and this file has none
     val pdf = buildPdf("1.5", Seq(
       1 -> (bytes("<< /Type /ObjStm /N 2 /First 10 /Length 4 >>\nstream\ndata\nendstream")))
       , "/Root 9 0 R")
     assert(text(pdf) == null)
     assert(PdfText.pdfMeta(pdf).getInt(1) == 0)
+  }
+
+  /** PDF 1.5 layout builder: catalog/pages/page (objects 1–3) packed
+    * in a FlateDecode ObjStm (object 5), the content stream (object 4)
+    * file-resident, and a /Type /XRef stream (object 6; W [1 2 1],
+    * FlateDecode, optional PNG up-predictor) as the only
+    * cross-reference — no classic table, no `trailer` keyword. */
+  private def xrefStreamPdf(ops: String, encrypt: Boolean = false,
+                            predictor: Boolean = true,
+                            hybrid: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(bytes(s))
+    def deflate(data: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(data); d.finish()
+      val buf = new Array[Byte](data.length * 2 + 64)
+      val n = d.deflate(buf); d.end()
+      buf.take(n)
+    }
+    w("%PDF-1.5\n")
+    val off4 = out.size()
+    val data = bytes(ops)
+    w(s"4 0 obj\n<< /Length ${data.length} >>\nstream\n")
+    out.write(data)
+    w("\nendstream\nendobj\n")
+    val o1 = "<< /Type /Catalog /Pages 2 0 R >>"
+    val o2 = "<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+    val o3 = "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
+    val offs = Seq(0, o1.length + 1, o1.length + o2.length + 2)
+    val header = s"1 ${offs(0)} 2 ${offs(1)} 3 ${offs(2)}\n"
+    val first = header.length
+    val z5 = deflate(bytes(header + Seq(o1, o2, o3).mkString(" ")))
+    val off5 = out.size()
+    w(s"5 0 obj\n<< /Type /ObjStm /N 3 /First $first " +
+      s"/Length ${z5.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(z5)
+    w("\nendstream\nendobj\n")
+    val off6 = out.size()
+    val entries: Seq[(Int, Int, Int)] = Seq(
+      (0, 0, 0), // free head
+      (2, 5, 0), (2, 5, 1), (2, 5, 2), // 1,2,3 live in ObjStm 5
+      (1, off4, 0), (1, off5, 0), (1, off6, 0))
+    val rowLen = 4
+    val raw = entries.flatMap { case (t, f2, f3) =>
+      Seq(t.toByte, ((f2 >> 8) & 0xff).toByte, (f2 & 0xff).toByte,
+        (f3 & 0xff).toByte)
+    }.toArray
+    val table =
+      if (!predictor) raw
+      else { // PNG Up (filter type 2) encoding of each row
+        val o = new Array[Byte](entries.length * (rowLen + 1))
+        for (r <- entries.indices) {
+          o(r * (rowLen + 1)) = 2
+          for (c <- 0 until rowLen) {
+            val cur = raw(r * rowLen + c) & 0xff
+            val up = if (r > 0) raw((r - 1) * rowLen + c) & 0xff else 0
+            o(r * (rowLen + 1) + 1 + c) = ((cur - up) & 0xff).toByte
+          }
+        }
+        o
+      }
+    val z6 = deflate(table)
+    val parms =
+      if (predictor) " /DecodeParms << /Predictor 12 /Columns 4 >>" else ""
+    val encE = if (encrypt) " /Encrypt 9 0 R" else ""
+    w(s"6 0 obj\n<< /Type /XRef /Size 7 /W [1 2 1] /Root 1 0 R$encE" +
+      s" /Length ${z6.length} /Filter /FlateDecode$parms >>\nstream\n")
+    out.write(z6)
+    w("\nendstream\nendobj\n")
+    if (!hybrid) w(s"startxref\n$off6\n%%EOF\n")
+    else {
+      // hybrid layout: a classic table (free head only) whose trailer's
+      // /XRefStm points at the stream — the pre-1.5-reader-compatible
+      // shape real writers emit
+      val xrefAt = out.size()
+      w("xref\n0 1\n" + f"${0}%010d 65535 f \n")
+      w(s"trailer\n<< /Size 7 /Root 1 0 R /XRefStm $off6 >>\n")
+      w(s"startxref\n$xrefAt\n%%EOF\n")
+    }
+    out.toByteArray
+  }
+
+  test("PDF 1.5: xref STREAM (PNG up-predictor) + ObjStm-packed " +
+       "catalog/pages/page extract fully; meta counts compressed objects") {
+    val pdf = xrefStreamPdf("BT (objstm text) Tj 0 -14 Td (line two) Tj ET")
+    assert(text(pdf) == "objstm text\nline two")
+    val m = PdfText.pdfMeta(pdf)
+    assert(m.getUTF8String(0).toString == "1.5")
+    assert(m.getInt(1) == 1, "one page, reached THROUGH the ObjStm")
+    assert(m.getInt(2) == 6, "n_objects = 3 compressed + 3 file-resident")
+    assert(!m.getBoolean(3))
+    // predictor-free W rows parse identically
+    assert(text(xrefStreamPdf("BT (plain rows) Tj ET",
+      predictor = false)) == "plain rows")
+  }
+
+  test("hybrid file: classic table + /XRefStm side pointer resolves the " +
+       "ObjStm objects") {
+    val pdf = xrefStreamPdf("BT (hybrid text) Tj ET", hybrid = true)
+    assert(text(pdf) == "hybrid text")
+    assert(PdfText.pdfMeta(pdf).getInt(1) == 1)
+  }
+
+  test("DECLINE: /Encrypt in an xref-STREAM dict (the 1.5+ trailer) " +
+       "nulls text and flags meta") {
+    val enc = xrefStreamPdf("BT (secret) Tj ET", encrypt = true)
+    assert(text(enc) == null)
+    assert(PdfText.pdfMeta(enc).getBoolean(3))
+  }
+
+  test("totality: the 1.5 layout truncated at every byte and randomly " +
+       "corrupted never throws") {
+    val pdf = xrefStreamPdf("BT (fuzz me) Tj ET")
+    for (c <- 0 until pdf.length) {
+      PdfText.pdfText(pdf.take(c)); PdfText.pdfMeta(pdf.take(c))
+    }
+    val rnd = new scala.util.Random(1015)
+    (0 until 200).foreach { _ =>
+      val mutated = pdf.clone()
+      (0 until 8).foreach { _ =>
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      }
+      PdfText.pdfText(mutated); PdfText.pdfMeta(mutated)
+    }
   }
 
   test("totality: not a PDF -> null; truncation at every byte never " +
