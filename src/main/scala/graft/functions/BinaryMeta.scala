@@ -1661,6 +1661,30 @@ object BinaryMeta {
     override def prettyName: String = "ogg_meta"
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
+
+  /** JPEG EXIF struct probe — the APP1/TIFF walk in
+    * [[ContainerMeta.exifMeta]]. */
+  case class ExifMeta(child: Expression) extends BinaryProbe {
+    override def prettyName: String = "exif_meta"
+    override def dataType: DataType = StructType(Seq(
+      StructField("orientation", IntegerType),
+      StructField("make", StringType),
+      StructField("model", StringType),
+      StructField("datetime", StringType),
+      StructField("datetime_original", StringType)))
+    override def nullSafeEval(v: Any): Any =
+      ContainerMeta.exifMeta(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, bytes => {
+        val r = ctx.freshName("r")
+        s"""
+           |org.apache.spark.sql.catalyst.InternalRow $r =
+           |  graft.functions.ContainerMeta.exifMeta($bytes);
+           |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
   case class DHash64(child: Expression) extends StatsProbe {
     override def method: String = "dhash64"
     override def prettyName: String = "dhash64"
@@ -1839,6 +1863,8 @@ object BinaryMeta {
     SparkInternals.column(TiffMeta(SparkInternals.expression(c)))
   def oggMetaCol(c: Column): Column =
     SparkInternals.column(OggMeta(SparkInternals.expression(c)))
+  def exifMetaCol(c: Column): Column =
+    SparkInternals.column(ExifMeta(SparkInternals.expression(c)))
   def mp3MetaCol(c: Column): Column =
     SparkInternals.column(Mp3Meta(SparkInternals.expression(c)))
   def adtsMetaCol(c: Column): Column =

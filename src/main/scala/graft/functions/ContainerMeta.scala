@@ -108,6 +108,111 @@ object ContainerMeta {
     Array(width, height, samples, compression)
   }
 
+  /** JPEG EXIF metadata — the APP1 face of the TIFF IFD walker above:
+    * marker scan to the first APP1 whose payload is `Exif\0\0`, then a
+    * TIFF walk (both byte orders) of IFD0 for Orientation (tag 274,
+    * SHORT), Make (271), Model (272), DateTime (306) and the Exif
+    * sub-IFD pointer (34665) whose DateTimeOriginal (36867) is the
+    * capture timestamp curation pipelines actually want. ASCII values
+    * inline (count ≤ 4) or at TIFF-relative offsets, trailing NULs
+    * stripped; every read bounds-checked against the APP1 payload.
+    * Returns (orientation, make, model, datetime, datetime_original)
+    * with absent fields null; the whole row is null when the input is
+    * not a JPEG or carries no well-formed Exif APP1. Cited layouts:
+    * JEITA CP-3451 (Exif 2.3) §4.5.4, TIFF 6.0 §2. */
+  def exifMeta(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    import org.apache.spark.unsafe.types.UTF8String
+    if (b == null || b.length < 4) return null
+    if ((b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return null
+    // marker scan: standalone markers have no length field
+    var p = 2
+    var t = -1 // TIFF structure start
+    var tEnd = -1
+    var guard = 0
+    while (t < 0 && p + 4 <= b.length && (b(p) & 0xFF) == 0xFF &&
+        guard < 4096) {
+      guard += 1
+      val m = b(p + 1) & 0xFF
+      if (m == 0xFF) p += 1 // fill byte
+      else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) p += 2
+      else if (m == 0xD9 || m == 0xDA) p = b.length // EOI / entropy data
+      else {
+        val len = u16be(b, p + 2)
+        if (len < 2 || p + 2 + len > b.length) return null
+        if (m == 0xE1 && len >= 16 &&
+          b(p + 4) == 'E' && b(p + 5) == 'x' && b(p + 6) == 'i' &&
+          b(p + 7) == 'f' && b(p + 8) == 0 && b(p + 9) == 0) {
+          t = p + 10
+          tEnd = p + 2 + len
+        }
+        p += 2 + len
+      }
+    }
+    if (t < 0 || t + 8 > tEnd) return null
+    val le =
+      if (b(t) == 'I' && b(t + 1) == 'I') true
+      else if (b(t) == 'M' && b(t + 1) == 'M') false
+      else return null
+    def rd16(i: Int): Int =
+      if (i < t || i + 2 > tEnd) -1
+      else if (le) u16le(b, i) else u16be(b, i)
+    def rd32(i: Int): Long =
+      if (i < t || i + 4 > tEnd) -1L
+      else if (le) u32le(b, i) else u32be(b, i)
+    if (rd16(t + 2) != 42) return null
+    var orientation: Integer = null
+    var make: UTF8String = null
+    var model: UTF8String = null
+    var datetime: UTF8String = null
+    var dtOriginal: UTF8String = null
+    def ascii(e: Int, count: Long): UTF8String = {
+      if (count <= 0 || count > 4096) return null
+      val at =
+        if (count <= 4) e + 8
+        else {
+          val off = rd32(e + 8)
+          if (off < 0) return null
+          (t + off).toInt
+        }
+      if (at < t || at + count > tEnd) return null
+      var end = at + count.toInt
+      while (end > at && b(end - 1) == 0) end -= 1
+      UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, at, end))
+    }
+    def walkIfd(off: Long, isExifIfd: Boolean): Unit = {
+      if (off < 0) return
+      val ifd = t + off
+      if (ifd < t || ifd + 2 > tEnd) return
+      val n = rd16(ifd.toInt)
+      if (n <= 0 || n > 4096) return
+      var k = 0
+      while (k < n) {
+        val e = ifd.toInt + 2 + k * 12
+        if (e + 12 > tEnd) return
+        val tag = rd16(e)
+        val typ = rd16(e + 2)
+        val count = rd32(e + 4)
+        (tag, isExifIfd) match {
+          case (274, false) if typ == 3 && count == 1 =>
+            orientation = Integer.valueOf(rd16(e + 8))
+          case (271, false) if typ == 2 => make = ascii(e, count)
+          case (272, false) if typ == 2 => model = ascii(e, count)
+          case (306, false) if typ == 2 => datetime = ascii(e, count)
+          case (34665, false) if typ == 4 && count == 1 =>
+            walkIfd(rd32(e + 8), isExifIfd = true) // one level, no cycle
+          case (36867, true) if typ == 2 => dtOriginal = ascii(e, count)
+          case _ =>
+        }
+        k += 1
+      }
+    }
+    walkIfd(rd32(t + 4), isExifIfd = false)
+    if (orientation == null && make == null && model == null &&
+      datetime == null && dtOriginal == null) return null
+    org.apache.spark.sql.catalyst.InternalRow(
+      orientation, make, model, datetime, dtOriginal)
+  }
+
   // Ogg page CRC: poly 0x04C11DB7, MSB-first, init 0, no final xor.
   private val oggCrcTable: Array[Int] = Array.tabulate(256) { n =>
     var c = n << 24

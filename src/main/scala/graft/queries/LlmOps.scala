@@ -1287,6 +1287,57 @@ object LlmOps {
       "doc_id")
   }
 
+  /** JPEG EXIF gate — a SQL-built JPEG whose APP1 carries a real
+    * big-endian TIFF structure: IFD0 with Make/Model/Orientation/
+    * DateTime (ASCII values at hand-computed TIFF-relative offsets,
+    * orientation inline SHORT) and the Exif sub-IFD pointer whose
+    * DateTimeOriginal is the capture timestamp. All structural bytes
+    * are plan-time hex constants (fields fixed-width); the oracle
+    * restates every field arithmetically. Orientation 1–8 rotates per
+    * doc — the one EXIF field image pipelines MUST read before any
+    * pixel op. */
+  def xExifMeta(s: SparkSession, d: String): DataFrame = {
+    def hxb(h: String): Array[Byte] = h.replaceAll("\\s", "")
+      .sliding(2, 2).map(Integer.parseInt(_, 16).toByte).toArray
+    val bin = org.apache.spark.sql.types.BinaryType
+    def asc(c: org.apache.spark.sql.Column) = c.cast(bin)
+    // TIFF layout (big-endian; offsets TIFF-relative, hand-computed,
+    // spec-pinned in ContainerMetaSpec): IFD0@8 (5 entries), values
+    // Make@74(9) Model@83(5) DateTime@88(20), sub-IFD@108 (1 entry),
+    // DateTimeOriginal@126(20); TIFF total 146, APP1 len 154 = 0x9A
+    val orient = unhex(concat(lit("0"),
+      (pmod(col("doc_id"), lit(8L)) + 1).cast("string")))
+    val payload = concat(
+      lit(hxb("FFD8 FFE1 009A 457869660000")), // SOI, APP1, "Exif\0\0"
+      lit(hxb("4D4D002A 00000008 0005")),      // MM 42, IFD0@8, 5 entries
+      lit(hxb("010F 0002 00000009 0000004A")), // Make -> @74
+      lit(hxb("0110 0002 00000005 00000053")), // Model -> @83
+      lit(hxb("0112 0003 00000001 00")), orient, lit(hxb("0000")),
+      lit(hxb("0132 0002 00000014 00000058")), // DateTime -> @88
+      lit(hxb("8769 0004 00000001 0000006C")), // ExifIFD -> @108
+      lit(hxb("00000000")),                    // next IFD: none
+      asc(lit("GraftCam")), lit(hxb("00")),
+      asc(concat(lit("M-"),
+        lpad(pmod(col("doc_id"), lit(100L)).cast("string"), 2, "0"))),
+      lit(hxb("00")),
+      asc(concat(lit("2024:03:1"), pmod(col("doc_id"), lit(10L)),
+        lit(" 12:34:5"), pmod(col("doc_id"), lit(6L)))), lit(hxb("00")),
+      lit(hxb("0001 9003 0002 00000014 0000007E 00000000")), // sub-IFD
+      asc(concat(lit("2020:06:2"), pmod(col("doc_id"), lit(10L)),
+        lit(" 08:00:0"), pmod(col("doc_id"), lit(7L)))), lit(hxb("00")),
+      lit(hxb("FFD9")))
+    val m = graft.functions.BinaryMeta.exifMetaCol(col("payload"))
+    ordered(
+      documents(s, d).select(col("doc_id"), payload.as("payload"))
+        .select(col("doc_id"),
+          m.getField("orientation").as("orientation"),
+          m.getField("make").as("make"),
+          m.getField("model").as("model"),
+          m.getField("datetime").as("datetime"),
+          m.getField("datetime_original").as("datetime_original")),
+      "doc_id")
+  }
+
   def xOggMeta(s: SparkSession, d: String): DataFrame = {
     val m = graft.functions.BinaryMeta.oggMetaCol(col("payload"))
     ordered(
@@ -2017,6 +2068,41 @@ object LlmOps {
       "doc_id", "frame_id")
   }
 
+  /** Pure-WebVTT gate — the VTT faces the mixed `x_subtitle_cues`
+    * fixture leaves uncovered: a header with trailing text
+    * (`WEBVTT - note`), a STYLE block AND a NOTE block (both timing-
+    * less — documented cue_idx position gaps at 0 and 1), a textual
+    * CUE IDENTIFIER line before the first cue's timing (must drop out
+    * of the text positionally), cue settings after the arrow, and
+    * multi-line cue text. Oracle restates indices/times/text
+    * arithmetically. */
+  def xWebvttCues(s: SparkSession, d: String): DataFrame = {
+    def two(c: org.apache.spark.sql.Column) = lpad(c.cast("string"), 2, "0")
+    def three(c: org.apache.spark.sql.Column) = lpad(c.cast("string"), 3, "0")
+    def cue(j: Long) = {
+      val mm = pmod(col("doc_id") + j, lit(60L))
+      val ss = pmod(col("doc_id") * 3 + j * 7, lit(58L))
+      val ms = pmod(col("doc_id") * 7 + j * 13, lit(800L))
+      concat(
+        lit("00:"), two(mm), lit(":"), two(ss), lit("."), three(ms),
+        lit(" --> 00:"), two(mm), lit(":"), two(ss + 1), lit("."),
+        three(ms + 200),
+        if (j == 1) lit(" position:10% align:start") else lit(""), lit("\n"),
+        lit(s"vtt cue $j of doc "), col("doc_id"),
+        if (j == 2) lit("\nline two") else lit(""))
+    }
+    val subs = concat(
+      lit("WEBVTT - generated for doc "), col("doc_id"), lit("\n\n"),
+      lit("STYLE\n::cue { color: red }\n\n"),
+      lit("NOTE a comment block\n\n"),
+      lit("intro-"), col("doc_id"), lit("\n"), cue(1), lit("\n\n"),
+      cue(2), lit("\n"))
+    ordered(
+      TextAnalysis.subtitleCues(
+        documents(s, d).select(col("doc_id"), subs.as("subs"))),
+      "doc_id", "cue_idx")
+  }
+
   /** Subtitle cue extraction gate: deterministic SRT files (even
     * doc_ids — index lines, comma milliseconds) and WebVTT files (odd
     * — header block, NOTE block to skip, dot milliseconds, cue
@@ -2267,6 +2353,100 @@ object LlmOps {
       "doc_id")
   }
 
+  private def deflateOnce(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val buf = new Array[Byte](data.length * 2 + 64)
+    val n = d.deflate(buf); d.end()
+    buf.take(n)
+  }
+
+  /** PDF 1.5 gate — the post-1.5 layout `x_pdf_text` cannot cover:
+    * catalog/pages/page packed in a FlateDecode `/Type /ObjStm`, the
+    * per-doc content stream file-resident, and a `/Type /XRef`
+    * cross-reference STREAM (W [1 2 1], FlateDecode + PNG up-predictor
+    * via /DecodeParms) as the ONLY xref — no classic table, no
+    * `trailer` keyword. Every non-varying byte region (the ObjStm, the
+    * predicted+deflated xref table) is a plan-time constant because all
+    * per-doc fields are fixed-width, so offsets are template constants;
+    * the parser must still inflate, un-predict, walk W-typed rows and
+    * unpack the ObjStm per row. Docs with `doc_id % 5 = 4` carry
+    * `/Encrypt` in the xref-stream dict (the 1.5+ trailer) — decline:
+    * text null, encrypted true, structure metadata still reported. */
+  def xPdfObjstm(s: SparkSession, d: String): DataFrame = {
+    val bin = org.apache.spark.sql.types.BinaryType
+    val did = lpad(pmod(col("doc_id"), lit(1000L)).cast("string"), 4, "0")
+    val tid = lpad(pmod(col("doc_id"), lit(7L)).cast("string"), 2, "0")
+    val parts = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Column]
+    var off = 0
+    def s_(t: String): Unit = { parts += lit(t).cast(bin); off += t.length }
+    def c_(c: org.apache.spark.sql.Column, len: Int): Unit = {
+      parts += c.cast(bin); off += len
+    }
+    def raw_(bs: Array[Byte]): Unit = { parts += lit(bs); off += bs.length }
+    s_("%PDF-1.5\n")
+    val off4 = off
+    val opsA = "BT (Objstm doc "
+    val opsB = " t"
+    val opsC = ") Tj 0 -14 Td (xref stream page) Tj ET"
+    val len4 = opsA.length + 4 + opsB.length + 2 + opsC.length
+    s_(s"4 0 obj\n<< /Length $len4 >>\nstream\n")
+    s_(opsA); c_(did, 4); s_(opsB); c_(tid, 2); s_(opsC)
+    s_("\nendstream\nendobj\n")
+    // ObjStm holding objects 1..3 — constant, deflated at plan time
+    val o1 = "<< /Type /Catalog /Pages 2 0 R >>"
+    val o2 = "<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+    val o3 = "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
+    val header = s"1 0 2 ${o1.length + 1} 3 ${o1.length + o2.length + 2}\n"
+    val z5 = deflateOnce((header + Seq(o1, o2, o3).mkString(" "))
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val off5 = off
+    s_(s"5 0 obj\n<< /Type /ObjStm /N 3 /First ${header.length} " +
+      s"/Length ${z5.length} /Filter /FlateDecode >>\nstream\n")
+    raw_(z5)
+    s_("\nendstream\nendobj\n")
+    // XRef stream: rows (type, f2:2, f3) for objects 0..6, PNG-up rows
+    val off6 = off
+    val entries: Seq[(Int, Int, Int)] = Seq(
+      (0, 0, 0),
+      (2, 5, 0), (2, 5, 1), (2, 5, 2),
+      (1, off4, 0), (1, off5, 0), (1, off6, 0))
+    val rawTable = entries.flatMap { case (t, f2, f3) =>
+      Seq(t.toByte, ((f2 >> 8) & 0xff).toByte, (f2 & 0xff).toByte,
+        (f3 & 0xff).toByte)
+    }.toArray
+    val predicted = new Array[Byte](entries.length * 5)
+    for (r <- entries.indices) {
+      predicted(r * 5) = 2 // PNG Up
+      for (c <- 0 until 4) {
+        val cur = rawTable(r * 4 + c) & 0xff
+        val up = if (r > 0) rawTable((r - 1) * 4 + c) & 0xff else 0
+        predicted(r * 5 + 1 + c) = ((cur - up) & 0xff).toByte
+      }
+    }
+    val z6 = deflateOnce(predicted)
+    s_("6 0 obj\n<< /Type /XRef /Size 7 /W [1 2 1] /Root 1 0 R")
+    parts += when(pmod(col("doc_id"), lit(5L)) === 4,
+      lit(" /Encrypt 9 0 R")).otherwise(lit("")).cast(bin)
+    s_(s" /Length ${z6.length} /Filter /FlateDecode" +
+      " /DecodeParms << /Predictor 12 /Columns 4 >> >>\nstream\n")
+    raw_(z6)
+    s_("\nendstream\nendobj\n")
+    s_(s"startxref\n$off6\n%%EOF\n")
+    val payload = concat(parts.toSeq: _*)
+    val withP = documents(s, d).select(col("doc_id"), payload.as("payload"))
+    val m = graft.functions.PdfText.pdfMetaCol(col("payload"))
+    ordered(
+      withP.select(col("doc_id"),
+        m.getField("version").as("version"),
+        m.getField("n_pages").as("n_pages"),
+        m.getField("n_objects").as("n_objects"),
+        m.getField("encrypted").as("encrypted"),
+        graft.functions.PdfText.pdfTextCol(col("payload")).as("text")),
+      "doc_id")
+  }
+
   private def linkFixture(s: SparkSession, d: String): DataFrame = {
     val id = col("doc_id")
     val url = concat(lit("https://site"), pmod(id, lit(20L)),
@@ -2334,6 +2514,33 @@ object LlmOps {
       graft.operators.Graph.pageRank(
         xLinkGraph(s, d), "src", "dst", "n_links"),
       "node")
+
+  /** Incremental host-rank gate — the STREAMING face of X184/X185,
+    * driven end to end like `x_crawl_waves`: the fixture corpus splits
+    * into three REAL micro-batches (`doc_id % 3`), each appends its
+    * weighted edge deltas through the idempotent batch-keyed sink,
+    * compaction folds mid-stream (epoch 0 into the tier, the _META
+    * high-water flip), batch 2 lands post-compaction and then REPLAYS
+    * (must be a no-op — a duplicated SUM delta would corrupt every
+    * downstream rank). The output is `hostRank` over the maintained
+    * graph; because weighted edges are sums, the merged multiset equals
+    * the single-batch `x_link_rank` graph exactly, so that gate's
+    * arithmetic r0→r3 integer-PageRank oracle carries over verbatim —
+    * incremental == batch is the claim under test, now DuckDB-checked,
+    * not just spec-asserted (HostRankSpec). */
+  def xHostRankIncr(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("hostrank_incr").toString
+    val base = linkFixture(s, d)
+    def part(k: Int) = base.filter(pmod(col("doc_id"), lit(3L)) === k)
+    val ingest = graft.streaming.HostRank.edgeDeltaBatch(dir) _
+    ingest(part(0), 0L)
+    ingest(part(1), 1L)
+    graft.streaming.HostRank.compactEdges(s, dir)
+    ingest(part(2), 2L)
+    ingest(part(2), 2L) // replayed epoch: must not double-count
+    ordered(graft.streaming.HostRank.hostRank(s, dir), "node")
+  }
 
   /** Link-density main-content extraction gate — the jusText/
     * Boilerpipe signal on a SINGLE page (no site corpus needed, unlike
@@ -2807,6 +3014,7 @@ object LlmOps {
     "x_web_pipeline"      -> (xWebPipeline _),
     "x_warc_gz"           -> (xWarcGz _),
     "x_pdf_text"          -> (xPdfText _),
+    "x_pdf_objstm"        -> (xPdfObjstm _),
     "x_crawl_waves"       -> (xCrawlWaves _),
     "x_http_response"     -> (xHttpResponse _),
     "x_fetch_extract"     -> (xFetchExtract _),
@@ -2816,10 +3024,13 @@ object LlmOps {
     "x_link_extract"      -> (xLinkExtract _),
     "x_link_graph"        -> (xLinkGraph _),
     "x_link_rank"         -> (xLinkRank _),
+    "x_host_rank_incr"    -> (xHostRankIncr _),
     "x_av_duration"       -> (xAvDuration _),
     "x_warc_extract"      -> (xWarcExtract _),
     "x_jpeg_progressive"  -> (xJpegProgressive _),
     "x_subtitle_cues"     -> (xSubtitleCues _),
+    "x_webvtt_cues"       -> (xWebvttCues _),
+    "x_exif_meta"         -> (xExifMeta _),
     "x_id3_tags"          -> (xId3Tags _),
     "x_robots_filter"     -> (xRobotsFilter _),
     "x_sitemap_entries"   -> (xSitemapEntries _),
@@ -2981,6 +3192,41 @@ object LlmOps {
          |SELECT doc_id, q_ppm, rank_below,
          |  CASE WHEN n > 1 THEN rank_below * 1000000 // (n - 1) ELSE 0 END AS pct_ppm
          |FROM r ORDER BY doc_id""".stripMargin
+
+  /** The r0→r3 integer-PageRank unroll over the link fixture's host
+    * graph — shared by `x_link_rank` (one batch) and
+    * `x_host_rank_incr` (three batches + compaction + replay): summed
+    * edge deltas merge to the identical graph, so both faces must
+    * produce these exact ranks. */
+  private val linkRankOracleSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    'site' || (doc_id % 20) || '.example' AS src FROM documents),
+      |e0 AS (
+      |  SELECT src, 'other.example' AS dst, 1 AS c FROM d
+      |  UNION ALL SELECT src, 'peer.example', 1 FROM d
+      |  UNION ALL SELECT src, src, 5 FROM d),
+      |e AS (SELECT src, dst, SUM(c) AS w FROM e0 GROUP BY 1, 2),
+      |sh AS (SELECT src, dst,
+      |  CAST(w * 1000000 // SUM(w) OVER (PARTITION BY src) AS BIGINT) AS share
+      |  FROM e),
+      |nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+      |nn AS (SELECT COUNT(*) AS n FROM nodes),
+      |base AS (SELECT node, CAST(1000000000000 // n AS BIGINT) AS r0,
+      |  CAST((1000000000000 // n) * 15 // 100 AS BIGINT) AS b FROM nodes, nn),
+      |r0 AS (SELECT node, r0 AS r FROM base),
+      |r1 AS (SELECT base.node, CAST(b + COALESCE(SUM(
+      |    (p.r * sh.share // 1000000) * 85 // 100), 0) AS BIGINT) AS r
+      |  FROM base LEFT JOIN sh ON sh.dst = base.node
+      |  LEFT JOIN r0 p ON p.node = sh.src GROUP BY base.node, b),
+      |r2 AS (SELECT base.node, CAST(b + COALESCE(SUM(
+      |    (p.r * sh.share // 1000000) * 85 // 100), 0) AS BIGINT) AS r
+      |  FROM base LEFT JOIN sh ON sh.dst = base.node
+      |  LEFT JOIN r1 p ON p.node = sh.src GROUP BY base.node, b),
+      |r3 AS (SELECT base.node, CAST(b + COALESCE(SUM(
+      |    (p.r * sh.share // 1000000) * 85 // 100), 0) AS BIGINT) AS r
+      |  FROM base LEFT JOIN sh ON sh.dst = base.node
+      |  LEFT JOIN r2 p ON p.node = sh.src GROUP BY base.node, b)
+      |SELECT node, r AS rank FROM r3 ORDER BY node""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "x_lm_typicality" ->
@@ -4773,6 +5019,27 @@ object LlmOps {
         |  'cue ' || j || ' of doc ' || doc_id ||
         |    CASE WHEN j % 2 = 0 THEN ' line two' ELSE '' END AS text
         |FROM c ORDER BY doc_id, cue_idx""".stripMargin,
+    "x_webvtt_cues" ->
+      """WITH c AS (SELECT doc_id, j
+        |  FROM documents, (VALUES (1), (2)) t(j))
+        |SELECT doc_id, CAST(j + 1 AS BIGINT) AS cue_idx,
+        |  CAST(((doc_id + j) % 60) * 60000 + ((doc_id * 3 + j * 7) % 58)
+        |    * 1000 + (doc_id * 7 + j * 13) % 800 AS BIGINT) AS start_ms,
+        |  CAST(((doc_id + j) % 60) * 60000 + ((doc_id * 3 + j * 7) % 58 + 1)
+        |    * 1000 + (doc_id * 7 + j * 13) % 800 + 200 AS BIGINT) AS end_ms,
+        |  'vtt cue ' || j || ' of doc ' || doc_id ||
+        |    CASE WHEN j = 2 THEN ' line two' ELSE '' END AS text
+        |FROM c ORDER BY doc_id, cue_idx""".stripMargin,
+    "x_exif_meta" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 8 + 1 AS INT) AS orientation,
+        |  'GraftCam' AS make,
+        |  'M-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS model,
+        |  '2024:03:1' || (doc_id % 10) || ' 12:34:5' || (doc_id % 6)
+        |    AS datetime,
+        |  '2020:06:2' || (doc_id % 10) || ' 08:00:0' || (doc_id % 7)
+        |    AS datetime_original
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x_jpeg_progressive" ->
       """WITH m AS (SELECT doc_id,
         |    (doc_id % 3 + 1) * (doc_id % 2 + 1) AS nb FROM documents),
@@ -4934,35 +5201,11 @@ object LlmOps {
         |    origin || '/bare' || (doc_id % 2) FROM s)
         |SELECT doc_id, CAST(link_idx AS BIGINT) AS link_idx, href, url
         |FROM l ORDER BY doc_id, link_idx""".stripMargin,
-    "x_link_rank" ->
-      """WITH d AS (SELECT doc_id,
-        |    'site' || (doc_id % 20) || '.example' AS src FROM documents),
-        |e0 AS (
-        |  SELECT src, 'other.example' AS dst, 1 AS c FROM d
-        |  UNION ALL SELECT src, 'peer.example', 1 FROM d
-        |  UNION ALL SELECT src, src, 5 FROM d),
-        |e AS (SELECT src, dst, SUM(c) AS w FROM e0 GROUP BY 1, 2),
-        |sh AS (SELECT src, dst,
-        |  CAST(w * 1000000 // SUM(w) OVER (PARTITION BY src) AS BIGINT) AS share
-        |  FROM e),
-        |nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
-        |nn AS (SELECT COUNT(*) AS n FROM nodes),
-        |base AS (SELECT node, CAST(1000000000000 // n AS BIGINT) AS r0,
-        |  CAST((1000000000000 // n) * 15 // 100 AS BIGINT) AS b FROM nodes, nn),
-        |r0 AS (SELECT node, r0 AS r FROM base),
-        |r1 AS (SELECT base.node, CAST(b + COALESCE(SUM(
-        |    (p.r * sh.share // 1000000) * 85 // 100), 0) AS BIGINT) AS r
-        |  FROM base LEFT JOIN sh ON sh.dst = base.node
-        |  LEFT JOIN r0 p ON p.node = sh.src GROUP BY base.node, b),
-        |r2 AS (SELECT base.node, CAST(b + COALESCE(SUM(
-        |    (p.r * sh.share // 1000000) * 85 // 100), 0) AS BIGINT) AS r
-        |  FROM base LEFT JOIN sh ON sh.dst = base.node
-        |  LEFT JOIN r1 p ON p.node = sh.src GROUP BY base.node, b),
-        |r3 AS (SELECT base.node, CAST(b + COALESCE(SUM(
-        |    (p.r * sh.share // 1000000) * 85 // 100), 0) AS BIGINT) AS r
-        |  FROM base LEFT JOIN sh ON sh.dst = base.node
-        |  LEFT JOIN r2 p ON p.node = sh.src GROUP BY base.node, b)
-        |SELECT node, r AS rank FROM r3 ORDER BY node""".stripMargin,
+    "x_link_rank" -> linkRankOracleSql,
+    // the incremental face drives 3 real batches + compaction + replay
+    // over the SAME fixture corpus; summed edge deltas merge to the
+    // identical graph, so incremental == batch shares one oracle
+    "x_host_rank_incr" -> linkRankOracleSql,
     "x_link_graph" ->
       """WITH d AS (SELECT doc_id,
         |    'site' || (doc_id % 20) || '.example' AS src FROM documents),
@@ -5088,6 +5331,16 @@ object LlmOps {
         |            chr(10) || 'tail (q) hi-' ||
         |            lpad(CAST(doc_id % 7 AS VARCHAR), 2, '0') ||
         |            chr(10) || 'flate page common' END AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_pdf_objstm" ->
+      """SELECT doc_id, '1.5' AS version, CAST(1 AS INT) AS n_pages,
+        |  CAST(6 AS INT) AS n_objects,
+        |  doc_id % 5 = 4 AS encrypted,
+        |  CASE WHEN doc_id % 5 = 4 THEN NULL
+        |       ELSE 'Objstm doc ' ||
+        |            lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0') ||
+        |            ' t' || lpad(CAST(doc_id % 7 AS VARCHAR), 2, '0') ||
+        |            chr(10) || 'xref stream page' END AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
     "x_warc_gz" ->
       """WITH r AS (SELECT doc_id, i
