@@ -2902,6 +2902,62 @@ object LlmOps {
       "depth")
   }
 
+  /** The three gate table files as (tbl, raw file bytes) — a
+    * `binaryFile` scan, i.e. the footer reader's real deployment shape
+    * (in a cluster it would be a ranged GET of the last N KB; here the
+    * files are small enough to read whole). */
+  private def parquetRaw(s: SparkSession, d: String): DataFrame =
+    s.read.format("binaryFile")
+      .load(s"$d/lineitem.parquet", s"$d/orders.parquet",
+        s"$d/documents.parquet")
+      .select(
+        regexp_extract(col("path"), "([a-z]+)\\.parquet$", 1).as("tbl"),
+        col("content"))
+
+  /** Parquet footer STATISTICS gate — `functions/ParquetFooter`'s
+    * thrift-compact walk of FileMetaData, surfaced as per-column-chunk
+    * (type, value count, null count, min, max) rows for the int64 /
+    * int32 / byte-array columns of three parquet-cpp-written testdata
+    * files. The oracle recomputes every statistic FROM THE DATA
+    * (count/min/max over the same views), so a single bad varint,
+    * zigzag, or little-endian decode hash-mismatches. This is the
+    * planning tier of a 100 TB lake: row-group pruning, compaction
+    * sizing, and inventory audits read exactly these footer fields
+    * without touching data pages. Codec id is parsed but gated in
+    * ParquetFooterSpec (a writer choice, not a data fact); timestamps
+    * are excluded (physical unit is a writer choice too). */
+  def xParquetFooter(s: SparkSession, d: String): DataFrame = {
+    val wanted = Seq("l_orderkey", "l_partkey", "l_linenumber",
+      "l_returnflag", "o_orderkey", "o_custkey", "o_orderstatus",
+      "doc_id", "lang", "source")
+    ordered(
+      parquetRaw(s, d)
+        .select(col("tbl"),
+          explode(graft.functions.ParquetFooter.columnChunksCol(col("content")))
+            .as("c"))
+        .filter(col("c.col_path").isin(wanted: _*))
+        .select(col("tbl"), col("c.col_path").as("col_name"),
+          col("c.ptype"), col("c.num_values"), col("c.null_count"),
+          col("c.min_s"), col("c.max_s")),
+      "tbl", "col_name")
+  }
+
+  /** Parquet footer SCHEMA/file-level gate — num_rows (FileMetaData
+    * field 3) and the row-group row total (independent footer field)
+    * both oracled against `count(*)`, leaf count and sorted leaf names
+    * against DESCRIBE. Proves the schema-element walk (leaf = element
+    * with no children) and the row-group list walk on real files. */
+  def xParquetSchema(s: SparkSession, d: String): DataFrame =
+    ordered(
+      parquetRaw(s, d)
+        .select(col("tbl"),
+          graft.functions.ParquetFooter.fileMetaCol(col("content")).as("m"))
+        .select(col("tbl"), col("m.num_rows").as("num_rows"),
+          col("m.rg_rows_total").as("rg_rows_total"),
+          col("m.n_leaves").cast("long").as("n_leaves"),
+          col("m.leaf_names").as("leaf_names")),
+      "tbl")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_text_tokens"       -> (xTextTokens _),
     "x_text_quality"      -> (xTextQuality _),
@@ -3048,7 +3104,9 @@ object LlmOps {
     "x_rank_rbo"          -> (xRankRbo _),
     "x_ann_assign_new"    -> (xAnnAssignNew _),
     "x_search_phrase"     -> (xSearchPhrase _),
-    "x_dedup_snm"         -> (xDedupSnm _))
+    "x_dedup_snm"         -> (xDedupSnm _),
+    "x_parquet_footer"    -> (xParquetFooter _),
+    "x_parquet_schema"    -> (xParquetSchema _))
 
   private val toksSql =
     "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
@@ -3228,7 +3286,39 @@ object LlmOps {
       |  LEFT JOIN r2 p ON p.node = sh.src GROUP BY base.node, b)
       |SELECT node, r AS rank FROM r3 ORDER BY node""".stripMargin
 
+  /** (table, column, parquet physical type) triples for the footer-stats
+    * gate: the physical types are fixed by the table schemas every other
+    * gate already depends on (BIGINT→INT64, INTEGER→INT32,
+    * VARCHAR→BYTE_ARRAY). */
+  private val footerGateCols = Seq(
+    ("lineitem", "l_orderkey", "INT64"), ("lineitem", "l_partkey", "INT64"),
+    ("lineitem", "l_linenumber", "INT32"),
+    ("lineitem", "l_returnflag", "BYTE_ARRAY"),
+    ("orders", "o_orderkey", "INT64"), ("orders", "o_custkey", "INT64"),
+    ("orders", "o_orderstatus", "BYTE_ARRAY"),
+    ("documents", "doc_id", "INT64"), ("documents", "lang", "BYTE_ARRAY"),
+    ("documents", "source", "BYTE_ARRAY"))
+
+  private lazy val parquetFooterOracle: String =
+    footerGateCols.map { case (t, c, pt) =>
+      s"SELECT '$t' AS tbl, '$c' AS col_name, '$pt' AS ptype, " +
+        s"count(*) AS num_values, count(*) - count($c) AS null_count, " +
+        s"CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s " +
+        s"FROM $t"
+    }.mkString("", " UNION ALL ", " ORDER BY tbl, col_name")
+
+  private lazy val parquetSchemaOracle: String =
+    Seq("documents", "lineitem", "orders").map { t =>
+      s"SELECT '$t' AS tbl, (SELECT count(*) FROM $t) AS num_rows, " +
+        s"(SELECT count(*) FROM $t) AS rg_rows_total, " +
+        s"(SELECT count(*) FROM (DESCRIBE $t)) AS n_leaves, " +
+        "(SELECT string_agg(column_name, ',' ORDER BY column_name) " +
+        s"FROM (DESCRIBE $t)) AS leaf_names"
+    }.mkString("", " UNION ALL ", " ORDER BY tbl")
+
   val oracle: Map[String, String] = Map(
+    "x_parquet_footer" -> parquetFooterOracle,
+    "x_parquet_schema" -> parquetSchemaOracle,
     "x_lm_typicality" ->
       s"""WITH $lmScoreCte
          |SELECT d.doc_id,
