@@ -2958,6 +2958,65 @@ object LlmOps {
           col("m.leaf_names").as("leaf_names")),
       "tbl")
 
+  /** Longest-prefix-match enrichment gate — `operators/Net.lpmJoin`
+    * (per-length broadcast equi-joins, most-specific-first coalesce;
+    * zero shuffles, zero fact duplication) over a CIDR feed derived
+    * from nation/region (three tiers: /8 default, /16 per nation, /24
+    * sites, plus a never-matching block and a malformed row the parser
+    * must drop) against customer "access log" addresses, some
+    * malformed (total-parser pass-through). The oracle restates the
+    * address arithmetic as integers and picks the longest match with a
+    * window — so a wrong mask, wrong tie order, or sloppy parse
+    * hash-mismatches. */
+  def xIpLpm(s: SparkSession, d: String): DataFrame = {
+    val nat = nation(s, d)
+    val reg = region(s, d)
+    val dims = nat.select(
+      concat_ws("", lit("10."), col("n_nationkey"), lit(".0.0/16")).as("cidr"),
+      concat_ws("", lit("nation-"), col("n_nationkey")).as("label"))
+      .unionByName(nat.filter(pmod(col("n_nationkey"), lit(3)) === 0).select(
+        concat_ws("", lit("10."), col("n_nationkey"), lit("."),
+          pmod(col("n_nationkey") * 2, lit(256)), lit(".0/24")).as("cidr"),
+        concat_ws("", lit("site-"), col("n_nationkey")).as("label")))
+      .unionByName(reg.filter(col("r_regionkey") === 0)
+        .select(lit("10.0.0.0/8").as("cidr"), lit("default").as("label")))
+      .unionByName(reg.filter(col("r_regionkey") === 1)
+        .select(lit("192.168.0.0/16").as("cidr"), lit("private").as("label")))
+      .unionByName(reg.filter(col("r_regionkey") === 2)
+        .select(lit("not-a-cidr").as("cidr"), lit("junk").as("label")))
+    val facts = customer(s, d).select(col("c_custkey"),
+      when(pmod(col("c_custkey"), lit(97)) === 0, lit("999.1.2.3"))
+        .otherwise(concat_ws(".", lit("10"), pmod(col("c_custkey"), lit(40)),
+          pmod(col("c_custkey") * 2, lit(256)), pmod(col("c_custkey"), lit(250))))
+        .as("ip"))
+    ordered(
+      graft.operators.Net.lpmJoin(facts, col("ip"), dims, col("cidr"),
+        Seq("label")),
+      "c_custkey")
+  }
+
+  /** Spatial radius join gate — `operators/Geo.radiusJoin` (grid-cell
+    * bucketed equi-join + exact haversine re-filter, modular longitude
+    * cells) on synthetic customer/supplier coordinates, radius 130 km,
+    * against the brute-force cross-join oracle computing the same
+    * haversine. Distances meter-rounded in the output; the fixture's
+    * lattice keeps every pair >10 km away from the radius boundary so
+    * the gate is libm-ULP-safe. */
+  def xGeoRadius(s: SparkSession, d: String): DataFrame = {
+    val cust = customer(s, d).select(col("c_custkey"),
+      (pmod(col("c_custkey"), lit(120)) * 0.7 - 42.0).as("clat"),
+      (pmod(col("c_custkey"), lit(360)) - 180.0 + 0.25).as("clon"))
+    val supp = supplier(s, d).select(col("s_suppkey"),
+      (pmod(col("s_suppkey"), lit(120)) * 0.7 - 41.65).as("slat"),
+      (pmod(col("s_suppkey"), lit(360)) - 180.0 + 0.45).as("slon"))
+    ordered(
+      graft.operators.Geo.radiusJoin(cust, "clat", "clon",
+        supp, "slat", "slon", 130.0)
+        .select(col("c_custkey"), col("s_suppkey"),
+          round(col("dist_km"), 3).as("dist_km")),
+      "c_custkey", "s_suppkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_text_tokens"       -> (xTextTokens _),
     "x_text_quality"      -> (xTextQuality _),
@@ -3106,7 +3165,9 @@ object LlmOps {
     "x_search_phrase"     -> (xSearchPhrase _),
     "x_dedup_snm"         -> (xDedupSnm _),
     "x_parquet_footer"    -> (xParquetFooter _),
-    "x_parquet_schema"    -> (xParquetSchema _))
+    "x_parquet_schema"    -> (xParquetSchema _),
+    "x_ip_lpm"            -> (xIpLpm _),
+    "x_geo_radius"        -> (xGeoRadius _))
 
   private val toksSql =
     "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
@@ -3316,9 +3377,61 @@ object LlmOps {
         s"FROM (DESCRIBE $t)) AS leaf_names"
     }.mkString("", " UNION ALL ", " ORDER BY tbl")
 
+  private lazy val ipLpmOracle: String =
+    """WITH dims AS (
+      |  SELECT 16 AS len, (CAST(10 AS BIGINT)<<24) + (n_nationkey<<16) AS net,
+      |         'nation-' || CAST(n_nationkey AS VARCHAR) AS label FROM nation
+      |  UNION ALL
+      |  SELECT 24, (CAST(10 AS BIGINT)<<24) + (n_nationkey<<16)
+      |         + (((n_nationkey*2)%256)<<8),
+      |         'site-' || CAST(n_nationkey AS VARCHAR) FROM nation
+      |  WHERE n_nationkey % 3 = 0
+      |  UNION ALL
+      |  SELECT 8, CAST(10 AS BIGINT)<<24, 'default' FROM region
+      |  WHERE r_regionkey = 0
+      |  UNION ALL
+      |  SELECT 16, (CAST(192 AS BIGINT)<<24) + (168<<16), 'private' FROM region
+      |  WHERE r_regionkey = 1
+      |),
+      |facts AS (SELECT c_custkey,
+      |  CASE WHEN c_custkey % 97 = 0 THEN '999.1.2.3'
+      |       ELSE '10.' || CAST(c_custkey%40 AS VARCHAR) || '.'
+      |            || CAST((c_custkey*2)%256 AS VARCHAR) || '.'
+      |            || CAST(c_custkey%250 AS VARCHAR) END AS ip,
+      |  CASE WHEN c_custkey % 97 = 0 THEN NULL
+      |       ELSE (CAST(10 AS BIGINT)<<24) + ((c_custkey%40)<<16)
+      |            + (((c_custkey*2)%256)<<8) + (c_custkey%250) END AS ipnum
+      |  FROM customer),
+      |m AS (SELECT f.c_custkey, d.len, d.label,
+      |    row_number() OVER (PARTITION BY f.c_custkey ORDER BY d.len DESC) AS rn
+      |  FROM facts f JOIN dims d
+      |    ON ((f.ipnum >> (32-d.len)) << (32-d.len)) = d.net)
+      |SELECT f.c_custkey, f.ip, m.len AS prefix_len, m.label
+      |FROM facts f LEFT JOIN m ON m.c_custkey = f.c_custkey AND m.rn = 1
+      |ORDER BY f.c_custkey""".stripMargin
+
+  private lazy val geoRadiusOracle: String =
+    """WITH c AS (SELECT c_custkey,
+      |    (c_custkey%120)*0.7 - 42.0 AS clat,
+      |    (c_custkey%360) - 180.0 + 0.25 AS clon FROM customer),
+      |s AS (SELECT s_suppkey,
+      |    (s_suppkey%120)*0.7 - 41.65 AS slat,
+      |    (s_suppkey%360) - 180.0 + 0.45 AS slon FROM supplier),
+      |p AS (SELECT c_custkey, s_suppkey,
+      |    2*6371.0088*asin(sqrt(
+      |      pow(sin(radians(slat-clat)/2), 2)
+      |      + cos(radians(clat))*cos(radians(slat))
+      |        * pow(sin(radians(slon-clon)/2), 2))) AS dist
+      |  FROM c CROSS JOIN s)
+      |SELECT c_custkey, s_suppkey, round(dist, 3) AS dist_km
+      |FROM p WHERE dist <= 130.0
+      |ORDER BY c_custkey, s_suppkey""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "x_parquet_footer" -> parquetFooterOracle,
     "x_parquet_schema" -> parquetSchemaOracle,
+    "x_ip_lpm" -> ipLpmOracle,
+    "x_geo_radius" -> geoRadiusOracle,
     "x_lm_typicality" ->
       s"""WITH $lmScoreCte
          |SELECT d.doc_id,
