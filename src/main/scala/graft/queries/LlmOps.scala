@@ -3017,6 +3017,96 @@ object LlmOps {
       "c_custkey", "s_suppkey")
   }
 
+  /** One byte as a 2-hex-digit string (fixture building). */
+  private def pbyte(v: org.apache.spark.sql.Column) = lpad(hex(v), 2, "0")
+
+  /** 80 ASCII chars derived from the document text (regex-normalized +
+    * padded) — the shared base string for the codec fixtures, where
+    * byte offsets and char offsets must coincide. */
+  private def asciiBase80 = rpad(
+    substring(regexp_replace(col("text"), "[^a-z ]", ""), 1, 80), 80, "x")
+
+  /** Protobuf wire-format walk gate — SQL-built proto3 messages (six
+    * fields: single- and multi-byte varints, a zigzag sint, a UTF-8
+    * string, a fixed32, and a field number ≥16 forcing a 2-byte tag)
+    * decoded by `functions/ProtoWire.fieldsCol`; the oracle restates
+    * every field row arithmetically, including the zigzag decode, so
+    * one wrong varint shift or tag split hash-mismatches. */
+  def xProtoFields(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val v1 = pmod(id, lit(120L))
+    val v2 = lit(200L) + pmod(id * 37L, lit(5000L)) // 2-byte varint
+    val str = concat(lit("doc-"), id.cast("string"))
+    val v4 = id * 3L + 7L // fixed32
+    val v5 = pmod(id, lit(100L)) - 50L // sint
+    val z5 = when(v5 < 0, -v5 * 2L - 1L).otherwise(v5 * 2L)
+    val v16 = pmod(id, lit(7L))
+    val payload = unhex(concat(
+      lit("08"), pbyte(v1),
+      lit("10"), pbyte(v2.bitwiseAND(lit(127L)) + 128L),
+      pbyte(shiftrightunsigned(v2, 7)),
+      lit("1A"), pbyte(length(str)), hex(str),
+      lit("25"), pbyte(v4.bitwiseAND(lit(255L))),
+      pbyte(shiftrightunsigned(v4, 8).bitwiseAND(lit(255L))),
+      pbyte(shiftrightunsigned(v4, 16).bitwiseAND(lit(255L))),
+      pbyte(shiftrightunsigned(v4, 24).bitwiseAND(lit(255L))),
+      lit("28"), pbyte(z5),
+      lit("8001"), pbyte(v16)))
+    val fx = documents(s, d).select(id, payload.as("payload"))
+    ordered(
+      fx.select(id,
+        explode(graft.functions.ProtoWire.fieldsCol(col("payload"))).as("f"))
+        .select(id, col("f.idx"), col("f.field_no"), col("f.wire_type"),
+          col("f.int_value"), col("f.sint_value"), col("f.len_value"),
+          col("f.str_value")),
+      "doc_id", "idx")
+  }
+
+  /** LZ4 block decode gate — SQL-built blocks exercising every format
+    * face: 255-continuation literal lengths, a back-reference into the
+    * literal run, an offset-1 overlapping copy (RLE), continuation
+    * match lengths, and the literals-only final sequence. The oracle
+    * reconstructs the decoded text with substr/repeat arithmetic. */
+  def xLz4Block(s: SparkSession, d: String): DataFrame = {
+    val base = asciiBase80
+    val block = unhex(concat(
+      // seq1: 40 literals (15+25) + match len 20 (15+4+1) at offset 40
+      lit("FF"), lit("19"), hex(substring(base, 1, 40)), lit("2800"), lit("01"),
+      // seq2: 1 literal + RLE copy (offset 1, len 9)
+      lit("15"), hex(substring(base, 41, 1)), lit("0100"),
+      // seq3 (final): 20 literals only (15+5)
+      lit("F0"), lit("05"), hex(substring(base, 42, 20))))
+    val fx = documents(s, d).select(col("doc_id"), block.as("block"))
+    ordered(
+      fx.select(col("doc_id"),
+        graft.functions.BlockCodecs.lz4BlockCol(col("block")).as("dec"))
+        .select(col("doc_id"), col("dec").cast("string").as("decoded"),
+          octet_length(col("dec")).cast("long").as("n_bytes")),
+      "doc_id")
+  }
+
+  /** Snappy raw-block decode gate — SQL-built blocks exercising the
+    * 2-byte varint preamble (verified against produced length), short
+    * and long-form literals, copy-1 (11-bit offset) and copy-2
+    * elements, and a copy spanning two earlier elements. Oracle =
+    * substr arithmetic. */
+  def xSnappyBlock(s: SparkSession, d: String): DataFrame = {
+    val base = asciiBase80
+    val block = unhex(concat(
+      lit("8701"), // preamble: 135
+      lit("74"), hex(substring(base, 1, 30)), // literal 30
+      lit("191E"), // copy-1: len 10, offset 30
+      lit("F045"), hex(substring(base, 11, 70)), // long-form literal 70
+      lit("626400"))) // copy-2: len 25, offset 100
+    val fx = documents(s, d).select(col("doc_id"), block.as("block"))
+    ordered(
+      fx.select(col("doc_id"),
+        graft.functions.BlockCodecs.snappyBlockCol(col("block")).as("dec"))
+        .select(col("doc_id"), col("dec").cast("string").as("decoded"),
+          octet_length(col("dec")).cast("long").as("n_bytes")),
+      "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_text_tokens"       -> (xTextTokens _),
     "x_text_quality"      -> (xTextQuality _),
@@ -3167,7 +3257,10 @@ object LlmOps {
     "x_parquet_footer"    -> (xParquetFooter _),
     "x_parquet_schema"    -> (xParquetSchema _),
     "x_ip_lpm"            -> (xIpLpm _),
-    "x_geo_radius"        -> (xGeoRadius _))
+    "x_geo_radius"        -> (xGeoRadius _),
+    "x_proto_fields"      -> (xProtoFields _),
+    "x_lz4_block"         -> (xLz4Block _),
+    "x_snappy_block"      -> (xSnappyBlock _))
 
   private val toksSql =
     "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
@@ -3427,11 +3520,62 @@ object LlmOps {
       |FROM p WHERE dist <= 130.0
       |ORDER BY c_custkey, s_suppkey""".stripMargin
 
+  private lazy val protoFieldsOracle: String = {
+    // zigzag decode of a raw varint in SQL
+    def zz(raw: String) =
+      s"CASE WHEN ($raw)%2=0 THEN ($raw)//2 ELSE -(($raw)//2)-1 END"
+    """WITH f AS (
+      |SELECT doc_id, 0 AS idx, 1 AS field_no, 0 AS wire_type,
+      |  doc_id%120 AS int_value, ZZ1 AS sint_value,
+      |  CAST(NULL AS BIGINT) AS len_value, CAST(NULL AS VARCHAR) AS str_value
+      |FROM documents
+      |UNION ALL SELECT doc_id, 1, 2, 0, 200+(doc_id*37)%5000, ZZ2,
+      |  NULL, NULL FROM documents
+      |UNION ALL SELECT doc_id, 2, 3, 2, NULL, NULL,
+      |  4+length(CAST(doc_id AS VARCHAR)),
+      |  'doc-' || CAST(doc_id AS VARCHAR) FROM documents
+      |UNION ALL SELECT doc_id, 3, 4, 5, doc_id*3+7, NULL, NULL, NULL
+      |FROM documents
+      |UNION ALL SELECT doc_id, 4, 5, 0,
+      |  CASE WHEN doc_id%100-50 < 0 THEN -(doc_id%100-50)*2-1
+      |       ELSE (doc_id%100-50)*2 END,
+      |  doc_id%100-50, NULL, NULL FROM documents
+      |UNION ALL SELECT doc_id, 5, 16, 0, doc_id%7, ZZ3, NULL, NULL
+      |FROM documents)
+      |SELECT * FROM f ORDER BY doc_id, idx""".stripMargin
+      .replace("ZZ1", zz("doc_id%120"))
+      .replace("ZZ2", zz("200+(doc_id*37)%5000"))
+      .replace("ZZ3", zz("doc_id%7"))
+  }
+
+  private val codecBaseCte =
+    "b AS (SELECT doc_id, rpad(substr(regexp_replace(text, '[^a-z ]', '', " +
+      "'g'), 1, 80), 80, 'x') AS base FROM documents)"
+
+  private lazy val lz4BlockOracle: String =
+    s"""WITH $codecBaseCte
+       |SELECT doc_id,
+       |  substr(base,1,40) || substr(base,1,20)
+       |    || repeat(substr(base,41,1), 10) || substr(base,42,20) AS decoded,
+       |  CAST(90 AS BIGINT) AS n_bytes
+       |FROM b ORDER BY doc_id""".stripMargin
+
+  private lazy val snappyBlockOracle: String =
+    s"""WITH $codecBaseCte
+       |SELECT doc_id,
+       |  substr(base,1,30) || substr(base,1,10) || substr(base,11,70)
+       |    || substr(base,11,20) || substr(base,1,5) AS decoded,
+       |  CAST(135 AS BIGINT) AS n_bytes
+       |FROM b ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "x_parquet_footer" -> parquetFooterOracle,
     "x_parquet_schema" -> parquetSchemaOracle,
     "x_ip_lpm" -> ipLpmOracle,
     "x_geo_radius" -> geoRadiusOracle,
+    "x_proto_fields" -> protoFieldsOracle,
+    "x_lz4_block" -> lz4BlockOracle,
+    "x_snappy_block" -> snappyBlockOracle,
     "x_lm_typicality" ->
       s"""WITH $lmScoreCte
          |SELECT d.doc_id,
