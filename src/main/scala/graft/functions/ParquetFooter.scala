@@ -50,14 +50,14 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object ParquetFooter {
 
-  private object Malformed extends RuntimeException {
+  private[functions] object Malformed extends RuntimeException {
     override def fillInStackTrace(): Throwable = this
   }
   private def fail(): Nothing = throw Malformed
 
   // ---- thrift compact protocol primitives ----
 
-  private final class TReader(val b: Array[Byte], var pos: Int, val end: Int) {
+  private[functions] final class TReader(val b: Array[Byte], var pos: Int, val end: Int) {
     def u8(): Int = {
       if (pos >= end) fail()
       val v = b(pos) & 0xff; pos += 1; v
@@ -78,13 +78,13 @@ object ParquetFooter {
     def skip(n: Int): Unit = { if (n < 0 || n > end - pos) fail(); pos += n }
   }
 
-  private val T_BOOL_TRUE = 1; private val T_BOOL_FALSE = 2
-  private val T_BYTE = 3; private val T_I16 = 4; private val T_I32 = 5
-  private val T_I64 = 6; private val T_DOUBLE = 7; private val T_BINARY = 8
-  private val T_LIST = 9; private val T_SET = 10; private val T_MAP = 11
-  private val T_STRUCT = 12
+  private[functions] val T_BOOL_TRUE = 1; private[functions] val T_BOOL_FALSE = 2
+  private[functions] val T_BYTE = 3; private[functions] val T_I16 = 4; private[functions] val T_I32 = 5
+  private[functions] val T_I64 = 6; private[functions] val T_DOUBLE = 7; private[functions] val T_BINARY = 8
+  private[functions] val T_LIST = 9; private[functions] val T_SET = 10; private[functions] val T_MAP = 11
+  private[functions] val T_STRUCT = 12
 
-  private def skipValue(r: TReader, t: Int): Unit = t match {
+  private[functions] def skipValue(r: TReader, t: Int): Unit = t match {
     case T_BOOL_TRUE | T_BOOL_FALSE => () // value lives in the type nibble
     case T_BYTE => r.skip(1)
     case T_I16 | T_I32 | T_I64 => r.zigzag(); ()
@@ -96,7 +96,7 @@ object ParquetFooter {
     case _ => fail()
   }
 
-  private def listHeader(r: TReader): (Int, Int) = {
+  private[functions] def listHeader(r: TReader): (Int, Int) = {
     val b0 = r.u8()
     val t = b0 & 0x0f
     val nib = (b0 >> 4) & 0x0f
@@ -132,7 +132,7 @@ object ParquetFooter {
 
   /** Walks one struct; `h(fieldId, typeId, reader)` returns true iff it
     * consumed the value (bool values need no consumption either way). */
-  private def walkStruct(r: TReader)(h: (Int, Int, TReader) => Boolean): Unit = {
+  private[functions] def walkStruct(r: TReader)(h: (Int, Int, TReader) => Boolean): Unit = {
     var fid = 0
     var done = false
     while (!done) {
@@ -172,6 +172,8 @@ object ParquetFooter {
     var numValues: Long = -1L
     var uncompressed: Long = -1L
     var compressed: Long = -1L
+    var dataPageOffset: Long = -1L
+    var dictPageOffset: Long = -1L
     var stats: ColStats = _
   }
 
@@ -181,12 +183,17 @@ object ParquetFooter {
     val columns = scala.collection.mutable.ArrayBuffer.empty[ColChunk]
   }
 
+  /** One schema-list element: repetition 0=required 1=optional
+    * 2=repeated (-1 absent, i.e. the root). */
+  private[functions] final class SchemaElem(val name: String,
+      val numChildren: Int, val repetition: Int, val ptype: Int)
+
   private[functions] final class Footer {
     var version: Int = -1
     var numRows: Long = -1L
     var createdBy: String = _
-    /** (name, numChildren) in file order; root first. */
-    val schema = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    /** Depth-first schema list; root first. */
+    val schema = scala.collection.mutable.ArrayBuffer.empty[SchemaElem]
     val rowGroups = scala.collection.mutable.ArrayBuffer.empty[RowGroup]
   }
 
@@ -228,6 +235,8 @@ object ParquetFooter {
         case (5, T_I64) => c.numValues = rr.zigzag(); true
         case (6, T_I64) => c.uncompressed = rr.zigzag(); true
         case (7, T_I64) => c.compressed = rr.zigzag(); true
+        case (9, T_I64) => c.dataPageOffset = rr.zigzag(); true
+        case (11, T_I64) => c.dictPageOffset = rr.zigzag(); true
         case (12, T_STRUCT) => c.stats = parseStats(rr); true
         case _ => false
       }
@@ -284,8 +293,11 @@ object ParquetFooter {
             var i = 0
             while (i < cnt) {
               var name: String = null; var numChildren = 0
+              var repetition = -1; var ptype = -1
               walkStruct(rr) { (sfid, st, srr) =>
                 (sfid, st) match {
+                  case (1, T_I32) => ptype = srr.zigzag().toInt; true
+                  case (3, T_I32) => repetition = srr.zigzag().toInt; true
                   case (4, T_BINARY) =>
                     name = new String(srr.bytes(srr.varint().toInt), "UTF-8"); true
                   case (5, T_I32) => numChildren = srr.zigzag().toInt; true
@@ -293,7 +305,7 @@ object ParquetFooter {
                 }
               }
               if (name == null) fail()
-              f.schema += ((name, numChildren))
+              f.schema += new SchemaElem(name, numChildren, repetition, ptype)
               i += 1
             }
             true
@@ -362,7 +374,7 @@ object ParquetFooter {
     if (f == null) return null
     // Leaves: depth-first schema list; an element with numChildren == 0
     // (field absent) is a leaf. Root is schema(0) by spec.
-    val leaves = f.schema.drop(1).collect { case (n, 0) => n }
+    val leaves = f.schema.drop(1).collect { case e if e.numChildren == 0 => e.name }
     InternalRow(
       f.version,
       f.numRows,

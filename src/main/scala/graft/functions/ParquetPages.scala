@@ -1,0 +1,369 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.SparkInternals
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Parquet DATA-PAGE column reader — the full decode path from raw
+  * file bytes to typed values with no parquet library: footer walk
+  * ([[ParquetFooter]]) → per-chunk page walk (thrift-compact
+  * PageHeader) → page decompression (our own [[BlockCodecs.snappyBlock]]
+  * / [[BlockCodecs.lz4Block]]; UNCOMPRESSED pass-through) → PLAIN
+  * dictionary decode → RLE/bit-packed-hybrid definition levels and
+  * dictionary indices → null interleaving. This is the layer that
+  * proves the format tier end to end: the footer gate shows we can
+  * PLAN from metadata; this shows we can READ the data itself, i.e. a
+  * ranged-GET column fetch on a 100 TB lake without an engine round
+  * trip (inventory backfills, stat repair, page-level sampling).
+  *
+  * Supported (= what the mainstream writers emit for flat columns):
+  * data page v1; dictionary pages PLAIN / PLAIN_DICTIONARY; data
+  * encodings RLE_DICTIONARY / PLAIN_DICTIONARY / PLAIN; codecs
+  * UNCOMPRESSED, SNAPPY, LZ4_RAW; physical INT32 / INT64 (widened to
+  * long) and BYTE_ARRAY (string face); required or optional flat
+  * leaves (definition-level bit width 1, 4-byte-length-prefixed RLE).
+  * Everything else — nested/repeated schemas, data page v2, other
+  * codecs or encodings — DECLINES to null rather than misreading, the
+  * same total-parser contract as every decoder here. Page sizes are
+  * bounded by the shared 64 MiB ratio-bomb cap before any allocation.
+  *
+  * Reference scope: beyond-reference §2.10 (the reference has no
+  * columnar storage at all).
+  */
+object ParquetPages {
+
+  private object Malformed extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+  private def fail(): Nothing = throw Malformed
+
+  private val MaxPage = BlockCodecs.MaxOut
+
+  // ---- RLE / bit-packed hybrid (parquet encodings spec) ----
+
+  /** Decodes `n` values from the hybrid runs starting at `pos`;
+    * returns the new position. */
+  private def rleHybrid(d: Array[Byte], pos0: Int, end: Int, bitWidth: Int,
+                        n: Int, out: Array[Int]): Int = {
+    if (bitWidth < 0 || bitWidth > 32) fail()
+    val byteWidth = (bitWidth + 7) >> 3
+    var pos = pos0
+    var produced = 0
+    def varint(): Long = {
+      var shift = 0; var v = 0L; var c = 0
+      do {
+        if (pos >= end || shift > 35) fail()
+        c = d(pos) & 0xff; pos += 1
+        v |= (c & 0x7fL) << shift; shift += 7
+      } while ((c & 0x80) != 0)
+      v
+    }
+    while (produced < n) {
+      val h = varint()
+      if ((h & 1L) == 0L) { // RLE run
+        val run = (h >>> 1).toInt
+        if (run <= 0) fail()
+        var v = 0
+        var k = 0
+        if (pos + byteWidth > end) fail()
+        while (k < byteWidth) { v |= (d(pos + k) & 0xff) << (8 * k); k += 1 }
+        pos += byteWidth
+        val take = math.min(run, n - produced)
+        var i = 0
+        while (i < take) { out(produced) = v; produced += 1; i += 1 }
+        // a run longer than needed is malformed padding; tolerate exact-fit
+        if (take < run) fail()
+      } else { // bit-packed groups of 8
+        val groups = (h >>> 1).toInt
+        if (groups <= 0 || groups > (MaxPage >> 3)) fail()
+        val nbytes = groups * bitWidth // groups*8*bitWidth/8
+        if (pos + nbytes > end) fail()
+        var count = groups * 8
+        var bitPos = 0
+        while (count > 0 && produced < n) {
+          var v = 0
+          var got = 0
+          while (got < bitWidth) {
+            val byteAt = pos + (bitPos >> 3)
+            val avail = 8 - (bitPos & 7)
+            val take = math.min(avail, bitWidth - got)
+            val bits = (d(byteAt) >> (bitPos & 7)) & ((1 << take) - 1)
+            v |= bits << got
+            got += take; bitPos += take
+          }
+          out(produced) = v; produced += 1; count -= 1
+        }
+        pos += nbytes // trailing padding values in the last group discarded
+      }
+    }
+    pos
+  }
+
+  // ---- PLAIN decode per physical type ----
+
+  private def leInt(d: Array[Byte], p: Int): Int = {
+    if (p + 4 > d.length) fail()
+    (d(p) & 0xff) | ((d(p + 1) & 0xff) << 8) | ((d(p + 2) & 0xff) << 16) |
+      ((d(p + 3) & 0xff) << 24)
+  }
+  private def leLong(d: Array[Byte], p: Int): Long = {
+    if (p + 8 > d.length) fail()
+    var v = 0L; var k = 7
+    while (k >= 0) { v = (v << 8) | (d(p + k) & 0xffL); k -= 1 }
+    v
+  }
+
+  private final class Plain(d: Array[Byte], var pos: Int) {
+    def nextLong(ptype: Int): Long = ptype match {
+      case 1 => val v = leInt(d, pos).toLong; pos += 4; v
+      case 2 => val v = leLong(d, pos); pos += 8; v
+      case _ => fail()
+    }
+    def nextBytes(): Array[Byte] = {
+      val len = leInt(d, pos); pos += 4
+      if (len < 0 || len > d.length - pos) fail()
+      val r = java.util.Arrays.copyOfRange(d, pos, pos + len); pos += len; r
+    }
+  }
+
+  // ---- page walk ----
+
+  private final class PageHeader {
+    var ptype: Int = -1
+    var uncompressed: Int = -1
+    var compressed: Int = -1
+    var numValues: Int = -1
+    var encoding: Int = -1
+    var isV2: Boolean = false
+  }
+
+  private def parsePageHeader(r: ParquetFooter.TReader): PageHeader = {
+    val h = new PageHeader
+    ParquetFooter.walkStruct(r) { (fid, t, rr) =>
+      (fid, t) match {
+        case (1, ParquetFooter.T_I32) => h.ptype = rr.zigzag().toInt; true
+        case (2, ParquetFooter.T_I32) => h.uncompressed = rr.zigzag().toInt; true
+        case (3, ParquetFooter.T_I32) => h.compressed = rr.zigzag().toInt; true
+        case (5, ParquetFooter.T_STRUCT) | (7, ParquetFooter.T_STRUCT) =>
+          ParquetFooter.walkStruct(rr) { (sfid, st, srr) =>
+            (sfid, st) match {
+              case (1, ParquetFooter.T_I32) => h.numValues = srr.zigzag().toInt; true
+              case (2, ParquetFooter.T_I32) => h.encoding = srr.zigzag().toInt; true
+              case _ => false
+            }
+          }
+          true
+        case (8, ParquetFooter.T_STRUCT) => h.isV2 = true; false // decline later
+        case _ => false
+      }
+    }
+    h
+  }
+
+  private def decompress(b: Array[Byte], from: Int, compLen: Int,
+                         uncompLen: Int, codec: Int): Array[Byte] = {
+    if (compLen < 0 || from + compLen > b.length) fail()
+    if (uncompLen < 0 || uncompLen > MaxPage) fail()
+    val slice = java.util.Arrays.copyOfRange(b, from, from + compLen)
+    val out = codec match {
+      case 0 => slice
+      case 1 => BlockCodecs.snappyBlock(slice)
+      case 7 => BlockCodecs.lz4Block(slice)
+      case _ => fail()
+    }
+    if (out == null || out.length != uncompLen) fail()
+    out
+  }
+
+  /** Reads one flat column across all row groups; elements are boxed
+    * java.lang.Long / UTF8String / null. Returns null on any
+    * unsupported or malformed structure. */
+  private def readColumn(b: Array[Byte], colName: String,
+                         wantString: Boolean): Array[Any] = {
+    val f = ParquetFooter.parse(b)
+    if (f == null) return null
+    try {
+      // flat schema only: every element after the root is a leaf
+      if (f.schema.isEmpty || f.schema.length != 1 + f.schema.head.numChildren)
+        fail()
+      val leaf = f.schema.drop(1).find(_.name == colName).getOrElse(fail())
+      val maxDef = leaf.repetition match {
+        case 0 => 0
+        case 1 => 1
+        case _ => fail() // repeated
+      }
+      if (wantString && leaf.ptype != 6) fail()
+      if (!wantString && leaf.ptype != 1 && leaf.ptype != 2) fail()
+
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      f.rowGroups.foreach { rg =>
+        val chunk = rg.columns.find(_.path == colName).getOrElse(fail())
+        if (chunk.ptype != leaf.ptype) fail()
+        if (chunk.numValues < 0 || chunk.numValues > Int.MaxValue) fail()
+        val total = chunk.numValues.toInt
+        var pos = {
+          val d = chunk.dataPageOffset
+          val dict = chunk.dictPageOffset
+          if (dict >= 0 && (d < 0 || dict < d)) dict else d
+        }
+        if (pos < 0 || pos >= b.length) fail()
+
+        var dictLongs: Array[Long] = null
+        var dictBytes: Array[Array[Byte]] = null
+        var produced = 0
+        while (produced < total) {
+          val r = new ParquetFooter.TReader(b, pos.toInt, b.length)
+          val h = parsePageHeader(r)
+          if (h.isV2 || h.ptype == 3) fail() // data page v2 unsupported
+          if (h.compressed < 0 || h.uncompressed < 0) fail() // no backward walk
+          val dataStart = r.pos
+          pos = dataStart.toLong + h.compressed
+          if (h.ptype == 2) { // dictionary page (PLAIN / PLAIN_DICTIONARY)
+            if (h.encoding != 0 && h.encoding != 2) fail()
+            val d = decompress(b, dataStart, h.compressed, h.uncompressed, chunk.codec)
+            val p = new Plain(d, 0)
+            if (h.numValues < 0 || h.numValues > MaxPage) fail()
+            if (wantString) {
+              dictBytes = Array.fill(h.numValues)(p.nextBytes())
+            } else {
+              dictLongs = Array.tabulate(h.numValues)(_ => p.nextLong(leaf.ptype))
+            }
+          } else if (h.ptype == 0) { // data page v1
+            val d = decompress(b, dataStart, h.compressed, h.uncompressed, chunk.codec)
+            val nv = h.numValues
+            if (nv < 0 || produced + nv > total) fail()
+            var cur = 0
+            val levels = new Array[Int](nv)
+            if (maxDef == 1) {
+              val len = leInt(d, 0)
+              if (len < 0 || 4 + len > d.length) fail()
+              rleHybrid(d, 4, 4 + len, 1, nv, levels)
+              cur = 4 + len
+            } else java.util.Arrays.fill(levels, 1)
+            var nNonNull = 0
+            levels.foreach(l => if (l == 1) nNonNull += 1
+                                else if (l != 0) fail())
+            h.encoding match {
+              case 2 | 8 => // PLAIN_DICTIONARY / RLE_DICTIONARY indices
+                if (cur >= d.length && nNonNull > 0) fail()
+                val bw = if (nNonNull > 0) d(cur) & 0xff else 0
+                if (nNonNull > 0) cur += 1
+                val idx = new Array[Int](nNonNull)
+                if (nNonNull > 0) rleHybrid(d, cur, d.length, bw, nNonNull, idx)
+                val nDict = if (wantString) {
+                  if (dictBytes == null) fail(); dictBytes.length
+                } else {
+                  if (dictLongs == null) fail(); dictLongs.length
+                }
+                var k = 0
+                var vi = 0
+                while (k < nv) {
+                  if (levels(k) == 0) out += null
+                  else {
+                    val ix = idx(vi); vi += 1
+                    if (ix < 0 || ix >= nDict) fail()
+                    out += (if (wantString) UTF8String.fromBytes(dictBytes(ix))
+                            else java.lang.Long.valueOf(dictLongs(ix)))
+                  }
+                  k += 1
+                }
+              case 0 => // PLAIN values
+                val p = new Plain(d, cur)
+                var k = 0
+                while (k < nv) {
+                  if (levels(k) == 0) out += null
+                  else out += (if (wantString) UTF8String.fromBytes(p.nextBytes())
+                               else java.lang.Long.valueOf(p.nextLong(leaf.ptype)))
+                  k += 1
+                }
+              case _ => fail()
+            }
+            produced += nv
+          } else if (h.ptype == 1) {
+            () // index page: no values, skip its bytes
+          } else fail()
+          if (pos > b.length) fail()
+        }
+      }
+      out.toArray
+    } catch {
+      case Malformed => null
+      case ParquetFooter.Malformed => null // walker primitives' sentinel
+    }
+  }
+
+  def int64Values(b: Array[Byte], colName: UTF8String): ArrayData = {
+    if (b == null || colName == null) return null
+    val r = readColumn(b, colName.toString, wantString = false)
+    if (r == null) null else new GenericArrayData(r)
+  }
+  def stringValues(b: Array[Byte], colName: UTF8String): ArrayData = {
+    if (b == null || colName == null) return null
+    val r = readColumn(b, colName.toString, wantString = true)
+    if (r == null) null else new GenericArrayData(r)
+  }
+
+  // ---- expressions ----
+
+  abstract class PagesProbe extends BinaryExpression {
+    override def nullable: Boolean = true
+    def method: String
+    def elemType: DataType
+    override def dataType: DataType = ArrayType(elemType, containsNull = true)
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (BinaryType, StringType) => TypeCheckResult.TypeCheckSuccess
+        case _ => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (binary, string) inputs")
+      }
+    override def nullSafeEval(b: Any, c: Any): Any = {
+      val r = method match {
+        case "int64Values" =>
+          ParquetPages.int64Values(b.asInstanceOf[Array[Byte]],
+            c.asInstanceOf[UTF8String])
+        case "stringValues" =>
+          ParquetPages.stringValues(b.asInstanceOf[Array[Byte]],
+            c.asInstanceOf[UTF8String])
+      }
+      r
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (bytes, name) => {
+        val r = ctx.freshName("r")
+        s"""
+           |org.apache.spark.sql.catalyst.util.ArrayData $r =
+           |  graft.functions.ParquetPages.$method($bytes, $name);
+           |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+         """.stripMargin
+      })
+  }
+
+  case class ParquetInt64Column(left: Expression, right: Expression)
+      extends PagesProbe {
+    override def method: String = "int64Values"
+    override def elemType: DataType = LongType
+    override def prettyName: String = "parquet_int64_column"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+  case class ParquetStringColumn(left: Expression, right: Expression)
+      extends PagesProbe {
+    override def method: String = "stringValues"
+    override def elemType: DataType = StringType
+    override def prettyName: String = "parquet_string_column"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  def int64ColumnCol(content: Column, colName: Column): Column =
+    SparkInternals.column(ParquetInt64Column(
+      SparkInternals.expression(content), SparkInternals.expression(colName)))
+  def stringColumnCol(content: Column, colName: Column): Column =
+    SparkInternals.column(ParquetStringColumn(
+      SparkInternals.expression(content), SparkInternals.expression(colName)))
+}

@@ -3107,6 +3107,37 @@ object LlmOps {
       "doc_id")
   }
 
+  /** Parquet DATA-PAGE read gate — `functions/ParquetPages` decodes one
+    * int64 and one string column per testdata file from the raw bytes
+    * (footer → page headers → our-own-snappy decompress → PLAIN dict →
+    * RLE/bit-packed indices → null interleave), then aggregates the
+    * decoded arrays map-side with higher-order functions; the oracle
+    * recomputes count/sum/min/max/distinct FROM THE DATA, so one wrong
+    * bit-unpack shift, dictionary index, or page boundary
+    * hash-mismatches. The whole read is one binaryFile scan row per
+    * file — values never shuffle. */
+  def xParquetPages(s: SparkSession, d: String): DataFrame = {
+    val intName = when(col("tbl") === "lineitem", lit("l_orderkey"))
+      .when(col("tbl") === "orders", lit("o_custkey"))
+      .otherwise(lit("doc_id"))
+    val strName = when(col("tbl") === "lineitem", lit("l_returnflag"))
+      .when(col("tbl") === "orders", lit("o_orderstatus"))
+      .otherwise(lit("lang"))
+    ordered(
+      parquetRaw(s, d)
+        .select(col("tbl"),
+          graft.functions.ParquetPages.int64ColumnCol(col("content"), intName).as("v"),
+          graft.functions.ParquetPages.stringColumnCol(col("content"), strName).as("sv"))
+        .select(col("tbl"),
+          size(col("v")).cast("long").as("n"),
+          aggregate(col("v"), lit(0L), (acc, x) => acc + coalesce(x, lit(0L)))
+            .as("sum_v"),
+          array_min(col("v")).as("min_v"), array_max(col("v")).as("max_v"),
+          size(array_distinct(col("sv"))).cast("long").as("n_distinct_s"),
+          array_min(col("sv")).as("min_s"), array_max(col("sv")).as("max_s")),
+      "tbl")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_text_tokens"       -> (xTextTokens _),
     "x_text_quality"      -> (xTextQuality _),
@@ -3260,7 +3291,8 @@ object LlmOps {
     "x_geo_radius"        -> (xGeoRadius _),
     "x_proto_fields"      -> (xProtoFields _),
     "x_lz4_block"         -> (xLz4Block _),
-    "x_snappy_block"      -> (xSnappyBlock _))
+    "x_snappy_block"      -> (xSnappyBlock _),
+    "x_parquet_pages"     -> (xParquetPages _))
 
   private val toksSql =
     "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
@@ -3568,6 +3600,16 @@ object LlmOps {
        |  CAST(135 AS BIGINT) AS n_bytes
        |FROM b ORDER BY doc_id""".stripMargin
 
+  private lazy val parquetPagesOracle: String =
+    Seq(("documents", "doc_id", "lang"),
+        ("lineitem", "l_orderkey", "l_returnflag"),
+        ("orders", "o_custkey", "o_orderstatus")).map { case (t, ic, sc) =>
+      s"SELECT '$t' AS tbl, count(*) AS n, CAST(sum($ic) AS BIGINT) AS sum_v, " +
+        s"min($ic) AS min_v, max($ic) AS max_v, " +
+        s"CAST(count(DISTINCT $sc) AS BIGINT) AS n_distinct_s, " +
+        s"min($sc) AS min_s, max($sc) AS max_s FROM $t"
+    }.mkString("", " UNION ALL ", " ORDER BY tbl")
+
   val oracle: Map[String, String] = Map(
     "x_parquet_footer" -> parquetFooterOracle,
     "x_parquet_schema" -> parquetSchemaOracle,
@@ -3576,6 +3618,7 @@ object LlmOps {
     "x_proto_fields" -> protoFieldsOracle,
     "x_lz4_block" -> lz4BlockOracle,
     "x_snappy_block" -> snappyBlockOracle,
+    "x_parquet_pages" -> parquetPagesOracle,
     "x_lm_typicality" ->
       s"""WITH $lmScoreCte
          |SELECT d.doc_id,

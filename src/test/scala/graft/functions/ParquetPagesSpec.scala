@@ -1,0 +1,114 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** ParquetPages against parquet-mr files written by Spark itself, with
+  * options forcing every supported layout: dictionary and PLAIN data
+  * pages, dict-overflow mid-chunk fallback, multi-page chunks, nulls,
+  * INT32 widening, and the decline contract for unsupported shapes.
+  */
+class ParquetPagesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeAndRead(df: org.apache.spark.sql.DataFrame,
+                           opts: Map[String, String] = Map.empty): Array[Byte] = {
+    val dir = java.nio.file.Files.createTempDirectory("pqpages").toString
+    df.coalesce(1).write.options(opts).mode("overwrite").parquet(dir)
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.readAllBytes(f.toPath)
+  }
+
+  private def longs(b: Array[Byte], name: String): Array[java.lang.Long] = {
+    val a = ParquetPages.int64Values(b,
+      org.apache.spark.unsafe.types.UTF8String.fromString(name))
+    if (a == null) null
+    else (0 until a.numElements()).map(i =>
+      if (a.isNullAt(i)) null else java.lang.Long.valueOf(a.getLong(i))).toArray
+  }
+
+  private def strings(b: Array[Byte], name: String): Array[String] = {
+    val a = ParquetPages.stringValues(b,
+      org.apache.spark.unsafe.types.UTF8String.fromString(name))
+    if (a == null) null
+    else (0 until a.numElements()).map(i =>
+      if (a.isNullAt(i)) null else a.getUTF8String(i).toString).toArray
+  }
+
+  test("dictionary-encoded int64/int32/string with nulls round-trip") {
+    val df = spark.range(0, 5000).select(
+      when(col("id") % 7 === 0, lit(null)).otherwise(col("id") % 40).as("k"),
+      (col("id") % 13).cast("int").as("v32"),
+      concat(lit("w"), (col("id") % 25).cast("string")).as("w"))
+    val b = writeAndRead(df, Map("compression" -> "snappy"))
+    val want = df.collect()
+    val k = longs(b, "k"); val v = longs(b, "v32"); val w = strings(b, "w")
+    assert(k != null && v != null && w != null)
+    assert(k.length === 5000 && v.length === 5000 && w.length === 5000)
+    want.zipWithIndex.foreach { case (r, i) =>
+      assert(k(i) === (if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))), s"k@$i")
+      assert(v(i).longValue === r.getInt(1).toLong, s"v32@$i")
+      assert(w(i) === r.getString(2), s"w@$i")
+    }
+  }
+
+  test("PLAIN pages (dictionary disabled) and uncompressed codec") {
+    val df = spark.range(0, 2000).select((col("id") * 17 - 3).as("k"),
+      concat(lit("s"), col("id").cast("string")).as("s"))
+    val b = writeAndRead(df, Map("compression" -> "none",
+      "parquet.enable.dictionary" -> "false"))
+    val k = longs(b, "k"); val s = strings(b, "s")
+    assert(k != null && s != null)
+    assert(k.map(_.longValue).toSeq === (0 until 2000).map(_ * 17L - 3))
+    assert(s.toSeq === (0 until 2000).map(i => s"s$i"))
+  }
+
+  test("dict-overflow fallback: dictionary pages then PLAIN pages in one chunk") {
+    // tiny dictionary page budget → parquet-mr falls back to PLAIN
+    // mid-chunk; tiny data pages → many pages
+    val n = 20000
+    val df = spark.range(0, n).select(col("id").as("k"))
+    val b = writeAndRead(df, Map("compression" -> "snappy",
+      "parquet.dictionary.page.size" -> "1024",
+      "parquet.page.size" -> "2048"))
+    val k = longs(b, "k")
+    assert(k != null, "mixed-encoding chunk declined")
+    assert(k.length === n)
+    assert(k.map(_.longValue).toSeq === (0L until n.toLong))
+  }
+
+  test("multi-row-group read concatenates in order") {
+    val df = spark.range(0, 50000).select(col("id").as("k"))
+    val b = writeAndRead(df, Map("compression" -> "snappy",
+      "parquet.block.size" -> "65536"))
+    val m = {
+      val one = Seq(b).toDF("content")
+      one.select(ParquetFooter.fileMetaCol(col("content")).as("m"))
+        .select("m.n_row_groups").collect().head.getInt(0)
+    }
+    assert(m > 1)
+    val k = longs(b, "k")
+    assert(k != null && k.length === 50000)
+    assert(k.map(_.longValue).toSeq === (0L until 50000L))
+  }
+
+  test("declines: missing column, type mismatch, nested, gzip codec, corruption") {
+    val flat = spark.range(0, 100).select(col("id").as("k"),
+      col("id").cast("string").as("s"))
+    val b = writeAndRead(flat)
+    assert(longs(b, "nope") == null)
+    assert(longs(b, "s") == null) // string column via int64 face
+    assert(strings(b, "k") == null) // int column via string face
+    val nested = spark.range(0, 10)
+      .select(struct(col("id").as("a")).as("st"), col("id").as("k"))
+    assert(longs(writeAndRead(nested), "k") == null) // non-flat schema
+    val gz = writeAndRead(flat, Map("compression" -> "gzip"))
+    assert(longs(gz, "k") == null) // unsupported codec declines, never misreads
+    // corruption fuzz over the page region: decline-or-differ, never throw
+    (0 until math.min(b.length - 8, 2000) by 7).foreach { i =>
+      val c = b.clone(); c(i) = (c(i) ^ 0x6d).toByte
+      longs(c, "k")
+    }
+  }
+}
