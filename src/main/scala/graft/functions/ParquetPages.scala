@@ -22,12 +22,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * trip (inventory backfills, stat repair, page-level sampling).
   *
   * Supported (= what the mainstream writers emit for flat columns):
-  * data page v1; dictionary pages PLAIN / PLAIN_DICTIONARY; data
-  * encodings RLE_DICTIONARY / PLAIN_DICTIONARY / PLAIN; codecs
-  * UNCOMPRESSED, SNAPPY, LZ4_RAW; physical INT32 / INT64 (widened to
-  * long) and BYTE_ARRAY (string face); required or optional flat
-  * leaves (definition-level bit width 1, 4-byte-length-prefixed RLE).
-  * Everything else — nested/repeated schemas, data page v2, other
+  * data pages v1 AND v2 (v2's uncompressed level prefix + separately
+  * compressed values); dictionary pages PLAIN / PLAIN_DICTIONARY;
+  * value encodings RLE_DICTIONARY / PLAIN_DICTIONARY / PLAIN /
+  * DELTA_BINARY_PACKED / DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY
+  * (the parquet-mr v2-writer set); codecs UNCOMPRESSED, SNAPPY,
+  * LZ4_RAW; physical INT32 / INT64 (widened to long) and BYTE_ARRAY
+  * (string face); required or optional flat leaves (definition-level
+  * bit width 1). Everything else — nested/repeated schemas, other
   * codecs or encodings — DECLINES to null rather than misreading, the
   * same total-parser contract as every decoder here. Page sizes are
   * bounded by the shared 64 MiB ratio-bomb cap before any allocation.
@@ -131,6 +133,117 @@ object ParquetPages {
     }
   }
 
+  // ---- DELTA_* encodings (parquet encodings spec) ----
+
+  private final class Cursor(val d: Array[Byte], var pos: Int) {
+    def u8(): Int = { if (pos >= d.length) fail(); val v = d(pos) & 0xff; pos += 1; v }
+    def varint(): Long = {
+      var shift = 0; var v = 0L; var c = 0
+      do {
+        if (shift > 63) fail()
+        c = u8(); v |= (c & 0x7fL) << shift; shift += 7
+      } while ((c & 0x80) != 0)
+      v
+    }
+    def zigzag(): Long = { val n = varint(); (n >>> 1) ^ -(n & 1) }
+  }
+
+  /** Unpacks `count` LSB-first `bitWidth`-bit values starting at
+    * `c.pos` (consumes exactly ceil(count*bitWidth/8) bytes). */
+  private def unpackBits64(c: Cursor, bitWidth: Int, count: Int): Array[Long] = {
+    if (bitWidth < 0 || bitWidth > 64) fail()
+    val nbytes = ((count.toLong * bitWidth + 7) >> 3).toInt
+    if (c.pos + nbytes > c.d.length) fail()
+    val out = new Array[Long](count)
+    var bitPos = 0
+    var k = 0
+    while (k < count) {
+      var v = 0L
+      var got = 0
+      while (got < bitWidth) {
+        val byteAt = c.pos + (bitPos >> 3)
+        val avail = 8 - (bitPos & 7)
+        val take = math.min(avail, bitWidth - got)
+        val bits = ((c.d(byteAt) >> (bitPos & 7)) & ((1 << take) - 1)).toLong
+        v |= bits << got
+        got += take; bitPos += take
+      }
+      out(k) = v; k += 1
+    }
+    c.pos += nbytes
+    out
+  }
+
+  /** DELTA_BINARY_PACKED: block header + miniblocks of zigzag-varint
+    * deltas. Trailing miniblocks with no values are not stored; a
+    * miniblock with any value is stored in full. */
+  private def deltaBinaryPacked(c: Cursor): Array[Long] = {
+    val blockSize = c.varint().toInt
+    val miniblocks = c.varint().toInt
+    val total = c.varint().toInt
+    if (blockSize <= 0 || miniblocks <= 0 || blockSize % miniblocks != 0) fail()
+    val vpm = blockSize / miniblocks
+    if (vpm <= 0 || vpm % 8 != 0) fail()
+    if (total < 0 || total > MaxPage) fail()
+    val out = new Array[Long](total)
+    if (total == 0) { c.zigzag(); return out } // first value still present
+    out(0) = c.zigzag()
+    var produced = 1
+    while (produced < total) {
+      val minDelta = c.zigzag()
+      val bws = new Array[Int](miniblocks)
+      var i = 0
+      while (i < miniblocks) { bws(i) = c.u8(); i += 1 }
+      var mb = 0
+      while (mb < miniblocks && produced < total) {
+        val deltas = unpackBits64(c, bws(mb), vpm)
+        var k = 0
+        while (k < vpm && produced < total) {
+          out(produced) = out(produced - 1) + minDelta + deltas(k)
+          produced += 1; k += 1
+        }
+        mb += 1
+      }
+    }
+    out
+  }
+
+  /** DELTA_LENGTH_BYTE_ARRAY: packed lengths then concatenated bytes. */
+  private def deltaLengthByteArray(c: Cursor, n: Int): Array[Array[Byte]] = {
+    val lens = deltaBinaryPacked(c)
+    if (lens.length != n) fail()
+    val out = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      val len = lens(i)
+      if (len < 0 || len > c.d.length - c.pos) fail()
+      out(i) = java.util.Arrays.copyOfRange(c.d, c.pos, c.pos + len.toInt)
+      c.pos += len.toInt
+      i += 1
+    }
+    out
+  }
+
+  /** DELTA_BYTE_ARRAY: per-value shared-prefix lengths + suffixes. */
+  private def deltaByteArray(c: Cursor, n: Int): Array[Array[Byte]] = {
+    val prefixLens = deltaBinaryPacked(c)
+    if (prefixLens.length != n) fail()
+    val suffixes = deltaLengthByteArray(c, n)
+    val out = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      val pl = prefixLens(i)
+      if (pl < 0 || (i == 0 && pl != 0)) fail()
+      if (i > 0 && pl > out(i - 1).length) fail()
+      val v = new Array[Byte](pl.toInt + suffixes(i).length)
+      if (pl > 0) System.arraycopy(out(i - 1), 0, v, 0, pl.toInt)
+      System.arraycopy(suffixes(i), 0, v, pl.toInt, suffixes(i).length)
+      out(i) = v
+      i += 1
+    }
+    out
+  }
+
   // ---- page walk ----
 
   private final class PageHeader {
@@ -139,7 +252,11 @@ object ParquetPages {
     var compressed: Int = -1
     var numValues: Int = -1
     var encoding: Int = -1
-    var isV2: Boolean = false
+    // data page v2 extras
+    var numNulls: Int = -1
+    var defBytes: Int = 0
+    var repBytes: Int = 0
+    var v2Compressed: Boolean = true
   }
 
   private def parsePageHeader(r: ParquetFooter.TReader): PageHeader = {
@@ -158,7 +275,19 @@ object ParquetPages {
             }
           }
           true
-        case (8, ParquetFooter.T_STRUCT) => h.isV2 = true; false // decline later
+        case (8, ParquetFooter.T_STRUCT) => // DataPageHeaderV2
+          ParquetFooter.walkStruct(rr) { (sfid, st, srr) =>
+            (sfid, st) match {
+              case (1, ParquetFooter.T_I32) => h.numValues = srr.zigzag().toInt; true
+              case (2, ParquetFooter.T_I32) => h.numNulls = srr.zigzag().toInt; true
+              case (4, ParquetFooter.T_I32) => h.encoding = srr.zigzag().toInt; true
+              case (5, ParquetFooter.T_I32) => h.defBytes = srr.zigzag().toInt; true
+              case (6, ParquetFooter.T_I32) => h.repBytes = srr.zigzag().toInt; true
+              case (7, _) => h.v2Compressed = st == ParquetFooter.T_BOOL_TRUE; true
+              case _ => false
+            }
+          }
+          true
         case _ => false
       }
     }
@@ -180,11 +309,31 @@ object ParquetPages {
     out
   }
 
-  /** Reads one flat column across all row groups; elements are boxed
-    * java.lang.Long / UTF8String / null. Returns null on any
-    * unsupported or malformed structure. */
+  /** Footer statistic of an int chunk as a long (modern pair preferred,
+    * legacy accepted for int types); None when absent/undecodable. */
+  private def statLong(c: ParquetFooter.ColChunk, wantMax: Boolean): Option[Long] = {
+    if (c.stats == null) return None
+    val v = if (wantMax) {
+      if (c.stats.maxValue != null) c.stats.maxValue else c.stats.legacyMax
+    } else {
+      if (c.stats.minValue != null) c.stats.minValue else c.stats.legacyMin
+    }
+    if (v == null) None
+    else if (c.ptype == 2 && v.length == 8) Some(leLong(v, 0))
+    else if (c.ptype == 1 && v.length == 4) Some(leInt(v, 0).toLong)
+    else None
+  }
+
+  /** Reads one flat column; elements are boxed java.lang.Long /
+    * UTF8String / null. With a `range`, row groups whose footer
+    * [min, max] cannot intersect it are SKIPPED — their pages are
+    * never touched (the stats-based pruning an engine does before any
+    * I/O; groups without stats are conservatively kept). Returns
+    * (n_groups, kept_groups, values) or null on any unsupported or
+    * malformed structure. */
   private def readColumn(b: Array[Byte], colName: String,
-                         wantString: Boolean): Array[Any] = {
+                         wantString: Boolean,
+                         range: (Long, Long) = null): (Int, Int, Array[Any]) = {
     val f = ParquetFooter.parse(b)
     if (f == null) return null
     try {
@@ -200,11 +349,21 @@ object ParquetPages {
       if (wantString && leaf.ptype != 6) fail()
       if (!wantString && leaf.ptype != 1 && leaf.ptype != 2) fail()
 
+      if (range != null && (wantString || leaf.ptype == 6)) fail()
+
       val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var kept = 0
       f.rowGroups.foreach { rg =>
         val chunk = rg.columns.find(_.path == colName).getOrElse(fail())
         if (chunk.ptype != leaf.ptype) fail()
         if (chunk.numValues < 0 || chunk.numValues > Int.MaxValue) fail()
+        val pruned = range != null && {
+          val (lo, hi) = range
+          statLong(chunk, wantMax = false).exists(_ > hi) ||
+            statLong(chunk, wantMax = true).exists(_ < lo)
+        }
+        if (!pruned) {
+        kept += 1
         val total = chunk.numValues.toInt
         var pos = {
           val d = chunk.dataPageOffset
@@ -219,10 +378,69 @@ object ParquetPages {
         while (produced < total) {
           val r = new ParquetFooter.TReader(b, pos.toInt, b.length)
           val h = parsePageHeader(r)
-          if (h.isV2 || h.ptype == 3) fail() // data page v2 unsupported
           if (h.compressed < 0 || h.uncompressed < 0) fail() // no backward walk
           val dataStart = r.pos
           pos = dataStart.toLong + h.compressed
+
+          /** Decodes the nNonNull values of a data page's value region
+            * and appends them interleaved with nulls per `levels`. */
+          def emit(values: Array[Byte], cur0: Int, levels: Array[Int],
+                   nNonNull: Int, encoding: Int): Unit = {
+            val nv = levels.length
+            val vals: Array[Any] = encoding match {
+              case 2 | 8 => // PLAIN_DICTIONARY / RLE_DICTIONARY indices
+                var cur = cur0
+                if (cur >= values.length && nNonNull > 0) fail()
+                val bw = if (nNonNull > 0) values(cur) & 0xff else 0
+                if (nNonNull > 0) cur += 1
+                val idx = new Array[Int](nNonNull)
+                if (nNonNull > 0) rleHybrid(values, cur, values.length, bw, nNonNull, idx)
+                val a = new Array[Any](nNonNull)
+                var i = 0
+                while (i < nNonNull) {
+                  val ix = idx(i)
+                  if (wantString) {
+                    if (dictBytes == null || ix < 0 || ix >= dictBytes.length) fail()
+                    a(i) = UTF8String.fromBytes(dictBytes(ix))
+                  } else {
+                    if (dictLongs == null || ix < 0 || ix >= dictLongs.length) fail()
+                    a(i) = java.lang.Long.valueOf(dictLongs(ix))
+                  }
+                  i += 1
+                }
+                a
+              case 0 => // PLAIN
+                val p = new Plain(values, cur0)
+                Array.tabulate[Any](nNonNull)(_ =>
+                  if (wantString) UTF8String.fromBytes(p.nextBytes())
+                  else java.lang.Long.valueOf(p.nextLong(leaf.ptype)))
+              case 5 => // DELTA_BINARY_PACKED (ints)
+                if (wantString) fail()
+                val got = deltaBinaryPacked(new Cursor(values, cur0))
+                if (got.length != nNonNull) fail()
+                // INT32 columns carry 32-bit semantics: truncate like a
+                // 32-bit reader would
+                got.map[Any](v => java.lang.Long.valueOf(
+                  if (leaf.ptype == 1) v.toInt.toLong else v))
+              case 6 => // DELTA_LENGTH_BYTE_ARRAY (strings)
+                if (!wantString) fail()
+                deltaLengthByteArray(new Cursor(values, cur0), nNonNull)
+                  .map[Any](UTF8String.fromBytes)
+              case 7 => // DELTA_BYTE_ARRAY (strings)
+                if (!wantString) fail()
+                deltaByteArray(new Cursor(values, cur0), nNonNull)
+                  .map[Any](UTF8String.fromBytes)
+              case _ => fail()
+            }
+            var k = 0
+            var vi = 0
+            while (k < nv) {
+              if (levels(k) == 0) out += null
+              else { out += vals(vi); vi += 1 }
+              k += 1
+            }
+          }
+
           if (h.ptype == 2) { // dictionary page (PLAIN / PLAIN_DICTIONARY)
             if (h.encoding != 0 && h.encoding != 2) fail()
             val d = decompress(b, dataStart, h.compressed, h.uncompressed, chunk.codec)
@@ -248,49 +466,43 @@ object ParquetPages {
             var nNonNull = 0
             levels.foreach(l => if (l == 1) nNonNull += 1
                                 else if (l != 0) fail())
-            h.encoding match {
-              case 2 | 8 => // PLAIN_DICTIONARY / RLE_DICTIONARY indices
-                if (cur >= d.length && nNonNull > 0) fail()
-                val bw = if (nNonNull > 0) d(cur) & 0xff else 0
-                if (nNonNull > 0) cur += 1
-                val idx = new Array[Int](nNonNull)
-                if (nNonNull > 0) rleHybrid(d, cur, d.length, bw, nNonNull, idx)
-                val nDict = if (wantString) {
-                  if (dictBytes == null) fail(); dictBytes.length
-                } else {
-                  if (dictLongs == null) fail(); dictLongs.length
-                }
-                var k = 0
-                var vi = 0
-                while (k < nv) {
-                  if (levels(k) == 0) out += null
-                  else {
-                    val ix = idx(vi); vi += 1
-                    if (ix < 0 || ix >= nDict) fail()
-                    out += (if (wantString) UTF8String.fromBytes(dictBytes(ix))
-                            else java.lang.Long.valueOf(dictLongs(ix)))
-                  }
-                  k += 1
-                }
-              case 0 => // PLAIN values
-                val p = new Plain(d, cur)
-                var k = 0
-                while (k < nv) {
-                  if (levels(k) == 0) out += null
-                  else out += (if (wantString) UTF8String.fromBytes(p.nextBytes())
-                               else java.lang.Long.valueOf(p.nextLong(leaf.ptype)))
-                  k += 1
-                }
-              case _ => fail()
+            emit(d, cur, levels, nNonNull, h.encoding)
+            produced += nv
+          } else if (h.ptype == 3) { // data page v2: levels uncompressed
+            val nv = h.numValues
+            if (nv < 0 || produced + nv > total) fail()
+            if (h.repBytes != 0) fail() // flat schema: no repetition levels
+            if (h.defBytes < 0 || h.defBytes > h.compressed) fail()
+            if (dataStart + h.compressed > b.length) fail()
+            val levels = new Array[Int](nv)
+            if (maxDef == 1) {
+              if (h.defBytes == 0 && nv > 0) fail()
+              rleHybrid(b, dataStart, dataStart + h.defBytes, 1, nv, levels)
+            } else {
+              if (h.defBytes != 0) fail()
+              java.util.Arrays.fill(levels, 1)
             }
+            var nNonNull = 0
+            levels.foreach(l => if (l == 1) nNonNull += 1
+                                else if (l != 0) fail())
+            if (h.numNulls >= 0 && nv - nNonNull != h.numNulls) fail()
+            val valuesComp = h.compressed - h.defBytes
+            val valuesUncomp = h.uncompressed - h.defBytes
+            val d =
+              if (h.v2Compressed)
+                decompress(b, dataStart + h.defBytes, valuesComp, valuesUncomp,
+                  chunk.codec)
+              else decompress(b, dataStart + h.defBytes, valuesComp, valuesComp, 0)
+            emit(d, 0, levels, nNonNull, h.encoding)
             produced += nv
           } else if (h.ptype == 1) {
             () // index page: no values, skip its bytes
           } else fail()
           if (pos > b.length) fail()
         }
+        } // !pruned
       }
-      out.toArray
+      (f.rowGroups.length, kept, out.toArray)
     } catch {
       case Malformed => null
       case ParquetFooter.Malformed => null // walker primitives' sentinel
@@ -300,12 +512,22 @@ object ParquetPages {
   def int64Values(b: Array[Byte], colName: UTF8String): ArrayData = {
     if (b == null || colName == null) return null
     val r = readColumn(b, colName.toString, wantString = false)
-    if (r == null) null else new GenericArrayData(r)
+    if (r == null) null else new GenericArrayData(r._3)
   }
   def stringValues(b: Array[Byte], colName: UTF8String): ArrayData = {
     if (b == null || colName == null) return null
     val r = readColumn(b, colName.toString, wantString = true)
-    if (r == null) null else new GenericArrayData(r)
+    if (r == null) null else new GenericArrayData(r._3)
+  }
+
+  /** Stats-pruned int read: struct(n_groups, kept_groups, values). */
+  def int64ValuesPruned(b: Array[Byte], colName: UTF8String,
+                        lo: Long, hi: Long): org.apache.spark.sql.catalyst.InternalRow = {
+    if (b == null || colName == null) return null
+    val r = readColumn(b, colName.toString, wantString = false, range = (lo, hi))
+    if (r == null) null
+    else org.apache.spark.sql.catalyst.InternalRow(r._1, r._2,
+      new GenericArrayData(r._3))
   }
 
   // ---- expressions ----
@@ -359,6 +581,43 @@ object ParquetPages {
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
   }
+
+  /** Stats-pruned read face: struct(n_groups, kept_groups, values).
+    * `lo`/`hi` are plan-time constants (the pushed-down predicate). */
+  case class ParquetInt64Pruned(left: Expression, right: Expression,
+                                lo: Long, hi: Long) extends BinaryExpression {
+    override def nullable: Boolean = true
+    override def prettyName: String = "parquet_int64_pruned"
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (BinaryType, StringType) => TypeCheckResult.TypeCheckSuccess
+        case _ => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (binary, string) inputs")
+      }
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_groups", IntegerType, nullable = false),
+      StructField("kept_groups", IntegerType, nullable = false),
+      StructField("values", ArrayType(LongType, containsNull = true))))
+    override def nullSafeEval(b: Any, c: Any): Any =
+      ParquetPages.int64ValuesPruned(b.asInstanceOf[Array[Byte]],
+        c.asInstanceOf[UTF8String], lo, hi)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (bytes, name) => {
+        val r = ctx.freshName("r")
+        s"""
+           |org.apache.spark.sql.catalyst.InternalRow $r =
+           |  graft.functions.ParquetPages.int64ValuesPruned($bytes, $name, ${lo}L, ${hi}L);
+           |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  def int64PrunedCol(content: Column, colName: Column, lo: Long, hi: Long): Column =
+    SparkInternals.column(ParquetInt64Pruned(
+      SparkInternals.expression(content), SparkInternals.expression(colName),
+      lo, hi))
 
   def int64ColumnCol(content: Column, colName: Column): Column =
     SparkInternals.column(ParquetInt64Column(

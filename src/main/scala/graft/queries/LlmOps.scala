@@ -3138,6 +3138,35 @@ object LlmOps {
       "tbl")
   }
 
+  /** Stats-based row-group pruning gate — the composition that makes
+    * the footer tier PAY: a range predicate prunes row groups by
+    * footer min/max before any page I/O (`ParquetPages.int64PrunedCol`),
+    * the surviving groups' pages decode, and an exact re-filter over
+    * the decoded array yields the answer. One table's range misses the
+    * file entirely (kept_groups = 0 — zero pages touched); the others
+    * keep the group and match a slice. Oracle recomputes kept_groups
+    * from min/max overlap and the match count/sum from the data. */
+  def xParquetPrune(s: SparkSession, d: String): DataFrame = {
+    val raw = parquetRaw(s, d)
+    def face(t: String, colName: String, lo: Long, hi: Long) =
+      raw.filter(col("tbl") === t)
+        .select(col("tbl"),
+          graft.functions.ParquetPages
+            .int64PrunedCol(col("content"), lit(colName), lo, hi).as("p"),
+          lit(lo).as("__lo"), lit(hi).as("__hi"))
+    val u = face("lineitem", "l_orderkey", 1000L, 2000L)
+      .unionByName(face("orders", "o_custkey", 900000L, 950000L))
+      .unionByName(face("documents", "doc_id", 100L, 200L))
+    val matched = filter(col("p.values"),
+      v => v.isNotNull && v >= col("__lo") && v <= col("__hi"))
+    ordered(
+      u.select(col("tbl"),
+        col("p.kept_groups").cast("long").as("kept_groups"),
+        size(matched).cast("long").as("n_match"),
+        aggregate(matched, lit(0L), (a, x) => a + x).as("sum_match")),
+      "tbl")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_text_tokens"       -> (xTextTokens _),
     "x_text_quality"      -> (xTextQuality _),
@@ -3292,7 +3321,8 @@ object LlmOps {
     "x_proto_fields"      -> (xProtoFields _),
     "x_lz4_block"         -> (xLz4Block _),
     "x_snappy_block"      -> (xSnappyBlock _),
-    "x_parquet_pages"     -> (xParquetPages _))
+    "x_parquet_pages"     -> (xParquetPages _),
+    "x_parquet_prune"     -> (xParquetPrune _))
 
   private val toksSql =
     "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
@@ -3610,6 +3640,19 @@ object LlmOps {
         s"min($sc) AS min_s, max($sc) AS max_s FROM $t"
     }.mkString("", " UNION ALL ", " ORDER BY tbl")
 
+  private lazy val parquetPruneOracle: String =
+    Seq(("documents", "doc_id", 100L, 200L),
+        ("lineitem", "l_orderkey", 1000L, 2000L),
+        ("orders", "o_custkey", 900000L, 950000L)).map { case (t, c, lo, hi) =>
+      s"SELECT '$t' AS tbl, " +
+        s"CAST(CASE WHEN min($c) > $hi OR max($c) < $lo THEN 0 ELSE 1 END " +
+        s"AS BIGINT) AS kept_groups, " +
+        s"CAST(count(*) FILTER (WHERE $c BETWEEN $lo AND $hi) AS BIGINT) " +
+        s"AS n_match, " +
+        s"CAST(coalesce(sum($c) FILTER (WHERE $c BETWEEN $lo AND $hi), 0) " +
+        s"AS BIGINT) AS sum_match FROM $t"
+    }.mkString("", " UNION ALL ", " ORDER BY tbl")
+
   val oracle: Map[String, String] = Map(
     "x_parquet_footer" -> parquetFooterOracle,
     "x_parquet_schema" -> parquetSchemaOracle,
@@ -3619,6 +3662,7 @@ object LlmOps {
     "x_lz4_block" -> lz4BlockOracle,
     "x_snappy_block" -> snappyBlockOracle,
     "x_parquet_pages" -> parquetPagesOracle,
+    "x_parquet_prune" -> parquetPruneOracle,
     "x_lm_typicality" ->
       s"""WITH $lmScoreCte
          |SELECT d.doc_id,

@@ -93,6 +93,64 @@ class ParquetPagesSpec extends SparkSpec {
     assert(k.map(_.longValue).toSeq === (0L until 50000L))
   }
 
+  test("data page v2 + DELTA encodings (parquet-mr v2 writer) round-trip") {
+    val df = spark.range(0, 8000).select(
+      when(col("id") % 11 === 0, lit(null)).otherwise(col("id") * 5 - 1000).as("k"),
+      (col("id") % 9 - 4).cast("int").as("v32"),
+      // shared prefixes exercise DELTA_BYTE_ARRAY's prefix reconstruction
+      concat(lit("prefix/shared/"), lpad((col("id") % 300).cast("string"), 5, "0"))
+        .as("s"))
+    Seq("snappy", "none").foreach { codec =>
+      // dictionary DISABLED → v2 writer emits DELTA_BINARY_PACKED for
+      // ints and DELTA_BYTE_ARRAY for strings
+      val b = writeAndRead(df, Map("compression" -> codec,
+        "parquet.writer.version" -> "v2",
+        "parquet.enable.dictionary" -> "false"))
+      val want = df.collect()
+      val k = longs(b, "k"); val v = longs(b, "v32"); val s = strings(b, "s")
+      assert(k != null && v != null && s != null, s"codec=$codec declined")
+      want.zipWithIndex.foreach { case (r, i) =>
+        assert(k(i) === (if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))), s"k@$i/$codec")
+        assert(v(i).longValue === r.getInt(1).toLong, s"v32@$i/$codec")
+        assert(s(i) === r.getString(2), s"s@$i/$codec")
+      }
+      // dictionary ENABLED under v2 framing (RLE_DICTIONARY in v2 pages)
+      val b2 = writeAndRead(df, Map("compression" -> codec,
+        "parquet.writer.version" -> "v2"))
+      val k2 = longs(b2, "k")
+      assert(k2 != null && k2.length === 8000)
+      want.zipWithIndex.foreach { case (r, i) =>
+        assert(k2(i) === (if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))), s"k2@$i/$codec")
+      }
+    }
+  }
+
+  test("stats pruning skips row groups; kept groups still decode exactly") {
+    val n = 50000
+    val df = spark.range(0, n).select(col("id").as("k"))
+    val b = writeAndRead(df, Map("compression" -> "snappy",
+      "parquet.block.size" -> "65536"))
+    def pruned(lo: Long, hi: Long) = {
+      val r = ParquetPages.int64ValuesPruned(b,
+        org.apache.spark.unsafe.types.UTF8String.fromString("k"), lo, hi)
+      assert(r != null)
+      val a = r.getArray(2)
+      val vals = (0 until a.numElements()).map(a.getLong)
+      (r.getInt(0), r.getInt(1), vals)
+    }
+    val (groups, keptAll, allVals) = pruned(Long.MinValue, Long.MaxValue)
+    assert(groups > 2 && keptAll === groups && allVals.size === n)
+    // a narrow range keeps a strict subset of groups, and every
+    // qualifying value is still present (pruning is sound)
+    val (g2, kept2, vals2) = pruned(10000L, 12000L)
+    assert(g2 === groups && kept2 < groups && kept2 >= 1)
+    assert(vals2.filter(v => v >= 10000L && v <= 12000L).toSeq ===
+      (10000L to 12000L))
+    // a range past the data touches nothing
+    val (_, kept3, vals3) = pruned(n + 10L, n + 999L)
+    assert(kept3 === 0 && vals3.isEmpty)
+  }
+
   test("declines: missing column, type mismatch, nested, gzip codec, corruption") {
     val flat = spark.range(0, 100).select(col("id").as("k"),
       col("id").cast("string").as("s"))
