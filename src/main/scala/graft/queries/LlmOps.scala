@@ -3167,6 +3167,31 @@ object LlmOps {
       "tbl")
   }
 
+  /** Raw-DEFLATE decode gate — multi-block stored streams (BFINAL=0
+    * then BFINAL=1, LEN/NLEN verified) built in SQL, decoded by
+    * `functions/Inflate.rawCol` (the dependency-free RFC 1951 decoder;
+    * its fixed/dynamic Huffman paths are spec-proven against real
+    * Deflater output at every level/strategy — Huffman bitstreams
+    * aren't SQL-expressible). Oracle = substr arithmetic. */
+  def xInflateRaw(s: SparkSession, d: String): DataFrame = {
+    val base = asciiBase80
+    def le16(v: org.apache.spark.sql.Column) =
+      concat(pbyte(v.bitwiseAND(lit(255L))),
+        pbyte(shiftrightunsigned(v, 8).bitwiseAND(lit(255L))))
+    def stored(finalBit: String, body: org.apache.spark.sql.Column) =
+      concat(lit(finalBit), le16(length(body).cast("long")),
+        le16(lit(65535L) - length(body).cast("long")), hex(body))
+    val stream = unhex(concat(
+      stored("00", substring(base, 1, 50)),
+      stored("01", substring(base, 51, 30))))
+    ordered(
+      documents(s, d).select(col("doc_id"),
+        graft.functions.Inflate.rawCol(stream).as("dec"))
+        .select(col("doc_id"), col("dec").cast("string").as("decoded"),
+          octet_length(col("dec")).cast("long").as("n_bytes")),
+      "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_text_tokens"       -> (xTextTokens _),
     "x_text_quality"      -> (xTextQuality _),
@@ -3322,7 +3347,8 @@ object LlmOps {
     "x_lz4_block"         -> (xLz4Block _),
     "x_snappy_block"      -> (xSnappyBlock _),
     "x_parquet_pages"     -> (xParquetPages _),
-    "x_parquet_prune"     -> (xParquetPrune _))
+    "x_parquet_prune"     -> (xParquetPrune _),
+    "x_inflate_raw"       -> (xInflateRaw _))
 
   private val toksSql =
     "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
@@ -3653,6 +3679,12 @@ object LlmOps {
         s"AS BIGINT) AS sum_match FROM $t"
     }.mkString("", " UNION ALL ", " ORDER BY tbl")
 
+  private lazy val inflateRawOracle: String =
+    s"""WITH $codecBaseCte
+       |SELECT doc_id, substr(base,1,80) AS decoded,
+       |  CAST(80 AS BIGINT) AS n_bytes
+       |FROM b ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "x_parquet_footer" -> parquetFooterOracle,
     "x_parquet_schema" -> parquetSchemaOracle,
@@ -3663,6 +3695,7 @@ object LlmOps {
     "x_snappy_block" -> snappyBlockOracle,
     "x_parquet_pages" -> parquetPagesOracle,
     "x_parquet_prune" -> parquetPruneOracle,
+    "x_inflate_raw" -> inflateRawOracle,
     "x_lm_typicality" ->
       s"""WITH $lmScoreCte
          |SELECT d.doc_id,

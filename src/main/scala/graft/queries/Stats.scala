@@ -901,7 +901,32 @@ object Stats {
       "l_returnflag")
   }
 
+  /** A21: grouped OLS regression aggregates — slope/intercept/r²/corr
+    * of line price (exact integer cents) on quantity per return flag,
+    * plus the pair count. One hash aggregate (all five are partial-agg
+    * friendly streaming moments — no second pass, no sort), the
+    * trend-extraction face a metrics warehouse runs per segment.
+    * Inputs are integral (cents as long, integral quantities) so both
+    * engines' moment sums are exact until the final divisions; results
+    * rounded to 6 decimals absorb the division ulp. */
+  def a21Regression(s: SparkSession, d: String): DataFrame = {
+    val l = lineitem(s, d).select(col("l_returnflag"),
+      col("l_quantity").cast("double").as("x"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+        .cast("double").as("y"))
+    ordered(
+      l.groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("regr_slope(y, x)"), 6).as("slope"),
+          round(expr("regr_intercept(y, x)"), 6).as("intercept"),
+          round(expr("regr_r2(y, x)"), 6).as("r2"),
+          round(corr(col("y"), col("x")), 6).as("corr_xy"),
+          expr("regr_count(y, x)").cast("long").as("n")),
+      "l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a21_regression"    -> (a21Regression _),
     "a12_winsorized"    -> (a12Winsorized _),
     "a13_theta_segments" -> (a13ThetaSegments _),
     "a14_kll_cube"      -> (a14KllCube _),
@@ -954,6 +979,19 @@ object Stats {
       |GROUP BY fs.cohort_day, 2 ORDER BY cohort_day, day_offset""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "a21_regression" ->
+      """WITH l AS (SELECT l_returnflag,
+        |    CAST(l_quantity AS DOUBLE) AS x,
+        |    CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |         AS DOUBLE) AS y
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  round(regr_slope(y, x), 6) AS slope,
+        |  round(regr_intercept(y, x), 6) AS intercept,
+        |  round(regr_r2(y, x), 6) AS r2,
+        |  round(corr(y, x), 6) AS corr_xy,
+        |  CAST(regr_count(y, x) AS BIGINT) AS n
+        |FROM l GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "e9_frequent_paths" ->
       """WITH s AS (SELECT event_type,
         |    lead(event_type, 1) OVER w AS t2,
