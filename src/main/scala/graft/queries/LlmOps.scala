@@ -3192,6 +3192,91 @@ object LlmOps {
       "doc_id")
   }
 
+  /** Plan-time Avro OCF header (magic + metadata map + sync) for the
+    * fixture schema, as a hex constant. */
+  private def avroHeaderHex(codec: String): String = {
+    val schema = """{"type":"record","name":"r","fields":""" +
+      """[{"name":"id","type":"long"},{"name":"name","type":"string"}]}"""
+    def zz(n: Long): Seq[Byte] = {
+      var v = (n << 1) ^ (n >> 63)
+      val b = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      do {
+        var x = v & 0x7f; v >>>= 7
+        if (v != 0) x |= 0x80
+        b += x.toByte
+      } while (v != 0)
+      b.toSeq
+    }
+    val bb = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    bb ++= "Obj".getBytes("UTF-8"); bb += 1
+    bb ++= zz(2)
+    def kv(k: String, v: String): Unit = {
+      bb ++= zz(k.length); bb ++= k.getBytes("UTF-8")
+      bb ++= zz(v.length); bb ++= v.getBytes("UTF-8")
+    }
+    kv("avro.schema", schema); kv("avro.codec", codec)
+    bb += 0
+    bb ++= avroSyncBytes
+    bb.map(x => f"${x & 0xff}%02X").mkString
+  }
+  private val avroSyncBytes: Seq[Byte] = (0 until 16).map(i => (0xa0 + i).toByte)
+  private val avroSyncHex: String =
+    avroSyncBytes.map(x => f"${x & 0xff}%02X").mkString
+
+  /** Zigzag varint of a small nonnegative long column, as hex (values
+    * < 8192 → 1–2 bytes). */
+  private def zzvHex(v: org.apache.spark.sql.Column) = {
+    val z = v * 2
+    when(z < 128, pbyte(z))
+      .otherwise(concat(pbyte(z.bitwiseAND(lit(127L)) + 128L),
+        pbyte(shiftrightunsigned(z, 7))))
+  }
+
+  /** Avro OCF read gate — `functions/AvroRead` decodes SQL-built
+    * container files end to end: schema JSON through the in-house
+    * parser, zigzag block framing, sync-marker verification, record
+    * bodies (zigzag longs, length-prefixed strings), and BOTH the null
+    * codec and the deflate codec (each block a stored raw-DEFLATE
+    * stream routed through our own Inflate). Oracle restates record
+    * counts, per-file id sums, and the joined name list. Real-writer
+    * lineage (DataFileWriter, all codecs, nullable unions, multi-block)
+    * is AvroReadSpec's job. */
+  def xAvroRead(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val name1 = concat(lit("doc-"), id.cast("string"))
+    val name2 = concat(lit("n"), id.cast("string"))
+    def rec(idc: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      concat(zzvHex(idc), zzvHex(length(n).cast("long")), hex(n))
+    val bodyHex = concat(rec(id, name1), rec(id + 7L, name2))
+    val bodyLen = (length(bodyHex) / 2).cast("long")
+    val blockN = concat(lit("04"), zzvHex(bodyLen), bodyHex, lit(avroSyncHex))
+    val ocfN = unhex(concat(lit(avroHeaderHex("null")), blockN))
+    // deflate codec: the block payload is a stored raw-DEFLATE frame
+    def le16(v: org.apache.spark.sql.Column) =
+      concat(pbyte(v.bitwiseAND(lit(255L))),
+        pbyte(shiftrightunsigned(v, 8).bitwiseAND(lit(255L))))
+    val framed = concat(lit("01"), le16(bodyLen), le16(lit(65535L) - bodyLen),
+      bodyHex)
+    val blockD = concat(lit("04"), zzvHex(bodyLen + 5L), framed,
+      lit(avroSyncHex))
+    val ocfD = unhex(concat(lit(avroHeaderHex("deflate")), blockD))
+
+    def face(variant: String, ocf: org.apache.spark.sql.Column) =
+      documents(s, d).select(id, lit(variant).as("variant"), ocf.as("ocf"))
+        .select(id, col("variant"),
+          graft.functions.AvroRead.fileMetaCol(col("ocf")).as("m"),
+          graft.functions.AvroRead.int64ColumnCol(col("ocf"), lit("id")).as("ids"),
+          graft.functions.AvroRead.stringColumnCol(col("ocf"), lit("name")).as("names"))
+        .select(id, col("variant"),
+          col("m.n_records").as("n_records"),
+          col("m.codec").as("codec"),
+          col("m.field_names").as("field_names"),
+          aggregate(col("ids"), lit(0L), (a, x) => a + x).as("sum_id"),
+          array_join(col("names"), ",").as("names"))
+    ordered(face("null", ocfN).unionByName(face("deflate", ocfD)),
+      "doc_id", "variant")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_text_tokens"       -> (xTextTokens _),
     "x_text_quality"      -> (xTextQuality _),
@@ -3348,7 +3433,8 @@ object LlmOps {
     "x_snappy_block"      -> (xSnappyBlock _),
     "x_parquet_pages"     -> (xParquetPages _),
     "x_parquet_prune"     -> (xParquetPrune _),
-    "x_inflate_raw"       -> (xInflateRaw _))
+    "x_inflate_raw"       -> (xInflateRaw _),
+    "x_avro_read"         -> (xAvroRead _))
 
   private val toksSql =
     "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
@@ -3685,6 +3771,15 @@ object LlmOps {
        |  CAST(80 AS BIGINT) AS n_bytes
        |FROM b ORDER BY doc_id""".stripMargin
 
+  private lazy val avroReadOracle: String =
+    Seq("deflate", "null").map { v =>
+      s"SELECT doc_id, '$v' AS variant, CAST(2 AS BIGINT) AS n_records, " +
+        s"'$v' AS codec, 'id,name' AS field_names, " +
+        "CAST(doc_id * 2 + 7 AS BIGINT) AS sum_id, " +
+        "'doc-' || CAST(doc_id AS VARCHAR) || ',n' || CAST(doc_id AS VARCHAR) " +
+        "AS names FROM documents"
+    }.mkString("", " UNION ALL ", " ORDER BY doc_id, variant")
+
   val oracle: Map[String, String] = Map(
     "x_parquet_footer" -> parquetFooterOracle,
     "x_parquet_schema" -> parquetSchemaOracle,
@@ -3696,6 +3791,7 @@ object LlmOps {
     "x_parquet_pages" -> parquetPagesOracle,
     "x_parquet_prune" -> parquetPruneOracle,
     "x_inflate_raw" -> inflateRawOracle,
+    "x_avro_read" -> avroReadOracle,
     "x_lm_typicality" ->
       s"""WITH $lmScoreCte
          |SELECT d.doc_id,
