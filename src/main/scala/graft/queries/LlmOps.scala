@@ -3277,6 +3277,33 @@ object LlmOps {
       "doc_id", "variant")
   }
 
+  /** Parquet WRITE gate — the format tier closed as a loop:
+    * `ParquetWrite.parquetFile` aggregates each order-priority group
+    * into a complete parquet file BLOB (PLAIN pages, thrift footer,
+    * stats; deterministic under shuffle order), and the same query
+    * decodes the blobs back through ParquetFooter + ParquetPages. The
+    * oracle recomputes every group aggregate from the data, so a wrong
+    * thrift field id, page size, or value encoding breaks the chain.
+    * Spark's own parquet reader consuming these blobs is
+    * ParquetWriteSpec's cross-implementation check. */
+  def xParquetWrite(s: SparkSession, d: String): DataFrame = {
+    val blobs = orders(s, d).groupBy(col("o_orderpriority"))
+      .agg(graft.functions.ParquetWrite
+        .parquetFile(col("o_orderkey"), col("o_orderstatus"), "k", "st")
+        .as("f"))
+    ordered(
+      blobs.select(col("o_orderpriority"),
+        graft.functions.ParquetFooter.fileMetaCol(col("f")).as("m"),
+        graft.functions.ParquetPages.int64ColumnCol(col("f"), lit("k")).as("ks"),
+        graft.functions.ParquetPages.stringColumnCol(col("f"), lit("st")).as("sts"))
+        .select(col("o_orderpriority"),
+          col("m.num_rows").as("n_records"),
+          aggregate(col("ks"), lit(0L), (a, x) => a + x).as("sum_key"),
+          array_min(col("sts")).as("min_status"),
+          array_max(col("sts")).as("max_status")),
+      "o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_text_tokens"       -> (xTextTokens _),
     "x_text_quality"      -> (xTextQuality _),
@@ -3434,7 +3461,8 @@ object LlmOps {
     "x_parquet_pages"     -> (xParquetPages _),
     "x_parquet_prune"     -> (xParquetPrune _),
     "x_inflate_raw"       -> (xInflateRaw _),
-    "x_avro_read"         -> (xAvroRead _))
+    "x_avro_read"         -> (xAvroRead _),
+    "x_parquet_write"     -> (xParquetWrite _))
 
   private val toksSql =
     "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
@@ -3780,6 +3808,12 @@ object LlmOps {
         "AS names FROM documents"
     }.mkString("", " UNION ALL ", " ORDER BY doc_id, variant")
 
+  private lazy val parquetWriteOracle: String =
+    "SELECT o_orderpriority, count(*) AS n_records, " +
+      "CAST(sum(o_orderkey) AS BIGINT) AS sum_key, " +
+      "min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status " +
+      "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+
   val oracle: Map[String, String] = Map(
     "x_parquet_footer" -> parquetFooterOracle,
     "x_parquet_schema" -> parquetSchemaOracle,
@@ -3792,6 +3826,7 @@ object LlmOps {
     "x_parquet_prune" -> parquetPruneOracle,
     "x_inflate_raw" -> inflateRawOracle,
     "x_avro_read" -> avroReadOracle,
+    "x_parquet_write" -> parquetWriteOracle,
     "x_lm_typicality" ->
       s"""WITH $lmScoreCte
          |SELECT d.doc_id,
