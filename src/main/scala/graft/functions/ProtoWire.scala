@@ -1,5 +1,6 @@
 package graft.functions
 
+import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -72,11 +73,18 @@ object ProtoWire {
     true
   }
 
-  /** Walks one message; null on any malformed input. Rows:
-    * [idx, field_no, wire_type, int_value, sint_value, len_value,
-    *  payload, str_value]. */
-  def fields(b: Array[Byte]): ArrayData = {
-    if (b == null) return null
+  /** One walked field: `raw` is the varint/fixed value (0 for
+    * length-delimited), `payload` non-null only for wire type 2. */
+  final class WField(val fieldNo: Int, val wireType: Int, val raw: Long,
+                     val payload: Array[Byte]) {
+    def sint: Long = (raw >>> 1) ^ -(raw & 1L)
+  }
+
+  /** Scala-level walk (shared by the Catalyst expression and the
+    * format readers built on this walker, e.g. OrcMeta). THROWS the
+    * internal sentinel on malformed input — callers own the decline
+    * boundary via [[fieldsRawOrNull]] or their own catch. */
+  private[functions] def fieldsRaw(b: Array[Byte]): ArrayBuffer[WField] = {
     val n = b.length
     var pos = 0
     def varint(): Long = {
@@ -88,45 +96,60 @@ object ProtoWire {
       } while ((c & 0x80) != 0)
       v
     }
-    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    val out = ArrayBuffer.empty[WField]
+    while (pos < n) {
+      if (out.length >= MaxFields) fail()
+      val tag = varint()
+      val wt = (tag & 7L).toInt
+      val fieldNo = tag >>> 3
+      if (fieldNo < 1 || fieldNo > 536870911L) fail()
+      wt match {
+        case 0 =>
+          out += new WField(fieldNo.toInt, 0, varint(), null)
+        case 1 =>
+          if (pos + 8 > n) fail()
+          var v = 0L; var k = 7
+          while (k >= 0) { v = (v << 8) | (b(pos + k) & 0xffL); k -= 1 }
+          pos += 8
+          out += new WField(fieldNo.toInt, 1, v, null)
+        case 2 =>
+          val len = varint()
+          if (len < 0 || len > n - pos) fail()
+          val l = len.toInt
+          val payload = java.util.Arrays.copyOfRange(b, pos, pos + l)
+          pos += l
+          out += new WField(fieldNo.toInt, 2, 0L, payload)
+        case 5 =>
+          if (pos + 4 > n) fail()
+          val v = (b(pos) & 0xffL) | ((b(pos + 1) & 0xffL) << 8) |
+            ((b(pos + 2) & 0xffL) << 16) | ((b(pos + 3) & 0xffL) << 24)
+          pos += 4
+          out += new WField(fieldNo.toInt, 5, v, null)
+        case _ => fail() // groups (3/4) and reserved (6/7)
+      }
+    }
+    out
+  }
+
+  private[functions] def failProto(): Nothing = fail()
+  private[functions] val ProtoMalformed: RuntimeException = Malformed
+
+  /** Walks one message; null on any malformed input. Rows:
+    * [idx, field_no, wire_type, int_value, sint_value, len_value,
+    *  payload, str_value]. */
+  def fields(b: Array[Byte]): ArrayData = {
+    if (b == null) return null
     try {
-      var idx = 0
-      while (pos < n) {
-        if (idx >= MaxFields) fail()
-        val tag = varint()
-        val wt = (tag & 7L).toInt
-        val fieldNo = tag >>> 3
-        if (fieldNo < 1 || fieldNo > 536870911L) fail()
-        wt match {
-          case 0 =>
-            val raw = varint()
-            out += InternalRow(idx, fieldNo.toInt, 0, raw,
-              (raw >>> 1) ^ -(raw & 1L), null, null, null)
-          case 1 =>
-            if (pos + 8 > n) fail()
-            var v = 0L; var k = 7
-            while (k >= 0) { v = (v << 8) | (b(pos + k) & 0xffL); k -= 1 }
-            pos += 8
-            out += InternalRow(idx, fieldNo.toInt, 1, v, null, null, null, null)
+      val out = fieldsRaw(b).zipWithIndex.map { case (f, idx) =>
+        f.wireType match {
+          case 0 => InternalRow(idx, f.fieldNo, 0, f.raw, f.sint, null, null, null)
           case 2 =>
-            val len = varint()
-            if (len < 0 || len > n - pos) fail()
-            val l = len.toInt
-            val payload = java.util.Arrays.copyOfRange(b, pos, pos + l)
-            val str = if (isValidUtf8(b, pos, pos + l))
-              UTF8String.fromBytes(payload) else null
-            pos += l
-            out += InternalRow(idx, fieldNo.toInt, 2, null, null, len,
-              payload, str)
-          case 5 =>
-            if (pos + 4 > n) fail()
-            val v = (b(pos) & 0xffL) | ((b(pos + 1) & 0xffL) << 8) |
-              ((b(pos + 2) & 0xffL) << 16) | ((b(pos + 3) & 0xffL) << 24)
-            pos += 4
-            out += InternalRow(idx, fieldNo.toInt, 5, v, null, null, null, null)
-          case _ => fail() // groups (3/4) and reserved (6/7)
+            val str = if (isValidUtf8(f.payload, 0, f.payload.length))
+              UTF8String.fromBytes(f.payload) else null
+            InternalRow(idx, f.fieldNo, 2, null, null, f.payload.length.toLong,
+              f.payload, str)
+          case wt => InternalRow(idx, f.fieldNo, wt, f.raw, null, null, null, null)
         }
-        idx += 1
       }
       new GenericArrayData(out.toArray[Any])
     } catch { case Malformed => null }

@@ -3304,6 +3304,39 @@ object LlmOps {
       "o_orderpriority")
   }
 
+  /** ORC tail gate — the third lake format, read almost entirely with
+    * machinery other gates already prove: Spark writes the orders pair
+    * to ORC in all three supported codecs (none / zlib / snappy), and
+    * `functions/OrcMeta` walks the PostScript + Footer protobuf with
+    * ProtoWire, de-frames the 3-byte chunk framing, inflates ZLIB
+    * chunks with our own Inflate and snappy chunks with our block
+    * decoder, and surfaces row counts, stripe totals, and per-column
+    * min/max/sum statistics — all oracled against the data. */
+  def xOrcMeta(s: SparkSession, d: String): DataFrame = {
+    val src = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"))
+    val faces = Seq("none", "zlib", "snappy").map { codec =>
+      val dir = java.nio.file.Files.createTempDirectory(s"orc_meta_$codec").toString
+      src.coalesce(1).write.option("compression", codec)
+        .mode("overwrite").orc(dir)
+      val m = graft.functions.OrcMeta.fileMetaCol(col("content")).as("m")
+      val ks = graft.functions.OrcMeta
+        .colStatsCol(col("content"), lit("o_orderkey")).as("ks")
+      val ss = graft.functions.OrcMeta
+        .colStatsCol(col("content"), lit("o_orderstatus")).as("ss")
+      s.read.format("binaryFile").load(dir)
+        .filter(col("path").endsWith(".orc"))
+        .select(lit(codec).as("codec"), m, ks, ss)
+        .select(col("codec"),
+          col("m.n_rows").as("n_rows"),
+          col("m.stripe_rows_total").as("stripe_rows_total"),
+          col("m.field_names").as("field_names"),
+          col("ks.min_l").as("min_key"), col("ks.max_l").as("max_key"),
+          col("ks.sum_l").as("sum_key"),
+          col("ss.min_s").as("min_status"), col("ss.max_s").as("max_status"))
+    }
+    ordered(faces.reduce(_ unionByName _), "codec")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_text_tokens"       -> (xTextTokens _),
     "x_text_quality"      -> (xTextQuality _),
@@ -3462,7 +3495,8 @@ object LlmOps {
     "x_parquet_prune"     -> (xParquetPrune _),
     "x_inflate_raw"       -> (xInflateRaw _),
     "x_avro_read"         -> (xAvroRead _),
-    "x_parquet_write"     -> (xParquetWrite _))
+    "x_parquet_write"     -> (xParquetWrite _),
+    "x_orc_meta"          -> (xOrcMeta _))
 
   private val toksSql =
     "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
@@ -3814,6 +3848,17 @@ object LlmOps {
       "min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status " +
       "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
 
+  private lazy val orcMetaOracle: String =
+    Seq("none", "snappy", "zlib").map { codec =>
+      s"SELECT '$codec' AS codec, count(*) AS n_rows, " +
+        "count(*) AS stripe_rows_total, " +
+        "'o_orderkey,o_orderstatus' AS field_names, " +
+        "min(o_orderkey) AS min_key, max(o_orderkey) AS max_key, " +
+        "CAST(sum(o_orderkey) AS BIGINT) AS sum_key, " +
+        "min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status " +
+        "FROM orders"
+    }.mkString("", " UNION ALL ", " ORDER BY codec")
+
   val oracle: Map[String, String] = Map(
     "x_parquet_footer" -> parquetFooterOracle,
     "x_parquet_schema" -> parquetSchemaOracle,
@@ -3827,6 +3872,7 @@ object LlmOps {
     "x_inflate_raw" -> inflateRawOracle,
     "x_avro_read" -> avroReadOracle,
     "x_parquet_write" -> parquetWriteOracle,
+    "x_orc_meta" -> orcMetaOracle,
     "x_lm_typicality" ->
       s"""WITH $lmScoreCte
          |SELECT d.doc_id,
