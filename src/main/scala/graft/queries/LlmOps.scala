@@ -3337,6 +3337,31 @@ object LlmOps {
     ordered(faces.reduce(_ unionByName _), "codec")
   }
 
+  /** Avro WRITE gate — the row-format twin of x_parquet_write:
+    * `AvroWrite.avroFile` aggregates each order-priority group into a
+    * complete OCF blob (deterministic under shuffle order, multi-block
+    * past 4096 records), decoded back in the same query through our
+    * AvroRead; group aggregates oracled from the data. The REAL
+    * avro-java DataFileReader consuming these blobs is AvroWriteSpec's
+    * cross-implementation check. */
+  def xAvroWrite(s: SparkSession, d: String): DataFrame = {
+    val blobs = orders(s, d).groupBy(col("o_orderpriority"))
+      .agg(graft.functions.AvroWrite
+        .avroFile(col("o_orderkey"), col("o_orderstatus"), "k", "st")
+        .as("f"))
+    ordered(
+      blobs.select(col("o_orderpriority"),
+        graft.functions.AvroRead.fileMetaCol(col("f")).as("m"),
+        graft.functions.AvroRead.int64ColumnCol(col("f"), lit("k")).as("ks"),
+        graft.functions.AvroRead.stringColumnCol(col("f"), lit("st")).as("sts"))
+        .select(col("o_orderpriority"),
+          col("m.n_records").as("n_records"),
+          aggregate(col("ks"), lit(0L), (a, x) => a + x).as("sum_key"),
+          array_min(col("sts")).as("min_status"),
+          array_max(col("sts")).as("max_status")),
+      "o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_text_tokens"       -> (xTextTokens _),
     "x_text_quality"      -> (xTextQuality _),
@@ -3496,7 +3521,8 @@ object LlmOps {
     "x_inflate_raw"       -> (xInflateRaw _),
     "x_avro_read"         -> (xAvroRead _),
     "x_parquet_write"     -> (xParquetWrite _),
-    "x_orc_meta"          -> (xOrcMeta _))
+    "x_orc_meta"          -> (xOrcMeta _),
+    "x_avro_write"        -> (xAvroWrite _))
 
   private val toksSql =
     "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
@@ -3872,6 +3898,7 @@ object LlmOps {
     "x_inflate_raw" -> inflateRawOracle,
     "x_avro_read" -> avroReadOracle,
     "x_parquet_write" -> parquetWriteOracle,
+    "x_avro_write" -> parquetWriteOracle,
     "x_orc_meta" -> orcMetaOracle,
     "x_lm_typicality" ->
       s"""WITH $lmScoreCte

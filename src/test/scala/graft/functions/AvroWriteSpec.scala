@@ -1,0 +1,73 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+
+/** AvroWrite blobs read back by the REAL avro-java DataFileReader (the
+  * independent implementation), by our own AvroRead, and determinism
+  * under repartitioning. */
+class AvroWriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def blobFor(df: org.apache.spark.sql.DataFrame): Array[Byte] =
+    df.agg(AvroWrite.avroFile(col("id"), col("s"), "id", "s").as("f"))
+      .collect().head.getAs[Array[Byte]](0)
+
+  test("avro-java reads our file: schema, values, multi-block") {
+    val n = 10000 // > RecordsPerBlock → multi-block
+    val df = spark.range(0, n)
+      .select(col("id"), concat(lit("row-"), col("id").cast("string")).as("s"))
+    val blob = blobFor(df)
+    val r = new DataFileReader[GenericRecord](
+      new SeekableByteArrayInput(blob), new GenericDatumReader[GenericRecord]())
+    assert(r.getSchema.getField("id").schema().getType.getName === "long")
+    assert(r.getSchema.getField("s").schema().getType.getName === "string")
+    var i = 0L
+    while (r.hasNext) {
+      val rec = r.next()
+      assert(rec.get("id") === i)
+      assert(rec.get("s").toString === s"row-$i")
+      i += 1
+    }
+    assert(i === n.toLong)
+    r.close()
+  }
+
+  test("our own AvroRead round-trips the blob") {
+    val df = spark.range(0, 3000)
+      .select((col("id") * 11 - 999).as("id"),
+        concat(lit("v"), col("id").cast("string")).as("s"))
+    val blob = blobFor(df)
+    val m = AvroRead.fileMeta(blob)
+    assert(m != null && m.getLong(0) === 3000L)
+    assert(m.getUTF8String(3).toString === "id,s")
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString _
+    val ids = AvroRead.int64Values(blob, u("id"))
+    assert(ids != null && ids.numElements() === 3000)
+    assert((0 until 3000).map(ids.getLong).toSet ===
+      (0 until 3000).map(_.toLong * 11 - 999).toSet)
+  }
+
+  test("blob is deterministic under shuffle arrival order") {
+    val df = spark.range(0, 5000)
+      .select(pmod(col("id") * 997, lit(5000)).as("id"),
+        concat(lit("x"), col("id").cast("string")).as("s"))
+    val a = blobFor(df.repartition(17))
+    val b = blobFor(df.repartition(3).sortWithinPartitions(desc("s")))
+    assert(java.util.Arrays.equals(a, b))
+  }
+
+  test("empty group yields a valid zero-record file") {
+    val df = spark.range(0, 5).filter(col("id") < 0)
+      .select(col("id"), col("id").cast("string").as("s"))
+    val blob = blobFor(df)
+    val m = AvroRead.fileMeta(blob)
+    assert(m != null && m.getLong(0) === 0L)
+    val r = new DataFileReader[GenericRecord](
+      new SeekableByteArrayInput(blob), new GenericDatumReader[GenericRecord]())
+    assert(!r.hasNext)
+    r.close()
+  }
+}
