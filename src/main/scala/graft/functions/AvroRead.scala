@@ -253,6 +253,12 @@ object AvroRead {
     }
     if (schemaJson == null) fail()
     val fields = parseSchema(schemaJson)
+    // claim-bomb bound: every field below consumes ≥1 encoded byte per
+    // record except the bare "null" primitive (nullable unions still
+    // spend a branch byte). A schema whose records decode to ZERO bytes
+    // would let a tiny block claim count=MaxOut and materialize ~67M
+    // empty rows before the exact-consumption check — reject it.
+    val minRecordBytes = fields.count(f => f.nullable || f.kind != "null")
     val sync = r.bytes(16)
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
     var nBlocks = 0
@@ -281,6 +287,10 @@ object AvroRead {
           d
         case _ => fail()
       }
+      // bound the record-count claim by the decoded block's byte size
+      // BEFORE the decode loop (each record consumes ≥ minRecordBytes)
+      if (count > 0 && minRecordBytes == 0) fail()
+      if (count * minRecordBytes.toLong > data.length) fail()
       val rb = new Bin(data, 0, data.length)
       var i = 0L
       while (i < count) {

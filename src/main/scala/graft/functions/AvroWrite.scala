@@ -30,6 +30,16 @@ object AvroWrite {
 
   val RecordsPerBlock = 4096
 
+  /** Avro name grammar (spec "Names"). Enforced at construction so a
+    * column name with a quote/backslash can never be interpolated into
+    * the schema JSON and yield an unreadable (or differently-parsed)
+    * blob — reject loudly instead of writing corrupt output. */
+  private val AvroName = java.util.regex.Pattern.compile("[A-Za-z_][A-Za-z0-9_]*")
+  def requireAvroName(n: String): Unit =
+    require(n != null && AvroName.matcher(n).matches(),
+      s"avro_file_agg: field name '$n' is not a valid Avro name " +
+        "([A-Za-z_][A-Za-z0-9_]*)")
+
   private def schemaJson(idName: String, strName: String): String =
     s"""{"type":"record","name":"r","fields":[{"name":"$idName",""" +
       s""""type":"long"},{"name":"$strName","type":"string"}]}"""
@@ -48,6 +58,7 @@ object AvroWrite {
 
   def fileBytes(rows: Seq[(Long, Array[Byte])], idName: String,
                 strName: String): Array[Byte] = {
+    requireAvroName(idName); requireAvroName(strName)
     val out = new java.io.ByteArrayOutputStream(1024)
     out.write("Obj".getBytes("UTF-8")); out.write(1)
     // metadata map: one block of 2 entries, then end-of-map
@@ -156,9 +167,11 @@ object AvroWrite {
   }
 
   def avroFile(id: Column, name: Column, idName: String,
-               strName: String): Column =
+               strName: String): Column = {
+    requireAvroName(idName); requireAvroName(strName)
     SparkInternals.column(AvroFileAgg(
       Cast(SparkInternals.expression(id), LongType),
       Cast(SparkInternals.expression(name), StringType),
       idName, strName).toAggregateExpression())
+  }
 }

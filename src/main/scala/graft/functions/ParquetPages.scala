@@ -135,7 +135,7 @@ object ParquetPages {
 
   // ---- DELTA_* encodings (parquet encodings spec) ----
 
-  private final class Cursor(val d: Array[Byte], var pos: Int) {
+  private[functions] final class Cursor(val d: Array[Byte], var pos: Int) {
     def u8(): Int = { if (pos >= d.length) fail(); val v = d(pos) & 0xff; pos += 1; v }
     def varint(): Long = {
       var shift = 0; var v = 0L; var c = 0
@@ -148,11 +148,15 @@ object ParquetPages {
     def zigzag(): Long = { val n = varint(); (n >>> 1) ^ -(n & 1) }
   }
 
-  /** Unpacks `count` LSB-first `bitWidth`-bit values starting at
-    * `c.pos` (consumes exactly ceil(count*bitWidth/8) bytes). */
-  private def unpackBits64(c: Cursor, bitWidth: Int, count: Int): Array[Long] = {
-    if (bitWidth < 0 || bitWidth > 64) fail()
-    val nbytes = ((count.toLong * bitWidth + 7) >> 3).toInt
+  /** Unpacks the first `count` of `stored` LSB-first `bitWidth`-bit
+    * values starting at `c.pos` (consumes exactly
+    * ceil(stored*bitWidth/8) bytes — trailing padding values are
+    * skipped without being allocated, so a claim-heavy header cannot
+    * size an output array beyond what the caller actually needs). */
+  private def unpackBits64(c: Cursor, bitWidth: Int, count: Int,
+                           stored: Int): Array[Long] = {
+    if (bitWidth < 0 || bitWidth > 64 || count > stored) fail()
+    val nbytes = ((stored.toLong * bitWidth + 7) >> 3).toInt
     if (c.pos + nbytes > c.d.length) fail()
     val out = new Array[Long](count)
     var bitPos = 0
@@ -177,11 +181,16 @@ object ParquetPages {
   /** DELTA_BINARY_PACKED: block header + miniblocks of zigzag-varint
     * deltas. Trailing miniblocks with no values are not stored; a
     * miniblock with any value is stored in full. */
-  private def deltaBinaryPacked(c: Cursor): Array[Long] = {
+  private[functions] def deltaBinaryPacked(c: Cursor): Array[Long] = {
     val blockSize = c.varint().toInt
     val miniblocks = c.varint().toInt
     val total = c.varint().toInt
-    if (blockSize <= 0 || miniblocks <= 0 || blockSize % miniblocks != 0) fail()
+    // claim-bomb bound: header counts size allocations, so cap them
+    // against MaxPage BEFORE any array is created (a hostile blockSize
+    // with a bit-width-0 miniblock would otherwise allocate GBs while
+    // consuming zero input bytes)
+    if (blockSize <= 0 || blockSize > MaxPage || miniblocks <= 0 ||
+      blockSize % miniblocks != 0) fail()
     val vpm = blockSize / miniblocks
     if (vpm <= 0 || vpm % 8 != 0) fail()
     if (total < 0 || total > MaxPage) fail()
@@ -196,9 +205,12 @@ object ParquetPages {
       while (i < miniblocks) { bws(i) = c.u8(); i += 1 }
       var mb = 0
       while (mb < miniblocks && produced < total) {
-        val deltas = unpackBits64(c, bws(mb), vpm)
+        // allocate only the values still needed; the miniblock's full
+        // byte span (vpm values) is consumed positionally either way
+        val need = math.min(vpm, total - produced)
+        val deltas = unpackBits64(c, bws(mb), need, vpm)
         var k = 0
-        while (k < vpm && produced < total) {
+        while (k < need) {
           out(produced) = out(produced - 1) + minDelta + deltas(k)
           produced += 1; k += 1
         }
@@ -356,7 +368,10 @@ object ParquetPages {
       f.rowGroups.foreach { rg =>
         val chunk = rg.columns.find(_.path == colName).getOrElse(fail())
         if (chunk.ptype != leaf.ptype) fail()
-        if (chunk.numValues < 0 || chunk.numValues > Int.MaxValue) fail()
+        // value-count claim bound: numValues sizes the levels and value
+        // arrays, so cap it like byte claims (real chunks hold far fewer
+        // values than MaxPage bytes)
+        if (chunk.numValues < 0 || chunk.numValues > MaxPage) fail()
         val pruned = range != null && {
           val (lo, hi) = range
           statLong(chunk, wantMax = false).exists(_ > hi) ||

@@ -78,13 +78,20 @@ object Net {
       cur.join(broadcast(d), netAt(col("__ip"), l) === col(s"__net_$i"), "left")
     }
 
-    val matchLen = lens.indices.foldRight(lit(null).cast("int")) { (i, rest) =>
-      when(col(s"__net_$i").isNotNull, lit(lens(i))).otherwise(rest)
+    // Resolve per LEVEL, not per attr: each level contributes one
+    // struct (its prefix length + its attrs), gated on that level's
+    // match, and a single coalesce picks the most specific matched
+    // level wholesale. Coalescing each attr independently would let a
+    // NULL attr on the most specific block fall through to a LESS
+    // specific block's value, mixing prefix_len and attrs across blocks.
+    val lvl = lens.indices.map { i =>
+      when(col(s"__net_$i").isNotNull,
+        struct(lit(lens(i)).as("__pl") +:
+          attrs.map(a => col(s"__${a}_$i").as(a)): _*))
     }
-    val outAttrs = attrs.map { a =>
-      coalesce(lens.indices.map(i => col(s"__${a}_$i")): _*).as(a)
-    }
+    val withBest = joined.withColumn("__best", coalesce(lvl: _*))
     val keep = facts.columns.map(joined(_))
-    joined.select(keep ++ Seq(matchLen.as("prefix_len")) ++ outAttrs: _*)
+    withBest.select(keep ++ Seq(col("__best.__pl").as("prefix_len")) ++
+      attrs.map(a => col(s"__best.$a").as(a)): _*)
   }
 }

@@ -3312,12 +3312,31 @@ object LlmOps {
     * chunks with our own Inflate and snappy chunks with our block
     * decoder, and surfaces row counts, stripe totals, and per-column
     * min/max/sum statistics — all oracled against the data. */
+  /** ORC fixture dirs, written once per (sf-dir, codec) per JVM and
+    * registered for exit-time deletion — repeated gate invocations
+    * must not re-write or leak temp dirs (the write is a driver-side
+    * side effect of query CONSTRUCTION, so it has to be idempotent). */
+  private val orcFixtureDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def orcFixture(src: DataFrame, d: String, codec: String): String =
+    orcFixtureDirs.computeIfAbsent(s"$d|$codec", _ => {
+      val p = java.nio.file.Files.createTempDirectory(s"orc_meta_$codec")
+      src.coalesce(1).write.option("compression", codec)
+        .mode("overwrite").orc(p.toString)
+      // deleteOnExit runs in reverse registration order: register the
+      // dir first (pre-order walk) so children delete before parents
+      val walk = java.nio.file.Files.walk(p)
+      try {
+        walk.iterator().forEachRemaining(q => q.toFile.deleteOnExit())
+      } finally walk.close()
+      p.toString
+    })
+
   def xOrcMeta(s: SparkSession, d: String): DataFrame = {
     val src = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"))
     val faces = Seq("none", "zlib", "snappy").map { codec =>
-      val dir = java.nio.file.Files.createTempDirectory(s"orc_meta_$codec").toString
-      src.coalesce(1).write.option("compression", codec)
-        .mode("overwrite").orc(dir)
+      val dir = orcFixture(src, d, codec)
       val m = graft.functions.OrcMeta.fileMetaCol(col("content")).as("m")
       val ks = graft.functions.OrcMeta
         .colStatsCol(col("content"), lit("o_orderkey")).as("ks")

@@ -110,6 +110,56 @@ class AvroReadSpec extends AnyFunSuite {
     assert(AvroRead.fileMeta(Array.emptyByteArray) == null)
   }
 
+  test("claim-bomb: zero-width records / oversized count claims decline") {
+    def vint(out: java.io.ByteArrayOutputStream, n0: Long): Unit = {
+      var v = (n0 << 1) ^ (n0 >> 63)
+      do { val b = (v & 0x7f).toInt; v >>>= 7
+        out.write(if (v != 0) b | 0x80 else b) } while (v != 0)
+    }
+    def ocf(schemaJson: String, count: Long, block: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("Obj".getBytes("UTF-8")); out.write(1)
+      vint(out, 2L)
+      Seq("avro.schema" -> schemaJson, "avro.codec" -> "null").foreach {
+        case (k, v) =>
+          val kb = k.getBytes("UTF-8"); val vb = v.getBytes("UTF-8")
+          vint(out, kb.length.toLong); out.write(kb)
+          vint(out, vb.length.toLong); out.write(vb)
+      }
+      vint(out, 0L)
+      val sync = Array.fill[Byte](16)(0x11)
+      out.write(sync)
+      vint(out, count); vint(out, block.length.toLong)
+      out.write(block); out.write(sync)
+      out.toByteArray
+    }
+    // empty fields → each record decodes to ZERO bytes: a ~60-byte blob
+    // claiming 2^26 records must decline before materializing any rows
+    val bomb = ocf("""{"type":"record","name":"r","fields":[]}""",
+      1L << 26, Array.emptyByteArray)
+    val t0 = System.nanoTime()
+    assert(AvroRead.fileMeta(bomb) == null)
+    assert(System.nanoTime() - t0 < 2e9.toLong, "must decline fast")
+    // all-"null"-typed fields are zero-width too
+    val bombNullField = ocf(
+      """{"type":"record","name":"r","fields":[{"name":"z","type":"null"}]}""",
+      1L << 26, Array.emptyByteArray)
+    assert(AvroRead.fileMeta(bombNullField) == null)
+    // a count claim the block's bytes cannot hold declines up front
+    val over = ocf(
+      """{"type":"record","name":"r","fields":[{"name":"k","type":"long"}]}""",
+      1L << 20, Array[Byte](2, 4, 6))
+    assert(AvroRead.fileMeta(over) == null)
+    // sanity: a well-formed tiny file through the same builder parses
+    val ok = ocf(
+      """{"type":"record","name":"r","fields":[{"name":"k","type":"long"}]}""",
+      3L, Array[Byte](2, 4, 6))
+    val meta = AvroRead.fileMeta(ok)
+    assert(meta != null && meta.getLong(0) === 3L)
+    val ks = AvroRead.int64Values(ok, u("k"))
+    assert((0 until 3).map(ks.getLong) === Seq(1L, 2L, 3L))
+  }
+
   test("totality: truncation and corruption fuzz never throws") {
     val b = write(schema, rows(500), CodecFactory.deflateCodec(6))
     (1 until b.length by 5).foreach { keep =>

@@ -151,6 +151,35 @@ class ParquetPagesSpec extends SparkSpec {
     assert(kept3 === 0 && vals3.isEmpty)
   }
 
+  test("claim-bomb: hostile DELTA header cannot allocate past the page cap") {
+    def enc(ns: Long*): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      ns.foreach { n0 =>
+        var v = n0
+        do { val b = (v & 0x7f).toInt; v >>>= 7
+          out.write(if (v != 0) b | 0x80 else b) } while (v != 0)
+      }
+      out.toByteArray
+    }
+    // blockSize 2^30, miniblocks 1 → a bit-width-0 miniblock would
+    // allocate an 8 GiB long array while consuming ZERO input bytes;
+    // must be rejected on the header alone, before any allocation
+    val hostile = enc(1L << 30, 1L, 16L, 0L /* zigzag first value */) ++
+      Array[Byte](0, 0) // minDelta + one bit-width byte of 0
+    val t0 = System.nanoTime()
+    intercept[RuntimeException] {
+      ParquetPages.deltaBinaryPacked(new ParquetPages.Cursor(hostile, 0))
+    }
+    assert(System.nanoTime() - t0 < 1e9.toLong, "must fail fast, not allocate")
+    // a legitimate header whose miniblock is larger than the remaining
+    // values still decodes (padding skipped positionally, not allocated)
+    val legit = enc(128L, 4L, 3L, 10L << 1 /* zigzag 10 */) ++
+      enc(1L << 1) ++ Array[Byte](1, 0, 0, 0) ++ // minDelta=1, widths 1,0,0,0
+      Array.fill[Byte](4)(0) // 32 one-bit deltas = 4 bytes
+    val got = ParquetPages.deltaBinaryPacked(new ParquetPages.Cursor(legit, 0))
+    assert(got.toSeq === Seq(10L, 11L, 12L))
+  }
+
   test("declines: missing column, type mismatch, nested, gzip codec, corruption") {
     val flat = spark.range(0, 100).select(col("id").as("k"),
       col("id").cast("string").as("s"))

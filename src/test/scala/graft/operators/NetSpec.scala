@@ -82,6 +82,26 @@ class NetSpec extends SparkSpec {
       "LPM enrichment must be shuffle-free (broadcast per length)")
   }
 
+  test("null attr on the most specific block does NOT fall through") {
+    // the /24 block matches most specifically but carries a NULL label;
+    // per-attr coalesce would leak the /8 block's label while
+    // prefix_len said 24 — attrs and prefix_len must come from the
+    // SAME block
+    val dims = Seq(
+      ("10.0.0.0/8", Some("A8"), Some("a8x")),
+      ("10.20.30.0/24", None, Some("c24x"))).toDF("cidr", "label", "extra")
+    val facts = Seq((1, "10.20.30.5"), (2, "10.9.9.9")).toDF("id", "ip")
+    val got = Net.lpmJoin(facts, col("ip"), dims, col("cidr"),
+      Seq("label", "extra"))
+      .select("id", "prefix_len", "label", "extra")
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        if (r.isNullAt(2)) null else r.getString(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(got === Array(
+      (1, 24, null, "c24x"), // most specific block wins wholesale
+      (2, 8, "A8", "a8x")))
+  }
+
   test("empty/invalid dim table passes facts through") {
     val dims = Seq(("junk", "x")).toDF("cidr", "label")
     val facts = Seq((1, "10.0.0.1")).toDF("id", "ip")
