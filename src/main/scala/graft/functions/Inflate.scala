@@ -259,6 +259,55 @@ object Inflate {
     } catch { case Malformed => null }
   }
 
+  /** RFC 1952 gzip stream (STRICT): walks every member (magic, CM=8,
+    * FEXTRA/FNAME/FCOMMENT/FHCRC header fields), inflates the deflate
+    * body in-house, verifies each member's CRC-32 and ISIZE trailer,
+    * and concatenates. Unlike [[BinaryMeta.gunzipMembers]]'
+    * stop-at-first-malformed crawl semantics, this is the PAGE-CODEC
+    * contract: any malformation, trailing garbage, or unverified
+    * trailer declines the whole input — a compressed page either
+    * decodes exactly or not at all. */
+  def gzip(b: Array[Byte]): Array[Byte] = {
+    if (b == null || b.length < 18) return null
+    try {
+      val out = new java.io.ByteArrayOutputStream(math.min(b.length * 2, 1 << 16))
+      var p = 0
+      while (p < b.length) {
+        if (p + 10 > b.length || (b(p) & 0xff) != 0x1f ||
+          (b(p + 1) & 0xff) != 0x8b || (b(p + 2) & 0xff) != 8) fail()
+        val flg = b(p + 3) & 0xff
+        if ((flg & 0xe0) != 0) fail() // reserved flag bits must be zero
+        var q = p + 10
+        if ((flg & 4) != 0) { // FEXTRA: 2-byte LE xlen
+          if (q + 2 > b.length) fail()
+          q += 2 + ((b(q) & 0xff) | ((b(q + 1) & 0xff) << 8))
+        }
+        if ((flg & 8) != 0) { // FNAME: zero-terminated
+          while (q < b.length && b(q) != 0) q += 1
+          q += 1
+        }
+        if ((flg & 16) != 0) { // FCOMMENT: zero-terminated
+          while (q < b.length && b(q) != 0) q += 1
+          q += 1
+        }
+        if ((flg & 2) != 0) q += 2 // FHCRC (header CRC16, not verified)
+        if (q > b.length) fail()
+        val (member, end) = inflateInto(b, q)
+        if (end + 8 > b.length) fail()
+        def le32(at: Int): Long = (b(at) & 0xffL) | ((b(at + 1) & 0xffL) << 8) |
+          ((b(at + 2) & 0xffL) << 16) | ((b(at + 3) & 0xffL) << 24)
+        val crc = new java.util.zip.CRC32()
+        crc.update(member)
+        if (crc.getValue != le32(end)) fail()
+        if ((member.length.toLong & 0xffffffffL) != le32(end + 4)) fail()
+        if (out.size().toLong + member.length > MaxOut) fail()
+        out.write(member)
+        p = end + 8
+      }
+      out.toByteArray
+    } catch { case Malformed => null }
+  }
+
   // ---- expressions ----
 
   abstract class InflateProbe extends UnaryExpression {
@@ -274,6 +323,7 @@ object Inflate {
     private def call(b: Array[Byte]): Array[Byte] = method match {
       case "raw" => raw(b)
       case "zlib" => zlib(b)
+      case "gzip" => gzip(b)
     }
     override def nullSafeEval(v: Any): Any = call(v.asInstanceOf[Array[Byte]])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -297,8 +347,16 @@ object Inflate {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  case class InflateGzip(child: Expression) extends InflateProbe {
+    override def method: String = "gzip"
+    override def prettyName: String = "inflate_gzip"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   def rawCol(c: Column): Column =
     SparkInternals.column(InflateRaw(SparkInternals.expression(c)))
   def zlibCol(c: Column): Column =
     SparkInternals.column(InflateZlib(SparkInternals.expression(c)))
+  def gzipCol(c: Column): Column =
+    SparkInternals.column(InflateGzip(SparkInternals.expression(c)))
 }

@@ -26,13 +26,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * compressed values); dictionary pages PLAIN / PLAIN_DICTIONARY;
   * value encodings RLE_DICTIONARY / PLAIN_DICTIONARY / PLAIN /
   * DELTA_BINARY_PACKED / DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY
-  * (the parquet-mr v2-writer set); codecs UNCOMPRESSED, SNAPPY,
-  * LZ4_RAW; physical INT32 / INT64 (widened to long) and BYTE_ARRAY
-  * (string face); required or optional flat leaves (definition-level
-  * bit width 1). Everything else — nested/repeated schemas, other
-  * codecs or encodings — DECLINES to null rather than misreading, the
-  * same total-parser contract as every decoder here. Page sizes are
-  * bounded by the shared 64 MiB ratio-bomb cap before any allocation.
+  * (the parquet-mr v2-writer set); codecs UNCOMPRESSED, SNAPPY, GZIP
+  * (RFC 1952 framing over the in-house [[Inflate]]), LZ4_RAW; physical
+  * INT32 / INT64 (widened to long) and BYTE_ARRAY (string face);
+  * required or optional flat leaves, plus one-level LIST columns
+  * (repetition levels, the standard 3-level parquet list shape) via
+  * the list faces. Everything else — deeper nesting, MAP columns,
+  * other codecs or encodings — DECLINES to null rather than
+  * misreading, the same total-parser contract as every decoder here.
+  * Page sizes AND value-count claims are bounded by the shared 64 MiB
+  * ratio-bomb cap before any allocation.
   *
   * Reference scope: beyond-reference §2.10 (the reference has no
   * columnar storage at all).
@@ -48,10 +51,10 @@ object ParquetPages {
 
   // ---- RLE / bit-packed hybrid (parquet encodings spec) ----
 
-  /** Decodes `n` values from the hybrid runs starting at `pos`;
-    * returns the new position. */
+  /** Decodes `n` values from the hybrid runs starting at `pos` into
+    * `out(off ..< off+n)`; returns the new position. */
   private def rleHybrid(d: Array[Byte], pos0: Int, end: Int, bitWidth: Int,
-                        n: Int, out: Array[Int]): Int = {
+                        n: Int, out: Array[Int], off: Int = 0): Int = {
     if (bitWidth < 0 || bitWidth > 32) fail()
     val byteWidth = (bitWidth + 7) >> 3
     var pos = pos0
@@ -77,7 +80,7 @@ object ParquetPages {
         pos += byteWidth
         val take = math.min(run, n - produced)
         var i = 0
-        while (i < take) { out(produced) = v; produced += 1; i += 1 }
+        while (i < take) { out(off + produced) = v; produced += 1; i += 1 }
         // a run longer than needed is malformed padding; tolerate exact-fit
         if (take < run) fail()
       } else { // bit-packed groups of 8
@@ -98,7 +101,7 @@ object ParquetPages {
             v |= bits << got
             got += take; bitPos += take
           }
-          out(produced) = v; produced += 1; count -= 1
+          out(off + produced) = v; produced += 1; count -= 1
         }
         pos += nbytes // trailing padding values in the last group discarded
       }
@@ -314,6 +317,7 @@ object ParquetPages {
     val out = codec match {
       case 0 => slice
       case 1 => BlockCodecs.snappyBlock(slice)
+      case 2 => Inflate.gzip(slice) // RFC 1952 over the in-house inflate
       case 7 => BlockCodecs.lz4Block(slice)
       case _ => fail()
     }
@@ -336,37 +340,101 @@ object ParquetPages {
     else None
   }
 
-  /** Reads one flat column; elements are boxed java.lang.Long /
-    * UTF8String / null. With a `range`, row groups whose footer
+  // ---- schema shape resolution ----
+
+  /** Readable column geometry: the chunk's dotted path, its leaf
+    * element, and the def/rep thresholds derived from the schema tree.
+    * `optBefore` = optional ancestors ABOVE the repeated node; a level
+    * entry with def < optBefore is a null list, def == optBefore an
+    * empty list, def > optBefore a list element (non-null iff
+    * def == maxDef). maxRep is 0 (flat) or 1 (one-level list). */
+  private final class Shape(val path: String,
+      val leaf: ParquetFooter.SchemaElem, val maxDef: Int, val maxRep: Int,
+      val optBefore: Int)
+
+  /** Index just past the subtree rooted at `i` in the depth-first
+    * schema list. */
+  private def subtreeEnd(s: scala.collection.IndexedSeq[ParquetFooter.SchemaElem],
+                         i: Int): Int = {
+    if (i >= s.length) fail()
+    var j = i + 1
+    var c = 0
+    while (c < s(i).numChildren) { j = subtreeEnd(s, j); c += 1 }
+    j
+  }
+
+  /** Resolves a top-level field name to a readable [[Shape]]: a flat
+    * leaf, a bare repeated leaf, the 2-level legacy list, or the
+    * standard 3-level LIST (optional/required group → repeated group →
+    * leaf). Deeper nesting, MAPs, and multi-child groups fail. */
+  private def resolveShape(f: ParquetFooter.Footer, colName: String): Shape = {
+    val s = f.schema
+    if (s.isEmpty) fail()
+    var i = 1
+    var c = 0
+    while (c < s.head.numChildren) {
+      val e = s(i)
+      val end = subtreeEnd(s, i)
+      if (e.name == colName) {
+        if (e.numChildren == 0) {
+          if (e.repetition == 2) // bare repeated leaf (implicit list)
+            return new Shape(e.name, e, 1, 1, 0)
+          val md = e.repetition match { case 0 => 0; case 1 => 1; case _ => fail() }
+          return new Shape(e.name, e, md, 0, 0)
+        }
+        val opt = e.repetition match { case 0 => 0; case 1 => 1; case _ => fail() }
+        if (e.numChildren != 1) fail() // structs/maps out of scope
+        val r = s(i + 1)
+        if (r.repetition == 2 && r.numChildren == 0) // 2-level legacy list
+          return new Shape(s"${e.name}.${r.name}", r, opt + 1, 1, opt)
+        if (r.repetition != 2 || r.numChildren != 1) fail()
+        val leaf = s(i + 2)
+        if (leaf.numChildren != 0) fail() // deeper nesting out of scope
+        val leafOpt = leaf.repetition match {
+          case 0 => 0; case 1 => 1; case _ => fail()
+        }
+        return new Shape(s"${e.name}.${r.name}.${leaf.name}", leaf,
+          opt + 1 + leafOpt, 1, opt)
+      }
+      i = end; c += 1
+    }
+    fail()
+  }
+
+  private def levelWidth(maxLevel: Int): Int =
+    32 - Integer.numberOfLeadingZeros(maxLevel)
+
+  /** Reads one column (flat or one-level list); flat elements are
+    * boxed java.lang.Long / UTF8String / null, list elements are
+    * GenericArrayData / null. With a `range`, row groups whose footer
     * [min, max] cannot intersect it are SKIPPED — their pages are
     * never touched (the stats-based pruning an engine does before any
     * I/O; groups without stats are conservatively kept). Returns
     * (n_groups, kept_groups, values) or null on any unsupported or
     * malformed structure. */
   private def readColumn(b: Array[Byte], colName: String,
-                         wantString: Boolean,
+                         wantString: Boolean, wantList: Boolean,
                          range: (Long, Long) = null): (Int, Int, Array[Any]) = {
     val f = ParquetFooter.parse(b)
     if (f == null) return null
     try {
-      // flat schema only: every element after the root is a leaf
-      if (f.schema.isEmpty || f.schema.length != 1 + f.schema.head.numChildren)
-        fail()
-      val leaf = f.schema.drop(1).find(_.name == colName).getOrElse(fail())
-      val maxDef = leaf.repetition match {
-        case 0 => 0
-        case 1 => 1
-        case _ => fail() // repeated
-      }
+      val shape = resolveShape(f, colName)
+      if (wantList != (shape.maxRep == 1)) fail()
+      val leaf = shape.leaf
+      val maxDef = shape.maxDef
+      val maxRep = shape.maxRep
       if (wantString && leaf.ptype != 6) fail()
       if (!wantString && leaf.ptype != 1 && leaf.ptype != 2) fail()
 
-      if (range != null && (wantString || leaf.ptype == 6)) fail()
+      if (range != null && (wantString || wantList)) fail()
+
+      val defWidth = levelWidth(maxDef)
+      val repWidth = levelWidth(maxRep)
 
       val out = scala.collection.mutable.ArrayBuffer.empty[Any]
       var kept = 0
       f.rowGroups.foreach { rg =>
-        val chunk = rg.columns.find(_.path == colName).getOrElse(fail())
+        val chunk = rg.columns.find(_.path == shape.path).getOrElse(fail())
         if (chunk.ptype != leaf.ptype) fail()
         // value-count claim bound: numValues sizes the levels and value
         // arrays, so cap it like byte claims (real chunks hold far fewer
@@ -387,6 +455,13 @@ object ParquetPages {
         }
         if (pos < 0 || pos >= b.length) fail()
 
+        // level + value streams for the WHOLE chunk: a v1 page may
+        // split a record mid-list, so list assembly must happen after
+        // every page of the chunk is decoded
+        val defs = new Array[Int](total)
+        val reps = new Array[Int](total)
+        val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
+
         var dictLongs: Array[Long] = null
         var dictBytes: Array[Array[Byte]] = null
         var produced = 0
@@ -397,12 +472,11 @@ object ParquetPages {
           val dataStart = r.pos
           pos = dataStart.toLong + h.compressed
 
-          /** Decodes the nNonNull values of a data page's value region
-            * and appends them interleaved with nulls per `levels`. */
-          def emit(values: Array[Byte], cur0: Int, levels: Array[Int],
-                   nNonNull: Int, encoding: Int): Unit = {
-            val nv = levels.length
-            val vals: Array[Any] = encoding match {
+          /** Decodes nNonNull values of a data page's value region and
+            * appends them to the chunk's value stream. */
+          def decodeValues(values: Array[Byte], cur0: Int, nNonNull: Int,
+                           encoding: Int): Unit = {
+            val a: Array[Any] = encoding match {
               case 2 | 8 => // PLAIN_DICTIONARY / RLE_DICTIONARY indices
                 var cur = cur0
                 if (cur >= values.length && nNonNull > 0) fail()
@@ -447,13 +521,21 @@ object ParquetPages {
                   .map[Any](UTF8String.fromBytes)
               case _ => fail()
             }
-            var k = 0
-            var vi = 0
-            while (k < nv) {
-              if (levels(k) == 0) out += null
-              else { out += vals(vi); vi += 1 }
+            vals ++= a
+          }
+
+          /** Bounds-checks the page's levels and counts its non-null
+            * values (def == maxDef). */
+          def countNonNull(from: Int, nv: Int): Int = {
+            var nNonNull = 0
+            var k = from
+            while (k < from + nv) {
+              if (defs(k) < 0 || defs(k) > maxDef ||
+                reps(k) < 0 || reps(k) > maxRep) fail()
+              if (defs(k) == maxDef) nNonNull += 1
               k += 1
             }
+            nNonNull
           }
 
           if (h.ptype == 2) { // dictionary page (PLAIN / PLAIN_DICTIONARY)
@@ -466,55 +548,96 @@ object ParquetPages {
             } else {
               dictLongs = Array.tabulate(h.numValues)(_ => p.nextLong(leaf.ptype))
             }
-          } else if (h.ptype == 0) { // data page v1
+          } else if (h.ptype == 0) { // data page v1: [rep][def][values]
             val d = decompress(b, dataStart, h.compressed, h.uncompressed, chunk.codec)
             val nv = h.numValues
             if (nv < 0 || produced + nv > total) fail()
             var cur = 0
-            val levels = new Array[Int](nv)
-            if (maxDef == 1) {
-              val len = leInt(d, 0)
-              if (len < 0 || 4 + len > d.length) fail()
-              rleHybrid(d, 4, 4 + len, 1, nv, levels)
-              cur = 4 + len
-            } else java.util.Arrays.fill(levels, 1)
-            var nNonNull = 0
-            levels.foreach(l => if (l == 1) nNonNull += 1
-                                else if (l != 0) fail())
-            emit(d, cur, levels, nNonNull, h.encoding)
+            if (repWidth > 0) {
+              val len = leInt(d, cur)
+              if (len < 0 || cur + 4 + len > d.length) fail()
+              rleHybrid(d, cur + 4, cur + 4 + len, repWidth, nv, reps, produced)
+              cur += 4 + len
+            }
+            if (defWidth > 0) {
+              val len = leInt(d, cur)
+              if (len < 0 || cur + 4 + len > d.length) fail()
+              rleHybrid(d, cur + 4, cur + 4 + len, defWidth, nv, defs, produced)
+              cur += 4 + len
+            } else {
+              java.util.Arrays.fill(defs, produced, produced + nv, maxDef)
+            }
+            decodeValues(d, cur, countNonNull(produced, nv), h.encoding)
             produced += nv
           } else if (h.ptype == 3) { // data page v2: levels uncompressed
             val nv = h.numValues
             if (nv < 0 || produced + nv > total) fail()
-            if (h.repBytes != 0) fail() // flat schema: no repetition levels
-            if (h.defBytes < 0 || h.defBytes > h.compressed) fail()
+            if (h.repBytes < 0 || h.defBytes < 0 ||
+              h.repBytes + h.defBytes > h.compressed) fail()
             if (dataStart + h.compressed > b.length) fail()
-            val levels = new Array[Int](nv)
-            if (maxDef == 1) {
+            if (repWidth > 0) {
+              rleHybrid(b, dataStart, dataStart + h.repBytes, repWidth, nv,
+                reps, produced)
+            } else if (h.repBytes != 0) fail()
+            val defStart = dataStart + h.repBytes
+            if (defWidth > 0) {
               if (h.defBytes == 0 && nv > 0) fail()
-              rleHybrid(b, dataStart, dataStart + h.defBytes, 1, nv, levels)
+              rleHybrid(b, defStart, defStart + h.defBytes, defWidth, nv,
+                defs, produced)
             } else {
               if (h.defBytes != 0) fail()
-              java.util.Arrays.fill(levels, 1)
+              java.util.Arrays.fill(defs, produced, produced + nv, maxDef)
             }
-            var nNonNull = 0
-            levels.foreach(l => if (l == 1) nNonNull += 1
-                                else if (l != 0) fail())
+            val nNonNull = countNonNull(produced, nv)
             if (h.numNulls >= 0 && nv - nNonNull != h.numNulls) fail()
-            val valuesComp = h.compressed - h.defBytes
-            val valuesUncomp = h.uncompressed - h.defBytes
+            val levelBytes = h.repBytes + h.defBytes
+            val valuesComp = h.compressed - levelBytes
+            val valuesUncomp = h.uncompressed - levelBytes
             val d =
               if (h.v2Compressed)
-                decompress(b, dataStart + h.defBytes, valuesComp, valuesUncomp,
+                decompress(b, dataStart + levelBytes, valuesComp, valuesUncomp,
                   chunk.codec)
-              else decompress(b, dataStart + h.defBytes, valuesComp, valuesComp, 0)
-            emit(d, 0, levels, nNonNull, h.encoding)
+              else decompress(b, dataStart + levelBytes, valuesComp, valuesComp, 0)
+            decodeValues(d, 0, nNonNull, h.encoding)
             produced += nv
           } else if (h.ptype == 1) {
             () // index page: no values, skip its bytes
           } else fail()
           if (pos > b.length) fail()
         }
+
+        // ---- chunk assembly: levels + value stream → rows ----
+        var vi = 0
+        if (maxRep == 0) {
+          var k = 0
+          while (k < total) {
+            if (defs(k) == maxDef) { out += vals(vi); vi += 1 }
+            else out += null
+            k += 1
+          }
+        } else {
+          var cur: scala.collection.mutable.ArrayBuffer[Any] = null
+          var curNull = false
+          def close(): Unit = if (cur != null) {
+            out += (if (curNull) null else new GenericArrayData(cur.toArray))
+          }
+          var k = 0
+          while (k < total) {
+            if (reps(k) == 0) {
+              close()
+              cur = scala.collection.mutable.ArrayBuffer.empty[Any]
+              curNull = false
+            } else if (cur == null) fail() // chunk cannot open mid-record
+            if (defs(k) <= shape.optBefore) {
+              if (reps(k) != 0) fail() // null/empty list is a whole record
+              curNull = defs(k) < shape.optBefore
+            } else if (defs(k) == maxDef) { cur += vals(vi); vi += 1 }
+            else cur += null
+            k += 1
+          }
+          close()
+        }
+        if (vi != vals.length) fail()
         } // !pruned
       }
       (f.rowGroups.length, kept, out.toArray)
@@ -526,12 +649,23 @@ object ParquetPages {
 
   def int64Values(b: Array[Byte], colName: UTF8String): ArrayData = {
     if (b == null || colName == null) return null
-    val r = readColumn(b, colName.toString, wantString = false)
+    val r = readColumn(b, colName.toString, wantString = false, wantList = false)
     if (r == null) null else new GenericArrayData(r._3)
   }
   def stringValues(b: Array[Byte], colName: UTF8String): ArrayData = {
     if (b == null || colName == null) return null
-    val r = readColumn(b, colName.toString, wantString = true)
+    val r = readColumn(b, colName.toString, wantString = true, wantList = false)
+    if (r == null) null else new GenericArrayData(r._3)
+  }
+  /** One-level LIST faces: one array (or null) per row. */
+  def int64ListValues(b: Array[Byte], colName: UTF8String): ArrayData = {
+    if (b == null || colName == null) return null
+    val r = readColumn(b, colName.toString, wantString = false, wantList = true)
+    if (r == null) null else new GenericArrayData(r._3)
+  }
+  def stringListValues(b: Array[Byte], colName: UTF8String): ArrayData = {
+    if (b == null || colName == null) return null
+    val r = readColumn(b, colName.toString, wantString = true, wantList = true)
     if (r == null) null else new GenericArrayData(r._3)
   }
 
@@ -539,7 +673,8 @@ object ParquetPages {
   def int64ValuesPruned(b: Array[Byte], colName: UTF8String,
                         lo: Long, hi: Long): org.apache.spark.sql.catalyst.InternalRow = {
     if (b == null || colName == null) return null
-    val r = readColumn(b, colName.toString, wantString = false, range = (lo, hi))
+    val r = readColumn(b, colName.toString, wantString = false,
+      wantList = false, range = (lo, hi))
     if (r == null) null
     else org.apache.spark.sql.catalyst.InternalRow(r._1, r._2,
       new GenericArrayData(r._3))
@@ -565,6 +700,12 @@ object ParquetPages {
             c.asInstanceOf[UTF8String])
         case "stringValues" =>
           ParquetPages.stringValues(b.asInstanceOf[Array[Byte]],
+            c.asInstanceOf[UTF8String])
+        case "int64ListValues" =>
+          ParquetPages.int64ListValues(b.asInstanceOf[Array[Byte]],
+            c.asInstanceOf[UTF8String])
+        case "stringListValues" =>
+          ParquetPages.stringListValues(b.asInstanceOf[Array[Byte]],
             c.asInstanceOf[UTF8String])
       }
       r
@@ -593,6 +734,22 @@ object ParquetPages {
     override def method: String = "stringValues"
     override def elemType: DataType = StringType
     override def prettyName: String = "parquet_string_column"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+  case class ParquetInt64ListColumn(left: Expression, right: Expression)
+      extends PagesProbe {
+    override def method: String = "int64ListValues"
+    override def elemType: DataType = ArrayType(LongType, containsNull = true)
+    override def prettyName: String = "parquet_int64_list_column"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+  case class ParquetStringListColumn(left: Expression, right: Expression)
+      extends PagesProbe {
+    override def method: String = "stringListValues"
+    override def elemType: DataType = ArrayType(StringType, containsNull = true)
+    override def prettyName: String = "parquet_string_list_column"
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
   }
@@ -639,5 +796,11 @@ object ParquetPages {
       SparkInternals.expression(content), SparkInternals.expression(colName)))
   def stringColumnCol(content: Column, colName: Column): Column =
     SparkInternals.column(ParquetStringColumn(
+      SparkInternals.expression(content), SparkInternals.expression(colName)))
+  def int64ListColumnCol(content: Column, colName: Column): Column =
+    SparkInternals.column(ParquetInt64ListColumn(
+      SparkInternals.expression(content), SparkInternals.expression(colName)))
+  def stringListColumnCol(content: Column, colName: Column): Column =
+    SparkInternals.column(ParquetStringListColumn(
       SparkInternals.expression(content), SparkInternals.expression(colName)))
 }

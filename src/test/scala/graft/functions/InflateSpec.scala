@@ -124,4 +124,31 @@ class InflateSpec extends AnyFunSuite {
     assert(Inflate.raw(comp) != null)
     assert(Inflate.raw(comp :+ 0x00.toByte) == null)
   }
+
+  test("gzip: real GZIPOutputStream members round-trip; trailers verified") {
+    def gz(data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(data); g.close()
+      out.toByteArray
+    }
+    val a = (0 until 20000).map(i => s"line-$i payload ${i % 37}\n")
+      .mkString.getBytes("UTF-8")
+    val b = "short".getBytes("UTF-8")
+    assert(Inflate.gzip(gz(a)).toSeq === a.toSeq)
+    // multi-member concatenation (the .warc.gz / Hadoop-concat shape)
+    assert(Inflate.gzip(gz(a) ++ gz(b)).toSeq === (a ++ b).toSeq)
+    // strict contract: corrupt CRC trailer declines the whole input
+    val one = gz(b)
+    val badCrc = one.clone(); badCrc(one.length - 6) = (badCrc(one.length - 6) ^ 1).toByte
+    assert(Inflate.gzip(badCrc) == null)
+    val badIsize = one.clone(); badIsize(one.length - 1) = 0x7f.toByte
+    assert(Inflate.gzip(badIsize) == null)
+    // trailing garbage declines (page-codec strictness)
+    assert(Inflate.gzip(one :+ 0x00.toByte) == null)
+    // truncation fuzz: total, never throws
+    (1 until one.length).foreach { keep =>
+      Inflate.gzip(java.util.Arrays.copyOf(one, keep))
+    }
+  }
 }

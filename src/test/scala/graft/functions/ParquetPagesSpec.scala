@@ -151,6 +151,103 @@ class ParquetPagesSpec extends SparkSpec {
     assert(kept3 === 0 && vals3.isEmpty)
   }
 
+  private def int64Lists(b: Array[Byte], name: String): Array[Array[java.lang.Long]] = {
+    val a = ParquetPages.int64ListValues(b,
+      org.apache.spark.unsafe.types.UTF8String.fromString(name))
+    if (a == null) null
+    else (0 until a.numElements()).map { i =>
+      if (a.isNullAt(i)) null
+      else {
+        val inner = a.getArray(i)
+        (0 until inner.numElements()).map(j =>
+          if (inner.isNullAt(j)) null
+          else java.lang.Long.valueOf(inner.getLong(j))).toArray
+      }
+    }.toArray
+  }
+
+  private def stringLists(b: Array[Byte], name: String): Array[Array[String]] = {
+    val a = ParquetPages.stringListValues(b,
+      org.apache.spark.unsafe.types.UTF8String.fromString(name))
+    if (a == null) null
+    else (0 until a.numElements()).map { i =>
+      if (a.isNullAt(i)) null
+      else {
+        val inner = a.getArray(i)
+        (0 until inner.numElements()).map(j =>
+          if (inner.isNullAt(j)) null else inner.getUTF8String(j).toString).toArray
+      }
+    }.toArray
+  }
+
+  test("GZIP codec: RFC 1952 pages through the in-house inflate") {
+    val df = spark.range(0, 6000).select(
+      when(col("id") % 7 === 0, lit(null)).otherwise(col("id") * 3 - 11).as("k"),
+      concat(lit("v"), (col("id") % 50).cast("string")).as("s"))
+    Seq(Map("compression" -> "gzip"),
+      Map("compression" -> "gzip", "parquet.enable.dictionary" -> "false"),
+      Map("compression" -> "gzip", "parquet.writer.version" -> "v2"))
+      .foreach { opts =>
+        val b = writeAndRead(df, opts)
+        val want = df.collect()
+        val k = longs(b, "k"); val s = strings(b, "s")
+        assert(k != null && s != null, s"gzip declined under $opts")
+        want.zipWithIndex.foreach { case (r, i) =>
+          assert(k(i) === (if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))), s"k@$i $opts")
+          assert(s(i) === r.getString(1), s"s@$i $opts")
+        }
+      }
+  }
+
+  test("LIST columns: 3-level shape, nulls at every level, all codecs") {
+    val df = spark.range(0, 3000).select(col("id"),
+      when(col("id") % 11 === 0, lit(null)) // null list
+        .when(col("id") % 7 === 0, array()) // empty list
+        .otherwise(transform(sequence(lit(0), pmod(col("id"), lit(5))),
+          x => when(x === 2, lit(null)).otherwise(col("id") * 10 + x)))
+        .as("xs"),
+      when(col("id") % 13 === 0, lit(null))
+        .otherwise(transform(sequence(lit(0), pmod(col("id"), lit(3))),
+          x => concat(lit("e"), x.cast("string"))))
+        .as("ss"))
+    val want = df.select("xs", "ss").collect()
+    for {
+      codec <- Seq("snappy", "gzip", "none")
+      version <- Seq("v1", "v2")
+    } {
+      val b = writeAndRead(df, Map("compression" -> codec,
+        "parquet.writer.version" -> version,
+        "parquet.page.size" -> "4096")) // many pages → records split mid-page
+      val xs = int64Lists(b, "xs")
+      val ss = stringLists(b, "ss")
+      assert(xs != null && ss != null, s"list declined $codec/$version")
+      assert(xs.length === 3000 && ss.length === 3000)
+      want.zipWithIndex.foreach { case (r, i) =>
+        val wantXs = if (r.isNullAt(0)) null
+          else r.getSeq[Any](0).map(v =>
+            if (v == null) null else java.lang.Long.valueOf(v.toString.toLong)).toArray
+        assert(xs(i) === wantXs, s"xs@$i $codec/$version")
+        val wantSs = if (r.isNullAt(1)) null
+          else r.getSeq[String](1).toArray
+        assert(ss(i) === wantSs, s"ss@$i $codec/$version")
+      }
+    }
+  }
+
+  test("LIST columns: flat column beside a list still reads; deep nesting declines") {
+    val df = spark.range(0, 500).select(col("id").as("k"),
+      array(col("id"), col("id") * 2).as("xs"),
+      array(array(col("id"))).as("deep"), // list<list<…>> out of scope
+      struct(col("id").as("a")).as("st")) // struct out of scope
+    val b = writeAndRead(df)
+    assert(longs(b, "k") != null, "flat beside nested must read")
+    assert(int64Lists(b, "xs") != null)
+    assert(int64Lists(b, "deep") == null)
+    assert(int64Lists(b, "st") == null)
+    assert(longs(b, "xs") == null, "flat face must not read a list")
+    assert(int64Lists(b, "k") == null, "list face must not read a flat column")
+  }
+
   test("claim-bomb: hostile DELTA header cannot allocate past the page cap") {
     def enc(ns: Long*): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()
@@ -180,7 +277,7 @@ class ParquetPagesSpec extends SparkSpec {
     assert(got.toSeq === Seq(10L, 11L, 12L))
   }
 
-  test("declines: missing column, type mismatch, nested, gzip codec, corruption") {
+  test("declines: missing column, type mismatch, struct subfield, corruption") {
     val flat = spark.range(0, 100).select(col("id").as("k"),
       col("id").cast("string").as("s"))
     val b = writeAndRead(flat)
@@ -189,9 +286,10 @@ class ParquetPagesSpec extends SparkSpec {
     assert(strings(b, "k") == null) // int column via string face
     val nested = spark.range(0, 10)
       .select(struct(col("id").as("a")).as("st"), col("id").as("k"))
-    assert(longs(writeAndRead(nested), "k") == null) // non-flat schema
-    val gz = writeAndRead(flat, Map("compression" -> "gzip"))
-    assert(longs(gz, "k") == null) // unsupported codec declines, never misreads
+    val nb = writeAndRead(nested)
+    assert(longs(nb, "k") != null) // flat leaf beside a struct READS now
+    assert(longs(nb, "st") == null) // the struct itself declines
+    assert(longs(nb, "a") == null) // struct subfield is not a top-level name
     // corruption fuzz over the page region: decline-or-differ, never throw
     (0 until math.min(b.length - 8, 2000) by 7).foreach { i =>
       val c = b.clone(); c(i) = (c(i) ^ 0x6d).toByte
