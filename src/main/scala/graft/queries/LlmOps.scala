@@ -3381,6 +3381,70 @@ object LlmOps {
       "o_orderpriority")
   }
 
+  /** Parquet fixture dirs for the nested/gzip gate, written once per
+    * sf-dir per JVM (same idempotence contract as [[orcFixture]]). */
+  private val parquetNestedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def parquetNestedFixture(src: DataFrame, d: String): String =
+    parquetNestedDirs.computeIfAbsent(d, _ => {
+      val p = java.nio.file.Files.createTempDirectory("pq_nested")
+      src.coalesce(1).write
+        .option("compression", "gzip")
+        .option("parquet.page.size", "4096") // many pages: lists split mid-page
+        .mode("overwrite").parquet(p.toString)
+      val walk = java.nio.file.Files.walk(p)
+      try walk.iterator().forEachRemaining(q => q.toFile.deleteOnExit())
+      finally walk.close()
+      p.toString
+    })
+
+  /** Parquet NESTED + GZIP gate — the two round-15 decline boundaries
+    * closed in one loop: Spark writes a fixture with a list<bigint>
+    * column (null lists, empty lists, null elements) and a
+    * list<string> column under GZIP compression, and `ParquetPages`
+    * reads it back raw — RFC 1952 pages through our own Inflate,
+    * repetition levels through the generic def/rep decoder, list
+    * reassembly across page boundaries. The decoded lists aggregate
+    * per key and the oracle recomputes every figure from lineitem, so
+    * one wrong rep level, def threshold, or gzip window copy
+    * hash-mismatches. */
+  def xParquetNested(s: SparkSession, d: String): DataFrame = {
+    val src = lineitem(s, d)
+      .groupBy(col("l_orderkey").cast("long").as("k"))
+      .agg(
+        sort_array(collect_list(col("l_linenumber").cast("long"))).as("nums0"),
+        sort_array(collect_list(col("l_returnflag"))).as("flags0"))
+      .select(col("k"),
+        when(pmod(col("k"), lit(50)) === 0, lit(null))
+          .otherwise(transform(col("nums0"),
+            x => when(x === 3, lit(null)).otherwise(x))).as("nums"),
+        when(pmod(col("k"), lit(31)) === 0, array().cast("array<string>"))
+          .otherwise(col("flags0")).as("flags"))
+    val dir = parquetNestedFixture(src, d)
+    val decoded = s.read.format("binaryFile").load(dir)
+      .filter(col("path").endsWith(".parquet"))
+      .select(
+        graft.functions.ParquetPages
+          .int64ColumnCol(col("content"), lit("k")).as("ks"),
+        graft.functions.ParquetPages
+          .int64ListColumnCol(col("content"), lit("nums")).as("nums"),
+        graft.functions.ParquetPages
+          .stringListColumnCol(col("content"), lit("flags")).as("flags"))
+      .select(explode(arrays_zip(col("ks"), col("nums"), col("flags"))).as("r"))
+      .select(col("r.ks").as("k"), col("r.nums").as("nums"),
+        col("r.flags").as("flags"))
+    ordered(
+      decoded.select(col("k"),
+        size(col("nums")).cast("long").as("n_nums"),
+        aggregate(col("nums"), lit(0L), (a, x) => a + coalesce(x, lit(0L)))
+          .as("sum_nums"),
+        size(col("flags")).cast("long").as("n_flags"),
+        array_min(col("flags")).as("min_flag"),
+        array_max(col("flags")).as("max_flag")),
+      "k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_text_tokens"       -> (xTextTokens _),
     "x_text_quality"      -> (xTextQuality _),
@@ -3541,7 +3605,8 @@ object LlmOps {
     "x_avro_read"         -> (xAvroRead _),
     "x_parquet_write"     -> (xParquetWrite _),
     "x_orc_meta"          -> (xOrcMeta _),
-    "x_avro_write"        -> (xAvroWrite _))
+    "x_avro_write"        -> (xAvroWrite _),
+    "x_parquet_nested"    -> (xParquetNested _))
 
   private val toksSql =
     "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
@@ -3893,6 +3958,22 @@ object LlmOps {
       "min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status " +
       "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
 
+  private lazy val parquetNestedOracle: String =
+    """WITH g AS (
+      |  SELECT l_orderkey AS k,
+      |    CAST(count(*) AS BIGINT) AS cnt,
+      |    CAST(sum(CASE WHEN l_linenumber = 3 THEN 0
+      |             ELSE l_linenumber END) AS BIGINT) AS sm,
+      |    min(l_returnflag) AS mn, max(l_returnflag) AS mx
+      |  FROM lineitem GROUP BY 1)
+      |SELECT k,
+      |  CASE WHEN k % 50 = 0 THEN NULL ELSE cnt END AS n_nums,
+      |  CASE WHEN k % 50 = 0 THEN NULL ELSE sm END AS sum_nums,
+      |  CASE WHEN k % 31 = 0 THEN CAST(0 AS BIGINT) ELSE cnt END AS n_flags,
+      |  CASE WHEN k % 31 = 0 THEN NULL ELSE mn END AS min_flag,
+      |  CASE WHEN k % 31 = 0 THEN NULL ELSE mx END AS max_flag
+      |FROM g ORDER BY k""".stripMargin
+
   private lazy val orcMetaOracle: String =
     Seq("none", "snappy", "zlib").map { codec =>
       s"SELECT '$codec' AS codec, count(*) AS n_rows, " +
@@ -3918,6 +3999,7 @@ object LlmOps {
     "x_avro_read" -> avroReadOracle,
     "x_parquet_write" -> parquetWriteOracle,
     "x_avro_write" -> parquetWriteOracle,
+    "x_parquet_nested" -> parquetNestedOracle,
     "x_orc_meta" -> orcMetaOracle,
     "x_lm_typicality" ->
       s"""WITH $lmScoreCte
