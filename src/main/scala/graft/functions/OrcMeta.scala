@@ -31,7 +31,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object OrcMeta {
 
-  private object Malformed extends RuntimeException {
+  private[functions] object Malformed extends RuntimeException {
     override def fillInStackTrace(): Throwable = this
   }
   private def fail(): Nothing = throw Malformed
@@ -40,7 +40,8 @@ object OrcMeta {
 
   /** ORC chunk framing: repeated [3-byte LE header][chunk]; header =
     * chunkLen << 1 | isOriginal. Absent for compression NONE. */
-  private def unframe(b: Array[Byte], codec: Int): Array[Byte] = {
+  private[functions] def unframe(b: Array[Byte], codec: Int,
+                                 maxOut: Int = MaxMeta): Array[Byte] = {
     if (codec == 0) return b
     val out = new java.io.ByteArrayOutputStream(b.length * 2)
     var pos = 0
@@ -64,15 +65,15 @@ object OrcMeta {
           case _ => fail() // LZO/LZ4/ZSTD out of scope
         }
       if (dec == null) fail()
-      if (out.size() + dec.length > MaxMeta) fail()
+      if (out.size() + dec.length > maxOut) fail()
       out.write(dec)
     }
     out.toByteArray
   }
 
-  private final class Tail(val footer: Array[Byte], val codec: Int)
+  private[functions] final class Tail(val footer: Array[Byte], val codec: Int)
 
-  private def tail(b: Array[Byte]): Tail = {
+  private[functions] def tail(b: Array[Byte]): Tail = {
     if (b == null || b.length < 16) fail()
     val psLen = b(b.length - 1) & 0xff
     if (psLen <= 0 || psLen + 1 > b.length) fail()

@@ -3381,6 +3381,51 @@ object LlmOps {
       "o_orderpriority")
   }
 
+  /** ORC VALUE-READ gate — the stripe-data tier `x_orc_meta` plans
+    * over, now actually read: Spark writes a fixture with nullable
+    * bigint (PRESENT streams), a 3-value status string
+    * (DICTIONARY_V2), and an md5-derived high-cardinality string
+    * (DIRECT_V2) in all three codecs, and `functions/OrcValues`
+    * decodes the stripes raw — RLE v2 integers, byte-RLE present
+    * bits, both string encodings, chunk de-framing through our own
+    * inflate/snappy. Aggregates of the decoded arrays are oracled
+    * from orders, so one wrong bit-packed width, patch, or dictionary
+    * index hash-mismatches. */
+  def xOrcValues(s: SparkSession, d: String): DataFrame = {
+    val src = orders(s, d).select(
+      col("o_orderkey").cast("long").as("k"),
+      when(pmod(col("o_orderkey"), lit(7)) === 0, lit(null))
+        .otherwise(col("o_custkey").cast("long")).as("ck"),
+      when(pmod(col("o_orderkey"), lit(11)) === 0, lit(null))
+        .otherwise(col("o_orderstatus")).as("status"),
+      md5(col("o_orderkey").cast("string")).as("h"))
+    val faces = Seq("none", "zlib", "snappy").map { codec =>
+      val dir = orcFixture(src, s"$d#values", codec)
+      s.read.format("binaryFile").load(dir)
+        .filter(col("path").endsWith(".orc"))
+        .select(lit(codec).as("codec"),
+          graft.functions.OrcValues
+            .int64ColumnCol(col("content"), lit("k")).as("ks"),
+          graft.functions.OrcValues
+            .int64ColumnCol(col("content"), lit("ck")).as("cks"),
+          graft.functions.OrcValues
+            .stringColumnCol(col("content"), lit("status")).as("sts"),
+          graft.functions.OrcValues
+            .stringColumnCol(col("content"), lit("h")).as("hs"))
+        .select(col("codec"),
+          size(col("ks")).cast("long").as("n"),
+          aggregate(col("ks"), lit(0L), (a, x) => a + x).as("sum_key"),
+          aggregate(col("cks"), lit(0L), (a, x) => a + coalesce(x, lit(0L)))
+            .as("sum_ck"),
+          size(filter(col("cks"), x => x.isNull)).cast("long").as("n_null_ck"),
+          size(array_distinct(filter(col("sts"), x => x.isNotNull)))
+            .cast("long").as("n_status"),
+          array_min(col("hs")).as("min_h"),
+          array_max(col("hs")).as("max_h"))
+    }
+    ordered(faces.reduce(_ unionByName _), "codec")
+  }
+
   /** Parquet fixture dirs for the nested/gzip gate, written once per
     * sf-dir per JVM (same idempotence contract as [[orcFixture]]). */
   private val parquetNestedDirs =
@@ -3605,6 +3650,7 @@ object LlmOps {
     "x_avro_read"         -> (xAvroRead _),
     "x_parquet_write"     -> (xParquetWrite _),
     "x_orc_meta"          -> (xOrcMeta _),
+    "x_orc_values"        -> (xOrcValues _),
     "x_avro_write"        -> (xAvroWrite _),
     "x_parquet_nested"    -> (xParquetNested _))
 
@@ -3985,6 +4031,20 @@ object LlmOps {
         "FROM orders"
     }.mkString("", " UNION ALL ", " ORDER BY codec")
 
+  private lazy val orcValuesOracle: String =
+    Seq("none", "snappy", "zlib").map { codec =>
+      s"SELECT '$codec' AS codec, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(o_orderkey) AS BIGINT) AS sum_key, " +
+        "CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 0 ELSE o_custkey END) " +
+        "AS BIGINT) AS sum_ck, " +
+        "CAST(count(*) FILTER (WHERE o_orderkey % 7 = 0) AS BIGINT) " +
+        "AS n_null_ck, " +
+        "CAST(count(DISTINCT CASE WHEN o_orderkey % 11 = 0 THEN NULL " +
+        "ELSE o_orderstatus END) AS BIGINT) AS n_status, " +
+        "min(md5(CAST(o_orderkey AS VARCHAR))) AS min_h, " +
+        "max(md5(CAST(o_orderkey AS VARCHAR))) AS max_h FROM orders"
+    }.mkString("", " UNION ALL ", " ORDER BY codec")
+
   val oracle: Map[String, String] = Map(
     "x_parquet_footer" -> parquetFooterOracle,
     "x_parquet_schema" -> parquetSchemaOracle,
@@ -4001,6 +4061,7 @@ object LlmOps {
     "x_avro_write" -> parquetWriteOracle,
     "x_parquet_nested" -> parquetNestedOracle,
     "x_orc_meta" -> orcMetaOracle,
+    "x_orc_values" -> orcValuesOracle,
     "x_lm_typicality" ->
       s"""WITH $lmScoreCte
          |SELECT d.doc_id,

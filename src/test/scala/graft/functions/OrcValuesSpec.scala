@@ -1,0 +1,154 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** OrcValues against ORC files written by Spark itself (the real Java
+  * ORC writer): value distributions chosen to force every RLE v2
+  * sub-encoding (monotonic → DELTA, repeats → SHORT_REPEAT, noisy →
+  * DIRECT, noisy-with-outliers → PATCHED_BASE), strings in both
+  * DICTIONARY_V2 and DIRECT_V2, nulls (PRESENT streams), all three
+  * supported codecs, multi-stripe files, and the decline contract.
+  */
+class OrcValuesSpec extends SparkSpec {
+
+  private def writeAndRead(df: org.apache.spark.sql.DataFrame,
+                           opts: Map[String, String] = Map.empty): Array[Byte] = {
+    val dir = java.nio.file.Files.createTempDirectory("orcvals").toString
+    df.coalesce(1).write.options(opts).mode("overwrite").orc(dir)
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".orc")).head
+    java.nio.file.Files.readAllBytes(f.toPath)
+  }
+
+  private def longs(b: Array[Byte], name: String): Array[java.lang.Long] = {
+    val a = OrcValues.int64Values(b,
+      org.apache.spark.unsafe.types.UTF8String.fromString(name))
+    if (a == null) null
+    else (0 until a.numElements()).map(i =>
+      if (a.isNullAt(i)) null else java.lang.Long.valueOf(a.getLong(i))).toArray
+  }
+
+  private def strings(b: Array[Byte], name: String): Array[String] = {
+    val a = OrcValues.stringValues(b,
+      org.apache.spark.unsafe.types.UTF8String.fromString(name))
+    if (a == null) null
+    else (0 until a.numElements()).map(i =>
+      if (a.isNullAt(i)) null else a.getUTF8String(i).toString).toArray
+  }
+
+  // deterministic pseudo-noise (no RNG by repo rule)
+  private def noise(c: org.apache.spark.sql.Column) =
+    pmod(c * 2654435761L, lit(1000003L))
+
+  private val df = spark.range(0, 30000).select(
+    col("id").as("mono"), // monotonic → DELTA runs
+    (col("id") % 5).as("rep"), // tiny alternating runs → SHORT_REPEAT
+    noise(col("id")).as("noisy"), // high-entropy → DIRECT
+    // mostly-small with rare huge outliers → PATCHED_BASE
+    when(col("id") % 97 === 0, noise(col("id")) * 1000000L + 1234567890123L)
+      .otherwise(noise(col("id")) % 500).as("outliers"),
+    (noise(col("id")) - 500000L).as("negs"), // negatives → zigzag
+    when(col("id") % 11 === 0, lit(null)).otherwise(col("id") * 3).as("opt"),
+    (col("id") % 7).cast("int").as("i32"),
+    (col("id") % 3).cast("smallint").as("i16"),
+    concat(lit("cat-"), (col("id") % 20).cast("string")).as("lowcard"),
+    md5(col("id").cast("string")).as("highcard"),
+    when(col("id") % 13 === 0, lit(null))
+      .otherwise(concat(lit("s"), col("id").cast("string"))).as("opts"))
+
+  private val intCols = Seq("mono", "rep", "noisy", "outliers", "negs",
+    "opt", "i32", "i16")
+  private val strCols = Seq("lowcard", "highcard", "opts")
+
+  private def check(b: Array[Byte], label: String): Unit = {
+    val want = df.collect()
+    intCols.foreach { c =>
+      val got = longs(b, c)
+      assert(got != null, s"$label/$c declined")
+      assert(got.length === want.length, s"$label/$c length")
+      val ci = df.columns.indexOf(c)
+      want.zipWithIndex.foreach { case (r, i) =>
+        val w = if (r.isNullAt(ci)) null
+          else java.lang.Long.valueOf(r.get(ci).toString.toLong)
+        assert(got(i) === w, s"$label/$c@$i")
+      }
+    }
+    strCols.foreach { c =>
+      val got = strings(b, c)
+      assert(got != null, s"$label/$c declined")
+      val ci = df.columns.indexOf(c)
+      want.zipWithIndex.foreach { case (r, i) =>
+        val w = if (r.isNullAt(ci)) null else r.getString(ci)
+        assert(got(i) === w, s"$label/$c@$i")
+      }
+    }
+  }
+
+  test("all RLEv2 shapes + strings + nulls round-trip, three codecs") {
+    Seq("none", "zlib", "snappy").foreach { codec =>
+      check(writeAndRead(df, Map("compression" -> codec)), codec)
+    }
+  }
+
+  test("multi-stripe files concatenate in order") {
+    val b = writeAndRead(df, Map("compression" -> "zlib",
+      "orc.stripe.size" -> "65536"))
+    val meta = OrcMeta.fileMeta(b)
+    assert(meta != null && meta.getInt(1) > 1,
+      s"expected multiple stripes, got ${meta.getInt(1)}")
+    check(b, "multi-stripe")
+  }
+
+  test("declines: missing column, type mismatch, unsupported types") {
+    val b = writeAndRead(df)
+    assert(longs(b, "nope") == null)
+    assert(longs(b, "lowcard") == null) // string via int face
+    assert(strings(b, "mono") == null) // int via string face
+    val other = spark.range(0, 50).select(col("id").as("k"),
+      col("id").cast("double").as("d"),
+      col("id").cast("decimal(10,2)").as("dec"))
+    val ob = writeAndRead(other)
+    assert(longs(ob, "k") != null) // supported beside unsupported reads
+    assert(longs(ob, "d") == null) // double out of scope
+    assert(longs(ob, "dec") == null)
+  }
+
+  test("RLEv2: the ORC spec's own example vectors decode exactly") {
+    def dec(hex: String, n: Int, signed: Boolean = false): Seq[Long] =
+      OrcValues.rleV2(hex.grouped(2).map(Integer.parseInt(_, 16).toByte)
+        .toArray, n, signed).toSeq
+    // SHORT_REPEAT: 10000 x5
+    assert(dec("0a2710", 5) === Seq.fill(5)(10000L))
+    // DIRECT: [23713, 43806, 57005, 48879]
+    assert(dec("5e035ca1ab1edeadbeef", 4) ===
+      Seq(23713L, 43806L, 57005L, 48879L))
+    // DELTA: primes 2..29 (base 2, delta base +1, 4-bit literal deltas)
+    assert(dec("c609020222424246", 10) ===
+      Seq(2L, 3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L, 29L))
+    // PATCHED_BASE: the spec's 1000000-outlier example — base 2000,
+    // 8-bit data, one 14-bit gap+patch entry patching index 3
+    assert(dec("8e092b2107d01e00147028323c46505afce8", 10) ===
+      Seq(2030L, 2000L, 2020L, 1000000L, 2040L, 2050L, 2060L, 2070L,
+        2080L, 2090L))
+  }
+
+  test("totality: truncation and corruption fuzz never throws") {
+    val small = spark.range(0, 400).select(col("id").as("k"),
+      when(col("id") % 5 === 0, lit(null))
+        .otherwise(concat(lit("v"), (col("id") % 9).cast("string"))).as("s"))
+    val b = writeAndRead(small, Map("compression" -> "zlib"))
+    (1 until b.length by 11).foreach { keep =>
+      val c = java.util.Arrays.copyOf(b, keep)
+      OrcValues.int64Values(c,
+        org.apache.spark.unsafe.types.UTF8String.fromString("k"))
+    }
+    (0 until b.length by 5).foreach { i =>
+      val c = b.clone(); c(i) = (c(i) ^ 0x3c).toByte
+      OrcValues.int64Values(c,
+        org.apache.spark.unsafe.types.UTF8String.fromString("k"))
+      OrcValues.stringValues(c,
+        org.apache.spark.unsafe.types.UTF8String.fromString("s"))
+    }
+  }
+}
