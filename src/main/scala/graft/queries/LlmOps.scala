@@ -3381,6 +3381,40 @@ object LlmOps {
       "o_orderpriority")
   }
 
+  /** Parquet WRITE-OPTIONS gate — the round-16 writer generality in
+    * one loop: `ParquetWrite.parquetFileOpts` aggregates each
+    * order-priority group into a parquet blob with a NULLABLE string
+    * column (definition levels), dictionary page pairs, literal-only
+    * SNAPPY pages, and 1024-row row groups with per-group stats; the
+    * same query decodes the blobs back through ParquetFooter (group
+    * count) + ParquetPages (values + null interleave). Oracle
+    * recomputes group count and aggregates from orders. Spark's own
+    * reader consuming these exact variants is ParquetWriteSpec. */
+  def xParquetWrite2(s: SparkSession, d: String): DataFrame = {
+    val blobs = orders(s, d).groupBy(col("o_orderpriority"))
+      .agg(graft.functions.ParquetWrite.parquetFileOpts(
+        col("o_orderkey"),
+        when(pmod(col("o_orderkey"), lit(9)) === 0, lit(null))
+          .otherwise(col("o_orderstatus")),
+        "k", "st", codec = 1, dict = true, groupRows = 1024)
+        .as("f"))
+    ordered(
+      blobs.select(col("o_orderpriority"),
+        graft.functions.ParquetFooter.fileMetaCol(col("f")).as("m"),
+        graft.functions.ParquetPages.int64ColumnCol(col("f"), lit("k")).as("ks"),
+        graft.functions.ParquetPages.stringColumnCol(col("f"), lit("st")).as("sts"))
+        .select(col("o_orderpriority"),
+          col("m.num_rows").as("n_records"),
+          col("m.n_row_groups").cast("long").as("n_groups"),
+          aggregate(col("ks"), lit(0L), (a, x) => a + x).as("sum_key"),
+          size(filter(col("sts"), x => x.isNull)).cast("long").as("n_null_st"),
+          size(array_distinct(filter(col("sts"), x => x.isNotNull)))
+            .cast("long").as("n_st"),
+          array_min(col("sts")).as("min_st"),
+          array_max(col("sts")).as("max_st")),
+      "o_orderpriority")
+  }
+
   /** ORC VALUE-READ gate — the stripe-data tier `x_orc_meta` plans
     * over, now actually read: Spark writes a fixture with nullable
     * bigint (PRESENT streams), a 3-value status string
@@ -3652,6 +3686,7 @@ object LlmOps {
     "x_orc_meta"          -> (xOrcMeta _),
     "x_orc_values"        -> (xOrcValues _),
     "x_avro_write"        -> (xAvroWrite _),
+    "x_parquet_write2"    -> (xParquetWrite2 _),
     "x_parquet_nested"    -> (xParquetNested _))
 
   private val toksSql =
@@ -4004,6 +4039,20 @@ object LlmOps {
       "min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status " +
       "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
 
+  private lazy val parquetWrite2Oracle: String =
+    "SELECT o_orderpriority, count(*) AS n_records, " +
+      "CAST((count(*) + 1023) // 1024 AS BIGINT) AS n_groups, " +
+      "CAST(sum(o_orderkey) AS BIGINT) AS sum_key, " +
+      "CAST(count(*) FILTER (WHERE o_orderkey % 9 = 0) AS BIGINT) " +
+      "AS n_null_st, " +
+      "CAST(count(DISTINCT CASE WHEN o_orderkey % 9 = 0 THEN NULL " +
+      "ELSE o_orderstatus END) AS BIGINT) AS n_st, " +
+      "min(CASE WHEN o_orderkey % 9 = 0 THEN NULL ELSE o_orderstatus END) " +
+      "AS min_st, " +
+      "max(CASE WHEN o_orderkey % 9 = 0 THEN NULL ELSE o_orderstatus END) " +
+      "AS max_st " +
+      "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+
   private lazy val parquetNestedOracle: String =
     """WITH g AS (
       |  SELECT l_orderkey AS k,
@@ -4060,6 +4109,7 @@ object LlmOps {
     "x_parquet_write" -> parquetWriteOracle,
     "x_avro_write" -> parquetWriteOracle,
     "x_parquet_nested" -> parquetNestedOracle,
+    "x_parquet_write2" -> parquetWrite2Oracle,
     "x_orc_meta" -> orcMetaOracle,
     "x_orc_values" -> orcValuesOracle,
     "x_lm_typicality" ->

@@ -66,6 +66,105 @@ class ParquetWriteSpec extends SparkSpec {
     assert(java.util.Arrays.equals(a, b))
   }
 
+  // ---- general surface: schema, nulls, dictionary, snappy, groups ----
+
+  private val genCols = Seq(
+    ParquetWrite.ColSpec("k", isString = false, nullable = false),
+    ParquetWrite.ColSpec("opt", isString = false, nullable = true),
+    ParquetWrite.ColSpec("s", isString = true, nullable = true),
+    ParquetWrite.ColSpec("req_s", isString = true, nullable = false))
+
+  private def genRows(n: Int): Seq[Array[Any]] = (0 until n).map { i =>
+    Array[Any](
+      java.lang.Long.valueOf(i.toLong),
+      if (i % 7 == 0) null else java.lang.Long.valueOf(i.toLong * 3 - 50),
+      if (i % 11 == 0) null else s"s-${i % 40}".getBytes("UTF-8"),
+      s"r-${i % 25}".getBytes("UTF-8"))
+  }
+
+  private def sparkReads(blob: Array[Byte], n: Int, label: String): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("pqgen")
+    java.nio.file.Files.write(dir.resolve("p.parquet"), blob)
+    val back = spark.read.parquet(dir.toString)
+    // Spark surfaces every parquet column as nullable; names/types only
+    assert(back.schema.map(f => (f.name, f.dataType.simpleString)) ===
+      Seq(("k", "bigint"), ("opt", "bigint"),
+        ("s", "string"), ("req_s", "string")), label)
+    val rows = back.orderBy("k").collect()
+    assert(rows.length === n, label)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) === i.toLong, s"$label k@$i")
+      if (i % 7 == 0) assert(r.isNullAt(1), s"$label opt@$i")
+      else assert(r.getLong(1) === i.toLong * 3 - 50, s"$label opt@$i")
+      if (i % 11 == 0) assert(r.isNullAt(2), s"$label s@$i")
+      else assert(r.getString(2) === s"s-${i % 40}", s"$label s@$i")
+      assert(r.getString(3) === s"r-${i % 25}", s"$label req_s@$i")
+    }
+  }
+
+  test("general surface: every codec x dictionary x group-size variant " +
+    "reads back through Spark AND our own reader") {
+    val n = 4000
+    val rows = genRows(n)
+    for {
+      codec <- Seq(0, 1) // uncompressed, snappy (literal-only)
+      dict <- Seq(false, true)
+      groupRows <- Seq(Int.MaxValue, 700) // single + multi row group
+    } {
+      val label = s"codec=$codec dict=$dict groups=$groupRows"
+      val blob = ParquetWrite.fileBytes(genCols, rows, codec, dict, groupRows)
+      sparkReads(blob, n, label)
+      // our own reader round-trips the same blob
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString _
+      val ks = ParquetPages.int64Values(blob, u("k"))
+      val opts = ParquetPages.int64Values(blob, u("opt"))
+      val ss = ParquetPages.stringValues(blob, u("s"))
+      assert(ks != null && opts != null && ss != null, label)
+      assert(ks.numElements() === n, label)
+      (0 until n).foreach { i =>
+        assert(ks.getLong(i) === i.toLong, s"$label ks@$i")
+        if (i % 7 == 0) assert(opts.isNullAt(i), s"$label opt@$i")
+        else assert(opts.getLong(i) === i.toLong * 3 - 50, s"$label opt@$i")
+        if (i % 11 == 0) assert(ss.isNullAt(i), s"$label s@$i")
+        else assert(ss.getUTF8String(i).toString === s"s-${i % 40}", s"$label s@$i")
+      }
+    }
+  }
+
+  test("multi-group stats: our pruned read skips groups our writer wrote") {
+    val n = 10000
+    val rows = genRows(n)
+    val blob = ParquetWrite.fileBytes(genCols, rows, codec = 1,
+      useDictionary = false, rowGroupRows = 1000)
+    val r = ParquetPages.int64ValuesPruned(blob,
+      org.apache.spark.unsafe.types.UTF8String.fromString("k"), 2500L, 3500L)
+    assert(r != null)
+    assert(r.getInt(0) === 10) // 10 groups written
+    assert(r.getInt(1) === 2) // only [2000,3000) + [3000,4000) survive
+    val a = r.getArray(2)
+    val got = (0 until a.numElements()).map(a.getLong)
+      .filter(v => v >= 2500 && v <= 3500)
+    assert(got === (2500L to 3500L))
+    // Spark prunes on the same stats: filter result stays exact
+    val dir = java.nio.file.Files.createTempDirectory("pqprune")
+    java.nio.file.Files.write(dir.resolve("p.parquet"), blob)
+    assert(spark.read.parquet(dir.toString)
+      .filter(col("k").between(2500, 3500)).count() === 1001)
+  }
+
+  test("dictionary page pair: footer records the dict offset; " +
+    "page walk starts at the dictionary") {
+    val rows = genRows(600)
+    val blob = ParquetWrite.fileBytes(genCols, rows, codec = 0,
+      useDictionary = true)
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString _
+    // our reader walks dict page first, decodes indices
+    val ss = ParquetPages.stringValues(blob, u("req_s"))
+    assert(ss != null && ss.numElements() === 600)
+    (0 until 600).foreach(i =>
+      assert(ss.getUTF8String(i).toString === s"r-${i % 25}"))
+  }
+
   test("empty group yields a valid zero-row file") {
     val df = spark.range(0, 10).filter(col("id") < 0)
       .select(col("id"), col("id").cast("string").as("s"))
