@@ -13,8 +13,11 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Avro OCF WRITER as an aggregate — the row-format twin of
   * [[ParquetWrite]]: `groupBy(part).agg(avro_file(id, name))` yields
   * one complete Object Container File blob per group (magic, metadata
-  * map with schema JSON + null codec, zigzag-varint block framing,
-  * sync markers, Avro-binary record bodies). Rows are sorted
+  * map with schema JSON + codec, zigzag-varint block framing,
+  * sync markers, Avro-binary record bodies; codec `null` or `deflate`
+  * via stored-block RFC 1951 — always-valid deflate that needs no
+  * compressor and round-trips through the in-house [[Inflate]] and
+  * real zlib alike). Rows are sorted
   * (id, name) inside the aggregate so blobs are deterministic under
   * shuffle arrival order. Blocks split at [[RecordsPerBlock]] records,
   * so large groups produce the multi-block layout real readers expect
@@ -56,9 +59,34 @@ object AvroWrite {
     } while (v != 0)
   }
 
+  /** Stored-block DEFLATE (RFC 1951 BTYPE=00) — valid deflate with no
+    * compressor: ≤65535-byte blocks of [BFINAL/BTYPE byte][LEN][NLEN]
+    * [bytes]. Self-describing blobs that round-trip through the
+    * in-house [[Inflate]] and real zlib alike (the write-side twin of
+    * [[ParquetWrite.snappyStored]]). */
+  private[functions] def deflateStored(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(b.length + 8)
+    if (b.isEmpty) {
+      out.write(1); out.write(0); out.write(0); out.write(0xff); out.write(0xff)
+      return out.toByteArray
+    }
+    var p = 0
+    while (p < b.length) {
+      val n = math.min(65535, b.length - p)
+      out.write(if (p + n == b.length) 1 else 0) // BFINAL + BTYPE=00 + pad
+      out.write(n & 0xff); out.write((n >>> 8) & 0xff)
+      out.write(~n & 0xff); out.write((~n >>> 8) & 0xff)
+      out.write(b, p, n)
+      p += n
+    }
+    out.toByteArray
+  }
+
   def fileBytes(rows: Seq[(Long, Array[Byte])], idName: String,
-                strName: String): Array[Byte] = {
+                strName: String, codec: String = "null"): Array[Byte] = {
     requireAvroName(idName); requireAvroName(strName)
+    require(codec == "null" || codec == "deflate",
+      s"avro_file_agg: unsupported codec '$codec'")
     val out = new java.io.ByteArrayOutputStream(1024)
     out.write("Obj".getBytes("UTF-8")); out.write(1)
     // metadata map: one block of 2 entries, then end-of-map
@@ -69,7 +97,7 @@ object AvroWrite {
       writeVarint(out, vb.length.toLong); out.write(vb)
     }
     kv("avro.schema", schemaJson(idName, strName))
-    kv("avro.codec", "null")
+    kv("avro.codec", codec)
     writeVarint(out, 0L)
     out.write(Sync)
     rows.grouped(RecordsPerBlock).foreach { block =>
@@ -79,9 +107,12 @@ object AvroWrite {
         writeVarint(body, s.length.toLong)
         body.write(s, 0, s.length)
       }
+      val payload =
+        if (codec == "deflate") deflateStored(body.toByteArray)
+        else body.toByteArray
       writeVarint(out, block.size.toLong)
-      writeVarint(out, body.size().toLong)
-      body.writeTo(out)
+      writeVarint(out, payload.length.toLong)
+      out.write(payload, 0, payload.length)
       out.write(Sync)
     }
     out.toByteArray
@@ -101,6 +132,7 @@ object AvroWrite {
   case class AvroFileAgg(
       id: Expression, name: Expression,
       idName: String, strName: String,
+      codec: String = "null",
       mutableAggBufferOffset: Int = 0,
       inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[ArrayBuffer[(Long, Array[Byte])]] {
@@ -133,7 +165,7 @@ object AvroWrite {
       val sorted = buf.sortWith { case ((a, as), (b, bs)) =>
         a < b || (a == b && byteLt(as, bs))
       }
-      fileBytes(sorted.toSeq, idName, strName)
+      fileBytes(sorted.toSeq, idName, strName, codec)
     }
 
     override def serialize(buf: ArrayBuffer[(Long, Array[Byte])]): Array[Byte] = {
@@ -167,11 +199,13 @@ object AvroWrite {
   }
 
   def avroFile(id: Column, name: Column, idName: String,
-               strName: String): Column = {
+               strName: String, codec: String = "null"): Column = {
     requireAvroName(idName); requireAvroName(strName)
+    require(codec == "null" || codec == "deflate",
+      s"avro_file_agg: unsupported codec '$codec'")
     SparkInternals.column(AvroFileAgg(
       Cast(SparkInternals.expression(id), LongType),
       Cast(SparkInternals.expression(name), StringType),
-      idName, strName).toAggregateExpression())
+      idName, strName, codec).toAggregateExpression())
   }
 }

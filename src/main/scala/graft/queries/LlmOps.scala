@@ -3524,6 +3524,29 @@ object LlmOps {
       "k")
   }
 
+  /** Deflate-codec twin of x_avro_write: the writer emits stored-block
+    * RFC 1951 payloads and the same query decodes them back through
+    * AvroRead's in-house Inflate; real avro-java consuming the blobs
+    * is AvroWriteSpec's cross-implementation check. Same oracle — the
+    * decoded records are identical by construction. */
+  def xAvroWriteDeflate(s: SparkSession, d: String): DataFrame = {
+    val blobs = orders(s, d).groupBy(col("o_orderpriority"))
+      .agg(graft.functions.AvroWrite
+        .avroFile(col("o_orderkey"), col("o_orderstatus"), "k", "st", "deflate")
+        .as("f"))
+    ordered(
+      blobs.select(col("o_orderpriority"),
+        graft.functions.AvroRead.fileMetaCol(col("f")).as("m"),
+        graft.functions.AvroRead.int64ColumnCol(col("f"), lit("k")).as("ks"),
+        graft.functions.AvroRead.stringColumnCol(col("f"), lit("st")).as("sts"))
+        .select(col("o_orderpriority"),
+          col("m.n_records").as("n_records"),
+          aggregate(col("ks"), lit(0L), (a, x) => a + x).as("sum_key"),
+          array_min(col("sts")).as("min_status"),
+          array_max(col("sts")).as("max_status")),
+      "o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_text_tokens"       -> (xTextTokens _),
     "x_text_quality"      -> (xTextQuality _),
@@ -3686,6 +3709,7 @@ object LlmOps {
     "x_orc_meta"          -> (xOrcMeta _),
     "x_orc_values"        -> (xOrcValues _),
     "x_avro_write"        -> (xAvroWrite _),
+    "x_avro_write_deflate" -> (xAvroWriteDeflate _),
     "x_parquet_write2"    -> (xParquetWrite2 _),
     "x_parquet_nested"    -> (xParquetNested _))
 
@@ -4108,6 +4132,7 @@ object LlmOps {
     "x_avro_read" -> avroReadOracle,
     "x_parquet_write" -> parquetWriteOracle,
     "x_avro_write" -> parquetWriteOracle,
+    "x_avro_write_deflate" -> parquetWriteOracle,
     "x_parquet_nested" -> parquetNestedOracle,
     "x_parquet_write2" -> parquetWrite2Oracle,
     "x_orc_meta" -> orcMetaOracle,
