@@ -77,7 +77,7 @@ object CrawlStore {
     graft.util.AtomicCommit.commitPointer(fs, metaPath(path),
       s"${m.version} ${m.nb} ${m.upTo} ${m.rows}")
 
-  private[streaming] def listEpochs(fs: FileSystem, path: String): Seq[Long] = {
+  private[graft] def listEpochs(fs: FileSystem, path: String): Seq[Long] = {
     val root = new Path(path)
     if (!fs.exists(root)) Nil
     else fs.listStatus(root).toSeq

@@ -94,8 +94,24 @@ object CrawlHistoryProbe {
           .union(spark.read.parquet(dir).select("canon"))
         require(cands.join(hist, Seq("canon"), "left_anti").count() == batchKeys / 2)
       }
+      // grace-cost face (round-16): the one-compaction reader grace
+      // leaves the epochs folded by the LAST flip on disk (batch_id <=
+      // upTo, list-filtered but never read). Delete them — exactly
+      // what an immediate (grace-free) vacuum would have done — and
+      // re-time the same batch: the delta is the pure listing/
+      // discovery cost of the graced generation.
+      val fs2 = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.streaming.CrawlStore.listEpochs(fs2, dir)
+        .filter(_ <= meta.upTo).foreach(e => fs2.delete(
+          new org.apache.hadoop.fs.Path(dir, s"batch_id=$e"), true))
+      var n2 = 0L
+      val vacCold = time { n2 = storeRun() }
+      val vacWarm = time { storeRun() }
+      require(n2 == batchKeys / 2, s"post-vacuum exactness: $n2")
       println(f"""{"probe":"crawl_history","factor":$factor,"history":$total,""" +
         f""""store_cold_s":$cold%.2f,"store_warm_s":$warm%.2f,""" +
+        f""""vacuumed_cold_s":$vacCold%.2f,"vacuumed_warm_s":$vacWarm%.2f,""" +
         f""""linear_control_s":$control%.2f,"nb":${meta.nb}}""")
     }
     spark.stop()
