@@ -24,8 +24,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * Faces: [[fileMeta]] (rows, stripes, stripe-row total, compression,
   * root field names) and [[colStats]] (per-column value count,
   * int min/max/sum — proto sint64 zigzag — or string min/max).
-  * Unsupported codecs (LZO/LZ4/ZSTD footer compression) and any
-  * malformed structure decline to null.
+  * ZSTD chunks route through the in-house [[ZstdDecode]]; unsupported
+  * codecs (LZO/LZ4) and any malformed structure decline to null.
   *
   * Reference scope: beyond-reference §2.10.
   */
@@ -62,7 +62,8 @@ object OrcMeta {
           case 2 =>
             val d = BlockCodecs.snappyBlock(chunk)
             d
-          case _ => fail() // LZO/LZ4/ZSTD out of scope
+          case 5 => ZstdDecode.decompress(chunk) // zstd frames (RFC 8878)
+          case _ => fail() // LZO/LZ4 out of scope
         }
       if (dec == null) fail()
       if (out.size() + dec.length > maxOut) fail()

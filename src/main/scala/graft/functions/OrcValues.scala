@@ -28,10 +28,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    DICTIONARY_V2 (dictionary LENGTH/DATA + index stream).
   *
   * Scope: flat top-level smallint/int/bigint and string columns from
-  * NONE/ZLIB/SNAPPY files — what the mainstream writers emit for the
-  * shapes [[OrcMeta]] plans over. Anything else (other types, LZO/
-  * LZ4/ZSTD, nested structure) DECLINES to null, the total-parser
-  * contract, with all claims bounded before allocation.
+  * NONE/ZLIB/SNAPPY/ZSTD files (ZSTD through the in-house
+  * [[ZstdDecode]]) — what the mainstream writers emit for the shapes
+  * [[OrcMeta]] plans over. Anything else (other types, LZO/LZ4,
+  * nested structure) DECLINES to null, the total-parser contract,
+  * with all claims bounded before allocation.
   *
   * Reference scope: beyond-reference §2.10 (the reference has no
   * columnar storage at all).

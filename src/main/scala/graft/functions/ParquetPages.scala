@@ -27,7 +27,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * value encodings RLE_DICTIONARY / PLAIN_DICTIONARY / PLAIN /
   * DELTA_BINARY_PACKED / DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY
   * (the parquet-mr v2-writer set); codecs UNCOMPRESSED, SNAPPY, GZIP
-  * (RFC 1952 framing over the in-house [[Inflate]]), LZ4_RAW; physical
+  * (RFC 1952 framing over the in-house [[Inflate]]), ZSTD (the
+  * in-house [[ZstdDecode]]), LZ4_RAW; physical
   * INT32 / INT64 (widened to long) and BYTE_ARRAY (string face);
   * required or optional flat leaves, plus one-level LIST columns
   * (repetition levels, the standard 3-level parquet list shape) via
@@ -318,6 +319,7 @@ object ParquetPages {
       case 0 => slice
       case 1 => BlockCodecs.snappyBlock(slice)
       case 2 => Inflate.gzip(slice) // RFC 1952 over the in-house inflate
+      case 6 => ZstdDecode.decompress(slice) // zstd frames (RFC 8878)
       case 7 => BlockCodecs.lz4Block(slice)
       case _ => fail()
     }

@@ -3335,7 +3335,7 @@ object LlmOps {
 
   def xOrcMeta(s: SparkSession, d: String): DataFrame = {
     val src = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"))
-    val faces = Seq("none", "zlib", "snappy").map { codec =>
+    val faces = Seq("none", "zlib", "snappy", "zstd").map { codec =>
       val dir = orcFixture(src, d, codec)
       val m = graft.functions.OrcMeta.fileMetaCol(col("content")).as("m")
       val ks = graft.functions.OrcMeta
@@ -3379,6 +3379,37 @@ object LlmOps {
           array_min(col("sts")).as("min_status"),
           array_max(col("sts")).as("max_status")),
       "o_orderpriority")
+  }
+
+  /** Zstandard frame-walk gate — SQL-built RFC 8878 frames decoded by
+    * `functions/ZstdDecode`: a single-segment frame with a 1-byte
+    * frame-content-size and a raw block, a skippable frame the walk
+    * must hop, and a second frame mixing an RLE block with a raw last
+    * block (multi-frame concatenation). The oracle reconstructs the
+    * decoded text with substr/repeat arithmetic, so one wrong header
+    * bit, block-size shift, or frame boundary hash-mismatches. The
+    * compressed-block machinery (FSE/Huffman/sequences) is pinned
+    * byte-exact against real zstd-jni in ZstdDecodeSpec — a stronger
+    * check than any SQL oracle could express. */
+  def xZstdFrames(s: SparkSession, d: String): DataFrame = {
+    val base = asciiBase80
+    val frames = unhex(concat(
+      // frame 1: single-segment, FCS=0x50, one raw last block (80 B)
+      lit("28B52FFD"), lit("20"), lit("50"),
+      lit("810200"), hex(substring(base, 1, 80)),
+      // skippable frame: magic, 4-byte size, 4 payload bytes to hop
+      lit("502A4D18"), lit("04000000"), lit("DEADBEEF"),
+      // frame 2: FCS=0x32: RLE block (30 x base[41]) + raw last (20 B)
+      lit("28B52FFD"), lit("20"), lit("32"),
+      lit("F20000"), hex(substring(base, 41, 1)),
+      lit("A10000"), hex(substring(base, 42, 20))))
+    val fx = documents(s, d).select(col("doc_id"), frames.as("frames"))
+    ordered(
+      fx.select(col("doc_id"),
+        graft.functions.ZstdDecode.decompressCol(col("frames")).as("dec"))
+        .select(col("doc_id"), col("dec").cast("string").as("decoded"),
+          octet_length(col("dec")).cast("long").as("n_bytes")),
+      "doc_id")
   }
 
   /** Parquet WRITE-OPTIONS gate — the round-16 writer generality in
@@ -3433,7 +3464,7 @@ object LlmOps {
       when(pmod(col("o_orderkey"), lit(11)) === 0, lit(null))
         .otherwise(col("o_orderstatus")).as("status"),
       md5(col("o_orderkey").cast("string")).as("h"))
-    val faces = Seq("none", "zlib", "snappy").map { codec =>
+    val faces = Seq("none", "zlib", "snappy", "zstd").map { codec =>
       val dir = orcFixture(src, s"$d#values", codec)
       s.read.format("binaryFile").load(dir)
         .filter(col("path").endsWith(".orc"))
@@ -3708,6 +3739,7 @@ object LlmOps {
     "x_parquet_write"     -> (xParquetWrite _),
     "x_orc_meta"          -> (xOrcMeta _),
     "x_orc_values"        -> (xOrcValues _),
+    "x_zstd_frames"       -> (xZstdFrames _),
     "x_avro_write"        -> (xAvroWrite _),
     "x_avro_write_deflate" -> (xAvroWriteDeflate _),
     "x_parquet_write2"    -> (xParquetWrite2 _),
@@ -4094,7 +4126,7 @@ object LlmOps {
       |FROM g ORDER BY k""".stripMargin
 
   private lazy val orcMetaOracle: String =
-    Seq("none", "snappy", "zlib").map { codec =>
+    Seq("none", "snappy", "zlib", "zstd").map { codec =>
       s"SELECT '$codec' AS codec, count(*) AS n_rows, " +
         "count(*) AS stripe_rows_total, " +
         "'o_orderkey,o_orderstatus' AS field_names, " +
@@ -4104,8 +4136,16 @@ object LlmOps {
         "FROM orders"
     }.mkString("", " UNION ALL ", " ORDER BY codec")
 
+  private lazy val zstdFramesOracle: String =
+    s"""WITH $codecBaseCte
+       |SELECT doc_id,
+       |  substr(base,1,80) || repeat(substr(base,41,1), 30)
+       |    || substr(base,42,20) AS decoded,
+       |  CAST(130 AS BIGINT) AS n_bytes
+       |FROM b ORDER BY doc_id""".stripMargin
+
   private lazy val orcValuesOracle: String =
-    Seq("none", "snappy", "zlib").map { codec =>
+    Seq("none", "snappy", "zlib", "zstd").map { codec =>
       s"SELECT '$codec' AS codec, CAST(count(*) AS BIGINT) AS n, " +
         "CAST(sum(o_orderkey) AS BIGINT) AS sum_key, " +
         "CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 0 ELSE o_custkey END) " +
@@ -4137,6 +4177,7 @@ object LlmOps {
     "x_parquet_write2" -> parquetWrite2Oracle,
     "x_orc_meta" -> orcMetaOracle,
     "x_orc_values" -> orcValuesOracle,
+    "x_zstd_frames" -> zstdFramesOracle,
     "x_lm_typicality" ->
       s"""WITH $lmScoreCte
          |SELECT d.doc_id,

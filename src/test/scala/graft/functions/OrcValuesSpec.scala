@@ -85,8 +85,8 @@ class OrcValuesSpec extends SparkSpec {
     }
   }
 
-  test("all RLEv2 shapes + strings + nulls round-trip, three codecs") {
-    Seq("none", "zlib", "snappy").foreach { codec =>
+  test("all RLEv2 shapes + strings + nulls round-trip, four codecs") {
+    Seq("none", "zlib", "snappy", "zstd").foreach { codec =>
       check(writeAndRead(df, Map("compression" -> codec)), codec)
     }
   }

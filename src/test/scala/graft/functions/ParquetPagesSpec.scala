@@ -180,18 +180,21 @@ class ParquetPagesSpec extends SparkSpec {
     }.toArray
   }
 
-  test("GZIP codec: RFC 1952 pages through the in-house inflate") {
+  test("GZIP and ZSTD codecs: pages through the in-house inflate/zstd") {
     val df = spark.range(0, 6000).select(
       when(col("id") % 7 === 0, lit(null)).otherwise(col("id") * 3 - 11).as("k"),
       concat(lit("v"), (col("id") % 50).cast("string")).as("s"))
-    Seq(Map("compression" -> "gzip"),
-      Map("compression" -> "gzip", "parquet.enable.dictionary" -> "false"),
-      Map("compression" -> "gzip", "parquet.writer.version" -> "v2"))
+    (for {
+      codec <- Seq("gzip", "zstd")
+      extra <- Seq(Map.empty[String, String],
+        Map("parquet.enable.dictionary" -> "false"),
+        Map("parquet.writer.version" -> "v2"))
+    } yield Map("compression" -> codec) ++ extra)
       .foreach { opts =>
         val b = writeAndRead(df, opts)
         val want = df.collect()
         val k = longs(b, "k"); val s = strings(b, "s")
-        assert(k != null && s != null, s"gzip declined under $opts")
+        assert(k != null && s != null, s"declined under $opts")
         want.zipWithIndex.foreach { case (r, i) =>
           assert(k(i) === (if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))), s"k@$i $opts")
           assert(s(i) === r.getString(1), s"s@$i $opts")
