@@ -17,8 +17,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * records. Everything is decoded in-house: the schema JSON through a
   * minimal recursive-descent parser, block payloads through OUR codec
   * tier ([[Inflate.raw]] for the deflate codec — Avro deflate is raw
-  * RFC 1951 — and [[BlockCodecs.snappyBlock]] + CRC-32 suffix check
-  * for snappy), and the record body through the Avro binary spec
+  * RFC 1951 — [[BlockCodecs.snappyBlock]] + CRC-32 suffix check for
+  * snappy, and [[ZstdDecode]] frames for the zstandard codec), and
+  * the record body through the Avro binary spec
   * (zigzag varints, length-prefixed strings/bytes, LE float/double,
   * union branch indices).
   *
@@ -272,6 +273,10 @@ object AvroRead {
         case "null" => raw
         case "deflate" =>
           val d = Inflate.raw(raw)
+          if (d == null) fail()
+          d
+        case "zstandard" => // zstd frame per block (RFC 8878)
+          val d = ZstdDecode.decompress(raw)
           if (d == null) fail()
           d
         case "snappy" => // avro snappy: block + 4-byte BE CRC32 of the DATA

@@ -27,7 +27,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - string columns in both DIRECT_V2 (LENGTH + DATA) and
   *    DICTIONARY_V2 (dictionary LENGTH/DATA + index stream).
   *
-  * Scope: flat top-level smallint/int/bigint and string columns from
+  * Scope: flat top-level smallint/int/bigint, float/double (IEEE 754
+  * LE direct streams, widened to double), and string columns from
   * NONE/ZLIB/SNAPPY/ZSTD files (ZSTD through the in-house
   * [[ZstdDecode]]) — what the mainstream writers emit for the shapes
   * [[OrcMeta]] plans over. Anything else (other types, LZO/LZ4,
@@ -351,18 +352,27 @@ object OrcValues {
     new FilePlan(t.codec, rootNames, typeKinds.toArray, stripes.toArray)
   }
 
+  // value kinds for readColumn
+  private final val KLong = 0
+  private final val KString = 1
+  private final val KDouble = 2
+
   /** Reads one column's values across all stripes; boxed Long /
-    * UTF8String / null elements. */
+    * UTF8String / Double / null elements per `want`. */
   private def readColumn(b: Array[Byte], colName: String,
-                         wantString: Boolean): Array[Any] = {
+                         want: Int): Array[Any] = {
+    val wantString = want == KString
     val p = plan(b)
     val fi = p.names.indexOf(colName)
     if (fi < 0) fail()
     val colId = fi + 1 // column 0 is the root struct
     val kind = p.kinds(fi)
-    // Type.Kind: SHORT=2 INT=3 LONG=4 STRING=7
-    if (wantString && kind != 7) fail()
-    if (!wantString && kind != 2 && kind != 3 && kind != 4) fail()
+    // Type.Kind: SHORT=2 INT=3 LONG=4 FLOAT=5 DOUBLE=6 STRING=7
+    want match {
+      case KLong => if (kind != 2 && kind != 3 && kind != 4) fail()
+      case KString => if (kind != 7) fail()
+      case _ => if (kind != 5 && kind != 6) fail()
+    }
 
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     p.stripes.foreach { stripe =>
@@ -405,7 +415,26 @@ object OrcValues {
         else presentBits(present, rows)
       val nPresent = isPresent.count(identity)
 
-      if (!wantString) {
+      if (want == KDouble) {
+        // FLOAT/DOUBLE: DATA = IEEE 754 little-endian values, DIRECT
+        val width = if (kind == 5) 4 else 8
+        if (encKind != 0) fail()
+        if (nPresent.toLong * width > data.length) fail()
+        var vi = 0
+        var off = 0
+        isPresent.foreach { pr =>
+          if (pr) {
+            var v = 0L
+            var k = width - 1
+            while (k >= 0) { v = (v << 8) | (data(off + k) & 0xffL); k -= 1 }
+            val d = if (kind == 5)
+              java.lang.Float.intBitsToFloat(v.toInt).toDouble
+            else java.lang.Double.longBitsToDouble(v)
+            out += java.lang.Double.valueOf(d)
+            off += width; vi += 1
+          } else out += null
+        }
+      } else if (want == KLong) {
         if (encKind != 2 && encKind != 0) fail() // DIRECT_V2 (or DIRECT)
         if (encKind == 0) fail() // v1 RLE out of scope: decline, not misread
         val vals = rleV2(data, nPresent, signed = true)
@@ -463,25 +492,22 @@ object OrcValues {
 
   // ---- faces ----
 
-  def int64Values(b: Array[Byte], name: UTF8String): ArrayData =
+  private def face(b: Array[Byte], name: UTF8String, want: Int): ArrayData =
     try {
       if (b == null || name == null) fail()
-      new GenericArrayData(readColumn(b, name.toString, wantString = false))
+      new GenericArrayData(readColumn(b, name.toString, want))
     } catch {
       case Malformed => null
       case e: RuntimeException if e eq OrcMeta.Malformed => null
       case e: RuntimeException if e eq ProtoWire.ProtoMalformed => null
     }
 
+  def int64Values(b: Array[Byte], name: UTF8String): ArrayData =
+    face(b, name, KLong)
   def stringValues(b: Array[Byte], name: UTF8String): ArrayData =
-    try {
-      if (b == null || name == null) fail()
-      new GenericArrayData(readColumn(b, name.toString, wantString = true))
-    } catch {
-      case Malformed => null
-      case e: RuntimeException if e eq OrcMeta.Malformed => null
-      case e: RuntimeException if e eq ProtoWire.ProtoMalformed => null
-    }
+    face(b, name, KString)
+  def doubleValues(b: Array[Byte], name: UTF8String): ArrayData =
+    face(b, name, KDouble)
 
   // ---- expressions ----
 
@@ -500,6 +526,8 @@ object OrcValues {
       case "int64Values" => OrcValues.int64Values(
         b.asInstanceOf[Array[Byte]], c.asInstanceOf[UTF8String])
       case "stringValues" => OrcValues.stringValues(
+        b.asInstanceOf[Array[Byte]], c.asInstanceOf[UTF8String])
+      case "doubleValues" => OrcValues.doubleValues(
         b.asInstanceOf[Array[Byte]], c.asInstanceOf[UTF8String])
     }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -530,10 +558,22 @@ object OrcValues {
       copy(left = l, right = r)
   }
 
+  case class OrcDoubleColumn(left: Expression, right: Expression)
+      extends OrcColumn {
+    override def method: String = "doubleValues"
+    override def elemType: DataType = DoubleType
+    override def prettyName: String = "orc_double_column"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   def int64ColumnCol(content: Column, name: Column): Column =
     SparkInternals.column(OrcInt64Column(
       SparkInternals.expression(content), SparkInternals.expression(name)))
   def stringColumnCol(content: Column, name: Column): Column =
     SparkInternals.column(OrcStringColumn(
+      SparkInternals.expression(content), SparkInternals.expression(name)))
+  def doubleColumnCol(content: Column, name: Column): Column =
+    SparkInternals.column(OrcDoubleColumn(
       SparkInternals.expression(content), SparkInternals.expression(name)))
 }

@@ -29,7 +29,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * (the parquet-mr v2-writer set); codecs UNCOMPRESSED, SNAPPY, GZIP
   * (RFC 1952 framing over the in-house [[Inflate]]), ZSTD (the
   * in-house [[ZstdDecode]]), LZ4_RAW; physical
-  * INT32 / INT64 (widened to long) and BYTE_ARRAY (string face);
+  * INT32 / INT64 (widened to long), FLOAT / DOUBLE (widened to
+  * double) and BYTE_ARRAY (string face);
   * required or optional flat leaves, plus one-level LIST columns
   * (repetition levels, the standard 3-level parquet list shape) via
   * the list faces. Everything else — deeper nesting, MAP columns,
@@ -128,6 +129,14 @@ object ParquetPages {
     def nextLong(ptype: Int): Long = ptype match {
       case 1 => val v = leInt(d, pos).toLong; pos += 4; v
       case 2 => val v = leLong(d, pos); pos += 8; v
+      case _ => fail()
+    }
+    def nextDouble(ptype: Int): Double = ptype match {
+      case 4 => // FLOAT widened, like INT32 → long
+        val v = java.lang.Float.intBitsToFloat(leInt(d, pos)); pos += 4
+        v.toDouble
+      case 5 =>
+        val v = java.lang.Double.longBitsToDouble(leLong(d, pos)); pos += 8; v
       case _ => fail()
     }
     def nextBytes(): Array[Byte] = {
@@ -406,16 +415,21 @@ object ParquetPages {
   private def levelWidth(maxLevel: Int): Int =
     32 - Integer.numberOfLeadingZeros(maxLevel)
 
+  // value kinds for readColumn (which boxed type the face yields)
+  private final val KLong = 0
+  private final val KString = 1
+  private final val KDouble = 2
+
   /** Reads one column (flat or one-level list); flat elements are
-    * boxed java.lang.Long / UTF8String / null, list elements are
-    * GenericArrayData / null. With a `range`, row groups whose footer
-    * [min, max] cannot intersect it are SKIPPED — their pages are
-    * never touched (the stats-based pruning an engine does before any
-    * I/O; groups without stats are conservatively kept). Returns
-    * (n_groups, kept_groups, values) or null on any unsupported or
-    * malformed structure. */
+    * boxed java.lang.Long / UTF8String / java.lang.Double / null per
+    * `kind`, list elements are GenericArrayData / null. With a
+    * `range`, row groups whose footer [min, max] cannot intersect it
+    * are SKIPPED — their pages are never touched (the stats-based
+    * pruning an engine does before any I/O; groups without stats are
+    * conservatively kept). Returns (n_groups, kept_groups, values) or
+    * null on any unsupported or malformed structure. */
   private def readColumn(b: Array[Byte], colName: String,
-                         wantString: Boolean, wantList: Boolean,
+                         kind: Int, wantList: Boolean,
                          range: (Long, Long) = null): (Int, Int, Array[Any]) = {
     val f = ParquetFooter.parse(b)
     if (f == null) return null
@@ -425,10 +439,13 @@ object ParquetPages {
       val leaf = shape.leaf
       val maxDef = shape.maxDef
       val maxRep = shape.maxRep
-      if (wantString && leaf.ptype != 6) fail()
-      if (!wantString && leaf.ptype != 1 && leaf.ptype != 2) fail()
-
-      if (range != null && (wantString || wantList)) fail()
+      val wantString = kind == KString
+      kind match {
+        case KLong => if (leaf.ptype != 1 && leaf.ptype != 2) fail()
+        case KString => if (leaf.ptype != 6) fail()
+        case _ => if (leaf.ptype != 4 && leaf.ptype != 5) fail()
+      }
+      if (range != null && (kind != KLong || wantList)) fail()
 
       val defWidth = levelWidth(maxDef)
       val repWidth = levelWidth(maxRep)
@@ -466,6 +483,7 @@ object ParquetPages {
 
         var dictLongs: Array[Long] = null
         var dictBytes: Array[Array[Byte]] = null
+        var dictDoubles: Array[Double] = null
         var produced = 0
         while (produced < total) {
           val r = new ParquetFooter.TReader(b, pos.toInt, b.length)
@@ -490,23 +508,29 @@ object ParquetPages {
                 var i = 0
                 while (i < nNonNull) {
                   val ix = idx(i)
-                  if (wantString) {
-                    if (dictBytes == null || ix < 0 || ix >= dictBytes.length) fail()
-                    a(i) = UTF8String.fromBytes(dictBytes(ix))
-                  } else {
-                    if (dictLongs == null || ix < 0 || ix >= dictLongs.length) fail()
-                    a(i) = java.lang.Long.valueOf(dictLongs(ix))
+                  kind match {
+                    case KString =>
+                      if (dictBytes == null || ix < 0 || ix >= dictBytes.length) fail()
+                      a(i) = UTF8String.fromBytes(dictBytes(ix))
+                    case KLong =>
+                      if (dictLongs == null || ix < 0 || ix >= dictLongs.length) fail()
+                      a(i) = java.lang.Long.valueOf(dictLongs(ix))
+                    case _ =>
+                      if (dictDoubles == null || ix < 0 || ix >= dictDoubles.length) fail()
+                      a(i) = java.lang.Double.valueOf(dictDoubles(ix))
                   }
                   i += 1
                 }
                 a
               case 0 => // PLAIN
                 val p = new Plain(values, cur0)
-                Array.tabulate[Any](nNonNull)(_ =>
-                  if (wantString) UTF8String.fromBytes(p.nextBytes())
-                  else java.lang.Long.valueOf(p.nextLong(leaf.ptype)))
+                Array.tabulate[Any](nNonNull)(_ => kind match {
+                  case KString => UTF8String.fromBytes(p.nextBytes())
+                  case KLong => java.lang.Long.valueOf(p.nextLong(leaf.ptype))
+                  case _ => java.lang.Double.valueOf(p.nextDouble(leaf.ptype))
+                })
               case 5 => // DELTA_BINARY_PACKED (ints)
-                if (wantString) fail()
+                if (kind != KLong) fail()
                 val got = deltaBinaryPacked(new Cursor(values, cur0))
                 if (got.length != nNonNull) fail()
                 // INT32 columns carry 32-bit semantics: truncate like a
@@ -545,10 +569,13 @@ object ParquetPages {
             val d = decompress(b, dataStart, h.compressed, h.uncompressed, chunk.codec)
             val p = new Plain(d, 0)
             if (h.numValues < 0 || h.numValues > MaxPage) fail()
-            if (wantString) {
-              dictBytes = Array.fill(h.numValues)(p.nextBytes())
-            } else {
-              dictLongs = Array.tabulate(h.numValues)(_ => p.nextLong(leaf.ptype))
+            kind match {
+              case KString =>
+                dictBytes = Array.fill(h.numValues)(p.nextBytes())
+              case KLong =>
+                dictLongs = Array.tabulate(h.numValues)(_ => p.nextLong(leaf.ptype))
+              case _ =>
+                dictDoubles = Array.tabulate(h.numValues)(_ => p.nextDouble(leaf.ptype))
             }
           } else if (h.ptype == 0) { // data page v1: [rep][def][values]
             val d = decompress(b, dataStart, h.compressed, h.uncompressed, chunk.codec)
@@ -649,33 +676,31 @@ object ParquetPages {
     }
   }
 
-  def int64Values(b: Array[Byte], colName: UTF8String): ArrayData = {
+  private def face(b: Array[Byte], colName: UTF8String, kind: Int,
+                   wantList: Boolean): ArrayData = {
     if (b == null || colName == null) return null
-    val r = readColumn(b, colName.toString, wantString = false, wantList = false)
+    val r = readColumn(b, colName.toString, kind, wantList)
     if (r == null) null else new GenericArrayData(r._3)
   }
-  def stringValues(b: Array[Byte], colName: UTF8String): ArrayData = {
-    if (b == null || colName == null) return null
-    val r = readColumn(b, colName.toString, wantString = true, wantList = false)
-    if (r == null) null else new GenericArrayData(r._3)
-  }
+  def int64Values(b: Array[Byte], colName: UTF8String): ArrayData =
+    face(b, colName, KLong, wantList = false)
+  def stringValues(b: Array[Byte], colName: UTF8String): ArrayData =
+    face(b, colName, KString, wantList = false)
+  def doubleValues(b: Array[Byte], colName: UTF8String): ArrayData =
+    face(b, colName, KDouble, wantList = false)
   /** One-level LIST faces: one array (or null) per row. */
-  def int64ListValues(b: Array[Byte], colName: UTF8String): ArrayData = {
-    if (b == null || colName == null) return null
-    val r = readColumn(b, colName.toString, wantString = false, wantList = true)
-    if (r == null) null else new GenericArrayData(r._3)
-  }
-  def stringListValues(b: Array[Byte], colName: UTF8String): ArrayData = {
-    if (b == null || colName == null) return null
-    val r = readColumn(b, colName.toString, wantString = true, wantList = true)
-    if (r == null) null else new GenericArrayData(r._3)
-  }
+  def int64ListValues(b: Array[Byte], colName: UTF8String): ArrayData =
+    face(b, colName, KLong, wantList = true)
+  def stringListValues(b: Array[Byte], colName: UTF8String): ArrayData =
+    face(b, colName, KString, wantList = true)
+  def doubleListValues(b: Array[Byte], colName: UTF8String): ArrayData =
+    face(b, colName, KDouble, wantList = true)
 
   /** Stats-pruned int read: struct(n_groups, kept_groups, values). */
   def int64ValuesPruned(b: Array[Byte], colName: UTF8String,
                         lo: Long, hi: Long): org.apache.spark.sql.catalyst.InternalRow = {
     if (b == null || colName == null) return null
-    val r = readColumn(b, colName.toString, wantString = false,
+    val r = readColumn(b, colName.toString, KLong,
       wantList = false, range = (lo, hi))
     if (r == null) null
     else org.apache.spark.sql.catalyst.InternalRow(r._1, r._2,
@@ -708,6 +733,12 @@ object ParquetPages {
             c.asInstanceOf[UTF8String])
         case "stringListValues" =>
           ParquetPages.stringListValues(b.asInstanceOf[Array[Byte]],
+            c.asInstanceOf[UTF8String])
+        case "doubleValues" =>
+          ParquetPages.doubleValues(b.asInstanceOf[Array[Byte]],
+            c.asInstanceOf[UTF8String])
+        case "doubleListValues" =>
+          ParquetPages.doubleListValues(b.asInstanceOf[Array[Byte]],
             c.asInstanceOf[UTF8String])
       }
       r
@@ -752,6 +783,22 @@ object ParquetPages {
     override def method: String = "stringListValues"
     override def elemType: DataType = ArrayType(StringType, containsNull = true)
     override def prettyName: String = "parquet_string_list_column"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+  case class ParquetDoubleColumn(left: Expression, right: Expression)
+      extends PagesProbe {
+    override def method: String = "doubleValues"
+    override def elemType: DataType = DoubleType
+    override def prettyName: String = "parquet_double_column"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+  case class ParquetDoubleListColumn(left: Expression, right: Expression)
+      extends PagesProbe {
+    override def method: String = "doubleListValues"
+    override def elemType: DataType = ArrayType(DoubleType, containsNull = true)
+    override def prettyName: String = "parquet_double_list_column"
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
   }
@@ -804,5 +851,11 @@ object ParquetPages {
       SparkInternals.expression(content), SparkInternals.expression(colName)))
   def stringListColumnCol(content: Column, colName: Column): Column =
     SparkInternals.column(ParquetStringListColumn(
+      SparkInternals.expression(content), SparkInternals.expression(colName)))
+  def doubleColumnCol(content: Column, colName: Column): Column =
+    SparkInternals.column(ParquetDoubleColumn(
+      SparkInternals.expression(content), SparkInternals.expression(colName)))
+  def doubleListColumnCol(content: Column, colName: Column): Column =
+    SparkInternals.column(ParquetDoubleListColumn(
       SparkInternals.expression(content), SparkInternals.expression(colName)))
 }

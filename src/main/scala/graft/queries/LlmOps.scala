@@ -3381,6 +3381,37 @@ object LlmOps {
       "o_orderpriority")
   }
 
+  /** Lake DOUBLE-column gate — the floating-point face of both
+    * readers in one query, cross-writer: ParquetPages decodes
+    * o_totalprice from the parquet-cpp-written TESTDATA file itself
+    * (a writer lineage none of our fixtures produce), and OrcValues
+    * decodes a nullable double column from the Spark-written ORC
+    * fixture (IEEE 754 LE direct stream + PRESENT bits). Sums are
+    * cent-exact bigints so the oracle never touches float summation
+    * order; min/max compare the IEEE values themselves. */
+  def xLakeDoubles(s: SparkSession, d: String): DataFrame = {
+    val pq = s.read.format("binaryFile").load(s"$d/orders.parquet")
+      .select(lit("parquet").as("fmt"),
+        graft.functions.ParquetPages
+          .doubleColumnCol(col("content"), lit("o_totalprice")).as("vs"))
+    val dir = orcFixture(orcValuesSrc(s, d), s"$d#values", "zlib")
+    val orc = s.read.format("binaryFile").load(dir)
+      .filter(col("path").endsWith(".orc"))
+      .select(lit("orc").as("fmt"),
+        graft.functions.OrcValues
+          .doubleColumnCol(col("content"), lit("tp")).as("vs"))
+    ordered(
+      pq.unionByName(orc).select(col("fmt"),
+        size(col("vs")).cast("long").as("n"),
+        size(filter(col("vs"), x => x.isNull)).cast("long").as("n_null"),
+        aggregate(col("vs"), lit(0L),
+          (a, x) => a + coalesce(round(x * 100).cast("long"), lit(0L)))
+          .as("sum_cents"),
+        array_min(col("vs")).as("min_v"),
+        array_max(col("vs")).as("max_v")),
+      "fmt")
+  }
+
   /** Zstandard frame-walk gate — SQL-built RFC 8878 frames decoded by
     * `functions/ZstdDecode`: a single-segment frame with a 1-byte
     * frame-content-size and a raw block, a skippable frame the walk
@@ -3456,14 +3487,22 @@ object LlmOps {
     * inflate/snappy. Aggregates of the decoded arrays are oracled
     * from orders, so one wrong bit-packed width, patch, or dictionary
     * index hash-mismatches. */
-  def xOrcValues(s: SparkSession, d: String): DataFrame = {
-    val src = orders(s, d).select(
+  /** Fixture source shared by x_orc_values and x_lake_doubles — both
+    * read the same cached dirs, so the select list must stay
+    * identical between them. */
+  private def orcValuesSrc(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(
       col("o_orderkey").cast("long").as("k"),
       when(pmod(col("o_orderkey"), lit(7)) === 0, lit(null))
         .otherwise(col("o_custkey").cast("long")).as("ck"),
       when(pmod(col("o_orderkey"), lit(11)) === 0, lit(null))
         .otherwise(col("o_orderstatus")).as("status"),
-      md5(col("o_orderkey").cast("string")).as("h"))
+      md5(col("o_orderkey").cast("string")).as("h"),
+      when(pmod(col("o_orderkey"), lit(5)) === 0, lit(null))
+        .otherwise(col("o_totalprice")).as("tp"))
+
+  def xOrcValues(s: SparkSession, d: String): DataFrame = {
+    val src = orcValuesSrc(s, d)
     val faces = Seq("none", "zlib", "snappy", "zstd").map { codec =>
       val dir = orcFixture(src, s"$d#values", codec)
       s.read.format("binaryFile").load(dir)
@@ -3740,6 +3779,7 @@ object LlmOps {
     "x_orc_meta"          -> (xOrcMeta _),
     "x_orc_values"        -> (xOrcValues _),
     "x_zstd_frames"       -> (xZstdFrames _),
+    "x_lake_doubles"      -> (xLakeDoubles _),
     "x_avro_write"        -> (xAvroWrite _),
     "x_avro_write_deflate" -> (xAvroWriteDeflate _),
     "x_parquet_write2"    -> (xParquetWrite2 _),
@@ -4136,6 +4176,23 @@ object LlmOps {
         "FROM orders"
     }.mkString("", " UNION ALL ", " ORDER BY codec")
 
+  private lazy val lakeDoublesOracle: String =
+    """SELECT 'orc' AS fmt, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(*) FILTER (WHERE o_orderkey % 5 = 0) AS BIGINT) AS n_null,
+      |  CAST(sum(CASE WHEN o_orderkey % 5 = 0 THEN 0
+      |       ELSE CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT)
+      |    AS sum_cents,
+      |  min(CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_totalprice END)
+      |    AS min_v,
+      |  max(CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_totalprice END)
+      |    AS max_v
+      |FROM orders
+      |UNION ALL
+      |SELECT 'parquet', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT),
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+      |  min(o_totalprice), max(o_totalprice)
+      |FROM orders ORDER BY fmt""".stripMargin
+
   private lazy val zstdFramesOracle: String =
     s"""WITH $codecBaseCte
        |SELECT doc_id,
@@ -4178,6 +4235,7 @@ object LlmOps {
     "x_orc_meta" -> orcMetaOracle,
     "x_orc_values" -> orcValuesOracle,
     "x_zstd_frames" -> zstdFramesOracle,
+    "x_lake_doubles" -> lakeDoublesOracle,
     "x_lm_typicality" ->
       s"""WITH $lmScoreCte
          |SELECT d.doc_id,

@@ -45,10 +45,10 @@ class AvroReadSpec extends AnyFunSuite {
 
   private def u(s: String) = UTF8String.fromString(s)
 
-  test("all codecs round-trip: null, deflate, snappy; nullable unions") {
+  test("all codecs round-trip: null, deflate, snappy, zstandard; nullable unions") {
     val data = rows(3000)
     Seq(CodecFactory.nullCodec(), CodecFactory.deflateCodec(6),
-      CodecFactory.snappyCodec()).foreach { codec =>
+      CodecFactory.snappyCodec(), CodecFactory.zstandardCodec(3)).foreach { codec =>
       val b = write(schema, data, codec)
       val meta = AvroRead.fileMeta(b)
       assert(meta != null, s"$codec declined")

@@ -55,11 +55,15 @@ class OrcValuesSpec extends SparkSpec {
     concat(lit("cat-"), (col("id") % 20).cast("string")).as("lowcard"),
     md5(col("id").cast("string")).as("highcard"),
     when(col("id") % 13 === 0, lit(null))
-      .otherwise(concat(lit("s"), col("id").cast("string"))).as("opts"))
+      .otherwise(concat(lit("s"), col("id").cast("string"))).as("opts"),
+    when(col("id") % 17 === 0, lit(null))
+      .otherwise(col("id") / lit(16.0) - 500.0).as("dbl"),
+    (col("id") % 23).cast("float").as("flt"))
 
   private val intCols = Seq("mono", "rep", "noisy", "outliers", "negs",
     "opt", "i32", "i16")
   private val strCols = Seq("lowcard", "highcard", "opts")
+  private val dblCols = Seq("dbl", "flt")
 
   private def check(b: Array[Byte], label: String): Unit = {
     val want = df.collect()
@@ -81,6 +85,22 @@ class OrcValuesSpec extends SparkSpec {
       want.zipWithIndex.foreach { case (r, i) =>
         val w = if (r.isNullAt(ci)) null else r.getString(ci)
         assert(got(i) === w, s"$label/$c@$i")
+      }
+    }
+    dblCols.foreach { c =>
+      val a = OrcValues.doubleValues(b,
+        org.apache.spark.unsafe.types.UTF8String.fromString(c))
+      assert(a != null, s"$label/$c declined")
+      val ci = df.columns.indexOf(c)
+      want.zipWithIndex.foreach { case (r, i) =>
+        if (r.isNullAt(ci)) assert(a.isNullAt(i), s"$label/$c@$i")
+        else {
+          val w = r.get(ci) match {
+            case f: java.lang.Float => f.toDouble
+            case d: java.lang.Double => d.doubleValue
+          }
+          assert(a.getDouble(i) === w, s"$label/$c@$i")
+        }
       }
     }
   }
@@ -110,8 +130,10 @@ class OrcValuesSpec extends SparkSpec {
       col("id").cast("decimal(10,2)").as("dec"))
     val ob = writeAndRead(other)
     assert(longs(ob, "k") != null) // supported beside unsupported reads
-    assert(longs(ob, "d") == null) // double out of scope
-    assert(longs(ob, "dec") == null)
+    assert(longs(ob, "d") == null) // double via the int face declines
+    assert(longs(ob, "dec") == null) // decimal out of scope entirely
+    assert(OrcValues.doubleValues(ob,
+      org.apache.spark.unsafe.types.UTF8String.fromString("dec")) == null)
   }
 
   test("RLEv2: the ORC spec's own example vectors decode exactly") {

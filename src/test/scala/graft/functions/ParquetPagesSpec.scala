@@ -251,6 +251,50 @@ class ParquetPagesSpec extends SparkSpec {
     assert(int64Lists(b, "k") == null, "list face must not read a flat column")
   }
 
+  private def doubles(b: Array[Byte], name: String): Array[java.lang.Double] = {
+    val a = ParquetPages.doubleValues(b,
+      org.apache.spark.unsafe.types.UTF8String.fromString(name))
+    if (a == null) null
+    else (0 until a.numElements()).map(i =>
+      if (a.isNullAt(i)) null else java.lang.Double.valueOf(a.getDouble(i))).toArray
+  }
+
+  test("FLOAT/DOUBLE columns: plain + dictionary + lists, nulls widen") {
+    val df = spark.range(0, 4000).select(
+      when(col("id") % 9 === 0, lit(null))
+        .otherwise(col("id") / lit(8.0) - 100.0).as("d"),
+      (col("id") % 10).cast("float").as("f"),
+      when(col("id") % 13 === 0, lit(null))
+        .otherwise(transform(sequence(lit(0), pmod(col("id"), lit(3))),
+          x => x.cast("double") / 2.0)).as("ds"))
+    Seq("snappy", "none").foreach { codec =>
+      val b = writeAndRead(df, Map("compression" -> codec))
+      val want = df.collect()
+      val d = doubles(b, "d"); val f = doubles(b, "f")
+      assert(d != null && f != null, s"$codec declined")
+      want.zipWithIndex.foreach { case (r, i) =>
+        assert(d(i) === (if (r.isNullAt(0)) null
+          else java.lang.Double.valueOf(r.getDouble(0))), s"d@$i/$codec")
+        assert(f(i).doubleValue === r.getFloat(1).toDouble, s"f@$i/$codec")
+      }
+      val ls = ParquetPages.doubleListValues(b,
+        org.apache.spark.unsafe.types.UTF8String.fromString("ds"))
+      assert(ls != null && ls.numElements() === 4000)
+      want.zipWithIndex.foreach { case (r, i) =>
+        if (r.isNullAt(2)) assert(ls.isNullAt(i), s"ds@$i/$codec")
+        else {
+          val inner = ls.getArray(i)
+          val w = r.getSeq[Double](2)
+          assert(inner.numElements() === w.length, s"ds@$i/$codec")
+          w.indices.foreach(j =>
+            assert(inner.getDouble(j) === w(j), s"ds@$i.$j/$codec"))
+        }
+      }
+      assert(doubles(b, "nope") == null)
+      assert(longs(b, "d") == null) // double via int64 face declines
+    }
+  }
+
   test("claim-bomb: hostile DELTA header cannot allocate past the page cap") {
     def enc(ns: Long*): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()
