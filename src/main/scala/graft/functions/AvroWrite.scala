@@ -14,10 +14,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[ParquetWrite]]: `groupBy(part).agg(avro_file(id, name))` yields
   * one complete Object Container File blob per group (magic, metadata
   * map with schema JSON + codec, zigzag-varint block framing,
-  * sync markers, Avro-binary record bodies; codec `null` or `deflate`
-  * via stored-block RFC 1951 — always-valid deflate that needs no
-  * compressor and round-trips through the in-house [[Inflate]] and
-  * real zlib alike). Rows are sorted
+  * sync markers, Avro-binary record bodies; codec `null`, `deflate`
+  * via stored-block RFC 1951, or `zstandard` via raw-block zstd
+  * frames — always-valid compressor-free encodings that round-trip
+  * through the in-house [[Inflate]]/[[ZstdDecode]] and real
+  * zlib/zstd alike). Rows are sorted
   * (id, name) inside the aggregate so blobs are deterministic under
   * shuffle arrival order. Blocks split at [[RecordsPerBlock]] records,
   * so large groups produce the multi-block layout real readers expect
@@ -85,7 +86,7 @@ object AvroWrite {
   def fileBytes(rows: Seq[(Long, Array[Byte])], idName: String,
                 strName: String, codec: String = "null"): Array[Byte] = {
     requireAvroName(idName); requireAvroName(strName)
-    require(codec == "null" || codec == "deflate",
+    require(codec == "null" || codec == "deflate" || codec == "zstandard",
       s"avro_file_agg: unsupported codec '$codec'")
     val out = new java.io.ByteArrayOutputStream(1024)
     out.write("Obj".getBytes("UTF-8")); out.write(1)
@@ -107,9 +108,11 @@ object AvroWrite {
         writeVarint(body, s.length.toLong)
         body.write(s, 0, s.length)
       }
-      val payload =
-        if (codec == "deflate") deflateStored(body.toByteArray)
-        else body.toByteArray
+      val payload = codec match {
+        case "deflate" => deflateStored(body.toByteArray)
+        case "zstandard" => ZstdDecode.frameStored(body.toByteArray)
+        case _ => body.toByteArray
+      }
       writeVarint(out, block.size.toLong)
       writeVarint(out, payload.length.toLong)
       out.write(payload, 0, payload.length)
@@ -201,7 +204,7 @@ object AvroWrite {
   def avroFile(id: Column, name: Column, idName: String,
                strName: String, codec: String = "null"): Column = {
     requireAvroName(idName); requireAvroName(strName)
-    require(codec == "null" || codec == "deflate",
+    require(codec == "null" || codec == "deflate" || codec == "zstandard",
       s"avro_file_agg: unsupported codec '$codec'")
     SparkInternals.column(AvroFileAgg(
       Cast(SparkInternals.expression(id), LongType),

@@ -27,9 +27,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * UTF8 BYTE_ARRAY columns, REQUIRED or OPTIONAL), definition levels
   * (RLE runs) for nullable columns, PLAIN or dictionary
   * (PLAIN_DICTIONARY page pair: dict page + bit-packed index pages)
-  * encodings, UNCOMPRESSED or SNAPPY page compression (the in-house
-  * compressor emits literal-only snappy — always valid, byte-exact
-  * round-trip, no matcher needed — the write-side twin of stored-block
+  * encodings, UNCOMPRESSED / SNAPPY / ZSTD page compression (the
+  * in-house compressors emit literal-only snappy and raw-block zstd
+  * frames — always valid, byte-exact round-trip, no matcher needed —
+  * the write-side twins of stored-block
   * deflate), and multi-row-group layout at a caller-set group size
   * with per-group statistics (so a reader's stats pruning has
   * something to prune on). Cross-checked both ways: ParquetWriteSpec
@@ -254,13 +255,17 @@ object ParquetWrite {
                 codec: Int = 0, useDictionary: Boolean = false,
                 rowGroupRows: Int = Int.MaxValue): Array[Byte] = {
     require(cols.nonEmpty, "parquet file needs at least one column")
-    require(codec == 0 || codec == 1, s"unsupported codec $codec")
+    require(codec == 0 || codec == 1 || codec == 6,
+      s"unsupported codec $codec (0 uncompressed, 1 snappy, 6 zstd)")
     require(rowGroupRows > 0, "rowGroupRows must be positive")
     val out = new java.io.ByteArrayOutputStream(1024)
     out.write("PAR1".getBytes("UTF-8"))
 
-    def compress(raw: Array[Byte]): Array[Byte] =
-      if (codec == 0) raw else snappyStored(raw)
+    def compress(raw: Array[Byte]): Array[Byte] = codec match {
+      case 0 => raw
+      case 1 => snappyStored(raw)
+      case _ => ZstdDecode.frameStored(raw)
+    }
 
     /** Writes one column chunk of `group` and returns its footer info. */
     def writeChunk(ci: Int, group: Seq[Array[Any]]): ChunkInfo = {

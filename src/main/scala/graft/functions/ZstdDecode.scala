@@ -681,6 +681,41 @@ object ZstdDecode {
     }
   }
 
+  /** Raw-block zstd frame (always-valid "stored" compression — the
+    * write-side twin of [[ParquetWrite.snappyStored]] and
+    * [[AvroWrite.deflateStored]]): single-segment frame header with
+    * exact content size, ≤128 KiB raw blocks, and a verified XXH64
+    * content checksum. Real zstd decoders and [[decompress]] both
+    * consume it; no compressor needed. */
+  def frameStored(b: Array[Byte]): Array[Byte] = {
+    require(b != null && b.length <= MaxOut, "frameStored: input too large")
+    val out = new java.io.ByteArrayOutputStream(b.length + 32)
+    out.write(Array[Byte](0x28, 0xB5.toByte, 0x2F, 0xFD.toByte), 0, 4)
+    val fcsFlag = if (b.length <= 255) 0 else 2
+    // single-segment + checksum; fcs 1 byte (flag 0) or 4 bytes (flag 2)
+    out.write((fcsFlag << 6) | 0x20 | 0x04)
+    if (fcsFlag == 0) out.write(b.length)
+    else {
+      out.write(b.length & 0xff); out.write((b.length >>> 8) & 0xff)
+      out.write((b.length >>> 16) & 0xff); out.write((b.length >>> 24) & 0xff)
+    }
+    var p = 0
+    do {
+      val n = math.min(b.length - p, MaxBlock)
+      val last = p + n == b.length
+      val h = (n << 3) | (if (last) 1 else 0) // type raw (0)
+      out.write(h & 0xff); out.write((h >>> 8) & 0xff); out.write((h >>> 16) & 0xff)
+      out.write(b, p, n)
+      p += n
+    } while (p < b.length)
+    val crc = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        b.length, 0L) & 0xffffffffL
+    out.write((crc & 0xff).toInt); out.write(((crc >>> 8) & 0xff).toInt)
+    out.write(((crc >>> 16) & 0xff).toInt); out.write(((crc >>> 24) & 0xff).toInt)
+    out.toByteArray
+  }
+
   // ---- expression ----
 
   case class ZstdDecompress(child: Expression) extends UnaryExpression {

@@ -50,35 +50,37 @@ class AvroWriteSpec extends SparkSpec {
       (0 until 3000).map(_.toLong * 11 - 999).toSet)
   }
 
-  test("deflate codec (stored blocks): avro-java AND our AvroRead consume") {
+  test("deflate + zstandard codecs (stored blocks): avro-java AND our AvroRead consume") {
     val n = 9000 // multi-block, and one block body > 65535 bytes
     val df = spark.range(0, n)
       .select(col("id"),
         concat(lit("payload-padding-padding-"), col("id").cast("string")).as("s"))
-    val blob = df.agg(AvroWrite
-      .avroFile(col("id"), col("s"), "id", "s", "deflate").as("f"))
-      .collect().head.getAs[Array[Byte]](0)
-    // the independent implementation: real avro-java inflates the blocks
-    val r = new DataFileReader[GenericRecord](
-      new SeekableByteArrayInput(blob), new GenericDatumReader[GenericRecord]())
-    assert(r.getMetaString("avro.codec") === "deflate")
-    var i = 0L
-    while (r.hasNext) {
-      val rec = r.next()
-      assert(rec.get("id") === i)
-      assert(rec.get("s").toString === s"payload-padding-padding-$i")
-      i += 1
+    Seq("deflate", "zstandard").foreach { codec =>
+      val blob = df.agg(AvroWrite
+        .avroFile(col("id"), col("s"), "id", "s", codec).as("f"))
+        .collect().head.getAs[Array[Byte]](0)
+      // the independent implementation decodes the blocks
+      val r = new DataFileReader[GenericRecord](
+        new SeekableByteArrayInput(blob), new GenericDatumReader[GenericRecord]())
+      assert(r.getMetaString("avro.codec") === codec)
+      var i = 0L
+      while (r.hasNext) {
+        val rec = r.next()
+        assert(rec.get("id") === i, codec)
+        assert(rec.get("s").toString === s"payload-padding-padding-$i", codec)
+        i += 1
+      }
+      assert(i === n.toLong, codec)
+      r.close()
+      // and our own reader routes it through the in-house codec tier
+      val m = AvroRead.fileMeta(blob)
+      assert(m != null && m.getLong(0) === n.toLong, codec)
+      assert(m.getUTF8String(2).toString === codec)
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString _
+      val ids = AvroRead.int64Values(blob, u("id"))
+      assert(ids != null && ids.numElements() === n, codec)
+      (0 until n).foreach(i => assert(ids.getLong(i) === i.toLong))
     }
-    assert(i === n.toLong)
-    r.close()
-    // and our own reader routes it through the in-house Inflate
-    val m = AvroRead.fileMeta(blob)
-    assert(m != null && m.getLong(0) === n.toLong)
-    assert(m.getUTF8String(2).toString === "deflate")
-    val u = org.apache.spark.unsafe.types.UTF8String.fromString _
-    val ids = AvroRead.int64Values(blob, u("id"))
-    assert(ids != null && ids.numElements() === n)
-    (0 until n).foreach(i => assert(ids.getLong(i) === i.toLong))
   }
 
   test("invalid field names are rejected at construction, not miswritten") {

@@ -107,7 +107,7 @@ class ParquetWriteSpec extends SparkSpec {
     val n = 4000
     val rows = genRows(n)
     for {
-      codec <- Seq(0, 1) // uncompressed, snappy (literal-only)
+      codec <- Seq(0, 1, 6) // uncompressed, snappy, zstd (stored blocks)
       dict <- Seq(false, true)
       groupRows <- Seq(Int.MaxValue, 700) // single + multi row group
     } {

@@ -91,6 +91,22 @@ class ZstdDecodeSpec extends AnyFunSuite {
     ctx.close()
   }
 
+  test("frameStored: real zstd AND our decoder consume the stored frames") {
+    Seq(Array.emptyByteArray, "tiny".getBytes, textCorpus(2000),
+      noisyCorpus(200000)).foreach { data => // last spans >1 raw block
+      val frame = ZstdDecode.frameStored(data)
+      assert(java.util.Arrays.equals(ZstdDecode.decompress(frame), data))
+      val real = Zstd.decompress(frame, data.length)
+      assert(java.util.Arrays.equals(real, data))
+      // content checksum is real: flip a content byte → decline
+      if (data.nonEmpty) {
+        val bad = frame.clone()
+        bad(frame.length - 7) = (bad(frame.length - 7) ^ 1).toByte
+        assert(ZstdDecode.decompress(bad) == null)
+      }
+    }
+  }
+
   test("totality: truncation and corruption fuzz never throws") {
     val data = textCorpus(1500) ++ noisyCorpus(8000)
     Seq(1, 9, 19).foreach { level =>
