@@ -356,6 +356,26 @@ object OrcValues {
   private final val KLong = 0
   private final val KString = 1
   private final val KDouble = 2
+  private final val KDate = 3 // days since epoch, as long
+  private final val KTimestamp = 4 // microseconds since epoch, as long
+
+  /** ORC's 2015-01-01T00:00:00Z timestamp base, in epoch seconds. */
+  private val TsBaseSeconds = 1420070400L
+
+  /** SECONDARY-stream nanos: bottom 3 bits `z` encode removed trailing
+    * decimal zeros; a non-zero `z` restores z+1 of them (the ORC
+    * reader's exact rule — the writer strips ≥2 zeros, so z=1 ⇒ two
+    * zeros removed). */
+  private def parseNanos(v: Long): Long = {
+    val tail = (v & 7).toInt
+    var n = v >>> 3
+    if (tail != 0) {
+      var k = 0
+      while (k <= tail) { n *= 10; k += 1 }
+    }
+    if (n < 0 || n > 999999999L) fail()
+    n
+  }
 
   /** Reads one column's values across all stripes; boxed Long /
     * UTF8String / Double / null elements per `want`. */
@@ -368,10 +388,13 @@ object OrcValues {
     val colId = fi + 1 // column 0 is the root struct
     val kind = p.kinds(fi)
     // Type.Kind: SHORT=2 INT=3 LONG=4 FLOAT=5 DOUBLE=6 STRING=7
+    // TIMESTAMP=9 DATE=15 TIMESTAMP_INSTANT=18
     want match {
       case KLong => if (kind != 2 && kind != 3 && kind != 4) fail()
       case KString => if (kind != 7) fail()
-      case _ => if (kind != 5 && kind != 6) fail()
+      case KDouble => if (kind != 5 && kind != 6) fail()
+      case KDate => if (kind != 15) fail()
+      case _ => if (kind != 9 && kind != 18) fail()
     }
 
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
@@ -392,10 +415,11 @@ object OrcValues {
       var data: Array[Byte] = null
       var length: Array[Byte] = null
       var dictData: Array[Byte] = null
-      // Stream.Kind: PRESENT=0 DATA=1 LENGTH=2 DICTIONARY_DATA=3
+      var secondary: Array[Byte] = null
+      // Stream.Kind: PRESENT=0 DATA=1 LENGTH=2 DICTIONARY_DATA=3 SECONDARY=5
       sm.streams.foreach { case (skind, scol, slen) =>
         if (slen < 0 || cursor + slen > b.length) fail()
-        if (scol == colId && skind >= 0 && skind <= 3) {
+        if (scol == colId && skind >= 0 && skind <= 5 && skind != 4) {
           val raw = java.util.Arrays.copyOfRange(b, cursor.toInt,
             (cursor + slen).toInt)
           val dec = OrcMeta.unframe(raw, p.codec, MaxOut)
@@ -404,6 +428,7 @@ object OrcValues {
             case 1 => data = dec
             case 2 => length = dec
             case 3 => dictData = dec
+            case 5 => secondary = dec
           }
         }
         cursor += slen
@@ -434,14 +459,31 @@ object OrcValues {
             off += width; vi += 1
           } else out += null
         }
-      } else if (want == KLong) {
-        if (encKind != 2 && encKind != 0) fail() // DIRECT_V2 (or DIRECT)
-        if (encKind == 0) fail() // v1 RLE out of scope: decline, not misread
+      } else if (want == KLong || want == KDate) {
+        if (encKind != 2) fail() // DIRECT_V2 only (v1 RLE declines)
         val vals = rleV2(data, nPresent, signed = true)
         var vi = 0
         isPresent.foreach { pr =>
           if (pr) { out += java.lang.Long.valueOf(vals(vi)); vi += 1 }
           else out += null
+        }
+      } else if (want == KTimestamp) {
+        if (encKind != 2) fail()
+        if (secondary == null) fail()
+        val secs = rleV2(data, nPresent, signed = true) // rel. 2015-01-01
+        val nanosEnc = rleV2(secondary, nPresent, signed = false)
+        var vi = 0
+        isPresent.foreach { pr =>
+          if (pr) {
+            val nanos = parseNanos(nanosEnc(vi))
+            // pre-1970 values: the writer's truncating millis/1000
+            // division rounds toward zero, so a negative EPOCH second
+            // with a fractional part sits one second ahead
+            var s = secs(vi) + TsBaseSeconds
+            if (s < 0 && nanos != 0) s -= 1
+            out += java.lang.Long.valueOf(s * 1000000L + nanos / 1000)
+            vi += 1
+          } else out += null
         }
       } else encKind match {
         case 2 => // DIRECT_V2: LENGTH + DATA
@@ -508,6 +550,12 @@ object OrcValues {
     face(b, name, KString)
   def doubleValues(b: Array[Byte], name: UTF8String): ArrayData =
     face(b, name, KDouble)
+  /** DATE column as days-since-epoch longs. */
+  def dateDays(b: Array[Byte], name: UTF8String): ArrayData =
+    face(b, name, KDate)
+  /** TIMESTAMP / TIMESTAMP_INSTANT column as epoch microseconds. */
+  def timestampMicros(b: Array[Byte], name: UTF8String): ArrayData =
+    face(b, name, KTimestamp)
 
   // ---- expressions ----
 
@@ -528,6 +576,10 @@ object OrcValues {
       case "stringValues" => OrcValues.stringValues(
         b.asInstanceOf[Array[Byte]], c.asInstanceOf[UTF8String])
       case "doubleValues" => OrcValues.doubleValues(
+        b.asInstanceOf[Array[Byte]], c.asInstanceOf[UTF8String])
+      case "dateDays" => OrcValues.dateDays(
+        b.asInstanceOf[Array[Byte]], c.asInstanceOf[UTF8String])
+      case "timestampMicros" => OrcValues.timestampMicros(
         b.asInstanceOf[Array[Byte]], c.asInstanceOf[UTF8String])
     }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -566,6 +618,22 @@ object OrcValues {
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
   }
+  case class OrcDateDays(left: Expression, right: Expression)
+      extends OrcColumn {
+    override def method: String = "dateDays"
+    override def elemType: DataType = LongType
+    override def prettyName: String = "orc_date_days"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+  case class OrcTimestampMicros(left: Expression, right: Expression)
+      extends OrcColumn {
+    override def method: String = "timestampMicros"
+    override def elemType: DataType = LongType
+    override def prettyName: String = "orc_timestamp_micros"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
 
   def int64ColumnCol(content: Column, name: Column): Column =
     SparkInternals.column(OrcInt64Column(
@@ -575,5 +643,11 @@ object OrcValues {
       SparkInternals.expression(content), SparkInternals.expression(name)))
   def doubleColumnCol(content: Column, name: Column): Column =
     SparkInternals.column(OrcDoubleColumn(
+      SparkInternals.expression(content), SparkInternals.expression(name)))
+  def dateDaysCol(content: Column, name: Column): Column =
+    SparkInternals.column(OrcDateDays(
+      SparkInternals.expression(content), SparkInternals.expression(name)))
+  def timestampMicrosCol(content: Column, name: Column): Column =
+    SparkInternals.column(OrcTimestampMicros(
       SparkInternals.expression(content), SparkInternals.expression(name)))
 }

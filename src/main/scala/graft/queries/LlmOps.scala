@@ -3381,6 +3381,42 @@ object LlmOps {
       "o_orderpriority")
   }
 
+  /** ORC TEMPORAL gate — DATE and TIMESTAMP stripe decode: days from
+    * the RLEv2 DATA stream; timestamps from the seconds (2015-based,
+    * signed) + SECONDARY nanos (trailing-zero scale) stream pair,
+    * incl. the pre-2015 negative-relative regime orders data lives
+    * in. PRESENT bits interleave nulls for both. Oracled with
+    * epoch_us / day arithmetic in DuckDB. */
+  def xOrcTemporal(s: SparkSession, d: String): DataFrame = {
+    val src = orders(s, d).select(
+      when(pmod(col("o_orderkey"), lit(13)) === 0, lit(null))
+        .otherwise(col("o_orderdate")).as("ts"),
+      when(pmod(col("o_orderkey"), lit(17)) === 0, lit(null))
+        .otherwise(col("o_orderdate").cast("date")).as("dt"))
+    val dir = orcFixture(src, s"$d#temporal", "zlib")
+    ordered(
+      s.read.format("binaryFile").load(dir)
+        .filter(col("path").endsWith(".orc"))
+        .select(
+          graft.functions.OrcValues
+            .timestampMicrosCol(col("content"), lit("ts")).as("tss"),
+          graft.functions.OrcValues
+            .dateDaysCol(col("content"), lit("dt")).as("dts"))
+        .select(
+          size(col("tss")).cast("long").as("n"),
+          size(filter(col("tss"), x => x.isNull)).cast("long").as("n_null_ts"),
+          // sum at second granularity: 15k x 8e14 micros would overflow
+          aggregate(col("tss"), lit(0L),
+            (a, x) => a + coalesce((x / lit(1000000L)).cast("long"), lit(0L)))
+            .as("sum_secs"),
+          array_min(col("tss")).as("min_micros"),
+          array_max(col("tss")).as("max_micros"),
+          size(filter(col("dts"), x => x.isNull)).cast("long").as("n_null_dt"),
+          aggregate(col("dts"), lit(0L), (a, x) => a + coalesce(x, lit(0L)))
+            .as("sum_days")),
+      "n")
+  }
+
   /** Lake DOUBLE-column gate — the floating-point face of both
     * readers in one query, cross-writer: ParquetPages decodes
     * o_totalprice from the parquet-cpp-written TESTDATA file itself
@@ -3780,6 +3816,7 @@ object LlmOps {
     "x_orc_values"        -> (xOrcValues _),
     "x_zstd_frames"       -> (xZstdFrames _),
     "x_lake_doubles"      -> (xLakeDoubles _),
+    "x_orc_temporal"      -> (xOrcTemporal _),
     "x_avro_write"        -> (xAvroWrite _),
     "x_avro_write_deflate" -> (xAvroWriteDeflate _),
     "x_parquet_write2"    -> (xParquetWrite2 _),
@@ -4176,6 +4213,24 @@ object LlmOps {
         "FROM orders"
     }.mkString("", " UNION ALL ", " ORDER BY codec")
 
+  private lazy val orcTemporalOracle: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(*) FILTER (WHERE o_orderkey % 13 = 0) AS BIGINT)
+      |    AS n_null_ts,
+      |  CAST(sum(CASE WHEN o_orderkey % 13 = 0 THEN 0
+      |       ELSE epoch_us(o_orderdate) // 1000000 END) AS BIGINT)
+      |    AS sum_secs,
+      |  CAST(min(CASE WHEN o_orderkey % 13 = 0 THEN NULL
+      |       ELSE epoch_us(o_orderdate) END) AS BIGINT) AS min_micros,
+      |  CAST(max(CASE WHEN o_orderkey % 13 = 0 THEN NULL
+      |       ELSE epoch_us(o_orderdate) END) AS BIGINT) AS max_micros,
+      |  CAST(count(*) FILTER (WHERE o_orderkey % 17 = 0) AS BIGINT)
+      |    AS n_null_dt,
+      |  CAST(sum(CASE WHEN o_orderkey % 17 = 0 THEN 0
+      |       ELSE (CAST(o_orderdate AS DATE) - DATE '1970-01-01') END)
+      |    AS BIGINT) AS sum_days
+      |FROM orders""".stripMargin
+
   private lazy val lakeDoublesOracle: String =
     """SELECT 'orc' AS fmt, CAST(count(*) AS BIGINT) AS n,
       |  CAST(count(*) FILTER (WHERE o_orderkey % 5 = 0) AS BIGINT) AS n_null,
@@ -4236,6 +4291,7 @@ object LlmOps {
     "x_orc_values" -> orcValuesOracle,
     "x_zstd_frames" -> zstdFramesOracle,
     "x_lake_doubles" -> lakeDoublesOracle,
+    "x_orc_temporal" -> orcTemporalOracle,
     "x_lm_typicality" ->
       s"""WITH $lmScoreCte
          |SELECT d.doc_id,

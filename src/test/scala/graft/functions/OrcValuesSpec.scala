@@ -155,6 +155,41 @@ class OrcValuesSpec extends SparkSpec {
         2080L, 2090L))
   }
 
+  test("DATE and TIMESTAMP columns: days/micros match Spark's own read") {
+    // timestamps straddle the ORC 2015-01-01 base (negative relative
+    // seconds with fractional parts are the tricky path) and carry
+    // sub-second precision at several trailing-zero scales
+    val tdf = spark.range(0, 3000).select(
+      col("id"),
+      when(col("id") % 7 === 0, lit(null))
+        .otherwise(timestamp_micros(
+          // spans pre-1970 (negative epoch), 1970..2015 (negative
+          // relative to the ORC base), and post-2015
+          (col("id") - 1500) * 86400L * 40000000L +
+            (col("id") % 5) * 123456L + (col("id") % 3) * 1000000L))
+        .as("ts"),
+      when(col("id") % 11 === 0, lit(null))
+        .otherwise(date_add(to_date(lit("1992-06-15")),
+          (col("id") % 4000).cast("int"))).as("dt"))
+    Seq("zlib", "none").foreach { codec =>
+      val b = writeAndRead(tdf, Map("compression" -> codec))
+      val want = tdf.select(
+        unix_micros(col("ts")).as("micros"),
+        datediff(col("dt"), to_date(lit("1970-01-01"))).as("days")).collect()
+      val ts = OrcValues.timestampMicros(b,
+        org.apache.spark.unsafe.types.UTF8String.fromString("ts"))
+      val dt = OrcValues.dateDays(b,
+        org.apache.spark.unsafe.types.UTF8String.fromString("dt"))
+      assert(ts != null && dt != null, s"$codec declined")
+      want.zipWithIndex.foreach { case (r, i) =>
+        if (r.isNullAt(0)) assert(ts.isNullAt(i), s"ts@$i/$codec")
+        else assert(ts.getLong(i) === r.getLong(0), s"ts@$i/$codec")
+        if (r.isNullAt(1)) assert(dt.isNullAt(i), s"dt@$i/$codec")
+        else assert(dt.getLong(i) === r.getInt(1).toLong, s"dt@$i/$codec")
+      }
+    }
+  }
+
   test("totality: truncation and corruption fuzz never throws") {
     val small = spark.range(0, 400).select(col("id").as("k"),
       when(col("id") % 5 === 0, lit(null))
