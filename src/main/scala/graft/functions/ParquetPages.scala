@@ -139,6 +139,15 @@ object ParquetPages {
         val v = java.lang.Double.longBitsToDouble(leLong(d, pos)); pos += 8; v
       case _ => fail()
     }
+    /** INT96 timestamp → epoch micros: 8-byte LE nanos-of-day + 4-byte
+      * LE Julian day (the legacy Hive/Spark lineage). */
+    def nextInt96Micros(): Long = {
+      val nanos = leLong(d, pos)
+      val julian = leInt(d, pos + 8)
+      pos += 12
+      if (nanos < 0 || nanos >= 86400000000000L) fail()
+      (julian.toLong - 2440588L) * 86400000000L + nanos / 1000
+    }
     def nextBytes(): Array[Byte] = {
       val len = leInt(d, pos); pos += 4
       if (len < 0 || len > d.length - pos) fail()
@@ -419,6 +428,7 @@ object ParquetPages {
   private final val KLong = 0
   private final val KString = 1
   private final val KDouble = 2
+  private final val KInt96 = 3 // INT96 timestamps, yielded as epoch micros
 
   /** Reads one column (flat or one-level list); flat elements are
     * boxed java.lang.Long / UTF8String / java.lang.Double / null per
@@ -443,7 +453,8 @@ object ParquetPages {
       kind match {
         case KLong => if (leaf.ptype != 1 && leaf.ptype != 2) fail()
         case KString => if (leaf.ptype != 6) fail()
-        case _ => if (leaf.ptype != 4 && leaf.ptype != 5) fail()
+        case KDouble => if (leaf.ptype != 4 && leaf.ptype != 5) fail()
+        case _ => if (leaf.ptype != 3) fail() // INT96
       }
       if (range != null && (kind != KLong || wantList)) fail()
 
@@ -484,6 +495,7 @@ object ParquetPages {
         var dictLongs: Array[Long] = null
         var dictBytes: Array[Array[Byte]] = null
         var dictDoubles: Array[Double] = null
+        var dictMicros: Array[Long] = null
         var produced = 0
         while (produced < total) {
           val r = new ParquetFooter.TReader(b, pos.toInt, b.length)
@@ -515,9 +527,12 @@ object ParquetPages {
                     case KLong =>
                       if (dictLongs == null || ix < 0 || ix >= dictLongs.length) fail()
                       a(i) = java.lang.Long.valueOf(dictLongs(ix))
-                    case _ =>
+                    case KDouble =>
                       if (dictDoubles == null || ix < 0 || ix >= dictDoubles.length) fail()
                       a(i) = java.lang.Double.valueOf(dictDoubles(ix))
+                    case _ =>
+                      if (dictMicros == null || ix < 0 || ix >= dictMicros.length) fail()
+                      a(i) = java.lang.Long.valueOf(dictMicros(ix))
                   }
                   i += 1
                 }
@@ -527,7 +542,8 @@ object ParquetPages {
                 Array.tabulate[Any](nNonNull)(_ => kind match {
                   case KString => UTF8String.fromBytes(p.nextBytes())
                   case KLong => java.lang.Long.valueOf(p.nextLong(leaf.ptype))
-                  case _ => java.lang.Double.valueOf(p.nextDouble(leaf.ptype))
+                  case KDouble => java.lang.Double.valueOf(p.nextDouble(leaf.ptype))
+                  case _ => java.lang.Long.valueOf(p.nextInt96Micros())
                 })
               case 5 => // DELTA_BINARY_PACKED (ints)
                 if (kind != KLong) fail()
@@ -574,8 +590,10 @@ object ParquetPages {
                 dictBytes = Array.fill(h.numValues)(p.nextBytes())
               case KLong =>
                 dictLongs = Array.tabulate(h.numValues)(_ => p.nextLong(leaf.ptype))
-              case _ =>
+              case KDouble =>
                 dictDoubles = Array.tabulate(h.numValues)(_ => p.nextDouble(leaf.ptype))
+              case _ =>
+                dictMicros = Array.tabulate(h.numValues)(_ => p.nextInt96Micros())
             }
           } else if (h.ptype == 0) { // data page v1: [rep][def][values]
             val d = decompress(b, dataStart, h.compressed, h.uncompressed, chunk.codec)
@@ -695,6 +713,9 @@ object ParquetPages {
     face(b, colName, KString, wantList = true)
   def doubleListValues(b: Array[Byte], colName: UTF8String): ArrayData =
     face(b, colName, KDouble, wantList = true)
+  /** INT96 timestamp column as epoch microseconds. */
+  def int96Micros(b: Array[Byte], colName: UTF8String): ArrayData =
+    face(b, colName, KInt96, wantList = false)
 
   /** Stats-pruned int read: struct(n_groups, kept_groups, values). */
   def int64ValuesPruned(b: Array[Byte], colName: UTF8String,
@@ -739,6 +760,9 @@ object ParquetPages {
             c.asInstanceOf[UTF8String])
         case "doubleListValues" =>
           ParquetPages.doubleListValues(b.asInstanceOf[Array[Byte]],
+            c.asInstanceOf[UTF8String])
+        case "int96Micros" =>
+          ParquetPages.int96Micros(b.asInstanceOf[Array[Byte]],
             c.asInstanceOf[UTF8String])
       }
       r
@@ -802,6 +826,14 @@ object ParquetPages {
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
   }
+  case class ParquetInt96Micros(left: Expression, right: Expression)
+      extends PagesProbe {
+    override def method: String = "int96Micros"
+    override def elemType: DataType = LongType
+    override def prettyName: String = "parquet_int96_micros"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
 
   /** Stats-pruned read face: struct(n_groups, kept_groups, values).
     * `lo`/`hi` are plan-time constants (the pushed-down predicate). */
@@ -857,5 +889,8 @@ object ParquetPages {
       SparkInternals.expression(content), SparkInternals.expression(colName)))
   def doubleListColumnCol(content: Column, colName: Column): Column =
     SparkInternals.column(ParquetDoubleListColumn(
+      SparkInternals.expression(content), SparkInternals.expression(colName)))
+  def int96MicrosCol(content: Column, colName: Column): Column =
+    SparkInternals.column(ParquetInt96Micros(
       SparkInternals.expression(content), SparkInternals.expression(colName)))
 }

@@ -3381,6 +3381,57 @@ object LlmOps {
       "o_orderpriority")
   }
 
+  /** INT96 fixture, Spark-written once per sf-dir per JVM (legacy
+    * timestamp lineage — outputTimestampType toggled around the
+    * write and restored). */
+  private def parquetInt96Fixture(s: SparkSession, d: String): String =
+    parquetNestedDirs.computeIfAbsent(s"$d#int96", _ => {
+      val p = java.nio.file.Files.createTempDirectory("pq_int96")
+      val key = "spark.sql.parquet.outputTimestampType"
+      val prev = s.conf.get(key)
+      s.conf.set(key, "INT96")
+      try orders(s, d).select(
+        when(pmod(col("o_orderkey"), lit(13)) === 0, lit(null))
+          .otherwise(col("o_orderdate")).as("ts"))
+        .coalesce(1).write.option("compression", "snappy")
+        .mode("overwrite").parquet(p.toString)
+      finally s.conf.set(key, prev)
+      val walk = java.nio.file.Files.walk(p)
+      try walk.iterator().forEachRemaining(q => q.toFile.deleteOnExit())
+      finally walk.close()
+      p.toString
+    })
+
+  /** Parquet TEMPORAL gate — both timestamp lineages: the parquet-cpp
+    * testdata file stores TIMESTAMP(us) as physical INT64, readable
+    * logical-type-agnostically through the int64 face; a Spark-written
+    * INT96 fixture (the legacy Hive lineage Spark still emits by
+    * default) decodes through the Julian-day + nanos-of-day
+    * conversion, dictionary and null paths included. Sums at second
+    * granularity (micros would overflow the 15k-row sum); min/max stay
+    * exact micros. */
+  def xParquetTemporal(s: SparkSession, d: String): DataFrame = {
+    val pq = s.read.format("binaryFile").load(s"$d/orders.parquet")
+      .select(lit("int64us").as("face"),
+        graft.functions.ParquetPages
+          .int64ColumnCol(col("content"), lit("o_orderdate")).as("vs"))
+    val i96 = s.read.format("binaryFile").load(parquetInt96Fixture(s, d))
+      .filter(col("path").endsWith(".parquet"))
+      .select(lit("int96").as("face"),
+        graft.functions.ParquetPages
+          .int96MicrosCol(col("content"), lit("ts")).as("vs"))
+    ordered(
+      pq.unionByName(i96).select(col("face"),
+        size(col("vs")).cast("long").as("n"),
+        size(filter(col("vs"), x => x.isNull)).cast("long").as("n_null"),
+        aggregate(col("vs"), lit(0L),
+          (a, x) => a + coalesce((x / lit(1000000L)).cast("long"), lit(0L)))
+          .as("sum_secs"),
+        array_min(col("vs")).as("min_micros"),
+        array_max(col("vs")).as("max_micros")),
+      "face")
+  }
+
   /** ORC TEMPORAL gate — DATE and TIMESTAMP stripe decode: days from
     * the RLEv2 DATA stream; timestamps from the seconds (2015-based,
     * signed) + SECONDARY nanos (trailing-zero scale) stream pair,
@@ -3817,6 +3868,7 @@ object LlmOps {
     "x_zstd_frames"       -> (xZstdFrames _),
     "x_lake_doubles"      -> (xLakeDoubles _),
     "x_orc_temporal"      -> (xOrcTemporal _),
+    "x_parquet_temporal"  -> (xParquetTemporal _),
     "x_avro_write"        -> (xAvroWrite _),
     "x_avro_write_deflate" -> (xAvroWriteDeflate _),
     "x_parquet_write2"    -> (xParquetWrite2 _),
@@ -4213,6 +4265,24 @@ object LlmOps {
         "FROM orders"
     }.mkString("", " UNION ALL ", " ORDER BY codec")
 
+  private lazy val parquetTemporalOracle: String =
+    """SELECT 'int64us' AS face, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(0 AS BIGINT) AS n_null,
+      |  CAST(sum(epoch_us(o_orderdate) // 1000000) AS BIGINT) AS sum_secs,
+      |  CAST(min(epoch_us(o_orderdate)) AS BIGINT) AS min_micros,
+      |  CAST(max(epoch_us(o_orderdate)) AS BIGINT) AS max_micros
+      |FROM orders
+      |UNION ALL
+      |SELECT 'int96', CAST(count(*) AS BIGINT),
+      |  CAST(count(*) FILTER (WHERE o_orderkey % 13 = 0) AS BIGINT),
+      |  CAST(sum(CASE WHEN o_orderkey % 13 = 0 THEN 0
+      |       ELSE epoch_us(o_orderdate) // 1000000 END) AS BIGINT),
+      |  CAST(min(CASE WHEN o_orderkey % 13 = 0 THEN NULL
+      |       ELSE epoch_us(o_orderdate) END) AS BIGINT),
+      |  CAST(max(CASE WHEN o_orderkey % 13 = 0 THEN NULL
+      |       ELSE epoch_us(o_orderdate) END) AS BIGINT)
+      |FROM orders ORDER BY face""".stripMargin
+
   private lazy val orcTemporalOracle: String =
     """SELECT CAST(count(*) AS BIGINT) AS n,
       |  CAST(count(*) FILTER (WHERE o_orderkey % 13 = 0) AS BIGINT)
@@ -4292,6 +4362,7 @@ object LlmOps {
     "x_zstd_frames" -> zstdFramesOracle,
     "x_lake_doubles" -> lakeDoublesOracle,
     "x_orc_temporal" -> orcTemporalOracle,
+    "x_parquet_temporal" -> parquetTemporalOracle,
     "x_lm_typicality" ->
       s"""WITH $lmScoreCte
          |SELECT d.doc_id,

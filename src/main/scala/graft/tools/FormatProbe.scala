@@ -32,26 +32,61 @@ object FormatProbe {
     val mb = bytes.length / 1e6
     println(f"[format-probe] lineitem.parquet = $mb%.1f MB")
 
-    def run(n: Int): Unit = {
+    def run(label: String, blob: Array[Byte], blobMb: Double,
+            vals: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+           (n: Int): Unit = {
       // `when` over the non-foldable id keeps ConstantFolding from
       // collapsing the whole decode to one evaluation
       val df = spark.range(0, n).repartition(math.min(n, cpus.toInt))
-        .select(when(col("id") >= 0, lit(bytes)).as("content"))
-      // warm JVM/codegen once
-      val vals = graft.functions.ParquetPages
-        .int64ColumnCol(col("content"), lit("l_orderkey"))
+        .select(when(col("id") >= 0, lit(blob)).as("content"))
+      val v = vals(col("content"))
       val q = df.select(
-        aggregate(vals, lit(0L), (a, x) => a + coalesce(x, lit(0L))).as("s"),
-        size(vals).cast("long").as("c"))
+        aggregate(v, lit(0L), (a, x) => a + coalesce(x, lit(0L))).as("s"),
+        size(v).cast("long").as("c"))
         .agg(sum("s").as("s"), sum("c").as("c"))
-      q.collect() // warm
+      q.collect() // warm JVM/codegen once
       val t0 = System.nanoTime()
       val r = q.collect().head
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[format-probe] n=$n%4d blobs  ${sec}%6.2f s  " +
-        f"${n * mb / sec}%8.1f MB/s  rows=${r.getLong(1)}  sum=${r.getLong(0)}")
+      println(f"[format-probe] $label n=$n%4d blobs  ${sec}%6.2f s  " +
+        f"${n * blobMb / sec}%8.1f MB/s  rows=${r.getLong(1)}  sum=${r.getLong(0)}")
     }
-    Seq(1, 32, 256).foreach(run)
+
+    val parquetRun = run("parquet", bytes, mb,
+      c => graft.functions.ParquetPages.int64ColumnCol(c, lit("l_orderkey"))) _
+    Seq(1, 32, 256).foreach(parquetRun)
+
+    // zstd-compressed parquet (codec 6 written by Spark) — the decode
+    // path real newly-written lakes exercise: gzip-tier cost question
+    val zstdDir = java.nio.file.Files.createTempDirectory("fp_zstd")
+    spark.read.parquet(s"$base/lineitem.parquet")
+      .select("l_orderkey").coalesce(1)
+      .write.option("compression", "zstd").mode("overwrite")
+      .parquet(zstdDir.toString)
+    val zb = {
+      val f = zstdDir.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.readAllBytes(f.toPath)
+    }
+    println(f"[format-probe] zstd-parquet blob = ${zb.length / 1e6}%.1f MB")
+    val zstdRun = run("zstd-pq", zb, zb.length / 1e6,
+      c => graft.functions.ParquetPages.int64ColumnCol(c, lit("l_orderkey"))) _
+    Seq(1, 32, 256).foreach(zstdRun)
+
+    // ORC stripe decode (RLEv2 + present) at the same scale ramp
+    val orcDir = java.nio.file.Files.createTempDirectory("fp_orc")
+    spark.read.parquet(s"$base/lineitem.parquet")
+      .select("l_orderkey").coalesce(1)
+      .write.option("compression", "zlib").mode("overwrite")
+      .orc(orcDir.toString)
+    val ob = {
+      val f = orcDir.toFile.listFiles().filter(_.getName.endsWith(".orc")).head
+      java.nio.file.Files.readAllBytes(f.toPath)
+    }
+    println(f"[format-probe] orc blob = ${ob.length / 1e6}%.1f MB")
+    val orcRun = run("orc", ob, ob.length / 1e6,
+      c => graft.functions.OrcValues.int64ColumnCol(c, lit("l_orderkey"))) _
+    Seq(1, 32, 256).foreach(orcRun)
+
     spark.stop()
   }
 }

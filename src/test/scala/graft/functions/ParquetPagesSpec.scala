@@ -295,6 +295,34 @@ class ParquetPagesSpec extends SparkSpec {
     }
   }
 
+  test("INT96 timestamps: the legacy lineage decodes to epoch micros") {
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try {
+      val df = spark.range(0, 4000).select(
+        when(col("id") % 9 === 0, lit(null))
+          .otherwise(timestamp_micros((col("id") - 2000) * 98765432L +
+            lit(86400L * 1000000L * 6000L))).as("ts")) // ~1986, sub-second
+      val want = df.select(unix_micros(col("ts"))).collect()
+      Seq(Map("compression" -> "snappy"), // dictionary path
+        Map("compression" -> "none", "parquet.enable.dictionary" -> "false"))
+        .foreach { opts =>
+          val b = writeAndRead(df, opts)
+          val a = ParquetPages.int96Micros(b,
+            org.apache.spark.unsafe.types.UTF8String.fromString("ts"))
+          assert(a != null, s"int96 declined under $opts")
+          assert(a.numElements() === 4000)
+          want.zipWithIndex.foreach { case (r, i) =>
+            if (r.isNullAt(0)) assert(a.isNullAt(i), s"ts@$i $opts")
+            else assert(a.getLong(i) === r.getLong(0), s"ts@$i $opts")
+          }
+          // the long/string faces must not misread INT96
+          assert(longs(b, "ts") == null)
+          assert(strings(b, "ts") == null)
+        }
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+  }
+
   test("claim-bomb: hostile DELTA header cannot allocate past the page cap") {
     def enc(ns: Long*): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()
