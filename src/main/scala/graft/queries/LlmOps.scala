@@ -3381,6 +3381,74 @@ object LlmOps {
       "o_orderpriority")
   }
 
+  /** Delta-table fixture: a hand-committed table per the public Delta
+    * protocol — one parquet file per order priority, three JSON
+    * commits (meta+3 adds; 2 more adds; one tombstone), partitioned
+    * on `prio` via partitionValues. Written once per sf-dir per JVM. */
+  private def deltaFixture(s: SparkSession, d: String): String =
+    parquetNestedDirs.computeIfAbsent(s"$d#delta", _ => {
+      val dir = java.nio.file.Files.createTempDirectory("delta_tab")
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW")
+      def writePart(p: String, name: String): Long = {
+        val tmp = java.nio.file.Files.createTempDirectory("dpart").toString
+        orders(s, d).filter(col("o_orderpriority") === p)
+          .select(col("o_orderkey").cast("long").as("k"),
+            col("o_orderstatus").as("st"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = dir.resolve(name)
+        java.nio.file.Files.move(part.toPath, dest,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.size(dest)
+      }
+      def commit(v: Long, lines: Seq[String]): Unit = {
+        val p = dir.resolve("_delta_log").resolve(f"$v%020d.json")
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, lines.mkString("\n") + "\n")
+      }
+      def add(name: String, prio: String, size: Long): String =
+        s"""{"add":{"path":"$name","partitionValues":{"prio":"$prio"},""" +
+          s""""size":$size,"dataChange":true}}"""
+      val schemaJson = org.apache.spark.sql.types.StructType
+        .fromDDL("k BIGINT, st STRING, prio STRING").json
+        .replace("\\", "\\\\").replace("\"", "\\\"")
+      val sizes = prios.zipWithIndex.map { case (p, i) =>
+        writePart(p, s"part-$i.parquet")
+      }
+      commit(0, Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":"orders","schemaString":"$schemaJson",""" +
+          s""""partitionColumns":["prio"]}}""") ++
+        (0 to 2).map(i => add(s"part-$i.parquet", prios(i), sizes(i))))
+      commit(1, (3 to 4).map(i => add(s"part-$i.parquet", prios(i), sizes(i))))
+      commit(2, Seq("""{"remove":{"path":"part-1.parquet",""" +
+        """"deletionTimestamp":1,"dataChange":true}}"""))
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().forEachRemaining(q => q.toFile.deleteOnExit())
+      finally walk.close()
+      dir.toString
+    })
+
+  /** Delta SNAPSHOT gate — the table-format tier on top of the
+    * file-format tier: `operators/DeltaLite` replays a hand-committed
+    * Delta log (public protocol: versioned JSON actions, tombstones,
+    * partitionValues) into the live-file snapshot and reads it as a
+    * DataFrame with partition columns reconstructed. The fixture
+    * tombstones the 2-HIGH file at v2, so the oracle recomputes the
+    * surviving per-priority aggregates from orders minus that
+    * priority — one wrong replay rule (a dropped add, a surviving
+    * tombstone, a mis-cast partition value) hash-mismatches. */
+  def xDeltaSnapshot(s: SparkSession, d: String): DataFrame = {
+    val snap = graft.operators.DeltaLite.snapshot(s, deltaFixture(s, d))
+    ordered(
+      snap.groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("st")).as("min_st"), max(col("st")).as("max_st")),
+      "prio")
+  }
+
   /** INT96 fixture, Spark-written once per sf-dir per JVM (legacy
     * timestamp lineage — outputTimestampType toggled around the
     * write and restored). */
@@ -3869,6 +3937,7 @@ object LlmOps {
     "x_lake_doubles"      -> (xLakeDoubles _),
     "x_orc_temporal"      -> (xOrcTemporal _),
     "x_parquet_temporal"  -> (xParquetTemporal _),
+    "x_delta_snapshot"    -> (xDeltaSnapshot _),
     "x_avro_write"        -> (xAvroWrite _),
     "x_avro_write_deflate" -> (xAvroWriteDeflate _),
     "x_parquet_write2"    -> (xParquetWrite2 _),
@@ -4363,6 +4432,12 @@ object LlmOps {
     "x_lake_doubles" -> lakeDoublesOracle,
     "x_orc_temporal" -> orcTemporalOracle,
     "x_parquet_temporal" -> parquetTemporalOracle,
+    "x_delta_snapshot" ->
+      ("SELECT o_orderpriority AS prio, count(*) AS n, " +
+        "CAST(sum(o_orderkey) AS BIGINT) AS sum_k, " +
+        "min(o_orderstatus) AS min_st, max(o_orderstatus) AS max_st " +
+        "FROM orders WHERE o_orderpriority <> '2-HIGH' " +
+        "GROUP BY 1 ORDER BY prio"),
     "x_lm_typicality" ->
       s"""WITH $lmScoreCte
          |SELECT d.doc_id,

@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** DeltaLite against hand-built tables following the public Delta
+  * protocol: replay order, tombstones + re-adds, time travel,
+  * partition-column reconstruction, checkpoint + post-checkpoint
+  * commits, and the protocol gate. */
+class DeltaLiteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private def writePart(df: org.apache.spark.sql.DataFrame, dir: String,
+                        name: String): Long = {
+    val tmp = Files.createTempDirectory("dlpart").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dest = Paths.get(dir, name)
+    Files.createDirectories(dest.getParent)
+    Files.move(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
+    Files.size(dest)
+  }
+
+  private def commit(dir: String, v: Long, lines: Seq[String]): Unit = {
+    val p = Paths.get(dir, "_delta_log", f"$v%020d.json")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, lines.mkString("\n") + "\n")
+  }
+
+  private def addJson(path: String, pv: Map[String, String],
+                      size: Long): String =
+    s"""{"add":{"path":"$path","partitionValues":{${
+      pv.map { case (k, x) => s""""$k":"$x"""" }.mkString(",")
+    }},"size":$size,"dataChange":true}}"""
+
+  private def removeJson(path: String): String =
+    s"""{"remove":{"path":"$path","deletionTimestamp":1,"dataChange":true}}"""
+
+  private def metaJson(schema: StructType, partCols: Seq[String]): String =
+    s"""{"metaData":{"id":"t","schemaString":"${esc(schema.json)}",""" +
+      s""""partitionColumns":[${partCols.map(c => s""""$c"""").mkString(",")}]}}"""
+
+  private val protoJson =
+    """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+
+  /** Builds a 3-commit partitioned table; returns its dir. Commits:
+    * v0 = meta + parts p=a (1..10), p=b (11..20); v1 = p=c (21..30) +
+    * a SECOND file for p=a (31..40); v2 = remove the p=b file. */
+  private def buildTable(): String = {
+    val dir = Files.createTempDirectory("dltab").toString
+    def part(lo: Int, hi: Int) =
+      spark.range(lo, hi + 1).select(col("id").as("k"),
+        concat(lit("s"), col("id").cast("string")).as("s"))
+    val schema = StructType.fromDDL("k BIGINT, s STRING, p STRING")
+    val sa = writePart(part(1, 10), dir, "part-a.parquet")
+    val sb = writePart(part(11, 20), dir, "part-b.parquet")
+    commit(dir, 0, Seq(protoJson, metaJson(schema, Seq("p")),
+      addJson("part-a.parquet", Map("p" -> "a"), sa),
+      addJson("part-b.parquet", Map("p" -> "b"), sb)))
+    val sc = writePart(part(21, 30), dir, "part-c.parquet")
+    val sa2 = writePart(part(31, 40), dir, "part-a2.parquet")
+    commit(dir, 1, Seq(
+      addJson("part-c.parquet", Map("p" -> "c"), sc),
+      addJson("part-a2.parquet", Map("p" -> "a"), sa2)))
+    commit(dir, 2, Seq(removeJson("part-b.parquet")))
+    dir
+  }
+
+  test("snapshot replay: adds, tombstone, partition columns") {
+    val dir = buildTable()
+    val snap = DeltaLite.snapshot(spark, dir)
+    assert(snap.schema.fieldNames.toSeq === Seq("k", "s", "p"))
+    val got = snap.select("k", "p").as[(Long, String)].collect().sorted
+    val want = ((1 to 10) ++ (31 to 40)).map(i => (i.toLong, "a")) ++
+      (21 to 30).map(i => (i.toLong, "c"))
+    assert(got === want.sorted.toArray) // p=b tombstoned at v2
+    assert(DeltaLite.latestVersion(spark, dir) === 2L)
+  }
+
+  test("time travel replays a prefix; re-add resurrects a path") {
+    val dir = buildTable()
+    val v1 = DeltaLite.snapshot(spark, dir, versionAsOf = 1)
+    assert(v1.count() === 40) // p=b still live at v1
+    assert(v1.filter(col("p") === "b").count() === 10)
+    val v0 = DeltaLite.snapshot(spark, dir, versionAsOf = 0)
+    assert(v0.count() === 20)
+    // v3 re-adds the tombstoned file: it must come back
+    commit(dir, 3, Seq(addJson("part-b.parquet", Map("p" -> "b"), 1)))
+    assert(DeltaLite.snapshot(spark, dir)
+      .filter(col("p") === "b").count() === 10)
+  }
+
+  test("checkpoint: parquet snapshot + post-checkpoint commits replay") {
+    val dir = buildTable()
+    // write a checkpoint at v2 from the json commits themselves, then
+    // DELETE the pre-checkpoint jsons — replay MUST go through it
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "add STRUCT<path: STRING, partitionValues: MAP<STRING, STRING>, " +
+        "size: BIGINT, dataChange: BOOLEAN>, " +
+        "remove STRUCT<path: STRING, deletionTimestamp: BIGINT, " +
+        "dataChange: BOOLEAN>, " +
+        "metaData STRUCT<id: STRING, schemaString: STRING, " +
+        "partitionColumns: ARRAY<STRING>>, " +
+        "protocol STRUCT<minReaderVersion: INT, minWriterVersion: INT>")
+    val logs = (0 to 2).map(v => s"$dir/_delta_log/" + f"$v%020d.json")
+    // checkpoint semantics: only LIVE adds + latest meta/protocol
+    val acts = spark.read.schema(schema).json(logs: _*)
+    val cp = acts.filter(col("metaData").isNotNull ||
+        col("protocol").isNotNull ||
+        (col("add").isNotNull && !col("add.path").isin("part-b.parquet")))
+    val tmp = Files.createTempDirectory("dlcp").toString
+    cp.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.move(part.toPath,
+      Paths.get(dir, "_delta_log", f"${2L}%020d.checkpoint.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    Files.writeString(Paths.get(dir, "_delta_log", "_last_checkpoint"),
+      """{"version":2,"size":5}""")
+    logs.foreach(l => Files.delete(Paths.get(l)))
+    assert(DeltaLite.snapshot(spark, dir).count() === 30)
+    // a post-checkpoint commit still replays on top
+    commit(dir, 3, Seq(removeJson("part-c.parquet")))
+    assert(DeltaLite.snapshot(spark, dir).count() === 20)
+    assert(DeltaLite.snapshot(spark, dir)
+      .agg(sum("k")).as[Long].head() === ((1 to 10) ++ (31 to 40)).sum)
+  }
+
+  test("protocol gate: reader features beyond base decline loudly") {
+    val dir = buildTable()
+    commit(dir, 3, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}"""))
+    intercept[IllegalArgumentException] {
+      DeltaLite.snapshot(spark, dir)
+    }
+    // time travel BEFORE the upgrade still works
+    assert(DeltaLite.snapshot(spark, dir, versionAsOf = 2).count() === 30)
+  }
+
+  test("not-a-table and empty-version errors are loud, not misreads") {
+    val none = Files.createTempDirectory("dlnone").toString
+    intercept[IllegalArgumentException] {
+      DeltaLite.snapshot(spark, none)
+    }
+    assert(DeltaLite.latestVersion(spark, none) === -1L)
+  }
+}
