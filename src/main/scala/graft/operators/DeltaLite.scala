@@ -54,16 +54,62 @@ object DeltaLite {
 
   private def actionSchema: StructType = StructType.fromDDL(
     "add STRUCT<path: STRING, partitionValues: MAP<STRING, STRING>, " +
-      "size: BIGINT, dataChange: BOOLEAN>, " +
+      "size: BIGINT, dataChange: BOOLEAN, stats: STRING>, " +
       "remove STRUCT<path: STRING, deletionTimestamp: BIGINT, " +
       "dataChange: BOOLEAN>, " +
       "metaData STRUCT<id: STRING, schemaString: STRING, " +
       "partitionColumns: ARRAY<STRING>>, " +
       "protocol STRUCT<minReaderVersion: INT, minWriterVersion: INT>")
 
+  /** File-skipping outcome of [[prunedSnapshot]]. */
+  final case class Pruned(nFiles: Int, keptFiles: Int, data: DataFrame)
+
   /** The table as a DataFrame at `versionAsOf` (default: latest). */
   def snapshot(spark: SparkSession, table: String,
-               versionAsOf: Long = Long.MaxValue): DataFrame = {
+               versionAsOf: Long = Long.MaxValue): DataFrame =
+    build(spark, table, versionAsOf, pruneCol = null, 0L, 0L).data
+
+  /** File-skipping snapshot: files whose `add.stats` min/max for
+    * `colName` cannot intersect [lo, hi] are SKIPPED before any data
+    * I/O (files without stats are conservatively kept) — the Delta
+    * analog of row-group pruning, the planning move that makes a
+    * 100 TB table's point query touch KBs of metadata instead of the
+    * table. The caller re-filters exactly; this only bounds I/O. */
+  def prunedSnapshot(spark: SparkSession, table: String, colName: String,
+                     lo: Long, hi: Long,
+                     versionAsOf: Long = Long.MaxValue): Pruned =
+    build(spark, table, versionAsOf, colName, lo, hi)
+
+  /** Balanced-brace JSON object following `"key"`, or None. */
+  private def jsonObjectAfter(s: String, key: String): Option[String] = {
+    val i = s.indexOf("\"" + key + "\"")
+    if (i < 0) return None
+    val j = s.indexOf('{', i)
+    if (j < 0) return None
+    var depth = 0
+    var k = j
+    while (k < s.length) {
+      s.charAt(k) match {
+        case '{' => depth += 1
+        case '}' =>
+          depth -= 1
+          if (depth == 0) return Some(s.substring(j, k + 1))
+        case _ => ()
+      }
+      k += 1
+    }
+    None
+  }
+
+  private def longField(obj: String, colName: String): Option[Long] = {
+    val m = java.util.regex.Pattern.compile(
+      "\"" + java.util.regex.Pattern.quote(colName) +
+        "\"\\s*:\\s*(-?\\d+)").matcher(obj)
+    if (m.find()) scala.util.Try(m.group(1).toLong).toOption else None
+  }
+
+  private def build(spark: SparkSession, table: String, versionAsOf: Long,
+                    pruneCol: String, lo: Long, hi: Long): Pruned = {
     val fs = new Path(table).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val logDir = new Path(table, LogDir)
@@ -105,11 +151,11 @@ object DeltaLite {
           "(\\d{20})\\.json", 1).cast("long")))
     val cpActions =
       if (cpVersion < 0) None
-      else Some(spark.read.parquet(
-        new Path(logDir, f"$cpVersion%020d.checkpoint.parquet").toString)
-        .select(actionSchema.fieldNames.map(n =>
-          if (Seq("add", "remove", "metaData", "protocol").contains(n)) col(n)
-          else lit(null).as(n)): _*)
+      else Some(spark.read.schema(actionSchema) // fills absent optional
+        // fields (e.g. add.stats) with nulls — checkpoints from other
+        // writers carry varying action-struct widths
+        .parquet(new Path(logDir,
+          f"$cpVersion%020d.checkpoint.parquet").toString)
         .withColumn("v", lit(cpVersion)))
     val actions = (cpActions, jsonActions) match {
       case (Some(a), Some(b)) => a.unionByName(b, allowMissingColumns = true)
@@ -139,7 +185,8 @@ object DeltaLite {
     // remove (a re-add after a remove resurrects the path)
     val adds = actions.filter(col("add").isNotNull)
       .select(col("add.path").as("path"),
-        col("add.partitionValues").as("pv"), col("v"))
+        col("add.partitionValues").as("pv"),
+        col("add.stats").as("stats"), col("v"))
     val removes = actions.filter(col("remove").isNotNull)
       .select(col("remove.path").as("path"), col("v").as("rv"))
       .groupBy("path").agg(max("rv").as("rv"))
@@ -148,13 +195,28 @@ object DeltaLite {
         org.apache.spark.sql.expressions.Window
           .partitionBy("path").orderBy(col("v").desc)))
       .filter(col("rn") === 1).drop("rn")
-    val live = latestAdds.join(removes, Seq("path"), "left")
+    val liveAll = latestAdds.join(removes, Seq("path"), "left")
       .filter(col("rv").isNull || col("v") > col("rv"))
-      .select("path", "pv")
+      .select("path", "pv", "stats")
       .collect() // the snapshot FILE LIST — metadata-bounded
       .map(r => (r.getString(0),
         Option(r.getMap[String, String](1)).map(_.toMap)
-          .getOrElse(Map.empty[String, String])))
+          .getOrElse(Map.empty[String, String]),
+        if (r.isNullAt(2)) null else r.getString(2)))
+
+    // stats-based file skipping: drop files whose [min, max] for the
+    // prune column cannot intersect [lo, hi]; no/partial stats keep
+    val live = if (pruneCol == null) liveAll
+      else liveAll.filter { case (_, _, stats) =>
+        if (stats == null) true
+        else {
+          val mn = jsonObjectAfter(stats, "minValues")
+            .flatMap(longField(_, pruneCol))
+          val mx = jsonObjectAfter(stats, "maxValues")
+            .flatMap(longField(_, pruneCol))
+          !(mn.exists(_ > hi) || mx.exists(_ < lo))
+        }
+      }
 
     require(live.nonEmpty, s"empty snapshot of $table")
     val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
@@ -164,7 +226,7 @@ object DeltaLite {
     val groups = live.groupBy(_._2).toSeq.sortBy(_._1.toSeq.sortBy(_._1)
       .map { case (k, x) => s"$k=$x" }.mkString(","))
     val parts = groups.map { case (pv, files) =>
-      val paths = files.map { case (rel, _) =>
+      val paths = files.map { case (rel, _, _) =>
         new Path(table, java.net.URLDecoder.decode(rel, "UTF-8")).toString
       }
       val base = spark.read.schema(dataSchema).parquet(paths: _*)
@@ -176,6 +238,6 @@ object DeltaLite {
             .getOrElse(lit(null).cast(f.dataType)))
       }.select(schema.fieldNames.map(col): _*)
     }
-    parts.reduce(_ unionByName _)
+    Pruned(liveAll.length, live.length, parts.reduce(_ unionByName _))
   }
 }

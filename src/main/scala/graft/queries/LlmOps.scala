@@ -3431,6 +3431,79 @@ object LlmOps {
       dir.toString
     })
 
+  /** Prune-fixture: five orderkey-bucketed files whose adds carry
+    * real per-file min/max stats (the file-skipping metadata). */
+  private def deltaPruneFixture(s: SparkSession, d: String,
+                                w: Long): String =
+    parquetNestedDirs.computeIfAbsent(s"$d#delta2", _ => {
+      val dir = java.nio.file.Files.createTempDirectory("delta_prune")
+      def commit(v: Long, lines: Seq[String]): Unit = {
+        val p = dir.resolve("_delta_log").resolve(f"$v%020d.json")
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, lines.mkString("\n") + "\n")
+      }
+      val schemaJson = org.apache.spark.sql.types.StructType
+        .fromDDL("k BIGINT, st STRING").json
+        .replace("\\", "\\\\").replace("\"", "\\\"")
+      val adds = (0 until 5).flatMap { i =>
+        val lo = i * w + 1
+        val hi = (i + 1) * w
+        val part = orders(s, d)
+          .filter(col("o_orderkey").between(lo, hi))
+          .select(col("o_orderkey").cast("long").as("k"),
+            col("o_orderstatus").as("st"))
+        val stats = part.agg(min("k"), max("k"), count(lit(1))).collect().head
+        if (stats.getLong(2) == 0) None
+        else {
+          val tmp = java.nio.file.Files.createTempDirectory("dp").toString
+          part.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val f = new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dest = dir.resolve(s"bucket-$i.parquet")
+          java.nio.file.Files.move(f.toPath, dest,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          Some(s"""{"add":{"path":"bucket-$i.parquet","partitionValues":{},""" +
+            s""""size":${java.nio.file.Files.size(dest)},"dataChange":true,""" +
+            s""""stats":"{\\"numRecords\\":${stats.getLong(2)},""" +
+            s"""\\"minValues\\":{\\"k\\":${stats.getLong(0)}},""" +
+            s"""\\"maxValues\\":{\\"k\\":${stats.getLong(1)}}}"}}""")
+        }
+      }
+      commit(0, Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":"prune","schemaString":"$schemaJson",""" +
+          """"partitionColumns":[]}}""") ++ adds)
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().forEachRemaining(q => q.toFile.deleteOnExit())
+      finally walk.close()
+      dir.toString
+    })
+
+  /** Delta FILE-SKIPPING gate — the stats pruning that makes a 100 TB
+    * table's point query touch metadata, not the table: adds carry
+    * per-file min/max, `prunedSnapshot` keeps only the files whose
+    * range can intersect the predicate, and an exact re-filter over
+    * the kept data yields the answer. The oracle recomputes the kept
+    * count from the SAME bucket arithmetic plus the aggregates from
+    * the data. */
+  def xDeltaPrune(s: SparkSession, d: String): DataFrame = {
+    val maxK = orders(s, d).agg(max(col("o_orderkey"))).collect()
+      .head.getLong(0)
+    val w = maxK / 5 + 1
+    val lo = w + 10
+    val hi = 2 * w - 10 // strictly inside bucket 1
+    val p = graft.operators.DeltaLite.prunedSnapshot(
+      s, deltaPruneFixture(s, d, w), "k", lo, hi)
+    ordered(
+      p.data.filter(col("k").between(lo, hi))
+        .agg(
+          lit(p.nFiles).cast("long").as("n_files"),
+          lit(p.keptFiles).cast("long").as("kept_files"),
+          count(lit(1)).as("n_match"),
+          coalesce(sum(col("k")), lit(0L)).as("sum_match")),
+      "n_files")
+  }
+
   /** Delta SNAPSHOT gate — the table-format tier on top of the
     * file-format tier: `operators/DeltaLite` replays a hand-committed
     * Delta log (public protocol: versioned JSON actions, tombstones,
@@ -3938,6 +4011,7 @@ object LlmOps {
     "x_orc_temporal"      -> (xOrcTemporal _),
     "x_parquet_temporal"  -> (xParquetTemporal _),
     "x_delta_snapshot"    -> (xDeltaSnapshot _),
+    "x_delta_prune"       -> (xDeltaPrune _),
     "x_avro_write"        -> (xAvroWrite _),
     "x_avro_write_deflate" -> (xAvroWriteDeflate _),
     "x_parquet_write2"    -> (xParquetWrite2 _),
@@ -4438,6 +4512,20 @@ object LlmOps {
         "min(o_orderstatus) AS min_st, max(o_orderstatus) AS max_st " +
         "FROM orders WHERE o_orderpriority <> '2-HIGH' " +
         "GROUP BY 1 ORDER BY prio"),
+    "x_delta_prune" ->
+      """WITH w AS (SELECT max(o_orderkey) // 5 + 1 AS w FROM orders),
+        |b AS (SELECT (o_orderkey - 1) // w.w AS bucket,
+        |    min(o_orderkey) AS mn, max(o_orderkey) AS mx
+        |  FROM orders, w GROUP BY 1),
+        |r AS (SELECT w.w + 10 AS lo, 2 * w.w - 10 AS hi FROM w)
+        |SELECT
+        |  CAST((SELECT count(*) FROM b) AS BIGINT) AS n_files,
+        |  CAST((SELECT count(*) FROM b, r
+        |        WHERE b.mn <= r.hi AND b.mx >= r.lo) AS BIGINT)
+        |    AS kept_files,
+        |  CAST(count(*) AS BIGINT) AS n_match,
+        |  CAST(coalesce(sum(o_orderkey), 0) AS BIGINT) AS sum_match
+        |FROM orders, r WHERE o_orderkey BETWEEN r.lo AND r.hi""".stripMargin,
     "x_lm_typicality" ->
       s"""WITH $lmScoreCte
          |SELECT d.doc_id,

@@ -132,6 +132,41 @@ class DeltaLiteSpec extends SparkSpec {
       .agg(sum("k")).as[Long].head() === ((1 to 10) ++ (31 to 40)).sum)
   }
 
+  test("stats file-skipping: pruned snapshot touches only intersecting files") {
+    val dir = Files.createTempDirectory("dlprune").toString
+    def part(lo: Int, hi: Int) =
+      spark.range(lo, hi + 1).select(col("id").as("k"),
+        concat(lit("s"), col("id").cast("string")).as("s"))
+    val schema = StructType.fromDDL("k BIGINT, s STRING")
+    def addWithStats(path: String, size: Long, mn: Int, mx: Int,
+                     n: Int): String =
+      s"""{"add":{"path":"$path","partitionValues":{},"size":$size,""" +
+        s""""dataChange":true,"stats":"{\\"numRecords\\":$n,""" +
+        s"""\\"minValues\\":{\\"k\\":$mn},\\"maxValues\\":{\\"k\\":$mx}}"}}"""
+    val sizes = Seq((1, 100), (101, 200), (201, 300), (301, 400)).zipWithIndex
+      .map { case ((lo, hi), i) =>
+        (writePart(part(lo, hi), dir, s"f$i.parquet"), lo, hi, i)
+      }
+    commit(dir, 0, Seq(protoJson, metaJson(schema, Seq.empty)) ++
+      sizes.map { case (sz, lo, hi, i) =>
+        if (i == 3) // one file WITHOUT stats: must be kept conservatively
+          s"""{"add":{"path":"f$i.parquet","partitionValues":{},""" +
+            s""""size":$sz,"dataChange":true}}"""
+        else addWithStats(s"f$i.parquet", sz, lo, hi, hi - lo + 1)
+      })
+    val p = DeltaLite.prunedSnapshot(spark, dir, "k", 120L, 180L)
+    assert(p.nFiles === 4)
+    assert(p.keptFiles === 2) // f1 (intersects) + f3 (no stats)
+    val ks = p.data.filter(col("k").between(120, 180))
+      .select("k").as[Long].collect().sorted
+    assert(ks === (120L to 180L).toArray) // pruning is sound
+    // a range past all stats keeps only the stats-less file
+    val far = DeltaLite.prunedSnapshot(spark, dir, "k", 5000L, 6000L)
+    assert(far.keptFiles === 1)
+    // unpruned face unchanged
+    assert(DeltaLite.snapshot(spark, dir).count() === 400)
+  }
+
   test("protocol gate: reader features beyond base decline loudly") {
     val dir = buildTable()
     commit(dir, 3, Seq(
