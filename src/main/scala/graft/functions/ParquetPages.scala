@@ -429,6 +429,7 @@ object ParquetPages {
   private final val KString = 1
   private final val KDouble = 2
   private final val KInt96 = 3 // INT96 timestamps, yielded as epoch micros
+  private final val KBool = 4 // BOOLEAN (PLAIN bit-packed / v2 RLE)
 
   /** Reads one column (flat or one-level list); flat elements are
     * boxed java.lang.Long / UTF8String / java.lang.Double / null per
@@ -454,7 +455,8 @@ object ParquetPages {
         case KLong => if (leaf.ptype != 1 && leaf.ptype != 2) fail()
         case KString => if (leaf.ptype != 6) fail()
         case KDouble => if (leaf.ptype != 4 && leaf.ptype != 5) fail()
-        case _ => if (leaf.ptype != 3) fail() // INT96
+        case KInt96 => if (leaf.ptype != 3) fail()
+        case _ => if (leaf.ptype != 0) fail() // BOOLEAN
       }
       if (range != null && (kind != KLong || wantList)) fail()
 
@@ -537,6 +539,10 @@ object ParquetPages {
                   i += 1
                 }
                 a
+              case 0 if kind == KBool => // PLAIN booleans: LSB bit-packed
+                if (cur0 + ((nNonNull + 7) >> 3) > values.length) fail()
+                Array.tabulate[Any](nNonNull)(i => java.lang.Boolean.valueOf(
+                  ((values(cur0 + (i >> 3)) >> (i & 7)) & 1) == 1))
               case 0 => // PLAIN
                 val p = new Plain(values, cur0)
                 Array.tabulate[Any](nNonNull)(_ => kind match {
@@ -545,6 +551,14 @@ object ParquetPages {
                   case KDouble => java.lang.Double.valueOf(p.nextDouble(leaf.ptype))
                   case _ => java.lang.Long.valueOf(p.nextInt96Micros())
                 })
+              case 3 => // RLE values (v2 booleans): 4-byte len + runs
+                if (kind != KBool) fail()
+                val len = leInt(values, cur0)
+                if (len < 0 || cur0 + 4 + len > values.length) fail()
+                val idx = new Array[Int](nNonNull)
+                if (nNonNull > 0)
+                  rleHybrid(values, cur0 + 4, cur0 + 4 + len, 1, nNonNull, idx)
+                idx.map[Any](v => java.lang.Boolean.valueOf(v == 1))
               case 5 => // DELTA_BINARY_PACKED (ints)
                 if (kind != KLong) fail()
                 val got = deltaBinaryPacked(new Cursor(values, cur0))
@@ -592,8 +606,9 @@ object ParquetPages {
                 dictLongs = Array.tabulate(h.numValues)(_ => p.nextLong(leaf.ptype))
               case KDouble =>
                 dictDoubles = Array.tabulate(h.numValues)(_ => p.nextDouble(leaf.ptype))
-              case _ =>
+              case KInt96 =>
                 dictMicros = Array.tabulate(h.numValues)(_ => p.nextInt96Micros())
+              case _ => fail() // booleans are never dictionary-encoded
             }
           } else if (h.ptype == 0) { // data page v1: [rep][def][values]
             val d = decompress(b, dataStart, h.compressed, h.uncompressed, chunk.codec)
@@ -716,6 +731,9 @@ object ParquetPages {
   /** INT96 timestamp column as epoch microseconds. */
   def int96Micros(b: Array[Byte], colName: UTF8String): ArrayData =
     face(b, colName, KInt96, wantList = false)
+  /** BOOLEAN column. */
+  def boolValues(b: Array[Byte], colName: UTF8String): ArrayData =
+    face(b, colName, KBool, wantList = false)
 
   /** Stats-pruned int read: struct(n_groups, kept_groups, values). */
   def int64ValuesPruned(b: Array[Byte], colName: UTF8String,
@@ -763,6 +781,9 @@ object ParquetPages {
             c.asInstanceOf[UTF8String])
         case "int96Micros" =>
           ParquetPages.int96Micros(b.asInstanceOf[Array[Byte]],
+            c.asInstanceOf[UTF8String])
+        case "boolValues" =>
+          ParquetPages.boolValues(b.asInstanceOf[Array[Byte]],
             c.asInstanceOf[UTF8String])
       }
       r
@@ -834,6 +855,14 @@ object ParquetPages {
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
   }
+  case class ParquetBoolColumn(left: Expression, right: Expression)
+      extends PagesProbe {
+    override def method: String = "boolValues"
+    override def elemType: DataType = BooleanType
+    override def prettyName: String = "parquet_bool_column"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
 
   /** Stats-pruned read face: struct(n_groups, kept_groups, values).
     * `lo`/`hi` are plan-time constants (the pushed-down predicate). */
@@ -892,5 +921,8 @@ object ParquetPages {
       SparkInternals.expression(content), SparkInternals.expression(colName)))
   def int96MicrosCol(content: Column, colName: Column): Column =
     SparkInternals.column(ParquetInt96Micros(
+      SparkInternals.expression(content), SparkInternals.expression(colName)))
+  def boolColumnCol(content: Column, colName: Column): Column =
+    SparkInternals.column(ParquetBoolColumn(
       SparkInternals.expression(content), SparkInternals.expression(colName)))
 }

@@ -3797,7 +3797,9 @@ object LlmOps {
           .otherwise(transform(col("nums0"),
             x => when(x === 3, lit(null)).otherwise(x))).as("nums"),
         when(pmod(col("k"), lit(31)) === 0, array().cast("array<string>"))
-          .otherwise(col("flags0")).as("flags"))
+          .otherwise(col("flags0")).as("flags"),
+        when(pmod(col("k"), lit(41)) === 0, lit(null))
+          .otherwise(pmod(col("k"), lit(3)) === 0).as("even3"))
     val dir = parquetNestedFixture(src, d)
     val decoded = s.read.format("binaryFile").load(dir)
       .filter(col("path").endsWith(".parquet"))
@@ -3807,10 +3809,13 @@ object LlmOps {
         graft.functions.ParquetPages
           .int64ListColumnCol(col("content"), lit("nums")).as("nums"),
         graft.functions.ParquetPages
-          .stringListColumnCol(col("content"), lit("flags")).as("flags"))
-      .select(explode(arrays_zip(col("ks"), col("nums"), col("flags"))).as("r"))
+          .stringListColumnCol(col("content"), lit("flags")).as("flags"),
+        graft.functions.ParquetPages
+          .boolColumnCol(col("content"), lit("even3")).as("bools"))
+      .select(explode(arrays_zip(col("ks"), col("nums"), col("flags"),
+        col("bools"))).as("r"))
       .select(col("r.ks").as("k"), col("r.nums").as("nums"),
-        col("r.flags").as("flags"))
+        col("r.flags").as("flags"), col("r.bools").as("even3"))
     ordered(
       decoded.select(col("k"),
         size(col("nums")).cast("long").as("n_nums"),
@@ -3818,7 +3823,8 @@ object LlmOps {
           .as("sum_nums"),
         size(col("flags")).cast("long").as("n_flags"),
         array_min(col("flags")).as("min_flag"),
-        array_max(col("flags")).as("max_flag")),
+        array_max(col("flags")).as("max_flag"),
+        col("even3").cast("long").as("even3")),
       "k")
   }
 
@@ -4394,7 +4400,9 @@ object LlmOps {
       |  CASE WHEN k % 50 = 0 THEN NULL ELSE sm END AS sum_nums,
       |  CASE WHEN k % 31 = 0 THEN CAST(0 AS BIGINT) ELSE cnt END AS n_flags,
       |  CASE WHEN k % 31 = 0 THEN NULL ELSE mn END AS min_flag,
-      |  CASE WHEN k % 31 = 0 THEN NULL ELSE mx END AS max_flag
+      |  CASE WHEN k % 31 = 0 THEN NULL ELSE mx END AS max_flag,
+      |  CASE WHEN k % 41 = 0 THEN NULL
+      |       ELSE CAST(k % 3 = 0 AS BIGINT) END AS even3
       |FROM g ORDER BY k""".stripMargin
 
   private lazy val orcMetaOracle: String =

@@ -295,6 +295,35 @@ class ParquetPagesSpec extends SparkSpec {
     }
   }
 
+  test("BOOLEAN columns: v1 PLAIN bit-packed and v2 RLE, with nulls") {
+    val df = spark.range(0, 5000).select(
+      when(col("id") % 7 === 0, lit(null))
+        .otherwise(col("id") % 3 === 0).as("f"),
+      (col("id") % 2 === 1).as("g")) // required-ish, no nulls
+    for {
+      version <- Seq("v1", "v2")
+      codec <- Seq("snappy", "none")
+    } {
+      val b = writeAndRead(df, Map("compression" -> codec,
+        "parquet.writer.version" -> version))
+      val want = df.collect()
+      Seq("f", "g").foreach { name =>
+        val a = ParquetPages.boolValues(b,
+          org.apache.spark.unsafe.types.UTF8String.fromString(name))
+        assert(a != null, s"$name declined $version/$codec")
+        val ci = df.columns.indexOf(name)
+        want.zipWithIndex.foreach { case (r, i) =>
+          if (r.isNullAt(ci)) assert(a.isNullAt(i), s"$name@$i $version/$codec")
+          else assert(a.getBoolean(i) === r.getBoolean(ci),
+            s"$name@$i $version/$codec")
+        }
+      }
+      assert(longs(b, "f") == null) // bool via the long face declines
+      assert(ParquetPages.boolValues(b,
+        org.apache.spark.unsafe.types.UTF8String.fromString("nope")) == null)
+    }
+  }
+
   test("INT96 timestamps: the legacy lineage decodes to epoch micros") {
     val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
