@@ -38,7 +38,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object AvroRead {
 
-  private object Malformed extends RuntimeException {
+  private[functions] object Malformed extends RuntimeException {
     override def fillInStackTrace(): Throwable = this
   }
   private def fail(): Nothing = throw Malformed
@@ -47,7 +47,7 @@ object AvroRead {
 
   // ---- minimal JSON (schema strings only; total, cycle-free) ----
 
-  private final class JsonP(s: String) {
+  private[functions] final class JsonP(s: String) {
     var i = 0
     def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
     def parse(): Any = { ws(); val v = value(); v }

@@ -3431,6 +3431,52 @@ object LlmOps {
       dir.toString
     })
 
+  /** Iceberg metadata.json gate — the second table format's planning
+    * tier: SQL-built v2 metadata documents (schemas by id, partition
+    * specs by id, a two-snapshot log with summaries) decoded by
+    * `functions/IcebergMeta`; every surfaced field — current snapshot
+    * resolution, schema/spec selection, summary numbers, the
+    * append-count over the snapshot array — restated arithmetically
+    * in the oracle. */
+  def xIcebergMeta(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val snap1 = id * 10 + 1
+    val snap2 = id * 10 + 2
+    val json = concat(
+      lit("""{"format-version": 2, "table-uuid": "u-"""), id.cast("string"),
+      lit("""", "current-schema-id": 1, "schemas": ["""),
+      lit("""{"schema-id": 0, "type": "struct", "fields": [{"id":1,"name":"old","required":true,"type":"long"}]},"""),
+      lit("""{"schema-id": 1, "type": "struct", "fields": [{"id":1,"name":"k","required":true,"type":"long"},{"id":2,"name":"v","required":false,"type":"string"}]}],"""),
+      lit(""""default-spec-id": 0, "partition-specs": [{"spec-id": 0, "fields": [{"source-id":1,"field-id":1000,"name":"k_bucket","transform":"bucket[16]"}]}],"""),
+      lit(""""current-snapshot-id": """), snap2.cast("string"),
+      lit(""", "snapshots": ["""),
+      lit("""{"snapshot-id": """), snap1.cast("string"),
+      lit(""", "timestamp-ms": 1700000000001, "sequence-number": 1, "summary": {"operation": "append", "total-records": """),
+      (id + 100).cast("string"), lit(""", "total-data-files": 4}},"""),
+      lit("""{"snapshot-id": """), snap2.cast("string"),
+      lit(""", "parent-snapshot-id": """), snap1.cast("string"),
+      lit(""", "timestamp-ms": 1700000000002, "sequence-number": 2, "summary": {"operation": "overwrite", "total-records": """),
+      (id + 90).cast("string"), lit(""", "total-data-files": 3}}]}"""))
+    val fx = documents(s, d).select(id, encode(json, "UTF-8").as("b"))
+    ordered(
+      fx.select(id,
+        graft.functions.IcebergMeta.tableMetaCol(col("b")).as("m"),
+        graft.functions.IcebergMeta.snapshotsCol(col("b")).as("snaps"))
+        .select(id,
+          col("m.format_version").cast("long").as("fv"),
+          col("m.current_snapshot_id").as("cur_snap"),
+          col("m.n_snapshots").cast("long").as("n_snaps"),
+          col("m.schema_fields").as("schema_fields"),
+          col("m.partition_fields").as("partition_fields"),
+          col("m.total_records").as("total_records"),
+          col("m.total_files").as("total_files"),
+          size(filter(col("snaps"), x => x.getField("operation") === "append"))
+            .cast("long").as("n_appends"),
+          aggregate(col("snaps"), lit(0L),
+            (a, x) => a + x.getField("total_records")).as("sum_records")),
+      "doc_id")
+  }
+
   /** Prune-fixture: five orderkey-bucketed files whose adds carry
     * real per-file min/max stats (the file-skipping metadata). */
   private def deltaPruneFixture(s: SparkSession, d: String,
@@ -4018,6 +4064,7 @@ object LlmOps {
     "x_parquet_temporal"  -> (xParquetTemporal _),
     "x_delta_snapshot"    -> (xDeltaSnapshot _),
     "x_delta_prune"       -> (xDeltaPrune _),
+    "x_iceberg_meta"      -> (xIcebergMeta _),
     "x_avro_write"        -> (xAvroWrite _),
     "x_avro_write_deflate" -> (xAvroWriteDeflate _),
     "x_parquet_write2"    -> (xParquetWrite2 _),
@@ -4514,6 +4561,16 @@ object LlmOps {
     "x_lake_doubles" -> lakeDoublesOracle,
     "x_orc_temporal" -> orcTemporalOracle,
     "x_parquet_temporal" -> parquetTemporalOracle,
+    "x_iceberg_meta" ->
+      ("SELECT doc_id, CAST(2 AS BIGINT) AS fv, " +
+        "CAST(doc_id * 10 + 2 AS BIGINT) AS cur_snap, " +
+        "CAST(2 AS BIGINT) AS n_snaps, " +
+        "'k,v' AS schema_fields, 'k_bucket' AS partition_fields, " +
+        "CAST(doc_id + 90 AS BIGINT) AS total_records, " +
+        "CAST(3 AS BIGINT) AS total_files, " +
+        "CAST(1 AS BIGINT) AS n_appends, " +
+        "CAST(2 * doc_id + 190 AS BIGINT) AS sum_records " +
+        "FROM documents ORDER BY doc_id"),
     "x_delta_snapshot" ->
       ("SELECT o_orderpriority AS prio, count(*) AS n, " +
         "CAST(sum(o_orderkey) AS BIGINT) AS sum_k, " +
