@@ -90,7 +90,18 @@ object AvroRead {
           val st = i
           while (i < s.length && "+-.eE0123456789".indexOf(s.charAt(i)) >= 0) i += 1
           if (i == st) fail()
-          java.lang.Double.valueOf(s.substring(st, i))
+          val tok = s.substring(st, i)
+          // integral tokens stay exact as Long — parsing them as Double
+          // would silently round above 2^53 (real Iceberg snapshot ids
+          // are uniform 63-bit longs); a too-big integer declines
+          if (tok.indexOf('.') < 0 && tok.indexOf('e') < 0 &&
+            tok.indexOf('E') < 0) {
+            try java.lang.Long.valueOf(tok)
+            catch { case _: NumberFormatException => fail() }
+          } else {
+            try java.lang.Double.valueOf(tok)
+            catch { case _: NumberFormatException => fail() }
+          }
       }
     }
     private def expect(w: String): Unit = {

@@ -50,7 +50,8 @@ object IcebergMeta {
     case _ => fail()
   }
   private def asLong(v: Any): Long = v match {
-    case d: java.lang.Double =>
+    case l: java.lang.Long => l.longValue // JsonP keeps integrals exact
+    case d: java.lang.Double => // fractional tokens: never a valid id
       if (d.doubleValue != d.doubleValue.toLong.toDouble) fail()
       d.doubleValue.toLong
     case s: String => try s.toLong catch { case _: Exception => fail() }

@@ -399,8 +399,10 @@ object OrcValues {
 
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     p.stripes.foreach { stripe =>
+      // bound the Long BEFORE narrowing: a corrupt claim like 2^32+100
+      // would wrap to 100 under toInt-first and misread as a decode
+      if (stripe.rows < 0 || stripe.rows > MaxOut) fail()
       val rows = stripe.rows.toInt
-      if (rows < 0 || rows > MaxOut) fail()
       val footStart = stripe.offset + stripe.indexLength + stripe.dataLength
       if (footStart < 0 || footStart + stripe.footerLength > b.length) fail()
       val sfRaw = OrcMeta.unframe(java.util.Arrays.copyOfRange(b,

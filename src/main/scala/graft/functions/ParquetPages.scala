@@ -470,8 +470,14 @@ object ParquetPages {
         if (chunk.ptype != leaf.ptype) fail()
         // value-count claim bound: numValues sizes the levels and value
         // arrays, so cap it like byte claims (real chunks hold far fewer
-        // values than MaxPage bytes)
-        if (chunk.numValues < 0 || chunk.numValues > MaxPage) fail()
+        // values than MaxPage bytes), AND bound it against the file's
+        // actual byte size — RLE levels amortize to well under a byte
+        // per value, but a 100-byte hostile footer claiming 64 Mi values
+        // would otherwise allocate ~512 MB of level arrays before a
+        // single data byte validates the claim (64 values/byte is far
+        // beyond any real writer's level-stream density)
+        if (chunk.numValues < 0 || chunk.numValues > MaxPage ||
+          chunk.numValues.toLong > 64L * b.length) fail()
         val pruned = range != null && {
           val (lo, hi) = range
           statLong(chunk, wantMax = false).exists(_ > hi) ||
@@ -598,7 +604,18 @@ object ParquetPages {
             if (h.encoding != 0 && h.encoding != 2) fail()
             val d = decompress(b, dataStart, h.compressed, h.uncompressed, chunk.codec)
             val p = new Plain(d, 0)
-            if (h.numValues < 0 || h.numValues > MaxPage) fail()
+            // every PLAIN dict entry consumes a fixed minimum width, so
+            // the count claim is bounded EXACTLY by the decompressed
+            // bytes before any entry array is allocated
+            val minEntryBytes = kind match {
+              case KString => 4 // 4-byte length prefix
+              case KLong => if (leaf.ptype == 1) 4 else 8
+              case KDouble => if (leaf.ptype == 4) 4 else 8
+              case KInt96 => 12
+              case _ => 1
+            }
+            if (h.numValues < 0 || h.numValues > MaxPage ||
+              h.numValues.toLong * minEntryBytes > d.length) fail()
             kind match {
               case KString =>
                 dictBytes = Array.fill(h.numValues)(p.nextBytes())

@@ -141,6 +141,21 @@ object DeltaLite {
       .sortBy(_.getName)
     require(cpVersion >= 0 || jsonFiles.nonEmpty,
       s"no commits at or below version $versionAsOf in $table")
+    // replay must be ANCHORED (a checkpoint, or commit 0) and GAP-FREE:
+    // with a stale _last_checkpoint plus log cleanup, a partial replay
+    // would silently return an incomplete snapshot (missing adds)
+    val versions = jsonFiles.map(_.getName.stripSuffix(".json").toLong)
+    if (versions.nonEmpty) {
+      val base = if (cpVersion >= 0) cpVersion + 1 else 0L
+      require(versions.head == base,
+        s"Delta log replay not anchored: first commit ${versions.head}, " +
+          s"expected $base (checkpoint=$cpVersion) in $table")
+      versions.zipWithIndex.foreach { case (v, i) =>
+        require(v == base + i,
+          s"gap in Delta log of $table: expected version ${base + i}, " +
+            s"found $v")
+      }
+    }
 
     // actions with their commit version (from the file name)
     val jsonActions =
@@ -181,8 +196,11 @@ object DeltaLite {
     val partCols = Option(metaRow.getStruct(1).getSeq[String](2))
       .getOrElse(Seq.empty)
 
-    // tombstone replay: live iff latest add strictly newer than latest
-    // remove (a re-add after a remove resurrects the path)
+    // tombstone replay: live iff latest add is at least as new as the
+    // latest remove (a re-add after a remove resurrects the path; an
+    // add SHARING its commit version with the remove wins the tie —
+    // protocol reconciliation keeps the add for remove-then-re-add
+    // within one commit)
     val adds = actions.filter(col("add").isNotNull)
       .select(col("add.path").as("path"),
         col("add.partitionValues").as("pv"),
@@ -196,7 +214,7 @@ object DeltaLite {
           .partitionBy("path").orderBy(col("v").desc)))
       .filter(col("rn") === 1).drop("rn")
     val liveAll = latestAdds.join(removes, Seq("path"), "left")
-      .filter(col("rv").isNull || col("v") > col("rv"))
+      .filter(col("rv").isNull || col("v") >= col("rv"))
       .select("path", "pv", "stats")
       .collect() // the snapshot FILE LIST — metadata-bounded
       .map(r => (r.getString(0),

@@ -103,6 +103,22 @@ class IcebergMetaSpec extends AnyFunSuite {
     assert(IcebergMeta.tableMeta(null) == null)
   }
 
+  test("63-bit snapshot ids parse exactly (integral JSON stays Long)") {
+    val big = 3051729675574597004L // a realistic uniform 63-bit id
+    val par = 9007199254740993L // 2^53 + 1: rounds under double parsing
+    val doc = v2Meta().replace("3002", big.toString)
+      .replace("3001", par.toString)
+    val m = IcebergMeta.tableMeta(doc.getBytes("UTF-8"))
+    assert(m != null)
+    assert(m.getLong(1) === big)
+    assert(m.getLong(5) === 900L) // summary still resolved for that id
+    val snaps = IcebergMeta.snapshots(doc.getBytes("UTF-8"))
+    assert(snaps.getStruct(0, 7).getLong(0) === par)
+    val s1 = snaps.getStruct(1, 7)
+    assert(s1.getLong(0) === big)
+    assert(s1.getLong(1) === par) // parent id exact too
+  }
+
   test("totality: truncation and corruption fuzz never throws") {
     val b = v2Meta().getBytes("UTF-8")
     (1 until b.length by 3).foreach { keep =>

@@ -178,6 +178,33 @@ class DeltaLiteSpec extends SparkSpec {
     assert(DeltaLite.snapshot(spark, dir, versionAsOf = 2).count() === 30)
   }
 
+  test("log gaps and unanchored replays raise instead of partial snapshots") {
+    val dir = buildTable()
+    // gap: delete v1 — replay would silently lose part-c + part-a2
+    Files.delete(Paths.get(dir, "_delta_log", f"${1L}%020d.json"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaLite.snapshot(spark, dir)
+    }
+    assert(e.getMessage.contains("gap"))
+    // unanchored: delete v0 with no checkpoint — nothing anchors replay
+    val dir2 = buildTable()
+    Files.delete(Paths.get(dir2, "_delta_log", f"${0L}%020d.json"))
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaLite.snapshot(spark, dir2)
+    }
+    assert(e2.getMessage.contains("anchored"))
+  }
+
+  test("same-version remove + re-add keeps the file live (add wins ties)") {
+    val dir = buildTable()
+    val sa = Files.size(Paths.get(dir, "part-a.parquet"))
+    commit(dir, 3, Seq(removeJson("part-a.parquet"),
+      addJson("part-a.parquet", Map("p" -> "a"), sa)))
+    val snap = DeltaLite.snapshot(spark, dir)
+    assert(snap.filter(col("p") === "a" && col("k").between(1, 10))
+      .count() === 10)
+  }
+
   test("not-a-table and empty-version errors are loud, not misreads") {
     val none = Files.createTempDirectory("dlnone").toString
     intercept[IllegalArgumentException] {
