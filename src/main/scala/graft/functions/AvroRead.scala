@@ -23,16 +23,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * (zigzag varints, length-prefixed strings/bytes, LE float/double,
   * union branch indices).
   *
-  * Scope (= the flat-record shape log pipelines emit): top-level
-  * record whose fields are null / boolean / int / long / float /
-  * double / string / bytes, or a ["null", prim] union (either order).
-  * Nested records, arrays, maps, enums, and fixed DECLINE to null —
-  * never misread — as do sync-marker mismatches, short blocks, bad
-  * codecs, and counts past the shared 64 MiB bound.
+  * Scope (= real event/table-metadata schemas): a top-level record
+  * over the FULL schema tree — primitives, ["null", T] unions (either
+  * order), nested records (any depth ≤ 32), arrays, string-keyed
+  * maps, enums (read as their symbol), fixed, and named-type
+  * references. RECURSIVE named types decline (a name only resolves
+  * after its body parses — keeps decode total); so do multi-branch
+  * unions, sync-marker mismatches, short blocks, bad codecs, and any
+  * count claim past the shared 64 MiB bound (arrays/maps carry a
+  * file-wide element budget plus per-block bytes/min-width caps).
   *
   * Faces mirror [[ParquetPages]]: per-field typed value arrays for
-  * map-side aggregation (values never shuffle), plus a file-meta
-  * struct (record/block counts, codec, field list).
+  * map-side aggregation (values never shuffle) with DOTTED PATHS
+  * navigating nested records, list faces for array fields, a
+  * string→long map face, plus a file-meta struct (record/block
+  * counts, codec, field list). [[genericRecords]] exposes the whole
+  * tree to the table-format planners (Iceberg manifests are nested
+  * Avro records).
   *
   * Reference scope: beyond-reference §2.10.
   */
@@ -136,55 +143,161 @@ object AvroRead {
     }
   }
 
-  // ---- schema model (flat records only) ----
+  // ---- schema model (full tree: records / arrays / maps / enums /
+  //      fixed / [null, T] unions, named-type references) ----
 
-  /** Primitive kinds; `nullable` via ["null", prim] unions. */
-  private final class Field(val name: String, val kind: String,
-                            val nullable: Boolean, val nullFirst: Boolean)
+  private[functions] sealed abstract class AType {
+    /** Minimum encoded bytes one value of this type consumes — the
+      * claim-bomb floor for every count claim in the file. */
+    val minBytes: Int
+  }
+  private[functions] final case class APrim(kind: String) extends AType {
+    val minBytes: Int = kind match {
+      case "null" => 0
+      case "float" => 4
+      case "double" => 8
+      case _ => 1 // boolean, int, long, string, bytes (varint/len ≥ 1)
+    }
+  }
+  private[functions] final class AField(val name: String, val t: AType)
+  private[functions] final case class ARec(name: String,
+      fields: Array[AField]) extends AType {
+    val minBytes: Int = {
+      val s = fields.foldLeft(0L)(_ + _.t.minBytes)
+      if (s > (1 << 20)) fail() else s.toInt
+    }
+  }
+  /** A ["null", T] union (either order). */
+  private[functions] final case class AOpt(inner: AType,
+      nullFirst: Boolean) extends AType {
+    val minBytes: Int = 1
+  }
+  private[functions] final case class AArr(items: AType) extends AType {
+    if (items.minBytes == 0) fail() // zero-width items = count bomb
+    val minBytes: Int = 1 // the terminating 0 block count
+  }
+  private[functions] final case class AMap(values: AType) extends AType {
+    val minBytes: Int = 1
+  }
+  private[functions] final case class AEnum(name: String,
+      symbols: Array[String]) extends AType {
+    val minBytes: Int = 1
+  }
+  private[functions] final case class AFixed(name: String,
+      size: Int) extends AType {
+    if (size < 0 || size > MaxOut) fail()
+    val minBytes: Int = size
+  }
 
   private val Prims = Set("null", "boolean", "int", "long", "float",
     "double", "string", "bytes")
 
-  private def primOf(t: Any): String = t match {
-    case s: String if Prims(s) => s
-    case m: scala.collection.Map[_, _] =>
-      m.asInstanceOf[scala.collection.Map[String, Any]].get("type") match {
-        case Some(s: String) if Prims(s) => s
-        case _ => fail()
-      }
-    case _ => fail()
-  }
+  private type JMap = scala.collection.Map[String, Any]
 
-  private def parseSchema(json: String): Array[Field] = {
-    val root = new JsonP(json).parse() match {
-      case m: scala.collection.Map[_, _] =>
-        m.asInstanceOf[scala.collection.Map[String, Any]]
-      case _ => fail()
-    }
-    if (!root.get("type").contains("record")) fail()
-    val fields = root.get("fields") match {
-      case Some(a: scala.collection.Seq[_]) => a
-      case _ => fail()
-    }
-    fields.map {
-      case fm: scala.collection.Map[_, _] =>
-        val f = fm.asInstanceOf[scala.collection.Map[String, Any]]
-        val name = f.get("name") match {
-          case Some(s: String) => s; case _ => fail()
+  /** Parses one schema node. `reg` holds named types ALREADY completed
+    * (registered after their body parses), so recursive types — which
+    * would make decode non-total — reference an absent name and
+    * decline. Depth-bounded like every parser here. */
+  private def parseType(v: Any, reg: scala.collection.mutable.Map[String, AType],
+                        ns: String, depth: Int): AType = {
+    if (depth > 32) fail()
+    v match {
+      case s: String if Prims(s) => APrim(s)
+      case s: String => // named-type reference (short or full name)
+        reg.getOrElse(s, reg.getOrElse(if (ns.isEmpty) s else s"$ns.$s", fail()))
+      case u: scala.collection.Seq[_] => // union: ["null", T] only
+        if (u.length != 2) fail()
+        val ts = u.map(parseType(_, reg, ns, depth + 1))
+        val nullIdx = ts.indexWhere(_ == APrim("null"))
+        if (nullIdx < 0) fail()
+        val inner = ts(1 - nullIdx)
+        if (inner == APrim("null")) fail()
+        AOpt(inner, nullFirst = nullIdx == 0)
+      case m0: scala.collection.Map[_, _] =>
+        val m = m0.asInstanceOf[JMap]
+        val ns1 = m.get("namespace") match {
+          case Some(s: String) => s
+          case _ => ns
         }
-        f.get("type") match {
-          case Some(u: scala.collection.Seq[_]) =>
-            if (u.length != 2) fail()
-            val kinds = u.map(primOf)
-            if (!kinds.contains("null")) fail()
-            val k = kinds.find(_ != "null").getOrElse("null")
-            new Field(name, k, nullable = true, nullFirst = kinds.head == "null")
-          case Some(t) => new Field(name, primOf(t), nullable = false,
-            nullFirst = false)
+        m.get("type") match {
+          case Some("record") =>
+            val name = m.get("name") match {
+              case Some(s: String) => s; case _ => fail()
+            }
+            val fs = m.get("fields") match {
+              case Some(a: scala.collection.Seq[_]) => a
+              case _ => fail()
+            }
+            if (fs.length > (1 << 12)) fail()
+            val fields = fs.map {
+              case fm0: scala.collection.Map[_, _] =>
+                val fm = fm0.asInstanceOf[JMap]
+                val fn = fm.get("name") match {
+                  case Some(s: String) => s; case _ => fail()
+                }
+                new AField(fn,
+                  parseType(fm.getOrElse("type", fail()), reg, ns1, depth + 1))
+              case _ => fail()
+            }.toArray
+            val r = ARec(name, fields)
+            reg(name) = r
+            if (ns1.nonEmpty) reg(s"$ns1.$name") = r
+            r
+          case Some("array") =>
+            AArr(parseType(m.getOrElse("items", fail()), reg, ns1, depth + 1))
+          case Some("map") =>
+            AMap(parseType(m.getOrElse("values", fail()), reg, ns1, depth + 1))
+          case Some("enum") =>
+            val name = m.get("name") match {
+              case Some(s: String) => s; case _ => fail()
+            }
+            val syms = m.get("symbols") match {
+              case Some(a: scala.collection.Seq[_]) =>
+                if (a.length > (1 << 16)) fail()
+                a.map { case s: String => s; case _ => fail() }.toArray
+              case _ => fail()
+            }
+            val e = AEnum(name, syms)
+            reg(name) = e
+            if (ns1.nonEmpty) reg(s"$ns1.$name") = e
+            e
+          case Some("fixed") =>
+            val name = m.get("name") match {
+              case Some(s: String) => s; case _ => fail()
+            }
+            val size = m.get("size") match {
+              case Some(l: java.lang.Long) => l.toInt
+              case Some(d: java.lang.Double) => d.toInt
+              case _ => fail()
+            }
+            val f = AFixed(name, size)
+            reg(name) = f
+            if (ns1.nonEmpty) reg(s"$ns1.$name") = f
+            f
+          case Some(s: String) if Prims(s) => APrim(s) // {"type":"long",...}
+          case Some(other) => parseType(other, reg, ns1, depth + 1)
           case None => fail()
         }
       case _ => fail()
-    }.toArray
+    }
+  }
+
+  /** Loud schema-tree parse for the writer side ([[AvroWrite]]). */
+  private[functions] def schemaTree(json: String): ARec =
+    try parseSchema(json)
+    catch {
+      case Malformed =>
+        throw new IllegalArgumentException(s"unsupported Avro schema: " +
+          json.take(200))
+    }
+
+  private def parseSchema(json: String): ARec = {
+    if (json.length > (1 << 22)) fail()
+    val reg = scala.collection.mutable.Map.empty[String, AType]
+    parseType(new JsonP(json).parse(), reg, "", 0) match {
+      case r: ARec => r
+      case _ => fail() // OCF top level must be a record here
+    }
   }
 
   // ---- binary decode ----
@@ -226,7 +339,77 @@ object AvroRead {
     case _ => fail()
   }
 
-  private final class Ocf(val fields: Array[Field], val codec: String,
+  /** Tree decode with a FILE-WIDE element budget: every nested array /
+    * map / record element spends against the shared 64 MiB cap, so no
+    * combination of per-collection count claims can multiply past it.
+    * Yields: prims boxed as in [[readPrim]], records as insertion-
+    * ordered String→Any maps, arrays as ArrayBuffer[Any], maps as
+    * String-keyed insertion-ordered maps, enums as their symbol
+    * (UTF8String), fixed as raw bytes. */
+  private final class Decoder {
+    private var budget: Long = MaxOut
+
+    def spend(n: Long): Unit = { budget -= n; if (budget < 0) fail() }
+
+    def readValue(b: Bin, t: AType): Any = t match {
+      case APrim(kind) => readPrim(b, kind)
+      case AOpt(inner, nullFirst) =>
+        val branch = b.zigzag()
+        if (branch < 0 || branch > 1) fail()
+        val isNull = if (nullFirst) branch == 0 else branch == 1
+        if (isNull) null else readValue(b, inner)
+      case ARec(_, fields) =>
+        spend(fields.length.toLong)
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+        var i = 0
+        while (i < fields.length) {
+          m(fields(i).name) = readValue(b, fields(i).t)
+          i += 1
+        }
+        m
+      case AArr(items) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+        readBlocks(b, items.minBytes) { () => out += readValue(b, items) }
+        out
+      case AMap(values) =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+        readBlocks(b, 1 + values.minBytes) { () =>
+          val k = readPrim(b, "string").asInstanceOf[UTF8String].toString
+          m(k) = readValue(b, values)
+        }
+        m
+      case AEnum(_, symbols) =>
+        val ix = b.zigzag()
+        if (ix < 0 || ix >= symbols.length) fail()
+        UTF8String.fromString(symbols(ix.toInt))
+      case AFixed(_, size) => b.bytes(size)
+    }
+
+    /** Avro block-sequence framing for arrays/maps: positive count, or
+      * negative count followed by a byte size; 0 ends. Every claimed
+      * count is bounded by the bytes still available / the item's
+      * minimum width BEFORE any element decodes. */
+    private def readBlocks(b: Bin, minItem: Int)(item: () => Unit): Unit = {
+      var done = false
+      while (!done) {
+        var count = b.zigzag()
+        if (count == 0) done = true
+        else {
+          if (count < 0) {
+            val bytes = b.zigzag() // block byte size (skippable framing)
+            if (bytes < 0 || bytes > MaxOut) fail()
+            count = -count
+          }
+          if (count > (b.end - b.pos).toLong / math.max(1, minItem)) fail()
+          spend(count)
+          var i = 0L
+          while (i < count) { item(); i += 1 }
+        }
+      }
+    }
+  }
+
+  private final class Ocf(val root: ARec, val codec: String,
                           val records: Array[Array[Any]], val nBlocks: Int)
 
   private def crc32(b: Array[Byte], from: Int, until: Int): Long = {
@@ -264,13 +447,14 @@ object AvroRead {
       }
     }
     if (schemaJson == null) fail()
-    val fields = parseSchema(schemaJson)
-    // claim-bomb bound: every field below consumes ≥1 encoded byte per
-    // record except the bare "null" primitive (nullable unions still
-    // spend a branch byte). A schema whose records decode to ZERO bytes
-    // would let a tiny block claim count=MaxOut and materialize ~67M
-    // empty rows before the exact-consumption check — reject it.
-    val minRecordBytes = fields.count(f => f.nullable || f.kind != "null")
+    val root = parseSchema(schemaJson)
+    val fields = root.fields
+    // claim-bomb bound: a record consumes at least root.minBytes encoded
+    // bytes (nullable unions spend a branch byte; only bare "null"
+    // fields are zero-width). A schema whose records decode to ZERO
+    // bytes would let a tiny block claim count=MaxOut and materialize
+    // ~67M empty rows before the exact-consumption check — reject it.
+    val minRecordBytes = root.minBytes
     val sync = r.bytes(16)
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
     var nBlocks = 0
@@ -308,19 +492,13 @@ object AvroRead {
       if (count > 0 && minRecordBytes == 0) fail()
       if (count * minRecordBytes.toLong > data.length) fail()
       val rb = new Bin(data, 0, data.length)
+      val dec = new Decoder
       var i = 0L
       while (i < count) {
         val row = new Array[Any](fields.length)
         var fi = 0
         while (fi < fields.length) {
-          val f = fields(fi)
-          row(fi) =
-            if (f.nullable) {
-              val branch = rb.zigzag()
-              if (branch < 0 || branch > 1) fail()
-              val isNull = if (f.nullFirst) branch == 0 else branch == 1
-              if (isNull) null else readPrim(rb, f.kind)
-            } else readPrim(rb, f.kind)
+          row(fi) = dec.readValue(rb, fields(fi).t)
           fi += 1
         }
         out += row
@@ -332,7 +510,7 @@ object AvroRead {
       if (!java.util.Arrays.equals(gotSync, sync)) fail()
       nBlocks += 1
     }
-    new Ocf(fields, codec, out.toArray, nBlocks)
+    new Ocf(root, codec, out.toArray, nBlocks)
   }
 
   // ---- faces ----
@@ -342,45 +520,155 @@ object AvroRead {
       val o = parse(b)
       InternalRow(o.records.length.toLong, o.nBlocks,
         UTF8String.fromString(o.codec),
-        UTF8String.fromString(o.fields.map(_.name).sorted.mkString(",")))
+        UTF8String.fromString(o.root.fields.map(_.name).sorted.mkString(",")))
     } catch { case Malformed => null }
 
-  private def fieldIndex(o: Ocf, name: String): Int = {
-    val i = o.fields.indexWhere(_.name == name)
-    if (i < 0) fail()
-    i
+  private def unwrap(t: AType): AType = t match {
+    case AOpt(inner, _) => inner
+    case other => other
   }
+
+  /** Navigates a dotted path through (possibly nullable) nested
+    * records: returns the leaf type and one value per record (null
+    * propagates past a null record on the path). */
+  private def extract(o: Ocf, path: String): (AType, Array[Any]) = {
+    val parts = path.split('.')
+    if (parts.isEmpty || parts.exists(_.isEmpty)) fail()
+    val i0 = o.root.fields.indexWhere(_.name == parts(0))
+    if (i0 < 0) fail()
+    var t: AType = o.root.fields(i0).t
+    var vs: Array[Any] = o.records.map(_(i0))
+    var pi = 1
+    while (pi < parts.length) {
+      val rec = unwrap(t) match {
+        case r: ARec => r
+        case _ => fail()
+      }
+      val fi = rec.fields.indexWhere(_.name == parts(pi))
+      if (fi < 0) fail()
+      t = rec.fields(fi).t
+      val name = parts(pi)
+      vs = vs.map {
+        case null => null
+        case m: scala.collection.mutable.LinkedHashMap[_, _] =>
+          m.asInstanceOf[scala.collection.mutable.LinkedHashMap[String, Any]]
+            .getOrElse(name, fail())
+        case _ => fail()
+      }
+      pi += 1
+    }
+    (t, vs)
+  }
+
+  private def asDouble(v: Any): Any = v match {
+    case null => null
+    case f: java.lang.Float => java.lang.Double.valueOf(f.doubleValue())
+    case d => d
+  }
+
+  private def leafKindOk(t: AType, kinds: Set[String]): Boolean =
+    unwrap(t) match {
+      case APrim(k) => kinds(k)
+      case _: AEnum => kinds("string") // enums read as their symbol
+      case _ => false
+    }
 
   def int64Values(b: Array[Byte], name: UTF8String): ArrayData =
     try {
       val o = parse(b)
-      val i = fieldIndex(o, name.toString)
-      if (o.fields(i).kind != "int" && o.fields(i).kind != "long") fail()
-      new GenericArrayData(o.records.map(_(i)))
+      val (t, vs) = extract(o, name.toString)
+      if (!leafKindOk(t, Set("int", "long"))) fail()
+      new GenericArrayData(vs)
     } catch { case Malformed => null }
 
   def stringValues(b: Array[Byte], name: UTF8String): ArrayData =
     try {
       val o = parse(b)
-      val i = fieldIndex(o, name.toString)
-      if (o.fields(i).kind != "string") fail()
-      new GenericArrayData(o.records.map(_(i)))
+      val (t, vs) = extract(o, name.toString)
+      if (!leafKindOk(t, Set("string"))) fail()
+      new GenericArrayData(vs)
     } catch { case Malformed => null }
 
   def doubleValues(b: Array[Byte], name: UTF8String): ArrayData =
     try {
       val o = parse(b)
-      val i = fieldIndex(o, name.toString)
-      val k = o.fields(i).kind
-      if (k != "double" && k != "float") fail()
-      new GenericArrayData(o.records.map { r =>
-        r(i) match {
-          case null => null
-          case f: java.lang.Float => java.lang.Double.valueOf(f.doubleValue())
-          case d => d
-        }
+      val (t, vs) = extract(o, name.toString)
+      if (!leafKindOk(t, Set("double", "float"))) fail()
+      new GenericArrayData(vs.map(asDouble))
+    } catch { case Malformed => null }
+
+  /** ARRAY faces: the value at `path` must be an (optionally nullable)
+    * array of the requested element kind; one inner array (or null)
+    * per record. */
+  private def listFace(b: Array[Byte], name: UTF8String,
+                       kinds: Set[String], widen: Boolean): ArrayData =
+    try {
+      val o = parse(b)
+      val (t, vs) = extract(o, name.toString)
+      val items = unwrap(t) match {
+        case AArr(it) => it
+        case _ => fail()
+      }
+      if (!leafKindOk(items, kinds)) fail()
+      new GenericArrayData(vs.map {
+        case null => null
+        case buf: scala.collection.mutable.ArrayBuffer[_] =>
+          val a = buf.asInstanceOf[scala.collection.mutable.ArrayBuffer[Any]]
+          new GenericArrayData(
+            (if (widen) a.map(asDouble) else a).toArray)
+        case _ => fail()
       })
     } catch { case Malformed => null }
+
+  def int64ListValues(b: Array[Byte], name: UTF8String): ArrayData =
+    listFace(b, name, Set("int", "long"), widen = false)
+  def stringListValues(b: Array[Byte], name: UTF8String): ArrayData =
+    listFace(b, name, Set("string"), widen = false)
+  def doubleListValues(b: Array[Byte], name: UTF8String): ArrayData =
+    listFace(b, name, Set("double", "float"), widen = true)
+
+  /** MAP face: string→long map at `path` flattened to one sorted
+    * key=value CSV string per record (deterministic, oracle-friendly). */
+  def mapInt64Csv(b: Array[Byte], name: UTF8String): ArrayData =
+    try {
+      val o = parse(b)
+      val (t, vs) = extract(o, name.toString)
+      unwrap(t) match {
+        case AMap(values) if leafKindOk(values, Set("int", "long")) => ()
+        case _ => fail()
+      }
+      new GenericArrayData(vs.map {
+        case null => null
+        case m: scala.collection.mutable.LinkedHashMap[_, _] =>
+          UTF8String.fromString(
+            m.asInstanceOf[scala.collection.mutable.LinkedHashMap[String, Any]]
+              .toSeq.sortBy(_._1)
+              .map { case (k, v) => s"$k=$v" }.mkString(","))
+        case _ => fail()
+      })
+    } catch { case Malformed => null }
+
+  /** Whole-file generic decode for table-format planners (the Iceberg
+    * manifest tier): top-level records as String→Any maps with nested
+    * records/arrays/maps as in [[Decoder]]. LOUD on malformed input —
+    * a planner must never silently skip a manifest. */
+  private[graft] def genericRecords(b: Array[Byte])
+      : Array[scala.collection.Map[String, Any]] =
+    try {
+      val o = parse(b)
+      o.records.map { row =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+        var i = 0
+        while (i < o.root.fields.length) {
+          m(o.root.fields(i).name) = row(i)
+          i += 1
+        }
+        m: scala.collection.Map[String, Any]
+      }
+    } catch {
+      case Malformed =>
+        throw new IllegalArgumentException("malformed Avro object container file")
+    }
 
   // ---- expressions ----
 
@@ -430,6 +718,14 @@ object AvroRead {
         b.asInstanceOf[Array[Byte]], c.asInstanceOf[UTF8String])
       case "doubleValues" => AvroRead.doubleValues(
         b.asInstanceOf[Array[Byte]], c.asInstanceOf[UTF8String])
+      case "int64ListValues" => AvroRead.int64ListValues(
+        b.asInstanceOf[Array[Byte]], c.asInstanceOf[UTF8String])
+      case "stringListValues" => AvroRead.stringListValues(
+        b.asInstanceOf[Array[Byte]], c.asInstanceOf[UTF8String])
+      case "doubleListValues" => AvroRead.doubleListValues(
+        b.asInstanceOf[Array[Byte]], c.asInstanceOf[UTF8String])
+      case "mapInt64Csv" => AvroRead.mapInt64Csv(
+        b.asInstanceOf[Array[Byte]], c.asInstanceOf[UTF8String])
     }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (bytes, name) => {
@@ -467,6 +763,39 @@ object AvroRead {
       copy(left = l, right = r)
   }
 
+  case class AvroInt64ListColumn(left: Expression, right: Expression)
+      extends AvroColumn {
+    override def method: String = "int64ListValues"
+    override def elemType: DataType = ArrayType(LongType, containsNull = true)
+    override def prettyName: String = "avro_int64_list_column"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+  case class AvroStringListColumn(left: Expression, right: Expression)
+      extends AvroColumn {
+    override def method: String = "stringListValues"
+    override def elemType: DataType = ArrayType(StringType, containsNull = true)
+    override def prettyName: String = "avro_string_list_column"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+  case class AvroDoubleListColumn(left: Expression, right: Expression)
+      extends AvroColumn {
+    override def method: String = "doubleListValues"
+    override def elemType: DataType = ArrayType(DoubleType, containsNull = true)
+    override def prettyName: String = "avro_double_list_column"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+  case class AvroMapInt64Csv(left: Expression, right: Expression)
+      extends AvroColumn {
+    override def method: String = "mapInt64Csv"
+    override def elemType: DataType = StringType
+    override def prettyName: String = "avro_map_int64_csv"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   def fileMetaCol(c: Column): Column =
     SparkInternals.column(AvroFileMeta(SparkInternals.expression(c)))
   def int64ColumnCol(content: Column, name: Column): Column =
@@ -477,5 +806,17 @@ object AvroRead {
       SparkInternals.expression(content), SparkInternals.expression(name)))
   def doubleColumnCol(content: Column, name: Column): Column =
     SparkInternals.column(AvroDoubleColumn(
+      SparkInternals.expression(content), SparkInternals.expression(name)))
+  def int64ListColumnCol(content: Column, name: Column): Column =
+    SparkInternals.column(AvroInt64ListColumn(
+      SparkInternals.expression(content), SparkInternals.expression(name)))
+  def stringListColumnCol(content: Column, name: Column): Column =
+    SparkInternals.column(AvroStringListColumn(
+      SparkInternals.expression(content), SparkInternals.expression(name)))
+  def doubleListColumnCol(content: Column, name: Column): Column =
+    SparkInternals.column(AvroDoubleListColumn(
+      SparkInternals.expression(content), SparkInternals.expression(name)))
+  def mapInt64CsvCol(content: Column, name: Column): Column =
+    SparkInternals.column(AvroMapInt64Csv(
       SparkInternals.expression(content), SparkInternals.expression(name)))
 }

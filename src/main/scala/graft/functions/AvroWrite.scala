@@ -121,6 +121,118 @@ object AvroWrite {
     out.toByteArray
   }
 
+  /** Generic OCF writer over the FULL schema tree ([[AvroRead]]'s
+    * model): rows are String→Any maps matching the record schema —
+    * numbers for int/long, String for string/enum, Array[Byte] for
+    * bytes/fixed, Seq for arrays, String-keyed Map (insertion-ordered
+    * for determinism) for maps, nested Map for records, null only
+    * under a ["null", T] union. LOUD on any mismatch — this is the
+    * fixture/metadata writer (Iceberg manifests are nested Avro), not
+    * a decline-to-null reader. Round-trips through [[AvroRead]] and
+    * real avro-java alike. */
+  def genericFileBytes(schemaJson: String, rows: Seq[Any],
+                       codec: String = "null"): Array[Byte] = {
+    require(codec == "null" || codec == "deflate" || codec == "zstandard",
+      s"generic avro write: unsupported codec '$codec'")
+    val root = AvroRead.schemaTree(schemaJson)
+
+    def writeValue(out: java.io.ByteArrayOutputStream,
+                   t: AvroRead.AType, v: Any): Unit = t match {
+      case AvroRead.APrim(kind) => kind match {
+        case "null" =>
+          require(v == null, s"expected null, got $v")
+        case "boolean" =>
+          out.write(if (v.asInstanceOf[Boolean]) 1 else 0)
+        case "int" | "long" =>
+          writeVarint(out, v.asInstanceOf[Number].longValue)
+        case "float" =>
+          val bits = java.lang.Float.floatToIntBits(
+            v.asInstanceOf[Number].floatValue)
+          var k = 0
+          while (k < 4) { out.write((bits >>> (8 * k)) & 0xff); k += 1 }
+        case "double" =>
+          val bits = java.lang.Double.doubleToLongBits(
+            v.asInstanceOf[Number].doubleValue)
+          var k = 0
+          while (k < 8) { out.write(((bits >>> (8 * k)) & 0xff).toInt); k += 1 }
+        case "string" =>
+          val b = v.toString.getBytes("UTF-8")
+          writeVarint(out, b.length.toLong); out.write(b, 0, b.length)
+        case "bytes" =>
+          val b = v.asInstanceOf[Array[Byte]]
+          writeVarint(out, b.length.toLong); out.write(b, 0, b.length)
+        case other => sys.error(s"unreachable prim $other")
+      }
+      case AvroRead.AOpt(inner, nullFirst) =>
+        if (v == null) writeVarint(out, if (nullFirst) 0L else 1L)
+        else {
+          writeVarint(out, if (nullFirst) 1L else 0L)
+          writeValue(out, inner, v)
+        }
+      case AvroRead.ARec(rname, fields) =>
+        val m = v.asInstanceOf[scala.collection.Map[String, Any]]
+        fields.foreach { f =>
+          require(m.contains(f.name) ||
+            f.t.isInstanceOf[AvroRead.AOpt] || f.t == AvroRead.APrim("null"),
+            s"record $rname: missing required field ${f.name}")
+          writeValue(out, f.t, m.getOrElse(f.name, null))
+        }
+      case AvroRead.AArr(items) =>
+        val xs = v.asInstanceOf[scala.collection.Seq[Any]]
+        if (xs.nonEmpty) {
+          writeVarint(out, xs.length.toLong)
+          xs.foreach(writeValue(out, items, _))
+        }
+        writeVarint(out, 0L)
+      case AvroRead.AMap(values) =>
+        val m = v.asInstanceOf[scala.collection.Map[String, Any]]
+        if (m.nonEmpty) {
+          writeVarint(out, m.size.toLong)
+          m.foreach { case (k, x) =>
+            val kb = k.getBytes("UTF-8")
+            writeVarint(out, kb.length.toLong); out.write(kb, 0, kb.length)
+            writeValue(out, values, x)
+          }
+        }
+        writeVarint(out, 0L)
+      case AvroRead.AEnum(ename, symbols) =>
+        val ix = symbols.indexOf(v.toString)
+        require(ix >= 0, s"enum $ename: unknown symbol $v")
+        writeVarint(out, ix.toLong)
+      case AvroRead.AFixed(fname, size) =>
+        val b = v.asInstanceOf[Array[Byte]]
+        require(b.length == size, s"fixed $fname: ${b.length} != $size")
+        out.write(b, 0, b.length)
+    }
+
+    val out = new java.io.ByteArrayOutputStream(1024)
+    out.write("Obj".getBytes("UTF-8")); out.write(1)
+    writeVarint(out, 2L)
+    def kv(k: String, v: String): Unit = {
+      val kb = k.getBytes("UTF-8"); val vb = v.getBytes("UTF-8")
+      writeVarint(out, kb.length.toLong); out.write(kb, 0, kb.length)
+      writeVarint(out, vb.length.toLong); out.write(vb, 0, vb.length)
+    }
+    kv("avro.schema", schemaJson)
+    kv("avro.codec", codec)
+    writeVarint(out, 0L)
+    out.write(Sync)
+    rows.grouped(RecordsPerBlock).foreach { block =>
+      val body = new java.io.ByteArrayOutputStream(block.size * 32)
+      block.foreach(writeValue(body, root, _))
+      val payload = codec match {
+        case "deflate" => deflateStored(body.toByteArray)
+        case "zstandard" => ZstdDecode.frameStored(body.toByteArray)
+        case _ => body.toByteArray
+      }
+      writeVarint(out, block.size.toLong)
+      writeVarint(out, payload.length.toLong)
+      out.write(payload, 0, payload.length)
+      out.write(Sync)
+    }
+    out.toByteArray
+  }
+
   private def byteLt(a: Array[Byte], b: Array[Byte]): Boolean = {
     val n = math.min(a.length, b.length)
     var i = 0

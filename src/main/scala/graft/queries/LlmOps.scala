@@ -3277,6 +3277,90 @@ object LlmOps {
       "doc_id", "variant")
   }
 
+  /** Nested-Avro fixture: one OCF per order priority written by the
+    * generic tree writer (nested record, array, map, nullable union;
+    * codec cycling null/deflate/zstandard by priority index), rows
+    * sorted by key for determinism. Written once per sf-dir per JVM. */
+  private def avroNestedFixture(s: SparkSession, d: String): String =
+    parquetNestedDirs.computeIfAbsent(s"$d#avro_nested", _ => {
+      val dir = java.nio.file.Files.createTempDirectory("avro_nested")
+      val schemaJson =
+        """{"type":"record","name":"e","fields":[
+          |  {"name":"prio","type":"string"},
+          |  {"name":"k","type":"long"},
+          |  {"name":"meta","type":{"type":"record","name":"m0","fields":[
+          |    {"name":"st","type":"string"},{"name":"ck","type":"long"}]}},
+          |  {"name":"parts","type":{"type":"array","items":"long"}},
+          |  {"name":"m","type":{"type":"map","values":"long"}},
+          |  {"name":"opt","type":["null","long"]}]}"""
+          .stripMargin.replaceAll("\n\\s*", "")
+      val codecs = Array("null", "deflate", "zstandard")
+      val rows = orders(s, d).select(col("o_orderpriority"),
+        col("o_orderkey").cast("long"), col("o_orderstatus"),
+        col("o_custkey").cast("long")).collect() // fixture build only
+      rows.groupBy(_.getString(0)).foreach { case (prio, rs) =>
+        val i = prio.head - '1' // "1-URGENT" → 0 … "5-LOW" → 4
+        val recs = rs.sortBy(_.getLong(1)).map { r =>
+          val k = r.getLong(1)
+          Map[String, Any](
+            "prio" -> prio, "k" -> k,
+            "meta" -> Map[String, Any]("st" -> r.getString(2),
+              "ck" -> r.getLong(3)),
+            "parts" -> Seq[Any](k, k + 1L),
+            "m" -> scala.collection.mutable.LinkedHashMap[String, Any](
+              "kk" -> k, "k2" -> 2 * k),
+            "opt" -> (if (k % 13 == 0) null
+              else java.lang.Long.valueOf(2 * k)))
+        }
+        java.nio.file.Files.write(dir.resolve(s"group-$i.avro"),
+          graft.functions.AvroWrite.genericFileBytes(
+            schemaJson, recs.toSeq, codecs(i % 3)))
+      }
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().forEachRemaining(q => q.toFile.deleteOnExit())
+      finally walk.close()
+      dir.toString
+    })
+
+  /** Nested-Avro READ gate — the full schema tree through the faces:
+    * dotted paths into nested records, array + string→long map fields,
+    * nullable unions, all three codecs; every surfaced number restated
+    * from orders in the oracle (a wrong branch index, block count, or
+    * path step hash-mismatches). */
+  def xAvroNested(s: SparkSession, d: String): DataFrame = {
+    val dir = avroNestedFixture(s, d)
+    val A = graft.functions.AvroRead
+    ordered(
+      s.read.format("binaryFile").load(dir)
+        .filter(col("path").endsWith(".avro"))
+        .select(
+          A.fileMetaCol(col("content")).as("fm"),
+          A.stringColumnCol(col("content"), lit("prio")).as("prios"),
+          A.int64ColumnCol(col("content"), lit("k")).as("ks"),
+          A.stringColumnCol(col("content"), lit("meta.st")).as("sts"),
+          A.int64ColumnCol(col("content"), lit("meta.ck")).as("cks"),
+          A.int64ListColumnCol(col("content"), lit("parts")).as("parts"),
+          A.mapInt64CsvCol(col("content"), lit("m")).as("ms"),
+          A.int64ColumnCol(col("content"), lit("opt")).as("opts"))
+        .select(
+          element_at(col("prios"), 1).as("prio"),
+          col("fm.codec").as("codec"),
+          col("fm.n_records").as("n"),
+          aggregate(col("ks"), lit(0L), (a, x) => a + x).as("sum_k"),
+          array_min(col("sts")).as("min_st"),
+          array_max(col("sts")).as("max_st"),
+          aggregate(col("cks"), lit(0L), (a, x) => a + x).as("sum_ck"),
+          aggregate(col("parts"), lit(0L),
+            (a, xs) => a + aggregate(xs, lit(0L), (b, y) => b + y))
+            .as("sum_parts"),
+          element_at(col("ms"), 1).as("first_m"),
+          size(filter(col("opts"), x => x.isNull)).cast("long")
+            .as("n_null_opt"),
+          aggregate(col("opts"), lit(0L),
+            (a, x) => a + coalesce(x, lit(0L))).as("sum_opt")),
+      "prio")
+  }
+
   /** Parquet WRITE gate — the format tier closed as a loop:
     * `ParquetWrite.parquetFile` aggregates each order-priority group
     * into a complete parquet file BLOB (PLAIN pages, thrift footer,
@@ -4055,6 +4139,7 @@ object LlmOps {
     "x_parquet_prune"     -> (xParquetPrune _),
     "x_inflate_raw"       -> (xInflateRaw _),
     "x_avro_read"         -> (xAvroRead _),
+    "x_avro_nested"       -> (xAvroNested _),
     "x_parquet_write"     -> (xParquetWrite _),
     "x_orc_meta"          -> (xOrcMeta _),
     "x_orc_values"        -> (xOrcValues _),
@@ -4550,6 +4635,22 @@ object LlmOps {
     "x_parquet_prune" -> parquetPruneOracle,
     "x_inflate_raw" -> inflateRawOracle,
     "x_avro_read" -> avroReadOracle,
+    "x_avro_nested" ->
+      ("SELECT o_orderpriority AS prio, " +
+        "CASE (CAST(substr(o_orderpriority,1,1) AS INT)-1) % 3 " +
+        "WHEN 0 THEN 'null' WHEN 1 THEN 'deflate' " +
+        "ELSE 'zstandard' END AS codec, " +
+        "count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_k, " +
+        "min(o_orderstatus) AS min_st, max(o_orderstatus) AS max_st, " +
+        "CAST(sum(o_custkey) AS BIGINT) AS sum_ck, " +
+        "CAST(sum(2*o_orderkey + 1) AS BIGINT) AS sum_parts, " +
+        "'k2=' || CAST(2*min(o_orderkey) AS VARCHAR) || ',kk=' || " +
+        "CAST(min(o_orderkey) AS VARCHAR) AS first_m, " +
+        "CAST(sum(CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_null_opt, " +
+        "CAST(sum(CASE WHEN o_orderkey % 13 = 0 THEN 0 " +
+        "ELSE 2*o_orderkey END) AS BIGINT) AS sum_opt " +
+        "FROM orders GROUP BY 1 ORDER BY prio"),
     "x_parquet_write" -> parquetWriteOracle,
     "x_avro_write" -> parquetWriteOracle,
     "x_avro_write_deflate" -> parquetWriteOracle,

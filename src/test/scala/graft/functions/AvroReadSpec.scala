@@ -91,16 +91,7 @@ class AvroReadSpec extends AnyFunSuite {
     assert(AvroRead.fileMeta(metaEnd) == null)
   }
 
-  test("declines: unsupported schema shapes, wrong field/type, junk") {
-    val nested = SchemaBuilder.record("o").fields()
-      .name("inner").`type`(schema).noDefault()
-      .endRecord()
-    val r = new GenericData.Record(nested)
-    val ir = rows(1).head
-    r.put("inner", ir)
-    val bNested = write(nested, Seq(r), CodecFactory.nullCodec())
-    assert(AvroRead.fileMeta(bNested) == null)
-
+  test("declines: wrong field/type/path, junk") {
     val b = write(schema, rows(10), CodecFactory.nullCodec())
     assert(AvroRead.int64Values(b, u("nope")) == null)
     assert(AvroRead.int64Values(b, u("name")) == null) // type mismatch
@@ -108,6 +99,178 @@ class AvroReadSpec extends AnyFunSuite {
     assert(AvroRead.doubleValues(b, u("flag")) == null)
     assert(AvroRead.fileMeta("Obj not avro".getBytes) == null)
     assert(AvroRead.fileMeta(Array.emptyByteArray) == null)
+  }
+
+  test("nested records: dotted paths through required + nullable structs") {
+    val inner = SchemaBuilder.record("inner").fields()
+      .requiredLong("k")
+      .requiredString("s")
+      .endRecord()
+    val outer = SchemaBuilder.record("outer").fields()
+      .requiredLong("id")
+      .name("req").`type`(inner).noDefault()
+      .name("opt").`type`().optional().`type`(inner)
+      .endRecord()
+    val data = (0 until 500).map { i =>
+      val in = new GenericData.Record(inner)
+      in.put("k", i * 2L); in.put("s", s"v$i")
+      val r = new GenericData.Record(outer)
+      r.put("id", i.toLong)
+      r.put("req", in)
+      if (i % 3 == 0) r.put("opt", null)
+      else {
+        val o = new GenericData.Record(inner)
+        o.put("k", i * 5L); o.put("s", s"o$i")
+        r.put("opt", o)
+      }
+      r
+    }
+    Seq(CodecFactory.nullCodec(), CodecFactory.deflateCodec(6)).foreach { c =>
+      val b = write(outer, data, c)
+      val ks = AvroRead.int64Values(b, u("req.k"))
+      assert(ks != null && ks.numElements() === 500)
+      (0 until 500).foreach(i => assert(ks.getLong(i) === i * 2L))
+      val ss = AvroRead.stringValues(b, u("req.s"))
+      (0 until 500).foreach(i =>
+        assert(ss.getUTF8String(i).toString === s"v$i"))
+      // null struct on the path propagates to a null leaf
+      val ok = AvroRead.int64Values(b, u("opt.k"))
+      (0 until 500).foreach { i =>
+        if (i % 3 == 0) assert(ok.isNullAt(i))
+        else assert(ok.getLong(i) === i * 5L)
+      }
+      // path into a non-record declines
+      assert(AvroRead.int64Values(b, u("id.k")) == null)
+      assert(AvroRead.int64Values(b, u("req.nope")) == null)
+    }
+  }
+
+  test("arrays, maps, enums, fixed — real avro-java lineage") {
+    val s = new Schema.Parser().parse(
+      """{"type":"record","name":"r","fields":[
+        |  {"name":"id","type":"long"},
+        |  {"name":"xs","type":{"type":"array","items":"long"}},
+        |  {"name":"tags","type":["null",{"type":"array","items":"string"}]},
+        |  {"name":"m","type":{"type":"map","values":"long"}},
+        |  {"name":"col","type":{"type":"enum","name":"c",
+        |    "symbols":["RED","GREEN","BLUE"]}},
+        |  {"name":"fx","type":{"type":"fixed","name":"f8","size":8}},
+        |  {"name":"ds","type":{"type":"array","items":"double"}}
+        |]}""".stripMargin)
+    val colS = s.getField("col").schema()
+    val fxS = s.getField("fx").schema()
+    val syms = Array("RED", "GREEN", "BLUE")
+    val data = (0 until 300).map { i =>
+      val r = new GenericData.Record(s)
+      r.put("id", i.toLong)
+      val xs = new java.util.ArrayList[java.lang.Long]()
+      (0 until i % 5).foreach(j => xs.add(i * 10L + j))
+      r.put("xs", xs)
+      if (i % 4 == 0) r.put("tags", null)
+      else {
+        val ts = new java.util.ArrayList[String]()
+        (0 until i % 3).foreach(j => ts.add(s"t$j"))
+        r.put("tags", ts)
+      }
+      val m = new java.util.LinkedHashMap[String, java.lang.Long]()
+      m.put("a", i.toLong); m.put("b", i * 2L)
+      r.put("m", m)
+      r.put("col", new GenericData.EnumSymbol(colS, syms(i % 3)))
+      val fb = java.nio.ByteBuffer.allocate(8).putLong(i.toLong).array()
+      r.put("fx", new GenericData.Fixed(fxS, fb))
+      val ds = new java.util.ArrayList[java.lang.Double]()
+      ds.add(i / 4.0)
+      r.put("ds", ds)
+      r
+    }
+    val b = write(s, data, CodecFactory.nullCodec())
+    val meta = AvroRead.fileMeta(b)
+    assert(meta != null && meta.getLong(0) === 300L)
+    val xs = AvroRead.int64ListValues(b, u("xs"))
+    assert(xs != null && xs.numElements() === 300)
+    (0 until 300).foreach { i =>
+      val inner = xs.getArray(i)
+      assert(inner.numElements() === i % 5)
+      (0 until i % 5).foreach(j => assert(inner.getLong(j) === i * 10L + j))
+    }
+    val tags = AvroRead.stringListValues(b, u("tags"))
+    (0 until 300).foreach { i =>
+      if (i % 4 == 0) assert(tags.isNullAt(i))
+      else assert(tags.getArray(i).numElements() === i % 3)
+    }
+    val ms = AvroRead.mapInt64Csv(b, u("m"))
+    (0 until 300).foreach(i =>
+      assert(ms.getUTF8String(i).toString === s"a=$i,b=${i * 2}"))
+    val cols = AvroRead.stringValues(b, u("col"))
+    (0 until 300).foreach(i =>
+      assert(cols.getUTF8String(i).toString === syms(i % 3)))
+    val ds = AvroRead.doubleListValues(b, u("ds"))
+    (0 until 300).foreach(i => assert(ds.getArray(i).getDouble(0) === i / 4.0))
+    // wrong element kinds decline
+    assert(AvroRead.stringListValues(b, u("xs")) == null)
+    assert(AvroRead.int64ListValues(b, u("id")) == null)
+    assert(AvroRead.mapInt64Csv(b, u("xs")) == null)
+  }
+
+  test("genericRecords exposes the whole tree; recursive schemas decline") {
+    val s = new Schema.Parser().parse(
+      """{"type":"record","name":"entry","fields":[
+        |  {"name":"status","type":"int"},
+        |  {"name":"data_file","type":{"type":"record","name":"df","fields":[
+        |    {"name":"path","type":"string"},
+        |    {"name":"n","type":"long"},
+        |    {"name":"parts","type":{"type":"array","items":
+        |      {"type":"record","name":"kv","fields":[
+        |        {"name":"key","type":"int"},{"name":"value","type":"long"}]}}}
+        |  ]}}]}""".stripMargin)
+    val dfS = s.getField("data_file").schema()
+    val kvS = dfS.getField("parts").schema().getElementType
+    val data = (0 until 20).map { i =>
+      val kv = new GenericData.Record(kvS)
+      kv.put("key", 7); kv.put("value", i * 100L)
+      val parts = new java.util.ArrayList[GenericRecord]()
+      parts.add(kv)
+      val df = new GenericData.Record(dfS)
+      df.put("path", s"f$i.parquet"); df.put("n", i.toLong)
+      df.put("parts", parts)
+      val r = new GenericData.Record(s)
+      r.put("status", i % 3); r.put("data_file", df)
+      r
+    }
+    val b = write(s, data, CodecFactory.nullCodec())
+    val recs = AvroRead.genericRecords(b)
+    assert(recs.length === 20)
+    val r5 = recs(5)
+    assert(r5("status") === java.lang.Long.valueOf(5 % 3))
+    val df5 = r5("data_file").asInstanceOf[scala.collection.Map[String, Any]]
+    assert(df5("path").toString === "f5.parquet")
+    assert(df5("n") === java.lang.Long.valueOf(5L))
+    val parts = df5("parts").asInstanceOf[scala.collection.Seq[Any]]
+    assert(parts.head.asInstanceOf[scala.collection.Map[String, Any]]("value")
+      === java.lang.Long.valueOf(500L))
+    // loud on junk
+    intercept[IllegalArgumentException] {
+      AvroRead.genericRecords("Obj junk".getBytes)
+    }
+    // recursive named type: reference precedes completion → decline
+    val rec = """{"type":"record","name":"n","fields":[
+      |  {"name":"next","type":["null","n"]},
+      |  {"name":"v","type":"long"}]}""".stripMargin
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("Obj".getBytes("UTF-8")); out.write(1)
+    def vint(n0: Long): Unit = {
+      var v = (n0 << 1) ^ (n0 >> 63)
+      do { val x = (v & 0x7f).toInt; v >>>= 7
+        out.write(if (v != 0) x | 0x80 else x) } while (v != 0)
+    }
+    vint(2L)
+    Seq("avro.schema" -> rec, "avro.codec" -> "null").foreach { case (k, v) =>
+      vint(k.length.toLong); out.write(k.getBytes("UTF-8"))
+      vint(v.length.toLong); out.write(v.getBytes("UTF-8"))
+    }
+    vint(0L)
+    out.write(Array.fill[Byte](16)(0x22))
+    assert(AvroRead.fileMeta(out.toByteArray) == null)
   }
 
   test("claim-bomb: zero-width records / oversized count claims decline") {

@@ -50,6 +50,66 @@ class AvroWriteSpec extends SparkSpec {
       (0 until 3000).map(_.toLong * 11 - 999).toSet)
   }
 
+  test("generic nested writer: avro-java and AvroRead both consume") {
+    val schemaJson =
+      """{"type":"record","name":"entry","fields":[
+        |  {"name":"status","type":"int"},
+        |  {"name":"snapshot_id","type":["null","long"],"default":null},
+        |  {"name":"data_file","type":{"type":"record","name":"df","fields":[
+        |    {"name":"file_path","type":"string"},
+        |    {"name":"record_count","type":"long"},
+        |    {"name":"sizes","type":{"type":"map","values":"long"}},
+        |    {"name":"parts","type":{"type":"array","items":
+        |      {"type":"record","name":"kv","fields":[
+        |        {"name":"key","type":"int"},
+        |        {"name":"value","type":["null","long"],"default":null}]}}}
+        |  ]}}]}""".stripMargin.replaceAll("\n\\s*", "")
+    def row(i: Int): Map[String, Any] = Map(
+      "status" -> 1,
+      "snapshot_id" -> (if (i % 3 == 0) null else java.lang.Long.valueOf(i * 7L)),
+      "data_file" -> Map(
+        "file_path" -> s"data/f$i.parquet",
+        "record_count" -> (i * 100L),
+        "sizes" -> scala.collection.mutable.LinkedHashMap(
+          "c1" -> (i + 1L), "c2" -> (i + 2L)),
+        "parts" -> Seq(
+          Map("key" -> 1, "value" -> java.lang.Long.valueOf(i.toLong)),
+          Map("key" -> 2, "value" -> null))))
+    Seq("null", "deflate", "zstandard").foreach { codec =>
+      val blob = AvroWrite.genericFileBytes(
+        schemaJson, (0 until 50).map(row), codec)
+      // independent implementation consumes it
+      val r = new DataFileReader[GenericRecord](
+        new SeekableByteArrayInput(blob),
+        new GenericDatumReader[GenericRecord]())
+      var i = 0
+      while (r.hasNext) {
+        val rec = r.next()
+        val df = rec.get("data_file").asInstanceOf[GenericRecord]
+        assert(df.get("file_path").toString === s"data/f$i.parquet")
+        assert(df.get("record_count") === i * 100L)
+        if (i % 3 == 0) assert(rec.get("snapshot_id") == null)
+        else assert(rec.get("snapshot_id") === i * 7L)
+        i += 1
+      }
+      assert(i === 50)
+      r.close()
+      // and our own tree reader round-trips
+      val recs = AvroRead.genericRecords(blob)
+      assert(recs.length === 50)
+      val d9 = recs(9)("data_file")
+        .asInstanceOf[scala.collection.Map[String, Any]]
+      assert(d9("record_count") === java.lang.Long.valueOf(900L))
+      assert(d9("sizes").asInstanceOf[scala.collection.Map[String, Any]]("c2")
+        === java.lang.Long.valueOf(11L))
+    }
+    // loud on schema/value mismatch
+    intercept[IllegalArgumentException] {
+      AvroWrite.genericFileBytes(schemaJson,
+        Seq(Map("status" -> 1))) // missing required data_file
+    }
+  }
+
   test("deflate + zstandard codecs (stored blocks): avro-java AND our AvroRead consume") {
     val n = 9000 // multi-block, and one block body > 65535 bytes
     val df = spark.range(0, n)
