@@ -54,7 +54,7 @@ object AvroRead {
 
   // ---- minimal JSON (schema strings only; total, cycle-free) ----
 
-  private[functions] final class JsonP(s: String) {
+  private[graft] final class JsonP(s: String) {
     var i = 0
     def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
     def parse(): Any = { ws(); val v = value(); v }

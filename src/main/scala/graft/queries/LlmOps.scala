@@ -3515,6 +3515,139 @@ object LlmOps {
       dir.toString
     })
 
+  private val IceSnap1 = 3051729675574597001L
+  private val IceSnap2 = 3051729675574597002L
+
+  /** Iceberg-table fixture: a hand-built table per the public Iceberg
+    * spec layout — parquet data files per order priority, Avro
+    * manifests + manifest lists written by the generic nested Avro
+    * writer, v1 metadata.json with TWO snapshots (63-bit ids): snap1
+    * adds priorities 1–3; snap2 rewrites that manifest with 2-HIGH
+    * DELETED and adds 4–5. Recorded location differs from the actual
+    * dir, so every path exercises the rebase. Once per sf-dir per JVM. */
+  private def icebergFixture(s: SparkSession, d: String): String =
+    parquetNestedDirs.computeIfAbsent(s"$d#iceberg", _ => {
+      val dir = java.nio.file.Files.createTempDirectory("ice_tab")
+      val loc = "file:///warehouse/orders_ice"
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW")
+      val counts = orders(s, d).groupBy(col("o_orderpriority"))
+        .count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      def writePart(p: String, name: String): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("icepart").toString
+        orders(s, d).filter(col("o_orderpriority") === p)
+          .select(col("o_orderkey").cast("long").as("k"),
+            col("o_orderstatus").as("st"), col("o_orderpriority").as("prio"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = dir.resolve("data").resolve(name)
+        java.nio.file.Files.createDirectories(dest.getParent)
+        java.nio.file.Files.move(part.toPath, dest,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      val manifestSchema =
+        """{"type":"record","name":"manifest_entry","fields":[
+          |  {"name":"status","type":"int"},
+          |  {"name":"snapshot_id","type":["null","long"]},
+          |  {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+          |    {"name":"file_path","type":"string"},
+          |    {"name":"file_format","type":"string"},
+          |    {"name":"record_count","type":"long"},
+          |    {"name":"file_size_in_bytes","type":"long"}]}}]}"""
+          .stripMargin.replaceAll("\n\\s*", "")
+      val listSchema =
+        """{"type":"record","name":"manifest_file","fields":[
+          |  {"name":"manifest_path","type":"string"},
+          |  {"name":"manifest_length","type":"long"},
+          |  {"name":"partition_spec_id","type":"int"},
+          |  {"name":"content","type":"int"},
+          |  {"name":"added_snapshot_id","type":["null","long"]}]}"""
+          .stripMargin.replaceAll("\n\\s*", "")
+      def entry(status: Int, snapId: Long, i: Int): Map[String, Any] = Map(
+        "status" -> status,
+        "snapshot_id" -> java.lang.Long.valueOf(snapId),
+        "data_file" -> Map(
+          "file_path" -> s"$loc/data/part-$i.parquet",
+          "file_format" -> "PARQUET",
+          "record_count" -> counts.getOrElse(prios(i), 0L),
+          "file_size_in_bytes" -> 1L))
+      def writeManifest(name: String, es: Seq[Map[String, Any]]): Unit = {
+        val p = dir.resolve("metadata").resolve(name)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p, graft.functions.AvroWrite
+          .genericFileBytes(manifestSchema, es))
+      }
+      def writeList(name: String, manifests: Seq[String]): Unit =
+        java.nio.file.Files.write(dir.resolve("metadata").resolve(name),
+          graft.functions.AvroWrite.genericFileBytes(listSchema,
+            manifests.map(m => Map[String, Any](
+              "manifest_path" -> s"$loc/metadata/$m",
+              "manifest_length" -> 1L, "partition_spec_id" -> 0,
+              "content" -> 0, "added_snapshot_id" -> null))))
+      prios.indices.foreach(i => writePart(prios(i), s"part-$i.parquet"))
+      writeManifest("manifest-1.avro",
+        (0 to 2).map(i => entry(1, IceSnap1, i)))
+      writeList("snap-1.avro", Seq("manifest-1.avro"))
+      writeManifest("manifest-1r.avro", Seq(
+        entry(0, IceSnap1, 0), entry(2, IceSnap2, 1), entry(0, IceSnap1, 2)))
+      writeManifest("manifest-2.avro",
+        (3 to 4).map(i => entry(1, IceSnap2, i)))
+      writeList("snap-2.avro", Seq("manifest-1r.avro", "manifest-2.avro"))
+      java.nio.file.Files.writeString(
+        dir.resolve("metadata").resolve("v2.metadata.json"),
+        s"""{
+          |  "format-version": 1,
+          |  "table-uuid": "9c12f1b2-0000-4000-8000-00000000000b",
+          |  "location": "$loc",
+          |  "last-updated-ms": 1700000000000,
+          |  "schema": {"type": "struct", "fields": [
+          |    {"id": 1, "name": "k", "required": true, "type": "long"},
+          |    {"id": 2, "name": "st", "required": false, "type": "string"},
+          |    {"id": 3, "name": "prio", "required": false, "type": "string"}]},
+          |  "partition-spec": [],
+          |  "current-snapshot-id": $IceSnap2,
+          |  "snapshots": [
+          |    {"snapshot-id": $IceSnap1, "timestamp-ms": 1700000001000,
+          |     "summary": {"operation": "append"},
+          |     "manifest-list": "$loc/metadata/snap-1.avro"},
+          |    {"snapshot-id": $IceSnap2, "parent-snapshot-id": $IceSnap1,
+          |     "timestamp-ms": 1700000002000,
+          |     "summary": {"operation": "overwrite"},
+          |     "manifest-list": "$loc/metadata/snap-2.avro"}]
+          |}""".stripMargin)
+      java.nio.file.Files.writeString(
+        dir.resolve("metadata").resolve("version-hint.text"), "2\n")
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().forEachRemaining(q => q.toFile.deleteOnExit())
+      finally walk.close()
+      dir.toString
+    })
+
+  /** Iceberg SNAPSHOT gate — the manifest tier made real: the current
+    * snapshot's manifest list + manifests (nested Avro decoded by our
+    * own tree reader) enumerate live data files AFTER DELETED-entry
+    * semantics, the read schema comes from metadata.json, and pinning
+    * the 63-bit FIRST snapshot id time-travels to the pre-delete set.
+    * The oracle recomputes both faces' per-priority aggregates from
+    * orders — the Delta parity gate (x_delta_snapshot) for format #2. */
+  def xIcebergSnapshot(s: SparkSession, d: String): DataFrame = {
+    val dir = icebergFixture(s, d)
+    val cur = graft.operators.IcebergLite.scan(s, dir)
+    val first = graft.operators.IcebergLite.scan(s, dir,
+      snapshotId = IceSnap1)
+    def face(label: String, sc: graft.operators.IcebergLite.Scan) =
+      sc.data.groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("st")).as("min_st"), max(col("st")).as("max_st"))
+        .select(lit(label).as("snap"), col("prio"),
+          lit(sc.nDataFiles).cast("long").as("n_files"),
+          col("n"), col("sum_k"), col("min_st"), col("max_st"))
+    ordered(face("current", cur).unionByName(face("first", first)),
+      "snap", "prio")
+  }
+
   /** Iceberg metadata.json gate — the second table format's planning
     * tier: SQL-built v2 metadata documents (schemas by id, partition
     * specs by id, a two-snapshot log with summaries) decoded by
@@ -4150,6 +4283,7 @@ object LlmOps {
     "x_delta_snapshot"    -> (xDeltaSnapshot _),
     "x_delta_prune"       -> (xDeltaPrune _),
     "x_iceberg_meta"      -> (xIcebergMeta _),
+    "x_iceberg_snapshot"  -> (xIcebergSnapshot _),
     "x_avro_write"        -> (xAvroWrite _),
     "x_avro_write_deflate" -> (xAvroWriteDeflate _),
     "x_parquet_write2"    -> (xParquetWrite2 _),
@@ -4672,6 +4806,18 @@ object LlmOps {
         "CAST(1 AS BIGINT) AS n_appends, " +
         "CAST(2 * doc_id + 190 AS BIGINT) AS sum_records " +
         "FROM documents ORDER BY doc_id"),
+    "x_iceberg_snapshot" ->
+      ("SELECT 'current' AS snap, o_orderpriority AS prio, " +
+        "CAST(4 AS BIGINT) AS n_files, count(*) AS n, " +
+        "CAST(sum(o_orderkey) AS BIGINT) AS sum_k, " +
+        "min(o_orderstatus) AS min_st, max(o_orderstatus) AS max_st " +
+        "FROM orders WHERE o_orderpriority <> '2-HIGH' GROUP BY 2 " +
+        "UNION ALL " +
+        "SELECT 'first', o_orderpriority, CAST(3 AS BIGINT), count(*), " +
+        "CAST(sum(o_orderkey) AS BIGINT), " +
+        "min(o_orderstatus), max(o_orderstatus) " +
+        "FROM orders WHERE CAST(substr(o_orderpriority,1,1) AS INT) <= 3 " +
+        "GROUP BY 2 ORDER BY snap, prio"),
     "x_delta_snapshot" ->
       ("SELECT o_orderpriority AS prio, count(*) AS n, " +
         "CAST(sum(o_orderkey) AS BIGINT) AS sum_k, " +

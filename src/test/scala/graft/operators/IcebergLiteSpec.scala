@@ -1,0 +1,196 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.AvroWrite
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** IcebergLite against a hand-built table following the public Iceberg
+  * spec layout: metadata/vN.metadata.json + version-hint, Avro manifest
+  * lists + manifests (written by our generic nested Avro writer),
+  * Spark-written parquet data files; snapshot pinning, DELETED-entry
+  * semantics, URI rebasing, and the loud-decline contract. */
+class IcebergLiteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val FakeLoc = "file:///warehouse/tbl" // recorded ≠ actual dir
+
+  private val manifestListSchema =
+    """{"type":"record","name":"manifest_file","fields":[
+      |  {"name":"manifest_path","type":"string"},
+      |  {"name":"manifest_length","type":"long"},
+      |  {"name":"partition_spec_id","type":"int"},
+      |  {"name":"content","type":"int"},
+      |  {"name":"added_snapshot_id","type":["null","long"]}]}"""
+      .stripMargin.replaceAll("\n\\s*", "")
+
+  private val manifestSchema =
+    """{"type":"record","name":"manifest_entry","fields":[
+      |  {"name":"status","type":"int"},
+      |  {"name":"snapshot_id","type":["null","long"]},
+      |  {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |    {"name":"file_path","type":"string"},
+      |    {"name":"file_format","type":"string"},
+      |    {"name":"record_count","type":"long"},
+      |    {"name":"file_size_in_bytes","type":"long"}]}}]}"""
+      .stripMargin.replaceAll("\n\\s*", "")
+
+  private def writePart(df: org.apache.spark.sql.DataFrame, dir: String,
+                        name: String): Long = {
+    val tmp = Files.createTempDirectory("icepart").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dest = Paths.get(dir, "data", name)
+    Files.createDirectories(dest.getParent)
+    Files.move(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
+    Files.size(dest)
+  }
+
+  private def entry(status: Int, snapId: Long, path: String,
+                    n: Long, size: Long = 1L,
+                    format: String = "PARQUET"): Map[String, Any] =
+    Map("status" -> status, "snapshot_id" -> java.lang.Long.valueOf(snapId),
+      "data_file" -> Map("file_path" -> s"$FakeLoc/data/$path",
+        "file_format" -> format, "record_count" -> n,
+        "file_size_in_bytes" -> size))
+
+  private def writeManifest(dir: String, name: String,
+                            entries: Seq[Map[String, Any]]): Unit = {
+    val p = Paths.get(dir, "metadata", name)
+    Files.createDirectories(p.getParent)
+    Files.write(p, AvroWrite.genericFileBytes(manifestSchema, entries))
+  }
+
+  private def writeManifestList(dir: String, name: String,
+                                manifests: Seq[String],
+                                content: Int = 0): Unit = {
+    val rows = manifests.map(m => Map[String, Any](
+      "manifest_path" -> s"$FakeLoc/metadata/$m",
+      "manifest_length" -> 1L, "partition_spec_id" -> 0,
+      "content" -> content, "added_snapshot_id" -> null))
+    Files.write(Paths.get(dir, "metadata", name),
+      AvroWrite.genericFileBytes(manifestListSchema, rows))
+  }
+
+  private def metadataJson(cur: Long): String =
+    s"""{
+      |  "format-version": 1,
+      |  "table-uuid": "9c12f1b2-0000-4000-8000-00000000000a",
+      |  "location": "$FakeLoc",
+      |  "last-updated-ms": 1700000000000,
+      |  "schema": {"type": "struct", "fields": [
+      |    {"id": 1, "name": "k", "required": true, "type": "long"},
+      |    {"id": 2, "name": "s", "required": false, "type": "string"},
+      |    {"id": 3, "name": "p", "required": false, "type": "string"}]},
+      |  "partition-spec": [],
+      |  "current-snapshot-id": $cur,
+      |  "snapshots": [
+      |    {"snapshot-id": 3051729675574597001, "timestamp-ms": 1700000001000,
+      |     "summary": {"operation": "append"},
+      |     "manifest-list": "$FakeLoc/metadata/snap-1.avro"},
+      |    {"snapshot-id": $cur, "parent-snapshot-id": 3051729675574597001,
+      |     "timestamp-ms": 1700000002000,
+      |     "summary": {"operation": "overwrite"},
+      |     "manifest-list": "$FakeLoc/metadata/snap-2.avro"}]
+      |}""".stripMargin
+
+  private val Snap1 = 3051729675574597001L
+  private val Snap2 = 3051729675574597002L
+
+  /** Table: snap1 adds A(1..10) B(11..20) C(21..30); snap2 rewrites
+    * manifest-1 (A,C EXISTING + B DELETED) and adds D(31..40). */
+  private def buildTable(): String = {
+    val dir = Files.createTempDirectory("icetab").toString
+    def part(lo: Int, hi: Int, p: String) =
+      spark.range(lo, hi + 1).select(col("id").as("k"),
+        concat(lit("s"), col("id").cast("string")).as("s"), lit(p).as("p"))
+    val parts = Seq(("A", 1, 10), ("B", 11, 20), ("C", 21, 30), ("D", 31, 40))
+    parts.foreach { case (nm, lo, hi) =>
+      writePart(part(lo, hi, nm.toLowerCase), dir, s"part-$nm.parquet")
+    }
+    writeManifest(dir, "manifest-1.avro", Seq(
+      entry(1, Snap1, "part-A.parquet", 10),
+      entry(1, Snap1, "part-B.parquet", 10),
+      entry(1, Snap1, "part-C.parquet", 10)))
+    writeManifestList(dir, "snap-1.avro", Seq("manifest-1.avro"))
+    writeManifest(dir, "manifest-1r.avro", Seq(
+      entry(0, Snap1, "part-A.parquet", 10),
+      entry(2, Snap2, "part-B.parquet", 10), // DELETED at snap2
+      entry(0, Snap1, "part-C.parquet", 10)))
+    writeManifest(dir, "manifest-2.avro", Seq(
+      entry(1, Snap2, "part-D.parquet", 10)))
+    writeManifestList(dir, "snap-2.avro",
+      Seq("manifest-1r.avro", "manifest-2.avro"))
+    Files.writeString(Paths.get(dir, "metadata", "v2.metadata.json"),
+      metadataJson(Snap2))
+    Files.writeString(Paths.get(dir, "metadata", "version-hint.text"), "2\n")
+    dir
+  }
+
+  test("current snapshot: live files after DELETED entries, schema from metadata") {
+    val dir = buildTable()
+    val scan = IcebergLite.scan(spark, dir)
+    assert(scan.nManifests === 2)
+    assert(scan.nDataFiles === 3) // A, C, D — B deleted
+    assert(scan.data.schema.fieldNames.toSeq === Seq("k", "s", "p"))
+    assert(scan.data.schema("k").dataType ===
+      org.apache.spark.sql.types.LongType) // typed from METADATA, not file
+    // (Spark normalizes file-source read schemas to nullable)
+    val got = scan.data.select("k", "p").as[(Long, String)].collect().sorted
+    val want = ((1 to 10).map((_, "a")) ++ (21 to 30).map((_, "c")) ++
+      (31 to 40).map((_, "d"))).map { case (i, p) => (i.toLong, p) }
+    assert(got === want.sorted.toArray)
+  }
+
+  test("snapshot pinning: the 63-bit first snapshot still sees B") {
+    val dir = buildTable()
+    val v1 = IcebergLite.snapshot(spark, dir, snapshotId = Snap1)
+    assert(v1.count() === 30)
+    assert(v1.filter(col("p") === "b").count() === 10)
+    assert(v1.filter(col("p") === "d").count() === 0)
+  }
+
+  test("metadata discovery without version-hint picks the highest version") {
+    val dir = buildTable()
+    // stale v1 metadata pointing at snap1 only; hint removed
+    Files.writeString(Paths.get(dir, "metadata", "v1.metadata.json"),
+      metadataJson(Snap2).replace(s""""current-snapshot-id": $Snap2""",
+        s""""current-snapshot-id": $Snap1"""))
+    Files.delete(Paths.get(dir, "metadata", "version-hint.text"))
+    assert(IcebergLite.snapshot(spark, dir).count() === 30) // v2 wins
+  }
+
+  test("loud declines: delete manifests, non-parquet files, nested schema") {
+    val dir = buildTable()
+    // v2 delete manifest (content=1) in the list
+    writeManifestList(dir, "snap-2.avro",
+      Seq("manifest-1r.avro", "manifest-2.avro"), content = 1)
+    val e = intercept[IllegalArgumentException] {
+      IcebergLite.snapshot(spark, dir)
+    }
+    assert(e.getMessage.contains("DELETE manifest"))
+
+    val dir2 = buildTable()
+    writeManifest(dir2, "manifest-2.avro", Seq(
+      entry(1, Snap2, "part-D.parquet", 10, format = "ORC")))
+    val e2 = intercept[RuntimeException] {
+      IcebergLite.snapshot(spark, dir2)
+    }
+    assert(e2.getMessage.contains("file format"))
+
+    val dir3 = buildTable()
+    Files.writeString(Paths.get(dir3, "metadata", "v2.metadata.json"),
+      metadataJson(Snap2).replace("\"type\": \"long\"",
+        "\"type\": {\"type\": \"list\", \"element\": \"long\"}"))
+    val e3 = intercept[RuntimeException] {
+      IcebergLite.snapshot(spark, dir3)
+    }
+    assert(e3.getMessage.contains("unsupported Iceberg column type"))
+
+    intercept[IllegalArgumentException] {
+      IcebergLite.snapshot(spark,
+        Files.createTempDirectory("icenone").toString)
+    }
+  }
+}
