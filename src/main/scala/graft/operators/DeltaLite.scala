@@ -12,8 +12,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * actions. Implemented Spark-first from the PUBLIC Delta protocol
   * spec:
   *
-  *  - version discovery from `%020d.json` names; `_last_checkpoint`
-  *    honored — the checkpoint parquet is read DISTRIBUTED via
+  *  - version discovery from `%020d.json` names; checkpoints found by
+  *    LISTING (classic single-file, multi-part, and v2 UUID-named with
+  *    sidecar replay) — checkpoint parquet is read DISTRIBUTED via
   *    Spark's reader and only commits after it replay as JSON;
   *  - action schema (add / remove / metaData / protocol) read with
   *    `spark.read.schema(...).json` — the log parse itself is a
@@ -24,8 +25,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *  - schema from the latest `metaData.schemaString` (Spark StructType
   *    JSON — the protocol's own format), partition columns
   *    reconstructed from `add.partitionValues` and CAST per schema;
-  *  - protocol gate: `minReaderVersion` > 1 (deletion vectors, column
-  *    mapping, v2 checkpoints…) raises rather than misreading.
+  *  - protocol gate: the LATEST protocol action governs; only the
+  *    base protocol or minReaderVersion 3 with readerFeatures limited
+  *    to `v2Checkpoint` is read — deletion vectors, column mapping,
+  *    or unknown features raise rather than misreading.
   *
   * The one driver-side materialization is the LIVE FILE LIST — the
   * metadata every engine (including Delta itself) plans from; it is
@@ -59,7 +62,15 @@ object DeltaLite {
       "dataChange: BOOLEAN>, " +
       "metaData STRUCT<id: STRING, schemaString: STRING, " +
       "partitionColumns: ARRAY<STRING>>, " +
-      "protocol STRUCT<minReaderVersion: INT, minWriterVersion: INT>")
+      "protocol STRUCT<minReaderVersion: INT, minWriterVersion: INT, " +
+      "readerFeatures: ARRAY<STRING>>, " +
+      "sidecar STRUCT<path: STRING, sizeInBytes: BIGINT>")
+
+  /** Reader features this implementation actually honors. `v2Checkpoint`
+    * is the only table feature that changes READ behavior we support
+    * (sidecar replay below); anything else (deletion vectors, column
+    * mapping, timestampNtz…) raises. */
+  private val SupportedReaderFeatures = Set("v2Checkpoint")
 
   /** File-skipping outcome of [[prunedSnapshot]]. */
   final case class Pruned(nFiles: Int, keptFiles: Int, data: DataFrame)
@@ -67,7 +78,7 @@ object DeltaLite {
   /** The table as a DataFrame at `versionAsOf` (default: latest). */
   def snapshot(spark: SparkSession, table: String,
                versionAsOf: Long = Long.MaxValue): DataFrame =
-    build(spark, table, versionAsOf, pruneCol = null, 0L, 0L).data
+    build(spark, table, versionAsOf, keep = null).data
 
   /** File-skipping snapshot: files whose `add.stats` min/max for
     * `colName` cannot intersect [lo, hi] are SKIPPED before any data
@@ -78,7 +89,28 @@ object DeltaLite {
   def prunedSnapshot(spark: SparkSession, table: String, colName: String,
                      lo: Long, hi: Long,
                      versionAsOf: Long = Long.MaxValue): Pruned =
-    build(spark, table, versionAsOf, colName, lo, hi)
+    build(spark, table, versionAsOf, keep = { stats =>
+      val mn = jsonObjectAfter(stats, "minValues")
+        .flatMap(longField(_, colName))
+      val mx = jsonObjectAfter(stats, "maxValues")
+        .flatMap(longField(_, colName))
+      !(mn.exists(_ > hi) || mx.exists(_ < lo))
+    })
+
+  /** String-typed file skipping: lexicographic [lo, hi] against the
+    * stats' quoted min/max (writers may truncate string maxima with a
+    * bumped last char — that only WIDENS the kept set, so pruning
+    * stays sound); absent/undecodable bounds keep the file. */
+  def prunedSnapshotString(spark: SparkSession, table: String,
+                           colName: String, lo: String, hi: String,
+                           versionAsOf: Long = Long.MaxValue): Pruned =
+    build(spark, table, versionAsOf, keep = { stats =>
+      val mn = jsonObjectAfter(stats, "minValues")
+        .flatMap(strField(_, colName))
+      val mx = jsonObjectAfter(stats, "maxValues")
+        .flatMap(strField(_, colName))
+      !(mn.exists(_ > hi) || mx.exists(_ < lo))
+    })
 
   /** Balanced-brace JSON object following `"key"`, or None. */
   private def jsonObjectAfter(s: String, key: String): Option[String] = {
@@ -108,29 +140,73 @@ object DeltaLite {
     if (m.find()) scala.util.Try(m.group(1).toLong).toOption else None
   }
 
+  /** Quoted JSON string value for `colName`, unescaped; None if the
+    * stat is absent or not a string. */
+  private def strField(obj: String, colName: String): Option[String] = {
+    val m = java.util.regex.Pattern.compile(
+      "\"" + java.util.regex.Pattern.quote(colName) +
+        "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").matcher(obj)
+    if (!m.find()) return None
+    val raw = m.group(1)
+    val sb = new java.lang.StringBuilder(raw.length)
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (c == '\\' && i + 1 < raw.length) {
+        i += 1
+        raw.charAt(i) match {
+          case '"' => sb.append('"'); case '\\' => sb.append('\\')
+          case '/' => sb.append('/'); case 'b' => sb.append('\b')
+          case 'f' => sb.append('\f'); case 'n' => sb.append('\n')
+          case 'r' => sb.append('\r'); case 't' => sb.append('\t')
+          case 'u' if i + 4 < raw.length =>
+            sb.append(Integer.parseInt(raw.substring(i + 1, i + 5), 16).toChar)
+            i += 4
+          case other => sb.append(other)
+        }
+      } else sb.append(c)
+      i += 1
+    }
+    Some(sb.toString)
+  }
+
   private def build(spark: SparkSession, table: String, versionAsOf: Long,
-                    pruneCol: String, lo: Long, hi: Long): Pruned = {
+                    keep: String => Boolean): Pruned = {
     val fs = new Path(table).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val logDir = new Path(table, LogDir)
     require(fs.exists(logDir), s"not a Delta table (no $LogDir): $table")
 
-    // checkpoint discovery: use the newest checkpoint at or before the
-    // requested version; JSON commits after it replay on top
-    val lastCp = {
-      val p = new Path(logDir, "_last_checkpoint")
-      if (!fs.exists(p)) -1L
-      else {
-        val in = fs.open(p)
-        val txt = try scala.io.Source.fromInputStream(in).mkString
-          finally in.close()
-        // {"version":N,...} — one tiny JSON object
-        val m = java.util.regex.Pattern.compile("\"version\"\\s*:\\s*(\\d+)")
-          .matcher(txt)
-        if (m.find()) m.group(1).toLong else -1L
+    // checkpoint discovery by LISTING (classic single-file, multi-part
+    // %020d.checkpoint.%010d.%010d.parquet, and v2 UUID-named files):
+    // use the newest COMPLETE checkpoint at or before the requested
+    // version; JSON commits after it replay on top. _last_checkpoint is
+    // only a writer hint — a stale one must never mislead the replay
+    // (the anchored/gap checks below still catch a cleaned-up log).
+    val logNames = fs.listStatus(logDir).map(_.getPath.getName)
+    val classicRe = "(\\d{20})\\.checkpoint\\.parquet".r
+    val multiRe = "(\\d{20})\\.checkpoint\\.(\\d{10})\\.(\\d{10})\\.parquet".r
+    val v2Re = "(\\d{20})\\.checkpoint\\.([0-9a-fA-F-]{36})\\.parquet".r
+    // version → (isV2, file names); multi-part only when ALL parts exist
+    val checkpoints: Map[Long, (Boolean, Seq[String])] = {
+      val classic = logNames.collect {
+        case n @ classicRe(v) => v.toLong -> ((false, Seq(n)))
       }
+      val v2 = logNames.collect {
+        case n @ v2Re(v, _) => v.toLong -> ((true, Seq(n)))
+      }
+      val multi = logNames.collect { case n @ multiRe(v, _, parts) =>
+        (v.toLong, parts.toInt, n)
+      }.groupBy(_._1).collect {
+        case (v, fs0) if fs0.map(_._2).distinct.length == 1 &&
+          fs0.length == fs0.head._2 &&
+          fs0.map(_._3).distinct.length == fs0.length =>
+          v -> ((false, fs0.map(_._3).sorted.toSeq))
+      }
+      (classic ++ multi ++ v2).toMap // v2 preferred on version collision
     }
-    val cpVersion = if (lastCp >= 0 && lastCp <= versionAsOf) lastCp else -1L
+    val cpVersion = checkpoints.keys.filter(_ <= versionAsOf)
+      .foldLeft(-1L)(math.max)
 
     val jsonFiles = fs.listStatus(logDir).map(_.getPath)
       .filter(_.getName.matches("\\d{20}\\.json"))
@@ -166,12 +242,29 @@ object DeltaLite {
           "(\\d{20})\\.json", 1).cast("long")))
     val cpActions =
       if (cpVersion < 0) None
-      else Some(spark.read.schema(actionSchema) // fills absent optional
-        // fields (e.g. add.stats) with nulls — checkpoints from other
-        // writers carry varying action-struct widths
-        .parquet(new Path(logDir,
-          f"$cpVersion%020d.checkpoint.parquet").toString)
-        .withColumn("v", lit(cpVersion)))
+      else {
+        val (isV2, names) = checkpoints(cpVersion)
+        // schema-pinned read fills absent optional fields (e.g.
+        // add.stats) with nulls — checkpoints from other writers carry
+        // varying action-struct widths
+        val cpDf = spark.read.schema(actionSchema)
+          .parquet(names.map(n => new Path(logDir, n).toString): _*)
+        val full =
+          if (!isV2) cpDf
+          else {
+            // v2 checkpoint: file actions live in SIDECARS under
+            // _delta_log/_sidecars/ — the sidecar list is the
+            // metadata-bounded planning set, each sidecar reads
+            // distributed like the checkpoint itself
+            val sidecars = cpDf.filter(col("sidecar").isNotNull)
+              .select(col("sidecar.path")).collect().map(_.getString(0))
+            if (sidecars.isEmpty) cpDf
+            else cpDf.unionByName(spark.read.schema(actionSchema)
+              .parquet(sidecars.map(p =>
+                new Path(new Path(logDir, "_sidecars"), p).toString): _*))
+          }
+        Some(full.withColumn("v", lit(cpVersion)))
+      }
     val actions = (cpActions, jsonActions) match {
       case (Some(a), Some(b)) => a.unionByName(b, allowMissingColumns = true)
       case (Some(a), None) => a
@@ -184,11 +277,24 @@ object DeltaLite {
       .select(col("v"), col("metaData"), col("protocol"))
       .filter(col("metaData").isNotNull || col("protocol").isNotNull)
       .collect()
-    val minReader = meta.flatMap(r => Option(r.getStruct(2)))
-      .map(_.getInt(0)).foldLeft(1)(math.max)
-    require(minReader <= 1,
-      s"unsupported Delta protocol: minReaderVersion=$minReader " +
-        "(reader features beyond the base protocol)")
+    // the LATEST protocol action governs; minReaderVersion 3 is
+    // acceptable only when every listed reader feature is one this
+    // reader actually implements (v2Checkpoint) — 2 (column mapping)
+    // and unknown features raise rather than misread
+    meta.filter(!_.isNullAt(2)).sortBy(_.getLong(0)).lastOption.foreach { r =>
+      val p = r.getStruct(2)
+      val minReader = if (p.isNullAt(0)) 1 else p.getInt(0)
+      val feats: Seq[String] =
+        if (p.length < 3 || p.isNullAt(2)) Seq.empty else p.getSeq[String](2)
+      val ok = minReader <= 1 ||
+        (minReader == 3 && feats.nonEmpty &&
+          feats.forall(SupportedReaderFeatures))
+      require(ok,
+        s"unsupported Delta protocol: minReaderVersion=$minReader" +
+          (if (feats.nonEmpty) s", readerFeatures=${feats.mkString(",")}"
+           else "") +
+          " (reader features beyond this implementation)")
+    }
     val metaRow = meta.filter(!_.isNullAt(1)).sortBy(_.getLong(0)).lastOption
       .getOrElse(sys.error(s"no metaData action in $table"))
     val schema = DataType.fromJson(metaRow.getStruct(1).getString(1))
@@ -222,18 +328,11 @@ object DeltaLite {
           .getOrElse(Map.empty[String, String]),
         if (r.isNullAt(2)) null else r.getString(2)))
 
-    // stats-based file skipping: drop files whose [min, max] for the
-    // prune column cannot intersect [lo, hi]; no/partial stats keep
-    val live = if (pruneCol == null) liveAll
+    // stats-based file skipping: drop files the caller's stats
+    // predicate rejects; files without stats are conservatively kept
+    val live = if (keep == null) liveAll
       else liveAll.filter { case (_, _, stats) =>
-        if (stats == null) true
-        else {
-          val mn = jsonObjectAfter(stats, "minValues")
-            .flatMap(longField(_, pruneCol))
-          val mx = jsonObjectAfter(stats, "maxValues")
-            .flatMap(longField(_, pruneCol))
-          !(mn.exists(_ > hi) || mx.exists(_ < lo))
-        }
+        stats == null || keep(stats)
       }
 
     require(live.nonEmpty, s"empty snapshot of $table")

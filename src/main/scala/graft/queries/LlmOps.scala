@@ -3706,15 +3706,16 @@ object LlmOps {
         java.nio.file.Files.writeString(p, lines.mkString("\n") + "\n")
       }
       val schemaJson = org.apache.spark.sql.types.StructType
-        .fromDDL("k BIGINT, st STRING").json
+        .fromDDL("k BIGINT, st STRING, tag STRING").json
         .replace("\\", "\\\\").replace("\"", "\\\"")
       val adds = (0 until 5).flatMap { i =>
         val lo = i * w + 1
         val hi = (i + 1) * w
+        val tag = ('a' + i).toChar.toString // per-bucket string stat
         val part = orders(s, d)
           .filter(col("o_orderkey").between(lo, hi))
           .select(col("o_orderkey").cast("long").as("k"),
-            col("o_orderstatus").as("st"))
+            col("o_orderstatus").as("st"), lit(tag).as("tag"))
         val stats = part.agg(min("k"), max("k"), count(lit(1))).collect().head
         if (stats.getLong(2) == 0) None
         else {
@@ -3728,8 +3729,10 @@ object LlmOps {
           Some(s"""{"add":{"path":"bucket-$i.parquet","partitionValues":{},""" +
             s""""size":${java.nio.file.Files.size(dest)},"dataChange":true,""" +
             s""""stats":"{\\"numRecords\\":${stats.getLong(2)},""" +
-            s"""\\"minValues\\":{\\"k\\":${stats.getLong(0)}},""" +
-            s"""\\"maxValues\\":{\\"k\\":${stats.getLong(1)}}}"}}""")
+            s"""\\"minValues\\":{\\"k\\":${stats.getLong(0)},""" +
+            s"""\\"tag\\":\\"$tag\\"},""" +
+            s"""\\"maxValues\\":{\\"k\\":${stats.getLong(1)},""" +
+            s"""\\"tag\\":\\"$tag\\"}}"}}""")
         }
       }
       commit(0, Seq(
@@ -3755,16 +3758,28 @@ object LlmOps {
     val w = maxK / 5 + 1
     val lo = w + 10
     val hi = 2 * w - 10 // strictly inside bucket 1
-    val p = graft.operators.DeltaLite.prunedSnapshot(
-      s, deltaPruneFixture(s, d, w), "k", lo, hi)
-    ordered(
-      p.data.filter(col("k").between(lo, hi))
-        .agg(
-          lit(p.nFiles).cast("long").as("n_files"),
-          lit(p.keptFiles).cast("long").as("kept_files"),
-          count(lit(1)).as("n_match"),
-          coalesce(sum(col("k")), lit(0L)).as("sum_match")),
-      "n_files")
+    val dir = deltaPruneFixture(s, d, w)
+    val p = graft.operators.DeltaLite.prunedSnapshot(s, dir, "k", lo, hi)
+    val faceK = p.data.filter(col("k").between(lo, hi))
+      .agg(
+        lit(p.nFiles).cast("long").as("n_files"),
+        lit(p.keptFiles).cast("long").as("kept_files"),
+        count(lit(1)).as("n_match"),
+        coalesce(sum(col("k")), lit(0L)).as("sum_match"))
+      .select(lit("k").as("face"), col("n_files"), col("kept_files"),
+        col("n_match"), col("sum_match"))
+    // string face: lexicographic stats pruning pins bucket 2 ("c")
+    val ps = graft.operators.DeltaLite.prunedSnapshotString(
+      s, dir, "tag", "c", "c")
+    val faceS = ps.data.filter(col("tag") === "c")
+      .agg(
+        lit(ps.nFiles).cast("long").as("n_files"),
+        lit(ps.keptFiles).cast("long").as("kept_files"),
+        count(lit(1)).as("n_match"),
+        coalesce(sum(col("k")), lit(0L)).as("sum_match"))
+      .select(lit("tag").as("face"), col("n_files"), col("kept_files"),
+        col("n_match"), col("sum_match"))
+    ordered(faceK.unionByName(faceS), "face")
   }
 
   /** Delta SNAPSHOT gate — the table-format tier on top of the
@@ -4830,14 +4845,22 @@ object LlmOps {
         |    min(o_orderkey) AS mn, max(o_orderkey) AS mx
         |  FROM orders, w GROUP BY 1),
         |r AS (SELECT w.w + 10 AS lo, 2 * w.w - 10 AS hi FROM w)
-        |SELECT
+        |SELECT 'k' AS face,
         |  CAST((SELECT count(*) FROM b) AS BIGINT) AS n_files,
         |  CAST((SELECT count(*) FROM b, r
         |        WHERE b.mn <= r.hi AND b.mx >= r.lo) AS BIGINT)
         |    AS kept_files,
         |  CAST(count(*) AS BIGINT) AS n_match,
         |  CAST(coalesce(sum(o_orderkey), 0) AS BIGINT) AS sum_match
-        |FROM orders, r WHERE o_orderkey BETWEEN r.lo AND r.hi""".stripMargin,
+        |FROM orders, r WHERE o_orderkey BETWEEN r.lo AND r.hi
+        |UNION ALL
+        |SELECT 'tag',
+        |  CAST((SELECT count(*) FROM b) AS BIGINT),
+        |  CAST((SELECT count(*) FROM b WHERE bucket = 2) AS BIGINT),
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(o_orderkey), 0) AS BIGINT)
+        |FROM orders, w WHERE (o_orderkey - 1) // w.w = 2
+        |ORDER BY face""".stripMargin,
     "x_lm_typicality" ->
       s"""WITH $lmScoreCte
          |SELECT d.doc_id,

@@ -178,6 +178,119 @@ class DeltaLiteSpec extends SparkSpec {
     assert(DeltaLite.snapshot(spark, dir, versionAsOf = 2).count() === 30)
   }
 
+  private val fullSchema = StructType.fromDDL(
+    "add STRUCT<path: STRING, partitionValues: MAP<STRING, STRING>, " +
+      "size: BIGINT, dataChange: BOOLEAN, stats: STRING>, " +
+      "remove STRUCT<path: STRING, deletionTimestamp: BIGINT, " +
+      "dataChange: BOOLEAN>, " +
+      "metaData STRUCT<id: STRING, schemaString: STRING, " +
+      "partitionColumns: ARRAY<STRING>>, " +
+      "protocol STRUCT<minReaderVersion: INT, minWriterVersion: INT, " +
+      "readerFeatures: ARRAY<STRING>>, " +
+      "sidecar STRUCT<path: STRING, sizeInBytes: BIGINT>")
+
+  /** Writes one parquet file of actions (from JSON lines) at `rel`
+    * under the table dir. */
+  private def writeActions(dir: String, rel: String,
+                           lines: Seq[String]): Unit = {
+    val tmp = Files.createTempDirectory("dlacts").toString
+    spark.read.schema(fullSchema).json(lines.toDS())
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dest = Paths.get(dir, rel)
+    Files.createDirectories(dest.getParent)
+    Files.move(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private val schema3 = StructType.fromDDL("k BIGINT, s STRING, p STRING")
+
+  test("multi-part checkpoint: all parts replay; incomplete sets are ignored") {
+    val dir = buildTable()
+    val live = Seq(("part-a.parquet", "a"), ("part-c.parquet", "c"),
+      ("part-a2.parquet", "a"))
+    val metaLines = Seq(protoJson, metaJson(schema3, Seq("p")))
+    writeActions(dir, "_delta_log/" + f"${2L}%020d.checkpoint." +
+      f"${1L}%010d.${2L}%010d.parquet",
+      metaLines :+ addJson(live.head._1, Map("p" -> live.head._2), 1))
+    writeActions(dir, "_delta_log/" + f"${2L}%020d.checkpoint." +
+      f"${2L}%010d.${2L}%010d.parquet",
+      live.tail.map { case (f, p) => addJson(f, Map("p" -> p), 1) })
+    (0 to 2).foreach(v =>
+      Files.delete(Paths.get(dir, "_delta_log", f"$v%020d.json")))
+    assert(DeltaLite.snapshot(spark, dir).count() === 30)
+    // post-checkpoint commit replays on top
+    commit(dir, 3, Seq(removeJson("part-c.parquet")))
+    assert(DeltaLite.snapshot(spark, dir).count() === 20)
+    // delete one part: the incomplete checkpoint must be IGNORED, and
+    // with no jsons before it the replay is unanchored → loud error
+    Files.delete(Paths.get(dir, "_delta_log", f"${2L}%020d.checkpoint." +
+      f"${2L}%010d.${2L}%010d.parquet"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaLite.snapshot(spark, dir)
+    }
+    assert(e.getMessage.contains("anchored"))
+  }
+
+  test("v2 checkpoint: sidecar replay + readerFeatures gate") {
+    val dir = buildTable()
+    val uuid = "0f8fad5b-d9cb-469f-a165-70867728950e"
+    val scName = "3fa85f64-5717-4562-b3fc-2c963f66afa6.parquet"
+    val protoV3 =
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["v2Checkpoint"]}}"""
+    writeActions(dir, "_delta_log/" + f"${2L}%020d.checkpoint.$uuid.parquet",
+      Seq(protoV3, metaJson(schema3, Seq("p")),
+        s"""{"sidecar":{"path":"$scName","sizeInBytes":1}}"""))
+    writeActions(dir, s"_delta_log/_sidecars/$scName",
+      Seq(addJson("part-a.parquet", Map("p" -> "a"), 1),
+        addJson("part-c.parquet", Map("p" -> "c"), 1)))
+    (0 to 2).foreach(v =>
+      Files.delete(Paths.get(dir, "_delta_log", f"$v%020d.json")))
+    val snap = DeltaLite.snapshot(spark, dir)
+    assert(snap.count() === 20) // only the sidecar's two files live
+    assert(snap.select("p").distinct().as[String].collect().sorted
+      === Array("a", "c"))
+    // an unknown reader feature raises, even with a readable layout
+    commit(dir, 3, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["v2Checkpoint","deletionVectors"]}}"""))
+    val e = intercept[IllegalArgumentException] {
+      DeltaLite.snapshot(spark, dir)
+    }
+    assert(e.getMessage.contains("deletionVectors"))
+  }
+
+  test("string stats pruning: lexicographic bounds skip files") {
+    val dir = Files.createTempDirectory("dlsprune").toString
+    def part(lo: Int, hi: Int, tag: String) =
+      spark.range(lo, hi + 1).select(col("id").as("k"),
+        concat(lit("s"), col("id").cast("string")).as("s"),
+        lit(tag).as("tag"))
+    val schema = StructType.fromDDL("k BIGINT, s STRING, tag STRING")
+    val tags = Seq("alpha", "bravo", "carol", "delta")
+    val adds = tags.zipWithIndex.map { case (tag, i) =>
+      val sz = writePart(part(i * 100 + 1, (i + 1) * 100, tag), dir,
+        s"f$i.parquet")
+      if (i == 3) // stats-less file: conservatively kept
+        s"""{"add":{"path":"f$i.parquet","partitionValues":{},""" +
+          s""""size":$sz,"dataChange":true}}"""
+      else
+        s"""{"add":{"path":"f$i.parquet","partitionValues":{},""" +
+          s""""size":$sz,"dataChange":true,"stats":"{\\"numRecords\\":100,""" +
+          s"""\\"minValues\\":{\\"tag\\":\\"$tag\\"},""" +
+          s"""\\"maxValues\\":{\\"tag\\":\\"$tag\\"}}"}}"""
+    }
+    commit(dir, 0, Seq(protoJson, metaJson(schema, Seq.empty)) ++ adds)
+    val p = DeltaLite.prunedSnapshotString(spark, dir, "tag", "b", "bz")
+    assert(p.nFiles === 4)
+    assert(p.keptFiles === 2) // bravo + the stats-less delta file
+    assert(p.data.filter(col("tag") === "bravo").count() === 100)
+    // a range past every bound keeps only the stats-less file
+    assert(DeltaLite.prunedSnapshotString(spark, dir, "tag", "zz", "zzz")
+      .keptFiles === 1)
+  }
+
   test("log gaps and unanchored replays raise instead of partial snapshots") {
     val dir = buildTable()
     // gap: delete v1 — replay would silently lose part-c + part-a2
