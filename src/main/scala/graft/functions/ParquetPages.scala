@@ -31,11 +31,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * in-house [[ZstdDecode]]), LZ4_RAW; physical
   * INT32 / INT64 (widened to long), FLOAT / DOUBLE (widened to
   * double) and BYTE_ARRAY (string face);
-  * required or optional flat leaves, plus one-level LIST columns
-  * (repetition levels, the standard 3-level parquet list shape) via
-  * the list faces. Everything else — deeper nesting, MAP columns,
-  * other codecs or encodings — DECLINES to null rather than
-  * misreading, the same total-parser contract as every decoder here.
+  * required or optional flat leaves, LIST columns at ANY nesting depth
+  * (generalized Dremel def/rep assembly over the standard 3-level,
+  * legacy 2-level, and bare-repeated shapes — list faces for depth 1,
+  * a list-of-lists face for depth 2), and MAP columns with string keys
+  * (both leaf chunks decoded and zipped, surfaced as a sorted `k=v`
+  * CSV). Everything else — struct columns, nested map values, other
+  * codecs or encodings — DECLINES to null rather than misreading, the
+  * same total-parser contract as every decoder here.
   * Page sizes AND value-count claims are bounded by the shared 64 MiB
   * ratio-bomb cap before any allocation.
   *
@@ -363,14 +366,17 @@ object ParquetPages {
   // ---- schema shape resolution ----
 
   /** Readable column geometry: the chunk's dotted path, its leaf
-    * element, and the def/rep thresholds derived from the schema tree.
-    * `optBefore` = optional ancestors ABOVE the repeated node; a level
-    * entry with def < optBefore is a null list, def == optBefore an
-    * empty list, def > optBefore a list element (non-null iff
-    * def == maxDef). maxRep is 0 (flat) or 1 (one-level list). */
+    * element, the maximum def/rep levels, and `defOfRep(k-1)` = the
+    * cumulative definition level AT the k-th repeated node (both
+    * optional and repeated nodes contribute a def level). For
+    * repetition level k, `defOfRep(k-1) - 1` is the "defined but
+    * empty" threshold; below it the container is null. maxRep 0 =
+    * flat, 1 = list / map, 2 = list-of-lists, … */
   private final class Shape(val path: String,
       val leaf: ParquetFooter.SchemaElem, val maxDef: Int, val maxRep: Int,
-      val optBefore: Int)
+      val defOfRep: Array[Int]) {
+    def optBefore(k: Int): Int = defOfRep(k - 1) - 1 // k is 1-based
+  }
 
   /** Index just past the subtree rooted at `i` in the depth-first
     * schema list. */
@@ -383,42 +389,85 @@ object ParquetPages {
     j
   }
 
-  /** Resolves a top-level field name to a readable [[Shape]]: a flat
-    * leaf, a bare repeated leaf, the 2-level legacy list, or the
-    * standard 3-level LIST (optional/required group → repeated group →
-    * leaf). Deeper nesting, MAPs, and multi-child groups fail. */
-  private def resolveShape(f: ParquetFooter.Footer, colName: String): Shape = {
+  /** Top-level field index in the depth-first schema list, or fail. */
+  private def topField(f: ParquetFooter.Footer, colName: String): Int = {
     val s = f.schema
     if (s.isEmpty) fail()
     var i = 1
     var c = 0
     while (c < s.head.numChildren) {
-      val e = s(i)
-      val end = subtreeEnd(s, i)
-      if (e.name == colName) {
-        if (e.numChildren == 0) {
-          if (e.repetition == 2) // bare repeated leaf (implicit list)
-            return new Shape(e.name, e, 1, 1, 0)
-          val md = e.repetition match { case 0 => 0; case 1 => 1; case _ => fail() }
-          return new Shape(e.name, e, md, 0, 0)
-        }
-        val opt = e.repetition match { case 0 => 0; case 1 => 1; case _ => fail() }
-        if (e.numChildren != 1) fail() // structs/maps out of scope
-        val r = s(i + 1)
-        if (r.repetition == 2 && r.numChildren == 0) // 2-level legacy list
-          return new Shape(s"${e.name}.${r.name}", r, opt + 1, 1, opt)
-        if (r.repetition != 2 || r.numChildren != 1) fail()
-        val leaf = s(i + 2)
-        if (leaf.numChildren != 0) fail() // deeper nesting out of scope
-        val leafOpt = leaf.repetition match {
-          case 0 => 0; case 1 => 1; case _ => fail()
-        }
-        return new Shape(s"${e.name}.${r.name}.${leaf.name}", leaf,
-          opt + 1 + leafOpt, 1, opt)
-      }
-      i = end; c += 1
+      if (s(i).name == colName) return i
+      i = subtreeEnd(s, i); c += 1
     }
     fail()
+  }
+
+  /** Resolves a top-level field name to a readable [[Shape]] by
+    * walking single-child chains: a flat leaf, a bare repeated leaf,
+    * the 2-level legacy list, the standard 3-level LIST, and any
+    * NESTING of those (list-of-lists…, depth-bounded). MAPs (2-child
+    * key_value groups) resolve via [[resolveMapShapes]]; other
+    * multi-child groups (structs) fail. */
+  private def resolveShape(f: ParquetFooter.Footer, colName: String): Shape = {
+    val s = f.schema
+    var i = topField(f, colName)
+    var defLevel = 0
+    val reps = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val path = new java.lang.StringBuilder
+    var depth = 0
+    // LIST-shape guard: a non-repeated GROUP is only readable when a
+    // repeated node follows below it (the list wrapper patterns) —
+    // otherwise it is a struct and reading its lone subfield under the
+    // group's name would be a misread, not a decode
+    var pendingGroups = 0
+    while (true) {
+      val e = s(i)
+      if (depth > 16) fail()
+      if (path.length > 0) path.append('.')
+      path.append(e.name)
+      e.repetition match {
+        case 0 => ()
+        case 1 => defLevel += 1
+        case 2 => defLevel += 1; reps += defLevel; pendingGroups = 0
+        case _ => fail()
+      }
+      if (e.numChildren == 0) {
+        if (pendingGroups > 0) fail() // struct chain with no list below
+        return new Shape(path.toString, e, defLevel, reps.length,
+          reps.toArray)
+      }
+      if (e.numChildren != 1) fail() // structs/maps: not this resolver
+      if (e.repetition != 2) pendingGroups += 1
+      i += 1
+      depth += 1
+    }
+    fail() // unreachable
+  }
+
+  /** Resolves a MAP column (group → repeated key_value(key, value)) to
+    * its two leaf shapes. Keys must be REQUIRED leaves per the spec;
+    * non-leaf values (nested maps) fail. */
+  private def resolveMapShapes(f: ParquetFooter.Footer,
+                               colName: String): (Shape, Shape) = {
+    val s = f.schema
+    val i = topField(f, colName)
+    val e = s(i)
+    val opt = e.repetition match { case 0 => 0; case 1 => 1; case _ => fail() }
+    if (e.numChildren != 1) fail()
+    val kv = s(i + 1)
+    if (kv.repetition != 2 || kv.numChildren != 2) fail()
+    val repDef = opt + 1
+    val key = s(i + 2)
+    if (key.numChildren != 0 || key.repetition != 0) fail()
+    val value = s(i + 3)
+    if (value.numChildren != 0) fail() // nested map values out of scope
+    val valOpt = value.repetition match {
+      case 0 => 0; case 1 => 1; case _ => fail()
+    }
+    val prefix = s"${e.name}.${kv.name}"
+    (new Shape(s"$prefix.${key.name}", key, repDef, 1, Array(repDef)),
+      new Shape(s"$prefix.${value.name}", value, repDef + valOpt, 1,
+        Array(repDef)))
   }
 
   private def levelWidth(maxLevel: Int): Int =
@@ -431,42 +480,20 @@ object ParquetPages {
   private final val KInt96 = 3 // INT96 timestamps, yielded as epoch micros
   private final val KBool = 4 // BOOLEAN (PLAIN bit-packed / v2 RLE)
 
-  /** Reads one column (flat or one-level list); flat elements are
-    * boxed java.lang.Long / UTF8String / java.lang.Double / null per
-    * `kind`, list elements are GenericArrayData / null. With a
-    * `range`, row groups whose footer [min, max] cannot intersect it
-    * are SKIPPED — their pages are never touched (the stats-based
-    * pruning an engine does before any I/O; groups without stats are
-    * conservatively kept). Returns (n_groups, kept_groups, values) or
-    * null on any unsupported or malformed structure. */
-  private def readColumn(b: Array[Byte], colName: String,
-                         kind: Int, wantList: Boolean,
-                         range: (Long, Long) = null): (Int, Int, Array[Any]) = {
-    val f = ParquetFooter.parse(b)
-    if (f == null) return null
-    try {
-      val shape = resolveShape(f, colName)
-      if (wantList != (shape.maxRep == 1)) fail()
-      val leaf = shape.leaf
-      val maxDef = shape.maxDef
-      val maxRep = shape.maxRep
-      val wantString = kind == KString
-      kind match {
-        case KLong => if (leaf.ptype != 1 && leaf.ptype != 2) fail()
-        case KString => if (leaf.ptype != 6) fail()
-        case KDouble => if (leaf.ptype != 4 && leaf.ptype != 5) fail()
-        case KInt96 => if (leaf.ptype != 3) fail()
-        case _ => if (leaf.ptype != 0) fail() // BOOLEAN
-      }
-      if (range != null && (kind != KLong || wantList)) fail()
-
-      val defWidth = levelWidth(maxDef)
-      val repWidth = levelWidth(maxRep)
-
-      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
-      var kept = 0
-      f.rowGroups.foreach { rg =>
-        val chunk = rg.columns.find(_.path == shape.path).getOrElse(fail())
+  /** Decodes every page of one column chunk into its definition /
+    * repetition level streams and the boxed non-null value stream
+    * (java.lang.Long / UTF8String / java.lang.Double / Boolean per
+    * `kind`). All claim bounds enforced here. */
+  private def decodeChunk(b: Array[Byte], chunk: ParquetFooter.ColChunk,
+                          shape: Shape, kind: Int)
+      : (Array[Int], Array[Int],
+         scala.collection.mutable.ArrayBuffer[Any]) = {
+        val leaf = shape.leaf
+        val maxDef = shape.maxDef
+        val maxRep = shape.maxRep
+        val wantString = kind == KString
+        val defWidth = levelWidth(maxDef)
+        val repWidth = levelWidth(maxRep)
         if (chunk.ptype != leaf.ptype) fail()
         // value-count claim bound: numValues sizes the levels and value
         // arrays, so cap it like byte claims (real chunks hold far fewer
@@ -478,13 +505,6 @@ object ParquetPages {
         // beyond any real writer's level-stream density)
         if (chunk.numValues < 0 || chunk.numValues > MaxPage ||
           chunk.numValues.toLong > 64L * b.length) fail()
-        val pruned = range != null && {
-          val (lo, hi) = range
-          statLong(chunk, wantMax = false).exists(_ > hi) ||
-            statLong(chunk, wantMax = true).exists(_ < lo)
-        }
-        if (!pruned) {
-        kept += 1
         val total = chunk.numValues.toInt
         var pos = {
           val d = chunk.dataPageOffset
@@ -685,39 +705,146 @@ object ParquetPages {
           if (pos > b.length) fail()
         }
 
-        // ---- chunk assembly: levels + value stream → rows ----
-        var vi = 0
-        if (maxRep == 0) {
-          var k = 0
-          while (k < total) {
-            if (defs(k) == maxDef) { out += vals(vi); vi += 1 }
-            else out += null
-            k += 1
-          }
+        (defs, reps, vals)
+  }
+
+  /** Flat-column assembly: null-interleave by def level. */
+  private def assembleFlat(maxDef: Int, defs: Array[Int],
+      vals: scala.collection.mutable.ArrayBuffer[Any],
+      out: scala.collection.mutable.ArrayBuffer[Any]): Unit = {
+    var vi = 0
+    var k = 0
+    while (k < defs.length) {
+      if (defs(k) == maxDef) { out += vals(vi); vi += 1 }
+      else out += null
+      k += 1
+    }
+    if (vi != vals.length) fail()
+  }
+
+  /** Dremel record assembly for ANY list depth (maxRep ≥ 1): walks the
+    * (rep, def) stream keeping one open container per repetition
+    * level. rep = the deepest level this entry CONTINUES (0 = new
+    * record); def decides how deep the entry reaches — below a level's
+    * null threshold the container is null, at it the container is
+    * empty, at maxDef a value. Appends one value (container tree or
+    * null) per record to `out`. */
+  private def assembleLists(shape: Shape, defs: Array[Int],
+      reps: Array[Int], vals: scala.collection.mutable.ArrayBuffer[Any],
+      out: scala.collection.mutable.ArrayBuffer[Any]): Unit = {
+    val L = shape.maxRep
+    val maxDef = shape.maxDef
+    var vi = 0
+    val buf = new Array[scala.collection.mutable.ArrayBuffer[Any]](L + 1)
+    var recOpen = false
+    var recNull = false
+
+    def materialize(v: Any): Any = v match {
+      case ab: scala.collection.mutable.ArrayBuffer[_] =>
+        new GenericArrayData(ab.map(materialize).toArray)
+      case other => other
+    }
+    def close(): Unit = if (recOpen) {
+      out += (if (recNull) null else materialize(buf(1)))
+    }
+    /** Fills the entry's reach from depth k0 (whose container exists
+      * and has an entry) downward per `d`. */
+    def fillFrom(k0: Int, d: Int): Unit = {
+      var k = k0
+      var done = false
+      while (!done) {
+        if (k == L) {
+          if (d == maxDef) { buf(k) += vals(vi); vi += 1 }
+          else buf(k) += null
+          done = true
         } else {
-          var cur: scala.collection.mutable.ArrayBuffer[Any] = null
-          var curNull = false
-          def close(): Unit = if (cur != null) {
-            out += (if (curNull) null else new GenericArrayData(cur.toArray))
+          val emptyAt = shape.optBefore(k + 1)
+          if (d < emptyAt) { buf(k) += null; done = true }
+          else {
+            val child = scala.collection.mutable.ArrayBuffer.empty[Any]
+            buf(k) += child
+            buf(k + 1) = child
+            if (d >= shape.defOfRep(k)) k += 1
+            else done = true // defined but EMPTY child list
           }
-          var k = 0
-          while (k < total) {
-            if (reps(k) == 0) {
-              close()
-              cur = scala.collection.mutable.ArrayBuffer.empty[Any]
-              curNull = false
-            } else if (cur == null) fail() // chunk cannot open mid-record
-            if (defs(k) <= shape.optBefore) {
-              if (reps(k) != 0) fail() // null/empty list is a whole record
-              curNull = defs(k) < shape.optBefore
-            } else if (defs(k) == maxDef) { cur += vals(vi); vi += 1 }
-            else cur += null
-            k += 1
-          }
-          close()
         }
-        if (vi != vals.length) fail()
-        } // !pruned
+      }
+      // stale deeper containers must not be continuable
+      var j = k + 1
+      while (j <= L) { buf(j) = null; j += 1 }
+    }
+
+    var i = 0
+    while (i < defs.length) {
+      val r = reps(i)
+      val d = defs(i)
+      if (r < 0 || r > L) fail()
+      if (r == 0) {
+        close()
+        recOpen = true
+        java.util.Arrays.fill(buf.asInstanceOf[Array[AnyRef]], null)
+        if (d < shape.optBefore(1)) recNull = true
+        else {
+          recNull = false
+          buf(1) = scala.collection.mutable.ArrayBuffer.empty[Any]
+          if (d >= shape.defOfRep(0)) fillFrom(1, d)
+        }
+      } else {
+        // a continuation entry must land in an OPEN container with an
+        // actual occurrence at its level (a null/empty container is a
+        // whole record — it cannot be continued)
+        if (!recOpen || recNull || buf(r) == null) fail()
+        if (d < shape.defOfRep(r - 1)) fail()
+        fillFrom(r, d)
+      }
+      i += 1
+    }
+    close()
+    if (vi != vals.length) fail()
+  }
+
+  /** Reads one column (flat or `wantRep`-deep lists); flat elements
+    * are boxed java.lang.Long / UTF8String / java.lang.Double / null
+    * per `kind`, list elements GenericArrayData / null, nested per
+    * depth. With a `range`, row groups whose footer [min, max] cannot
+    * intersect it are SKIPPED — their pages are never touched (the
+    * stats-based pruning an engine does before any I/O; groups
+    * without stats are conservatively kept). Returns
+    * (n_groups, kept_groups, values) or null on any unsupported or
+    * malformed structure. */
+  private def readColumn(b: Array[Byte], colName: String,
+                         kind: Int, wantRep: Int,
+                         range: (Long, Long) = null): (Int, Int, Array[Any]) = {
+    val f = ParquetFooter.parse(b)
+    if (f == null) return null
+    try {
+      val shape = resolveShape(f, colName)
+      if (shape.maxRep != wantRep) fail()
+      val leaf = shape.leaf
+      kind match {
+        case KLong => if (leaf.ptype != 1 && leaf.ptype != 2) fail()
+        case KString => if (leaf.ptype != 6) fail()
+        case KDouble => if (leaf.ptype != 4 && leaf.ptype != 5) fail()
+        case KInt96 => if (leaf.ptype != 3) fail()
+        case _ => if (leaf.ptype != 0) fail() // BOOLEAN
+      }
+      if (range != null && (kind != KLong || wantRep != 0)) fail()
+
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var kept = 0
+      f.rowGroups.foreach { rg =>
+        val chunk = rg.columns.find(_.path == shape.path).getOrElse(fail())
+        val pruned = range != null && {
+          val (lo, hi) = range
+          statLong(chunk, wantMax = false).exists(_ > hi) ||
+            statLong(chunk, wantMax = true).exists(_ < lo)
+        }
+        if (!pruned) {
+          kept += 1
+          val (defs, reps, vals) = decodeChunk(b, chunk, shape, kind)
+          if (shape.maxRep == 0) assembleFlat(shape.maxDef, defs, vals, out)
+          else assembleLists(shape, defs, reps, vals, out)
+        }
       }
       (f.rowGroups.length, kept, out.toArray)
     } catch {
@@ -726,38 +853,95 @@ object ParquetPages {
     }
   }
 
+  /** Reads a map<string, int-like> column: both leaf chunks decode
+    * independently (keys, values), assemble as one-level lists, and
+    * zip row-by-row into the deterministic sorted `k=v` CSV face
+    * (null map → null row; null value → `k=`). */
+  private def readMap(b: Array[Byte], colName: String): Array[Any] = {
+    val f = ParquetFooter.parse(b)
+    if (f == null) return null
+    try {
+      val (kShape, vShape) = resolveMapShapes(f, colName)
+      if (kShape.leaf.ptype != 6) fail() // string keys only
+      if (vShape.leaf.ptype != 1 && vShape.leaf.ptype != 2) fail()
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      f.rowGroups.foreach { rg =>
+        val kc = rg.columns.find(_.path == kShape.path).getOrElse(fail())
+        val vc = rg.columns.find(_.path == vShape.path).getOrElse(fail())
+        val krows = scala.collection.mutable.ArrayBuffer.empty[Any]
+        val vrows = scala.collection.mutable.ArrayBuffer.empty[Any]
+        val (kd, kr, kv) = decodeChunk(b, kc, kShape, KString)
+        assembleLists(kShape, kd, kr, kv, krows)
+        val (vd, vr, vv) = decodeChunk(b, vc, vShape, KLong)
+        assembleLists(vShape, vd, vr, vv, vrows)
+        if (krows.length != vrows.length) fail()
+        var i = 0
+        while (i < krows.length) {
+          (krows(i), vrows(i)) match {
+            case (null, null) => out += null
+            case (ks: ArrayData, vs: ArrayData) =>
+              if (ks.numElements() != vs.numElements()) fail()
+              val pairs = (0 until ks.numElements()).map { j =>
+                if (ks.isNullAt(j)) fail() // keys are required
+                val k = ks.getUTF8String(j).toString
+                val v = if (vs.isNullAt(j)) "" else vs.getLong(j).toString
+                (k, v)
+              }
+              out += UTF8String.fromString(pairs.sortBy(_._1)
+                .map { case (k, v) => s"$k=$v" }.mkString(","))
+            case _ => fail() // torn key/value presence
+          }
+          i += 1
+        }
+      }
+      out.toArray
+    } catch {
+      case Malformed => null
+      case ParquetFooter.Malformed => null
+    }
+  }
+
   private def face(b: Array[Byte], colName: UTF8String, kind: Int,
-                   wantList: Boolean): ArrayData = {
+                   wantRep: Int): ArrayData = {
     if (b == null || colName == null) return null
-    val r = readColumn(b, colName.toString, kind, wantList)
+    val r = readColumn(b, colName.toString, kind, wantRep)
     if (r == null) null else new GenericArrayData(r._3)
   }
   def int64Values(b: Array[Byte], colName: UTF8String): ArrayData =
-    face(b, colName, KLong, wantList = false)
+    face(b, colName, KLong, wantRep = 0)
   def stringValues(b: Array[Byte], colName: UTF8String): ArrayData =
-    face(b, colName, KString, wantList = false)
+    face(b, colName, KString, wantRep = 0)
   def doubleValues(b: Array[Byte], colName: UTF8String): ArrayData =
-    face(b, colName, KDouble, wantList = false)
+    face(b, colName, KDouble, wantRep = 0)
   /** One-level LIST faces: one array (or null) per row. */
   def int64ListValues(b: Array[Byte], colName: UTF8String): ArrayData =
-    face(b, colName, KLong, wantList = true)
+    face(b, colName, KLong, wantRep = 1)
   def stringListValues(b: Array[Byte], colName: UTF8String): ArrayData =
-    face(b, colName, KString, wantList = true)
+    face(b, colName, KString, wantRep = 1)
   def doubleListValues(b: Array[Byte], colName: UTF8String): ArrayData =
-    face(b, colName, KDouble, wantList = true)
+    face(b, colName, KDouble, wantRep = 1)
+  /** Two-level LIST face: one array-of-arrays (or null) per row. */
+  def int64List2Values(b: Array[Byte], colName: UTF8String): ArrayData =
+    face(b, colName, KLong, wantRep = 2)
+  /** MAP face: string→int map per row as a sorted `k=v` CSV string. */
+  def mapInt64Csv(b: Array[Byte], colName: UTF8String): ArrayData = {
+    if (b == null || colName == null) return null
+    val r = readMap(b, colName.toString)
+    if (r == null) null else new GenericArrayData(r)
+  }
   /** INT96 timestamp column as epoch microseconds. */
   def int96Micros(b: Array[Byte], colName: UTF8String): ArrayData =
-    face(b, colName, KInt96, wantList = false)
+    face(b, colName, KInt96, wantRep = 0)
   /** BOOLEAN column. */
   def boolValues(b: Array[Byte], colName: UTF8String): ArrayData =
-    face(b, colName, KBool, wantList = false)
+    face(b, colName, KBool, wantRep = 0)
 
   /** Stats-pruned int read: struct(n_groups, kept_groups, values). */
   def int64ValuesPruned(b: Array[Byte], colName: UTF8String,
                         lo: Long, hi: Long): org.apache.spark.sql.catalyst.InternalRow = {
     if (b == null || colName == null) return null
     val r = readColumn(b, colName.toString, KLong,
-      wantList = false, range = (lo, hi))
+      wantRep = 0, range = (lo, hi))
     if (r == null) null
     else org.apache.spark.sql.catalyst.InternalRow(r._1, r._2,
       new GenericArrayData(r._3))
@@ -801,6 +985,12 @@ object ParquetPages {
             c.asInstanceOf[UTF8String])
         case "boolValues" =>
           ParquetPages.boolValues(b.asInstanceOf[Array[Byte]],
+            c.asInstanceOf[UTF8String])
+        case "int64List2Values" =>
+          ParquetPages.int64List2Values(b.asInstanceOf[Array[Byte]],
+            c.asInstanceOf[UTF8String])
+        case "mapInt64Csv" =>
+          ParquetPages.mapInt64Csv(b.asInstanceOf[Array[Byte]],
             c.asInstanceOf[UTF8String])
       }
       r
@@ -861,6 +1051,23 @@ object ParquetPages {
     override def method: String = "doubleListValues"
     override def elemType: DataType = ArrayType(DoubleType, containsNull = true)
     override def prettyName: String = "parquet_double_list_column"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+  case class ParquetInt64List2Column(left: Expression, right: Expression)
+      extends PagesProbe {
+    override def method: String = "int64List2Values"
+    override def elemType: DataType =
+      ArrayType(ArrayType(LongType, containsNull = true), containsNull = true)
+    override def prettyName: String = "parquet_int64_list2_column"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+  case class ParquetMapInt64Csv(left: Expression, right: Expression)
+      extends PagesProbe {
+    override def method: String = "mapInt64Csv"
+    override def elemType: DataType = StringType
+    override def prettyName: String = "parquet_map_int64_csv"
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
   }
@@ -935,6 +1142,12 @@ object ParquetPages {
       SparkInternals.expression(content), SparkInternals.expression(colName)))
   def doubleListColumnCol(content: Column, colName: Column): Column =
     SparkInternals.column(ParquetDoubleListColumn(
+      SparkInternals.expression(content), SparkInternals.expression(colName)))
+  def int64List2ColumnCol(content: Column, colName: Column): Column =
+    SparkInternals.column(ParquetInt64List2Column(
+      SparkInternals.expression(content), SparkInternals.expression(colName)))
+  def mapInt64CsvCol(content: Column, colName: Column): Column =
+    SparkInternals.column(ParquetMapInt64Csv(
       SparkInternals.expression(content), SparkInternals.expression(colName)))
   def int96MicrosCol(content: Column, colName: Column): Column =
     SparkInternals.column(ParquetInt96Micros(

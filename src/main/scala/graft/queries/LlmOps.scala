@@ -3277,6 +3277,64 @@ object LlmOps {
       "doc_id", "variant")
   }
 
+  /** Parquet MAP + nested-list fixture: Spark writes orders-derived
+    * map<string,bigint> and array<array<bigint>> columns with a tiny
+    * page size, so records split MID-LIST across v1 pages — the case
+    * that breaks any per-page assembly. Once per sf-dir per JVM. */
+  private def parquetMapFixture(s: SparkSession, d: String): String =
+    parquetNestedDirs.computeIfAbsent(s"$d#pqmap", _ => {
+      val p = java.nio.file.Files.createTempDirectory("pq_map")
+      orders(s, d).select(
+        col("o_orderkey").cast("long").as("k"),
+        when(col("o_orderkey") % 7 === 0, lit(null))
+          .when(col("o_orderkey") % 5 === 0, map())
+          .otherwise(map(
+            lit("ck"), col("o_custkey").cast("long"),
+            lit("k2"), col("o_orderkey") * 2)).as("m"),
+        when(col("o_orderkey") % 11 === 0, lit(null))
+          .otherwise(array(
+            array(col("o_orderkey").cast("long")),
+            array(col("o_custkey").cast("long"),
+              col("o_orderkey") + 1))).as("aa"))
+        .coalesce(1).write
+        .option("compression", "snappy")
+        .option("parquet.page.size", "1024")
+        .mode("overwrite").parquet(p.toString)
+      val walk = java.nio.file.Files.walk(p)
+      try walk.iterator().forEachRemaining(q => q.toFile.deleteOnExit())
+      finally walk.close()
+      p.toString
+    })
+
+  /** Parquet MAP + nested-list gate — the generalized def/rep
+    * reconstruction: a map<string,bigint> column (two leaf chunks
+    * zipped into sorted `k=v` CSVs) and an array<array<bigint>> column
+    * (depth-2 Dremel assembly), both Spark-written with records split
+    * mid-list across pages; every surfaced number restated from orders
+    * in the oracle. */
+  def xParquetMap(s: SparkSession, d: String): DataFrame = {
+    val dir = parquetMapFixture(s, d)
+    val P = graft.functions.ParquetPages
+    ordered(
+      s.read.format("binaryFile").load(dir)
+        .filter(col("path").endsWith(".parquet"))
+        .select(
+          P.int64ColumnCol(col("content"), lit("k")).as("ks"),
+          P.mapInt64CsvCol(col("content"), lit("m")).as("ms"),
+          P.int64List2ColumnCol(col("content"), lit("aa")).as("aas"))
+        .select(explode(arrays_zip(col("ks"), col("ms"), col("aas")))
+          .as("r"))
+        .select(col("r.ks").as("k"), col("r.ms").as("m_csv"),
+          col("r.aas").as("aa"))
+        .select(col("k"), col("m_csv"),
+          col("aa").isNull.cast("long").as("aa_null"),
+          coalesce(size(col("aa")), lit(-1)).cast("long").as("n_outer"),
+          coalesce(aggregate(col("aa"), lit(0L),
+            (a, xs) => a + aggregate(xs, lit(0L),
+              (b, y) => b + coalesce(y, lit(0L)))), lit(0L)).as("sum_aa")),
+      "k")
+  }
+
   /** Nested-Avro fixture: one OCF per order priority written by the
     * generic tree writer (nested record, array, map, nullable union;
     * codec cycling null/deflate/zstandard by priority index), rows
@@ -4288,6 +4346,7 @@ object LlmOps {
     "x_inflate_raw"       -> (xInflateRaw _),
     "x_avro_read"         -> (xAvroRead _),
     "x_avro_nested"       -> (xAvroNested _),
+    "x_parquet_map"       -> (xParquetMap _),
     "x_parquet_write"     -> (xParquetWrite _),
     "x_orc_meta"          -> (xOrcMeta _),
     "x_orc_values"        -> (xOrcValues _),
@@ -4821,6 +4880,19 @@ object LlmOps {
         "CAST(1 AS BIGINT) AS n_appends, " +
         "CAST(2 * doc_id + 190 AS BIGINT) AS sum_records " +
         "FROM documents ORDER BY doc_id"),
+    "x_parquet_map" ->
+      ("SELECT CAST(o_orderkey AS BIGINT) AS k, " +
+        "CASE WHEN o_orderkey % 7 = 0 THEN NULL " +
+        "WHEN o_orderkey % 5 = 0 THEN '' " +
+        "ELSE 'ck=' || CAST(o_custkey AS VARCHAR) || ',k2=' || " +
+        "CAST(2*o_orderkey AS VARCHAR) END AS m_csv, " +
+        "CAST(CASE WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END AS BIGINT) " +
+        "AS aa_null, " +
+        "CAST(CASE WHEN o_orderkey % 11 = 0 THEN -1 ELSE 2 END AS BIGINT) " +
+        "AS n_outer, " +
+        "CAST(CASE WHEN o_orderkey % 11 = 0 THEN 0 " +
+        "ELSE 2*o_orderkey + o_custkey + 1 END AS BIGINT) AS sum_aa " +
+        "FROM orders ORDER BY k"),
     "x_iceberg_snapshot" ->
       ("SELECT 'current' AS snap, o_orderpriority AS prio, " +
         "CAST(4 AS BIGINT) AS n_files, count(*) AS n, " +

@@ -381,6 +381,69 @@ class ParquetPagesSpec extends SparkSpec {
     assert(got.toSeq === Seq(10L, 11L, 12L))
   }
 
+  test("map<string,bigint>: csv face with nulls, empties, mid-list page splits") {
+    val df = spark.range(0, 3000).select(col("id"),
+      when(col("id") % 7 === 0, lit(null))
+        .when(col("id") % 5 === 0, map())
+        .otherwise(map(
+          lit("b"), col("id") * 2,
+          lit("a"), col("id"))).as("m"))
+    Seq(Map("compression" -> "none", "parquet.page.size" -> "512"),
+      Map("compression" -> "snappy")).foreach { opts =>
+      val b = writeAndRead(df, opts)
+      val csv = ParquetPages.mapInt64Csv(b,
+        org.apache.spark.unsafe.types.UTF8String.fromString("m"))
+      assert(csv != null && csv.numElements() === 3000, s"$opts declined")
+      (0 until 3000).foreach { i =>
+        if (i % 7 == 0) assert(csv.isNullAt(i), s"@$i")
+        else if (i % 5 == 0)
+          assert(csv.getUTF8String(i).toString === "", s"@$i")
+        else assert(csv.getUTF8String(i).toString === s"a=$i,b=${2 * i}",
+          s"@$i")
+      }
+    }
+  }
+
+  test("list<list<bigint>>: nested assembly, null/empty inner lists, page splits") {
+    val df = spark.range(0, 2000).select(col("id"),
+      when(col("id") % 11 === 0, lit(null))
+        .when(col("id") % 7 === 0, array().cast("array<array<bigint>>"))
+        .otherwise(array(
+          array(col("id")),
+          lit(null).cast("array<bigint>"),
+          array().cast("array<bigint>"),
+          array(col("id") + 1, lit(null).cast("bigint"), col("id") + 2)))
+        .as("aa"))
+    Seq(Map("compression" -> "none", "parquet.page.size" -> "512"),
+      Map("compression" -> "snappy")).foreach { opts =>
+      val b = writeAndRead(df, opts)
+      val aa = ParquetPages.int64List2Values(b,
+        org.apache.spark.unsafe.types.UTF8String.fromString("aa"))
+      assert(aa != null && aa.numElements() === 2000, s"$opts declined")
+      (0 until 2000).foreach { i =>
+        if (i % 11 == 0) assert(aa.isNullAt(i), s"@$i")
+        else if (i % 7 == 0)
+          assert(aa.getArray(i).numElements() === 0, s"@$i")
+        else {
+          val outer = aa.getArray(i)
+          assert(outer.numElements() === 4, s"@$i")
+          assert(outer.getArray(0).getLong(0) === i.toLong, s"@$i")
+          assert(outer.isNullAt(1), s"@$i")
+          assert(outer.getArray(2).numElements() === 0, s"@$i")
+          val last = outer.getArray(3)
+          assert(last.numElements() === 3 && last.getLong(0) === i + 1L &&
+            last.isNullAt(1) && last.getLong(2) === i + 2L, s"@$i")
+        }
+      }
+      // depth mismatches decline: 2-level face on a flat column and
+      // 1-level face on the 2-level column
+      assert(ParquetPages.int64List2Values(b,
+        org.apache.spark.unsafe.types.UTF8String.fromString("id")) == null)
+      assert(ParquetPages.int64ListValues(b,
+        org.apache.spark.unsafe.types.UTF8String.fromString("aa")) == null)
+    }
+  }
+
   test("declines: missing column, type mismatch, struct subfield, corruption") {
     val flat = spark.range(0, 100).select(col("id").as("k"),
       col("id").cast("string").as("s"))
