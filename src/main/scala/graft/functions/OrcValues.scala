@@ -25,7 +25,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - boolean byte-RLE PRESENT streams (run/literal control bytes,
   *    MSB-first bits) for null interleaving;
   *  - string columns in both DIRECT_V2 (LENGTH + DATA) and
-  *    DICTIONARY_V2 (dictionary LENGTH/DATA + index stream).
+  *    DICTIONARY_V2 (dictionary LENGTH/DATA + index stream);
+  *  - integer RLE **v1** (the Hive 0.11 lineage: run = header+3 with
+  *    signed delta byte and varint base, literals = negative header)
+  *    for DIRECT(0)/DICTIONARY(1) column encodings — integers,
+  *    string lengths, and dictionary index streams alike.
   *
   * Scope: flat top-level smallint/int/bigint, float/double (IEEE 754
   * LE direct streams, widened to double), and string columns from
@@ -108,6 +112,55 @@ object OrcValues {
   /** Decodes exactly `n` integer-RLE-v2 values. `signed` selects
     * zigzag decode for SHORT_REPEAT/DIRECT values and the DELTA base
     * (PATCHED_BASE carries sign in the base, per spec). */
+  /** Integer RLE **version 1** (the Hive 0.11 lineage; column encodings
+    * DIRECT(0) / DICTIONARY(1)): header byte ≥ 0 → a run of h+3 values
+    * (signed delta byte, base varint); header < 0 → −h literal
+    * varints. Signed streams zigzag. Runs past the requested count are
+    * corrupt, not padding. */
+  private[functions] def rleV1(d: Array[Byte], n: Int,
+                               signed: Boolean): Array[Long] = {
+    val out = new Array[Long](n)
+    var pos = 0
+    var produced = 0
+    def varint(): Long = {
+      var shift = 0; var v = 0L; var c = 0
+      do {
+        if (pos >= d.length || shift > 63) fail()
+        c = d(pos) & 0xff; pos += 1
+        v |= (c & 0x7fL) << shift; shift += 7
+      } while ((c & 0x80) != 0)
+      v
+    }
+    def value(): Long = {
+      val u = varint()
+      if (signed) (u >>> 1) ^ -(u & 1L) else u
+    }
+    while (produced < n) {
+      if (pos >= d.length) fail()
+      val h = d(pos).toInt // signed header byte
+      pos += 1
+      if (h >= 0) {
+        val run = h + 3
+        if (run > n - produced) fail()
+        if (pos >= d.length) fail()
+        val delta = d(pos).toInt
+        pos += 1
+        val base = value()
+        var i = 0
+        while (i < run) {
+          out(produced) = base + i.toLong * delta
+          produced += 1; i += 1
+        }
+      } else {
+        val cnt = -h
+        if (cnt > n - produced) fail()
+        var i = 0
+        while (i < cnt) { out(produced) = value(); produced += 1; i += 1 }
+      }
+    }
+    out
+  }
+
   private[functions] def rleV2(d: Array[Byte], n: Int, signed: Boolean): Array[Long] = {
     if (n < 0 || n > MaxOut) fail()
     val out = new Array[Long](n)
@@ -462,8 +515,11 @@ object OrcValues {
           } else out += null
         }
       } else if (want == KLong || want == KDate) {
-        if (encKind != 2) fail() // DIRECT_V2 only (v1 RLE declines)
-        val vals = rleV2(data, nPresent, signed = true)
+        // DIRECT_V2 (RLEv2) or the Hive-0.11 DIRECT (RLEv1) lineage
+        if (encKind != 2 && encKind != 0) fail()
+        val vals =
+          if (encKind == 2) rleV2(data, nPresent, signed = true)
+          else rleV1(data, nPresent, signed = true)
         var vi = 0
         isPresent.foreach { pr =>
           if (pr) { out += java.lang.Long.valueOf(vals(vi)); vi += 1 }
@@ -488,9 +544,11 @@ object OrcValues {
           } else out += null
         }
       } else encKind match {
-        case 2 => // DIRECT_V2: LENGTH + DATA
+        case 0 | 2 => // DIRECT (v1 lengths) / DIRECT_V2: LENGTH + DATA
           if (length == null) fail()
-          val lens = rleV2(length, nPresent, signed = false)
+          val lens =
+            if (encKind == 2) rleV2(length, nPresent, signed = false)
+            else rleV1(length, nPresent, signed = false)
           var off = 0L
           val cut = new Array[Any](nPresent)
           var k = 0
@@ -505,10 +563,13 @@ object OrcValues {
           isPresent.foreach { pr =>
             if (pr) { out += cut(vi); vi += 1 } else out += null
           }
-        case 3 => // DICTIONARY_V2: dict LENGTH/DATA + index DATA
+        case 1 | 3 => // DICTIONARY (v1) / DICTIONARY_V2
           if (length == null || dictData == null) fail()
           if (dictSize < 0 || dictSize > MaxOut) fail()
-          val lens = rleV2(length, dictSize, signed = false)
+          val v2 = encKind == 3
+          val lens =
+            if (v2) rleV2(length, dictSize, signed = false)
+            else rleV1(length, dictSize, signed = false)
           val dict = new Array[UTF8String](dictSize)
           var off = 0L
           var k = 0
@@ -519,7 +580,9 @@ object OrcValues {
               dictData, off.toInt, (off + l).toInt))
             off += l; k += 1
           }
-          val idx = rleV2(data, nPresent, signed = false)
+          val idx =
+            if (v2) rleV2(data, nPresent, signed = false)
+            else rleV1(data, nPresent, signed = false)
           var vi = 0
           isPresent.foreach { pr =>
             if (pr) {

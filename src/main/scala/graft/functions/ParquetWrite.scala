@@ -243,8 +243,8 @@ object ParquetWrite {
 
   /** Per-chunk encode result for footer assembly. */
   private final class ChunkInfo(val firstDataPage: Long, val dictPage: Long,
-    val totalBytes: Long, val nullCount: Long, val minV: Array[Byte],
-    val maxV: Array[Byte], val encodings: Seq[Long])
+    val totalBytes: Long, val uncompBytes: Long, val nullCount: Long,
+    val minV: Array[Byte], val maxV: Array[Byte], val encodings: Seq[Long])
 
   /** Encodes rows (already deterministic order) as a complete parquet
     * file with the caller-specified flat schema. `codec` 0 =
@@ -285,6 +285,7 @@ object ParquetWrite {
       var dictPage = -1L
       var firstData = -1L
       var totalBytes = 0L
+      var uncompBytes = 0L // headers + RAW page bodies (spec field 6)
       var encodings: Seq[Long] = null
 
       if (useDictionary) {
@@ -309,6 +310,7 @@ object ParquetWrite {
         val dh = dictPageHeader(index.size, dictBody.length, dictComp.length)
         out.write(dh); out.write(dictComp)
         totalBytes += dh.length + dictComp.length
+        uncompBytes += dh.length + dictBody.length
 
         val bw = 32 - Integer.numberOfLeadingZeros(math.max(index.size - 1, 0))
         val body = new java.io.ByteArrayOutputStream(256)
@@ -322,6 +324,7 @@ object ParquetWrite {
         val ph = dataPageHeader(vals.length, raw.length, comp.length, 2)
         out.write(ph); out.write(comp)
         totalBytes += ph.length + comp.length
+        uncompBytes += ph.length + raw.length
         encodings = Seq(3L, 2L) // RLE levels + PLAIN_DICTIONARY
       } else {
         val body = new java.io.ByteArrayOutputStream(256)
@@ -333,6 +336,7 @@ object ParquetWrite {
         val ph = dataPageHeader(vals.length, raw.length, comp.length, 0)
         out.write(ph); out.write(comp)
         totalBytes += ph.length + comp.length
+        uncompBytes += ph.length + raw.length
         encodings = Seq(3L, 0L) // RLE levels + PLAIN
       }
 
@@ -346,7 +350,7 @@ object ParquetWrite {
           val ls = nonNull.map(_.asInstanceOf[java.lang.Long].longValue)
           (le64(ls.min), le64(ls.max))
         }
-      new ChunkInfo(firstData, dictPage, totalBytes,
+      new ChunkInfo(firstData, dictPage, totalBytes, uncompBytes,
         (vals.length - nonNull.length).toLong, minV, maxV, encodings)
     }
 
@@ -383,7 +387,9 @@ object ParquetWrite {
         w.binaryList(3, Seq(c.name.getBytes("UTF-8")))
         w.i32(4, codec.toLong)
         w.i64(5, g.length.toLong)
-        w.i64(6, info.totalBytes); w.i64(7, info.totalBytes)
+        // field 6 is the TRUE uncompressed total (headers + raw pages);
+        // a size-budgeting reader plans memory from it
+        w.i64(6, info.uncompBytes); w.i64(7, info.totalBytes)
         w.i64(9, info.firstDataPage)
         if (info.dictPage >= 0) w.i64(11, info.dictPage)
         w.structBegin(12) // Statistics
@@ -394,7 +400,7 @@ object ParquetWrite {
         w.structListElemEnd()
       }
       w.structListEnd() // columns
-      w.i64(2, infos.map(_.totalBytes).sum) // total_byte_size
+      w.i64(2, infos.map(_.uncompBytes).sum) // total_byte_size (uncompressed)
       w.i64(3, g.length.toLong) // num_rows
       w.structListElemEnd()
     }

@@ -190,6 +190,33 @@ class OrcValuesSpec extends SparkSpec {
     }
   }
 
+  test("Hive 0.11 format: integer DIRECT + string DIRECT/DICTIONARY RLE v1") {
+    val src = spark.range(0, 20000).select(
+      col("id").as("mono"), // runs with delta=1
+      when(col("id") % 9 === 0, lit(null))
+        .otherwise(noise(col("id")) - 500000L).as("noisy"), // literals
+      (col("id") % 7 * 100).as("runs"), // short repeat runs
+      concat(lit("tag-"), (col("id") % 40).cast("string"))
+        .as("dict_s"), // low cardinality → DICTIONARY (v1)
+      concat(lit("u"), col("id").cast("string")).as("uniq_s")) // DIRECT
+    val b = writeAndRead(src, Map("orc.write.format" -> "0.11",
+      "compression" -> "zlib"))
+    val want = src.collect()
+    val mono = longs(b, "mono"); val noisy = longs(b, "noisy")
+    val runs = longs(b, "runs")
+    val ds = strings(b, "dict_s"); val us = strings(b, "uniq_s")
+    assert(mono != null && noisy != null && runs != null &&
+      ds != null && us != null, "v1 RLE declined")
+    want.zipWithIndex.foreach { case (r, i) =>
+      assert(mono(i).longValue === r.getLong(0), s"mono@$i")
+      assert(noisy(i) === (if (r.isNullAt(1)) null
+        else java.lang.Long.valueOf(r.getLong(1))), s"noisy@$i")
+      assert(runs(i).longValue === r.getLong(2), s"runs@$i")
+      assert(ds(i) === r.getString(3), s"dict_s@$i")
+      assert(us(i) === r.getString(4), s"uniq_s@$i")
+    }
+  }
+
   test("totality: truncation and corruption fuzz never throws") {
     val small = spark.range(0, 400).select(col("id").as("k"),
       when(col("id") % 5 === 0, lit(null))

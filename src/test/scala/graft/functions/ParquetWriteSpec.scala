@@ -165,6 +165,38 @@ class ParquetWriteSpec extends SparkSpec {
       assert(ss.getUTF8String(i).toString === s"r-${i % 25}"))
   }
 
+  test("footer records TRUE uncompressed chunk sizes (field 6 vs 7)") {
+    val rows = (0 until 500).map(i =>
+      (i.toLong, s"payload-value-$i".getBytes("UTF-8")))
+    // codec 0: compressed == uncompressed byte-for-byte
+    val plain = ParquetFooter.parse(
+      ParquetWrite.fileBytes(rows, "k", "s"))
+    assert(plain != null)
+    plain.rowGroups.flatMap(_.columns).foreach { c =>
+      assert(c.uncompressed > 0)
+      assert(c.uncompressed === c.compressed)
+    }
+    // stored snappy/zstd framing ADDS bytes: the uncompressed total a
+    // size-budgeting reader plans from must now be strictly smaller
+    // than the on-disk compressed total (it equaled it before the fix)
+    Seq(1, 6).foreach { codec =>
+      val cols = Seq(
+        ParquetWrite.ColSpec("k", isString = false, nullable = false),
+        ParquetWrite.ColSpec("s", isString = true, nullable = false))
+      val b = ParquetWrite.fileBytes(cols,
+        rows.map(r => Array[Any](java.lang.Long.valueOf(r._1), r._2)),
+        codec = codec)
+      val f = ParquetFooter.parse(b)
+      assert(f != null)
+      f.rowGroups.flatMap(_.columns).foreach { c =>
+        assert(c.uncompressed > 0 && c.compressed > 0)
+        assert(c.uncompressed < c.compressed,
+          s"codec $codec: field 6 (${c.uncompressed}) should be the raw " +
+            s"total, below the stored-block total (${c.compressed})")
+      }
+    }
+  }
+
   test("empty group yields a valid zero-row file") {
     val df = spark.range(0, 10).filter(col("id") < 0)
       .select(col("id"), col("id").cast("string").as("s"))

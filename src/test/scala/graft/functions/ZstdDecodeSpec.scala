@@ -107,6 +107,33 @@ class ZstdDecodeSpec extends AnyFunSuite {
     }
   }
 
+  test("third-party encoder corpus: zstd CLI v1.5.7 frames decode byte-exactly") {
+    // fixtures produced by the standalone zstd CLI (a different build
+    // lineage than zstd-jni) at levels 1/3/9/19, --ultra -22, and
+    // --long window mode — closes the ADVICE watch item that the
+    // exact-bitstream-consumption rule might decline another encoder's
+    // valid padding. It does not: the RFC's sentinel-bit rule is what
+    // every conformant encoder emits.
+    def res(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/zstd_cli/$name")
+      assert(in != null, s"missing fixture $name")
+      try in.readAllBytes() finally in.close()
+    }
+    val cases = Seq(
+      "corpus_text" -> Seq("l1", "l3", "l9", "l19", "l22"),
+      "corpus_bin" -> Seq("l1", "l3", "l9", "l19", "long"),
+      "corpus_tiny" -> Seq("l1", "l3", "l9", "l19"),
+      "corpus_rand" -> Seq("l1", "l3", "l9", "l19"))
+    cases.foreach { case (corpus, variants) =>
+      val want = res(s"$corpus.bin")
+      variants.foreach { v =>
+        val got = ZstdDecode.decompress(res(s"${corpus}_$v.zst"))
+        assert(got != null, s"$corpus $v declined")
+        assert(java.util.Arrays.equals(got, want), s"$corpus $v mismatch")
+      }
+    }
+  }
+
   test("totality: truncation and corruption fuzz never throws") {
     val data = textCorpus(1500) ++ noisyCorpus(8000)
     Seq(1, 9, 19).foreach { level =>
