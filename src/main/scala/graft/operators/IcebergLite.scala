@@ -25,6 +25,11 @@ import org.apache.spark.sql.types._
   *    resolution, Iceberg→Spark type mapping), not from file
   *    inference — partition columns need no reconstruction because
   *    Iceberg data files store them as ordinary columns;
+  *  - stats file-skipping ([[prunedScan]]): manifest entries carry
+  *    per-file `lower_bounds`/`upper_bounds` (Iceberg single-value
+  *    serialization, int/long little-endian) — files whose bounds
+  *    cannot intersect the predicate are skipped BEFORE any data I/O,
+  *    missing bounds conservatively kept;
   *  - loud declines: v2 DELETE manifests (positional/equality
   *    deletes), non-parquet data files, nested table schemas, and
   *    malformed metadata all RAISE rather than misread.
@@ -81,8 +86,10 @@ object IcebergLite {
       s"unsupported Iceberg column type for this reader: $other")
   }
 
-  /** Planning outcome: manifest/file counts plus the table read. */
-  final case class Scan(nManifests: Int, nDataFiles: Int, data: DataFrame)
+  /** Planning outcome: manifest/file counts (kept = after stats
+    * pruning; equal to nDataFiles when none) plus the table read. */
+  final case class Scan(nManifests: Int, nDataFiles: Int, keptFiles: Int,
+                        data: DataFrame)
 
   /** The table at its current snapshot (or `snapshotId`). */
   def snapshot(spark: SparkSession, table: String,
@@ -90,7 +97,51 @@ object IcebergLite {
     scan(spark, table, snapshotId).data
 
   def scan(spark: SparkSession, table: String,
-           snapshotId: Long = -1L): Scan = {
+           snapshotId: Long = -1L): Scan =
+    plan(spark, table, snapshotId, pruneCol = null, 0L, 0L)
+
+  /** File-skipping scan: data files whose manifest-entry
+    * `lower_bounds`/`upper_bounds` for `colName` (an int/long column)
+    * cannot intersect [lo, hi] are SKIPPED before any data I/O — the
+    * Iceberg analog of [[DeltaLite.prunedSnapshot]]: manifests ARE the
+    * stats store, so a 100 TB table's point query touches manifests,
+    * not the table. Files without bounds are conservatively kept; the
+    * caller re-filters exactly. */
+  def prunedScan(spark: SparkSession, table: String, colName: String,
+                 lo: Long, hi: Long, snapshotId: Long = -1L): Scan =
+    plan(spark, table, snapshotId, colName, lo, hi)
+
+  /** Iceberg single-value serialization for int/long bounds: 4- or
+    * 8-byte little-endian. Anything else → None (kept). */
+  private def boundLong(v: Any): Option[Long] = v match {
+    case b: Array[Byte] if b.length == 8 =>
+      var x = 0L; var k = 7
+      while (k >= 0) { x = (x << 8) | (b(k) & 0xffL); k -= 1 }
+      Some(x)
+    case b: Array[Byte] if b.length == 4 =>
+      Some(((b(3) & 0xffL) << 24 | (b(2) & 0xffL) << 16 |
+        (b(1) & 0xffL) << 8 | (b(0) & 0xffL)).toInt.toLong)
+    case _ => None
+  }
+
+  /** The bound entry for `fieldId` out of an Iceberg key/value-pair
+    * map (Avro array<record<key,value>> encoding). */
+  private def boundFor(df: JMap, which: String, fieldId: Long): Option[Long] =
+    df.get(which) match {
+      case Some(s: scala.collection.Seq[_]) =>
+        s.iterator.map {
+          case m: scala.collection.Map[_, _] => m.asInstanceOf[JMap]
+          case _ => return None
+        }.find(kv => kv.get("key").exists {
+          case l: java.lang.Long => l.longValue == fieldId
+          case _ => false
+        }).flatMap(kv => kv.get("value").flatMap(boundLong))
+      case _ => None
+    }
+
+  private def plan(spark: SparkSession, table: String,
+                   snapshotId: Long, pruneCol: String,
+                   lo: Long, hi: Long): Scan = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(table).getFileSystem(conf)
     val metaDir = new Path(table, "metadata")
@@ -196,8 +247,8 @@ object IcebergLite {
         sys.error("manifest-list row without manifest_path")))
     }
 
-    // ---- manifests → live data files ----
-    val liveFiles = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    // ---- manifests → live data files (entry record kept for stats) ----
+    val liveFiles = scala.collection.mutable.LinkedHashMap.empty[String, JMap]
     manifestPaths.foreach { mp =>
       AvroRead.genericRecords(readBytes(rebase(mp), 1 << 28)).foreach { e =>
         val status = asLong(e.getOrElse("status",
@@ -208,21 +259,42 @@ object IcebergLite {
           sys.error(s"manifest $mp entry without data_file")))
         val path = df.getOrElse("file_path",
           sys.error(s"manifest $mp data_file without file_path")).toString
-        val n = df.get("record_count").map(asLong).getOrElse(0L)
         if (status == 2) liveFiles.remove(path)
         else {
           val fmt = df.get("file_format").map(_.toString.toUpperCase)
             .getOrElse("PARQUET")
           require(fmt == "PARQUET",
             s"unsupported Iceberg data file format $fmt in $mp")
-          liveFiles(path) = n
+          liveFiles(path) = df
         }
       }
     }
     require(liveFiles.nonEmpty, s"empty Iceberg snapshot $wantId of $table")
 
-    val paths = liveFiles.keys.map(p => rebase(p).toString).toSeq
-    Scan(manifestPaths.length, liveFiles.size,
+    // ---- stats file-skipping via manifest-entry bounds ----
+    val kept =
+      if (pruneCol == null) liveFiles.keys.toSeq
+      else {
+        val field = asSeq(schemaObj.getOrElse("fields",
+          sys.error("schema without fields"))).map(asMap)
+          .find(f => f.get("name").map(asStr).contains(pruneCol))
+          .getOrElse(sys.error(s"prune column $pruneCol not in schema"))
+        val t = field.getOrElse("type", sys.error("untyped field"))
+        require(t == "long" || t == "int",
+          s"bounds pruning supports int/long columns, not $t")
+        val fieldId = asLong(field.getOrElse("id",
+          sys.error(s"schema field $pruneCol has no id")))
+        liveFiles.collect { case (p, df)
+          if !(boundFor(df, "lower_bounds", fieldId).exists(_ > hi) ||
+               boundFor(df, "upper_bounds", fieldId).exists(_ < lo)) =>
+          p
+        }.toSeq
+      }
+    require(kept.nonEmpty,
+      s"Iceberg snapshot $wantId of $table: no files survive pruning")
+
+    val paths = kept.map(p => rebase(p).toString)
+    Scan(manifestPaths.length, liveFiles.size, kept.length,
       spark.read.schema(sparkSchema).parquet(paths: _*))
   }
 }

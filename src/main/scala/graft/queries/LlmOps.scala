@@ -3683,6 +3683,133 @@ object LlmOps {
       dir.toString
     })
 
+  /** Iceberg prune-fixture: one snapshot over five orderkey-bucketed
+    * parquet files whose manifest entries carry real per-file
+    * lower/upper bounds for `k` (field id 1) in Iceberg single-value
+    * (8-byte LE) serialization. Mirrors deltaPruneFixture. */
+  private def icebergPruneFixture(s: SparkSession, d: String,
+                                  w: Long): String =
+    parquetNestedDirs.computeIfAbsent(s"$d#iceprune", _ => {
+      val dir = java.nio.file.Files.createTempDirectory("ice_prune")
+      val loc = "file:///warehouse/orders_ice_prune"
+      def le64(v: Long): Array[Byte] =
+        (0 until 8).map(k => ((v >>> (8 * k)) & 0xff).toByte).toArray
+      val manifestSchema =
+        """{"type":"record","name":"manifest_entry","fields":[
+          |  {"name":"status","type":"int"},
+          |  {"name":"snapshot_id","type":["null","long"]},
+          |  {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+          |    {"name":"file_path","type":"string"},
+          |    {"name":"file_format","type":"string"},
+          |    {"name":"record_count","type":"long"},
+          |    {"name":"file_size_in_bytes","type":"long"},
+          |    {"name":"lower_bounds","type":["null",{"type":"array","items":
+          |      {"type":"record","name":"kv1","fields":[
+          |        {"name":"key","type":"int"},
+          |        {"name":"value","type":"bytes"}]}}],"default":null},
+          |    {"name":"upper_bounds","type":["null",{"type":"array","items":
+          |      {"type":"record","name":"kv2","fields":[
+          |        {"name":"key","type":"int"},
+          |        {"name":"value","type":"bytes"}]}}],"default":null}]}}]}"""
+          .stripMargin.replaceAll("\n\\s*", "")
+      val listSchema =
+        """{"type":"record","name":"manifest_file","fields":[
+          |  {"name":"manifest_path","type":"string"},
+          |  {"name":"manifest_length","type":"long"},
+          |  {"name":"partition_spec_id","type":"int"},
+          |  {"name":"content","type":"int"},
+          |  {"name":"added_snapshot_id","type":["null","long"]}]}"""
+          .stripMargin.replaceAll("\n\\s*", "")
+      val entries = (0 until 5).flatMap { i =>
+        val lo = i * w + 1
+        val hi = (i + 1) * w
+        val part = orders(s, d)
+          .filter(col("o_orderkey").between(lo, hi))
+          .select(col("o_orderkey").cast("long").as("k"),
+            col("o_orderstatus").as("st"))
+        val stats = part.agg(min("k"), max("k"), count(lit(1)))
+          .collect().head
+        if (stats.getLong(2) == 0) None
+        else {
+          val tmp = java.nio.file.Files.createTempDirectory("ip").toString
+          part.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val f = new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dest = dir.resolve("data").resolve(s"bucket-$i.parquet")
+          java.nio.file.Files.createDirectories(dest.getParent)
+          java.nio.file.Files.move(f.toPath, dest,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          Some(Map[String, Any]("status" -> 1,
+            "snapshot_id" -> java.lang.Long.valueOf(IceSnap1),
+            "data_file" -> Map[String, Any](
+              "file_path" -> s"$loc/data/bucket-$i.parquet",
+              "file_format" -> "PARQUET",
+              "record_count" -> stats.getLong(2),
+              "file_size_in_bytes" -> java.nio.file.Files.size(dest),
+              "lower_bounds" -> Seq(Map[String, Any](
+                "key" -> 1, "value" -> le64(stats.getLong(0)))),
+              "upper_bounds" -> Seq(Map[String, Any](
+                "key" -> 1, "value" -> le64(stats.getLong(1)))))))
+        }
+      }
+      val metaP = dir.resolve("metadata")
+      java.nio.file.Files.createDirectories(metaP)
+      java.nio.file.Files.write(metaP.resolve("manifest-1.avro"),
+        graft.functions.AvroWrite.genericFileBytes(manifestSchema, entries))
+      java.nio.file.Files.write(metaP.resolve("snap-1.avro"),
+        graft.functions.AvroWrite.genericFileBytes(listSchema,
+          Seq(Map[String, Any](
+            "manifest_path" -> s"$loc/metadata/manifest-1.avro",
+            "manifest_length" -> 1L, "partition_spec_id" -> 0,
+            "content" -> 0, "added_snapshot_id" -> null))))
+      java.nio.file.Files.writeString(metaP.resolve("v1.metadata.json"),
+        s"""{
+          |  "format-version": 1,
+          |  "table-uuid": "9c12f1b2-0000-4000-8000-00000000000c",
+          |  "location": "$loc",
+          |  "last-updated-ms": 1700000000000,
+          |  "schema": {"type": "struct", "fields": [
+          |    {"id": 1, "name": "k", "required": true, "type": "long"},
+          |    {"id": 2, "name": "st", "required": false, "type": "string"}]},
+          |  "partition-spec": [],
+          |  "current-snapshot-id": $IceSnap1,
+          |  "snapshots": [
+          |    {"snapshot-id": $IceSnap1, "timestamp-ms": 1700000001000,
+          |     "summary": {"operation": "append"},
+          |     "manifest-list": "$loc/metadata/snap-1.avro"}]
+          |}""".stripMargin)
+      java.nio.file.Files.writeString(
+        metaP.resolve("version-hint.text"), "1\n")
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().forEachRemaining(q => q.toFile.deleteOnExit())
+      finally walk.close()
+      dir.toString
+    })
+
+  /** Iceberg FILE-SKIPPING gate — manifest bounds pruning, the
+    * x_delta_prune parity for format #2: manifest entries carry real
+    * per-file lower/upper bounds, `prunedScan` keeps only files whose
+    * range can intersect the predicate, and an exact re-filter over
+    * the kept data yields the answer. Oracle recomputes the kept
+    * count from the same bucket arithmetic plus the data aggregates. */
+  def xIcebergPrune(s: SparkSession, d: String): DataFrame = {
+    val maxK = orders(s, d).agg(max(col("o_orderkey"))).collect()
+      .head.getLong(0)
+    val w = maxK / 5 + 1
+    val lo = w + 10
+    val hi = 2 * w - 10 // strictly inside bucket 1
+    val p = graft.operators.IcebergLite.prunedScan(
+      s, icebergPruneFixture(s, d, w), "k", lo, hi)
+    ordered(
+      p.data.filter(col("k").between(lo, hi))
+        .agg(
+          lit(p.nDataFiles).cast("long").as("n_files"),
+          lit(p.keptFiles).cast("long").as("kept_files"),
+          count(lit(1)).as("n_match"),
+          coalesce(sum(col("k")), lit(0L)).as("sum_match")),
+      "n_files")
+  }
+
   /** Iceberg SNAPSHOT gate — the manifest tier made real: the current
     * snapshot's manifest list + manifests (nested Avro decoded by our
     * own tree reader) enumerate live data files AFTER DELETED-entry
@@ -4358,6 +4485,7 @@ object LlmOps {
     "x_delta_prune"       -> (xDeltaPrune _),
     "x_iceberg_meta"      -> (xIcebergMeta _),
     "x_iceberg_snapshot"  -> (xIcebergSnapshot _),
+    "x_iceberg_prune"     -> (xIcebergPrune _),
     "x_avro_write"        -> (xAvroWrite _),
     "x_avro_write_deflate" -> (xAvroWriteDeflate _),
     "x_parquet_write2"    -> (xParquetWrite2 _),
@@ -4905,6 +5033,20 @@ object LlmOps {
         "min(o_orderstatus), max(o_orderstatus) " +
         "FROM orders WHERE CAST(substr(o_orderpriority,1,1) AS INT) <= 3 " +
         "GROUP BY 2 ORDER BY snap, prio"),
+    "x_iceberg_prune" ->
+      """WITH w AS (SELECT max(o_orderkey) // 5 + 1 AS w FROM orders),
+        |b AS (SELECT (o_orderkey - 1) // w.w AS bucket,
+        |    min(o_orderkey) AS mn, max(o_orderkey) AS mx
+        |  FROM orders, w GROUP BY 1),
+        |r AS (SELECT w.w + 10 AS lo, 2 * w.w - 10 AS hi FROM w)
+        |SELECT
+        |  CAST((SELECT count(*) FROM b) AS BIGINT) AS n_files,
+        |  CAST((SELECT count(*) FROM b, r
+        |        WHERE b.mn <= r.hi AND b.mx >= r.lo) AS BIGINT)
+        |    AS kept_files,
+        |  CAST(count(*) AS BIGINT) AS n_match,
+        |  CAST(coalesce(sum(o_orderkey), 0) AS BIGINT) AS sum_match
+        |FROM orders, r WHERE o_orderkey BETWEEN r.lo AND r.hi""".stripMargin,
     "x_delta_snapshot" ->
       ("SELECT o_orderpriority AS prio, count(*) AS n, " +
         "CAST(sum(o_orderkey) AS BIGINT) AS sum_k, " +

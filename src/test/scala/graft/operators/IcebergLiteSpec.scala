@@ -32,8 +32,19 @@ class IcebergLiteSpec extends SparkSpec {
       |    {"name":"file_path","type":"string"},
       |    {"name":"file_format","type":"string"},
       |    {"name":"record_count","type":"long"},
-      |    {"name":"file_size_in_bytes","type":"long"}]}}]}"""
+      |    {"name":"file_size_in_bytes","type":"long"},
+      |    {"name":"lower_bounds","type":["null",{"type":"array","items":
+      |      {"type":"record","name":"kv1","fields":[
+      |        {"name":"key","type":"int"},
+      |        {"name":"value","type":"bytes"}]}}],"default":null},
+      |    {"name":"upper_bounds","type":["null",{"type":"array","items":
+      |      {"type":"record","name":"kv2","fields":[
+      |        {"name":"key","type":"int"},
+      |        {"name":"value","type":"bytes"}]}}],"default":null}]}}]}"""
       .stripMargin.replaceAll("\n\\s*", "")
+
+  private def le64(v: Long): Array[Byte] =
+    (0 until 8).map(k => ((v >>> (8 * k)) & 0xff).toByte).toArray
 
   private def writePart(df: org.apache.spark.sql.DataFrame, dir: String,
                         name: String): Long = {
@@ -49,11 +60,16 @@ class IcebergLiteSpec extends SparkSpec {
 
   private def entry(status: Int, snapId: Long, path: String,
                     n: Long, size: Long = 1L,
-                    format: String = "PARQUET"): Map[String, Any] =
+                    format: String = "PARQUET",
+                    bounds: Option[(Long, Long)] = None): Map[String, Any] =
     Map("status" -> status, "snapshot_id" -> java.lang.Long.valueOf(snapId),
       "data_file" -> Map("file_path" -> s"$FakeLoc/data/$path",
         "file_format" -> format, "record_count" -> n,
-        "file_size_in_bytes" -> size))
+        "file_size_in_bytes" -> size,
+        "lower_bounds" -> bounds.map { case (lo, _) =>
+          Seq(Map[String, Any]("key" -> 1, "value" -> le64(lo))) }.orNull,
+        "upper_bounds" -> bounds.map { case (_, hi) =>
+          Seq(Map[String, Any]("key" -> 1, "value" -> le64(hi))) }.orNull))
 
   private def writeManifest(dir: String, name: String,
                             entries: Seq[Map[String, Any]]): Unit = {
@@ -110,16 +126,16 @@ class IcebergLiteSpec extends SparkSpec {
       writePart(part(lo, hi, nm.toLowerCase), dir, s"part-$nm.parquet")
     }
     writeManifest(dir, "manifest-1.avro", Seq(
-      entry(1, Snap1, "part-A.parquet", 10),
-      entry(1, Snap1, "part-B.parquet", 10),
-      entry(1, Snap1, "part-C.parquet", 10)))
+      entry(1, Snap1, "part-A.parquet", 10, bounds = Some((1L, 10L))),
+      entry(1, Snap1, "part-B.parquet", 10, bounds = Some((11L, 20L))),
+      entry(1, Snap1, "part-C.parquet", 10, bounds = Some((21L, 30L)))))
     writeManifestList(dir, "snap-1.avro", Seq("manifest-1.avro"))
     writeManifest(dir, "manifest-1r.avro", Seq(
-      entry(0, Snap1, "part-A.parquet", 10),
+      entry(0, Snap1, "part-A.parquet", 10, bounds = Some((1L, 10L))),
       entry(2, Snap2, "part-B.parquet", 10), // DELETED at snap2
-      entry(0, Snap1, "part-C.parquet", 10)))
+      entry(0, Snap1, "part-C.parquet", 10, bounds = Some((21L, 30L)))))
     writeManifest(dir, "manifest-2.avro", Seq(
-      entry(1, Snap2, "part-D.parquet", 10)))
+      entry(1, Snap2, "part-D.parquet", 10))) // no bounds: kept always
     writeManifestList(dir, "snap-2.avro",
       Seq("manifest-1r.avro", "manifest-2.avro"))
     Files.writeString(Paths.get(dir, "metadata", "v2.metadata.json"),
@@ -159,6 +175,28 @@ class IcebergLiteSpec extends SparkSpec {
         s""""current-snapshot-id": $Snap1"""))
     Files.delete(Paths.get(dir, "metadata", "version-hint.text"))
     assert(IcebergLite.snapshot(spark, dir).count() === 30) // v2 wins
+  }
+
+  test("bounds pruning: manifest stats skip files before any data I/O") {
+    val dir = buildTable()
+    // [22, 28] intersects only part-C's bounds; part-D has no bounds
+    // and is conservatively kept
+    val p = IcebergLite.prunedScan(spark, dir, "k", 22L, 28L)
+    assert(p.nDataFiles === 3)
+    assert(p.keptFiles === 2) // C (intersects) + D (no bounds)
+    val ks = p.data.filter(col("k").between(22, 28))
+      .select("k").as[Long].collect().sorted
+    assert(ks === (22L to 28L).toArray) // pruning is sound
+    // a range past every bound keeps only the stats-less file
+    assert(IcebergLite.prunedScan(spark, dir, "k", 5000L, 6000L)
+      .keptFiles === 1)
+    // unknown prune column / non-integer column raise
+    intercept[RuntimeException] {
+      IcebergLite.prunedScan(spark, dir, "nope", 0L, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      IcebergLite.prunedScan(spark, dir, "s", 0L, 1L)
+    }
   }
 
   test("loud declines: delete manifests, non-parquet files, nested schema") {
