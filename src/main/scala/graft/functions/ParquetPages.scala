@@ -402,23 +402,27 @@ object ParquetPages {
     fail()
   }
 
-  /** Resolves a top-level field name to a readable [[Shape]] by
-    * walking single-child chains: a flat leaf, a bare repeated leaf,
-    * the 2-level legacy list, the standard 3-level LIST, and any
-    * NESTING of those (list-of-lists…, depth-bounded). MAPs (2-child
-    * key_value groups) resolve via [[resolveMapShapes]]; other
-    * multi-child groups (structs) fail. */
+  /** Resolves a column name — optionally a DOTTED PATH through struct
+    * groups — to a readable [[Shape]]. Single-child groups on the way
+    * auto-descend (the LIST wrapper patterns: flat leaf, bare repeated
+    * leaf, 2-level legacy, standard 3-level, any nesting of those);
+    * multi-child groups (structs) are navigated only when the next
+    * path segment NAMES a child. A struct reached without a naming
+    * segment fails — auto-descending it would misread its subfield
+    * under the struct's name (MAPs resolve via [[resolveMapShapes]]). */
   private def resolveShape(f: ParquetFooter.Footer, colName: String): Shape = {
+    val parts = colName.split('.')
+    if (parts.isEmpty || parts.exists(_.isEmpty)) fail()
     val s = f.schema
-    var i = topField(f, colName)
+    var i = topField(f, parts(0))
+    var consumed = 1
     var defLevel = 0
     val reps = scala.collection.mutable.ArrayBuffer.empty[Int]
     val path = new java.lang.StringBuilder
     var depth = 0
-    // LIST-shape guard: a non-repeated GROUP is only readable when a
-    // repeated node follows below it (the list wrapper patterns) —
-    // otherwise it is a struct and reading its lone subfield under the
-    // group's name would be a misread, not a decode
+    // LIST-shape guard: an AUTO-DESCENDED non-repeated group is only
+    // readable when a repeated node follows below it; an explicitly
+    // NAMED struct segment clears the guard (the caller chose it)
     var pendingGroups = 0
     while (true) {
       val e = s(i)
@@ -432,13 +436,31 @@ object ParquetPages {
         case _ => fail()
       }
       if (e.numChildren == 0) {
+        if (consumed != parts.length) fail() // unconsumed path segments
         if (pendingGroups > 0) fail() // struct chain with no list below
         return new Shape(path.toString, e, defLevel, reps.length,
           reps.toArray)
       }
-      if (e.numChildren != 1) fail() // structs/maps: not this resolver
-      if (e.repetition != 2) pendingGroups += 1
-      i += 1
+      // child selection: explicit segment first, else lone-child descent
+      val byName =
+        if (consumed < parts.length) {
+          var j = i + 1
+          var c = 0
+          var found = -1
+          while (c < e.numChildren && found < 0) {
+            if (s(j).name == parts(consumed)) found = j
+            j = subtreeEnd(s, j); c += 1
+          }
+          found
+        } else -1
+      if (byName >= 0) {
+        consumed += 1
+        pendingGroups = 0 // the caller named this step
+        i = byName
+      } else if (e.numChildren == 1) {
+        if (e.repetition != 2) pendingGroups += 1
+        i += 1
+      } else fail() // struct with no naming segment
       depth += 1
     }
     fail() // unreachable

@@ -3335,6 +3335,49 @@ object LlmOps {
       "k")
   }
 
+  /** Parquet STRUCT fixture: a Spark-written nested-struct column
+    * (nullable outer, struct-in-struct) derived from orders. */
+  private def parquetStructFixture(s: SparkSession, d: String): String =
+    parquetNestedDirs.computeIfAbsent(s"$d#pqstruct", _ => {
+      val p = java.nio.file.Files.createTempDirectory("pq_struct")
+      orders(s, d).select(
+        col("o_orderkey").cast("long").as("k"),
+        when(col("o_orderkey") % 7 === 0, lit(null)).otherwise(struct(
+          col("o_custkey").cast("long").as("ck"),
+          col("o_orderstatus").as("st"),
+          struct(round(col("o_totalprice") * 100).cast("long").as("cents"))
+            .as("inner"))).as("meta"))
+        .coalesce(1).write.option("compression", "snappy")
+        .mode("overwrite").parquet(p.toString)
+      val walk = java.nio.file.Files.walk(p)
+      try walk.iterator().forEachRemaining(q => q.toFile.deleteOnExit())
+      finally walk.close()
+      p.toString
+    })
+
+  /** Parquet STRUCT gate — dotted-path reads through nested struct
+    * groups (the def-level interleave distinguishes a null OUTER
+    * struct from a null field): three depths surfaced per row and
+    * restated from orders with CASE arithmetic. */
+  def xParquetStruct(s: SparkSession, d: String): DataFrame = {
+    val dir = parquetStructFixture(s, d)
+    val P = graft.functions.ParquetPages
+    ordered(
+      s.read.format("binaryFile").load(dir)
+        .filter(col("path").endsWith(".parquet"))
+        .select(
+          P.int64ColumnCol(col("content"), lit("k")).as("ks"),
+          P.int64ColumnCol(col("content"), lit("meta.ck")).as("cks"),
+          P.stringColumnCol(col("content"), lit("meta.st")).as("sts"),
+          P.int64ColumnCol(col("content"), lit("meta.inner.cents"))
+            .as("cents"))
+        .select(explode(arrays_zip(col("ks"), col("cks"), col("sts"),
+          col("cents"))).as("r"))
+        .select(col("r.ks").as("k"), col("r.cks").as("ck"),
+          col("r.sts").as("st"), col("r.cents").as("cents")),
+      "k")
+  }
+
   /** Nested-Avro fixture: one OCF per order priority written by the
     * generic tree writer (nested record, array, map, nullable union;
     * codec cycling null/deflate/zstandard by priority index), rows
@@ -4474,6 +4517,7 @@ object LlmOps {
     "x_avro_read"         -> (xAvroRead _),
     "x_avro_nested"       -> (xAvroNested _),
     "x_parquet_map"       -> (xParquetMap _),
+    "x_parquet_struct"    -> (xParquetStruct _),
     "x_parquet_write"     -> (xParquetWrite _),
     "x_orc_meta"          -> (xOrcMeta _),
     "x_orc_values"        -> (xOrcValues _),
@@ -5033,6 +5077,15 @@ object LlmOps {
         "min(o_orderstatus), max(o_orderstatus) " +
         "FROM orders WHERE CAST(substr(o_orderpriority,1,1) AS INT) <= 3 " +
         "GROUP BY 2 ORDER BY snap, prio"),
+    "x_parquet_struct" ->
+      ("SELECT CAST(o_orderkey AS BIGINT) AS k, " +
+        "CASE WHEN o_orderkey % 7 = 0 THEN NULL " +
+        "ELSE CAST(o_custkey AS BIGINT) END AS ck, " +
+        "CASE WHEN o_orderkey % 7 = 0 THEN NULL " +
+        "ELSE o_orderstatus END AS st, " +
+        "CASE WHEN o_orderkey % 7 = 0 THEN NULL " +
+        "ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents " +
+        "FROM orders ORDER BY k"),
     "x_iceberg_prune" ->
       """WITH w AS (SELECT max(o_orderkey) // 5 + 1 AS w FROM orders),
         |b AS (SELECT (o_orderkey - 1) // w.w AS bucket,

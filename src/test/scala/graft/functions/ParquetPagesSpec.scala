@@ -444,6 +444,43 @@ class ParquetPagesSpec extends SparkSpec {
     }
   }
 
+  test("struct dotted paths: nested fields, struct-in-list, null structs") {
+    val df = spark.range(0, 2000).select(col("id"),
+      when(col("id") % 3 === 0, lit(null)).otherwise(struct(
+        (col("id") * 2).as("a"),
+        concat(lit("s"), col("id").cast("string")).as("b"),
+        struct((col("id") + 7).as("c")).as("inner"))).as("st"),
+      array(struct(col("id").as("x")),
+        struct((col("id") * 10).as("x"))).as("arr"))
+    val b = writeAndRead(df, Map("compression" -> "snappy"))
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString _
+    val as = longs(b, "st.a")
+    val bs = strings(b, "st.b")
+    val cs = longs(b, "st.inner.c")
+    assert(as != null && bs != null && cs != null)
+    (0 until 2000).foreach { i =>
+      if (i % 3 == 0) {
+        assert(as(i) == null && bs(i) == null && cs(i) == null, s"@$i")
+      } else {
+        assert(as(i).longValue === i * 2L, s"@$i")
+        assert(bs(i) === s"s$i", s"@$i")
+        assert(cs(i).longValue === i + 7L, s"@$i")
+      }
+    }
+    // struct-in-list: field extraction through the list face
+    val xs = ParquetPages.int64ListValues(b, u("arr.x"))
+    assert(xs != null)
+    (0 until 2000).foreach { i =>
+      val inner = xs.getArray(i)
+      assert(inner.numElements() === 2 &&
+        inner.getLong(0) === i.toLong && inner.getLong(1) === i * 10L, s"@$i")
+    }
+    // the struct itself (or a partial path) still declines
+    assert(longs(b, "st") == null)
+    assert(longs(b, "st.inner") == null)
+    assert(longs(b, "st.nope") == null)
+  }
+
   test("declines: missing column, type mismatch, struct subfield, corruption") {
     val flat = spark.range(0, 100).select(col("id").as("k"),
       col("id").cast("string").as("s"))
