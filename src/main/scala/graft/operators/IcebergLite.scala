@@ -30,9 +30,14 @@ import org.apache.spark.sql.types._
   *    serialization, int/long little-endian) — files whose bounds
   *    cannot intersect the predicate are skipped BEFORE any data I/O,
   *    missing bounds conservatively kept;
-  *  - loud declines: v2 DELETE manifests (positional/equality
-  *    deletes), non-parquet data files, nested table schemas, and
-  *    malformed metadata all RAISE rather than misread.
+  *  - v2 POSITION deletes applied: delete manifests (content=1) route
+  *    to position-delete parquet files (file_path, pos), read
+  *    distributed and anti-joined against `_metadata.row_index` — so
+  *    real v2 tables with row-level deletes read exactly;
+  *  - loud declines: equality deletes (sequence-number ordering this
+  *    reader does not model), non-parquet files, nested table schemas,
+  *    ambiguous duplicate file names, and malformed metadata all RAISE
+  *    rather than misread.
   *
   * The driver-side materialization is the manifest/file PLANNING SET —
   * bounded by manifest count and file count, the same set the real
@@ -87,9 +92,10 @@ object IcebergLite {
   }
 
   /** Planning outcome: manifest/file counts (kept = after stats
-    * pruning; equal to nDataFiles when none) plus the table read. */
+    * pruning; equal to nDataFiles when none), position-delete file
+    * count, plus the table read. */
   final case class Scan(nManifests: Int, nDataFiles: Int, keptFiles: Int,
-                        data: DataFrame)
+                        nDeleteFiles: Int, data: DataFrame)
 
   /** The table at its current snapshot (or `snapshotId`). */
   def snapshot(spark: SparkSession, table: String,
@@ -236,16 +242,15 @@ object IcebergLite {
           .toSeq
     }
 
-    val manifestPaths = manifestRows.map { m =>
-      // v2 delete manifests (content=1) carry positional/equality
-      // deletes this reader cannot apply — raise, never misread
-      m.get("content").foreach { c =>
-        require(asLong(c) == 0L,
-          s"unsupported Iceberg DELETE manifest in snapshot $wantId")
-      }
-      asStr(m.getOrElse("manifest_path",
-        sys.error("manifest-list row without manifest_path")))
-    }
+    // v2 manifest routing: content 0 = data manifests, 1 = DELETE
+    // manifests (position deletes applied below; equality deletes
+    // raise at the entry level)
+    def pathOf(m: JMap): String = asStr(m.getOrElse("manifest_path",
+      sys.error("manifest-list row without manifest_path")))
+    val (deleteManifestRows, dataManifestRows) = manifestRows.partition(
+      _.get("content").exists(asLong(_) == 1L))
+    val manifestPaths = dataManifestRows.map(pathOf)
+    val deleteManifestPaths = deleteManifestRows.map(pathOf)
 
     // ---- manifests → live data files (entry record kept for stats) ----
     val liveFiles = scala.collection.mutable.LinkedHashMap.empty[String, JMap]
@@ -271,6 +276,35 @@ object IcebergLite {
     }
     require(liveFiles.nonEmpty, s"empty Iceberg snapshot $wantId of $table")
 
+    // ---- delete manifests → POSITION-delete files (v2) ----
+    // entries with data_file.content == 1 are position deletes
+    // (parquet of file_path + pos, applied via _metadata.row_index
+    // below); content == 2 (equality deletes) raises — applying those
+    // needs sequence-number ordering this reader does not model
+    val posDeleteFiles = deleteManifestPaths.flatMap { mp =>
+      AvroRead.genericRecords(readBytes(rebase(mp), 1 << 28)).flatMap { e =>
+        val status = asLong(e.getOrElse("status",
+          sys.error(s"delete manifest $mp entry without status")))
+        require(status >= 0 && status <= 2,
+          s"delete manifest $mp: invalid entry status $status")
+        if (status == 2) None
+        else {
+          val df = asMap(e.getOrElse("data_file",
+            sys.error(s"delete manifest $mp entry without data_file")))
+          val content = df.get("content").map(asLong).getOrElse(0L)
+          require(content == 1L,
+            s"unsupported Iceberg delete content=$content in $mp " +
+              "(only position deletes are readable)")
+          val fmt = df.get("file_format").map(_.toString.toUpperCase)
+            .getOrElse("PARQUET")
+          require(fmt == "PARQUET",
+            s"unsupported Iceberg delete file format $fmt in $mp")
+          Some(df.getOrElse("file_path",
+            sys.error(s"delete manifest $mp without file_path")).toString)
+        }
+      }
+    }.distinct
+
     // ---- stats file-skipping via manifest-entry bounds ----
     val kept =
       if (pruneCol == null) liveFiles.keys.toSeq
@@ -294,7 +328,36 @@ object IcebergLite {
       s"Iceberg snapshot $wantId of $table: no files survive pruning")
 
     val paths = kept.map(p => rebase(p).toString)
-    Scan(manifestPaths.length, liveFiles.size, kept.length,
-      spark.read.schema(sparkSchema).parquet(paths: _*))
+    val base = spark.read.schema(sparkSchema).parquet(paths: _*)
+    val data =
+      if (posDeleteFiles.isEmpty) base
+      else {
+        // deletes name (file_path, pos); the physical row ordinal comes
+        // from parquet's _metadata.row_index. Recorded URIs and runtime
+        // URIs differ in scheme/qualification, so the join key is the
+        // file NAME — sound only when live names are globally distinct
+        // (true of every Iceberg writer's UUID naming; raise otherwise)
+        val names = kept.map(p => p.substring(p.lastIndexOf('/') + 1))
+        require(names.distinct.length == names.length,
+          s"duplicate data file names in snapshot $wantId — cannot " +
+            "apply position deletes unambiguously")
+        import org.apache.spark.sql.functions._
+        val dels = spark.read
+          .schema(StructType(Seq(
+            StructField("file_path", StringType),
+            StructField("pos", LongType, nullable = false))))
+          .parquet(posDeleteFiles.map(p => rebase(p).toString): _*)
+          .select(
+            element_at(split(col("file_path"), "/"), -1).as("__f"),
+            col("pos").as("__p"))
+        base.select(col("*"),
+            element_at(split(col("_metadata.file_path"), "/"), -1)
+              .as("__f"),
+            col("_metadata.row_index").as("__p"))
+          .join(dels, Seq("__f", "__p"), "left_anti")
+          .drop("__f", "__p")
+      }
+    Scan(manifestPaths.length + deleteManifestPaths.length,
+      liveFiles.size, kept.length, posDeleteFiles.length, data)
   }
 }

@@ -3829,6 +3829,131 @@ object LlmOps {
       dir.toString
     })
 
+  /** Iceberg v2 position-delete fixture: one snapshot, five per-priority
+    * data files (rows sorted by orderkey so file position == rank), a
+    * delete manifest (content=1) whose position-delete parquet removes
+    * the EVEN positions of the 2-HIGH file. */
+  private def icebergDeleteFixture(s: SparkSession, d: String): String =
+    parquetNestedDirs.computeIfAbsent(s"$d#icedel", _ => {
+      val dir = java.nio.file.Files.createTempDirectory("ice_del")
+      val loc = "file:///warehouse/orders_ice_del"
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW")
+      val manifestSchema =
+        """{"type":"record","name":"manifest_entry","fields":[
+          |  {"name":"status","type":"int"},
+          |  {"name":"snapshot_id","type":["null","long"]},
+          |  {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+          |    {"name":"content","type":"int"},
+          |    {"name":"file_path","type":"string"},
+          |    {"name":"file_format","type":"string"},
+          |    {"name":"record_count","type":"long"},
+          |    {"name":"file_size_in_bytes","type":"long"}]}}]}"""
+          .stripMargin.replaceAll("\n\\s*", "")
+      val listSchema =
+        """{"type":"record","name":"manifest_file","fields":[
+          |  {"name":"manifest_path","type":"string"},
+          |  {"name":"manifest_length","type":"long"},
+          |  {"name":"partition_spec_id","type":"int"},
+          |  {"name":"content","type":"int"},
+          |  {"name":"added_snapshot_id","type":["null","long"]}]}"""
+          .stripMargin.replaceAll("\n\\s*", "")
+      def movePart(df: DataFrame, name: String): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("idp").toString
+        df.write.mode("overwrite").parquet(tmp)
+        val f = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = dir.resolve("data").resolve(name)
+        java.nio.file.Files.createDirectories(dest.getParent)
+        java.nio.file.Files.move(f.toPath, dest,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      val counts = orders(s, d).groupBy(col("o_orderpriority"))
+        .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      prios.indices.foreach { i =>
+        movePart(orders(s, d).filter(col("o_orderpriority") === prios(i))
+          .select(col("o_orderkey").cast("long").as("k"),
+            col("o_orderstatus").as("st"),
+            col("o_orderpriority").as("prio"))
+          .repartition(1).sortWithinPartitions("k"), s"part-$i.parquet")
+      }
+      val nHigh = counts.getOrElse("2-HIGH", 0L)
+      movePart(s.range(0, (nHigh + 1) / 2)
+        .select(lit(s"$loc/data/part-1.parquet").as("file_path"),
+          (col("id") * 2).as("pos"))
+        .repartition(1).sortWithinPartitions("pos"), "posdel-1.parquet")
+      def entry(content: Int, path: String, n: Long): Map[String, Any] =
+        Map("status" -> 1,
+          "snapshot_id" -> java.lang.Long.valueOf(IceSnap1),
+          "data_file" -> Map[String, Any]("content" -> content,
+            "file_path" -> s"$loc/data/$path",
+            "file_format" -> "PARQUET", "record_count" -> n,
+            "file_size_in_bytes" -> 1L))
+      val metaP = dir.resolve("metadata")
+      java.nio.file.Files.createDirectories(metaP)
+      java.nio.file.Files.write(metaP.resolve("manifest-1.avro"),
+        graft.functions.AvroWrite.genericFileBytes(manifestSchema,
+          prios.indices.map(i =>
+            entry(0, s"part-$i.parquet", counts.getOrElse(prios(i), 0L)))))
+      java.nio.file.Files.write(metaP.resolve("manifest-del.avro"),
+        graft.functions.AvroWrite.genericFileBytes(manifestSchema,
+          Seq(entry(1, "posdel-1.parquet", (nHigh + 1) / 2))))
+      java.nio.file.Files.write(metaP.resolve("snap-1.avro"),
+        graft.functions.AvroWrite.genericFileBytes(listSchema,
+          Seq(("manifest-1.avro", 0), ("manifest-del.avro", 1)).map {
+            case (m, c) => Map[String, Any](
+              "manifest_path" -> s"$loc/metadata/$m",
+              "manifest_length" -> 1L, "partition_spec_id" -> 0,
+              "content" -> c, "added_snapshot_id" -> null)
+          }))
+      java.nio.file.Files.writeString(metaP.resolve("v1.metadata.json"),
+        s"""{
+          |  "format-version": 2,
+          |  "table-uuid": "9c12f1b2-0000-4000-8000-00000000000d",
+          |  "location": "$loc",
+          |  "last-updated-ms": 1700000000000,
+          |  "last-sequence-number": 1,
+          |  "current-schema-id": 0,
+          |  "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+          |    {"id": 1, "name": "k", "required": true, "type": "long"},
+          |    {"id": 2, "name": "st", "required": false, "type": "string"},
+          |    {"id": 3, "name": "prio", "required": false, "type": "string"}]}],
+          |  "default-spec-id": 0,
+          |  "partition-specs": [{"spec-id": 0, "fields": []}],
+          |  "current-snapshot-id": $IceSnap1,
+          |  "snapshots": [
+          |    {"snapshot-id": $IceSnap1, "timestamp-ms": 1700000001000,
+          |     "sequence-number": 1,
+          |     "summary": {"operation": "overwrite"},
+          |     "manifest-list": "$loc/metadata/snap-1.avro"}]
+          |}""".stripMargin)
+      java.nio.file.Files.writeString(
+        metaP.resolve("version-hint.text"), "1\n")
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().forEachRemaining(q => q.toFile.deleteOnExit())
+      finally walk.close()
+      dir.toString
+    })
+
+  /** Iceberg v2 POSITION-DELETE gate — row-level deletes applied
+    * through the manifest tier: the delete manifest's parquet names
+    * (file, pos) pairs, the reader anti-joins them against
+    * `_metadata.row_index`, and the oracle recomputes the surviving
+    * per-priority aggregates by excluding the even orderkey-ranks of
+    * 2-HIGH — one mis-assembled row ordinal hash-mismatches. */
+  def xIcebergDeletes(s: SparkSession, d: String): DataFrame = {
+    val sc = graft.operators.IcebergLite.scan(
+      s, icebergDeleteFixture(s, d))
+    ordered(
+      sc.data.groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("st")).as("min_st"), max(col("st")).as("max_st"))
+        .select(col("prio"),
+          lit(sc.nDeleteFiles).cast("long").as("n_del_files"),
+          col("n"), col("sum_k"), col("min_st"), col("max_st")),
+      "prio")
+  }
+
   /** Iceberg FILE-SKIPPING gate — manifest bounds pruning, the
     * x_delta_prune parity for format #2: manifest entries carry real
     * per-file lower/upper bounds, `prunedScan` keeps only files whose
@@ -4530,6 +4655,7 @@ object LlmOps {
     "x_iceberg_meta"      -> (xIcebergMeta _),
     "x_iceberg_snapshot"  -> (xIcebergSnapshot _),
     "x_iceberg_prune"     -> (xIcebergPrune _),
+    "x_iceberg_deletes"   -> (xIcebergDeletes _),
     "x_avro_write"        -> (xAvroWrite _),
     "x_avro_write_deflate" -> (xAvroWriteDeflate _),
     "x_parquet_write2"    -> (xParquetWrite2 _),
@@ -5086,6 +5212,17 @@ object LlmOps {
         "CASE WHEN o_orderkey % 7 = 0 THEN NULL " +
         "ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents " +
         "FROM orders ORDER BY k"),
+    "x_iceberg_deletes" ->
+      """WITH r AS (SELECT o_orderpriority AS prio, o_orderkey,
+        |    o_orderstatus,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_orderkey) - 1 AS pos
+        |  FROM orders)
+        |SELECT prio, CAST(1 AS BIGINT) AS n_del_files,
+        |  count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_k,
+        |  min(o_orderstatus) AS min_st, max(o_orderstatus) AS max_st
+        |FROM r WHERE NOT (prio = '2-HIGH' AND pos % 2 = 0)
+        |GROUP BY 1 ORDER BY prio""".stripMargin,
     "x_iceberg_prune" ->
       """WITH w AS (SELECT max(o_orderkey) // 5 + 1 AS w FROM orders),
         |b AS (SELECT (o_orderkey - 1) // w.w AS bucket,

@@ -199,16 +199,67 @@ class IcebergLiteSpec extends SparkSpec {
     }
   }
 
-  test("loud declines: delete manifests, non-parquet files, nested schema") {
+  test("v2 position deletes: row-level anti-join via _metadata.row_index") {
     val dir = buildTable()
-    // v2 delete manifest (content=1) in the list
-    writeManifestList(dir, "snap-2.avro",
-      Seq("manifest-1r.avro", "manifest-2.avro"), content = 1)
+    // delete the EVEN positions of part-C (k = 21..30 written in order,
+    // so positions 0,2,4,6,8 → k = 21,23,25,27,29 vanish)
+    val delName = "posdel-1.parquet"
+    val tmp = Files.createTempDirectory("icedel").toString
+    spark.range(0, 5).select(
+      lit(s"$FakeLoc/data/part-C.parquet").as("file_path"),
+      (col("id") * 2).as("pos"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.move(part.toPath, Paths.get(dir, "data", delName),
+      StandardCopyOption.REPLACE_EXISTING)
+    val delEntrySchema = manifestSchema.replace(
+      """{"name":"file_path","type":"string"}""",
+      """{"name":"content","type":"int"},
+        |{"name":"file_path","type":"string"}"""
+        .stripMargin.replaceAll("\n\\s*", ""))
+    Files.write(Paths.get(dir, "metadata", "manifest-del.avro"),
+      AvroWrite.genericFileBytes(delEntrySchema, Seq(
+        Map[String, Any]("status" -> 1,
+          "snapshot_id" -> java.lang.Long.valueOf(Snap2),
+          "data_file" -> Map[String, Any]("content" -> 1,
+            "file_path" -> s"$FakeLoc/data/$delName",
+            "file_format" -> "PARQUET", "record_count" -> 5L,
+            "file_size_in_bytes" -> 1L,
+            "lower_bounds" -> null, "upper_bounds" -> null)))))
+    // snap-2's list: data manifests (content 0) + the delete manifest
+    val rows = Seq(("manifest-1r.avro", 0), ("manifest-2.avro", 0),
+      ("manifest-del.avro", 1)).map { case (m, c) =>
+      Map[String, Any]("manifest_path" -> s"$FakeLoc/metadata/$m",
+        "manifest_length" -> 1L, "partition_spec_id" -> 0,
+        "content" -> c, "added_snapshot_id" -> null)
+    }
+    Files.write(Paths.get(dir, "metadata", "snap-2.avro"),
+      AvroWrite.genericFileBytes(manifestListSchema, rows))
+    val scan = IcebergLite.scan(spark, dir)
+    assert(scan.nDeleteFiles === 1)
+    assert(scan.nDataFiles === 3)
+    val ks = scan.data.filter(col("p") === "c")
+      .select("k").as[Long].collect().sorted
+    assert(ks === Array(22L, 24L, 26L, 28L, 30L)) // odd positions survive
+    assert(scan.data.count() === 25) // 30 live minus 5 deleted
+    // equality deletes (content=2) still decline loudly
+    Files.write(Paths.get(dir, "metadata", "manifest-del.avro"),
+      AvroWrite.genericFileBytes(delEntrySchema, Seq(
+        Map[String, Any]("status" -> 1,
+          "snapshot_id" -> java.lang.Long.valueOf(Snap2),
+          "data_file" -> Map[String, Any]("content" -> 2,
+            "file_path" -> s"$FakeLoc/data/$delName",
+            "file_format" -> "PARQUET", "record_count" -> 5L,
+            "file_size_in_bytes" -> 1L,
+            "lower_bounds" -> null, "upper_bounds" -> null)))))
     val e = intercept[IllegalArgumentException] {
       IcebergLite.snapshot(spark, dir)
     }
-    assert(e.getMessage.contains("DELETE manifest"))
+    assert(e.getMessage.contains("content=2"))
+  }
 
+  test("loud declines: non-parquet files, nested schema") {
     val dir2 = buildTable()
     writeManifest(dir2, "manifest-2.avro", Seq(
       entry(1, Snap2, "part-D.parquet", 10, format = "ORC")))
