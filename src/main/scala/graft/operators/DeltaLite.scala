@@ -25,10 +25,16 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *  - schema from the latest `metaData.schemaString` (Spark StructType
   *    JSON — the protocol's own format), partition columns
   *    reconstructed from `add.partitionValues` and CAST per schema;
+  *  - DELETION VECTORS applied: add.deletionVector descriptors
+  *    (storage `p`/`u`/`i`, RFC 1924 base85 ids, the DV-file
+  *    length/CRC framing, portable RoaringBitmapArray — decoded by
+  *    [[graft.functions.DeletionVectors]], cross-verified against the
+  *    real org.roaringbitmap) anti-join deleted row ordinals against
+  *    parquet's `_metadata.row_index`;
   *  - protocol gate: the LATEST protocol action governs; only the
-  *    base protocol or minReaderVersion 3 with readerFeatures limited
-  *    to `v2Checkpoint` is read — deletion vectors, column mapping,
-  *    or unknown features raise rather than misreading.
+  *    base protocol or minReaderVersion 3 with readerFeatures within
+  *    {v2Checkpoint, deletionVectors} is read — column mapping or
+  *    unknown features raise rather than misreading.
   *
   * The one driver-side materialization is the LIVE FILE LIST — the
   * metadata every engine (including Delta itself) plans from; it is
@@ -57,7 +63,9 @@ object DeltaLite {
 
   private def actionSchema: StructType = StructType.fromDDL(
     "add STRUCT<path: STRING, partitionValues: MAP<STRING, STRING>, " +
-      "size: BIGINT, dataChange: BOOLEAN, stats: STRING>, " +
+      "size: BIGINT, dataChange: BOOLEAN, stats: STRING, " +
+      "deletionVector STRUCT<storageType: STRING, pathOrInlineDv: STRING, " +
+      "offset: INT, sizeInBytes: INT, cardinality: BIGINT>>, " +
       "remove STRUCT<path: STRING, deletionTimestamp: BIGINT, " +
       "dataChange: BOOLEAN>, " +
       "metaData STRUCT<id: STRING, schemaString: STRING, " +
@@ -66,11 +74,11 @@ object DeltaLite {
       "readerFeatures: ARRAY<STRING>>, " +
       "sidecar STRUCT<path: STRING, sizeInBytes: BIGINT>")
 
-  /** Reader features this implementation actually honors. `v2Checkpoint`
-    * is the only table feature that changes READ behavior we support
-    * (sidecar replay below); anything else (deletion vectors, column
+  /** Reader features this implementation actually honors: v2Checkpoint
+    * (sidecar replay) and deletionVectors (row-level delete bitmaps
+    * applied via `_metadata.row_index`); anything else (column
     * mapping, timestampNtz…) raises. */
-  private val SupportedReaderFeatures = Set("v2Checkpoint")
+  private val SupportedReaderFeatures = Set("v2Checkpoint", "deletionVectors")
 
   /** File-skipping outcome of [[prunedSnapshot]]. */
   final case class Pruned(nFiles: Int, keptFiles: Int, data: DataFrame)
@@ -310,7 +318,8 @@ object DeltaLite {
     val adds = actions.filter(col("add").isNotNull)
       .select(col("add.path").as("path"),
         col("add.partitionValues").as("pv"),
-        col("add.stats").as("stats"), col("v"))
+        col("add.stats").as("stats"),
+        col("add.deletionVector").as("dv"), col("v"))
     val removes = actions.filter(col("remove").isNotNull)
       .select(col("remove.path").as("path"), col("v").as("rv"))
       .groupBy("path").agg(max("rv").as("rv"))
@@ -321,40 +330,134 @@ object DeltaLite {
       .filter(col("rn") === 1).drop("rn")
     val liveAll = latestAdds.join(removes, Seq("path"), "left")
       .filter(col("rv").isNull || col("v") >= col("rv"))
-      .select("path", "pv", "stats")
+      .select("path", "pv", "stats", "dv")
       .collect() // the snapshot FILE LIST — metadata-bounded
       .map(r => (r.getString(0),
         Option(r.getMap[String, String](1)).map(_.toMap)
           .getOrElse(Map.empty[String, String]),
-        if (r.isNullAt(2)) null else r.getString(2)))
+        if (r.isNullAt(2)) null else r.getString(2),
+        if (r.isNullAt(3)) null else r.getStruct(3)))
 
     // stats-based file skipping: drop files the caller's stats
     // predicate rejects; files without stats are conservatively kept
     val live = if (keep == null) liveAll
-      else liveAll.filter { case (_, _, stats) =>
+      else liveAll.filter { case (_, _, stats, _) =>
         stats == null || keep(stats)
       }
 
     require(live.nonEmpty, s"empty snapshot of $table")
     val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
 
+    // ---- deletion vectors: decode descriptors to (fileName, pos) ----
+    // DV bytes are metadata-scale (the bitmap of ONE file's deleted
+    // ordinals); decoded on the driver like the file list itself, then
+    // anti-joined DISTRIBUTED against _metadata.row_index below
+    import graft.functions.DeletionVectors
+    def baseName(rel: String): String = {
+      val p = java.net.URLDecoder.decode(rel, "UTF-8")
+      p.substring(p.lastIndexOf('/') + 1)
+    }
+    val hasDv = live.exists(_._4 != null)
+    val dvPositions: Seq[(String, Long)] =
+      if (!hasDv) Nil
+      else {
+        val names = live.map(f => baseName(f._1))
+        require(names.distinct.length == names.length,
+          s"duplicate data file names in $table — cannot apply deletion " +
+            "vectors unambiguously")
+        live.toSeq.flatMap { case (rel, _, _, dvRow) =>
+          if (dvRow == null) Nil
+          else {
+            val storage = dvRow.getString(0)
+            val poi = dvRow.getString(1)
+            val positions: Array[Long] = storage match {
+              case "i" =>
+                // inline base85 pads the final 4-byte block with zeros;
+                // sizeInBytes is the true data length
+                val raw = DeletionVectors.base85Decode(poi)
+                val size = dvRow.getInt(3)
+                require(size >= 0 && raw.length >= size &&
+                  raw.length - size < 4,
+                  s"inline deletion vector length ${raw.length} does not " +
+                    s"carry sizeInBytes $size")
+                DeletionVectors.decodeBitmapArray(
+                  java.util.Arrays.copyOf(raw, size))
+              case "p" | "u" =>
+                val dvPath =
+                  if (storage == "p") {
+                    val p = new Path(poi)
+                    if (p.isAbsolute || poi.contains(":/")) p
+                    else new Path(table, poi)
+                  } else {
+                    require(poi.length >= 20,
+                      s"bad u-storage deletion vector id '$poi'")
+                    val prefix = poi.dropRight(20)
+                    val uuid = DeletionVectors.uuidFromBase85(poi.takeRight(20))
+                    val name = s"deletion_vector_$uuid.bin"
+                    if (prefix.isEmpty) new Path(table, name)
+                    else new Path(new Path(table, prefix), name)
+                  }
+                val st = fs.getFileStatus(dvPath)
+                require(st.getLen <= (1 << 28),
+                  s"deletion vector file too large: $dvPath")
+                val in = fs.open(dvPath)
+                val bytes = try {
+                  val out = new java.io.ByteArrayOutputStream(st.getLen.toInt)
+                  val buf = new Array[Byte](1 << 16)
+                  var n = in.read(buf)
+                  while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+                  out.toByteArray
+                } finally in.close()
+                DeletionVectors.decodeFromFile(bytes,
+                  if (dvRow.isNullAt(2)) 1 else dvRow.getInt(2),
+                  dvRow.getInt(3))
+              case other =>
+                sys.error(s"unsupported deletion vector storageType '$other'")
+            }
+            val card = dvRow.getLong(4)
+            require(positions.length.toLong == card,
+              s"deletion vector cardinality mismatch: decoded " +
+                s"${positions.length}, descriptor says $card")
+            val fn = baseName(rel)
+            positions.toSeq.map(pos => (fn, pos))
+          }
+        }
+      }
+    require(dvPositions.length <= DeletionVectors.MaxPositions,
+      s"deletion vectors name ${dvPositions.length} positions — past " +
+        "this reader's cap")
+
     // one read per distinct partition tuple; partition columns attach
     // as CAST literals per the table schema
     val groups = live.groupBy(_._2).toSeq.sortBy(_._1.toSeq.sortBy(_._1)
       .map { case (k, x) => s"$k=$x" }.mkString(","))
     val parts = groups.map { case (pv, files) =>
-      val paths = files.map { case (rel, _, _) =>
+      val paths = files.map { case (rel, _, _, _) =>
         new Path(table, java.net.URLDecoder.decode(rel, "UTF-8")).toString
       }
-      val base = spark.read.schema(dataSchema).parquet(paths: _*)
+      val base0 = spark.read.schema(dataSchema).parquet(paths: _*)
+      val base = if (!hasDv) base0 else base0.select(col("*"),
+        element_at(split(col("_metadata.file_path"), "/"), -1).as("__f"),
+        col("_metadata.row_index").as("__p"))
+      val outCols = schema.fieldNames.toSeq ++
+        (if (hasDv) Seq("__f", "__p") else Nil)
       partCols.foldLeft(base) { (df, pc) =>
         val f = schema.find(_.name == pc)
           .getOrElse(sys.error(s"partition column $pc missing from schema"))
         df.withColumn(pc,
           pv.get(pc).map(v => lit(v).cast(f.dataType))
             .getOrElse(lit(null).cast(f.dataType)))
-      }.select(schema.fieldNames.map(col): _*)
+      }.select(outCols.map(col): _*)
     }
-    Pruned(liveAll.length, live.length, parts.reduce(_ unionByName _))
+    val union = parts.reduce(_ unionByName _)
+    val data =
+      if (!hasDv) union
+      else {
+        val sq = spark
+        import sq.implicits._
+        union.join(dvPositions.toDF("__f", "__p"), Seq("__f", "__p"),
+          "left_anti").drop("__f", "__p")
+      }
+    Pruned(liveAll.length, live.length, data)
   }
 }

@@ -3829,6 +3829,114 @@ object LlmOps {
       dir.toString
     })
 
+  /** Delta deletion-vector fixture: per-priority data files (rows
+    * sorted by orderkey so position == rank), protocol v3 with
+    * readerFeatures=[deletionVectors]; 2-HIGH carries a `p`-storage DV
+    * (real org.roaringbitmap bytes in the protocol's file framing)
+    * deleting its EVEN positions, 5-LOW an INLINE base85 DV deleting
+    * position 0. */
+  private def deltaDvFixture(s: SparkSession, d: String): String =
+    parquetNestedDirs.computeIfAbsent(s"$d#deltadv", _ => {
+      val dir = java.nio.file.Files.createTempDirectory("delta_dv")
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW")
+      val counts = orders(s, d).groupBy(col("o_orderpriority"))
+        .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val sizes = prios.indices.map { i =>
+        val tmp = java.nio.file.Files.createTempDirectory("ddv").toString
+        orders(s, d).filter(col("o_orderpriority") === prios(i))
+          .select(col("o_orderkey").cast("long").as("k"),
+            col("o_orderstatus").as("st"),
+            col("o_orderpriority").as("prio"))
+          .repartition(1).sortWithinPartitions("k")
+          .write.mode("overwrite").parquet(tmp)
+        val f = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = dir.resolve(s"part-$i.parquet")
+        java.nio.file.Files.move(f.toPath, dest,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.size(dest)
+      }
+      def dvData(positions: Seq[Long]): Array[Byte] = {
+        val rb = new org.roaringbitmap.RoaringBitmap()
+        positions.foreach(p => rb.add(p.toInt))
+        rb.runOptimize()
+        val out = new java.io.ByteArrayOutputStream()
+        def le32(v: Int): Unit =
+          (0 until 4).foreach(k => out.write((v >>> (8 * k)) & 0xff))
+        le32(graft.functions.DeletionVectors.PortableMagic)
+        le32(1); le32(0)
+        rb.serialize(new java.io.DataOutputStream(out))
+        out.toByteArray
+      }
+      def b85(b0: Array[Byte]): String = {
+        val b = java.util.Arrays.copyOf(b0, (b0.length + 3) / 4 * 4)
+        val alpha = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ" +
+          "abcdefghijklmnopqrstuvwxyz!#$%&()*+-;<=>?@^_`{|}~"
+        b.grouped(4).map { g =>
+          var v = 0L
+          g.foreach(x => v = (v << 8) | (x & 0xffL))
+          (4 to 0 by -1).map(k =>
+            alpha(((v / math.pow(85, k).toLong) % 85).toInt)).mkString
+        }.mkString
+      }
+      val nHigh = counts.getOrElse("2-HIGH", 0L)
+      val dHigh = dvData(0L.until(nHigh, 2L))
+      val fileOut = new java.io.ByteArrayOutputStream()
+      fileOut.write(1)
+      def be32(v: Long): Unit = (3 to 0 by -1).foreach(k =>
+        fileOut.write(((v >>> (8 * k)) & 0xff).toInt))
+      be32(dHigh.length.toLong)
+      fileOut.write(dHigh, 0, dHigh.length)
+      val crc = new java.util.zip.CRC32
+      crc.update(dHigh)
+      be32(crc.getValue)
+      java.nio.file.Files.write(dir.resolve("dv-high.bin"),
+        fileOut.toByteArray)
+      val dLow = dvData(Seq(0L))
+      val schemaJson = org.apache.spark.sql.types.StructType
+        .fromDDL("k BIGINT, st STRING, prio STRING").json
+        .replace("\\", "\\\\").replace("\"", "\\\"")
+      def add(i: Int, dv: String): String =
+        s"""{"add":{"path":"part-$i.parquet","partitionValues":{},""" +
+          s""""size":${sizes(i)},"dataChange":true$dv}}"""
+      val lines = Seq(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["deletionVectors"]}}""",
+        s"""{"metaData":{"id":"dv","schemaString":"$schemaJson",""" +
+          """"partitionColumns":[]}}""",
+        add(0, ""), add(2, ""), add(3, ""),
+        add(1, s""","deletionVector":{"storageType":"p",""" +
+          s""""pathOrInlineDv":"dv-high.bin","offset":1,""" +
+          s""""sizeInBytes":${dHigh.length},""" +
+          s""""cardinality":${(nHigh + 1) / 2}}"""),
+        add(4, s""","deletionVector":{"storageType":"i",""" +
+          s""""pathOrInlineDv":"${b85(dLow)}","offset":0,""" +
+          s""""sizeInBytes":${dLow.length},"cardinality":1}"""))
+      val p = dir.resolve("_delta_log").resolve(f"${0L}%020d.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, lines.mkString("\n") + "\n")
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().forEachRemaining(q => q.toFile.deleteOnExit())
+      finally walk.close()
+      dir.toString
+    })
+
+  /** Delta DELETION-VECTOR gate — row-level deletes through the log:
+    * p-storage (framed DV file) and inline base85 descriptors decode
+    * through the in-house roaring/base85 tier and anti-join
+    * `_metadata.row_index`; the oracle recomputes survivors by
+    * excluding the even orderkey-ranks of 2-HIGH and the first row of
+    * 5-LOW — one wrong bitmap bit or row ordinal hash-mismatches. */
+  def xDeltaDv(s: SparkSession, d: String): DataFrame = {
+    val snap = graft.operators.DeltaLite.snapshot(s, deltaDvFixture(s, d))
+    ordered(
+      snap.groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("st")).as("min_st"), max(col("st")).as("max_st")),
+      "prio")
+  }
+
   /** Iceberg v2 position-delete fixture: one snapshot, five per-priority
     * data files (rows sorted by orderkey so file position == rank), a
     * delete manifest (content=1) whose position-delete parquet removes
@@ -4656,6 +4764,7 @@ object LlmOps {
     "x_iceberg_snapshot"  -> (xIcebergSnapshot _),
     "x_iceberg_prune"     -> (xIcebergPrune _),
     "x_iceberg_deletes"   -> (xIcebergDeletes _),
+    "x_delta_dv"          -> (xDeltaDv _),
     "x_avro_write"        -> (xAvroWrite _),
     "x_avro_write_deflate" -> (xAvroWriteDeflate _),
     "x_parquet_write2"    -> (xParquetWrite2 _),
@@ -5212,6 +5321,18 @@ object LlmOps {
         "CASE WHEN o_orderkey % 7 = 0 THEN NULL " +
         "ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents " +
         "FROM orders ORDER BY k"),
+    "x_delta_dv" ->
+      """WITH r AS (SELECT o_orderpriority AS prio, o_orderkey,
+        |    o_orderstatus,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_orderkey) - 1 AS pos
+        |  FROM orders)
+        |SELECT prio, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_k,
+        |  min(o_orderstatus) AS min_st, max(o_orderstatus) AS max_st
+        |FROM r WHERE NOT (prio = '2-HIGH' AND pos % 2 = 0)
+        |  AND NOT (prio = '5-LOW' AND pos = 0)
+        |GROUP BY 1 ORDER BY prio""".stripMargin,
     "x_iceberg_deletes" ->
       """WITH r AS (SELECT o_orderpriority AS prio, o_orderkey,
         |    o_orderstatus,

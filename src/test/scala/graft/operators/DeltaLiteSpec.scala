@@ -254,11 +254,11 @@ class DeltaLiteSpec extends SparkSpec {
     // an unknown reader feature raises, even with a readable layout
     commit(dir, 3, Seq(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["v2Checkpoint","deletionVectors"]}}"""))
+        """"readerFeatures":["v2Checkpoint","columnMapping"]}}"""))
     val e = intercept[IllegalArgumentException] {
       DeltaLite.snapshot(spark, dir)
     }
-    assert(e.getMessage.contains("deletionVectors"))
+    assert(e.getMessage.contains("columnMapping"))
   }
 
   test("string stats pruning: lexicographic bounds skip files") {
@@ -289,6 +289,97 @@ class DeltaLiteSpec extends SparkSpec {
     // a range past every bound keeps only the stats-less file
     assert(DeltaLite.prunedSnapshotString(spark, dir, "tag", "zz", "zzz")
       .keptFiles === 1)
+  }
+
+  // ---- deletion-vector fixtures (real org.roaringbitmap bytes) ----
+
+  private def dvData(positions: Seq[Long]): Array[Byte] = {
+    val rb = new org.roaringbitmap.RoaringBitmap()
+    positions.foreach(p => rb.add(p.toInt))
+    rb.runOptimize()
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit =
+      (0 until 4).foreach(k => out.write((v >>> (8 * k)) & 0xff))
+    le32(graft.functions.DeletionVectors.PortableMagic)
+    le32(1); le32(0)
+    rb.serialize(new java.io.DataOutputStream(out))
+    out.toByteArray
+  }
+
+  private def dvFileBytes(data: Array[Byte], padding: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(1)
+    (0 until padding).foreach(_ => out.write(0x77))
+    def be32(v: Long): Unit =
+      (3 to 0 by -1).foreach(k => out.write(((v >>> (8 * k)) & 0xff).toInt))
+    be32(data.length.toLong)
+    out.write(data)
+    val crc = new java.util.zip.CRC32
+    crc.update(data)
+    be32(crc.getValue)
+    out.toByteArray
+  }
+
+  private def b85Encode(b0: Array[Byte]): String = {
+    // zero-pad the final block like Delta's codec (the descriptor's
+    // sizeInBytes carries the true length)
+    val b = java.util.Arrays.copyOf(b0, (b0.length + 3) / 4 * 4)
+    val alpha = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ" +
+      "abcdefghijklmnopqrstuvwxyz!#$%&()*+-;<=>?@^_`{|}~"
+    b.grouped(4).map { g =>
+      var v = 0L
+      g.foreach(x => v = (v << 8) | (x & 0xffL))
+      (4 to 0 by -1).map(k =>
+        alpha(((v / math.pow(85, k).toLong) % 85).toInt)).mkString
+    }.mkString
+  }
+
+  test("deletion vectors: p / u / inline storage all anti-join row ordinals") {
+    val dir = buildTable()
+    def addDv(path: String, pv: String, storage: String, poi: String,
+              offset: Int, size: Int, card: Long): String =
+      s"""{"add":{"path":"$path","partitionValues":{"p":"$pv"},""" +
+        s""""size":1,"dataChange":false,"deletionVector":{""" +
+        s""""storageType":"$storage","pathOrInlineDv":"$poi",""" +
+        s""""offset":$offset,"sizeInBytes":$size,"cardinality":$card}}}"""
+    // p-storage: delete part-a positions 0,2,4 (k = 1,3,5)
+    val dA = dvData(Seq(0L, 2L, 4L))
+    Files.write(Paths.get(dir, "dv-a.bin"), dvFileBytes(dA, padding = 2))
+    // u-storage: delete part-c positions 0,1 (k = 21,22)
+    val dC = dvData(Seq(0L, 1L))
+    val uuidBytes = Array.tabulate[Byte](16)(i => (i * 17 + 3).toByte)
+    val bb = java.nio.ByteBuffer.wrap(uuidBytes)
+    val uuid = new java.util.UUID(bb.getLong, bb.getLong).toString
+    Files.write(Paths.get(dir, s"deletion_vector_$uuid.bin"),
+      dvFileBytes(dC, padding = 0))
+    // inline: delete part-a2 position 9 (k = 40)
+    val dA2 = dvData(Seq(9L))
+    commit(dir, 3, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"]}}""",
+      addDv("part-a.parquet", "a", "p", "dv-a.bin", 3, dA.length, 3L),
+      addDv("part-c.parquet", "c", "u", b85Encode(uuidBytes), 1,
+        dC.length, 2L),
+      addDv("part-a2.parquet", "a", "i", b85Encode(dA2), 0,
+        dA2.length, 1L)))
+    val snap = DeltaLite.snapshot(spark, dir)
+    assert(snap.count() === 24) // 30 live - 3 - 2 - 1
+    val aks = snap.filter(col("p") === "a" && col("k") <= 10)
+      .select("k").as[Long].collect().sorted
+    assert(aks === Array(2L, 4L, 6L, 7L, 8L, 9L, 10L))
+    val cks = snap.filter(col("p") === "c").select("k")
+      .as[Long].collect().sorted
+    assert(cks === (23L to 30L).toArray)
+    assert(snap.filter(col("k") === 40).count() === 0)
+    // time travel BEFORE the DV commit sees every row
+    assert(DeltaLite.snapshot(spark, dir, versionAsOf = 2).count() === 30)
+    // a cardinality lie is loud, never a silent misapply
+    commit(dir, 4, Seq(
+      addDv("part-a.parquet", "a", "p", "dv-a.bin", 3, dA.length, 99L)))
+    val e = intercept[IllegalArgumentException] {
+      DeltaLite.snapshot(spark, dir)
+    }
+    assert(e.getMessage.contains("cardinality"))
   }
 
   test("log gaps and unanchored replays raise instead of partial snapshots") {
