@@ -87,6 +87,49 @@ object FormatProbe {
       c => graft.functions.OrcValues.int64ColumnCol(c, lit("l_orderkey"))) _
     Seq(1, 32, 256).foreach(orcRun)
 
+    // round-17 faces: MAP (two-chunk zip), nested LIST (depth-2 Dremel
+    // assembly), STRUCT dotted path — same per-payload map-side shape,
+    // measured on a Spark-written blob of all three columns
+    val nestDir = java.nio.file.Files.createTempDirectory("fp_nest")
+    spark.read.parquet(s"$base/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .select(col("l_orderkey"),
+        map(lit("a"), col("l_orderkey"), lit("b"), col("l_partkey"))
+          .as("m"),
+        array(array(col("l_orderkey")), array(col("l_partkey"))).as("aa"),
+        struct(col("l_partkey").as("x")).as("st"))
+      .coalesce(1)
+      .write.option("compression", "snappy").mode("overwrite")
+      .parquet(nestDir.toString)
+    val nb = {
+      val f = nestDir.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.readAllBytes(f.toPath)
+    }
+    println(f"[format-probe] nested blob = ${nb.length / 1e6}%.1f MB")
+    val structRun = run("struct-path", nb, nb.length / 1e6,
+      c => graft.functions.ParquetPages.int64ColumnCol(c, lit("st.x"))) _
+    Seq(1, 32, 256).foreach(structRun)
+    // list2/map yield nested/string values the shared harness can't
+    // sum; measure them with size-only aggregates instead
+    def runNested(label: String,
+                  vals: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+                 (n: Int): Unit = {
+      val df = spark.range(0, n).repartition(math.min(n, cpus.toInt))
+        .select(when(col("id") >= 0, lit(nb)).as("content"))
+      val q = df.select(size(vals(col("content"))).cast("long").as("c"))
+        .agg(sum("c").as("c"))
+      q.collect()
+      val t0 = System.nanoTime()
+      val r = q.collect().head
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[format-probe] $label n=$n%4d blobs  ${sec}%6.2f s  " +
+        f"${n.toDouble * nb.length / 1e6 / sec}%8.1f MB/s  rows=${r.getLong(0)}")
+    }
+    Seq(1, 32, 256).foreach(runNested("map-csv",
+      c => graft.functions.ParquetPages.mapInt64CsvCol(c, lit("m"))))
+    Seq(1, 32, 256).foreach(runNested("list2",
+      c => graft.functions.ParquetPages.int64List2ColumnCol(c, lit("aa"))))
+
     spark.stop()
   }
 }
