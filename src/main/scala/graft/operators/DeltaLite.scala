@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Delta-protocol TABLE reader (log replay, no delta library) — the
   * table-format tier on top of the file-format tier: a Delta table is
@@ -31,10 +31,15 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *    [[graft.functions.DeletionVectors]], cross-verified against the
   *    real org.roaringbitmap) anti-join deleted row ordinals against
   *    parquet's `_metadata.row_index`;
-  *  - protocol gate: the LATEST protocol action governs; only the
-  *    base protocol or minReaderVersion 3 with readerFeatures within
-  *    {v2Checkpoint, deletionVectors} is read — column mapping or
-  *    unknown features raise rather than misreading.
+  *  - COLUMN MAPPING (name mode): parquet reads by each field's
+  *    recorded `delta.columnMapping.physicalName`, renamed to the
+  *    logical schema; partitionValues keys are physical names too;
+  *    id mode raises;
+  *  - protocol gate: the LATEST protocol action governs; the base
+  *    protocol, minReaderVersion 2 (legacy column mapping), or 3 with
+  *    readerFeatures within {v2Checkpoint, deletionVectors,
+  *    columnMapping} is read — unknown features raise rather than
+  *    misreading.
   *
   * The one driver-side materialization is the LIVE FILE LIST — the
   * metadata every engine (including Delta itself) plans from; it is
@@ -69,16 +74,19 @@ object DeltaLite {
       "remove STRUCT<path: STRING, deletionTimestamp: BIGINT, " +
       "dataChange: BOOLEAN>, " +
       "metaData STRUCT<id: STRING, schemaString: STRING, " +
-      "partitionColumns: ARRAY<STRING>>, " +
+      "partitionColumns: ARRAY<STRING>, " +
+      "configuration: MAP<STRING, STRING>>, " +
       "protocol STRUCT<minReaderVersion: INT, minWriterVersion: INT, " +
       "readerFeatures: ARRAY<STRING>>, " +
       "sidecar STRUCT<path: STRING, sizeInBytes: BIGINT>")
 
   /** Reader features this implementation actually honors: v2Checkpoint
-    * (sidecar replay) and deletionVectors (row-level delete bitmaps
-    * applied via `_metadata.row_index`); anything else (column
-    * mapping, timestampNtz…) raises. */
-  private val SupportedReaderFeatures = Set("v2Checkpoint", "deletionVectors")
+    * (sidecar replay), deletionVectors (row-level delete bitmaps
+    * applied via `_metadata.row_index`), and columnMapping in NAME
+    * mode (physical→logical renames below; id mode raises at the mode
+    * check); anything else (timestampNtz…) raises. */
+  private val SupportedReaderFeatures =
+    Set("v2Checkpoint", "deletionVectors", "columnMapping")
 
   /** File-skipping outcome of [[prunedSnapshot]]. */
   final case class Pruned(nFiles: Int, keptFiles: Int, data: DataFrame)
@@ -294,7 +302,9 @@ object DeltaLite {
       val minReader = if (p.isNullAt(0)) 1 else p.getInt(0)
       val feats: Seq[String] =
         if (p.length < 3 || p.isNullAt(2)) Seq.empty else p.getSeq[String](2)
-      val ok = minReader <= 1 ||
+      // 2 = legacy column-mapping tables (name mode handled below,
+      // id mode raises at the metaData mode check)
+      val ok = minReader <= 2 ||
         (minReader == 3 && feats.nonEmpty &&
           feats.forall(SupportedReaderFeatures))
       require(ok,
@@ -309,6 +319,27 @@ object DeltaLite {
       .asInstanceOf[StructType]
     val partCols = Option(metaRow.getStruct(1).getSeq[String](2))
       .getOrElse(Seq.empty)
+
+    // column mapping: NAME mode reads parquet by each field's recorded
+    // physicalName and renames to the logical schema (partitionValues
+    // keys are physical names too); ID mode raises — matching parquet
+    // field ids is a different read path this reader does not model
+    val cmapMode = {
+      val conf = metaRow.getStruct(1)
+      if (conf.length < 4 || conf.isNullAt(3)) "none"
+      else Option(conf.getMap[String, String](3))
+        .flatMap(_.get("delta.columnMapping.mode")).getOrElse("none")
+    }
+    require(cmapMode == "none" || cmapMode == "name",
+      s"unsupported Delta columnMapping mode '$cmapMode' " +
+        "(only name mode is readable)")
+    val physName: Map[String, String] =
+      if (cmapMode == "none") schema.fieldNames.map(n => n -> n).toMap
+      else schema.fields.map { f =>
+        require(f.metadata.contains("delta.columnMapping.physicalName"),
+          s"column mapping: field ${f.name} has no physicalName")
+        f.name -> f.metadata.getString("delta.columnMapping.physicalName")
+      }.toMap
 
     // tombstone replay: live iff latest add is at least as new as the
     // latest remove (a re-add after a remove resurrects the path; an
@@ -346,7 +377,9 @@ object DeltaLite {
       }
 
     require(live.nonEmpty, s"empty snapshot of $table")
-    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
+    val dataFields = schema.filterNot(f => partCols.contains(f.name))
+    val dataSchema = StructType(dataFields.map(f =>
+      StructField(physName(f.name), f.dataType, f.nullable)))
 
     // ---- deletion vectors: decode descriptors to (fileName, pos) ----
     // DV bytes are metadata-scale (the bitmap of ONE file's deleted
@@ -436,16 +469,20 @@ object DeltaLite {
         new Path(table, java.net.URLDecoder.decode(rel, "UTF-8")).toString
       }
       val base0 = spark.read.schema(dataSchema).parquet(paths: _*)
-      val base = if (!hasDv) base0 else base0.select(col("*"),
-        element_at(split(col("_metadata.file_path"), "/"), -1).as("__f"),
-        col("_metadata.row_index").as("__p"))
+      // physical→logical renames happen HERE, so everything downstream
+      // (partition attach, DV anti-join, caller) sees logical names
+      val renameCols = dataFields.map(f => col(physName(f.name)).as(f.name))
+      val base = if (!hasDv) base0.select(renameCols: _*)
+        else base0.select(renameCols ++ Seq(
+          element_at(split(col("_metadata.file_path"), "/"), -1).as("__f"),
+          col("_metadata.row_index").as("__p")): _*)
       val outCols = schema.fieldNames.toSeq ++
         (if (hasDv) Seq("__f", "__p") else Nil)
       partCols.foldLeft(base) { (df, pc) =>
         val f = schema.find(_.name == pc)
           .getOrElse(sys.error(s"partition column $pc missing from schema"))
         df.withColumn(pc,
-          pv.get(pc).map(v => lit(v).cast(f.dataType))
+          pv.get(physName(pc)).map(v => lit(v).cast(f.dataType))
             .getOrElse(lit(null).cast(f.dataType)))
       }.select(outCols.map(col): _*)
     }

@@ -3829,6 +3829,74 @@ object LlmOps {
       dir.toString
     })
 
+  /** Column-mapped Delta fixture: parquet parts carry PHYSICAL
+    * `col-…` names; metaData records name-mode column mapping with
+    * per-field physicalName metadata; partitionValues keyed by the
+    * physical partition name; protocol minReaderVersion 2. */
+  private def deltaCmapFixture(s: SparkSession, d: String): String =
+    parquetNestedDirs.computeIfAbsent(s"$d#deltacmap", _ => {
+      val dir = java.nio.file.Files.createTempDirectory("delta_cmap")
+      import org.apache.spark.sql.types._
+      def phys(logical: String, p: String, dt: DataType): StructField =
+        StructField(logical, dt, nullable = true,
+          new MetadataBuilder()
+            .putString("delta.columnMapping.physicalName", p)
+            .putLong("delta.columnMapping.id", logical.length.toLong)
+            .build())
+      val schema = StructType(Seq(
+        phys("k", "col-11aa", LongType),
+        phys("st", "col-22bb", StringType),
+        phys("prio", "col-33cc", StringType)))
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW")
+      val sizes = prios.zipWithIndex.map { case (p, i) =>
+        val tmp = java.nio.file.Files.createTempDirectory("dcm").toString
+        orders(s, d).filter(col("o_orderpriority") === p)
+          .select(col("o_orderkey").cast("long").as("col-11aa"),
+            col("o_orderstatus").as("col-22bb"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val f = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = dir.resolve(s"part-$i.parquet")
+        java.nio.file.Files.move(f.toPath, dest,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.size(dest)
+      }
+      val schemaJson = schema.json
+        .replace("\\", "\\\\").replace("\"", "\\\"")
+      val lines = Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"cmap","schemaString":"$schemaJson",""" +
+          """"partitionColumns":["prio"],"configuration":{""" +
+          """"delta.columnMapping.mode":"name",""" +
+          """"delta.columnMapping.maxColumnId":"3"}}}""") ++
+        prios.indices.map(i =>
+          s"""{"add":{"path":"part-$i.parquet","partitionValues":""" +
+            s"""{"col-33cc":"${prios(i)}"},"size":${sizes(i)},""" +
+            s""""dataChange":true}}""")
+      val p = dir.resolve("_delta_log").resolve(f"${0L}%020d.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, lines.mkString("\n") + "\n")
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().forEachRemaining(q => q.toFile.deleteOnExit())
+      finally walk.close()
+      dir.toString
+    })
+
+  /** Delta COLUMN-MAPPING gate (name mode): the snapshot reads parquet
+    * by physical `col-…` names and surfaces the LOGICAL schema, with
+    * partition values resolved through the physical key; aggregates
+    * oracled from orders — a missed rename or physical-key lookup
+    * hash-mismatches. */
+  def xDeltaCmap(s: SparkSession, d: String): DataFrame = {
+    val snap = graft.operators.DeltaLite.snapshot(s, deltaCmapFixture(s, d))
+    ordered(
+      snap.groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("st")).as("min_st"), max(col("st")).as("max_st")),
+      "prio")
+  }
+
   /** Delta deletion-vector fixture: per-priority data files (rows
     * sorted by orderkey so position == rank), protocol v3 with
     * readerFeatures=[deletionVectors]; 2-HIGH carries a `p`-storage DV
@@ -4765,6 +4833,7 @@ object LlmOps {
     "x_iceberg_prune"     -> (xIcebergPrune _),
     "x_iceberg_deletes"   -> (xIcebergDeletes _),
     "x_delta_dv"          -> (xDeltaDv _),
+    "x_delta_cmap"        -> (xDeltaCmap _),
     "x_avro_write"        -> (xAvroWrite _),
     "x_avro_write_deflate" -> (xAvroWriteDeflate _),
     "x_parquet_write2"    -> (xParquetWrite2 _),
@@ -5321,6 +5390,11 @@ object LlmOps {
         "CASE WHEN o_orderkey % 7 = 0 THEN NULL " +
         "ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents " +
         "FROM orders ORDER BY k"),
+    "x_delta_cmap" ->
+      ("SELECT o_orderpriority AS prio, count(*) AS n, " +
+        "CAST(sum(o_orderkey) AS BIGINT) AS sum_k, " +
+        "min(o_orderstatus) AS min_st, max(o_orderstatus) AS max_st " +
+        "FROM orders GROUP BY 1 ORDER BY prio"),
     "x_delta_dv" ->
       """WITH r AS (SELECT o_orderpriority AS prio, o_orderkey,
         |    o_orderstatus,

@@ -254,11 +254,11 @@ class DeltaLiteSpec extends SparkSpec {
     // an unknown reader feature raises, even with a readable layout
     commit(dir, 3, Seq(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["v2Checkpoint","columnMapping"]}}"""))
+        """"readerFeatures":["v2Checkpoint","timestampNtz"]}}"""))
     val e = intercept[IllegalArgumentException] {
       DeltaLite.snapshot(spark, dir)
     }
-    assert(e.getMessage.contains("columnMapping"))
+    assert(e.getMessage.contains("timestampNtz"))
   }
 
   test("string stats pruning: lexicographic bounds skip files") {
@@ -380,6 +380,52 @@ class DeltaLiteSpec extends SparkSpec {
       DeltaLite.snapshot(spark, dir)
     }
     assert(e.getMessage.contains("cardinality"))
+  }
+
+  test("column mapping (name mode): physical parquet names read as logical") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("dlcmap").toString
+    def phys(logical: String, p: String, dt: DataType): StructField =
+      StructField(logical, dt, nullable = true,
+        new MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", p)
+          .putLong("delta.columnMapping.id", logical.length.toLong)
+          .build())
+    val schema = StructType(Seq(
+      phys("k", "col-9f1a", LongType),
+      phys("s", "col-22bc", StringType),
+      phys("p", "col-7d03", StringType)))
+    def part(lo: Int, hi: Int) =
+      spark.range(lo, hi + 1).select(col("id").as("col-9f1a"),
+        concat(lit("s"), col("id").cast("string")).as("col-22bc"))
+    val sa = writePart(part(1, 10), dir, "part-a.parquet")
+    val sb = writePart(part(11, 20), dir, "part-b.parquet")
+    def metaCmap(mode: String): String =
+      s"""{"metaData":{"id":"t","schemaString":"${esc(schema.json)}",""" +
+        s""""partitionColumns":["p"],"configuration":{""" +
+        s""""delta.columnMapping.mode":"$mode",""" +
+        s""""delta.columnMapping.maxColumnId":"3"}}}"""
+    commit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaCmap("name"),
+      // partitionValues keyed by the PHYSICAL partition column name
+      addJson("part-a.parquet", Map("col-7d03" -> "a"), sa),
+      addJson("part-b.parquet", Map("col-7d03" -> "b"), sb)))
+    val snap = DeltaLite.snapshot(spark, dir)
+    assert(snap.schema.fieldNames.toSeq === Seq("k", "s", "p"))
+    val got = snap.select("k", "s", "p").as[(Long, String, String)]
+      .collect().sorted
+    assert(got.length === 20)
+    assert(got.head === ((1L, "s1", "a")))
+    assert(got.last === ((20L, "s20", "b")))
+    assert(snap.filter(col("p") === "b").agg(sum("k")).as[Long].head()
+      === (11 to 20).sum.toLong)
+    // id mode declines loudly
+    commit(dir, 1, Seq(metaCmap("id")))
+    val e = intercept[IllegalArgumentException] {
+      DeltaLite.snapshot(spark, dir)
+    }
+    assert(e.getMessage.contains("columnMapping mode 'id'"))
   }
 
   test("log gaps and unanchored replays raise instead of partial snapshots") {
