@@ -30,14 +30,15 @@ import org.apache.spark.sql.types._
   *    serialization, int/long little-endian) — files whose bounds
   *    cannot intersect the predicate are skipped BEFORE any data I/O,
   *    missing bounds conservatively kept;
-  *  - v2 POSITION deletes applied: delete manifests (content=1) route
-  *    to position-delete parquet files (file_path, pos), read
-  *    distributed and anti-joined against `_metadata.row_index` — so
-  *    real v2 tables with row-level deletes read exactly;
-  *  - loud declines: equality deletes (sequence-number ordering this
-  *    reader does not model), non-parquet files, nested table schemas,
-  *    ambiguous duplicate file names, and malformed metadata all RAISE
-  *    rather than misread.
+  *  - v2 row-level deletes applied, BOTH kinds: POSITION deletes
+  *    (parquet of file_path + pos, anti-joined against
+  *    `_metadata.row_index`) and EQUALITY deletes (parquet of the
+  *    `equality_ids` columns, matched null-safely and applied only to
+  *    data files with a strictly SMALLER sequence number — entry
+  *    sequence numbers inherit from the manifest-list row);
+  *  - loud declines: non-parquet files, nested table schemas,
+  *    ambiguous duplicate file names, unknown delete content kinds,
+  *    and malformed metadata all RAISE rather than misread.
   *
   * The driver-side materialization is the manifest/file PLANNING SET —
   * bounded by manifest count and file count, the same set the real
@@ -243,18 +244,26 @@ object IcebergLite {
     }
 
     // v2 manifest routing: content 0 = data manifests, 1 = DELETE
-    // manifests (position deletes applied below; equality deletes
-    // raise at the entry level)
+    // manifests (position AND equality deletes applied below). Each
+    // manifest-list row carries the manifest's sequence number; an
+    // entry may override it — deletes apply only to data files with a
+    // strictly SMALLER sequence number.
     def pathOf(m: JMap): String = asStr(m.getOrElse("manifest_path",
       sys.error("manifest-list row without manifest_path")))
+    def seqOf(m: JMap): Long = m.get("sequence_number") match {
+      case Some(s) if s != null => asLong(s)
+      case _ => 0L
+    }
     val (deleteManifestRows, dataManifestRows) = manifestRows.partition(
       _.get("content").exists(asLong(_) == 1L))
     val manifestPaths = dataManifestRows.map(pathOf)
     val deleteManifestPaths = deleteManifestRows.map(pathOf)
 
-    // ---- manifests → live data files (entry record kept for stats) ----
-    val liveFiles = scala.collection.mutable.LinkedHashMap.empty[String, JMap]
-    manifestPaths.foreach { mp =>
+    // ---- manifests → live data files (entry + sequence kept) ----
+    val liveFiles =
+      scala.collection.mutable.LinkedHashMap.empty[String, (JMap, Long)]
+    dataManifestRows.foreach { mrow =>
+      val mp = pathOf(mrow)
       AvroRead.genericRecords(readBytes(rebase(mp), 1 << 28)).foreach { e =>
         val status = asLong(e.getOrElse("status",
           sys.error(s"manifest $mp entry without status")))
@@ -270,40 +279,60 @@ object IcebergLite {
             .getOrElse("PARQUET")
           require(fmt == "PARQUET",
             s"unsupported Iceberg data file format $fmt in $mp")
-          liveFiles(path) = df
+          val seq = e.get("sequence_number") match {
+            case Some(s) if s != null => asLong(s)
+            case _ => seqOf(mrow) // inherited from the manifest
+          }
+          liveFiles(path) = (df, seq)
         }
       }
     }
     require(liveFiles.nonEmpty, s"empty Iceberg snapshot $wantId of $table")
 
-    // ---- delete manifests → POSITION-delete files (v2) ----
-    // entries with data_file.content == 1 are position deletes
-    // (parquet of file_path + pos, applied via _metadata.row_index
-    // below); content == 2 (equality deletes) raises — applying those
-    // needs sequence-number ordering this reader does not model
-    val posDeleteFiles = deleteManifestPaths.flatMap { mp =>
-      AvroRead.genericRecords(readBytes(rebase(mp), 1 << 28)).flatMap { e =>
+    // ---- delete manifests → position + equality delete files ----
+    // content 1 = position deletes (parquet of file_path + pos, applied
+    // via _metadata.row_index below); content 2 = EQUALITY deletes
+    // (parquet of the equality_ids columns, applied to data files with
+    // a strictly smaller sequence number, null-safe matching)
+    val posDeleteFiles = scala.collection.mutable.ArrayBuffer.empty[String]
+    val eqDeletes = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Seq[Long], Long)] // (path, equality field ids, seq)
+    deleteManifestRows.foreach { mrow =>
+      val mp = pathOf(mrow)
+      AvroRead.genericRecords(readBytes(rebase(mp), 1 << 28)).foreach { e =>
         val status = asLong(e.getOrElse("status",
           sys.error(s"delete manifest $mp entry without status")))
         require(status >= 0 && status <= 2,
           s"delete manifest $mp: invalid entry status $status")
-        if (status == 2) None
-        else {
+        if (status != 2) {
           val df = asMap(e.getOrElse("data_file",
             sys.error(s"delete manifest $mp entry without data_file")))
-          val content = df.get("content").map(asLong).getOrElse(0L)
-          require(content == 1L,
-            s"unsupported Iceberg delete content=$content in $mp " +
-              "(only position deletes are readable)")
           val fmt = df.get("file_format").map(_.toString.toUpperCase)
             .getOrElse("PARQUET")
           require(fmt == "PARQUET",
             s"unsupported Iceberg delete file format $fmt in $mp")
-          Some(df.getOrElse("file_path",
-            sys.error(s"delete manifest $mp without file_path")).toString)
+          val path = df.getOrElse("file_path",
+            sys.error(s"delete manifest $mp without file_path")).toString
+          df.get("content").map(asLong).getOrElse(0L) match {
+            case 1L => posDeleteFiles += path
+            case 2L =>
+              val ids = df.get("equality_ids") match {
+                case Some(s: scala.collection.Seq[_]) if s.nonEmpty =>
+                  s.map(asLong).toSeq
+                case _ => sys.error(
+                  s"equality delete without equality_ids in $mp")
+              }
+              val seq = e.get("sequence_number") match {
+                case Some(s) if s != null => asLong(s)
+                case _ => seqOf(mrow)
+              }
+              eqDeletes += ((path, ids, seq))
+            case other => sys.error(
+              s"unsupported Iceberg delete content=$other in $mp")
+          }
         }
       }
-    }.distinct
+    }
 
     // ---- stats file-skipping via manifest-entry bounds ----
     val kept =
@@ -318,7 +347,7 @@ object IcebergLite {
           s"bounds pruning supports int/long columns, not $t")
         val fieldId = asLong(field.getOrElse("id",
           sys.error(s"schema field $pruneCol has no id")))
-        liveFiles.collect { case (p, df)
+        liveFiles.collect { case (p, (df, _))
           if !(boundFor(df, "lower_bounds", fieldId).exists(_ > hi) ||
                boundFor(df, "upper_bounds", fieldId).exists(_ < lo)) =>
           p
@@ -327,37 +356,82 @@ object IcebergLite {
     require(kept.nonEmpty,
       s"Iceberg snapshot $wantId of $table: no files survive pruning")
 
+    import org.apache.spark.sql.functions._
+    def fname(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+    val hasDeletes = posDeleteFiles.nonEmpty || eqDeletes.nonEmpty
+    if (hasDeletes) {
+      // deletes resolve per-file (position ordinals / sequence
+      // numbers); recorded and runtime URIs differ in qualification,
+      // so the join key is the file NAME — sound only when live names
+      // are globally distinct (true of every Iceberg writer's UUID
+      // naming; raise otherwise)
+      val names = kept.map(fname)
+      require(names.distinct.length == names.length,
+        s"duplicate data file names in snapshot $wantId — cannot " +
+          "apply deletes unambiguously")
+    }
     val paths = kept.map(p => rebase(p).toString)
-    val base = spark.read.schema(sparkSchema).parquet(paths: _*)
-    val data =
+    val base0 = spark.read.schema(sparkSchema).parquet(paths: _*)
+    val base =
+      if (!hasDeletes) base0
+      else base0.select(col("*"),
+        element_at(split(col("_metadata.file_path"), "/"), -1).as("__f"),
+        col("_metadata.row_index").as("__p"))
+
+    val afterPos =
       if (posDeleteFiles.isEmpty) base
       else {
-        // deletes name (file_path, pos); the physical row ordinal comes
-        // from parquet's _metadata.row_index. Recorded URIs and runtime
-        // URIs differ in scheme/qualification, so the join key is the
-        // file NAME — sound only when live names are globally distinct
-        // (true of every Iceberg writer's UUID naming; raise otherwise)
-        val names = kept.map(p => p.substring(p.lastIndexOf('/') + 1))
-        require(names.distinct.length == names.length,
-          s"duplicate data file names in snapshot $wantId — cannot " +
-            "apply position deletes unambiguously")
-        import org.apache.spark.sql.functions._
         val dels = spark.read
           .schema(StructType(Seq(
             StructField("file_path", StringType),
             StructField("pos", LongType, nullable = false))))
-          .parquet(posDeleteFiles.map(p => rebase(p).toString): _*)
+          .parquet(posDeleteFiles.map(p => rebase(p).toString).toSeq: _*)
           .select(
             element_at(split(col("file_path"), "/"), -1).as("__f"),
             col("pos").as("__p"))
-        base.select(col("*"),
-            element_at(split(col("_metadata.file_path"), "/"), -1)
-              .as("__f"),
-            col("_metadata.row_index").as("__p"))
-          .join(dels, Seq("__f", "__p"), "left_anti")
-          .drop("__f", "__p")
+        base.join(dels, Seq("__f", "__p"), "left_anti")
       }
+
+    val afterEq =
+      if (eqDeletes.isEmpty) afterPos
+      else {
+        // equality ids → column names via the schema's field ids
+        val idToName = asSeq(schemaObj.getOrElse("fields",
+          sys.error("schema without fields"))).map(asMap)
+          .map(f => asLong(f.getOrElse("id",
+            sys.error("schema field without id"))) ->
+            asStr(f.getOrElse("name", sys.error("unnamed field")))).toMap
+        // per-data-file sequence numbers ride in on the file name
+        val sq = spark
+        import sq.implicits._
+        val seqDf = broadcast(kept.map(p =>
+          (fname(p), liveFiles(p)._2)).toDF("__f", "__seq"))
+        val withSeq = afterPos.join(seqDf, Seq("__f"), "left")
+        // one anti-join per equality-column set: delete rows match
+        // null-safely on their columns AND only data rows from files
+        // with a strictly smaller sequence number
+        eqDeletes.groupBy(_._2).foldLeft(withSeq) {
+          case (df, (ids, group)) =>
+            val eqCols = ids.map(id => idToName.getOrElse(id,
+              sys.error(s"equality_ids field $id not in schema")))
+            val delSchema = StructType(eqCols.map(c =>
+              sparkSchema(sparkSchema.fieldIndex(c))
+                .copy(nullable = true)))
+            val delRows = group.map { case (p, _, seq) =>
+              spark.read.schema(delSchema)
+                .parquet(rebase(p).toString)
+                .withColumn("__dseq", lit(seq))
+            }.reduce(_ unionByName _)
+            val cond = eqCols.map(c => df(c) <=> delRows(c))
+              .reduce(_ && _) && df("__seq") < delRows("__dseq")
+            df.join(delRows, cond, "left_anti")
+        }
+      }
+    val data =
+      if (!hasDeletes) afterEq
+      else afterEq.drop("__f", "__p", "__seq")
     Scan(manifestPaths.length + deleteManifestPaths.length,
-      liveFiles.size, kept.length, posDeleteFiles.length, data)
+      liveFiles.size, kept.length,
+      posDeleteFiles.length + eqDeletes.length, data)
   }
 }

@@ -4111,6 +4111,129 @@ object LlmOps {
       dir.toString
     })
 
+  /** Iceberg EQUALITY-delete fixture: data files at sequence 1, one
+    * equality-delete parquet of (prio, st) pairs at sequence 2 —
+    * deleting (2-HIGH, F) and (5-LOW, O) rows. */
+  private def icebergEqDelFixture(s: SparkSession, d: String): String =
+    parquetNestedDirs.computeIfAbsent(s"$d#iceeq", _ => {
+      val dir = java.nio.file.Files.createTempDirectory("ice_eq")
+      val loc = "file:///warehouse/orders_ice_eq"
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW")
+      val entrySchema =
+        """{"type":"record","name":"manifest_entry","fields":[
+          |  {"name":"status","type":"int"},
+          |  {"name":"snapshot_id","type":["null","long"]},
+          |  {"name":"sequence_number","type":["null","long"],"default":null},
+          |  {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+          |    {"name":"content","type":"int"},
+          |    {"name":"file_path","type":"string"},
+          |    {"name":"file_format","type":"string"},
+          |    {"name":"record_count","type":"long"},
+          |    {"name":"file_size_in_bytes","type":"long"},
+          |    {"name":"equality_ids","type":["null",
+          |      {"type":"array","items":"int"}],"default":null}]}}]}"""
+          .stripMargin.replaceAll("\n\\s*", "")
+      val listSchema =
+        """{"type":"record","name":"manifest_file","fields":[
+          |  {"name":"manifest_path","type":"string"},
+          |  {"name":"manifest_length","type":"long"},
+          |  {"name":"partition_spec_id","type":"int"},
+          |  {"name":"content","type":"int"},
+          |  {"name":"sequence_number","type":["null","long"],"default":null},
+          |  {"name":"added_snapshot_id","type":["null","long"]}]}"""
+          .stripMargin.replaceAll("\n\\s*", "")
+      def movePart(df: DataFrame, name: String): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("ieq").toString
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val f = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = dir.resolve("data").resolve(name)
+        java.nio.file.Files.createDirectories(dest.getParent)
+        java.nio.file.Files.move(f.toPath, dest,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      prios.indices.foreach(i => movePart(
+        orders(s, d).filter(col("o_orderpriority") === prios(i))
+          .select(col("o_orderkey").cast("long").as("k"),
+            col("o_orderstatus").as("st"),
+            col("o_orderpriority").as("prio")), s"part-$i.parquet"))
+      movePart(s.createDataFrame(Seq(
+        ("2-HIGH", "F"), ("5-LOW", "O"))).toDF("prio", "st"),
+        "eqdel-1.parquet")
+      def entry(content: Int, path: String,
+                eqIds: Seq[Int]): Map[String, Any] =
+        Map("status" -> 1,
+          "snapshot_id" -> java.lang.Long.valueOf(IceSnap1),
+          "sequence_number" -> null, // inherit from the list row
+          "data_file" -> Map[String, Any]("content" -> content,
+            "file_path" -> s"$loc/data/$path",
+            "file_format" -> "PARQUET", "record_count" -> 1L,
+            "file_size_in_bytes" -> 1L,
+            "equality_ids" -> (if (eqIds.isEmpty) null else eqIds)))
+      val metaP = dir.resolve("metadata")
+      java.nio.file.Files.createDirectories(metaP)
+      java.nio.file.Files.write(metaP.resolve("manifest-1.avro"),
+        graft.functions.AvroWrite.genericFileBytes(entrySchema,
+          prios.indices.map(i => entry(0, s"part-$i.parquet", Nil))))
+      java.nio.file.Files.write(metaP.resolve("manifest-eq.avro"),
+        graft.functions.AvroWrite.genericFileBytes(entrySchema,
+          Seq(entry(2, "eqdel-1.parquet", Seq(3, 2))))) // prio id 3, st id 2
+      java.nio.file.Files.write(metaP.resolve("snap-1.avro"),
+        graft.functions.AvroWrite.genericFileBytes(listSchema,
+          Seq(("manifest-1.avro", 0, 1L), ("manifest-eq.avro", 1, 2L))
+            .map { case (m, c, sq) => Map[String, Any](
+              "manifest_path" -> s"$loc/metadata/$m",
+              "manifest_length" -> 1L, "partition_spec_id" -> 0,
+              "content" -> c,
+              "sequence_number" -> java.lang.Long.valueOf(sq),
+              "added_snapshot_id" -> null)
+            }))
+      java.nio.file.Files.writeString(metaP.resolve("v1.metadata.json"),
+        s"""{
+          |  "format-version": 2,
+          |  "table-uuid": "9c12f1b2-0000-4000-8000-00000000000e",
+          |  "location": "$loc",
+          |  "last-updated-ms": 1700000000000,
+          |  "last-sequence-number": 2,
+          |  "current-schema-id": 0,
+          |  "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+          |    {"id": 1, "name": "k", "required": true, "type": "long"},
+          |    {"id": 2, "name": "st", "required": false, "type": "string"},
+          |    {"id": 3, "name": "prio", "required": false, "type": "string"}]}],
+          |  "default-spec-id": 0,
+          |  "partition-specs": [{"spec-id": 0, "fields": []}],
+          |  "current-snapshot-id": $IceSnap1,
+          |  "snapshots": [
+          |    {"snapshot-id": $IceSnap1, "timestamp-ms": 1700000001000,
+          |     "sequence-number": 2,
+          |     "summary": {"operation": "overwrite"},
+          |     "manifest-list": "$loc/metadata/snap-1.avro"}]
+          |}""".stripMargin)
+      java.nio.file.Files.writeString(
+        metaP.resolve("version-hint.text"), "1\n")
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().forEachRemaining(q => q.toFile.deleteOnExit())
+      finally walk.close()
+      dir.toString
+    })
+
+  /** Iceberg EQUALITY-delete gate — the second v2 delete kind:
+    * delete rows match (prio, st) pairs null-safely and apply only to
+    * data files with a strictly smaller sequence number; the oracle
+    * recomputes survivors by excluding the two deleted pairs. */
+  def xIcebergEqdel(s: SparkSession, d: String): DataFrame = {
+    val sc = graft.operators.IcebergLite.scan(s, icebergEqDelFixture(s, d))
+    ordered(
+      sc.data.groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("st")).as("min_st"), max(col("st")).as("max_st"))
+        .select(col("prio"),
+          lit(sc.nDeleteFiles).cast("long").as("n_del_files"),
+          col("n"), col("sum_k"), col("min_st"), col("max_st")),
+      "prio")
+  }
+
   /** Iceberg v2 POSITION-DELETE gate — row-level deletes applied
     * through the manifest tier: the delete manifest's parquet names
     * (file, pos) pairs, the reader anti-joins them against
@@ -4832,6 +4955,7 @@ object LlmOps {
     "x_iceberg_snapshot"  -> (xIcebergSnapshot _),
     "x_iceberg_prune"     -> (xIcebergPrune _),
     "x_iceberg_deletes"   -> (xIcebergDeletes _),
+    "x_iceberg_eqdel"     -> (xIcebergEqdel _),
     "x_delta_dv"          -> (xDeltaDv _),
     "x_delta_cmap"        -> (xDeltaCmap _),
     "x_avro_write"        -> (xAvroWrite _),
@@ -5407,6 +5531,14 @@ object LlmOps {
         |FROM r WHERE NOT (prio = '2-HIGH' AND pos % 2 = 0)
         |  AND NOT (prio = '5-LOW' AND pos = 0)
         |GROUP BY 1 ORDER BY prio""".stripMargin,
+    "x_iceberg_eqdel" ->
+      ("SELECT o_orderpriority AS prio, CAST(1 AS BIGINT) AS n_del_files, " +
+        "count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_k, " +
+        "min(o_orderstatus) AS min_st, max(o_orderstatus) AS max_st " +
+        "FROM orders " +
+        "WHERE NOT (o_orderpriority = '2-HIGH' AND o_orderstatus = 'F') " +
+        "AND NOT (o_orderpriority = '5-LOW' AND o_orderstatus = 'O') " +
+        "GROUP BY 1 ORDER BY prio"),
     "x_iceberg_deletes" ->
       """WITH r AS (SELECT o_orderpriority AS prio, o_orderkey,
         |    o_orderstatus,

@@ -21,6 +21,7 @@ class IcebergLiteSpec extends SparkSpec {
       |  {"name":"manifest_length","type":"long"},
       |  {"name":"partition_spec_id","type":"int"},
       |  {"name":"content","type":"int"},
+      |  {"name":"sequence_number","type":["null","long"],"default":null},
       |  {"name":"added_snapshot_id","type":["null","long"]}]}"""
       .stripMargin.replaceAll("\n\\s*", "")
 
@@ -78,13 +79,16 @@ class IcebergLiteSpec extends SparkSpec {
     Files.write(p, AvroWrite.genericFileBytes(manifestSchema, entries))
   }
 
+  /** Manifest-list rows as (name, content, sequence_number). */
   private def writeManifestList(dir: String, name: String,
-                                manifests: Seq[String],
-                                content: Int = 0): Unit = {
-    val rows = manifests.map(m => Map[String, Any](
+                                manifests: Seq[(String, Int, Long)]): Unit = {
+    val rows = manifests.map { case (m, content, seq) => Map[String, Any](
       "manifest_path" -> s"$FakeLoc/metadata/$m",
       "manifest_length" -> 1L, "partition_spec_id" -> 0,
-      "content" -> content, "added_snapshot_id" -> null))
+      "content" -> content,
+      "sequence_number" -> java.lang.Long.valueOf(seq),
+      "added_snapshot_id" -> null)
+    }
     Files.write(Paths.get(dir, "metadata", name),
       AvroWrite.genericFileBytes(manifestListSchema, rows))
   }
@@ -129,7 +133,7 @@ class IcebergLiteSpec extends SparkSpec {
       entry(1, Snap1, "part-A.parquet", 10, bounds = Some((1L, 10L))),
       entry(1, Snap1, "part-B.parquet", 10, bounds = Some((11L, 20L))),
       entry(1, Snap1, "part-C.parquet", 10, bounds = Some((21L, 30L)))))
-    writeManifestList(dir, "snap-1.avro", Seq("manifest-1.avro"))
+    writeManifestList(dir, "snap-1.avro", Seq(("manifest-1.avro", 0, 1L)))
     writeManifest(dir, "manifest-1r.avro", Seq(
       entry(0, Snap1, "part-A.parquet", 10, bounds = Some((1L, 10L))),
       entry(2, Snap2, "part-B.parquet", 10), // DELETED at snap2
@@ -137,7 +141,7 @@ class IcebergLiteSpec extends SparkSpec {
     writeManifest(dir, "manifest-2.avro", Seq(
       entry(1, Snap2, "part-D.parquet", 10))) // no bounds: kept always
     writeManifestList(dir, "snap-2.avro",
-      Seq("manifest-1r.avro", "manifest-2.avro"))
+      Seq(("manifest-1r.avro", 0, 1L), ("manifest-2.avro", 0, 2L)))
     Files.writeString(Paths.get(dir, "metadata", "v2.metadata.json"),
       metadataJson(Snap2))
     Files.writeString(Paths.get(dir, "metadata", "version-hint.text"), "2\n")
@@ -243,20 +247,70 @@ class IcebergLiteSpec extends SparkSpec {
       .select("k").as[Long].collect().sorted
     assert(ks === Array(22L, 24L, 26L, 28L, 30L)) // odd positions survive
     assert(scan.data.count() === 25) // 30 live minus 5 deleted
-    // equality deletes (content=2) still decline loudly
-    Files.write(Paths.get(dir, "metadata", "manifest-del.avro"),
-      AvroWrite.genericFileBytes(delEntrySchema, Seq(
+  }
+
+  test("equality deletes: sequence-aware, null-safe column matching") {
+    val dir = buildTable()
+    // delete file: one column `s` (field id 2) — values s21, s25 (live
+    // in part-C, seq 1), s35 (live in part-D, seq 2), and a NULL row
+    // (matches nothing; exercises the null-safe path)
+    val tmp = Files.createTempDirectory("iceeq").toString
+    Seq(Some("s21"), Some("s25"), Some("s35"), None).toDF("s")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.move(part.toPath, Paths.get(dir, "data", "eqdel-1.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val eqEntrySchema =
+      """{"type":"record","name":"manifest_entry","fields":[
+        |  {"name":"status","type":"int"},
+        |  {"name":"snapshot_id","type":["null","long"]},
+        |  {"name":"sequence_number","type":["null","long"],"default":null},
+        |  {"name":"data_file","type":{"type":"record","name":"r3","fields":[
+        |    {"name":"content","type":"int"},
+        |    {"name":"file_path","type":"string"},
+        |    {"name":"file_format","type":"string"},
+        |    {"name":"record_count","type":"long"},
+        |    {"name":"file_size_in_bytes","type":"long"},
+        |    {"name":"equality_ids","type":["null",
+        |      {"type":"array","items":"int"}],"default":null}]}}]}"""
+        .stripMargin.replaceAll("\n\\s*", "")
+    Files.write(Paths.get(dir, "metadata", "manifest-eq.avro"),
+      AvroWrite.genericFileBytes(eqEntrySchema, Seq(
         Map[String, Any]("status" -> 1,
           "snapshot_id" -> java.lang.Long.valueOf(Snap2),
+          "sequence_number" -> null, // inherits seq 2 from the list row
           "data_file" -> Map[String, Any]("content" -> 2,
-            "file_path" -> s"$FakeLoc/data/$delName",
-            "file_format" -> "PARQUET", "record_count" -> 5L,
+            "file_path" -> s"$FakeLoc/data/eqdel-1.parquet",
+            "file_format" -> "PARQUET", "record_count" -> 4L,
             "file_size_in_bytes" -> 1L,
-            "lower_bounds" -> null, "upper_bounds" -> null)))))
-    val e = intercept[IllegalArgumentException] {
-      IcebergLite.snapshot(spark, dir)
+            "equality_ids" -> Seq(2))))))
+    writeManifestList(dir, "snap-2.avro",
+      Seq(("manifest-1r.avro", 0, 1L), ("manifest-2.avro", 0, 2L),
+        ("manifest-eq.avro", 1, 2L)))
+    val scan = IcebergLite.scan(spark, dir)
+    assert(scan.nDeleteFiles === 1)
+    val ks = scan.data.select("k").as[Long].collect().sorted
+    // s21/s25 die (part-C seq 1 < delete seq 2); s35 SURVIVES — its
+    // file entered at seq 2, not strictly smaller
+    assert(!ks.contains(21L) && !ks.contains(25L))
+    assert(ks.contains(35L))
+    assert(ks.length === 28)
+    // unknown equality field ids raise
+    Files.write(Paths.get(dir, "metadata", "manifest-eq.avro"),
+      AvroWrite.genericFileBytes(eqEntrySchema, Seq(
+        Map[String, Any]("status" -> 1,
+          "snapshot_id" -> java.lang.Long.valueOf(Snap2),
+          "sequence_number" -> null,
+          "data_file" -> Map[String, Any]("content" -> 2,
+            "file_path" -> s"$FakeLoc/data/eqdel-1.parquet",
+            "file_format" -> "PARQUET", "record_count" -> 4L,
+            "file_size_in_bytes" -> 1L,
+            "equality_ids" -> Seq(99))))))
+    val e = intercept[RuntimeException] {
+      IcebergLite.snapshot(spark, dir).count()
     }
-    assert(e.getMessage.contains("content=2"))
+    assert(e.getMessage.contains("equality_ids"))
   }
 
   test("loud declines: non-parquet files, nested schema") {
