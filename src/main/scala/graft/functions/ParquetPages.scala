@@ -875,16 +875,19 @@ object ParquetPages {
     }
   }
 
-  /** Reads a map<string, int-like> column: both leaf chunks decode
-    * independently (keys, values), assemble as one-level lists, and
-    * zip row-by-row into the deterministic sorted `k=v` CSV face
-    * (null map → null row; null value → `k=`). */
+  /** Reads a map<string-or-int, int-like> column: both leaf chunks
+    * decode independently (keys, values), assemble as one-level lists,
+    * and zip row-by-row into the deterministic sorted `k=v` CSV face
+    * (null map → null row; null value → `k=`). String keys sort
+    * lexicographically; integer keys (the Iceberg column-stats map
+    * shape, map<int,long>) numerically. */
   private def readMap(b: Array[Byte], colName: String): Array[Any] = {
     val f = ParquetFooter.parse(b)
     if (f == null) return null
     try {
       val (kShape, vShape) = resolveMapShapes(f, colName)
-      if (kShape.leaf.ptype != 6) fail() // string keys only
+      val intKeys = kShape.leaf.ptype == 1 || kShape.leaf.ptype == 2
+      if (!intKeys && kShape.leaf.ptype != 6) fail()
       if (vShape.leaf.ptype != 1 && vShape.leaf.ptype != 2) fail()
       val out = scala.collection.mutable.ArrayBuffer.empty[Any]
       f.rowGroups.foreach { rg =>
@@ -892,7 +895,8 @@ object ParquetPages {
         val vc = rg.columns.find(_.path == vShape.path).getOrElse(fail())
         val krows = scala.collection.mutable.ArrayBuffer.empty[Any]
         val vrows = scala.collection.mutable.ArrayBuffer.empty[Any]
-        val (kd, kr, kv) = decodeChunk(b, kc, kShape, KString)
+        val (kd, kr, kv) = decodeChunk(b, kc, kShape,
+          if (intKeys) KLong else KString)
         assembleLists(kShape, kd, kr, kv, krows)
         val (vd, vr, vv) = decodeChunk(b, vc, vShape, KLong)
         assembleLists(vShape, vd, vr, vv, vrows)
@@ -905,12 +909,18 @@ object ParquetPages {
               if (ks.numElements() != vs.numElements()) fail()
               val pairs = (0 until ks.numElements()).map { j =>
                 if (ks.isNullAt(j)) fail() // keys are required
-                val k = ks.getUTF8String(j).toString
+                val (k, ord) =
+                  if (intKeys) {
+                    val x = ks.getLong(j)
+                    (x.toString, x)
+                  } else (ks.getUTF8String(j).toString, 0L)
                 val v = if (vs.isNullAt(j)) "" else vs.getLong(j).toString
-                (k, v)
+                (k, v, ord)
               }
-              out += UTF8String.fromString(pairs.sortBy(_._1)
-                .map { case (k, v) => s"$k=$v" }.mkString(","))
+              val sorted =
+                if (intKeys) pairs.sortBy(_._3) else pairs.sortBy(_._1)
+              out += UTF8String.fromString(sorted
+                .map { case (k, v, _) => s"$k=$v" }.mkString(","))
             case _ => fail() // torn key/value presence
           }
           i += 1

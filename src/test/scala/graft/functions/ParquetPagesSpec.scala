@@ -444,6 +444,23 @@ class ParquetPagesSpec extends SparkSpec {
     }
   }
 
+  test("map<int,bigint>: integer keys sort numerically in the csv face") {
+    val df = spark.range(0, 500).select(col("id"),
+      when(col("id") % 7 === 0, lit(null))
+        .otherwise(map(
+          lit(1000), col("id") * 3, // >2-digit keys: numeric vs lexicographic
+          lit(2), col("id"))).as("m"))
+    val b = writeAndRead(df, Map("compression" -> "snappy"))
+    val csv = ParquetPages.mapInt64Csv(b,
+      org.apache.spark.unsafe.types.UTF8String.fromString("m"))
+    assert(csv != null && csv.numElements() === 500)
+    (0 until 500).foreach { i =>
+      if (i % 7 == 0) assert(csv.isNullAt(i), s"@$i")
+      else assert(csv.getUTF8String(i).toString === s"2=$i,1000=${3 * i}",
+        s"@$i") // 2 before 1000: NUMERIC order, not lexicographic
+    }
+  }
+
   test("struct dotted paths: nested fields, struct-in-list, null structs") {
     val df = spark.range(0, 2000).select(col("id"),
       when(col("id") % 3 === 0, lit(null)).otherwise(struct(
