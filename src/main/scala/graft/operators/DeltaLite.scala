@@ -322,23 +322,41 @@ object DeltaLite {
 
     // column mapping: NAME mode reads parquet by each field's recorded
     // physicalName and renames to the logical schema (partitionValues
-    // keys are physical names too); ID mode raises — matching parquet
-    // field ids is a different read path this reader does not model
+    // keys are physical names too). ID mode additionally attaches each
+    // field's columnMapping id as `parquet.field.id` metadata so
+    // Spark's field-id resolution matches by id — which requires the
+    // session to have it enabled (raise with guidance otherwise; files
+    // without ids then fail Spark-side rather than misread).
     val cmapMode = {
       val conf = metaRow.getStruct(1)
       if (conf.length < 4 || conf.isNullAt(3)) "none"
       else Option(conf.getMap[String, String](3))
         .flatMap(_.get("delta.columnMapping.mode")).getOrElse("none")
     }
-    require(cmapMode == "none" || cmapMode == "name",
-      s"unsupported Delta columnMapping mode '$cmapMode' " +
-        "(only name mode is readable)")
+    require(cmapMode == "none" || cmapMode == "name" || cmapMode == "id",
+      s"unsupported Delta columnMapping mode '$cmapMode'")
+    if (cmapMode == "id") {
+      require(spark.conf.get("spark.sql.parquet.fieldId.read.enabled",
+        "false") == "true",
+        "Delta columnMapping mode 'id' needs " +
+          "spark.sql.parquet.fieldId.read.enabled=true in this session")
+    }
     val physName: Map[String, String] =
       if (cmapMode == "none") schema.fieldNames.map(n => n -> n).toMap
       else schema.fields.map { f =>
         require(f.metadata.contains("delta.columnMapping.physicalName"),
           s"column mapping: field ${f.name} has no physicalName")
         f.name -> f.metadata.getString("delta.columnMapping.physicalName")
+      }.toMap
+    val fieldIdMeta: Map[String, org.apache.spark.sql.types.Metadata] =
+      if (cmapMode != "id") Map.empty
+      else schema.fields.map { f =>
+        require(f.metadata.contains("delta.columnMapping.id"),
+          s"column mapping id mode: field ${f.name} has no id")
+        f.name -> new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id",
+            f.metadata.getLong("delta.columnMapping.id"))
+          .build()
       }.toMap
 
     // tombstone replay: live iff latest add is at least as new as the
@@ -379,7 +397,9 @@ object DeltaLite {
     require(live.nonEmpty, s"empty snapshot of $table")
     val dataFields = schema.filterNot(f => partCols.contains(f.name))
     val dataSchema = StructType(dataFields.map(f =>
-      StructField(physName(f.name), f.dataType, f.nullable)))
+      StructField(physName(f.name), f.dataType, f.nullable,
+        fieldIdMeta.getOrElse(f.name,
+          org.apache.spark.sql.types.Metadata.empty))))
 
     // ---- deletion vectors: decode descriptors to (fileName, pos) ----
     // DV bytes are metadata-scale (the bitmap of ONE file's deleted

@@ -420,12 +420,55 @@ class DeltaLiteSpec extends SparkSpec {
     assert(got.last === ((20L, "s20", "b")))
     assert(snap.filter(col("p") === "b").agg(sum("k")).as[Long].head()
       === (11 to 20).sum.toLong)
-    // id mode declines loudly
+    // id mode without the session's field-id read support: loud guidance
     commit(dir, 1, Seq(metaCmap("id")))
     val e = intercept[IllegalArgumentException] {
       DeltaLite.snapshot(spark, dir)
     }
-    assert(e.getMessage.contains("columnMapping mode 'id'"))
+    assert(e.getMessage.contains("fieldId.read.enabled"))
+  }
+
+  test("column mapping (id mode): parquet field ids resolve renamed files") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("dlcmid").toString
+    // the FILE's columns are named f_one/f_two — only the field ids
+    // (1, 2) tie them to the table schema
+    def idMeta(id: Long) =
+      new MetadataBuilder().putLong("parquet.field.id", id).build()
+    val fileDf = spark.range(1, 21).select(
+      col("id").as("f_one", idMeta(1)),
+      concat(lit("v"), col("id").cast("string")).as("f_two", idMeta(2)))
+    val prevW = spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val sa = try writePart(fileDf, dir, "part-a.parquet")
+      finally prevW match {
+        case Some(v) => spark.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
+        case None => spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+      }
+    def phys(logical: String, p: String, id: Long, dt: DataType) =
+      StructField(logical, dt, nullable = true,
+        new MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", p)
+          .putLong("delta.columnMapping.id", id)
+          .build())
+    val schema = StructType(Seq(
+      phys("k", "col-aa", 1L, LongType),
+      phys("s", "col-bb", 2L, StringType)))
+    commit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"t","schemaString":"${esc(schema.json)}",""" +
+        s""""partitionColumns":[],"configuration":{""" +
+        s""""delta.columnMapping.mode":"id",""" +
+        s""""delta.columnMapping.maxColumnId":"2"}}}""",
+      addJson("part-a.parquet", Map.empty, sa)))
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    try {
+      val snap = DeltaLite.snapshot(spark, dir)
+      assert(snap.schema.fieldNames.toSeq === Seq("k", "s"))
+      assert(snap.agg(sum("k")).as[Long].head() === (1 to 20).sum.toLong)
+      assert(snap.filter(col("k") === 7).select("s").as[String].head()
+        === "v7")
+    } finally spark.conf.unset("spark.sql.parquet.fieldId.read.enabled")
   }
 
   test("log gaps and unanchored replays raise instead of partial snapshots") {
