@@ -517,16 +517,15 @@ object ParquetPages {
         val defWidth = levelWidth(maxDef)
         val repWidth = levelWidth(maxRep)
         if (chunk.ptype != leaf.ptype) fail()
-        // value-count claim bound: numValues sizes the levels and value
-        // arrays, so cap it like byte claims (real chunks hold far fewer
-        // values than MaxPage bytes), AND bound it against the file's
-        // actual byte size — RLE levels amortize to well under a byte
-        // per value, but a 100-byte hostile footer claiming 64 Mi values
-        // would otherwise allocate ~512 MB of level arrays before a
-        // single data byte validates the claim (64 values/byte is far
-        // beyond any real writer's level-stream density)
-        if (chunk.numValues < 0 || chunk.numValues > MaxPage ||
-          chunk.numValues.toLong > 64L * b.length) fail()
+        // value-count claim bound: numValues is capped like byte claims
+        // (MaxPage), but NOT against file bytes — an all-null column's
+        // RLE level stream legitimately packs far more than 64 values
+        // per file byte, so any density bound falsely declines sparse
+        // files. Hostile over-claims are neutralized below instead: the
+        // level arrays grow lazily as pages actually deliver values, so
+        // a tiny file claiming 64 Mi values allocates only what its
+        // pages confirm before the parse fails
+        if (chunk.numValues < 0 || chunk.numValues > MaxPage) fail()
         val total = chunk.numValues.toInt
         var pos = {
           val d = chunk.dataPageOffset
@@ -537,9 +536,17 @@ object ParquetPages {
 
         // level + value streams for the WHOLE chunk: a v1 page may
         // split a record mid-list, so list assembly must happen after
-        // every page of the chunk is decoded
-        val defs = new Array[Int](total)
-        val reps = new Array[Int](total)
+        // every page of the chunk is decoded. Allocated lazily (doubled
+        // per page up to `total`) so a hostile value-count claim costs
+        // only what real pages deliver
+        var defs = new Array[Int](math.min(total, 1 << 16))
+        var reps = new Array[Int](math.min(total, 1 << 16))
+        def ensureLevels(n: Int): Unit = if (n > defs.length) {
+          var cap = math.max(defs.length, 1)
+          while (cap < n) cap = math.min(total, cap * 2)
+          defs = java.util.Arrays.copyOf(defs, cap)
+          reps = java.util.Arrays.copyOf(reps, cap)
+        }
         val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
 
         var dictLongs: Array[Long] = null
@@ -673,6 +680,7 @@ object ParquetPages {
             val d = decompress(b, dataStart, h.compressed, h.uncompressed, chunk.codec)
             val nv = h.numValues
             if (nv < 0 || produced + nv > total) fail()
+            ensureLevels(produced + nv)
             var cur = 0
             if (repWidth > 0) {
               val len = leInt(d, cur)
@@ -693,6 +701,7 @@ object ParquetPages {
           } else if (h.ptype == 3) { // data page v2: levels uncompressed
             val nv = h.numValues
             if (nv < 0 || produced + nv > total) fail()
+            ensureLevels(produced + nv)
             if (h.repBytes < 0 || h.defBytes < 0 ||
               h.repBytes + h.defBytes > h.compressed) fail()
             if (dataStart + h.compressed > b.length) fail()

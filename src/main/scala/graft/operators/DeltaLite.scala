@@ -31,10 +31,13 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   *    [[graft.functions.DeletionVectors]], cross-verified against the
   *    real org.roaringbitmap) anti-join deleted row ordinals against
   *    parquet's `_metadata.row_index`;
-  *  - COLUMN MAPPING (name mode): parquet reads by each field's
-  *    recorded `delta.columnMapping.physicalName`, renamed to the
-  *    logical schema; partitionValues keys are physical names too;
-  *    id mode raises;
+  *  - COLUMN MAPPING (name and id modes), applied RECURSIVELY through
+  *    nested struct/array/map types: parquet reads by each field's
+  *    recorded `delta.columnMapping.physicalName` at every nesting
+  *    level (id mode additionally pins `parquet.field.id` metadata per
+  *    nested field), renamed back to the logical schema — nested
+  *    renames via positional struct casts; partitionValues keys are
+  *    physical names too;
   *  - protocol gate: the LATEST protocol action governs; the base
   *    protocol, minReaderVersion 2 (legacy column mapping), or 3 with
   *    readerFeatures within {v2Checkpoint, deletionVectors,
@@ -358,6 +361,44 @@ object DeltaLite {
             f.metadata.getLong("delta.columnMapping.id"))
           .build()
       }.toMap
+    // column mapping applies at EVERY nesting level: column-mapped
+    // parquet files carry physical names inside nested struct/array/map
+    // types too, so the pinned read schema must rename (and, in id
+    // mode, field-id-annotate) recursively — a top-level-only rename
+    // would silently null every nested field
+    def physField(f: StructField): StructField = {
+      require(f.metadata.contains("delta.columnMapping.physicalName"),
+        s"column mapping: nested field ${f.name} has no physicalName")
+      val meta =
+        if (cmapMode != "id") org.apache.spark.sql.types.Metadata.empty
+        else {
+          require(f.metadata.contains("delta.columnMapping.id"),
+            s"column mapping id mode: nested field ${f.name} has no id")
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id",
+              f.metadata.getLong("delta.columnMapping.id")).build()
+        }
+      StructField(f.metadata.getString("delta.columnMapping.physicalName"),
+        physType(f.dataType), f.nullable, meta)
+    }
+    def physType(dt: DataType): DataType =
+      if (cmapMode == "none") dt
+      else dt match {
+        case st: StructType => StructType(st.fields.map(physField))
+        case at: org.apache.spark.sql.types.ArrayType =>
+          at.copy(elementType = physType(at.elementType))
+        case mt: org.apache.spark.sql.types.MapType =>
+          mt.copy(keyType = physType(mt.keyType),
+            valueType = physType(mt.valueType))
+        case other => other
+      }
+    def hasStruct(dt: DataType): Boolean = dt match {
+      case _: StructType => true
+      case at: org.apache.spark.sql.types.ArrayType => hasStruct(at.elementType)
+      case mt: org.apache.spark.sql.types.MapType =>
+        hasStruct(mt.keyType) || hasStruct(mt.valueType)
+      case _ => false
+    }
 
     // tombstone replay: live iff latest add is at least as new as the
     // latest remove (a re-add after a remove resurrects the path; an
@@ -397,7 +438,7 @@ object DeltaLite {
     require(live.nonEmpty, s"empty snapshot of $table")
     val dataFields = schema.filterNot(f => partCols.contains(f.name))
     val dataSchema = StructType(dataFields.map(f =>
-      StructField(physName(f.name), f.dataType, f.nullable,
+      StructField(physName(f.name), physType(f.dataType), f.nullable,
         fieldIdMeta.getOrElse(f.name,
           org.apache.spark.sql.types.Metadata.empty))))
 
@@ -406,8 +447,13 @@ object DeltaLite {
     // ordinals); decoded on the driver like the file list itself, then
     // anti-joined DISTRIBUTED against _metadata.row_index below
     import graft.functions.DeletionVectors
+    // %XX-only decoding (a literal '+' is NOT a space in URIs or in the
+    // Delta protocol's percent-encoded paths — URLDecoder alone would
+    // corrupt it)
+    def uriDecode(s: String): String =
+      java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
     def baseName(rel: String): String = {
-      val p = java.net.URLDecoder.decode(rel, "UTF-8")
+      val p = uriDecode(rel)
       p.substring(p.lastIndexOf('/') + 1)
     }
     val hasDv = live.exists(_._4 != null)
@@ -486,15 +532,28 @@ object DeltaLite {
       .map { case (k, x) => s"$k=$x" }.mkString(","))
     val parts = groups.map { case (pv, files) =>
       val paths = files.map { case (rel, _, _, _) =>
-        new Path(table, java.net.URLDecoder.decode(rel, "UTF-8")).toString
+        new Path(table, uriDecode(rel)).toString
       }
       val base0 = spark.read.schema(dataSchema).parquet(paths: _*)
       // physical→logical renames happen HERE, so everything downstream
-      // (partition attach, DV anti-join, caller) sees logical names
-      val renameCols = dataFields.map(f => col(physName(f.name)).as(f.name))
+      // (partition attach, DV anti-join, caller) sees logical names; a
+      // nested type renames via a positional struct cast back to the
+      // logical field names
+      val renameCols = dataFields.map { f =>
+        val c = col(physName(f.name))
+        (if (cmapMode != "none" && hasStruct(f.dataType)) c.cast(f.dataType)
+         else c).as(f.name)
+      }
+      // `_metadata.file_path` renders as a URI, so the DV join key must
+      // %XX-decode the basename to match the log-side decoded name
+      // (space, '%', '#' in file names would otherwise silently keep
+      // their deleted rows)
+      val runtimeName = url_decode(regexp_replace(
+        element_at(split(col("_metadata.file_path"), "/"), -1),
+        "\\+", "%2B"))
       val base = if (!hasDv) base0.select(renameCols: _*)
         else base0.select(renameCols ++ Seq(
-          element_at(split(col("_metadata.file_path"), "/"), -1).as("__f"),
+          runtimeName.as("__f"),
           col("_metadata.row_index").as("__p")): _*)
       val outCols = schema.fieldNames.toSeq ++
         (if (hasDv) Seq("__f", "__p") else Nil)

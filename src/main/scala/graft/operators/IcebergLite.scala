@@ -16,29 +16,45 @@ import org.apache.spark.sql.types._
   *    highest `v*.metadata.json` under `metadata/`;
   *  - the current (or requested) snapshot's `manifest-list` Avro is
   *    decoded by OUR nested-tree reader
-  *    ([[graft.functions.AvroRead.genericRecords]]), each manifest
-  *    likewise; a file is LIVE iff its newest entry status ≠ DELETED;
+  *    ([[graft.functions.AvroRead.genericRecords]]); manifests decode
+  *    in a BOUNDED PARALLEL pool (planning for a table with thousands
+  *    of manifests must not serialize on one thread) and then apply in
+  *    manifest order; a file is LIVE iff its newest entry status ≠
+  *    DELETED;
   *  - absolute `file:`/`s3:` URIs in manifests are rebased from the
   *    table's recorded `location` onto the directory actually given —
   *    the relocation every snapshot-copied table needs;
   *  - the read schema comes from the METADATA (current-schema-id
-  *    resolution, Iceberg→Spark type mapping), not from file
-  *    inference — partition columns need no reconstruction because
-  *    Iceberg data files store them as ordinary columns;
-  *  - stats file-skipping ([[prunedScan]]): manifest entries carry
-  *    per-file `lower_bounds`/`upper_bounds` (Iceberg single-value
-  *    serialization, int/long little-endian) — files whose bounds
-  *    cannot intersect the predicate are skipped BEFORE any data I/O,
-  *    missing bounds conservatively kept;
-  *  - v2 row-level deletes applied, BOTH kinds: POSITION deletes
-  *    (parquet of file_path + pos, anti-joined against
-  *    `_metadata.row_index`) and EQUALITY deletes (parquet of the
-  *    `equality_ids` columns, matched null-safely and applied only to
-  *    data files with a strictly SMALLER sequence number — entry
-  *    sequence numbers inherit from the manifest-list row);
-  *  - loud declines: non-parquet files, nested table schemas,
+  *    resolution, Iceberg→Spark type mapping — including NESTED
+  *    struct/list/map types, recursively; `timestamp` without zone
+  *    maps to TimestampNTZType) — partition columns need no
+  *    reconstruction because Iceberg data files store them as ordinary
+  *    columns;
+  *  - stats file-skipping ([[prunedScan]], [[prunedScanString]]):
+  *    manifest entries carry per-file `lower_bounds`/`upper_bounds`
+  *    (Iceberg single-value serialization: int/long little-endian,
+  *    strings as UTF-8 bytes — writer-truncated string upper bounds
+  *    only WIDEN the kept set, so pruning stays sound) — files whose
+  *    bounds cannot intersect the predicate are skipped BEFORE any
+  *    data I/O, missing bounds conservatively kept;
+  *  - partition-transform file skipping ([[partitionPrunedScan]]):
+  *    manifest entries carry the file's `partition` tuple under the
+  *    default partition spec; identity and bucket[N] transforms
+  *    (Iceberg's 32-bit Murmur3 of the 8-byte little-endian value)
+  *    prune files by partition value even where column stats are
+  *    absent; other transforms decline loudly;
+  *  - v2 row-level deletes applied, BOTH kinds sequence-aware:
+  *    POSITION deletes (parquet of file_path + pos, anti-joined
+  *    against `_metadata.row_index`, applied only to data files with
+  *    sequence number ≤ the delete file's) and EQUALITY deletes
+  *    (parquet of the `equality_ids` columns, matched null-safely and
+  *    applied only to data files with a strictly SMALLER sequence
+  *    number — entry sequence numbers inherit from the manifest-list
+  *    row);
+  *  - loud declines: non-parquet files, unknown column types,
   *    ambiguous duplicate file names, unknown delete content kinds,
-  *    and malformed metadata all RAISE rather than misread.
+  *    unsupported partition transforms, and malformed metadata all
+  *    RAISE rather than misread.
   *
   * The driver-side materialization is the manifest/file PLANNING SET —
   * bounded by manifest count and file count, the same set the real
@@ -73,7 +89,11 @@ object IcebergLite {
     case _ => sys.error(s"iceberg metadata: expected string, got $v")
   }
 
-  /** Iceberg primitive → Spark type; nested types decline loudly. */
+  /** Iceberg type JSON → Spark type, RECURSIVELY: primitives by name,
+    * `struct`/`list`/`map` objects by their element/key/value types.
+    * `timestamp` (no zone, isAdjustedToUTC=false) is NTZ — mapping it
+    * to session-zoned TimestampType would shift surfaced values.
+    * Unknown types decline loudly. */
   private def sparkType(t: Any): DataType = t match {
     case "boolean" => BooleanType
     case "int" => IntegerType
@@ -81,16 +101,58 @@ object IcebergLite {
     case "float" => FloatType
     case "double" => DoubleType
     case "date" => DateType
-    case "timestamp" | "timestamptz" => TimestampType
+    case "timestamp" => TimestampNTZType
+    case "timestamptz" => TimestampType
     case "string" => StringType
     case "uuid" => StringType
     case "binary" => BinaryType
+    case s: String if s.startsWith("fixed[") && s.endsWith("]") =>
+      BinaryType
     case s: String if s.startsWith("decimal(") && s.endsWith(")") =>
       val ps = s.stripPrefix("decimal(").stripSuffix(")").split(",")
       DecimalType(ps(0).trim.toInt, ps(1).trim.toInt)
+    case m: scala.collection.Map[_, _] =>
+      val obj = m.asInstanceOf[JMap]
+      asStr(obj.getOrElse("type",
+        sys.error(s"iceberg nested type without 'type': $obj"))) match {
+        case "struct" => structOf(obj)
+        case "list" => ArrayType(
+          sparkType(obj.getOrElse("element",
+            sys.error(s"iceberg list type without element: $obj"))),
+          containsNull = !obj.get("element-required").contains(true))
+        case "map" => MapType(
+          sparkType(obj.getOrElse("key",
+            sys.error(s"iceberg map type without key: $obj"))),
+          sparkType(obj.getOrElse("value",
+            sys.error(s"iceberg map type without value: $obj"))),
+          valueContainsNull = !obj.get("value-required").contains(true))
+        case other => sys.error(
+          s"unsupported Iceberg column type for this reader: $other")
+      }
     case other => sys.error(
       s"unsupported Iceberg column type for this reader: $other")
   }
+
+  /** A struct schema object's fields → Spark StructType (top-level
+    * table schema and nested structs share this shape). */
+  private def structOf(obj: JMap): StructType = StructType(
+    asSeq(obj.getOrElse("fields", sys.error("schema without fields")))
+      .map(asMap).map { f =>
+        StructField(asStr(f.getOrElse("name", sys.error("unnamed field"))),
+          sparkType(f.getOrElse("type", sys.error("untyped field"))),
+          nullable = !f.get("required").contains(true))
+      }.toSeq)
+
+  /** File-skipping predicate kinds (resolved against the metadata's
+    * schema / partition spec inside [[plan]]). */
+  private sealed trait Prune
+  private case object NoPrune extends Prune
+  private final case class LongBounds(col: String, lo: Long, hi: Long)
+    extends Prune
+  private final case class StringBounds(col: String, lo: String, hi: String)
+    extends Prune
+  private final case class PartitionPoint(col: String, value: Long)
+    extends Prune
 
   /** Planning outcome: manifest/file counts (kept = after stats
     * pruning; equal to nDataFiles when none), position-delete file
@@ -105,7 +167,7 @@ object IcebergLite {
 
   def scan(spark: SparkSession, table: String,
            snapshotId: Long = -1L): Scan =
-    plan(spark, table, snapshotId, pruneCol = null, 0L, 0L)
+    plan(spark, table, snapshotId, NoPrune)
 
   /** File-skipping scan: data files whose manifest-entry
     * `lower_bounds`/`upper_bounds` for `colName` (an int/long column)
@@ -116,24 +178,37 @@ object IcebergLite {
     * caller re-filters exactly. */
   def prunedScan(spark: SparkSession, table: String, colName: String,
                  lo: Long, hi: Long, snapshotId: Long = -1L): Scan =
-    plan(spark, table, snapshotId, colName, lo, hi)
+    plan(spark, table, snapshotId, LongBounds(colName, lo, hi))
 
-  /** Iceberg single-value serialization for int/long bounds: 4- or
-    * 8-byte little-endian. Anything else → None (kept). */
-  private def boundLong(v: Any): Option[Long] = v match {
-    case b: Array[Byte] if b.length == 8 =>
-      var x = 0L; var k = 7
-      while (k >= 0) { x = (x << 8) | (b(k) & 0xffL); k -= 1 }
-      Some(x)
-    case b: Array[Byte] if b.length == 4 =>
-      Some(((b(3) & 0xffL) << 24 | (b(2) & 0xffL) << 16 |
-        (b(1) & 0xffL) << 8 | (b(0) & 0xffL)).toInt.toLong)
-    case _ => None
-  }
+  /** String-typed file skipping: lexicographic [lo, hi] against the
+    * UTF-8 single-value bounds. Iceberg writers may truncate an upper
+    * bound with a bumped last code point — the recorded upper stays a
+    * valid upper bound, so comparing against it only WIDENS the kept
+    * set and pruning stays sound (the [[DeltaLite.prunedSnapshotString]]
+    * argument, restated for manifests). */
+  def prunedScanString(spark: SparkSession, table: String, colName: String,
+                       lo: String, hi: String,
+                       snapshotId: Long = -1L): Scan =
+    plan(spark, table, snapshotId, StringBounds(colName, lo, hi))
 
-  /** The bound entry for `fieldId` out of an Iceberg key/value-pair
-    * map (Avro array<record<key,value>> encoding). */
-  private def boundFor(df: JMap, which: String, fieldId: Long): Option[Long] =
+  /** Partition-transform file skipping for a POINT predicate
+    * `colName = value` (int/long source column): manifest entries
+    * carry the file's partition tuple, so files in other partitions
+    * skip even where column stats are absent. Supports `identity`
+    * (partition value = column value) and `bucket[N]` (Iceberg's
+    * 32-bit Murmur3 of the 8-byte LE value, mod N). A source column
+    * not in the spec, or any other transform, declines loudly; files
+    * without a partition value for the field are conservatively
+    * kept. The caller re-filters exactly. */
+  def partitionPrunedScan(spark: SparkSession, table: String,
+                          colName: String, value: Long,
+                          snapshotId: Long = -1L): Scan =
+    plan(spark, table, snapshotId, PartitionPoint(colName, value))
+
+  /** Iceberg single-value serialization payload for `fieldId` out of
+    * an Iceberg key/value-pair map (Avro array<record<key,value>>). */
+  private def boundFor(df: JMap, which: String,
+                       fieldId: Long): Option[Array[Byte]] =
     df.get(which) match {
       case Some(s: scala.collection.Seq[_]) =>
         s.iterator.map {
@@ -142,13 +217,81 @@ object IcebergLite {
         }.find(kv => kv.get("key").exists {
           case l: java.lang.Long => l.longValue == fieldId
           case _ => false
-        }).flatMap(kv => kv.get("value").flatMap(boundLong))
+        }).flatMap(_.get("value") match {
+          case Some(b: Array[Byte]) => Some(b)
+          case _ => None
+        })
       case _ => None
     }
 
+  /** Iceberg single-value serialization for int/long bounds: 4- or
+    * 8-byte little-endian. Anything else → None (kept). */
+  private def boundLong(v: Option[Array[Byte]]): Option[Long] = v match {
+    case Some(b) if b.length == 8 =>
+      var x = 0L; var k = 7
+      while (k >= 0) { x = (x << 8) | (b(k) & 0xffL); k -= 1 }
+      Some(x)
+    case Some(b) if b.length == 4 =>
+      Some(((b(3) & 0xffL) << 24 | (b(2) & 0xffL) << 16 |
+        (b(1) & 0xffL) << 8 | (b(0) & 0xffL)).toInt.toLong)
+    case _ => None
+  }
+
+  /** Iceberg single-value serialization for strings: UTF-8 bytes. */
+  private def boundStr(v: Option[Array[Byte]]): Option[String] =
+    v.map(b => new String(b, java.nio.charset.StandardCharsets.UTF_8))
+
+  /** 32-bit Murmur3 (x86 variant, seed 0) — the public hash the
+    * Iceberg spec fixes for bucket transforms. Spec appendix test
+    * vector: bucket hash of int/long 34 = 2017239379. */
+  private[operators] def murmur3(data: Array[Byte]): Int = {
+    val c1 = 0xcc9e2d51
+    val c2 = 0x1b873593
+    var h1 = 0
+    val nblocks = data.length >>> 2
+    var i = 0
+    while (i < nblocks) {
+      var k1 = (data(4 * i) & 0xff) | ((data(4 * i + 1) & 0xff) << 8) |
+        ((data(4 * i + 2) & 0xff) << 16) | ((data(4 * i + 3) & 0xff) << 24)
+      k1 *= c1; k1 = Integer.rotateLeft(k1, 15); k1 *= c2
+      h1 ^= k1; h1 = Integer.rotateLeft(h1, 13); h1 = h1 * 5 + 0xe6546b64
+      i += 1
+    }
+    var k1 = 0
+    val tail = nblocks << 2
+    (data.length & 3) match {
+      case 3 =>
+        k1 ^= (data(tail + 2) & 0xff) << 16
+        k1 ^= (data(tail + 1) & 0xff) << 8
+        k1 ^= data(tail) & 0xff
+      case 2 =>
+        k1 ^= (data(tail + 1) & 0xff) << 8
+        k1 ^= data(tail) & 0xff
+      case 1 =>
+        k1 ^= data(tail) & 0xff
+      case _ => ()
+    }
+    if ((data.length & 3) != 0) {
+      k1 *= c1; k1 = Integer.rotateLeft(k1, 15); k1 *= c2; h1 ^= k1
+    }
+    h1 ^= data.length
+    h1 ^= h1 >>> 16; h1 *= 0x85ebca6b
+    h1 ^= h1 >>> 13; h1 *= 0xc2b2ae35
+    h1 ^= h1 >>> 16
+    h1
+  }
+
+  /** Iceberg bucket transform for int/long: murmur3 of the 8-byte
+    * little-endian value (ints hash as longs), non-negative, mod N. */
+  private[operators] def bucketOf(value: Long, n: Int): Int = {
+    val b = new Array[Byte](8)
+    var k = 0
+    while (k < 8) { b(k) = ((value >>> (8 * k)) & 0xff).toByte; k += 1 }
+    (murmur3(b) & Integer.MAX_VALUE) % n
+  }
+
   private def plan(spark: SparkSession, table: String,
-                   snapshotId: Long, pruneCol: String,
-                   lo: Long, hi: Long): Scan = {
+                   snapshotId: Long, prune: Prune): Scan = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(table).getFileSystem(conf)
     val metaDir = new Path(table, "metadata")
@@ -202,13 +345,22 @@ object IcebergLite {
       case None => asMap(root.getOrElse("schema",
         sys.error(s"no schema in $metaFile")))
     }
-    val sparkSchema = StructType(
-      asSeq(schemaObj.getOrElse("fields", sys.error("schema without fields")))
-        .map(asMap).map { f =>
-          StructField(asStr(f.getOrElse("name", sys.error("unnamed field"))),
-            sparkType(f.getOrElse("type", sys.error("untyped field"))),
-            nullable = !f.get("required").contains(true))
-        }.toSeq)
+    val sparkSchema = structOf(schemaObj)
+
+    // ---- default partition spec (v2 by id; v1 inline) ----
+    def defaultSpecFields: scala.collection.Seq[JMap] =
+      root.get("partition-specs") match {
+        case Some(ss) =>
+          val id = asLong(root.getOrElse("default-spec-id",
+            sys.error("partition-specs without default-spec-id")))
+          asSeq(asMap(asSeq(ss).map(asMap)
+            .find(m => m.get("spec-id").exists(asLong(_) == id))
+            .getOrElse(sys.error(s"default-spec-id $id not in specs")))
+            .getOrElse("fields", sys.error("partition spec without fields")))
+            .map(asMap)
+        case None => root.get("partition-spec")
+          .map(v => asSeq(v).map(asMap)).getOrElse(Seq.empty)
+      }
 
     // ---- snapshot resolution ----
     val snaps = root.get("snapshots").map(v => asSeq(v).map(asMap))
@@ -246,8 +398,8 @@ object IcebergLite {
     // v2 manifest routing: content 0 = data manifests, 1 = DELETE
     // manifests (position AND equality deletes applied below). Each
     // manifest-list row carries the manifest's sequence number; an
-    // entry may override it — deletes apply only to data files with a
-    // strictly SMALLER sequence number.
+    // entry may override it — position deletes apply to data files
+    // with sequence ≤ theirs, equality deletes to strictly smaller.
     def pathOf(m: JMap): String = asStr(m.getOrElse("manifest_path",
       sys.error("manifest-list row without manifest_path")))
     def seqOf(m: JMap): Long = m.get("sequence_number") match {
@@ -259,12 +411,44 @@ object IcebergLite {
     val manifestPaths = dataManifestRows.map(pathOf)
     val deleteManifestPaths = deleteManifestRows.map(pathOf)
 
+    /** Decodes each manifest's Avro entries in a bounded thread pool
+      * (I/O + decode parallelize; a 100 TB table's thousands of
+      * manifests must not plan serially), returning them IN MANIFEST
+      * ORDER so status replay below stays deterministic. Decline
+      * exceptions unwrap so the loud-decline contract survives the
+      * executor boundary. */
+    def decodeManifests(rows: Seq[JMap]): Seq[(JMap, Seq[JMap])] =
+      if (rows.isEmpty) Nil
+      else if (rows.lengthCompare(2) < 0)
+        rows.map(r => r -> AvroRead.genericRecords(
+          readBytes(rebase(pathOf(r)), 1 << 28)).toSeq.map(asMap))
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(rows.length, 8))
+        try {
+          val futs = rows.map { r =>
+            pool.submit(new java.util.concurrent.Callable[Seq[JMap]] {
+              override def call(): Seq[JMap] =
+                AvroRead.genericRecords(
+                  readBytes(rebase(pathOf(r)), 1 << 28)).toSeq.map(asMap)
+            })
+          }
+          rows.zip(futs.map { f =>
+            try f.get()
+            catch {
+              case e: java.util.concurrent.ExecutionException =>
+                throw e.getCause
+            }
+          })
+        } finally pool.shutdownNow()
+      }
+
     // ---- manifests → live data files (entry + sequence kept) ----
     val liveFiles =
       scala.collection.mutable.LinkedHashMap.empty[String, (JMap, Long)]
-    dataManifestRows.foreach { mrow =>
+    decodeManifests(dataManifestRows).foreach { case (mrow, entries) =>
       val mp = pathOf(mrow)
-      AvroRead.genericRecords(readBytes(rebase(mp), 1 << 28)).foreach { e =>
+      entries.foreach { e =>
         val status = asLong(e.getOrElse("status",
           sys.error(s"manifest $mp entry without status")))
         require(status >= 0 && status <= 2,
@@ -294,12 +478,13 @@ object IcebergLite {
     // via _metadata.row_index below); content 2 = EQUALITY deletes
     // (parquet of the equality_ids columns, applied to data files with
     // a strictly smaller sequence number, null-safe matching)
-    val posDeleteFiles = scala.collection.mutable.ArrayBuffer.empty[String]
+    val posDeletes = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long)] // (path, seq)
     val eqDeletes = scala.collection.mutable.ArrayBuffer
       .empty[(String, Seq[Long], Long)] // (path, equality field ids, seq)
-    deleteManifestRows.foreach { mrow =>
+    decodeManifests(deleteManifestRows).foreach { case (mrow, entries) =>
       val mp = pathOf(mrow)
-      AvroRead.genericRecords(readBytes(rebase(mp), 1 << 28)).foreach { e =>
+      entries.foreach { e =>
         val status = asLong(e.getOrElse("status",
           sys.error(s"delete manifest $mp entry without status")))
         require(status >= 0 && status <= 2,
@@ -313,18 +498,18 @@ object IcebergLite {
             s"unsupported Iceberg delete file format $fmt in $mp")
           val path = df.getOrElse("file_path",
             sys.error(s"delete manifest $mp without file_path")).toString
+          val seq = e.get("sequence_number") match {
+            case Some(s) if s != null => asLong(s)
+            case _ => seqOf(mrow)
+          }
           df.get("content").map(asLong).getOrElse(0L) match {
-            case 1L => posDeleteFiles += path
+            case 1L => posDeletes += ((path, seq))
             case 2L =>
               val ids = df.get("equality_ids") match {
                 case Some(s: scala.collection.Seq[_]) if s.nonEmpty =>
                   s.map(asLong).toSeq
                 case _ => sys.error(
                   s"equality delete without equality_ids in $mp")
-              }
-              val seq = e.get("sequence_number") match {
-                case Some(s) if s != null => asLong(s)
-                case _ => seqOf(mrow)
               }
               eqDeletes += ((path, ids, seq))
             case other => sys.error(
@@ -334,31 +519,79 @@ object IcebergLite {
       }
     }
 
-    // ---- stats file-skipping via manifest-entry bounds ----
-    val kept =
-      if (pruneCol == null) liveFiles.keys.toSeq
-      else {
-        val field = asSeq(schemaObj.getOrElse("fields",
-          sys.error("schema without fields"))).map(asMap)
-          .find(f => f.get("name").map(asStr).contains(pruneCol))
-          .getOrElse(sys.error(s"prune column $pruneCol not in schema"))
+    // ---- file skipping: stats bounds or partition transforms ----
+    def schemaField(colName: String): JMap =
+      asSeq(schemaObj.getOrElse("fields",
+        sys.error("schema without fields"))).map(asMap)
+        .find(f => f.get("name").map(asStr).contains(colName))
+        .getOrElse(sys.error(s"prune column $colName not in schema"))
+    val kept: Seq[String] = prune match {
+      case NoPrune => liveFiles.keys.toSeq
+      case LongBounds(colName, lo, hi) =>
+        val field = schemaField(colName)
         val t = field.getOrElse("type", sys.error("untyped field"))
         require(t == "long" || t == "int",
-          s"bounds pruning supports int/long columns, not $t")
+          s"long-bounds pruning supports int/long columns, not $t")
         val fieldId = asLong(field.getOrElse("id",
-          sys.error(s"schema field $pruneCol has no id")))
+          sys.error(s"schema field $colName has no id")))
         liveFiles.collect { case (p, (df, _))
-          if !(boundFor(df, "lower_bounds", fieldId).exists(_ > hi) ||
-               boundFor(df, "upper_bounds", fieldId).exists(_ < lo)) =>
+          if !(boundLong(boundFor(df, "lower_bounds", fieldId))
+                 .exists(_ > hi) ||
+               boundLong(boundFor(df, "upper_bounds", fieldId))
+                 .exists(_ < lo)) =>
           p
         }.toSeq
-      }
+      case StringBounds(colName, lo, hi) =>
+        val field = schemaField(colName)
+        val t = field.getOrElse("type", sys.error("untyped field"))
+        require(t == "string",
+          s"string-bounds pruning supports string columns, not $t")
+        val fieldId = asLong(field.getOrElse("id",
+          sys.error(s"schema field $colName has no id")))
+        liveFiles.collect { case (p, (df, _))
+          if !(boundStr(boundFor(df, "lower_bounds", fieldId))
+                 .exists(_ > hi) ||
+               boundStr(boundFor(df, "upper_bounds", fieldId))
+                 .exists(_ < lo)) =>
+          p
+        }.toSeq
+      case PartitionPoint(colName, value) =>
+        val field = schemaField(colName)
+        val t = field.getOrElse("type", sys.error("untyped field"))
+        require(t == "long" || t == "int",
+          s"partition pruning supports int/long source columns, not $t")
+        val fieldId = asLong(field.getOrElse("id",
+          sys.error(s"schema field $colName has no id")))
+        val specField = defaultSpecFields
+          .find(f => f.get("source-id").exists(asLong(_) == fieldId))
+          .getOrElse(sys.error(
+            s"column $colName is not a partition source in the default spec"))
+        val pname = asStr(specField.getOrElse("name",
+          sys.error("partition field without name")))
+        val transform = asStr(specField.getOrElse("transform",
+          sys.error("partition field without transform")))
+        val bucketRe = "bucket\\[(\\d+)\\]".r
+        val wantPart: Long = transform match {
+          case "identity" => value
+          case bucketRe(n) => bucketOf(value, n.toInt).toLong
+          case other => sys.error(
+            s"unsupported partition transform for pruning: $other")
+        }
+        liveFiles.collect { case (p, (df, _))
+          if (df.get("partition").map(asMap)
+            .flatMap(_.get(pname)).filter(_ != null) match {
+              case Some(v) => asLong(v) == wantPart
+              case None => true // spec-evolved / absent tuple: keep
+            }) =>
+          p
+        }.toSeq
+    }
     require(kept.nonEmpty,
       s"Iceberg snapshot $wantId of $table: no files survive pruning")
 
     import org.apache.spark.sql.functions._
     def fname(p: String): String = p.substring(p.lastIndexOf('/') + 1)
-    val hasDeletes = posDeleteFiles.nonEmpty || eqDeletes.nonEmpty
+    val hasDeletes = posDeletes.nonEmpty || eqDeletes.nonEmpty
     if (hasDeletes) {
       // deletes resolve per-file (position ordinals / sequence
       // numbers); recorded and runtime URIs differ in qualification,
@@ -374,22 +607,49 @@ object IcebergLite {
     val base0 = spark.read.schema(sparkSchema).parquet(paths: _*)
     val base =
       if (!hasDeletes) base0
-      else base0.select(col("*"),
-        element_at(split(col("_metadata.file_path"), "/"), -1).as("__f"),
-        col("_metadata.row_index").as("__p"))
+      else {
+        // per-data-file sequence numbers ride in on the file name —
+        // both delete kinds filter on them
+        val sq = spark
+        import sq.implicits._
+        val seqDf = broadcast(kept.map(p =>
+          (fname(p), liveFiles(p)._2)).toDF("__f", "__seq"))
+        base0.select(col("*"),
+          element_at(split(col("_metadata.file_path"), "/"), -1).as("__f"),
+          col("_metadata.row_index").as("__p"))
+          .join(seqDf, Seq("__f"), "left")
+      }
 
     val afterPos =
-      if (posDeleteFiles.isEmpty) base
+      if (posDeletes.isEmpty) base
       else {
+        // ONE distributed read of every position-delete parquet; each
+        // delete row inherits its file's sequence number via a
+        // broadcast (delete file name → seq) map, and applies only to
+        // data rows from files with sequence ≤ the delete file's
+        val delNames = posDeletes.map { case (p, _) => fname(p) }
+        require(delNames.distinct.length == delNames.length,
+          s"duplicate position-delete file names in snapshot $wantId")
+        val sq = spark
+        import sq.implicits._
+        val delSeq = broadcast(posDeletes.toSeq
+          .map { case (p, s) => (fname(p), s) }.toDF("__dfile", "__dseq"))
         val dels = spark.read
           .schema(StructType(Seq(
             StructField("file_path", StringType),
             StructField("pos", LongType, nullable = false))))
-          .parquet(posDeleteFiles.map(p => rebase(p).toString).toSeq: _*)
+          .parquet(posDeletes.map { case (p, _) => rebase(p).toString }
+            .toSeq: _*)
           .select(
-            element_at(split(col("file_path"), "/"), -1).as("__f"),
-            col("pos").as("__p"))
-        base.join(dels, Seq("__f", "__p"), "left_anti")
+            element_at(split(col("file_path"), "/"), -1).as("__df"),
+            col("pos").as("__dp"),
+            element_at(split(col("_metadata.file_path"), "/"), -1)
+              .as("__dfile"))
+          .join(delSeq, Seq("__dfile"))
+        base.join(dels,
+          base("__f") === dels("__df") && base("__p") === dels("__dp") &&
+            base("__seq") <= dels("__dseq"),
+          "left_anti")
       }
 
     val afterEq =
@@ -401,16 +661,10 @@ object IcebergLite {
           .map(f => asLong(f.getOrElse("id",
             sys.error("schema field without id"))) ->
             asStr(f.getOrElse("name", sys.error("unnamed field")))).toMap
-        // per-data-file sequence numbers ride in on the file name
-        val sq = spark
-        import sq.implicits._
-        val seqDf = broadcast(kept.map(p =>
-          (fname(p), liveFiles(p)._2)).toDF("__f", "__seq"))
-        val withSeq = afterPos.join(seqDf, Seq("__f"), "left")
         // one anti-join per equality-column set: delete rows match
         // null-safely on their columns AND only data rows from files
         // with a strictly smaller sequence number
-        eqDeletes.groupBy(_._2).foldLeft(withSeq) {
+        eqDeletes.groupBy(_._2).foldLeft(afterPos) {
           case (df, (ids, group)) =>
             val eqCols = ids.map(id => idToName.getOrElse(id,
               sys.error(s"equality_ids field $id not in schema")))
@@ -432,6 +686,6 @@ object IcebergLite {
       else afterEq.drop("__f", "__p", "__seq")
     Scan(manifestPaths.length + deleteManifestPaths.length,
       liveFiles.size, kept.length,
-      posDeleteFiles.length + eqDeletes.length, data)
+      posDeletes.length + eqDeletes.length, data)
   }
 }

@@ -517,4 +517,28 @@ class ParquetPagesSpec extends SparkSpec {
       longs(c, "k")
     }
   }
+
+  test("sparse legitimacy: an all-null RLE column denser than 64 values/byte reads") {
+    // 1M all-null rows RLE-compress to a file of a few KB, far past any
+    // values-per-file-byte density bound — the claim must NOT decline it
+    // (regression: the round-17 64×fileBytes cap silently nulled these)
+    val df = spark.range(0, 1000000).select(lit(null).cast("long").as("k"))
+    val b = writeAndRead(df, Map("compression" -> "snappy"))
+    assert(1000000L > 64L * b.length, s"fixture not sparse enough: ${b.length}")
+    val k = longs(b, "k")
+    assert(k != null && k.length === 1000000)
+    assert(k.forall(_ == null))
+    // mostly-null with a few real values: the lazy level growth still
+    // assembles the survivors at the right ordinals
+    val df2 = spark.range(0, 500000).select(
+      when(col("id") % 100000 === 7, col("id")).otherwise(lit(null))
+        .as("k"))
+    val b2 = writeAndRead(df2, Map("compression" -> "snappy"))
+    val k2 = longs(b2, "k")
+    assert(k2 != null && k2.length === 500000)
+    (0 until 500000).foreach { i =>
+      if (i % 100000 == 7) assert(k2(i).longValue === i.toLong)
+      else assert(k2(i) == null)
+    }
+  }
 }

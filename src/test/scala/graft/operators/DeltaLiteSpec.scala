@@ -471,6 +471,64 @@ class DeltaLiteSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.parquet.fieldId.read.enabled")
   }
 
+  test("column mapping renames recursively through nested struct/array types") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("dlcmnest").toString
+    // the FILE carries physical col-… names at EVERY nesting level
+    val fileDf = spark.range(1, 21).select(
+      col("id").as("col-k"),
+      struct((col("id") * 10).as("col-na"),
+        concat(lit("n"), col("id").cast("string")).as("col-nb"))
+        .as("col-rec"),
+      array(struct((col("id") * 2).as("col-ea"))).as("col-arr"))
+    val sa = writePart(fileDf, dir, "part-a.parquet")
+    def pf(logical: String, p: String, id: Long, dt: DataType) =
+      StructField(logical, dt, nullable = true,
+        new MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", p)
+          .putLong("delta.columnMapping.id", id).build())
+    val nested = StructType(Seq(pf("a", "col-na", 10, LongType),
+      pf("b", "col-nb", 11, StringType)))
+    val arrElem = StructType(Seq(pf("ea", "col-ea", 12, LongType)))
+    val schema = StructType(Seq(
+      pf("k", "col-k", 1, LongType),
+      pf("rec", "col-rec", 2, nested),
+      pf("arr", "col-arr", 3, ArrayType(arrElem))))
+    commit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"t","schemaString":"${esc(schema.json)}",""" +
+        s""""partitionColumns":[],"configuration":{""" +
+        s""""delta.columnMapping.mode":"name",""" +
+        s""""delta.columnMapping.maxColumnId":"12"}}}""",
+      addJson("part-a.parquet", Map.empty, sa)))
+    val snap = DeltaLite.snapshot(spark, dir)
+    assert(snap.schema.fieldNames.toSeq === Seq("k", "rec", "arr"))
+    // nested fields surface under their LOGICAL names with real values
+    // (regression: a top-level-only rename silently nulled them)
+    assert(snap.schema("rec").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq === Seq("a", "b"))
+    val got = snap.agg(sum(col("rec.a")), min(col("rec.b")),
+      sum(element_at(col("arr"), 1).getField("ea"))).collect().head
+    assert(got.getLong(0) === (1 to 20).map(_ * 10L).sum)
+    assert(got.getString(1) === "n1")
+    assert(got.getLong(2) === (1 to 20).map(_ * 2L).sum)
+    // a nested field missing its physicalName declines loudly
+    val bad = StructType(Seq(
+      pf("k", "col-k", 1, LongType),
+      pf("rec", "col-rec", 2, StructType(Seq(
+        pf("a", "col-na", 10, LongType),
+        StructField("b", StringType))))))
+    commit(dir, 1, Seq(
+      s"""{"metaData":{"id":"t","schemaString":"${esc(bad.json)}",""" +
+        s""""partitionColumns":[],"configuration":{""" +
+        s""""delta.columnMapping.mode":"name",""" +
+        s""""delta.columnMapping.maxColumnId":"12"}}}"""))
+    val e = intercept[IllegalArgumentException] {
+      DeltaLite.snapshot(spark, dir)
+    }
+    assert(e.getMessage.contains("physicalName"))
+  }
+
   test("log gaps and unanchored replays raise instead of partial snapshots") {
     val dir = buildTable()
     // gap: delete v1 — replay would silently lose part-c + part-a2

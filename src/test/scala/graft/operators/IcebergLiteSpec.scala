@@ -313,7 +313,7 @@ class IcebergLiteSpec extends SparkSpec {
     assert(e.getMessage.contains("equality_ids"))
   }
 
-  test("loud declines: non-parquet files, nested schema") {
+  test("loud declines: non-parquet files, unknown column type") {
     val dir2 = buildTable()
     writeManifest(dir2, "manifest-2.avro", Seq(
       entry(1, Snap2, "part-D.parquet", 10, format = "ORC")))
@@ -325,7 +325,7 @@ class IcebergLiteSpec extends SparkSpec {
     val dir3 = buildTable()
     Files.writeString(Paths.get(dir3, "metadata", "v2.metadata.json"),
       metadataJson(Snap2).replace("\"type\": \"long\"",
-        "\"type\": {\"type\": \"list\", \"element\": \"long\"}"))
+        "\"type\": \"variant\""))
     val e3 = intercept[RuntimeException] {
       IcebergLite.snapshot(spark, dir3)
     }
@@ -335,5 +335,238 @@ class IcebergLiteSpec extends SparkSpec {
       IcebergLite.snapshot(spark,
         Files.createTempDirectory("icenone").toString)
     }
+  }
+
+  test("nested schema: struct/list/map types map recursively; NTZ timestamps") {
+    val dir = Files.createTempDirectory("icenest").toString
+    val df = spark.range(1, 21).select(col("id").as("k"),
+      struct((col("id") * 10).as("a"),
+        concat(lit("b"), col("id").cast("string")).as("b")).as("rec"),
+      array(col("id"), col("id") * 2).as("arr"),
+      map(lit("x"), col("id").cast("double")).as("m"))
+    writePart(df, dir, "part-N.parquet")
+    writeManifest(dir, "manifest-1.avro",
+      Seq(entry(1, Snap1, "part-N.parquet", 20)))
+    writeManifestList(dir, "snap-1.avro", Seq(("manifest-1.avro", 0, 1L)))
+    Files.writeString(Paths.get(dir, "metadata", "v1.metadata.json"),
+      s"""{
+        |  "format-version": 1,
+        |  "table-uuid": "9c12f1b2-0000-4000-8000-0000000000aa",
+        |  "location": "$FakeLoc",
+        |  "last-updated-ms": 1700000000000,
+        |  "schema": {"type": "struct", "fields": [
+        |    {"id": 1, "name": "k", "required": true, "type": "long"},
+        |    {"id": 2, "name": "rec", "required": false, "type":
+        |      {"type": "struct", "fields": [
+        |        {"id": 4, "name": "a", "required": false, "type": "long"},
+        |        {"id": 5, "name": "b", "required": false, "type": "string"}]}},
+        |    {"id": 3, "name": "arr", "required": false, "type":
+        |      {"type": "list", "element-id": 6, "element": "long",
+        |       "element-required": false}},
+        |    {"id": 7, "name": "m", "required": false, "type":
+        |      {"type": "map", "key-id": 8, "key": "string",
+        |       "value-id": 9, "value": "double", "value-required": false}},
+        |    {"id": 10, "name": "ts", "required": false, "type": "timestamp"},
+        |    {"id": 11, "name": "tz", "required": false, "type": "timestamptz"}]},
+        |  "partition-spec": [],
+        |  "current-snapshot-id": $Snap1,
+        |  "snapshots": [
+        |    {"snapshot-id": $Snap1, "timestamp-ms": 1700000001000,
+        |     "summary": {"operation": "append"},
+        |     "manifest-list": "$FakeLoc/metadata/snap-1.avro"}]
+        |}""".stripMargin)
+    Files.writeString(Paths.get(dir, "metadata", "version-hint.text"), "1\n")
+    val scan = IcebergLite.scan(spark, dir)
+    val sc = scan.data.schema
+    assert(sc("rec").dataType ===
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.StringType))))
+    assert(sc("arr").dataType === org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = true))
+    assert(sc("m").dataType === org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType,
+      org.apache.spark.sql.types.DoubleType, valueContainsNull = true))
+    // timestamp (no zone) is NTZ; only timestamptz is session-zoned
+    assert(sc("ts").dataType === org.apache.spark.sql.types.TimestampNTZType)
+    assert(sc("tz").dataType === org.apache.spark.sql.types.TimestampType)
+    // nested DATA round-trips: leaf aggregates over struct/list fields
+    val got = scan.data.agg(
+      sum(col("rec.a")), min(col("rec.b")), sum(element_at(col("arr"), 2)),
+      sum(element_at(col("m"), "x"))).collect().head
+    assert(got.getLong(0) === (1 to 20).map(_ * 10L).sum)
+    assert(got.getString(1) === "b1")
+    assert(got.getLong(2) === (1 to 20).map(_ * 2L).sum)
+    assert(got.getDouble(3) === (1 to 20).map(_.toDouble).sum)
+  }
+
+  test("string bounds pruning: UTF-8 single-value bounds skip files") {
+    val dir = buildTable()
+    // rewrite the manifests with honest per-file bounds on the
+    // per-file-constant column p (field id 3): A=["a","a"], C=["c","c"];
+    // D stays bounds-less (conservatively kept)
+    def sb(lo: String, hi: String) = Map[String, Any](
+      "lower_bounds" -> Seq(Map[String, Any](
+        "key" -> 3, "value" -> lo.getBytes("UTF-8"))),
+      "upper_bounds" -> Seq(Map[String, Any](
+        "key" -> 3, "value" -> hi.getBytes("UTF-8"))))
+    def sentry(status: Int, snapId: Long, path: String, n: Long,
+               bounds: Map[String, Any]): Map[String, Any] =
+      Map("status" -> status,
+        "snapshot_id" -> java.lang.Long.valueOf(snapId),
+        "data_file" -> (Map[String, Any](
+          "file_path" -> s"$FakeLoc/data/$path",
+          "file_format" -> "PARQUET", "record_count" -> n,
+          "file_size_in_bytes" -> 1L,
+          "lower_bounds" -> null, "upper_bounds" -> null) ++ bounds))
+    writeManifest(dir, "manifest-1r.avro", Seq(
+      sentry(0, Snap1, "part-A.parquet", 10, sb("a", "a")),
+      sentry(0, Snap1, "part-C.parquet", 10, sb("c", "c"))))
+    writeManifest(dir, "manifest-2.avro", Seq(
+      sentry(1, Snap2, "part-D.parquet", 10, Map.empty)))
+    // ["c","c"] prunes A (upper "a" < "c"); C intersects; D kept
+    val p = IcebergLite.prunedScanString(spark, dir, "p", "c", "c")
+    assert(p.nDataFiles === 3)
+    assert(p.keptFiles === 2)
+    val got = p.data.filter(col("p") === "c")
+      .select("k").as[Long].collect().sorted
+    assert(got === (21L to 30L).toArray) // pruning is sound
+    // a truncated upper bound (writer bumps the last code point) only
+    // WIDENS the kept set: A's upper "a" recorded as "b"
+    writeManifest(dir, "manifest-1r.avro", Seq(
+      sentry(0, Snap1, "part-A.parquet", 10, sb("a", "b")),
+      sentry(0, Snap1, "part-C.parquet", 10, sb("c", "c"))))
+    assert(IcebergLite.prunedScanString(spark, dir, "p", "ab", "ab")
+      .keptFiles === 2) // A (widened upper ≥ "ab") + D — C pruned
+    // long-typed column via the string face declines
+    intercept[IllegalArgumentException] {
+      IcebergLite.prunedScanString(spark, dir, "k", "a", "b")
+    }
+  }
+
+  test("partition-transform pruning: identity and bucket[N], loud declines") {
+    // Iceberg spec appendix test vector: int/long 34 hashes to
+    // 2017239379 under the bucket murmur3
+    def le64(v: Long): Array[Byte] =
+      (0 until 8).map(k => ((v >>> (8 * k)) & 0xff).toByte).toArray
+    assert(IcebergLite.murmur3(le64(34L)) === 2017239379)
+    assert(IcebergLite.bucketOf(34L, 16) === (2017239379 % 16))
+
+    val dir = Files.createTempDirectory("icepart").toString
+    // four files, each holding exactly the ks of one bucket[4] value
+    val byBucket = (1L to 100L).groupBy(k => IcebergLite.bucketOf(k, 4))
+    val partEntrySchema = manifestSchema.replace(
+      """{"name":"file_size_in_bytes","type":"long"}""",
+      """{"name":"file_size_in_bytes","type":"long"},
+        |{"name":"partition","type":["null",{"type":"record",
+        |  "name":"r102","fields":[
+        |    {"name":"k_bucket","type":["null","int"],"default":null}]}],
+        | "default":null}""".stripMargin.replaceAll("\n\\s*", ""))
+    val entries = byBucket.toSeq.sortBy(_._1).map { case (b, ks) =>
+      val df = spark.createDataset(ks.toSeq).select(col("value").as("k"),
+        concat(lit("s"), col("value").cast("string")).as("s"))
+      writePart(df, dir, s"part-b$b.parquet")
+      Map[String, Any]("status" -> 1,
+        "snapshot_id" -> java.lang.Long.valueOf(Snap1),
+        "data_file" -> Map[String, Any](
+          "file_path" -> s"$FakeLoc/data/part-b$b.parquet",
+          "file_format" -> "PARQUET", "record_count" -> ks.length.toLong,
+          "file_size_in_bytes" -> 1L,
+          "lower_bounds" -> null, "upper_bounds" -> null,
+          "partition" -> Map[String, Any]("k_bucket" -> b)))
+    }
+    val p = Paths.get(dir, "metadata", "manifest-1.avro")
+    Files.createDirectories(p.getParent)
+    Files.write(p, AvroWrite.genericFileBytes(partEntrySchema, entries))
+    writeManifestList(dir, "snap-1.avro", Seq(("manifest-1.avro", 0, 1L)))
+    def meta(transform: String): String =
+      s"""{
+        |  "format-version": 1,
+        |  "table-uuid": "9c12f1b2-0000-4000-8000-0000000000ab",
+        |  "location": "$FakeLoc",
+        |  "last-updated-ms": 1700000000000,
+        |  "schema": {"type": "struct", "fields": [
+        |    {"id": 1, "name": "k", "required": true, "type": "long"},
+        |    {"id": 2, "name": "s", "required": false, "type": "string"}]},
+        |  "partition-spec": [{"source-id": 1, "field-id": 1000,
+        |    "name": "k_bucket", "transform": "$transform"}],
+        |  "current-snapshot-id": $Snap1,
+        |  "snapshots": [
+        |    {"snapshot-id": $Snap1, "timestamp-ms": 1700000001000,
+        |     "summary": {"operation": "append"},
+        |     "manifest-list": "$FakeLoc/metadata/snap-1.avro"}]
+        |}""".stripMargin
+    Files.writeString(Paths.get(dir, "metadata", "v1.metadata.json"),
+      meta("bucket[4]"))
+    Files.writeString(Paths.get(dir, "metadata", "version-hint.text"), "1\n")
+    val scan = IcebergLite.partitionPrunedScan(spark, dir, "k", 42L)
+    assert(scan.nDataFiles === byBucket.size)
+    assert(scan.keptFiles === 1) // only 42's bucket survives
+    val got = scan.data.filter(col("k") === 42L)
+      .select("k").as[Long].collect()
+    assert(got === Array(42L)) // pruning is sound for the point query
+    // identity: partition value IS the column value — nothing matches
+    // a k that is not a whole file's constant, so files whose recorded
+    // k_bucket ≠ 42 all skip (none equal 42 here: buckets are 0..3)
+    Files.writeString(Paths.get(dir, "metadata", "v1.metadata.json"),
+      meta("identity"))
+    val idScan = IcebergLite.partitionPrunedScan(spark, dir, "k", 2L)
+    assert(idScan.keptFiles === 1) // the file whose tuple records 2
+    // unsupported transform and non-partition column decline loudly
+    Files.writeString(Paths.get(dir, "metadata", "v1.metadata.json"),
+      meta("day"))
+    val e = intercept[RuntimeException] {
+      IcebergLite.partitionPrunedScan(spark, dir, "k", 42L)
+    }
+    assert(e.getMessage.contains("unsupported partition transform"))
+    Files.writeString(Paths.get(dir, "metadata", "v1.metadata.json"),
+      meta("bucket[4]"))
+    val e2 = intercept[RuntimeException] {
+      IcebergLite.partitionPrunedScan(spark, dir, "s", 42L)
+    }
+    assert(e2.getMessage.contains("partition"))
+  }
+
+  test("position deletes are sequence-aware: older deletes skip newer files") {
+    val dir = buildTable()
+    // position-delete file naming part-D (data seq 2 via its list row)
+    val delName = "posdel-d.parquet"
+    val tmp = Files.createTempDirectory("icedel2").toString
+    spark.range(0, 3).select(
+      lit(s"$FakeLoc/data/part-D.parquet").as("file_path"),
+      col("id").as("pos"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.move(part.toPath, Paths.get(dir, "data", delName),
+      StandardCopyOption.REPLACE_EXISTING)
+    val delEntrySchema = manifestSchema.replace(
+      """{"name":"file_path","type":"string"}""",
+      """{"name":"content","type":"int"},
+        |{"name":"file_path","type":"string"}"""
+        .stripMargin.replaceAll("\n\\s*", ""))
+    Files.write(Paths.get(dir, "metadata", "manifest-del.avro"),
+      AvroWrite.genericFileBytes(delEntrySchema, Seq(
+        Map[String, Any]("status" -> 1,
+          "snapshot_id" -> java.lang.Long.valueOf(Snap2),
+          "data_file" -> Map[String, Any]("content" -> 1,
+            "file_path" -> s"$FakeLoc/data/$delName",
+            "file_format" -> "PARQUET", "record_count" -> 3L,
+            "file_size_in_bytes" -> 1L,
+            "lower_bounds" -> null, "upper_bounds" -> null)))))
+    // delete manifest at seq 1 < part-D's seq 2: the Iceberg spec
+    // applies a position delete only to files with sequence ≤ its own,
+    // so part-D keeps all ten rows
+    writeManifestList(dir, "snap-2.avro",
+      Seq(("manifest-1r.avro", 0, 1L), ("manifest-2.avro", 0, 2L),
+        ("manifest-del.avro", 1, 1L)))
+    assert(IcebergLite.scan(spark, dir).data.count() === 30)
+    // at seq 2 (equal): it applies — three rows of part-D vanish
+    writeManifestList(dir, "snap-2.avro",
+      Seq(("manifest-1r.avro", 0, 1L), ("manifest-2.avro", 0, 2L),
+        ("manifest-del.avro", 1, 2L)))
+    assert(IcebergLite.scan(spark, dir).data.count() === 27)
   }
 }
