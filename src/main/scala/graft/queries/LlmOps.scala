@@ -3746,6 +3746,10 @@ object LlmOps {
           |    {"name":"file_format","type":"string"},
           |    {"name":"record_count","type":"long"},
           |    {"name":"file_size_in_bytes","type":"long"},
+          |    {"name":"partition","type":["null",{"type":"record",
+          |      "name":"r102","fields":[
+          |        {"name":"b","type":["null","long"],"default":null}]}],
+          |     "default":null},
           |    {"name":"lower_bounds","type":["null",{"type":"array","items":
           |      {"type":"record","name":"kv1","fields":[
           |        {"name":"key","type":"int"},
@@ -3766,10 +3770,12 @@ object LlmOps {
       val entries = (0 until 5).flatMap { i =>
         val lo = i * w + 1
         val hi = (i + 1) * w
+        val tag = ('a' + i).toChar.toString // per-bucket string stat
         val part = orders(s, d)
           .filter(col("o_orderkey").between(lo, hi))
           .select(col("o_orderkey").cast("long").as("k"),
-            col("o_orderstatus").as("st"))
+            col("o_orderstatus").as("st"), lit(tag).as("tag"),
+            lit(i.toLong).as("b"))
         val stats = part.agg(min("k"), max("k"), count(lit(1)))
           .collect().head
         if (stats.getLong(2) == 0) None
@@ -3789,10 +3795,17 @@ object LlmOps {
               "file_format" -> "PARQUET",
               "record_count" -> stats.getLong(2),
               "file_size_in_bytes" -> java.nio.file.Files.size(dest),
-              "lower_bounds" -> Seq(Map[String, Any](
-                "key" -> 1, "value" -> le64(stats.getLong(0)))),
-              "upper_bounds" -> Seq(Map[String, Any](
-                "key" -> 1, "value" -> le64(stats.getLong(1)))))))
+              "partition" -> Map[String, Any]("b" -> i.toLong),
+              "lower_bounds" -> Seq(
+                Map[String, Any]("key" -> 1,
+                  "value" -> le64(stats.getLong(0))),
+                Map[String, Any]("key" -> 3,
+                  "value" -> tag.getBytes("UTF-8"))),
+              "upper_bounds" -> Seq(
+                Map[String, Any]("key" -> 1,
+                  "value" -> le64(stats.getLong(1))),
+                Map[String, Any]("key" -> 3,
+                  "value" -> tag.getBytes("UTF-8"))))))
         }
       }
       val metaP = dir.resolve("metadata")
@@ -3813,8 +3826,11 @@ object LlmOps {
           |  "last-updated-ms": 1700000000000,
           |  "schema": {"type": "struct", "fields": [
           |    {"id": 1, "name": "k", "required": true, "type": "long"},
-          |    {"id": 2, "name": "st", "required": false, "type": "string"}]},
-          |  "partition-spec": [],
+          |    {"id": 2, "name": "st", "required": false, "type": "string"},
+          |    {"id": 3, "name": "tag", "required": false, "type": "string"},
+          |    {"id": 4, "name": "b", "required": false, "type": "long"}]},
+          |  "partition-spec": [{"source-id": 4, "field-id": 1000,
+          |    "name": "b", "transform": "identity"}],
           |  "current-snapshot-id": $IceSnap1,
           |  "snapshots": [
           |    {"snapshot-id": $IceSnap1, "timestamp-ms": 1700000001000,
@@ -3828,6 +3844,117 @@ object LlmOps {
       finally walk.close()
       dir.toString
     })
+
+  /** Nested-schema Iceberg fixture: one data file whose TABLE SCHEMA
+    * nests a struct (rec: ck/st) and a list (arr = [k, 2k]) — the
+    * metadata's type JSON uses Iceberg's nested struct/list objects,
+    * exercising the recursive type mapping end-to-end. */
+  private def icebergNestedFixture(s: SparkSession, d: String): String =
+    parquetNestedDirs.computeIfAbsent(s"$d#icenest", _ => {
+      val dir = java.nio.file.Files.createTempDirectory("ice_nest")
+      val loc = "file:///warehouse/orders_ice_nest"
+      val n = {
+        val tmp = java.nio.file.Files.createTempDirectory("in").toString
+        val df = orders(s, d).select(
+          col("o_orderkey").cast("long").as("k"),
+          struct(col("o_custkey").cast("long").as("ck"),
+            col("o_orderstatus").as("st")).as("rec"),
+          array(col("o_orderkey").cast("long"),
+            (col("o_orderkey") * 2).cast("long")).as("arr"))
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val f = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = dir.resolve("data").resolve("part-0.parquet")
+        java.nio.file.Files.createDirectories(dest.getParent)
+        java.nio.file.Files.move(f.toPath, dest,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        df.count()
+      }
+      val manifestSchema =
+        """{"type":"record","name":"manifest_entry","fields":[
+          |  {"name":"status","type":"int"},
+          |  {"name":"snapshot_id","type":["null","long"]},
+          |  {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+          |    {"name":"file_path","type":"string"},
+          |    {"name":"file_format","type":"string"},
+          |    {"name":"record_count","type":"long"},
+          |    {"name":"file_size_in_bytes","type":"long"}]}}]}"""
+          .stripMargin.replaceAll("\n\\s*", "")
+      val listSchema =
+        """{"type":"record","name":"manifest_file","fields":[
+          |  {"name":"manifest_path","type":"string"},
+          |  {"name":"manifest_length","type":"long"},
+          |  {"name":"partition_spec_id","type":"int"},
+          |  {"name":"content","type":"int"},
+          |  {"name":"added_snapshot_id","type":["null","long"]}]}"""
+          .stripMargin.replaceAll("\n\\s*", "")
+      val metaP = dir.resolve("metadata")
+      java.nio.file.Files.createDirectories(metaP)
+      java.nio.file.Files.write(metaP.resolve("manifest-1.avro"),
+        graft.functions.AvroWrite.genericFileBytes(manifestSchema,
+          Seq(Map[String, Any]("status" -> 1,
+            "snapshot_id" -> java.lang.Long.valueOf(IceSnap1),
+            "data_file" -> Map[String, Any](
+              "file_path" -> s"$loc/data/part-0.parquet",
+              "file_format" -> "PARQUET", "record_count" -> n,
+              "file_size_in_bytes" -> 1L)))))
+      java.nio.file.Files.write(metaP.resolve("snap-1.avro"),
+        graft.functions.AvroWrite.genericFileBytes(listSchema,
+          Seq(Map[String, Any](
+            "manifest_path" -> s"$loc/metadata/manifest-1.avro",
+            "manifest_length" -> 1L, "partition_spec_id" -> 0,
+            "content" -> 0, "added_snapshot_id" -> null))))
+      java.nio.file.Files.writeString(metaP.resolve("v1.metadata.json"),
+        s"""{
+          |  "format-version": 2,
+          |  "table-uuid": "9c12f1b2-0000-4000-8000-00000000000f",
+          |  "location": "$loc",
+          |  "last-updated-ms": 1700000000000,
+          |  "last-sequence-number": 1,
+          |  "current-schema-id": 0,
+          |  "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+          |    {"id": 1, "name": "k", "required": true, "type": "long"},
+          |    {"id": 2, "name": "rec", "required": false, "type":
+          |      {"type": "struct", "fields": [
+          |        {"id": 4, "name": "ck", "required": false, "type": "long"},
+          |        {"id": 5, "name": "st", "required": false,
+          |         "type": "string"}]}},
+          |    {"id": 3, "name": "arr", "required": false, "type":
+          |      {"type": "list", "element-id": 6, "element": "long",
+          |       "element-required": false}}]}],
+          |  "default-spec-id": 0,
+          |  "partition-specs": [{"spec-id": 0, "fields": []}],
+          |  "current-snapshot-id": $IceSnap1,
+          |  "snapshots": [
+          |    {"snapshot-id": $IceSnap1, "timestamp-ms": 1700000001000,
+          |     "sequence-number": 1,
+          |     "summary": {"operation": "append"},
+          |     "manifest-list": "$loc/metadata/snap-1.avro"}]
+          |}""".stripMargin)
+      java.nio.file.Files.writeString(
+        metaP.resolve("version-hint.text"), "1\n")
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().forEachRemaining(q => q.toFile.deleteOnExit())
+      finally walk.close()
+      dir.toString
+    })
+
+  /** Iceberg NESTED-SCHEMA gate — the recursive type mapping made
+    * real: the table schema nests a struct and a list, the pinned
+    * read resolves both, and leaf aggregates (struct fields as group
+    * key and measure, list element by ordinal) are oracled from
+    * orders — a mis-mapped nested type nulls a leaf and
+    * hash-mismatches. */
+  def xIcebergNested(s: SparkSession, d: String): DataFrame = {
+    val snap = graft.operators.IcebergLite.snapshot(
+      s, icebergNestedFixture(s, d))
+    ordered(
+      snap.groupBy(col("rec.st").as("st"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("rec.ck")).as("sum_ck"),
+          sum(element_at(col("arr"), 2)).as("sum_a2")),
+      "st")
+  }
 
   /** Column-mapped Delta fixture: parquet parts carry PHYSICAL
     * `col-…` names; metaData records name-mode column mapping with
@@ -4253,28 +4380,43 @@ object LlmOps {
       "prio")
   }
 
-  /** Iceberg FILE-SKIPPING gate — manifest bounds pruning, the
-    * x_delta_prune parity for format #2: manifest entries carry real
-    * per-file lower/upper bounds, `prunedScan` keeps only files whose
-    * range can intersect the predicate, and an exact re-filter over
-    * the kept data yields the answer. Oracle recomputes the kept
-    * count from the same bucket arithmetic plus the data aggregates. */
+  /** Iceberg FILE-SKIPPING gate — manifest pruning in all THREE
+    * planning dimensions, the x_delta_prune parity for format #2:
+    * (k) int bounds — manifest entries carry real per-file
+    * lower/upper bounds and `prunedScan` keeps only files whose range
+    * can intersect the predicate; (tag) string bounds — the UTF-8
+    * single-value face; (part) partition-transform skipping — the
+    * manifest partition tuple under the identity transform keeps only
+    * the matching partition's file. Each face re-filters the kept
+    * data exactly; the oracle recomputes kept counts from the same
+    * bucket arithmetic plus the data aggregates. */
   def xIcebergPrune(s: SparkSession, d: String): DataFrame = {
     val maxK = orders(s, d).agg(max(col("o_orderkey"))).collect()
       .head.getLong(0)
     val w = maxK / 5 + 1
     val lo = w + 10
     val hi = 2 * w - 10 // strictly inside bucket 1
-    val p = graft.operators.IcebergLite.prunedScan(
-      s, icebergPruneFixture(s, d, w), "k", lo, hi)
-    ordered(
-      p.data.filter(col("k").between(lo, hi))
+    val dir = icebergPruneFixture(s, d, w)
+    val p = graft.operators.IcebergLite.prunedScan(s, dir, "k", lo, hi)
+    def face(label: String, pr: graft.operators.IcebergLite.Scan,
+             keepRows: org.apache.spark.sql.Column) =
+      pr.data.filter(keepRows)
         .agg(
-          lit(p.nDataFiles).cast("long").as("n_files"),
-          lit(p.keptFiles).cast("long").as("kept_files"),
+          lit(pr.nDataFiles).cast("long").as("n_files"),
+          lit(pr.keptFiles).cast("long").as("kept_files"),
           count(lit(1)).as("n_match"),
-          coalesce(sum(col("k")), lit(0L)).as("sum_match")),
-      "n_files")
+          coalesce(sum(col("k")), lit(0L)).as("sum_match"))
+        .select(lit(label).as("face"), col("n_files"), col("kept_files"),
+          col("n_match"), col("sum_match"))
+    val ps = graft.operators.IcebergLite.prunedScanString(
+      s, dir, "tag", "c", "c")
+    val pp = graft.operators.IcebergLite.partitionPrunedScan(
+      s, dir, "b", 2L)
+    ordered(
+      face("k", p, col("k").between(lo, hi))
+        .unionByName(face("tag", ps, col("tag") === "c"))
+        .unionByName(face("part", pp, col("b") === 2L)),
+      "face")
   }
 
   /** Iceberg SNAPSHOT gate — the manifest tier made real: the current
@@ -4953,6 +5095,7 @@ object LlmOps {
     "x_delta_prune"       -> (xDeltaPrune _),
     "x_iceberg_meta"      -> (xIcebergMeta _),
     "x_iceberg_snapshot"  -> (xIcebergSnapshot _),
+    "x_iceberg_nested"    -> (xIcebergNested _),
     "x_iceberg_prune"     -> (xIcebergPrune _),
     "x_iceberg_deletes"   -> (xIcebergDeletes _),
     "x_iceberg_eqdel"     -> (xIcebergEqdel _),
@@ -5550,20 +5693,40 @@ object LlmOps {
         |  min(o_orderstatus) AS min_st, max(o_orderstatus) AS max_st
         |FROM r WHERE NOT (prio = '2-HIGH' AND pos % 2 = 0)
         |GROUP BY 1 ORDER BY prio""".stripMargin,
+    "x_iceberg_nested" ->
+      ("SELECT o_orderstatus AS st, count(*) AS n, " +
+        "CAST(sum(o_custkey) AS BIGINT) AS sum_ck, " +
+        "CAST(sum(2 * o_orderkey) AS BIGINT) AS sum_a2 " +
+        "FROM orders GROUP BY 1 ORDER BY st"),
     "x_iceberg_prune" ->
       """WITH w AS (SELECT max(o_orderkey) // 5 + 1 AS w FROM orders),
         |b AS (SELECT (o_orderkey - 1) // w.w AS bucket,
         |    min(o_orderkey) AS mn, max(o_orderkey) AS mx
         |  FROM orders, w GROUP BY 1),
         |r AS (SELECT w.w + 10 AS lo, 2 * w.w - 10 AS hi FROM w)
-        |SELECT
+        |SELECT 'k' AS face,
         |  CAST((SELECT count(*) FROM b) AS BIGINT) AS n_files,
         |  CAST((SELECT count(*) FROM b, r
         |        WHERE b.mn <= r.hi AND b.mx >= r.lo) AS BIGINT)
         |    AS kept_files,
         |  CAST(count(*) AS BIGINT) AS n_match,
         |  CAST(coalesce(sum(o_orderkey), 0) AS BIGINT) AS sum_match
-        |FROM orders, r WHERE o_orderkey BETWEEN r.lo AND r.hi""".stripMargin,
+        |FROM orders, r WHERE o_orderkey BETWEEN r.lo AND r.hi
+        |UNION ALL
+        |SELECT 'part',
+        |  CAST((SELECT count(*) FROM b) AS BIGINT),
+        |  CAST((SELECT count(*) FROM b WHERE bucket = 2) AS BIGINT),
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(o_orderkey), 0) AS BIGINT)
+        |FROM orders, w WHERE (o_orderkey - 1) // w.w = 2
+        |UNION ALL
+        |SELECT 'tag',
+        |  CAST((SELECT count(*) FROM b) AS BIGINT),
+        |  CAST((SELECT count(*) FROM b WHERE bucket = 2) AS BIGINT),
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(o_orderkey), 0) AS BIGINT)
+        |FROM orders, w WHERE (o_orderkey - 1) // w.w = 2
+        |ORDER BY face""".stripMargin,
     "x_delta_snapshot" ->
       ("SELECT o_orderpriority AS prio, count(*) AS n, " +
         "CAST(sum(o_orderkey) AS BIGINT) AS sum_k, " +
