@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 
 /** Delta-protocol TABLE reader (log replay, no delta library) — the
   * table-format tier on top of the file-format tier: a Delta table is
@@ -81,7 +81,9 @@ object DeltaLite {
       "configuration: MAP<STRING, STRING>>, " +
       "protocol STRUCT<minReaderVersion: INT, minWriterVersion: INT, " +
       "readerFeatures: ARRAY<STRING>>, " +
-      "sidecar STRUCT<path: STRING, sizeInBytes: BIGINT>")
+      "sidecar STRUCT<path: STRING, sizeInBytes: BIGINT>, " +
+      "cdc STRUCT<path: STRING, partitionValues: MAP<STRING, STRING>, " +
+      "size: BIGINT, dataChange: BOOLEAN>")
 
   /** Reader features this implementation actually honors: v2Checkpoint
     * (sidecar replay), deletionVectors (row-level delete bitmaps
@@ -98,6 +100,185 @@ object DeltaLite {
   def snapshot(spark: SparkSession, table: String,
                versionAsOf: Long = Long.MaxValue): DataFrame =
     build(spark, table, versionAsOf, keep = null).data
+
+  /** Version in effect at `tsMillis`, resolved per the protocol's
+    * time-travel rule from COMMIT FILE timestamps (modification time):
+    * the latest version whose commit is at or before the timestamp.
+    * Raises when the table has no commit that old. */
+  def versionAtTimestamp(spark: SparkSession, table: String,
+                         tsMillis: Long): Long = {
+    val fs = new Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(table, LogDir)
+    require(fs.exists(dir), s"not a Delta table (no $LogDir): $table")
+    val cands = fs.listStatus(dir)
+      .filter(_.getPath.getName.matches("\\d{20}\\.json"))
+      .filter(_.getModificationTime <= tsMillis)
+      .map(_.getPath.getName.stripSuffix(".json").toLong)
+    require(cands.nonEmpty,
+      s"no Delta commit at or before timestamp $tsMillis in $table")
+    cands.max
+  }
+
+  /** `timestampAsOf` time travel: the snapshot at
+    * [[versionAtTimestamp]]'s version. */
+  def snapshotAsOfTimestamp(spark: SparkSession, table: String,
+                            tsMillis: Long): DataFrame =
+    snapshot(spark, table, versionAtTimestamp(spark, table, tsMillis))
+
+  /** CHANGE-DATA-FEED read — the incremental-consumer face a
+    * training-data pipeline uses to re-process deltas: every change
+    * row committed in versions [fromVersion, toVersion], surfaced as
+    * the table schema plus `_change_type` and `_commit_version`.
+    * Commits that wrote explicit `cdc` actions surface their
+    * `_change_data` parquet verbatim (those files carry
+    * `_change_type`: insert / delete / update_preimage /
+    * update_postimage, and per the protocol REPLACE that commit's
+    * add/remove as the change source); plain commits SYNTHESIZE the
+    * feed: dataChange adds replay as `insert` rows, dataChange
+    * removes replay the removed file's (still-present) content as
+    * `delete` rows, with partition values resolved through the file's
+    * original add. Per-commit file groups read as pinned-schema
+    * distributed scans; only the file PLANNING set is driver-side.
+    * Declines loudly on column-mapped tables, deletion vectors, or a
+    * JSON history that no longer reaches version 0 (synthesis and
+    * partition resolution need the full log). */
+  def changes(spark: SparkSession, table: String, fromVersion: Long,
+              toVersion: Long): DataFrame = {
+    val fs = new Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val logDir = new Path(table, LogDir)
+    require(fs.exists(logDir), s"not a Delta table (no $LogDir): $table")
+    require(fromVersion >= 0 && toVersion >= fromVersion,
+      s"bad CDF version range [$fromVersion, $toVersion]")
+    val present = fs.listStatus(logDir).map(_.getPath.getName)
+      .filter(_.matches("\\d{20}\\.json"))
+      .map(_.stripSuffix(".json").toLong).toSet
+    (0L to toVersion).foreach(v => require(present.contains(v),
+      s"CDF needs the full JSON history: commit $v missing in $table"))
+    val files = (0L to toVersion)
+      .map(v => new Path(logDir, f"$v%020d.json").toString)
+    val actions = spark.read.schema(actionSchema).json(files: _*)
+      .withColumn("v", regexp_extract(input_file_name(),
+        "(\\d{20})\\.json", 1).cast("long"))
+
+    // protocol gate + governing metaData — same rules as the snapshot
+    // replay, tiny driver rows by construction
+    val meta = actions
+      .select(col("v"), col("metaData"), col("protocol"))
+      .filter(col("metaData").isNotNull || col("protocol").isNotNull)
+      .collect()
+    meta.filter(!_.isNullAt(2)).sortBy(_.getLong(0)).lastOption.foreach { r =>
+      val p = r.getStruct(2)
+      val minReader = if (p.isNullAt(0)) 1 else p.getInt(0)
+      val feats: Seq[String] =
+        if (p.length < 3 || p.isNullAt(2)) Seq.empty else p.getSeq[String](2)
+      val ok = minReader <= 2 ||
+        (minReader == 3 && feats.nonEmpty &&
+          feats.forall(SupportedReaderFeatures))
+      require(ok,
+        s"unsupported Delta protocol for CDF: minReaderVersion=$minReader")
+    }
+    val metaRow = meta.filter(!_.isNullAt(1)).sortBy(_.getLong(0)).lastOption
+      .getOrElse(sys.error(s"no metaData action in $table"))
+    val schema = DataType.fromJson(metaRow.getStruct(1).getString(1))
+      .asInstanceOf[StructType]
+    val partCols = Option(metaRow.getStruct(1).getSeq[String](2))
+      .getOrElse(Seq.empty)
+    val cmapMode = {
+      val conf = metaRow.getStruct(1)
+      if (conf.length < 4 || conf.isNullAt(3)) "none"
+      else Option(conf.getMap[String, String](3))
+        .flatMap(_.get("delta.columnMapping.mode")).getOrElse("none")
+    }
+    require(cmapMode == "none",
+      "CDF on column-mapped tables is beyond this reader")
+
+    // driver-side planning rows: adds up to toVersion (remove-pv
+    // lookup needs them), removes and cdc actions in range —
+    // metadata-bounded, like the snapshot FILE LIST
+    val addRows = actions.filter(col("add").isNotNull)
+      .select(col("add.path"), col("add.partitionValues"),
+        coalesce(col("add.dataChange"), lit(true)),
+        col("add.deletionVector").isNotNull, col("v"))
+      .collect()
+      .map(r => (r.getString(0),
+        Option(r.getMap[String, String](1)).map(_.toMap)
+          .getOrElse(Map.empty[String, String]),
+        r.getBoolean(2), r.getBoolean(3), r.getLong(4)))
+    require(!addRows.exists(_._4),
+      "CDF over deletion-vector tables is beyond this reader")
+    val removeRows = actions.filter(col("remove").isNotNull &&
+        col("v").between(fromVersion, toVersion))
+      .select(col("remove.path"),
+        coalesce(col("remove.dataChange"), lit(true)), col("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
+    val cdcRows = actions.filter(col("cdc").isNotNull &&
+        col("v").between(fromVersion, toVersion))
+      .select(col("cdc.path"), col("cdc.partitionValues"), col("v"))
+      .collect()
+      .map(r => (r.getString(0),
+        Option(r.getMap[String, String](1)).map(_.toMap)
+          .getOrElse(Map.empty[String, String]), r.getLong(2)))
+    // a commit with cdc actions describes its own changes COMPLETELY —
+    // its add/remove must not synthesize on top (double counting)
+    val cdcVersions = cdcRows.map(_._3).toSet
+
+    val dataFields = schema.filterNot(f => partCols.contains(f.name))
+    val ctField = StructField("_change_type", StringType)
+    val dataSchema = StructType(dataFields)
+    val cdcSchema = StructType(dataFields :+ ctField)
+
+    // one pinned read per (version, partition tuple, change source)
+    val groups = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Map[String, String], String, Seq[String])]
+    cdcRows.groupBy(r => (r._3, r._2)).foreach { case ((v, pv), rs) =>
+      groups += ((v, pv, null, rs.map(_._1).toSeq))
+    }
+    addRows.filter(a => a._5 >= fromVersion && a._5 <= toVersion &&
+        a._3 && !cdcVersions.contains(a._5))
+      .groupBy(a => (a._5, a._2)).foreach { case ((v, pv), as) =>
+        groups += ((v, pv, "insert", as.map(_._1).toSeq))
+      }
+    val addsByPath = addRows.groupBy(_._1)
+    removeRows.filter(r => r._2 && !cdcVersions.contains(r._3))
+      .map { case (path, _, v) =>
+        val pv = addsByPath.getOrElse(path, Array.empty)
+          .filter(_._5 <= v).sortBy(_._5).lastOption
+          .map(_._2).getOrElse(Map.empty[String, String])
+        (path, pv, v)
+      }
+      .groupBy(r => (r._3, r._2)).foreach { case ((v, pv), rs) =>
+        groups += ((v, pv, "delete", rs.map(_._1).toSeq))
+      }
+
+    val outCols = schema.fieldNames.toSeq ++
+      Seq("_change_type", "_commit_version")
+    val parts = groups.toSeq
+      .sortBy(g => (g._1, String.valueOf(g._3),
+        g._2.toSeq.sorted.map { case (k, x) => s"$k=$x" }.mkString(",")))
+      .map { case (v, pv, ct, rels) =>
+        val paths = rels.map(rel => new Path(table, uriDecode(rel)).toString)
+        val base =
+          if (ct == null) spark.read.schema(cdcSchema).parquet(paths: _*)
+          else spark.read.schema(dataSchema).parquet(paths: _*)
+            .withColumn("_change_type", lit(ct))
+        partCols.foldLeft(base) { (df, pc) =>
+          val f = schema.find(_.name == pc).getOrElse(
+            sys.error(s"partition column $pc missing from schema"))
+          df.withColumn(pc, pv.get(pc).map(x => lit(x).cast(f.dataType))
+            .getOrElse(lit(null).cast(f.dataType)))
+        }.withColumn("_commit_version", lit(v))
+          .select(outCols.map(col): _*)
+      }
+    if (parts.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(schema.fields.toSeq ++
+          Seq(ctField, StructField("_commit_version", LongType))))
+    else parts.reduce(_ unionByName _)
+  }
 
   /** File-skipping snapshot: files whose `add.stats` min/max for
     * `colName` cannot intersect [lo, hi] are SKIPPED before any data
@@ -130,6 +311,12 @@ object DeltaLite {
         .flatMap(strField(_, colName))
       !(mn.exists(_ > hi) || mx.exists(_ < lo))
     })
+
+  /** %XX-only decoding (a literal '+' is NOT a space in URIs or in the
+    * Delta protocol's percent-encoded paths — URLDecoder alone would
+    * corrupt it). */
+  private def uriDecode(s: String): String =
+    java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
 
   /** Balanced-brace JSON object following `"key"`, or None. */
   private def jsonObjectAfter(s: String, key: String): Option[String] = {
@@ -447,11 +634,6 @@ object DeltaLite {
     // ordinals); decoded on the driver like the file list itself, then
     // anti-joined DISTRIBUTED against _metadata.row_index below
     import graft.functions.DeletionVectors
-    // %XX-only decoding (a literal '+' is NOT a space in URIs or in the
-    // Delta protocol's percent-encoded paths — URLDecoder alone would
-    // corrupt it)
-    def uriDecode(s: String): String =
-      java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
     def baseName(rel: String): String = {
       val p = uriDecode(rel)
       p.substring(p.lastIndexOf('/') + 1)

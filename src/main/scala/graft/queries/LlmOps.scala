@@ -4132,6 +4132,79 @@ object LlmOps {
       "prio")
   }
 
+  /** CDF fixture: v0 adds 1-URGENT + 3-MEDIUM, v1 adds 2-HIGH and
+    * removes 3-MEDIUM, v2 is an explicit cdc commit whose
+    * `_change_data` parquet inserts the 5-LOW rows (carrying its own
+    * `_change_type` column, per the protocol). */
+  private def deltaCdfFixture(s: SparkSession, d: String): String =
+    parquetNestedDirs.computeIfAbsent(s"$d#deltacdf", _ => {
+      val dir = java.nio.file.Files.createTempDirectory("delta_cdf")
+      def movePart(df: DataFrame, name: String): Long = {
+        val tmp = java.nio.file.Files.createTempDirectory("dcdf").toString
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val f = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = dir.resolve(name)
+        java.nio.file.Files.createDirectories(dest.getParent)
+        java.nio.file.Files.move(f.toPath, dest,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.size(dest)
+      }
+      def sel(p: String) = orders(s, d)
+        .filter(col("o_orderpriority") === p)
+        .select(col("o_orderkey").cast("long").as("k"),
+          col("o_orderstatus").as("st"),
+          col("o_orderpriority").as("prio"))
+      val s0 = movePart(sel("1-URGENT"), "part-0.parquet")
+      val s2 = movePart(sel("3-MEDIUM"), "part-2.parquet")
+      val s1 = movePart(sel("2-HIGH"), "part-1.parquet")
+      val scdc = movePart(
+        sel("5-LOW").withColumn("_change_type", lit("insert")),
+        "_change_data/cdc-0.parquet")
+      val schemaJson = org.apache.spark.sql.types.StructType
+        .fromDDL("k BIGINT, st STRING, prio STRING").json
+        .replace("\\", "\\\\").replace("\"", "\\\"")
+      def commit(v: Long, lines: Seq[String]): Unit = {
+        val p = dir.resolve("_delta_log").resolve(f"$v%020d.json")
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, lines.mkString("\n") + "\n")
+      }
+      def add(name: String, size: Long): String =
+        s"""{"add":{"path":"$name","partitionValues":{},""" +
+          s""""size":$size,"dataChange":true}}"""
+      commit(0, Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":"cdf","schemaString":"$schemaJson",""" +
+          """"partitionColumns":[],"configuration":{""" +
+          """"delta.enableChangeDataFeed":"true"}}}""",
+        add("part-0.parquet", s0), add("part-2.parquet", s2)))
+      commit(1, Seq(add("part-1.parquet", s1),
+        """{"remove":{"path":"part-2.parquet","deletionTimestamp":1,""" +
+          """"dataChange":true}}"""))
+      commit(2, Seq(
+        s"""{"cdc":{"path":"_change_data/cdc-0.parquet",""" +
+          s""""partitionValues":{},"size":$scdc,"dataChange":false}}"""))
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().forEachRemaining(q => q.toFile.deleteOnExit())
+      finally walk.close()
+      dir.toString
+    })
+
+  /** Delta CHANGE-DATA-FEED gate — the incremental-consumer face:
+    * `changes(0, 2)` surfaces v0/v1 synthesized inserts, the v1
+    * delete replaying the removed file's content, and the v2 explicit
+    * cdc commit verbatim; the oracle restates each (version,
+    * change_type, priority) group's count and key-sum from orders. */
+  def xDeltaCdf(s: SparkSession, d: String): DataFrame = {
+    val ch = graft.operators.DeltaLite.changes(
+      s, deltaCdfFixture(s, d), 0L, 2L)
+    ordered(
+      ch.groupBy(col("_commit_version").as("v"),
+        col("_change_type").as("ct"), col("prio"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k")),
+      "v", "ct", "prio")
+  }
+
   /** Iceberg v2 position-delete fixture: one snapshot, five per-priority
     * data files (rows sorted by orderkey so file position == rank), a
     * delete manifest (content=1) whose position-delete parquet removes
@@ -5101,6 +5174,7 @@ object LlmOps {
     "x_iceberg_eqdel"     -> (xIcebergEqdel _),
     "x_delta_dv"          -> (xDeltaDv _),
     "x_delta_cmap"        -> (xDeltaCmap _),
+    "x_delta_cdf"         -> (xDeltaCdf _),
     "x_avro_write"        -> (xAvroWrite _),
     "x_avro_write_deflate" -> (xAvroWriteDeflate _),
     "x_parquet_write2"    -> (xParquetWrite2 _),
@@ -5662,6 +5736,22 @@ object LlmOps {
         "CAST(sum(o_orderkey) AS BIGINT) AS sum_k, " +
         "min(o_orderstatus) AS min_st, max(o_orderstatus) AS max_st " +
         "FROM orders GROUP BY 1 ORDER BY prio"),
+    "x_delta_cdf" ->
+      """WITH p AS (SELECT o_orderpriority AS prio, count(*) AS n,
+        |    CAST(sum(o_orderkey) AS BIGINT) AS sum_k
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(0 AS BIGINT) AS v, 'insert' AS ct, prio, n, sum_k
+        |FROM p WHERE prio IN ('1-URGENT', '3-MEDIUM')
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), 'delete', prio, n, sum_k
+        |FROM p WHERE prio = '3-MEDIUM'
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), 'insert', prio, n, sum_k
+        |FROM p WHERE prio = '2-HIGH'
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'insert', prio, n, sum_k
+        |FROM p WHERE prio = '5-LOW'
+        |ORDER BY v, ct, prio""".stripMargin,
     "x_delta_dv" ->
       """WITH r AS (SELECT o_orderpriority AS prio, o_orderkey,
         |    o_orderstatus,

@@ -529,6 +529,66 @@ class DeltaLiteSpec extends SparkSpec {
     assert(e.getMessage.contains("physicalName"))
   }
 
+  test("timestampAsOf resolves the version from commit-file timestamps") {
+    val dir = buildTable()
+    val t0 = 1700000000000L
+    (0 to 2).foreach { v =>
+      Files.setLastModifiedTime(
+        Paths.get(dir, "_delta_log", f"${v.toLong}%020d.json"),
+        java.nio.file.attribute.FileTime.fromMillis(t0 + v * 10000L))
+    }
+    assert(DeltaLite.versionAtTimestamp(spark, dir, t0 + 15000) === 1L)
+    assert(DeltaLite.snapshotAsOfTimestamp(spark, dir, t0 + 15000)
+      .count() === 40) // v1: a + b + c + a2
+    assert(DeltaLite.versionAtTimestamp(spark, dir, t0) === 0L)
+    assert(DeltaLite.snapshotAsOfTimestamp(spark, dir, t0 + 99999)
+      .count() === 30) // v2 tombstoned part-b
+    // before the first commit: loud, not an empty misread
+    intercept[IllegalArgumentException] {
+      DeltaLite.versionAtTimestamp(spark, dir, t0 - 1)
+    }
+  }
+
+  test("change data feed: synthesized inserts/deletes + explicit cdc commits") {
+    val dir = buildTable()
+    // v3: an explicit cdc commit — its _change_data parquet carries
+    // _change_type itself and REPLACES add/remove synthesis for v3
+    val cdcDf = Seq((21L, "s21", "update_preimage"),
+      (21L, "s21x", "update_postimage")).toDF("k", "s", "_change_type")
+    val scc = writePart(cdcDf, dir, "_change_data/cdc-0.parquet")
+    commit(dir, 3, Seq(
+      s"""{"cdc":{"path":"_change_data/cdc-0.parquet",""" +
+        s""""partitionValues":{"p":"c"},"size":$scc,"dataChange":false}}"""))
+    val ch = DeltaLite.changes(spark, dir, 0, 3)
+    assert(ch.columns.toSeq ===
+      Seq("k", "s", "p", "_change_type", "_commit_version"))
+    val byV = ch.groupBy("_commit_version", "_change_type").count()
+      .as[(Long, String, Long)].collect().toSet
+    assert(byV === Set(
+      (0L, "insert", 20L), (1L, "insert", 20L), (2L, "delete", 10L),
+      (3L, "update_preimage", 1L), (3L, "update_postimage", 1L)))
+    // deletes replay the removed file's CONTENT with its partition
+    // value resolved through the original add
+    assert(ch.filter(col("_change_type") === "delete")
+      .agg(sum("k"), min("p"), max("p")).as[(Long, String, String)]
+      .head() === (((11L to 20L).sum, "b", "b")))
+    // cdc rows surface verbatim, partition-attached
+    assert(ch.filter(col("_change_type") === "update_postimage")
+      .select("s", "p").as[(String, String)].head() === (("s21x", "c")))
+    // sub-ranges slice by commit version
+    assert(DeltaLite.changes(spark, dir, 2, 2).count() === 10)
+    assert(DeltaLite.changes(spark, dir, 1, 2).count() === 30)
+    // declines: bad range, missing history
+    intercept[IllegalArgumentException] {
+      DeltaLite.changes(spark, dir, 2, 1)
+    }
+    Files.delete(Paths.get(dir, "_delta_log", f"${0L}%020d.json"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaLite.changes(spark, dir, 2, 2)
+    }
+    assert(e.getMessage.contains("full JSON history"))
+  }
+
   test("log gaps and unanchored replays raise instead of partial snapshots") {
     val dir = buildTable()
     // gap: delete v1 — replay would silently lose part-c + part-a2
