@@ -4903,6 +4903,84 @@ object LlmOps {
     ordered(faces.reduce(_ unionByName _), "codec")
   }
 
+  /** ORC-WRITE fixture: orders collected into [[graft.functions
+    * .OrcWrite]] bytes (a bounded fixture build, like every hand-built
+    * lake fixture) — nullable bigint (PRESENT streams), nullable
+    * status string, a double column, multi-stripe. One dir per codec
+    * per sf-dir per JVM. */
+  private def orcWriteFixture(s: SparkSession, d: String,
+                              codec: String): String =
+    parquetNestedDirs.computeIfAbsent(s"$d#orcwrite-$codec", _ => {
+      val dir = java.nio.file.Files.createTempDirectory("orc_write")
+      val rows = orders(s, d).select(
+        col("o_orderkey").cast("long").as("k"),
+        when(pmod(col("o_orderkey"), lit(7)) === 0, lit(null))
+          .otherwise(col("o_custkey").cast("long")).as("ck"),
+        when(pmod(col("o_orderkey"), lit(11)) === 0, lit(null))
+          .otherwise(col("o_orderstatus")).as("st"),
+        col("o_totalprice").as("tp"))
+        .orderBy("k").collect()
+        .map(r => Seq[Any](
+          java.lang.Long.valueOf(r.getLong(0)),
+          if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1)),
+          if (r.isNullAt(2)) null else r.getString(2),
+          java.lang.Double.valueOf(r.getDouble(3)))).toSeq
+      val b = graft.functions.OrcWrite.fileBytes(
+        Seq(("k", 'l'), ("ck", 'l'), ("st", 's'), ("tp", 'd')), rows,
+        codec, stripeRows = 4096)
+      java.nio.file.Files.write(dir.resolve("part-0.orc"), b)
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().forEachRemaining(q => q.toFile.deleteOnExit())
+      finally walk.close()
+      dir.toString
+    })
+
+  /** ORC WRITE gate — the format tier's third writer, proven against
+    * BOTH consumers in one hash: our OrcWrite bytes read back by
+    * Spark's native ORC reader (the third-party proof) AND by our own
+    * OrcValues stripe decoder, per codec; every aggregate restated
+    * from orders, so one wrong RLE run, present bit, or stream length
+    * hash-mismatches in at least one face. */
+  def xOrcWrite(s: SparkSession, d: String): DataFrame = {
+    val faces = Seq("none", "zlib").flatMap { codec =>
+      val dir = orcWriteFixture(s, d, codec)
+      val sparkFace = s.read.orc(dir)
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          sum(coalesce(col("ck"), lit(0L))).as("sum_ck"),
+          count(when(col("ck").isNull, 1)).as("n_null_ck"),
+          min(col("st")).as("min_st"), max(col("st")).as("max_st"),
+          sum(round(col("tp") * 100).cast("long")).as("sum_cents"))
+        .select(lit(codec).as("codec"), lit("spark").as("reader"),
+          col("n"), col("sum_k"), col("sum_ck"), col("n_null_ck"),
+          col("min_st"), col("max_st"), col("sum_cents"))
+      val ovFace = s.read.format("binaryFile").load(dir)
+        .filter(col("path").endsWith(".orc"))
+        .select(
+          graft.functions.OrcValues
+            .int64ColumnCol(col("content"), lit("k")).as("ks"),
+          graft.functions.OrcValues
+            .int64ColumnCol(col("content"), lit("ck")).as("cks"),
+          graft.functions.OrcValues
+            .stringColumnCol(col("content"), lit("st")).as("sts"),
+          graft.functions.OrcValues
+            .doubleColumnCol(col("content"), lit("tp")).as("tps"))
+        .select(lit(codec).as("codec"), lit("orcvalues").as("reader"),
+          size(col("ks")).cast("long").as("n"),
+          aggregate(col("ks"), lit(0L), (a, x) => a + x).as("sum_k"),
+          aggregate(col("cks"), lit(0L), (a, x) => a + coalesce(x, lit(0L)))
+            .as("sum_ck"),
+          size(filter(col("cks"), x => x.isNull)).cast("long")
+            .as("n_null_ck"),
+          array_min(col("sts")).as("min_st"),
+          array_max(col("sts")).as("max_st"),
+          aggregate(col("tps"), lit(0L),
+            (a, x) => a + round(x * 100).cast("long")).as("sum_cents"))
+      Seq(sparkFace, ovFace)
+    }
+    ordered(faces.reduce(_ unionByName _), "codec", "reader")
+  }
+
   /** Parquet fixture dirs for the nested/gzip gate, written once per
     * sf-dir per JVM (same idempotence contract as [[orcFixture]]). */
   private val parquetNestedDirs =
@@ -5160,6 +5238,7 @@ object LlmOps {
     "x_parquet_write"     -> (xParquetWrite _),
     "x_orc_meta"          -> (xOrcMeta _),
     "x_orc_values"        -> (xOrcValues _),
+    "x_orc_write"         -> (xOrcWrite _),
     "x_zstd_frames"       -> (xZstdFrames _),
     "x_lake_doubles"      -> (xLakeDoubles _),
     "x_orc_temporal"      -> (xOrcTemporal _),
@@ -5683,6 +5762,24 @@ object LlmOps {
     "x_parquet_write2" -> parquetWrite2Oracle,
     "x_orc_meta" -> orcMetaOracle,
     "x_orc_values" -> orcValuesOracle,
+    "x_orc_write" ->
+      """WITH a AS (SELECT count(*) AS n,
+        |    CAST(sum(o_orderkey) AS BIGINT) AS sum_k,
+        |    CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 0
+        |      ELSE o_custkey END) AS BIGINT) AS sum_ck,
+        |    CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_null_ck,
+        |    min(CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |      ELSE o_orderstatus END) AS min_st,
+        |    max(CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |      ELSE o_orderstatus END) AS max_st,
+        |    CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS sum_cents
+        |  FROM orders)
+        |SELECT 'none' AS codec, 'orcvalues' AS reader, a.* FROM a
+        |UNION ALL SELECT 'none', 'spark', a.* FROM a
+        |UNION ALL SELECT 'zlib', 'orcvalues', a.* FROM a
+        |UNION ALL SELECT 'zlib', 'spark', a.* FROM a
+        |ORDER BY codec, reader""".stripMargin,
     "x_zstd_frames" -> zstdFramesOracle,
     "x_lake_doubles" -> lakeDoublesOracle,
     "x_orc_temporal" -> orcTemporalOracle,
