@@ -169,6 +169,18 @@ object IcebergLite {
            snapshotId: Long = -1L): Scan =
     plan(spark, table, snapshotId, NoPrune)
 
+  /** Timestamp time travel (Iceberg's rule, the [[DeltaLite
+    * .snapshotAsOfTimestamp]] sibling): the latest snapshot whose
+    * metadata `timestamp-ms` is at or before `tsMillis`. Raises when
+    * the table has no snapshot that old. */
+  def snapshotAsOfTimestamp(spark: SparkSession, table: String,
+                            tsMillis: Long): DataFrame =
+    scanAsOfTimestamp(spark, table, tsMillis).data
+
+  def scanAsOfTimestamp(spark: SparkSession, table: String,
+                        tsMillis: Long): Scan =
+    plan(spark, table, -1L, NoPrune, asOfMillis = tsMillis)
+
   /** File-skipping scan: data files whose manifest-entry
     * `lower_bounds`/`upper_bounds` for `colName` (an int/long column)
     * cannot intersect [lo, hi] are SKIPPED before any data I/O — the
@@ -291,7 +303,8 @@ object IcebergLite {
   }
 
   private def plan(spark: SparkSession, table: String,
-                   snapshotId: Long, prune: Prune): Scan = {
+                   snapshotId: Long, prune: Prune,
+                   asOfMillis: Long = -1L): Scan = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(table).getFileSystem(conf)
     val metaDir = new Path(table, "metadata")
@@ -367,6 +380,15 @@ object IcebergLite {
       .getOrElse(Seq.empty)
     val wantId =
       if (snapshotId >= 0) snapshotId
+      else if (asOfMillis >= 0) {
+        val elig = snaps.filter(s =>
+          s.get("timestamp-ms").exists(asLong(_) <= asOfMillis))
+        require(elig.nonEmpty,
+          s"no Iceberg snapshot at or before timestamp $asOfMillis in $table")
+        asLong(elig.maxBy(s => asLong(s.getOrElse("timestamp-ms",
+          sys.error("snapshot without timestamp-ms"))))
+          .getOrElse("snapshot-id", sys.error("snapshot without id")))
+      }
       else asLong(root.getOrElse("current-snapshot-id",
         sys.error(s"table has no current snapshot: $metaFile")))
     val snap = snaps.find(s =>

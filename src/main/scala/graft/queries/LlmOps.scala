@@ -4504,6 +4504,10 @@ object LlmOps {
     val cur = graft.operators.IcebergLite.scan(s, dir)
     val first = graft.operators.IcebergLite.scan(s, dir,
       snapshotId = IceSnap1)
+    // timestamp travel lands between the two snapshot timestamps →
+    // resolves to snap1, so the asof face must EQUAL the first face
+    val asof = graft.operators.IcebergLite.scanAsOfTimestamp(
+      s, dir, 1700000001500L)
     def face(label: String, sc: graft.operators.IcebergLite.Scan) =
       sc.data.groupBy(col("prio"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
@@ -4511,7 +4515,8 @@ object LlmOps {
         .select(lit(label).as("snap"), col("prio"),
           lit(sc.nDataFiles).cast("long").as("n_files"),
           col("n"), col("sum_k"), col("min_st"), col("max_st"))
-    ordered(face("current", cur).unionByName(face("first", first)),
+    ordered(face("current", cur).unionByName(face("first", first))
+      .unionByName(face("asof", asof)),
       "snap", "prio")
   }
 
@@ -5815,6 +5820,12 @@ object LlmOps {
         "FROM orders WHERE o_orderpriority <> '2-HIGH' GROUP BY 2 " +
         "UNION ALL " +
         "SELECT 'first', o_orderpriority, CAST(3 AS BIGINT), count(*), " +
+        "CAST(sum(o_orderkey) AS BIGINT), " +
+        "min(o_orderstatus), max(o_orderstatus) " +
+        "FROM orders WHERE CAST(substr(o_orderpriority,1,1) AS INT) <= 3 " +
+        "GROUP BY 2 " +
+        "UNION ALL " +
+        "SELECT 'asof', o_orderpriority, CAST(3 AS BIGINT), count(*), " +
         "CAST(sum(o_orderkey) AS BIGINT), " +
         "min(o_orderstatus), max(o_orderstatus) " +
         "FROM orders WHERE CAST(substr(o_orderpriority,1,1) AS INT) <= 3 " +

@@ -171,6 +171,20 @@ class IcebergLiteSpec extends SparkSpec {
     assert(v1.filter(col("p") === "d").count() === 0)
   }
 
+  test("timestamp time travel resolves the latest snapshot at or before") {
+    val dir = buildTable()
+    // snap1 ts = 1700000001000, snap2 ts = 1700000002000
+    assert(IcebergLite.snapshotAsOfTimestamp(spark, dir, 1700000001500L)
+      .count() === 30) // snap1 still sees B
+    assert(IcebergLite.scanAsOfTimestamp(spark, dir, 1700000002000L)
+      .data.count() === 30) // snap2 (inclusive): B gone, D added
+    assert(IcebergLite.snapshotAsOfTimestamp(spark, dir, 1700000002000L)
+      .filter(col("p") === "d").count() === 10)
+    intercept[IllegalArgumentException] {
+      IcebergLite.snapshotAsOfTimestamp(spark, dir, 1700000000999L)
+    }
+  }
+
   test("metadata discovery without version-hint picks the highest version") {
     val dir = buildTable()
     // stale v1 metadata pointing at snap1 only; hint removed
@@ -527,6 +541,46 @@ class IcebergLiteSpec extends SparkSpec {
       IcebergLite.partitionPrunedScan(spark, dir, "s", 42L)
     }
     assert(e2.getMessage.contains("partition"))
+  }
+
+  test("many manifests: parallel decode returns the sequential answer") {
+    // one manifest PER FILE (24 of them, above the parallel-pool size)
+    // plus a rewrite manifest deleting one file — order-sensitive
+    // status replay must survive the parallel decode
+    val dir = Files.createTempDirectory("icemany").toString
+    val parts = (0 until 24).map { i =>
+      val lo = i * 10 + 1
+      val df = spark.range(lo, lo + 10).select(col("id").as("k"),
+        concat(lit("s"), col("id").cast("string")).as("s"),
+        lit(s"p$i").as("p"))
+      writePart(df, dir, s"part-$i.parquet")
+      i
+    }
+    parts.foreach { i =>
+      writeManifest(dir, s"manifest-$i.avro", Seq(
+        entry(if (i == 5) 1 else 0, Snap1, s"part-$i.parquet", 10)))
+    }
+    // manifest 24 re-lists part-5 as DELETED; it must lose no matter
+    // which pool thread decodes first (application is manifest-ordered)
+    writeManifest(dir, "manifest-24.avro", Seq(
+      entry(2, Snap2, "part-5.parquet", 10)))
+    writeManifestList(dir, "snap-2.avro",
+      (0 until 24).map(i => (s"manifest-$i.avro", 0, 1L)) :+
+        (("manifest-24.avro", 0, 2L)))
+    Files.writeString(Paths.get(dir, "metadata", "v2.metadata.json"),
+      metadataJson(Snap2))
+    Files.writeString(Paths.get(dir, "metadata", "version-hint.text"), "2\n")
+    val scan = IcebergLite.scan(spark, dir)
+    assert(scan.nManifests === 25)
+    assert(scan.nDataFiles === 23) // part-5 deleted
+    assert(scan.data.count() === 230)
+    assert(scan.data.filter(col("p") === "p5").count() === 0)
+    assert(scan.data.agg(sum("k")).head().getLong(0) ===
+      (1L to 240L).sum - (51L to 60L).sum)
+    // a malformed manifest still declines loudly through the pool
+    Files.write(Paths.get(dir, "metadata", "manifest-7.avro"),
+      Array[Byte](1, 2, 3))
+    intercept[RuntimeException] { IcebergLite.scan(spark, dir) }
   }
 
   test("position deletes are sequence-aware: older deletes skip newer files") {
