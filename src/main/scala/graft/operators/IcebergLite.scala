@@ -217,6 +217,92 @@ object IcebergLite {
                           snapshotId: Long = -1L): Scan =
     plan(spark, table, snapshotId, PartitionPoint(colName, value))
 
+  /** INCREMENTAL APPEND read — the Iceberg face of an incremental
+    * consumer (re-process only what arrived, the training-data
+    * pipeline's delta loop): rows in data files ADDED by the
+    * snapshots after `fromSnapshotId`, up to and including
+    * `toSnapshotId` (default: current), each row tagged
+    * `_snapshot_id`. Walks the parent chain from `to` back to `from`
+    * (raises when `from` is not an ancestor); every snapshot in range
+    * must be an `append` — an overwrite/delete in range would surface
+    * removed rows as arrivals, so those decline loudly (diff
+    * snapshots instead). File attribution: ADDED (status 1) entries
+    * whose snapshot id (entry field, else the manifest-list row's
+    * `added_snapshot_id`) is the snapshot in question — EXISTING
+    * entries re-listed by later rewrites never double-count. */
+  def appendsBetween(spark: SparkSession, table: String,
+                     fromSnapshotId: Long,
+                     toSnapshotId: Long = -1L): DataFrame = {
+    val ctx = new Ctx(spark, table)
+    val toId =
+      if (toSnapshotId >= 0) toSnapshotId
+      else asLong(ctx.root.getOrElse("current-snapshot-id",
+        sys.error(s"table has no current snapshot: ${ctx.metaFile}")))
+    // parent-chain walk: to → … → from (exclusive of `from`)
+    val chain = scala.collection.mutable.ArrayBuffer.empty[JMap]
+    var cur = toId
+    while (cur != fromSnapshotId) {
+      require(chain.length <= 100000, "snapshot chain too long")
+      val s = ctx.snapById(cur)
+      chain += s
+      cur = s.get("parent-snapshot-id") match {
+        case Some(p) if p != null => asLong(p)
+        case _ => sys.error(
+          s"snapshot $fromSnapshotId is not an ancestor of $toId in $table")
+      }
+    }
+    import org.apache.spark.sql.functions._
+    val perSnap = chain.reverse.toSeq.map { s => // oldest → newest
+      val sid = asLong(s.getOrElse("snapshot-id",
+        sys.error("snapshot without id")))
+      val op = s.get("summary").map(asMap)
+        .flatMap(_.get("operation")).map(asStr).getOrElse("append")
+      require(op == "append",
+        s"appendsBetween: snapshot $sid is '$op', not an append — " +
+          "overwrites/deletes in range cannot surface as arrivals")
+      val rows = ctx.manifestRowsOf(s)
+        .filterNot(_.get("content").exists(asLong(_) == 1L))
+      val files = ctx.decodeManifests(rows).flatMap { case (mrow, entries) =>
+        val mAdded = mrow.get("added_snapshot_id") match {
+          case Some(v) if v != null => asLong(v)
+          case _ => -1L
+        }
+        entries.flatMap { e =>
+          val status = asLong(e.getOrElse("status",
+            sys.error("manifest entry without status")))
+          require(status >= 0 && status <= 2,
+            s"invalid manifest entry status $status")
+          val df = asMap(e.getOrElse("data_file",
+            sys.error("manifest entry without data_file")))
+          val esnap = e.get("snapshot_id") match {
+            case Some(v) if v != null => asLong(v)
+            case _ => mAdded
+          }
+          if (status == 1 && esnap == sid) {
+            val fmt = df.get("file_format").map(_.toString.toUpperCase)
+              .getOrElse("PARQUET")
+            require(fmt == "PARQUET",
+              s"unsupported Iceberg data file format $fmt")
+            Some(df.getOrElse("file_path",
+              sys.error("data_file without file_path")).toString)
+          } else None
+        }
+      }
+      (sid, files)
+    }
+    val nonEmpty = perSnap.filter(_._2.nonEmpty)
+    if (nonEmpty.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(ctx.sparkSchema.fields.toSeq :+
+          StructField("_snapshot_id", LongType, nullable = false)))
+    else nonEmpty.map { case (sid, files) =>
+      spark.read.schema(ctx.sparkSchema)
+        .parquet(files.map(p => ctx.rebase(p).toString): _*)
+        .withColumn("_snapshot_id", lit(sid))
+    }.reduce(_ unionByName _)
+  }
+
   /** Iceberg single-value serialization payload for `fieldId` out of
     * an Iceberg key/value-pair map (Avro array<record<key,value>>). */
   private def boundFor(df: JMap, which: String,
@@ -302,12 +388,14 @@ object IcebergLite {
     (murmur3(b) & Integer.MAX_VALUE) % n
   }
 
-  private def plan(spark: SparkSession, table: String,
-                   snapshotId: Long, prune: Prune,
-                   asOfMillis: Long = -1L): Scan = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new Path(table).getFileSystem(conf)
-    val metaDir = new Path(table, "metadata")
+  /** Table discovery context shared by [[plan]] and
+    * [[appendsBetween]]: metadata.json resolution, schema/spec/
+    * snapshot state, URI rebasing, and the parallel manifest decode. */
+  private final class Ctx(spark: SparkSession, val table: String) {
+    private val conf = spark.sparkContext.hadoopConfiguration
+    val fs: org.apache.hadoop.fs.FileSystem =
+      new Path(table).getFileSystem(conf)
+    private val metaDir = new Path(table, "metadata")
     require(fs.exists(metaDir), s"not an Iceberg table (no metadata/): $table")
 
     def readBytes(p: Path, cap: Int): Array[Byte] = {
@@ -324,7 +412,7 @@ object IcebergLite {
     }
 
     // ---- metadata.json discovery ----
-    val hint = new Path(metaDir, "version-hint.text")
+    private val hint = new Path(metaDir, "version-hint.text")
     val metaFile: Path =
       if (fs.exists(hint)) {
         val v = new String(readBytes(hint, 1 << 16), "UTF-8").trim.toLong
@@ -339,13 +427,13 @@ object IcebergLite {
         require(cands.nonEmpty, s"no v*.metadata.json under $metaDir")
         new Path(metaDir, cands.maxBy(_._1)._2)
       }
-    val root = asMap(new AvroRead.JsonP(
+    val root: JMap = asMap(new AvroRead.JsonP(
       new String(readBytes(metaFile, 1 << 26), "UTF-8")).parse())
 
-    val fv = asLong(root.getOrElse("format-version",
+    private val fv = asLong(root.getOrElse("format-version",
       sys.error(s"no format-version in $metaFile")))
     require(fv == 1 || fv == 2, s"unsupported Iceberg format-version $fv")
-    val location = root.get("location").map(asStr).getOrElse("")
+    private val location = root.get("location").map(asStr).getOrElse("")
 
     // ---- current schema → Spark schema ----
     val schemaObj: JMap = root.get("schemas") match {
@@ -358,7 +446,7 @@ object IcebergLite {
       case None => asMap(root.getOrElse("schema",
         sys.error(s"no schema in $metaFile")))
     }
-    val sparkSchema = structOf(schemaObj)
+    val sparkSchema: StructType = structOf(schemaObj)
 
     // ---- default partition spec (v2 by id; v1 inline) ----
     def defaultSpecFields: scala.collection.Seq[JMap] =
@@ -375,25 +463,13 @@ object IcebergLite {
           .map(v => asSeq(v).map(asMap)).getOrElse(Seq.empty)
       }
 
-    // ---- snapshot resolution ----
-    val snaps = root.get("snapshots").map(v => asSeq(v).map(asMap))
-      .getOrElse(Seq.empty)
-    val wantId =
-      if (snapshotId >= 0) snapshotId
-      else if (asOfMillis >= 0) {
-        val elig = snaps.filter(s =>
-          s.get("timestamp-ms").exists(asLong(_) <= asOfMillis))
-        require(elig.nonEmpty,
-          s"no Iceberg snapshot at or before timestamp $asOfMillis in $table")
-        asLong(elig.maxBy(s => asLong(s.getOrElse("timestamp-ms",
-          sys.error("snapshot without timestamp-ms"))))
-          .getOrElse("snapshot-id", sys.error("snapshot without id")))
-      }
-      else asLong(root.getOrElse("current-snapshot-id",
-        sys.error(s"table has no current snapshot: $metaFile")))
-    val snap = snaps.find(s =>
-      s.get("snapshot-id").exists(asLong(_) == wantId))
-      .getOrElse(sys.error(s"snapshot $wantId not found in $metaFile"))
+    val snaps: scala.collection.Seq[JMap] =
+      root.get("snapshots").map(v => asSeq(v).map(asMap))
+        .getOrElse(Seq.empty)
+
+    def snapById(id: Long): JMap = snaps.find(s =>
+      s.get("snapshot-id").exists(asLong(_) == id))
+      .getOrElse(sys.error(s"snapshot $id not found in $metaFile"))
 
     /** Rebases a manifest-recorded URI onto the directory we were
       * given: location-prefixed URIs relocate; bare relative paths
@@ -405,40 +481,33 @@ object IcebergLite {
       else new Path(uri)
     }
 
-    // ---- manifest list (v2; v1 fallback: inline "manifests") ----
-    val manifestRows: Seq[JMap] = snap.get("manifest-list") match {
-      case Some(mlUri) =>
-        AvroRead.genericRecords(
-          readBytes(rebase(asStr(mlUri)), 1 << 28)).toSeq
-      case None => // pre-manifest-list v1 shape: inline manifest paths
-        asSeq(snap.getOrElse("manifests",
-          sys.error(s"snapshot $wantId has neither manifest-list nor manifests")))
-          .map(p => Map[String, Any]("manifest_path" -> asStr(p)): JMap)
-          .toSeq
-    }
+    /** The snapshot's manifest list (v2; v1 fallback: inline
+      * "manifests"). */
+    def manifestRowsOf(snap: JMap): Seq[JMap] =
+      snap.get("manifest-list") match {
+        case Some(mlUri) =>
+          AvroRead.genericRecords(
+            readBytes(rebase(asStr(mlUri)), 1 << 28)).toSeq
+        case None => // pre-manifest-list v1 shape: inline manifest paths
+          asSeq(snap.getOrElse("manifests",
+            sys.error("snapshot has neither manifest-list nor manifests")))
+            .map(p => Map[String, Any]("manifest_path" -> asStr(p)): JMap)
+            .toSeq
+      }
 
-    // v2 manifest routing: content 0 = data manifests, 1 = DELETE
-    // manifests (position AND equality deletes applied below). Each
-    // manifest-list row carries the manifest's sequence number; an
-    // entry may override it — position deletes apply to data files
-    // with sequence ≤ theirs, equality deletes to strictly smaller.
     def pathOf(m: JMap): String = asStr(m.getOrElse("manifest_path",
       sys.error("manifest-list row without manifest_path")))
     def seqOf(m: JMap): Long = m.get("sequence_number") match {
       case Some(s) if s != null => asLong(s)
       case _ => 0L
     }
-    val (deleteManifestRows, dataManifestRows) = manifestRows.partition(
-      _.get("content").exists(asLong(_) == 1L))
-    val manifestPaths = dataManifestRows.map(pathOf)
-    val deleteManifestPaths = deleteManifestRows.map(pathOf)
 
     /** Decodes each manifest's Avro entries in a bounded thread pool
       * (I/O + decode parallelize; a 100 TB table's thousands of
       * manifests must not plan serially), returning them IN MANIFEST
-      * ORDER so status replay below stays deterministic. Decline
-      * exceptions unwrap so the loud-decline contract survives the
-      * executor boundary. */
+      * ORDER so status replay stays deterministic. Decline exceptions
+      * unwrap so the loud-decline contract survives the executor
+      * boundary. */
     def decodeManifests(rows: Seq[JMap]): Seq[(JMap, Seq[JMap])] =
       if (rows.isEmpty) Nil
       else if (rows.lengthCompare(2) < 0)
@@ -464,6 +533,40 @@ object IcebergLite {
           })
         } finally pool.shutdownNow()
       }
+  }
+
+  private def plan(spark: SparkSession, table: String,
+                   snapshotId: Long, prune: Prune,
+                   asOfMillis: Long = -1L): Scan = {
+    val ctx = new Ctx(spark, table)
+    import ctx.{decodeManifests, defaultSpecFields, manifestRowsOf,
+      metaFile, pathOf, rebase, schemaObj, seqOf, snaps, sparkSchema}
+
+    val wantId =
+      if (snapshotId >= 0) snapshotId
+      else if (asOfMillis >= 0) {
+        val elig = snaps.filter(s =>
+          s.get("timestamp-ms").exists(asLong(_) <= asOfMillis))
+        require(elig.nonEmpty,
+          s"no Iceberg snapshot at or before timestamp $asOfMillis in $table")
+        asLong(elig.maxBy(s => asLong(s.getOrElse("timestamp-ms",
+          sys.error("snapshot without timestamp-ms"))))
+          .getOrElse("snapshot-id", sys.error("snapshot without id")))
+      }
+      else asLong(ctx.root.getOrElse("current-snapshot-id",
+        sys.error(s"table has no current snapshot: $metaFile")))
+    val snap = ctx.snapById(wantId)
+
+    // v2 manifest routing: content 0 = data manifests, 1 = DELETE
+    // manifests (position AND equality deletes applied below). Each
+    // manifest-list row carries the manifest's sequence number; an
+    // entry may override it — position deletes apply to data files
+    // with sequence ≤ theirs, equality deletes to strictly smaller.
+    val manifestRows = manifestRowsOf(snap)
+    val (deleteManifestRows, dataManifestRows) = manifestRows.partition(
+      _.get("content").exists(asLong(_) == 1L))
+    val manifestPaths = dataManifestRows.map(pathOf)
+    val deleteManifestPaths = deleteManifestRows.map(pathOf)
 
     // ---- manifests → live data files (entry + sequence kept) ----
     val liveFiles =
@@ -552,8 +655,10 @@ object IcebergLite {
       case LongBounds(colName, lo, hi) =>
         val field = schemaField(colName)
         val t = field.getOrElse("type", sys.error("untyped field"))
-        require(t == "long" || t == "int",
-          s"long-bounds pruning supports int/long columns, not $t")
+        // date bounds serialize as 4-byte LE epoch days — the same
+        // int face; [lo, hi] is then a day range
+        require(t == "long" || t == "int" || t == "date",
+          s"long-bounds pruning supports int/long/date columns, not $t")
         val fieldId = asLong(field.getOrElse("id",
           sys.error(s"schema field $colName has no id")))
         liveFiles.collect { case (p, (df, _))
@@ -580,8 +685,9 @@ object IcebergLite {
       case PartitionPoint(colName, value) =>
         val field = schemaField(colName)
         val t = field.getOrElse("type", sys.error("untyped field"))
-        require(t == "long" || t == "int",
-          s"partition pruning supports int/long source columns, not $t")
+        // dates join the int face: epoch days hash/truncate like ints
+        require(t == "long" || t == "int" || t == "date",
+          s"partition pruning supports int/long/date source columns, not $t")
         val fieldId = asLong(field.getOrElse("id",
           sys.error(s"schema field $colName has no id")))
         val specField = defaultSpecFields
@@ -593,9 +699,14 @@ object IcebergLite {
         val transform = asStr(specField.getOrElse("transform",
           sys.error("partition field without transform")))
         val bucketRe = "bucket\\[(\\d+)\\]".r
+        val truncRe = "truncate\\[(\\d+)\\]".r
         val wantPart: Long = transform match {
           case "identity" => value
           case bucketRe(n) => bucketOf(value, n.toInt).toLong
+          case truncRe(w) => // spec: v - (((v % W) + W) % W), W > 0
+            val width = w.toLong
+            require(width > 0, s"bad truncate width $w")
+            value - (((value % width) + width) % width)
           case other => sys.error(
             s"unsupported partition transform for pruning: $other")
         }

@@ -4132,6 +4132,128 @@ object LlmOps {
       "prio")
   }
 
+  private val IceSnap3 = 3051729675574597003L
+
+  /** Append-chain Iceberg fixture: three `append` snapshots — snap1
+    * adds priorities 1+2, snap2 (child) adds 3, snap3 (child) adds
+    * 4+5; later manifest lists re-list earlier manifests (whose ADDED
+    * entries keep their original snapshot ids), so attribution must
+    * not double-count. */
+  private def icebergAppendsFixture(s: SparkSession, d: String): String =
+    parquetNestedDirs.computeIfAbsent(s"$d#iceapp", _ => {
+      val dir = java.nio.file.Files.createTempDirectory("ice_app")
+      val loc = "file:///warehouse/orders_ice_app"
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW")
+      val counts = orders(s, d).groupBy(col("o_orderpriority"))
+        .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      prios.indices.foreach { i =>
+        val tmp = java.nio.file.Files.createTempDirectory("ia").toString
+        orders(s, d).filter(col("o_orderpriority") === prios(i))
+          .select(col("o_orderkey").cast("long").as("k"),
+            col("o_orderstatus").as("st"),
+            col("o_orderpriority").as("prio"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val f = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = dir.resolve("data").resolve(s"part-$i.parquet")
+        java.nio.file.Files.createDirectories(dest.getParent)
+        java.nio.file.Files.move(f.toPath, dest,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      val manifestSchema =
+        """{"type":"record","name":"manifest_entry","fields":[
+          |  {"name":"status","type":"int"},
+          |  {"name":"snapshot_id","type":["null","long"]},
+          |  {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+          |    {"name":"file_path","type":"string"},
+          |    {"name":"file_format","type":"string"},
+          |    {"name":"record_count","type":"long"},
+          |    {"name":"file_size_in_bytes","type":"long"}]}}]}"""
+          .stripMargin.replaceAll("\n\\s*", "")
+      val listSchema =
+        """{"type":"record","name":"manifest_file","fields":[
+          |  {"name":"manifest_path","type":"string"},
+          |  {"name":"manifest_length","type":"long"},
+          |  {"name":"partition_spec_id","type":"int"},
+          |  {"name":"content","type":"int"},
+          |  {"name":"added_snapshot_id","type":["null","long"]}]}"""
+          .stripMargin.replaceAll("\n\\s*", "")
+      def entry(snapId: Long, i: Int): Map[String, Any] = Map(
+        "status" -> 1, "snapshot_id" -> java.lang.Long.valueOf(snapId),
+        "data_file" -> Map[String, Any](
+          "file_path" -> s"$loc/data/part-$i.parquet",
+          "file_format" -> "PARQUET",
+          "record_count" -> counts.getOrElse(prios(i), 0L),
+          "file_size_in_bytes" -> 1L))
+      val metaP = dir.resolve("metadata")
+      java.nio.file.Files.createDirectories(metaP)
+      def man(name: String, es: Seq[Map[String, Any]]): Unit =
+        java.nio.file.Files.write(metaP.resolve(name),
+          graft.functions.AvroWrite.genericFileBytes(manifestSchema, es))
+      man("m1.avro", Seq(entry(IceSnap1, 0), entry(IceSnap1, 1)))
+      man("m2.avro", Seq(entry(IceSnap2, 2)))
+      man("m3.avro", Seq(entry(IceSnap3, 3), entry(IceSnap3, 4)))
+      def list(name: String, ms: Seq[String]): Unit =
+        java.nio.file.Files.write(metaP.resolve(name),
+          graft.functions.AvroWrite.genericFileBytes(listSchema,
+            ms.map(m => Map[String, Any](
+              "manifest_path" -> s"$loc/metadata/$m",
+              "manifest_length" -> 1L, "partition_spec_id" -> 0,
+              "content" -> 0, "added_snapshot_id" -> null))))
+      list("snap-1.avro", Seq("m1.avro"))
+      list("snap-2.avro", Seq("m1.avro", "m2.avro"))
+      list("snap-3.avro", Seq("m1.avro", "m2.avro", "m3.avro"))
+      java.nio.file.Files.writeString(metaP.resolve("v1.metadata.json"),
+        s"""{
+          |  "format-version": 1,
+          |  "table-uuid": "9c12f1b2-0000-4000-8000-000000000010",
+          |  "location": "$loc",
+          |  "last-updated-ms": 1700000000000,
+          |  "schema": {"type": "struct", "fields": [
+          |    {"id": 1, "name": "k", "required": true, "type": "long"},
+          |    {"id": 2, "name": "st", "required": false, "type": "string"},
+          |    {"id": 3, "name": "prio", "required": false, "type": "string"}]},
+          |  "partition-spec": [],
+          |  "current-snapshot-id": $IceSnap3,
+          |  "snapshots": [
+          |    {"snapshot-id": $IceSnap1, "timestamp-ms": 1700000001000,
+          |     "summary": {"operation": "append"},
+          |     "manifest-list": "$loc/metadata/snap-1.avro"},
+          |    {"snapshot-id": $IceSnap2, "parent-snapshot-id": $IceSnap1,
+          |     "timestamp-ms": 1700000002000,
+          |     "summary": {"operation": "append"},
+          |     "manifest-list": "$loc/metadata/snap-2.avro"},
+          |    {"snapshot-id": $IceSnap3, "parent-snapshot-id": $IceSnap2,
+          |     "timestamp-ms": 1700000003000,
+          |     "summary": {"operation": "append"},
+          |     "manifest-list": "$loc/metadata/snap-3.avro"}]
+          |}""".stripMargin)
+      java.nio.file.Files.writeString(
+        metaP.resolve("version-hint.text"), "1\n")
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().forEachRemaining(q => q.toFile.deleteOnExit())
+      finally walk.close()
+      dir.toString
+    })
+
+  /** Iceberg INCREMENTAL-APPEND gate — the delta-loop consumer face:
+    * `appendsBetween(snap1)` surfaces exactly the snap2/snap3
+    * arrivals, attributed per snapshot (re-listed earlier manifests
+    * never double-count); the oracle restates each (snapshot,
+    * priority) group from orders. */
+  def xIcebergAppends(s: SparkSession, d: String): DataFrame = {
+    val ch = graft.operators.IcebergLite.appendsBetween(
+      s, icebergAppendsFixture(s, d), IceSnap1)
+    ordered(
+      ch.groupBy(
+        when(col("_snapshot_id") === IceSnap2, "s2").otherwise("s3")
+          .as("snap"),
+        col("prio"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k")),
+      "snap", "prio")
+  }
+
   /** CDF fixture: v0 adds 1-URGENT + 3-MEDIUM, v1 adds 2-HIGH and
     * removes 3-MEDIUM, v2 is an explicit cdc commit whose
     * `_change_data` parquet inserts the 5-LOW rows (carrying its own
@@ -5252,6 +5374,7 @@ object LlmOps {
     "x_delta_prune"       -> (xDeltaPrune _),
     "x_iceberg_meta"      -> (xIcebergMeta _),
     "x_iceberg_snapshot"  -> (xIcebergSnapshot _),
+    "x_iceberg_appends"   -> (xIcebergAppends _),
     "x_iceberg_nested"    -> (xIcebergNested _),
     "x_iceberg_prune"     -> (xIcebergPrune _),
     "x_iceberg_deletes"   -> (xIcebergDeletes _),
@@ -5891,6 +6014,13 @@ object LlmOps {
         |  min(o_orderstatus) AS min_st, max(o_orderstatus) AS max_st
         |FROM r WHERE NOT (prio = '2-HIGH' AND pos % 2 = 0)
         |GROUP BY 1 ORDER BY prio""".stripMargin,
+    "x_iceberg_appends" ->
+      ("SELECT CASE WHEN o_orderpriority = '3-MEDIUM' THEN 's2' " +
+        "ELSE 's3' END AS snap, o_orderpriority AS prio, " +
+        "count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_k " +
+        "FROM orders WHERE o_orderpriority IN " +
+        "('3-MEDIUM', '4-NOT SPECIFIED', '5-LOW') " +
+        "GROUP BY 1, 2 ORDER BY snap, prio"),
     "x_iceberg_nested" ->
       ("SELECT o_orderstatus AS st, count(*) AS n, " +
         "CAST(sum(o_custkey) AS BIGINT) AS sum_ck, " +

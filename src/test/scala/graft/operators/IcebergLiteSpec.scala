@@ -543,6 +543,139 @@ class IcebergLiteSpec extends SparkSpec {
     assert(e2.getMessage.contains("partition"))
   }
 
+  test("appendsBetween: per-snapshot arrivals, no double-count, declines") {
+    val dir = Files.createTempDirectory("iceapp").toString
+    val Snap3 = 3051729675574597003L
+    def part(lo: Int, hi: Int, p: String) =
+      spark.range(lo, hi + 1).select(col("id").as("k"),
+        concat(lit("s"), col("id").cast("string")).as("s"), lit(p).as("p"))
+    writePart(part(1, 10, "a"), dir, "part-A.parquet")
+    writePart(part(11, 20, "b"), dir, "part-B.parquet")
+    writePart(part(21, 30, "c"), dir, "part-C.parquet")
+    writePart(part(31, 40, "d"), dir, "part-D.parquet")
+    writeManifest(dir, "m1.avro", Seq(entry(1, Snap1, "part-A.parquet", 10)))
+    writeManifest(dir, "m2.avro", Seq(entry(1, Snap2, "part-B.parquet", 10)))
+    writeManifest(dir, "m3.avro", Seq(
+      entry(1, Snap3, "part-C.parquet", 10),
+      entry(1, Snap3, "part-D.parquet", 10)))
+    writeManifestList(dir, "snap-1.avro", Seq(("m1.avro", 0, 1L)))
+    writeManifestList(dir, "snap-2.avro",
+      Seq(("m1.avro", 0, 1L), ("m2.avro", 0, 2L)))
+    writeManifestList(dir, "snap-3.avro",
+      Seq(("m1.avro", 0, 1L), ("m2.avro", 0, 2L), ("m3.avro", 0, 3L)))
+    Files.writeString(Paths.get(dir, "metadata", "v1.metadata.json"),
+      s"""{
+        |  "format-version": 1,
+        |  "table-uuid": "9c12f1b2-0000-4000-8000-0000000000ac",
+        |  "location": "$FakeLoc",
+        |  "last-updated-ms": 1700000000000,
+        |  "schema": {"type": "struct", "fields": [
+        |    {"id": 1, "name": "k", "required": true, "type": "long"},
+        |    {"id": 2, "name": "s", "required": false, "type": "string"},
+        |    {"id": 3, "name": "p", "required": false, "type": "string"}]},
+        |  "partition-spec": [],
+        |  "current-snapshot-id": $Snap3,
+        |  "snapshots": [
+        |    {"snapshot-id": $Snap1, "timestamp-ms": 1700000001000,
+        |     "summary": {"operation": "append"},
+        |     "manifest-list": "$FakeLoc/metadata/snap-1.avro"},
+        |    {"snapshot-id": $Snap2, "parent-snapshot-id": $Snap1,
+        |     "timestamp-ms": 1700000002000,
+        |     "summary": {"operation": "append"},
+        |     "manifest-list": "$FakeLoc/metadata/snap-2.avro"},
+        |    {"snapshot-id": $Snap3, "parent-snapshot-id": $Snap2,
+        |     "timestamp-ms": 1700000003000,
+        |     "summary": {"operation": "append"},
+        |     "manifest-list": "$FakeLoc/metadata/snap-3.avro"}]
+        |}""".stripMargin)
+    Files.writeString(Paths.get(dir, "metadata", "version-hint.text"), "1\n")
+    // full range: arrivals of snap2 + snap3, correctly attributed —
+    // m1/m2's EXISTING-era re-listings in later lists never recount
+    val ch = IcebergLite.appendsBetween(spark, dir, Snap1)
+    assert(ch.columns.toSeq === Seq("k", "s", "p", "_snapshot_id"))
+    assert(ch.count() === 30)
+    assert(ch.filter(col("_snapshot_id") === Snap2)
+      .agg(sum("k")).head().getLong(0) === (11L to 20L).sum)
+    assert(ch.filter(col("_snapshot_id") === Snap3).count() === 20)
+    // sub-ranges slice by ancestry
+    assert(IcebergLite.appendsBetween(spark, dir, Snap2, Snap3)
+      .count() === 20)
+    assert(IcebergLite.appendsBetween(spark, dir, Snap1, Snap2)
+      .count() === 10)
+    // from == to: an EMPTY feed, not an error
+    assert(IcebergLite.appendsBetween(spark, dir, Snap3).count() === 0)
+    // not-an-ancestor raises
+    val e = intercept[RuntimeException] {
+      IcebergLite.appendsBetween(spark, dir, 999L)
+    }
+    assert(e.getMessage.contains("ancestor"))
+    // an overwrite in range declines loudly (buildTable's snap2)
+    val dir2 = buildTable()
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergLite.appendsBetween(spark, dir2, Snap1)
+    }
+    assert(e2.getMessage.contains("not an append"))
+  }
+
+  test("truncate[W] partition transform prunes point queries") {
+    val dir = Files.createTempDirectory("icetrunc").toString
+    val partEntrySchema = manifestSchema.replace(
+      """{"name":"file_size_in_bytes","type":"long"}""",
+      """{"name":"file_size_in_bytes","type":"long"},
+        |{"name":"partition","type":["null",{"type":"record",
+        |  "name":"r102","fields":[
+        |    {"name":"k_trunc","type":["null","long"],"default":null}]}],
+        | "default":null}""".stripMargin.replaceAll("\n\\s*", ""))
+    // two files: k 0..9 (tuple 0) and k 10..19 (tuple 10)
+    val entries = Seq((0, 0L), (1, 10L)).map { case (i, tup) =>
+      val df = spark.range(i * 10, i * 10 + 10).select(col("id").as("k"),
+        lit(s"f$i").as("s"))
+      writePart(df, dir, s"part-t$i.parquet")
+      Map[String, Any]("status" -> 1,
+        "snapshot_id" -> java.lang.Long.valueOf(Snap1),
+        "data_file" -> Map[String, Any](
+          "file_path" -> s"$FakeLoc/data/part-t$i.parquet",
+          "file_format" -> "PARQUET", "record_count" -> 10L,
+          "file_size_in_bytes" -> 1L,
+          "lower_bounds" -> null, "upper_bounds" -> null,
+          "partition" -> Map[String, Any](
+            "k_trunc" -> java.lang.Long.valueOf(tup))))
+    }
+    val p = Paths.get(dir, "metadata", "manifest-1.avro")
+    Files.createDirectories(p.getParent)
+    Files.write(p, AvroWrite.genericFileBytes(partEntrySchema, entries))
+    writeManifestList(dir, "snap-1.avro", Seq(("manifest-1.avro", 0, 1L)))
+    Files.writeString(Paths.get(dir, "metadata", "v1.metadata.json"),
+      s"""{
+        |  "format-version": 1,
+        |  "table-uuid": "9c12f1b2-0000-4000-8000-0000000000ad",
+        |  "location": "$FakeLoc",
+        |  "last-updated-ms": 1700000000000,
+        |  "schema": {"type": "struct", "fields": [
+        |    {"id": 1, "name": "k", "required": true, "type": "long"},
+        |    {"id": 2, "name": "s", "required": false, "type": "string"}]},
+        |  "partition-spec": [{"source-id": 1, "field-id": 1000,
+        |    "name": "k_trunc", "transform": "truncate[10]"}],
+        |  "current-snapshot-id": $Snap1,
+        |  "snapshots": [
+        |    {"snapshot-id": $Snap1, "timestamp-ms": 1700000001000,
+        |     "summary": {"operation": "append"},
+        |     "manifest-list": "$FakeLoc/metadata/snap-1.avro"}]
+        |}""".stripMargin)
+    Files.writeString(Paths.get(dir, "metadata", "version-hint.text"), "1\n")
+    val scan = IcebergLite.partitionPrunedScan(spark, dir, "k", 13L)
+    assert(scan.nDataFiles === 2)
+    assert(scan.keptFiles === 1) // truncate(13) = 10 → second file only
+    assert(scan.data.filter(col("k") === 13L).count() === 1)
+    // negative values truncate toward -infinity: truncate(-3) = -10,
+    // which matches neither tuple → everything prunes (loud, since an
+    // empty keep-set is a raise by contract)
+    val e = intercept[IllegalArgumentException] {
+      IcebergLite.partitionPrunedScan(spark, dir, "k", -3L)
+    }
+    assert(e.getMessage.contains("survive"))
+  }
+
   test("many manifests: parallel decode returns the sequential answer") {
     // one manifest PER FILE (24 of them, above the parallel-pool size)
     // plus a rewrite manifest deleting one file — order-sensitive
