@@ -12,10 +12,12 @@ package graft.functions
   *    numberOfRows / count-only ColumnStatistics), uncompressed
   *    PostScript, 1-byte PostScript length;
   *  - column shapes (the flat struct-of-primitives scope OrcValues
-  *    reads): LONG as DIRECT integer RLE v1 (runs for ≥3-value
-  *    constant stretches, literal groups otherwise — the Hive-0.11
-  *    lineage both readers decode), DOUBLE as IEEE 754 LE DATA,
-  *    STRING as DIRECT (UTF-8 DATA + RLE v1 LENGTH);
+  *    reads): LONG and DATE under EITHER integer-RLE generation —
+  *    v1 (runs for ≥3-value constant stretches, literal groups
+  *    otherwise — the Hive-0.11 DIRECT lineage) or v2 (DIRECT_V2,
+  *    DIRECT sub-encoding: ≤512-value runs at the closest fixed
+  *    width, MSB-first) — DOUBLE as IEEE 754 LE DATA, STRING as
+  *    DIRECT/DIRECT_V2 (UTF-8 DATA + RLE LENGTH);
   *  - nulls: PRESENT boolean byte-RLE streams (MSB-first bit packing,
   *    literal control bytes), omitted for null-free columns;
   *  - compression NONE (raw streams) or ZLIB — real raw-deflate
@@ -121,6 +123,69 @@ object OrcWrite {
     out.toByteArray
   }
 
+  /** ORC FixedBitSizes: smallest table width holding `n` bits, and its
+    * 5-bit code (the inverse of the reader's decodeWidth). */
+  private def closestWidthV2(n: Int): Int =
+    if (n <= 1) 1
+    else if (n <= 24) n
+    else if (n <= 26) 26
+    else if (n <= 28) 28
+    else if (n <= 30) 30
+    else if (n <= 32) 32
+    else if (n <= 40) 40
+    else if (n <= 48) 48
+    else if (n <= 56) 56
+    else 64
+  private def widthCodeOf(w: Int): Int =
+    if (w <= 24) w - 1
+    else w match {
+      case 26 => 24; case 28 => 25; case 30 => 26; case 32 => 27
+      case 40 => 28; case 48 => 29; case 56 => 30; case _ => 31
+    }
+
+  /** Integer RLE v2, DIRECT sub-encoding only (valid for any values):
+    * runs of ≤512 values at the chunk's closest fixed width, MSB-first
+    * bit packing, byte-aligned per run. Signed streams zigzag. */
+  private def rleV2Bytes(vals: Seq[Long], signed: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(vals.length)
+    var i = 0
+    while (i < vals.length) {
+      val take = math.min(512, vals.length - i)
+      val enc = new Array[Long](take)
+      var maxBits = 1
+      var j = 0
+      while (j < take) {
+        val v = vals(i + j)
+        val z = if (signed) (v << 1) ^ (v >> 63) else v
+        enc(j) = z
+        val bits = 64 - java.lang.Long.numberOfLeadingZeros(z)
+        if (bits > maxBits) maxBits = bits
+        j += 1
+      }
+      val width = closestWidthV2(maxBits)
+      out.write(0x40 | (widthCodeOf(width) << 1) | ((take - 1) >> 8))
+      out.write((take - 1) & 0xff)
+      var cur = 0
+      var curBits = 0
+      j = 0
+      while (j < take) {
+        var left = width
+        while (left > 0) {
+          val t = math.min(8 - curBits, left)
+          val piece = ((enc(j) >>> (left - t)) & ((1L << t) - 1)).toInt
+          cur = (cur << t) | piece
+          curBits += t
+          left -= t
+          if (curBits == 8) { out.write(cur); cur = 0; curBits = 0 }
+        }
+        j += 1
+      }
+      if (curBits > 0) out.write(cur << (8 - curBits))
+      i += take
+    }
+    out.toByteArray
+  }
+
   /** PRESENT stream: MSB-first bit packing wrapped in boolean byte-RLE
     * (literal control bytes: `256 - n` then n bytes). */
   private def presentBytes(present: Seq[Boolean]): Array[Byte] = {
@@ -180,24 +245,35 @@ object OrcWrite {
     case 'l' => 4 // LONG
     case 'd' => 6 // DOUBLE
     case 's' => 7 // STRING
+    case 'a' => 15 // DATE (values = epoch days as boxed Long)
     case other => sys.error(s"orc write: unsupported column kind '$other'" +
-      " (supported: l=long, d=double, s=string)")
+      " (supported: l=long, d=double, s=string, a=date)")
   }
 
   /** Writes a flat struct-of-primitives ORC file: `cols` as
-    * (name, kind) with kind `l`/`d`/`s`, `rows` row-major with boxed
-    * Long / Double / String values (null allowed → PRESENT streams).
-    * `codec` "none" or "zlib"; `stripeRows` bounds rows per stripe. */
+    * (name, kind) with kind `l`/`d`/`s`/`a`, `rows` row-major with
+    * boxed Long / Double / String / Long-epoch-days values (null
+    * allowed → PRESENT streams). `codec` "none" or "zlib";
+    * `rle` picks the integer encoding generation: "v1" (Hive-0.11
+    * DIRECT) or "v2" (DIRECT_V2, DIRECT-sub-encoding runs);
+    * `stripeRows` bounds rows per stripe. */
   def fileBytes(cols: Seq[(String, Char)], rows: Seq[Seq[Any]],
                 codec: String = "none",
-                stripeRows: Int = 100000): Array[Byte] = {
+                stripeRows: Int = 100000,
+                rle: String = "v1"): Array[Byte] = {
     require(cols.nonEmpty, "orc write: no columns")
     require(stripeRows > 0, s"orc write: bad stripeRows $stripeRows")
+    require(rle == "v1" || rle == "v2",
+      s"orc write: unsupported rle generation '$rle'")
+    val v2 = rle == "v2"
+    def intStream(vals: Seq[Long], signed: Boolean): Array[Byte] =
+      if (v2) rleV2Bytes(vals, signed) else rleV1Bytes(vals, signed)
     val codecId = codec match {
       case "none" => 0
       case "zlib" => 1
       case other => sys.error(s"orc write: unsupported codec '$other'")
     }
+    cols.foreach { case (_, ck) => typeKind(ck) } // validate upfront
     rows.foreach(r => require(r.length == cols.length,
       s"orc write: row arity ${r.length} != ${cols.length} columns"))
 
@@ -220,8 +296,8 @@ object OrcWrite {
         if (present.contains(false))
           streams += ((0, colId, frame(presentBytes(present), codecId)))
         ck match {
-          case 'l' =>
-            streams += ((1, colId, frame(rleV1Bytes(
+          case 'l' | 'a' =>
+            streams += ((1, colId, frame(intStream(
               nonNull.map(_.asInstanceOf[Number].longValue), signed = true),
               codecId)))
           case 'd' =>
@@ -241,7 +317,7 @@ object OrcWrite {
               b.length.toLong
             }
             streams += ((1, colId, frame(data.toByteArray, codecId)))
-            streams += ((2, colId, frame(rleV1Bytes(lens, signed = false),
+            streams += ((2, colId, frame(intStream(lens, signed = false),
               codecId)))
           case _ => () // typeKind raised already
         }
@@ -256,10 +332,12 @@ object OrcWrite {
             pbVarint(so, 3, b.length.toLong)
           })
         }
-        // one ColumnEncoding per type id, root first: all DIRECT
-        (0 to cols.length).foreach(_ => pbBytes(o, 2, msg { eo =>
-          pbVarint(eo, 1, 0L)
-        }))
+        // one ColumnEncoding per type id, root first; integer and
+        // string columns carry the RLE generation (DIRECT=0 ↔ v1,
+        // DIRECT_V2=2), doubles are always DIRECT
+        val encKinds = 0L +: cols.map { case (_, ck) =>
+          if (v2 && ck != 'd') 2L else 0L }
+        encKinds.foreach(k => pbBytes(o, 2, msg(eo => pbVarint(eo, 1, k))))
       }
       val framedSf = frame(sf, codecId)
       out.write(framedSf, 0, framedSf.length)

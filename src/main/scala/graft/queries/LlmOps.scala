@@ -5035,9 +5035,9 @@ object LlmOps {
     * lake fixture) — nullable bigint (PRESENT streams), nullable
     * status string, a double column, multi-stripe. One dir per codec
     * per sf-dir per JVM. */
-  private def orcWriteFixture(s: SparkSession, d: String,
-                              codec: String): String =
-    parquetNestedDirs.computeIfAbsent(s"$d#orcwrite-$codec", _ => {
+  private def orcWriteFixture(s: SparkSession, d: String, codec: String,
+                              rle: String): String =
+    parquetNestedDirs.computeIfAbsent(s"$d#orcwrite-$codec-$rle", _ => {
       val dir = java.nio.file.Files.createTempDirectory("orc_write")
       val rows = orders(s, d).select(
         col("o_orderkey").cast("long").as("k"),
@@ -5045,16 +5045,20 @@ object LlmOps {
           .otherwise(col("o_custkey").cast("long")).as("ck"),
         when(pmod(col("o_orderkey"), lit(11)) === 0, lit(null))
           .otherwise(col("o_orderstatus")).as("st"),
-        col("o_totalprice").as("tp"))
+        col("o_totalprice").as("tp"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+          .as("dt"))
         .orderBy("k").collect()
         .map(r => Seq[Any](
           java.lang.Long.valueOf(r.getLong(0)),
           if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1)),
           if (r.isNullAt(2)) null else r.getString(2),
-          java.lang.Double.valueOf(r.getDouble(3)))).toSeq
+          java.lang.Double.valueOf(r.getDouble(3)),
+          java.lang.Long.valueOf(r.getLong(4)))).toSeq
       val b = graft.functions.OrcWrite.fileBytes(
-        Seq(("k", 'l'), ("ck", 'l'), ("st", 's'), ("tp", 'd')), rows,
-        codec, stripeRows = 4096)
+        Seq(("k", 'l'), ("ck", 'l'), ("st", 's'), ("tp", 'd'),
+          ("dt", 'a')),
+        rows, codec, stripeRows = 4096, rle = rle)
       java.nio.file.Files.write(dir.resolve("part-0.orc"), b)
       val walk = java.nio.file.Files.walk(dir)
       try walk.iterator().forEachRemaining(q => q.toFile.deleteOnExit())
@@ -5069,41 +5073,50 @@ object LlmOps {
     * from orders, so one wrong RLE run, present bit, or stream length
     * hash-mismatches in at least one face. */
   def xOrcWrite(s: SparkSession, d: String): DataFrame = {
-    val faces = Seq("none", "zlib").flatMap { codec =>
-      val dir = orcWriteFixture(s, d, codec)
-      val sparkFace = s.read.orc(dir)
-        .agg(count(lit(1)).as("n"),
-          sum(col("k")).as("sum_k"),
-          sum(coalesce(col("ck"), lit(0L))).as("sum_ck"),
-          count(when(col("ck").isNull, 1)).as("n_null_ck"),
-          min(col("st")).as("min_st"), max(col("st")).as("max_st"),
-          sum(round(col("tp") * 100).cast("long")).as("sum_cents"))
-        .select(lit(codec).as("codec"), lit("spark").as("reader"),
-          col("n"), col("sum_k"), col("sum_ck"), col("n_null_ck"),
-          col("min_st"), col("max_st"), col("sum_cents"))
-      val ovFace = s.read.format("binaryFile").load(dir)
-        .filter(col("path").endsWith(".orc"))
-        .select(
-          graft.functions.OrcValues
-            .int64ColumnCol(col("content"), lit("k")).as("ks"),
-          graft.functions.OrcValues
-            .int64ColumnCol(col("content"), lit("ck")).as("cks"),
-          graft.functions.OrcValues
-            .stringColumnCol(col("content"), lit("st")).as("sts"),
-          graft.functions.OrcValues
-            .doubleColumnCol(col("content"), lit("tp")).as("tps"))
-        .select(lit(codec).as("codec"), lit("orcvalues").as("reader"),
-          size(col("ks")).cast("long").as("n"),
-          aggregate(col("ks"), lit(0L), (a, x) => a + x).as("sum_k"),
-          aggregate(col("cks"), lit(0L), (a, x) => a + coalesce(x, lit(0L)))
-            .as("sum_ck"),
-          size(filter(col("cks"), x => x.isNull)).cast("long")
-            .as("n_null_ck"),
-          array_min(col("sts")).as("min_st"),
-          array_max(col("sts")).as("max_st"),
-          aggregate(col("tps"), lit(0L),
-            (a, x) => a + round(x * 100).cast("long")).as("sum_cents"))
-      Seq(sparkFace, ovFace)
+    // the codec axis doubles as the RLE-generation axis: none↔v1
+    // (Hive-0.11 DIRECT), zlib↔v2 (DIRECT_V2)
+    val faces = Seq(("none", "v1"), ("zlib", "v2")).flatMap {
+      case (codec, rle) =>
+        val dir = orcWriteFixture(s, d, codec, rle)
+        val sparkFace = s.read.orc(dir)
+          .agg(count(lit(1)).as("n"),
+            sum(col("k")).as("sum_k"),
+            sum(coalesce(col("ck"), lit(0L))).as("sum_ck"),
+            count(when(col("ck").isNull, 1)).as("n_null_ck"),
+            min(col("st")).as("min_st"), max(col("st")).as("max_st"),
+            sum(round(col("tp") * 100).cast("long")).as("sum_cents"),
+            sum(datediff(col("dt"), lit("1970-01-01")).cast("long"))
+              .as("sum_days"))
+          .select(lit(codec).as("codec"), lit("spark").as("reader"),
+            col("n"), col("sum_k"), col("sum_ck"), col("n_null_ck"),
+            col("min_st"), col("max_st"), col("sum_cents"),
+            col("sum_days"))
+        val ovFace = s.read.format("binaryFile").load(dir)
+          .filter(col("path").endsWith(".orc"))
+          .select(
+            graft.functions.OrcValues
+              .int64ColumnCol(col("content"), lit("k")).as("ks"),
+            graft.functions.OrcValues
+              .int64ColumnCol(col("content"), lit("ck")).as("cks"),
+            graft.functions.OrcValues
+              .stringColumnCol(col("content"), lit("st")).as("sts"),
+            graft.functions.OrcValues
+              .doubleColumnCol(col("content"), lit("tp")).as("tps"),
+            graft.functions.OrcValues
+              .dateDaysCol(col("content"), lit("dt")).as("dts"))
+          .select(lit(codec).as("codec"), lit("orcvalues").as("reader"),
+            size(col("ks")).cast("long").as("n"),
+            aggregate(col("ks"), lit(0L), (a, x) => a + x).as("sum_k"),
+            aggregate(col("cks"), lit(0L),
+              (a, x) => a + coalesce(x, lit(0L))).as("sum_ck"),
+            size(filter(col("cks"), x => x.isNull)).cast("long")
+              .as("n_null_ck"),
+            array_min(col("sts")).as("min_st"),
+            array_max(col("sts")).as("max_st"),
+            aggregate(col("tps"), lit(0L),
+              (a, x) => a + round(x * 100).cast("long")).as("sum_cents"),
+            aggregate(col("dts"), lit(0L), (a, x) => a + x).as("sum_days"))
+        Seq(sparkFace, ovFace)
     }
     ordered(faces.reduce(_ unionByName _), "codec", "reader")
   }
@@ -5901,7 +5914,9 @@ object LlmOps {
         |      ELSE o_orderstatus END) AS min_st,
         |    max(CASE WHEN o_orderkey % 11 = 0 THEN NULL
         |      ELSE o_orderstatus END) AS max_st,
-        |    CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS sum_cents
+        |    CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS sum_cents,
+        |    CAST(sum(date_diff('day', DATE '1970-01-01', o_orderdate))
+        |      AS BIGINT) AS sum_days
         |  FROM orders)
         |SELECT 'none' AS codec, 'orcvalues' AS reader, a.* FROM a
         |UNION ALL SELECT 'none', 'spark', a.* FROM a

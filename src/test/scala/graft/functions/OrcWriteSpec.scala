@@ -122,6 +122,52 @@ class OrcWriteSpec extends SparkSpec {
     assert(sparkRead(b2).filter(col("a").isNull).count() === 200)
   }
 
+  test("RLE v2 generation + DATE columns: both consumers again") {
+    val colsV = Seq(("k", 'l'), ("m", 'l'), ("s", 's'), ("dt", 'a'))
+    def rowsV: Seq[Seq[Any]] = (0 until 2000).map { i =>
+      Seq[Any](
+        java.lang.Long.valueOf(i.toLong * 977 - 100000),
+        if (i % 7 == 0) null else java.lang.Long.valueOf(-i.toLong * 3),
+        if (i % 9 == 0) null else s"x${i % 41}",
+        java.lang.Long.valueOf((i % 400).toLong - 50))
+    }
+    def days(b: Array[Byte], name: String): Array[java.lang.Long] = {
+      val a = OrcValues.dateDays(b,
+        org.apache.spark.unsafe.types.UTF8String.fromString(name))
+      if (a == null) null
+      else (0 until a.numElements()).map(i =>
+        if (a.isNullAt(i)) null
+        else java.lang.Long.valueOf(a.getLong(i))).toArray
+    }
+    Seq("none", "zlib").foreach { codec =>
+      val b = OrcWrite.fileBytes(colsV, rowsV, codec, stripeRows = 700,
+        rle = "v2")
+      val k = longs(b, "k"); val m = longs(b, "m")
+      val s = strings(b, "s"); val dt = days(b, "dt")
+      assert(k != null && m != null && s != null && dt != null)
+      (0 until 2000).foreach { i =>
+        assert(k(i) === rowsV(i)(0), s"k@$i")
+        assert(m(i) === rowsV(i)(1), s"m@$i")
+        assert(s(i) === rowsV(i)(2), s"s@$i")
+        assert(dt(i) === rowsV(i)(3), s"dt@$i")
+      }
+      val df = sparkRead(b)
+      assert(df.schema("dt").dataType ===
+        org.apache.spark.sql.types.DateType)
+      assert(df.count() === 2000)
+      assert(df.agg(sum("k")).head().getLong(0) ===
+        (0 until 2000).map(i => i.toLong * 977 - 100000).sum)
+      assert(df.agg(sum(datediff(col("dt"), lit("1970-01-01"))))
+        .head().getLong(0) ===
+        (0 until 2000).map(i => (i % 400).toLong - 50).sum)
+      assert(df.filter(col("m").isNull).count() ===
+        rowsV.count(_(1) == null))
+    }
+    intercept[IllegalArgumentException] {
+      OrcWrite.fileBytes(colsV, rowsV.take(1), rle = "v3")
+    }
+  }
+
   test("loud declines: bad kind, bad codec, arity mismatch, empty file") {
     val r = Seq(Seq[Any](java.lang.Long.valueOf(1L)))
     intercept[RuntimeException] {
