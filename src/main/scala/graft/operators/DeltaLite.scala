@@ -126,6 +126,171 @@ object DeltaLite {
                             tsMillis: Long): DataFrame =
     snapshot(spark, table, versionAtTimestamp(spark, table, tsMillis))
 
+  /** APPEND WRITER — the direction a training-data pipeline actually
+    * uses (append batches, compact later): writes `df` as parquet
+    * DISTRIBUTED (optionally Hive-layout partitioned), then one
+    * `%020d.json` commit whose per-file add actions carry
+    * `numRecords` + min/max stats for long and string leaf columns —
+    * the same stats [[prunedSnapshot]]/[[prunedSnapshotString]] skip
+    * files by, so written tables point-query through metadata like
+    * read ones. Version 0 creates protocol (1, 2) + metaData; later
+    * appends REQUIRE the schema to match the table's recorded
+    * schemaString (loud decline — this writer never evolves a schema
+    * silently). The commit file is written atomically (temp + rename)
+    * at the next version; a version collision raises. Returns the
+    * committed version.
+    *
+    * Driver-side work is the file PLANNING set (listing + rename +
+    * stats rows, one per file); data bytes never pass the driver. */
+  def commitAppend(spark: SparkSession, table: String,
+                   df: DataFrame,
+                   partitionBy: Seq[String] = Nil): Long = {
+    val fs = new Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val logDir = new Path(table, LogDir)
+    val version = latestVersion(spark, table) + 1
+    val schema = df.schema
+    partitionBy.foreach(pc => require(schema.fieldNames.contains(pc),
+      s"partition column $pc not in the DataFrame"))
+    if (version > 0) {
+      // schema must match the table's governing metaData exactly
+      val current = build(spark, table, Long.MaxValue, keep = null)
+      val _ = current // replay validates the log; schema check below
+      val metaRow = spark.read.schema(actionSchema)
+        .json((0L until version).map(v =>
+          new Path(logDir, f"$v%020d.json").toString).filter(p =>
+          fs.exists(new Path(p))): _*)
+        .filter(col("metaData").isNotNull)
+        .withColumn("v", regexp_extract(input_file_name(),
+          "(\\d{20})\\.json", 1).cast("long"))
+        .orderBy(col("v").desc).select("metaData.schemaString",
+          "metaData.partitionColumns").limit(1).collect().headOption
+        .getOrElse(sys.error(s"no metaData action in $table"))
+      val tableSchema = DataType.fromJson(metaRow.getString(0))
+        .asInstanceOf[StructType]
+      require(tableSchema == schema,
+        s"append schema ${schema.simpleString} does not match the " +
+          s"table schema ${tableSchema.simpleString}")
+      val tablePartCols = Option(metaRow.getSeq[String](1))
+        .getOrElse(Seq.empty)
+      require(tablePartCols == partitionBy,
+        s"append partitioning $partitionBy does not match the table's " +
+          s"$tablePartCols")
+    }
+
+    // distributed data write into a staging dir, then rename each part
+    // under the table root with a version-unique name (driver touches
+    // only the file LIST)
+    val staging = new Path(table, s".staging-$version")
+    val writer = if (partitionBy.isEmpty) df.write
+      else df.write.partitionBy(partitionBy: _*)
+    writer.mode("overwrite").parquet(staging.toString)
+    def listParquet(dir: Path, prefix: String): Seq[(Path, String)] =
+      fs.listStatus(dir).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.contains("="))
+          listParquet(st.getPath,
+            if (prefix.isEmpty) name else s"$prefix/$name")
+        else if (name.endsWith(".parquet"))
+          Seq(st.getPath -> prefix)
+        else Seq.empty
+      }
+    val staged = listParquet(staging, "")
+    require(staged.nonEmpty, s"append of an empty DataFrame to $table")
+    val moved = staged.zipWithIndex.map { case ((src, prefix), i) =>
+      val rel = (if (prefix.isEmpty) "" else s"$prefix/") +
+        f"part-$version%05d-$i%05d.parquet"
+      val destDir =
+        if (prefix.isEmpty) new Path(table) else new Path(table, prefix)
+      fs.mkdirs(destDir)
+      val dest = new Path(table, rel)
+      require(fs.rename(src, dest), s"rename $src -> $dest failed")
+      (rel, dest, prefix)
+    }
+    fs.delete(staging, true)
+
+    // one distributed stats job over the moved files: per-file counts
+    // + min/max of long/string leaves (the prunable stats)
+    val statCols = schema.fields.filter(f =>
+      !partitionBy.contains(f.name) &&
+        (f.dataType == LongType || f.dataType == StringType))
+    val dataSchema = StructType(
+      schema.filterNot(f => partitionBy.contains(f.name)))
+    val statRows = spark.read.schema(dataSchema)
+      .parquet(moved.map(_._2.toString): _*)
+      .groupBy(col("_metadata.file_path").as("__file"))
+      .agg(count(lit(1)).as("__n"),
+        statCols.flatMap(f => Seq(
+          min(col(f.name)).as(s"__min_${f.name}"),
+          max(col(f.name)).as(s"__max_${f.name}"))): _*)
+      .collect()
+      .map(r => r.getString(0) -> r).toMap
+
+    def jstr(s: String): String = {
+      val sb = new StringBuilder
+      s.foreach {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.toString
+    }
+    def statsJson(r: org.apache.spark.sql.Row): String = {
+      def side(which: String): String = statCols.map { f =>
+        val ix = r.fieldIndex(s"__${which}_${f.name}")
+        val v =
+          if (r.isNullAt(ix)) "null"
+          else f.dataType match {
+            case LongType => r.getLong(ix).toString
+            case _ => "\"" + jstr(r.getString(ix)) + "\""
+          }
+        s""""${f.name}":$v"""
+      }.mkString(",")
+      s"""{"numRecords":${r.getLong(r.fieldIndex("__n"))},""" +
+        s""""minValues":{${side("min")}},""" +
+        s""""maxValues":{${side("max")}}}"""
+    }
+    val adds = moved.map { case (rel, dest, prefix) =>
+      val pv = prefix.split("/").filter(_.nonEmpty).map { seg =>
+        val k = seg.substring(0, seg.indexOf('='))
+        val x = uriDecode(seg.substring(seg.indexOf('=') + 1))
+        s""""$k":"${jstr(x)}""""
+      }.mkString(",")
+      val stats = statRows.get(dest.toUri.toString)
+        .orElse(statRows.find(_._1.endsWith(rel)).map(_._2))
+        .map(r => s""","stats":"${jstr(statsJson(r))}"""")
+        .getOrElse("")
+      val escRel = rel.split("/").map(seg =>
+        java.net.URLEncoder.encode(seg, "UTF-8").replace("+", "%20"))
+        .mkString("/")
+      s"""{"add":{"path":"$escRel","partitionValues":{$pv},""" +
+        s""""size":${fs.getFileStatus(dest).getLen},""" +
+        s""""dataChange":true$stats}}"""
+    }
+    val head =
+      if (version > 0) Seq.empty
+      else {
+        val schemaJson = jstr(schema.json)
+        Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+          s"""{"metaData":{"id":"graft-${table.hashCode.abs}",""" +
+            s""""schemaString":"$schemaJson","partitionColumns":[${
+              partitionBy.map(c => s""""$c"""").mkString(",")}],""" +
+            """"configuration":{}}}""")
+      }
+    // atomic commit: write to a temp name, rename to the version —
+    // rename fails if someone else committed the version first
+    fs.mkdirs(logDir)
+    val tmp = new Path(logDir, f".$version%020d.json.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(((head ++ adds).mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val commitFile = new Path(logDir, f"$version%020d.json")
+    require(!fs.exists(commitFile) && fs.rename(tmp, commitFile),
+      s"commit conflict: version $version already exists in $table")
+    version
+  }
+
   /** CHANGE-DATA-FEED read — the incremental-consumer face a
     * training-data pipeline uses to re-process deltas: every change
     * row committed in versions [fromVersion, toVersion], surfaced as

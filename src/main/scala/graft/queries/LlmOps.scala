@@ -4254,6 +4254,51 @@ object LlmOps {
       "snap", "prio")
   }
 
+  /** Delta WRITE fixture: a table our own `commitAppend` writes in two
+    * commits (priorities 1–3, then 4–5), PARTITIONED by prio — the
+    * "4-NOT SPECIFIED" value forces the path percent-encoding round
+    * trip. Data bytes flow Spark-distributed; the log carries written
+    * per-file stats. */
+  private def deltaWriteFixture(s: SparkSession, d: String): String =
+    parquetNestedDirs.computeIfAbsent(s"$d#deltawrite", _ => {
+      val dir = java.nio.file.Files.createTempDirectory("delta_write")
+      def sel(ps: Seq[String]) = orders(s, d)
+        .filter(col("o_orderpriority").isin(ps: _*))
+        .select(col("o_orderkey").cast("long").as("k"),
+          col("o_orderstatus").as("st"),
+          col("o_orderpriority").as("prio"))
+      graft.operators.DeltaLite.commitAppend(s, dir.toString,
+        sel(Seq("1-URGENT", "2-HIGH", "3-MEDIUM")), Seq("prio"))
+      graft.operators.DeltaLite.commitAppend(s, dir.toString,
+        sel(Seq("4-NOT SPECIFIED", "5-LOW")), Seq("prio"))
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().forEachRemaining(q => q.toFile.deleteOnExit())
+      finally walk.close()
+      dir.toString
+    })
+
+  /** Delta WRITE gate — the table tier's write direction: our
+    * commitAppend's output replays through our own snapshot reader
+    * (current + versionAsOf time travel) AND the CDF reader, with
+    * percent-encoded partition paths and written stats in the loop;
+    * every (face, priority) aggregate restated from orders. */
+  def xDeltaWrite(s: SparkSession, d: String): DataFrame = {
+    val dir = deltaWriteFixture(s, d)
+    def face(label: String, df: DataFrame) =
+      df.groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("st")).as("min_st"))
+        .select(lit(label).as("face"), col("prio"), col("n"),
+          col("sum_k"), col("min_st"))
+    ordered(
+      face("cur", graft.operators.DeltaLite.snapshot(s, dir))
+        .unionByName(face("v0",
+          graft.operators.DeltaLite.snapshot(s, dir, versionAsOf = 0)))
+        .unionByName(face("cdf",
+          graft.operators.DeltaLite.changes(s, dir, 1, 1))),
+      "face", "prio")
+  }
+
   /** CDF fixture: v0 adds 1-URGENT + 3-MEDIUM, v1 adds 2-HIGH and
     * removes 3-MEDIUM, v2 is an explicit cdc commit whose
     * `_change_data` parquet inserts the 5-LOW rows (carrying its own
@@ -5395,6 +5440,7 @@ object LlmOps {
     "x_delta_dv"          -> (xDeltaDv _),
     "x_delta_cmap"        -> (xDeltaCmap _),
     "x_delta_cdf"         -> (xDeltaCdf _),
+    "x_delta_write"       -> (xDeltaWrite _),
     "x_avro_write"        -> (xAvroWrite _),
     "x_avro_write_deflate" -> (xAvroWriteDeflate _),
     "x_parquet_write2"    -> (xParquetWrite2 _),
@@ -5982,6 +6028,19 @@ object LlmOps {
         "CAST(sum(o_orderkey) AS BIGINT) AS sum_k, " +
         "min(o_orderstatus) AS min_st, max(o_orderstatus) AS max_st " +
         "FROM orders GROUP BY 1 ORDER BY prio"),
+    "x_delta_write" ->
+      """WITH p AS (SELECT o_orderpriority AS prio, count(*) AS n,
+        |    CAST(sum(o_orderkey) AS BIGINT) AS sum_k,
+        |    min(o_orderstatus) AS min_st
+        |  FROM orders GROUP BY 1)
+        |SELECT 'cdf' AS face, prio, n, sum_k, min_st FROM p
+        |WHERE prio IN ('4-NOT SPECIFIED', '5-LOW')
+        |UNION ALL
+        |SELECT 'cur', prio, n, sum_k, min_st FROM p
+        |UNION ALL
+        |SELECT 'v0', prio, n, sum_k, min_st FROM p
+        |WHERE prio IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+        |ORDER BY face, prio""".stripMargin,
     "x_delta_cdf" ->
       """WITH p AS (SELECT o_orderpriority AS prio, count(*) AS n,
         |    CAST(sum(o_orderkey) AS BIGINT) AS sum_k

@@ -529,6 +529,50 @@ class DeltaLiteSpec extends SparkSpec {
     assert(e.getMessage.contains("physicalName"))
   }
 
+  test("commitAppend: written tables replay, prune, and time-travel like read ones") {
+    val dir = Files.createTempDirectory("dlwrite").toString
+    // p = k/34 → per-partition files carry DISJOINT k ranges, so the
+    // written stats actually prune
+    def batch(lo: Long, hi: Long) =
+      spark.range(lo, hi + 1).coalesce(1).select(col("id").as("k"),
+        concat(lit("s"), col("id").cast("string")).as("s"),
+        (col("id") / 34).cast("long").cast("string").as("p"))
+    assert(DeltaLite.commitAppend(spark, dir, batch(1, 100),
+      partitionBy = Seq("p")) === 0L)
+    assert(DeltaLite.commitAppend(spark, dir, batch(101, 150),
+      partitionBy = Seq("p")) === 1L)
+    val snap = DeltaLite.snapshot(spark, dir)
+    assert(snap.count() === 150)
+    assert(snap.agg(sum("k")).head().getLong(0) === (1L to 150L).sum)
+    assert(snap.filter(col("p") === "1").count() === 34) // k 34..67
+    assert(snap.filter(col("k") === 120).select("s").as[String].head()
+      === "s120")
+    // time travel: version 0 sees only the first batch
+    assert(DeltaLite.snapshot(spark, dir, versionAsOf = 0)
+      .count() === 100)
+    // the WRITTEN stats prune: [40, 50] lives only in v0's p=1 file
+    val p = DeltaLite.prunedSnapshot(spark, dir, "k", 40L, 50L)
+    assert(p.keptFiles === 1 && p.nFiles >= 6)
+    assert(p.data.filter(col("k").between(40, 50)).count() === 11)
+    // string stats prune too
+    val ps = DeltaLite.prunedSnapshotString(spark, dir, "s", "s99", "s99")
+    assert(ps.keptFiles < ps.nFiles)
+    assert(ps.data.filter(col("s") === "s99").count() === 1)
+    // CDF over the written table
+    val ch = DeltaLite.changes(spark, dir, 1, 1)
+    assert(ch.count() === 50)
+    assert(ch.select("_change_type").distinct().as[String].collect()
+      === Array("insert"))
+    // schema / partitioning mismatches decline loudly
+    intercept[IllegalArgumentException] {
+      DeltaLite.commitAppend(spark, dir,
+        batch(1, 5).withColumnRenamed("s", "t"), Seq("p"))
+    }
+    intercept[IllegalArgumentException] {
+      DeltaLite.commitAppend(spark, dir, batch(1, 5), Seq.empty)
+    }
+  }
+
   test("timestampAsOf resolves the version from commit-file timestamps") {
     val dir = buildTable()
     val t0 = 1700000000000L
