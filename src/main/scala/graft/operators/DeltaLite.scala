@@ -251,7 +251,15 @@ object DeltaLite {
         s""""minValues":{${side("min")}},""" +
         s""""maxValues":{${side("max")}}}"""
     }
-    val adds = moved.map { case (rel, dest, prefix) =>
+    // zero-row part files have no stats row — drop them instead of
+    // committing empty data files
+    val (liveParts, emptyParts) = moved.partition { case (rel, dest, _) =>
+      statRows.contains(dest.toUri.toString) ||
+        statRows.keys.exists(_.endsWith(rel))
+    }
+    emptyParts.foreach { case (_, dest, _) => fs.delete(dest, false) }
+    require(liveParts.nonEmpty, s"append of an empty DataFrame to $table")
+    val adds = liveParts.map { case (rel, dest, prefix) =>
       val pv = prefix.split("/").filter(_.nonEmpty).map { seg =>
         val k = seg.substring(0, seg.indexOf('='))
         val x = uriDecode(seg.substring(seg.indexOf('=') + 1))

@@ -303,6 +303,301 @@ object IcebergLite {
     }.reduce(_ unionByName _)
   }
 
+  /** Spark → Iceberg primitive type name (the [[sparkType]] inverse);
+    * nested/unsupported types decline loudly — this writer never
+    * miswrites a schema. */
+  private def iceTypeOf(dt: DataType): String = dt match {
+    case BooleanType => "boolean"
+    case IntegerType => "int"
+    case LongType => "long"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case DateType => "date"
+    case TimestampNTZType => "timestamp"
+    case TimestampType => "timestamptz"
+    case StringType => "string"
+    case BinaryType => "binary"
+    case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+    case other => sys.error(
+      s"iceberg append: unsupported column type ${other.simpleString}")
+  }
+
+  /** Minimal JSON serializer over the parsed-metadata value tree
+    * (Map / Seq / String / Long / Double / Boolean / null) — what
+    * [[commitAppend]] uses to re-emit the carried-forward metadata. */
+  private def jsonWrite(v: Any): String = v match {
+    case null => "null"
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, x) =>
+        "\"" + jsonEsc(k.toString) + "\":" + jsonWrite(x)
+      }.mkString("{", ",", "}")
+    case s: scala.collection.Seq[_] =>
+      s.map(jsonWrite).mkString("[", ",", "]")
+    case s: String => "\"" + jsonEsc(s) + "\""
+    case b: java.lang.Boolean => b.toString
+    case n: java.lang.Long => n.toString
+    case n: java.lang.Integer => n.toString
+    case d: java.lang.Double => d.toString
+    case other => sys.error(s"iceberg metadata write: cannot emit $other")
+  }
+  private def jsonEsc(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private val ManifestWriteSchema =
+    """{"type":"record","name":"manifest_entry","fields":[
+      |  {"name":"status","type":"int"},
+      |  {"name":"snapshot_id","type":["null","long"]},
+      |  {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |    {"name":"file_path","type":"string"},
+      |    {"name":"file_format","type":"string"},
+      |    {"name":"record_count","type":"long"},
+      |    {"name":"file_size_in_bytes","type":"long"},
+      |    {"name":"lower_bounds","type":["null",{"type":"array","items":
+      |      {"type":"record","name":"kv1","fields":[
+      |        {"name":"key","type":"int"},
+      |        {"name":"value","type":"bytes"}]}}],"default":null},
+      |    {"name":"upper_bounds","type":["null",{"type":"array","items":
+      |      {"type":"record","name":"kv2","fields":[
+      |        {"name":"key","type":"int"},
+      |        {"name":"value","type":"bytes"}]}}],"default":null}]}}]}"""
+      .stripMargin.replaceAll("\n\\s*", "")
+  private val ManifestListWriteSchema =
+    """{"type":"record","name":"manifest_file","fields":[
+      |  {"name":"manifest_path","type":"string"},
+      |  {"name":"manifest_length","type":"long"},
+      |  {"name":"partition_spec_id","type":"int"},
+      |  {"name":"content","type":"int"},
+      |  {"name":"added_snapshot_id","type":["null","long"]}]}"""
+      .stripMargin.replaceAll("\n\\s*", "")
+
+  /** APPEND WRITER — the Iceberg sibling of
+    * [[DeltaLite.commitAppend]], and the productionized form of what
+    * the gate fixtures hand-build: writes `df` as parquet DISTRIBUTED
+    * under `data/`, one ADDED-entry manifest (with per-file
+    * record_count and int/long/string lower/upper bounds in
+    * single-value serialization — so written tables file-skip through
+    * [[prunedScan]]/[[prunedScanString]]), a manifest list re-listing
+    * the parent snapshot's manifests plus the new one, and the next
+    * `vN.metadata.json` (format-version 1, UNPARTITIONED — the
+    * carried-forward metadata re-emits verbatim, with the new
+    * snapshot chained to its parent). Deterministic snapshot ids /
+    * timestamps (monotonic from the table's own history). First
+    * commit creates the table from the DataFrame's schema; later
+    * appends require matching names + types. Returns the new
+    * snapshot id.
+    *
+    * Declines loudly: nested/unsupported column types,
+    * format-version-2 tables (sequence-number semantics this writer
+    * does not emit), schema mismatch, empty appends. */
+  def commitAppend(spark: SparkSession, table: String,
+                   df: DataFrame): Long = {
+    val fs = new Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val metaDir = new Path(table, "metadata")
+    val schema = df.schema
+    schema.fields.foreach(f => iceTypeOf(f.dataType)) // validate upfront
+
+    val exists = fs.exists(metaDir)
+    val (root0, prevVersion): (JMap, Long) =
+      if (!exists) (null, 0L)
+      else {
+        val ctx = new Ctx(spark, table)
+        require(asLong(ctx.root.getOrElse("format-version", 1L)) == 1L,
+          "iceberg append supports format-version 1 tables only")
+        val ts = ctx.sparkSchema
+        require(ts.fields.map(f => (f.name, f.dataType)).toSeq ==
+          schema.fields.map(f => (f.name, f.dataType)).toSeq,
+          s"append schema ${schema.simpleString} does not match the " +
+            s"table schema ${ts.simpleString}")
+        val m = java.util.regex.Pattern.compile("v(\\d+)\\.metadata\\.json")
+          .matcher(ctx.metaFile.getName)
+        require(m.matches(), s"unversioned metadata file ${ctx.metaFile}")
+        (ctx.root, m.group(1).toLong)
+      }
+    val prevSnaps: Seq[JMap] =
+      if (root0 == null) Seq.empty
+      else root0.get("snapshots")
+        .map(v => asSeq(v).map(asMap).toSeq).getOrElse(Seq.empty)
+    val parentId: Long =
+      if (root0 == null) -1L
+      else root0.get("current-snapshot-id").map(asLong).getOrElse(-1L)
+    val snapId = prevSnaps
+      .map(s => asLong(s.getOrElse("snapshot-id", 0L)))
+      .foldLeft(3051800000000000000L)(math.max) + 1
+    val tsMs = prevSnaps
+      .map(s => asLong(s.getOrElse("timestamp-ms", 0L)))
+      .foldLeft(1700000000000L)(math.max) + 1000
+    val location =
+      if (root0 != null && root0.contains("location"))
+        asStr(root0("location"))
+      else new Path(table).toUri.toString
+
+    // ---- distributed data write: staging, then data/part-… ----
+    val staging = new Path(table, s".staging-$snapId")
+    df.write.mode("overwrite").parquet(staging.toString)
+    val moved = fs.listStatus(staging).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet")).zipWithIndex
+      .map { case (st, i) =>
+        val dest = new Path(new Path(table, "data"),
+          f"part-$snapId-$i%05d.parquet")
+        fs.mkdirs(dest.getParent)
+        require(fs.rename(st.getPath, dest), s"rename to $dest failed")
+        dest
+      }
+    fs.delete(staging, true)
+    require(moved.nonEmpty, s"append of an empty DataFrame to $table")
+
+    // ---- one distributed stats job: per-file count + bounds ----
+    val nameToId: Map[String, Long] =
+      if (root0 == null) schema.fieldNames.zipWithIndex
+        .map { case (n, i) => n -> (i + 1).toLong }.toMap
+      else {
+        val ctxSchema = root0.get("schemas") match {
+          case Some(ss) =>
+            val id = asLong(root0.getOrElse("current-schema-id", 0L))
+            asSeq(ss).map(asMap)
+              .find(m => m.get("schema-id").exists(asLong(_) == id))
+              .getOrElse(sys.error("current schema not found"))
+          case None => asMap(root0("schema"))
+        }
+        asSeq(ctxSchema.getOrElse("fields", sys.error("no fields")))
+          .map(asMap).map(f => asStr(f("name")) -> asLong(f("id"))).toMap
+      }
+    val statFields = schema.fields.filter(f =>
+      f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == StringType)
+    import org.apache.spark.sql.functions._
+    val statRows = spark.read.schema(schema)
+      .parquet(moved.map(_.toString): _*)
+      .groupBy(col("_metadata.file_path").as("__file"))
+      .agg(count(lit(1)).as("__n"),
+        statFields.flatMap(f => Seq(
+          min(col(f.name)).as(s"__min_${f.name}"),
+          max(col(f.name)).as(s"__max_${f.name}"))): _*)
+      .collect()
+      .map(r => r.getString(0) -> r).toMap
+
+    def le64(v: Long): Array[Byte] =
+      (0 until 8).map(k => ((v >>> (8 * k)) & 0xff).toByte).toArray
+    def le32(v: Int): Array[Byte] =
+      (0 until 4).map(k => ((v >>> (8 * k)) & 0xff).toByte).toArray
+    def boundsOf(r: org.apache.spark.sql.Row, which: String): Any = {
+      val kvs = statFields.flatMap { f =>
+        val ix = r.fieldIndex(s"__${which}_${f.name}")
+        if (r.isNullAt(ix)) None
+        else Some(Map[String, Any]("key" -> nameToId(f.name).toInt,
+          "value" -> (f.dataType match {
+            case LongType => le64(r.getLong(ix))
+            case IntegerType => le32(r.getInt(ix))
+            case _ => r.getString(ix)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          })))
+      }
+      if (kvs.isEmpty) null else kvs.toSeq
+    }
+    def fnameOf(p: Path): String = p.getName
+    // zero-row part files have no stats row — they carry nothing, so
+    // drop them instead of committing empty data files
+    val (nonEmptyParts, emptyParts) = moved.partition(dest =>
+      statRows.exists(_._1.endsWith("/" + fnameOf(dest))))
+    emptyParts.foreach(p => fs.delete(p, false))
+    require(nonEmptyParts.nonEmpty,
+      s"append of an empty DataFrame to $table")
+    val entries = nonEmptyParts.map { dest =>
+      val r = statRows.find(_._1.endsWith("/" + fnameOf(dest)))
+        .map(_._2).getOrElse(sys.error(s"no stats row for $dest"))
+      Map[String, Any]("status" -> 1,
+        "snapshot_id" -> java.lang.Long.valueOf(snapId),
+        "data_file" -> Map[String, Any](
+          "file_path" -> s"$location/data/${fnameOf(dest)}",
+          "file_format" -> "PARQUET",
+          "record_count" -> r.getLong(r.fieldIndex("__n")),
+          "file_size_in_bytes" -> fs.getFileStatus(dest).getLen,
+          "lower_bounds" -> boundsOf(r, "min"),
+          "upper_bounds" -> boundsOf(r, "max")))
+    }
+
+    // ---- manifest + manifest list ----
+    fs.mkdirs(metaDir)
+    val manifestName = s"manifest-$snapId.avro"
+    val manifestBytes = graft.functions.AvroWrite
+      .genericFileBytes(ManifestWriteSchema, entries)
+    writeFile(fs, new Path(metaDir, manifestName), manifestBytes)
+    val prevListRows: Seq[JMap] =
+      if (parentId < 0) Seq.empty
+      else {
+        val ctx = new Ctx(spark, table)
+        ctx.manifestRowsOf(ctx.snapById(parentId))
+      }
+    val listRows = prevListRows.map { r =>
+      Map[String, Any](
+        "manifest_path" -> asStr(r.getOrElse("manifest_path",
+          sys.error("manifest row without path"))),
+        "manifest_length" -> r.get("manifest_length").map(asLong)
+          .getOrElse(1L),
+        "partition_spec_id" -> r.get("partition_spec_id").map(asLong)
+          .getOrElse(0L).toInt,
+        "content" -> r.get("content").map(asLong).getOrElse(0L).toInt,
+        "added_snapshot_id" -> r.get("added_snapshot_id").collect {
+          case v if v != null => java.lang.Long.valueOf(asLong(v))
+        }.orNull)
+    } :+ Map[String, Any](
+      "manifest_path" -> s"$location/metadata/$manifestName",
+      "manifest_length" -> manifestBytes.length.toLong,
+      "partition_spec_id" -> 0, "content" -> 0,
+      "added_snapshot_id" -> java.lang.Long.valueOf(snapId))
+    val listName = s"snap-$snapId.avro"
+    writeFile(fs, new Path(metaDir, listName), graft.functions.AvroWrite
+      .genericFileBytes(ManifestListWriteSchema, listRows))
+
+    // ---- next metadata version (carry the old root forward) ----
+    val newSnap = Map[String, Any](
+      "snapshot-id" -> snapId,
+      "timestamp-ms" -> tsMs,
+      "summary" -> Map[String, Any]("operation" -> "append"),
+      "manifest-list" -> s"$location/metadata/$listName") ++
+      (if (parentId >= 0) Map("parent-snapshot-id" -> parentId)
+       else Map.empty[String, Any])
+    val baseRoot: Map[String, Any] =
+      if (root0 != null) root0.toMap
+      else Map[String, Any](
+        "format-version" -> 1L,
+        "table-uuid" -> f"graft-0000-4000-8000-${table.hashCode.abs}%012d",
+        "location" -> location,
+        "schema" -> Map[String, Any]("type" -> "struct",
+          "fields" -> schema.fields.toSeq.map(f => Map[String, Any](
+            "id" -> nameToId(f.name),
+            "name" -> f.name,
+            "required" -> java.lang.Boolean.valueOf(!f.nullable),
+            "type" -> iceTypeOf(f.dataType)))),
+        "partition-spec" -> Seq.empty[Any])
+    val newRoot = baseRoot ++ Map[String, Any](
+      "last-updated-ms" -> tsMs,
+      "current-snapshot-id" -> snapId,
+      "snapshots" -> (prevSnaps.map(_.toMap) :+ newSnap))
+    val newVersion = prevVersion + 1
+    writeFile(fs, new Path(metaDir, s"v$newVersion.metadata.json"),
+      jsonWrite(newRoot).getBytes("UTF-8"))
+    writeFile(fs, new Path(metaDir, "version-hint.text"),
+      s"$newVersion\n".getBytes("UTF-8"), overwrite = true)
+    snapId
+  }
+
+  private def writeFile(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+                        bytes: Array[Byte],
+                        overwrite: Boolean = false): Unit = {
+    val out = fs.create(p, overwrite)
+    try out.write(bytes) finally out.close()
+  }
+
   /** Iceberg single-value serialization payload for `fieldId` out of
     * an Iceberg key/value-pair map (Avro array<record<key,value>>). */
   private def boundFor(df: JMap, which: String,

@@ -4237,6 +4237,55 @@ object LlmOps {
       dir.toString
     })
 
+  /** Iceberg WRITE fixture: a table OUR OWN `commitAppend` writes in
+    * two snapshots (priorities 1–3, then 4–5); the first snapshot id
+    * rides back in a sidecar file for the gate's pinning face. */
+  private def icebergWriteFixture(s: SparkSession, d: String): String =
+    parquetNestedDirs.computeIfAbsent(s"$d#icewrite", _ => {
+      val dir = java.nio.file.Files.createTempDirectory("ice_write")
+      def sel(ps: Seq[String]) = orders(s, d)
+        .filter(col("o_orderpriority").isin(ps: _*))
+        .select(col("o_orderkey").cast("long").as("k"),
+          col("o_orderstatus").as("st"),
+          col("o_orderpriority").as("prio"))
+      val snap1 = graft.operators.IcebergLite.commitAppend(s,
+        dir.toString, sel(Seq("1-URGENT", "2-HIGH", "3-MEDIUM")))
+      graft.operators.IcebergLite.commitAppend(s,
+        dir.toString, sel(Seq("4-NOT SPECIFIED", "5-LOW")))
+      java.nio.file.Files.writeString(dir.resolve("SNAP1"),
+        snap1.toString)
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().forEachRemaining(q => q.toFile.deleteOnExit())
+      finally walk.close()
+      dir.toString
+    })
+
+  /** Iceberg WRITE gate — the Delta-write parity for format #2: our
+    * commitAppend's output (manifests, manifest list, chained
+    * metadata, written bounds) replays through our own scan reader
+    * (current + pinned first snapshot) AND appendsBetween; every
+    * (face, priority) aggregate restated from orders. */
+  def xIcebergWrite(s: SparkSession, d: String): DataFrame = {
+    val dir = icebergWriteFixture(s, d)
+    val snap1 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "SNAP1")).trim.toLong
+    def face(label: String, df: DataFrame) =
+      df.groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("st")).as("min_st"))
+        .select(lit(label).as("face"), col("prio"), col("n"),
+          col("sum_k"), col("min_st"))
+    ordered(
+      face("cur", graft.operators.IcebergLite.snapshot(s, dir))
+        .unionByName(face("v1",
+          graft.operators.IcebergLite.snapshot(s, dir,
+            snapshotId = snap1)))
+        .unionByName(face("inc",
+          graft.operators.IcebergLite.appendsBetween(s, dir, snap1)
+            .drop("_snapshot_id"))),
+      "face", "prio")
+  }
+
   /** Iceberg INCREMENTAL-APPEND gate — the delta-loop consumer face:
     * `appendsBetween(snap1)` surfaces exactly the snap2/snap3
     * arrivals, attributed per snapshot (re-listed earlier manifests
@@ -5433,6 +5482,7 @@ object LlmOps {
     "x_iceberg_meta"      -> (xIcebergMeta _),
     "x_iceberg_snapshot"  -> (xIcebergSnapshot _),
     "x_iceberg_appends"   -> (xIcebergAppends _),
+    "x_iceberg_write"     -> (xIcebergWrite _),
     "x_iceberg_nested"    -> (xIcebergNested _),
     "x_iceberg_prune"     -> (xIcebergPrune _),
     "x_iceberg_deletes"   -> (xIcebergDeletes _),
@@ -6088,6 +6138,19 @@ object LlmOps {
         |  min(o_orderstatus) AS min_st, max(o_orderstatus) AS max_st
         |FROM r WHERE NOT (prio = '2-HIGH' AND pos % 2 = 0)
         |GROUP BY 1 ORDER BY prio""".stripMargin,
+    "x_iceberg_write" ->
+      """WITH p AS (SELECT o_orderpriority AS prio, count(*) AS n,
+        |    CAST(sum(o_orderkey) AS BIGINT) AS sum_k,
+        |    min(o_orderstatus) AS min_st
+        |  FROM orders GROUP BY 1)
+        |SELECT 'cur' AS face, prio, n, sum_k, min_st FROM p
+        |UNION ALL
+        |SELECT 'inc', prio, n, sum_k, min_st FROM p
+        |WHERE prio IN ('4-NOT SPECIFIED', '5-LOW')
+        |UNION ALL
+        |SELECT 'v1', prio, n, sum_k, min_st FROM p
+        |WHERE prio IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+        |ORDER BY face, prio""".stripMargin,
     "x_iceberg_appends" ->
       ("SELECT CASE WHEN o_orderpriority = '3-MEDIUM' THEN 's2' " +
         "ELSE 's3' END AS snap, o_orderpriority AS prio, " +

@@ -676,6 +676,50 @@ class IcebergLiteSpec extends SparkSpec {
     assert(e.getMessage.contains("survive"))
   }
 
+  test("commitAppend: written tables scan, prune, time-travel, and feed appendsBetween") {
+    val dir = Files.createTempDirectory("icewrite").toString
+    def batch(lo: Long, hi: Long) =
+      spark.range(lo, hi + 1).coalesce(1).select(col("id").as("k"),
+        concat(lit("s"), col("id").cast("string")).as("s"))
+    val snap1 = IcebergLite.commitAppend(spark, dir, batch(1, 100))
+    val snap2 = IcebergLite.commitAppend(spark, dir, batch(101, 150))
+    assert(snap2 === snap1 + 1)
+    val scan = IcebergLite.scan(spark, dir)
+    assert(scan.nDataFiles === 2)
+    assert(scan.data.count() === 150)
+    assert(scan.data.agg(sum("k")).head().getLong(0) === (1L to 150L).sum)
+    // snapshot pinning + timestamp travel over written history
+    assert(IcebergLite.snapshot(spark, dir, snapshotId = snap1)
+      .count() === 100)
+    assert(IcebergLite.snapshotAsOfTimestamp(spark, dir, 1700000001000L)
+      .count() === 100)
+    // the WRITTEN bounds prune: [120, 130] lives only in batch 2
+    val p = IcebergLite.prunedScan(spark, dir, "k", 120L, 130L)
+    assert(p.keptFiles === 1)
+    assert(p.data.filter(col("k").between(120, 130)).count() === 11)
+    val ps = IcebergLite.prunedScanString(spark, dir, "s", "s99", "s99")
+    assert(ps.keptFiles === 1) // only batch 1's file can hold "s99"
+    // the written chain feeds the incremental consumer
+    val ch = IcebergLite.appendsBetween(spark, dir, snap1)
+    assert(ch.count() === 50)
+    assert(ch.select("_snapshot_id").distinct().as[Long].collect()
+      === Array(snap2))
+    // schema mismatch and empty appends decline loudly
+    intercept[IllegalArgumentException] {
+      IcebergLite.commitAppend(spark, dir,
+        batch(1, 5).withColumnRenamed("s", "t"))
+    }
+    intercept[IllegalArgumentException] {
+      IcebergLite.commitAppend(spark, dir, batch(1, 5).filter(lit(false)))
+    }
+    // nested column types decline at write
+    intercept[RuntimeException] {
+      IcebergLite.commitAppend(spark,
+        Files.createTempDirectory("icewbad").toString,
+        spark.range(1).select(struct(col("id").as("a")).as("st")))
+    }
+  }
+
   test("many manifests: parallel decode returns the sequential answer") {
     // one manifest PER FILE (24 of them, above the parallel-pool size)
     // plus a rewrite manifest deleting one file — order-sensitive
