@@ -93,8 +93,11 @@ object DeltaLite {
   private val SupportedReaderFeatures =
     Set("v2Checkpoint", "deletionVectors", "columnMapping")
 
-  /** File-skipping outcome of [[prunedSnapshot]]. */
-  final case class Pruned(nFiles: Int, keptFiles: Int, data: DataFrame)
+  /** File-skipping outcome of [[prunedSnapshot]]; `liveFilePaths` are
+    * the kept files' log-recorded relative paths (what
+    * [[commitCompact]] tombstones). */
+  final case class Pruned(nFiles: Int, keptFiles: Int, data: DataFrame,
+                          liveFilePaths: Seq[String] = Nil)
 
   /** The table as a DataFrame at `versionAsOf` (default: latest). */
   def snapshot(spark: SparkSession, table: String,
@@ -178,9 +181,92 @@ object DeltaLite {
           s"$tablePartCols")
     }
 
-    // distributed data write into a staging dir, then rename each part
-    // under the table root with a version-unique name (driver touches
-    // only the file LIST)
+    val adds = stageAdds(spark, fs, table, df, partitionBy, version,
+      dataChange = true)
+    val head =
+      if (version > 0) Seq.empty
+      else {
+        val schemaJson = jstr(schema.json)
+        Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+          s"""{"metaData":{"id":"graft-${table.hashCode.abs}",""" +
+            s""""schemaString":"$schemaJson","partitionColumns":[${
+              partitionBy.map(c => s""""$c"""").mkString(",")}],""" +
+            """"configuration":{}}}""")
+      }
+    writeCommit(fs, logDir, version, head ++ adds, table)
+    version
+  }
+
+  /** COMPACTION commit (OPTIMIZE-style): rewrites the current live
+    * files into `targetFiles` coalesced data files per layout, then
+    * commits removes of every old file + adds of the new ones — ALL
+    * with `dataChange=false`, so [[changes]] surfaces NOTHING for a
+    * compaction: incremental consumers never re-see rewritten rows.
+    * Snapshot content is identical before and after (deletion vectors
+    * on old files MATERIALIZE — the rewrite reads the DV-applied
+    * snapshot). Declines loudly on column-mapped tables. Returns the
+    * committed version. */
+  def commitCompact(spark: SparkSession, table: String,
+                    targetFiles: Int = 1): Long = {
+    require(targetFiles > 0, s"bad targetFiles $targetFiles")
+    val fs = new Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val logDir = new Path(table, LogDir)
+    val version = latestVersion(spark, table) + 1
+    require(version > 0, s"not a Delta table (no commits): $table")
+    val metaRow = spark.read.schema(actionSchema)
+      .json((0L until version).map(v =>
+        new Path(logDir, f"$v%020d.json").toString).filter(p =>
+        fs.exists(new Path(p))): _*)
+      .filter(col("metaData").isNotNull)
+      .withColumn("v", regexp_extract(input_file_name(),
+        "(\\d{20})\\.json", 1).cast("long"))
+      .orderBy(col("v").desc)
+      .select("metaData.schemaString", "metaData.partitionColumns",
+        "metaData.configuration").limit(1).collect().headOption
+      .getOrElse(sys.error(s"no metaData action in $table"))
+    val partCols = Option(metaRow.getSeq[String](1)).getOrElse(Seq.empty)
+    val cmap = Option(metaRow.getMap[String, String](2))
+      .flatMap(_.get("delta.columnMapping.mode")).getOrElse("none")
+    require(cmap == "none",
+      "compaction on column-mapped tables is beyond this writer")
+    val cur = build(spark, table, Long.MaxValue, keep = null)
+    val adds = stageAdds(spark, fs, table,
+      cur.data.coalesce(targetFiles), partCols, version,
+      dataChange = false)
+    // tombstones must match the adds' recorded paths BYTE-FOR-BYTE
+    // (the replay groups by the raw path string), so the log-recorded
+    // rels pass through untouched
+    val removes = cur.liveFilePaths.map(rel =>
+      s"""{"remove":{"path":"${jstr(rel)}","deletionTimestamp":""" +
+        s"""$version,"dataChange":false}}""")
+    writeCommit(fs, logDir, version, removes ++ adds, table)
+    version
+  }
+
+  private def jstr(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** Shared write tier of [[commitAppend]]/[[commitCompact]]:
+    * distributed parquet into a staging dir, rename each part under
+    * the table root with a version-unique name, ONE distributed stats
+    * job (per-file numRecords + long/string min/max), zero-row parts
+    * dropped; returns the add-action JSON lines. The driver touches
+    * only the file LIST. */
+  private def stageAdds(spark: SparkSession,
+                        fs: org.apache.hadoop.fs.FileSystem,
+                        table: String, df: DataFrame,
+                        partitionBy: Seq[String], version: Long,
+                        dataChange: Boolean): Seq[String] = {
+    val schema = df.schema
     val staging = new Path(table, s".staging-$version")
     val writer = if (partitionBy.isEmpty) df.write
       else df.write.partitionBy(partitionBy: _*)
@@ -216,6 +302,9 @@ object DeltaLite {
         (f.dataType == LongType || f.dataType == StringType))
     val dataSchema = StructType(
       schema.filterNot(f => partitionBy.contains(f.name)))
+    // keyed by BASENAME (version-unique by construction): the URI in
+    // `_metadata.file_path` percent-encodes spaces etc., so full-path
+    // matching silently misses space-bearing partition dirs
     val statRows = spark.read.schema(dataSchema)
       .parquet(moved.map(_._2.toString): _*)
       .groupBy(col("_metadata.file_path").as("__file"))
@@ -224,18 +313,11 @@ object DeltaLite {
           min(col(f.name)).as(s"__min_${f.name}"),
           max(col(f.name)).as(s"__max_${f.name}"))): _*)
       .collect()
-      .map(r => r.getString(0) -> r).toMap
+      .map { r =>
+        val p = r.getString(0)
+        p.substring(p.lastIndexOf('/') + 1) -> r
+      }.toMap
 
-    def jstr(s: String): String = {
-      val sb = new StringBuilder
-      s.foreach {
-        case '"' => sb.append("\\\"")
-        case '\\' => sb.append("\\\\")
-        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
-        case c => sb.append(c)
-      }
-      sb.toString
-    }
     def statsJson(r: org.apache.spark.sql.Row): String = {
       def side(which: String): String = statCols.map { f =>
         val ix = r.fieldIndex(s"__${which}_${f.name}")
@@ -253,20 +335,18 @@ object DeltaLite {
     }
     // zero-row part files have no stats row — drop them instead of
     // committing empty data files
-    val (liveParts, emptyParts) = moved.partition { case (rel, dest, _) =>
-      statRows.contains(dest.toUri.toString) ||
-        statRows.keys.exists(_.endsWith(rel))
+    val (liveParts, emptyParts) = moved.partition { case (_, dest, _) =>
+      statRows.contains(dest.getName)
     }
     emptyParts.foreach { case (_, dest, _) => fs.delete(dest, false) }
     require(liveParts.nonEmpty, s"append of an empty DataFrame to $table")
-    val adds = liveParts.map { case (rel, dest, prefix) =>
+    liveParts.map { case (rel, dest, prefix) =>
       val pv = prefix.split("/").filter(_.nonEmpty).map { seg =>
         val k = seg.substring(0, seg.indexOf('='))
         val x = uriDecode(seg.substring(seg.indexOf('=') + 1))
         s""""$k":"${jstr(x)}""""
       }.mkString(",")
-      val stats = statRows.get(dest.toUri.toString)
-        .orElse(statRows.find(_._1.endsWith(rel)).map(_._2))
+      val stats = statRows.get(dest.getName)
         .map(r => s""","stats":"${jstr(statsJson(r))}"""")
         .getOrElse("")
       val escRel = rel.split("/").map(seg =>
@@ -274,29 +354,23 @@ object DeltaLite {
         .mkString("/")
       s"""{"add":{"path":"$escRel","partitionValues":{$pv},""" +
         s""""size":${fs.getFileStatus(dest).getLen},""" +
-        s""""dataChange":true$stats}}"""
+        s""""dataChange":$dataChange$stats}}"""
     }
-    val head =
-      if (version > 0) Seq.empty
-      else {
-        val schemaJson = jstr(schema.json)
-        Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
-          s"""{"metaData":{"id":"graft-${table.hashCode.abs}",""" +
-            s""""schemaString":"$schemaJson","partitionColumns":[${
-              partitionBy.map(c => s""""$c"""").mkString(",")}],""" +
-            """"configuration":{}}}""")
-      }
-    // atomic commit: write to a temp name, rename to the version —
-    // rename fails if someone else committed the version first
+  }
+
+  /** Atomic commit: write to a temp name, rename to the version —
+    * rename fails if someone else committed the version first. */
+  private def writeCommit(fs: org.apache.hadoop.fs.FileSystem,
+                          logDir: Path, version: Long,
+                          lines: Seq[String], table: String): Unit = {
     fs.mkdirs(logDir)
     val tmp = new Path(logDir, f".$version%020d.json.tmp")
     val out = fs.create(tmp, false)
-    try out.write(((head ++ adds).mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     val commitFile = new Path(logDir, f"$version%020d.json")
     require(!fs.exists(commitFile) && fs.rename(tmp, commitFile),
       s"commit conflict: version $version already exists in $table")
-    version
   }
 
   /** CHANGE-DATA-FEED read — the incremental-consumer face a
@@ -929,6 +1003,9 @@ object DeltaLite {
         union.join(dvPositions.toDF("__f", "__p"), Seq("__f", "__p"),
           "left_anti").drop("__f", "__p")
       }
-    Pruned(liveAll.length, live.length, data)
+    // liveFilePaths keep the RAW log-recorded strings: a later
+    // tombstone must match the add's path byte-for-byte
+    Pruned(liveAll.length, live.length, data,
+      live.map { case (rel, _, _, _) => rel }.toSeq)
   }
 }

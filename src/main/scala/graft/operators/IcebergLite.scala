@@ -483,7 +483,10 @@ object IcebergLite {
           min(col(f.name)).as(s"__min_${f.name}"),
           max(col(f.name)).as(s"__max_${f.name}"))): _*)
       .collect()
-      .map(r => r.getString(0) -> r).toMap
+      .map { r => // keyed by basename: URIs percent-encode
+        val p = r.getString(0)
+        p.substring(p.lastIndexOf('/') + 1) -> r
+      }.toMap
 
     def le64(v: Long): Array[Byte] =
       (0 until 8).map(k => ((v >>> (8 * k)) & 0xff).toByte).toArray
@@ -507,13 +510,13 @@ object IcebergLite {
     // zero-row part files have no stats row — they carry nothing, so
     // drop them instead of committing empty data files
     val (nonEmptyParts, emptyParts) = moved.partition(dest =>
-      statRows.exists(_._1.endsWith("/" + fnameOf(dest))))
+      statRows.contains(fnameOf(dest)))
     emptyParts.foreach(p => fs.delete(p, false))
     require(nonEmptyParts.nonEmpty,
       s"append of an empty DataFrame to $table")
     val entries = nonEmptyParts.map { dest =>
-      val r = statRows.find(_._1.endsWith("/" + fnameOf(dest)))
-        .map(_._2).getOrElse(sys.error(s"no stats row for $dest"))
+      val r = statRows.getOrElse(fnameOf(dest),
+        sys.error(s"no stats row for $dest"))
       Map[String, Any]("status" -> 1,
         "snapshot_id" -> java.lang.Long.valueOf(snapId),
         "data_file" -> Map[String, Any](

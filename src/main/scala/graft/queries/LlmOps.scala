@@ -4320,6 +4320,10 @@ object LlmOps {
         sel(Seq("1-URGENT", "2-HIGH", "3-MEDIUM")), Seq("prio"))
       graft.operators.DeltaLite.commitAppend(s, dir.toString,
         sel(Seq("4-NOT SPECIFIED", "5-LOW")), Seq("prio"))
+      // v2: OPTIMIZE-style rewrite — the gate's cur face then proves
+      // content identity THROUGH compaction, and the cdf face (range
+      // includes v2) proves compaction is invisible to consumers
+      graft.operators.DeltaLite.commitCompact(s, dir.toString)
       val walk = java.nio.file.Files.walk(dir)
       try walk.iterator().forEachRemaining(q => q.toFile.deleteOnExit())
       finally walk.close()
@@ -4344,7 +4348,7 @@ object LlmOps {
         .unionByName(face("v0",
           graft.operators.DeltaLite.snapshot(s, dir, versionAsOf = 0)))
         .unionByName(face("cdf",
-          graft.operators.DeltaLite.changes(s, dir, 1, 1))),
+          graft.operators.DeltaLite.changes(s, dir, 1, 2))),
       "face", "prio")
   }
 

@@ -573,6 +573,35 @@ class DeltaLiteSpec extends SparkSpec {
     }
   }
 
+  test("commitCompact: content-identical, fewer files, invisible to CDF") {
+    val dir = Files.createTempDirectory("dlcompact").toString
+    def batch(lo: Long, hi: Long) =
+      spark.range(lo, hi + 1).repartition(4).select(col("id").as("k"),
+        concat(lit("s"), col("id").cast("string")).as("s"))
+    DeltaLite.commitAppend(spark, dir, batch(1, 100))
+    DeltaLite.commitAppend(spark, dir, batch(101, 150))
+    val pre = DeltaLite.prunedSnapshot(spark, dir, "k",
+      Long.MinValue, Long.MaxValue)
+    assert(pre.nFiles >= 8) // 4 parts per append
+    val v2 = DeltaLite.commitCompact(spark, dir)
+    assert(v2 === 2L)
+    val post = DeltaLite.prunedSnapshot(spark, dir, "k",
+      Long.MinValue, Long.MaxValue)
+    assert(post.nFiles === 1) // coalesced
+    assert(post.data.count() === 150)
+    assert(post.data.agg(sum("k")).head().getLong(0) === (1L to 150L).sum)
+    // compaction is INVISIBLE to incremental consumers
+    assert(DeltaLite.changes(spark, dir, v2, v2).count() === 0)
+    assert(DeltaLite.changes(spark, dir, 0, v2).count() === 150)
+    // pre-compaction versions still time-travel to the old layout
+    assert(DeltaLite.snapshot(spark, dir, versionAsOf = 1)
+      .count() === 150)
+    // the rewritten file's stats still prune
+    val ps = DeltaLite.prunedSnapshotString(spark, dir, "s", "s5", "s5")
+    assert(ps.keptFiles === 1)
+    assert(ps.data.filter(col("s") === "s5").count() === 1)
+  }
+
   test("timestampAsOf resolves the version from commit-file timestamps") {
     val dir = buildTable()
     val t0 = 1700000000000L
