@@ -246,8 +246,26 @@ object OrcWrite {
     case 'd' => 6 // DOUBLE
     case 's' => 7 // STRING
     case 'a' => 15 // DATE (values = epoch days as boxed Long)
+    case 't' => 9 // TIMESTAMP (values = epoch MICROS ≥ 0 as boxed Long)
     case other => sys.error(s"orc write: unsupported column kind '$other'" +
-      " (supported: l=long, d=double, s=string, a=date)")
+      " (supported: l=long, d=double, s=string, a=date, t=timestamp)")
+  }
+
+  /** ORC's 2015-01-01T00:00:00Z timestamp base, in epoch seconds. */
+  private val TsBaseSeconds = 1420070400L
+
+  /** SECONDARY-stream nanos encoding: ≥2 trailing decimal zeros are
+    * stripped, their count-1 rides in the bottom 3 bits. */
+  private def encodeNanos(nanos: Long): Long = {
+    require(nanos >= 0 && nanos <= 999999999L, s"bad nanos $nanos")
+    if (nanos == 0) 0L
+    else {
+      var n = nanos
+      var z = 0
+      while (n % 10 == 0 && z < 8) { n /= 10; z += 1 }
+      if (z >= 2) (n << 3) | (z - 1).toLong
+      else nanos << 3
+    }
   }
 
   /** Writes a flat struct-of-primitives ORC file: `cols` as
@@ -300,6 +318,24 @@ object OrcWrite {
             streams += ((1, colId, frame(intStream(
               nonNull.map(_.asInstanceOf[Number].longValue), signed = true),
               codecId)))
+          case 't' =>
+            // TIMESTAMP: DATA = seconds relative to 2015-01-01 (signed
+            // RLE v2), SECONDARY = trailing-zero-packed nanos (unsigned
+            // RLE v2). Readers only take the v2 generation here; the
+            // pre-1970 truncating-division edge is out of scope — both
+            // declined loudly.
+            require(v2,
+              "orc write: timestamp columns need rle=\"v2\" (readers " +
+                "take DIRECT_V2 only)")
+            val micros = nonNull.map(_.asInstanceOf[Number].longValue)
+            micros.foreach(m => require(m >= 0,
+              s"orc write: pre-1970 timestamp $m out of scope"))
+            streams += ((1, colId, frame(rleV2Bytes(
+              micros.map(m => m / 1000000L - TsBaseSeconds),
+              signed = true), codecId)))
+            streams += ((5, colId, frame(rleV2Bytes(
+              micros.map(m => encodeNanos((m % 1000000L) * 1000L)),
+              signed = false), codecId)))
           case 'd' =>
             val b = new java.io.ByteArrayOutputStream(nonNull.length * 8)
             nonNull.foreach { v =>
@@ -338,6 +374,9 @@ object OrcWrite {
         val encKinds = 0L +: cols.map { case (_, ck) =>
           if (v2 && ck != 'd') 2L else 0L }
         encKinds.foreach(k => pbBytes(o, 2, msg(eo => pbVarint(eo, 1, k))))
+        // timestamps are written in UTC; say so (readers otherwise
+        // assume their local zone)
+        pbString(o, 3, "UTC")
       }
       val framedSf = frame(sf, codecId)
       out.write(framedSf, 0, framedSf.length)

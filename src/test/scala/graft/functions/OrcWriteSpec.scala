@@ -168,6 +168,55 @@ class OrcWriteSpec extends SparkSpec {
     }
   }
 
+  test("TIMESTAMP columns: UTC micros through both consumers") {
+    // micros with second-aligned, milli-aligned, and odd-micro tails
+    // (exercises the trailing-zero nanos packing in all regimes)
+    val rows = (0 until 1500).map { i =>
+      Seq[Any](
+        java.lang.Long.valueOf(i.toLong),
+        if (i % 11 == 0) null
+        else java.lang.Long.valueOf(1700000000000000L + i.toLong *
+          (i % 3 match { case 0 => 1000000L; case 1 => 1000L; case _ => 1L })
+          + (i % 7).toLong * 97L))
+    }
+    Seq("none", "zlib").foreach { codec =>
+      val b = OrcWrite.fileBytes(Seq(("k", 'l'), ("ts", 't')), rows,
+        codec, stripeRows = 600, rle = "v2")
+      // OrcValues face: exact micro round-trip
+      val a = OrcValues.timestampMicros(b,
+        org.apache.spark.unsafe.types.UTF8String.fromString("ts"))
+      assert(a != null && a.numElements() === 1500)
+      (0 until 1500).foreach { i =>
+        if (rows(i)(1) == null) assert(a.isNullAt(i), s"ts@$i")
+        else assert(a.getLong(i) ===
+          rows(i)(1).asInstanceOf[java.lang.Long].longValue, s"ts@$i")
+      }
+      // Spark native: schema + micro-exact values under a UTC session
+      val dir = java.nio.file.Files.createTempDirectory("orcts").toString
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "part-0.orc"), b)
+      val df = spark.read.orc(dir)
+      assert(df.schema("ts").dataType ===
+        org.apache.spark.sql.types.TimestampType)
+      val got = df.select(unix_micros(col("ts"))).collect()
+        .map(r => if (r.isNullAt(0)) null
+          else java.lang.Long.valueOf(r.getLong(0))).sortBy(v =>
+          if (v == null) Long.MinValue else v.longValue)
+      val want = rows.map(_(1).asInstanceOf[java.lang.Long]).sortBy(v =>
+        if (v == null) Long.MinValue else v.longValue)
+      got.zip(want).foreach { case (g, w) => assert(g === w) }
+    }
+    // v1 generation and pre-1970 micros decline loudly
+    intercept[IllegalArgumentException] {
+      OrcWrite.fileBytes(Seq(("ts", 't')),
+        Seq(Seq[Any](java.lang.Long.valueOf(1L))), rle = "v1")
+    }
+    intercept[IllegalArgumentException] {
+      OrcWrite.fileBytes(Seq(("ts", 't')),
+        Seq(Seq[Any](java.lang.Long.valueOf(-5L))), rle = "v2")
+    }
+  }
+
   test("loud declines: bad kind, bad codec, arity mismatch, empty file") {
     val r = Seq(Seq[Any](java.lang.Long.valueOf(1L)))
     intercept[RuntimeException] {
