@@ -340,6 +340,11 @@ object IcebergLite {
     case d: java.lang.Double => d.toString
     case other => sys.error(s"iceberg metadata write: cannot emit $other")
   }
+  /** %XX-only decode of a Hive partition-dir value segment (a '+' is
+    * a literal plus there, not a space). */
+  private def uriDecodeSeg(s: String): String =
+    java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
+
   private def jsonEsc(s: String): String = {
     val sb = new StringBuilder
     s.foreach {
@@ -351,15 +356,27 @@ object IcebergLite {
     sb.toString
   }
 
-  private val ManifestWriteSchema =
-    """{"type":"record","name":"manifest_entry","fields":[
+  /** Manifest-entry Avro schema; partitioned tables get a `partition`
+    * record field typed per partition column. */
+  private def manifestWriteSchema(
+      partFields: Seq[(String, String)]): String = {
+    val partition =
+      if (partFields.isEmpty) ""
+      else {
+        val fs = partFields.map { case (n, t) =>
+          s"""{"name":"${n}","type":["null","$t"],"default":null}"""
+        }.mkString(",")
+        s""",{"name":"partition","type":["null",{"type":"record",""" +
+          s""""name":"r102","fields":[$fs]}],"default":null}"""
+      }
+    s"""{"type":"record","name":"manifest_entry","fields":[
       |  {"name":"status","type":"int"},
       |  {"name":"snapshot_id","type":["null","long"]},
       |  {"name":"data_file","type":{"type":"record","name":"r2","fields":[
       |    {"name":"file_path","type":"string"},
       |    {"name":"file_format","type":"string"},
       |    {"name":"record_count","type":"long"},
-      |    {"name":"file_size_in_bytes","type":"long"},
+      |    {"name":"file_size_in_bytes","type":"long"}$partition,
       |    {"name":"lower_bounds","type":["null",{"type":"array","items":
       |      {"type":"record","name":"kv1","fields":[
       |        {"name":"key","type":"int"},
@@ -369,6 +386,7 @@ object IcebergLite {
       |        {"name":"key","type":"int"},
       |        {"name":"value","type":"bytes"}]}}],"default":null}]}}]}"""
       .stripMargin.replaceAll("\n\\s*", "")
+  }
   private val ManifestListWriteSchema =
     """{"type":"record","name":"manifest_file","fields":[
       |  {"name":"manifest_path","type":"string"},
@@ -398,12 +416,23 @@ object IcebergLite {
     * format-version-2 tables (sequence-number semantics this writer
     * does not emit), schema mismatch, empty appends. */
   def commitAppend(spark: SparkSession, table: String,
-                   df: DataFrame): Long = {
+                   df: DataFrame,
+                   partitionBy: Seq[String] = Nil): Long = {
     val fs = new Path(table).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val metaDir = new Path(table, "metadata")
     val schema = df.schema
     schema.fields.foreach(f => iceTypeOf(f.dataType)) // validate upfront
+    // identity partition columns: int/long/string sources only (the
+    // reconstruction + tuple-Avro faces this writer emits)
+    partitionBy.foreach { pc =>
+      require(schema.fieldNames.contains(pc),
+        s"partition column $pc not in the DataFrame")
+      val dt = schema(pc).dataType
+      require(dt == LongType || dt == IntegerType || dt == StringType,
+        s"iceberg append: unsupported partition column type " +
+          s"${dt.simpleString} for $pc (int/long/string)")
+    }
 
     val exists = fs.exists(metaDir)
     val (root0, prevVersion): (JMap, Long) =
@@ -417,6 +446,15 @@ object IcebergLite {
           schema.fields.map(f => (f.name, f.dataType)).toSeq,
           s"append schema ${schema.simpleString} does not match the " +
             s"table schema ${ts.simpleString}")
+        val specIdentity = ctx.defaultSpecFields.map { f =>
+          require(f.get("transform").map(asStr).contains("identity"),
+            "iceberg append: the table's partition spec has " +
+              "non-identity transforms — beyond this writer")
+          asStr(f.getOrElse("name", sys.error("partition field unnamed")))
+        }
+        require(specIdentity.toSeq == partitionBy,
+          s"append partitioning $partitionBy does not match the " +
+            s"table's identity spec ${specIdentity.toSeq}")
         val m = java.util.regex.Pattern.compile("v(\\d+)\\.metadata\\.json")
           .matcher(ctx.metaFile.getName)
         require(m.matches(), s"unversioned metadata file ${ctx.metaFile}")
@@ -440,20 +478,35 @@ object IcebergLite {
         asStr(root0("location"))
       else new Path(table).toUri.toString
 
-    // ---- distributed data write: staging, then data/part-… ----
+    // ---- distributed data write: staging (hive layout when
+    // partitioned — identity columns then live ONLY in the tuple,
+    // like real writers), then flat data/part-… names with the
+    // partition value strings remembered per file ----
     val staging = new Path(table, s".staging-$snapId")
-    df.write.mode("overwrite").parquet(staging.toString)
-    val moved = fs.listStatus(staging).toSeq
-      .filter(_.getPath.getName.endsWith(".parquet")).zipWithIndex
-      .map { case (st, i) =>
-        val dest = new Path(new Path(table, "data"),
-          f"part-$snapId-$i%05d.parquet")
-        fs.mkdirs(dest.getParent)
-        require(fs.rename(st.getPath, dest), s"rename to $dest failed")
-        dest
+    val writer = if (partitionBy.isEmpty) df.write
+      else df.write.partitionBy(partitionBy: _*)
+    writer.mode("overwrite").parquet(staging.toString)
+    def listParquet(dir: Path, prefix: Seq[String]): Seq[(Path, Seq[String])] =
+      fs.listStatus(dir).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.contains("="))
+          listParquet(st.getPath,
+            prefix :+ uriDecodeSeg(name.substring(name.indexOf('=') + 1)))
+        else if (name.endsWith(".parquet")) Seq(st.getPath -> prefix)
+        else Seq.empty
       }
+    val staged = listParquet(staging, Seq.empty)
+    require(staged.nonEmpty, s"append of an empty DataFrame to $table")
+    staged.foreach { case (_, pv) => require(pv.length == partitionBy.length,
+      s"unexpected staging layout under $staging") }
+    val moved = staged.zipWithIndex.map { case ((src, pv), i) =>
+      val dest = new Path(new Path(table, "data"),
+        f"part-$snapId-$i%05d.parquet")
+      fs.mkdirs(dest.getParent)
+      require(fs.rename(src, dest), s"rename to $dest failed")
+      (dest, pv)
+    }
     fs.delete(staging, true)
-    require(moved.nonEmpty, s"append of an empty DataFrame to $table")
 
     // ---- one distributed stats job: per-file count + bounds ----
     val nameToId: Map[String, Long] =
@@ -471,12 +524,16 @@ object IcebergLite {
         asSeq(ctxSchema.getOrElse("fields", sys.error("no fields")))
           .map(asMap).map(f => asStr(f("name")) -> asLong(f("id"))).toMap
       }
-    val statFields = schema.fields.filter(f =>
+    // data files exclude identity partition columns (the tuple carries
+    // them), so both the stats read and the recorded bounds do too
+    val dataSchema = StructType(
+      schema.filterNot(f => partitionBy.contains(f.name)))
+    val statFields = dataSchema.fields.filter(f =>
       f.dataType == LongType || f.dataType == IntegerType ||
         f.dataType == StringType)
     import org.apache.spark.sql.functions._
-    val statRows = spark.read.schema(schema)
-      .parquet(moved.map(_.toString): _*)
+    val statRows = spark.read.schema(dataSchema)
+      .parquet(moved.map(_._1.toString): _*)
       .groupBy(col("_metadata.file_path").as("__file"))
       .agg(count(lit(1)).as("__n"),
         statFields.flatMap(f => Seq(
@@ -509,30 +566,47 @@ object IcebergLite {
     def fnameOf(p: Path): String = p.getName
     // zero-row part files have no stats row — they carry nothing, so
     // drop them instead of committing empty data files
-    val (nonEmptyParts, emptyParts) = moved.partition(dest =>
-      statRows.contains(fnameOf(dest)))
-    emptyParts.foreach(p => fs.delete(p, false))
+    val (nonEmptyParts, emptyParts) = moved.partition { case (dest, _) =>
+      statRows.contains(fnameOf(dest)) }
+    emptyParts.foreach { case (p, _) => fs.delete(p, false) }
     require(nonEmptyParts.nonEmpty,
       s"append of an empty DataFrame to $table")
-    val entries = nonEmptyParts.map { dest =>
+    // identity tuple values, typed per the source column
+    def tupleValue(pc: String, raw: String): Any = {
+      require(raw != "__HIVE_DEFAULT_PARTITION__",
+        s"iceberg append: null partition value for $pc is beyond " +
+          "this writer")
+      schema(pc).dataType match {
+        case StringType => raw
+        case _ => java.lang.Long.valueOf(raw.toLong)
+      }
+    }
+    val entries = nonEmptyParts.map { case (dest, pv) =>
       val r = statRows.getOrElse(fnameOf(dest),
         sys.error(s"no stats row for $dest"))
+      val dataFile = Map[String, Any](
+        "file_path" -> s"$location/data/${fnameOf(dest)}",
+        "file_format" -> "PARQUET",
+        "record_count" -> r.getLong(r.fieldIndex("__n")),
+        "file_size_in_bytes" -> fs.getFileStatus(dest).getLen,
+        "lower_bounds" -> boundsOf(r, "min"),
+        "upper_bounds" -> boundsOf(r, "max")) ++
+        (if (partitionBy.isEmpty) Map.empty[String, Any]
+         else Map("partition" -> partitionBy.zip(pv).map {
+           case (pc, raw) => pc -> tupleValue(pc, raw)
+         }.toMap))
       Map[String, Any]("status" -> 1,
         "snapshot_id" -> java.lang.Long.valueOf(snapId),
-        "data_file" -> Map[String, Any](
-          "file_path" -> s"$location/data/${fnameOf(dest)}",
-          "file_format" -> "PARQUET",
-          "record_count" -> r.getLong(r.fieldIndex("__n")),
-          "file_size_in_bytes" -> fs.getFileStatus(dest).getLen,
-          "lower_bounds" -> boundsOf(r, "min"),
-          "upper_bounds" -> boundsOf(r, "max")))
+        "data_file" -> dataFile)
     }
 
     // ---- manifest + manifest list ----
     fs.mkdirs(metaDir)
     val manifestName = s"manifest-$snapId.avro"
+    val partAvroFields = partitionBy.map(pc => pc ->
+      (if (schema(pc).dataType == StringType) "string" else "long"))
     val manifestBytes = graft.functions.AvroWrite
-      .genericFileBytes(ManifestWriteSchema, entries)
+      .genericFileBytes(manifestWriteSchema(partAvroFields), entries)
     writeFile(fs, new Path(metaDir, manifestName), manifestBytes)
     val prevListRows: Seq[JMap] =
       if (parentId < 0) Seq.empty
@@ -581,7 +655,11 @@ object IcebergLite {
             "name" -> f.name,
             "required" -> java.lang.Boolean.valueOf(!f.nullable),
             "type" -> iceTypeOf(f.dataType)))),
-        "partition-spec" -> Seq.empty[Any])
+        "partition-spec" -> partitionBy.zipWithIndex.map {
+          case (pc, i) => Map[String, Any](
+            "source-id" -> nameToId(pc), "field-id" -> (1000L + i),
+            "name" -> pc, "transform" -> "identity")
+        })
     val newRoot = baseRoot ++ Map[String, Any](
       "last-updated-ms" -> tsMs,
       "current-snapshot-id" -> snapId,
@@ -1034,8 +1112,70 @@ object IcebergLite {
         s"duplicate data file names in snapshot $wantId — cannot " +
           "apply deletes unambiguously")
     }
+    // IDENTITY-partitioned tables: per the spec, identity source
+    // columns resolve from each file's partition TUPLE (data files may
+    // omit them entirely — real writers' hive-style layouts do), so
+    // those columns attach as per-tuple-group literals, Delta-style.
+    // Overriding is always sound: identity means tuple value == column
+    // value on every row of the file. Files without a tuple for an
+    // identity field decline loudly (we cannot reconstruct).
+    val identityFields: Seq[(String, StructField)] = defaultSpecFields
+      .filter(f => f.get("transform").map(asStr).contains("identity"))
+      .map { f =>
+        val pname = asStr(f.getOrElse("name",
+          sys.error("partition field without name")))
+        val srcId = asLong(f.getOrElse("source-id",
+          sys.error("partition field without source-id")))
+        val srcName = asSeq(schemaObj.getOrElse("fields",
+          sys.error("schema without fields"))).map(asMap)
+          .find(m => m.get("id").exists(asLong(_) == srcId))
+          .map(m => asStr(m.getOrElse("name", sys.error("unnamed field"))))
+          .getOrElse(sys.error(s"identity source id $srcId not in schema"))
+        pname -> sparkSchema(sparkSchema.fieldIndex(srcName))
+          .copy(name = srcName)
+      }.toSeq
     val paths = kept.map(p => rebase(p).toString)
-    val base0 = spark.read.schema(sparkSchema).parquet(paths: _*)
+    val base0 =
+      if (identityFields.isEmpty)
+        spark.read.schema(sparkSchema).parquet(paths: _*)
+      else {
+        val readSchema = StructType(sparkSchema.filterNot(f =>
+          identityFields.exists(_._2.name == f.name)))
+        def tupleOf(p: String): Seq[Any] = {
+          val part = liveFiles(p)._1.get("partition").map(asMap)
+            .getOrElse(sys.error(
+              s"identity-partitioned table: file $p has no partition tuple"))
+          identityFields.map { case (pname, _) =>
+            part.get(pname).filter(_ != null).getOrElse(sys.error(
+              s"file $p has no value for partition field $pname"))
+          }
+        }
+        // `_metadata` resolves only on the scan itself, so the delete
+        // join keys must attach INSIDE each group read, pre-union
+        val metaCols =
+          if (!hasDeletes) Nil
+          else Seq(
+            element_at(split(col("_metadata.file_path"), "/"), -1)
+              .as("__f"),
+            col("_metadata.row_index").as("__p"))
+        kept.groupBy(tupleOf).toSeq
+          .sortBy(_._1.map(String.valueOf).mkString(","))
+          .map { case (tuple, files) =>
+            val grp = spark.read.schema(readSchema)
+              .parquet(files.map(p => rebase(p).toString): _*)
+            identityFields.zip(tuple).foldLeft(grp) {
+              case (df, ((_, field), v)) =>
+                val litVal = v match {
+                  case u: org.apache.spark.unsafe.types.UTF8String =>
+                    u.toString
+                  case other => other
+                }
+                df.withColumn(field.name,
+                  lit(litVal).cast(field.dataType))
+            }.select(sparkSchema.fieldNames.map(col).toSeq ++
+              metaCols: _*)
+          }.reduce(_ unionByName _)
+      }
     val base =
       if (!hasDeletes) base0
       else {
@@ -1045,10 +1185,13 @@ object IcebergLite {
         import sq.implicits._
         val seqDf = broadcast(kept.map(p =>
           (fname(p), liveFiles(p)._2)).toDF("__f", "__seq"))
-        base0.select(col("*"),
-          element_at(split(col("_metadata.file_path"), "/"), -1).as("__f"),
-          col("_metadata.row_index").as("__p"))
-          .join(seqDf, Seq("__f"), "left")
+        val withMeta =
+          if (identityFields.nonEmpty) base0 // keys attached pre-union
+          else base0.select(col("*"),
+            element_at(split(col("_metadata.file_path"), "/"), -1)
+              .as("__f"),
+            col("_metadata.row_index").as("__p"))
+        withMeta.join(seqDf, Seq("__f"), "left")
       }
 
     val afterPos =

@@ -720,6 +720,52 @@ class IcebergLiteSpec extends SparkSpec {
     }
   }
 
+  test("partitioned commitAppend: tuple-only identity columns reconstruct") {
+    val dir = Files.createTempDirectory("icewpart").toString
+    def batch(lo: Long, hi: Long) =
+      spark.range(lo, hi + 1).coalesce(1).select(col("id").as("k"),
+        concat(lit("s"), col("id").cast("string")).as("s"),
+        (col("id") % 3).as("g"))
+    val snap1 = IcebergLite.commitAppend(spark, dir, batch(1, 90),
+      partitionBy = Seq("g"))
+    IcebergLite.commitAppend(spark, dir, batch(91, 120), Seq("g"))
+    val scan = IcebergLite.scan(spark, dir)
+    // data files DROP g (hive staging layout) — the scan reconstructs
+    // it from the manifest partition tuples
+    assert(scan.data.columns.toSeq === Seq("k", "s", "g"))
+    assert(scan.data.count() === 120)
+    assert(scan.data.agg(sum("k")).head().getLong(0) === (1L to 120L).sum)
+    (0L to 2L).foreach { g =>
+      assert(scan.data.filter(col("g") === g).count() ===
+        (1L to 120L).count(_ % 3 == g), s"g=$g")
+      // g really rides the tuple: per-group k sums match
+      assert(scan.data.filter(col("g") === g).agg(sum("k"))
+        .head().getLong(0) === (1L to 120L).filter(_ % 3 == g).sum)
+    }
+    // partition pruning over the WRITTEN tuples
+    val p = IcebergLite.partitionPrunedScan(spark, dir, "g", 1L)
+    assert(p.nDataFiles === 6) // 3 tuples × 2 appends
+    assert(p.keptFiles === 2)
+    assert(p.data.filter(col("g") === 1L).count() ===
+      (1L to 120L).count(_ % 3 == 1))
+    // pinned old snapshot still reconstructs
+    assert(IcebergLite.snapshot(spark, dir, snapshotId = snap1)
+      .count() === 90)
+    // string partition values round-trip too (incl. a space)
+    val dir2 = Files.createTempDirectory("icewpart2").toString
+    val df2 = spark.range(1, 21).coalesce(1).select(col("id").as("k"),
+      when(col("id") % 2 === 0, "A B").otherwise("c").as("p"))
+    IcebergLite.commitAppend(spark, dir2, df2, Seq("p"))
+    val s2 = IcebergLite.snapshot(spark, dir2)
+    assert(s2.filter(col("p") === "A B").count() === 10)
+    assert(s2.filter(col("p") === "c").agg(sum("k")).head().getLong(0)
+      === (1L to 20L).filter(_ % 2 == 1).sum)
+    // partitioning mismatch on append declines
+    intercept[IllegalArgumentException] {
+      IcebergLite.commitAppend(spark, dir, batch(1, 3), Seq.empty)
+    }
+  }
+
   test("many manifests: parallel decode returns the sequential answer") {
     // one manifest PER FILE (24 of them, above the parallel-pool size)
     // plus a rewrite manifest deleting one file — order-sensitive
