@@ -283,8 +283,9 @@ object IcebergLite {
               .getOrElse("PARQUET")
             require(fmt == "PARQUET",
               s"unsupported Iceberg data file format $fmt")
-            Some(df.getOrElse("file_path",
-              sys.error("data_file without file_path")).toString)
+            Some((df.getOrElse("file_path",
+              sys.error("data_file without file_path")).toString,
+              df.get("partition").map(asMap).orNull))
           } else None
         }
       }
@@ -297,9 +298,13 @@ object IcebergLite {
         StructType(ctx.sparkSchema.fields.toSeq :+
           StructField("_snapshot_id", LongType, nullable = false)))
     else nonEmpty.map { case (sid, files) =>
-      spark.read.schema(ctx.sparkSchema)
-        .parquet(files.map(p => ctx.rebase(p).toString): _*)
-        .withColumn("_snapshot_id", lit(sid))
+      // identity columns reconstruct from the tuples, as in plan()
+      if (ctx.identityFields.isEmpty)
+        spark.read.schema(ctx.sparkSchema)
+          .parquet(files.map(f => ctx.rebase(f._1).toString): _*)
+          .withColumn("_snapshot_id", lit(sid))
+      else ctx.identityRead(spark, files,
+        Seq(lit(sid).as("_snapshot_id")))
     }.reduce(_ unionByName _)
   }
 
@@ -878,6 +883,59 @@ object IcebergLite {
       case _ => 0L
     }
 
+    /** The default spec's identity fields as
+      * (partition-field name, source StructField) — the columns that
+      * resolve from partition TUPLES rather than data bytes. */
+    def identityFields: Seq[(String, StructField)] = defaultSpecFields
+      .filter(f => f.get("transform").map(asStr).contains("identity"))
+      .map { f =>
+        val pname = asStr(f.getOrElse("name",
+          sys.error("partition field without name")))
+        val srcId = asLong(f.getOrElse("source-id",
+          sys.error("partition field without source-id")))
+        val srcName = asSeq(schemaObj.getOrElse("fields",
+          sys.error("schema without fields"))).map(asMap)
+          .find(m => m.get("id").exists(asLong(_) == srcId))
+          .map(m => asStr(m.getOrElse("name", sys.error("unnamed field"))))
+          .getOrElse(sys.error(s"identity source id $srcId not in schema"))
+        pname -> sparkSchema(sparkSchema.fieldIndex(srcName))
+          .copy(name = srcName)
+      }.toSeq
+
+    /** One tuple-grouped read over `files` (path → partition JMap or
+      * null): identity columns attach as cast literals per group; the
+      * full logical column order comes out, plus `extraCols` built
+      * per-scan (metadata columns must attach pre-union). */
+    def identityRead(spark2: SparkSession, files: Seq[(String, JMap)],
+                     extraCols: Seq[org.apache.spark.sql.Column])
+        : DataFrame = {
+      import org.apache.spark.sql.functions._
+      val idf = identityFields
+      val readSchema = StructType(sparkSchema.filterNot(f =>
+        idf.exists(_._2.name == f.name)))
+      def tupleOf(part: JMap, p: String): Seq[Any] =
+        idf.map { case (pname, _) =>
+          Option(part).flatMap(_.get(pname)).filter(_ != null)
+            .getOrElse(sys.error(
+              s"file $p has no value for partition field $pname"))
+        }
+      files.groupBy { case (p, part) => tupleOf(part, p) }.toSeq
+        .sortBy(_._1.map(String.valueOf).mkString(","))
+        .map { case (tuple, grpFiles) =>
+          val grp = spark2.read.schema(readSchema)
+            .parquet(grpFiles.map(f => rebase(f._1).toString): _*)
+          idf.zip(tuple).foldLeft(grp) {
+            case (df, ((_, field), v)) =>
+              val litVal = v match {
+                case u: org.apache.spark.unsafe.types.UTF8String =>
+                  u.toString
+                case other => other
+              }
+              df.withColumn(field.name, lit(litVal).cast(field.dataType))
+          }.select(sparkSchema.fieldNames.map(col).toSeq ++ extraCols: _*)
+        }.reduce(_ unionByName _)
+    }
+
     /** Decodes each manifest's Avro entries in a bounded thread pool
       * (I/O + decode parallelize; a 100 TB table's thousands of
       * manifests must not plan serially), returning them IN MANIFEST
@@ -1115,67 +1173,27 @@ object IcebergLite {
     // IDENTITY-partitioned tables: per the spec, identity source
     // columns resolve from each file's partition TUPLE (data files may
     // omit them entirely — real writers' hive-style layouts do), so
-    // those columns attach as per-tuple-group literals, Delta-style.
-    // Overriding is always sound: identity means tuple value == column
-    // value on every row of the file. Files without a tuple for an
-    // identity field decline loudly (we cannot reconstruct).
-    val identityFields: Seq[(String, StructField)] = defaultSpecFields
-      .filter(f => f.get("transform").map(asStr).contains("identity"))
-      .map { f =>
-        val pname = asStr(f.getOrElse("name",
-          sys.error("partition field without name")))
-        val srcId = asLong(f.getOrElse("source-id",
-          sys.error("partition field without source-id")))
-        val srcName = asSeq(schemaObj.getOrElse("fields",
-          sys.error("schema without fields"))).map(asMap)
-          .find(m => m.get("id").exists(asLong(_) == srcId))
-          .map(m => asStr(m.getOrElse("name", sys.error("unnamed field"))))
-          .getOrElse(sys.error(s"identity source id $srcId not in schema"))
-        pname -> sparkSchema(sparkSchema.fieldIndex(srcName))
-          .copy(name = srcName)
-      }.toSeq
+    // those columns attach as per-tuple-group literals, Delta-style
+    // ([[Ctx.identityRead]]). Overriding is always sound: identity
+    // means tuple value == column value on every row of the file.
+    // Files without a tuple for an identity field decline loudly.
+    val hasIdentity = ctx.identityFields.nonEmpty
     val paths = kept.map(p => rebase(p).toString)
+    // `_metadata` resolves only on the scan itself, so the delete join
+    // keys must attach INSIDE each group read, pre-union
+    val metaCols =
+      if (!hasDeletes) Nil
+      else Seq(
+        element_at(split(col("_metadata.file_path"), "/"), -1).as("__f"),
+        col("_metadata.row_index").as("__p"))
     val base0 =
-      if (identityFields.isEmpty)
-        spark.read.schema(sparkSchema).parquet(paths: _*)
-      else {
-        val readSchema = StructType(sparkSchema.filterNot(f =>
-          identityFields.exists(_._2.name == f.name)))
-        def tupleOf(p: String): Seq[Any] = {
-          val part = liveFiles(p)._1.get("partition").map(asMap)
-            .getOrElse(sys.error(
-              s"identity-partitioned table: file $p has no partition tuple"))
-          identityFields.map { case (pname, _) =>
-            part.get(pname).filter(_ != null).getOrElse(sys.error(
-              s"file $p has no value for partition field $pname"))
-          }
-        }
-        // `_metadata` resolves only on the scan itself, so the delete
-        // join keys must attach INSIDE each group read, pre-union
-        val metaCols =
-          if (!hasDeletes) Nil
-          else Seq(
-            element_at(split(col("_metadata.file_path"), "/"), -1)
-              .as("__f"),
-            col("_metadata.row_index").as("__p"))
-        kept.groupBy(tupleOf).toSeq
-          .sortBy(_._1.map(String.valueOf).mkString(","))
-          .map { case (tuple, files) =>
-            val grp = spark.read.schema(readSchema)
-              .parquet(files.map(p => rebase(p).toString): _*)
-            identityFields.zip(tuple).foldLeft(grp) {
-              case (df, ((_, field), v)) =>
-                val litVal = v match {
-                  case u: org.apache.spark.unsafe.types.UTF8String =>
-                    u.toString
-                  case other => other
-                }
-                df.withColumn(field.name,
-                  lit(litVal).cast(field.dataType))
-            }.select(sparkSchema.fieldNames.map(col).toSeq ++
-              metaCols: _*)
-          }.reduce(_ unionByName _)
-      }
+      if (!hasIdentity) spark.read.schema(sparkSchema).parquet(paths: _*)
+      else ctx.identityRead(spark,
+        kept.map(p => p -> liveFiles(p)._1.get("partition").map(asMap)
+          .getOrElse(sys.error(
+            s"identity-partitioned table: file $p has no partition " +
+              "tuple"))),
+        metaCols)
     val base =
       if (!hasDeletes) base0
       else {
@@ -1186,7 +1204,7 @@ object IcebergLite {
         val seqDf = broadcast(kept.map(p =>
           (fname(p), liveFiles(p)._2)).toDF("__f", "__seq"))
         val withMeta =
-          if (identityFields.nonEmpty) base0 // keys attached pre-union
+          if (hasIdentity) base0 // keys attached pre-union
           else base0.select(col("*"),
             element_at(split(col("_metadata.file_path"), "/"), -1)
               .as("__f"),

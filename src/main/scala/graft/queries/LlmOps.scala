@@ -4248,10 +4248,15 @@ object LlmOps {
         .select(col("o_orderkey").cast("long").as("k"),
           col("o_orderstatus").as("st"),
           col("o_orderpriority").as("prio"))
+      // PARTITIONED by prio (identity): data files drop the column,
+      // the gate's per-priority faces then hash-verify the tuple
+      // reconstruction — with a space-bearing value in the loop
       val snap1 = graft.operators.IcebergLite.commitAppend(s,
-        dir.toString, sel(Seq("1-URGENT", "2-HIGH", "3-MEDIUM")))
+        dir.toString, sel(Seq("1-URGENT", "2-HIGH", "3-MEDIUM")),
+        partitionBy = Seq("prio"))
       graft.operators.IcebergLite.commitAppend(s,
-        dir.toString, sel(Seq("4-NOT SPECIFIED", "5-LOW")))
+        dir.toString, sel(Seq("4-NOT SPECIFIED", "5-LOW")),
+        partitionBy = Seq("prio"))
       java.nio.file.Files.writeString(dir.resolve("SNAP1"),
         snap1.toString)
       val walk = java.nio.file.Files.walk(dir)
