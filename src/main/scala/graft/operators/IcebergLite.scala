@@ -1136,6 +1136,8 @@ object IcebergLite {
         val truncRe = "truncate\\[(\\d+)\\]".r
         val wantPart: Long = transform match {
           case "identity" => value
+          case "day" if t == "date" =>
+            value // a date's day-of-epoch IS its ordinal
           case bucketRe(n) => bucketOf(value, n.toInt).toLong
           case truncRe(w) => // spec: v - (((v % W) + W) % W), W > 0
             val width = w.toLong

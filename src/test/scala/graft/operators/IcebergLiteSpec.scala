@@ -674,6 +674,57 @@ class IcebergLiteSpec extends SparkSpec {
       IcebergLite.partitionPrunedScan(spark, dir, "k", -3L)
     }
     assert(e.getMessage.contains("survive"))
+
+    // day transform on a DATE source: the ordinal IS the tuple value
+    val dir2 = Files.createTempDirectory("iceday").toString
+    val dayEntrySchema = manifestSchema.replace(
+      """{"name":"file_size_in_bytes","type":"long"}""",
+      """{"name":"file_size_in_bytes","type":"long"},
+        |{"name":"partition","type":["null",{"type":"record",
+        |  "name":"r102","fields":[
+        |    {"name":"d_day","type":["null","long"],"default":null}]}],
+        | "default":null}""".stripMargin.replaceAll("\n\\s*", ""))
+    val dayEntries = Seq(5L, 15L).zipWithIndex.map { case (day, i) =>
+      val df = spark.range(10).select(col("id").as("k"),
+        date_add(lit("1970-01-01").cast("date"), day.toInt).as("d"))
+      writePart(df, dir2, s"part-d$i.parquet")
+      Map[String, Any]("status" -> 1,
+        "snapshot_id" -> java.lang.Long.valueOf(Snap1),
+        "data_file" -> Map[String, Any](
+          "file_path" -> s"$FakeLoc/data/part-d$i.parquet",
+          "file_format" -> "PARQUET", "record_count" -> 10L,
+          "file_size_in_bytes" -> 1L,
+          "lower_bounds" -> null, "upper_bounds" -> null,
+          "partition" -> Map[String, Any](
+            "d_day" -> java.lang.Long.valueOf(day))))
+    }
+    val p2 = Paths.get(dir2, "metadata", "manifest-1.avro")
+    Files.createDirectories(p2.getParent)
+    Files.write(p2, AvroWrite.genericFileBytes(dayEntrySchema, dayEntries))
+    writeManifestList(dir2, "snap-1.avro", Seq(("manifest-1.avro", 0, 1L)))
+    Files.writeString(Paths.get(dir2, "metadata", "v1.metadata.json"),
+      s"""{
+        |  "format-version": 1,
+        |  "table-uuid": "9c12f1b2-0000-4000-8000-0000000000ae",
+        |  "location": "$FakeLoc",
+        |  "last-updated-ms": 1700000000000,
+        |  "schema": {"type": "struct", "fields": [
+        |    {"id": 1, "name": "k", "required": true, "type": "long"},
+        |    {"id": 2, "name": "d", "required": false, "type": "date"}]},
+        |  "partition-spec": [{"source-id": 2, "field-id": 1000,
+        |    "name": "d_day", "transform": "day"}],
+        |  "current-snapshot-id": $Snap1,
+        |  "snapshots": [
+        |    {"snapshot-id": $Snap1, "timestamp-ms": 1700000001000,
+        |     "summary": {"operation": "append"},
+        |     "manifest-list": "$FakeLoc/metadata/snap-1.avro"}]
+        |}""".stripMargin)
+    Files.writeString(Paths.get(dir2, "metadata", "version-hint.text"),
+      "1\n")
+    val dayScan = IcebergLite.partitionPrunedScan(spark, dir2, "d", 15L)
+    assert(dayScan.nDataFiles === 2 && dayScan.keptFiles === 1)
+    assert(dayScan.data.filter(col("d") ===
+      date_add(lit("1970-01-01").cast("date"), 15)).count() === 10)
   }
 
   test("commitAppend: written tables scan, prune, time-travel, and feed appendsBetween") {
