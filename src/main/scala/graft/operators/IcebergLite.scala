@@ -94,7 +94,8 @@ object IcebergLite {
     * `timestamp` (no zone, isAdjustedToUTC=false) is NTZ — mapping it
     * to session-zoned TimestampType would shift surfaced values.
     * Unknown types decline loudly. */
-  private def sparkType(t: Any): DataType = t match {
+  private def sparkType(t: Any, withIds: Boolean = false): DataType =
+    t match {
     case "boolean" => BooleanType
     case "int" => IntegerType
     case "long" => LongType
@@ -115,16 +116,16 @@ object IcebergLite {
       val obj = m.asInstanceOf[JMap]
       asStr(obj.getOrElse("type",
         sys.error(s"iceberg nested type without 'type': $obj"))) match {
-        case "struct" => structOf(obj)
+        case "struct" => structOf(obj, withIds)
         case "list" => ArrayType(
           sparkType(obj.getOrElse("element",
-            sys.error(s"iceberg list type without element: $obj"))),
+            sys.error(s"iceberg list type without element: $obj")), withIds),
           containsNull = !obj.get("element-required").contains(true))
         case "map" => MapType(
           sparkType(obj.getOrElse("key",
-            sys.error(s"iceberg map type without key: $obj"))),
+            sys.error(s"iceberg map type without key: $obj")), withIds),
           sparkType(obj.getOrElse("value",
-            sys.error(s"iceberg map type without value: $obj"))),
+            sys.error(s"iceberg map type without value: $obj")), withIds),
           valueContainsNull = !obj.get("value-required").contains(true))
         case other => sys.error(
           s"unsupported Iceberg column type for this reader: $other")
@@ -134,14 +135,29 @@ object IcebergLite {
   }
 
   /** A struct schema object's fields → Spark StructType (top-level
-    * table schema and nested structs share this shape). */
-  private def structOf(obj: JMap): StructType = StructType(
-    asSeq(obj.getOrElse("fields", sys.error("schema without fields")))
-      .map(asMap).map { f =>
-        StructField(asStr(f.getOrElse("name", sys.error("unnamed field"))),
-          sparkType(f.getOrElse("type", sys.error("untyped field"))),
-          nullable = !f.get("required").contains(true))
-      }.toSeq)
+    * table schema and nested structs share this shape). With `withIds`
+    * every field (at every nesting level) carries its Iceberg field id
+    * as `parquet.field.id` metadata, which Spark's parquet reader
+    * resolves columns by under
+    * `spark.sql.parquet.fieldId.read.enabled` — the spec's id-based
+    * resolution, required once the schema HISTORY shows a rename or a
+    * drop+re-add (name matching would misread old data files). */
+  private def structOf(obj: JMap, withIds: Boolean = false): StructType =
+    StructType(
+      asSeq(obj.getOrElse("fields", sys.error("schema without fields")))
+        .map(asMap).map { f =>
+          val name = asStr(f.getOrElse("name", sys.error("unnamed field")))
+          val meta =
+            if (!withIds) Metadata.empty
+            else new MetadataBuilder().putLong("parquet.field.id",
+              asLong(f.getOrElse("id", sys.error(
+                s"schema evolution needs field ids: field $name has " +
+                  "none")))).build()
+          StructField(name,
+            sparkType(f.getOrElse("type", sys.error("untyped field")),
+              withIds),
+            nullable = !f.get("required").contains(true), meta)
+        }.toSeq)
 
   /** File-skipping predicate kinds (resolved against the metadata's
     * schema / partition spec inside [[plan]]). */
@@ -300,8 +316,8 @@ object IcebergLite {
     else nonEmpty.map { case (sid, files) =>
       // identity columns reconstruct from the tuples, as in plan()
       if (ctx.identityFields.isEmpty)
-        spark.read.schema(ctx.sparkSchema)
-          .parquet(files.map(f => ctx.rebase(f._1).toString): _*)
+        ctx.pinnedParquet(spark,
+          files.map(f => ctx.rebase(f._1).toString))
           .withColumn("_snapshot_id", lit(sid))
       else ctx.identityRead(spark, files,
         Seq(lit(sid).as("_snapshot_id")))
@@ -420,6 +436,96 @@ object IcebergLite {
     * Declines loudly: nested/unsupported column types,
     * format-version-2 tables (sequence-number semantics this writer
     * does not emit), schema mismatch, empty appends. */
+  /** Commits a new CURRENT schema — Iceberg's schema evolution as an
+    * operation: RENAME a column by keeping its field id under a new
+    * name, DROP one by leaving its id out, ADD one by minting a fresh
+    * id (higher than any the table ever used — Iceberg's rule; a
+    * reused id would resurrect the dropped column's old values).
+    * Existing data files are untouched: reads after an update that
+    * moved any name resolve columns by FIELD ID ([[Ctx
+    * .needsIdResolution]]), which is why old files keep reading
+    * correctly — renamed columns surface their old values under the
+    * new name, re-added names read NULL from files written before the
+    * re-add.
+    *
+    * `fields` are (field id, name, Spark type, nullable), the new
+    * current schema in order. Appends to the metadata's `schemas`
+    * history (wrapping a singular pre-evolution `schema` as schema-id
+    * 0) and bumps `current-schema-id`; the next [[commitAppend]] must
+    * then match the NEW schema. Declines loudly: unknown table, kept
+    * ids whose type changed (promotion is beyond this writer),
+    * duplicate ids/names, nested types. */
+  def commitSchemaUpdate(spark: SparkSession, table: String,
+                         fields: Seq[(Long, String, DataType, Boolean)])
+      : Unit = {
+    val fs = new Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fields.foreach { case (_, _, dt, _) => iceTypeOf(dt) } // flat only
+    require(fields.map(_._1).distinct.length == fields.length,
+      "schema update: duplicate field ids")
+    require(fields.map(_._2).distinct.length == fields.length,
+      "schema update: duplicate field names")
+    val ctx = new Ctx(spark, table)
+    val m = java.util.regex.Pattern.compile("v(\\d+)\\.metadata\\.json")
+      .matcher(ctx.metaFile.getName)
+    require(m.matches(), s"unversioned metadata file ${ctx.metaFile}")
+    val prevVersion = m.group(1).toLong
+
+    // the full schema history, each entry with a schema-id
+    val prevSchemas: Seq[JMap] = ctx.root.get("schemas") match {
+      case Some(ss) => asSeq(ss).map(asMap).toSeq
+      case None => Seq(asMap(ctx.root.getOrElse("schema",
+        sys.error(s"no schema in $table"))).toMap
+        .updated("schema-id", 0L))
+    }
+    def fieldsOf(s: JMap): Seq[JMap] =
+      asSeq(s.getOrElse("fields", sys.error("schema without fields")))
+        .map(asMap).toSeq
+    // kept ids must keep their type; new ids must be genuinely new
+    val everUsed: Map[Long, String] = prevSchemas.flatMap(fieldsOf)
+      .flatMap(f => f.get("id").map(id =>
+        asLong(id) -> asStr(f.getOrElse("type", "")))).toMap
+    val curIds: Set[Long] = fieldsOf(ctx.schemaObj)
+      .flatMap(_.get("id").map(asLong)).toSet
+    fields.foreach { case (id, name, dt, _) =>
+      if (curIds(id))
+        require(everUsed(id) == iceTypeOf(dt),
+          s"schema update: field id $id ($name) changes type " +
+            s"${everUsed(id)} -> ${iceTypeOf(dt)} — type promotion " +
+            "is beyond this writer")
+      else require(!everUsed.contains(id) &&
+        id > everUsed.keys.foldLeft(0L)(math.max),
+        s"schema update: new field id $id for $name must exceed " +
+          "every id the table ever used (a reused id resurrects " +
+          "dropped data)")
+    }
+    require(fields.map(_._1).toSet != curIds ||
+      fieldsOf(ctx.schemaObj).flatMap(f => f.get("name").map(asStr)) !=
+        fields.map(_._2),
+      "schema update: identical to the current schema")
+
+    val newSchemaId = prevSchemas
+      .flatMap(_.get("schema-id").map(asLong)).foldLeft(0L)(math.max) + 1
+    val newSchema = Map[String, Any]("type" -> "struct",
+      "schema-id" -> newSchemaId,
+      "fields" -> fields.map { case (id, name, dt, nullable) =>
+        Map[String, Any]("id" -> id, "name" -> name,
+          "required" -> java.lang.Boolean.valueOf(!nullable),
+          "type" -> iceTypeOf(dt))
+      })
+    val newRoot = ctx.root.toMap - "schema" ++ Map[String, Any](
+      "schemas" -> (prevSchemas.map(_.toMap) :+ newSchema),
+      "current-schema-id" -> newSchemaId,
+      "last-column-id" -> fields.map(_._1)
+        .foldLeft(everUsed.keys.foldLeft(0L)(math.max))(math.max))
+    val metaDir = new Path(table, "metadata")
+    val newVersion = prevVersion + 1
+    writeFile(fs, new Path(metaDir, s"v$newVersion.metadata.json"),
+      jsonWrite(newRoot).getBytes("UTF-8"))
+    writeFile(fs, new Path(metaDir, "version-hint.text"),
+      s"$newVersion\n".getBytes("UTF-8"), overwrite = true)
+  }
+
   def commitAppend(spark: SparkSession, table: String,
                    df: DataFrame,
                    partitionBy: Seq[String] = Nil): Long = {
@@ -483,13 +589,42 @@ object IcebergLite {
         asStr(root0("location"))
       else new Path(table).toUri.toString
 
+    // field ids for this table's columns: a new table numbers 1..n,
+    // an existing table reuses the CURRENT schema's ids (appends must
+    // agree with the table history, not restart numbering)
+    val nameToId: Map[String, Long] =
+      if (root0 == null) schema.fieldNames.zipWithIndex
+        .map { case (n, i) => n -> (i + 1).toLong }.toMap
+      else {
+        val ctxSchema = root0.get("schemas") match {
+          case Some(ss) =>
+            val id = asLong(root0.getOrElse("current-schema-id", 0L))
+            asSeq(ss).map(asMap)
+              .find(m => m.get("schema-id").exists(asLong(_) == id))
+              .getOrElse(sys.error("current schema not found"))
+          case None => asMap(root0("schema"))
+        }
+        asSeq(ctxSchema.getOrElse("fields", sys.error("no fields")))
+          .map(asMap).map(f => asStr(f("name")) -> asLong(f("id"))).toMap
+      }
+
     // ---- distributed data write: staging (hive layout when
     // partitioned — identity columns then live ONLY in the tuple,
     // like real writers), then flat data/part-… names with the
     // partition value strings remembered per file ----
+    // Every column carries its field id as `parquet.field.id`
+    // metadata, which Spark's parquet writer stamps into the files
+    // (`spark.sql.parquet.fieldId.write.enabled`, default true) — the
+    // spec's requirement, and what keeps these files readable after a
+    // future rename flips the table to field-id resolution.
     val staging = new Path(table, s".staging-$snapId")
-    val writer = if (partitionBy.isEmpty) df.write
-      else df.write.partitionBy(partitionBy: _*)
+    val idDf = df.select(schema.fields.toSeq.map { f =>
+      org.apache.spark.sql.functions.col(f.name).as(f.name,
+        new MetadataBuilder()
+          .putLong("parquet.field.id", nameToId(f.name)).build())
+    }: _*)
+    val writer = if (partitionBy.isEmpty) idDf.write
+      else idDf.write.partitionBy(partitionBy: _*)
     writer.mode("overwrite").parquet(staging.toString)
     def listParquet(dir: Path, prefix: Seq[String]): Seq[(Path, Seq[String])] =
       fs.listStatus(dir).toSeq.flatMap { st =>
@@ -514,21 +649,6 @@ object IcebergLite {
     fs.delete(staging, true)
 
     // ---- one distributed stats job: per-file count + bounds ----
-    val nameToId: Map[String, Long] =
-      if (root0 == null) schema.fieldNames.zipWithIndex
-        .map { case (n, i) => n -> (i + 1).toLong }.toMap
-      else {
-        val ctxSchema = root0.get("schemas") match {
-          case Some(ss) =>
-            val id = asLong(root0.getOrElse("current-schema-id", 0L))
-            asSeq(ss).map(asMap)
-              .find(m => m.get("schema-id").exists(asLong(_) == id))
-              .getOrElse(sys.error("current schema not found"))
-          case None => asMap(root0("schema"))
-        }
-        asSeq(ctxSchema.getOrElse("fields", sys.error("no fields")))
-          .map(asMap).map(f => asStr(f("name")) -> asLong(f("id"))).toMap
-      }
     // data files exclude identity partition columns (the tuple carries
     // them), so both the stats read and the recorded bounds do too
     val dataSchema = StructType(
@@ -541,7 +661,7 @@ object IcebergLite {
       .parquet(moved.map(_._1.toString): _*)
       .groupBy(col("_metadata.file_path").as("__file"))
       .agg(count(lit(1)).as("__n"),
-        statFields.flatMap(f => Seq(
+        statFields.toSeq.flatMap(f => Seq(
           min(col(f.name)).as(s"__min_${f.name}"),
           max(col(f.name)).as(s"__max_${f.name}"))): _*)
       .collect()
@@ -827,7 +947,129 @@ object IcebergLite {
       case None => asMap(root.getOrElse("schema",
         sys.error(s"no schema in $metaFile")))
     }
-    val sparkSchema: StructType = structOf(schemaObj)
+
+    // ---- schema-evolution safety: data files written under OLD
+    // schemas are readable by NAME only while the history never moved
+    // a name. Walk every schema in the metadata (ids are table-global,
+    // so nested struct fields walk too) and compare id→path both ways
+    // against the current schema:
+    //  - same id, different path  → a RENAME happened: an old file
+    //    stores the column under its old name, a name-pinned read
+    //    silently nulls it;
+    //  - same path, different id  → a DROP + RE-ADD happened: a
+    //    name-pinned read silently RESURRECTS the dropped column's
+    //    old values.
+    // Either way name resolution is unsound, so the read schema pins
+    // `parquet.field.id` everywhere and Spark's native field-id
+    // resolution takes over (auto-enabled below; a data file without
+    // ids then fails loudly — real Iceberg writers always stamp ids,
+    // and so does [[commitAppend]]). Tables whose history never moved
+    // a name — including add-only evolution — keep the plain
+    // name-based path. ----
+    private def idPathsOf(obj: JMap): Map[Long, String] = {
+      val acc = scala.collection.mutable.Map.empty[Long, String]
+      def walk(o: JMap, prefix: String): Unit =
+        o.get("fields").map(v => asSeq(v).map(asMap)).getOrElse(Seq.empty)
+          .foreach { f =>
+            val name = asStr(f.getOrElse("name",
+              sys.error("unnamed field")))
+            val path = if (prefix.isEmpty) name else s"$prefix.$name"
+            f.get("id").foreach(id => acc(asLong(id)) = path)
+            def intoNested(t: Any, p: String): Unit = t match {
+              case m: scala.collection.Map[_, _] =>
+                val obj2 = m.asInstanceOf[JMap]
+                asStr(obj2.getOrElse("type", "")) match {
+                  case "struct" => walk(obj2, p)
+                  case "list" => obj2.get("element")
+                    .foreach(intoNested(_, s"$p.element"))
+                  case "map" => obj2.get("value")
+                    .foreach(intoNested(_, s"$p.value"))
+                  case _ => ()
+                }
+              case _ => ()
+            }
+            f.get("type").foreach(intoNested(_, path))
+          }
+      walk(obj, "")
+      acc.toMap
+    }
+    val needsIdResolution: Boolean = root.get("schemas") match {
+      case None => false
+      case Some(ss) =>
+        val cur = idPathsOf(schemaObj)
+        val curByPath = cur.map(_.swap)
+        asSeq(ss).map(asMap).filterNot(_ eq schemaObj).exists { h =>
+          val old = idPathsOf(h)
+          old.exists { case (id, path) =>
+            cur.get(id).exists(_ != path) ||
+              curByPath.get(path).exists(_ != id)
+          }
+        }
+    }
+    if (needsIdResolution)
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val sparkSchema: StructType = structOf(schemaObj, needsIdResolution)
+
+    // ---- COLLIDING names: a current path whose NAME some older
+    // schema bound to a DIFFERENT id (drop + re-add). Field-id
+    // resolution reads such columns correctly, but Spark's parquet
+    // FILTER pushdown still binds pushed predicates to file columns
+    // by name — an old file's same-named column then answers the
+    // row-group stats test for the wrong data (observed: IsNull over
+    // a re-added column prunes old files' row groups because the
+    // RETIRED column has no nulls). The cure: request colliding
+    // columns under an alias no file has ever used — id resolution
+    // ignores the requested name, and pushed filters simply find no
+    // such column to bind to (losing pushdown for exactly the columns
+    // where pushdown is unsound) — then rename back in the same
+    // projection. Top-level only; a NESTED collision declines loudly.
+    val collidingTop: Set[String] =
+      if (!needsIdResolution) Set.empty
+      else root.get("schemas") match {
+        case None => Set.empty
+        case Some(ss) =>
+          val curByPath = idPathsOf(schemaObj).map(_.swap)
+          val hit = asSeq(ss).map(asMap).filterNot(_ eq schemaObj)
+            .flatMap { h =>
+              idPathsOf(h).map(_.swap).collect {
+                case (path, oldId)
+                  if curByPath.get(path).exists(_ != oldId) => path
+              }
+            }.toSet
+          hit.find(_.contains(".")).foreach(p => sys.error(
+            s"schema evolution re-bound the NESTED name $p to a new " +
+              "field id — nested drop+re-add is beyond this reader " +
+              "(pushed filters cannot be kept sound)"))
+          hit
+      }
+
+    /** The pinned parquet read every data-path scan goes through:
+      * colliding columns are requested under `__fid_<id>` aliases
+      * (sound under field-id resolution, invisible to name-bound
+      * filter pushdown) and surface under their logical names in the
+      * same projection. `extraCols` (e.g. `_metadata` keys) must ride
+      * in that projection too — metadata columns die with it. */
+    def pinnedParquet(spark2: SparkSession, paths: Seq[String],
+                      extraCols: Seq[org.apache.spark.sql.Column] = Nil,
+                      schema: StructType = sparkSchema): DataFrame = {
+      import org.apache.spark.sql.functions.col
+      val colliding = schema.fields.filter(f => collidingTop(f.name))
+      if (colliding.isEmpty) {
+        val df = spark2.read.schema(schema).parquet(paths: _*)
+        if (extraCols.isEmpty) df
+        else df.select(col("*") +: extraCols: _*)
+      } else {
+        val readSchema = StructType(schema.fields.toSeq.map { f =>
+          if (!collidingTop(f.name)) f
+          else f.copy(name =
+            s"__fid_${f.metadata.getLong("parquet.field.id")}")
+        })
+        spark2.read.schema(readSchema).parquet(paths: _*)
+          .select(schema.fields.toSeq.zip(readSchema.fields.toSeq).map {
+            case (lf, rf) => col(rf.name).as(lf.name)
+          } ++ extraCols: _*)
+      }
+    }
 
     // ---- default partition spec (v2 by id; v1 inline) ----
     def defaultSpecFields: scala.collection.Seq[JMap] =
@@ -922,8 +1164,13 @@ object IcebergLite {
       files.groupBy { case (p, part) => tupleOf(part, p) }.toSeq
         .sortBy(_._1.map(String.valueOf).mkString(","))
         .map { case (tuple, grpFiles) =>
-          val grp = spark2.read.schema(readSchema)
-            .parquet(grpFiles.map(f => rebase(f._1).toString): _*)
+          // extraCols may key off `_metadata`, which only resolves on
+          // the scan itself — pinnedParquet materializes them in its
+          // own projection, so downstream references go by NAME
+          val grp = pinnedParquet(spark2,
+            grpFiles.map(f => rebase(f._1).toString), extraCols,
+            readSchema)
+          val extraNames = grp.columns.drop(readSchema.length).toSeq
           idf.zip(tuple).foldLeft(grp) {
             case (df, ((_, field), v)) =>
               val litVal = v match {
@@ -932,7 +1179,8 @@ object IcebergLite {
                 case other => other
               }
               df.withColumn(field.name, lit(litVal).cast(field.dataType))
-          }.select(sparkSchema.fieldNames.map(col).toSeq ++ extraCols: _*)
+          }.select((sparkSchema.fieldNames.toSeq ++ extraNames)
+            .map(col): _*)
         }.reduce(_ unionByName _)
     }
 
@@ -1189,7 +1437,7 @@ object IcebergLite {
         element_at(split(col("_metadata.file_path"), "/"), -1).as("__f"),
         col("_metadata.row_index").as("__p"))
     val base0 =
-      if (!hasIdentity) spark.read.schema(sparkSchema).parquet(paths: _*)
+      if (!hasIdentity) ctx.pinnedParquet(spark, paths, metaCols)
       else ctx.identityRead(spark,
         kept.map(p => p -> liveFiles(p)._1.get("partition").map(asMap)
           .getOrElse(sys.error(
@@ -1200,18 +1448,13 @@ object IcebergLite {
       if (!hasDeletes) base0
       else {
         // per-data-file sequence numbers ride in on the file name —
-        // both delete kinds filter on them
+        // both delete kinds filter on them; the __f/__p keys attached
+        // inside the scans' own projections above
         val sq = spark
         import sq.implicits._
         val seqDf = broadcast(kept.map(p =>
           (fname(p), liveFiles(p)._2)).toDF("__f", "__seq"))
-        val withMeta =
-          if (hasIdentity) base0 // keys attached pre-union
-          else base0.select(col("*"),
-            element_at(split(col("_metadata.file_path"), "/"), -1)
-              .as("__f"),
-            col("_metadata.row_index").as("__p"))
-        withMeta.join(seqDf, Seq("__f"), "left")
+        base0.join(seqDf, Seq("__f"), "left")
       }
 
     val afterPos =
@@ -1266,8 +1509,11 @@ object IcebergLite {
               sparkSchema(sparkSchema.fieldIndex(c))
                 .copy(nullable = true)))
             val delRows = group.map { case (p, _, seq) =>
-              spark.read.schema(delSchema)
-                .parquet(rebase(p).toString)
+              // delete files may be written under OLD schema versions
+              // — the pinned read resolves their columns by field id
+              // on evolved tables, like the data files'
+              ctx.pinnedParquet(spark, Seq(rebase(p).toString),
+                Nil, delSchema)
                 .withColumn("__dseq", lit(seq))
             }.reduce(_ unionByName _)
             val cond = eqCols.map(c => df(c) <=> delRows(c))

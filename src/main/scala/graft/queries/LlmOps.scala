@@ -4308,6 +4308,56 @@ object LlmOps {
       "snap", "prio")
   }
 
+  /** Iceberg SCHEMA-EVOLUTION fixture: file A written under the
+    * created schema (k:1, amount:2, grp:3, st:4), then
+    * `commitSchemaUpdate` RENAMES amount→revenue (field id 2 kept),
+    * DROPS st (id 4) and RE-ADDS st under fresh id 5; file B appends
+    * under the new schema. Reading the table is then sound only via
+    * field-id resolution: by name, file A's revenue would silently
+    * null and its retired st would resurrect. */
+  private def icebergEvolveFixture(s: SparkSession, d: String): String =
+    parquetNestedDirs.computeIfAbsent(s"$d#iceevolve", _ => {
+      val dir = java.nio.file.Files.createTempDirectory("ice_evolve")
+      def sel(ps: Seq[String], revName: String) = orders(s, d)
+        .filter(col("o_orderpriority").isin(ps: _*))
+        .select(col("o_orderkey").cast("long").as("k"),
+          round(col("o_totalprice") * 100).cast("long").as(revName),
+          col("o_orderpriority").as("grp"),
+          col("o_orderstatus").as("st"))
+      graft.operators.IcebergLite.commitAppend(s, dir.toString,
+        sel(Seq("1-URGENT", "2-HIGH", "3-MEDIUM"), "amount"))
+      graft.operators.IcebergLite.commitSchemaUpdate(s, dir.toString,
+        Seq((1L, "k", org.apache.spark.sql.types.LongType, true),
+          (2L, "revenue", org.apache.spark.sql.types.LongType, true),
+          (3L, "grp", org.apache.spark.sql.types.StringType, true),
+          (5L, "st", org.apache.spark.sql.types.StringType, true)))
+      graft.operators.IcebergLite.commitAppend(s, dir.toString,
+        sel(Seq("4-NOT SPECIFIED", "5-LOW"), "revenue"))
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().forEachRemaining(q => q.toFile.deleteOnExit())
+      finally walk.close()
+      dir.toString
+    })
+
+  /** Iceberg SCHEMA-EVOLUTION gate: `agg` face aggregates the evolved
+    * table — sum_rev must include file A's pre-rename values, and
+    * n_st must count ONLY file B's re-added values; the `nost` face
+    * FILTERS on the re-added column being null, the exact predicate
+    * whose name-bound parquet pushdown wrongly pruned old files'
+    * row groups before the collision-alias read. */
+  def xIcebergEvolve(s: SparkSession, d: String): DataFrame = {
+    val snap = graft.operators.IcebergLite.snapshot(
+      s, icebergEvolveFixture(s, d))
+    def aggs(df: DataFrame) = df.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        sum(col("revenue")).as("sum_rev"), count(col("st")).as("n_st"))
+    ordered(
+      aggs(snap).select(lit("agg").as("face"), col("*"))
+        .unionByName(aggs(snap.filter(col("st").isNull))
+          .select(lit("nost").as("face"), col("*"))),
+      "face", "grp")
+  }
+
   /** Delta WRITE fixture: a table our own `commitAppend` writes in two
     * commits (priorities 1–3, then 4–5), PARTITIONED by prio — the
     * "4-NOT SPECIFIED" value forces the path percent-encoding round
@@ -5493,6 +5543,7 @@ object LlmOps {
     "x_iceberg_appends"   -> (xIcebergAppends _),
     "x_iceberg_write"     -> (xIcebergWrite _),
     "x_iceberg_nested"    -> (xIcebergNested _),
+    "x_iceberg_evolve"    -> (xIcebergEvolve _),
     "x_iceberg_prune"     -> (xIcebergPrune _),
     "x_iceberg_deletes"   -> (xIcebergDeletes _),
     "x_iceberg_eqdel"     -> (xIcebergEqdel _),
@@ -6073,6 +6124,20 @@ object LlmOps {
         "min(o_orderstatus), max(o_orderstatus) " +
         "FROM orders WHERE CAST(substr(o_orderpriority,1,1) AS INT) <= 3 " +
         "GROUP BY 2 ORDER BY snap, prio"),
+    "x_iceberg_evolve" ->
+      """WITH b AS (SELECT o_orderpriority AS grp, count(*) AS n,
+        |    CAST(sum(o_orderkey) AS BIGINT) AS sum_k,
+        |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |      AS sum_rev
+        |  FROM orders GROUP BY 1)
+        |SELECT 'agg' AS face, grp, n, sum_k, sum_rev,
+        |  CASE WHEN grp IN ('4-NOT SPECIFIED','5-LOW') THEN n
+        |       ELSE CAST(0 AS BIGINT) END AS n_st
+        |FROM b
+        |UNION ALL
+        |SELECT 'nost', grp, n, sum_k, sum_rev, CAST(0 AS BIGINT)
+        |FROM b WHERE grp IN ('1-URGENT','2-HIGH','3-MEDIUM')
+        |ORDER BY face, grp""".stripMargin,
     "x_parquet_struct" ->
       ("SELECT CAST(o_orderkey AS BIGINT) AS k, " +
         "CASE WHEN o_orderkey % 7 = 0 THEN NULL " +

@@ -897,4 +897,95 @@ class IcebergLiteSpec extends SparkSpec {
         ("manifest-del.avro", 1, 2L)))
     assert(IcebergLite.scan(spark, dir).data.count() === 27)
   }
+
+  test("schema evolution: rename and drop+re-add resolve by field id") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("iceevo").toString
+    // v0 schema (k:1, amount:2, grp:3, st:4); data file A carries ids
+    val a = spark.range(1, 51).coalesce(1).select(col("id").as("k"),
+      (col("id") * 10).as("amount"), lit("old").as("grp"),
+      concat(lit("s"), col("id").cast("string")).as("st"))
+    val snap1 = IcebergLite.commitAppend(spark, dir, a)
+    // rename amount->revenue (id 2 kept), drop st (id 4), re-add st
+    // as a FRESH id 5
+    IcebergLite.commitSchemaUpdate(spark, dir, Seq(
+      (1L, "k", LongType, true), (2L, "revenue", LongType, true),
+      (3L, "grp", StringType, true), (5L, "st", StringType, true)))
+    val b = spark.range(51, 81).coalesce(1).select(col("id").as("k"),
+      (col("id") * 10).as("revenue"), lit("new").as("grp"),
+      concat(lit("t"), col("id").cast("string")).as("st"))
+    val snap2 = IcebergLite.commitAppend(spark, dir, b)
+    try {
+    val snap = IcebergLite.snapshot(spark, dir)
+    // the reader auto-enabled Spark's native field-id resolution
+    assert(spark.conf.get("spark.sql.parquet.fieldId.read.enabled")
+      === "true")
+    assert(snap.columns.toSeq === Seq("k", "revenue", "grp", "st"))
+    // renamed column surfaces file A's old values (a name-based read
+    // would silently null all 50 of them)
+    assert(snap.agg(sum("revenue")).head().getLong(0)
+      === (1L to 80L).map(_ * 10).sum)
+    // re-added st reads NULL from file A (id 4 ≠ 5 — a name-based
+    // read would resurrect the dropped values), real values from B
+    assert(snap.filter(col("st").isNull).count() === 50)
+    assert(snap.filter(col("grp") === "new" && col("st").isNotNull)
+      .count() === 30)
+    // bounds pruning keys on field ids, so the renamed column prunes
+    // against file A's recorded id-2 bounds
+    val p = IcebergLite.prunedScan(spark, dir, "revenue", 100L, 200L)
+    assert(p.keptFiles === 1)
+    // incremental reads resolve old snapshots' files by id too
+    val ch = IcebergLite.appendsBetween(spark, dir, snap1)
+    assert(ch.filter(col("_snapshot_id") === snap2)
+      .agg(sum("revenue")).head().getLong(0)
+      === (51L to 80L).map(_ * 10).sum)
+    // appends under the RETIRED schema decline loudly
+    intercept[IllegalArgumentException] {
+      IcebergLite.commitAppend(spark, dir, a)
+    }
+    // update validations: reused id for a new field; type change
+    intercept[IllegalArgumentException] {
+      IcebergLite.commitSchemaUpdate(spark, dir, Seq(
+        (1L, "k", LongType, true), (2L, "revenue", LongType, true),
+        (3L, "grp", StringType, true), (4L, "st2", StringType, true)))
+    }
+    intercept[IllegalArgumentException] {
+      IcebergLite.commitSchemaUpdate(spark, dir, Seq(
+        (1L, "k", StringType, true), (2L, "revenue", LongType, true),
+        (3L, "grp", StringType, true), (5L, "st", StringType, true)))
+    }
+    } finally // shared session: later suites expect the default
+      spark.conf.unset("spark.sql.parquet.fieldId.read.enabled")
+  }
+
+  test("schema evolution: add-only history keeps the name-based read") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("iceadd").toString
+    val snap1 = IcebergLite.commitAppend(spark, dir,
+      spark.range(1, 11).coalesce(1).select(col("id").as("k")))
+    // ADD a column: no name ever moved, so name resolution stays
+    // sound (and stays the path taken — id-pinning would be a
+    // behavior change for tables whose files may predate id stamping)
+    IcebergLite.commitSchemaUpdate(spark, dir, Seq(
+      (1L, "k", LongType, true), (2L, "v", StringType, true)))
+    // strip the ids from file A by rewriting it WITHOUT metadata:
+    // a name-based read must still work on id-less files
+    val dataDir = Paths.get(dir, "data")
+    val fA = java.nio.file.Files.list(dataDir).iterator().next()
+    val plain = spark.read.parquet(fA.toString)
+      .select(col("k").cast("long").as("k"))
+    val tmp = Files.createTempDirectory("iceadd2").toString
+    plain.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.move(part.toPath, fA, StandardCopyOption.REPLACE_EXISTING)
+    // the original file's Hadoop-local checksum sidecar is stale now
+    Files.deleteIfExists(fA.getParent.resolve(
+      s".${fA.getFileName.toString}.crc"))
+    val snap = IcebergLite.snapshot(spark, dir)
+    assert(snap.columns.toSeq === Seq("k", "v"))
+    assert(snap.agg(sum("k")).head().getLong(0) === (1L to 10L).sum)
+    assert(snap.filter(col("v").isNull).count() === 10)
+    assert(snap1 > 0)
+  }
 }
