@@ -57,15 +57,19 @@ object DeltaLite {
 
   private val LogDir = "_delta_log"
 
-  /** Latest version present in the log, or -1 if none. */
+  /** Latest version present in the log, or -1 if none. Checkpoint
+    * files count: after [[cleanLog]] deletes the JSON commits a
+    * checkpoint covers, the checkpoint IS the latest state and the
+    * next append must number from it, not restart at 0. */
   def latestVersion(spark: SparkSession, table: String): Long = {
     val fs = new Path(table).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val dir = new Path(table, LogDir)
     if (!fs.exists(dir)) return -1L
+    val vRe = "(\\d{20})\\.(?:json|checkpoint\\..*parquet)".r
     fs.listStatus(dir).map(_.getPath.getName)
-      .filter(_.matches("\\d{20}\\.json"))
-      .map(_.stripSuffix(".json").toLong)
+      .flatMap(n => vRe.findPrefixMatchOf(n)
+        .filter(_.matched == n).map(_.group(1).toLong))
       .foldLeft(-1L)(math.max)
   }
 
@@ -159,16 +163,7 @@ object DeltaLite {
       // schema must match the table's governing metaData exactly
       val current = build(spark, table, Long.MaxValue, keep = null)
       val _ = current // replay validates the log; schema check below
-      val metaRow = spark.read.schema(actionSchema)
-        .json((0L until version).map(v =>
-          new Path(logDir, f"$v%020d.json").toString).filter(p =>
-          fs.exists(new Path(p))): _*)
-        .filter(col("metaData").isNotNull)
-        .withColumn("v", regexp_extract(input_file_name(),
-          "(\\d{20})\\.json", 1).cast("long"))
-        .orderBy(col("v").desc).select("metaData.schemaString",
-          "metaData.partitionColumns").limit(1).collect().headOption
-        .getOrElse(sys.error(s"no metaData action in $table"))
+      val metaRow = latestMeta(spark, fs, logDir, table)
       val tableSchema = DataType.fromJson(metaRow.getString(0))
         .asInstanceOf[StructType]
       require(tableSchema == schema,
@@ -214,17 +209,7 @@ object DeltaLite {
     val logDir = new Path(table, LogDir)
     val version = latestVersion(spark, table) + 1
     require(version > 0, s"not a Delta table (no commits): $table")
-    val metaRow = spark.read.schema(actionSchema)
-      .json((0L until version).map(v =>
-        new Path(logDir, f"$v%020d.json").toString).filter(p =>
-        fs.exists(new Path(p))): _*)
-      .filter(col("metaData").isNotNull)
-      .withColumn("v", regexp_extract(input_file_name(),
-        "(\\d{20})\\.json", 1).cast("long"))
-      .orderBy(col("v").desc)
-      .select("metaData.schemaString", "metaData.partitionColumns",
-        "metaData.configuration").limit(1).collect().headOption
-      .getOrElse(sys.error(s"no metaData action in $table"))
+    val metaRow = latestMeta(spark, fs, logDir, table)
     val partCols = Option(metaRow.getSeq[String](1)).getOrElse(Seq.empty)
     val cmap = Option(metaRow.getMap[String, String](2))
       .flatMap(_.get("delta.columnMapping.mode")).getOrElse("none")
@@ -243,6 +228,152 @@ object DeltaLite {
     writeCommit(fs, logDir, version, removes ++ adds, table)
     version
   }
+
+  /** Writes a CLASSIC single-file CHECKPOINT at the table's latest
+    * version — the protocol's answer to unbounded log replay: a
+    * parquet snapshot of the reconciled state (latest protocol,
+    * latest metaData, every LIVE add with its stats / partition
+    * values / deletion vector intact, and every still-winning remove
+    * as a tombstone), named `%020d.checkpoint.parquet`, plus the
+    * `_last_checkpoint` hint. A 100 TB table with thousands of
+    * commits then replays ONE parquet file + the JSON tail; the adds
+    * flow through a distributed window reconciliation, never a
+    * driver loop. After a checkpoint, [[cleanLog]] may delete the
+    * JSON commits it covers — snapshots and version time travel at
+    * or after the checkpoint keep working (the replay anchors on the
+    * checkpoint), while pre-checkpoint travel and [[changes]] decline
+    * loudly through their existing history checks.
+    *
+    * Declines loudly: tables whose protocol lists the `v2Checkpoint`
+    * reader feature (such tables expect v2 checkpoints, not classic
+    * ones), and tables whose log carries `txn` or `domainMetadata`
+    * state (a checkpoint must preserve them; this writer would drop
+    * them — decline rather than miswrite). `cdc` actions are
+    * correctly EXCLUDED from checkpoints per the protocol. Returns
+    * the checkpointed version. */
+  def commitCheckpoint(spark: SparkSession, table: String): Long = {
+    val fs = new Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val logDir = new Path(table, LogDir)
+    require(fs.exists(logDir), s"not a Delta table (no $LogDir): $table")
+    val version = latestVersion(spark, table)
+    require(version >= 0, s"empty Delta log in $table")
+
+    // state-bearing actions this schema-pinned replay would DROP:
+    // sniff the raw JSON tail + any anchoring checkpoint's columns
+    val jsonPaths = fs.listStatus(logDir).map(_.getPath)
+      .filter(_.getName.matches("\\d{20}\\.json")).map(_.toString).toSeq
+    if (jsonPaths.nonEmpty) {
+      val raw = spark.read.json(jsonPaths: _*)
+      Seq("txn", "domainMetadata").foreach { a =>
+        if (raw.columns.contains(a))
+          require(raw.filter(col(a).isNotNull).isEmpty,
+            s"checkpointing a table with `$a` actions is beyond this " +
+              "writer (the checkpoint must carry them forward)")
+      }
+    }
+
+    val actions = replayActions(spark, fs, logDir, table, version)
+
+    // protocol gate: v2Checkpoint-featured tables expect v2, not this
+    val proto = actions.filter(col("protocol").isNotNull)
+      .orderBy(col("v").desc).select("protocol").limit(1)
+      .collect().headOption
+    proto.foreach { r =>
+      val p = r.getStruct(0)
+      val feats: Seq[String] =
+        if (p.length < 3 || p.isNullAt(2)) Seq.empty else p.getSeq[String](2)
+      require(!feats.contains("v2Checkpoint"),
+        "table declares the v2Checkpoint feature — writing a classic " +
+          "checkpoint to it is beyond this writer")
+    }
+
+    // distributed reconciliation: latest add / latest remove per path,
+    // live iff the add is at least as new (the replay's tie rule);
+    // losing paths keep their winning remove as a tombstone
+    import org.apache.spark.sql.expressions.Window
+    def latestBy(c: String) = actions.filter(col(c).isNotNull)
+      .select(col(c), col("v"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(s"$c.path")).orderBy(col("v").desc)))
+      .filter(col("rn") === 1).drop("rn")
+    val la = latestBy("add").withColumnRenamed("v", "av")
+    val lr = latestBy("remove").withColumnRenamed("v", "rv")
+    val joined = la.join(lr, la("add.path") === lr("remove.path"), "full")
+    val liveAdds = joined
+      .filter(col("add").isNotNull &&
+        (col("rv").isNull || col("av") >= col("rv")))
+      .select(col("add"))
+    val tombstones = joined
+      .filter(col("remove").isNotNull &&
+        (col("av").isNull || col("rv") > col("av")))
+      .select(col("remove"))
+    val metaDf = actions.filter(col("metaData").isNotNull)
+      .orderBy(col("v").desc).select(col("metaData")).limit(1)
+    val protoDf = actions.filter(col("protocol").isNotNull)
+      .orderBy(col("v").desc).select(col("protocol")).limit(1)
+    val cp = Seq(liveAdds, tombstones, metaDf, protoDf)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+
+    // one parquet part, renamed into the log
+    val staging = new Path(table, s".cp-staging-$version")
+    cp.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val part = fs.listStatus(staging).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).head
+    val dest = new Path(logDir, f"$version%020d.checkpoint.parquet")
+    require(!fs.exists(dest), s"checkpoint $version already exists")
+    require(fs.rename(part, dest), s"rename to $dest failed")
+    fs.delete(staging, true)
+    val size = spark.read.parquet(dest.toString).count()
+    val hint = new Path(logDir, "_last_checkpoint")
+    val out = fs.create(hint, true)
+    try out.write(
+      s"""{"version":$version,"size":$size}""".getBytes("UTF-8"))
+    finally out.close()
+    version
+  }
+
+  /** Deletes the JSON commits a checkpoint covers (metadata cleanup):
+    * every `%020d.json` at or below the latest checkpoint version.
+    * The replay then anchors on the checkpoint; pre-checkpoint
+    * version/timestamp travel and [[changes]] decline loudly through
+    * their existing anchored/gap-free/full-history checks rather than
+    * partially replay. Returns the number of commits deleted. */
+  def cleanLog(spark: SparkSession, table: String): Int = {
+    val fs = new Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val logDir = new Path(table, LogDir)
+    require(fs.exists(logDir), s"not a Delta table (no $LogDir): $table")
+    val cpVersions = fs.listStatus(logDir).map(_.getPath.getName)
+      .flatMap { n =>
+        val m = java.util.regex.Pattern
+          .compile("(\\d{20})\\.checkpoint\\.parquet").matcher(n)
+        if (m.matches()) Some(m.group(1).toLong) else None
+      }
+    require(cpVersions.nonEmpty,
+      s"no classic checkpoint to clean up to in $table")
+    val cp = cpVersions.max
+    val victims = fs.listStatus(logDir).map(_.getPath)
+      .filter(p => p.getName.matches("\\d{20}\\.json") &&
+        p.getName.stripSuffix(".json").toLong <= cp)
+    victims.foreach(p => fs.delete(p, false))
+    victims.length
+  }
+
+  /** Latest metaData (schemaString, partitionColumns, configuration)
+    * resolved through the same checkpoint-anchored replay as
+    * snapshots — a raw-JSON lookup would go blind once [[cleanLog]]
+    * removes the commit that carried it. */
+  private def latestMeta(spark: SparkSession,
+                         fs: org.apache.hadoop.fs.FileSystem,
+                         logDir: Path,
+                         table: String): org.apache.spark.sql.Row =
+    replayActions(spark, fs, logDir, table, Long.MaxValue)
+      .filter(col("metaData").isNotNull).orderBy(col("v").desc)
+      .select("metaData.schemaString", "metaData.partitionColumns",
+        "metaData.configuration")
+      .limit(1).collect().headOption
+      .getOrElse(sys.error(s"no metaData action in $table"))
 
   private def jstr(s: String): String = {
     val sb = new StringBuilder
@@ -623,19 +754,18 @@ object DeltaLite {
     Some(sb.toString)
   }
 
-  private def build(spark: SparkSession, table: String, versionAsOf: Long,
-                    keep: String => Boolean): Pruned = {
-    val fs = new Path(table).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val logDir = new Path(table, LogDir)
-    require(fs.exists(logDir), s"not a Delta table (no $LogDir): $table")
-
-    // checkpoint discovery by LISTING (classic single-file, multi-part
-    // %020d.checkpoint.%010d.%010d.parquet, and v2 UUID-named files):
-    // use the newest COMPLETE checkpoint at or before the requested
-    // version; JSON commits after it replay on top. _last_checkpoint is
-    // only a writer hint — a stale one must never mislead the replay
-    // (the anchored/gap checks below still catch a cleaned-up log).
+  /** All actions governing the snapshot at `versionAsOf`, with their
+    * commit version in `v`: checkpoint discovery by LISTING (classic
+    * single-file, multi-part %020d.checkpoint.%010d.%010d.parquet,
+    * and v2 UUID-named files + sidecars) — the newest COMPLETE
+    * checkpoint at or before the requested version anchors the
+    * replay, JSON commits after it replay on top. _last_checkpoint is
+    * only a writer hint — a stale one must never mislead the replay
+    * (the anchored/gap checks below still catch a cleaned-up log). */
+  private def replayActions(spark: SparkSession,
+                            fs: org.apache.hadoop.fs.FileSystem,
+                            logDir: Path, table: String,
+                            versionAsOf: Long): DataFrame = {
     val logNames = fs.listStatus(logDir).map(_.getPath.getName)
     val classicRe = "(\\d{20})\\.checkpoint\\.parquet".r
     val multiRe = "(\\d{20})\\.checkpoint\\.(\\d{10})\\.(\\d{10})\\.parquet".r
@@ -718,12 +848,21 @@ object DeltaLite {
           }
         Some(full.withColumn("v", lit(cpVersion)))
       }
-    val actions = (cpActions, jsonActions) match {
+    (cpActions, jsonActions) match {
       case (Some(a), Some(b)) => a.unionByName(b, allowMissingColumns = true)
       case (Some(a), None) => a
       case (None, Some(b)) => b
       case _ => sys.error("unreachable")
     }
+  }
+
+  private def build(spark: SparkSession, table: String, versionAsOf: Long,
+                    keep: String => Boolean): Pruned = {
+    val fs = new Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val logDir = new Path(table, LogDir)
+    require(fs.exists(logDir), s"not a Delta table (no $LogDir): $table")
+    val actions = replayActions(spark, fs, logDir, table, versionAsOf)
 
     // protocol gate, latest metaData — tiny driver rows by construction
     val meta = actions

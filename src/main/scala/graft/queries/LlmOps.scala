@@ -4308,6 +4308,57 @@ object LlmOps {
       "snap", "prio")
   }
 
+  /** Delta CHECKPOINT fixture: appends at v0 (prios 1–2) and v1
+    * (prio 3), an OPTIMIZE rewrite at v2, an append at v3 (prio 4),
+    * then a classic checkpoint at 3 and LOG CLEANUP — v0..v3's JSON
+    * commits are gone, the checkpoint alone anchors them — and a
+    * final append at v4 (prio 5) on top. */
+  private def deltaCheckpointFixture(s: SparkSession, d: String): String =
+    parquetNestedDirs.computeIfAbsent(s"$d#deltacp", _ => {
+      val dir = java.nio.file.Files.createTempDirectory("delta_cp")
+      def sel(ps: Seq[String]) = orders(s, d)
+        .filter(col("o_orderpriority").isin(ps: _*))
+        .select(col("o_orderkey").cast("long").as("k"),
+          col("o_orderstatus").as("st"),
+          col("o_orderpriority").as("prio"))
+      graft.operators.DeltaLite.commitAppend(s, dir.toString,
+        sel(Seq("1-URGENT", "2-HIGH")))
+      graft.operators.DeltaLite.commitAppend(s, dir.toString,
+        sel(Seq("3-MEDIUM")))
+      graft.operators.DeltaLite.commitCompact(s, dir.toString)
+      graft.operators.DeltaLite.commitAppend(s, dir.toString,
+        sel(Seq("4-NOT SPECIFIED")))
+      graft.operators.DeltaLite.commitCheckpoint(s, dir.toString)
+      graft.operators.DeltaLite.cleanLog(s, dir.toString)
+      graft.operators.DeltaLite.commitAppend(s, dir.toString,
+        sel(Seq("5-LOW")))
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().forEachRemaining(q => q.toFile.deleteOnExit())
+      finally walk.close()
+      dir.toString
+    })
+
+  /** Delta CHECKPOINT gate — bounded log replay at scale: the `cur`
+    * face reads the table THROUGH the checkpoint plus the JSON tail
+    * (the pre-checkpoint commits are deleted — a replay that ignored
+    * the checkpoint has nothing to read), and the `cp` face
+    * time-travels TO the checkpoint version, proving the reconciled
+    * adds/tombstones/metaData in the checkpoint alone reproduce the
+    * exact pre-cleanup state (compaction tombstones included). */
+  def xDeltaCheckpoint(s: SparkSession, d: String): DataFrame = {
+    val dir = deltaCheckpointFixture(s, d)
+    def face(label: String, df: DataFrame) =
+      df.groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("st")).as("min_st"))
+        .select(lit(label).as("face"), col("*"))
+    ordered(
+      face("cur", graft.operators.DeltaLite.snapshot(s, dir))
+        .unionByName(face("cp",
+          graft.operators.DeltaLite.snapshot(s, dir, versionAsOf = 3))),
+      "face", "prio")
+  }
+
   /** Iceberg SCHEMA-EVOLUTION fixture: file A written under the
     * created schema (k:1, amount:2, grp:3, st:4), then
     * `commitSchemaUpdate` RENAMES amount→revenue (field id 2 kept),
@@ -5544,6 +5595,7 @@ object LlmOps {
     "x_iceberg_write"     -> (xIcebergWrite _),
     "x_iceberg_nested"    -> (xIcebergNested _),
     "x_iceberg_evolve"    -> (xIcebergEvolve _),
+    "x_delta_checkpoint"  -> (xDeltaCheckpoint _),
     "x_iceberg_prune"     -> (xIcebergPrune _),
     "x_iceberg_deletes"   -> (xIcebergDeletes _),
     "x_iceberg_eqdel"     -> (xIcebergEqdel _),
@@ -6124,6 +6176,16 @@ object LlmOps {
         "min(o_orderstatus), max(o_orderstatus) " +
         "FROM orders WHERE CAST(substr(o_orderpriority,1,1) AS INT) <= 3 " +
         "GROUP BY 2 ORDER BY snap, prio"),
+    "x_delta_checkpoint" ->
+      """WITH p AS (SELECT o_orderpriority AS prio, count(*) AS n,
+        |    CAST(sum(o_orderkey) AS BIGINT) AS sum_k,
+        |    min(o_orderstatus) AS min_st
+        |  FROM orders GROUP BY 1)
+        |SELECT 'cp' AS face, prio, n, sum_k, min_st FROM p
+        |WHERE prio <> '5-LOW'
+        |UNION ALL
+        |SELECT 'cur', prio, n, sum_k, min_st FROM p
+        |ORDER BY face, prio""".stripMargin,
     "x_iceberg_evolve" ->
       """WITH b AS (SELECT o_orderpriority AS grp, count(*) AS n,
         |    CAST(sum(o_orderkey) AS BIGINT) AS sum_k,

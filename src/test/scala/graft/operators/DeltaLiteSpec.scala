@@ -420,12 +420,19 @@ class DeltaLiteSpec extends SparkSpec {
     assert(got.last === ((20L, "s20", "b")))
     assert(snap.filter(col("p") === "b").agg(sum("k")).as[Long].head()
       === (11 to 20).sum.toLong)
-    // id mode without the session's field-id read support: loud guidance
+    // id mode without the session's field-id read support: loud
+    // guidance (pin the conf OFF — IcebergLite's evolution reader may
+    // have auto-enabled it earlier in this shared session)
     commit(dir, 1, Seq(metaCmap("id")))
-    val e = intercept[IllegalArgumentException] {
-      DeltaLite.snapshot(spark, dir)
-    }
-    assert(e.getMessage.contains("fieldId.read.enabled"))
+    val prev = spark.conf.getOption("spark.sql.parquet.fieldId.read.enabled")
+    spark.conf.unset("spark.sql.parquet.fieldId.read.enabled")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        DeltaLite.snapshot(spark, dir)
+      }
+      assert(e.getMessage.contains("fieldId.read.enabled"))
+    } finally prev.foreach(
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", _))
   }
 
   test("column mapping (id mode): parquet field ids resolve renamed files") {
@@ -600,6 +607,93 @@ class DeltaLiteSpec extends SparkSpec {
     val ps = DeltaLite.prunedSnapshotString(spark, dir, "s", "s5", "s5")
     assert(ps.keptFiles === 1)
     assert(ps.data.filter(col("s") === "s5").count() === 1)
+  }
+
+  test("commitCheckpoint: classic checkpoint anchors replay through log cleanup") {
+    val dir = Files.createTempDirectory("dlcp").toString
+    def batch(lo: Long, hi: Long) =
+      spark.range(lo, hi + 1).coalesce(1).select(col("id").as("k"),
+        concat(lit("s"), col("id").cast("string")).as("s"))
+    DeltaLite.commitAppend(spark, dir, batch(1, 50))   // v0
+    DeltaLite.commitAppend(spark, dir, batch(51, 80))  // v1
+    DeltaLite.commitCompact(spark, dir)                // v2: tombstones
+    DeltaLite.commitAppend(spark, dir, batch(81, 100)) // v3
+    val cpv = DeltaLite.commitCheckpoint(spark, dir)
+    assert(cpv === 3L)
+    val hint = Files.readString(
+      Paths.get(dir, "_delta_log", "_last_checkpoint"))
+    assert(hint.contains("\"version\":3"))
+    // the checkpoint carries reconciled state: live adds (compacted
+    // file + v3's), the compaction's tombstones, metaData, protocol
+    val cp = spark.read.parquet(
+      Paths.get(dir, "_delta_log",
+        f"${3L}%020d.checkpoint.parquet").toString)
+    assert(cp.filter(col("add").isNotNull).count() === 2)
+    assert(cp.filter(col("remove").isNotNull).count() === 2)
+    assert(cp.filter(col("metaData").isNotNull).count() === 1)
+    assert(cp.filter(col("protocol").isNotNull).count() === 1)
+    assert(DeltaLite.snapshot(spark, dir).count() === 100)
+    DeltaLite.commitAppend(spark, dir, batch(101, 110)) // v4
+    // cleanup deletes exactly the commits the checkpoint covers
+    assert(DeltaLite.cleanLog(spark, dir) === 4)
+    assert(DeltaLite.snapshot(spark, dir).count() === 110)
+    assert(DeltaLite.snapshot(spark, dir).agg(sum("k"))
+      .head().getLong(0) === (1L to 110L).sum)
+    // version travel AT the checkpoint works; BEFORE it declines
+    assert(DeltaLite.snapshot(spark, dir, versionAsOf = 3)
+      .count() === 100)
+    intercept[IllegalArgumentException] {
+      DeltaLite.snapshot(spark, dir, versionAsOf = 1).count()
+    }
+    // CDF needs the full JSON history — loud decline, not a partial feed
+    intercept[IllegalArgumentException] {
+      DeltaLite.changes(spark, dir, 0, 4)
+    }
+    // the next append numbers FROM the checkpoint, never restarts at 0
+    val v5 = DeltaLite.commitAppend(spark, dir, batch(111, 115))
+    assert(v5 === 5L)
+    assert(DeltaLite.snapshot(spark, dir).count() === 115)
+    // checkpointed adds keep their stats: pruning still file-skips
+    val p = DeltaLite.prunedSnapshot(spark, dir, "k", 112L, 113L)
+    assert(p.keptFiles === 1)
+    // a second checkpoint at v5, then full cleanup, still replays
+    assert(DeltaLite.commitCheckpoint(spark, dir) === 5L)
+    assert(DeltaLite.cleanLog(spark, dir) === 2) // v4, v5
+    assert(DeltaLite.snapshot(spark, dir).count() === 115)
+  }
+
+  test("commitCheckpoint declines: v2Checkpoint feature, txn state") {
+    // a v2Checkpoint-featured table expects v2 checkpoints
+    val dir = Files.createTempDirectory("dlcpv2").toString
+    val sa = writePart(spark.range(1, 11).select(col("id").as("k")),
+      dir, "part-a.parquet")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    commit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["v2Checkpoint"]}}""",
+      s"""{"metaData":{"id":"t","schemaString":"${esc(schema.json)}",""" +
+        """"partitionColumns":[],"configuration":{}}}""",
+      addJson("part-a.parquet", Map.empty, sa)))
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaLite.commitCheckpoint(spark, dir)
+    }
+    assert(e1.getMessage.contains("v2Checkpoint"))
+    // txn state must be carried by a checkpoint — decline, not drop
+    val dir2 = Files.createTempDirectory("dlcptxn").toString
+    val sb = writePart(spark.range(1, 11).select(col("id").as("k")),
+      dir2, "part-a.parquet")
+    commit(dir2, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"t","schemaString":"${esc(schema.json)}",""" +
+        """"partitionColumns":[],"configuration":{}}}""",
+      """{"txn":{"appId":"ingest","version":7}}""",
+      addJson("part-a.parquet", Map.empty, sb)))
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaLite.commitCheckpoint(spark, dir2)
+    }
+    assert(e2.getMessage.contains("txn"))
   }
 
   test("timestampAsOf resolves the version from commit-file timestamps") {
