@@ -360,6 +360,108 @@ object DeltaLite {
     victims.length
   }
 
+  /** VACUUM — the storage half of retention maintenance ([[cleanLog]]
+    * is the log half): deletes files under the table that the CURRENT
+    * snapshot no longer references and that have aged past
+    * `retentionMs` — tombstoned data files by their remove's
+    * `deletionTimestamp`, untracked leftovers (crashed staging parts,
+    * orphaned DV files) by modification time. The live set protects
+    * every reconciled add AND every deletion-vector file a live add
+    * references ('p'/'u' storage). Version/timestamp travel to
+    * snapshots that needed a vacuumed file fails at READ time
+    * afterwards — the protocol's documented trade; the log itself is
+    * untouched. `nowMs` is explicit so maintenance jobs and tests are
+    * deterministic. Returns the deleted table-relative paths,
+    * sorted. */
+  def vacuum(spark: SparkSession, table: String, retentionMs: Long,
+             nowMs: Long): Seq[String] = {
+    require(retentionMs >= 0, s"bad retention $retentionMs")
+    val fs = new Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val logDir = new Path(table, LogDir)
+    require(fs.exists(logDir), s"not a Delta table (no $LogDir): $table")
+    val actions = replayActions(spark, fs, logDir, table, Long.MaxValue)
+
+    import org.apache.spark.sql.expressions.Window
+    def latestBy(c: String) = actions.filter(col(c).isNotNull)
+      .select(col(c), col("v"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(s"$c.path")).orderBy(col("v").desc)))
+      .filter(col("rn") === 1).drop("rn")
+    val la = latestBy("add").withColumnRenamed("v", "av")
+    val lr = latestBy("remove").withColumnRenamed("v", "rv")
+    val joined = la.join(lr, la("add.path") === lr("remove.path"), "full")
+    // the file LIST is metadata-bounded driver state, as in build()
+    val liveRows = joined
+      .filter(col("add").isNotNull &&
+        (col("rv").isNull || col("av") >= col("rv")))
+      .select(col("add.path"), col("add.deletionVector")).collect()
+    val deadRows = joined
+      .filter(col("remove").isNotNull &&
+        (col("av").isNull || col("rv") > col("av")))
+      .select(col("remove.path"), col("remove.deletionTimestamp"))
+      .collect()
+
+    def relOf(p: Path): String = {
+      val root = new Path(table).toUri.getPath.stripSuffix("/")
+      val full = p.toUri.getPath
+      require(full.startsWith(root + "/"), s"$p outside $table")
+      full.stripPrefix(root + "/")
+    }
+    // live = decoded data-file paths + referenced DV files
+    val liveSet: Set[String] = liveRows.flatMap { r =>
+      val dataRel = uriDecode(r.getString(0))
+      val dv = if (r.isNullAt(1)) None else Some(r.getStruct(1))
+      dataRel +: dv.toSeq.flatMap { d =>
+        val storage = d.getString(0)
+        val poi = d.getString(1)
+        storage match {
+          case "i" => Nil
+          case "p" =>
+            val p = new Path(poi)
+            if (p.isAbsolute || poi.contains(":/")) Nil // external
+            else Seq(uriDecode(poi))
+          case "u" =>
+            val prefix = poi.dropRight(20)
+            val uuid = graft.functions.DeletionVectors
+              .uuidFromBase85(poi.takeRight(20))
+            val name = s"deletion_vector_$uuid.bin"
+            Seq(if (prefix.isEmpty) name else s"$prefix/$name")
+          case other => sys.error(s"unknown DV storage '$other'")
+        }
+      }
+    }.toSet
+    val tombstoneTs: Map[String, Long] = deadRows.map { r =>
+      uriDecode(r.getString(0)) ->
+        (if (r.isNullAt(1)) Long.MinValue else r.getLong(1))
+    }.toMap
+
+    // walk the table, skipping the log and hidden/underscore names at
+    // every level (other writers' scratch conventions)
+    def walk(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(dir).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (st.isDirectory) walk(st.getPath)
+        else Seq(st)
+      }
+    val cutoff = nowMs - retentionMs
+    val victims = walk(new Path(table)).flatMap { st =>
+      val rel = relOf(st.getPath)
+      if (liveSet.contains(rel)) None
+      else {
+        val aged = tombstoneTs.get(rel) match {
+          case Some(ts) => ts <= cutoff
+          case None => st.getModificationTime <= cutoff
+        }
+        if (aged) Some(rel) else None
+      }
+    }.sorted
+    victims.foreach(rel =>
+      fs.delete(new Path(table, rel), false))
+    victims
+  }
+
   /** Latest metaData (schemaString, partitionColumns, configuration)
     * resolved through the same checkpoint-anchored replay as
     * snapshots — a raw-JSON lookup would go blind once [[cleanLog]]

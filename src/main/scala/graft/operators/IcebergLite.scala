@@ -526,6 +526,84 @@ object IcebergLite {
       s"$newVersion\n".getBytes("UTF-8"), overwrite = true)
   }
 
+  /** EXPIRE SNAPSHOTS — Iceberg's retention maintenance, the
+    * [[DeltaLite.vacuum]]+[[DeltaLite.cleanLog]] sibling in one
+    * operation (Iceberg's metadata tree makes reachability exact, so
+    * the log and storage halves collapse): drops every snapshot whose
+    * `timestamp-ms` is at or before `olderThanMs` — the CURRENT
+    * snapshot always survives — writes the next metadata version, and
+    * deletes the files only the expired snapshots reach: their
+    * manifest lists, manifests no surviving snapshot lists, and data
+    * files no surviving manifest MENTIONS. "Mentions" counts every
+    * entry status: a file a retained manifest still records as
+    * DELETED stays on disk (it may serve other history; Iceberg
+    * removes such files later, when manifest rewrites age the entry
+    * out) — conservative, never deletes anything a retained snapshot
+    * could read. All reachability is computed on the metadata tier
+    * (parallel manifest decode); data bytes are never read. Time
+    * travel to an expired snapshot, and `appendsBetween` from one,
+    * then decline through their existing lookup/ancestry checks.
+    * Returns the expired snapshot ids, sorted. */
+  def expireSnapshots(spark: SparkSession, table: String,
+                      olderThanMs: Long): Seq[Long] = {
+    val fs = new Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val ctx = new Ctx(spark, table)
+    val m = java.util.regex.Pattern.compile("v(\\d+)\\.metadata\\.json")
+      .matcher(ctx.metaFile.getName)
+    require(m.matches(), s"unversioned metadata file ${ctx.metaFile}")
+    val prevVersion = m.group(1).toLong
+    val curId = ctx.root.get("current-snapshot-id").map(asLong)
+      .getOrElse(sys.error(s"table has no current snapshot: $table"))
+    val (expired, survivors) = ctx.snaps.toSeq.partition { s =>
+      asLong(s.getOrElse("timestamp-ms", 0L)) <= olderThanMs &&
+        !s.get("snapshot-id").map(asLong).contains(curId)
+    }
+    if (expired.isEmpty) return Seq.empty
+
+    // (manifest-list file, listed manifests, mentioned data files)
+    def reachOf(snaps: Seq[JMap]): (Set[String], Set[String], Set[String]) = {
+      val lists = snaps.flatMap(_.get("manifest-list").map(asStr)).toSet
+      val rows = snaps.flatMap(s => ctx.manifestRowsOf(s))
+      val manifests = rows.map(ctx.pathOf).toSet
+      // decode each distinct manifest once across the snapshot set
+      val dataFiles = ctx.decodeManifests(
+        rows.groupBy(ctx.pathOf).map(_._2.head).toSeq)
+        .flatMap { case (mrow, entries) =>
+          entries.map(e => asStr(asMap(e.getOrElse("data_file",
+            sys.error(s"manifest ${ctx.pathOf(mrow)} entry without " +
+              "data_file"))).getOrElse("file_path",
+            sys.error("data_file without file_path"))))
+        }.toSet
+      (lists, manifests, dataFiles)
+    }
+    val (keepLists, keepManifests, keepData) = reachOf(survivors)
+    val (dropLists, dropManifests, dropData) = reachOf(expired.toSeq)
+    val victims = (dropLists -- keepLists) ++
+      (dropManifests -- keepManifests) ++ (dropData -- keepData)
+    victims.foreach(uri => fs.delete(ctx.rebase(uri), false))
+
+    // next metadata version: snapshots trimmed (and snapshot-log with
+    // them, when present), everything else carried forward
+    val survivorIds = survivors
+      .flatMap(_.get("snapshot-id").map(asLong)).toSet
+    val base = ctx.root.toMap ++ Map[String, Any](
+      "snapshots" -> survivors.map(_.toMap))
+    val newRoot = base.get("snapshot-log") match {
+      case Some(log) => base.updated("snapshot-log",
+        asSeq(log).map(asMap).filter(_.get("snapshot-id")
+          .exists(id => survivorIds(asLong(id)))).map(_.toMap))
+      case None => base
+    }
+    val metaDir = new Path(table, "metadata")
+    val newVersion = prevVersion + 1
+    writeFile(fs, new Path(metaDir, s"v$newVersion.metadata.json"),
+      jsonWrite(newRoot).getBytes("UTF-8"))
+    writeFile(fs, new Path(metaDir, "version-hint.text"),
+      s"$newVersion\n".getBytes("UTF-8"), overwrite = true)
+    expired.flatMap(_.get("snapshot-id").map(asLong)).sorted
+  }
+
   def commitAppend(spark: SparkSession, table: String,
                    df: DataFrame,
                    partitionBy: Seq[String] = Nil): Long = {

@@ -4359,6 +4359,102 @@ object LlmOps {
       "face", "prio")
   }
 
+  /** Delta VACUUM fixture: one-file appends at v0 (prios 1–3) and a
+    * compaction at v1 (tombstoning v0's file at ts=1), an append at
+    * v2 (prios 4–5), then `vacuum` with an aged-out cutoff — exactly
+    * ONE file (v0's pre-compaction part) is deletable; the sidecar
+    * records the deleted count for the gate's maint face. */
+  private def deltaVacuumFixture(s: SparkSession, d: String): String =
+    parquetNestedDirs.computeIfAbsent(s"$d#deltavac", _ => {
+      val dir = java.nio.file.Files.createTempDirectory("delta_vac")
+      def sel(ps: Seq[String]) = orders(s, d)
+        .filter(col("o_orderpriority").isin(ps: _*)).coalesce(1)
+        .select(col("o_orderkey").cast("long").as("k"),
+          col("o_orderstatus").as("st"),
+          col("o_orderpriority").as("prio"))
+      graft.operators.DeltaLite.commitAppend(s, dir.toString,
+        sel(Seq("1-URGENT", "2-HIGH", "3-MEDIUM")))
+      graft.operators.DeltaLite.commitCompact(s, dir.toString)
+      graft.operators.DeltaLite.commitAppend(s, dir.toString,
+        sel(Seq("4-NOT SPECIFIED", "5-LOW")))
+      val deleted = graft.operators.DeltaLite.vacuum(s, dir.toString,
+        retentionMs = 1000L, nowMs = 1L << 40)
+      java.nio.file.Files.writeString(dir.resolve("DELETED"),
+        deleted.length.toString)
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().forEachRemaining(q => q.toFile.deleteOnExit())
+      finally walk.close()
+      dir.toString
+    })
+
+  /** Delta VACUUM gate — the storage half of retention maintenance:
+    * the `cur` face proves the snapshot reads EXACTLY after the
+    * tombstoned pre-compaction file is physically deleted (a vacuum
+    * that touched a live file would lose rows here), the `maint` row
+    * pins that exactly one file aged out. */
+  def xDeltaVacuum(s: SparkSession, d: String): DataFrame = {
+    val dir = deltaVacuumFixture(s, d)
+    val nDeleted = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "DELETED")).trim.toLong
+    ordered(
+      graft.operators.DeltaLite.snapshot(s, dir).groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .select(lit("cur").as("face"), col("*"))
+        .unionByName(s.range(1).select(lit("maint").as("face"),
+          lit("deleted").as("prio"), lit(nDeleted).as("n"),
+          lit(0L).as("sum_k"))),
+      "face", "prio")
+  }
+
+  /** Iceberg EXPIRE-SNAPSHOTS fixture: three appends (prios 1–2,
+    * 3–4, 5), then `expireSnapshots` older-than the second commit's
+    * timestamp — the first two snapshots expire (their manifest
+    * lists delete; append-only manifests and data survive through
+    * the current snapshot's re-listing). */
+  private def icebergExpireFixture(s: SparkSession, d: String): String =
+    parquetNestedDirs.computeIfAbsent(s"$d#iceexpire", _ => {
+      val dir = java.nio.file.Files.createTempDirectory("ice_expire")
+      def sel(ps: Seq[String]) = orders(s, d)
+        .filter(col("o_orderpriority").isin(ps: _*)).coalesce(1)
+        .select(col("o_orderkey").cast("long").as("k"),
+          col("o_orderstatus").as("st"),
+          col("o_orderpriority").as("prio"))
+      graft.operators.IcebergLite.commitAppend(s, dir.toString,
+        sel(Seq("1-URGENT", "2-HIGH")))
+      graft.operators.IcebergLite.commitAppend(s, dir.toString,
+        sel(Seq("3-MEDIUM", "4-NOT SPECIFIED")))
+      graft.operators.IcebergLite.commitAppend(s, dir.toString,
+        sel(Seq("5-LOW")))
+      val expired = graft.operators.IcebergLite.expireSnapshots(s,
+        dir.toString, olderThanMs = 1700000002000L)
+      java.nio.file.Files.writeString(dir.resolve("EXPIRED"),
+        expired.length.toString)
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().forEachRemaining(q => q.toFile.deleteOnExit())
+      finally walk.close()
+      dir.toString
+    })
+
+  /** Iceberg EXPIRE-SNAPSHOTS gate — the Delta-maintenance parity for
+    * format #2: the `cur` face proves the trimmed metadata still
+    * plans and reads the full table exactly (reachability deleted
+    * only expired-only files), the `maint` row pins two snapshots
+    * expired and three data files still planned. */
+  def xIcebergExpire(s: SparkSession, d: String): DataFrame = {
+    val dir = icebergExpireFixture(s, d)
+    val nExpired = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "EXPIRED")).trim.toLong
+    val scan = graft.operators.IcebergLite.scan(s, dir)
+    ordered(
+      scan.data.groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .select(lit("cur").as("face"), col("*"))
+        .unionByName(s.range(1).select(lit("maint").as("face"),
+          lit("expired").as("prio"), lit(nExpired).as("n"),
+          lit(scan.nDataFiles.toLong).as("sum_k"))),
+      "face", "prio")
+  }
+
   /** Iceberg SCHEMA-EVOLUTION fixture: file A written under the
     * created schema (k:1, amount:2, grp:3, st:4), then
     * `commitSchemaUpdate` RENAMES amount→revenue (field id 2 kept),
@@ -5596,6 +5692,8 @@ object LlmOps {
     "x_iceberg_nested"    -> (xIcebergNested _),
     "x_iceberg_evolve"    -> (xIcebergEvolve _),
     "x_delta_checkpoint"  -> (xDeltaCheckpoint _),
+    "x_delta_vacuum"      -> (xDeltaVacuum _),
+    "x_iceberg_expire"    -> (xIcebergExpire _),
     "x_iceberg_prune"     -> (xIcebergPrune _),
     "x_iceberg_deletes"   -> (xIcebergDeletes _),
     "x_iceberg_eqdel"     -> (xIcebergEqdel _),
@@ -6176,6 +6274,20 @@ object LlmOps {
         "min(o_orderstatus), max(o_orderstatus) " +
         "FROM orders WHERE CAST(substr(o_orderpriority,1,1) AS INT) <= 3 " +
         "GROUP BY 2 ORDER BY snap, prio"),
+    "x_delta_vacuum" ->
+      """SELECT 'cur' AS face, o_orderpriority AS prio,
+        |  count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_k
+        |FROM orders GROUP BY 2
+        |UNION ALL
+        |SELECT 'maint', 'deleted', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+        |ORDER BY face, prio""".stripMargin,
+    "x_iceberg_expire" ->
+      """SELECT 'cur' AS face, o_orderpriority AS prio,
+        |  count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_k
+        |FROM orders GROUP BY 2
+        |UNION ALL
+        |SELECT 'maint', 'expired', CAST(2 AS BIGINT), CAST(3 AS BIGINT)
+        |ORDER BY face, prio""".stripMargin,
     "x_delta_checkpoint" ->
       """WITH p AS (SELECT o_orderpriority AS prio, count(*) AS n,
         |    CAST(sum(o_orderkey) AS BIGINT) AS sum_k,

@@ -696,6 +696,70 @@ class DeltaLiteSpec extends SparkSpec {
     assert(e2.getMessage.contains("txn"))
   }
 
+  test("vacuum: aged tombstones deleted, live and DV-referenced files survive") {
+    val dir = Files.createTempDirectory("dlvac").toString
+    def batch(lo: Long, hi: Long) =
+      spark.range(lo, hi + 1).repartition(2).select(col("id").as("k"),
+        concat(lit("s"), col("id").cast("string")).as("s"))
+    DeltaLite.commitAppend(spark, dir, batch(1, 40)) // v0: 2 files
+    DeltaLite.commitCompact(spark, dir)              // v1: tombstones ts=1
+    // young tombstones survive (cutoff before the deletionTimestamp)
+    assert(DeltaLite.vacuum(spark, dir, retentionMs = 100L, nowMs = 50L)
+      .isEmpty)
+    assert(DeltaLite.snapshot(spark, dir, versionAsOf = 0).count() === 40)
+    // aged out: both pre-compaction parts go; the snapshot is intact
+    val deleted = DeltaLite.vacuum(spark, dir, 100L, nowMs = 200L)
+    assert(deleted.length === 2)
+    assert(deleted.forall(_.endsWith(".parquet")))
+    assert(DeltaLite.snapshot(spark, dir).count() === 40)
+    assert(DeltaLite.snapshot(spark, dir).agg(sum("k"))
+      .head().getLong(0) === (1L to 40L).sum)
+    // version travel that NEEDS a vacuumed file now fails at read time
+    intercept[Exception] {
+      DeltaLite.snapshot(spark, dir, versionAsOf = 0).count()
+    }
+    // untracked stray: aged mtime deleted, fresh mtime kept
+    val stray = Paths.get(dir, "stray.bin")
+    Files.write(stray, Array[Byte](1, 2, 3))
+    Files.setLastModifiedTime(stray,
+      java.nio.file.attribute.FileTime.fromMillis(10L))
+    val fresh = Paths.get(dir, "fresh.bin")
+    Files.write(fresh, Array[Byte](4))
+    Files.setLastModifiedTime(fresh,
+      java.nio.file.attribute.FileTime.fromMillis(190L))
+    assert(DeltaLite.vacuum(spark, dir, 100L, nowMs = 200L)
+      === Seq("stray.bin"))
+    assert(Files.exists(fresh))
+
+    // a LIVE add's p-storage deletion vector is protected even with
+    // zero retention; an orphaned DV file of the same age is not
+    val dir2 = Files.createTempDirectory("dlvacdv").toString
+    val sa = writePart(spark.range(1, 11).select(col("id").as("k")),
+      dir2, "part-a.parquet")
+    val schema = StructType(Seq(org.apache.spark.sql.types.StructField(
+      "k", org.apache.spark.sql.types.LongType)))
+    val dA = dvData(Seq(0L))
+    Files.write(Paths.get(dir2, "dv-a.bin"), dvFileBytes(dA, padding = 0))
+    Files.write(Paths.get(dir2, "dv-orphan.bin"),
+      dvFileBytes(dA, padding = 0))
+    Seq("dv-a.bin", "dv-orphan.bin").foreach(n =>
+      Files.setLastModifiedTime(Paths.get(dir2, n),
+        java.nio.file.attribute.FileTime.fromMillis(1L)))
+    commit(dir2, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"]}}""",
+      s"""{"metaData":{"id":"t","schemaString":"${esc(schema.json)}",""" +
+        """"partitionColumns":[],"configuration":{}}}""",
+      s"""{"add":{"path":"part-a.parquet","partitionValues":{},""" +
+        s""""size":$sa,"dataChange":true,"deletionVector":{""" +
+        s""""storageType":"p","pathOrInlineDv":"dv-a.bin",""" +
+        s""""offset":1,"sizeInBytes":${dA.length},"cardinality":1}}}"""))
+    assert(DeltaLite.vacuum(spark, dir2, 0L, nowMs = 1L << 40)
+      === Seq("dv-orphan.bin"))
+    assert(Files.exists(Paths.get(dir2, "dv-a.bin")))
+    assert(DeltaLite.snapshot(spark, dir2).count() === 9)
+  }
+
   test("timestampAsOf resolves the version from commit-file timestamps") {
     val dir = buildTable()
     val t0 = 1700000000000L

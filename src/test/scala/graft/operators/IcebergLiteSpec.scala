@@ -898,6 +898,81 @@ class IcebergLiteSpec extends SparkSpec {
     assert(IcebergLite.scan(spark, dir).data.count() === 27)
   }
 
+  test("expireSnapshots: append-only history keeps data, drops lists") {
+    val dir = Files.createTempDirectory("iceexp").toString
+    def batch(lo: Long, hi: Long) =
+      spark.range(lo, hi + 1).coalesce(1).select(col("id").as("k"),
+        concat(lit("s"), col("id").cast("string")).as("s"))
+    val s1 = IcebergLite.commitAppend(spark, dir, batch(1, 50))
+    val s2 = IcebergLite.commitAppend(spark, dir, batch(51, 80))
+    val s3 = IcebergLite.commitAppend(spark, dir, batch(81, 100))
+    // s1 ts=1700000001000, s2 +1s, s3 +2s — expire the first two
+    val expired = IcebergLite.expireSnapshots(spark, dir,
+      olderThanMs = 1700000002000L)
+    assert(expired === Seq(s1, s2))
+    // the current snapshot re-lists every manifest, so data and
+    // manifests all survive; only the expired manifest LISTS go
+    assert(!Files.exists(Paths.get(dir, "metadata", s"snap-$s1.avro")))
+    assert(!Files.exists(Paths.get(dir, "metadata", s"snap-$s2.avro")))
+    assert(Files.exists(Paths.get(dir, "metadata", s"snap-$s3.avro")))
+    val scan = IcebergLite.scan(spark, dir)
+    assert(scan.nDataFiles === 3)
+    assert(scan.data.count() === 100)
+    assert(scan.data.agg(sum("k")).head().getLong(0) === (1L to 100L).sum)
+    // expired snapshots are gone from the metadata: pinning and
+    // incremental reads from them decline loudly
+    intercept[RuntimeException] {
+      IcebergLite.snapshot(spark, dir, snapshotId = s1)
+    }
+    intercept[RuntimeException] {
+      IcebergLite.appendsBetween(spark, dir, s1).count()
+    }
+    // appends continue on the trimmed table
+    IcebergLite.commitAppend(spark, dir, batch(101, 110))
+    assert(IcebergLite.snapshot(spark, dir).count() === 110)
+    // expiring nothing is a no-op
+    assert(IcebergLite.expireSnapshots(spark, dir, 0L) === Seq.empty)
+  }
+
+  test("expireSnapshots: rewritten-away files delete, retained mentions survive") {
+    val dir = Files.createTempDirectory("iceexp2").toString
+    def part(lo: Int, hi: Int, p: String) =
+      spark.range(lo, hi + 1).select(col("id").as("k"),
+        concat(lit("s"), col("id").cast("string")).as("s"), lit(p).as("p"))
+    Seq(("A", 1, 10), ("B", 11, 20), ("C", 21, 30), ("D", 31, 40))
+      .foreach { case (nm, lo, hi) =>
+        writePart(part(lo, hi, nm.toLowerCase), dir, s"part-$nm.parquet")
+      }
+    // snap1: manifest-1 adds A,B,C. snap2's list DROPS manifest-1
+    // entirely (a rewrite) and lists only manifest-2 (adds D).
+    writeManifest(dir, "manifest-1.avro", Seq(
+      entry(1, Snap1, "part-A.parquet", 10),
+      entry(1, Snap1, "part-B.parquet", 10),
+      entry(1, Snap1, "part-C.parquet", 10)))
+    writeManifestList(dir, "snap-1.avro", Seq(("manifest-1.avro", 0, 1L)))
+    writeManifest(dir, "manifest-2.avro", Seq(
+      entry(1, Snap2, "part-D.parquet", 10)))
+    writeManifestList(dir, "snap-2.avro", Seq(("manifest-2.avro", 0, 2L)))
+    Files.writeString(Paths.get(dir, "metadata", "v2.metadata.json"),
+      metadataJson(Snap2))
+    Files.writeString(Paths.get(dir, "metadata", "version-hint.text"),
+      "2\n")
+    val expired = IcebergLite.expireSnapshots(spark, dir,
+      olderThanMs = 1700000001000L)
+    assert(expired === Seq(Snap1))
+    // A,B,C are reachable ONLY through the expired snapshot: deleted,
+    // along with its manifest and list; D and manifest-2 survive
+    Seq("A", "B", "C").foreach(nm =>
+      assert(!Files.exists(Paths.get(dir, "data", s"part-$nm.parquet"))))
+    assert(Files.exists(Paths.get(dir, "data", "part-D.parquet")))
+    assert(!Files.exists(Paths.get(dir, "metadata", "manifest-1.avro")))
+    assert(!Files.exists(Paths.get(dir, "metadata", "snap-1.avro")))
+    assert(Files.exists(Paths.get(dir, "metadata", "manifest-2.avro")))
+    val scan = IcebergLite.scan(spark, dir)
+    assert(scan.data.count() === 10)
+    assert(scan.data.agg(sum("k")).head().getLong(0) === (31L to 40L).sum)
+  }
+
   test("schema evolution: rename and drop+re-add resolve by field id") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("iceevo").toString
