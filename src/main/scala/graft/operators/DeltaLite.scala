@@ -229,6 +229,160 @@ object DeltaLite {
     version
   }
 
+  /** Row-level DELETE, COPY-ON-WRITE — the decontamination / GDPR
+    * operation ([[IcebergLite.commitDelete]] sibling): ONE
+    * distributed scan finds the files holding matching rows, ONLY
+    * those files rewrite (surviving rows re-stage with fresh stats;
+    * untouched files keep their adds), and one commit atomically
+    * tombstones the affected originals. The commit also writes
+    * explicit `cdc` actions — `_change_data/` parquet of exactly the
+    * DELETED rows — so [[changes]] surfaces a precise `delete` feed
+    * for this commit instead of synthesizing a remove-everything /
+    * re-insert-survivors storm from the rewrite. NULL-predicate rows
+    * are NOT matches — they survive. A predicate matching nothing
+    * commits nothing and returns the current latest version.
+    * Declines loudly on column-mapped tables and deletion-vector
+    * files (the rewrite would have to apply DVs first). Returns the
+    * committed version. */
+  def commitDelete(spark: SparkSession, table: String,
+                   predicate: org.apache.spark.sql.Column): Long = {
+    val fs = new Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val logDir = new Path(table, LogDir)
+    require(fs.exists(logDir), s"not a Delta table (no $LogDir): $table")
+    val version = latestVersion(spark, table) + 1
+    require(version > 0, s"not a Delta table (no commits): $table")
+    val metaRow = latestMeta(spark, fs, logDir, table)
+    val schema = DataType.fromJson(metaRow.getString(0))
+      .asInstanceOf[StructType]
+    val partCols = Option(metaRow.getSeq[String](1)).getOrElse(Seq.empty)
+    val cmap = Option(metaRow.getMap[String, String](2))
+      .flatMap(_.get("delta.columnMapping.mode")).getOrElse("none")
+    require(cmap == "none",
+      "DELETE on column-mapped tables is beyond this writer")
+
+    val actions = replayActions(spark, fs, logDir, table, Long.MaxValue)
+    import org.apache.spark.sql.expressions.Window
+    def latestBy(c: String) = actions.filter(col(c).isNotNull)
+      .select(col(c), col("v"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(s"$c.path")).orderBy(col("v").desc)))
+      .filter(col("rn") === 1).drop("rn")
+    val la = latestBy("add").withColumnRenamed("v", "av")
+    val lr = latestBy("remove").withColumnRenamed("v", "rv")
+    val liveRows = la.join(lr, la("add.path") === lr("remove.path"), "full")
+      .filter(col("add").isNotNull &&
+        (col("rv").isNull || col("av") >= col("rv")))
+      .select(col("add.path"), col("add.partitionValues"),
+        col("add.deletionVector"))
+      .collect()
+      .map(r => (r.getString(0),
+        Option(r.getMap[String, String](1)).map(_.toMap)
+          .getOrElse(Map.empty[String, String]),
+        !r.isNullAt(2)))
+    require(liveRows.forall(!_._3),
+      "DELETE over deletion-vector files is beyond this writer")
+
+    // ONE distributed read of every live file: data columns pinned,
+    // the file key decoded from `_metadata` (URIs percent-encode),
+    // partition columns attached through a broadcast file→tuple join
+    // so the predicate can reference them
+    val dataSchema = StructType(
+      schema.filterNot(f => partCols.contains(f.name)))
+    def baseName(rel: String): String = {
+      val p = uriDecode(rel)
+      p.substring(p.lastIndexOf('/') + 1)
+    }
+    val df0 = spark.read.schema(dataSchema)
+      .parquet(liveRows.map { case (rel, _, _) =>
+        new Path(table, uriDecode(rel)).toString }.toSeq: _*)
+      .select(col("*"), url_decode(regexp_replace(
+        element_at(split(col("_metadata.file_path"), "/"), -1),
+        "\\+", "%2B")).as("__file"))
+    val pvRows = liveRows.toSeq.map { case (rel, pv, _) =>
+      org.apache.spark.sql.Row.fromSeq(
+        baseName(rel) +: partCols.map(pc => pv.get(pc).orNull))
+    }
+    val pvSchema = StructType(StructField("__file", StringType) +:
+      partCols.map(pc => StructField(s"__pv_$pc", StringType)).toSeq)
+    val pvDf = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(pvRows, 1), pvSchema))
+    val df = partCols.foldLeft(df0.join(pvDf, Seq("__file"))) {
+      (d, pc) =>
+        val f = schema.find(_.name == pc).getOrElse(
+          sys.error(s"partition column $pc missing from schema"))
+        d.withColumn(pc, col(s"__pv_$pc").cast(f.dataType))
+    }
+    val affected = df.filter(predicate).select("__file")
+      .distinct().collect().map(_.getString(0)).toSet // planning-bounded
+    if (affected.isEmpty) return version - 1
+
+    val sq = spark
+    import sq.implicits._
+    val affDf = broadcast(affected.toSeq.sorted.toDF("__file"))
+    val inAffected = df.join(affDf, Seq("__file"), "left_semi")
+    // NULL-predicate rows are not matches: they must survive
+    val survivors = inAffected
+      .filter(not(coalesce(predicate, lit(false))))
+      .select(schema.fieldNames.toSeq.map(col): _*)
+    val deleted = inAffected.filter(predicate)
+    val adds = stageAdds(spark, fs, table, survivors, partCols, version,
+      dataChange = true, allowEmpty = true)
+    val removes = liveRows.toSeq
+      .filter { case (rel, _, _) => affected(baseName(rel)) }
+      .map { case (rel, _, _) =>
+        s"""{"remove":{"path":"${jstr(rel)}","deletionTimestamp":""" +
+          s"""$version,"dataChange":true}}""" }
+    val cdcLines = stageCdc(spark, fs, table, deleted
+      .select((schema.fieldNames.toSeq :+ "__file").map(col): _*)
+      .drop("__file")
+      .withColumn("_change_type", lit("delete")), partCols, version)
+    writeCommit(fs, logDir, version, removes ++ adds ++ cdcLines, table)
+    version
+  }
+
+  /** Stages `df` (data columns + `_change_type`) as `_change_data/`
+    * parquet and returns the commit's `cdc` action lines — partition
+    * values ride in the action (the protocol's CDC layout), not the
+    * files. */
+  private def stageCdc(spark: SparkSession,
+                       fs: org.apache.hadoop.fs.FileSystem,
+                       table: String, df: DataFrame,
+                       partCols: Seq[String], version: Long): Seq[String] = {
+    val staging = new Path(table, s".cdc-staging-$version")
+    val writer = if (partCols.isEmpty) df.write
+      else df.write.partitionBy(partCols: _*)
+    writer.mode("overwrite").parquet(staging.toString)
+    def listParquet(dir: Path, prefix: String): Seq[(Path, String)] =
+      fs.listStatus(dir).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.contains("="))
+          listParquet(st.getPath,
+            if (prefix.isEmpty) name else s"$prefix/$name")
+        else if (name.endsWith(".parquet")) Seq(st.getPath -> prefix)
+        else Seq.empty
+      }
+    val lines = listParquet(staging, "").zipWithIndex.map {
+      case ((src, prefix), i) =>
+        val rel = "_change_data/" +
+          (if (prefix.isEmpty) "" else s"$prefix/") +
+          f"cdc-$version%05d-$i%05d.parquet"
+        val dest = new Path(table, rel)
+        fs.mkdirs(dest.getParent)
+        require(fs.rename(src, dest), s"rename $src -> $dest failed")
+        val pv = prefix.split("/").filter(_.nonEmpty).map { seg =>
+          val k = seg.substring(0, seg.indexOf('='))
+          val x = uriDecode(seg.substring(seg.indexOf('=') + 1))
+          s""""$k":"${jstr(x)}""""
+        }.mkString(",")
+        s"""{"cdc":{"path":"${jstr(rel)}","partitionValues":{$pv},""" +
+          s""""size":${fs.getFileStatus(dest).getLen},""" +
+          """"dataChange":false}}"""
+    }
+    fs.delete(staging, true)
+    lines
+  }
+
   /** Writes a CLASSIC single-file CHECKPOINT at the table's latest
     * version — the protocol's answer to unbounded log replay: a
     * parquet snapshot of the reconciled state (latest protocol,
@@ -498,7 +652,8 @@ object DeltaLite {
                         fs: org.apache.hadoop.fs.FileSystem,
                         table: String, df: DataFrame,
                         partitionBy: Seq[String], version: Long,
-                        dataChange: Boolean): Seq[String] = {
+                        dataChange: Boolean,
+                        allowEmpty: Boolean = false): Seq[String] = {
     val schema = df.schema
     val staging = new Path(table, s".staging-$version")
     val writer = if (partitionBy.isEmpty) df.write
@@ -515,7 +670,9 @@ object DeltaLite {
         else Seq.empty
       }
     val staged = listParquet(staging, "")
-    require(staged.nonEmpty, s"append of an empty DataFrame to $table")
+    require(staged.nonEmpty || allowEmpty,
+      s"append of an empty DataFrame to $table")
+    if (staged.isEmpty) { fs.delete(staging, true); return Seq.empty }
     val moved = staged.zipWithIndex.map { case ((src, prefix), i) =>
       val rel = (if (prefix.isEmpty) "" else s"$prefix/") +
         f"part-$version%05d-$i%05d.parquet"
@@ -572,7 +729,8 @@ object DeltaLite {
       statRows.contains(dest.getName)
     }
     emptyParts.foreach { case (_, dest, _) => fs.delete(dest, false) }
-    require(liveParts.nonEmpty, s"append of an empty DataFrame to $table")
+    require(liveParts.nonEmpty || allowEmpty,
+      s"append of an empty DataFrame to $table")
     liveParts.map { case (rel, dest, prefix) =>
       val pv = prefix.split("/").filter(_.nonEmpty).map { seg =>
         val k = seg.substring(0, seg.indexOf('='))

@@ -606,35 +606,112 @@ object IcebergLite {
 
   def commitAppend(spark: SparkSession, table: String,
                    df: DataFrame,
-                   partitionBy: Seq[String] = Nil): Long = {
+                   partitionBy: Seq[String] = Nil): Long =
+    commitSnapshot(spark, table, Option(df), partitionBy, Nil, "append")
+
+  /** Row-level DELETE, COPY-ON-WRITE — the decontamination / GDPR
+    * operation ([[DeltaLite.commitDelete]] sibling): ONE distributed
+    * scan finds the files holding matching rows, ONLY those files
+    * rewrite (their surviving rows re-stage as new data files; the
+    * table's other files are untouched), and one `overwrite` snapshot
+    * atomically carries the rewritten adds plus DELETED entries for
+    * the affected originals. NULL-predicate rows are NOT matches —
+    * they survive. A predicate matching nothing commits nothing and
+    * returns the current snapshot id. Time travel to pre-delete
+    * snapshots still reads the original files; `appendsBetween`
+    * across the delete declines through its overwrite check.
+    * Unpartitioned format-v1 tables without v2 delete manifests;
+    * anything else declines loudly. Returns the new snapshot id. */
+  def commitDelete(spark: SparkSession, table: String,
+                   predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions._
+    val ctx = new Ctx(spark, table)
+    require(asLong(ctx.root.getOrElse("format-version", 1L)) == 1L,
+      "iceberg delete supports format-version 1 tables only")
+    require(ctx.defaultSpecFields.isEmpty,
+      "iceberg delete on partitioned tables is beyond this writer")
+    val curId = asLong(ctx.root.getOrElse("current-snapshot-id",
+      sys.error(s"table has no current snapshot: $table")))
+    val snap = ctx.snapById(curId)
+    val manifestRows = ctx.manifestRowsOf(snap)
+    require(!manifestRows.exists(_.get("content").exists(asLong(_) == 1L)),
+      "iceberg delete over v2 delete manifests is beyond this writer")
+
+    // current live files (ADDED/EXISTING minus DELETED, in order)
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, JMap]
+    ctx.decodeManifests(manifestRows).foreach { case (mrow, entries) =>
+      val mp = ctx.pathOf(mrow)
+      entries.foreach { e =>
+        val status = asLong(e.getOrElse("status",
+          sys.error(s"manifest $mp entry without status")))
+        val dfm = asMap(e.getOrElse("data_file",
+          sys.error(s"manifest $mp entry without data_file")))
+        val path = dfm.getOrElse("file_path",
+          sys.error(s"manifest $mp data_file without file_path")).toString
+        if (status == 2) live.remove(path) else live(path) = dfm
+      }
+    }
+    require(live.nonEmpty, s"empty Iceberg snapshot of $table")
+
+    def decodedFname(p: String): String =
+      uriDecodeSeg(p.substring(p.lastIndexOf('/') + 1))
+    val df = ctx.pinnedParquet(spark, live.keys.toSeq
+        .map(p => ctx.rebase(p).toString),
+      Seq(url_decode(regexp_replace(
+        element_at(split(col("_metadata.file_path"), "/"), -1),
+        "\\+", "%2B")).as("__file")))
+    val affected = df.filter(predicate).select("__file")
+      .distinct().collect().map(_.getString(0)).toSet // planning-bounded
+    if (affected.isEmpty) return curId
+
+    val sq = spark
+    import sq.implicits._
+    val affDf = broadcast(affected.toSeq.sorted.toDF("__file"))
+    // survivors of ONLY the affected files; a NULL predicate is not a
+    // match, so those rows must survive the rewrite
+    val survivors = df.join(affDf, Seq("__file"), "left_semi")
+      .filter(not(coalesce(predicate, lit(false))))
+      .select(ctx.sparkSchema.fieldNames.toSeq.map(col): _*)
+    val deletedEntries: Seq[JMap] = live.collect {
+      case (p, dfm) if affected(decodedFname(p)) =>
+        Map[String, Any]("file_path" -> p,
+          "file_format" -> "PARQUET",
+          "record_count" -> dfm.get("record_count").map(asLong)
+            .getOrElse(0L),
+          "file_size_in_bytes" -> dfm.get("file_size_in_bytes")
+            .map(asLong).getOrElse(1L),
+          "lower_bounds" -> null,
+          "upper_bounds" -> null): JMap
+    }.toSeq
+    require(deletedEntries.length == affected.size,
+      s"affected files ${affected.size} resolved to " +
+        s"${deletedEntries.length} manifest entries in $table")
+    commitSnapshot(spark, table, Some(survivors), Nil, deletedEntries,
+      "overwrite")
+  }
+
+  /** Shared snapshot writer behind [[commitAppend]] and
+    * [[commitDelete]]: optional staged data (None = a delete-only
+    * snapshot), plus extra DELETED entries appended to the new
+    * manifest so removed files replay out atomically with the
+    * rewritten ones. */
+  private def commitSnapshot(spark: SparkSession, table: String,
+                             dfOpt: Option[DataFrame],
+                             partitionBy: Seq[String],
+                             deletedEntries: Seq[JMap],
+                             operation: String): Long = {
     val fs = new Path(table).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val metaDir = new Path(table, "metadata")
-    val schema = df.schema
-    schema.fields.foreach(f => iceTypeOf(f.dataType)) // validate upfront
-    // identity partition columns: int/long/string sources only (the
-    // reconstruction + tuple-Avro faces this writer emits)
-    partitionBy.foreach { pc =>
-      require(schema.fieldNames.contains(pc),
-        s"partition column $pc not in the DataFrame")
-      val dt = schema(pc).dataType
-      require(dt == LongType || dt == IntegerType || dt == StringType,
-        s"iceberg append: unsupported partition column type " +
-          s"${dt.simpleString} for $pc (int/long/string)")
-    }
-
     val exists = fs.exists(metaDir)
-    val (root0, prevVersion): (JMap, Long) =
-      if (!exists) (null, 0L)
+    require(dfOpt.nonEmpty || exists,
+      s"a data-less snapshot needs an existing table: $table")
+    val (root0, prevVersion, tableSchema): (JMap, Long, StructType) =
+      if (!exists) (null, 0L, null)
       else {
         val ctx = new Ctx(spark, table)
         require(asLong(ctx.root.getOrElse("format-version", 1L)) == 1L,
           "iceberg append supports format-version 1 tables only")
-        val ts = ctx.sparkSchema
-        require(ts.fields.map(f => (f.name, f.dataType)).toSeq ==
-          schema.fields.map(f => (f.name, f.dataType)).toSeq,
-          s"append schema ${schema.simpleString} does not match the " +
-            s"table schema ${ts.simpleString}")
         val specIdentity = ctx.defaultSpecFields.map { f =>
           require(f.get("transform").map(asStr).contains("identity"),
             "iceberg append: the table's partition spec has " +
@@ -647,8 +724,26 @@ object IcebergLite {
         val m = java.util.regex.Pattern.compile("v(\\d+)\\.metadata\\.json")
           .matcher(ctx.metaFile.getName)
         require(m.matches(), s"unversioned metadata file ${ctx.metaFile}")
-        (ctx.root, m.group(1).toLong)
+        (ctx.root, m.group(1).toLong, ctx.sparkSchema)
       }
+    val schema = dfOpt.map(_.schema).getOrElse(StructType(
+      tableSchema.fields.toSeq.map(_.copy(metadata = Metadata.empty))))
+    schema.fields.foreach(f => iceTypeOf(f.dataType)) // validate upfront
+    // identity partition columns: int/long/string sources only (the
+    // reconstruction + tuple-Avro faces this writer emits)
+    partitionBy.foreach { pc =>
+      require(schema.fieldNames.contains(pc),
+        s"partition column $pc not in the DataFrame")
+      val dt = schema(pc).dataType
+      require(dt == LongType || dt == IntegerType || dt == StringType,
+        s"iceberg append: unsupported partition column type " +
+          s"${dt.simpleString} for $pc (int/long/string)")
+    }
+    if (exists && dfOpt.nonEmpty)
+      require(tableSchema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        schema.fields.map(f => (f.name, f.dataType)).toSeq,
+        s"append schema ${schema.simpleString} does not match the " +
+          s"table schema ${tableSchema.simpleString}")
     val prevSnaps: Seq[JMap] =
       if (root0 == null) Seq.empty
       else root0.get("snapshots")
@@ -696,35 +791,44 @@ object IcebergLite {
     // spec's requirement, and what keeps these files readable after a
     // future rename flips the table to field-id resolution.
     val staging = new Path(table, s".staging-$snapId")
-    val idDf = df.select(schema.fields.toSeq.map { f =>
-      org.apache.spark.sql.functions.col(f.name).as(f.name,
-        new MetadataBuilder()
-          .putLong("parquet.field.id", nameToId(f.name)).build())
-    }: _*)
-    val writer = if (partitionBy.isEmpty) idDf.write
-      else idDf.write.partitionBy(partitionBy: _*)
-    writer.mode("overwrite").parquet(staging.toString)
-    def listParquet(dir: Path, prefix: Seq[String]): Seq[(Path, Seq[String])] =
-      fs.listStatus(dir).toSeq.flatMap { st =>
-        val name = st.getPath.getName
-        if (st.isDirectory && name.contains("="))
-          listParquet(st.getPath,
-            prefix :+ uriDecodeSeg(name.substring(name.indexOf('=') + 1)))
-        else if (name.endsWith(".parquet")) Seq(st.getPath -> prefix)
-        else Seq.empty
-      }
-    val staged = listParquet(staging, Seq.empty)
-    require(staged.nonEmpty, s"append of an empty DataFrame to $table")
-    staged.foreach { case (_, pv) => require(pv.length == partitionBy.length,
-      s"unexpected staging layout under $staging") }
-    val moved = staged.zipWithIndex.map { case ((src, pv), i) =>
-      val dest = new Path(new Path(table, "data"),
-        f"part-$snapId-$i%05d.parquet")
-      fs.mkdirs(dest.getParent)
-      require(fs.rename(src, dest), s"rename to $dest failed")
-      (dest, pv)
+    val moved: Seq[(Path, Seq[String])] = dfOpt match {
+      case None => Seq.empty
+      case Some(df) =>
+        val idDf = df.select(schema.fields.toSeq.map { f =>
+          org.apache.spark.sql.functions.col(f.name).as(f.name,
+            new MetadataBuilder()
+              .putLong("parquet.field.id", nameToId(f.name)).build())
+        }: _*)
+        val writer = if (partitionBy.isEmpty) idDf.write
+          else idDf.write.partitionBy(partitionBy: _*)
+        writer.mode("overwrite").parquet(staging.toString)
+        def listParquet(dir: Path,
+                        prefix: Seq[String]): Seq[(Path, Seq[String])] =
+          fs.listStatus(dir).toSeq.flatMap { st =>
+            val name = st.getPath.getName
+            if (st.isDirectory && name.contains("="))
+              listParquet(st.getPath,
+                prefix :+ uriDecodeSeg(
+                  name.substring(name.indexOf('=') + 1)))
+            else if (name.endsWith(".parquet")) Seq(st.getPath -> prefix)
+            else Seq.empty
+          }
+        val staged = listParquet(staging, Seq.empty)
+        require(staged.nonEmpty || deletedEntries.nonEmpty,
+          s"append of an empty DataFrame to $table")
+        staged.foreach { case (_, pv) =>
+          require(pv.length == partitionBy.length,
+            s"unexpected staging layout under $staging") }
+        val mv = staged.zipWithIndex.map { case ((src, pv), i) =>
+          val dest = new Path(new Path(table, "data"),
+            f"part-$snapId-$i%05d.parquet")
+          fs.mkdirs(dest.getParent)
+          require(fs.rename(src, dest), s"rename to $dest failed")
+          (dest, pv)
+        }
+        fs.delete(staging, true)
+        mv
     }
-    fs.delete(staging, true)
 
     // ---- one distributed stats job: per-file count + bounds ----
     // data files exclude identity partition columns (the tuple carries
@@ -735,18 +839,20 @@ object IcebergLite {
       f.dataType == LongType || f.dataType == IntegerType ||
         f.dataType == StringType)
     import org.apache.spark.sql.functions._
-    val statRows = spark.read.schema(dataSchema)
-      .parquet(moved.map(_._1.toString): _*)
-      .groupBy(col("_metadata.file_path").as("__file"))
-      .agg(count(lit(1)).as("__n"),
-        statFields.toSeq.flatMap(f => Seq(
-          min(col(f.name)).as(s"__min_${f.name}"),
-          max(col(f.name)).as(s"__max_${f.name}"))): _*)
-      .collect()
-      .map { r => // keyed by basename: URIs percent-encode
-        val p = r.getString(0)
-        p.substring(p.lastIndexOf('/') + 1) -> r
-      }.toMap
+    val statRows =
+      if (moved.isEmpty) Map.empty[String, org.apache.spark.sql.Row]
+      else spark.read.schema(dataSchema)
+        .parquet(moved.map(_._1.toString): _*)
+        .groupBy(col("_metadata.file_path").as("__file"))
+        .agg(count(lit(1)).as("__n"),
+          statFields.toSeq.flatMap(f => Seq(
+            min(col(f.name)).as(s"__min_${f.name}"),
+            max(col(f.name)).as(s"__max_${f.name}"))): _*)
+        .collect()
+        .map { r => // keyed by basename: URIs percent-encode
+          val p = r.getString(0)
+          p.substring(p.lastIndexOf('/') + 1) -> r
+        }.toMap
 
     def le64(v: Long): Array[Byte] =
       (0 until 8).map(k => ((v >>> (8 * k)) & 0xff).toByte).toArray
@@ -772,7 +878,7 @@ object IcebergLite {
     val (nonEmptyParts, emptyParts) = moved.partition { case (dest, _) =>
       statRows.contains(fnameOf(dest)) }
     emptyParts.foreach { case (p, _) => fs.delete(p, false) }
-    require(nonEmptyParts.nonEmpty,
+    require(nonEmptyParts.nonEmpty || deletedEntries.nonEmpty,
       s"append of an empty DataFrame to $table")
     // identity tuple values, typed per the source column
     def tupleValue(pc: String, raw: String): Any = {
@@ -801,7 +907,9 @@ object IcebergLite {
       Map[String, Any]("status" -> 1,
         "snapshot_id" -> java.lang.Long.valueOf(snapId),
         "data_file" -> dataFile)
-    }
+    } ++ deletedEntries.map(df0 => Map[String, Any]("status" -> 2,
+      "snapshot_id" -> java.lang.Long.valueOf(snapId),
+      "data_file" -> df0.toMap))
 
     // ---- manifest + manifest list ----
     fs.mkdirs(metaDir)
@@ -842,7 +950,7 @@ object IcebergLite {
     val newSnap = Map[String, Any](
       "snapshot-id" -> snapId,
       "timestamp-ms" -> tsMs,
-      "summary" -> Map[String, Any]("operation" -> "append"),
+      "summary" -> Map[String, Any]("operation" -> operation),
       "manifest-list" -> s"$location/metadata/$listName") ++
       (if (parentId >= 0) Map("parent-snapshot-id" -> parentId)
        else Map.empty[String, Any])

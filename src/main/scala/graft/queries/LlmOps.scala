@@ -4406,6 +4406,90 @@ object LlmOps {
       "face", "prio")
   }
 
+  /** Delta ROW-DELETE fixture: one partitioned append, then a
+    * copy-on-write `commitDelete` of every row whose key is divisible
+    * by 7 — the decontamination shape: only files holding matches
+    * rewrite, and the commit carries an explicit `cdc` delete feed. */
+  private def deltaDeleteFixture(s: SparkSession, d: String): String =
+    parquetNestedDirs.computeIfAbsent(s"$d#deltadel", _ => {
+      val dir = java.nio.file.Files.createTempDirectory("delta_del")
+      graft.operators.DeltaLite.commitAppend(s, dir.toString,
+        orders(s, d).coalesce(1)
+          .select(col("o_orderkey").cast("long").as("k"),
+            col("o_orderstatus").as("st"),
+            col("o_orderpriority").as("prio")), Seq("prio"))
+      graft.operators.DeltaLite.commitDelete(s, dir.toString,
+        col("k") % 7 === 0)
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().forEachRemaining(q => q.toFile.deleteOnExit())
+      finally walk.close()
+      dir.toString
+    })
+
+  /** Delta ROW-DELETE gate — copy-on-write decontamination: the `cur`
+    * face aggregates the post-delete snapshot (a rewrite that lost a
+    * surviving row, or kept a matching one, hash-mismatches), the
+    * `cdf` face replays the commit's explicit change feed — exactly
+    * the deleted rows, as `delete` rows, nothing synthesized. */
+  def xDeltaDelete(s: SparkSession, d: String): DataFrame = {
+    val dir = deltaDeleteFixture(s, d)
+    ordered(
+      graft.operators.DeltaLite.snapshot(s, dir).groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .select(lit("cur").as("face"), col("*"))
+        .unionByName(
+          graft.operators.DeltaLite.changes(s, dir, 1L, 1L)
+            .groupBy(col("prio"), col("_change_type"))
+            .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+            .select(concat(lit("cdf_"), col("_change_type")).as("face"),
+              col("prio"), col("n"), col("sum_k"))),
+      "face", "prio")
+  }
+
+  /** Iceberg ROW-DELETE fixture: two appends, then the same
+    * divisible-by-7 copy-on-write delete — one `overwrite` snapshot
+    * carries the rewritten files plus DELETED entries. */
+  private def icebergRowDeleteFixture(s: SparkSession, d: String): String =
+    parquetNestedDirs.computeIfAbsent(s"$d#icedel", _ => {
+      val dir = java.nio.file.Files.createTempDirectory("ice_del")
+      def sel(ps: Seq[String]) = orders(s, d)
+        .filter(col("o_orderpriority").isin(ps: _*)).coalesce(1)
+        .select(col("o_orderkey").cast("long").as("k"),
+          col("o_orderstatus").as("st"),
+          col("o_orderpriority").as("prio"))
+      graft.operators.IcebergLite.commitAppend(s, dir.toString,
+        sel(Seq("1-URGENT", "2-HIGH", "3-MEDIUM")))
+      val pre = graft.operators.IcebergLite.commitAppend(s, dir.toString,
+        sel(Seq("4-NOT SPECIFIED", "5-LOW")))
+      graft.operators.IcebergLite.commitDelete(s, dir.toString,
+        col("k") % 7 === 0)
+      java.nio.file.Files.writeString(dir.resolve("PRE"), pre.toString)
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().forEachRemaining(q => q.toFile.deleteOnExit())
+      finally walk.close()
+      dir.toString
+    })
+
+  /** Iceberg ROW-DELETE gate — the overwrite-snapshot face of
+    * decontamination: `cur` aggregates the post-delete table, `pre`
+    * time-travels to the snapshot before the delete and must read the
+    * ORIGINAL files untouched (copy-on-write never mutates them). */
+  def xIcebergDelete(s: SparkSession, d: String): DataFrame = {
+    val dir = icebergRowDeleteFixture(s, d)
+    val pre = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "PRE")).trim.toLong
+    def face(label: String, df: DataFrame) =
+      df.groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .select(lit(label).as("face"), col("*"))
+    ordered(
+      face("cur", graft.operators.IcebergLite.snapshot(s, dir))
+        .unionByName(face("pre",
+          graft.operators.IcebergLite.snapshot(s, dir,
+            snapshotId = pre))),
+      "face", "prio")
+  }
+
   /** Iceberg EXPIRE-SNAPSHOTS fixture: three appends (prios 1–2,
     * 3–4, 5), then `expireSnapshots` older-than the second commit's
     * timestamp — the first two snapshots expire (their manifest
@@ -5694,6 +5778,8 @@ object LlmOps {
     "x_delta_checkpoint"  -> (xDeltaCheckpoint _),
     "x_delta_vacuum"      -> (xDeltaVacuum _),
     "x_iceberg_expire"    -> (xIcebergExpire _),
+    "x_delta_delete"      -> (xDeltaDelete _),
+    "x_iceberg_delete"    -> (xIcebergDelete _),
     "x_iceberg_prune"     -> (xIcebergPrune _),
     "x_iceberg_deletes"   -> (xIcebergDeletes _),
     "x_iceberg_eqdel"     -> (xIcebergEqdel _),
@@ -6274,6 +6360,26 @@ object LlmOps {
         "min(o_orderstatus), max(o_orderstatus) " +
         "FROM orders WHERE CAST(substr(o_orderpriority,1,1) AS INT) <= 3 " +
         "GROUP BY 2 ORDER BY snap, prio"),
+    "x_delta_delete" ->
+      """WITH b AS (SELECT o_orderpriority AS prio,
+        |    CAST(o_orderkey AS BIGINT) AS k FROM orders)
+        |SELECT 'cdf_delete' AS face, prio, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM b WHERE k % 7 = 0 GROUP BY 2
+        |UNION ALL
+        |SELECT 'cur', prio, count(*), CAST(sum(k) AS BIGINT)
+        |FROM b WHERE k % 7 <> 0 GROUP BY 2
+        |ORDER BY face, prio""".stripMargin,
+    "x_iceberg_delete" ->
+      """WITH b AS (SELECT o_orderpriority AS prio,
+        |    CAST(o_orderkey AS BIGINT) AS k FROM orders)
+        |SELECT 'cur' AS face, prio, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM b WHERE k % 7 <> 0 GROUP BY 2
+        |UNION ALL
+        |SELECT 'pre', prio, count(*), CAST(sum(k) AS BIGINT)
+        |FROM b GROUP BY 2
+        |ORDER BY face, prio""".stripMargin,
     "x_delta_vacuum" ->
       """SELECT 'cur' AS face, o_orderpriority AS prio,
         |  count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_k

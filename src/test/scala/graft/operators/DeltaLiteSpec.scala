@@ -696,6 +696,54 @@ class DeltaLiteSpec extends SparkSpec {
     assert(e2.getMessage.contains("txn"))
   }
 
+  test("commitDelete: copy-on-write rewrite with a precise CDF delete feed") {
+    val dir = Files.createTempDirectory("dldel").toString
+    val batch = spark.range(1, 101).coalesce(1).select(col("id").as("k"),
+      when(col("id") % 3 === 0, lit(null))
+        .otherwise(concat(lit("s"), col("id").cast("string"))).as("s"),
+      (col("id") % 2).cast("string").as("g"))
+    DeltaLite.commitAppend(spark, dir, batch, Seq("g")) // v0
+    val v1 = DeltaLite.commitDelete(spark, dir, col("k") % 10 === 0)
+    assert(v1 === 1L)
+    val snap = DeltaLite.snapshot(spark, dir)
+    assert(snap.count() === 90)
+    assert(snap.filter(col("k") % 10 === 0).count() === 0)
+    assert(snap.agg(sum("k")).head().getLong(0) ===
+      (1L to 100L).filter(_ % 10 != 0).sum)
+    // k%10==0 is always even: the g=1 partition's file was untouched
+    val log1 = Files.readString(
+      Paths.get(dir, "_delta_log", f"${1L}%020d.json"))
+    assert(log1.contains("\"remove\""))
+    assert(!log1.contains("g=1%2F") && !log1.split("\n")
+      .filter(_.contains("\"remove\"")).exists(_.contains("g=1")))
+    // the CDF face is the 10 deleted rows, nothing else
+    val ch = DeltaLite.changes(spark, dir, v1, v1)
+    assert(ch.count() === 10)
+    assert(ch.select("_change_type").distinct().as[String].collect()
+      === Array("delete"))
+    assert(ch.agg(sum("k")).head().getLong(0)
+      === (10L to 100L by 10).sum)
+    // pre-delete time travel reads the originals
+    assert(DeltaLite.snapshot(spark, dir, versionAsOf = 0).count() === 100)
+    // NULL-predicate rows are not matches: every null-s row survives a
+    // delete keyed on s
+    val v2 = DeltaLite.commitDelete(spark, dir, col("s") <= "s199")
+    val snap2 = DeltaLite.snapshot(spark, dir)
+    assert(snap2.filter(col("s").isNull).count() ===
+      (1L to 100L).count(k => k % 3 == 0 && k % 10 != 0))
+    assert(snap2.filter(col("s").isNotNull && col("s") <= "s199")
+      .count() === 0)
+    // a predicate matching nothing is a no-op, not an empty commit
+    assert(DeltaLite.commitDelete(spark, dir, col("k") === -1L) === v2)
+    // deleting EVERY row of a partition leaves no rewritten file
+    val v3 = DeltaLite.commitDelete(spark, dir, col("g") === "1")
+    assert(DeltaLite.snapshot(spark, dir).filter(col("g") === "1")
+      .count() === 0)
+    assert(DeltaLite.changes(spark, dir, v3, v3)
+      .select("_change_type").distinct().as[String].collect()
+      === Array("delete"))
+  }
+
   test("vacuum: aged tombstones deleted, live and DV-referenced files survive") {
     val dir = Files.createTempDirectory("dlvac").toString
     def batch(lo: Long, hi: Long) =

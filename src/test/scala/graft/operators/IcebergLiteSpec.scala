@@ -973,6 +973,58 @@ class IcebergLiteSpec extends SparkSpec {
     assert(scan.data.agg(sum("k")).head().getLong(0) === (31L to 40L).sum)
   }
 
+  test("commitDelete: copy-on-write, only affected files rewrite") {
+    val dir = Files.createTempDirectory("icedel").toString
+    def batch(lo: Long, hi: Long) =
+      spark.range(lo, hi + 1).coalesce(1).select(col("id").as("k"),
+        when(col("id") % 3 === 0, lit(null))
+          .otherwise(concat(lit("s"), col("id").cast("string"))).as("s"))
+    IcebergLite.commitAppend(spark, dir, batch(1, 50))
+    IcebergLite.commitAppend(spark, dir, batch(51, 100))
+    val preSnap = IcebergLite.commitAppend(spark, dir, batch(101, 150))
+    val delSnap = IcebergLite.commitDelete(spark, dir,
+      col("k").between(60, 70))
+    assert(delSnap === preSnap + 1)
+    val scan = IcebergLite.scan(spark, dir)
+    // two untouched files + one rewritten file
+    assert(scan.nDataFiles === 3)
+    assert(scan.data.count() === 139)
+    assert(scan.data.filter(col("k").between(60, 70)).count() === 0)
+    assert(scan.data.agg(sum("k")).head().getLong(0) ===
+      (1L to 150L).filterNot(k => k >= 60 && k <= 70).sum)
+    // pre-delete snapshot still reads the originals
+    assert(IcebergLite.snapshot(spark, dir, snapshotId = preSnap)
+      .count() === 150)
+    // the delete is an OVERWRITE: incremental reads across it decline
+    intercept[IllegalArgumentException] {
+      IcebergLite.appendsBetween(spark, dir, preSnap).count()
+    }
+    // NULL-predicate rows survive a delete keyed on the null column
+    IcebergLite.commitDelete(spark, dir, col("s") <= "s999")
+    val snap2 = IcebergLite.snapshot(spark, dir)
+    assert(snap2.filter(col("s").isNotNull).count() === 0)
+    assert(snap2.count() ===
+      (1L to 150L).count(k => k % 3 == 0 && !(k >= 60 && k <= 70)))
+    // deleting every row of a file drops it with no replacement
+    val scan2 = IcebergLite.scan(spark, dir)
+    val allGone = IcebergLite.commitDelete(spark, dir, col("k") <= 50)
+    val scan3 = IcebergLite.scan(spark, dir)
+    assert(scan3.nDataFiles === scan2.nDataFiles - 1)
+    assert(scan3.data.filter(col("k") <= 50).count() === 0)
+    assert(allGone > delSnap)
+    // a predicate matching nothing is a no-op returning the current id
+    assert(IcebergLite.commitDelete(spark, dir, col("k") === -1L)
+      === allGone)
+    // partitioned tables decline loudly
+    val pdir = Files.createTempDirectory("icedelp").toString
+    IcebergLite.commitAppend(spark, pdir,
+      spark.range(1, 10).select(col("id").as("k"),
+        (col("id") % 2).as("g")), partitionBy = Seq("g"))
+    intercept[IllegalArgumentException] {
+      IcebergLite.commitDelete(spark, pdir, col("k") === 1L)
+    }
+  }
+
   test("schema evolution: rename and drop+re-add resolve by field id") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("iceevo").toString
