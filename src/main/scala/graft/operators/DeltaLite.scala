@@ -341,6 +341,147 @@ object DeltaLite {
     version
   }
 
+  /** MERGE (upsert), COPY-ON-WRITE — the third side of the DML
+    * triangle (append / delete / merge): rows of `source` whose
+    * `keyCols` match a target row UPDATE it (every matching target
+    * row rewrites to the source's values — duplicate target keys stay
+    * duplicated, per classic MERGE), unmatched source rows INSERT.
+    * Only files holding matched rows rewrite; the rewrite, the
+    * inserts, and the tombstones commit atomically. The commit writes
+    * the protocol's precise CDC: `update_preimage` (old values) +
+    * `update_postimage` (new values) per updated row and `insert` per
+    * inserted one, so [[changes]] replays the merge exactly. NULL
+    * keys never match (SQL join semantics): null-key target rows
+    * survive untouched, null-key source rows insert. Declines
+    * loudly: duplicate keys in `source` (an ambiguous merge),
+    * source schema ≠ table schema, column-mapped tables, DV files.
+    * An all-new-keys source degenerates to a plain append (no file
+    * rewrites). Returns the committed version. */
+  def commitMerge(spark: SparkSession, table: String, source: DataFrame,
+                  keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val fs = new Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val logDir = new Path(table, LogDir)
+    require(fs.exists(logDir), s"not a Delta table (no $LogDir): $table")
+    val version = latestVersion(spark, table) + 1
+    require(version > 0, s"not a Delta table (no commits): $table")
+    val metaRow = latestMeta(spark, fs, logDir, table)
+    val schema = DataType.fromJson(metaRow.getString(0))
+      .asInstanceOf[StructType]
+    val partCols = Option(metaRow.getSeq[String](1)).getOrElse(Seq.empty)
+    val cmap = Option(metaRow.getMap[String, String](2))
+      .flatMap(_.get("delta.columnMapping.mode")).getOrElse("none")
+    require(cmap == "none",
+      "MERGE on column-mapped tables is beyond this writer")
+    keyCols.foreach(k => require(schema.fieldNames.contains(k),
+      s"merge key $k not in the table schema"))
+    require(source.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"merge source schema ${source.schema.simpleString} does not " +
+        s"match the table schema ${schema.simpleString}")
+    require(source.groupBy(keyCols.map(col): _*).count()
+      .filter(col("count") > 1).isEmpty,
+      "merge source has duplicate keys — ambiguous merge")
+
+    val actions = replayActions(spark, fs, logDir, table, Long.MaxValue)
+    import org.apache.spark.sql.expressions.Window
+    def latestBy(c: String) = actions.filter(col(c).isNotNull)
+      .select(col(c), col("v"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(s"$c.path")).orderBy(col("v").desc)))
+      .filter(col("rn") === 1).drop("rn")
+    val la = latestBy("add").withColumnRenamed("v", "av")
+    val lr = latestBy("remove").withColumnRenamed("v", "rv")
+    val liveRows = la.join(lr, la("add.path") === lr("remove.path"), "full")
+      .filter(col("add").isNotNull &&
+        (col("rv").isNull || col("av") >= col("rv")))
+      .select(col("add.path"), col("add.partitionValues"),
+        col("add.deletionVector"))
+      .collect()
+      .map(r => (r.getString(0),
+        Option(r.getMap[String, String](1)).map(_.toMap)
+          .getOrElse(Map.empty[String, String]),
+        !r.isNullAt(2)))
+    require(liveRows.forall(!_._3),
+      "MERGE over deletion-vector files is beyond this writer")
+
+    val dataSchema = StructType(
+      schema.filterNot(f => partCols.contains(f.name)))
+    def baseName(rel: String): String = {
+      val p = uriDecode(rel)
+      p.substring(p.lastIndexOf('/') + 1)
+    }
+    val df0 = spark.read.schema(dataSchema)
+      .parquet(liveRows.map { case (rel, _, _) =>
+        new Path(table, uriDecode(rel)).toString }.toSeq: _*)
+      .select(col("*"), url_decode(regexp_replace(
+        element_at(split(col("_metadata.file_path"), "/"), -1),
+        "\\+", "%2B")).as("__file"))
+    val pvRows = liveRows.toSeq.map { case (rel, pv, _) =>
+      org.apache.spark.sql.Row.fromSeq(
+        baseName(rel) +: partCols.map(pc => pv.get(pc).orNull))
+    }
+    val pvSchema = StructType(StructField("__file", StringType) +:
+      partCols.map(pc => StructField(s"__pv_$pc", StringType)).toSeq)
+    val pvDf = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(pvRows, 1), pvSchema))
+    val target = partCols.foldLeft(df0.join(pvDf, Seq("__file"))) {
+      (d, pc) =>
+        val f = schema.find(_.name == pc).getOrElse(
+          sys.error(s"partition column $pc missing from schema"))
+        d.withColumn(pc, col(s"__pv_$pc").cast(f.dataType))
+    }.select(("__file" +: schema.fieldNames.toSeq).map(col): _*)
+
+    val srcKeys = source.select(keyCols.map(col): _*)
+    val matchedTarget = target.join(broadcast(srcKeys), keyCols,
+      "left_semi")
+    val affected = matchedTarget.select("__file").distinct()
+      .collect().map(_.getString(0)).toSet // planning-bounded
+    val sq = spark
+    import sq.implicits._
+    val dataCols = schema.fieldNames.toSeq
+    // the rewrite set: affected files' unmatched rows verbatim +
+    // every matched target row replaced by its source values (an
+    // inner join on keys — one source row fans out to each matching
+    // target copy) + brand-new source keys
+    val srcRenamed = source.select(dataCols.map(c =>
+      col(c).as(if (keyCols.contains(c)) c else s"__src_$c")): _*)
+    val updates = matchedTarget.join(srcRenamed, keyCols)
+      .select(dataCols.map(c =>
+        (if (keyCols.contains(c)) col(c)
+         else col(s"__src_$c").as(c))): _*)
+    val inserts = source.join(
+      target.select(keyCols.map(col): _*), keyCols, "left_anti")
+    val newData =
+      (if (affected.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(schema.fields))
+      else {
+        val affDf = broadcast(affected.toSeq.sorted.toDF("__file"))
+        target.join(affDf, Seq("__file"), "left_semi")
+          .join(broadcast(srcKeys), keyCols, "left_anti")
+          .select(dataCols.map(col): _*)
+          .unionByName(updates)
+      }).unionByName(inserts)
+    val adds = stageAdds(spark, fs, table, newData, partCols, version,
+      dataChange = true, allowEmpty = true)
+    val removes = liveRows.toSeq
+      .filter { case (rel, _, _) => affected(baseName(rel)) }
+      .map { case (rel, _, _) =>
+        s"""{"remove":{"path":"${jstr(rel)}","deletionTimestamp":""" +
+          s"""$version,"dataChange":true}}""" }
+    val cdcDf = matchedTarget.select(dataCols.map(col): _*)
+      .withColumn("_change_type", lit("update_preimage"))
+      .unionByName(updates
+        .withColumn("_change_type", lit("update_postimage")))
+      .unionByName(inserts.withColumn("_change_type", lit("insert")))
+    val cdcLines = stageCdc(spark, fs, table, cdcDf, partCols, version)
+    writeCommit(fs, logDir, version, removes ++ adds ++ cdcLines, table)
+    version
+  }
+
   /** Stages `df` (data columns + `_change_type`) as `_change_data/`
     * parquet and returns the commit's `cdc` action lines — partition
     * values ride in the action (the protocol's CDC layout), not the

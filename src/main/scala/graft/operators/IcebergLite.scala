@@ -690,6 +690,110 @@ object IcebergLite {
       "overwrite")
   }
 
+  /** MERGE (upsert), COPY-ON-WRITE — the [[DeltaLite.commitMerge]]
+    * sibling: source rows whose `keyCols` match a target row UPDATE
+    * every matching copy to the source's values, unmatched source
+    * rows INSERT; only files holding matches rewrite, and one
+    * snapshot atomically carries the rewritten adds plus DELETED
+    * entries for the affected originals (`overwrite` when files
+    * rewrite; a pure-insert merge is an `append`, so incremental
+    * consumers keep reading through it). NULL keys never match.
+    * Declines loudly: duplicate source keys, schema mismatch,
+    * partitioned / v2-delete tables. An empty source is a no-op
+    * returning the current snapshot id. */
+  def commitMerge(spark: SparkSession, table: String, source: DataFrame,
+                  keyCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val ctx = new Ctx(spark, table)
+    require(asLong(ctx.root.getOrElse("format-version", 1L)) == 1L,
+      "iceberg merge supports format-version 1 tables only")
+    require(ctx.defaultSpecFields.isEmpty,
+      "iceberg merge on partitioned tables is beyond this writer")
+    require(source.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      ctx.sparkSchema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"merge source schema ${source.schema.simpleString} does not " +
+        s"match the table schema ${ctx.sparkSchema.simpleString}")
+    keyCols.foreach(k =>
+      require(ctx.sparkSchema.fieldNames.contains(k),
+        s"merge key $k not in the table schema"))
+    require(source.groupBy(keyCols.map(col): _*).count()
+      .filter(col("count") > 1).isEmpty,
+      "merge source has duplicate keys — ambiguous merge")
+    val curId = asLong(ctx.root.getOrElse("current-snapshot-id",
+      sys.error(s"table has no current snapshot: $table")))
+    if (source.isEmpty) return curId
+    val snap = ctx.snapById(curId)
+    val manifestRows = ctx.manifestRowsOf(snap)
+    require(!manifestRows.exists(_.get("content").exists(asLong(_) == 1L)),
+      "iceberg merge over v2 delete manifests is beyond this writer")
+
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, JMap]
+    ctx.decodeManifests(manifestRows).foreach { case (mrow, entries) =>
+      val mp = ctx.pathOf(mrow)
+      entries.foreach { e =>
+        val status = asLong(e.getOrElse("status",
+          sys.error(s"manifest $mp entry without status")))
+        val dfm = asMap(e.getOrElse("data_file",
+          sys.error(s"manifest $mp entry without data_file")))
+        val path = dfm.getOrElse("file_path",
+          sys.error(s"manifest $mp data_file without file_path")).toString
+        if (status == 2) live.remove(path) else live(path) = dfm
+      }
+    }
+    require(live.nonEmpty, s"empty Iceberg snapshot of $table")
+
+    def decodedFname(p: String): String =
+      uriDecodeSeg(p.substring(p.lastIndexOf('/') + 1))
+    val dataCols = ctx.sparkSchema.fieldNames.toSeq
+    val target = ctx.pinnedParquet(spark, live.keys.toSeq
+        .map(p => ctx.rebase(p).toString),
+      Seq(url_decode(regexp_replace(
+        element_at(split(col("_metadata.file_path"), "/"), -1),
+        "\\+", "%2B")).as("__file")))
+    val srcKeys = source.select(keyCols.map(col): _*)
+    val matchedTarget = target.join(broadcast(srcKeys), keyCols,
+      "left_semi")
+    val affected = matchedTarget.select("__file").distinct()
+      .collect().map(_.getString(0)).toSet // planning-bounded
+    val sq = spark
+    import sq.implicits._
+    val srcRenamed = source.select(dataCols.map(c =>
+      col(c).as(if (keyCols.contains(c)) c else s"__src_$c")): _*)
+    val updates = matchedTarget.join(srcRenamed, keyCols)
+      .select(dataCols.map(c =>
+        (if (keyCols.contains(c)) col(c)
+         else col(s"__src_$c").as(c))): _*)
+    val inserts = source.join(
+      target.select(keyCols.map(col): _*), keyCols, "left_anti")
+    val newData =
+      (if (affected.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(source.schema.fields.toSeq.map(
+            _.copy(metadata = Metadata.empty))))
+      else {
+        val affDf = broadcast(affected.toSeq.sorted.toDF("__file"))
+        target.join(affDf, Seq("__file"), "left_semi")
+          .join(broadcast(srcKeys), keyCols, "left_anti")
+          .select(dataCols.map(col): _*)
+          .unionByName(updates)
+      }).unionByName(inserts)
+    val deletedEntries: Seq[JMap] = live.collect {
+      case (p, dfm) if affected(decodedFname(p)) =>
+        Map[String, Any]("file_path" -> p,
+          "file_format" -> "PARQUET",
+          "record_count" -> dfm.get("record_count").map(asLong)
+            .getOrElse(0L),
+          "file_size_in_bytes" -> dfm.get("file_size_in_bytes")
+            .map(asLong).getOrElse(1L),
+          "lower_bounds" -> null,
+          "upper_bounds" -> null): JMap
+    }.toSeq
+    commitSnapshot(spark, table, Some(newData), Nil, deletedEntries,
+      if (deletedEntries.isEmpty) "append" else "overwrite")
+  }
+
   /** Shared snapshot writer behind [[commitAppend]] and
     * [[commitDelete]]: optional staged data (None = a delete-only
     * snapshot), plus extra DELETED entries appended to the new

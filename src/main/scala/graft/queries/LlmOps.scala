@@ -4490,6 +4490,99 @@ object LlmOps {
       "face", "prio")
   }
 
+  /** Delta MERGE fixture: a partitioned table, then one upsert —
+    * every k divisible by 5 updates its status to 'UP', three
+    * synthetic negative-key rows insert under a brand-new partition
+    * value. */
+  private def deltaMergeFixture(s: SparkSession, d: String): String =
+    parquetNestedDirs.computeIfAbsent(s"$d#deltamerge", _ => {
+      val dir = java.nio.file.Files.createTempDirectory("delta_merge")
+      val base = orders(s, d).coalesce(1)
+        .select(col("o_orderkey").cast("long").as("k"),
+          col("o_orderstatus").as("st"),
+          col("o_orderpriority").as("prio"))
+      graft.operators.DeltaLite.commitAppend(s, dir.toString, base,
+        Seq("prio"))
+      val src = base.filter(col("k") % 5 === 0)
+        .withColumn("st", lit("UP"))
+        .unionByName(s.range(1, 4).select((-col("id")).as("k"),
+          lit("NW").as("st"), lit("9-SYN").as("prio")))
+      graft.operators.DeltaLite.commitMerge(s, dir.toString, src,
+        Seq("k"))
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().forEachRemaining(q => q.toFile.deleteOnExit())
+      finally walk.close()
+      dir.toString
+    })
+
+  /** Delta MERGE gate — upsert with the protocol's CDC: the `cur`
+    * face proves every matched row updated in place (n_upd counts
+    * 'UP' statuses per priority) and the inserts landed under their
+    * new partition; the `cdf_*` faces replay the commit's
+    * update_preimage / update_postimage / insert rows — the postimage
+    * carries the new values, the preimage the old. */
+  def xDeltaMerge(s: SparkSession, d: String): DataFrame = {
+    val dir = deltaMergeFixture(s, d)
+    val cur = graft.operators.DeltaLite.snapshot(s, dir)
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        count(when(col("st") === "UP", 1)).as("n_upd"))
+      .select(lit("cur").as("face"), col("*"))
+    val cdf = graft.operators.DeltaLite.changes(s, dir, 1L, 1L)
+      .groupBy(col("_change_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        count(when(col("st") === "UP", 1)).as("n_upd"))
+      .select(concat(lit("cdf_"), col("_change_type")).as("face"),
+        lit("all").as("prio"), col("n"), col("sum_k"), col("n_upd"))
+    ordered(cur.unionByName(cdf), "face", "prio")
+  }
+
+  /** Iceberg MERGE fixture: unpartitioned orders projection, one
+    * upsert — k divisible by 5 updates to 'UP', three negative keys
+    * insert — committed as ONE overwrite snapshot. */
+  private def icebergMergeFixture(s: SparkSession, d: String): String =
+    parquetNestedDirs.computeIfAbsent(s"$d#icemerge", _ => {
+      val dir = java.nio.file.Files.createTempDirectory("ice_merge")
+      val base = orders(s, d).coalesce(1)
+        .select(col("o_orderkey").cast("long").as("k"),
+          col("o_orderstatus").as("st"),
+          col("o_orderpriority").as("prio"))
+      val pre = graft.operators.IcebergLite.commitAppend(s,
+        dir.toString, base)
+      val src = base.filter(col("k") % 5 === 0)
+        .withColumn("st", lit("UP"))
+        .unionByName(s.range(1, 4).select((-col("id")).as("k"),
+          lit("NW").as("st"), lit("9-SYN").as("prio")))
+      graft.operators.IcebergLite.commitMerge(s, dir.toString, src,
+        Seq("k"))
+      java.nio.file.Files.writeString(dir.resolve("PRE"), pre.toString)
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().forEachRemaining(q => q.toFile.deleteOnExit())
+      finally walk.close()
+      dir.toString
+    })
+
+  /** Iceberg MERGE gate: `cur` proves the upserted table (updates in
+    * place, inserts present), `pre` time-travels to the snapshot
+    * before the merge and must read the ORIGINAL rows — copy-on-write
+    * never mutates committed files. */
+  def xIcebergMerge(s: SparkSession, d: String): DataFrame = {
+    val dir = icebergMergeFixture(s, d)
+    val pre = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "PRE")).trim.toLong
+    def face(label: String, df: DataFrame) =
+      df.groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          count(when(col("st") === "UP", 1)).as("n_upd"))
+        .select(lit(label).as("face"), col("*"))
+    ordered(
+      face("cur", graft.operators.IcebergLite.snapshot(s, dir))
+        .unionByName(face("pre",
+          graft.operators.IcebergLite.snapshot(s, dir,
+            snapshotId = pre))),
+      "face", "prio")
+  }
+
   /** Iceberg EXPIRE-SNAPSHOTS fixture: three appends (prios 1–2,
     * 3–4, 5), then `expireSnapshots` older-than the second commit's
     * timestamp — the first two snapshots expire (their manifest
@@ -5780,6 +5873,8 @@ object LlmOps {
     "x_iceberg_expire"    -> (xIcebergExpire _),
     "x_delta_delete"      -> (xDeltaDelete _),
     "x_iceberg_delete"    -> (xIcebergDelete _),
+    "x_delta_merge"       -> (xDeltaMerge _),
+    "x_iceberg_merge"     -> (xIcebergMerge _),
     "x_iceberg_prune"     -> (xIcebergPrune _),
     "x_iceberg_deletes"   -> (xIcebergDeletes _),
     "x_iceberg_eqdel"     -> (xIcebergEqdel _),
@@ -6360,6 +6455,42 @@ object LlmOps {
         "min(o_orderstatus), max(o_orderstatus) " +
         "FROM orders WHERE CAST(substr(o_orderpriority,1,1) AS INT) <= 3 " +
         "GROUP BY 2 ORDER BY snap, prio"),
+    "x_delta_merge" ->
+      """WITH b AS (SELECT o_orderpriority AS prio, o_orderstatus AS st,
+        |    CAST(o_orderkey AS BIGINT) AS k FROM orders)
+        |SELECT 'cdf_insert' AS face, 'all' AS prio, CAST(3 AS BIGINT)
+        |  AS n, CAST(-6 AS BIGINT) AS sum_k, CAST(0 AS BIGINT) AS n_upd
+        |UNION ALL
+        |SELECT 'cdf_update_postimage', 'all', count(*),
+        |  CAST(sum(k) AS BIGINT), count(*) FROM b WHERE k % 5 = 0
+        |UNION ALL
+        |SELECT 'cdf_update_preimage', 'all', count(*),
+        |  CAST(sum(k) AS BIGINT),
+        |  CAST(count(CASE WHEN st = 'UP' THEN 1 END) AS BIGINT)
+        |FROM b WHERE k % 5 = 0
+        |UNION ALL
+        |SELECT 'cur', prio, count(*), CAST(sum(k) AS BIGINT),
+        |  CAST(count(CASE WHEN k % 5 = 0 THEN 1 END) AS BIGINT)
+        |FROM b GROUP BY 2
+        |UNION ALL
+        |SELECT 'cur', '9-SYN', CAST(3 AS BIGINT), CAST(-6 AS BIGINT),
+        |  CAST(0 AS BIGINT)
+        |ORDER BY face, prio""".stripMargin,
+    "x_iceberg_merge" ->
+      """WITH b AS (SELECT o_orderpriority AS prio, o_orderstatus AS st,
+        |    CAST(o_orderkey AS BIGINT) AS k FROM orders)
+        |SELECT 'cur' AS face, prio, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(count(CASE WHEN k % 5 = 0 THEN 1 END) AS BIGINT) AS n_upd
+        |FROM b GROUP BY 2
+        |UNION ALL
+        |SELECT 'cur', '9-SYN', CAST(3 AS BIGINT), CAST(-6 AS BIGINT),
+        |  CAST(0 AS BIGINT)
+        |UNION ALL
+        |SELECT 'pre', prio, count(*), CAST(sum(k) AS BIGINT),
+        |  CAST(count(CASE WHEN st = 'UP' THEN 1 END) AS BIGINT)
+        |FROM b GROUP BY 2
+        |ORDER BY face, prio""".stripMargin,
     "x_delta_delete" ->
       """WITH b AS (SELECT o_orderpriority AS prio,
         |    CAST(o_orderkey AS BIGINT) AS k FROM orders)

@@ -744,6 +744,60 @@ class DeltaLiteSpec extends SparkSpec {
       === Array("delete"))
   }
 
+  test("commitMerge: updates rewrite matched files, inserts append, precise CDC") {
+    val dir = Files.createTempDirectory("dlmerge").toString
+    def row(k: Long, s: String) = (k, s, (k % 2).toString)
+    val batch = spark.range(1, 21).coalesce(1).select(col("id").as("k"),
+      concat(lit("s"), col("id").cast("string")).as("s"),
+      (col("id") % 2).cast("string").as("g"))
+    DeltaLite.commitAppend(spark, dir, batch, Seq("g")) // v0: 2 files
+    val src = Seq(row(5, "upd5"), row(6, "upd6"),
+      row(100, "new100"), row(101, "new101")).toDF("k", "s", "g")
+    val v1 = DeltaLite.commitMerge(spark, dir, src, Seq("k"))
+    assert(v1 === 1L)
+    val snap = DeltaLite.snapshot(spark, dir)
+    assert(snap.count() === 22)
+    assert(snap.filter(col("k") === 5).select("s").as[String].head()
+      === "upd5")
+    assert(snap.filter(col("k") === 1).select("s").as[String].head()
+      === "s1")
+    assert(snap.filter(col("k") >= 100).count() === 2)
+    // CDC: preimage with old values, postimage with new, inserts
+    val ch = DeltaLite.changes(spark, dir, v1, v1)
+    assert(ch.count() === 6)
+    assert(ch.filter(col("_change_type") === "update_preimage")
+      .select("s").as[String].collect().sorted === Array("s5", "s6"))
+    assert(ch.filter(col("_change_type") === "update_postimage")
+      .select("s").as[String].collect().sorted === Array("upd5", "upd6"))
+    assert(ch.filter(col("_change_type") === "insert").count() === 2)
+    // an all-new-keys merge is a pure append: no tombstones written
+    val v2 = DeltaLite.commitMerge(spark, dir,
+      Seq(row(200, "new200")).toDF("k", "s", "g"), Seq("k"))
+    val log2 = Files.readString(
+      Paths.get(dir, "_delta_log", f"$v2%020d.json"))
+    assert(!log2.contains("\"remove\""))
+    assert(DeltaLite.snapshot(spark, dir).count() === 23)
+    // NULL keys never match: a null-key source row inserts
+    val dir2 = Files.createTempDirectory("dlmerge2").toString
+    DeltaLite.commitAppend(spark, dir2, Seq((1L, "a"), (2L, null))
+      .toDF("k", "s").select(col("k"),
+        col("s").cast(org.apache.spark.sql.types.StringType).as("s")))
+    DeltaLite.commitMerge(spark, dir2,
+      Seq((null.asInstanceOf[java.lang.Long], "nullkey"))
+        .toDF("k", "s").select(col("k").cast("long").as("k"), col("s")),
+      Seq("k"))
+    assert(DeltaLite.snapshot(spark, dir2).count() === 3)
+    // ambiguous merges and schema drift decline loudly
+    intercept[IllegalArgumentException] {
+      DeltaLite.commitMerge(spark, dir,
+        Seq(row(1, "a"), row(1, "b")).toDF("k", "s", "g"), Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      DeltaLite.commitMerge(spark, dir,
+        Seq((1L, "a")).toDF("k", "s"), Seq("k"))
+    }
+  }
+
   test("vacuum: aged tombstones deleted, live and DV-referenced files survive") {
     val dir = Files.createTempDirectory("dlvac").toString
     def batch(lo: Long, hi: Long) =

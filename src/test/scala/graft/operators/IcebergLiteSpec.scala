@@ -1025,6 +1025,53 @@ class IcebergLiteSpec extends SparkSpec {
     }
   }
 
+  test("commitMerge: matched files rewrite, pure inserts stay appends") {
+    val dir = Files.createTempDirectory("icemerge").toString
+    def batch(lo: Long, hi: Long) =
+      spark.range(lo, hi + 1).coalesce(1).select(col("id").as("k"),
+        concat(lit("s"), col("id").cast("string")).as("s"))
+    IcebergLite.commitAppend(spark, dir, batch(1, 50))
+    IcebergLite.commitAppend(spark, dir, batch(51, 100))
+    val pre = IcebergLite.commitAppend(spark, dir, batch(101, 150))
+    val src = spark.range(60, 66).select(col("id").as("k"),
+        concat(lit("upd"), col("id").cast("string")).as("s"))
+      .unionByName(spark.range(200, 205).select(col("id").as("k"),
+        concat(lit("new"), col("id").cast("string")).as("s")))
+      .coalesce(1)
+    val m1 = IcebergLite.commitMerge(spark, dir, src, Seq("k"))
+    assert(m1 === pre + 1)
+    val snap = IcebergLite.snapshot(spark, dir)
+    assert(snap.count() === 155)
+    assert(snap.filter(col("k") === 62).select("s").as[String].head()
+      === "upd62")
+    assert(snap.filter(col("k") === 30).select("s").as[String].head()
+      === "s30")
+    assert(snap.filter(col("k") >= 200).count() === 5)
+    assert(snap.agg(sum("k")).head().getLong(0) ===
+      (1L to 150L).sum + (200L to 204L).sum)
+    // the pre-merge snapshot reads the untouched originals
+    assert(IcebergLite.snapshot(spark, dir, snapshotId = pre)
+      .count() === 150)
+    // a rewriting merge is an OVERWRITE: incremental reads decline
+    intercept[IllegalArgumentException] {
+      IcebergLite.appendsBetween(spark, dir, pre).count()
+    }
+    // an all-new-keys merge is an APPEND: incremental reads flow
+    val m2 = IcebergLite.commitMerge(spark, dir,
+      spark.range(300, 303).coalesce(1).select(col("id").as("k"),
+        concat(lit("n"), col("id").cast("string")).as("s")), Seq("k"))
+    val ch = IcebergLite.appendsBetween(spark, dir, m1)
+    assert(ch.count() === 3)
+    assert(ch.select("_snapshot_id").distinct().as[Long].collect()
+      === Array(m2))
+    // ambiguous source keys decline loudly
+    intercept[IllegalArgumentException] {
+      IcebergLite.commitMerge(spark, dir,
+        spark.range(2).select(lit(1L).as("k"), lit("x").as("s")),
+        Seq("k"))
+    }
+  }
+
   test("schema evolution: rename and drop+re-add resolve by field id") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("iceevo").toString
