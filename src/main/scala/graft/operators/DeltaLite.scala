@@ -249,6 +249,108 @@ object DeltaLite {
     val fs = new Path(table).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val logDir = new Path(table, LogDir)
+    val t = dmlTarget(spark, fs, logDir, table, "DELETE")
+    val affected = t.df.filter(predicate).select("__file")
+      .distinct().collect().map(_.getString(0)).toSet // planning-bounded
+    if (affected.isEmpty) return t.version - 1
+
+    val sq = spark
+    import sq.implicits._
+    val affDf = broadcast(affected.toSeq.sorted.toDF("__file"))
+    val inAffected = t.df.join(affDf, Seq("__file"), "left_semi")
+    // NULL-predicate rows are not matches: they must survive
+    val survivors = inAffected
+      .filter(not(coalesce(predicate, lit(false))))
+      .select(t.schema.fieldNames.toSeq.map(col): _*)
+    val deleted = inAffected.filter(predicate)
+    val adds = stageAdds(spark, fs, table, survivors, t.partCols,
+      t.version, dataChange = true, allowEmpty = true)
+    val cdcLines = stageCdc(spark, fs, table, deleted
+      .select(t.schema.fieldNames.toSeq.map(col): _*)
+      .withColumn("_change_type", lit("delete")), t.partCols, t.version)
+    writeCommit(fs, logDir, t.version,
+      t.removesOf(affected) ++ adds ++ cdcLines, table)
+    t.version
+  }
+
+  /** UPDATE, COPY-ON-WRITE — `set` expressions applied to every row
+    * the predicate matches (NULL-predicate rows are not matches),
+    * only the files holding matches rewrite, and the commit carries
+    * `update_preimage`/`update_postimage` CDC rows like
+    * [[commitMerge]]. Set expressions may reference any column
+    * (`"price" -> col("price") * 2`); updating a PARTITION column
+    * re-stages moved rows under their new directory. A predicate
+    * matching nothing is a no-op. Declines loudly: unknown set
+    * columns, column-mapped tables, DV files. Returns the committed
+    * version. */
+  def commitUpdate(spark: SparkSession, table: String,
+                   predicate: org.apache.spark.sql.Column,
+                   set: Seq[(String, org.apache.spark.sql.Column)]): Long = {
+    require(set.nonEmpty, "UPDATE needs at least one set expression")
+    val fs = new Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val logDir = new Path(table, LogDir)
+    val t = dmlTarget(spark, fs, logDir, table, "UPDATE")
+    set.foreach { case (c, _) =>
+      require(t.schema.fieldNames.contains(c),
+        s"UPDATE set column $c not in the table schema") }
+    val affected = t.df.filter(predicate).select("__file")
+      .distinct().collect().map(_.getString(0)).toSet // planning-bounded
+    if (affected.isEmpty) return t.version - 1
+
+    val sq = spark
+    import sq.implicits._
+    val affDf = broadcast(affected.toSeq.sorted.toDF("__file"))
+    val inAffected = t.df.join(affDf, Seq("__file"), "left_semi")
+    val setMap = set.toMap
+    val matchedOld = inAffected.filter(predicate)
+      .select(t.schema.fieldNames.toSeq.map(col): _*)
+    val matchedNew = matchedOld.select(t.schema.fieldNames.toSeq.map {
+      c => setMap.get(c).map(_.cast(t.schema(c).dataType).as(c))
+        .getOrElse(col(c)) }: _*)
+    val rewrite = inAffected
+      .filter(not(coalesce(predicate, lit(false))))
+      .select(t.schema.fieldNames.toSeq.map(col): _*)
+      .unionByName(matchedNew)
+    val adds = stageAdds(spark, fs, table, rewrite, t.partCols,
+      t.version, dataChange = true, allowEmpty = true)
+    val cdcLines = stageCdc(spark, fs, table,
+      matchedOld.withColumn("_change_type", lit("update_preimage"))
+        .unionByName(matchedNew
+          .withColumn("_change_type", lit("update_postimage"))),
+      t.partCols, t.version)
+    writeCommit(fs, logDir, t.version,
+      t.removesOf(affected) ++ adds ++ cdcLines, table)
+    t.version
+  }
+
+  /** The live target of a copy-on-write DML commit ([[commitDelete]]
+    * / [[commitUpdate]] / [[commitMerge]]): the next version, the
+    * governing schema + partition columns, ONE distributed read of
+    * every live file — data columns pinned, the `__file` key decoded
+    * from `_metadata` (URIs percent-encode), partition columns
+    * attached through a broadcast file→tuple join so predicates can
+    * reference them — and the reconciled live-file list. */
+  private final case class DmlTarget(version: Long, schema: StructType,
+                                     partCols: Seq[String], df: DataFrame,
+                                     liveRels: Seq[(String,
+                                       Map[String, String])]) {
+    def baseName(rel: String): String = {
+      val p = uriDecode(rel)
+      p.substring(p.lastIndexOf('/') + 1)
+    }
+    /** Tombstone lines for the affected (by basename) files. */
+    def removesOf(affected: Set[String]): Seq[String] = liveRels
+      .filter { case (rel, _) => affected(baseName(rel)) }
+      .map { case (rel, _) =>
+        s"""{"remove":{"path":"${jstr(rel)}","deletionTimestamp":""" +
+          s"""$version,"dataChange":true}}""" }
+  }
+
+  private def dmlTarget(spark: SparkSession,
+                        fs: org.apache.hadoop.fs.FileSystem,
+                        logDir: Path, table: String,
+                        op: String): DmlTarget = {
     require(fs.exists(logDir), s"not a Delta table (no $LogDir): $table")
     val version = latestVersion(spark, table) + 1
     require(version > 0, s"not a Delta table (no commits): $table")
@@ -259,7 +361,7 @@ object DeltaLite {
     val cmap = Option(metaRow.getMap[String, String](2))
       .flatMap(_.get("delta.columnMapping.mode")).getOrElse("none")
     require(cmap == "none",
-      "DELETE on column-mapped tables is beyond this writer")
+      s"$op on column-mapped tables is beyond this writer")
 
     val actions = replayActions(spark, fs, logDir, table, Long.MaxValue)
     import org.apache.spark.sql.expressions.Window
@@ -281,12 +383,8 @@ object DeltaLite {
           .getOrElse(Map.empty[String, String]),
         !r.isNullAt(2)))
     require(liveRows.forall(!_._3),
-      "DELETE over deletion-vector files is beyond this writer")
+      s"$op over deletion-vector files is beyond this writer")
 
-    // ONE distributed read of every live file: data columns pinned,
-    // the file key decoded from `_metadata` (URIs percent-encode),
-    // partition columns attached through a broadcast file→tuple join
-    // so the predicate can reference them
     val dataSchema = StructType(
       schema.filterNot(f => partCols.contains(f.name)))
     def baseName(rel: String): String = {
@@ -312,33 +410,9 @@ object DeltaLite {
         val f = schema.find(_.name == pc).getOrElse(
           sys.error(s"partition column $pc missing from schema"))
         d.withColumn(pc, col(s"__pv_$pc").cast(f.dataType))
-    }
-    val affected = df.filter(predicate).select("__file")
-      .distinct().collect().map(_.getString(0)).toSet // planning-bounded
-    if (affected.isEmpty) return version - 1
-
-    val sq = spark
-    import sq.implicits._
-    val affDf = broadcast(affected.toSeq.sorted.toDF("__file"))
-    val inAffected = df.join(affDf, Seq("__file"), "left_semi")
-    // NULL-predicate rows are not matches: they must survive
-    val survivors = inAffected
-      .filter(not(coalesce(predicate, lit(false))))
-      .select(schema.fieldNames.toSeq.map(col): _*)
-    val deleted = inAffected.filter(predicate)
-    val adds = stageAdds(spark, fs, table, survivors, partCols, version,
-      dataChange = true, allowEmpty = true)
-    val removes = liveRows.toSeq
-      .filter { case (rel, _, _) => affected(baseName(rel)) }
-      .map { case (rel, _, _) =>
-        s"""{"remove":{"path":"${jstr(rel)}","deletionTimestamp":""" +
-          s"""$version,"dataChange":true}}""" }
-    val cdcLines = stageCdc(spark, fs, table, deleted
-      .select((schema.fieldNames.toSeq :+ "__file").map(col): _*)
-      .drop("__file")
-      .withColumn("_change_type", lit("delete")), partCols, version)
-    writeCommit(fs, logDir, version, removes ++ adds ++ cdcLines, table)
-    version
+    }.select(("__file" +: schema.fieldNames.toSeq).map(col): _*)
+    DmlTarget(version, schema, partCols, df,
+      liveRows.toSeq.map { case (rel, pv, _) => (rel, pv) })
   }
 
   /** MERGE (upsert), COPY-ON-WRITE — the third side of the DML
@@ -363,17 +437,11 @@ object DeltaLite {
     val fs = new Path(table).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val logDir = new Path(table, LogDir)
-    require(fs.exists(logDir), s"not a Delta table (no $LogDir): $table")
-    val version = latestVersion(spark, table) + 1
-    require(version > 0, s"not a Delta table (no commits): $table")
-    val metaRow = latestMeta(spark, fs, logDir, table)
-    val schema = DataType.fromJson(metaRow.getString(0))
-      .asInstanceOf[StructType]
-    val partCols = Option(metaRow.getSeq[String](1)).getOrElse(Seq.empty)
-    val cmap = Option(metaRow.getMap[String, String](2))
-      .flatMap(_.get("delta.columnMapping.mode")).getOrElse("none")
-    require(cmap == "none",
-      "MERGE on column-mapped tables is beyond this writer")
+    val t = dmlTarget(spark, fs, logDir, table, "MERGE")
+    val schema = t.schema
+    val partCols = t.partCols
+    val version = t.version
+    val target = t.df
     keyCols.foreach(k => require(schema.fieldNames.contains(k),
       s"merge key $k not in the table schema"))
     require(source.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
@@ -383,55 +451,6 @@ object DeltaLite {
     require(source.groupBy(keyCols.map(col): _*).count()
       .filter(col("count") > 1).isEmpty,
       "merge source has duplicate keys — ambiguous merge")
-
-    val actions = replayActions(spark, fs, logDir, table, Long.MaxValue)
-    import org.apache.spark.sql.expressions.Window
-    def latestBy(c: String) = actions.filter(col(c).isNotNull)
-      .select(col(c), col("v"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col(s"$c.path")).orderBy(col("v").desc)))
-      .filter(col("rn") === 1).drop("rn")
-    val la = latestBy("add").withColumnRenamed("v", "av")
-    val lr = latestBy("remove").withColumnRenamed("v", "rv")
-    val liveRows = la.join(lr, la("add.path") === lr("remove.path"), "full")
-      .filter(col("add").isNotNull &&
-        (col("rv").isNull || col("av") >= col("rv")))
-      .select(col("add.path"), col("add.partitionValues"),
-        col("add.deletionVector"))
-      .collect()
-      .map(r => (r.getString(0),
-        Option(r.getMap[String, String](1)).map(_.toMap)
-          .getOrElse(Map.empty[String, String]),
-        !r.isNullAt(2)))
-    require(liveRows.forall(!_._3),
-      "MERGE over deletion-vector files is beyond this writer")
-
-    val dataSchema = StructType(
-      schema.filterNot(f => partCols.contains(f.name)))
-    def baseName(rel: String): String = {
-      val p = uriDecode(rel)
-      p.substring(p.lastIndexOf('/') + 1)
-    }
-    val df0 = spark.read.schema(dataSchema)
-      .parquet(liveRows.map { case (rel, _, _) =>
-        new Path(table, uriDecode(rel)).toString }.toSeq: _*)
-      .select(col("*"), url_decode(regexp_replace(
-        element_at(split(col("_metadata.file_path"), "/"), -1),
-        "\\+", "%2B")).as("__file"))
-    val pvRows = liveRows.toSeq.map { case (rel, pv, _) =>
-      org.apache.spark.sql.Row.fromSeq(
-        baseName(rel) +: partCols.map(pc => pv.get(pc).orNull))
-    }
-    val pvSchema = StructType(StructField("__file", StringType) +:
-      partCols.map(pc => StructField(s"__pv_$pc", StringType)).toSeq)
-    val pvDf = broadcast(spark.createDataFrame(
-      spark.sparkContext.parallelize(pvRows, 1), pvSchema))
-    val target = partCols.foldLeft(df0.join(pvDf, Seq("__file"))) {
-      (d, pc) =>
-        val f = schema.find(_.name == pc).getOrElse(
-          sys.error(s"partition column $pc missing from schema"))
-        d.withColumn(pc, col(s"__pv_$pc").cast(f.dataType))
-    }.select(("__file" +: schema.fieldNames.toSeq).map(col): _*)
 
     val srcKeys = source.select(keyCols.map(col): _*)
     val matchedTarget = target.join(broadcast(srcKeys), keyCols,
@@ -467,18 +486,14 @@ object DeltaLite {
       }).unionByName(inserts)
     val adds = stageAdds(spark, fs, table, newData, partCols, version,
       dataChange = true, allowEmpty = true)
-    val removes = liveRows.toSeq
-      .filter { case (rel, _, _) => affected(baseName(rel)) }
-      .map { case (rel, _, _) =>
-        s"""{"remove":{"path":"${jstr(rel)}","deletionTimestamp":""" +
-          s"""$version,"dataChange":true}}""" }
     val cdcDf = matchedTarget.select(dataCols.map(col): _*)
       .withColumn("_change_type", lit("update_preimage"))
       .unionByName(updates
         .withColumn("_change_type", lit("update_postimage")))
       .unionByName(inserts.withColumn("_change_type", lit("insert")))
     val cdcLines = stageCdc(spark, fs, table, cdcDf, partCols, version)
-    writeCommit(fs, logDir, version, removes ++ adds ++ cdcLines, table)
+    writeCommit(fs, logDir, version,
+      t.removesOf(affected) ++ adds ++ cdcLines, table)
     version
   }
 

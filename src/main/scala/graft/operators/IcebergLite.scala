@@ -625,17 +625,106 @@ object IcebergLite {
   def commitDelete(spark: SparkSession, table: String,
                    predicate: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions._
+    val t = dmlLiveTarget(spark, table, "delete")
+    val affected = t.df.filter(predicate).select("__file")
+      .distinct().collect().map(_.getString(0)).toSet // planning-bounded
+    if (affected.isEmpty) return t.curId
+
+    val sq = spark
+    import sq.implicits._
+    val affDf = broadcast(affected.toSeq.sorted.toDF("__file"))
+    // survivors of ONLY the affected files; a NULL predicate is not a
+    // match, so those rows must survive the rewrite
+    val survivors = t.df.join(affDf, Seq("__file"), "left_semi")
+      .filter(not(coalesce(predicate, lit(false))))
+      .select(t.dataCols.map(col): _*)
+    commitSnapshot(spark, table, Some(survivors), Nil,
+      t.deletedEntriesOf(affected), "overwrite")
+  }
+
+  /** UPDATE, COPY-ON-WRITE — the [[DeltaLite.commitUpdate]] sibling:
+    * `set` expressions applied to every row the predicate matches
+    * (NULL-predicate rows are not matches), only files holding
+    * matches rewrite, one `overwrite` snapshot. Same decline set as
+    * [[commitDelete]]. Returns the new snapshot id (current id on a
+    * no-match no-op). */
+  def commitUpdate(spark: SparkSession, table: String,
+                   predicate: org.apache.spark.sql.Column,
+                   set: Seq[(String, org.apache.spark.sql.Column)]): Long = {
+    import org.apache.spark.sql.functions._
+    require(set.nonEmpty, "UPDATE needs at least one set expression")
+    val t = dmlLiveTarget(spark, table, "update")
+    val schema = t.ctx.sparkSchema
+    set.foreach { case (c, _) =>
+      require(schema.fieldNames.contains(c),
+        s"UPDATE set column $c not in the table schema") }
+    val affected = t.df.filter(predicate).select("__file")
+      .distinct().collect().map(_.getString(0)).toSet // planning-bounded
+    if (affected.isEmpty) return t.curId
+
+    val sq = spark
+    import sq.implicits._
+    val affDf = broadcast(affected.toSeq.sorted.toDF("__file"))
+    val inAffected = t.df.join(affDf, Seq("__file"), "left_semi")
+    val setMap = set.toMap
+    val rewrite = inAffected
+      .filter(not(coalesce(predicate, lit(false))))
+      .select(t.dataCols.map(col): _*)
+      .unionByName(inAffected.filter(predicate)
+        .select(t.dataCols.map { c =>
+          setMap.get(c).map(_.cast(schema(c).dataType).as(c))
+            .getOrElse(col(c)) }: _*))
+    commitSnapshot(spark, table, Some(rewrite), Nil,
+      t.deletedEntriesOf(affected), "overwrite")
+  }
+
+  /** The live target of a copy-on-write DML commit ([[commitDelete]]
+    * / [[commitUpdate]] / [[commitMerge]]): the current snapshot's
+    * live files (status replay over its data manifests) and ONE
+    * pinned read of them with a decoded `__file` key. Unpartitioned
+    * format-v1 tables without v2 delete manifests; anything else
+    * declines loudly. */
+  private final case class DmlTarget(ctx: Ctx, curId: Long,
+                                     live: Seq[(String, JMap)],
+                                     df: DataFrame) {
+    def dataCols: Seq[String] = ctx.sparkSchema.fieldNames.toSeq
+    private def decodedFname(p: String): String =
+      uriDecodeSeg(p.substring(p.lastIndexOf('/') + 1))
+    /** DELETED manifest entries for the affected (by decoded
+      * basename) files — wire fields only, bounds dropped. */
+    def deletedEntriesOf(affected: Set[String]): Seq[JMap] = {
+      val es: Seq[JMap] = live.collect {
+        case (p, dfm) if affected(decodedFname(p)) =>
+          Map[String, Any]("file_path" -> p,
+            "file_format" -> "PARQUET",
+            "record_count" -> dfm.get("record_count").map(asLong)
+              .getOrElse(0L),
+            "file_size_in_bytes" -> dfm.get("file_size_in_bytes")
+              .map(asLong).getOrElse(1L),
+            "lower_bounds" -> null,
+            "upper_bounds" -> null): JMap
+      }
+      require(es.length == affected.size,
+        s"affected files ${affected.size} resolved to " +
+          s"${es.length} manifest entries")
+      es
+    }
+  }
+
+  private def dmlLiveTarget(spark: SparkSession, table: String,
+                            op: String): DmlTarget = {
+    import org.apache.spark.sql.functions._
     val ctx = new Ctx(spark, table)
     require(asLong(ctx.root.getOrElse("format-version", 1L)) == 1L,
-      "iceberg delete supports format-version 1 tables only")
+      s"iceberg $op supports format-version 1 tables only")
     require(ctx.defaultSpecFields.isEmpty,
-      "iceberg delete on partitioned tables is beyond this writer")
+      s"iceberg $op on partitioned tables is beyond this writer")
     val curId = asLong(ctx.root.getOrElse("current-snapshot-id",
       sys.error(s"table has no current snapshot: $table")))
     val snap = ctx.snapById(curId)
     val manifestRows = ctx.manifestRowsOf(snap)
     require(!manifestRows.exists(_.get("content").exists(asLong(_) == 1L)),
-      "iceberg delete over v2 delete manifests is beyond this writer")
+      s"iceberg $op over v2 delete manifests is beyond this writer")
 
     // current live files (ADDED/EXISTING minus DELETED, in order)
     val live = scala.collection.mutable.LinkedHashMap.empty[String, JMap]
@@ -652,42 +741,12 @@ object IcebergLite {
       }
     }
     require(live.nonEmpty, s"empty Iceberg snapshot of $table")
-
-    def decodedFname(p: String): String =
-      uriDecodeSeg(p.substring(p.lastIndexOf('/') + 1))
     val df = ctx.pinnedParquet(spark, live.keys.toSeq
         .map(p => ctx.rebase(p).toString),
       Seq(url_decode(regexp_replace(
         element_at(split(col("_metadata.file_path"), "/"), -1),
         "\\+", "%2B")).as("__file")))
-    val affected = df.filter(predicate).select("__file")
-      .distinct().collect().map(_.getString(0)).toSet // planning-bounded
-    if (affected.isEmpty) return curId
-
-    val sq = spark
-    import sq.implicits._
-    val affDf = broadcast(affected.toSeq.sorted.toDF("__file"))
-    // survivors of ONLY the affected files; a NULL predicate is not a
-    // match, so those rows must survive the rewrite
-    val survivors = df.join(affDf, Seq("__file"), "left_semi")
-      .filter(not(coalesce(predicate, lit(false))))
-      .select(ctx.sparkSchema.fieldNames.toSeq.map(col): _*)
-    val deletedEntries: Seq[JMap] = live.collect {
-      case (p, dfm) if affected(decodedFname(p)) =>
-        Map[String, Any]("file_path" -> p,
-          "file_format" -> "PARQUET",
-          "record_count" -> dfm.get("record_count").map(asLong)
-            .getOrElse(0L),
-          "file_size_in_bytes" -> dfm.get("file_size_in_bytes")
-            .map(asLong).getOrElse(1L),
-          "lower_bounds" -> null,
-          "upper_bounds" -> null): JMap
-    }.toSeq
-    require(deletedEntries.length == affected.size,
-      s"affected files ${affected.size} resolved to " +
-        s"${deletedEntries.length} manifest entries in $table")
-    commitSnapshot(spark, table, Some(survivors), Nil, deletedEntries,
-      "overwrite")
+    DmlTarget(ctx, curId, live.toSeq, df)
   }
 
   /** MERGE (upsert), COPY-ON-WRITE — the [[DeltaLite.commitMerge]]
@@ -705,11 +764,8 @@ object IcebergLite {
                   keyCols: Seq[String]): Long = {
     import org.apache.spark.sql.functions._
     require(keyCols.nonEmpty, "merge needs at least one key column")
-    val ctx = new Ctx(spark, table)
-    require(asLong(ctx.root.getOrElse("format-version", 1L)) == 1L,
-      "iceberg merge supports format-version 1 tables only")
-    require(ctx.defaultSpecFields.isEmpty,
-      "iceberg merge on partitioned tables is beyond this writer")
+    val t = dmlLiveTarget(spark, table, "merge")
+    val ctx = t.ctx
     require(source.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
       ctx.sparkSchema.fields.map(f => (f.name, f.dataType)).toSeq,
       s"merge source schema ${source.schema.simpleString} does not " +
@@ -720,37 +776,10 @@ object IcebergLite {
     require(source.groupBy(keyCols.map(col): _*).count()
       .filter(col("count") > 1).isEmpty,
       "merge source has duplicate keys — ambiguous merge")
-    val curId = asLong(ctx.root.getOrElse("current-snapshot-id",
-      sys.error(s"table has no current snapshot: $table")))
-    if (source.isEmpty) return curId
-    val snap = ctx.snapById(curId)
-    val manifestRows = ctx.manifestRowsOf(snap)
-    require(!manifestRows.exists(_.get("content").exists(asLong(_) == 1L)),
-      "iceberg merge over v2 delete manifests is beyond this writer")
+    if (source.isEmpty) return t.curId
 
-    val live = scala.collection.mutable.LinkedHashMap.empty[String, JMap]
-    ctx.decodeManifests(manifestRows).foreach { case (mrow, entries) =>
-      val mp = ctx.pathOf(mrow)
-      entries.foreach { e =>
-        val status = asLong(e.getOrElse("status",
-          sys.error(s"manifest $mp entry without status")))
-        val dfm = asMap(e.getOrElse("data_file",
-          sys.error(s"manifest $mp entry without data_file")))
-        val path = dfm.getOrElse("file_path",
-          sys.error(s"manifest $mp data_file without file_path")).toString
-        if (status == 2) live.remove(path) else live(path) = dfm
-      }
-    }
-    require(live.nonEmpty, s"empty Iceberg snapshot of $table")
-
-    def decodedFname(p: String): String =
-      uriDecodeSeg(p.substring(p.lastIndexOf('/') + 1))
-    val dataCols = ctx.sparkSchema.fieldNames.toSeq
-    val target = ctx.pinnedParquet(spark, live.keys.toSeq
-        .map(p => ctx.rebase(p).toString),
-      Seq(url_decode(regexp_replace(
-        element_at(split(col("_metadata.file_path"), "/"), -1),
-        "\\+", "%2B")).as("__file")))
+    val dataCols = t.dataCols
+    val target = t.df
     val srcKeys = source.select(keyCols.map(col): _*)
     val matchedTarget = target.join(broadcast(srcKeys), keyCols,
       "left_semi")
@@ -779,17 +808,7 @@ object IcebergLite {
           .select(dataCols.map(col): _*)
           .unionByName(updates)
       }).unionByName(inserts)
-    val deletedEntries: Seq[JMap] = live.collect {
-      case (p, dfm) if affected(decodedFname(p)) =>
-        Map[String, Any]("file_path" -> p,
-          "file_format" -> "PARQUET",
-          "record_count" -> dfm.get("record_count").map(asLong)
-            .getOrElse(0L),
-          "file_size_in_bytes" -> dfm.get("file_size_in_bytes")
-            .map(asLong).getOrElse(1L),
-          "lower_bounds" -> null,
-          "upper_bounds" -> null): JMap
-    }.toSeq
+    val deletedEntries = t.deletedEntriesOf(affected)
     commitSnapshot(spark, table, Some(newData), Nil, deletedEntries,
       if (deletedEntries.isEmpty) "append" else "overwrite")
   }

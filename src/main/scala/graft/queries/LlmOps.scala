@@ -4583,6 +4583,81 @@ object LlmOps {
       "face", "prio")
   }
 
+  /** Delta UPDATE fixture: unpartitioned orders projection, one
+    * copy-on-write update — every k divisible by 3 gets st='UX'. */
+  private def deltaUpdateFixture(s: SparkSession, d: String): String =
+    parquetNestedDirs.computeIfAbsent(s"$d#deltaupd", _ => {
+      val dir = java.nio.file.Files.createTempDirectory("delta_upd")
+      graft.operators.DeltaLite.commitAppend(s, dir.toString,
+        orders(s, d).coalesce(1)
+          .select(col("o_orderkey").cast("long").as("k"),
+            col("o_orderstatus").as("st"),
+            col("o_orderpriority").as("prio")))
+      graft.operators.DeltaLite.commitUpdate(s, dir.toString,
+        col("k") % 3 === 0, Seq("st" -> lit("UX")))
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().forEachRemaining(q => q.toFile.deleteOnExit())
+      finally walk.close()
+      dir.toString
+    })
+
+  /** Delta UPDATE gate: `cur` proves in-place set-expression rewrites
+    * (n_upd counts 'UX' per priority — exactly the k%3 rows), the
+    * `cdf_*` faces replay the commit's preimage/postimage pairs. */
+  def xDeltaUpdate(s: SparkSession, d: String): DataFrame = {
+    val dir = deltaUpdateFixture(s, d)
+    val cur = graft.operators.DeltaLite.snapshot(s, dir)
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        count(when(col("st") === "UX", 1)).as("n_upd"))
+      .select(lit("cur").as("face"), col("*"))
+    val cdf = graft.operators.DeltaLite.changes(s, dir, 1L, 1L)
+      .groupBy(col("_change_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        count(when(col("st") === "UX", 1)).as("n_upd"))
+      .select(concat(lit("cdf_"), col("_change_type")).as("face"),
+        lit("all").as("prio"), col("n"), col("sum_k"), col("n_upd"))
+    ordered(cur.unionByName(cdf), "face", "prio")
+  }
+
+  /** Iceberg UPDATE fixture: unpartitioned orders projection, the
+    * same k%3 copy-on-write update, one overwrite snapshot. */
+  private def icebergUpdateFixture(s: SparkSession, d: String): String =
+    parquetNestedDirs.computeIfAbsent(s"$d#iceupd", _ => {
+      val dir = java.nio.file.Files.createTempDirectory("ice_upd")
+      val pre = graft.operators.IcebergLite.commitAppend(s, dir.toString,
+        orders(s, d).coalesce(1)
+          .select(col("o_orderkey").cast("long").as("k"),
+            col("o_orderstatus").as("st"),
+            col("o_orderpriority").as("prio")))
+      graft.operators.IcebergLite.commitUpdate(s, dir.toString,
+        col("k") % 3 === 0, Seq("st" -> lit("UX")))
+      java.nio.file.Files.writeString(dir.resolve("PRE"), pre.toString)
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().forEachRemaining(q => q.toFile.deleteOnExit())
+      finally walk.close()
+      dir.toString
+    })
+
+  /** Iceberg UPDATE gate: `cur` proves the set-expression rewrite,
+    * `pre` time-travels to the untouched originals. */
+  def xIcebergUpdate(s: SparkSession, d: String): DataFrame = {
+    val dir = icebergUpdateFixture(s, d)
+    val pre = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "PRE")).trim.toLong
+    def face(label: String, df: DataFrame) =
+      df.groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          count(when(col("st") === "UX", 1)).as("n_upd"))
+        .select(lit(label).as("face"), col("*"))
+    ordered(
+      face("cur", graft.operators.IcebergLite.snapshot(s, dir))
+        .unionByName(face("pre",
+          graft.operators.IcebergLite.snapshot(s, dir,
+            snapshotId = pre))),
+      "face", "prio")
+  }
+
   /** Iceberg EXPIRE-SNAPSHOTS fixture: three appends (prios 1–2,
     * 3–4, 5), then `expireSnapshots` older-than the second commit's
     * timestamp — the first two snapshots expire (their manifest
@@ -5875,6 +5950,8 @@ object LlmOps {
     "x_iceberg_delete"    -> (xIcebergDelete _),
     "x_delta_merge"       -> (xDeltaMerge _),
     "x_iceberg_merge"     -> (xIcebergMerge _),
+    "x_delta_update"      -> (xDeltaUpdate _),
+    "x_iceberg_update"    -> (xIcebergUpdate _),
     "x_iceberg_prune"     -> (xIcebergPrune _),
     "x_iceberg_deletes"   -> (xIcebergDeletes _),
     "x_iceberg_eqdel"     -> (xIcebergEqdel _),
@@ -6455,6 +6532,33 @@ object LlmOps {
         "min(o_orderstatus), max(o_orderstatus) " +
         "FROM orders WHERE CAST(substr(o_orderpriority,1,1) AS INT) <= 3 " +
         "GROUP BY 2 ORDER BY snap, prio"),
+    "x_delta_update" ->
+      """WITH b AS (SELECT o_orderpriority AS prio,
+        |    CAST(o_orderkey AS BIGINT) AS k FROM orders)
+        |SELECT 'cdf_update_postimage' AS face, 'all' AS prio,
+        |  count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        |  count(*) AS n_upd FROM b WHERE k % 3 = 0
+        |UNION ALL
+        |SELECT 'cdf_update_preimage', 'all', count(*),
+        |  CAST(sum(k) AS BIGINT), CAST(0 AS BIGINT)
+        |FROM b WHERE k % 3 = 0
+        |UNION ALL
+        |SELECT 'cur', prio, count(*), CAST(sum(k) AS BIGINT),
+        |  CAST(count(CASE WHEN k % 3 = 0 THEN 1 END) AS BIGINT)
+        |FROM b GROUP BY 2
+        |ORDER BY face, prio""".stripMargin,
+    "x_iceberg_update" ->
+      """WITH b AS (SELECT o_orderpriority AS prio,
+        |    CAST(o_orderkey AS BIGINT) AS k FROM orders)
+        |SELECT 'cur' AS face, prio, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(count(CASE WHEN k % 3 = 0 THEN 1 END) AS BIGINT) AS n_upd
+        |FROM b GROUP BY 2
+        |UNION ALL
+        |SELECT 'pre', prio, count(*), CAST(sum(k) AS BIGINT),
+        |  CAST(0 AS BIGINT)
+        |FROM b GROUP BY 2
+        |ORDER BY face, prio""".stripMargin,
     "x_delta_merge" ->
       """WITH b AS (SELECT o_orderpriority AS prio, o_orderstatus AS st,
         |    CAST(o_orderkey AS BIGINT) AS k FROM orders)

@@ -798,6 +798,44 @@ class DeltaLiteSpec extends SparkSpec {
     }
   }
 
+  test("commitUpdate: set expressions rewrite matched rows, partition moves restage") {
+    val dir = Files.createTempDirectory("dlupd").toString
+    val batch = spark.range(1, 21).coalesce(1).select(col("id").as("k"),
+      concat(lit("s"), col("id").cast("string")).as("s"),
+      (col("id") % 2).cast("string").as("g"))
+    DeltaLite.commitAppend(spark, dir, batch, Seq("g")) // v0
+    val v1 = DeltaLite.commitUpdate(spark, dir, col("k") <= 5,
+      Seq("s" -> concat(lit("u"), col("k").cast("string"))))
+    assert(v1 === 1L)
+    val snap = DeltaLite.snapshot(spark, dir)
+    assert(snap.count() === 20)
+    assert(snap.filter(col("k") === 3).select("s").as[String].head()
+      === "u3")
+    assert(snap.filter(col("k") === 9).select("s").as[String].head()
+      === "s9")
+    val ch = DeltaLite.changes(spark, dir, v1, v1)
+    assert(ch.filter(col("_change_type") === "update_preimage")
+      .count() === 5)
+    assert(ch.filter(col("_change_type") === "update_postimage")
+      .select("s").as[String].collect().sorted
+      === Array("u1", "u2", "u3", "u4", "u5"))
+    // updating the PARTITION column moves the row to its new directory
+    val v2 = DeltaLite.commitUpdate(spark, dir, col("k") === 7,
+      Seq("g" -> lit("9")))
+    val snap2 = DeltaLite.snapshot(spark, dir)
+    assert(snap2.filter(col("g") === "9").select("k").as[Long].head()
+      === 7L)
+    assert(snap2.count() === 20)
+    assert(v2 === 2L)
+    // no-op and unknown-column declines
+    assert(DeltaLite.commitUpdate(spark, dir, col("k") === -1,
+      Seq("s" -> lit("x"))) === v2)
+    intercept[IllegalArgumentException] {
+      DeltaLite.commitUpdate(spark, dir, col("k") === 1,
+        Seq("nope" -> lit("x")))
+    }
+  }
+
   test("vacuum: aged tombstones deleted, live and DV-referenced files survive") {
     val dir = Files.createTempDirectory("dlvac").toString
     def batch(lo: Long, hi: Long) =

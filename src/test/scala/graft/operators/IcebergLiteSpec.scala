@@ -1072,6 +1072,34 @@ class IcebergLiteSpec extends SparkSpec {
     }
   }
 
+  test("commitUpdate: only matched files rewrite, others untouched") {
+    val dir = Files.createTempDirectory("iceupd").toString
+    def batch(lo: Long, hi: Long) =
+      spark.range(lo, hi + 1).coalesce(1).select(col("id").as("k"),
+        concat(lit("s"), col("id").cast("string")).as("s"))
+    IcebergLite.commitAppend(spark, dir, batch(1, 50))
+    val pre = IcebergLite.commitAppend(spark, dir, batch(51, 100))
+    val u1 = IcebergLite.commitUpdate(spark, dir,
+      col("k").between(60, 65), Seq("s" -> lit("X")))
+    assert(u1 === pre + 1)
+    val snap = IcebergLite.snapshot(spark, dir)
+    assert(snap.count() === 100)
+    assert(snap.filter(col("s") === "X").count() === 6)
+    assert(snap.filter(col("k") === 30).select("s").as[String].head()
+      === "s30")
+    assert(snap.agg(sum("k")).head().getLong(0) === (1L to 100L).sum)
+    // the pre-update snapshot reads the original values
+    assert(IcebergLite.snapshot(spark, dir, snapshotId = pre)
+      .filter(col("s") === "X").count() === 0)
+    // no-op predicate; unknown set column declines
+    assert(IcebergLite.commitUpdate(spark, dir, col("k") === -1,
+      Seq("s" -> lit("y"))) === u1)
+    intercept[IllegalArgumentException] {
+      IcebergLite.commitUpdate(spark, dir, col("k") === 1,
+        Seq("nope" -> lit("x")))
+    }
+  }
+
   test("schema evolution: rename and drop+re-add resolve by field id") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("iceevo").toString
