@@ -4450,7 +4450,7 @@ object LlmOps {
     * divisible-by-7 copy-on-write delete — one `overwrite` snapshot
     * carries the rewritten files plus DELETED entries. */
   private def icebergRowDeleteFixture(s: SparkSession, d: String): String =
-    parquetNestedDirs.computeIfAbsent(s"$d#icedel", _ => {
+    parquetNestedDirs.computeIfAbsent(s"$d#icerowdel", _ => {
       val dir = java.nio.file.Files.createTempDirectory("ice_del")
       def sel(ps: Seq[String]) = orders(s, d)
         .filter(col("o_orderpriority").isin(ps: _*)).coalesce(1)
