@@ -1,0 +1,186 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-18 optimization profiling: stage-by-stage wall times for the
+  * bench hot spots this round targets (Delta DML fixtures, the
+  * containment prefix path, crawl waves, triangles, image near-dup),
+  * so each multi-second query is attributed to a specific phase
+  * before anything is changed. Usage:
+  *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.ProfileR18 /root/testdata/sf0.1 delta prefix"
+  */
+object ProfileR18 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val which = if (args.length > 1) args.drop(1).toSet else Set("all")
+    def on(k: String) = which("all") || which(k)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[p18] $label%-44s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      r
+    }
+    // same warm-up as Bench/Triage so numbers are comparable
+    Seq("lineitem", "orders", "documents", "embeddings")
+      .foreach(t => graft.Tables.table(spark, sfDir, t).count())
+    graft.Tables.events(spark, sfDir).count()
+    graft.SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).count())
+
+    val docs = graft.Tables.documents(spark, sfDir)
+
+    if (on("delta")) {
+      // phase the Delta DML fixture: append, merge, snapshot, changes
+      val dir = java.nio.file.Files.createTempDirectory("p18_delta").toString
+      val base = graft.Tables.orders(spark, sfDir).coalesce(1)
+        .select(col("o_orderkey").cast("long").as("k"),
+          col("o_orderstatus").as("st"),
+          col("o_orderpriority").as("prio"))
+      time("delta commitAppend (partitioned)")(
+        graft.operators.DeltaLite.commitAppend(spark, dir, base, Seq("prio")))
+      val src = base.filter(col("k") % 5 === 0)
+        .withColumn("st", lit("UP"))
+        .unionByName(spark.range(1, 4).select((-col("id")).as("k"),
+          lit("NW").as("st"), lit("9-SYN").as("prio")))
+      time("delta commitMerge")(
+        graft.operators.DeltaLite.commitMerge(spark, dir, src, Seq("k")))
+      time("delta snapshot agg")(
+        graft.operators.DeltaLite.snapshot(spark, dir)
+          .groupBy(col("prio")).agg(count(lit(1))).count())
+      time("delta changes agg")(
+        graft.operators.DeltaLite.changes(spark, dir, 1L, 1L)
+          .groupBy(col("_change_type")).agg(count(lit(1))).count())
+      time("delta snapshot agg (2nd)")(
+        graft.operators.DeltaLite.snapshot(spark, dir)
+          .groupBy(col("prio")).agg(count(lit(1))).count())
+      val dir2 = java.nio.file.Files.createTempDirectory("p18_delta2").toString
+      time("delta 4 appends + compact + checkpoint")({
+        val quarters = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED")
+        quarters.foreach { q =>
+          val pred = if (q == "4-NOT SPECIFIED")
+            col("prio") === q || col("prio") === "5-LOW"
+          else col("prio") === q
+          graft.operators.DeltaLite.commitAppend(spark, dir2,
+            base.filter(pred))
+        }
+        graft.operators.DeltaLite.commitCompact(spark, dir2)
+        graft.operators.DeltaLite.commitCheckpoint(spark, dir2)
+      })
+    }
+
+    if (on("prefix")) {
+      // phase the containment prefix path (mirrors Dedup internals)
+      import org.apache.spark.sql.expressions.Window
+      val g = time("shingles + checkpoint")(
+        graft.llm.Dedup.shingles(docs, 3).localCheckpoint(true))
+      time("  gram rows")(println("    grams=" + g.count()))
+      val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val withDf = g.join(g.groupBy("gram").agg(count(lit(1)).as("df")), "gram")
+      val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))
+      val prefixes = time("prefixes (df join + window + cut)")(
+        withDf.withColumn("pos", row_number().over(byRarity))
+          .join(sizes, "doc_id")
+          .filter(col("pos") <= col("sz") - ceil(col("sz") * 0.9) + 1)
+          .select(col("doc_id").as("c1"), col("gram"))
+          .localCheckpoint(true))
+      println("    prefix rows=" + prefixes.count())
+      val cands = time("candidates (prefix x grams, distinct)")({
+        val c = prefixes
+          .join(g.select(col("doc_id").as("c2"), col("gram")), "gram")
+          .filter(col("c1") =!= col("c2"))
+          .select(least(col("c1"), col("c2")).as("d1"),
+            greatest(col("c1"), col("c2")).as("d2"))
+          .distinct()
+          .localCheckpoint(true)
+        println("    cand rows=" + c.count()); c
+      })
+      val gsets = g.groupBy("doc_id").agg(collect_list(col("gram")).as("gs"))
+      time("verification (2 joins + intersect)")(
+        cands
+          .join(gsets.select(col("doc_id").as("d1"), col("gs").as("gs1")), Seq("d1"))
+          .join(gsets.select(col("doc_id").as("d2"), col("gs").as("gs2")), Seq("d2"))
+          .select(col("d1"), col("d2"),
+            size(array_intersect(col("gs1"), col("gs2"))).cast("long").as("i"))
+          .count())
+      time("full x_dedup_contain_prefix")(
+        graft.SparkEntry.queries("x_dedup_contain_prefix")(spark, sfDir).count())
+      time("full x_dedup_contain (direct)")(
+        graft.SparkEntry.queries("x_dedup_contain")(spark, sfDir).count())
+    }
+
+    if (on("graph")) {
+      val li = graft.Tables.lineitem(spark, sfDir)
+      val supply = time("supply distinct")({
+        val sp = li.select("l_partkey", "l_suppkey").distinct()
+          .localCheckpoint(true)
+        println("    supply rows=" + sp.count()); sp
+      })
+      val b = supply.select(col("l_partkey"), col("l_suppkey").as("__s2"))
+      val co = time("co-supply self-join + agg")({
+        val c = supply.join(b,
+            supply("l_partkey") === b("l_partkey") &&
+              col("l_suppkey") < col("__s2"))
+          .groupBy(col("l_suppkey").as("src"), col("__s2").as("dst"))
+          .agg(count(lit(1)).as("shared"))
+          .localCheckpoint(true)
+        println("    co rows=" + c.count()); c
+      })
+      val edges = time("threshold edges")({
+        val e = co.join(broadcast(co.agg(max(col("shared")).as("__mx"))))
+          .filter(col("shared") >= col("__mx") - 10)
+          .select("src", "dst").localCheckpoint(true)
+        println("    edges=" + e.count()); e
+      })
+      time("trianglesDegreeOrdered")(
+        graft.operators.Graph.trianglesDegreeOrdered(edges).count())
+      time("full e8_triangles")(
+        graft.SparkEntry.queries("e8_triangles")(spark, sfDir).count())
+    }
+
+    if (on("image")) {
+      val bmp = time("syntheticBmpImages materialize")(
+        graft.llm.Multimodal.syntheticBmpImages(docs).localCheckpoint(true))
+      println("    images=" + bmp.count())
+      time("imageNearDupPairs from materialized")(
+        graft.llm.Dedup.imageNearDupPairs(bmp, "doc_id", "payload",
+          maxDist = 3).count())
+      time("full x_image_neardup")(
+        graft.SparkEntry.queries("x_image_neardup")(spark, sfDir).count())
+    }
+
+    if (on("crawl")) {
+      time("full x_crawl_waves")(
+        graft.SparkEntry.queries("x_crawl_waves")(spark, sfDir).count())
+      time("full x_crawl_waves (2nd)")(
+        graft.SparkEntry.queries("x_crawl_waves")(spark, sfDir).count())
+    }
+
+    if (on("winnow")) {
+      time("full x_text_winnow")(
+        graft.SparkEntry.queries("x_text_winnow")(spark, sfDir).count())
+      time("full x_typo_pairs")(
+        graft.SparkEntry.queries("x_typo_pairs")(spark, sfDir).count())
+      time("full j11_overlap_join")(
+        graft.SparkEntry.queries("j11_overlap_join")(spark, sfDir).count())
+      time("full x_web_pipeline")(
+        graft.SparkEntry.queries("x_web_pipeline")(spark, sfDir).count())
+      time("full x_host_rank_incr")(
+        graft.SparkEntry.queries("x_host_rank_incr")(spark, sfDir).count())
+      time("full x_link_rank")(
+        graft.SparkEntry.queries("x_link_rank")(spark, sfDir).count())
+    }
+
+    spark.stop()
+  }
+}
