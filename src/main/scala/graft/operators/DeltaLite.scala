@@ -160,17 +160,19 @@ object DeltaLite {
     partitionBy.foreach(pc => require(schema.fieldNames.contains(pc),
       s"partition column $pc not in the DataFrame"))
     if (version > 0) {
-      // schema must match the table's governing metaData exactly
-      val current = build(spark, table, Long.MaxValue, keep = null)
-      val _ = current // replay validates the log; schema check below
-      val metaRow = latestMeta(spark, fs, logDir, table)
-      val tableSchema = DataType.fromJson(metaRow.getString(0))
+      // ONE replay job validates the log (anchored/gap-free checks run
+      // inside replayActions, the protocol gate inside replayState) and
+      // supplies the governing metaData for the schema check — this
+      // formerly cost three replay jobs (build's two collects plus a
+      // separate latestMeta replay)
+      val rs = replayState(spark, fs, logDir, table, Long.MaxValue)
+      require(rs.liveAdds.nonEmpty, s"empty snapshot of $table")
+      val tableSchema = DataType.fromJson(rs.schemaString)
         .asInstanceOf[StructType]
       require(tableSchema == schema,
         s"append schema ${schema.simpleString} does not match the " +
           s"table schema ${tableSchema.simpleString}")
-      val tablePartCols = Option(metaRow.getSeq[String](1))
-        .getOrElse(Seq.empty)
+      val tablePartCols = rs.partCols
       require(tablePartCols == partitionBy,
         s"append partitioning $partitionBy does not match the table's " +
           s"$tablePartCols")
@@ -209,13 +211,14 @@ object DeltaLite {
     val logDir = new Path(table, LogDir)
     val version = latestVersion(spark, table) + 1
     require(version > 0, s"not a Delta table (no commits): $table")
-    val metaRow = latestMeta(spark, fs, logDir, table)
-    val partCols = Option(metaRow.getSeq[String](1)).getOrElse(Seq.empty)
-    val cmap = Option(metaRow.getMap[String, String](2))
-      .flatMap(_.get("delta.columnMapping.mode")).getOrElse("none")
+    // one replay job serves the meta checks AND the rewrite's data read
+    val rs = replayState(spark, fs, logDir, table, Long.MaxValue)
+    val partCols = rs.partCols
+    val cmap = rs.configuration
+      .getOrElse("delta.columnMapping.mode", "none")
     require(cmap == "none",
       "compaction on column-mapped tables is beyond this writer")
-    val cur = build(spark, table, Long.MaxValue, keep = null)
+    val cur = buildFrom(spark, fs, table, rs, keep = null)
     val adds = stageAdds(spark, fs, table,
       cur.data.coalesce(targetFiles), partCols, version,
       dataChange = false)
@@ -354,34 +357,22 @@ object DeltaLite {
     require(fs.exists(logDir), s"not a Delta table (no $LogDir): $table")
     val version = latestVersion(spark, table) + 1
     require(version > 0, s"not a Delta table (no commits): $table")
-    val metaRow = latestMeta(spark, fs, logDir, table)
-    val schema = DataType.fromJson(metaRow.getString(0))
+    // ONE replay job supplies meta AND the reconciled live-file list
+    // (this path formerly replayed the log twice more: once for
+    // latestMeta, once for its own window reconciliation)
+    val rs = replayState(spark, fs, logDir, table, Long.MaxValue)
+    val schema = DataType.fromJson(rs.schemaString)
       .asInstanceOf[StructType]
-    val partCols = Option(metaRow.getSeq[String](1)).getOrElse(Seq.empty)
-    val cmap = Option(metaRow.getMap[String, String](2))
-      .flatMap(_.get("delta.columnMapping.mode")).getOrElse("none")
+    val partCols = rs.partCols
+    val cmap = rs.configuration
+      .getOrElse("delta.columnMapping.mode", "none")
     require(cmap == "none",
       s"$op on column-mapped tables is beyond this writer")
 
-    val actions = replayActions(spark, fs, logDir, table, Long.MaxValue)
-    import org.apache.spark.sql.expressions.Window
-    def latestBy(c: String) = actions.filter(col(c).isNotNull)
-      .select(col(c), col("v"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col(s"$c.path")).orderBy(col("v").desc)))
-      .filter(col("rn") === 1).drop("rn")
-    val la = latestBy("add").withColumnRenamed("v", "av")
-    val lr = latestBy("remove").withColumnRenamed("v", "rv")
-    val liveRows = la.join(lr, la("add.path") === lr("remove.path"), "full")
-      .filter(col("add").isNotNull &&
-        (col("rv").isNull || col("av") >= col("rv")))
-      .select(col("add.path"), col("add.partitionValues"),
-        col("add.deletionVector"))
-      .collect()
-      .map(r => (r.getString(0),
-        Option(r.getMap[String, String](1)).map(_.toMap)
-          .getOrElse(Map.empty[String, String]),
-        !r.isNullAt(2)))
+    val liveRows = rs.liveAdds.map(a => (a.getString(0),
+      Option(a.getMap[String, String](1)).map(_.toMap)
+        .getOrElse(Map.empty[String, String]),
+      !a.isNullAt(5)))
     require(liveRows.forall(!_._3),
       s"$op over deletion-vector files is beyond this writer")
 
@@ -391,12 +382,19 @@ object DeltaLite {
       val p = uriDecode(rel)
       p.substring(p.lastIndexOf('/') + 1)
     }
+    // escape-free basenames (this writer's part-NNNNN names) skip the
+    // per-row %XX decode of the join key — see buildFrom
+    val escapeFree = liveRows.forall { case (rel, _, _) =>
+      baseName(rel).forall(ch =>
+        ch.isLetterOrDigit || ch == '.' || ch == '_' || ch == '-') }
+    val rawName = substring_index(col("_metadata.file_path"), "/", -1)
     val df0 = spark.read.schema(dataSchema)
       .parquet(liveRows.map { case (rel, _, _) =>
         new Path(table, uriDecode(rel)).toString }.toSeq: _*)
-      .select(col("*"), url_decode(regexp_replace(
-        element_at(split(col("_metadata.file_path"), "/"), -1),
-        "\\+", "%2B")).as("__file"))
+      .select(col("*"),
+        (if (escapeFree) rawName
+         else url_decode(regexp_replace(rawName, "\\+", "%2B")))
+          .as("__file"))
     val pvRows = liveRows.toSeq.map { case (rel, pv, _) =>
       org.apache.spark.sql.Row.fromSeq(
         baseName(rel) +: partCols.map(pc => pv.get(pc).orNull))
@@ -448,13 +446,21 @@ object DeltaLite {
       schema.fields.map(f => (f.name, f.dataType)).toSeq,
       s"merge source schema ${source.schema.simpleString} does not " +
         s"match the table schema ${schema.simpleString}")
-    require(source.groupBy(keyCols.map(col): _*).count()
+    // the merge SOURCE is consumed five ways (dup-key check, the key
+    // broadcasts, the update join, the insert anti-join, CDC) — it is
+    // batch-sized by definition, so materialize it ONCE instead of
+    // re-running its upstream plan per consumer
+    val src = source.localCheckpoint(true)
+    require(src.groupBy(keyCols.map(col): _*).count()
       .filter(col("count") > 1).isEmpty,
       "merge source has duplicate keys — ambiguous merge")
 
-    val srcKeys = source.select(keyCols.map(col): _*)
+    val srcKeys = src.select(keyCols.map(col): _*)
+    // matched target rows are bounded by the source batch's key
+    // fan-out; materialized once, they serve the affected-file list,
+    // the update join, and the CDC preimage without three table scans
     val matchedTarget = target.join(broadcast(srcKeys), keyCols,
-      "left_semi")
+      "left_semi").localCheckpoint(true)
     val affected = matchedTarget.select("__file").distinct()
       .collect().map(_.getString(0)).toSet // planning-bounded
     val sq = spark
@@ -464,14 +470,18 @@ object DeltaLite {
     // every matched target row replaced by its source values (an
     // inner join on keys — one source row fans out to each matching
     // target copy) + brand-new source keys
-    val srcRenamed = source.select(dataCols.map(c =>
+    val srcRenamed = src.select(dataCols.map(c =>
       col(c).as(if (keyCols.contains(c)) c else s"__src_$c")): _*)
     val updates = matchedTarget.join(srcRenamed, keyCols)
       .select(dataCols.map(c =>
         (if (keyCols.contains(c)) col(c)
          else col(s"__src_$c").as(c))): _*)
-    val inserts = source.join(
+    // the insert set pays the one unavoidable full-key anti-join; it
+    // is consumed twice (rewrite + CDC), so materialize it too —
+    // batch-bounded like the source
+    val inserts = src.join(
       target.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .localCheckpoint(true)
     val newData =
       (if (affected.isEmpty)
         spark.createDataFrame(
@@ -570,16 +580,19 @@ object DeltaLite {
     require(version >= 0, s"empty Delta log in $table")
 
     // state-bearing actions this schema-pinned replay would DROP:
-    // sniff the raw JSON tail + any anchoring checkpoint's columns
+    // sniff the raw JSON tail + any anchoring checkpoint's columns.
+    // The sniff schema is PINNED (presence shows as a non-null struct)
+    // so no schema-inference pass runs over the log
     val jsonPaths = fs.listStatus(logDir).map(_.getPath)
       .filter(_.getName.matches("\\d{20}\\.json")).map(_.toString).toSeq
     if (jsonPaths.nonEmpty) {
-      val raw = spark.read.json(jsonPaths: _*)
+      val sniffSchema = StructType.fromDDL(
+        "txn STRUCT<appId: STRING>, domainMetadata STRUCT<domain: STRING>")
+      val raw = spark.read.schema(sniffSchema).json(jsonPaths: _*)
       Seq("txn", "domainMetadata").foreach { a =>
-        if (raw.columns.contains(a))
-          require(raw.filter(col(a).isNotNull).isEmpty,
-            s"checkpointing a table with `$a` actions is beyond this " +
-              "writer (the checkpoint must carry them forward)")
+        require(raw.filter(col(a).isNotNull).isEmpty,
+          s"checkpointing a table with `$a` actions is beyond this " +
+            "writer (the checkpoint must carry them forward)")
       }
     }
 
@@ -600,41 +613,47 @@ object DeltaLite {
 
     // distributed reconciliation: latest add / latest remove per path,
     // live iff the add is at least as new (the replay's tie rule);
-    // losing paths keep their winning remove as a tombstone
-    import org.apache.spark.sql.expressions.Window
-    def latestBy(c: String) = actions.filter(col(c).isNotNull)
-      .select(col(c), col("v"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col(s"$c.path")).orderBy(col("v").desc)))
-      .filter(col("rn") === 1).drop("rn")
-    val la = latestBy("add").withColumnRenamed("v", "av")
-    val lr = latestBy("remove").withColumnRenamed("v", "rv")
-    val joined = la.join(lr, la("add.path") === lr("remove.path"), "full")
-    val liveAdds = joined
-      .filter(col("add").isNotNull &&
-        (col("rv").isNull || col("av") >= col("rv")))
-      .select(col("add"))
-    val tombstones = joined
-      .filter(col("remove").isNotNull &&
-        (col("av").isNull || col("rv") > col("av")))
-      .select(col("remove"))
+    // losing paths keep their winning remove as a tombstone. ONE hash
+    // aggregation keyed by path (map-side partials) in place of the
+    // former two sort windows + full outer join — at checkpoint scale
+    // (every file the table ever had) that is one shuffle of the action
+    // set instead of three
+    val rec = actions
+      .filter(col("add").isNotNull || col("remove").isNotNull)
+      .groupBy(coalesce(col("add.path"), col("remove.path")).as("__path"))
+      .agg(
+        latestBy(col("add"), col("add").isNotNull).as("add"),
+        max(when(col("add").isNotNull, col("v"))).as("av"),
+        latestBy(col("remove"), col("remove").isNotNull).as("remove"),
+        max(when(col("remove").isNotNull, col("v"))).as("rv"))
+    val fileActions = rec.select(
+      when(col("add").isNotNull &&
+        (col("rv").isNull || col("av") >= col("rv")), col("add")).as("add"),
+      when(col("remove").isNotNull &&
+        (col("av").isNull || col("rv") > col("av")), col("remove"))
+        .as("remove"))
+      .filter(col("add").isNotNull || col("remove").isNotNull)
     val metaDf = actions.filter(col("metaData").isNotNull)
       .orderBy(col("v").desc).select(col("metaData")).limit(1)
     val protoDf = actions.filter(col("protocol").isNotNull)
       .orderBy(col("v").desc).select(col("protocol")).limit(1)
-    val cp = Seq(liveAdds, tombstones, metaDf, protoDf)
+    val cp = Seq(fileActions, metaDf, protoDf)
       .reduce(_.unionByName(_, allowMissingColumns = true))
 
-    // one parquet part, renamed into the log
+    // one parquet part, renamed into the log; the `_last_checkpoint`
+    // row count is observed during the SAME write job instead of a
+    // read-back count of the freshly written file
+    val obs = new org.apache.spark.sql.Observation(s"cp_rows_$version")
     val staging = new Path(table, s".cp-staging-$version")
-    cp.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    cp.coalesce(1).observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(staging.toString)
     val part = fs.listStatus(staging).map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).head
     val dest = new Path(logDir, f"$version%020d.checkpoint.parquet")
     require(!fs.exists(dest), s"checkpoint $version already exists")
     require(fs.rename(part, dest), s"rename to $dest failed")
     fs.delete(staging, true)
-    val size = spark.read.parquet(dest.toString).count()
+    val size = obs.get("n").asInstanceOf[Long]
     val hint = new Path(logDir, "_last_checkpoint")
     val out = fs.create(hint, true)
     try out.write(
@@ -690,27 +709,11 @@ object DeltaLite {
       spark.sparkContext.hadoopConfiguration)
     val logDir = new Path(table, LogDir)
     require(fs.exists(logDir), s"not a Delta table (no $LogDir): $table")
-    val actions = replayActions(spark, fs, logDir, table, Long.MaxValue)
-
-    import org.apache.spark.sql.expressions.Window
-    def latestBy(c: String) = actions.filter(col(c).isNotNull)
-      .select(col(c), col("v"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col(s"$c.path")).orderBy(col("v").desc)))
-      .filter(col("rn") === 1).drop("rn")
-    val la = latestBy("add").withColumnRenamed("v", "av")
-    val lr = latestBy("remove").withColumnRenamed("v", "rv")
-    val joined = la.join(lr, la("add.path") === lr("remove.path"), "full")
-    // the file LIST is metadata-bounded driver state, as in build()
-    val liveRows = joined
-      .filter(col("add").isNotNull &&
-        (col("rv").isNull || col("av") >= col("rv")))
-      .select(col("add.path"), col("add.deletionVector")).collect()
-    val deadRows = joined
-      .filter(col("remove").isNotNull &&
-        (col("av").isNull || col("rv") > col("av")))
-      .select(col("remove.path"), col("remove.deletionTimestamp"))
-      .collect()
+    // ONE replay job yields both the live file list and the losing
+    // tombstones (this path formerly ran two window/join collects)
+    val rs = replayState(spark, fs, logDir, table, Long.MaxValue)
+    val liveRows = rs.liveAdds
+    val deadRows = rs.tombstones
 
     def relOf(p: Path): String = {
       val root = new Path(table).toUri.getPath.stripSuffix("/")
@@ -721,7 +724,7 @@ object DeltaLite {
     // live = decoded data-file paths + referenced DV files
     val liveSet: Set[String] = liveRows.flatMap { r =>
       val dataRel = uriDecode(r.getString(0))
-      val dv = if (r.isNullAt(1)) None else Some(r.getStruct(1))
+      val dv = if (r.isNullAt(5)) None else Some(r.getStruct(5))
       dataRel +: dv.toSeq.flatMap { d =>
         val storage = d.getString(0)
         val poi = d.getString(1)
@@ -741,9 +744,8 @@ object DeltaLite {
         }
       }
     }.toSet
-    val tombstoneTs: Map[String, Long] = deadRows.map { r =>
-      uriDecode(r.getString(0)) ->
-        (if (r.isNullAt(1)) Long.MinValue else r.getLong(1))
+    val tombstoneTs: Map[String, Long] = deadRows.map { case (p, ts) =>
+      uriDecode(p) -> ts
     }.toMap
 
     // walk the table, skipping the log and hidden/underscore names at
@@ -771,21 +773,6 @@ object DeltaLite {
       fs.delete(new Path(table, rel), false))
     victims
   }
-
-  /** Latest metaData (schemaString, partitionColumns, configuration)
-    * resolved through the same checkpoint-anchored replay as
-    * snapshots — a raw-JSON lookup would go blind once [[cleanLog]]
-    * removes the commit that carried it. */
-  private def latestMeta(spark: SparkSession,
-                         fs: org.apache.hadoop.fs.FileSystem,
-                         logDir: Path,
-                         table: String): org.apache.spark.sql.Row =
-    replayActions(spark, fs, logDir, table, Long.MaxValue)
-      .filter(col("metaData").isNotNull).orderBy(col("v").desc)
-      .select("metaData.schemaString", "metaData.partitionColumns",
-        "metaData.configuration")
-      .limit(1).collect().headOption
-      .getOrElse(sys.error(s"no metaData action in $table"))
 
   private def jstr(s: String): String = {
     val sb = new StringBuilder
@@ -956,12 +943,34 @@ object DeltaLite {
       .withColumn("v", regexp_extract(input_file_name(),
         "(\\d{20})\\.json", 1).cast("long"))
 
-    // protocol gate + governing metaData — same rules as the snapshot
-    // replay, tiny driver rows by construction
-    val meta = actions
-      .select(col("v"), col("metaData"), col("protocol"))
-      .filter(col("metaData").isNotNull || col("protocol").isNotNull)
-      .collect()
+    // ONE driver collect serves the protocol gate, the governing
+    // metaData, and all three planning row groups (adds / removes /
+    // cdc) — this path formerly ran four separate collects, each
+    // re-parsing the whole JSON history
+    val actionRows = actions
+      .filter(col("add").isNotNull || col("remove").isNotNull ||
+        col("cdc").isNotNull || col("metaData").isNotNull ||
+        col("protocol").isNotNull)
+      .select(col("v"),
+        col("add.path").as("ap"), col("add.partitionValues").as("apv"),
+        coalesce(col("add.dataChange"), lit(true)).as("adc"),
+        col("add.deletionVector").isNotNull.as("adv"),
+        col("add").isNotNull.as("isAdd"),
+        col("remove.path").as("rp"),
+        coalesce(col("remove.dataChange"), lit(true)).as("rdc"),
+        col("remove").isNotNull.as("isRemove"),
+        col("cdc.path").as("cp"), col("cdc.partitionValues").as("cpv"),
+        col("cdc").isNotNull.as("isCdc"),
+        col("metaData"), col("protocol"))
+      .collect() // metadata-bounded planning rows, like the snapshot list
+    val meta = actionRows
+      .filter(r => !r.isNullAt(r.fieldIndex("metaData")) ||
+        !r.isNullAt(r.fieldIndex("protocol")))
+      .map(r => org.apache.spark.sql.Row(r.getLong(0),
+        if (r.isNullAt(r.fieldIndex("metaData"))) null
+        else r.getStruct(r.fieldIndex("metaData")),
+        if (r.isNullAt(r.fieldIndex("protocol"))) null
+        else r.getStruct(r.fieldIndex("protocol"))))
     meta.filter(!_.isNullAt(2)).sortBy(_.getLong(0)).lastOption.foreach { r =>
       val p = r.getStruct(2)
       val minReader = if (p.isNullAt(0)) 1 else p.getInt(0)
@@ -990,31 +999,22 @@ object DeltaLite {
 
     // driver-side planning rows: adds up to toVersion (remove-pv
     // lookup needs them), removes and cdc actions in range —
-    // metadata-bounded, like the snapshot FILE LIST
-    val addRows = actions.filter(col("add").isNotNull)
-      .select(col("add.path"), col("add.partitionValues"),
-        coalesce(col("add.dataChange"), lit(true)),
-        col("add.deletionVector").isNotNull, col("v"))
-      .collect()
-      .map(r => (r.getString(0),
-        Option(r.getMap[String, String](1)).map(_.toMap)
+    // metadata-bounded, decoded from the single collect above
+    val addRows = actionRows.filter(_.getBoolean(5))
+      .map(r => (r.getString(1),
+        Option(r.getMap[String, String](2)).map(_.toMap)
           .getOrElse(Map.empty[String, String]),
-        r.getBoolean(2), r.getBoolean(3), r.getLong(4)))
+        r.getBoolean(3), r.getBoolean(4), r.getLong(0)))
     require(!addRows.exists(_._4),
       "CDF over deletion-vector tables is beyond this reader")
-    val removeRows = actions.filter(col("remove").isNotNull &&
-        col("v").between(fromVersion, toVersion))
-      .select(col("remove.path"),
-        coalesce(col("remove.dataChange"), lit(true)), col("v"))
-      .collect()
-      .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
-    val cdcRows = actions.filter(col("cdc").isNotNull &&
-        col("v").between(fromVersion, toVersion))
-      .select(col("cdc.path"), col("cdc.partitionValues"), col("v"))
-      .collect()
-      .map(r => (r.getString(0),
-        Option(r.getMap[String, String](1)).map(_.toMap)
-          .getOrElse(Map.empty[String, String]), r.getLong(2)))
+    val removeRows = actionRows.filter(r => r.getBoolean(8) &&
+        r.getLong(0) >= fromVersion && r.getLong(0) <= toVersion)
+      .map(r => (r.getString(6), r.getBoolean(7), r.getLong(0)))
+    val cdcRows = actionRows.filter(r => r.getBoolean(11) &&
+        r.getLong(0) >= fromVersion && r.getLong(0) <= toVersion)
+      .map(r => (r.getString(9),
+        Option(r.getMap[String, String](10)).map(_.toMap)
+          .getOrElse(Map.empty[String, String]), r.getLong(0)))
     // a commit with cdc actions describes its own changes COMPLETELY —
     // its add/remove must not synthesize on top (double counting)
     val cdcVersions = cdcRows.map(_._3).toSet
@@ -1272,30 +1272,91 @@ object DeltaLite {
     }
   }
 
-  private def build(spark: SparkSession, table: String, versionAsOf: Long,
-                    keep: String => Boolean): Pruned = {
-    val fs = new Path(table).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val logDir = new Path(table, LogDir)
-    require(fs.exists(logDir), s"not a Delta table (no $LogDir): $table")
-    val actions = replayActions(spark, fs, logDir, table, versionAsOf)
+  /** Everything the driver needs from ONE log replay, collected by a
+    * SINGLE Spark job: the reconciled live add actions, the losing
+    * tombstones, and the latest metaData / protocol actions. The
+    * reconciliation is one hash aggregation keyed by path (`max_by`
+    * picks each path's latest add/remove; the meta singleton rides the
+    * same job under a sentinel key) — one shuffle with map-side
+    * partials, replacing the former two sort windows + full outer join
+    * + per-caller extra replays (build ran two collects; dmlTarget ran
+    * a third for latestMeta; commitAppend paid all of them). The
+    * driver-side footprint is unchanged: the file PLANNING list plus
+    * one meta row. */
+  private final case class ReplayState(
+      table: String,
+      liveAdds: Array[org.apache.spark.sql.Row],
+      tombstones: Array[(String, Long)],
+      metaData: Option[org.apache.spark.sql.Row],
+      protocol: Option[org.apache.spark.sql.Row]) {
+    def schemaString: String = metaRow.getAs[String]("schemaString")
+    def partCols: Seq[String] = {
+      val i = metaRow.fieldIndex("partitionColumns")
+      if (metaRow.isNullAt(i)) Seq.empty
+      else metaRow.getSeq[String](i).toSeq
+    }
+    def configuration: Map[String, String] = {
+      val i = metaRow.fieldIndex("configuration")
+      if (metaRow.isNullAt(i)) Map.empty
+      else metaRow.getMap[String, String](i).toMap
+    }
+    private def metaRow: org.apache.spark.sql.Row = metaData
+      .getOrElse(sys.error(s"no metaData action in $table"))
+  }
 
-    // protocol gate, latest metaData — tiny driver rows by construction
-    val meta = actions
-      .select(col("v"), col("metaData"), col("protocol"))
-      .filter(col("metaData").isNotNull || col("protocol").isNotNull)
-      .collect()
-    // the LATEST protocol action governs; minReaderVersion 3 is
-    // acceptable only when every listed reader feature is one this
-    // reader actually implements (v2Checkpoint) — 2 (column mapping)
-    // and unknown features raise rather than misread
-    meta.filter(!_.isNullAt(2)).sortBy(_.getLong(0)).lastOption.foreach { r =>
-      val p = r.getStruct(2)
+  /** The latest-add-vs-latest-remove winner per action kind, ignoring
+    * rows of other kinds (their ordering key collapses to −1, below
+    * every real version). */
+  private def latestBy(value: org.apache.spark.sql.Column,
+                       pred: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    max_by(value, coalesce(when(pred, col("v")), lit(-1L)))
+
+  private def replayState(spark: SparkSession,
+                          fs: org.apache.hadoop.fs.FileSystem,
+                          logDir: Path, table: String,
+                          versionAsOf: Long): ReplayState = {
+    val actions = replayActions(spark, fs, logDir, table, versionAsOf)
+    val rows = actions
+      .filter(col("add").isNotNull || col("remove").isNotNull ||
+        col("metaData").isNotNull || col("protocol").isNotNull)
+      .groupBy(coalesce(col("add.path"), col("remove.path"),
+        lit("__meta__")).as("__path"))
+      .agg(
+        latestBy(col("add"), col("add").isNotNull).as("add"),
+        max(when(col("add").isNotNull, col("v"))).as("av"),
+        max(when(col("remove").isNotNull, col("v"))).as("rv"),
+        latestBy(col("remove.deletionTimestamp"),
+          col("remove").isNotNull).as("rts"),
+        latestBy(col("metaData"), col("metaData").isNotNull).as("metaData"),
+        latestBy(col("protocol"), col("protocol").isNotNull).as("protocol"))
+      .collect() // the snapshot FILE LIST + 1 meta row — metadata-bounded
+    val liveAdds = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    val tombstones = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long)]
+    var metaRow: Option[org.apache.spark.sql.Row] = None
+    var protoRow: Option[org.apache.spark.sql.Row] = None
+    rows.foreach { r =>
+      val add = if (r.isNullAt(1)) null else r.getStruct(1)
+      val av = if (r.isNullAt(2)) Long.MinValue else r.getLong(2)
+      val rv = if (r.isNullAt(3)) Long.MinValue else r.getLong(3)
+      // live iff the latest add is at least as new as the latest remove
+      // (the protocol's reconciliation tie rule: the add wins)
+      if (add != null && (r.isNullAt(3) || av >= rv)) liveAdds += add
+      if (!r.isNullAt(3) && (r.isNullAt(2) || rv > av))
+        tombstones += (r.getString(0) ->
+          (if (r.isNullAt(4)) Long.MinValue else r.getLong(4)))
+      if (!r.isNullAt(5)) metaRow = Some(r.getStruct(5))
+      if (!r.isNullAt(6)) protoRow = Some(r.getStruct(6))
+    }
+    // protocol gate: the LATEST protocol action governs; minReaderVersion
+    // 3 is acceptable only when every listed reader feature is one this
+    // reader actually implements — unknown features raise, never misread
+    protoRow.foreach { p =>
       val minReader = if (p.isNullAt(0)) 1 else p.getInt(0)
       val feats: Seq[String] =
         if (p.length < 3 || p.isNullAt(2)) Seq.empty else p.getSeq[String](2)
-      // 2 = legacy column-mapping tables (name mode handled below,
-      // id mode raises at the metaData mode check)
       val ok = minReader <= 2 ||
         (minReader == 3 && feats.nonEmpty &&
           feats.forall(SupportedReaderFeatures))
@@ -1305,12 +1366,30 @@ object DeltaLite {
            else "") +
           " (reader features beyond this implementation)")
     }
-    val metaRow = meta.filter(!_.isNullAt(1)).sortBy(_.getLong(0)).lastOption
-      .getOrElse(sys.error(s"no metaData action in $table"))
-    val schema = DataType.fromJson(metaRow.getStruct(1).getString(1))
-      .asInstanceOf[StructType]
-    val partCols = Option(metaRow.getStruct(1).getSeq[String](2))
-      .getOrElse(Seq.empty)
+    ReplayState(table, liveAdds.toArray,
+      tombstones.toArray, metaRow, protoRow)
+  }
+
+  private def build(spark: SparkSession, table: String, versionAsOf: Long,
+                    keep: String => Boolean): Pruned = {
+    val fs = new Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val logDir = new Path(table, LogDir)
+    require(fs.exists(logDir), s"not a Delta table (no $LogDir): $table")
+    buildFrom(spark, fs, table,
+      replayState(spark, fs, logDir, table, versionAsOf), keep)
+  }
+
+  /** The data-read plan over an already-collected replay — split from
+    * [[build]] so operations that need BOTH the metadata and the data
+    * (commitCompact) pay one replay job, not two. */
+  private def buildFrom(spark: SparkSession,
+                        fs: org.apache.hadoop.fs.FileSystem,
+                        table: String, rs: ReplayState,
+                        keep: String => Boolean): Pruned = {
+    val schema = DataType.fromJson(rs.schemaString).asInstanceOf[StructType]
+    val partCols = rs.partCols
+    val metaConfiguration = rs.configuration
 
     // column mapping: NAME mode reads parquet by each field's recorded
     // physicalName and renames to the logical schema (partitionValues
@@ -1319,12 +1398,8 @@ object DeltaLite {
     // Spark's field-id resolution matches by id — which requires the
     // session to have it enabled (raise with guidance otherwise; files
     // without ids then fail Spark-side rather than misread).
-    val cmapMode = {
-      val conf = metaRow.getStruct(1)
-      if (conf.length < 4 || conf.isNullAt(3)) "none"
-      else Option(conf.getMap[String, String](3))
-        .flatMap(_.get("delta.columnMapping.mode")).getOrElse("none")
-    }
+    val cmapMode = metaConfiguration
+      .getOrElse("delta.columnMapping.mode", "none")
     require(cmapMode == "none" || cmapMode == "name" || cmapMode == "id",
       s"unsupported Delta columnMapping mode '$cmapMode'")
     if (cmapMode == "id") {
@@ -1389,33 +1464,14 @@ object DeltaLite {
       case _ => false
     }
 
-    // tombstone replay: live iff latest add is at least as new as the
-    // latest remove (a re-add after a remove resurrects the path; an
-    // add SHARING its commit version with the remove wins the tie —
-    // protocol reconciliation keeps the add for remove-then-re-add
-    // within one commit)
-    val adds = actions.filter(col("add").isNotNull)
-      .select(col("add.path").as("path"),
-        col("add.partitionValues").as("pv"),
-        col("add.stats").as("stats"),
-        col("add.deletionVector").as("dv"), col("v"))
-    val removes = actions.filter(col("remove").isNotNull)
-      .select(col("remove.path").as("path"), col("v").as("rv"))
-      .groupBy("path").agg(max("rv").as("rv"))
-    val latestAdds = adds
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("path").orderBy(col("v").desc)))
-      .filter(col("rn") === 1).drop("rn")
-    val liveAll = latestAdds.join(removes, Seq("path"), "left")
-      .filter(col("rv").isNull || col("v") >= col("rv"))
-      .select("path", "pv", "stats", "dv")
-      .collect() // the snapshot FILE LIST — metadata-bounded
-      .map(r => (r.getString(0),
-        Option(r.getMap[String, String](1)).map(_.toMap)
-          .getOrElse(Map.empty[String, String]),
-        if (r.isNullAt(2)) null else r.getString(2),
-        if (r.isNullAt(3)) null else r.getStruct(3)))
+    // tombstone replay already reconciled by replayState (live iff the
+    // latest add is at least as new as the latest remove); decode the
+    // carried add structs into the (path, pv, stats, dv) planning tuples
+    val liveAll = rs.liveAdds.map(a => (a.getString(0),
+      Option(a.getMap[String, String](1)).map(_.toMap)
+        .getOrElse(Map.empty[String, String]),
+      if (a.isNullAt(4)) null else a.getString(4),
+      if (a.isNullAt(5)) null else a.getStruct(5)))
 
     // stats-based file skipping: drop files the caller's stats
     // predicate rejects; files without stats are conservatively kept
@@ -1510,46 +1566,91 @@ object DeltaLite {
       s"deletion vectors name ${dvPositions.length} positions — past " +
         "this reader's cap")
 
-    // one read per distinct partition tuple; partition columns attach
-    // as CAST literals per the table schema
-    val groups = live.groupBy(_._2).toSeq.sortBy(_._1.toSeq.sortBy(_._1)
-      .map { case (k, x) => s"$k=$x" }.mkString(","))
-    val parts = groups.map { case (pv, files) =>
-      val paths = files.map { case (rel, _, _, _) =>
-        new Path(table, uriDecode(rel)).toString
-      }
-      val base0 = spark.read.schema(dataSchema).parquet(paths: _*)
-      // physical→logical renames happen HERE, so everything downstream
-      // (partition attach, DV anti-join, caller) sees logical names; a
-      // nested type renames via a positional struct cast back to the
-      // logical field names
-      val renameCols = dataFields.map { f =>
-        val c = col(physName(f.name))
-        (if (cmapMode != "none" && hasStruct(f.dataType)) c.cast(f.dataType)
-         else c).as(f.name)
-      }
-      // `_metadata.file_path` renders as a URI, so the DV join key must
-      // %XX-decode the basename to match the log-side decoded name
-      // (space, '%', '#' in file names would otherwise silently keep
-      // their deleted rows)
-      val runtimeName = url_decode(regexp_replace(
-        element_at(split(col("_metadata.file_path"), "/"), -1),
-        "\\+", "%2B"))
-      val base = if (!hasDv) base0.select(renameCols: _*)
-        else base0.select(renameCols ++ Seq(
-          runtimeName.as("__f"),
-          col("_metadata.row_index").as("__p")): _*)
-      val outCols = schema.fieldNames.toSeq ++
-        (if (hasDv) Seq("__f", "__p") else Nil)
-      partCols.foldLeft(base) { (df, pc) =>
-        val f = schema.find(_.name == pc)
-          .getOrElse(sys.error(s"partition column $pc missing from schema"))
-        df.withColumn(pc,
-          pv.get(physName(pc)).map(v => lit(v).cast(f.dataType))
-            .getOrElse(lit(null).cast(f.dataType)))
-      }.select(outCols.map(col): _*)
+    // physical→logical renames happen HERE, so everything downstream
+    // (partition attach, DV anti-join, caller) sees logical names; a
+    // nested type renames via a positional struct cast back to the
+    // logical field names
+    val renameCols = dataFields.map { f =>
+      val c = col(physName(f.name))
+      (if (cmapMode != "none" && hasStruct(f.dataType)) c.cast(f.dataType)
+       else c).as(f.name)
     }
-    val union = parts.reduce(_ unionByName _)
+    // `_metadata.file_path` renders as a URI, so the DV/partition join
+    // key must %XX-decode the basename to match the log-side decoded
+    // name (space, '%', '#' in file names would otherwise silently
+    // keep their deleted rows). When every live basename is
+    // escape-free (this writer's part-NNNNN names always are) the URI
+    // rendering is the identity, so the per-ROW decode work is skipped
+    // — at 100 TB the join key is then one substring scan per row
+    // instead of substring + regexp + %XX decode.
+    val basenames = live.map(f => baseName(f._1))
+    val escapeFree = basenames.forall(_.forall(ch =>
+      ch.isLetterOrDigit || ch == '.' || ch == '_' || ch == '-'))
+    val rawName = substring_index(col("_metadata.file_path"), "/", -1)
+    val runtimeName = if (escapeFree) rawName
+      else url_decode(regexp_replace(rawName, "\\+", "%2B"))
+    val outCols = schema.fieldNames.toSeq ++
+      (if (hasDv) Seq("__f", "__p") else Nil)
+    val uniqueBasenames = basenames.distinct.length == basenames.length
+    val union = if (partCols.isEmpty || uniqueBasenames) {
+      // ONE parquet relation over every live file — planning cost is
+      // one relation, not one per partition tuple (a 100 TB table
+      // carries thousands of tuples; the per-tuple relations + N-way
+      // union were pure Catalyst/file-index overhead per read).
+      // Partition columns attach through a broadcast basename→tuple
+      // join, the same pattern dmlTarget uses; partition-level FILE
+      // skipping stays in the planning layer (prunedSnapshot*), which
+      // filters the live list before this relation is built.
+      val paths = live.map { case (rel, _, _, _) =>
+        new Path(table, uriDecode(rel)).toString }
+      val base0 = spark.read.schema(dataSchema).parquet(paths.toSeq: _*)
+      val needFile = hasDv || partCols.nonEmpty
+      val base = if (!needFile) base0.select(renameCols: _*)
+        else base0.select(renameCols ++ Seq(runtimeName.as("__f")) ++
+          (if (hasDv) Seq(col("_metadata.row_index").as("__p"))
+           else Nil): _*)
+      val withPv = if (partCols.isEmpty) base
+        else {
+          val pvRows = live.toSeq.map { case (rel, pv, _, _) =>
+            org.apache.spark.sql.Row.fromSeq(baseName(rel) +:
+              partCols.map(pc => pv.get(physName(pc)).orNull))
+          }
+          val pvSchema = StructType(StructField("__f", StringType) +:
+            partCols.map(pc => StructField(s"__pv_$pc", StringType)).toSeq)
+          val pvDf = broadcast(spark.createDataFrame(
+            spark.sparkContext.parallelize(pvRows, 1), pvSchema))
+          partCols.foldLeft(base.join(pvDf, Seq("__f"))) { (d, pc) =>
+            val f = schema.find(_.name == pc).getOrElse(
+              sys.error(s"partition column $pc missing from schema"))
+            d.withColumn(pc, col(s"__pv_$pc").cast(f.dataType))
+          }
+        }
+      withPv.select(outCols.map(col): _*)
+    } else {
+      // basenames collide across partition directories (a foreign
+      // writer's layout): the broadcast join key would be ambiguous,
+      // so fall back to one read per distinct partition tuple with
+      // the tuple attached as CAST literals
+      val groups = live.groupBy(_._2).toSeq.sortBy(_._1.toSeq.sortBy(_._1)
+        .map { case (k, x) => s"$k=$x" }.mkString(","))
+      groups.map { case (pv, files) =>
+        val paths = files.map { case (rel, _, _, _) =>
+          new Path(table, uriDecode(rel)).toString
+        }
+        val base0 = spark.read.schema(dataSchema).parquet(paths.toSeq: _*)
+        val base = if (!hasDv) base0.select(renameCols: _*)
+          else base0.select(renameCols ++ Seq(
+            runtimeName.as("__f"),
+            col("_metadata.row_index").as("__p")): _*)
+        partCols.foldLeft(base) { (df, pc) =>
+          val f = schema.find(_.name == pc)
+            .getOrElse(sys.error(s"partition column $pc missing from schema"))
+          df.withColumn(pc,
+            pv.get(physName(pc)).map(v => lit(v).cast(f.dataType))
+              .getOrElse(lit(null).cast(f.dataType)))
+        }.select(outCols.map(col): _*)
+      }.reduce(_ unionByName _)
+    }
     val data =
       if (!hasDv) union
       else {

@@ -31,6 +31,21 @@ object ProfileR18 {
       println(f"[p18] $label%-44s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
       r
     }
+    if (sys.env.contains("SPARK_GRAFT_JOBLOG")) {
+      val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobStart.put(j.jobId, System.nanoTime()): Unit
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val t0 = jobStart.getOrDefault(j.jobId, 0L)
+            if (t0 > 0)
+              println(f"[job] #${j.jobId}%-4d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+          }
+        })
+    }
     // same warm-up as Bench/Triage so numbers are comparable
     Seq("lineitem", "orders", "documents", "embeddings")
       .foreach(t => graft.Tables.table(spark, sfDir, t).count())
@@ -39,7 +54,8 @@ object ProfileR18 {
 
     val docs = graft.Tables.documents(spark, sfDir)
 
-    if (on("delta")) {
+    if (on("delta")) (1 to 3).foreach { it =>
+      println(s"[p18] ---- delta iteration $it ----")
       // phase the Delta DML fixture: append, merge, snapshot, changes
       val dir = java.nio.file.Files.createTempDirectory("p18_delta").toString
       val base = graft.Tables.orders(spark, sfDir).coalesce(1)
