@@ -43,7 +43,7 @@ object Dedup {
     * (min-hash, collect_set): they get the same answer while skipping a
     * full shuffle of the gram table, the largest intermediate in the
     * dedup pipelines. */
-  private[llm] def rawShingles(docs: DataFrame, n: Int = 3): DataFrame =
+  private[graft] def rawShingles(docs: DataFrame, n: Int = 3): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"), explode(
@@ -115,7 +115,7 @@ object Dedup {
     * sparse keys pay one shuffle (grouped list -> i<j explosion), keys
     * with posting lists over `maxListSize` fall back to the distributed
     * self-join. */
-  private[llm] def coGroupedPairsWithPayload(df: DataFrame, key: String, id: String,
+  private[graft] def coGroupedPairsWithPayload(df: DataFrame, key: String, id: String,
                                              payload: String,
                                              maxListSize: Int = 4096): DataFrame = {
     val (cold, hot) = splitHotCold(df, key, maxListSize)
@@ -138,7 +138,7 @@ object Dedup {
   }
 
   /** 32-bit gram hash via md5 prefix — deterministic across engines. */
-  private[llm] def h32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  private[graft] def h32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
   /** 60-bit token hash (15 hex digits keeps it inside signed int64). */
   private[llm] def h60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 

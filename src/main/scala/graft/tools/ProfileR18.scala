@@ -175,6 +175,78 @@ object ProfileR18 {
         graft.SparkEntry.queries("x_image_neardup")(spark, sfDir).count())
     }
 
+    if (on("lsh")) (1 to 2).foreach { it =>
+      println(s"[p18] ---- lsh iteration $it ----")
+      graft.queries.LlmOps.resetArtifactCaches()
+      // phase the minhash-LSH pair build (mirrors Dedup internals)
+      val g = time("rawShingles + h32")(
+        graft.llm.Dedup.rawShingles(docs, 3)
+          .withColumn("h", graft.llm.Dedup.h32(col("gram")))
+          .localCheckpoint(true))
+      println("    gram rows=" + g.count())
+      val sigs = time("24 minhash aggs + collect_set + checkpoint")({
+        val aggs = (0 until 24).map { j =>
+          min(pmod(col("h") * (2 * j + 1) + (7919L * j + 12345L),
+            lit(4294967311L))).as(s"sig_$j")
+        } :+ sort_array(collect_set(col("h"))).as("hset")
+        g.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+          .localCheckpoint(true)
+      })
+      println("    sig rows=" + sigs.count())
+      val bandDf = (0 until 4).map { k =>
+        sigs.select(col("doc_id"), col("hset"),
+          concat_ws("|", lit(k), concat_ws("_",
+            (0 until 6).map(r => col(s"sig_${k * 6 + r}")): _*)).as("bk"))
+      }.reduce(_ unionByName _)
+      val cands = time("band pair join (coGroupedPairsWithPayload)")({
+        val c = graft.llm.Dedup.coGroupedPairsWithPayload(bandDf,
+          "bk", "doc_id", "hset").localCheckpoint(true)
+        println("    cand rows=" + c.count()); c
+      })
+      time("verify (intersect + jaccard + dropDup)")(
+        println("    pairs=" + cands
+          .select(col("d1"), col("d2"),
+            size(array_intersect(col("p1"), col("p2"))).as("i"),
+            size(col("p1")).as("sz1"), size(col("p2")).as("sz2"))
+          .select(col("d1"), col("d2"),
+            (col("i") / (col("sz1") + col("sz2") - col("i"))).as("jaccard"))
+          .filter(col("jaccard") >= 0.8)
+          .dropDuplicates("d1", "d2").count()))
+      time("full minhashLshPairs (one shot)")(
+        println("    pairs=" +
+          graft.llm.Dedup.minhashLshPairs(docs, 3, 0.8).count()))
+    }
+
+    if (on("iceberg")) (1 to 3).foreach { it =>
+      println(s"[p18] ---- iceberg iteration $it ----")
+      val dir = java.nio.file.Files.createTempDirectory("p18_ice").toString
+      val base = graft.Tables.orders(spark, sfDir).coalesce(1)
+        .select(col("o_orderkey").cast("long").as("k"),
+          col("o_orderstatus").as("st"),
+          col("o_orderpriority").as("prio"))
+      time("iceberg commitAppend x2")({
+        graft.operators.IcebergLite.commitAppend(spark, dir,
+          base.filter(col("prio") =!= "5-LOW"))
+        graft.operators.IcebergLite.commitAppend(spark, dir,
+          base.filter(col("prio") === "5-LOW"))
+      })
+      val src = base.filter(col("k") % 5 === 0)
+        .withColumn("st", lit("UP"))
+        .unionByName(spark.range(1, 4).select((-col("id")).as("k"),
+          lit("NW").as("st"), lit("9-SYN").as("prio")))
+      time("iceberg commitMerge")(
+        graft.operators.IcebergLite.commitMerge(spark, dir, src, Seq("k")))
+      time("iceberg snapshot agg")(
+        graft.operators.IcebergLite.snapshot(spark, dir)
+          .groupBy(col("prio")).agg(count(lit(1))).count())
+      val dir2 = java.nio.file.Files.createTempDirectory("p18_ice2").toString
+      time("iceberg append + delete")({
+        graft.operators.IcebergLite.commitAppend(spark, dir2, base)
+        graft.operators.IcebergLite.commitDelete(spark, dir2,
+          col("k") % 7 === 0)
+      })
+    }
+
     if (on("crawl")) {
       time("full x_crawl_waves")(
         graft.SparkEntry.queries("x_crawl_waves")(spark, sfDir).count())
