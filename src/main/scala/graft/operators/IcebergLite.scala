@@ -667,13 +667,16 @@ object IcebergLite {
     val affDf = broadcast(affected.toSeq.sorted.toDF("__file"))
     val inAffected = t.df.join(affDf, Seq("__file"), "left_semi")
     val setMap = set.toMap
-    val rewrite = inAffected
-      .filter(not(coalesce(predicate, lit(false))))
-      .select(t.dataCols.map(col): _*)
-      .unionByName(inAffected.filter(predicate)
-        .select(t.dataCols.map { c =>
-          setMap.get(c).map(_.cast(schema(c).dataType).as(c))
-            .getOrElse(col(c)) }: _*))
+    // ONE pass over the affected files: every row survives the rewrite
+    // (matched rows with `set` applied, the rest verbatim), so a
+    // per-column `when(predicate, set)` projection replaces the old
+    // two-filter union — half the affected-file scan, same row multiset
+    val matched = coalesce(predicate, lit(false))
+    val rewrite = inAffected.select(t.dataCols.map { c =>
+      setMap.get(c)
+        .map(e => when(matched, e.cast(schema(c).dataType))
+          .otherwise(col(c)).as(c))
+        .getOrElse(col(c)) }: _*)
     commitSnapshot(spark, table, Some(rewrite), Nil,
       t.deletedEntriesOf(affected), "overwrite")
   }
@@ -773,27 +776,36 @@ object IcebergLite {
     keyCols.foreach(k =>
       require(ctx.sparkSchema.fieldNames.contains(k),
         s"merge key $k not in the table schema"))
-    require(source.groupBy(keyCols.map(col): _*).count()
+    // the merge SOURCE is consumed four ways (dup-key check, the key
+    // broadcasts, the update join, the insert anti-join) — it is
+    // batch-sized by definition, so materialize it ONCE instead of
+    // re-running its upstream plan per consumer (the DeltaLite.commitMerge
+    // treatment)
+    val src = source.localCheckpoint(true)
+    require(src.groupBy(keyCols.map(col): _*).count()
       .filter(col("count") > 1).isEmpty,
       "merge source has duplicate keys — ambiguous merge")
-    if (source.isEmpty) return t.curId
+    if (src.isEmpty) return t.curId
 
     val dataCols = t.dataCols
     val target = t.df
-    val srcKeys = source.select(keyCols.map(col): _*)
+    val srcKeys = src.select(keyCols.map(col): _*)
+    // matched target rows are bounded by the source batch's key
+    // fan-out; materialized once, they serve both the affected-file
+    // list and the update join without two full table scans
     val matchedTarget = target.join(broadcast(srcKeys), keyCols,
-      "left_semi")
+      "left_semi").localCheckpoint(true)
     val affected = matchedTarget.select("__file").distinct()
       .collect().map(_.getString(0)).toSet // planning-bounded
     val sq = spark
     import sq.implicits._
-    val srcRenamed = source.select(dataCols.map(c =>
+    val srcRenamed = src.select(dataCols.map(c =>
       col(c).as(if (keyCols.contains(c)) c else s"__src_$c")): _*)
     val updates = matchedTarget.join(srcRenamed, keyCols)
       .select(dataCols.map(c =>
         (if (keyCols.contains(c)) col(c)
          else col(s"__src_$c").as(c))): _*)
-    val inserts = source.join(
+    val inserts = src.join(
       target.select(keyCols.map(col): _*), keyCols, "left_anti")
     val newData =
       (if (affected.isEmpty)

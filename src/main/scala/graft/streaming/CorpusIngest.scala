@@ -193,7 +193,8 @@ object CorpusIngest {
     graft.sources.Sinks.idempotentBatchSink(s"$artifactDir/pages")(
       survivors.select("doc_id", "rec_idx", "canon", "domain", "text"),
       batchId)
-    CrawlStore.appendKeys(urlsPath)(survivors, "canon", batchId)
+    CrawlStore.appendKeys(urlsPath)(survivors, "canon", batchId,
+      materialized = true)
     // the crawl loop: outlinks of the pages just kept become frontier
     // candidates unless fetched (history or this batch) or queued
     val outlinks = TextAnalysis.extractLinks(
@@ -204,9 +205,13 @@ object CorpusIngest {
       .dropDuplicates("canon")
       .join(survivors.select("canon"), Seq("canon"), "left_anti")
       .localCheckpoint(true)
-    val unseen = CrawlStore.antiJoinNew(outlinks, "canon", urlsPath, batchId)
-    val fresh = CrawlStore
-      .antiJoinNew(unseen.localCheckpoint(true), "canon", frontierPath, batchId)
+    // fetched (urls) and queued (frontier) membership are ONE predicate
+    // — "in neither artifact" — checked in one fused pass (one bloom
+    // prefilter over both artifacts' blobs, one anti-join against the
+    // union of their histories) instead of two sequential store walks
+    // with an extra materialization between them
+    val fresh = CrawlStore.antiJoinNewAll(outlinks, "canon",
+      Seq(urlsPath, frontierPath), batchId)
     CrawlStore.appendKeys(frontierPath)(
       fresh, "canon", batchId, carry = Seq("url"))
     // periodic fold of the batch-keyed increments into the re-bucketed
@@ -294,7 +299,8 @@ object CorpusIngest {
       .localCheckpoint(true)
     graft.sources.Sinks.idempotentBatchSink(s"$artifactDir/docs")(
       survivors, batchId)
-    CrawlStore.appendKeys(seenPath)(survivors, "content_key", batchId)
+    CrawlStore.appendKeys(seenPath)(survivors, "content_key", batchId,
+      materialized = true)
     if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
       CrawlStore.compact(spark, seenPath, "content_key",
         targetRowsPerBucket = targetRowsPerBucket)

@@ -104,27 +104,72 @@ object CrawlStore {
     * already independent of history). */
   private[graft] val MaxBloomItems: Long = 1L << 24
 
+  /** Read a small raw blob file fully, driver-side. */
+  private def readSmall(fs: FileSystem, p: Path): Array[Byte] = {
+    val len = fs.getFileStatus(p).getLen
+    require(len <= (1L << 28), s"bloom blob too large: $p ($len)")
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream(len.toInt)
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  /** Atomically (temp + rename) write a raw blob file, idempotent on
+    * replay (an existing committed blob is kept — same content, the
+    * write is deterministic in the keys). */
+  private def writeRawBlob(fs: FileSystem, target: Path,
+                           bytes: Array[Byte]): Unit = {
+    if (fs.exists(target)) return
+    fs.mkdirs(target.getParent)
+    val tmp = new Path(target.getParent,
+      s".${target.getName}.tmp.${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      require(fs.exists(target), s"blob commit to $target failed")
+    }
+  }
+
   /** Epoch bloom blobs + (if compacted) the compacted-tier blob, IF
-    * they cover the full history; None disarms the prefilter. */
+    * they cover the full history; None disarms the prefilter. Blobs
+    * are preferred as raw `bf.bin` files read driver-side (zero Spark
+    * jobs per batch — the round-18 shape [[appendKeys]] writes); the
+    * one-row-parquet layout earlier epochs wrote is read as a fallback
+    * in a single Spark job. */
   private def coveringBlobs(spark: SparkSession, fs: FileSystem,
                             path: String, meta: Option[Meta])
       : Option[Seq[Array[Byte]]] = {
     val upTo = meta.map(_.upTo).getOrElse(-1L)
     val live = listEpochs(fs, path).filter(_ > upTo).toSet
-    val haveBlobs = listEpochs(fs, s"${path}_bloom").toSet
-    if (!live.subsetOf(haveBlobs)) return None
+    val rawByEpoch = live.toSeq.flatMap { e =>
+      val raw = new Path(s"${path}_bloom/batch_id=$e", "bf.bin")
+      if (fs.exists(raw)) Some(e -> readSmall(fs, raw)) else None
+    }.toMap
+    val needPq = live -- rawByEpoch.keySet
+    if (needPq.nonEmpty) {
+      val haveBlobs = listEpochs(fs, s"${path}_bloom").toSet
+      if (!needPq.subsetOf(haveBlobs)) return None
+    }
     val compBlob: Option[Array[Byte]] = meta.map { m =>
       val p = s"${vDir(path, m.version)}/bloom"
-      if (!fs.exists(new Path(p))) return None
-      spark.read.parquet(p).head().getAs[Array[Byte]]("bf")
+      val raw = new Path(p, "bf.bin")
+      if (fs.exists(raw)) readSmall(fs, raw)
+      else if (fs.exists(new Path(p)))
+        spark.read.parquet(p).head().getAs[Array[Byte]]("bf")
+      else return None
     }
-    val epochBlobs =
-      if (haveBlobs.isEmpty) Nil
+    val pqBlobs =
+      if (needPq.isEmpty) Nil
       else spark.read.parquet(s"${path}_bloom")
         .filter(col("batch_id").cast("long").isin(
-          live.intersect(haveBlobs).toSeq.map(java.lang.Long.valueOf): _*))
+          needPq.toSeq.map(java.lang.Long.valueOf): _*))
         .select("bf").collect().map(_.getAs[Array[Byte]]("bf")).toSeq
-    Some(compBlob.toSeq ++ epochBlobs)
+    Some(compBlob.toSeq ++ rawByEpoch.values.toSeq ++ pqBlobs)
   }
 
   /** Rows of `candidates` whose `keyCol` appears NOWHERE in the
@@ -136,28 +181,49 @@ object CrawlStore {
     * several times — pass it materialized (localCheckpoint) when it is
     * not a cheap scan. */
   def antiJoinNew(candidates: DataFrame, keyCol: String,
-                  path: String, batchId: Long): DataFrame = {
-    val spark = candidates.sparkSession
-    val fs = new Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val meta = readMeta(fs, path)
-    val upTo = meta.map(_.upTo).getOrElse(-1L)
-    val haveIncrements = listEpochs(fs, path).exists(_ > upTo)
-    val incr: Option[DataFrame] =
-      if (haveIncrements)
-        Some(spark.read.parquet(path)
-          .filter(col("batch_id").cast("long") =!= lit(batchId) &&
-            col("batch_id").cast("long") > lit(upTo))
-          .select(keyCol))
-      else None
-    if (meta.isEmpty && incr.isEmpty) return candidates
+                  path: String, batchId: Long): DataFrame =
+    antiJoinNewAll(candidates, keyCol, Seq(path), batchId)
 
-    // bloom prefilter: provably-new rows (no blob hit) skip the join.
-    // A NULL key can never be a member of a keyed history, so it is
-    // always "new" — coalescing the (null) bloom verdict to false
+  /** Rows of `candidates` whose `keyCol` appears nowhere in ANY of the
+    * `paths` artifacts — one bloom prefilter over every path's blobs
+    * and one anti-join against the union of their histories, instead
+    * of a per-path cascade (the crawl loop checks outlinks against
+    * both `urls` and `frontier`; membership in NONE is one predicate,
+    * not two sequential jobs). Semantics per path are identical to
+    * [[antiJoinNew]]; the prefilter arms only when every non-empty
+    * path's blobs cover its history. */
+  def antiJoinNewAll(candidates: DataFrame, keyCol: String,
+                     paths: Seq[String], batchId: Long): DataFrame = {
+    val spark = candidates.sparkSession
+    val states = paths.map { path =>
+      val fs = new Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val meta = readMeta(fs, path)
+      val upTo = meta.map(_.upTo).getOrElse(-1L)
+      val haveIncrements = listEpochs(fs, path).exists(_ > upTo)
+      val incr: Option[DataFrame] =
+        if (haveIncrements)
+          Some(spark.read.parquet(path)
+            .filter(col("batch_id").cast("long") =!= lit(batchId) &&
+              col("batch_id").cast("long") > lit(upTo))
+            .select(keyCol))
+        else None
+      (path, fs, meta, incr)
+    }.filter { case (_, _, meta, incr) => meta.nonEmpty || incr.nonEmpty }
+    if (states.isEmpty) return candidates
+
+    // bloom prefilter: provably-new rows (no blob hit in ANY path) skip
+    // the join. Arms only when EVERY live path's blobs cover its
+    // history. A NULL key can never be a member of a keyed history, so
+    // it is always "new" — coalescing the (null) bloom verdict to false
     // keeps that consistent with the disarmed path, where left_anti
     // passes null keys through.
-    val blobs = coveringBlobs(spark, fs, path, meta)
+    val perPathBlobs = states.map { case (path, fs, meta, _) =>
+      coveringBlobs(spark, fs, path, meta)
+    }
+    val blobs: Option[Seq[Array[Byte]]] =
+      if (perPathBlobs.forall(_.nonEmpty)) Some(perPathBlobs.flatMap(_.get))
+      else None
     val (maybe, sureNew) = blobs match {
       case Some(bs) if bs.nonEmpty =>
         val hit = coalesce(
@@ -167,31 +233,34 @@ object CrawlStore {
       case _ => (candidates, None)
     }
 
-    // compacted tier, PRUNED to the buckets the surviving candidates
+    // compacted tiers, PRUNED to the buckets the surviving candidates
     // hash into (a partition-column isin — pruned at the scan). The kb
     // collect is bounded by nb; when candidates cover most buckets the
     // pruning would not pay for itself, so read the tier whole.
-    val compacted: Option[DataFrame] = meta.flatMap { m =>
-      val data = s"${vDir(path, m.version)}/data"
-      val kbs = maybe.select(kbOf(keyCol, m.nb).as("kb"))
-        .distinct().collect().map(_.getInt(0))
-      if (kbs.isEmpty) None
-      else if (kbs.length * 2L >= m.nb)
-        Some(spark.read.parquet(data).select(keyCol))
-      else {
-        // read the hit bucket DIRECTORIES directly — partition
-        // discovery over the whole tier would list all nb dirs,
-        // O(history/target) per batch; naming them keeps the scan's
-        // setup cost proportional to the batch too. Empty buckets have
-        // no dir; existence-check the candidates (O(hit buckets)).
-        val dirs = kbs.map(k => s"$data/kb=$k")
-          .filter(p => fs.exists(new Path(p)))
-        if (dirs.isEmpty) None
-        else Some(spark.read.option("basePath", data)
-          .parquet(dirs.toIndexedSeq: _*).select(keyCol))
+    val compacteds: Seq[DataFrame] = states.flatMap { case (path, fs, meta, _) =>
+      meta.flatMap { m =>
+        val data = s"${vDir(path, m.version)}/data"
+        val kbs = maybe.select(kbOf(keyCol, m.nb).as("kb"))
+          .distinct().collect().map(_.getInt(0))
+        if (kbs.isEmpty) None
+        else if (kbs.length * 2L >= m.nb)
+          Some(spark.read.parquet(data).select(keyCol))
+        else {
+          // read the hit bucket DIRECTORIES directly — partition
+          // discovery over the whole tier would list all nb dirs,
+          // O(history/target) per batch; naming them keeps the scan's
+          // setup cost proportional to the batch too. Empty buckets have
+          // no dir; existence-check the candidates (O(hit buckets)).
+          val dirs = kbs.map(k => s"$data/kb=$k")
+            .filter(p => fs.exists(new Path(p)))
+          if (dirs.isEmpty) None
+          else Some(spark.read.option("basePath", data)
+            .parquet(dirs.toIndexedSeq: _*).select(keyCol))
+        }
       }
     }
-    val hist = (compacted.toSeq ++ incr.toSeq).reduceOption(_.union(_))
+    val hist = (compacteds ++ states.flatMap(_._4))
+      .reduceOption(_.union(_))
     val confirmed = hist.fold(maybe)(h =>
       maybe.join(h, Seq(keyCol), "left_anti"))
     sureNew.fold(confirmed)(confirmed.unionByName(_))
@@ -204,14 +273,26 @@ object CrawlStore {
     * un-canonicalized url next to its key). */
   def appendKeys(path: String)(df: DataFrame, keyCol: String,
                                batchId: Long,
-                               carry: Seq[String] = Nil): Unit = {
+                               carry: Seq[String] = Nil,
+                               materialized: Boolean = false): Unit = {
     val spark = df.sparkSession
-    // three consumers (count, bloom aggregate, sink) — materialize once
-    val keys = df.select((keyCol +: carry).map(col): _*).localCheckpoint(true)
+    // three consumers (count, bloom aggregate, sink) — materialize once,
+    // unless the caller already holds a materialized frame (the crawl
+    // loop checkpoints its survivors for its own consumers; a second
+    // checkpoint of a narrow select would be one more job per epoch)
+    val sel = df.select((keyCol +: carry).map(col): _*)
+    val keys = if (materialized) sel else sel.localCheckpoint(true)
     val n = keys.count()
     val blob = graft.operators.BloomPrune.bloomBlob(keys, keyCol, n)
-    graft.sources.Sinks.idempotentBatchSink(s"${path}_bloom")(
-      spark.range(1).select(lit(blob).as("bf"), lit(n).as("n_keys")), batchId)
+    // the blob is ONE row of bytes on the driver already — a raw
+    // atomic file write, not a one-row Spark write job (two fewer jobs
+    // per epoch; [[coveringBlobs]] reads it back driver-side with zero
+    // jobs too, and still falls back to the parquet layout for epochs
+    // written before this shape)
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    writeRawBlob(fs,
+      new Path(s"${path}_bloom/batch_id=$batchId", "bf.bin"), blob)
     graft.sources.Sinks.idempotentBatchSink(path)(keys, batchId)
   }
 
@@ -270,8 +351,7 @@ object CrawlStore {
     // bucket-pruned confirm carry membership alone
     if (rows <= MaxBloomItems) {
       val blob = graft.operators.BloomPrune.bloomBlob(all, keyCol, rows)
-      spark.range(1).select(lit(blob).as("bf"), lit(rows).as("n_keys"))
-        .write.mode("overwrite").parquet(s"$out/bloom")
+      writeRawBlob(fs, new Path(s"$out/bloom", "bf.bin"), blob)
     }
     writeMeta(fs, path, Meta(version, nb, fold.max, rows))
     // post-flip vacuum with ONE-COMPACTION GRACE (the dim store's
