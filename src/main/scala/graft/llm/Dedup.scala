@@ -140,7 +140,7 @@ object Dedup {
   /** 32-bit gram hash via md5 prefix — deterministic across engines. */
   private[graft] def h32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
   /** 60-bit token hash (15 hex digits keeps it inside signed int64). */
-  private[llm] def h60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  private[graft] def h60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Exact n-gram Jaccard near-dup pairs.
     *

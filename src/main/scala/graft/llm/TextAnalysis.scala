@@ -1219,20 +1219,28 @@ object TextAnalysis {
     // there re-runs the regex split ~2×n_tokens times per document
     // (measured 20× on the whole composition)
     val tk = col("__toks")
+    // hash each TOKEN once into a bucket array, then zip consecutive
+    // entries: bigram i shares its `cur` with bigram i+1's `prev`, so
+    // hashing per bigram side would md5 every interior token twice —
+    // per token halves the dominant per-pass cost (this runs in BOTH
+    // corpus traversals, model build and scoring)
+    val hs = col("__hb")
     val bigrams = docs
       .select(col(idCol), tokens(text).as("__toks"))
       // <2 tokens: sequence(1, 0) would generate DESCENDING (the
       // dedupSubstrings/sampleFrames trap) — filter, don't clamp; the
       // left join below keeps those documents in the output
       .filter(size(tk) >= 2)
-      .select(col(idCol), explode(
-        transform(sequence(lit(1), size(tk) - 1),
-          i => struct(
-            element_at(tk, i).as("prev"),
-            element_at(tk, i + 1).as("cur")))).as("bg"))
       .select(col(idCol),
-        pmod(Dedup.h60(col("bg.prev")), lit(buckets.toLong)).as("__bp"),
-        pmod(Dedup.h60(col("bg.cur")), lit(buckets.toLong)).as("__bc"))
+        transform(tk, t => pmod(Dedup.h60(t), lit(buckets.toLong)))
+          .as("__hb"))
+      .select(col(idCol), explode(
+        transform(sequence(lit(1), size(hs) - 1),
+          i => struct(
+            element_at(hs, i).as("__bp"),
+            element_at(hs, i + 1).as("__bc")))).as("bg"))
+      .select(col(idCol), col("bg.__bp").as("__bp"),
+        col("bg.__bc").as("__bc"))
     // c2 is bounded by buckets² rows (≤262k at the default 512) — always
     // broadcast-able; c1 is derived from it by summation (identical counts
     // to grouping the bigram table by __bp) so the corpus is traversed

@@ -247,6 +247,32 @@ object ProfileR18 {
       })
     }
 
+    if (on("lm")) (1 to 2).foreach { it =>
+      println(s"[p18] ---- lm iteration $it ----")
+      // phase lmTypicality (mirrors internals): bigram build, c2 model,
+      // scoring pass
+      val tk = col("__toks")
+      val bigrams = docs
+        .select(col("doc_id"), graft.llm.TextAnalysis.tokens(col("text")).as("__toks"))
+        .filter(size(tk) >= 2)
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(1), size(tk) - 1),
+            i => struct(
+              element_at(tk, i).as("prev"),
+              element_at(tk, i + 1).as("cur")))).as("bg"))
+        .select(col("doc_id"),
+          pmod(graft.llm.Dedup.h60(col("bg.prev")), lit(512L)).as("__bp"),
+          pmod(graft.llm.Dedup.h60(col("bg.cur")), lit(512L)).as("__bc"))
+      time("bigram pass (count only)")(
+        println("    bigrams=" + bigrams.count()))
+      val c2 = bigrams.groupBy(col("__bp"), col("__bc"))
+        .agg(count(lit(1)).as("__c2"))
+      time("c2 model agg")(println("    c2 rows=" + c2.count()))
+      time("full lmTypicality (noop sink)")(
+        graft.llm.TextAnalysis.lmTypicality(docs, buckets = 512)
+          .write.format("noop").mode("overwrite").save())
+    }
+
     if (on("crawl")) {
       time("full x_crawl_waves")(
         graft.SparkEntry.queries("x_crawl_waves")(spark, sfDir).count())
