@@ -1132,10 +1132,15 @@ object Dedup {
                         payloadCol: String, maxDist: Int = 3): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       "imageNearDupPairs: 4 bands guarantee recall only for maxDist <= 3")
+    // the fingerprint table is one long per image and feeds BOTH sides
+    // of the band self-join — materialized once, the payload decode +
+    // dhash runs once instead of twice (a sketch persist, never of the
+    // media bytes; the simhash/minhash paths do the same)
     val hashed = media
       .select(col(idCol), graft.functions.BinaryMeta.dhash64Col(col(payloadCol))
         .as("__h"))
       .filter(col("__h").isNotNull)
+      .localCheckpoint(true)
     val banded = hashed.select(col(idCol), col("__h"),
       explode(expr("transform(sequence(0, 3), b -> " +
         "struct(b AS bi, shiftright(__h, b * 16) & 65535 AS bv))")).as("__band"))

@@ -275,8 +275,12 @@ object LlmOps {
     * collected. */
   def xDedupEval(s: SparkSession, d: String): DataFrame = {
     val lsh = lshPairs(s, d).select(col("d1"), col("d2"))
+    // the exact pair set feeds BOTH the n_exact count and the common
+    // join; without materialization the whole labeled-quadratic oracle
+    // computation runs twice (no exchange reuse across the two
+    // consumers — the aggregates differ)
     val exact = Dedup.ngramJaccardPairs(documents(s, d), n = 3, threshold = 0.8)
-      .select(col("d1"), col("d2"))
+      .select(col("d1"), col("d2")).localCheckpoint(true)
     ordered(
       lsh.agg(count(lit(1)).as("n_lsh"))
         .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
