@@ -362,6 +362,73 @@ object ParquetFooter {
     (renderStat(c.ptype, mn), renderStat(c.ptype, mx))
   }
 
+  /** Commit-stat view of a full parquet file's footer: (total rows,
+    * per-leaf-column-path (physical type, min bytes, max bytes)). The
+    * writer already computed exact per-row-group min/max while writing
+    * — a commit that records per-file bounds can read them here instead
+    * of re-scanning the data bytes it just wrote. Row groups combine
+    * under the type's order (INT32/INT64 signed little-endian,
+    * BYTE_ARRAY unsigned lexicographic — the same order Spark's
+    * min/max produce for int/long/string); a column is present only
+    * when EVERY row group carries stats for it (a dropped/oversized
+    * stat, or an all-null group, surfaces as "no bound", which commit
+    * consumers treat conservatively). Returns null on a malformed
+    * footer. */
+  def commitStats(b: Array[Byte])
+      : (Long, Map[String, (Int, Array[Byte], Array[Byte])]) = {
+    val f = parse(b)
+    if (f == null) return null
+    def cmp(ptype: Int, x: Array[Byte], y: Array[Byte]): Int = ptype match {
+      case 1 => Integer.compare(leInt(x), leInt(y))
+      case 2 => java.lang.Long.compare(leLong(x), leLong(y))
+      case _ => // unsigned lexicographic (UTF-8 == UTF8String order)
+        var i = 0
+        val n = math.min(x.length, y.length)
+        while (i < n) {
+          val d = (x(i) & 0xff) - (y(i) & 0xff)
+          if (d != 0) return d
+          i += 1
+        }
+        x.length - y.length
+    }
+    def wellFormed(ptype: Int, v: Array[Byte]): Boolean = ptype match {
+      case 1 => v.length == 4
+      case 2 => v.length == 8
+      case _ => true
+    }
+    val acc = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Int, Array[Byte], Array[Byte])]
+    val dead = scala.collection.mutable.Set.empty[String]
+    var rg = 0
+    while (rg < f.rowGroups.length) {
+      f.rowGroups(rg).columns.foreach { c =>
+        val s = c.stats
+        // modern min_value/max_value only, except int32/int64 where the
+        // legacy pair shares the (signed) order and stays sound
+        val mn = if (s != null && s.minValue != null) s.minValue
+                 else if (s != null && (c.ptype == 1 || c.ptype == 2))
+                   s.legacyMin else null
+        val mx = if (s != null && s.maxValue != null) s.maxValue
+                 else if (s != null && (c.ptype == 1 || c.ptype == 2))
+                   s.legacyMax else null
+        val ok = c.path != null && mn != null && mx != null &&
+          (c.ptype == 1 || c.ptype == 2 || c.ptype == 6) &&
+          wellFormed(c.ptype, mn) && wellFormed(c.ptype, mx)
+        if (!ok) { if (c.path != null) { dead += c.path; acc.remove(c.path): Unit } }
+        else if (!dead(c.path)) acc.get(c.path) match {
+          case None if rg == 0 => acc(c.path) = (c.ptype, mn, mx)
+          case Some((pt, omn, omx)) if pt == c.ptype =>
+            acc(c.path) = (pt,
+              if (cmp(pt, mn, omn) < 0) mn else omn,
+              if (cmp(pt, mx, omx) > 0) mx else omx)
+          case _ => dead += c.path; acc.remove(c.path): Unit
+        }
+      }
+      rg += 1
+    }
+    (f.numRows, acc.toMap)
+  }
+
   // ---- static entry points (eval + codegen dispatch targets) ----
 
   private def utf8(s: String): UTF8String =

@@ -828,48 +828,42 @@ object DeltaLite {
     }
     fs.delete(staging, true)
 
-    // one distributed stats job over the moved files: per-file counts
-    // + min/max of long/string leaves (the prunable stats)
+    // per-file counts + min/max of long/string leaves (the prunable
+    // stats) from the parquet FOOTERS the write itself produced —
+    // driver-side metadata tail-reads, never a distributed read-back
+    // of the bytes just written (guide §6; one fewer job per commit).
+    // Keyed by BASENAME (version-unique by construction).
     val statCols = schema.fields.filter(f =>
       !partitionBy.contains(f.name) &&
         (f.dataType == LongType || f.dataType == StringType))
-    val dataSchema = StructType(
-      schema.filterNot(f => partitionBy.contains(f.name)))
-    // keyed by BASENAME (version-unique by construction): the URI in
-    // `_metadata.file_path` percent-encodes spaces etc., so full-path
-    // matching silently misses space-bearing partition dirs
-    val statRows = spark.read.schema(dataSchema)
-      .parquet(moved.map(_._2.toString): _*)
-      .groupBy(col("_metadata.file_path").as("__file"))
-      .agg(count(lit(1)).as("__n"),
-        statCols.flatMap(f => Seq(
-          min(col(f.name)).as(s"__min_${f.name}"),
-          max(col(f.name)).as(s"__max_${f.name}"))): _*)
-      .collect()
-      .map { r =>
-        val p = r.getString(0)
-        p.substring(p.lastIndexOf('/') + 1) -> r
-      }.toMap
+    val statRows = FooterStats.forFiles(fs, moved.map(_._2))
 
-    def statsJson(r: org.apache.spark.sql.Row): String = {
-      def side(which: String): String = statCols.map { f =>
-        val ix = r.fieldIndex(s"__${which}_${f.name}")
-        val v =
-          if (r.isNullAt(ix)) "null"
-          else f.dataType match {
-            case LongType => r.getLong(ix).toString
-            case _ => "\"" + jstr(r.getString(ix)) + "\""
-          }
+    def statsJson(st: FooterStats.FileStats): String = {
+      def side(which: Int): String = statCols.map { f =>
+        // bounds absent (all-null column, or a writer-dropped stat)
+        // render as null — the same shape the old min()/max() job gave
+        // for all-null columns; pruning treats null bounds as keep
+        val v = st.bounds.get(f.name) match {
+          case Some((2, mn, mx)) if f.dataType == LongType =>
+            val b = if (which == 0) mn else mx
+            var x = 0L; var k = 7
+            while (k >= 0) { x = (x << 8) | (b(k) & 0xffL); k -= 1 }
+            x.toString
+          case Some((6, mn, mx)) if f.dataType == StringType =>
+            "\"" + jstr(new String(if (which == 0) mn else mx,
+              java.nio.charset.StandardCharsets.UTF_8)) + "\""
+          case _ => "null"
+        }
         s""""${f.name}":$v"""
       }.mkString(",")
-      s"""{"numRecords":${r.getLong(r.fieldIndex("__n"))},""" +
-        s""""minValues":{${side("min")}},""" +
-        s""""maxValues":{${side("max")}}}"""
+      s"""{"numRecords":${st.numRows},""" +
+        s""""minValues":{${side(0)}},""" +
+        s""""maxValues":{${side(1)}}}"""
     }
-    // zero-row part files have no stats row — drop them instead of
+    // zero-row part files carry nothing — drop them instead of
     // committing empty data files
     val (liveParts, emptyParts) = moved.partition { case (_, dest, _) =>
-      statRows.contains(dest.getName)
+      statRows.get(dest.getName).exists(_.numRows > 0)
     }
     emptyParts.foreach { case (_, dest, _) => fs.delete(dest, false) }
     require(liveParts.nonEmpty || allowEmpty,

@@ -841,8 +841,11 @@ object IcebergLite {
     val exists = fs.exists(metaDir)
     require(dfOpt.nonEmpty || exists,
       s"a data-less snapshot needs an existing table: $table")
-    val (root0, prevVersion, tableSchema): (JMap, Long, StructType) =
-      if (!exists) (null, 0L, null)
+    // ONE Ctx serves the whole commit (validation here, the parent's
+    // manifest list below) — a second construction would re-read and
+    // re-parse metadata.json for nothing
+    val (ctx0, prevVersion): (Ctx, Long) =
+      if (!exists) (null, 0L)
       else {
         val ctx = new Ctx(spark, table)
         require(asLong(ctx.root.getOrElse("format-version", 1L)) == 1L,
@@ -859,8 +862,11 @@ object IcebergLite {
         val m = java.util.regex.Pattern.compile("v(\\d+)\\.metadata\\.json")
           .matcher(ctx.metaFile.getName)
         require(m.matches(), s"unversioned metadata file ${ctx.metaFile}")
-        (ctx.root, m.group(1).toLong, ctx.sparkSchema)
+        (ctx, m.group(1).toLong)
       }
+    val root0: JMap = if (ctx0 == null) null else ctx0.root
+    val tableSchema: StructType =
+      if (ctx0 == null) null else ctx0.sparkSchema
     val schema = dfOpt.map(_.schema).getOrElse(StructType(
       tableSchema.fields.toSeq.map(_.copy(metadata = Metadata.empty))))
     schema.fields.foreach(f => iceTypeOf(f.dataType)) // validate upfront
@@ -965,53 +971,41 @@ object IcebergLite {
         mv
     }
 
-    // ---- one distributed stats job: per-file count + bounds ----
-    // data files exclude identity partition columns (the tuple carries
-    // them), so both the stats read and the recorded bounds do too
-    val dataSchema = StructType(
-      schema.filterNot(f => partitionBy.contains(f.name)))
-    val statFields = dataSchema.fields.filter(f =>
-      f.dataType == LongType || f.dataType == IntegerType ||
-        f.dataType == StringType)
-    import org.apache.spark.sql.functions._
-    val statRows =
-      if (moved.isEmpty) Map.empty[String, org.apache.spark.sql.Row]
-      else spark.read.schema(dataSchema)
-        .parquet(moved.map(_._1.toString): _*)
-        .groupBy(col("_metadata.file_path").as("__file"))
-        .agg(count(lit(1)).as("__n"),
-          statFields.toSeq.flatMap(f => Seq(
-            min(col(f.name)).as(s"__min_${f.name}"),
-            max(col(f.name)).as(s"__max_${f.name}"))): _*)
-        .collect()
-        .map { r => // keyed by basename: URIs percent-encode
-          val p = r.getString(0)
-          p.substring(p.lastIndexOf('/') + 1) -> r
-        }.toMap
+    // ---- per-file count + bounds from the parquet FOOTERS the write
+    // itself produced: driver-side metadata tail-reads, never a
+    // distributed read-back of the bytes just written (guide §6; one
+    // fewer Spark job per commit). Data files exclude identity
+    // partition columns (the tuple carries them), so the recorded
+    // bounds do too. The footer's raw stat bytes ARE Iceberg
+    // single-value serialization for these types (int/long little-
+    // endian, strings UTF-8), so they record verbatim. ----
+    val statFields = schema.fields.filter(f =>
+      !partitionBy.contains(f.name) &&
+        (f.dataType == LongType || f.dataType == IntegerType ||
+          f.dataType == StringType))
+    val statRows = FooterStats.forFiles(fs, moved.map(_._1))
 
-    def le64(v: Long): Array[Byte] =
-      (0 until 8).map(k => ((v >>> (8 * k)) & 0xff).toByte).toArray
-    def le32(v: Int): Array[Byte] =
-      (0 until 4).map(k => ((v >>> (8 * k)) & 0xff).toByte).toArray
-    def boundsOf(r: org.apache.spark.sql.Row, which: String): Any = {
+    def boundsOf(st: FooterStats.FileStats, which: Int): Any = {
       val kvs = statFields.flatMap { f =>
-        val ix = r.fieldIndex(s"__${which}_${f.name}")
-        if (r.isNullAt(ix)) None
-        else Some(Map[String, Any]("key" -> nameToId(f.name).toInt,
-          "value" -> (f.dataType match {
-            case LongType => le64(r.getLong(ix))
-            case IntegerType => le32(r.getInt(ix))
-            case _ => r.getString(ix)
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          })))
+        val expected = f.dataType match {
+          case LongType => 2
+          case IntegerType => 1
+          case _ => 6
+        }
+        st.bounds.get(f.name) match {
+          case Some((pt, mn, mx)) if pt == expected =>
+            Some(Map[String, Any]("key" -> nameToId(f.name).toInt,
+              "value" -> (if (which == 0) mn else mx)))
+          case _ => None // absent/ill-typed stat: no bound (kept)
+        }
       }
       if (kvs.isEmpty) null else kvs.toSeq
     }
     def fnameOf(p: Path): String = p.getName
-    // zero-row part files have no stats row — they carry nothing, so
-    // drop them instead of committing empty data files
+    // zero-row part files carry nothing — drop them instead of
+    // committing empty data files
     val (nonEmptyParts, emptyParts) = moved.partition { case (dest, _) =>
-      statRows.contains(fnameOf(dest)) }
+      statRows.get(fnameOf(dest)).exists(_.numRows > 0) }
     emptyParts.foreach { case (p, _) => fs.delete(p, false) }
     require(nonEmptyParts.nonEmpty || deletedEntries.nonEmpty,
       s"append of an empty DataFrame to $table")
@@ -1031,10 +1025,10 @@ object IcebergLite {
       val dataFile = Map[String, Any](
         "file_path" -> s"$location/data/${fnameOf(dest)}",
         "file_format" -> "PARQUET",
-        "record_count" -> r.getLong(r.fieldIndex("__n")),
+        "record_count" -> r.numRows,
         "file_size_in_bytes" -> fs.getFileStatus(dest).getLen,
-        "lower_bounds" -> boundsOf(r, "min"),
-        "upper_bounds" -> boundsOf(r, "max")) ++
+        "lower_bounds" -> boundsOf(r, 0),
+        "upper_bounds" -> boundsOf(r, 1)) ++
         (if (partitionBy.isEmpty) Map.empty[String, Any]
          else Map("partition" -> partitionBy.zip(pv).map {
            case (pc, raw) => pc -> tupleValue(pc, raw)
@@ -1056,10 +1050,7 @@ object IcebergLite {
     writeFile(fs, new Path(metaDir, manifestName), manifestBytes)
     val prevListRows: Seq[JMap] =
       if (parentId < 0) Seq.empty
-      else {
-        val ctx = new Ctx(spark, table)
-        ctx.manifestRowsOf(ctx.snapById(parentId))
-      }
+      else ctx0.manifestRowsOf(ctx0.snapById(parentId))
     val listRows = prevListRows.map { r =>
       Map[String, Any](
         "manifest_path" -> asStr(r.getOrElse("manifest_path",
