@@ -182,10 +182,14 @@ object TableStats {
     val spark = df.sparkSession
     val p = if (parts > 0) parts
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // LAZY checkpoint: the totals job below is the first action, so it
+    // both materializes the ranged intermediate and collects the
+    // per-partition counts — one job, not an eager-checkpoint job plus
+    // a counting job (§5: a17's three nested cuts save three jobs)
     val ranged = df.repartitionByRange(p, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val totals = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__pt"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val pids = totals.keys.toSeq.sorted

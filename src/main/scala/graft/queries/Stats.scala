@@ -417,12 +417,22 @@ object Stats {
     * pair expansion in the edge build is bounded by the supplier DIM
     * size per part, not the fact. */
   def e8Triangles(s: SparkSession, d: String): DataFrame = {
-    val supply = lineitem(s, d).select("l_partkey", "l_suppkey").distinct()
-    val b = supply.select(col("l_partkey"), col("l_suppkey").as("__s2"))
-    val co = supply.join(b,
-        supply("l_partkey") === b("l_partkey") &&
-          col("l_suppkey") < col("__s2"))
-      .groupBy(col("l_suppkey").as("src"), col("__s2").as("dst"))
+    // co-supply pairs in ONE pass over the fact: collect_set per part
+    // dedups (the old separate fact DISTINCT) and groups in the same
+    // map-side-partial shuffle, and each part's sorted supplier array
+    // expands to its (s1 < s2) pairs with generator expressions —
+    // replacing the distinct + self-join rendering (2 exchanges and
+    // two sort-merge sorts fewer before the pair count). The array is
+    // suppliers-per-part, i.e. dim-bounded, never fact-sized.
+    val parts = lineitem(s, d).select("l_partkey", "l_suppkey")
+      .groupBy(col("l_partkey"))
+      .agg(sort_array(collect_set(col("l_suppkey"))).as("__ss"))
+      .filter(size(col("__ss")) > 1)
+    val co = parts
+      .select(posexplode(col("__ss")).as(Seq("__i", "src")), col("__ss"))
+      .select(col("src"), explode(slice(col("__ss"), col("__i") + lit(2),
+        size(col("__ss")))).as("dst"))
+      .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("shared"))
     // the thresholded edge set is dim-bounded tiny but its build (fact
     // distinct + self-join + max broadcast) is the expensive part —
