@@ -212,31 +212,47 @@ object Dedup {
       .groupBy("df").agg(count(lit(1)).as("n_grams"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
 
-  /** The checkpointed (optionally df-cut) gram table both Jaccard paths
-    * consume — the single corpus tokenize+explode+distinct per query. */
-  private def filteredShingles(docs: DataFrame, n: Int,
+  /** The checkpointed (optionally df-cut) PER-DOC GRAM SET table both
+    * Jaccard paths consume — one row per doc, `gs` = sorted distinct
+    * grams. ONE doc-keyed aggregation replaces the old gram-table
+    * distinct: per-doc sizes and the verification gram sets then
+    * derive WITHOUT their own shuffles (size(gs) / the table itself),
+    * and the gram-level view explodes narrowly from the checkpoint
+    * (guide §2.4: two doc-keyed exchanges removed per query; the rows
+    * are doc-length-bounded, the same payload the verification join
+    * already carried). */
+  private def filteredGramSets(docs: DataFrame, n: Int,
                                maxDocFreq: Option[Long]): DataFrame = {
-    val g = shingles(docs, n)
-    (maxDocFreq match {
+    val base = maxDocFreq match {
       case Some(limit) =>
+        val g = shingles(docs, n)
         val hot = g.groupBy("gram").agg(count(lit(1)).as("df")).filter(col("df") > limit)
         g.join(broadcast(hot), Seq("gram"), "left_anti")
-      case None => g
-    }).localCheckpoint(true)
+      case None => rawShingles(docs, n) // collect_set dedups below
+    }
+    base.groupBy("doc_id")
+      .agg(sort_array(collect_set(col("gram"))).as("gs"))
+      .localCheckpoint(true)
   }
+
+  /** Gram-level view of a gram-set table — a narrow explode from the
+    * checkpoint, re-derived per consumer instead of shuffled. */
+  private def gramsOf(sets: DataFrame): DataFrame =
+    sets.select(col("doc_id"), explode(col("gs")).as("gram"))
 
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
                         maxDocFreq: Option[Long] = None,
                         prefixFilter: Boolean = false): DataFrame =
     ngramJaccardPairsFromGrams(
-      filteredShingles(docs, n, maxDocFreq), threshold, prefixFilter)
+      filteredGramSets(docs, n, maxDocFreq), threshold, prefixFilter)
 
-  // the gram table is consumed 5-8 times downstream (hot-key count,
+  // the gram-set table is consumed 5-8 times downstream (hot-key count,
   // anti/semi routing, sizes, df join, gram-set payloads); callers hand
   // in the CHECKPOINTED table so it materializes exactly once per query
-  private def ngramJaccardPairsFromGrams(filtered: DataFrame, threshold: Double,
+  private def ngramJaccardPairsFromGrams(sets: DataFrame, threshold: Double,
                                          prefixFilter: Boolean): DataFrame = {
-    val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val filtered = gramsOf(sets)
+    val sizes = sets.select(col("doc_id"), size(col("gs")).cast("long").as("sz"))
     val inter =
       if (!prefixFilter) {
         // direct: count shared grams while emitting pairs — one pass, no
@@ -270,8 +286,9 @@ object Dedup {
         // gram SETS (doc-length-bounded payloads, two key joins) and
         // intersects map-side — replaces the two full gram-table
         // expansion joins + giant groupBy the round-7 plan paid, which
-        // cost more than the candidate cut saved at bench scale
-        val gsets = filtered.groupBy("doc_id").agg(collect_list(col("gram")).as("gs"))
+        // cost more than the candidate cut saved at bench scale. The
+        // set table IS the checkpointed input — no aggregation at all.
+        val gsets = sets
         coGroupedPairs(prefixes, "gram", "doc_id").distinct()
           .join(gsets.select(col("doc_id").as("d1"), col("gs").as("gs1")), Seq("d1"))
           .join(gsets.select(col("doc_id").as("d2"), col("gs").as("gs2")), Seq("d2"))
@@ -296,18 +313,18 @@ object Dedup {
     // ONE gram build serves the decision AND the chosen path, and the
     // histogram is computed AFTER the df-cut so the switch measures the
     // corpus the chosen path actually runs on
-    val filtered = filteredShingles(docs, n, maxDocFreq)
-    ngramJaccardPairsFromGrams(filtered, threshold,
-      preferPrefixPathFromGrams(dfHistogram(filtered), threshold))
+    val sets = filteredGramSets(docs, n, maxDocFreq)
+    ngramJaccardPairsFromGrams(sets, threshold,
+      preferPrefixPathFromGrams(dfHistogram(gramsOf(sets)), threshold))
   }
 
   /** containmentPairs with the path chosen by the measured crossover —
     * same shared-gram-build shape as the Jaccard twin. */
   def containmentPairsAuto(docs: DataFrame, n: Int = 3,
                            threshold: Double = 0.9): DataFrame = {
-    val g = shingles(docs, n).localCheckpoint(true)
-    containmentPairsFromGrams(g, threshold,
-      preferPrefixPathFromGrams(dfHistogram(g), threshold))
+    val sets = filteredGramSets(docs, n, None)
+    containmentPairsFromGrams(sets, threshold,
+      preferPrefixPathFromGrams(dfHistogram(gramsOf(sets)), threshold))
   }
 
   /** Exact n-gram CONTAINMENT near-dup pairs — the asymmetric metric
@@ -338,14 +355,15 @@ object Dedup {
     * text. */
   def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.9,
                        prefixFilter: Boolean = false): DataFrame =
-    // gram table materialized once — consumed 5-8 times downstream (see
-    // ngramJaccardPairs)
-    containmentPairsFromGrams(shingles(docs, n).localCheckpoint(true),
+    // gram-set table materialized once — consumed 5-8 times downstream
+    // (see ngramJaccardPairs)
+    containmentPairsFromGrams(filteredGramSets(docs, n, None),
       threshold, prefixFilter)
 
-  private def containmentPairsFromGrams(g: DataFrame, threshold: Double,
+  private def containmentPairsFromGrams(sets: DataFrame, threshold: Double,
                                         prefixFilter: Boolean): DataFrame = {
-    val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val g = gramsOf(sets)
+    val sizes = sets.select(col("doc_id"), size(col("gs")).cast("long").as("sz"))
     val inter =
       if (!prefixFilter) {
         coGroupedPairs(g, "gram", "doc_id")
@@ -372,7 +390,8 @@ object Dedup {
             greatest(col("c1"), col("c2")).as("d2"))
           .distinct()
         // map-side set-intersection verification (see ngramJaccardPairs)
-        val gsets = g.groupBy("doc_id").agg(collect_list(col("gram")).as("gs"))
+        // — the set table IS the checkpointed input, no aggregation
+        val gsets = sets
         cands
           .join(gsets.select(col("doc_id").as("d1"), col("gs").as("gs1")), Seq("d1"))
           .join(gsets.select(col("doc_id").as("d2"), col("gs").as("gs2")), Seq("d2"))
