@@ -118,12 +118,22 @@ object CrawlStore {
     } finally in.close()
   }
 
-  /** Atomically (temp + rename) write a raw blob file, idempotent on
-    * replay (an existing committed blob is kept — same content, the
-    * write is deterministic in the keys). */
+  /** Atomically (temp + rename) write a raw blob file. Keep-if-exists
+    * (the default) is only safe for the per-EPOCH blobs, whose content
+    * is deterministic in the epoch's keys — a replay rewrites the same
+    * bytes. The compacted-tier blob is NOT replay-deterministic (a
+    * compact retried after a crash-before-META-flip can fold MORE
+    * epochs into the same v dir), so that caller passes
+    * `overwrite = true`: keeping the stale smaller bloom there would
+    * create false negatives — known keys classified "provably new" —
+    * violating the blobs-over-approximate-keys invariant. */
   private def writeRawBlob(fs: FileSystem, target: Path,
-                           bytes: Array[Byte]): Unit = {
-    if (fs.exists(target)) return
+                           bytes: Array[Byte],
+                           overwrite: Boolean = false): Unit = {
+    if (fs.exists(target)) {
+      if (!overwrite) return
+      fs.delete(target, false): Unit
+    }
     fs.mkdirs(target.getParent)
     val tmp = new Path(target.getParent,
       s".${target.getName}.tmp.${java.util.UUID.randomUUID()}")
@@ -163,11 +173,16 @@ object CrawlStore {
         spark.read.parquet(p).head().getAs[Array[Byte]]("bf")
       else return None
     }
+    // read ONLY the legacy epochs' directories — the _bloom root also
+    // holds raw bf.bin files now, and a whole-root parquet read could
+    // pick one for schema inference (lexicographic listing: batch_id=10
+    // sorts before batch_id=9) and throw on every batch of a
+    // mixed-layout store
     val pqBlobs =
       if (needPq.isEmpty) Nil
-      else spark.read.parquet(s"${path}_bloom")
-        .filter(col("batch_id").cast("long").isin(
-          needPq.toSeq.map(java.lang.Long.valueOf): _*))
+      else spark.read.option("basePath", s"${path}_bloom")
+        .parquet(needPq.toSeq.sorted
+          .map(e => s"${path}_bloom/batch_id=$e"): _*)
         .select("bf").collect().map(_.getAs[Array[Byte]]("bf")).toSeq
     Some(compBlob.toSeq ++ rawByEpoch.values.toSeq ++ pqBlobs)
   }
@@ -212,58 +227,69 @@ object CrawlStore {
     }.filter { case (_, _, meta, incr) => meta.nonEmpty || incr.nonEmpty }
     if (states.isEmpty) return candidates
 
-    // bloom prefilter: provably-new rows (no blob hit in ANY path) skip
-    // the join. Arms only when EVERY live path's blobs cover its
-    // history. A NULL key can never be a member of a keyed history, so
-    // it is always "new" — coalescing the (null) bloom verdict to false
-    // keeps that consistent with the disarmed path, where left_anti
-    // passes null keys through.
-    val perPathBlobs = states.map { case (path, fs, meta, _) =>
-      coveringBlobs(spark, fs, path, meta)
+    // bloom prefilter, armed PER PATH: each path whose blobs cover its
+    // history contributes them; rows missing every covered path's blobs
+    // are provably absent from those paths and only anti-join the
+    // UNCOVERED paths' histories (disarming everything because ONE
+    // path's bloom retired — e.g. past MaxBloomItems — would re-pay the
+    // exact join for every path in exactly the large-history regime the
+    // store targets). A NULL key can never be a member of a keyed
+    // history, so it is always "new" — coalescing the (null) bloom
+    // verdict to false routes it through the uncovered-only join, where
+    // left_anti passes null keys through.
+    val withBlobs = states.map { case st @ (path, fs, meta, _) =>
+      (st, coveringBlobs(spark, fs, path, meta))
     }
-    val blobs: Option[Seq[Array[Byte]]] =
-      if (perPathBlobs.forall(_.nonEmpty)) Some(perPathBlobs.flatMap(_.get))
-      else None
-    val (maybe, sureNew) = blobs match {
-      case Some(bs) if bs.nonEmpty =>
+    val coveredBlobs = withBlobs.flatMap(_._2.getOrElse(Nil))
+    val coveredSts = withBlobs.filter(_._2.nonEmpty).map(_._1)
+    val uncoveredSts = withBlobs.filter(_._2.isEmpty).map(_._1)
+    val (maybe, sureNew) =
+      if (coveredBlobs.nonEmpty) {
         val hit = coalesce(
-          graft.operators.BloomPrune.mightContainAny(col(keyCol), bs),
-          lit(false))
+          graft.operators.BloomPrune.mightContainAny(col(keyCol),
+            coveredBlobs), lit(false))
         (candidates.filter(hit), Some(candidates.filter(!hit)))
-      case _ => (candidates, None)
-    }
+      } else (candidates, None)
 
-    // compacted tiers, PRUNED to the buckets the surviving candidates
-    // hash into (a partition-column isin — pruned at the scan). The kb
-    // collect is bounded by nb; when candidates cover most buckets the
-    // pruning would not pay for itself, so read the tier whole.
-    val compacteds: Seq[DataFrame] = states.flatMap { case (path, fs, meta, _) =>
-      meta.flatMap { m =>
-        val data = s"${vDir(path, m.version)}/data"
-        val kbs = maybe.select(kbOf(keyCol, m.nb).as("kb"))
-          .distinct().collect().map(_.getInt(0))
-        if (kbs.isEmpty) None
-        else if (kbs.length * 2L >= m.nb)
-          Some(spark.read.parquet(data).select(keyCol))
-        else {
-          // read the hit bucket DIRECTORIES directly — partition
-          // discovery over the whole tier would list all nb dirs,
-          // O(history/target) per batch; naming them keeps the scan's
-          // setup cost proportional to the batch too. Empty buckets have
-          // no dir; existence-check the candidates (O(hit buckets)).
-          val dirs = kbs.map(k => s"$data/kb=$k")
-            .filter(p => fs.exists(new Path(p)))
-          if (dirs.isEmpty) None
-          else Some(spark.read.option("basePath", data)
-            .parquet(dirs.toIndexedSeq: _*).select(keyCol))
+    // history of a path set: compacted tiers PRUNED to the buckets the
+    // surviving candidates hash into (a partition-column read — pruned
+    // at the scan), plus unfolded increments. The kb collect is bounded
+    // by nb; when candidates cover most buckets the pruning would not
+    // pay for itself, so read the tier whole.
+    def histOf(sts: Seq[(String, FileSystem, Option[Meta], Option[DataFrame])],
+               pruneBy: DataFrame): Option[DataFrame] = {
+      val compacteds = sts.flatMap { case (path, fs, meta, _) =>
+        meta.flatMap { m =>
+          val data = s"${vDir(path, m.version)}/data"
+          val kbs = pruneBy.select(kbOf(keyCol, m.nb).as("kb"))
+            .distinct().collect().map(_.getInt(0))
+          if (kbs.isEmpty) None
+          else if (kbs.length * 2L >= m.nb)
+            Some(spark.read.parquet(data).select(keyCol))
+          else {
+            // read the hit bucket DIRECTORIES directly — partition
+            // discovery over the whole tier would list all nb dirs,
+            // O(history/target) per batch; naming them keeps the scan's
+            // setup cost proportional to the batch too. Empty buckets
+            // have no dir; existence-check the candidates
+            // (O(hit buckets)).
+            val dirs = kbs.map(k => s"$data/kb=$k")
+              .filter(p => fs.exists(new Path(p)))
+            if (dirs.isEmpty) None
+            else Some(spark.read.option("basePath", data)
+              .parquet(dirs.toIndexedSeq: _*).select(keyCol))
+          }
         }
       }
+      (compacteds ++ sts.flatMap(_._4)).reduceOption(_.union(_))
     }
-    val hist = (compacteds ++ states.flatMap(_._4))
-      .reduceOption(_.union(_))
-    val confirmed = hist.fold(maybe)(h =>
-      maybe.join(h, Seq(keyCol), "left_anti"))
-    sureNew.fold(confirmed)(confirmed.unionByName(_))
+    val histC = histOf(coveredSts, maybe)
+    val histU = histOf(uncoveredSts, candidates)
+    val confirmed = (histC.toSeq ++ histU.toSeq).reduceOption(_.union(_))
+      .fold(maybe)(h => maybe.join(h, Seq(keyCol), "left_anti"))
+    val rest = sureNew.map(sn =>
+      histU.fold(sn)(h => sn.join(h, Seq(keyCol), "left_anti")))
+    rest.fold(confirmed)(confirmed.unionByName(_))
   }
 
   /** Append an epoch's keys: the bloom blob commits FIRST (so the
@@ -348,11 +374,16 @@ object CrawlStore {
       .write.mode("overwrite").partitionBy("kb").parquet(s"$out/data")
     // past MaxBloomItems the blob would grow with history — retire the
     // prefilter (no v-bloom → antiJoinNew disarms it) and let the
-    // bucket-pruned confirm carry membership alone
+    // bucket-pruned confirm carry membership alone. The blob OVERWRITES
+    // (and the retired branch deletes any leftover): a compact retried
+    // after a crash-before-META-flip folds MORE epochs into this same v
+    // dir, so a kept stale blob would under-approximate the rewritten
+    // data — false negatives on known keys.
     if (rows <= MaxBloomItems) {
       val blob = graft.operators.BloomPrune.bloomBlob(all, keyCol, rows)
-      writeRawBlob(fs, new Path(s"$out/bloom", "bf.bin"), blob)
-    }
+      writeRawBlob(fs, new Path(s"$out/bloom", "bf.bin"), blob,
+        overwrite = true)
+    } else fs.delete(new Path(s"$out/bloom"), true): Unit
     writeMeta(fs, path, Meta(version, nb, fold.max, rows))
     // post-flip vacuum with ONE-COMPACTION GRACE (the dim store's
     // reader contract, Sinks.upsertDims): an in-flight reader that

@@ -133,6 +133,117 @@ class CrawlStoreSpec extends SparkSpec {
     assert(gotC == Set("site40.example/p40"), gotC.toString)
   }
 
+  test("mixed-layout blobs: raw bf.bin epochs coexist with legacy " +
+       "one-row-parquet epochs (raw epoch dir sorting FIRST) — the " +
+       "legacy fallback reads only its own epoch dirs, stays armed " +
+       "and exact") {
+    import spark.implicits._
+    val dir = tmp("crawl_mixed") + "/urls"
+    // epoch 9: LEGACY layout — keys via the batch sink, blob as a
+    // one-row parquet epoch (what pre-raw-layout stores wrote)
+    graft.sources.Sinks.idempotentBatchSink(dir)(keysDf(0L until 10L), 9L)
+    val legacyBlob = graft.operators.BloomPrune.bloomBlob(
+      keysDf(0L until 10L), "canon", 10L)
+    graft.sources.Sinks.idempotentBatchSink(s"${dir}_bloom")(
+      spark.range(1).select(lit(legacyBlob).as("bf"), lit(10L).as("n_keys")), 9L)
+    // epoch 10: RAW layout (appendKeys writes bf.bin) — and
+    // "batch_id=10" sorts lexicographically BEFORE "batch_id=9", so a
+    // whole-root parquet read would pick the bf.bin for schema
+    // inference and throw
+    CrawlStore.appendKeys(dir)(keysDf(10L until 20L), "canon", 10L)
+    val got = CrawlStore.antiJoinNew(
+      keysDf(Seq(3L, 13L, 300L)), "canon", dir, 11L)
+      .select($"canon").as[String].collect().toSet
+    assert(got == Set("site300.example/p300"), got.toString)
+  }
+
+  test("antiJoinNewAll == per-path antiJoinNew cascade — fully armed, " +
+       "and with ONE path's blobs retired (per-path arming: the other " +
+       "path keeps its prefilter)") {
+    import spark.implicits._
+    val root = tmp("crawl_all")
+    val urls = s"$root/urls"
+    val frontier = s"$root/frontier"
+    (0 to 1).foreach(e => CrawlStore.appendKeys(urls)(
+      keysDf(e * 10L until e * 10L + 10L), "canon", e))
+    CrawlStore.compact(spark, urls, "canon", targetRowsPerBucket = 8L)
+    (0 to 1).foreach(e => CrawlStore.appendKeys(frontier)(
+      keysDf(e * 10L + 100L until e * 10L + 110L), "canon", e))
+    val cands = keysDf(Seq(0L, 15L, 104L, 115L, 900L, 901L))
+    def cascade(df: org.apache.spark.sql.DataFrame) =
+      CrawlStore.antiJoinNew(
+        CrawlStore.antiJoinNew(df, "canon", urls, 7L),
+        "canon", frontier, 7L)
+    def fused(df: org.apache.spark.sql.DataFrame) =
+      CrawlStore.antiJoinNewAll(df, "canon", Seq(urls, frontier), 7L)
+    val expected = Set("site900.example/p900", "site901.example/p901")
+    val c1 = cascade(cands).select($"canon").as[String].collect().toSet
+    val f1 = fused(cands).select($"canon").as[String].collect().toSet
+    assert(c1 == expected && f1 == expected, s"cascade $c1 fused $f1")
+    // retire the FRONTIER's blobs (as if its history outgrew
+    // MaxBloomItems): fused must still be exact — urls stays armed,
+    // frontier anti-joins unconditionally
+    val fs = new org.apache.hadoop.fs.Path(frontier)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"${frontier}_bloom"), true)
+    val c2 = cascade(cands).select($"canon").as[String].collect().toSet
+    val f2 = fused(cands).select($"canon").as[String].collect().toSet
+    assert(c2 == expected && f2 == expected, s"cascade $c2 fused $f2")
+    // null keys ride through the mixed-arming path unchanged
+    val withNull = Seq(Some("site0.example/p0"), None, Some("x.new/y"))
+      .toDF("canon")
+    val fN = fused(withNull).select($"canon").collect()
+      .map(r => Option(r.getString(0))).toSet
+    assert(fN == Set(None, Some("x.new/y")), fN.toString)
+  }
+
+  test("compact retried after a crash-before-META-flip rewrites the " +
+       "v-tier bloom (no stale under-approximating blob)") {
+    import spark.implicits._
+    val dir = tmp("crawl_reblob") + "/urls"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaP = new org.apache.hadoop.fs.Path(s"${dir}_compacted/_META")
+    def metaBytes(): Array[Byte] = {
+      val in = fs.open(metaP)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toByteArray
+      } finally in.close()
+    }
+    // compact #1 -> v1 (folds 0,1; keeps 2)
+    (0L to 2L).foreach(e => CrawlStore.appendKeys(dir)(
+      keysDf(e * 10L until e * 10L + 10L), "canon", e))
+    CrawlStore.compact(spark, dir, "canon", targetRowsPerBucket = 8L)
+    val v1Meta = metaBytes()
+    // compact #2 -> v2 (folds 2,3; keeps 4) ... then CRASH before the
+    // META flip: simulate by rewinding META to the v1 content (data
+    // and bloom of v2 are on disk exactly as a crashed run leaves them)
+    (3L to 4L).foreach(e => CrawlStore.appendKeys(dir)(
+      keysDf(e * 10L until e * 10L + 10L), "canon", e))
+    CrawlStore.compact(spark, dir, "canon", targetRowsPerBucket = 8L)
+    val m2 = CrawlStore.readMeta(fs, dir).get
+    assert(m2.version == 2 && m2.rows == 40L, m2.toString)
+    val out = fs.create(metaP, true)
+    try out.write(v1Meta) finally out.close()
+    // epoch 5 arrives, then the RETRY: same v2 dir, MORE epochs folded
+    // (2,3,4 -> 50 keys) than the crashed attempt's blob covers (40)
+    CrawlStore.appendKeys(dir)(keysDf(50L until 60L), "canon", 5L)
+    CrawlStore.compact(spark, dir, "canon", targetRowsPerBucket = 8L)
+    val m3 = CrawlStore.readMeta(fs, dir).get
+    assert(m3.version == 2 && m3.rows == 50L,
+      s"retry must land in the same v dir with more keys: $m3")
+    // a key folded ONLY by the retry (epoch 4) must not be classified
+    // provably-new — a kept stale blob would drop it here
+    val got = CrawlStore.antiJoinNew(
+      keysDf(Seq(44L, 777L)), "canon", dir, 9L)
+      .select($"canon").as[String].collect().toSet
+    assert(got == Set("site777.example/p777"), got.toString)
+  }
+
   test("compaction grace: a reader holding the just-replaced meta keeps " +
        "a consistent snapshot across a concurrent compact; the NEXT " +
        "compaction vacuums the superseded generation") {
