@@ -12,7 +12,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * footer itself — a commit of N files costs N metadata reads, never a
   * data scan. Files decode in a bounded pool, like manifest decode —
   * a 100 TB table's thousand-file commit must not stat serially. */
-private[operators] object FooterStats {
+private[graft] object FooterStats {
 
   /** (row count, leaf path → (parquet physical type, min bytes, max
     * bytes)) — bounds present only when every row group carries sound

@@ -90,6 +90,43 @@ private[queries] object StreamGate {
   private def registerDeleteOnExit(dir: java.nio.file.Path): Unit =
     exitDirs.add(dir): Unit
 
+  /** Canonical-µs ts bounds straight from the fixture's parquet FOOTER
+    * (driver-side, zero Spark jobs — guide §5/§6: the writer already
+    * computed exact column min/max). Sound only where the µs
+    * canonicalization is monotonic in the stored INT64: ns-longs (both
+    * non-negative, truncating division) and µs timestamps under a UTC
+    * session zone (identity). Anything else — INT96 storage, absent
+    * row-group stats, non-UTC session — returns None and the caller
+    * falls back to the min/max scan. */
+  private def footerTsBoundsUs(s: SparkSession, d: String,
+                               tsType: org.apache.spark.sql.types.DataType)
+      : Option[(Long, Long)] = try {
+    val p = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val paths =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+      else Seq(p)
+    val stats = paths.map(graft.operators.FooterStats.read(fs, _))
+    val bounds = stats.map(_.bounds.get("ts"))
+    if (bounds.exists(b => b.isEmpty || b.get._1 != 2)) return None
+    def le(a: Array[Byte]) = java.nio.ByteBuffer.wrap(a)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+    val lo = bounds.map(b => le(b.get._2)).min
+    val hi = bounds.map(b => le(b.get._3)).max
+    tsType match {
+      case org.apache.spark.sql.types.LongType if lo >= 0 =>
+        Some((lo / 1000, hi / 1000)) // ns → µs, same floor as `ts div 1000`
+      case org.apache.spark.sql.types.TimestampNTZType
+          if s.conf.get("spark.sql.session.timeZone") == "UTC" =>
+        Some((lo, hi)) // NTZ micros cast under UTC == the same micros
+      case org.apache.spark.sql.types.TimestampType =>
+        Some((lo, hi)) // unix_micros is the stored INT64 verbatim
+      case _ => None
+    }
+  } catch { case scala.util.control.NonFatal(_) => None }
+
   private def prepareSourceDir(s: SparkSession, d: String, sentinels: Int,
                                splitParts: Int)
       : (String, org.apache.spark.sql.types.StructType) = {
@@ -104,10 +141,11 @@ private[queries] object StreamGate {
           unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)))
       case _ => raw0.withColumn("ts", unix_micros(col("ts")))
     }
-    val (minUs, maxUs) = {
-      val r = raw.agg(min(col("ts")), max(col("ts"))).head()
-      (r.getLong(0), r.getLong(1))
-    }
+    val (minUs, maxUs) = footerTsBoundsUs(s, d, raw0.schema("ts").dataType)
+      .getOrElse {
+        val r = raw.agg(min(col("ts")), max(col("ts"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
     val baseMtime = java.nio.file.Files
       .getLastModifiedTime(java.nio.file.Paths.get(s"$d/events.parquet")).toMillis
 
@@ -133,26 +171,51 @@ private[queries] object StreamGate {
       // event of an earlier part precedes every event of a later part —
       // cross-batch state then sees each key's history in global time
       // order, and the watermark after part i is ≤ every later part's ts
-      // (no late data, no mis-fired timers)
+      // (no late data, no mis-fired timers). ALL parts write in ONE
+      // single-task partitionBy pass (was one full filter-scan per
+      // part); per-part row order is the input order either way.
       val bounds = (1 until splitParts)
         .map(i => minUs + (maxUs - minUs) * i.toLong / splitParts)
+      val partIdx = bounds
+        .map(b => when(col("ts") > b, 1).otherwise(0))
+        .reduce(_ + _)
+      val scratch = dir.resolve("_parts")
+      raw.withColumn("__part", partIdx).coalesce(1)
+        .write.mode("overwrite").partitionBy("__part")
+        .parquet(scratch.toString)
       (0 until splitParts).foreach { i =>
-        val lo = if (i == 0) None else Some(bounds(i - 1))
-        val hi = if (i == splitParts - 1) None else Some(bounds(i))
-        val part = raw
-          .filter(lo.map(col("ts") > _).getOrElse(lit(true)))
-          .filter(hi.map(col("ts") <= _).getOrElse(lit(true)))
-        writeOne(part, s"part_$i", i + 1)
+        val pdir = scratch.resolve(s"__part=$i").toFile
+        Option(pdir.listFiles)
+          .flatMap(_.find(_.getName.endsWith(".parquet"))) match {
+          case Some(part) =>
+            val dst = dir.resolve(s"part_$i.parquet")
+            java.nio.file.Files.move(part.toPath, dst)
+            java.nio.file.Files.setLastModifiedTime(dst,
+              java.nio.file.attribute.FileTime
+                .fromMillis(baseMtime + (i + 1) * 60000L))
+          case None => // a part with no rows (degenerate split) still
+            // needs its file so the batch sequence keeps its shape
+            writeOne(raw.filter(lit(false)), s"part_$i", i + 1)
+        }
       }
     }
-    (1 to sentinels).foreach { i =>
-      val one = raw.limit(1).select(raw.columns.map {
-          case "ts" => lit(maxUs + i * 3L * 3600 * 1000000L).as("ts")
-          case "event_type" => lit("__sentinel").as("event_type")
-          case "user_id" => lit(-1L).as("user_id")
-          case c => col(c)
-        }: _*)
-      writeOne(one, s"sentinel_$i", splitParts + i)
+    if (sentinels > 0) {
+      // ONE tiny job collects a prototype row; each sentinel is then a
+      // local one-row relation (no per-sentinel corpus scan)
+      val proto = raw.limit(1).head()
+      val fields = raw.schema.fields
+      (1 to sentinels).foreach { i =>
+        val vals = fields.map(f => f.name match {
+          case "ts" => maxUs + i * 3L * 3600 * 1000000L
+          case "event_type" => "__sentinel"
+          case "user_id" => -1L
+          case n => proto.getAs[Any](n)
+        })
+        val one = s.createDataFrame(
+          java.util.Collections.singletonList(
+            org.apache.spark.sql.Row(vals.toIndexedSeq: _*)), raw.schema)
+        writeOne(one, s"sentinel_$i", splitParts + i)
+      }
     }
     (dir.toString, raw.schema)
   }
