@@ -63,12 +63,18 @@ object BloomPrune {
         Literal(items), Literal(numBits), 0, 0).toAggregateExpression()).as("__bf"))
       .head()
     if (!row.isNullAt(0)) row.getAs[Array[Byte]](0)
-    else { // zero rows: an empty filter of the same wire format
-      val bf = org.apache.spark.util.sketch.BloomFilter.create(1, 64L)
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      bos.toByteArray
-    }
+    else emptyBlob // zero rows
+  }
+
+  /** A valid never-matching blob of the same wire format — the
+    * zero-rows answer, computable driver-side with no Spark job (an
+    * empty key epoch needs its blob, but not an aggregation over
+    * nothing). */
+  def emptyBlob: Array[Byte] = {
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(1, 64L)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
   }
 
   /** Key-might-be-in-ANY-blob predicate over independently-built blobs

@@ -165,6 +165,31 @@ object CorpusIngest {
     val spark = batch.sparkSession
     val urlsPath = s"$artifactDir/urls"
     val frontierPath = s"$artifactDir/frontier"
+    // a FULLY-committed epoch (every sink marker + both key blobs) has
+    // nothing left to write: a replayed batch skips the recompute
+    // outright instead of re-deriving outputs whose writes would all
+    // no-op. Partially-committed crash windows still recompute the
+    // whole body (each write is idempotent on its own). Compaction
+    // (below) must still run — a crashed pre-flip compact retries on
+    // replay.
+    val fs = new org.apache.hadoop.fs.Path(artifactDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def done(p: String) = fs.exists(
+      new org.apache.hadoop.fs.Path(p, s"batch_id=$batchId/_SUCCESS"))
+    def blobbed(p: String) = fs.exists(new org.apache.hadoop.fs.Path(
+      s"${p}_bloom/batch_id=$batchId", "bf.bin"))
+    val replayComplete = done(s"$artifactDir/pages") &&
+      done(urlsPath) && blobbed(urlsPath) &&
+      done(frontierPath) && blobbed(frontierPath)
+    if (replayComplete) {
+      if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1)) {
+        CrawlStore.compact(spark, urlsPath, "canon",
+          targetRowsPerBucket = targetRowsPerBucket)
+        CrawlStore.compact(spark, frontierPath, "canon", carry = Seq("url"),
+          targetRowsPerBucket = targetRowsPerBucket)
+      }
+      return
+    }
     // extracted once, consumed four times (dedup, pages, urls,
     // outlinks) — a micro-batch's pages are small, checkpoint beats
     // the re-walk
@@ -193,8 +218,7 @@ object CorpusIngest {
     graft.sources.Sinks.idempotentBatchSink(s"$artifactDir/pages")(
       survivors.select("doc_id", "rec_idx", "canon", "domain", "text"),
       batchId)
-    CrawlStore.appendKeys(urlsPath)(survivors, "canon", batchId,
-      materialized = true)
+    CrawlStore.appendKeys(urlsPath)(survivors, "canon", batchId)
     // the crawl loop: outlinks of the pages just kept become frontier
     // candidates unless fetched (history or this batch) or queued
     val outlinks = TextAnalysis.extractLinks(
@@ -260,6 +284,22 @@ object CorpusIngest {
     import org.apache.spark.sql.expressions.Window
     val spark = batch.sparkSession
     val seenPath = s"$artifactDir/seen"
+    // fully-committed epoch → replay skips the recompute (same contract
+    // as crawlIngestBatch; compaction still runs below via the guarded
+    // fall-through)
+    val fsA = new org.apache.hadoop.fs.Path(artifactDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fsA.exists(new org.apache.hadoop.fs.Path(
+          s"$artifactDir/docs/batch_id=$batchId/_SUCCESS")) &&
+        fsA.exists(new org.apache.hadoop.fs.Path(
+          s"$seenPath/batch_id=$batchId/_SUCCESS")) &&
+        fsA.exists(new org.apache.hadoop.fs.Path(
+          s"${seenPath}_bloom/batch_id=$batchId", "bf.bin"))) {
+      if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
+        CrawlStore.compact(spark, seenPath, "content_key",
+          targetRowsPerBucket = targetRowsPerBucket)
+      return
+    }
     val zipRows = graft.functions.Archive.zipEntriesCol(col("payload"))
     val tarRows = graft.functions.Archive.tarEntriesCol(col("payload"))
     def norm(e: org.apache.spark.sql.Column) = struct(
@@ -299,8 +339,7 @@ object CorpusIngest {
       .localCheckpoint(true)
     graft.sources.Sinks.idempotentBatchSink(s"$artifactDir/docs")(
       survivors, batchId)
-    CrawlStore.appendKeys(seenPath)(survivors, "content_key", batchId,
-      materialized = true)
+    CrawlStore.appendKeys(seenPath)(survivors, "content_key", batchId)
     if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
       CrawlStore.compact(spark, seenPath, "content_key",
         targetRowsPerBucket = targetRowsPerBucket)

@@ -16,11 +16,15 @@ import org.apache.spark.sql.functions._
   *     `<path>/batch_id=N/` parquet via the idempotent batch-keyed sink
   *     (replayed epochs no-op; the reader excludes the in-flight epoch
   *     so replays re-derive their original decisions).
-  *   - **Bloom sidecars**: each epoch's keys also write a one-row blob
-  *     at `<path>_bloom/batch_id=N/` — written BEFORE the keys, so a
-  *     crash between the two writes can only leave a blob that
-  *     over-approximates (false positives cost a confirm; false
-  *     negatives are impossible). A candidate missing EVERY blob is
+  *   - **Bloom sidecars**: each epoch's keys also write a blob at
+  *     `<path>_bloom/batch_id=N/bf.bin` — committed right AFTER the
+  *     keys (the count and the keys share one write job); a crash
+  *     between the two writes leaves a live epoch without a blob,
+  *     which DISARMS the prefilter (exact, just slower) until the
+  *     engine's replay of the failed batch heals it. Committed blobs
+  *     always over-approximate their keys (false positives cost a
+  *     confirm; false negatives are impossible). A candidate missing
+  *     EVERY blob is
   *     provably new and skips the exact join entirely — at crawl
   *     steady state that is the bulk of a batch's genuinely-new links,
   *     checked map-side with zero I/O beyond the (tiny, compacted)
@@ -292,34 +296,60 @@ object CrawlStore {
     rest.fold(confirmed)(confirmed.unionByName(_))
   }
 
-  /** Append an epoch's keys: the bloom blob commits FIRST (so the
-    * "blobs over-approximate keys" invariant holds through any crash),
-    * then the keys through the idempotent batch-keyed sink. `carry`
-    * columns ride along in the key rows (the frontier keeps the
-    * un-canonicalized url next to its key). */
+  /** Append an epoch's keys in TWO jobs: the keys commit through the
+    * idempotent batch-keyed write with the row count OBSERVED on the
+    * write job itself (no separate count job, no checkpoint of the
+    * caller's plan — the keys frame is consumed exactly once), then
+    * the bloom blob builds from the just-written epoch files
+    * (batch-sized read, no re-run of the caller's lineage) and commits
+    * as a raw driver-side file. `carry` columns ride along in the key
+    * rows (the frontier keeps the un-canonicalized url next to its
+    * key).
+    *
+    * Crash contract (keys now commit BEFORE their blob): a crash
+    * between the two writes leaves a live epoch without a blob, which
+    * [[coveringBlobs]] treats as uncovered — the prefilter DISARMS and
+    * every candidate takes the exact join, so results stay exact; the
+    * streaming engine then replays the failed batch, and the replay
+    * heals the blob (keys write skips via _SUCCESS, the blob write
+    * runs). The reverse order's orphan blob was equally safe but cost
+    * one more job per epoch on every normal batch. */
   def appendKeys(path: String)(df: DataFrame, keyCol: String,
                                batchId: Long,
-                               carry: Seq[String] = Nil,
-                               materialized: Boolean = false): Unit = {
+                               carry: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
-    // three consumers (count, bloom aggregate, sink) — materialize once,
-    // unless the caller already holds a materialized frame (the crawl
-    // loop checkpoints its survivors for its own consumers; a second
-    // checkpoint of a narrow select would be one more job per epoch)
     val sel = df.select((keyCol +: carry).map(col): _*)
-    val keys = if (materialized) sel else sel.localCheckpoint(true)
-    val n = keys.count()
-    val blob = graft.operators.BloomPrune.bloomBlob(keys, keyCol, n)
-    // the blob is ONE row of bytes on the driver already — a raw
-    // atomic file write, not a one-row Spark write job (two fewer jobs
-    // per epoch; [[coveringBlobs]] reads it back driver-side with zero
-    // jobs too, and still falls back to the parquet layout for epochs
-    // written before this shape)
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    writeRawBlob(fs,
-      new Path(s"${path}_bloom/batch_id=$batchId", "bf.bin"), blob)
-    graft.sources.Sinks.idempotentBatchSink(path)(keys, batchId)
+    val epochDir = new Path(path, s"batch_id=$batchId")
+    val blobPath = new Path(s"${path}_bloom/batch_id=$batchId", "bf.bin")
+    val committed = fs.exists(new Path(epochDir, "_SUCCESS"))
+    if (committed && fs.exists(blobPath)) return // full replay no-op
+    val n: Long =
+      if (!committed) {
+        val obs = new org.apache.spark.sql.Observation()
+        sel.observe(obs, count(lit(1)).as("n"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(epochDir.toString)
+        obs.get("n").asInstanceOf[Long]
+      } else -1L // crash-window replay: keys committed, blob missing
+    // the blob aggregates over the COMMITTED epoch (deterministic in
+    // the keys, so a replayed build writes identical bytes); one row of
+    // bytes lands on the driver and commits as a raw atomic file —
+    // never a one-row Spark write job. [[coveringBlobs]] reads it back
+    // driver-side with zero jobs and still falls back to the parquet
+    // layout for epochs written before this shape. An all-empty epoch
+    // writes no part files, so its blob is the driver-built empty one.
+    val parts = fs.listStatus(epochDir).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    val blob =
+      if (n == 0 || parts.isEmpty) graft.operators.BloomPrune.emptyBlob
+      else {
+        val keys = spark.read.parquet(epochDir.toString)
+        val rows = if (n >= 0) n else keys.count()
+        graft.operators.BloomPrune.bloomBlob(keys, keyCol, rows)
+      }
+    writeRawBlob(fs, blobPath, blob)
   }
 
   /** Fold every epoch but the youngest `keepEpochs` (≥ 1 — the youngest
