@@ -55,13 +55,23 @@ object Graph {
       .agg(sum(col(weightCol)).cast("long").as("__w"))
     // ppm share of the source's out-weight; share <= 1e6 keeps every
     // later product inside int64 (r*share <= scale*1e6 = 1e18 < 2^63)
+    // MATERIALIZE the loop invariants (guide §3: an iterative join
+    // chain over an unmaterialized input replays the input's whole
+    // subtree once per occurrence — x_link_rank's 3-iteration plan
+    // re-ran the corpus scan + link extraction 7 times, 286 heavy
+    // operators). shares is |E| rows of 3 longs, withBase |V| rows of
+    // 3 longs — the standard PageRank working set, bounded and tiny
+    // next to the inputs; lineage-truncating localCheckpoint is the
+    // documented trade (recompute-on-executor-loss) every iterative
+    // graph job makes.
     val shares = e
       .withColumn("__out", sum(col("__w")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__src"))))
       .withColumn("__share", expr("__w * 1000000L div __out"))
       .select("__src", "__dst", "__share")
-    val nodes = e.select(col("__src").as("node"))
-      .union(e.select(col("__dst").as("node"))).distinct()
+      .localCheckpoint(false)
+    val nodes = shares.select(col("__src").as("node"))
+      .union(shares.select(col("__dst").as("node"))).distinct()
     val n = nodes.agg(count(lit(1)).as("__n"))
     // base carries on every node row; r0 = scale div N (uniform start)
     val withBase = nodes.crossJoin(broadcast(n))
@@ -69,6 +79,7 @@ object Graph {
       .withColumn("__base",
         expr(s"(${scale}L div __n) * ${100 - dampingPct}L div 100"))
       .select("node", "__r0", "__base")
+      .localCheckpoint(false)
     var ranks = withBase.select(col("node"), col("__r0").as("rank"))
     for (_ <- 1 to iterations) {
       val contrib = ranks
