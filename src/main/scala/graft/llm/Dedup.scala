@@ -854,13 +854,21 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("nl")).as("nmin"))
+      // convergence rides the SAME job that materializes the round: the
+      // shrunk-label count is an observed metric of the checkpoint
+      // action (was a separate next⋈labels isEmpty job per round —
+      // §5: one job per round, not two). nmin < label ⟺ the least()
+      // below strictly shrinks the label (nmin null compares false).
+      val obs = new org.apache.spark.sql.Observation()
       val next = labels.join(nbrMin, Seq("id"), "left_outer")
         .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (col("nmin") < col("label")).cast("long").as("__shrunk"))
+        .observe(obs, sum(col("__shrunk")).as("shrunk"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
-        .filter(col("label") < col("prev")).isEmpty
-      labels = next
+      converged = Option(obs.get("shrunk"))
+        .forall(_.asInstanceOf[Long] == 0L)
+      labels = next.select(col("id"), col("label"))
       iters += 1
     }
     require(converged,
