@@ -1287,25 +1287,28 @@ object TextAnalysis {
         .as(Seq("__p0", "gram")))
       .select(col(idCol), (col("__p0") + 1).cast("long").as("pos"),
         Dedup.h32(col("gram")).as("h"))
-    // per window start s: the min hash over positions [s, s+w-1]
+    // per window start s: the whole w-gram frame rides the ONE window
+    // pass as a collected struct array (w is a small constant), and the
+    // robust-winnowing selection — rightmost position of the window
+    // min — is a map-side array expression over it. The old rendering
+    // re-joined the gram table against the window starts on
+    // (doc, h = wmin) + a positional range, i.e. a second shuffle of
+    // the gram table and a groupBy, for the same answer (§2.4).
     val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
-    val starts = grams
-      .withColumn("__wmin", min(col("h")).over(byPos))
+    grams
+      .withColumn("__frame",
+        collect_list(struct(col("h"), col("pos"))).over(byPos))
       .withColumn("__n", count(lit(1)).over(
         Window.partitionBy(col(idCol))))
       .filter(col("pos") <= col("__n") - (w - 1)) // full windows only
-      // explicit rename: starts derives from grams, and a same-name join
-      // would hit self-join attribute ambiguity
-      .select(col(idCol).as("__sid"), col("pos").as("s"), col("__wmin"))
-    // rightmost position of the window-min inside each window
-    grams.join(starts,
-        col(idCol) === col("__sid") &&
-          col("pos") >= col("s") && col("pos") <= col("s") + (w - 1) &&
-          col("h") === col("__wmin"))
-      .groupBy(col(idCol), col("s"))
-      .agg(max(col("pos")).as("fp_pos"), first(col("h")).as("fp_hash"))
-      .select(col(idCol), col("fp_pos"), col("fp_hash"))
+      .withColumn("__wmin",
+        array_min(transform(col("__frame"), e => e.getField("h"))))
+      .select(col(idCol),
+        array_max(transform(
+          filter(col("__frame"), e => e.getField("h") === col("__wmin")),
+          e => e.getField("pos"))).as("fp_pos"),
+        col("__wmin").as("fp_hash"))
       .distinct()
   }
 
