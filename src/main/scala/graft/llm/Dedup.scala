@@ -1134,8 +1134,11 @@ object Dedup {
     val a = vars.select(col("__v"), col("tok").as("w1"), col("df").as("df1"))
     val b = vars.select(col("__v"), col("tok").as("w2"), col("df").as("df2"))
     a.join(b, "__v").filter(col("w1") < col("w2"))
-      .select("w1", "w2", "df1", "df2").distinct()
+      // verify BEFORE the distinct: levenshtein is a cheap map-side
+      // check on short tokens, and dropping ed-2 collisions first
+      // shrinks the distinct's shuffle (§2.3 filter early)
       .filter(levenshtein(col("w1"), col("w2")) <= 1)
+      .select("w1", "w2", "df1", "df2").distinct()
   }
 
   /** IMAGE near-duplicate pairing — the perceptual face of the dedup
